@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions over `documents.text`.
+  *
+  * Engine-local generalization of the reference's string handling (truncate/
+  * newline-strip `app/app.py:113-115`, regex rewrites
+  * `lakehouse_app_helpers.py:38-53`) plus the north-star text-pipeline ops
+  * (tokenize, shingles, MinHash, SimHash, fingerprints, quality scores).
+  *
+  * Hash determinism: all content hashes go through `md5` (hex string) —
+  * identical in Spark and DuckDB — never engine-private hash functions.
+  * MinHash uses the lexicographic MIN of seeded md5 hex strings: a valid
+  * min-wise permutation proxy that both engines compute identically.
+  * Everything is built-in expressions → codegen, no UDFs in the hot path.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenizer; drops empty tokens (text has trailing blanks). */
+  def tokens(c: Column): Column =
+    filter(split(trim(c), "\\s+"), t => length(t) > lit(0))
+
+  /** Distinct token set (order-independent, for set similarity). */
+  def tokenSet(c: Column): Column = array_distinct(tokens(c))
+
+  /** Word n-gram shingles of a token array, joined with a single space. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+
+  /** One MinHash signature component: min over tokens of md5(seed:token). */
+  def minhash(tokSet: Column, seed: Int): Column =
+    array_min(transform(tokSet, t => md5(concat(lit(s"$seed:"), t))))
+
+  /** LSH band key: concat of `width` adjacent MinHash components. */
+  def minhashBand(tokSet: Column, band: Int, width: Int): Column =
+    concat((0 until width).map(j => minhash(tokSet, band * width + j)): _*)
+
+  /** Exact Jaccard over two token-set arrays (integer counts → one double
+    * division → bit-deterministic). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** 16-bit SimHash fingerprint as a '0'/'1' string. Bit j is the sign of
+    * sum over distinct tokens of ±1, where +1 iff hex digit j of md5(token)
+    * has its high bit set. String form keeps the oracle twin trivial. */
+  def simhash16(tokSet: Column): Column = {
+    val bits = (0 until 16).map { j =>
+      val contrib = transform(tokSet, t =>
+        when(substring(md5(t), j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+          .otherwise(-1))
+      when(aggregate(contrib, lit(0), (acc, x) => acc + x) > 0, "1").otherwise("0")
+    }
+    concat(bits: _*)
+  }
+
+  /** Canonical content fingerprint: md5 of lowercased, whitespace-collapsed
+    * text (the deterministic stand-in for a rolling hash). */
+  def fingerprint(c: Column): Column =
+    md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+
+  /** BPE-ish token count: words OR single non-space symbols. */
+  def regexTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0)))
+
+  private val Stopwords = Seq("a", "the", "of", "and", "to", "in")
+
+  /** Quality score in [0,1]: penalizes stopword-heavy, short-token text.
+    * All terms are exact count ratios — deterministic double arithmetic. */
+  def qualityScore(toks: Column): Column = {
+    val n = size(toks).cast("double")
+    val stop = size(filter(toks, t => t.isin(Stopwords.map(lit): _*))).cast("double")
+    val chars = aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double")
+    val avgLen = chars / n
+    // weights sum to 1; avgLen/8 saturates at 1 for >=8-char avg tokens
+    lit(0.5) * (lit(1.0) - stop / n) + lit(0.5) * least(avgLen / lit(8.0), lit(1.0))
+  }
+
+  // --- DuckDB twins -------------------------------------------------------
+  val sqlToks = "list_filter(string_split_regex(trim(text), '\\s+'), t -> len(t) > 0)"
+  val sqlTokSet = s"list_distinct($sqlToks)"
+  def sqlMinhash(tokSetExpr: String, seed: Int): String =
+    s"list_min(list_transform($tokSetExpr, t -> md5('$seed:' || t)))"
+  def sqlJaccard(a: String, b: String): String =
+    s"(CAST(len(list_intersect($a, $b)) AS DOUBLE) / CAST(len(list_distinct(list_concat($a, $b))) AS DOUBLE))"
+  val sqlFingerprint = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+  val sqlRegexTokenCount =
+    "len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]'))"
+}

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.VectorFunctions
+import graft.sources.Tables
+
+/** The reference's flagship semantics, engine-native (SURVEY.md §3 entry
+  * point 1): top-k ANN retrieval (`app/vector_search.py:29-33`, k=3) →
+  * snippet truncation (`app/app.py:113-115`) → citation dedup
+  * (`app/app.py:111-124`) → ordered context assembly (`app/app.py:71-72`) →
+  * per-session history replay (`app/app.py:85-92`).
+  *
+  * Scale design: the query vector is a 1-row broadcast (no shuffle); the
+  * top-k is `ORDER BY score DESC LIMIT k` which Spark plans as
+  * `TakeOrderedAndProject` — per-partition partial top-k then a k-row driver
+  * merge, the same shape a 1000-executor cluster needs. The doc join
+  * broadcasts the k-row side.
+  */
+object Rag {
+  import VectorFunctions.{cosine, sqlCosine}
+
+  /** Truncate-and-ellipsize snippet, as the reference does at app.py:113-115. */
+  private def snippet(c: Column): Column =
+    concat(substring(regexp_replace(c, "\n", ""), 1, 50), lit("..."))
+  private val sqlSnippet = "substring(replace(text, chr(10), ''), 1, 50) || '...'"
+
+  /** Top-k doc ids+scores for one stored query vector, by brute-force cosine.
+    * (The IVF/LSH approximate path lives in [[Similarity]].) */
+  private def topk(s: SparkSession, d: String, queryVec: Long, k: Int): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val qv = emb.filter(col("vec_id") === queryVec)
+      .select(col("embedding").as("qv"))
+    emb.filter(col("vec_id") =!= queryVec)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), cosine(col("embedding"), col("qv")).as("score"))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(k)
+  }
+  private def sqlTopk(queryVec: Long, k: Int): String =
+    s"""SELECT vec_id, ${sqlCosine("embedding", "qv")} AS score
+        FROM embeddings, (SELECT embedding AS qv FROM embeddings WHERE vec_id = $queryVec)
+        WHERE vec_id <> $queryVec
+        ORDER BY score DESC, vec_id LIMIT $k"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Flagship: retrieve top-3 docs for query vec 0, project citation columns.
+    "q21_rag_topk" -> ((s, d) => {
+      topk(s, d, 0L, 3)
+        .join(broadcast(Tables.documents(s, d)), col("vec_id") === col("doc_id"))
+        .select(col("doc_id"), col("source"), snippet(col("text")).as("snip"), col("score"))
+        .orderBy(desc("score"), col("doc_id"))
+    }),
+
+    // Ordered context assembly: k docs → one prompt-context string
+    // (format_docs, app/app.py:71-72) + template fill (app/app.py:46-62).
+    "q22_rag_context" -> ((s, d) => {
+      val ranked = topk(s, d, 0L, 3)
+        .withColumn("rn", row_number().over(Window.orderBy(desc("score"), col("vec_id"))))
+        .join(broadcast(Tables.documents(s, d)), col("vec_id") === col("doc_id"))
+      ranked
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("rn").as("rn"), col("text").as("text")))),
+            x => x.getField("text")), "\n\n").as("context"),
+          count(lit(1)).as("k"))
+        .select(concat(lit("Context:\n"), col("context"), lit("\nQuestion: q0")).as("prompt"), col("k"))
+    }),
+
+    // Citation dedup across 5 queries: distinct (source, snippet) pairs
+    // (the set-accumulation at app/app.py:111-124).
+    "q23_citation_dedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val scored = emb.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          cosine(col("embedding"), col("qv")).as("score"))
+      val w = Window.partitionBy(col("qid")).orderBy(desc("score"), col("vec_id"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .join(broadcast(Tables.documents(s, d)), col("vec_id") === col("doc_id"))
+        .select(col("source"), snippet(col("text")).as("snip")).distinct()
+        .orderBy(col("source"), col("snip"))
+    }),
+
+    // Per-session chat-history replay (app/app.py:85-92): each event sees the
+    // ordered concatenation of everything earlier in its session.
+    "q24_history_replay" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .withColumn("history", array_join(collect_list(col("event_type")).over(w), ","))
+        .select(col("user_id"), col("event_id"), col("event_type"), col("history"))
+        .orderBy(col("user_id"), col("event_id"))
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "q21_rag_topk" ->
+      s"""SELECT doc_id, source, $sqlSnippet AS snip, score
+          FROM (${sqlTopk(0L, 3)}) JOIN documents ON vec_id = doc_id
+          ORDER BY score DESC, doc_id""",
+
+    "q22_rag_context" ->
+      s"""SELECT 'Context:' || chr(10) || string_agg(text, chr(10) || chr(10) ORDER BY rn)
+            || chr(10) || 'Question: q0' AS prompt,
+          count(*) AS k
+          FROM (SELECT row_number() OVER (ORDER BY score DESC, vec_id) AS rn, vec_id
+                FROM (${sqlTopk(0L, 3)}))
+          JOIN documents ON vec_id = doc_id""",
+
+    "q23_citation_dedup" ->
+      s"""SELECT DISTINCT source, $sqlSnippet AS snip
+          FROM (SELECT qid, vec_id,
+                  row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+                FROM (SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+                        ${sqlCosine("e.embedding", "q.embedding")} AS score
+                      FROM embeddings e, embeddings q
+                      WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id))
+          JOIN documents ON vec_id = doc_id
+          WHERE rn <= 3 ORDER BY source, snip""",
+
+    "q24_history_replay" ->
+      """SELECT user_id, event_id, event_type,
+         coalesce(string_agg(event_type, ',') OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), '') AS history
+         FROM events ORDER BY user_id, event_id""")
+}

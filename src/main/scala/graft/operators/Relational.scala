@@ -1,0 +1,422 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.Exact
+import graft.sources.Tables
+
+/** Relational core over the TPC-H-ish star schema (SURVEY.md §2.2 M1-M2).
+  *
+  * The reference app has no joins/sorts/aggregation beyond a 3-row string
+  * concat (SURVEY.md §2.1) — this module is the driver-mandated
+  * generalization to a full relational surface, designed Spark-first:
+  * declarative DataFrame plans so Catalyst does pushdown/pruning/join
+  * selection; explicit `broadcast()` on dim tables (at 100 TB the dims stay
+  * ~MB-scale while facts shuffle); deterministic total ORDER BY on every
+  * result for the DuckDB oracle; all money math via [[Exact]] decimal
+  * aggregation for bit-stable hashes.
+  */
+object Relational {
+  private def ts(s: String) = to_timestamp(lit(s))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q1-style pricing summary: full-scan hash aggregate with map-side
+    // partial agg; group cardinality is tiny → no skew at any scale.
+    "q01_pricing_summary" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= ts("2000-01-01"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          Exact.moneySum(col("l_quantity")).as("sum_qty"),
+          Exact.moneySum(col("l_extendedprice")).as("sum_base_price"),
+          Exact.discRevenueSum(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+          Exact.chargeSum(col("l_extendedprice"), col("l_discount"), col("l_tax")).as("sum_charge"),
+          Exact.moneyAvg(col("l_quantity")).as("avg_qty"),
+          Exact.moneyAvg(col("l_extendedprice")).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Pushdown-eligible filter + narrow projection (check PushedFilters).
+    "q02_filter_project" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate").between(ts("1996-01-01"), ts("1996-12-31"))
+          && col("l_quantity") < 10 && col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // Q3-style: broadcast dim (customer) into fact-fact join, top-10.
+    "q03_shipping_priority" -> ((s, d) => {
+      val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.orders(s, d).filter(col("o_orderdate") < ts("1998-01-01"))
+      val li = Tables.lineitem(s, d).filter(col("l_shipdate") > ts("1998-01-01"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(Exact.discRevenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy(desc("revenue"), col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // EXISTS → left-semi join (never materializes the probe side twice).
+    "q04_order_priority" -> ((s, d) => {
+      val big = Tables.lineitem(s, d).filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey"))
+      Tables.orders(s, d)
+        .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Q5-style 6-table join; dims broadcast, facts shuffle on join keys.
+    "q05_local_supplier" -> ((s, d) => {
+      val region = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val nation = Tables.nation(s, d)
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate").between(ts("1996-01-01"), ts("1997-12-31")))
+      val cust = Tables.customer(s, d)
+      val supp = Tables.supplier(s, d)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter(col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(Exact.discRevenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy(desc("revenue"), col("n_name"))
+    }),
+
+    // Q6-style single-pass filtered aggregate (no shuffle beyond 1 row).
+    "q06_forecast_revenue" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate").between(ts("1997-01-01"), ts("1997-12-31"))
+          && col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")
+          * col("l_discount").cast("decimal(18,2)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // Broadcast-hash join with a dim table; group on dim attribute.
+    "q07_brand_volume" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          Exact.moneySum(col("l_quantity")).as("sum_qty"),
+          Exact.moneySum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // NOT EXISTS → left-anti join (customers with no 1995 orders).
+    "q08_customers_no_orders" -> ((s, d) => {
+      val ord95 = Tables.orders(s, d)
+        .filter(col("o_orderdate").between(ts("1995-01-01"), ts("1995-12-31")))
+      Tables.customer(s, d)
+        .join(ord95, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          Exact.moneySum(col("c_acctbal")).as("sum_acctbal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // ROLLUP with explicit grouping flags; keys coalesced so neither
+    // engine's NULL ordering matters.
+    "q09_rollup" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(Exact.moneySum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("int").as("g_flag"),
+          grouping(col("l_linestatus")).cast("int").as("g_status"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("sum_qty"), col("n"), col("g_flag"), col("g_status"))
+        .orderBy(col("g_flag"), col("g_status"), col("rflag"), col("lstatus"))
+    }),
+
+    // CUBE over (returnflag, ship year).
+    "q10_cube" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .withColumn("ship_year", year(col("l_shipdate")))
+        .cube(col("l_returnflag"), col("ship_year"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("int").as("g_flag"),
+          grouping(col("ship_year")).cast("int").as("g_year"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("ship_year"), lit(-1)).as("ship_year"),
+          col("n"), col("g_flag"), col("g_year"))
+        .orderBy(col("g_flag"), col("g_year"), col("rflag"), col("ship_year"))
+    }),
+
+    // Exact distinct counts (expand + two-phase agg under the hood).
+    "q11_distinct_counts" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Ranking window: top-3 orders per customer.
+    "q12_top_orders_per_cust" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // Running-total frame window (exact decimal inside the frame sum).
+    "q13_running_totals" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .withColumn("running_spend",
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("running_spend"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // lag/lead analytics: days between consecutive orders per customer.
+    "q14_order_gaps" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+        .withColumn("next_key", coalesce(lead(col("o_orderkey"), 1).over(w), lit(-1L)))
+        .withColumn("gap_days",
+          coalesce(datediff(col("o_orderdate"), col("prev_date")), lit(-1)))
+        .select(col("o_custkey"), col("o_orderkey"), col("gap_days"), col("next_key"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // Set ops: repeat buyers (1995 ∩ 1996) minus MACHINERY customers.
+    "q15_set_ops" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+      def buyers(y0: String, y1: String) =
+        ord.filter(col("o_orderdate").between(ts(y0), ts(y1)))
+          .select(col("o_custkey").as("custkey"))
+      val machinery = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "MACHINERY")
+        .select(col("c_custkey").as("custkey"))
+      buyers("1995-01-01", "1995-12-31")
+        .intersect(buyers("1996-01-01", "1996-12-31"))
+        .except(machinery)
+        .orderBy(col("custkey"))
+    }),
+
+    // Scalar string-function battery (all codegen'd built-ins).
+    "q16_string_funcs" -> ((s, d) => {
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          lower(col("p_name")).as("name_lc"),
+          upper(col("p_brand")).as("brand_uc"),
+          substring(col("p_type"), 1, 5).as("type5"),
+          length(col("p_name")).as("name_len"),
+          regexp_replace(col("p_name"), " ", "_").as("name_us"),
+          concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // date_trunc tumbling rollup of order revenue by month.
+    "q17_monthly_revenue" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(Exact.moneySum(col("o_totalprice")).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("month"))
+    }),
+
+    // JSON scalar extraction from events.props.
+    "q18_json_extract" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k").cast("long")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Conditional derived columns (reference op #10: lakehouse_app_helpers.py:36).
+    "q19_conditional_derive" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          when(col("o_orderstatus") === "F", "done")
+            .when(col("o_orderstatus") === "O", "open")
+            .otherwise("partial").as("status_label"),
+          when(substring(col("o_orderpriority"), 1, 1) === "1", "urgent")
+            .otherwise("normal").as("prio_label"),
+          when(col("o_totalprice") > 200000, concat(lit("order/"), col("o_orderkey"), lit("/logz")))
+            .otherwise("").as("logz_url"))
+        .orderBy(col("o_orderkey"))
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         ${Exact.sqlMoneySum("l_quantity")} AS sum_qty,
+         ${Exact.sqlMoneySum("l_extendedprice")} AS sum_base_price,
+         ${Exact.sqlDiscRevenueSum("l_extendedprice", "l_discount")} AS sum_disc_price,
+         ${Exact.sqlChargeSum("l_extendedprice", "l_discount", "l_tax")} AS sum_charge,
+         ${Exact.sqlMoneyAvg("l_quantity")} AS avg_qty,
+         ${Exact.sqlMoneyAvg("l_extendedprice")} AS avg_price,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+         FROM lineitem
+         WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+           AND l_quantity < 10 AND l_returnflag = 'R'
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "q03_shipping_priority" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+         ${Exact.sqlDiscRevenueSum("l_extendedprice", "l_discount")} AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+           AND l_shipdate > TIMESTAMP '1998-01-01'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+
+    "q04_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q05_local_supplier" ->
+      s"""SELECT n_name,
+         ${Exact.sqlDiscRevenueSum("l_extendedprice", "l_discount")} AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
+
+    "q06_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+         count(*) AS n_items
+         FROM lineitem
+         WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-12-31'
+           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+
+    "q07_brand_volume" ->
+      s"""SELECT p_brand, count(*) AS n_items,
+         ${Exact.sqlMoneySum("l_quantity")} AS sum_qty,
+         ${Exact.sqlMoneySum("l_extendedprice")} AS sum_price
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand ORDER BY p_brand""",
+
+    "q08_customers_no_orders" ->
+      s"""SELECT c_mktsegment, count(*) AS n_customers,
+         ${Exact.sqlMoneySum("c_acctbal")} AS sum_acctbal
+         FROM customer WHERE NOT EXISTS
+           (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+            AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1995-12-31')
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q09_rollup" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+         coalesce(l_linestatus, 'ALL') AS lstatus,
+         ${Exact.sqlMoneySum("l_quantity")} AS sum_qty, count(*) AS n,
+         CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+         CAST(GROUPING(l_linestatus) AS INT) AS g_status
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY g_flag, g_status, rflag, lstatus""",
+
+    "q10_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+         coalesce(year(l_shipdate), -1) AS ship_year, count(*) AS n,
+         CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+         CAST(GROUPING(year(l_shipdate)) AS INT) AS g_year
+         FROM lineitem GROUP BY CUBE (l_returnflag, year(l_shipdate))
+         ORDER BY g_flag, g_year, rflag, ship_year""",
+
+    "q11_distinct_counts" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+         count(DISTINCT l_suppkey) AS n_supps,
+         count(DISTINCT l_orderkey) AS n_orders
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q12_top_orders_per_cust" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""",
+
+    "q13_running_totals" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_spend
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+
+    "q14_order_gaps" ->
+      """SELECT o_custkey, o_orderkey,
+         coalesce(date_diff('day', lag(o_orderdate, 1) OVER w, o_orderdate), -1) AS gap_days,
+         coalesce(lead(o_orderkey, 1) OVER w, -1) AS next_key
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
+
+    "q15_set_ops" ->
+      """(SELECT DISTINCT o_custkey AS custkey FROM orders
+          WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1995-12-31'
+          INTERSECT
+          SELECT DISTINCT o_custkey FROM orders
+          WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31')
+         EXCEPT
+         SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+         ORDER BY custkey""",
+
+    "q16_string_funcs" ->
+      """SELECT p_partkey, lower(p_name) AS name_lc, upper(p_brand) AS brand_uc,
+         substring(p_type, 1, 5) AS type5, length(p_name) AS name_len,
+         regexp_replace(p_name, ' ', '_', 'g') AS name_us,
+         concat(p_brand, '#', p_type) AS brand_type
+         FROM part ORDER BY p_partkey""",
+
+    "q17_monthly_revenue" ->
+      s"""SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+         ${Exact.sqlMoneySum("o_totalprice")} AS revenue, count(*) AS n_orders
+         FROM orders GROUP BY 1 ORDER BY month""",
+
+    "q18_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+         sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+         min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+         max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q19_conditional_derive" ->
+      """SELECT o_orderkey,
+         CASE o_orderstatus WHEN 'F' THEN 'done' WHEN 'O' THEN 'open'
+           ELSE 'partial' END AS status_label,
+         CASE WHEN substring(o_orderpriority, 1, 1) = '1' THEN 'urgent'
+           ELSE 'normal' END AS prio_label,
+         CASE WHEN o_totalprice > 200000
+           THEN concat('order/', o_orderkey, '/logz') ELSE '' END AS logz_url
+         FROM orders ORDER BY o_orderkey""")
+}

@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md / FIXTURES.md).
+  *
+  * The reference's only "sources" are a managed vector index handle
+  * (`app/vector_search.py:24-27`) and a REST JSON endpoint
+  * (`lakehouse_app_helpers.py:28-31`); here the lakehouse table IS the index:
+  * a plain parquet scan that Catalyst can prune/push-down into.
+  *
+  * All loaders are thin on purpose — `spark.read.parquet` keeps the scan
+  * declarative so column pruning and predicate pushdown reach the file reader
+  * (check `.explain`: `PushedFilters`, `ReadSchema`). At 100 TB these would be
+  * partitioned/bucketed table paths; the API shape stays the same.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's TimestampType
+    * (µs) rejects by default. Read the raw int64 nanos and floor-truncate to
+    * µs — exactly what DuckDB does when it surfaces the column as TIMESTAMP,
+    * so oracle hashes line up. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}
