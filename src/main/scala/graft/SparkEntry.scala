@@ -15,7 +15,11 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (Relational.queries, Relational.oracle),
-      (Rag.queries, Rag.oracle))
+      (Rag.queries, Rag.oracle),
+      (TextAnalysis.queries, TextAnalysis.oracle),
+      (Dedup.queries, Dedup.oracle),
+      (Similarity.queries, Similarity.oracle),
+      (EventsOps.queries, EventsOps.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's entry-point-1 chain (SURVEY.md §3), engine-native. */

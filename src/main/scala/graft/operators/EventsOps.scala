@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.Exact
+import graft.sources.Tables
+
+/** Event-time operators over the `events` stream table (SURVEY.md §2.1 ops
+  * #17-19 batch twins; streaming forms live in graft.streaming).
+  *
+  * These are the oracle-checkable batch semantics of the streaming ops:
+  * tumbling/sliding windows, gap-based sessionization (lag + running flag
+  * sum — one shuffle on user_id, no self-join), an as-of join done
+  * merge-style (union + ordered last-non-null window, NOT an O(n·m) range
+  * join — the shape that survives 100 TB), and a pivot.
+  */
+object EventsOps {
+  private def ts(s: String) = to_timestamp(lit(s))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling 1-hour windows per event type.
+    "q38_tumbling_hourly" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          Exact.moneySum(col("value")).as("sum_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
+    // Sliding windows: 10-minute length, 5-minute slide (each event lands
+    // in exactly 2 windows; Spark's window() explodes them).
+    "q39_sliding_windows" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+        .agg(count(lit(1)).as("n"), Exact.moneySum(col("value")).as("sum_value"))
+        .select(col("window.start").as("win_start"), col("n"), col("sum_value"))
+        .orderBy(col("win_start"))
+    }),
+
+    // Gap-based sessionization (30-min inactivity): lag to flag session
+    // starts, running sum of flags to number sessions — one shuffle.
+    "q40_sessionize" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull
+            || unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_id",
+          sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts")))).as("duration_secs"),
+          Exact.moneySum(col("value")).as("sum_value"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // As-of join: each event picks the latest order (by o_orderdate) of the
+    // same customer at-or-before its timestamp. Merge-style: tag + union +
+    // ordered last-non-null window — O((n+m) log) per key, no range join.
+    "q41_asof_join" -> ((s, d) => {
+      // deterministic 1-row-per-(cust,date): keep max orderkey
+      val ord = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("key"), col("o_orderdate").as("t"))
+        .agg(max(col("o_orderkey")).as("okey"))
+        .select(col("key"), col("t"), col("okey"),
+          lit(0).as("is_evt"), lit(null).cast("long").as("event_id"))
+      val evt = Tables.events(s, d)
+        .select(col("user_id").as("key"), col("ts").as("t"),
+          lit(null).cast("long").as("okey"), lit(1).as("is_evt"), col("event_id"))
+      val w = Window.partitionBy(col("key")).orderBy(col("t"), col("is_evt"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      ord.unionByName(evt)
+        .withColumn("last_order", last(col("okey"), ignoreNulls = true).over(w))
+        .filter(col("is_evt") === 1)
+        .select(col("event_id"), col("key").as("user_id"),
+          coalesce(col("last_order"), lit(-1L)).as("last_orderkey"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Pivot: daily counts fanned out to one column per event type.
+    "q42_event_pivot" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
+        .select(col("day"), col("click").as("n_click"), col("error").as("n_error"),
+          col("purchase").as("n_purchase"), col("signup").as("n_signup"),
+          col("view").as("n_view"))
+        .orderBy(col("day"))
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "q38_tumbling_hourly" ->
+      s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+          count(*) AS n, ${Exact.sqlMoneySum("value")} AS sum_value,
+          min(value) AS min_value, max(value) AS max_value
+          FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+
+    "q39_sliding_windows" ->
+      s"""SELECT win_start, count(*) AS n, ${Exact.sqlMoneySum("value")} AS sum_value
+          FROM (SELECT value, unnest([time_bucket(INTERVAL 5 minutes, ts),
+                               time_bucket(INTERVAL 5 minutes, ts) - INTERVAL 5 minutes])
+                  AS win_start
+                FROM events)
+          GROUP BY win_start ORDER BY win_start""",
+
+    "q40_sessionize" ->
+      s"""SELECT user_id, session_id, count(*) AS n_events,
+          min(ts) AS session_start, max(ts) AS session_end,
+          epoch(date_trunc('second', max(ts))) - epoch(date_trunc('second', min(ts))) AS duration_secs,
+          ${Exact.sqlMoneySum("value")} AS sum_value
+          FROM (SELECT user_id, ts, value,
+                  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                FROM (SELECT *,
+                    CASE WHEN prev_ts IS NULL
+                      OR epoch(date_trunc('second', ts)) - epoch(date_trunc('second', prev_ts)) > 1800
+                      THEN 1 ELSE 0 END AS new_session
+                  FROM (SELECT user_id, event_id, ts, value,
+                      lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                    FROM events)))
+          GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+
+    "q41_asof_join" ->
+      """SELECT event_id, key AS user_id, coalesce(last_order, -1) AS last_orderkey
+         FROM (SELECT key, t, is_evt, event_id,
+             last_value(okey IGNORE NULLS) OVER (PARTITION BY key ORDER BY t, is_evt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_order
+           FROM (SELECT o_custkey AS key, o_orderdate AS t, max(o_orderkey) AS okey,
+                   0 AS is_evt, CAST(NULL AS BIGINT) AS event_id
+                 FROM orders GROUP BY o_custkey, o_orderdate
+                 UNION ALL
+                 SELECT user_id, ts, CAST(NULL AS BIGINT), 1, event_id FROM events))
+         WHERE is_evt = 1 ORDER BY event_id""",
+
+    "q42_event_pivot" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         count(*) FILTER (event_type = 'click') AS n_click,
+         count(*) FILTER (event_type = 'error') AS n_error,
+         count(*) FILTER (event_type = 'purchase') AS n_purchase,
+         count(*) FILTER (event_type = 'signup') AS n_signup,
+         count(*) FILTER (event_type = 'view') AS n_view
+         FROM events GROUP BY 1 ORDER BY day""")
+}

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Exact, TextFunctions => T}
+import graft.sources.Tables
+
+/** Text-analysis operators over `documents` (north-star mandate; generalizes
+  * the reference's string handling, SURVEY.md §2.1 ops #12-16).
+  *
+  * Everything is built-in expressions (split/explode/groupBy/regexp) —
+  * whole-stage codegen, map-side partial aggregation, no UDFs. At 100 TB the
+  * explode→groupBy(token) shuffle is the classic word-count shape: partial
+  * counts collapse each partition's tokens to vocab-size before the exchange,
+  * so the shuffle is O(vocab × partitions), not O(tokens).
+  */
+object TextAnalysis {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token frequencies: corpus-wide counts + document frequencies.
+    "q25_word_counts" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(T.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(desc("n"), col("token"))
+    }),
+
+    // Per-language corpus stats (exact integer-sum averages).
+    "q26_lang_stats" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("n_tokens", size(T.tokens(col("text"))))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          Exact.intAvg(col("n_chars")).as("avg_chars"),
+          Exact.intAvg(col("n_tokens")).as("avg_tokens"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("lang"))
+    }),
+
+    // Quality scoring: stopword ratio + token-length heuristic, top-100.
+    "q27_quality_score" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("toks", T.tokens(col("text")))
+        .select(col("doc_id"), col("lang"),
+          size(col("toks")).as("n_tokens"),
+          T.qualityScore(col("toks")).as("score"))
+        .orderBy(desc("score"), col("doc_id"))
+        .limit(100)
+    }),
+
+    // BPE-ish regex token counting, rolled up per language.
+    "q28_token_counts" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("n_rtok", T.regexTokenCount(col("text")))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_rtok").cast("long")).as("sum_tokens"),
+          min(col("n_rtok")).as("min_tokens"),
+          max(col("n_rtok")).as("max_tokens"))
+        .orderBy(col("lang"))
+    }),
+
+    // Content fingerprinting (md5 of canonicalized text) per language.
+    "q29_fingerprints" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("fp", T.fingerprint(col("text")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_distinct_fp"))
+        .orderBy(col("lang"))
+    }),
+
+    // Language-ID heuristic: marker-token votes, argmax with fixed
+    // tie-break order; confusion counts against the labeled lang.
+    "q30_lang_id" -> ((s, d) => {
+      val toks = T.tokens(col("text"))
+      def votes(words: Seq[String]) =
+        size(filter(toks, t => t.isin(words.map(lit): _*)))
+      val cEn = votes(Seq("the", "a", "fast"))
+      val cEs = votes(Seq("table", "part", "line"))
+      val cDe = votes(Seq("order", "group", "window"))
+      val pred = when(cEn >= cEs && cEn >= cDe, "en")
+        .when(cEs >= cDe, "es").otherwise("de")
+      Tables.documents(s, d)
+        .select(col("lang"), pred.as("pred"))
+        .groupBy(col("lang"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("pred"))
+    }))
+
+  private val toksSql = T.sqlToks
+
+  def oracle: Map[String, String] = Map(
+    "q25_word_counts" ->
+      s"""SELECT token, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+          FROM (SELECT doc_id, unnest($toksSql) AS token FROM documents)
+          GROUP BY token ORDER BY n DESC, token""",
+
+    "q26_lang_stats" ->
+      s"""SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+          ${Exact.sqlIntAvg("n_chars")} AS avg_chars,
+          CAST(sum(CAST(len($toksSql) AS BIGINT)) AS DOUBLE) / count(*) AS avg_tokens,
+          count(DISTINCT source) AS n_sources
+          FROM documents GROUP BY lang ORDER BY lang""",
+
+    "q27_quality_score" ->
+      s"""SELECT doc_id, lang, len(toks) AS n_tokens,
+          0.5 * (1.0 - CAST(len(list_filter(toks, t -> t IN ('a','the','of','and','to','in'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+          + 0.5 * least(CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) / 8.0, 1.0) AS score
+          FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents)
+          ORDER BY score DESC, doc_id LIMIT 100""",
+
+    "q28_token_counts" ->
+      s"""SELECT lang, sum(CAST(${T.sqlRegexTokenCount} AS BIGINT)) AS sum_tokens,
+          min(${T.sqlRegexTokenCount}) AS min_tokens,
+          max(${T.sqlRegexTokenCount}) AS max_tokens
+          FROM documents GROUP BY lang ORDER BY lang""",
+
+    "q29_fingerprints" ->
+      s"""SELECT lang, count(*) AS n_docs,
+          count(DISTINCT ${T.sqlFingerprint}) AS n_distinct_fp
+          FROM documents GROUP BY lang ORDER BY lang""",
+
+    "q30_lang_id" ->
+      s"""SELECT lang, pred, count(*) AS n FROM (
+            SELECT lang,
+              CASE WHEN c_en >= c_es AND c_en >= c_de THEN 'en'
+                   WHEN c_es >= c_de THEN 'es' ELSE 'de' END AS pred
+            FROM (SELECT lang,
+                len(list_filter($toksSql, t -> t IN ('the','a','fast'))) AS c_en,
+                len(list_filter($toksSql, t -> t IN ('table','part','line'))) AS c_es,
+                len(list_filter($toksSql, t -> t IN ('order','group','window'))) AS c_de
+              FROM documents))
+          GROUP BY lang, pred ORDER BY lang, pred""")
+}
