@@ -24,10 +24,13 @@ import graft.sources.Tables
   */
 object Dedup {
   /** 3-gram word shingles of the doc text (order-sensitive — the corpus has
-    * a tiny vocab, so token *sets* saturate; shingles don't). */
+    * a tiny vocab, so token *sets* saturate; shingles don't). Uses the
+    * compiled single-pass expression (graft.plans.TextExpressions); the
+    * built-in HOF form it replaces is TextFunctions.shingles — identical
+    * output, ~100× less per-row interpretation. */
   private def shingleDf(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), array_distinct(T.shingles(T.tokens(col("text")), 3)).as("sh"))
+      .select(col("doc_id"), graft.plans.TextExpressions.wordShingles(col("text"), 3).as("sh"))
 
   private val sqlShingleDf =
     s"""SELECT doc_id, list_distinct([list_aggr(toks[i:i+2], 'string_agg', ' ')
@@ -35,17 +38,24 @@ object Dedup {
         FROM (SELECT doc_id, ${T.sqlToks} AS toks FROM documents)
         WHERE len(toks) >= 3"""
 
-  private def jaccard(a: Column, b: Column): Column = T.jaccard(a, b)
-
-  /** Exact Jaccard verification of candidate (a,b) pairs against the
-    * shingle sets, keeping pairs ≥ threshold. */
-  private def verifyPairs(cands: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
-    val A = sh.select(col("doc_id").as("a"), col("sh").as("sh_a"))
-    val B = sh.select(col("doc_id").as("b"), col("sh").as("sh_b"))
-    cands.join(A, "a").join(B, "b")
-      .select(col("a"), col("b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .orderBy(col("a"), col("b"))
+  /** Exact pairwise Jaccard for every pair sharing ≥1 shingle, via the
+    * inverted index: explode→self-join→count gives |A∩B| directly (shingle
+    * arrays are distinct), so J = i / (|A|+|B|-i) needs NO per-pair array
+    * intersection — the candidate verify collapses to one count aggregate
+    * plus two broadcast joins against the per-doc set sizes. Numerically
+    * identical to size(intersect)/size(union): both are exact-int ratios. */
+  private def pairJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleDf(s, d)
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+    val inv = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    inv.as("x").join(inv.as("y"), "shingle")
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(broadcast(sizes.select(col("doc_id").as("a"), col("n").as("na"))), "a")
+      .join(broadcast(sizes.select(col("doc_id").as("b"), col("n").as("nb"))), "b")
+      .select(col("a"), col("b"), (col("shared").cast("double")
+        / (col("na") + col("nb") - col("shared")).cast("double")).as("jaccard"))
   }
 
   private def sqlVerifyPairs(candsSql: String, threshold: Double): String =
@@ -70,24 +80,34 @@ object Dedup {
     }),
 
     // MinHash + LSH banded near-dup: 16 md5-minhashes → 8 bands × 2 rows;
-    // candidates share a band; verified with exact shingle Jaccard ≥ 0.5.
+    // candidates share a band; verified with exact shingle Jaccard ≥ 0.5
+    // (via the intersection-count join, not per-pair array ops).
     "q32_minhash_lsh" -> ((s, d) => {
-      val sh = shingleDf(s, d)
-      val bands = sh.select(col("doc_id") +: (0 until 8).map(b =>
-        T.minhashBand(col("sh"), b, 2).as(s"band$b")): _*)
-      val cands = (0 until 8).map { b =>
-        val L = bands.select(col("doc_id").as("a"), col(s"band$b").as("bk"))
-        val R = bands.select(col("doc_id").as("b"), col(s"band$b").as("bk"))
-        L.join(R, "bk").filter(col("a") < col("b")).select(col("a"), col("b"))
-      }.reduce(_ union _).distinct()
-      verifyPairs(cands, sh, 0.5)
+      // One long-format (doc, band_idx, band_key) relation: the 16-component
+      // signature is computed ONCE per doc and exploded into 8 band keys;
+      // the candidate self-join shuffles on (band_idx, key) so both sides
+      // share one canonical exchange (ReuseExchange) instead of 8 joins
+      // re-evaluating the signature.
+      val sig = shingleDf(s, d)
+        .withColumn("sig", graft.plans.TextExpressions.minhashSig(col("sh"), 16))
+      val banded = sig.select(col("doc_id"), posexplode(array((0 until 8).map(b =>
+        concat(element_at(col("sig"), 2 * b + 1), element_at(col("sig"), 2 * b + 2))): _*))
+        .as(Seq("band_idx", "bk")))
+      val cands = banded.as("x").join(banded.as("y"), Seq("band_idx", "bk"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+      cands.join(pairJaccard(s, d), Seq("a", "b"))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("a"), col("b"), col("jaccard"))
+        .orderBy(col("a"), col("b"))
     }),
 
     // SimHash 16-bit fingerprint buckets: docs whose distinct-token sets
     // hash to the same signature (candidate near-dups at the set level).
     "q33_simhash" -> ((s, d) => {
       Tables.documents(s, d)
-        .select(col("doc_id"), T.simhash16(T.tokenSet(col("text"))).as("simhash"))
+        .select(col("doc_id"), graft.plans.TextExpressions.simhash16(col("text")).as("simhash"))
         .groupBy(col("simhash"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
         .filter(col("n_docs") > 1)
@@ -95,15 +115,11 @@ object Dedup {
     }),
 
     // N-gram Jaccard near-dup via inverted shingle index (no cross join):
-    // candidate pairs share ≥1 shingle, then exact Jaccard ≥ 0.5.
+    // candidate pairs share ≥1 shingle; exact Jaccard from shared counts.
     "q34_ngram_jaccard" -> ((s, d) => {
-      val sh = shingleDf(s, d)
-      val inv = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-      val cands = inv.as("x").join(inv.as("y"), "shingle")
-        .filter(col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .distinct()
-      verifyPairs(cands, sh, 0.5)
+      pairJaccard(s, d)
+        .filter(col("jaccard") >= 0.5)
+        .orderBy(col("a"), col("b"))
     }),
 
     // Embedding-cosine near-dup, blocked by label (the natural partition

@@ -1,0 +1,150 @@
+package graft.plans
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native expressions for the text-dedup hot path.
+  *
+  * The built-in composition (split → filter → transform/slice/array_join →
+  * array_distinct → per-seed md5 transforms) is semantically identical but
+  * every higher-order function evaluates interpreted lambdas — ~2 ms per
+  * document, multiplied by self-joins re-evaluating both sides. Each
+  * expression here is one compiled pass per row.
+  *
+  * Hash parity contract: md5 of the UTF-8 bytes, lowercase hex — identical
+  * to Spark's `md5()` and DuckDB's `md5()`, so the DuckDB oracle twins keep
+  * hash-matching. Shingle order is first-occurrence (as `array_distinct`).
+  */
+object TextExpressions {
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  private[plans] def md5Hex(s: String): String = {
+    val dig = md5Local.get()
+    dig.reset()
+    val bytes = dig.digest(s.getBytes("UTF-8"))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexChars((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  private[plans] def tokenize(text: String): Array[String] =
+    text.trim.split("\\s+").filter(_.nonEmpty)
+
+  /** Distinct word n-gram shingles of raw text, single pass. */
+  case class WordShingles(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "word_shingles"
+
+    override def nullSafeEval(input: Any): Any = {
+      val toks = tokenize(input.asInstanceOf[UTF8String].toString)
+      if (toks.length < n) new GenericArrayData(Array.empty[Any])
+      else {
+        val seen = new java.util.LinkedHashSet[String]((toks.length - n + 1) * 2)
+        var i = 0
+        val sb = new java.lang.StringBuilder(64)
+        while (i <= toks.length - n) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j)); j += 1
+          }
+          seen.add(sb.toString)
+          i += 1
+        }
+        val out = new Array[Any](seen.size)
+        val it = seen.iterator()
+        var k = 0
+        while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+        new GenericArrayData(out)
+      }
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** k MinHash components over a shingle array: component s is
+    * min over shingles of md5("s:" + shingle) — identical strings to the
+    * built-in form (TextFunctions.minhash). */
+  case class MinHashSig(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = true)
+    override def prettyName: String = "minhash_sig"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val m = arr.numElements()
+      val mins = new Array[Any](k)
+      if (m > 0) {
+        var s = 0
+        while (s < k) {
+          val prefix = s + ":"
+          var best: String = null
+          var i = 0
+          while (i < m) {
+            val h = md5Hex(prefix + arr.getUTF8String(i).toString)
+            if (best == null || h.compareTo(best) < 0) best = h
+            i += 1
+          }
+          mins(s) = UTF8String.fromString(best)
+          s += 1
+        }
+      }
+      new GenericArrayData(mins)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** 16-bit SimHash of the distinct-token set of raw text, as a '0'/'1'
+    * string; bit j set iff Σ±1 over tokens (by hex digit j of md5(token))
+    * is positive — identical to the built-in TextFunctions.simhash16. */
+  case class SimHash16(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "simhash16"
+
+    override def nullSafeEval(input: Any): Any = {
+      val toks = tokenize(input.asInstanceOf[UTF8String].toString)
+      val seen = new java.util.LinkedHashSet[String](toks.length * 2)
+      toks.foreach(seen.add)
+      val sums = new Array[Int](16)
+      val it = seen.iterator()
+      while (it.hasNext) {
+        val h = md5Hex(it.next())
+        var j = 0
+        while (j < 16) {
+          // high bit of hex digit j <=> digit in [8..f]
+          if (Character.digit(h.charAt(j), 16) >= 8) sums(j) += 1 else sums(j) -= 1
+          j += 1
+        }
+      }
+      val bits = new Array[Char](16)
+      var j = 0
+      while (j < 16) { bits(j) = if (sums(j) > 0) '1' else '0'; j += 1 }
+      UTF8String.fromString(new String(bits))
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def wordShingles(text: Column, n: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
+  def minhashSig(shingles: Column, k: Int): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), k))
+  def simhash16(text: Column): Column =
+    ColumnBridge.column(SimHash16(ColumnBridge.expression(text)))
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
+import graft.plans.{TextExpressions => X, VectorExpressions}
+
+/** The compiled (custom Catalyst expression) forms must be EXACTLY
+  * equivalent to the built-ins-only forms they replace — the DuckDB oracle
+  * twins were written against the built-in semantics. */
+class PlansSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val docs = graft.sources.Tables
+    .documents(spark, "/root/testdata/sf0.001")
+
+  test("codegen cosine == fold cosine, bit-exact, on real embeddings") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val diff = e.crossJoin(broadcast(q))
+      .select(V.cosine(col("embedding"), col("qv")).as("fast"),
+        V.cosineFold(col("embedding"), col("qv")).as("fold"))
+      .filter(col("fast") =!= col("fold"))
+      .count()
+    assert(diff == 0L)
+  }
+
+  test("WordShingles == array_distinct(shingles(tokens(text))) on real docs") {
+    val diff = docs.select(
+      X.wordShingles(col("text"), 3).as("fast"),
+      array_distinct(T.shingles(T.tokens(col("text")), 3)).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+      .count()
+    assert(diff == 0L)
+  }
+
+  test("MinHashSig components == seeded md5 minhash built-in on real docs") {
+    val base = docs.select(X.wordShingles(col("text"), 3).as("sh"))
+    val diff = base.select(
+      X.minhashSig(col("sh"), 4).as("sig"),
+      array(T.minhash(col("sh"), 0), T.minhash(col("sh"), 1),
+        T.minhash(col("sh"), 2), T.minhash(col("sh"), 3)).as("ref"))
+      .filter(col("sig") =!= col("ref"))
+      .count()
+    assert(diff == 0L)
+  }
+
+  test("SimHash16 expression == built-in simhash16 on real docs") {
+    val diff = docs.select(
+      X.simhash16(col("text")).as("fast"),
+      T.simhash16(T.tokenSet(col("text"))).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+      .count()
+    assert(diff == 0L)
+  }
+
+  test("WordShingles on degenerate inputs") {
+    import spark.implicits._
+    val rows = Seq("", "  ", "one two", "a b c", "x x x x")
+      .toDF("text").select(X.wordShingles(col("text"), 3).as("sh"))
+      .collect().map(_.getSeq[String](0))
+    assert(rows(0) == Seq() && rows(1) == Seq() && rows(2) == Seq())
+    assert(rows(3) == Seq("a b c"))
+    assert(rows(4) == Seq("x x x")) // distinct collapses repeats
+  }
+}
