@@ -19,7 +19,8 @@ object SparkEntry {
       (TextAnalysis.queries, TextAnalysis.oracle),
       (Dedup.queries, Dedup.oracle),
       (Similarity.queries, Similarity.oracle),
-      (EventsOps.queries, EventsOps.oracle))
+      (EventsOps.queries, EventsOps.oracle),
+      (Multimodal.queries, Multimodal.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's entry-point-1 chain (SURVEY.md §3), engine-native. */

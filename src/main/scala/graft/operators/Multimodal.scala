@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Multimodal-column plumbing (north-star mandate): media as opaque BINARY
+  * payloads + typed metadata, with decode/feature-extraction as batched
+  * per-partition transforms.
+  *
+  * The actual byte decoding (image/audio codecs) is STUBBED — the container
+  * ships no media libraries — behind [[DecodeStub]], a deterministic fake.
+  * Everything around it is real and tested: the schema (binary + struct
+  * metadata), the partitioning (repartition by media kind so one executor
+  * batch holds one codec's work), the batched mapPartitions shape (amortize
+  * per-batch codec init, exactly how a Pandas-UDF/mapInPandas pipeline is
+  * laid out), and the oracle-checked binary column semantics.
+  */
+object Multimodal {
+
+  /** A media row: payload is the raw bytes, kind ∈ {image,audio,video}. */
+  case class MediaRow(doc_id: Long, kind: String, payload: Array[Byte],
+      lang: String, n_chars: Long)
+
+  /** Decoded features. In a real pipeline width/height/duration come from
+    * the codec; the stub derives them deterministically from the payload. */
+  case class MediaFeatures(doc_id: Long, kind: String, n_bytes: Int,
+      checksum: String, width: Int, height: Int)
+
+  /** STUB decoder — stands in for an image/audio codec. Deterministic:
+    * features are pure functions of payload bytes + metadata. A real
+    * implementation would replace ONLY this object (same batch shape). */
+  object DecodeStub {
+    /** Per-partition "codec" handle; real codecs are expensive to init, so
+      * the shape is one init per partition, reused across the batch. */
+    def open(): java.security.MessageDigest = java.security.MessageDigest.getInstance("MD5")
+
+    def decode(codec: java.security.MessageDigest, row: MediaRow): MediaFeatures = {
+      codec.reset()
+      val digest = codec.digest(row.payload)
+      val hex = digest.map(b => f"$b%02x").mkString
+      MediaFeatures(row.doc_id, row.kind, row.payload.length, hex,
+        width = (row.n_chars % 640).toInt, height = (row.doc_id % 480).toInt)
+    }
+  }
+
+  /** The media table: documents' text bytes as the stand-in payload, kind
+    * assigned round-robin — schema-faithful plumbing over real columns. */
+  def mediaTable(s: SparkSession, d: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        col("text").cast("binary").as("payload"),
+        col("lang"), col("n_chars"))
+      .as[MediaRow]
+  }
+
+  /** Batched decode: repartition by kind (codec-affinity), one codec init
+    * per partition, compiled loop over the batch. */
+  def decodeAll(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media
+      .repartition(col("kind"))
+      .mapPartitions { batch =>
+        val codec = DecodeStub.open()
+        batch.map(row => DecodeStub.decode(codec, row))
+      }
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Binary-column semantics, oracle-checked: byte length + md5 checksum
+    // of the payload and the deterministic stub dimensions.
+    "q43_multimodal_features" -> ((s, d) => {
+      decodeAll(mediaTable(s, d)).toDF()
+        .select(col("doc_id"), col("kind"), col("n_bytes"), col("checksum"),
+          col("width"), col("height"))
+        .orderBy(col("doc_id"))
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "q43_multimodal_features" ->
+      """SELECT doc_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+           ELSE 'video' END AS kind,
+         CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+         md5(text) AS checksum,
+         CAST(n_chars % 640 AS INT) AS width,
+         CAST(doc_id % 480 AS INT) AS height
+         FROM documents ORDER BY doc_id""")
+}

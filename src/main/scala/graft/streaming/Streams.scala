@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming forms of the event-time operators (SURVEY.md §2.1
+  * ops #17-19: per-session state, session timeout, incremental execution).
+  *
+  * The batch twins in graft.operators.EventsOps are the oracle-checked
+  * semantics; these run the same logic incrementally with watermarks and
+  * keyed state. Unit tests drive them with a file source + memory sink and
+  * assert agreement with the batch results (the strongest check available
+  * without a DuckDB streaming oracle).
+  */
+object Streams {
+
+  /** Schema for streaming reads of the events table. `ts` arrives as raw
+    * int64 nanos (parquet TIMESTAMP(NANOS)); converted exactly like
+    * graft.sources.Tables.events. */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-source stream over a directory of events parquet files. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventsRawSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour windows with a 10-minute watermark (late data beyond
+    * the watermark is dropped; within it, windows re-emit in update mode). */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("win.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Native session windows: 30-minute inactivity gap per user — the
+    * streaming twin of EventsOps q40 (and of the reference's 3600s session
+    * retention, app/.chainlit/config.toml:9-10). */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
+
+  // --- Custom keyed state: per-session history replay, streaming form ----
+
+  case class Evt(event_id: Long, user_id: Long, event_type: String, tsMicros: Long)
+  case class HistOut(user_id: Long, event_id: Long, event_type: String, history: String)
+  case class HistState(events: List[(Long, Long, String)]) // (tsMicros, event_id, type)
+
+  /** flatMapGroupsWithState twin of Rag q24_history_replay: every event is
+    * emitted with the ordered concatenation of all earlier event types of
+    * the same user (the RunnableWithMessageHistory accumulation,
+    * app/app.py:85-92). State is the per-user message log.
+    *
+    * `withTimeout=true` evicts idle users after 1 h of processing time,
+    * mirroring the reference's session_timeout (config.toml:9-10). Note the
+    * engine then schedules timeout-only micro-batches for as long as state
+    * exists — correct for a 24/7 stream, but a bounded replay test must use
+    * `withTimeout=false` or processAllAvailable crawls through empty
+    * checkpoint-grinding batches. */
+  def historyReplay(events: Dataset[Evt], withTimeout: Boolean = true): Dataset[HistOut] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (withTimeout) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        (userId: Long, batch: Iterator[Evt], state: GroupState[HistState]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prior = state.getOption.map(_.events).getOrElse(Nil)
+            val incoming = batch.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+            var log = prior
+            val out = incoming.map { e =>
+              val hist = log.reverse.map(_._3).mkString(",")
+              log = (e.tsMicros, e.event_id, e.event_type) :: log
+              HistOut(userId, e.event_id, e.event_type, hist)
+            }
+            state.update(HistState(log))
+            if (withTimeout) state.setTimeoutDuration("1 hour")
+            out.iterator
+          }
+        })
+  }
+}
