@@ -85,6 +85,28 @@ object Rag {
         .orderBy(col("source"), col("snip"))
     }),
 
+    // The whole reference chain, end-to-end (entry point 1, SURVEY.md §3):
+    // retrieve → assemble context → fill prompt template → LLM call →
+    // attach citations. The LLM endpoint (app/app.py:66-69, op #21) is the
+    // UDF surface: a deterministic stub (md5 of the prompt — temperature
+    // 0.01 ≈ deterministic anyway) standing in for remote inference, so the
+    // pipeline is oracle-checkable.
+    "q45_rag_pipeline" -> ((s, d) => {
+      val llmStub = udf((prompt: String) => graft.plans.TextExpressions.md5Hex(prompt))
+      val ranked = topk(s, d, 0L, 3)
+        .withColumn("rn", row_number().over(Window.orderBy(desc("score"), col("vec_id"))))
+        .join(broadcast(Tables.documents(s, d)), col("vec_id") === col("doc_id"))
+      ranked
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("rn").as("rn"), col("text").as("text")))),
+            x => x.getField("text")), "\n\n").as("context"),
+          array_join(array_sort(collect_set(col("source"))), ",").as("citations"),
+          count(lit(1)).as("k"))
+        .select(concat(lit("Context:\n"), col("context"), lit("\nQuestion: q0")).as("prompt"),
+          col("citations"), col("k"))
+        .withColumn("answer", llmStub(col("prompt")))
+    }),
+
     // Per-session chat-history replay (app/app.py:85-92): each event sees the
     // ordered concatenation of everything earlier in its session.
     "q24_history_replay" -> ((s, d) => {
@@ -121,6 +143,16 @@ object Rag {
                       WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id))
           JOIN documents ON vec_id = doc_id
           WHERE rn <= 3 ORDER BY source, snip""",
+
+    "q45_rag_pipeline" ->
+      s"""SELECT prompt, citations, k, md5(prompt) AS answer FROM (
+          SELECT 'Context:' || chr(10) || string_agg(text, chr(10) || chr(10) ORDER BY rn)
+              || chr(10) || 'Question: q0' AS prompt,
+            string_agg(DISTINCT source, ',' ORDER BY source) AS citations,
+            count(*) AS k
+          FROM (SELECT row_number() OVER (ORDER BY score DESC, vec_id) AS rn, vec_id
+                FROM (${sqlTopk(0L, 3)}))
+          JOIN documents ON vec_id = doc_id)""",
 
     "q24_history_replay" ->
       """SELECT user_id, event_id, event_type,

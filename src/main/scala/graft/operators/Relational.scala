@@ -250,6 +250,17 @@ object Relational {
         .orderBy(col("event_type"))
     }),
 
+    // HLL sketch cardinality next to the exact count. NOT oracled: DuckDB's
+    // approx_count_distinct uses a different HLL — the driver records the
+    // weaker rows-only check, and the unit test bounds the relative error.
+    "q44_approx_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Conditional derived columns (reference op #10: lakehouse_app_helpers.py:36).
     "q19_conditional_derive" -> ((s, d) => {
       Tables.orders(s, d)

@@ -28,7 +28,8 @@ object TextExpressions {
   }
   private val HexChars = "0123456789abcdef".toCharArray
 
-  private[plans] def md5Hex(s: String): String = {
+  /** md5 lowercase hex of the UTF-8 bytes — same as Spark/DuckDB md5(). */
+  def md5Hex(s: String): String = {
     val dig = md5Local.get()
     dig.reset()
     val bytes = dig.digest(s.getBytes("UTF-8"))

@@ -18,8 +18,20 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("every declared query has an oracle twin or is explicitly exempt") {
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // Exempt = engine-specific results no other engine reproduces (HLL
+    // sketches); the driver records a rows-only check for these.
+    val exempt = Set("q44_approx_distinct")
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- exempt
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
+  }
+
+  test("approx_count_distinct is within 5% of exact") {
+    val rows = SparkEntry.queries("q44_approx_distinct")(spark, sf).collect()
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact < 0.05)
+    }
   }
 
   test("all queries execute at sf0.001 and are deterministic across runs") {
