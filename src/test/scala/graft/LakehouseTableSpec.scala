@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{LakehouseTable => LT, Tables}
+
+class LakehouseTableSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft-lht").resolve("tbl").toString
+
+  test("create/read roundtrip preserves data exactly") {
+    val root = freshRoot()
+    val src = Tables.orders(spark, sf)
+    LT.create(src, root)
+    val back = LT.read(spark, root)
+    assert(back.count() == src.count())
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
+
+  test("append creates a new version; time travel reads the old one") {
+    val root = freshRoot()
+    val src = Tables.orders(spark, sf)
+    val v0 = LT.create(src.filter(col("o_orderkey") < 100), root)
+    val v1 = LT.append(src.filter(col("o_orderkey") >= 100), root)
+    assert(v0 == 0 && v1 == 1)
+    val n0 = LT.read(spark, root, Some(0)).count()
+    val n1 = LT.read(spark, root, Some(1)).count()
+    assert(n0 == src.filter(col("o_orderkey") < 100).count())
+    assert(n1 == src.count())
+    assert(LT.versions(root) == Seq(0L, 1L))
+  }
+
+  test("compact shrinks file count without changing data") {
+    val root = freshRoot()
+    val src = Tables.orders(spark, sf).repartition(8)
+    LT.create(src, root)
+    val before = LT.read(spark, root)
+    LT.compact(spark, root, numFiles = 1)
+    val after = LT.read(spark, root)
+    assert(after.inputFiles.length < before.inputFiles.length)
+    assert(after.inputFiles.length == 1)
+    assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty)
+  }
+
+  test("partitioned table recovers partition column and prunes on read") {
+    val root = freshRoot()
+    val src = Tables.orders(spark, sf)
+    LT.create(src, root, partitionBy = Seq("o_orderstatus"))
+    val back = LT.read(spark, root)
+    assert(back.columns.toSet == src.columns.toSet)
+    val one = back.filter(col("o_orderstatus") === "F")
+    assert(one.count() == src.filter(col("o_orderstatus") === "F").count())
+    // partition pruning: only files under o_orderstatus=F are read
+    assert(one.select(input_file_name()).distinct().collect()
+      .forall(_.getString(0).contains("o_orderstatus=F")))
+  }
+
+  test("partitioned append then read spans versions without layout conflict") {
+    val root = freshRoot()
+    val src = Tables.orders(spark, sf)
+    LT.create(src.filter(col("o_orderkey") < 500), root, Seq("o_orderstatus"))
+    LT.append(src.filter(col("o_orderkey") >= 500), root, Seq("o_orderstatus"))
+    val back = LT.read(spark, root)
+    assert(back.count() == src.count())
+    assert(back.columns.toSet == src.columns.toSet)
+    val compacted = LT.compact(spark, root, 1, Seq("o_orderstatus"))
+    assert(compacted == 2L)
+    // partitioned reads order partition columns last — realign for compare
+    val aligned = LT.read(spark, root).select(src.columns.map(col).toSeq: _*)
+    assert(aligned.exceptAll(src).isEmpty && src.exceptAll(aligned).isEmpty)
+  }
+
+  test("delete-where is copy-on-write and old version still has the rows") {
+    val root = freshRoot()
+    val src = Tables.orders(spark, sf)
+    LT.create(src, root)
+    LT.deleteWhere(spark, root, "o_orderstatus = 'F'")
+    assert(LT.read(spark, root).filter(col("o_orderstatus") === "F").count() == 0)
+    assert(LT.read(spark, root, Some(0))
+      .filter(col("o_orderstatus") === "F").count() > 0)
+  }
+
+  test("vacuum removes files only the dropped versions reference") {
+    val root = freshRoot()
+    val src = Tables.orders(spark, sf)
+    LT.create(src.filter(col("o_orderkey") < 100), root)
+    LT.append(src.filter(col("o_orderkey") >= 100), root)
+    LT.compact(spark, root, numFiles = 1) // v2 references only new files
+    val deleted = LT.vacuum(root, retainLast = 1)
+    assert(deleted > 0)
+    assert(LT.versions(root) == Seq(2L))
+    // current version still fully readable
+    assert(LT.read(spark, root).count() == src.count())
+  }
+}
