@@ -20,7 +20,8 @@ object SparkEntry {
       (Dedup.queries, Dedup.oracle),
       (Similarity.queries, Similarity.oracle),
       (EventsOps.queries, EventsOps.oracle),
-      (Multimodal.queries, Multimodal.oracle))
+      (Multimodal.queries, Multimodal.oracle),
+      (Pipelines.queries, Pipelines.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's entry-point-1 chain (SURVEY.md §3), engine-native. */

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.{TextFunctions => T}
+import graft.sources.Tables
+
+/** Composite + advanced relational shapes (SURVEY.md §2.2 M2/M4).
+  *
+  * q50 is the flagship LLM-training-data pipeline: quality filter →
+  * near-dup removal → corpus stats, expressed as ONE declarative plan.
+  * Numeric note: group outputs over doubles use only order-independent
+  * aggregates (min/max/count/integer sums) — a parallel double SUM is not
+  * bit-reproducible, so it never appears in oracled output.
+  */
+object Pipelines {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Ordered, limited string aggregation per group (generalizes op #12).
+    "q46_grouped_string_agg" -> ((s, d) => {
+      val counts = Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("lang")).orderBy(desc("n"), col("source"))
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .groupBy(col("lang"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("rn").as("rn"), col("source").as("source")))),
+          x => x.getField("source")), ",").as("top_sources"))
+        .orderBy(col("lang"))
+    }),
+
+    // Window-aggregate comparison against the group mean (exact decimal
+    // sum / count → one double division, both engines identical).
+    "q47_above_segment_avg" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+      Tables.customer(s, d)
+        .withColumn("seg_avg",
+          sum(col("c_acctbal").cast("decimal(18,2)")).over(w).cast("double")
+            / count(lit(1)).over(w))
+        .filter(col("c_acctbal") > col("seg_avg") * 1.5)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"), col("seg_avg"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Two-hop semi join: orders containing a Brand#13 part.
+    "q48_two_hop_semi" -> ((s, d) => {
+      val brandParts = Tables.part(s, d).filter(col("p_brand") === "Brand#13")
+      val brandLines = Tables.lineitem(s, d)
+        .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"), "left_semi")
+        .select(col("l_orderkey"))
+      Tables.orders(s, d)
+        .join(brandLines, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // The LLM-training-data pipeline, end to end: quality-score filter →
+    // near-duplicate removal (keep the lowest doc_id of each dup pair) →
+    // per-language corpus stats.
+    "q50_training_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("sh", graft.plans.TextExpressions.wordShingles(col("text"), 3))
+        .withColumn("toks", T.tokens(col("text")))
+        .filter(size(col("toks")) >= 3) // oracle twin excludes shingle-less docs
+        .withColumn("quality", T.qualityScore(col("toks")))
+      // near-dup losers: the higher doc_id of every pair with Jaccard >= 0.5
+      val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+      val inv = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      val losers = inv.as("x").join(inv.as("y"), "shingle")
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .agg(count(lit(1)).as("shared"))
+        .join(broadcast(sizes.select(col("doc_id").as("a"), col("n").as("na"))), "a")
+        .join(broadcast(sizes.select(col("doc_id").as("b"), col("n").as("nb"))), "b")
+        .filter(col("shared").cast("double")
+          / (col("na") + col("nb") - col("shared")).cast("double") >= 0.5)
+        .select(col("b").as("doc_id")).distinct()
+      docs.filter(col("quality") >= 0.55)
+        .join(losers, Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("quality")).as("min_quality"),
+          max(col("quality")).as("max_quality"))
+        .orderBy(col("lang"))
+    }))
+
+  private val toksSql = T.sqlToks
+  private val shSql =
+    """SELECT doc_id, lang, n_chars, toks,
+        list_distinct([list_aggr(toks[i:i+2], 'string_agg', ' ')
+          FOR i IN range(1, len(toks) - 1)]) AS sh
+       FROM (SELECT doc_id, lang, n_chars, """ + toksSql + """ AS toks
+             FROM documents) WHERE len(toks) >= 3"""
+  private val qualitySql =
+    """0.5 * (1.0 - CAST(len(list_filter(toks, t -> t IN ('a','the','of','and','to','in'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+       + 0.5 * least(CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) / 8.0, 1.0)"""
+
+  def oracle: Map[String, String] = Map(
+    "q46_grouped_string_agg" ->
+      """SELECT lang, string_agg(source, ',' ORDER BY rn) AS top_sources FROM (
+           SELECT lang, source,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, source) AS rn
+           FROM (SELECT lang, source, count(*) AS n FROM documents
+                 GROUP BY lang, source))
+         WHERE rn <= 3 GROUP BY lang ORDER BY lang""",
+
+    "q47_above_segment_avg" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal, seg_avg FROM (
+           SELECT c_custkey, c_mktsegment, c_acctbal,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               / count(*) OVER w AS seg_avg
+           FROM customer WINDOW w AS (PARTITION BY c_mktsegment))
+         WHERE c_acctbal > seg_avg * 1.5 ORDER BY c_custkey""",
+
+    "q48_two_hop_semi" ->
+      """SELECT o_orderpriority, count(*) AS n_orders FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem JOIN part ON l_partkey = p_partkey
+                       WHERE l_orderkey = o_orderkey AND p_brand = 'Brand#13')
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q50_training_pipeline" ->
+      s"""WITH docs AS (SELECT doc_id, lang, n_chars, toks, sh, $qualitySql AS quality
+            FROM ($shSql)),
+          losers AS (
+            SELECT DISTINCT b AS doc_id FROM (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+              FROM (SELECT doc_id, unnest(sh) AS shingle FROM docs) x
+              JOIN (SELECT doc_id, unnest(sh) AS shingle FROM docs) y
+                ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+              GROUP BY x.doc_id, y.doc_id) p
+            JOIN (SELECT doc_id, len(sh) AS na FROM docs) sa ON p.a = sa.doc_id
+            JOIN (SELECT doc_id, len(sh) AS nb FROM docs) sb ON p.b = sb.doc_id
+            WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5)
+          SELECT lang, count(*) AS n_kept, sum(n_chars) AS sum_chars,
+            min(quality) AS min_quality, max(quality) AS max_quality
+          FROM docs
+          WHERE quality >= 0.55
+            AND NOT EXISTS (SELECT 1 FROM losers WHERE losers.doc_id = docs.doc_id)
+          GROUP BY lang ORDER BY lang""")
+}

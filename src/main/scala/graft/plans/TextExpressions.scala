@@ -3,6 +3,7 @@ package graft.plans
 import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -46,11 +47,23 @@ object TextExpressions {
   private[plans] def tokenize(text: String): Array[String] =
     text.trim.split("\\s+").filter(_.nonEmpty)
 
+  private def requireType(e: Expression, t: DataType, fn: String): TypeCheckResult = {
+    val ok = (e.dataType, t) match {
+      case (ArrayType(a, _), ArrayType(b, _)) => a == b
+      case (a, b) => a == b
+    }
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$fn expects ${t.simpleString}, got ${e.dataType.simpleString}")
+  }
+
   /** Distinct word n-gram shingles of raw text, single pass. */
   case class WordShingles(child: Expression, n: Int)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def prettyName: String = "word_shingles"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, StringType, prettyName)
 
     override def nullSafeEval(input: Any): Any = {
       val toks = tokenize(input.asInstanceOf[UTF8String].toString)
@@ -86,6 +99,8 @@ object TextExpressions {
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(StringType, containsNull = true)
     override def prettyName: String = "minhash_sig"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, ArrayType(StringType), prettyName)
 
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
@@ -118,6 +133,8 @@ object TextExpressions {
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = StringType
     override def prettyName: String = "simhash16"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, StringType, prettyName)
 
     override def nullSafeEval(input: Any): Any = {
       val toks = tokenize(input.asInstanceOf[UTF8String].toString)

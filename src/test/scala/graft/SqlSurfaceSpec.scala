@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The custom expressions must work from plain SQL text (registered via
+  * GraftFunctions), composing with views over the real tables. */
+class SqlSurfaceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("cosine_similarity / word_shingles / simhash16 from spark.sql") {
+    GraftFunctions.register(spark)
+    graft.sources.Tables.embeddings(spark, sf).createOrReplaceTempView("emb")
+    graft.sources.Tables.documents(spark, sf).createOrReplaceTempView("docs")
+
+    val knn = spark.sql(
+      """SELECT e.vec_id, cosine_similarity(e.embedding, q.embedding) AS score
+         FROM emb e, (SELECT embedding FROM emb WHERE vec_id = 0) q
+         WHERE e.vec_id <> 0 ORDER BY score DESC, e.vec_id LIMIT 3""").collect()
+    assert(knn.length == 3)
+    val fromApi = SparkEntry.queries("q21_rag_topk")(spark, sf)
+      .select("doc_id", "score").collect()
+    assert(knn.map(_.getLong(0)).sameElements(fromApi.map(_.getLong(0))))
+    assert(knn.map(_.getDouble(1)).sameElements(fromApi.map(_.getDouble(1))))
+
+    val sh = spark.sql(
+      """SELECT doc_id, size(word_shingles(text, 3)) AS n_sh,
+                minhash_sig(word_shingles(text, 3), 2)[0] AS m0,
+                simhash16(text) AS sim
+         FROM docs ORDER BY doc_id LIMIT 5""").collect()
+    assert(sh.length == 5)
+    sh.foreach { r =>
+      assert(r.getAs[Int]("n_sh") > 0)
+      assert(r.getAs[String]("m0").matches("[0-9a-f]{32}"))
+      assert(r.getAs[String]("sim").matches("[01]{16}"))
+    }
+  }
+}
