@@ -97,9 +97,15 @@ object Dedup {
         .filter(col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
         .distinct()
-      cands.join(pairJaccard(s, d), Seq("a", "b"))
+      // verify ONLY the candidates (bounded by band collisions — tiny),
+      // so exact per-pair array Jaccard is cheap here; numerically equal
+      // to the intersection-count form used by q34.
+      val sh = shingleDf(s, d)
+      cands
+        .join(broadcast(sh.select(col("doc_id").as("a"), col("sh").as("sh_a"))), "a")
+        .join(broadcast(sh.select(col("doc_id").as("b"), col("sh").as("sh_b"))), "b")
+        .select(col("a"), col("b"), T.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
-        .select(col("a"), col("b"), col("jaccard"))
         .orderBy(col("a"), col("b"))
     }),
 
