@@ -41,6 +41,8 @@ object StreamDemo {
       Streams.eventsStream(spark, dir.toString)), "complete")
     drive("sessions", Streams.sessionWindows(
       Streams.eventsStream(spark, dir.toString)), "complete")
+    drive("dedup", Streams.dedupStream(
+      Streams.eventsStream(spark, dir.toString)), "append")
 
     import spark.implicits._
     val evts = graft.sources.Tables.events(spark, sfDir)

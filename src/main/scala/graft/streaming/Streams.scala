@@ -51,6 +51,15 @@ object Streams {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup: first event per (user, type) within the
+    * watermark horizon — the incremental twin of Dedup q31 and the
+    * streaming form of a training-pipeline dedup stage. State for a key is
+    * dropped once the watermark passes it. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "event_type")
+
   // --- Custom keyed state: per-session history replay, streaming form ----
 
   case class Evt(event_id: Long, user_id: Long, event_type: String, tsMicros: Long)

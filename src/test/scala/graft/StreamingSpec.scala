@@ -57,6 +57,15 @@ class StreamingSpec extends AnyFunSuite {
       .filter(gotSets("ns") =!= wantSets("ns")).count() == 0)
   }
 
+  test("streaming dedup keeps one row per (user, type) like batch q31") {
+    val got = runToCompletion(
+      Streams.dedupStream(Streams.eventsStream(spark, streamDir)), "t_dedup")
+    val want = SparkEntry.queries("q31_exact_dedup")(spark, sf)
+    assert(got.count() == want.count())
+    assert(got.select("user_id", "event_type").exceptAll(
+      want.select("user_id", "event_type")).isEmpty)
+  }
+
   test("stateful history replay matches the batch window form") {
     import spark.implicits._
     val evts = graft.sources.Tables.events(spark, sf)
