@@ -65,9 +65,9 @@ object Pipelines {
     "q50_training_pipeline" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .withColumn("sh", graft.plans.TextExpressions.wordShingles(col("text"), 3))
-        .withColumn("toks", T.tokens(col("text")))
+        .withColumn("toks", graft.plans.TextExpressions.tokens(col("text")))
         .filter(size(col("toks")) >= 3) // oracle twin excludes shingle-less docs
-        .withColumn("quality", T.qualityScore(col("toks")))
+        .withColumn("quality", graft.plans.TextExpressions.qualityScore(col("text")))
       // near-dup losers: the higher doc_id of every pair with Jaccard >= 0.5
       val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
       val inv = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))

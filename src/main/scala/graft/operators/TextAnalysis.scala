@@ -21,7 +21,8 @@ object TextAnalysis {
     // Token frequencies: corpus-wide counts + document frequencies.
     "q25_word_counts" -> ((s, d) => {
       Tables.documents(s, d)
-        .select(col("doc_id"), explode(T.tokens(col("text"))).as("token"))
+        .select(col("doc_id"),
+          explode(graft.plans.TextExpressions.tokens(col("text"))).as("token"))
         .groupBy(col("token"))
         .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
         .orderBy(desc("n"), col("token"))
@@ -30,7 +31,7 @@ object TextAnalysis {
     // Per-language corpus stats (exact integer-sum averages).
     "q26_lang_stats" -> ((s, d) => {
       Tables.documents(s, d)
-        .withColumn("n_tokens", size(T.tokens(col("text"))))
+        .withColumn("n_tokens", size(graft.plans.TextExpressions.tokens(col("text"))))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("sum_chars"),
@@ -43,10 +44,9 @@ object TextAnalysis {
     // Quality scoring: stopword ratio + token-length heuristic, top-100.
     "q27_quality_score" -> ((s, d) => {
       Tables.documents(s, d)
-        .withColumn("toks", T.tokens(col("text")))
         .select(col("doc_id"), col("lang"),
-          size(col("toks")).as("n_tokens"),
-          T.qualityScore(col("toks")).as("score"))
+          size(graft.plans.TextExpressions.tokens(col("text"))).as("n_tokens"),
+          graft.plans.TextExpressions.qualityScore(col("text")).as("score"))
         .orderBy(desc("score"), col("doc_id"))
         .limit(100)
     }),

@@ -57,6 +57,46 @@ object TextExpressions {
       s"$fn expects ${t.simpleString}, got ${e.dataType.simpleString}")
   }
 
+  /** Whitespace tokens of raw text — compiled twin of TextFunctions.tokens
+    * (split on \s+ after trim, empties dropped). */
+  case class Tokens(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "tokens"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, StringType, prettyName)
+    override def nullSafeEval(input: Any): Any =
+      new GenericArrayData(tokenize(input.asInstanceOf[UTF8String].toString)
+        .map(UTF8String.fromString(_): Any))
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Quality score of raw text — compiled twin of TextFunctions.qualityScore
+    * with IDENTICAL double-operation order:
+    * 0.5 * (1 - stop/n) + 0.5 * min((chars/n)/8, 1). */
+  case class QualityScore(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    private val stopwords = Set("a", "the", "of", "and", "to", "in")
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "quality_score"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, StringType, prettyName)
+    override def nullSafeEval(input: Any): Any = {
+      val toks = tokenize(input.asInstanceOf[UTF8String].toString)
+      val n = toks.length.toDouble
+      var stop = 0; var chars = 0
+      var i = 0
+      while (i < toks.length) {
+        if (stopwords.contains(toks(i))) stop += 1
+        chars += toks(i).length
+        i += 1
+      }
+      val avgLen = chars.toDouble / n
+      0.5 * (1.0 - stop.toDouble / n) + 0.5 * math.min(avgLen / 8.0, 1.0)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Distinct word n-gram shingles of raw text, single pass. */
   case class WordShingles(child: Expression, n: Int)
       extends UnaryExpression with CodegenFallback {
@@ -159,6 +199,10 @@ object TextExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  def tokens(text: Column): Column =
+    ColumnBridge.column(Tokens(ColumnBridge.expression(text)))
+  def qualityScore(text: Column): Column =
+    ColumnBridge.column(QualityScore(ColumnBridge.expression(text)))
   def wordShingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
   def minhashSig(shingles: Column, k: Int): Column =

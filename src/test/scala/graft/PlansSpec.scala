@@ -55,6 +55,18 @@ class PlansSpec extends AnyFunSuite {
     assert(diff == 0L)
   }
 
+  test("Tokens and QualityScore compiled forms == built-in forms on real docs") {
+    val bigger = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+    val diff = bigger.select(
+      X.tokens(col("text")).as("fast_t"),
+      T.tokens(col("text")).as("slow_t"),
+      X.qualityScore(col("text")).as("fast_q"),
+      T.qualityScore(T.tokens(col("text"))).as("slow_q"))
+      .filter(col("fast_t") =!= col("slow_t") || col("fast_q") =!= col("slow_q"))
+      .count()
+    assert(diff == 0L)
+  }
+
   test("WordShingles on degenerate inputs") {
     import spark.implicits._
     val rows = Seq("", "  ", "one two", "a b c", "x x x x")
