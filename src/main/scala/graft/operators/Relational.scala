@@ -250,6 +250,31 @@ object Relational {
         .orderBy(col("event_type"))
     }),
 
+    // Array-function battery over the embedding column: size, indexing,
+    // fold (sequential double accumulation — see VectorFunctions), slicing.
+    "q20_array_funcs" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          size(col("embedding")).as("dim"),
+          element_at(col("embedding"), 1).cast("double").as("first_elem"),
+          graft.functions.VectorFunctions.norm(col("embedding")).as("norm"),
+          size(slice(col("embedding"), 1, 8)).as("head_len"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Exact interpolated percentiles (Spark `percentile` == DuckDB
+    // quantile_cont, verified bit-identical: both sort and linearly
+    // interpolate at p*(n-1)).
+    "q49_percentiles" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, 0.25)").as("p25"),
+          expr("percentile(l_extendedprice, 0.5)").as("p50"),
+          expr("percentile(l_extendedprice, 0.75)").as("p75"),
+          expr("percentile(l_quantity, 0.9)").as("qty_p90"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // HLL sketch cardinality next to the exact count. NOT oracled: DuckDB's
     // approx_count_distinct uses a different HLL — the driver records the
     // weaker rows-only check, and the unit test bounds the relative error.
@@ -420,6 +445,21 @@ object Relational {
          min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
          max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q49_percentiles" ->
+      """SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.25) AS p25,
+         quantile_cont(l_extendedprice, 0.5) AS p50,
+         quantile_cont(l_extendedprice, 0.75) AS p75,
+         quantile_cont(l_quantity, 0.9) AS qty_p90
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q20_array_funcs" ->
+      s"""SELECT vec_id, label, len(embedding) AS dim,
+          CAST(embedding[1] AS DOUBLE) AS first_elem,
+          ${graft.functions.VectorFunctions.sqlNorm("embedding")} AS norm,
+          len(embedding[1:8]) AS head_len
+          FROM embeddings ORDER BY vec_id""",
 
     "q19_conditional_derive" ->
       """SELECT o_orderkey,
