@@ -145,6 +145,71 @@ object LakehouseTable {
     commit(root, cur + 1, writeFiles(remaining, root, partitionBy))
   }
 
+  // --- Data-skipping statistics (Iceberg-style file pruning) --------------
+
+  private def statsPath(root: String, v: Long): Path =
+    manifestDir(root).resolve(s"$v.stats")
+
+  /** Collect per-file min/max for `cols` (numeric or timestamp) over the
+    * CURRENT version and persist them as the version's stats sidecar
+    * (TSV: relpath, col, min, max — timestamps as epoch micros). At scale
+    * these come from parquet footers at write time; one extra scan here
+    * keeps the layer engine-agnostic. */
+  def computeStats(spark: SparkSession, root: String, cols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no table at $root"))
+    val df = read(spark, root, Some(cur))
+    def asLongOrDouble(c: String) = df.schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        // NTZ → instant is UTC-pinned (session tz is UTC everywhere here)
+        unix_micros(col(c).cast("timestamp"))
+      case _ => col(c).cast("double")
+    }
+    val aggs = cols.flatMap(c => Seq(
+      min(asLongOrDouble(c)).cast("double").as(s"min_$c"),
+      max(asLongOrDouble(c)).cast("double").as(s"max_$c")))
+    val rows = df.withColumn("__file", input_file_name())
+      .groupBy(col("__file")).agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val lines = rows.flatMap { r =>
+      val rel = r.getString(0).stripPrefix("file:").stripPrefix("//")
+      val relPath = Paths.get(rel.stripPrefix(dataDir(root).toString).stripPrefix("/"))
+      cols.map { c =>
+        s"$relPath\t$c\t${r.getAs[Double](s"min_$c")}\t${r.getAs[Double](s"max_$c")}"
+      }
+    }
+    Files.writeString(statsPath(root, cur), lines.mkString("\n"))
+  }
+
+  /** Read the current version keeping only files whose [min,max] range for
+    * `colName` overlaps [lo,hi] (as double / epoch-micros) — Iceberg-style
+    * data skipping. Files without stats are kept (safe). The caller still
+    * applies the row-level filter; this only prunes whole files. */
+  def readPruned(spark: SparkSession, root: String, colName: String,
+      lo: Double, hi: Double): DataFrame = {
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no table at $root"))
+    val all = readManifest(root, cur)
+    val sp = statsPath(root, cur)
+    val keep: Set[String] =
+      if (!Files.exists(sp)) all.toSet
+      else {
+        val ranges = Files.readAllLines(sp).asScala
+          .map(_.split("\t")).filter(a => a.length == 4 && a(1) == colName)
+          .map(a => a(0) -> (a(2).toDouble, a(3).toDouble)).toMap
+        all.filter { f =>
+          ranges.get(f) match {
+            case Some((mn, mx)) => mx >= lo && mn <= hi
+            case None => true
+          }
+        }.toSet
+      }
+    val files = all.filter(keep).map(f => dataDir(root).resolve(f).toString)
+    spark.read.option("basePath", dataDir(root).toString).parquet(files: _*)
+  }
+
   /** Drop manifests older than `retainLast` versions and delete data files
     * no retained manifest references. Returns deleted file count. */
   def vacuum(root: String, retainLast: Int = 1): Int = {
@@ -157,6 +222,7 @@ object LakehouseTable {
         if (Files.deleteIfExists(dataDir(root).resolve(f))) deleted += 1
       }
       Files.deleteIfExists(manifestDir(root).resolve(s"$v.json"))
+      Files.deleteIfExists(statsPath(root, v))
     }
     deleted
   }

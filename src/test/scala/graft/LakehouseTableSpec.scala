@@ -86,6 +86,26 @@ class LakehouseTableSpec extends AnyFunSuite {
       .filter(col("o_orderstatus") === "F").count() > 0)
   }
 
+  test("stats-based file skipping prunes files and preserves results") {
+    val root = freshRoot()
+    val src = Tables.orders(spark, sf)
+      .repartitionByRange(8, col("o_orderdate")) // tight per-file date ranges
+    LT.create(src, root)
+    LT.computeStats(spark, root, Seq("o_orderdate", "o_totalprice"))
+    val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00").getTime * 1000.0
+    val hi = java.sql.Timestamp.valueOf("1996-06-30 00:00:00").getTime * 1000.0
+    val pruned = LT.readPruned(spark, root, "o_orderdate", lo, hi)
+      .filter(col("o_orderdate").between(lit("1996-01-01").cast("timestamp"),
+        lit("1996-06-30").cast("timestamp")))
+    val full = LT.read(spark, root)
+      .filter(col("o_orderdate").between(lit("1996-01-01").cast("timestamp"),
+        lit("1996-06-30").cast("timestamp")))
+    assert(pruned.inputFiles.length < LT.read(spark, root).inputFiles.length,
+      s"expected pruning: ${pruned.inputFiles.length} files")
+    assert(pruned.count() == full.count())
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+  }
+
   test("vacuum removes files only the dropped versions reference") {
     val root = freshRoot()
     val src = Tables.orders(spark, sf)

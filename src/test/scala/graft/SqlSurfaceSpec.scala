@@ -8,6 +8,11 @@ class SqlSurfaceSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("GraftExtensions injects the function set without error") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // would throw on signature drift
+  }
+
   test("cosine_similarity / word_shingles / simhash16 from spark.sql") {
     GraftFunctions.register(spark)
     graft.sources.Tables.embeddings(spark, sf).createOrReplaceTempView("emb")
