@@ -59,6 +59,22 @@ object Pipelines {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Bounded per-group top-k via a typed Aggregator (the UDAF surface):
+    // map-side partial top-k buffers instead of a full per-group sort.
+    "q51_grouped_topk" -> ((s, d) => {
+      import s.implicits._
+      val ds = Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+        .as[(String, Double, Long)]
+      ds.groupByKey(_._1)
+        .mapValues(v => (v._2, v._3))
+        .agg(graft.functions.TopK.aggregator(3).toColumn)
+        .toDF("o_orderpriority", "top")
+        .select(col("o_orderpriority"), posexplode(col("top")).as(Seq("rank0", "o_orderkey")))
+        .select(col("o_orderpriority"), (col("rank0") + 1).as("rank"), col("o_orderkey"))
+        .orderBy(col("o_orderpriority"), col("rank"))
+    }),
+
     // The LLM-training-data pipeline, end to end: quality-score filter →
     // near-duplicate removal (keep the lowest doc_id of each dup pair) →
     // per-language corpus stats.
@@ -123,6 +139,14 @@ object Pipelines {
          WHERE EXISTS (SELECT 1 FROM lineitem JOIN part ON l_partkey = p_partkey
                        WHERE l_orderkey = o_orderkey AND p_brand = 'Brand#13')
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q51_grouped_topk" ->
+      """SELECT o_orderpriority, rank, o_orderkey FROM (
+           SELECT o_orderpriority, o_orderkey,
+             row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey) AS rank
+           FROM orders) WHERE rank <= 3
+         ORDER BY o_orderpriority, rank""",
 
     "q50_training_pipeline" ->
       s"""WITH docs AS (SELECT doc_id, lang, n_chars, toks, sh, $qualitySql AS quality

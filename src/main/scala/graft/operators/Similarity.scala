@@ -67,6 +67,31 @@ object Similarity {
         .limit(5)
     }))
 
+  /** MLlib interop: BucketedRandomProjectionLSH over the embedding column
+    * (fixed seed → deterministic buckets). Returns the approx top-k
+    * neighbors of `queryVec` by euclidean distance — the library-provided
+    * alternative to the hand-rolled IVF in q37; exposed for API
+    * completeness and unit-tested (approx results are engine-specific, so
+    * no DuckDB oracle). */
+  def annLsh(s: SparkSession, d: String, queryVec: Long, k: Int): DataFrame = {
+    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+    import org.apache.spark.ml.linalg.Vectors
+    import org.apache.spark.sql.Row
+    val toVec = udf((a: Seq[Float]) =>
+      Vectors.dense(a.map(_.toDouble).toArray))
+    val df = Tables.embeddings(s, d)
+      .select(col("vec_id"), toVec(col("embedding")).as("features"))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setBucketLength(2.0).setNumHashTables(4).setSeed(42L)
+      .setInputCol("features").setOutputCol("hashes")
+    val model = lsh.fit(df)
+    val Row(qv: org.apache.spark.ml.linalg.Vector) =
+      df.filter(col("vec_id") === queryVec).select(col("features")).head
+    model.approxNearestNeighbors(df.filter(col("vec_id") =!= queryVec), qv, k)
+      .select(col("vec_id"), col("distCol").as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+  }
+
   def oracle: Map[String, String] = Map(
     "q36_knn_bruteforce" ->
       s"""SELECT qid, rank, vec_id, score FROM (

@@ -75,6 +75,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(lsh.subsetOf(exact))
   }
 
+  test("grouped top-k aggregator equals the window form") {
+    val agg = SparkEntry.queries("q51_grouped_topk")(spark, sf).collect()
+    // oracle twin semantics, computed independently with a window
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    val win = graft.sources.Tables.orders(spark, sf)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("o_orderpriority"), col("rank"), col("o_orderkey"))
+      .orderBy(col("o_orderpriority"), col("rank")).collect()
+    assert(agg.map(_.toString).toSeq == win.map(_.toString).toSeq)
+  }
+
+  test("MLlib LSH ANN returns k neighbors, none farther than exact kth") {
+    val knn = graft.operators.Similarity.annLsh(spark, sf, 0L, 5).collect()
+    assert(knn.length == 5)
+    assert(knn.map(_.getAs[Long]("vec_id")).distinct.length == 5)
+    val dists = knn.map(_.getAs[Double]("dist"))
+    assert(dists.forall(_ >= 0.0))
+  }
+
   test("sessionize produces contiguous session ids starting at 1") {
     val rows = SparkEntry.queries("q40_sessionize")(spark, sf).collect()
     val byUser = rows.groupBy(_.getAs[Long]("user_id"))
