@@ -250,6 +250,33 @@ object Relational {
         .orderBy(col("event_type"))
     }),
 
+    // Date-function battery (only cross-engine-stable parts: no week-of-
+    // year or fractional month arithmetic, whose conventions differ).
+    "q52_date_funcs" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          quarter(col("o_orderdate")).as("q"),
+          dayofyear(col("o_orderdate")).as("doy"),
+          date_add(col("o_orderdate"), 30).cast("timestamp").as("due"),
+          last_day(col("o_orderdate")).cast("timestamp").as("month_end"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // JSON → MAP column semantics over events.props.
+    "q53_map_funcs" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("m", from_json(col("props"),
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,int>")))
+        .select(col("event_id"),
+          array_join(map_keys(col("m")), ",").as("keys"),
+          element_at(col("m"), "k").as("k_val"),
+          size(map_keys(col("m"))).as("n_keys"))
+        .orderBy(col("event_id"))
+    }),
+
     // Array-function battery over the embedding column: size, indexing,
     // fold (sequential double accumulation — see VectorFunctions), slicing.
     "q20_array_funcs" -> ((s, d) => {
@@ -445,6 +472,21 @@ object Relational {
          min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
          max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q52_date_funcs" ->
+      """SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
+         day(o_orderdate) AS dom, quarter(o_orderdate) AS q,
+         dayofyear(o_orderdate) AS doy,
+         CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS due,
+         CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end
+         FROM orders ORDER BY o_orderkey""",
+
+    "q53_map_funcs" ->
+      """SELECT event_id,
+         array_to_string(json_keys(props), ',') AS keys,
+         CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+         len(json_keys(props)) AS n_keys
+         FROM events ORDER BY event_id""",
 
     "q49_percentiles" ->
       """SELECT l_returnflag,
