@@ -44,6 +44,12 @@ object StreamDemo {
     drive("dedup", Streams.dedupStream(
       Streams.eventsStream(spark, dir.toString)), "append")
 
+    val tbl = Files.createTempDirectory("graft-ingest-demo").resolve("tbl").toString
+    val iq = Streams.ingestInto(Streams.eventsStream(spark, dir.toString), tbl)
+    iq.processAllAvailable(); iq.stop()
+    println(s"[stream-demo] ingest versions=${graft.sources.LakehouseTable.versions(tbl)}" +
+      s" rows=${graft.sources.LakehouseTable.read(spark, tbl).count()}")
+
     import spark.implicits._
     val evts = graft.sources.Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("event_type"),

