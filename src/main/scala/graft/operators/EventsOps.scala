@@ -116,11 +116,11 @@ object EventsOps {
     "q40_sessionize" ->
       s"""SELECT user_id, session_id, count(*) AS n_events,
           min(ts) AS session_start, max(ts) AS session_end,
-          epoch(date_trunc('second', max(ts))) - epoch(date_trunc('second', min(ts))) AS duration_secs,
+          CAST(epoch(date_trunc('second', max(ts))) - epoch(date_trunc('second', min(ts))) AS BIGINT) AS duration_secs,
           ${Exact.sqlMoneySum("value")} AS sum_value
           FROM (SELECT user_id, ts, value,
-                  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
                 FROM (SELECT *,
                     CASE WHEN prev_ts IS NULL
                       OR epoch(date_trunc('second', ts)) - epoch(date_trunc('second', prev_ts)) > 1800

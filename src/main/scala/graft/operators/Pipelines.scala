@@ -71,7 +71,7 @@ object Pipelines {
         .agg(graft.functions.TopK.aggregator(3).toColumn)
         .toDF("o_orderpriority", "top")
         .select(col("o_orderpriority"), posexplode(col("top")).as(Seq("rank0", "o_orderkey")))
-        .select(col("o_orderpriority"), (col("rank0") + 1).as("rank"), col("o_orderkey"))
+        .select(col("o_orderpriority"), (col("rank0") + 1).cast("long").as("rank"), col("o_orderkey"))
         .orderBy(col("o_orderpriority"), col("rank"))
     }),
 
@@ -161,7 +161,7 @@ object Pipelines {
             JOIN (SELECT doc_id, len(sh) AS na FROM docs) sa ON p.a = sa.doc_id
             JOIN (SELECT doc_id, len(sh) AS nb FROM docs) sb ON p.b = sb.doc_id
             WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5)
-          SELECT lang, count(*) AS n_kept, sum(n_chars) AS sum_chars,
+          SELECT lang, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
             min(quality) AS min_quality, max(quality) AS max_quality
           FROM docs
           WHERE quality >= 0.55

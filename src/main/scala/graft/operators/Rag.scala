@@ -107,6 +107,40 @@ object Rag {
         .withColumn("answer", llmStub(col("prompt")))
     }),
 
+    // Multi-turn chat session, fully composed (the reference's
+    // RunnableWithMessageHistory loop, app/app.py:85-94, unrolled for 3
+    // turns): each turn retrieves fresh context, the prompt carries the
+    // accumulated (question, answer) history, and the deterministic
+    // LLM-stub answer feeds the next turn's history.
+    "q54_chat_session" -> ((s, d) => {
+      def ctxFor(q: Long, name: String) =
+        topk(s, d, q, 3)
+          .withColumn("rn", row_number().over(Window.orderBy(desc("score"), col("vec_id"))))
+          .join(broadcast(Tables.documents(s, d)), col("vec_id") === col("doc_id"))
+          .agg(array_join(transform(
+            array_sort(collect_list(struct(col("rn").as("rn"), col("text").as("text")))),
+            x => x.getField("text")), "\n\n").as(name))
+      val base = ctxFor(0L, "ctx0").crossJoin(ctxFor(1L, "ctx1")).crossJoin(ctxFor(2L, "ctx2"))
+        .withColumn("p0", concat(lit("Context:\n"), col("ctx0"), lit("\nQuestion: q0")))
+        .withColumn("a0", md5(col("p0")))
+        .withColumn("h1", concat(lit("Q: q0\nA: "), col("a0"), lit("\n")))
+        .withColumn("p1", concat(lit("History:\n"), col("h1"),
+          lit("Context:\n"), col("ctx1"), lit("\nQuestion: q1")))
+        .withColumn("a1", md5(col("p1")))
+        .withColumn("h2", concat(col("h1"), lit("Q: q1\nA: "), col("a1"), lit("\n")))
+        .withColumn("p2", concat(lit("History:\n"), col("h2"),
+          lit("Context:\n"), col("ctx2"), lit("\nQuestion: q2")))
+        .withColumn("a2", md5(col("p2")))
+      base.select(explode(array(
+        struct(lit(0).as("turn"), col("a0").as("answer"), length(col("p0")).cast("long").as("prompt_len")),
+        struct(lit(1).as("turn"), col("a1").as("answer"), length(col("p1")).cast("long").as("prompt_len")),
+        struct(lit(2).as("turn"), col("a2").as("answer"), length(col("p2")).cast("long").as("prompt_len"))))
+        .as("t"))
+        .select(col("t.turn").as("turn"), col("t.answer").as("answer"),
+          col("t.prompt_len").as("prompt_len"))
+        .orderBy(col("turn"))
+    }),
+
     // Per-session chat-history replay (app/app.py:85-92): each event sees the
     // ordered concatenation of everything earlier in its session.
     "q24_history_replay" -> ((s, d) => {
@@ -153,6 +187,27 @@ object Rag {
           FROM (SELECT row_number() OVER (ORDER BY score DESC, vec_id) AS rn, vec_id
                 FROM (${sqlTopk(0L, 3)}))
           JOIN documents ON vec_id = doc_id)""",
+
+    "q54_chat_session" -> {
+      def ctxSql(q: Long) =
+        s"""(SELECT string_agg(text, chr(10) || chr(10) ORDER BY rn)
+             FROM (SELECT row_number() OVER (ORDER BY score DESC, vec_id) AS rn, vec_id
+                   FROM (${sqlTopk(q, 3)}))
+             JOIN documents ON vec_id = doc_id)"""
+      s"""WITH c AS (SELECT ${ctxSql(0)} AS ctx0, ${ctxSql(1)} AS ctx1, ${ctxSql(2)} AS ctx2),
+          s0 AS (SELECT *, 'Context:' || chr(10) || ctx0 || chr(10) || 'Question: q0' AS p0 FROM c),
+          s1 AS (SELECT *, md5(p0) AS a0 FROM s0),
+          s2 AS (SELECT *, 'Q: q0' || chr(10) || 'A: ' || a0 || chr(10) AS h1 FROM s1),
+          s3 AS (SELECT *, 'History:' || chr(10) || h1 || 'Context:' || chr(10) || ctx1 || chr(10) || 'Question: q1' AS p1 FROM s2),
+          s4 AS (SELECT *, md5(p1) AS a1 FROM s3),
+          s5 AS (SELECT *, h1 || 'Q: q1' || chr(10) || 'A: ' || a1 || chr(10) AS h2 FROM s4),
+          s6 AS (SELECT *, 'History:' || chr(10) || h2 || 'Context:' || chr(10) || ctx2 || chr(10) || 'Question: q2' AS p2 FROM s5),
+          s7 AS (SELECT *, md5(p2) AS a2 FROM s6)
+          SELECT 0 AS turn, a0 AS answer, length(p0) AS prompt_len FROM s7
+          UNION ALL SELECT 1, a1, length(p1) FROM s7
+          UNION ALL SELECT 2, a2, length(p2) FROM s7
+          ORDER BY turn"""
+    },
 
     "q24_history_replay" ->
       """SELECT user_id, event_id, event_type,

@@ -150,7 +150,7 @@ object Relational {
           grouping(col("l_returnflag")).cast("int").as("g_flag"),
           grouping(col("ship_year")).cast("int").as("g_year"))
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
-          coalesce(col("ship_year"), lit(-1)).as("ship_year"),
+          coalesce(col("ship_year"), lit(-1)).cast("long").as("ship_year"),
           col("n"), col("g_flag"), col("g_year"))
         .orderBy(col("g_flag"), col("g_year"), col("rflag"), col("ship_year"))
     }),
@@ -170,7 +170,7 @@ object Relational {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(desc("o_totalprice"), col("o_orderkey"))
       Tables.orders(s, d)
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 3)
         .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("o_custkey"), col("rn"))
@@ -196,7 +196,7 @@ object Relational {
         .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
         .withColumn("next_key", coalesce(lead(col("o_orderkey"), 1).over(w), lit(-1L)))
         .withColumn("gap_days",
-          coalesce(datediff(col("o_orderdate"), col("prev_date")), lit(-1)))
+          coalesce(datediff(col("o_orderdate"), col("prev_date")), lit(-1)).cast("long"))
         .select(col("o_custkey"), col("o_orderkey"), col("gap_days"), col("next_key"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
@@ -223,7 +223,7 @@ object Relational {
           lower(col("p_name")).as("name_lc"),
           upper(col("p_brand")).as("brand_uc"),
           substring(col("p_type"), 1, 5).as("type5"),
-          length(col("p_name")).as("name_len"),
+          length(col("p_name")).cast("long").as("name_len"),
           regexp_replace(col("p_name"), " ", "_").as("name_us"),
           concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"))
         .orderBy(col("p_partkey"))
@@ -255,11 +255,11 @@ object Relational {
     "q52_date_funcs" -> ((s, d) => {
       Tables.orders(s, d)
         .select(col("o_orderkey"),
-          year(col("o_orderdate")).as("y"),
-          month(col("o_orderdate")).as("m"),
-          dayofmonth(col("o_orderdate")).as("dom"),
-          quarter(col("o_orderdate")).as("q"),
-          dayofyear(col("o_orderdate")).as("doy"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          quarter(col("o_orderdate")).cast("long").as("q"),
+          dayofyear(col("o_orderdate")).cast("long").as("doy"),
           date_add(col("o_orderdate"), 30).cast("timestamp").as("due"),
           last_day(col("o_orderdate")).cast("timestamp").as("month_end"))
         .orderBy(col("o_orderkey"))
@@ -273,7 +273,7 @@ object Relational {
         .select(col("event_id"),
           array_join(map_keys(col("m")), ",").as("keys"),
           element_at(col("m"), "k").as("k_val"),
-          size(map_keys(col("m"))).as("n_keys"))
+          size(map_keys(col("m"))).cast("long").as("n_keys"))
         .orderBy(col("event_id"))
     }),
 
@@ -282,10 +282,10 @@ object Relational {
     "q20_array_funcs" -> ((s, d) => {
       Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"),
-          size(col("embedding")).as("dim"),
+          size(col("embedding")).cast("long").as("dim"),
           element_at(col("embedding"), 1).cast("double").as("first_elem"),
           graft.functions.VectorFunctions.norm(col("embedding")).as("norm"),
-          size(slice(col("embedding"), 1, 8)).as("head_len"))
+          size(slice(col("embedding"), 1, 8)).cast("long").as("head_len"))
         .orderBy(col("vec_id"))
     }),
 
@@ -468,7 +468,7 @@ object Relational {
 
     "q18_json_extract" ->
       """SELECT event_type, count(*) AS n,
-         sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+         CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
          min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
          max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
          FROM events GROUP BY event_type ORDER BY event_type""",

@@ -38,7 +38,7 @@ object Similarity {
     "q36_knn_bruteforce" -> ((s, d) => {
       val w = Window.partitionBy(col("qid")).orderBy(desc("score"), col("vec_id"))
       scored(s, d, 5)
-        .withColumn("rank", row_number().over(w))
+        .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 5)
         .select(col("qid"), col("rank"), col("vec_id"), col("score"))
         .orderBy(col("qid"), col("rank"))

@@ -45,7 +45,7 @@ object TextAnalysis {
     "q27_quality_score" -> ((s, d) => {
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
-          size(graft.plans.TextExpressions.tokens(col("text"))).as("n_tokens"),
+          size(graft.plans.TextExpressions.tokens(col("text"))).cast("long").as("n_tokens"),
           graft.plans.TextExpressions.qualityScore(col("text")).as("score"))
         .orderBy(desc("score"), col("doc_id"))
         .limit(100)
@@ -57,8 +57,8 @@ object TextAnalysis {
         .withColumn("n_rtok", T.regexTokenCount(col("text")))
         .groupBy(col("lang"))
         .agg(sum(col("n_rtok").cast("long")).as("sum_tokens"),
-          min(col("n_rtok")).as("min_tokens"),
-          max(col("n_rtok")).as("max_tokens"))
+          min(col("n_rtok")).cast("long").as("min_tokens"),
+          max(col("n_rtok")).cast("long").as("max_tokens"))
         .orderBy(col("lang"))
     }),
 
@@ -99,7 +99,7 @@ object TextAnalysis {
           GROUP BY token ORDER BY n DESC, token""",
 
     "q26_lang_stats" ->
-      s"""SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+      s"""SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
           ${Exact.sqlIntAvg("n_chars")} AS avg_chars,
           CAST(sum(CAST(len($toksSql) AS BIGINT)) AS DOUBLE) / count(*) AS avg_tokens,
           count(DISTINCT source) AS n_sources
@@ -113,7 +113,7 @@ object TextAnalysis {
           ORDER BY score DESC, doc_id LIMIT 100""",
 
     "q28_token_counts" ->
-      s"""SELECT lang, sum(CAST(${T.sqlRegexTokenCount} AS BIGINT)) AS sum_tokens,
+      s"""SELECT lang, CAST(sum(CAST(${T.sqlRegexTokenCount} AS BIGINT)) AS BIGINT) AS sum_tokens,
           min(${T.sqlRegexTokenCount}) AS min_tokens,
           max(${T.sqlRegexTokenCount}) AS max_tokens
           FROM documents GROUP BY lang ORDER BY lang""",
