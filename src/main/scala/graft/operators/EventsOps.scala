@@ -85,6 +85,25 @@ object EventsOps {
         .orderBy(col("event_id"))
     }),
 
+    // Theta/range join: same-user event pairs within a 5-minute window —
+    // the equi-key (user_id) bounds each join cell, the range predicate is
+    // a post-filter inside the cell; never a full cross product.
+    "q55_time_proximity_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val L = e.select(col("user_id"), col("event_id").as("a"),
+        col("ts").as("ta"), col("event_type").as("type_a"))
+      val R = e.select(col("user_id"), col("event_id").as("b"),
+        col("ts").as("tb"), col("event_type").as("type_b"))
+      L.join(R, Seq("user_id"))
+        .filter(col("a") < col("b")
+          && abs(unix_micros(col("tb")) - unix_micros(col("ta"))) <= 300L * 1000000L)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("a")).as("n_left"),
+          sum(when(col("type_a") === col("type_b"), 1L).otherwise(0L)).as("same_type_pairs"))
+        .orderBy(col("user_id"))
+    }),
+
     // Pivot: daily counts fanned out to one column per event type.
     "q42_event_pivot" -> ((s, d) => {
       Tables.events(s, d)
@@ -141,6 +160,16 @@ object EventsOps {
                  UNION ALL
                  SELECT user_id, ts, CAST(NULL AS BIGINT), 1, event_id FROM events))
          WHERE is_evt = 1 ORDER BY event_id""",
+
+    "q55_time_proximity_join" ->
+      """SELECT x.user_id AS user_id, count(*) AS n_pairs,
+         count(DISTINCT x.event_id) AS n_left,
+         CAST(sum(CASE WHEN x.event_type = y.event_type THEN 1 ELSE 0 END) AS BIGINT)
+           AS same_type_pairs
+         FROM events x JOIN events y
+           ON x.user_id = y.user_id AND x.event_id < y.event_id
+           AND abs(epoch_us(y.ts) - epoch_us(x.ts)) <= 300000000
+         GROUP BY x.user_id ORDER BY user_id""",
 
     "q42_event_pivot" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
