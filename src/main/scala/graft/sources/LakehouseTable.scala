@@ -145,6 +145,48 @@ object LakehouseTable {
     commit(root, cur + 1, writeFiles(remaining, root, partitionBy))
   }
 
+  /** Read a specific file subset of the table (rel paths from a manifest). */
+  private def readFiles(spark: SparkSession, root: String,
+      relFiles: Seq[String]): DataFrame =
+    spark.read.option("basePath", dataDir(root).toString)
+      .parquet(relFiles.map(f => dataDir(root).resolve(f).toString): _*)
+
+  private def toRel(root: String, absUri: String): String = {
+    val abs = absUri.stripPrefix("file:").replaceAll("^/+", "/")
+    Paths.get(dataDir(root).toString).relativize(Paths.get(abs)).toString
+  }
+
+  /** Copy-on-write MERGE (Delta-style upsert): `updates` rows replace
+    * current rows with the same `keys` values; update rows matching nothing
+    * are inserted. File-pruned: only data files that actually CONTAIN a
+    * matched key are rewritten — every other file carries over into the new
+    * manifest verbatim. That is the property that matters at 100 TB: a merge
+    * touching one day's keys rewrites that day's files, not the table.
+    * (Matched-file discovery is a semi join on the keys; with stats/
+    * partitioning the same pruning applies before the scan.) */
+  def merge(spark: SparkSession, root: String, updates: DataFrame,
+      keys: Seq[String], partitionBy: Seq[String] = Nil): Long = {
+    require(keys.nonEmpty, "merge requires at least one key column")
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no table at $root"))
+    val all = readManifest(root, cur)
+    val snap = readFiles(spark, root, all)
+    val keyRows = updates.select(keys.map(updates.col): _*)
+    import org.apache.spark.sql.functions.input_file_name
+    val touched: Set[String] = snap
+      .withColumn("__file", input_file_name())
+      .join(keyRows, keys, "left_semi")
+      .select("__file").distinct().collect()
+      .map(r => toRel(root, r.getString(0))).toSet
+    val untouched = all.filterNot(touched)
+    val survivors =
+      if (touched.isEmpty) updates.select(snap.columns.map(updates.col).toSeq: _*)
+      else readFiles(spark, root, touched.toSeq)
+        .join(keyRows, keys, "left_anti")
+        .unionByName(updates.select(snap.columns.map(updates.col).toSeq: _*))
+    commit(root, cur + 1, untouched ++ writeFiles(survivors, root, partitionBy))
+  }
+
   // --- Data-skipping statistics (Iceberg-style file pruning) --------------
 
   private def statsPath(root: String, v: Long): Path =

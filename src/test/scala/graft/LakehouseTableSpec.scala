@@ -106,6 +106,38 @@ class LakehouseTableSpec extends AnyFunSuite {
     assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
   }
 
+  test("merge upserts matched keys, inserts new ones, rewrites only touched files") {
+    val root = freshRoot()
+    val src = Tables.orders(spark, sf).repartitionByRange(8, col("o_orderkey"))
+    LT.create(src, root)
+    val before = LT.read(spark, root)
+    // updates: bump totalprice on the 5 lowest keys + insert one new key
+    val bumped = src.orderBy(col("o_orderkey")).limit(5)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+    val fresh = src.orderBy(col("o_orderkey")).limit(1)
+      .withColumn("o_orderkey", lit(999999999L))
+    val v = LT.merge(spark, root, bumped.unionByName(fresh), Seq("o_orderkey"))
+    assert(v == 1L)
+    val after = LT.read(spark, root)
+    assert(after.count() == src.count() + 1)
+    // matched rows got the new price
+    val lows = bumped.select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val gotPrices = after.filter(col("o_orderkey").isInCollection(lows))
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val wantPrices = bumped.select("o_orderkey", "o_totalprice").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gotPrices == wantPrices)
+    // inserted row present
+    assert(after.filter(col("o_orderkey") === 999999999L).count() == 1)
+    // file-pruned COW: untouched files carried over verbatim
+    val carried = before.inputFiles.toSet.intersect(after.inputFiles.toSet)
+    assert(carried.nonEmpty, "expected untouched files to carry over")
+    assert(carried.size < before.inputFiles.length, "expected some files rewritten")
+    // old version unchanged (snapshot isolation)
+    assert(LT.read(spark, root, Some(0)).count() == src.count())
+  }
+
   test("vacuum removes files only the dropped versions reference") {
     val root = freshRoot()
     val src = Tables.orders(spark, sf)
