@@ -44,14 +44,26 @@ object Dedup {
     * intersection — the candidate verify collapses to one count aggregate
     * plus two broadcast joins against the per-doc set sizes. Numerically
     * identical to size(intersect)/size(union): both are exact-int ratios. */
+  /** Shared-shingle counts per candidate pair WITHOUT a self-join:
+    * groupBy(shingle) collects the (sorted) posting list, a compiled
+    * expression emits every (a<<32|b) pair packed in one long, and a single
+    * hash agg counts them. One shuffle of the inverted index replaces the
+    * sort-merge of the index against itself. Packing assumes ids < 2^32 —
+    * beyond that (never at these SFs) swap the packed explode for the
+    * equivalent inv⋈inv join on shingle; everything downstream is
+    * unchanged. */
+  private[operators] def pairSharedCounts(inv: DataFrame): DataFrame =
+    inv.groupBy(col("shingle")).agg(collect_list(col("doc_id")).as("ds"))
+      .select(explode(graft.plans.TextExpressions.packedPairs(col("ds"))).as("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("shared"))
+      .select(shiftright(col("pk"), 32).as("a"),
+        col("pk").bitwiseAND(0xffffffffL).as("b"), col("shared"))
+
   private def pairJaccard(s: SparkSession, d: String): DataFrame = {
     val sh = shingleDf(s, d)
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
     val inv = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    inv.as("x").join(inv.as("y"), "shingle")
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .agg(count(lit(1)).as("shared"))
+    pairSharedCounts(inv)
       .join(broadcast(sizes.select(col("doc_id").as("a"), col("n").as("na"))), "a")
       .join(broadcast(sizes.select(col("doc_id").as("b"), col("n").as("nb"))), "b")
       .select(col("a"), col("b"), (col("shared").cast("double")
@@ -93,10 +105,16 @@ object Dedup {
       val banded = sig.select(col("doc_id"), posexplode(array((0 until 8).map(b =>
         concat(element_at(col("sig"), 2 * b + 1), element_at(col("sig"), 2 * b + 2))): _*))
         .as(Seq("band_idx", "bk")))
-      val cands = banded.as("x").join(banded.as("y"), Seq("band_idx", "bk"))
-        .filter(col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      // candidate pairs per band bucket via the packed-pairs aggregation
+      // (see pairSharedCounts): one shuffle of the banded relation and ONE
+      // evaluation of the 16-component signature, instead of a self-join
+      // whose two sides each recompute every md5.
+      val cands = banded.groupBy(col("band_idx"), col("bk"))
+        .agg(collect_list(col("doc_id")).as("ds"))
+        .select(explode(graft.plans.TextExpressions.packedPairs(col("ds"))).as("pk"))
         .distinct()
+        .select(shiftright(col("pk"), 32).as("a"),
+          col("pk").bitwiseAND(0xffffffffL).as("b"))
       // verify ONLY the candidates (bounded by band collisions — tiny),
       // so exact per-pair array Jaccard is cheap here; numerically equal
       // to the intersection-count form used by q34.

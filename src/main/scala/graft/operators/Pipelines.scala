@@ -87,10 +87,9 @@ object Pipelines {
       // near-dup losers: the higher doc_id of every pair with Jaccard >= 0.5
       val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
       val inv = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
-      val losers = inv.as("x").join(inv.as("y"), "shingle")
-        .filter(col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .agg(count(lit(1)).as("shared"))
+      // shared-shingle counts via the packed-pair aggregation (see
+      // Dedup.pairSharedCounts) — no inverted-index self-join.
+      val losers = Dedup.pairSharedCounts(inv)
         .join(broadcast(sizes.select(col("doc_id").as("a"), col("n").as("na"))), "a")
         .join(broadcast(sizes.select(col("doc_id").as("b"), col("n").as("nb"))), "b")
         .filter(col("shared").cast("double")

@@ -199,12 +199,50 @@ object TextExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** All unordered pairs (a, b), a < b, of a long array, packed as
+    * (a << 32) | b — one eval per shingle group replaces the inverted-index
+    * SELF-JOIN for candidate generation: groupBy(shingle) → collect ids →
+    * explode(pairs) shuffles each shingle row once instead of sort-merging
+    * the 260 k-row index against itself. Packing requires ids < 2^32; the
+    * caller checks the max id and falls back to the join form beyond it. */
+  case class PackedPairs(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "packed_pairs"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, ArrayType(LongType), prettyName)
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val m = arr.numElements()
+      val ids = new Array[Long](m)
+      var i = 0
+      while (i < m) { ids(i) = arr.getLong(i); i += 1 }
+      java.util.Arrays.sort(ids)
+      val out = new Array[Long](m * (m - 1) / 2)
+      var k = 0
+      i = 0
+      while (i < m) {
+        var j = i + 1
+        while (j < m) {
+          out(k) = (ids(i) << 32) | ids(j)
+          k += 1; j += 1
+        }
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   def tokens(text: Column): Column =
     ColumnBridge.column(Tokens(ColumnBridge.expression(text)))
   def qualityScore(text: Column): Column =
     ColumnBridge.column(QualityScore(ColumnBridge.expression(text)))
   def wordShingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
+  def packedPairs(ids: Column): Column =
+    ColumnBridge.column(PackedPairs(ColumnBridge.expression(ids)))
   def minhashSig(shingles: Column, k: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), k))
   def simhash16(text: Column): Column =
