@@ -119,7 +119,15 @@ object LakehouseTable {
     val v = version.orElse(currentVersion(root)).getOrElse(
       throw new IllegalStateException(s"no table at $root"))
     val files = readManifest(root, v).map(f => dataDir(root).resolve(f).toString)
-    spark.read.option("basePath", dataDir(root).toString).parquet(files: _*)
+    // mergeSchema = schema evolution: a version whose appends added columns
+    // reads as the union schema, older files fill the new columns with null
+    // (Delta semantics). At 100 TB the merged schema would live in the
+    // manifest instead of being re-derived from footers; footer reads here
+    // are one small IO per file and keep the manifest format trivial.
+    spark.read
+      .option("basePath", dataDir(root).toString)
+      .option("mergeSchema", "true")
+      .parquet(files: _*)
   }
 
   /** Rewrite the current snapshot into `numFiles` files per partition dir

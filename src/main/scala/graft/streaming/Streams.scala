@@ -77,6 +77,30 @@ object Streams {
       }
       .start()
 
+  /** Stream-stream inner join with event-time bounds: attribute each
+    * `purchase` to every prior `click` by the same user within 30 minutes.
+    * Both sides are watermarked AND the join condition bounds purchase_ts
+    * relative to click_ts, so buffered join state is droppable: a click is
+    * evicted once the watermark passes click_ts + 30 min. Without the time
+    * bound the state would grow without limit — this is the canonical
+    * bounded-state stream-stream join shape. */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "10 minutes")
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   // --- Custom keyed state: per-session history replay, streaming form ----
 
   case class Evt(event_id: Long, user_id: Long, event_type: String, tsMicros: Long)

@@ -138,6 +138,25 @@ class LakehouseTableSpec extends AnyFunSuite {
     assert(LT.read(spark, root, Some(0)).count() == src.count())
   }
 
+  test("schema evolution: append with a new column widens the read schema") {
+    val root = freshRoot()
+    val src = Tables.orders(spark, sf)
+    LT.create(src.filter(col("o_orderkey") < 100), root)
+    val widened = src.filter(col("o_orderkey") >= 100)
+      .withColumn("o_priority_score", col("o_orderkey") % 10)
+    LT.append(widened, root)
+    val back = LT.read(spark, root)
+    assert(back.columns.contains("o_priority_score"))
+    assert(back.count() == src.count())
+    // old rows read the new column as null; new rows keep their values
+    assert(back.filter(col("o_orderkey") < 100)
+      .filter(col("o_priority_score").isNotNull).count() == 0)
+    assert(back.filter(col("o_orderkey") >= 100)
+      .filter(col("o_priority_score").isNull).count() == 0)
+    // time travel to v0 still sees the ORIGINAL schema
+    assert(!LT.read(spark, root, Some(0)).columns.contains("o_priority_score"))
+  }
+
   test("vacuum removes files only the dropped versions reference") {
     val root = freshRoot()
     val src = Tables.orders(spark, sf)

@@ -110,6 +110,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == graft.sources.Tables.events(spark, sf).count())
   }
 
+  test("stream-stream click->purchase join matches the batch join") {
+    val got = runToCompletion(
+      Streams.clickPurchaseJoin(Streams.eventsStream(spark, streamDir)), "t_ssjoin")
+    val ev = graft.sources.Tables.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    val want = clicks.join(purchases, "user_id")
+      .filter(col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("stateful history replay matches the batch window form") {
     import spark.implicits._
     val evts = graft.sources.Tables.events(spark, sf)
