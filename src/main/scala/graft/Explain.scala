@@ -14,7 +14,7 @@ object Explain {
     "q01_pricing_summary",  // partial HashAggregate before exchange
     "q07_brand_volume",     // BroadcastHashJoin on dim
     "q21_rag_topk",         // TakeOrderedAndProject
-    "q32_minhash_lsh",      // ReusedExchange on band self-join
+    "q32_minhash_lsh",      // packed-pair agg: no self-join, one sig eval
     "q41_asof_join")        // single shuffle, no range join
 
   def main(args: Array[String]): Unit = {

@@ -144,6 +144,27 @@ object LakehouseTable {
     commit(root, cur + 1, writeFiles(rewritten, root, partitionBy))
   }
 
+  /** Clustered compaction: rewrite the current snapshot range-partitioned
+    * and sorted by `clusterCols`, then recompute file stats. Each file ends
+    * up covering a narrow value range, so `readPruned` on those columns
+    * skips most files — the single-dimension form of Z-ordering (for one
+    * cluster column the skipping is optimal; for several, files are sorted
+    * lexicographically and the leading column prunes best). */
+  def cluster(spark: SparkSession, root: String, clusterCols: Seq[String],
+      numFiles: Int = 8): Long = {
+    require(clusterCols.nonEmpty, "cluster requires at least one column")
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no table at $root"))
+    val snapshot = read(spark, root, Some(cur))
+    val cols = clusterCols.map(snapshot.col)
+    val rewritten = snapshot
+      .repartitionByRange(numFiles, cols: _*)
+      .sortWithinPartitions(cols: _*)
+    val v = commit(root, cur + 1, writeFiles(rewritten, root, Nil))
+    computeStats(spark, root, clusterCols)
+    v
+  }
+
   /** Copy-on-write delete: new version = current rows NOT matching `where`. */
   def deleteWhere(spark: SparkSession, root: String, where: String,
       partitionBy: Seq[String] = Nil): Long = {

@@ -157,6 +157,27 @@ class LakehouseTableSpec extends AnyFunSuite {
     assert(!LT.read(spark, root, Some(0)).columns.contains("o_priority_score"))
   }
 
+  test("clustered compaction tightens file ranges so pruning skips more files") {
+    val root = freshRoot()
+    // random layout: every file spans the full date range -> nothing prunes
+    val src = Tables.orders(spark, sf).repartition(8)
+    LT.create(src, root)
+    LT.computeStats(spark, root, Seq("o_orderdate"))
+    val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00").getTime * 1000.0
+    val hi = java.sql.Timestamp.valueOf("1996-06-30 00:00:00").getTime * 1000.0
+    val beforeFiles = LT.readPruned(spark, root, "o_orderdate", lo, hi).inputFiles.length
+    LT.cluster(spark, root, Seq("o_orderdate"), numFiles = 8)
+    val prunedAfter = LT.readPruned(spark, root, "o_orderdate", lo, hi)
+    assert(prunedAfter.inputFiles.length < beforeFiles,
+      s"clustering should prune: $beforeFiles -> ${prunedAfter.inputFiles.length}")
+    val cond = col("o_orderdate").between(
+      lit("1996-01-01").cast("timestamp"), lit("1996-06-30").cast("timestamp"))
+    val want = src.filter(cond)
+    val got = prunedAfter.filter(cond)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("vacuum removes files only the dropped versions reference") {
     val root = freshRoot()
     val src = Tables.orders(spark, sf)
