@@ -313,6 +313,27 @@ object Relational {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Math-function battery. Only operations that are bit-exact across
+    // engines: sqrt is IEEE-754 correctly rounded everywhere; abs/ceil/
+    // floor/round/sign/mod/greatest/least involve no transcendental libm
+    // (whose last-ulp behavior differs between JVM and DuckDB — ln/exp/pow
+    // are deliberately absent from the oracled surface).
+    "q56_math_funcs" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 200)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          sqrt(col("l_extendedprice")).as("sqrt_price"),
+          abs(col("l_discount") - 0.05).as("abs_disc"),
+          ceil(col("l_extendedprice")).as("ceil_price"),
+          floor(col("l_extendedprice")).as("floor_price"),
+          round(col("l_extendedprice")).as("round_price"),
+          signum(col("l_quantity") - 25).cast("long").as("sign_qty"),
+          (col("l_quantity").cast("long") % 7).as("qty_mod7"),
+          greatest(col("l_tax"), col("l_discount")).as("max_rate"),
+          least(col("l_tax"), col("l_discount")).as("min_rate"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // Conditional derived columns (reference op #10: lakehouse_app_helpers.py:36).
     "q19_conditional_derive" -> ((s, d) => {
       Tables.orders(s, d)
@@ -502,6 +523,20 @@ object Relational {
           ${graft.functions.VectorFunctions.sqlNorm("embedding")} AS norm,
           len(embedding[1:8]) AS head_len
           FROM embeddings ORDER BY vec_id""",
+
+    "q56_math_funcs" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         sqrt(l_extendedprice) AS sqrt_price,
+         abs(l_discount - 0.05) AS abs_disc,
+         CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+         CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+         round(l_extendedprice) AS round_price,
+         CAST(sign(l_quantity - 25) AS BIGINT) AS sign_qty,
+         CAST(l_quantity AS BIGINT) % 7 AS qty_mod7,
+         greatest(l_tax, l_discount) AS max_rate,
+         least(l_tax, l_discount) AS min_rate
+         FROM lineitem WHERE l_orderkey < 200
+         ORDER BY l_orderkey, l_linenumber""",
 
     "q19_conditional_derive" ->
       """SELECT o_orderkey,
