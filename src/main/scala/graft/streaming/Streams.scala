@@ -77,6 +77,27 @@ object Streams {
       }
       .start()
 
+  /** Streaming CDC-style upsert: every micro-batch MERGEs into the
+    * versioned lakehouse table on `keys` — rows for already-present keys
+    * replace them, new keys insert — committing one atomic version per
+    * batch (the streaming twin of Delta's foreachBatch MERGE pattern).
+    * Each batch must carry at most one row per key: collapse multiple
+    * updates upstream (e.g. a watermarked last-per-key aggregation),
+    * otherwise all of a key's rows in the batch survive the merge. */
+  def upsertInto(updates: DataFrame, tableRoot: String,
+      keys: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (batch.isEmpty) ()
+        else if (graft.sources.LakehouseTable.versions(tableRoot).isEmpty) {
+          graft.sources.LakehouseTable.create(batch, tableRoot); ()
+        } else {
+          graft.sources.LakehouseTable.merge(batch.sparkSession, tableRoot, batch, keys); ()
+        }
+      }
+      .start()
+
   /** Stream-stream inner join with event-time bounds: attribute each
     * `purchase` to every prior `click` by the same user within 30 minutes.
     * Both sides are watermarked AND the join condition bounds purchase_ts

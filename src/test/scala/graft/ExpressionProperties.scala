@@ -61,6 +61,18 @@ object ExpressionProperties extends Properties("graft.expressions") {
       out.getUTF8String(0).toString == ws.distinct.map(w => md5Hex("0:" + w)).min
     }
 
+  property("packedPairs: all i<j pairs exactly once, order-invariant") =
+    forAll(Gen.listOf(Gen.chooseNum(0L, 4294967295L)).map(_.distinct)) { ids =>
+      val lit = Literal(new GenericArrayData(ids.map(x => x: Any).toArray),
+        ArrayType(LongType))
+      val out = PackedPairs(lit).eval(null).asInstanceOf[ArrayData]
+      val got = (0 until out.numElements()).map(out.getLong).toSet
+      val want = (for {
+        a <- ids; b <- ids if a < b
+      } yield (a << 32) | b).toSet
+      out.numElements() == ids.length * (ids.length - 1) / 2 && got == want
+    }
+
   property("simhash16: 16 bits, set-invariant") =
     forAll(Gen.nonEmptyListOf(word)) { ws =>
       val a = SimHash16(strLit(ws.mkString(" "))).eval(null).toString

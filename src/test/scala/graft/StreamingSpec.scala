@@ -127,6 +127,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("streaming upsert merges each micro-batch into the lakehouse table") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-upsert")
+      .resolve("kv_tbl").toString
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](spark, 1)
+    val q = Streams.upsertInto(ms.toDF().toDF("k", "v"), root, Seq("k"))
+    ms.addData((1L, "a"), (2L, "b"), (3L, "c"))
+    q.processAllAvailable()
+    ms.addData((2L, "B2"), (4L, "d")) // update key 2, insert key 4
+    q.processAllAvailable()
+    q.stop()
+    val got = graft.sources.LakehouseTable.read(spark, root)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a", 2L -> "B2", 3L -> "c", 4L -> "d"))
+    // two batches -> two committed versions, and v0 still has the old value
+    assert(graft.sources.LakehouseTable.versions(root) == Seq(0L, 1L))
+    val v0 = graft.sources.LakehouseTable.read(spark, root, Some(0))
+      .as[(Long, String)].collect().toMap
+    assert(v0 == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+  }
+
   test("stateful history replay matches the batch window form") {
     import spark.implicits._
     val evts = graft.sources.Tables.events(spark, sf)
