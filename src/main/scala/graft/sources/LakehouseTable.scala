@@ -281,6 +281,31 @@ object LakehouseTable {
     spark.read.option("basePath", dataDir(root).toString).parquet(files: _*)
   }
 
+  /** Delta-style RESTORE: commit a NEW version whose file list is exactly
+    * that of `toVersion`. History is preserved — the rollback is itself a
+    * version, so it can be rolled forward again; no data files move. */
+  def restore(root: String, toVersion: Long): Long = {
+    val vs = versions(root)
+    require(vs.contains(toVersion), s"unknown version $toVersion at $root")
+    commit(root, vs.last + 1, readManifest(root, toVersion))
+  }
+
+  /** Incremental read: rows of files ADDED after `fromVersion` up to
+    * `toVersion` (default current). For append-only histories this is
+    * exactly the appended rows — the CDC-consumer surface; across a
+    * compact/merge/cluster version it returns the rewritten files'
+    * contents (a file-level over-approximation, as with any
+    * change-data-feed-less incremental scan). */
+  def readIncremental(spark: SparkSession, root: String, fromVersion: Long,
+      toVersion: Option[Long] = None): DataFrame = {
+    val to = toVersion.orElse(currentVersion(root)).getOrElse(
+      throw new IllegalStateException(s"no table at $root"))
+    val before = readManifest(root, fromVersion).toSet
+    val added = readManifest(root, to).filterNot(before)
+    if (added.isEmpty) read(spark, root, Some(to)).limit(0)
+    else readFiles(spark, root, added)
+  }
+
   /** Drop manifests older than `retainLast` versions and delete data files
     * no retained manifest references. Returns deleted file count. */
   def vacuum(root: String, retainLast: Int = 1): Int = {

@@ -41,4 +41,18 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Loader by name, routing through the special-cased readers (events'
+    * nanosecond handling) — the single source of truth for `registerAll`. */
+  def table(s: SparkSession, d: String, name: String): DataFrame = name match {
+    case "events" => events(s, d)
+    case n        => load(s, d, n)
+  }
+
+  /** Register every table as a temp view, making the whole schema queryable
+    * with `spark.sql("SELECT ... FROM lineitem JOIN orders ...")` — the
+    * engine's run-any-SQL surface (pair with GraftFunctions.registerAll for
+    * the custom text/vector expressions). */
+  def registerAll(s: SparkSession, d: String): Unit =
+    all.foreach(n => table(s, d, n).createOrReplaceTempView(n))
 }

@@ -178,6 +178,38 @@ class LakehouseTableSpec extends AnyFunSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("restore rolls back to an old version as a new commit") {
+    val root = freshRoot()
+    val src = Tables.orders(spark, sf)
+    LT.create(src, root)                                   // v0
+    LT.deleteWhere(spark, root, "o_orderstatus = 'F'")     // v1
+    val v = LT.restore(root, 0L)                           // v2 == v0's files
+    assert(v == 2L)
+    val back = LT.read(spark, root)
+    assert(back.count() == src.count())
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+    // the delete version is still readable (history preserved)
+    assert(LT.read(spark, root, Some(1))
+      .filter(col("o_orderstatus") === "F").count() == 0)
+  }
+
+  test("incremental read returns exactly the rows appended between versions") {
+    val root = freshRoot()
+    val src = Tables.orders(spark, sf)
+    val b0 = src.filter(col("o_orderkey") < 100)
+    val b1 = src.filter(col("o_orderkey") >= 100 && col("o_orderkey") < 500)
+    val b2 = src.filter(col("o_orderkey") >= 500)
+    LT.create(b0, root)    // v0
+    LT.append(b1, root)    // v1
+    LT.append(b2, root)    // v2
+    val inc01 = LT.readIncremental(spark, root, 0L, Some(1L))
+    assert(inc01.exceptAll(b1).isEmpty && b1.exceptAll(inc01).isEmpty)
+    val inc02 = LT.readIncremental(spark, root, 0L)
+    val want = b1.unionByName(b2)
+    assert(inc02.exceptAll(want).isEmpty && want.exceptAll(inc02).isEmpty)
+    assert(LT.readIncremental(spark, root, 2L).count() == 0)
+  }
+
   test("vacuum removes files only the dropped versions reference") {
     val root = freshRoot()
     val src = Tables.orders(spark, sf)

@@ -13,6 +13,19 @@ class SqlSurfaceSpec extends AnyFunSuite {
     new GraftExtensions().apply(ext) // would throw on signature drift
   }
 
+  test("registerAll exposes the whole schema to arbitrary SQL") {
+    graft.sources.Tables.registerAll(spark, sf)
+    val r = spark.sql(
+      """SELECT o_orderpriority, count(*) AS n
+         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE l_quantity > 40 GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""").collect()
+    assert(r.nonEmpty && r.forall(_.getLong(1) > 0))
+    // events registers through the nanosecond-safe reader
+    assert(spark.sql("SELECT max(ts) FROM events").collect()(0)
+      .getTimestamp(0) != null)
+  }
+
   test("cosine_similarity / word_shingles / simhash16 from spark.sql") {
     GraftFunctions.register(spark)
     graft.sources.Tables.embeddings(spark, sf).createOrReplaceTempView("emb")
