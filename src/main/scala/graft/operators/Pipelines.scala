@@ -75,6 +75,22 @@ object Pipelines {
         .orderBy(col("o_orderpriority"), col("rank"))
     }),
 
+    // Deterministic stratified sampling: hash-bucket each doc (md5 of its
+    // id, first 4 hex → bucket 0-99) and keep a per-language rate. This —
+    // not rand() — is how a reproducible training-data sample is drawn at
+    // scale: the same doc always lands in the same bucket on any cluster,
+    // sampling needs no shuffle, and upsampling a stratum is a rate change.
+    "q57_stratified_sample" -> ((s, d) => {
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100
+      val rate = when(col("lang") === "en", 10).otherwise(25)
+      Tables.documents(s, d)
+        .withColumn("bucket", bucket)
+        .filter(col("bucket") < rate)
+        .select(col("doc_id"), col("lang"), col("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The LLM-training-data pipeline, end to end: quality-score filter →
     // near-duplicate removal (keep the lowest doc_id of each dup pair) →
     // per-language corpus stats.
@@ -146,6 +162,14 @@ object Pipelines {
                ORDER BY o_totalprice DESC, o_orderkey) AS rank
            FROM orders) WHERE rank <= 3
          ORDER BY o_orderpriority, rank""",
+
+    "q57_stratified_sample" ->
+      """SELECT doc_id, lang, bucket FROM (
+           SELECT doc_id, lang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket
+           FROM documents)
+         WHERE bucket < (CASE WHEN lang = 'en' THEN 10 ELSE 25 END)
+         ORDER BY doc_id""",
 
     "q50_training_pipeline" ->
       s"""WITH docs AS (SELECT doc_id, lang, n_chars, toks, sh, $qualitySql AS quality
