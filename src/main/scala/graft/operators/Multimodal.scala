@@ -78,7 +78,25 @@ object Multimodal {
         .select(col("doc_id"), col("kind"), col("n_bytes"), col("checksum"),
           col("width"), col("height"))
         .orderBy(col("doc_id"))
-    }))
+    }),
+
+    "q58_frame_sample" -> (frameSampleQuery _))
+
+  /** Frame sampling: each "video" payload yields 4 evenly-spaced frames
+    * (here: quarters of the payload, checksummed) — the 1-to-many decode
+    * shape (posexplode) a real frame sampler has. Deterministic slicing
+    * stands in for codec frame extraction; the row-explosion, frame
+    * indexing, and per-frame feature schema are the real plumbing. */
+  def frameSampleQuery(s: SparkSession, d: String): DataFrame = {
+    val frames = array((0 until 4).map(k =>
+      expr(s"md5(substring(text, 1 + $k * (length(text) div 4), length(text) div 4))")): _*)
+    Tables.documents(s, d)
+      .filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), posexplode(frames).as(Seq("frame_idx", "frame_md5")))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("frame_md5"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
 
   def oracle: Map[String, String] = Map(
     "q43_multimodal_features" ->
@@ -89,5 +107,13 @@ object Multimodal {
          md5(text) AS checksum,
          CAST(n_chars % 640 AS INT) AS width,
          CAST(doc_id % 480 AS INT) AS height
-         FROM documents ORDER BY doc_id""")
+         FROM documents ORDER BY doc_id""",
+
+    "q58_frame_sample" ->
+      """SELECT doc_id, k AS frame_idx,
+         md5(substring(text, 1 + CAST(k AS INT) * (length(text) // 4),
+             length(text) // 4)) AS frame_md5
+         FROM documents, (SELECT unnest(range(0, 4)) AS k)
+         WHERE doc_id % 3 = 2
+         ORDER BY doc_id, frame_idx""")
 }
