@@ -302,6 +302,20 @@ object Relational {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Percentile sketch next to the exact percentile — the 100 TB stand-in
+    // for q49 (exact percentiles shuffle raw values; the sketch is bounded
+    // per group). NOT oracled: sketch internals are engine-specific — the
+    // driver records the rows-only check and the unit test bounds the
+    // relative error against the exact form.
+    "q59_approx_percentile" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("approx_p"),
+          expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
+          expr("percentile(l_extendedprice, 0.95)").as("exact_p95"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // HLL sketch cardinality next to the exact count. NOT oracled: DuckDB's
     // approx_count_distinct uses a different HLL — the driver records the
     // weaker rows-only check, and the unit test bounds the relative error.

@@ -20,7 +20,7 @@ class OperatorsSpec extends AnyFunSuite {
   test("every declared query has an oracle twin or is explicitly exempt") {
     // Exempt = engine-specific results no other engine reproduces (HLL
     // sketches); the driver records a rows-only check for these.
-    val exempt = Set("q44_approx_distinct")
+    val exempt = Set("q44_approx_distinct", "q59_approx_percentile")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- exempt
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
   }
@@ -31,6 +31,18 @@ class OperatorsSpec extends AnyFunSuite {
       val approx = r.getAs[Long]("approx_parts").toDouble
       val exact = r.getAs[Long]("exact_parts").toDouble
       assert(math.abs(approx - exact) / exact < 0.05)
+    }
+  }
+
+  test("approx_percentile is within 2% of the exact percentile") {
+    val rows = SparkEntry.queries("q59_approx_percentile")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ap = r.getAs[scala.collection.Seq[Double]]("approx_p")
+      val e50 = r.getAs[Double]("exact_p50")
+      val e95 = r.getAs[Double]("exact_p95")
+      assert(math.abs(ap(0) - e50) / e50 < 0.02, s"p50 drift: ${ap(0)} vs $e50")
+      assert(math.abs(ap(1) - e95) / e95 < 0.02, s"p95 drift: ${ap(1)} vs $e95")
     }
   }
 
