@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
+import graft.plans.{TextExpressions, VectorExpressions}
 import graft.sources.Tables
 
 /** Deduplication operators (north-star mandate; generalizes the reference's
@@ -14,23 +15,41 @@ import graft.sources.Tables
   *  - exact dedup = one shuffle on the dedup key with a rank-1 window (NOT
   *    `dropDuplicates`, whose survivor row is nondeterministic);
   *  - near-dup never does an all-pairs cross join: candidates come from an
-  *    inverted-index join (shared shingle) or MinHash-band bucketing, both of
-  *    which shuffle O(docs × shingles) instead of O(docs²);
+  *    inverted-index join (shared shingle), MinHash-band bucketing, or
+  *    sign-random-projection bucketing (embeddings), all of which shuffle
+  *    O(docs × shingles) instead of O(docs²);
+  *  - every `collect_list → packed-pairs` bucket is capped at
+  *    [[StopShingleCap]]: a single hot key (stop-shingle, degenerate band)
+  *    would otherwise materialize m(m−1)/2 packed longs in ONE task — the
+  *    classic skewed-corpus OOM. The cap is mirrored in every oracle twin
+  *    (`HAVING count(*) < cap`), so results stay hash-identical; the cost is
+  *    recall only: a pair whose every shared key is hot is not a candidate;
   *  - all hashes are md5 hex (engine-portable); MinHash takes the
   *    lexicographic min of seeded md5s — a valid min-wise permutation proxy;
-  *  - the doc→shingle-set side is small relative to the corpus (distinct
-  *    token shingles), so the verify join broadcasts at bench scale and
-  *    shuffles cleanly beyond it.
+  *  - no hard `broadcast()` hints on corpus-derived relations (shingle sets,
+  *    sizes): they grow with the corpus, and a forced broadcast becomes a
+  *    driver OOM at 100×. AQE still broadcasts them while they're small.
   */
 object Dedup {
+  /** Max docs per candidate bucket (shingle posting list, MinHash band
+    * bucket, SRP bucket) before it is dropped as a stop-key. 1000 docs →
+    * worst-case 499 500 packed longs ≈ 4 MB per bucket — bounded per task.
+    * Never binds at the test SFs (max shingle df is 25 at sf0.1), so it is
+    * purely the skew guard SURVEY §8 documents. */
+  val StopShingleCap = 1000
+
   /** 3-gram word shingles of the doc text (order-sensitive — the corpus has
     * a tiny vocab, so token *sets* saturate; shingles don't). Uses the
     * compiled single-pass expression (graft.plans.TextExpressions); the
     * built-in HOF form it replaces is TextFunctions.shingles — identical
-    * output, ~100× less per-row interpretation. */
+    * output, ~100× less per-row interpretation. Docs with <3 tokens (empty
+    * shingle array) are dropped, matching the twin's `len(toks) >= 3`:
+    * they would otherwise carry all-null MinHash signatures that collide in
+    * one shared null band. */
   private def shingleDf(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), graft.plans.TextExpressions.wordShingles(col("text"), 3).as("sh"))
+      .select(col("doc_id"), TextExpressions.wordShingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
 
   private val sqlShingleDf =
     s"""SELECT doc_id, list_distinct([list_aggr(toks[i:i+2], 'string_agg', ' ')
@@ -38,37 +57,66 @@ object Dedup {
         FROM (SELECT doc_id, ${T.sqlToks} AS toks FROM documents)
         WHERE len(toks) >= 3"""
 
-  /** Exact pairwise Jaccard for every pair sharing ≥1 shingle, via the
-    * inverted index: explode→self-join→count gives |A∩B| directly (shingle
-    * arrays are distinct), so J = i / (|A|+|B|-i) needs NO per-pair array
-    * intersection — the candidate verify collapses to one count aggregate
-    * plus two broadcast joins against the per-doc set sizes. Numerically
-    * identical to size(intersect)/size(union): both are exact-int ratios. */
+  /** Unpack a packed (a<<32|b) pair column, keeping any other columns.
+    * Unsigned shift: ids in [2^31, 2^32) would sign-extend under
+    * arithmetic shiftright. */
+  private def unpack(df: DataFrame): DataFrame =
+    df.withColumn("a", shiftrightunsigned(col("pk"), 32))
+      .withColumn("b", col("pk").bitwiseAND(0xffffffffL))
+      .drop("pk")
+
+  /** Candidate buckets → packed pairs, with the stop-key cap applied.
+    * One shuffle of the keyed relation replaces a self-join of the index
+    * against itself. Packing assumes ids < 2^32 — beyond that (never at
+    * these SFs) swap the packed explode for the equivalent inv⋈inv join;
+    * everything downstream is unchanged. */
+  private def cappedPackedPairs(keyed: DataFrame, keyCols: Seq[Column]): DataFrame =
+    keyed.groupBy(keyCols: _*).agg(collect_list(col("id")).as("ds"))
+      .filter(size(col("ds")) < StopShingleCap)
+      .select(explode(TextExpressions.packedPairs(col("ds"))).as("pk"))
+
   /** Shared-shingle counts per candidate pair WITHOUT a self-join:
     * groupBy(shingle) collects the (sorted) posting list, a compiled
     * expression emits every (a<<32|b) pair packed in one long, and a single
-    * hash agg counts them. One shuffle of the inverted index replaces the
-    * sort-merge of the index against itself. Packing assumes ids < 2^32 —
-    * beyond that (never at these SFs) swap the packed explode for the
-    * equivalent inv⋈inv join on shingle; everything downstream is
-    * unchanged. */
+    * hash agg counts them. `shared` counts co-occurrences in NON-hot
+    * posting lists only (the cap), so the derived Jaccard is exact until a
+    * corpus has stop-shingles, then conservatively lower — mirrored
+    * identically in the oracle twins. */
   private[operators] def pairSharedCounts(inv: DataFrame): DataFrame =
-    inv.groupBy(col("shingle")).agg(collect_list(col("doc_id")).as("ds"))
-      .select(explode(graft.plans.TextExpressions.packedPairs(col("ds"))).as("pk"))
-      .groupBy(col("pk")).agg(count(lit(1)).as("shared"))
-      .select(shiftright(col("pk"), 32).as("a"),
-        col("pk").bitwiseAND(0xffffffffL).as("b"), col("shared"))
+    unpack(cappedPackedPairs(inv.select(col("shingle"), col("doc_id").as("id")),
+        Seq(col("shingle")))
+      .groupBy(col("pk")).agg(count(lit(1)).as("shared")))
 
   private def pairJaccard(s: SparkSession, d: String): DataFrame = {
     val sh = shingleDf(s, d)
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
     val inv = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
     pairSharedCounts(inv)
-      .join(broadcast(sizes.select(col("doc_id").as("a"), col("n").as("na"))), "a")
-      .join(broadcast(sizes.select(col("doc_id").as("b"), col("n").as("nb"))), "b")
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
       .select(col("a"), col("b"), (col("shared").cast("double")
         / (col("na") + col("nb") - col("shared")).cast("double")).as("jaccard"))
   }
+
+  /** DuckDB twin of the capped shared-count Jaccard over a (doc_id, sh)
+    * relation: inverted index restricted to posting lists below the cap,
+    * pair counts from the capped index, set sizes from the full relation —
+    * the exact mirror of [[pairSharedCounts]] + the sizes joins. */
+  private def sqlCappedCountJaccard(shRelation: String): String =
+    s"""WITH sh_rel AS ($shRelation),
+        inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh_rel),
+        cinv AS (SELECT inv.doc_id, inv.shingle FROM inv
+                 JOIN (SELECT shingle FROM inv GROUP BY shingle
+                       HAVING count(*) < $StopShingleCap) ok USING (shingle)),
+        pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+                  FROM cinv x JOIN cinv y
+                    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                  GROUP BY 1, 2)
+        SELECT a, b, CAST(shared AS DOUBLE)
+          / CAST(na + nb - shared AS DOUBLE) AS jaccard
+        FROM pairs
+        JOIN (SELECT doc_id, len(sh) AS na FROM sh_rel) sa ON pairs.a = sa.doc_id
+        JOIN (SELECT doc_id, len(sh) AS nb FROM sh_rel) sb ON pairs.b = sb.doc_id"""
 
   private def sqlVerifyPairs(candsSql: String, threshold: Double): String =
     s"""SELECT a, b, ${T.sqlJaccard("sa.sh", "sb.sh")} AS jaccard
@@ -77,6 +125,15 @@ object Dedup {
         JOIN ($sqlShingleDf) sb ON c.b = sb.doc_id
         WHERE ${T.sqlJaccard("sa.sh", "sb.sh")} >= $threshold
         ORDER BY a, b"""
+
+  // SRP blocking parameters for q35: 32 hyperplanes → 8 bands × 4 bits.
+  // Bucket count per band is 2^4 here; at larger corpora widen the band
+  // (width ≈ log2(n) keeps buckets bounded) — the band layout is a
+  // parameter, not a property of the data like q35's old `label` blocking.
+  private val SrpPlanes = 32
+  private val SrpBands = 8
+  private val SrpBandWidth = 4
+  private val EmbeddingDims = 64
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: keep the FIRST event per (user, event_type) — a rank-1
@@ -92,36 +149,26 @@ object Dedup {
     }),
 
     // MinHash + LSH banded near-dup: 16 md5-minhashes → 8 bands × 2 rows;
-    // candidates share a band; verified with exact shingle Jaccard ≥ 0.5
-    // (via the intersection-count join, not per-pair array ops).
+    // candidates share a band; verified with exact shingle Jaccard ≥ 0.5.
     "q32_minhash_lsh" -> ((s, d) => {
       // One long-format (doc, band_idx, band_key) relation: the 16-component
       // signature is computed ONCE per doc and exploded into 8 band keys;
-      // the candidate self-join shuffles on (band_idx, key) so both sides
-      // share one canonical exchange (ReuseExchange) instead of 8 joins
-      // re-evaluating the signature.
+      // the candidate generation shuffles on (band_idx, key) so the whole
+      // signature is evaluated once, not once per band join.
       val sig = shingleDf(s, d)
-        .withColumn("sig", graft.plans.TextExpressions.minhashSig(col("sh"), 16))
-      val banded = sig.select(col("doc_id"), posexplode(array((0 until 8).map(b =>
+        .withColumn("sig", TextExpressions.minhashSig(col("sh"), 16))
+      val banded = sig.select(col("doc_id").as("id"), posexplode(array((0 until 8).map(b =>
         concat(element_at(col("sig"), 2 * b + 1), element_at(col("sig"), 2 * b + 2))): _*))
         .as(Seq("band_idx", "bk")))
-      // candidate pairs per band bucket via the packed-pairs aggregation
-      // (see pairSharedCounts): one shuffle of the banded relation and ONE
-      // evaluation of the 16-component signature, instead of a self-join
-      // whose two sides each recompute every md5.
-      val cands = banded.groupBy(col("band_idx"), col("bk"))
-        .agg(collect_list(col("doc_id")).as("ds"))
-        .select(explode(graft.plans.TextExpressions.packedPairs(col("ds"))).as("pk"))
-        .distinct()
-        .select(shiftright(col("pk"), 32).as("a"),
-          col("pk").bitwiseAND(0xffffffffL).as("b"))
+      val cands = unpack(
+        cappedPackedPairs(banded, Seq(col("band_idx"), col("bk"))).distinct())
       // verify ONLY the candidates (bounded by band collisions — tiny),
       // so exact per-pair array Jaccard is cheap here; numerically equal
-      // to the intersection-count form used by q34.
+      // to the intersection-count form used by q34 on uncapped corpora.
       val sh = shingleDf(s, d)
       cands
-        .join(broadcast(sh.select(col("doc_id").as("a"), col("sh").as("sh_a"))), "a")
-        .join(broadcast(sh.select(col("doc_id").as("b"), col("sh").as("sh_b"))), "b")
+        .join(sh.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
+        .join(sh.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
         .select(col("a"), col("b"), T.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
         .orderBy(col("a"), col("b"))
@@ -131,7 +178,7 @@ object Dedup {
     // hash to the same signature (candidate near-dups at the set level).
     "q33_simhash" -> ((s, d) => {
       Tables.documents(s, d)
-        .select(col("doc_id"), graft.plans.TextExpressions.simhash16(col("text")).as("simhash"))
+        .select(col("doc_id"), TextExpressions.simhash16(col("text")).as("simhash"))
         .groupBy(col("simhash"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
         .filter(col("n_docs") > 1)
@@ -139,20 +186,31 @@ object Dedup {
     }),
 
     // N-gram Jaccard near-dup via inverted shingle index (no cross join):
-    // candidate pairs share ≥1 shingle; exact Jaccard from shared counts.
+    // candidate pairs share ≥1 non-hot shingle; Jaccard from shared counts.
     "q34_ngram_jaccard" -> ((s, d) => {
       pairJaccard(s, d)
         .filter(col("jaccard") >= 0.5)
         .orderBy(col("a"), col("b"))
     }),
 
-    // Embedding-cosine near-dup, blocked by label (the natural partition
-    // key); at scale the blocking column bounds each join cell.
+    // Embedding-cosine near-dup, blocked by sign-random-projection LSH
+    // bands (deterministic md5-seeded hyperplanes) — NOT by a data column:
+    // bucket sizes are governed by the band width, not label cardinality,
+    // so no block grows quadratically with corpus skew. Candidates are
+    // verified with exact cosine.
     "q35_embedding_neardup" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val L = e.select(col("label"), col("vec_id").as("a"), col("embedding").as("va"))
-      val R = e.select(col("label"), col("vec_id").as("b"), col("embedding").as("vb"))
-      L.join(R, "label").filter(col("a") < col("b"))
+      val sig = e.select(col("vec_id"), VectorExpressions.srpSignature(
+        col("embedding"), SrpPlanes, EmbeddingDims).as("sig"))
+      val banded = sig.select(col("vec_id").as("id"),
+        posexplode(array((0 until SrpBands).map(b =>
+          substring(col("sig"), b * SrpBandWidth + 1, SrpBandWidth)): _*))
+        .as(Seq("band_idx", "bk")))
+      val cands = unpack(
+        cappedPackedPairs(banded, Seq(col("band_idx"), col("bk"))).distinct())
+      cands
+        .join(e.select(col("vec_id").as("a"), col("embedding").as("va")), "a")
+        .join(e.select(col("vec_id").as("b"), col("embedding").as("vb")), "b")
         .select(col("a"), col("b"), V.cosine(col("va"), col("vb")).as("sim"))
         .filter(col("sim") >= 0.4)
         .orderBy(col("a"), col("b"))
@@ -172,7 +230,11 @@ object Dedup {
       val cand = (0 until 8).map { b =>
         s"""SELECT x.doc_id AS a, y.doc_id AS b
             FROM ($sqlShingleDf) x JOIN ($sqlShingleDf) y
-            ON (${bandSql("x", b)}) = (${bandSql("y", b)}) AND x.doc_id < y.doc_id"""
+            ON (${bandSql("x", b)}) = (${bandSql("y", b)}) AND x.doc_id < y.doc_id
+            WHERE (${bandSql("x", b)}) IN (
+              SELECT bk FROM (SELECT (${bandSql("s", b)}) AS bk
+                              FROM ($sqlShingleDf) s)
+              GROUP BY bk HAVING count(*) < $StopShingleCap)"""
       }.mkString("SELECT DISTINCT a, b FROM (", " UNION ALL ", ")")
       sqlVerifyPairs(cand, 0.5)
     },
@@ -189,17 +251,29 @@ object Dedup {
           GROUP BY simhash HAVING count(*) > 1 ORDER BY simhash"""
     },
 
-    "q34_ngram_jaccard" -> sqlVerifyPairs(
-      s"""SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-          FROM (SELECT doc_id, unnest(sh) AS shingle FROM ($sqlShingleDf)) x
-          JOIN (SELECT doc_id, unnest(sh) AS shingle FROM ($sqlShingleDf)) y
-          ON x.shingle = y.shingle AND x.doc_id < y.doc_id""", 0.5),
+    "q34_ngram_jaccard" ->
+      s"""SELECT a, b, jaccard FROM (${sqlCappedCountJaccard(sqlShingleDf)})
+          WHERE jaccard >= 0.5 ORDER BY a, b""",
 
-    "q35_embedding_neardup" ->
-      s"""SELECT x.vec_id AS a, y.vec_id AS b,
-          ${V.sqlCosine("x.embedding", "y.embedding")} AS sim
-          FROM embeddings x JOIN embeddings y
-            ON x.label = y.label AND x.vec_id < y.vec_id
+    "q35_embedding_neardup" -> {
+      val sigExpr = VectorExpressions.sqlSrpSignature(SrpPlanes, EmbeddingDims, "embedding")
+      def band(alias: String, b: Int): String =
+        s"substr($alias.sig, ${b * SrpBandWidth + 1}, $SrpBandWidth)"
+      val cand = (0 until SrpBands).map { b =>
+        s"""SELECT x.vec_id AS a, y.vec_id AS b
+            FROM sigs x JOIN sigs y
+            ON ${band("x", b)} = ${band("y", b)} AND x.vec_id < y.vec_id
+            WHERE ${band("x", b)} IN (
+              SELECT bk FROM (SELECT substr(sig, ${b * SrpBandWidth + 1}, $SrpBandWidth) AS bk
+                              FROM sigs)
+              GROUP BY bk HAVING count(*) < $StopShingleCap)"""
+      }.mkString(" UNION ALL ")
+      s"""WITH sigs AS (SELECT vec_id, embedding, $sigExpr AS sig FROM embeddings),
+          cands AS (SELECT DISTINCT a, b FROM ($cand))
+          SELECT a, b, ${V.sqlCosine("x.embedding", "y.embedding")} AS sim
+          FROM cands JOIN sigs x ON cands.a = x.vec_id
+                     JOIN sigs y ON cands.b = y.vec_id
           WHERE ${V.sqlCosine("x.embedding", "y.embedding")} >= 0.4
-          ORDER BY a, b""")
+          ORDER BY a, b"""
+    })
 }

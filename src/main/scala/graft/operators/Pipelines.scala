@@ -103,11 +103,13 @@ object Pipelines {
       // near-dup losers: the higher doc_id of every pair with Jaccard >= 0.5
       val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
       val inv = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
-      // shared-shingle counts via the packed-pair aggregation (see
-      // Dedup.pairSharedCounts) — no inverted-index self-join.
+      // shared-shingle counts via the capped packed-pair aggregation (see
+      // Dedup.pairSharedCounts) — no inverted-index self-join. No hard
+      // broadcast hints: the sizes relation grows with the corpus; AQE
+      // broadcasts it while it is small.
       val losers = Dedup.pairSharedCounts(inv)
-        .join(broadcast(sizes.select(col("doc_id").as("a"), col("n").as("na"))), "a")
-        .join(broadcast(sizes.select(col("doc_id").as("b"), col("n").as("nb"))), "b")
+        .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+        .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
         .filter(col("shared").cast("double")
           / (col("na") + col("nb") - col("shared")).cast("double") >= 0.5)
         .select(col("b").as("doc_id")).distinct()
@@ -174,11 +176,14 @@ object Pipelines {
     "q50_training_pipeline" ->
       s"""WITH docs AS (SELECT doc_id, lang, n_chars, toks, sh, $qualitySql AS quality
             FROM ($shSql)),
+          inv AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+          cinv AS (SELECT inv.doc_id, inv.shingle FROM inv
+                   JOIN (SELECT shingle FROM inv GROUP BY shingle
+                         HAVING count(*) < ${Dedup.StopShingleCap}) ok USING (shingle)),
           losers AS (
             SELECT DISTINCT b AS doc_id FROM (
               SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
-              FROM (SELECT doc_id, unnest(sh) AS shingle FROM docs) x
-              JOIN (SELECT doc_id, unnest(sh) AS shingle FROM docs) y
+              FROM cinv x JOIN cinv y
                 ON x.shingle = y.shingle AND x.doc_id < y.doc_id
               GROUP BY x.doc_id, y.doc_id) p
             JOIN (SELECT doc_id, len(sh) AS na FROM docs) sa ON p.a = sa.doc_id

@@ -1,11 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the embedding hot path.
   *
@@ -79,9 +80,82 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Sign-random-projection LSH signature over an ARRAY<FLOAT> embedding:
+  * bit h is '1' iff Σ_i s(h,i)·v[i] > 0, where the hyperplane component
+  * s(h,i) ∈ {+1,−1} derives from md5("srp:h:i") — fully deterministic, no
+  * stored model, reproducible on any cluster AND in the DuckDB oracle twin
+  * (which expands the same signs as +/− literals). Accumulation is a
+  * sequential left fold from acc = 0.0 over i = 0..dims−1, bit-identical to
+  * the twin's left-associated `0.0 + e[1] - e[2] ...` chain.
+  *
+  * One eval per row for all `planes` bits (single pass re-reading the
+  * array per plane is fine: planes × dims ≈ 2k fused multiply-free adds).
+  * CodegenFallback: evaluated once per doc, off the per-pair hot path.
+  */
+case class SrpSignature(child: Expression, planes: Int, dims: Int)
+    extends UnaryExpression with CodegenFallback {
+  private lazy val positive: Array[Array[Boolean]] =
+    Array.tabulate(planes, dims)((h, i) => VectorExpressions.srpSignPositive(h, i))
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "srp_signature"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<float>, got ${t.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dims)
+    val bits = new Array[Char](planes)
+    var h = 0
+    while (h < planes) {
+      val p = positive(h)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val x = v.getFloat(i).toDouble
+        acc = if (p(i)) acc + x else acc - x
+        i += 1
+      }
+      bits(h) = if (acc > 0) '1' else '0'
+      h += 1
+    }
+    UTF8String.fromString(new String(bits))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object VectorExpressions {
   /** Codegen'd cosine similarity over two ARRAY<FLOAT> columns. */
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimilarity(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Deterministic ±1 hyperplane component shared by the Spark expression
+    * and the DuckDB twin generator: +1 iff the first hex digit of
+    * md5("srp:h:i") has its high bit set (digit in [8..f]). */
+  def srpSignPositive(h: Int, i: Int): Boolean =
+    Character.digit(TextExpressions.md5Hex(s"srp:$h:$i").charAt(0), 16) >= 8
+
+  /** SRP signature column: `planes` '0'/'1' chars over a dims-long embedding. */
+  def srpSignature(v: Column, planes: Int, dims: Int): Column =
+    ColumnBridge.column(SrpSignature(ColumnBridge.expression(v), planes, dims))
+
+  /** DuckDB twin of one SRP bit: left-folded ± chain over 1-based list
+    * elements, compared > 0 — bit-identical to [[SrpSignature]]. */
+  def sqlSrpBit(h: Int, dims: Int, emb: String): String = {
+    val terms = (0 until dims).map { i =>
+      val op = if (srpSignPositive(h, i)) "+" else "-"
+      s"$op CAST($emb[${i + 1}] AS DOUBLE)"
+    }.mkString(" ")
+    s"CASE WHEN (0.0 $terms) > 0 THEN '1' ELSE '0' END"
+  }
+
+  /** DuckDB twin of the full signature string. */
+  def sqlSrpSignature(planes: Int, dims: Int, emb: String): String =
+    (0 until planes).map(h => sqlSrpBit(h, dims, emb)).mkString(" || ")
 }

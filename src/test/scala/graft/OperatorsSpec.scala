@@ -38,11 +38,12 @@ class OperatorsSpec extends AnyFunSuite {
     val rows = SparkEntry.queries("q59_approx_percentile")(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val ap = r.getAs[scala.collection.Seq[Double]]("approx_p")
+      val ap50 = r.getAs[Double]("approx_p50")
+      val ap95 = r.getAs[Double]("approx_p95")
       val e50 = r.getAs[Double]("exact_p50")
       val e95 = r.getAs[Double]("exact_p95")
-      assert(math.abs(ap(0) - e50) / e50 < 0.02, s"p50 drift: ${ap(0)} vs $e50")
-      assert(math.abs(ap(1) - e95) / e95 < 0.02, s"p95 drift: ${ap(1)} vs $e95")
+      assert(math.abs(ap50 - e50) / e50 < 0.02, s"p50 drift: $ap50 vs $e50")
+      assert(math.abs(ap95 - e95) / e95 < 0.02, s"p95 drift: $ap95 vs $e95")
     }
   }
 
