@@ -21,7 +21,8 @@ object SparkEntry {
       (Similarity.queries, Similarity.oracle),
       (EventsOps.queries, EventsOps.oracle),
       (Multimodal.queries, Multimodal.oracle),
-      (Pipelines.queries, Pipelines.oracle))
+      (Pipelines.queries, Pipelines.oracle),
+      (Ingest.queries, Ingest.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's entry-point-1 chain (SURVEY.md §3), engine-native. */

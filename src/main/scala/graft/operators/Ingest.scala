@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact
+import graft.sources.Tables
+
+/** Ingestion + SQL-string surfaces.
+  *
+  * q60 is the reference's REST JSON ingestion path made engine-native
+  * (`lakehouse_app_helpers.py:28-36`: fetch `{"apps": [...]}`, flatten the
+  * nested `status` struct into state/message columns, derive the logz link):
+  * `spark.read.json` on the same record shape, `explode` + struct-field
+  * flatten instead of pandas `apply`. At scale this is a distributed JSON
+  * scan — schema-on-read with column pruning, no driver-side loop.
+  *
+  * q62/q63 exercise the `spark.sql` STRING path end-to-end — the same
+  * queries a user would type against `Tables.registerAll` +
+  * `GraftFunctions.register` (custom Catalyst expressions as named SQL
+  * functions). The DataFrame API and SQL strings compile to the same
+  * Catalyst plans; these rows prove the parser/registry wiring, not new
+  * operator semantics.
+  */
+object Ingest {
+  /** Repo-local fixture of the reference's app-record JSON shape. */
+  val AppsFixture = "/root/repo/fixtures/apps.json"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // JSON source read (op #3) + nested-struct flatten (op #9) + the
+    // conditional logz derivation (lakehouse_app_helpers.py:32-37).
+    "q60_json_source" -> ((s, _) => {
+      s.read.option("multiLine", "true").json(AppsFixture)
+        .select(explode(col("apps")).as("app"))
+        .select(col("app.name").as("name"),
+          col("app.status.state").as("state"),
+          col("app.status.message").as("status_message"),
+          col("app.create_time").as("create_time"),
+          col("app.url").as("url"))
+        .withColumn("logz",
+          when(col("url") === "", "").otherwise(concat(col("url"), lit("/logz"))))
+        .orderBy(col("name"))
+    }),
+
+    // Raw-SQL twin of the q01 pricing summary: the full string path
+    // (parser → analyzer over temp views → same physical plan).
+    "q62_sql_pricing" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+          count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")
+    }),
+
+    // Custom Catalyst expressions through the SQL registry: word_shingles /
+    // simhash16 called BY NAME from a SQL string (GraftFunctions.register —
+    // the same entries GraftExtensions injects at session build).
+    "q63_sql_text_functions" -> ((s, d) => {
+      graft.GraftFunctions.register(s)
+      Tables.registerAll(s, d)
+      s.sql("""
+        SELECT doc_id, size(word_shingles(text, 3)) AS n_shingles,
+               simhash16(text) AS simhash
+        FROM documents WHERE doc_id < 100 ORDER BY doc_id""")
+    }))
+
+  private val sqlSimhashBits = {
+    val toks = graft.functions.TextFunctions.sqlTokSet
+    (0 until 16).map { j =>
+      s"""CASE WHEN list_sum(list_transform($toks, t ->
+          CASE WHEN substring(md5(t), ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f')
+          THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END"""
+    }.mkString(" || ")
+  }
+
+  def oracle: Map[String, String] = Map(
+    "q60_json_source" ->
+      s"""SELECT name, state, status_message, create_time, url, logz FROM (
+            SELECT a.name AS name, a.status.state AS state,
+                   a.status.message AS status_message,
+                   a.create_time AS create_time, a.url AS url,
+                   CASE WHEN a.url = '' THEN ''
+                        ELSE a.url || '/logz' END AS logz
+            FROM (SELECT unnest(apps) AS a FROM read_json('$AppsFixture',
+              columns = {apps: 'STRUCT(name VARCHAR,
+                status STRUCT(state VARCHAR, message VARCHAR),
+                create_time VARCHAR, url VARCHAR)[]'})))
+          ORDER BY name""",
+
+    "q62_sql_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q63_sql_text_functions" -> {
+      val toks = graft.functions.TextFunctions.sqlToks
+      s"""SELECT doc_id,
+            len(list_distinct([list_aggr(toks[i:i+2], 'string_agg', ' ')
+              FOR i IN range(1, len(toks) - 1)])) AS n_shingles,
+            $sqlSimhashBits AS simhash
+          FROM (SELECT doc_id, text, $toks AS toks FROM documents)
+          WHERE doc_id < 100 ORDER BY doc_id"""
+    })
+}

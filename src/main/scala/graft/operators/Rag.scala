@@ -45,6 +45,27 @@ object Rag {
         WHERE vec_id <> $queryVec
         ORDER BY score DESC, vec_id LIMIT $k"""
 
+  /** Top-3 contexts for query vectors 0..n-1 from ONE scored scan: the n
+    * query vectors broadcast into a single cosine pass over the corpus,
+    * a per-query rank window takes the top 3, and one aggregation builds
+    * each ordered context string. Shared by q54/q61 — the multi-query
+    * retrieval shape that replaces n independent scans. */
+  private def contextsFor(s: SparkSession, d: String, nQueries: Int): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val qs = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val scored = emb.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cosine(col("embedding"), col("qv")).as("score"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("score"), col("vec_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .join(broadcast(Tables.documents(s, d)), col("vec_id") === col("doc_id"))
+      .groupBy(col("qid"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("rn").as("rn"), col("text").as("text")))),
+        x => x.getField("text")), "\n\n").as("ctx"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Flagship: retrieve top-3 docs for query vec 0, project citation columns.
     "q21_rag_topk" -> ((s, d) => {
@@ -111,16 +132,16 @@ object Rag {
     // RunnableWithMessageHistory loop, app/app.py:85-94, unrolled for 3
     // turns): each turn retrieves fresh context, the prompt carries the
     // accumulated (question, answer) history, and the deterministic
-    // LLM-stub answer feeds the next turn's history.
+    // LLM-stub answer feeds the next turn's history. All three turns'
+    // contexts come from ONE scored scan of the embeddings (3 query vectors
+    // broadcast into a single pass + per-query rank window, as q23 does) —
+    // not one scan per turn.
     "q54_chat_session" -> ((s, d) => {
-      def ctxFor(q: Long, name: String) =
-        topk(s, d, q, 3)
-          .withColumn("rn", row_number().over(Window.orderBy(desc("score"), col("vec_id"))))
-          .join(broadcast(Tables.documents(s, d)), col("vec_id") === col("doc_id"))
-          .agg(array_join(transform(
-            array_sort(collect_list(struct(col("rn").as("rn"), col("text").as("text")))),
-            x => x.getField("text")), "\n\n").as(name))
-      val base = ctxFor(0L, "ctx0").crossJoin(ctxFor(1L, "ctx1")).crossJoin(ctxFor(2L, "ctx2"))
+      val ctxs = contextsFor(s, d, nQueries = 3)
+      val base = ctxs.agg(
+        max(when(col("qid") === 0, col("ctx"))).as("ctx0"),
+        max(when(col("qid") === 1, col("ctx"))).as("ctx1"),
+        max(when(col("qid") === 2, col("ctx"))).as("ctx2"))
         .withColumn("p0", concat(lit("Context:\n"), col("ctx0"), lit("\nQuestion: q0")))
         .withColumn("a0", md5(col("p0")))
         .withColumn("h1", concat(lit("Q: q0\nA: "), col("a0"), lit("\n")))
@@ -139,6 +160,28 @@ object Rag {
         .select(col("t.turn").as("turn"), col("t.answer").as("answer"),
           col("t.prompt_len").as("prompt_len"))
         .orderBy(col("turn"))
+    }),
+
+    // Model routing (op #22, app/app.py:18-31,66-67): the reference selects
+    // an LLM endpoint per chat profile; here 4 queries are dispatched per
+    // row to one of two deterministic stub "endpoints" via when/otherwise —
+    // the routed twin of q45's single-endpoint chain. Contexts come from
+    // one shared scored scan (contextsFor).
+    "q61_routed_model" -> ((s, d) => {
+      val prompts = contextsFor(s, d, nQueries = 4)
+        .select(col("qid"), concat(lit("Context:\n"), col("ctx"),
+          lit("\nQuestion: q"), col("qid").cast("string")).as("prompt"))
+      prompts
+        .withColumn("profile",
+          when(col("qid") % 2 === 0, "fast").otherwise("thorough"))
+        .withColumn("endpoint",
+          when(col("profile") === "fast", "stub-small").otherwise("stub-large"))
+        .withColumn("answer",
+          when(col("profile") === "fast", md5(concat(lit("small:"), col("prompt"))))
+            .otherwise(md5(concat(lit("large:"), col("prompt")))))
+        .select(col("qid"), col("profile"), col("endpoint"), col("answer"),
+          length(col("prompt")).cast("long").as("prompt_len"))
+        .orderBy(col("qid"))
     }),
 
     // Per-session chat-history replay (app/app.py:85-92): each event sees the
@@ -208,6 +251,30 @@ object Rag {
           UNION ALL SELECT 2, a2, length(p2) FROM s7
           ORDER BY turn"""
     },
+
+    "q61_routed_model" ->
+      s"""WITH ranked AS (
+            SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY ${sqlCosine("e.embedding", "q.embedding")} DESC, e.vec_id) AS rn
+            FROM embeddings e, embeddings q
+            WHERE q.vec_id < 4 AND e.vec_id <> q.vec_id),
+          prompts AS (
+            SELECT qid, 'Context:' || chr(10)
+                || string_agg(text, chr(10) || chr(10) ORDER BY rn)
+                || chr(10) || 'Question: q' || CAST(qid AS VARCHAR) AS prompt
+            FROM ranked JOIN documents ON vec_id = doc_id
+            WHERE rn <= 3 GROUP BY qid),
+          routed AS (
+            SELECT qid, prompt,
+              CASE WHEN qid % 2 = 0 THEN 'fast' ELSE 'thorough' END AS profile
+            FROM prompts)
+          SELECT qid, profile,
+            CASE WHEN profile = 'fast' THEN 'stub-small' ELSE 'stub-large' END AS endpoint,
+            CASE WHEN profile = 'fast' THEN md5('small:' || prompt)
+                 ELSE md5('large:' || prompt) END AS answer,
+            length(prompt) AS prompt_len
+          FROM routed ORDER BY qid""",
 
     "q24_history_replay" ->
       """SELECT user_id, event_id, event_type,
