@@ -48,18 +48,41 @@ object LakehouseTable {
 
   private def readManifest(root: String, v: Long): Seq[String] = {
     val txt = Files.readString(manifestDir(root).resolve(s"$v.json"))
-    // manifest is {"files": ["rel/path", ...]} — parsed without a JSON lib
-    // (paths are uuid/partition/file names we wrote ourselves: no escapes).
+    // manifest is {"txn": N, "files": ["rel/path", ...]} (txn optional) —
+    // parsed without a JSON lib; commit() REJECTS paths containing '"' or
+    // ',' so the split below cannot be corrupted by partition values.
     val body = txt.substring(txt.indexOf('[') + 1, txt.lastIndexOf(']')).trim
     if (body.isEmpty) Seq.empty
     else body.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
   }
 
-  /** Atomic commit: write to a temp file, then rename into place. */
-  private def commit(root: String, version: Long, relFiles: Seq[String]): Long = {
+  private val TxnRe = """"txn":\s*(\d+)""".r
+
+  /** Highest transaction id recorded by any committed manifest (streaming
+    * writers stamp their micro-batch id here — Delta's txnVersion pattern —
+    * so a replayed batch can be detected and skipped). */
+  def lastTxn(root: String): Option[Long] = {
+    val ids = versions(root).flatMap { v =>
+      TxnRe.findFirstMatchIn(
+        Files.readString(manifestDir(root).resolve(s"$v.json")))
+        .map(_.group(1).toLong)
+    }
+    if (ids.isEmpty) None else Some(ids.max)
+  }
+
+  /** Atomic commit: write to a temp file, then rename into place. Paths
+    * with '"' or ',' (possible via a partitionBy column whose VALUES carry
+    * them into hive dir names) would corrupt the quote-splitting parser in
+    * readManifest, so they are rejected at the only write point. */
+  private def commit(root: String, version: Long, relFiles: Seq[String],
+      txn: Option[Long] = None): Long = {
+    relFiles.find(f => f.contains('"') || f.contains(',')).foreach(f =>
+      throw new IllegalArgumentException(
+        s"""data file path contains '"' or ',' (unsupported in partition values): $f"""))
     Files.createDirectories(manifestDir(root))
+    val txnField = txn.map(t => s""""txn": $t, """).getOrElse("")
     val json = relFiles.sorted.map(f => "\"" + f + "\"")
-      .mkString("{\"files\": [", ", ", "]}")
+      .mkString(s"""{$txnField"files": [""", ", ", "]}")
     val tmp = manifestDir(root).resolve(s".$version.json.tmp")
     Files.writeString(tmp, json)
     Files.move(tmp, manifestDir(root).resolve(s"$version.json"),
@@ -76,6 +99,10 @@ object LakehouseTable {
     * as soon as a second write lands. */
   private def writeFiles(df: DataFrame, root: String,
       partitionBy: Seq[String]): Seq[String] = {
+    // INT64-micros timestamps (not legacy INT96): INT96 column chunks carry
+    // no usable min/max in the parquet footer, and footer stats are where
+    // file-skipping ranges come from at write time (no re-scan).
+    df.sparkSession.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val uuid = java.util.UUID.randomUUID().toString
     val staging = Paths.get(root, "_staging", uuid)
     val w = df.write.mode("errorifexists")
@@ -100,16 +127,18 @@ object LakehouseTable {
   }
 
   /** Create version 0 (or fail if the table exists). */
-  def create(df: DataFrame, root: String, partitionBy: Seq[String] = Nil): Long = {
+  def create(df: DataFrame, root: String, partitionBy: Seq[String] = Nil,
+      txn: Option[Long] = None): Long = {
     require(versions(root).isEmpty, s"table already exists at $root")
-    commit(root, 0L, writeFiles(df, root, partitionBy))
+    commit(root, 0L, writeFiles(df, root, partitionBy), txn)
   }
 
   /** Append rows → new version = old files + new files. */
-  def append(df: DataFrame, root: String, partitionBy: Seq[String] = Nil): Long = {
+  def append(df: DataFrame, root: String, partitionBy: Seq[String] = Nil,
+      txn: Option[Long] = None): Long = {
     val cur = currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no table at $root"))
-    commit(root, cur + 1, readManifest(root, cur) ++ writeFiles(df, root, partitionBy))
+    commit(root, cur + 1, readManifest(root, cur) ++ writeFiles(df, root, partitionBy), txn)
   }
 
   /** Read the table at `version` (default: latest). Partition columns are
@@ -145,11 +174,12 @@ object LakehouseTable {
   }
 
   /** Clustered compaction: rewrite the current snapshot range-partitioned
-    * and sorted by `clusterCols`, then recompute file stats. Each file ends
-    * up covering a narrow value range, so `readPruned` on those columns
-    * skips most files — the single-dimension form of Z-ordering (for one
-    * cluster column the skipping is optimal; for several, files are sorted
-    * lexicographically and the leading column prunes best). */
+    * and sorted by `clusterCols`, with file stats taken from the parquet
+    * FOOTERS of the files just written — no second scan of the data. Each
+    * file ends up covering a narrow value range, so `readPruned` on those
+    * columns skips most files — the single-dimension form of Z-ordering
+    * (for one cluster column the skipping is optimal; for several, files
+    * are sorted lexicographically and the leading column prunes best). */
   def cluster(spark: SparkSession, root: String, clusterCols: Seq[String],
       numFiles: Int = 8): Long = {
     require(clusterCols.nonEmpty, "cluster requires at least one column")
@@ -160,8 +190,10 @@ object LakehouseTable {
     val rewritten = snapshot
       .repartitionByRange(numFiles, cols: _*)
       .sortWithinPartitions(cols: _*)
-    val v = commit(root, cur + 1, writeFiles(rewritten, root, Nil))
-    computeStats(spark, root, clusterCols)
+    val newFiles = writeFiles(rewritten, root, Nil)
+    val v = commit(root, cur + 1, newFiles)
+    Files.writeString(statsPath(root, v),
+      footerStats(root, newFiles, clusterCols).mkString("\n"))
     v
   }
 
@@ -194,7 +226,8 @@ object LakehouseTable {
     * (Matched-file discovery is a semi join on the keys; with stats/
     * partitioning the same pruning applies before the scan.) */
   def merge(spark: SparkSession, root: String, updates: DataFrame,
-      keys: Seq[String], partitionBy: Seq[String] = Nil): Long = {
+      keys: Seq[String], partitionBy: Seq[String] = Nil,
+      txn: Option[Long] = None): Long = {
     require(keys.nonEmpty, "merge requires at least one key column")
     val cur = currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no table at $root"))
@@ -213,13 +246,54 @@ object LakehouseTable {
       else readFiles(spark, root, touched.toSeq)
         .join(keyRows, keys, "left_anti")
         .unionByName(updates.select(snap.columns.map(updates.col).toSeq: _*))
-    commit(root, cur + 1, untouched ++ writeFiles(survivors, root, partitionBy))
+    commit(root, cur + 1, untouched ++ writeFiles(survivors, root, partitionBy), txn)
   }
 
   // --- Data-skipping statistics (Iceberg-style file pruning) --------------
 
   private def statsPath(root: String, v: Long): Path =
     manifestDir(root).resolve(s"$v.stats")
+
+  /** Per-file min/max for `cols` from the parquet FOOTERS of `relFiles`
+    * (same TSV lines as [[computeStats]], no data scan — the write-time
+    * stats path: O(files) footer reads, each a few KB). Numeric chunks
+    * surface as Long/Int/Double/Float; INT64-micros timestamps surface as
+    * Long epoch-micros, matching `readPruned`'s lo/hi convention. Columns
+    * whose chunks lack usable stats (e.g. binary/string, legacy INT96) are
+    * simply omitted — readPruned keeps stat-less files, so omission is
+    * always safe, never wrong. */
+  private def footerStats(root: String, relFiles: Seq[String],
+      cols: Seq[String]): Seq[String] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = new org.apache.hadoop.conf.Configuration()
+    def toD(v: Any): Double = v match {
+      case l: java.lang.Long => l.toDouble
+      case i: java.lang.Integer => i.toDouble
+      case d: java.lang.Double => d
+      case f: java.lang.Float => f.toDouble
+      case _ => Double.NaN
+    }
+    relFiles.flatMap { rel =>
+      val p = new org.apache.hadoop.fs.Path(dataDir(root).resolve(rel).toString)
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        cols.flatMap { c =>
+          val chunks = blocks.flatMap(_.getColumns.asScala.find(_.getPath.toDotString == c))
+          val stats = chunks.map(_.getStatistics)
+            .filter(s => s != null && s.hasNonNullValue)
+          if (stats.isEmpty || stats.size != chunks.size) None
+          else {
+            val mins = stats.map(s => toD(s.genericGetMin))
+            val maxs = stats.map(s => toD(s.genericGetMax))
+            if (mins.exists(_.isNaN) || maxs.exists(_.isNaN)) None
+            else Some(s"$rel\t$c\t${mins.min}\t${maxs.max}")
+          }
+        }
+      } finally reader.close()
+    }
+  }
 
   /** Collect per-file min/max for `cols` (numeric or timestamp) over the
     * CURRENT version and persist them as the version's stats sidecar

@@ -53,27 +53,36 @@ object Streams {
 
   /** Streaming exact dedup: first event per (user, type) within the
     * watermark horizon — the incremental twin of Dedup q31 and the
-    * streaming form of a training-pipeline dedup stage. State for a key is
-    * dropped once the watermark passes it. */
+    * streaming form of a training-pipeline dedup stage.
+    * `dropDuplicatesWithinWatermark` (not `dropDuplicates`): with the
+    * event-time column absent from the key subset, plain dropDuplicates
+    * would never evict its state — unbounded growth on a 24/7 stream. The
+    * WithinWatermark form drops a key's state once the watermark passes
+    * the first-seen event time + the 1 h delay, which is the intended
+    * contract: duplicates are only ever near their original in event time. */
   def dedupStream(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("user_id", "event_type")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
 
-  /** Streaming ingestion into a versioned lakehouse table: every
-    * micro-batch commits one atomic table version (exactly-once per batch
-    * via the manifest rename; replays overwrite nothing — they append a new
-    * version, and readers pin manifests). Returns the running query. */
+  /** Streaming ingestion into a versioned lakehouse table, idempotent per
+    * micro-batch. foreachBatch is at-least-once: a batch replayed after a
+    * failure between manifest commit and checkpoint commit would re-append
+    * the same rows — so each commit records its batchId as the manifest's
+    * transaction id (Delta's txnVersion pattern), and a batch whose id is
+    * <= the last committed txn is skipped instead of re-applied. The
+    * manifest rename keeps each commit atomic; the txn check upgrades the
+    * end-to-end guarantee from at-least-once to effectively-once. */
   def ingestInto(events: DataFrame, tableRoot: String): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val _ = batchId
-        if (graft.sources.LakehouseTable.versions(tableRoot).isEmpty)
-          graft.sources.LakehouseTable.create(batch, tableRoot)
-        else
-          graft.sources.LakehouseTable.append(batch, tableRoot)
-        ()
+        if (graft.sources.LakehouseTable.lastTxn(tableRoot).exists(_ >= batchId)) ()
+        else if (graft.sources.LakehouseTable.versions(tableRoot).isEmpty) {
+          graft.sources.LakehouseTable.create(batch, tableRoot, txn = Some(batchId)); ()
+        } else {
+          graft.sources.LakehouseTable.append(batch, tableRoot, txn = Some(batchId)); ()
+        }
       }
       .start()
 
@@ -81,6 +90,7 @@ object Streams {
     * versioned lakehouse table on `keys` — rows for already-present keys
     * replace them, new keys insert — committing one atomic version per
     * batch (the streaming twin of Delta's foreachBatch MERGE pattern).
+    * Idempotent per batch via the same txn check as [[ingestInto]].
     * Each batch must carry at most one row per key: collapse multiple
     * updates upstream (e.g. a watermarked last-per-key aggregation),
     * otherwise all of a key's rows in the batch survive the merge. */
@@ -88,12 +98,14 @@ object Streams {
       keys: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
     updates.writeStream
       .outputMode("update")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (batch.isEmpty) ()
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (batch.isEmpty ||
+            graft.sources.LakehouseTable.lastTxn(tableRoot).exists(_ >= batchId)) ()
         else if (graft.sources.LakehouseTable.versions(tableRoot).isEmpty) {
-          graft.sources.LakehouseTable.create(batch, tableRoot); ()
+          graft.sources.LakehouseTable.create(batch, tableRoot, txn = Some(batchId)); ()
         } else {
-          graft.sources.LakehouseTable.merge(batch.sparkSession, tableRoot, batch, keys); ()
+          graft.sources.LakehouseTable.merge(batch.sparkSession, tableRoot, batch, keys,
+            txn = Some(batchId)); ()
         }
       }
       .start()

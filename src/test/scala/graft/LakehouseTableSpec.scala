@@ -210,6 +210,25 @@ class LakehouseTableSpec extends AnyFunSuite {
     assert(LT.readIncremental(spark, root, 2L).count() == 0)
   }
 
+  test("txn ids are recorded and surface via lastTxn for replay detection") {
+    val root = freshRoot()
+    val src = Tables.orders(spark, sf)
+    assert(LT.lastTxn(root).isEmpty)
+    LT.create(src.filter(col("o_orderkey") < 100), root, txn = Some(0L))
+    LT.append(src.filter(col("o_orderkey") >= 100), root, txn = Some(1L))
+    assert(LT.lastTxn(root) == Some(1L))
+    // a replayed micro-batch (id <= lastTxn) is what writers skip: applying
+    // the guard leaves versions and rows unchanged
+    val replayedId = 1L
+    if (!LT.lastTxn(root).exists(_ >= replayedId))
+      LT.append(src.filter(col("o_orderkey") >= 100), root, txn = Some(replayedId))
+    assert(LT.versions(root) == Seq(0L, 1L))
+    assert(LT.read(spark, root).count() == src.count())
+    // a manifest without txn (plain compact) does not erase the history max
+    LT.compact(spark, root, numFiles = 1)
+    assert(LT.lastTxn(root) == Some(1L))
+  }
+
   test("vacuum removes files only the dropped versions reference") {
     val root = freshRoot()
     val src = Tables.orders(spark, sf)
