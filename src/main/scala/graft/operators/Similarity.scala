@@ -16,9 +16,10 @@ import graft.sources.Tables
   *    baseline and still the right plan when the corpus fits a scan;
   *  - IVF (inverted-file) ANN: vectors are pre-assigned to their nearest
   *    centroid cell; a query probes only its cell, turning a corpus scan
-  *    into a cell scan. Centroids here are 8 fixed stored vectors (no RNG —
-  *    deterministic for the oracle); at scale they'd come from k-means and
-  *    the cell id would be a partition/bucket column.
+  *    into a cell scan. Centroids come from a deterministic k-MEDIANS build
+  *    (no RNG: seeded init, median updates — bit-reproducible across
+  *    engines) persisted as a versioned lakehouse table; at scale the cell
+  *    id would be a partition/bucket column.
   */
 object Similarity {
 
@@ -33,6 +34,63 @@ object Similarity {
       .select(col("qid"), col("vec_id"), V.cosine(col("embedding"), col("qv")).as("score"))
   }
 
+  // --- IVF index build path (deterministic k-medians) ---------------------
+
+  private val IvfK = 8
+  private val IvfIters = 2
+  private val Dims = 64
+
+  /** Root of the persisted centroid table for a given source dir. */
+  def ivfRoot(d: String): String =
+    s"/tmp/graft_ivf_${graft.plans.TextExpressions.md5Hex(d).take(12)}"
+
+  /** Long-form centroids (cid, pos, c) after `iters` Lloyd rounds of
+    * k-MEDIANS: init = stored vectors 0..k-1; each round assigns every
+    * vector to its nearest centroid by cosine (tie → lower cid) and
+    * recomputes each centroid dimension as the per-cell MEDIAN. Medians,
+    * not means, deliberately: `percentile(_, 0.5)` is bit-identical to
+    * DuckDB's `quantile_cont` (verified by q49), while a parallel double
+    * MEAN depends on accumulation order — so this build is reproducible
+    * on any cluster AND in the oracle twin. At 100 TB each round is one
+    * broadcast-assign pass + one (cid, dim) aggregation — no collect. */
+  private[operators] def kmediansLong(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val long = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("vec_id"), col("pos"), col("xf").cast("double").as("x"))
+    var cents = long.filter(col("vec_id") < IvfK)
+      .select(col("vec_id").as("cid"), col("pos"), col("x").as("c"))
+    for (_ <- 1 to IvfIters) {
+      val cvec = toCentroidVecs(cents)
+      val aw = Window.partitionBy(col("vec_id")).orderBy(desc("csim"), col("cid"))
+      val assigned = e.crossJoin(broadcast(cvec))
+        .select(col("vec_id"), col("cid"),
+          V.cosineFold(col("embedding"), col("cv")).as("csim"))
+        .withColumn("arn", row_number().over(aw)).filter(col("arn") === 1)
+        .select(col("vec_id"), col("cid"))
+      cents = assigned.join(long, "vec_id")
+        .groupBy(col("cid"), col("pos"))
+        .agg(expr("percentile(x, 0.5)").as("c"))
+    }
+    cents
+  }
+
+  /** (cid, pos, c) → (cid, cv ARRAY<DOUBLE> ordered by pos). */
+  private def toCentroidVecs(cents: DataFrame): DataFrame =
+    cents.groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        t => t.getField("c")).as("cv"))
+
+  /** Build (or reuse) the persisted centroid table. Deterministic: a table
+    * left by a previous run of the same source dir holds identical values,
+    * so reuse is safe — and it gives q37 a real index lifecycle: build once,
+    * version it, read it from every query. */
+  private def centroidTable(s: SparkSession, d: String): DataFrame = {
+    val root = ivfRoot(d)
+    if (graft.sources.LakehouseTable.versions(root).isEmpty)
+      graft.sources.LakehouseTable.create(kmediansLong(s, d), root)
+    toCentroidVecs(graft.sources.LakehouseTable.read(s, root))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact k-NN for 5 stored queries in one pass (rank window per query).
     "q36_knn_bruteforce" -> ((s, d) => {
@@ -44,17 +102,19 @@ object Similarity {
         .orderBy(col("qid"), col("rank"))
     }),
 
-    // IVF ANN: assign every vector to its nearest of 8 stored centroids,
-    // then answer query vec 42 by scanning only its cell. Exactly one
-    // block of the corpus is read — the scale path.
+    // IVF ANN with a real index lifecycle: centroids come from a
+    // deterministic k-medians build PERSISTED as a versioned lakehouse
+    // table (built on first use, read from a table version after). Every
+    // vector is assigned to its nearest centroid cell; query vec 42 is
+    // answered by scanning only its cell — at scale the cell id is a
+    // partition column and exactly one block of the corpus is read.
     "q37_ivf_ann" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val cents = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val cvec = centroidTable(s, d)
       val aw = Window.partitionBy(col("vec_id")).orderBy(desc("csim"), col("cid"))
-      val assigned = e.crossJoin(broadcast(cents))
+      val assigned = e.crossJoin(broadcast(cvec))
         .select(col("vec_id"), col("embedding"), col("cid"),
-          V.cosine(col("embedding"), col("cv")).as("csim"))
+          V.cosineFold(col("embedding"), col("cv")).as("csim"))
         .withColumn("arn", row_number().over(aw))
         .filter(col("arn") === 1)
         .select(col("vec_id"), col("embedding"), col("cid"))
@@ -103,16 +163,33 @@ object Similarity {
                   WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id))
           WHERE rank <= 5 ORDER BY qid, rank""",
 
-    "q37_ivf_ann" ->
-      s"""WITH assigned AS (
-            SELECT vec_id, embedding, cid FROM (
-              SELECT e.vec_id, e.embedding, c.vec_id AS cid,
+    "q37_ivf_ann" -> {
+      // Unrolled twin of the k-medians build (IvfIters rounds), then the
+      // same cell-probe. quantile_cont == Spark percentile bit-exactly.
+      def assignSql(cv: String, out: String) =
+        s"""$out AS (SELECT vec_id, cid FROM (
+              SELECT e.vec_id, v.cid,
                 row_number() OVER (PARTITION BY e.vec_id
-                  ORDER BY ${V.sqlCosine("e.embedding", "c.embedding")} DESC, c.vec_id) AS arn
-              FROM embeddings e, embeddings c WHERE c.vec_id < 8)
-            WHERE arn = 1),
-          q AS (SELECT cid AS qcid, embedding AS qv FROM assigned WHERE vec_id = 42)
-          SELECT vec_id, cid, ${V.sqlCosine("embedding", "qv")} AS score
-          FROM assigned, q WHERE cid = qcid AND vec_id <> 42
-          ORDER BY score DESC, vec_id LIMIT 5""")
+                  ORDER BY ${V.sqlCosine("e.embedding", "v.cv")} DESC, v.cid) AS rn
+              FROM embeddings e, $cv v) WHERE rn = 1)"""
+      def medianSql(assign: String, out: String) =
+        s"""$out AS (SELECT a.cid, el.pos, quantile_cont(el.x, 0.5) AS c
+              FROM $assign a JOIN el ON a.vec_id = el.vec_id
+              GROUP BY a.cid, el.pos)"""
+      def vecSql(long: String, out: String) =
+        s"""$out AS (SELECT cid, list(c ORDER BY pos) AS cv FROM $long GROUP BY cid)"""
+      s"""WITH el AS (SELECT vec_id, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS x
+                      FROM embeddings, range(0, $Dims) t(i)),
+          c0 AS (SELECT vec_id AS cid, pos, x AS c FROM el WHERE vec_id < $IvfK),
+          ${vecSql("c0", "cv0")},
+          ${assignSql("cv0", "a1")}, ${medianSql("a1", "c1")}, ${vecSql("c1", "cv1")},
+          ${assignSql("cv1", "a2")}, ${medianSql("a2", "c2")}, ${vecSql("c2", "cv2")},
+          ${assignSql("cv2", "assigned")},
+          q AS (SELECT cid AS qcid FROM assigned WHERE vec_id = 42),
+          qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 42)
+          SELECT a.vec_id, a.cid, ${V.sqlCosine("e.embedding", "qe")} AS score
+          FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id, q, qv
+          WHERE a.cid = q.qcid AND a.vec_id <> 42
+          ORDER BY score DESC, a.vec_id LIMIT 5"""
+    })
 }
