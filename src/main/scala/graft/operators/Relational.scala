@@ -367,6 +367,42 @@ object Relational {
           when(col("o_totalprice") > 200000, concat(lit("order/"), col("o_orderkey"), lit("/logz")))
             .otherwise("").as("logz_url"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // Pearson correlation from EXACT decimal moments: built-in corr() sums
+    // doubles in shuffle order (not bit-reproducible, and DuckDB's differs),
+    // so the five moments are decimal-exact sums and the corr formula runs
+    // once on their double casts — identical operation order both engines.
+    "q66_exact_corr" -> ((s, d) => {
+      val x = col("l_quantity").cast("decimal(18,2)")
+      val y = col("l_extendedprice").cast("decimal(18,2)")
+      def D(c: org.apache.spark.sql.Column) = c.cast("double")
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          ((D(col("n")) * D(col("sxy")) - D(col("sx")) * D(col("sy")))
+            / (sqrt(D(col("n")) * D(col("sxx")) - D(col("sx")) * D(col("sx")))
+              * sqrt(D(col("n")) * D(col("syy")) - D(col("sy")) * D(col("sy")))))
+            .as("corr_qty_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Fixed-width histogram buckets × ntile quartiles (integer counts,
+    // total-ordered ntile → fully deterministic binning).
+    "q67_price_histogram" -> ((s, d) => {
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .withColumn("bucket", floor(col("o_totalprice") / 50000).cast("long"))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .groupBy(col("bucket"), col("quartile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy(col("bucket"), col("quartile"))
     }))
 
   def oracle: Map[String, String] = Map(
@@ -567,5 +603,30 @@ object Relational {
            ELSE 'normal' END AS prio_label,
          CASE WHEN o_totalprice > 200000
            THEN concat('order/', o_orderkey, '/logz') ELSE '' END AS logz_url
-         FROM orders ORDER BY o_orderkey""")
+         FROM orders ORDER BY o_orderkey""",
+
+    "q66_exact_corr" ->
+      """SELECT l_returnflag, n,
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           AS corr_qty_price
+         FROM (SELECT l_returnflag, count(*) AS n,
+                 sum(x) AS sx, sum(y) AS sy,
+                 sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+               FROM (SELECT l_returnflag,
+                       CAST(l_quantity AS DECIMAL(18,2)) AS x,
+                       CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+                     FROM lineitem)
+               GROUP BY l_returnflag)
+         ORDER BY l_returnflag""",
+
+    "q67_price_histogram" ->
+      """SELECT bucket, quartile, count(*) AS n,
+         min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+         FROM (SELECT o_orderkey, o_totalprice,
+                 CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+                 CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
+               FROM orders)
+         GROUP BY bucket, quartile ORDER BY bucket, quartile""")
 }

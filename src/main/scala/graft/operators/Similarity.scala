@@ -125,6 +125,35 @@ object Similarity {
         .select(col("vec_id"), col("cid"), V.cosine(col("embedding"), col("qv")).as("score"))
         .orderBy(desc("score"), col("vec_id"))
         .limit(5)
+    }),
+
+    // Hybrid retrieval with reciprocal-rank fusion: one dense ranking
+    // (cosine vs query vec 0) and one sparse ranking (how many of the
+    // keyword terms the doc contains), fused as Σ 1/(60 + rank). RRF works
+    // on INTEGER ranks, so the fusion is bit-deterministic — no score
+    // normalization across incomparable scales. The global rank windows
+    // here are the exact form; at scale each side keeps a per-partition
+    // top-N before the merge (rank beyond N cannot reach the fused top-k).
+    "q64_hybrid_rrf" -> ((s, d) => {
+      import graft.functions.{TextFunctions => T}
+      val e = Tables.embeddings(s, d)
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val vr = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"), V.cosine(col("embedding"), col("qv")).as("vscore"))
+        .withColumn("vrank", row_number().over(
+          Window.orderBy(desc("vscore"), col("doc_id"))).cast("long"))
+      val terms = array(lit("table"), lit("scan"), lit("join"))
+      val kr = Tables.documents(s, d).filter(col("doc_id") =!= 0)
+        .select(col("doc_id"),
+          size(array_intersect(T.tokenSet(col("text")), terms)).as("kscore"))
+        .withColumn("krank", row_number().over(
+          Window.orderBy(desc("kscore"), col("doc_id"))).cast("long"))
+      vr.join(kr, "doc_id")
+        .select(col("doc_id"), col("vrank"), col("krank"),
+          (lit(1.0) / (lit(60) + col("vrank"))
+            + lit(1.0) / (lit(60) + col("krank"))).as("rrf"))
+        .orderBy(desc("rrf"), col("doc_id"))
+        .limit(10)
     }))
 
   /** MLlib interop: BucketedRandomProjectionLSH over the embedding column
@@ -191,5 +220,25 @@ object Similarity {
           FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id, q, qv
           WHERE a.cid = q.qcid AND a.vec_id <> 42
           ORDER BY score DESC, a.vec_id LIMIT 5"""
+    },
+
+    "q64_hybrid_rrf" -> {
+      val tokSet = graft.functions.TextFunctions.sqlTokSet
+      s"""WITH vr AS (
+            SELECT e.vec_id AS doc_id,
+              row_number() OVER (ORDER BY ${V.sqlCosine("e.embedding", "q.embedding")} DESC,
+                e.vec_id) AS vrank
+            FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            WHERE e.vec_id <> 0),
+          kr AS (
+            SELECT doc_id,
+              row_number() OVER (ORDER BY kscore DESC, doc_id) AS krank
+            FROM (SELECT doc_id,
+                    len(list_intersect($tokSet, ['table', 'scan', 'join'])) AS kscore
+                  FROM documents WHERE doc_id <> 0))
+          SELECT doc_id, vrank, krank,
+            CAST(1 AS DOUBLE) / (60 + vrank) + CAST(1 AS DOUBLE) / (60 + krank) AS rrf
+          FROM vr JOIN kr USING (doc_id)
+          ORDER BY rrf DESC, doc_id LIMIT 10"""
     })
 }

@@ -72,6 +72,34 @@ object TextAnalysis {
         .orderBy(col("lang"))
     }),
 
+    // TF-IDF top terms per document (docs 0-49): tf = in-doc term count,
+    // idf = the BM25-style RATIO (N - df + 0.5)/(df + 0.5) — deliberately
+    // no ln(): transcendental libm results differ in their last ulp across
+    // engines, while this ratio is one integer-derived division. Ranking by
+    // tf·idf is order-equivalent to ranking by ln-idf (ln is monotone).
+    // Shape at scale: one explode→(doc,term) count, one term-level df
+    // aggregate joined back — both the word-count shuffle.
+    "q65_tfidf_terms" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val nDocs = lit(docs.count()) // tiny: one count of the dim-side corpus
+      val tf = docs
+        .select(col("doc_id"), explode(graft.plans.TextExpressions.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(desc("tfidf"), col("term"))
+      tf.join(df, "term")
+        .select(col("doc_id"), col("term"),
+          (col("tf").cast("double") *
+            ((nDocs.cast("double") - col("df").cast("double") + lit(0.5))
+              / (col("df").cast("double") + lit(0.5)))).as("tfidf"))
+        .filter(col("doc_id") < 50)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
     // Language-ID heuristic: marker-token votes, argmax with fixed
     // tie-break order; confusion counts against the labeled lang.
     "q30_lang_id" -> ((s, d) => {
@@ -122,6 +150,23 @@ object TextAnalysis {
       s"""SELECT lang, count(*) AS n_docs,
           count(DISTINCT ${T.sqlFingerprint}) AS n_distinct_fp
           FROM documents GROUP BY lang ORDER BY lang""",
+
+    "q65_tfidf_terms" ->
+      s"""WITH tf AS (SELECT doc_id, term, count(*) AS tfc
+                      FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents)
+                      GROUP BY doc_id, term),
+          dfreq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY term),
+          nd AS (SELECT count(*) AS n FROM documents)
+          SELECT doc_id, rank, term, tfidf FROM (
+            SELECT doc_id, term, tfidf,
+              row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+            FROM (SELECT tf.doc_id, tf.term,
+                    CAST(tfc AS DOUBLE) *
+                      ((CAST(n AS DOUBLE) - CAST(dfc AS DOUBLE) + 0.5)
+                        / (CAST(dfc AS DOUBLE) + 0.5)) AS tfidf
+                  FROM tf JOIN dfreq USING (term), nd
+                  WHERE tf.doc_id < 50))
+          WHERE rank <= 3 ORDER BY doc_id, rank""",
 
     "q30_lang_id" ->
       s"""SELECT lang, pred, count(*) AS n FROM (
