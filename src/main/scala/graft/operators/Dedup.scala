@@ -193,6 +193,43 @@ object Dedup {
         .orderBy(col("a"), col("b"))
     }),
 
+    // Duplicate CLUSTERS, not just pairs: connected components over the
+    // near-dup pair graph (capped inverted-index candidates, Jaccard ≥
+    // 0.5), by iterative min-label propagation. The fixpoint — every doc
+    // labeled with the smallest doc_id reachable through dup edges — is
+    // UNIQUE, so the result is deterministic regardless of iteration
+    // schedule, and the DuckDB twin can compute it with a recursive CTE
+    // instead of mirroring the loop. Each round is one join + one
+    // aggregate (the standard distributed connected-components step);
+    // rounds needed = graph diameter (tiny for dup clusters).
+    "q68_dup_clusters" -> ((s, d) => {
+      val pairs = pairJaccard(s, d).filter(col("jaccard") >= 0.5)
+        .select(col("a"), col("b"))
+      val edges = pairs.unionByName(
+          pairs.select(col("b").as("a"), col("a").as("b")))
+        .withColumnRenamed("a", "src").withColumnRenamed("b", "dst")
+        .cache()
+      val nodes = shingleDf(s, d).select(col("doc_id"))
+      var labels = nodes.select(col("doc_id"), col("doc_id").as("label")).cache()
+      var changed = 1L
+      while (changed > 0) {
+        val neighborMin = edges.join(labels, edges("dst") === labels("doc_id"))
+          .groupBy(col("src")).agg(min(col("label")).as("nmin"))
+        val next = labels.join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+          .cache()
+        changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+          .filter(col("label") =!= col("old")).count()
+        labels.unpersist(false)
+        labels = next
+      }
+      labels.groupBy(col("label").as("cluster_rep"))
+        .agg(count(lit(1)).as("n_members"))
+        .filter(col("n_members") > 1)
+        .orderBy(col("cluster_rep"))
+    }),
+
     // Embedding-cosine near-dup, blocked by sign-random-projection LSH
     // bands (deterministic md5-seeded hyperplanes) — NOT by a data column:
     // bucket sizes are governed by the band width, not label cardinality,
@@ -254,6 +291,22 @@ object Dedup {
     "q34_ngram_jaccard" ->
       s"""SELECT a, b, jaccard FROM (${sqlCappedCountJaccard(sqlShingleDf)})
           WHERE jaccard >= 0.5 ORDER BY a, b""",
+
+    "q68_dup_clusters" ->
+      s"""WITH RECURSIVE
+          pairs AS (SELECT a, b FROM (${sqlCappedCountJaccard(sqlShingleDf)})
+                    WHERE jaccard >= 0.5),
+          edges AS (SELECT a AS src, b AS dst FROM pairs
+                    UNION ALL SELECT b AS src, a AS dst FROM pairs),
+          nodes AS (SELECT doc_id FROM ($sqlShingleDf)),
+          walk AS (
+            SELECT doc_id, doc_id AS label FROM nodes
+            UNION
+            SELECT e.src AS doc_id, w.label
+            FROM walk w JOIN edges e ON w.doc_id = e.dst)
+          SELECT cluster_rep, count(*) AS n_members FROM (
+            SELECT doc_id, min(label) AS cluster_rep FROM walk GROUP BY doc_id)
+          GROUP BY cluster_rep HAVING count(*) > 1 ORDER BY cluster_rep""",
 
     "q35_embedding_neardup" -> {
       val sigExpr = VectorExpressions.sqlSrpSignature(SrpPlanes, EmbeddingDims, "embedding")

@@ -104,6 +104,43 @@ object EventsOps {
         .orderBy(col("user_id"))
     }),
 
+    // Ordered funnel: per user, the first signup, the first click AFTER
+    // that signup, the first purchase AFTER that click; count users
+    // reaching each step. Three conditional-min aggregates (one shuffle
+    // each on user_id, dims join back) — never a per-user sort/collect.
+    "q69_funnel" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val s1 = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
+        .filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
+        .filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      s1.select(lit(1).as("step"), lit("signup").as("event_type"))
+        .unionByName(s2.select(lit(2).as("step"), lit("click").as("event_type")))
+        .unionByName(s3.select(lit(3).as("step"), lit("purchase").as("event_type")))
+        .groupBy(col("step"), col("event_type"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("step"))
+    }),
+
+    // Unpivot (melt): the q42 wide daily matrix back to long form — the
+    // inverse reshape, with zero-count cells dropped to keep it sparse.
+    "q70_event_unpivot" -> ((s, d) => {
+      val wide = Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
+      wide.unpivot(Array(col("day")),
+          Array(col("click"), col("error"), col("purchase"), col("signup"), col("view")),
+          "event_type", "n")
+        .filter(col("n") > 0)
+        .orderBy(col("day"), col("event_type"))
+    }),
+
     // Pivot: daily counts fanned out to one column per event type.
     "q42_event_pivot" -> ((s, d) => {
       Tables.events(s, d)
@@ -170,6 +207,28 @@ object EventsOps {
            ON x.user_id = y.user_id AND x.event_id < y.event_id
            AND abs(epoch_us(y.ts) - epoch_us(x.ts)) <= 300000000
          GROUP BY x.user_id ORDER BY user_id""",
+
+    "q69_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                     WHERE event_type = 'signup' GROUP BY user_id),
+          s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                 JOIN s1 ON e.user_id = s1.user_id
+                 WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+          s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+                 JOIN s2 ON e.user_id = s2.user_id
+                 WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+         SELECT step, event_type, count(*) AS n_users FROM (
+           SELECT 1 AS step, 'signup' AS event_type FROM s1
+           UNION ALL SELECT 2, 'click' FROM s2
+           UNION ALL SELECT 3, 'purchase' FROM s3)
+         GROUP BY step, event_type ORDER BY step""",
+
+    "q70_event_unpivot" ->
+      """SELECT day, event_type, n FROM (
+           SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+             count(*) AS n
+           FROM events GROUP BY 1, 2)
+         WHERE n > 0 ORDER BY day, event_type""",
 
     "q42_event_pivot" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
