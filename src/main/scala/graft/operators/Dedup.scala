@@ -46,10 +46,19 @@ object Dedup {
     * shingle array) are dropped, matching the twin's `len(toks) >= 3`:
     * they would otherwise carry all-null MinHash signatures that collide in
     * one shared null band. */
-  private def shingleDf(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  private def shingleDf(s: SparkSession, d: String): DataFrame = {
+    val df = Tables.documents(s, d)
       .select(col("doc_id"), TextExpressions.wordShingles(col("text"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
+    // The corpus shingle index is used by 2-3 branches of every near-dup
+    // plan (signature side + both verify sides) and by four queries
+    // (q32/q34/q50/q68). cache() registers the canonical plan once, so
+    // every identical use reads the materialized relation instead of
+    // re-tokenizing the corpus — the local analog of persisting the
+    // shingle index as a table, which is what a 100 TB pipeline does.
+    df.cache()
+    df
+  }
 
   private val sqlShingleDf =
     s"""SELECT doc_id, list_distinct([list_aggr(toks[i:i+2], 'string_agg', ' ')

@@ -100,6 +100,9 @@ object Pipelines {
         .withColumn("toks", graft.plans.TextExpressions.tokens(col("text")))
         .filter(size(col("toks")) >= 3) // oracle twin excludes shingle-less docs
         .withColumn("quality", graft.plans.TextExpressions.qualityScore(col("text")))
+      // scored/tokenized corpus feeds 4 plan branches (inv, sizes ×2, final
+      // agg) — materialize once (see Dedup.shingleDf for the rationale)
+      docs.cache()
       // near-dup losers: the higher doc_id of every pair with Jaccard >= 0.5
       val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
       val inv = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
