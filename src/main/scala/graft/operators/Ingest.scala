@@ -57,6 +57,23 @@ object Ingest {
         ORDER BY l_returnflag, l_linestatus""")
     }),
 
+    // Explicit GROUPING SETS through the SQL-string path (beyond q09/q10's
+    // rollup/cube): three hand-picked sets with grouping() flags; null
+    // group keys coalesced (Spark and DuckDB order NULLs differently).
+    "q74_grouping_sets_sql" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""
+        SELECT coalesce(l_returnflag, '_all_') AS rf,
+               coalesce(l_linestatus, '_all_') AS ls,
+               CAST(grouping(l_returnflag) AS INT) AS g_rf,
+               CAST(grouping(l_linestatus) AS INT) AS g_ls,
+               count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        ORDER BY rf, ls, g_rf, g_ls""")
+    }),
+
     // Custom Catalyst expressions through the SQL registry: word_shingles /
     // simhash16 called BY NAME from a SQL string (GraftFunctions.register —
     // the same entries GraftExtensions injects at session build).
@@ -101,6 +118,17 @@ object Ingest {
          WHERE l_shipdate <= TIMESTAMP '2000-01-01'
          GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
+
+    "q74_grouping_sets_sql" ->
+      """SELECT coalesce(l_returnflag, '_all_') AS rf,
+           coalesce(l_linestatus, '_all_') AS ls,
+           CAST(grouping(l_returnflag) AS INT) AS g_rf,
+           CAST(grouping(l_linestatus) AS INT) AS g_ls,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+         ORDER BY rf, ls, g_rf, g_ls""",
 
     "q63_sql_text_functions" -> {
       val toks = graft.functions.TextFunctions.sqlToks

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.functions.{TextFunctions => T}
+import graft.functions.{Exact, TextFunctions => T}
 import graft.sources.Tables
 
 /** Composite + advanced relational shapes (SURVEY.md §2.2 M2/M4).
@@ -91,6 +91,42 @@ object Pipelines {
         .orderBy(col("doc_id"))
     }),
 
+    // Salted skew join through the correctness gate: lineitem⋈part with
+    // every part key spread over 8 salted partitions (deterministic salt
+    // from the probe row id, build side replicated 8×). The oracle is the
+    // PLAIN join — identical results prove the salting machinery is a pure
+    // physical rewrite. This is the manual guard for a hot key too big for
+    // AQE's skew splitting.
+    "q71_salted_skew_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val pt = Tables.part(s, d).withColumnRenamed("p_partkey", "l_partkey")
+      val joined = SkewJoin.saltedJoin(
+        li, pt, key = "l_partkey", n = 8,
+        disambig = Seq(col("l_orderkey"), col("l_linenumber")))
+      joined.groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_lines"),
+          Exact.moneySum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // Blocked fuzzy match over the DISTINCT value dictionary: dedupe the
+    // name column first (the fact table repeats a small dictionary — at any
+    // scale you fuzzy-match distinct values, never raw rows), block on the
+    // last token, Levenshtein (integer edit distance, identical in both
+    // engines) within blocks only. Dictionary pairs then map back to rows
+    // by equi-join — the canonical data-cleaning shape.
+    "q73_fuzzy_match" -> ((s, d) => {
+      val names = Tables.part(s, d).select(col("p_name")).distinct()
+        .withColumn("blk", substring_index(col("p_name"), " ", -1))
+      val L = names.select(col("blk"), col("p_name").as("name_a"))
+      val R = names.select(col("blk"), col("p_name").as("name_b"))
+      L.join(R, "blk").filter(col("name_a") < col("name_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+        .filter(col("dist") <= 3)
+        .select(col("blk"), col("name_a"), col("name_b"), col("dist"))
+        .orderBy(col("blk"), col("name_a"), col("name_b"))
+    }),
+
     // The LLM-training-data pipeline, end to end: quality-score filter →
     // near-duplicate removal (keep the lowest doc_id of each dup pair) →
     // per-language corpus stats.
@@ -167,6 +203,22 @@ object Pipelines {
                ORDER BY o_totalprice DESC, o_orderkey) AS rank
            FROM orders) WHERE rank <= 3
          ORDER BY o_orderpriority, rank""",
+
+    "q71_salted_skew_join" ->
+      s"""SELECT p_brand, count(*) AS n_lines,
+          ${Exact.sqlMoneySum("l_extendedprice")} AS sum_price
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY p_brand ORDER BY p_brand""",
+
+    "q73_fuzzy_match" ->
+      """SELECT blk, name_a, name_b, dist FROM (
+           SELECT x.blk, x.p_name AS name_a, y.p_name AS name_b,
+             levenshtein(x.p_name, y.p_name) AS dist
+           FROM (SELECT DISTINCT p_name, split_part(p_name, ' ', -1) AS blk FROM part) x
+           JOIN (SELECT DISTINCT p_name, split_part(p_name, ' ', -1) AS blk FROM part) y
+             ON x.blk = y.blk AND x.p_name < y.p_name)
+         WHERE dist <= 3
+         ORDER BY blk, name_a, name_b""",
 
     "q57_stratified_sample" ->
       """SELECT doc_id, lang, bucket FROM (

@@ -369,6 +369,27 @@ object Relational {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Window-function battery: ranking + distribution + value-access
+    // functions over one per-customer ordered window. percent_rank and
+    // cume_dist are single divisions of integer ranks — deterministic.
+    "q72_window_funcs" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val frame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .filter(col("o_custkey") < 300)
+        .select(col("o_custkey"), col("o_orderkey"),
+          dense_rank().over(w).cast("long").as("drank"),
+          percent_rank().over(w).as("prank"),
+          cume_dist().over(w).as("cdist"),
+          first(col("o_orderkey")).over(frame).as("first_order"),
+          last(col("o_orderkey")).over(frame).as("last_order"),
+          nth_value(col("o_orderkey"), 2).over(frame).as("second_order"),
+          lead(col("o_orderkey"), 1, -1L).over(w).as("next_order"),
+          lag(col("o_orderkey"), 2, -1L).over(w).as("prev2_order"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // Pearson correlation from EXACT decimal moments: built-in corr() sums
     // doubles in shuffle order (not bit-reproducible, and DuckDB's differs),
     // so the five moments are decimal-exact sums and the corr formula runs
@@ -604,6 +625,22 @@ object Relational {
          CASE WHEN o_totalprice > 200000
            THEN concat('order/', o_orderkey, '/logz') ELSE '' END AS logz_url
          FROM orders ORDER BY o_orderkey""",
+
+    "q72_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(dense_rank() OVER w AS BIGINT) AS drank,
+         percent_rank() OVER w AS prank,
+         cume_dist() OVER w AS cdist,
+         first_value(o_orderkey) OVER wf AS first_order,
+         last_value(o_orderkey) OVER wf AS last_order,
+         nth_value(o_orderkey, 2) OVER wf AS second_order,
+         lead(o_orderkey, 1, -1) OVER w AS next_order,
+         lag(o_orderkey, 2, -1) OVER w AS prev2_order
+         FROM orders WHERE o_custkey < 300
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY o_custkey, o_orderkey""",
 
     "q66_exact_corr" ->
       """SELECT l_returnflag, n,
