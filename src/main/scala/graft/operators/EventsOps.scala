@@ -141,6 +141,30 @@ object EventsOps {
         .orderBy(col("day"), col("event_type"))
     }),
 
+    // Time-series regularization: a dense hourly timeline per user
+    // (sequence-explode between the user's first and last event hour),
+    // left-joined with hourly aggregates, gaps forward-filled with the
+    // last non-null hour value — resample + ffill. One shuffle for the
+    // aggregate, one window for the fill; the timeline explode is
+    // O(span-hours), never a cross join against a calendar table.
+    "q76_gap_fill" -> ((s, d) => {
+      val e = Tables.events(s, d).filter(col("user_id") < 50)
+      val hourly = e.groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"), Exact.moneySum(col("value")).as("hour_value"))
+      val spans = e.groupBy(col("user_id"))
+        .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+          date_trunc("hour", max(col("ts"))).as("h1"))
+      val timeline = spans.select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hour"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      timeline.join(hourly, Seq("user_id", "hour"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+        .withColumn("filled_value", last(col("hour_value"), ignoreNulls = true).over(w))
+        .select(col("user_id"), col("hour"), col("n"), col("filled_value"))
+        .orderBy(col("user_id"), col("hour"))
+    }),
+
     // Pivot: daily counts fanned out to one column per event type.
     "q42_event_pivot" -> ((s, d) => {
       Tables.events(s, d)
@@ -229,6 +253,26 @@ object EventsOps {
              count(*) AS n
            FROM events GROUP BY 1, 2)
          WHERE n > 0 ORDER BY day, event_type""",
+
+    "q76_gap_fill" ->
+      s"""WITH e AS (SELECT * FROM events WHERE user_id < 50),
+          hourly AS (SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+                       count(*) AS n, ${Exact.sqlMoneySum("value")} AS hour_value
+                     FROM e GROUP BY 1, 2),
+          spans AS (SELECT user_id, CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS h0,
+                      CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS h1
+                    FROM e GROUP BY user_id),
+          timeline AS (SELECT user_id,
+                         unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+                       FROM spans)
+          SELECT t.user_id AS user_id, t.hour AS hour,
+            CAST(coalesce(n, 0) AS BIGINT) AS n,
+            last_value(hour_value IGNORE NULLS) OVER (
+              PARTITION BY t.user_id ORDER BY t.hour
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+          FROM timeline t LEFT JOIN hourly h
+            ON t.user_id = h.user_id AND t.hour = h.hour
+          ORDER BY user_id, hour""",
 
     "q42_event_pivot" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

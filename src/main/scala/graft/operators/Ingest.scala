@@ -26,6 +26,10 @@ object Ingest {
   /** Repo-local fixture of the reference's app-record JSON shape. */
   val AppsFixture = "/root/repo/fixtures/apps.json"
 
+  /** Repo-local model-endpoint registry fixture (the config data behind the
+    * reference's chat-profile routing, `app/app.py:18-31`). */
+  val ModelsFixture = "/root/repo/fixtures/models.csv"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // JSON source read (op #3) + nested-struct flatten (op #9) + the
     // conditional logz derivation (lakehouse_app_helpers.py:32-37).
@@ -55,6 +59,18 @@ object Ingest {
         WHERE l_shipdate <= TIMESTAMP '2000-01-01'
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus""")
+    }),
+
+    // CSV source with an explicit schema (schema-on-read like q60's JSON,
+    // but typed up front — the shape for config/registry ingestion).
+    "q75_csv_source" -> ((s, _) => {
+      s.read
+        .option("header", "true")
+        .schema("model STRING, profile STRING, max_tokens LONG, temperature DOUBLE")
+        .csv(ModelsFixture)
+        .filter(col("max_tokens") > 0)
+        .select(col("model"), col("profile"), col("max_tokens"), col("temperature"))
+        .orderBy(col("model"))
     }),
 
     // Explicit GROUPING SETS through the SQL-string path (beyond q09/q10's
@@ -118,6 +134,13 @@ object Ingest {
          WHERE l_shipdate <= TIMESTAMP '2000-01-01'
          GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
+
+    "q75_csv_source" ->
+      s"""SELECT model, profile, max_tokens, temperature
+          FROM read_csv('$ModelsFixture', header = true,
+            columns = {'model': 'VARCHAR', 'profile': 'VARCHAR',
+                       'max_tokens': 'BIGINT', 'temperature': 'DOUBLE'})
+          WHERE max_tokens > 0 ORDER BY model""",
 
     "q74_grouping_sets_sql" ->
       """SELECT coalesce(l_returnflag, '_all_') AS rf,

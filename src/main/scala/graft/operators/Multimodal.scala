@@ -80,7 +80,32 @@ object Multimodal {
         .orderBy(col("doc_id"))
     }),
 
-    "q58_frame_sample" -> (frameSampleQuery _))
+    "q58_frame_sample" -> (frameSampleQuery _),
+
+    // Windowed-signal analysis over "audio" payloads: fixed 16-byte windows
+    // with stride 8 (50% overlap), per-window energy = integer sum of the
+    // sample bytes and peak = max byte — the STFT-like 1→N windowing shape.
+    // Integer math only: deterministic in any engine; real sample decode
+    // would replace only the byte-read, not the windowing plumbing.
+    "q77_audio_windows" -> ((s, d) => {
+      val winLen = 16
+      val stride = 8
+      // full windows only: window i covers [i*stride+1, i*stride+winLen]
+      val nWins = (floor((length(col("text")) - winLen) / stride) + 1).cast("int")
+      val bytes = transform(sequence(lit(1), lit(winLen)),
+        i => ascii(col("chunk").substr(i, lit(1))))
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 3 === 1) // the "audio" rows of mediaTable
+        .filter(length(col("text")) >= winLen)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), nWins - 1)).as("win_idx"))
+        .select(col("doc_id"), col("win_idx").cast("long").as("win_idx"),
+          col("text").substr(col("win_idx") * stride + 1, lit(winLen)).as("chunk"))
+        .select(col("doc_id"), col("win_idx"),
+          aggregate(bytes, lit(0L), (acc, x) => acc + x).as("energy"),
+          array_max(bytes).cast("long").as("peak"))
+        .orderBy(col("doc_id"), col("win_idx"))
+    }))
 
   /** Frame sampling: each "video" payload yields 4 evenly-spaced frames
     * (here: quarters of the payload, checksummed) — the 1-to-many decode
@@ -108,6 +133,20 @@ object Multimodal {
          CAST(n_chars % 640 AS INT) AS width,
          CAST(doc_id % 480 AS INT) AS height
          FROM documents ORDER BY doc_id""",
+
+    "q77_audio_windows" ->
+      """WITH a AS (SELECT doc_id, text,
+                      CAST(floor((length(text) - 16) / 8) AS BIGINT) + 1 AS nw
+                    FROM documents WHERE doc_id % 3 = 1 AND length(text) >= 16),
+          w AS (SELECT doc_id, text, unnest(range(0, nw)) AS win_idx FROM a),
+          c AS (SELECT doc_id, win_idx,
+                  substring(text, CAST(win_idx * 8 + 1 AS INT), 16) AS chunk FROM w)
+         SELECT doc_id, win_idx,
+           CAST(list_sum(list_transform(range(1, 17),
+             i -> ascii(substring(chunk, CAST(i AS INT), 1)))) AS BIGINT) AS energy,
+           CAST(list_max(list_transform(range(1, 17),
+             i -> ascii(substring(chunk, CAST(i AS INT), 1)))) AS BIGINT) AS peak
+         FROM c ORDER BY doc_id, win_idx""",
 
     "q58_frame_sample" ->
       """SELECT doc_id, k AS frame_idx,
