@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 import graft.plans.TextExpressions.{MinHashSig, SimHash16, WordShingles}
-import graft.plans.CosineSimilarity
+import graft.plans.{CosineSimilarity, SrpSignature}
 
 /** SQL-surface registration for the engine's custom Catalyst expressions,
   * so `spark.sql` users get them as first-class functions:
@@ -37,5 +37,7 @@ object GraftFunctions {
       es => MinHashSig(es(0), intArg(es(1))), "built-in")
     reg.createOrReplaceTempFunction("simhash16",
       es => SimHash16(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("srp_signature",
+      es => SrpSignature(es(0), intArg(es(1)), intArg(es(2))), "built-in")
   }
 }

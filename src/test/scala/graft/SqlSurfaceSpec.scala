@@ -53,4 +53,18 @@ class SqlSurfaceSpec extends AnyFunSuite {
       assert(r.getAs[String]("sim").matches("[01]{16}"))
     }
   }
+
+  test("srp_signature from spark.sql matches the Column API") {
+    GraftFunctions.register(spark)
+    graft.sources.Tables.embeddings(spark, sf).createOrReplaceTempView("emb2")
+    val viaSql = spark.sql(
+      "SELECT vec_id, srp_signature(embedding, 32, 64) AS sig FROM emb2 ORDER BY vec_id LIMIT 5")
+      .collect()
+    val viaApi = graft.sources.Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        graft.plans.VectorExpressions.srpSignature(
+          org.apache.spark.sql.functions.col("embedding"), 32, 64).as("sig"))
+      .orderBy("vec_id").limit(5).collect()
+    assert(viaSql.map(_.getString(1)).sameElements(viaApi.map(_.getString(1))))
+  }
 }
