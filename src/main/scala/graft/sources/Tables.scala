@@ -52,7 +52,14 @@ object Tables {
   /** Register every table as a temp view, making the whole schema queryable
     * with `spark.sql("SELECT ... FROM lineitem JOIN orders ...")` — the
     * engine's run-any-SQL surface (pair with GraftFunctions.registerAll for
-    * the custom text/vector expressions). */
+    * the custom text/vector expressions). Idempotent per (session, dir):
+    * registration re-infers every parquet schema, so repeated calls from
+    * SQL-path queries skip straight through — register once per session,
+    * like any catalog. */
+  private val registeredDir =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
   def registerAll(s: SparkSession, d: String): Unit =
-    all.foreach(n => table(s, d, n).createOrReplaceTempView(n))
+    if (registeredDir.put(s, d) != d) // re-register on any dir switch
+      all.foreach(n => table(s, d, n).createOrReplaceTempView(n))
 }
