@@ -141,6 +141,28 @@ object EventsOps {
         .orderBy(col("day"), col("event_type"))
     }),
 
+    // SCD2-style run collapsing (gaps-and-islands): consecutive events of
+    // the same type per user collapse into validity intervals
+    // [valid_from, valid_to] — the slowly-changing-dimension build from an
+    // event-sourced attribute. Change flag via lag + running sum, one
+    // shuffle on user_id.
+    "q79_scd2_runs" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .filter(col("user_id") < 30)
+        .withColumn("changed",
+          when(lag(col("event_type"), 1).over(w).isNull
+            || lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L).otherwise(0L))
+        .withColumn("run_id",
+          sum(col("changed")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("run_id"))
+        .agg(min(col("event_type")).as("event_type"), // constant within a run
+          min(col("ts")).as("valid_from"),
+          max(col("ts")).as("valid_to"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"), col("run_id"))
+    }),
+
     // Time-series regularization: a dense hourly timeline per user
     // (sequence-explode between the user's first and last event hour),
     // left-joined with hourly aggregates, gaps forward-filled with the
@@ -253,6 +275,19 @@ object EventsOps {
              count(*) AS n
            FROM events GROUP BY 1, 2)
          WHERE n > 0 ORDER BY day, event_type""",
+
+    "q79_scd2_runs" ->
+      """SELECT user_id, run_id, min(event_type) AS event_type,
+           min(ts) AS valid_from, max(ts) AS valid_to, count(*) AS n_events
+         FROM (SELECT user_id, event_type, ts,
+                 CAST(sum(changed) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
+               FROM (SELECT *,
+                       CASE WHEN lag(event_type, 1) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) IS DISTINCT FROM event_type
+                            THEN 1 ELSE 0 END AS changed
+                     FROM events WHERE user_id < 30))
+         GROUP BY user_id, run_id ORDER BY user_id, run_id""",
 
     "q76_gap_fill" ->
       s"""WITH e AS (SELECT * FROM events WHERE user_id < 50),

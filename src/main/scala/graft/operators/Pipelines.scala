@@ -127,6 +127,35 @@ object Pipelines {
         .orderBy(col("blk"), col("name_a"), col("name_b"))
     }),
 
+    // Expectations-style data-quality report (the Delta-constraints /
+    // dbt-tests shape): null counts, range violations, duplicate keys, and
+    // referential orphans, as one long-form (check, n_bad) relation. The
+    // column checks ride ONE pass over each table; the FK check is a
+    // left-anti join — nothing row-by-row.
+    "q78_data_quality" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val liChecks = li.agg(
+        sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("null_quantity"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L).otherwise(0L))
+          .as("discount_out_of_range"),
+        sum(when(col("l_shipdate") < to_timestamp(lit("1992-01-01")), 1L).otherwise(0L))
+          .as("shipdate_before_epoch"))
+      val oChecks = o.agg(
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("duplicate_orderkeys"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("nonpositive_totalprice"))
+      val orphans = li.join(o, col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("orphan_lineitems"))
+      def melt(df: org.apache.spark.sql.DataFrame) = {
+        val cols = df.columns
+        df.select(explode(array(cols.map(c =>
+          struct(lit(c).as("check_name"), col(c).cast("long").as("n_bad"))): _*)).as("kv"))
+          .select(col("kv.check_name").as("check_name"), col("kv.n_bad").as("n_bad"))
+      }
+      melt(liChecks).unionByName(melt(oChecks)).unionByName(melt(orphans))
+        .orderBy(col("check_name"))
+    }),
+
     // The LLM-training-data pipeline, end to end: quality-score filter →
     // near-duplicate removal (keep the lowest doc_id of each dup pair) →
     // per-language corpus stats.
@@ -203,6 +232,31 @@ object Pipelines {
                ORDER BY o_totalprice DESC, o_orderkey) AS rank
            FROM orders) WHERE rank <= 3
          ORDER BY o_orderpriority, rank""",
+
+    "q78_data_quality" ->
+      """SELECT check_name, n_bad FROM (
+           SELECT 'null_quantity' AS check_name,
+             CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+           FROM lineitem
+           UNION ALL
+           SELECT 'discount_out_of_range',
+             CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+           FROM lineitem
+           UNION ALL
+           SELECT 'shipdate_before_epoch',
+             CAST(sum(CASE WHEN l_shipdate < TIMESTAMP '1992-01-01' THEN 1 ELSE 0 END) AS BIGINT)
+           FROM lineitem
+           UNION ALL
+           SELECT 'duplicate_orderkeys',
+             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+           UNION ALL
+           SELECT 'nonpositive_totalprice',
+             CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+           UNION ALL
+           SELECT 'orphan_lineitems',
+             CAST(count(*) AS BIGINT) FROM lineitem
+           WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey))
+         ORDER BY check_name""",
 
     "q71_salted_skew_join" ->
       s"""SELECT p_brand, count(*) AS n_lines,

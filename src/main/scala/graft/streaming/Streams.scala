@@ -65,6 +65,20 @@ object Streams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** Windowed distinct-user sketch: approx_count_distinct inside a
+    * watermarked tumbling window — the streaming cardinality shape whose
+    * state per window is one HLL sketch (KB), not the user-id set. Exact
+    * streaming distinct would hold every key until the watermark; the
+    * sketch bounds state regardless of cardinality — the 100 TB answer,
+    * same as q44's batch sketch. */
+  def distinctUsersHourly(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("win"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("win.start").as("hour"), col("approx_users"), col("n_events"))
+
   /** Streaming ingestion into a versioned lakehouse table, idempotent per
     * micro-batch. foreachBatch is at-least-once: a batch replayed after a
     * failure between manifest commit and checkpoint commit would re-append

@@ -66,6 +66,22 @@ class StreamingSpec extends AnyFunSuite {
       want.select("user_id", "event_type")).isEmpty)
   }
 
+  test("streaming distinct-user sketch tracks batch exact counts within HLL error") {
+    val got = runToCompletion(
+      Streams.distinctUsersHourly(Streams.eventsStream(spark, streamDir)), "t_du",
+      mode = "complete").collect()
+    val exact = graft.sources.Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val e = exact(r.getTimestamp(0)).toDouble
+      val a = r.getAs[Long]("approx_users").toDouble
+      assert(math.abs(a - e) / e < 0.1, s"hour ${r.get(0)}: approx $a vs exact $e")
+    }
+  }
+
   test("watermark drops late data and finalized windows emit once") {
     import spark.implicits._
     def t(s: String) = java.sql.Timestamp.valueOf(s)
