@@ -40,9 +40,17 @@ object Similarity {
   private val IvfIters = 2
   private val Dims = 64
 
-  /** Root of the persisted centroid table for a given source dir. */
-  def ivfRoot(d: String): String =
-    s"/tmp/graft_ivf_${graft.plans.TextExpressions.md5Hex(d).take(12)}"
+  /** Root of the persisted centroid table for a given source dir. Keyed by
+    * the embeddings file's (path, size, mtime) so a regenerated corpus can
+    * never pair with a stale index — it just triggers a fresh build. */
+  def ivfRoot(d: String): String = {
+    val f = java.nio.file.Paths.get(d, "embeddings.parquet")
+    val stamp =
+      if (java.nio.file.Files.exists(f))
+        s"$d:${java.nio.file.Files.size(f)}:${java.nio.file.Files.getLastModifiedTime(f).toMillis}"
+      else d
+    s"/tmp/graft_ivf_${graft.plans.TextExpressions.md5Hex(stamp).take(12)}"
+  }
 
   /** Long-form centroids (cid, pos, c) after `iters` Lloyd rounds of
     * k-MEDIANS: init = stored vectors 0..k-1; each round assigns every
