@@ -139,23 +139,29 @@ object Similarity {
     // (cosine vs query vec 0) and one sparse ranking (how many of the
     // keyword terms the doc contains), fused as Σ 1/(60 + rank). RRF works
     // on INTEGER ranks, so the fusion is bit-deterministic — no score
-    // normalization across incomparable scales. The global rank windows
-    // here are the exact form; at scale each side keeps a per-partition
-    // top-N before the merge (rank beyond N cannot reach the fused top-k).
+    // normalization across incomparable scales. Each side keeps only its
+    // top-64 (TakeOrderedAndProject: per-partition partial top-k, k-row
+    // merge — NOT a global rank window over the corpus) and ranks within
+    // those 64 rows; fused candidates are docs in BOTH lists. That is the
+    // deployed RRF shape: rank beyond N contributes at most 1/(60+N) —
+    // below the fused top-10 cutoff — so the truncation costs recall only
+    // at the fusion margin, and the oracle mirrors it exactly.
     "q64_hybrid_rrf" -> ((s, d) => {
       import graft.functions.{TextFunctions => T}
       val e = Tables.embeddings(s, d)
       val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-      val vr = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+      val vTop = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
         .select(col("vec_id").as("doc_id"), V.cosine(col("embedding"), col("qv")).as("vscore"))
-        .withColumn("vrank", row_number().over(
-          Window.orderBy(desc("vscore"), col("doc_id"))).cast("long"))
+        .orderBy(desc("vscore"), col("doc_id")).limit(64)
+      val vr = vTop.withColumn("vrank", row_number().over(
+        Window.orderBy(desc("vscore"), col("doc_id"))).cast("long"))
       val terms = array(lit("table"), lit("scan"), lit("join"))
-      val kr = Tables.documents(s, d).filter(col("doc_id") =!= 0)
+      val kTop = Tables.documents(s, d).filter(col("doc_id") =!= 0)
         .select(col("doc_id"),
           size(array_intersect(T.tokenSet(col("text")), terms)).as("kscore"))
-        .withColumn("krank", row_number().over(
-          Window.orderBy(desc("kscore"), col("doc_id"))).cast("long"))
+        .orderBy(desc("kscore"), col("doc_id")).limit(64)
+      val kr = kTop.withColumn("krank", row_number().over(
+        Window.orderBy(desc("kscore"), col("doc_id"))).cast("long"))
       vr.join(kr, "doc_id")
         .select(col("doc_id"), col("vrank"), col("krank"),
           (lit(1.0) / (lit(60) + col("vrank"))
@@ -232,18 +238,23 @@ object Similarity {
 
     "q64_hybrid_rrf" -> {
       val tokSet = graft.functions.TextFunctions.sqlTokSet
-      s"""WITH vr AS (
+      s"""WITH vtop AS (
             SELECT e.vec_id AS doc_id,
-              row_number() OVER (ORDER BY ${V.sqlCosine("e.embedding", "q.embedding")} DESC,
-                e.vec_id) AS vrank
+              ${V.sqlCosine("e.embedding", "q.embedding")} AS vscore
             FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
-            WHERE e.vec_id <> 0),
-          kr AS (
+            WHERE e.vec_id <> 0
+            ORDER BY vscore DESC, doc_id LIMIT 64),
+          vr AS (SELECT doc_id,
+                   row_number() OVER (ORDER BY vscore DESC, doc_id) AS vrank
+                 FROM vtop),
+          ktop AS (
             SELECT doc_id,
-              row_number() OVER (ORDER BY kscore DESC, doc_id) AS krank
-            FROM (SELECT doc_id,
-                    len(list_intersect($tokSet, ['table', 'scan', 'join'])) AS kscore
-                  FROM documents WHERE doc_id <> 0))
+              len(list_intersect($tokSet, ['table', 'scan', 'join'])) AS kscore
+            FROM documents WHERE doc_id <> 0
+            ORDER BY kscore DESC, doc_id LIMIT 64),
+          kr AS (SELECT doc_id,
+                   row_number() OVER (ORDER BY kscore DESC, doc_id) AS krank
+                 FROM ktop)
           SELECT doc_id, vrank, krank,
             CAST(1 AS DOUBLE) / (60 + vrank) + CAST(1 AS DOUBLE) / (60 + krank) AS rrf
           FROM vr JOIN kr USING (doc_id)
