@@ -141,6 +141,55 @@ object EventsOps {
         .orderBy(col("day"), col("event_type"))
     }),
 
+    // MATCH_RECOGNIZE-lite sequence detection: an 'error' event whose NEXT
+    // event (same user, event-time order) is a 'purchase' within 10
+    // minutes. lead() over the per-user window — pattern detection without
+    // a self-join.
+    "q80_pattern_match" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .withColumn("next_ts", lead(col("ts"), 1).over(w))
+        .filter(col("event_type") === "error" && col("next_type") === "purchase"
+          && unix_micros(col("next_ts")) - unix_micros(col("ts")) <= 600L * 1000000L)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_matches"), min(col("ts")).as("first_match_ts"))
+        .orderBy(col("user_id"))
+    }),
+
+    // First-order Markov transition matrix over event types: bigram counts
+    // via lead(), transition probability = count / row-total (one exact
+    // integer division — deterministic doubles).
+    "q81_transitions" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val bigrams = Tables.events(s, d)
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val tw = Window.partitionBy(col("from_type"))
+      bigrams
+        .withColumn("prob", col("n").cast("double") / sum(col("n")).over(tw).cast("double"))
+        .select(col("from_type"), col("to_type"), col("n"), col("prob"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
+    // Cohort retention: users grouped by first-seen day, counted as active
+    // at each day offset — two aggregations (cohort assignment, activity),
+    // one broadcast-joinable cohort map.
+    "q82_cohorts" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val cohorts = e.groupBy(col("user_id"))
+        .agg(date_trunc("day", min(col("ts"))).as("cohort_day"))
+      e.select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .distinct()
+        .join(cohorts, "user_id")
+        .withColumn("day_offset", datediff(col("day"), col("cohort_day")).cast("long"))
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
     // SCD2-style run collapsing (gaps-and-islands): consecutive events of
     // the same type per user collapse into validity intervals
     // [valid_from, valid_to] — the slowly-changing-dimension build from an
@@ -275,6 +324,40 @@ object EventsOps {
              count(*) AS n
            FROM events GROUP BY 1, 2)
          WHERE n > 0 ORDER BY day, event_type""",
+
+    "q80_pattern_match" ->
+      """SELECT user_id, count(*) AS n_matches, min(ts) AS first_match_ts
+         FROM (SELECT user_id, event_type, ts,
+                 lead(event_type, 1) OVER w AS next_type,
+                 lead(ts, 1) OVER w AS next_ts
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         WHERE event_type = 'error' AND next_type = 'purchase'
+           AND epoch_us(next_ts) - epoch_us(ts) <= 600000000
+         GROUP BY user_id ORDER BY user_id""",
+
+    "q81_transitions" ->
+      """SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS prob
+         FROM (SELECT event_type AS from_type, to_type, count(*) AS n
+               FROM (SELECT user_id, event_type,
+                       lead(event_type, 1) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS to_type
+                     FROM events)
+               WHERE to_type IS NOT NULL
+               GROUP BY 1, 2)
+         ORDER BY from_type, to_type""",
+
+    "q82_cohorts" ->
+      """SELECT cohort_day,
+           CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset,
+           count(DISTINCT user_id) AS n_active
+         FROM (SELECT DISTINCT e.user_id,
+                 CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS day, cohort_day
+               FROM events e
+               JOIN (SELECT user_id, CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS cohort_day
+                     FROM events GROUP BY user_id) c ON e.user_id = c.user_id)
+         GROUP BY cohort_day, day_offset ORDER BY cohort_day, day_offset""",
 
     "q79_scd2_runs" ->
       """SELECT user_id, run_id, min(event_type) AS event_type,
