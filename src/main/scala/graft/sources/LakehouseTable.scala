@@ -58,17 +58,18 @@ object LakehouseTable {
 
   private val TxnRe = """"txn":\s*(\d+)""".r
 
-  /** Highest transaction id recorded by any committed manifest (streaming
-    * writers stamp their micro-batch id here — Delta's txnVersion pattern —
-    * so a replayed batch can be detected and skipped). */
-  def lastTxn(root: String): Option[Long] = {
-    val ids = versions(root).flatMap { v =>
+  /** Last committed transaction id (streaming writers stamp their
+    * micro-batch id here — Delta's txnVersion pattern — so a replayed
+    * batch can be detected and skipped). O(1): `commit` carries the txn
+    * forward through txn-less commits (compact/cluster/restore), so ONLY
+    * the latest manifest needs reading — a long-running stream does not
+    * scan its whole version history every micro-batch. */
+  def lastTxn(root: String): Option[Long] =
+    currentVersion(root).flatMap { v =>
       TxnRe.findFirstMatchIn(
         Files.readString(manifestDir(root).resolve(s"$v.json")))
         .map(_.group(1).toLong)
     }
-    if (ids.isEmpty) None else Some(ids.max)
-  }
 
   /** Atomic commit: write to a temp file, then rename into place. Paths
     * with '"' or ',' (possible via a partitionBy column whose VALUES carry
@@ -80,7 +81,10 @@ object LakehouseTable {
       throw new IllegalArgumentException(
         s"""data file path contains '"' or ',' (unsupported in partition values): $f"""))
     Files.createDirectories(manifestDir(root))
-    val txnField = txn.map(t => s""""txn": $t, """).getOrElse("")
+    // carry the txn watermark forward through txn-less commits, so lastTxn
+    // only ever needs the latest manifest
+    val effectiveTxn = txn.orElse(if (version == 0) None else lastTxn(root))
+    val txnField = effectiveTxn.map(t => s""""txn": $t, """).getOrElse("")
     val json = relFiles.sorted.map(f => "\"" + f + "\"")
       .mkString(s"""{$txnField"files": [""", ", ", "]}")
     val tmp = manifestDir(root).resolve(s".$version.json.tmp")
