@@ -369,6 +369,41 @@ object Relational {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Null-semantics battery: nullif-manufactured nulls through coalesce,
+    // null-safe equality (<=>), count(col) vs count(*), and null-keyed
+    // grouping (coalesced for cross-engine ordering).
+    "q83_null_semantics" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          nullif(col("o_orderstatus"), lit("P")).as("st"),
+          nullif(col("o_orderpriority"), lit("3-MEDIUM")).as("prio"))
+        .groupBy(coalesce(col("st"), lit("_null_")).as("st_key"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("st")).as("n_nonnull_st"),
+          count(col("prio")).as("n_nonnull_prio"),
+          sum(when(col("st") <=> col("prio"), 1L).otherwise(0L)).as("nullsafe_eq"),
+          sum(when(col("st").isNull && col("prio").isNull, 1L).otherwise(0L)).as("both_null"))
+        .orderBy(col("st_key"))
+    }),
+
+    // Second string battery: pad/translate/repeat/reverse/overlay-style
+    // ops beyond q16 (all pure byte/char transforms — engine-identical).
+    "q84_string_funcs2" -> ((s, d) => {
+      Tables.part(s, d)
+        .filter(col("p_partkey") <= 200)
+        .select(col("p_partkey"),
+          lpad(col("p_name"), 20, ".").as("padded_l"),
+          rpad(col("p_brand"), 12, "#").as("padded_r"),
+          translate(col("p_type"), "aeiou", "AEIOU").as("vowels_up"),
+          reverse(col("p_name")).as("rev_name"),
+          repeat(substring(col("p_brand"), 1, 5), 2).as("brand2x"),
+          concat(upper(substring(col("p_name"), 1, 1)),
+            substring(col("p_name"), 2, 1000000)).as("title_name"),
+          ascii(col("p_name")).cast("long").as("first_code"),
+          chr(lit(65) + (col("p_partkey") % 26)).as("letter"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // Window-function battery: ranking + distribution + value-access
     // functions over one per-customer ordered window. percent_rank and
     // cume_dist are single divisions of integer ranks — deterministic.
@@ -625,6 +660,31 @@ object Relational {
          CASE WHEN o_totalprice > 200000
            THEN concat('order/', o_orderkey, '/logz') ELSE '' END AS logz_url
          FROM orders ORDER BY o_orderkey""",
+
+    "q83_null_semantics" ->
+      """SELECT coalesce(st, '_null_') AS st_key, count(*) AS n_rows,
+           count(st) AS n_nonnull_st, count(prio) AS n_nonnull_prio,
+           CAST(sum(CASE WHEN st IS NOT DISTINCT FROM prio THEN 1 ELSE 0 END) AS BIGINT)
+             AS nullsafe_eq,
+           CAST(sum(CASE WHEN st IS NULL AND prio IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS both_null
+         FROM (SELECT o_orderkey, nullif(o_orderstatus, 'P') AS st,
+                 nullif(o_orderpriority, '3-MEDIUM') AS prio
+               FROM orders)
+         GROUP BY st_key ORDER BY st_key""",
+
+    "q84_string_funcs2" ->
+      """SELECT p_partkey,
+           lpad(p_name, 20, '.') AS padded_l,
+           rpad(p_brand, 12, '#') AS padded_r,
+           translate(p_type, 'aeiou', 'AEIOU') AS vowels_up,
+           reverse(p_name) AS rev_name,
+           repeat(substring(p_brand, 1, 5), 2) AS brand2x,
+           upper(substring(p_name, 1, 1)) || substring(p_name, 2) AS title_name,
+           CAST(ascii(p_name) AS BIGINT) AS first_code,
+           chr(CAST(65 + p_partkey % 26 AS INT)) AS letter
+         FROM part WHERE p_partkey <= 200
+         ORDER BY p_partkey""",
 
     "q72_window_funcs" ->
       """SELECT o_custkey, o_orderkey,
