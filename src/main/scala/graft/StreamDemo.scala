@@ -43,6 +43,10 @@ object StreamDemo {
       Streams.eventsStream(spark, dir.toString)), "complete")
     drive("dedup", Streams.dedupStream(
       Streams.eventsStream(spark, dir.toString)), "append")
+    drive("distinct_users", Streams.distinctUsersHourly(
+      Streams.eventsStream(spark, dir.toString)), "complete")
+    drive("click_purchase", Streams.clickPurchaseJoin(
+      Streams.eventsStream(spark, dir.toString)), "append")
 
     val tbl = Files.createTempDirectory("graft-ingest-demo").resolve("tbl").toString
     val iq = Streams.ingestInto(Streams.eventsStream(spark, dir.toString), tbl)
