@@ -369,6 +369,44 @@ object Relational {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Full-outer join: per-nation customer vs supplier counts — only 10
+    // suppliers across 25 nations, so the outer sides carry real nulls,
+    // coalesced to 0 (and the join key via coalesce of both sides).
+    "q85_full_outer_join" -> ((s, d) => {
+      val c = Tables.customer(s, d).groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+      val su = Tables.supplier(s, d).groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(su, col("c_nationkey") === col("s_nationkey"), "full_outer")
+        .select(
+          coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy(col("nationkey"))
+    }),
+
+    // Multiset set operations (ALL variants — q15 covers the DISTINCT
+    // forms): 1995 vs 1996 order-priority bags through UNION ALL /
+    // INTERSECT ALL / EXCEPT ALL, aggregated to counts for stable output.
+    "q86_set_ops_all" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+      def prios(y0: String, y1: String) =
+        ord.filter(col("o_orderdate").between(ts(y0), ts(y1)))
+          .select(col("o_orderpriority"))
+      val a = prios("1995-01-01", "1995-12-31")
+      val b = prios("1996-01-01", "1996-12-31")
+      def counted(df: org.apache.spark.sql.DataFrame, name: String) =
+        df.groupBy(col("o_orderpriority")).agg(count(lit(1)).as(name))
+      counted(a.union(b), "n_union_all")
+        .join(counted(a.intersectAll(b), "n_intersect_all"), Seq("o_orderpriority"), "left")
+        .join(counted(a.exceptAll(b), "n_except_all"), Seq("o_orderpriority"), "left")
+        .select(col("o_orderpriority"),
+          col("n_union_all"),
+          coalesce(col("n_intersect_all"), lit(0L)).as("n_intersect_all"),
+          coalesce(col("n_except_all"), lit(0L)).as("n_except_all"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Null-semantics battery: nullif-manufactured nulls through coalesce,
     // null-safe equality (<=>), count(col) vs count(*), and null-keyed
     // grouping (coalesced for cross-engine ordering).
@@ -660,6 +698,34 @@ object Relational {
          CASE WHEN o_totalprice > 200000
            THEN concat('order/', o_orderkey, '/logz') ELSE '' END AS logz_url
          FROM orders ORDER BY o_orderkey""",
+
+    "q85_full_outer_join" ->
+      """SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+           CAST(coalesce(n_cust, 0) AS BIGINT) AS n_cust,
+           CAST(coalesce(n_supp, 0) AS BIGINT) AS n_supp
+         FROM (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY 1) c
+         FULL OUTER JOIN (SELECT s_nationkey, count(*) AS n_supp
+                          FROM supplier GROUP BY 1) s
+           ON c_nationkey = s_nationkey
+         ORDER BY nationkey""",
+
+    "q86_set_ops_all" ->
+      """WITH a AS (SELECT o_orderpriority FROM orders
+                    WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1995-12-31'),
+          b AS (SELECT o_orderpriority FROM orders
+                WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'),
+          u AS (SELECT o_orderpriority, count(*) AS n_union_all
+                FROM (SELECT * FROM a UNION ALL SELECT * FROM b) GROUP BY 1),
+          i AS (SELECT o_orderpriority, count(*) AS n_intersect_all
+                FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 1),
+          x AS (SELECT o_orderpriority, count(*) AS n_except_all
+                FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 1)
+         SELECT u.o_orderpriority AS o_orderpriority, n_union_all,
+           CAST(coalesce(n_intersect_all, 0) AS BIGINT) AS n_intersect_all,
+           CAST(coalesce(n_except_all, 0) AS BIGINT) AS n_except_all
+         FROM u LEFT JOIN i ON u.o_orderpriority = i.o_orderpriority
+                LEFT JOIN x ON u.o_orderpriority = x.o_orderpriority
+         ORDER BY o_orderpriority""",
 
     "q83_null_semantics" ->
       """SELECT coalesce(st, '_null_') AS st_key, count(*) AS n_rows,
