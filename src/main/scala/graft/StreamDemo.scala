@@ -44,7 +44,7 @@ object StreamDemo {
     drive("dedup", Streams.dedupStream(
       Streams.eventsStream(spark, dir.toString)), "append")
     drive("distinct_users", Streams.distinctUsersHourly(
-      Streams.eventsStream(spark, dir.toString)), "complete")
+      Streams.eventsStream(spark, dir.toString)), "update")
     drive("click_purchase", Streams.clickPurchaseJoin(
       Streams.eventsStream(spark, dir.toString)), "append")
 

@@ -83,6 +83,16 @@ object TextFunctions {
   // --- DuckDB twins -------------------------------------------------------
   val sqlToks = "list_filter(string_split_regex(trim(text), '\\s+'), t -> len(t) > 0)"
   val sqlTokSet = s"list_distinct($sqlToks)"
+
+  /** DuckDB twin of [[simhash16]] over a token-set SQL expression — the ONE
+    * place the 16-bit hash convention lives for SQL (used by the q33 and
+    * q63 oracles; a convention change must not fork between them). */
+  def sqlSimhash16(tokSetExpr: String): String =
+    (0 until 16).map { j =>
+      s"""CASE WHEN list_sum(list_transform($tokSetExpr, t ->
+          CASE WHEN substring(md5(t), ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f')
+          THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END"""
+    }.mkString(" || ")
   def sqlMinhash(tokSetExpr: String, seed: Int): String =
     s"list_min(list_transform($tokSetExpr, t -> md5('$seed:' || t)))"
   def sqlJaccard(a: String, b: String): String =

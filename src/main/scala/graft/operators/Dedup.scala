@@ -233,7 +233,13 @@ object Dedup {
         labels.unpersist(false)
         labels = next
       }
-      labels.groupBy(col("label").as("cluster_rep"))
+      // cut lineage (localCheckpoint) so every loop cache can be released —
+      // otherwise edges + the final labels stay cached forever and evict
+      // the long-lived shingle relation
+      val fixed = labels.localCheckpoint(true)
+      labels.unpersist(false)
+      edges.unpersist(false)
+      fixed.groupBy(col("label").as("cluster_rep"))
         .agg(count(lit(1)).as("n_members"))
         .filter(col("n_members") > 1)
         .orderBy(col("cluster_rep"))
@@ -285,17 +291,11 @@ object Dedup {
       sqlVerifyPairs(cand, 0.5)
     },
 
-    "q33_simhash" -> {
-      val bits = (0 until 16).map { j =>
-        s"""CASE WHEN list_sum(list_transform(ts, t ->
-            CASE WHEN substring(md5(t), ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f')
-            THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END"""
-      }.mkString(" || ")
+    "q33_simhash" ->
       s"""SELECT simhash, count(*) AS n_docs, min(doc_id) AS keeper
-          FROM (SELECT doc_id, $bits AS simhash
+          FROM (SELECT doc_id, ${T.sqlSimhash16("ts")} AS simhash
                 FROM (SELECT doc_id, ${T.sqlTokSet} AS ts FROM documents))
-          GROUP BY simhash HAVING count(*) > 1 ORDER BY simhash"""
-    },
+          GROUP BY simhash HAVING count(*) > 1 ORDER BY simhash""",
 
     "q34_ngram_jaccard" ->
       s"""SELECT a, b, jaccard FROM (${sqlCappedCountJaccard(sqlShingleDf)})

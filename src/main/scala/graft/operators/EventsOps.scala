@@ -126,17 +126,19 @@ object EventsOps {
         .orderBy(col("step"))
     }),
 
-    // Unpivot (melt): the q42 wide daily matrix back to long form — the
-    // inverse reshape, with zero-count cells dropped to keep it sparse.
+    // Unpivot (melt): a wide daily matrix back to long form — the inverse
+    // reshape, with zero-count cells dropped to keep it sparse. The pivot
+    // value list is DATA-DRIVEN (pivot() without values scans distinct
+    // types), so a new event_type flows through both reshape directions —
+    // the oracle twin never pivots and would see it immediately.
     "q70_event_unpivot" -> ((s, d) => {
       val wide = Tables.events(s, d)
         .groupBy(date_trunc("day", col("ts")).as("day"))
-        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .pivot("event_type")
         .agg(count(lit(1)))
-        .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
-      wide.unpivot(Array(col("day")),
-          Array(col("click"), col("error"), col("purchase"), col("signup"), col("view")),
-          "event_type", "n")
+      val typeCols = wide.columns.filter(_ != "day")
+      wide.na.fill(0L, typeCols)
+        .unpivot(Array(col("day")), typeCols.map(col), "event_type", "n")
         .filter(col("n") > 0)
         .orderBy(col("day"), col("event_type"))
     }),
@@ -199,9 +201,9 @@ object EventsOps {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       Tables.events(s, d)
         .filter(col("user_id") < 30)
-        .withColumn("changed",
-          when(lag(col("event_type"), 1).over(w).isNull
-            || lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L).otherwise(0L))
+        .withColumn("changed", // null-safe: !(a <=> b) == IS DISTINCT FROM
+          when(!(lag(col("event_type"), 1).over(w) <=> col("event_type")), 1L)
+            .otherwise(0L))
         .withColumn("run_id",
           sum(col("changed")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
         .groupBy(col("user_id"), col("run_id"))

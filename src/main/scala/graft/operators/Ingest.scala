@@ -102,14 +102,8 @@ object Ingest {
         FROM documents WHERE doc_id < 100 ORDER BY doc_id""")
     }))
 
-  private val sqlSimhashBits = {
-    val toks = graft.functions.TextFunctions.sqlTokSet
-    (0 until 16).map { j =>
-      s"""CASE WHEN list_sum(list_transform($toks, t ->
-          CASE WHEN substring(md5(t), ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f')
-          THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END"""
-    }.mkString(" || ")
-  }
+  private val sqlSimhashBits =
+    graft.functions.TextFunctions.sqlSimhash16(graft.functions.TextFunctions.sqlTokSet)
 
   def oracle: Map[String, String] = Map(
     "q60_json_source" ->

@@ -41,14 +41,16 @@ object Similarity {
   private val Dims = 64
 
   /** Root of the persisted centroid table for a given source dir. Keyed by
-    * the embeddings file's (path, size, mtime) so a regenerated corpus can
-    * never pair with a stale index — it just triggers a fresh build. */
+    * the embeddings file's (path, size, mtime) AND the build parameters, so
+    * neither a regenerated corpus nor a changed k/iteration count can pair
+    * with a stale index — either just triggers a fresh build. */
   def ivfRoot(d: String): String = {
     val f = java.nio.file.Paths.get(d, "embeddings.parquet")
-    val stamp =
+    val data =
       if (java.nio.file.Files.exists(f))
         s"$d:${java.nio.file.Files.size(f)}:${java.nio.file.Files.getLastModifiedTime(f).toMillis}"
       else d
+    val stamp = s"$data:k=$IvfK:iters=$IvfIters:dims=$Dims:alg=kmedians-v1"
     s"/tmp/graft_ivf_${graft.plans.TextExpressions.md5Hex(stamp).take(12)}"
   }
 

@@ -109,14 +109,19 @@ case class SrpSignature(child: Expression, planes: Int, dims: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    val n = math.min(v.numElements(), dims)
+    // Strict: a shorter embedding would silently diverge from the DuckDB
+    // twin (whose emb[i] beyond the end NULL-poisons the fold) — fail
+    // loudly like a schema error, don't truncate.
+    if (v.numElements() < dims)
+      throw new IllegalArgumentException(
+        s"srp_signature expects >= $dims elements, got ${v.numElements()}")
     val bits = new Array[Char](planes)
     var h = 0
     while (h < planes) {
       val p = positive(h)
       var acc = 0.0
       var i = 0
-      while (i < n) {
+      while (i < dims) {
         val x = v.getFloat(i).toDouble
         acc = if (p(i)) acc + x else acc - x
         i += 1

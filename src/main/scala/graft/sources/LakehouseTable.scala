@@ -105,13 +105,22 @@ object LakehouseTable {
       partitionBy: Seq[String]): Seq[String] = {
     // INT64-micros timestamps (not legacy INT96): INT96 column chunks carry
     // no usable min/max in the parquet footer, and footer stats are where
-    // file-skipping ranges come from at write time (no re-scan).
-    df.sparkSession.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    // file-skipping ranges come from at write time (no re-scan). Scoped to
+    // THIS write — the previous session value is restored so the layer does
+    // not leak a config change into unrelated writes.
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prevTs = df.sparkSession.conf.getOption(tsKey)
+    df.sparkSession.conf.set(tsKey, "TIMESTAMP_MICROS")
     val uuid = java.util.UUID.randomUUID().toString
     val staging = Paths.get(root, "_staging", uuid)
-    val w = df.write.mode("errorifexists")
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .parquet(staging.toString)
+    try {
+      val w = df.write.mode("errorifexists")
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+        .parquet(staging.toString)
+    } finally prevTs match {
+      case Some(v) => df.sparkSession.conf.set(tsKey, v)
+      case None    => df.sparkSession.conf.unset(tsKey)
+    }
     val moved = Files.walk(staging).iterator().asScala
       .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
       .map { p =>
@@ -270,10 +279,15 @@ object LakehouseTable {
       cols: Seq[String]): Seq[String] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
     val conf = new org.apache.hadoop.conf.Configuration()
-    def toD(v: Any): Double = v match {
-      case l: java.lang.Long => l.toDouble
-      case i: java.lang.Integer => i.toDouble
+    // Decimal chunks carry UNSCALED integers in their footer stats — divide
+    // by 10^scale or the recorded range is off by orders of magnitude and
+    // readPruned DROPS files that contain matching rows (wrong results,
+    // not just bad pruning).
+    def toD(v: Any, scaleDiv: Double): Double = v match {
+      case l: java.lang.Long => l.toDouble / scaleDiv
+      case i: java.lang.Integer => i.toDouble / scaleDiv
       case d: java.lang.Double => d
       case f: java.lang.Float => f.toDouble
       case _ => Double.NaN
@@ -287,10 +301,15 @@ object LakehouseTable {
           val chunks = blocks.flatMap(_.getColumns.asScala.find(_.getPath.toDotString == c))
           val stats = chunks.map(_.getStatistics)
             .filter(s => s != null && s.hasNonNullValue)
+          val scales = chunks.map(_.getPrimitiveType.getLogicalTypeAnnotation match {
+            case dec: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+              math.pow(10.0, dec.getScale)
+            case _ => 1.0
+          })
           if (stats.isEmpty || stats.size != chunks.size) None
           else {
-            val mins = stats.map(s => toD(s.genericGetMin))
-            val maxs = stats.map(s => toD(s.genericGetMax))
+            val mins = stats.zip(scales).map { case (s, sc) => toD(s.genericGetMin, sc) }
+            val maxs = stats.zip(scales).map { case (s, sc) => toD(s.genericGetMax, sc) }
             if (mins.exists(_.isNaN) || maxs.exists(_.isNaN)) None
             else Some(s"$rel\t$c\t${mins.min}\t${maxs.max}")
           }

@@ -60,6 +60,10 @@ object Tables {
     new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
 
   def registerAll(s: SparkSession, d: String): Unit =
-    if (registeredDir.put(s, d) != d) // re-register on any dir switch
+    if (registeredDir.get(s) != d) { // re-register on any dir switch
       all.foreach(n => table(s, d, n).createOrReplaceTempView(n))
+      // record success only AFTER every view exists — a failure mid-loop
+      // must not mark the dir registered or retries would silently skip
+      registeredDir.put(s, d)
+    }
 }

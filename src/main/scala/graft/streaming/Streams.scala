@@ -70,7 +70,9 @@ object Streams {
     * state per window is one HLL sketch (KB), not the user-id set. Exact
     * streaming distinct would hold every key until the watermark; the
     * sketch bounds state regardless of cardinality — the 100 TB answer,
-    * same as q44's batch sketch. */
+    * same as q44's batch sketch. Run in UPDATE (or append) output mode:
+    * complete mode would retain every window forever and the watermark
+    * would never evict — the demo and test drive it in update mode. */
   def distinctUsersHourly(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "10 minutes")

@@ -67,9 +67,12 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("streaming distinct-user sketch tracks batch exact counts within HLL error") {
+    // update mode (not complete): the watermark can actually evict window
+    // state — the bounded-state contract the operator documents. One input
+    // file → one micro-batch → each window emitted exactly once.
     val got = runToCompletion(
       Streams.distinctUsersHourly(Streams.eventsStream(spark, streamDir)), "t_du",
-      mode = "complete").collect()
+      mode = "update").collect()
     val exact = graft.sources.Tables.events(spark, sf)
       .groupBy(date_trunc("hour", col("ts")).as("hour"))
       .agg(countDistinct(col("user_id")).as("exact_users"))
