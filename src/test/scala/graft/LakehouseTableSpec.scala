@@ -210,6 +210,24 @@ class LakehouseTableSpec extends AnyFunSuite {
     assert(LT.readIncremental(spark, root, 2L).count() == 0)
   }
 
+  test("footer stats scale DECIMAL min/max so pruning never drops matching rows") {
+    val root = freshRoot()
+    val src = Tables.orders(spark, sf)
+      .withColumn("price_dec", col("o_totalprice").cast("decimal(15,2)"))
+    LT.create(src.repartition(4), root)
+    LT.cluster(spark, root, Seq("price_dec"), numFiles = 8)
+    val (lo, hi) = (50000.0, 150000.0)
+    val pruned = LT.readPruned(spark, root, "price_dec", lo, hi)
+      .filter(col("price_dec") >= lo && col("price_dec") <= hi)
+    val full = LT.read(spark, root)
+      .filter(col("price_dec") >= lo && col("price_dec") <= hi)
+    // unscaled footer ints (e.g. 12345678 for 123456.78) would prune away
+    // files that DO contain rows in [lo, hi] — counts must match exactly
+    assert(pruned.count() == full.count() && full.count() > 0)
+    // and the stats must actually prune something on a clustered layout
+    assert(pruned.inputFiles.length < LT.read(spark, root).inputFiles.length)
+  }
+
   test("txn ids are recorded and surface via lastTxn for replay detection") {
     val root = freshRoot()
     val src = Tables.orders(spark, sf)
