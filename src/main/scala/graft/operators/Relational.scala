@@ -369,6 +369,24 @@ object Relational {
         .orderBy(col("o_orderkey"))
     }),
 
+    // RANGE window frame (vs q13's ROWS): trailing-7-day spend per
+    // customer — the frame is VALUE-bounded (epoch seconds), so all
+    // equal-time peers join the frame together in both engines. Decimal
+    // sum inside the frame: exact, order-free.
+    "q87_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("epoch_s"))
+        .rangeBetween(-604800L, 0L)
+      Tables.orders(s, d)
+        .filter(col("o_custkey") < 200)
+        .withColumn("epoch_s", unix_timestamp(col("o_orderdate")))
+        .withColumn("spend_7d",
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"))
+        .withColumn("n_7d", count(lit(1)).over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("spend_7d"), col("n_7d"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // Full-outer join: per-nation customer vs supplier counts — only 10
     // suppliers across 25 nations, so the outer sides carry real nulls,
     // coalesced to 0 (and the join key via coalesce of both sides).
@@ -698,6 +716,16 @@ object Relational {
          CASE WHEN o_totalprice > 200000
            THEN concat('order/', o_orderkey, '/logz') ELSE '' END AS logz_url
          FROM orders ORDER BY o_orderkey""",
+
+    "q87_range_frame" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_7d,
+           count(*) OVER w AS n_7d
+         FROM (SELECT *, CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+               FROM orders WHERE o_custkey < 200)
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_s
+                      RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+         ORDER BY o_custkey, o_orderkey""",
 
     "q85_full_outer_join" ->
       """SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
