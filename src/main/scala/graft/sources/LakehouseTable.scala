@@ -75,7 +75,7 @@ object LakehouseTable {
     * with '"' or ',' (possible via a partitionBy column whose VALUES carry
     * them into hive dir names) would corrupt the quote-splitting parser in
     * readManifest, so they are rejected at the only write point. */
-  private def commit(root: String, version: Long, relFiles: Seq[String],
+  private[graft] def commit(root: String, version: Long, relFiles: Seq[String],
       txn: Option[Long] = None): Long = {
     relFiles.find(f => f.contains('"') || f.contains(',')).foreach(f =>
       throw new IllegalArgumentException(
@@ -87,10 +87,20 @@ object LakehouseTable {
     val txnField = effectiveTxn.map(t => s""""txn": $t, """).getOrElse("")
     val json = relFiles.sorted.map(f => "\"" + f + "\"")
       .mkString(s"""{$txnField"files": [""", ", ", "]}")
-    val tmp = manifestDir(root).resolve(s".$version.json.tmp")
+    val tmp = manifestDir(root).resolve(s".$version.json.tmp-${java.util.UUID.randomUUID()}")
     Files.writeString(tmp, json)
-    Files.move(tmp, manifestDir(root).resolve(s"$version.json"),
-      StandardCopyOption.ATOMIC_MOVE)
+    // createLink is an atomic COMPARE-AND-SWAP: it fails if the version
+    // already exists. A plain rename() would silently REPLACE a manifest
+    // another writer just committed (lost update); this turns the race
+    // into a detectable conflict, the optimistic-concurrency contract
+    // Delta/Iceberg commits have.
+    try Files.createLink(manifestDir(root).resolve(s"$version.json"), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"version $version at $root was committed by another writer; " +
+            "re-read the table and retry")
+    } finally Files.deleteIfExists(tmp)
     version
   }
 

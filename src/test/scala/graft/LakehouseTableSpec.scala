@@ -247,6 +247,24 @@ class LakehouseTableSpec extends AnyFunSuite {
     assert(LT.lastTxn(root) == Some(1L))
   }
 
+  test("a concurrent commit of the same version is a detected conflict, not a lost update") {
+    val root = freshRoot()
+    val src = Tables.orders(spark, sf).limit(100)
+    LT.create(src, root)
+    // simulate the race window: another writer lands version 1 AFTER this
+    // writer chose version=1 but before its manifest link lands
+    val v1 = java.nio.file.Paths.get(root, "_manifest", "1.json")
+    java.nio.file.Files.writeString(v1, """{"files": []}""")
+    val before = java.nio.file.Files.readString(v1)
+    intercept[java.util.ConcurrentModificationException] {
+      LT.commit(root, 1L, Seq("some/file.parquet"))
+    }
+    // the competing manifest is untouched (no silent replace)
+    assert(java.nio.file.Files.readString(v1) == before)
+    // and a normal retry (re-reading the table) succeeds at version 2
+    assert(LT.append(src, root) == 2L)
+  }
+
   test("vacuum removes files only the dropped versions reference") {
     val root = freshRoot()
     val src = Tables.orders(spark, sf)
