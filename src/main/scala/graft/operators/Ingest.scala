@@ -30,6 +30,10 @@ object Ingest {
     * reference's chat-profile routing, `app/app.py:18-31`). */
   val ModelsFixture = "/root/repo/fixtures/models.csv"
 
+  /** Repo-local eval-set fixture (JSONL `{prompt_id, prompt}`) used by the
+    * q88 benchmark-decontamination pipeline stage. */
+  val BenchmarkFixture = "/root/repo/fixtures/benchmark.json"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // JSON source read (op #3) + nested-struct flatten (op #9) + the
     // conditional logz derivation (lakehouse_app_helpers.py:32-37).

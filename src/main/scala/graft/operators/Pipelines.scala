@@ -156,6 +156,54 @@ object Pipelines {
         .orderBy(col("check_name"))
     }),
 
+    // Benchmark decontamination: flag training docs sharing any word n-gram
+    // with the eval set (the standard n-gram-overlap decontamination check;
+    // n=3 here because the synthetic docs are ~60 tokens over a 30-word
+    // vocabulary — production corpora use n≈13 for the same precision).
+    // The eval set is the ONE relation a hard broadcast() is right for: it
+    // is small and fixed BY CONSTRUCTION (a benchmark, not corpus-derived),
+    // so the candidate join is a map-side hash probe — the corpus is
+    // scanned once, shuffled only to aggregate per-doc hit counts.
+    "q88_decontaminate" -> ((s, d) => {
+      val dGrams = (df: DataFrame, id: String, text: String) => df.select(
+        col(id), explode(graft.plans.TextExpressions.wordShingles(col(text), 3)).as("shingle"))
+      val benchGrams = dGrams(s.read.json(Ingest.BenchmarkFixture), "prompt_id", "prompt")
+        .select(col("shingle")).distinct()
+      dGrams(Tables.documents(s, d), "doc_id", "text")
+        .join(broadcast(benchGrams), "shingle")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic sequence packing: concat-and-chunk docs into fixed
+    // token-budget training sequences. Docs are hash-bucketed into 8 shards
+    // (same md5 primitive as q57 — reproducible on any cluster) and packed
+    // WITHIN each shard by a running token prefix-sum in a deterministic
+    // pseudo-random order (the md5 hex doubles as the shuffle order, so
+    // packing never needs a global sort): a doc starts the sequence its
+    // cumulative offset falls in. Shard-local packing is the 100 TB shape —
+    // each shard's window is independent, so the prefix-sum parallelizes
+    // across shards instead of serializing on one global ordering.
+    "q90_pack_sequences" -> ((s, d) => {
+      val budget = 256
+      val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(graft.plans.TextExpressions.tokens(col("text"))).cast("long").as("n_tok"))
+        .withColumn("h", md5(col("doc_id").cast("string")))
+        .withColumn("shard", conv(substring(col("h"), 1, 2), 16, 10).cast("long") % 8)
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("seq_id",
+          floor((col("cum") - col("n_tok")) / lit(budget.toDouble)).cast("long"))
+        .groupBy(col("shard"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("seq_tokens"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy(col("shard"), col("seq_id"))
+    }),
+
     // The LLM-training-data pipeline, end to end: quality-score filter →
     // near-duplicate removal (keep the lowest doc_id of each dup pair) →
     // per-language corpus stats.
@@ -281,6 +329,38 @@ object Pipelines {
            FROM documents)
          WHERE bucket < (CASE WHEN lang = 'en' THEN 10 ELSE 25 END)
          ORDER BY doc_id""",
+
+    "q88_decontaminate" ->
+      s"""WITH bench AS (SELECT prompt AS text FROM read_json('${Ingest.BenchmarkFixture}',
+              format = 'newline_delimited',
+              columns = {prompt_id: 'BIGINT', prompt: 'VARCHAR'})),
+          bg AS (SELECT DISTINCT unnest(sh) AS shingle FROM (
+              SELECT list_distinct([list_aggr(toks[i:i+2], 'string_agg', ' ')
+                  FOR i IN range(1, len(toks) - 1)]) AS sh
+              FROM (SELECT $toksSql AS toks FROM bench)
+              WHERE len(toks) >= 3)),
+          dg AS (SELECT doc_id, unnest(sh) AS shingle FROM (
+              SELECT doc_id, list_distinct([list_aggr(toks[i:i+2], 'string_agg', ' ')
+                  FOR i IN range(1, len(toks) - 1)]) AS sh
+              FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+              WHERE len(toks) >= 3))
+          SELECT doc_id, count(*) AS n_hits FROM dg JOIN bg USING (shingle)
+          GROUP BY doc_id ORDER BY doc_id""",
+
+    "q90_pack_sequences" ->
+      """SELECT shard, seq_id, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS seq_tokens, min(doc_id) AS first_doc
+         FROM (
+           SELECT doc_id, n_tok, shard,
+             CAST(floor(CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY h, doc_id
+                 ROWS UNBOUNDED PRECEDING) - n_tok AS DOUBLE) / 256) AS BIGINT) AS seq_id
+           FROM (
+             SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> len(t) > 0)) AS BIGINT) AS n_tok,
+               md5(CAST(doc_id AS VARCHAR)) AS h,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT % 8 AS shard
+             FROM documents))
+         GROUP BY shard, seq_id ORDER BY shard, seq_id""",
 
     "q50_training_pipeline" ->
       s"""WITH docs AS (SELECT doc_id, lang, n_chars, toks, sh, $qualitySql AS quality

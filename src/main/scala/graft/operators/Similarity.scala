@@ -137,6 +137,52 @@ object Similarity {
         .limit(5)
     }),
 
+    // Contrastive hard-negative mining: for each query vector, the top-3
+    // most-similar vectors with a DIFFERENT label — the standard negative-
+    // sampling pass of a contrastive training pipeline. Same scored-scan +
+    // per-query rank-window plan as q36 (one corpus scan, queries
+    // broadcast); the label predicate lands INSIDE the scan, before any
+    // scoring — at 100 TB that filter prunes with partition/file stats.
+    "q92_hard_negatives" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("label").as("qlabel"))
+      val w = Window.partitionBy(col("qid")).orderBy(desc("score"), col("vec_id"))
+      e.crossJoin(broadcast(qs))
+        .filter(col("label") =!= col("qlabel"))
+        .select(col("qid"), col("vec_id"), col("label"),
+          V.cosine(col("embedding"), col("qv")).as("score"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("rank"), col("vec_id"), col("label"), col("score"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Per-vector symmetric int8 quantization (the embedding-compression
+    // pass of a vector-index build): scale = max|x|/127, q_i = round(x_i /
+    // scale), plus a reconstruction-error report. One narrow projection —
+    // no shuffle at all; at 100 TB this runs as a map-only rewrite of the
+    // embedding column. All arithmetic is float→double widening + one
+    // division and a round, identical in both engines (round-half-away-
+    // from-zero on exact doubles).
+    "q91_int8_quant" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          (array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+            / lit(127.0)).as("scale"))
+        .filter(col("scale") > 0)
+        .withColumn("q",
+          transform(col("embedding"), x => round(x.cast("double") / col("scale")).cast("int")))
+        .select(col("vec_id"), col("scale"),
+          aggregate(col("q"), lit(0L), (acc, x) => acc + x.cast("long")).as("sum_q"),
+          size(filter(col("q"), x => x =!= 0)).cast("long").as("nnz"),
+          array_max(zip_with(col("embedding"), col("q"),
+            (v, qq) => abs(v.cast("double") - qq.cast("double") * col("scale"))))
+            .as("max_err"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Hybrid retrieval with reciprocal-rank fusion: one dense ranking
     // (cosine vs query vec 0) and one sparse ranking (how many of the
     // keyword terms the doc contains), fused as Σ 1/(60 + rank). RRF works
@@ -237,6 +283,29 @@ object Similarity {
           WHERE a.cid = q.qcid AND a.vec_id <> 42
           ORDER BY score DESC, a.vec_id LIMIT 5"""
     },
+
+    "q92_hard_negatives" ->
+      s"""SELECT qid, rank, vec_id, label, score FROM (
+            SELECT qid, vec_id, label, score,
+              row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+            FROM (SELECT q.vec_id AS qid, e.vec_id AS vec_id, e.label AS label,
+                    ${V.sqlCosine("e.embedding", "q.embedding")} AS score
+                  FROM embeddings e, embeddings q
+                  WHERE q.vec_id < 5 AND e.label <> q.label))
+          WHERE rank <= 3 ORDER BY qid, rank""",
+
+    "q91_int8_quant" ->
+      """SELECT vec_id, scale,
+           CAST(list_sum(q) AS BIGINT) AS sum_q,
+           CAST(len(list_filter(q, x -> x <> 0)) AS BIGINT) AS nnz,
+           list_max([abs(CAST(embedding[i + 1] AS DOUBLE) - CAST(q[i + 1] AS DOUBLE) * scale)
+             FOR i IN range(0, 64)]) AS max_err
+         FROM (SELECT vec_id, embedding, scale,
+                 [CAST(round(CAST(x AS DOUBLE) / scale) AS INTEGER) FOR x IN embedding] AS q
+               FROM (SELECT vec_id, embedding,
+                       CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127 AS scale
+                     FROM embeddings))
+         WHERE scale > 0 ORDER BY vec_id""",
 
     "q64_hybrid_rrf" -> {
       val tokSet = graft.functions.TextFunctions.sqlTokSet

@@ -100,6 +100,48 @@ object TextAnalysis {
         .orderBy(col("doc_id"), col("rank"))
     }),
 
+    // Repetition-based quality signals (the Gopher/C4 family): type-token
+    // ratio, top-token fraction, top-bigram fraction, and a repetitive flag.
+    // Everything is exact integer counts → one double division, so the flag
+    // thresholds are bit-reproducible. Shape at scale: two word-count
+    // shuffles keyed by (doc, term) / (doc, bigram) with map-side partial
+    // aggregation, then per-doc argmax via a rank window — never a sort of
+    // the corpus. Bigrams keep MULTIPLICITY (TextFunctions.shingles, not
+    // the deduped wordShingles): repetition is precisely what dedup erases.
+    "q89_repetition_quality" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), graft.plans.TextExpressions.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+      val tok = docs.select(col("doc_id"), col("n_tokens"), explode(col("toks")).as("token"))
+      val distincts = tok.groupBy(col("doc_id"))
+        .agg(countDistinct(col("token")).as("n_distinct"))
+      val wt = Window.partitionBy(col("doc_id")).orderBy(desc("c"), col("token"))
+      val topTok = tok.groupBy(col("doc_id"), col("n_tokens"), col("token"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(wt)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("n_tokens"), col("token").as("top_token"),
+          (col("c").cast("double") / col("n_tokens").cast("double")).as("top_token_frac"))
+      val wb = Window.partitionBy(col("doc_id")).orderBy(desc("c"), col("bigram"))
+      val topBigram = docs
+        .select(col("doc_id"), col("n_tokens"),
+          explode(T.shingles(col("toks"), 2)).as("bigram"))
+        .groupBy(col("doc_id"), col("n_tokens"), col("bigram"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(wb)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("bigram").as("top_bigram"),
+          (col("c").cast("double") / (col("n_tokens") - 1).cast("double")).as("top_bigram_frac"))
+      topTok.join(distincts, "doc_id").join(topBigram, "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          (col("n_distinct").cast("double") / col("n_tokens").cast("double")).as("ttr"),
+          col("top_token"), col("top_token_frac"),
+          col("top_bigram"), col("top_bigram_frac"),
+          when(col("top_token_frac") > 0.12 || col("top_bigram_frac") > 0.05, 1L)
+            .otherwise(0L).as("repetitive"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Language-ID heuristic: marker-token votes, argmax with fixed
     // tie-break order; confusion counts against the labeled lang.
     "q30_lang_id" -> ((s, d) => {
@@ -167,6 +209,41 @@ object TextAnalysis {
                   FROM tf JOIN dfreq USING (term), nd
                   WHERE tf.doc_id < 50))
           WHERE rank <= 3 ORDER BY doc_id, rank""",
+
+    "q89_repetition_quality" ->
+      s"""WITH d2 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens
+              FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+              WHERE len(toks) >= 2),
+          tok AS (SELECT doc_id, n_tokens, unnest(toks) AS token FROM d2),
+          nd AS (SELECT doc_id, count(DISTINCT token) AS n_distinct
+                 FROM tok GROUP BY doc_id),
+          tt AS (SELECT doc_id, n_tokens, token AS top_token,
+                   CAST(c AS DOUBLE) / n_tokens AS top_token_frac
+                 FROM (SELECT doc_id, n_tokens, token, c,
+                         row_number() OVER (PARTITION BY doc_id
+                           ORDER BY c DESC, token) AS rn
+                       FROM (SELECT doc_id, n_tokens, token, count(*) AS c
+                             FROM tok GROUP BY doc_id, n_tokens, token))
+                 WHERE rn = 1),
+          bg AS (SELECT doc_id, n_tokens,
+                   unnest([toks[i] || ' ' || toks[i + 1]
+                     FOR i IN range(1, len(toks))]) AS bigram FROM d2),
+          tb AS (SELECT doc_id, bigram AS top_bigram,
+                   CAST(c AS DOUBLE) / (n_tokens - 1) AS top_bigram_frac
+                 FROM (SELECT doc_id, n_tokens, bigram, c,
+                         row_number() OVER (PARTITION BY doc_id
+                           ORDER BY c DESC, bigram) AS rn
+                       FROM (SELECT doc_id, n_tokens, bigram, count(*) AS c
+                             FROM bg GROUP BY doc_id, n_tokens, bigram))
+                 WHERE rn = 1)
+          SELECT tt.doc_id, n_tokens, n_distinct,
+            CAST(n_distinct AS DOUBLE) / n_tokens AS ttr,
+            top_token, top_token_frac, top_bigram, top_bigram_frac,
+            CAST(CASE WHEN top_token_frac > 0.12 OR top_bigram_frac > 0.05
+                 THEN 1 ELSE 0 END AS BIGINT) AS repetitive
+          FROM tt JOIN nd ON tt.doc_id = nd.doc_id
+                  JOIN tb ON tt.doc_id = tb.doc_id
+          ORDER BY tt.doc_id""",
 
     "q30_lang_id" ->
       s"""SELECT lang, pred, count(*) AS n FROM (

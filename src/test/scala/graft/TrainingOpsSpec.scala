@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the training-data-pipeline additions (q88-q92), beyond the
+  * oracle hash-match: decontamination only flags docs that truly share an
+  * eval n-gram, packing conserves tokens and respects sequence boundaries,
+  * quantization error is bounded by scale/2, hard negatives never share the
+  * query's label. */
+class TrainingOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q88 flags only docs sharing a 3-gram with the eval set, and all of them") {
+    import org.apache.spark.sql.functions._
+    val flagged = SparkEntry.queries("q88_decontaminate")(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hits")).toMap
+    // recompute contamination directly from the fixture
+    val bench = spark.read.json(graft.operators.Ingest.BenchmarkFixture)
+      .select(explode(graft.plans.TextExpressions.wordShingles(col("prompt"), 3)).as("g"))
+      .collect().map(_.getString(0)).toSet
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.plans.TextExpressions.wordShingles(col("text"), 3).as("sh"))
+      .collect()
+    docs.foreach { r =>
+      val hits = r.getAs[scala.collection.Seq[String]]("sh").count(bench.contains)
+      assert(flagged.getOrElse(r.getAs[Long]("doc_id"), 0L) == hits.toLong)
+    }
+    assert(flagged.nonEmpty)
+  }
+
+  test("q90 packing conserves shard tokens and starts each doc in one sequence") {
+    val rows = SparkEntry.queries("q90_pack_sequences")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // sequences within a shard are contiguous from 0 and each holds >= 1 doc
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (_, rs) =>
+      val ids = rs.map(_.getAs[Long]("seq_id")).sorted
+      assert(ids.head == 0L && ids.zipWithIndex.forall { case (id, i) => id == i })
+      assert(rs.forall(_.getAs[Long]("n_docs") >= 1))
+    }
+    // token conservation: packed totals == corpus totals (no doc dropped)
+    import org.apache.spark.sql.functions._
+    val total = graft.sources.Tables.documents(spark, sf)
+      .select(size(graft.plans.TextExpressions.tokens(col("text"))).cast("long").as("n"))
+      .agg(sum(col("n"))).head.getLong(0)
+    assert(rows.map(_.getAs[Long]("seq_tokens")).sum == total)
+  }
+
+  test("q91 quantization error is bounded by scale/2 and output is per-vector") {
+    val rows = SparkEntry.queries("q91_int8_quant")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      assert(scale > 0)
+      // round() puts every element within half a quantization step
+      assert(r.getAs[Double]("max_err") <= scale / 2 + 1e-12)
+      assert(r.getAs[Long]("nnz") <= 64L)
+    }
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == rows.length)
+  }
+
+  test("q92 hard negatives never share the query's label and rank within 3") {
+    import org.apache.spark.sql.functions._
+    val labels = graft.sources.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 5).select(col("vec_id"), col("label"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val rows = SparkEntry.queries("q92_hard_negatives")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("label") != labels(r.getAs[Long]("qid")))
+      assert(r.getAs[Long]("rank") >= 1 && r.getAs[Long]("rank") <= 3)
+    }
+  }
+
+  test("q89 repetition fractions are consistent with the flag") {
+    val rows = SparkEntry.queries("q89_repetition_quality")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ttf = r.getAs[Double]("top_token_frac")
+      val tbf = r.getAs[Double]("top_bigram_frac")
+      val ttr = r.getAs[Double]("ttr")
+      assert(ttf > 0 && ttf <= 1 && tbf > 0 && tbf <= 1 && ttr > 0 && ttr <= 1)
+      val expected = if (ttf > 0.12 || tbf > 0.05) 1L else 0L
+      assert(r.getAs[Long]("repetitive") == expected)
+    }
+  }
+}
