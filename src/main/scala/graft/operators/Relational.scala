@@ -126,6 +126,41 @@ object Relational {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // Bloom-filter pre-shuffle join pruning (Spark's runtime-filter
+    // pattern, made explicit): one distributed aggregate builds a bloom
+    // filter over the selective build side's join keys (a ~128 KB binary
+    // scalar — the same thing AQE's InjectRuntimeFilter ships), the fact
+    // side probes it BEFORE the join's exchange, and the exact semi join
+    // runs on the survivors. Bloom filters have NO false negatives, so the
+    // result is bit-identical to the plain semi join — which is exactly
+    // what the oracle runs; false positives only cost a little pruning
+    // efficiency. At 100 TB the probe drops most fact rows map-side,
+    // shrinking the join shuffle by the build side's selectivity.
+    "q93_bloom_prune" -> ((s, d) => {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      import org.apache.spark.sql.types.BinaryType
+      val sel = Tables.orders(s, d).filter(col("o_totalprice") > 475000.0)
+      val bloomAgg = ColumnBridge.column(new BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64(col("o_orderkey"))),
+        Literal(100000L), Literal(1048576L)).toAggregateExpression())
+      val bf = sel.agg(bloomAgg.as("bf")).head.getAs[Array[Byte]]("bf")
+      val li = Tables.lineitem(s, d)
+      val pruned =
+        if (bf == null) li.filter(lit(false)) // empty build side: nothing joins
+        else li.filter(ColumnBridge.column(BloomFilterMightContain(
+          Literal.create(bf, BinaryType),
+          ColumnBridge.expression(xxhash64(col("l_orderkey"))))))
+      pruned
+        .join(sel.select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_lines"),
+          Exact.moneySum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ROLLUP with explicit grouping flags; keys coalesced so neither
     // engine's NULL ordering matters.
     "q09_rollup" -> ((s, d) => {
@@ -587,6 +622,14 @@ object Relational {
            (SELECT 1 FROM orders WHERE o_custkey = c_custkey
             AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1995-12-31')
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q93_bloom_prune" ->
+      s"""SELECT l_returnflag, count(*) AS n_lines,
+         ${Exact.sqlMoneySum("l_extendedprice")} AS sum_price
+         FROM lineitem WHERE EXISTS
+           (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey
+            AND o_totalprice > 475000.0)
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q09_rollup" ->
       s"""SELECT coalesce(l_returnflag, 'ALL') AS rflag,

@@ -220,6 +220,52 @@ object LakehouseTable {
     v
   }
 
+  /** Z-ORDER clustered compaction: rewrite the current snapshot ordered by
+    * a space-filling curve over `zCols`, so file ranges stay narrow in
+    * EVERY clustered dimension at once — the multi-column layout
+    * lexicographic sort can't give (its trailing columns span the full
+    * value range in every file). Each column is range-normalized to 16
+    * bits (one tiny min/max agg for the bounds), the bits are interleaved
+    * into one z-value, and files are range-partitioned + sorted by it;
+    * stats for ALL zCols then come from the parquet footers as usual, so
+    * `readPruned` skips files on any clustered column. The z-value is a
+    * pure layout key — computed, sorted on, dropped — it never lands in
+    * the data. */
+  def zorderCluster(spark: SparkSession, root: String, zCols: Seq[String],
+      numFiles: Int = 8): Long = {
+    import org.apache.spark.sql.functions._
+    require(zCols.size >= 2, "zorderCluster needs >= 2 columns (use cluster for 1)")
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no table at $root"))
+    val snapshot = read(spark, root, Some(cur))
+    val bounds = snapshot.agg(
+      min(snapshot(zCols.head).cast("double")),
+      (max(snapshot(zCols.head).cast("double")) +:
+        zCols.tail.flatMap(c => Seq(min(snapshot(c).cast("double")),
+          max(snapshot(c).cast("double"))))): _*).head()
+    val bits = 16
+    val norm = zCols.zipWithIndex.map { case (c, i) =>
+      val (mn, mx) = (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
+      val span = if (mx > mn) mx - mn else 1.0
+      least(lit((1L << bits) - 1), floor(
+        (snapshot(c).cast("double") - lit(mn)) / lit(span) * lit(1 << bits).cast("double")))
+        .cast("long")
+    }
+    val z = (for { b <- 0 until bits; (c, j) <- norm.zipWithIndex }
+      yield shiftleft(shiftright(c, b).bitwiseAND(1L), b * norm.length + j))
+      .reduce(_ + _)
+    val rewritten = snapshot
+      .withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+    val newFiles = writeFiles(rewritten, root, Nil)
+    val v = commit(root, cur + 1, newFiles)
+    Files.writeString(statsPath(root, v),
+      footerStats(root, newFiles, zCols).mkString("\n"))
+    v
+  }
+
   /** Copy-on-write delete: new version = current rows NOT matching `where`. */
   def deleteWhere(spark: SparkSession, root: String, where: String,
       partitionBy: Seq[String] = Nil): Long = {

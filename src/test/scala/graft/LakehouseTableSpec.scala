@@ -178,6 +178,32 @@ class LakehouseTableSpec extends AnyFunSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("z-order clustering prunes on BOTH dimensions and loses no rows") {
+    val root = freshRoot()
+    val src = Tables.orders(spark, sf).repartition(8)
+    LT.create(src, root)
+    LT.zorderCluster(spark, root, Seq("o_custkey", "o_totalprice"), numFiles = 8)
+    val total = LT.read(spark, root).inputFiles.length
+    assert(total > 1)
+    // narrow slice in EACH dimension must skip files (a lexicographic sort
+    // on (custkey, totalprice) would only ever prune on custkey)
+    val keyMax = src.agg(max(col("o_custkey"))).head.getLong(0).toDouble
+    val bothPrune = Seq(
+      ("o_custkey", 0.0, keyMax * 0.1),
+      ("o_totalprice", 1000.0, 50000.0)).map { case (c, lo, hi) =>
+      val pruned = LT.readPruned(spark, root, c, lo, hi)
+      // no false drops: pruned read must return every matching row
+      val want = src.filter(col(c) >= lo && col(c) <= hi).count()
+      assert(pruned.filter(col(c) >= lo && col(c) <= hi).count() == want)
+      pruned.inputFiles.length < total
+    }
+    assert(bothPrune.forall(identity),
+      s"z-order should prune on every clustered dimension")
+    // layout change only: full contents identical
+    val back = LT.read(spark, root)
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
+
   test("restore rolls back to an old version as a new commit") {
     val root = freshRoot()
     val src = Tables.orders(spark, sf)
