@@ -176,6 +176,43 @@ object EventsOps {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // PageRank over the event-transition graph (stationary importance of
+    // each event type in the q81 Markov chain), as FIXED-POINT INTEGER
+    // arithmetic: ranks live in 1e12-scaled longs, every division is
+    // integer `div`, so three power iterations are bit-reproducible across
+    // engines — no parallel double sums, no decimal rescale divergence.
+    // Each iteration is one edges⋈ranks join + one inflow aggregation (the
+    // standard distributed PageRank step: shuffle O(edges), state
+    // O(nodes)); the oracle unrolls the same three iterations as CTEs.
+    // Dangling mass is dropped (every node here has out-edges; documented
+    // simplification, identical in the twin).
+    "q94_pagerank" -> ((s, d) => {
+      val S = 1000000000000L // fixed-point scale: 1.0 == 1e12
+      val ev = Tables.events(s, d)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val edges = ev
+        .withColumn("dst", lead(col("event_type"), 1).over(w))
+        .filter(col("dst").isNotNull)
+        .groupBy(col("event_type").as("src"), col("dst"))
+        .agg(count(lit(1)).as("cnt"))
+      val outs = edges.groupBy(col("src")).agg(sum(col("cnt")).as("outw"))
+      val e = edges.join(outs, "src").cache()
+      val nodes = ev.select(col("event_type")).distinct().cache()
+      val n = nodes.count()
+      val base = (S * 15L / 100L) / n
+      var ranks = nodes.select(col("event_type"), lit(S / n).as("r"))
+      for (_ <- 1 to 3) {
+        val inflow = e.join(ranks, e("src") === ranks("event_type"))
+          .select(col("dst"), expr("r * cnt div outw").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+        ranks = nodes.join(inflow, nodes("event_type") === inflow("dst"), "left")
+          .select(nodes("event_type"),
+            (lit(base) + expr("coalesce(inflow, CAST(0 AS BIGINT)) * 85 div 100")).as("r"))
+      }
+      ranks.select(col("event_type"), col("r").as("rank_fp"))
+        .orderBy(col("event_type"))
+    }),
+
     // Cohort retention: users grouped by first-seen day, counted as active
     // at each day offset — two aggregations (cohort assignment, activity),
     // one broadcast-joinable cohort map.
@@ -349,6 +386,33 @@ object EventsOps {
                WHERE to_type IS NOT NULL
                GROUP BY 1, 2)
          ORDER BY from_type, to_type""",
+
+    "q94_pagerank" -> {
+      def iter(prev: String, out: String): String =
+        s"""i_$out AS (SELECT dst, CAST(sum(r * cnt // outw) AS BIGINT) AS inflow
+              FROM e JOIN $prev ON e.src = $prev.event_type GROUP BY dst),
+            $out AS (SELECT nodes.event_type,
+                CAST((150000000000 // n) + coalesce(inflow, 0) * 85 // 100 AS BIGINT) AS r
+              FROM nodes CROSS JOIN nn LEFT JOIN i_$out ON nodes.event_type = i_$out.dst)"""
+      s"""WITH seq AS (SELECT event_type,
+              lead(event_type, 1) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS dst
+            FROM events),
+          edges AS (SELECT event_type AS src, dst, count(*) AS cnt
+                    FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2),
+          outs AS (SELECT src, CAST(sum(cnt) AS BIGINT) AS outw
+                   FROM edges GROUP BY src),
+          e AS (SELECT edges.src, edges.dst, cnt, outw FROM edges
+                JOIN outs USING (src)),
+          nodes AS (SELECT DISTINCT event_type FROM events),
+          nn AS (SELECT count(*) AS n FROM nodes),
+          r0 AS (SELECT event_type, CAST(1000000000000 // n AS BIGINT) AS r
+                 FROM nodes CROSS JOIN nn),
+          ${iter("r0", "r1")},
+          ${iter("r1", "r2")},
+          ${iter("r2", "r3")}
+          SELECT event_type, r AS rank_fp FROM r3 ORDER BY event_type"""
+    },
 
     "q82_cohorts" ->
       """SELECT cohort_day,

@@ -49,6 +49,18 @@ class Round2Spec extends AnyFunSuite {
     assert(clusters.map(_.getAs[Long]("n_members")).sum <= nDocs)
   }
 
+  test("q94 fixed-point PageRank conserves mass up to integer truncation") {
+    val rows = SparkEntry.queries("q94_pagerank")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("rank_fp")).sum
+    val S = 1000000000000L
+    // teleport mass + damped inflow can only LOSE rank to integer floors
+    // (and to dropped dangling mass); it can never create it
+    assert(total <= S)
+    assert(total > S / 2, s"pagerank mass collapsed: $total")
+    assert(rows.forall(_.getAs[Long]("rank_fp") > 0))
+  }
+
   test("q64 RRF fused score is exactly 1/(60+vrank) + 1/(60+krank)") {
     val rows = SparkEntry.queries("q64_hybrid_rrf")(spark, sf).collect()
     assert(rows.nonEmpty)
