@@ -181,13 +181,16 @@ object EventsOps {
     // arithmetic: ranks live in 1e12-scaled longs, every division is
     // integer `div`, so three power iterations are bit-reproducible across
     // engines — no parallel double sums, no decimal rescale divergence.
-    // Each iteration is one edges⋈ranks join + one inflow aggregation (the
-    // standard distributed PageRank step: shuffle O(edges), state
-    // O(nodes)); the oracle unrolls the same three iterations as CTEs.
-    // Dangling mass is dropped (every node here has out-edges; documented
-    // simplification, identical in the twin).
+    // Edge weights are pre-scaled to 1e6 fixed-point (wfp = cnt*1e6/outw ≤
+    // 1e6), which bounds every product: r*wfp ≤ 1e12·1e6 = 1e18 < 2^63 no
+    // matter how hot an edge's raw count gets — raw r*cnt would overflow a
+    // BIGINT at corpus scale. Each iteration is one edges⋈ranks join + one
+    // inflow aggregation (the standard distributed PageRank step: shuffle
+    // O(edges), state O(nodes)); the oracle unrolls the same three
+    // iterations as CTEs. Dangling mass is dropped (every node here has
+    // out-edges; documented simplification, identical in the twin).
     "q94_pagerank" -> ((s, d) => {
-      val S = 1000000000000L // fixed-point scale: 1.0 == 1e12
+      val S = 1000000000000L // rank scale: 1.0 == 1e12
       val ev = Tables.events(s, d)
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val edges = ev
@@ -196,14 +199,16 @@ object EventsOps {
         .groupBy(col("event_type").as("src"), col("dst"))
         .agg(count(lit(1)).as("cnt"))
       val outs = edges.groupBy(col("src")).agg(sum(col("cnt")).as("outw"))
-      val e = edges.join(outs, "src").cache()
+      val e = edges.join(outs, "src")
+        .select(col("src"), col("dst"),
+          expr("cnt * CAST(1000000 AS BIGINT) div outw").as("wfp")).cache()
       val nodes = ev.select(col("event_type")).distinct().cache()
       val n = nodes.count()
       val base = (S * 15L / 100L) / n
       var ranks = nodes.select(col("event_type"), lit(S / n).as("r"))
       for (_ <- 1 to 3) {
         val inflow = e.join(ranks, e("src") === ranks("event_type"))
-          .select(col("dst"), expr("r * cnt div outw").as("c"))
+          .select(col("dst"), expr("r * wfp div CAST(1000000 AS BIGINT)").as("c"))
           .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
         ranks = nodes.join(inflow, nodes("event_type") === inflow("dst"), "left")
           .select(nodes("event_type"),
@@ -389,7 +394,7 @@ object EventsOps {
 
     "q94_pagerank" -> {
       def iter(prev: String, out: String): String =
-        s"""i_$out AS (SELECT dst, CAST(sum(r * cnt // outw) AS BIGINT) AS inflow
+        s"""i_$out AS (SELECT dst, CAST(sum(r * wfp // 1000000) AS BIGINT) AS inflow
               FROM e JOIN $prev ON e.src = $prev.event_type GROUP BY dst),
             $out AS (SELECT nodes.event_type,
                 CAST((150000000000 // n) + coalesce(inflow, 0) * 85 // 100 AS BIGINT) AS r
@@ -402,7 +407,8 @@ object EventsOps {
                     FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2),
           outs AS (SELECT src, CAST(sum(cnt) AS BIGINT) AS outw
                    FROM edges GROUP BY src),
-          e AS (SELECT edges.src, edges.dst, cnt, outw FROM edges
+          e AS (SELECT edges.src, edges.dst,
+                  CAST(cnt * 1000000 // outw AS BIGINT) AS wfp FROM edges
                 JOIN outs USING (src)),
           nodes AS (SELECT DISTINCT event_type FROM events),
           nn AS (SELECT count(*) AS n FROM nodes),

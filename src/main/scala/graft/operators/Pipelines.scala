@@ -348,7 +348,7 @@ object Pipelines {
           GROUP BY doc_id ORDER BY doc_id""",
 
     "q90_pack_sequences" ->
-      """SELECT shard, seq_id, count(*) AS n_docs,
+      s"""SELECT shard, seq_id, count(*) AS n_docs,
            CAST(sum(n_tok) AS BIGINT) AS seq_tokens, min(doc_id) AS first_doc
          FROM (
            SELECT doc_id, n_tok, shard,
@@ -356,7 +356,7 @@ object Pipelines {
                  ROWS UNBOUNDED PRECEDING) - n_tok AS DOUBLE) / 256) AS BIGINT) AS seq_id
            FROM (
              SELECT doc_id,
-               CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> len(t) > 0)) AS BIGINT) AS n_tok,
+               CAST(len($toksSql) AS BIGINT) AS n_tok,
                md5(CAST(doc_id AS VARCHAR)) AS h,
                ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT % 8 AS shard
              FROM documents))

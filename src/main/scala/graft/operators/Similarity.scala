@@ -23,15 +23,19 @@ import graft.sources.Tables
   */
 object Similarity {
 
-  /** (qid, vec_id, score) cosine scores of all query×candidate pairs,
-    * queries broadcast. */
+  /** (qid, vec_id, label, qlabel, score) cosine scores of all
+    * query×candidate pairs, queries broadcast — the canonical scored-scan
+    * shape shared by q36 (which ignores the labels) and q92 (which filters
+    * on them). */
   private def scored(s: SparkSession, d: String, nQueries: Int): DataFrame = {
     val e = Tables.embeddings(s, d)
     val qs = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
     e.crossJoin(broadcast(qs))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), V.cosine(col("embedding"), col("qv")).as("score"))
+      .select(col("qid"), col("vec_id"), col("label"), col("qlabel"),
+        V.cosine(col("embedding"), col("qv")).as("score"))
   }
 
   // --- IVF index build path (deterministic k-medians) ---------------------
@@ -139,20 +143,15 @@ object Similarity {
 
     // Contrastive hard-negative mining: for each query vector, the top-3
     // most-similar vectors with a DIFFERENT label — the standard negative-
-    // sampling pass of a contrastive training pipeline. Same scored-scan +
-    // per-query rank-window plan as q36 (one corpus scan, queries
-    // broadcast); the label predicate lands INSIDE the scan, before any
-    // scoring — at 100 TB that filter prunes with partition/file stats.
+    // sampling pass of a contrastive training pipeline. Reuses the SAME
+    // scored-scan + per-query rank-window plan as q36 (one corpus scan,
+    // queries broadcast); the cross-label predicate compares against the
+    // broadcast side, so it applies map-side right after the probe —
+    // cheap, but NOT a scan-pushdown/stats-prunable filter.
     "q92_hard_negatives" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val qs = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-          col("label").as("qlabel"))
       val w = Window.partitionBy(col("qid")).orderBy(desc("score"), col("vec_id"))
-      e.crossJoin(broadcast(qs))
+      scored(s, d, 5)
         .filter(col("label") =!= col("qlabel"))
-        .select(col("qid"), col("vec_id"), col("label"),
-          V.cosine(col("embedding"), col("qv")).as("score"))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 3)
         .select(col("qid"), col("rank"), col("vec_id"), col("label"), col("score"))

@@ -213,10 +213,18 @@ object LakehouseTable {
     val rewritten = snapshot
       .repartitionByRange(numFiles, cols: _*)
       .sortWithinPartitions(cols: _*)
+    commitClustered(root, cur, rewritten, clusterCols)
+  }
+
+  /** Shared commit tail of [[cluster]]/[[zorderCluster]]: write the
+    * rewritten snapshot, commit it as the next version, and record footer
+    * stats for `statsCols` in the version's stats sidecar. */
+  private def commitClustered(root: String, cur: Long, rewritten: DataFrame,
+      statsCols: Seq[String]): Long = {
     val newFiles = writeFiles(rewritten, root, Nil)
     val v = commit(root, cur + 1, newFiles)
     Files.writeString(statsPath(root, v),
-      footerStats(root, newFiles, clusterCols).mkString("\n"))
+      footerStats(root, newFiles, statsCols).mkString("\n"))
     v
   }
 
@@ -245,10 +253,16 @@ object LakehouseTable {
           max(snapshot(c).cast("double"))))): _*).head()
     val bits = 16
     val norm = zCols.zipWithIndex.map { case (c, i) =>
-      val (mn, mx) = (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
+      // empty snapshot / all-null column leaves null bounds: degrade that
+      // column (and any null VALUES) to bucket 0 rather than NPE — the
+      // layout stays valid, it just doesn't discriminate on that column
+      val (mn, mx) =
+        if (bounds.isNullAt(2 * i) || bounds.isNullAt(2 * i + 1)) (0.0, 0.0)
+        else (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
       val span = if (mx > mn) mx - mn else 1.0
       least(lit((1L << bits) - 1), floor(
-        (snapshot(c).cast("double") - lit(mn)) / lit(span) * lit(1 << bits).cast("double")))
+        (coalesce(snapshot(c).cast("double"), lit(mn)) - lit(mn))
+          / lit(span) * lit(1 << bits).cast("double")))
         .cast("long")
     }
     val z = (for { b <- 0 until bits; (c, j) <- norm.zipWithIndex }
@@ -259,11 +273,7 @@ object LakehouseTable {
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
-    val newFiles = writeFiles(rewritten, root, Nil)
-    val v = commit(root, cur + 1, newFiles)
-    Files.writeString(statsPath(root, v),
-      footerStats(root, newFiles, zCols).mkString("\n"))
-    v
+    commitClustered(root, cur, rewritten, zCols)
   }
 
   /** Copy-on-write delete: new version = current rows NOT matching `where`. */
