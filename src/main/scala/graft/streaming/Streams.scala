@@ -31,6 +31,31 @@ object Streams {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** In-flight benchmark decontamination of a document stream (the
+    * streaming twin of batch q88): keeps docs sharing NO word 3-gram with
+    * the static eval set. The eval grams are a bounded static relation, so
+    * the check is a STATELESS per-row filter against their broadcast array
+    * — no watermark, no state store, exactly how a deploy-time filter
+    * rides an ingestion stream. `docs` must have (doc_id, text). */
+  def decontaminateStream(docs: DataFrame, benchGrams: Seq[String]): DataFrame =
+    docs
+      .withColumn("sh", graft.plans.TextExpressions.wordShingles(col("text"), 3))
+      .filter(size(array_intersect(col("sh"),
+        array(benchGrams.map(lit): _*))) === 0)
+      .select(col("doc_id"), col("text"))
+
+  /** Contamination HIT stream: (doc_id, shingle) records for every eval
+    * 3-gram seen in a streamed doc — a stream-STATIC inner join (static
+    * side bounded → append mode, no state store, no watermark). The
+    * distinct doc_ids of this stream are exactly batch q88's flagged
+    * set. */
+  def contaminationHits(docs: DataFrame, benchGrams: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(graft.plans.TextExpressions.wordShingles(col("text"), 3)).as("shingle"))
+      .join(benchGrams, "shingle")
+      .select(col("doc_id"), col("shingle"))
+
   /** Tumbling 1-hour windows with a 10-minute watermark (late data beyond
     * the watermark is dropped; within it, windows re-emit in update mode). */
   def tumblingHourly(events: DataFrame): DataFrame =

@@ -66,6 +66,33 @@ class StreamingSpec extends AnyFunSuite {
       want.select("user_id", "event_type")).isEmpty)
   }
 
+  test("streaming decontamination matches the batch q88 flagged set exactly") {
+    // stage the documents parquet as a file-source stream
+    val docDir = Files.createTempDirectory("graft-docs-stream")
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      docDir.resolve("part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val docSchema = graft.sources.Tables.documents(spark, sf).schema
+    val docStream = spark.readStream.schema(docSchema).parquet(docDir.toString)
+      .select(col("doc_id"), col("text"))
+    val benchGramsDf = spark.read.json(graft.operators.Ingest.BenchmarkFixture)
+      .select(explode(graft.plans.TextExpressions.wordShingles(col("prompt"), 3))
+        .as("shingle")).distinct()
+    val benchGrams = benchGramsDf.collect().map(_.getString(0)).toSeq
+    val flagged = SparkEntry.queries("q88_decontaminate")(spark, sf)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    // stateless filter: clean output = corpus minus the flagged set
+    val clean = runToCompletion(
+      Streams.decontaminateStream(docStream, benchGrams), "t_decon")
+    val all = graft.sources.Tables.documents(spark, sf).count()
+    assert(clean.count() == all - flagged.size)
+    assert(clean.collect().forall(r => !flagged.contains(r.getAs[Long]("doc_id"))))
+    // stream-static join: distinct hit doc_ids = exactly the flagged set
+    val hits = runToCompletion(
+      Streams.contaminationHits(docStream, benchGramsDf), "t_hits")
+    assert(hits.select("doc_id").distinct().collect()
+      .map(_.getAs[Long]("doc_id")).toSet == flagged)
+  }
+
   test("streaming distinct-user sketch tracks batch exact counts within HLL error") {
     // update mode (not complete): the watermark can actually evict window
     // state — the bounded-state contract the operator documents. One input
