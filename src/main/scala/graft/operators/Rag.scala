@@ -58,8 +58,11 @@ object Rag {
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), cosine(col("embedding"), col("qv")).as("score"))
     val w = Window.partitionBy(col("qid")).orderBy(desc("score"), col("vec_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
-      .join(broadcast(Tables.documents(s, d)), col("vec_id") === col("doc_id"))
+    val ranked = scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+    // Broadcast the 3n-row ranked side, never the corpus-sized documents
+    // table: a hard hint on the corpus would OOM the driver at scale.
+    broadcast(ranked)
+      .join(Tables.documents(s, d), col("vec_id") === col("doc_id"))
       .groupBy(col("qid"))
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("rn").as("rn"), col("text").as("text")))),
@@ -69,8 +72,8 @@ object Rag {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Flagship: retrieve top-3 docs for query vec 0, project citation columns.
     "q21_rag_topk" -> ((s, d) => {
-      topk(s, d, 0L, 3)
-        .join(broadcast(Tables.documents(s, d)), col("vec_id") === col("doc_id"))
+      broadcast(topk(s, d, 0L, 3))
+        .join(Tables.documents(s, d), col("vec_id") === col("doc_id"))
         .select(col("doc_id"), col("source"), snippet(col("text")).as("snip"), col("score"))
         .orderBy(desc("score"), col("doc_id"))
     }),
@@ -78,9 +81,9 @@ object Rag {
     // Ordered context assembly: k docs → one prompt-context string
     // (format_docs, app/app.py:71-72) + template fill (app/app.py:46-62).
     "q22_rag_context" -> ((s, d) => {
-      val ranked = topk(s, d, 0L, 3)
-        .withColumn("rn", row_number().over(Window.orderBy(desc("score"), col("vec_id"))))
-        .join(broadcast(Tables.documents(s, d)), col("vec_id") === col("doc_id"))
+      val ranked = broadcast(topk(s, d, 0L, 3)
+        .withColumn("rn", row_number().over(Window.orderBy(desc("score"), col("vec_id")))))
+        .join(Tables.documents(s, d), col("vec_id") === col("doc_id"))
       ranked
         .agg(array_join(
           transform(array_sort(collect_list(struct(col("rn").as("rn"), col("text").as("text")))),
@@ -100,8 +103,8 @@ object Rag {
         .select(col("qid"), col("vec_id"),
           cosine(col("embedding"), col("qv")).as("score"))
       val w = Window.partitionBy(col("qid")).orderBy(desc("score"), col("vec_id"))
-      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
-        .join(broadcast(Tables.documents(s, d)), col("vec_id") === col("doc_id"))
+      broadcast(scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3))
+        .join(Tables.documents(s, d), col("vec_id") === col("doc_id"))
         .select(col("source"), snippet(col("text")).as("snip")).distinct()
         .orderBy(col("source"), col("snip"))
     }),
@@ -114,9 +117,9 @@ object Rag {
     // pipeline is oracle-checkable.
     "q45_rag_pipeline" -> ((s, d) => {
       val llmStub = udf((prompt: String) => graft.plans.TextExpressions.md5Hex(prompt))
-      val ranked = topk(s, d, 0L, 3)
-        .withColumn("rn", row_number().over(Window.orderBy(desc("score"), col("vec_id"))))
-        .join(broadcast(Tables.documents(s, d)), col("vec_id") === col("doc_id"))
+      val ranked = broadcast(topk(s, d, 0L, 3)
+        .withColumn("rn", row_number().over(Window.orderBy(desc("score"), col("vec_id")))))
+        .join(Tables.documents(s, d), col("vec_id") === col("doc_id"))
       ranked
         .agg(array_join(
           transform(array_sort(collect_list(struct(col("rn").as("rn"), col("text").as("text")))),
