@@ -218,7 +218,11 @@ object Dedup {
           pairs.select(col("b").as("a"), col("a").as("b")))
         .withColumnRenamed("a", "src").withColumnRenamed("b", "dst")
         .cache()
-      val nodes = shingleDf(s, d).select(col("doc_id"))
+      // Only edge endpoints can land in an n>1 cluster, so the label
+      // frontier is the (tiny) non-isolated vertex set — the corpus-sized
+      // singleton set never enters the loop. At 100 TB the iteration state
+      // is O(dup docs), not O(docs).
+      val nodes = edges.select(col("src").as("doc_id")).distinct()
       var labels = nodes.select(col("doc_id"), col("doc_id").as("label")).cache()
       var changed = 1L
       while (changed > 0) {

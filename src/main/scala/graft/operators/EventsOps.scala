@@ -281,6 +281,68 @@ object EventsOps {
     }),
 
     // Pivot: daily counts fanned out to one column per event type.
+    // Robust outlier detection per event type: median + MAD (median
+    // absolute deviation), flagging |value − med| > 3·MAD. Three passes by
+    // construction (MAD needs the median first, the flag count needs MAD)
+    // — each a partial-aggregated groupBy on the same key; the tiny
+    // per-type stats broadcast back, so no corpus-sized shuffle repeats.
+    // Everything is exact: percentiles interpolate identically in both
+    // engines and the comparisons are per-row double ops.
+    "q95_mad_outliers" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      val med = ev.groupBy(col("event_type"))
+        .agg(percentile(col("value"), lit(0.5)).as("med"))
+      val stats = ev.join(broadcast(med), "event_type")
+        .groupBy(col("event_type"))
+        .agg(min(col("med")).as("med"),
+          percentile(abs(col("value") - col("med")), lit(0.5)).as("mad"))
+      ev.join(broadcast(stats), "event_type")
+        .groupBy(col("event_type"))
+        .agg(min(col("med")).as("med"), min(col("mad")).as("mad"),
+          count(when(abs(col("value") - col("med")) > lit(3.0) * col("mad"), 1))
+            .as("n_outliers"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Peak concurrent sessions — a DISTRIBUTED sweep line. Session
+    // intervals (q40's gap rule) become ±1 boundaries, collapsed per
+    // distinct timestamp; the prefix sum is two-phase: a within-hour
+    // window partitioned by hour (parallel, corpus-sized) plus a global
+    // running offset over the per-hour nets — a single-partition window
+    // over O(hours) rows, bounded by calendar time, not data volume.
+    // Peak AT a timestamp counts sessions ending there as still active
+    // (prefix net + n_end). Output: the earliest hour achieving the max.
+    "q96_peak_concurrency" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val sess = Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull
+            || unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_id",
+          sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+      val bounds = sess.select(col("s_start").as("ts"), lit(1L).as("st"), lit(0L).as("en"))
+        .unionByName(sess.select(col("s_end").as("ts"), lit(0L).as("st"), lit(1L).as("en")))
+      val byTs = bounds.groupBy(col("ts"))
+        .agg(sum(col("st")).as("n_start"), sum(col("en")).as("n_end"))
+        .withColumn("hr", date_trunc("hour", col("ts")))
+      val wh = Window.partitionBy(col("hr")).orderBy(col("ts"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val within = byTs
+        .withColumn("cumh", sum(col("n_start") - col("n_end")).over(wh))
+        .withColumn("peak_at", col("cumh") + col("n_end"))
+      val hours = within.groupBy(col("hr"))
+        .agg(sum(col("n_start") - col("n_end")).as("net"), max(col("peak_at")).as("maxp"))
+      val wg = Window.orderBy(col("hr")).rowsBetween(Window.unboundedPreceding, -1)
+      hours.withColumn("off", coalesce(sum(col("net")).over(wg), lit(0L)))
+        .select(col("hr"), (col("off") + col("maxp")).as("peak"))
+        .orderBy(desc("peak"), col("hr")).limit(1)
+    }),
+
     "q42_event_pivot" -> ((s, d) => {
       Tables.events(s, d)
         .groupBy(date_trunc("day", col("ts")).as("day"))
@@ -463,6 +525,45 @@ object EventsOps {
           FROM timeline t LEFT JOIN hourly h
             ON t.user_id = h.user_id AND t.hour = h.hour
           ORDER BY user_id, hour""",
+
+    "q95_mad_outliers" ->
+      """WITH med AS (
+           SELECT event_type, quantile_cont(value, 0.5) AS med
+           FROM events GROUP BY event_type),
+         stats AS (
+           SELECT e.event_type, min(m.med) AS med,
+             quantile_cont(abs(e.value - m.med), 0.5) AS mad
+           FROM events e JOIN med m USING (event_type)
+           GROUP BY e.event_type)
+         SELECT e.event_type, min(s.med) AS med, min(s.mad) AS mad,
+           CAST(count(*) FILTER (WHERE abs(e.value - s.med) > 3 * s.mad) AS BIGINT) AS n_outliers,
+           count(*) AS n
+         FROM events e JOIN stats s USING (event_type)
+         GROUP BY e.event_type ORDER BY e.event_type""",
+
+    "q96_peak_concurrency" ->
+      """WITH sess AS (
+           SELECT user_id, session_id, min(ts) AS s_start, max(ts) AS s_end
+           FROM (SELECT user_id, ts,
+                   CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+                 FROM (SELECT *, CASE WHEN prev_ts IS NULL
+                       OR epoch(date_trunc('second', ts)) - epoch(date_trunc('second', prev_ts)) > 1800
+                       THEN 1 ELSE 0 END AS new_session
+                   FROM (SELECT user_id, event_id, ts,
+                       lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                     FROM events)))
+           GROUP BY user_id, session_id),
+         b AS (SELECT s_start AS ts, 1 AS st, 0 AS en FROM sess
+               UNION ALL SELECT s_end, 0, 1 FROM sess),
+         g AS (SELECT ts, sum(st) AS n_start, sum(en) AS n_end FROM b GROUP BY ts),
+         c AS (SELECT ts,
+                 sum(n_start - n_end) OVER (ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + n_end AS peak_at
+               FROM g)
+         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+           CAST(peak_at AS BIGINT) AS peak
+         FROM c ORDER BY peak_at DESC, hr, ts LIMIT 1""",
 
     "q42_event_pivot" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

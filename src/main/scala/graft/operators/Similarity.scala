@@ -165,6 +165,27 @@ object Similarity {
     // embedding column. All arithmetic is float→double widening + one
     // division and a round, identical in both engines (round-half-away-
     // from-zero on exact doubles).
+    // Per-dimension winsorization stats (embedding-hygiene pass before an
+    // index build): p05/p95 per dimension plus how many values each clip
+    // bound would touch. posexplode → 64-key groupBy (partial aggs collapse
+    // each partition to 64 rows pre-shuffle); the 64-row bounds broadcast
+    // back for the count pass. Percentiles interpolate identically in both
+    // engines; float→double widening is exact.
+    "q98_winsorize_dims" -> ((s, d) => {
+      val vals = Tables.embeddings(s, d)
+        .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("pos").cast("long").as("pos"), col("v").cast("double").as("v"))
+      val pct = vals.groupBy(col("pos"))
+        .agg(percentile(col("v"), lit(0.05)).as("p05"),
+          percentile(col("v"), lit(0.95)).as("p95"))
+      vals.join(broadcast(pct), "pos")
+        .groupBy(col("pos"))
+        .agg(min(col("p05")).as("p05"), min(col("p95")).as("p95"),
+          count(when(col("v") < col("p05"), 1)).as("n_below"),
+          count(when(col("v") > col("p95"), 1)).as("n_above"))
+        .orderBy(col("pos"))
+    }),
+
     "q91_int8_quant" -> ((s, d) => {
       Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"),
@@ -292,6 +313,19 @@ object Similarity {
                   FROM embeddings e, embeddings q
                   WHERE q.vec_id < 5 AND e.label <> q.label))
           WHERE rank <= 3 ORDER BY qid, rank""",
+
+    "q98_winsorize_dims" ->
+      """WITH v AS (
+           SELECT i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+           FROM embeddings, (SELECT unnest(range(1, 65)) AS i)),
+         pct AS (
+           SELECT pos, quantile_cont(v, 0.05) AS p05, quantile_cont(v, 0.95) AS p95
+           FROM v GROUP BY pos)
+         SELECT v.pos, min(p.p05) AS p05, min(p.p95) AS p95,
+           count(*) FILTER (WHERE v.v < p.p05) AS n_below,
+           count(*) FILTER (WHERE v.v > p.p95) AS n_above
+         FROM v JOIN pct p ON v.pos = p.pos
+         GROUP BY v.pos ORDER BY v.pos""",
 
     "q91_int8_quant" ->
       """SELECT vec_id, scale,

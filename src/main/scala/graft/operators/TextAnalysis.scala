@@ -142,6 +142,38 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // BPE-style merge-candidate mining (the first round of tokenizer
+    // induction): frequency of every ADJACENT token pair across the
+    // corpus, top 50. One compiled pass emits the pairs (AdjacentPairs —
+    // no dedup, multiplicity is the signal), then the word-count shape:
+    // map-side partial counts collapse each partition to vocab size
+    // before the exchange, and the top-k is TakeOrderedAndProject.
+    "q97_bpe_pairs" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(explode(graft.plans.TextExpressions.adjacentPairs(col("text"))).as("pair"))
+        .groupBy(col("pair"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("pair"))
+        .limit(50)
+    }),
+
+    // PII-redaction shape over the JSON props payload: mask every digit
+    // run, count masked runs and the distinct redacted shapes per event
+    // type. Pure map-side regex (codegen'd) + one partial-aggregated
+    // groupBy — at 100 TB this is a scan-rewrite, no corpus shuffle.
+    "q99_redact" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_type"),
+          regexp_replace(col("props"), "[0-9]+", "#").as("masked"),
+          size(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0)))
+            .cast("long").as("n_runs"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_runs")).as("masked_runs"),
+          countDistinct(col("masked")).as("n_shapes"))
+        .orderBy(col("event_type"))
+    }),
+
     // Language-ID heuristic: marker-token votes, argmax with fixed
     // tie-break order; confusion counts against the labeled lang.
     "q30_lang_id" -> ((s, d) => {
@@ -244,6 +276,19 @@ object TextAnalysis {
           FROM tt JOIN nd ON tt.doc_id = nd.doc_id
                   JOIN tb ON tt.doc_id = tb.doc_id
           ORDER BY tt.doc_id""",
+
+    "q97_bpe_pairs" ->
+      s"""SELECT pair, count(*) AS n
+          FROM (SELECT unnest([toks[i] || ' ' || toks[i + 1]
+                  FOR i IN range(1, len(toks))]) AS pair
+                FROM (SELECT $toksSql AS toks FROM documents))
+          GROUP BY pair ORDER BY n DESC, pair LIMIT 50""",
+
+    "q99_redact" ->
+      """SELECT event_type, count(*) AS n,
+          CAST(sum(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT) AS masked_runs,
+          count(DISTINCT regexp_replace(props, '[0-9]+', '#', 'g')) AS n_shapes
+          FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q30_lang_id" ->
       s"""SELECT lang, pred, count(*) AS n FROM (

@@ -235,8 +235,37 @@ object TextExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** ALL adjacent token pairs ("a b"), with multiplicity — the raw
+    * merge-candidate counts of a BPE-style tokenizer-induction pass.
+    * Unlike [[WordShingles]] this does NOT dedup: pair frequency is the
+    * signal. One compiled pass per row (the HOF composition
+    * zip_with(slice, slice) evaluates interpreted lambdas). */
+  case class AdjacentPairs(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "adjacent_pairs"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, StringType, prettyName)
+    override def nullSafeEval(input: Any): Any = {
+      val toks = tokenize(input.asInstanceOf[UTF8String].toString)
+      if (toks.length < 2) new GenericArrayData(Array.empty[Any])
+      else {
+        val out = new Array[Any](toks.length - 1)
+        var i = 0
+        while (i < toks.length - 1) {
+          out(i) = UTF8String.fromString(toks(i) + " " + toks(i + 1))
+          i += 1
+        }
+        new GenericArrayData(out)
+      }
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   def tokens(text: Column): Column =
     ColumnBridge.column(Tokens(ColumnBridge.expression(text)))
+  def adjacentPairs(text: Column): Column =
+    ColumnBridge.column(AdjacentPairs(ColumnBridge.expression(text)))
   def qualityScore(text: Column): Column =
     ColumnBridge.column(QualityScore(ColumnBridge.expression(text)))
   def wordShingles(text: Column, n: Int): Column =

@@ -110,4 +110,36 @@ class Round2Spec extends AnyFunSuite {
       .filter(col("user_id") < 50).count()
     assert(total == expected)
   }
+
+  test("adjacent_pairs keeps multiplicity and order, shingles dedup") {
+    import spark.implicits._
+    val df = Seq("a b a b", "x", "", "  p  q  ").toDF("text")
+      .select(graft.plans.TextExpressions.adjacentPairs(col("text")).as("p"),
+        graft.plans.TextExpressions.wordShingles(col("text"), 2).as("sh"))
+    val rows = df.collect().map(r =>
+      (r.getAs[scala.collection.Seq[String]]("p").toList,
+        r.getAs[scala.collection.Seq[String]]("sh").toList))
+    assert(rows(0) == (List("a b", "b a", "a b"), List("a b", "b a")))
+    assert(rows(1) == (List(), List()))
+    assert(rows(2) == (List(), List()))
+    assert(rows(3) == (List("p q"), List("p q")))
+  }
+
+  test("q96 distributed sweep line equals a brute-force single-pass sweep") {
+    val out = SparkEntry.queries("q96_peak_concurrency")(spark, sf).collect()
+    assert(out.length == 1)
+    val peak = out(0).getAs[Long]("peak")
+    // brute force: collect session intervals, sweep in scala
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    val sess = SparkEntry.queries("q40_sessionize")(spark, sf)
+      .select(col("session_start"), col("session_end")).collect()
+      .map(r => (micros(r.getTimestamp(0)), micros(r.getTimestamp(1))))
+    // ends are inclusive: -1 lands strictly after the end instant
+    val events = sess.flatMap { case (a, b) => Seq((a, 1), (b + 1, -1)) }
+      .sortBy(e => (e._1, e._2))
+    var cur = 0; var best = 0
+    events.foreach { e => cur += e._2; best = math.max(best, cur) }
+    assert(peak == best.toLong, s"distributed=$peak brute=$best")
+  }
 }
