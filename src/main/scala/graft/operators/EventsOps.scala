@@ -325,8 +325,12 @@ object EventsOps {
           sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
         .groupBy(col("user_id"), col("session_id"))
         .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
-      val bounds = sess.select(col("s_start").as("ts"), lit(1L).as("st"), lit(0L).as("en"))
-        .unionByName(sess.select(col("s_end").as("ts"), lit(0L).as("st"), lit(1L).as("en")))
+      // one explode, not a union: a union would evaluate the whole
+      // sessionization subtree once per branch
+      val bounds = sess.select(explode(array(
+          struct(col("s_start").as("ts"), lit(1L).as("st"), lit(0L).as("en")),
+          struct(col("s_end").as("ts"), lit(0L).as("st"), lit(1L).as("en")))).as("b"))
+        .select(col("b.ts").as("ts"), col("b.st").as("st"), col("b.en").as("en"))
       val byTs = bounds.groupBy(col("ts"))
         .agg(sum(col("st")).as("n_start"), sum(col("en")).as("n_end"))
         .withColumn("hr", date_trunc("hour", col("ts")))
