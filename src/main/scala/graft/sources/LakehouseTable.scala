@@ -164,6 +164,40 @@ object LakehouseTable {
     commit(root, cur + 1, readManifest(root, cur) ++ writeFiles(df, root, partitionBy), txn)
   }
 
+  /** Delta-DLT-style write expectations: each (name → boolean Column) must
+    * hold per row. Passing rows append to the table; violating rows are
+    * quarantined in the `<root>/_rejects` table (versioned like any other)
+    * with a `violated` column listing every failed expectation name.
+    * NULL check results PASS (SQL CHECK semantics) — add an explicit
+    * isNotNull expectation to reject nulls. Returns
+    * (new table version, rows quarantined). The split is two filters over
+    * one scan — the same shape a COW engine uses to fork a write — so at
+    * 100 TB this stays a single streamed pass per side with no collect.
+    */
+  def appendWithExpectations(df: DataFrame, root: String,
+      expectations: Map[String, org.apache.spark.sql.Column],
+      partitionBy: Seq[String] = Nil): (Long, Long) = {
+    import org.apache.spark.sql.functions._
+    require(expectations.nonEmpty, "appendWithExpectations: no expectations")
+    val checks = expectations.toSeq.sortBy(_._1)
+    // one array column: the names of every expectation this row fails
+    val violated = array_compact(array(checks.map { case (n, c) =>
+      when(not(coalesce(c, lit(true))), lit(n)).otherwise(lit(null))
+    }: _*))
+    val marked = df.withColumn("_violated", violated)
+    val bad = marked.filter(size(col("_violated")) > 0)
+      .withColumn("violated", array_join(col("_violated"), ","))
+      .drop("_violated")
+    val rejectsRoot = s"$root/_rejects"
+    val nBad = bad.count()
+    if (nBad > 0) {
+      if (versions(rejectsRoot).isEmpty) create(bad, rejectsRoot)
+      else append(bad, rejectsRoot)
+    }
+    val good = marked.filter(size(col("_violated")) === 0).drop("_violated")
+    (append(good, root, partitionBy), nBad)
+  }
+
   /** Read the table at `version` (default: latest). Partition columns are
     * recovered from the hive paths via basePath, so partition pruning
     * still applies to time-travel reads. */

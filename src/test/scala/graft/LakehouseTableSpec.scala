@@ -303,4 +303,40 @@ class LakehouseTableSpec extends AnyFunSuite {
     // current version still fully readable
     assert(LT.read(spark, root).count() == src.count())
   }
+
+  test("write expectations quarantine violating rows with the failed names") {
+    val root = freshRoot()
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    LT.create(ev.filter(col("event_id") < 0), root) // empty v0, schema only
+    val batch = ev.limit(200)
+    val nHighValue = batch.filter(!(col("value") <= 50.0)).count()
+    val (v1, nBad) = LT.appendWithExpectations(batch, root, Map(
+      "value_cap" -> (col("value") <= 50.0),
+      "known_type" -> col("event_type").isin("click", "view", "purchase", "signup", "error")))
+    assert(v1 == 1L)
+    assert(nBad == nHighValue) // every type is known, so only value_cap fires
+    assert(LT.read(spark, root).count() == 200 - nBad)
+    val rejects = LT.read(spark, root + "/_rejects")
+    assert(rejects.count() == nBad)
+    assert(rejects.select("violated").distinct().collect()
+      .map(_.getString(0)).toSet == Set("value_cap"))
+
+    // a second failing batch APPENDS to the rejects table; a row failing
+    // two expectations lists both, sorted by name
+    val (v2, nBad2) = LT.appendWithExpectations(
+      batch.withColumn("event_type", lit("mystery")), root, Map(
+        "value_cap" -> (col("value") <= 50.0),
+        "known_type" -> col("event_type").isin("click", "view", "purchase", "signup", "error")))
+    assert(v2 == 2L && nBad2 == 200)
+    val rej2 = LT.read(spark, root + "/_rejects")
+    assert(rej2.count() == nBad + 200)
+    assert(rej2.filter(col("violated") === "known_type,value_cap").count() == nHighValue)
+
+    // NULL check results pass (SQL CHECK semantics)
+    val (v3, nBad3) = LT.appendWithExpectations(
+      batch.withColumn("value", lit(null).cast("double")), root,
+      Map("value_cap" -> (col("value") <= 50.0)))
+    assert(v3 == 3L && nBad3 == 0L)
+  }
 }
