@@ -1,0 +1,69 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental materialized-view maintenance over lakehouse tables — the
+  * batch CDC pattern (the reference's poll-refresh loop, generalized): a
+  * downstream aggregate table is kept in sync with an upstream table by
+  * reading ONLY the parquet files appended since the last sync and merging
+  * per-key deltas, never recomputing the full aggregate.
+  *
+  * Bookkeeping rides the existing manifest `txn` field: each sync commits
+  * the aggregate with `txn = <upstream version consumed>`, so the next
+  * sync resumes from `lastTxn(aggRoot)`. Re-running a sync with no new
+  * upstream version is a no-op (idempotent, like the streaming
+  * replay-skip).
+  *
+  * The maintained aggregate is (key, n BIGINT, sum_value DECIMAL(18,2)):
+  * count and sum are the self-merging aggregates (delta-add), and the sum
+  * stays in exact decimal INSIDE the table so incremental merges are
+  * bit-identical to a full recompute regardless of how appends were
+  * batched.
+  *
+  * At 100 TB: the delta scan is O(new files) (manifest diff), the merge is
+  * a COW upsert touching only files holding changed keys — this is how a
+  * nightly "metrics by key" rollup stays cheap on an append-mostly lake.
+  */
+object IncrementalView {
+  private val D2 = "decimal(18,2)"
+  // sum(decimal(18,2)) widens to (28,2); pin every sum_value to that type
+  // so create and merge commit an identical schema
+  private val DSum = "decimal(28,2)"
+
+  private def aggregate(df: DataFrame, key: String, valueCol: String): DataFrame =
+    df.groupBy(col(key))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast(D2)).cast(DSum).as("sum_value"))
+
+  /** Sync `aggRoot` = SELECT key, count(*), sum(value) FROM srcRoot GROUP BY
+    * key. First call creates the aggregate table; later calls merge only the
+    * delta since the upstream version recorded at the previous sync.
+    * Returns the upstream version now reflected. */
+  def syncAggregate(spark: SparkSession, srcRoot: String, aggRoot: String,
+      key: String, valueCol: String): Long = {
+    val srcV = LakehouseTable.currentVersion(srcRoot).getOrElse(
+      throw new IllegalStateException(s"no table at $srcRoot"))
+    LakehouseTable.lastTxn(aggRoot) match {
+      case None =>
+        val full = aggregate(LakehouseTable.read(spark, srcRoot), key, valueCol)
+        LakehouseTable.create(full, aggRoot, txn = Some(srcV))
+        srcV
+      case Some(doneV) if doneV >= srcV => srcV // nothing new — idempotent
+      case Some(doneV) =>
+        val delta = aggregate(
+          LakehouseTable.readIncremental(spark, srcRoot, doneV, Some(srcV)),
+          key, valueCol)
+        val cur = LakehouseTable.read(spark, aggRoot)
+          .select(col(key), col("n").as("n_old"), col("sum_value").as("s_old"))
+        // merge deltas: upsert rows for keys present in the delta
+        val upserts = delta.join(cur, Seq(key), "left")
+          .select(col(key),
+            (col("n") + coalesce(col("n_old"), lit(0L))).as("n"),
+            (col("sum_value") + coalesce(col("s_old"), lit(0).cast(DSum)))
+              .cast(DSum).as("sum_value"))
+        LakehouseTable.merge(spark, aggRoot, upserts, Seq(key), txn = Some(srcV))
+        srcV
+    }
+  }
+}

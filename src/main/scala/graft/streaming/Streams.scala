@@ -56,6 +56,19 @@ object Streams {
       .join(benchGrams, "shingle")
       .select(col("doc_id"), col("shingle"))
 
+  /** Streaming anomaly alerts against batch-derived robust thresholds
+    * (the deploy shape of q95_mad_outliers): `thresholds` is the tiny
+    * static (event_type, med, mad) relation computed offline; each
+    * streamed event is flagged STATELESSLY via a stream-static broadcast
+    * join — no watermark, no state store, the same per-row cost as a
+    * filter. Emits only the alerts. */
+  def anomalyAlerts(events: DataFrame, thresholds: DataFrame): DataFrame =
+    events
+      .join(broadcast(thresholds), "event_type")
+      .filter(abs(col("value") - col("med")) > lit(3.0) * col("mad"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("med"), col("mad"))
+
   /** Tumbling 1-hour windows with a 10-minute watermark (late data beyond
     * the watermark is dropped; within it, windows re-emit in update mode). */
   def tumblingHourly(events: DataFrame): DataFrame =

@@ -339,4 +339,33 @@ class LakehouseTableSpec extends AnyFunSuite {
       Map("value_cap" -> (col("value") <= 50.0)))
     assert(v3 == 3L && nBad3 == 0L)
   }
+
+  test("incremental view maintenance equals a full recompute after each sync") {
+    import graft.sources.IncrementalView
+    val srcRoot = freshRoot(); val aggRoot = freshRoot()
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), col("value"))
+    // upstream batch 1 → initial full materialization
+    LT.create(ev.filter(col("event_id") % 3 === 0), srcRoot)
+    val v1 = IncrementalView.syncAggregate(spark, srcRoot, aggRoot, "event_type", "value")
+    assert(v1 == 0L)
+    // two more upstream appends, synced separately — each sync reads only
+    // the delta files, never the whole source
+    LT.append(ev.filter(col("event_id") % 3 === 1), srcRoot)
+    IncrementalView.syncAggregate(spark, srcRoot, aggRoot, "event_type", "value")
+    LT.append(ev.filter(col("event_id") % 3 === 2), srcRoot)
+    val v3 = IncrementalView.syncAggregate(spark, srcRoot, aggRoot, "event_type", "value")
+    assert(v3 == 2L)
+    // bit-exact equality with the from-scratch aggregate (decimal sums)
+    val got = LT.read(spark, aggRoot)
+    val want = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(28,2)").as("sum_value"))
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // idempotent: nothing new upstream → no new aggregate version
+    val aggV = LT.currentVersion(aggRoot)
+    IncrementalView.syncAggregate(spark, srcRoot, aggRoot, "event_type", "value")
+    assert(LT.currentVersion(aggRoot) == aggV)
+  }
 }

@@ -57,6 +57,23 @@ class StreamingSpec extends AnyFunSuite {
       .filter(gotSets("ns") =!= wantSets("ns")).count() == 0)
   }
 
+  test("streaming anomaly alerts flag exactly the batch MAD outliers") {
+    val batchStats = SparkEntry.queries("q95_mad_outliers")(spark, sf)
+    val thresholds = batchStats.select(col("event_type"), col("med"), col("mad"))
+    val alerts = runToCompletion(
+      Streams.anomalyAlerts(Streams.eventsStream(spark, streamDir), thresholds),
+      "t_alerts")
+    val wantN = batchStats.agg(sum(col("n_outliers"))).collect()(0).getLong(0)
+    assert(alerts.count() == wantN)
+    // the flagged ids are exactly the batch-flagged set
+    val ev = graft.sources.Tables.events(spark, sf)
+    val wantIds = ev.join(thresholds, "event_type")
+      .filter(abs(col("value") - col("med")) > lit(3.0) * col("mad"))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val gotIds = alerts.select("event_id").collect().map(_.getLong(0)).toSet
+    assert(gotIds == wantIds)
+  }
+
   test("streaming dedup keeps one row per (user, type) like batch q31") {
     val got = runToCompletion(
       Streams.dedupStream(Streams.eventsStream(spark, streamDir)), "t_dedup")
