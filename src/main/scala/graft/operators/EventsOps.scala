@@ -19,6 +19,36 @@ import graft.sources.Tables
 object EventsOps {
   private def ts(s: String) = to_timestamp(lit(s))
 
+  /** Events with a per-user `session_id` from the 30-minute-gap rule — the
+    * ONE definition of sessionization semantics, shared by q40 (session
+    * stats) and q96 (concurrency sweep); [[sqlSessionized]] is its DuckDB
+    * twin. One shuffle on user_id; second-truncated gap math on both
+    * engines. */
+  private def withSessionIds(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull
+          || unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  /** DuckDB twin of [[withSessionIds]]: subquery with
+    * (user_id, event_id, ts, value, session_id). */
+  private val sqlSessionized =
+    """(SELECT user_id, event_id, ts, value,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+       FROM (SELECT *, CASE WHEN prev_ts IS NULL
+             OR epoch(date_trunc('second', ts)) - epoch(date_trunc('second', prev_ts)) > 1800
+             THEN 1 ELSE 0 END AS new_session
+         FROM (SELECT user_id, event_id, ts, value,
+             lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events)))"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling 1-hour windows per event type.
     "q38_tumbling_hourly" -> ((s, d) => {
@@ -44,15 +74,7 @@ object EventsOps {
     // Gap-based sessionization (30-min inactivity): lag to flag session
     // starts, running sum of flags to number sessions — one shuffle.
     "q40_sessionize" -> ((s, d) => {
-      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      Tables.events(s, d)
-        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
-        .withColumn("new_session",
-          when(col("prev_ts").isNull
-            || unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
-            .otherwise(0))
-        .withColumn("session_id",
-          sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      withSessionIds(Tables.events(s, d))
         .groupBy(col("user_id"), col("session_id"))
         .agg(count(lit(1)).as("n_events"),
           min(col("ts")).as("session_start"),
@@ -314,15 +336,7 @@ object EventsOps {
     // Peak AT a timestamp counts sessions ending there as still active
     // (prefix net + n_end). Output: the earliest hour achieving the max.
     "q96_peak_concurrency" -> ((s, d) => {
-      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val sess = Tables.events(s, d)
-        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
-        .withColumn("new_session",
-          when(col("prev_ts").isNull
-            || unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
-            .otherwise(0))
-        .withColumn("session_id",
-          sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      val sess = withSessionIds(Tables.events(s, d))
         .groupBy(col("user_id"), col("session_id"))
         .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
       // one explode, not a union: a union would evaluate the whole
@@ -379,16 +393,7 @@ object EventsOps {
           min(ts) AS session_start, max(ts) AS session_end,
           CAST(epoch(date_trunc('second', max(ts))) - epoch(date_trunc('second', min(ts))) AS BIGINT) AS duration_secs,
           ${Exact.sqlMoneySum("value")} AS sum_value
-          FROM (SELECT user_id, ts, value,
-                  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-                FROM (SELECT *,
-                    CASE WHEN prev_ts IS NULL
-                      OR epoch(date_trunc('second', ts)) - epoch(date_trunc('second', prev_ts)) > 1800
-                      THEN 1 ELSE 0 END AS new_session
-                  FROM (SELECT user_id, event_id, ts, value,
-                      lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-                    FROM events)))
+          FROM $sqlSessionized
           GROUP BY user_id, session_id ORDER BY user_id, session_id""",
 
     "q41_asof_join" ->
@@ -546,17 +551,9 @@ object EventsOps {
          GROUP BY e.event_type ORDER BY e.event_type""",
 
     "q96_peak_concurrency" ->
-      """WITH sess AS (
+      s"""WITH sess AS (
            SELECT user_id, session_id, min(ts) AS s_start, max(ts) AS s_end
-           FROM (SELECT user_id, ts,
-                   CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-                 FROM (SELECT *, CASE WHEN prev_ts IS NULL
-                       OR epoch(date_trunc('second', ts)) - epoch(date_trunc('second', prev_ts)) > 1800
-                       THEN 1 ELSE 0 END AS new_session
-                   FROM (SELECT user_id, event_id, ts,
-                       lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-                     FROM events)))
+           FROM $sqlSessionized
            GROUP BY user_id, session_id),
          b AS (SELECT s_start AS ts, 1 AS st, 0 AS en FROM sess
                UNION ALL SELECT s_end, 0, 1 FROM sess),

@@ -315,9 +315,9 @@ object Similarity {
           WHERE rank <= 3 ORDER BY qid, rank""",
 
     "q98_winsorize_dims" ->
-      """WITH v AS (
+      s"""WITH v AS (
            SELECT i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
-           FROM embeddings, (SELECT unnest(range(1, 65)) AS i)),
+           FROM embeddings, (SELECT unnest(range(1, ${Dims + 1})) AS i)),
          pct AS (
            SELECT pos, quantile_cont(v, 0.05) AS p05, quantile_cont(v, 0.95) AS p95
            FROM v GROUP BY pos)

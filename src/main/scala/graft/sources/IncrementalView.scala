@@ -44,24 +44,40 @@ object IncrementalView {
       key: String, valueCol: String): Long = {
     val srcV = LakehouseTable.currentVersion(srcRoot).getOrElse(
       throw new IllegalStateException(s"no table at $srcRoot"))
+    // pin srcV for ALL reads below: a concurrent upstream append must not
+    // leak rows into this sync, or the next delta double-counts them
+    def fullAgg() = aggregate(
+      LakehouseTable.read(spark, srcRoot, Some(srcV)), key, valueCol)
     LakehouseTable.lastTxn(aggRoot) match {
       case None =>
-        val full = aggregate(LakehouseTable.read(spark, srcRoot), key, valueCol)
-        LakehouseTable.create(full, aggRoot, txn = Some(srcV))
+        LakehouseTable.create(fullAgg(), aggRoot, txn = Some(srcV))
         srcV
       case Some(doneV) if doneV >= srcV => srcV // nothing new — idempotent
+      case Some(doneV)
+          if LakehouseTable.removedFilesBetween(srcRoot, doneV, srcV).nonEmpty =>
+        // non-append transition (compact/cluster/delete/merge rewrote
+        // files): a file-level delta would double-count — recompute
+        LakehouseTable.overwrite(fullAgg(), aggRoot, txn = Some(srcV))
+        srcV
       case Some(doneV) =>
         val delta = aggregate(
           LakehouseTable.readIncremental(spark, srcRoot, doneV, Some(srcV)),
           key, valueCol)
         val cur = LakehouseTable.read(spark, aggRoot)
-          .select(col(key), col("n").as("n_old"), col("sum_value").as("s_old"))
-        // merge deltas: upsert rows for keys present in the delta
-        val upserts = delta.join(cur, Seq(key), "left")
+          .select(col(key).as("k_old"), col("n").as("n_old"),
+            col("sum_value").as("s_old"))
+        // merge deltas: upsert rows for keys present in the delta.
+        // null-SAFE key join (a NULL key folds into its existing row) and
+        // null-SKIPPING sum merge (like SQL sum itself: NULL + x = x, and
+        // NULL only when no side ever saw a non-null value) — so the
+        // result stays bit-identical to a full recompute
+        val mergedSum = when(col("sum_value").isNull, col("s_old"))
+          .when(col("s_old").isNull, col("sum_value"))
+          .otherwise(col("sum_value") + col("s_old"))
+        val upserts = delta.join(cur, col(key) <=> col("k_old"), "left")
           .select(col(key),
             (col("n") + coalesce(col("n_old"), lit(0L))).as("n"),
-            (col("sum_value") + coalesce(col("s_old"), lit(0).cast(DSum)))
-              .cast(DSum).as("sum_value"))
+            mergedSum.cast(DSum).as("sum_value"))
         LakehouseTable.merge(spark, aggRoot, upserts, Seq(key), txn = Some(srcV))
         srcV
     }

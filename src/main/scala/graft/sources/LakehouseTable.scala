@@ -156,6 +156,26 @@ object LakehouseTable {
     commit(root, 0L, writeFiles(df, root, partitionBy), txn)
   }
 
+  /** Relative data files listed by `from`'s manifest but not `to`'s —
+    * nonempty exactly when the transition was NOT append-only (compact /
+    * cluster / deleteWhere / merge rewrote or dropped files). Incremental
+    * consumers use this to detect that a file-level delta read would
+    * double-count and fall back to a full recompute. */
+  def removedFilesBetween(root: String, from: Long, to: Long): Seq[String] = {
+    val after = readManifest(root, to).toSet
+    readManifest(root, from).filterNot(after)
+  }
+
+  /** Replace the table's contents with `df` as a new version (Delta's
+    * overwrite save mode): the new manifest lists only the new files; old
+    * versions stay time-travelable until vacuum. */
+  def overwrite(df: DataFrame, root: String, partitionBy: Seq[String] = Nil,
+      txn: Option[Long] = None): Long = {
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no table at $root"))
+    commit(root, cur + 1, writeFiles(df, root, partitionBy), txn)
+  }
+
   /** Append rows → new version = old files + new files. */
   def append(df: DataFrame, root: String, partitionBy: Seq[String] = Nil,
       txn: Option[Long] = None): Long = {
@@ -170,9 +190,19 @@ object LakehouseTable {
     * with a `violated` column listing every failed expectation name.
     * NULL check results PASS (SQL CHECK semantics) — add an explicit
     * isNotNull expectation to reject nulls. Returns
-    * (new table version, rows quarantined). The split is two filters over
-    * one scan — the same shape a COW engine uses to fork a write — so at
-    * 100 TB this stays a single streamed pass per side with no collect.
+    * (new table version, rows quarantined).
+    *
+    * The split is two filtered writes over the same scan — the COW shape —
+    * so `df` must be deterministic under re-evaluation (cache or
+    * checkpoint upstream if it samples/limits without an order). The
+    * quarantine is written FIRST and the reported count is taken from the
+    * files actually written (never from a third evaluation), so the count
+    * always matches the quarantine contents; a clean batch records an
+    * empty rejects commit ("validated, none rejected"). The two commits
+    * are not atomic (single-writer semantics, as documented above): a
+    * retry after a failure between them re-appends the quarantine rows,
+    * which inflates the advisory rejects table but never corrupts the
+    * main table.
     */
   def appendWithExpectations(df: DataFrame, root: String,
       expectations: Map[String, org.apache.spark.sql.Column],
@@ -189,10 +219,15 @@ object LakehouseTable {
       .withColumn("violated", array_join(col("_violated"), ","))
       .drop("_violated")
     val rejectsRoot = s"$root/_rejects"
-    val nBad = bad.count()
-    if (nBad > 0) {
-      if (versions(rejectsRoot).isEmpty) create(bad, rejectsRoot)
-      else append(bad, rejectsRoot)
+    val spark = df.sparkSession
+    val prevRejects = currentVersion(rejectsRoot)
+    val nBad = prevRejects match {
+      case None =>
+        create(bad, rejectsRoot)
+        read(spark, rejectsRoot, Some(0L)).count()
+      case Some(prev) =>
+        val v = append(bad, rejectsRoot)
+        readIncremental(spark, rejectsRoot, prev, Some(v)).count()
     }
     val good = marked.filter(size(col("_violated")) === 0).drop("_violated")
     (append(good, root, partitionBy), nBad)
@@ -346,19 +381,26 @@ object LakehouseTable {
       throw new IllegalStateException(s"no table at $root"))
     val all = readManifest(root, cur)
     val snap = readFiles(spark, root, all)
-    val keyRows = updates.select(keys.map(updates.col): _*)
+    // null-SAFE key match (<=>): a NULL key in updates must still replace
+    // the existing NULL-key row, or repeated merges duplicate it forever
+    val keyRows = updates
+      .select(keys.map(k => updates.col(k).as(s"__k_$k")): _*).distinct()
+    def keyCond(left: DataFrame) =
+      keys.map(k => left(k) <=> keyRows(s"__k_$k")).reduce(_ && _)
     import org.apache.spark.sql.functions.input_file_name
-    val touched: Set[String] = snap
-      .withColumn("__file", input_file_name())
-      .join(keyRows, keys, "left_semi")
+    val withFile = snap.withColumn("__file", input_file_name())
+    val touched: Set[String] = withFile
+      .join(keyRows, keyCond(withFile), "left_semi")
       .select("__file").distinct().collect()
       .map(r => toRel(root, r.getString(0))).toSet
     val untouched = all.filterNot(touched)
     val survivors =
       if (touched.isEmpty) updates.select(snap.columns.map(updates.col).toSeq: _*)
-      else readFiles(spark, root, touched.toSeq)
-        .join(keyRows, keys, "left_anti")
-        .unionByName(updates.select(snap.columns.map(updates.col).toSeq: _*))
+      else {
+        val kept = readFiles(spark, root, touched.toSeq)
+        kept.join(keyRows, keyCond(kept), "left_anti")
+          .unionByName(updates.select(snap.columns.map(updates.col).toSeq: _*))
+      }
     commit(root, cur + 1, untouched ++ writeFiles(survivors, root, partitionBy), txn)
   }
 

@@ -367,5 +367,41 @@ class LakehouseTableSpec extends AnyFunSuite {
     val aggV = LT.currentVersion(aggRoot)
     IncrementalView.syncAggregate(spark, srcRoot, aggRoot, "event_type", "value")
     assert(LT.currentVersion(aggRoot) == aggV)
+
+    // upstream compaction rewrites every file: a file-level delta would
+    // double-count, so the sync must detect it and recompute — totals
+    // unchanged
+    LT.compact(spark, srcRoot, numFiles = 1)
+    LT.append(ev.limit(0), srcRoot) // another version after the rewrite
+    IncrementalView.syncAggregate(spark, srcRoot, aggRoot, "event_type", "value")
+    val afterCompact = LT.read(spark, aggRoot)
+    assert(afterCompact.exceptAll(want).isEmpty && want.exceptAll(afterCompact).isEmpty)
+  }
+
+  test("incremental view folds NULL keys and NULL-value deltas correctly") {
+    import graft.sources.IncrementalView
+    val srcRoot = freshRoot(); val aggRoot = freshRoot()
+    import spark.implicits._
+    val b1 = Seq((Option("a"), Option(1.0)), (Option.empty[String], Option(2.0)))
+      .toDF("k", "v")
+    val b2 = Seq((Option.empty[String], Option(3.0)), // null key again
+      (Option("a"), Option.empty[Double]),            // null value delta
+      (Option("b"), Option.empty[Double]))            // never a non-null value
+    .toDF("k", "v")
+    LT.create(b1, srcRoot)
+    IncrementalView.syncAggregate(spark, srcRoot, aggRoot, "k", "v")
+    LT.append(b2, srcRoot)
+    IncrementalView.syncAggregate(spark, srcRoot, aggRoot, "k", "v")
+    val got = LT.read(spark, aggRoot)
+    // exactly one NULL-key row, folded across both syncs
+    assert(got.filter(col("k").isNull).count() == 1)
+    val nullRow = got.filter(col("k").isNull).collect()(0)
+    assert(nullRow.getAs[Long]("n") == 2L)
+    assert(nullRow.getDecimal(2).doubleValue() == 5.0)
+    // a's sum survives an all-NULL delta; b's sum is NULL like a recompute
+    val a = got.filter(col("k") === "a").collect()(0)
+    assert(a.getAs[Long]("n") == 2L && a.getDecimal(2).doubleValue() == 1.0)
+    val b = got.filter(col("k") === "b").collect()(0)
+    assert(b.getAs[Long]("n") == 1L && b.isNullAt(2))
   }
 }
