@@ -91,6 +91,31 @@ object Pipelines {
         .orderBy(col("doc_id"))
     }),
 
+    // Domain/source rebalancing (the mixture-weighting pass of a training
+    // pipeline): every source is deterministically downsampled to the
+    // smallest source's volume. Per-source keep-threshold = n_min·2^16/n_s
+    // (integer div, bit-exact on both engines); selection = md5 bucket of
+    // the doc id against the threshold — reproducible across clusters and
+    // runs, no rand(). The per-source thresholds are an O(sources)
+    // broadcast; the corpus pass is map-only + one partial-agg groupBy.
+    "q100_balance_sources" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val minN = counts.agg(min(col("n_docs")).as("n_min"))
+      val th = counts.crossJoin(broadcast(minN))
+        .withColumn("threshold", expr("(n_min * 65536) div n_docs"))
+        .select(col("source"), col("n_docs"), col("threshold"))
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+      docs.select(col("source"), bucket.as("bucket"))
+        .join(broadcast(th), "source")
+        .groupBy(col("source"))
+        .agg(min(col("n_docs")).as("n_docs"),
+          min(col("threshold")).as("threshold"),
+          count(when(col("bucket") < col("threshold"), 1)).as("n_kept"))
+        .orderBy(col("source"))
+    }),
+
     // Salted skew join through the correctness gate: lineitem⋈part with
     // every part key spread over 8 salted partitions (deterministic salt
     // from the probe row id, build side replicated 8×). The oracle is the
@@ -329,6 +354,20 @@ object Pipelines {
            FROM documents)
          WHERE bucket < (CASE WHEN lang = 'en' THEN 10 ELSE 25 END)
          ORDER BY doc_id""",
+
+    "q100_balance_sources" ->
+      """WITH counts AS (
+           SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+         th AS (
+           SELECT source, n_docs,
+             (SELECT min(n_docs) FROM counts) * 65536 // n_docs AS threshold
+           FROM counts)
+         SELECT d.source, min(t.n_docs) AS n_docs, min(t.threshold) AS threshold,
+           CAST(count(*) FILTER (WHERE
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT < t.threshold)
+             AS BIGINT) AS n_kept
+         FROM documents d JOIN th t USING (source)
+         GROUP BY d.source ORDER BY d.source""",
 
     "q88_decontaminate" ->
       s"""WITH bench AS (SELECT prompt AS text FROM read_json('${Ingest.BenchmarkFixture}',
