@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.plans.{CosineSimilarity, SrpSignature}
-import graft.plans.TextExpressions.{MinHashSig, SimHash16, Tokens, WordShingles}
+import graft.plans.TextExpressions.{AdjacentPairs, MinHashSig, SimHash16, Tokens, WordShingles}
 
 /** SparkSessionExtensions entry point, so a cluster can load the engine's
   * functions at session build with no code changes:
@@ -49,6 +49,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_tokens"),
       info("graft_tokens", "_FUNC_(text) - whitespace tokens"),
       es => Tokens(es(0))))
+    ext.injectFunction((FunctionIdentifier("adjacent_pairs"),
+      info("adjacent_pairs", "_FUNC_(text) - adjacent token pairs, with multiplicity"),
+      es => AdjacentPairs(es(0))))
     ext.injectFunction((FunctionIdentifier("srp_signature"),
       info("srp_signature", "_FUNC_(vec, planes, dims) - sign-random-projection LSH bits"),
       es => SrpSignature(es(0), intLit(es(1)), intLit(es(2)))))

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.plans.TextExpressions.{MinHashSig, SimHash16, WordShingles}
+import graft.plans.TextExpressions.{AdjacentPairs, MinHashSig, SimHash16, Tokens, WordShingles}
 import graft.plans.{CosineSimilarity, SrpSignature}
 
 /** SQL-surface registration for the engine's custom Catalyst expressions,
@@ -39,5 +39,9 @@ object GraftFunctions {
       es => SimHash16(es(0)), "built-in")
     reg.createOrReplaceTempFunction("srp_signature",
       es => SrpSignature(es(0), intArg(es(1)), intArg(es(2))), "built-in")
+    reg.createOrReplaceTempFunction("graft_tokens",
+      es => Tokens(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("adjacent_pairs",
+      es => AdjacentPairs(es(0)), "built-in")
   }
 }

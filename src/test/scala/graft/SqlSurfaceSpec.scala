@@ -67,4 +67,13 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .orderBy("vec_id").limit(5).collect()
     assert(viaSql.map(_.getString(1)).sameElements(viaApi.map(_.getString(1))))
   }
+
+  test("graft_tokens / adjacent_pairs from spark.sql") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_tokens(' a  b c ') AS t, adjacent_pairs('a b a') AS p")
+      .collect()(0)
+    assert(r.getAs[scala.collection.Seq[String]]("t") == Seq("a", "b", "c"))
+    assert(r.getAs[scala.collection.Seq[String]]("p") == Seq("a b", "b a"))
+  }
 }
