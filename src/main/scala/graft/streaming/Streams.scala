@@ -127,18 +127,49 @@ object Streams {
     * <= the last committed txn is skipped instead of re-applied. The
     * manifest rename keeps each commit atomic; the txn check upgrades the
     * end-to-end guarantee from at-least-once to effectively-once. */
+  /** Idempotent bronze commit: append the micro-batch unless its batchId
+    * was already committed (replay after a failure between manifest and
+    * checkpoint commit). Shared by [[ingestInto]] / [[medallionIngest]]. */
+  private def commitBatch(batch: DataFrame, batchId: Long, tableRoot: String): Unit =
+    if (graft.sources.LakehouseTable.lastTxn(tableRoot).exists(_ >= batchId)) ()
+    else if (graft.sources.LakehouseTable.versions(tableRoot).isEmpty) {
+      graft.sources.LakehouseTable.create(batch, tableRoot, txn = Some(batchId)); ()
+    } else {
+      graft.sources.LakehouseTable.append(batch, tableRoot, txn = Some(batchId)); ()
+    }
+
   def ingestInto(events: DataFrame, tableRoot: String): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (graft.sources.LakehouseTable.lastTxn(tableRoot).exists(_ >= batchId)) ()
-        else if (graft.sources.LakehouseTable.versions(tableRoot).isEmpty) {
-          graft.sources.LakehouseTable.create(batch, tableRoot, txn = Some(batchId)); ()
-        } else {
-          graft.sources.LakehouseTable.append(batch, tableRoot, txn = Some(batchId)); ()
-        }
+        commitBatch(batch, batchId, tableRoot)
       }
       .start()
+
+  /** Bronze → silver medallion ingestion: each micro-batch appends to the
+    * bronze table (idempotently, like [[ingestInto]]), then the silver
+    * per-key rollup advances via [[graft.sources.IncrementalView]] — a
+    * manifest-diff delta read + keyed merge, never a full recompute. Both
+    * tiers are ordinary versioned tables (time-travelable, vacuumable);
+    * the rollup is exactly what a batch recompute of bronze would give
+    * after every batch. */
+  def medallionIngest(events: DataFrame, bronzeRoot: String, silverRoot: String,
+      key: String, valueCol: String,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        commitBatch(batch, batchId, bronzeRoot)
+        graft.sources.IncrementalView.syncAggregate(
+          batch.sparkSession, bronzeRoot, silverRoot, key, valueCol)
+        ()
+      }
+    // the checkpoint makes batch ids resume across restarts — without it a
+    // restarted query would replay from batch 0 and the idempotence check
+    // would wrongly skip genuinely-new data
+    checkpoint.foreach(w.option("checkpointLocation", _))
+    w.start()
+  }
 
   /** Streaming CDC-style upsert: every micro-batch MERGEs into the
     * versioned lakehouse table on `keys` — rows for already-present keys

@@ -173,6 +173,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == graft.sources.Tables.events(spark, sf).count())
   }
 
+  test("medallion ingest keeps the silver rollup equal to a bronze recompute") {
+    val base = java.nio.file.Files.createTempDirectory("graft-medallion")
+    val bronze = base.resolve("bronze").toString
+    val silver = base.resolve("silver").toString
+    val ckpt = base.resolve("ckpt").toString
+    def stageAs(df: org.apache.spark.sql.DataFrame, inDir: java.nio.file.Path,
+        name: String): Unit = {
+      val tmp = inDir.resolve(name + "-tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val s = java.nio.file.Files.list(tmp)
+      val part = try s.filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+        finally s.close()
+      java.nio.file.Files.move(part, inDir.resolve(name))
+    }
+    // ts needs to stay raw int64 nanos for eventsStream's schema: re-read
+    // the raw parquet rather than Tables.events' converted frame
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(Streams.eventsRawSchema).parquet(s"$sf/events.parquet")
+    val inDir = java.nio.file.Files.createTempDirectory("graft-medallion-in")
+    val ev = graft.sources.Tables.events(spark, sf)
+    stageAs(raw.filter(col("event_id") % 2 === 0), inDir, "part-a.parquet")
+    val q1 = Streams.medallionIngest(Streams.eventsStream(spark, inDir.toString),
+      bronze, silver, "event_type", "value", Some(ckpt))
+    q1.processAllAvailable(); q1.stop()
+    // second file lands later; SAME checkpoint → the restarted query
+    // resumes batch numbering and processes only the new file
+    stageAs(raw.filter(col("event_id") % 2 === 1), inDir, "part-b.parquet")
+    val q2 = Streams.medallionIngest(Streams.eventsStream(spark, inDir.toString),
+      bronze, silver, "event_type", "value", Some(ckpt))
+    q2.processAllAvailable(); q2.stop()
+    assert(graft.sources.LakehouseTable.read(spark, bronze).count() == ev.count())
+    val got = graft.sources.LakehouseTable.read(spark, silver)
+    val want = graft.sources.LakehouseTable.read(spark, bronze)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(28,2)").as("sum_value"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // silver advanced incrementally: more than one version committed
+    assert(graft.sources.LakehouseTable.versions(silver).size >= 2)
+  }
+
   test("stream-stream click->purchase join matches the batch join") {
     val got = runToCompletion(
       Streams.clickPurchaseJoin(Streams.eventsStream(spark, streamDir)), "t_ssjoin")
