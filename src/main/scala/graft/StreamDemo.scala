@@ -48,8 +48,10 @@ object StreamDemo {
     drive("click_purchase", Streams.clickPurchaseJoin(
       Streams.eventsStream(spark, dir.toString)), "append")
 
-    val tbl = Files.createTempDirectory("graft-ingest-demo").resolve("tbl").toString
-    val iq = Streams.ingestInto(Streams.eventsStream(spark, dir.toString), tbl)
+    val ingestBase = Files.createTempDirectory("graft-ingest-demo")
+    val tbl = ingestBase.resolve("tbl").toString
+    val iq = Streams.ingestInto(Streams.eventsStream(spark, dir.toString), tbl,
+      ingestBase.resolve("ckpt").toString)
     iq.processAllAvailable(); iq.stop()
     println(s"[stream-demo] ingest versions=${graft.sources.LakehouseTable.versions(tbl)}" +
       s" rows=${graft.sources.LakehouseTable.read(spark, tbl).count()}")

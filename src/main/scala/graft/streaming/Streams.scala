@@ -119,17 +119,16 @@ object Streams {
         count(lit(1)).as("n_events"))
       .select(col("win.start").as("hour"), col("approx_users"), col("n_events"))
 
-  /** Streaming ingestion into a versioned lakehouse table, idempotent per
-    * micro-batch. foreachBatch is at-least-once: a batch replayed after a
-    * failure between manifest commit and checkpoint commit would re-append
-    * the same rows — so each commit records its batchId as the manifest's
-    * transaction id (Delta's txnVersion pattern), and a batch whose id is
-    * <= the last committed txn is skipped instead of re-applied. The
-    * manifest rename keeps each commit atomic; the txn check upgrades the
-    * end-to-end guarantee from at-least-once to effectively-once. */
-  /** Idempotent bronze commit: append the micro-batch unless its batchId
-    * was already committed (replay after a failure between manifest and
-    * checkpoint commit). Shared by [[ingestInto]] / [[medallionIngest]]. */
+  /** Idempotent bronze commit, shared by [[ingestInto]] /
+    * [[medallionIngest]]. foreachBatch is at-least-once: a batch replayed
+    * after a failure between manifest commit and checkpoint commit would
+    * re-append the same rows — so each commit records its batchId as the
+    * manifest's transaction id (Delta's txnVersion pattern), and a batch
+    * whose id is <= the last committed txn is skipped instead of
+    * re-applied. The manifest rename keeps each commit atomic; the txn
+    * check upgrades the end-to-end guarantee from at-least-once to
+    * effectively-once — PROVIDED batch ids resume across restarts, which
+    * is why both callers require a durable checkpoint. */
   private def commitBatch(batch: DataFrame, batchId: Long, tableRoot: String): Unit =
     if (graft.sources.LakehouseTable.lastTxn(tableRoot).exists(_ >= batchId)) ()
     else if (graft.sources.LakehouseTable.versions(tableRoot).isEmpty) {
@@ -138,9 +137,16 @@ object Streams {
       graft.sources.LakehouseTable.append(batch, tableRoot, txn = Some(batchId)); ()
     }
 
-  def ingestInto(events: DataFrame, tableRoot: String): org.apache.spark.sql.streaming.StreamingQuery =
+  /** Streaming ingestion into a versioned lakehouse table, effectively-once
+    * per micro-batch (see [[commitBatch]] for the txn contract). The
+    * checkpoint is REQUIRED: with a throwaway checkpoint a restarted query
+    * re-lists all files into batch 0, and the txn replay-skip would then
+    * silently drop the genuinely-new rows that landed in it. */
+  def ingestInto(events: DataFrame, tableRoot: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .outputMode("append")
+      .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         commitBatch(batch, batchId, tableRoot)
       }
@@ -152,24 +158,22 @@ object Streams {
     * manifest-diff delta read + keyed merge, never a full recompute. Both
     * tiers are ordinary versioned tables (time-travelable, vacuumable);
     * the rollup is exactly what a batch recompute of bronze would give
-    * after every batch. */
+    * after every batch. The checkpoint is REQUIRED for the same reason as
+    * [[ingestInto]]'s: batch ids must resume across restarts or the
+    * replay-skip drops new data. */
   def medallionIngest(events: DataFrame, bronzeRoot: String, silverRoot: String,
       key: String, valueCol: String,
-      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
-    val w = events.writeStream
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
       .outputMode("append")
+      .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         commitBatch(batch, batchId, bronzeRoot)
         graft.sources.IncrementalView.syncAggregate(
           batch.sparkSession, bronzeRoot, silverRoot, key, valueCol)
         ()
       }
-    // the checkpoint makes batch ids resume across restarts — without it a
-    // restarted query would replay from batch 0 and the idempotence check
-    // would wrongly skip genuinely-new data
-    checkpoint.foreach(w.option("checkpointLocation", _))
-    w.start()
-  }
+      .start()
 
   /** Streaming CDC-style upsert: every micro-batch MERGEs into the
     * versioned lakehouse table on `keys` — rows for already-present keys

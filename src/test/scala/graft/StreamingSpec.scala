@@ -163,9 +163,10 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("streaming ingestion commits one lakehouse version per micro-batch") {
-    val root = java.nio.file.Files.createTempDirectory("graft-ingest")
-      .resolve("events_tbl").toString
-    val q = Streams.ingestInto(Streams.eventsStream(spark, streamDir), root)
+    val base = java.nio.file.Files.createTempDirectory("graft-ingest")
+    val root = base.resolve("events_tbl").toString
+    val q = Streams.ingestInto(Streams.eventsStream(spark, streamDir), root,
+      base.resolve("ckpt").toString)
     q.processAllAvailable(); q.stop()
     val versions = graft.sources.LakehouseTable.versions(root)
     assert(versions.nonEmpty)
@@ -195,13 +196,13 @@ class StreamingSpec extends AnyFunSuite {
     val ev = graft.sources.Tables.events(spark, sf)
     stageAs(raw.filter(col("event_id") % 2 === 0), inDir, "part-a.parquet")
     val q1 = Streams.medallionIngest(Streams.eventsStream(spark, inDir.toString),
-      bronze, silver, "event_type", "value", Some(ckpt))
+      bronze, silver, "event_type", "value", ckpt)
     q1.processAllAvailable(); q1.stop()
     // second file lands later; SAME checkpoint → the restarted query
     // resumes batch numbering and processes only the new file
     stageAs(raw.filter(col("event_id") % 2 === 1), inDir, "part-b.parquet")
     val q2 = Streams.medallionIngest(Streams.eventsStream(spark, inDir.toString),
-      bronze, silver, "event_type", "value", Some(ckpt))
+      bronze, silver, "event_type", "value", ckpt)
     q2.processAllAvailable(); q2.stop()
     assert(graft.sources.LakehouseTable.read(spark, bronze).count() == ev.count())
     val got = graft.sources.LakehouseTable.read(spark, silver)
