@@ -265,6 +265,31 @@ object LakehouseTable {
     commit(root, cur + 1, writeFiles(rewritten, root, partitionBy))
   }
 
+  /** Size-aware compaction (Delta's OPTIMIZE shape): rewrite ONLY files
+    * smaller than `smallBytes`, bin-packed toward one file per
+    * `targetBytes` of input; files already at a healthy size keep their
+    * manifest entries untouched. A naive [[compact]] rewrites the whole
+    * table — O(table) churn per run; this is O(small files), which is what
+    * makes nightly compaction affordable on a 100 TB lake where only the
+    * freshest partitions have small files. Returns the new version, or the
+    * current one unchanged when at most one small file exists. */
+  def compactSmall(spark: SparkSession, root: String,
+      smallBytes: Long = 32L * 1024 * 1024,
+      targetBytes: Long = 128L * 1024 * 1024,
+      partitionBy: Seq[String] = Nil): Long = {
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no table at $root"))
+    val all = readManifest(root, cur)
+    val sized = all.map(f => f -> Files.size(dataDir(root).resolve(f)))
+    val (small, large) = sized.partition(_._2 < smallBytes)
+    if (small.size <= 1) return cur
+    val totalSmall = small.map(_._2).sum
+    val bins = math.max(1, math.ceil(totalSmall.toDouble / targetBytes).toInt)
+    val rewritten = readFiles(spark, root, small.map(_._1)).coalesce(bins)
+    commit(root, cur + 1,
+      large.map(_._1) ++ writeFiles(rewritten, root, partitionBy))
+  }
+
   /** Clustered compaction: rewrite the current snapshot range-partitioned
     * and sorted by `clusterCols`, with file stats taken from the parquet
     * FOOTERS of the files just written — no second scan of the data. Each

@@ -378,6 +378,35 @@ class LakehouseTableSpec extends AnyFunSuite {
     assert(afterCompact.exceptAll(want).isEmpty && want.exceptAll(afterCompact).isEmpty)
   }
 
+  test("compactSmall bin-packs only the small files and keeps big ones in place") {
+    val root = freshRoot()
+    val src = Tables.lineitem(spark, sf)
+    // one big file, then many tiny appends (the fresh-partition pattern)
+    LT.create(src.filter(col("l_orderkey") < 5000).coalesce(1), root)
+    (0 until 4).foreach { i =>
+      LT.append(src.filter(col("l_orderkey") >= 5000 + i * 10)
+        .filter(col("l_orderkey") < 5010 + i * 10).coalesce(1), root)
+    }
+    val before = LT.read(spark, root)
+    val beforeCount = before.count()
+    val manifestBefore = LT.versions(root).last
+    // big threshold picks up the tiny appends, not the big base file
+    val bigFileFloor = 64L * 1024 // base file is ~hundreds of KB, appends ~KB
+    val v = LT.compactSmall(spark, root, smallBytes = bigFileFloor,
+      targetBytes = 1024L * 1024)
+    assert(v == manifestBefore + 1)
+    val after = LT.read(spark, root)
+    assert(after.count() == beforeCount)
+    assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty)
+    // the 4 small files merged into 1; the big file survived untouched
+    // (same relative path in both manifests)
+    val sharedFiles = LT.removedFilesBetween(root, manifestBefore, v) // dropped by compact
+    assert(sharedFiles.size == 4, s"expected the 4 small files rewritten, got $sharedFiles")
+    // idempotent: a second pass with one remaining small file is a no-op
+    assert(LT.compactSmall(spark, root, smallBytes = bigFileFloor,
+      targetBytes = 1024L * 1024) == v)
+  }
+
   test("incremental view folds NULL keys and NULL-value deltas correctly") {
     import graft.sources.IncrementalView
     val srcRoot = freshRoot(); val aggRoot = freshRoot()
