@@ -114,6 +114,48 @@ object Relational {
         .orderBy(col("p_brand"))
     }),
 
+    // TPC-H Q8-shaped market share: 7-table star join (lineitem ⋈ part,
+    // orders, customer, nation×2, region, supplier), the deepest
+    // join-ordering exercise in the suite. Every dim side broadcasts; the
+    // fact table is filtered by the selective part brand FIRST (semi
+    // join), so the wide join pipeline runs over ~1/25 of lineitem.
+    // Share = one double division over two decimal-exact sums; the
+    // conditional numerator is a null-skipping sum(when) — same FILTER
+    // semantics as the oracle.
+    "q101_market_share" -> ((s, d) => {
+      val asiaCust = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)
+            .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey"))),
+          col("c_nationkey") === col("n_nationkey"), "left_semi")
+        .select(col("c_custkey"))
+      val ords = Tables.orders(s, d)
+        .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("yr"))
+      val brandParts = Tables.part(s, d)
+        .filter(col("p_brand") === "Brand#13").select(col("p_partkey"))
+      val supNation = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val vol = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+      Tables.lineitem(s, d)
+        .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(ords, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+        .select(col("yr"), vol.as("vol"), col("supp_nation"))
+        .groupBy(col("yr"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_3", col("vol")))
+            .cast("double").as("nation_volume"),
+          sum(col("vol")).cast("double").as("total_volume"))
+        .withColumn("share", col("nation_volume") / col("total_volume"))
+        .orderBy(col("yr"))
+    }),
+
     // NOT EXISTS → left-anti join (customers with no 1995 orders).
     "q08_customers_no_orders" -> ((s, d) => {
       val ord95 = Tables.orders(s, d)
@@ -614,6 +656,28 @@ object Relational {
          ${Exact.sqlMoneySum("l_extendedprice")} AS sum_price
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand ORDER BY p_brand""",
+
+    "q101_market_share" ->
+      """SELECT yr,
+         CAST(sum(vol) FILTER (WHERE supp_nation = 'NATION_3') AS DOUBLE) AS nation_volume,
+         CAST(sum(vol) AS DOUBLE) AS total_volume,
+         CAST(sum(vol) FILTER (WHERE supp_nation = 'NATION_3') AS DOUBLE)
+           / CAST(sum(vol) AS DOUBLE) AS share
+         FROM (
+           SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS vol,
+             n2.n_name AS supp_nation
+           FROM lineitem
+           JOIN part ON p_partkey = l_partkey
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN customer ON c_custkey = o_custkey
+           JOIN nation n1 ON n1.n_nationkey = c_nationkey
+           JOIN region ON r_regionkey = n1.n_regionkey
+           JOIN supplier ON s_suppkey = l_suppkey
+           JOIN nation n2 ON n2.n_nationkey = s_nationkey
+           WHERE r_name = 'ASIA' AND p_brand = 'Brand#13')
+         GROUP BY yr ORDER BY yr""",
 
     "q08_customers_no_orders" ->
       s"""SELECT c_mktsegment, count(*) AS n_customers,
