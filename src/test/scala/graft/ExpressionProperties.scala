@@ -108,4 +108,14 @@ object ExpressionProperties extends Properties("graft.expressions") {
         .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
       md5Hex(s) == ref
     }
+
+  property("adjacentPairs: tokens zip tail, multiplicity kept") =
+    forAll(words) { ws =>
+      val out = AdjacentPairs(strLit(ws.mkString(" "))).eval(null)
+        .asInstanceOf[ArrayData]
+      val pairs = (0 until out.numElements()).map(out.getUTF8String(_).toString)
+      val expected = if (ws.length < 2) Seq.empty
+        else ws.zip(ws.tail).map { case (a, b) => s"$a $b" }
+      pairs == expected
+    }
 }

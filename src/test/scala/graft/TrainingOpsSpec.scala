@@ -84,4 +84,45 @@ class TrainingOpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("repetitive") == expected)
     }
   }
+
+  test("capstone: filter → decontaminate → rebalance → expectations-gated training table") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.{LakehouseTable => LT, Tables}
+    import graft.plans.TextExpressions
+    val docs = Tables.documents(spark, sf)
+    val flagged = SparkEntry.queries("q88_decontaminate")(spark, sf).select("doc_id")
+    // 1. quality filter (compiled expression) + benchmark decontamination
+    val kept = docs
+      .withColumn("score", TextExpressions.qualityScore(col("text")))
+      .filter(col("score") > 0.5)
+      .join(flagged, Seq("doc_id"), "left_anti")
+    // 2. deterministic source rebalance to the smallest surviving source
+    val counts = kept.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val minN = counts.agg(min(col("n_docs"))).collect()(0).getLong(0)
+    val th = counts.withColumn("threshold", expr(s"($minN * 65536) div n_docs"))
+    val sampled = kept
+      .withColumn("bucket",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long"))
+      .join(broadcast(th.select(col("source"), col("threshold"))), "source")
+      .filter(col("bucket") < col("threshold"))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    // 3. land in a versioned table behind write expectations
+    val root = java.nio.file.Files.createTempDirectory("graft-capstone")
+      .resolve("train").toString
+    LT.create(sampled.limit(0), root)
+    val (v, nRejected) = LT.appendWithExpectations(sampled, root, Map(
+      "has_text" -> (length(col("text")) > 0),
+      "chars_consistent" -> (col("n_chars") === length(col("text")))))
+    assert(v == 1L && nRejected == 0L)
+    val table = LT.read(spark, root)
+    assert(table.count() == sampled.count() && table.count() > 0)
+    // no contaminated doc survived; sources are balanced — the md5-bucket
+    // threshold keeps ≈minN per source in EXPECTATION (mean n·th/2^16 =
+    // minN), so bound the deviation generously rather than exactly
+    assert(table.join(flagged, Seq("doc_id"), "left_semi").count() == 0)
+    val perSource = table.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(_.getAs[Long]("n"))
+    assert(perSource.max <= 2 * minN && perSource.min >= minN / 4,
+      s"rebalance out of range: ${perSource.toSeq} vs target $minN")
+  }
 }
