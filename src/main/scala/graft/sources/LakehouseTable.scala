@@ -485,11 +485,14 @@ object LakehouseTable {
     }
   }
 
-  /** Collect per-file min/max for `cols` (numeric or timestamp) over the
-    * CURRENT version and persist them as the version's stats sidecar
-    * (TSV: relpath, col, min, max — timestamps as epoch micros). At scale
-    * these come from parquet footers at write time; one extra scan here
-    * keeps the layer engine-agnostic. */
+  /** DIAGNOSTIC / backfill path: collect per-file min/max for `cols`
+    * (numeric or timestamp) over the CURRENT version by scanning the data,
+    * and persist them as the version's stats sidecar (TSV: relpath, col,
+    * min, max — timestamps as epoch micros). The PRODUCTION path is
+    * [[footerStats]], which `cluster`/`zorderCluster` use at write time
+    * (O(files) footer reads, no data scan); use this only to backfill
+    * stats onto a table written before stats existed, or for columns whose
+    * footer chunks carry no usable stats. */
   def computeStats(spark: SparkSession, root: String, cols: Seq[String]): Unit = {
     import org.apache.spark.sql.functions._
     val cur = currentVersion(root).getOrElse(
