@@ -36,6 +36,14 @@ object IncrementalView {
       .agg(count(lit(1)).as("n"),
         sum(col(valueCol).cast(D2)).cast(DSum).as("sum_value"))
 
+  /** True when every file of `from`'s manifest survives in `to`'s — and
+    * false (triggering the safe full-recompute path) when files were
+    * rewritten OR when the old manifest was vacuumed away entirely, which
+    * would otherwise wedge the view forever on a NoSuchFileException. */
+  private def appendOnlySince(srcRoot: String, from: Long, to: Long): Boolean =
+    try LakehouseTable.removedFilesBetween(srcRoot, from, to).isEmpty
+    catch { case _: java.nio.file.NoSuchFileException => false }
+
   /** Sync `aggRoot` = SELECT key, count(*), sum(value) FROM srcRoot GROUP BY
     * key. First call creates the aggregate table; later calls merge only the
     * delta since the upstream version recorded at the previous sync.
@@ -53,10 +61,10 @@ object IncrementalView {
         LakehouseTable.create(fullAgg(), aggRoot, txn = Some(srcV))
         srcV
       case Some(doneV) if doneV >= srcV => srcV // nothing new — idempotent
-      case Some(doneV)
-          if LakehouseTable.removedFilesBetween(srcRoot, doneV, srcV).nonEmpty =>
+      case Some(doneV) if !appendOnlySince(srcRoot, doneV, srcV) =>
         // non-append transition (compact/cluster/delete/merge rewrote
-        // files): a file-level delta would double-count — recompute
+        // files) OR the doneV manifest was vacuumed away: a file-level
+        // delta would double-count or crash — recompute
         LakehouseTable.overwrite(fullAgg(), aggRoot, txn = Some(srcV))
         srcV
       case Some(doneV) =>

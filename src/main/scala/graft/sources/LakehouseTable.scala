@@ -38,11 +38,19 @@ object LakehouseTable {
   private def dataDir(root: String): Path = Paths.get(root, "data")
 
   /** Committed versions, ascending. */
+  /** Drain a Files.list/walk stream THROUGH a transformation, closing the
+    * stream (and its directory fd) deterministically: a long-running
+    * streaming ingest calls the manifest listing every micro-batch, and
+    * unclosed DirectoryStreams exhaust the process fd limit. */
+  private def withDrained[A](s: java.util.stream.Stream[Path])(
+      f: Iterator[Path] => Iterator[A]): Seq[A] =
+    try f(s.iterator().asScala).toSeq finally s.close()
+
   def versions(root: String): Seq[Long] =
     if (!Files.isDirectory(manifestDir(root))) Seq.empty
-    else Files.list(manifestDir(root)).iterator().asScala
-      .map(_.getFileName.toString).filter(_.endsWith(".json"))
-      .map(_.stripSuffix(".json").toLong).toSeq.sorted
+    else withDrained(Files.list(manifestDir(root)))(
+      _.map(_.getFileName.toString).filter(_.endsWith(".json"))
+        .map(_.stripSuffix(".json").toLong)).sorted
 
   def currentVersion(root: String): Option[Long] = versions(root).lastOption
 
@@ -131,21 +139,20 @@ object LakehouseTable {
       case Some(v) => df.sparkSession.conf.set(tsKey, v)
       case None    => df.sparkSession.conf.unset(tsKey)
     }
-    val moved = Files.walk(staging).iterator().asScala
-      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-      .map { p =>
-        val rel = staging.relativize(p)
-        val target = Option(rel.getParent) match {
-          case Some(dirs) => dataDir(root).resolve(dirs).resolve(s"$uuid-${rel.getFileName}")
-          case None       => dataDir(root).resolve(s"$uuid-${rel.getFileName}")
-        }
-        Files.createDirectories(target.getParent)
-        Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
-        dataDir(root).relativize(target).toString
-      }
-      .toSeq
+    val moved = withDrained(Files.walk(staging))(
+      _.filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+        .map { p =>
+          val rel = staging.relativize(p)
+          val target = Option(rel.getParent) match {
+            case Some(dirs) => dataDir(root).resolve(dirs).resolve(s"$uuid-${rel.getFileName}")
+            case None       => dataDir(root).resolve(s"$uuid-${rel.getFileName}")
+          }
+          Files.createDirectories(target.getParent)
+          Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
+          dataDir(root).relativize(target).toString
+        })
     // staging now holds only spark metadata (_SUCCESS, dirs) — remove it
-    Files.walk(staging).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
+    withDrained(Files.walk(staging))(identity).reverse.foreach(Files.deleteIfExists)
     moved
   }
 
@@ -173,6 +180,7 @@ object LakehouseTable {
       txn: Option[Long] = None): Long = {
     val cur = currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no table at $root"))
+    requirePartitioningMatches(root, cur, partitionBy, "overwrite")
     commit(root, cur + 1, writeFiles(df, root, partitionBy), txn)
   }
 
@@ -253,14 +261,30 @@ object LakehouseTable {
 
   /** Rewrite the current snapshot into `numFiles` files per partition dir
     * (small-file compaction). Data is unchanged; file count shrinks. */
+  /** True when the current manifest stores files under hive partition dirs
+    * (`col=value/...`). Rewrite operations must re-pass the SAME
+    * partitioning, or rewritten flat files and untouched hive files would
+    * share a manifest at conflicting depths and break every read. */
+  private def isHivePartitioned(root: String, cur: Long): Boolean =
+    readManifest(root, cur).exists(_.contains('='))
+
+  private def requirePartitioningMatches(root: String, cur: Long,
+      partitionBy: Seq[String], op: String): Unit =
+    require(partitionBy.nonEmpty || !isHivePartitioned(root, cur),
+      s"$op on a hive-partitioned table requires the table's partitionBy " +
+        "columns — a flat rewrite would mix directory depths in one manifest")
+
   def compact(spark: SparkSession, root: String, numFiles: Int = 1,
       partitionBy: Seq[String] = Nil): Long = {
     val cur = currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no table at $root"))
+    requirePartitioningMatches(root, cur, partitionBy, "compact")
     val snapshot = read(spark, root, Some(cur))
     val rewritten =
       if (partitionBy.nonEmpty)
-        snapshot.repartition(partitionBy.map(snapshot.col): _*)
+        // numFiles-way hash repartition keyed by the partition columns →
+        // at most numFiles files per partition dir (not one mega-file)
+        snapshot.repartition(numFiles, partitionBy.map(snapshot.col): _*)
       else snapshot.coalesce(numFiles)
     commit(root, cur + 1, writeFiles(rewritten, root, partitionBy))
   }
@@ -279,6 +303,7 @@ object LakehouseTable {
       partitionBy: Seq[String] = Nil): Long = {
     val cur = currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no table at $root"))
+    requirePartitioningMatches(root, cur, partitionBy, "compactSmall")
     val all = readManifest(root, cur)
     val sized = all.map(f => f -> Files.size(dataDir(root).resolve(f)))
     val (small, large) = sized.partition(_._2 < smallBytes)
@@ -302,6 +327,7 @@ object LakehouseTable {
     require(clusterCols.nonEmpty, "cluster requires at least one column")
     val cur = currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no table at $root"))
+    requirePartitioningMatches(root, cur, Nil, "cluster")
     val snapshot = read(spark, root, Some(cur))
     val cols = clusterCols.map(snapshot.col)
     val rewritten = snapshot
@@ -339,13 +365,17 @@ object LakehouseTable {
     require(zCols.size >= 2, "zorderCluster needs >= 2 columns (use cluster for 1)")
     val cur = currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no table at $root"))
+    requirePartitioningMatches(root, cur, Nil, "zorderCluster")
     val snapshot = read(spark, root, Some(cur))
     val bounds = snapshot.agg(
       min(snapshot(zCols.head).cast("double")),
       (max(snapshot(zCols.head).cast("double")) +:
         zCols.tail.flatMap(c => Seq(min(snapshot(c).cast("double")),
           max(snapshot(c).cast("double"))))): _*).head()
-    val bits = 16
+    // bit positions go up to bits*nCols-1: cap at 63 TOTAL so the sign bit
+    // is never set (a negative __z would sort first and break the curve)
+    // and wider column sets shed precision instead of wrapping the shift
+    val bits = math.min(16, 63 / zCols.size)
     val norm = zCols.zipWithIndex.map { case (c, i) =>
       // empty snapshot / all-null column leaves null bounds: degrade that
       // column (and any null VALUES) to bucket 0 rather than NPE — the
@@ -375,6 +405,7 @@ object LakehouseTable {
       partitionBy: Seq[String] = Nil): Long = {
     val cur = currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no table at $root"))
+    requirePartitioningMatches(root, cur, partitionBy, "deleteWhere")
     val remaining = read(spark, root, Some(cur)).filter(s"NOT ($where)")
     commit(root, cur + 1, writeFiles(remaining, root, partitionBy))
   }
@@ -386,7 +417,11 @@ object LakehouseTable {
       .parquet(relFiles.map(f => dataDir(root).resolve(f).toString): _*)
 
   private def toRel(root: String, absUri: String): String = {
-    val abs = absUri.stripPrefix("file:").replaceAll("^/+", "/")
+    val stripped = absUri.stripPrefix("file:").replaceAll("^/+", "/")
+    // input_file_name() returns a URI: %-decode it (a space in a partition
+    // value arrives as %20) or the path never matches its manifest entry.
+    // '+' is a literal plus in a URI path, so shield it from URLDecoder.
+    val abs = java.net.URLDecoder.decode(stripped.replace("+", "%2B"), "UTF-8")
     Paths.get(dataDir(root).toString).relativize(Paths.get(abs)).toString
   }
 
@@ -404,6 +439,7 @@ object LakehouseTable {
     require(keys.nonEmpty, "merge requires at least one key column")
     val cur = currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no table at $root"))
+    requirePartitioningMatches(root, cur, partitionBy, "merge")
     val all = readManifest(root, cur)
     val snap = readFiles(spark, root, all)
     // null-SAFE key match (<=>): a NULL key in updates must still replace

@@ -56,8 +56,11 @@ object Tables {
     * registration re-infers every parquet schema, so repeated calls from
     * SQL-path queries skip straight through — register once per session,
     * like any catalog. */
-  private val registeredDir =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+  // weak keys: a stopped SparkSession must be collectable — a strong map
+  // would pin every session's state graph for the JVM lifetime in
+  // processes that create sessions repeatedly
+  private val registeredDir = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
 
   def registerAll(s: SparkSession, d: String): Unit =
     if (registeredDir.get(s) != d) { // re-register on any dir switch

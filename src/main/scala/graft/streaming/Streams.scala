@@ -40,8 +40,11 @@ object Streams {
   def decontaminateStream(docs: DataFrame, benchGrams: Seq[String]): DataFrame =
     docs
       .withColumn("sh", graft.plans.TextExpressions.wordShingles(col("text"), 3))
-      .filter(size(array_intersect(col("sh"),
-        array(benchGrams.map(lit): _*))) === 0)
+      // typedlit → ONE array literal node (array(lit...) would add one
+      // Catalyst node per gram and blow past codegen limits on a large
+      // eval set); the eval set is bounded by construction, but plan size
+      // should not scale with it
+      .filter(size(array_intersect(col("sh"), typedlit(benchGrams))) === 0)
       .select(col("doc_id"), col("text"))
 
   /** Contamination HIT stream: (doc_id, shingle) records for every eval
@@ -183,10 +186,11 @@ object Streams {
     * Each batch must carry at most one row per key: collapse multiple
     * updates upstream (e.g. a watermarked last-per-key aggregation),
     * otherwise all of a key's rows in the batch survive the merge. */
-  def upsertInto(updates: DataFrame, tableRoot: String,
-      keys: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
+  def upsertInto(updates: DataFrame, tableRoot: String, keys: Seq[String],
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     updates.writeStream
       .outputMode("update")
+      .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (batch.isEmpty ||
             graft.sources.LakehouseTable.lastTxn(tableRoot).exists(_ >= batchId)) ()
@@ -257,7 +261,15 @@ object Streams {
             val incoming = batch.toSeq.sortBy(e => (e.tsMicros, e.event_id))
             var log = prior
             val out = incoming.map { e =>
-              val hist = log.reverse.map(_._3).mkString(",")
+              // EVENT-time history: only events ordered before this one, in
+              // (ts, event_id) order — so a late arrival gets the same
+              // history its batch twin (q24) computes. Rows already emitted
+              // for later events are final (append mode cannot retract);
+              // the late row itself is correct.
+              val hist = log
+                .filter(p => p._1 < e.tsMicros
+                  || (p._1 == e.tsMicros && p._2 < e.event_id))
+                .sortBy(p => (p._1, p._2)).map(_._3).mkString(",")
               log = (e.tsMicros, e.event_id, e.event_type) :: log
               HistOut(userId, e.event_id, e.event_type, hist)
             }

@@ -234,10 +234,11 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streaming upsert merges each micro-batch into the lakehouse table") {
     import spark.implicits._
-    val root = java.nio.file.Files.createTempDirectory("graft-upsert")
-      .resolve("kv_tbl").toString
+    val upsertBase = java.nio.file.Files.createTempDirectory("graft-upsert")
+    val root = upsertBase.resolve("kv_tbl").toString
     val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](spark, 1)
-    val q = Streams.upsertInto(ms.toDF().toDF("k", "v"), root, Seq("k"))
+    val q = Streams.upsertInto(ms.toDF().toDF("k", "v"), root, Seq("k"),
+      upsertBase.resolve("ckpt").toString)
     ms.addData((1L, "a"), (2L, "b"), (3L, "c"))
     q.processAllAvailable()
     ms.addData((2L, "B2"), (4L, "d")) // update key 2, insert key 4
@@ -270,5 +271,23 @@ class StreamingSpec extends AnyFunSuite {
     val want = SparkEntry.queries("q24_history_replay")(spark, sf)
       .select("user_id", "event_id", "history")
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("history replay gives a late cross-batch arrival its event-time history") {
+    import spark.implicits._
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streams.Evt](
+      spark, 1)
+    val q = Streams.historyReplay(ms.toDS(), withTimeout = false)
+      .writeStream.outputMode("append").format("memory").queryName("t_late_hist").start()
+    // batch 1: events at ts 100 and 300; batch 2: LATE event at ts 200
+    ms.addData(Streams.Evt(1L, 7L, "a", 100L), Streams.Evt(3L, 7L, "c", 300L))
+    q.processAllAvailable()
+    ms.addData(Streams.Evt(2L, 7L, "b", 200L))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("t_late_hist").collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[String]("history")).toMap
+    // the late event sees only events BEFORE ts=200 — not event 3
+    assert(rows(2L) == "a", s"late event history was '${rows(2L)}'")
+    assert(rows(1L) == "" && rows(3L) == "a")
   }
 }
