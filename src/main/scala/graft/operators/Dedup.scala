@@ -107,6 +107,17 @@ object Dedup {
         / (col("na") + col("nb") - col("shared")).cast("double")).as("jaccard"))
   }
 
+  /** Near-dup pairs at the 0.5 Jaccard threshold, CACHED: q34 (the pairs)
+    * and q68 (clusters over the same pairs) share this exact relation, and
+    * the post-filter result is dozens of rows — the cache costs nothing
+    * and saves the second query its whole pair-count aggregation
+    * (CacheManager dedupes by canonical plan, like shingleDf). */
+  private def dupPairs(s: SparkSession, d: String): DataFrame = {
+    val df = pairJaccard(s, d).filter(col("jaccard") >= 0.5)
+    df.cache()
+    df
+  }
+
   /** DuckDB twin of the capped shared-count Jaccard over a (doc_id, sh)
     * relation: inverted index restricted to posting lists below the cap,
     * pair counts from the capped index, set sizes from the full relation —
@@ -197,9 +208,7 @@ object Dedup {
     // N-gram Jaccard near-dup via inverted shingle index (no cross join):
     // candidate pairs share ≥1 non-hot shingle; Jaccard from shared counts.
     "q34_ngram_jaccard" -> ((s, d) => {
-      pairJaccard(s, d)
-        .filter(col("jaccard") >= 0.5)
-        .orderBy(col("a"), col("b"))
+      dupPairs(s, d).orderBy(col("a"), col("b"))
     }),
 
     // Duplicate CLUSTERS, not just pairs: connected components over the
@@ -212,8 +221,7 @@ object Dedup {
     // aggregate (the standard distributed connected-components step);
     // rounds needed = graph diameter (tiny for dup clusters).
     "q68_dup_clusters" -> ((s, d) => {
-      val pairs = pairJaccard(s, d).filter(col("jaccard") >= 0.5)
-        .select(col("a"), col("b"))
+      val pairs = dupPairs(s, d).select(col("a"), col("b"))
       val edges = pairs.unionByName(
           pairs.select(col("b").as("a"), col("a").as("b")))
         .withColumnRenamed("a", "src").withColumnRenamed("b", "dst")
