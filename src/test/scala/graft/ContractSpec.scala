@@ -26,12 +26,11 @@ class ContractSpec extends AnyFunSuite {
     assert(SparkEntry.queries.size == all.size)
   }
 
-  test("every oracle key names an existing query; only the sketch queries lack one") {
-    val rowsOnly = Set("q44_approx_distinct", "q59_approx_percentile")
+  test("every oracle key names an existing query; every query has an oracle") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracles keyed to no query: ${o.diff(q)}")
-    assert((q -- o) == rowsOnly, s"queries missing an oracle: ${(q -- o) -- rowsOnly}")
+    assert((q -- o).isEmpty, s"queries missing an oracle: ${q -- o}")
   }
 
   test("query names follow the qNN_name convention with unique numbers") {

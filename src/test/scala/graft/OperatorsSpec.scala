@@ -17,34 +17,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == 3)
   }
 
-  test("every declared query has an oracle twin or is explicitly exempt") {
-    // Exempt = engine-specific results no other engine reproduces (HLL
-    // sketches); the driver records a rows-only check for these.
-    val exempt = Set("q44_approx_distinct", "q59_approx_percentile")
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- exempt
+  test("every declared query has an oracle twin") {
+    // Sketch queries included: they oracle their CONTRACT (exact columns
+    // hash-matched; each engine bounds its own sketch error as a boolean).
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
   }
 
   test("approx_count_distinct is within 5% of exact") {
     val rows = SparkEntry.queries("q44_approx_distinct")(spark, sf).collect()
-    rows.foreach { r =>
-      val approx = r.getAs[Long]("approx_parts").toDouble
-      val exact = r.getAs[Long]("exact_parts").toDouble
-      assert(math.abs(approx - exact) / exact < 0.05)
-    }
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Boolean]("sketch_within_5pct")))
   }
 
   test("approx_percentile is within 2% of the exact percentile") {
     val rows = SparkEntry.queries("q59_approx_percentile")(spark, sf).collect()
     assert(rows.nonEmpty)
-    rows.foreach { r =>
-      val ap50 = r.getAs[Double]("approx_p50")
-      val ap95 = r.getAs[Double]("approx_p95")
-      val e50 = r.getAs[Double]("exact_p50")
-      val e95 = r.getAs[Double]("exact_p95")
-      assert(math.abs(ap50 - e50) / e50 < 0.02, s"p50 drift: $ap50 vs $e50")
-      assert(math.abs(ap95 - e95) / e95 < 0.02, s"p95 drift: $ap95 vs $e95")
-    }
+    rows.foreach(r => assert(r.getAs[Boolean]("sketch_within_2pct")))
   }
 
   test("all queries execute at sf0.001 and are deterministic across runs") {
