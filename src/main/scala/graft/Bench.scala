@@ -18,10 +18,19 @@ object Bench {
       ordered.foreach { case (_, fn) =>
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       }
+    // Median of 3 timed passes per query: a one-sample bench on a shared
+    // host records background-load spikes as phantom regressions (round-2
+    // verdict: driver tail showed 3.5x "slowdowns" a quiet re-run refuted).
+    // The median is robust to one loaded pass; passes can be tuned via
+    // SPARK_GRAFT_PASSES for quick local iteration.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
     val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(times.length / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

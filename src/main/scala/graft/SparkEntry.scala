@@ -22,7 +22,8 @@ object SparkEntry {
       (EventsOps.queries, EventsOps.oracle),
       (Multimodal.queries, Multimodal.oracle),
       (Pipelines.queries, Pipelines.oracle),
-      (Ingest.queries, Ingest.oracle))
+      (Ingest.queries, Ingest.oracle),
+      (Lakehouse.queries, Lakehouse.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's entry-point-1 chain (SURVEY.md §3), engine-native. */

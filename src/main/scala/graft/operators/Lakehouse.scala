@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact
+import graft.sources.{LakehouseTable, TableCache, Tables}
+
+/** Oracle-gated queries over the versioned lakehouse storage layer
+  * (`sources/LakehouseTable.scala`) — a real user's first workflow: write a
+  * table, cluster it, query it back with file-skipping; upsert into it,
+  * delete from it, query the survivors.
+  *
+  * The reference's single data dependency is a managed storage-backed index
+  * (`app/app.yaml:7-10`); storage IS the product surface of a lakehouse
+  * engine, so these queries put the write→cluster→prune→read round trip
+  * under the driver's DuckDB CORRECTNESS gate instead of only unit tests.
+  * The oracle twins run the equivalent relational query over the RAW
+  * testdata parquet — any corruption anywhere in the storage round trip
+  * (write, manifest, stats, pruning, merge rewrite, delete) breaks the
+  * hash match.
+  *
+  * Derived tables build once per (source dir, params) under
+  * [[TableCache]]; queries after the first read the committed version, so
+  * what the bench steady-state measures is the read path.
+  */
+object Lakehouse {
+
+  /** lineitem (projection of the columns the gate queries) written as a
+    * lakehouse table and Z-ORDER clustered on (l_orderkey, l_partkey) into
+    * 8 files. Build is resumable: create commits v0, the cluster rewrite
+    * commits v1 + footer-stats sidecar; a crash between them leaves a
+    * readable-but-unpruned table that the next call finishes clustering.
+    * Timestamp columns are deliberately excluded — the gate compares
+    * against raw parquet, and the micros rewrite would be a (documented)
+    * value change on the testdata's nanos events. */
+  private[graft] def lineitemZRoot(s: SparkSession, d: String): String = {
+    val root = TableCache.root(d, "lineitem", "z=l_orderkey,l_partkey:files=8:v1")
+    try {
+      if (LakehouseTable.versions(root).isEmpty)
+        LakehouseTable.create(
+          Tables.lineitem(s, d).select("l_orderkey", "l_partkey", "l_returnflag",
+            "l_quantity", "l_extendedprice"), root)
+      if (LakehouseTable.currentVersion(root).contains(0L))
+        LakehouseTable.zorderCluster(s, root, Seq("l_orderkey", "l_partkey"), numFiles = 8)
+    } catch {
+      // lost a concurrent first-build race: the winner's table is
+      // bit-identical (deterministic build), so fall through and read it
+      case _: java.util.ConcurrentModificationException => ()
+    }
+    root
+  }
+
+  /** orders run through the copy-on-write write paths: create v0, MERGE
+    * v1 (keys ≡ 0 mod 97 get a 1.25× price update; keys ≡ 0 mod 997 insert
+    * a negated-key twin), deleteWhere v2 (price < 1000). All arithmetic is
+    * chosen bit-exact across engines: 1.25 is a power-of-two sum, so the
+    * double product is IEEE-identical in Spark and DuckDB. */
+  private[graft] def ordersMergeRoot(s: SparkSession, d: String): String = {
+    val root = TableCache.root(d, "orders", "merge97-ins997-del1000:v2")
+    try {
+      val base = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      if (LakehouseTable.versions(root).isEmpty)
+        LakehouseTable.create(base, root)
+      if (LakehouseTable.currentVersion(root).contains(0L)) {
+        val updates = base.filter(col("o_orderkey") % 97 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * lit(1.25))
+          .unionByName(base.filter(col("o_orderkey") % 997 === 0 &&
+              col("o_orderkey") =!= 0) // -0 == 0 would collide with key 0's own update
+            .withColumn("o_orderkey", -col("o_orderkey")))
+        LakehouseTable.merge(s, root, updates, Seq("o_orderkey"))
+      }
+      if (LakehouseTable.currentVersion(root).contains(1L))
+        LakehouseTable.deleteWhere(s, root, "o_totalprice < 1000.0")
+    } catch {
+      case _: java.util.ConcurrentModificationException => ()
+    }
+    root
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Write → Z-ORDER → file-skip read → aggregate. readPruned keeps only
+    // files whose footer-stat [min,max] range on l_orderkey overlaps the
+    // predicate (Round3Spec asserts the file subset really shrinks); the
+    // row-level filter then applies as usual. The oracle runs the same
+    // filter+aggregate on the raw parquet, so a wrong prune (dropping a
+    // file that contains matching rows) is a hash mismatch, not a perf
+    // footnote.
+    "q102_lakehouse_pruned" -> ((s, d) => {
+      val root = lineitemZRoot(s, d)
+      LakehouseTable.readPruned(s, root, "l_orderkey", 1000.0, 1999.0)
+        .filter(col("l_orderkey").between(1000L, 1999L))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          Exact.moneySum(col("l_quantity")).as("sum_qty"),
+          Exact.moneySum(col("l_extendedprice")).as("sum_price"),
+          countDistinct(col("l_partkey")).as("n_parts"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // create → MERGE (update + insert) → deleteWhere → read the survivors.
+    // Aggregates are all bit-exact (count, long sum, double min/max) so the
+    // hash gate verifies the exact surviving row set, not a tolerance.
+    "q103_lakehouse_merge" -> ((s, d) => {
+      val root = ordersMergeRoot(s, d)
+      LakehouseTable.read(s, root)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy(col("o_orderstatus"))
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "q102_lakehouse_pruned" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+            ${Exact.sqlMoneySum("l_quantity")} AS sum_qty,
+            ${Exact.sqlMoneySum("l_extendedprice")} AS sum_price,
+            count(DISTINCT l_partkey) AS n_parts
+          FROM lineitem
+          WHERE l_orderkey BETWEEN 1000 AND 1999
+          GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q103_lakehouse_merge" ->
+      """WITH merged AS (
+           SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 1.25
+                  ELSE o_totalprice END AS o_totalprice
+           FROM orders
+           UNION ALL
+           SELECT -o_orderkey, o_orderstatus, o_totalprice
+           FROM orders WHERE o_orderkey % 997 = 0 AND o_orderkey <> 0)
+         SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+         FROM merged WHERE o_totalprice >= 1000.0
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+}

@@ -43,30 +43,34 @@ object Similarity {
   private val IvfK = 8
   private val IvfIters = 2
   private val Dims = 64
+  /** Median grid for the bounded-memory centroid build: values quantize to
+    * a 1/Bins grid. Power of two, so `bin / Bins` is an exact double and
+    * both engines reproduce it bit-identically. */
+  private val Bins = 4096
 
-  /** Root of the persisted centroid table for a given source dir. Keyed by
-    * the embeddings file's (path, size, mtime) AND the build parameters, so
-    * neither a regenerated corpus nor a changed k/iteration count can pair
-    * with a stale index — either just triggers a fresh build. */
-  def ivfRoot(d: String): String = {
-    val f = java.nio.file.Paths.get(d, "embeddings.parquet")
-    val data =
-      if (java.nio.file.Files.exists(f))
-        s"$d:${java.nio.file.Files.size(f)}:${java.nio.file.Files.getLastModifiedTime(f).toMillis}"
-      else d
-    val stamp = s"$data:k=$IvfK:iters=$IvfIters:dims=$Dims:alg=kmedians-v1"
-    s"/tmp/graft_ivf_${graft.plans.TextExpressions.md5Hex(stamp).take(12)}"
-  }
+  /** Root of the persisted centroid table for a given source dir — keyed
+    * by corpus identity + build parameters (see [[graft.sources.TableCache]]),
+    * so a regenerated corpus or changed k/iters/grid triggers a fresh
+    * build rather than pairing with a stale index. */
+  def ivfRoot(d: String): String =
+    graft.sources.TableCache.root(d, "embeddings",
+      s"ivf:k=$IvfK:iters=$IvfIters:dims=$Dims:bins=$Bins:alg=kmedians-hist-v2")
 
   /** Long-form centroids (cid, pos, c) after `iters` Lloyd rounds of
     * k-MEDIANS: init = stored vectors 0..k-1; each round assigns every
     * vector to its nearest centroid by cosine (tie → lower cid) and
-    * recomputes each centroid dimension as the per-cell MEDIAN. Medians,
-    * not means, deliberately: `percentile(_, 0.5)` is bit-identical to
-    * DuckDB's `quantile_cont` (verified by q49), while a parallel double
-    * MEAN depends on accumulation order — so this build is reproducible
-    * on any cluster AND in the oracle twin. At 100 TB each round is one
-    * broadcast-assign pass + one (cid, dim) aggregation — no collect. */
+    * recomputes each centroid dimension as the per-cell lower-median on
+    * the 1/Bins grid. Medians, not means, deliberately: a parallel double
+    * MEAN depends on accumulation order, while the grid median is a pure
+    * order statistic — bit-reproducible on any cluster AND in the oracle
+    * twin. Bounded memory, unlike Spark's exact `percentile(x, 0.5)`
+    * (whose ImperativeAggregate buffers every raw value of a group in one
+    * task — OOM-shaped when a cell holds n/k doubles at corpus scale):
+    * values quantize to the grid, counts aggregate per (cid, pos, bin)
+    * with map-side partials, and the lower-median bin falls out of a
+    * cumulative-count window (sort-based, spillable). State per group is
+    * O(occupied bins), never O(values). At 100 TB each round is one
+    * broadcast-assign pass + one binned aggregation — no collect. */
   private[operators] def kmediansLong(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     val long = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
@@ -81,9 +85,20 @@ object Similarity {
           V.cosineFold(col("embedding"), col("cv")).as("csim"))
         .withColumn("arn", row_number().over(aw)).filter(col("arn") === 1)
         .select(col("vec_id"), col("cid"))
-      cents = assigned.join(long, "vec_id")
+      val binned = assigned.join(long, "vec_id")
+        .groupBy(col("cid"), col("pos"),
+          floor(col("x") * Bins).cast("long").as("bin"))
+        .agg(count(lit(1)).as("cnt"))
+      val cw = Window.partitionBy(col("cid"), col("pos")).orderBy(col("bin"))
+      val tw = Window.partitionBy(col("cid"), col("pos"))
+      // lower median = value at position ceil(n/2): first bin whose
+      // cumulative count reaches half the total (2*cum >= n, integer-exact)
+      cents = binned
+        .withColumn("cum", sum(col("cnt")).over(cw))
+        .withColumn("total", sum(col("cnt")).over(tw))
+        .filter(col("cum") * 2 >= col("total"))
         .groupBy(col("cid"), col("pos"))
-        .agg(expr("percentile(x, 0.5)").as("c"))
+        .agg((min(col("bin")) / Bins).as("c"))
     }
     cents
   }
@@ -101,8 +116,29 @@ object Similarity {
   private def centroidTable(s: SparkSession, d: String): DataFrame = {
     val root = ivfRoot(d)
     if (graft.sources.LakehouseTable.versions(root).isEmpty)
-      graft.sources.LakehouseTable.create(kmediansLong(s, d), root)
+      try graft.sources.LakehouseTable.create(kmediansLong(s, d), root)
+      catch {
+        // lost a concurrent first-build race: the winner committed a
+        // bit-identical table (deterministic build) — read it instead
+        case _: java.util.ConcurrentModificationException => ()
+      }
     toCentroidVecs(graft.sources.LakehouseTable.read(s, root))
+  }
+
+  /** (vec_id, embedding, cid) — every vector labeled with its nearest
+    * centroid cell (tie → lower cid), the IVF partition assignment shared
+    * by q37 (single-cell probe) and q104 (multi-probe + recall). */
+  private def ivfAssigned(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val e = Tables.embeddings(s, d)
+    val cvec = centroidTable(s, d)
+    val aw = Window.partitionBy(col("vec_id")).orderBy(desc("csim"), col("cid"))
+    val assigned = e.crossJoin(broadcast(cvec))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        V.cosineFold(col("embedding"), col("cv")).as("csim"))
+      .withColumn("arn", row_number().over(aw))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+    (assigned, cvec)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -123,15 +159,7 @@ object Similarity {
     // answered by scanning only its cell — at scale the cell id is a
     // partition column and exactly one block of the corpus is read.
     "q37_ivf_ann" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val cvec = centroidTable(s, d)
-      val aw = Window.partitionBy(col("vec_id")).orderBy(desc("csim"), col("cid"))
-      val assigned = e.crossJoin(broadcast(cvec))
-        .select(col("vec_id"), col("embedding"), col("cid"),
-          V.cosineFold(col("embedding"), col("cv")).as("csim"))
-        .withColumn("arn", row_number().over(aw))
-        .filter(col("arn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cid"))
+      val (assigned, _) = ivfAssigned(s, d)
       val qCell = assigned.filter(col("vec_id") === 42)
         .select(col("cid").as("qcid"), col("embedding").as("qv"))
       assigned.join(broadcast(qCell), col("cid") === col("qcid"))
@@ -139,6 +167,48 @@ object Similarity {
         .select(col("vec_id"), col("cid"), V.cosine(col("embedding"), col("qv")).as("score"))
         .orderBy(desc("score"), col("vec_id"))
         .limit(5)
+    }),
+
+    // Multi-probe IVF with a MEASURED recall CURVE: for each nProbe in
+    // {1, 2, 4, 8}, probe the nProbe nearest cells (deterministic
+    // tie-break on cid), take the IVF top-5, and count the overlap with
+    // the brute-force top-5 (q36's exact plan) — recall@5 as green,
+    // hash-matched numbers rather than a claim. The curve is monotone and
+    // provably hits 1.0 at nProbe = k (all cells = the exact scan); where
+    // it sits below that is the real cost of probing fewer cells on THIS
+    // corpus. At scale each probe set turns a corpus scan into nProbe
+    // cell scans, and this query is the acceptance test that the speedup
+    // keeps recall.
+    "q104_ivf_recall" -> ((s, d) => {
+      import s.implicits._
+      val (assigned, cvec) = ivfAssigned(s, d)
+      val qv = Tables.embeddings(s, d).filter(col("vec_id") === 42)
+        .select(col("embedding").as("qv"))
+      // k-row relation (centroids): the unpartitioned rank window is fine
+      val cellRank = cvec.crossJoin(broadcast(qv))
+        .select(col("cid"), V.cosineFold(col("cv"), col("qv")).as("qsim"))
+        .withColumn("prn", row_number().over(Window.orderBy(desc("qsim"), col("cid"))))
+        .select(col("cid"), col("prn"))
+      val cand = assigned.join(broadcast(cellRank), "cid")
+        .crossJoin(broadcast(qv))
+        .filter(col("vec_id") =!= 42)
+        .select(col("vec_id"), col("prn"), V.cosine(col("embedding"), col("qv")).as("score"))
+      val npDf = Seq(1L, 2L, 4L, 8L).toDF("n_probe")
+      val rw = Window.partitionBy(col("n_probe")).orderBy(desc("score"), col("vec_id"))
+      val ranked = cand.join(broadcast(npDf), col("prn") <= col("n_probe"))
+        .withColumn("rnk", row_number().over(rw))
+        .filter(col("rnk") <= 5)
+      val exactTop = Tables.embeddings(s, d).crossJoin(broadcast(qv))
+        .filter(col("vec_id") =!= 42)
+        .select(col("vec_id"), V.cosine(col("embedding"), col("qv")).as("escore"))
+        .orderBy(desc("escore"), col("vec_id")).limit(5)
+      val hits = ranked.join(exactTop.select("vec_id"), Seq("vec_id"), "left_semi")
+        .groupBy(col("n_probe")).agg(count(lit(1)).as("h"))
+      npDf.join(hits, Seq("n_probe"), "left")
+        .select(lit(42L).as("qid"), col("n_probe"),
+          coalesce(col("h"), lit(0L)).as("hits"),
+          (coalesce(col("h"), lit(0L)) / lit(5.0)).as("recall"))
+        .orderBy(col("n_probe"))
     }),
 
     // Contrastive hard-negative mining: for each query vector, the top-3
@@ -263,6 +333,40 @@ object Similarity {
       .orderBy(col("dist"), col("vec_id"))
   }
 
+  /** Unrolled DuckDB twin of the k-medians index build (IvfIters rounds).
+    * The per-cell grid median — bin to floor(x*Bins), lower-median bin via
+    * cumulative bin counts, centroid = bin/Bins — mirrors [[kmediansLong]]
+    * bit-for-bit (floor, integer compares, and a power-of-two divide are
+    * all IEEE-exact in both engines). Ends with CTEs `cv2` (final centroid
+    * vectors) and `assigned` (vec_id → cell), shared by q37 and q104. */
+  private lazy val ivfBuildCtes: String = {
+    def assignSql(cv: String, out: String) =
+      s"""$out AS (SELECT vec_id, cid FROM (
+            SELECT e.vec_id, v.cid,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${V.sqlCosine("e.embedding", "v.cv")} DESC, v.cid) AS rn
+            FROM embeddings e, $cv v) WHERE rn = 1)"""
+    def medianSql(assign: String, out: String) =
+      s"""$out AS (SELECT cid, pos, min(bin) / $Bins.0 AS c FROM (
+            SELECT cid, pos, bin,
+              sum(cnt) OVER (PARTITION BY cid, pos ORDER BY bin) AS cum,
+              sum(cnt) OVER (PARTITION BY cid, pos) AS total
+            FROM (SELECT a.cid, el.pos,
+                    CAST(floor(el.x * $Bins) AS BIGINT) AS bin, count(*) AS cnt
+                  FROM $assign a JOIN el ON a.vec_id = el.vec_id
+                  GROUP BY 1, 2, 3))
+          WHERE cum * 2 >= total GROUP BY cid, pos)"""
+    def vecSql(long: String, out: String) =
+      s"""$out AS (SELECT cid, list(c ORDER BY pos) AS cv FROM $long GROUP BY cid)"""
+    s"""el AS (SELECT vec_id, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS x
+               FROM embeddings, range(0, $Dims) t(i)),
+        c0 AS (SELECT vec_id AS cid, pos, x AS c FROM el WHERE vec_id < $IvfK),
+        ${vecSql("c0", "cv0")},
+        ${assignSql("cv0", "a1")}, ${medianSql("a1", "c1")}, ${vecSql("c1", "cv1")},
+        ${assignSql("cv1", "a2")}, ${medianSql("a2", "c2")}, ${vecSql("c2", "cv2")},
+        ${assignSql("cv2", "assigned")}"""
+  }
+
   def oracle: Map[String, String] = Map(
     "q36_knn_bruteforce" ->
       s"""SELECT qid, rank, vec_id, score FROM (
@@ -274,35 +378,42 @@ object Similarity {
                   WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id))
           WHERE rank <= 5 ORDER BY qid, rank""",
 
-    "q37_ivf_ann" -> {
-      // Unrolled twin of the k-medians build (IvfIters rounds), then the
-      // same cell-probe. quantile_cont == Spark percentile bit-exactly.
-      def assignSql(cv: String, out: String) =
-        s"""$out AS (SELECT vec_id, cid FROM (
-              SELECT e.vec_id, v.cid,
-                row_number() OVER (PARTITION BY e.vec_id
-                  ORDER BY ${V.sqlCosine("e.embedding", "v.cv")} DESC, v.cid) AS rn
-              FROM embeddings e, $cv v) WHERE rn = 1)"""
-      def medianSql(assign: String, out: String) =
-        s"""$out AS (SELECT a.cid, el.pos, quantile_cont(el.x, 0.5) AS c
-              FROM $assign a JOIN el ON a.vec_id = el.vec_id
-              GROUP BY a.cid, el.pos)"""
-      def vecSql(long: String, out: String) =
-        s"""$out AS (SELECT cid, list(c ORDER BY pos) AS cv FROM $long GROUP BY cid)"""
-      s"""WITH el AS (SELECT vec_id, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS x
-                      FROM embeddings, range(0, $Dims) t(i)),
-          c0 AS (SELECT vec_id AS cid, pos, x AS c FROM el WHERE vec_id < $IvfK),
-          ${vecSql("c0", "cv0")},
-          ${assignSql("cv0", "a1")}, ${medianSql("a1", "c1")}, ${vecSql("c1", "cv1")},
-          ${assignSql("cv1", "a2")}, ${medianSql("a2", "c2")}, ${vecSql("c2", "cv2")},
-          ${assignSql("cv2", "assigned")},
+    "q37_ivf_ann" ->
+      s"""WITH $ivfBuildCtes,
           q AS (SELECT cid AS qcid FROM assigned WHERE vec_id = 42),
           qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 42)
           SELECT a.vec_id, a.cid, ${V.sqlCosine("e.embedding", "qe")} AS score
           FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id, q, qv
           WHERE a.cid = q.qcid AND a.vec_id <> 42
-          ORDER BY score DESC, a.vec_id LIMIT 5"""
-    },
+          ORDER BY score DESC, a.vec_id LIMIT 5""",
+
+    "q104_ivf_recall" ->
+      s"""WITH $ivfBuildCtes,
+          qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 42),
+          cellrank AS (
+            SELECT v.cid,
+              row_number() OVER (ORDER BY ${V.sqlCosine("v.cv", "qe")} DESC, v.cid) AS prn
+            FROM cv2 v, qv),
+          cand AS (SELECT a.vec_id, cr.prn,
+                     ${V.sqlCosine("e.embedding", "qe")} AS score
+                   FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id
+                     JOIN cellrank cr ON a.cid = cr.cid, qv
+                   WHERE a.vec_id <> 42),
+          np AS (SELECT unnest([1, 2, 4, 8]) AS n_probe),
+          ranked AS (SELECT np.n_probe, c.vec_id,
+                       row_number() OVER (PARTITION BY np.n_probe
+                         ORDER BY c.score DESC, c.vec_id) AS rnk
+                     FROM cand c JOIN np ON c.prn <= np.n_probe),
+          exact AS (SELECT e.vec_id FROM embeddings e, qv
+                    WHERE e.vec_id <> 42
+                    ORDER BY ${V.sqlCosine("e.embedding", "qe")} DESC, e.vec_id LIMIT 5),
+          hits AS (SELECT n_probe, count(*) AS h FROM ranked
+                   WHERE rnk <= 5 AND vec_id IN (SELECT vec_id FROM exact)
+                   GROUP BY n_probe)
+          SELECT CAST(42 AS BIGINT) AS qid, CAST(np.n_probe AS BIGINT) AS n_probe,
+            CAST(coalesce(h.h, 0) AS BIGINT) AS hits,
+            coalesce(h.h, 0) / 5.0 AS recall
+          FROM np LEFT JOIN hits h USING (n_probe) ORDER BY n_probe""",
 
     "q92_hard_negatives" ->
       s"""SELECT qid, rank, vec_id, label, score FROM (

@@ -180,16 +180,41 @@ object LakehouseTable {
       txn: Option[Long] = None): Long = {
     val cur = currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no table at $root"))
-    requirePartitioningMatches(root, cur, partitionBy, "overwrite")
+    // no partitioning-match check here (unlike compact/cluster/deleteWhere/
+    // merge): overwrite's manifest lists ONLY the new files, so mixed
+    // directory depths cannot occur — a flat overwrite of a previously
+    // hive-partitioned table is legitimate re-layout, not corruption
     commit(root, cur + 1, writeFiles(df, root, partitionBy), txn)
   }
 
-  /** Append rows → new version = old files + new files. */
+  /** Append rows → new version = old files + new files.
+    *
+    * Optimistic concurrency WITH rebase: a blind append semantically
+    * conflicts with nothing, so when the CAS in [[commit]] detects another
+    * writer took the version, the append re-reads the NEW latest manifest
+    * and re-commits its (already written, immutable) files on top — both
+    * appends land, file sets unioned, no version lost. This is exactly
+    * Delta's conflict-resolution rule for AddFile-only transactions;
+    * snapshot-dependent writers (overwrite/compact/deleteWhere/merge) must
+    * NOT rebase — their rewrite was computed against a snapshot that no
+    * longer is the table — so they keep conflict-is-an-error semantics. */
   def append(df: DataFrame, root: String, partitionBy: Seq[String] = Nil,
       txn: Option[Long] = None): Long = {
-    val cur = currentVersion(root).getOrElse(
+    currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no table at $root"))
-    commit(root, cur + 1, readManifest(root, cur) ++ writeFiles(df, root, partitionBy), txn)
+    val newFiles = writeFiles(df, root, partitionBy)
+    var attempt = 0
+    while (attempt < 64) {
+      val cur = currentVersion(root).get
+      try return commit(root, cur + 1, readManifest(root, cur) ++ newFiles, txn)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt >= 64) throw e
+          Thread.sleep(math.min(64L, 1L << math.min(attempt, 6)))
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Delta-DLT-style write expectations: each (name → boolean Column) must

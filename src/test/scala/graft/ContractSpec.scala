@@ -17,7 +17,8 @@ class ContractSpec extends AnyFunSuite {
     ("EventsOps", operators.EventsOps.queries, operators.EventsOps.oracle),
     ("Multimodal", operators.Multimodal.queries, operators.Multimodal.oracle),
     ("Pipelines", operators.Pipelines.queries, operators.Pipelines.oracle),
-    ("Ingest", operators.Ingest.queries, operators.Ingest.oracle))
+    ("Ingest", operators.Ingest.queries, operators.Ingest.oracle),
+    ("Lakehouse", operators.Lakehouse.queries, operators.Lakehouse.oracle))
 
   test("no query name collides across modules (Map ++ would drop one silently)") {
     val all = modules.flatMap { case (m, q, _) => q.keys.map(_ -> m) }
