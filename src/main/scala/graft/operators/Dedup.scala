@@ -46,19 +46,20 @@ object Dedup {
     * shingle array) are dropped, matching the twin's `len(toks) >= 3`:
     * they would otherwise carry all-null MinHash signatures that collide in
     * one shared null band. */
-  private def shingleDf(s: SparkSession, d: String): DataFrame = {
-    val df = Tables.documents(s, d)
-      .select(col("doc_id"), TextExpressions.wordShingles(col("text"), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
-    // The corpus shingle index is used by 2-3 branches of every near-dup
-    // plan (signature side + both verify sides) and by four queries
-    // (q32/q34/q50/q68). cache() registers the canonical plan once, so
-    // every identical use reads the materialized relation instead of
-    // re-tokenizing the corpus — the local analog of persisting the
-    // shingle index as a table, which is what a 100 TB pipeline does.
-    df.cache()
-    df
-  }
+  // The corpus shingle index is used by 2-3 branches of every near-dup
+  // plan (signature side + both verify sides) and by four queries
+  // (q32/q34/q50/q68). RelationCache caches it once per (session, dir) —
+  // every identical use reads the materialized relation instead of
+  // re-tokenizing the corpus (the local analog of persisting the shingle
+  // index as a table, which is what a 100 TB pipeline does) — and retires
+  // the previous dir's copy on a dir switch, so storage memory never
+  // accumulates stale corpora across a long driver session.
+  private def shingleDf(s: SparkSession, d: String): DataFrame =
+    graft.sources.RelationCache.of(s, "dedup.shingles", d) {
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextExpressions.wordShingles(col("text"), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+    }
 
   private val sqlShingleDf =
     s"""SELECT doc_id, list_distinct([list_aggr(toks[i:i+2], 'string_agg', ' ')
@@ -107,16 +108,15 @@ object Dedup {
         / (col("na") + col("nb") - col("shared")).cast("double")).as("jaccard"))
   }
 
-  /** Near-dup pairs at the 0.5 Jaccard threshold, CACHED: q34 (the pairs)
-    * and q68 (clusters over the same pairs) share this exact relation, and
-    * the post-filter result is dozens of rows — the cache costs nothing
-    * and saves the second query its whole pair-count aggregation
-    * (CacheManager dedupes by canonical plan, like shingleDf). */
-  private def dupPairs(s: SparkSession, d: String): DataFrame = {
-    val df = pairJaccard(s, d).filter(col("jaccard") >= 0.5)
-    df.cache()
-    df
-  }
+  /** Near-dup pairs at the 0.5 Jaccard threshold, cached per (session,
+    * dir) like [[shingleDf]]: q34 (the pairs) and q68 (clusters over the
+    * same pairs) share this exact relation, and the post-filter result is
+    * dozens of rows — the cache costs nothing and saves the second query
+    * its whole pair-count aggregation. */
+  private def dupPairs(s: SparkSession, d: String): DataFrame =
+    graft.sources.RelationCache.of(s, "dedup.dupPairs", d) {
+      pairJaccard(s, d).filter(col("jaccard") >= 0.5)
+    }
 
   /** DuckDB twin of the capped shared-count Jaccard over a (doc_id, sh)
     * relation: inverted index restricted to posting lists below the cap,
@@ -150,10 +150,60 @@ object Dedup {
   // Bucket count per band is 2^4 here; at larger corpora widen the band
   // (width ≈ log2(n) keeps buckets bounded) — the band layout is a
   // parameter, not a property of the data like q35's old `label` blocking.
+  // The oracled q35 pins width 4 (its SQL twin is static text); scale
+  // users call [[embeddingNearDup]] with a width sized to their corpus,
+  // and [[warnIfSrpSaturated]] makes the failure mode VISIBLE: once
+  // n/2^width reaches the stop-key cap, average buckets get dropped and
+  // recall collapses silently without the warning.
   private val SrpPlanes = 32
   private val SrpBands = 8
   private val SrpBandWidth = 4
   private val EmbeddingDims = 64
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Warn when the fixed band width cannot hold the corpus: with n vectors
+    * in 2^width buckets per band, average occupancy n/2^width at or above
+    * [[StopShingleCap]] means typical buckets are dropped as stop-keys and
+    * near-dup recall degrades toward zero. The count() is a parquet
+    * metadata read — no data scan. */
+  private def warnIfSrpSaturated(n: Long, width: Int): Unit = {
+    val avgBucket = n.toDouble / (1L << width)
+    if (avgBucket >= StopShingleCap * 0.5)
+      log.warn(
+        s"SRP band width $width gives ~${avgBucket.toLong} vectors per bucket " +
+          s"for n=$n (stop-key cap $StopShingleCap): candidate buckets are " +
+          s"being dropped and near-dup recall is degraded. Use " +
+          s"embeddingNearDup with bandWidth >= ${math.ceil(math.log(
+            n.toDouble / 64) / math.log(2)).toInt} (≈ log2(n/targetBucket)).")
+  }
+
+  /** Parameterized SRP-blocked embedding near-dup — q35's algorithm with a
+    * caller-chosen band layout, for corpora where the oracled defaults
+    * saturate (see [[warnIfSrpSaturated]]). `planes` must be divisible by
+    * `bandWidth`; recall rises with more bands, precision of the blocking
+    * with wider bands. */
+  def embeddingNearDup(s: SparkSession, d: String, planes: Int,
+      bandWidth: Int, threshold: Double): DataFrame = {
+    require(planes % bandWidth == 0, "planes must be a multiple of bandWidth")
+    val nBands = planes / bandWidth
+    val e = Tables.embeddings(s, d)
+    warnIfSrpSaturated(e.count(), bandWidth)
+    val sig = e.select(col("vec_id"), VectorExpressions.srpSignature(
+      col("embedding"), planes, EmbeddingDims).as("sig"))
+    val banded = sig.select(col("vec_id").as("id"),
+      posexplode(array((0 until nBands).map(b =>
+        substring(col("sig"), b * bandWidth + 1, bandWidth)): _*))
+      .as(Seq("band_idx", "bk")))
+    val cands = unpack(
+      cappedPackedPairs(banded, Seq(col("band_idx"), col("bk"))).distinct())
+    cands
+      .join(e.select(col("vec_id").as("a"), col("embedding").as("va")), "a")
+      .join(e.select(col("vec_id").as("b"), col("embedding").as("vb")), "b")
+      .select(col("a"), col("b"), V.cosine(col("va"), col("vb")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .orderBy(col("a"), col("b"))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: keep the FIRST event per (user, event_type) — a rank-1
@@ -262,23 +312,8 @@ object Dedup {
     // bucket sizes are governed by the band width, not label cardinality,
     // so no block grows quadratically with corpus skew. Candidates are
     // verified with exact cosine.
-    "q35_embedding_neardup" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val sig = e.select(col("vec_id"), VectorExpressions.srpSignature(
-        col("embedding"), SrpPlanes, EmbeddingDims).as("sig"))
-      val banded = sig.select(col("vec_id").as("id"),
-        posexplode(array((0 until SrpBands).map(b =>
-          substring(col("sig"), b * SrpBandWidth + 1, SrpBandWidth)): _*))
-        .as(Seq("band_idx", "bk")))
-      val cands = unpack(
-        cappedPackedPairs(banded, Seq(col("band_idx"), col("bk"))).distinct())
-      cands
-        .join(e.select(col("vec_id").as("a"), col("embedding").as("va")), "a")
-        .join(e.select(col("vec_id").as("b"), col("embedding").as("vb")), "b")
-        .select(col("a"), col("b"), V.cosine(col("va"), col("vb")).as("sim"))
-        .filter(col("sim") >= 0.4)
-        .orderBy(col("a"), col("b"))
-    }))
+    "q35_embedding_neardup" -> ((s, d) =>
+      embeddingNearDup(s, d, SrpPlanes, SrpBandWidth, 0.4)))
 
   def oracle: Map[String, String] = Map(
     "q31_exact_dedup" ->

@@ -233,14 +233,16 @@ object Pipelines {
     // near-duplicate removal (keep the lowest doc_id of each dup pair) →
     // per-language corpus stats.
     "q50_training_pipeline" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .withColumn("sh", graft.plans.TextExpressions.wordShingles(col("text"), 3))
-        .withColumn("toks", graft.plans.TextExpressions.tokens(col("text")))
-        .filter(size(col("toks")) >= 3) // oracle twin excludes shingle-less docs
-        .withColumn("quality", graft.plans.TextExpressions.qualityScore(col("text")))
       // scored/tokenized corpus feeds 4 plan branches (inv, sizes ×2, final
-      // agg) — materialize once (see Dedup.shingleDf for the rationale)
-      docs.cache()
+      // agg) — materialize once per (session, dir) (see Dedup.shingleDf
+      // for the rationale and the dir-switch retirement)
+      val docs = graft.sources.RelationCache.of(s, "pipelines.q50docs", d) {
+        Tables.documents(s, d)
+          .withColumn("sh", graft.plans.TextExpressions.wordShingles(col("text"), 3))
+          .withColumn("toks", graft.plans.TextExpressions.tokens(col("text")))
+          .filter(size(col("toks")) >= 3) // oracle twin excludes shingle-less docs
+          .withColumn("quality", graft.plans.TextExpressions.qualityScore(col("text")))
+      }
       // near-dup losers: the higher doc_id of every pair with Jaccard >= 0.5
       val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
       val inv = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))

@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
   * reading ONLY the parquet files appended since the last sync and merging
   * per-key deltas, never recomputing the full aggregate.
   *
-  * Bookkeeping rides the existing manifest `txn` field: each sync commits
-  * the aggregate with `txn = <upstream version consumed>`, so the next
-  * sync resumes from `lastTxn(aggRoot)`. Re-running a sync with no new
+  * Bookkeeping rides the manifest txns map under this view's own writer
+  * app id: each sync commits the aggregate with `txn = <upstream version
+  * consumed>`, so the next sync resumes from `lastTxn(aggRoot, App)` —
+  * and a streaming writer sharing the table can never clobber (or be
+  * clobbered by) the view's watermark. Re-running a sync with no new
   * upstream version is a no-op (idempotent, like the streaming
   * replay-skip).
   *
@@ -26,6 +28,8 @@ import org.apache.spark.sql.functions._
   * nightly "metrics by key" rollup stays cheap on an append-mostly lake.
   */
 object IncrementalView {
+  /** Writer app id for the view's upstream-version watermark. */
+  private val App = "incremental-view"
   private val D2 = "decimal(18,2)"
   // sum(decimal(18,2)) widens to (28,2); pin every sum_value to that type
   // so create and merge commit an identical schema
@@ -56,16 +60,16 @@ object IncrementalView {
     // leak rows into this sync, or the next delta double-counts them
     def fullAgg() = aggregate(
       LakehouseTable.read(spark, srcRoot, Some(srcV)), key, valueCol)
-    LakehouseTable.lastTxn(aggRoot) match {
+    LakehouseTable.lastTxn(aggRoot, App) match {
       case None =>
-        LakehouseTable.create(fullAgg(), aggRoot, txn = Some(srcV))
+        LakehouseTable.create(fullAgg(), aggRoot, txn = Some(srcV), txnApp = App)
         srcV
       case Some(doneV) if doneV >= srcV => srcV // nothing new — idempotent
       case Some(doneV) if !appendOnlySince(srcRoot, doneV, srcV) =>
         // non-append transition (compact/cluster/delete/merge rewrote
         // files) OR the doneV manifest was vacuumed away: a file-level
         // delta would double-count or crash — recompute
-        LakehouseTable.overwrite(fullAgg(), aggRoot, txn = Some(srcV))
+        LakehouseTable.overwrite(fullAgg(), aggRoot, txn = Some(srcV), txnApp = App)
         srcV
       case Some(doneV) =>
         val delta = aggregate(
@@ -86,7 +90,7 @@ object IncrementalView {
           .select(col(key),
             (col("n") + coalesce(col("n_old"), lit(0L))).as("n"),
             mergedSum.cast(DSum).as("sum_value"))
-        LakehouseTable.merge(spark, aggRoot, upserts, Seq(key), txn = Some(srcV))
+        LakehouseTable.merge(spark, aggRoot, upserts, Seq(key), txn = Some(srcV), txnApp = App)
         srcV
     }
   }

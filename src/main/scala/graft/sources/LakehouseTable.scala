@@ -56,43 +56,65 @@ object LakehouseTable {
 
   private def readManifest(root: String, v: Long): Seq[String] = {
     val txt = Files.readString(manifestDir(root).resolve(s"$v.json"))
-    // manifest is {"txn": N, "files": ["rel/path", ...]} (txn optional) —
-    // parsed without a JSON lib; commit() REJECTS paths containing '"' or
-    // ',' so the split below cannot be corrupted by partition values.
+    // manifest is {"txns": {"app": N, ...}, "files": ["rel/path", ...]}
+    // (txns optional) — parsed without a JSON lib; commit() REJECTS paths
+    // containing '"' or ',' (and app ids outside [A-Za-z0-9_.-]) so the
+    // split below cannot be corrupted by partition values or app names.
     val body = txt.substring(txt.indexOf('[') + 1, txt.lastIndexOf(']')).trim
     if (body.isEmpty) Seq.empty
     else body.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
   }
 
-  private val TxnRe = """"txn":\s*(\d+)""".r
+  private val TxnsRe = """"txns":\s*\{([^}]*)\}""".r
+  private val TxnPairRe = """"([^"]+)":\s*(\d+)""".r
 
-  /** Last committed transaction id (streaming writers stamp their
-    * micro-batch id here — Delta's txnVersion pattern — so a replayed
-    * batch can be detected and skipped). O(1): `commit` carries the txn
-    * forward through txn-less commits (compact/cluster/restore), so ONLY
-    * the latest manifest needs reading — a long-running stream does not
-    * scan its whole version history every micro-batch. */
-  def lastTxn(root: String): Option[Long] =
+  /** Writer id used when a txn is stamped without an explicit app id. */
+  val DefaultTxnApp = "default"
+
+  /** All (writer app id → last transaction id) watermarks. Streaming
+    * writers stamp their micro-batch id under their OWN app id — Delta's
+    * (txnAppId, txnVersion) pattern — so a replayed batch is detected
+    * per writer: two streams (or a stream plus an incremental view)
+    * writing one table can no longer clobber each other's watermark, and
+    * a query restarted with a NEW checkpoint gets a new app id, so its
+    * reset batchIds are not mistaken for replays of the old stream's.
+    * O(1): `commit` carries the whole map forward through txn-less
+    * commits (compact/cluster/restore), so ONLY the latest manifest needs
+    * reading — a long-running stream does not scan its version history
+    * every micro-batch. */
+  def lastTxns(root: String): Map[String, Long] =
     currentVersion(root).flatMap { v =>
-      TxnRe.findFirstMatchIn(
+      TxnsRe.findFirstMatchIn(
         Files.readString(manifestDir(root).resolve(s"$v.json")))
-        .map(_.group(1).toLong)
-    }
+        .map(m => TxnPairRe.findAllMatchIn(m.group(1))
+          .map(p => p.group(1) -> p.group(2).toLong).toMap)
+    }.getOrElse(Map.empty)
+
+  /** Last committed transaction id for one writer (see [[lastTxns]]). */
+  def lastTxn(root: String, app: String = DefaultTxnApp): Option[Long] =
+    lastTxns(root).get(app)
 
   /** Atomic commit: write to a temp file, then rename into place. Paths
     * with '"' or ',' (possible via a partitionBy column whose VALUES carry
     * them into hive dir names) would corrupt the quote-splitting parser in
     * readManifest, so they are rejected at the only write point. */
   private[graft] def commit(root: String, version: Long, relFiles: Seq[String],
-      txn: Option[Long] = None): Long = {
+      txn: Option[Long] = None, txnApp: String = DefaultTxnApp): Long = {
     relFiles.find(f => f.contains('"') || f.contains(',')).foreach(f =>
       throw new IllegalArgumentException(
         s"""data file path contains '"' or ',' (unsupported in partition values): $f"""))
+    require(txnApp.matches("[A-Za-z0-9_.-]+"),
+      s"txn app id must be [A-Za-z0-9_.-]+ (it is embedded in manifest JSON): $txnApp")
     Files.createDirectories(manifestDir(root))
-    // carry the txn watermark forward through txn-less commits, so lastTxn
-    // only ever needs the latest manifest
-    val effectiveTxn = txn.orElse(if (version == 0) None else lastTxn(root))
-    val txnField = effectiveTxn.map(t => s""""txn": $t, """).getOrElse("")
+    // carry EVERY writer's txn watermark forward through txn-less commits
+    // (compact/cluster/restore), so lastTxns only ever needs the latest
+    // manifest
+    val txns = (if (version == 0) Map.empty[String, Long] else lastTxns(root)) ++
+      txn.map(t => txnApp -> t)
+    val txnField =
+      if (txns.isEmpty) ""
+      else txns.toSeq.sorted.map { case (a, t) => s""""$a": $t""" }
+        .mkString(""""txns": {""", ", ", "}, ")
     val json = relFiles.sorted.map(f => "\"" + f + "\"")
       .mkString(s"""{$txnField"files": [""", ", ", "]}")
     val tmp = manifestDir(root).resolve(s".$version.json.tmp-${java.util.UUID.randomUUID()}")
@@ -158,9 +180,9 @@ object LakehouseTable {
 
   /** Create version 0 (or fail if the table exists). */
   def create(df: DataFrame, root: String, partitionBy: Seq[String] = Nil,
-      txn: Option[Long] = None): Long = {
+      txn: Option[Long] = None, txnApp: String = DefaultTxnApp): Long = {
     require(versions(root).isEmpty, s"table already exists at $root")
-    commit(root, 0L, writeFiles(df, root, partitionBy), txn)
+    commit(root, 0L, writeFiles(df, root, partitionBy), txn, txnApp)
   }
 
   /** Relative data files listed by `from`'s manifest but not `to`'s —
@@ -177,14 +199,14 @@ object LakehouseTable {
     * overwrite save mode): the new manifest lists only the new files; old
     * versions stay time-travelable until vacuum. */
   def overwrite(df: DataFrame, root: String, partitionBy: Seq[String] = Nil,
-      txn: Option[Long] = None): Long = {
+      txn: Option[Long] = None, txnApp: String = DefaultTxnApp): Long = {
     val cur = currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no table at $root"))
     // no partitioning-match check here (unlike compact/cluster/deleteWhere/
     // merge): overwrite's manifest lists ONLY the new files, so mixed
     // directory depths cannot occur — a flat overwrite of a previously
     // hive-partitioned table is legitimate re-layout, not corruption
-    commit(root, cur + 1, writeFiles(df, root, partitionBy), txn)
+    commit(root, cur + 1, writeFiles(df, root, partitionBy), txn, txnApp)
   }
 
   /** Append rows → new version = old files + new files.
@@ -199,14 +221,14 @@ object LakehouseTable {
     * NOT rebase — their rewrite was computed against a snapshot that no
     * longer is the table — so they keep conflict-is-an-error semantics. */
   def append(df: DataFrame, root: String, partitionBy: Seq[String] = Nil,
-      txn: Option[Long] = None): Long = {
+      txn: Option[Long] = None, txnApp: String = DefaultTxnApp): Long = {
     currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no table at $root"))
     val newFiles = writeFiles(df, root, partitionBy)
     var attempt = 0
     while (attempt < 64) {
       val cur = currentVersion(root).get
-      try return commit(root, cur + 1, readManifest(root, cur) ++ newFiles, txn)
+      try return commit(root, cur + 1, readManifest(root, cur) ++ newFiles, txn, txnApp)
       catch {
         case e: java.util.ConcurrentModificationException =>
           attempt += 1
@@ -460,7 +482,7 @@ object LakehouseTable {
     * partitioning the same pruning applies before the scan.) */
   def merge(spark: SparkSession, root: String, updates: DataFrame,
       keys: Seq[String], partitionBy: Seq[String] = Nil,
-      txn: Option[Long] = None): Long = {
+      txn: Option[Long] = None, txnApp: String = DefaultTxnApp): Long = {
     require(keys.nonEmpty, "merge requires at least one key column")
     val cur = currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no table at $root"))
@@ -487,7 +509,7 @@ object LakehouseTable {
         kept.join(keyRows, keyCond(kept), "left_anti")
           .unionByName(updates.select(snap.columns.map(updates.col).toSeq: _*))
       }
-    commit(root, cur + 1, untouched ++ writeFiles(survivors, root, partitionBy), txn)
+    commit(root, cur + 1, untouched ++ writeFiles(survivors, root, partitionBy), txn, txnApp)
   }
 
   // --- Data-skipping statistics (Iceberg-style file pruning) --------------

@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Keyed registry for long-lived cached relations (the corpus shingle
+  * index, the 0.5-threshold dup-pair set): one cached copy per
+  * (session, kind, data dir), and switching a kind to a NEW data dir
+  * unpersists the previous dir's relation.
+  *
+  * Without this, every invocation re-cache()s and nothing ever
+  * unpersists: across a long driver session touching several data dirs,
+  * cached relations pile up in executor storage memory and evict each
+  * other unpredictably. (Within one dir, Spark's CacheManager already
+  * dedupes identical canonical plans — the leak is across dirs and
+  * session lifetime, which is exactly what this registry scopes.)
+  *
+  * Weak session keys: a stopped SparkSession must stay collectable.
+  */
+object RelationCache {
+  private val perSession = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]())
+
+  /** The cached relation for (kind, dir), building + caching on first use.
+    * `build` must be a pure plan constructor (no side effects). */
+  def of(s: SparkSession, kind: String, dir: String)(build: => DataFrame): DataFrame = {
+    val m = perSession.computeIfAbsent(
+      s, _ => scala.collection.mutable.Map.empty[String, DataFrame])
+    m.synchronized {
+      val full = s"$kind@$dir"
+      m.get(full) match {
+        case Some(df) => df
+        case None =>
+          // dir switch: retire the kind's previous relation before caching
+          // the new one, so storage memory holds one copy per kind
+          m.filterInPlace { case (k, df) =>
+            val stale = k.startsWith(kind + "@")
+            if (stale) df.unpersist(false)
+            !stale
+          }
+          val df = build
+          df.cache()
+          m.put(full, df)
+          df
+      }
+    }
+  }
+}

@@ -122,22 +122,35 @@ object Streams {
         count(lit(1)).as("n_events"))
       .select(col("win.start").as("hour"), col("approx_users"), col("n_events"))
 
+  /** Writer identity for the (txnAppId, txnVersion) replay check: the hash
+    * of the checkpoint path, because the checkpoint IS the scope in which
+    * Structured Streaming batch ids are monotone. A query restarted with a
+    * NEW checkpoint restarts batch ids at 0 — under a table-global
+    * watermark those fresh batches (carrying genuinely new data) would be
+    * silently skipped as "replays"; under a per-checkpoint app id they
+    * land, and only true same-checkpoint replays are skipped. Two streams
+    * writing one table get distinct app ids the same way. */
+  private def txnAppOf(checkpoint: String): String =
+    "ckpt-" + graft.plans.TextExpressions.md5Hex(checkpoint).take(16)
+
   /** Idempotent bronze commit, shared by [[ingestInto]] /
     * [[medallionIngest]]. foreachBatch is at-least-once: a batch replayed
     * after a failure between manifest commit and checkpoint commit would
     * re-append the same rows — so each commit records its batchId as the
-    * manifest's transaction id (Delta's txnVersion pattern), and a batch
-    * whose id is <= the last committed txn is skipped instead of
-    * re-applied. The manifest rename keeps each commit atomic; the txn
-    * check upgrades the end-to-end guarantee from at-least-once to
-    * effectively-once — PROVIDED batch ids resume across restarts, which
-    * is why both callers require a durable checkpoint. */
-  private def commitBatch(batch: DataFrame, batchId: Long, tableRoot: String): Unit =
-    if (graft.sources.LakehouseTable.lastTxn(tableRoot).exists(_ >= batchId)) ()
+    * manifest's transaction id under this stream's app id (Delta's
+    * (txnAppId, txnVersion) pattern), and a batch whose id is <= that
+    * writer's last committed txn is skipped instead of re-applied. The
+    * manifest rename keeps each commit atomic; the txn check upgrades the
+    * end-to-end guarantee from at-least-once to effectively-once. */
+  private def commitBatch(batch: DataFrame, batchId: Long, tableRoot: String,
+      app: String): Unit =
+    if (graft.sources.LakehouseTable.lastTxn(tableRoot, app).exists(_ >= batchId)) ()
     else if (graft.sources.LakehouseTable.versions(tableRoot).isEmpty) {
-      graft.sources.LakehouseTable.create(batch, tableRoot, txn = Some(batchId)); ()
+      graft.sources.LakehouseTable.create(batch, tableRoot,
+        txn = Some(batchId), txnApp = app); ()
     } else {
-      graft.sources.LakehouseTable.append(batch, tableRoot, txn = Some(batchId)); ()
+      graft.sources.LakehouseTable.append(batch, tableRoot,
+        txn = Some(batchId), txnApp = app); ()
     }
 
   /** Streaming ingestion into a versioned lakehouse table, effectively-once
@@ -151,7 +164,7 @@ object Streams {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        commitBatch(batch, batchId, tableRoot)
+        commitBatch(batch, batchId, tableRoot, txnAppOf(checkpoint))
       }
       .start()
 
@@ -171,7 +184,7 @@ object Streams {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        commitBatch(batch, batchId, bronzeRoot)
+        commitBatch(batch, batchId, bronzeRoot, txnAppOf(checkpoint))
         graft.sources.IncrementalView.syncAggregate(
           batch.sparkSession, bronzeRoot, silverRoot, key, valueCol)
         ()
@@ -192,13 +205,15 @@ object Streams {
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val app = txnAppOf(checkpoint)
         if (batch.isEmpty ||
-            graft.sources.LakehouseTable.lastTxn(tableRoot).exists(_ >= batchId)) ()
+            graft.sources.LakehouseTable.lastTxn(tableRoot, app).exists(_ >= batchId)) ()
         else if (graft.sources.LakehouseTable.versions(tableRoot).isEmpty) {
-          graft.sources.LakehouseTable.create(batch, tableRoot, txn = Some(batchId)); ()
+          graft.sources.LakehouseTable.create(batch, tableRoot,
+            txn = Some(batchId), txnApp = app); ()
         } else {
           graft.sources.LakehouseTable.merge(batch.sparkSession, tableRoot, batch, keys,
-            txn = Some(batchId)); ()
+            txn = Some(batchId), txnApp = app); ()
         }
       }
       .start()

@@ -63,6 +63,27 @@ class Round3Spec extends AnyFunSuite {
     assert(recalls.last == 1.0, s"probing all k cells must equal brute force: $recalls")
   }
 
+  test("txn watermarks are scoped per writer app id (no cross-stream clobber)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_txn").toString + "/t"
+    // stream A (old checkpoint) has advanced to batch 7
+    LakehouseTable.create(Seq((1L, "a")).toDF("id", "v"), root,
+      txn = Some(7L), txnApp = "ckpt-aaaa")
+    // stream B — SAME table, fresh checkpoint, batch ids restart at 0: its
+    // batch 0 must NOT look like a replay of stream A's history
+    assert(LakehouseTable.lastTxn(root, "ckpt-bbbb").isEmpty)
+    LakehouseTable.append(Seq((2L, "b")).toDF("id", "v"), root,
+      txn = Some(0L), txnApp = "ckpt-bbbb")
+    // both watermarks survive side by side, and txn-less commits carry them
+    assert(LakehouseTable.lastTxns(root) ==
+      Map("ckpt-aaaa" -> 7L, "ckpt-bbbb" -> 0L))
+    LakehouseTable.compact(spark, root)
+    assert(LakehouseTable.lastTxns(root) ==
+      Map("ckpt-aaaa" -> 7L, "ckpt-bbbb" -> 0L))
+    // a true same-writer replay IS detected
+    assert(LakehouseTable.lastTxn(root, "ckpt-aaaa").exists(_ >= 7L))
+  }
+
   test("concurrent appends both land via commit rebase (no lost update)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_cc").toString + "/t"
