@@ -79,6 +79,30 @@ object Lakehouse {
     root
   }
 
+  /** events run through the expectations gate: rows must have value <= 100
+    * (a rate-limit-style bound that genuinely rejects a slice of the
+    * corpus at every SF) AND non-empty props; violators land in the
+    * `_rejects` quarantine table, the rest append. Deterministic split of
+    * a deterministic scan, so both tables are exactly reproducible. */
+  private[graft] def eventsExpectRoot(s: SparkSession, d: String): String = {
+    val root = TableCache.root(d, "events", "expect-le100-props:v1")
+    try {
+      if (LakehouseTable.versions(root).isEmpty) {
+        val ev = Tables.events(s, d)
+          .select("event_id", "user_id", "event_type", "value", "props")
+        // seed with an empty slice so appendWithExpectations has a table
+        LakehouseTable.create(ev.filter(lit(false)), root)
+        LakehouseTable.appendWithExpectations(ev, root, Map(
+          "value_le_100" -> (col("value") <= 100),
+          "has_props" -> (col("props").isNotNull && col("props") =!= "")))
+        ()
+      }
+    } catch {
+      case _: java.util.ConcurrentModificationException => ()
+    }
+    root
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Write → Z-ORDER → file-skip read → aggregate. readPruned keeps only
     // files whose footer-stat [min,max] range on l_orderkey overlaps the
@@ -111,6 +135,36 @@ object Lakehouse {
           min(col("o_totalprice")).as("min_price"),
           max(col("o_totalprice")).as("max_price"))
         .orderBy(col("o_orderstatus"))
+    }),
+
+    // TIME TRAVEL under the gate: q103's table at version 0 — i.e. BEFORE
+    // the merge and delete — must still read as exactly the original
+    // projection of orders. A merge that corrupted old files (instead of
+    // writing new ones) or a manifest layer that lost v0 breaks this hash.
+    "q105_time_travel" -> ((s, d) => {
+      val root = ordersMergeRoot(s, d)
+      LakehouseTable.read(s, root, Some(0L))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // Write expectations (Delta-DLT CHECK semantics) under the gate: only
+    // rows passing every expectation land in the table; the oracle applies
+    // the same predicates to the raw parquet. NULL check results pass
+    // (SQL CHECK), so has_props is an explicit not-null AND non-empty.
+    "q106_expectations" -> ((s, d) => {
+      val root = eventsExpectRoot(s, d)
+      LakehouseTable.read(s, root)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("user_id")).as("user_sum"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .orderBy(col("event_type"))
     }))
 
   def oracle: Map[String, String] = Map(
@@ -136,5 +190,19 @@ object Lakehouse {
            CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
            min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
          FROM merged WHERE o_totalprice >= 1000.0
-         GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q105_time_travel" ->
+      """SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q106_expectations" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(sum(user_id) AS BIGINT) AS user_sum,
+           min(value) AS min_value, max(value) AS max_value
+         FROM events
+         WHERE value <= 100 AND props IS NOT NULL AND props <> ''
+         GROUP BY event_type ORDER BY event_type""")
 }

@@ -5,7 +5,7 @@ import java.security.MessageDigest
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
@@ -17,7 +17,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * array_distinct → per-seed md5 transforms) is semantically identical but
   * every higher-order function evaluates interpreted lambdas — ~2 ms per
   * document, multiplied by self-joins re-evaluating both sides. Each
-  * expression here is one compiled pass per row.
+  * expression here is one compiled pass per row, and each implements
+  * doGenCode (a static call into the shared eval body), so it stays INSIDE
+  * whole-stage codegen: a CodegenFallback expression anywhere in a
+  * projection forces the row through the interpreted path and splits the
+  * fused stage — per-row overhead that multiplies across every other
+  * column in the stage, not just this one.
   *
   * Hash parity contract: md5 of the UTF-8 bytes, lowercase hex — identical
   * to Spark's `md5()` and DuckDB's `md5()`, so the DuckDB oracle twins keep
@@ -47,6 +52,142 @@ object TextExpressions {
   private[plans] def tokenize(text: String): Array[String] =
     text.trim.split("\\s+").filter(_.nonEmpty)
 
+  // --- Static eval bodies -------------------------------------------------
+  // Shared by the interpreted path (nullSafeEval) and the generated code
+  // (doGenCode emits a call to the object's static forwarder), so both
+  // paths are one implementation. Signatures are Java-clean on purpose:
+  // UTF8String / ArrayData / int in, ArrayData / UTF8String / double out.
+
+  def evalTokens(input: UTF8String): ArrayData =
+    new GenericArrayData(tokenize(input.toString)
+      .map(UTF8String.fromString(_): Any))
+
+  private val QualityStopwords = Set("a", "the", "of", "and", "to", "in")
+
+  def evalQualityScore(input: UTF8String): Double = {
+    val toks = tokenize(input.toString)
+    val n = toks.length.toDouble
+    var stop = 0; var chars = 0
+    var i = 0
+    while (i < toks.length) {
+      if (QualityStopwords.contains(toks(i))) stop += 1
+      chars += toks(i).length
+      i += 1
+    }
+    val avgLen = chars.toDouble / n
+    0.5 * (1.0 - stop.toDouble / n) + 0.5 * math.min(avgLen / 8.0, 1.0)
+  }
+
+  def evalWordShingles(input: UTF8String, n: Int): ArrayData = {
+    val toks = tokenize(input.toString)
+    if (toks.length < n) new GenericArrayData(Array.empty[Any])
+    else {
+      val seen = new java.util.LinkedHashSet[String]((toks.length - n + 1) * 2)
+      var i = 0
+      val sb = new java.lang.StringBuilder(64)
+      while (i <= toks.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j)); j += 1
+        }
+        seen.add(sb.toString)
+        i += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  def evalMinHashSig(input: ArrayData, k: Int): ArrayData = {
+    val m = input.numElements()
+    val mins = new Array[Any](k)
+    if (m > 0) {
+      // hash each shingle once per seed, tracking the min as we go; the
+      // shingle strings are materialized once, not once per seed
+      val shingles = new Array[String](m)
+      var i = 0
+      while (i < m) { shingles(i) = input.getUTF8String(i).toString; i += 1 }
+      var s = 0
+      while (s < k) {
+        val prefix = s + ":"
+        var best: String = null
+        i = 0
+        while (i < m) {
+          val h = md5Hex(prefix + shingles(i))
+          if (best == null || h.compareTo(best) < 0) best = h
+          i += 1
+        }
+        mins(s) = UTF8String.fromString(best)
+        s += 1
+      }
+    }
+    new GenericArrayData(mins)
+  }
+
+  def evalSimHash16(input: UTF8String): UTF8String = {
+    val toks = tokenize(input.toString)
+    val seen = new java.util.LinkedHashSet[String](toks.length * 2)
+    toks.foreach(seen.add)
+    val sums = new Array[Int](16)
+    val it = seen.iterator()
+    while (it.hasNext) {
+      val h = md5Hex(it.next())
+      var j = 0
+      while (j < 16) {
+        // high bit of hex digit j <=> digit in [8..f]
+        if (Character.digit(h.charAt(j), 16) >= 8) sums(j) += 1 else sums(j) -= 1
+        j += 1
+      }
+    }
+    val bits = new Array[Char](16)
+    var j = 0
+    while (j < 16) { bits(j) = if (sums(j) > 0) '1' else '0'; j += 1 }
+    UTF8String.fromString(new String(bits))
+  }
+
+  def evalPackedPairs(input: ArrayData): ArrayData = {
+    val m = input.numElements()
+    val ids = new Array[Long](m)
+    var i = 0
+    while (i < m) { ids(i) = input.getLong(i); i += 1 }
+    java.util.Arrays.sort(ids)
+    val out = new Array[Long](m * (m - 1) / 2)
+    var k = 0
+    i = 0
+    while (i < m) {
+      var j = i + 1
+      while (j < m) {
+        out(k) = (ids(i) << 32) | ids(j)
+        k += 1; j += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  def evalAdjacentPairs(input: UTF8String): ArrayData = {
+    val toks = tokenize(input.toString)
+    if (toks.length < 2) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](toks.length - 1)
+      var i = 0
+      while (i < toks.length - 1) {
+        out(i) = UTF8String.fromString(toks(i) + " " + toks(i + 1))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  // --- Expression nodes ---------------------------------------------------
+
+  private val Self = "graft.plans.TextExpressions"
+
   private def requireType(e: Expression, t: DataType, fn: String): TypeCheckResult = {
     val ok = (e.dataType, t) match {
       case (ArrayType(a, _), ArrayType(b, _)) => a == b
@@ -59,143 +200,73 @@ object TextExpressions {
 
   /** Whitespace tokens of raw text — compiled twin of TextFunctions.tokens
     * (split on \s+ after trim, empties dropped). */
-  case class Tokens(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class Tokens(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def prettyName: String = "tokens"
     override def checkInputDataTypes(): TypeCheckResult =
       requireType(child, StringType, prettyName)
     override def nullSafeEval(input: Any): Any =
-      new GenericArrayData(tokenize(input.asInstanceOf[UTF8String].toString)
-        .map(UTF8String.fromString(_): Any))
+      evalTokens(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Self.evalTokens($c)")
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
   /** Quality score of raw text — compiled twin of TextFunctions.qualityScore
     * with IDENTICAL double-operation order:
     * 0.5 * (1 - stop/n) + 0.5 * min((chars/n)/8, 1). */
-  case class QualityScore(child: Expression)
-      extends UnaryExpression with CodegenFallback {
-    private val stopwords = Set("a", "the", "of", "and", "to", "in")
+  case class QualityScore(child: Expression) extends UnaryExpression {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "quality_score"
     override def checkInputDataTypes(): TypeCheckResult =
       requireType(child, StringType, prettyName)
-    override def nullSafeEval(input: Any): Any = {
-      val toks = tokenize(input.asInstanceOf[UTF8String].toString)
-      val n = toks.length.toDouble
-      var stop = 0; var chars = 0
-      var i = 0
-      while (i < toks.length) {
-        if (stopwords.contains(toks(i))) stop += 1
-        chars += toks(i).length
-        i += 1
-      }
-      val avgLen = chars.toDouble / n
-      0.5 * (1.0 - stop.toDouble / n) + 0.5 * math.min(avgLen / 8.0, 1.0)
-    }
+    override def nullSafeEval(input: Any): Any =
+      evalQualityScore(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Self.evalQualityScore($c)")
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
   /** Distinct word n-gram shingles of raw text, single pass. */
-  case class WordShingles(child: Expression, n: Int)
-      extends UnaryExpression with CodegenFallback {
+  case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def prettyName: String = "word_shingles"
     override def checkInputDataTypes(): TypeCheckResult =
       requireType(child, StringType, prettyName)
-
-    override def nullSafeEval(input: Any): Any = {
-      val toks = tokenize(input.asInstanceOf[UTF8String].toString)
-      if (toks.length < n) new GenericArrayData(Array.empty[Any])
-      else {
-        val seen = new java.util.LinkedHashSet[String]((toks.length - n + 1) * 2)
-        var i = 0
-        val sb = new java.lang.StringBuilder(64)
-        while (i <= toks.length - n) {
-          sb.setLength(0)
-          var j = 0
-          while (j < n) {
-            if (j > 0) sb.append(' ')
-            sb.append(toks(i + j)); j += 1
-          }
-          seen.add(sb.toString)
-          i += 1
-        }
-        val out = new Array[Any](seen.size)
-        val it = seen.iterator()
-        var k = 0
-        while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
-        new GenericArrayData(out)
-      }
-    }
+    override def nullSafeEval(input: Any): Any =
+      evalWordShingles(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Self.evalWordShingles($c, $n)")
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
   /** k MinHash components over a shingle array: component s is
     * min over shingles of md5("s:" + shingle) — identical strings to the
     * built-in form (TextFunctions.minhash). */
-  case class MinHashSig(child: Expression, k: Int)
-      extends UnaryExpression with CodegenFallback {
+  case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = true)
     override def prettyName: String = "minhash_sig"
     override def checkInputDataTypes(): TypeCheckResult =
       requireType(child, ArrayType(StringType), prettyName)
-
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val m = arr.numElements()
-      val mins = new Array[Any](k)
-      if (m > 0) {
-        var s = 0
-        while (s < k) {
-          val prefix = s + ":"
-          var best: String = null
-          var i = 0
-          while (i < m) {
-            val h = md5Hex(prefix + arr.getUTF8String(i).toString)
-            if (best == null || h.compareTo(best) < 0) best = h
-            i += 1
-          }
-          mins(s) = UTF8String.fromString(best)
-          s += 1
-        }
-      }
-      new GenericArrayData(mins)
-    }
+    override def nullSafeEval(input: Any): Any =
+      evalMinHashSig(input.asInstanceOf[ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Self.evalMinHashSig($c, $k)")
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
   /** 16-bit SimHash of the distinct-token set of raw text, as a '0'/'1'
     * string; bit j set iff Σ±1 over tokens (by hex digit j of md5(token))
     * is positive — identical to the built-in TextFunctions.simhash16. */
-  case class SimHash16(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class SimHash16(child: Expression) extends UnaryExpression {
     override def dataType: DataType = StringType
     override def prettyName: String = "simhash16"
     override def checkInputDataTypes(): TypeCheckResult =
       requireType(child, StringType, prettyName)
-
-    override def nullSafeEval(input: Any): Any = {
-      val toks = tokenize(input.asInstanceOf[UTF8String].toString)
-      val seen = new java.util.LinkedHashSet[String](toks.length * 2)
-      toks.foreach(seen.add)
-      val sums = new Array[Int](16)
-      val it = seen.iterator()
-      while (it.hasNext) {
-        val h = md5Hex(it.next())
-        var j = 0
-        while (j < 16) {
-          // high bit of hex digit j <=> digit in [8..f]
-          if (Character.digit(h.charAt(j), 16) >= 8) sums(j) += 1 else sums(j) -= 1
-          j += 1
-        }
-      }
-      val bits = new Array[Char](16)
-      var j = 0
-      while (j < 16) { bits(j) = if (sums(j) > 0) '1' else '0'; j += 1 }
-      UTF8String.fromString(new String(bits))
-    }
+    override def nullSafeEval(input: Any): Any =
+      evalSimHash16(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Self.evalSimHash16($c)")
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
@@ -205,33 +276,15 @@ object TextExpressions {
     * explode(pairs) shuffles each shingle row once instead of sort-merging
     * the 260 k-row index against itself. Packing requires ids < 2^32; the
     * caller checks the max id and falls back to the join form beyond it. */
-  case class PackedPairs(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class PackedPairs(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "packed_pairs"
     override def checkInputDataTypes(): TypeCheckResult =
       requireType(child, ArrayType(LongType), prettyName)
-
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val m = arr.numElements()
-      val ids = new Array[Long](m)
-      var i = 0
-      while (i < m) { ids(i) = arr.getLong(i); i += 1 }
-      java.util.Arrays.sort(ids)
-      val out = new Array[Long](m * (m - 1) / 2)
-      var k = 0
-      i = 0
-      while (i < m) {
-        var j = i + 1
-        while (j < m) {
-          out(k) = (ids(i) << 32) | ids(j)
-          k += 1; j += 1
-        }
-        i += 1
-      }
-      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
-    }
+    override def nullSafeEval(input: Any): Any =
+      evalPackedPairs(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Self.evalPackedPairs($c)")
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
@@ -240,25 +293,15 @@ object TextExpressions {
     * Unlike [[WordShingles]] this does NOT dedup: pair frequency is the
     * signal. One compiled pass per row (the HOF composition
     * zip_with(slice, slice) evaluates interpreted lambdas). */
-  case class AdjacentPairs(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class AdjacentPairs(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def prettyName: String = "adjacent_pairs"
     override def checkInputDataTypes(): TypeCheckResult =
       requireType(child, StringType, prettyName)
-    override def nullSafeEval(input: Any): Any = {
-      val toks = tokenize(input.asInstanceOf[UTF8String].toString)
-      if (toks.length < 2) new GenericArrayData(Array.empty[Any])
-      else {
-        val out = new Array[Any](toks.length - 1)
-        var i = 0
-        while (i < toks.length - 1) {
-          out(i) = UTF8String.fromString(toks(i) + " " + toks(i + 1))
-          i += 1
-        }
-        new GenericArrayData(out)
-      }
-    }
+    override def nullSafeEval(input: Any): Any =
+      evalAdjacentPairs(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Self.evalAdjacentPairs($c)")
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 

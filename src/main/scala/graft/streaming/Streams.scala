@@ -73,22 +73,33 @@ object Streams {
         col("med"), col("mad"))
 
   /** Tumbling 1-hour windows with a 10-minute watermark (late data beyond
-    * the watermark is dropped; within it, windows re-emit in update mode). */
+    * the watermark is dropped; within it, windows re-emit in update mode).
+    * Aggregates use the SAME decimal-exact money sum as the oracled batch
+    * twin (q38), so a fully-replayed bounded stream is row-identical to
+    * the batch result — StreamingSpec asserts that equality, not a
+    * proxy. */
   def tumblingHourly(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
-      .select(col("win.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Exact.moneySum(col("value")).as("sum_value"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+      .select(col("win.start").as("hour"), col("event_type"), col("n"),
+        col("sum_value"), col("min_value"), col("max_value"))
 
   /** Native session windows: 30-minute inactivity gap per user — the
     * streaming twin of EventsOps q40 (and of the reference's 3600s session
-    * retention, app/.chainlit/config.toml:9-10). */
+    * retention, app/.chainlit/config.toml:9-10). Decimal-exact sum like
+    * the batch twin; note Spark's session_window end = LAST EVENT TIME +
+    * gap, so `session_end - 30 min` equals q40's max(ts) — StreamingSpec
+    * asserts full row equality through that mapping. */
   def sessionWindows(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.Exact.moneySum(col("value")).as("sum_value"))
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
 

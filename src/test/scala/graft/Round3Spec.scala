@@ -53,6 +53,19 @@ class Round3Spec extends AnyFunSuite {
     assert(t.filter(col("o_totalprice") < 1000.0).count() == 0)
   }
 
+  test("q106's quarantine holds exactly the expectation-violating rows") {
+    val root = operators.Lakehouse.eventsExpectRoot(spark, sf)
+    val kept = LakehouseTable.read(spark, root).count()
+    val rejects = LakehouseTable.read(spark, s"$root/_rejects")
+    val total = graft.sources.Tables.events(spark, sf).count()
+    assert(rejects.count() > 0, "expectation threshold should reject a slice")
+    assert(kept + rejects.count() == total)
+    // every quarantined row names the expectation it failed
+    assert(rejects.filter(col("violated") === "").count() == 0)
+    assert(rejects.filter(col("value") > 100).count() ==
+      rejects.filter(col("violated").contains("value_le_100")).count())
+  }
+
   test("q104 recall curve is monotone in n_probe and exact at n_probe = k") {
     val rows = SparkEntry.queries("q104_ivf_recall")(spark, sf)
       .orderBy(col("n_probe")).collect()

@@ -29,32 +29,32 @@ class StreamingSpec extends AnyFunSuite {
     spark.table(name)
   }
 
-  test("streaming tumbling-hour counts match the batch aggregation") {
+  test("streaming tumbling-hour rows EQUAL the oracled q38 batch rows") {
+    // full row-set equality with the driver-verified batch query — every
+    // column including the decimal-exact money sum, not a count proxy
     val got = runToCompletion(
       Streams.tumblingHourly(Streams.eventsStream(spark, streamDir)), "t_tumble",
       mode = "complete")
-      .select(col("hour"), col("event_type"), col("n"))
-    val want = graft.sources.Tables.events(spark, sf)
-      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
+    val want = SparkEntry.queries("q38_tumbling_hourly")(spark, sf)
+      .select(got.columns.map(col).toSeq: _*)
+    assert(got.count() > 0)
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
-  test("streaming session windows match batch gap-sessionization boundaries") {
+  test("streaming session-window rows EQUAL the oracled q40 batch rows") {
     val got = runToCompletion(
       Streams.sessionWindows(Streams.eventsStream(spark, streamDir)), "t_sess",
       mode = "complete")
-    // batch twin: q40 sessions (30-min gap); compare (user, n_events) multisets
-    // and session count — boundaries are identical because both close a
-    // session after >30min inactivity.
+      // session_window end = last event time + gap; q40's session_end is
+      // max(ts) — align the convention, then require exact row equality
+      .select(col("user_id"), col("session_start"),
+        (col("session_end") - expr("INTERVAL 30 MINUTES")).as("session_end"),
+        col("n_events"), col("sum_value"))
     val want = SparkEntry.queries("q40_sessionize")(spark, sf)
-    assert(got.count() == want.count())
-    val gotSets = got.groupBy(col("user_id"))
-      .agg(sort_array(collect_list(col("n_events"))).as("ns"))
-    val wantSets = want.groupBy(col("user_id"))
-      .agg(sort_array(collect_list(col("n_events"))).as("ns"))
-    assert(gotSets.join(wantSets, Seq("user_id"))
-      .filter(gotSets("ns") =!= wantSets("ns")).count() == 0)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("sum_value"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
   test("streaming anomaly alerts flag exactly the batch MAD outliers") {
