@@ -35,6 +35,19 @@ object TextFunctions {
   def minhash(tokSet: Column, seed: Int): Column =
     array_min(transform(tokSet, t => md5(concat(lit(s"$seed:"), t))))
 
+  /** One MIXED MinHash component: md5 is computed ONCE per element and the
+    * per-seed permutation comes from Carter-Wegman mixing of its two
+    * leading 32-bit words — h_s(x) = (h1(x) + s*h2(x)) mod 2^32 — instead
+    * of k separate md5 passes. 16× less hashing for a 16-component
+    * signature with the same banding behavior; bit-identical in DuckDB
+    * (hex-parse + integer arithmetic, see [[sqlMinhashMix]]). This is the
+    * composable twin of the compiled TextExpressions.MinHashSigMix. */
+  def minhashMix(elems: Column, s: Int): Column =
+    array_min(transform(elems, x =>
+      (conv(substring(md5(x), 1, 8), 16, 10).cast("long")
+        + lit(s.toLong) * conv(substring(md5(x), 9, 8), 16, 10).cast("long"))
+        % lit(4294967296L)))
+
   /** LSH band key: concat of `width` adjacent MinHash components. */
   def minhashBand(tokSet: Column, band: Int, width: Int): Column =
     concat((0 until width).map(j => minhash(tokSet, band * width + j)): _*)
@@ -95,6 +108,14 @@ object TextFunctions {
     }.mkString(" || ")
   def sqlMinhash(tokSetExpr: String, seed: Int): String =
     s"list_min(list_transform($tokSetExpr, t -> md5('$seed:' || t)))"
+
+  /** DuckDB twin of [[minhashMix]]: '0x'||hex → BIGINT parses the md5
+    * words exactly as Spark's conv(_, 16, 10); all arithmetic stays in
+    * BIGINT (values < 2^37), so % 2^32 matches Spark's long remainder. */
+  def sqlMinhashMix(elemsExpr: String, s: Int): String =
+    s"""list_min(list_transform($elemsExpr, x ->
+        (('0x' || substr(md5(x), 1, 8))::BIGINT
+         + $s * ('0x' || substr(md5(x), 9, 8))::BIGINT) % 4294967296))"""
   def sqlJaccard(a: String, b: String): String =
     s"(CAST(len(list_intersect($a, $b)) AS DOUBLE) / CAST(len(list_distinct(list_concat($a, $b))) AS DOUBLE))"
   val sqlFingerprint = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"

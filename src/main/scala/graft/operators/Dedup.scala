@@ -218,17 +218,19 @@ object Dedup {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
-    // MinHash + LSH banded near-dup: 16 md5-minhashes → 8 bands × 2 rows;
-    // candidates share a band; verified with exact shingle Jaccard ≥ 0.5.
+    // MinHash + LSH banded near-dup: 16 MIXED minhash components (one md5
+    // per shingle + Carter-Wegman per-seed mixing — 16× less hashing than
+    // per-seed md5) → 8 bands × 2 rows; candidates share a band; verified
+    // with exact shingle Jaccard ≥ 0.5.
     "q32_minhash_lsh" -> ((s, d) => {
       // One long-format (doc, band_idx, band_key) relation: the 16-component
       // signature is computed ONCE per doc and exploded into 8 band keys;
       // the candidate generation shuffles on (band_idx, key) so the whole
       // signature is evaluated once, not once per band join.
       val sig = shingleDf(s, d)
-        .withColumn("sig", TextExpressions.minhashSig(col("sh"), 16))
+        .withColumn("sig", TextExpressions.minhashSigMix(col("sh"), 16))
       val banded = sig.select(col("doc_id").as("id"), posexplode(array((0 until 8).map(b =>
-        concat(element_at(col("sig"), 2 * b + 1), element_at(col("sig"), 2 * b + 2))): _*))
+        concat_ws("-", element_at(col("sig"), 2 * b + 1), element_at(col("sig"), 2 * b + 2))): _*))
         .as(Seq("band_idx", "bk")))
       val cands = unpack(
         cappedPackedPairs(banded, Seq(col("band_idx"), col("bk"))).distinct())
@@ -325,7 +327,9 @@ object Dedup {
 
     "q32_minhash_lsh" -> {
       def bandSql(alias: String, b: Int): String =
-        (0 until 2).map(j => T.sqlMinhash(s"$alias.sh", b * 2 + j)).mkString(" || ")
+        (0 until 2).map(j =>
+          s"CAST(${T.sqlMinhashMix(s"$alias.sh", b * 2 + j)} AS VARCHAR)")
+          .mkString(" || '-' || ")
       val cand = (0 until 8).map { b =>
         s"""SELECT x.doc_id AS a, y.doc_id AS b
             FROM ($sqlShingleDf) x JOIN ($sqlShingleDf) y

@@ -129,6 +129,37 @@ object TextExpressions {
     new GenericArrayData(mins)
   }
 
+  def evalMinHashSigMix(input: ArrayData, k: Int): ArrayData = {
+    val m = input.numElements()
+    val mins = new Array[Any](k)
+    if (m > 0) {
+      val minVals = new Array[Long](k)
+      java.util.Arrays.fill(minVals, Long.MaxValue)
+      val dig = md5Local.get()
+      var i = 0
+      while (i < m) {
+        dig.reset()
+        val bytes = dig.digest(input.getUTF8String(i).getBytes)
+        // h1/h2 = the first two big-endian 32-bit words of the digest —
+        // exactly what parsing hex chars 1-8 / 9-16 yields
+        val h1 = ((bytes(0) & 0xffL) << 24) | ((bytes(1) & 0xffL) << 16) |
+          ((bytes(2) & 0xffL) << 8) | (bytes(3) & 0xffL)
+        val h2 = ((bytes(4) & 0xffL) << 24) | ((bytes(5) & 0xffL) << 16) |
+          ((bytes(6) & 0xffL) << 8) | (bytes(7) & 0xffL)
+        var s = 0
+        while (s < k) {
+          val v = (h1 + s * h2) % 4294967296L
+          if (v < minVals(s)) minVals(s) = v
+          s += 1
+        }
+        i += 1
+      }
+      var s = 0
+      while (s < k) { mins(s) = minVals(s); s += 1 }
+    }
+    new GenericArrayData(mins)
+  }
+
   def evalSimHash16(input: UTF8String): UTF8String = {
     val toks = tokenize(input.toString)
     val seen = new java.util.LinkedHashSet[String](toks.length * 2)
@@ -255,6 +286,23 @@ object TextExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** k MIXED MinHash components (Carter-Wegman over the leading md5
+    * words): md5 ONCE per element, then h_s = (h1 + s*h2) mod 2^32 per
+    * seed — 16× less hashing than [[MinHashSig]] for the same banding
+    * behavior; identical numbers to TextFunctions.minhashMix and its
+    * DuckDB twin. Empty input → k nulls (callers filter empties). */
+  case class MinHashSigMix(child: Expression, k: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = true)
+    override def prettyName: String = "minhash_sig_mix"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, ArrayType(StringType), prettyName)
+    override def nullSafeEval(input: Any): Any =
+      evalMinHashSigMix(input.asInstanceOf[ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Self.evalMinHashSigMix($c, $k)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** 16-bit SimHash of the distinct-token set of raw text, as a '0'/'1'
     * string; bit j set iff Σ±1 over tokens (by hex digit j of md5(token))
     * is positive — identical to the built-in TextFunctions.simhash16. */
@@ -317,6 +365,8 @@ object TextExpressions {
     ColumnBridge.column(PackedPairs(ColumnBridge.expression(ids)))
   def minhashSig(shingles: Column, k: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), k))
+  def minhashSigMix(shingles: Column, k: Int): Column =
+    ColumnBridge.column(MinHashSigMix(ColumnBridge.expression(shingles), k))
   def simhash16(text: Column): Column =
     ColumnBridge.column(SimHash16(ColumnBridge.expression(text)))
 }

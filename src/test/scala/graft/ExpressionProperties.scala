@@ -61,6 +61,20 @@ object ExpressionProperties extends Properties("graft.expressions") {
       out.getUTF8String(0).toString == ws.distinct.map(w => md5Hex("0:" + w)).min
     }
 
+  property("minhashSigMix component s = min of (h1 + s*h2) mod 2^32 over md5 words") =
+    forAll(Gen.nonEmptyListOf(word), Gen.choose(1, 16)) { (ws, k) =>
+      val out = MinHashSigMix(arrLit(ws.distinct), k).eval(null).asInstanceOf[ArrayData]
+      val expected = (0 until k).map { s =>
+        ws.distinct.map { w =>
+          val hex = md5Hex(w)
+          val h1 = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+          val h2 = java.lang.Long.parseLong(hex.substring(8, 16), 16)
+          (h1 + s * h2) % 4294967296L
+        }.min
+      }
+      out.numElements() == k && (0 until k).forall(i => out.getLong(i) == expected(i))
+    }
+
   property("packedPairs: all i<j pairs exactly once, order-invariant") =
     forAll(Gen.listOf(Gen.chooseNum(0L, 4294967295L)).map(_.distinct)) { ids =>
       val lit = Literal(new GenericArrayData(ids.map(x => x: Any).toArray),
