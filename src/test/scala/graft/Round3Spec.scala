@@ -76,6 +76,23 @@ class Round3Spec extends AnyFunSuite {
     assert(recalls.last == 1.0, s"probing all k cells must equal brute force: $recalls")
   }
 
+  test("RelationCache keeps one copy per kind and retires it on a dir switch") {
+    import spark.implicits._
+    def storageCount = spark.sparkContext.getRDDStorageInfo.length
+    val k = "round3spec.cachetest"
+    val a = graft.sources.RelationCache.of(spark, k, "dirA")(Seq(1, 2).toDF("x"))
+    a.count()
+    assert(a.storageLevel.useMemory, "first build must be cached")
+    // same (kind, dir) → the SAME DataFrame instance, no rebuild
+    val a2 = graft.sources.RelationCache.of(spark, k, "dirA")(fail("must not rebuild"))
+    assert(a2 eq a)
+    // dir switch → new relation cached, previous one unpersisted
+    val b = graft.sources.RelationCache.of(spark, k, "dirB")(Seq(3).toDF("x"))
+    b.count()
+    assert(!a.storageLevel.useMemory, "dirA relation must be unpersisted on switch")
+    assert(b.storageLevel.useMemory)
+  }
+
   test("txn watermarks are scoped per writer app id (no cross-stream clobber)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_txn").toString + "/t"
