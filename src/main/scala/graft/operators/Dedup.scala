@@ -113,7 +113,7 @@ object Dedup {
     * same pairs) share this exact relation, and the post-filter result is
     * dozens of rows — the cache costs nothing and saves the second query
     * its whole pair-count aggregation. */
-  private def dupPairs(s: SparkSession, d: String): DataFrame =
+  private[operators] def dupPairs(s: SparkSession, d: String): DataFrame =
     graft.sources.RelationCache.of(s, "dedup.dupPairs", d) {
       pairJaccard(s, d).filter(col("jaccard") >= 0.5)
     }

@@ -243,19 +243,13 @@ object Pipelines {
           .filter(size(col("toks")) >= 3) // oracle twin excludes shingle-less docs
           .withColumn("quality", graft.plans.TextExpressions.qualityScore(col("text")))
       }
-      // near-dup losers: the higher doc_id of every pair with Jaccard >= 0.5
-      val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
-      val inv = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
-      // shared-shingle counts via the capped packed-pair aggregation (see
-      // Dedup.pairSharedCounts) — no inverted-index self-join. No hard
-      // broadcast hints: the sizes relation grows with the corpus; AQE
-      // broadcasts it while it is small.
-      val losers = Dedup.pairSharedCounts(inv)
-        .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
-        .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
-        .filter(col("shared").cast("double")
-          / (col("na") + col("nb") - col("shared")).cast("double") >= 0.5)
-        .select(col("b").as("doc_id")).distinct()
+      // near-dup losers: the higher doc_id of every pair with Jaccard >=
+      // 0.5 — EXACTLY Dedup's cached 0.5-threshold pair relation (same
+      // shingle base: len(toks) >= 3 ⟺ nonempty 3-shingles; same capped
+      // packed-pair aggregation; same count-derived Jaccard). Reusing it
+      // means q34/q50/q68 share ONE materialization of the pair scan per
+      // (session, dir) instead of q50 re-running its own.
+      val losers = Dedup.dupPairs(s, d).select(col("b").as("doc_id")).distinct()
       docs.filter(col("quality") >= 0.55)
         .join(losers, Seq("doc_id"), "left_anti")
         .groupBy(col("lang"))
