@@ -283,25 +283,33 @@ object Dedup {
       // singleton set never enters the loop. At 100 TB the iteration state
       // is O(dup docs), not O(docs).
       val nodes = edges.select(col("src").as("doc_id")).distinct()
-      var labels = nodes.select(col("doc_id"), col("doc_id").as("label")).cache()
+      var cached = nodes.select(col("doc_id"), col("doc_id").as("label")).cache()
+      var labels = cached
       var changed = 1L
       while (changed > 0) {
         val neighborMin = edges.join(labels, edges("dst") === labels("doc_id"))
           .groupBy(col("src")).agg(min(col("label")).as("nmin"))
-        val next = labels.join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
-          .select(col("doc_id"),
-            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-          .cache()
-        changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-          .filter(col("label") =!= col("old")).count()
-        labels.unpersist(false)
-        labels = next
+        // carry the previous label through the update so the convergence
+        // check is a filter on the SAME cached relation — one action per
+        // round (materialize + count changed together), not a second join
+        // job over the frontier
+        val joined = labels.join(neighborMin,
+          labels("doc_id") === neighborMin("src"), "left")
+        val next = joined.select(labels("doc_id").as("doc_id"),
+          least(labels("label"), coalesce(col("nmin"), labels("label"))).as("label"),
+          labels("label").as("old")).cache()
+        changed = next.filter(col("label") =!= col("old")).count()
+        // `labels` is a projection of `cached` — unpersist the cached DF
+        // itself or the block never releases
+        cached.unpersist(false)
+        cached = next
+        labels = next.select(col("doc_id"), col("label"))
       }
       // cut lineage (localCheckpoint) so every loop cache can be released —
       // otherwise edges + the final labels stay cached forever and evict
       // the long-lived shingle relation
       val fixed = labels.localCheckpoint(true)
-      labels.unpersist(false)
+      cached.unpersist(false)
       edges.unpersist(false)
       fixed.groupBy(col("label").as("cluster_rep"))
         .agg(count(lit(1)).as("n_members"))

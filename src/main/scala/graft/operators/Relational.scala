@@ -188,7 +188,7 @@ object Relational {
       val bloomAgg = ColumnBridge.column(new BloomFilterAggregate(
         ColumnBridge.expression(xxhash64(col("o_orderkey"))),
         Literal(100000L), Literal(1048576L)).toAggregateExpression())
-      val bf = sel.agg(bloomAgg.as("bf")).head.getAs[Array[Byte]]("bf")
+      val bf = sel.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]]("bf")
       val li = Tables.lineitem(s, d)
       val pruned =
         if (bf == null) li.filter(lit(false)) // empty build side: nothing joins

@@ -327,7 +327,7 @@ object Similarity {
       .setInputCol("features").setOutputCol("hashes")
     val model = lsh.fit(df)
     val Row(qv: org.apache.spark.ml.linalg.Vector) =
-      df.filter(col("vec_id") === queryVec).select(col("features")).head
+      df.filter(col("vec_id") === queryVec).select(col("features")).head()
     model.approxNearestNeighbors(df.filter(col("vec_id") =!= queryVec), qv, k)
       .select(col("vec_id"), col("distCol").as("dist"))
       .orderBy(col("dist"), col("vec_id"))
