@@ -50,6 +50,35 @@ object Ingest {
         .orderBy(col("name"))
     }),
 
+    // ORC source: the q60 app records round-tripped through an ORC file
+    // (written once per fixture identity into the build cache — _SUCCESS
+    // marks a completed write, so a crashed write rebuilds). The oracle
+    // reads the ORIGINAL JSON, so any corruption in the ORC write/read
+    // path breaks the hash — this is the columnar-format coverage beyond
+    // parquet.
+    "q107_orc_source" -> ((s, _) => {
+      val f = java.nio.file.Paths.get(AppsFixture)
+      val stamp = s"orc-v1:${java.nio.file.Files.size(f)}:" +
+        java.nio.file.Files.getLastModifiedTime(f).toMillis
+      val dir = graft.sources.TableCache.baseDir + "/apps_orc_" +
+        graft.plans.TextExpressions.md5Hex(stamp).take(12)
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS"))) {
+        s.read.option("multiLine", "true").json(AppsFixture)
+          .select(explode(col("apps")).as("app"))
+          .select(col("app.name").as("name"),
+            col("app.status.state").as("state"),
+            col("app.status.message").as("status_message"),
+            col("app.create_time").as("create_time"),
+            col("app.url").as("url"))
+          .coalesce(1).write.mode("overwrite").orc(dir)
+      }
+      s.read.orc(dir)
+        .withColumn("logz",
+          when(col("url") === "", "").otherwise(concat(col("url"), lit("/logz"))))
+        .select("name", "state", "status_message", "create_time", "url", "logz")
+        .orderBy(col("name"))
+    }),
+
     // Raw-SQL twin of the q01 pricing summary: the full string path
     // (parser → analyzer over temp views → same physical plan).
     "q62_sql_pricing" -> ((s, d) => {
@@ -109,19 +138,25 @@ object Ingest {
   private val sqlSimhashBits =
     graft.functions.TextFunctions.sqlSimhash16(graft.functions.TextFunctions.sqlTokSet)
 
+  /** Shared DuckDB twin of the flattened app records (q60 reads the JSON
+    * directly; q107 reads the ORC round trip of the same records — one
+    * truth, two source paths). */
+  private lazy val sqlAppsFlat: String =
+    s"""SELECT name, state, status_message, create_time, url, logz FROM (
+          SELECT a.name AS name, a.status.state AS state,
+                 a.status.message AS status_message,
+                 a.create_time AS create_time, a.url AS url,
+                 CASE WHEN a.url = '' THEN ''
+                      ELSE a.url || '/logz' END AS logz
+          FROM (SELECT unnest(apps) AS a FROM read_json('$AppsFixture',
+            columns = {apps: 'STRUCT(name VARCHAR,
+              status STRUCT(state VARCHAR, message VARCHAR),
+              create_time VARCHAR, url VARCHAR)[]'})))
+        ORDER BY name"""
+
   def oracle: Map[String, String] = Map(
-    "q60_json_source" ->
-      s"""SELECT name, state, status_message, create_time, url, logz FROM (
-            SELECT a.name AS name, a.status.state AS state,
-                   a.status.message AS status_message,
-                   a.create_time AS create_time, a.url AS url,
-                   CASE WHEN a.url = '' THEN ''
-                        ELSE a.url || '/logz' END AS logz
-            FROM (SELECT unnest(apps) AS a FROM read_json('$AppsFixture',
-              columns = {apps: 'STRUCT(name VARCHAR,
-                status STRUCT(state VARCHAR, message VARCHAR),
-                create_time VARCHAR, url VARCHAR)[]'})))
-          ORDER BY name""",
+    "q60_json_source" -> sqlAppsFlat,
+    "q107_orc_source" -> sqlAppsFlat,
 
     "q62_sql_pricing" ->
       """SELECT l_returnflag, l_linestatus,

@@ -103,6 +103,45 @@ object Lakehouse {
     root
   }
 
+  /** events written HIVE-PARTITIONED by event_type — the layout whose
+    * directory structure IS the partition index: a filter on the partition
+    * column prunes whole directories at planning time (PartitionFilters in
+    * the scan, asserted in Round3Spec), before any file or footer is
+    * touched. */
+  private[graft] def eventsPartitionedRoot(s: SparkSession, d: String): String = {
+    val root = TableCache.root(d, "events", "hive-by-type:v1")
+    try {
+      if (LakehouseTable.versions(root).isEmpty)
+        LakehouseTable.create(
+          Tables.events(s, d).select("event_id", "user_id", "event_type", "value"),
+          root, partitionBy = Seq("event_type"))
+    } catch {
+      case _: java.util.ConcurrentModificationException => ()
+    }
+    root
+  }
+
+  /** events split across two schema versions: v0 holds (event_id, value)
+    * for even ids, v1 appends odd ids WITH an `extra` column. The
+    * mergeSchema read surfaces the union schema with nulls for the old
+    * files — Delta-style schema evolution, gated below. */
+  private[graft] def eventsEvolvedRoot(s: SparkSession, d: String): String = {
+    val root = TableCache.root(d, "events", "schema-evo:v1")
+    try {
+      val ev = Tables.events(s, d)
+      if (LakehouseTable.versions(root).isEmpty)
+        LakehouseTable.create(
+          ev.filter(col("event_id") % 2 === 0).select("event_id", "value"), root)
+      if (LakehouseTable.currentVersion(root).contains(0L))
+        LakehouseTable.append(
+          ev.filter(col("event_id") % 2 === 1)
+            .select(col("event_id"), col("value"), col("user_id").as("extra")), root)
+    } catch {
+      case _: java.util.ConcurrentModificationException => ()
+    }
+    root
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Write → Z-ORDER → file-skip read → aggregate. readPruned keeps only
     // files whose footer-stat [min,max] range on l_orderkey overlaps the
@@ -165,6 +204,32 @@ object Lakehouse {
           min(col("value")).as("min_value"),
           max(col("value")).as("max_value"))
         .orderBy(col("event_type"))
+    }),
+
+    // Hive-partition pruning under the gate: the event_type filter prunes
+    // whole partition DIRECTORIES at planning time (no file listing, no
+    // footer reads for other types) — the coarsest and cheapest tier of
+    // the skipping stack, above z-order footer stats (q102).
+    "q108_partitioned_prune" -> ((s, d) => {
+      val root = eventsPartitionedRoot(s, d)
+      LakehouseTable.read(s, root)
+        .filter(col("event_type") === "click")
+        .groupBy((col("user_id") % 10).as("user_bucket"))
+        .agg(count(lit(1)).as("n"),
+          Exact.moneySum(col("value")).as("sum_value"))
+        .orderBy(col("user_bucket"))
+    }),
+
+    // Schema evolution under the gate: the union-schema read must surface
+    // old-file rows with NULL `extra` and new-file rows with their values,
+    // exactly like the oracle's explicit NULL union over the raw parquet.
+    "q109_schema_evolution" -> ((s, d) => {
+      val root = eventsEvolvedRoot(s, d)
+      LakehouseTable.read(s, root)
+        .agg(count(lit(1)).as("n"),
+          count(col("extra")).as("n_extra"),
+          sum(col("extra")).as("extra_sum"),
+          Exact.moneySum(col("value")).as("sum_value"))
     }))
 
   def oracle: Map[String, String] = Map(
@@ -204,5 +269,23 @@ object Lakehouse {
            min(value) AS min_value, max(value) AS max_value
          FROM events
          WHERE value <= 100 AND props IS NOT NULL AND props <> ''
-         GROUP BY event_type ORDER BY event_type""")
+         GROUP BY event_type ORDER BY event_type""",
+
+    "q108_partitioned_prune" ->
+      s"""SELECT user_id % 10 AS user_bucket, count(*) AS n,
+            ${Exact.sqlMoneySum("value")} AS sum_value
+          FROM events WHERE event_type = 'click'
+          GROUP BY user_bucket ORDER BY user_bucket""",
+
+    "q109_schema_evolution" ->
+      s"""WITH unioned AS (
+            SELECT event_id, value, CAST(NULL AS BIGINT) AS extra
+            FROM events WHERE event_id % 2 = 0
+            UNION ALL
+            SELECT event_id, value, user_id AS extra
+            FROM events WHERE event_id % 2 = 1)
+          SELECT count(*) AS n, count(extra) AS n_extra,
+            CAST(sum(extra) AS BIGINT) AS extra_sum,
+            ${Exact.sqlMoneySum("value")} AS sum_value
+          FROM unioned""")
 }

@@ -53,6 +53,24 @@ class Round3Spec extends AnyFunSuite {
     assert(t.filter(col("o_totalprice") < 1000.0).count() == 0)
   }
 
+  test("q108's event_type filter prunes hive partitions at planning time") {
+    val root = operators.Lakehouse.eventsPartitionedRoot(spark, sf)
+    val df = LakehouseTable.read(spark, root).filter(col("event_type") === "click")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("event_type"),
+      s"expected a partition filter on event_type in:\n$plan")
+    // the scanned file count is a strict subset: only the click directory.
+    // collect() drives THIS queryExecution (a count() would plan its own),
+    // so its scan metrics are the ones populated
+    df.collect()
+    val numFiles = df.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numFiles").value }.sum
+    val total = LakehouseTable.read(spark, root).inputFiles.length
+    assert(numFiles > 0 && numFiles < total,
+      s"partition pruning read $numFiles of $total files")
+  }
+
   test("q106's quarantine holds exactly the expectation-violating rows") {
     val root = operators.Lakehouse.eventsExpectRoot(spark, sf)
     val kept = LakehouseTable.read(spark, root).count()
