@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
@@ -90,13 +90,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
   *
   * One eval per row for all `planes` bits (single pass re-reading the
   * array per plane is fine: planes × dims ≈ 2k fused multiply-free adds).
-  * CodegenFallback: evaluated once per doc, off the per-pair hot path.
+  * doGenCode = a static call into the shared eval body, so signature
+  * projections stay inside whole-stage codegen like the text family.
   */
 case class SrpSignature(child: Expression, planes: Int, dims: Int)
-    extends UnaryExpression with CodegenFallback {
-  private lazy val positive: Array[Array[Boolean]] =
-    Array.tabulate(planes, dims)((h, i) => VectorExpressions.srpSignPositive(h, i))
-
+    extends UnaryExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "srp_signature"
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -106,31 +104,11 @@ case class SrpSignature(child: Expression, planes: Int, dims: Int)
       case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"$prettyName expects array<float>, got ${t.simpleString}")
     }
-
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
-    // Strict: a shorter embedding would silently diverge from the DuckDB
-    // twin (whose emb[i] beyond the end NULL-poisons the fold) — fail
-    // loudly like a schema error, don't truncate.
-    if (v.numElements() < dims)
-      throw new IllegalArgumentException(
-        s"srp_signature expects >= $dims elements, got ${v.numElements()}")
-    val bits = new Array[Char](planes)
-    var h = 0
-    while (h < planes) {
-      val p = positive(h)
-      var acc = 0.0
-      var i = 0
-      while (i < dims) {
-        val x = v.getFloat(i).toDouble
-        acc = if (p(i)) acc + x else acc - x
-        i += 1
-      }
-      bits(h) = if (acc > 0) '1' else '0'
-      h += 1
-    }
-    UTF8String.fromString(new String(bits))
-  }
+  override def nullSafeEval(input: Any): Any =
+    VectorExpressions.evalSrpSignature(input.asInstanceOf[ArrayData], planes, dims)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.VectorExpressions.evalSrpSignature($c, $planes, $dims)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -145,6 +123,41 @@ object VectorExpressions {
     * md5("srp:h:i") has its high bit set (digit in [8..f]). */
   def srpSignPositive(h: Int, i: Int): Boolean =
     Character.digit(TextExpressions.md5Hex(s"srp:$h:$i").charAt(0), 16) >= 8
+
+  // sign tables are pure functions of (planes, dims) — cache per layout so
+  // the generated-code static calls don't re-derive planes×dims md5s per
+  // partition
+  private val signCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Boolean]]]()
+  private def signTable(planes: Int, dims: Int): Array[Array[Boolean]] =
+    signCache.computeIfAbsent(s"$planes:$dims",
+      _ => Array.tabulate(planes, dims)(srpSignPositive))
+
+  /** Shared eval body of [[SrpSignature]] (interpreted + generated paths). */
+  def evalSrpSignature(input: ArrayData, planes: Int, dims: Int): UTF8String = {
+    // Strict: a shorter embedding would silently diverge from the DuckDB
+    // twin (whose emb[i] beyond the end NULL-poisons the fold) — fail
+    // loudly like a schema error, don't truncate.
+    if (input.numElements() < dims)
+      throw new IllegalArgumentException(
+        s"srp_signature expects >= $dims elements, got ${input.numElements()}")
+    val positive = signTable(planes, dims)
+    val bits = new Array[Char](planes)
+    var h = 0
+    while (h < planes) {
+      val p = positive(h)
+      var acc = 0.0
+      var i = 0
+      while (i < dims) {
+        val x = input.getFloat(i).toDouble
+        acc = if (p(i)) acc + x else acc - x
+        i += 1
+      }
+      bits(h) = if (acc > 0) '1' else '0'
+      h += 1
+    }
+    UTF8String.fromString(new String(bits))
+  }
 
   /** SRP signature column: `planes` '0'/'1' chars over a dims-long embedding. */
   def srpSignature(v: Column, planes: Int, dims: Int): Column =
