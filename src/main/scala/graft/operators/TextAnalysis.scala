@@ -109,30 +109,39 @@ object TextAnalysis {
     // the corpus. Bigrams keep MULTIPLICITY (TextFunctions.shingles, not
     // the deduped wordShingles): repetition is precisely what dedup erases.
     "q89_repetition_quality" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), graft.plans.TextExpressions.tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= 2)
         .withColumn("n_tokens", size(col("toks")).cast("long"))
-      val tok = docs.select(col("doc_id"), col("n_tokens"), explode(col("toks")).as("token"))
-      val distincts = tok.groupBy(col("doc_id"))
-        .agg(countDistinct(col("token")).as("n_distinct"))
-      val wt = Window.partitionBy(col("doc_id")).orderBy(desc("c"), col("token"))
-      val topTok = tok.groupBy(col("doc_id"), col("n_tokens"), col("token"))
+      // per-doc argmax WITHOUT a rank window: min(struct(-count, term))
+      // over the term-count relation picks (highest count, then smallest
+      // term) as a partial-combinable HASH aggregate — no per-partition
+      // sort of the term counts — and n_distinct falls out of the same
+      // aggregation as count(*) of the term groups (the old separate
+      // countDistinct shuffle is gone)
+      val tokCounts = docs
+        .select(col("doc_id"), col("n_tokens"), explode(col("toks")).as("token"))
+        .groupBy(col("doc_id"), col("n_tokens"), col("token"))
         .agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(wt)).filter(col("rn") === 1)
-        .select(col("doc_id"), col("n_tokens"), col("token").as("top_token"),
-          (col("c").cast("double") / col("n_tokens").cast("double")).as("top_token_frac"))
-      val wb = Window.partitionBy(col("doc_id")).orderBy(desc("c"), col("bigram"))
+      val topTok = tokCounts
+        .groupBy(col("doc_id"), col("n_tokens"))
+        .agg(min(struct((-col("c")).as("nc"), col("token"))).as("m"),
+          count(lit(1)).as("n_distinct"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          col("m.token").as("top_token"),
+          ((-col("m.nc")).cast("double") / col("n_tokens").cast("double"))
+            .as("top_token_frac"))
       val topBigram = docs
         .select(col("doc_id"), col("n_tokens"),
           explode(T.shingles(col("toks"), 2)).as("bigram"))
         .groupBy(col("doc_id"), col("n_tokens"), col("bigram"))
         .agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(wb)).filter(col("rn") === 1)
-        .select(col("doc_id"), col("bigram").as("top_bigram"),
-          (col("c").cast("double") / (col("n_tokens") - 1).cast("double")).as("top_bigram_frac"))
-      topTok.join(distincts, "doc_id").join(topBigram, "doc_id")
+        .groupBy(col("doc_id"), col("n_tokens"))
+        .agg(min(struct((-col("c")).as("nc"), col("bigram"))).as("m"))
+        .select(col("doc_id"), col("m.bigram").as("top_bigram"),
+          ((-col("m.nc")).cast("double") / (col("n_tokens") - 1).cast("double"))
+            .as("top_bigram_frac"))
+      topTok.join(topBigram, "doc_id")
         .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
           (col("n_distinct").cast("double") / col("n_tokens").cast("double")).as("ttr"),
           col("top_token"), col("top_token_frac"),
