@@ -323,7 +323,34 @@ object Dedup {
     // so no block grows quadratically with corpus skew. Candidates are
     // verified with exact cosine.
     "q35_embedding_neardup" -> ((s, d) =>
-      embeddingNearDup(s, d, SrpPlanes, SrpBandWidth, 0.4)))
+      embeddingNearDup(s, d, SrpPlanes, SrpBandWidth, 0.4)),
+
+    // INCREMENTAL near-dup: an arriving batch (doc_id ≡ 8,9 mod 10) is
+    // checked against the EXISTING corpus (the other 80%) only — the
+    // production ingest shape: new docs probe the corpus inverted index;
+    // no new×new or old×old pairs, and the old index is exactly what a
+    // deployed pipeline keeps materialized between batches. Hot shingles
+    // are dropped by corpus-side document frequency (the stop-key cap),
+    // mirrored in the twin.
+    "q110_incremental_neardup" -> ((s, d) => {
+      val sh = shingleDf(s, d)
+      val oldInv = sh.filter(col("doc_id") % 10 < 8)
+        .select(explode(col("sh")).as("shingle"), col("doc_id").as("old_id"))
+      val newInv = sh.filter(col("doc_id") % 10 >= 8)
+        .select(explode(col("sh")).as("shingle"), col("doc_id").as("new_id"))
+      val okShingles = oldInv.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("c")).filter(col("c") < StopShingleCap)
+        .select(col("shingle"))
+      val cands = newInv.join(okShingles, "shingle").join(oldInv, "shingle")
+        .select(col("new_id"), col("old_id")).distinct()
+      cands
+        .join(sh.select(col("doc_id").as("new_id"), col("sh").as("sh_new")), "new_id")
+        .join(sh.select(col("doc_id").as("old_id"), col("sh").as("sh_old")), "old_id")
+        .select(col("new_id"), col("old_id"),
+          T.jaccard(col("sh_new"), col("sh_old")).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy(col("new_id"), col("old_id"))
+    }))
 
   def oracle: Map[String, String] = Map(
     "q31_exact_dedup" ->
@@ -375,6 +402,22 @@ object Dedup {
           SELECT cluster_rep, count(*) AS n_members FROM (
             SELECT doc_id, min(label) AS cluster_rep FROM walk GROUP BY doc_id)
           GROUP BY cluster_rep HAVING count(*) > 1 ORDER BY cluster_rep""",
+
+    "q110_incremental_neardup" ->
+      s"""WITH sh_rel AS ($sqlShingleDf),
+          oldinv AS (SELECT doc_id AS old_id, unnest(sh) AS shingle
+                     FROM sh_rel WHERE doc_id % 10 < 8),
+          newinv AS (SELECT doc_id AS new_id, unnest(sh) AS shingle
+                     FROM sh_rel WHERE doc_id % 10 >= 8),
+          ok AS (SELECT shingle FROM oldinv
+                 GROUP BY shingle HAVING count(*) < $StopShingleCap),
+          cands AS (SELECT DISTINCT new_id, old_id
+                    FROM newinv JOIN ok USING (shingle) JOIN oldinv USING (shingle))
+          SELECT new_id, old_id, ${T.sqlJaccard("sn.sh", "so.sh")} AS jaccard
+          FROM cands JOIN sh_rel sn ON cands.new_id = sn.doc_id
+                     JOIN sh_rel so ON cands.old_id = so.doc_id
+          WHERE ${T.sqlJaccard("sn.sh", "so.sh")} >= 0.5
+          ORDER BY new_id, old_id""",
 
     "q35_embedding_neardup" -> {
       val sigExpr = VectorExpressions.sqlSrpSignature(SrpPlanes, EmbeddingDims, "embedding")
