@@ -111,10 +111,15 @@ object Lakehouse {
   private[graft] def eventsPartitionedRoot(s: SparkSession, d: String): String = {
     val root = TableCache.root(d, "events", "hive-by-type:v1")
     try {
-      if (LakehouseTable.versions(root).isEmpty)
-        LakehouseTable.create(
-          Tables.events(s, d).select("event_id", "user_id", "event_type", "value"),
+      if (LakehouseTable.versions(root).isEmpty) {
+        val ev = Tables.events(s, d)
+          .select("event_id", "user_id", "event_type", "value")
+        // co-locate each type before the partitioned write: every type's
+        // rows land in ONE task → one file per partition dir, not
+        // (tasks × types) small files
+        LakehouseTable.create(ev.repartition(col("event_type")),
           root, partitionBy = Seq("event_type"))
+      }
     } catch {
       case _: java.util.ConcurrentModificationException => ()
     }

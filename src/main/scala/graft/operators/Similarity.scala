@@ -79,12 +79,13 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("pos"), col("x").as("c"))
     for (_ <- 1 to IvfIters) {
       val cvec = toCentroidVecs(cents)
-      val aw = Window.partitionBy(col("vec_id")).orderBy(desc("csim"), col("cid"))
+      // same argmin-as-hash-aggregate as ivfAssigned (no per-vector sort)
       val assigned = e.crossJoin(broadcast(cvec))
         .select(col("vec_id"), col("cid"),
           V.cosineFold(col("embedding"), col("cv")).as("csim"))
-        .withColumn("arn", row_number().over(aw)).filter(col("arn") === 1)
-        .select(col("vec_id"), col("cid"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct((-col("csim")).as("nc"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"))
       val binned = assigned.join(long, "vec_id")
         .groupBy(col("cid"), col("pos"),
           floor(col("x") * Bins).cast("long").as("bin"))
@@ -127,17 +128,23 @@ object Similarity {
 
   /** (vec_id, embedding, cid) — every vector labeled with its nearest
     * centroid cell (tie → lower cid), the IVF partition assignment shared
-    * by q37 (single-cell probe) and q104 (multi-probe + recall). */
+    * by q37 (single-cell probe) and q104 (multi-probe + recall).
+    *
+    * Argmin as a HASH aggregate — min(struct(-csim, cid)) picks (highest
+    * similarity, then lowest cid) with map-side partial combine — instead
+    * of a rank window, which would SORT all k rows per vector. first(
+    * embedding) is value-deterministic: every row of a vec_id group
+    * carries the identical array. */
   private def ivfAssigned(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val e = Tables.embeddings(s, d)
     val cvec = centroidTable(s, d)
-    val aw = Window.partitionBy(col("vec_id")).orderBy(desc("csim"), col("cid"))
     val assigned = e.crossJoin(broadcast(cvec))
       .select(col("vec_id"), col("embedding"), col("cid"),
         V.cosineFold(col("embedding"), col("cv")).as("csim"))
-      .withColumn("arn", row_number().over(aw))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct((-col("csim")).as("nc"), col("cid"))).as("m"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"), col("m.cid").as("cid"))
     (assigned, cvec)
   }
 
