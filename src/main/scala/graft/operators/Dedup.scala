@@ -341,13 +341,19 @@ object Dedup {
       val okShingles = oldInv.groupBy(col("shingle"))
         .agg(count(lit(1)).as("c")).filter(col("c") < StopShingleCap)
         .select(col("shingle"))
-      val cands = newInv.join(okShingles, "shingle").join(oldInv, "shingle")
-        .select(col("new_id"), col("old_id")).distinct()
-      cands
-        .join(sh.select(col("doc_id").as("new_id"), col("sh").as("sh_new")), "new_id")
-        .join(sh.select(col("doc_id").as("old_id"), col("sh").as("sh_old")), "old_id")
-        .select(col("new_id"), col("old_id"),
-          T.jaccard(col("sh_new"), col("sh_old")).as("jaccard"))
+      // Jaccard from shared COUNTS (the q34 shape): the index join's
+      // output aggregates straight into per-pair counts with map-side
+      // partials — never materializing candidate shingle ARRAYS per pair,
+      // which at corpus scale is the difference between a count shuffle
+      // and shipping the whole shingle index once per candidate.
+      val shared = newInv.join(okShingles, "shingle").join(oldInv, "shingle")
+        .groupBy(col("new_id"), col("old_id")).agg(count(lit(1)).as("shared"))
+      val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+      shared
+        .join(sizes.select(col("doc_id").as("new_id"), col("n").as("nn")), "new_id")
+        .join(sizes.select(col("doc_id").as("old_id"), col("n").as("no")), "old_id")
+        .select(col("new_id"), col("old_id"), (col("shared").cast("double")
+          / (col("nn") + col("no") - col("shared")).cast("double")).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
         .orderBy(col("new_id"), col("old_id"))
     }))
@@ -404,20 +410,24 @@ object Dedup {
           GROUP BY cluster_rep HAVING count(*) > 1 ORDER BY cluster_rep""",
 
     "q110_incremental_neardup" ->
-      s"""WITH sh_rel AS ($sqlShingleDf),
-          oldinv AS (SELECT doc_id AS old_id, unnest(sh) AS shingle
-                     FROM sh_rel WHERE doc_id % 10 < 8),
-          newinv AS (SELECT doc_id AS new_id, unnest(sh) AS shingle
-                     FROM sh_rel WHERE doc_id % 10 >= 8),
-          ok AS (SELECT shingle FROM oldinv
-                 GROUP BY shingle HAVING count(*) < $StopShingleCap),
-          cands AS (SELECT DISTINCT new_id, old_id
-                    FROM newinv JOIN ok USING (shingle) JOIN oldinv USING (shingle))
-          SELECT new_id, old_id, ${T.sqlJaccard("sn.sh", "so.sh")} AS jaccard
-          FROM cands JOIN sh_rel sn ON cands.new_id = sn.doc_id
-                     JOIN sh_rel so ON cands.old_id = so.doc_id
-          WHERE ${T.sqlJaccard("sn.sh", "so.sh")} >= 0.5
-          ORDER BY new_id, old_id""",
+      s"""SELECT new_id, old_id, jaccard FROM (
+            WITH sh_rel AS ($sqlShingleDf),
+            oldinv AS (SELECT doc_id AS old_id, unnest(sh) AS shingle
+                       FROM sh_rel WHERE doc_id % 10 < 8),
+            newinv AS (SELECT doc_id AS new_id, unnest(sh) AS shingle
+                       FROM sh_rel WHERE doc_id % 10 >= 8),
+            ok AS (SELECT shingle FROM oldinv
+                   GROUP BY shingle HAVING count(*) < $StopShingleCap),
+            pairs AS (SELECT new_id, old_id, count(*) AS shared
+                      FROM newinv JOIN ok USING (shingle)
+                                  JOIN oldinv USING (shingle)
+                      GROUP BY new_id, old_id)
+            SELECT new_id, old_id, CAST(shared AS DOUBLE)
+              / CAST(nn + no - shared AS DOUBLE) AS jaccard
+            FROM pairs
+            JOIN (SELECT doc_id, len(sh) AS nn FROM sh_rel) a ON pairs.new_id = a.doc_id
+            JOIN (SELECT doc_id, len(sh) AS no FROM sh_rel) b ON pairs.old_id = b.doc_id)
+          WHERE jaccard >= 0.5 ORDER BY new_id, old_id""",
 
     "q35_embedding_neardup" -> {
       val sigExpr = VectorExpressions.sqlSrpSignature(SrpPlanes, EmbeddingDims, "embedding")
