@@ -132,6 +132,51 @@ class Round3Spec extends AnyFunSuite {
     assert(LakehouseTable.lastTxn(root, "ckpt-aaaa").exists(_ >= 7L))
   }
 
+  test("model-based: random write-op sequences preserve the exact row multiset") {
+    import spark.implicits._
+    // every LakehouseTable write path, driven by a seeded random sequence
+    // and checked after EVERY op against an in-memory model — the
+    // multiset a correct table must equal no matter how ops interleave
+    Seq(7, 21).foreach { seed =>
+      val rng = new scala.util.Random(seed)
+      val root = java.nio.file.Files.createTempDirectory(s"graft_model$seed")
+        .toString + "/t"
+      var nextId = 0L
+      def fresh(n: Int): Seq[(Long, Long)] =
+        (0 until n).map { _ => val r = (nextId, nextId * 7 % 13); nextId += 1; r }
+      var model: Vector[(Long, Long)] = fresh(5).toVector
+      LakehouseTable.create(model.toDF("id", "v"), root)
+      (1 to 8).foreach { _ =>
+        rng.nextInt(5) match {
+          case 0 =>
+            val rows = fresh(rng.nextInt(4) + 1)
+            model ++= rows
+            LakehouseTable.append(rows.toDF("id", "v"), root)
+          case 1 =>
+            LakehouseTable.compact(spark, root, numFiles = 2)
+          case 2 =>
+            val m = rng.nextInt(4) + 2
+            model = model.filterNot(_._1 % m == 0)
+            LakehouseTable.deleteWhere(spark, root, s"id % $m = 0")
+          case 3 =>
+            // upsert: new values for a slice of existing ids + one insert
+            val touched = model.map(_._1).filter(_ % 3 == 1).distinct
+            val ups = touched.map(id => (id, id + 100L)) :+ {
+              val r = (nextId, nextId * 7 % 13); nextId += 1; r
+            }
+            model = model.filterNot(r => touched.contains(r._1)) ++ ups
+            LakehouseTable.merge(spark, root, ups.toDF("id", "v"), Seq("id"))
+          case 4 =>
+            LakehouseTable.compactSmall(spark, root)
+        }
+        val got = LakehouseTable.read(spark, root)
+          .as[(Long, Long)].collect().toVector.sorted
+        assert(got == model.sorted,
+          s"seed=$seed diverged: got ${got.size} rows, model ${model.size}")
+      }
+    }
+  }
+
   test("concurrent appends both land via commit rebase (no lost update)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_cc").toString + "/t"
