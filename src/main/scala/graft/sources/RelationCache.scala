@@ -14,15 +14,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * dedupes identical canonical plans — the leak is across dirs and
   * session lifetime, which is exactly what this registry scopes.)
   *
-  * Weak session keys: a stopped SparkSession must stay collectable.
+  * Stopped sessions are retired explicitly on the next `of` call: weak
+  * keys would NOT work here, because the cached DataFrame values strongly
+  * reference their SparkSession — the entry would keep its own key alive
+  * forever.
   */
 object RelationCache {
-  private val perSession = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]())
+  private val perSession = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
 
   /** The cached relation for (kind, dir), building + caching on first use.
     * `build` must be a pure plan constructor (no side effects). */
   def of(s: SparkSession, kind: String, dir: String)(build: => DataFrame): DataFrame = {
+    // drop registrations of stopped sessions (their cached blocks died
+    // with the executors; only the references linger)
+    perSession.keySet.removeIf(sess => sess.sparkContext.isStopped)
     val m = perSession.computeIfAbsent(
       s, _ => scala.collection.mutable.Map.empty[String, DataFrame])
     m.synchronized {
