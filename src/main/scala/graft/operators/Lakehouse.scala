@@ -87,11 +87,14 @@ object Lakehouse {
   private[graft] def eventsExpectRoot(s: SparkSession, d: String): String = {
     val root = TableCache.root(d, "events", "expect-le100-props:v1")
     try {
-      if (LakehouseTable.versions(root).isEmpty) {
-        val ev = Tables.events(s, d)
-          .select("event_id", "user_id", "event_type", "value", "props")
-        // seed with an empty slice so appendWithExpectations has a table
+      val ev = Tables.events(s, d)
+        .select("event_id", "user_id", "event_type", "value", "props")
+      // seed with an empty slice so appendWithExpectations has a table
+      if (LakehouseTable.versions(root).isEmpty)
         LakehouseTable.create(ev.filter(lit(false)), root)
+      // resumable: a crash after create leaves v0 (empty) — the gate rows
+      // only exist once the expectations append committed v1
+      if (LakehouseTable.currentVersion(root).contains(0L)) {
         LakehouseTable.appendWithExpectations(ev, root, Map(
           "value_le_100" -> (col("value") <= 100),
           "has_props" -> (col("props").isNotNull && col("props") =!= "")))
