@@ -130,11 +130,12 @@ object Similarity {
     * centroid cell (tie → lower cid), the IVF partition assignment shared
     * by q37 (single-cell probe) and q104 (multi-probe + recall).
     *
-    * Argmin as a HASH aggregate — min(struct(-csim, cid)) picks (highest
-    * similarity, then lowest cid) with map-side partial combine — instead
-    * of a rank window, which would SORT all k rows per vector. first(
-    * embedding) is value-deterministic: every row of a vec_id group
-    * carries the identical array. */
+    * Argmin as an aggregate — min(struct(-csim, cid)) picks (highest
+    * similarity, then lowest cid) with map-side partial combine (plans as
+    * a SortAggregate: struct buffers aren't hash-aggregable) — instead of
+    * a rank window's extra shuffle. first(embedding) is
+    * value-deterministic: every row of a vec_id group carries the
+    * identical array. */
   private def ivfAssigned(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val e = Tables.embeddings(s, d)
     val cvec = centroidTable(s, d)

@@ -115,10 +115,11 @@ object TextAnalysis {
         .withColumn("n_tokens", size(col("toks")).cast("long"))
       // per-doc argmax WITHOUT a rank window: min(struct(-count, term))
       // over the term-count relation picks (highest count, then smallest
-      // term) as a partial-combinable HASH aggregate — no per-partition
-      // sort of the term counts — and n_distinct falls out of the same
-      // aggregation as count(*) of the term groups (the old separate
-      // countDistinct shuffle is gone)
+      // term). Struct buffers plan as partial-combinable SortAggregates
+      // (map-side combine still applies) sharing the term-count Exchange —
+      // the rank window's SECOND shuffle is gone, and n_distinct falls out
+      // of the same aggregation as count(*) of the term groups (the old
+      // separate countDistinct shuffle too)
       val tokCounts = docs
         .select(col("doc_id"), col("n_tokens"), explode(col("toks")).as("token"))
         .groupBy(col("doc_id"), col("n_tokens"), col("token"))
