@@ -79,7 +79,7 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("pos"), col("x").as("c"))
     for (_ <- 1 to IvfIters) {
       val cvec = toCentroidVecs(cents)
-      // same argmin-as-hash-aggregate as ivfAssigned (no per-vector sort)
+      // same argmin-as-aggregate as ivfAssigned (no rank-window shuffle)
       val assigned = e.crossJoin(broadcast(cvec))
         .select(col("vec_id"), col("cid"),
           V.cosineFold(col("embedding"), col("cv")).as("csim"))

@@ -105,9 +105,10 @@ object TextAnalysis {
     // Everything is exact integer counts → one double division, so the flag
     // thresholds are bit-reproducible. Shape at scale: two word-count
     // shuffles keyed by (doc, term) / (doc, bigram) with map-side partial
-    // aggregation, then per-doc argmax via a rank window — never a sort of
-    // the corpus. Bigrams keep MULTIPLICITY (TextFunctions.shingles, not
-    // the deduped wordShingles): repetition is precisely what dedup erases.
+    // aggregation, then per-doc argmax folded into the same pass — never a
+    // sort of the corpus. Bigrams keep MULTIPLICITY (TextFunctions.shingles,
+    // not the deduped wordShingles): repetition is precisely what dedup
+    // erases.
     "q89_repetition_quality" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), graft.plans.TextExpressions.tokens(col("text")).as("toks"))
