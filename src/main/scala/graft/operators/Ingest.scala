@@ -123,6 +123,34 @@ object Ingest {
         ORDER BY rf, ls, g_rf, g_ls""")
     }),
 
+    // Correlated subqueries through the SQL-string path — the Catalyst
+    // DECORRELATION machinery (RewriteCorrelatedScalarSubquery /
+    // RewritePredicateSubquery turn these into aggregates + joins), which
+    // no DataFrame-built query exercises: a correlated scalar subquery in
+    // the projection, EXISTS and NOT EXISTS in the predicate, and an IN
+    // subquery — all over non-null keys (NOT IN with nullable keys has
+    // three-valued-logic traps; NOT EXISTS is the safe form and what a
+    // planner rewrites anti joins to).
+    "q111_sql_subqueries" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""
+        SELECT c.c_custkey, c.c_name,
+          (SELECT count(*) FROM orders o
+           WHERE o.o_custkey = c.c_custkey) AS n_orders,
+          (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           FROM orders o WHERE o.o_custkey = c.c_custkey) AS total_spend
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 150000)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'P')
+          AND c.c_nationkey IN (SELECT n_nationkey FROM nation
+                                WHERE n_regionkey < 3)
+        ORDER BY c.c_custkey LIMIT 50""")
+    }),
+
     // Custom Catalyst expressions through the SQL registry: word_shingles /
     // simhash16 called BY NAME from a SQL string (GraftFunctions.register —
     // the same entries GraftExtensions injects at session build).
@@ -174,6 +202,23 @@ object Ingest {
             columns = {'model': 'VARCHAR', 'profile': 'VARCHAR',
                        'max_tokens': 'BIGINT', 'temperature': 'DOUBLE'})
           WHERE max_tokens > 0 ORDER BY model""",
+
+    "q111_sql_subqueries" ->
+      """SELECT c.c_custkey, c.c_name,
+           (SELECT count(*) FROM orders o
+            WHERE o.o_custkey = c.c_custkey) AS n_orders,
+           (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            FROM orders o WHERE o.o_custkey = c.c_custkey) AS total_spend
+         FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > 150000)
+           AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderstatus = 'P')
+           AND c.c_nationkey IN (SELECT n_nationkey FROM nation
+                                 WHERE n_regionkey < 3)
+         ORDER BY c.c_custkey LIMIT 50""",
 
     "q74_grouping_sets_sql" ->
       """SELECT coalesce(l_returnflag, '_all_') AS rf,
