@@ -221,10 +221,17 @@ object EventsOps {
         .groupBy(col("event_type").as("src"), col("dst"))
         .agg(count(lit(1)).as("cnt"))
       val outs = edges.groupBy(col("src")).agg(sum(col("cnt")).as("outw"))
-      val e = edges.join(outs, "src")
-        .select(col("src"), col("dst"),
-          expr("cnt * CAST(1000000 AS BIGINT) div outw").as("wfp")).cache()
-      val nodes = ev.select(col("event_type")).distinct().cache()
+      // both relations feed every iteration of the loop below — cache one
+      // copy per (session, dir) via the registry (retired on dir switch)
+      // rather than re-cache()-ing per invocation and never unpersisting
+      val e = graft.sources.RelationCache.of(s, "events.q94edges", d) {
+        edges.join(outs, "src")
+          .select(col("src"), col("dst"),
+            expr("cnt * CAST(1000000 AS BIGINT) div outw").as("wfp"))
+      }
+      val nodes = graft.sources.RelationCache.of(s, "events.q94nodes", d) {
+        ev.select(col("event_type")).distinct()
+      }
       val n = nodes.count()
       val base = (S * 15L / 100L) / n
       var ranks = nodes.select(col("event_type"), lit(S / n).as("r"))
