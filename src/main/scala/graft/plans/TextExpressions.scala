@@ -114,7 +114,7 @@ object TextExpressions {
       while (i < m) { shingles(i) = input.getUTF8String(i).toString; i += 1 }
       var s = 0
       while (s < k) {
-        val prefix = s + ":"
+        val prefix = s"$s:"
         var best: String = null
         i = 0
         while (i < m) {
