@@ -57,6 +57,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("streaming history replay rows EQUAL the oracled q24 batch rows") {
+    import spark.implicits._
+    val evts = Streams.eventsStream(spark, streamDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsMicros"))
+      .as[Streams.Evt]
+    val got = runToCompletion(
+      Streams.historyReplay(evts, withTimeout = false).toDF, "t_hist")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("history"))
+    val want = SparkEntry.queries("q24_history_replay")(spark, sf)
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("streaming anomaly alerts flag exactly the batch MAD outliers") {
     val batchStats = SparkEntry.queries("q95_mad_outliers")(spark, sf)
     val thresholds = batchStats.select(col("event_type"), col("med"), col("mad"))
