@@ -31,9 +31,10 @@ object Lakehouse {
     * 8 files. Build is resumable: create commits v0, the cluster rewrite
     * commits v1 + footer-stats sidecar; a crash between them leaves a
     * readable-but-unpruned table that the next call finishes clustering.
-    * Timestamp columns are deliberately excluded — the gate compares
-    * against raw parquet, and the micros rewrite would be a (documented)
-    * value change on the testdata's nanos events. */
+    * l_shipdate is deliberately excluded: the gate hash-compares against
+    * the raw parquet, and the layer's INT64-micros rewrite of timestamp
+    * columns is a (documented) representation change best kept out of a
+    * value-equality gate. */
   private[graft] def lineitemZRoot(s: SparkSession, d: String): String = {
     val root = TableCache.root(d, "lineitem", "z=l_orderkey,l_partkey:files=8:v1")
     try {
