@@ -151,6 +151,36 @@ object Lakehouse {
     root
   }
 
+  /** Incremental materialized view maintained across TWO syncs: the first
+    * builds the aggregate from half of events (create path), an append
+    * lands the other half, and the second sync advances the view through
+    * the manifest-diff DELTA read + keyed decimal merge — never a full
+    * recompute. The gate then requires the incrementally-merged aggregate
+    * to hash-match a direct aggregation of ALL events, which is exactly
+    * the view-maintenance correctness claim. */
+  private[graft] def incViewRoot(s: SparkSession, d: String): String = {
+    val srcRoot = TableCache.root(d, "events", "incview-src:v1")
+    val aggRoot = TableCache.root(d, "events", "incview-agg:v1")
+    try {
+      val ev = Tables.events(s, d).select("event_id", "event_type", "value")
+      if (LakehouseTable.versions(srcRoot).isEmpty)
+        LakehouseTable.create(ev.filter(col("event_id") % 4 < 2), srcRoot)
+      if (LakehouseTable.currentVersion(srcRoot).contains(0L)) {
+        graft.sources.IncrementalView.syncAggregate(
+          s, srcRoot, aggRoot, "event_type", "value") // full build (idempotent on rerun)
+        LakehouseTable.append(ev.filter(col("event_id") % 4 >= 2), srcRoot)
+      }
+      if (LakehouseTable.currentVersion(srcRoot).contains(1L)) {
+        graft.sources.IncrementalView.syncAggregate(
+          s, srcRoot, aggRoot, "event_type", "value") // DELTA merge of the append
+        ()
+      }
+    } catch {
+      case _: java.util.ConcurrentModificationException => ()
+    }
+    aggRoot
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Write → Z-ORDER → file-skip read → aggregate. readPruned keeps only
     // files whose footer-stat [min,max] range on l_orderkey overlaps the
@@ -239,6 +269,20 @@ object Lakehouse {
           count(col("extra")).as("n_extra"),
           sum(col("extra")).as("extra_sum"),
           Exact.moneySum(col("value")).as("sum_value"))
+    }),
+
+    // Incremental materialized view under the gate: the aggregate was
+    // advanced by a manifest-diff delta merge (see incViewRoot), and must
+    // equal a direct aggregation over ALL the source rows — the exact
+    // claim incremental view maintenance makes. sum_value lives as
+    // DECIMAL inside the view (merges are exact), cast to double once on
+    // read, mirroring the oracle's decimal sum.
+    "q112_incremental_view" -> ((s, d) => {
+      val aggRoot = incViewRoot(s, d)
+      LakehouseTable.read(s, aggRoot)
+        .select(col("event_type"), col("n"),
+          col("sum_value").cast("double").as("sum_value"))
+        .orderBy(col("event_type"))
     }))
 
   def oracle: Map[String, String] = Map(
@@ -296,5 +340,10 @@ object Lakehouse {
           SELECT count(*) AS n, count(extra) AS n_extra,
             CAST(sum(extra) AS BIGINT) AS extra_sum,
             ${Exact.sqlMoneySum("value")} AS sum_value
-          FROM unioned""")
+          FROM unioned""",
+
+    "q112_incremental_view" ->
+      s"""SELECT event_type, count(*) AS n,
+            ${Exact.sqlMoneySum("value")} AS sum_value
+          FROM events GROUP BY event_type ORDER BY event_type""")
 }
