@@ -26,6 +26,17 @@ import graft.sources.{LakehouseTable, TableCache, Tables}
   */
 object Lakehouse {
 
+  /** True iff `e` is one of the two manifestations of losing a concurrent
+    * first-build race: commit's CAS conflict, or create's
+    * already-exists require when the loser's versions check ran before
+    * the winner's v0 commit landed. Anything else propagates. */
+  private def raceLost(e: Throwable): Boolean = e match {
+    case _: java.util.ConcurrentModificationException => true
+    case ia: IllegalArgumentException =>
+      ia.getMessage != null && ia.getMessage.contains("table already exists")
+    case _ => false
+  }
+
   /** lineitem (projection of the columns the gate queries) written as a
     * lakehouse table and Z-ORDER clustered on (l_orderkey, l_partkey) into
     * 8 files. Build is resumable: create commits v0, the cluster rewrite
@@ -46,8 +57,12 @@ object Lakehouse {
         LakehouseTable.zorderCluster(s, root, Seq("l_orderkey", "l_partkey"), numFiles = 8)
     } catch {
       // lost a concurrent first-build race: the winner's table is
-      // bit-identical (deterministic build), so fall through and read it
-      case _: java.util.ConcurrentModificationException => ()
+      // bit-identical (deterministic build), so fall through and read it.
+      // The race surfaces as CME from commit's CAS — or, when the loser's
+      // versions-empty check ran before the winner's v0 commit, as
+      // create's require("table already exists"); both mean the same
+      // thing here, so both fall through (raceLost matches the message).
+      case e if raceLost(e) => ()
     }
     root
   }
@@ -75,7 +90,7 @@ object Lakehouse {
       if (LakehouseTable.currentVersion(root).contains(1L))
         LakehouseTable.deleteWhere(s, root, "o_totalprice < 1000.0")
     } catch {
-      case _: java.util.ConcurrentModificationException => ()
+      case e if raceLost(e) => () // see lineitemZRoot
     }
     root
   }
@@ -102,7 +117,7 @@ object Lakehouse {
         ()
       }
     } catch {
-      case _: java.util.ConcurrentModificationException => ()
+      case e if raceLost(e) => () // see lineitemZRoot
     }
     root
   }
@@ -125,7 +140,7 @@ object Lakehouse {
           root, partitionBy = Seq("event_type"))
       }
     } catch {
-      case _: java.util.ConcurrentModificationException => ()
+      case e if raceLost(e) => () // see lineitemZRoot
     }
     root
   }
@@ -146,7 +161,7 @@ object Lakehouse {
           ev.filter(col("event_id") % 2 === 1)
             .select(col("event_id"), col("value"), col("user_id").as("extra")), root)
     } catch {
-      case _: java.util.ConcurrentModificationException => ()
+      case e if raceLost(e) => () // see lineitemZRoot
     }
     root
   }
@@ -176,7 +191,7 @@ object Lakehouse {
         ()
       }
     } catch {
-      case _: java.util.ConcurrentModificationException => ()
+      case e if raceLost(e) => () // see lineitemZRoot
     }
     aggRoot
   }

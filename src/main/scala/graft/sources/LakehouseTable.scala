@@ -231,6 +231,17 @@ object LakehouseTable {
       try return commit(root, cur + 1, readManifest(root, cur) ++ newFiles, txn, txnApp)
       catch {
         case e: java.util.ConcurrentModificationException =>
+          // Re-validate the txn watermark before rebasing (Delta's txn
+          // check during conflict resolution): if OUR txn id is already
+          // visible, the writer that took the version was a replay of this
+          // very batch (zombie + live writer both passed the caller's
+          // check-then-act watermark read) — a rebase would land the batch
+          // TWICE. Bail out as a no-op; the staged files stay unreferenced
+          // (vacuum removes them), effectively-once holds.
+          txn.foreach { t =>
+            if (lastTxn(root, txnApp).exists(_ >= t))
+              return currentVersion(root).get
+          }
           attempt += 1
           if (attempt >= 64) throw e
           Thread.sleep(math.min(64L, 1L << math.min(attempt, 6)))
@@ -254,10 +265,11 @@ object LakehouseTable {
     * files actually written (never from a third evaluation), so the count
     * always matches the quarantine contents; a clean batch records an
     * empty rejects commit ("validated, none rejected"). The two commits
-    * are not atomic (single-writer semantics, as documented above): a
-    * retry after a failure between them re-appends the quarantine rows,
-    * which inflates the advisory rejects table but never corrupts the
-    * main table.
+    * are not atomic, but the quarantine commit is stamped with a txn id
+    * derived from the main-table version this batch will create, so a
+    * retry after a crash between the two commits SKIPS re-quarantining
+    * (the watermark says this batch's rejects already landed) and the
+    * rejects table stays exact, not merely advisory.
     */
   def appendWithExpectations(df: DataFrame, root: String,
       expectations: Map[String, org.apache.spark.sql.Column],
@@ -275,15 +287,30 @@ object LakehouseTable {
       .drop("_violated")
     val rejectsRoot = s"$root/_rejects"
     val spark = df.sparkSession
+    // txn = the main-table version this batch will create, under a
+    // dedicated writer app id: strictly increasing across successful
+    // batches (the main append bumps it), and UNCHANGED on a crash-rerun
+    // of the same batch — which is exactly what makes the rerun detectable
+    val txnApp = "_expectations"
+    val txnId = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no table at $root")) + 1
     val prevRejects = currentVersion(rejectsRoot)
-    val nBad = prevRejects match {
-      case None =>
-        create(bad, rejectsRoot)
-        read(spark, rejectsRoot, Some(0L)).count()
-      case Some(prev) =>
-        val v = append(bad, rejectsRoot)
-        readIncremental(spark, rejectsRoot, prev, Some(v)).count()
-    }
+    val nBad =
+      if (lastTxn(rejectsRoot, txnApp).exists(_ >= txnId)) {
+        // rerun after a crash between the two commits: this batch's
+        // quarantine already landed — count its last increment, don't
+        // double-append it
+        val v = prevRejects.get
+        if (v == 0L) read(spark, rejectsRoot, Some(0L)).count()
+        else readIncremental(spark, rejectsRoot, v - 1, Some(v)).count()
+      } else prevRejects match {
+        case None =>
+          create(bad, rejectsRoot, txn = Some(txnId), txnApp = txnApp)
+          read(spark, rejectsRoot, Some(0L)).count()
+        case Some(prev) =>
+          val v = append(bad, rejectsRoot, txn = Some(txnId), txnApp = txnApp)
+          readIncremental(spark, rejectsRoot, prev, Some(v)).count()
+      }
     val good = marked.filter(size(col("_violated")) === 0).drop("_violated")
     (append(good, root, partitionBy), nBad)
   }

@@ -16,7 +16,8 @@ package graft.sources
   */
 object TableCache {
   def baseDir: String =
-    sys.env.getOrElse("GRAFT_CACHE_DIR", "/root/repo/target/graft_tables")
+    sys.env.getOrElse("GRAFT_CACHE_DIR",
+      sys.props("user.dir") + "/target/graft_tables")
 
   def root(sourceDir: String, sourceTable: String, stamp: String): String = {
     val f = java.nio.file.Paths.get(sourceDir, s"$sourceTable.parquet")

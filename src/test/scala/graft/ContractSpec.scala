@@ -34,6 +34,16 @@ class ContractSpec extends AnyFunSuite {
     assert((q -- o).isEmpty, s"queries missing an oracle: ${q -- o}")
   }
 
+  test("README's query count equals SparkEntry.queries.size (no doc drift)") {
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), "UTF-8")
+    val m = """(\d+) named queries""".r.findFirstMatchIn(readme)
+    assert(m.isDefined, "README.md lost its 'N named queries' line")
+    assert(m.get.group(1).toInt == SparkEntry.queries.size,
+      s"README says '${m.get.group(1)} named queries' but SparkEntry has " +
+        s"${SparkEntry.queries.size} — update README.md")
+  }
+
   test("query names follow the qNN_name convention with unique numbers") {
     val pat = """q(\d+)_[a-z0-9_]+""".r
     val nums = SparkEntry.queries.keys.toSeq.map {
