@@ -95,6 +95,42 @@ object Lakehouse {
     root
   }
 
+  /** orders run through the FULL rollback lifecycle: the same create v0 →
+    * merge v1 → delete v2 pipeline as [[ordersMergeRoot]] (separate root),
+    * then RESTORE v0 as v3 and VACUUM everything but the live version.
+    * After vacuum only v3's manifest remains and every data file written
+    * by the merge/delete rewrites is physically gone (Round4Spec asserts
+    * the on-disk file set equals v3's manifest exactly) — yet the table
+    * must still read as the original orders projection, which is what
+    * q114's hash match against the q105 twin proves: restore pointed at
+    * the right files AND vacuum deleted only dead ones. */
+  private[graft] def ordersRestoreRoot(s: SparkSession, d: String): String = {
+    val root = TableCache.root(d, "orders", "restore-vacuum:v1")
+    try {
+      val base = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      if (LakehouseTable.versions(root).isEmpty)
+        LakehouseTable.create(base, root)
+      if (LakehouseTable.currentVersion(root).contains(0L)) {
+        val updates = base.filter(col("o_orderkey") % 97 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * lit(1.25))
+          .unionByName(base.filter(col("o_orderkey") % 997 === 0 &&
+              col("o_orderkey") =!= 0)
+            .withColumn("o_orderkey", -col("o_orderkey")))
+        LakehouseTable.merge(s, root, updates, Seq("o_orderkey"))
+      }
+      if (LakehouseTable.currentVersion(root).contains(1L))
+        LakehouseTable.deleteWhere(s, root, "o_totalprice < 1000.0")
+      if (LakehouseTable.currentVersion(root).contains(2L))
+        LakehouseTable.restore(root, 0L)
+      if (LakehouseTable.versions(root).length > 1)
+        LakehouseTable.vacuum(root, retainLast = 1)
+    } catch {
+      case e if raceLost(e) => () // see lineitemZRoot
+    }
+    root
+  }
+
   /** events run through the expectations gate: rows must have value <= 100
     * (a rate-limit-style bound that genuinely rejects a slice of the
     * corpus at every SF) AND non-empty props; violators land in the
@@ -286,6 +322,37 @@ object Lakehouse {
           Exact.moneySum(col("value")).as("sum_value"))
     }),
 
+    // RESTORE + VACUUM under the gate: after merge and delete mutated the
+    // table, RESTORE rolls it back to version 0 (as a NEW version — history
+    // is append-only) and vacuum physically deletes every file only the
+    // dead versions referenced. The read must still equal the original
+    // orders projection — same twin as q105, reached through the rollback
+    // path instead of time travel.
+    "q114_restore_vacuum" -> ((s, d) => {
+      val root = ordersRestoreRoot(s, d)
+      LakehouseTable.read(s, root)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // INCREMENTAL READ under the gate: the manifest diff v0→v1 of the
+    // schema-evolution table is exactly the appended odd-id slice — the
+    // oracle recomputes that slice directly from the raw parquet, so a
+    // diff that leaked v0 files (double count) or dropped an added file
+    // breaks the hash.
+    "q115_incremental_read" -> ((s, d) => {
+      val root = eventsEvolvedRoot(s, d)
+      LakehouseTable.readIncremental(s, root, 0L, Some(1L))
+        .agg(count(lit(1)).as("n"),
+          sum(col("event_id")).as("id_sum"),
+          sum(col("extra")).as("extra_sum"),
+          Exact.moneySum(col("value")).as("sum_value"))
+    }),
+
     // Incremental materialized view under the gate: the aggregate was
     // advanced by a manifest-diff delta merge (see incViewRoot), and must
     // equal a direct aggregation over ALL the source rows — the exact
@@ -360,5 +427,18 @@ object Lakehouse {
     "q112_incremental_view" ->
       s"""SELECT event_type, count(*) AS n,
             ${Exact.sqlMoneySum("value")} AS sum_value
-          FROM events GROUP BY event_type ORDER BY event_type""")
+          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q114_restore_vacuum" ->
+      """SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q115_incremental_read" ->
+      s"""SELECT count(*) AS n,
+            CAST(sum(event_id) AS BIGINT) AS id_sum,
+            CAST(sum(user_id) AS BIGINT) AS extra_sum,
+            ${Exact.sqlMoneySum("value")} AS sum_value
+          FROM events WHERE event_id % 2 = 1""")
 }
