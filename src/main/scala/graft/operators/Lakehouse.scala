@@ -353,6 +353,18 @@ object Lakehouse {
           Exact.moneySum(col("value")).as("sum_value"))
     }),
 
+    // CHANGE DATA FEED under the gate: the row-level net changes of the
+    // q103 table's v0→v2 transition (merge then delete), classified by
+    // key. The oracle recomputes before/after states from the raw parquet
+    // and classifies with explicit anti/inner joins — so a feed that
+    // leaked an unchanged rewritten row, missed a delete, or mislabeled
+    // an update breaks the hash row-for-row.
+    "q116_change_feed" -> ((s, d) => {
+      val root = ordersMergeRoot(s, d)
+      LakehouseTable.changeFeed(s, root, 0L, 2L, Seq("o_orderkey"))
+        .orderBy(col("_change_type"), col("o_orderkey"))
+    }),
+
     // Incremental materialized view under the gate: the aggregate was
     // advanced by a manifest-diff delta merge (see incViewRoot), and must
     // equal a direct aggregation over ALL the source rows — the exact
@@ -440,5 +452,36 @@ object Lakehouse {
             CAST(sum(event_id) AS BIGINT) AS id_sum,
             CAST(sum(user_id) AS BIGINT) AS extra_sum,
             ${Exact.sqlMoneySum("value")} AS sum_value
-          FROM events WHERE event_id % 2 = 1""")
+          FROM events WHERE event_id % 2 = 1""",
+
+    "q116_change_feed" ->
+      """WITH b AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+           FROM orders),
+         merged AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 1.25
+                  ELSE o_totalprice END AS o_totalprice
+           FROM orders
+           UNION ALL
+           SELECT -o_orderkey, o_custkey, o_orderstatus, o_totalprice
+           FROM orders WHERE o_orderkey % 997 = 0 AND o_orderkey <> 0),
+         a AS (SELECT * FROM merged WHERE o_totalprice >= 1000.0)
+         SELECT 'insert' AS _change_type, o_orderkey, o_custkey,
+           o_orderstatus, o_totalprice
+         FROM a WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b)
+         UNION ALL
+         SELECT 'delete', o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         FROM b WHERE o_orderkey NOT IN (SELECT o_orderkey FROM a)
+         UNION ALL
+         SELECT 'update_preimage', b.o_orderkey, b.o_custkey,
+           b.o_orderstatus, b.o_totalprice
+         FROM b JOIN a ON b.o_orderkey = a.o_orderkey
+         WHERE b.o_totalprice <> a.o_totalprice
+         UNION ALL
+         SELECT 'update_postimage', a.o_orderkey, a.o_custkey,
+           a.o_orderstatus, a.o_totalprice
+         FROM b JOIN a ON b.o_orderkey = a.o_orderkey
+         WHERE b.o_totalprice <> a.o_totalprice
+         ORDER BY _change_type, o_orderkey""")
 }

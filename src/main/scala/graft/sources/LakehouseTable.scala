@@ -683,6 +683,67 @@ object LakehouseTable {
     else readFiles(spark, root, added)
   }
 
+  /** Change data feed between two versions (Delta CDF semantics, computed
+    * from the manifest diff instead of stored change files): row-level net
+    * changes with a `_change_type` column ∈ insert / delete /
+    * update_preimage / update_postimage. `keys` identify rows across the
+    * rewrite, exactly as in [[merge]].
+    *
+    * Only files that CHANGED between the two manifests are read — a file
+    * carried through untouched is immutable, so it contains no changes by
+    * definition. At 100 TB the diff therefore costs O(churned files), not
+    * O(table); the keyed full-outer join shuffles only those rows. A row
+    * rewritten with identical values (pure file churn: compaction,
+    * clustering, a merge rewriting non-matched neighbors) emits nothing.
+    * Spanning multiple versions collapses intermediate states to the NET
+    * change, like Delta CDF over a version range with intermediate
+    * rewrites. Schema evolution across the span surfaces as the union
+    * schema, absent columns null. */
+  def changeFeed(spark: SparkSession, root: String, fromVersion: Long,
+      toVersion: Long, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(keys.nonEmpty, "changeFeed requires at least one key column")
+    val fromM = readManifest(root, fromVersion)
+    val toM = readManifest(root, toVersion)
+    val removed = fromM.filterNot(toM.toSet)
+    val added = toM.filterNot(fromM.toSet)
+    val pre0 = if (removed.isEmpty) read(spark, root, Some(fromVersion)).limit(0)
+               else readFiles(spark, root, removed)
+    val post0 = if (added.isEmpty) read(spark, root, Some(toVersion)).limit(0)
+                else readFiles(spark, root, added)
+    // union schema by name: a column absent on one side reads as null of
+    // the other side's type (mergeSchema read semantics, mirrored here)
+    val allCols = pre0.columns.toSeq ++
+      post0.columns.toSeq.filterNot(pre0.columns.contains)
+    require(keys.forall(allCols.contains),
+      s"changeFeed keys ${keys.filterNot(allCols.contains)} not in ${allCols.mkString(",")}")
+    def align(df: DataFrame, other: DataFrame): DataFrame =
+      df.select(allCols.map { c =>
+        if (df.columns.contains(c)) df(c)
+        else lit(null).cast(other.schema(c).dataType).as(c)
+      }: _*)
+    // presence markers: a full-outer non-match is the ONLY way these are
+    // null, so they distinguish "no row" from a row of all-null columns
+    val pre = align(pre0, post0).withColumn("__pre", lit(true))
+    val post = align(post0, pre0).withColumn("__post", lit(true))
+    val joinCond = keys.map(k => pre(k) <=> post(k)).reduce(_ && _)
+    val j = pre.join(post, joinCond, "full_outer")
+    val same = allCols.map(c => pre(c) <=> post(c)).reduce(_ && _)
+    val preRow = struct(allCols.map(c => pre(c).as(c)): _*)
+    val postRow = struct(allCols.map(c => post(c).as(c)): _*)
+    j.filter(pre("__pre").isNull || post("__post").isNull || !same)
+      .select(explode(
+        when(pre("__pre").isNull,
+          array(struct(lit("insert").as("_change_type"), postRow.as("row"))))
+        .when(post("__post").isNull,
+          array(struct(lit("delete").as("_change_type"), preRow.as("row"))))
+        .otherwise(array(
+          struct(lit("update_preimage").as("_change_type"), preRow.as("row")),
+          struct(lit("update_postimage").as("_change_type"), postRow.as("row"))))
+      ).as("c"))
+      .select(col("c._change_type").as("_change_type"), col("c.row.*"))
+  }
+
   /** Drop manifests older than `retainLast` versions and delete data files
     * no retained manifest references. Returns deleted file count. */
   def vacuum(root: String, retainLast: Int = 1): Int = {

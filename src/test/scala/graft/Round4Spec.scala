@@ -39,6 +39,36 @@ class Round4Spec extends AnyFunSuite {
     assert(LakehouseTable.read(spark, root).count() == orig)
   }
 
+  test("q116: change feed classifies net changes and ignores pure file churn") {
+    val root = operators.Lakehouse.ordersMergeRoot(spark, sf)
+    val feed = LakehouseTable.changeFeed(spark, root, 0L, 2L, Seq("o_orderkey"))
+    val byType = feed.groupBy("_change_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val orders = graft.sources.Tables.orders(spark, sf)
+    // inserts: -key twins whose (unchanged) price survives the delete
+    val ins = orders.filter(col("o_orderkey") % 997 === 0 &&
+      col("o_orderkey") =!= 0 && col("o_totalprice") >= 1000.0).count()
+    assert(byType.getOrElse("insert", 0L) == ins)
+    // updates emit pre+post pairs, one each per surviving %97 key
+    assert(byType.getOrElse("update_preimage", 0L) ==
+      byType.getOrElse("update_postimage", 0L))
+    val upd = orders.filter(col("o_orderkey") % 97 === 0 &&
+      col("o_totalprice") * 1.25 >= 1000.0 &&
+      col("o_totalprice") * 1.25 =!= col("o_totalprice")).count()
+    assert(byType.getOrElse("update_preimage", 0L) == upd)
+    // deletes: rows below the threshold at v2 (including %97 rows whose
+    // UPDATED price fell below it — net classification, not per-step)
+    val del = orders.filter(
+      when(col("o_orderkey") % 97 === 0, col("o_totalprice") * 1.25 < 1000.0)
+        .otherwise(col("o_totalprice") < 1000.0)).count()
+    assert(byType.getOrElse("delete", 0L) == del)
+    // pure file churn emits nothing: compacting a copy produces an empty feed
+    val tmp = Files.createTempDirectory("cdc_churn").toString
+    LakehouseTable.create(orders.select("o_orderkey", "o_totalprice").limit(100), tmp)
+    LakehouseTable.compact(spark, tmp, numFiles = 1)
+    assert(LakehouseTable.changeFeed(spark, tmp, 0L, 1L, Seq("o_orderkey")).count() == 0)
+  }
+
   test("q115: incremental read returns the appended slice, nothing else") {
     val root = operators.Lakehouse.eventsEvolvedRoot(spark, sf)
     val inc = LakehouseTable.readIncremental(spark, root, 0L, Some(1L))
