@@ -35,6 +35,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "graft", null, name, usage, "", "", "", "", "", "", "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // SQL DDL/DML face of the lakehouse layer: CREATE TABLE ... USING
+    // graft, INSERT INTO, MERGE INTO, DELETE FROM, RESTORE, VACUUM, and
+    // `VERSION AS OF` time travel, lowered onto sources/LakehouseTable.
+    // Non-graft statements delegate to Spark's parser untouched.
+    ext.injectParser((session, delegate) =>
+      new graft.sql.GraftSqlParser(session, delegate))
     ext.injectFunction((FunctionIdentifier("cosine_similarity"),
       info("cosine_similarity", "_FUNC_(a, b) - cosine similarity of two float arrays"),
       es => CosineSimilarity(es(0), es(1))))

@@ -95,6 +95,53 @@ object Lakehouse {
     root
   }
 
+  /** The q103 pipeline driven ENTIRELY through SQL strings — the
+    * declarative storage idiom the reference uses for its one data
+    * dependency (app/app.yaml:7-10 declares the index as configuration).
+    * create (even keys) → INSERT (odd keys) → MERGE (update + insert) →
+    * DELETE, exercising all four DML verbs of the [[graft.sql.GraftSql]]
+    * face; after the insert (v1) the table equals the original orders
+    * projection, so `VERSION AS OF 1` gates SQL time travel (q117)
+    * against the q105 twin while the final state hash-matches q103's.
+    * Works on any session: [[graft.sql.GraftSql.sql]] runs the same
+    * commands the injected parser produces. */
+  private[graft] def ordersSqlRoot(s: SparkSession, d: String): String = {
+    val root = TableCache.root(d, "orders", "sql-ddl-merge:v1")
+    val name = "orders_sql"
+    try {
+      Tables.registerAll(s, d)
+      if (LakehouseTable.versions(root).isEmpty)
+        graft.sql.GraftSql.sql(s,
+          s"""CREATE TABLE $name USING graft LOCATION '$root' AS
+              SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+              FROM orders WHERE o_orderkey % 2 = 0""")
+      // rerun in a fresh process: re-point the registry at this root
+      graft.sql.GraftSql.register(s, name, root)
+      if (LakehouseTable.currentVersion(root).contains(0L))
+        graft.sql.GraftSql.sql(s,
+          s"""INSERT INTO $name
+              SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+              FROM orders WHERE o_orderkey % 2 = 1""")
+      if (LakehouseTable.currentVersion(root).contains(1L))
+        graft.sql.GraftSql.sql(s,
+          s"""MERGE INTO $name AS t USING (
+                SELECT o_orderkey, o_custkey, o_orderstatus,
+                       o_totalprice * 1.25 AS o_totalprice
+                FROM orders WHERE o_orderkey % 97 = 0
+                UNION ALL
+                SELECT -o_orderkey, o_custkey, o_orderstatus, o_totalprice
+                FROM orders WHERE o_orderkey % 997 = 0 AND o_orderkey <> 0
+              ) AS u ON t.o_orderkey = u.o_orderkey
+              WHEN MATCHED THEN UPDATE SET *
+              WHEN NOT MATCHED THEN INSERT *""")
+      if (LakehouseTable.currentVersion(root).contains(2L))
+        graft.sql.GraftSql.sql(s, s"DELETE FROM $name WHERE o_totalprice < 1000.0")
+    } catch {
+      case e if raceLost(e) => () // see lineitemZRoot
+    }
+    root
+  }
+
   /** orders run through the FULL rollback lifecycle: the same create v0 →
     * merge v1 → delete v2 pipeline as [[ordersMergeRoot]] (separate root),
     * then RESTORE v0 as v3 and VACUUM everything but the live version.
@@ -322,6 +369,37 @@ object Lakehouse {
           Exact.moneySum(col("value")).as("sum_value"))
     }),
 
+    // SQL DDL/DML under the gate: the whole q103 pipeline (plus an extra
+    // INSERT stage) driven through SQL strings ONLY — CREATE TABLE USING
+    // graft, INSERT INTO, MERGE INTO ... UPDATE SET * / INSERT *, DELETE
+    // FROM — and read back through the published view. Hash-matches the
+    // q103 twin, so a misparsed key, a dropped merge effect, or a stale
+    // view is a row-level failure.
+    "q113_sql_ddl_merge" -> ((s, d) => {
+      val root = ordersSqlRoot(s, d)
+      graft.sql.GraftSql.register(s, "orders_sql", root)
+      graft.sql.GraftSql.sql(s,
+        """SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+             min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+           FROM orders_sql GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    }),
+
+    // SQL time travel under the gate: `VERSION AS OF 1` pins the state
+    // right after the INSERT (the full original projection, before the
+    // merge/delete) — same twin as q105, reached through the SQL face's
+    // time-travel rewrite.
+    "q117_sql_time_travel" -> ((s, d) => {
+      val root = ordersSqlRoot(s, d)
+      graft.sql.GraftSql.register(s, "orders_sql", root)
+      graft.sql.GraftSql.sql(s,
+        """SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+             min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+           FROM orders_sql VERSION AS OF 1
+           GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    }),
+
     // RESTORE + VACUUM under the gate: after merge and delete mutated the
     // table, RESTORE rolls it back to version 0 (as a NEW version — history
     // is append-only) and vacuum physically deletes every file only the
@@ -440,6 +518,27 @@ object Lakehouse {
       s"""SELECT event_type, count(*) AS n,
             ${Exact.sqlMoneySum("value")} AS sum_value
           FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q113_sql_ddl_merge" ->
+      """WITH merged AS (
+           SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 1.25
+                  ELSE o_totalprice END AS o_totalprice
+           FROM orders
+           UNION ALL
+           SELECT -o_orderkey, o_orderstatus, o_totalprice
+           FROM orders WHERE o_orderkey % 997 = 0 AND o_orderkey <> 0)
+         SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+         FROM merged WHERE o_totalprice >= 1000.0
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q117_sql_time_travel" ->
+      """SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "q114_restore_vacuum" ->
       """SELECT o_orderstatus, count(*) AS n,

@@ -1,0 +1,277 @@
+package graft.sql
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.sources.LakehouseTable
+
+/** SQL DDL/DML face of the lakehouse storage layer — the declarative idiom
+  * the reference uses for its one data dependency (`app/app.yaml:7-10`
+  * declares the storage-backed index as configuration, not code). A user
+  * writes Delta-style SQL strings; they lower onto
+  * [[graft.sources.LakehouseTable]]'s versioned commits:
+  *
+  * {{{
+  *   CREATE TABLE t USING graft [PARTITIONED BY (c,...)] LOCATION 'p' AS SELECT ...
+  *   INSERT INTO t SELECT ...
+  *   MERGE INTO t [AS a] USING (SELECT ...) [AS b] ON a.k = b.k
+  *     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+  *   DELETE FROM t WHERE cond
+  *   RESTORE TABLE t TO VERSION AS OF n
+  *   VACUUM t [RETAIN n VERSIONS]
+  *   SELECT ... FROM t [VERSION AS OF n] ...
+  * }}}
+  *
+  * Two equivalent entry points run the SAME command objects:
+  *  - a parser extension ([[GraftSqlParser]], injected by
+  *    [[graft.GraftExtensions]]) intercepts these statements in
+  *    `spark.sql(...)` for sessions built with
+  *    `spark.sql.extensions=graft.GraftExtensions`;
+  *  - [[GraftSql.sql]] for an already-built session without the extension.
+  *
+  * Statement recognition is regex-based over the statement HEAD (the
+  * embedded SELECT bodies are handed to Spark's full parser verbatim), and
+  * deliberately fails closed: `INSERT INTO`/`DELETE FROM`/`MERGE INTO` are
+  * intercepted only for table names registered in [[GraftCatalog]] — every
+  * other statement flows to the delegate parser untouched.
+  */
+object GraftSql {
+
+  /** Execute one statement. DDL/DML statements return an empty frame;
+    * SELECTs return their result. Works on any session (no extension
+    * needed) — the injected-parser path runs the identical commands. */
+  def sql(spark: SparkSession, sqlText: String): DataFrame =
+    GraftSqlStatements.command(sqlText) match {
+      case Some(cmd) => cmd.run(spark); spark.emptyDataFrame
+      case None => spark.sql(GraftSqlStatements.rewriteTimeTravel(spark, sqlText))
+    }
+
+  /** Register an EXISTING lakehouse table under a SQL name (the
+    * `CREATE TABLE ... USING graft LOCATION` analog for tables created
+    * through the Scala API) and expose/refresh its temp view. */
+  def register(spark: SparkSession, name: String, root: String,
+      partitionBy: Seq[String] = Nil): Unit =
+    GraftCatalog.register(spark, name, root, partitionBy)
+}
+
+/** name → (root, partitionBy) registry backing the SQL face. Process-wide
+  * by design (it stands in for a shared metastore); the temp view published
+  * under the table's name is per-session, refreshed after every DML so
+  * plain `SELECT ... FROM name` always reads the latest version. */
+object GraftCatalog {
+  final case class Entry(root: String, partitionBy: Seq[String])
+  private val tables = TrieMap.empty[String, Entry]
+
+  private def key(name: String): String = name.toLowerCase
+
+  def register(spark: SparkSession, name: String, root: String,
+      partitionBy: Seq[String]): Unit = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"graft SQL table names must be simple identifiers (temp-view rules): $name")
+    tables(key(name)) = Entry(root, partitionBy)
+    refreshView(spark, name)
+  }
+
+  def lookup(name: String): Option[Entry] = tables.get(key(name))
+
+  def drop(name: String): Unit = tables.remove(key(name))
+
+  /** (Re)publish `name` as a temp view of the table's CURRENT version. */
+  def refreshView(spark: SparkSession, name: String): Unit =
+    tables.get(key(name)).foreach { e =>
+      if (LakehouseTable.versions(e.root).nonEmpty)
+        LakehouseTable.read(spark, e.root).createOrReplaceTempView(name)
+    }
+}
+
+// ---- command plans (LeafRunnableCommand: Spark executes run() on the
+// driver via its normal command-execution path) -----------------------------
+
+/** CREATE TABLE name USING graft ... AS query. */
+case class CreateGraftTableCommand(name: String, root: String,
+    partitionBy: Seq[String], query: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    LakehouseTable.create(spark.sql(query), root, partitionBy)
+    GraftCatalog.register(spark, name, root, partitionBy)
+    Seq.empty
+  }
+}
+
+/** INSERT INTO name query — append-only, by-name column resolution when the
+  * query's column names match the table's (else positional). */
+case class InsertGraftTableCommand(name: String, query: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val e = GraftCatalog.lookup(name).get
+    val df = spark.sql(query)
+    val target = LakehouseTable.read(spark, e.root)
+    val aligned =
+      if (df.columns.sorted.sameElements(target.columns.sorted))
+        df.select(target.columns.map(df(_)).toSeq: _*)
+      else df.toDF(target.columns.toSeq: _*)
+    LakehouseTable.append(aligned, e.root, e.partitionBy)
+    GraftCatalog.refreshView(spark, name)
+    Seq.empty
+  }
+}
+
+/** MERGE INTO name USING (source) ON keys — UPDATE SET * / INSERT *. */
+case class MergeGraftTableCommand(name: String, sourceQuery: String,
+    keys: Seq[String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val e = GraftCatalog.lookup(name).get
+    LakehouseTable.merge(spark, e.root, spark.sql(sourceQuery), keys, e.partitionBy)
+    GraftCatalog.refreshView(spark, name)
+    Seq.empty
+  }
+}
+
+/** DELETE FROM name WHERE cond (copy-on-write). */
+case class DeleteGraftTableCommand(name: String, where: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val e = GraftCatalog.lookup(name).get
+    LakehouseTable.deleteWhere(spark, e.root, where, e.partitionBy)
+    GraftCatalog.refreshView(spark, name)
+    Seq.empty
+  }
+}
+
+/** RESTORE TABLE name TO VERSION AS OF n. */
+case class RestoreGraftTableCommand(name: String, version: Long)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val e = GraftCatalog.lookup(name).get
+    LakehouseTable.restore(e.root, version)
+    GraftCatalog.refreshView(spark, name)
+    Seq.empty
+  }
+}
+
+/** VACUUM name [RETAIN n VERSIONS] — returns the deleted-file count. */
+case class VacuumGraftTableCommand(name: String, retainLast: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "deleted_files", org.apache.spark.sql.types.LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val e = GraftCatalog.lookup(name).get
+    val n = LakehouseTable.vacuum(e.root, retainLast)
+    Seq(Row(n.toLong))
+  }
+}
+
+/** Statement recognizer: regex over the statement head; embedded SELECT
+  * bodies go to Spark's parser verbatim inside the commands' run(). */
+object GraftSqlStatements {
+
+  private val CreateRe =
+    """(?is)^\s*CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+USING\s+graft\s*(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?(?:LOCATION\s+'([^']+)'\s*)?AS\s+(.*?)\s*;?\s*$""".r
+  private val InsertRe =
+    """(?is)^\s*INSERT\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s+((?:SELECT|WITH|VALUES|FROM|TABLE)\b.*?)\s*;?\s*$""".r
+  private val MergeRe =
+    """(?is)^\s*MERGE\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+AS\s+(\w+))?\s+USING\s+\((.*)\)\s*(?:AS\s+(\w+)\s+)?ON\s+(.*?)\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*$""".r
+  private val DeleteRe =
+    """(?is)^\s*DELETE\s+FROM\s+([A-Za-z_][A-Za-z0-9_]*)\s+WHERE\s+(.*?)\s*;?\s*$""".r
+  private val RestoreRe =
+    """(?is)^\s*RESTORE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+  private val VacuumRe =
+    """(?is)^\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""".r
+  private val OnConjunctRe = """(?s)\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*""".r
+
+  /** ON-clause → merge key columns. Only the equi-self-named form
+    * `a.k = b.k [AND ...]` is accepted (the form [[LakehouseTable.merge]]
+    * implements); anything else is a loud error, not a silent misparse. */
+  private def mergeKeys(cond: String, target: String, targetAlias: Option[String],
+      sourceAlias: Option[String]): Seq[String] = {
+    val targetNames = (Set(target.toLowerCase) ++ targetAlias.map(_.toLowerCase)).toSet
+    cond.split("(?i)\\s+AND\\s+").toSeq.map {
+      case OnConjunctRe(a1, c1, a2, c2) =>
+        require(c1.equalsIgnoreCase(c2),
+          s"MERGE ON supports same-named key columns only, got $a1.$c1 = $a2.$c2")
+        require(targetNames.contains(a1.toLowerCase) ^ targetNames.contains(a2.toLowerCase),
+          s"MERGE ON conjunct must compare target vs source: $a1.$c1 = $a2.$c2")
+        c1
+      case other => throw new IllegalArgumentException(
+        s"unsupported MERGE ON conjunct (need t.k = s.k): $other")
+    }
+  }
+
+  /** The graft command for `sqlText`, if it is a graft statement. DML on
+    * unregistered names returns None (delegate's statement, not ours). */
+  def command(sqlText: String): Option[LeafRunnableCommand] = sqlText match {
+    case CreateRe(name, parts, loc, query) =>
+      val partitionBy = Option(parts).toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      val root = Option(loc).getOrElse(
+        graft.sources.TableCache.baseDir + s"/sql_${name.toLowerCase}")
+      Some(CreateGraftTableCommand(name, root, partitionBy, query))
+    case InsertRe(name, query) if GraftCatalog.lookup(name).isDefined =>
+      Some(InsertGraftTableCommand(name, query))
+    case MergeRe(name, tAlias, source, sAlias, cond) if GraftCatalog.lookup(name).isDefined =>
+      Some(MergeGraftTableCommand(name, source,
+        mergeKeys(cond, name, Option(tAlias), Option(sAlias))))
+    case DeleteRe(name, cond) if GraftCatalog.lookup(name).isDefined =>
+      Some(DeleteGraftTableCommand(name, cond))
+    case RestoreRe(name, v) if GraftCatalog.lookup(name).isDefined =>
+      Some(RestoreGraftTableCommand(name, v.toLong))
+    case VacuumRe(name, retain) if GraftCatalog.lookup(name).isDefined =>
+      Some(VacuumGraftTableCommand(name,
+        Option(retain).map(_.toInt).getOrElse(1)))
+    case _ => None
+  }
+
+  private val TimeTravelRe = """(?i)\b([A-Za-z_][A-Za-z0-9_]*)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
+
+  /** Rewrite `name VERSION AS OF n` over REGISTERED graft tables into a
+    * version-pinned temp view (registered here, at parse time — the one
+    * place that both has the session and sees the raw text). Unregistered
+    * names pass through to the delegate parser untouched. */
+  def rewriteTimeTravel(spark: SparkSession, sqlText: String): String =
+    TimeTravelRe.replaceAllIn(sqlText, m => {
+      val (name, v) = (m.group(1), m.group(2).toLong)
+      GraftCatalog.lookup(name) match {
+        case Some(e) =>
+          val view = s"${name}__v$v"
+          LakehouseTable.read(spark, e.root, Some(v)).createOrReplaceTempView(view)
+          scala.util.matching.Regex.quoteReplacement(view)
+        case None => scala.util.matching.Regex.quoteReplacement(m.matched)
+      }
+    })
+}
+
+/** ParserInterface wrapper injected by [[graft.GraftExtensions]]: graft
+  * statements become command plans; everything else (after graft
+  * time-travel rewriting) delegates to Spark's parser. */
+class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSqlStatements.command(sqlText).getOrElse(
+      delegate.parsePlan(GraftSqlStatements.rewriteTimeTravel(spark, sqlText)))
+
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(GraftSqlStatements.rewriteTimeTravel(spark, sqlText))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
