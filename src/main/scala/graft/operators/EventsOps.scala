@@ -319,12 +319,13 @@ object EventsOps {
     // engines and the comparisons are per-row double ops.
     "q95_mad_outliers" -> ((s, d) => {
       val ev = Tables.events(s, d).select(col("event_type"), col("value"))
-      val med = ev.groupBy(col("event_type"))
-        .agg(percentile(col("value"), lit(0.5)).as("med"))
-      val stats = ev.join(broadcast(med), "event_type")
-        .groupBy(col("event_type"))
-        .agg(min(col("med")).as("med"),
-          percentile(abs(col("value") - col("med")), lit(0.5)).as("mad"))
+      val med = ExactPercentile.percentiles(ev, Seq("event_type"),
+        col("value"), Seq("med" -> 0.5))
+      val mad = ExactPercentile.percentiles(
+        ev.join(broadcast(med), "event_type")
+          .withColumn("dev", abs(col("value") - col("med"))),
+        Seq("event_type"), col("dev"), Seq("mad" -> 0.5))
+      val stats = med.join(mad, "event_type")
       ev.join(broadcast(stats), "event_type")
         .groupBy(col("event_type"))
         .agg(min(col("med")).as("med"), min(col("mad")).as("mad"),

@@ -366,17 +366,18 @@ object Relational {
         .orderBy(col("vec_id"))
     }),
 
-    // Exact interpolated percentiles (Spark `percentile` == DuckDB
-    // quantile_cont, verified bit-identical: both sort and linearly
-    // interpolate at p*(n-1)).
+    // Exact interpolated percentiles (== DuckDB quantile_cont,
+    // bit-identical: both sort and linearly interpolate at p*(n-1)),
+    // computed via ExactPercentile — distinct-value counts + cumulative
+    // windows, so no task ever buffers a group's raw values (Spark's
+    // `percentile` ImperativeAggregate would).
     "q49_percentiles" -> ((s, d) => {
-      Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .agg(expr("percentile(l_extendedprice, 0.25)").as("p25"),
-          expr("percentile(l_extendedprice, 0.5)").as("p50"),
-          expr("percentile(l_extendedprice, 0.75)").as("p75"),
-          expr("percentile(l_quantity, 0.9)").as("qty_p90"))
-        .orderBy(col("l_returnflag"))
+      val li = Tables.lineitem(s, d)
+      val price = ExactPercentile.percentiles(li, Seq("l_returnflag"),
+        col("l_extendedprice"), Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
+      val qty = ExactPercentile.percentiles(li, Seq("l_returnflag"),
+        col("l_quantity"), Seq("qty_p90" -> 0.9))
+      price.join(qty, "l_returnflag").orderBy(col("l_returnflag"))
     }),
 
     // Percentile sketch next to the exact percentile — the 100 TB stand-in
@@ -390,11 +391,12 @@ object Relational {
     // in the output. Empirical margins are ~0.05% on both engines, 40×
     // inside the bound; the unit test additionally pins Spark's error.
     "q59_approx_percentile" -> ((s, d) => {
-      Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("ap"),
-          expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
-          expr("percentile(l_extendedprice, 0.95)").as("exact_p95"))
+      val li = Tables.lineitem(s, d)
+      val exact = ExactPercentile.percentiles(li, Seq("l_returnflag"),
+        col("l_extendedprice"), Seq("exact_p50" -> 0.5, "exact_p95" -> 0.95))
+      li.groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("ap"))
+        .join(broadcast(exact), "l_returnflag")
         .select(col("l_returnflag"), col("exact_p50"), col("exact_p95"),
           (abs(element_at(col("ap"), 1) - col("exact_p50")) / col("exact_p50") < 0.02
             && abs(element_at(col("ap"), 2) - col("exact_p95")) / col("exact_p95") < 0.02)

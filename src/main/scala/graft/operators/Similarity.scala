@@ -245,17 +245,16 @@ object Similarity {
     // from-zero on exact doubles).
     // Per-dimension winsorization stats (embedding-hygiene pass before an
     // index build): p05/p95 per dimension plus how many values each clip
-    // bound would touch. posexplode → 64-key groupBy (partial aggs collapse
-    // each partition to 64 rows pre-shuffle); the 64-row bounds broadcast
-    // back for the count pass. Percentiles interpolate identically in both
-    // engines; float→double widening is exact.
+    // bound would touch. posexplode → ExactPercentile (distinct-value
+    // counts + cumulative windows: exact quantile_cont parity WITHOUT
+    // buffering a dimension's raw values in one task); the 64-row bounds
+    // broadcast back for the count pass. float→double widening is exact.
     "q98_winsorize_dims" -> ((s, d) => {
       val vals = Tables.embeddings(s, d)
         .select(posexplode(col("embedding")).as(Seq("pos", "v")))
         .select(col("pos").cast("long").as("pos"), col("v").cast("double").as("v"))
-      val pct = vals.groupBy(col("pos"))
-        .agg(percentile(col("v"), lit(0.05)).as("p05"),
-          percentile(col("v"), lit(0.95)).as("p95"))
+      val pct = ExactPercentile.percentiles(vals, Seq("pos"), col("v"),
+        Seq("p05" -> 0.05, "p95" -> 0.95))
       vals.join(broadcast(pct), "pos")
         .groupBy(col("pos"))
         .agg(min(col("p05")).as("p05"), min(col("p95")).as("p95"),

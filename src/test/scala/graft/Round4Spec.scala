@@ -69,6 +69,37 @@ class Round4Spec extends AnyFunSuite {
     assert(LakehouseTable.changeFeed(spark, tmp, 0L, 1L, Seq("o_orderkey")).count() == 0)
   }
 
+  test("ExactPercentile is bit-identical to Spark's percentile aggregate") {
+    import spark.implicits._
+    // deterministic data with heavy duplicates, negatives, integral and
+    // fractional interpolation positions, and a 1-element group
+    val rng = new scala.util.Random(42)
+    val rows = (1 to 5000).map { i =>
+      val g = s"g${i % 7}"
+      val v = if (i % 3 == 0) (i % 11).toDouble else rng.nextGaussian() * 100
+      (g, v)
+    } :+ ("solo", 3.14)
+    val df = rows.toDF("g", "v")
+    val ps = Seq("p00" -> 0.0, "p05" -> 0.05, "p25" -> 0.25, "p50" -> 0.5,
+      "p90" -> 0.9, "p100" -> 1.0)
+    val ours = operators.ExactPercentile.percentiles(df, Seq("g"), col("v"), ps)
+      .orderBy("g").collect()
+    val ref = df.groupBy("g")
+      .agg(ps.map { case (n, p) => percentile(col("v"), lit(p)).as(n) }.head,
+        ps.tail.map { case (n, p) => percentile(col("v"), lit(p)).as(n) }: _*)
+      .orderBy("g").collect()
+    assert(ours.length == ref.length)
+    ours.zip(ref).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0))
+      ps.indices.foreach { i =>
+        val (x, y) = (a.getDouble(i + 1), b.getDouble(i + 1))
+        assert(java.lang.Double.doubleToLongBits(x) ==
+          java.lang.Double.doubleToLongBits(y),
+          s"group ${a.getString(0)} ${ps(i)._1}: $x != $y")
+      }
+    }
+  }
+
   test("q115: incremental read returns the appended slice, nothing else") {
     val root = operators.Lakehouse.eventsEvolvedRoot(spark, sf)
     val inc = LakehouseTable.readIncremental(spark, root, 0L, Some(1L))
