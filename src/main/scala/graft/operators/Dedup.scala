@@ -146,19 +146,27 @@ object Dedup {
         WHERE ${T.sqlJaccard("sa.sh", "sb.sh")} >= $threshold
         ORDER BY a, b"""
 
-  // SRP blocking parameters for q35: 32 hyperplanes → 8 bands × 4 bits.
-  // Bucket count per band is 2^4 here; at larger corpora widen the band
-  // (width ≈ log2(n) keeps buckets bounded) — the band layout is a
-  // parameter, not a property of the data like q35's old `label` blocking.
-  // The oracled q35 pins width 4 (its SQL twin is static text); scale
-  // users call [[embeddingNearDup]] with a width sized to their corpus,
-  // and [[warnIfSrpSaturated]] makes the failure mode VISIBLE: once
-  // n/2^width reaches the stop-key cap, average buckets get dropped and
-  // recall collapses silently without the warning.
+  // SRP blocking parameters for q35: 32 hyperplanes, band width DERIVED
+  // from the corpus count (adaptiveSrpWidth) — the band layout is a
+  // parameter, not a property of the data like q35's old `label`
+  // blocking, and deriving it keeps recall scale-invariant instead of
+  // merely observable through [[warnIfSrpSaturated]] (which still guards
+  // the w=16 ceiling). The SQL twin mirrors the derivation with
+  // count-guarded branches, so the gate stays meaningful at any SF.
   private val SrpPlanes = 32
-  private val SrpBands = 8
-  private val SrpBandWidth = 4
   private val EmbeddingDims = 64
+
+  /** Smallest band width (a divisor of [[SrpPlanes]], 4..16) whose average
+    * bucket occupancy n/2^w stays below half the stop-key cap — i.e.
+    * width ≈ log2(n / target bucket), stepped to keep planes/width whole.
+    * 16 is the ceiling (fewer than 2 bands would kill recall); beyond its
+    * saturation point (n ≥ 2^16·cap/2) raise `planes`, which
+    * [[warnIfSrpSaturated]] will point out. */
+  private[graft] def adaptiveSrpWidth(n: Long): Int =
+    SrpWidthSteps.find(w => n < srpWidthLimit(w)).getOrElse(SrpWidthSteps.last)
+  private[graft] val SrpWidthSteps = Seq(4, 8, 16)
+  /** Exclusive corpus-size bound for width `w`: n/2^w < cap/2 (integer). */
+  private def srpWidthLimit(w: Int): Long = (1L << w) * (StopShingleCap / 2)
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
@@ -320,10 +328,14 @@ object Dedup {
     // Embedding-cosine near-dup, blocked by sign-random-projection LSH
     // bands (deterministic md5-seeded hyperplanes) — NOT by a data column:
     // bucket sizes are governed by the band width, not label cardinality,
-    // so no block grows quadratically with corpus skew. Candidates are
-    // verified with exact cosine.
-    "q35_embedding_neardup" -> ((s, d) =>
-      embeddingNearDup(s, d, SrpPlanes, SrpBandWidth, 0.4)),
+    // so no block grows quadratically with corpus skew. The width itself
+    // derives from the corpus count (adaptiveSrpWidth), so buckets stay
+    // bounded at any SF without retuning. Candidates are verified with
+    // exact cosine.
+    "q35_embedding_neardup" -> ((s, d) => {
+      val n = Tables.embeddings(s, d).count() // parquet metadata read
+      embeddingNearDup(s, d, SrpPlanes, adaptiveSrpWidth(n), 0.4)
+    }),
 
     // INCREMENTAL near-dup: an arriving batch (doc_id ≡ 8,9 mod 10) is
     // checked against the EXISTING corpus (the other 80%) only — the
@@ -431,18 +443,34 @@ object Dedup {
 
     "q35_embedding_neardup" -> {
       val sigExpr = VectorExpressions.sqlSrpSignature(SrpPlanes, EmbeddingDims, "embedding")
-      def band(alias: String, b: Int): String =
-        s"substr($alias.sig, ${b * SrpBandWidth + 1}, $SrpBandWidth)"
-      val cand = (0 until SrpBands).map { b =>
-        s"""SELECT x.vec_id AS a, y.vec_id AS b
-            FROM sigs x JOIN sigs y
-            ON ${band("x", b)} = ${band("y", b)} AND x.vec_id < y.vec_id
-            WHERE ${band("x", b)} IN (
-              SELECT bk FROM (SELECT substr(sig, ${b * SrpBandWidth + 1}, $SrpBandWidth) AS bk
-                              FROM sigs)
-              GROUP BY bk HAVING count(*) < $StopShingleCap)"""
+      // mirror adaptiveSrpWidth: each width's band branches carry a guard
+      // on the corpus count, so exactly one width's branches produce rows
+      // — the twin derives the SAME layout from the SAME rule at any SF
+      def widthGuard(w: Int): String = {
+        val lo = SrpWidthSteps.takeWhile(_ < w).lastOption
+          .map(prev => s"(SELECT c FROM nrows) >= ${(1L << prev) * (StopShingleCap / 2)} AND ")
+          .getOrElse("")
+        val hi = if (w == SrpWidthSteps.last) ""
+          else s"(SELECT c FROM nrows) < ${(1L << w) * (StopShingleCap / 2)}"
+        val g = lo + hi
+        if (g.endsWith(" AND ")) g.stripSuffix(" AND ") else g
+      }
+      val cand = SrpWidthSteps.flatMap { w =>
+        def band(alias: String, b: Int): String =
+          s"substr($alias.sig, ${b * w + 1}, $w)"
+        val guard = widthGuard(w)
+        (0 until SrpPlanes / w).map { b =>
+          s"""SELECT x.vec_id AS a, y.vec_id AS b
+              FROM sigs x JOIN sigs y
+              ON ${band("x", b)} = ${band("y", b)} AND x.vec_id < y.vec_id
+              WHERE ($guard) AND ${band("x", b)} IN (
+                SELECT bk FROM (SELECT substr(sig, ${b * w + 1}, $w) AS bk
+                                FROM sigs)
+                GROUP BY bk HAVING count(*) < $StopShingleCap)"""
+        }
       }.mkString(" UNION ALL ")
       s"""WITH sigs AS (SELECT vec_id, embedding, $sigExpr AS sig FROM embeddings),
+          nrows AS (SELECT count(*) AS c FROM embeddings),
           cands AS (SELECT DISTINCT a, b FROM ($cand))
           SELECT a, b, ${V.sqlCosine("x.embedding", "y.embedding")} AS sim
           FROM cands JOIN sigs x ON cands.a = x.vec_id

@@ -100,6 +100,25 @@ class Round4Spec extends AnyFunSuite {
     }
   }
 
+  test("SRP band width grows with the corpus and stays unsaturated at sf0.1") {
+    import operators.Dedup
+    // steps at the exact integer bounds of n/2^w < cap/2
+    assert(Dedup.adaptiveSrpWidth(500) == 4)
+    assert(Dedup.adaptiveSrpWidth(7999) == 4)
+    assert(Dedup.adaptiveSrpWidth(8000) == 8)
+    assert(Dedup.adaptiveSrpWidth(127999) == 8)
+    assert(Dedup.adaptiveSrpWidth(128000) == 16)
+    // monotone non-decreasing in n
+    val widths = Seq(1L, 100L, 10000L, 100000L, 1000000L).map(Dedup.adaptiveSrpWidth)
+    assert(widths == widths.sorted)
+    // the width chosen for the BENCH corpus keeps buckets under half the
+    // stop-key cap, so the saturation warning stays silent at sf0.1
+    val n = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.1").count()
+    val w = Dedup.adaptiveSrpWidth(n)
+    assert(n.toDouble / (1L << w) < Dedup.StopShingleCap * 0.5,
+      s"width $w saturates at n=$n")
+  }
+
   test("q115: incremental read returns the appended slice, nothing else") {
     val root = operators.Lakehouse.eventsEvolvedRoot(spark, sf)
     val inc = LakehouseTable.readIncremental(spark, root, 0L, Some(1L))
