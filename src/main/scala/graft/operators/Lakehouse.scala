@@ -279,6 +279,52 @@ object Lakehouse {
     aggRoot
   }
 
+  /** Incremental materialized view maintained ACROSS A REWRITE: create →
+    * sync (full build) → append → sync (append delta) → MERGE (value×2
+    * for event_id ≡ 0 mod 10) → deleteWhere (event_id ≡ 0 mod 7) → sync.
+    * The last sync spans a two-version non-append transition, so it must
+    * advance through the CHANGE FEED's signed deltas
+    * ([[graft.sources.IncrementalView.syncAggregateCdc]]) — the builder
+    * ASSERTS the CdcDelta path ran (a silent fall-back to recompute would
+    * still hash-match, which is exactly why it must be proven here). */
+  private[graft] def cdcViewRoot(s: SparkSession, d: String): String = {
+    val srcRoot = TableCache.root(d, "events", "cdcview-src:v1")
+    val aggRoot = TableCache.root(d, "events", "cdcview-agg:v1")
+    import graft.sources.IncrementalView
+    try {
+      val ev = Tables.events(s, d).select("event_id", "event_type", "value")
+      if (LakehouseTable.versions(srcRoot).isEmpty)
+        LakehouseTable.create(ev.filter(col("event_id") % 4 < 2), srcRoot)
+      if (LakehouseTable.currentVersion(srcRoot).contains(0L)) {
+        IncrementalView.syncAggregateCdc(
+          s, srcRoot, aggRoot, Seq("event_id"), "event_type", "value")
+        LakehouseTable.append(ev.filter(col("event_id") % 4 >= 2), srcRoot)
+      }
+      if (LakehouseTable.currentVersion(srcRoot).contains(1L)) {
+        IncrementalView.syncAggregateCdc(
+          s, srcRoot, aggRoot, Seq("event_id"), "event_type", "value")
+        LakehouseTable.merge(s, srcRoot,
+          ev.filter(col("event_id") % 10 === 0)
+            .withColumn("value", col("value") * lit(2.0)), // power-of-two: bit-exact
+          Seq("event_id"))
+      }
+      if (LakehouseTable.currentVersion(srcRoot).contains(2L))
+        LakehouseTable.deleteWhere(s, srcRoot, "event_id % 7 = 0")
+      if (LakehouseTable.currentVersion(srcRoot).contains(3L)) {
+        val (_, mode) = IncrementalView.syncAggregateCdc(
+          s, srcRoot, aggRoot, Seq("event_id"), "event_type", "value")
+        // first build MUST take the change-feed path; a rerun over the
+        // already-synced view is the idempotent no-op
+        require(mode == IncrementalView.SyncMode.CdcDelta ||
+            mode == IncrementalView.SyncMode.NoOp,
+          s"expected the change-feed delta path across the rewrite, got $mode")
+      }
+    } catch {
+      case e if raceLost(e) => () // see lineitemZRoot
+    }
+    aggRoot
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Write → Z-ORDER → file-skip read → aggregate. readPruned keeps only
     // files whose footer-stat [min,max] range on l_orderkey overlaps the
@@ -443,6 +489,20 @@ object Lakehouse {
         .orderBy(col("_change_type"), col("o_orderkey"))
     }),
 
+    // CDC-MAINTAINED materialized view under the gate: the source table
+    // was merged (value×2 on a key slice) AND deleted from (a different
+    // slice) after the last sync; the view advanced through signed
+    // change-feed deltas — never a recompute (asserted in the builder) —
+    // and must equal a direct aggregation of the FINAL source state,
+    // which is exactly the incremental-maintenance-under-rewrites claim.
+    "q118_cdc_view" -> ((s, d) => {
+      val aggRoot = cdcViewRoot(s, d)
+      LakehouseTable.read(s, aggRoot)
+        .select(col("event_type"), col("n"),
+          col("sum_value").cast("double").as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // Incremental materialized view under the gate: the aggregate was
     // advanced by a manifest-diff delta merge (see incViewRoot), and must
     // equal a direct aggregation over ALL the source rows — the exact
@@ -518,6 +578,15 @@ object Lakehouse {
       s"""SELECT event_type, count(*) AS n,
             ${Exact.sqlMoneySum("value")} AS sum_value
           FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q118_cdc_view" ->
+      s"""WITH src AS (
+            SELECT event_id, event_type,
+              CASE WHEN event_id % 10 = 0 THEN value * 2 ELSE value END AS value
+            FROM events WHERE event_id % 7 <> 0)
+          SELECT event_type, count(*) AS n,
+            ${Exact.sqlMoneySum("value")} AS sum_value
+          FROM src GROUP BY event_type ORDER BY event_type""",
 
     "q113_sql_ddl_merge" ->
       """WITH merged AS (

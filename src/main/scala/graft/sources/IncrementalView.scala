@@ -48,6 +48,87 @@ object IncrementalView {
     try LakehouseTable.removedFilesBetween(srcRoot, from, to).isEmpty
     catch { case _: java.nio.file.NoSuchFileException => false }
 
+  /** How a sync advanced the view — returned by [[syncAggregateCdc]] so
+    * callers (and the spec) can PROVE the cheap path ran instead of
+    * trusting that it did. */
+  sealed trait SyncMode
+  object SyncMode {
+    /** First sync: full build. */ case object Created extends SyncMode
+    /** Upstream unchanged. */ case object NoOp extends SyncMode
+    /** Append-only delta merged. */ case object AppendDelta extends SyncMode
+    /** Net row changes from the change feed applied as signed deltas. */
+    case object CdcDelta extends SyncMode
+  }
+
+  /** [[syncAggregate]] upgraded with a CHANGE-FEED delta path: when the
+    * upstream transition rewrote files (merge / delete / compaction), the
+    * view is advanced by the net row changes from
+    * [[LakehouseTable.changeFeed]] — insert/update_postimage rows count
+    * +1/+value, delete/update_preimage rows −1/−value — instead of the
+    * full recompute [[syncAggregate]] falls back to. `rowKeys` identify
+    * upstream rows across rewrites (as in merge). Count and decimal sum
+    * are closed under signed deltas, so the result stays bit-identical to
+    * a full recompute; groups whose count reaches zero are deleted from
+    * the view (a recompute would not contain them).
+    *
+    * At 100 TB this is the difference between a nightly rollup costing
+    * O(churned files) and costing O(table) the moment anything besides an
+    * append touches the source. */
+  def syncAggregateCdc(spark: SparkSession, srcRoot: String, aggRoot: String,
+      rowKeys: Seq[String], key: String, valueCol: String): (Long, SyncMode) = {
+    val srcV = LakehouseTable.currentVersion(srcRoot).getOrElse(
+      throw new IllegalStateException(s"no table at $srcRoot"))
+    LakehouseTable.lastTxn(aggRoot, App) match {
+      case None =>
+        LakehouseTable.create(
+          aggregate(LakehouseTable.read(spark, srcRoot, Some(srcV)), key, valueCol),
+          aggRoot, txn = Some(srcV), txnApp = App)
+        (srcV, SyncMode.Created)
+      case Some(doneV) if doneV >= srcV => (srcV, SyncMode.NoOp)
+      case Some(doneV) =>
+        val appendOnly = appendOnlySince(srcRoot, doneV, srcV)
+        val delta =
+          if (appendOnly)
+            aggregate(LakehouseTable.readIncremental(spark, srcRoot, doneV, Some(srcV)),
+              key, valueCol)
+          else {
+            val feed = LakehouseTable.changeFeed(spark, srcRoot, doneV, srcV, rowKeys)
+            val signedVal = when(col("_change_type").isin("insert", "update_postimage"),
+              col(valueCol).cast(D2)).otherwise(-col(valueCol).cast(D2))
+            val signedOne = when(col("_change_type").isin("insert", "update_postimage"),
+              lit(1L)).otherwise(lit(-1L))
+            feed.groupBy(col(key))
+              .agg(sum(signedOne).as("n"), sum(signedVal).cast(DSum).as("sum_value"))
+          }
+        mergeDelta(spark, aggRoot, delta, key, srcV)
+        // a group erased upstream leaves an n=0 tombstone the recompute
+        // would not contain — remove it (the probe scans only the O(keys)
+        // view, and the COW delete runs only when a tombstone exists)
+        if (!appendOnly &&
+            LakehouseTable.read(spark, aggRoot).filter(col("n") === 0).limit(1)
+              .count() > 0)
+          LakehouseTable.deleteWhere(spark, aggRoot, "n = 0")
+        (srcV, if (appendOnly) SyncMode.AppendDelta else SyncMode.CdcDelta)
+    }
+  }
+
+  /** Merge a (key, n, sum_value) delta into the aggregate table (shared by
+    * the append and CDC paths). */
+  private def mergeDelta(spark: SparkSession, aggRoot: String, delta: DataFrame,
+      key: String, srcV: Long): Long = {
+    val cur = LakehouseTable.read(spark, aggRoot)
+      .select(col(key).as("k_old"), col("n").as("n_old"),
+        col("sum_value").as("s_old"))
+    val mergedSum = when(col("sum_value").isNull, col("s_old"))
+      .when(col("s_old").isNull, col("sum_value"))
+      .otherwise(col("sum_value") + col("s_old"))
+    val upserts = delta.join(cur, col(key) <=> col("k_old"), "left")
+      .select(col(key),
+        (col("n") + coalesce(col("n_old"), lit(0L))).as("n"),
+        mergedSum.cast(DSum).as("sum_value"))
+    LakehouseTable.merge(spark, aggRoot, upserts, Seq(key), txn = Some(srcV), txnApp = App)
+  }
+
   /** Sync `aggRoot` = SELECT key, count(*), sum(value) FROM srcRoot GROUP BY
     * key. First call creates the aggregate table; later calls merge only the
     * delta since the upstream version recorded at the previous sync.
@@ -72,25 +153,13 @@ object IncrementalView {
         LakehouseTable.overwrite(fullAgg(), aggRoot, txn = Some(srcV), txnApp = App)
         srcV
       case Some(doneV) =>
-        val delta = aggregate(
-          LakehouseTable.readIncremental(spark, srcRoot, doneV, Some(srcV)),
-          key, valueCol)
-        val cur = LakehouseTable.read(spark, aggRoot)
-          .select(col(key).as("k_old"), col("n").as("n_old"),
-            col("sum_value").as("s_old"))
-        // merge deltas: upsert rows for keys present in the delta.
-        // null-SAFE key join (a NULL key folds into its existing row) and
-        // null-SKIPPING sum merge (like SQL sum itself: NULL + x = x, and
-        // NULL only when no side ever saw a non-null value) — so the
-        // result stays bit-identical to a full recompute
-        val mergedSum = when(col("sum_value").isNull, col("s_old"))
-          .when(col("s_old").isNull, col("sum_value"))
-          .otherwise(col("sum_value") + col("s_old"))
-        val upserts = delta.join(cur, col(key) <=> col("k_old"), "left")
-          .select(col(key),
-            (col("n") + coalesce(col("n_old"), lit(0L))).as("n"),
-            mergedSum.cast(DSum).as("sum_value"))
-        LakehouseTable.merge(spark, aggRoot, upserts, Seq(key), txn = Some(srcV), txnApp = App)
+        // merge deltas: upsert rows for keys present in the delta (see
+        // mergeDelta — null-SAFE key join, null-SKIPPING sum merge, so the
+        // result stays bit-identical to a full recompute)
+        mergeDelta(spark, aggRoot,
+          aggregate(LakehouseTable.readIncremental(spark, srcRoot, doneV, Some(srcV)),
+            key, valueCol),
+          key, srcV)
         srcV
     }
   }

@@ -119,6 +119,35 @@ class Round4Spec extends AnyFunSuite {
       s"width $w saturates at n=$n")
   }
 
+  test("syncAggregateCdc applies signed change-feed deltas across rewrites") {
+    import graft.sources.IncrementalView
+    import spark.implicits._
+    val base = Files.createTempDirectory("cdcview").toString
+    val srcRoot = s"$base/src"; val aggRoot = s"$base/agg"
+    LakehouseTable.create(
+      Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0), (4L, "b", 4.0),
+        (5L, "c", 5.0)).toDF("id", "g", "v"), srcRoot)
+    assert(IncrementalView.syncAggregateCdc(
+      spark, srcRoot, aggRoot, Seq("id"), "g", "v")._2 ==
+      IncrementalView.SyncMode.Created)
+    // rewrite: double id=1's value AND migrate id=3 from group b to a
+    LakehouseTable.merge(spark, srcRoot,
+      Seq((1L, "a", 2.0), (3L, "a", 3.0)).toDF("id", "g", "v"), Seq("id"))
+    // erase group c entirely — its n must reach 0 and the row must go
+    LakehouseTable.deleteWhere(spark, srcRoot, "g = 'c'")
+    val (_, mode) = IncrementalView.syncAggregateCdc(
+      spark, srcRoot, aggRoot, Seq("id"), "g", "v")
+    assert(mode == IncrementalView.SyncMode.CdcDelta)
+    val got = LakehouseTable.read(spark, aggRoot).orderBy("g")
+      .select("g", "n", "sum_value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).doubleValue))
+    assert(got.toSeq == Seq(("a", 3L, 7.0), ("b", 1L, 4.0)))
+    // idempotent rerun
+    assert(IncrementalView.syncAggregateCdc(
+      spark, srcRoot, aggRoot, Seq("id"), "g", "v")._2 ==
+      IncrementalView.SyncMode.NoOp)
+  }
+
   test("q115: incremental read returns the appended slice, nothing else") {
     val root = operators.Lakehouse.eventsEvolvedRoot(spark, sf)
     val inc = LakehouseTable.readIncremental(spark, root, 0L, Some(1L))
