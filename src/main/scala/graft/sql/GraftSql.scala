@@ -25,6 +25,7 @@ import graft.sources.LakehouseTable
   *     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
   *   DELETE FROM t WHERE cond
   *   RESTORE TABLE t TO VERSION AS OF n
+  *   OPTIMIZE t
   *   VACUUM t [RETAIN n VERSIONS]
   *   SELECT ... FROM t [VERSION AS OF n] ...
   * }}}
@@ -155,6 +156,22 @@ case class RestoreGraftTableCommand(name: String, version: Long)
   }
 }
 
+/** OPTIMIZE name — size-aware small-file compaction (Delta's OPTIMIZE
+  * shape: only files under the small-size threshold are rewritten,
+  * bin-packed; healthy files keep their manifest entries). Returns the
+  * table version afterwards (unchanged when nothing needed compacting). */
+case class OptimizeGraftTableCommand(name: String) extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "version", org.apache.spark.sql.types.LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val e = GraftCatalog.lookup(name).get
+    val v = LakehouseTable.compactSmall(spark, e.root, partitionBy = e.partitionBy)
+    GraftCatalog.refreshView(spark, name)
+    Seq(Row(v))
+  }
+}
+
 /** VACUUM name [RETAIN n VERSIONS] — returns the deleted-file count. */
 case class VacuumGraftTableCommand(name: String, retainLast: Int)
     extends LeafRunnableCommand {
@@ -182,6 +199,8 @@ object GraftSqlStatements {
     """(?is)^\s*DELETE\s+FROM\s+([A-Za-z_][A-Za-z0-9_]*)\s+WHERE\s+(.*?)\s*;?\s*$""".r
   private val RestoreRe =
     """(?is)^\s*RESTORE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+  private val OptimizeRe =
+    """(?is)^\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""".r
   private val OnConjunctRe = """(?s)\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*""".r
@@ -222,6 +241,8 @@ object GraftSqlStatements {
       Some(DeleteGraftTableCommand(name, cond))
     case RestoreRe(name, v) if GraftCatalog.lookup(name).isDefined =>
       Some(RestoreGraftTableCommand(name, v.toLong))
+    case OptimizeRe(name) if GraftCatalog.lookup(name).isDefined =>
+      Some(OptimizeGraftTableCommand(name))
     case VacuumRe(name, retain) if GraftCatalog.lookup(name).isDefined =>
       Some(VacuumGraftTableCommand(name,
         Option(retain).map(_.toInt).getOrElse(1)))

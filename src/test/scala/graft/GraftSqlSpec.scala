@@ -56,10 +56,18 @@ class GraftSqlSpec extends AnyFunSuite {
     spark.sql("RESTORE TABLE sqlspec_t TO VERSION AS OF 0")
     assert(n("sqlspec_t") == 100)
 
+    // OPTIMIZE bin-packs the small files the insert/merge wrote; content
+    // identical, fewer files, one more version
+    val beforeFiles = spark.sql("SELECT * FROM sqlspec_t").inputFiles.length
+    val vOpt = spark.sql("OPTIMIZE sqlspec_t").head().getLong(0)
+    assert(vOpt == LakehouseTable.versions(root).last)
+    assert(spark.sql("SELECT * FROM sqlspec_t").inputFiles.length <= beforeFiles)
+    assert(n("sqlspec_t") == 100)
+
     val vacuumed = spark.sql("VACUUM sqlspec_t RETAIN 1 VERSIONS").collect()
     assert(vacuumed.length == 1 && vacuumed(0).getLong(0) > 0) // dead files deleted
     assert(n("sqlspec_t") == 100) // live version unharmed
-    assert(LakehouseTable.versions(root) == Seq(4L))
+    assert(LakehouseTable.versions(root) == Seq(vOpt))
 
     // delegation: ordinary statements still flow to Spark's parser
     assert(spark.sql("SELECT 1 AS one").head().getInt(0) == 1)
