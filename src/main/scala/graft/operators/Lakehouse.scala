@@ -325,6 +325,35 @@ object Lakehouse {
     aggRoot
   }
 
+  /** lineitem hash-distributed across 8 files by l_orderkey (each key's
+    * rows co-located, but every file spans the FULL key range — the
+    * layout where min/max footer stats prune nothing) with a per-file
+    * BLOOM sidecar on l_orderkey. A point lookup must then skip via the
+    * membership sketch or scan everything; Round4Spec asserts the file
+    * subset really shrinks. */
+  private[graft] def lineitemBloomRoot(s: SparkSession, d: String): String = {
+    val root = TableCache.root(d, "lineitem", "bloom-orderkey:files=8:v1")
+    try {
+      if (LakehouseTable.versions(root).isEmpty) {
+        val li = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+        LakehouseTable.create(li.repartition(8, col("l_orderkey")), root)
+      }
+      // both sidecars, so the spec can show range stats keep ALL files on
+      // this layout while the bloom prunes; builds are resumable (rerun
+      // overwrites the same lines)
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(
+          root, "_manifest", "0.stats")))
+        LakehouseTable.computeStats(s, root, Seq("l_orderkey"))
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(
+          root, "_manifest", "0.bloom")))
+        LakehouseTable.computeBloom(s, root, Seq("l_orderkey"))
+    } catch {
+      case e if raceLost(e) => () // see lineitemZRoot
+    }
+    root
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Write → Z-ORDER → file-skip read → aggregate. readPruned keeps only
     // files whose footer-stat [min,max] range on l_orderkey overlaps the
@@ -343,6 +372,23 @@ object Lakehouse {
           Exact.moneySum(col("l_extendedprice")).as("sum_price"),
           countDistinct(col("l_partkey")).as("n_parts"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // BLOOM file skipping under the gate: a point lookup on a hash-
+    // distributed key, where every file's [min,max] covers the whole
+    // keyspace and only the membership sketch can prune (the tier of the
+    // skipping stack below partition dirs (q108) and range stats (q102)).
+    // The oracle recomputes the lookup from the raw parquet, so a false
+    // NEGATIVE in the bloom path (a wrongly-skipped file) is a hash
+    // mismatch, not a perf footnote.
+    "q119_bloom_skip" -> ((s, d) => {
+      val root = lineitemBloomRoot(s, d)
+      LakehouseTable.readBloomPruned(s, root, "l_orderkey", 1234L)
+        .filter(col("l_orderkey") === 1234L)
+        .agg(count(lit(1)).as("n"),
+          Exact.moneySum(col("l_quantity")).as("sum_qty"),
+          Exact.moneySum(col("l_extendedprice")).as("sum_price"),
+          countDistinct(col("l_partkey")).as("n_parts"))
     }),
 
     // create → MERGE (update + insert) → deleteWhere → read the survivors.
@@ -578,6 +624,13 @@ object Lakehouse {
       s"""SELECT event_type, count(*) AS n,
             ${Exact.sqlMoneySum("value")} AS sum_value
           FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q119_bloom_skip" ->
+      s"""SELECT count(*) AS n,
+            ${Exact.sqlMoneySum("l_quantity")} AS sum_qty,
+            ${Exact.sqlMoneySum("l_extendedprice")} AS sum_price,
+            count(DISTINCT l_partkey) AS n_parts
+          FROM lineitem WHERE l_orderkey = 1234""",
 
     "q118_cdc_view" ->
       s"""WITH src AS (

@@ -658,6 +658,89 @@ object LakehouseTable {
     spark.read.option("basePath", dataDir(root).toString).parquet(files: _*)
   }
 
+  // --- Bloom-filter file skipping (point lookups on unclustered columns) --
+
+  private def bloomPath(root: String, v: Long): Path =
+    manifestDir(root).resolve(s"$v.bloom")
+
+  /** Typed aggregator building one bloom filter per group (file). The
+    * buffer is Spark's spillable-agg-friendly sketch; inputs are the
+    * column's values hashed to long. */
+  private class BloomAgg(expected: Long, fpp: Double)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        java.lang.Long, org.apache.spark.util.sketch.BloomFilter, Array[Byte]] {
+    import org.apache.spark.util.sketch.BloomFilter
+    def zero: BloomFilter = BloomFilter.create(expected, fpp)
+    def reduce(b: BloomFilter, a: java.lang.Long): BloomFilter = {
+      if (a != null) b.putLong(a); b
+    }
+    def merge(x: BloomFilter, y: BloomFilter): BloomFilter = {
+      x.mergeInPlace(y); x
+    }
+    def finish(b: BloomFilter): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      b.writeTo(bos); bos.toByteArray
+    }
+    def bufferEncoder = org.apache.spark.sql.Encoders.kryo[BloomFilter]
+    def outputEncoder = org.apache.spark.sql.Encoders.BINARY
+  }
+
+  /** Build a per-file BLOOM sidecar for `cols` (integer-typed; values are
+    * hashed as longs) over the current version. Complements the min/max
+    * stats sidecar: range stats prune clustered columns, but a
+    * hash-scattered key spans every file's [min,max] — only a membership
+    * sketch can skip files for a point lookup there. One distributed
+    * aggregation per call (map-side partial blooms merge), O(files)
+    * sidecar lines; at write time a `cluster`-style rewrite would do this
+    * from the rows it just wrote, with the same result. */
+  def computeBloom(spark: SparkSession, root: String, cols: Seq[String],
+      fpp: Double = 0.01): Unit = {
+    import org.apache.spark.sql.functions._
+    require(cols.nonEmpty)
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no table at $root"))
+    val df = read(spark, root, Some(cur))
+    val nFiles = math.max(1, readManifest(root, cur).size)
+    val expectedPerFile = math.max(64L, df.count() / nFiles)
+    val agg = udaf(new BloomAgg(expectedPerFile, fpp))
+    val aggs = cols.map(c => agg(col(c).cast("long")).as(s"__bloom_$c"))
+    val rows = df.withColumn("__file", input_file_name())
+      .groupBy(col("__file")).agg(aggs.head, aggs.tail: _*)
+      .collect() // O(files) rows, each carrying its tiny sketch
+    val enc = java.util.Base64.getEncoder
+    val lines = rows.flatMap { r =>
+      val rel = toRel(root, r.getString(0))
+      cols.zipWithIndex.map { case (c, i) =>
+        s"$rel\t$c\t${enc.encodeToString(r.getAs[Array[Byte]](i + 1))}"
+      }
+    }
+    Files.writeString(bloomPath(root, cur), lines.mkString("\n"))
+  }
+
+  /** Read the current version keeping only files whose bloom for
+    * `colName` might contain `value` — point-lookup file skipping. Files
+    * without a bloom entry are kept (safe); the caller still applies the
+    * row filter, exactly like [[readPruned]]. */
+  def readBloomPruned(spark: SparkSession, root: String, colName: String,
+      value: Long): DataFrame = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no table at $root"))
+    val all = readManifest(root, cur)
+    val bp = bloomPath(root, cur)
+    val keep: Set[String] =
+      if (!Files.exists(bp)) all.toSet
+      else {
+        val dec = java.util.Base64.getDecoder
+        val blooms = Files.readAllLines(bp).asScala
+          .map(_.split("\t")).filter(a => a.length == 3 && a(1) == colName)
+          .map(a => a(0) -> BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(dec.decode(a(2))))).toMap
+        all.filter(f => blooms.get(f).forall(_.mightContainLong(value))).toSet
+      }
+    readFiles(spark, root, all.filter(keep))
+  }
+
   /** Delta-style RESTORE: commit a NEW version whose file list is exactly
     * that of `toVersion`. History is preserved — the rollback is itself a
     * version, so it can be rolled forward again; no data files move. */
@@ -757,6 +840,7 @@ object LakehouseTable {
       }
       Files.deleteIfExists(manifestDir(root).resolve(s"$v.json"))
       Files.deleteIfExists(statsPath(root, v))
+      Files.deleteIfExists(bloomPath(root, v))
     }
     deleted
   }

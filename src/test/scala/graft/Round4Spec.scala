@@ -148,6 +148,24 @@ class Round4Spec extends AnyFunSuite {
       IncrementalView.SyncMode.NoOp)
   }
 
+  test("q119: bloom sidecar skips files range stats cannot") {
+    val root = operators.Lakehouse.lineitemBloomRoot(spark, sf)
+    val full = LakehouseTable.read(spark, root)
+    val total = full.inputFiles.length
+    assert(total >= 4, s"expected a multi-file table, got $total")
+    // hash-distributed layout: every file spans ~the full key range, so a
+    // range prune keeps everything...
+    val byRange = LakehouseTable.readPruned(spark, root, "l_orderkey", 1234, 1234)
+    assert(byRange.inputFiles.length == total, "range stats should not prune here")
+    // ...but the bloom prunes to the file(s) actually holding the key
+    val byBloom = LakehouseTable.readBloomPruned(spark, root, "l_orderkey", 1234L)
+    assert(byBloom.inputFiles.length * 2 <= total,
+      s"weak bloom pruning: ${byBloom.inputFiles.length} of $total files")
+    val expected = full.filter(col("l_orderkey") === 1234L).count()
+    assert(byBloom.filter(col("l_orderkey") === 1234L).count() == expected
+      && expected > 0)
+  }
+
   test("q115: incremental read returns the appended slice, nothing else") {
     val root = operators.Lakehouse.eventsEvolvedRoot(spark, sf)
     val inc = LakehouseTable.readIncremental(spark, root, 0L, Some(1L))
