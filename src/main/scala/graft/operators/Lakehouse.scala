@@ -535,6 +535,22 @@ object Lakehouse {
         .orderBy(col("_change_type"), col("o_orderkey"))
     }),
 
+    // SQL CDC read under the gate: `TABLE_CHANGES(orders_sql, 1, 3)` —
+    // the change feed through the SQL face's read sugar. v1→v3 of the SQL
+    // pipeline (merge then delete, from the full projection) nets the
+    // same changes as q116's v0→v2, so the same explicit-join oracle
+    // gates both entry points.
+    "q120_sql_table_changes" -> ((s, d) => {
+      val root = ordersSqlRoot(s, d)
+      graft.sql.GraftSql.register(s, "orders_sql", root,
+        rowKeys = Seq("o_orderkey"))
+      graft.sql.GraftSql.sql(s,
+        """SELECT _change_type, o_orderkey, o_custkey, o_orderstatus,
+                  o_totalprice
+           FROM TABLE_CHANGES(orders_sql, 1, 3)
+           ORDER BY _change_type, o_orderkey""")
+    }),
+
     // CDC-MAINTAINED materialized view under the gate: the source table
     // was merged (value×2 on a key slice) AND deleted from (a different
     // slice) after the last sync; the view advanced through signed
@@ -562,6 +578,42 @@ object Lakehouse {
           col("sum_value").cast("double").as("sum_value"))
         .orderBy(col("event_type"))
     }))
+
+  /** Shared CDC twin: net row changes of the merge+delete transition over
+    * the full orders projection, classified with explicit joins. q116
+    * reaches it through the Scala changeFeed (v0→v2 of ordersMergeRoot);
+    * q120 through the SQL face's TABLE_CHANGES (v1→v3 of ordersSqlRoot —
+    * same starting state, same mutations, same net changes). */
+  private val sqlCdcChanges: String =
+    """WITH b AS (
+         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         FROM orders),
+       merged AS (
+         SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 1.25
+                ELSE o_totalprice END AS o_totalprice
+         FROM orders
+         UNION ALL
+         SELECT -o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         FROM orders WHERE o_orderkey % 997 = 0 AND o_orderkey <> 0),
+       a AS (SELECT * FROM merged WHERE o_totalprice >= 1000.0)
+       SELECT 'insert' AS _change_type, o_orderkey, o_custkey,
+         o_orderstatus, o_totalprice
+       FROM a WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b)
+       UNION ALL
+       SELECT 'delete', o_orderkey, o_custkey, o_orderstatus, o_totalprice
+       FROM b WHERE o_orderkey NOT IN (SELECT o_orderkey FROM a)
+       UNION ALL
+       SELECT 'update_preimage', b.o_orderkey, b.o_custkey,
+         b.o_orderstatus, b.o_totalprice
+       FROM b JOIN a ON b.o_orderkey = a.o_orderkey
+       WHERE b.o_totalprice <> a.o_totalprice
+       UNION ALL
+       SELECT 'update_postimage', a.o_orderkey, a.o_custkey,
+         a.o_orderstatus, a.o_totalprice
+       FROM b JOIN a ON b.o_orderkey = a.o_orderkey
+       WHERE b.o_totalprice <> a.o_totalprice
+       ORDER BY _change_type, o_orderkey"""
 
   def oracle: Map[String, String] = Map(
     "q102_lakehouse_pruned" ->
@@ -675,34 +727,7 @@ object Lakehouse {
             ${Exact.sqlMoneySum("value")} AS sum_value
           FROM events WHERE event_id % 2 = 1""",
 
-    "q116_change_feed" ->
-      """WITH b AS (
-           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-           FROM orders),
-         merged AS (
-           SELECT o_orderkey, o_custkey, o_orderstatus,
-             CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 1.25
-                  ELSE o_totalprice END AS o_totalprice
-           FROM orders
-           UNION ALL
-           SELECT -o_orderkey, o_custkey, o_orderstatus, o_totalprice
-           FROM orders WHERE o_orderkey % 997 = 0 AND o_orderkey <> 0),
-         a AS (SELECT * FROM merged WHERE o_totalprice >= 1000.0)
-         SELECT 'insert' AS _change_type, o_orderkey, o_custkey,
-           o_orderstatus, o_totalprice
-         FROM a WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b)
-         UNION ALL
-         SELECT 'delete', o_orderkey, o_custkey, o_orderstatus, o_totalprice
-         FROM b WHERE o_orderkey NOT IN (SELECT o_orderkey FROM a)
-         UNION ALL
-         SELECT 'update_preimage', b.o_orderkey, b.o_custkey,
-           b.o_orderstatus, b.o_totalprice
-         FROM b JOIN a ON b.o_orderkey = a.o_orderkey
-         WHERE b.o_totalprice <> a.o_totalprice
-         UNION ALL
-         SELECT 'update_postimage', a.o_orderkey, a.o_custkey,
-           a.o_orderstatus, a.o_totalprice
-         FROM b JOIN a ON b.o_orderkey = a.o_orderkey
-         WHERE b.o_totalprice <> a.o_totalprice
-         ORDER BY _change_type, o_orderkey""")
+    "q116_change_feed" -> sqlCdcChanges,
+
+    "q120_sql_table_changes" -> sqlCdcChanges)
 }

@@ -28,6 +28,7 @@ import graft.sources.LakehouseTable
   *   OPTIMIZE t
   *   VACUUM t [RETAIN n VERSIONS]
   *   SELECT ... FROM t [VERSION AS OF n] ...
+  *   SELECT ... FROM TABLE_CHANGES(t, from, to) ...   -- needs rowKeys
   * }}}
   *
   * Two equivalent entry points run the SAME command objects:
@@ -56,10 +57,12 @@ object GraftSql {
 
   /** Register an EXISTING lakehouse table under a SQL name (the
     * `CREATE TABLE ... USING graft LOCATION` analog for tables created
-    * through the Scala API) and expose/refresh its temp view. */
+    * through the Scala API) and expose/refresh its temp view. `rowKeys`
+    * (row identity across rewrites, as in merge) enable the
+    * `TABLE_CHANGES(name, from, to)` read syntax. */
   def register(spark: SparkSession, name: String, root: String,
-      partitionBy: Seq[String] = Nil): Unit =
-    GraftCatalog.register(spark, name, root, partitionBy)
+      partitionBy: Seq[String] = Nil, rowKeys: Seq[String] = Nil): Unit =
+    GraftCatalog.register(spark, name, root, partitionBy, rowKeys)
 }
 
 /** name → (root, partitionBy) registry backing the SQL face. Process-wide
@@ -67,16 +70,17 @@ object GraftSql {
   * under the table's name is per-session, refreshed after every DML so
   * plain `SELECT ... FROM name` always reads the latest version. */
 object GraftCatalog {
-  final case class Entry(root: String, partitionBy: Seq[String])
+  final case class Entry(root: String, partitionBy: Seq[String],
+      rowKeys: Seq[String] = Nil)
   private val tables = TrieMap.empty[String, Entry]
 
   private def key(name: String): String = name.toLowerCase
 
   def register(spark: SparkSession, name: String, root: String,
-      partitionBy: Seq[String]): Unit = {
+      partitionBy: Seq[String], rowKeys: Seq[String] = Nil): Unit = {
     require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"graft SQL table names must be simple identifiers (temp-view rules): $name")
-    tables(key(name)) = Entry(root, partitionBy)
+    tables(key(name)) = Entry(root, partitionBy, rowKeys)
     refreshView(spark, name)
   }
 
@@ -250,22 +254,41 @@ object GraftSqlStatements {
   }
 
   private val TimeTravelRe = """(?i)\b([A-Za-z_][A-Za-z0-9_]*)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
+  private val TableChangesRe =
+    """(?i)\bTABLE_CHANGES\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*(\d+)\s*,\s*(\d+)\s*\)""".r
 
-  /** Rewrite `name VERSION AS OF n` over REGISTERED graft tables into a
-    * version-pinned temp view (registered here, at parse time — the one
-    * place that both has the session and sees the raw text). Unregistered
+  /** Rewrite the graft read sugar over REGISTERED tables into temp views
+    * (registered here, at parse time — the one place that both has the
+    * session and sees the raw text): `name VERSION AS OF n` → a
+    * version-pinned view; `TABLE_CHANGES(name, from, to)` → a change-feed
+    * view (requires the table registered with rowKeys). Unregistered
     * names pass through to the delegate parser untouched. */
-  def rewriteTimeTravel(spark: SparkSession, sqlText: String): String =
-    TimeTravelRe.replaceAllIn(sqlText, m => {
+  def rewriteTimeTravel(spark: SparkSession, sqlText: String): String = {
+    val q = scala.util.matching.Regex.quoteReplacement _
+    val afterTt = TimeTravelRe.replaceAllIn(sqlText, m => {
       val (name, v) = (m.group(1), m.group(2).toLong)
       GraftCatalog.lookup(name) match {
         case Some(e) =>
           val view = s"${name}__v$v"
           LakehouseTable.read(spark, e.root, Some(v)).createOrReplaceTempView(view)
-          scala.util.matching.Regex.quoteReplacement(view)
-        case None => scala.util.matching.Regex.quoteReplacement(m.matched)
+          q(view)
+        case None => q(m.matched)
       }
     })
+    TableChangesRe.replaceAllIn(afterTt, m => {
+      val (name, from, to) = (m.group(1), m.group(2).toLong, m.group(3).toLong)
+      GraftCatalog.lookup(name) match {
+        case Some(e) =>
+          require(e.rowKeys.nonEmpty,
+            s"TABLE_CHANGES($name, ...) needs the table registered with rowKeys")
+          val view = s"${name}__changes_${from}_$to"
+          LakehouseTable.changeFeed(spark, e.root, from, to, e.rowKeys)
+            .createOrReplaceTempView(view)
+          q(view)
+        case None => q(m.matched)
+      }
+    })
+  }
 }
 
 /** ParserInterface wrapper injected by [[graft.GraftExtensions]]: graft
