@@ -354,6 +354,27 @@ object Lakehouse {
     root
   }
 
+  /** Follower of [[ordersMergeRoot]] replicated through the change feed:
+    * seeded at the PRE-merge version 0, then caught up to v2 by ONE
+    * [[graft.sources.TableSync.applyChanges]] sync (upserts + deletes in
+    * one file-pruned commit). The builder asserts the feed-apply path ran
+    * (a seed from the final snapshot would trivially hash-match). */
+  private[graft] def ordersFollowerRoot(s: SparkSession, d: String): String = {
+    val srcRoot = ordersMergeRoot(s, d) // source built to v2
+    val dstRoot = TableCache.root(d, "orders", "follower:v1")
+    import graft.sources.TableSync
+    try {
+      if (LakehouseTable.versions(dstRoot).isEmpty)
+        TableSync.seed(s, srcRoot, dstRoot, Some(0L)) // start BEHIND
+      val (_, mode) = TableSync.applyChanges(s, srcRoot, dstRoot, Seq("o_orderkey"))
+      require(mode == TableSync.Mode.Applied || mode == TableSync.Mode.NoOp,
+        s"expected a change-feed apply (or an idempotent rerun), got $mode")
+    } catch {
+      case e if raceLost(e) => () // see lineitemZRoot
+    }
+    dstRoot
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Write → Z-ORDER → file-skip read → aggregate. readPruned keeps only
     // files whose footer-stat [min,max] range on l_orderkey overlaps the
@@ -551,6 +572,21 @@ object Lakehouse {
            ORDER BY _change_type, o_orderkey""")
     }),
 
+    // FOLLOWER TABLE under the gate: a replica seeded at the pre-merge
+    // version and caught up through the change feed (one mergeApply
+    // commit: upserts + deletes together) must equal the source's final
+    // state — the q103 twin gates replication correctness end to end.
+    "q121_follower_table" -> ((s, d) => {
+      val root = ordersFollowerRoot(s, d)
+      LakehouseTable.read(s, root)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // CDC-MAINTAINED materialized view under the gate: the source table
     // was merged (value×2 on a key slice) AND deleted from (a different
     // slice) after the last sync; the view advanced through signed
@@ -578,6 +614,32 @@ object Lakehouse {
           col("sum_value").cast("double").as("sum_value"))
         .orderBy(col("event_type"))
     }))
+
+  /** Shared twin of the orders projection AFTER the merge+delete pipeline
+    * (q103's final state — also reached by the SQL-face pipeline (q113)
+    * and the change-feed follower (q121)). */
+  private val sqlMergedOrdersAgg: String =
+    """WITH merged AS (
+         SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 1.25
+                ELSE o_totalprice END AS o_totalprice
+         FROM orders
+         UNION ALL
+         SELECT -o_orderkey, o_orderstatus, o_totalprice
+         FROM orders WHERE o_orderkey % 997 = 0 AND o_orderkey <> 0)
+       SELECT o_orderstatus, count(*) AS n,
+         CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+         min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+       FROM merged WHERE o_totalprice >= 1000.0
+       GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
+  /** Shared twin of the PLAIN orders projection (pre-merge state — q105
+    * time travel, q114 restore+vacuum, q117 SQL time travel). */
+  private val sqlOrdersAgg: String =
+    """SELECT o_orderstatus, count(*) AS n,
+         CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+         min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
   /** Shared CDC twin: net row changes of the merge+delete transition over
     * the full orders projection, classified with explicit joins. q116
@@ -625,26 +687,9 @@ object Lakehouse {
           WHERE l_orderkey BETWEEN 1000 AND 1999
           GROUP BY l_returnflag ORDER BY l_returnflag""",
 
-    "q103_lakehouse_merge" ->
-      """WITH merged AS (
-           SELECT o_orderkey, o_orderstatus,
-             CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 1.25
-                  ELSE o_totalprice END AS o_totalprice
-           FROM orders
-           UNION ALL
-           SELECT -o_orderkey, o_orderstatus, o_totalprice
-           FROM orders WHERE o_orderkey % 997 = 0 AND o_orderkey <> 0)
-         SELECT o_orderstatus, count(*) AS n,
-           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
-           min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
-         FROM merged WHERE o_totalprice >= 1000.0
-         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q103_lakehouse_merge" -> sqlMergedOrdersAgg,
 
-    "q105_time_travel" ->
-      """SELECT o_orderstatus, count(*) AS n,
-           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
-           min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
-         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q105_time_travel" -> sqlOrdersAgg,
 
     "q106_expectations" ->
       """SELECT event_type, count(*) AS n,
@@ -693,32 +738,13 @@ object Lakehouse {
             ${Exact.sqlMoneySum("value")} AS sum_value
           FROM src GROUP BY event_type ORDER BY event_type""",
 
-    "q113_sql_ddl_merge" ->
-      """WITH merged AS (
-           SELECT o_orderkey, o_orderstatus,
-             CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 1.25
-                  ELSE o_totalprice END AS o_totalprice
-           FROM orders
-           UNION ALL
-           SELECT -o_orderkey, o_orderstatus, o_totalprice
-           FROM orders WHERE o_orderkey % 997 = 0 AND o_orderkey <> 0)
-         SELECT o_orderstatus, count(*) AS n,
-           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
-           min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
-         FROM merged WHERE o_totalprice >= 1000.0
-         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q113_sql_ddl_merge" -> sqlMergedOrdersAgg,
 
-    "q117_sql_time_travel" ->
-      """SELECT o_orderstatus, count(*) AS n,
-           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
-           min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
-         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q117_sql_time_travel" -> sqlOrdersAgg,
 
-    "q114_restore_vacuum" ->
-      """SELECT o_orderstatus, count(*) AS n,
-           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
-           min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
-         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q114_restore_vacuum" -> sqlOrdersAgg,
+
+    "q121_follower_table" -> sqlMergedOrdersAgg,
 
     "q115_incremental_read" ->
       s"""SELECT count(*) AS n,

@@ -509,6 +509,20 @@ object LakehouseTable {
     * partitioning the same pruning applies before the scan.) */
   def merge(spark: SparkSession, root: String, updates: DataFrame,
       keys: Seq[String], partitionBy: Seq[String] = Nil,
+      txn: Option[Long] = None, txnApp: String = DefaultTxnApp): Long =
+    mergeApply(spark, root, updates, updates.limit(0), keys, partitionBy,
+      txn, txnApp)
+
+  /** [[merge]] generalized with DELETES (Delta's WHEN MATCHED THEN DELETE
+    * / APPLY CHANGES shape): rows with `deleteKeys` values are removed,
+    * `updates` rows upsert — in ONE file-pruned copy-on-write commit, so
+    * a CDC apply is atomic and txn-stampable (two commits would leave a
+    * crash window where deletes applied but upserts did not, or need the
+    * full-table rewrite deleteWhere does). Only files containing an
+    * upserted OR deleted key are rewritten. A key in both sets ends up
+    * with the update row (upsert wins — its post-image IS the net state). */
+  def mergeApply(spark: SparkSession, root: String, updates: DataFrame,
+      deleteKeys: DataFrame, keys: Seq[String], partitionBy: Seq[String] = Nil,
       txn: Option[Long] = None, txnApp: String = DefaultTxnApp): Long = {
     require(keys.nonEmpty, "merge requires at least one key column")
     val cur = currentVersion(root).getOrElse(
@@ -519,7 +533,9 @@ object LakehouseTable {
     // null-SAFE key match (<=>): a NULL key in updates must still replace
     // the existing NULL-key row, or repeated merges duplicate it forever
     val keyRows = updates
-      .select(keys.map(k => updates.col(k).as(s"__k_$k")): _*).distinct()
+      .select(keys.map(k => updates.col(k).as(s"__k_$k")): _*)
+      .union(deleteKeys.select(keys.map(k => deleteKeys.col(k).as(s"__k_$k")): _*))
+      .distinct()
     def keyCond(left: DataFrame) =
       keys.map(k => left(k) <=> keyRows(s"__k_$k")).reduce(_ && _)
     import org.apache.spark.sql.functions.input_file_name

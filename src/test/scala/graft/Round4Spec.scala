@@ -166,6 +166,41 @@ class Round4Spec extends AnyFunSuite {
       && expected > 0)
   }
 
+  test("mergeApply + TableSync replicate a table through its change feed") {
+    import graft.sources.TableSync
+    import spark.implicits._
+    val base = Files.createTempDirectory("tablesync").toString
+    val srcRoot = s"$base/src"; val dstRoot = s"$base/dst"
+    LakehouseTable.create(
+      (1L to 20L).map(i => (i, s"v$i")).toDF("id", "s"), srcRoot)
+    TableSync.seed(spark, srcRoot, dstRoot) // in-sync at v0
+    // three source transitions: append, merge (update + insert), delete
+    LakehouseTable.append((21L to 25L).map(i => (i, s"v$i")).toDF("id", "s"), srcRoot)
+    LakehouseTable.merge(spark, srcRoot,
+      Seq((1L, "updated"), (100L, "inserted")).toDF("id", "s"), Seq("id"))
+    LakehouseTable.deleteWhere(spark, srcRoot, "id BETWEEN 10 AND 15")
+    val (v, mode) = TableSync.applyChanges(spark, srcRoot, dstRoot, Seq("id"))
+    assert(mode == TableSync.Mode.Applied && v == 3L)
+    // follower == source, row for row
+    val srcRows = LakehouseTable.read(spark, srcRoot)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    val dstRows = LakehouseTable.read(spark, dstRoot)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(dstRows.sameElements(srcRows) && srcRows.length == 20)
+    assert(srcRows.contains((1L, "updated")) && srcRows.contains((100L, "inserted")))
+    // idempotent rerun
+    assert(TableSync.applyChanges(spark, srcRoot, dstRoot, Seq("id"))._2 ==
+      TableSync.Mode.NoOp)
+    // mergeApply: a key in BOTH sets ends up with the update row
+    LakehouseTable.mergeApply(spark, dstRoot,
+      updates = Seq((2L, "both")).toDF("id", "s"),
+      deleteKeys = Seq((2L, ""), (3L, "")).toDF("id", "s"),
+      keys = Seq("id"))
+    val after = LakehouseTable.read(spark, dstRoot).filter(col("id").isin(2L, 3L))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(after.toSeq == Seq((2L, "both")))
+  }
+
   test("q115: incremental read returns the appended slice, nothing else") {
     val root = operators.Lakehouse.eventsEvolvedRoot(spark, sf)
     val inc = LakehouseTable.readIncremental(spark, root, 0L, Some(1L))
