@@ -195,6 +195,17 @@ object LakehouseTable {
     readManifest(root, from).filterNot(after)
   }
 
+  /** Partition column names inferred from the current manifest's hive
+    * directory segments (`col=value/...`), in directory order — lets a
+    * registration of an existing table recover the layout its writes must
+    * keep. Empty for unpartitioned tables. */
+  def partitionColumns(root: String): Seq[String] =
+    currentVersion(root).toSeq.flatMap { v =>
+      readManifest(root, v).headOption.toSeq.flatMap(
+        _.split('/').dropRight(1).toSeq
+          .filter(_.contains('=')).map(_.split("=", 2)(0)))
+    }
+
   /** Replace the table's contents with `df` as a new version (Delta's
     * overwrite save mode): the new manifest lists only the new files; old
     * versions stay time-travelable until vacuum. */

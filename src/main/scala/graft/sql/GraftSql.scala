@@ -99,12 +99,25 @@ object GraftCatalog {
 // ---- command plans (LeafRunnableCommand: Spark executes run() on the
 // driver via its normal command-execution path) -----------------------------
 
-/** CREATE TABLE name USING graft ... AS query. */
+/** CREATE TABLE name USING graft ... AS query — or, with no AS clause,
+  * register an EXISTING table at LOCATION (Delta's external-table form). */
 case class CreateGraftTableCommand(name: String, root: String,
-    partitionBy: Seq[String], query: String) extends LeafRunnableCommand {
+    partitionBy: Seq[String], query: Option[String]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    LakehouseTable.create(spark.sql(query), root, partitionBy)
-    GraftCatalog.register(spark, name, root, partitionBy)
+    val effectivePartitionBy = query match {
+      case Some(q) =>
+        LakehouseTable.create(spark.sql(q), root, partitionBy)
+        partitionBy
+      case None =>
+        require(LakehouseTable.versions(root).nonEmpty,
+          s"CREATE TABLE $name USING graft LOCATION: no table at $root " +
+            "(add AS SELECT ... to create one)")
+        // recover the existing table's hive layout so later DML through
+        // this name keeps writing the same directory structure
+        if (partitionBy.nonEmpty) partitionBy
+        else LakehouseTable.partitionColumns(root)
+    }
+    GraftCatalog.register(spark, name, root, effectivePartitionBy)
     Seq.empty
   }
 }
@@ -194,7 +207,7 @@ case class VacuumGraftTableCommand(name: String, retainLast: Int)
 object GraftSqlStatements {
 
   private val CreateRe =
-    """(?is)^\s*CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+USING\s+graft\s*(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?(?:LOCATION\s+'([^']+)'\s*)?AS\s+(.*?)\s*;?\s*$""".r
+    """(?is)^\s*CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+USING\s+graft\s*(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?(?:LOCATION\s+'([^']+)'\s*)?(?:AS\s+(.*?))?\s*;?\s*$""".r
   private val InsertRe =
     """(?is)^\s*INSERT\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s+((?:SELECT|WITH|VALUES|FROM|TABLE)\b.*?)\s*;?\s*$""".r
   private val MergeRe =
@@ -235,7 +248,7 @@ object GraftSqlStatements {
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
       val root = Option(loc).getOrElse(
         graft.sources.TableCache.baseDir + s"/sql_${name.toLowerCase}")
-      Some(CreateGraftTableCommand(name, root, partitionBy, query))
+      Some(CreateGraftTableCommand(name, root, partitionBy, Option(query)))
     case InsertRe(name, query) if GraftCatalog.lookup(name).isDefined =>
       Some(InsertGraftTableCommand(name, query))
     case MergeRe(name, tAlias, source, sAlias, cond) if GraftCatalog.lookup(name).isDefined =>

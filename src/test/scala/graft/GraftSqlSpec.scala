@@ -86,6 +86,33 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(LakehouseTable.currentVersion(root).contains(1L))
   }
 
+  test("PARTITIONED BY create prunes partitions; LOCATION-only re-registers") {
+    val root = Files.createTempDirectory("graft_sql_part").toString + "/t"
+    graft.sources.Tables.registerAll(spark, sf)
+    spark.sql(s"""CREATE TABLE sqlspec_part USING graft
+      PARTITIONED BY (o_orderstatus) LOCATION '$root' AS
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders""")
+    // partition pruning reaches the plan through the published view
+    val q = spark.sql("SELECT count(*) AS n FROM sqlspec_part WHERE o_orderstatus = 'F'")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("o_orderstatus"))
+    val expected = spark.sql("SELECT count(*) FROM orders WHERE o_orderstatus = 'F'")
+      .head().getLong(0)
+    assert(q.head().getLong(0) == expected && expected > 0)
+    // INSERT through the SQL face keeps the hive layout (partitionBy from
+    // the registry, not re-specified)
+    val total = spark.sql("SELECT count(*) FROM orders").head().getLong(0)
+    spark.sql("""INSERT INTO sqlspec_part
+      SELECT o_orderkey + 1000000, o_totalprice, o_orderstatus FROM orders LIMIT 5""")
+    assert(n("sqlspec_part") == total + 5)
+    // LOCATION-only CREATE registers the EXISTING table under a new name,
+    // INFERRING the hive partitioning so later DML keeps the layout
+    spark.sql(s"CREATE TABLE sqlspec_part2 USING graft LOCATION '$root'")
+    assert(n("sqlspec_part2") == total + 5)
+    assert(graft.sql.GraftCatalog.lookup("sqlspec_part2")
+      .exists(_.partitionBy == Seq("o_orderstatus")))
+  }
+
   test("unregistered names are never intercepted (fail closed)") {
     // DELETE/MERGE/INSERT on unknown tables go to Spark's parser, whose
     // analyzer rejects them — proving the face can't shadow real tables
