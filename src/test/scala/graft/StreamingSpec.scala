@@ -188,6 +188,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == graft.sources.Tables.events(spark, sf).count())
   }
 
+  test("a change-feed follower tracks a streamed source through a rewrite") {
+    import graft.sources.{LakehouseTable, TableSync}
+    val base = Files.createTempDirectory("graft-follow")
+    val src = base.resolve("src").toString
+    val dst = base.resolve("dst").toString
+    // stream the corpus into the source table (effectively-once ingest)
+    val q = Streams.ingestInto(Streams.eventsStream(spark, streamDir), src,
+      base.resolve("ckpt").toString)
+    q.processAllAvailable(); q.stop()
+    assert(TableSync.applyChanges(spark, src, dst, Seq("event_id"))._2 ==
+      TableSync.Mode.Created)
+    // then the source gets REWRITTEN: merge doubles one slice's values,
+    // delete drops another — the follower must catch up via the feed
+    val ev = LakehouseTable.read(spark, src)
+    LakehouseTable.merge(spark, src,
+      ev.filter(col("event_id") % 5 === 0).withColumn("value", col("value") * 2),
+      Seq("event_id"))
+    LakehouseTable.deleteWhere(spark, src, "event_id % 3 = 0")
+    val (_, mode) = TableSync.applyChanges(spark, src, dst, Seq("event_id"))
+    assert(mode == TableSync.Mode.Applied)
+    val s = LakehouseTable.read(spark, src)
+    val d = LakehouseTable.read(spark, dst).select(s.columns.map(col).toSeq: _*)
+    assert(s.exceptAll(d).isEmpty && d.exceptAll(s).isEmpty)
+    assert(s.count() > 0 && s.filter(col("event_id") % 3 === 0).count() == 0)
+  }
+
   test("medallion ingest keeps the silver rollup equal to a bronze recompute") {
     val base = java.nio.file.Files.createTempDirectory("graft-medallion")
     val bronze = base.resolve("bronze").toString
