@@ -123,17 +123,22 @@ case class CreateGraftTableCommand(name: String, root: String,
 }
 
 /** INSERT INTO name query — append-only, by-name column resolution when the
-  * query's column names match the table's (else positional). */
+  * query's column names match the table's (else positional), and every
+  * column CAST to the table's type (SQL INSERT semantics — otherwise a
+  * `VALUES (100, 1.5)` literal appends int/decimal files into a
+  * bigint/double table and the union-schema read fails). */
 case class InsertGraftTableCommand(name: String, query: String)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val e = GraftCatalog.lookup(name).get
     val df = spark.sql(query)
     val target = LakehouseTable.read(spark, e.root)
-    val aligned =
+    val reordered =
       if (df.columns.sorted.sameElements(target.columns.sorted))
         df.select(target.columns.map(df(_)).toSeq: _*)
       else df.toDF(target.columns.toSeq: _*)
+    val aligned = reordered.select(target.schema.map(f =>
+      reordered(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
     LakehouseTable.append(aligned, e.root, e.partitionBy)
     GraftCatalog.refreshView(spark, name)
     Seq.empty

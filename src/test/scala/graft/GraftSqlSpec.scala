@@ -113,6 +113,34 @@ class GraftSqlSpec extends AnyFunSuite {
       .exists(_.partitionBy == Seq("o_orderstatus")))
   }
 
+  test("VALUES insert, unsupported MERGE shapes, and keyless TABLE_CHANGES") {
+    val root = Files.createTempDirectory("graft_sql_edge").toString + "/t"
+    graft.sources.Tables.registerAll(spark, sf)
+    spark.sql(s"""CREATE TABLE sqlspec_edge USING graft LOCATION '$root' AS
+      SELECT o_orderkey AS id, o_totalprice AS v FROM orders WHERE o_orderkey < 3""")
+    spark.sql("INSERT INTO sqlspec_edge VALUES (100, 1.5), (101, 2.5)")
+    assert(n("sqlspec_edge") == 5)
+    // MERGE ON with different column names on each side is a loud error,
+    // not a silent misparse
+    val e1 = intercept[IllegalArgumentException](spark.sql(
+      """MERGE INTO sqlspec_edge AS t USING (SELECT 1 AS a, 2.0 AS v) AS s
+         ON t.id = s.a
+         WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"""))
+    assert(e1.getMessage.contains("same-named"))
+    // TABLE_CHANGES on a table registered without rowKeys is a loud error
+    val e2 = intercept[IllegalArgumentException](spark.sql(
+      "SELECT * FROM TABLE_CHANGES(sqlspec_edge, 0, 1)"))
+    assert(e2.getMessage.contains("rowKeys"))
+  }
+
+  test("non-graft CREATE TABLE still delegates to Spark's catalog") {
+    spark.sql("DROP TABLE IF EXISTS plain_parquet_t")
+    spark.sql("CREATE TABLE plain_parquet_t USING parquet AS SELECT 1 AS x")
+    assert(spark.sql("SELECT count(*) AS n FROM plain_parquet_t")
+      .head().getLong(0) == 1)
+    spark.sql("DROP TABLE plain_parquet_t")
+  }
+
   test("unregistered names are never intercepted (fail closed)") {
     // DELETE/MERGE/INSERT on unknown tables go to Spark's parser, whose
     // analyzer rejects them — proving the face can't shadow real tables
