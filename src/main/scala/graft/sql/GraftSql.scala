@@ -22,6 +22,7 @@ import graft.sources.LakehouseTable
   *   CREATE TABLE t USING graft [PARTITIONED BY (c,...)] LOCATION 'p' AS SELECT ...
   *   INSERT INTO t SELECT ...
   *   MERGE INTO t [AS a] USING (SELECT ...) [AS b] ON a.k = b.k
+  *     [WHEN MATCHED AND cond THEN DELETE]
   *     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
   *   DELETE FROM t WHERE cond
   *   RESTORE TABLE t TO VERSION AS OF n
@@ -145,12 +146,28 @@ case class InsertGraftTableCommand(name: String, query: String)
   }
 }
 
-/** MERGE INTO name USING (source) ON keys — UPDATE SET * / INSERT *. */
+/** MERGE INTO name USING (source) ON keys — UPDATE SET * / INSERT *, with
+  * an optional `WHEN MATCHED AND cond THEN DELETE` clause: source rows
+  * matching `deleteCond` REMOVE their target rows, the rest upsert — in
+  * one atomic file-pruned [[LakehouseTable.mergeApply]] commit (the full
+  * CDC-apply statement). `deleteCond` is evaluated against the SOURCE
+  * row (qualify with the source alias or bare column names). */
 case class MergeGraftTableCommand(name: String, sourceQuery: String,
-    keys: Seq[String]) extends LeafRunnableCommand {
+    keys: Seq[String], deleteCond: Option[String] = None)
+    extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val e = GraftCatalog.lookup(name).get
-    LakehouseTable.merge(spark, e.root, spark.sql(sourceQuery), keys, e.partitionBy)
+    val src = spark.sql(sourceQuery)
+    deleteCond match {
+      case None =>
+        LakehouseTable.merge(spark, e.root, src, keys, e.partitionBy)
+      case Some(cond) =>
+        val del = org.apache.spark.sql.functions.expr(cond)
+        LakehouseTable.mergeApply(spark, e.root,
+          updates = src.filter(!del),
+          deleteKeys = src.filter(del),
+          keys = keys, partitionBy = e.partitionBy)
+    }
     GraftCatalog.refreshView(spark, name)
     Seq.empty
   }
@@ -216,7 +233,7 @@ object GraftSqlStatements {
   private val InsertRe =
     """(?is)^\s*INSERT\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s+((?:SELECT|WITH|VALUES|FROM|TABLE)\b.*?)\s*;?\s*$""".r
   private val MergeRe =
-    """(?is)^\s*MERGE\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+AS\s+(\w+))?\s+USING\s+\((.*)\)\s*(?:AS\s+(\w+)\s+)?ON\s+(.*?)\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*$""".r
+    """(?is)^\s*MERGE\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+AS\s+(\w+))?\s+USING\s+\((.*)\)\s*(?:AS\s+(\w+)\s+)?ON\s+(.*?)\s+(?:WHEN\s+MATCHED\s+AND\s+(.*?)\s+THEN\s+DELETE\s+)?WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*$""".r
   private val DeleteRe =
     """(?is)^\s*DELETE\s+FROM\s+([A-Za-z_][A-Za-z0-9_]*)\s+WHERE\s+(.*?)\s*;?\s*$""".r
   private val RestoreRe =
@@ -256,9 +273,15 @@ object GraftSqlStatements {
       Some(CreateGraftTableCommand(name, root, partitionBy, Option(query)))
     case InsertRe(name, query) if GraftCatalog.lookup(name).isDefined =>
       Some(InsertGraftTableCommand(name, query))
-    case MergeRe(name, tAlias, source, sAlias, cond) if GraftCatalog.lookup(name).isDefined =>
+    case MergeRe(name, tAlias, source, sAlias, cond, delCond) if GraftCatalog.lookup(name).isDefined =>
+      // the DELETE condition filters the SOURCE rows: strip the source
+      // alias qualifier so it evaluates against the bare source frame
+      val del = Option(delCond).map { c =>
+        Option(sAlias).fold(c)(a => c.replaceAll(
+          "(?i)\\b" + java.util.regex.Pattern.quote(a) + "\\s*\\.", ""))
+      }
       Some(MergeGraftTableCommand(name, source,
-        mergeKeys(cond, name, Option(tAlias), Option(sAlias))))
+        mergeKeys(cond, name, Option(tAlias), Option(sAlias)), del))
     case DeleteRe(name, cond) if GraftCatalog.lookup(name).isDefined =>
       Some(DeleteGraftTableCommand(name, cond))
     case RestoreRe(name, v) if GraftCatalog.lookup(name).isDefined =>

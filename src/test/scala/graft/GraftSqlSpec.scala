@@ -133,6 +133,33 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("rowKeys"))
   }
 
+  test("MERGE with WHEN MATCHED AND cond THEN DELETE applies CDC atomically") {
+    val root = Files.createTempDirectory("graft_sql_mergedel").toString + "/t"
+    graft.sources.Tables.registerAll(spark, sf)
+    spark.sql(s"""CREATE TABLE sqlspec_md USING graft LOCATION '$root' AS
+      SELECT o_orderkey AS id, o_totalprice AS v FROM orders WHERE o_orderkey < 10""")
+    // one statement: id<3 rows deleted, id in [3,10) doubled, id=50 inserted
+    spark.sql("""MERGE INTO sqlspec_md AS t USING (
+        SELECT o_orderkey AS id, o_totalprice * 2.0 AS v,
+               o_orderkey < 3 AS is_del
+        FROM orders WHERE o_orderkey < 10
+        UNION ALL
+        SELECT 50 AS id, 9.0 AS v, false AS is_del
+      ) AS s ON t.id = s.id
+      WHEN MATCHED AND s.is_del THEN DELETE
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    val rows = spark.sql("SELECT id FROM sqlspec_md ORDER BY id").collect()
+      .map(_.getLong(0))
+    assert(rows.toSeq == ((3L to 9L) :+ 50L))
+    // exactly ONE version was committed for the whole apply (atomic)
+    assert(graft.sources.LakehouseTable.versions(root) == Seq(0L, 1L))
+    val doubled = spark.sql(
+      """SELECT count(*) FROM sqlspec_md t JOIN orders o ON t.id = o.o_orderkey
+         WHERE t.v = 2.0 * o.o_totalprice""").head().getLong(0)
+    assert(doubled == 7)
+  }
+
   test("non-graft CREATE TABLE still delegates to Spark's catalog") {
     spark.sql("DROP TABLE IF EXISTS plain_parquet_t")
     spark.sql("CREATE TABLE plain_parquet_t USING parquet AS SELECT 1 AS x")
