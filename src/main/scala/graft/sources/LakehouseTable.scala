@@ -83,12 +83,16 @@ object LakehouseTable {
     * reading — a long-running stream does not scan its version history
     * every micro-batch. */
   def lastTxns(root: String): Map[String, Long] =
-    currentVersion(root).flatMap { v =>
-      TxnsRe.findFirstMatchIn(
-        Files.readString(manifestDir(root).resolve(s"$v.json")))
-        .map(m => TxnPairRe.findAllMatchIn(m.group(1))
-          .map(p => p.group(1) -> p.group(2).toLong).toMap)
-    }.getOrElse(Map.empty)
+    currentVersion(root).map(lastTxnsAt(root, _)).getOrElse(Map.empty)
+
+  /** The txn watermarks as recorded in version `v`'s manifest (history
+    * inspection — [[lastTxns]] is the live-version form). */
+  def lastTxnsAt(root: String, v: Long): Map[String, Long] =
+    TxnsRe.findFirstMatchIn(
+      Files.readString(manifestDir(root).resolve(s"$v.json")))
+      .map(m => TxnPairRe.findAllMatchIn(m.group(1))
+        .map(p => p.group(1) -> p.group(2).toLong).toMap)
+      .getOrElse(Map.empty)
 
   /** Last committed transaction id for one writer (see [[lastTxns]]). */
   def lastTxn(root: String, app: String = DefaultTxnApp): Option[Long] =

@@ -28,6 +28,8 @@ import graft.sources.LakehouseTable
   *   RESTORE TABLE t TO VERSION AS OF n
   *   OPTIMIZE t
   *   VACUUM t [RETAIN n VERSIONS]
+  *   DESCRIBE HISTORY t
+  *   DROP TABLE t          -- unregisters; data files stay (external)
   *   SELECT ... FROM t [VERSION AS OF n] ...
   *   SELECT ... FROM TABLE_CHANGES(t, from, to) ...   -- needs rowKeys
   * }}}
@@ -211,6 +213,36 @@ case class OptimizeGraftTableCommand(name: String) extends LeafRunnableCommand {
   }
 }
 
+/** DESCRIBE HISTORY name — one row per committed version: its file
+  * count and the writer txn watermarks recorded in its manifest. */
+case class DescribeHistoryGraftCommand(name: String) extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.{LongType, StringType}
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)(),
+      AttributeReference("n_files", LongType, nullable = false)(),
+      AttributeReference("txns", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val e = GraftCatalog.lookup(name).get
+    LakehouseTable.versions(e.root).map { v =>
+      Row(v, LakehouseTable.read(spark, e.root, Some(v)).inputFiles.length.toLong,
+        LakehouseTable.lastTxnsAt(e.root, v).toSeq.sorted
+          .map { case (a, t) => s"$a=$t" }.mkString(","))
+    }
+  }
+}
+
+/** DROP TABLE name — unregister from the graft catalog and drop the
+  * published view; data files stay on disk (external-table semantics —
+  * re-attach with CREATE TABLE ... USING graft LOCATION). */
+case class DropGraftTableCommand(name: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftCatalog.drop(name)
+    spark.catalog.dropTempView(name)
+    Seq.empty
+  }
+}
+
 /** VACUUM name [RETAIN n VERSIONS] — returns the deleted-file count. */
 case class VacuumGraftTableCommand(name: String, retainLast: Int)
     extends LeafRunnableCommand {
@@ -240,6 +272,10 @@ object GraftSqlStatements {
     """(?is)^\s*RESTORE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
   private val OptimizeRe =
     """(?is)^\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+  private val HistoryRe =
+    """(?is)^\s*DESCRIBE\s+HISTORY\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+  private val DropRe =
+    """(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""".r
   private val OnConjunctRe = """(?s)\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*""".r
@@ -288,6 +324,10 @@ object GraftSqlStatements {
       Some(RestoreGraftTableCommand(name, v.toLong))
     case OptimizeRe(name) if GraftCatalog.lookup(name).isDefined =>
       Some(OptimizeGraftTableCommand(name))
+    case HistoryRe(name) if GraftCatalog.lookup(name).isDefined =>
+      Some(DescribeHistoryGraftCommand(name))
+    case DropRe(name) if GraftCatalog.lookup(name).isDefined =>
+      Some(DropGraftTableCommand(name))
     case VacuumRe(name, retain) if GraftCatalog.lookup(name).isDefined =>
       Some(VacuumGraftTableCommand(name,
         Option(retain).map(_.toInt).getOrElse(1)))

@@ -160,6 +160,22 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(doubled == 7)
   }
 
+  test("DESCRIBE HISTORY lists versions; DROP TABLE unregisters only") {
+    val root = Files.createTempDirectory("graft_sql_hist").toString + "/t"
+    graft.sources.Tables.registerAll(spark, sf)
+    spark.sql(s"""CREATE TABLE sqlspec_h USING graft LOCATION '$root' AS
+      SELECT o_orderkey FROM orders WHERE o_orderkey < 5""")
+    spark.sql("INSERT INTO sqlspec_h SELECT o_orderkey FROM orders WHERE o_orderkey = 7")
+    val hist = spark.sql("DESCRIBE HISTORY sqlspec_h").collect()
+    assert(hist.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    assert(hist.map(_.getLong(1)).toSeq.forall(_ >= 1)) // n_files per version
+    spark.sql("DROP TABLE sqlspec_h")
+    assert(graft.sql.GraftCatalog.lookup("sqlspec_h").isEmpty)
+    // data survives the drop (external semantics): re-attach and read
+    spark.sql(s"CREATE TABLE sqlspec_h USING graft LOCATION '$root'")
+    assert(n("sqlspec_h") == 6)
+  }
+
   test("non-graft CREATE TABLE still delegates to Spark's catalog") {
     spark.sql("DROP TABLE IF EXISTS plain_parquet_t")
     spark.sql("CREATE TABLE plain_parquet_t USING parquet AS SELECT 1 AS x")
