@@ -375,6 +375,31 @@ object Lakehouse {
     dstRoot
   }
 
+  /** orders run through SQL UPDATE: create the full projection, then
+    * `UPDATE ... SET o_totalprice = o_totalprice * 0.5 WHERE
+    * o_orderstatus = 'F'` (0.5 is a power of two — the product is
+    * IEEE-identical in both engines). The rewrite is FILE-PRUNED: only
+    * files holding an 'F' row are rewritten. */
+  private[graft] def ordersUpdateRoot(s: SparkSession, d: String): String = {
+    val root = TableCache.root(d, "orders", "sql-update-half-F:v1")
+    val name = "orders_upd"
+    try {
+      Tables.registerAll(s, d)
+      if (LakehouseTable.versions(root).isEmpty)
+        graft.sql.GraftSql.sql(s,
+          s"""CREATE TABLE $name USING graft LOCATION '$root' AS
+              SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders""")
+      graft.sql.GraftSql.register(s, name, root)
+      if (LakehouseTable.currentVersion(root).contains(0L))
+        graft.sql.GraftSql.sql(s,
+          s"""UPDATE $name SET o_totalprice = o_totalprice * 0.5
+              WHERE o_orderstatus = 'F'""")
+    } catch {
+      case e if raceLost(e) => () // see lineitemZRoot
+    }
+    root
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Write → Z-ORDER → file-skip read → aggregate. readPruned keeps only
     // files whose footer-stat [min,max] range on l_orderkey overlaps the
@@ -587,6 +612,20 @@ object Lakehouse {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // SQL UPDATE under the gate: a file-pruned copy-on-write update
+    // through the SQL face must equal the oracle's CASE expression over
+    // the raw parquet — a wrong predicate, a SET evaluated on the
+    // post-update row, or a corrupted carry-over file all break the hash.
+    "q122_sql_update" -> ((s, d) => {
+      val root = ordersUpdateRoot(s, d)
+      graft.sql.GraftSql.register(s, "orders_upd", root)
+      graft.sql.GraftSql.sql(s,
+        """SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+             min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+           FROM orders_upd GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    }),
+
     // CDC-MAINTAINED materialized view under the gate: the source table
     // was merged (value×2 on a key slice) AND deleted from (a different
     // slice) after the last sync; the view advanced through signed
@@ -745,6 +784,17 @@ object Lakehouse {
     "q114_restore_vacuum" -> sqlOrdersAgg,
 
     "q121_follower_table" -> sqlMergedOrdersAgg,
+
+    "q122_sql_update" ->
+      """WITH u AS (
+           SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 0.5
+                  ELSE o_totalprice END AS o_totalprice
+           FROM orders)
+         SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+         FROM u GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "q115_incremental_read" ->
       s"""SELECT count(*) AS n,

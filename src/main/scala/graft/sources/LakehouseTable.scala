@@ -489,14 +489,63 @@ object LakehouseTable {
     commitClustered(root, cur, rewritten, zCols)
   }
 
-  /** Copy-on-write delete: new version = current rows NOT matching `where`. */
+  /** Relative manifest files of version `cur` that contain at least one
+    * row matching `cond` — the predicate-based twin of merge's key-based
+    * file pruning. O(matching files) rewrite follows, not O(table). */
+  private def filesMatching(spark: SparkSession, root: String, cur: Long,
+      cond: String): Set[String] = {
+    import org.apache.spark.sql.functions.input_file_name
+    read(spark, root, Some(cur)).withColumn("__file", input_file_name())
+      .filter(cond).select("__file").distinct().collect()
+      .map(r => toRel(root, r.getString(0))).toSet
+  }
+
+  /** Copy-on-write delete: new version = current rows NOT matching
+    * `where`. FILE-PRUNED: only files that contain a matching row are
+    * rewritten — every other file carries into the new manifest verbatim
+    * (same property as [[merge]]; a delete touching one day's rows
+    * rewrites that day's files, not the table). */
   def deleteWhere(spark: SparkSession, root: String, where: String,
       partitionBy: Seq[String] = Nil): Long = {
     val cur = currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no table at $root"))
     requirePartitioningMatches(root, cur, partitionBy, "deleteWhere")
-    val remaining = read(spark, root, Some(cur)).filter(s"NOT ($where)")
-    commit(root, cur + 1, writeFiles(remaining, root, partitionBy))
+    val touched = filesMatching(spark, root, cur, where)
+    if (touched.isEmpty) return cur // nothing matches — no-op, no commit
+    val untouched = readManifest(root, cur).filterNot(touched)
+    val remaining = readFiles(spark, root, touched.toSeq).filter(s"NOT ($where)")
+    commit(root, cur + 1, untouched ++ writeFiles(remaining, root, partitionBy))
+  }
+
+  /** Copy-on-write UPDATE: rows matching `where` get each column in
+    * `set` replaced by its expression (evaluated on the OLD row, SQL
+    * UPDATE semantics); everything else is untouched. File-pruned like
+    * [[deleteWhere]]. */
+  def updateWhere(spark: SparkSession, root: String,
+      set: Seq[(String, String)], where: String,
+      partitionBy: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{col, expr, when}
+    require(set.nonEmpty, "updateWhere requires at least one SET column")
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no table at $root"))
+    requirePartitioningMatches(root, cur, partitionBy, "updateWhere")
+    val touched = filesMatching(spark, root, cur, where)
+    if (touched.isEmpty) return cur
+    val untouched = readManifest(root, cur).filterNot(touched)
+    val base = readFiles(spark, root, touched.toSeq)
+    val cond = expr(where)
+    // all SET expressions evaluate against the PRE-update row: build every
+    // new column from `base` before attaching any (no withColumn chain,
+    // which would let one SET read another's result)
+    val bySet = set.toMap
+    val rewritten = base.select(base.columns.toSeq.map { c =>
+      bySet.get(c) match {
+        case Some(ex) =>
+          when(cond, expr(ex).cast(base.schema(c).dataType)).otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }: _*)
+    commit(root, cur + 1, untouched ++ writeFiles(rewritten, root, partitionBy))
   }
 
   /** Read a specific file subset of the table (rel paths from a manifest). */

@@ -24,6 +24,7 @@ import graft.sources.LakehouseTable
   *   MERGE INTO t [AS a] USING (SELECT ...) [AS b] ON a.k = b.k
   *     [WHEN MATCHED AND cond THEN DELETE]
   *     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+  *   UPDATE t SET col = expr [, ...] WHERE cond
   *   DELETE FROM t WHERE cond
   *   RESTORE TABLE t TO VERSION AS OF n
   *   OPTIMIZE t
@@ -175,6 +176,18 @@ case class MergeGraftTableCommand(name: String, sourceQuery: String,
   }
 }
 
+/** UPDATE name SET col = expr, ... WHERE cond — file-pruned copy-on-write,
+  * every SET expression evaluated against the pre-update row. */
+case class UpdateGraftTableCommand(name: String, set: Seq[(String, String)],
+    where: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val e = GraftCatalog.lookup(name).get
+    LakehouseTable.updateWhere(spark, e.root, set, where, e.partitionBy)
+    GraftCatalog.refreshView(spark, name)
+    Seq.empty
+  }
+}
+
 /** DELETE FROM name WHERE cond (copy-on-write). */
 case class DeleteGraftTableCommand(name: String, where: String)
     extends LeafRunnableCommand {
@@ -268,6 +281,31 @@ object GraftSqlStatements {
     """(?is)^\s*MERGE\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+AS\s+(\w+))?\s+USING\s+\((.*)\)\s*(?:AS\s+(\w+)\s+)?ON\s+(.*?)\s+(?:WHEN\s+MATCHED\s+AND\s+(.*?)\s+THEN\s+DELETE\s+)?WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*$""".r
   private val DeleteRe =
     """(?is)^\s*DELETE\s+FROM\s+([A-Za-z_][A-Za-z0-9_]*)\s+WHERE\s+(.*?)\s*;?\s*$""".r
+  private val UpdateRe =
+    """(?is)^\s*UPDATE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+(.*?)\s+WHERE\s+(.*?)\s*;?\s*$""".r
+  private val SetItemRe = """(?s)\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.*?)\s*$""".r
+
+  /** Split a SET list on top-level commas only (an expression like
+    * `f(x, y)` must stay whole). */
+  private def splitSetList(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var start = 0
+    s.zipWithIndex.foreach {
+      case ('(', _) => depth += 1
+      case (')', _) => depth -= 1
+      case (',', i) if depth == 0 => out += s.substring(start, i); start = i + 1
+      case _ => ()
+    }
+    out += s.substring(start)
+    out.result()
+  }
+
+  private def parseSetList(s: String): Seq[(String, String)] =
+    splitSetList(s).map {
+      case SetItemRe(c, ex) => c -> ex
+      case other => throw new IllegalArgumentException(
+        s"unsupported UPDATE SET item (need col = expr): $other")
+    }
   private val RestoreRe =
     """(?is)^\s*RESTORE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
   private val OptimizeRe =
@@ -320,6 +358,8 @@ object GraftSqlStatements {
         mergeKeys(cond, name, Option(tAlias), Option(sAlias)), del))
     case DeleteRe(name, cond) if GraftCatalog.lookup(name).isDefined =>
       Some(DeleteGraftTableCommand(name, cond))
+    case UpdateRe(name, setList, cond) if GraftCatalog.lookup(name).isDefined =>
+      Some(UpdateGraftTableCommand(name, parseSetList(setList), cond))
     case RestoreRe(name, v) if GraftCatalog.lookup(name).isDefined =>
       Some(RestoreGraftTableCommand(name, v.toLong))
     case OptimizeRe(name) if GraftCatalog.lookup(name).isDefined =>

@@ -201,6 +201,40 @@ class Round4Spec extends AnyFunSuite {
     assert(after.toSeq == Seq((2L, "both")))
   }
 
+  test("updateWhere and deleteWhere rewrite only files containing matches") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("cow_prune").toString + "/t"
+    // 4 files, keys co-located: predicate on one key touches ONE file
+    LakehouseTable.create(
+      (0L until 400L).map(i => (i, i % 4, 1.0)).toDF("id", "grp", "v")
+        .repartitionByRange(4, col("grp")), root)
+    val v0Files = LakehouseTable.read(spark, root).inputFiles.toSet
+    assert(v0Files.size == 4)
+    LakehouseTable.updateWhere(spark, root, Seq("v" -> "v * 2.0"), "grp = 1")
+    val v1Files = LakehouseTable.read(spark, root).inputFiles.toSet
+    assert((v0Files intersect v1Files).size == 3, "update rewrote untouched files")
+    val t1 = LakehouseTable.read(spark, root)
+    assert(t1.filter(col("grp") === 1 && col("v") =!= 2.0).count() == 0)
+    assert(t1.filter(col("grp") =!= 1 && col("v") =!= 1.0).count() == 0)
+    LakehouseTable.deleteWhere(spark, root, "grp = 2")
+    val v2Files = LakehouseTable.read(spark, root).inputFiles.toSet
+    assert((v1Files intersect v2Files).size == 3, "delete rewrote untouched files")
+    assert(LakehouseTable.read(spark, root).count() == 300)
+    // no-match predicates are version-less no-ops
+    val cur = LakehouseTable.currentVersion(root)
+    LakehouseTable.deleteWhere(spark, root, "grp = 99")
+    LakehouseTable.updateWhere(spark, root, Seq("v" -> "0.0"), "grp = 99")
+    assert(LakehouseTable.currentVersion(root) == cur)
+    // SET expressions see the PRE-update row (swap is not sequential)
+    LakehouseTable.updateWhere(spark, root,
+      Seq("id" -> "grp", "grp" -> "id"), "grp = 3")
+    val swapped = LakehouseTable.read(spark, root).filter(col("id") === 3)
+    // sequential SET evaluation would assign grp the NEW id (3) everywhere;
+    // pre-update semantics keep the original ids, whose max is 399
+    assert(swapped.count() == 100 &&
+      swapped.agg(max(col("grp"))).head().getLong(0) == 399L)
+  }
+
   test("q115: incremental read returns the appended slice, nothing else") {
     val root = operators.Lakehouse.eventsEvolvedRoot(spark, sf)
     val inc = LakehouseTable.readIncremental(spark, root, 0L, Some(1L))
