@@ -258,6 +258,30 @@ object Pipelines {
           min(col("quality")).as("min_quality"),
           max(col("quality")).as("max_quality"))
         .orderBy(col("lang"))
+    }),
+
+    // Deterministic train/val/test split (90/5/5): bucket = first 8 md5
+    // hex digits of the doc id mod 100 (the proven cross-engine hash
+    // construct, see q57's sampling note). A pure function of the id —
+    // stable under reruns, re-partitioning, and table growth, unlike
+    // randomSplit — so eval rows can never leak into train between
+    // pipeline runs. At 100 TB the split is a map-side derived column
+    // (codegen'd md5) with a 3-group partial-aggregated audit; no
+    // shuffle carries the corpus.
+    "q125_hash_split" -> ((s, d) => {
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+      Tables.documents(s, d)
+        .withColumn("split",
+          when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(size(graft.plans.TextExpressions.tokens(col("text"))).cast("long"))
+            .as("sum_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("split"))
     }))
 
   private val toksSql = T.sqlToks
@@ -418,5 +442,20 @@ object Pipelines {
           FROM docs
           WHERE quality >= 0.55
             AND NOT EXISTS (SELECT 1 FROM losers WHERE losers.doc_id = docs.doc_id)
-          GROUP BY lang ORDER BY lang""")
+          GROUP BY lang ORDER BY lang""",
+
+    "q125_hash_split" ->
+      s"""SELECT split, count(*) AS n_docs,
+            CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+            CAST(sum(len($toksSql)) AS BIGINT) AS sum_tokens,
+            count(DISTINCT lang) AS n_langs,
+            count(DISTINCT source) AS n_sources
+          FROM (SELECT *,
+                  CASE WHEN b < 90 THEN 'train'
+                       WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+                FROM (SELECT *,
+                        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                          % 100 AS b
+                      FROM documents))
+          GROUP BY split ORDER BY split""")
 }

@@ -201,6 +201,79 @@ object TextAnalysis {
         .groupBy(col("lang"), col("pred"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("pred"))
+    }),
+
+    // RAG chunking: fixed-size token windows with overlap (window 8,
+    // stride 4) — the preprocessing step between a raw corpus and the
+    // embedding index the reference retrieves from (its index rows ARE
+    // chunks; /root/reference/app/vector_search.py:29-33 returns
+    // `content` snippets, not whole documents). Pure map-side fan-out
+    // (sequence → posexplode → slice, all codegen'd): no shuffle, at most
+    // ceil(n/stride) chunks per doc; the orderBy exists only for the
+    // deterministic gate dump — a production write would keep the scan's
+    // partitioning.
+    "q123_chunk_overlap" -> ((s, d) => {
+      val (win, stride) = (8, 4)
+      Tables.documents(s, d)
+        .select(col("doc_id"), graft.plans.TextExpressions.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"), col("toks"),
+          posexplode(sequence(lit(0), size(col("toks")) - 1, lit(stride))))
+        .select(col("doc_id"),
+          col("pos").cast("long").as("chunk_id"),
+          col("col").cast("long").as("chunk_start"),
+          slice(col("toks"), col("col") + 1, lit(win)).as("chunk_toks"))
+        .select(col("doc_id"), col("chunk_id"), col("chunk_start"),
+          size(col("chunk_toks")).cast("long").as("n_tokens"),
+          array_join(col("chunk_toks"), " ").as("chunk"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // BM25 lexical retrieval (k1=1.2, b=0.75) for a fixed 3-term query —
+    // completes the retrieval family (exact cosine q36, IVF q37/q104,
+    // MinHash-LSH q32, RRF hybrid q64) with the lexical scorer every RAG
+    // stack pairs with ANN. The query mixes one rare term ('dup', df≈5%)
+    // with two common ones, so idf separation is visible in the top-k.
+    // Numeric parity: idf keeps the BM25 RATIO without ln() (the q65
+    // note: transcendental libm results differ across engines in the last
+    // ulp; the ratio is one integer-derived division), and the three
+    // per-term contributions land in fixed pivot columns summed by one
+    // fixed expression tree — never an order-dependent double SUM.
+    // Shape at scale: word-count shuffle on (doc, term) for tf — the
+    // filter on the query terms is BEFORE the aggregation, so the
+    // exchange carries only matching postings — a 3-row df frame
+    // broadcast back, one TakeOrderedAndProject top-k. The corpus-stat
+    // scalars (N, avgdl) are one tiny pre-aggregate, the same dim-side
+    // count q65 uses.
+    "q124_bm25" -> ((s, d) => {
+      val terms = Seq("dup", "scan", "table")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), graft.plans.TextExpressions.tokens(col("text")).as("toks"))
+      val nDocs = docs.count()
+      val sumDl = docs.agg(sum(size(col("toks")).cast("long"))).first.getLong(0)
+      val avgdl = lit(sumDl.toDouble / nDocs.toDouble)
+      val tf = docs
+        .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
+          explode(col("toks")).as("term"))
+        .filter(col("term").isin(terms.map(lit): _*))
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val dfr = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+      val contrib = tf.join(broadcast(dfr), "term")
+        .select(col("doc_id"), col("term"),
+          ((((lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+            * (col("tf") * lit(2.2)))
+            / (col("tf") + lit(1.2) * (lit(0.25) + (lit(0.75) * col("dl")) / avgdl)))
+            .as("c"))
+      def pick(t: String) =
+        coalesce(max(when(col("term") === t, col("c"))), lit(0.0))
+      contrib.groupBy(col("doc_id"))
+        .agg(pick("dup").as("c_dup"), pick("scan").as("c_scan"),
+          pick("table").as("c_table"))
+        .select(col("doc_id"),
+          (col("c_dup") + col("c_scan") + col("c_table")).as("score"))
+        .orderBy(desc("score"), col("doc_id"))
+        .limit(20)
     }))
 
   private val toksSql = T.sqlToks
@@ -311,5 +384,38 @@ object TextAnalysis {
                 len(list_filter($toksSql, t -> t IN ('table','part','line'))) AS c_es,
                 len(list_filter($toksSql, t -> t IN ('order','group','window'))) AS c_de
               FROM documents))
-          GROUP BY lang, pred ORDER BY lang, pred""")
+          GROUP BY lang, pred ORDER BY lang, pred""",
+
+    "q123_chunk_overlap" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents
+                     WHERE len($toksSql) > 0),
+          g AS (SELECT doc_id, toks,
+                  unnest(generate_series(0, CAST(len(toks) AS BIGINT) - 1, 4)) AS st
+                FROM t)
+          SELECT doc_id, CAST(st // 4 AS BIGINT) AS chunk_id,
+            CAST(st AS BIGINT) AS chunk_start,
+            CAST(len(list_slice(toks, st + 1, st + 8)) AS BIGINT) AS n_tokens,
+            array_to_string(list_slice(toks, st + 1, st + 8), ' ') AS chunk
+          FROM g ORDER BY doc_id, chunk_id""",
+
+    "q124_bm25" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(len(toks)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+                 FROM t),
+          tf AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, term,
+                   CAST(count(*) AS DOUBLE) AS tf
+                 FROM (SELECT doc_id, toks, unnest(toks) AS term FROM t)
+                 WHERE term IN ('dup','scan','table')
+                 GROUP BY 1, 2, 3),
+          dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+          c AS (SELECT doc_id, term,
+                  ((((n - df + 0.5) / (df + 0.5)) * (tf * 2.2))
+                    / (tf + 1.2 * (0.25 + (0.75 * dl) / avgdl))) AS c
+                FROM tf JOIN dfreq USING (term), st)
+          SELECT doc_id,
+            coalesce(max(CASE WHEN term = 'dup' THEN c END), 0.0)
+              + coalesce(max(CASE WHEN term = 'scan' THEN c END), 0.0)
+              + coalesce(max(CASE WHEN term = 'table' THEN c END), 0.0) AS score
+          FROM c GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""")
 }

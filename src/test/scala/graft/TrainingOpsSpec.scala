@@ -125,4 +125,73 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(perSource.max <= 2 * minN && perSource.min >= minN / 4,
       s"rebalance out of range: ${perSource.toSeq} vs target $minN")
   }
+
+  test("q123 chunks tile every document: stride-4 starts, window-8 slices, no token lost") {
+    import org.apache.spark.sql.functions._
+    val chunks = SparkEntry.queries("q123_chunk_overlap")(spark, sf).collect()
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.plans.TextExpressions.tokens(col("text")).as("toks"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[scala.collection.Seq[String]]("toks")).toMap
+    val byDoc = chunks.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet == toks.filter(_._2.nonEmpty).keySet)
+    byDoc.foreach { case (id, cs) =>
+      val t = toks(id)
+      // chunk_id dense from 0, start = 4*chunk_id, covers all starts < n
+      val sorted = cs.sortBy(_.getAs[Long]("chunk_id"))
+      assert(sorted.map(_.getAs[Long]("chunk_id")).toSeq ==
+        (0L until ((t.size + 3) / 4).toLong))
+      sorted.foreach { c =>
+        val st = c.getAs[Long]("chunk_start").toInt
+        assert(st == 4 * c.getAs[Long]("chunk_id").toInt)
+        val want = t.slice(st, st + 8)
+        assert(c.getAs[String]("chunk") == want.mkString(" "))
+        assert(c.getAs[Long]("n_tokens") == want.size)
+      }
+      // every token position is covered by at least one chunk
+      val covered = sorted.flatMap { c =>
+        val st = c.getAs[Long]("chunk_start").toInt
+        st until math.min(st + 8, t.size)
+      }.toSet
+      assert(covered == t.indices.toSet, s"doc $id: uncovered positions")
+    }
+  }
+
+  test("q124 BM25 favors the rare term and scores only term-matching docs") {
+    import org.apache.spark.sql.functions._
+    val top = SparkEntry.queries("q124_bm25")(spark, sf).collect()
+    assert(top.length == 20)
+    val scores = top.map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score"))
+    // descending, positive, tie-broken by doc_id
+    scores.sliding(2).foreach { case Array((i1, s1), (i2, s2)) =>
+      assert(s1 > s2 || (s1 == s2 && i1 < i2))
+    }
+    assert(scores.forall(_._2 > 0.0))
+    // 'dup' is ~5% df vs ~80% for scan/table: every doc containing 'dup'
+    // must outrank every doc with only common terms (idf separation)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.plans.TextExpressions.tokens(col("text")).as("toks"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[scala.collection.Seq[String]]("toks").toSet).toMap
+    val topIds = scores.map(_._1)
+    val dupDocs = docs.filter(_._2.contains("dup")).keySet
+    val nDupInTop = topIds.count(dupDocs)
+    assert(nDupInTop == math.min(20, dupDocs.size),
+      s"rare-term docs missing from top-k: $nDupInTop of ${dupDocs.size}")
+  }
+
+  test("q125 split is deterministic, complete, and near the 90/5/5 target") {
+    val rows = SparkEntry.queries("q125_hash_split")(spark, sf).collect()
+      .map(r => r.getAs[String]("split") -> r.getAs[Long]("n_docs")).toMap
+    val total = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.values.sum == total, "splits must partition the corpus")
+    assert(rows.keySet == Set("train", "val", "test"))
+    // md5 buckets are uniform; 500 docs → generous binomial bounds
+    assert(rows("train") > total * 8 / 10 && rows("train") < total * 95 / 100)
+    assert(rows("val") > 0 && rows("test") > 0)
+    // rerun is bit-identical (pure function of doc_id)
+    val again = SparkEntry.queries("q125_hash_split")(spark, sf).collect()
+      .map(r => r.getAs[String]("split") -> r.getAs[Long]("n_docs")).toMap
+    assert(again == rows)
+  }
 }
