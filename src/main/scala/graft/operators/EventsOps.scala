@@ -379,6 +379,34 @@ object EventsOps {
           col("purchase").as("n_purchase"), col("signup").as("n_signup"),
           col("view").as("n_view"))
         .orderBy(col("day"))
+    }),
+
+    // EWMA smoothing (α = 1/2, 32-tap) of each user's value series — the
+    // classic streaming-feature shape (load smoothing, engagement decay).
+    // Numeric parity: α = 1/2 makes every weight a POWER OF TWO, so the
+    // weighted sum is exact integer arithmetic (4096-scaled values,
+    // shift-left weights, BIGINT sum < 2^53) in both engines — a double
+    // pow() chain would drift in the last ulp and a fractional α has no
+    // exact representation. Frame order inside collect_list is the window
+    // order (total: ts, event_id). Shape at scale: ONE shuffle on
+    // user_id, one ordered frame pass per partition — the 32-row frame
+    // bounds both state and the per-row array; the user_id filter is
+    // pushed below the window (partition-key predicate), so only the
+    // dumped users are even computed.
+    "q126_ewma" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-31, 0)
+      Tables.events(s, d)
+        .withColumn("frame", collect_list(col("value")).over(w))
+        .filter(col("user_id") < 50)
+        .select(col("user_id"), col("event_id"), col("value"),
+          expr("""cast(aggregate(
+                    transform(frame, (x, i) ->
+                      shiftleft(cast(floor(x * 4096) as bigint), i)),
+                    cast(0 as bigint), (a, b) -> a + b) as double)
+                  / cast(shiftleft(cast(1 as bigint), size(frame)) - 1 as double)
+                  / 4096.0D""").as("ewma"))
+        .orderBy(col("user_id"), col("event_id"))
     }))
 
   def oracle: Map[String, String] = Map(
@@ -581,5 +609,18 @@ object EventsOps {
          count(*) FILTER (event_type = 'purchase') AS n_purchase,
          count(*) FILTER (event_type = 'signup') AS n_signup,
          count(*) FILTER (event_type = 'view') AS n_view
-         FROM events GROUP BY 1 ORDER BY day""")
+         FROM events GROUP BY 1 ORDER BY day""",
+
+    "q126_ewma" ->
+      """WITH f AS (
+           SELECT user_id, event_id, value,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 31 PRECEDING AND CURRENT ROW) AS frame
+           FROM events)
+         SELECT user_id, event_id, value,
+           CAST(list_sum(list_transform(generate_series(1, len(frame)),
+               i -> (CAST(floor(frame[i] * 4096) AS BIGINT) << (i - 1)))) AS DOUBLE)
+             / CAST((CAST(1 AS BIGINT) << len(frame)) - 1 AS DOUBLE)
+             / 4096.0 AS ewma
+         FROM f WHERE user_id < 50 ORDER BY user_id, event_id""")
 }
