@@ -210,17 +210,26 @@ case class RestoreGraftTableCommand(name: String, version: Long)
   }
 }
 
-/** OPTIMIZE name — size-aware small-file compaction (Delta's OPTIMIZE
-  * shape: only files under the small-size threshold are rewritten,
-  * bin-packed; healthy files keep their manifest entries). Returns the
+/** OPTIMIZE name [ZORDER BY (c1, c2, …)] — without ZORDER: size-aware
+  * small-file compaction (Delta's OPTIMIZE shape: only files under the
+  * small-size threshold are rewritten, bin-packed; healthy files keep
+  * their manifest entries). With ZORDER: rewrite the snapshot clustered
+  * by the space-filling curve over the named columns (single column →
+  * plain range clustering), so footer-stat file skipping prunes on every
+  * listed dimension — the SQL face of the q102 layout path. Returns the
   * table version afterwards (unchanged when nothing needed compacting). */
-case class OptimizeGraftTableCommand(name: String) extends LeafRunnableCommand {
+case class OptimizeGraftTableCommand(name: String, zCols: Seq[String])
+    extends LeafRunnableCommand {
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
     Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
       "version", org.apache.spark.sql.types.LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val e = GraftCatalog.lookup(name).get
-    val v = LakehouseTable.compactSmall(spark, e.root, partitionBy = e.partitionBy)
+    val v = zCols match {
+      case Nil => LakehouseTable.compactSmall(spark, e.root, partitionBy = e.partitionBy)
+      case Seq(one) => LakehouseTable.cluster(spark, e.root, Seq(one))
+      case many => LakehouseTable.zorderCluster(spark, e.root, many)
+    }
     GraftCatalog.refreshView(spark, name)
     Seq(Row(v))
   }
@@ -309,7 +318,7 @@ object GraftSqlStatements {
   private val RestoreRe =
     """(?is)^\s*RESTORE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
   private val OptimizeRe =
-    """(?is)^\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+    """(?is)^\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""".r
   private val HistoryRe =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
   private val DropRe =
@@ -362,8 +371,9 @@ object GraftSqlStatements {
       Some(UpdateGraftTableCommand(name, parseSetList(setList), cond))
     case RestoreRe(name, v) if GraftCatalog.lookup(name).isDefined =>
       Some(RestoreGraftTableCommand(name, v.toLong))
-    case OptimizeRe(name) if GraftCatalog.lookup(name).isDefined =>
-      Some(OptimizeGraftTableCommand(name))
+    case OptimizeRe(name, zcols) if GraftCatalog.lookup(name).isDefined =>
+      Some(OptimizeGraftTableCommand(name,
+        Option(zcols).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)))
     case HistoryRe(name) if GraftCatalog.lookup(name).isDefined =>
       Some(DescribeHistoryGraftCommand(name))
     case DropRe(name) if GraftCatalog.lookup(name).isDefined =>

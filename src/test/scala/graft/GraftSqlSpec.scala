@@ -176,6 +176,34 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(n("sqlspec_h") == 6)
   }
 
+  test("OPTIMIZE ZORDER BY clusters so footer stats prune on BOTH dimensions") {
+    val root = Files.createTempDirectory("graft_sql_z").toString + "/t"
+    graft.sources.Tables.registerAll(spark, sf)
+    spark.sql(s"""CREATE TABLE sqlspec_z USING graft LOCATION '$root' AS
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders""")
+    val total = n("sqlspec_z")
+    val vZ = spark.sql("OPTIMIZE sqlspec_z ZORDER BY (o_orderkey, o_custkey)")
+      .head().getLong(0)
+    assert(vZ == LakehouseTable.versions(root).last)
+    assert(n("sqlspec_z") == total) // layout-only rewrite
+    // z-order keeps file ranges narrow in EVERY clustered dimension: a
+    // selective predicate on EITHER column must skip files via the
+    // footer stats (8 z-files; a lexicographic sort would prune only
+    // the leading column)
+    val allFiles = LakehouseTable.read(spark, root).inputFiles.length
+    assert(allFiles >= 4, s"expected multiple z-files, got $allFiles")
+    for (c <- Seq("o_orderkey", "o_custkey")) {
+      val kept = LakehouseTable.readPruned(spark, root, c, 0.0, 10.0)
+        .inputFiles.length
+      assert(kept < allFiles, s"no file skipped on $c: $kept of $allFiles")
+    }
+    // single column degrades to plain range clustering, same SQL verb
+    val v1 = spark.sql("OPTIMIZE sqlspec_z ZORDER BY (o_totalprice)")
+      .head().getLong(0)
+    assert(v1 == vZ + 1 && n("sqlspec_z") == total)
+    spark.sql("DROP TABLE sqlspec_z")
+  }
+
   test("non-graft CREATE TABLE still delegates to Spark's catalog") {
     spark.sql("DROP TABLE IF EXISTS plain_parquet_t")
     spark.sql("CREATE TABLE plain_parquet_t USING parquet AS SELECT 1 AS x")
