@@ -21,13 +21,14 @@ import graft.sources.LakehouseTable
   * {{{
   *   CREATE TABLE t USING graft [PARTITIONED BY (c,...)] LOCATION 'p' AS SELECT ...
   *   INSERT INTO t SELECT ...
+  *   INSERT OVERWRITE t SELECT ...   -- snapshot replace, one commit
   *   MERGE INTO t [AS a] USING (SELECT ...) [AS b] ON a.k = b.k
   *     [WHEN MATCHED AND cond THEN DELETE]
   *     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
   *   UPDATE t SET col = expr [, ...] WHERE cond
   *   DELETE FROM t WHERE cond
   *   RESTORE TABLE t TO VERSION AS OF n
-  *   OPTIMIZE t
+  *   OPTIMIZE t [ZORDER BY (c1, c2, ...)]
   *   VACUUM t [RETAIN n VERSIONS]
   *   DESCRIBE HISTORY t
   *   DROP TABLE t          -- unregisters; data files stay (external)
@@ -131,8 +132,8 @@ case class CreateGraftTableCommand(name: String, root: String,
   * column CAST to the table's type (SQL INSERT semantics — otherwise a
   * `VALUES (100, 1.5)` literal appends int/decimal files into a
   * bigint/double table and the union-schema read fails). */
-case class InsertGraftTableCommand(name: String, query: String)
-    extends LeafRunnableCommand {
+case class InsertGraftTableCommand(name: String, query: String,
+    overwrite: Boolean = false) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val e = GraftCatalog.lookup(name).get
     val df = spark.sql(query)
@@ -143,7 +144,8 @@ case class InsertGraftTableCommand(name: String, query: String)
       else df.toDF(target.columns.toSeq: _*)
     val aligned = reordered.select(target.schema.map(f =>
       reordered(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
-    LakehouseTable.append(aligned, e.root, e.partitionBy)
+    if (overwrite) LakehouseTable.overwrite(aligned, e.root, e.partitionBy)
+    else LakehouseTable.append(aligned, e.root, e.partitionBy)
     GraftCatalog.refreshView(spark, name)
     Seq.empty
   }
@@ -285,7 +287,7 @@ object GraftSqlStatements {
   private val CreateRe =
     """(?is)^\s*CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+USING\s+graft\s*(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?(?:LOCATION\s+'([^']+)'\s*)?(?:AS\s+(.*?))?\s*;?\s*$""".r
   private val InsertRe =
-    """(?is)^\s*INSERT\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s+((?:SELECT|WITH|VALUES|FROM|TABLE)\b.*?)\s*;?\s*$""".r
+    """(?is)^\s*INSERT\s+(INTO|OVERWRITE)\s+([A-Za-z_][A-Za-z0-9_]*)\s+((?:SELECT|WITH|VALUES|FROM|TABLE)\b.*?)\s*;?\s*$""".r
   private val MergeRe =
     """(?is)^\s*MERGE\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+AS\s+(\w+))?\s+USING\s+\((.*)\)\s*(?:AS\s+(\w+)\s+)?ON\s+(.*?)\s+(?:WHEN\s+MATCHED\s+AND\s+(.*?)\s+THEN\s+DELETE\s+)?WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*$""".r
   private val DeleteRe =
@@ -354,8 +356,9 @@ object GraftSqlStatements {
       val root = Option(loc).getOrElse(
         graft.sources.TableCache.baseDir + s"/sql_${name.toLowerCase}")
       Some(CreateGraftTableCommand(name, root, partitionBy, Option(query)))
-    case InsertRe(name, query) if GraftCatalog.lookup(name).isDefined =>
-      Some(InsertGraftTableCommand(name, query))
+    case InsertRe(mode, name, query) if GraftCatalog.lookup(name).isDefined =>
+      Some(InsertGraftTableCommand(name, query,
+        overwrite = mode.equalsIgnoreCase("OVERWRITE")))
     case MergeRe(name, tAlias, source, sAlias, cond, delCond) if GraftCatalog.lookup(name).isDefined =>
       // the DELETE condition filters the SOURCE rows: strip the source
       // alias qualifier so it evaluates against the bare source frame

@@ -131,6 +131,16 @@ class GraftSqlSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](spark.sql(
       "SELECT * FROM TABLE_CHANGES(sqlspec_edge, 0, 1)"))
     assert(e2.getMessage.contains("rowKeys"))
+    // INSERT OVERWRITE replaces the snapshot in ONE commit; history keeps
+    // the pre-overwrite version readable (same time-travel contract as
+    // every other writer)
+    val vBefore = LakehouseTable.currentVersion(root).get
+    spark.sql("INSERT OVERWRITE sqlspec_edge VALUES (7, 9.0)")
+    assert(n("sqlspec_edge") == 1)
+    assert(LakehouseTable.currentVersion(root).get == vBefore + 1)
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM sqlspec_edge VERSION AS OF $vBefore")
+      .head().getLong(0) == 5)
   }
 
   test("MERGE with WHEN MATCHED AND cond THEN DELETE applies CDC atomically") {
