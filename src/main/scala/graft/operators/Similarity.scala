@@ -313,6 +313,46 @@ object Similarity {
             + lit(1.0) / (lit(60) + col("krank"))).as("rrf"))
         .orderBy(desc("rrf"), col("doc_id"))
         .limit(10)
+    }),
+
+    // Quantized-scan re-rank — the memory-bounded ANN SERVING pattern
+    // (int8 codes in RAM, fp32 in cold storage): the approx pass scores
+    // q91's int8-dequantized vectors and keeps top-20 candidates
+    // (TakeOrderedAndProject: at scale this scan reads 1-byte codes, 4×
+    // less than fp32); only those 20 are re-ranked with exact fp32
+    // cosine for the final top-5. in_exact_top5 audits recall inline
+    // against the exact top-5 (tie-breaks on vec_id everywhere →
+    // deterministic cutoffs). Dequantized cosine uses the HOF fold
+    // (arrays are double); the exact passes use the compiled expression.
+    "q127_quantized_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qv = emb.filter(col("vec_id") === 7).select(col("embedding").as("qv"))
+      val deq = emb
+        .select(col("vec_id"), col("embedding"),
+          (array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+            / lit(127.0)).as("scale"))
+        .filter(col("scale") > 0)
+        .withColumn("deq", transform(col("embedding"),
+          x => round(x.cast("double") / col("scale")) * col("scale")))
+      val cand = deq.crossJoin(broadcast(qv))
+        .filter(col("vec_id") =!= 7)
+        .select(col("vec_id"), col("embedding"), col("qv"),
+          V.cosineFold(col("deq"), col("qv")).as("ascore"))
+        .orderBy(desc("ascore"), col("vec_id")).limit(20)
+      val reranked = cand
+        .select(col("vec_id"), V.cosine(col("embedding"), col("qv")).as("escore"))
+        .orderBy(desc("escore"), col("vec_id")).limit(5)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("escore"), col("vec_id"))).cast("long"))
+      val exact5 = emb.crossJoin(broadcast(qv))
+        .filter(col("vec_id") =!= 7)
+        .select(col("vec_id"), V.cosine(col("embedding"), col("qv")).as("x"))
+        .orderBy(desc("x"), col("vec_id")).limit(5)
+        .select(col("vec_id"))
+      reranked.join(broadcast(exact5.withColumn("hit", lit(1L))), Seq("vec_id"), "left")
+        .select(col("rank"), col("vec_id"), col("escore"),
+          coalesce(col("hit"), lit(0L)).as("in_exact_top5"))
+        .orderBy(col("rank"))
     }))
 
   /** MLlib interop: BucketedRandomProjectionLSH over the embedding column
@@ -481,5 +521,28 @@ object Similarity {
             CAST(1 AS DOUBLE) / (60 + vrank) + CAST(1 AS DOUBLE) / (60 + krank) AS rrf
           FROM vr JOIN kr USING (doc_id)
           ORDER BY rrf DESC, doc_id LIMIT 10"""
-    })
+    }) ++ Map(
+    "q127_quantized_rerank" ->
+      s"""WITH qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7),
+          dq AS (SELECT vec_id, embedding,
+                   [round(CAST(x AS DOUBLE) / scale) * scale FOR x IN embedding] AS deq
+                 FROM (SELECT vec_id, embedding,
+                         CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127.0 AS scale
+                       FROM embeddings)
+                 WHERE scale > 0),
+          cand AS (SELECT vec_id, embedding, ${V.sqlCosine("deq", "qe")} AS ascore
+                   FROM dq, qv WHERE vec_id <> 7
+                   ORDER BY ascore DESC, vec_id LIMIT 20),
+          rr AS (SELECT vec_id, ${V.sqlCosine("embedding", "qe")} AS escore
+                 FROM cand, qv
+                 ORDER BY escore DESC, vec_id LIMIT 5),
+          ranked AS (SELECT vec_id, escore,
+                       row_number() OVER (ORDER BY escore DESC, vec_id) AS rank
+                     FROM rr),
+          exact5 AS (SELECT e.vec_id FROM embeddings e, qv WHERE e.vec_id <> 7
+                     ORDER BY ${V.sqlCosine("e.embedding", "qe")} DESC, e.vec_id LIMIT 5)
+          SELECT CAST(rank AS BIGINT) AS rank, r.vec_id, r.escore,
+            CAST(CASE WHEN r.vec_id IN (SELECT vec_id FROM exact5)
+                 THEN 1 ELSE 0 END AS BIGINT) AS in_exact_top5
+          FROM ranked r ORDER BY rank""")
 }

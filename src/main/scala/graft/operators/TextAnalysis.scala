@@ -247,8 +247,13 @@ object TextAnalysis {
     // count q65 uses.
     "q124_bm25" -> ((s, d) => {
       val terms = Seq("dup", "scan", "table")
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), graft.plans.TextExpressions.tokens(col("text")).as("toks"))
+      // tokenized once per (session, dir): the plan walks this relation 4×
+      // (N, sum(dl), tf, df) — without the cache that is 4 corpus scans +
+      // 2 tokenize passes; with it, one (see RelationCache scaladoc)
+      val docs = graft.sources.RelationCache.of(s, "textanalysis.q124docs", d) {
+        Tables.documents(s, d)
+          .select(col("doc_id"), graft.plans.TextExpressions.tokens(col("text")).as("toks"))
+      }
       val nDocs = docs.count()
       val sumDl = docs.agg(sum(size(col("toks")).cast("long"))).first.getLong(0)
       val avgdl = lit(sumDl.toDouble / nDocs.toDouble)

@@ -194,4 +194,24 @@ class TrainingOpsSpec extends AnyFunSuite {
       .map(r => r.getAs[String]("split") -> r.getAs[Long]("n_docs")).toMap
     assert(again == rows)
   }
+
+  test("q127 re-rank scores are exact fp32 cosines in descending order, recall >= 4/5") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{VectorFunctions => V}
+    val rows = SparkEntry.queries("q127_quantized_rerank")(spark, sf).collect()
+    assert(rows.length == 5)
+    val scores = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("escore"))
+    assert(scores.sliding(2).forall { case Array(a, b) => a >= b })
+    // the int8 approx pass may cost at most one of the exact top-5
+    assert(rows.map(_.getAs[Long]("in_exact_top5")).sum >= 4)
+    // escore is the TRUE cosine, not the quantized one: recompute directly
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val qv = emb.filter(col("vec_id") === 7).select(col("embedding").as("qv"))
+    val truth = emb.crossJoin(qv)
+      .select(col("vec_id"), V.cosine(col("embedding"), col("qv")).as("c"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("c")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Double]("escore") == truth(r.getAs[Long]("vec_id")))
+    }
+  }
 }
