@@ -259,6 +259,42 @@ object Streams {
   case class HistOut(user_id: Long, event_id: Long, event_type: String, history: String)
   case class HistState(events: List[(Long, Long, String)]) // (tsMicros, event_id, type)
 
+  case class EwmaEvt(event_id: Long, user_id: Long, tsMicros: Long, value: Double)
+  case class EwmaOut(user_id: Long, event_id: Long, value: Double, ewma: Double)
+  case class EwmaState(events: List[(Long, Long, Double)]) // (tsMicros, event_id, value)
+
+  /** Streaming twin of the batch q126 EWMA: per-user 32-tap α=1/2
+    * smoothing with the SAME power-of-two integer arithmetic, so a
+    * bounded replay is bit-identical to the batch window form (asserted
+    * in StreamingSpec). Each emitted row's frame is the ≤31 event-time
+    * predecessors plus itself — a late arrival gets the frame its batch
+    * twin computes (rows already emitted stay final; append mode cannot
+    * retract — the historyReplay caveat). State is the per-user value
+    * log; on a 24/7 stream prune it to the watermark horizon minus 31
+    * rows (the replay test is bounded, so it keeps the log whole). */
+  def ewmaStream(events: Dataset[EwmaEvt]): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, batch: Iterator[EwmaEvt], state: GroupState[EwmaState]) => {
+          var log = state.getOption.map(_.events).getOrElse(Nil)
+          val out = batch.toSeq.sortBy(e => (e.tsMicros, e.event_id)).map { e =>
+            val frame = (log.filter(p => p._1 < e.tsMicros
+                || (p._1 == e.tsMicros && p._2 < e.event_id))
+              .sortBy(p => (p._1, p._2)).map(_._3).takeRight(31)
+              :+ e.value)
+            val num = frame.zipWithIndex
+              .map { case (v, i) => math.floor(v * 4096).toLong << i }.sum
+            val den = (1L << frame.size) - 1
+            log = (e.tsMicros, e.event_id, e.value) :: log
+            EwmaOut(userId, e.event_id, e.value, num.toDouble / den.toDouble / 4096.0)
+          }
+          state.update(EwmaState(log))
+          out.iterator
+        })
+  }
+
   /** flatMapGroupsWithState twin of Rag q24_history_replay: every event is
     * emitted with the ordered concatenation of all earlier event types of
     * the same user (the RunnableWithMessageHistory accumulation,

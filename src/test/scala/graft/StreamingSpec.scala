@@ -88,6 +88,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotIds == wantIds)
   }
 
+  test("streaming EWMA rows are BIT-IDENTICAL to the oracled q126 batch rows") {
+    import spark.implicits._
+    val evts = Streams.eventsStream(spark, streamDir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("tsMicros"), col("value"))
+      .as[Streams.EwmaEvt]
+    val got = runToCompletion(Streams.ewmaStream(evts).toDF, "t_ewma")
+      .filter(col("user_id") < 50)
+      .select(col("user_id"), col("event_id"), col("value"), col("ewma"))
+    val want = SparkEntry.queries("q126_ewma")(spark, sf)
+    assert(got.count() > 0 && got.count() == want.count())
+    // exact doubles: the integer weight arithmetic makes stream == batch
+    // bitwise, so plain exceptAll (no tolerance) is the assertion
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("streaming dedup keeps one row per (user, type) like batch q31") {
     val got = runToCompletion(
       Streams.dedupStream(Streams.eventsStream(spark, streamDir)), "t_dedup")
