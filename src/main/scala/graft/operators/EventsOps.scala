@@ -381,6 +381,27 @@ object EventsOps {
         .orderBy(col("day"))
     }),
 
+    // OHLC resampling bars (open/high/low/close per event_type × hour) —
+    // the financial/feature-engineering downsample shape. Open/close are
+    // per-group argmin/argmax WITHOUT a rank window: min/max of
+    // struct(ts, event_id, value) picks the first/last row's value by the
+    // (unique) event-time order and stays partial-combinable — one
+    // word-count-shaped shuffle on (type, hour), no second rank
+    // exchange (the q89 argmax pattern). Volume is the decimal-exact sum.
+    "q128_ohlc_bars" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"),
+          min(struct(col("ts"), col("event_id"), col("value")))
+            .getField("value").as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max(struct(col("ts"), col("event_id"), col("value")))
+            .getField("value").as("close"),
+          Exact.moneySum(col("value")).as("volume"))
+        .orderBy(col("event_type"), col("hour"))
+    }),
+
     // EWMA smoothing (α = 1/2, 32-tap) of each user's value series — the
     // classic streaming-feature shape (load smoothing, engagement decay).
     // Numeric parity: α = 1/2 makes every weight a POWER OF TWO, so the
@@ -610,6 +631,22 @@ object EventsOps {
          count(*) FILTER (event_type = 'signup') AS n_signup,
          count(*) FILTER (event_type = 'view') AS n_view
          FROM events GROUP BY 1 ORDER BY day""",
+
+    "q128_ohlc_bars" ->
+      s"""WITH e AS (SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+                       ts, event_id, value FROM events),
+          r AS (SELECT *,
+                  row_number() OVER (PARTITION BY event_type, hour
+                    ORDER BY ts, event_id) AS rn_a,
+                  row_number() OVER (PARTITION BY event_type, hour
+                    ORDER BY ts DESC, event_id DESC) AS rn_d
+                FROM e)
+          SELECT event_type, hour, count(*) AS n,
+            min(CASE WHEN rn_a = 1 THEN value END) AS open,
+            max(value) AS high, min(value) AS low,
+            min(CASE WHEN rn_d = 1 THEN value END) AS close,
+            ${Exact.sqlMoneySum("value")} AS volume
+          FROM r GROUP BY event_type, hour ORDER BY event_type, hour""",
 
     "q126_ewma" ->
       """WITH f AS (

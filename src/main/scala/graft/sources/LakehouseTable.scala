@@ -54,6 +54,15 @@ object LakehouseTable {
 
   def currentVersion(root: String): Option[Long] = versions(root).lastOption
 
+  /** Latest version committed at or before `tsMillis`, by manifest-file
+    * modification time — Delta's TIMESTAMP AS OF convention (the commit
+    * file's mtime IS the commit time; an atomic rename preserves the
+    * write-time stamp). None when the table did not exist yet. */
+  def versionAt(root: String, tsMillis: Long): Option[Long] =
+    versions(root).filter(v => Files.getLastModifiedTime(
+        manifestDir(root).resolve(s"$v.json")).toMillis <= tsMillis)
+      .lastOption
+
   private def readManifest(root: String, v: Long): Seq[String] = {
     val txt = Files.readString(manifestDir(root).resolve(s"$v.json"))
     // manifest is {"txns": {"app": N, ...}, "files": ["rel/path", ...]}

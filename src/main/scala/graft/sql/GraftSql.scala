@@ -31,8 +31,9 @@ import graft.sources.LakehouseTable
   *   OPTIMIZE t [ZORDER BY (c1, c2, ...)]
   *   VACUUM t [RETAIN n VERSIONS]
   *   DESCRIBE HISTORY t
+  *   DESCRIBE DETAIL t     -- location/version/files/partitioning/keys
   *   DROP TABLE t          -- unregisters; data files stay (external)
-  *   SELECT ... FROM t [VERSION AS OF n] ...
+  *   SELECT ... FROM t [VERSION AS OF n | TIMESTAMP AS OF 'ts'] ...
   *   SELECT ... FROM TABLE_CHANGES(t, from, to) ...   -- needs rowKeys
   * }}}
   *
@@ -256,6 +257,27 @@ case class DescribeHistoryGraftCommand(name: String) extends LeafRunnableCommand
   }
 }
 
+/** DESCRIBE DETAIL name — one row: location, current version, file
+  * count, partition columns, row keys (Delta's DESCRIBE DETAIL shape). */
+case class DescribeDetailGraftCommand(name: String) extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.{LongType, StringType}
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("location", StringType, nullable = false)(),
+      AttributeReference("version", LongType, nullable = false)(),
+      AttributeReference("n_files", LongType, nullable = false)(),
+      AttributeReference("partition_columns", StringType, nullable = false)(),
+      AttributeReference("row_keys", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val e = GraftCatalog.lookup(name).get
+    val v = LakehouseTable.currentVersion(e.root).getOrElse(-1L)
+    val nf =
+      if (v < 0) 0L
+      else LakehouseTable.read(spark, e.root).inputFiles.length.toLong
+    Seq(Row(e.root, v, nf, e.partitionBy.mkString(","), e.rowKeys.mkString(",")))
+  }
+}
+
 /** DROP TABLE name — unregister from the graft catalog and drop the
   * published view; data files stay on disk (external-table semantics —
   * re-attach with CREATE TABLE ... USING graft LOCATION). */
@@ -323,6 +345,8 @@ object GraftSqlStatements {
     """(?is)^\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""".r
   private val HistoryRe =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+  private val DetailRe =
+    """(?is)^\s*DESCRIBE\s+DETAIL\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
   private val DropRe =
     """(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
   private val VacuumRe =
@@ -379,6 +403,8 @@ object GraftSqlStatements {
         Option(zcols).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)))
     case HistoryRe(name) if GraftCatalog.lookup(name).isDefined =>
       Some(DescribeHistoryGraftCommand(name))
+    case DetailRe(name) if GraftCatalog.lookup(name).isDefined =>
+      Some(DescribeDetailGraftCommand(name))
     case DropRe(name) if GraftCatalog.lookup(name).isDefined =>
       Some(DropGraftTableCommand(name))
     case VacuumRe(name, retain) if GraftCatalog.lookup(name).isDefined =>
@@ -388,6 +414,8 @@ object GraftSqlStatements {
   }
 
   private val TimeTravelRe = """(?i)\b([A-Za-z_][A-Za-z0-9_]*)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
+  private val TimestampTravelRe =
+    """(?i)\b([A-Za-z_][A-Za-z0-9_]*)\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'""".r
   private val TableChangesRe =
     """(?i)\bTABLE_CHANGES\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*(\d+)\s*,\s*(\d+)\s*\)""".r
 
@@ -409,7 +437,25 @@ object GraftSqlStatements {
         case None => q(m.matched)
       }
     })
-    TableChangesRe.replaceAllIn(afterTt, m => {
+    val afterTs = TimestampTravelRe.replaceAllIn(afterTt, m => {
+      val (name, lit) = (m.group(1), m.group(2))
+      GraftCatalog.lookup(name) match {
+        case Some(e) =>
+          // UTC wall-clock literal (the session timezone), second or
+          // sub-second precision: '2026-08-13 05:00:00[.123]'
+          val millis = java.time.LocalDateTime
+            .parse(lit.trim.replace(' ', 'T'))
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+          val v = LakehouseTable.versionAt(e.root, millis).getOrElse(
+            throw new IllegalArgumentException(
+              s"$name TIMESTAMP AS OF '$lit': no version committed at or before it"))
+          val view = s"${name}__t$millis"
+          LakehouseTable.read(spark, e.root, Some(v)).createOrReplaceTempView(view)
+          q(view)
+        case None => q(m.matched)
+      }
+    })
+    TableChangesRe.replaceAllIn(afterTs, m => {
       val (name, from, to) = (m.group(1), m.group(2).toLong, m.group(3).toLong)
       GraftCatalog.lookup(name) match {
         case Some(e) =>

@@ -214,6 +214,34 @@ class GraftSqlSpec extends AnyFunSuite {
     spark.sql("DROP TABLE sqlspec_z")
   }
 
+  test("TIMESTAMP AS OF resolves by commit mtime; DESCRIBE DETAIL reports the table") {
+    val root = Files.createTempDirectory("graft_sql_ts").toString + "/t"
+    graft.sources.Tables.registerAll(spark, sf)
+    spark.sql(s"""CREATE TABLE sqlspec_ts USING graft LOCATION '$root' AS
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 50""")
+    spark.sql("""INSERT INTO sqlspec_ts
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderkey >= 50 AND o_orderkey < 80""")
+    // pin deterministic commit times: v0 at 10:00, v1 at 11:00 UTC
+    def stamp(v: Long, iso: String): Unit =
+      Files.setLastModifiedTime(
+        java.nio.file.Paths.get(root, "_manifest", s"$v.json"),
+        java.nio.file.attribute.FileTime.from(java.time.Instant.parse(iso)))
+    stamp(0L, "2026-01-01T10:00:00Z")
+    stamp(1L, "2026-01-01T11:00:00Z")
+    def nAt(ts: String): Long = spark.sql(
+      s"SELECT count(*) AS n FROM sqlspec_ts TIMESTAMP AS OF '$ts'").head().getLong(0)
+    assert(nAt("2026-01-01 10:30:00") == 50)  // between commits → v0
+    assert(nAt("2026-01-01 11:00:00") == 80)  // inclusive boundary → v1
+    assert(nAt("2026-01-01 23:00:00") == 80)  // after everything → latest
+    val e = intercept[Exception](nAt("2026-01-01 09:00:00"))
+    assert(e.getMessage.contains("no version committed"),
+      s"wrong error: ${e.getMessage}")
+    val d = spark.sql("DESCRIBE DETAIL sqlspec_ts").head()
+    assert(d.getString(0) == root && d.getLong(1) == 1L && d.getLong(2) >= 1L)
+    spark.sql("DROP TABLE sqlspec_ts")
+  }
+
   test("non-graft CREATE TABLE still delegates to Spark's catalog") {
     spark.sql("DROP TABLE IF EXISTS plain_parquet_t")
     spark.sql("CREATE TABLE plain_parquet_t USING parquet AS SELECT 1 AS x")
