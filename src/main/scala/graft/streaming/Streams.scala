@@ -236,7 +236,7 @@ object Streams {
     * evicted once the watermark passes click_ts + 30 min. Without the time
     * bound the state would grow without limit — this is the canonical
     * bounded-state stream-stream join shape. */
-  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+  def clickPurchaseJoin(events: DataFrame, joinType: String = "inner"): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
         col("ts").as("click_ts"))
@@ -245,10 +245,16 @@ object Streams {
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
         col("ts").as("purchase_ts"))
       .withWatermark("purchase_ts", "10 minutes")
+    // joinType "leftOuter": an unmatched click emits its null-padded row
+    // only once the watermark passes its join horizon (click_ts + 30 min
+    // + the delay) — the engine must KNOW no matching purchase can still
+    // arrive before it may say "no match". The test advances the
+    // watermark with a sentinel event to flush the tail.
     clicks.join(purchases,
       col("c_user") === col("p_user") &&
         col("purchase_ts") >= col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+      joinType)
       .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
         col("click_ts"), col("purchase_ts"))
   }

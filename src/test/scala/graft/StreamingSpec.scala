@@ -271,6 +271,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.sources.LakehouseTable.versions(silver).size >= 2)
   }
 
+  test("stream-stream LEFT OUTER join flushes unmatched clicks after the watermark") {
+    import spark.implicits._
+    // fresh input dir: the real events + two far-future sentinel events
+    // (one per side — the global watermark is the MIN across operators,
+    // so BOTH the click and purchase watermark must move past every real
+    // click's join horizon before unmatched rows may flush)
+    val inDir = Files.createTempDirectory("graft-ssjoin-outer")
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      inDir.resolve("part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(Streams.eventsRawSchema).parquet(s"$sf/events.parquet")
+    val maxNs = raw.agg(max(col("ts"))).head().getLong(0)
+    val h = 3600L * 1000 * 1000 * 1000 // one hour of nanos
+    val sentinels = Seq(
+      (900001L, maxNs + 10 * h, 999999L, "click", 0.0, "{}"),
+      (900002L, maxNs + 20 * h, 999999L, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = inDir.resolve("sentinel-tmp")
+    sentinels.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val s0 = Files.list(tmp)
+    val part = try s0.filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      finally s0.close()
+    Files.move(part, inDir.resolve("part-1.parquet"))
+
+    val got = runToCompletion(
+      Streams.clickPurchaseJoin(Streams.eventsStream(spark, inDir.toString),
+        "leftOuter"), "t_ssjoin_outer")
+      .filter(col("user_id") =!= 999999L)
+    val ev = graft.sources.Tables.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    val want = clicks.join(purchases,
+      clicks("user_id") === purchases("user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+      "left")
+      .select(clicks("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+    // the outer rows (null purchase) are the point: every unmatched real
+    // click must have flushed, making stream == batch left join exactly
+    assert(got.filter(col("purchase_id").isNull).count() > 0)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("stream-stream click->purchase join matches the batch join") {
     val got = runToCompletion(
       Streams.clickPurchaseJoin(Streams.eventsStream(spark, streamDir)), "t_ssjoin")
