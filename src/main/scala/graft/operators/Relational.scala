@@ -566,6 +566,30 @@ object Relational {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // Quantile binning (ntile) — the feature-engineering bucketizer q72's
+    // battery doesn't cover: quartile customers by exact total spend
+    // within their market segment, then per-bucket stats. ntile follows
+    // the SQL-standard fill (first n mod k buckets get the extra row) in
+    // both engines; the (spend DESC, custkey) order is total, so bucket
+    // edges are deterministic. Shape at scale: spend agg shuffles on
+    // custkey, the window shuffles on segment — both key-bounded; the
+    // final agg rides the window's partitioning.
+    "q129_ntile_buckets" -> ((s, d) => {
+      val spend = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(Exact.moneySum(col("o_totalprice")).as("spend"))
+      val cust = Tables.customer(s, d)
+        .join(spend, col("c_custkey") === col("o_custkey"))
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(desc("spend"), col("c_custkey"))
+      cust.withColumn("quartile", ntile(4).over(w).cast("long"))
+        .groupBy(col("c_mktsegment"), col("quartile"))
+        .agg(count(lit(1)).as("n_cust"),
+          min(col("spend")).as("min_spend"),
+          max(col("spend")).as("max_spend"))
+        .orderBy(col("c_mktsegment"), col("quartile"))
+    }),
+
     // Pearson correlation from EXACT decimal moments: built-in corr() sums
     // doubles in shuffle order (not bit-reproducible, and DuckDB's differs),
     // so the five moments are decimal-exact sums and the corr formula runs
@@ -926,6 +950,17 @@ object Relational {
            wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          ORDER BY o_custkey, o_orderkey""",
+
+    "q129_ntile_buckets" ->
+      s"""WITH spend AS (SELECT o_custkey, ${graft.functions.Exact.sqlMoneySum("o_totalprice")} AS spend
+                         FROM orders GROUP BY o_custkey),
+          q AS (SELECT c_mktsegment, spend,
+                  CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                    ORDER BY spend DESC, c_custkey) AS BIGINT) AS quartile
+                FROM customer JOIN spend ON c_custkey = o_custkey)
+          SELECT c_mktsegment, quartile, count(*) AS n_cust,
+            min(spend) AS min_spend, max(spend) AS max_spend
+          FROM q GROUP BY 1, 2 ORDER BY c_mktsegment, quartile""",
 
     "q66_exact_corr" ->
       """SELECT l_returnflag, n,
