@@ -245,6 +245,36 @@ object TextAnalysis {
     // broadcast back, one TakeOrderedAndProject top-k. The corpus-stat
     // scalars (N, avgdl) are one tiny pre-aggregate, the same dim-side
     // count q65 uses.
+    // Per-source token-distribution concentration — the corpus-diversity
+    // drift metric (a source whose token mass collapses onto few types is
+    // template/boilerplate spam). Entropy needs ln() (cross-engine libm
+    // drift, q65 note), so concentration is the Herfindahl sum instead:
+    // gini = 1 − Σc²/N², computed from EXACT integer moments (Σc, Σc²)
+    // with ONE double division at the end — bit-reproducible. Shape at
+    // scale: the word-count shuffle on (source, token), then a per-source
+    // rollup that rides the same partitioning; Σc² needs DECIMAL(38)
+    // sums once per-token counts pass ~3e9 (long² overflow) — at the
+    // gate SF the BIGINT moment is exact.
+    "q130_source_diversity" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("source"),
+          explode(graft.plans.TextExpressions.tokens(col("text"))).as("token"))
+        .groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("c"))
+      tok.groupBy(col("source"))
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("c") * col("c")).as("sumsq"),
+          max(col("c")).as("max_c"))
+        .select(col("source"), col("n_tokens"), col("n_distinct"),
+          (lit(1.0) - col("sumsq").cast("double")
+            / (col("n_tokens").cast("double") * col("n_tokens").cast("double")))
+            .as("gini"),
+          (col("max_c").cast("double") / col("n_tokens").cast("double"))
+            .as("top_share"))
+        .orderBy(col("source"))
+    }),
+
     "q124_bm25" -> ((s, d) => {
       val terms = Seq("dup", "scan", "table")
       // tokenized once per (session, dir): the plan walks this relation 4×
@@ -402,6 +432,21 @@ object TextAnalysis {
             CAST(len(list_slice(toks, st + 1, st + 8)) AS BIGINT) AS n_tokens,
             array_to_string(list_slice(toks, st + 1, st + 8), ' ') AS chunk
           FROM g ORDER BY doc_id, chunk_id""",
+
+    "q130_source_diversity" ->
+      s"""WITH tok AS (SELECT source, token, count(*) AS c
+                       FROM (SELECT source, unnest($toksSql) AS token FROM documents)
+                       GROUP BY source, token),
+          m AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+                  count(*) AS n_distinct,
+                  CAST(sum(c * c) AS BIGINT) AS sumsq,
+                  CAST(max(c) AS BIGINT) AS max_c
+                FROM tok GROUP BY source)
+          SELECT source, n_tokens, n_distinct,
+            1.0 - CAST(sumsq AS DOUBLE)
+              / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)) AS gini,
+            CAST(max_c AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_share
+          FROM m ORDER BY source""",
 
     "q124_bm25" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
