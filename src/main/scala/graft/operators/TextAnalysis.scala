@@ -275,6 +275,41 @@ object TextAnalysis {
         .orderBy(col("source"))
     }),
 
+    // Count-min sketch over the token stream — the bounded-memory
+    // heavy-hitter counter (4 seeds × 64 buckets = 256 cells regardless
+    // of vocabulary size; the HLL complement on the sketch surface next
+    // to q44). Hashing is seeded md5 (the proven cross-engine
+    // construct), so the WHOLE sketch — cells, estimates, overcounts —
+    // is deterministic and oracle-checked, not just bounds-tested. The
+    // output audits the CMS contract: est = min over seeds of the
+    // colliding cell sums, always >= the true count. Shape at scale: the
+    // word-count shuffle to token counts, then a 256-cell aggregate —
+    // a production CMS folds tokens straight into cells map-side and
+    // ships 256 longs per partition, never the vocabulary.
+    "q131_cms_tokens" -> ((s, d) => {
+      val W = 64
+      val seeds = Seq(0, 1, 2, 3)
+      def bucket(t: org.apache.spark.sql.Column, seed: Int) =
+        conv(substring(md5(concat(lit(s"$seed:"), t)), 1, 8), 16, 10)
+          .cast("long") % W
+      val tok = Tables.documents(s, d)
+        .select(explode(graft.plans.TextExpressions.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("c"))
+      val h = tok.select(col("token"), col("c"),
+          explode(array(seeds.map(sd =>
+            struct(lit(sd).as("seed"), bucket(col("token"), sd).as("b"))): _*))
+            .as("sb"))
+        .select(col("token"), col("c"),
+          col("sb.seed").as("seed"), col("sb.b").as("b"))
+      val cells = h.groupBy(col("seed"), col("b")).agg(sum(col("c")).as("cell"))
+      h.join(cells, Seq("seed", "b"))
+        .groupBy(col("token"))
+        .agg(min(col("c")).as("true_count"), min(col("cell")).as("est"))
+        .select(col("token"), col("true_count"), col("est"),
+          (col("est") - col("true_count")).as("overcount"))
+        .orderBy(col("token"))
+    }),
+
     "q124_bm25" -> ((s, d) => {
       val terms = Seq("dup", "scan", "table")
       // tokenized once per (session, dir): the plan walks this relation 4×
@@ -432,6 +467,21 @@ object TextAnalysis {
             CAST(len(list_slice(toks, st + 1, st + 8)) AS BIGINT) AS n_tokens,
             array_to_string(list_slice(toks, st + 1, st + 8), ' ') AS chunk
           FROM g ORDER BY doc_id, chunk_id""",
+
+    "q131_cms_tokens" ->
+      s"""WITH tok AS (SELECT token, count(*) AS c
+                       FROM (SELECT unnest($toksSql) AS token FROM documents)
+                       GROUP BY token),
+          h AS (SELECT token, c, seed,
+                  ('0x' || substr(md5(seed || ':' || token), 1, 8))::BIGINT % 64 AS b
+                FROM tok, (SELECT unnest([0, 1, 2, 3]) AS seed) s),
+          cells AS (SELECT seed, b, CAST(sum(c) AS BIGINT) AS cell
+                    FROM h GROUP BY seed, b)
+          SELECT token, CAST(min(c) AS BIGINT) AS true_count,
+            CAST(min(cell) AS BIGINT) AS est,
+            CAST(min(cell) - min(c) AS BIGINT) AS overcount
+          FROM h JOIN cells USING (seed, b)
+          GROUP BY token ORDER BY token""",
 
     "q130_source_diversity" ->
       s"""WITH tok AS (SELECT source, token, count(*) AS c
