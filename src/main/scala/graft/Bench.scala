@@ -30,6 +30,13 @@ object Bench {
     // rejects it. Tune passes via SPARK_GRAFT_PASSES for local iteration.
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
     val samples = (1 to passes).map { _ =>
+      // Spark's ContextCleaner releases unpersisted/checkpointed blocks
+      // only when the JVM GC collects their handles; without a GC here,
+      // iterative queries (q68's per-round localCheckpoints) accrete
+      // dead blocks across passes and read 30-60% slower by pass 3 — a
+      // measurement artifact, not a plan cost (timings are flat with a
+      // forced GC; see PLANS.md). One GC per pass, outside any timer.
+      System.gc()
       ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
