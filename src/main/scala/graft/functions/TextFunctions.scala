@@ -48,6 +48,19 @@ object TextFunctions {
         + lit(s.toLong) * conv(substring(md5(x), 9, 8), 16, 10).cast("long"))
         % lit(4294967296L)))
 
+  /** First `hexLen` md5 hex digits of `c` as a nonnegative BIGINT — THE
+    * cross-engine hash-bucket construct (DuckDB twin: [[sqlMd5Prefix]]).
+    * Every sampling / splitting / sketch bucket routes through this PAIR
+    * so the Spark side and its oracle cannot drift independently: a
+    * change here must change both, in one place. `hexLen` <= 15 keeps
+    * the value inside a signed 64-bit int in both engines. */
+  def md5Prefix(c: Column, hexLen: Int): Column =
+    conv(substring(md5(c), 1, hexLen), 16, 10).cast("long")
+
+  /** DuckDB twin of [[md5Prefix]] over a SQL expression string. */
+  def sqlMd5Prefix(expr: String, hexLen: Int): String =
+    s"('0x' || substr(md5($expr), 1, $hexLen))::BIGINT"
+
   /** LSH band key: concat of `width` adjacent MinHash components. */
   def minhashBand(tokSet: Column, band: Int, width: Int): Column =
     concat((0 until width).map(j => minhash(tokSet, band * width + j)): _*)

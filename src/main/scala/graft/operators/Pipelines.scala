@@ -81,8 +81,7 @@ object Pipelines {
     // scale: the same doc always lands in the same bucket on any cluster,
     // sampling needs no shuffle, and upsampling a stratum is a rate change.
     "q57_stratified_sample" -> ((s, d) => {
-      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("long") % 100
+      val bucket = T.md5Prefix(col("doc_id").cast("string"), 4) % 100
       val rate = when(col("lang") === "en", 10).otherwise(25)
       Tables.documents(s, d)
         .withColumn("bucket", bucket)
@@ -105,8 +104,7 @@ object Pipelines {
       val th = counts.crossJoin(broadcast(minN))
         .withColumn("threshold", expr("(n_min * 65536) div n_docs"))
         .select(col("source"), col("n_docs"), col("threshold"))
-      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("long")
+      val bucket = T.md5Prefix(col("doc_id").cast("string"), 4)
       docs.select(col("source"), bucket.as("bucket"))
         .join(broadcast(th), "source")
         .groupBy(col("source"))
@@ -269,8 +267,7 @@ object Pipelines {
     // (codegen'd md5) with a 3-group partial-aggregated audit; no
     // shuffle carries the corpus.
     "q125_hash_split" -> ((s, d) => {
-      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 100
+      val bucket = T.md5Prefix(col("doc_id").cast("string"), 8) % 100
       Tables.documents(s, d)
         .withColumn("split",
           when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
@@ -368,15 +365,15 @@ object Pipelines {
          ORDER BY blk, name_a, name_b""",
 
     "q57_stratified_sample" ->
-      """SELECT doc_id, lang, bucket FROM (
+      s"""SELECT doc_id, lang, bucket FROM (
            SELECT doc_id, lang,
-             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket
+             ${T.sqlMd5Prefix("CAST(doc_id AS VARCHAR)", 4)} % 100 AS bucket
            FROM documents)
          WHERE bucket < (CASE WHEN lang = 'en' THEN 10 ELSE 25 END)
          ORDER BY doc_id""",
 
     "q100_balance_sources" ->
-      """WITH counts AS (
+      s"""WITH counts AS (
            SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
          th AS (
            SELECT source, n_docs,
@@ -384,7 +381,7 @@ object Pipelines {
            FROM counts)
          SELECT d.source, min(t.n_docs) AS n_docs, min(t.threshold) AS threshold,
            CAST(count(*) FILTER (WHERE
-             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT < t.threshold)
+             ${T.sqlMd5Prefix("CAST(doc_id AS VARCHAR)", 4)} < t.threshold)
              AS BIGINT) AS n_kept
          FROM documents d JOIN th t USING (source)
          GROUP BY d.source ORDER BY d.source""",
@@ -417,7 +414,7 @@ object Pipelines {
              SELECT doc_id,
                CAST(len($toksSql) AS BIGINT) AS n_tok,
                md5(CAST(doc_id AS VARCHAR)) AS h,
-               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT % 8 AS shard
+               ${T.sqlMd5Prefix("CAST(doc_id AS VARCHAR)", 2)} % 8 AS shard
              FROM documents))
          GROUP BY shard, seq_id ORDER BY shard, seq_id""",
 
@@ -454,7 +451,7 @@ object Pipelines {
                   CASE WHEN b < 90 THEN 'train'
                        WHEN b < 95 THEN 'val' ELSE 'test' END AS split
                 FROM (SELECT *,
-                        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                        ${T.sqlMd5Prefix("CAST(doc_id AS VARCHAR)", 8)}
                           % 100 AS b
                       FROM documents))
           GROUP BY split ORDER BY split""")

@@ -290,8 +290,7 @@ object TextAnalysis {
       val W = 64
       val seeds = Seq(0, 1, 2, 3)
       def bucket(t: org.apache.spark.sql.Column, seed: Int) =
-        conv(substring(md5(concat(lit(s"$seed:"), t)), 1, 8), 16, 10)
-          .cast("long") % W
+        T.md5Prefix(concat(lit(s"$seed:"), t), 8) % W
       val tok = Tables.documents(s, d)
         .select(explode(graft.plans.TextExpressions.tokens(col("text"))).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("c"))
@@ -473,7 +472,7 @@ object TextAnalysis {
                        FROM (SELECT unnest($toksSql) AS token FROM documents)
                        GROUP BY token),
           h AS (SELECT token, c, seed,
-                  ('0x' || substr(md5(seed || ':' || token), 1, 8))::BIGINT % 64 AS b
+                  ${T.sqlMd5Prefix("seed || ':' || token", 8)} % 64 AS b
                 FROM tok, (SELECT unnest([0, 1, 2, 3]) AS seed) s),
           cells AS (SELECT seed, b, CAST(sum(c) AS BIGINT) AS cell
                     FROM h GROUP BY seed, b)

@@ -59,9 +59,18 @@ object LakehouseTable {
     * file's mtime IS the commit time; an atomic rename preserves the
     * write-time stamp). None when the table did not exist yet. */
   def versionAt(root: String, tsMillis: Long): Option[Long] =
-    versions(root).filter(v => Files.getLastModifiedTime(
-        manifestDir(root).resolve(s"$v.json")).toMillis <= tsMillis)
-      .lastOption
+    versions(root).filter { v =>
+      // a concurrent vacuum may delete an old manifest between the
+      // listing and this stat — a vanished version is simply not a
+      // candidate (it is no longer readable anyway)
+      try Files.getLastModifiedTime(
+        manifestDir(root).resolve(s"$v.json")).toMillis <= tsMillis
+      catch { case _: java.nio.file.NoSuchFileException => false }
+    }.lastOption
+
+  /** Data-file count of version `v` straight from its manifest — O(one
+    * small JSON read), for metadata commands (DESCRIBE DETAIL). */
+  def fileCount(root: String, v: Long): Int = readManifest(root, v).size
 
   private def readManifest(root: String, v: Long): Seq[String] = {
     val txt = Files.readString(manifestDir(root).resolve(s"$v.json"))
@@ -421,25 +430,33 @@ object LakehouseTable {
     * (for one cluster column the skipping is optimal; for several, files
     * are sorted lexicographically and the leading column prunes best). */
   def cluster(spark: SparkSession, root: String, clusterCols: Seq[String],
-      numFiles: Int = 8): Long = {
+      numFiles: Int = 8, partitionBy: Seq[String] = Nil): Long = {
     require(clusterCols.nonEmpty, "cluster requires at least one column")
     val cur = currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no table at $root"))
-    requirePartitioningMatches(root, cur, Nil, "cluster")
+    requirePartitioningMatches(root, cur, partitionBy, "cluster")
     val snapshot = read(spark, root, Some(cur))
     val cols = clusterCols.map(snapshot.col)
-    val rewritten = snapshot
-      .repartitionByRange(numFiles, cols: _*)
-      .sortWithinPartitions(cols: _*)
-    commitClustered(root, cur, rewritten, clusterCols)
+    // partitioned table: cluster WITHIN each hive partition (Delta's
+    // OPTIMIZE semantics) — shuffle on the partition key so one task owns
+    // a partition's rows, then sort (partition cols first) so each
+    // written file covers a narrow cluster-column range inside its dir
+    val rewritten =
+      if (partitionBy.isEmpty)
+        snapshot.repartitionByRange(numFiles, cols: _*).sortWithinPartitions(cols: _*)
+      else snapshot
+        .repartition(numFiles, partitionBy.map(snapshot.col): _*)
+        .sortWithinPartitions(partitionBy.map(snapshot.col) ++ cols: _*)
+    commitClustered(root, cur, rewritten, clusterCols, partitionBy)
   }
 
   /** Shared commit tail of [[cluster]]/[[zorderCluster]]: write the
-    * rewritten snapshot, commit it as the next version, and record footer
-    * stats for `statsCols` in the version's stats sidecar. */
+    * rewritten snapshot (hive-partitioned when `partitionBy` is set),
+    * commit it as the next version, and record footer stats for
+    * `statsCols` in the version's stats sidecar. */
   private def commitClustered(root: String, cur: Long, rewritten: DataFrame,
-      statsCols: Seq[String]): Long = {
-    val newFiles = writeFiles(rewritten, root, Nil)
+      statsCols: Seq[String], partitionBy: Seq[String] = Nil): Long = {
+    val newFiles = writeFiles(rewritten, root, partitionBy)
     val v = commit(root, cur + 1, newFiles)
     Files.writeString(statsPath(root, v),
       footerStats(root, newFiles, statsCols).mkString("\n"))
@@ -458,12 +475,12 @@ object LakehouseTable {
     * pure layout key — computed, sorted on, dropped — it never lands in
     * the data. */
   def zorderCluster(spark: SparkSession, root: String, zCols: Seq[String],
-      numFiles: Int = 8): Long = {
+      numFiles: Int = 8, partitionBy: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions._
     require(zCols.size >= 2, "zorderCluster needs >= 2 columns (use cluster for 1)")
     val cur = currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no table at $root"))
-    requirePartitioningMatches(root, cur, Nil, "zorderCluster")
+    requirePartitioningMatches(root, cur, partitionBy, "zorderCluster")
     val snapshot = read(spark, root, Some(cur))
     val bounds = snapshot.agg(
       min(snapshot(zCols.head).cast("double")),
@@ -490,12 +507,19 @@ object LakehouseTable {
     val z = (for { b <- 0 until bits; (c, j) <- norm.zipWithIndex }
       yield shiftleft(shiftright(c, b).bitwiseAND(1L), b * norm.length + j))
       .reduce(_ + _)
-    val rewritten = snapshot
-      .withColumn("__z", z)
-      .repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions(col("__z"))
+    // partitioned table: z-cluster WITHIN each hive partition (bounds and
+    // bit allocation stay global — the curve still discriminates inside
+    // every partition, it just shares one normalization)
+    val withZ = snapshot.withColumn("__z", z)
+    val rewritten =
+      (if (partitionBy.isEmpty)
+        withZ.repartitionByRange(numFiles, col("__z"))
+          .sortWithinPartitions(col("__z"))
+      else withZ
+        .repartition(numFiles, partitionBy.map(snapshot.col): _*)
+        .sortWithinPartitions(partitionBy.map(snapshot.col) :+ col("__z"): _*))
       .drop("__z")
-    commitClustered(root, cur, rewritten, zCols)
+    commitClustered(root, cur, rewritten, zCols, partitionBy)
   }
 
   /** Relative manifest files of version `cur` that contain at least one

@@ -230,8 +230,10 @@ case class OptimizeGraftTableCommand(name: String, zCols: Seq[String])
     val e = GraftCatalog.lookup(name).get
     val v = zCols match {
       case Nil => LakehouseTable.compactSmall(spark, e.root, partitionBy = e.partitionBy)
-      case Seq(one) => LakehouseTable.cluster(spark, e.root, Seq(one))
-      case many => LakehouseTable.zorderCluster(spark, e.root, many)
+      case Seq(one) =>
+        LakehouseTable.cluster(spark, e.root, Seq(one), partitionBy = e.partitionBy)
+      case many =>
+        LakehouseTable.zorderCluster(spark, e.root, many, partitionBy = e.partitionBy)
     }
     GraftCatalog.refreshView(spark, name)
     Seq(Row(v))
@@ -271,9 +273,9 @@ case class DescribeDetailGraftCommand(name: String) extends LeafRunnableCommand 
   override def run(spark: SparkSession): Seq[Row] = {
     val e = GraftCatalog.lookup(name).get
     val v = LakehouseTable.currentVersion(e.root).getOrElse(-1L)
-    val nf =
-      if (v < 0) 0L
-      else LakehouseTable.read(spark, e.root).inputFiles.length.toLong
+    // manifest line count, NOT a DataFrame build: a metadata command must
+    // stay O(1), not read parquet footers across the table
+    val nf = if (v < 0) 0L else LakehouseTable.fileCount(e.root, v).toLong
     Seq(Row(e.root, v, nf, e.partitionBy.mkString(","), e.rowKeys.mkString(",")))
   }
 }
@@ -441,11 +443,19 @@ object GraftSqlStatements {
       val (name, lit) = (m.group(1), m.group(2))
       GraftCatalog.lookup(name) match {
         case Some(e) =>
-          // UTC wall-clock literal (the session timezone), second or
-          // sub-second precision: '2026-08-13 05:00:00[.123]'
-          val millis = java.time.LocalDateTime
-            .parse(lit.trim.replace(' ', 'T'))
-            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+          // UTC wall-clock literal (the session timezone): date-only
+          // '2026-08-13' (midnight, Delta's accepted short form) or
+          // '2026-08-13 05:00:00[.123]'; interior runs of spaces collapse
+          val norm = lit.trim.replaceAll("\\s+", "T")
+          val millis = (try {
+            if (norm.contains("T")) java.time.LocalDateTime.parse(norm)
+            else java.time.LocalDate.parse(norm).atStartOfDay()
+          } catch {
+            case ex: java.time.format.DateTimeParseException =>
+              throw new IllegalArgumentException(
+                s"$name TIMESTAMP AS OF '$lit': expected " +
+                  "'yyyy-MM-dd' or 'yyyy-MM-dd HH:mm:ss[.SSS]'", ex)
+          }).toInstant(java.time.ZoneOffset.UTC).toEpochMilli
           val v = LakehouseTable.versionAt(e.root, millis).getOrElse(
             throw new IllegalArgumentException(
               s"$name TIMESTAMP AS OF '$lit': no version committed at or before it"))

@@ -212,6 +212,27 @@ class GraftSqlSpec extends AnyFunSuite {
       .head().getLong(0)
     assert(v1 == vZ + 1 && n("sqlspec_z") == total)
     spark.sql("DROP TABLE sqlspec_z")
+
+    // hive-partitioned table: ZORDER clusters WITHIN partitions (Delta's
+    // OPTIMIZE semantics) — layout preserved, content unchanged, and
+    // partition pruning still plans through the published view
+    val rootP = Files.createTempDirectory("graft_sql_zp").toString + "/t"
+    spark.sql(s"""CREATE TABLE sqlspec_zp USING graft PARTITIONED BY (o_orderpriority)
+      LOCATION '$rootP' AS
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders""")
+    val totalP = n("sqlspec_zp")
+    spark.sql("OPTIMIZE sqlspec_zp ZORDER BY (o_orderkey, o_custkey)").head()
+    assert(n("sqlspec_zp") == totalP)
+    assert(LakehouseTable.partitionColumns(rootP) == Seq("o_orderpriority"))
+    val pruned = spark.sql(
+      "SELECT count(*) AS n FROM sqlspec_zp WHERE o_orderpriority = '1-URGENT'")
+    val planP = pruned.queryExecution.executedPlan.toString
+    assert(planP.contains("PartitionFilters") && planP.contains("o_orderpriority"))
+    val wantP = spark.sql(
+      "SELECT count(*) FROM orders WHERE o_orderpriority = '1-URGENT'")
+      .head().getLong(0)
+    assert(pruned.head().getLong(0) == wantP && wantP > 0)
+    spark.sql("DROP TABLE sqlspec_zp")
   }
 
   test("TIMESTAMP AS OF resolves by commit mtime; DESCRIBE DETAIL reports the table") {
@@ -234,9 +255,12 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(nAt("2026-01-01 10:30:00") == 50)  // between commits → v0
     assert(nAt("2026-01-01 11:00:00") == 80)  // inclusive boundary → v1
     assert(nAt("2026-01-01 23:00:00") == 80)  // after everything → latest
+    assert(nAt("2026-01-02") == 80)           // date-only short form
     val e = intercept[Exception](nAt("2026-01-01 09:00:00"))
     assert(e.getMessage.contains("no version committed"),
       s"wrong error: ${e.getMessage}")
+    val bad = intercept[Exception](nAt("not-a-time"))
+    assert(bad.getMessage.contains("expected"), s"wrong error: ${bad.getMessage}")
     val d = spark.sql("DESCRIBE DETAIL sqlspec_ts").head()
     assert(d.getString(0) == root && d.getLong(1) == 1L && d.getLong(2) >= 1L)
     spark.sql("DROP TABLE sqlspec_ts")

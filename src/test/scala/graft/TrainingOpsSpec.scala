@@ -102,7 +102,7 @@ class TrainingOpsSpec extends AnyFunSuite {
     val th = counts.withColumn("threshold", expr(s"($minN * 65536) div n_docs"))
     val sampled = kept
       .withColumn("bucket",
-        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long"))
+        graft.functions.TextFunctions.md5Prefix(col("doc_id").cast("string"), 4))
       .join(broadcast(th.select(col("source"), col("threshold"))), "source")
       .filter(col("bucket") < col("threshold"))
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
