@@ -266,6 +266,29 @@ object Pipelines {
     // pipeline runs. At 100 TB the split is a map-side derived column
     // (codegen'd md5) with a 3-group partial-aggregated audit; no
     // shuffle carries the corpus.
+    // Quality-weighted sampling (the curation pass after scoring):
+    // accept a doc iff md5-bucket(id) < floor(quality·2^16) — acceptance
+    // PROBABILITY equals the quality score, yet the draw is a pure
+    // function of the id (reproducible across clusters and reruns, no
+    // rand()). quality·65536 is a power-of-two multiply and the decision
+    // compares integers, so accept/reject is bit-identical in both
+    // engines. Map-side derived columns + one partial-agg rollup — no
+    // corpus shuffle.
+    "q132_quality_sample" -> ((s, d) => {
+      val q = graft.plans.TextExpressions.qualityScore(col("text"))
+      val kept = (T.md5Prefix(col("doc_id").cast("string"), 4)
+        < floor(q * 65536)).cast("long")
+      Tables.documents(s, d)
+        .withColumn("kept", kept)
+        .withColumn("n_tok",
+          size(graft.plans.TextExpressions.tokens(col("text"))).cast("long"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("kept")).as("n_kept"),
+          sum(col("kept") * col("n_tok")).as("kept_tokens"))
+        .orderBy(col("lang"))
+    }),
+
     "q125_hash_split" -> ((s, d) => {
       val bucket = T.md5Prefix(col("doc_id").cast("string"), 8) % 100
       Tables.documents(s, d)
@@ -439,6 +462,18 @@ object Pipelines {
           FROM docs
           WHERE quality >= 0.55
             AND NOT EXISTS (SELECT 1 FROM losers WHERE losers.doc_id = docs.doc_id)
+          GROUP BY lang ORDER BY lang""",
+
+    "q132_quality_sample" ->
+      s"""SELECT lang, count(*) AS n_docs,
+            CAST(sum(kept) AS BIGINT) AS n_kept,
+            CAST(sum(kept * n_tok) AS BIGINT) AS kept_tokens
+          FROM (SELECT lang,
+                  CASE WHEN ${T.sqlMd5Prefix("CAST(doc_id AS VARCHAR)", 4)}
+                       < CAST(floor(($qualitySql) * 65536) AS BIGINT)
+                       THEN 1 ELSE 0 END AS kept,
+                  CAST(len(toks) AS BIGINT) AS n_tok
+                FROM (SELECT lang, doc_id, $toksSql AS toks FROM documents))
           GROUP BY lang ORDER BY lang""",
 
     "q125_hash_split" ->
