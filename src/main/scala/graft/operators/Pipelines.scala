@@ -289,6 +289,45 @@ object Pipelines {
         .orderBy(col("lang"))
     }),
 
+    // Temperature-sampled domain mixture planner (the τ=2 multilingual
+    // standard): per-source target weight ∝ sqrt(available tokens), so
+    // small sources are upsampled relative to proportional mixing;
+    // sampling rate = min(1, budget·w_s / avail_s), budget = ¼ of the
+    // corpus. sqrt IS IEEE-correctly-rounded (unlike ln/exp, q130
+    // note), but Σ√ over sources would be an order-dependent double
+    // sum — so the weight numerators are FLOORED to BIGINT first:
+    // isq = floor(sqrt(avail)), denom = Σ isq is exact, and the rate
+    // is ONE double division of exact integers. isq·budget stays
+    // < 2^63 until the corpus passes ~10^12 tokens per source —
+    // promote to DECIMAL(38) there. Shape at scale: a word-count
+    // partial agg down to one row per source (20 rows out), then
+    // arithmetic on that tiny frame; the plan never shuffles the
+    // corpus, and applying it is q132's map-side accept test with
+    // rate as the threshold.
+    "q134_mixture_plan" -> ((s, d) => {
+      // one row per source; cached so the budget/denom rollup and the
+      // final join don't each re-scan + re-tokenize the corpus
+      val avail = graft.sources.RelationCache.of(s, "pipelines.q134avail", d) {
+        Tables.documents(s, d)
+          .select(col("source"),
+            size(graft.plans.TextExpressions.tokens(col("text"))).cast("long").as("n_tok"))
+          .groupBy(col("source"))
+          .agg(sum(col("n_tok")).as("avail"))
+          .withColumn("isq", floor(sqrt(col("avail").cast("double"))).cast("long"))
+      }
+      val tot = avail.agg(sum(col("isq")).as("denom"),
+        floor(sum(col("avail")) / 4).cast("long").as("budget"))
+      avail.crossJoin(broadcast(tot))
+        .withColumn("rate", least(lit(1.0),
+          (col("isq") * col("budget")).cast("double")
+            / (col("denom") * col("avail")).cast("double")))
+        .select(col("source"), col("avail"), col("isq"), col("rate"),
+          floor(col("rate") * col("avail").cast("double")).cast("long")
+            .as("planned"),
+          (col("rate") === 1.0).as("saturated"))
+        .orderBy(col("source"))
+    }),
+
     "q125_hash_split" -> ((s, d) => {
       val bucket = T.md5Prefix(col("doc_id").cast("string"), 8) % 100
       Tables.documents(s, d)
@@ -475,6 +514,26 @@ object Pipelines {
                   CAST(len(toks) AS BIGINT) AS n_tok
                 FROM (SELECT lang, doc_id, $toksSql AS toks FROM documents))
           GROUP BY lang ORDER BY lang""",
+
+    "q134_mixture_plan" ->
+      s"""WITH avail AS (SELECT source,
+                    CAST(sum(CAST(len(toks) AS BIGINT)) AS BIGINT) AS avail
+                  FROM (SELECT source, $toksSql AS toks FROM documents)
+                  GROUP BY source),
+          w AS (SELECT source, avail,
+                  CAST(floor(sqrt(CAST(avail AS DOUBLE))) AS BIGINT) AS isq
+                FROM avail),
+          t AS (SELECT CAST(sum(isq) AS BIGINT) AS denom,
+                  CAST(floor(CAST(sum(avail) AS DOUBLE) / 4) AS BIGINT) AS budget
+                FROM w),
+          r AS (SELECT source, avail, isq,
+                  least(1.0, CAST(isq * budget AS DOUBLE)
+                             / CAST(denom * avail AS DOUBLE)) AS rate
+                FROM w, t)
+          SELECT source, avail, isq, rate,
+            CAST(floor(rate * CAST(avail AS DOUBLE)) AS BIGINT) AS planned,
+            rate = 1.0 AS saturated
+          FROM r ORDER BY source""",
 
     "q125_hash_split" ->
       s"""SELECT split, count(*) AS n_docs,

@@ -309,6 +309,43 @@ object TextAnalysis {
         .orderBy(col("token"))
     }),
 
+    // Unigram-familiarity quality filter — the linear-space stand-in for
+    // CCNet-style LM-perplexity filtering: a doc's score is the average
+    // corpus probability of its tokens. True perplexity needs ln()
+    // (cross-engine libm drift, q130 note); avg probability keeps the
+    // same ordering signal for band filtering and is exactly computable:
+    // two BIGINT sums per doc (n_tok, Σ corpus-count) and two chained
+    // double divisions — every op IEEE-exact. The band drops both tails:
+    // alien text (garbled/wrong-language, score below) and degenerate
+    // boilerplate (templated head-token spam, score above). Shape at
+    // scale: word-count shuffle for tf; the token→tf join rides that
+    // same hash partitioning (no extra exchange); per-doc rollup, then a
+    // tiny per-lang partial agg. The 1-row total joins by broadcast.
+    "q133_familiarity_filter" -> ((s, d) => {
+      val (lo, hi) = (0.0330, 0.0334)
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(graft.plans.TextExpressions.tokens(col("text"))).as("token"))
+      // vocab-sized; cached so the total and the join build don't each
+      // re-scan + re-tokenize the corpus (3 scans → 2 without it)
+      val tf = graft.sources.RelationCache.of(s, "textanalysis.q133tf", d) {
+        tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
+      }
+      val total = tf.agg(sum(col("c")).as("total"))
+      tok.join(tf, "token")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_tok"), sum(col("c")).as("sum_c"))
+        .crossJoin(broadcast(total))
+        .withColumn("fam", col("sum_c").cast("double")
+          / col("n_tok").cast("double") / col("total").cast("double"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("fam").between(lo, hi), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("fam") < lo, 1L).otherwise(0L)).as("n_alien"),
+          sum(when(col("fam") > hi, 1L).otherwise(0L)).as("n_boiler"))
+        .orderBy(col("lang"))
+    }),
+
     "q124_bm25" -> ((s, d) => {
       val terms = Seq("dup", "scan", "table")
       // tokenized once per (session, dir): the plan walks this relation 4×
@@ -348,6 +385,21 @@ object TextAnalysis {
   private val toksSql = T.sqlToks
 
   def oracle: Map[String, String] = Map(
+    "q133_familiarity_filter" ->
+      s"""WITH tok AS (SELECT doc_id, lang, unnest($toksSql) AS token FROM documents),
+          tf AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+          n AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM tf),
+          doc AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tok,
+                    CAST(sum(c) AS BIGINT) AS sum_c
+                  FROM tok JOIN tf USING (token) GROUP BY doc_id, lang),
+          f AS (SELECT lang, CAST(sum_c AS DOUBLE) / CAST(n_tok AS DOUBLE)
+                              / CAST(total AS DOUBLE) AS fam FROM doc, n)
+          SELECT lang, count(*) AS n_docs,
+            CAST(sum(CASE WHEN fam BETWEEN 0.0330 AND 0.0334 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+            CAST(sum(CASE WHEN fam < 0.0330 THEN 1 ELSE 0 END) AS BIGINT) AS n_alien,
+            CAST(sum(CASE WHEN fam > 0.0334 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+          FROM f GROUP BY lang ORDER BY lang""",
+
     "q25_word_counts" ->
       s"""SELECT token, count(*) AS n, count(DISTINCT doc_id) AS n_docs
           FROM (SELECT doc_id, unnest($toksSql) AS token FROM documents)

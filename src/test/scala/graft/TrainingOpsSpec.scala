@@ -195,6 +195,40 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(again == rows)
   }
 
+  test("q133 familiarity bands partition each lang's corpus exactly") {
+    val rows = SparkEntry.queries("q133_familiarity_filter")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_alien")
+        + r.getAs[Long]("n_boiler") == r.getAs[Long]("n_docs"))
+    }
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total == graft.sources.Tables.documents(spark, sf).count())
+  }
+
+  test("q134 mixture plan: rates clamp at 1, planned <= avail, sqrt upsamples small sources") {
+    val rows = SparkEntry.queries("q134_mixture_plan")(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("avail"),
+        r.getAs[Double]("rate"), r.getAs[Long]("planned"),
+        r.getAs[Boolean]("saturated")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, avail, rate, planned, saturated) =>
+      assert(rate > 0.0 && rate <= 1.0)
+      assert(planned <= avail)
+      assert(saturated == (rate == 1.0))
+    }
+    // planned spend stays within the ¼-corpus budget
+    val totalAvail = rows.map(_._2).sum
+    assert(rows.map(_._4).sum <= totalAvail / 4)
+    // temperature mixing: rate ∝ floor(√avail)/avail ~ avail^-1/2, but the
+    // floor steps can locally invert near-equal sources — so assert the
+    // upsampling direction across REAL size gaps (≥2×, where the step
+    // noise can't flip the ordering for avail ≥ 12)
+    val unsat = rows.filterNot(_._5)
+    for ((_, a1, r1, _, _) <- unsat; (_, a2, r2, _, _) <- unsat if a2 >= 2 * a1)
+      assert(r1 >= r2, s"avail $a1 rate $r1 vs avail $a2 rate $r2")
+  }
+
   test("q127 re-rank scores are exact fp32 cosines in descending order, recall >= 4/5") {
     import org.apache.spark.sql.functions._
     import graft.functions.{VectorFunctions => V}
