@@ -368,6 +368,36 @@ object Dedup {
           / (col("nn") + col("no") - col("shared")).cast("double")).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
         .orderBy(col("new_id"), col("old_id"))
+    }),
+
+    // Verbatim-SPAN duplication profile (exact-substring dedup signal,
+    // Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    // Better"): an 8-token window appearing in ≥2 docs marks verbatim
+    // reuse — templated boilerplate, mirrored articles, license headers.
+    // Unlike the pairwise family (q32/q34), this is window-DOCUMENT-
+    // FREQUENCY based: explode → df per window → join back → per-doc
+    // dup fraction. NO pair relation ever exists, so cost is O(token
+    // windows) at any corpus scale — the shape production substring
+    // dedup actually uses to pick spans to cut. The 0.2 flag threshold
+    // compares 5·n_dup ≥ n_win in integers: no doubles anywhere.
+    "q135_span_dup" -> ((s, d) => {
+      val W = 8
+      val win = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(TextExpressions.wordShingles(col("text"), W)).as("w"))
+      val wdf = win.groupBy(col("w"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      win.join(wdf, "w")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_win"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_dup") * 5 >= col("n_win"), 1L).otherwise(0L))
+            .as("n_flagged"),
+          sum(col("n_dup")).as("dup_windows"),
+          sum(col("n_win")).as("total_windows"))
+        .orderBy(col("lang"))
     }))
 
   def oracle: Map[String, String] = Map(
@@ -440,6 +470,22 @@ object Dedup {
             JOIN (SELECT doc_id, len(sh) AS nn FROM sh_rel) a ON pairs.new_id = a.doc_id
             JOIN (SELECT doc_id, len(sh) AS no FROM sh_rel) b ON pairs.old_id = b.doc_id)
           WHERE jaccard >= 0.5 ORDER BY new_id, old_id""",
+
+    "q135_span_dup" ->
+      s"""WITH t AS (SELECT doc_id, lang, ${T.sqlToks} AS toks FROM documents),
+          win AS (SELECT doc_id, lang,
+                    unnest(list_distinct([list_aggr(toks[i:i+7], 'string_agg', ' ')
+                      FOR i IN range(1, len(toks) - 6)])) AS w
+                  FROM t WHERE len(toks) >= 8),
+          wdf AS (SELECT w, count(DISTINCT doc_id) AS df FROM win GROUP BY w),
+          per AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_win,
+                    CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+                  FROM win JOIN wdf USING (w) GROUP BY doc_id, lang)
+          SELECT lang, count(*) AS n_docs,
+            CAST(sum(CASE WHEN n_dup * 5 >= n_win THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+            CAST(sum(n_dup) AS BIGINT) AS dup_windows,
+            CAST(sum(n_win) AS BIGINT) AS total_windows
+          FROM per GROUP BY lang ORDER BY lang""",
 
     "q35_embedding_neardup" -> {
       val sigExpr = VectorExpressions.sqlSrpSignature(SrpPlanes, EmbeddingDims, "embedding")
