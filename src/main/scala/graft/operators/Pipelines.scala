@@ -341,6 +341,36 @@ object Pipelines {
           countDistinct(col("lang")).as("n_langs"),
           countDistinct(col("source")).as("n_sources"))
         .orderBy(col("split"))
+    }),
+
+    // Split-leakage audit — q125's deterministic split crossed with
+    // q88's n-gram machinery, turned INWARD: a 5-gram present verbatim
+    // in BOTH the train and test splits is eval leakage the doc-level
+    // hash split cannot prevent (near-dup docs straddle the boundary;
+    // this measures exactly how much). Shape at scale: train grams are
+    // distinct'd by the word-count shuffle; the test windows join them
+    // ON THE SAME gram partitioning (one exchange each side, no pair
+    // relation); everything after is per-doc then per-lang rollup.
+    "q136_split_leakage" -> ((s, d) => {
+      val bucket = T.md5Prefix(col("doc_id").cast("string"), 8) % 100
+      val win = Tables.documents(s, d)
+        .withColumn("split",
+          when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
+        .select(col("doc_id"), col("lang"), col("split"),
+          explode(graft.plans.TextExpressions.wordShingles(col("text"), 5)).as("w"))
+      val trainGrams = win.filter(col("split") === "train")
+        .select(col("w")).distinct().withColumn("hit", lit(1L))
+      win.filter(col("split") === "test")
+        .join(trainGrams, Seq("w"), "left")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_win"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_leak"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_test_docs"),
+          sum(when(col("n_leak") > 0, 1L).otherwise(0L)).as("n_contam"),
+          sum(col("n_leak")).as("leaked_windows"),
+          sum(col("n_win")).as("test_windows"))
+        .orderBy(col("lang"))
     }))
 
   private val toksSql = T.sqlToks
@@ -548,5 +578,29 @@ object Pipelines {
                         ${T.sqlMd5Prefix("CAST(doc_id AS VARCHAR)", 8)}
                           % 100 AS b
                       FROM documents))
-          GROUP BY split ORDER BY split""")
+          GROUP BY split ORDER BY split""",
+
+    "q136_split_leakage" ->
+      s"""WITH base AS (SELECT doc_id, lang, toks,
+                  CASE WHEN b < 90 THEN 'train'
+                       WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+                FROM (SELECT doc_id, lang, $toksSql AS toks,
+                        ${T.sqlMd5Prefix("CAST(doc_id AS VARCHAR)", 8)}
+                          % 100 AS b
+                      FROM documents)),
+          win AS (SELECT doc_id, lang, split,
+                    unnest(list_distinct([list_aggr(toks[i:i+4], 'string_agg', ' ')
+                      FOR i IN range(1, len(toks) - 3)])) AS w
+                  FROM base WHERE len(toks) >= 5),
+          tg AS (SELECT DISTINCT w FROM win WHERE split = 'train'),
+          per AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_win,
+                    CAST(sum(CASE WHEN tg.w IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_leak
+                  FROM (SELECT * FROM win WHERE split = 'test') t
+                  LEFT JOIN tg ON t.w = tg.w
+                  GROUP BY doc_id, lang)
+          SELECT lang, count(*) AS n_test_docs,
+            CAST(sum(CASE WHEN n_leak > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_contam,
+            CAST(sum(n_leak) AS BIGINT) AS leaked_windows,
+            CAST(sum(n_win) AS BIGINT) AS test_windows
+          FROM per GROUP BY lang ORDER BY lang""")
 }

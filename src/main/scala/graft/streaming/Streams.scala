@@ -47,6 +47,19 @@ object Streams {
       .filter(size(array_intersect(col("sh"), typedlit(benchGrams))) === 0)
       .select(col("doc_id"), col("text"))
 
+  /** Deploy-time quality-weighted sampling on a document stream (the
+    * streaming twin of batch q132's accept test): keep a doc iff
+    * md5-bucket(doc_id) < floor(quality·2^16), so acceptance probability
+    * equals the quality score. Pure per-row arithmetic — stateless, no
+    * watermark, no state store — and the draw is a pure function of the
+    * id, so a backfill batch run and the live stream keep EXACTLY the
+    * same rows (asserted against q132's per-lang accept counts). */
+  def qualitySampleStream(docs: DataFrame): DataFrame =
+    docs.filter(
+      graft.functions.TextFunctions.md5Prefix(col("doc_id").cast("string"), 4)
+        < floor(graft.plans.TextExpressions.qualityScore(col("text")) * 65536))
+      .select(col("doc_id"), col("lang"))
+
   /** Contamination HIT stream: (doc_id, shingle) records for every eval
     * 3-gram seen in a streamed doc — a stream-STATIC inner join (static
     * side bounded → append mode, no state store, no watermark). The

@@ -140,6 +140,27 @@ class StreamingSpec extends AnyFunSuite {
       .map(_.getAs[Long]("doc_id")).toSet == flagged)
   }
 
+  test("streaming quality sampler keeps exactly the batch q132 accept counts") {
+    val docDir = Files.createTempDirectory("graft-docs-qsample")
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      docDir.resolve("part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val docSchema = graft.sources.Tables.documents(spark, sf).schema
+    val docStream = spark.readStream.schema(docSchema).parquet(docDir.toString)
+    val kept = runToCompletion(Streams.qualitySampleStream(docStream), "t_qsample")
+    // per-lang stream accept counts == the oracled batch q132 n_kept
+    val want = SparkEntry.queries("q132_quality_sample")(spark, sf)
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("n_kept")).toMap
+    val got = kept.groupBy(col("lang")).count()
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    assert(got == want.filter(_._2 > 0))
+    // and the kept ID SET is the batch predicate's set (pure function of id)
+    val batchIds = graft.sources.Tables.documents(spark, sf)
+      .filter(graft.functions.TextFunctions.md5Prefix(col("doc_id").cast("string"), 4)
+        < floor(graft.plans.TextExpressions.qualityScore(col("text")) * lit(65536)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet == batchIds)
+  }
+
   test("streaming distinct-user sketch tracks batch exact counts within HLL error") {
     // update mode (not complete): the watermark can actually evict window
     // state — the bounded-state contract the operator documents. One input
