@@ -160,6 +160,40 @@ object Similarity {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Leave-one-out kNN label probe — the EVALUATION op for an embedding
+    // space: is the geometry good enough that a vector's neighbors share
+    // its label? Probes are a deterministic 1-in-25 sample, each
+    // classified by majority vote of its 5 nearest corpus neighbors
+    // (cosine desc, vec_id tie-break); vote ties break to the smallest
+    // label via the min-of-struct argmax (no second window). Shape at
+    // scale: the bounded probe set broadcasts against ONE corpus scan
+    // (q36's scored-scan), rank window over per-probe groups; production
+    // swaps the scan for the q37 IVF cell probe, downstream unchanged.
+    "q137_knn_label_probe" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val qs = e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("label").as("qlabel"))
+      val w = Window.partitionBy(col("qid")).orderBy(desc("score"), col("vec_id"))
+      val top5 = e.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("qlabel"), col("label"),
+          V.cosine(col("embedding"), col("qv")).as("score"), col("vec_id"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+      top5.groupBy(col("qid"), col("qlabel"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+        .groupBy(col("qid"), col("qlabel"))
+        .agg(min(struct((-col("votes")).as("nv"), col("label").as("lb"))).as("m"))
+        .select(col("qid"), col("qlabel"), col("m.lb").as("pred"))
+        .groupBy(col("qlabel"))
+        .agg(count(lit(1)).as("n_probes"),
+          sum(when(col("pred") === col("qlabel"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .select(col("qlabel").as("label"), col("n_probes"), col("n_correct"))
+        .orderBy(col("label"))
+    }),
+
     // IVF ANN with a real index lifecycle: centroids come from a
     // deterministic k-medians build PERSISTED as a versioned lakehouse
     // table (built on first use, read from a table version after). Every
@@ -424,6 +458,28 @@ object Similarity {
                   FROM embeddings e, embeddings q
                   WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id))
           WHERE rank <= 5 ORDER BY qid, rank""",
+
+    "q137_knn_label_probe" ->
+      s"""WITH scored AS (
+            SELECT q.vec_id AS qid, q.label AS qlabel,
+              e.vec_id AS vec_id, e.label AS label,
+              ${V.sqlCosine("e.embedding", "q.embedding")} AS score
+            FROM embeddings e, embeddings q
+            WHERE q.vec_id % 25 = 0 AND e.vec_id <> q.vec_id),
+          top5 AS (SELECT * FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+            FROM scored) WHERE rank <= 5),
+          votes AS (SELECT qid, qlabel, label, count(*) AS votes
+                    FROM top5 GROUP BY qid, qlabel, label),
+          pred AS (SELECT qid, qlabel, label AS pred FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY qid ORDER BY votes DESC, label) AS vr
+            FROM votes) WHERE vr = 1)
+          SELECT qlabel AS label, count(*) AS n_probes,
+            CAST(sum(CASE WHEN pred = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_correct
+          FROM pred GROUP BY qlabel ORDER BY label""",
 
     "q37_ivf_ann" ->
       s"""WITH $ivfBuildCtes,
