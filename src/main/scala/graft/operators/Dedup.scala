@@ -382,15 +382,23 @@ object Dedup {
     // compares 5·n_dup ≥ n_win in integers: no doubles anywhere.
     "q135_span_dup" -> ((s, d) => {
       val W = 8
-      val win = Tables.documents(s, d)
+      // per-doc window count comes FREE from the shingle array size —
+      // only the dup count needs the window df, and only windows with
+      // df ≥ 2 (a few % of the gram space) need to flow back: the join's
+      // build side is the shared-window set, not the full vocabulary
+      val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
-          explode(TextExpressions.wordShingles(col("text"), W)).as("w"))
-      val wdf = win.groupBy(col("w"))
+          TextExpressions.wordShingles(col("text"), W).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val win = docs.select(col("doc_id"), explode(col("sh")).as("w"))
+      val sharedW = win.groupBy(col("w"))
         .agg(countDistinct(col("doc_id")).as("df"))
-      win.join(wdf, "w")
-        .groupBy(col("doc_id"), col("lang"))
-        .agg(count(lit(1)).as("n_win"),
-          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .filter(col("df") >= 2).select(col("w"))
+      val dups = win.join(sharedW, "w")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+      docs.select(col("doc_id"), col("lang"), size(col("sh")).cast("long").as("n_win"))
+        .join(dups, Seq("doc_id"), "left")
+        .withColumn("n_dup", coalesce(col("n_dup"), lit(0L)))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("n_dup") * 5 >= col("n_win"), 1L).otherwise(0L))
