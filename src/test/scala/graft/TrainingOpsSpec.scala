@@ -229,6 +229,46 @@ class TrainingOpsSpec extends AnyFunSuite {
       assert(r1 >= r2, s"avail $a1 rate $r1 vs avail $a2 rate $r2")
   }
 
+  test("q135 span profile: totals recompute from a direct window-df pass") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q135_span_dup")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dup_windows") <= r.getAs[Long]("total_windows"))
+      assert(r.getAs[Long]("n_flagged") <= r.getAs[Long]("n_docs"))
+    }
+    // global identity: Σ docs n_dup == Σ over shared windows of df
+    val win = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        explode(graft.plans.TextExpressions.wordShingles(col("text"), 8)).as("w"))
+    val dfSum = win.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2).agg(sum(col("df"))).collect()(0).getLong(0)
+    assert(rows.map(_.getAs[Long]("dup_windows")).sum == dfSum)
+    assert(dfSum > 0, "fixture should contain shared spans")
+  }
+
+  test("q136 leakage is bounded and val-split grams never count") {
+    val rows = SparkEntry.queries("q136_split_leakage")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("leaked_windows") <= r.getAs[Long]("test_windows"))
+      assert(r.getAs[Long]("n_contam") <= r.getAs[Long]("n_test_docs"))
+      // a doc with any leaked window is contaminated, so the flags and
+      // the window sums must be zero/nonzero together
+      assert((r.getAs[Long]("n_contam") == 0) ==
+        (r.getAs[Long]("leaked_windows") == 0))
+    }
+  }
+
+  test("q137 probe counts partition the sampled probe set") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q137_knn_label_probe")(spark, sf).collect()
+    rows.foreach(r =>
+      assert(r.getAs[Long]("n_correct") <= r.getAs[Long]("n_probes")))
+    val probes = graft.sources.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 25 === 0).count()
+    assert(rows.map(_.getAs[Long]("n_probes")).sum == probes)
+  }
+
   test("q127 re-rank scores are exact fp32 cosines in descending order, recall >= 4/5") {
     import org.apache.spark.sql.functions._
     import graft.functions.{VectorFunctions => V}
