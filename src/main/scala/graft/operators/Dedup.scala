@@ -391,8 +391,11 @@ object Dedup {
           TextExpressions.wordShingles(col("text"), W).as("sh"))
         .filter(size(col("sh")) > 0)
       val win = docs.select(col("doc_id"), explode(col("sh")).as("w"))
+      // (doc_id, w) is already distinct (WordShingles dedupes per doc),
+      // so plain count IS the document frequency — no second dedup
+      // aggregate on the suite's biggest token shuffle
       val sharedW = win.groupBy(col("w"))
-        .agg(countDistinct(col("doc_id")).as("df"))
+        .agg(count(lit(1)).as("df"))
         .filter(col("df") >= 2).select(col("w"))
       val dups = win.join(sharedW, "w")
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -275,11 +275,8 @@ object Pipelines {
     // engines. Map-side derived columns + one partial-agg rollup — no
     // corpus shuffle.
     "q132_quality_sample" -> ((s, d) => {
-      val q = graft.plans.TextExpressions.qualityScore(col("text"))
-      val kept = (T.md5Prefix(col("doc_id").cast("string"), 4)
-        < floor(q * 65536)).cast("long")
       Tables.documents(s, d)
-        .withColumn("kept", kept)
+        .withColumn("kept", qualityAccept(col("doc_id"), col("text")).cast("long"))
         .withColumn("n_tok",
           size(graft.plans.TextExpressions.tokens(col("text"))).cast("long"))
         .groupBy(col("lang"))
@@ -297,9 +294,13 @@ object Pipelines {
     // note), but Σ√ over sources would be an order-dependent double
     // sum — so the weight numerators are FLOORED to BIGINT first:
     // isq = floor(sqrt(avail)), denom = Σ isq is exact, and the rate
-    // is ONE double division of exact integers. isq·budget stays
-    // < 2^63 until the corpus passes ~10^12 tokens per source —
-    // promote to DECIMAL(38) there. Shape at scale: a word-count
+    // is a double ratio whose four factors are each cast to double
+    // BEFORE multiplying (each BIGINT→DOUBLE cast is exact below 2^53
+    // and the products round correctly-rounded identically in both
+    // engines), so no 64-bit product can overflow at any corpus size
+    // — unlike a BIGINT isq·budget / denom·avail, whose denominator
+    // would overflow first at ~6e11 tokens/source. Shape at scale: a
+    // word-count
     // partial agg down to one row per source (20 rows out), then
     // arithmetic on that tiny frame; the plan never shuffles the
     // corpus, and applying it is q132's map-side accept test with
@@ -319,8 +320,8 @@ object Pipelines {
         floor(sum(col("avail")) / 4).cast("long").as("budget"))
       avail.crossJoin(broadcast(tot))
         .withColumn("rate", least(lit(1.0),
-          (col("isq") * col("budget")).cast("double")
-            / (col("denom") * col("avail")).cast("double")))
+          (col("isq").cast("double") * col("budget").cast("double"))
+            / (col("denom").cast("double") * col("avail").cast("double"))))
         .select(col("source"), col("avail"), col("isq"), col("rate"),
           floor(col("rate") * col("avail").cast("double")).cast("long")
             .as("planned"),
@@ -329,10 +330,8 @@ object Pipelines {
     }),
 
     "q125_hash_split" -> ((s, d) => {
-      val bucket = T.md5Prefix(col("doc_id").cast("string"), 8) % 100
       Tables.documents(s, d)
-        .withColumn("split",
-          when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
+        .withColumn("split", splitOf(col("doc_id")))
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("sum_chars"),
@@ -352,10 +351,8 @@ object Pipelines {
     // ON THE SAME gram partitioning (one exchange each side, no pair
     // relation); everything after is per-doc then per-lang rollup.
     "q136_split_leakage" -> ((s, d) => {
-      val bucket = T.md5Prefix(col("doc_id").cast("string"), 8) % 100
       val win = Tables.documents(s, d)
-        .withColumn("split",
-          when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
+        .withColumn("split", splitOf(col("doc_id")))
         .select(col("doc_id"), col("lang"), col("split"),
           explode(graft.plans.TextExpressions.wordShingles(col("text"), 5)).as("w"))
       val trainGrams = win.filter(col("split") === "train")
@@ -372,6 +369,32 @@ object Pipelines {
           sum(col("n_win")).as("test_windows"))
         .orderBy(col("lang"))
     }))
+
+  /** Deterministic quality-accept predicate, the ONE definition shared by
+    * batch q132, the streaming sampler (Streams.qualitySampleStream), and
+    * the stream≡batch equality spec: accept iff md5-bucket(doc_id) <
+    * floor(quality·2^16). Empty docs (0 tokens — quality is 0/0 = NaN)
+    * are rejected EXPLICITLY rather than via NaN comparison semantics,
+    * which differ between engines (DuckDB's floor-cast of NaN errors). */
+  def qualityAccept(docId: Column, text: Column): Column =
+    (size(graft.plans.TextExpressions.tokens(text)) > 0) &&
+      (T.md5Prefix(docId.cast("string"), 4)
+        < floor(graft.plans.TextExpressions.qualityScore(text) * 65536))
+
+  /** q125's deterministic 90/5/5 split — shared with q136 so the leakage
+    * audit can never drift from the split it audits. */
+  def splitOf(docId: Column): Column = {
+    val bucket = T.md5Prefix(docId.cast("string"), 8) % 100
+    when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+  }
+
+  /** SQL twin of [[splitOf]] over a relation exposing doc_id (expects the
+    * md5 bucket pre-computed as column `b`) — ONE definition for the q125
+    * and q136 twins, mirroring the shared Scala derivation. */
+  private val sqlSplitBucket =
+    s"""${T.sqlMd5Prefix("CAST(doc_id AS VARCHAR)", 8)} % 100"""
+  private val sqlSplitCase =
+    """CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END"""
 
   private val toksSql = T.sqlToks
   private val shSql =
@@ -538,7 +561,8 @@ object Pipelines {
             CAST(sum(kept) AS BIGINT) AS n_kept,
             CAST(sum(kept * n_tok) AS BIGINT) AS kept_tokens
           FROM (SELECT lang,
-                  CASE WHEN ${T.sqlMd5Prefix("CAST(doc_id AS VARCHAR)", 4)}
+                  CASE WHEN len(toks) = 0 THEN 0
+                       WHEN ${T.sqlMd5Prefix("CAST(doc_id AS VARCHAR)", 4)}
                        < CAST(floor(($qualitySql) * 65536) AS BIGINT)
                        THEN 1 ELSE 0 END AS kept,
                   CAST(len(toks) AS BIGINT) AS n_tok
@@ -557,8 +581,8 @@ object Pipelines {
                   CAST(floor(CAST(sum(avail) AS DOUBLE) / 4) AS BIGINT) AS budget
                 FROM w),
           r AS (SELECT source, avail, isq,
-                  least(1.0, CAST(isq * budget AS DOUBLE)
-                             / CAST(denom * avail AS DOUBLE)) AS rate
+                  least(1.0, (CAST(isq AS DOUBLE) * CAST(budget AS DOUBLE))
+                             / (CAST(denom AS DOUBLE) * CAST(avail AS DOUBLE))) AS rate
                 FROM w, t)
           SELECT source, avail, isq, rate,
             CAST(floor(rate * CAST(avail AS DOUBLE)) AS BIGINT) AS planned,
@@ -571,22 +595,14 @@ object Pipelines {
             CAST(sum(len($toksSql)) AS BIGINT) AS sum_tokens,
             count(DISTINCT lang) AS n_langs,
             count(DISTINCT source) AS n_sources
-          FROM (SELECT *,
-                  CASE WHEN b < 90 THEN 'train'
-                       WHEN b < 95 THEN 'val' ELSE 'test' END AS split
-                FROM (SELECT *,
-                        ${T.sqlMd5Prefix("CAST(doc_id AS VARCHAR)", 8)}
-                          % 100 AS b
-                      FROM documents))
+          FROM (SELECT *, $sqlSplitCase AS split
+                FROM (SELECT *, $sqlSplitBucket AS b FROM documents))
           GROUP BY split ORDER BY split""",
 
     "q136_split_leakage" ->
-      s"""WITH base AS (SELECT doc_id, lang, toks,
-                  CASE WHEN b < 90 THEN 'train'
-                       WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+      s"""WITH base AS (SELECT doc_id, lang, toks, $sqlSplitCase AS split
                 FROM (SELECT doc_id, lang, $toksSql AS toks,
-                        ${T.sqlMd5Prefix("CAST(doc_id AS VARCHAR)", 8)}
-                          % 100 AS b
+                        $sqlSplitBucket AS b
                       FROM documents)),
           win AS (SELECT doc_id, lang, split,
                     unnest(list_distinct([list_aggr(toks[i:i+4], 'string_agg', ' ')

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -25,11 +25,12 @@ object Similarity {
 
   /** (qid, vec_id, label, qlabel, score) cosine scores of all
     * query×candidate pairs, queries broadcast — the canonical scored-scan
-    * shape shared by q36 (which ignores the labels) and q92 (which filters
-    * on them). */
-  private def scored(s: SparkSession, d: String, nQueries: Int): DataFrame = {
+    * shape shared by q36 (which ignores the labels), q92 (which filters
+    * on them), and q137 (which votes over them). `probe` selects the
+    * bounded query set (a filter on vec_id). */
+  private def scored(s: SparkSession, d: String, probe: Column): DataFrame = {
     val e = Tables.embeddings(s, d)
-    val qs = e.filter(col("vec_id") < nQueries)
+    val qs = e.filter(probe)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         col("label").as("qlabel"))
     e.crossJoin(broadcast(qs))
@@ -153,7 +154,7 @@ object Similarity {
     // Exact k-NN for 5 stored queries in one pass (rank window per query).
     "q36_knn_bruteforce" -> ((s, d) => {
       val w = Window.partitionBy(col("qid")).orderBy(desc("score"), col("vec_id"))
-      scored(s, d, 5)
+      scored(s, d, col("vec_id") < 5)
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 5)
         .select(col("qid"), col("rank"), col("vec_id"), col("score"))
@@ -170,15 +171,8 @@ object Similarity {
     // (q36's scored-scan), rank window over per-probe groups; production
     // swaps the scan for the q37 IVF cell probe, downstream unchanged.
     "q137_knn_label_probe" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val qs = e.filter(col("vec_id") % 25 === 0)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-          col("label").as("qlabel"))
       val w = Window.partitionBy(col("qid")).orderBy(desc("score"), col("vec_id"))
-      val top5 = e.crossJoin(broadcast(qs))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("qlabel"), col("label"),
-          V.cosine(col("embedding"), col("qv")).as("score"), col("vec_id"))
+      val top5 = scored(s, d, col("vec_id") % 25 === 0)
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
       top5.groupBy(col("qid"), col("qlabel"), col("label"))
@@ -262,7 +256,7 @@ object Similarity {
     // cheap, but NOT a scan-pushdown/stats-prunable filter.
     "q92_hard_negatives" -> ((s, d) => {
       val w = Window.partitionBy(col("qid")).orderBy(desc("score"), col("vec_id"))
-      scored(s, d, 5)
+      scored(s, d, col("vec_id") < 5)
         .filter(col("label") =!= col("qlabel"))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 3)

@@ -55,9 +55,7 @@ object Streams {
     * id, so a backfill batch run and the live stream keep EXACTLY the
     * same rows (asserted against q132's per-lang accept counts). */
   def qualitySampleStream(docs: DataFrame): DataFrame =
-    docs.filter(
-      graft.functions.TextFunctions.md5Prefix(col("doc_id").cast("string"), 4)
-        < floor(graft.plans.TextExpressions.qualityScore(col("text")) * 65536))
+    docs.filter(graft.operators.Pipelines.qualityAccept(col("doc_id"), col("text")))
       .select(col("doc_id"), col("lang"))
 
   /** Contamination HIT stream: (doc_id, shingle) records for every eval

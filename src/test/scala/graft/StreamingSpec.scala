@@ -155,8 +155,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want.filter(_._2 > 0))
     // and the kept ID SET is the batch predicate's set (pure function of id)
     val batchIds = graft.sources.Tables.documents(spark, sf)
-      .filter(graft.functions.TextFunctions.md5Prefix(col("doc_id").cast("string"), 4)
-        < floor(graft.plans.TextExpressions.qualityScore(col("text")) * lit(65536)))
+      .filter(graft.operators.Pipelines.qualityAccept(col("doc_id"), col("text")))
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet == batchIds)
   }
