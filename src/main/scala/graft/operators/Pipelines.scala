@@ -305,27 +305,37 @@ object Pipelines {
     // arithmetic on that tiny frame; the plan never shuffles the
     // corpus, and applying it is q132's map-side accept test with
     // rate as the threshold.
-    "q134_mixture_plan" -> ((s, d) => {
-      // one row per source; cached so the budget/denom rollup and the
-      // final join don't each re-scan + re-tokenize the corpus
-      val avail = graft.sources.RelationCache.of(s, "pipelines.q134avail", d) {
-        Tables.documents(s, d)
-          .select(col("source"),
-            size(graft.plans.TextExpressions.tokens(col("text"))).cast("long").as("n_tok"))
-          .groupBy(col("source"))
-          .agg(sum(col("n_tok")).as("avail"))
-          .withColumn("isq", floor(sqrt(col("avail").cast("double"))).cast("long"))
-      }
-      val tot = avail.agg(sum(col("isq")).as("denom"),
-        floor(sum(col("avail")) / 4).cast("long").as("budget"))
-      avail.crossJoin(broadcast(tot))
-        .withColumn("rate", least(lit(1.0),
-          (col("isq").cast("double") * col("budget").cast("double"))
-            / (col("denom").cast("double") * col("avail").cast("double"))))
+    "q134_mixture_plan" -> ((s, d) =>
+      mixturePlan(s, d)
         .select(col("source"), col("avail"), col("isq"), col("rate"),
-          floor(col("rate") * col("avail").cast("double")).cast("long")
-            .as("planned"),
-          (col("rate") === 1.0).as("saturated"))
+          col("planned"), (col("rate") === 1.0).as("saturated"))
+        .orderBy(col("source"))),
+
+    // APPLY the q134 plan — the execution half of the mixture loop: each
+    // doc draws its deterministic md5 bucket and is kept iff
+    // bucket < floor(rate_source·2^16) (q132's accept construct with the
+    // per-source planned rate as the threshold). The 20-row plan frame
+    // broadcasts onto a single map-side pass over the corpus; the output
+    // audits achieved vs planned (achieved counts are binomially
+    // distributed around rate·n_docs — the audit columns make the
+    // discrepancy measurable, the spec bounds it). At 100 TB this IS the
+    // production sampling job: one scan, no shuffle beyond the 20-group
+    // rollup.
+    "q138_apply_mixture" -> ((s, d) => {
+      val plan = mixturePlan(s, d)
+        .select(col("source"), col("rate"), col("planned"))
+      val accept = (T.md5Prefix(col("doc_id").cast("string"), 4)
+        < floor(col("rate") * 65536)).cast("long")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(graft.plans.TextExpressions.tokens(col("text"))).cast("long").as("n_tok"))
+        .join(broadcast(plan), "source")
+        .withColumn("kept", accept)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("kept")).as("n_kept"),
+          sum(col("kept") * col("n_tok")).as("achieved_tokens"),
+          first(col("planned")).as("planned_tokens"))
         .orderBy(col("source"))
     }),
 
@@ -381,12 +391,57 @@ object Pipelines {
       (T.md5Prefix(docId.cast("string"), 4)
         < floor(graft.plans.TextExpressions.qualityScore(text) * 65536))
 
+  /** The τ=2 mixture plan (one row per source: avail, isq, rate, planned)
+    * — ONE definition shared by q134 (the plan) and q138 (its
+    * application), so the sampler can never run a different plan than the
+    * one audited. The avail frame is RelationCache'd: the budget/denom
+    * rollup and the final join read it without re-scanning the corpus. */
+  private def mixturePlan(s: SparkSession, d: String): DataFrame = {
+    val avail = graft.sources.RelationCache.of(s, "pipelines.q134avail", d) {
+      Tables.documents(s, d)
+        .select(col("source"),
+          size(graft.plans.TextExpressions.tokens(col("text"))).cast("long").as("n_tok"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_tok")).as("avail"))
+        .withColumn("isq", floor(sqrt(col("avail").cast("double"))).cast("long"))
+    }
+    val tot = avail.agg(sum(col("isq")).as("denom"),
+      floor(sum(col("avail")) / 4).cast("long").as("budget"))
+    avail.crossJoin(broadcast(tot))
+      .withColumn("rate", least(lit(1.0),
+        (col("isq").cast("double") * col("budget").cast("double"))
+          / (col("denom").cast("double") * col("avail").cast("double"))))
+      .withColumn("planned",
+        floor(col("rate") * col("avail").cast("double")).cast("long"))
+  }
+
   /** q125's deterministic 90/5/5 split — shared with q136 so the leakage
     * audit can never drift from the split it audits. */
   def splitOf(docId: Column): Column = {
     val bucket = T.md5Prefix(docId.cast("string"), 8) % 100
     when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
   }
+
+  /** SQL twin of [[mixturePlan]] — the CTE chain ending in `plan`
+    * (source, avail, isq, rate, planned), shared by the q134 and q138
+    * twins exactly as the Scala helper is shared by the queries. */
+  private lazy val sqlMixtureCtes =
+    s"""avail AS (SELECT source,
+              CAST(sum(CAST(len(toks) AS BIGINT)) AS BIGINT) AS avail
+            FROM (SELECT source, ${T.sqlToks} AS toks FROM documents)
+            GROUP BY source),
+        w AS (SELECT source, avail,
+                CAST(floor(sqrt(CAST(avail AS DOUBLE))) AS BIGINT) AS isq
+              FROM avail),
+        t AS (SELECT CAST(sum(isq) AS BIGINT) AS denom,
+                CAST(floor(CAST(sum(avail) AS DOUBLE) / 4) AS BIGINT) AS budget
+              FROM w),
+        plan AS (SELECT source, avail, isq, rate,
+                   CAST(floor(rate * CAST(avail AS DOUBLE)) AS BIGINT) AS planned
+                 FROM (SELECT source, avail, isq,
+                         least(1.0, (CAST(isq AS DOUBLE) * CAST(budget AS DOUBLE))
+                           / (CAST(denom AS DOUBLE) * CAST(avail AS DOUBLE))) AS rate
+                       FROM w, t))"""
 
   /** SQL twin of [[splitOf]] over a relation exposing doc_id (expects the
     * md5 bucket pre-computed as column `b`) — ONE definition for the q125
@@ -570,24 +625,25 @@ object Pipelines {
           GROUP BY lang ORDER BY lang""",
 
     "q134_mixture_plan" ->
-      s"""WITH avail AS (SELECT source,
-                    CAST(sum(CAST(len(toks) AS BIGINT)) AS BIGINT) AS avail
-                  FROM (SELECT source, $toksSql AS toks FROM documents)
-                  GROUP BY source),
-          w AS (SELECT source, avail,
-                  CAST(floor(sqrt(CAST(avail AS DOUBLE))) AS BIGINT) AS isq
-                FROM avail),
-          t AS (SELECT CAST(sum(isq) AS BIGINT) AS denom,
-                  CAST(floor(CAST(sum(avail) AS DOUBLE) / 4) AS BIGINT) AS budget
-                FROM w),
-          r AS (SELECT source, avail, isq,
-                  least(1.0, (CAST(isq AS DOUBLE) * CAST(budget AS DOUBLE))
-                             / (CAST(denom AS DOUBLE) * CAST(avail AS DOUBLE))) AS rate
-                FROM w, t)
-          SELECT source, avail, isq, rate,
-            CAST(floor(rate * CAST(avail AS DOUBLE)) AS BIGINT) AS planned,
-            rate = 1.0 AS saturated
-          FROM r ORDER BY source""",
+      s"""WITH $sqlMixtureCtes
+          SELECT source, avail, isq, rate, planned, rate = 1.0 AS saturated
+          FROM plan ORDER BY source""",
+
+    "q138_apply_mixture" ->
+      s"""WITH $sqlMixtureCtes,
+          docs AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tok
+                   FROM (SELECT doc_id, source, $toksSql AS toks FROM documents)),
+          k AS (SELECT d.source,
+                  CASE WHEN ${T.sqlMd5Prefix("CAST(doc_id AS VARCHAR)", 4)}
+                       < CAST(floor(rate * 65536) AS BIGINT)
+                       THEN 1 ELSE 0 END AS kept,
+                  n_tok, planned
+                FROM docs d JOIN plan USING (source))
+          SELECT source, count(*) AS n_docs,
+            CAST(sum(kept) AS BIGINT) AS n_kept,
+            CAST(sum(kept * n_tok) AS BIGINT) AS achieved_tokens,
+            CAST(min(planned) AS BIGINT) AS planned_tokens
+          FROM k GROUP BY source ORDER BY source""",
 
     "q125_hash_split" ->
       s"""SELECT split, count(*) AS n_docs,

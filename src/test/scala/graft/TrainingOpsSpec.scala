@@ -269,6 +269,26 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_probes")).sum == probes)
   }
 
+  test("q138 applies exactly the q134 plan and achieves it within binomial noise") {
+    val plan = SparkEntry.queries("q134_mixture_plan")(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Double]("rate"), r.getAs[Long]("planned"))).toMap
+    val rows = SparkEntry.queries("q138_apply_mixture")(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("source")).toSet == plan.keySet,
+      "every planned source must appear in the application audit")
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val (rate, planned) = plan(src)
+      assert(r.getAs[Long]("planned_tokens") == planned,
+        s"$src: audit must carry the plan's number, not recompute it")
+      // kept count ~ Binomial(n_docs, rate): allow 4 sigma + 1
+      val n = r.getAs[Long]("n_docs").toDouble
+      val sigma = math.sqrt(n * rate * (1 - rate))
+      assert(math.abs(r.getAs[Long]("n_kept") - n * rate) <= 4 * sigma + 1,
+        s"$src: kept ${r.getAs[Long]("n_kept")} vs expected ${n * rate}")
+    }
+  }
+
   test("q127 re-rank scores are exact fp32 cosines in descending order, recall >= 4/5") {
     import org.apache.spark.sql.functions._
     import graft.functions.{VectorFunctions => V}
