@@ -15,7 +15,9 @@ object Explain {
     "q07_brand_volume",     // BroadcastHashJoin on dim
     "q21_rag_topk",         // TakeOrderedAndProject
     "q32_minhash_lsh",      // packed-pair agg: no self-join, one sig eval
-    "q41_asof_join")        // single shuffle, no range join
+    "q41_asof_join",        // single shuffle, no range join
+    "q135_span_dup",        // shared-window build side, array-size counts
+    "q138_apply_mixture")   // 20-row plan broadcast, map-side accept
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
