@@ -324,7 +324,13 @@ object Pipelines {
     "q138_apply_mixture" -> ((s, d) => {
       val plan = mixturePlan(s, d)
         .select(col("source"), col("rate"), col("planned"))
-      val accept = (T.md5Prefix(col("doc_id").cast("string"), 4)
+      // 'mix:'-salted draw (the q131 seeded-hash construct): q132's
+      // quality accept reads the UNsalted bucket of the same doc_id, and
+      // an unsalted draw here would be perfectly correlated with it —
+      // chaining curation then mixture would keep min(rate, quality)
+      // instead of rate·quality. Distinct salts make the draws
+      // independent.
+      val accept = (T.md5Prefix(concat(lit("mix:"), col("doc_id").cast("string")), 4)
         < floor(col("rate") * 65536)).cast("long")
       Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
@@ -634,7 +640,7 @@ object Pipelines {
           docs AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tok
                    FROM (SELECT doc_id, source, $toksSql AS toks FROM documents)),
           k AS (SELECT d.source,
-                  CASE WHEN ${T.sqlMd5Prefix("CAST(doc_id AS VARCHAR)", 4)}
+                  CASE WHEN ${T.sqlMd5Prefix("'mix:' || CAST(doc_id AS VARCHAR)", 4)}
                        < CAST(floor(rate * 65536) AS BIGINT)
                        THEN 1 ELSE 0 END AS kept,
                   n_tok, planned

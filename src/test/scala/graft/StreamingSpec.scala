@@ -154,8 +154,14 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
     assert(got == want.filter(_._2 > 0))
     // and the kept ID SET is the batch predicate's set (pure function of id)
+    // INDEPENDENT re-derivation of the accept predicate, deliberately NOT
+    // Pipelines.qualityAccept: stream, batch query, and this spec must
+    // not all share one definition or the equality becomes tautological —
+    // this inline form is what pins the contract if the helper drifts
     val batchIds = graft.sources.Tables.documents(spark, sf)
-      .filter(graft.operators.Pipelines.qualityAccept(col("doc_id"), col("text")))
+      .filter(size(graft.plans.TextExpressions.tokens(col("text"))) > 0)
+      .filter(graft.functions.TextFunctions.md5Prefix(col("doc_id").cast("string"), 4)
+        < floor(graft.plans.TextExpressions.qualityScore(col("text")) * lit(65536)))
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet == batchIds)
   }
