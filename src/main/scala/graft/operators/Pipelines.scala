@@ -227,6 +227,39 @@ object Pipelines {
         .orderBy(col("shard"), col("seq_id"))
     }),
 
+    // Packing-efficiency audit over q90's concat-and-chunk layout: in
+    // this packing there is no intra-sequence padding — the costs are
+    // (a) docs STRADDLING a 256-token boundary (truncated context /
+    // cross-doc attention unless masked) and (b) the tail stub of each
+    // shard. A doc straddles iff its start offset and its last token's
+    // offset land in different sequences. Everything is integer
+    // arithmetic on the same prefix sums q90 already computes (/256 is
+    // a power-of-two divide); the fragmentation rate is what decides
+    // between concat-and-chunk and best-fit packing in production.
+    "q139_packing_audit" -> ((s, d) => {
+      val budget = 256
+      val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(graft.plans.TextExpressions.tokens(col("text"))).cast("long").as("n_tok"))
+        .withColumn("h", md5(col("doc_id").cast("string")))
+        .withColumn("shard", conv(substring(col("h"), 1, 2), 16, 10).cast("long") % 8)
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("split", when(col("n_tok") > 0 &&
+          floor((col("cum") - col("n_tok")) / lit(budget.toDouble)) =!=
+            floor((col("cum") - 1) / lit(budget.toDouble)), 1L).otherwise(0L))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("split")).as("n_split"),
+          sum(col("n_tok")).as("total_tokens"),
+          (floor((sum(col("n_tok")) - 1) / lit(budget.toDouble)) + 1)
+            .cast("long").as("n_seqs"))
+        .withColumn("tail_waste",
+          col("n_seqs") * budget - col("total_tokens"))
+        .orderBy(col("shard"))
+    }),
+
     // The LLM-training-data pipeline, end to end: quality-score filter →
     // near-duplicate removal (keep the lowest doc_id of each dup pair) →
     // per-language corpus stats.
@@ -593,6 +626,31 @@ object Pipelines {
                ${T.sqlMd5Prefix("CAST(doc_id AS VARCHAR)", 2)} % 8 AS shard
              FROM documents))
          GROUP BY shard, seq_id ORDER BY shard, seq_id""",
+
+    "q139_packing_audit" ->
+      s"""SELECT shard, count(*) AS n_docs,
+            CAST(sum(split) AS BIGINT) AS n_split,
+            CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+            CAST(floor(CAST(sum(n_tok) - 1 AS DOUBLE) / 256) + 1 AS BIGINT) AS n_seqs,
+            CAST((floor(CAST(sum(n_tok) - 1 AS DOUBLE) / 256) + 1) * 256
+                 - sum(n_tok) AS BIGINT) AS tail_waste
+          FROM (
+            SELECT shard, n_tok,
+              CASE WHEN n_tok > 0 AND
+                floor(CAST(cum - n_tok AS DOUBLE) / 256)
+                  <> floor(CAST(cum - 1 AS DOUBLE) / 256)
+                THEN 1 ELSE 0 END AS split
+            FROM (
+              SELECT shard, n_tok,
+                sum(n_tok) OVER (PARTITION BY shard ORDER BY h, doc_id
+                  ROWS UNBOUNDED PRECEDING) AS cum
+              FROM (
+                SELECT doc_id,
+                  CAST(len($toksSql) AS BIGINT) AS n_tok,
+                  md5(CAST(doc_id AS VARCHAR)) AS h,
+                  ${T.sqlMd5Prefix("CAST(doc_id AS VARCHAR)", 2)} % 8 AS shard
+                FROM documents)))
+          GROUP BY shard ORDER BY shard""",
 
     "q50_training_pipeline" ->
       s"""WITH docs AS (SELECT doc_id, lang, n_chars, toks, sh, $qualitySql AS quality

@@ -289,6 +289,24 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q139 audit is consistent with q90's packing") {
+    val rows = SparkEntry.queries("q139_packing_audit")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      graft.sources.Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_split") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("tail_waste") >= 0 && r.getAs[Long]("tail_waste") < 256)
+      assert(r.getAs[Long]("n_seqs") * 256 >= r.getAs[Long]("total_tokens"))
+    }
+    // shard-level totals equal q90's per-sequence sums on the same shards
+    val packed = SparkEntry.queries("q90_pack_sequences")(spark, sf).collect()
+      .groupBy(_.getAs[Long]("shard"))
+      .view.mapValues(_.map(_.getAs[Long]("seq_tokens")).sum).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("total_tokens") == packed(r.getAs[Long]("shard")))
+    }
+  }
+
   test("q127 re-rank scores are exact fp32 cosines in descending order, recall >= 4/5") {
     import org.apache.spark.sql.functions._
     import graft.functions.{VectorFunctions => V}
