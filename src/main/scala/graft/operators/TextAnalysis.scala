@@ -62,6 +62,36 @@ object TextAnalysis {
         .orderBy(col("lang"))
     }),
 
+    // Tokenizer fertility per language — the multilingual tokenizer-
+    // selection metric: subword units per whitespace word (high fertility
+    // means the vocabulary underserves that language, inflating its
+    // effective sequence lengths and training cost). The subword model is
+    // a fixed-width BPE proxy — every word splits into ceil(len/4)
+    // units — so fertility tracks each language's word-length
+    // distribution; all counts are exact BIGINT sums and the ratios are
+    // single divisions of those sums, no per-row double aggregates.
+    // Shape at scale: two codegen'd per-row counters, one partial-agg
+    // rollup to ~5 lang rows; nothing shuffles the corpus.
+    "q140_tokenizer_fertility" -> ((s, d) => {
+      val toks = graft.plans.TextExpressions.tokens(col("text"))
+      Tables.documents(s, d)
+        .select(col("lang"),
+          size(toks).cast("long").as("n_word"),
+          aggregate(toks, lit(0L),
+            (acc, t) => acc + ((length(t) + lit(3)) / lit(4)).cast("long"))
+            .as("n_sub"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_word")).as("words"),
+          sum(col("n_sub")).as("subwords"))
+        .select(col("lang"), col("n_docs"), col("words"), col("subwords"),
+          (col("subwords").cast("double") / col("words").cast("double"))
+            .as("fertility"),
+          (col("subwords").cast("double") / col("n_docs").cast("double"))
+            .as("subwords_per_doc"))
+        .orderBy(col("lang"))
+    }),
+
     // Content fingerprinting (md5 of canonicalized text) per language.
     "q29_fingerprints" -> ((s, d) => {
       Tables.documents(s, d)
@@ -424,6 +454,18 @@ object TextAnalysis {
           min(${T.sqlRegexTokenCount}) AS min_tokens,
           max(${T.sqlRegexTokenCount}) AS max_tokens
           FROM documents GROUP BY lang ORDER BY lang""",
+
+    "q140_tokenizer_fertility" ->
+      s"""SELECT lang, n_docs, words, subwords,
+            CAST(subwords AS DOUBLE) / CAST(words AS DOUBLE) AS fertility,
+            CAST(subwords AS DOUBLE) / CAST(n_docs AS DOUBLE) AS subwords_per_doc
+          FROM (SELECT lang, count(*) AS n_docs,
+                  CAST(sum(CAST(len(toks) AS BIGINT)) AS BIGINT) AS words,
+                  CAST(sum(CAST(list_sum(list_transform(toks,
+                    t -> (len(t) + 3) // 4)) AS BIGINT)) AS BIGINT) AS subwords
+                FROM (SELECT lang, $toksSql AS toks FROM documents)
+                GROUP BY lang)
+          ORDER BY lang""",
 
     "q29_fingerprints" ->
       s"""SELECT lang, count(*) AS n_docs,
