@@ -208,57 +208,39 @@ object Pipelines {
     // cumulative offset falls in. Shard-local packing is the 100 TB shape —
     // each shard's window is independent, so the prefix-sum parallelizes
     // across shards instead of serializing on one global ordering.
-    "q90_pack_sequences" -> ((s, d) => {
-      val budget = 256
-      val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          size(graft.plans.TextExpressions.tokens(col("text"))).cast("long").as("n_tok"))
-        .withColumn("h", md5(col("doc_id").cast("string")))
-        .withColumn("shard", conv(substring(col("h"), 1, 2), 16, 10).cast("long") % 8)
-        .withColumn("cum", sum(col("n_tok")).over(w))
-        .withColumn("seq_id",
-          floor((col("cum") - col("n_tok")) / lit(budget.toDouble)).cast("long"))
+    "q90_pack_sequences" -> ((s, d) =>
+      packedDocs(s, d)
+        .withColumn("seq_id", shiftright(col("cum") - col("n_tok"), PackShift))
         .groupBy(col("shard"), col("seq_id"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tok")).as("seq_tokens"),
           min(col("doc_id")).as("first_doc"))
-        .orderBy(col("shard"), col("seq_id"))
-    }),
+        .orderBy(col("shard"), col("seq_id"))),
 
     // Packing-efficiency audit over q90's concat-and-chunk layout: in
     // this packing there is no intra-sequence padding — the costs are
     // (a) docs STRADDLING a 256-token boundary (truncated context /
     // cross-doc attention unless masked) and (b) the tail stub of each
     // shard. A doc straddles iff its start offset and its last token's
-    // offset land in different sequences. Everything is integer
-    // arithmetic on the same prefix sums q90 already computes (/256 is
-    // a power-of-two divide); the fragmentation rate is what decides
-    // between concat-and-chunk and best-fit packing in production.
-    "q139_packing_audit" -> ((s, d) => {
-      val budget = 256
-      val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          size(graft.plans.TextExpressions.tokens(col("text"))).cast("long").as("n_tok"))
-        .withColumn("h", md5(col("doc_id").cast("string")))
-        .withColumn("shard", conv(substring(col("h"), 1, 2), 16, 10).cast("long") % 8)
-        .withColumn("cum", sum(col("n_tok")).over(w))
+    // offset land in different sequences. Everything is genuinely
+    // integer arithmetic over q90's own prefix sums (shared prelude
+    // [[packedDocs]]; sequence index = shiftright by log2(budget), exact
+    // at ANY prefix-sum magnitude); the fragmentation rate is what
+    // decides between concat-and-chunk and best-fit packing in
+    // production.
+    "q139_packing_audit" -> ((s, d) =>
+      packedDocs(s, d)
         .withColumn("split", when(col("n_tok") > 0 &&
-          floor((col("cum") - col("n_tok")) / lit(budget.toDouble)) =!=
-            floor((col("cum") - 1) / lit(budget.toDouble)), 1L).otherwise(0L))
+          shiftright(col("cum") - col("n_tok"), PackShift) =!=
+            shiftright(col("cum") - 1, PackShift), 1L).otherwise(0L))
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("split")).as("n_split"),
           sum(col("n_tok")).as("total_tokens"),
-          (floor((sum(col("n_tok")) - 1) / lit(budget.toDouble)) + 1)
-            .cast("long").as("n_seqs"))
+          (shiftright(sum(col("n_tok")) - 1, PackShift) + 1).as("n_seqs"))
         .withColumn("tail_waste",
-          col("n_seqs") * budget - col("total_tokens"))
-        .orderBy(col("shard"))
-    }),
+          col("n_seqs") * PackBudget - col("total_tokens"))
+        .orderBy(col("shard"))),
 
     // The LLM-training-data pipeline, end to end: quality-score filter →
     // near-duplicate removal (keep the lowest doc_id of each dup pair) →
@@ -454,6 +436,29 @@ object Pipelines {
         floor(col("rate") * col("avail").cast("double")).cast("long"))
   }
 
+  /** Sequence-packing token budget (and its log2 for integer divides). */
+  private[graft] val PackBudget = 256L
+  private val PackShift = 8
+
+  /** q90's packing prelude — (doc_id, n_tok, h, shard, cum): docs
+    * hash-bucketed into 8 shards, deterministic md5 order within each
+    * shard, running token prefix-sum. ONE definition shared by q90 (the
+    * packer) and q139 (its audit), like [[mixturePlan]]: the audit can
+    * never measure a different packing than the one q90 produces.
+    * Sequence indices derive via shiftright(·, PackShift) — genuinely
+    * integer, exact at any prefix-sum magnitude (a double floor-divide
+    * loses exactness past 2^53). */
+  private def packedDocs(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(graft.plans.TextExpressions.tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("shard", conv(substring(col("h"), 1, 2), 16, 10).cast("long") % 8)
+      .withColumn("cum", sum(col("n_tok")).over(w))
+  }
+
   /** q125's deterministic 90/5/5 split — shared with q136 so the leakage
     * audit can never drift from the split it audits. */
   def splitOf(docId: Column): Column = {
@@ -481,6 +486,19 @@ object Pipelines {
                          least(1.0, (CAST(isq AS DOUBLE) * CAST(budget AS DOUBLE))
                            / (CAST(denom AS DOUBLE) * CAST(avail AS DOUBLE))) AS rate
                        FROM w, t))"""
+
+  /** SQL twin of [[packedDocs]] (CTE `packed`), shared by the q90 and
+    * q139 twins. */
+  private lazy val sqlPackedCte =
+    s"""packed AS (
+          SELECT doc_id, n_tok, shard,
+            sum(n_tok) OVER (PARTITION BY shard ORDER BY h, doc_id
+              ROWS UNBOUNDED PRECEDING) AS cum
+          FROM (SELECT doc_id,
+                  CAST(len(${T.sqlToks}) AS BIGINT) AS n_tok,
+                  md5(CAST(doc_id AS VARCHAR)) AS h,
+                  ${T.sqlMd5Prefix("CAST(doc_id AS VARCHAR)", 2)} % 8 AS shard
+                FROM documents))"""
 
   /** SQL twin of [[splitOf]] over a relation exposing doc_id (expects the
     * md5 bucket pre-computed as column `b`) — ONE definition for the q125
@@ -613,43 +631,28 @@ object Pipelines {
           GROUP BY doc_id ORDER BY doc_id""",
 
     "q90_pack_sequences" ->
-      s"""SELECT shard, seq_id, count(*) AS n_docs,
+      s"""WITH $sqlPackedCte
+         SELECT shard, seq_id, count(*) AS n_docs,
            CAST(sum(n_tok) AS BIGINT) AS seq_tokens, min(doc_id) AS first_doc
-         FROM (
-           SELECT doc_id, n_tok, shard,
-             CAST(floor(CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY h, doc_id
-                 ROWS UNBOUNDED PRECEDING) - n_tok AS DOUBLE) / 256) AS BIGINT) AS seq_id
-           FROM (
-             SELECT doc_id,
-               CAST(len($toksSql) AS BIGINT) AS n_tok,
-               md5(CAST(doc_id AS VARCHAR)) AS h,
-               ${T.sqlMd5Prefix("CAST(doc_id AS VARCHAR)", 2)} % 8 AS shard
-             FROM documents))
+         FROM (SELECT doc_id, n_tok, shard,
+                 CAST((cum - n_tok) // $PackBudget AS BIGINT) AS seq_id
+               FROM packed)
          GROUP BY shard, seq_id ORDER BY shard, seq_id""",
 
     "q139_packing_audit" ->
-      s"""SELECT shard, count(*) AS n_docs,
+      s"""WITH $sqlPackedCte
+          SELECT shard, count(*) AS n_docs,
             CAST(sum(split) AS BIGINT) AS n_split,
             CAST(sum(n_tok) AS BIGINT) AS total_tokens,
-            CAST(floor(CAST(sum(n_tok) - 1 AS DOUBLE) / 256) + 1 AS BIGINT) AS n_seqs,
-            CAST((floor(CAST(sum(n_tok) - 1 AS DOUBLE) / 256) + 1) * 256
+            CAST((sum(n_tok) - 1) // $PackBudget + 1 AS BIGINT) AS n_seqs,
+            CAST(((sum(n_tok) - 1) // $PackBudget + 1) * $PackBudget
                  - sum(n_tok) AS BIGINT) AS tail_waste
           FROM (
             SELECT shard, n_tok,
               CASE WHEN n_tok > 0 AND
-                floor(CAST(cum - n_tok AS DOUBLE) / 256)
-                  <> floor(CAST(cum - 1 AS DOUBLE) / 256)
+                (cum - n_tok) // $PackBudget <> (cum - 1) // $PackBudget
                 THEN 1 ELSE 0 END AS split
-            FROM (
-              SELECT shard, n_tok,
-                sum(n_tok) OVER (PARTITION BY shard ORDER BY h, doc_id
-                  ROWS UNBOUNDED PRECEDING) AS cum
-              FROM (
-                SELECT doc_id,
-                  CAST(len($toksSql) AS BIGINT) AS n_tok,
-                  md5(CAST(doc_id AS VARCHAR)) AS h,
-                  ${T.sqlMd5Prefix("CAST(doc_id AS VARCHAR)", 2)} % 8 AS shard
-                FROM documents)))
+            FROM packed)
           GROUP BY shard ORDER BY shard""",
 
     "q50_training_pipeline" ->

@@ -70,14 +70,19 @@ object TextAnalysis {
     // units — so fertility tracks each language's word-length
     // distribution; all counts are exact BIGINT sums and the ratios are
     // single divisions of those sums, no per-row double aggregates.
-    // Shape at scale: two codegen'd per-row counters, one partial-agg
-    // rollup to ~5 lang rows; nothing shuffles the corpus.
+    // Shape at scale: ONE tokenize per row (toks materialized by its own
+    // Project so the two counters read the attribute, not re-evaluate
+    // the expression), one partial-agg rollup to ~5 lang rows; nothing
+    // shuffles the corpus. A lang whose docs are ALL empty reports
+    // fertility 0.0 explicitly — 0/0 NULL-vs-NaN semantics differ
+    // between engines (the q132 empty-doc rule).
     "q140_tokenizer_fertility" -> ((s, d) => {
-      val toks = graft.plans.TextExpressions.tokens(col("text"))
       Tables.documents(s, d)
         .select(col("lang"),
-          size(toks).cast("long").as("n_word"),
-          aggregate(toks, lit(0L),
+          graft.plans.TextExpressions.tokens(col("text")).as("toks"))
+        .select(col("lang"),
+          size(col("toks")).cast("long").as("n_word"),
+          aggregate(col("toks"), lit(0L),
             (acc, t) => acc + ((length(t) + lit(3)) / lit(4)).cast("long"))
             .as("n_sub"))
         .groupBy(col("lang"))
@@ -85,7 +90,8 @@ object TextAnalysis {
           sum(col("n_word")).as("words"),
           sum(col("n_sub")).as("subwords"))
         .select(col("lang"), col("n_docs"), col("words"), col("subwords"),
-          (col("subwords").cast("double") / col("words").cast("double"))
+          when(col("words") === 0, lit(0.0))
+            .otherwise(col("subwords").cast("double") / col("words").cast("double"))
             .as("fertility"),
           (col("subwords").cast("double") / col("n_docs").cast("double"))
             .as("subwords_per_doc"))
@@ -457,12 +463,14 @@ object TextAnalysis {
 
     "q140_tokenizer_fertility" ->
       s"""SELECT lang, n_docs, words, subwords,
-            CAST(subwords AS DOUBLE) / CAST(words AS DOUBLE) AS fertility,
+            CASE WHEN words = 0 THEN 0.0
+                 ELSE CAST(subwords AS DOUBLE) / CAST(words AS DOUBLE)
+            END AS fertility,
             CAST(subwords AS DOUBLE) / CAST(n_docs AS DOUBLE) AS subwords_per_doc
           FROM (SELECT lang, count(*) AS n_docs,
                   CAST(sum(CAST(len(toks) AS BIGINT)) AS BIGINT) AS words,
-                  CAST(sum(CAST(list_sum(list_transform(toks,
-                    t -> (len(t) + 3) // 4)) AS BIGINT)) AS BIGINT) AS subwords
+                  CAST(sum(CAST(coalesce(list_sum(list_transform(toks,
+                    t -> (len(t) + 3) // 4)), 0) AS BIGINT)) AS BIGINT) AS subwords
                 FROM (SELECT lang, $toksSql AS toks FROM documents)
                 GROUP BY lang)
           ORDER BY lang""",

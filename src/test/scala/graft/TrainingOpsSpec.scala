@@ -290,13 +290,15 @@ class TrainingOpsSpec extends AnyFunSuite {
   }
 
   test("q139 audit is consistent with q90's packing") {
+    import org.apache.spark.sql.functions._
+    val budget = graft.operators.Pipelines.PackBudget
     val rows = SparkEntry.queries("q139_packing_audit")(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_docs")).sum ==
       graft.sources.Tables.documents(spark, sf).count())
     rows.foreach { r =>
       assert(r.getAs[Long]("n_split") <= r.getAs[Long]("n_docs"))
-      assert(r.getAs[Long]("tail_waste") >= 0 && r.getAs[Long]("tail_waste") < 256)
-      assert(r.getAs[Long]("n_seqs") * 256 >= r.getAs[Long]("total_tokens"))
+      assert(r.getAs[Long]("tail_waste") >= 0 && r.getAs[Long]("tail_waste") < budget)
+      assert(r.getAs[Long]("n_seqs") * budget >= r.getAs[Long]("total_tokens"))
     }
     // shard-level totals equal q90's per-sequence sums on the same shards
     val packed = SparkEntry.queries("q90_pack_sequences")(spark, sf).collect()
@@ -304,6 +306,35 @@ class TrainingOpsSpec extends AnyFunSuite {
       .view.mapValues(_.map(_.getAs[Long]("seq_tokens")).sum).toMap
     rows.foreach { r =>
       assert(r.getAs[Long]("total_tokens") == packed(r.getAs[Long]("shard")))
+    }
+    // pin n_split itself: independent per-doc re-derivation from raw data
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(graft.plans.TextExpressions.tokens(col("text"))).cast("long").as("n_tok"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def shardOf(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 2), 16) % 8
+    }
+    val wantSplit = docs.keys.toSeq
+      .map { id =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        (shardOf(id), h, id)
+      }
+      .groupBy(_._1).view.mapValues { xs =>
+        var cum = 0L; var split = 0L
+        xs.sortBy(x => (x._2, x._3)).foreach { case (_, _, id) =>
+          val n = docs(id); cum += n
+          if (n > 0 && (cum - n) / budget != (cum - 1) / budget) split += 1
+        }
+        split
+      }.toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_split") == wantSplit(r.getAs[Long]("shard")),
+        s"shard ${r.getAs[Long]("shard")} straddle count mismatch")
     }
   }
 
