@@ -242,6 +242,50 @@ object Pipelines {
           col("n_seqs") * PackBudget - col("total_tokens"))
         .orderBy(col("shard"))),
 
+    // The round-4 curation pipeline end to end, as ONE declarative plan
+    // (the q50 analog for the curation family): quality-weighted accept
+    // (q132's draw) → verbatim-span-dup drop (q135's window-df rule) →
+    // mixture plan computed ON THE SURVIVORS (q134's arithmetic via the
+    // shared mixturePlanOf) → salted selection draw (q138's sampler).
+    // Every stage reuses the family's single shared definition, and the
+    // output audits each stage: survivors, planned and selected tokens
+    // per source. Shape at scale: one corpus pass for doc stats + the
+    // q135 window-df shuffle for the dup rule + a 20-row plan broadcast
+    // — the dup stage is the only corpus-volume shuffle in the whole
+    // pipeline.
+    "q141_curation_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          graft.plans.TextExpressions.wordShingles(col("text"), 8).as("sh"),
+          size(graft.plans.TextExpressions.tokens(col("text"))).cast("long").as("n_tok"),
+          qualityAccept(col("doc_id"), col("text")).as("q_ok"))
+      val win = docs.select(col("doc_id"), explode(col("sh")).as("w"))
+      val sharedW = win.groupBy(col("w")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2).select(col("w"))
+      val dups = win.join(sharedW, "w")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+      // drop iff flagged by q135's rule; docs too short to shingle keep
+      // their quality verdict (n_win = 0 never flags)
+      val surv = docs.join(dups, Seq("doc_id"), "left")
+        .withColumn("n_dup", coalesce(col("n_dup"), lit(0L)))
+        .filter(col("q_ok") &&
+          col("n_dup") * 5 < greatest(size(col("sh")).cast("long"), lit(1L)))
+      val plan = mixturePlanOf(
+          surv.groupBy(col("source")).agg(sum(col("n_tok")).as("avail")))
+        .select(col("source"), col("avail"), col("rate"), col("planned"))
+      surv.join(broadcast(plan), "source")
+        .withColumn("sel",
+          (T.md5Prefix(concat(lit("mix:"), col("doc_id").cast("string")), 4)
+            < floor(col("rate") * 65536)).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_surv"),
+          first(col("avail")).as("surv_tokens"),
+          first(col("planned")).as("planned_tokens"),
+          sum(col("sel")).as("n_sel"),
+          sum(col("sel") * col("n_tok")).as("sel_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // The LLM-training-data pipeline, end to end: quality-score filter →
     // near-duplicate removal (keep the lowest doc_id of each dup pair) →
     // per-language corpus stats.
@@ -417,18 +461,23 @@ object Pipelines {
     * application), so the sampler can never run a different plan than the
     * one audited. The avail frame is RelationCache'd: the budget/denom
     * rollup and the final join read it without re-scanning the corpus. */
-  private def mixturePlan(s: SparkSession, d: String): DataFrame = {
-    val avail = graft.sources.RelationCache.of(s, "pipelines.q134avail", d) {
+  private def mixturePlan(s: SparkSession, d: String): DataFrame =
+    mixturePlanOf(graft.sources.RelationCache.of(s, "pipelines.q134avail", d) {
       Tables.documents(s, d)
         .select(col("source"),
           size(graft.plans.TextExpressions.tokens(col("text"))).cast("long").as("n_tok"))
         .groupBy(col("source"))
         .agg(sum(col("n_tok")).as("avail"))
-        .withColumn("isq", floor(sqrt(col("avail").cast("double"))).cast("long"))
-    }
-    val tot = avail.agg(sum(col("isq")).as("denom"),
+    })
+
+  /** The plan arithmetic over ANY (source, avail) frame — q134/q138 run
+    * it on the raw corpus, q141 on the curation survivors. */
+  private def mixturePlanOf(avail: DataFrame): DataFrame = {
+    val w = avail
+      .withColumn("isq", floor(sqrt(col("avail").cast("double"))).cast("long"))
+    val tot = w.agg(sum(col("isq")).as("denom"),
       floor(sum(col("avail")) / 4).cast("long").as("budget"))
-    avail.crossJoin(broadcast(tot))
+    w.crossJoin(broadcast(tot))
       .withColumn("rate", least(lit(1.0),
         (col("isq").cast("double") * col("budget").cast("double"))
           / (col("denom").cast("double") * col("avail").cast("double"))))
@@ -469,14 +518,12 @@ object Pipelines {
   /** SQL twin of [[mixturePlan]] — the CTE chain ending in `plan`
     * (source, avail, isq, rate, planned), shared by the q134 and q138
     * twins exactly as the Scala helper is shared by the queries. */
-  private lazy val sqlMixtureCtes =
-    s"""avail AS (SELECT source,
-              CAST(sum(CAST(len(toks) AS BIGINT)) AS BIGINT) AS avail
-            FROM (SELECT source, ${T.sqlToks} AS toks FROM documents)
-            GROUP BY source),
-        w AS (SELECT source, avail,
+  /** Mixture-plan arithmetic CTEs over any (source, avail) CTE — the SQL
+    * twin of [[mixturePlanOf]]. */
+  private def sqlMixtureFrom(availCte: String): String =
+    s"""w AS (SELECT source, avail,
                 CAST(floor(sqrt(CAST(avail AS DOUBLE))) AS BIGINT) AS isq
-              FROM avail),
+              FROM $availCte),
         t AS (SELECT CAST(sum(isq) AS BIGINT) AS denom,
                 CAST(floor(CAST(sum(avail) AS DOUBLE) / 4) AS BIGINT) AS budget
               FROM w),
@@ -486,6 +533,13 @@ object Pipelines {
                          least(1.0, (CAST(isq AS DOUBLE) * CAST(budget AS DOUBLE))
                            / (CAST(denom AS DOUBLE) * CAST(avail AS DOUBLE))) AS rate
                        FROM w, t))"""
+
+  private lazy val sqlMixtureCtes =
+    s"""avail AS (SELECT source,
+              CAST(sum(CAST(len(toks) AS BIGINT)) AS BIGINT) AS avail
+            FROM (SELECT source, ${T.sqlToks} AS toks FROM documents)
+            GROUP BY source),
+        ${sqlMixtureFrom("avail")}"""
 
   /** SQL twin of [[packedDocs]] (CTE `packed`), shared by the q90 and
     * q139 twins. */
@@ -654,6 +708,39 @@ object Pipelines {
                 THEN 1 ELSE 0 END AS split
             FROM packed)
           GROUP BY shard ORDER BY shard""",
+
+    "q141_curation_pipeline" ->
+      s"""WITH docs AS (
+            SELECT doc_id, source, toks,
+              list_distinct([list_aggr(toks[i:i+7], 'string_agg', ' ')
+                FOR i IN range(1, len(toks) - 6)]) AS sh,
+              CAST(len(toks) AS BIGINT) AS n_tok,
+              (len(toks) > 0 AND
+                ${T.sqlMd5Prefix("CAST(doc_id AS VARCHAR)", 4)}
+                  < CAST(floor(($qualitySql) * 65536) AS BIGINT)) AS q_ok
+            FROM (SELECT doc_id, source, $toksSql AS toks FROM documents)),
+          win AS (SELECT doc_id, unnest(sh) AS w FROM docs),
+          sharedw AS (SELECT w FROM win GROUP BY w HAVING count(*) >= 2),
+          dups AS (SELECT doc_id, count(*) AS n_dup
+                   FROM win JOIN sharedw USING (w) GROUP BY doc_id),
+          surv AS (SELECT d.doc_id, d.source, d.n_tok
+                   FROM docs d LEFT JOIN dups USING (doc_id)
+                   WHERE d.q_ok AND coalesce(n_dup, 0) * 5
+                     < greatest(len(d.sh), 1)),
+          avail AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS avail
+                    FROM surv GROUP BY source),
+          ${sqlMixtureFrom("avail")},
+          k AS (SELECT s.source, n_tok, avail, planned,
+                  CASE WHEN ${T.sqlMd5Prefix("'mix:' || CAST(doc_id AS VARCHAR)", 4)}
+                       < CAST(floor(rate * 65536) AS BIGINT)
+                       THEN 1 ELSE 0 END AS sel
+                FROM surv s JOIN plan USING (source))
+          SELECT source, count(*) AS n_surv,
+            CAST(min(avail) AS BIGINT) AS surv_tokens,
+            CAST(min(planned) AS BIGINT) AS planned_tokens,
+            CAST(sum(sel) AS BIGINT) AS n_sel,
+            CAST(sum(sel * n_tok) AS BIGINT) AS sel_tokens
+          FROM k GROUP BY source ORDER BY source""",
 
     "q50_training_pipeline" ->
       s"""WITH docs AS (SELECT doc_id, lang, n_chars, toks, sh, $qualitySql AS quality
