@@ -254,11 +254,16 @@ object Pipelines {
     // — the dup stage is the only corpus-volume shuffle in the whole
     // pipeline.
     "q141_curation_pipeline" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"),
-          graft.plans.TextExpressions.wordShingles(col("text"), 8).as("sh"),
-          size(graft.plans.TextExpressions.tokens(col("text"))).cast("long").as("n_tok"),
-          qualityAccept(col("doc_id"), col("text")).as("q_ok"))
+      // three plan branches (win, the dup join, the final rollup) read
+      // this frame, and it costs 4 text passes per row — materialize once
+      // per (session, dir) like q50docs (see Dedup.shingleDf)
+      val docs = graft.sources.RelationCache.of(s, "pipelines.q141docs", d) {
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            graft.plans.TextExpressions.wordShingles(col("text"), 8).as("sh"),
+            size(graft.plans.TextExpressions.tokens(col("text"))).cast("long").as("n_tok"),
+            qualityAccept(col("doc_id"), col("text")).as("q_ok"))
+      }
       val win = docs.select(col("doc_id"), explode(col("sh")).as("w"))
       val sharedW = win.groupBy(col("w")).agg(count(lit(1)).as("df"))
         .filter(col("df") >= 2).select(col("w"))
