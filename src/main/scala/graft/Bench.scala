@@ -30,13 +30,6 @@ object Bench {
     // rejects it. Tune passes via SPARK_GRAFT_PASSES for local iteration.
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
     val samples = (1 to passes).map { _ =>
-      // Spark's ContextCleaner releases unpersisted/checkpointed blocks
-      // only when the JVM GC collects their handles; without a GC here,
-      // iterative queries (q68's per-round localCheckpoints) accrete
-      // dead blocks across passes and read 30-60% slower by pass 3 — a
-      // measurement artifact, not a plan cost (timings are flat with a
-      // forced GC; see PLANS.md). One GC per pass, outside any timer.
-      System.gc()
       ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -50,12 +43,25 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(fullLine)
     // Short total-only line LAST: the per-query line above exceeds a
     // tail-capture's buffer at 100+ queries, truncating its leading
     // "metric":"total" field (BENCH_r03 parsed null). Tails keep the end,
     // so the driver's parse survives any query count via this line.
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+    // Stdout of an sbt run is decorated ([info] prefixes, a trailing
+    // [success] line), so a parser reading the captured tail sees a
+    // non-JSON last line no matter what is printed (BENCH_r01-r04 all
+    // parsed null). Persist the bare JSON to a file as the canonical
+    // machine-readable artifact.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outPath),
+        (fullLine + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"bench_out write failed: $e") }
     spark.stop()
   }
 }

@@ -38,6 +38,19 @@ object Dedup {
     * purely the skew guard SURVEY §8 documents. */
   val StopShingleCap = 1000
 
+  /** Frames the LAST q68 invocation left persisted for its returned plan
+    * (the converged label cache + the edge relation backing its recompute
+    * path). Released explicitly at the start of the next invocation —
+    * bounding live blocks at one invocation's worth deterministically,
+    * instead of waiting for the GC-driven ContextCleaner (whose timing
+    * depends on heap size; see the q68 comments below). */
+  private val q68Live = new scala.collection.mutable.ArrayBuffer[DataFrame]
+  private def q68Retain(fs: DataFrame*): Unit =
+    q68Live.synchronized { q68Live ++= fs }
+  private[operators] def q68Release(): Unit = q68Live.synchronized {
+    q68Live.foreach(_.unpersist(false)); q68Live.clear()
+  }
+
   /** 3-gram word shingles of the doc text (order-sensitive — the corpus has
     * a tiny vocab, so token *sets* saturate; shingles don't). Uses the
     * compiled single-pass expression (graft.plans.TextExpressions); the
@@ -281,6 +294,14 @@ object Dedup {
     // aggregate (the standard distributed connected-components step);
     // rounds needed = graph diameter (tiny for dup clusters).
     "q68_dup_clusters" -> ((s, d) => {
+      // Deterministic cleanup FIRST: release whatever the previous
+      // invocation left persisted for its returned plan. ContextCleaner
+      // frees cache/checkpoint blocks only when the JVM GC collects their
+      // handles, so on a big heap (rare minor GCs) a GC-coupled design
+      // accretes dead blocks across invocations — PLANS.md forensics show
+      // 2.7 s → 14.8 s at a 16 GiB heap. With an explicit handoff, at
+      // most ONE invocation's blocks are ever live, on any heap.
+      q68Release()
       val pairs = dupPairs(s, d).select(col("a"), col("b"))
       val edges = pairs.unionByName(
           pairs.select(col("b").as("a"), col("a").as("b")))
@@ -313,13 +334,16 @@ object Dedup {
         cached = next
         labels = next.select(col("doc_id"), col("label"))
       }
-      // cut lineage (localCheckpoint) so every loop cache can be released —
-      // otherwise edges + the final labels stay cached forever and evict
-      // the long-lived shingle relation
-      val fixed = labels.localCheckpoint(true)
-      cached.unpersist(false)
-      edges.unpersist(false)
-      fixed.groupBy(col("label").as("cluster_rep"))
+      // The returned plan reads the converged labels straight from the
+      // final round's cache (already materialized by the convergence
+      // count) — NO localCheckpoint: a local checkpoint's blocks are
+      // released only when the GC collects the internal RDD handle,
+      // which is exactly the nondeterminism this query used to carry.
+      // `edges` must stay persisted too (it is the recompute path if the
+      // labels cache is evicted); both are handed to q68Live and
+      // unpersisted explicitly at the next invocation.
+      q68Retain(edges, cached)
+      labels.groupBy(col("label").as("cluster_rep"))
         .agg(count(lit(1)).as("n_members"))
         .filter(col("n_members") > 1)
         .orderBy(col("cluster_rep"))

@@ -249,6 +249,89 @@ object Lakehouse {
     root
   }
 
+  /** orders split across an ALTER TABLE epoch, through SQL strings only:
+    * v0 CREATEs the 3-column even-key slice, v1 is a metadata-only
+    * `ALTER TABLE ADD COLUMNS (prio STRING, bonus BIGINT)` (same files,
+    * widened manifest schema), v2 INSERTs the odd-key rows CARRYING the
+    * new columns. The read must surface even-key rows with NULL
+    * prio/bonus purely from the manifest schema (no data file carries
+    * them for v0) and odd-key rows with their values. */
+  private[graft] def ordersAlterRoot(s: SparkSession, d: String): String = {
+    val root = TableCache.root(d, "orders", "sql-alter:v1")
+    val name = "orders_alter"
+    try {
+      Tables.registerAll(s, d)
+      if (LakehouseTable.versions(root).isEmpty)
+        graft.sql.GraftSql.sql(s,
+          s"""CREATE TABLE $name USING graft LOCATION '$root' AS
+              SELECT o_orderkey, o_orderstatus, o_totalprice
+              FROM orders WHERE o_orderkey % 2 = 0""")
+      // rerun in a fresh process: re-point the registry at this root
+      graft.sql.GraftSql.register(s, name, root)
+      if (LakehouseTable.currentVersion(root).contains(0L))
+        graft.sql.GraftSql.sql(s,
+          s"ALTER TABLE $name ADD COLUMNS (prio STRING, bonus BIGINT)")
+      if (LakehouseTable.currentVersion(root).contains(1L))
+        graft.sql.GraftSql.sql(s,
+          s"""INSERT INTO $name
+              SELECT o_orderkey, o_orderstatus, o_totalprice,
+                     o_orderpriority AS prio, o_custkey AS bonus
+              FROM orders WHERE o_orderkey % 2 = 1""")
+    } catch {
+      case e if raceLost(e) => () // see lineitemZRoot
+    }
+    root
+  }
+
+  /** Delta-log interop export dir for source dir `d` — a FIXED name per
+    * SF (not a content-hashed [[TableCache.root]]): the DuckDB twin of
+    * q144 must reference this path in a STATIC oracle string, so it has
+    * to be predictable. Freshness is guarded by an explicit source stamp
+    * inside the dir instead of in the name. */
+  private[graft] def deltaExportDir(d: String): String =
+    TableCache.baseDir + "/delta_export_" +
+      java.nio.file.Paths.get(d).getFileName.toString
+
+  /** lineitem slice with a 3-version history (create evens-of-3, append
+    * ones-of-3, copy-on-write DELETE of l_quantity < 10) exported as a
+    * Delta transaction log in place — adds AND removes, so a reader that
+    * ignores remove actions double-counts and breaks the gate. */
+  private[graft] def deltaExportRoot(s: SparkSession, d: String): String = {
+    val root = deltaExportDir(d)
+    val rootPath = java.nio.file.Paths.get(root)
+    val stampFile = rootPath.resolve("_source_stamp")
+    val src = java.nio.file.Paths.get(d, "lineitem.parquet")
+    val stamp = s"$d:${java.nio.file.Files.size(src)}:" +
+      s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}:v1"
+    try {
+      // regenerated source testdata under the same dir name → throw the
+      // whole export away and rebuild (the stamp plays the role the
+      // content-hashed root name plays for TableCache tables)
+      if (java.nio.file.Files.exists(rootPath) &&
+          (!java.nio.file.Files.exists(stampFile) ||
+            java.nio.file.Files.readString(stampFile) != stamp)) {
+        val walked = java.nio.file.Files.walk(rootPath)
+        try walked.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        finally walked.close()
+      }
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey",
+        "l_returnflag", "l_quantity", "l_extendedprice")
+      if (LakehouseTable.versions(root).isEmpty)
+        LakehouseTable.create(li.filter(col("l_orderkey") % 3 === 0), root)
+      if (LakehouseTable.currentVersion(root).contains(0L))
+        LakehouseTable.append(li.filter(col("l_orderkey") % 3 === 1), root)
+      if (LakehouseTable.currentVersion(root).contains(1L))
+        LakehouseTable.deleteWhere(s, root, "l_quantity < 10.0", Nil)
+      LakehouseTable.exportDeltaLog(s, root) // incremental; no-op when current
+      if (!java.nio.file.Files.exists(stampFile))
+        java.nio.file.Files.writeString(stampFile, stamp)
+    } catch {
+      case e if raceLost(e) => () // see lineitemZRoot
+    }
+    root
+  }
+
   /** Incremental materialized view maintained across TWO syncs: the first
     * builds the aggregate from half of events (create path), an append
     * lands the other half, and the second sync advances the view through
@@ -505,6 +588,59 @@ object Lakehouse {
           count(col("extra")).as("n_extra"),
           sum(col("extra")).as("extra_sum"),
           Exact.moneySum(col("value")).as("sum_value"))
+    }),
+
+    // SQL ALTER TABLE under the gate: even-key rows predate the ALTER (no
+    // data file carries prio/bonus — the read must surface them as typed
+    // NULLs purely from the widened manifest schema), odd-key rows carry
+    // values. The oracle's explicit NULL union is exactly that contract;
+    // prio is coalesced so the NULL group needs no cross-engine NULL
+    // ordering assumptions.
+    "q142_sql_alter_table" -> ((s, d) => {
+      val root = ordersAlterRoot(s, d)
+      graft.sql.GraftSql.register(s, "orders_alter", root)
+      graft.sql.GraftSql.sql(s,
+        """SELECT coalesce(prio, 'none') AS prio, count(*) AS n,
+             count(bonus) AS n_bonus, CAST(sum(bonus) AS BIGINT) AS bonus_sum,
+             CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+             min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+           FROM orders_alter GROUP BY 1 ORDER BY 1""")
+    }),
+
+    // Delta-log EXPORT under the gate, read back THROUGH THE LOG ONLY
+    // (readDeltaExport replays add/remove actions and never consults the
+    // graft manifest — what a foreign Delta reader does): an export that
+    // missed an add, leaked a removed file, or mis-pathed an action breaks
+    // the hash against the raw-table recompute of the 3-version history's
+    // final state.
+    "q143_delta_export" -> ((s, d) => {
+      val root = deltaExportRoot(s, d)
+      LakehouseTable.readDeltaExport(s, root)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          Exact.moneySum(col("l_quantity")).as("sum_qty"),
+          Exact.moneySum(col("l_extendedprice")).as("sum_price"),
+          sum(col("l_orderkey")).as("key_sum"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // The same export read natively BY DUCKDB: the oracle parses the
+    // exported _delta_log JSON actions itself (read_json_auto — the
+    // delta extension can't install under zero egress), derives the live
+    // file set add⊖remove, and scans exactly those parquet files — the
+    // first oracle gate on the storage FORMAT directly rather than its
+    // read-back contents. The Spark side reads via the graft manifest, so
+    // any divergence between manifest and exported log breaks the hash.
+    // The oracle path pins the driver's gate SF (sf0.01) — see PLANS.md.
+    "q144_delta_export_duckdb" -> ((s, d) => {
+      val root = deltaExportRoot(s, d)
+      LakehouseTable.read(s, root)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          Exact.moneySum(col("l_quantity")).as("sum_qty"),
+          Exact.moneySum(col("l_extendedprice")).as("sum_price"),
+          sum(col("l_orderkey")).as("key_sum"))
+        .orderBy(col("l_returnflag"))
     }),
 
     // SQL DDL/DML under the gate: the whole q103 pipeline (plus an extra
@@ -805,5 +941,56 @@ object Lakehouse {
 
     "q116_change_feed" -> sqlCdcChanges,
 
-    "q120_sql_table_changes" -> sqlCdcChanges)
+    "q120_sql_table_changes" -> sqlCdcChanges,
+
+    "q142_sql_alter_table" ->
+      """WITH unioned AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice,
+             CAST(NULL AS VARCHAR) AS prio, CAST(NULL AS BIGINT) AS bonus
+           FROM orders WHERE o_orderkey % 2 = 0
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, o_totalprice,
+             o_orderpriority, o_custkey
+           FROM orders WHERE o_orderkey % 2 = 1)
+         SELECT coalesce(prio, 'none') AS prio, count(*) AS n,
+           count(bonus) AS n_bonus, CAST(sum(bonus) AS BIGINT) AS bonus_sum,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+         FROM unioned GROUP BY 1 ORDER BY 1""",
+
+    // final state of the 3-version export history, from the raw parquet
+    "q143_delta_export" -> sqlDeltaFinalState,
+
+    // the format gate: DuckDB derives the live file set from the exported
+    // Delta log and scans exactly those files (path pinned to the gate SF)
+    "q144_delta_export_duckdb" ->
+      s"""WITH actions AS (
+            SELECT * FROM read_json_auto('${deltaExportDir("/root/testdata/sf0.01")}/_delta_log/*.json',
+              format='newline_delimited', union_by_name=true)),
+          adds AS (SELECT add.path AS p FROM actions WHERE add IS NOT NULL),
+          removes AS (SELECT remove.path AS p FROM actions WHERE remove IS NOT NULL),
+          live AS (SELECT p FROM adds EXCEPT SELECT p FROM removes),
+          rows AS (
+            SELECT l_returnflag, l_quantity, l_extendedprice, l_orderkey, filename
+            FROM read_parquet('${deltaExportDir("/root/testdata/sf0.01")}/data/*.parquet',
+              filename=true)),
+          kept AS (
+            SELECT r.* FROM rows r
+            JOIN live l ON right(r.filename, length(l.p)) = l.p)
+          SELECT l_returnflag, count(*) AS n,
+            ${Exact.sqlMoneySum("l_quantity")} AS sum_qty,
+            ${Exact.sqlMoneySum("l_extendedprice")} AS sum_price,
+            CAST(sum(l_orderkey) AS BIGINT) AS key_sum
+          FROM kept GROUP BY 1 ORDER BY 1""")
+
+  /** Raw-table recompute of the export history's final state: evens+ones
+    * of 3 survive the COW delete of quantity < 10. */
+  private val sqlDeltaFinalState =
+    s"""SELECT l_returnflag, count(*) AS n,
+          ${Exact.sqlMoneySum("l_quantity")} AS sum_qty,
+          ${Exact.sqlMoneySum("l_extendedprice")} AS sum_price,
+          CAST(sum(l_orderkey) AS BIGINT) AS key_sum
+        FROM lineitem
+        WHERE l_orderkey % 3 < 2 AND l_quantity >= 10.0
+        GROUP BY 1 ORDER BY 1"""
 }

@@ -431,10 +431,20 @@ object Pipelines {
     // ON THE SAME gram partitioning (one exchange each side, no pair
     // relation); everything after is per-doc then per-lang rollup.
     "q136_split_leakage" -> ((s, d) => {
-      val win = Tables.documents(s, d)
-        .withColumn("split", splitOf(col("doc_id")))
-        .select(col("doc_id"), col("lang"), col("split"),
-          explode(graft.plans.TextExpressions.wordShingles(col("text"), 5)).as("w"))
+      // the train branch and the test branch each read this frame, and
+      // Spark re-evaluates a non-Exchange subtree once per referencing
+      // branch — without the cache the corpus is scanned AND re-shingled
+      // twice (the single largest avoidable cost in the suite at 100 TB).
+      // Materialize the pre-explode (doc, shingle-array) frame once per
+      // (session, dir), exactly as q141/q50 do (see Dedup.shingleDf).
+      val sh5 = graft.sources.RelationCache.of(s, "pipelines.q136sh5", d) {
+        Tables.documents(s, d)
+          .withColumn("split", splitOf(col("doc_id")))
+          .select(col("doc_id"), col("lang"), col("split"),
+            graft.plans.TextExpressions.wordShingles(col("text"), 5).as("sh"))
+      }
+      val win = sh5.select(col("doc_id"), col("lang"), col("split"),
+        explode(col("sh")).as("w"))
       val trainGrams = win.filter(col("split") === "train")
         .select(col("w")).distinct().withColumn("hit", lit(1L))
       win.filter(col("split") === "test")

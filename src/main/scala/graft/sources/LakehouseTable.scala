@@ -116,12 +116,25 @@ object LakehouseTable {
   def lastTxn(root: String, app: String = DefaultTxnApp): Option[Long] =
     lastTxns(root).get(app)
 
+  private val AddedColsRe = """"addedCols":\s*"([^"]*)"""".r
+
+  /** Columns added by ALTER TABLE as a DDL string ("c1 INT, c2 STRING"),
+    * as recorded in version `v`'s manifest — empty when the version
+    * predates any ALTER. Schema travels WITH the manifest version, so
+    * time travel and RESTORE see the schema of their epoch, and the
+    * change is atomic with the commit (no sidecar-file ordering races). */
+  def addedColumnsAt(root: String, v: Long): String =
+    AddedColsRe.findFirstMatchIn(
+      Files.readString(manifestDir(root).resolve(s"$v.json")))
+      .map(_.group(1)).getOrElse("")
+
   /** Atomic commit: write to a temp file, then rename into place. Paths
     * with '"' or ',' (possible via a partitionBy column whose VALUES carry
     * them into hive dir names) would corrupt the quote-splitting parser in
     * readManifest, so they are rejected at the only write point. */
   private[graft] def commit(root: String, version: Long, relFiles: Seq[String],
-      txn: Option[Long] = None, txnApp: String = DefaultTxnApp): Long = {
+      txn: Option[Long] = None, txnApp: String = DefaultTxnApp,
+      addedCols: Option[String] = None): Long = {
     relFiles.find(f => f.contains('"') || f.contains(',')).foreach(f =>
       throw new IllegalArgumentException(
         s"""data file path contains '"' or ',' (unsupported in partition values): $f"""))
@@ -137,8 +150,18 @@ object LakehouseTable {
       if (txns.isEmpty) ""
       else txns.toSeq.sorted.map { case (a, t) => s""""$a": $t""" }
         .mkString(""""txns": {""", ", ", "}, ")
+    // ALTER-added columns carry forward like txns; an explicit Some("")
+    // (restore to a pre-ALTER version) clears them. The DDL is embedded in
+    // the manifest JSON, so it must stay clear of the lenient parser's
+    // delimiters — enforced at the only write point, like file paths.
+    val cols = addedCols.getOrElse(
+      if (version == 0) ""
+      else currentVersion(root).map(addedColumnsAt(root, _)).getOrElse(""))
+    require(!cols.exists(c => c == '[' || c == ']' || c == '"'),
+      s"""added-column DDL may not contain '[', ']', or '"': $cols""")
+    val colsField = if (cols.isEmpty) "" else s""""addedCols": "$cols", """
     val json = relFiles.sorted.map(f => "\"" + f + "\"")
-      .mkString(s"""{$txnField"files": [""", ", ", "]}")
+      .mkString(s"""{$txnField$colsField"files": [""", ", ", "]}")
     val tmp = manifestDir(root).resolve(s".$version.json.tmp-${java.util.UUID.randomUUID()}")
     Files.writeString(tmp, json)
     // createLink is an atomic COMPARE-AND-SWAP: it fails if the version
@@ -360,10 +383,150 @@ object LakehouseTable {
     // (Delta semantics). At 100 TB the merged schema would live in the
     // manifest instead of being re-derived from footers; footer reads here
     // are one small IO per file and keep the manifest format trivial.
+    val df = spark.read
+      .option("basePath", dataDir(root).toString)
+      .option("mergeSchema", "true")
+      .parquet(files: _*)
+    // ALTER-added columns not yet carried by any data file surface as
+    // typed nulls (the same union-schema semantics an append with the
+    // column would produce); once files carry the column, the footer
+    // union already has it and this is a no-op.
+    val ddl = addedColumnsAt(root, v)
+    if (ddl.isEmpty) df
+    else {
+      val have = df.columns.map(_.toLowerCase).toSet
+      val missing = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        .filterNot(f => have.contains(f.name.toLowerCase))
+      if (missing.isEmpty) df
+      else missing.foldLeft(df)((acc, f) => acc.withColumn(f.name,
+        org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
+    }
+  }
+
+  /** Export the table's version history as a minimal Delta Lake
+    * transaction log (`root/_delta_log/<v 20-digit>.json`, one JSON action
+    * per line: protocol at the first version, metaData at the first version
+    * and on every schema change, add/remove per file transition) — the
+    * open-format interop path: the graft root itself becomes a Delta table
+    * another engine can read natively, data files shared in place (nothing
+    * is copied; add paths are table-root-relative `data/...`). Idempotent
+    * and incremental: log files for already-exported versions are left
+    * untouched, new versions append. A vacuumed history exports its first
+    * retained version as a full snapshot (strict Delta readers want
+    * version 0 or a checkpoint — export before vacuuming for those).
+    * Single-column stats are omitted (Delta readers treat them as
+    * optional); at 100 TB the export would stream per-version instead of
+    * re-deriving schemas from footers. */
+  def exportDeltaLog(spark: SparkSession, root: String): Path = {
+    val logDir = Paths.get(root, "_delta_log")
+    Files.createDirectories(logDir)
+    val vs = versions(root)
+    require(vs.nonEmpty, s"no table at $root")
+    def esc(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
+    def partitionValues(rel: String): String =
+      rel.split('/').dropRight(1).filter(_.contains('='))
+        .map { seg => val Array(k, v) = seg.split("=", 2); s""""${esc(k)}":"${esc(v)}"""" }
+        .mkString("{", ",", "}")
+    var prev = Seq.empty[String]
+    var prevCols: Option[String] = None
+    vs.foreach { v =>
+      val cur = readManifest(root, v)
+      val cols = addedColumnsAt(root, v)
+      val target = logDir.resolve(f"$v%020d.json")
+      if (!Files.exists(target)) {
+        val sb = new StringBuilder
+        if (v == vs.head)
+          sb.append("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""").append('\n')
+        if (v == vs.head || !prevCols.contains(cols)) {
+          val schema = esc(read(spark, root, Some(v)).schema.json)
+          val parts = partitionColumns(root)
+            .map(c => s""""${esc(c)}"""").mkString("[", ",", "]")
+          sb.append(s"""{"metaData":{"id":"graft-${graft.plans.TextExpressions.md5Hex(root).take(12)}","format":{"provider":"parquet","options":{}},"schemaString":"$schema","partitionColumns":$parts,"configuration":{}}}""")
+            .append('\n')
+        }
+        val curSet = cur.toSet
+        val prevSet = prev.toSet
+        prev.filterNot(curSet).foreach { f =>
+          sb.append(s"""{"remove":{"path":"data/${esc(f)}","deletionTimestamp":0,"dataChange":true}}""")
+            .append('\n')
+        }
+        cur.filterNot(prevSet).foreach { f =>
+          val p = dataDir(root).resolve(f)
+          val (size, mtime) =
+            if (Files.exists(p)) (Files.size(p), Files.getLastModifiedTime(p).toMillis)
+            else (0L, 0L)
+          sb.append(s"""{"add":{"path":"data/${esc(f)}","partitionValues":${partitionValues(f)},"size":$size,"modificationTime":$mtime,"dataChange":true}}""")
+            .append('\n')
+        }
+        val tmp = logDir.resolve(s".$v.json.tmp-${java.util.UUID.randomUUID()}")
+        Files.writeString(tmp, sb.toString)
+        try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp) // concurrent exporter won; logs are equal
+        }
+      }
+      prev = cur
+      prevCols = Some(cols)
+    }
+    logDir
+  }
+
+  private val DeltaAddRe = """"add":\s*\{\s*"path":\s*"((?:[^"\\]|\\.)*)"""".r
+  private val DeltaRemoveRe = """"remove":\s*\{\s*"path":\s*"((?:[^"\\]|\\.)*)"""".r
+
+  /** Read a table THROUGH an exported Delta log only — the graft manifest
+    * is deliberately not consulted: replay add/remove actions across the
+    * log in version order and scan exactly the surviving files. This is
+    * what any foreign Delta reader does with the export, so gating its
+    * result against an oracle gates the exported FORMAT's bookkeeping,
+    * not the engine's own read path. */
+  def readDeltaExport(spark: SparkSession, root: String): DataFrame = {
+    val logDir = Paths.get(root, "_delta_log")
+    require(Files.isDirectory(logDir), s"no _delta_log at $root (exportDeltaLog first)")
+    val logFiles = withDrained(Files.list(logDir))(
+      _.filter(_.getFileName.toString.matches("\\d{20}\\.json")))
+      .sortBy(_.getFileName.toString)
+    def unesc(s: String): String = s.replace("\\\"", "\"").replace("\\\\", "\\")
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    logFiles.foreach { lf =>
+      val txt = Files.readString(lf)
+      DeltaRemoveRe.findAllMatchIn(txt).foreach(m => live -= unesc(m.group(1)))
+      DeltaAddRe.findAllMatchIn(txt).foreach(m => live += unesc(m.group(1)))
+    }
+    val files = live.toSeq.map(f => Paths.get(root).resolve(f).toString)
     spark.read
       .option("basePath", dataDir(root).toString)
       .option("mergeSchema", "true")
       .parquet(files: _*)
+  }
+
+  /** ALTER TABLE ADD COLUMNS: commit a new version with the SAME file set
+    * and the widened schema recorded in its manifest. Reads at or after
+    * this version surface the new columns as typed nulls until appends
+    * carry them (then the mergeSchema union takes over) — the metadata-only
+    * evolution Delta does, with no data rewritten. Schema-dependent, so a
+    * lost CAS race is an error, not a rebase. */
+  def alterAddColumns(root: String, colsDdl: String): Long = {
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no table at $root"))
+    val add = org.apache.spark.sql.types.StructType.fromDDL(colsDdl)
+    require(add.nonEmpty, s"ALTER ADD COLUMNS: no columns in '$colsDdl'")
+    val prior = addedColumnsAt(root, cur)
+    val priorNames =
+      if (prior.isEmpty) Set.empty[String]
+      else org.apache.spark.sql.types.StructType.fromDDL(prior)
+        .map(_.name.toLowerCase).toSet
+    add.foreach(f => require(!priorNames.contains(f.name.toLowerCase),
+      s"column already added: ${f.name}"))
+    // normalize through fromDDL→toDDL (backtick-free names enforced by the
+    // SQL face; toDDL's backticks would trip no manifest delimiter, but
+    // keep the stored form canonical and re-parseable)
+    val merged = (if (prior.isEmpty) add
+      else org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructType.fromDDL(prior) ++ add))
+      .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+    commit(root, cur + 1, readManifest(root, cur), addedCols = Some(merged))
   }
 
   /** Rewrite the current snapshot into `numFiles` files per partition dir
@@ -860,7 +1023,11 @@ object LakehouseTable {
   def restore(root: String, toVersion: Long): Long = {
     val vs = versions(root)
     require(vs.contains(toVersion), s"unknown version $toVersion at $root")
-    commit(root, vs.last + 1, readManifest(root, toVersion))
+    // restore the SCHEMA of the target epoch too (Delta RESTORE restores
+    // table metadata): Some("") clears ALTER-added columns when restoring
+    // to a pre-ALTER version instead of carrying the current ones forward
+    commit(root, vs.last + 1, readManifest(root, toVersion),
+      addedCols = Some(addedColumnsAt(root, toVersion)))
   }
 
   /** Incremental read: rows of files ADDED after `fromVersion` up to

@@ -28,6 +28,8 @@ import graft.sources.LakehouseTable
   *   UPDATE t SET col = expr [, ...] WHERE cond
   *   DELETE FROM t WHERE cond
   *   RESTORE TABLE t TO VERSION AS OF n
+  *   ALTER TABLE t ADD COLUMNS (c1 TYPE, ...)   -- metadata-only widening
+  *   SHOW GRAFT TABLES     -- the persistent catalog's listing
   *   OPTIMIZE t [ZORDER BY (c1, c2, ...)]
   *   VACUUM t [RETAIN n VERSIONS]
   *   DESCRIBE HISTORY t
@@ -55,11 +57,18 @@ object GraftSql {
   /** Execute one statement. DDL/DML statements return an empty frame;
     * SELECTs return their result. Works on any session (no extension
     * needed) — the injected-parser path runs the identical commands. */
-  def sql(spark: SparkSession, sqlText: String): DataFrame =
+  def sql(spark: SparkSession, sqlText: String): DataFrame = {
+    GraftCatalog.bootstrap(spark)
     GraftSqlStatements.command(sqlText) match {
-      case Some(cmd) => cmd.run(spark); spark.emptyDataFrame
+      case Some(cmd) =>
+        val rows = cmd.run(spark)
+        if (cmd.output.isEmpty) spark.emptyDataFrame
+        else spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+          StructType(cmd.output.map(a =>
+            org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable))))
       case None => spark.sql(GraftSqlStatements.rewriteTimeTravel(spark, sqlText))
     }
+  }
 
   /** Register an EXISTING lakehouse table under a SQL name (the
     * `CREATE TABLE ... USING graft LOCATION` analog for tables created
@@ -71,28 +80,123 @@ object GraftSql {
     GraftCatalog.register(spark, name, root, partitionBy, rowKeys)
 }
 
-/** name → (root, partitionBy) registry backing the SQL face. Process-wide
-  * by design (it stands in for a shared metastore); the temp view published
-  * under the table's name is per-session, refreshed after every DML so
-  * plain `SELECT ... FROM name` always reads the latest version. */
+/** name → (root, partitionBy) registry backing the SQL face — a PERSISTENT
+  * metastore stand-in: every registration is also written as one small JSON
+  * file under [[GraftCatalog.dir]] (atomic temp+rename, mirroring the
+  * manifest commit discipline), and a fresh session lazily loads that
+  * directory, so `CREATE TABLE ... USING graft` survives a session restart
+  * the same way the reference's one data dependency survives as durable
+  * configuration (`app/app.yaml:7-10`). The temp view published under the
+  * table's name is per-session — [[bootstrap]] (called from both SQL entry
+  * points) publishes every cataloged table into a session on first use, and
+  * DML refreshes it so plain `SELECT ... FROM name` always reads the latest
+  * version. In-memory entries win over disk on load (the running process is
+  * the freshest writer); `DROP TABLE` removes both. */
 object GraftCatalog {
   final case class Entry(root: String, partitionBy: Seq[String],
       rowKeys: Seq[String] = Nil)
   private val tables = TrieMap.empty[String, Entry]
+  @volatile private var loaded = false
+  // sessions whose temp views were already published (weak: a dropped
+  // session must not be pinned by the catalog)
+  private val published = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]))
+
+  /** Catalog directory — a plain directory of `<name>.json` descriptor
+    * files (not parquet: a catalog read must not need an engine). Defaults
+    * under the table-cache root; point GRAFT_CATALOG_DIR at a shared
+    * volume to make one catalog serve many drivers. */
+  def dir: java.nio.file.Path = java.nio.file.Paths.get(
+    sys.env.getOrElse("GRAFT_CATALOG_DIR",
+      graft.sources.TableCache.baseDir + "/_catalog"))
 
   private def key(name: String): String = name.toLowerCase
+
+  private def descriptor(e: Entry, name: String): String = {
+    def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{"name":"$name","root":"${e.root}","partitionBy":${arr(e.partitionBy)},"rowKeys":${arr(e.rowKeys)}}"""
+  }
+
+  private val RootRe = """"root":\s*"([^"]*)"""".r
+  private val PartRe = """"partitionBy":\s*\[([^\]]*)\]""".r
+  private val KeysRe = """"rowKeys":\s*\[([^\]]*)\]""".r
+  private def strList(body: String): Seq[String] =
+    "\"([^\"]*)\"".r.findAllMatchIn(body).map(_.group(1)).toSeq
+
+  private def ensureLoaded(): Unit = if (!loaded) synchronized {
+    if (!loaded) {
+      if (java.nio.file.Files.isDirectory(dir)) {
+        val s = java.nio.file.Files.list(dir)
+        try s.iterator().forEachRemaining { p =>
+          val fn = p.getFileName.toString
+          if (fn.endsWith(".json") && !fn.startsWith(".")) {
+            val txt = java.nio.file.Files.readString(p)
+            val root = RootRe.findFirstMatchIn(txt).map(_.group(1))
+            root.foreach { r =>
+              // putIfAbsent: an entry registered by THIS process is newer
+              // than whatever the disk copy says
+              tables.putIfAbsent(fn.stripSuffix(".json"), Entry(r,
+                PartRe.findFirstMatchIn(txt).map(m => strList(m.group(1))).getOrElse(Nil),
+                KeysRe.findFirstMatchIn(txt).map(m => strList(m.group(1))).getOrElse(Nil)))
+            }
+          }
+        } finally s.close()
+      }
+      loaded = true
+    }
+  }
+
+  private def persist(name: String, e: Entry): Unit = {
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = dir.resolve(s".${key(name)}.json.tmp-${java.util.UUID.randomUUID()}")
+    java.nio.file.Files.writeString(tmp, descriptor(e, key(name)))
+    java.nio.file.Files.move(tmp, dir.resolve(s"${key(name)}.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Publish every cataloged table as a temp view in `spark` (idempotent,
+    * memoized per session). Both SQL entry points call this first, so a
+    * brand-new session resolves `SELECT ... FROM name` with no
+    * re-registration — the restart-survival property a catalog exists for. */
+  def bootstrap(spark: SparkSession): Unit = {
+    ensureLoaded()
+    if (!published.contains(spark)) {
+      published.add(spark)
+      // fill only UNBOUND names: a view the session already registered
+      // (possibly over different data) must never be silently replaced by
+      // a catalog entry — the catalog seeds a fresh session, it does not
+      // override a live one
+      tables.keys.foreach { n =>
+        if (!spark.catalog.tableExists(n)) refreshView(spark, n)
+      }
+    }
+  }
 
   def register(spark: SparkSession, name: String, root: String,
       partitionBy: Seq[String], rowKeys: Seq[String] = Nil): Unit = {
     require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"graft SQL table names must be simple identifiers (temp-view rules): $name")
-    tables(key(name)) = Entry(root, partitionBy, rowKeys)
+    require(!root.contains('"'),
+      s"table location may not contain '\"' (embedded in the descriptor): $root")
+    ensureLoaded()
+    val e = Entry(root, partitionBy, rowKeys)
+    tables(key(name)) = e
+    persist(name, e)
     refreshView(spark, name)
   }
 
-  def lookup(name: String): Option[Entry] = tables.get(key(name))
+  def lookup(name: String): Option[Entry] = { ensureLoaded(); tables.get(key(name)) }
 
-  def drop(name: String): Unit = tables.remove(key(name))
+  def drop(name: String): Unit = {
+    ensureLoaded()
+    tables.remove(key(name))
+    java.nio.file.Files.deleteIfExists(dir.resolve(s"${key(name)}.json"))
+  }
+
+  /** All cataloged tables, name-sorted (SHOW GRAFT TABLES). */
+  def list(): Seq[(String, Entry)] = { ensureLoaded(); tables.toSeq.sortBy(_._1) }
 
   /** (Re)publish `name` as a temp view of the table's CURRENT version. */
   def refreshView(spark: SparkSession, name: String): Unit =
@@ -100,6 +204,13 @@ object GraftCatalog {
       if (LakehouseTable.versions(e.root).nonEmpty)
         LakehouseTable.read(spark, e.root).createOrReplaceTempView(name)
     }
+
+  /** Test hook: forget all in-memory state (entries, load flag, published
+    * sessions) so the next lookup must come from the on-disk catalog —
+    * simulating a fresh driver process inside one JVM. */
+  private[graft] def resetInMemoryForTest(): Unit = synchronized {
+    tables.clear(); published.clear(); loaded = false
+  }
 }
 
 // ---- command plans (LeafRunnableCommand: Spark executes run() on the
@@ -280,6 +391,24 @@ case class DescribeDetailGraftCommand(name: String) extends LeafRunnableCommand 
   }
 }
 
+/** ALTER TABLE name ADD COLUMNS (c1 TYPE, ...) — metadata-only widening:
+  * a new table version with the same files and the added columns recorded
+  * in its manifest ([[LakehouseTable.alterAddColumns]]); reads surface them
+  * as typed nulls until appends carry them. */
+case class AlterGraftTableAddColumnsCommand(name: String, colsDdl: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val e = GraftCatalog.lookup(name).get
+    val existing = LakehouseTable.read(spark, e.root).columns.map(_.toLowerCase).toSet
+    StructType.fromDDL(colsDdl).foreach(f =>
+      require(!existing.contains(f.name.toLowerCase),
+        s"ALTER TABLE $name ADD COLUMNS: column already exists: ${f.name}"))
+    LakehouseTable.alterAddColumns(e.root, colsDdl)
+    GraftCatalog.refreshView(spark, name)
+    Seq.empty
+  }
+}
+
 /** DROP TABLE name — unregister from the graft catalog and drop the
   * published view; data files stay on disk (external-table semantics —
   * re-attach with CREATE TABLE ... USING graft LOCATION). */
@@ -289,6 +418,26 @@ case class DropGraftTableCommand(name: String) extends LeafRunnableCommand {
     spark.catalog.dropTempView(name)
     Seq.empty
   }
+}
+
+/** SHOW GRAFT TABLES — every cataloged table with its location, current
+  * version, partitioning, and row keys. (Plain `SHOW TABLES` still goes to
+  * Spark, which lists the same tables as the temp views [[GraftCatalog
+  * .bootstrap]] publishes — this detailed form is the metastore listing.) */
+case class ShowGraftTablesCommand() extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.{LongType, StringType}
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("name", StringType, nullable = false)(),
+      AttributeReference("location", StringType, nullable = false)(),
+      AttributeReference("version", LongType, nullable = false)(),
+      AttributeReference("partition_columns", StringType, nullable = false)(),
+      AttributeReference("row_keys", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftCatalog.list().map { case (name, e) =>
+      Row(name, e.root, LakehouseTable.currentVersion(e.root).getOrElse(-1L),
+        e.partitionBy.mkString(","), e.rowKeys.mkString(","))
+    }
 }
 
 /** VACUUM name [RETAIN n VERSIONS] — returns the deleted-file count. */
@@ -353,6 +502,9 @@ object GraftSqlStatements {
     """(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""".r
+  private val ShowTablesRe = """(?is)^\s*SHOW\s+GRAFT\s+TABLES\s*;?\s*$""".r
+  private val AlterAddRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ADD\s+COLUMNS?\s*\(\s*(.+?)\s*\)\s*;?\s*$""".r
   private val OnConjunctRe = """(?s)\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*""".r
 
   /** ON-clause → merge key columns. Only the equi-self-named form
@@ -412,6 +564,9 @@ object GraftSqlStatements {
     case VacuumRe(name, retain) if GraftCatalog.lookup(name).isDefined =>
       Some(VacuumGraftTableCommand(name,
         Option(retain).map(_.toInt).getOrElse(1)))
+    case ShowTablesRe() => Some(ShowGraftTablesCommand())
+    case AlterAddRe(name, cols) if GraftCatalog.lookup(name).isDefined =>
+      Some(AlterGraftTableAddColumnsCommand(name, cols))
     case _ => None
   }
 
@@ -487,12 +642,16 @@ object GraftSqlStatements {
 class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
 
-  override def parsePlan(sqlText: String): LogicalPlan =
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    GraftCatalog.bootstrap(spark)
     GraftSqlStatements.command(sqlText).getOrElse(
       delegate.parsePlan(GraftSqlStatements.rewriteTimeTravel(spark, sqlText)))
+  }
 
-  override def parseQuery(sqlText: String): LogicalPlan =
+  override def parseQuery(sqlText: String): LogicalPlan = {
+    GraftCatalog.bootstrap(spark)
     delegate.parseQuery(GraftSqlStatements.rewriteTimeTravel(spark, sqlText))
+  }
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Targeted properties of the round-5 changes. */
+class Round5Spec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q68: repeated invocations hold persisted-RDD count flat (no GC-coupled accretion)") {
+    // The round-4 design cut lineage with localCheckpoint, whose blocks
+    // the ContextCleaner frees only when the JVM GC collects the internal
+    // RDD handle — on a 16 GiB heap (rare minor GCs) repeated runs in one
+    // session accreted blocks and read 5x slow (PLANS.md forensics,
+    // 2.7 s → 14.8 s). Round 5 replaces it with an explicit handoff: each
+    // invocation releases the previous one's frames FIRST, so the live
+    // persisted-RDD count must be identical after run 2 and after run 10
+    // regardless of heap size or GC schedule. No System.gc() anywhere —
+    // that would re-hide the coupling this test exists to catch.
+    val q = SparkEntry.queries("q68_dup_clusters")
+    def persistedCount: Int = spark.sparkContext.getPersistentRDDs.size
+    q(spark, sf).count() // run 1: long-lived RelationCache entries build
+    q(spark, sf).count() // run 2: steady state (prev invocation released)
+    val steady = persistedCount
+    var i = 0
+    while (i < 8) { q(spark, sf).count(); i += 1 }
+    val after = persistedCount
+    assert(after == steady,
+      s"persisted RDDs grew across q68 invocations: $steady -> $after")
+    // and the query still returns its clusters
+    assert(q(spark, sf).count() > 0)
+  }
+
+  test("q136: the corpus is scanned exactly once (shared shingle frame is cached)") {
+    // Both the train-gram branch and the test-window branch must read the
+    // materialized (doc, shingle-array) relation — two parquet scans of
+    // `documents` in the physical plan means the cache regressed and the
+    // corpus is tokenized twice (the round-4 flagged scale cost).
+    val df = SparkEntry.queries("q136_split_leakage")(spark, sf)
+    df.count() // populate the RelationCache entry
+    // count LEAF relations of the optimized plan: tree collect does not
+    // descend into an InMemoryRelation's stored child plan, so a file
+    // relation counted here is one the query would actually re-scan
+    val lp = df.queryExecution.optimizedPlan
+    val fileRels = lp.collect {
+      case l if l.getClass.getSimpleName.startsWith("LogicalRelation") => l
+    }.size
+    val inMem = lp.collect {
+      case m if m.getClass.getSimpleName == "InMemoryRelation" => m
+    }.size
+    assert(fileRels == 0,
+      s"q136 still reads $fileRels file relation(s) outside the cache:\n$lp")
+    assert(inMem >= 2, s"expected both branches on the cached relation:\n$lp")
+  }
+
+  test("catalog: a table registered in one 'process' resolves by name in a fresh one") {
+    import graft.sql.{GraftCatalog, GraftSql}
+    val root = sources.TableCache.baseDir + "/round5_catalog_t"
+    GraftSql.sql(spark, s"DROP TABLE IF EXISTS round5_cat") // clean rerun
+    if (sources.LakehouseTable.versions(root).isEmpty) {
+      sources.Tables.registerAll(spark, sf)
+      GraftSql.sql(spark,
+        s"""CREATE TABLE round5_cat USING graft LOCATION '$root' AS
+            SELECT r_regionkey, r_name FROM region""")
+    } else GraftSql.register(spark, "round5_cat", root)
+    // simulate a restarted driver: wipe ALL in-memory catalog state, then
+    // query by name in a brand-new session — resolution must come from
+    // the on-disk catalog descriptors alone, with no re-registration
+    GraftCatalog.resetInMemoryForTest()
+    val fresh = spark.newSession()
+    val n = GraftSql.sql(fresh,
+      "SELECT count(*) AS n FROM round5_cat").collect()(0).getLong(0)
+    assert(n == sources.Tables.region(spark, sf).count())
+    // and the persistent listing knows it
+    val listed = GraftSql.sql(fresh, "SHOW GRAFT TABLES")
+      .collect().map(_.getString(0))
+    assert(listed.contains("round5_cat"), listed.mkString(","))
+  }
+
+  test("ALTER ADD COLUMNS: schema is an epoch of the version history") {
+    import graft.sources.LakehouseTable
+    val root = operators.Lakehouse.ordersAlterRoot(spark, sf)
+    // v0 predates the ALTER: no prio/bonus anywhere
+    val v0 = LakehouseTable.read(spark, root, Some(0L))
+    assert(!v0.columns.contains("prio") && !v0.columns.contains("bonus"))
+    // v1 is the metadata-only ALTER: columns exist, same rows, all NULL
+    val v1 = LakehouseTable.read(spark, root, Some(1L))
+    assert(v1.columns.contains("prio") && v1.columns.contains("bonus"))
+    assert(v1.count() == v0.count())
+    assert(v1.filter(col("prio").isNotNull || col("bonus").isNotNull).count() == 0)
+    // RESTORE to v0 must drop the added columns (schema restored too),
+    // on a scratch copy so the shared builder table is untouched
+    val scratch = sources.TableCache.baseDir +
+      s"/round5_alter_restore_${java.util.UUID.randomUUID().toString.take(8)}"
+    LakehouseTable.create(v0.limit(5), scratch)
+    LakehouseTable.alterAddColumns(scratch, "extra_r5 BIGINT")
+    assert(LakehouseTable.read(spark, scratch).columns.contains("extra_r5"))
+    LakehouseTable.restore(scratch, 0L)
+    assert(!LakehouseTable.read(spark, scratch).columns.contains("extra_r5"),
+      "RESTORE to a pre-ALTER version must restore the pre-ALTER schema")
+  }
+}
