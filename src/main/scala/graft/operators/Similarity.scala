@@ -137,17 +137,49 @@ object Similarity {
     * a rank window's extra shuffle. first(embedding) is
     * value-deterministic: every row of a vec_id group carries the
     * identical array. */
-  private def ivfAssigned(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private def computeAssigned(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     val cvec = centroidTable(s, d)
-    val assigned = e.crossJoin(broadcast(cvec))
+    e.crossJoin(broadcast(cvec))
       .select(col("vec_id"), col("embedding"), col("cid"),
         V.cosineFold(col("embedding"), col("cv")).as("csim"))
       .groupBy(col("vec_id"))
       .agg(min(struct((-col("csim")).as("nc"), col("cid"))).as("m"),
         first(col("embedding")).as("embedding"))
       .select(col("vec_id"), col("embedding"), col("m.cid").as("cid"))
-    (assigned, cvec)
+  }
+
+  /** The IVF index AS A PARTITION LAYOUT: the cell assignment materialized
+    * into a versioned graft table hive-partitioned by `cid`, so a cell
+    * probe is a partition-pruned file scan — the planner (statically, or
+    * via dynamic partition pruning when the cell id comes from a broadcast
+    * lookup) reads 1/k of the corpus's files instead of filtering all of
+    * them. This IS the at-scale IVF shape: the "inverted file" is the
+    * partition directory. repartition(cid) first → one writer task per
+    * cell → k files, not tasks × k. */
+  private[graft] def ivfCellTableRoot(s: SparkSession, d: String): String = {
+    val root = graft.sources.TableCache.root(d, "embeddings",
+      s"ivf-cells:k=$IvfK:iters=$IvfIters:alg=kmedians-hist-v2:v1")
+    if (graft.sources.LakehouseTable.versions(root).isEmpty)
+      try graft.sources.LakehouseTable.create(
+        computeAssigned(s, d).repartition(col("cid")), root,
+        partitionBy = Seq("cid"))
+      catch {
+        // lost a concurrent first-build race (deterministic build, see
+        // centroidTable)
+        case _: java.util.ConcurrentModificationException => ()
+      }
+    root
+  }
+
+  /** Cell-partitioned assignment read from the index table (cid restored
+    * to BIGINT — hive partition values type-infer as INT), plus the
+    * centroid vectors. Probing queries join/filter on `cid`, and the
+    * table's hive layout turns that into file-level partition pruning. */
+  private def ivfAssigned(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val t = graft.sources.LakehouseTable.read(s, ivfCellTableRoot(s, d))
+      .select(col("vec_id"), col("embedding"), col("cid").cast("long").as("cid"))
+    (t, centroidTable(s, d))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -454,8 +454,53 @@ case class VacuumGraftTableCommand(name: String, retainLast: Int)
 }
 
 /** Statement recognizer: regex over the statement head; embedded SELECT
-  * bodies go to Spark's parser verbatim inside the commands' run(). */
+  * bodies go to Spark's parser verbatim inside the commands' run().
+  *
+  * Every regex runs against a LITERAL-MASKED copy of the statement
+  * ([[maskLiterals]]): string literals are swapped for inert placeholders
+  * first, so a literal like `' WHEN MATCHED '` inside a MERGE source or a
+  * comma inside an UPDATE SET expression can never be mistaken for a
+  * clause boundary. Captured operands are unmasked before they reach
+  * Spark's parser (which does the actual expression parsing at run time),
+  * so recognition is structural and evaluation is Spark's. */
 object GraftSqlStatements {
+
+  /** Swap the contents of quoted SQL literals ('…' and "…", with '' / ""
+    * doubling and backslash escapes) for placeholder tokens that contain
+    * no keywords, parens, commas, or dots. Returns the masked text and an
+    * unmask function that restores every literal verbatim. */
+  private[sql] def maskLiterals(sql: String): (String, String => String) = {
+    val saved = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      val q = sql.charAt(i)
+      if (q == '\'' || q == '"') {
+        val lit = new StringBuilder().append(q)
+        i += 1
+        var done = false
+        while (i < sql.length && !done) {
+          val ch = sql.charAt(i)
+          if (ch == '\\' && i + 1 < sql.length) { // backslash escape
+            lit.append(ch).append(sql.charAt(i + 1)); i += 2
+          } else if (ch == q) {
+            if (i + 1 < sql.length && sql.charAt(i + 1) == q) { // '' doubling
+              lit.append(ch).append(ch); i += 2
+            } else { lit.append(ch); done = true; i += 1 }
+          } else { lit.append(ch); i += 1 }
+        }
+        saved += lit.toString
+        sb.append(q).append('\u0001').append(saved.length - 1).append('\u0001').append(q)
+      } else { sb.append(q); i += 1 }
+    }
+    val unmask = (s: String) => saved.indices.foldLeft(s) { (acc, n) =>
+      // both quote kinds share the placeholder body; restore whichever
+      // quoted form the masked text carries at each site
+      val body = "\u0001" + n + "\u0001"
+      acc.replace("'" + body + "'", saved(n)).replace("\"" + body + "\"", saved(n))
+    }
+    (sb.toString, unmask)
+  }
 
   private val CreateRe =
     """(?is)^\s*CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+USING\s+graft\s*(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?(?:LOCATION\s+'([^']+)'\s*)?(?:AS\s+(.*?))?\s*;?\s*$""".r
@@ -526,48 +571,67 @@ object GraftSqlStatements {
   }
 
   /** The graft command for `sqlText`, if it is a graft statement. DML on
-    * unregistered names returns None (delegate's statement, not ours). */
-  def command(sqlText: String): Option[LeafRunnableCommand] = sqlText match {
-    case CreateRe(name, parts, loc, query) =>
-      val partitionBy = Option(parts).toSeq
-        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-      val root = Option(loc).getOrElse(
-        graft.sources.TableCache.baseDir + s"/sql_${name.toLowerCase}")
-      Some(CreateGraftTableCommand(name, root, partitionBy, Option(query)))
-    case InsertRe(mode, name, query) if GraftCatalog.lookup(name).isDefined =>
-      Some(InsertGraftTableCommand(name, query,
-        overwrite = mode.equalsIgnoreCase("OVERWRITE")))
-    case MergeRe(name, tAlias, source, sAlias, cond, delCond) if GraftCatalog.lookup(name).isDefined =>
-      // the DELETE condition filters the SOURCE rows: strip the source
-      // alias qualifier so it evaluates against the bare source frame
-      val del = Option(delCond).map { c =>
-        Option(sAlias).fold(c)(a => c.replaceAll(
-          "(?i)\\b" + java.util.regex.Pattern.quote(a) + "\\s*\\.", ""))
-      }
-      Some(MergeGraftTableCommand(name, source,
-        mergeKeys(cond, name, Option(tAlias), Option(sAlias)), del))
-    case DeleteRe(name, cond) if GraftCatalog.lookup(name).isDefined =>
-      Some(DeleteGraftTableCommand(name, cond))
-    case UpdateRe(name, setList, cond) if GraftCatalog.lookup(name).isDefined =>
-      Some(UpdateGraftTableCommand(name, parseSetList(setList), cond))
-    case RestoreRe(name, v) if GraftCatalog.lookup(name).isDefined =>
-      Some(RestoreGraftTableCommand(name, v.toLong))
-    case OptimizeRe(name, zcols) if GraftCatalog.lookup(name).isDefined =>
-      Some(OptimizeGraftTableCommand(name,
-        Option(zcols).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)))
-    case HistoryRe(name) if GraftCatalog.lookup(name).isDefined =>
-      Some(DescribeHistoryGraftCommand(name))
-    case DetailRe(name) if GraftCatalog.lookup(name).isDefined =>
-      Some(DescribeDetailGraftCommand(name))
-    case DropRe(name) if GraftCatalog.lookup(name).isDefined =>
-      Some(DropGraftTableCommand(name))
-    case VacuumRe(name, retain) if GraftCatalog.lookup(name).isDefined =>
-      Some(VacuumGraftTableCommand(name,
-        Option(retain).map(_.toInt).getOrElse(1)))
-    case ShowTablesRe() => Some(ShowGraftTablesCommand())
-    case AlterAddRe(name, cols) if GraftCatalog.lookup(name).isDefined =>
-      Some(AlterGraftTableAddColumnsCommand(name, cols))
-    case _ => None
+    * unregistered names returns None (delegate's statement, not ours).
+    * Clause recognition runs on the literal-masked text; every captured
+    * operand that can carry a literal is unmasked before it reaches the
+    * command (whose run() hands it to Spark's parser). */
+  def command(sqlText: String): Option[LeafRunnableCommand] = {
+    val (masked, unmask) = maskLiterals(sqlText)
+    // a LOCATION capture is the literal's PLACEHOLDER BODY (the regex
+    // matched the masked text between quotes) — re-quote, unmask, unquote
+    def unmaskQuoted(g: String): String = {
+      val lit = unmask("'" + g + "'")
+      lit.stripPrefix("'").stripSuffix("'")
+    }
+    masked match {
+      case CreateRe(name, parts, loc, query) =>
+        val partitionBy = Option(parts).toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        val root = Option(loc).map(unmaskQuoted).getOrElse(
+          graft.sources.TableCache.baseDir + s"/sql_${name.toLowerCase}")
+        Some(CreateGraftTableCommand(name, root, partitionBy,
+          Option(query).map(unmask)))
+      case InsertRe(mode, name, query) if GraftCatalog.lookup(name).isDefined =>
+        Some(InsertGraftTableCommand(name, unmask(query),
+          overwrite = mode.equalsIgnoreCase("OVERWRITE")))
+      case MergeRe(name, tAlias, source, sAlias, cond, delCond) if GraftCatalog.lookup(name).isDefined =>
+        // the DELETE condition filters the SOURCE rows: strip the source
+        // alias qualifier so it evaluates against the bare source frame.
+        // Alias-strip happens on the MASKED text (an alias lookalike
+        // inside a literal stays intact), then the literals come back.
+        val del = Option(delCond).map { c =>
+          unmask(Option(sAlias).fold(c)(a => c.replaceAll(
+            "(?i)\\b" + java.util.regex.Pattern.quote(a) + "\\s*\\.", "")))
+        }
+        Some(MergeGraftTableCommand(name, unmask(source),
+          mergeKeys(cond, name, Option(tAlias), Option(sAlias)), del))
+      case DeleteRe(name, cond) if GraftCatalog.lookup(name).isDefined =>
+        Some(DeleteGraftTableCommand(name, unmask(cond)))
+      case UpdateRe(name, setList, cond) if GraftCatalog.lookup(name).isDefined =>
+        // SET-list splitting on masked text: commas and ' WHERE ' inside
+        // literals can no longer fracture items
+        Some(UpdateGraftTableCommand(name,
+          parseSetList(setList).map { case (c, ex) => c -> unmask(ex) },
+          unmask(cond)))
+      case RestoreRe(name, v) if GraftCatalog.lookup(name).isDefined =>
+        Some(RestoreGraftTableCommand(name, v.toLong))
+      case OptimizeRe(name, zcols) if GraftCatalog.lookup(name).isDefined =>
+        Some(OptimizeGraftTableCommand(name,
+          Option(zcols).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)))
+      case HistoryRe(name) if GraftCatalog.lookup(name).isDefined =>
+        Some(DescribeHistoryGraftCommand(name))
+      case DetailRe(name) if GraftCatalog.lookup(name).isDefined =>
+        Some(DescribeDetailGraftCommand(name))
+      case DropRe(name) if GraftCatalog.lookup(name).isDefined =>
+        Some(DropGraftTableCommand(name))
+      case VacuumRe(name, retain) if GraftCatalog.lookup(name).isDefined =>
+        Some(VacuumGraftTableCommand(name,
+          Option(retain).map(_.toInt).getOrElse(1)))
+      case ShowTablesRe() => Some(ShowGraftTablesCommand())
+      case AlterAddRe(name, cols) if GraftCatalog.lookup(name).isDefined =>
+        Some(AlterGraftTableAddColumnsCommand(name, unmask(cols)))
+      case _ => None
+    }
   }
 
   private val TimeTravelRe = """(?i)\b([A-Za-z_][A-Za-z0-9_]*)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
@@ -584,7 +648,11 @@ object GraftSqlStatements {
     * names pass through to the delegate parser untouched. */
   def rewriteTimeTravel(spark: SparkSession, sqlText: String): String = {
     val q = scala.util.matching.Regex.quoteReplacement _
-    val afterTt = TimeTravelRe.replaceAllIn(sqlText, m => {
+    // rewrite against the literal-masked text: `'orders VERSION AS OF 1'`
+    // inside a string literal is DATA, not time-travel sugar — without the
+    // mask the rewrite would corrupt the literal
+    val (maskedText, unmask) = maskLiterals(sqlText)
+    val afterTt = TimeTravelRe.replaceAllIn(maskedText, m => {
       val (name, v) = (m.group(1), m.group(2).toLong)
       GraftCatalog.lookup(name) match {
         case Some(e) =>
@@ -595,7 +663,10 @@ object GraftSqlStatements {
       }
     })
     val afterTs = TimestampTravelRe.replaceAllIn(afterTt, m => {
-      val (name, lit) = (m.group(1), m.group(2))
+      // the regex matched the masked text, so group(2) is a literal
+      // PLACEHOLDER body — restore the real timestamp text
+      val (name, lit) = (m.group(1),
+        unmask("'" + m.group(2) + "'").stripPrefix("'").stripSuffix("'"))
       GraftCatalog.lookup(name) match {
         case Some(e) =>
           // UTC wall-clock literal (the session timezone): date-only
@@ -620,7 +691,7 @@ object GraftSqlStatements {
         case None => q(m.matched)
       }
     })
-    TableChangesRe.replaceAllIn(afterTs, m => {
+    val afterTc = TableChangesRe.replaceAllIn(afterTs, m => {
       val (name, from, to) = (m.group(1), m.group(2).toLong, m.group(3).toLong)
       GraftCatalog.lookup(name) match {
         case Some(e) =>
@@ -633,6 +704,7 @@ object GraftSqlStatements {
         case None => q(m.matched)
       }
     })
+    unmask(afterTc)
   }
 }
 

@@ -274,6 +274,57 @@ class GraftSqlSpec extends AnyFunSuite {
     spark.sql("DROP TABLE plain_parquet_t")
   }
 
+  test("keyword-bearing string literals never fracture clause recognition") {
+    val root = Files.createTempDirectory("graft_sql_lit").toString + "/t"
+    graft.sources.Tables.registerAll(spark, sf)
+    spark.sql(s"""CREATE TABLE sqlspec_lit USING graft LOCATION '$root' AS
+      SELECT n_nationkey AS k, n_name AS note FROM nation""")
+    assert(n("sqlspec_lit") == 25)
+
+    // UPDATE: the SET literal carries a comma AND the word WHERE — both
+    // used to be clause-split hazards
+    spark.sql("""UPDATE sqlspec_lit
+      SET note = 'a, b WHERE x AND y' WHERE k = 3""")
+    assert(spark.sql("SELECT note FROM sqlspec_lit WHERE k = 3")
+      .head().getString(0) == "a, b WHERE x AND y")
+    assert(n("sqlspec_lit") == 25)
+
+    // MERGE: the source carries ' WHEN MATCHED THEN UPDATE SET * ' and an
+    // ' ON t.k = u.k ' as DATA; the delete condition's literal carries the
+    // source alias qualifier lookalike 'u.' which alias-stripping must
+    // leave intact
+    spark.sql("""MERGE INTO sqlspec_lit AS t USING (
+        SELECT 5 AS k, ' WHEN MATCHED THEN UPDATE SET * ' AS note
+        UNION ALL SELECT 99, ' ON t.k = u.k '
+        UNION ALL SELECT 98, 'u.drop me'
+      ) AS u ON t.k = u.k
+      WHEN MATCHED AND u.note = 'u.drop me' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.sql("SELECT note FROM sqlspec_lit WHERE k = 5")
+      .head().getString(0) == " WHEN MATCHED THEN UPDATE SET * ")
+    assert(spark.sql("SELECT note FROM sqlspec_lit WHERE k = 99")
+      .head().getString(0) == " ON t.k = u.k ")
+    // source rows matching the delete condition are DELETE instructions
+    // (they delete their target row and never insert): k=98 had no target
+    // row, so its delete is a no-op and it must NOT appear
+    assert(n("sqlspec_lit") == 26) // 25 + inserted k=99
+    assert(spark.sql("SELECT count(*) AS c FROM sqlspec_lit WHERE k = 98")
+      .head().getLong(0) == 0)
+
+    // DELETE: literal containing ' AND ' and 'u.k' must not split the
+    // predicate or be alias-stripped
+    spark.sql("DELETE FROM sqlspec_lit WHERE note = ' ON t.k = u.k '")
+    assert(n("sqlspec_lit") == 25)
+
+    // time-travel sugar inside a string literal is DATA, not a rewrite
+    // target — the literal must come back verbatim
+    val lit = spark.sql(
+      "SELECT 'sqlspec_lit VERSION AS OF 1' AS s").head().getString(0)
+    assert(lit == "sqlspec_lit VERSION AS OF 1")
+
+    spark.sql("DROP TABLE sqlspec_lit")
+  }
+
   test("unregistered names are never intercepted (fail closed)") {
     // DELETE/MERGE/INSERT on unknown tables go to Spark's parser, whose
     // analyzer rejects them — proving the face can't shadow real tables

@@ -100,4 +100,30 @@ class Round5Spec extends AnyFunSuite {
     assert(!LakehouseTable.read(spark, scratch).columns.contains("extra_r5"),
       "RESTORE to a pre-ALTER version must restore the pre-ALTER schema")
   }
+
+  test("IVF cell table: a cell probe is a partition-pruned file scan") {
+    import graft.sources.LakehouseTable
+    val root = operators.Similarity.ivfCellTableRoot(spark, sf)
+    val cells = LakehouseTable.read(spark, root)
+    // the cell table is hive-partitioned by cid with one file per cell
+    val nCells = cells.select(col("cid")).distinct().count()
+    assert(nCells > 1, "need multiple cells for pruning to mean anything")
+    // static probe: filtering one cell must read ONLY that cell's
+    // partition directory — the at-scale claim that a probe scans 1/k of
+    // the corpus files, enforced at the file level
+    val probed = cells.filter(col("cid").cast("long") === 3L)
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(probed.nonEmpty)
+    assert(probed.forall(_.contains("cid=3")),
+      s"probe read outside its partition: ${probed.mkString(", ")}")
+    // dynamic probe (q37's shape): the query cell comes from a broadcast
+    // lookup, so the big-side scan must carry a dynamic-partition-pruning
+    // filter — at scale this is what turns the probe into one cell scan
+    // even when the cell id is only known at runtime
+    val q37 = SparkEntry.queries("q37_ivf_ann")(spark, sf)
+    q37.count()
+    val plan = q37.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"q37's probe scan lost dynamic partition pruning:\n$plan")
+  }
 }
