@@ -48,7 +48,7 @@ object Lakehouse {
     * value-equality gate. */
   private[graft] def lineitemZRoot(s: SparkSession, d: String): String = {
     val root = TableCache.root(d, "lineitem", "z=l_orderkey,l_partkey:files=8:v1")
-    try {
+    try TableCache.locked(root) {
       if (LakehouseTable.versions(root).isEmpty)
         LakehouseTable.create(
           Tables.lineitem(s, d).select("l_orderkey", "l_partkey", "l_returnflag",
@@ -69,12 +69,12 @@ object Lakehouse {
 
   /** orders run through the copy-on-write write paths: create v0, MERGE
     * v1 (keys ≡ 0 mod 97 get a 1.25× price update; keys ≡ 0 mod 997 insert
-    * a negated-key twin), deleteWhere v2 (price < 1000). All arithmetic is
+    * a negated-key twin), deleteWhere v2 (price < 10000). All arithmetic is
     * chosen bit-exact across engines: 1.25 is a power-of-two sum, so the
     * double product is IEEE-identical in Spark and DuckDB. */
   private[graft] def ordersMergeRoot(s: SparkSession, d: String): String = {
-    val root = TableCache.root(d, "orders", "merge97-ins997-del1000:v2")
-    try {
+    val root = TableCache.root(d, "orders", "merge97-ins997-del10000:v2")
+    try TableCache.locked(root) {
       val base = Tables.orders(s, d)
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
       if (LakehouseTable.versions(root).isEmpty)
@@ -88,7 +88,7 @@ object Lakehouse {
         LakehouseTable.merge(s, root, updates, Seq("o_orderkey"))
       }
       if (LakehouseTable.currentVersion(root).contains(1L))
-        LakehouseTable.deleteWhere(s, root, "o_totalprice < 1000.0")
+        LakehouseTable.deleteWhere(s, root, "o_totalprice < 10000.0")
     } catch {
       case e if raceLost(e) => () // see lineitemZRoot
     }
@@ -106,9 +106,9 @@ object Lakehouse {
     * Works on any session: [[graft.sql.GraftSql.sql]] runs the same
     * commands the injected parser produces. */
   private[graft] def ordersSqlRoot(s: SparkSession, d: String): String = {
-    val root = TableCache.root(d, "orders", "sql-ddl-merge:v1")
+    val root = TableCache.root(d, "orders", "sql-ddl-merge:v2")
     val name = "orders_sql"
-    try {
+    try TableCache.locked(root) {
       Tables.registerAll(s, d)
       if (LakehouseTable.versions(root).isEmpty)
         graft.sql.GraftSql.sql(s,
@@ -135,7 +135,7 @@ object Lakehouse {
               WHEN MATCHED THEN UPDATE SET *
               WHEN NOT MATCHED THEN INSERT *""")
       if (LakehouseTable.currentVersion(root).contains(2L))
-        graft.sql.GraftSql.sql(s, s"DELETE FROM $name WHERE o_totalprice < 1000.0")
+        graft.sql.GraftSql.sql(s, s"DELETE FROM $name WHERE o_totalprice < 10000.0")
     } catch {
       case e if raceLost(e) => () // see lineitemZRoot
     }
@@ -152,8 +152,8 @@ object Lakehouse {
     * q114's hash match against the q105 twin proves: restore pointed at
     * the right files AND vacuum deleted only dead ones. */
   private[graft] def ordersRestoreRoot(s: SparkSession, d: String): String = {
-    val root = TableCache.root(d, "orders", "restore-vacuum:v1")
-    try {
+    val root = TableCache.root(d, "orders", "restore-vacuum:v2")
+    try TableCache.locked(root) {
       val base = Tables.orders(s, d)
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
       if (LakehouseTable.versions(root).isEmpty)
@@ -167,7 +167,7 @@ object Lakehouse {
         LakehouseTable.merge(s, root, updates, Seq("o_orderkey"))
       }
       if (LakehouseTable.currentVersion(root).contains(1L))
-        LakehouseTable.deleteWhere(s, root, "o_totalprice < 1000.0")
+        LakehouseTable.deleteWhere(s, root, "o_totalprice < 10000.0")
       if (LakehouseTable.currentVersion(root).contains(2L))
         LakehouseTable.restore(root, 0L)
       if (LakehouseTable.versions(root).length > 1)
@@ -185,7 +185,7 @@ object Lakehouse {
     * a deterministic scan, so both tables are exactly reproducible. */
   private[graft] def eventsExpectRoot(s: SparkSession, d: String): String = {
     val root = TableCache.root(d, "events", "expect-le100-props:v1")
-    try {
+    try TableCache.locked(root) {
       val ev = Tables.events(s, d)
         .select("event_id", "user_id", "event_type", "value", "props")
       // seed with an empty slice so appendWithExpectations has a table
@@ -212,7 +212,7 @@ object Lakehouse {
     * touched. */
   private[graft] def eventsPartitionedRoot(s: SparkSession, d: String): String = {
     val root = TableCache.root(d, "events", "hive-by-type:v1")
-    try {
+    try TableCache.locked(root) {
       if (LakehouseTable.versions(root).isEmpty) {
         val ev = Tables.events(s, d)
           .select("event_id", "user_id", "event_type", "value")
@@ -234,7 +234,7 @@ object Lakehouse {
     * files — Delta-style schema evolution, gated below. */
   private[graft] def eventsEvolvedRoot(s: SparkSession, d: String): String = {
     val root = TableCache.root(d, "events", "schema-evo:v1")
-    try {
+    try TableCache.locked(root) {
       val ev = Tables.events(s, d)
       if (LakehouseTable.versions(root).isEmpty)
         LakehouseTable.create(
@@ -259,7 +259,7 @@ object Lakehouse {
   private[graft] def ordersAlterRoot(s: SparkSession, d: String): String = {
     val root = TableCache.root(d, "orders", "sql-alter:v1")
     val name = "orders_alter"
-    try {
+    try TableCache.locked(root) {
       Tables.registerAll(s, d)
       if (LakehouseTable.versions(root).isEmpty)
         graft.sql.GraftSql.sql(s,
@@ -303,7 +303,7 @@ object Lakehouse {
     val src = java.nio.file.Paths.get(d, "lineitem.parquet")
     val stamp = s"$d:${java.nio.file.Files.size(src)}:" +
       s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}:v1"
-    try {
+    try TableCache.locked(root) {
       // regenerated source testdata under the same dir name → throw the
       // whole export away and rebuild (the stamp plays the role the
       // content-hashed root name plays for TableCache tables)
@@ -342,7 +342,7 @@ object Lakehouse {
   private[graft] def incViewRoot(s: SparkSession, d: String): String = {
     val srcRoot = TableCache.root(d, "events", "incview-src:v1")
     val aggRoot = TableCache.root(d, "events", "incview-agg:v1")
-    try {
+    try TableCache.locked(srcRoot) {
       val ev = Tables.events(s, d).select("event_id", "event_type", "value")
       if (LakehouseTable.versions(srcRoot).isEmpty)
         LakehouseTable.create(ev.filter(col("event_id") % 4 < 2), srcRoot)
@@ -374,7 +374,7 @@ object Lakehouse {
     val srcRoot = TableCache.root(d, "events", "cdcview-src:v1")
     val aggRoot = TableCache.root(d, "events", "cdcview-agg:v1")
     import graft.sources.IncrementalView
-    try {
+    try TableCache.locked(srcRoot) {
       val ev = Tables.events(s, d).select("event_id", "event_type", "value")
       if (LakehouseTable.versions(srcRoot).isEmpty)
         LakehouseTable.create(ev.filter(col("event_id") % 4 < 2), srcRoot)
@@ -416,7 +416,7 @@ object Lakehouse {
     * subset really shrinks. */
   private[graft] def lineitemBloomRoot(s: SparkSession, d: String): String = {
     val root = TableCache.root(d, "lineitem", "bloom-orderkey:files=8:v1")
-    try {
+    try TableCache.locked(root) {
       if (LakehouseTable.versions(root).isEmpty) {
         val li = Tables.lineitem(s, d)
           .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
@@ -444,9 +444,9 @@ object Lakehouse {
     * (a seed from the final snapshot would trivially hash-match). */
   private[graft] def ordersFollowerRoot(s: SparkSession, d: String): String = {
     val srcRoot = ordersMergeRoot(s, d) // source built to v2
-    val dstRoot = TableCache.root(d, "orders", "follower:v1")
+    val dstRoot = TableCache.root(d, "orders", "follower:v2")
     import graft.sources.TableSync
-    try {
+    try TableCache.locked(dstRoot) {
       if (LakehouseTable.versions(dstRoot).isEmpty)
         TableSync.seed(s, srcRoot, dstRoot, Some(0L)) // start BEHIND
       val (_, mode) = TableSync.applyChanges(s, srcRoot, dstRoot, Seq("o_orderkey"))
@@ -466,7 +466,7 @@ object Lakehouse {
   private[graft] def ordersUpdateRoot(s: SparkSession, d: String): String = {
     val root = TableCache.root(d, "orders", "sql-update-half-F:v1")
     val name = "orders_upd"
-    try {
+    try TableCache.locked(root) {
       Tables.registerAll(s, d)
       if (LakehouseTable.versions(root).isEmpty)
         graft.sql.GraftSql.sql(s,
@@ -805,7 +805,7 @@ object Lakehouse {
        SELECT o_orderstatus, count(*) AS n,
          CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
          min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
-       FROM merged WHERE o_totalprice >= 1000.0
+       FROM merged WHERE o_totalprice >= 10000.0
        GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
   /** Shared twin of the PLAIN orders projection (pre-merge state — q105
@@ -833,7 +833,7 @@ object Lakehouse {
          UNION ALL
          SELECT -o_orderkey, o_custkey, o_orderstatus, o_totalprice
          FROM orders WHERE o_orderkey % 997 = 0 AND o_orderkey <> 0),
-       a AS (SELECT * FROM merged WHERE o_totalprice >= 1000.0)
+       a AS (SELECT * FROM merged WHERE o_totalprice >= 10000.0)
        SELECT 'insert' AS _change_type, o_orderkey, o_custkey,
          o_orderstatus, o_totalprice
        FROM a WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b)

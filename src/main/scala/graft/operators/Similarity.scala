@@ -117,13 +117,15 @@ object Similarity {
     * version it, read it from every query. */
   private def centroidTable(s: SparkSession, d: String): DataFrame = {
     val root = ivfRoot(d)
-    if (graft.sources.LakehouseTable.versions(root).isEmpty)
-      try graft.sources.LakehouseTable.create(kmediansLong(s, d), root)
-      catch {
-        // lost a concurrent first-build race: the winner committed a
-        // bit-identical table (deterministic build) — read it instead
-        case _: java.util.ConcurrentModificationException => ()
-      }
+    graft.sources.TableCache.locked(root) {
+      if (graft.sources.LakehouseTable.versions(root).isEmpty)
+        try graft.sources.LakehouseTable.create(kmediansLong(s, d), root)
+        catch {
+          // lost a concurrent CROSS-PROCESS first-build race: the winner
+          // committed a bit-identical table (deterministic build) — read it
+          case _: java.util.ConcurrentModificationException => ()
+        }
+    }
     toCentroidVecs(graft.sources.LakehouseTable.read(s, root))
   }
 
@@ -160,15 +162,17 @@ object Similarity {
   private[graft] def ivfCellTableRoot(s: SparkSession, d: String): String = {
     val root = graft.sources.TableCache.root(d, "embeddings",
       s"ivf-cells:k=$IvfK:iters=$IvfIters:alg=kmedians-hist-v2:v1")
-    if (graft.sources.LakehouseTable.versions(root).isEmpty)
-      try graft.sources.LakehouseTable.create(
-        computeAssigned(s, d).repartition(col("cid")), root,
-        partitionBy = Seq("cid"))
-      catch {
-        // lost a concurrent first-build race (deterministic build, see
-        // centroidTable)
-        case _: java.util.ConcurrentModificationException => ()
-      }
+    graft.sources.TableCache.locked(root) {
+      if (graft.sources.LakehouseTable.versions(root).isEmpty)
+        try graft.sources.LakehouseTable.create(
+          computeAssigned(s, d).repartition(col("cid")), root,
+          partitionBy = Seq("cid"))
+        catch {
+          // lost a concurrent CROSS-PROCESS first-build race (deterministic
+          // build, see centroidTable)
+          case _: java.util.ConcurrentModificationException => ()
+        }
+    }
     root
   }
 

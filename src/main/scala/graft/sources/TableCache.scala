@@ -19,6 +19,18 @@ object TableCache {
     sys.env.getOrElse("GRAFT_CACHE_DIR",
       sys.props("user.dir") + "/target/graft_tables")
 
+  // Per-root build lock: derived-table builders are multi-step (create →
+  // merge → vacuum …), and several suites/queries can cold-build the same
+  // root concurrently in one JVM (a regenerated corpus invalidates every
+  // cached root at once). The manifest CAS already makes cross-process
+  // races safe; this makes in-process builds atomic, so a reader never
+  // observes a half-built version history (the CAS alone cannot stop
+  // builder B reading version 1 while builder A is still committing 2).
+  private val buildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  def locked[T](root: String)(body: => T): T =
+    buildLocks.computeIfAbsent(root, _ => new Object).synchronized(body)
+
   def root(sourceDir: String, sourceTable: String, stamp: String): String = {
     val f = java.nio.file.Paths.get(sourceDir, s"$sourceTable.parquet")
     val id =

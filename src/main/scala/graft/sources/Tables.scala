@@ -29,15 +29,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's TimestampType
-    * (µs) rejects by default. Read the raw int64 nanos and floor-truncate to
-    * µs — exactly what DuckDB does when it surfaces the column as TIMESTAMP,
-    * so oracle hashes line up. */
+  /** `events.ts` has shipped in two physical layouts across testdata
+    * generations: parquet TIMESTAMP(NANOS) (surfaces as raw int64 nanos
+    * under `nanosAsLong`) and plain timestamp[us] (surfaces as
+    * TIMESTAMP_NTZ). Normalize BOTH to the session-TZ TimestampType the
+    * operators use — with the UTC session every entry point sets, the
+    * wall-clock values are identical to what DuckDB reads natively, so
+    * oracle hashes line up regardless of which layout the generator
+    * produced. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.withColumn("ts", normalizedTs(raw))
+  }
+
+  /** The `ts` column of an events frame as session-TZ TimestampType,
+    * whatever physical type the parquet footer carried (see [[events]]).
+    * Shared with the streaming reader so batch and stream agree bit-for-bit. */
+  private[graft] def normalizedTs(df: DataFrame): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType            => timestamp_micros(expr("ts div 1000")) // int64 nanos
+      case _: TimestampNTZType => col("ts").cast(TimestampType)
+      case _                   => col("ts")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

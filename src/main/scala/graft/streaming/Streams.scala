@@ -16,19 +16,19 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** Schema for streaming reads of the events table. `ts` arrives as raw
-    * int64 nanos (parquet TIMESTAMP(NANOS)); converted exactly like
-    * graft.sources.Tables.events. */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
-  /** File-source stream over a directory of events parquet files. */
+  /** File-source stream over a directory of events parquet files. A file
+    * stream needs a declared schema, and the physical type of `ts` has
+    * varied across testdata generations (int64 nanos vs timestamp[us] —
+    * see [[graft.sources.Tables.events]]), so the schema is probed from
+    * the files already staged in `dir` (at least one must exist before the
+    * stream starts — true for every ingestion layout, which provisions the
+    * directory with its first batch). `ts` is then normalized exactly like
+    * the batch reader, so stream and batch results agree bit-for-bit. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventsRawSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val probe = spark.read.parquet(dir)
+    val stream = spark.readStream.schema(probe.schema).parquet(dir)
+    stream.withColumn("ts", graft.sources.Tables.normalizedTs(stream))
   }
 
   /** In-flight benchmark decontamination of a document stream (the

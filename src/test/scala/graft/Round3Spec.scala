@@ -41,7 +41,7 @@ class Round3Spec extends AnyFunSuite {
     val inserted = t.filter(col("o_orderkey") < 0).count()
     val sources = graft.sources.Tables.orders(spark, sf)
       .filter(col("o_orderkey") % 997 === 0 && col("o_orderkey") =!= 0 &&
-        col("o_totalprice") >= 1000.0).count()
+        col("o_totalprice") >= 10000.0).count()
     assert(inserted == sources && inserted > 0)
     // update: key 0 (≡ 0 mod 97) carries the exact 1.25× price
     val p0 = t.filter(col("o_orderkey") === 0).select("o_totalprice")
@@ -50,7 +50,7 @@ class Round3Spec extends AnyFunSuite {
       .filter(col("o_orderkey") === 0).select("o_totalprice").head().getDouble(0)
     assert(p0 == Seq(orig0 * 1.25))
     // delete: nothing below the threshold survives
-    assert(t.filter(col("o_totalprice") < 1000.0).count() == 0)
+    assert(t.filter(col("o_totalprice") < 10000.0).count() == 0)
   }
 
   test("q108's event_type filter prunes hive partitions at planning time") {

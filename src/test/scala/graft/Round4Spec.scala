@@ -47,20 +47,20 @@ class Round4Spec extends AnyFunSuite {
     val orders = graft.sources.Tables.orders(spark, sf)
     // inserts: -key twins whose (unchanged) price survives the delete
     val ins = orders.filter(col("o_orderkey") % 997 === 0 &&
-      col("o_orderkey") =!= 0 && col("o_totalprice") >= 1000.0).count()
+      col("o_orderkey") =!= 0 && col("o_totalprice") >= 10000.0).count()
     assert(byType.getOrElse("insert", 0L) == ins)
     // updates emit pre+post pairs, one each per surviving %97 key
     assert(byType.getOrElse("update_preimage", 0L) ==
       byType.getOrElse("update_postimage", 0L))
     val upd = orders.filter(col("o_orderkey") % 97 === 0 &&
-      col("o_totalprice") * 1.25 >= 1000.0 &&
+      col("o_totalprice") * 1.25 >= 10000.0 &&
       col("o_totalprice") * 1.25 =!= col("o_totalprice")).count()
     assert(byType.getOrElse("update_preimage", 0L) == upd)
     // deletes: rows below the threshold at v2 (including %97 rows whose
     // UPDATED price fell below it — net classification, not per-step)
     val del = orders.filter(
-      when(col("o_orderkey") % 97 === 0, col("o_totalprice") * 1.25 < 1000.0)
-        .otherwise(col("o_totalprice") < 1000.0)).count()
+      when(col("o_orderkey") % 97 === 0, col("o_totalprice") * 1.25 < 10000.0)
+        .otherwise(col("o_totalprice") < 10000.0)).count()
     assert(byType.getOrElse("delete", 0L) == del)
     // pure file churn emits nothing: compacting a copy produces an empty feed
     val tmp = Files.createTempDirectory("cdc_churn").toString

@@ -270,10 +270,11 @@ class StreamingSpec extends AnyFunSuite {
         finally s.close()
       java.nio.file.Files.move(part, inDir.resolve(name))
     }
-    // ts needs to stay raw int64 nanos for eventsStream's schema: re-read
-    // the raw parquet rather than Tables.events' converted frame
+    // stage raw parquet rows as-is (whatever physical ts layout the
+    // generator produced) — eventsStream probes the footer schema and
+    // normalizes ts on read, so the staged files must just match the source
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.schema(Streams.eventsRawSchema).parquet(s"$sf/events.parquet")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
     val inDir = java.nio.file.Files.createTempDirectory("graft-medallion-in")
     val ev = graft.sources.Tables.events(spark, sf)
     stageAs(raw.filter(col("event_id") % 2 === 0), inDir, "part-a.parquet")
@@ -306,14 +307,22 @@ class StreamingSpec extends AnyFunSuite {
     val inDir = Files.createTempDirectory("graft-ssjoin-outer")
     Files.copy(Paths.get(s"$sf/events.parquet"),
       inDir.resolve("part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    // sentinel ts must land in the SAME physical layout as the copied
+    // file (mixed int64/timestamp footers would fracture the stream's
+    // probed schema), so compute it in event time and lower it per-layout
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.schema(Streams.eventsRawSchema).parquet(s"$sf/events.parquet")
-    val maxNs = raw.agg(max(col("ts"))).head().getLong(0)
-    val h = 3600L * 1000 * 1000 * 1000 // one hour of nanos
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val maxTs = graft.sources.Tables.events(spark, sf)
+      .agg(max(col("ts"))).head().getTimestamp(0)
+    val h = 3600L * 1000 // one hour of millis
     val sentinels = Seq(
-      (900001L, maxNs + 10 * h, 999999L, "click", 0.0, "{}"),
-      (900002L, maxNs + 20 * h, 999999L, "purchase", 0.0, "{}"))
+      (900001L, new java.sql.Timestamp(maxTs.getTime + 10 * h), 999999L, "click", 0.0, "{}"),
+      (900002L, new java.sql.Timestamp(maxTs.getTime + 20 * h), 999999L, "purchase", 0.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => unix_micros(col("ts")) * 1000L
+        case dt                                  => col("ts").cast(dt)
+      })
     val tmp = inDir.resolve("sentinel-tmp")
     sentinels.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val s0 = Files.list(tmp)
