@@ -283,6 +283,48 @@ object Lakehouse {
     root
   }
 
+  /** orders run through the COLUMN-MAPPING lifecycle, SQL strings only:
+    * v0 CREATEs a 4-column thirds-slice, v1 RENAMEs o_totalprice → price
+    * (metadata-only: files keep the physical name), v2 DROPs o_custkey
+    * (metadata-only tombstone), v3 INSERTs more rows THROUGH the logical
+    * schema (the writer lowers `price` back to the physical o_totalprice,
+    * so every data file stays name-consistent), v4 UPDATEs a slice via a
+    * logical-name predicate + SET (COW rewrite through the mapping).
+    * A read must see (o_orderkey, o_orderstatus, price) with both files'
+    * rows and the update applied — any mapping leak (dropped column
+    * resurfacing, rename not applied to one side of the union, rewrite
+    * written under the logical name) breaks rows, schema, or hash. */
+  private[graft] def ordersMapRoot(s: SparkSession, d: String): String = {
+    val root = TableCache.root(d, "orders", "sql-colmap:v1")
+    val name = "orders_map"
+    try TableCache.locked(root) {
+      Tables.registerAll(s, d)
+      if (LakehouseTable.versions(root).isEmpty)
+        graft.sql.GraftSql.sql(s,
+          s"""CREATE TABLE $name USING graft LOCATION '$root' AS
+              SELECT o_orderkey, o_orderstatus, o_totalprice, o_custkey
+              FROM orders WHERE o_orderkey % 3 = 0""")
+      // rerun in a fresh process: re-point the registry at this root
+      graft.sql.GraftSql.register(s, name, root)
+      if (LakehouseTable.currentVersion(root).contains(0L))
+        graft.sql.GraftSql.sql(s,
+          s"ALTER TABLE $name RENAME COLUMN o_totalprice TO price")
+      if (LakehouseTable.currentVersion(root).contains(1L))
+        graft.sql.GraftSql.sql(s, s"ALTER TABLE $name DROP COLUMN o_custkey")
+      if (LakehouseTable.currentVersion(root).contains(2L))
+        graft.sql.GraftSql.sql(s,
+          s"""INSERT INTO $name
+              SELECT o_orderkey, o_orderstatus, o_totalprice AS price
+              FROM orders WHERE o_orderkey % 3 = 1""")
+      if (LakehouseTable.currentVersion(root).contains(3L))
+        graft.sql.GraftSql.sql(s,
+          s"UPDATE $name SET price = price + 1.0 WHERE o_orderkey % 5 = 0")
+    } catch {
+      case e if raceLost(e) => () // see lineitemZRoot
+    }
+    root
+  }
+
   /** Delta-log interop export dir for source dir `d` — a FIXED name per
     * SF (not a content-hashed [[TableCache.root]]): the DuckDB twin of
     * q144 must reference this path in a STATIC oracle string, so it has
@@ -605,6 +647,22 @@ object Lakehouse {
              CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
              min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
            FROM orders_alter GROUP BY 1 ORDER BY 1""")
+    }),
+
+    // Column mapping under the gate: RENAME + DROP are metadata-only
+    // epochs, the post-rename INSERT and UPDATE write through the logical
+    // schema, and the final read must surface one consistent logical
+    // frame. The oracle rebuilds the same state from raw orders with an
+    // explicit union + CASE — bit-exact (+1.0 is IEEE-identical in both
+    // engines).
+    "q145_sql_column_mapping" -> ((s, d) => {
+      val root = ordersMapRoot(s, d)
+      graft.sql.GraftSql.register(s, "orders_map", root)
+      graft.sql.GraftSql.sql(s,
+        """SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+             min(price) AS min_price, max(price) AS max_price
+           FROM orders_map GROUP BY o_orderstatus ORDER BY o_orderstatus""")
     }),
 
     // Delta-log EXPORT under the gate, read back THROUGH THE LOG ONLY
@@ -957,6 +1015,22 @@ object Lakehouse {
            CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
            min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
          FROM unioned GROUP BY 1 ORDER BY 1""",
+
+    "q145_sql_column_mapping" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice AS price
+           FROM orders WHERE o_orderkey % 3 = 0
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, o_totalprice
+           FROM orders WHERE o_orderkey % 3 = 1),
+         upd AS (
+           SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 5 = 0 THEN price + 1.0 ELSE price END AS price
+           FROM base)
+         SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           min(price) AS min_price, max(price) AS max_price
+         FROM upd GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     // final state of the 3-version export history, from the raw parquet
     "q143_delta_export" -> sqlDeltaFinalState,

@@ -117,6 +117,36 @@ object LakehouseTable {
     lastTxns(root).get(app)
 
   private val AddedColsRe = """"addedCols":\s*"([^"]*)"""".r
+  private val RenamedColsRe = """"renamedCols":\s*"([^"]*)"""".r
+  private val DroppedColsRe = """"droppedCols":\s*"([^"]*)"""".r
+
+  /** Delta-style column mapping, recorded per manifest version: renames are
+    * (physical → logical) pairs — the parquet files keep their original
+    * (physical) column names forever, and reads surface the logical names —
+    * and drops are physical names hidden from reads. Both are metadata-only
+    * commits (same file set), travel WITH the version like [[addedColumnsAt]]
+    * (time travel and RESTORE see their epoch's names), and carry forward
+    * through later commits. At 100 TB this is the only sane rename: no
+    * rewrite of the data, ever. */
+  def renamedColumnsAt(root: String, v: Long): Seq[(String, String)] =
+    RenamedColsRe.findFirstMatchIn(
+      Files.readString(manifestDir(root).resolve(s"$v.json")))
+      .map(_.group(1)).filter(_.nonEmpty).toSeq
+      .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { pair =>
+        val Array(phys, log) = pair.split(">", 2)
+        phys.trim -> log.trim
+      })
+
+  /** Physical column names hidden by ALTER TABLE DROP COLUMN as of version
+    * `v` (see [[renamedColumnsAt]]). */
+  def droppedColumnsAt(root: String, v: Long): Seq[String] =
+    DroppedColsRe.findFirstMatchIn(
+      Files.readString(manifestDir(root).resolve(s"$v.json")))
+      .map(_.group(1)).filter(_.nonEmpty).toSeq
+      .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+
+  private def encodeRenames(rs: Seq[(String, String)]): String =
+    rs.map { case (p, l) => s"$p>$l" }.mkString(", ")
 
   /** Columns added by ALTER TABLE as a DDL string ("c1 INT, c2 STRING"),
     * as recorded in version `v`'s manifest — empty when the version
@@ -134,7 +164,9 @@ object LakehouseTable {
     * readManifest, so they are rejected at the only write point. */
   private[graft] def commit(root: String, version: Long, relFiles: Seq[String],
       txn: Option[Long] = None, txnApp: String = DefaultTxnApp,
-      addedCols: Option[String] = None): Long = {
+      addedCols: Option[String] = None,
+      renamedCols: Option[String] = None,
+      droppedCols: Option[String] = None): Long = {
     relFiles.find(f => f.contains('"') || f.contains(',')).foreach(f =>
       throw new IllegalArgumentException(
         s"""data file path contains '"' or ',' (unsupported in partition values): $f"""))
@@ -154,12 +186,23 @@ object LakehouseTable {
     // (restore to a pre-ALTER version) clears them. The DDL is embedded in
     // the manifest JSON, so it must stay clear of the lenient parser's
     // delimiters — enforced at the only write point, like file paths.
+    val prevV = if (version == 0) None else currentVersion(root)
     val cols = addedCols.getOrElse(
-      if (version == 0) ""
-      else currentVersion(root).map(addedColumnsAt(root, _)).getOrElse(""))
-    require(!cols.exists(c => c == '[' || c == ']' || c == '"'),
-      s"""added-column DDL may not contain '[', ']', or '"': $cols""")
-    val colsField = if (cols.isEmpty) "" else s""""addedCols": "$cols", """
+      prevV.map(addedColumnsAt(root, _)).getOrElse(""))
+    // column-mapping state carries forward exactly like addedCols; an
+    // explicit Some("") (RESTORE to a pre-ALTER version) clears it
+    val rens = renamedCols.getOrElse(
+      prevV.map(v => encodeRenames(renamedColumnsAt(root, v))).getOrElse(""))
+    val drops = droppedCols.getOrElse(
+      prevV.map(v => droppedColumnsAt(root, v).mkString(", ")).getOrElse(""))
+    Seq("added-column DDL" -> cols, "renamed-column list" -> rens,
+      "dropped-column list" -> drops).foreach { case (what, s) =>
+      require(!s.exists(c => c == '[' || c == ']' || c == '"'),
+        s"""$what may not contain '[', ']', or '"': $s""")
+    }
+    val colsField = (if (cols.isEmpty) "" else s""""addedCols": "$cols", """) +
+      (if (rens.isEmpty) "" else s""""renamedCols": "$rens", """) +
+      (if (drops.isEmpty) "" else s""""droppedCols": "$drops", """)
     val json = relFiles.sorted.map(f => "\"" + f + "\"")
       .mkString(s"""{$txnField$colsField"files": [""", ", ", "]}")
     val tmp = manifestDir(root).resolve(s".$version.json.tmp-${java.util.UUID.randomUUID()}")
@@ -186,8 +229,43 @@ object LakehouseTable {
     * Spark's partition discovery requires: a per-write subdirectory between
     * basePath and the partition dirs raises CONFLICTING_DIRECTORY_STRUCTURES
     * as soon as a second write lands. */
-  private def writeFiles(df: DataFrame, root: String,
+  /** Lower a logical-schema frame into the table's PHYSICAL column names
+    * before writing (see [[renamedColumnsAt]]): renamed columns go back to
+    * their stable physical names so every data file of the table —
+    * pre-rename or post-rename, append or COW rewrite — carries one
+    * consistent set of parquet column names, and the mergeSchema union can
+    * never see both names at once. Frames already in physical form
+    * (internal file-level rewrites) pass through untouched; a frame
+    * carrying BOTH names for one mapping is ambiguous and rejected.
+    * Re-introducing a dropped physical name is rejected too: old files
+    * still carry that column's dead values, and the union would silently
+    * resurrect them under the new writer's column. */
+  private def toPhysical(df: DataFrame, root: String): DataFrame =
+    currentVersion(root) match {
+      case None => df
+      case Some(v) =>
+        val renames = renamedColumnsAt(root, v)
+        val mapped = renames.foldLeft(df) { case (acc, (phys, log)) =>
+          val hasP = acc.columns.exists(_.equalsIgnoreCase(phys))
+          val hasL = acc.columns.exists(_.equalsIgnoreCase(log))
+          if (hasP && hasL && !phys.equalsIgnoreCase(log))
+            throw new IllegalArgumentException(
+              s"write carries both '$phys' (physical) and '$log' (its logical " +
+                s"rename) — ambiguous; write only '$log'")
+          else if (hasL && !hasP) acc.withColumnRenamed(log, phys)
+          else acc
+        }
+        val dropped = droppedColumnsAt(root, v).map(_.toLowerCase).toSet
+        mapped.columns.find(c => dropped.contains(c.toLowerCase)).foreach(c =>
+          throw new IllegalArgumentException(
+            s"column '$c' was dropped from this table; its physical name " +
+              "cannot be re-used without a full rewrite"))
+        mapped
+    }
+
+  private def writeFiles(logicalDf: DataFrame, root: String,
       partitionBy: Seq[String]): Seq[String] = {
+    val df = toPhysical(logicalDf, root)
     // INT64-micros timestamps (not legacy INT96): INT96 column chunks carry
     // no usable min/max in the parquet footer, and footer stats are where
     // file-skipping ranges come from at write time (no re-scan). Scoped to
@@ -392,7 +470,7 @@ object LakehouseTable {
     // column would produce); once files carry the column, the footer
     // union already has it and this is a no-op.
     val ddl = addedColumnsAt(root, v)
-    if (ddl.isEmpty) df
+    val widened = if (ddl.isEmpty) df
     else {
       val have = df.columns.map(_.toLowerCase).toSet
       val missing = org.apache.spark.sql.types.StructType.fromDDL(ddl)
@@ -401,7 +479,32 @@ object LakehouseTable {
       else missing.foldLeft(df)((acc, f) => acc.withColumn(f.name,
         org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
     }
+    toLogical(widened, root, v)
   }
+
+  /** Surface a physical-schema frame under version `v`'s LOGICAL column
+    * names: hide dropped physical columns, then rename the mapped ones
+    * (drop FIRST — a rename may reuse a dropped physical name as its
+    * logical name without collision). See [[renamedColumnsAt]]. */
+  private def toLogical(df: DataFrame, root: String, v: Long): DataFrame = {
+    val dropped = droppedColumnsAt(root, v)
+      .filter(p => df.columns.exists(_.equalsIgnoreCase(p)))
+    val visible = if (dropped.isEmpty) df else df.drop(dropped: _*)
+    renamedColumnsAt(root, v).foldLeft(visible) { case (acc, (phys, log)) =>
+      if (acc.columns.exists(_.equalsIgnoreCase(phys)))
+        acc.withColumnRenamed(phys, log)
+      else acc
+    }
+  }
+
+  /** [[readFiles]] surfaced under version `v`'s logical schema — every
+    * file-pruned COW path reads through this so predicates, SET lists, and
+    * merge keys written against logical names keep working after a rename,
+    * and so rewrites round-trip logical → [[toPhysical]] → stable file
+    * schema. */
+  private def readFilesLogical(spark: SparkSession, root: String, v: Long,
+      relFiles: Seq[String]): DataFrame =
+    toLogical(readFiles(spark, root, relFiles), root, v)
 
   /** Export the table's version history as a minimal Delta Lake
     * transaction log (`root/_delta_log/<v 20-digit>.json`, one JSON action
@@ -429,20 +532,54 @@ object LakehouseTable {
         .map { seg => val Array(k, v) = seg.split("=", 2); s""""${esc(k)}":"${esc(v)}"""" }
         .mkString("{", ",", "}")
     var prev = Seq.empty[String]
-    var prevCols: Option[String] = None
+    var prevCols: Option[(String, String, String)] = None
+    var mappingAnnounced = false
     vs.foreach { v =>
       val cur = readManifest(root, v)
-      val cols = addedColumnsAt(root, v)
+      val renames = renamedColumnsAt(root, v)
+      val cols = (addedColumnsAt(root, v), encodeRenames(renames),
+        droppedColumnsAt(root, v).mkString(","))
       val target = logDir.resolve(f"$v%020d.json")
       if (!Files.exists(target)) {
         val sb = new StringBuilder
-        if (v == vs.head)
+        val mappingActive = cols._2.nonEmpty || cols._3.nonEmpty
+        // an active rename/drop mapping needs Delta column mapping's
+        // protocol floor (reader 2 / writer 5); announced at the first
+        // version that has one — a later commit may raise the protocol,
+        // per the Delta spec
+        if (v == vs.head && mappingActive) {
+          sb.append("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""").append('\n')
+          mappingAnnounced = true
+        } else if (v == vs.head)
           sb.append("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""").append('\n')
+        else if (!mappingAnnounced && mappingActive) {
+          sb.append("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""").append('\n')
+          mappingAnnounced = true
+        }
         if (v == vs.head || !prevCols.contains(cols)) {
-          val schema = esc(read(spark, root, Some(v)).schema.json)
+          // logical schema, each field annotated with its stable PHYSICAL
+          // parquet name (Delta column mapping, name mode) whenever a
+          // mapping is active — a plain name-matched schema would read
+          // renamed columns as null from pre-rename files
+          val logical = read(spark, root, Some(v)).schema
+          val mapped =
+            if (renames.isEmpty) logical
+            else org.apache.spark.sql.types.StructType(logical.zipWithIndex.map {
+              case (f, i) =>
+                val phys = renames.find(_._2.equalsIgnoreCase(f.name))
+                  .map(_._1).getOrElse(f.name)
+                f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+                  .withMetadata(f.metadata)
+                  .putString("delta.columnMapping.physicalName", phys)
+                  .putLong("delta.columnMapping.id", i + 1L).build())
+            })
+          val conf =
+            if (renames.isEmpty && cols._3.isEmpty) "{}"
+            else s"""{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"${mapped.length}"}"""
+          val schema = esc(mapped.json)
           val parts = partitionColumns(root)
             .map(c => s""""${esc(c)}"""").mkString("[", ",", "]")
-          sb.append(s"""{"metaData":{"id":"graft-${graft.plans.TextExpressions.md5Hex(root).take(12)}","format":{"provider":"parquet","options":{}},"schemaString":"$schema","partitionColumns":$parts,"configuration":{}}}""")
+          sb.append(s"""{"metaData":{"id":"graft-${graft.plans.TextExpressions.md5Hex(root).take(12)}","format":{"provider":"parquet","options":{}},"schemaString":"$schema","partitionColumns":$parts,"configuration":$conf}}""")
             .append('\n')
         }
         val curSet = cur.toSet
@@ -468,12 +605,14 @@ object LakehouseTable {
       }
       prev = cur
       prevCols = Some(cols)
+      if (cols._2.nonEmpty || cols._3.nonEmpty) mappingAnnounced = true
     }
     logDir
   }
 
   private val DeltaAddRe = """"add":\s*\{\s*"path":\s*"((?:[^"\\]|\\.)*)"""".r
   private val DeltaRemoveRe = """"remove":\s*\{\s*"path":\s*"((?:[^"\\]|\\.)*)"""".r
+  private val DeltaSchemaRe = """"schemaString":\s*"((?:[^"\\]|\\.)*)"""".r
 
   /** Read a table THROUGH an exported Delta log only — the graft manifest
     * is deliberately not consulted: replay add/remove actions across the
@@ -489,16 +628,37 @@ object LakehouseTable {
       .sortBy(_.getFileName.toString)
     def unesc(s: String): String = s.replace("\\\"", "\"").replace("\\\\", "\\")
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    var schemaJson: Option[String] = None
     logFiles.foreach { lf =>
       val txt = Files.readString(lf)
       DeltaRemoveRe.findAllMatchIn(txt).foreach(m => live -= unesc(m.group(1)))
       DeltaAddRe.findAllMatchIn(txt).foreach(m => live += unesc(m.group(1)))
+      DeltaSchemaRe.findAllMatchIn(txt).foreach(m => schemaJson = Some(unesc(m.group(1))))
     }
     val files = live.toSeq.map(f => Paths.get(root).resolve(f).toString)
-    spark.read
+    val raw = spark.read
       .option("basePath", dataDir(root).toString)
       .option("mergeSchema", "true")
       .parquet(files: _*)
+    // the log's LAST metaData schema is authoritative (what any Delta
+    // reader selects): read each logical field from its physicalName
+    // (column-mapping name mode) or its own name; fields no file carries
+    // surface as typed nulls; file columns outside the schema (dropped)
+    // are simply not selected
+    schemaJson.map(org.apache.spark.sql.types.DataType.fromJson) match {
+      case Some(st: org.apache.spark.sql.types.StructType) =>
+        import org.apache.spark.sql.functions.{col, lit}
+        raw.select(st.fields.toSeq.map { f =>
+          val phys =
+            if (f.metadata.contains("delta.columnMapping.physicalName"))
+              f.metadata.getString("delta.columnMapping.physicalName")
+            else f.name
+          if (raw.columns.exists(_.equalsIgnoreCase(phys)))
+            col(phys).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }: _*)
+      case _ => raw
+    }
   }
 
   /** ALTER TABLE ADD COLUMNS: commit a new version with the SAME file set
@@ -519,6 +679,18 @@ object LakehouseTable {
         .map(_.name.toLowerCase).toSet
     add.foreach(f => require(!priorNames.contains(f.name.toLowerCase),
       s"column already added: ${f.name}"))
+    // a dropped physical name is a tombstone: old files still carry its
+    // dead values, and re-adding the name would resurrect them through
+    // the mergeSchema union (Delta needs field-id mapping for this;
+    // name-based mapping must refuse)
+    val dropped = droppedColumnsAt(root, cur).map(_.toLowerCase).toSet
+    add.foreach(f => require(!dropped.contains(f.name.toLowerCase),
+      s"column '${f.name}' was previously dropped; its name cannot be " +
+        "re-used without a full rewrite"))
+    // nor may an added column shadow a LOGICAL name taken by a rename
+    val logicalTaken = renamedColumnsAt(root, cur).map(_._2.toLowerCase).toSet
+    add.foreach(f => require(!logicalTaken.contains(f.name.toLowerCase),
+      s"column '${f.name}' already exists (as a renamed column)"))
     // normalize through fromDDL→toDDL (backtick-free names enforced by the
     // SQL face; toDDL's backticks would trip no manifest delimiter, but
     // keep the stored form canonical and re-parseable)
@@ -527,6 +699,103 @@ object LakehouseTable {
         org.apache.spark.sql.types.StructType.fromDDL(prior) ++ add))
       .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
     commit(root, cur + 1, readManifest(root, cur), addedCols = Some(merged))
+  }
+
+  private val IdentRe = "[A-Za-z_][A-Za-z0-9_]*"
+
+  /** Resolve a LOGICAL column name to its stable physical name under
+    * version `v`'s mapping (identity when never renamed). */
+  private def physicalNameAt(root: String, v: Long, logical: String): String =
+    renamedColumnsAt(root, v).find(_._2.equalsIgnoreCase(logical))
+      .map(_._1).getOrElse(logical)
+
+  /** ALTER TABLE RENAME COLUMN: metadata-only commit of the same file set
+    * with an updated (physical → logical) mapping — Delta column-mapping
+    * semantics. The parquet files are never touched (the only affordable
+    * rename at 100 TB); reads surface the new name, writes lower it back
+    * to the stable physical name, time travel and RESTORE see each
+    * version's own names. Renaming a hive partition column is rejected —
+    * its name is baked into directory paths. Schema-dependent, so a lost
+    * CAS race is an error, not a rebase. */
+  def alterRenameColumn(spark: SparkSession, root: String,
+      oldName: String, newName: String): Long = {
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no table at $root"))
+    require(newName.matches(IdentRe), s"invalid column name: $newName")
+    val logical = read(spark, root, Some(cur)).columns
+    require(logical.exists(_.equalsIgnoreCase(oldName)),
+      s"RENAME COLUMN: no column '$oldName' (have ${logical.mkString(", ")})")
+    require(!logical.exists(_.equalsIgnoreCase(newName)),
+      s"RENAME COLUMN: column '$newName' already exists")
+    require(!partitionColumns(root).exists(_.equalsIgnoreCase(oldName)),
+      s"RENAME COLUMN: '$oldName' is a partition column (its name is part " +
+        "of every data path); rewrite the table instead")
+    val phys = physicalNameAt(root, cur, oldName)
+    val updated = renamedColumnsAt(root, cur)
+      .filterNot(_._1.equalsIgnoreCase(phys)) ++
+      (if (phys.equalsIgnoreCase(newName)) Nil else Seq(phys -> newName))
+    commit(root, cur + 1, readManifest(root, cur),
+      renamedCols = Some(encodeRenames(updated)))
+  }
+
+  /** ALTER TABLE DROP COLUMN(S): metadata-only — the physical column stays
+    * in the files (and in every pre-drop version, where time travel still
+    * sees it) but disappears from reads at and after this version. The
+    * physical name cannot be re-introduced without a rewrite (old files
+    * would resurrect dead values through the mergeSchema union — rejected
+    * at the write path). Partition columns and the last remaining column
+    * cannot be dropped. */
+  def alterDropColumns(spark: SparkSession, root: String,
+      names: Seq[String]): Long = {
+    require(names.nonEmpty, "DROP COLUMN requires at least one column")
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no table at $root"))
+    val logical = read(spark, root, Some(cur)).columns
+    names.foreach { n =>
+      require(logical.exists(_.equalsIgnoreCase(n)),
+        s"DROP COLUMN: no column '$n' (have ${logical.mkString(", ")})")
+      require(!partitionColumns(root).exists(_.equalsIgnoreCase(n)),
+        s"DROP COLUMN: '$n' is a partition column; rewrite the table instead")
+    }
+    require(names.map(_.toLowerCase).toSet.size == names.size,
+      s"DROP COLUMN: duplicate names in ${names.mkString(", ")}")
+    require(logical.length > names.length,
+      "DROP COLUMN: cannot drop every column of the table")
+    val physNames = names.map(physicalNameAt(root, cur, _))
+    // scrub dropped columns out of the other two schema-mapping fields:
+    // their rename entries die with them, and an ALTER-ADDed column that
+    // is dropped must leave the DDL or the null-backfill would re-add it
+    val keptRenames = renamedColumnsAt(root, cur)
+      .filterNot { case (p, _) => physNames.exists(_.equalsIgnoreCase(p)) }
+    val prior = addedColumnsAt(root, cur)
+    val keptAdded =
+      if (prior.isEmpty) ""
+      else org.apache.spark.sql.types.StructType.fromDDL(prior)
+        .filterNot(f => physNames.exists(_.equalsIgnoreCase(f.name)))
+        .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+    // an ALTER-ADDed column that no data file ever carried leaves no
+    // physical residue — dropping it needs no tombstone
+    val addedOnly =
+      if (prior.isEmpty) Set.empty[String]
+      else org.apache.spark.sql.types.StructType.fromDDL(prior)
+        .map(_.name.toLowerCase).toSet
+    val carried = readSchemaPhysical(spark, root, cur).map(_.toLowerCase).toSet
+    val tombstones = physNames.filter(p =>
+      carried.contains(p.toLowerCase) || !addedOnly.contains(p.toLowerCase))
+    commit(root, cur + 1, readManifest(root, cur),
+      addedCols = Some(keptAdded),
+      renamedCols = Some(encodeRenames(keptRenames)),
+      droppedCols = Some((droppedColumnsAt(root, cur) ++ tombstones)
+        .mkString(", ")))
+  }
+
+  /** Physical column names actually present in version `v`'s data files
+    * (parquet footer union — excludes ALTER-ADDed columns nothing carries). */
+  private def readSchemaPhysical(spark: SparkSession, root: String,
+      v: Long): Seq[String] = {
+    val files = readManifest(root, v).map(f => dataDir(root).resolve(f).toString)
+    spark.read.option("basePath", dataDir(root).toString)
+      .option("mergeSchema", "true").parquet(files: _*).columns.toSeq
   }
 
   /** Rewrite the current snapshot into `numFiles` files per partition dir
@@ -580,7 +849,7 @@ object LakehouseTable {
     if (small.size <= 1) return cur
     val totalSmall = small.map(_._2).sum
     val bins = math.max(1, math.ceil(totalSmall.toDouble / targetBytes).toInt)
-    val rewritten = readFiles(spark, root, small.map(_._1)).coalesce(bins)
+    val rewritten = readFilesLogical(spark, root, cur, small.map(_._1)).coalesce(bins)
     commit(root, cur + 1,
       large.map(_._1) ++ writeFiles(rewritten, root, partitionBy))
   }
@@ -709,7 +978,7 @@ object LakehouseTable {
     val touched = filesMatching(spark, root, cur, where)
     if (touched.isEmpty) return cur // nothing matches — no-op, no commit
     val untouched = readManifest(root, cur).filterNot(touched)
-    val remaining = readFiles(spark, root, touched.toSeq).filter(s"NOT ($where)")
+    val remaining = readFilesLogical(spark, root, cur, touched.toSeq).filter(s"NOT ($where)")
     commit(root, cur + 1, untouched ++ writeFiles(remaining, root, partitionBy))
   }
 
@@ -728,7 +997,7 @@ object LakehouseTable {
     val touched = filesMatching(spark, root, cur, where)
     if (touched.isEmpty) return cur
     val untouched = readManifest(root, cur).filterNot(touched)
-    val base = readFiles(spark, root, touched.toSeq)
+    val base = readFilesLogical(spark, root, cur, touched.toSeq)
     val cond = expr(where)
     // all SET expressions evaluate against the PRE-update row: build every
     // new column from `base` before attaching any (no withColumn chain,
@@ -789,7 +1058,7 @@ object LakehouseTable {
       throw new IllegalStateException(s"no table at $root"))
     requirePartitioningMatches(root, cur, partitionBy, "merge")
     val all = readManifest(root, cur)
-    val snap = readFiles(spark, root, all)
+    val snap = readFilesLogical(spark, root, cur, all)
     // null-SAFE key match (<=>): a NULL key in updates must still replace
     // the existing NULL-key row, or repeated merges duplicate it forever
     val keyRows = updates
@@ -808,7 +1077,7 @@ object LakehouseTable {
     val survivors =
       if (touched.isEmpty) updates.select(snap.columns.map(updates.col).toSeq: _*)
       else {
-        val kept = readFiles(spark, root, touched.toSeq)
+        val kept = readFilesLogical(spark, root, cur, touched.toSeq)
         kept.join(keyRows, keyCond(kept), "left_anti")
           .unionByName(updates.select(snap.columns.map(updates.col).toSeq: _*))
       }
@@ -1014,7 +1283,7 @@ object LakehouseTable {
             new java.io.ByteArrayInputStream(dec.decode(a(2))))).toMap
         all.filter(f => blooms.get(f).forall(_.mightContainLong(value))).toSet
       }
-    readFiles(spark, root, all.filter(keep))
+    readFilesLogical(spark, root, cur, all.filter(keep))
   }
 
   /** Delta-style RESTORE: commit a NEW version whose file list is exactly
@@ -1024,10 +1293,13 @@ object LakehouseTable {
     val vs = versions(root)
     require(vs.contains(toVersion), s"unknown version $toVersion at $root")
     // restore the SCHEMA of the target epoch too (Delta RESTORE restores
-    // table metadata): Some("") clears ALTER-added columns when restoring
-    // to a pre-ALTER version instead of carrying the current ones forward
+    // table metadata): Some("") clears ALTER-added columns — and the
+    // rename/drop mapping — when restoring to a pre-ALTER version instead
+    // of carrying the current ones forward
     commit(root, vs.last + 1, readManifest(root, toVersion),
-      addedCols = Some(addedColumnsAt(root, toVersion)))
+      addedCols = Some(addedColumnsAt(root, toVersion)),
+      renamedCols = Some(encodeRenames(renamedColumnsAt(root, toVersion))),
+      droppedCols = Some(droppedColumnsAt(root, toVersion).mkString(", ")))
   }
 
   /** Incremental read: rows of files ADDED after `fromVersion` up to
@@ -1043,7 +1315,7 @@ object LakehouseTable {
     val before = readManifest(root, fromVersion).toSet
     val added = readManifest(root, to).filterNot(before)
     if (added.isEmpty) read(spark, root, Some(to)).limit(0)
-    else readFiles(spark, root, added)
+    else readFilesLogical(spark, root, to, added)
   }
 
   /** Change data feed between two versions (Delta CDF semantics, computed
@@ -1071,9 +1343,9 @@ object LakehouseTable {
     val removed = fromM.filterNot(toM.toSet)
     val added = toM.filterNot(fromM.toSet)
     val pre0 = if (removed.isEmpty) read(spark, root, Some(fromVersion)).limit(0)
-               else readFiles(spark, root, removed)
+               else readFilesLogical(spark, root, fromVersion, removed)
     val post0 = if (added.isEmpty) read(spark, root, Some(toVersion)).limit(0)
-                else readFiles(spark, root, added)
+                else readFilesLogical(spark, root, toVersion, added)
     // union schema by name: a column absent on one side reads as null of
     // the other side's type (mergeSchema read semantics, mirrored here)
     val allCols = pre0.columns.toSeq ++

@@ -409,6 +409,33 @@ case class AlterGraftTableAddColumnsCommand(name: String, colsDdl: String)
   }
 }
 
+/** ALTER TABLE name RENAME COLUMN old TO new — metadata-only Delta-style
+  * column mapping ([[LakehouseTable.alterRenameColumn]]): files keep their
+  * physical column names forever; reads surface the logical name, writes
+  * lower it back. */
+case class AlterGraftTableRenameColumnCommand(name: String,
+    oldName: String, newName: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val e = GraftCatalog.lookup(name).get
+    LakehouseTable.alterRenameColumn(spark, e.root, oldName, newName)
+    GraftCatalog.refreshView(spark, name)
+    Seq.empty
+  }
+}
+
+/** ALTER TABLE name DROP COLUMN c / DROP COLUMNS (c1, c2) — metadata-only
+  * hide of the physical column ([[LakehouseTable.alterDropColumns]]); old
+  * versions still see it via time travel. */
+case class AlterGraftTableDropColumnsCommand(name: String,
+    cols: Seq[String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val e = GraftCatalog.lookup(name).get
+    LakehouseTable.alterDropColumns(spark, e.root, cols)
+    GraftCatalog.refreshView(spark, name)
+    Seq.empty
+  }
+}
+
 /** DROP TABLE name — unregister from the graft catalog and drop the
   * published view; data files stay on disk (external-table semantics —
   * re-attach with CREATE TABLE ... USING graft LOCATION). */
@@ -550,6 +577,10 @@ object GraftSqlStatements {
   private val ShowTablesRe = """(?is)^\s*SHOW\s+GRAFT\s+TABLES\s*;?\s*$""".r
   private val AlterAddRe =
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ADD\s+COLUMNS?\s*\(\s*(.+?)\s*\)\s*;?\s*$""".r
+  private val AlterRenameRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+RENAME\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+  private val AlterDropColRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+DROP\s+COLUMNS?\s+(?:\(\s*([^)]+?)\s*\)|([A-Za-z_][A-Za-z0-9_]*))\s*;?\s*$""".r
   private val OnConjunctRe = """(?s)\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*""".r
 
   /** ON-clause → merge key columns. Only the equi-self-named form
@@ -630,6 +661,12 @@ object GraftSqlStatements {
       case ShowTablesRe() => Some(ShowGraftTablesCommand())
       case AlterAddRe(name, cols) if GraftCatalog.lookup(name).isDefined =>
         Some(AlterGraftTableAddColumnsCommand(name, unmask(cols)))
+      case AlterRenameRe(name, oldC, newC) if GraftCatalog.lookup(name).isDefined =>
+        Some(AlterGraftTableRenameColumnCommand(name, oldC, newC))
+      case AlterDropColRe(name, list, single) if GraftCatalog.lookup(name).isDefined =>
+        Some(AlterGraftTableDropColumnsCommand(name,
+          Option(single).map(Seq(_)).getOrElse(
+            list.split(",").toSeq.map(_.trim).filter(_.nonEmpty))))
       case _ => None
     }
   }
