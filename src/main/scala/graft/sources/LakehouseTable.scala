@@ -264,8 +264,14 @@ object LakehouseTable {
     }
 
   private def writeFiles(logicalDf: DataFrame, root: String,
+      partitionBy: Seq[String]): Seq[String] =
+    writeFilesRaw(toPhysical(logicalDf, root), root, partitionBy)
+
+  /** [[writeFiles]] without the logical→physical lowering — only for
+    * [[materializeMapping]], whose whole point is writing logical names
+    * as the new physical ones. */
+  private def writeFilesRaw(df: DataFrame, root: String,
       partitionBy: Seq[String]): Seq[String] = {
-    val df = toPhysical(logicalDf, root)
     // INT64-micros timestamps (not legacy INT96): INT96 column chunks carry
     // no usable min/max in the parquet footer, and footer stats are where
     // file-skipping ranges come from at write time (no re-scan). Scoped to
@@ -787,6 +793,30 @@ object LakehouseTable {
       renamedCols = Some(encodeRenames(keptRenames)),
       droppedCols = Some((droppedColumnsAt(root, cur) ++ tombstones)
         .mkString(", ")))
+  }
+
+  /** Materialize the column mapping away (Delta's "column mapping
+    * removal"): rewrite the current snapshot with the LOGICAL schema as
+    * the new physical one and commit with the mapping, tombstones, and
+    * add-DDL cleared — after which exports need no column-mapping
+    * protocol and dropped names become usable again. The one full-table
+    * rewrite in the mapping lifecycle, priced accordingly: an explicit
+    * maintenance operation (like OPTIMIZE), never implicit. */
+  def materializeMapping(spark: SparkSession, root: String,
+      numFiles: Int = 8, partitionBy: Seq[String] = Nil): Long = {
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no table at $root"))
+    requirePartitioningMatches(root, cur, partitionBy, "materializeMapping")
+    val snapshot = read(spark, root, Some(cur)) // logical names, typed nulls
+    val rewritten =
+      if (partitionBy.nonEmpty)
+        snapshot.repartition(numFiles, partitionBy.map(snapshot.col): _*)
+      else snapshot.coalesce(numFiles)
+    // write WITHOUT the logical→physical lowering: the logical names ARE
+    // the new physical schema of this rewrite
+    val newFiles = writeFilesRaw(rewritten, root, partitionBy)
+    commit(root, cur + 1, newFiles,
+      addedCols = Some(""), renamedCols = Some(""), droppedCols = Some(""))
   }
 
   /** Physical column names actually present in version `v`'s data files

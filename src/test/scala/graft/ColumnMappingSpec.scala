@@ -150,6 +150,30 @@ class ColumnMappingSpec extends AnyFunSuite {
     assert(viaLog.agg(sum("quality")).head().getDouble(0) == 100.0)
   }
 
+  test("materializeMapping physicalizes logical names and clears every tombstone") {
+    val root = freshRoot("mat")
+    seed(root)
+    LakehouseTable.alterRenameColumn(spark, root, "score", "quality")
+    LakehouseTable.alterDropColumns(spark, root, Seq("name"))
+    LakehouseTable.materializeMapping(spark, root, numFiles = 1)
+    val cur = LakehouseTable.currentVersion(root).get
+    assert(LakehouseTable.renamedColumnsAt(root, cur).isEmpty)
+    assert(LakehouseTable.droppedColumnsAt(root, cur).isEmpty)
+    val t = LakehouseTable.read(spark, root)
+    assert(t.columns.toSeq == Seq("id", "quality") && t.count() == 3)
+    // the REWRITTEN files physically carry the logical name now
+    val newFiles = t.inputFiles
+    assert(spark.read.parquet(newFiles: _*).columns.contains("quality"))
+    // dropped and renamed-away names are usable again
+    LakehouseTable.alterAddColumns(root, "name STRING")
+    LakehouseTable.append(
+      Seq((4L, 40.0, "d")).toDF("id", "quality", "name"), root)
+    assert(LakehouseTable.read(spark, root).count() == 4)
+    // pre-materialization epochs still read with their own names
+    assert(LakehouseTable.read(spark, root, Some(0L)).columns.toSeq ==
+      Seq("id", "name", "score"))
+  }
+
   test("SQL face: RENAME/DROP COLUMN statements parse, run, and refresh the view") {
     val root = freshRoot("sql")
     seed(root)
