@@ -187,6 +187,34 @@ object Similarity {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SemDeDup-shaped semantic dedup (Abbas et al. 2023, public): prune
+    // near-identical MEANING inside each IVF cell only — the cluster
+    // assignment bounds the pair space, so the cost is Σ|cell|², never
+    // O(n²), and the hive cell layout co-locates each cell's self-join.
+    // Deterministic survivor rule: a vector is a duplicate iff a
+    // LOWER-id vector in its cell is within the cosine threshold (greedy
+    // keep-first — order-free, rerun-stable, and expressible in the
+    // oracle). Reported per cell: population and duplicates found. At
+    // 100 TB each cell's pairs stay bounded by the index's cell-size cap
+    // and the join shuffles only on cid — the SemDeDup paper's exact
+    // recipe (cluster, then pairwise within cluster).
+    "q146_semantic_dedup" -> ((s, d) => {
+      val (a, _) = ivfAssigned(s, d)
+      val l = a.select(col("cid"), col("vec_id").as("id_a"),
+        col("embedding").as("ea"))
+      val r = a.select(col("cid"), col("vec_id").as("id_b"),
+        col("embedding").as("eb"))
+      val dups = l.join(r, "cid")
+        .filter(col("id_a") < col("id_b"))
+        .filter(V.cosineFold(col("ea"), col("eb")) >= SemDedupTau)
+        .select(col("cid"), col("id_b").as("vec_id")).distinct()
+      a.select(col("cid"), col("vec_id"))
+        .join(dups.withColumn("dup", lit(1L)), Seq("cid", "vec_id"), "left_outer")
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("dup"), lit(0L))).as("n_dup"))
+        .orderBy(col("cid"))
+    }),
     // Exact k-NN for 5 stored queries in one pass (rank window per query).
     "q36_knn_bruteforce" -> ((s, d) => {
       val w = Window.partitionBy(col("qid")).orderBy(desc("score"), col("vec_id"))
@@ -478,7 +506,24 @@ object Similarity {
         ${assignSql("cv2", "assigned")}"""
   }
 
+  /** Cosine threshold for q146's within-cell semantic dedup — matches the
+    * q35 embedding-near-dup family's verify threshold. */
+  private val SemDedupTau = 0.4
+
   def oracle: Map[String, String] = Map(
+    "q146_semantic_dedup" ->
+      s"""WITH $ivfBuildCtes,
+          av AS (SELECT a.cid, a.vec_id, e.embedding
+                 FROM assigned a JOIN embeddings e USING (vec_id)),
+          dups AS (SELECT DISTINCT y.cid, y.vec_id
+                   FROM av x JOIN av y
+                     ON x.cid = y.cid AND x.vec_id < y.vec_id
+                   WHERE ${V.sqlCosine("x.embedding", "y.embedding")} >= $SemDedupTau)
+          SELECT CAST(av.cid AS BIGINT) AS cid, count(*) AS n,
+            CAST(count(d.vec_id) AS BIGINT) AS n_dup
+          FROM av LEFT JOIN dups d
+            ON av.cid = d.cid AND av.vec_id = d.vec_id
+          GROUP BY av.cid ORDER BY av.cid""",
     "q36_knn_bruteforce" ->
       s"""SELECT qid, rank, vec_id, score FROM (
             SELECT qid, vec_id, score,
