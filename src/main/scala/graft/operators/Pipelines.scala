@@ -17,7 +17,37 @@ import graft.sources.Tables
   */
 object Pipelines {
 
+  /** q147's per-source token budget — fixed (not SF-scaled) so the
+    * selection frontier is genuinely partial at every SF. */
+  private val TokenBudgetPerSource = 1000L
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token-budget selection: fill each source's token budget with its
+    // best-quality documents — the "give me the best 10B tokens per
+    // domain" primitive that turns a mixture plan into a concrete
+    // training set. Greedy by (quality desc, doc_id): a window prefix
+    // sum of integer token counts per source, cut at the budget. One
+    // shuffle on source; the cumulative sum is integer-exact, so the
+    // same documents are selected on any cluster size (no float
+    // accumulation order in the cut decision). Reported per source:
+    // docs taken, tokens used, and the quality frontier (score of the
+    // worst admitted doc).
+    "q147_token_budget" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        size(graft.plans.TextExpressions.tokens(col("text"))).cast("long")
+          .as("n_tokens"),
+        graft.plans.TextExpressions.qualityScore(col("text")).as("score"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(desc("score"), col("doc_id"))
+      docs.withColumn("cum", sum(col("n_tokens")).over(w))
+        .filter(col("cum") <= TokenBudgetPerSource)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("tokens_used"),
+          min(col("score")).as("frontier_score"))
+        .orderBy(col("source"))
+    }),
+
     // Ordered, limited string aggregation per group (generalizes op #12).
     "q46_grouped_string_agg" -> ((s, d) => {
       val counts = Tables.documents(s, d)
@@ -589,6 +619,22 @@ object Pipelines {
        + 0.5 * least(CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) / 8.0, 1.0)"""
 
   def oracle: Map[String, String] = Map(
+    "q147_token_budget" ->
+      s"""WITH scored AS (
+            SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+              $qualitySql AS score
+            FROM (SELECT doc_id, source, $toksSql AS toks FROM documents)),
+          cum AS (
+            SELECT source, n_tokens, score,
+              sum(n_tokens) OVER (PARTITION BY source
+                ORDER BY score DESC, doc_id) AS cum
+            FROM scored)
+          SELECT source, count(*) AS n_docs,
+            CAST(sum(n_tokens) AS BIGINT) AS tokens_used,
+            min(score) AS frontier_score
+          FROM cum WHERE cum <= $TokenBudgetPerSource
+          GROUP BY source ORDER BY source""",
+
     "q46_grouped_string_agg" ->
       """SELECT lang, string_agg(source, ',' ORDER BY rn) AS top_sources FROM (
            SELECT lang, source,

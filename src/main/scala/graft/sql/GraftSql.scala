@@ -409,6 +409,29 @@ case class AlterGraftTableAddColumnsCommand(name: String, colsDdl: String)
   }
 }
 
+/** DESCRIBE COLUMNS name — the logical schema with each column's stable
+  * physical (file) name, making the column mapping inspectable from SQL.
+  * (Spark's own DESCRIBE on the temp view shows logical names only.) */
+case class DescribeColumnsGraftCommand(name: String) extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.StringType
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("col_name", StringType, nullable = false)(),
+      AttributeReference("data_type", StringType, nullable = false)(),
+      AttributeReference("physical_name", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val e = GraftCatalog.lookup(name).get
+    val v = LakehouseTable.currentVersion(e.root).getOrElse(
+      throw new IllegalStateException(s"no table at ${e.root}"))
+    val renames = LakehouseTable.renamedColumnsAt(e.root, v)
+    LakehouseTable.read(spark, e.root).schema.map { f =>
+      val phys = renames.find(_._2.equalsIgnoreCase(f.name))
+        .map(_._1).getOrElse(f.name)
+      Row(f.name, f.dataType.sql, phys)
+    }
+  }
+}
+
 /** ALTER TABLE name RENAME COLUMN old TO new — metadata-only Delta-style
   * column mapping ([[LakehouseTable.alterRenameColumn]]): files keep their
   * physical column names forever; reads surface the logical name, writes
@@ -570,6 +593,8 @@ object GraftSqlStatements {
     """(?is)^\s*DESCRIBE\s+HISTORY\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
   private val DetailRe =
     """(?is)^\s*DESCRIBE\s+DETAIL\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+  private val DescColsRe =
+    """(?is)^\s*DESCRIBE\s+COLUMNS\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
   private val DropRe =
     """(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
   private val VacuumRe =
@@ -653,6 +678,8 @@ object GraftSqlStatements {
         Some(DescribeHistoryGraftCommand(name))
       case DetailRe(name) if GraftCatalog.lookup(name).isDefined =>
         Some(DescribeDetailGraftCommand(name))
+      case DescColsRe(name) if GraftCatalog.lookup(name).isDefined =>
+        Some(DescribeColumnsGraftCommand(name))
       case DropRe(name) if GraftCatalog.lookup(name).isDefined =>
         Some(DropGraftTableCommand(name))
       case VacuumRe(name, retain) if GraftCatalog.lookup(name).isDefined =>

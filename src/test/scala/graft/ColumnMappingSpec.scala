@@ -189,6 +189,10 @@ class ColumnMappingSpec extends AnyFunSuite {
     val v0 = graft.sql.GraftSql.sql(spark,
       "SELECT * FROM colmap_sql_t VERSION AS OF 0")
     assert(v0.columns.toSeq == Seq("id", "name", "score"))
+    // DESCRIBE COLUMNS exposes the logical→physical mapping
+    val desc = graft.sql.GraftSql.sql(spark, "DESCRIBE COLUMNS colmap_sql_t")
+      .collect().map(r => (r.getString(0), r.getString(2))).toSeq
+    assert(desc == Seq("id" -> "id", "quality" -> "score"))
     graft.sql.GraftSql.sql(spark, "DROP TABLE colmap_sql_t")
   }
 }
