@@ -187,6 +187,32 @@ object Similarity {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // INCREMENTAL semantic dedup — q146's production ingest shape (the
+    // embedding analog of q110): an arriving batch (vec_id ≡ 8,9 mod 10)
+    // is routed to its IVF cell and compared against the EXISTING
+    // corpus's vectors in that cell only — no new×new, no old×old pairs.
+    // The routing is the index's own assignment (nearest centroid), so a
+    // deployed pipeline holds just the centroids (broadcast) and the
+    // cell-partitioned corpus table between batches; the batch-side
+    // shuffle is one exchange on cid. Reported per cell: arrivals and
+    // how many were flagged as semantic duplicates of the corpus.
+    "q148_incremental_semdedup" -> ((s, d) => {
+      val (a, _) = ivfAssigned(s, d)
+      val corpus = a.filter(col("vec_id") % 10 < 8)
+        .select(col("cid"), col("vec_id").as("old_id"), col("embedding").as("eo"))
+      val fresh = a.filter(col("vec_id") % 10 >= 8)
+        .select(col("cid"), col("vec_id").as("new_id"), col("embedding").as("en"))
+      val flagged = fresh.join(corpus, "cid")
+        .filter(V.cosineFold(col("en"), col("eo")) >= SemDedupTau)
+        .select(col("cid"), col("new_id")).distinct()
+      fresh.select(col("cid"), col("new_id"))
+        .join(flagged.withColumn("dup", lit(1L)), Seq("cid", "new_id"), "left_outer")
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_new"),
+          sum(coalesce(col("dup"), lit(0L))).as("n_flagged"))
+        .orderBy(col("cid"))
+    }),
+
     // SemDeDup-shaped semantic dedup (Abbas et al. 2023, public): prune
     // near-identical MEANING inside each IVF cell only — the cluster
     // assignment bounds the pair space, so the cost is Σ|cell|², never
@@ -511,6 +537,21 @@ object Similarity {
   private val SemDedupTau = 0.4
 
   def oracle: Map[String, String] = Map(
+    "q148_incremental_semdedup" ->
+      s"""WITH $ivfBuildCtes,
+          av AS (SELECT a.cid, a.vec_id, e.embedding
+                 FROM assigned a JOIN embeddings e USING (vec_id)),
+          fresh AS (SELECT * FROM av WHERE vec_id % 10 >= 8),
+          corp AS (SELECT * FROM av WHERE vec_id % 10 < 8),
+          flagged AS (SELECT DISTINCT f.cid, f.vec_id
+                      FROM fresh f JOIN corp c ON f.cid = c.cid
+                      WHERE ${V.sqlCosine("f.embedding", "c.embedding")} >= $SemDedupTau)
+          SELECT CAST(f.cid AS BIGINT) AS cid, count(*) AS n_new,
+            CAST(count(d.vec_id) AS BIGINT) AS n_flagged
+          FROM fresh f LEFT JOIN flagged d
+            ON f.cid = d.cid AND f.vec_id = d.vec_id
+          GROUP BY f.cid ORDER BY f.cid""",
+
     "q146_semantic_dedup" ->
       s"""WITH $ivfBuildCtes,
           av AS (SELECT a.cid, a.vec_id, e.embedding
