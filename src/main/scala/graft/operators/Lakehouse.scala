@@ -366,6 +366,11 @@ object Lakehouse {
       if (LakehouseTable.currentVersion(root).contains(1L))
         LakehouseTable.deleteWhere(s, root, "l_quantity < 10.0", Nil)
       LakehouseTable.exportDeltaLog(s, root) // incremental; no-op when current
+      // checkpoint MID-history (v1): readers must seed from it AND replay
+      // the v2 JSON tail — gating both halves of the checkpoint protocol
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(root,
+          "_delta_log", f"${1L}%020d.checkpoint.parquet")))
+        LakehouseTable.exportDeltaCheckpoint(s, root, 1L)
       if (!java.nio.file.Files.exists(stampFile))
         java.nio.file.Files.writeString(stampFile, stamp)
     } catch {
@@ -673,7 +678,26 @@ object Lakehouse {
     // final state.
     "q143_delta_export" -> ((s, d) => {
       val root = deltaExportRoot(s, d)
-      LakehouseTable.readDeltaExport(s, root)
+      LakehouseTable.readDeltaExport(s, root, useCheckpoint = false)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          Exact.moneySum(col("l_quantity")).as("sum_qty"),
+          Exact.moneySum(col("l_extendedprice")).as("sum_price"),
+          sum(col("l_orderkey")).as("key_sum"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // The CHECKPOINT protocol under the gate: the Spark side opens the
+    // export the way a foreign Delta reader does — _last_checkpoint →
+    // seed state from the v1 checkpoint parquet → replay only the v2
+    // JSON tail. The oracle twin does the same natively in DuckDB
+    // (checkpoint via read_parquet + tail via read_json_auto). A
+    // checkpoint that missed a live file, leaked a removed one, or a
+    // reader that ignored the tail breaks rows or hash against q143's
+    // full-replay state.
+    "q149_delta_checkpoint" -> ((s, d) => {
+      val root = deltaExportRoot(s, d)
+      LakehouseTable.readDeltaExport(s, root) // checkpoint-seeded path
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
           Exact.moneySum(col("l_quantity")).as("sum_qty"),
@@ -1034,6 +1058,36 @@ object Lakehouse {
 
     // final state of the 3-version export history, from the raw parquet
     "q143_delta_export" -> sqlDeltaFinalState,
+
+    // the checkpoint gate: DuckDB seeds the live set from the v1
+    // checkpoint PARQUET, replays only the v2 JSON tail (the builder's
+    // history is exactly v0-v2, so the tail file name is static), and
+    // scans the surviving files — the foreign-reader checkpoint protocol
+    // end to end (path pinned to the gate SF, as q144)
+    "q149_delta_checkpoint" ->
+      s"""WITH ck AS (
+            SELECT add.path AS p
+            FROM read_parquet('${deltaExportDir("/root/testdata/sf0.01")}/_delta_log/00000000000000000001.checkpoint.parquet')
+            WHERE add IS NOT NULL),
+          tail AS (
+            SELECT * FROM read_json_auto('${deltaExportDir("/root/testdata/sf0.01")}/_delta_log/00000000000000000002.json',
+              format='newline_delimited', union_by_name=true)),
+          adds AS (SELECT add.path AS p FROM tail WHERE add IS NOT NULL),
+          removes AS (SELECT remove.path AS p FROM tail WHERE remove IS NOT NULL),
+          live AS (SELECT p FROM ck UNION SELECT p FROM adds
+                   EXCEPT SELECT p FROM removes),
+          rows AS (
+            SELECT l_returnflag, l_quantity, l_extendedprice, l_orderkey, filename
+            FROM read_parquet('${deltaExportDir("/root/testdata/sf0.01")}/data/*.parquet',
+              filename=true)),
+          kept AS (
+            SELECT r.* FROM rows r
+            JOIN live l ON right(r.filename, length(l.p)) = l.p)
+          SELECT l_returnflag, count(*) AS n,
+            ${Exact.sqlMoneySum("l_quantity")} AS sum_qty,
+            ${Exact.sqlMoneySum("l_extendedprice")} AS sum_price,
+            CAST(sum(l_orderkey) AS BIGINT) AS key_sum
+          FROM kept GROUP BY 1 ORDER BY 1""",
 
     // the format gate: DuckDB derives the live file set from the exported
     // Delta log and scans exactly those files (path pinned to the gate SF)

@@ -619,6 +619,115 @@ object LakehouseTable {
   private val DeltaAddRe = """"add":\s*\{\s*"path":\s*"((?:[^"\\]|\\.)*)"""".r
   private val DeltaRemoveRe = """"remove":\s*\{\s*"path":\s*"((?:[^"\\]|\\.)*)"""".r
   private val DeltaSchemaRe = """"schemaString":\s*"((?:[^"\\]|\\.)*)"""".r
+  private val DeltaProtocolRe =
+    """"protocol":\s*\{\s*"minReaderVersion":\s*(\d+),\s*"minWriterVersion":\s*(\d+)""".r
+  private val DeltaConfRe = """"configuration":\s*\{([^}]*)\}""".r
+  private val DeltaConfPairRe = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+
+  private def deltaUnesc(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
+
+  /** Replay the exported JSON log through version `upTo` (all when None),
+    * optionally starting from a checkpoint's state (`after` = checkpoint
+    * version, `seedLive`/`seedSchema` = its adds and schema): (live add
+    * paths in first-add order, last schemaString JSON, last protocol,
+    * last configuration map). */
+  private def replayDeltaLog(root: String, upTo: Option[Long],
+      after: Option[Long] = None, seedLive: Seq[String] = Nil,
+      seedSchema: Option[String] = None)
+      : (Seq[String], Option[String], (Int, Int), Map[String, String]) = {
+    val logDir = Paths.get(root, "_delta_log")
+    val logFiles = withDrained(Files.list(logDir))(
+      _.filter(_.getFileName.toString.matches("\\d{20}\\.json")))
+      .sortBy(_.getFileName.toString)
+      .filter { p =>
+        val v = p.getFileName.toString.take(20).toLong
+        upTo.forall(v <= _) && after.forall(v > _)
+      }
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    live ++= seedLive
+    var schemaJson: Option[String] = seedSchema
+    var protocol = (1, 2)
+    var conf = Map.empty[String, String]
+    logFiles.foreach { lf =>
+      val txt = Files.readString(lf)
+      DeltaRemoveRe.findAllMatchIn(txt).foreach(m => live -= deltaUnesc(m.group(1)))
+      DeltaAddRe.findAllMatchIn(txt).foreach(m => live += deltaUnesc(m.group(1)))
+      DeltaSchemaRe.findAllMatchIn(txt).foreach(m => schemaJson = Some(deltaUnesc(m.group(1))))
+      DeltaProtocolRe.findAllMatchIn(txt).foreach(m =>
+        protocol = (m.group(1).toInt, m.group(2).toInt))
+      DeltaConfRe.findAllMatchIn(txt).foreach(m =>
+        conf = DeltaConfPairRe.findAllMatchIn(m.group(1))
+          .map(p => deltaUnesc(p.group(1)) -> deltaUnesc(p.group(2))).toMap)
+    }
+    (live.toSeq, schemaJson, protocol, conf)
+  }
+
+  /** Write a Delta CHECKPOINT for the exported log at `version` — one
+    * parquet file (`<v 20-digit>.checkpoint.parquet`, one action per row:
+    * the protocol, the metaData, and every LIVE add at that version) plus
+    * the `_last_checkpoint` pointer. A reader seeds its state from the
+    * checkpoint and replays only the JSON logs after it — at a
+    * 100 TB table's commit rate, the difference between opening a table
+    * in O(live files) and O(whole history). Follows the public Delta
+    * checkpoint layout (nullable top-level action structs). */
+  def exportDeltaCheckpoint(spark: SparkSession, root: String,
+      version: Long): Path = {
+    import org.apache.spark.sql.types._
+    val logDir = Paths.get(root, "_delta_log")
+    require(Files.exists(logDir.resolve(f"$version%020d.json")),
+      s"no exported log for version $version at $root (exportDeltaLog first)")
+    val (live, schemaJson, (minR, minW), conf) = replayDeltaLog(root, Some(version))
+    val ckptSchema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("format", StructType(Seq(
+          StructField("provider", StringType)))),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType))))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType))))))
+    def partitionValues(rel: String): Map[String, String] =
+      rel.split('/').dropRight(1).filter(_.contains('='))
+        .map { seg => val Array(k, v) = seg.split("=", 2); k -> v }.toMap
+    val id = "graft-" + graft.plans.TextExpressions.md5Hex(root).take(12)
+    val rows: Seq[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Row(org.apache.spark.sql.Row(minR, minW), null, null) +:
+      org.apache.spark.sql.Row(null, org.apache.spark.sql.Row(
+        id, org.apache.spark.sql.Row("parquet"), schemaJson.orNull,
+        partitionColumns(root), conf), null) +:
+      live.map { f => // f is root-relative ("data/...") straight from the log
+        val p = Paths.get(root).resolve(f)
+        val (size, mtime) =
+          if (Files.exists(p)) (Files.size(p), Files.getLastModifiedTime(p).toMillis)
+          else (0L, 0L)
+        org.apache.spark.sql.Row(null, null, org.apache.spark.sql.Row(
+          f, partitionValues(f), size, mtime, true))
+      }
+    val tmp = Files.createTempDirectory(logDir, ".ckpt-tmp")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), ckptSchema)
+      .coalesce(1).write.mode("overwrite").parquet(tmp.resolve("out").toString)
+    val part = withDrained(Files.list(tmp.resolve("out")))(
+      _.filter(_.toString.endsWith(".parquet"))).head
+    val target = logDir.resolve(f"$version%020d.checkpoint.parquet")
+    Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
+    withDrained(Files.walk(tmp))(identity).sortBy(_.toString).reverse
+      .foreach(p => Files.deleteIfExists(p))
+    // the pointer readers consult first; written LAST so a crash between
+    // the two leaves a valid (checkpoint-less) log
+    Files.writeString(logDir.resolve("_last_checkpoint"),
+      s"""{"version":$version,"size":${rows.length}}""")
+    target
+  }
 
   /** Read a table THROUGH an exported Delta log only — the graft manifest
     * is deliberately not consulted: replay add/remove actions across the
@@ -626,22 +735,33 @@ object LakehouseTable {
     * what any foreign Delta reader does with the export, so gating its
     * result against an oracle gates the exported FORMAT's bookkeeping,
     * not the engine's own read path. */
-  def readDeltaExport(spark: SparkSession, root: String): DataFrame = {
+  def readDeltaExport(spark: SparkSession, root: String,
+      useCheckpoint: Boolean = true): DataFrame = {
     val logDir = Paths.get(root, "_delta_log")
     require(Files.isDirectory(logDir), s"no _delta_log at $root (exportDeltaLog first)")
-    val logFiles = withDrained(Files.list(logDir))(
-      _.filter(_.getFileName.toString.matches("\\d{20}\\.json")))
-      .sortBy(_.getFileName.toString)
-    def unesc(s: String): String = s.replace("\\\"", "\"").replace("\\\\", "\\")
-    val live = scala.collection.mutable.LinkedHashSet.empty[String]
-    var schemaJson: Option[String] = None
-    logFiles.foreach { lf =>
-      val txt = Files.readString(lf)
-      DeltaRemoveRe.findAllMatchIn(txt).foreach(m => live -= unesc(m.group(1)))
-      DeltaAddRe.findAllMatchIn(txt).foreach(m => live += unesc(m.group(1)))
-      DeltaSchemaRe.findAllMatchIn(txt).foreach(m => schemaJson = Some(unesc(m.group(1))))
-    }
-    val files = live.toSeq.map(f => Paths.get(root).resolve(f).toString)
+    // a checkpoint seeds the state and only the JSON tail replays — the
+    // exact protocol a foreign Delta reader follows via _last_checkpoint
+    // (useCheckpoint = false forces the full-JSON replay path, so both
+    // can be gated independently)
+    val lcp = logDir.resolve("_last_checkpoint")
+    val (ckVer, seedLive, seedSchema) =
+      if (!useCheckpoint || !Files.exists(lcp)) (None: Option[Long], Nil, None)
+      else {
+        val v = """"version":\s*(\d+)""".r
+          .findFirstMatchIn(Files.readString(lcp)).get.group(1).toLong
+        val ck = spark.read.parquet(
+          logDir.resolve(f"$v%020d.checkpoint.parquet").toString)
+        import org.apache.spark.sql.functions.col
+        val adds = ck.filter(col("add").isNotNull)
+          .select(col("add.path")).collect().map(_.getString(0)).toSeq
+        val sch = ck.filter(col("metaData").isNotNull)
+          .select(col("metaData.schemaString")).collect().headOption
+          .map(_.getString(0))
+        (Some(v), adds, sch)
+      }
+    val (live, schemaJson, _, _) = replayDeltaLog(root, None,
+      after = ckVer, seedLive = seedLive, seedSchema = seedSchema)
+    val files = live.map(f => Paths.get(root).resolve(f).toString)
     val raw = spark.read
       .option("basePath", dataDir(root).toString)
       .option("mergeSchema", "true")

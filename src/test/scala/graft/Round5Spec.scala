@@ -126,4 +126,27 @@ class Round5Spec extends AnyFunSuite {
     assert(plan.contains("dynamicpruning"),
       s"q37's probe scan lost dynamic partition pruning:\n$plan")
   }
+
+  test("delta checkpoint seeds the reader: pre-checkpoint JSON logs are not needed") {
+    import graft.sources.LakehouseTable
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ckpt").resolve("t").toString
+    val df = (1L to 30L).map(i => (i, i * 2.0)).toDF("id", "v")
+    LakehouseTable.create(df.filter($"id" % 3 === 0), root)
+    LakehouseTable.append(df.filter($"id" % 3 === 1), root)
+    LakehouseTable.deleteWhere(spark, root, "id < 10")
+    LakehouseTable.exportDeltaLog(spark, root)
+    LakehouseTable.exportDeltaCheckpoint(spark, root, 1L)
+    val want = LakehouseTable.read(spark, root)
+      .agg(count(lit(1)), sum($"id")).head()
+    // remove every JSON log the checkpoint covers — a reader that replays
+    // from version 0 instead of seeding from the checkpoint now breaks
+    val logDir = java.nio.file.Paths.get(root, "_delta_log")
+    java.nio.file.Files.delete(logDir.resolve(f"${0L}%020d.json"))
+    java.nio.file.Files.delete(logDir.resolve(f"${1L}%020d.json"))
+    val got = LakehouseTable.readDeltaExport(spark, root)
+      .agg(count(lit(1)), sum($"id")).head()
+    assert(got == want, s"checkpoint-seeded read diverged: $got vs $want")
+  }
 }
