@@ -203,7 +203,7 @@ object Similarity {
       val fresh = a.filter(col("vec_id") % 10 >= 8)
         .select(col("cid"), col("vec_id").as("new_id"), col("embedding").as("en"))
       val flagged = fresh.join(corpus, "cid")
-        .filter(V.cosineFold(col("en"), col("eo")) >= SemDedupTau)
+        .filter(V.cosine(col("en"), col("eo")) >= SemDedupTau)
         .select(col("cid"), col("new_id")).distinct()
       fresh.select(col("cid"), col("new_id"))
         .join(flagged.withColumn("dup", lit(1L)), Seq("cid", "new_id"), "left_outer")
@@ -232,7 +232,7 @@ object Similarity {
         col("embedding").as("eb"))
       val dups = l.join(r, "cid")
         .filter(col("id_a") < col("id_b"))
-        .filter(V.cosineFold(col("ea"), col("eb")) >= SemDedupTau)
+        .filter(V.cosine(col("ea"), col("eb")) >= SemDedupTau)
         .select(col("cid"), col("id_b").as("vec_id")).distinct()
       a.select(col("cid"), col("vec_id"))
         .join(dups.withColumn("dup", lit(1L)), Seq("cid", "vec_id"), "left_outer")
