@@ -195,6 +195,55 @@ object TextAnalysis {
     // no dedup, multiplicity is the signal), then the word-count shape:
     // map-side partial counts collapse each partition to vocab size
     // before the exchange, and the top-k is TakeOrderedAndProject.
+    // BPE VOCAB INDUCTION, three merge rounds (Sennrich et al. 2016,
+    // public): the word inventory (word → corpus frequency) is the only
+    // shuffled relation — rounds operate on it, never on the corpus.
+    // Each round counts adjacent-symbol pairs (frequency-weighted),
+    // picks the argmax merge (count desc, pair asc — deterministic),
+    // and applies it greedily left-to-right via a string fold whose
+    // semantics both engines reproduce exactly. The merge decision is
+    // ONE collected row per round — the inherently global step of BPE
+    // training (every real trainer does this); everything else is
+    // distributed. At 100 TB the word inventory is orders of magnitude
+    // smaller than the corpus, which is what makes iterative training
+    // affordable.
+    "q150_bpe_vocab" -> ((s, d) => {
+      import s.implicits._
+      val words = Tables.documents(s, d)
+        .select(explode(graft.plans.TextExpressions.tokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("f"))
+      // initial symbol string: chars space-joined ("h e l l o")
+      var cur = words.withColumn("syms", array_join(
+        transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1))), " "))
+      val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+      for (round <- 1L to 3L) {
+        val top = cur
+          .select(col("f"), split(col("syms"), " ").as("sy"))
+          .filter(size(col("sy")) >= 2)
+          .select(col("f"), explode(transform(sequence(lit(0), size(col("sy")) - 2),
+            i => concat(element_at(col("sy"), i + 1), lit(" "),
+              element_at(col("sy"), i + 2)))).as("pair"))
+          .groupBy(col("pair")).agg(sum(col("f")).as("n"))
+          .orderBy(desc("n"), col("pair")).limit(1)
+          .collect()
+        val (pair, n) = (top(0).getString(0), top(0).getLong(1))
+        picked += ((round, pair, n))
+        val Array(a, b) = pair.split(" ", 2)
+        // greedy left-to-right non-overlapping merge as a string fold:
+        // acc ends with symbol `a` (boundary-safe: exact or ' '+a) and the
+        // next symbol is `b` → rewrite the tail to the merged symbol
+        cur = cur.withColumn("syms",
+          aggregate(split(col("syms"), " "), lit(""), (acc, x) =>
+            when(acc === lit(""), x)
+              .when((acc === lit(a) || endswith(acc, lit(" " + a))) && x === lit(b),
+                concat(acc.substr(lit(1), length(acc) - lit(a.length)),
+                  lit(a), lit(b)))
+              .otherwise(concat(acc, lit(" "), x))))
+      }
+      picked.toSeq.toDF("round", "pair", "n").orderBy(col("round"))
+    }),
+
     "q97_bpe_pairs" -> ((s, d) => {
       Tables.documents(s, d)
         .select(explode(graft.plans.TextExpressions.adjacentPairs(col("text"))).as("pair"))
@@ -531,6 +580,49 @@ object TextAnalysis {
           FROM tt JOIN nd ON tt.doc_id = nd.doc_id
                   JOIN tb ON tt.doc_id = tb.doc_id
           ORDER BY tt.doc_id""",
+
+    // unrolled 3-round BPE twin: same word inventory, same weighted pair
+    // counts, same argmax rule, and the merge applied through DuckDB's
+    // list_reduce with IDENTICAL greedy left-to-right string-fold
+    // semantics (first element seeds the accumulator; Spark's empty-seed
+    // special case is equivalent)
+    "q150_bpe_vocab" -> {
+      def pairsOf(src: String, out: String) =
+        s"""$out AS (
+              SELECT p, CAST(sum(f) AS BIGINT) AS n FROM (
+                SELECT f, unnest([syms[i] || ' ' || syms[i + 1]
+                  FOR i IN range(1, len(syms))]) AS p
+                FROM (SELECT f, string_split(s, ' ') AS syms FROM $src)
+                WHERE len(syms) >= 2)
+              GROUP BY p)"""
+      def argmax(cnt: String, out: String) =
+        s"""$out AS (SELECT split_part(p, ' ', 1) AS a,
+              split_part(p, ' ', 2) AS b, p, n
+            FROM $cnt ORDER BY n DESC, p LIMIT 1)"""
+      def applyMerge(src: String, m: String, out: String) =
+        s"""$out AS (
+              SELECT f, list_reduce(string_split(s, ' '), (acc, x) ->
+                CASE WHEN (acc = $m.a OR ends_with(acc, ' ' || $m.a)) AND x = $m.b
+                     THEN left(acc, len(acc) - len($m.a)) || $m.a || $m.b
+                     ELSE acc || ' ' || x END) AS s
+              FROM $src, $m)"""
+      s"""WITH words AS (
+            SELECT word, count(*) AS f FROM (
+              SELECT unnest($toksSql) AS word FROM documents)
+            GROUP BY word),
+          w0 AS (SELECT f, list_aggr([word[i:i]
+                   FOR i IN range(1, len(word) + 1)], 'string_agg', ' ') AS s
+                 FROM words),
+          ${pairsOf("w0", "r1")}, ${argmax("r1", "m1")},
+          ${applyMerge("w0", "m1", "w1")},
+          ${pairsOf("w1", "r2")}, ${argmax("r2", "m2")},
+          ${applyMerge("w1", "m2", "w2")},
+          ${pairsOf("w2", "r3")}, ${argmax("r3", "m3")}
+          SELECT CAST(1 AS BIGINT) AS round, p AS pair, n FROM m1
+          UNION ALL SELECT 2, p, n FROM m2
+          UNION ALL SELECT 3, p, n FROM m3
+          ORDER BY round"""
+    },
 
     "q97_bpe_pairs" ->
       s"""SELECT pair, count(*) AS n
