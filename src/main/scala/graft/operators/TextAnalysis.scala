@@ -209,9 +209,14 @@ object TextAnalysis {
     // affordable.
     "q150_bpe_vocab" -> ((s, d) => {
       import s.implicits._
-      val words = Tables.documents(s, d)
-        .select(explode(graft.plans.TextExpressions.tokens(col("text"))).as("word"))
-        .groupBy(col("word")).agg(count(lit(1)).as("f"))
+      // the inventory is materialized ONCE (RelationCache): each round's
+      // argmax collect and the growing merge lineage otherwise re-scan
+      // and re-tokenize the whole corpus per round
+      val words = graft.sources.RelationCache.of(s, "bpe-words", d) {
+        Tables.documents(s, d)
+          .select(explode(graft.plans.TextExpressions.tokens(col("text"))).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("f"))
+      }
       // initial symbol string: chars space-joined ("h e l l o")
       var cur = words.withColumn("syms", array_join(
         transform(sequence(lit(1), length(col("word"))),
