@@ -325,6 +325,36 @@ object Lakehouse {
     root
   }
 
+  /** orders under a SQL CHECK-constraint lifecycle: v0 CREATEs the
+    * passing even-key slice, the ALTER validates it and installs the
+    * constraint (persisted in the catalog descriptor), the INSERT of the
+    * mixed odd-key slice quarantines violating rows into
+    * `<root>/_rejects` (DLT-style) and commits only the passing ones. */
+  private[graft] def ordersConstraintRoot(s: SparkSession, d: String): String = {
+    val root = TableCache.root(d, "orders", "sql-constraint:v1")
+    val name = "orders_ck"
+    try TableCache.locked(root) {
+      Tables.registerAll(s, d)
+      if (LakehouseTable.versions(root).isEmpty)
+        graft.sql.GraftSql.sql(s,
+          s"""CREATE TABLE $name USING graft LOCATION '$root' AS
+              SELECT o_orderkey, o_orderstatus, o_totalprice
+              FROM orders WHERE o_orderkey % 2 = 0 AND o_totalprice >= 20000.0""")
+      graft.sql.GraftSql.register(s, name, root)
+      if (graft.sql.GraftCatalog.lookup(name).exists(_.constraints.isEmpty))
+        graft.sql.GraftSql.sql(s,
+          s"ALTER TABLE $name ADD CONSTRAINT min_price CHECK (o_totalprice >= 20000.0)")
+      if (LakehouseTable.currentVersion(root).contains(0L))
+        graft.sql.GraftSql.sql(s,
+          s"""INSERT INTO $name
+              SELECT o_orderkey, o_orderstatus, o_totalprice
+              FROM orders WHERE o_orderkey % 2 = 1""")
+    } catch {
+      case e if raceLost(e) => () // see lineitemZRoot
+    }
+    root
+  }
+
   /** Delta-log interop export dir for source dir `d` — a FIXED name per
     * SF (not a content-hashed [[TableCache.root]]): the DuckDB twin of
     * q144 must reference this path in a STATIC oracle string, so it has
@@ -668,6 +698,28 @@ object Lakehouse {
              CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
              min(price) AS min_price, max(price) AS max_price
            FROM orders_map GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    }),
+
+    // CHECK constraints under the gate: the table must hold exactly the
+    // rows that pass the constraint (pre-existing + inserted-passing) and
+    // the quarantine must hold exactly the violating inserts, each
+    // stamped with the violated constraint name — both sides aggregated
+    // and hash-matched against the oracle's explicit partition of the
+    // same slices.
+    "q151_sql_check_constraint" -> ((s, d) => {
+      val root = ordersConstraintRoot(s, d)
+      val kept = LakehouseTable.read(s, root)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+        .withColumn("side", lit("kept"))
+      val rejected = LakehouseTable.read(s, s"$root/_rejects")
+        .filter(col("violated") === "min_price")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+        .withColumn("side", lit("rejected"))
+      kept.unionByName(rejected)
+        .select(col("side"), col("o_orderstatus"), col("n"), col("key_sum"))
+        .orderBy(col("side"), col("o_orderstatus"))
     }),
 
     // Delta-log EXPORT under the gate, read back THROUGH THE LOG ONLY
@@ -1039,6 +1091,23 @@ object Lakehouse {
            CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
            min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
          FROM unioned GROUP BY 1 ORDER BY 1""",
+
+    "q151_sql_check_constraint" ->
+      """WITH kept AS (
+           SELECT o_orderkey, o_orderstatus FROM orders
+           WHERE o_totalprice >= 20000.0),
+         rejected AS (
+           SELECT o_orderkey, o_orderstatus FROM orders
+           WHERE o_orderkey % 2 = 1 AND NOT (o_totalprice >= 20000.0))
+         SELECT side, o_orderstatus, n, key_sum FROM (
+           SELECT 'kept' AS side, o_orderstatus, count(*) AS n,
+             CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+           FROM kept GROUP BY 2
+           UNION ALL
+           SELECT 'rejected', o_orderstatus, count(*),
+             CAST(sum(o_orderkey) AS BIGINT)
+           FROM rejected GROUP BY 2)
+         ORDER BY side, o_orderstatus""",
 
     "q145_sql_column_mapping" ->
       """WITH base AS (

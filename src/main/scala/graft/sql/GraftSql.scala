@@ -29,6 +29,11 @@ import graft.sources.LakehouseTable
   *   DELETE FROM t WHERE cond
   *   RESTORE TABLE t TO VERSION AS OF n
   *   ALTER TABLE t ADD COLUMNS (c1 TYPE, ...)   -- metadata-only widening
+  *   ALTER TABLE t RENAME COLUMN old TO new     -- metadata-only (column mapping)
+  *   ALTER TABLE t DROP COLUMN c | DROP COLUMNS (c1, ...)
+  *   ALTER TABLE t ADD CONSTRAINT name CHECK (expr)   -- validated + enforced
+  *   ALTER TABLE t DROP CONSTRAINT name
+  *   DESCRIBE COLUMNS t    -- logical schema + physical (file) names
   *   SHOW GRAFT TABLES     -- the persistent catalog's listing
   *   OPTIMIZE t [ZORDER BY (c1, c2, ...)]
   *   VACUUM t [RETAIN n VERSIONS]
@@ -94,7 +99,8 @@ object GraftSql {
   * the freshest writer); `DROP TABLE` removes both. */
 object GraftCatalog {
   final case class Entry(root: String, partitionBy: Seq[String],
-      rowKeys: Seq[String] = Nil)
+      rowKeys: Seq[String] = Nil,
+      constraints: Seq[(String, String)] = Nil)
   private val tables = TrieMap.empty[String, Entry]
   @volatile private var loaded = false
   // sessions whose temp views were already published (weak: a dropped
@@ -115,12 +121,25 @@ object GraftCatalog {
 
   private def descriptor(e: Entry, name: String): String = {
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    s"""{"name":"$name","root":"${e.root}","partitionBy":${arr(e.partitionBy)},"rowKeys":${arr(e.rowKeys)}}"""
+    // constraint exprs are arbitrary SQL — base64 keeps the descriptor
+    // free of escaping concerns (a catalog read must never misparse)
+    val cons = arr(e.constraints.map { case (n, ex) =>
+      n + ":" + java.util.Base64.getEncoder.encodeToString(
+        ex.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    })
+    s"""{"name":"$name","root":"${e.root}","partitionBy":${arr(e.partitionBy)},"rowKeys":${arr(e.rowKeys)},"constraints":$cons}"""
+  }
+
+  private[sql] def decodeConstraint(s: String): (String, String) = {
+    val Array(n, b64) = s.split(":", 2)
+    n -> new String(java.util.Base64.getDecoder.decode(b64),
+      java.nio.charset.StandardCharsets.UTF_8)
   }
 
   private val RootRe = """"root":\s*"([^"]*)"""".r
   private val PartRe = """"partitionBy":\s*\[([^\]]*)\]""".r
   private val KeysRe = """"rowKeys":\s*\[([^\]]*)\]""".r
+  private val ConsRe = """"constraints":\s*\[([^\]]*)\]""".r
   private def strList(body: String): Seq[String] =
     "\"([^\"]*)\"".r.findAllMatchIn(body).map(_.group(1)).toSeq
 
@@ -138,7 +157,9 @@ object GraftCatalog {
               // than whatever the disk copy says
               tables.putIfAbsent(fn.stripSuffix(".json"), Entry(r,
                 PartRe.findFirstMatchIn(txt).map(m => strList(m.group(1))).getOrElse(Nil),
-                KeysRe.findFirstMatchIn(txt).map(m => strList(m.group(1))).getOrElse(Nil)))
+                KeysRe.findFirstMatchIn(txt).map(m => strList(m.group(1))).getOrElse(Nil),
+                ConsRe.findFirstMatchIn(txt).map(m =>
+                  strList(m.group(1)).map(decodeConstraint)).getOrElse(Nil)))
             }
           }
         } finally s.close()
@@ -181,10 +202,24 @@ object GraftCatalog {
     require(!root.contains('"'),
       s"table location may not contain '\"' (embedded in the descriptor): $root")
     ensureLoaded()
-    val e = Entry(root, partitionBy, rowKeys)
+    // re-registering the SAME table keeps its constraints (register is the
+    // re-attach path, not a schema statement); a different root is a new
+    // table and starts clean
+    val kept = tables.get(key(name)).filter(_.root == root)
+      .map(_.constraints).getOrElse(Nil)
+    val e = Entry(root, partitionBy, rowKeys, kept)
     tables(key(name)) = e
     persist(name, e)
     refreshView(spark, name)
+  }
+
+  /** Replace a cataloged table's CHECK constraints (ALTER TABLE ADD/DROP
+    * CONSTRAINT) and persist the descriptor. */
+  def setConstraints(name: String, cons: Seq[(String, String)]): Unit = {
+    ensureLoaded()
+    val e = tables(key(name)).copy(constraints = cons)
+    tables(key(name)) = e
+    persist(name, e)
   }
 
   def lookup(name: String): Option[Entry] = { ensureLoaded(); tables.get(key(name)) }
@@ -256,7 +291,23 @@ case class InsertGraftTableCommand(name: String, query: String,
       else df.toDF(target.columns.toSeq: _*)
     val aligned = reordered.select(target.schema.map(f =>
       reordered(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
-    if (overwrite) LakehouseTable.overwrite(aligned, e.root, e.partitionBy)
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    if (overwrite) {
+      // snapshot replace has no quarantine semantics: enforce CHECK
+      // constraints by refusing the whole statement (Delta's behavior)
+      e.constraints.foreach { case (n, ex) =>
+        val bad = aligned.filter(not(coalesce(expr(ex), lit(true)))).count()
+        require(bad == 0,
+          s"INSERT OVERWRITE $name: $bad rows violate constraint $n ($ex)")
+      }
+      LakehouseTable.overwrite(aligned, e.root, e.partitionBy)
+    } else if (e.constraints.nonEmpty)
+      // CHECK constraints on append go through the expectations path:
+      // passing rows commit, violating rows land in <root>/_rejects with
+      // the violated constraint names (DLT-style quarantine, exact counts)
+      LakehouseTable.appendWithExpectations(aligned, e.root,
+        e.constraints.map { case (n, ex) => n -> expr(ex) }.toMap,
+        e.partitionBy)
     else LakehouseTable.append(aligned, e.root, e.partitionBy)
     GraftCatalog.refreshView(spark, name)
     Seq.empty
@@ -405,6 +456,41 @@ case class AlterGraftTableAddColumnsCommand(name: String, colsDdl: String)
         s"ALTER TABLE $name ADD COLUMNS: column already exists: ${f.name}"))
     LakehouseTable.alterAddColumns(e.root, colsDdl)
     GraftCatalog.refreshView(spark, name)
+    Seq.empty
+  }
+}
+
+/** ALTER TABLE name ADD CONSTRAINT cname CHECK (expr) — Delta-style CHECK
+  * constraint: existing rows are validated first (the ALTER fails loudly
+  * if any violate), then the constraint is persisted in the catalog
+  * descriptor and enforced on every subsequent INSERT (append →
+  * quarantine via the expectations path; OVERWRITE → statement refused on
+  * violation). NULL check results pass, SQL CHECK semantics. */
+case class AlterGraftTableAddConstraintCommand(name: String,
+    cname: String, checkExpr: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    val e = GraftCatalog.lookup(name).get
+    require(!e.constraints.exists(_._1.equalsIgnoreCase(cname)),
+      s"constraint $cname already exists on $name")
+    val bad = LakehouseTable.read(spark, e.root)
+      .filter(not(coalesce(expr(checkExpr), lit(true)))).count()
+    require(bad == 0,
+      s"ALTER TABLE $name ADD CONSTRAINT $cname: $bad existing rows violate ($checkExpr)")
+    GraftCatalog.setConstraints(name, e.constraints :+ (cname -> checkExpr))
+    Seq.empty
+  }
+}
+
+/** ALTER TABLE name DROP CONSTRAINT cname. */
+case class AlterGraftTableDropConstraintCommand(name: String,
+    cname: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val e = GraftCatalog.lookup(name).get
+    require(e.constraints.exists(_._1.equalsIgnoreCase(cname)),
+      s"no constraint $cname on $name")
+    GraftCatalog.setConstraints(name,
+      e.constraints.filterNot(_._1.equalsIgnoreCase(cname)))
     Seq.empty
   }
 }
@@ -604,6 +690,10 @@ object GraftSqlStatements {
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ADD\s+COLUMNS?\s*\(\s*(.+?)\s*\)\s*;?\s*$""".r
   private val AlterRenameRe =
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+RENAME\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+  private val AlterAddConsRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ADD\s+CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s+CHECK\s*\(\s*(.+?)\s*\)\s*;?\s*$""".r
+  private val AlterDropConsRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+DROP\s+CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
   private val AlterDropColRe =
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+DROP\s+COLUMNS?\s+(?:\(\s*([^)]+?)\s*\)|([A-Za-z_][A-Za-z0-9_]*))\s*;?\s*$""".r
   private val OnConjunctRe = """(?s)\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*""".r
@@ -688,6 +778,10 @@ object GraftSqlStatements {
       case ShowTablesRe() => Some(ShowGraftTablesCommand())
       case AlterAddRe(name, cols) if GraftCatalog.lookup(name).isDefined =>
         Some(AlterGraftTableAddColumnsCommand(name, unmask(cols)))
+      case AlterAddConsRe(name, cname, ck) if GraftCatalog.lookup(name).isDefined =>
+        Some(AlterGraftTableAddConstraintCommand(name, cname, unmask(ck)))
+      case AlterDropConsRe(name, cname) if GraftCatalog.lookup(name).isDefined =>
+        Some(AlterGraftTableDropConstraintCommand(name, cname))
       case AlterRenameRe(name, oldC, newC) if GraftCatalog.lookup(name).isDefined =>
         Some(AlterGraftTableRenameColumnCommand(name, oldC, newC))
       case AlterDropColRe(name, list, single) if GraftCatalog.lookup(name).isDefined =>

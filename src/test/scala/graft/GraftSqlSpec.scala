@@ -331,4 +331,36 @@ class GraftSqlSpec extends AnyFunSuite {
     val e = intercept[Exception](spark.sql("DELETE FROM no_such_graft_table WHERE 1=1"))
     assert(!e.isInstanceOf[scala.MatchError])
   }
+
+  test("CHECK constraints: existing-row validation, quarantine, overwrite refusal, drop") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_sql_ck").toString + "/t"
+    Seq((1L, 50.0), (2L, 60.0)).toDF("id", "v")
+      .createOrReplaceTempView("ck_src_ok")
+    spark.sql(s"""CREATE TABLE sqlspec_ck USING graft LOCATION '$root' AS
+      SELECT * FROM ck_src_ok""")
+    // ALTER validates existing rows: a violated constraint is refused
+    val bad = intercept[Exception](spark.sql(
+      "ALTER TABLE sqlspec_ck ADD CONSTRAINT v_hi CHECK (v >= 55.0)"))
+    assert(bad.getMessage.contains("existing rows violate"))
+    spark.sql("ALTER TABLE sqlspec_ck ADD CONSTRAINT v_pos CHECK (v >= 10.0)")
+    // INSERT quarantines violators, commits the rest
+    Seq((3L, 5.0), (4L, 70.0)).toDF("id", "v")
+      .createOrReplaceTempView("ck_src_mixed")
+    spark.sql("INSERT INTO sqlspec_ck SELECT * FROM ck_src_mixed")
+    assert(n("sqlspec_ck") == 3)
+    val rej = LakehouseTable.read(spark, s"$root/_rejects")
+    assert(rej.count() == 1 &&
+      rej.head().getAs[String]("violated") == "v_pos")
+    // OVERWRITE with a violating row refuses the whole statement
+    val ow = intercept[Exception](spark.sql(
+      "INSERT OVERWRITE sqlspec_ck SELECT * FROM ck_src_mixed"))
+    assert(ow.getMessage.contains("violate constraint"))
+    assert(n("sqlspec_ck") == 3) // untouched
+    // DROP CONSTRAINT lifts enforcement
+    spark.sql("ALTER TABLE sqlspec_ck DROP CONSTRAINT v_pos")
+    spark.sql("INSERT INTO sqlspec_ck SELECT * FROM ck_src_mixed")
+    assert(n("sqlspec_ck") == 5)
+    spark.sql("DROP TABLE sqlspec_ck")
+  }
 }
