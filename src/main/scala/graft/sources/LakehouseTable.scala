@@ -413,7 +413,8 @@ object LakehouseTable {
     */
   def appendWithExpectations(df: DataFrame, root: String,
       expectations: Map[String, org.apache.spark.sql.Column],
-      partitionBy: Seq[String] = Nil): (Long, Long) = {
+      partitionBy: Seq[String] = Nil,
+      txn: Option[Long] = None, txnApp: String = DefaultTxnApp): (Long, Long) = {
     import org.apache.spark.sql.functions._
     require(expectations.nonEmpty, "appendWithExpectations: no expectations")
     val checks = expectations.toSeq.sortBy(_._1)
@@ -452,7 +453,7 @@ object LakehouseTable {
           readIncremental(spark, rejectsRoot, prev, Some(v)).count()
       }
     val good = marked.filter(size(col("_violated")) === 0).drop("_violated")
-    (append(good, root, partitionBy), nBad)
+    (append(good, root, partitionBy, txn, txnApp), nBad)
   }
 
   /** Read the table at `version` (default: latest). Partition columns are

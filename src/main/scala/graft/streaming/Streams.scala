@@ -190,6 +190,37 @@ object Streams {
       }
       .start()
 
+  /** [[ingestInto]] with DLT-style write expectations on the stream: each
+    * micro-batch's passing rows append to the table and violating rows
+    * land in `<tableRoot>/_rejects` stamped with the violated expectation
+    * names — the streaming form of the CHECK-constraint quarantine.
+    * Effectively-once on BOTH sides: the main append is txn-stamped with
+    * the batch id (replayed batches skip), and the quarantine commit is
+    * keyed to the main-table version it accompanies (see
+    * [[graft.sources.LakehouseTable.appendWithExpectations]]), so a crash
+    * between the two commits re-runs without double-quarantining. */
+  def ingestIntoWithExpectations(events: DataFrame, tableRoot: String,
+      expectations: Map[String, org.apache.spark.sql.Column],
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val app = txnAppOf(checkpoint)
+        if (graft.sources.LakehouseTable.lastTxn(tableRoot, app).exists(_ >= batchId)) ()
+        else {
+          // schema-only v0 so the expectations path (append-shaped) has a
+          // table to append to from the very first batch
+          if (graft.sources.LakehouseTable.versions(tableRoot).isEmpty)
+            graft.sources.LakehouseTable.create(batch.limit(0), tableRoot)
+          graft.sources.LakehouseTable.appendWithExpectations(
+            batch, tableRoot, expectations,
+            txn = Some(batchId), txnApp = app)
+          ()
+        }
+      }
+      .start()
+
   /** Bronze → silver medallion ingestion: each micro-batch appends to the
     * bronze table (idempotently, like [[ingestInto]]), then the silver
     * per-key rollup advances via [[graft.sources.IncrementalView]] — a

@@ -230,6 +230,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == graft.sources.Tables.events(spark, sf).count())
   }
 
+  test("streaming expectations quarantine violators and stay exact across a restart") {
+    val base = java.nio.file.Files.createTempDirectory("graft-ingest-exp")
+    val root = base.resolve("events_tbl").toString
+    val ckpt = base.resolve("ckpt").toString
+    val exps = Map("value_le_100" -> (col("value") <= 100.0))
+    val q = Streams.ingestIntoWithExpectations(
+      Streams.eventsStream(spark, streamDir), root, exps, ckpt)
+    q.processAllAvailable(); q.stop()
+    val ev = graft.sources.Tables.events(spark, sf)
+    val wantBad = ev.filter(!(col("value") <= 100.0)).count()
+    val wantGood = ev.count() - wantBad
+    assert(wantBad > 0, "fixture must contain violating rows")
+    assert(graft.sources.LakehouseTable.read(spark, root).count() == wantGood)
+    val rej = graft.sources.LakehouseTable.read(spark, s"$root/_rejects")
+    assert(rej.count() == wantBad)
+    assert(rej.select("violated").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("value_le_100"))
+    // restart with the SAME checkpoint: replayed batches must change nothing
+    val q2 = Streams.ingestIntoWithExpectations(
+      Streams.eventsStream(spark, streamDir), root, exps, ckpt)
+    q2.processAllAvailable(); q2.stop()
+    assert(graft.sources.LakehouseTable.read(spark, root).count() == wantGood)
+    assert(graft.sources.LakehouseTable.read(spark, s"$root/_rejects").count() == wantBad)
+  }
+
   test("a change-feed follower tracks a streamed source through a rewrite") {
     import graft.sources.{LakehouseTable, TableSync}
     val base = Files.createTempDirectory("graft-follow")
