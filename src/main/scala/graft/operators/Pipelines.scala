@@ -201,7 +201,7 @@ object Pipelines {
         .agg(count(lit(1)).as("orphan_lineitems"))
       def melt(df: org.apache.spark.sql.DataFrame) = {
         val cols = df.columns
-        df.select(explode(array(cols.map(c =>
+        df.select(explode(array(cols.toIndexedSeq.map(c =>
           struct(lit(c).as("check_name"), col(c).cast("long").as("n_bad"))): _*)).as("kv"))
           .select(col("kv.check_name").as("check_name"), col("kv.n_bad").as("n_bad"))
       }

@@ -445,7 +445,7 @@ object TextAnalysis {
         Tables.documents(s, d)
           .select(col("doc_id"), graft.plans.TextExpressions.tokens(col("text")).as("toks"))
       }
-      val stats = docs.agg(count(lit(1)), sum(size(col("toks")).cast("long"))).first
+      val stats = docs.agg(count(lit(1)), sum(size(col("toks")).cast("long"))).first()
       val (nDocs, sumDl) = (stats.getLong(0), stats.getLong(1))
       val avgdl = lit(sumDl.toDouble / nDocs.toDouble)
       val tf = docs
