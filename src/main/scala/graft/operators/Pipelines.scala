@@ -48,6 +48,29 @@ object Pipelines {
         .orderBy(col("source"))
     }),
 
+    // EFFECTIVE corpus size under near-dup collapse — the "how much
+    // unique data do I actually have per language" metric that decides
+    // whether a source is worth more epochs: each q68 duplicate cluster
+    // contributes ONE document, so n_effective = n_docs - Σ(|cluster|-1),
+    // clusters attributed to their representative's language (the min
+    // doc id — deterministic). Reuses q68's converged cluster relation
+    // verbatim (same caps, same threshold), so the two queries can never
+    // disagree about what a duplicate is.
+    "q152_effective_corpus" -> ((s, d) => {
+      val clusters = Dedup.queries("q68_dup_clusters")(s, d)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      val excess = clusters
+        .join(docs, clusters("cluster_rep") === docs("doc_id"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_members") - 1).as("dup_excess"))
+      docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .join(excess, Seq("lang"), "left")
+        .withColumn("dup_excess", coalesce(col("dup_excess"), lit(0L)))
+        .withColumn("n_effective", col("n_docs") - col("dup_excess"))
+        .select(col("lang"), col("n_docs"), col("dup_excess"), col("n_effective"))
+        .orderBy(col("lang"))
+    }),
+
     // Ordered, limited string aggregation per group (generalizes op #12).
     "q46_grouped_string_agg" -> ((s, d) => {
       val counts = Tables.documents(s, d)
@@ -619,6 +642,21 @@ object Pipelines {
        + 0.5 * least(CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) / 8.0, 1.0)"""
 
   def oracle: Map[String, String] = Map(
+    // q68's recursive-CTE twin wrapped as a subquery, then the same
+    // integer arithmetic — the oracle can never diverge from q68's
+    // definition of a duplicate either
+    "q152_effective_corpus" ->
+      s"""WITH clusters AS (${Dedup.oracle("q68_dup_clusters")}),
+          excess AS (
+            SELECT d.lang, CAST(sum(c.n_members - 1) AS BIGINT) AS dup_excess
+            FROM clusters c JOIN documents d ON c.cluster_rep = d.doc_id
+            GROUP BY d.lang)
+          SELECT d.lang, count(*) AS n_docs,
+            CAST(coalesce(e.dup_excess, 0) AS BIGINT) AS dup_excess,
+            CAST(count(*) - coalesce(e.dup_excess, 0) AS BIGINT) AS n_effective
+          FROM documents d LEFT JOIN excess e ON d.lang = e.lang
+          GROUP BY d.lang, e.dup_excess ORDER BY d.lang""",
+
     "q147_token_budget" ->
       s"""WITH scored AS (
             SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
