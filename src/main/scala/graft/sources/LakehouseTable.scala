@@ -628,6 +628,15 @@ object LakehouseTable {
   private def deltaUnesc(s: String): String =
     s.replace("\\\"", "\"").replace("\\\\", "\\")
 
+  /** Delta-spec path decoding: `add`/`remove` paths are percent-encoded
+    * RFC 2396 URIs relative to the table root. Our own exporter writes
+    * plain relative paths (no characters needing encoding ever reach it —
+    * [[commit]] rejects them at the write point), but a FOREIGN writer's
+    * log may encode spaces etc.; decode so the replay resolves the real
+    * file. '+' is a literal plus in a URI path — shield it. */
+  private def deltaDecodePath(p: String): String =
+    java.net.URLDecoder.decode(p.replace("+", "%2B"), "UTF-8")
+
   /** Replay the exported JSON log through version `upTo` (all when None),
     * optionally starting from a checkpoint's state (`after` = checkpoint
     * version, `seedLive`/`seedSchema` = its adds and schema): (live add
@@ -652,8 +661,10 @@ object LakehouseTable {
     var conf = Map.empty[String, String]
     logFiles.foreach { lf =>
       val txt = Files.readString(lf)
-      DeltaRemoveRe.findAllMatchIn(txt).foreach(m => live -= deltaUnesc(m.group(1)))
-      DeltaAddRe.findAllMatchIn(txt).foreach(m => live += deltaUnesc(m.group(1)))
+      DeltaRemoveRe.findAllMatchIn(txt).foreach(m =>
+        live -= deltaDecodePath(deltaUnesc(m.group(1))))
+      DeltaAddRe.findAllMatchIn(txt).foreach(m =>
+        live += deltaDecodePath(deltaUnesc(m.group(1))))
       DeltaSchemaRe.findAllMatchIn(txt).foreach(m => schemaJson = Some(deltaUnesc(m.group(1))))
       DeltaProtocolRe.findAllMatchIn(txt).foreach(m =>
         protocol = (m.group(1).toInt, m.group(2).toInt))
@@ -754,7 +765,8 @@ object LakehouseTable {
           logDir.resolve(f"$v%020d.checkpoint.parquet").toString)
         import org.apache.spark.sql.functions.col
         val adds = ck.filter(col("add").isNotNull)
-          .select(col("add.path")).collect().map(_.getString(0)).toSeq
+          .select(col("add.path")).collect()
+          .map(r => deltaDecodePath(r.getString(0))).toSeq
         val sch = ck.filter(col("metaData").isNotNull)
           .select(col("metaData.schemaString")).collect().headOption
           .map(_.getString(0))

@@ -127,6 +127,30 @@ class Round5Spec extends AnyFunSuite {
       s"q37's probe scan lost dynamic partition pruning:\n$plan")
   }
 
+  test("the delta-log reader decodes percent-encoded paths (foreign-writer logs)") {
+    import spark.implicits._
+    // hand-write a "foreign" Delta log whose add path is percent-encoded
+    // (the spec says paths are RFC 2396 URIs) over a data file whose real
+    // name contains a space
+    val root = java.nio.file.Files.createTempDirectory("graft-foreign-delta")
+    val dataDir = root.resolve("data")
+    java.nio.file.Files.createDirectories(dataDir)
+    val tmp = root.resolve("w")
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+      .coalesce(1).write.parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp)
+      .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.move(part, dataDir.resolve("part a.parquet"))
+    val logDir = root.resolve("_delta_log")
+    java.nio.file.Files.createDirectories(logDir)
+    java.nio.file.Files.writeString(logDir.resolve(f"${0L}%020d.json"),
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" + "\n" +
+        """{"add":{"path":"data/part%20a.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""" + "\n")
+    val got = graft.sources.LakehouseTable.readDeltaExport(spark, root.toString)
+    assert(got.count() == 2 &&
+      got.agg(sum($"v")).head().getDouble(0) == 30.0)
+  }
+
   test("delta checkpoint seeds the reader: pre-checkpoint JSON logs are not needed") {
     import graft.sources.LakehouseTable
     import spark.implicits._
