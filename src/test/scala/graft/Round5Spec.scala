@@ -127,6 +127,35 @@ class Round5Spec extends AnyFunSuite {
       s"q37's probe scan lost dynamic partition pruning:\n$plan")
   }
 
+  test("partition evolution: overwrite re-layouts, old versions keep their layout") {
+    import graft.sources.LakehouseTable
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-partevo").resolve("t").toString
+    val df = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0))
+      .toDF("id", "k", "v")
+    LakehouseTable.create(df, root) // v0: flat layout
+    assert(LakehouseTable.partitionColumns(root).isEmpty)
+    // v1: same rows, re-laid-out hive-partitioned by k (Iceberg-style
+    // partition evolution via snapshot replace)
+    LakehouseTable.overwrite(
+      LakehouseTable.read(spark, root).repartition(col("k")), root,
+      partitionBy = Seq("k"))
+    assert(LakehouseTable.partitionColumns(root) == Seq("k"))
+    // the new layout prunes at the file level
+    val probed = LakehouseTable.read(spark, root)
+      .filter(col("k") === "a").select(input_file_name())
+      .distinct().collect().map(_.getString(0))
+    assert(probed.nonEmpty && probed.forall(_.contains("k=a")),
+      s"probe read outside its partition: ${probed.mkString(", ")}")
+    // contents unchanged; the pre-evolution version still reads flat
+    assert(LakehouseTable.read(spark, root)
+      .agg(sum($"v")).head().getDouble(0) == 6.0)
+    assert(LakehouseTable.read(spark, root, Some(0L)).count() == 3)
+    assert(LakehouseTable.read(spark, root, Some(0L))
+      .inputFiles.forall(!_.contains("k=")))
+  }
+
   test("the delta-log reader decodes percent-encoded paths (foreign-writer logs)") {
     import spark.implicits._
     // hand-write a "foreign" Delta log whose add path is percent-encoded
