@@ -431,14 +431,16 @@ case class DescribeDetailGraftCommand(name: String) extends LeafRunnableCommand 
       AttributeReference("version", LongType, nullable = false)(),
       AttributeReference("n_files", LongType, nullable = false)(),
       AttributeReference("partition_columns", StringType, nullable = false)(),
-      AttributeReference("row_keys", StringType, nullable = false)())
+      AttributeReference("row_keys", StringType, nullable = false)(),
+      AttributeReference("constraints", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val e = GraftCatalog.lookup(name).get
     val v = LakehouseTable.currentVersion(e.root).getOrElse(-1L)
     // manifest line count, NOT a DataFrame build: a metadata command must
     // stay O(1), not read parquet footers across the table
     val nf = if (v < 0) 0L else LakehouseTable.fileCount(e.root, v).toLong
-    Seq(Row(e.root, v, nf, e.partitionBy.mkString(","), e.rowKeys.mkString(",")))
+    Seq(Row(e.root, v, nf, e.partitionBy.mkString(","), e.rowKeys.mkString(","),
+      e.constraints.map { case (n, ex) => s"$n CHECK ($ex)" }.mkString("; ")))
   }
 }
 
