@@ -76,6 +76,26 @@ class Round5Spec extends AnyFunSuite {
     val listed = GraftSql.sql(fresh, "SHOW GRAFT TABLES")
       .collect().map(_.getString(0))
     assert(listed.contains("round5_cat"), listed.mkString(","))
+    // CHECK constraints survive the restart too (base64 in the
+    // descriptor → parsed back on load) and still ENFORCE in the fresh
+    // process: the quarantine path must fire, not a plain append
+    if (GraftCatalog.lookup("round5_cat").exists(_.constraints.isEmpty))
+      GraftSql.sql(fresh,
+        "ALTER TABLE round5_cat ADD CONSTRAINT key_small CHECK (r_regionkey < 100)")
+    GraftCatalog.resetInMemoryForTest()
+    val fresh2 = spark.newSession()
+    assert(GraftCatalog.lookup("round5_cat")
+      .exists(_.constraints.exists(_._1 == "key_small")))
+    sources.Tables.registerAll(fresh2, sf)
+    val before = GraftSql.sql(fresh2,
+      "SELECT count(*) AS n FROM round5_cat").collect()(0).getLong(0)
+    GraftSql.sql(fresh2,
+      """INSERT INTO round5_cat
+         SELECT r_regionkey + 1000, r_name FROM region WHERE r_regionkey = 0""")
+    val after = GraftSql.sql(fresh2,
+      "SELECT count(*) AS n FROM round5_cat").collect()(0).getLong(0)
+    assert(after == before, "violating insert must quarantine, not append")
+    assert(sources.LakehouseTable.read(fresh2, s"$root/_rejects").count() >= 1)
   }
 
   test("ALTER ADD COLUMNS: schema is an epoch of the version history") {
