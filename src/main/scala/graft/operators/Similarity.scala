@@ -176,6 +176,30 @@ object Similarity {
     root
   }
 
+  /** Incremental IVF index maintenance: route `newVecs` (vec_id,
+    * embedding) to their cells under the FROZEN centroids — production
+    * IVF retrains centroids rarely and appends continuously — and land
+    * them in the cell-partitioned index table as ONE hive-partitioned
+    * append commit. New files go inside existing `cid=` directories, so
+    * the probe path (static prune, DPP) treats them exactly like the
+    * originals; the routing is the same broadcast argmin the build used,
+    * so an appended vector gets the identical cell it would have at
+    * full-rebuild time. repartition(cid) first → one writer task per
+    * touched cell. */
+  def appendToCellIndex(s: SparkSession, d: String, indexRoot: String,
+      newVecs: DataFrame): Long = {
+    val cvec = centroidTable(s, d)
+    val assigned = newVecs.crossJoin(broadcast(cvec))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        V.cosineFold(col("embedding"), col("cv")).as("csim"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct((-col("csim")).as("nc"), col("cid"))).as("m"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"), col("m.cid").as("cid"))
+    graft.sources.LakehouseTable.append(
+      assigned.repartition(col("cid")), indexRoot, partitionBy = Seq("cid"))
+  }
+
   /** Cell-partitioned assignment read from the index table (cid restored
     * to BIGINT — hive partition values type-infer as INT), plus the
     * centroid vectors. Probing queries join/filter on `cid`, and the

@@ -147,6 +147,37 @@ class Round5Spec extends AnyFunSuite {
       s"q37's probe scan lost dynamic partition pruning:\n$plan")
   }
 
+  test("IVF index maintenance: appended vectors land in their exact cells") {
+    import graft.sources.LakehouseTable
+    // seed a scratch index with 80% of the shared index's rows, then
+    // append the held-out 20% through the maintenance path — every
+    // appended vector must receive the SAME cell the full build gave it,
+    // and the probe path must keep pruning to single partitions
+    val shared = operators.Similarity.ivfCellTableRoot(spark, sf)
+    val full = LakehouseTable.read(spark, shared)
+      .select(col("vec_id"), col("embedding"), col("cid").cast("long").as("cid"))
+    val scratch = sources.TableCache.baseDir +
+      s"/round5_ivf_maint_${java.util.UUID.randomUUID().toString.take(8)}"
+    LakehouseTable.create(
+      full.filter(col("vec_id") % 5 =!= 0).repartition(col("cid")),
+      scratch, partitionBy = Seq("cid"))
+    val held = full.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("embedding"))
+    operators.Similarity.appendToCellIndex(spark, sf, scratch, held)
+    val after = LakehouseTable.read(spark, scratch)
+      .select(col("vec_id"), col("cid").cast("long").as("cid"))
+    assert(after.count() == full.count())
+    // cell agreement with the full build, row for row
+    val disagree = after.join(full.select(col("vec_id"), col("cid").as("want")), "vec_id")
+      .filter(col("cid") =!= col("want")).count()
+    assert(disagree == 0, s"$disagree vectors routed to a different cell")
+    // pruning still holds through the appended files
+    val probed = LakehouseTable.read(spark, scratch)
+      .filter(col("cid").cast("long") === 3L)
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(probed.nonEmpty && probed.forall(_.contains("cid=3")))
+  }
+
   test("partition evolution: overwrite re-layouts, old versions keep their layout") {
     import graft.sources.LakehouseTable
     import spark.implicits._
