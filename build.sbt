@@ -12,6 +12,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST line of `sbt "runMain graft.Bench"` output
+// as the bench-total JSON. StdoutOutput drops the "[info] " prefix from
+// the forked process's stdout, and showSuccess drops the trailing
+// "[success] Total time: ..." line, so the JSON line is literally last.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

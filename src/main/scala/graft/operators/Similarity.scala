@@ -222,8 +222,18 @@ object Similarity {
     // how many were flagged as semantic duplicates of the corpus.
     "q148_incremental_semdedup" -> ((s, d) => {
       val (a, _) = ivfAssigned(s, d)
+      // bounded reference panel: each arrival compares against at most
+      // [[SemDedupCellCap]] corpus vectors per cell (the lowest-id ones —
+      // deterministic, oracle-expressible), so the per-batch pair space is
+      // |batch|·cap however hot the cell gets — the skew guard that keeps
+      // a 100 TB ingest's per-task work bounded (LSH-banding's trade:
+      // dups beyond the panel go unflagged until the next index rebuild
+      // rebalances the cell)
+      val wCorp = Window.partitionBy(col("cid")).orderBy(col("old_id"))
       val corpus = a.filter(col("vec_id") % 10 < 8)
         .select(col("cid"), col("vec_id").as("old_id"), col("embedding").as("eo"))
+        .withColumn("rn", row_number().over(wCorp))
+        .filter(col("rn") <= SemDedupCellCap).drop("rn")
       val fresh = a.filter(col("vec_id") % 10 >= 8)
         .select(col("cid"), col("vec_id").as("new_id"), col("embedding").as("en"))
       val flagged = fresh.join(corpus, "cid")
@@ -244,20 +254,18 @@ object Similarity {
     // Deterministic survivor rule: a vector is a duplicate iff a
     // LOWER-id vector in its cell is within the cosine threshold (greedy
     // keep-first — order-free, rerun-stable, and expressible in the
-    // oracle). Reported per cell: population and duplicates found. At
-    // 100 TB each cell's pairs stay bounded by the index's cell-size cap
-    // and the join shuffles only on cid — the SemDeDup paper's exact
-    // recipe (cluster, then pairwise within cluster).
+    // oracle). Reported per cell: population and duplicates found. The
+    // pair space is HARD-bounded: a cell above [[SemDedupCellCap]] is
+    // sub-sharded deterministically (id-rank blocks of cap vectors) and
+    // pairs form only within a shard, so total pairs ≤ n·cap/2 — linear
+    // in the corpus, never Σ|cell|² on a skewed clustering. Cross-shard
+    // dups inside one hot cell go unflagged (the LSH-banding trade,
+    // mirrored exactly in the oracle); the join shuffles only on
+    // (cid, shard) — the SemDeDup recipe (cluster, then pairwise within
+    // cluster) with the cap its paper assumes from balanced k-means.
     "q146_semantic_dedup" -> ((s, d) => {
       val (a, _) = ivfAssigned(s, d)
-      val l = a.select(col("cid"), col("vec_id").as("id_a"),
-        col("embedding").as("ea"))
-      val r = a.select(col("cid"), col("vec_id").as("id_b"),
-        col("embedding").as("eb"))
-      val dups = l.join(r, "cid")
-        .filter(col("id_a") < col("id_b"))
-        .filter(V.cosine(col("ea"), col("eb")) >= SemDedupTau)
-        .select(col("cid"), col("id_b").as("vec_id")).distinct()
+      val dups = semDedupFlags(a)
       a.select(col("cid"), col("vec_id"))
         .join(dups.withColumn("dup", lit(1L)), Seq("cid", "vec_id"), "left_outer")
         .groupBy(col("cid"))
@@ -560,13 +568,49 @@ object Similarity {
     * q35 embedding-near-dup family's verify threshold. */
   private val SemDedupTau = 0.4
 
+  /** Hard bound on the within-cell pair space for the semantic-dedup
+    * family (q146/q148) — the embedding analog of
+    * [[Dedup.StopShingleCap]]. q146 sub-shards a cell above this
+    * population into id-rank blocks of this size (pairs form only within
+    * a block → ≤ n·cap/2 pairs total); q148 caps each arrival's
+    * reference panel at this many corpus vectors per cell (≤ batch·cap
+    * pairs). Sized to ENGAGE at sf0.1 (8 cells × ~250 vectors), so the
+    * bound is continuously exercised by the oracle gate, not dormant
+    * until a production skew event. */
+  private[operators] val SemDedupCellCap = 128
+
+  /** q146's capped within-cell duplicate flags over an (cid, vec_id,
+    * embedding) assignment: sub-shard each cell into id-rank blocks of
+    * [[SemDedupCellCap]], flag a vector iff a LOWER-id vector in its
+    * BLOCK is within [[SemDedupTau]] cosine. Factored so the skew bound
+    * is testable against a synthetic hot cell, not just the balanced
+    * testdata clustering. Returns distinct (cid, vec_id) flags. */
+  private[graft] def semDedupFlags(a: DataFrame): DataFrame = {
+    val wCell = Window.partitionBy(col("cid")).orderBy(col("vec_id"))
+    val sharded = a.withColumn("shard",
+      floor((row_number().over(wCell) - lit(1)) / lit(SemDedupCellCap))
+        .cast("long"))
+    val l = sharded.select(col("cid"), col("shard"), col("vec_id").as("id_a"),
+      col("embedding").as("ea"))
+    val r = sharded.select(col("cid"), col("shard"), col("vec_id").as("id_b"),
+      col("embedding").as("eb"))
+    l.join(r, Seq("cid", "shard"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(V.cosine(col("ea"), col("eb")) >= SemDedupTau)
+      .select(col("cid"), col("id_b").as("vec_id")).distinct()
+  }
+
   def oracle: Map[String, String] = Map(
     "q148_incremental_semdedup" ->
       s"""WITH $ivfBuildCtes,
           av AS (SELECT a.cid, a.vec_id, e.embedding
                  FROM assigned a JOIN embeddings e USING (vec_id)),
           fresh AS (SELECT * FROM av WHERE vec_id % 10 >= 8),
-          corp AS (SELECT * FROM av WHERE vec_id % 10 < 8),
+          corp AS (SELECT cid, vec_id, embedding FROM (
+                     SELECT *, row_number() OVER (
+                       PARTITION BY cid ORDER BY vec_id) AS rn
+                     FROM av WHERE vec_id % 10 < 8)
+                   WHERE rn <= $SemDedupCellCap),
           flagged AS (SELECT DISTINCT f.cid, f.vec_id
                       FROM fresh f JOIN corp c ON f.cid = c.cid
                       WHERE ${V.sqlCosine("f.embedding", "c.embedding")} >= $SemDedupTau)
@@ -580,9 +624,13 @@ object Similarity {
       s"""WITH $ivfBuildCtes,
           av AS (SELECT a.cid, a.vec_id, e.embedding
                  FROM assigned a JOIN embeddings e USING (vec_id)),
+          avs AS (SELECT *, CAST(floor((row_number() OVER (
+                    PARTITION BY cid ORDER BY vec_id) - 1)
+                    / $SemDedupCellCap) AS BIGINT) AS shard FROM av),
           dups AS (SELECT DISTINCT y.cid, y.vec_id
-                   FROM av x JOIN av y
-                     ON x.cid = y.cid AND x.vec_id < y.vec_id
+                   FROM avs x JOIN avs y
+                     ON x.cid = y.cid AND x.shard = y.shard
+                       AND x.vec_id < y.vec_id
                    WHERE ${V.sqlCosine("x.embedding", "y.embedding")} >= $SemDedupTau)
           SELECT CAST(av.cid AS BIGINT) AS cid, count(*) AS n,
             CAST(count(d.vec_id) AS BIGINT) AS n_dup

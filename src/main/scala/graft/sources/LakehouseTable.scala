@@ -429,15 +429,18 @@ object LakehouseTable {
     val rejectsRoot = s"$root/_rejects"
     val spark = df.sparkSession
     // txn = the main-table version this batch will create, under a
-    // dedicated writer app id: strictly increasing across successful
-    // batches (the main append bumps it), and UNCHANGED on a crash-rerun
-    // of the same batch — which is exactly what makes the rerun detectable
-    val txnApp = "_expectations"
+    // dedicated writer app id used ONLY for the rejects-table commits:
+    // strictly increasing across successful batches (the main append bumps
+    // it), and UNCHANGED on a crash-rerun of the same batch — which is
+    // exactly what makes the rerun detectable. The caller's `txnApp`
+    // still stamps the main-table append below, so a caller-side replay
+    // guard (lastTxn(root, txnApp) >= batchId) sees its watermark advance.
+    val rejectsApp = "_expectations"
     val txnId = currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no table at $root")) + 1
     val prevRejects = currentVersion(rejectsRoot)
     val nBad =
-      if (lastTxn(rejectsRoot, txnApp).exists(_ >= txnId)) {
+      if (lastTxn(rejectsRoot, rejectsApp).exists(_ >= txnId)) {
         // rerun after a crash between the two commits: this batch's
         // quarantine already landed — count its last increment, don't
         // double-append it
@@ -446,10 +449,10 @@ object LakehouseTable {
         else readIncremental(spark, rejectsRoot, v - 1, Some(v)).count()
       } else prevRejects match {
         case None =>
-          create(bad, rejectsRoot, txn = Some(txnId), txnApp = txnApp)
+          create(bad, rejectsRoot, txn = Some(txnId), txnApp = rejectsApp)
           read(spark, rejectsRoot, Some(0L)).count()
         case Some(prev) =>
-          val v = append(bad, rejectsRoot, txn = Some(txnId), txnApp = txnApp)
+          val v = append(bad, rejectsRoot, txn = Some(txnId), txnApp = rejectsApp)
           readIncremental(spark, rejectsRoot, prev, Some(v)).count()
       }
     val good = marked.filter(size(col("_violated")) === 0).drop("_violated")
@@ -541,15 +544,53 @@ object LakehouseTable {
     var prev = Seq.empty[String]
     var prevCols: Option[(String, String, String)] = None
     var mappingAnnounced = false
+    // column-mapping ids, keyed by PHYSICAL name (stable across renames),
+    // assigned in first-appearance order over the version walk. The walk
+    // is deterministic (same history → same order), so ids are stable
+    // across export runs and schema versions, as the Delta spec requires —
+    // a positional (i+1) re-derivation would renumber surviving columns
+    // whenever an earlier column was dropped.
+    val columnIds = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    var mappedSchemaJson: Option[String] = None
     vs.foreach { v =>
       val cur = readManifest(root, v)
       val renames = renamedColumnsAt(root, v)
       val cols = (addedColumnsAt(root, v), encodeRenames(renames),
         droppedColumnsAt(root, v).mkString(","))
       val target = logDir.resolve(f"$v%020d.json")
+      val schemaChanged = v == vs.head || !prevCols.contains(cols)
+      val mappingActive = cols._2.nonEmpty || cols._3.nonEmpty
+      if (schemaChanged) {
+        // advance the id map on EVERY schema-change version — including
+        // already-exported (skipped) ones — so an incremental export
+        // assigns the same ids a from-scratch export would
+        val logical = read(spark, root, Some(v)).schema
+        val withPhys = logical.map { f =>
+          val phys = renames.find(_._2.equalsIgnoreCase(f.name))
+            .map(_._1).getOrElse(f.name)
+          (f, phys)
+        }
+        withPhys.foreach { case (_, phys) =>
+          val k = phys.toLowerCase
+          if (!columnIds.contains(k)) columnIds(k) = columnIds.size + 1L
+        }
+        // in name mode EVERY field carries physicalName + id (identity
+        // physicalName for unrenamed columns) — real Delta readers reject
+        // a name-mode schema with unannotated fields
+        val mapped =
+          if (!mappingActive) logical
+          else org.apache.spark.sql.types.StructType(withPhys.map {
+            case (f, phys) =>
+              f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata)
+                .putString("delta.columnMapping.physicalName", phys)
+                .putLong("delta.columnMapping.id", columnIds(phys.toLowerCase))
+                .build())
+          })
+        mappedSchemaJson = Some(mapped.json)
+      }
       if (!Files.exists(target)) {
         val sb = new StringBuilder
-        val mappingActive = cols._2.nonEmpty || cols._3.nonEmpty
         // an active rename/drop mapping needs Delta column mapping's
         // protocol floor (reader 2 / writer 5); announced at the first
         // version that has one — a later commit may raise the protocol,
@@ -563,27 +604,15 @@ object LakehouseTable {
           sb.append("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""").append('\n')
           mappingAnnounced = true
         }
-        if (v == vs.head || !prevCols.contains(cols)) {
+        if (schemaChanged) {
           // logical schema, each field annotated with its stable PHYSICAL
           // parquet name (Delta column mapping, name mode) whenever a
           // mapping is active — a plain name-matched schema would read
           // renamed columns as null from pre-rename files
-          val logical = read(spark, root, Some(v)).schema
-          val mapped =
-            if (renames.isEmpty) logical
-            else org.apache.spark.sql.types.StructType(logical.zipWithIndex.map {
-              case (f, i) =>
-                val phys = renames.find(_._2.equalsIgnoreCase(f.name))
-                  .map(_._1).getOrElse(f.name)
-                f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
-                  .withMetadata(f.metadata)
-                  .putString("delta.columnMapping.physicalName", phys)
-                  .putLong("delta.columnMapping.id", i + 1L).build())
-            })
           val conf =
-            if (renames.isEmpty && cols._3.isEmpty) "{}"
-            else s"""{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"${mapped.length}"}"""
-          val schema = esc(mapped.json)
+            if (!mappingActive) "{}"
+            else s"""{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"${columnIds.values.max}"}"""
+          val schema = esc(mappedSchemaJson.get)
           val parts = partitionColumns(root)
             .map(c => s""""${esc(c)}"""").mkString("[", ",", "]")
           sb.append(s"""{"metaData":{"id":"graft-${graft.plans.TextExpressions.md5Hex(root).take(12)}","format":{"provider":"parquet","options":{}},"schemaString":"$schema","partitionColumns":$parts,"configuration":$conf}}""")
@@ -592,7 +621,7 @@ object LakehouseTable {
         val curSet = cur.toSet
         val prevSet = prev.toSet
         prev.filterNot(curSet).foreach { f =>
-          sb.append(s"""{"remove":{"path":"data/${esc(f)}","deletionTimestamp":0,"dataChange":true}}""")
+          sb.append(s"""{"remove":{"path":"data/${esc(deltaEncodePath(f))}","deletionTimestamp":0,"dataChange":true}}""")
             .append('\n')
         }
         cur.filterNot(prevSet).foreach { f =>
@@ -600,7 +629,7 @@ object LakehouseTable {
           val (size, mtime) =
             if (Files.exists(p)) (Files.size(p), Files.getLastModifiedTime(p).toMillis)
             else (0L, 0L)
-          sb.append(s"""{"add":{"path":"data/${esc(f)}","partitionValues":${partitionValues(f)},"size":$size,"modificationTime":$mtime,"dataChange":true}}""")
+          sb.append(s"""{"add":{"path":"data/${esc(deltaEncodePath(f))}","partitionValues":${partitionValues(f)},"size":$size,"modificationTime":$mtime,"dataChange":true}}""")
             .append('\n')
         }
         val tmp = logDir.resolve(s".$v.json.tmp-${java.util.UUID.randomUUID()}")
@@ -636,6 +665,19 @@ object LakehouseTable {
     * file. '+' is a literal plus in a URI path — shield it. */
   private def deltaDecodePath(p: String): String =
     java.net.URLDecoder.decode(p.replace("+", "%2B"), "UTF-8")
+
+  /** Inverse of [[deltaDecodePath]], applied when WRITING log/checkpoint
+    * actions: percent-encode each path segment (RFC 2396 relative URI, the
+    * Delta spec's path form). Spark escapes special partition values as
+    * %XX in hive dir names ('%'→%25, ':'→%3A), so a raw relative path in
+    * the log would be decoded by any spec-following reader (including our
+    * own) into a nonexistent file — encode symmetrically instead. '/' is
+    * the segment separator and must survive; URLEncoder's '+'-for-space
+    * would NOT round-trip through a URI decoder, so rewrite it to %20. */
+  private def deltaEncodePath(p: String): String =
+    p.split('/').map(seg =>
+      java.net.URLEncoder.encode(seg, "UTF-8").replace("+", "%20"))
+      .mkString("/")
 
   /** Replay the exported JSON log through version `upTo` (all when None),
     * optionally starting from a checkpoint's state (`after` = checkpoint
@@ -716,13 +758,17 @@ object LakehouseTable {
       org.apache.spark.sql.Row(null, org.apache.spark.sql.Row(
         id, org.apache.spark.sql.Row("parquet"), schemaJson.orNull,
         partitionColumns(root), conf), null) +:
-      live.map { f => // f is root-relative ("data/...") straight from the log
+      live.map { f => // f is root-relative ("data/..."), already DECODED by
+        // the replay; re-encode for the stored path so checkpoint paths use
+        // the same percent-encoded URI form as the JSON log (readers decode
+        // both exactly once — storing decoded paths made a literal '%' in a
+        // name decode twice and mangle)
         val p = Paths.get(root).resolve(f)
         val (size, mtime) =
           if (Files.exists(p)) (Files.size(p), Files.getLastModifiedTime(p).toMillis)
           else (0L, 0L)
         org.apache.spark.sql.Row(null, null, org.apache.spark.sql.Row(
-          f, partitionValues(f), size, mtime, true))
+          deltaEncodePath(f), partitionValues(f), size, mtime, true))
       }
     val tmp = Files.createTempDirectory(logDir, ".ckpt-tmp")
     spark.createDataFrame(

@@ -294,13 +294,22 @@ case class InsertGraftTableCommand(name: String, query: String,
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
     if (overwrite) {
       // snapshot replace has no quarantine semantics: enforce CHECK
-      // constraints by refusing the whole statement (Delta's behavior)
+      // constraints by refusing the whole statement (Delta's behavior).
+      // Validate and write from ONE evaluation of the source: a
+      // nondeterministic query (sample / limit without order) could pass a
+      // separate count() yet write different, violating rows — so pin the
+      // rows first, then check, then overwrite from the pinned copy.
+      // (eager localCheckpoint: one materialization; block cleanup rides
+      // the ContextCleaner, appropriate for a statement-scoped pin)
+      val pinned =
+        if (e.constraints.isEmpty) aligned
+        else aligned.localCheckpoint(true)
       e.constraints.foreach { case (n, ex) =>
-        val bad = aligned.filter(not(coalesce(expr(ex), lit(true)))).count()
+        val bad = pinned.filter(not(coalesce(expr(ex), lit(true)))).count()
         require(bad == 0,
           s"INSERT OVERWRITE $name: $bad rows violate constraint $n ($ex)")
       }
-      LakehouseTable.overwrite(aligned, e.root, e.partitionBy)
+      LakehouseTable.overwrite(pinned, e.root, e.partitionBy)
     } else if (e.constraints.nonEmpty)
       // CHECK constraints on append go through the expectations path:
       // passing rows commit, violating rows land in <root>/_rejects with

@@ -20,16 +20,34 @@ object Streams {
     * stream needs a declared schema, and the physical type of `ts` has
     * varied across testdata generations (int64 nanos vs timestamp[us] —
     * see [[graft.sources.Tables.events]]), so the schema is probed from
-    * the files already staged in `dir` (at least one must exist before the
-    * stream starts — true for every ingestion layout, which provisions the
-    * directory with its first batch). `ts` is then normalized exactly like
+    * the files already staged in `dir` when any exist. A
+    * start-before-first-file deployment (empty or absent staging dir) gets
+    * the declared default schema instead of an AnalysisException — the
+    * current generator's layout; pass `schema` explicitly if staging an
+    * older layout into a fresh dir. `ts` is then normalized exactly like
     * the batch reader, so stream and batch results agree bit-for-bit. */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+  def eventsStream(spark: SparkSession, dir: String,
+      schema: Option[StructType] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val probe = spark.read.parquet(dir)
-    val stream = spark.readStream.schema(probe.schema).parquet(dir)
+    val s = schema.getOrElse {
+      try spark.read.parquet(dir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException => eventsRawSchema }
+    }
+    val stream = spark.readStream.schema(s).parquet(dir)
     stream.withColumn("ts", graft.sources.Tables.normalizedTs(stream))
   }
+
+  /** Declared fallback schema for [[eventsStream]]: the current testdata
+    * generator's physical layout (timestamp[us] → TIMESTAMP_NTZ under the
+    * file source; [[graft.sources.Tables.normalizedTs]] casts it to the
+    * session-TZ TimestampType either way). */
+  private[graft] val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampNTZType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
 
   /** In-flight benchmark decontamination of a document stream (the
     * streaming twin of batch q88): keeps docs sharing NO word 3-gram with

@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Targeted properties of the round-6 changes. */
+class Round6Spec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import graft.sources.{LakehouseTable => LT}
+
+  private def freshRoot(name: String): String = {
+    val r = sources.TableCache.baseDir + s"/round6_$name"
+    val p = java.nio.file.Paths.get(r)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq
+        .sortBy(_.toString).reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    r
+  }
+
+  test("appendWithExpectations stamps the MAIN table under the caller's txnApp (replay guard)") {
+    import spark.implicits._
+    val root = freshRoot("txnapp")
+    LT.create(Seq((1L, 10.0)).toDF("id", "v"), root)
+    // the streaming ingest path guards replays with lastTxn(root, app) >=
+    // batchId — broken while the local rejects app id shadowed the param
+    val (_, nBad) = LT.appendWithExpectations(
+      Seq((2L, 5.0), (3L, -1.0)).toDF("id", "v"), root,
+      Map("v_nonneg" -> ($"v" >= 0)), txn = Some(7L), txnApp = "ingest_app")
+    assert(nBad == 1L)
+    assert(LT.lastTxn(root, "ingest_app") === Some(7L),
+      "main-table append must be stamped under the caller's app id")
+    // and the rejects-side watermark still rides its own dedicated app
+    assert(LT.lastTxn(s"$root/_rejects", "_expectations").nonEmpty)
+    // a replayed batch (same txn) is a no-op on the main table
+    val vBefore = LT.currentVersion(root).get
+    // caller-side guard, as ingestIntoWithExpectations does:
+    if (!LT.lastTxn(root, "ingest_app").exists(_ >= 7L))
+      fail("watermark missing — replay would double-append")
+    assert(LT.currentVersion(root).get == vBefore)
+  }
+
+  test("delta export round-trips hive-escaped partition values (percent-encoding symmetric)") {
+    import spark.implicits._
+    val root = freshRoot("deltaenc")
+    // partition values Spark must %-escape in dir names: space, ':', '%'
+    val df = Seq(
+      (1L, "a b"), (2L, "x:y"), (3L, "p%q"), (4L, "plus+v")
+    ).toDF("id", "k")
+    LT.create(df, root, partitionBy = Seq("k"))
+    LT.exportDeltaLog(spark, root)
+    // the log's add paths must decode to files that exist
+    val got = LT.readDeltaExport(spark, root, useCheckpoint = false)
+      .select("id", "k").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a b"), (2L, "x:y"), (3L, "p%q"), (4L, "plus+v")))
+    // and through a checkpoint (stored encoded, decoded exactly once)
+    LT.exportDeltaCheckpoint(spark, root, LT.currentVersion(root).get)
+    val viaCkpt = LT.readDeltaExport(spark, root, useCheckpoint = true)
+      .select("id", "k").as[(Long, String)].collect().toSet
+    assert(viaCkpt == got)
+  }
+
+  test("drop-only delta export annotates EVERY field with physicalName + stable ids") {
+    import spark.implicits._
+    val root = freshRoot("dropmap")
+    LT.create(Seq((1L, "x", 1.5)).toDF("a", "b", "c"), root)
+    LT.alterDropColumns(spark, root, Seq("b"))
+    LT.exportDeltaLog(spark, root)
+    // last metaData schemaString: name mode requires physicalName + id on
+    // every surviving field, identity physicalName for unrenamed columns
+    val logDir = java.nio.file.Paths.get(root, "_delta_log")
+    import scala.jdk.CollectionConverters._
+    val lastLog = java.nio.file.Files.list(logDir).iterator().asScala
+      .filter(_.getFileName.toString.matches("\\d{20}\\.json"))
+      .toSeq.sortBy(_.toString).last
+    val txt = java.nio.file.Files.readString(lastLog)
+    val schemaJson = """"schemaString":\s*"((?:[^"\\]|\\.)*)"""".r
+      .findAllMatchIn(txt).toSeq.last.group(1)
+      .replace("\\\"", "\"").replace("\\\\", "\\")
+    val st = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(st.fieldNames.toSeq == Seq("a", "c"))
+    st.fields.foreach { f =>
+      assert(f.metadata.contains("delta.columnMapping.physicalName"),
+        s"field ${f.name} missing physicalName in name-mode schema")
+      assert(f.metadata.contains("delta.columnMapping.id"),
+        s"field ${f.name} missing columnMapping.id")
+      assert(f.metadata.getString("delta.columnMapping.physicalName") == f.name)
+    }
+    // ids derive from FIRST-APPEARANCE order over the whole history, so
+    // 'c' keeps id 3 even though it is now positionally second
+    val ids = st.fields.map(f =>
+      f.name -> f.metadata.getLong("delta.columnMapping.id")).toMap
+    assert(ids("a") == 1L && ids("c") == 3L,
+      s"ids must be stable across versions, got $ids")
+    // the mapped read still returns the right rows
+    val got = LT.readDeltaExport(spark, root, useCheckpoint = false)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 1.5)))
+  }
+
+  test("rename after export keeps the renamed column's original id (stability across epochs)") {
+    import spark.implicits._
+    val root = freshRoot("renmap")
+    LT.create(Seq((1L, 2.0)).toDF("a", "b"), root)
+    LT.exportDeltaLog(spark, root) // incremental export before the rename
+    LT.alterRenameColumn(spark, root, "b", "bb")
+    LT.exportDeltaLog(spark, root) // and after — ids must not renumber
+    val logDir = java.nio.file.Paths.get(root, "_delta_log")
+    import scala.jdk.CollectionConverters._
+    val lastLog = java.nio.file.Files.list(logDir).iterator().asScala
+      .filter(_.getFileName.toString.matches("\\d{20}\\.json"))
+      .toSeq.sortBy(_.toString).last
+    val txt = java.nio.file.Files.readString(lastLog)
+    val schemaJson = """"schemaString":\s*"((?:[^"\\]|\\.)*)"""".r
+      .findAllMatchIn(txt).toSeq.last.group(1)
+      .replace("\\\"", "\"").replace("\\\\", "\\")
+    val st = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val bb = st.fields.find(_.name == "bb").get
+    assert(bb.metadata.getString("delta.columnMapping.physicalName") == "b")
+    assert(bb.metadata.getLong("delta.columnMapping.id") == 2L)
+    val a = st.fields.find(_.name == "a").get
+    assert(a.metadata.getString("delta.columnMapping.physicalName") == "a")
+    assert(a.metadata.getLong("delta.columnMapping.id") == 1L)
+  }
+
+  test("semantic dedup pair space is HARD-bounded on a deliberately skewed cell") {
+    import spark.implicits._
+    // one hot cell of 300 IDENTICAL unit vectors (cosine 1.0 for every
+    // pair): unbounded SemDeDup flags 299; the id-rank sub-sharding at
+    // cap=128 forms pairs only within blocks (128,128,44), so exactly
+    // (127 + 127 + 43) = 297 are flagged — the visible signature that no
+    // task ever materialized the full |cell|² pair space
+    val unit = Array.tabulate(64)(i => if (i == 0) 1.0f else 0.0f)
+    val hot = spark.range(300).select(
+      lit(0L).as("cid"), col("id").as("vec_id"),
+      typedlit(unit).as("embedding"))
+    val flagged = graft.operators.Similarity.semDedupFlags(hot).count()
+    assert(flagged == 297L,
+      s"expected the cap's 297 within-shard flags, got $flagged " +
+        "(299 would mean the cap is dormant and the cell self-join is unbounded)")
+    // a balanced cell below the cap is untouched by the sharding
+    val cold = spark.range(50).select(
+      lit(1L).as("cid"), col("id").as("vec_id"),
+      typedlit(unit).as("embedding"))
+    assert(graft.operators.Similarity.semDedupFlags(cold).count() == 49L)
+  }
+
+  test("eventsStream over an empty staging dir falls back to the declared schema") {
+    val dir = java.nio.file.Files.createTempDirectory("round6-empty-stage").toString
+    // must NOT throw (start-before-first-file deployment)
+    val stream = graft.streaming.Streams.eventsStream(spark, dir)
+    assert(stream.isStreaming)
+    assert(stream.schema.fieldNames.contains("ts"))
+    assert(stream.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType) // normalized, session-TZ
+  }
+}
