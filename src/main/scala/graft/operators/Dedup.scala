@@ -38,19 +38,6 @@ object Dedup {
     * purely the skew guard SURVEY §8 documents. */
   val StopShingleCap = 1000
 
-  /** Frames the LAST q68 invocation left persisted for its returned plan
-    * (the converged label cache + the edge relation backing its recompute
-    * path). Released explicitly at the start of the next invocation —
-    * bounding live blocks at one invocation's worth deterministically,
-    * instead of waiting for the GC-driven ContextCleaner (whose timing
-    * depends on heap size; see the q68 comments below). */
-  private val q68Live = new scala.collection.mutable.ArrayBuffer[DataFrame]
-  private def q68Retain(fs: DataFrame*): Unit =
-    q68Live.synchronized { q68Live ++= fs }
-  private[operators] def q68Release(): Unit = q68Live.synchronized {
-    q68Live.foreach(_.unpersist(false)); q68Live.clear()
-  }
-
   /** 3-gram word shingles of the doc text (order-sensitive — the corpus has
     * a tiny vocab, so token *sets* saturate; shingles don't). Uses the
     * compiled single-pass expression (graft.plans.TextExpressions); the
@@ -129,6 +116,78 @@ object Dedup {
   private[operators] def dupPairs(s: SparkSession, d: String): DataFrame =
     graft.sources.RelationCache.of(s, "dedup.dupPairs", d) {
       pairJaccard(s, d).filter(col("jaccard") >= 0.5)
+    }
+
+  /** Duplicate CLUSTERS (q68's converged result: cluster representative →
+    * member count for every n>1 component), RelationCache'd per (session,
+    * dir): the connected-components loop below runs ONCE per corpus, and
+    * every consumer — q68 itself, q152's effective-corpus accounting —
+    * reads the same converged relation, so they can never disagree about
+    * what a duplicate cluster is and the loop is never re-iterated.
+    *
+    * Connected components over the near-dup pair graph (capped
+    * inverted-index candidates, Jaccard ≥ 0.5) by iterative min-label
+    * propagation. The fixpoint — every doc labeled with the smallest
+    * doc_id reachable through dup edges — is UNIQUE, so the result is
+    * deterministic regardless of iteration schedule, and the DuckDB twin
+    * can compute it with a recursive CTE instead of mirroring the loop.
+    * Each round is one join + one aggregate (the standard distributed CC
+    * step); rounds needed = graph diameter (tiny for dup clusters).
+    *
+    * Cache discipline: the loop's intermediates (the symmetrized edge
+    * relation and per-round label frames) are persisted only while the
+    * loop runs; once the converged cluster aggregate is materialized into
+    * its own cache, every intermediate is unpersisted — steady state
+    * holds exactly ONE tiny relation per corpus, on any heap, with no
+    * GC-coupled release (PLANS.md forensics: a GC-coupled design read
+    * 2.7 s → 14.8 s on a 16 GiB heap). Eviction recomputes through the
+    * full join lineage — correct, just slower. */
+  private[graft] def dupClusters(s: SparkSession, d: String): DataFrame =
+    graft.sources.RelationCache.of(s, "dedup.dupClusters", d) {
+      val pairs = dupPairs(s, d).select(col("a"), col("b"))
+      val edges = pairs.unionByName(
+          pairs.select(col("b").as("a"), col("a").as("b")))
+        .withColumnRenamed("a", "src").withColumnRenamed("b", "dst")
+        .cache()
+      // Only edge endpoints can land in an n>1 cluster, so the label
+      // frontier is the (tiny) non-isolated vertex set — the corpus-sized
+      // singleton set never enters the loop. At 100 TB the iteration
+      // state is O(dup docs), not O(docs).
+      val nodes = edges.select(col("src").as("doc_id")).distinct()
+      var cached = nodes.select(col("doc_id"), col("doc_id").as("label")).cache()
+      var labels = cached
+      var changed = 1L
+      while (changed > 0) {
+        val neighborMin = edges.join(labels, edges("dst") === labels("doc_id"))
+          .groupBy(col("src")).agg(min(col("label")).as("nmin"))
+        // carry the previous label through the update so the convergence
+        // check is a filter on the SAME cached relation — one action per
+        // round (materialize + count changed together), not a second
+        // join job over the frontier
+        val joined = labels.join(neighborMin,
+          labels("doc_id") === neighborMin("src"), "left")
+        val next = joined.select(labels("doc_id").as("doc_id"),
+          least(labels("label"), coalesce(col("nmin"), labels("label"))).as("label"),
+          labels("label").as("old")).cache()
+        changed = next.filter(col("label") =!= col("old")).count()
+        // `labels` is a projection of `cached` — unpersist the cached DF
+        // itself or the block never releases
+        cached.unpersist(false)
+        cached = next
+        labels = next.select(col("doc_id"), col("label"))
+      }
+      val clusters = labels.groupBy(col("label").as("cluster_rep"))
+        .agg(count(lit(1)).as("n_members"))
+        .filter(col("n_members") > 1)
+        .orderBy(col("cluster_rep"))
+      // materialize the converged aggregate into ITS cache (cache() here
+      // is the same call RelationCache makes — idempotent), then release
+      // every loop intermediate before returning
+      clusters.cache()
+      clusters.count()
+      edges.unpersist(false)
+      cached.unpersist(false)
+      clusters
     }
 
   /** DuckDB twin of the capped shared-count Jaccard over a (doc_id, sh)
@@ -284,70 +343,10 @@ object Dedup {
       dupPairs(s, d).orderBy(col("a"), col("b"))
     }),
 
-    // Duplicate CLUSTERS, not just pairs: connected components over the
-    // near-dup pair graph (capped inverted-index candidates, Jaccard ≥
-    // 0.5), by iterative min-label propagation. The fixpoint — every doc
-    // labeled with the smallest doc_id reachable through dup edges — is
-    // UNIQUE, so the result is deterministic regardless of iteration
-    // schedule, and the DuckDB twin can compute it with a recursive CTE
-    // instead of mirroring the loop. Each round is one join + one
-    // aggregate (the standard distributed connected-components step);
-    // rounds needed = graph diameter (tiny for dup clusters).
-    "q68_dup_clusters" -> ((s, d) => {
-      // Deterministic cleanup FIRST: release whatever the previous
-      // invocation left persisted for its returned plan. ContextCleaner
-      // frees cache/checkpoint blocks only when the JVM GC collects their
-      // handles, so on a big heap (rare minor GCs) a GC-coupled design
-      // accretes dead blocks across invocations — PLANS.md forensics show
-      // 2.7 s → 14.8 s at a 16 GiB heap. With an explicit handoff, at
-      // most ONE invocation's blocks are ever live, on any heap.
-      q68Release()
-      val pairs = dupPairs(s, d).select(col("a"), col("b"))
-      val edges = pairs.unionByName(
-          pairs.select(col("b").as("a"), col("a").as("b")))
-        .withColumnRenamed("a", "src").withColumnRenamed("b", "dst")
-        .cache()
-      // Only edge endpoints can land in an n>1 cluster, so the label
-      // frontier is the (tiny) non-isolated vertex set — the corpus-sized
-      // singleton set never enters the loop. At 100 TB the iteration state
-      // is O(dup docs), not O(docs).
-      val nodes = edges.select(col("src").as("doc_id")).distinct()
-      var cached = nodes.select(col("doc_id"), col("doc_id").as("label")).cache()
-      var labels = cached
-      var changed = 1L
-      while (changed > 0) {
-        val neighborMin = edges.join(labels, edges("dst") === labels("doc_id"))
-          .groupBy(col("src")).agg(min(col("label")).as("nmin"))
-        // carry the previous label through the update so the convergence
-        // check is a filter on the SAME cached relation — one action per
-        // round (materialize + count changed together), not a second join
-        // job over the frontier
-        val joined = labels.join(neighborMin,
-          labels("doc_id") === neighborMin("src"), "left")
-        val next = joined.select(labels("doc_id").as("doc_id"),
-          least(labels("label"), coalesce(col("nmin"), labels("label"))).as("label"),
-          labels("label").as("old")).cache()
-        changed = next.filter(col("label") =!= col("old")).count()
-        // `labels` is a projection of `cached` — unpersist the cached DF
-        // itself or the block never releases
-        cached.unpersist(false)
-        cached = next
-        labels = next.select(col("doc_id"), col("label"))
-      }
-      // The returned plan reads the converged labels straight from the
-      // final round's cache (already materialized by the convergence
-      // count) — NO localCheckpoint: a local checkpoint's blocks are
-      // released only when the GC collects the internal RDD handle,
-      // which is exactly the nondeterminism this query used to carry.
-      // `edges` must stay persisted too (it is the recompute path if the
-      // labels cache is evicted); both are handed to q68Live and
-      // unpersisted explicitly at the next invocation.
-      q68Retain(edges, cached)
-      labels.groupBy(col("label").as("cluster_rep"))
-        .agg(count(lit(1)).as("n_members"))
-        .filter(col("n_members") > 1)
-        .orderBy(col("cluster_rep"))
-    }),
+    // Duplicate CLUSTERS, not just pairs — the RelationCache'd converged
+    // connected-components relation (see [[dupClusters]] for the
+    // algorithm and cache discipline); q152 reads the same relation.
+    "q68_dup_clusters" -> ((s, d) => dupClusters(s, d)),
 
     // Embedding-cosine near-dup, blocked by sign-random-projection LSH
     // bands (deterministic md5-seeded hyperplanes) — NOT by a data column:

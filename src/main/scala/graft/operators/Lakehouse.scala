@@ -364,17 +364,22 @@ object Lakehouse {
     TableCache.baseDir + "/delta_export_" +
       java.nio.file.Paths.get(d).getFileName.toString
 
-  /** lineitem slice with a 3-version history (create evens-of-3, append
-    * ones-of-3, copy-on-write DELETE of l_quantity < 10) exported as a
-    * Delta transaction log in place — adds AND removes, so a reader that
-    * ignores remove actions double-counts and breaks the gate. */
+  /** lineitem slice with a 4-version history (create evens-of-3, append
+    * ones-of-3, copy-on-write DELETE of l_quantity < 10, then a FINAL
+    * append of twos-of-3 with NO export call) exported as a Delta
+    * transaction log in place — adds AND removes, so a reader that
+    * ignores remove actions double-counts and breaks the gate. The last
+    * append lands AFTER the explicit export created `_delta_log`, so its
+    * log entry exists only if the WRITE-THROUGH commit hook advanced the
+    * log — the oracle gate on q143/q144/q149 is the proof that a foreign
+    * reader sees a plain append immediately, no re-export step. */
   private[graft] def deltaExportRoot(s: SparkSession, d: String): String = {
     val root = deltaExportDir(d)
     val rootPath = java.nio.file.Paths.get(root)
     val stampFile = rootPath.resolve("_source_stamp")
     val src = java.nio.file.Paths.get(d, "lineitem.parquet")
     val stamp = s"$d:${java.nio.file.Files.size(src)}:" +
-      s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}:v1"
+      s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}:v2"
     try TableCache.locked(root) {
       // regenerated source testdata under the same dir name → throw the
       // whole export away and rebuild (the stamp plays the role the
@@ -397,10 +402,16 @@ object Lakehouse {
         LakehouseTable.deleteWhere(s, root, "l_quantity < 10.0", Nil)
       LakehouseTable.exportDeltaLog(s, root) // incremental; no-op when current
       // checkpoint MID-history (v1): readers must seed from it AND replay
-      // the v2 JSON tail — gating both halves of the checkpoint protocol
+      // the JSON tail — gating both halves of the checkpoint protocol
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(root,
           "_delta_log", f"${1L}%020d.checkpoint.parquet")))
         LakehouseTable.exportDeltaCheckpoint(s, root, 1L)
+      // v3: a PLAIN append with no export call — `_delta_log` already
+      // exists, so the write-through commit hook must advance the log
+      // itself; every delta-gate query (q143/q144/q149) then depends on
+      // that hook having fired
+      if (LakehouseTable.currentVersion(root).contains(2L))
+        LakehouseTable.append(li.filter(col("l_orderkey") % 3 === 2), root)
       if (!java.nio.file.Files.exists(stampFile))
         java.nio.file.Files.writeString(stampFile, stamp)
     } catch {
@@ -1129,8 +1140,9 @@ object Lakehouse {
     "q143_delta_export" -> sqlDeltaFinalState,
 
     // the checkpoint gate: DuckDB seeds the live set from the v1
-    // checkpoint PARQUET, replays only the v2 JSON tail (the builder's
-    // history is exactly v0-v2, so the tail file name is static), and
+    // checkpoint PARQUET, replays only the post-checkpoint JSON tail
+    // (the builder's history is exactly v0-v3, so the tail file names
+    // are static — v2's COW delete plus v3's write-through append), and
     // scans the surviving files — the foreign-reader checkpoint protocol
     // end to end (path pinned to the gate SF, as q144)
     "q149_delta_checkpoint" ->
@@ -1139,7 +1151,9 @@ object Lakehouse {
             FROM read_parquet('${deltaExportDir("/root/testdata/sf0.01")}/_delta_log/00000000000000000001.checkpoint.parquet')
             WHERE add IS NOT NULL),
           tail AS (
-            SELECT * FROM read_json_auto('${deltaExportDir("/root/testdata/sf0.01")}/_delta_log/00000000000000000002.json',
+            SELECT * FROM read_json_auto(
+              ['${deltaExportDir("/root/testdata/sf0.01")}/_delta_log/00000000000000000002.json',
+               '${deltaExportDir("/root/testdata/sf0.01")}/_delta_log/00000000000000000003.json'],
               format='newline_delimited', union_by_name=true)),
           adds AS (SELECT add.path AS p FROM tail WHERE add IS NOT NULL),
           removes AS (SELECT remove.path AS p FROM tail WHERE remove IS NOT NULL),
@@ -1188,6 +1202,6 @@ object Lakehouse {
           ${Exact.sqlMoneySum("l_extendedprice")} AS sum_price,
           CAST(sum(l_orderkey) AS BIGINT) AS key_sum
         FROM lineitem
-        WHERE l_orderkey % 3 < 2 AND l_quantity >= 10.0
+        WHERE l_orderkey % 3 = 2 OR (l_orderkey % 3 < 2 AND l_quantity >= 10.0)
         GROUP BY 1 ORDER BY 1"""
 }

@@ -53,11 +53,13 @@ object Pipelines {
     // whether a source is worth more epochs: each q68 duplicate cluster
     // contributes ONE document, so n_effective = n_docs - Σ(|cluster|-1),
     // clusters attributed to their representative's language (the min
-    // doc id — deterministic). Reuses q68's converged cluster relation
-    // verbatim (same caps, same threshold), so the two queries can never
-    // disagree about what a duplicate is.
+    // doc id — deterministic). Reads q68's RelationCache'd converged
+    // cluster relation directly (same caps, same threshold), so the two
+    // queries can never disagree about what a duplicate is AND the
+    // connected-components loop runs once per corpus, not once per
+    // consumer.
     "q152_effective_corpus" -> ((s, d) => {
-      val clusters = Dedup.queries("q68_dup_clusters")(s, d)
+      val clusters = Dedup.dupClusters(s, d)
       val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
       val excess = clusters
         .join(docs, clusters("cluster_rep") === docs("doc_id"))

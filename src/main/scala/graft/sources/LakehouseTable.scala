@@ -219,8 +219,39 @@ object LakehouseTable {
           s"version $version at $root was committed by another writer; " +
             "re-read the table and retry")
     } finally Files.deleteIfExists(tmp)
+    maybeAdvanceDeltaLog(root)
     version
   }
+
+  /** Delta-log checkpoint cadence for write-through tables: one parquet
+    * checkpoint per this many log versions (Delta's own default). */
+  private val DeltaCheckpointInterval = 10L
+
+  /** WRITE-THROUGH Delta mirror: once a table has been exported
+    * ([[exportDeltaLog]] created `root/_delta_log`), every subsequent
+    * commit advances the log in the same call — a foreign Delta reader
+    * sees each append/merge/overwrite immediately, with no explicit
+    * re-export step. Checkpoints ride the same hook every
+    * [[DeltaCheckpointInterval]] versions, so a reader's replay cost stays
+    * O(interval), not O(history). Crash-safe by construction: the export
+    * is incremental and idempotent (version-named log files, atomic
+    * moves), so a commit whose hook died mid-way is simply caught up by
+    * the next commit's hook — the log can lag the manifest, never diverge
+    * from it. Needs an active SparkSession for schema derivation; a
+    * commit issued with none active (not a case the engine produces —
+    * every write path starts from a DataFrame) skips and self-heals on
+    * the next commit too. */
+  private def maybeAdvanceDeltaLog(root: String): Unit =
+    if (Files.isDirectory(Paths.get(root, "_delta_log")))
+      SparkSession.getActiveSession.foreach { spark =>
+        exportDeltaLog(spark, root)
+        currentVersion(root).foreach { v =>
+          if (v > 0 && v % DeltaCheckpointInterval == 0 &&
+              !Files.exists(Paths.get(root, "_delta_log",
+                f"$v%020d.checkpoint.parquet")))
+            exportDeltaCheckpoint(spark, root, v)
+        }
+      }
 
   /** Write a new file set and return its data-relative paths. Files are
     * staged (Spark controls that layout) then MOVED into the shared hive

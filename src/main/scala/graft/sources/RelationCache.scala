@@ -44,7 +44,11 @@ object RelationCache {
             !stale
           }
           val df = build
-          df.cache()
+          // a build that pre-materialized (e.g. the CC loop caching its
+          // converged result before releasing intermediates) arrives
+          // already persisted — don't double-register it
+          if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+            df.cache()
           m.put(full, df)
           df
       }

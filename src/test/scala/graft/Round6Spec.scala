@@ -148,6 +148,66 @@ class Round6Spec extends AnyFunSuite {
     assert(graft.operators.Similarity.semDedupFlags(cold).count() == 49L)
   }
 
+  test("q152 reads q68's converged clusters from the cache — no second CC iteration") {
+    val sf = "/root/testdata/sf0.001"
+    // q68 first: builds the RelationCache'd converged cluster relation
+    val q68 = SparkEntry.queries("q68_dup_clusters")(spark, sf)
+    q68.count()
+    // q152's plan must read that cache: its only FILE leaves are the two
+    // documents scans (per-lang totals + rep-lang attribution); any
+    // shingle/pair/CC lineage outside an InMemoryRelation means the loop
+    // would re-run per consumer (tree collect does not descend into an
+    // InMemoryRelation's stored child plan, so a file relation counted
+    // here is one the query would actually re-scan)
+    val q152 = SparkEntry.queries("q152_effective_corpus")(spark, sf)
+    val lp = q152.queryExecution.optimizedPlan
+    val fileRels = lp.collect {
+      case l if l.getClass.getSimpleName.startsWith("LogicalRelation") => l
+    }.size
+    val inMem = lp.collect {
+      case m if m.getClass.getSimpleName == "InMemoryRelation" => m
+    }.size
+    assert(inMem >= 1, s"q152 must read the cached cluster relation:\n$lp")
+    assert(fileRels <= 2,
+      s"q152 scans $fileRels file relations — the CC lineage leaked out of the cache:\n$lp")
+    // and both queries agree with themselves after the share
+    assert(q68.count() > 0 && q152.count() > 0)
+  }
+
+  test("write-through delta mirror: a plain append advances _delta_log with no export call") {
+    import spark.implicits._
+    val root = freshRoot("writethrough")
+    LT.create(Seq((1L, "a")).toDF("id", "v"), root)
+    LT.exportDeltaLog(spark, root) // arms the mirror
+    // plain append — NO export call anywhere after this line
+    LT.append(Seq((2L, "b")).toDF("id", "v"), root)
+    val logV1 = java.nio.file.Paths.get(root, "_delta_log",
+      f"${1L}%020d.json")
+    assert(java.nio.file.Files.exists(logV1),
+      "commit hook must have advanced the delta log to v1")
+    // a foreign reader (log-only replay) sees the appended row immediately
+    val got = LT.readDeltaExport(spark, root, useCheckpoint = false)
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "b")))
+    // merge/overwrite ride the same hook: overwrite → v2 in the log
+    LT.overwrite(Seq((9L, "z")).toDF("id", "v"), root)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root,
+      "_delta_log", f"${2L}%020d.json")))
+    assert(LT.readDeltaExport(spark, root, useCheckpoint = false)
+      .as[(Long, String)].collect().toSet == Set((9L, "z")))
+    // checkpoint cadence: versions 3..10 via appends → a v10 checkpoint
+    // appears with no explicit checkpoint call
+    (3 to 10).foreach(i => LT.append(Seq((i.toLong, s"r$i")).toDF("id", "v"), root))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root,
+      "_delta_log", f"${10L}%020d.checkpoint.parquet")),
+      "every-10-versions checkpoint cadence must fire inside the hook")
+    // and an UN-exported table pays nothing: no _delta_log appears
+    val plain = freshRoot("writethrough_plain")
+    LT.create(Seq((1L, "a")).toDF("id", "v"), plain)
+    LT.append(Seq((2L, "b")).toDF("id", "v"), plain)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(plain, "_delta_log")))
+  }
+
   test("eventsStream over an empty staging dir falls back to the declared schema") {
     val dir = java.nio.file.Files.createTempDirectory("round6-empty-stage").toString
     // must NOT throw (start-before-first-file deployment)
