@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, GraftStreamingShims, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.LakehouseTable
+
+/** Micro-batch STREAMING SOURCE over a graft lakehouse table: offsets are
+  * the table's manifest VERSIONS, and each micro-batch is exactly the
+  * manifest-diff delta between two committed versions
+  * ([[LakehouseTable.readIncremental]] — new files only, never a rescan).
+  * The first batch is the full snapshot at the then-current version, then
+  * the source tails commits: append N rows → one micro-batch of exactly
+  * those N rows. This is Delta's streaming-source design (reservoir
+  * version offsets + AddFile tailing) expressed over the graft manifest.
+  *
+  * Restart safety comes from the engine's own offset log: the checkpoint
+  * stores the version reached, `getBatch(Some(v5), v7)` after a restart
+  * re-reads files added in (v5, v7] and nothing else — the data files are
+  * immutable, so a replayed range is bit-identical. Non-append
+  * transitions (COW delete / merge / overwrite rewrote or dropped files)
+  * are REFUSED by default, like Delta without `ignoreChanges`: a file
+  * diff would re-emit every surviving row of a rewritten file. Pass
+  * `.option("ignoreChanges", "true")` to tail the added files anyway
+  * (per-file replay semantics, rewritten rows re-emitted — the documented
+  * Delta trade).
+  *
+  * Scale shape: `getOffset` is one manifest-dir listing; `getBatch` is
+  * two manifest reads + a scan of ONLY the new files. Nothing is
+  * proportional to table size except the initial snapshot.
+  *
+  * Usage:
+  * {{{
+  *   spark.readStream
+  *     .format("graft-table")            // or the provider's class name
+  *     .option("path", tableRoot)
+  *     .load()
+  * }}}
+  */
+class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegister {
+  override def shortName(): String = "graft-table"
+
+  private def rootOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-table source requires .option(\"path\", <table root>)"))
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(
+      LakehouseTable.read(sqlContext.sparkSession, rootOf(parameters)).schema))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new GraftTableSource(sqlContext.sparkSession, rootOf(parameters),
+      sourceSchema(sqlContext, schema, providerName, parameters)._2,
+      ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean))
+}
+
+/** Version offset for [[GraftTableSource]]: `json` is the bare version
+  * number, so the engine's checkpointed `SerializedOffset` round-trips
+  * with a `.toLong`. */
+case class GraftVersionOffset(v: Long) extends Offset {
+  override def json: String = v.toString
+}
+
+class GraftTableSource(spark: SparkSession, root: String,
+    override val schema: StructType, ignoreChanges: Boolean) extends Source {
+
+  private def versionOf(o: Offset): Long = o match {
+    case GraftVersionOffset(v) => v
+    case other                 => other.json.trim.toLong // SerializedOffset
+  }
+
+  /** Latest committed version — the engine plans a batch whenever this
+    * advances past the last processed offset. */
+  override def getOffset: Option[Offset] =
+    LakehouseTable.currentVersion(root).map(GraftVersionOffset)
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val endV = versionOf(end)
+    val batch = start match {
+      // first batch of a fresh query: the full snapshot at endV (Delta's
+      // initial reservoir read)
+      case None => LakehouseTable.read(spark, root, Some(endV))
+      case Some(s) =>
+        val fromV = versionOf(s)
+        if (fromV >= endV)
+          LakehouseTable.read(spark, root, Some(endV)).limit(0)
+        else {
+          if (!ignoreChanges &&
+              LakehouseTable.removedFilesBetween(root, fromV, endV).nonEmpty)
+            throw new IllegalStateException(
+              s"graft-table stream over $root: versions ($fromV, $endV] " +
+                "rewrote or dropped data files (delete/merge/overwrite/" +
+                "compact); a file-diff batch would re-emit surviving rows. " +
+                "Restart from scratch or set ignoreChanges=true to accept " +
+                "per-file replay semantics.")
+          LakehouseTable.readIncremental(spark, root, fromV, Some(endV))
+        }
+    }
+    // project to the source's DECLARED schema (order + types): an
+    // ALTER-evolved table may surface a union schema on the delta read,
+    // and the engine requires every batch to match the schema it planned
+    val aligned = batch.select(schema.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    GraftStreamingShims.streamingDataFrame(spark, aligned)
+  }
+
+  override def stop(): Unit = ()
+}

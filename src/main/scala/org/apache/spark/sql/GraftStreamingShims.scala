@@ -1,0 +1,21 @@
+package org.apache.spark.sql
+
+/** One-method bridge into `private[sql]` territory: a DSv1 streaming
+  * `Source.getBatch` must return a DataFrame whose logical plan carries
+  * `isStreaming = true` (MicroBatchExecution asserts it), and the only
+  * constructor for that — `internalCreateDataFrame` — is `private[sql]`.
+  * Spark's own file stream source uses exactly this call
+  * (`FileStreamSource.getBatch` →
+  * `sparkSession.internalCreateDataFrame(rdd, schema, isStreaming =
+  * true)`); this shim re-exposes it to graft's table source and nothing
+  * else. Kept to the minimum surface: one pure function, no state
+  * (public visibility: the caller lives in package graft.streaming). */
+object GraftStreamingShims {
+  /** `df`'s rows as a streaming-tagged DataFrame with the same schema. */
+  def streamingDataFrame(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val cdf = df.asInstanceOf[classic.Dataset[Row]]
+    cs.internalCreateDataFrame(cdf.queryExecution.toRdd, df.schema,
+      isStreaming = true)
+  }
+}

@@ -453,4 +453,69 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(2L) == "a", s"late event history was '${rows(2L)}'")
     assert(rows(1L) == "" && rows(3L) == "a")
   }
+
+  test("graft-table source tails manifest versions: stream ≡ readIncremental per range") {
+    import spark.implicits._
+    import graft.sources.{LakehouseTable => LT}
+    val base = Files.createTempDirectory("graft-table-src")
+    val root = base.resolve("tbl").toString
+    val ckpt = base.resolve("ckpt").toString
+    LT.create(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root)
+    // foreachBatch sink (checkpoint-recoverable, unlike memory) recording
+    // every delivered (id, v) — the observable row multiset
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    def stream() = spark.readStream
+      .format("graft-table").option("path", root).load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.collect().foreach(r => seen.add((r.getLong(0), r.getString(1)))); ()
+      }.start()
+    val q = stream()
+    q.processAllAvailable()
+    // batch 0 = the v0 snapshot
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.toSet == Set((1L, "a"), (2L, "b")))
+    // two commits while running → tailed as deltas, row set = snapshot +
+    // exactly the incremental reads over (0,2]
+    LT.append(Seq((3L, "c")).toDF("id", "v"), root)
+    q.processAllAvailable()
+    LT.append(Seq((4L, "d"), (5L, "e")).toDF("id", "v"), root)
+    q.processAllAvailable()
+    val incremental = LT.read(spark, root, Some(0L)).as[(Long, String)].collect().toSet ++
+      LT.readIncremental(spark, root, 0L, Some(2L)).as[(Long, String)].collect().toSet
+    assert(seen.asScala.toSet == incremental && seen.size == 5,
+      s"streamed ${seen.asScala.toSet} != incremental $incremental")
+    q.stop()
+    // RESTART from the checkpoint: a commit made while the query was DOWN
+    // arrives exactly once, nothing replays (seen would exceed 6 rows)
+    LT.append(Seq((6L, "f")).toDF("id", "v"), root)
+    val q2 = stream()
+    q2.processAllAvailable(); q2.stop()
+    assert(seen.asScala.toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"), (6L, "f")))
+    assert(seen.size == 6, s"replayed rows detected: ${seen.asScala.toSeq.sorted}")
+  }
+
+  test("graft-table source refuses a rewrite range unless ignoreChanges") {
+    import spark.implicits._
+    import graft.sources.{LakehouseTable => LT}
+    val base = Files.createTempDirectory("graft-table-src-rw")
+    val root = base.resolve("tbl").toString
+    LT.create(Seq((1L, 5.0), (2L, 50.0)).toDF("id", "v"), root)
+    val q = spark.readStream.format("graft-table").option("path", root).load()
+      .writeStream.outputMode("append").format("memory")
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .queryName("t_graft_rw").start()
+    q.processAllAvailable()
+    // a COW delete rewrites the surviving file → the next batch MUST fail
+    LT.deleteWhere(spark, root, "v < 10.0", Nil)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable(); q.awaitTermination()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+    assert(causes(err).exists(_.getMessage != null) &&
+      causes(err).exists(c => Option(c.getMessage).exists(_.contains("rewrote or dropped"))))
+  }
 }
