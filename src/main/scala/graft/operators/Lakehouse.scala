@@ -283,6 +283,45 @@ object Lakehouse {
     root
   }
 
+  /** orders run through the TYPE-WIDENING lifecycle, SQL strings only:
+    * v0 CREATEs an evens-slice with deliberately NARROW columns (cust INT,
+    * price_f FLOAT), v1 widens cust → BIGINT and v2 widens price_f →
+    * DOUBLE (both metadata-only epochs — the int32/float32 files are
+    * never rewritten), v3 INSERTs the odds-slice THROUGH the widened
+    * schema (int64/float64 files). The final read spans both physical
+    * epochs under one explicit wide schema; old rows surface their
+    * float-rounded values exactly (the oracle mirrors the rounding per
+    * slice), new rows full doubles — any mis-cast breaks the hash. */
+  private[graft] def ordersWidenRoot(s: SparkSession, d: String): String = {
+    val root = TableCache.root(d, "orders", "sql-widen:v1")
+    val name = "orders_widen"
+    try TableCache.locked(root) {
+      Tables.registerAll(s, d)
+      if (LakehouseTable.versions(root).isEmpty)
+        graft.sql.GraftSql.sql(s,
+          s"""CREATE TABLE $name USING graft LOCATION '$root' AS
+              SELECT o_orderkey, o_orderstatus, CAST(o_custkey AS INT) AS cust,
+                     CAST(o_totalprice AS FLOAT) AS price_f
+              FROM orders WHERE o_orderkey % 2 = 0""")
+      graft.sql.GraftSql.register(s, name, root)
+      if (LakehouseTable.currentVersion(root).contains(0L))
+        graft.sql.GraftSql.sql(s,
+          s"ALTER TABLE $name ALTER COLUMN cust TYPE BIGINT")
+      if (LakehouseTable.currentVersion(root).contains(1L))
+        graft.sql.GraftSql.sql(s,
+          s"ALTER TABLE $name ALTER COLUMN price_f TYPE DOUBLE")
+      if (LakehouseTable.currentVersion(root).contains(2L))
+        graft.sql.GraftSql.sql(s,
+          s"""INSERT INTO $name
+              SELECT o_orderkey, o_orderstatus, o_custkey AS cust,
+                     o_totalprice AS price_f
+              FROM orders WHERE o_orderkey % 2 = 1""")
+    } catch {
+      case e if raceLost(e) => () // see lineitemZRoot
+    }
+    root
+  }
+
   /** orders run through the COLUMN-MAPPING lifecycle, SQL strings only:
     * v0 CREATEs a 4-column thirds-slice, v1 RENAMEs o_totalprice → price
     * (metadata-only: files keep the physical name), v2 DROPs o_custkey
@@ -695,6 +734,22 @@ object Lakehouse {
            FROM orders_alter GROUP BY 1 ORDER BY 1""")
     }),
 
+    // Type widening under the gate: narrow-epoch files (int32/float32)
+    // and wide-epoch files (int64/float64) read as ONE widened schema;
+    // min/max of the float-epoch rows must equal the oracle's explicit
+    // per-slice float rounding (order-free aggregates only — a double
+    // SUM would hash-drift on reduction order).
+    "q153_sql_type_widening" -> ((s, d) => {
+      val root = ordersWidenRoot(s, d)
+      graft.sql.GraftSql.register(s, "orders_widen", root)
+      graft.sql.GraftSql.sql(s,
+        """SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(cust) AS BIGINT) AS cust_sum,
+             min(price_f) AS min_pf, max(price_f) AS max_pf,
+             CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+           FROM orders_widen GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    }),
+
     // Column mapping under the gate: RENAME + DROP are metadata-only
     // epochs, the post-rename INSERT and UPDATE write through the logical
     // schema, and the final read must surface one consistent logical
@@ -1102,6 +1157,20 @@ object Lakehouse {
            CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
            min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
          FROM unioned GROUP BY 1 ORDER BY 1""",
+
+    // per-slice mirror of the widening epochs: even keys were written as
+    // FLOAT (surface float-rounded-to-double), odd keys as DOUBLE
+    "q153_sql_type_widening" ->
+      """SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(o_custkey AS BIGINT)) AS BIGINT) AS cust_sum,
+           min(CASE WHEN o_orderkey % 2 = 0
+                 THEN CAST(CAST(o_totalprice AS REAL) AS DOUBLE)
+                 ELSE o_totalprice END) AS min_pf,
+           max(CASE WHEN o_orderkey % 2 = 0
+                 THEN CAST(CAST(o_totalprice AS REAL) AS DOUBLE)
+                 ELSE o_totalprice END) AS max_pf,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         FROM orders GROUP BY 1 ORDER BY 1""",
 
     "q151_sql_check_constraint" ->
       """WITH kept AS (

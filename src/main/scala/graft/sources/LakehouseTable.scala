@@ -148,6 +148,29 @@ object LakehouseTable {
   private def encodeRenames(rs: Seq[(String, String)]): String =
     rs.map { case (p, l) => s"$p>$l" }.mkString(", ")
 
+  private val WidenedColsRe = """"widenedCols":\s*"([^"]*)"""".r
+
+  /** ALTER COLUMN TYPE widening state as of version `v`: (physical column
+    * name → widened SQL type) pairs, metadata-only like
+    * [[renamedColumnsAt]]. Data files keep whatever physical type their
+    * write epoch used (int32 before an int→bigint widen, int64 after —
+    * nothing is rewritten); reads request the WIDENED type from the
+    * parquet reader, which up-converts narrow physical values per file.
+    * Travels with the version: time travel to a pre-widen version reads
+    * the original type. This is Delta's type-widening table feature
+    * expressed over the graft manifest. */
+  def widenedColumnsAt(root: String, v: Long): Seq[(String, String)] =
+    WidenedColsRe.findFirstMatchIn(
+      Files.readString(manifestDir(root).resolve(s"$v.json")))
+      .map(_.group(1)).filter(_.nonEmpty).toSeq
+      .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { pair =>
+        val Array(phys, t) = pair.split(">", 2)
+        phys.trim -> t.trim
+      })
+
+  private def encodeWidens(ws: Seq[(String, String)]): String =
+    ws.map { case (p, t) => s"$p>$t" }.mkString(", ")
+
   /** Columns added by ALTER TABLE as a DDL string ("c1 INT, c2 STRING"),
     * as recorded in version `v`'s manifest — empty when the version
     * predates any ALTER. Schema travels WITH the manifest version, so
@@ -166,7 +189,8 @@ object LakehouseTable {
       txn: Option[Long] = None, txnApp: String = DefaultTxnApp,
       addedCols: Option[String] = None,
       renamedCols: Option[String] = None,
-      droppedCols: Option[String] = None): Long = {
+      droppedCols: Option[String] = None,
+      widenedCols: Option[String] = None): Long = {
     relFiles.find(f => f.contains('"') || f.contains(',')).foreach(f =>
       throw new IllegalArgumentException(
         s"""data file path contains '"' or ',' (unsupported in partition values): $f"""))
@@ -195,14 +219,18 @@ object LakehouseTable {
       prevV.map(v => encodeRenames(renamedColumnsAt(root, v))).getOrElse(""))
     val drops = droppedCols.getOrElse(
       prevV.map(v => droppedColumnsAt(root, v).mkString(", ")).getOrElse(""))
+    val widens = widenedCols.getOrElse(
+      prevV.map(v => encodeWidens(widenedColumnsAt(root, v))).getOrElse(""))
     Seq("added-column DDL" -> cols, "renamed-column list" -> rens,
-      "dropped-column list" -> drops).foreach { case (what, s) =>
-      require(!s.exists(c => c == '[' || c == ']' || c == '"'),
-        s"""$what may not contain '[', ']', or '"': $s""")
-    }
+      "dropped-column list" -> drops, "widened-column list" -> widens)
+      .foreach { case (what, s) =>
+        require(!s.exists(c => c == '[' || c == ']' || c == '"'),
+          s"""$what may not contain '[', ']', or '"': $s""")
+      }
     val colsField = (if (cols.isEmpty) "" else s""""addedCols": "$cols", """) +
       (if (rens.isEmpty) "" else s""""renamedCols": "$rens", """) +
-      (if (drops.isEmpty) "" else s""""droppedCols": "$drops", """)
+      (if (drops.isEmpty) "" else s""""droppedCols": "$drops", """) +
+      (if (widens.isEmpty) "" else s""""widenedCols": "$widens", """)
     val json = relFiles.sorted.map(f => "\"" + f + "\"")
       .mkString(s"""{$txnField$colsField"files": [""", ", ", "]}")
     val tmp = manifestDir(root).resolve(s".$version.json.tmp-${java.util.UUID.randomUUID()}")
@@ -291,7 +319,17 @@ object LakehouseTable {
           throw new IllegalArgumentException(
             s"column '$c' was dropped from this table; its physical name " +
               "cannot be re-used without a full rewrite"))
-        mapped
+        // pin the WIDENED type on every post-widen write: all files of a
+        // widen epoch then share one physical type, which is what keeps
+        // the per-epoch footer inference in [[widenedPhysicalSchema]]
+        // mergeable (an int frame appended to an int→bigint table would
+        // otherwise mint a narrow file inside the wide epoch)
+        widenedColumnsAt(root, v).foldLeft(mapped) { case (acc, (phys, t)) =>
+          if (acc.columns.exists(_.equalsIgnoreCase(phys)))
+            acc.withColumn(phys, acc(phys).cast(
+              org.apache.spark.sql.types.DataType.fromDDL(t)))
+          else acc
+        }
     }
 
   private def writeFiles(logicalDf: DataFrame, root: String,
@@ -496,16 +534,22 @@ object LakehouseTable {
   def read(spark: SparkSession, root: String, version: Option[Long] = None): DataFrame = {
     val v = version.orElse(currentVersion(root)).getOrElse(
       throw new IllegalStateException(s"no table at $root"))
-    val files = readManifest(root, v).map(f => dataDir(root).resolve(f).toString)
+    val relFiles = readManifest(root, v)
+    val files = relFiles.map(f => dataDir(root).resolve(f).toString)
     // mergeSchema = schema evolution: a version whose appends added columns
     // reads as the union schema, older files fill the new columns with null
     // (Delta semantics). At 100 TB the merged schema would live in the
     // manifest instead of being re-derived from footers; footer reads here
     // are one small IO per file and keep the manifest format trivial.
-    val df = spark.read
-      .option("basePath", dataDir(root).toString)
-      .option("mergeSchema", "true")
-      .parquet(files: _*)
+    // A version with ALTER COLUMN TYPE widening in effect reads under an
+    // EXPLICIT derived schema instead: parquet inference refuses to merge
+    // int32 and int64 footers, but the reader happily serves a narrow
+    // file under a requested wider type — see [[widenedPhysicalSchema]].
+    val base = spark.read.option("basePath", dataDir(root).toString)
+    val df = widenedPhysicalSchema(spark, root, v, relFiles) match {
+      case Some(schema) => base.schema(schema).parquet(files: _*)
+      case None         => base.option("mergeSchema", "true").parquet(files: _*)
+    }
     // ALTER-added columns not yet carried by any data file surface as
     // typed nulls (the same union-schema semantics an append with the
     // column would produce); once files carry the column, the footer
@@ -544,8 +588,63 @@ object LakehouseTable {
     * and so rewrites round-trip logical → [[toPhysical]] → stable file
     * schema. */
   private def readFilesLogical(spark: SparkSession, root: String, v: Long,
-      relFiles: Seq[String]): DataFrame =
-    toLogical(readFiles(spark, root, relFiles), root, v)
+      relFiles: Seq[String]): DataFrame = {
+    // a widened table's pruned file set may span physical-type epochs —
+    // same explicit-schema read as [[read]] (COW rewrite paths included)
+    val raw = widenedPhysicalSchema(spark, root, v, relFiles) match {
+      case Some(schema) =>
+        spark.read.option("basePath", dataDir(root).toString).schema(schema)
+          .parquet(relFiles.map(f => dataDir(root).resolve(f).toString): _*)
+      case None => readFiles(spark, root, relFiles)
+    }
+    toLogical(raw, root, v)
+  }
+
+  /** Explicit physical-level read schema for a widened table at version
+    * `v` over `relFiles`, or None when no widening is in effect (the
+    * ordinary mergeSchema path applies). Files are grouped by the
+    * widen-state at their FIRST APPEARANCE in the history (each group's
+    * footers are mutually inference-mergeable — [[toPhysical]] pins every
+    * write epoch's types), each group's union schema is inferred, the
+    * widened target types are applied, and the groups union by name in
+    * epoch order. O(versions) manifest reads + one footer-inference pass
+    * per epoch group, only on widened tables; at 100 TB the schema would
+    * live in the manifest and this derivation disappears. */
+  private def widenedPhysicalSchema(spark: SparkSession, root: String,
+      v: Long, relFiles: Seq[String]): Option[org.apache.spark.sql.types.StructType] = {
+    val widens = widenedColumnsAt(root, v)
+    if (widens.isEmpty || relFiles.isEmpty) None
+    else {
+      import org.apache.spark.sql.types.{DataType, StructType}
+      val firstState = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      versions(root).filter(_ <= v).foreach { ver =>
+        val enc = encodeWidens(widenedColumnsAt(root, ver))
+        readManifest(root, ver).foreach(f =>
+          if (!firstState.contains(f)) firstState(f) = enc)
+      }
+      val want = relFiles.toSet
+      // groups in first-appearance order (deterministic column order)
+      val grouped = scala.collection.mutable.LinkedHashMap.empty[String, Vector[String]]
+      firstState.foreach { case (f, st) =>
+        if (want(f)) grouped(st) = grouped.getOrElse(st, Vector.empty) :+ f
+      }
+      def applyWidens(st: StructType): StructType = StructType(st.map { f =>
+        widens.find(_._1.equalsIgnoreCase(f.name)) match {
+          case Some((_, t)) => f.copy(dataType = DataType.fromDDL(t))
+          case None         => f
+        }
+      })
+      val schemas = grouped.values.toSeq.map { fs =>
+        applyWidens(spark.read.option("basePath", dataDir(root).toString)
+          .option("mergeSchema", "true")
+          .parquet(fs.map(f => dataDir(root).resolve(f).toString): _*).schema)
+      }
+      Some(schemas.reduceLeft { (acc, s) =>
+        val have = acc.map(_.name.toLowerCase).toSet
+        StructType(acc ++ s.filterNot(f => have.contains(f.name.toLowerCase)))
+      })
+    }
+  }
 
   /** Export the table's version history as a minimal Delta Lake
     * transaction log (`root/_delta_log/<v 20-digit>.json`, one JSON action
@@ -917,6 +1016,58 @@ object LakehouseTable {
     commit(root, cur + 1, readManifest(root, cur), addedCols = Some(merged))
   }
 
+  /** Exact numeric promotions ALTER COLUMN TYPE accepts — every narrow
+    * value is representable in the wide type, so old files read up with
+    * no value change (the Delta type-widening allow-list, minus the
+    * lossy long→double it also excludes). */
+  private def isWidening(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
+      case (ShortType, IntegerType | LongType | DoubleType)            => true
+      case (IntegerType, LongType | DoubleType)                        => true
+      case (FloatType, DoubleType)                                     => true
+      case _                                                           => false
+    }
+  }
+
+  /** ALTER TABLE ALTER COLUMN TYPE, widening only: a metadata-only type
+    * epoch (int→bigint, float→double, ...) on the column-mapping
+    * machinery. NOTHING is rewritten — files keep their write epoch's
+    * physical type and reads request the widened type from the parquet
+    * reader (see [[widenedColumnsAt]] / [[widenedPhysicalSchema]]); new
+    * writes are pinned to the wide type in [[toPhysical]]. Time travel to
+    * a pre-widen version sees the original type (each version's manifest
+    * carries its own widen state). Narrowing, non-numeric changes, and
+    * partition columns (their values live in directory names, parsed
+    * under the declared type) are rejected. */
+  def alterWidenColumnType(spark: SparkSession, root: String,
+      colName: String, newTypeDdl: String): Long = {
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no table at $root"))
+    val to = org.apache.spark.sql.types.DataType.fromDDL(newTypeDdl)
+    val schema = read(spark, root, Some(cur)).schema
+    val field = schema.find(_.name.equalsIgnoreCase(colName)).getOrElse(
+      throw new IllegalArgumentException(
+        s"ALTER COLUMN TYPE: no column '$colName' " +
+          s"(have ${schema.fieldNames.mkString(", ")})"))
+    require(isWidening(field.dataType, to),
+      s"ALTER COLUMN TYPE only widens (${field.dataType.sql} -> ${to.sql} " +
+        "is not an exact numeric promotion)")
+    require(!partitionColumns(root).exists(_.equalsIgnoreCase(colName)),
+      s"cannot change the type of partition column '$colName'")
+    // key the widen by the stable PHYSICAL name, like renames/drops, and
+    // REPLACE any previous widen of the same column (int→bigint then
+    // bigint→double stores one 'col>DOUBLE' entry; the legality check
+    // above already ran against the current EFFECTIVE type)
+    val phys = physicalNameAt(root, cur, field.name)
+    val merged = widenedColumnsAt(root, cur)
+      .filterNot(_._1.equalsIgnoreCase(phys)) :+ (phys -> to.sql)
+    commit(root, cur + 1, readManifest(root, cur),
+      widenedCols = Some(encodeWidens(merged)))
+  }
+
   private val IdentRe = "[A-Za-z_][A-Za-z0-9_]*"
 
   /** Resolve a LOGICAL column name to its stable physical name under
@@ -1025,8 +1176,10 @@ object LakehouseTable {
     // write WITHOUT the logical→physical lowering: the logical names ARE
     // the new physical schema of this rewrite
     val newFiles = writeFilesRaw(rewritten, root, partitionBy)
+    // widens clear too: the rewrite materialized the wide type physically
     commit(root, cur + 1, newFiles,
-      addedCols = Some(""), renamedCols = Some(""), droppedCols = Some(""))
+      addedCols = Some(""), renamedCols = Some(""), droppedCols = Some(""),
+      widenedCols = Some(""))
   }
 
   /** Physical column names actually present in version `v`'s data files
@@ -1539,7 +1692,8 @@ object LakehouseTable {
     commit(root, vs.last + 1, readManifest(root, toVersion),
       addedCols = Some(addedColumnsAt(root, toVersion)),
       renamedCols = Some(encodeRenames(renamedColumnsAt(root, toVersion))),
-      droppedCols = Some(droppedColumnsAt(root, toVersion).mkString(", ")))
+      droppedCols = Some(droppedColumnsAt(root, toVersion).mkString(", ")),
+      widenedCols = Some(encodeWidens(widenedColumnsAt(root, toVersion))))
   }
 
   /** Incremental read: rows of files ADDED after `fromVersion` up to

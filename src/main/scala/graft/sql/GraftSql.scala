@@ -29,6 +29,7 @@ import graft.sources.LakehouseTable
   *   DELETE FROM t WHERE cond
   *   RESTORE TABLE t TO VERSION AS OF n
   *   ALTER TABLE t ADD COLUMNS (c1 TYPE, ...)   -- metadata-only widening
+  *   ALTER TABLE t ALTER COLUMN c TYPE t2       -- metadata-only type widening
   *   ALTER TABLE t RENAME COLUMN old TO new     -- metadata-only (column mapping)
   *   ALTER TABLE t DROP COLUMN c | DROP COLUMNS (c1, ...)
   *   ALTER TABLE t ADD CONSTRAINT name CHECK (expr)   -- validated + enforced
@@ -543,6 +544,20 @@ case class AlterGraftTableRenameColumnCommand(name: String,
   }
 }
 
+/** ALTER TABLE name ALTER COLUMN c TYPE t — metadata-only type WIDENING
+  * epoch ([[LakehouseTable.alterWidenColumnType]]): files keep their write
+  * epoch's physical type, reads surface the widened type, time travel sees
+  * each epoch's own type. Narrowing is rejected. */
+case class AlterGraftTableColumnTypeCommand(name: String,
+    colName: String, newType: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val e = GraftCatalog.lookup(name).get
+    LakehouseTable.alterWidenColumnType(spark, e.root, colName, newType)
+    GraftCatalog.refreshView(spark, name)
+    Seq.empty
+  }
+}
+
 /** ALTER TABLE name DROP COLUMN c / DROP COLUMNS (c1, c2) — metadata-only
   * hide of the physical column ([[LakehouseTable.alterDropColumns]]); old
   * versions still see it via time travel. */
@@ -707,6 +722,8 @@ object GraftSqlStatements {
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+DROP\s+CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
   private val AlterDropColRe =
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+DROP\s+COLUMNS?\s+(?:\(\s*([^)]+?)\s*\)|([A-Za-z_][A-Za-z0-9_]*))\s*;?\s*$""".r
+  private val AlterColTypeRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ALTER\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+(?:SET\s+DATA\s+)?TYPE\s+([A-Za-z0-9_()\s,]+?)\s*;?\s*$""".r
   private val OnConjunctRe = """(?s)\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*""".r
 
   /** ON-clause → merge key columns. Only the equi-self-named form
@@ -799,6 +816,8 @@ object GraftSqlStatements {
         Some(AlterGraftTableDropColumnsCommand(name,
           Option(single).map(Seq(_)).getOrElse(
             list.split(",").toSeq.map(_.trim).filter(_.nonEmpty))))
+      case AlterColTypeRe(name, colName, newType) if GraftCatalog.lookup(name).isDefined =>
+        Some(AlterGraftTableColumnTypeCommand(name, colName, newType.trim))
       case _ => None
     }
   }

@@ -208,6 +208,41 @@ class Round6Spec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(plain, "_delta_log")))
   }
 
+  test("ALTER COLUMN TYPE widening: epoch-typed time travel, mixed-file reads, guarded narrowing") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val root = freshRoot("widen")
+    LT.create(Seq((1, 1.5f), (2, 2.5f)).toDF("i", "f"), root) // int32/float32 files
+    LT.alterWidenColumnType(spark, root, "i", "bigint")        // v1
+    LT.alterWidenColumnType(spark, root, "f", "double")        // v2
+    // post-widen append: toPhysical pins the wide type even for a narrow frame
+    LT.append(Seq((3, 3.5f)).toDF("i", "f"), root)             // v3
+    // current read: ONE schema over both physical epochs, all values exact
+    val cur = LT.read(spark, root)
+    assert(cur.schema("i").dataType == LongType && cur.schema("f").dataType == DoubleType)
+    assert(cur.as[(Long, Double)].collect().toSet ==
+      Set((1L, 1.5), (2L, 2.5), (3L, 3.5)))
+    // time travel sees each epoch's OWN type
+    assert(LT.read(spark, root, Some(0L)).schema("i").dataType == IntegerType)
+    assert(LT.read(spark, root, Some(1L)).schema("i").dataType == LongType)
+    assert(LT.read(spark, root, Some(1L)).schema("f").dataType == FloatType)
+    assert(LT.read(spark, root, Some(2L)).schema("f").dataType == DoubleType)
+    // COW delete across mixed epochs reads + rewrites correctly
+    LT.deleteWhere(spark, root, "i = 2", Nil)
+    assert(LT.read(spark, root).as[(Long, Double)].collect().toSet ==
+      Set((1L, 1.5), (3L, 3.5)))
+    // narrowing and non-numeric changes are refused
+    intercept[IllegalArgumentException] {
+      LT.alterWidenColumnType(spark, root, "i", "int")
+    }
+    intercept[IllegalArgumentException] {
+      LT.alterWidenColumnType(spark, root, "f", "string")
+    }
+    // RESTORE to the narrow epoch restores the narrow type
+    LT.restore(root, 0L)
+    assert(LT.read(spark, root).schema("i").dataType == IntegerType)
+  }
+
   test("eventsStream over an empty staging dir falls back to the declared schema") {
     val dir = java.nio.file.Files.createTempDirectory("round6-empty-stage").toString
     // must NOT throw (start-before-first-file deployment)
