@@ -200,6 +200,23 @@ object Similarity {
       assigned.repartition(col("cid")), indexRoot, partitionBy = Seq("cid"))
   }
 
+  /** IVF index DELETION — the third leg of the index lifecycle
+    * (build / append / delete): remove vectors matching `where` from the
+    * cell-partitioned index table as one file-pruned copy-on-write
+    * commit. Only the files that actually contain matching rows rewrite
+    * (cells with no match keep their files byte-identical), the hive
+    * `cid=` layout is preserved so the probe path's partition pruning is
+    * untouched, and the deletion is a table version like any other —
+    * time-travelable, vacuumable, and visible to the incremental/CDC
+    * readers. After a delete, a cell probe returns exactly what a full
+    * index REBUILD over the surviving vectors would return (asserted in
+    * Round6Spec): deletion never re-routes survivors, because cells are
+    * a pure per-vector function of the frozen centroids. */
+  def deleteFromCellIndex(s: SparkSession, indexRoot: String,
+      where: String): Long =
+    graft.sources.LakehouseTable.deleteWhere(s, indexRoot, where,
+      partitionBy = Seq("cid"))
+
   /** Cell-partitioned assignment read from the index table (cid restored
     * to BIGINT — hive partition values type-infer as INT), plus the
     * centroid vectors. Probing queries join/filter on `cid`, and the

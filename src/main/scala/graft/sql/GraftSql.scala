@@ -120,15 +120,27 @@ object GraftCatalog {
 
   private def key(name: String): String = name.toLowerCase
 
+  // descriptors are REAL JSON both ways (Spark's bundled Jackson): the
+  // writer escapes anything a name/root/expr can carry, the reader is a
+  // JSON parse — no regex that a ']' in a constraint name or a quote in a
+  // path could fracture. The on-disk shape is unchanged, so descriptors
+  // written by earlier versions load as-is.
+  private lazy val json = new com.fasterxml.jackson.databind.ObjectMapper()
+
   private def descriptor(e: Entry, name: String): String = {
-    def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // constraint exprs are arbitrary SQL — base64 keeps the descriptor
-    // free of escaping concerns (a catalog read must never misparse)
-    val cons = arr(e.constraints.map { case (n, ex) =>
-      n + ":" + java.util.Base64.getEncoder.encodeToString(
-        ex.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    })
-    s"""{"name":"$name","root":"${e.root}","partitionBy":${arr(e.partitionBy)},"rowKeys":${arr(e.rowKeys)},"constraints":$cons}"""
+    val node = json.createObjectNode()
+    node.put("name", name)
+    node.put("root", e.root)
+    val pb = node.putArray("partitionBy"); e.partitionBy.foreach(pb.add)
+    val rk = node.putArray("rowKeys"); e.rowKeys.foreach(rk.add)
+    // constraint exprs are arbitrary SQL — base64 keeps the stored form
+    // identical to the historical descriptors (and the ':'-split decode)
+    val cs = node.putArray("constraints")
+    e.constraints.foreach { case (n, ex) =>
+      cs.add(n + ":" + java.util.Base64.getEncoder.encodeToString(
+        ex.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    }
+    json.writeValueAsString(node)
   }
 
   private[sql] def decodeConstraint(s: String): (String, String) = {
@@ -137,12 +149,18 @@ object GraftCatalog {
       java.nio.charset.StandardCharsets.UTF_8)
   }
 
-  private val RootRe = """"root":\s*"([^"]*)"""".r
-  private val PartRe = """"partitionBy":\s*\[([^\]]*)\]""".r
-  private val KeysRe = """"rowKeys":\s*\[([^\]]*)\]""".r
-  private val ConsRe = """"constraints":\s*\[([^\]]*)\]""".r
-  private def strList(body: String): Seq[String] =
-    "\"([^\"]*)\"".r.findAllMatchIn(body).map(_.group(1)).toSeq
+  private def parseDescriptor(txt: String): Option[Entry] = {
+    import scala.jdk.CollectionConverters._
+    def strs(n: com.fasterxml.jackson.databind.JsonNode, f: String): Seq[String] =
+      Option(n.get(f)).toSeq.flatMap(_.elements().asScala.map(_.asText()).toSeq)
+    val node =
+      try json.readTree(txt)
+      catch { case _: com.fasterxml.jackson.core.JacksonException => return None }
+    Option(node.get("root")).map(_.asText()).map { r =>
+      Entry(r, strs(node, "partitionBy"), strs(node, "rowKeys"),
+        strs(node, "constraints").map(decodeConstraint))
+    }
+  }
 
   private def ensureLoaded(): Unit = if (!loaded) synchronized {
     if (!loaded) {
@@ -151,17 +169,12 @@ object GraftCatalog {
         try s.iterator().forEachRemaining { p =>
           val fn = p.getFileName.toString
           if (fn.endsWith(".json") && !fn.startsWith(".")) {
-            val txt = java.nio.file.Files.readString(p)
-            val root = RootRe.findFirstMatchIn(txt).map(_.group(1))
-            root.foreach { r =>
-              // putIfAbsent: an entry registered by THIS process is newer
-              // than whatever the disk copy says
-              tables.putIfAbsent(fn.stripSuffix(".json"), Entry(r,
-                PartRe.findFirstMatchIn(txt).map(m => strList(m.group(1))).getOrElse(Nil),
-                KeysRe.findFirstMatchIn(txt).map(m => strList(m.group(1))).getOrElse(Nil),
-                ConsRe.findFirstMatchIn(txt).map(m =>
-                  strList(m.group(1)).map(decodeConstraint)).getOrElse(Nil)))
-            }
+            // putIfAbsent: an entry registered by THIS process is newer
+            // than whatever the disk copy says; an unparseable descriptor
+            // (truncated write from a killed process) is skipped, not a
+            // catalog-wide failure
+            parseDescriptor(java.nio.file.Files.readString(p)).foreach(e =>
+              tables.putIfAbsent(fn.stripSuffix(".json"), e))
           }
         } finally s.close()
       }
@@ -217,6 +230,11 @@ object GraftCatalog {
   /** Replace a cataloged table's CHECK constraints (ALTER TABLE ADD/DROP
     * CONSTRAINT) and persist the descriptor. */
   def setConstraints(name: String, cons: Seq[(String, String)]): Unit = {
+    // ':' is the one reserved character left in the stored form (it
+    // separates name from the base64 expr); every other character —
+    // including ']' and '"' — now survives the JSON round trip
+    cons.foreach { case (n, _) => require(!n.contains(":"),
+      s"constraint name may not contain ':': $n") }
     ensureLoaded()
     val e = tables(key(name)).copy(constraints = cons)
     tables(key(name)) = e

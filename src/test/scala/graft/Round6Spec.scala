@@ -243,6 +243,82 @@ class Round6Spec extends AnyFunSuite {
     assert(LT.read(spark, root).schema("i").dataType == IntegerType)
   }
 
+  test("IVF cell-index delete: probes stay identical to a full rebuild over survivors") {
+    val sf = "/root/testdata/sf0.001"
+    // scratch copy of the shared index (never mutate the cached one)
+    val shared = graft.operators.Similarity.ivfCellTableRoot(spark, sf)
+    val full = LT.read(spark, shared)
+      .select(col("vec_id"), col("embedding"), col("cid").cast("long").as("cid"))
+    val scratch = sources.TableCache.baseDir +
+      s"/round6_ivf_del_${java.util.UUID.randomUUID().toString.take(8)}"
+    LT.create(full.repartition(col("cid")), scratch, partitionBy = Seq("cid"))
+    val before = LT.currentVersion(scratch).get
+    // delete a slice of ONE cell through the index-aware path (cell-
+    // targeted predicates are the production shape: GDPR erasure by key,
+    // re-embedding a shard)
+    val doomed = col("cid") === 3 && col("vec_id") % 7 === 3
+    graft.operators.Similarity.deleteFromCellIndex(spark, scratch,
+      "cid = 3 AND vec_id % 7 = 3")
+    val after = LT.read(spark, scratch)
+      .select(col("vec_id"), col("cid").cast("long").as("cid"))
+    // cell-identity with a rebuild over the survivors: same rows, same
+    // cells (deletion must never re-route a surviving vector)
+    val want = full.filter(!doomed).select(col("vec_id"), col("cid"))
+    assert(full.filter(doomed).count() > 0, "fixture must hit the doomed slice")
+    assert(after.exceptAll(want).isEmpty && want.exceptAll(after).isEmpty)
+    // the hive layout survives → probes still partition-prune
+    assert(LT.partitionColumns(scratch) == Seq("cid"))
+    val probed = LT.read(spark, scratch)
+      .filter(col("cid").cast("long") === 2L)
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(probed.nonEmpty && probed.forall(_.contains("cid=2")))
+    // COW file pruning: the 7 untouched cells keep their original files —
+    // only the doomed cell's files rewrite
+    val beforeFiles = LT.read(spark, scratch, Some(before))
+      .select(input_file_name()).distinct().collect().map(_.getString(0)).toSet
+    val afterFiles = LT.read(spark, scratch)
+      .select(input_file_name()).distinct().collect().map(_.getString(0)).toSet
+    val kept = afterFiles.intersect(beforeFiles)
+    assert(kept.nonEmpty && kept.forall(!_.contains("cid=3")),
+      s"expected only cid=3 files rewritten; kept = $kept")
+    // and APPEND after DELETE still routes into exact cells (lifecycle
+    // closes: build → delete → append)
+    val returned = full.filter(doomed)
+      .select(col("vec_id"), col("embedding"))
+    graft.operators.Similarity.appendToCellIndex(spark, sf, scratch, returned)
+    val restored = LT.read(spark, scratch)
+      .select(col("vec_id"), col("cid").cast("long").as("cid"))
+    val wantAll = full.select(col("vec_id"), col("cid"))
+    assert(restored.exceptAll(wantAll).isEmpty && wantAll.exceptAll(restored).isEmpty)
+  }
+
+  test("catalog descriptors are real JSON: ']'-bearing names round-trip, garbage is skipped") {
+    import spark.implicits._
+    import graft.sql.{GraftCatalog, GraftSql}
+    val root = freshRoot("jsoncat")
+    LT.create(Seq(1L, 2L, 3L).toDF("id"), root)
+    GraftSql.register(spark, "round6_jsoncat", root)
+    // a constraint name no identifier rule produced (programmatic API):
+    // the old regex reader fractured on ']' inside the constraints array
+    GraftCatalog.setConstraints("round6_jsoncat",
+      Seq("weird]name[x" -> "id < 100"))
+    // a half-written descriptor from a killed process must not poison the
+    // whole catalog load
+    java.nio.file.Files.writeString(
+      GraftCatalog.dir.resolve("broken.json"), """{"name":"broken","ro""")
+    GraftCatalog.resetInMemoryForTest()
+    val e = GraftCatalog.lookup("round6_jsoncat").get
+    assert(e.constraints == Seq("weird]name[x" -> "id < 100"),
+      s"constraint lost or mangled across the JSON round trip: ${e.constraints}")
+    assert(GraftCatalog.lookup("broken").isEmpty)
+    // ':' stays the one reserved name character (the stored-form separator)
+    intercept[IllegalArgumentException] {
+      GraftCatalog.setConstraints("round6_jsoncat", Seq("a:b" -> "id < 1"))
+    }
+    java.nio.file.Files.deleteIfExists(GraftCatalog.dir.resolve("broken.json"))
+    GraftSql.sql(spark, "DROP TABLE IF EXISTS round6_jsoncat")
+  }
+
   test("eventsStream over an empty staging dir falls back to the declared schema") {
     val dir = java.nio.file.Files.createTempDirectory("round6-empty-stage").toString
     // must NOT throw (start-before-first-file deployment)
