@@ -672,7 +672,7 @@ object LakehouseTable {
         .map { seg => val Array(k, v) = seg.split("=", 2); s""""${esc(k)}":"${esc(v)}"""" }
         .mkString("{", ",", "}")
     var prev = Seq.empty[String]
-    var prevCols: Option[(String, String, String)] = None
+    var prevCols: Option[(String, String, String, String)] = None
     var mappingAnnounced = false
     // column-mapping ids, keyed by PHYSICAL name (stable across renames),
     // assigned in first-appearance order over the version walk. The walk
@@ -685,8 +685,12 @@ object LakehouseTable {
     vs.foreach { v =>
       val cur = readManifest(root, v)
       val renames = renamedColumnsAt(root, v)
+      // widens participate in schema-change detection: an ALTER COLUMN
+      // TYPE version must export a fresh metaData with the widened
+      // schemaString, or foreign readers keep the narrow type forever
       val cols = (addedColumnsAt(root, v), encodeRenames(renames),
-        droppedColumnsAt(root, v).mkString(","))
+        droppedColumnsAt(root, v).mkString(","),
+        encodeWidens(widenedColumnsAt(root, v)))
       val target = logDir.resolve(f"$v%020d.json")
       val schemaChanged = v == vs.head || !prevCols.contains(cols)
       val mappingActive = cols._2.nonEmpty || cols._3.nonEmpty
@@ -951,28 +955,35 @@ object LakehouseTable {
     val (live, schemaJson, _, _) = replayDeltaLog(root, None,
       after = ckVer, seedLive = seedLive, seedSchema = seedSchema)
     val files = live.map(f => Paths.get(root).resolve(f).toString)
-    val raw = spark.read
-      .option("basePath", dataDir(root).toString)
-      .option("mergeSchema", "true")
-      .parquet(files: _*)
     // the log's LAST metaData schema is authoritative (what any Delta
-    // reader selects): read each logical field from its physicalName
-    // (column-mapping name mode) or its own name; fields no file carries
-    // surface as typed nulls; file columns outside the schema (dropped)
-    // are simply not selected
+    // reader selects): request each logical field's TYPE at its PHYSICAL
+    // parquet name as an explicit read schema — this serves a
+    // type-widened table's narrow-epoch files up to the wide type (a
+    // mergeSchema inference would refuse to merge int32 and int64
+    // footers), ignores dropped columns the files still carry, and
+    // surfaces schema fields no file carries as typed nulls (the parquet
+    // reader's missing-column semantics). Only a log with no metaData at
+    // all (not a state our exporter produces) falls back to inference.
     schemaJson.map(org.apache.spark.sql.types.DataType.fromJson) match {
       case Some(st: org.apache.spark.sql.types.StructType) =>
-        import org.apache.spark.sql.functions.{col, lit}
-        raw.select(st.fields.toSeq.map { f =>
-          val phys =
-            if (f.metadata.contains("delta.columnMapping.physicalName"))
-              f.metadata.getString("delta.columnMapping.physicalName")
-            else f.name
-          if (raw.columns.exists(_.equalsIgnoreCase(phys)))
-            col(phys).as(f.name)
-          else lit(null).cast(f.dataType).as(f.name)
-        }: _*)
-      case _ => raw
+        import org.apache.spark.sql.functions.col
+        import org.apache.spark.sql.types.{StructField, StructType}
+        def physOf(f: StructField): String =
+          if (f.metadata.contains("delta.columnMapping.physicalName"))
+            f.metadata.getString("delta.columnMapping.physicalName")
+          else f.name
+        val physical = StructType(st.map(f =>
+          StructField(physOf(f), f.dataType, nullable = true)))
+        spark.read
+          .option("basePath", dataDir(root).toString)
+          .schema(physical)
+          .parquet(files: _*)
+          .select(st.fields.toSeq.map(f => col(physOf(f)).as(f.name)): _*)
+      case _ =>
+        spark.read
+          .option("basePath", dataDir(root).toString)
+          .option("mergeSchema", "true")
+          .parquet(files: _*)
     }
   }
 

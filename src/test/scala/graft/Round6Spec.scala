@@ -319,6 +319,30 @@ class Round6Spec extends AnyFunSuite {
     GraftSql.sql(spark, "DROP TABLE IF EXISTS round6_jsoncat")
   }
 
+  test("delta export of a WIDENED table: new metaData, wide schema, mixed-epoch log read") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val root = freshRoot("widenexport")
+    LT.create(Seq((1, 1.5f)).toDF("i", "f"), root)       // narrow files
+    LT.exportDeltaLog(spark, root)                        // arm the mirror
+    LT.alterWidenColumnType(spark, root, "i", "bigint")   // v1 (hook exports)
+    LT.alterWidenColumnType(spark, root, "f", "double")   // v2
+    LT.append(Seq((2L, 2.5)).toDF("i", "f"), root)        // v3, wide files
+    // the widen versions must have minted fresh metaData actions with the
+    // WIDE schemaString (a reader keeping v0's types would misread v3)
+    val logDir = java.nio.file.Paths.get(root, "_delta_log")
+    val v2log = java.nio.file.Files.readString(
+      logDir.resolve(f"${2L}%020d.json"))
+    assert(v2log.contains("metaData"),
+      "ALTER COLUMN TYPE must export a new metaData action")
+    // a log-only reader sees the wide schema and BOTH physical epochs
+    val got = LT.readDeltaExport(spark, root, useCheckpoint = false)
+    assert(got.schema("i").dataType == LongType &&
+      got.schema("f").dataType == DoubleType)
+    assert(got.as[(Long, Double)].collect().toSet ==
+      Set((1L, 1.5), (2L, 2.5)))
+  }
+
   test("eventsStream over an empty staging dir falls back to the declared schema") {
     val dir = java.nio.file.Files.createTempDirectory("round6-empty-stage").toString
     // must NOT throw (start-before-first-file deployment)
