@@ -403,36 +403,46 @@ object Dedup {
     // windows) at any corpus scale — the shape production substring
     // dedup actually uses to pick spans to cut. The 0.2 flag threshold
     // compares 5·n_dup ≥ n_win in integers: no doubles anywhere.
-    "q135_span_dup" -> ((s, d) => {
-      val W = 8
-      // per-doc window count comes FREE from the shingle array size —
-      // only the dup count needs the window df, and only windows with
-      // df ≥ 2 (a few % of the gram space) need to flow back: the join's
-      // build side is the shared-window set, not the full vocabulary
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          TextExpressions.wordShingles(col("text"), W).as("sh"))
-        .filter(size(col("sh")) > 0)
-      val win = docs.select(col("doc_id"), explode(col("sh")).as("w"))
-      // (doc_id, w) is already distinct (WordShingles dedupes per doc),
-      // so plain count IS the document frequency — no second dedup
-      // aggregate on the suite's biggest token shuffle
-      val sharedW = win.groupBy(col("w"))
-        .agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2).select(col("w"))
-      val dups = win.join(sharedW, "w")
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
-      docs.select(col("doc_id"), col("lang"), size(col("sh")).cast("long").as("n_win"))
-        .join(dups, Seq("doc_id"), "left")
-        .withColumn("n_dup", coalesce(col("n_dup"), lit(0L)))
+    "q135_span_dup" -> ((s, d) =>
+      spanDupCounts(s, d)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("n_dup") * 5 >= col("n_win"), 1L).otherwise(0L))
             .as("n_flagged"),
           sum(col("n_dup")).as("dup_windows"),
           sum(col("n_win")).as("total_windows"))
-        .orderBy(col("lang"))
-    }))
+        .orderBy(col("lang"))))
+
+  /** Per-doc 8-token-window span-duplication counts (doc_id, lang,
+    * source, n_win, n_dup), RelationCache'd per (session, dir): the
+    * exploded-window df aggregation is the suite's biggest token shuffle,
+    * and BOTH q135 (the span profile) and q141 (the curation pipeline's
+    * dedup stage) consume exactly this relation — one materialization
+    * instead of two.
+    *
+    * The per-doc window count comes FREE from the shingle array size —
+    * only the dup count needs the window df, and only windows with df ≥ 2
+    * (a few % of the gram space) flow back: the join's build side is the
+    * shared-window set, not the full vocabulary. (doc_id, w) is already
+    * distinct (WordShingles dedupes per doc), so plain count IS the
+    * document frequency — no second dedup aggregate. */
+  private[graft] def spanDupCounts(s: SparkSession, d: String): DataFrame =
+    graft.sources.RelationCache.of(s, "dedup.spanDups", d) {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          TextExpressions.wordShingles(col("text"), 8).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val win = docs.select(col("doc_id"), explode(col("sh")).as("w"))
+      val sharedW = win.groupBy(col("w"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2).select(col("w"))
+      val dups = win.join(sharedW, "w")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+      docs.select(col("doc_id"), col("lang"), col("source"),
+          size(col("sh")).cast("long").as("n_win"))
+        .join(dups, Seq("doc_id"), "left")
+        .withColumn("n_dup", coalesce(col("n_dup"), lit(0L)))
+    }
 
   def oracle: Map[String, String] = Map(
     "q31_exact_dedup" ->

@@ -309,27 +309,25 @@ object Pipelines {
     // — the dup stage is the only corpus-volume shuffle in the whole
     // pipeline.
     "q141_curation_pipeline" -> ((s, d) => {
-      // three plan branches (win, the dup join, the final rollup) read
-      // this frame, and it costs 4 text passes per row — materialize once
-      // per (session, dir) like q50docs (see Dedup.shingleDf)
+      // two plan branches (the dup join, the final rollup) read this
+      // frame — materialize once per (session, dir) like q50docs (see
+      // Dedup.shingleDf). The 8-gram span-dup counts come from the
+      // relation q135 ALSO reads (Dedup.spanDupCounts) — the suite's
+      // biggest token shuffle materializes once for both queries.
       val docs = graft.sources.RelationCache.of(s, "pipelines.q141docs", d) {
         Tables.documents(s, d)
           .select(col("doc_id"), col("source"),
-            graft.plans.TextExpressions.wordShingles(col("text"), 8).as("sh"),
             size(graft.plans.TextExpressions.tokens(col("text"))).cast("long").as("n_tok"),
             qualityAccept(col("doc_id"), col("text")).as("q_ok"))
       }
-      val win = docs.select(col("doc_id"), explode(col("sh")).as("w"))
-      val sharedW = win.groupBy(col("w")).agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2).select(col("w"))
-      val dups = win.join(sharedW, "w")
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+      val dups = Dedup.spanDupCounts(s, d)
+        .select(col("doc_id"), col("n_win"), col("n_dup"))
       // drop iff flagged by q135's rule; docs too short to shingle keep
       // their quality verdict (n_win = 0 never flags)
       val surv = docs.join(dups, Seq("doc_id"), "left")
         .withColumn("n_dup", coalesce(col("n_dup"), lit(0L)))
         .filter(col("q_ok") &&
-          col("n_dup") * 5 < greatest(size(col("sh")).cast("long"), lit(1L)))
+          col("n_dup") * 5 < greatest(coalesce(col("n_win"), lit(0L)), lit(1L)))
       val plan = mixturePlanOf(
           surv.groupBy(col("source")).agg(sum(col("n_tok")).as("avail")))
         .select(col("source"), col("avail"), col("rate"), col("planned"))

@@ -343,6 +343,27 @@ class Round6Spec extends AnyFunSuite {
       Set((1L, 1.5), (2L, 2.5)))
   }
 
+  test("q135 and q141 share ONE span-dup materialization (no second window shuffle)") {
+    val sf = "/root/testdata/sf0.001"
+    SparkEntry.queries("q135_span_dup")(spark, sf).count() // populate the cache
+    val q141 = SparkEntry.queries("q141_curation_pipeline")(spark, sf)
+    val lp = q141.queryExecution.optimizedPlan
+    // q141's only file leaves may be its own docs-frame build (inside its
+    // q141docs cache on first run this test might see none at all); the
+    // exploded 8-gram window aggregation must come from the cached
+    // spanDups relation, never a fresh documents scan per consumer
+    val inMem = lp.collect {
+      case m if m.getClass.getSimpleName == "InMemoryRelation" => m
+    }.size
+    assert(inMem >= 2, // q141docs + spanDups (mixture avail relation may add more)
+      s"q141 must read both cached relations (q141docs + spanDups):\n$lp")
+    val explodes = lp.collect {
+      case g if g.getClass.getSimpleName == "Generate" => g
+    }.size
+    assert(explodes == 0,
+      s"q141 re-exploded the 8-gram windows instead of reading the shared relation:\n$lp")
+  }
+
   test("eventsStream over an empty staging dir falls back to the declared schema") {
     val dir = java.nio.file.Files.createTempDirectory("round6-empty-stage").toString
     // must NOT throw (start-before-first-file deployment)
