@@ -272,12 +272,29 @@ object LakehouseTable {
   private def maybeAdvanceDeltaLog(root: String): Unit =
     if (Files.isDirectory(Paths.get(root, "_delta_log")))
       SparkSession.getActiveSession.foreach { spark =>
-        exportDeltaLog(spark, root)
-        currentVersion(root).foreach { v =>
-          if (v > 0 && v % DeltaCheckpointInterval == 0 &&
-              !Files.exists(Paths.get(root, "_delta_log",
-                f"$v%020d.checkpoint.parquet")))
-            exportDeltaCheckpoint(spark, root, v)
+        // the manifest commit ALREADY SUCCEEDED: a mirror hiccup may only
+        // lag the log (self-healed by the next commit's export), never
+        // fail the write back to the caller — a propagated hook exception
+        // would make an append's caller retry a landed batch
+        try {
+          exportDeltaLog(spark, root)
+          // checkpoint the newest multiple-of-interval version whose LOG
+          // EXISTS — under concurrent writers currentVersion may already
+          // be ahead of what any single hook's export has written (the
+          // lagging version's own hook brings the checkpoint next)
+          currentVersion(root).foreach { cur =>
+            val v = (cur / DeltaCheckpointInterval) * DeltaCheckpointInterval
+            if (v > 0 &&
+                Files.exists(Paths.get(root, "_delta_log", f"$v%020d.json")) &&
+                !Files.exists(Paths.get(root, "_delta_log",
+                  f"$v%020d.checkpoint.parquet")))
+              exportDeltaCheckpoint(spark, root, v)
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"warn: delta mirror advance failed for $root (log lags, " +
+                s"next commit self-heals): $e")
         }
       }
 
@@ -682,7 +699,31 @@ object LakehouseTable {
     // whenever an earlier column was dropped.
     val columnIds = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     var mappedSchemaJson: Option[String] = None
-    vs.foreach { v =>
+    // FAST PATH for the per-commit write-through hook: start the walk at
+    // the first un-exported version instead of v0, seeding prev/prevCols
+    // from the version before it — a steady-state commit then costs O(1)
+    // manifest reads, not O(history) (a long-running mirrored stream
+    // would otherwise pay O(V²) across V micro-batches). The full walk is
+    // only needed when a pending version has an ACTIVE column mapping,
+    // whose ids derive from first-appearance order over the whole
+    // history; an already-exported prefix is never re-read otherwise.
+    val firstMissingIdx = vs.indexWhere(v =>
+      !Files.exists(logDir.resolve(f"$v%020d.json")))
+    if (firstMissingIdx < 0) return logDir // fully exported
+    val pendingHasMapping = vs.drop(firstMissingIdx).exists(v =>
+      renamedColumnsAt(root, v).nonEmpty || droppedColumnsAt(root, v).nonEmpty)
+    val startIdx = if (pendingHasMapping) 0 else firstMissingIdx
+    if (startIdx > 0) {
+      val seedV = vs(startIdx - 1)
+      prev = readManifest(root, seedV)
+      prevCols = Some((addedColumnsAt(root, seedV),
+        encodeRenames(renamedColumnsAt(root, seedV)),
+        droppedColumnsAt(root, seedV).mkString(","),
+        encodeWidens(widenedColumnsAt(root, seedV))))
+      // only consulted when mappingActive, which the fast path excludes
+      mappingAnnounced = true
+    }
+    vs.drop(startIdx).foreach { v =>
       val cur = readManifest(root, v)
       val renames = renamedColumnsAt(root, v)
       // widens participate in schema-change detection: an ALTER COLUMN

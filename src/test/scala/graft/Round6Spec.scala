@@ -364,6 +364,38 @@ class Round6Spec extends AnyFunSuite {
       s"q141 re-exploded the 8-gram windows instead of reading the shared relation:\n$lp")
   }
 
+  test("write-through mirror under concurrent appends: CAS rebase + log advance stay exact") {
+    import spark.implicits._
+    val root = freshRoot("concmirror")
+    LT.create(Seq((0L, "seed")).toDF("id", "v"), root)
+    LT.exportDeltaLog(spark, root) // arm the mirror
+    // 8 writers × 3 appends each, racing the version CAS (append rebases
+    // on conflict) AND the per-commit log advance (exporters race on the
+    // same version files — atomic move, loser deletes its tmp)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (1 to 8).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = (1 to 3).foreach { i =>
+            LT.append(Seq((w * 100L + i, s"w$w-$i")).toDF("id", "v"), root)
+          }
+        })
+      }
+      futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    val want = (Set(0L -> "seed") ++
+      (for (w <- 1 to 8; i <- 1 to 3) yield (w * 100L + i, s"w$w-$i"))).map(identity)
+    // every append landed exactly once through the manifest...
+    assert(LT.read(spark, root).as[(Long, String)].collect().toSet == want)
+    // ...and the DELTA LOG replays to the identical row set: no version's
+    // export was lost or doubled by the racing hooks (a lagging hook is
+    // allowed to be caught up by a later commit — by now all commits are
+    // done, so the log must be complete)
+    LT.exportDeltaLog(spark, root) // no-op unless a crashed hook lagged
+    assert(LT.readDeltaExport(spark, root, useCheckpoint = false)
+      .as[(Long, String)].collect().toSet == want)
+  }
+
   test("eventsStream over an empty staging dir falls back to the declared schema") {
     val dir = java.nio.file.Files.createTempDirectory("round6-empty-stage").toString
     // must NOT throw (start-before-first-file deployment)
