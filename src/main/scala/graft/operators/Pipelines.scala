@@ -297,6 +297,35 @@ object Pipelines {
           col("n_seqs") * PackBudget - col("total_tokens"))
         .orderBy(col("shard"))),
 
+    // Length-BUCKETED batching audit — the padding-based alternative to
+    // q90's concat-and-chunk (the comparison q139's fragmentation rate
+    // exists to inform): each doc pads up to the smallest power-of-two
+    // bucket ≥ its token count (16..4096; longer docs truncate to 4096).
+    // Per bucket: docs, real tokens, padded tokens, the padding waste
+    // that batching same-length docs exists to minimize, and truncation
+    // loss at the cap. Pure integer arithmetic over one corpus pass with
+    // an 8-way CASE — no shuffle beyond the bucket rollup, hash-exact in
+    // both engines.
+    "q154_length_buckets" -> ((s, d) => {
+      val n = size(graft.plans.TextExpressions.tokens(col("text"))).cast("long")
+      val bucket = when(n <= 16, 16L).when(n <= 32, 32L)
+        .when(n <= 64, 64L).when(n <= 128, 128L).when(n <= 256, 256L)
+        .when(n <= 512, 512L).when(n <= 1024, 1024L).when(n <= 2048, 2048L)
+        .otherwise(4096L)
+      Tables.documents(s, d)
+        .select(bucket.as("bucket"), n.as("n_tok"))
+        .withColumn("kept", least(col("n_tok"), lit(4096L)))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("kept")).as("real_tokens"),
+          (first(col("bucket")) * count(lit(1))).as("padded_tokens"),
+          sum(col("n_tok") - col("kept")).as("truncated_tokens"))
+        .withColumn("pad_waste", col("padded_tokens") - col("real_tokens"))
+        .select(col("bucket"), col("n_docs"), col("real_tokens"),
+          col("padded_tokens"), col("pad_waste"), col("truncated_tokens"))
+        .orderBy(col("bucket"))
+    }),
+
     // The round-4 curation pipeline end to end, as ONE declarative plan
     // (the q50 analog for the curation family): quality-weighted accept
     // (q132's draw) → verbatim-span-dup drop (q135's window-df rule) →
@@ -807,6 +836,23 @@ object Pipelines {
                 THEN 1 ELSE 0 END AS split
             FROM packed)
           GROUP BY shard ORDER BY shard""",
+
+    "q154_length_buckets" ->
+      s"""SELECT bucket, count(*) AS n_docs,
+            CAST(sum(kept) AS BIGINT) AS real_tokens,
+            CAST(bucket * count(*) AS BIGINT) AS padded_tokens,
+            CAST(bucket * count(*) - sum(kept) AS BIGINT) AS pad_waste,
+            CAST(sum(n_tok - kept) AS BIGINT) AS truncated_tokens
+          FROM (
+            SELECT CASE WHEN n_tok <= 16 THEN 16 WHEN n_tok <= 32 THEN 32
+                     WHEN n_tok <= 64 THEN 64 WHEN n_tok <= 128 THEN 128
+                     WHEN n_tok <= 256 THEN 256 WHEN n_tok <= 512 THEN 512
+                     WHEN n_tok <= 1024 THEN 1024 WHEN n_tok <= 2048 THEN 2048
+                     ELSE 4096 END AS bucket,
+              n_tok, least(n_tok, 4096) AS kept
+            FROM (SELECT CAST(len(${T.sqlToks}) AS BIGINT) AS n_tok
+                  FROM documents))
+          GROUP BY bucket ORDER BY bucket""",
 
     "q141_curation_pipeline" ->
       s"""WITH docs AS (
