@@ -144,6 +144,23 @@ object Dedup {
     * full join lineage — correct, just slower. */
   private[graft] def dupClusters(s: SparkSession, d: String): DataFrame =
     graft.sources.RelationCache.of(s, "dedup.dupClusters", d) {
+      val clusters = dupClusterLabels(s, d)
+        .groupBy(col("label").as("cluster_rep"))
+        .agg(count(lit(1)).as("n_members"))
+        .filter(col("n_members") > 1)
+        .orderBy(col("cluster_rep"))
+      clusters.cache()
+      clusters.count()
+      clusters
+    }
+
+  /** The converged CC LABELS themselves — (doc_id, label) for every
+    * non-isolated vertex, label = smallest doc_id reachable through dup
+    * edges. [[dupClusters]] aggregates this; q155 needs the membership
+    * to pick a canonical doc per cluster. Cached separately (both frames
+    * are tiny: O(dup docs)). */
+  private[graft] def dupClusterLabels(s: SparkSession, d: String): DataFrame =
+    graft.sources.RelationCache.of(s, "dedup.dupLabels", d) {
       val pairs = dupPairs(s, d).select(col("a"), col("b"))
       val edges = pairs.unionByName(
           pairs.select(col("b").as("a"), col("a").as("b")))
@@ -176,18 +193,15 @@ object Dedup {
         cached = next
         labels = next.select(col("doc_id"), col("label"))
       }
-      val clusters = labels.groupBy(col("label").as("cluster_rep"))
-        .agg(count(lit(1)).as("n_members"))
-        .filter(col("n_members") > 1)
-        .orderBy(col("cluster_rep"))
-      // materialize the converged aggregate into ITS cache (cache() here
+      // materialize the converged labels into THEIR cache (cache() here
       // is the same call RelationCache makes — idempotent), then release
       // every loop intermediate before returning
-      clusters.cache()
-      clusters.count()
+      val out = labels
+      out.cache()
+      out.count()
       edges.unpersist(false)
       cached.unpersist(false)
-      clusters
+      out
     }
 
   /** DuckDB twin of the capped shared-count Jaccard over a (doc_id, sh)
@@ -348,6 +362,35 @@ object Dedup {
     // algorithm and cache discipline); q152 reads the same relation.
     "q68_dup_clusters" -> ((s, d) => dupClusters(s, d)),
 
+    // CANONICAL SELECTION per dup cluster — the production keep-policy:
+    // a cluster's surviving copy is its BEST-QUALITY member (quality
+    // desc, doc_id tie-break), not the lowest id the CC label happens to
+    // carry. Reads the same converged label relation as q68/q152 (one CC
+    // run per corpus), joins the tiny member set against per-doc quality,
+    // and reports per canonical-doc language: clusters, members, and how
+    // many clusters changed representative under the quality rule —
+    // the audit that says whether min-id keep-first was throwing away
+    // better copies.
+    "q155_cluster_canonical" -> ((s, d) => {
+      val members = dupClusterLabels(s, d)
+        .join(Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          TextExpressions.qualityScore(col("text")).as("q")), "doc_id")
+      members.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_members"),
+          min(col("doc_id")).as("cluster_rep"),
+          min(struct((-col("q")).as("nq"), col("doc_id").as("id"),
+            col("lang").as("lg"))).as("m"))
+        .filter(col("n_members") > 1)
+        .select(col("m.lg").as("lang"), col("n_members"),
+          col("cluster_rep"), col("m.id").as("canonical"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("n_members")).as("n_members"),
+          sum(when(col("canonical") =!= col("cluster_rep"), 1L).otherwise(0L))
+            .as("n_requalified"))
+        .orderBy(col("lang"))
+    }),
+
     // Embedding-cosine near-dup, blocked by sign-random-projection LSH
     // bands (deterministic md5-seeded hyperplanes) — NOT by a data column:
     // bucket sizes are governed by the band width, not label cardinality,
@@ -494,6 +537,41 @@ object Dedup {
           SELECT cluster_rep, count(*) AS n_members FROM (
             SELECT doc_id, min(label) AS cluster_rep FROM walk GROUP BY doc_id)
           GROUP BY cluster_rep HAVING count(*) > 1 ORDER BY cluster_rep""",
+
+    // q68's label walk, then the rn=1 row per cluster under (quality
+    // desc, doc_id) — its lang IS the canonical's lang
+    "q155_cluster_canonical" ->
+      s"""WITH RECURSIVE
+          pairs AS (SELECT a, b FROM (${sqlCappedCountJaccard(sqlShingleDf)})
+                    WHERE jaccard >= 0.5),
+          edges AS (SELECT a AS src, b AS dst FROM pairs
+                    UNION ALL SELECT b AS src, a AS dst FROM pairs),
+          nodes AS (SELECT doc_id FROM ($sqlShingleDf)),
+          walk AS (
+            SELECT doc_id, doc_id AS label FROM nodes
+            UNION
+            SELECT e.src AS doc_id, w.label
+            FROM walk w JOIN edges e ON w.doc_id = e.dst),
+          labels AS (SELECT doc_id, min(label) AS label FROM walk GROUP BY doc_id),
+          members AS (
+            SELECT l.label, l.doc_id, d.lang,
+              0.5 * (1.0 - CAST(len(list_filter(toks, t -> t IN ('a','the','of','and','to','in'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+              + 0.5 * least(CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) / 8.0, 1.0) AS q
+            FROM labels l JOIN (
+              SELECT doc_id, lang, ${T.sqlToks} AS toks FROM documents) d
+              ON l.doc_id = d.doc_id),
+          canon AS (
+            SELECT lang, n_members, cluster_rep, doc_id AS canonical FROM (
+              SELECT m.*, count(*) OVER (PARTITION BY label) AS n_members,
+                min(doc_id) OVER (PARTITION BY label) AS cluster_rep,
+                row_number() OVER (PARTITION BY label
+                  ORDER BY q DESC, doc_id) AS rn
+              FROM members m) WHERE rn = 1 AND n_members > 1)
+          SELECT lang, count(*) AS n_clusters,
+            CAST(sum(n_members) AS BIGINT) AS n_members,
+            CAST(sum(CASE WHEN canonical <> cluster_rep THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_requalified
+          FROM canon GROUP BY lang ORDER BY lang""",
 
     "q110_incremental_neardup" ->
       s"""SELECT new_id, old_id, jaccard FROM (
