@@ -396,6 +396,38 @@ class Round6Spec extends AnyFunSuite {
       .as[(Long, String)].collect().toSet == want)
   }
 
+  test("IVF index compaction: many maintenance appends collapse, probes keep pruning") {
+    val sf = "/root/testdata/sf0.001"
+    val shared = graft.operators.Similarity.ivfCellTableRoot(spark, sf)
+    val full = LT.read(spark, shared)
+      .select(col("vec_id"), col("embedding"), col("cid").cast("long").as("cid"))
+    val scratch = sources.TableCache.baseDir +
+      s"/round6_ivf_compact_${java.util.UUID.randomUUID().toString.take(8)}"
+    // seed with 60%, then three maintenance append batches → file churn
+    LT.create(full.filter(col("vec_id") % 5 < 3).repartition(col("cid")),
+      scratch, partitionBy = Seq("cid"))
+    (3 to 4).foreach { m =>
+      graft.operators.Similarity.appendToCellIndex(spark, sf, scratch,
+        full.filter(col("vec_id") % 5 === m).select(col("vec_id"), col("embedding")))
+    }
+    val filesBefore = LT.fileCount(scratch, LT.currentVersion(scratch).get)
+    // OPTIMIZE the index: one file per cell again, hive layout preserved
+    LT.compact(spark, scratch, numFiles = 1, partitionBy = Seq("cid"))
+    val filesAfter = LT.fileCount(scratch, LT.currentVersion(scratch).get)
+    assert(filesAfter < filesBefore,
+      s"compaction must shrink the file count ($filesBefore -> $filesAfter)")
+    assert(LT.partitionColumns(scratch) == Seq("cid"))
+    // content identical to the full assignment, probes still prune
+    val after = LT.read(spark, scratch)
+      .select(col("vec_id"), col("cid").cast("long").as("cid"))
+    val want = full.select(col("vec_id"), col("cid"))
+    assert(after.exceptAll(want).isEmpty && want.exceptAll(after).isEmpty)
+    val probed = LT.read(spark, scratch)
+      .filter(col("cid").cast("long") === 1L)
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(probed.nonEmpty && probed.forall(_.contains("cid=1")))
+  }
+
   test("eventsStream over an empty staging dir falls back to the declared schema") {
     val dir = java.nio.file.Files.createTempDirectory("round6-empty-stage").toString
     // must NOT throw (start-before-first-file deployment)

@@ -497,6 +497,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(seen.size == 6, s"replayed rows detected: ${seen.asScala.toSeq.sorted}")
   }
 
+  test("graft-table source composes with watermarked windowed aggregation (bronze → silver)") {
+    import spark.implicits._
+    import graft.sources.{LakehouseTable => LT}
+    // bronze: the staged events ingested as a graft table; silver: a
+    // tumbling-hour rollup STREAMED off the bronze table through the
+    // graft-table source — the medallion shape with a real source stage
+    // instead of a foreachBatch side channel
+    val base = Files.createTempDirectory("graft-src-medallion")
+    val bronze = base.resolve("bronze").toString
+    val q0 = Streams.ingestInto(Streams.eventsStream(spark, streamDir), bronze,
+      base.resolve("ckpt0").toString)
+    q0.processAllAvailable(); q0.stop()
+    val stream = spark.readStream.format("graft-table")
+      .option("path", bronze).load()
+      .withColumn("ts", col("ts")) // already session-TZ from ingestion
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour_start"), col("n"))
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("t_src_silver").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("t_src_silver").as[(java.sql.Timestamp, Long)]
+      .collect().toSet
+    val want = graft.sources.LakehouseTable.read(spark, bronze)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"))
+      .agg(count(lit(1)).as("n"))
+      .as[(java.sql.Timestamp, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("graft-table source refuses a rewrite range unless ignoreChanges") {
     import spark.implicits._
     import graft.sources.{LakehouseTable => LT}
