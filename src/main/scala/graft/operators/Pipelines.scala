@@ -326,6 +326,43 @@ object Pipelines {
         .orderBy(col("bucket"))
     }),
 
+    // Deterministic EPOCH SHUFFLE — the reproducible global training
+    // order: rank docs by md5("epoch1:" || doc_id) (new epoch → new
+    // seed → fresh order, same seed → bit-identical order on any
+    // cluster), then audit the property the shuffle exists for: every
+    // rank decile should hold each source in near-corpus proportion
+    // (IID mixing, no curriculum accidents). The global rank is
+    // TWO-PHASE, never a single-partition window: the md5 value space
+    // splits into fixed buckets (value ranges — deterministic, unlike
+    // sampled range-partitioner boundaries), each bucket ranks in
+    // parallel, and a bounded per-bucket offset join (64 rows at any
+    // corpus size) lifts local ranks to global — the distributed-rank
+    // shape a shuffled training-data export pays at 100 TB.
+    "q156_epoch_shuffle" -> ((s, d) => {
+      val n = Tables.documents(s, d).count()
+      val Buckets = 64L
+      // h ∈ [0, 2^32): 8 hex chars of md5 — fixed equal value ranges
+      val hashed = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          T.md5Prefix(concat(lit("epoch1:"), col("doc_id").cast("string")), 8)
+            .as("h"))
+        .withColumn("bucket", (col("h") / lit(4294967296L / Buckets)).cast("long"))
+      val wb = Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))
+      val local = hashed.withColumn("lr", row_number().over(wb).cast("long"))
+      val wOff = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = local.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+        .select(col("bucket"), col("off"))
+      local.join(broadcast(offsets), "bucket")
+        .withColumn("rank", col("off") + col("lr"))
+        .withColumn("decile", ((col("rank") - 1) * 10 / n).cast("long"))
+        .groupBy(col("decile"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), min(col("rank")).as("first_rank"))
+        .orderBy(col("decile"), col("source"))
+    }),
+
     // The round-4 curation pipeline end to end, as ONE declarative plan
     // (the q50 analog for the curation family): quality-weighted accept
     // (q132's draw) → verbatim-span-dup drop (q135's window-df rule) →
@@ -836,6 +873,19 @@ object Pipelines {
                 THEN 1 ELSE 0 END AS split
             FROM packed)
           GROUP BY shard ORDER BY shard""",
+
+    "q156_epoch_shuffle" ->
+      s"""SELECT CAST((rank - 1) * 10 // (SELECT count(*) FROM documents)
+              AS BIGINT) AS decile,
+            source, count(*) AS n_docs,
+            CAST(min(rank) AS BIGINT) AS first_rank
+          FROM (
+            SELECT source,
+              CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS rank
+            FROM (SELECT doc_id, source,
+                    ${T.sqlMd5Prefix("'epoch1:' || CAST(doc_id AS VARCHAR)", 8)} AS h
+                  FROM documents))
+          GROUP BY decile, source ORDER BY decile, source""",
 
     "q154_length_buckets" ->
       s"""SELECT bucket, count(*) AS n_docs,
