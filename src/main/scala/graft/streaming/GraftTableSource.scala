@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, GraftStreamingShims, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
@@ -104,11 +104,29 @@ class GraftTableSource(spark: SparkSession, root: String,
           LakehouseTable.readIncremental(spark, root, fromV, Some(endV))
         }
     }
-    // project to the source's DECLARED schema (order + types): an
-    // ALTER-evolved table may surface a union schema on the delta read,
-    // and the engine requires every batch to match the schema it planned
+    // the engine requires every batch to match the schema it planned at
+    // start. A COLUMN the batch lost, or a TYPE that changed (ALTER
+    // COLUMN TYPE widening mid-stream), cannot be cast away silently —
+    // a double→float down-cast would truncate values the table now
+    // legitimately holds. Fail like Delta's source does; a restart picks
+    // up the new schema from the table.
+    schema.foreach { f =>
+      val actual = batch.schema.find(_.name.equalsIgnoreCase(f.name))
+      actual match {
+        case Some(a) if a.dataType != f.dataType =>
+          throw new IllegalStateException(
+            s"graft-table stream over $root: column '${f.name}' changed " +
+              s"type ${f.dataType.sql} -> ${a.dataType.sql} mid-stream " +
+              "(ALTER COLUMN TYPE). Restart the query to adopt the new " +
+              "schema.")
+        case _ => () // a missing column (ADD COLUMNS not yet in any
+        // file) surfaces as typed nulls via the cast below — additive
+        // evolution is safe to tail
+      }
+    }
     val aligned = batch.select(schema.map(f =>
-      col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+      (if (batch.columns.exists(_.equalsIgnoreCase(f.name))) col(f.name)
+       else lit(null)).cast(f.dataType).as(f.name)).toSeq: _*)
     GraftStreamingShims.streamingDataFrame(spark, aligned)
   }
 

@@ -529,6 +529,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("graft-table source fails on a mid-stream TYPE change; additive columns tail as nulls") {
+    import spark.implicits._
+    import graft.sources.{LakehouseTable => LT}
+    val base = Files.createTempDirectory("graft-src-schema")
+    // additive evolution: ALTER ADD COLUMNS mid-stream is safe — new
+    // column absent from the declared schema, batches keep flowing
+    val addRoot = base.resolve("tadd").toString
+    LT.create(Seq((1, 1.5f)).toDF("i", "f"), addRoot)
+    val q1 = spark.readStream.format("graft-table").option("path", addRoot).load()
+      .writeStream.outputMode("append").format("memory")
+      .option("checkpointLocation", base.resolve("ck1").toString)
+      .queryName("t_src_add").start()
+    q1.processAllAvailable()
+    LT.alterAddColumns(addRoot, "extra STRING")
+    LT.append(Seq((2, 2.5f)).toDF("i", "f"), addRoot)
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.table("t_src_add").count() == 2)
+    // TYPE change: widening mid-stream must FAIL the query (a silent
+    // double→float down-cast would truncate), restart adopts the schema
+    val root = base.resolve("twiden").toString
+    LT.create(Seq((1, 1.5f)).toDF("i", "f"), root)
+    val q2 = spark.readStream.format("graft-table").option("path", root).load()
+      .writeStream.outputMode("append").format("memory")
+      .option("checkpointLocation", base.resolve("ck2").toString)
+      .queryName("t_src_widen").start()
+    q2.processAllAvailable()
+    LT.alterWidenColumnType(spark, root, "f", "double")
+    LT.append(Seq((2, 9.0)).toDF("i", "f"), root)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable(); q2.awaitTermination()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+    assert(causes(err).exists(c =>
+      Option(c.getMessage).exists(_.contains("changed type"))))
+    // a fresh query adopts the widened schema and reads everything
+    spark.sql("DROP TABLE IF EXISTS t_src_widen2")
+    val q3 = spark.readStream.format("graft-table").option("path", root).load()
+      .writeStream.outputMode("append").format("memory")
+      .option("checkpointLocation", base.resolve("ck3").toString)
+      .queryName("t_src_widen2").start()
+    q3.processAllAvailable(); q3.stop()
+    assert(spark.table("t_src_widen2").as[(Long, Double)].collect().toSet ==
+      Set((1L, 1.5), (2L, 9.0)))
+  }
+
   test("graft-table source refuses a rewrite range unless ignoreChanges") {
     import spark.implicits._
     import graft.sources.{LakehouseTable => LT}
