@@ -163,7 +163,7 @@ class ColumnMappingSpec extends AnyFunSuite {
     assert(t.columns.toSeq == Seq("id", "quality") && t.count() == 3)
     // the REWRITTEN files physically carry the logical name now
     val newFiles = t.inputFiles
-    assert(spark.read.parquet(newFiles: _*).columns.contains("quality"))
+    assert(spark.read.parquet(scala.collection.immutable.ArraySeq.unsafeWrapArray(newFiles): _*).columns.contains("quality"))
     // dropped and renamed-away names are usable again
     LakehouseTable.alterAddColumns(root, "name STRING")
     LakehouseTable.append(

@@ -10,7 +10,7 @@ class VectorFunctionsSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def one(colExpr: org.apache.spark.sql.Column): Any =
-    Seq(1).toDF("x").select(colExpr).head.get(0)
+    Seq(1).toDF("x").select(colExpr).head().get(0)
 
   test("dot product of known vectors") {
     val a = array(lit(1.0f), lit(2.0f), lit(3.0f))
@@ -49,7 +49,7 @@ class TextFunctionsSpec extends AnyFunSuite {
 
   private def tok(s: String): Seq[String] =
     Seq(s).toDF("text").select(T.tokens(col("text")))
-      .head.getSeq[String](0)
+      .head().getSeq[String](0)
 
   test("tokens splits on whitespace and drops empties") {
     assert(tok("  a  b\tc ") == Seq("a", "b", "c"))
@@ -66,7 +66,7 @@ class TextFunctionsSpec extends AnyFunSuite {
   test("jaccard of known sets") {
     val df = Seq(1).toDF("x").select(
       T.jaccard(array(lit("a"), lit("b"), lit("c")), array(lit("b"), lit("c"), lit("d"))))
-    assert(df.head.getDouble(0) == 0.5)
+    assert(df.head().getDouble(0) == 0.5)
   }
 
   test("minhash is deterministic and band concatenates two components") {
@@ -74,7 +74,7 @@ class TextFunctionsSpec extends AnyFunSuite {
     val df = Seq(1).toDF("i").select(
       T.minhash(ts, 0).as("m0"), T.minhash(ts, 1).as("m1"),
       T.minhashBand(ts, 0, 2).as("band"))
-    val r = df.head
+    val r = df.head()
     assert(r.getString(2) == r.getString(0) + r.getString(1))
     assert(r.getString(0).matches("[0-9a-f]{32}"))
   }
@@ -83,7 +83,7 @@ class TextFunctionsSpec extends AnyFunSuite {
     val df = Seq(("a b c", "c b a")).toDF("t1", "t2").select(
       T.minhash(T.tokenSet(col("t1")), 7).as("m1"),
       T.minhash(T.tokenSet(col("t2")), 7).as("m2"))
-    val r = df.head
+    val r = df.head()
     assert(r.getString(0) == r.getString(1))
   }
 
@@ -100,7 +100,7 @@ class TextFunctionsSpec extends AnyFunSuite {
   test("fingerprint canonicalizes case and whitespace") {
     val df = Seq(("Hello  World", "hello world")).toDF("t1", "t2")
       .select(T.fingerprint(col("t1")).as("f1"), T.fingerprint(col("t2")).as("f2"))
-    val r = df.head
+    val r = df.head()
     assert(r.getString(0) == r.getString(1))
   }
 
@@ -108,7 +108,7 @@ class TextFunctionsSpec extends AnyFunSuite {
     val df = Seq("hello, world! a_b 12").toDF("text")
       .select(T.regexTokenCount(col("text")))
     // hello , world ! a_b 12
-    assert(df.head.getInt(0) == 6)
+    assert(df.head().getInt(0) == 6)
   }
 
   test("qualityScore in [0,1]; all-stopword text scores lower") {

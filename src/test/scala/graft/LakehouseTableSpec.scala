@@ -187,7 +187,7 @@ class LakehouseTableSpec extends AnyFunSuite {
     assert(total > 1)
     // narrow slice in EACH dimension must skip files (a lexicographic sort
     // on (custkey, totalprice) would only ever prune on custkey)
-    val keyMax = src.agg(max(col("o_custkey"))).head.getLong(0).toDouble
+    val keyMax = src.agg(max(col("o_custkey"))).head().getLong(0).toDouble
     val bothPrune = Seq(
       ("o_custkey", 0.0, keyMax * 0.1),
       ("o_totalprice", 1000.0, 50000.0)).map { case (c, lo, hi) =>

@@ -79,7 +79,7 @@ class Round2Spec extends AnyFunSuite {
     assert(graft.sources.LakehouseTable.versions(root) == vsBefore)
     val cents = graft.sources.LakehouseTable.read(spark, root)
     assert(cents.count() == 8L * 64L)
-    assert(cents.select(countDistinct(col("cid"))).head.getLong(0) == 8L)
+    assert(cents.select(countDistinct(col("cid"))).head().getLong(0) == 8L)
   }
 
   test("q71 salted join equals the plain join") {

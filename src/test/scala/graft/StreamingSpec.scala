@@ -64,7 +64,7 @@ class StreamingSpec extends AnyFunSuite {
         unix_micros(col("ts")).as("tsMicros"))
       .as[Streams.Evt]
     val got = runToCompletion(
-      Streams.historyReplay(evts, withTimeout = false).toDF, "t_hist")
+      Streams.historyReplay(evts, withTimeout = false).toDF(), "t_hist")
       .select(col("user_id"), col("event_id"), col("event_type"), col("history"))
     val want = SparkEntry.queries("q24_history_replay")(spark, sf)
     assert(got.count() > 0)
@@ -94,7 +94,7 @@ class StreamingSpec extends AnyFunSuite {
       .select(col("event_id"), col("user_id"),
         unix_micros(col("ts")).as("tsMicros"), col("value"))
       .as[Streams.EwmaEvt]
-    val got = runToCompletion(Streams.ewmaStream(evts).toDF, "t_ewma")
+    val got = runToCompletion(Streams.ewmaStream(evts).toDF(), "t_ewma")
       .filter(col("user_id") < 50)
       .select(col("user_id"), col("event_id"), col("value"), col("ewma"))
     val want = SparkEntry.queries("q126_ewma")(spark, sf)

@@ -42,7 +42,7 @@ class TrainingOpsSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val total = graft.sources.Tables.documents(spark, sf)
       .select(size(graft.plans.TextExpressions.tokens(col("text"))).cast("long").as("n"))
-      .agg(sum(col("n"))).head.getLong(0)
+      .agg(sum(col("n"))).head().getLong(0)
     assert(rows.map(_.getAs[Long]("seq_tokens")).sum == total)
   }
 
