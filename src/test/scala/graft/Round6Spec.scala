@@ -428,6 +428,24 @@ class Round6Spec extends AnyFunSuite {
     assert(probed.nonEmpty && probed.forall(_.contains("cid=1")))
   }
 
+  test("widened reads keep filter pushdown and column pruning (explicit schema ≠ opaque scan)") {
+    import spark.implicits._
+    val root = freshRoot("widenplan")
+    LT.create((1 to 100).map(i => (i, i.toFloat)).toDF("i", "f"), root)
+    LT.alterWidenColumnType(spark, root, "i", "bigint")
+    LT.append(Seq((200L, 9.0f)).toDF("i", "f"), root)
+    val df = LT.read(spark, root).filter(col("i") > 50).select(col("i"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the explicit-schema read path must still reach the parquet scan
+    // with the predicate and the 1-column projection — otherwise every
+    // widened table pays full-row scans forever
+    assert(plan.contains("PushedFilters: [IsNotNull(i), GreaterThan(i,50)]"),
+      s"filter not pushed into the widened scan:\n$plan")
+    assert(plan.contains("ReadSchema: struct<i:bigint>"),
+      s"column pruning lost on the widened scan:\n$plan")
+    assert(df.count() == 51) // 51..100 plus 200
+  }
+
   test("eventsStream over an empty staging dir falls back to the declared schema") {
     val dir = java.nio.file.Files.createTempDirectory("round6-empty-stage").toString
     // must NOT throw (start-before-first-file deployment)
