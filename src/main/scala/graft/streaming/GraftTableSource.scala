@@ -110,18 +110,30 @@ class GraftTableSource(spark: SparkSession, root: String,
     // a double→float down-cast would truncate values the table now
     // legitimately holds. Fail like Delta's source does; a restart picks
     // up the new schema from the table.
+    // a DECLARED column the table no longer carries (ALTER DROP, or the
+    // physical side of a RENAME) is a non-additive schema change — a
+    // silent null-fill would corrupt downstream state; fail like the
+    // type-change case. (A column merely absent from THIS batch's files
+    // — a ragged append — still null-fills below, as the batch read
+    // itself would.)
+    val droppedNow = LakehouseTable.droppedColumnsAt(root, endV)
+      .map(_.toLowerCase).toSet
+    val renamedAway = LakehouseTable.renamedColumnsAt(root, endV)
+      .map(_._1.toLowerCase).toSet
     schema.foreach { f =>
-      val actual = batch.schema.find(_.name.equalsIgnoreCase(f.name))
-      actual match {
-        case Some(a) if a.dataType != f.dataType =>
+      if (droppedNow.contains(f.name.toLowerCase) ||
+          renamedAway.contains(f.name.toLowerCase))
+        throw new IllegalStateException(
+          s"graft-table stream over $root: column '${f.name}' was " +
+            "dropped or renamed mid-stream. Restart the query to adopt " +
+            "the new schema.")
+      batch.schema.find(_.name.equalsIgnoreCase(f.name)).foreach { a =>
+        if (a.dataType != f.dataType)
           throw new IllegalStateException(
             s"graft-table stream over $root: column '${f.name}' changed " +
               s"type ${f.dataType.sql} -> ${a.dataType.sql} mid-stream " +
               "(ALTER COLUMN TYPE). Restart the query to adopt the new " +
               "schema.")
-        case _ => () // a missing column (ADD COLUMNS not yet in any
-        // file) surfaces as typed nulls via the cast below — additive
-        // evolution is safe to tail
       }
     }
     val aligned = batch.select(schema.map(f =>

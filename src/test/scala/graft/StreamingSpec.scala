@@ -573,6 +573,21 @@ class StreamingSpec extends AnyFunSuite {
     q3.processAllAvailable(); q3.stop()
     assert(spark.table("t_src_widen2").as[(Long, Double)].collect().toSet ==
       Set((1L, 1.5), (2L, 9.0)))
+    // DROP COLUMN mid-stream must also fail, never silently null-fill
+    val dropRoot = base.resolve("tdrop").toString
+    LT.create(Seq((1, "a")).toDF("i", "v"), dropRoot)
+    val q4 = spark.readStream.format("graft-table").option("path", dropRoot).load()
+      .writeStream.outputMode("append").format("memory")
+      .option("checkpointLocation", base.resolve("ck4").toString)
+      .queryName("t_src_drop").start()
+    q4.processAllAvailable()
+    LT.alterDropColumns(spark, dropRoot, Seq("v"))
+    LT.append(Seq(Tuple1(2)).toDF("i"), dropRoot)
+    val err2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q4.processAllAvailable(); q4.awaitTermination()
+    }
+    assert(causes(err2).exists(c =>
+      Option(c.getMessage).exists(_.contains("dropped or renamed"))))
   }
 
   test("graft-table source refuses a rewrite range unless ignoreChanges") {
