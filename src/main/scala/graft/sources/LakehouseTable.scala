@@ -651,15 +651,28 @@ object LakehouseTable {
           case None         => f
         }
       })
-      val schemas = grouped.values.toSeq.map { fs =>
-        applyWidens(spark.read.option("basePath", dataDir(root).toString)
-          .option("mergeSchema", "true")
-          .parquet(fs.map(f => dataDir(root).resolve(f).toString): _*).schema)
+      // widening-aware union of two already-widened schemas: same-name
+      // fields must agree (both sides had the target types applied)
+      def unionByName(a: StructType, b: StructType): StructType = {
+        val have = a.map(_.name.toLowerCase).toSet
+        StructType(a ++ b.filterNot(f => have.contains(f.name.toLowerCase)))
       }
-      Some(schemas.reduceLeft { (acc, s) =>
-        val have = acc.map(_.name.toLowerCase).toSet
-        StructType(acc ++ s.filterNot(f => have.contains(f.name.toLowerCase)))
-      })
+      val schemas = grouped.values.toSeq.map { fs =>
+        val paths = fs.map(f => dataDir(root).resolve(f).toString)
+        try applyWidens(spark.read.option("basePath", dataDir(root).toString)
+          .option("mergeSchema", "true").parquet(paths: _*).schema)
+        catch {
+          case scala.util.control.NonFatal(_) =>
+            // a VACUUMED history can shift a narrow-epoch file's first
+            // appearance into a post-widen version, mixing physical
+            // types inside one group and failing the strict inference —
+            // fall back to per-file footers, widened then unioned (the
+            // widen targets make the mixed types agree)
+            paths.map(p => applyWidens(spark.read.parquet(p).schema))
+              .reduceLeft(unionByName)
+        }
+      }
+      Some(schemas.reduceLeft(unionByName))
     }
   }
 

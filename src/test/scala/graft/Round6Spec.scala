@@ -446,6 +446,26 @@ class Round6Spec extends AnyFunSuite {
     assert(df.count() == 51) // 51..100 plus 200
   }
 
+  test("widened table survives a VACUUM that erases its pre-widen epoch history") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val root = freshRoot("widenvac")
+    LT.create(Seq((1, 1.5f)).toDF("i", "f"), root)      // narrow file
+    LT.alterWidenColumnType(spark, root, "i", "bigint")
+    LT.alterWidenColumnType(spark, root, "f", "double")
+    LT.append(Seq((2L, 9.0)).toDF("i", "f"), root)      // wide file
+    // vacuum away everything but the head: the narrow file's FIRST
+    // APPEARANCE now reads as a post-widen version, so one epoch group
+    // holds mixed int32/int64 footers — the per-file fallback must carry
+    // the read, not an inference failure
+    LT.vacuum(root, retainLast = 1)
+    assert(LT.versions(root).size == 1)
+    val df = LT.read(spark, root)
+    assert(df.schema("i").dataType == LongType &&
+      df.schema("f").dataType == DoubleType)
+    assert(df.as[(Long, Double)].collect().toSet == Set((1L, 1.5), (2L, 9.0)))
+  }
+
   test("eventsStream over an empty staging dir falls back to the declared schema") {
     val dir = java.nio.file.Files.createTempDirectory("round6-empty-stage").toString
     // must NOT throw (start-before-first-file deployment)
