@@ -65,6 +65,22 @@ object StreamDemo {
     ms.addData(evts.collect().toSeq)
     drive("history", Streams.historyReplay(ms.toDS(), withTimeout = false).toDF(), "append")
 
+    // the graft-table SOURCE: tail the ingested table itself — snapshot
+    // first, then append-only deltas per commit (run against the table
+    // `ingestInto` just produced, plus one live append mid-stream)
+    val srcQ = spark.readStream.format("graft-table").option("path", tbl).load()
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("table_source").start()
+    srcQ.processAllAvailable()
+    graft.sources.LakehouseTable.append(
+      graft.sources.LakehouseTable.read(spark, tbl).limit(5), tbl)
+    srcQ.processAllAvailable(); srcQ.stop()
+    val ts = spark.table("table_source")
+    println(s"[stream-demo] table_source rows=${ts.count()} " +
+      s"(totals include the mid-stream append of 5)")
+    ts.show(3, truncate = false)
+
     spark.stop()
   }
 }
