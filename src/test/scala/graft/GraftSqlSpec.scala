@@ -363,4 +363,30 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(n("sqlspec_ck") == 5)
     spark.sql("DROP TABLE sqlspec_ck")
   }
+
+  test("ALTER COLUMN TYPE through the INJECTED parser; DESCRIBE shows the wide type") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_sql_widen").toString + "/t"
+    Seq((1, 1.5f)).toDF("i", "f").createOrReplaceTempView("widen_src")
+    spark.sql(s"""CREATE TABLE sqlspec_widen USING graft LOCATION '$root' AS
+      SELECT * FROM widen_src""")
+    spark.sql("ALTER TABLE sqlspec_widen ALTER COLUMN i TYPE BIGINT")
+    spark.sql("ALTER TABLE sqlspec_widen ALTER COLUMN f SET DATA TYPE DOUBLE")
+    // the published view reads the widened schema
+    val sch = spark.table("sqlspec_widen").schema
+    assert(sch("i").dataType == org.apache.spark.sql.types.LongType)
+    assert(sch("f").dataType == org.apache.spark.sql.types.DoubleType)
+    // DESCRIBE COLUMNS surfaces the widened types
+    val desc = spark.sql("DESCRIBE COLUMNS sqlspec_widen").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc("i") == "BIGINT" && desc("f") == "DOUBLE", desc.toString)
+    // inserts through SQL land as the wide type; narrowing refused
+    spark.sql("INSERT INTO sqlspec_widen VALUES (9000000000, 2.5)")
+    assert(spark.table("sqlspec_widen").as[(Long, Double)].collect().toSet ==
+      Set((1L, 1.5), (9000000000L, 2.5)))
+    val nr = intercept[Exception](spark.sql(
+      "ALTER TABLE sqlspec_widen ALTER COLUMN i TYPE INT"))
+    assert(nr.getMessage.contains("only widens"))
+    spark.sql("DROP TABLE sqlspec_widen")
+  }
 }
