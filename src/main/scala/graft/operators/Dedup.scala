@@ -457,7 +457,59 @@ object Dedup {
             .as("n_flagged"),
           sum(col("n_dup")).as("dup_windows"),
           sum(col("n_win")).as("total_windows"))
-        .orderBy(col("lang"))))
+        .orderBy(col("lang"))),
+
+    // SPAN SCRUB accounting — the CUT step q135 only profiles (Lee et al.
+    // 2022 §4.1 ExactSubstr): positional 8-token windows whose text
+    // recurs in ≥2 distinct docs mark token ranges [pos, pos+7]; the
+    // union of those ranges per doc is what substring dedup deletes.
+    // Reports, per lang, how much text the scrub removes and in how many
+    // contiguous spans (the rewrite's splice count). Everything is
+    // integer: covered-position counting replaces interval arithmetic
+    // (distinct (doc, p) after an 8× expansion of DUP windows only), and
+    // span starts fall out of a lag(1) gaps-and-islands pass riding the
+    // same (doc_id, p) shuffle. Cost is O(token windows) + 8× the dup
+    // subset — no pair relation, same scale shape as q135; the df filter
+    // keeps the expanded relation proportional to actually-duplicated
+    // text, which is the quantity being measured.
+    "q157_span_scrub" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          TextExpressions.tokens(col("text")).as("toks"))
+        .withColumn("n_tok", size(col("toks")).cast("long"))
+      // positional windows: start pos (1-based) → space-joined 8 tokens
+      val wins = toks.filter(col("n_tok") >= 8)
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(1), size(col("toks")) - 7),
+            i => concat_ws(" ", slice(col("toks"), i, lit(8)))))
+            .as(Seq("p0", "w")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("w"))
+      val dupW = wins.select(col("doc_id"), col("w")).distinct()
+        .groupBy(col("w")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2).select(col("w"))
+      val covered = wins.join(dupW, "w")
+        .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + 7)).as("p"))
+        .distinct()
+      val wdoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      val perDoc = covered
+        .withColumn("prev", lag(col("p"), 1).over(wdoc))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("removed"),
+          sum(when(col("prev").isNull || col("prev") =!= col("p") - 1, 1L)
+            .otherwise(0L)).as("spans"))
+      toks.select(col("doc_id"), col("lang"), col("n_tok"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("lang"), col("n_tok"),
+          coalesce(col("removed"), lit(0L)).as("removed"),
+          coalesce(col("spans"), lit(0L)).as("spans"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens"),
+          sum(col("removed")).as("removed_tokens"),
+          sum(col("n_tok") - col("removed")).as("kept_tokens"),
+          sum(col("spans")).as("n_spans"))
+        .orderBy(col("lang"))
+    }))
 
   /** Per-doc 8-token-window span-duplication counts (doc_id, lang,
     * source, n_win, n_dup), RelationCache'd per (session, dir): the
@@ -611,6 +663,34 @@ object Dedup {
             CAST(sum(n_dup) AS BIGINT) AS dup_windows,
             CAST(sum(n_win) AS BIGINT) AS total_windows
           FROM per GROUP BY lang ORDER BY lang""",
+
+    "q157_span_scrub" ->
+      s"""WITH t AS (SELECT doc_id, lang, ${T.sqlToks} AS toks FROM documents),
+          base AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tok, toks FROM t),
+          wins AS (SELECT doc_id,
+                     CAST(unnest(range(1, len(toks) - 6)) AS BIGINT) AS pos,
+                     unnest(list_transform(range(1, len(toks) - 6),
+                       i -> array_to_string(toks[i:i+7], ' '))) AS w
+                   FROM base WHERE n_tok >= 8),
+          dupw AS (SELECT w FROM (SELECT DISTINCT doc_id, w FROM wins)
+                   GROUP BY w HAVING count(*) >= 2),
+          cov AS (SELECT DISTINCT doc_id, p FROM (
+                    SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS p
+                    FROM wins WHERE w IN (SELECT w FROM dupw))),
+          perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS removed,
+                       CAST(sum(CASE WHEN prev IS NULL OR prev <> p - 1
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS spans
+                     FROM (SELECT doc_id, p,
+                             lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+                           FROM cov)
+                     GROUP BY doc_id)
+          SELECT lang, count(*) AS n_docs,
+            CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+            CAST(sum(COALESCE(removed, 0)) AS BIGINT) AS removed_tokens,
+            CAST(sum(n_tok - COALESCE(removed, 0)) AS BIGINT) AS kept_tokens,
+            CAST(sum(COALESCE(spans, 0)) AS BIGINT) AS n_spans
+          FROM base LEFT JOIN perdoc USING (doc_id)
+          GROUP BY lang ORDER BY lang""",
 
     "q35_embedding_neardup" -> {
       val sigExpr = VectorExpressions.sqlSrpSignature(SrpPlanes, EmbeddingDims, "embedding")

@@ -26,7 +26,10 @@ class Round5Spec extends AnyFunSuite {
     var i = 0
     while (i < 8) { q(spark, sf).count(); i += 1 }
     val after = persistedCount
-    assert(after == steady,
+    // growth is the failure mode (GC-coupled accretion); a DOWNWARD drift
+    // is legal — suites share the session, and another suite's async
+    // unpersist/ContextCleaner release can land mid-loop
+    assert(after <= steady,
       s"persisted RDDs grew across q68 invocations: $steady -> $after")
     // and the query still returns its clusters
     assert(q(spark, sf).count() > 0)
