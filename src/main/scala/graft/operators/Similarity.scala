@@ -227,7 +227,113 @@ object Similarity {
     (t, centroidTable(s, d))
   }
 
+  // --- Integer-exact distributed k-means (q158/q159) ----------------------
+
+  private val KmK = 8
+  private val KmQScale = 10000
+  private val KmSampleCap = 20
+
+  /** Quantized embedding frame (vec_id, label, q: array<bigint>), one
+    * materialization per (session, dir): all three Lloyd assignment
+    * passes and the q159 sampler ride this relation instead of
+    * re-reading + re-quantizing the corpus per round. */
+  private def kmQuantized(s: SparkSession, d: String): DataFrame =
+    graft.sources.RelationCache.of(s, "similarity.kmQuantized", d) {
+      Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * KmQScale).cast("long")).as("q"))
+    }
+
+  /** struct(dist, cid) of the nearest of `cents` (literal centroids):
+    * squared-L2 argmin in quantized-integer space, ties to the lower cid
+    * via struct ordering. One codegen'd expression per row — no explode,
+    * no join. */
+  private def kmNearest(cents: Seq[Array[Long]]): Column =
+    array_min(array(cents.zipWithIndex.map { case (c, k) =>
+      struct(
+        aggregate(zip_with(col("q"), array(c.toIndexedSeq.map(lit): _*),
+            (x, cc) => (x - cc) * (x - cc)),
+          lit(0L), (acc, v) => acc + v).as("dist"),
+        lit(k.toLong).as("cid"))
+    }: _*))
+
+  /** Final Lloyd assignment (vec_id, label, cid, dist) after 3 assignment
+    * passes / 2 MEAN updates of k-means over integer-quantized embeddings.
+    *
+    * The companion to the index's k-MEDIANS build (kmediansLong): where
+    * that one avoids ALL driver synchronization via grid medians, this is
+    * the classic Lloyd's-with-means — and it stays bit-reproducible
+    * across engines because every update is exact integer arithmetic:
+    * components quantize once to a 1/10000 grid (the q91 cast-double-
+    * then-round convention), cell sums of longs are order-independent,
+    * and the new centroid is the truncating integer quotient sum/count
+    * (Scala `/` ≡ DuckDB `//` toward zero). No double ever enters, so no
+    * accumulation-order drift — the failure mode that makes naive
+    * distributed k-means non-reproducible. Per-round driver sync is the
+    * k×dims centroid matrix (512 longs — independent of corpus size, the
+    * same sync MLlib's KMeans does); each round is one broadcast-assign
+    * scan + one map-side-combined (cid, pos) aggregation. Empty cells
+    * keep their previous centroid (mirrored in the oracle's LEFT JOIN
+    * COALESCE). */
+  private[operators] def kmeansAssign(s: SparkSession, d: String): DataFrame = {
+    val qdf = kmQuantized(s, d)
+    var cents: Seq[Array[Long]] = qdf.filter(col("vec_id") < KmK)
+      .orderBy(col("vec_id")).collect()
+      .map(r => r.getSeq[Long](r.fieldIndex("q")).toArray).toSeq
+    for (_ <- 1 to 2) {
+      val assigned = qdf.withColumn("cid", kmNearest(cents).getField("cid"))
+      val sums = assigned
+        .select(col("cid"), posexplode(col("q")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val upd = sums.groupBy(_.getLong(0)).map { case (cid, rows) =>
+        cid.toInt -> rows.sortBy(_.getInt(1))
+          .map(r => r.getLong(2) / r.getLong(3)).toArray
+      }
+      cents = cents.zipWithIndex.map { case (old, k) => upd.getOrElse(k, old) }
+    }
+    qdf.withColumn("nn", kmNearest(cents))
+      .select(col("vec_id"), col("label"),
+        col("nn").getField("cid").as("cid"), col("nn").getField("dist").as("dist"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Distributed k-means profile: cluster populations + exact inertia
+    // after 3 Lloyd passes (see kmeansAssign — integer-exact, so the
+    // iterative float pipeline is oracle-checkable end to end). The
+    // clustering every curation move downstream of embeddings builds on:
+    // q159 samples from it; SemDeDup/DataComp prune within it.
+    "q158_kmeans" -> ((s, d) =>
+      kmeansAssign(s, d)
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("dist")).as("inertia"),
+          min(col("vec_id")).as("min_vec_id"))
+        .orderBy(col("cid"))),
+
+    // CLUSTER-BALANCED sampling (the DataComp/SemDeDup curation move):
+    // cap each k-means cluster at KmSampleCap draws so dense regions of
+    // embedding space cannot dominate the training mix. The draw order is
+    // the engine's md5 convention (deterministic, partition-local); the
+    // per-cluster rank-window rides ONE exchange on cid. Label mix of the
+    // sample is reported per cell — the quantity balanced sampling exists
+    // to improve.
+    "q159_cluster_sample" -> ((s, d) => {
+      val w = Window.partitionBy(col("cid")).orderBy(col("draw"), col("vec_id"))
+      kmeansAssign(s, d)
+        .withColumn("draw",
+          graft.functions.TextFunctions.md5Prefix(
+            concat(lit("km"), col("vec_id").cast("string")), 8))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= KmSampleCap)
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_sampled"),
+          countDistinct(col("label")).as("n_labels"),
+          sum(col("label").cast("long")).as("label_sum"))
+        .orderBy(col("cid"))
+    }),
+
     // INCREMENTAL semantic dedup — q146's production ingest shape (the
     // embedding analog of q110): an arriving batch (vec_id ≡ 8,9 mod 10)
     // is routed to its IVF cell and compared against the EXISTING
@@ -617,7 +723,62 @@ object Similarity {
       .select(col("cid"), col("id_b").as("vec_id")).distinct()
   }
 
+  /** DuckDB twin of [[kmeansAssign]]: the same 3 assignment passes / 2
+    * integer-mean updates, unrolled as CTEs (the q150 BPE convention for
+    * iterative algorithms). `a3` is the final (vec_id, label, cid, dist)
+    * relation. */
+  private def sqlKmCtes: String = {
+    def distE(qa: String, ca: String) =
+      s"list_sum(list_transform(list_zip($qa, $ca), p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    def assign(prev: String, out: String) =
+      s"""$out AS (SELECT vec_id, label, q, cid, dist FROM (
+            SELECT v.vec_id, v.label, v.q, c.cid,
+                   ${distE("v.q", "c.q")} AS dist,
+                   row_number() OVER (PARTITION BY v.vec_id
+                     ORDER BY ${distE("v.q", "c.q")}, c.cid) AS rn
+            FROM qv v CROSS JOIN $prev c) WHERE rn = 1)"""
+    def update(assigned: String, prev: String, out: String) =
+      s"""${out}s AS (SELECT cid, pos, CAST(sum(x) AS BIGINT) AS sx, count(*) AS n
+             FROM (SELECT cid, unnest(range(1, ${Dims + 1})) AS pos,
+                     unnest(q) AS x FROM $assigned)
+             GROUP BY cid, pos),
+          $out AS (SELECT c.cid, COALESCE(u.q, c.q) AS q FROM $prev c
+             LEFT JOIN (SELECT cid, list(sx // n ORDER BY pos) AS q
+                        FROM ${out}s GROUP BY cid) u USING (cid))"""
+    s"""qv AS (SELECT vec_id, label, list_transform(embedding,
+            x -> CAST(round(CAST(x AS DOUBLE) * $KmQScale) AS BIGINT)) AS q
+          FROM embeddings),
+        kc0 AS (SELECT CAST(vec_id AS BIGINT) AS cid, q FROM qv WHERE vec_id < $KmK),
+        ${assign("kc0", "a1")},
+        ${update("a1", "kc0", "kc1")},
+        ${assign("kc1", "a2")},
+        ${update("a2", "kc1", "kc2")},
+        ${assign("kc2", "a3")}"""
+  }
+
   def oracle: Map[String, String] = Map(
+    "q158_kmeans" ->
+      s"""WITH $sqlKmCtes
+          SELECT cid, count(*) AS n_vecs,
+            CAST(sum(dist) AS BIGINT) AS inertia,
+            min(vec_id) AS min_vec_id
+          FROM a3 GROUP BY cid ORDER BY cid""",
+
+    "q159_cluster_sample" -> {
+      import graft.functions.{TextFunctions => TF}
+      s"""WITH $sqlKmCtes,
+          drawn AS (SELECT vec_id, label, cid, row_number() OVER (
+                      PARTITION BY cid ORDER BY
+                        ${TF.sqlMd5Prefix("'km' || CAST(vec_id AS VARCHAR)", 8)},
+                        vec_id) AS rk
+                    FROM a3)
+          SELECT cid, count(*) AS n_sampled,
+            CAST(count(DISTINCT label) AS BIGINT) AS n_labels,
+            CAST(sum(CAST(label AS BIGINT)) AS BIGINT) AS label_sum
+          FROM drawn WHERE rk <= $KmSampleCap
+          GROUP BY cid ORDER BY cid"""
+    },
+
     "q148_incremental_semdedup" ->
       s"""WITH $ivfBuildCtes,
           av AS (SELECT a.cid, a.vec_id, e.embedding
