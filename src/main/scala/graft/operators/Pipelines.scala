@@ -21,7 +21,103 @@ object Pipelines {
     * selection frontier is genuinely partial at every SF. */
   private val TokenBudgetPerSource = 1000L
 
+  // --- DSIR importance selection (q160) -----------------------------------
+
+  /** Hashed-feature space size (Xie et al. 2023 "Data Selection for
+    * Language Models via Importance Resampling" uses 10k hashed bigram
+    * buckets; 1024 keeps the oracle's unrolled arithmetic readable). */
+  private val DsirBuckets = 1024L
+
+  /** Fixed-point log2(num/den) in PURE integer arithmetic — the engine's
+    * stand-in for the ln() DSIR weights, which cross-engine libm drift
+    * rules out of oracled output (q130 note). Integer part from binary
+    * lengths; 12 fractional bits by shift-and-square on a 20-bit
+    * mantissa. Every op is a 64-bit integer multiply/shift/compare, so
+    * the result is bit-identical in any engine that repeats the recipe
+    * (the oracle unrolls the same 12 steps as CTEs). Returned unit:
+    * 1/4096 of a bit (wt = e·4096 + 12-bit fraction). Domain bound:
+    * num,den < 2^42 keeps every intermediate inside a signed 64-bit long
+    * (num << 21 worst case) — at larger corpus counts, reduce the
+    * fraction by gcd or drop common powers of two first. */
+  private[operators] def ilog2Fp(num: Long, den: Long): Long = {
+    require(num > 0 && den > 0, s"ilog2Fp domain: $num / $den")
+    def bitlen(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    def mantissa(e: Int): Long =
+      if (e >= 0) (num << 20) / (den << e) else (num << (20 - e)) / den
+    var e = bitlen(num) - bitlen(den)
+    var m = mantissa(e)
+    if (m < (1L << 20)) { e -= 1; m = mantissa(e) }
+    var f = 0L
+    var i = 0
+    while (i < 12) {
+      var m2 = (m * m) >> 20
+      if (m2 >= (1L << 21)) { m2 >>= 1; f = f * 2 + 1 } else f = f * 2
+      m = m2
+      i += 1
+    }
+    e.toLong * 4096 + f
+  }
+
+  /** Per-doc hashed n-gram feature counts (doc_id, lang, source, b, n):
+    * unigrams ∪ bigrams, md5-hashed into [[DsirBuckets]] buckets — the
+    * DSIR feature space. RelationCache'd: the bucket-total pass and the
+    * per-doc scoring pass both ride one tokenization. */
+  private def dsirFeatures(s: SparkSession, d: String): DataFrame =
+    graft.sources.RelationCache.of(s, "pipelines.dsirFeatures", d) {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          explode(concat(
+            graft.plans.TextExpressions.tokens(col("text")),
+            graft.plans.TextExpressions.adjacentPairs(col("text")))).as("feat"))
+        .withColumn("b", T.md5Prefix(col("feat"), 8) % DsirBuckets)
+        .groupBy(col("doc_id"), col("lang"), col("source"), col("b"))
+        .agg(count(lit(1)).as("n"))
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // DSIR importance selection (Xie et al. 2023): score every raw doc
+    // by how much its hashed n-gram profile looks like the TARGET
+    // distribution (here: the English slice) relative to the raw pool,
+    // then keep the global top-100. Per-bucket weight = fixed-point
+    // log2 of the add-1-smoothed probability ratio — computed in exact
+    // integer arithmetic on the DRIVER over the 1024-row bucket table
+    // (corpus-size-independent, the k-means-centroid sync shape) and
+    // broadcast back; a doc's score is then an exact integer dot
+    // product Σ n_b·wt_b riding the feature shuffle. Selection is
+    // TakeOrderedAndProject (top-100), never a global sort. Reported
+    // per source: pool size, how many docs the target pulled in, and
+    // the selected mass — the audit a mixture built this way needs.
+    "q160_dsir_select" -> ((s, d) => {
+      val feats = dsirFeatures(s, d)
+      val bstats = feats.groupBy(col("b"))
+        .agg(sum(when(col("lang") === "en", col("n")).otherwise(0L)).as("t"),
+          sum(col("n")).as("s0"))
+        .collect()
+      val tTot = bstats.map(_.getLong(1)).sum
+      val sTot = bstats.map(_.getLong(2)).sum
+      val wts = bstats.map { r =>
+        (r.getLong(0),
+          ilog2Fp((r.getLong(1) + 1) * (sTot + DsirBuckets),
+            (r.getLong(2) + 1) * (tTot + DsirBuckets)))
+      }.toSeq
+      import s.implicits._
+      val wdf = wts.toDF("b", "wt")
+      val scores = feats
+        .join(broadcast(wdf), "b")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum(col("n") * col("wt")).as("score"))
+      val picked = scores
+        .orderBy(col("score").desc, col("doc_id")).limit(100)
+      Tables.documents(s, d).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .join(picked.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_selected"), sum(col("score")).as("sel_score")),
+          Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+          coalesce(col("sel_score"), lit(0L)).as("sel_score"))
+        .orderBy(col("source"))
+    }),
     // Token-budget selection: fill each source's token budget with its
     // best-quality documents — the "give me the best 10B tokens per
     // domain" primitive that turns a mixture plan into a concrete
@@ -708,6 +804,61 @@ object Pipelines {
        + 0.5 * least(CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) / 8.0, 1.0)"""
 
   def oracle: Map[String, String] = Map(
+    // the same 12 shift-and-square steps as ilog2Fp, unrolled as CTEs
+    // (the q150/q158 convention for iterative integer algorithms)
+    "q160_dsir_select" -> {
+      val iter = (1 to 12).map { i =>
+        s"""d$i AS (SELECT b, e,
+               CASE WHEN m2 >= 2097152 THEN m2 >> 1 ELSE m2 END AS m,
+               f * 2 + CASE WHEN m2 >= 2097152 THEN 1 ELSE 0 END AS f
+             FROM (SELECT b, e, (m * m) >> 20 AS m2, f FROM d${i - 1}))"""
+      }.mkString(",\n          ")
+      s"""WITH feat AS (
+            SELECT doc_id, lang, source,
+              ${T.sqlMd5Prefix("feat", 8)} % $DsirBuckets AS b,
+              CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT doc_id, lang, source, unnest(list_concat(toks,
+                    [toks[i] || ' ' || toks[i + 1] FOR i IN range(1, len(toks))])) AS feat
+                  FROM (SELECT doc_id, lang, source, $toksSql AS toks FROM documents))
+            GROUP BY 1, 2, 3, 4),
+          cnt AS (SELECT b,
+                    CAST(sum(CASE WHEN lang = 'en' THEN n ELSE 0 END) AS BIGINT) AS t,
+                    CAST(sum(n) AS BIGINT) AS s0
+                  FROM feat GROUP BY b),
+          tot AS (SELECT CAST(sum(t) AS BIGINT) AS tt,
+                    CAST(sum(s0) AS BIGINT) AS st FROM cnt),
+          frac AS (SELECT b, (t + 1) * (st + $DsirBuckets) AS num,
+                     (s0 + 1) * (tt + $DsirBuckets) AS den
+                   FROM cnt, tot),
+          ebl AS (SELECT b, num, den,
+                    CAST(length(bin(num)) - length(bin(den)) AS BIGINT) AS e0
+                  FROM frac),
+          em AS (SELECT b, e0,
+                   CASE WHEN e0 >= 0 THEN (num << 20) // (den << e0)
+                        ELSE (num << (20 - e0)) // den END AS ma,
+                   CASE WHEN e0 - 1 >= 0 THEN (num << 20) // (den << (e0 - 1))
+                        ELSE (num << (20 - (e0 - 1))) // den END AS mb
+                 FROM ebl),
+          d0 AS (SELECT b,
+                   CASE WHEN ma < 1048576 THEN e0 - 1 ELSE e0 END AS e,
+                   CASE WHEN ma < 1048576 THEN mb ELSE ma END AS m,
+                   CAST(0 AS BIGINT) AS f
+                 FROM em),
+          $iter,
+          wts AS (SELECT b, e * 4096 + f AS wt FROM d12),
+          scores AS (SELECT doc_id, source, CAST(sum(n * wt) AS BIGINT) AS score
+                     FROM feat JOIN wts USING (b) GROUP BY doc_id, source),
+          picked AS (SELECT * FROM scores ORDER BY score DESC, doc_id LIMIT 100),
+          sel AS (SELECT source, count(*) AS n_selected,
+                    CAST(sum(score) AS BIGINT) AS sel_score
+                  FROM picked GROUP BY source),
+          pool AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+          SELECT pool.source, n_docs,
+            CAST(COALESCE(n_selected, 0) AS BIGINT) AS n_selected,
+            CAST(COALESCE(sel_score, 0) AS BIGINT) AS sel_score
+          FROM pool LEFT JOIN sel USING (source) ORDER BY source"""
+    },
+
     // q68's recursive-CTE twin wrapped as a subquery, then the same
     // integer arithmetic — the oracle can never diverge from q68's
     // definition of a duplicate either
