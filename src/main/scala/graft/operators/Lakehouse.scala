@@ -72,6 +72,26 @@ object Lakehouse {
     * a negated-key twin), deleteWhere v2 (price < 10000). All arithmetic is
     * chosen bit-exact across engines: 1.25 is a power-of-two sum, so the
     * double product is IEEE-identical in Spark and DuckDB. */
+  /** q161's table: events projection, then two MERGE-ON-READ deletes —
+    * the second's predicate overlaps files the first already covered, so
+    * the gate exercises the DV-merge path, not just a fresh sidecar. */
+  private[graft] def eventsMorRoot(s: SparkSession, d: String): String = {
+    val root = TableCache.root(d, "events", "mor-del7-del3:v1")
+    try TableCache.locked(root) {
+      if (LakehouseTable.versions(root).isEmpty)
+        LakehouseTable.create(
+          Tables.events(s, d).select("event_id", "user_id", "event_type"),
+          root)
+      if (LakehouseTable.currentVersion(root).contains(0L))
+        LakehouseTable.deleteWhereMor(s, root, "event_id % 7 = 0")
+      if (LakehouseTable.currentVersion(root).contains(1L))
+        LakehouseTable.deleteWhereMor(s, root, "user_id % 3 = 0")
+    } catch {
+      case e if raceLost(e) => () // see lineitemZRoot
+    }
+    root
+  }
+
   private[graft] def ordersMergeRoot(s: SparkSession, d: String): String = {
     val root = TableCache.root(d, "orders", "merge97-ins997-del10000:v2")
     try TableCache.locked(root) {
@@ -647,6 +667,23 @@ object Lakehouse {
           countDistinct(col("l_partkey")).as("n_parts"))
     }),
 
+    // MERGE-ON-READ deletes under the gate: two overlapping deleteWhereMor
+    // calls (the second merges into the first's per-file DVs) and ZERO
+    // data-file rewrites — the reader's DV anti-join must reconstruct
+    // exactly the surviving row set the oracle computes from the raw
+    // parquet. The at-scale point of the operator: deleting a row costs a
+    // position entry, not a file rewrite (DeletionVectorSpec pins the
+    // file-list-identical property; this query gates the row set).
+    "q161_mor_delete" -> ((s, d) => {
+      val root = eventsMorRoot(s, d)
+      LakehouseTable.read(s, root)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("event_id")).as("id_sum"),
+          sum(col("user_id")).as("user_sum"))
+        .orderBy(col("event_type"))
+    }),
+
     // create → MERGE (update + insert) → deleteWhere → read the survivors.
     // Aggregates are all bit-exact (count, long sum, double min/max) so the
     // hash gate verifies the exact surviving row set, not a tolerance.
@@ -1138,6 +1175,14 @@ object Lakehouse {
             CAST(sum(user_id) AS BIGINT) AS extra_sum,
             ${Exact.sqlMoneySum("value")} AS sum_value
           FROM events WHERE event_id % 2 = 1""",
+
+    "q161_mor_delete" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS id_sum,
+           CAST(sum(user_id) AS BIGINT) AS user_sum
+         FROM events
+         WHERE NOT (event_id % 7 = 0) AND NOT (user_id % 3 = 0)
+         GROUP BY event_type ORDER BY event_type""",
 
     "q116_change_feed" -> sqlCdcChanges,
 

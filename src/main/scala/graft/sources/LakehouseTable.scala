@@ -171,6 +171,32 @@ object LakehouseTable {
   private def encodeWidens(ws: Seq[(String, String)]): String =
     ws.map { case (p, t) => s"$p>$t" }.mkString(", ")
 
+  private val DvsRe = """"dvs":\s*"([^"]*)"""".r
+
+  /** MERGE-ON-READ deletion-vector state as of version `v`: (data file →
+    * DV file) pairs, both data-dir-relative resp. deletes-dir-relative.
+    * A DV file is a parquet relation (path STRING, pos BIGINT) listing
+    * the deleted row positions (parquet `_metadata.row_index`) of each
+    * covered data file; readers anti-join it instead of rewriting files.
+    * Travels with the version like the column-mapping state: time travel
+    * to a pre-delete version reads the undeleted rows. This is Delta's
+    * deletionVectors table feature expressed over the graft manifest
+    * (position deletes; Iceberg's positional delete files are the same
+    * shape). */
+  def dvsAt(root: String, v: Long): Seq[(String, String)] =
+    DvsRe.findFirstMatchIn(
+      Files.readString(manifestDir(root).resolve(s"$v.json")))
+      .map(_.group(1)).filter(_.nonEmpty).toSeq
+      .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { pair =>
+        val Array(f, dv) = pair.split(">", 2)
+        f.trim -> dv.trim
+      })
+
+  private def encodeDvs(m: Seq[(String, String)]): String =
+    m.map { case (f, dv) => s"$f>$dv" }.mkString(", ")
+
+  private def deletesDir(root: String): Path = Paths.get(root, "deletes")
+
   /** Columns added by ALTER TABLE as a DDL string ("c1 INT, c2 STRING"),
     * as recorded in version `v`'s manifest — empty when the version
     * predates any ALTER. Schema travels WITH the manifest version, so
@@ -190,7 +216,8 @@ object LakehouseTable {
       addedCols: Option[String] = None,
       renamedCols: Option[String] = None,
       droppedCols: Option[String] = None,
-      widenedCols: Option[String] = None): Long = {
+      widenedCols: Option[String] = None,
+      dvs: Option[String] = None): Long = {
     relFiles.find(f => f.contains('"') || f.contains(',')).foreach(f =>
       throw new IllegalArgumentException(
         s"""data file path contains '"' or ',' (unsupported in partition values): $f"""))
@@ -221,8 +248,18 @@ object LakehouseTable {
       prevV.map(v => droppedColumnsAt(root, v).mkString(", ")).getOrElse(""))
     val widens = widenedCols.getOrElse(
       prevV.map(v => encodeWidens(widenedColumnsAt(root, v))).getOrElse(""))
+    // deletion vectors carry forward like the mapping state, but FILTERED
+    // to the files this commit actually keeps: a COW rewrite / compaction
+    // that replaces a DV'd file has already applied its deletions to the
+    // rewritten rows, so the entry must drop with the file — automatic
+    // hygiene instead of a per-call-site obligation
+    val present = relFiles.toSet
+    val dvField = dvs.getOrElse(
+      prevV.map(v => encodeDvs(dvsAt(root, v).filter(e => present(e._1))))
+        .getOrElse(""))
     Seq("added-column DDL" -> cols, "renamed-column list" -> rens,
-      "dropped-column list" -> drops, "widened-column list" -> widens)
+      "dropped-column list" -> drops, "widened-column list" -> widens,
+      "deletion-vector list" -> dvField)
       .foreach { case (what, s) =>
         require(!s.exists(c => c == '[' || c == ']' || c == '"'),
           s"""$what may not contain '[', ']', or '"': $s""")
@@ -230,7 +267,8 @@ object LakehouseTable {
     val colsField = (if (cols.isEmpty) "" else s""""addedCols": "$cols", """) +
       (if (rens.isEmpty) "" else s""""renamedCols": "$rens", """) +
       (if (drops.isEmpty) "" else s""""droppedCols": "$drops", """) +
-      (if (widens.isEmpty) "" else s""""widenedCols": "$widens", """)
+      (if (widens.isEmpty) "" else s""""widenedCols": "$widens", """) +
+      (if (dvField.isEmpty) "" else s""""dvs": "$dvField", """)
     val json = relFiles.sorted.map(f => "\"" + f + "\"")
       .mkString(s"""{$txnField$colsField"files": [""", ", ", "]}")
     val tmp = manifestDir(root).resolve(s".$version.json.tmp-${java.util.UUID.randomUUID()}")
@@ -270,7 +308,8 @@ object LakehouseTable {
     * every write path starts from a DataFrame) skips and self-heals on
     * the next commit too. */
   private def maybeAdvanceDeltaLog(root: String): Unit =
-    if (Files.isDirectory(Paths.get(root, "_delta_log")))
+    if (Files.isDirectory(Paths.get(root, "_delta_log")) &&
+        currentVersion(root).forall(v => dvsAt(root, v).isEmpty))
       SparkSession.getActiveSession.foreach { spark =>
         // the manifest commit ALREADY SUCCEEDED: a mirror hiccup may only
         // lag the log (self-healed by the next commit's export), never
@@ -548,6 +587,60 @@ object LakehouseTable {
   /** Read the table at `version` (default: latest). Partition columns are
     * recovered from the hive paths via basePath, so partition pruning
     * still applies to time-travel reads. */
+  /** Manifest-relative path of each row's backing data file, as a Column —
+    * the row-identity half of the deletion-vector join key. MIRRORS
+    * [[toRel]] exactly (URI → strip scheme → %-decode with '+' shielded →
+    * relativize against data/): DV writers and DV-applying readers both
+    * derive the key from THIS expression, so the two can never disagree
+    * on encoding. */
+  private def relPathCol(root: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val prefix = dataDir(root).toString + "/"
+    substring(
+      url_decode(regexp_replace(
+        regexp_replace(col("_metadata.file_path"), "^file:/+", "/"),
+        "\\+", "%2B")),
+      prefix.length + 1, Int.MaxValue)
+  }
+
+  /** The (path, pos) rows of a set of DV files, restricted to `forFiles`
+    * (one DV parquet may cover several data files, and may carry entries
+    * for files a later COW rewrite replaced — those are inert and
+    * filtered out here). */
+  private def dvRows(spark: SparkSession, root: String,
+      dvs: Map[String, String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val files = dvs.values.toSeq.distinct
+      .map(f => deletesDir(root).resolve(f).toString)
+    spark.read.parquet(files: _*)
+      .filter(col("path").isin(dvs.keys.toSeq: _*))
+      .select(col("path"), col("pos"))
+  }
+
+  /** Apply version `v`'s deletion vectors to a PHYSICAL file-scan frame
+    * over `relFiles`: anti-join on (file, row_index). No-op (unchanged
+    * plan, zero overhead) when no DV covers the file set. The DV side is
+    * O(deleted rows of the scanned files) — broadcast while small, a
+    * plain shuffled anti-join when a huge delete made it large; the data
+    * side's filter pushdown and partition pruning are unaffected (the
+    * anti-join sits above the scan). */
+  private def applyDvs(spark: SparkSession, root: String, v: Long,
+      relFiles: Seq[String], raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val want = relFiles.toSet
+    val dvs = dvsAt(root, v).filter(e => want(e._1)).toMap
+    if (dvs.isEmpty) raw
+    else {
+      val del = dvRows(spark, root, dvs)
+        .select(col("path").as("__dv_path"), col("pos").as("__dv_pos"))
+      raw.withColumn("__dv_rel", relPathCol(root))
+        .withColumn("__dv_ri", col("_metadata.row_index"))
+        .join(del, col("__dv_rel") === col("__dv_path") &&
+          col("__dv_ri") === col("__dv_pos"), "left_anti")
+        .drop("__dv_rel", "__dv_ri")
+    }
+  }
+
   def read(spark: SparkSession, root: String, version: Option[Long] = None): DataFrame = {
     val v = version.orElse(currentVersion(root)).getOrElse(
       throw new IllegalStateException(s"no table at $root"))
@@ -563,10 +656,11 @@ object LakehouseTable {
     // int32 and int64 footers, but the reader happily serves a narrow
     // file under a requested wider type — see [[widenedPhysicalSchema]].
     val base = spark.read.option("basePath", dataDir(root).toString)
-    val df = widenedPhysicalSchema(spark, root, v, relFiles) match {
+    val df0 = widenedPhysicalSchema(spark, root, v, relFiles) match {
       case Some(schema) => base.schema(schema).parquet(files: _*)
       case None         => base.option("mergeSchema", "true").parquet(files: _*)
     }
+    val df = applyDvs(spark, root, v, relFiles, df0)
     // ALTER-added columns not yet carried by any data file surface as
     // typed nulls (the same union-schema semantics an append with the
     // column would produce); once files carry the column, the footer
@@ -614,7 +708,7 @@ object LakehouseTable {
           .parquet(relFiles.map(f => dataDir(root).resolve(f).toString): _*)
       case None => readFiles(spark, root, relFiles)
     }
-    toLogical(raw, root, v)
+    toLogical(applyDvs(spark, root, v, relFiles, raw), root, v)
   }
 
   /** Explicit physical-level read schema for a widened table at version
@@ -695,6 +789,14 @@ object LakehouseTable {
     Files.createDirectories(logDir)
     val vs = versions(root)
     require(vs.nonEmpty, s"no table at $root")
+    // a foreign Delta reader cannot apply graft deletion vectors, and the
+    // export shares data files in place — exporting a DV-active version
+    // would resurrect its deleted rows. The write-through hook skips
+    // while DVs are active (mirror lags, stays correct) and resumes after
+    // materializeDvs; an EXPLICIT export states the requirement.
+    require(dvsAt(root, vs.last).isEmpty,
+      s"table at $root has active deletion vectors; run materializeDvs " +
+        "before exporting the Delta mirror")
     def esc(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"")
     def partitionValues(rel: String): String =
@@ -1440,6 +1542,88 @@ object LakehouseTable {
     commit(root, cur + 1, untouched ++ writeFiles(remaining, root, partitionBy))
   }
 
+  /** Version-`v` logical frame over `relFiles` with each row's DV
+    * identity (`__dv_rel`, `__dv_ri`) attached and NO deletion vectors
+    * applied — the writer-side view MOR deletes (and the change feed's
+    * DV diff) compute positions from. */
+  private def readFilesLogicalWithIdentity(spark: SparkSession, root: String,
+      v: Long, relFiles: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val raw = widenedPhysicalSchema(spark, root, v, relFiles) match {
+      case Some(schema) =>
+        spark.read.option("basePath", dataDir(root).toString).schema(schema)
+          .parquet(relFiles.map(f => dataDir(root).resolve(f).toString): _*)
+      case None => readFiles(spark, root, relFiles)
+    }
+    toLogical(raw.withColumn("__dv_rel", relPathCol(root))
+      .withColumn("__dv_ri", col("_metadata.row_index")), root, v)
+  }
+
+  /** MERGE-ON-READ delete: record the matching rows' (file, row-position)
+    * pairs as a deletion vector instead of rewriting any data file
+    * ([[deleteWhere]] is the copy-on-write sibling). The commit keeps the
+    * manifest's file list IDENTICAL and attaches the DV; readers
+    * anti-join it (see [[applyDvs]]).
+    *
+    * This is the delete shape that matters at 100 TB: deleting a row from
+    * a 1 GB file costs one DV row, not a 1 GB rewrite — write cost is
+    * O(matched rows + touched-file DV carry-over), zero data-file IO
+    * beyond the position scan of candidate files. The read-side cost (an
+    * anti-join per covered file) is reclaimed by [[materializeDvs]] or by
+    * any COW rewrite/compaction of the covered files (their entries drop
+    * automatically — [[commit]] filters carried DVs to surviving files).
+    * A file's repeated MOR deletes merge: the new DV file carries the
+    * union of old and new positions, so exactly one DV covers any data
+    * file at any version. Delta's deletionVectors / Iceberg's positional
+    * delete files are this operator; the Delta mirror requires
+    * materialization first (see [[exportDeltaLog]]). */
+  def deleteWhereMor(spark: SparkSession, root: String, where: String): Long = {
+    import org.apache.spark.sql.functions.col
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no table at $root"))
+    val all = readManifest(root, cur)
+    val matches = readFilesLogicalWithIdentity(spark, root, cur, all)
+      .filter(where)
+      .select(col("__dv_rel").as("path"), col("__dv_ri").as("pos"))
+    val touched = matches.select("path").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    if (touched.isEmpty) return cur // nothing matches — no-op, no commit
+    touched.find(_.contains('>')).foreach(f =>
+      throw new IllegalArgumentException(
+        s"data file path contains '>' (unsupported in the DV manifest field): $f"))
+    val prior = dvsAt(root, cur).toMap
+    val priorTouched = prior.filter(e => touched.contains(e._1))
+    // union with the touched files' EXISTING deleted positions: the new DV
+    // file fully replaces the old one for those files (re-matching an
+    // already-deleted row is an idempotent no-op under the distinct)
+    val merged =
+      if (priorTouched.isEmpty) matches.distinct()
+      else matches.union(dvRows(spark, root, priorTouched)).distinct()
+    val dvName = s"dv-${java.util.UUID.randomUUID()}"
+    Files.createDirectories(deletesDir(root))
+    merged.coalesce(1).write
+      .parquet(deletesDir(root).resolve(dvName).toString)
+    val newDvs = (prior ++ touched.map(_ -> dvName)).toSeq.sortBy(_._1)
+    commit(root, cur + 1, all, dvs = Some(encodeDvs(newDvs)))
+  }
+
+  /** Rewrite exactly the DV-covered files with their deletions applied
+    * and clear the table's deletion vectors — one file-pruned COW commit.
+    * Reclaims the read-side anti-join and re-enables the Delta mirror
+    * (foreign readers don't speak graft DVs). Files without a DV are
+    * untouched. */
+  def materializeDvs(spark: SparkSession, root: String): Long = {
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no table at $root"))
+    val dvs = dvsAt(root, cur)
+    if (dvs.isEmpty) return cur
+    val covered = dvs.map(_._1)
+    val untouched = readManifest(root, cur).filterNot(covered.toSet)
+    val live = readFilesLogical(spark, root, cur, covered) // DVs applied
+    commit(root, cur + 1,
+      untouched ++ writeFiles(live, root, partitionColumns(root)))
+  }
+
   /** Copy-on-write UPDATE: rows matching `where` get each column in
     * `set` replaced by its expression (evaluated on the OLD row, SQL
     * UPDATE semantics); everything else is untouched. File-pruned like
@@ -1657,8 +1841,10 @@ object LakehouseTable {
           }
         }.toSet
       }
-    val files = all.filter(keep).map(f => dataDir(root).resolve(f).toString)
-    spark.read.option("basePath", dataDir(root).toString).parquet(files: _*)
+    val kept = all.filter(keep)
+    val files = kept.map(f => dataDir(root).resolve(f).toString)
+    applyDvs(spark, root, cur, kept,
+      spark.read.option("basePath", dataDir(root).toString).parquet(files: _*))
   }
 
   // --- Bloom-filter file skipping (point lookups on unclustered columns) --
@@ -1758,7 +1944,11 @@ object LakehouseTable {
       addedCols = Some(addedColumnsAt(root, toVersion)),
       renamedCols = Some(encodeRenames(renamedColumnsAt(root, toVersion))),
       droppedCols = Some(droppedColumnsAt(root, toVersion).mkString(", ")),
-      widenedCols = Some(encodeWidens(widenedColumnsAt(root, toVersion))))
+      widenedCols = Some(encodeWidens(widenedColumnsAt(root, toVersion))),
+      // the target epoch's DELETION state too: restoring past a MOR
+      // delete un-deletes (the files are still there), restoring past a
+      // materialization re-attaches nothing (the DVs were cleared)
+      dvs = Some(encodeDvs(dvsAt(root, toVersion))))
   }
 
   /** Incremental read: rows of files ADDED after `fromVersion` up to
@@ -1825,7 +2015,8 @@ object LakehouseTable {
     val same = allCols.map(c => pre(c) <=> post(c)).reduce(_ && _)
     val preRow = struct(allCols.map(c => pre(c).as(c)): _*)
     val postRow = struct(allCols.map(c => post(c).as(c)): _*)
-    j.filter(pre("__pre").isNull || post("__post").isNull || !same)
+    val fileLevel =
+      j.filter(pre("__pre").isNull || post("__post").isNull || !same)
       .select(explode(
         when(pre("__pre").isNull,
           array(struct(lit("insert").as("_change_type"), postRow.as("row"))))
@@ -1836,6 +2027,38 @@ object LakehouseTable {
           struct(lit("update_postimage").as("_change_type"), postRow.as("row"))))
       ).as("c"))
       .select(col("c._change_type").as("_change_type"), col("c.row.*"))
+    // MERGE-ON-READ deletes change no files — they change a carried
+    // file's DELETION-VECTOR entry. For files present in both manifests
+    // whose DV differs, the position sets diff directly: positions in
+    // to∖from are deletes; from∖to (a RESTORE past a MOR delete) are
+    // re-inserts. Cost is O(changed files' rows + DV rows) — the same
+    // churned-files-only property as the file-level diff.
+    val common = fromM.toSet.intersect(toM.toSet)
+    val dvFrom = dvsAt(root, fromVersion).toMap
+    val dvTo = dvsAt(root, toVersion).toMap
+    val dvChanged = common.filter(f => dvFrom.get(f) != dvTo.get(f)).toSeq.sorted
+    if (dvChanged.isEmpty) fileLevel
+    else {
+      val emptyPos = spark.range(0)
+        .select(lit("").as("path"), lit(0L).as("pos"))
+      def rowsOf(m: Map[String, String]): DataFrame = {
+        val sub = m.filter(e => dvChanged.contains(e._1))
+        if (sub.isEmpty) emptyPos else dvRows(spark, root, sub)
+      }
+      val toPos = rowsOf(dvTo)
+      val fromPos = rowsOf(dvFrom)
+      val withId = readFilesLogicalWithIdentity(spark, root, toVersion, dvChanged)
+      def tag(posSet: DataFrame, t: String): DataFrame =
+        align(withId.join(
+            posSet.select(col("path").as("__dv_path"), col("pos").as("__dv_pos")),
+            col("__dv_rel") === col("__dv_path") &&
+              col("__dv_ri") === col("__dv_pos"), "left_semi")
+          .drop("__dv_rel", "__dv_ri"), pre0)
+          .select(lit(t).as("_change_type") +: allCols.map(col): _*)
+      fileLevel
+        .union(tag(toPos.except(fromPos), "delete"))
+        .union(tag(fromPos.except(toPos), "insert"))
+    }
   }
 
   /** Drop manifests older than `retainLast` versions and delete data files
@@ -1844,6 +2067,10 @@ object LakehouseTable {
     val vs = versions(root)
     val (drop, keep) = vs.splitAt(math.max(0, vs.length - retainLast))
     val live = keep.flatMap(readManifest(root, _)).toSet
+    // deletion-vector files referenced by any RETAINED version stay; the
+    // rest (superseded by a later merge, cleared by materializeDvs, or
+    // belonging only to dropped versions) delete with the history
+    val liveDvs = keep.flatMap(dvsAt(root, _)).map(_._2).toSet
     var deleted = 0
     drop.foreach { v =>
       readManifest(root, v).filterNot(live).foreach { f =>
@@ -1853,6 +2080,15 @@ object LakehouseTable {
       Files.deleteIfExists(statsPath(root, v))
       Files.deleteIfExists(bloomPath(root, v))
     }
+    if (Files.isDirectory(deletesDir(root)))
+      withDrained(Files.list(deletesDir(root)))(_.filter(p =>
+          !liveDvs.contains(p.getFileName.toString)))
+        .foreach { p =>
+          withDrained(Files.walk(p))(identity)
+            .sortBy(_.getNameCount).reverse
+            .foreach(q => Files.deleteIfExists(q))
+          deleted += 1
+        }
     deleted
   }
 }

@@ -101,6 +101,19 @@ class GraftTableSource(spark: SparkSession, root: String,
                 "compact); a file-diff batch would re-emit surviving rows. " +
                 "Restart from scratch or set ignoreChanges=true to accept " +
                 "per-file replay semantics.")
+          // a MERGE-ON-READ delete changes no files — it changes a carried
+          // file's deletion-vector entry, retroactively deleting rows this
+          // stream already emitted. A file-diff batch cannot represent
+          // that; refuse like the rewrite case (Delta without
+          // ignoreDeletes has the same contract).
+          if (!ignoreChanges &&
+              LakehouseTable.dvsAt(root, endV) !=
+                LakehouseTable.dvsAt(root, fromV))
+            throw new IllegalStateException(
+              s"graft-table stream over $root: versions ($fromV, $endV] " +
+                "changed deletion vectors (MOR delete); already-emitted " +
+                "rows were retroactively deleted. Restart from scratch or " +
+                "set ignoreChanges=true to skip the deletions.")
           LakehouseTable.readIncremental(spark, root, fromV, Some(endV))
         }
     }
