@@ -298,7 +298,114 @@ object Similarity {
         col("nn").getField("cid").as("cid"), col("nn").getField("dist").as("dist"))
   }
 
+  /** Upper-triangle GRAM (second-moment) matrix of the quantized
+    * embeddings, (i, j, s) with 1-based dims, i ≤ j, s = Σ_vecs qᵢ·qⱼ —
+    * exact long arithmetic, RelationCache'd so q162 and q163 share one
+    * corpus pass.
+    *
+    * The SHAPE is the point: the relational form (posexplode → self-join
+    * on vec_id → groupBy(i,j)) shuffles n·d² rows — at corpus scale
+    * that's the whole dataset times 4096. Here each partition folds its
+    * rows into a LOCAL d×d long accumulator and emits exactly d(d+1)/2
+    * partial rows (mapPartitions with O(d²) bounded state — the
+    * distributed-BLAS layout every PCA/covariance job uses), and the
+    * final aggregation moves d² longs per partition, independent of n.
+    * Overflow bound: |q| ≤ 3·10³-ish ⇒ per-vector products ≤ ~10⁷, so a
+    * long holds Σ over ~10¹¹ vectors; beyond that the partials sum in
+    * DECIMAL(38). */
+  private def gramRelation(s: SparkSession, d: String): DataFrame =
+    graft.sources.RelationCache.of(s, "similarity.gram", d) {
+      import s.implicits._
+      val dims = Dims
+      kmQuantized(s, d).select(col("q")).as[Seq[Long]]
+        .mapPartitions { rows =>
+          val acc = Array.ofDim[Long](dims, dims)
+          rows.foreach { q =>
+            var i = 0
+            while (i < dims) {
+              val qi = q(i)
+              var j = i
+              while (j < dims) { acc(i)(j) += qi * q(j); j += 1 }
+              i += 1
+            }
+          }
+          (0 until dims).iterator.flatMap(i =>
+            (i until dims).iterator.map(j => (i + 1, j + 1, acc(i)(j))))
+        }
+        .toDF("i", "j", "s")
+        .groupBy(col("i"), col("j")).agg(sum(col("s")).as("s"))
+    }
+
+  /** DuckDB twin of [[gramRelation]] (the oracle pays the relational
+    * explode form — n·d² rows is fine at gate SF). */
+  private def sqlGramCtes: String =
+    s"""qg AS (SELECT vec_id, list_transform(embedding,
+          x -> CAST(round(CAST(x AS DOUBLE) * $KmQScale) AS BIGINT)) AS q
+        FROM embeddings),
+      gx AS (SELECT vec_id, unnest(range(1, ${Dims + 1})) AS i, unnest(q) AS x FROM qg),
+      gram AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.x * b.x) AS BIGINT) AS s
+               FROM gx a JOIN gx b ON a.vec_id = b.vec_id AND a.i <= b.i
+               GROUP BY 1, 2)"""
+
+  /** Fixed-point integer POWER ITERATION on the collected Gram matrix:
+    * the leading eigenvector (top singular direction of the embedding
+    * matrix — uncentered PCA's first component) with every step exact.
+    * The Gram is first range-compressed by a data-derived but
+    * DETERMINISTIC integer divisor (max|G| → ≤ 10⁹) so 6 rounds of
+    * w = G·v, v ← w·10⁶ // max|w| stay inside 64-bit longs at any
+    * corpus size; truncating integer division matches DuckDB's `//`.
+    * Driver cost is O(d²) — corpus-independent, the k-means-centroid
+    * sync shape. λ in micro-units falls out of the last round's
+    * normalizer: max|G'·v| / max|v| with |v| pinned to 10⁶. */
+  private[operators] def powerIterate(gram: Map[(Int, Int), Long]): (Array[Long], Long) = {
+    val maxAbs = gram.valuesIterator.map(math.abs).max
+    val scale = math.max(1L, maxAbs / 1000000000L)
+    def g(i: Int, j: Int): Long =
+      (if (i <= j) gram((i, j)) else gram((j, i))) / scale
+    var v = Array.fill(Dims)(1000000L)
+    var lambda = 0L
+    var r = 0
+    while (r < 6) {
+      val w = Array.tabulate(Dims) { i =>
+        var acc = 0L
+        var j = 0
+        while (j < Dims) { acc += g(i + 1, j + 1) * v(j); j += 1 }
+        acc
+      }
+      val n = w.map(math.abs).max
+      lambda = n / 1000000L
+      // x·10⁶ can pass 2⁶³ (x is up to 64·10⁹·10⁶) — the one step that
+      // needs 128-bit; BigInt division truncates toward zero exactly
+      // like DuckDB's HUGEINT `//`
+      v = w.map(x => (BigInt(x) * 1000000L / n).toLong)
+      r += 1
+    }
+    (v, lambda * scale)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact GRAM matrix (see gramRelation — the X^T X primitive under
+    // covariance/PCA/whitening), oracle-checked entry by entry.
+    "q162_gram_matrix" -> ((s, d) =>
+      gramRelation(s, d).orderBy(col("i"), col("j"))),
+
+    // Leading principal direction via exact fixed-point power iteration:
+    // the corpus-wide pass is q162's Gram relation; the d×d iteration is
+    // driver-side integer arithmetic, so the eigenvector and the
+    // eigenvalue estimate are bit-reproducible and the ORACLE re-derives
+    // them through 6 unrolled CTE rounds. (Sign and ties are pinned by
+    // the all-positive start and deterministic truncation.)
+    "q163_top_pc" -> ((s, d) => {
+      val gram = gramRelation(s, d).collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val (v, lambda) = powerIterate(gram)
+      import s.implicits._
+      v.toSeq.zipWithIndex
+        .map { case (x, i) => (i + 1, x, lambda) }
+        .toDF("pos", "v", "lambda_micro")
+        .orderBy(col("pos"))
+    }),
+
     // Distributed k-means profile: cluster populations + exact inertia
     // after 3 Lloyd passes (see kmeansAssign — integer-exact, so the
     // iterative float pipeline is oracle-checkable end to end). The
@@ -757,6 +864,37 @@ object Similarity {
   }
 
   def oracle: Map[String, String] = Map(
+    "q162_gram_matrix" ->
+      s"""WITH $sqlGramCtes
+          SELECT i, j, s FROM gram ORDER BY i, j""",
+
+    // the same 6 fixed-point power-iteration rounds as powerIterate,
+    // unrolled (the q150/q158/q160 convention); the one 128-bit step uses
+    // HUGEINT, whose `//` truncates toward zero exactly like BigInt
+    "q163_top_pc" -> {
+      val rounds = (1 to 6).map { r =>
+        s"""w$r AS (SELECT gs.i AS pos, CAST(sum(gs.g * v${r - 1}.v) AS BIGINT) AS w
+               FROM gs JOIN v${r - 1} ON gs.j = v${r - 1}.pos GROUP BY gs.i),
+            n$r AS (SELECT max(abs(w)) AS n FROM w$r),
+            v$r AS (SELECT pos, CAST((CAST(w AS HUGEINT) * 1000000)
+                      // (SELECT n FROM n$r) AS BIGINT) AS v FROM w$r)"""
+      }.mkString(",\n          ")
+      s"""WITH $sqlGramCtes,
+          gfull AS (SELECT i, j, s FROM gram
+                    UNION ALL
+                    SELECT j AS i, i AS j, s FROM gram WHERE i <> j),
+          sc AS (SELECT greatest(CAST(1 AS BIGINT),
+                   max(abs(s)) // 1000000000) AS scale FROM gram),
+          gs AS (SELECT i, j, s // (SELECT scale FROM sc) AS g FROM gfull),
+          v0 AS (SELECT unnest(range(1, ${Dims + 1})) AS pos,
+                   CAST(1000000 AS BIGINT) AS v),
+          $rounds
+          SELECT v6.pos, v6.v,
+            CAST(((SELECT n FROM n6) // 1000000) * (SELECT scale FROM sc)
+              AS BIGINT) AS lambda_micro
+          FROM v6 ORDER BY pos"""
+    },
+
     "q158_kmeans" ->
       s"""WITH $sqlKmCtes
           SELECT cid, count(*) AS n_vecs,
