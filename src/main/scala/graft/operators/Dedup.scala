@@ -472,6 +472,38 @@ object Dedup {
     // subset — no pair relation, same scale shape as q135; the df filter
     // keeps the expanded relation proportional to actually-duplicated
     // text, which is the quantity being measured.
+    // PAGERANK over the near-dup graph — link-style centrality of
+    // duplicated documents (a high-rank doc is the hub of a template
+    // family; the doc to inspect when deciding what a cluster really
+    // is). Classic damped PageRank (d = 0.85) in EXACT integer fixed
+    // point: ranks live in micro-units, neighbor contributions are
+    // truncating integer quotients r(v) div deg(v) (≡ DuckDB `//`), so
+    // all 3 rounds are bit-reproducible and oracle-checked — the same
+    // no-doubles discipline as q158/q160/q163. Nodes are the non-
+    // isolated docs (every other doc's rank is the constant background).
+    // Shape at scale: the edge relation (capped candidates, both
+    // directions) is built once; each round is ONE join + one shuffle
+    // aggregate on the same key — textbook iterative-graph Spark, with
+    // the iteration count fixed (3) rather than convergence-driven so
+    // the oracle can unroll it.
+    "q164_dup_pagerank" -> ((s, d) => {
+      val pairs = dupPairs(s, d).select(col("a"), col("b"))
+      val edges = pairs.select(col("a").as("u"), col("b").as("v"))
+        .union(pairs.select(col("b").as("u"), col("a").as("v")))
+      val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      val ed = edges.join(deg.select(col("u").as("v"), col("deg").as("deg_v")), "v")
+      var rank = deg.select(col("u"), lit(1000000L).as("r"))
+      for (_ <- 1 to 3) {
+        val c = ed.join(rank.select(col("u").as("v"), col("r")), "v")
+          .select(col("u"), expr("r div deg_v").as("c"))
+          .groupBy(col("u")).agg(sum(col("c")).as("cs"))
+        rank = c.select(col("u"),
+          (lit(150000L) + expr("(850000 * cs) div 1000000")).as("r"))
+      }
+      rank.select(col("u").as("doc_id"), col("r").as("pr"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q157_span_scrub" -> ((s, d) => {
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
@@ -663,6 +695,28 @@ object Dedup {
             CAST(sum(n_dup) AS BIGINT) AS dup_windows,
             CAST(sum(n_win) AS BIGINT) AS total_windows
           FROM per GROUP BY lang ORDER BY lang""",
+
+    // the same 3 damped rounds as the Spark side, unrolled; `//` is the
+    // truncating twin of Spark's `div`
+    "q164_dup_pagerank" -> {
+      val rounds = (1 to 3).map { r =>
+        s"""r$r AS (SELECT ed.u,
+               CAST(150000 + (850000 * sum(r${r - 1}.r // ed.deg_v)) // 1000000
+                 AS BIGINT) AS r
+             FROM ed JOIN r${r - 1} ON ed.v = r${r - 1}.u GROUP BY ed.u)"""
+      }.mkString(",\n          ")
+      s"""WITH prs AS (SELECT a, b FROM (${sqlCappedCountJaccard(sqlShingleDf)})
+                       WHERE jaccard >= 0.5),
+          edges AS (SELECT a AS u, b AS v FROM prs
+                    UNION ALL SELECT b AS u, a AS v FROM prs),
+          deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg
+                  FROM edges GROUP BY u),
+          ed AS (SELECT e.u, e.v, d.deg AS deg_v
+                 FROM edges e JOIN deg d ON e.v = d.u),
+          r0 AS (SELECT u, CAST(1000000 AS BIGINT) AS r FROM deg),
+          $rounds
+          SELECT u AS doc_id, r AS pr FROM r3 ORDER BY doc_id"""
+    },
 
     "q157_span_scrub" ->
       s"""WITH t AS (SELECT doc_id, lang, ${T.sqlToks} AS toks FROM documents),
