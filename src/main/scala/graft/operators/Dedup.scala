@@ -475,7 +475,10 @@ object Dedup {
     // PAGERANK over the near-dup graph — link-style centrality of
     // duplicated documents (a high-rank doc is the hub of a template
     // family; the doc to inspect when deciding what a cluster really
-    // is). Classic damped PageRank (d = 0.85) in EXACT integer fixed
+    // is). The graph is the DERIVED similarity graph (capped LSH
+    // candidates — q94 ranks the observed event-transition graph; this
+    // ranks a graph the engine itself mined, the curation-side use).
+    // Classic damped PageRank (d = 0.85) in EXACT integer fixed
     // point: ranks live in micro-units, neighbor contributions are
     // truncating integer quotients r(v) div deg(v) (≡ DuckDB `//`), so
     // all 3 rounds are bit-reproducible and oracle-checked — the same

@@ -47,7 +47,7 @@ object Lakehouse {
     * columns is a (documented) representation change best kept out of a
     * value-equality gate. */
   private[graft] def lineitemZRoot(s: SparkSession, d: String): String = {
-    val root = TableCache.root(d, "lineitem", "z=l_orderkey,l_partkey:files=8:v1")
+    val root = TableCache.root(d, "lineitem", "z=l_orderkey,l_partkey:files=8:v2")
     try TableCache.locked(root) {
       if (LakehouseTable.versions(root).isEmpty)
         LakehouseTable.create(
@@ -72,6 +72,32 @@ object Lakehouse {
     * a negated-key twin), deleteWhere v2 (price < 10000). All arithmetic is
     * chosen bit-exact across engines: 1.25 is a power-of-two sum, so the
     * double product is IEEE-identical in Spark and DuckDB. */
+  /** q165's table: lineitem projection laid out as 8 files RANGED BY
+    * l_orderkey — so every file's l_partkey range overlaps (min/max stats
+    * prune nothing on that column; the secondary index proves exact
+    * membership) — plus a value index on l_partkey and one post-index
+    * append (the lookup must also scan the unindexed tail file —
+    * stale-index safety under the gate, not just in the spec). */
+  private[graft] def lineitemIndexRoot(s: SparkSession, d: String): String = {
+    val root = TableCache.root(d, "lineitem", "valueindex-partkey:v1")
+    try TableCache.locked(root) {
+      val base = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+      if (LakehouseTable.versions(root).isEmpty)
+        LakehouseTable.create(
+          base.filter(col("l_orderkey") % 5 =!= 0)
+            .repartitionByRange(8, col("l_orderkey")), root)
+      if (LakehouseTable.currentVersion(root).contains(0L)) {
+        LakehouseTable.buildValueIndex(s, root, "l_partkey")
+        LakehouseTable.append(
+          base.filter(col("l_orderkey") % 5 === 0).coalesce(1), root)
+      }
+    } catch {
+      case e if raceLost(e) => () // see lineitemZRoot
+    }
+    root
+  }
+
   /** q161's table: events projection, then two MERGE-ON-READ deletes —
     * the second's predicate overlaps files the first already covered, so
     * the gate exercises the DV-merge path, not just a fresh sidecar. */
@@ -667,6 +693,23 @@ object Lakehouse {
           countDistinct(col("l_partkey")).as("n_parts"))
     }),
 
+    // SECONDARY VALUE INDEX under the gate: a point lookup on an
+    // UNCLUSTERED column reads only the files the index proves contain
+    // the value, plus the post-index append (stale-safe tail) — exact
+    // membership where min/max stats (all ranges overlap by
+    // construction) and blooms (probabilistic) cannot prune. The oracle
+    // is the plain filter over the raw parquet, so the hash gate proves
+    // the pruned scan loses no rows.
+    "q165_value_index" -> ((s, d) => {
+      val root = lineitemIndexRoot(s, d)
+      LakehouseTable.readValueIndexed(s, root, "l_partkey", 5L)
+        .filter(col("l_partkey") === 5L)
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_orderkey")).as("okey_sum"),
+          Exact.moneySum(col("l_quantity")).as("sum_qty"),
+          Exact.moneySum(col("l_extendedprice")).as("sum_price"))
+    }),
+
     // MERGE-ON-READ deletes under the gate: two overlapping deleteWhereMor
     // calls (the second merges into the first's per-file DVs) and ZERO
     // data-file rewrites — the reader's DV anti-join must reconstruct
@@ -1175,6 +1218,13 @@ object Lakehouse {
             CAST(sum(user_id) AS BIGINT) AS extra_sum,
             ${Exact.sqlMoneySum("value")} AS sum_value
           FROM events WHERE event_id % 2 = 1""",
+
+    "q165_value_index" ->
+      s"""SELECT count(*) AS n,
+            CAST(sum(l_orderkey) AS BIGINT) AS okey_sum,
+            ${Exact.sqlMoneySum("l_quantity")} AS sum_qty,
+            ${Exact.sqlMoneySum("l_extendedprice")} AS sum_price
+          FROM lineitem WHERE l_partkey = 5""",
 
     "q161_mor_delete" ->
       """SELECT event_type, count(*) AS n,

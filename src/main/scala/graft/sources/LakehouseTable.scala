@@ -1511,7 +1511,23 @@ object LakehouseTable {
         .repartition(numFiles, partitionBy.map(snapshot.col): _*)
         .sortWithinPartitions(partitionBy.map(snapshot.col) :+ col("__z"): _*))
       .drop("__z")
-    commitClustered(root, cur, rewritten, zCols, partitionBy)
+    // RangePartitioner seeds its reservoir sample from the RDD id, so the
+    // default 100-rows-per-partition sample gives session-dependent
+    // boundaries — two builds of the same table get different layouts,
+    // and a boundary that straddles a z-octant edge costs a file of
+    // pruning. A sample that COVERS the data at rewrite time makes the
+    // boundaries exact quantiles (deterministic layout, octant-aligned on
+    // uniform data); the cost stays O(sampleSize × partitions) at any
+    // scale, and a 100 TB rewrite that exceeds it merely degrades back to
+    // sampled boundaries.
+    val sampleKey = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    val prevSample = spark.conf.getOption(sampleKey)
+    spark.conf.set(sampleKey, "200000")
+    try commitClustered(root, cur, rewritten, zCols, partitionBy)
+    finally prevSample match {
+      case Some(v) => spark.conf.set(sampleKey, v)
+      case None    => spark.conf.unset(sampleKey)
+    }
   }
 
   /** Relative manifest files of version `cur` that contain at least one
@@ -1928,6 +1944,85 @@ object LakehouseTable {
         all.filter(f => blooms.get(f).forall(_.mightContainLong(value))).toSet
       }
     readFilesLogical(spark, root, cur, all.filter(keep))
+  }
+
+  // --- Secondary value index (exact value → file inverted index) ---------
+
+  private def valueIndexDir(root: String, colName: String): Path =
+    Paths.get(root, "_index", colName)
+
+  /** Build (or rebuild) an exact SECONDARY INDEX on `colName`: the
+    * distinct (value, data file) pairs of the current version, written
+    * value-range-partitioned and sorted so a point lookup reads one index
+    * file (footer min/max prune the rest). This is what min/max stats and
+    * blooms cannot give on an UNCLUSTERED column: when every file's value
+    * range overlaps (the usual case for a foreign key), stats prune
+    * nothing and blooms only probabilistically — the index knows exact
+    * membership. Size is O(distinct (value, file)) — the Hyperspace /
+    * Iceberg-secondary-index shape. The indexed VERSION is recorded;
+    * lookups stay correct against a stale index by also scanning files
+    * added since (see [[readValueIndexed]]), so the index is an
+    * accelerator with a freshness watermark, never a correctness
+    * dependency. */
+  def buildValueIndex(spark: SparkSession, root: String, colName: String,
+      numFiles: Int = 4): Long = {
+    import org.apache.spark.sql.functions.col
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no table at $root"))
+    val all = readManifest(root, cur)
+    val dir = valueIndexDir(root, colName)
+    readFilesLogicalWithIdentity(spark, root, cur, all)
+      .select(col(colName).as("v"), col("__dv_rel").as("f")).distinct()
+      .repartitionByRange(numFiles, col("v"))
+      .sortWithinPartitions(col("v"))
+      .write.mode("overwrite").parquet(dir.toString)
+    Files.writeString(dir.resolve("_graft_index_version"), cur.toString)
+    cur
+  }
+
+  /** Point-lookup read through the [[buildValueIndex]] index: scan only
+    * the files the index proves contain `value`, plus every file added
+    * since the index was built (stale-safe), intersected with the current
+    * manifest (files a COW rewrite replaced fall out; their replacements
+    * are in the added set). The caller still applies the row filter,
+    * exactly like [[readPruned]]/[[readBloomPruned]]. Driver cost is
+    * O(matching files); the index scan itself is footer-pruned to the
+    * value's range partition. */
+  def readValueIndexed(spark: SparkSession, root: String, colName: String,
+      value: Any): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no table at $root"))
+    val dir = valueIndexDir(root, colName)
+    require(Files.isDirectory(dir),
+      s"no index on '$colName' at $root (buildValueIndex first)")
+    val vIdx = Files.readString(dir.resolve("_graft_index_version")).trim.toLong
+    val curFiles = readManifest(root, cur)
+    val indexed = spark.read.parquet(dir.toString)
+      .filter(col("v") === lit(value))
+      .select("f").distinct().collect().map(_.getString(0)).toSet
+    val atIdx = readManifest(root, vIdx).toSet
+    val candidates = curFiles.filter(f => indexed(f) || !atIdx(f))
+    if (candidates.isEmpty) read(spark, root, Some(cur)).limit(0)
+    else readFilesLogical(spark, root, cur, candidates)
+  }
+
+  /** The file count a [[readValueIndexed]] lookup would scan — the
+    * pruning observability hook (specs assert it beats the manifest
+    * size; at 100 TB it is the difference between a point lookup and a
+    * table scan on an unclustered column). */
+  def valueIndexCandidateCount(spark: SparkSession, root: String,
+      colName: String, value: Any): Int = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no table at $root"))
+    val dir = valueIndexDir(root, colName)
+    val vIdx = Files.readString(dir.resolve("_graft_index_version")).trim.toLong
+    val indexed = spark.read.parquet(dir.toString)
+      .filter(col("v") === lit(value))
+      .select("f").distinct().collect().map(_.getString(0)).toSet
+    val atIdx = readManifest(root, vIdx).toSet
+    readManifest(root, cur).count(f => indexed(f) || !atIdx(f))
   }
 
   /** Delta-style RESTORE: commit a NEW version whose file list is exactly

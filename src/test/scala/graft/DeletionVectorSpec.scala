@@ -128,6 +128,39 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(LT.readIncremental(spark, root, v0, Some(v1)).count() == 0)
   }
 
+  test("secondary value index: exact-membership pruning, stale-safe after append and rewrite") {
+    import spark.implicits._
+    val root = freshRoot("vidx")
+    // 8 files ranged by id — every file's k-range overlaps (k = id % 10),
+    // so stats can't prune on k; the index can
+    LT.create((1L to 800L).map(i => (i, i % 10)).toDF("id", "k")
+      .repartitionByRange(8, col("id")), root)
+    LT.buildValueIndex(spark, root, "k")
+    def lookup() = LT.readValueIndexed(spark, root, "k", 3L).filter("k = 3")
+    assert(lookup().count() == 80)
+    // a value in NO file: zero candidates, zero rows
+    assert(LT.valueIndexCandidateCount(spark, root, "k", 99L) == 0)
+    assert(LT.readValueIndexed(spark, root, "k", 99L).filter("k = 99").count() == 0)
+    // stale-safe: appended rows are found without rebuilding the index,
+    // at the cost of scanning only the unindexed tail
+    LT.append(Seq((900L, 3L), (901L, 99L)).toDF("id", "k").coalesce(1), root)
+    assert(lookup().count() == 81)
+    assert(LT.readValueIndexed(spark, root, "k", 99L).filter("k = 99").count() == 1)
+    val n = LT.valueIndexCandidateCount(spark, root, "k", 99L)
+    assert(n == 1, s"a no-hit lookup must scan only the unindexed tail, got $n")
+    // a COW rewrite replaces indexed files: their entries fall out of the
+    // manifest intersection, the rewritten files are post-index → scanned
+    LT.deleteWhere(spark, root, "id = 400")
+    assert(lookup().count() == 81)
+    // rebuild restores full pruning: k=99 resolves to exactly its one
+    // file (it exists now), a truly absent value back to zero files
+    LT.buildValueIndex(spark, root, "k")
+    assert(LT.valueIndexCandidateCount(spark, root, "k", 99L) == 1)
+    assert(LT.readValueIndexed(spark, root, "k", 99L).filter("k = 99").count() == 1)
+    val after = LT.valueIndexCandidateCount(spark, root, "k", 55L)
+    assert(after == 0, s"rebuilt index must prune the no-hit lookup, got $after")
+  }
+
   test("graft-table stream refuses a MOR delete range unless ignoreChanges") {
     import spark.implicits._
     val root = freshRoot("stream")
