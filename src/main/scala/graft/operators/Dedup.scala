@@ -490,12 +490,18 @@ object Dedup {
     // the iteration count fixed (3) rather than convergence-driven so
     // the oracle can unroll it.
     "q164_dup_pagerank" -> ((s, d) => {
-      val pairs = dupPairs(s, d).select(col("a"), col("b"))
-      val edges = pairs.select(col("a").as("u"), col("b").as("v"))
-        .union(pairs.select(col("b").as("u"), col("a").as("v")))
-      val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-      val ed = edges.join(deg.select(col("u").as("v"), col("deg").as("deg_v")), "v")
-      var rank = deg.select(col("u"), lit(1000000L).as("r"))
+      // the degree-annotated edge relation feeds every round (and the
+      // rank init): one materialization per (session, dir), not one
+      // recompute per round of every action's replay
+      val ed = graft.sources.RelationCache.of(s, "dedup.prEdges", d) {
+        val pairs = dupPairs(s, d).select(col("a"), col("b"))
+        val edges = pairs.select(col("a").as("u"), col("b").as("v"))
+          .union(pairs.select(col("b").as("u"), col("a").as("v")))
+        val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        edges.join(deg.select(col("u").as("v"), col("deg").as("deg_v")), "v")
+      }
+      var rank = ed.select(col("u")).distinct()
+        .select(col("u"), lit(1000000L).as("r"))
       for (_ <- 1 to 3) {
         val c = ed.join(rank.select(col("u").as("v"), col("r")), "v")
           .select(col("u"), expr("r div deg_v").as("c"))

@@ -298,6 +298,15 @@ object Similarity {
         col("nn").getField("cid").as("cid"), col("nn").getField("dist").as("dist"))
   }
 
+  /** [[kmeansAssign]]'s converged result, one materialization per
+    * (session, dir): q158 and q159 both consume it, so the 3-pass
+    * iteration (and its two centroid syncs) runs once per corpus — the
+    * q68/q152 shared-relation pattern. */
+  private def kmeansAssigned(s: SparkSession, d: String): DataFrame =
+    graft.sources.RelationCache.of(s, "similarity.kmAssigned", d) {
+      kmeansAssign(s, d)
+    }
+
   /** Upper-triangle GRAM (second-moment) matrix of the quantized
     * embeddings, (i, j, s) with 1-based dims, i ≤ j, s = Σ_vecs qᵢ·qⱼ —
     * exact long arithmetic, RelationCache'd so q162 and q163 share one
@@ -412,7 +421,7 @@ object Similarity {
     // clustering every curation move downstream of embeddings builds on:
     // q159 samples from it; SemDeDup/DataComp prune within it.
     "q158_kmeans" -> ((s, d) =>
-      kmeansAssign(s, d)
+      kmeansAssigned(s, d)
         .groupBy(col("cid"))
         .agg(count(lit(1)).as("n_vecs"),
           sum(col("dist")).as("inertia"),
@@ -428,7 +437,7 @@ object Similarity {
     // to improve.
     "q159_cluster_sample" -> ((s, d) => {
       val w = Window.partitionBy(col("cid")).orderBy(col("draw"), col("vec_id"))
-      kmeansAssign(s, d)
+      kmeansAssigned(s, d)
         .withColumn("draw",
           graft.functions.TextFunctions.md5Prefix(
             concat(lit("km"), col("vec_id").cast("string")), 8))
