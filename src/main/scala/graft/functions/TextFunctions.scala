@@ -61,6 +61,66 @@ object TextFunctions {
   def sqlMd5Prefix(expr: String, hexLen: Int): String =
     s"('0x' || substr(md5($expr), 1, $hexLen))::BIGINT"
 
+  /** Fixed-point log2(num/den) in PURE integer arithmetic — the engine's
+    * stand-in for libm log weights, which cross-engine rounding drift
+    * rules out of oracled output (q130 note). Integer part from binary
+    * lengths; 12 fractional bits by shift-and-square on a 20-bit
+    * mantissa. Every op is a 64-bit multiply/shift/compare, so the result
+    * is bit-identical in any engine repeating the recipe — the SQL twin
+    * [[sqlIlog2Ctes]] unrolls the same 12 steps. Unit: 1/4096 of a bit
+    * (wt = e·4096 + 12-bit fraction). Domain bound: num,den < 2^42 keeps
+    * every intermediate inside a signed long (num << 21 worst case); at
+    * larger counts reduce the fraction first. Used by the DSIR weights
+    * (q160) and token entropy (q166). */
+  def ilog2Fp(num: Long, den: Long): Long = {
+    require(num > 0 && den > 0, s"ilog2Fp domain: $num / $den")
+    def bitlen(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    def mantissa(e: Int): Long =
+      if (e >= 0) (num << 20) / (den << e) else (num << (20 - e)) / den
+    var e = bitlen(num) - bitlen(den)
+    var m = mantissa(e)
+    if (m < (1L << 20)) { e -= 1; m = mantissa(e) }
+    var f = 0L
+    var i = 0
+    while (i < 12) {
+      var m2 = (m * m) >> 20
+      if (m2 >= (1L << 21)) { m2 >>= 1; f = f * 2 + 1 } else f = f * 2
+      m = m2
+      i += 1
+    }
+    e.toLong * 4096 + f
+  }
+
+  /** DuckDB twin of [[ilog2Fp]] as a reusable CTE chain: `srcRel` must
+    * provide columns (`key`, num, den); the chain ends in `${p}wts AS
+    * (SELECT $key, wt)`. Every consumer (q160's DSIR weights, q166's
+    * entropy weights) routes through this ONE generator so the unrolled
+    * arithmetic can never fork from the Scala side. */
+  def sqlIlog2Ctes(p: String, srcRel: String, key: String): String = {
+    val iter = (1 to 12).map { i =>
+      s"""${p}d$i AS (SELECT $key, e,
+             CASE WHEN m2 >= 2097152 THEN m2 >> 1 ELSE m2 END AS m,
+             f * 2 + CASE WHEN m2 >= 2097152 THEN 1 ELSE 0 END AS f
+           FROM (SELECT $key, e, (m * m) >> 20 AS m2, f FROM ${p}d${i - 1}))"""
+    }.mkString(",\n          ")
+    s"""${p}ebl AS (SELECT $key, num, den,
+            CAST(length(bin(num)) - length(bin(den)) AS BIGINT) AS e0
+          FROM $srcRel),
+        ${p}em AS (SELECT $key, e0,
+            CASE WHEN e0 >= 0 THEN (num << 20) // (den << e0)
+                 ELSE (num << (20 - e0)) // den END AS ma,
+            CASE WHEN e0 - 1 >= 0 THEN (num << 20) // (den << (e0 - 1))
+                 ELSE (num << (20 - (e0 - 1))) // den END AS mb
+          FROM ${p}ebl),
+        ${p}d0 AS (SELECT $key,
+            CASE WHEN ma < 1048576 THEN e0 - 1 ELSE e0 END AS e,
+            CASE WHEN ma < 1048576 THEN mb ELSE ma END AS m,
+            CAST(0 AS BIGINT) AS f
+          FROM ${p}em),
+        $iter,
+        ${p}wts AS (SELECT $key, e * 4096 + f AS wt FROM ${p}d12)"""
+  }
+
   /** LSH band key: concat of `width` adjacent MinHash components. */
   def minhashBand(tokSet: Column, band: Int, width: Int): Column =
     concat((0 until width).map(j => minhash(tokSet, band * width + j)): _*)

@@ -28,35 +28,11 @@ object Pipelines {
     * buckets; 1024 keeps the oracle's unrolled arithmetic readable). */
   private val DsirBuckets = 1024L
 
-  /** Fixed-point log2(num/den) in PURE integer arithmetic — the engine's
-    * stand-in for the ln() DSIR weights, which cross-engine libm drift
-    * rules out of oracled output (q130 note). Integer part from binary
-    * lengths; 12 fractional bits by shift-and-square on a 20-bit
-    * mantissa. Every op is a 64-bit integer multiply/shift/compare, so
-    * the result is bit-identical in any engine that repeats the recipe
-    * (the oracle unrolls the same 12 steps as CTEs). Returned unit:
-    * 1/4096 of a bit (wt = e·4096 + 12-bit fraction). Domain bound:
-    * num,den < 2^42 keeps every intermediate inside a signed 64-bit long
-    * (num << 21 worst case) — at larger corpus counts, reduce the
-    * fraction by gcd or drop common powers of two first. */
-  private[operators] def ilog2Fp(num: Long, den: Long): Long = {
-    require(num > 0 && den > 0, s"ilog2Fp domain: $num / $den")
-    def bitlen(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
-    def mantissa(e: Int): Long =
-      if (e >= 0) (num << 20) / (den << e) else (num << (20 - e)) / den
-    var e = bitlen(num) - bitlen(den)
-    var m = mantissa(e)
-    if (m < (1L << 20)) { e -= 1; m = mantissa(e) }
-    var f = 0L
-    var i = 0
-    while (i < 12) {
-      var m2 = (m * m) >> 20
-      if (m2 >= (1L << 21)) { m2 >>= 1; f = f * 2 + 1 } else f = f * 2
-      m = m2
-      i += 1
-    }
-    e.toLong * 4096 + f
-  }
+  /** Fixed-point log2 of the smoothed probability ratio — the shared
+    * cross-engine primitive ([[graft.functions.TextFunctions.ilog2Fp]];
+    * see q130's note on why libm ln never appears in oracled output). */
+  private[operators] def ilog2Fp(num: Long, den: Long): Long =
+    T.ilog2Fp(num, den)
 
   /** Per-doc hashed n-gram feature counts (doc_id, lang, source, b, n):
     * unigrams ∪ bigrams, md5-hashed into [[DsirBuckets]] buckets — the
@@ -804,15 +780,9 @@ object Pipelines {
        + 0.5 * least(CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) / 8.0, 1.0)"""
 
   def oracle: Map[String, String] = Map(
-    // the same 12 shift-and-square steps as ilog2Fp, unrolled as CTEs
-    // (the q150/q158 convention for iterative integer algorithms)
-    "q160_dsir_select" -> {
-      val iter = (1 to 12).map { i =>
-        s"""d$i AS (SELECT b, e,
-               CASE WHEN m2 >= 2097152 THEN m2 >> 1 ELSE m2 END AS m,
-               f * 2 + CASE WHEN m2 >= 2097152 THEN 1 ELSE 0 END AS f
-             FROM (SELECT b, e, (m * m) >> 20 AS m2, f FROM d${i - 1}))"""
-      }.mkString(",\n          ")
+    // the same 12 shift-and-square steps as ilog2Fp, via the shared CTE
+    // generator (TextFunctions.sqlIlog2Ctes)
+    "q160_dsir_select" ->
       s"""WITH feat AS (
             SELECT doc_id, lang, source,
               ${T.sqlMd5Prefix("feat", 8)} % $DsirBuckets AS b,
@@ -830,24 +800,9 @@ object Pipelines {
           frac AS (SELECT b, (t + 1) * (st + $DsirBuckets) AS num,
                      (s0 + 1) * (tt + $DsirBuckets) AS den
                    FROM cnt, tot),
-          ebl AS (SELECT b, num, den,
-                    CAST(length(bin(num)) - length(bin(den)) AS BIGINT) AS e0
-                  FROM frac),
-          em AS (SELECT b, e0,
-                   CASE WHEN e0 >= 0 THEN (num << 20) // (den << e0)
-                        ELSE (num << (20 - e0)) // den END AS ma,
-                   CASE WHEN e0 - 1 >= 0 THEN (num << 20) // (den << (e0 - 1))
-                        ELSE (num << (20 - (e0 - 1))) // den END AS mb
-                 FROM ebl),
-          d0 AS (SELECT b,
-                   CASE WHEN ma < 1048576 THEN e0 - 1 ELSE e0 END AS e,
-                   CASE WHEN ma < 1048576 THEN mb ELSE ma END AS m,
-                   CAST(0 AS BIGINT) AS f
-                 FROM em),
-          $iter,
-          wts AS (SELECT b, e * 4096 + f AS wt FROM d12),
+          ${T.sqlIlog2Ctes("dsir", "frac", "b")},
           scores AS (SELECT doc_id, source, CAST(sum(n * wt) AS BIGINT) AS score
-                     FROM feat JOIN wts USING (b) GROUP BY doc_id, source),
+                     FROM feat JOIN dsirwts USING (b) GROUP BY doc_id, source),
           picked AS (SELECT * FROM scores ORDER BY score DESC, doc_id LIMIT 100),
           sel AS (SELECT source, count(*) AS n_selected,
                     CAST(sum(score) AS BIGINT) AS sel_score
@@ -856,8 +811,7 @@ object Pipelines {
           SELECT pool.source, n_docs,
             CAST(COALESCE(n_selected, 0) AS BIGINT) AS n_selected,
             CAST(COALESCE(sel_score, 0) AS BIGINT) AS sel_score
-          FROM pool LEFT JOIN sel USING (source) ORDER BY source"""
-    },
+          FROM pool LEFT JOIN sel USING (source) ORDER BY source""",
 
     // q68's recursive-CTE twin wrapped as a subquery, then the same
     // integer arithmetic — the oracle can never diverge from q68's

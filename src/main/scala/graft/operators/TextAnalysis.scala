@@ -18,6 +18,45 @@ import graft.sources.Tables
 object TextAnalysis {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-doc SHANNON ENTROPY of the unigram distribution — the lexical-
+    // diversity quality signal (low entropy = repetitive/templated text;
+    // keyword-stuffed spam scores near 0) the suite previously could not
+    // oracle because H needs log2. With the fixed-point integer log2
+    // (TextFunctions.ilog2Fp, the q160 primitive) it is EXACT:
+    // n·H = n·w(n) − Σ_t c_t·w(c_t) in 1/4096-bit units, every term an
+    // integer. The log table is computed on the DRIVER for the DISTINCT
+    // count values only (a few hundred integers at any corpus size —
+    // counts repeat; the table is value-keyed, not row-keyed) and
+    // broadcast; the corpus-side work is the word-count shuffle plus two
+    // integer rollups riding it. Flag threshold: < 3 bits (12288 micro).
+    "q166_token_entropy" -> ((s, d) => {
+      val counts = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(graft.plans.TextExpressions.tokens(col("text"))).as("t"))
+        .groupBy(col("doc_id"), col("lang"), col("t"))
+        .agg(count(lit(1)).as("c"))
+      val nDoc = counts.groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("c")).as("n"))
+      val vals = counts.select(col("c").as("v"))
+        .union(nDoc.select(col("n").as("v")))
+        .distinct().collect().map(_.getLong(0))
+      import s.implicits._
+      val wdf = vals.toSeq.map(v => (v, T.ilog2Fp(v, 1))).toDF("v", "w")
+      val cw = counts
+        .join(broadcast(wdf).select(col("v").as("c"), col("w")), "c")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("c") * col("w")).as("sumcw"))
+      nDoc
+        .join(broadcast(wdf).select(col("v").as("n"), col("w").as("wn")), "n")
+        .join(cw, Seq("doc_id", "lang"))
+        .select(col("lang"),
+          expr("(n * wn - sumcw) div n").as("ent"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ent")).as("sum_entropy_micro"),
+          sum(when(col("ent") < 12288L, 1L).otherwise(0L)).as("n_lowent"))
+        .orderBy(col("lang"))
+    }),
     // Token frequencies: corpus-wide counts + document frequencies.
     "q25_word_counts" -> ((s, d) => {
       Tables.documents(s, d)
@@ -475,6 +514,25 @@ object TextAnalysis {
   private val toksSql = T.sqlToks
 
   def oracle: Map[String, String] = Map(
+    "q166_token_entropy" ->
+      s"""WITH tokc AS (SELECT doc_id, lang, t, CAST(count(*) AS BIGINT) AS c
+                 FROM (SELECT doc_id, lang, unnest($toksSql) AS t FROM documents)
+                 GROUP BY 1, 2, 3),
+          nd AS (SELECT doc_id, lang, CAST(sum(c) AS BIGINT) AS n
+                 FROM tokc GROUP BY 1, 2),
+          vals AS (SELECT v, v AS num, CAST(1 AS BIGINT) AS den FROM (
+                     SELECT DISTINCT c AS v FROM tokc
+                     UNION SELECT DISTINCT n AS v FROM nd)),
+          ${T.sqlIlog2Ctes("ent", "vals", "v")},
+          cw AS (SELECT doc_id, lang, CAST(sum(c * w.wt) AS BIGINT) AS sumcw
+                 FROM tokc JOIN entwts w ON tokc.c = w.v GROUP BY 1, 2),
+          docs AS (SELECT nd.lang, (nd.n * wn.wt - cw.sumcw) // nd.n AS ent
+                   FROM nd JOIN entwts wn ON nd.n = wn.v
+                   JOIN cw USING (doc_id, lang))
+          SELECT lang, count(*) AS n_docs,
+            CAST(sum(ent) AS BIGINT) AS sum_entropy_micro,
+            CAST(sum(CASE WHEN ent < 12288 THEN 1 ELSE 0 END) AS BIGINT) AS n_lowent
+          FROM docs GROUP BY lang ORDER BY lang""",
     "q133_familiarity_filter" ->
       s"""WITH tok AS (SELECT doc_id, lang, unnest($toksSql) AS token FROM documents),
           tf AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
