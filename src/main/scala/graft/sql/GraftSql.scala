@@ -26,7 +26,9 @@ import graft.sources.LakehouseTable
   *     [WHEN MATCHED AND cond THEN DELETE]
   *     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
   *   UPDATE t SET col = expr [, ...] WHERE cond
-  *   DELETE FROM t WHERE cond
+  *   DELETE FROM t WHERE cond    -- COW; MOR when deletion vectors enabled
+  *   ALTER TABLE t ENABLE DELETION VECTORS | DISABLE DELETION VECTORS
+  *   REORG TABLE t APPLY (PURGE)   -- materialize + clear deletion vectors
   *   RESTORE TABLE t TO VERSION AS OF n
   *   ALTER TABLE t ADD COLUMNS (c1 TYPE, ...)   -- metadata-only widening
   *   ALTER TABLE t ALTER COLUMN c TYPE t2       -- metadata-only type widening
@@ -101,7 +103,8 @@ object GraftSql {
 object GraftCatalog {
   final case class Entry(root: String, partitionBy: Seq[String],
       rowKeys: Seq[String] = Nil,
-      constraints: Seq[(String, String)] = Nil)
+      constraints: Seq[(String, String)] = Nil,
+      morDeletes: Boolean = false)
   private val tables = TrieMap.empty[String, Entry]
   @volatile private var loaded = false
   // sessions whose temp views were already published (weak: a dropped
@@ -140,6 +143,7 @@ object GraftCatalog {
       cs.add(n + ":" + java.util.Base64.getEncoder.encodeToString(
         ex.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
     }
+    if (e.morDeletes) node.put("morDeletes", true)
     json.writeValueAsString(node)
   }
 
@@ -158,7 +162,8 @@ object GraftCatalog {
       catch { case _: com.fasterxml.jackson.core.JacksonException => return None }
     Option(node.get("root")).map(_.asText()).map { r =>
       Entry(r, strs(node, "partitionBy"), strs(node, "rowKeys"),
-        strs(node, "constraints").map(decodeConstraint))
+        strs(node, "constraints").map(decodeConstraint),
+        Option(node.get("morDeletes")).exists(_.asBoolean()))
     }
   }
 
@@ -219,9 +224,10 @@ object GraftCatalog {
     // re-registering the SAME table keeps its constraints (register is the
     // re-attach path, not a schema statement); a different root is a new
     // table and starts clean
-    val kept = tables.get(key(name)).filter(_.root == root)
-      .map(_.constraints).getOrElse(Nil)
-    val e = Entry(root, partitionBy, rowKeys, kept)
+    val prev = tables.get(key(name)).filter(_.root == root)
+    val e = Entry(root, partitionBy, rowKeys,
+      prev.map(_.constraints).getOrElse(Nil),
+      prev.exists(_.morDeletes))
     tables(key(name)) = e
     persist(name, e)
     refreshView(spark, name)
@@ -237,6 +243,18 @@ object GraftCatalog {
       s"constraint name may not contain ':': $n") }
     ensureLoaded()
     val e = tables(key(name)).copy(constraints = cons)
+    tables(key(name)) = e
+    persist(name, e)
+  }
+
+  /** Toggle merge-on-read deletes for a cataloged table (ALTER TABLE
+    * ENABLE/DISABLE DELETION VECTORS) and persist the descriptor — the
+    * Delta enableDeletionVectors table property expressed over the graft
+    * catalog: with it set, DELETE FROM writes a position sidecar instead
+    * of rewriting files ([[graft.sources.LakehouseTable.deleteWhereMor]]). */
+  def setMorDeletes(name: String, on: Boolean): Unit = {
+    ensureLoaded()
+    val e = tables(key(name)).copy(morDeletes = on)
     tables(key(name)) = e
     persist(name, e)
   }
@@ -381,14 +399,45 @@ case class UpdateGraftTableCommand(name: String, set: Seq[(String, String)],
   }
 }
 
-/** DELETE FROM name WHERE cond (copy-on-write). */
+/** DELETE FROM name WHERE cond — copy-on-write by default; a table with
+  * deletion vectors enabled (ALTER TABLE ... ENABLE DELETION VECTORS)
+  * writes a merge-on-read position sidecar instead, Delta's
+  * enableDeletionVectors behavior. */
 case class DeleteGraftTableCommand(name: String, where: String)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val e = GraftCatalog.lookup(name).get
-    LakehouseTable.deleteWhere(spark, e.root, where, e.partitionBy)
+    if (e.morDeletes) LakehouseTable.deleteWhereMor(spark, e.root, where)
+    else LakehouseTable.deleteWhere(spark, e.root, where, e.partitionBy)
     GraftCatalog.refreshView(spark, name)
     Seq.empty
+  }
+}
+
+/** ALTER TABLE name ENABLE|DISABLE DELETION VECTORS — catalog-level
+  * switch for merge-on-read DELETE (a property toggle, no table write). */
+case class AlterGraftTableDvCommand(name: String, on: Boolean)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftCatalog.setMorDeletes(name, on)
+    Seq.empty
+  }
+}
+
+/** REORG TABLE name APPLY (PURGE) — Delta's DV-purge statement: rewrite
+  * exactly the files with deletion vectors, applying and clearing them
+  * ([[LakehouseTable.materializeDvs]]); re-enables the Delta mirror.
+  * Returns the table version afterwards (unchanged when no DVs). */
+case class ReorgGraftTablePurgeCommand(name: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "version", org.apache.spark.sql.types.LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val e = GraftCatalog.lookup(name).get
+    val v = LakehouseTable.materializeDvs(spark, e.root)
+    GraftCatalog.refreshView(spark, name)
+    Seq(Row(v))
   }
 }
 
@@ -460,15 +509,18 @@ case class DescribeDetailGraftCommand(name: String) extends LeafRunnableCommand 
       AttributeReference("n_files", LongType, nullable = false)(),
       AttributeReference("partition_columns", StringType, nullable = false)(),
       AttributeReference("row_keys", StringType, nullable = false)(),
-      AttributeReference("constraints", StringType, nullable = false)())
+      AttributeReference("constraints", StringType, nullable = false)(),
+      AttributeReference("deletion_vectors", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val e = GraftCatalog.lookup(name).get
     val v = LakehouseTable.currentVersion(e.root).getOrElse(-1L)
     // manifest line count, NOT a DataFrame build: a metadata command must
     // stay O(1), not read parquet footers across the table
     val nf = if (v < 0) 0L else LakehouseTable.fileCount(e.root, v).toLong
+    val dvCovered = if (v < 0) 0 else LakehouseTable.dvsAt(e.root, v).size
     Seq(Row(e.root, v, nf, e.partitionBy.mkString(","), e.rowKeys.mkString(","),
-      e.constraints.map { case (n, ex) => s"$n CHECK ($ex)" }.mkString("; ")))
+      e.constraints.map { case (n, ex) => s"$n CHECK ($ex)" }.mkString("; "),
+      s"${if (e.morDeletes) "enabled" else "disabled"}; $dvCovered files covered"))
   }
 }
 
@@ -727,6 +779,10 @@ object GraftSqlStatements {
     """(?is)^\s*DESCRIBE\s+COLUMNS\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
   private val DropRe =
     """(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+  private val AlterDvRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+(ENABLE|DISABLE)\s+DELETION\s+VECTORS\s*;?\s*$""".r
+  private val ReorgRe =
+    """(?is)^\s*REORG\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""".r
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""".r
   private val ShowTablesRe = """(?is)^\s*SHOW\s+GRAFT\s+TABLES\s*;?\s*$""".r
@@ -818,6 +874,10 @@ object GraftSqlStatements {
         Some(DescribeColumnsGraftCommand(name))
       case DropRe(name) if GraftCatalog.lookup(name).isDefined =>
         Some(DropGraftTableCommand(name))
+      case AlterDvRe(name, mode) if GraftCatalog.lookup(name).isDefined =>
+        Some(AlterGraftTableDvCommand(name, mode.equalsIgnoreCase("ENABLE")))
+      case ReorgRe(name) if GraftCatalog.lookup(name).isDefined =>
+        Some(ReorgGraftTablePurgeCommand(name))
       case VacuumRe(name, retain) if GraftCatalog.lookup(name).isDefined =>
         Some(VacuumGraftTableCommand(name,
           Option(retain).map(_.toInt).getOrElse(1)))

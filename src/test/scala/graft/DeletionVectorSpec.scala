@@ -161,6 +161,39 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(after == 0, s"rebuilt index must prune the no-hit lookup, got $after")
   }
 
+  test("SQL face: ENABLE DELETION VECTORS routes DELETE to MOR; REORG APPLY (PURGE) materializes") {
+    import spark.implicits._
+    import graft.sql.{GraftCatalog, GraftSql}
+    val root = freshRoot("sql")
+    GraftSql.sql(spark, "DROP TABLE IF EXISTS dv_sql_t")
+    LT.create((1L to 30L).map(i => (i, i % 3)).toDF("id", "g"), root)
+    GraftSql.register(spark, "dv_sql_t", root)
+    GraftSql.sql(spark, "ALTER TABLE dv_sql_t ENABLE DELETION VECTORS")
+    val filesBefore = LT.fileCount(root, LT.currentVersion(root).get)
+    GraftSql.sql(spark, "DELETE FROM dv_sql_t WHERE id % 10 = 0")
+    val v = LT.currentVersion(root).get
+    assert(LT.fileCount(root, v) == filesBefore, "MOR delete must not rewrite files")
+    assert(LT.dvsAt(root, v).nonEmpty)
+    assert(GraftSql.sql(spark, "SELECT count(*) AS n FROM dv_sql_t")
+      .collect()(0).getLong(0) == 27)
+    val detail = GraftSql.sql(spark, "DESCRIBE DETAIL dv_sql_t").collect()(0)
+    assert(detail.getString(detail.fieldIndex("deletion_vectors"))
+      .startsWith("enabled; "), detail.toString)
+    // the flag survives a catalog 'restart' (persisted descriptor)
+    GraftCatalog.resetInMemoryForTest()
+    assert(GraftCatalog.lookup("dv_sql_t").exists(_.morDeletes))
+    // Delta's purge statement clears the DVs and keeps the content
+    GraftSql.sql(spark, "REORG TABLE dv_sql_t APPLY (PURGE)")
+    assert(LT.dvsAt(root, LT.currentVersion(root).get).isEmpty)
+    assert(GraftSql.sql(spark, "SELECT count(*) AS n FROM dv_sql_t")
+      .collect()(0).getLong(0) == 27)
+    // DISABLE returns DELETE to copy-on-write
+    GraftSql.sql(spark, "ALTER TABLE dv_sql_t DISABLE DELETION VECTORS")
+    GraftSql.sql(spark, "DELETE FROM dv_sql_t WHERE id = 1")
+    val v2 = LT.currentVersion(root).get
+    assert(LT.dvsAt(root, v2).isEmpty, "COW delete must not create DVs")
+  }
+
   test("graft-table stream refuses a MOR delete range unless ignoreChanges") {
     import spark.implicits._
     val root = freshRoot("stream")
