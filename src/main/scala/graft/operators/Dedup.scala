@@ -472,6 +472,40 @@ object Dedup {
     // subset — no pair relation, same scale shape as q135; the df filter
     // keeps the expanded relation proportional to actually-duplicated
     // text, which is the quantity being measured.
+    // INTER-SOURCE content-overlap matrix: exact shingle-set Jaccard
+    // between every pair of SOURCES — the corpus-level diagnostic
+    // (which feeds mirror each other; what double-counting a mixture
+    // over these sources inherits) next to the doc-level family
+    // (q32/q34). Exact, not MinHash-estimated: the distinct
+    // (source, shingle) relation is the only corpus-sized shuffle, and
+    // the per-shingle fan-out is bounded by the SOURCE COUNT (≤ n_src
+    // rows per shingle, ≤ n_src² pairs) — so unlike doc-level pairs,
+    // source-level exact intersection is cheap at ANY corpus size; no
+    // stop-key cap needed, the schema bounds it. Union sizes come from
+    // inclusion-exclusion off the same relation.
+    "q168_source_overlap" -> ((s, d) => {
+      val ss = graft.sources.RelationCache.of(s, "dedup.srcShingles", d) {
+        Tables.documents(s, d)
+          .select(col("source"),
+            explode(TextExpressions.wordShingles(col("text"), 3)).as("sh"))
+          .distinct()
+      }
+      val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      ss.join(ss.select(col("source").as("source_b"), col("sh")), "sh")
+        .filter(col("source") < col("source_b"))
+        .groupBy(col("source"), col("source_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("source"), col("n").as("na")), "source")
+        .join(sizes.select(col("source").as("source_b"), col("n").as("nb")),
+          "source_b")
+        .select(col("source").as("a"), col("source_b").as("b"), col("inter"),
+          (col("na") + col("nb") - col("inter")).as("union_n"),
+          (col("inter").cast("double")
+            / (col("na") + col("nb") - col("inter")).cast("double"))
+            .as("jaccard"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // PAGERANK over the near-dup graph — link-style centrality of
     // duplicated documents (a high-rank doc is the hub of a template
     // family; the doc to inspect when deciding what a cluster really
@@ -704,6 +738,25 @@ object Dedup {
             CAST(sum(n_dup) AS BIGINT) AS dup_windows,
             CAST(sum(n_win) AS BIGINT) AS total_windows
           FROM per GROUP BY lang ORDER BY lang""",
+
+    "q168_source_overlap" ->
+      s"""WITH ss AS (SELECT DISTINCT source, w AS sh FROM (
+                 SELECT source, unnest([list_aggr(toks[i:i+2], 'string_agg', ' ')
+                   FOR i IN range(1, len(toks) - 1)]) AS w
+                 FROM (SELECT source, ${T.sqlToks} AS toks FROM documents)
+                 WHERE len(toks) >= 3)),
+          sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                    FROM ss GROUP BY source),
+          pairs AS (SELECT x.source AS a, y.source AS b,
+                      CAST(count(*) AS BIGINT) AS inter
+                    FROM ss x JOIN ss y ON x.sh = y.sh AND x.source < y.source
+                    GROUP BY 1, 2)
+          SELECT a, b, inter, na + nb - inter AS union_n,
+            CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS jaccard
+          FROM pairs
+          JOIN (SELECT source AS a, n AS na FROM sizes) USING (a)
+          JOIN (SELECT source AS b, n AS nb FROM sizes) USING (b)
+          ORDER BY a, b""",
 
     // the same 3 damped rounds as the Spark side, unrolled; `//` is the
     // truncating twin of Spark's `div`

@@ -415,6 +415,31 @@ object Similarity {
         .orderBy(col("pos"))
     }),
 
+    // RETRIEVAL EVALUATION harness — the metric pass every embedding
+    // pipeline needs next to its index: top-10 cosine retrieval for a
+    // bounded probe set, relevance = label match, reported per query
+    // label as hits@10, queries-with-a-hit, and MRR. The reciprocal-rank
+    // sum is EXACT integer micro-units (1e6 div rank — ranks are
+    // integers, so no float mean), keeping the metric oracle-checkable.
+    // Shape: the q36 scored-scan (queries broadcast, one corpus pass),
+    // per-query rank window rides the qid exchange, then a tiny rollup.
+    "q167_retrieval_eval" -> ((s, d) => {
+      val ranked = scored(s, d, col("vec_id") < 32)
+        .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("vec_id"))))
+        .filter(col("rk") <= 10)
+      ranked.groupBy(col("qid"), col("qlabel"))
+        .agg(sum(when(col("label") === col("qlabel"), 1L).otherwise(0L)).as("hits"),
+          min(when(col("label") === col("qlabel"), col("rk"))).as("first_rel"))
+        .groupBy(col("qlabel"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(col("hits")).as("hits_at_10"),
+          sum(when(col("first_rel").isNotNull, 1L).otherwise(0L)).as("n_with_hit"),
+          sum(coalesce(expr("1000000 div first_rel"), lit(0)).cast("long"))
+            .as("mrr_sum_micro"))
+        .orderBy(col("qlabel"))
+    }),
+
     // Distributed k-means profile: cluster populations + exact inertia
     // after 3 Lloyd passes (see kmeansAssign — integer-exact, so the
     // iterative float pipeline is oracle-checkable end to end). The
@@ -873,6 +898,26 @@ object Similarity {
   }
 
   def oracle: Map[String, String] = Map(
+    "q167_retrieval_eval" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+                     FROM embeddings WHERE vec_id < 32),
+          sc AS (SELECT q.qid, q.qlabel, e.vec_id, e.label,
+                   row_number() OVER (PARTITION BY q.qid
+                     ORDER BY ${V.sqlCosine("e.embedding", "q.qv")} DESC,
+                       e.vec_id) AS rk
+                 FROM embeddings e JOIN q ON e.vec_id <> q.qid),
+          per AS (SELECT qid, qlabel,
+                    CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END)
+                      AS BIGINT) AS hits,
+                    min(CASE WHEN label = qlabel THEN rk END) AS first_rel
+                  FROM sc WHERE rk <= 10 GROUP BY 1, 2)
+          SELECT qlabel, count(*) AS n_queries,
+            CAST(sum(hits) AS BIGINT) AS hits_at_10,
+            CAST(sum(CASE WHEN first_rel IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_with_hit,
+            CAST(sum(COALESCE(1000000 // first_rel, 0)) AS BIGINT) AS mrr_sum_micro
+          FROM per GROUP BY qlabel ORDER BY qlabel""",
+
     "q162_gram_matrix" ->
       s"""WITH $sqlGramCtes
           SELECT i, j, s FROM gram ORDER BY i, j""",
