@@ -1534,12 +1534,15 @@ object LakehouseTable {
     * row matching `cond` — the predicate-based twin of merge's key-based
     * file pruning. O(matching files) rewrite follows, not O(table). */
   private def filesMatching(spark: SparkSession, root: String, cur: Long,
-      cond: String): Set[String] = {
-    import org.apache.spark.sql.functions.input_file_name
-    read(spark, root, Some(cur)).withColumn("__file", input_file_name())
-      .filter(cond).select("__file").distinct().collect()
-      .map(r => toRel(root, r.getString(0))).toSet
-  }
+      cond: String): Set[String] =
+    // identity-column read, NOT input_file_name() over read(): a DV'd
+    // table's snapshot is an anti-JOIN, which input_file_name() rejects
+    // (multi-source). DVs are NOT applied here — a file whose only
+    // matches are already-deleted rows is rewritten needlessly but
+    // correctly (the rewrite itself reads through the DVs).
+    readFilesLogicalWithIdentity(spark, root, cur, readManifest(root, cur))
+      .filter(cond).select("__dv_rel").distinct().collect()
+      .map(_.getString(0)).toSet
 
   /** Copy-on-write delete: new version = current rows NOT matching
     * `where`. FILE-PRUNED: only files that contain a matching row are
@@ -1725,12 +1728,14 @@ object LakehouseTable {
       .distinct()
     def keyCond(left: DataFrame) =
       keys.map(k => left(k) <=> keyRows(s"__k_$k")).reduce(_ && _)
-    import org.apache.spark.sql.functions.input_file_name
-    val withFile = snap.withColumn("__file", input_file_name())
+    // identity-column read (see filesMatching): input_file_name() cannot
+    // sit above a DV'd snapshot's anti-join
+    val withFile = readFilesLogicalWithIdentity(spark, root, cur, all)
+      .withColumnRenamed("__dv_rel", "__file").drop("__dv_ri")
     val touched: Set[String] = withFile
       .join(keyRows, keyCond(withFile), "left_semi")
       .select("__file").distinct().collect()
-      .map(r => toRel(root, r.getString(0))).toSet
+      .map(_.getString(0)).toSet
     val untouched = all.filterNot(touched)
     val survivors =
       if (touched.isEmpty) updates.select(snap.columns.map(updates.col).toSeq: _*)
@@ -1810,7 +1815,12 @@ object LakehouseTable {
     import org.apache.spark.sql.functions._
     val cur = currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no table at $root"))
-    val df = read(spark, root, Some(cur))
+    // identity-column read over the RAW files (see filesMatching): a DV'd
+    // snapshot is a join input_file_name() rejects; DV-deleted rows only
+    // WIDEN a file's [min,max], and wider stats prune less but never
+    // wrongly — the over-approximation a stats sidecar is allowed.
+    val df = readFilesLogicalWithIdentity(spark, root, cur,
+      readManifest(root, cur))
     def asLongOrDouble(c: String) = df.schema(c).dataType match {
       case org.apache.spark.sql.types.TimestampType |
            org.apache.spark.sql.types.TimestampNTZType =>
@@ -1821,12 +1831,11 @@ object LakehouseTable {
     val aggs = cols.flatMap(c => Seq(
       min(asLongOrDouble(c)).cast("double").as(s"min_$c"),
       max(asLongOrDouble(c)).cast("double").as(s"max_$c")))
-    val rows = df.withColumn("__file", input_file_name())
-      .groupBy(col("__file")).agg(aggs.head, aggs.tail: _*)
+    val rows = df
+      .groupBy(col("__dv_rel")).agg(aggs.head, aggs.tail: _*)
       .collect()
     val lines = rows.flatMap { r =>
-      val rel = r.getString(0).stripPrefix("file:").stripPrefix("//")
-      val relPath = Paths.get(rel.stripPrefix(dataDir(root).toString).stripPrefix("/"))
+      val relPath = r.getString(0)
       cols.map { c =>
         s"$relPath\t$c\t${r.getAs[Double](s"min_$c")}\t${r.getAs[Double](s"max_$c")}"
       }
@@ -1904,17 +1913,22 @@ object LakehouseTable {
     require(cols.nonEmpty)
     val cur = currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no table at $root"))
-    val df = read(spark, root, Some(cur))
-    val nFiles = math.max(1, readManifest(root, cur).size)
+    // identity-column read over the RAW files (see filesMatching): a DV'd
+    // snapshot is a join input_file_name() rejects. DV-deleted rows land
+    // in the sketch — a bloom may only over-approximate, so that is safe
+    // (their files are merely not skipped).
+    val all = readManifest(root, cur)
+    val df = readFilesLogicalWithIdentity(spark, root, cur, all)
+    val nFiles = math.max(1, all.size)
     val expectedPerFile = math.max(64L, df.count() / nFiles)
     val agg = udaf(new BloomAgg(expectedPerFile, fpp))
     val aggs = cols.map(c => agg(col(c).cast("long")).as(s"__bloom_$c"))
-    val rows = df.withColumn("__file", input_file_name())
-      .groupBy(col("__file")).agg(aggs.head, aggs.tail: _*)
+    val rows = df
+      .groupBy(col("__dv_rel")).agg(aggs.head, aggs.tail: _*)
       .collect() // O(files) rows, each carrying its tiny sketch
     val enc = java.util.Base64.getEncoder
     val lines = rows.flatMap { r =>
-      val rel = toRel(root, r.getString(0))
+      val rel = r.getString(0)
       cols.zipWithIndex.map { case (c, i) =>
         s"$rel\t$c\t${enc.encodeToString(r.getAs[Array[Byte]](i + 1))}"
       }
@@ -1944,6 +1958,54 @@ object LakehouseTable {
         all.filter(f => blooms.get(f).forall(_.mightContainLong(value))).toSet
       }
     readFilesLogical(spark, root, cur, all.filter(keep))
+  }
+
+  /** SHALLOW CLONE (Delta's `CREATE TABLE ... SHALLOW CLONE`): a new
+    * table whose version 0 references the source's files at `version`
+    * (default current) via HARDLINKS — O(files) metadata ops, zero data
+    * bytes copied. Safe because data files are immutable by construction:
+    * every mutation on either table writes NEW files under its own root,
+    * so the clones diverge freely; and vacuum on one side only unlinks
+    * its own directory entry — the other side's link keeps the bytes
+    * alive (the filesystem refcount plays the role of Delta's shared
+    * object store). Schema state (added/renamed/dropped/widened columns),
+    * deletion vectors, and the version's stats/bloom sidecars travel with
+    * the clone. Falls back to a real copy on filesystems without links. */
+  def cloneTable(spark: SparkSession, srcRoot: String, dstRoot: String,
+      version: Option[Long] = None): Long = {
+    val v = version.orElse(currentVersion(srcRoot)).getOrElse(
+      throw new IllegalStateException(s"no table at $srcRoot"))
+    require(versions(dstRoot).isEmpty, s"clone target is not empty: $dstRoot")
+    def link(src: Path, dst: Path): Unit = {
+      Files.createDirectories(dst.getParent)
+      try Files.createLink(dst, src)
+      catch {
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          Files.copy(src, dst)
+      }
+    }
+    val rels = readManifest(srcRoot, v)
+    rels.foreach(f => link(dataDir(srcRoot).resolve(f), dataDir(dstRoot).resolve(f)))
+    val dvs = dvsAt(srcRoot, v)
+    dvs.map(_._2).distinct.foreach { dvRel =>
+      val s0 = deletesDir(srcRoot).resolve(dvRel)
+      withDrained(Files.walk(s0))(identity).foreach { p =>
+        val t = deletesDir(dstRoot).resolve(dvRel).resolve(s0.relativize(p).toString)
+        if (Files.isDirectory(p)) Files.createDirectories(t) else link(p, t)
+      }
+    }
+    Files.createDirectories(manifestDir(dstRoot))
+    Seq((statsPath(srcRoot, v), statsPath(dstRoot, 0L)),
+      (bloomPath(srcRoot, v), bloomPath(dstRoot, 0L))).foreach { case (s0, d0) =>
+      if (Files.exists(s0)) Files.copy(s0, d0,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    commit(dstRoot, 0, rels,
+      addedCols = Some(addedColumnsAt(srcRoot, v)),
+      renamedCols = Some(encodeRenames(renamedColumnsAt(srcRoot, v))),
+      droppedCols = Some(droppedColumnsAt(srcRoot, v).mkString(", ")),
+      widenedCols = Some(encodeWidens(widenedColumnsAt(srcRoot, v))),
+      dvs = Some(encodeDvs(dvs)))
   }
 
   // --- Secondary value index (exact value → file inverted index) ---------

@@ -29,6 +29,7 @@ import graft.sources.LakehouseTable
   *   DELETE FROM t WHERE cond    -- COW; MOR when deletion vectors enabled
   *   ALTER TABLE t ENABLE DELETION VECTORS | DISABLE DELETION VECTORS
   *   REORG TABLE t APPLY (PURGE)   -- materialize + clear deletion vectors
+  *   CREATE TABLE t2 SHALLOW CLONE t [LOCATION 'p']   -- zero-copy clone
   *   RESTORE TABLE t TO VERSION AS OF n
   *   ALTER TABLE t ADD COLUMNS (c1 TYPE, ...)   -- metadata-only widening
   *   ALTER TABLE t ALTER COLUMN c TYPE t2       -- metadata-only type widening
@@ -441,6 +442,25 @@ case class ReorgGraftTablePurgeCommand(name: String)
   }
 }
 
+/** CREATE TABLE name SHALLOW CLONE src [LOCATION 'p'] — Delta's shallow
+  * clone: the new table's v0 hardlinks the source's current files (zero
+  * copy, [[LakehouseTable.cloneTable]]); partitioning, row keys,
+  * constraints, and the DV flag carry over, then the tables diverge
+  * freely (immutability makes sharing safe; vacuum on one side cannot
+  * strand the other). */
+case class CloneGraftTableCommand(name: String, srcName: String, root: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = GraftCatalog.lookup(srcName).get
+    LakehouseTable.cloneTable(spark, src.root, root)
+    GraftCatalog.register(spark, name, root, src.partitionBy, src.rowKeys)
+    GraftCatalog.setConstraints(name, src.constraints)
+    if (src.morDeletes) GraftCatalog.setMorDeletes(name, on = true)
+    GraftCatalog.refreshView(spark, name)
+    Seq.empty
+  }
+}
+
 /** RESTORE TABLE name TO VERSION AS OF n. */
 case class RestoreGraftTableCommand(name: String, version: Long)
     extends LeafRunnableCommand {
@@ -734,6 +754,8 @@ object GraftSqlStatements {
     (sb.toString, unmask)
   }
 
+  private val CloneRe =
+    """(?is)^\s*CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SHALLOW\s+CLONE\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*$""".r
   private val CreateRe =
     """(?is)^\s*CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+USING\s+graft\s*(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?(?:LOCATION\s+'([^']+)'\s*)?(?:AS\s+(.*?))?\s*;?\s*$""".r
   private val InsertRe =
@@ -832,6 +854,10 @@ object GraftSqlStatements {
       lit.stripPrefix("'").stripSuffix("'")
     }
     masked match {
+      case CloneRe(name, srcName, loc) if GraftCatalog.lookup(srcName).isDefined =>
+        val root = Option(loc).map(unmaskQuoted).getOrElse(
+          graft.sources.TableCache.baseDir + s"/sqlclone_${name.toLowerCase}")
+        Some(CloneGraftTableCommand(name, srcName, root))
       case CreateRe(name, parts, loc, query) =>
         val partitionBy = Option(parts).toSeq
           .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)

@@ -194,6 +194,41 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(LT.dvsAt(root, v2).isEmpty, "COW delete must not create DVs")
   }
 
+  test("shallow clone: zero-copy hardlinks, divergence, vacuum survival") {
+    import spark.implicits._
+    val src = freshRoot("clone_src")
+    val dst = freshRoot("clone_dst")
+    LT.create((1L to 100L).map(i => (i, s"v$i")).toDF("id", "s"), src)
+    LT.deleteWhereMor(spark, src, "id = 50") // DV state must travel too
+    LT.cloneTable(spark, src, dst)
+    assert(ids(dst) == (1L to 100L).filterNot(_ == 50))
+    // zero-copy: the shared data file has two directory entries
+    val aFile = java.nio.file.Paths.get(src, "data")
+    val one = java.nio.file.Files.walk(aFile).filter(p =>
+      p.toString.endsWith(".parquet")).findFirst().get()
+    assert(java.nio.file.Files.getAttribute(one, "unix:nlink")
+      .asInstanceOf[Number].intValue() >= 2, s"expected a hardlink for $one")
+    // divergence: writes on one side never show on the other
+    LT.append(Seq((200L, "x")).toDF("id", "s").coalesce(1), dst)
+    LT.deleteWhere(spark, src, "id <= 10")
+    assert(ids(dst) == ((1L to 100L).filterNot(_ == 50) :+ 200L).sorted)
+    assert(ids(src) == (11L to 100L).filterNot(_ == 50))
+    // vacuum on the source drops ITS name for the rewritten files; the
+    // clone's links keep the bytes alive
+    LT.vacuum(src, retainLast = 1)
+    assert(ids(dst) == ((1L to 100L).filterNot(_ == 50) :+ 200L).sorted)
+    // SQL face
+    import graft.sql.{GraftCatalog, GraftSql}
+    GraftSql.sql(spark, "DROP TABLE IF EXISTS clone_sql_src")
+    GraftSql.sql(spark, "DROP TABLE IF EXISTS clone_sql_c")
+    GraftSql.register(spark, "clone_sql_src", dst)
+    val cloneRoot = freshRoot("clone_sql_c")
+    GraftSql.sql(spark,
+      s"CREATE TABLE clone_sql_c SHALLOW CLONE clone_sql_src LOCATION '$cloneRoot'")
+    assert(GraftSql.sql(spark, "SELECT count(*) AS n FROM clone_sql_c")
+      .collect()(0).getLong(0) == 100)
+  }
+
   test("graft-table stream refuses a MOR delete range unless ignoreChanges") {
     import spark.implicits._
     val root = freshRoot("stream")
