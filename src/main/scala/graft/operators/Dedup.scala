@@ -302,7 +302,61 @@ object Dedup {
       .orderBy(col("a"), col("b"))
   }
 
+  /** q170 winnowing parameters: k-gram size (tokens per gram), window
+    * width (grams per window), max fingerprint document frequency (the
+    * StopShingleCap analog — a fingerprint shared by more docs than this
+    * is boilerplate, not evidence), and the min shared-fingerprint count
+    * for a reported pair. Mirrored verbatim in the oracle twin. */
+  val WinnowK = 4
+  val WinnowW = 4
+  val WinnowDfCap = 64
+  val WinnowMinShared = 3
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // WINNOWING document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
+    // 2003 — the MOSS algorithm, public): hash every k-gram, slide a
+    // w-hash window, keep each window's MINIMUM hash; the selected-value
+    // set is the doc's fingerprint. Guarantees every shared run of
+    // k+w-1 tokens yields at least one shared fingerprint (the paper's
+    // coverage property) while storing ~2/(w+1) of the hashes — the
+    // storage/recall trade fixed 8-gram span profiling (q135/q157)
+    // doesn't offer. Pairs sharing ≥ WinnowMinShared fingerprints are
+    // reported. Shape at scale: the per-doc window min is doc-local (one
+    // exchange on doc_id, no corpus pair relation); the cross-doc join is
+    // an inverted-index join on the fingerprint VALUE with a df cap —
+    // shuffles O(docs × fingerprints), never O(docs²), and a boilerplate
+    // fingerprint shared by > WinnowDfCap docs is dropped as a stop-key
+    // exactly like [[StopShingleCap]].
+    "q170_winnow_fingerprint" -> ((s, d) => {
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.currentRow, WinnowW - 1)
+      // positional k-gram SEQUENCE (multiplicity + order matter to the
+      // window step) — NOT the deduped wordShingles set
+      val fps = Tables.documents(s, d)
+        .select(col("doc_id"),
+          T.shingles(TextExpressions.tokens(col("text")), WinnowK).as("g"))
+        .filter(size(col("g")) >= WinnowW)
+        .withColumn("m", size(col("g")))
+        .select(col("doc_id"), col("m"), posexplode(col("g")).as(Seq("pos", "gram")))
+        .withColumn("h", T.md5Prefix(col("gram"), 8))
+        .withColumn("fp", min(col("h")).over(w))
+        .filter(col("pos") <= col("m") - WinnowW)
+        .select(col("doc_id"), col("fp")).distinct()
+      val rare = fps.groupBy(col("fp"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, WinnowDfCap))
+        .select(col("fp"))
+      val indexed = fps.join(rare, "fp")
+      indexed.select(col("fp"), col("doc_id").as("a"))
+        .join(indexed.select(col("fp"), col("doc_id").as("b")), "fp")
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= WinnowMinShared)
+        .orderBy(desc("n_shared"), col("a"), col("b"))
+        .limit(100)
+    }),
+
     // Exact dedup: keep the FIRST event per (user, event_type) — a rank-1
     // window, deterministic survivor (dropDuplicates is not).
     "q31_exact_dedup" -> ((s, d) => {
@@ -618,6 +672,33 @@ object Dedup {
     }
 
   def oracle: Map[String, String] = Map(
+    "q170_winnow_fingerprint" -> {
+      val gram = (0 until WinnowK).map(j =>
+        if (j == 0) "toks[i]" else s"toks[i + $j]").mkString(" || ' ' || ")
+      s"""WITH t AS (SELECT doc_id, ${T.sqlToks} AS toks FROM documents),
+          g AS (SELECT doc_id, unnest(hs) AS h,
+                  generate_subscripts(hs, 1) AS pos, len(hs) AS m
+                FROM (SELECT doc_id,
+                        [${T.sqlMd5Prefix(gram, 8)}
+                          FOR i IN range(1, len(toks) - ${WinnowK - 2})] AS hs
+                      FROM t)
+                WHERE len(hs) >= $WinnowW),
+          w AS (SELECT doc_id, pos, m, min(h) OVER (
+                  PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS fp
+                FROM g),
+          fps AS (SELECT DISTINCT doc_id, fp FROM w
+                  WHERE pos <= m - $WinnowW + 1),
+          rare AS (SELECT fp FROM fps GROUP BY fp
+                   HAVING count(*) BETWEEN 2 AND $WinnowDfCap)
+          SELECT x.doc_id AS a, y.doc_id AS b,
+            CAST(count(*) AS BIGINT) AS n_shared
+          FROM fps x JOIN rare USING (fp) JOIN fps y USING (fp)
+          WHERE x.doc_id < y.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared
+          ORDER BY n_shared DESC, a, b LIMIT 100"""
+    },
+
     "q31_exact_dedup" ->
       """SELECT user_id, event_type, event_id AS first_event_id FROM (
            SELECT user_id, event_type, event_id,

@@ -17,7 +17,58 @@ import graft.sources.Tables
   */
 object TextAnalysis {
 
+  /** q169 flag threshold: a doc whose mean per-bigram cross-entropy under
+    * the corpus bigram LM exceeds this (in 1/4096-bit units; 24576 = 6
+    * bits/bigram) is "out of distribution" — the CCNet-style perplexity
+    * filter signal. Shared with the oracle twin via interpolation. */
+  private val HighCeMicro = 24576L
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Bigram-LM CROSS-ENTROPY scoring (the CCNet perplexity filter,
+    // Wenzek et al. 2020, public — theirs uses a wiki KenLM; ours trains
+    // the bigram LM on the corpus itself, which is the self-perplexity
+    // variant used for repetition/outlier mining). Per doc:
+    // CE = Σ_occurrences −log2 p(w2|w1), p = c(w1w2)/c(w1·), reported as
+    // the mean per-bigram cost in fixed-point micro-bits. EXACT in both
+    // engines because each −log2 term is a DIFFERENCE OF VALUE-KEYED
+    // integer logs (ilog2Fp, the q166 recipe): the log table is computed
+    // on the driver for the DISTINCT corpus count values only (a few
+    // hundred integers at any corpus size) and broadcast. Shape at
+    // scale: the LM is the bigram word-count shuffle (partial counts
+    // collapse each partition to bigram-vocab size); context counts ride
+    // a second vocab-sized rollup; the doc-side join is per-doc bigram
+    // GROUPS (not occurrences) against the LM on the bigram key — the
+    // only corpus-sized exchange is the word-count shape itself. Docs
+    // with < 2 tokens have no bigrams and are excluded (explicitly, both
+    // engines — the q132 empty-doc rule).
+    "q169_bigram_lm" -> ((s, d) => {
+      import s.implicits._
+      val bg = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(graft.plans.TextExpressions.adjacentPairs(col("text"))).as("bg"))
+      val lm = bg.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+      val ctx = lm.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+      val vals = lm.select(col("c12").as("v"))
+        .union(ctx.select(col("c1").as("v")))
+        .distinct().collect().map(_.getLong(0))
+      val wdf = vals.toSeq.map(v => (v, T.ilog2Fp(v, 1))).toDF("v", "w")
+      val nll = lm.join(ctx, "w1")
+        .join(broadcast(wdf).select(col("v").as("c12"), col("w").as("w12")), "c12")
+        .join(broadcast(wdf).select(col("v").as("c1"), col("w").as("w1l")), "c1")
+        .select(col("bg"), (col("w1l") - col("w12")).as("nll"))
+      bg.groupBy(col("doc_id"), col("lang"), col("bg"))
+        .agg(count(lit(1)).as("k"))
+        .join(nll, "bg")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("k") * col("nll")).as("ce"), sum(col("k")).as("nbg"))
+        .select(col("lang"), expr("ce div nbg").as("bpt"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("bpt")).as("sum_ce_micro"),
+          sum(when(col("bpt") > HighCeMicro, 1L).otherwise(0L)).as("n_flagged"))
+        .orderBy(col("lang"))
+    }),
     // Per-doc SHANNON ENTROPY of the unigram distribution — the lexical-
     // diversity quality signal (low entropy = repetitive/templated text;
     // keyword-stuffed spam scores near 0) the suite previously could not
@@ -514,6 +565,34 @@ object TextAnalysis {
   private val toksSql = T.sqlToks
 
   def oracle: Map[String, String] = Map(
+    "q169_bigram_lm" ->
+      s"""WITH bgr AS (SELECT doc_id, lang,
+                   unnest([toks[i] || ' ' || toks[i + 1]
+                     FOR i IN range(1, len(toks))]) AS bg
+                 FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents)),
+          lm AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12,
+                   string_split(bg, ' ')[1] AS w1
+                 FROM bgr GROUP BY bg),
+          ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+                  FROM lm GROUP BY w1),
+          vals AS (SELECT v, v AS num, CAST(1 AS BIGINT) AS den FROM (
+                     SELECT DISTINCT c12 AS v FROM lm
+                     UNION SELECT DISTINCT c1 AS v FROM ctx)),
+          ${T.sqlIlog2Ctes("blm", "vals", "v")},
+          nll AS (SELECT lm.bg, (wc1.wt - wc12.wt) AS nll
+                  FROM lm JOIN ctx USING (w1)
+                  JOIN blmwts wc12 ON lm.c12 = wc12.v
+                  JOIN blmwts wc1 ON ctx.c1 = wc1.v),
+          docbg AS (SELECT doc_id, lang, bg, CAST(count(*) AS BIGINT) AS k
+                    FROM bgr GROUP BY 1, 2, 3),
+          ce AS (SELECT doc_id, lang,
+                   CAST(sum(k * nll) AS BIGINT) // CAST(sum(k) AS BIGINT) AS bpt
+                 FROM docbg JOIN nll USING (bg) GROUP BY doc_id, lang)
+          SELECT lang, count(*) AS n_docs,
+            CAST(sum(bpt) AS BIGINT) AS sum_ce_micro,
+            CAST(sum(CASE WHEN bpt > $HighCeMicro THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_flagged
+          FROM ce GROUP BY lang ORDER BY lang""",
     "q166_token_entropy" ->
       s"""WITH tokc AS (SELECT doc_id, lang, t, CAST(count(*) AS BIGINT) AS c
                  FROM (SELECT doc_id, lang, unnest($toksSql) AS t FROM documents)
