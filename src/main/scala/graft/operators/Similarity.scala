@@ -307,6 +307,72 @@ object Similarity {
       kmeansAssign(s, d)
     }
 
+  // --- Product quantization + ADC scan (q171) -----------------------------
+
+  private val PqM = 8      // sub-blocks (Dims / PqSub)
+  private val PqSub = 8    // dims per block
+  private val PqK = 8      // codes per block (codebook size)
+  private val PqNq = 16    // probe query set: vec_id < PqNq
+  private val PqTopK = 10
+
+  /** struct(dist, cid) of the nearest code of block `b` — squared-L2 over
+    * the block's PqSub quantized dims, ties to the lower code id (the
+    * kmNearest convention, per block). */
+  private def pqNearest(cents: Array[Array[Array[Long]]], b: Int): Column =
+    array_min(array((0 until PqK).map { k =>
+      struct(
+        aggregate(zip_with(
+            slice(col("q"), b * PqSub + 1, PqSub),
+            array(cents(b)(k).toIndexedSeq.map(lit): _*),
+            (x, c) => (x - c) * (x - c)),
+          lit(0L), (acc, v) => acc + v).as("dist"),
+        lit(k.toLong).as("cid"))
+    }: _*))
+
+  /** Per-block codebooks after 3 assignment passes / 2 mean updates of
+    * block-wise Lloyd's over the quantized embeddings (PRODUCT
+    * QUANTIZATION training — Jégou/Douze/Schmid, TPAMI 2011, public),
+    * plus the encoded corpus (vec_id, label, codes: array<bigint>).
+    *
+    * FUSED across blocks: each round is ONE scan computing all PqM block
+    * assignments in a single codegen'd projection and ONE map-side-
+    * combined (blk, cid, pos) aggregation — the per-round driver sync is
+    * the PqM×PqK×PqSub codebook (256 longs, corpus-size-independent).
+    * Integer-exact throughout (the kmeansAssign arithmetic, per block),
+    * so 8 independent Lloyd's runs stay bit-reproducible in the oracle's
+    * blk-keyed relational twin. Empty cells keep their previous code. */
+  private def pqTrained(s: SparkSession, d: String): (DataFrame, Array[Array[Array[Long]]]) = {
+    val qdf = kmQuantized(s, d)
+    var cents: Array[Array[Array[Long]]] = {
+      val init = qdf.filter(col("vec_id") < PqK)
+        .orderBy(col("vec_id")).collect()
+        .map(r => r.getSeq[Long](r.fieldIndex("q")).toArray)
+      Array.tabulate(PqM, PqK)((b, k) => init(k).slice(b * PqSub, (b + 1) * PqSub))
+    }
+    def nnCol = array((0 until PqM).map(b => pqNearest(cents, b)): _*)
+    for (_ <- 1 to 2) {
+      val sums = qdf.withColumn("nn", nnCol)
+        .select(col("q"), posexplode(col("nn")).as(Seq("blk", "st")))
+        .withColumn("sq",
+          slice(col("q"), col("blk") * lit(PqSub) + lit(1), lit(PqSub)))
+        .select(col("blk"), col("st").getField("cid").as("cid"),
+          posexplode(col("sq")).as(Seq("pos", "x")))
+        .groupBy(col("blk"), col("cid"), col("pos"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val upd = sums.groupBy(r => (r.getInt(0), r.getLong(1))).map {
+        case (key, rows) =>
+          key -> rows.sortBy(_.getInt(2)).map(r => r.getLong(3) / r.getLong(4))
+      }
+      cents = Array.tabulate(PqM, PqK)((b, k) =>
+        upd.get((b, k.toLong)).map(_.toArray).getOrElse(cents(b)(k)))
+    }
+    val enc = qdf.withColumn("nn", nnCol)
+      .select(col("vec_id"), col("label"),
+        transform(col("nn"), st => st.getField("cid")).as("codes"))
+    (enc, cents)
+  }
+
   /** Upper-triangle GRAM (second-moment) matrix of the quantized
     * embeddings, (i, j, s) with 1-based dims, i ≤ j, s = Σ_vecs qᵢ·qⱼ —
     * exact long arithmetic, RelationCache'd so q162 and q163 share one
@@ -473,6 +539,70 @@ object Similarity {
           countDistinct(col("label")).as("n_labels"),
           sum(col("label").cast("long")).as("label_sum"))
         .orderBy(col("cid"))
+    }),
+
+    // PRODUCT-QUANTIZATION ADC scan (Jégou et al. 2011, public) — the
+    // memory-bound ANN tier below IVF: the corpus is held as PqM 2-bit
+    // codes per vector (64 quantized dims → 8 bytes-of-code here; 256×
+    // smaller than the vectors), a query precomputes its per-(block,
+    // code) distance lookup table, and the scan sums M table entries per
+    // vector instead of touching the embedding — asymmetric distance
+    // computation. Relationally: the LUT is |queries|·M·K rows
+    // (broadcast); the corpus side explodes codes to n·M rows and the
+    // per-(qid, vec_id) sum rides one exchange — no vector arithmetic
+    // anywhere in the scan. Report: recall@10 of the ADC top-10 against
+    // the exact quantized-L2 top-10, per query label — the
+    // accuracy-for-memory trade the operator exists to measure (q104's
+    // recall-curve convention).
+    "q171_pq_adc" -> ((s, d) => {
+      val s2 = s
+      import s2.implicits._
+      val (enc, cents) = pqTrained(s, d)
+      val qdf = kmQuantized(s, d)
+      val probes = qdf.filter(col("vec_id") < PqNq)
+        .select(col("vec_id").cast("long"), col("label").cast("long"), col("q"))
+        .orderBy(col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          r.getSeq[Long](r.fieldIndex("q")).toArray))
+      val lut = probes.toSeq.flatMap { case (qid, qlabel, qv) =>
+        for (b <- 0 until PqM; k <- 0 until PqK) yield {
+          var pd = 0L
+          var i = 0
+          while (i < PqSub) {
+            val dx = qv(b * PqSub + i) - cents(b)(k)(i); pd += dx * dx; i += 1
+          }
+          (qid, qlabel, b, k.toLong, pd)
+        }
+      }.toDF("qid", "qlabel", "blk", "cid", "pd")
+      val adc = enc
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("blk", "cid")))
+        .join(broadcast(lut), Seq("blk", "cid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .groupBy(col("qid"), col("qlabel"), col("vec_id"))
+        .agg(sum(col("pd")).as("adist"))
+      val wA = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))
+      val atop = adc.withColumn("rn", row_number().over(wA))
+        .filter(col("rn") <= PqTopK)
+        .select(col("qid"), col("qlabel"), col("vec_id"))
+      val qfull = probes.toSeq.map { case (qid, _, qv) => (qid, qv.toSeq) }
+        .toDF("qid", "qv")
+      val ex = qdf.crossJoin(broadcast(qfull))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          aggregate(zip_with(col("q"), col("qv"), (x, c) => (x - c) * (x - c)),
+            lit(0L), (acc, v) => acc + v).as("edist"))
+      val wE = Window.partitionBy(col("qid")).orderBy(col("edist"), col("vec_id"))
+      val etop = ex.withColumn("rn", row_number().over(wE))
+        .filter(col("rn") <= PqTopK)
+        .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+      atop.join(etop, Seq("qid", "vec_id"), "left_outer")
+        .groupBy(col("qid"), col("qlabel"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        .groupBy(col("qlabel"))
+        .agg(count(lit(1)).as("n_queries"), sum(col("hits")).as("hits_at_10"))
+        .select(col("qlabel"), col("n_queries"), col("hits_at_10"),
+          expr(s"hits_at_10 * 1000000 div (n_queries * $PqTopK)").as("recall_micro"))
+        .orderBy(col("qlabel"))
     }),
 
     // INCREMENTAL semantic dedup — q146's production ingest shape (the
@@ -969,6 +1099,78 @@ object Similarity {
             CAST(sum(CAST(label AS BIGINT)) AS BIGINT) AS label_sum
           FROM drawn WHERE rk <= $KmSampleCap
           GROUP BY cid ORDER BY cid"""
+    },
+
+    // blk-keyed relational twin of the fused block-wise Lloyd's: the
+    // same 3 assignment passes / 2 mean updates, then the LUT join and
+    // ADC rank — every arithmetic step integer, every tie broken on the
+    // lower id (the kmeansAssign conventions, per block)
+    "q171_pq_adc" -> {
+      val dist = (a: String, b: String) =>
+        s"list_sum(list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2])))"
+      def assign(prev: String, out: String) =
+        s"""$out AS (SELECT vec_id, label, blk, sq, cid FROM (
+              SELECT v.vec_id, v.label, v.blk, v.sq, c.cid,
+                row_number() OVER (PARTITION BY v.vec_id, v.blk
+                  ORDER BY ${dist("v.sq", "c.cq")}, c.cid) AS rn
+              FROM qb v JOIN $prev c ON v.blk = c.blk) WHERE rn = 1)"""
+      def update(assigned: String, prev: String, out: String) =
+        s"""${out}s AS (SELECT blk, cid, pos, CAST(sum(x) AS BIGINT) AS sx,
+               count(*) AS n
+             FROM (SELECT blk, cid, unnest(range(1, ${PqSub + 1})) AS pos,
+                     unnest(sq) AS x FROM $assigned)
+             GROUP BY 1, 2, 3),
+            $out AS (SELECT c.blk, c.cid, COALESCE(u.cq, c.cq) AS cq
+             FROM $prev c LEFT JOIN
+               (SELECT blk, cid, list(sx // n ORDER BY pos) AS cq
+                FROM ${out}s GROUP BY blk, cid) u USING (blk, cid))"""
+      s"""WITH qv AS (SELECT vec_id, label, list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * $KmQScale) AS BIGINT)) AS q
+              FROM embeddings),
+          qb AS (SELECT vec_id, label, CAST(t.blk AS INTEGER) AS blk,
+                   q[t.blk * $PqSub + 1 : (t.blk + 1) * $PqSub] AS sq
+                 FROM qv CROSS JOIN range(0, $PqM) t(blk)),
+          pc0 AS (SELECT blk, CAST(vec_id AS BIGINT) AS cid, sq AS cq
+                  FROM qb WHERE vec_id < $PqK),
+          ${assign("pc0", "pa1")},
+          ${update("pa1", "pc0", "pu1")},
+          ${assign("pu1", "pa2")},
+          ${update("pa2", "pu1", "pu2")},
+          ${assign("pu2", "pa3")},
+          qq AS (SELECT vec_id AS qid, CAST(label AS BIGINT) AS qlabel,
+                   blk, sq AS qsq
+                 FROM qb WHERE vec_id < $PqNq),
+          lut AS (SELECT q.qid, q.qlabel, c.blk, c.cid,
+                    CAST(${dist("q.qsq", "c.cq")} AS BIGINT) AS pd
+                  FROM qq q JOIN pu2 c ON q.blk = c.blk),
+          adc AS (SELECT l.qid, l.qlabel, co.vec_id,
+                    CAST(sum(l.pd) AS BIGINT) AS adist
+                  FROM pa3 co JOIN lut l
+                    ON co.blk = l.blk AND co.cid = l.cid
+                  WHERE co.vec_id <> l.qid GROUP BY 1, 2, 3),
+          atop AS (SELECT qid, qlabel, vec_id FROM (
+                     SELECT *, row_number() OVER (PARTITION BY qid
+                       ORDER BY adist, vec_id) AS rn FROM adc)
+                   WHERE rn <= $PqTopK),
+          qfull AS (SELECT vec_id AS qid, q AS qv FROM qv
+                    WHERE vec_id < $PqNq),
+          exd AS (SELECT f.qid, e.vec_id,
+                    CAST(${dist("e.q", "f.qv")} AS BIGINT) AS edist
+                  FROM qv e JOIN qfull f ON e.vec_id <> f.qid),
+          etop AS (SELECT qid, vec_id FROM (
+                     SELECT *, row_number() OVER (PARTITION BY qid
+                       ORDER BY edist, vec_id) AS rn FROM exd)
+                   WHERE rn <= $PqTopK),
+          per AS (SELECT a.qid, a.qlabel,
+                    CAST(count(e.vec_id) AS BIGINT) AS hits
+                  FROM atop a LEFT JOIN etop e
+                    ON a.qid = e.qid AND a.vec_id = e.vec_id
+                  GROUP BY 1, 2)
+          SELECT qlabel, count(*) AS n_queries,
+            CAST(sum(hits) AS BIGINT) AS hits_at_10,
+            CAST(sum(hits) * 1000000 // (count(*) * $PqTopK) AS BIGINT)
+              AS recall_micro
+          FROM per GROUP BY qlabel ORDER BY qlabel"""
     },
 
     "q148_incremental_semdedup" ->
