@@ -466,6 +466,52 @@ class Round6Spec extends AnyFunSuite {
     assert(df.as[(Long, Double)].collect().toSet == Set((1L, 1.5), (2L, 9.0)))
   }
 
+  test("winnowing guarantees detection of a long shared run; disjoint docs never pair") {
+    import spark.implicits._
+    // The MOSS coverage property: every shared window of k+w-1 tokens
+    // yields at least one shared fingerprint. A 30-token shared run
+    // (distinct tokens, so grams are distinct and hash-collision-free
+    // w.h.p.) contains 24 complete shared windows, whose selected minima
+    // are at most w apart — at least 6 distinct shared fingerprints,
+    // clearing the n_shared >= 3 reporting threshold deterministically.
+    val shared = (0 until 30).map(i => s"s$i").mkString(" ")
+    def noise(p: String, a: Int, b: Int) = (a until b).map(i => s"$p$i").mkString(" ")
+    val dir = freshRoot("winnow")
+    Seq(
+      (1L, s"${noise("a", 0, 20)} $shared ${noise("a", 20, 40)}"),
+      (2L, s"${noise("b", 0, 20)} $shared ${noise("b", 20, 40)}"),
+      (3L, noise("c", 0, 60))) // no 4-gram shared with anyone
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = SparkEntry.queries("q170_winnow_fingerprint")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)),
+      s"expected exactly the shared-run pair, got ${pairs.toSeq}")
+    assert(pairs.head._3 >= 3L)
+  }
+
+  test("q169/q171 structural invariants at sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    // bigram-LM cross-entropy: non-negative (c_ctx >= c_bigram makes every
+    // fixed-point -log2 term >= 0), flags bounded by doc counts
+    val lm = SparkEntry.queries("q169_bigram_lm")(spark, sf).collect()
+    assert(lm.nonEmpty)
+    lm.foreach { r =>
+      assert(r.getLong(r.fieldIndex("sum_ce_micro")) >= 0L)
+      assert(r.getLong(r.fieldIndex("n_flagged")) <= r.getLong(r.fieldIndex("n_docs")))
+    }
+    // PQ-ADC recall: every query answers, hits bounded by k, recall in [0, 1e6]
+    val pq = SparkEntry.queries("q171_pq_adc")(spark, sf).collect()
+    assert(pq.map(_.getLong(pq.head.fieldIndex("n_queries"))).sum == 16L)
+    pq.foreach { r =>
+      val n = r.getLong(r.fieldIndex("n_queries"))
+      val h = r.getLong(r.fieldIndex("hits_at_10"))
+      assert(h >= 0L && h <= n * 10)
+      val rec = r.getLong(r.fieldIndex("recall_micro"))
+      assert(rec >= 0L && rec <= 1000000L)
+    }
+  }
+
   test("eventsStream over an empty staging dir falls back to the declared schema") {
     val dir = java.nio.file.Files.createTempDirectory("round6-empty-stage").toString
     // must NOT throw (start-before-first-file deployment)
