@@ -293,9 +293,24 @@ object Similarity {
       }
       cents = cents.zipWithIndex.map { case (old, k) => upd.getOrElse(k, old) }
     }
+    kmCentCache.put((System.identityHashCode(s), d), cents)
     qdf.withColumn("nn", kmNearest(cents))
       .select(col("vec_id"), col("label"),
         col("nn").getField("cid").as("cid"), col("nn").getField("dist").as("dist"))
+  }
+
+  /** Converged k-means centroids for (session, dir) — the 512-long driver
+    * matrix [[kmeansAssign]] ends on, memoized alongside the
+    * RelationCache'd assignment so residual consumers (q172) never rerun
+    * the Lloyd iteration. */
+  private val kmCentCache =
+    scala.collection.concurrent.TrieMap[(Int, String), Seq[Array[Long]]]()
+  private def kmeansCentroids(s: SparkSession, d: String): Seq[Array[Long]] = {
+    val key = (System.identityHashCode(s), d)
+    kmCentCache.getOrElse(key, {
+      kmeansAssigned(s, d).count() // materialize → kmeansAssign fills the cache
+      kmCentCache(key)
+    })
   }
 
   /** [[kmeansAssign]]'s converged result, one materialization per
@@ -314,6 +329,7 @@ object Similarity {
   private val PqK = 8      // codes per block (codebook size)
   private val PqNq = 16    // probe query set: vec_id < PqNq
   private val PqTopK = 10
+  private val IvfPqProbe = 2 // coarse cells probed per query (q172)
 
   /** struct(dist, cid) of the nearest code of block `b` — squared-L2 over
     * the block's PqSub quantized dims, ties to the lower code id (the
@@ -341,8 +357,14 @@ object Similarity {
     * Integer-exact throughout (the kmeansAssign arithmetic, per block),
     * so 8 independent Lloyd's runs stay bit-reproducible in the oracle's
     * blk-keyed relational twin. Empty cells keep their previous code. */
-  private def pqTrained(s: SparkSession, d: String): (DataFrame, Array[Array[Array[Long]]]) = {
-    val qdf = kmQuantized(s, d)
+  private def pqTrained(s: SparkSession, d: String): (DataFrame, Array[Array[Array[Long]]]) =
+    pqFit(kmQuantized(s, d))
+
+  /** Block-wise Lloyd's over ANY (…, q: array<bigint>) frame — q171
+    * trains on the raw quantized vectors, q172 on coarse-cell RESIDUALS.
+    * The encoded result keeps every input column except q, with `codes`
+    * appended. */
+  private def pqFit(qdf: DataFrame): (DataFrame, Array[Array[Array[Long]]]) = {
     var cents: Array[Array[Array[Long]]] = {
       val init = qdf.filter(col("vec_id") < PqK)
         .orderBy(col("vec_id")).collect()
@@ -367,9 +389,9 @@ object Similarity {
       cents = Array.tabulate(PqM, PqK)((b, k) =>
         upd.get((b, k.toLong)).map(_.toArray).getOrElse(cents(b)(k)))
     }
-    val enc = qdf.withColumn("nn", nnCol)
-      .select(col("vec_id"), col("label"),
-        transform(col("nn"), st => st.getField("cid")).as("codes"))
+    val enc = qdf.withColumn("codes",
+        transform(nnCol, st => st.getField("cid")))
+      .drop("q")
     (enc, cents)
   }
 
@@ -602,6 +624,92 @@ object Similarity {
         .agg(count(lit(1)).as("n_queries"), sum(col("hits")).as("hits_at_10"))
         .select(col("qlabel"), col("n_queries"), col("hits_at_10"),
           expr(s"hits_at_10 * 1000000 div (n_queries * $PqTopK)").as("recall_micro"))
+        .orderBy(col("qlabel"))
+    }),
+
+    // IVFADC — the COMPOSED 100 TB ANN path (Jégou et al. 2011, §V): the
+    // coarse k-means quantizer routes each query to its IvfPqProbe
+    // nearest cells, and within those cells the scan is the q171 ADC over
+    // PQ codes trained on coarse-cell RESIDUALS (r = q − centroid, the
+    // part PQ actually has to encode once the cell is known — residual
+    // energy is a fraction of vector energy, so the same code budget
+    // buys more precision). Per query the work is |probed cells| code
+    // scans with zero vector reads; `sum_scanned` reports exactly how
+    // much of the corpus each label's queries touched — the scan
+    // reduction the composition exists to buy, next to the recall it
+    // costs. All integer end to end: residuals are long differences, the
+    // codebooks come from the same fused block-Lloyd's, the LUT now
+    // bakes in the query's per-cell residual.
+    "q172_ivfpq_adc" -> ((s, d) => {
+      import s.implicits._
+      val qdf = kmQuantized(s, d)
+      val ccents = kmeansCentroids(s, d)
+      val cdf = ccents.zipWithIndex.map { case (c, k) => (k.toLong, c.toSeq) }
+        .toDF("cid", "cq")
+      val rdf = kmeansAssigned(s, d).select(col("vec_id"), col("cid"))
+        .join(qdf.select(col("vec_id"), col("label"), col("q")), "vec_id")
+        .join(broadcast(cdf), "cid")
+        .select(col("vec_id"), col("label"), col("cid"),
+          zip_with(col("q"), col("cq"), (x, c) => x - c).as("q"))
+      val (enc, pqc) = pqFit(rdf) // (vec_id, label, cid, codes)
+      val probes = qdf.filter(col("vec_id") < PqNq)
+        .select(col("vec_id").cast("long"), col("label").cast("long"), col("q"))
+        .orderBy(col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          r.getSeq[Long](r.fieldIndex("q")).toArray))
+      val lut = probes.toSeq.flatMap { case (qid, qlabel, qv) =>
+        val cells = ccents.zipWithIndex.map { case (c, k) =>
+          var dd = 0L; var i = 0
+          while (i < c.length) { val dx = qv(i) - c(i); dd += dx * dx; i += 1 }
+          (dd, k)
+        }.sorted.take(IvfPqProbe).map(_._2)
+        for {
+          cell <- cells.toSeq
+          b <- 0 until PqM; k <- 0 until PqK
+        } yield {
+          var pd = 0L; var i = 0
+          while (i < PqSub) {
+            val dim = b * PqSub + i
+            val dx = (qv(dim) - ccents(cell)(dim)) - pqc(b)(k)(i)
+            pd += dx * dx; i += 1
+          }
+          (qid, qlabel, cell.toLong, b, k.toLong, pd)
+        }
+      }.toDF("qid", "qlabel", "cid", "blk", "code", "pd")
+      val adc = enc
+        .select(col("vec_id"), col("cid"),
+          posexplode(col("codes")).as(Seq("blk", "code")))
+        .join(broadcast(lut), Seq("cid", "blk", "code"))
+        .filter(col("vec_id") =!= col("qid"))
+        .groupBy(col("qid"), col("qlabel"), col("vec_id"))
+        .agg(sum(col("pd")).as("adist"))
+      val wA = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))
+      val atop = adc.withColumn("rn", row_number().over(wA))
+        .filter(col("rn") <= PqTopK)
+        .select(col("qid"), col("qlabel"), col("vec_id"))
+      val scanned = adc.groupBy(col("qid"), col("qlabel"))
+        .agg(count(lit(1)).as("n_scanned"))
+      val qfull = probes.toSeq.map { case (qid, _, qv) => (qid, qv.toSeq) }
+        .toDF("qid", "qv")
+      val ex = qdf.crossJoin(broadcast(qfull))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          aggregate(zip_with(col("q"), col("qv"), (x, c) => (x - c) * (x - c)),
+            lit(0L), (acc, v) => acc + v).as("edist"))
+      val wE = Window.partitionBy(col("qid")).orderBy(col("edist"), col("vec_id"))
+      val etop = ex.withColumn("rn", row_number().over(wE))
+        .filter(col("rn") <= PqTopK)
+        .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+      atop.join(etop, Seq("qid", "vec_id"), "left_outer")
+        .groupBy(col("qid"), col("qlabel"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        .join(scanned, Seq("qid", "qlabel"))
+        .groupBy(col("qlabel"))
+        .agg(count(lit(1)).as("n_queries"), sum(col("hits")).as("hits_at_10"),
+          sum(col("n_scanned")).as("sum_scanned"))
+        .select(col("qlabel"), col("n_queries"), col("hits_at_10"),
+          expr(s"hits_at_10 * 1000000 div (n_queries * $PqTopK)").as("recall_micro"),
+          col("sum_scanned"))
         .orderBy(col("qlabel"))
     }),
 
@@ -1171,6 +1279,94 @@ object Similarity {
             CAST(sum(hits) * 1000000 // (count(*) * $PqTopK) AS BIGINT)
               AS recall_micro
           FROM per GROUP BY qlabel ORDER BY qlabel"""
+    },
+
+    // IVFADC twin: the sqlKmCtes coarse build feeds residual PQ training
+    // (the q171 round structure, ccid carried through), coarse routing
+    // picks IvfPqProbe cells per query, and the ADC joins through
+    // (ccid, blk, code)
+    "q172_ivfpq_adc" -> {
+      val dist = (a: String, b: String) =>
+        s"list_sum(list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2])))"
+      def assign(prev: String, out: String) =
+        s"""$out AS (SELECT vec_id, label, ccid, blk, sq, code FROM (
+              SELECT v.vec_id, v.label, v.ccid, v.blk, v.sq, c.code,
+                row_number() OVER (PARTITION BY v.vec_id, v.blk
+                  ORDER BY ${dist("v.sq", "c.cq")}, c.code) AS rn
+              FROM rb v JOIN $prev c ON v.blk = c.blk) WHERE rn = 1)"""
+      def update(assigned: String, prev: String, out: String) =
+        s"""${out}s AS (SELECT blk, code, pos, CAST(sum(x) AS BIGINT) AS sx,
+               count(*) AS n
+             FROM (SELECT blk, code, unnest(range(1, ${PqSub + 1})) AS pos,
+                     unnest(sq) AS x FROM $assigned)
+             GROUP BY 1, 2, 3),
+            $out AS (SELECT c.blk, c.code, COALESCE(u.cq, c.cq) AS cq
+             FROM $prev c LEFT JOIN
+               (SELECT blk, code, list(sx // n ORDER BY pos) AS cq
+                FROM ${out}s GROUP BY blk, code) u USING (blk, code))"""
+      s"""WITH $sqlKmCtes,
+          rv AS (SELECT a.vec_id, a.label, a.cid AS ccid,
+                   list_transform(list_zip(a.q, c.q), p -> p[1] - p[2]) AS r
+                 FROM a3 a JOIN kc2 c ON a.cid = c.cid),
+          rb AS (SELECT vec_id, label, ccid, CAST(t.blk AS INTEGER) AS blk,
+                   r[t.blk * $PqSub + 1 : (t.blk + 1) * $PqSub] AS sq
+                 FROM rv CROSS JOIN range(0, $PqM) t(blk)),
+          rc0 AS (SELECT blk, CAST(vec_id AS BIGINT) AS code, sq AS cq
+                  FROM rb WHERE vec_id < $PqK),
+          ${assign("rc0", "ra1")},
+          ${update("ra1", "rc0", "ru1")},
+          ${assign("ru1", "ra2")},
+          ${update("ra2", "ru1", "ru2")},
+          ${assign("ru2", "ra3")},
+          qf AS (SELECT vec_id AS qid, CAST(label AS BIGINT) AS qlabel, q
+                 FROM qv WHERE vec_id < $PqNq),
+          route AS (SELECT qid, cid FROM (
+                      SELECT f.qid, c.cid,
+                        row_number() OVER (PARTITION BY f.qid
+                          ORDER BY ${dist("f.q", "c.q")}, c.cid) AS rn
+                      FROM qf f CROSS JOIN kc2 c)
+                    WHERE rn <= $IvfPqProbe),
+          qres AS (SELECT f.qid, f.qlabel, ro.cid AS ccid,
+                     list_transform(list_zip(f.q, c.q), p -> p[1] - p[2]) AS r
+                   FROM qf f JOIN route ro ON f.qid = ro.qid
+                   JOIN kc2 c ON ro.cid = c.cid),
+          qrb AS (SELECT qid, qlabel, ccid, CAST(t.blk AS INTEGER) AS blk,
+                    r[t.blk * $PqSub + 1 : (t.blk + 1) * $PqSub] AS qsq
+                  FROM qres CROSS JOIN range(0, $PqM) t(blk)),
+          lut AS (SELECT q.qid, q.qlabel, q.ccid, q.blk, c.code,
+                    CAST(${dist("q.qsq", "c.cq")} AS BIGINT) AS pd
+                  FROM qrb q JOIN ru2 c ON q.blk = c.blk),
+          adc AS (SELECT l.qid, l.qlabel, co.vec_id,
+                    CAST(sum(l.pd) AS BIGINT) AS adist
+                  FROM ra3 co JOIN lut l
+                    ON co.ccid = l.ccid AND co.blk = l.blk
+                      AND co.code = l.code
+                  WHERE co.vec_id <> l.qid GROUP BY 1, 2, 3),
+          scn AS (SELECT qid, qlabel, CAST(count(*) AS BIGINT) AS n_scanned
+                  FROM adc GROUP BY 1, 2),
+          atop AS (SELECT qid, qlabel, vec_id FROM (
+                     SELECT *, row_number() OVER (PARTITION BY qid
+                       ORDER BY adist, vec_id) AS rn FROM adc)
+                   WHERE rn <= $PqTopK),
+          exd AS (SELECT f.qid, e.vec_id,
+                    CAST(${dist("e.q", "f.q")} AS BIGINT) AS edist
+                  FROM qv e JOIN qf f ON e.vec_id <> f.qid),
+          etop AS (SELECT qid, vec_id FROM (
+                     SELECT *, row_number() OVER (PARTITION BY qid
+                       ORDER BY edist, vec_id) AS rn FROM exd)
+                   WHERE rn <= $PqTopK),
+          per AS (SELECT a.qid, a.qlabel,
+                    CAST(count(e.vec_id) AS BIGINT) AS hits
+                  FROM atop a LEFT JOIN etop e
+                    ON a.qid = e.qid AND a.vec_id = e.vec_id
+                  GROUP BY 1, 2)
+          SELECT p.qlabel, count(*) AS n_queries,
+            CAST(sum(p.hits) AS BIGINT) AS hits_at_10,
+            CAST(sum(p.hits) * 1000000 // (count(*) * $PqTopK) AS BIGINT)
+              AS recall_micro,
+            CAST(sum(s.n_scanned) AS BIGINT) AS sum_scanned
+          FROM per p JOIN scn s ON p.qid = s.qid
+          GROUP BY p.qlabel ORDER BY p.qlabel"""
     },
 
     "q148_incremental_semdedup" ->

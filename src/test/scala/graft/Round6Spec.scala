@@ -510,6 +510,15 @@ class Round6Spec extends AnyFunSuite {
       val rec = r.getLong(r.fieldIndex("recall_micro"))
       assert(rec >= 0L && rec <= 1000000L)
     }
+    // IVFADC: probing 2 of 8 cells must scan a strict minority of the
+    // corpus — the structural claim (scan reduction) behind the index
+    val corpus = graft.sources.Tables.embeddings(spark, sf).count()
+    val ivfpq = SparkEntry.queries("q172_ivfpq_adc")(spark, sf).collect()
+    val nq = ivfpq.map(_.getLong(ivfpq.head.fieldIndex("n_queries"))).sum
+    assert(nq == 16L)
+    val scanned = ivfpq.map(_.getLong(ivfpq.head.fieldIndex("sum_scanned"))).sum
+    assert(scanned < nq * corpus / 2,
+      s"probed scan $scanned should be well below $nq x $corpus")
   }
 
   test("eventsStream over an empty staging dir falls back to the declared schema") {
