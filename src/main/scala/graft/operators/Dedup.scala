@@ -328,20 +328,14 @@ object Dedup {
     // fingerprint shared by > WinnowDfCap docs is dropped as a stop-key
     // exactly like [[StopShingleCap]].
     "q170_winnow_fingerprint" -> ((s, d) => {
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        .rowsBetween(Window.currentRow, WinnowW - 1)
-      // positional k-gram SEQUENCE (multiplicity + order matter to the
-      // window step) — NOT the deduped wordShingles set
+      // per-doc fingerprint SETS from the single-pass compiled expression
+      // (hash → window-min → distinct, all doc-local): the corpus-wide
+      // pass is one scan + one explode of the ~2/(w+1)-compressed arrays,
+      // with no positional posexplode and no per-doc window shuffle —
+      // equivalence to the composed window form pinned in PlansSpec
       val fps = Tables.documents(s, d)
         .select(col("doc_id"),
-          T.shingles(TextExpressions.tokens(col("text")), WinnowK).as("g"))
-        .filter(size(col("g")) >= WinnowW)
-        .withColumn("m", size(col("g")))
-        .select(col("doc_id"), col("m"), posexplode(col("g")).as(Seq("pos", "gram")))
-        .withColumn("h", T.md5Prefix(col("gram"), 8))
-        .withColumn("fp", min(col("h")).over(w))
-        .filter(col("pos") <= col("m") - WinnowW)
-        .select(col("doc_id"), col("fp")).distinct()
+          explode(TextExpressions.winnowFps(col("text"), WinnowK, WinnowW)).as("fp"))
       val rare = fps.groupBy(col("fp"))
         .agg(count(lit(1)).as("df"))
         .filter(col("df").between(2, WinnowDfCap))

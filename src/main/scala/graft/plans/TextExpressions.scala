@@ -201,6 +201,59 @@ object TextExpressions {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** First 8 md5 hex digits of the UTF-8 bytes as a nonnegative long —
+    * bit-identical to TextFunctions.md5Prefix(c, 8) (conv of the hex
+    * prefix) and DuckDB's ('0x' || substr(md5(x),1,8))::BIGINT. */
+  private def md5Prefix8(s: String): Long = {
+    val dig = md5Local.get()
+    dig.reset()
+    val bytes = dig.digest(s.getBytes("UTF-8"))
+    ((bytes(0) & 0xffL) << 24) | ((bytes(1) & 0xffL) << 16) |
+      ((bytes(2) & 0xffL) << 8) | (bytes(3) & 0xffL)
+  }
+
+  /** Winnowing fingerprint SET of a doc in one pass (Schleimer et al.
+    * 2003): hash every k-token gram (md5Prefix8), slide a w-hash window,
+    * collect the distinct window minima. Equivalent to the composed form
+    * `shingles → md5Prefix → rowsBetween-window min → distinct`, but
+    * doc-local — no posexplode, no per-doc window shuffle, no per-gram
+    * Catalyst md5 — which is what makes the corpus-wide fingerprint pass
+    * one scan + one explode of the (already ~2/(w+1)-compressed)
+    * fingerprint arrays. O(m·w) with w small; ascending output order for
+    * determinism (consumers treat it as a set). */
+  def evalWinnowFps(input: UTF8String, k: Int, w: Int): ArrayData = {
+    val toks = tokenize(input.toString)
+    val m = toks.length - k + 1
+    if (m < w) return new GenericArrayData(Array.empty[Any])
+    val hs = new Array[Long](m)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j)); j += 1
+      }
+      hs(i) = md5Prefix8(sb.toString)
+      i += 1
+    }
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    var p = 0
+    while (p <= m - w) {
+      var mn = hs(p)
+      var j = 1
+      while (j < w) { if (hs(p + j) < mn) mn = hs(p + j); j += 1 }
+      sel.add(mn)
+      p += 1
+    }
+    val out = new Array[Any](sel.size)
+    val it = sel.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next().longValue(); o += 1 }
+    new GenericArrayData(out)
+  }
+
   def evalAdjacentPairs(input: UTF8String): ArrayData = {
     val toks = tokenize(input.toString)
     if (toks.length < 2) new GenericArrayData(Array.empty[Any])
@@ -341,6 +394,18 @@ object TextExpressions {
     * Unlike [[WordShingles]] this does NOT dedup: pair frequency is the
     * signal. One compiled pass per row (the HOF composition
     * zip_with(slice, slice) evaluates interpreted lambdas). */
+  case class WinnowFps(child: Expression, k: Int, w: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "winnow_fps"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, StringType, prettyName)
+    override def nullSafeEval(input: Any): Any =
+      evalWinnowFps(input.asInstanceOf[UTF8String], k, w)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Self.evalWinnowFps($c, $k, $w)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   case class AdjacentPairs(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def prettyName: String = "adjacent_pairs"
@@ -357,6 +422,8 @@ object TextExpressions {
     ColumnBridge.column(Tokens(ColumnBridge.expression(text)))
   def adjacentPairs(text: Column): Column =
     ColumnBridge.column(AdjacentPairs(ColumnBridge.expression(text)))
+  def winnowFps(text: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowFps(ColumnBridge.expression(text), k, w))
   def qualityScore(text: Column): Column =
     ColumnBridge.column(QualityScore(ColumnBridge.expression(text)))
   def wordShingles(text: Column, n: Int): Column =

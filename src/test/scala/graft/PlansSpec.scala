@@ -67,6 +67,32 @@ class PlansSpec extends AnyFunSuite {
     assert(diff == 0L)
   }
 
+  test("WinnowFps == composed shingle/md5/window-min/distinct form on real docs") {
+    import org.apache.spark.sql.expressions.Window
+    val (k, w) = (4, 4)
+    val composed = docs
+      .select(col("doc_id"), T.shingles(X.tokens(col("text")), k).as("g"))
+      .filter(size(col("g")) >= w)
+      .withColumn("m", size(col("g")))
+      .select(col("doc_id"), col("m"), posexplode(col("g")).as(Seq("pos", "gram")))
+      .withColumn("h", T.md5Prefix(col("gram"), 8))
+      .withColumn("fp", min(col("h")).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(Window.currentRow, w - 1)))
+      .filter(col("pos") <= col("m") - w)
+      .select(col("doc_id"), col("fp")).distinct()
+    val compiled = docs.select(col("doc_id"),
+      explode(X.winnowFps(col("text"), k, w)).as("fp"))
+    assert(compiled.count() == composed.count()) // compiled emits sets already
+    assert(compiled.exceptAll(composed).count() == 0L)
+    assert(composed.exceptAll(compiled).count() == 0L)
+    // degenerate inputs: too-short docs yield empty fingerprint sets
+    import spark.implicits._
+    val short = Seq("", "a b c", "a b c d e f").toDF("text")
+      .select(X.winnowFps(col("text"), k, w).as("f")).collect()
+    assert(short.forall(_.getSeq[Long](0).isEmpty))
+  }
+
   test("WordShingles on degenerate inputs") {
     import spark.implicits._
     val rows = Seq("", "  ", "one two", "a b c", "x x x x")
