@@ -59,7 +59,13 @@ class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegis
       parameters: Map[String, String]): Source =
     new GraftTableSource(sqlContext.sparkSession, rootOf(parameters),
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
-      ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean))
+      ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean),
+      maxVersionsPerBatch = parameters.get("maxVersionsPerBatch").map { v =>
+        val n = v.toInt
+        require(n >= 1, s"maxVersionsPerBatch must be >= 1, got $n")
+        n
+      },
+      metadataPath = Some(metadataPath))
 }
 
 /** Version offset for [[GraftTableSource]]: `json` is the bare version
@@ -70,20 +76,72 @@ case class GraftVersionOffset(v: Long) extends Offset {
 }
 
 class GraftTableSource(spark: SparkSession, root: String,
-    override val schema: StructType, ignoreChanges: Boolean) extends Source {
+    override val schema: StructType, ignoreChanges: Boolean,
+    maxVersionsPerBatch: Option[Int] = None,
+    metadataPath: Option[String] = None) extends Source {
 
   private def versionOf(o: Offset): Long = o match {
     case GraftVersionOffset(v) => v
     case other                 => other.json.trim.toLong // SerializedOffset
   }
 
+  private def anchorFile: Option[java.nio.file.Path] =
+    metadataPath.map(m => java.nio.file.Paths.get(m, "graft-last-planned"))
+
+  /** End version of the last batch this source PLANNED — the anchor the
+    * admission cap counts from. Persisted under the source's
+    * metadataPath (atomic move) so the cap survives a restart: without
+    * that, the first post-restart batch of a long backlog would be one
+    * giant catch-up batch (the DSv1 wrinkle Delta's maxFilesPerTrigger
+    * has — getOffset runs before any getBatch reveals the checkpointed
+    * position). Lost/absent state degrades to exactly that documented
+    * behavior, never to wrong data: the cap is admission control only. */
+  @volatile private var lastPlannedEnd: Option[Long] =
+    anchorFile.filter(java.nio.file.Files.exists(_)).flatMap { f =>
+      scala.util.Try(
+        new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim.toLong
+      ).toOption
+    }
+
+  private def persistAnchor(v: Long): Unit = anchorFile.foreach { f =>
+    try {
+      java.nio.file.Files.createDirectories(f.getParent)
+      val tmp = f.resolveSibling(f.getFileName.toString + ".tmp")
+      java.nio.file.Files.write(tmp, v.toString.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, f,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch {
+      case _: Throwable =>
+        // A STALE anchor is the one dangerous state: an anchor behind the
+        // engine's committed offset caps getOffset below the stream's
+        // position and stalls it permanently. If we cannot advance the
+        // file, remove it — a restart then degrades to one uncapped
+        // catch-up batch (the documented no-anchor behavior), never to a
+        // stall. Admission state only; never fail a batch over it.
+        try java.nio.file.Files.deleteIfExists(f) catch { case _: Throwable => () }
+    }
+  }
+
   /** Latest committed version — the engine plans a batch whenever this
-    * advances past the last processed offset. */
+    * advances past the last processed offset. With
+    * `maxVersionsPerBatch=n`, a long backlog (a backfill, a restarted
+    * stream behind a busy table) is admitted n manifest versions at a
+    * time instead of as one giant catch-up batch — bounded batch size,
+    * bounded per-batch file lists, steady checkpoint progress. */
   override def getOffset: Option[Offset] =
-    LakehouseTable.currentVersion(root).map(GraftVersionOffset)
+    LakehouseTable.currentVersion(root).map { v =>
+      val capped = (lastPlannedEnd, maxVersionsPerBatch) match {
+        case (Some(last), Some(max)) => math.min(v, last + max)
+        case _                       => v
+      }
+      GraftVersionOffset(capped)
+    }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = versionOf(end)
+    lastPlannedEnd = Some(endV)
+    persistAnchor(endV)
     val batch = start match {
       // first batch of a fresh query: the full snapshot at endV (Delta's
       // initial reservoir read)

@@ -497,6 +497,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(seen.size == 6, s"replayed rows detected: ${seen.asScala.toSeq.sorted}")
   }
 
+  test("maxVersionsPerBatch admits a backlog one manifest version at a time, across restart") {
+    import spark.implicits._
+    import graft.sources.{LakehouseTable => LT}
+    val base = Files.createTempDirectory("graft-table-throttle")
+    val root = base.resolve("tbl").toString
+    val ckpt = base.resolve("ckpt").toString
+    LT.create(Seq((1L, "a")).toDF("id", "v"), root)
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Set[(Long, String)]]()
+    def stream() = spark.readStream
+      .format("graft-table").option("path", root)
+      .option("maxVersionsPerBatch", "1").load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = b.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+        if (s.nonEmpty) batches.add(s); ()
+      }.start()
+    val q = stream()
+    q.processAllAvailable() // snapshot batch (v0)
+    q.stop()
+    // three commits while the query is DOWN — the backlog a backfill or a
+    // busy table produces
+    LT.append(Seq((2L, "b")).toDF("id", "v"), root)
+    LT.append(Seq((3L, "c")).toDF("id", "v"), root)
+    LT.append(Seq((4L, "d")).toDF("id", "v"), root)
+    val q2 = stream()
+    q2.processAllAvailable(); q2.stop()
+    import scala.jdk.CollectionConverters._
+    val bs = batches.asScala.toList
+    // the persisted anchor makes the cap hold ACROSS the restart: the
+    // backlog must arrive as three single-version batches, in order —
+    // one giant catch-up batch here means the throttle is dormant
+    assert(bs == List(Set((1L, "a")), Set((2L, "b")), Set((3L, "c")), Set((4L, "d"))),
+      s"expected 4 single-version batches, got $bs")
+  }
+
   test("graft-table source composes with watermarked windowed aggregation (bronze → silver)") {
     import spark.implicits._
     import graft.sources.{LakehouseTable => LT}
