@@ -118,6 +118,31 @@ object Lakehouse {
     root
   }
 
+  /** Identity-column table: empty seed → ENABLE IDENTITY → two
+    * appendWithIdentity batches (keys ≡ 0 then ≡ 1 mod 3 — disjoint,
+    * unique business keys). Ids are wm + rank(o_orderkey) per batch, so
+    * the oracle reproduces them with two chained row_number windows. */
+  private[graft] def ordersIdentityRoot(s: SparkSession, d: String): String = {
+    val root = TableCache.root(d, "orders", "identity-rowid:v1")
+    try TableCache.locked(root) {
+      def base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      if (LakehouseTable.versions(root).isEmpty)
+        LakehouseTable.create(base.filter(lit(false)), root)
+      if (LakehouseTable.currentVersion(root).contains(0L))
+        LakehouseTable.enableIdentity(root, "row_id", Seq("o_orderkey"))
+      if (LakehouseTable.currentVersion(root).contains(1L))
+        LakehouseTable.appendWithIdentity(s,
+          base.filter(col("o_orderkey") % 3 === 0), root)
+      if (LakehouseTable.currentVersion(root).contains(2L))
+        LakehouseTable.appendWithIdentity(s,
+          base.filter(col("o_orderkey") % 3 === 1), root)
+    } catch {
+      case e if raceLost(e) => () // see lineitemZRoot
+    }
+    root
+  }
+
   private[graft] def ordersMergeRoot(s: SparkSession, d: String): String = {
     val root = TableCache.root(d, "orders", "merge97-ins997-del10000:v2")
     try TableCache.locked(root) {
@@ -745,6 +770,26 @@ object Lakehouse {
     // the merge and delete — must still read as exactly the original
     // projection of orders. A merge that corrupted old files (instead of
     // writing new ones) or a manifest layer that lost v0 breaks this hash.
+    // GENERATED-ALWAYS identity columns, deterministic variant: ids are
+    // watermark + rank over the declared (unique) business key, assigned
+    // by repartitionByRange + two-pass zipWithIndex (NO single-partition
+    // window) and committed atomically with the data via the manifest
+    // CAS — no sequence service to drift, replayed batches burn no ids.
+    // The per-id-bucket key checksum binds the exact id ↔ key pairing,
+    // so the oracle's chained row_number windows must reproduce the
+    // assignment bit-for-bit across both appends.
+    "q173_identity_append" -> ((s, d) => {
+      val root = ordersIdentityRoot(s, d)
+      LakehouseTable.read(s, root)
+        .groupBy((col("row_id") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("row_id")).as("id_sum"),
+          sum(col("o_orderkey")).as("key_sum"),
+          min(col("row_id")).as("min_id"),
+          max(col("row_id")).as("max_id"))
+        .orderBy(col("bucket"))
+    }),
+
     "q105_time_travel" -> ((s, d) => {
       val root = ordersMergeRoot(s, d)
       LakehouseTable.read(s, root, Some(0L))
@@ -1143,6 +1188,23 @@ object Lakehouse {
           GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q103_lakehouse_merge" -> sqlMergedOrdersAgg,
+
+    "q173_identity_append" ->
+      """WITH b1 AS (SELECT o_orderkey,
+              row_number() OVER (ORDER BY o_orderkey) AS row_id
+            FROM orders WHERE o_orderkey % 3 = 0),
+          c1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b1),
+          b2 AS (SELECT o_orderkey,
+              (SELECT n FROM c1) + row_number() OVER (ORDER BY o_orderkey)
+                AS row_id
+            FROM orders WHERE o_orderkey % 3 = 1),
+          t AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+          SELECT CAST(row_id % 10 AS BIGINT) AS bucket, count(*) AS n,
+            CAST(sum(row_id) AS BIGINT) AS id_sum,
+            CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+            CAST(min(row_id) AS BIGINT) AS min_id,
+            CAST(max(row_id) AS BIGINT) AS max_id
+          FROM t GROUP BY 1 ORDER BY 1""",
 
     "q105_time_travel" -> sqlOrdersAgg,
 

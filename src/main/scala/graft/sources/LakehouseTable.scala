@@ -171,6 +171,25 @@ object LakehouseTable {
   private def encodeWidens(ws: Seq[(String, String)]): String =
     ws.map { case (p, t) => s"$p>$t" }.mkString(", ")
 
+  private val IdentityRe = """"identity":\s*"([^"]*)"""".r
+
+  /** GENERATED-ALWAYS identity state as of version `v`:
+    * (id column, order keys, high watermark). The watermark is the last
+    * id ever allocated — it only advances (RESTORE carries it forward,
+    * Delta-identity style), so ids are never reused even across
+    * restores. */
+  def identityAt(root: String, v: Long): Option[(String, Seq[String], Long)] =
+    IdentityRe.findFirstMatchIn(
+      Files.readString(manifestDir(root).resolve(s"$v.json")))
+      .map(_.group(1)).filter(_.nonEmpty).map { s =>
+      val Array(idCol, keys, wm) = s.split(">", 3)
+      (idCol.trim, keys.split('|').toSeq.map(_.trim).filter(_.nonEmpty),
+        wm.trim.toLong)
+    }
+
+  private def encodeIdentity(idCol: String, keys: Seq[String], wm: Long): String =
+    s"$idCol>${keys.mkString("|")}>$wm"
+
   private val DvsRe = """"dvs":\s*"([^"]*)"""".r
 
   /** MERGE-ON-READ deletion-vector state as of version `v`: (data file →
@@ -217,7 +236,8 @@ object LakehouseTable {
       renamedCols: Option[String] = None,
       droppedCols: Option[String] = None,
       widenedCols: Option[String] = None,
-      dvs: Option[String] = None): Long = {
+      dvs: Option[String] = None,
+      identity: Option[String] = None): Long = {
     relFiles.find(f => f.contains('"') || f.contains(',')).foreach(f =>
       throw new IllegalArgumentException(
         s"""data file path contains '"' or ',' (unsupported in partition values): $f"""))
@@ -257,9 +277,15 @@ object LakehouseTable {
     val dvField = dvs.getOrElse(
       prevV.map(v => encodeDvs(dvsAt(root, v).filter(e => present(e._1))))
         .getOrElse(""))
+    // identity state carries forward (and through RESTORE — the watermark
+    // never regresses, so ids are never reused)
+    val idField = identity.getOrElse(
+      prevV.flatMap(v => identityAt(root, v).map {
+        case (c, ks, wm) => encodeIdentity(c, ks, wm)
+      }).getOrElse(""))
     Seq("added-column DDL" -> cols, "renamed-column list" -> rens,
       "dropped-column list" -> drops, "widened-column list" -> widens,
-      "deletion-vector list" -> dvField)
+      "deletion-vector list" -> dvField, "identity state" -> idField)
       .foreach { case (what, s) =>
         require(!s.exists(c => c == '[' || c == ']' || c == '"'),
           s"""$what may not contain '[', ']', or '"': $s""")
@@ -268,7 +294,8 @@ object LakehouseTable {
       (if (rens.isEmpty) "" else s""""renamedCols": "$rens", """) +
       (if (drops.isEmpty) "" else s""""droppedCols": "$drops", """) +
       (if (widens.isEmpty) "" else s""""widenedCols": "$widens", """) +
-      (if (dvField.isEmpty) "" else s""""dvs": "$dvField", """)
+      (if (dvField.isEmpty) "" else s""""dvs": "$dvField", """) +
+      (if (idField.isEmpty) "" else s""""identity": "$idField", """)
     val json = relFiles.sorted.map(f => "\"" + f + "\"")
       .mkString(s"""{$txnField$colsField"files": [""", ", ", "]}")
     val tmp = manifestDir(root).resolve(s".$version.json.tmp-${java.util.UUID.randomUUID()}")
@@ -1236,6 +1263,104 @@ object LakehouseTable {
   }
 
   private val IdentRe = "[A-Za-z_][A-Za-z0-9_]*"
+
+  /** Enable a GENERATED-ALWAYS identity column: metadata-only commit
+    * recording (id column, order keys, watermark = 0). Subsequent
+    * [[appendWithIdentity]] calls allocate wm+1..wm+n. The graft variant
+    * is DETERMINISTIC where Delta's is not: ids are assigned in the
+    * total order of `orderKeys` (which must be unique per batch — the
+    * business key), so a rerun of the same ingest produces the same ids
+    * and the assignment is oracle-expressible as
+    * `wm + row_number() OVER (ORDER BY keys)`. */
+  def enableIdentity(root: String, idCol: String, orderKeys: Seq[String]): Long = {
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no table at $root"))
+    require(idCol.matches(IdentRe) && orderKeys.nonEmpty &&
+      orderKeys.forall(_.matches(IdentRe)),
+      s"identity needs valid id column + order keys: $idCol, $orderKeys")
+    require(identityAt(root, cur).isEmpty,
+      s"identity already enabled at $root")
+    commit(root, cur + 1, readManifest(root, cur),
+      identity = Some(encodeIdentity(idCol, orderKeys, 0L)))
+  }
+
+  /** Append with GENERATED-ALWAYS identity assignment: every row gets
+    * `idCol` = watermark + its rank in the batch's `orderKeys` order,
+    * and the commit advances the watermark ATOMICALLY with the data (one
+    * manifest CAS — no separate sequence state to drift).
+    *
+    * Scale shape: the global rank is repartitionByRange + per-partition
+    * sort + the two-pass zipWithIndex offset scheme (partition sizes →
+    * per-partition base offsets) — the canonical distributed index
+    * assignment; no single-partition window anywhere. Deterministic for
+    * unique keys regardless of partition boundaries (the sorted order is
+    * unique, so each row's global rank is too).
+    *
+    * Concurrency: a conflicting writer that ADVANCED the watermark makes
+    * the allocated ids stale — the ids are already baked into staged
+    * files, so this aborts (caller retries the whole call) instead of
+    * rebasing; a concurrent non-identity commit rebases as usual. The
+    * (txn, txnApp) replay guard runs BEFORE allocation, so a replayed
+    * streaming batch neither burns ids nor double-appends. */
+  def appendWithIdentity(spark: SparkSession, df: DataFrame, root: String,
+      txn: Option[Long] = None, txnApp: String = DefaultTxnApp): Long = {
+    val cur0 = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no table at $root"))
+    val (idCol, keys, wm) = identityAt(root, cur0).getOrElse(
+      throw new IllegalStateException(s"identity not enabled at $root"))
+    txn.foreach { t =>
+      if (lastTxn(root, txnApp).exists(_ >= t)) return cur0 // replayed batch
+    }
+    require(!df.columns.exists(_.equalsIgnoreCase(idCol)),
+      s"GENERATED ALWAYS identity: column '$idCol' may not be supplied")
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val keyCols = keys.map(col)
+    val sorted =
+      df.repartitionByRange(keyCols: _*).sortWithinPartitions(keyCols: _*)
+    val outSchema = sorted.schema.add(idCol, LongType, nullable = false)
+    val withId = spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        Row.fromSeq(r.toSeq :+ (wm + 1 + i))
+      }, outSchema)
+    val newFiles = writeFiles(withId, root, Nil)
+    val n = filesRowCount(spark, root, newFiles)
+    var attempt = 0
+    while (attempt < 64) {
+      val cur = currentVersion(root).get
+      identityAt(root, cur) match {
+        case Some((_, _, w)) if w != wm =>
+          throw new java.util.ConcurrentModificationException(
+            s"identity watermark advanced ($wm -> $w) under $root; " +
+              "allocated ids are stale — retry appendWithIdentity")
+        case None =>
+          throw new IllegalStateException(s"identity disabled mid-append at $root")
+        case _ => ()
+      }
+      try return commit(root, cur + 1, readManifest(root, cur) ++ newFiles,
+        txn, txnApp, identity = Some(encodeIdentity(idCol, keys, wm + n)))
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          txn.foreach { t =>
+            if (lastTxn(root, txnApp).exists(_ >= t))
+              return currentVersion(root).get
+          }
+          attempt += 1
+          if (attempt >= 64) throw e
+          Thread.sleep(math.min(64L, 1L << math.min(attempt, 6)))
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Exact row count of freshly-written data files (one footer-only
+    * Spark count — no data pages read for a count over parquet). */
+  private def filesRowCount(spark: SparkSession, root: String,
+      relFiles: Seq[String]): Long =
+    if (relFiles.isEmpty) 0L
+    else spark.read.parquet(
+      relFiles.map(f => dataDir(root).resolve(f).toString): _*).count()
 
   /** Resolve a LOGICAL column name to its stable physical name under
     * version `v`'s mapping (identity when never renamed). */

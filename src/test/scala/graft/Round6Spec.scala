@@ -521,6 +521,38 @@ class Round6Spec extends AnyFunSuite {
       s"probed scan $scanned should be well below $nq x $corpus")
   }
 
+  test("identity columns: ordered ids, replay burns nothing, GENERATED ALWAYS, restore never regresses") {
+    import spark.implicits._
+    val root = freshRoot("identity")
+    LT.create(Seq.empty[(Long, String)].toDF("k", "v"), root)
+    LT.enableIdentity(root, "id", Seq("k"))
+    LT.appendWithIdentity(spark,
+      Seq((30L, "a"), (10L, "b"), (20L, "c")).toDF("k", "v"), root,
+      txn = Some(1L), txnApp = "ing")
+    def pairs() = LT.read(spark, root).select("k", "id")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs() == Set((10L, 1L), (20L, 2L), (30L, 3L))) // rank of k
+    // replayed micro-batch (same txn): no rows, no ids burned
+    LT.appendWithIdentity(spark, Seq((99L, "x")).toDF("k", "v"), root,
+      txn = Some(1L), txnApp = "ing")
+    assert(pairs().size == 3)
+    // next batch continues the watermark
+    LT.appendWithIdentity(spark, Seq((5L, "d"), (40L, "e")).toDF("k", "v"),
+      root, txn = Some(2L), txnApp = "ing")
+    assert(pairs() == Set((10L, 1L), (20L, 2L), (30L, 3L), (5L, 4L), (40L, 5L)))
+    // GENERATED ALWAYS: caller-supplied ids are rejected
+    intercept[IllegalArgumentException] {
+      LT.appendWithIdentity(spark,
+        Seq((1L, "z", 9L)).toDF("k", "v", "id"), root)
+    }
+    // RESTORE to the first-append epoch drops rows 4-5, but the watermark
+    // carries FORWARD: the next allocation starts at 6, ids never reuse
+    val vFirstAppend = 2L
+    LT.restore(root, vFirstAppend)
+    LT.appendWithIdentity(spark, Seq((50L, "f")).toDF("k", "v"), root)
+    assert(pairs() == Set((10L, 1L), (20L, 2L), (30L, 3L), (50L, 6L)))
+  }
+
   test("eventsStream over an empty staging dir falls back to the declared schema") {
     val dir = java.nio.file.Files.createTempDirectory("round6-empty-stage").toString
     // must NOT throw (start-before-first-file deployment)
