@@ -63,10 +63,23 @@ object LakehouseTable {
       // a concurrent vacuum may delete an old manifest between the
       // listing and this stat — a vanished version is simply not a
       // candidate (it is no longer readable anyway)
-      try Files.getLastModifiedTime(
-        manifestDir(root).resolve(s"$v.json")).toMillis <= tsMillis
+      try commitTsAt(root, v).getOrElse(Files.getLastModifiedTime(
+        manifestDir(root).resolve(s"$v.json")).toMillis) <= tsMillis
       catch { case _: java.nio.file.NoSuchFileException => false }
     }.lastOption
+
+  private val CommitTsRe = """"ts":\s*(\d+)""".r
+
+  /** IN-COMMIT timestamp of version `v` — the wall clock recorded inside
+    * the manifest at commit time (Delta's in-commit-timestamps feature).
+    * Unlike the file mtime it survives copies, backup restores, and
+    * rsyncs, so TIMESTAMP AS OF stays correct on a relocated table.
+    * None for manifests written before the field existed (readers fall
+    * back to mtime — old tables keep working). */
+  def commitTsAt(root: String, v: Long): Option[Long] =
+    CommitTsRe.findFirstMatchIn(
+      Files.readString(manifestDir(root).resolve(s"$v.json")))
+      .map(_.group(1).toLong)
 
   /** Data-file count of version `v` straight from its manifest — O(one
     * small JSON read), for metadata commands (DESCRIBE DETAIL). */
@@ -296,8 +309,14 @@ object LakehouseTable {
       (if (widens.isEmpty) "" else s""""widenedCols": "$widens", """) +
       (if (dvField.isEmpty) "" else s""""dvs": "$dvField", """) +
       (if (idField.isEmpty) "" else s""""identity": "$idField", """)
+    // in-commit timestamp, CLAMPED MONOTONIC (max(now, prev+1) — Delta's
+    // in-commit-timestamps rule): versionAt's "latest version at or
+    // before ts" scan requires non-decreasing stamps even when the
+    // system clock steps backwards between commits
+    val commitTs = math.max(System.currentTimeMillis(),
+      prevV.flatMap(commitTsAt(root, _)).map(_ + 1).getOrElse(0L))
     val json = relFiles.sorted.map(f => "\"" + f + "\"")
-      .mkString(s"""{$txnField$colsField"files": [""", ", ", "]}")
+      .mkString(s"""{"ts": $commitTs, $txnField$colsField"files": [""", ", ", "]}")
     val tmp = manifestDir(root).resolve(s".$version.json.tmp-${java.util.UUID.randomUUID()}")
     Files.writeString(tmp, json)
     // createLink is an atomic COMPARE-AND-SWAP: it fails if the version

@@ -506,12 +506,14 @@ case class DescribeHistoryGraftCommand(name: String) extends LeafRunnableCommand
   import org.apache.spark.sql.types.{LongType, StringType}
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)(),
+      AttributeReference("commit_ts", LongType, nullable = true)(),
       AttributeReference("n_files", LongType, nullable = false)(),
       AttributeReference("txns", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val e = GraftCatalog.lookup(name).get
     LakehouseTable.versions(e.root).map { v =>
-      Row(v, LakehouseTable.read(spark, e.root, Some(v)).inputFiles.length.toLong,
+      Row(v, LakehouseTable.commitTsAt(e.root, v).map(Long.box).orNull,
+        LakehouseTable.read(spark, e.root, Some(v)).inputFiles.length.toLong,
         LakehouseTable.lastTxnsAt(e.root, v).toSeq.sorted
           .map { case (a, t) => s"$a=$t" }.mkString(","))
     }

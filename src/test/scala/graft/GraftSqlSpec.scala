@@ -235,7 +235,7 @@ class GraftSqlSpec extends AnyFunSuite {
     spark.sql("DROP TABLE sqlspec_zp")
   }
 
-  test("TIMESTAMP AS OF resolves by commit mtime; DESCRIBE DETAIL reports the table") {
+  test("TIMESTAMP AS OF resolves by in-commit timestamp; DESCRIBE DETAIL reports the table") {
     val root = Files.createTempDirectory("graft_sql_ts").toString + "/t"
     graft.sources.Tables.registerAll(spark, sf)
     spark.sql(s"""CREATE TABLE sqlspec_ts USING graft LOCATION '$root' AS
@@ -243,11 +243,15 @@ class GraftSqlSpec extends AnyFunSuite {
     spark.sql("""INSERT INTO sqlspec_ts
       SELECT o_orderkey, o_totalprice FROM orders
       WHERE o_orderkey >= 50 AND o_orderkey < 80""")
-    // pin deterministic commit times: v0 at 10:00, v1 at 11:00 UTC
-    def stamp(v: Long, iso: String): Unit =
-      Files.setLastModifiedTime(
-        java.nio.file.Paths.get(root, "_manifest", s"$v.json"),
-        java.nio.file.attribute.FileTime.from(java.time.Instant.parse(iso)))
+    // pin deterministic commit times: v0 at 10:00, v1 at 11:00 UTC —
+    // by rewriting the IN-COMMIT stamp (the authoritative field; mtime
+    // is only the legacy fallback for pre-field manifests)
+    def stamp(v: Long, iso: String): Unit = {
+      val p = java.nio.file.Paths.get(root, "_manifest", s"$v.json")
+      val millis = java.time.Instant.parse(iso).toEpochMilli
+      Files.writeString(p,
+        Files.readString(p).replaceFirst("\"ts\": \\d+", s"\"ts\": $millis"))
+    }
     stamp(0L, "2026-01-01T10:00:00Z")
     stamp(1L, "2026-01-01T11:00:00Z")
     def nAt(ts: String): Long = spark.sql(

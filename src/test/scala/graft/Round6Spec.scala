@@ -553,6 +553,29 @@ class Round6Spec extends AnyFunSuite {
     assert(pairs() == Set((10L, 1L), (20L, 2L), (30L, 3L), (50L, 6L)))
   }
 
+  test("in-commit timestamps: TIMESTAMP AS OF survives mtime churn, stamps stay monotonic") {
+    import spark.implicits._
+    val root = freshRoot("incommitts")
+    LT.create(Seq((1L, "a")).toDF("k", "v"), root)
+    Thread.sleep(5)
+    LT.append(Seq((2L, "b")).toDF("k", "v"), root)
+    val ts0 = LT.commitTsAt(root, 0L).get
+    val ts1 = LT.commitTsAt(root, 1L).get
+    assert(ts0 < ts1, s"in-commit stamps must be strictly monotonic: $ts0, $ts1")
+    // a backup-restore / rsync touches every file: mtime-based time
+    // travel would now resolve everything to 'the restore moment' — the
+    // in-commit stamp must keep the original answers
+    import java.nio.file.{Files => F, Paths, attribute}
+    LT.versions(root).foreach { v =>
+      F.setLastModifiedTime(Paths.get(root, "_manifest", s"$v.json"),
+        attribute.FileTime.fromMillis(System.currentTimeMillis() + 3600000))
+    }
+    assert(LT.versionAt(root, ts0) == Some(0L))
+    assert(LT.versionAt(root, ts1 - 1) == Some(0L))
+    assert(LT.versionAt(root, ts1) == Some(1L))
+    assert(LT.versionAt(root, ts0 - 1).isEmpty)
+  }
+
   test("eventsStream over an empty staging dir falls back to the declared schema") {
     val dir = java.nio.file.Files.createTempDirectory("round6-empty-stage").toString
     // must NOT throw (start-before-first-file deployment)
