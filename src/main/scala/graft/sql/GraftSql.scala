@@ -323,6 +323,32 @@ case class InsertGraftTableCommand(name: String, query: String,
     val e = GraftCatalog.lookup(name).get
     val df = spark.sql(query)
     val target = LakehouseTable.read(spark, e.root)
+    val identity = LakehouseTable.currentVersion(e.root)
+      .flatMap(v => LakehouseTable.identityAt(e.root, v))
+    // a GENERATED-ALWAYS identity table aligns against the NON-identity
+    // columns and routes through appendWithIdentity (the id is never
+    // caller-supplied — exactly the API contract, surfaced in SQL)
+    identity match {
+      case Some((idCol, _, _)) if !overwrite =>
+        require(e.constraints.isEmpty,
+          s"INSERT INTO $name: identity + CHECK constraints are not " +
+            "supported in one SQL table (use the API expectations path)")
+        val cols = target.columns.filterNot(_.equalsIgnoreCase(idCol)).toSeq
+        val reordered =
+          if (df.columns.sorted.sameElements(cols.sorted))
+            df.select(cols.map(df(_)): _*)
+          else df.toDF(cols: _*)
+        val aligned = reordered.select(cols.map(c =>
+          reordered(c).cast(target.schema(c).dataType).as(c)): _*)
+        LakehouseTable.appendWithIdentity(spark, aligned, e.root)
+        GraftCatalog.refreshView(spark, name)
+        return Seq.empty
+      case Some((idCol, _, _)) =>
+        throw new IllegalArgumentException(
+          s"INSERT OVERWRITE $name: unsupported on identity table " +
+            s"(ids in '$idCol' are append-allocated; RESTORE or DELETE instead)")
+      case None => ()
+    }
     val reordered =
       if (df.columns.sorted.sameElements(target.columns.sorted))
         df.select(target.columns.map(df(_)).toSeq: _*)
@@ -357,6 +383,18 @@ case class InsertGraftTableCommand(name: String, query: String,
         e.partitionBy)
     else LakehouseTable.append(aligned, e.root, e.partitionBy)
     GraftCatalog.refreshView(spark, name)
+    Seq.empty
+  }
+}
+
+/** ALTER TABLE name ADD IDENTITY id ORDER BY keys — enable deterministic
+  * GENERATED-ALWAYS identity; subsequent INSERT INTO statements allocate
+  * ids through [[graft.sources.LakehouseTable.appendWithIdentity]]. */
+case class AlterIdentityGraftCommand(name: String, idCol: String,
+    orderKeys: Seq[String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val e = GraftCatalog.lookup(name).get
+    LakehouseTable.enableIdentity(e.root, idCol, orderKeys)
     Seq.empty
   }
 }
@@ -822,6 +860,8 @@ object GraftSqlStatements {
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+DROP\s+COLUMNS?\s+(?:\(\s*([^)]+?)\s*\)|([A-Za-z_][A-Za-z0-9_]*))\s*;?\s*$""".r
   private val AlterColTypeRe =
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ALTER\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+(?:SET\s+DATA\s+)?TYPE\s+([A-Za-z0-9_()\s,]+?)\s*;?\s*$""".r
+  private val AlterIdentityRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ADD\s+IDENTITY\s+([A-Za-z_][A-Za-z0-9_]*)\s+ORDER\s+BY\s+([A-Za-z0-9_,\s]+?)\s*;?\s*$""".r
   private val OnConjunctRe = """(?s)\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*""".r
 
   /** ON-clause → merge key columns. Only the equi-self-named form
@@ -867,6 +907,9 @@ object GraftSqlStatements {
           graft.sources.TableCache.baseDir + s"/sql_${name.toLowerCase}")
         Some(CreateGraftTableCommand(name, root, partitionBy,
           Option(query).map(unmask)))
+      case AlterIdentityRe(name, idCol, keys) if GraftCatalog.lookup(name).isDefined =>
+        Some(AlterIdentityGraftCommand(name, idCol,
+          keys.split(",").toSeq.map(_.trim).filter(_.nonEmpty)))
       case InsertRe(mode, name, query) if GraftCatalog.lookup(name).isDefined =>
         Some(InsertGraftTableCommand(name, unmask(query),
           overwrite = mode.equalsIgnoreCase("OVERWRITE")))

@@ -393,4 +393,27 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(nr.getMessage.contains("only widens"))
     spark.sql("DROP TABLE sqlspec_widen")
   }
+
+  test("ADD IDENTITY + INSERT route ids through the watermark; OVERWRITE refused") {
+    val root = Files.createTempDirectory("graft_sql_ident").toString + "/t"
+    graft.sources.Tables.registerAll(spark, sf)
+    spark.sql(s"""CREATE TABLE sqlspec_ident USING graft LOCATION '$root' AS
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 0""")
+    spark.sql("ALTER TABLE sqlspec_ident ADD IDENTITY rid ORDER BY o_orderkey")
+    spark.sql("""INSERT INTO sqlspec_ident
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderkey >= 10 AND o_orderkey < 13""")
+    spark.sql("""INSERT INTO sqlspec_ident
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 2""")
+    // batch 1: keys 10,11,12 -> rids 1,2,3; batch 2 continues: 0,1 -> 4,5
+    val got = spark.sql(
+      "SELECT rid, o_orderkey FROM sqlspec_ident ORDER BY rid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 10L), (2L, 11L), (3L, 12L), (4L, 0L), (5L, 1L)),
+      s"got $got")
+    val e = intercept[Exception](spark.sql(
+      "INSERT OVERWRITE sqlspec_ident SELECT o_orderkey, o_totalprice, 1 FROM orders LIMIT 1"))
+    assert(e.getMessage.contains("identity"), e.getMessage)
+    spark.sql("DROP TABLE sqlspec_ident")
+  }
 }
