@@ -41,6 +41,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Non-graft statements delegate to Spark's parser untouched.
     ext.injectParser((session, delegate) =>
       new graft.sql.GraftSqlParser(session, delegate))
+    // metadata-only count(*) over graft tables: footer row-count
+    // arithmetic instead of a scan (see plans/MetadataOnlyCount.scala)
+    ext.injectOptimizerRule(session =>
+      graft.plans.MetadataOnlyGraftCount(session))
     ext.injectFunction((FunctionIdentifier("cosine_similarity"),
       info("cosine_similarity", "_FUNC_(a, b) - cosine similarity of two float arrays"),
       es => CosineSimilarity(es(0), es(1))))

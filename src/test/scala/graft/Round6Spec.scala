@@ -576,6 +576,32 @@ class Round6Spec extends AnyFunSuite {
     assert(LT.versionAt(root, ts0 - 1).isEmpty)
   }
 
+  test("metadata-only count(*): LocalRelation plan across versions; declines under filter/DV") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot("metacount")
+    LT.create((1L to 100L).toDF("k"), root)
+    LT.append((101L to 150L).toDF("k"), root)
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.toString
+    val c = LT.read(spark, root).groupBy().count()
+    assert(c.head().getLong(0) == 150L)
+    assert(planOf(c).contains("LocalRelation"),
+      s"expected a footer-count LocalRelation, got:\n${planOf(c)}")
+    // time travel: the pinned version's own file set is what gets counted
+    val c0 = LT.read(spark, root, Some(0L)).groupBy().count()
+    assert(c0.head().getLong(0) == 100L && planOf(c0).contains("LocalRelation"))
+    // a FILTERED count is selective — the rule must decline and the scan run
+    val f = LT.read(spark, root).filter(col("k") <= 10).groupBy().count()
+    assert(f.head().getLong(0) == 10L)
+    assert(!planOf(f).contains("LocalRelation"))
+    // a deletion-vector read is an anti-join plan — footer counts would
+    // overcount the deleted rows; the rule never sees a bare relation
+    LT.deleteWhereMor(spark, root, "k % 2 = 0")
+    val dv = LT.read(spark, root).groupBy().count()
+    assert(dv.head().getLong(0) == 75L)
+  }
+
   test("eventsStream over an empty staging dir falls back to the declared schema") {
     val dir = java.nio.file.Files.createTempDirectory("round6-empty-stage").toString
     // must NOT throw (start-before-first-file deployment)
