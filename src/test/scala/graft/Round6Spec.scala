@@ -595,6 +595,18 @@ class Round6Spec extends AnyFunSuite {
     val f = LT.read(spark, root).filter(col("k") <= 10).groupBy().count()
     assert(f.head().getLong(0) == 10L)
     assert(!planOf(f).contains("LocalRelation"))
+    // min/max over INT64 columns come from footer stats (same files);
+    // a DOUBLE column declines (parquet NaN stats are untrustworthy) and
+    // scans — correct either way
+    import org.apache.spark.sql.functions.{min, max}
+    val mm = LT.read(spark, root).agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+    assert(mm.head() == org.apache.spark.sql.Row(1L, 150L))
+    assert(planOf(mm).contains("LocalRelation"), planOf(mm))
+    val root2 = freshRoot("metacount2")
+    LT.create(Seq((1L, 1.5), (2L, 9.5)).toDF("k", "x"), root2)
+    val md = LT.read(spark, root2).agg(min(col("x")).as("lo"))
+    assert(md.head().getDouble(0) == 1.5)
+    assert(!planOf(md).contains("LocalRelation"))
     // a deletion-vector read is an anti-join plan — footer counts would
     // overcount the deleted rows; the rule never sees a bare relation
     LT.deleteWhereMor(spark, root, "k % 2 = 0")
