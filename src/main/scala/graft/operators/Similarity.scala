@@ -187,7 +187,8 @@ object Similarity {
     * full-rebuild time. repartition(cid) first → one writer task per
     * touched cell. */
   def appendToCellIndex(s: SparkSession, d: String, indexRoot: String,
-      newVecs: DataFrame): Long = {
+      newVecs: DataFrame, txn: Option[Long] = None,
+      txnApp: String = graft.sources.LakehouseTable.DefaultTxnApp): Long = {
     val cvec = centroidTable(s, d)
     val assigned = newVecs.crossJoin(broadcast(cvec))
       .select(col("vec_id"), col("embedding"), col("cid"),
@@ -197,7 +198,8 @@ object Similarity {
         first(col("embedding")).as("embedding"))
       .select(col("vec_id"), col("embedding"), col("m.cid").as("cid"))
     graft.sources.LakehouseTable.append(
-      assigned.repartition(col("cid")), indexRoot, partitionBy = Seq("cid"))
+      assigned.repartition(col("cid")), indexRoot, partitionBy = Seq("cid"),
+      txn = txn, txnApp = txnApp)
   }
 
   /** IVF index DELETION — the third leg of the index lifecycle

@@ -208,6 +208,34 @@ object Streams {
       }
       .start()
 
+  /** Streaming VECTOR ingestion into the IVF cell index: each
+    * micro-batch of (vec_id, embedding) rows is routed to its nearest
+    * frozen centroid's `cid=` partition via
+    * [[graft.operators.Similarity.appendToCellIndex]] — the index stays
+    * probe-correct (cells are a pure per-vector function of the frozen
+    * centroids, so a streamed append lands cell-identical to a rebuild)
+    * and effectively-once (the commit carries the batch id under this
+    * stream's app id; replayed batches skip — the [[commitBatch]]
+    * contract applied to index maintenance). The at-scale shape: a
+    * centroid broadcast + one map-side argmin per batch, one
+    * hive-partitioned commit; no index rebuild anywhere on the hot
+    * path. */
+  def ingestVectorsInto(vectors: DataFrame, sfDir: String, indexRoot: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val app = txnAppOf(checkpoint)
+        if (graft.sources.LakehouseTable.lastTxn(indexRoot, app).exists(_ >= batchId)) ()
+        else {
+          graft.operators.Similarity.appendToCellIndex(
+            batch.sparkSession, sfDir, indexRoot, batch.toDF(),
+            txn = Some(batchId), txnApp = app); ()
+        }
+      }
+      .start()
+
   /** [[ingestInto]] with DLT-style write expectations on the stream: each
     * micro-batch's passing rows append to the table and violating rows
     * land in `<tableRoot>/_rejects` stamped with the violated expectation

@@ -230,6 +230,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == graft.sources.Tables.events(spark, sf).count())
   }
 
+  test("streaming vector ingest lands cell-identical to a batch index append, exactly once") {
+    import spark.implicits._
+    import graft.sources.{LakehouseTable => LT, TableCache}
+    val shared = graft.operators.Similarity.ivfCellTableRoot(spark, sf)
+    val scratch = TableCache.baseDir +
+      s"/stream_ivf_${java.util.UUID.randomUUID().toString.take(8)}"
+    LT.cloneTable(spark, shared, scratch)
+    val before = LT.read(spark, scratch).count()
+    // four fresh vectors = existing embeddings under new ids (cell
+    // routing only sees the vector, so expected cells are known exactly)
+    val fresh = graft.sources.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 4)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])](spark, 1)
+    val base = java.nio.file.Files.createTempDirectory("graft-vec-ingest")
+    val q = Streams.ingestVectorsInto(
+      ms.toDF().toDF("vec_id", "embedding"), sf, scratch,
+      base.resolve("ckpt").toString)
+    ms.addData(fresh.take(2)); q.processAllAvailable()
+    ms.addData(fresh.drop(2)); q.processAllAvailable()
+    q.stop()
+    val streamed = LT.read(spark, scratch)
+      .select(col("vec_id"), col("cid").cast("long").as("cid"))
+    assert(streamed.count() == before + 4)
+    // cells equal the batch maintenance path's assignment for the SAME
+    // vectors — the streamed index is probe-identical to a batch append
+    val batchRoot = TableCache.baseDir +
+      s"/stream_ivf_b_${java.util.UUID.randomUUID().toString.take(8)}"
+    LT.cloneTable(spark, shared, batchRoot)
+    graft.operators.Similarity.appendToCellIndex(spark, sf, batchRoot,
+      fresh.toDF("vec_id", "embedding"))
+    val batchCells = LT.read(spark, batchRoot)
+      .select(col("vec_id"), col("cid").cast("long").as("cid"))
+    assert(streamed.filter(col("vec_id") >= 100000L).collect().map(r =>
+        (r.getLong(0), r.getLong(1))).toSet ==
+      batchCells.filter(col("vec_id") >= 100000L).collect().map(r =>
+        (r.getLong(0), r.getLong(1))).toSet)
+  }
+
   test("streaming expectations quarantine violators and stay exact across a restart") {
     val base = java.nio.file.Files.createTempDirectory("graft-ingest-exp")
     val root = base.resolve("events_tbl").toString
