@@ -22,6 +22,51 @@ object Relational {
   private def ts(s: String) = to_timestamp(lit(s))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SKYLINE (Pareto-dominance) query — Börzsönyi/Kossmann/Stocker,
+    // ICDE 2001, public: per lang, the docs not dominated on
+    // (n_tokens, type-token-ratio) — d1 dominates d2 iff ≥ on both and
+    // > on one. The axes genuinely TRADE OFF (longer docs repeat more,
+    // so TTR falls with length), which is what gives the frontier its
+    // shape — the docs that are long AND lexically diverse for their
+    // length, the corpus-curation "keep the interesting long tail"
+    // query.
+    // The naive form is an O(n²) dominance self-join; the sort-based
+    // form here is two WINDOW passes riding one exchange: a doc is in
+    // the skyline iff its ttr strictly exceeds the max ttr of every
+    // strictly-longer-tokened doc (RANGE frame "current value + 1
+    // .. ∞" over n_tok) AND equals the max within its own n_tok group
+    // (exact ties on both axes are mutually non-dominating — all kept).
+    // At 100 TB the lang partitions would pre-shard by an n_tok range
+    // with a bounded per-shard frontier merge (the q156 two-phase-rank
+    // shape); at these lang cardinalities the single window is the
+    // right plan.
+    "q175_skyline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(graft.plans.TextExpressions.tokens(col("text")))
+            .cast("long").as("n_tok"),
+          size(array_distinct(graft.plans.TextExpressions.tokens(col("text"))))
+            .cast("long").as("n_type"))
+        .filter(col("n_tok") > 0)
+        .withColumn("ttr", expr("n_type * 1000000 div n_tok"))
+      val wGt = Window.partitionBy(col("lang")).orderBy(col("n_tok"))
+        .rangeBetween(1L, Window.unboundedFollowing)
+      val wEq = Window.partitionBy(col("lang"), col("n_tok"))
+      docs
+        .withColumn("mx_gt", max(col("ttr")).over(wGt))
+        .withColumn("mx_eq", max(col("ttr")).over(wEq))
+        .withColumn("sky",
+          when((col("mx_gt").isNull || col("ttr") > col("mx_gt")) &&
+            col("ttr") === col("mx_eq"), 1L).otherwise(0L))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("sky")).as("n_skyline"),
+          sum(when(col("sky") === 1L, col("ttr")).otherwise(0L))
+            .as("sky_ttr_sum"),
+          max(when(col("sky") === 1L, col("n_tok"))).as("sky_max_tok"))
+        .orderBy(col("lang"))
+    }),
+
     // Q1-style pricing summary: full-scan hash aggregate with map-side
     // partial agg; group cardinality is tiny → no skew at any scale.
     "q01_pricing_summary" -> ((s, d) => {
@@ -627,6 +672,31 @@ object Relational {
     }))
 
   def oracle: Map[String, String] = Map(
+    "q175_skyline" ->
+      s"""WITH t0 AS (SELECT doc_id, lang,
+                CAST(len(${graft.functions.TextFunctions.sqlToks}) AS BIGINT) AS n_tok,
+                CAST(len(${graft.functions.TextFunctions.sqlTokSet}) AS BIGINT) AS n_type
+              FROM documents),
+          t AS (SELECT doc_id, lang, n_tok,
+                  n_type * 1000000 // n_tok AS ttr
+                FROM t0 WHERE n_tok > 0),
+          w AS (SELECT lang, ttr,
+                  max(ttr) OVER (PARTITION BY lang ORDER BY n_tok
+                    RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS mx_gt,
+                  max(ttr) OVER (PARTITION BY lang, n_tok) AS mx_eq,
+                  n_tok
+                FROM t),
+          s AS (SELECT lang, ttr, n_tok,
+                  CASE WHEN (mx_gt IS NULL OR ttr > mx_gt)
+                    AND ttr = mx_eq THEN 1 ELSE 0 END AS sky
+                FROM w)
+          SELECT lang, count(*) AS n_docs,
+            CAST(sum(sky) AS BIGINT) AS n_skyline,
+            CAST(sum(CASE WHEN sky = 1 THEN ttr ELSE 0 END) AS BIGINT)
+              AS sky_ttr_sum,
+            max(CASE WHEN sky = 1 THEN n_tok END) AS sky_max_tok
+          FROM s GROUP BY lang ORDER BY lang""",
+
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          ${Exact.sqlMoneySum("l_quantity")} AS sum_qty,
