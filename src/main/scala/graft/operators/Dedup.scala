@@ -332,10 +332,16 @@ object Dedup {
       // (hash → window-min → distinct, all doc-local): the corpus-wide
       // pass is one scan + one explode of the ~2/(w+1)-compressed arrays,
       // with no positional posexplode and no per-doc window shuffle —
-      // equivalence to the composed window form pinned in PlansSpec
-      val fps = Tables.documents(s, d)
-        .select(col("doc_id"),
-          explode(TextExpressions.winnowFps(col("text"), WinnowK, WinnowW)).as("fp"))
+      // equivalence to the composed window form pinned in PlansSpec.
+      // RelationCache'd: the fingerprint relation IS the MOSS index (a
+      // persisted artifact in production), and the df filter + both
+      // sides of the pair join read it — one materialization instead of
+      // three corpus re-fingerprints
+      val fps = graft.sources.RelationCache.of(s, "dedup.winnowFps", d) {
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(TextExpressions.winnowFps(col("text"), WinnowK, WinnowW)).as("fp"))
+      }
       val rare = fps.groupBy(col("fp"))
         .agg(count(lit(1)).as("df"))
         .filter(col("df").between(2, WinnowDfCap))
