@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.functions.Exact
 import graft.sources.{LakehouseTable, TableCache, Tables}
@@ -137,6 +138,69 @@ object Lakehouse {
       if (LakehouseTable.currentVersion(root).contains(2L))
         LakehouseTable.appendWithIdentity(s,
           base.filter(col("o_orderkey") % 3 === 1), root)
+    } catch {
+      case e if raceLost(e) => () // see lineitemZRoot
+    }
+    root
+  }
+
+  /** WRITE-SIDE SCD2 dimension (type-2 slowly-changing): three ordered
+    * change batches (events split by fixed thirds of the corpus ts
+    * span, batch-LAST event per user) applied with the classic
+    * close-and-insert protocol — a seg change first MERGEs the user's
+    * current row closed (valid_to = change ts, is_current = false; keyed
+    * on (user_id, valid_from) so exactly one history row rewrites), then
+    * appends the new current row. Users without a change touch nothing.
+    * The read side (q176) must then equal the ANALYTIC derivation the
+    * oracle computes from raw events — the write protocol is correct iff
+    * the table state is indistinguishable from the derivation. */
+  private[graft] def eventsScd2Root(s: SparkSession, d: String): String = {
+    val root = TableCache.root(d, "events", "scd2-seg:v1")
+    try TableCache.locked(root) {
+      lazy val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type").as("seg"), col("ts"),
+          col("event_id"), unix_micros(col("ts")).as("us"))
+      lazy val Array(mn, mx) = ev.agg(min(col("us")), max(col("us")))
+        .collect().map(r => Array(r.getLong(0), r.getLong(1))).head
+      lazy val (cut1, cut2) = (mn + (mx - mn) / 3, mn + 2 * ((mx - mn) / 3))
+      def batch(k: Int) = {
+        val in = k match {
+          case 0 => ev.filter(col("us") < cut1)
+          case 1 => ev.filter(col("us") >= cut1 && col("us") < cut2)
+          case _ => ev.filter(col("us") >= cut2)
+        }
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(desc("ts"), desc("event_id"))
+        in.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("user_id"), col("seg"), col("ts"))
+      }
+      def applyBatch(b: org.apache.spark.sql.DataFrame, k: Long): Unit = {
+        val cur = LakehouseTable.read(s, root).filter(col("is_current"))
+        val delta = b.join(cur.select(col("user_id"),
+            col("seg").as("cur_seg"), col("valid_from")), Seq("user_id"), "left_outer")
+          .filter(col("cur_seg").isNull || col("cur_seg") =!= col("seg"))
+          .localCheckpoint(true) // one evaluation feeds close AND open
+        val closes = delta.filter(col("cur_seg").isNotNull)
+          .select(col("user_id"), col("cur_seg").as("seg"), col("valid_from"),
+            col("ts").as("valid_to"), lit(false).as("is_current"))
+        if (closes.limit(1).count() > 0)
+          LakehouseTable.merge(s, root, closes, Seq("user_id", "valid_from"),
+            txn = Some(k), txnApp = "scd2")
+        val opens = delta.select(col("user_id"), col("seg"),
+          col("ts").as("valid_from"),
+          lit(null).cast("timestamp").as("valid_to"), lit(true).as("is_current"))
+        if (opens.limit(1).count() > 0)
+          LakehouseTable.append(opens, root, txn = Some(k), txnApp = "scd2")
+      }
+      if (LakehouseTable.versions(root).isEmpty)
+        LakehouseTable.create(batch(0)
+          .select(col("user_id"), col("seg"), col("ts").as("valid_from"),
+            lit(null).cast("timestamp").as("valid_to"), lit(true).as("is_current")),
+          root, txn = Some(0L), txnApp = "scd2")
+      if (LakehouseTable.lastTxn(root, "scd2").forall(_ < 1L))
+        applyBatch(batch(1), 1L)
+      if (LakehouseTable.lastTxn(root, "scd2").forall(_ < 2L))
+        applyBatch(batch(2), 2L)
     } catch {
       case e if raceLost(e) => () // see lineitemZRoot
     }
@@ -790,6 +854,24 @@ object Lakehouse {
         .orderBy(col("bucket"))
     }),
 
+    // SCD2 WRITE protocol under the oracle: after three close-and-insert
+    // MERGE batches (eventsScd2Root), the dimension's state must be
+    // INDISTINGUISHABLE from the analytic derivation over raw events
+    // (batch-last change per user, lag-dedup, lead-chained validity) —
+    // the strongest check a write protocol can get: not "rows landed"
+    // but "the history table equals what the history MEANS".
+    "q176_scd2_merge" -> ((s, d) => {
+      val root = eventsScd2Root(s, d)
+      LakehouseTable.read(s, root)
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("is_current"), 1L).otherwise(0L)).as("n_current"),
+          sum(when(col("valid_to").isNotNull,
+            unix_micros(col("valid_to")) - unix_micros(col("valid_from")))
+            .otherwise(0L)).as("closed_dur_us"))
+        .orderBy(col("seg"))
+    }),
+
     "q105_time_travel" -> ((s, d) => {
       val root = ordersMergeRoot(s, d)
       LakehouseTable.read(s, root, Some(0L))
@@ -1188,6 +1270,36 @@ object Lakehouse {
           GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q103_lakehouse_merge" -> sqlMergedOrdersAgg,
+
+    "q176_scd2_merge" ->
+      """WITH b AS (SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS mn,
+              CAST(max(epoch_us(ts)) AS BIGINT) AS mx FROM events),
+          cuts AS (SELECT mn + (mx - mn) // 3 AS c1,
+                     mn + 2 * ((mx - mn) // 3) AS c2 FROM b),
+          e AS (SELECT user_id, event_type AS seg, ts, event_id,
+                  CASE WHEN epoch_us(ts) < (SELECT c1 FROM cuts) THEN 0
+                       WHEN epoch_us(ts) < (SELECT c2 FROM cuts) THEN 1
+                       ELSE 2 END AS bk
+                FROM events),
+          lastb AS (SELECT user_id, seg, ts, bk FROM (
+                      SELECT *, row_number() OVER (PARTITION BY user_id, bk
+                        ORDER BY ts DESC, event_id DESC) AS rn FROM e)
+                    WHERE rn = 1),
+          chg AS (SELECT user_id, seg, ts, bk FROM (
+                    SELECT *, lag(seg) OVER (PARTITION BY user_id
+                      ORDER BY bk) AS prev FROM lastb)
+                  WHERE prev IS NULL OR prev <> seg),
+          hist AS (SELECT user_id, seg, ts AS valid_from,
+                     lead(ts) OVER (PARTITION BY user_id ORDER BY bk)
+                       AS valid_to
+                   FROM chg)
+          SELECT seg, count(*) AS n_rows,
+            CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_current,
+            CAST(sum(CASE WHEN valid_to IS NOT NULL
+              THEN epoch_us(valid_to) - epoch_us(valid_from) ELSE 0 END)
+              AS BIGINT) AS closed_dur_us
+          FROM hist GROUP BY seg ORDER BY seg""",
 
     "q173_identity_append" ->
       """WITH b1 AS (SELECT o_orderkey,
