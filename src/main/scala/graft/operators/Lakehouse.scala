@@ -207,6 +207,28 @@ object Lakehouse {
     root
   }
 
+  /** Daily HLL SKETCH TABLE (DataSketches binary column in a lakehouse
+    * table): the pre-aggregation pattern that makes distinct-count
+    * dashboards O(sketch table) instead of O(corpus) — per (event_type,
+    * day) sketches are built ONCE at ingest granularity and any
+    * time-range distinct question afterwards is a union of ~bytes-sized
+    * sketches, never a corpus re-scan. */
+  private[graft] def eventsSketchRoot(s: SparkSession, d: String): String = {
+    val root = TableCache.root(d, "events", "hll-daily-users:v1")
+    try TableCache.locked(root) {
+      if (LakehouseTable.versions(root).isEmpty)
+        LakehouseTable.create(
+          Tables.events(s, d)
+            .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+            .agg(hll_sketch_agg(col("user_id")).as("sketch"),
+              count(lit(1)).as("n_events")),
+          root)
+    } catch {
+      case e if raceLost(e) => () // see lineitemZRoot
+    }
+    root
+  }
+
   private[graft] def ordersMergeRoot(s: SparkSession, d: String): String = {
     val root = TableCache.root(d, "orders", "merge97-ins997-del10000:v2")
     try TableCache.locked(root) {
@@ -872,6 +894,35 @@ object Lakehouse {
         .orderBy(col("seg"))
     }),
 
+    // MERGEABLE-SKETCH rollup over the persisted daily HLL table: the
+    // corpus-wide distinct-user answer comes from unioning the tiny
+    // per-day sketches (hll_union_agg over the sketch table — the
+    // events corpus is NOT rescanned for it), checked two ways: the
+    // union estimate must EQUAL the direct whole-corpus sketch estimate
+    // (HLL register merge is a per-bucket max — mergeability is exact,
+    // not approximate), and both must sit within 5% of the exact count
+    // (each engine bounds its own sketch, the q44 convention — DuckDB
+    // has no DataSketches, so its twin asserts its own
+    // approx_count_distinct bound and the merge invariant is
+    // Spark-side-verified truth).
+    "q177_sketch_rollup" -> ((s, d) => {
+      val root = eventsSketchRoot(s, d)
+      val merged = LakehouseTable.read(s, root)
+        .groupBy(col("event_type"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("merged_est"),
+          sum(col("n_events")).as("n_events"))
+      val direct = Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("direct_est"),
+          countDistinct(col("user_id")).as("exact_users"))
+      merged.join(direct, "event_type")
+        .select(col("event_type"), col("n_events"), col("exact_users"),
+          (col("merged_est") === col("direct_est")).as("merged_eq_direct"),
+          (abs(col("merged_est") - col("exact_users")).cast("double")
+            / col("exact_users").cast("double") < 0.05).as("sketch_within_5pct"))
+        .orderBy(col("event_type"))
+    }),
+
     "q105_time_travel" -> ((s, d) => {
       val root = ordersMergeRoot(s, d)
       LakehouseTable.read(s, root, Some(0L))
@@ -1270,6 +1321,15 @@ object Lakehouse {
           GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q103_lakehouse_merge" -> sqlMergedOrdersAgg,
+
+    "q177_sketch_rollup" ->
+      """SELECT event_type, count(*) AS n_events,
+           count(DISTINCT user_id) AS exact_users,
+           TRUE AS merged_eq_direct,
+           (abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+              / CAST(count(DISTINCT user_id) AS DOUBLE) < 0.05)
+             AS sketch_within_5pct
+         FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q176_scd2_merge" ->
       """WITH b AS (SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS mn,
