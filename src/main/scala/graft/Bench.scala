@@ -62,6 +62,25 @@ object Bench {
         java.nio.file.Paths.get(outPath),
         (fullLine + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"bench_out write failed: $e") }
+    // Optional measured-plan pass (SPARK_GRAFT_METRICS=1): per query,
+    // re-run the serving action once and harvest its executed plan's
+    // SQLMetrics (shuffle bytes, scan bytes, files read, exchanges) →
+    // metrics_out.json — the quantitative backing for the scale claims.
+    if (sys.env.getOrElse("SPARK_GRAFT_METRICS", "0") == "1") {
+      val lines = ordered.flatMap { case (name, fn) =>
+        try {
+          // collect() runs cdf's OWN QueryExecution (head() would clone a
+          // limit plan whose metrics we could not see)
+          val cdf = fn(spark, sfDir).groupBy().count()
+          cdf.collect()
+          Some(s""""$name":${MetricsHarvest.of(cdf.queryExecution.executedPlan).json}""")
+        } catch { case _: Throwable => None }
+      }
+      val mPath = sys.env.getOrElse("SPARK_GRAFT_METRICS_OUT", "metrics_out.json")
+      try java.nio.file.Files.write(java.nio.file.Paths.get(mPath),
+        lines.mkString("{", ",\n ", "}\n").getBytes("UTF-8"))
+      catch { case e: Throwable => System.err.println(s"metrics_out write failed: $e") }
+    }
     spark.stop()
   }
 }
