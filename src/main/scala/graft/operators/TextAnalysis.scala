@@ -80,33 +80,20 @@ object TextAnalysis {
     // oracle because H needs log2. With the fixed-point integer log2
     // (TextFunctions.ilog2Fp, the q160 primitive) it is EXACT:
     // n·H = n·w(n) − Σ_t c_t·w(c_t) in 1/4096-bit units, every term an
-    // integer. The log table is computed on the DRIVER for the DISTINCT
-    // count values only (a few hundred integers at any corpus size —
-    // counts repeat; the table is value-keyed, not row-keyed) and
-    // broadcast; the corpus-side work is the word-count shuffle plus two
-    // integer rollups riding it. Flag threshold: < 3 bits (12288 micro).
+    // integer. Flag threshold: < 3 bits (12288 micro). The whole
+    // computation is ONE doc-local compiled expression
+    // (TextExpressions.DocEntropy — the same ilog2Fp arithmetic the
+    // oracle unrolls, evaluated where the tokens already are): within-
+    // doc counting never needed a corpus-wide (doc, token) shuffle, so
+    // the plan is a scan feeding a 5-row partial-agg rollup — zero
+    // corpus-sized exchanges. (The first version paid the word-count
+    // shuffle plus value-keyed broadcast log-table joins; bit-identical
+    // output, ~6× the cost.)
     "q166_token_entropy" -> ((s, d) => {
-      val counts = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          explode(graft.plans.TextExpressions.tokens(col("text"))).as("t"))
-        .groupBy(col("doc_id"), col("lang"), col("t"))
-        .agg(count(lit(1)).as("c"))
-      val nDoc = counts.groupBy(col("doc_id"), col("lang"))
-        .agg(sum(col("c")).as("n"))
-      val vals = counts.select(col("c").as("v"))
-        .union(nDoc.select(col("n").as("v")))
-        .distinct().collect().map(_.getLong(0))
-      import s.implicits._
-      val wdf = vals.toSeq.map(v => (v, T.ilog2Fp(v, 1))).toDF("v", "w")
-      val cw = counts
-        .join(broadcast(wdf).select(col("v").as("c"), col("w")), "c")
-        .groupBy(col("doc_id"), col("lang"))
-        .agg(sum(col("c") * col("w")).as("sumcw"))
-      nDoc
-        .join(broadcast(wdf).select(col("v").as("n"), col("w").as("wn")), "n")
-        .join(cw, Seq("doc_id", "lang"))
+      Tables.documents(s, d)
         .select(col("lang"),
-          expr("(n * wn - sumcw) div n").as("ent"))
+          graft.plans.TextExpressions.docEntropy(col("text")).as("ent"))
+        .filter(col("ent") >= 0L)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("ent")).as("sum_entropy_micro"),

@@ -254,6 +254,34 @@ object TextExpressions {
     new GenericArrayData(out)
   }
 
+  /** Per-doc Shannon entropy of the unigram distribution in 1/4096-bit
+    * units, ONE doc-local pass: token counts in a local map, then
+    * n·H = n·w(n) − Σ_t c_t·w(c_t) with w = the SAME fixed-point integer
+    * log2 the oracle unrolls (graft.functions.TextFunctions.ilog2Fp —
+    * one implementation, so the arithmetic cannot fork). Returns −1 for
+    * a token-less doc (the caller filters — entropy of nothing is not
+    * 0). Replaces a corpus-wide (doc, token) count shuffle + two
+    * broadcast joins with zero exchanges: within-doc counting never
+    * needed to leave the doc. */
+  def evalDocEntropy(input: UTF8String): Long = {
+    val toks = tokenize(input.toString)
+    if (toks.isEmpty) return -1L
+    val counts = new java.util.HashMap[String, Long](toks.length * 2)
+    var i = 0
+    while (i < toks.length) {
+      counts.merge(toks(i), 1L, (a, b) => a + b)
+      i += 1
+    }
+    val n = toks.length.toLong
+    var sumcw = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()
+      sumcw += c * graft.functions.TextFunctions.ilog2Fp(c, 1)
+    }
+    (n * graft.functions.TextFunctions.ilog2Fp(n, 1) - sumcw) / n
+  }
+
   def evalAdjacentPairs(input: UTF8String): ArrayData = {
     val toks = tokenize(input.toString)
     if (toks.length < 2) new GenericArrayData(Array.empty[Any])
@@ -394,6 +422,18 @@ object TextExpressions {
     * Unlike [[WordShingles]] this does NOT dedup: pair frequency is the
     * signal. One compiled pass per row (the HOF composition
     * zip_with(slice, slice) evaluates interpreted lambdas). */
+  case class DocEntropy(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "doc_entropy"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, StringType, prettyName)
+    override def nullSafeEval(input: Any): Any =
+      evalDocEntropy(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Self.evalDocEntropy($c)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   case class WinnowFps(child: Expression, k: Int, w: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "winnow_fps"
@@ -424,6 +464,8 @@ object TextExpressions {
     ColumnBridge.column(AdjacentPairs(ColumnBridge.expression(text)))
   def winnowFps(text: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowFps(ColumnBridge.expression(text), k, w))
+  def docEntropy(text: Column): Column =
+    ColumnBridge.column(DocEntropy(ColumnBridge.expression(text)))
   def qualityScore(text: Column): Column =
     ColumnBridge.column(QualityScore(ColumnBridge.expression(text)))
   def wordShingles(text: Column, n: Int): Column =
