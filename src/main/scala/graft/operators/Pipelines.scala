@@ -50,6 +50,33 @@ object Pipelines {
         .agg(count(lit(1)).as("n"))
     }
 
+  /** Per-doc NB margin (doc_id, lang, m) over the cached weight table —
+    * the shared serving relation of q174 (accuracy) and q178
+    * (calibration). Weights are the fixed-point log2 class-conditional
+    * count ratios, one bounded 1024-row driver sync, RelationCache'd. */
+  private def nbMargins(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val feats = dsirFeatures(s, d)
+    val wdf = graft.sources.RelationCache.of(s, "pipelines.nbWeights", d) {
+      val cnt = feats.groupBy(col("b"))
+        .agg(sum(when(col("lang") === "en", col("n")).otherwise(0L)).as("t"),
+          sum(when(col("lang") =!= "en", col("n")).otherwise(0L)).as("sc"))
+        .collect()
+      val tTot = cnt.map(_.getLong(1)).sum
+      val sTot = cnt.map(_.getLong(2)).sum
+      cnt.toSeq.map { r =>
+        (r.getLong(0),
+          ilog2Fp((r.getLong(1) + 1) * (sTot + DsirBuckets),
+            (r.getLong(2) + 1) * (tTot + DsirBuckets)))
+      }.toDF("b", "w")
+    }
+    graft.sources.RelationCache.of(s, "pipelines.nbMargins", d) {
+      feats.join(broadcast(wdf), "b")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("n") * col("w")).as("m"))
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // LEARNED in-engine classifier — the model-based filtering stage
     // every production curation stack runs (CCNet/LLaMA-style linear
@@ -67,30 +94,34 @@ object Pipelines {
     // makes it bit-reproducible in the oracle). Weight table = one
     // bounded 1024-row collect (the k-means-centroid sync shape);
     // per-class confusion reported per lang.
-    "q174_nb_classifier" -> ((s, d) => {
-      import s.implicits._
-      val feats = dsirFeatures(s, d)
-      val wdf = graft.sources.RelationCache.of(s, "pipelines.nbWeights", d) {
-        val cnt = feats.groupBy(col("b"))
-          .agg(sum(when(col("lang") === "en", col("n")).otherwise(0L)).as("t"),
-            sum(when(col("lang") =!= "en", col("n")).otherwise(0L)).as("sc"))
-          .collect()
-        val tTot = cnt.map(_.getLong(1)).sum
-        val sTot = cnt.map(_.getLong(2)).sum
-        cnt.toSeq.map { r =>
-          (r.getLong(0),
-            ilog2Fp((r.getLong(1) + 1) * (sTot + DsirBuckets),
-              (r.getLong(2) + 1) * (tTot + DsirBuckets)))
-        }.toDF("b", "w")
-      }
-      feats.join(broadcast(wdf), "b")
-        .groupBy(col("doc_id"), col("lang"))
-        .agg(sum(col("n") * col("w")).as("m"))
+    "q174_nb_classifier" -> ((s, d) =>
+      nbMargins(s, d)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(when((col("m") > 0) === (col("lang") === "en"), 1L)
             .otherwise(0L)).as("n_correct"))
-        .orderBy(col("lang"))
+        .orderBy(col("lang"))),
+
+    // CALIBRATION curve of the q174 model — the other half of a
+    // model-based filter's acceptance test: bucket the corpus by NB
+    // margin (11 fixed-width bins derived from the corpus max |margin|,
+    // so the binning is data-derived yet deterministic and
+    // SQL-mirrorable) and report the empirical English rate per bin. A
+    // monotone en_frac across bins means the margin ORDERS docs
+    // usefully even where the sign is wrong — the property thresholded
+    // filtering actually relies on. Shares the cached weight table and
+    // margin relation with q174; the only new work is one 11-row
+    // rollup.
+    "q178_nb_calibration" -> ((s, d) => {
+      val m = nbMargins(s, d)
+      val mx = m.agg(max(abs(col("m")))).collect()(0).getLong(0)
+      m.withColumn("bin", expr(s"(m * 5) div ${mx + 1}"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+        .select(col("bin"), col("n_docs"), col("n_en"),
+          expr("n_en * 1000000 div n_docs").as("en_frac_micro"))
+        .orderBy(col("bin"))
     }),
 
     // DSIR importance selection (Xie et al. 2023): score every raw doc
@@ -821,36 +852,55 @@ object Pipelines {
     """0.5 * (1.0 - CAST(len(list_filter(toks, t -> t IN ('a','the','of','and','to','in'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
        + 0.5 * least(CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) / 8.0, 1.0)"""
 
+  /** Shared oracle prelude for the NB family (q174/q178): hashed
+    * features → class-conditional counts → the fixed-point log CTE →
+    * per-doc integer margins, ending in `m(doc_id, lang, m)`. */
+  private lazy val nbSqlCtes: String =
+    s"""feat AS (
+          SELECT doc_id, lang,
+            ${T.sqlMd5Prefix("feat", 8)} % $DsirBuckets AS b,
+            CAST(count(*) AS BIGINT) AS n
+          FROM (SELECT doc_id, lang, unnest(list_concat(toks,
+                  [toks[i] || ' ' || toks[i + 1] FOR i IN range(1, len(toks))])) AS feat
+                FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents))
+          GROUP BY 1, 2, 3),
+        cnt AS (SELECT b,
+                  CAST(sum(CASE WHEN lang = 'en' THEN n ELSE 0 END) AS BIGINT) AS t,
+                  CAST(sum(CASE WHEN lang <> 'en' THEN n ELSE 0 END) AS BIGINT) AS sc
+                FROM feat GROUP BY b),
+        tot AS (SELECT CAST(sum(t) AS BIGINT) AS tt,
+                  CAST(sum(sc) AS BIGINT) AS st FROM cnt),
+        vals AS (SELECT b AS v, (t + 1) * (st + $DsirBuckets) AS num,
+                   (sc + 1) * (tt + $DsirBuckets) AS den
+                 FROM cnt, tot),
+        ${T.sqlIlog2Ctes("nb", "vals", "v")},
+        m AS (SELECT doc_id, lang, CAST(sum(n * wt) AS BIGINT) AS m
+              FROM feat JOIN nbwts w ON feat.b = w.v GROUP BY 1, 2)"""
+
   def oracle: Map[String, String] = Map(
     // class-conditional counts -> the shared fixed-point log CTE ->
     // integer margins; the same 12 shift-and-square steps as the Scala
     // side's ilog2Fp
-    "q174_nb_classifier" -> {
-      s"""WITH feat AS (
-            SELECT doc_id, lang,
-              ${T.sqlMd5Prefix("feat", 8)} % $DsirBuckets AS b,
-              CAST(count(*) AS BIGINT) AS n
-            FROM (SELECT doc_id, lang, unnest(list_concat(toks,
-                    [toks[i] || ' ' || toks[i + 1] FOR i IN range(1, len(toks))])) AS feat
-                  FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents))
-            GROUP BY 1, 2, 3),
-          cnt AS (SELECT b,
-                    CAST(sum(CASE WHEN lang = 'en' THEN n ELSE 0 END) AS BIGINT) AS t,
-                    CAST(sum(CASE WHEN lang <> 'en' THEN n ELSE 0 END) AS BIGINT) AS sc
-                  FROM feat GROUP BY b),
-          tot AS (SELECT CAST(sum(t) AS BIGINT) AS tt,
-                    CAST(sum(sc) AS BIGINT) AS st FROM cnt),
-          vals AS (SELECT b AS v, (t + 1) * (st + $DsirBuckets) AS num,
-                     (sc + 1) * (tt + $DsirBuckets) AS den
-                   FROM cnt, tot),
-          ${T.sqlIlog2Ctes("nb", "vals", "v")},
-          m AS (SELECT doc_id, lang, CAST(sum(n * wt) AS BIGINT) AS m
-                FROM feat JOIN nbwts w ON feat.b = w.v GROUP BY 1, 2)
+    "q174_nb_classifier" ->
+      s"""WITH $nbSqlCtes
           SELECT lang, count(*) AS n_docs,
             CAST(sum(CASE WHEN (m > 0) = (lang = 'en') THEN 1 ELSE 0 END)
               AS BIGINT) AS n_correct
-          FROM m GROUP BY lang ORDER BY lang"""
-    },
+          FROM m GROUP BY lang ORDER BY lang""",
+
+    // the same margin CTE chain, re-bucketed: bin width derives from the
+    // corpus max |margin| exactly as the Scala side computes it
+    "q178_nb_calibration" ->
+      s"""WITH $nbSqlCtes,
+          mx AS (SELECT CAST(max(abs(m)) AS BIGINT) AS mx FROM m),
+          bins AS (SELECT lang, (m * 5) // ((SELECT mx FROM mx) + 1) AS bin
+                   FROM m)
+          SELECT bin, count(*) AS n_docs,
+            CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_en,
+            CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000
+              // count(*) AS BIGINT) AS en_frac_micro
+          FROM bins GROUP BY bin ORDER BY bin""",
 
     // the same 12 shift-and-square steps as ilog2Fp, via the shared CTE
     // generator (TextFunctions.sqlIlog2Ctes)
