@@ -85,6 +85,11 @@ object LakehouseTable {
     * small JSON read), for metadata commands (DESCRIBE DETAIL). */
   def fileCount(root: String, v: Long): Int = readManifest(root, v).size
 
+  /** Version `v`'s manifest file list (relative paths), public for the
+    * streaming source's file-cursor arithmetic — the list is immutable
+    * once committed, so positions into it are restart-stable. */
+  def manifestFiles(root: String, v: Long): Seq[String] = readManifest(root, v)
+
   private def readManifest(root: String, v: Long): Seq[String] = {
     val txt = Files.readString(manifestDir(root).resolve(s"$v.json"))
     // manifest is {"txns": {"app": N, ...}, "files": ["rel/path", ...]}
@@ -738,6 +743,14 @@ object LakehouseTable {
       else acc
     }
   }
+
+  /** [[readFilesLogical]] surfaced for the streaming source's split
+    * batches (snapshot slices and partial-version diffs): logical names,
+    * DVs applied, widen epochs honored — the same read a whole-version
+    * incremental batch gets. */
+  private[graft] def readFilesLogicalAt(spark: SparkSession, root: String,
+      v: Long, relFiles: Seq[String]): DataFrame =
+    readFilesLogical(spark, root, v, relFiles)
 
   /** [[readFiles]] surfaced under version `v`'s logical schema — every
     * file-pruned COW path reads through this so predicates, SET lists, and

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, GraftStreamingShims, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.functions.{col, lit}
@@ -9,28 +10,39 @@ import org.apache.spark.sql.types.StructType
 import graft.sources.LakehouseTable
 
 /** Micro-batch STREAMING SOURCE over a graft lakehouse table: offsets are
-  * the table's manifest VERSIONS, and each micro-batch is exactly the
-  * manifest-diff delta between two committed versions
-  * ([[LakehouseTable.readIncremental]] — new files only, never a rescan).
-  * The first batch is the full snapshot at the then-current version, then
-  * the source tails commits: append N rows → one micro-batch of exactly
-  * those N rows. This is Delta's streaming-source design (reservoir
-  * version offsets + AddFile tailing) expressed over the graft manifest.
+  * cursors into the table's manifest history — a VERSION, optionally with
+  * a FILE position inside that version's ordered file list — and each
+  * micro-batch is exactly the files between two cursors
+  * ([[LakehouseTable.readIncremental]] semantics — new files only, never
+  * a rescan). The first batch is the full snapshot at the then-current
+  * version, then the source tails commits: append N rows → one
+  * micro-batch of exactly those N rows. This is Delta's streaming-source
+  * design (reservoir version offsets + AddFile tailing +
+  * maxFilesPerTrigger admission) expressed over the graft manifest.
   *
   * Restart safety comes from the engine's own offset log: the checkpoint
-  * stores the version reached, `getBatch(Some(v5), v7)` after a restart
-  * re-reads files added in (v5, v7] and nothing else — the data files are
-  * immutable, so a replayed range is bit-identical. Non-append
-  * transitions (COW delete / merge / overwrite rewrote or dropped files)
-  * are REFUSED by default, like Delta without `ignoreChanges`: a file
-  * diff would re-emit every surviving row of a rewritten file. Pass
-  * `.option("ignoreChanges", "true")` to tail the added files anyway
-  * (per-file replay semantics, rewritten rows re-emitted — the documented
-  * Delta trade).
+  * stores the cursor reached; `getBatch` after a restart re-reads exactly
+  * the files between the two cursors and nothing else — manifests and
+  * data files are immutable, so a replayed range is bit-identical.
+  * Non-append transitions (COW delete / merge / overwrite rewrote or
+  * dropped files) are REFUSED by default, like Delta without
+  * `ignoreChanges`: a file diff would re-emit every surviving row of a
+  * rewritten file. Pass `.option("ignoreChanges", "true")` to tail the
+  * added files anyway (per-file replay semantics, rewritten rows
+  * re-emitted — the documented Delta trade).
   *
-  * Scale shape: `getOffset` is one manifest-dir listing; `getBatch` is
-  * two manifest reads + a scan of ONLY the new files. Nothing is
-  * proportional to table size except the initial snapshot.
+  * Admission control composes two caps:
+  *   - `maxVersionsPerBatch` — at most n manifest versions per batch;
+  *   - `maxFilesPerBatch` — at most n data files per batch, splitting
+  *     WITHIN a version (including the initial snapshot) when one commit
+  *     carries more files than the cap. An N-file commit arrives as
+  *     ⌈N/cap⌉ batches; a backfilled table's first read arrives bounded
+  *     instead of as one table-sized batch.
+  *
+  * Scale shape: `getOffset` is a manifest-dir listing plus one small
+  * manifest read per admitted version; `getBatch` is a scan of ONLY the
+  * cursor-range files. Nothing is proportional to table size except the
+  * (cap-bounded) initial snapshot.
   *
   * Usage:
   * {{{
@@ -48,6 +60,14 @@ class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegis
       throw new IllegalArgumentException(
         "graft-table source requires .option(\"path\", <table root>)"))
 
+  private def positiveInt(parameters: Map[String, String],
+      name: String): Option[Int] =
+    parameters.get(name).map { v =>
+      val n = v.toInt
+      require(n >= 1, s"$name must be >= 1, got $n")
+      n
+    }
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) =
@@ -60,119 +80,251 @@ class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegis
     new GraftTableSource(sqlContext.sparkSession, rootOf(parameters),
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
       ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean),
-      maxVersionsPerBatch = parameters.get("maxVersionsPerBatch").map { v =>
-        val n = v.toInt
-        require(n >= 1, s"maxVersionsPerBatch must be >= 1, got $n")
-        n
-      },
+      maxVersionsPerBatch = positiveInt(parameters, "maxVersionsPerBatch"),
+      maxFilesPerBatch = positiveInt(parameters, "maxFilesPerBatch"),
       metadataPath = Some(metadataPath))
 }
 
-/** Version offset for [[GraftTableSource]]: `json` is the bare version
-  * number, so the engine's checkpointed `SerializedOffset` round-trips
-  * with a `.toLong`. */
-case class GraftVersionOffset(v: Long) extends Offset {
-  override def json: String = v.toString
+/** Cursor offset for [[GraftTableSource]]: `json` is the bare version
+  * number for a whole-version position (round-trips with old checkpoints
+  * via `.toLong`), or `v:k[:snap]` for a FILE cursor — the first k files
+  * of version v's ordered file list have been emitted, the list being
+  * the full sorted manifest when the `:snap` marker is present (a split
+  * initial snapshot) and the sorted manifest-diff against the previous
+  * version otherwise. */
+case class GraftVersionOffset(v: Long, filePos: Option[Long] = None,
+    snapshot: Boolean = false) extends Offset {
+  override def json: String = filePos match {
+    case Some(k) => s"$v:$k" + (if (snapshot) ":snap" else "")
+    case None    => v.toString
+  }
+}
+
+object GraftVersionOffset {
+  def parse(json: String): GraftVersionOffset = json.trim.split(':') match {
+    case Array(v)            => GraftVersionOffset(v.toLong)
+    case Array(v, k)         => GraftVersionOffset(v.toLong, Some(k.toLong))
+    case Array(v, k, "snap") =>
+      GraftVersionOffset(v.toLong, Some(k.toLong), snapshot = true)
+    case _ =>
+      throw new IllegalArgumentException(s"bad graft-table offset: '$json'")
+  }
 }
 
 class GraftTableSource(spark: SparkSession, root: String,
     override val schema: StructType, ignoreChanges: Boolean,
     maxVersionsPerBatch: Option[Int] = None,
+    maxFilesPerBatch: Option[Int] = None,
     metadataPath: Option[String] = None) extends Source {
 
-  private def versionOf(o: Offset): Long = o match {
-    case GraftVersionOffset(v) => v
-    case other                 => other.json.trim.toLong // SerializedOffset
+  private def cursorOf(o: Offset): GraftVersionOffset = o match {
+    case g: GraftVersionOffset => g
+    case other                 => GraftVersionOffset.parse(other.json)
   }
 
-  private def anchorFile: Option[java.nio.file.Path] =
-    metadataPath.map(m => java.nio.file.Paths.get(m, "graft-last-planned"))
-
-  /** End version of the last batch this source PLANNED — the anchor the
-    * admission cap counts from. Persisted under the source's
-    * metadataPath (atomic move) so the cap survives a restart: without
-    * that, the first post-restart batch of a long backlog would be one
-    * giant catch-up batch (the DSv1 wrinkle Delta's maxFilesPerTrigger
-    * has — getOffset runs before any getBatch reveals the checkpointed
-    * position). Lost/absent state degrades to exactly that documented
-    * behavior, never to wrong data: the cap is admission control only. */
-  @volatile private var lastPlannedEnd: Option[Long] =
-    anchorFile.filter(java.nio.file.Files.exists(_)).flatMap { f =>
-      scala.util.Try(
-        new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim.toLong
-      ).toOption
-    }
-
-  private def persistAnchor(v: Long): Unit = anchorFile.foreach { f =>
-    try {
-      java.nio.file.Files.createDirectories(f.getParent)
-      val tmp = f.resolveSibling(f.getFileName.toString + ".tmp")
-      java.nio.file.Files.write(tmp, v.toString.getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp, f,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    } catch {
-      case _: Throwable =>
-        // A STALE anchor is the one dangerous state: an anchor behind the
-        // engine's committed offset caps getOffset below the stream's
-        // position and stalls it permanently. If we cannot advance the
-        // file, remove it — a restart then degrades to one uncapped
-        // catch-up batch (the documented no-anchor behavior), never to a
-        // stall. Admission state only; never fail a batch over it.
-        try java.nio.file.Files.deleteIfExists(f) catch { case _: Throwable => () }
+  /** The ordered file list a cursor at version `v` indexes into: the full
+    * manifest for a snapshot cursor, the manifest-diff against the
+    * previous committed version otherwise. Sorted — manifests are
+    * immutable, so positions are deterministic across restarts. */
+  private def fileListOf(v: Long, snapshot: Boolean): Seq[String] = {
+    val cur = LakehouseTable.manifestFiles(root, v)
+    if (snapshot) cur.sorted
+    else LakehouseTable.versions(root).takeWhile(_ < v).lastOption match {
+      case None => cur.sorted
+      case Some(prev) =>
+        val before = LakehouseTable.manifestFiles(root, prev).toSet
+        cur.filterNot(before).sorted
     }
   }
 
-  /** Latest committed version — the engine plans a batch whenever this
-    * advances past the last processed offset. With
-    * `maxVersionsPerBatch=n`, a long backlog (a backfill, a restarted
-    * stream behind a busy table) is admitted n manifest versions at a
-    * time instead of as one giant catch-up batch — bounded batch size,
-    * bounded per-batch file lists, steady checkpoint progress. */
-  override def getOffset: Option[Offset] =
-    LakehouseTable.currentVersion(root).map { v =>
-      val capped = (lastPlannedEnd, maxVersionsPerBatch) match {
-        case (Some(last), Some(max)) => math.min(v, last + max)
-        case _                       => v
+  /** The admission-cap anchor lives under the source's metadataPath,
+    * which the engine hands over as a URI STRING (`file:/...`,
+    * `hdfs://...`): resolve it through the Hadoop FileSystem API — the
+    * HDFSMetadataLog pattern — so the anchor lands inside the checkpoint
+    * on any scheme, never at a cwd-relative `file:` literal path. */
+  private def anchorFs: Option[(FileSystem, HPath)] =
+    metadataPath.map { m =>
+      val p = new HPath(m, "graft-last-planned")
+      (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+    }
+
+  /** Cursor of the last batch this source PLANNED — the anchor the
+    * admission caps count from. Persisted under the source's
+    * metadataPath so the caps survive a restart: without that, the first
+    * post-restart batch of a long backlog would be one giant catch-up
+    * batch (the DSv1 wrinkle Delta's maxFilesPerTrigger has — getOffset
+    * runs before any getBatch reveals the checkpointed position).
+    * Lost/absent state degrades to exactly that documented behavior,
+    * never to wrong data: the anchor is admission control only. */
+  @volatile private var lastPlanned: Option[GraftVersionOffset] =
+    anchorFs.flatMap { case (fs, p) =>
+      scala.util.Try {
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          try {
+            val out = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](256)
+            var n = in.read(buf)
+            while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+            Some(GraftVersionOffset.parse(out.toString("UTF-8")))
+          } finally in.close()
+        }
+      }.toOption.flatten
+    }
+
+  private def persistAnchor(c: GraftVersionOffset): Unit =
+    anchorFs.foreach { case (fs, p) =>
+      try {
+        val tmp = new HPath(p.getParent, p.getName + ".tmp")
+        val out = fs.create(tmp, true)
+        try out.write(c.json.getBytes("UTF-8")) finally out.close()
+        fs.delete(p, false)
+        if (!fs.rename(tmp, p)) { fs.delete(tmp, false); fs.delete(p, false) }
+      } catch {
+        case _: Throwable =>
+          // A STALE anchor is the one dangerous state: an anchor behind
+          // the engine's committed offset caps getOffset below the
+          // stream's position and stalls it permanently. If we cannot
+          // advance the file, remove it — a restart then degrades to one
+          // uncapped catch-up batch (the documented no-anchor behavior),
+          // never to a stall. Admission state only; never fail a batch.
+          try fs.delete(p, false) catch { case _: Throwable => () }
       }
-      GraftVersionOffset(capped)
+    }
+
+  /** Latest admitted cursor — the engine plans a batch whenever this
+    * advances past the last processed offset. With the caps set, a long
+    * backlog (a backfill, a restarted stream behind a busy table, one
+    * giant commit) is admitted `maxVersionsPerBatch` versions /
+    * `maxFilesPerBatch` files at a time instead of as one unbounded
+    * catch-up batch — bounded batch size, bounded per-batch file lists,
+    * steady checkpoint progress. */
+  override def getOffset: Option[Offset] =
+    LakehouseTable.currentVersion(root).map { cur =>
+      lastPlanned match {
+        case None =>
+          // Fresh stream (or a restart whose anchor was lost — degrades
+          // to one catch-up batch): plan the snapshot at the current
+          // version, split by the file cap when one is set.
+          maxFilesPerBatch match {
+            case Some(mf) =>
+              val total = fileListOf(cur, snapshot = true).length
+              if (mf >= total) GraftVersionOffset(cur)
+              else GraftVersionOffset(cur, Some(mf.toLong), snapshot = true)
+            case None => GraftVersionOffset(cur)
+          }
+        case Some(c) =>
+          val capV = maxVersionsPerBatch
+            .map(mx => math.min(cur, c.v + mx)).getOrElse(cur)
+          maxFilesPerBatch match {
+            case None =>
+              // version cap only: whole-version offsets, as before. A
+              // partial cursor (file cap removed across a restart)
+              // completes its version via the bare-version offset.
+              if (capV <= c.v && c.filePos.isEmpty) c
+              else GraftVersionOffset(math.max(capV, c.v))
+            case Some(mf) =>
+              // file cursor walk: remainder of the cursor's version,
+              // then later versions' diffs, until the budget is spent.
+              // Empty diffs (metadata-only commits) cost nothing and
+              // are stepped over.
+              var v = c.v
+              var snap = c.snapshot
+              var listLen = fileListOf(v, snap).length.toLong
+              var pos = c.filePos.getOrElse(listLen)
+              var budget = mf.toLong
+              val take0 = math.min(budget, math.max(0L, listLen - pos))
+              pos += take0; budget -= take0
+              val later = LakehouseTable.versions(root)
+                .filter(w => w > c.v && w <= capV)
+              var idx = 0
+              while (idx < later.length && budget > 0 && pos >= listLen) {
+                v = later(idx); snap = false
+                listLen = fileListOf(v, snapshot = false).length.toLong
+                pos = math.min(budget, listLen)
+                budget -= pos
+                idx += 1
+              }
+              // no progress (cursor already at the frontier): re-emit the
+              // cursor VERBATIM — a re-encoded-but-equal position would
+              // read as a new offset and trigger an empty batch
+              if (v == c.v && snap == c.snapshot &&
+                  pos == c.filePos.getOrElse(listLen)) c
+              else GraftVersionOffset(v, Some(pos), snap)
+          }
+      }
     }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val endV = versionOf(end)
-    lastPlannedEnd = Some(endV)
-    persistAnchor(endV)
+    val endC = cursorOf(end)
+    lastPlanned = Some(endC)
+    persistAnchor(endC)
+    def emptyBatch: DataFrame =
+      LakehouseTable.read(spark, root, Some(endC.v)).limit(0)
+    def readSlice(files: Seq[String]): DataFrame =
+      if (files.isEmpty) emptyBatch
+      else LakehouseTable.readFilesLogicalAt(spark, root, endC.v, files)
     val batch = start match {
-      // first batch of a fresh query: the full snapshot at endV (Delta's
-      // initial reservoir read)
-      case None => LakehouseTable.read(spark, root, Some(endV))
+      // first batch(es) of a fresh query: the snapshot at endC.v (Delta's
+      // initial reservoir read), whole or a file-cap prefix of it
+      case None => endC.filePos match {
+        case None    => LakehouseTable.read(spark, root, Some(endC.v))
+        case Some(k) =>
+          readSlice(fileListOf(endC.v, snapshot = true).take(k.toInt))
+      }
       case Some(s) =>
-        val fromV = versionOf(s)
-        if (fromV >= endV)
-          LakehouseTable.read(spark, root, Some(endV)).limit(0)
+        val c = cursorOf(s)
+        if (endC.v < c.v ||
+            (endC.v == c.v && endC.filePos == c.filePos)) emptyBatch
         else {
-          if (!ignoreChanges &&
-              LakehouseTable.removedFilesBetween(root, fromV, endV).nonEmpty)
-            throw new IllegalStateException(
-              s"graft-table stream over $root: versions ($fromV, $endV] " +
-                "rewrote or dropped data files (delete/merge/overwrite/" +
-                "compact); a file-diff batch would re-emit surviving rows. " +
-                "Restart from scratch or set ignoreChanges=true to accept " +
-                "per-file replay semantics.")
-          // a MERGE-ON-READ delete changes no files — it changes a carried
-          // file's deletion-vector entry, retroactively deleting rows this
-          // stream already emitted. A file-diff batch cannot represent
-          // that; refuse like the rewrite case (Delta without
-          // ignoreDeletes has the same contract).
-          if (!ignoreChanges &&
-              LakehouseTable.dvsAt(root, endV) !=
-                LakehouseTable.dvsAt(root, fromV))
-            throw new IllegalStateException(
-              s"graft-table stream over $root: versions ($fromV, $endV] " +
-                "changed deletion vectors (MOR delete); already-emitted " +
-                "rows were retroactively deleted. Restart from scratch or " +
-                "set ignoreChanges=true to skip the deletions.")
-          LakehouseTable.readIncremental(spark, root, fromV, Some(endV))
+          if (endC.v > c.v) {
+            if (!ignoreChanges &&
+                LakehouseTable.removedFilesBetween(root, c.v, endC.v).nonEmpty)
+              throw new IllegalStateException(
+                s"graft-table stream over $root: versions (${c.v}, ${endC.v}] " +
+                  "rewrote or dropped data files (delete/merge/overwrite/" +
+                  "compact); a file-diff batch would re-emit surviving rows. " +
+                  "Restart from scratch or set ignoreChanges=true to accept " +
+                  "per-file replay semantics.")
+            // a MERGE-ON-READ delete changes no files — it changes a
+            // carried file's deletion-vector entry, retroactively deleting
+            // rows this stream already emitted. A file-diff batch cannot
+            // represent that; refuse like the rewrite case (Delta without
+            // ignoreDeletes has the same contract).
+            if (!ignoreChanges &&
+                LakehouseTable.dvsAt(root, endC.v) !=
+                  LakehouseTable.dvsAt(root, c.v))
+              throw new IllegalStateException(
+                s"graft-table stream over $root: versions (${c.v}, ${endC.v}] " +
+                  "changed deletion vectors (MOR delete); already-emitted " +
+                  "rows were retroactively deleted. Restart from scratch or " +
+                  "set ignoreChanges=true to skip the deletions.")
+          }
+          val files = scala.collection.mutable.ArrayBuffer[String]()
+          if (endC.v == c.v) {
+            // same version, file position advanced: a slice of one list
+            val list = fileListOf(c.v, c.snapshot)
+            val from = c.filePos.getOrElse(list.length.toLong).toInt
+            val to = endC.filePos.map(_.toInt).getOrElse(list.length)
+            files ++= list.slice(from, to)
+          } else {
+            c.filePos.foreach { k =>
+              files ++= fileListOf(c.v, c.snapshot).drop(k.toInt)
+            }
+            LakehouseTable.versions(root)
+              .filter(w => w > c.v && w < endC.v)
+              .foreach(w => files ++= fileListOf(w, snapshot = false))
+            val listE = fileListOf(endC.v, snapshot = false)
+            files ++= endC.filePos.map(k => listE.take(k.toInt)).getOrElse(listE)
+          }
+          // net semantics: a file added then removed again WITHIN this
+          // planned range (possible only under ignoreChanges) is not
+          // read — same contract as a manifest-diff readIncremental.
+          // The filter is against the immutable end manifest, so a
+          // checkpoint replay of this exact range reproduces it.
+          val alive = LakehouseTable.manifestFiles(root, endC.v).toSet
+          readSlice(files.toSeq.filter(alive))
         }
     }
     // the engine requires every batch to match the schema it planned at
@@ -187,9 +339,9 @@ class GraftTableSource(spark: SparkSession, root: String,
     // type-change case. (A column merely absent from THIS batch's files
     // — a ragged append — still null-fills below, as the batch read
     // itself would.)
-    val droppedNow = LakehouseTable.droppedColumnsAt(root, endV)
+    val droppedNow = LakehouseTable.droppedColumnsAt(root, endC.v)
       .map(_.toLowerCase).toSet
-    val renamedAway = LakehouseTable.renamedColumnsAt(root, endV)
+    val renamedAway = LakehouseTable.renamedColumnsAt(root, endC.v)
       .map(_._1.toLowerCase).toSet
     schema.foreach { f =>
       if (droppedNow.contains(f.name.toLowerCase) ||

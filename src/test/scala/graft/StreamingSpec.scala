@@ -666,6 +666,59 @@ class StreamingSpec extends AnyFunSuite {
       Option(c.getMessage).exists(_.contains("dropped or renamed"))))
   }
 
+  test("maxFilesPerBatch splits a giant commit into bounded batches, restart-safe; anchor lives in the checkpoint") {
+    import graft.sources.{LakehouseTable => LT}
+    val base = Files.createTempDirectory("graft-table-filecap")
+    val root = base.resolve("tbl").toString
+    val ckpt = base.resolve("ckpt").toString
+    // v0: a multi-file snapshot (round-robin repartition; AQE may coalesce,
+    // so the expected batch count is derived from the committed manifest)
+    // — with cap 2 it must arrive as ⌈files/2⌉ batches
+    LT.create(spark.range(0, 10, 1, 5).select(col("id"),
+      (col("id") % 5).cast("string").as("v")), root)
+    val snapFiles = LT.fileCount(root, 0L)
+    assert(snapFiles >= 3, s"fixture too small: $snapFiles files at v0")
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Set[Long]]()
+    def stream() = spark.readStream
+      .format("graft-table").option("path", root)
+      .option("maxFilesPerBatch", "2").load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = b.collect().map(_.getLong(0)).toSet
+        if (s.nonEmpty) batches.add(s); ()
+      }.start()
+    val q = stream()
+    q.processAllAvailable(); q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(batches.size == (snapFiles + 1) / 2,
+      s"$snapFiles-file snapshot at cap 2 should arrive as ${(snapFiles + 1) / 2} " +
+        s"batches, got ${batches.asScala.toList}")
+    assert(batches.asScala.flatten.toSet == (0L until 10L).toSet)
+    // the admission anchor must live INSIDE the checkpoint (metadataPath
+    // is a file: URI — resolved through Hadoop FS, not java.nio), and no
+    // cwd-relative 'file:' litter may appear
+    assert(Files.exists(Paths.get(ckpt, "sources", "0", "graft-last-planned")),
+      "anchor not persisted under the checkpoint's sources/0 dir")
+    assert(Files.notExists(Paths.get("file:")),
+      "cwd-relative 'file:' directory created — metadataPath URI mishandled")
+    // one multi-file commit while the query is DOWN → the restarted
+    // stream (anchor-carried cap) must admit it as ⌈files/2⌉ batches,
+    // no replays
+    LT.append(spark.range(10, 18, 1, 4).select(col("id"),
+      (col("id") % 5).cast("string").as("v")), root)
+    val commitFiles = LT.fileCount(root, 1L) - snapFiles
+    assert(commitFiles >= 3, s"fixture too small: $commitFiles files in commit")
+    batches.clear()
+    val q2 = stream()
+    q2.processAllAvailable(); q2.stop()
+    assert(batches.size == (commitFiles + 1) / 2,
+      s"$commitFiles-file commit at cap 2 should arrive as " +
+        s"${(commitFiles + 1) / 2} batches, got ${batches.asScala.toList}")
+    assert(batches.asScala.flatten.toSet == (10L until 18L).toSet,
+      s"replayed or lost rows: ${batches.asScala.toList}")
+  }
+
   test("graft-table source refuses a rewrite range unless ignoreChanges") {
     import spark.implicits._
     import graft.sources.{LakehouseTable => LT}
