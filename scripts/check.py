@@ -20,11 +20,13 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
-    # bound the oracle's parallelism: the heavy IVF-build CTEs transiently
-    # OOM when 178 queries share one connection on a loaded host; fewer
-    # threads -> smaller intermediates, and a failed query gets one quiet
-    # retry on a FRESH connection before it counts as a failure
+    # bound the oracle's parallelism AND memory: the heavy IVF-build CTEs
+    # transiently OOM when 178 queries share one connection on a loaded
+    # host; fewer threads -> smaller intermediates, an explicit
+    # memory_limit makes DuckDB spill instead of aborting, and a failed
+    # query gets one quiet retry on a FRESH connection before it counts
     con.execute("SET threads=4")
+    con.execute("SET memory_limit='8GB'")
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
         p = f"{sf_dir}/{t}.parquet"
@@ -45,6 +47,7 @@ def main():
             try:  # one retry on a fresh, quieter connection
                 c2 = duckdb.connect()
                 c2.execute("SET threads=2")
+                c2.execute("SET memory_limit='8GB'")
                 for t_ in ["region","nation","customer","supplier","part","orders",
                            "lineitem","events","documents","embeddings"]:
                     p_ = f"{sf_dir}/{t_}.parquet"

@@ -477,11 +477,11 @@ object Similarity {
   /** DuckDB twin of [[gramRelation]] (the oracle pays the relational
     * explode form — n·d² rows is fine at gate SF). */
   private def sqlGramCtes: String =
-    s"""qg AS (SELECT vec_id, list_transform(embedding,
+    s"""qg AS MATERIALIZED (SELECT vec_id, list_transform(embedding,
           x -> CAST(round(CAST(x AS DOUBLE) * $KmQScale) AS BIGINT)) AS q
         FROM embeddings),
-      gx AS (SELECT vec_id, unnest(range(1, ${Dims + 1})) AS i, unnest(q) AS x FROM qg),
-      gram AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.x * b.x) AS BIGINT) AS s
+      gx AS MATERIALIZED (SELECT vec_id, unnest(range(1, ${Dims + 1})) AS i, unnest(q) AS x FROM qg),
+      gram AS MATERIALIZED (SELECT a.i AS i, b.i AS j, CAST(sum(a.x * b.x) AS BIGINT) AS s
                FROM gx a JOIN gx b ON a.vec_id = b.vec_id AND a.i <= b.i
                GROUP BY 1, 2)"""
 
@@ -1072,14 +1072,20 @@ object Similarity {
     * all IEEE-exact in both engines). Ends with CTEs `cv2` (final centroid
     * vectors) and `assigned` (vec_id → cell), shared by q37 and q104. */
   private lazy val ivfBuildCtes: String = {
+    // every CTE is MATERIALIZED: DuckDB inlines plain CTEs per reference,
+    // and this chain is 9 deep with multi-referenced stages (assigned,
+    // cv2, el) — inlining re-expands the whole upstream build per use,
+    // which is the plan/memory blowup that OOM'd the driver's gate on
+    // q37. Materialized, each stage computes once into a bounded buffer
+    // (el is N·dims rows; everything else is O(N) or O(k·dims)).
     def assignSql(cv: String, out: String) =
-      s"""$out AS (SELECT vec_id, cid FROM (
+      s"""$out AS MATERIALIZED (SELECT vec_id, cid FROM (
             SELECT e.vec_id, v.cid,
               row_number() OVER (PARTITION BY e.vec_id
                 ORDER BY ${V.sqlCosine("e.embedding", "v.cv")} DESC, v.cid) AS rn
             FROM embeddings e, $cv v) WHERE rn = 1)"""
     def medianSql(assign: String, out: String) =
-      s"""$out AS (SELECT cid, pos, min(bin) / $Bins.0 AS c FROM (
+      s"""$out AS MATERIALIZED (SELECT cid, pos, min(bin) / $Bins.0 AS c FROM (
             SELECT cid, pos, bin,
               sum(cnt) OVER (PARTITION BY cid, pos ORDER BY bin) AS cum,
               sum(cnt) OVER (PARTITION BY cid, pos) AS total
@@ -1089,10 +1095,10 @@ object Similarity {
                   GROUP BY 1, 2, 3))
           WHERE cum * 2 >= total GROUP BY cid, pos)"""
     def vecSql(long: String, out: String) =
-      s"""$out AS (SELECT cid, list(c ORDER BY pos) AS cv FROM $long GROUP BY cid)"""
-    s"""el AS (SELECT vec_id, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS x
+      s"""$out AS MATERIALIZED (SELECT cid, list(c ORDER BY pos) AS cv FROM $long GROUP BY cid)"""
+    s"""el AS MATERIALIZED (SELECT vec_id, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS x
                FROM embeddings, range(0, $Dims) t(i)),
-        c0 AS (SELECT vec_id AS cid, pos, x AS c FROM el WHERE vec_id < $IvfK),
+        c0 AS MATERIALIZED (SELECT vec_id AS cid, pos, x AS c FROM el WHERE vec_id < $IvfK),
         ${vecSql("c0", "cv0")},
         ${assignSql("cv0", "a1")}, ${medianSql("a1", "c1")}, ${vecSql("c1", "cv1")},
         ${assignSql("cv1", "a2")}, ${medianSql("a2", "c2")}, ${vecSql("c2", "cv2")},
@@ -1143,24 +1149,24 @@ object Similarity {
     def distE(qa: String, ca: String) =
       s"list_sum(list_transform(list_zip($qa, $ca), p -> (p[1] - p[2]) * (p[1] - p[2])))"
     def assign(prev: String, out: String) =
-      s"""$out AS (SELECT vec_id, label, q, cid, dist FROM (
+      s"""$out AS MATERIALIZED (SELECT vec_id, label, q, cid, dist FROM (
             SELECT v.vec_id, v.label, v.q, c.cid,
                    ${distE("v.q", "c.q")} AS dist,
                    row_number() OVER (PARTITION BY v.vec_id
                      ORDER BY ${distE("v.q", "c.q")}, c.cid) AS rn
             FROM qv v CROSS JOIN $prev c) WHERE rn = 1)"""
     def update(assigned: String, prev: String, out: String) =
-      s"""${out}s AS (SELECT cid, pos, CAST(sum(x) AS BIGINT) AS sx, count(*) AS n
+      s"""${out}s AS MATERIALIZED (SELECT cid, pos, CAST(sum(x) AS BIGINT) AS sx, count(*) AS n
              FROM (SELECT cid, unnest(range(1, ${Dims + 1})) AS pos,
                      unnest(q) AS x FROM $assigned)
              GROUP BY cid, pos),
-          $out AS (SELECT c.cid, COALESCE(u.q, c.q) AS q FROM $prev c
+          $out AS MATERIALIZED (SELECT c.cid, COALESCE(u.q, c.q) AS q FROM $prev c
              LEFT JOIN (SELECT cid, list(sx // n ORDER BY pos) AS q
                         FROM ${out}s GROUP BY cid) u USING (cid))"""
-    s"""qv AS (SELECT vec_id, label, list_transform(embedding,
+    s"""qv AS MATERIALIZED (SELECT vec_id, label, list_transform(embedding,
             x -> CAST(round(CAST(x AS DOUBLE) * $KmQScale) AS BIGINT)) AS q
           FROM embeddings),
-        kc0 AS (SELECT CAST(vec_id AS BIGINT) AS cid, q FROM qv WHERE vec_id < $KmK),
+        kc0 AS MATERIALIZED (SELECT CAST(vec_id AS BIGINT) AS cid, q FROM qv WHERE vec_id < $KmK),
         ${assign("kc0", "a1")},
         ${update("a1", "kc0", "kc1")},
         ${assign("kc1", "a2")},
@@ -1198,19 +1204,19 @@ object Similarity {
     // HUGEINT, whose `//` truncates toward zero exactly like BigInt
     "q163_top_pc" -> {
       val rounds = (1 to 6).map { r =>
-        s"""w$r AS (SELECT gs.i AS pos, CAST(sum(gs.g * v${r - 1}.v) AS BIGINT) AS w
+        s"""w$r AS MATERIALIZED (SELECT gs.i AS pos, CAST(sum(gs.g * v${r - 1}.v) AS BIGINT) AS w
                FROM gs JOIN v${r - 1} ON gs.j = v${r - 1}.pos GROUP BY gs.i),
-            n$r AS (SELECT max(abs(w)) AS n FROM w$r),
-            v$r AS (SELECT pos, CAST((CAST(w AS HUGEINT) * 1000000)
+            n$r AS MATERIALIZED (SELECT max(abs(w)) AS n FROM w$r),
+            v$r AS MATERIALIZED (SELECT pos, CAST((CAST(w AS HUGEINT) * 1000000)
                       // (SELECT n FROM n$r) AS BIGINT) AS v FROM w$r)"""
       }.mkString(",\n          ")
       s"""WITH $sqlGramCtes,
-          gfull AS (SELECT i, j, s FROM gram
+          gfull AS MATERIALIZED (SELECT i, j, s FROM gram
                     UNION ALL
                     SELECT j AS i, i AS j, s FROM gram WHERE i <> j),
           sc AS (SELECT greatest(CAST(1 AS BIGINT),
                    max(abs(s)) // 1000000000) AS scale FROM gram),
-          gs AS (SELECT i, j, s // (SELECT scale FROM sc) AS g FROM gfull),
+          gs AS MATERIALIZED (SELECT i, j, s // (SELECT scale FROM sc) AS g FROM gfull),
           v0 AS (SELECT unnest(range(1, ${Dims + 1})) AS pos,
                    CAST(1000000 AS BIGINT) AS v),
           $rounds
@@ -1250,28 +1256,28 @@ object Similarity {
       val dist = (a: String, b: String) =>
         s"list_sum(list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2])))"
       def assign(prev: String, out: String) =
-        s"""$out AS (SELECT vec_id, label, blk, sq, cid FROM (
+        s"""$out AS MATERIALIZED (SELECT vec_id, label, blk, sq, cid FROM (
               SELECT v.vec_id, v.label, v.blk, v.sq, c.cid,
                 row_number() OVER (PARTITION BY v.vec_id, v.blk
                   ORDER BY ${dist("v.sq", "c.cq")}, c.cid) AS rn
               FROM qb v JOIN $prev c ON v.blk = c.blk) WHERE rn = 1)"""
       def update(assigned: String, prev: String, out: String) =
-        s"""${out}s AS (SELECT blk, cid, pos, CAST(sum(x) AS BIGINT) AS sx,
+        s"""${out}s AS MATERIALIZED (SELECT blk, cid, pos, CAST(sum(x) AS BIGINT) AS sx,
                count(*) AS n
              FROM (SELECT blk, cid, unnest(range(1, ${PqSub + 1})) AS pos,
                      unnest(sq) AS x FROM $assigned)
              GROUP BY 1, 2, 3),
-            $out AS (SELECT c.blk, c.cid, COALESCE(u.cq, c.cq) AS cq
+            $out AS MATERIALIZED (SELECT c.blk, c.cid, COALESCE(u.cq, c.cq) AS cq
              FROM $prev c LEFT JOIN
                (SELECT blk, cid, list(sx // n ORDER BY pos) AS cq
                 FROM ${out}s GROUP BY blk, cid) u USING (blk, cid))"""
-      s"""WITH qv AS (SELECT vec_id, label, list_transform(embedding,
+      s"""WITH qv AS MATERIALIZED (SELECT vec_id, label, list_transform(embedding,
                 x -> CAST(round(CAST(x AS DOUBLE) * $KmQScale) AS BIGINT)) AS q
               FROM embeddings),
-          qb AS (SELECT vec_id, label, CAST(t.blk AS INTEGER) AS blk,
+          qb AS MATERIALIZED (SELECT vec_id, label, CAST(t.blk AS INTEGER) AS blk,
                    q[t.blk * $PqSub + 1 : (t.blk + 1) * $PqSub] AS sq
                  FROM qv CROSS JOIN range(0, $PqM) t(blk)),
-          pc0 AS (SELECT blk, CAST(vec_id AS BIGINT) AS cid, sq AS cq
+          pc0 AS MATERIALIZED (SELECT blk, CAST(vec_id AS BIGINT) AS cid, sq AS cq
                   FROM qb WHERE vec_id < $PqK),
           ${assign("pc0", "pa1")},
           ${update("pa1", "pc0", "pu1")},
@@ -1322,36 +1328,36 @@ object Similarity {
       val dist = (a: String, b: String) =>
         s"list_sum(list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2])))"
       def assign(prev: String, out: String) =
-        s"""$out AS (SELECT vec_id, label, ccid, blk, sq, code FROM (
+        s"""$out AS MATERIALIZED (SELECT vec_id, label, ccid, blk, sq, code FROM (
               SELECT v.vec_id, v.label, v.ccid, v.blk, v.sq, c.code,
                 row_number() OVER (PARTITION BY v.vec_id, v.blk
                   ORDER BY ${dist("v.sq", "c.cq")}, c.code) AS rn
               FROM rb v JOIN $prev c ON v.blk = c.blk) WHERE rn = 1)"""
       def update(assigned: String, prev: String, out: String) =
-        s"""${out}s AS (SELECT blk, code, pos, CAST(sum(x) AS BIGINT) AS sx,
+        s"""${out}s AS MATERIALIZED (SELECT blk, code, pos, CAST(sum(x) AS BIGINT) AS sx,
                count(*) AS n
              FROM (SELECT blk, code, unnest(range(1, ${PqSub + 1})) AS pos,
                      unnest(sq) AS x FROM $assigned)
              GROUP BY 1, 2, 3),
-            $out AS (SELECT c.blk, c.code, COALESCE(u.cq, c.cq) AS cq
+            $out AS MATERIALIZED (SELECT c.blk, c.code, COALESCE(u.cq, c.cq) AS cq
              FROM $prev c LEFT JOIN
                (SELECT blk, code, list(sx // n ORDER BY pos) AS cq
                 FROM ${out}s GROUP BY blk, code) u USING (blk, code))"""
       s"""WITH $sqlKmCtes,
-          rv AS (SELECT a.vec_id, a.label, a.cid AS ccid,
+          rv AS MATERIALIZED (SELECT a.vec_id, a.label, a.cid AS ccid,
                    list_transform(list_zip(a.q, c.q), p -> p[1] - p[2]) AS r
                  FROM a3 a JOIN kc2 c ON a.cid = c.cid),
-          rb AS (SELECT vec_id, label, ccid, CAST(t.blk AS INTEGER) AS blk,
+          rb AS MATERIALIZED (SELECT vec_id, label, ccid, CAST(t.blk AS INTEGER) AS blk,
                    r[t.blk * $PqSub + 1 : (t.blk + 1) * $PqSub] AS sq
                  FROM rv CROSS JOIN range(0, $PqM) t(blk)),
-          rc0 AS (SELECT blk, CAST(vec_id AS BIGINT) AS code, sq AS cq
+          rc0 AS MATERIALIZED (SELECT blk, CAST(vec_id AS BIGINT) AS code, sq AS cq
                   FROM rb WHERE vec_id < $PqK),
           ${assign("rc0", "ra1")},
           ${update("ra1", "rc0", "ru1")},
           ${assign("ru1", "ra2")},
           ${update("ra2", "ru1", "ru2")},
           ${assign("ru2", "ra3")},
-          qf AS (SELECT vec_id AS qid, CAST(label AS BIGINT) AS qlabel, q
+          qf AS MATERIALIZED (SELECT vec_id AS qid, CAST(label AS BIGINT) AS qlabel, q
                  FROM qv WHERE vec_id < $PqNq),
           route AS (SELECT qid, cid FROM (
                       SELECT f.qid, c.cid,
