@@ -53,10 +53,14 @@ object TextAnalysis {
         val lm = bg.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
           .withColumn("w1", substring_index(col("bg"), " ", 1))
         val ctx = lm.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
-        val vals = lm.select(col("c12").as("v"))
-          .union(ctx.select(col("c1").as("v")))
-          .distinct().collect().map(_.getLong(0))
-        val wdf = vals.toSeq.map(v => (v, T.ilog2Fp(v, 1))).toDF("v", "w")
+        // the value-keyed log table is built DISTRIBUTED: the compiled
+        // ilog2Fp expression maps the distinct count values in place (a
+        // few hundred rows at any corpus size — the distinct-count
+        // relation, not the corpus) and broadcast-joins back; no
+        // collect(), nothing driver-sized anywhere in the lineage
+        val wdf = lm.select(col("c12").as("v"))
+          .union(ctx.select(col("c1").as("v"))).distinct()
+          .select(col("v"), graft.plans.TextExpressions.ilog2Fp(col("v")).as("w"))
         lm.join(ctx, "w1")
           .join(broadcast(wdf).select(col("v").as("c12"), col("w").as("w12")), "c12")
           .join(broadcast(wdf).select(col("v").as("c1"), col("w").as("w1l")), "c1")

@@ -282,6 +282,11 @@ object TextExpressions {
     (n * graft.functions.TextFunctions.ilog2Fp(n, 1) - sumcw) / n
   }
 
+  /** Scalar body of [[Ilog2Fp]] — delegates to THE fixed-point log2
+    * implementation (TextFunctions.ilog2Fp), so the compiled column form
+    * cannot fork from the scalar/oracle arithmetic. */
+  def evalIlog2Fp(n: Long): Long = graft.functions.TextFunctions.ilog2Fp(n, 1)
+
   def evalAdjacentPairs(input: UTF8String): ArrayData = {
     val toks = tokenize(input.toString)
     if (toks.length < 2) new GenericArrayData(Array.empty[Any])
@@ -458,8 +463,28 @@ object TextExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Fixed-point integer log2 of a positive BIGINT (den = 1), 1/4096-bit
+    * units — the compiled column form of TextFunctions.ilog2Fp, so a
+    * value-keyed log table can be BUILT DISTRIBUTED (select over the
+    * distinct-count relation + broadcast join) instead of collecting the
+    * distinct values to the driver. Null in → null out; the domain
+    * require (> 0) matches the scalar form. */
+  case class Ilog2Fp(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "ilog2_fp"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, LongType, prettyName)
+    override def nullSafeEval(input: Any): Any =
+      evalIlog2Fp(input.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Self.evalIlog2Fp($c)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   def tokens(text: Column): Column =
     ColumnBridge.column(Tokens(ColumnBridge.expression(text)))
+  def ilog2Fp(n: Column): Column =
+    ColumnBridge.column(Ilog2Fp(ColumnBridge.expression(n)))
   def adjacentPairs(text: Column): Column =
     ColumnBridge.column(AdjacentPairs(ColumnBridge.expression(text)))
   def winnowFps(text: Column, k: Int, w: Int): Column =

@@ -93,6 +93,23 @@ class PlansSpec extends AnyFunSuite {
     assert(short.forall(_.getSeq[Long](0).isEmpty))
   }
 
+  test("Ilog2Fp compiled column == TextFunctions.ilog2Fp scalar, null-safe") {
+    import spark.implicits._
+    // powers of two, power±1 boundaries, and the large end of the domain
+    val vals = (Seq(1L, 2L, 3L, 5L, 7L, 100L, 4095L, 4096L, 4097L) ++
+      (0 to 41).map(1L << _) ++ (1 to 41).map(b => (1L << b) - 1)).distinct
+    val got = vals.toDF("v")
+      .select(col("v"), X.ilog2Fp(col("v")).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    vals.foreach { v =>
+      assert(got(v) == graft.functions.TextFunctions.ilog2Fp(v, 1),
+        s"ilog2Fp($v): compiled ${got(v)} != scalar")
+    }
+    val n = Seq[java.lang.Long](null).toDF("v")
+      .select(X.ilog2Fp(col("v")).as("w")).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("WordShingles on degenerate inputs") {
     import spark.implicits._
     val rows = Seq("", "  ", "one two", "a b c", "x x x x")
