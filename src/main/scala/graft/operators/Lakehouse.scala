@@ -155,7 +155,7 @@ object Lakehouse {
     * oracle computes from raw events — the write protocol is correct iff
     * the table state is indistinguishable from the derivation. */
   private[graft] def eventsScd2Root(s: SparkSession, d: String): String = {
-    val root = TableCache.root(d, "events", "scd2-seg:v1")
+    val root = TableCache.root(d, "events", "scd2-seg:v2")
     try TableCache.locked(root) {
       lazy val ev = Tables.events(s, d)
         .select(col("user_id"), col("event_type").as("seg"), col("ts"),
@@ -183,14 +183,19 @@ object Lakehouse {
         val closes = delta.filter(col("cur_seg").isNotNull)
           .select(col("user_id"), col("cur_seg").as("seg"), col("valid_from"),
             col("ts").as("valid_to"), lit(false).as("is_current"))
-        if (closes.limit(1).count() > 0)
-          LakehouseTable.merge(s, root, closes, Seq("user_id", "valid_from"),
-            txn = Some(k), txnApp = "scd2")
         val opens = delta.select(col("user_id"), col("seg"),
           col("ts").as("valid_from"),
           lit(null).cast("timestamp").as("valid_to"), lit(true).as("is_current"))
-        if (opens.limit(1).count() > 0)
-          LakehouseTable.append(opens, root, txn = Some(k), txnApp = "scd2")
+        // closes AND opens land in ONE merge commit: a close matches its
+        // history row on (user_id, valid_from) and rewrites it; an open's
+        // key (valid_from = the change ts) matches nothing and inserts.
+        // Two commits sharing txn id k had a crash window — the close
+        // committed, lastTxn advanced to k, and the resume guard then
+        // skipped the opens forever (the batch half-applied with no
+        // repair path).
+        if (delta.limit(1).count() > 0)
+          LakehouseTable.merge(s, root, closes.unionByName(opens),
+            Seq("user_id", "valid_from"), txn = Some(k), txnApp = "scd2")
       }
       if (LakehouseTable.versions(root).isEmpty)
         LakehouseTable.create(batch(0)

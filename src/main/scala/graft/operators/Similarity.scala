@@ -337,7 +337,7 @@ object Similarity {
     * the block's PqSub quantized dims, ties to the lower code id (the
     * kmNearest convention, per block). */
   private def pqNearest(cents: Array[Array[Array[Long]]], b: Int): Column =
-    array_min(array((0 until PqK).map { k =>
+    array_min(array(cents(b).indices.map { k =>
       struct(
         aggregate(zip_with(
             slice(col("q"), b * PqSub + 1, PqSub),
@@ -410,7 +410,16 @@ object Similarity {
       val init = qdf.filter(col("vec_id") < PqK)
         .orderBy(col("vec_id")).collect()
         .map(r => r.getSeq[Long](r.fieldIndex("q")).toArray)
-      Array.tabulate(PqM, PqK)((b, k) => init(k).slice(b * PqSub, (b + 1) * PqSub))
+      // a corpus with id gaps (or fewer than PqK vectors) seeds FEWER
+      // codes — the same short-codebook behavior the DuckDB twin's pc0
+      // CTE has (it trains with however many vec_id < PqK rows exist),
+      // instead of an ArrayIndexOutOfBounds on init(k). Assignment
+      // ordering is unaffected: codes are ranked by seed order on both
+      // sides.
+      require(init.nonEmpty,
+        s"pqFit: no vectors with vec_id < $PqK to seed the codebooks")
+      Array.tabulate(PqM, init.length)((b, k) =>
+        init(k).slice(b * PqSub, (b + 1) * PqSub))
     }
     def nnCol = array((0 until PqM).map(b => pqNearest(cents, b)): _*)
     for (_ <- 1 to 2) {
@@ -427,7 +436,7 @@ object Similarity {
         case (key, rows) =>
           key -> rows.sortBy(_.getInt(2)).map(r => r.getLong(3) / r.getLong(4))
       }
-      cents = Array.tabulate(PqM, PqK)((b, k) =>
+      cents = Array.tabulate(PqM, cents(0).length)((b, k) =>
         upd.get((b, k.toLong)).map(_.toArray).getOrElse(cents(b)(k)))
     }
     val enc = qdf.withColumn("codes",

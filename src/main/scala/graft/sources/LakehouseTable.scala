@@ -1296,6 +1296,19 @@ object LakehouseTable {
 
   private val IdentRe = "[A-Za-z_][A-Za-z0-9_]*"
 
+  /** Total row count of `relFiles` from parquet FOOTERS only — no data
+    * pages, no SparkSession (for metadata-path guards). */
+  private def footerRowCount(root: String, relFiles: Seq[String]): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = new org.apache.hadoop.conf.Configuration()
+    relFiles.map { rel =>
+      val p = new org.apache.hadoop.fs.Path(dataDir(root).resolve(rel).toString)
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      try reader.getRecordCount finally reader.close()
+    }.sum
+  }
+
   /** Enable a GENERATED-ALWAYS identity column: metadata-only commit
     * recording (id column, order keys, watermark = 0). Subsequent
     * [[appendWithIdentity]] calls allocate wm+1..wm+n. The graft variant
@@ -1312,6 +1325,16 @@ object LakehouseTable {
       s"identity needs valid id column + order keys: $idCol, $orderKeys")
     require(identityAt(root, cur).isEmpty,
       s"identity already enabled at $root")
+    // only on a ROW-empty table: existing rows carry no id value, so
+    // later reads would surface nulls in a column appendWithIdentity
+    // declares non-nullable — and id arithmetic downstream would silently
+    // mis-aggregate. Footer-only count (an empty-seed create still writes
+    // a zero-row part file; that is fine). A backfill variant would need
+    // a full rewrite; the supported path is enable-then-ingest.
+    require(footerRowCount(root, readManifest(root, cur)) == 0L,
+      s"identity can only be enabled on an empty table; $root already " +
+        "holds rows that have no id value (create the table empty, " +
+        "enable identity, then ingest via appendWithIdentity)")
     commit(root, cur + 1, readManifest(root, cur),
       identity = Some(encodeIdentity(idCol, orderKeys, 0L)))
   }
