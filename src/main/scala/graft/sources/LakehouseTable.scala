@@ -359,8 +359,7 @@ object LakehouseTable {
     * every write path starts from a DataFrame) skips and self-heals on
     * the next commit too. */
   private def maybeAdvanceDeltaLog(root: String): Unit =
-    if (Files.isDirectory(Paths.get(root, "_delta_log")) &&
-        currentVersion(root).forall(v => dvsAt(root, v).isEmpty))
+    if (Files.isDirectory(Paths.get(root, "_delta_log")))
       SparkSession.getActiveSession.foreach { spark =>
         // the manifest commit ALREADY SUCCEEDED: a mirror hiccup may only
         // lag the log (self-healed by the next commit's export), never
@@ -848,14 +847,6 @@ object LakehouseTable {
     Files.createDirectories(logDir)
     val vs = versions(root)
     require(vs.nonEmpty, s"no table at $root")
-    // a foreign Delta reader cannot apply graft deletion vectors, and the
-    // export shares data files in place — exporting a DV-active version
-    // would resurrect its deleted rows. The write-through hook skips
-    // while DVs are active (mirror lags, stays correct) and resumes after
-    // materializeDvs; an EXPLICIT export states the requirement.
-    require(dvsAt(root, vs.last).isEmpty,
-      s"table at $root has active deletion vectors; run materializeDvs " +
-        "before exporting the Delta mirror")
     def esc(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"")
     def partitionValues(rel: String): String =
@@ -864,6 +855,7 @@ object LakehouseTable {
         .mkString("{", ",", "}")
     var prev = Seq.empty[String]
     var prevCols: Option[(String, String, String, String)] = None
+    var prevDvs = Map.empty[String, String]
     var mappingAnnounced = false
     // column-mapping ids, keyed by PHYSICAL name (stable across renames),
     // assigned in first-appearance order over the version walk. The walk
@@ -894,6 +886,7 @@ object LakehouseTable {
         encodeRenames(renamedColumnsAt(root, seedV)),
         droppedColumnsAt(root, seedV).mkString(","),
         encodeWidens(widenedColumnsAt(root, seedV))))
+      prevDvs = dvsAt(root, seedV).toMap
       // only consulted when mappingActive, which the fast path excludes
       mappingAnnounced = true
     }
@@ -907,6 +900,7 @@ object LakehouseTable {
         droppedColumnsAt(root, v).mkString(","),
         encodeWidens(widenedColumnsAt(root, v)))
       val target = logDir.resolve(f"$v%020d.json")
+      val curDvs = dvsAt(root, v).toMap
       val schemaChanged = v == vs.head || !prevCols.contains(cols)
       val mappingActive = cols._2.nonEmpty || cols._3.nonEmpty
       if (schemaChanged) {
@@ -953,6 +947,13 @@ object LakehouseTable {
           sb.append("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""").append('\n')
           mappingAnnounced = true
         }
+        // deletionVectors is a table FEATURE (reader 3 / writer 7 with
+        // feature lists, per the Delta spec); announce at the first
+        // DV-bearing version (a repeat after a DV-free gap is a legal,
+        // identical protocol action)
+        if (curDvs.nonEmpty && prevDvs.isEmpty)
+          sb.append("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""")
+            .append('\n')
         if (schemaChanged) {
           // logical schema, each field annotated with its stable PHYSICAL
           // parquet name (Delta column mapping, name mode) whenever a
@@ -969,18 +970,47 @@ object LakehouseTable {
         }
         val curSet = cur.toSet
         val prevSet = prev.toSet
-        prev.filterNot(curSet).foreach { f =>
-          sb.append(s"""{"remove":{"path":"data/${esc(deltaEncodePath(f))}","deletionTimestamp":0,"dataChange":true}}""")
-            .append('\n')
-        }
-        cur.filterNot(prevSet).foreach { f =>
+        // DELETION VECTORS: a MOR delete changes no files — it changes a
+        // carried file's DV entry. Export that as the spec's remove +
+        // re-add-with-deletionVector of the same path in one commit (how
+        // Delta itself commits a DV update); the bitmap is written as a
+        // spec DV blob (DeltaDv) with the positions from the graft
+        // sidecar. One sidecar read covers every file whose DV changed.
+        val dvChangedFiles = cur.filter(f =>
+          curDvs.get(f) != prevDvs.get(f) &&
+            (prevSet.contains(f) || curDvs.contains(f)))
+        val posByFile: Map[String, Array[Long]] =
+          if (dvChangedFiles.forall(f => !curDvs.contains(f))) Map.empty
+          else dvRows(spark, root,
+              curDvs.filter(e => dvChangedFiles.contains(e._1)))
+            .collect()
+            .groupBy(_.getString(0))
+            .map { case (p, rows) => p -> rows.map(_.getLong(1)).sorted }
+        def dvJson(f: String): String =
+          if (!curDvs.contains(f)) ""
+          else {
+            val d = graft.sources.DeltaDv.writeDvFile(root, s"$root#$v#$f",
+              posByFile.getOrElse(f, Array.empty[Long]))
+            s""","deletionVector":{"storageType":"${d.storageType}","pathOrInlineDv":"${d.pathOrInlineDv}","offset":${d.offset},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
+          }
+        def addLine(f: String): Unit = {
           val p = dataDir(root).resolve(f)
           val (size, mtime) =
             if (Files.exists(p)) (Files.size(p), Files.getLastModifiedTime(p).toMillis)
             else (0L, 0L)
-          sb.append(s"""{"add":{"path":"data/${esc(deltaEncodePath(f))}","partitionValues":${partitionValues(f)},"size":$size,"modificationTime":$mtime,"dataChange":true}}""")
+          sb.append(s"""{"add":{"path":"data/${esc(deltaEncodePath(f))}","partitionValues":${partitionValues(f)},"size":$size,"modificationTime":$mtime,"dataChange":true${dvJson(f)}}}""")
             .append('\n')
         }
+        prev.filterNot(curSet).foreach { f =>
+          sb.append(s"""{"remove":{"path":"data/${esc(deltaEncodePath(f))}","deletionTimestamp":0,"dataChange":true}}""")
+            .append('\n')
+        }
+        dvChangedFiles.filter(prevSet).foreach { f =>
+          sb.append(s"""{"remove":{"path":"data/${esc(deltaEncodePath(f))}","deletionTimestamp":0,"dataChange":true}}""")
+            .append('\n')
+          addLine(f)
+        }
+        cur.filterNot(prevSet).foreach(addLine)
         val tmp = logDir.resolve(s".$v.json.tmp-${java.util.UUID.randomUUID()}")
         Files.writeString(tmp, sb.toString)
         try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
@@ -990,6 +1020,7 @@ object LakehouseTable {
       }
       prev = cur
       prevCols = Some(cols)
+      prevDvs = curDvs
       if (cols._2.nonEmpty || cols._3.nonEmpty) mappingAnnounced = true
     }
     logDir
@@ -1002,6 +1033,11 @@ object LakehouseTable {
     """"protocol":\s*\{\s*"minReaderVersion":\s*(\d+),\s*"minWriterVersion":\s*(\d+)""".r
   private val DeltaConfRe = """"configuration":\s*\{([^}]*)\}""".r
   private val DeltaConfPairRe = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+  // the capture must treat quoted strings as opaque: z85-encoded
+  // pathOrInlineDv values legitimately contain '{' and '}'
+  private val DeltaDvRe =
+    """"deletionVector":\s*\{((?:"(?:[^"\\]|\\.)*"|[^}"])*)\}""".r
+  private val DeltaDvNumRe = """"(offset|sizeInBytes|cardinality)"\s*:\s*(-?\d+)""".r
 
   private def deltaUnesc(s: String): String =
     s.replace("\\\"", "\"").replace("\\\\", "\\")
@@ -1028,15 +1064,25 @@ object LakehouseTable {
       java.net.URLEncoder.encode(seg, "UTF-8").replace("+", "%20"))
       .mkString("/")
 
+  /** Accumulated state of a Delta log replay: live add paths in
+    * first-add order, last schemaString JSON, last protocol, last
+    * configuration map, and the current deletion-vector descriptor of
+    * each live path (absent = no DV). */
+  private case class DeltaReplayState(live: Seq[String],
+      schemaJson: Option[String], protocol: (Int, Int),
+      conf: Map[String, String], dvs: Map[String, DeltaDv.Descriptor])
+
   /** Replay the exported JSON log through version `upTo` (all when None),
     * optionally starting from a checkpoint's state (`after` = checkpoint
-    * version, `seedLive`/`seedSchema` = its adds and schema): (live add
-    * paths in first-add order, last schemaString JSON, last protocol,
-    * last configuration map). */
+    * version, `seedLive`/`seedSchema`/`seedDvs` = its adds, schema, and
+    * DV descriptors). Actions are processed line by line (Delta logs are
+    * newline-delimited JSON), so an add's deletionVector binds to ITS
+    * path, and a remove+re-add of the same path in one commit — how
+    * Delta commits a DV update — nets to the re-add's state. */
   private def replayDeltaLog(root: String, upTo: Option[Long],
       after: Option[Long] = None, seedLive: Seq[String] = Nil,
-      seedSchema: Option[String] = None)
-      : (Seq[String], Option[String], (Int, Int), Map[String, String]) = {
+      seedSchema: Option[String] = None,
+      seedDvs: Map[String, DeltaDv.Descriptor] = Map.empty): DeltaReplayState = {
     val logDir = Paths.get(root, "_delta_log")
     val logFiles = withDrained(Files.list(logDir))(
       _.filter(_.getFileName.toString.matches("\\d{20}\\.json")))
@@ -1047,15 +1093,39 @@ object LakehouseTable {
       }
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
     live ++= seedLive
+    val dvs = scala.collection.mutable.HashMap.empty[String, DeltaDv.Descriptor]
+    dvs ++= seedDvs
     var schemaJson: Option[String] = seedSchema
     var protocol = (1, 2)
     var conf = Map.empty[String, String]
     logFiles.foreach { lf =>
       val txt = Files.readString(lf)
-      DeltaRemoveRe.findAllMatchIn(txt).foreach(m =>
-        live -= deltaDecodePath(deltaUnesc(m.group(1))))
-      DeltaAddRe.findAllMatchIn(txt).foreach(m =>
-        live += deltaDecodePath(deltaUnesc(m.group(1))))
+      txt.split('\n').foreach { line =>
+        DeltaRemoveRe.findFirstMatchIn(line).foreach { m =>
+          val p = deltaDecodePath(deltaUnesc(m.group(1)))
+          live -= p; dvs -= p
+        }
+        DeltaAddRe.findFirstMatchIn(line).foreach { m =>
+          val p = deltaDecodePath(deltaUnesc(m.group(1)))
+          live += p
+          DeltaDvRe.findFirstMatchIn(line) match {
+            case Some(dm) =>
+              val fields = DeltaConfPairRe.findAllMatchIn(dm.group(1))
+                .map(x => deltaUnesc(x.group(1)) -> deltaUnesc(x.group(2))).toMap
+              val nums = DeltaDvNumRe.findAllMatchIn(dm.group(1))
+                .map(x => x.group(1) -> x.group(2).toLong).toMap
+              dvs(p) = DeltaDv.Descriptor(
+                fields.getOrElse("storageType", "u"),
+                fields.getOrElse("pathOrInlineDv",
+                  throw new IllegalArgumentException(
+                    s"deletionVector without pathOrInlineDv in $lf")),
+                nums.getOrElse("offset", 1L),
+                nums.getOrElse("sizeInBytes", -1L),
+                nums.getOrElse("cardinality", -1L))
+            case None => dvs -= p
+          }
+        }
+      }
       DeltaSchemaRe.findAllMatchIn(txt).foreach(m => schemaJson = Some(deltaUnesc(m.group(1))))
       DeltaProtocolRe.findAllMatchIn(txt).foreach(m =>
         protocol = (m.group(1).toInt, m.group(2).toInt))
@@ -1063,7 +1133,8 @@ object LakehouseTable {
         conf = DeltaConfPairRe.findAllMatchIn(m.group(1))
           .map(p => deltaUnesc(p.group(1)) -> deltaUnesc(p.group(2))).toMap)
     }
-    (live.toSeq, schemaJson, protocol, conf)
+    DeltaReplayState(live.toSeq, schemaJson, protocol, conf,
+      dvs.toMap.filter(e => live.contains(e._1)))
   }
 
   /** Write a Delta CHECKPOINT for the exported log at `version` — one
@@ -1080,7 +1151,9 @@ object LakehouseTable {
     val logDir = Paths.get(root, "_delta_log")
     require(Files.exists(logDir.resolve(f"$version%020d.json")),
       s"no exported log for version $version at $root (exportDeltaLog first)")
-    val (live, schemaJson, (minR, minW), conf) = replayDeltaLog(root, Some(version))
+    val st = replayDeltaLog(root, Some(version))
+    val (live, schemaJson, (minR, minW), conf) =
+      (st.live, st.schemaJson, st.protocol, st.conf)
     val ckptSchema = StructType(Seq(
       StructField("protocol", StructType(Seq(
         StructField("minReaderVersion", IntegerType),
@@ -1097,7 +1170,13 @@ object LakehouseTable {
         StructField("partitionValues", MapType(StringType, StringType)),
         StructField("size", LongType),
         StructField("modificationTime", LongType),
-        StructField("dataChange", BooleanType))))))
+        StructField("dataChange", BooleanType),
+        StructField("deletionVector", StructType(Seq(
+          StructField("storageType", StringType),
+          StructField("pathOrInlineDv", StringType),
+          StructField("offset", LongType),
+          StructField("sizeInBytes", LongType),
+          StructField("cardinality", LongType)))))))))
     def partitionValues(rel: String): Map[String, String] =
       rel.split('/').dropRight(1).filter(_.contains('='))
         .map { seg => val Array(k, v) = seg.split("=", 2); k -> v }.toMap
@@ -1116,8 +1195,11 @@ object LakehouseTable {
         val (size, mtime) =
           if (Files.exists(p)) (Files.size(p), Files.getLastModifiedTime(p).toMillis)
           else (0L, 0L)
+        val dv = st.dvs.get(f).map(d => org.apache.spark.sql.Row(
+          d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes,
+          d.cardinality)).orNull
         org.apache.spark.sql.Row(null, null, org.apache.spark.sql.Row(
-          deltaEncodePath(f), partitionValues(f), size, mtime, true))
+          deltaEncodePath(f), partitionValues(f), size, mtime, true, dv))
       }
     val tmp = Files.createTempDirectory(logDir, ".ckpt-tmp")
     spark.createDataFrame(
@@ -1144,6 +1226,7 @@ object LakehouseTable {
     * not the engine's own read path. */
   def readDeltaExport(spark: SparkSession, root: String,
       useCheckpoint: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, regexp_replace, substring, url_decode}
     val logDir = Paths.get(root, "_delta_log")
     require(Files.isDirectory(logDir), s"no _delta_log at $root (exportDeltaLog first)")
     // a checkpoint seeds the state and only the JSON tail replays — the
@@ -1151,25 +1234,62 @@ object LakehouseTable {
     // (useCheckpoint = false forces the full-JSON replay path, so both
     // can be gated independently)
     val lcp = logDir.resolve("_last_checkpoint")
-    val (ckVer, seedLive, seedSchema) =
-      if (!useCheckpoint || !Files.exists(lcp)) (None: Option[Long], Nil, None)
+    val (ckVer, seedLive, seedSchema, seedDvs) =
+      if (!useCheckpoint || !Files.exists(lcp))
+        (None: Option[Long], Nil, None, Map.empty[String, DeltaDv.Descriptor])
       else {
         val v = """"version":\s*(\d+)""".r
           .findFirstMatchIn(Files.readString(lcp)).get.group(1).toLong
         val ck = spark.read.parquet(
           logDir.resolve(f"$v%020d.checkpoint.parquet").toString)
-        import org.apache.spark.sql.functions.col
-        val adds = ck.filter(col("add").isNotNull)
-          .select(col("add.path")).collect()
-          .map(r => deltaDecodePath(r.getString(0))).toSeq
+        val addType = ck.schema("add").dataType
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val hasDv = addType.fieldNames.contains("deletionVector")
+        val addRows = ck.filter(col("add").isNotNull)
+          .select(col("add.path").as("p"),
+            (if (hasDv) col("add.deletionVector") else lit(null)).as("dv"))
+          .collect()
+        val adds = addRows.map(r => deltaDecodePath(r.getString(0))).toSeq
+        val dvm = addRows.flatMap { r =>
+          Option(r.get(1)).map { case d: org.apache.spark.sql.Row =>
+            deltaDecodePath(r.getString(0)) -> DeltaDv.Descriptor(
+              d.getString(0), d.getString(1), d.getLong(2), d.getLong(3),
+              d.getLong(4))
+          }
+        }.toMap
         val sch = ck.filter(col("metaData").isNotNull)
           .select(col("metaData.schemaString")).collect().headOption
           .map(_.getString(0))
-        (Some(v), adds, sch)
+        (Some(v), adds, sch, dvm)
       }
-    val (live, schemaJson, _, _) = replayDeltaLog(root, None,
-      after = ckVer, seedLive = seedLive, seedSchema = seedSchema)
-    val files = live.map(f => Paths.get(root).resolve(f).toString)
+    val state = replayDeltaLog(root, None, after = ckVer,
+      seedLive = seedLive, seedSchema = seedSchema, seedDvs = seedDvs)
+    val files = state.live.map(f => Paths.get(root).resolve(f).toString)
+    val mappingMode = state.conf.getOrElse("delta.columnMapping.mode", "none")
+    // DELETION VECTORS: decode each live file's descriptor (spec blob →
+    // 64-bit row indexes) and anti-join on (root-relative path,
+    // _metadata.row_index) — the same position-delete shape the native
+    // read path's applyDvs uses. The descriptor side is O(deleted rows of
+    // the live files); broadcast while small.
+    def applyLogDvs(raw: DataFrame): DataFrame =
+      if (state.dvs.isEmpty) raw
+      else {
+        val pos = state.dvs.toSeq.flatMap { case (p, d) =>
+          DeltaDv.readPositions(root, d).map(ri => (p, ri))
+        }
+        val posDf = spark.createDataFrame(pos).toDF("__dv_path", "__dv_pos")
+        val prefix = Paths.get(root).toString + "/"
+        val rel = substring(
+          url_decode(regexp_replace(
+            regexp_replace(col("_metadata.file_path"), "^file:/+", "/"),
+            "\\+", "%2B")),
+          prefix.length + 1, Int.MaxValue)
+        raw.withColumn("__dv_rel", rel)
+          .withColumn("__dv_ri", col("_metadata.row_index"))
+          .join(posDf, col("__dv_rel") === col("__dv_path") &&
+            col("__dv_ri") === col("__dv_pos"), "left_anti")
+          .drop("__dv_rel", "__dv_ri")
+      }
     // the log's LAST metaData schema is authoritative (what any Delta
     // reader selects): request each logical field's TYPE at its PHYSICAL
     // parquet name as an explicit read schema — this serves a
@@ -1179,28 +1299,52 @@ object LakehouseTable {
     // surfaces schema fields no file carries as typed nulls (the parquet
     // reader's missing-column semantics). Only a log with no metaData at
     // all (not a state our exporter produces) falls back to inference.
-    schemaJson.map(org.apache.spark.sql.types.DataType.fromJson) match {
-      case Some(st: org.apache.spark.sql.types.StructType) =>
-        import org.apache.spark.sql.functions.col
+    schemaJsonToStruct(state.schemaJson) match {
+      case Some(st) =>
         import org.apache.spark.sql.types.{StructField, StructType}
         def physOf(f: StructField): String =
           if (f.metadata.contains("delta.columnMapping.physicalName"))
             f.metadata.getString("delta.columnMapping.physicalName")
           else f.name
-        val physical = StructType(st.map(f =>
-          StructField(physOf(f), f.dataType, nullable = true)))
-        spark.read
+        // ID-mode column mapping: fields resolve by PARQUET FIELD ID, not
+        // name (the physical parquet column names are opaque). Annotate
+        // the requested schema with each field's delta.columnMapping.id
+        // as its parquet.field.id and let Spark's field-id matching
+        // resolve it; the session flag only engages for schemas that
+        // carry ids, so enabling it is inert elsewhere.
+        val idMode = mappingMode == "id"
+        if (idMode)
+          spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        val physical = StructType(st.map { f =>
+          val base = StructField(physOf(f), f.dataType, nullable = true)
+          if (idMode && f.metadata.contains("delta.columnMapping.id"))
+            base.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+              .putLong("parquet.field.id",
+                f.metadata.getLong("delta.columnMapping.id"))
+              .build())
+          else base
+        })
+        val raw = spark.read
           .option("basePath", dataDir(root).toString)
           .schema(physical)
           .parquet(files: _*)
+        applyLogDvs(raw)
           .select(st.fields.toSeq.map(f => col(physOf(f)).as(f.name)): _*)
       case _ =>
-        spark.read
+        val raw = spark.read
           .option("basePath", dataDir(root).toString)
           .option("mergeSchema", "true")
           .parquet(files: _*)
+        val cols = raw.columns.toSeq
+        applyLogDvs(raw).select(cols.map(col): _*)
     }
   }
+
+  private def schemaJsonToStruct(schemaJson: Option[String])
+      : Option[org.apache.spark.sql.types.StructType] =
+    schemaJson.map(org.apache.spark.sql.types.DataType.fromJson).collect {
+      case st: org.apache.spark.sql.types.StructType => st
+    }
 
   /** ALTER TABLE ADD COLUMNS: commit a new version with the SAME file set
     * and the widened schema recorded in its manifest. Reads at or after

@@ -61,24 +61,29 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(LT.deleteWhereMor(spark, root, "id = 9999") == v2)
   }
 
-  test("materializeDvs rewrites only covered files, clears DVs, re-enables the mirror") {
+  test("materializeDvs rewrites only covered files, clears DVs; export works at every stage") {
     import spark.implicits._
     val root = freshRoot("mat")
     LT.create((1L to 20L).map(i => (i, s"a$i")).toDF("id", "s"), root)
     LT.append((21L to 40L).map(i => (i, s"a$i")).toDF("id", "s"), root)
     val vDel = LT.deleteWhereMor(spark, root, "id IN (3, 25)")
-    // the Delta mirror refuses while DVs are active
-    val ex = intercept[IllegalArgumentException] {
-      LT.exportDeltaLog(spark, root)
-    }
-    assert(ex.getMessage.contains("materializeDvs"))
+    // the Delta mirror exports a DV-active table as spec deletionVector
+    // actions; the log-only reader applies them and agrees with the
+    // native read
+    LT.exportDeltaLog(spark, root)
+    assert(LT.readDeltaExport(spark, root).select("id")
+      .as[Long].collect().sorted.toSeq ==
+      (1L to 40L).filterNot(i => i == 3 || i == 25))
     val before = LT.dvsAt(root, vDel)
     assert(before.nonEmpty)
     val vMat = LT.materializeDvs(spark, root)
     assert(LT.dvsAt(root, vMat).isEmpty)
     assert(ids(root) == (1L to 40L).filterNot(i => i == 3 || i == 25))
-    // export now works and DuckDB-visible content is the live rows
+    // export after the rewrite: same content, now DV-free
     LT.exportDeltaLog(spark, root)
+    assert(LT.readDeltaExport(spark, root).select("id")
+      .as[Long].collect().sorted.toSeq ==
+      (1L to 40L).filterNot(i => i == 3 || i == 25))
     // a second materialize is a no-op
     assert(LT.materializeDvs(spark, root) == vMat)
   }

@@ -1,0 +1,221 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{DeltaDv, LakehouseTable => LT}
+
+/** Round-7 pins: Delta deletion-vector interop (codec, foreign read,
+  * mirror export), id-mode column mapping, and the identity-enable
+  * guard. */
+class Round7Spec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def freshRoot(name: String): String = {
+    val r = sources.TableCache.baseDir + s"/r7_$name"
+    val p = Paths.get(r)
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq
+        .sortBy(_.toString).reverse.foreach(Files.deleteIfExists(_))
+    }
+    Files.createDirectories(p)
+    r
+  }
+
+  test("DeltaDv codec round-trips: z85, 64-bit roaring array, blob file, inline") {
+    // z85: 4-byte blocks, known alphabet, round-trip
+    val bytes = Array.tabulate(16)(i => (i * 37 - 128).toByte)
+    assert(DeltaDv.z85Decode(DeltaDv.z85Encode(bytes)).toSeq == bytes.toSeq)
+    // roaring array: positions spanning multiple 32-bit buckets, unsigned
+    // low words, empties between buckets
+    val pos = Array(0L, 1L, 17L, 0xfffffffeL, (1L << 32) + 5L, (3L << 32) + 9L)
+    assert(DeltaDv.deserializeRoaringArray(
+      DeltaDv.serializeRoaringArray(pos)).sorted.toSeq == pos.sorted.toSeq)
+    assert(DeltaDv.serializeRoaringArray(Array.empty[Long]).nonEmpty)
+    assert(DeltaDv.deserializeRoaringArray(
+      DeltaDv.serializeRoaringArray(Array.empty[Long])).isEmpty)
+    // blob file write → descriptor → read (uuid storage, CRC verified)
+    val dir = freshRoot("dvcodec")
+    val d = DeltaDv.writeDvFile(dir, "seed-1", pos)
+    assert(d.storageType == "u" && d.cardinality == pos.length)
+    assert(DeltaDv.readPositions(dir, d).sorted.toSeq == pos.sorted.toSeq)
+    // deterministic: same seed → same descriptor and file (idempotent
+    // concurrent export)
+    val d2 = DeltaDv.writeDvFile(dir, "seed-1", pos)
+    assert(d2 == d)
+    // inline storage: z85 of the padded data, true length in sizeInBytes
+    val bitmaps = DeltaDv.serializeRoaringArray(pos)
+    val data = java.nio.ByteBuffer.allocate(4 + bitmaps.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(DeltaDv.Magic).put(bitmaps).array()
+    val padded = java.util.Arrays.copyOf(data, (data.length + 3) / 4 * 4)
+    val inline = DeltaDv.Descriptor("i", DeltaDv.z85Encode(padded), 0L,
+      data.length.toLong, pos.length.toLong)
+    assert(DeltaDv.readPositions(dir, inline).sorted.toSeq == pos.sorted.toSeq)
+  }
+
+  test("readDeltaExport honors a hand-written FOREIGN DV-bearing log") {
+    import spark.implicits._
+    // a "foreign writer": plain parquet files + a _delta_log we author by
+    // hand, with a DV on one file (uuid blob) and on another (inline) —
+    // no graft manifest anywhere
+    val root = freshRoot("foreign_dv")
+    val dataDir = Paths.get(root, "data")
+    Files.createDirectories(dataDir)
+    def writeOne(name: String, ids: Seq[Long]): Unit = {
+      val tmp = Files.createTempDirectory("r7dv")
+      ids.toDF("id").coalesce(1).write.mode("overwrite")
+        .parquet(tmp.resolve("out").toString)
+      import scala.jdk.CollectionConverters._
+      val part = Files.list(tmp.resolve("out")).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      Files.move(part, dataDir.resolve(name))
+    }
+    writeOne("f1.parquet", 1L to 10L)   // row_index 0..9
+    writeOne("f2.parquet", 11L to 20L)
+    // DV on f1: delete row indexes 0 and 3 (ids 1, 4) via a uuid blob
+    val d1 = DeltaDv.writeDvFile(root, "foreign-f1", Array(0L, 3L))
+    // DV on f2: delete row index 9 (id 20) inline
+    val bm = DeltaDv.serializeRoaringArray(Array(9L))
+    val data = java.nio.ByteBuffer.allocate(4 + bm.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(DeltaDv.Magic).put(bm).array()
+    val padded = java.util.Arrays.copyOf(data, (data.length + 3) / 4 * 4)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", org.apache.spark.sql.types.LongType).json
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+    val logDir = Paths.get(root, "_delta_log")
+    Files.createDirectories(logDir)
+    Files.writeString(logDir.resolve(f"${0L}%020d.json"),
+      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}
+{"metaData":{"id":"foreign-1","format":{"provider":"parquet","options":{}},"schemaString":"$schema","partitionColumns":[],"configuration":{}}}
+{"add":{"path":"data/f1.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"${d1.pathOrInlineDv}","offset":${d1.offset},"sizeInBytes":${d1.sizeInBytes},"cardinality":${d1.cardinality}}}}
+{"add":{"path":"data/f2.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"i","pathOrInlineDv":"${DeltaDv.z85Encode(padded)}","offset":0,"sizeInBytes":${data.length},"cardinality":1}}}
+""")
+    val got = LT.readDeltaExport(spark, root).select("id")
+      .as[Long].collect().sorted.toSeq
+    assert(got == ((1L to 20L).toSet -- Set(1L, 4L, 20L)).toSeq.sorted,
+      s"foreign DV read returned $got")
+    // a later commit REPLACING f1's DV (remove + re-add, how Delta
+    // commits a DV update) must win over v0's descriptor
+    val d1b = DeltaDv.writeDvFile(root, "foreign-f1-v2", Array(0L))
+    Files.writeString(logDir.resolve(f"${1L}%020d.json"),
+      s"""{"remove":{"path":"data/f1.parquet","deletionTimestamp":0,"dataChange":true}}
+{"add":{"path":"data/f1.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"${d1b.pathOrInlineDv}","offset":${d1b.offset},"sizeInBytes":${d1b.sizeInBytes},"cardinality":${d1b.cardinality}}}}
+""")
+    val got2 = LT.readDeltaExport(spark, root).select("id")
+      .as[Long].collect().sorted.toSeq
+    assert(got2 == ((1L to 20L).toSet -- Set(1L, 20L)).toSeq.sorted)
+  }
+
+  test("write-through mirror exports MOR deletes as DV actions; log-only read == native read; checkpoint carries DVs") {
+    import spark.implicits._
+    val root = freshRoot("mirror_dv")
+    LT.create((1L to 40L).map(i => (i, i % 4)).toDF("id", "k"), root)
+    LT.exportDeltaLog(spark, root) // arm the write-through mirror
+    // MOR delete while mirrored: the commit hook must advance the log
+    // with a deletionVector action, no materialize step
+    LT.deleteWhereMor(spark, root, "id % 10 = 0")
+    def logOnly() = LT.readDeltaExport(spark, root, useCheckpoint = false)
+      .select("id").as[Long].collect().sorted.toSeq
+    def native() = LT.read(spark, root)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(logOnly() == native() && native().size == 36)
+    // a second MOR delete MERGES per-file DVs; the re-export must replace
+    // the descriptor (remove + re-add), not stack it
+    LT.deleteWhereMor(spark, root, "id <= 3")
+    assert(logOnly() == native() && native().size == 33)
+    // a checkpoint at the DV-active version seeds a reader correctly
+    val cur = LT.currentVersion(root).get
+    LT.exportDeltaCheckpoint(spark, root, cur)
+    assert(LT.readDeltaExport(spark, root, useCheckpoint = true)
+      .select("id").as[Long].collect().sorted.toSeq == native())
+    // appends after the checkpoint replay on top of the DV'd seed
+    LT.append(Seq((100L, 0L)).toDF("id", "k"), root)
+    assert(LT.readDeltaExport(spark, root).select("id")
+      .as[Long].collect().sorted.toSeq == native())
+  }
+
+  test("q161's MOR-deleted fixture table is foreign-readable through its Delta export") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val root = graft.operators.Lakehouse.eventsMorRoot(spark, sf)
+    LT.exportDeltaLog(spark, root)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "user_id", "event_type")
+        .as[(Long, Long, String)].collect().sorted.toSeq
+    val native = canon(LT.read(spark, root))
+    assert(native.nonEmpty)
+    assert(canon(LT.readDeltaExport(spark, root, useCheckpoint = false)) == native)
+  }
+
+  test("readDeltaExport resolves id-mode column mapping by parquet field id") {
+    import spark.implicits._
+    val root = freshRoot("idmode")
+    val dataDir = Paths.get(root, "data")
+    Files.createDirectories(dataDir)
+    // physical file: columns named c1/c2 with parquet field ids 1/2
+    val fileSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("c1",
+        org.apache.spark.sql.types.LongType, nullable = true,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id", 1L).build()),
+      org.apache.spark.sql.types.StructField("c2",
+        org.apache.spark.sql.types.StringType, nullable = true,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id", 2L).build())))
+    val rows = (1L to 5L).map(i => org.apache.spark.sql.Row(i, s"u$i"))
+    val tmp = Files.createTempDirectory("r7id")
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), fileSchema)
+      .coalesce(1).write.mode("overwrite").parquet(tmp.resolve("out").toString)
+    import scala.jdk.CollectionConverters._
+    val part = Files.list(tmp.resolve("out")).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get
+    Files.move(part, dataDir.resolve("f1.parquet"))
+    // foreign log: ID-mode mapping — logical names user_id/name, ids 1/2,
+    // physicalNames DELIBERATELY not matching the file's column names, so
+    // only field-id resolution can read this table correctly
+    val logical = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType, nullable = true,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("delta.columnMapping.id", 1L)
+          .putString("delta.columnMapping.physicalName", "col-aaaa").build()),
+      org.apache.spark.sql.types.StructField("name",
+        org.apache.spark.sql.types.StringType, nullable = true,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("delta.columnMapping.id", 2L)
+          .putString("delta.columnMapping.physicalName", "col-bbbb").build())))
+    val schemaEsc = logical.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    val logDir = Paths.get(root, "_delta_log")
+    Files.createDirectories(logDir)
+    Files.writeString(logDir.resolve(f"${0L}%020d.json"),
+      s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}
+{"metaData":{"id":"foreign-id","format":{"provider":"parquet","options":{}},"schemaString":"$schemaEsc","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"2"}}}
+{"add":{"path":"data/f1.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}
+""")
+    val got = LT.readDeltaExport(spark, root)
+    assert(got.columns.toSeq == Seq("user_id", "name"))
+    assert(got.as[(Long, String)].collect().sorted.toSeq ==
+      (1L to 5L).map(i => (i, s"u$i")))
+  }
+
+  test("enableIdentity refuses a table that already holds rows") {
+    import spark.implicits._
+    val root = freshRoot("ident_guard")
+    LT.create(Seq((1L, "a")).toDF("k", "v"), root)
+    val ex = intercept[IllegalArgumentException] {
+      LT.enableIdentity(root, "id", Seq("k"))
+    }
+    assert(ex.getMessage.contains("empty table"))
+    // an empty-seed create (zero-row part file) is still enableable
+    val root2 = freshRoot("ident_ok")
+    LT.create(Seq.empty[(Long, String)].toDF("k", "v"), root2)
+    LT.enableIdentity(root2, "id", Seq("k"))
+    LT.appendWithIdentity(spark, Seq((5L, "x")).toDF("k", "v"), root2)
+    assert(LT.read(spark, root2).select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+}
