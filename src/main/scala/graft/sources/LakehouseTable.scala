@@ -694,7 +694,18 @@ object LakehouseTable {
   def read(spark: SparkSession, root: String, version: Option[Long] = None): DataFrame = {
     val v = version.orElse(currentVersion(root)).getOrElse(
       throw new IllegalStateException(s"no table at $root"))
-    val relFiles = readManifest(root, v)
+    // a time travel past the retention horizon names a vacuumed version:
+    // fail with the available range (Delta's versionNotFound contract),
+    // not a raw missing-file error
+    val relFiles =
+      try readManifest(root, v)
+      catch { case _: java.nio.file.NoSuchFileException =>
+        val vs = versions(root)
+        throw new IllegalStateException(
+          s"cannot time travel to version $v of the table at $root: the " +
+            "version was removed by VACUUM. Available versions: " +
+            s"[${vs.headOption.getOrElse(-1L)}, ${vs.lastOption.getOrElse(-1L)}]")
+      }
     val files = relFiles.map(f => dataDir(root).resolve(f).toString)
     // mergeSchema = schema evolution: a version whose appends added columns
     // reads as the union schema, older files fill the new columns with null
@@ -2547,6 +2558,32 @@ object LakehouseTable {
   def vacuum(root: String, retainLast: Int = 1): Int = {
     val vs = versions(root)
     val (drop, keep) = vs.splitAt(math.max(0, vs.length - retainLast))
+    vacuumDrop(root, drop, keep)
+  }
+
+  /** TIME-based retention (Delta's `VACUUM … RETAIN n HOURS`): drop every
+    * version whose IN-COMMIT timestamp (manifest-mtime fallback for
+    * pre-field manifests) is older than `retainHours` before `nowMillis`,
+    * and reclaim the data/DV files only those versions referenced. The
+    * CURRENT version is always kept regardless of age — vacuum reclaims
+    * history, never the table. `nowMillis` is injectable so retention is
+    * testable without wall-clock sleeps. Time travel to a reclaimed
+    * version afterwards fails with a version-not-found error listing the
+    * available range, as Delta's does. */
+  def vacuumRetainHours(root: String, retainHours: Double,
+      nowMillis: Long = System.currentTimeMillis()): Int = {
+    require(retainHours >= 0, s"retainHours must be >= 0, got $retainHours")
+    val vs = versions(root)
+    if (vs.isEmpty) return 0
+    val horizon = nowMillis - (retainHours * 3600 * 1000).toLong
+    def tsOf(v: Long): Long =
+      commitTsAt(root, v).getOrElse(Files.getLastModifiedTime(
+        manifestDir(root).resolve(s"$v.json")).toMillis)
+    val (drop, keep) = vs.init.partition(tsOf(_) < horizon)
+    vacuumDrop(root, drop, keep :+ vs.last)
+  }
+
+  private def vacuumDrop(root: String, drop: Seq[Long], keep: Seq[Long]): Int = {
     val live = keep.flatMap(readManifest(root, _)).toSet
     // deletion-vector files referenced by any RETAINED version stay; the
     // rest (superseded by a later merge, cleared by materializeDvs, or

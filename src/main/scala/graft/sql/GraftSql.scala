@@ -40,7 +40,7 @@ import graft.sources.LakehouseTable
   *   DESCRIBE COLUMNS t    -- logical schema + physical (file) names
   *   SHOW GRAFT TABLES     -- the persistent catalog's listing
   *   OPTIMIZE t [ZORDER BY (c1, c2, ...)]
-  *   VACUUM t [RETAIN n VERSIONS]
+  *   VACUUM t [RETAIN n VERSIONS | RETAIN n HOURS]
   *   DESCRIBE HISTORY t
   *   DESCRIBE DETAIL t     -- location/version/files/partitioning/keys
   *   DROP TABLE t          -- unregisters; data files stay (external)
@@ -732,15 +732,19 @@ case class ShowGraftTablesCommand() extends LeafRunnableCommand {
     }
 }
 
-/** VACUUM name [RETAIN n VERSIONS] — returns the deleted-file count. */
-case class VacuumGraftTableCommand(name: String, retainLast: Int)
-    extends LeafRunnableCommand {
+/** VACUUM name [RETAIN n VERSIONS | RETAIN n HOURS] — version-count or
+  * time-based (Delta-style) retention; returns the deleted-file count. */
+case class VacuumGraftTableCommand(name: String, retainLast: Int,
+    retainHours: Option[Double] = None) extends LeafRunnableCommand {
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
     Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
       "deleted_files", org.apache.spark.sql.types.LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val e = GraftCatalog.lookup(name).get
-    val n = LakehouseTable.vacuum(e.root, retainLast)
+    val n = retainHours match {
+      case Some(h) => LakehouseTable.vacuumRetainHours(e.root, h)
+      case None    => LakehouseTable.vacuum(e.root, retainLast)
+    }
     Seq(Row(n.toLong))
   }
 }
@@ -846,7 +850,7 @@ object GraftSqlStatements {
   private val ReorgRe =
     """(?is)^\s*REORG\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""".r
   private val VacuumRe =
-    """(?is)^\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""".r
+    """(?is)^\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+(VERSIONS|HOURS))?\s*;?\s*$""".r
   private val ShowTablesRe = """(?is)^\s*SHOW\s+GRAFT\s+TABLES\s*;?\s*$""".r
   private val AlterAddRe =
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ADD\s+COLUMNS?\s*\(\s*(.+?)\s*\)\s*;?\s*$""".r
@@ -949,9 +953,13 @@ object GraftSqlStatements {
         Some(AlterGraftTableDvCommand(name, mode.equalsIgnoreCase("ENABLE")))
       case ReorgRe(name) if GraftCatalog.lookup(name).isDefined =>
         Some(ReorgGraftTablePurgeCommand(name))
-      case VacuumRe(name, retain) if GraftCatalog.lookup(name).isDefined =>
-        Some(VacuumGraftTableCommand(name,
-          Option(retain).map(_.toInt).getOrElse(1)))
+      case VacuumRe(name, retain, unit) if GraftCatalog.lookup(name).isDefined =>
+        if (Option(unit).exists(_.equalsIgnoreCase("HOURS")))
+          Some(VacuumGraftTableCommand(name, 1,
+            retainHours = Some(retain.toDouble)))
+        else
+          Some(VacuumGraftTableCommand(name,
+            Option(retain).map(_.toDouble.toInt).getOrElse(1)))
       case ShowTablesRe() => Some(ShowGraftTablesCommand())
       case AlterAddRe(name, cols) if GraftCatalog.lookup(name).isDefined =>
         Some(AlterGraftTableAddColumnsCommand(name, unmask(cols)))

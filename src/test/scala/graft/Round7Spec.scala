@@ -203,6 +203,37 @@ class Round7Spec extends AnyFunSuite {
       (1L to 5L).map(i => (i, s"u$i")))
   }
 
+  test("VACUUM RETAIN n HOURS: clock-injected horizon reclaims old versions, keeps current; travel past horizon fails") {
+    import spark.implicits._
+    val root = freshRoot("vac_hours")
+    LT.create((1L to 10L).map(i => (i, s"a$i")).toDF("id", "v"), root)
+    Thread.sleep(15)
+    LT.overwrite((11L to 20L).map(i => (i, s"b$i")).toDF("id", "v"), root)
+    Thread.sleep(15)
+    LT.append(Seq((21L, "c")).toDF("id", "v"), root)
+    val ts1 = LT.commitTsAt(root, 1L).get
+    // horizon exactly at v1's commit ts: v0 (strictly older) reclaims,
+    // v1 and the current v2 stay — and v0's overwritten files go with it
+    val n = LT.vacuumRetainHours(root, 1.0, nowMillis = ts1 + 3600L * 1000)
+    assert(n > 0, "v0's overwritten data files should have been reclaimed")
+    assert(LT.versions(root) == Seq(1L, 2L))
+    assert(LT.read(spark, root, Some(1L)).count() == 10)
+    assert(LT.read(spark, root).count() == 11)
+    val ex = intercept[IllegalStateException] {
+      LT.read(spark, root, Some(0L)).count()
+    }
+    assert(ex.getMessage.contains("removed by VACUUM") &&
+      ex.getMessage.contains("Available versions"))
+    // a generous horizon reclaims nothing
+    assert(LT.vacuumRetainHours(root, 24.0) == 0)
+    // SQL face: VACUUM t RETAIN n HOURS parses and routes to the
+    // time-based path (generous horizon → 0 files)
+    graft.sql.GraftCatalog.register(spark, "r7_vac", root, Nil)
+    val out = spark.sql("VACUUM r7_vac RETAIN 9999 HOURS").collect()
+    assert(out.head.getLong(0) == 0L)
+    assert(LT.versions(root) == Seq(1L, 2L))
+  }
+
   test("enableIdentity refuses a table that already holds rows") {
     import spark.implicits._
     val root = freshRoot("ident_guard")
