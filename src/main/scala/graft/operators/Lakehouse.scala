@@ -119,6 +119,33 @@ object Lakehouse {
     root
   }
 
+  /** q180's table: events hive-partitioned by event_type, fragmented by
+    * three modulo appends (every partition dir holds ≥ 3 small files),
+    * then `OPTIMIZE … WHERE event_type = 'error'` — the error partition
+    * bin-packs, every other partition's files carry verbatim
+    * ([[LakehouseTable.compactWhere]]). */
+  private[graft] def eventsOptimizeRoot(s: SparkSession, d: String): String = {
+    val root = TableCache.root(d, "events", "optimize-where-error:v1")
+    try TableCache.locked(root) {
+      def ev = Tables.events(s, d)
+        .select("event_id", "user_id", "event_type")
+      if (LakehouseTable.versions(root).isEmpty)
+        LakehouseTable.create(ev.filter(col("event_id") % 3 === 0), root,
+          partitionBy = Seq("event_type"))
+      if (LakehouseTable.currentVersion(root).contains(0L))
+        LakehouseTable.append(ev.filter(col("event_id") % 3 === 1), root,
+          partitionBy = Seq("event_type"))
+      if (LakehouseTable.currentVersion(root).contains(1L))
+        LakehouseTable.append(ev.filter(col("event_id") % 3 === 2), root,
+          partitionBy = Seq("event_type"))
+      if (LakehouseTable.currentVersion(root).contains(2L))
+        LakehouseTable.compactWhere(s, root, "event_type = 'error'")
+    } catch {
+      case e if raceLost(e) => () // see lineitemZRoot
+    }
+    root
+  }
+
   /** Identity-column table: empty seed → ENABLE IDENTITY → two
     * appendWithIdentity batches (keys ≡ 0 then ≡ 1 mod 3 — disjoint,
     * unique business keys). Ids are wm + rank(o_orderkey) per batch, so
@@ -843,6 +870,41 @@ object Lakehouse {
         .orderBy(col("event_type"))
     }),
 
+    // Partition-scoped OPTIMIZE: the maintenance op's correctness
+    // contract is that compaction changes LAYOUT, never CONTENT — the
+    // aggregate over the compacted table must equal the raw-events
+    // derivation bit for bit. Round7Spec pins the layout half (matching
+    // partition bin-packed, other partitions' files carried verbatim).
+    "q180_optimize_where" -> ((s, d) => {
+      val root = eventsOptimizeRoot(s, d)
+      LakehouseTable.read(s, root)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("event_id")).as("id_sum"),
+          min(col("event_id")).as("id_min"),
+          max(col("event_id")).as("id_max"),
+          sum(col("user_id")).as("user_sum"))
+        .orderBy(col("event_type"))
+    }),
+
+    // q161's table read THROUGH ITS DELTA EXPORT ONLY: export the
+    // MOR-deleted history (deletionVector actions + spec DV bitmap
+    // blobs), then replay the foreign log and apply the descriptors —
+    // the graft manifest is never consulted. Hash-matching q161's oracle
+    // gates the exported FORMAT end to end: bitmap codec, remove +
+    // re-add DV replacement, and the position anti-join a foreign
+    // DV-capable reader performs.
+    "q179_delta_dv_export" -> ((s, d) => {
+      val root = eventsMorRoot(s, d)
+      LakehouseTable.exportDeltaLog(s, root) // incremental; no-op when current
+      LakehouseTable.readDeltaExport(s, root)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("event_id")).as("id_sum"),
+          sum(col("user_id")).as("user_sum"))
+        .orderBy(col("event_type"))
+    }),
+
     // create → MERGE (update + insert) → deleteWhere → read the survivors.
     // Aggregates are all bit-exact (count, long sum, double min/max) so the
     // hash gate verifies the exact surviving row set, not a tolerance.
@@ -1466,6 +1528,23 @@ object Lakehouse {
           FROM lineitem WHERE l_partkey = 5""",
 
     "q161_mor_delete" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS id_sum,
+           CAST(sum(user_id) AS BIGINT) AS user_sum
+         FROM events
+         WHERE NOT (event_id % 7 = 0) AND NOT (user_id % 3 = 0)
+         GROUP BY event_type ORDER BY event_type""",
+
+    "q180_optimize_where" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS id_sum,
+           min(event_id) AS id_min, max(event_id) AS id_max,
+           CAST(sum(user_id) AS BIGINT) AS user_sum
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // same derivation as q161: the Delta-export read must be
+    // indistinguishable from the native MOR read
+    "q179_delta_dv_export" ->
       """SELECT event_type, count(*) AS n,
            CAST(sum(event_id) AS BIGINT) AS id_sum,
            CAST(sum(user_id) AS BIGINT) AS user_sum

@@ -1723,6 +1723,44 @@ object LakehouseTable {
     commit(root, cur + 1, writeFiles(rewritten, root, partitionBy))
   }
 
+  /** PARTITION-SCOPED compaction (Delta's `OPTIMIZE … WHERE`): rewrite
+    * only the files of hive partitions matching `where` — a predicate
+    * over partition columns ONLY — into at most `numFiles` files per
+    * partition dir; every other partition's files carry into the new
+    * manifest verbatim. This is the nightly-maintenance shape for a
+    * 100 TB lake: the freshest day's partitions (the ones streaming
+    * ingest fragmented) rewrite in O(that day), while the cold history
+    * is untouched bytes. The partition-only restriction is enforced
+    * structurally (a row predicate would make "compact" silently drop
+    * rows); the matching-file discovery itself is partition-pruned — the
+    * scan lists only matching dirs. Returns the new version, or the
+    * current one when nothing (or a single file) matches. */
+  def compactWhere(spark: SparkSession, root: String, where: String,
+      numFiles: Int = 1): Long = {
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no table at $root"))
+    val partCols = partitionColumns(root).map(_.toLowerCase)
+    require(partCols.nonEmpty,
+      s"OPTIMIZE WHERE requires a hive-partitioned table; $root has no " +
+        "partition columns (use plain compact/compactSmall)")
+    val refs = spark.sessionState.sqlParser.parseExpression(where).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.name.toLowerCase
+    }
+    val nonPart = refs.filterNot(partCols.contains)
+    require(nonPart.isEmpty,
+      s"OPTIMIZE WHERE predicate may reference partition columns only " +
+        s"(${partCols.mkString(", ")}); found: ${nonPart.mkString(", ")}")
+    val matched = filesMatching(spark, root, cur, where).toSeq.sorted
+    if (matched.size <= 1) return cur
+    val untouched = readManifest(root, cur).filterNot(matched.toSet)
+    val rewritten = readFilesLogical(spark, root, cur, matched)
+    val packed = rewritten.repartition(numFiles,
+      partitionColumns(root).map(rewritten.col): _*)
+    commit(root, cur + 1,
+      untouched ++ writeFiles(packed, root, partitionColumns(root)))
+  }
+
   /** Size-aware compaction (Delta's OPTIMIZE shape): rewrite ONLY files
     * smaller than `smallBytes`, bin-packed toward one file per
     * `targetBytes` of input; files already at a healthy size keep their

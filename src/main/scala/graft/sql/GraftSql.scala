@@ -39,7 +39,7 @@ import graft.sources.LakehouseTable
   *   ALTER TABLE t DROP CONSTRAINT name
   *   DESCRIBE COLUMNS t    -- logical schema + physical (file) names
   *   SHOW GRAFT TABLES     -- the persistent catalog's listing
-  *   OPTIMIZE t [ZORDER BY (c1, c2, ...)]
+  *   OPTIMIZE t [WHERE partition-pred] [ZORDER BY (c1, c2, ...)]
   *   VACUUM t [RETAIN n VERSIONS | RETAIN n HOURS]
   *   DESCRIBE HISTORY t
   *   DESCRIBE DETAIL t     -- location/version/files/partitioning/keys
@@ -510,26 +510,34 @@ case class RestoreGraftTableCommand(name: String, version: Long)
   }
 }
 
-/** OPTIMIZE name [ZORDER BY (c1, c2, …)] — without ZORDER: size-aware
-  * small-file compaction (Delta's OPTIMIZE shape: only files under the
-  * small-size threshold are rewritten, bin-packed; healthy files keep
-  * their manifest entries). With ZORDER: rewrite the snapshot clustered
+/** OPTIMIZE name [WHERE partition-predicate] [ZORDER BY (c1, c2, …)] —
+  * without clauses: size-aware small-file compaction (Delta's OPTIMIZE
+  * shape: only files under the small-size threshold are rewritten,
+  * bin-packed; healthy files keep their manifest entries). With WHERE:
+  * partition-scoped compaction — only matching hive partitions rewrite
+  * ([[LakehouseTable.compactWhere]]; the predicate may reference
+  * partition columns only). With ZORDER: rewrite the snapshot clustered
   * by the space-filling curve over the named columns (single column →
   * plain range clustering), so footer-stat file skipping prunes on every
   * listed dimension — the SQL face of the q102 layout path. Returns the
   * table version afterwards (unchanged when nothing needed compacting). */
-case class OptimizeGraftTableCommand(name: String, zCols: Seq[String])
-    extends LeafRunnableCommand {
+case class OptimizeGraftTableCommand(name: String, zCols: Seq[String],
+    where: Option[String] = None) extends LeafRunnableCommand {
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
     Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
       "version", org.apache.spark.sql.types.LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val e = GraftCatalog.lookup(name).get
-    val v = zCols match {
-      case Nil => LakehouseTable.compactSmall(spark, e.root, partitionBy = e.partitionBy)
-      case Seq(one) =>
+    require(where.isEmpty || zCols.isEmpty,
+      "OPTIMIZE WHERE and ZORDER BY cannot be combined (compact the " +
+        "partition first, then ZORDER the table)")
+    val v = (where, zCols) match {
+      case (Some(w), _) => LakehouseTable.compactWhere(spark, e.root, w)
+      case (None, Nil) =>
+        LakehouseTable.compactSmall(spark, e.root, partitionBy = e.partitionBy)
+      case (None, Seq(one)) =>
         LakehouseTable.cluster(spark, e.root, Seq(one), partitionBy = e.partitionBy)
-      case many =>
+      case (None, many) =>
         LakehouseTable.zorderCluster(spark, e.root, many, partitionBy = e.partitionBy)
     }
     GraftCatalog.refreshView(spark, name)
@@ -836,7 +844,7 @@ object GraftSqlStatements {
   private val RestoreRe =
     """(?is)^\s*RESTORE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
   private val OptimizeRe =
-    """(?is)^\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""".r
+    """(?is)^\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+WHERE\s+(.+?))??(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""".r
   private val HistoryRe =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
   private val DetailRe =
@@ -938,9 +946,10 @@ object GraftSqlStatements {
           unmask(cond)))
       case RestoreRe(name, v) if GraftCatalog.lookup(name).isDefined =>
         Some(RestoreGraftTableCommand(name, v.toLong))
-      case OptimizeRe(name, zcols) if GraftCatalog.lookup(name).isDefined =>
+      case OptimizeRe(name, where, zcols) if GraftCatalog.lookup(name).isDefined =>
         Some(OptimizeGraftTableCommand(name,
-          Option(zcols).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)))
+          Option(zcols).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+          where = Option(where).map(w => unmask(w.trim)).filter(_.nonEmpty)))
       case HistoryRe(name) if GraftCatalog.lookup(name).isDefined =>
         Some(DescribeHistoryGraftCommand(name))
       case DetailRe(name) if GraftCatalog.lookup(name).isDefined =>

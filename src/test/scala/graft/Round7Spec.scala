@@ -234,6 +234,44 @@ class Round7Spec extends AnyFunSuite {
     assert(LT.versions(root) == Seq(1L, 2L))
   }
 
+  test("OPTIMIZE WHERE compacts only the matching partition; others carry verbatim; row predicates refused") {
+    import spark.implicits._
+    val root = freshRoot("optwhere")
+    val df = (1L to 60L).map(i => (i, (i % 3).toString)).toDF("id", "k")
+    LT.create(df.filter(col("id") <= 20), root, partitionBy = Seq("k"))
+    LT.append(df.filter(col("id") > 20 && col("id") <= 40), root,
+      partitionBy = Seq("k"))
+    LT.append(df.filter(col("id") > 40), root, partitionBy = Seq("k"))
+    val v = LT.currentVersion(root).get
+    def byPart(ver: Long): Map[String, Seq[String]] =
+      LT.manifestFiles(root, ver).groupBy(_.split('/').head).map {
+        case (p, fs) => p -> fs.sorted.toSeq
+      }
+    val before = byPart(v)
+    assert(before("k=1").size >= 3, s"fixture not fragmented: $before")
+    val v2 = LT.compactWhere(spark, root, "k = '1'")
+    assert(v2 == v + 1)
+    val after = byPart(v2)
+    // the matching partition bin-packed to one file; the others are the
+    // SAME manifest entries (carried, not rewritten)
+    assert(after("k=1").size == 1)
+    assert(after("k=0") == before("k=0") && after("k=2") == before("k=2"))
+    // content unchanged
+    assert(LT.read(spark, root).select("id").as[Long].collect().sorted.toSeq
+      == (1L to 60L))
+    // a row predicate (non-partition column) is refused structurally
+    val ex = intercept[IllegalArgumentException] {
+      LT.compactWhere(spark, root, "id > 5")
+    }
+    assert(ex.getMessage.contains("partition columns only"))
+    // SQL face
+    graft.sql.GraftCatalog.register(spark, "r7_opt", root, Seq("k"))
+    LT.append(Seq((100L, "1")).toDF("id", "k"), root, partitionBy = Seq("k"))
+    val out = spark.sql("OPTIMIZE r7_opt WHERE k = '1'").collect()
+    assert(out.head.getLong(0) == LT.currentVersion(root).get)
+    assert(byPart(LT.currentVersion(root).get)("k=1").size == 1)
+  }
+
   test("enableIdentity refuses a table that already holds rows") {
     import spark.implicits._
     val root = freshRoot("ident_guard")
