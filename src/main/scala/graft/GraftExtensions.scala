@@ -45,6 +45,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // arithmetic instead of a scan (see plans/MetadataOnlyCount.scala)
     ext.injectOptimizerRule(session =>
       graft.plans.MetadataOnlyGraftCount(session))
+    // generated-column partition pruning: range predicates on a declared
+    // generation SOURCE column imply partition predicates the built-in
+    // pruning can use (see plans/GeneratedPartitionPruning.scala)
+    ext.injectOptimizerRule(session =>
+      graft.plans.GeneratedPartitionPruning(session))
     ext.injectFunction((FunctionIdentifier("cosine_similarity"),
       info("cosine_similarity", "_FUNC_(a, b) - cosine similarity of two float arrays"),
       es => CosineSimilarity(es(0), es(1))))

@@ -146,6 +146,30 @@ object Lakehouse {
     root
   }
 
+  /** q181's table: events hive-partitioned by a GENERATED bucket column
+    * (bucket = floor(event_id / 1000), declared via
+    * [[LakehouseTable.alterSetGeneratedPartition]]). Queries filter on
+    * event_id only; the optimizer rule derives the bucket range and the
+    * scan prunes to the matching dirs (Round7Spec pins the pruning; the
+    * oracle gates the content). */
+  private[graft] def eventsGeneratedRoot(s: SparkSession, d: String): String = {
+    val root = TableCache.root(d, "events", "generated-bucket1000:v1")
+    try TableCache.locked(root) {
+      if (LakehouseTable.versions(root).isEmpty)
+        LakehouseTable.create(
+          Tables.events(s, d).select("event_id", "user_id", "event_type")
+            .withColumn("bucket", LakehouseTable.generatedPartitionColumn(
+              "div:1000", col("event_id"))),
+          root, partitionBy = Seq("bucket"))
+      if (LakehouseTable.currentVersion(root).contains(0L))
+        LakehouseTable.alterSetGeneratedPartition(s, root, "bucket",
+          "div:1000", "event_id")
+    } catch {
+      case e if raceLost(e) => () // see lineitemZRoot
+    }
+    root
+  }
+
   /** Identity-column table: empty seed → ENABLE IDENTITY → two
     * appendWithIdentity batches (keys ≡ 0 then ≡ 1 mod 3 — disjoint,
     * unique business keys). Ids are wm + rank(o_orderkey) per batch, so
@@ -887,6 +911,22 @@ object Lakehouse {
         .orderBy(col("event_type"))
     }),
 
+    // Generated-partition read: the query filters on event_id ONLY (the
+    // partition column is never mentioned); under the session extension
+    // the GeneratedPartitionPruning rule derives bucket ∈ [2, 4] and the
+    // scan reads three dirs instead of the table. Content is correct on
+    // any session — the derived conjunct is implied, never filtering.
+    "q181_generated_partition" -> ((s, d) => {
+      val root = eventsGeneratedRoot(s, d)
+      LakehouseTable.read(s, root)
+        .filter(col("event_id") >= 2500 && col("event_id") < 4200)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("event_id")).as("id_sum"),
+          sum(col("user_id")).as("user_sum"))
+        .orderBy(col("event_type"))
+    }),
+
     // q161's table read THROUGH ITS DELTA EXPORT ONLY: export the
     // MOR-deleted history (deletionVector actions + spec DV bitmap
     // blobs), then replay the foreign log and apply the descriptors —
@@ -1533,6 +1573,13 @@ object Lakehouse {
            CAST(sum(user_id) AS BIGINT) AS user_sum
          FROM events
          WHERE NOT (event_id % 7 = 0) AND NOT (user_id % 3 = 0)
+         GROUP BY event_type ORDER BY event_type""",
+
+    "q181_generated_partition" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS id_sum,
+           CAST(sum(user_id) AS BIGINT) AS user_sum
+         FROM events WHERE event_id >= 2500 AND event_id < 4200
          GROUP BY event_type ORDER BY event_type""",
 
     "q180_optimize_where" ->

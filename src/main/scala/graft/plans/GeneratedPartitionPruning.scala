@@ -1,0 +1,180 @@
+package graft.plans
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{DateType, IntegerType, LongType, TimestampType}
+
+import graft.sources.LakehouseTable
+
+/** GENERATED-COLUMN PARTITION PRUNING (the Delta feature, expressed over
+  * the graft manifest): a table partitioned by `day` where the manifest
+  * declares `day = date(ts)` can answer `WHERE ts BETWEEN a AND b`
+  * by reading only the matching `day=` directories — but Spark's
+  * partition pruning only sees predicates on `day` itself, and the query
+  * never mentions it. This rule derives the implied partition predicate
+  * from range/equality conjuncts on the SOURCE column and injects it
+  * into the Filter; the built-in PruneFileSourcePartitions then turns it
+  * into directory-level pruning. At 100 TB this is the difference
+  * between scanning one day and listing the whole lake for every
+  * timestamp-range query.
+  *
+  * Soundness: both declared kinds (`date`, `div:N` — see
+  * [[LakehouseTable.generatedColsAt]]) are MONOTONE non-decreasing in
+  * the source, so src ≥ L implies gen(src) ≥ gen(L) and src ≤ U implies
+  * gen(src) ≤ gen(U); the derived conjunct only widens the Filter with
+  * an implied condition — rows are never added or removed, the original
+  * predicate still applies. `date` literals are derived with Spark's own
+  * timestamp→date Cast under the session timezone (the same semantics
+  * to_date has), `div:N` with floorDiv (= floor(x / N) exactly). The
+  * rule runs in the operator-optimization fixed point, so it refuses to
+  * re-add a conjunct that is already present (semantic equality) —
+  * one pass converges. */
+case class GeneratedPartitionPruning(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  /** The graft table root of a (possibly attribute-projected) parquet
+    * relation, with the relation itself. */
+  private def graftRelation(plan: LogicalPlan): Option[(LogicalRelation, String)] =
+    plan match {
+      case Project(pl, child) if pl.forall(_.isInstanceOf[Attribute]) =>
+        graftRelation(child)
+      case l: LogicalRelation =>
+        l.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location.inputFiles.headOption.flatMap { f =>
+              val i = f.indexOf("/data/")
+              if (i <= 0) None
+              else {
+                val root = f.substring(0, i).stripPrefix("file:")
+                if (Files.isDirectory(Paths.get(root, "_manifest")))
+                  Some((l, root))
+                else None
+              }
+            }
+          case _ => None
+        }
+      case _ => None
+    }
+
+  /** gen(v) as a Literal of the partition attribute's type, or None when
+    * the literal/source types don't fit the declared kind. */
+  private def genLiteral(kind: String, lit: Literal,
+      partType: org.apache.spark.sql.types.DataType): Option[Literal] =
+    (kind, lit.dataType, lit.value) match {
+      case (_, _, null) => None
+      case ("date", TimestampType, micros: java.lang.Long) =>
+        // Spark's own timestamp→date cast under the session timezone —
+        // exactly to_date's semantics
+        val d = Cast(Literal(micros, TimestampType), DateType,
+          Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null)
+        if (partType == DateType) Some(Literal(d, DateType)) else None
+      case (d, t, v) if d.startsWith("div:") =>
+        val n = d.drop(4).toLong
+        val x = (t, v) match {
+          case (LongType, l: java.lang.Long)       => Some(l.longValue())
+          case (IntegerType, i: java.lang.Integer) => Some(i.longValue())
+          case _                                   => None
+        }
+        x.map(Math.floorDiv(_, n)).flatMap { b =>
+          partType match {
+            case LongType    => Some(Literal(b, LongType))
+            case IntegerType if b == b.toInt => Some(Literal(b.toInt, IntegerType))
+            case _           => None
+          }
+        }
+      case _ => None
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child) =>
+      graftRelation(child) match {
+        case None => f
+        case Some((rel, root)) =>
+          val gens = LakehouseTable.currentVersion(root)
+            .map(LakehouseTable.generatedColsAt(root, _)).getOrElse(Nil)
+          if (gens.isEmpty) f
+          else {
+            val conjuncts = splitConjunctivePredicates(cond)
+            val derived = gens.flatMap { case (partCol, kind, srcCol) =>
+              (rel.output.find(_.name.equalsIgnoreCase(partCol)),
+                rel.output.find(_.name.equalsIgnoreCase(srcCol))) match {
+                case (Some(partAttr), Some(srcAttr)) =>
+                  conjuncts.flatMap(deriveOne(_, srcAttr, partAttr, kind))
+                case _ => Nil
+              }
+            }
+            val fresh = derived.filterNot(d =>
+              conjuncts.exists(_.semanticEquals(d)))
+            if (fresh.isEmpty) f
+            else Filter((conjuncts ++ fresh).reduce(And), child)
+          }
+      }
+  }
+
+  private def splitConjunctivePredicates(e: Expression): Seq[Expression] =
+    e match {
+      case And(a, b) =>
+        splitConjunctivePredicates(a) ++ splitConjunctivePredicates(b)
+      case other => Seq(other)
+    }
+
+  /** True when `lit` sits exactly on the LEFT EDGE of its generation
+    * bucket (midnight for `date`, a multiple of N for `div:N`) — a
+    * strict upper bound at the edge excludes the whole bucket, so the
+    * partition bound may step one bucket down. */
+  private def onBucketEdge(kind: String, lit: Literal): Boolean =
+    (kind, lit.dataType, lit.value) match {
+      case ("date", TimestampType, micros: java.lang.Long) =>
+        val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
+        val d = Cast(Literal(micros, TimestampType), DateType, tz).eval(null)
+        Cast(Literal(d, DateType), TimestampType, tz).eval(null) == micros
+      case (d, LongType, l: java.lang.Long) if d.startsWith("div:") =>
+        Math.floorMod(l.longValue(), d.drop(4).toLong) == 0L
+      case (d, IntegerType, i: java.lang.Integer) if d.startsWith("div:") =>
+        Math.floorMod(i.longValue(), d.drop(4).toLong) == 0L
+      case _ => false
+    }
+
+  private def oneBucketDown(l: Literal): Option[Literal] = l match {
+    case Literal(d: java.lang.Integer, DateType)    => Some(Literal(d - 1, DateType))
+    case Literal(v: java.lang.Long, LongType)       => Some(Literal(v - 1, LongType))
+    case Literal(v: java.lang.Integer, IntegerType) => Some(Literal(v - 1, IntegerType))
+    case _ => None
+  }
+
+  /** The partition-column conjunct implied by one source-column
+    * comparison, if any. A strict LOWER bound still derives the
+    * non-strict partition form (gen is a step function: src > L allows
+    * gen(src) = gen(L)); a strict UPPER bound exactly on a bucket edge
+    * steps one bucket down (ts < midnight excludes that whole day). */
+  private def deriveOne(c: Expression, src: Attribute, part: Attribute,
+      kind: String): Option[Expression] = {
+    def lo(l: Literal) = genLiteral(kind, l, part.dataType)
+      .map(GreaterThanOrEqual(part, _))
+    def hi(l: Literal) = genLiteral(kind, l, part.dataType)
+      .map(LessThanOrEqual(part, _))
+    def hiStrict(l: Literal) = genLiteral(kind, l, part.dataType).flatMap { g =>
+      (if (onBucketEdge(kind, l)) oneBucketDown(g) else Some(g))
+        .map(LessThanOrEqual(part, _))
+    }
+    c match {
+      case GreaterThanOrEqual(a: Attribute, l: Literal) if a.semanticEquals(src) => lo(l)
+      case GreaterThan(a: Attribute, l: Literal) if a.semanticEquals(src)        => lo(l)
+      case LessThanOrEqual(a: Attribute, l: Literal) if a.semanticEquals(src)    => hi(l)
+      case LessThan(a: Attribute, l: Literal) if a.semanticEquals(src)           => hiStrict(l)
+      case EqualTo(a: Attribute, l: Literal) if a.semanticEquals(src) =>
+        genLiteral(kind, l, part.dataType).map(EqualTo(part, _))
+      case GreaterThanOrEqual(l: Literal, a: Attribute) if a.semanticEquals(src) => hi(l)
+      case GreaterThan(l: Literal, a: Attribute) if a.semanticEquals(src)        => hiStrict(l)
+      case LessThanOrEqual(l: Literal, a: Attribute) if a.semanticEquals(src)    => lo(l)
+      case LessThan(l: Literal, a: Attribute) if a.semanticEquals(src)           => lo(l)
+      case EqualTo(l: Literal, a: Attribute) if a.semanticEquals(src) =>
+        genLiteral(kind, l, part.dataType).map(EqualTo(part, _))
+      case _ => None
+    }
+  }
+}

@@ -208,6 +208,87 @@ object LakehouseTable {
   private def encodeIdentity(idCol: String, keys: Seq[String], wm: Long): String =
     s"$idCol>${keys.mkString("|")}>$wm"
 
+  private val GeneratedRe = """"generatedCols":\s*"([^"]*)"""".r
+
+  /** GENERATED partition-column declarations as of version `v`:
+    * (partition column, kind, source column) triples, where kind ∈
+    * { `date` (= to_date(src) under the session timezone),
+    *   `div:N` (= floor(src / N), N a positive integer) }.
+    * Both kinds are MONOTONE non-decreasing in the source, which is what
+    * lets the optimizer map a range predicate on the source column to a
+    * range predicate on the partition column — Delta's generated-column
+    * partition pruning, expressed over the graft manifest. The
+    * declaration is a WRITER CONTRACT: every row's partition value must
+    * equal the generation expression over its source value
+    * ([[withGeneratedPartitions]] computes it; [[alterSetGeneratedPartition]]
+    * verifies the existing rows once at declaration time). */
+  def generatedColsAt(root: String, v: Long): Seq[(String, String, String)] =
+    GeneratedRe.findFirstMatchIn(
+      Files.readString(manifestDir(root).resolve(s"$v.json")))
+      .map(_.group(1)).filter(_.nonEmpty).toSeq
+      .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { t =>
+        val Array(p, k, s) = t.split(">", 3)
+        (p.trim, k.trim, s.trim)
+      })
+
+  private def encodeGenerated(gs: Seq[(String, String, String)]): String =
+    gs.map { case (p, k, s) => s"$p>$k>$s" }.mkString(", ")
+
+  /** The generation expression of a declared kind over a source column. */
+  def generatedPartitionColumn(kind: String, src: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{floor, to_date}
+    kind match {
+      case "date" => to_date(src)
+      case d if d.startsWith("div:") =>
+        // floor-division (NOT `div`, which truncates toward zero and is
+        // not monotone across 0); exact for |src| < 2^52
+        floor(src / d.drop(4).toLong).cast("long")
+      case other =>
+        throw new IllegalArgumentException(s"unknown generation kind '$other'")
+    }
+  }
+
+  /** Add every declared generated partition column to an ingest frame —
+    * the writer-side helper that makes the declaration contract hold by
+    * construction. */
+  def withGeneratedPartitions(root: String, df: DataFrame): DataFrame =
+    currentVersion(root).map(generatedColsAt(root, _)).getOrElse(Nil)
+      .foldLeft(df) { case (acc, (p, k, s)) =>
+        acc.withColumn(p, generatedPartitionColumn(k, acc.col(s)))
+      }
+
+  /** Declare `partCol` GENERATED from `srcCol` (metadata-only commit).
+    * The declaration is verified once against the CURRENT rows — a row
+    * whose partition value diverges from the generation expression would
+    * make derived partition pruning return wrong results, so divergence
+    * is an error here, not a latent one. */
+  def alterSetGeneratedPartition(spark: SparkSession, root: String,
+      partCol: String, kind: String, srcCol: String): Long = {
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no table at $root"))
+    require(partitionColumns(root).exists(_.equalsIgnoreCase(partCol)),
+      s"'$partCol' is not a partition column of $root " +
+        s"(${partitionColumns(root).mkString(", ")})")
+    require(kind == "date" || kind.matches("div:[1-9][0-9]*"),
+      s"generation kind must be 'date' or 'div:N', got '$kind'")
+    require(!partCol.equalsIgnoreCase(srcCol),
+      "generated column and source must differ")
+    require(!generatedColsAt(root, cur).exists(_._1.equalsIgnoreCase(partCol)),
+      s"'$partCol' already has a generation declaration")
+    val snap = read(spark, root, Some(cur))
+    require(snap.columns.exists(_.equalsIgnoreCase(srcCol)),
+      s"no source column '$srcCol' in ${snap.columns.mkString(", ")}")
+    import org.apache.spark.sql.functions.col
+    val bad = snap.filter(!(col(partCol) <=>
+      generatedPartitionColumn(kind, col(srcCol)))).limit(1).count()
+    require(bad == 0L,
+      s"existing rows violate $partCol = $kind($srcCol); cannot declare")
+    commit(root, cur + 1, readManifest(root, cur),
+      generatedCols = Some(encodeGenerated(
+        generatedColsAt(root, cur) :+ ((partCol, kind, srcCol)))))
+  }
+
   private val DvsRe = """"dvs":\s*"([^"]*)"""".r
 
   /** MERGE-ON-READ deletion-vector state as of version `v`: (data file →
@@ -255,7 +336,8 @@ object LakehouseTable {
       droppedCols: Option[String] = None,
       widenedCols: Option[String] = None,
       dvs: Option[String] = None,
-      identity: Option[String] = None): Long = {
+      identity: Option[String] = None,
+      generatedCols: Option[String] = None): Long = {
     relFiles.find(f => f.contains('"') || f.contains(',')).foreach(f =>
       throw new IllegalArgumentException(
         s"""data file path contains '"' or ',' (unsupported in partition values): $f"""))
@@ -301,9 +383,14 @@ object LakehouseTable {
       prevV.flatMap(v => identityAt(root, v).map {
         case (c, ks, wm) => encodeIdentity(c, ks, wm)
       }).getOrElse(""))
+    // generated-partition declarations carry forward like the rest of
+    // the schema-mapping state
+    val genField = generatedCols.getOrElse(
+      prevV.map(v => encodeGenerated(generatedColsAt(root, v))).getOrElse(""))
     Seq("added-column DDL" -> cols, "renamed-column list" -> rens,
       "dropped-column list" -> drops, "widened-column list" -> widens,
-      "deletion-vector list" -> dvField, "identity state" -> idField)
+      "deletion-vector list" -> dvField, "identity state" -> idField,
+      "generated-column list" -> genField)
       .foreach { case (what, s) =>
         require(!s.exists(c => c == '[' || c == ']' || c == '"'),
           s"""$what may not contain '[', ']', or '"': $s""")
@@ -313,7 +400,8 @@ object LakehouseTable {
       (if (drops.isEmpty) "" else s""""droppedCols": "$drops", """) +
       (if (widens.isEmpty) "" else s""""widenedCols": "$widens", """) +
       (if (dvField.isEmpty) "" else s""""dvs": "$dvField", """) +
-      (if (idField.isEmpty) "" else s""""identity": "$idField", """)
+      (if (idField.isEmpty) "" else s""""identity": "$idField", """) +
+      (if (genField.isEmpty) "" else s""""generatedCols": "$genField", """)
     // in-commit timestamp, CLAMPED MONOTONIC (max(now, prev+1) — Delta's
     // in-commit-timestamps rule): versionAt's "latest version at or
     // before ts" scan requires non-decreasing stamps even when the

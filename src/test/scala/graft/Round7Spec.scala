@@ -272,6 +272,57 @@ class Round7Spec extends AnyFunSuite {
     assert(byPart(LT.currentVersion(root).get)("k=1").size == 1)
   }
 
+  test("generated-partition pruning: source-range predicates prune partition dirs; declaration verified") {
+    import spark.implicits._
+    // div-bucketed table: bucket = floor(id / 100), 6 partition dirs
+    val root = freshRoot("genpart")
+    val df = (0L until 600L).map(i => (i, s"v$i")).toDF("id", "v")
+      .withColumn("bucket", LT.generatedPartitionColumn("div:100", col("id")))
+    LT.create(df, root, partitionBy = Seq("bucket"))
+    LT.alterSetGeneratedPartition(spark, root, "bucket", "div:100", "id")
+    // a range on id (bucket never mentioned) must scan only buckets 2..4
+    val q = LT.read(spark, root).filter(col("id") >= 250 && col("id") <= 420)
+    assert(q.count() == 171)
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("bucket"),
+      s"derived bucket predicate missing from scan:\n$scan")
+    val filesRead = q.queryExecution.executedPlan.collectLeaves().head match {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.totalNumberOfFiles.toInt
+      case _ => -1
+    }
+    val totalFiles = LT.fileCount(root, LT.currentVersion(root).get)
+    assert(filesRead > 0 && filesRead < totalFiles,
+      s"no pruning: read $filesRead of $totalFiles files")
+    // date kind: multi-day synthetic events, filter on ts only
+    val root2 = freshRoot("genpart_date")
+    val ev = (0L until 240L).map { i =>
+      (i, new java.sql.Timestamp(1704067200000L + i * 3600 * 1000))
+    }.toDF("event_id", "ts")   // 2024-01-01 .. 2024-01-10, hourly (UTC)
+      .withColumn("day", LT.generatedPartitionColumn("date", col("ts")))
+    LT.create(ev, root2, partitionBy = Seq("day"))
+    LT.alterSetGeneratedPartition(spark, root2, "day", "date", "ts")
+    val q2 = LT.read(spark, root2)
+      .filter(col("ts") >= lit("2024-01-03 06:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-05 00:00:00").cast("timestamp"))
+    assert(q2.count() == 42)
+    val parts2 = q2.queryExecution.executedPlan.collectLeaves().head match {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+      case _ => -1
+    }
+    assert(parts2 == 2,
+      s"date pruning should read exactly the 01-03 and 01-04 dirs, read $parts2")
+    // declaration against divergent rows is refused
+    val root3 = freshRoot("genpart_bad")
+    LT.create(Seq((1L, 99L)).toDF("id", "bucket"), root3,
+      partitionBy = Seq("bucket"))
+    val ex = intercept[IllegalArgumentException] {
+      LT.alterSetGeneratedPartition(spark, root3, "bucket", "div:100", "id")
+    }
+    assert(ex.getMessage.contains("violate"))
+  }
+
   test("enableIdentity refuses a table that already holds rows") {
     import spark.implicits._
     val root = freshRoot("ident_guard")
