@@ -37,6 +37,7 @@ import graft.sources.LakehouseTable
   *   ALTER TABLE t DROP COLUMN c | DROP COLUMNS (c1, ...)
   *   ALTER TABLE t ADD CONSTRAINT name CHECK (expr)   -- validated + enforced
   *   ALTER TABLE t DROP CONSTRAINT name
+  *   ALTER TABLE t SET GENERATED part AS DATE(src) | DIV(src, n)
   *   DESCRIBE COLUMNS t    -- logical schema + physical (file) names
   *   SHOW GRAFT TABLES     -- the persistent catalog's listing
   *   OPTIMIZE t [WHERE partition-pred] [ZORDER BY (c1, c2, ...)]
@@ -395,6 +396,20 @@ case class AlterIdentityGraftCommand(name: String, idCol: String,
   override def run(spark: SparkSession): Seq[Row] = {
     val e = GraftCatalog.lookup(name).get
     LakehouseTable.enableIdentity(e.root, idCol, orderKeys)
+    Seq.empty
+  }
+}
+
+/** ALTER TABLE name SET GENERATED part AS DATE(src) | DIV(src, N) —
+  * declare a partition column generated from a source column (verified
+  * against existing rows), enabling optimizer-derived partition pruning
+  * for queries that filter on the source only. */
+case class AlterGeneratedGraftCommand(name: String, partCol: String,
+    kind: String, srcCol: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val e = GraftCatalog.lookup(name).get
+    LakehouseTable.alterSetGeneratedPartition(spark, e.root, partCol, kind, srcCol)
+    GraftCatalog.refreshView(spark, name)
     Seq.empty
   }
 }
@@ -874,6 +889,8 @@ object GraftSqlStatements {
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ALTER\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+(?:SET\s+DATA\s+)?TYPE\s+([A-Za-z0-9_()\s,]+?)\s*;?\s*$""".r
   private val AlterIdentityRe =
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ADD\s+IDENTITY\s+([A-Za-z_][A-Za-z0-9_]*)\s+ORDER\s+BY\s+([A-Za-z0-9_,\s]+?)\s*;?\s*$""".r
+  private val AlterGeneratedRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+GENERATED\s+([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(?:DATE\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)|DIV\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*(\d+)\s*\))\s*;?\s*$""".r
   private val OnConjunctRe = """(?s)\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*""".r
 
   /** ON-clause → merge key columns. Only the equi-self-named form
@@ -922,6 +939,12 @@ object GraftSqlStatements {
       case AlterIdentityRe(name, idCol, keys) if GraftCatalog.lookup(name).isDefined =>
         Some(AlterIdentityGraftCommand(name, idCol,
           keys.split(",").toSeq.map(_.trim).filter(_.nonEmpty)))
+      case AlterGeneratedRe(name, partCol, dateSrc, divSrc, divN)
+          if GraftCatalog.lookup(name).isDefined =>
+        Some(
+          if (dateSrc != null)
+            AlterGeneratedGraftCommand(name, partCol, "date", dateSrc)
+          else AlterGeneratedGraftCommand(name, partCol, s"div:$divN", divSrc))
       case InsertRe(mode, name, query) if GraftCatalog.lookup(name).isDefined =>
         Some(InsertGraftTableCommand(name, unmask(query),
           overwrite = mode.equalsIgnoreCase("OVERWRITE")))

@@ -313,6 +313,24 @@ class Round7Spec extends AnyFunSuite {
     }
     assert(parts2 == 2,
       s"date pruning should read exactly the 01-03 and 01-04 dirs, read $parts2")
+    // SQL face: ALTER TABLE ... SET GENERATED routes to the same
+    // declaration (fresh table, declared via SQL, then pruned the same)
+    val root4 = freshRoot("genpart_sql")
+    LT.create((0L until 300L).map(i => (i, s"w$i")).toDF("id", "v")
+      .withColumn("bucket", LT.generatedPartitionColumn("div:100", col("id"))),
+      root4, partitionBy = Seq("bucket"))
+    graft.sql.GraftCatalog.register(spark, "r7_gen", root4, Seq("bucket"))
+    spark.sql("ALTER TABLE r7_gen SET GENERATED bucket AS DIV(id, 100)")
+    assert(LT.generatedColsAt(root4, LT.currentVersion(root4).get) ==
+      Seq(("bucket", "div:100", "id")))
+    val q4 = LT.read(spark, root4).filter(col("id") === 250)
+    assert(q4.count() == 1)
+    val parts4 = q4.queryExecution.executedPlan.collectLeaves().head match {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+      case _ => -1
+    }
+    assert(parts4 == 1, s"equality should prune to one dir, read $parts4")
     // declaration against divergent rows is refused
     val root3 = freshRoot("genpart_bad")
     LT.create(Seq((1L, 99L)).toDF("id", "bucket"), root3,
