@@ -76,13 +76,44 @@ class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegis
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): Source =
-    new GraftTableSource(sqlContext.sparkSession, rootOf(parameters),
+      parameters: Map[String, String]): Source = {
+    val root = rootOf(parameters)
+    // Delta-source start options: skip the initial snapshot and tail
+    // changes from a version (exclusive base — the first batch is the
+    // files ADDED after it) or from the first commit at/after a
+    // timestamp. Mutually exclusive, consulted only on a FRESH stream
+    // (a checkpointed query resumes from its own offsets).
+    // internal form: the EXCLUSIVE base version (Delta's startingVersion
+    // is inclusive — its own changes are the first batch); "latest"
+    // tails only future commits
+    val startingVersion = parameters.get("startingVersion").map {
+      case s if s.equalsIgnoreCase("latest") =>
+        LakehouseTable.currentVersion(root).getOrElse(-1L)
+      case s => s.toLong - 1
+    }
+    val startingTs = parameters.get("startingTimestamp").map { t =>
+      val ms = java.sql.Timestamp.valueOf(t.replace('T', ' ')).getTime
+      val vs = LakehouseTable.versions(root)
+      // base = the version BEFORE the first commit at/after ts, so that
+      // commit's rows are the first batch
+      vs.zipWithIndex.find { case (v, _) =>
+        LakehouseTable.commitTsAt(root, v).getOrElse(Long.MinValue) >= ms
+      } match {
+        case Some((_, 0)) => -1L // everything qualifies: tail from before v0
+        case Some((_, i)) => vs(i - 1)
+        case None => vs.lastOption.getOrElse(-1L) // nothing yet: only future commits
+      }
+    }
+    require(startingVersion.isEmpty || startingTs.isEmpty,
+      "graft-table source: startingVersion and startingTimestamp are mutually exclusive")
+    new GraftTableSource(sqlContext.sparkSession, root,
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
       ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean),
       maxVersionsPerBatch = positiveInt(parameters, "maxVersionsPerBatch"),
       maxFilesPerBatch = positiveInt(parameters, "maxFilesPerBatch"),
-      metadataPath = Some(metadataPath))
+      metadataPath = Some(metadataPath),
+      startingVersion = startingVersion.orElse(startingTs))
+  }
 }
 
 /** Cursor offset for [[GraftTableSource]]: `json` is the bare version
@@ -115,7 +146,8 @@ class GraftTableSource(spark: SparkSession, root: String,
     override val schema: StructType, ignoreChanges: Boolean,
     maxVersionsPerBatch: Option[Int] = None,
     maxFilesPerBatch: Option[Int] = None,
-    metadataPath: Option[String] = None) extends Source {
+    metadataPath: Option[String] = None,
+    startingVersion: Option[Long] = None) extends Source {
 
   private def cursorOf(o: Offset): GraftVersionOffset = o match {
     case g: GraftVersionOffset => g
@@ -127,6 +159,7 @@ class GraftTableSource(spark: SparkSession, root: String,
     * previous committed version otherwise. Sorted — manifests are
     * immutable, so positions are deterministic across restarts. */
   private def fileListOf(v: Long, snapshot: Boolean): Seq[String] = {
+    if (v < 0) return Nil // synthetic pre-v0 base (startingVersion 0)
     val cur = LakehouseTable.manifestFiles(root, v)
     if (snapshot) cur.sorted
     else LakehouseTable.versions(root).takeWhile(_ < v).lastOption match {
@@ -157,6 +190,14 @@ class GraftTableSource(spark: SparkSession, root: String,
     * Lost/absent state degrades to exactly that documented behavior,
     * never to wrong data: the anchor is admission control only. */
   @volatile private var lastPlanned: Option[GraftVersionOffset] =
+    readAnchor()
+      // a declared start position (startingVersion/startingTimestamp)
+      // seeds the cursor of a FRESH stream at its exclusive base: no
+      // initial snapshot, the first batch is the base's successor diff.
+      // A persisted anchor (restart) always wins over the declaration.
+      .orElse(startingVersion.map(GraftVersionOffset(_)))
+
+  private def readAnchor(): Option[GraftVersionOffset] =
     anchorFs.flatMap { case (fs, p) =>
       scala.util.Try {
         if (!fs.exists(p)) None
@@ -265,20 +306,23 @@ class GraftTableSource(spark: SparkSession, root: String,
     def readSlice(files: Seq[String]): DataFrame =
       if (files.isEmpty) emptyBatch
       else LakehouseTable.readFilesLogicalAt(spark, root, endC.v, files)
-    val batch = start match {
-      // first batch(es) of a fresh query: the snapshot at endC.v (Delta's
-      // initial reservoir read), whole or a file-cap prefix of it
-      case None => endC.filePos match {
+    val batch = (start, startingVersion) match {
+      // first batch(es) of a fresh query with NO declared start: the
+      // snapshot at endC.v (Delta's initial reservoir read), whole or a
+      // file-cap prefix of it
+      case (None, None) => endC.filePos match {
         case None    => LakehouseTable.read(spark, root, Some(endC.v))
         case Some(k) =>
           readSlice(fileListOf(endC.v, snapshot = true).take(k.toInt))
       }
-      case Some(s) =>
-        val c = cursorOf(s)
+      case (s0, sv) =>
+        // a declared start makes the first batch a tail diff from the
+        // exclusive base, exactly like a resumed cursor
+        val c = s0.map(cursorOf).getOrElse(GraftVersionOffset(sv.get))
         if (endC.v < c.v ||
             (endC.v == c.v && endC.filePos == c.filePos)) emptyBatch
         else {
-          if (endC.v > c.v) {
+          if (endC.v > c.v && c.v >= 0) {
             if (!ignoreChanges &&
                 LakehouseTable.removedFilesBetween(root, c.v, endC.v).nonEmpty)
               throw new IllegalStateException(

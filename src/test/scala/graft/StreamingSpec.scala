@@ -719,6 +719,52 @@ class StreamingSpec extends AnyFunSuite {
       s"replayed or lost rows: ${batches.asScala.toList}")
   }
 
+  test("startingVersion / startingTimestamp skip the snapshot and tail from the declared commit") {
+    import spark.implicits._
+    import graft.sources.{LakehouseTable => LT}
+    val base = Files.createTempDirectory("graft-table-startv")
+    val root = base.resolve("tbl").toString
+    LT.create(Seq((1L, "a")).toDF("id", "v"), root)          // v0
+    Thread.sleep(15)
+    LT.append(Seq((2L, "b")).toDF("id", "v"), root)          // v1
+    Thread.sleep(15)
+    LT.append(Seq((3L, "c")).toDF("id", "v"), root)          // v2
+    def collectFrom(opts: Map[String, String], ckpt: String): Set[Long] = {
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val q = opts.foldLeft(
+          spark.readStream.format("graft-table").option("path", root))(
+          (r, kv) => r.option(kv._1, kv._2)).load()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", base.resolve(ckpt).toString)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.collect().foreach(r => seen.add(r.getLong(0))); ()
+        }.start()
+      q.processAllAvailable(); q.stop()
+      import scala.jdk.CollectionConverters._
+      seen.asScala.toSet
+    }
+    // inclusive version start: v1's and v2's rows, never the v0 snapshot
+    assert(collectFrom(Map("startingVersion" -> "1"), "ck1") == Set(2L, 3L))
+    // startingVersion 0 = the whole history as diffs (≡ snapshot content)
+    assert(collectFrom(Map("startingVersion" -> "0"), "ck0") == Set(1L, 2L, 3L))
+    // "latest": nothing yet — then only commits made after stream start
+    assert(collectFrom(Map("startingVersion" -> "latest"), "ckl").isEmpty)
+    LT.append(Seq((4L, "d")).toDF("id", "v"), root)          // v3
+    assert(collectFrom(Map("startingVersion" -> "latest"), "ckl") == Set(4L),
+      "the resumed latest-stream must see exactly the post-start commit")
+    // timestamp start: first commit at/after v2's stamp → rows of v2, v3
+    val ts2 = new java.sql.Timestamp(LT.commitTsAt(root, 2L).get).toString
+    assert(collectFrom(Map("startingTimestamp" -> ts2), "ckt") == Set(3L, 4L))
+    // both options together are refused
+    val ex = intercept[Exception] {
+      collectFrom(Map("startingVersion" -> "1", "startingTimestamp" -> ts2), "ckb")
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+    assert(causes(ex).exists(c => Option(c.getMessage)
+      .exists(_.contains("mutually exclusive"))))
+  }
+
   test("graft-table source refuses a rewrite range unless ignoreChanges") {
     import spark.implicits._
     import graft.sources.{LakehouseTable => LT}
