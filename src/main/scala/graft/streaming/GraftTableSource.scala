@@ -52,8 +52,33 @@ import graft.sources.LakehouseTable
   *     .load()
   * }}}
   */
-class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegister {
+class GraftTableSourceProvider extends StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider with DataSourceRegister {
   override def shortName(): String = "graft-table"
+
+  /** Streaming SINK into a graft table — the other half of the format:
+    * `df.writeStream.format("graft-table").option("path", root)`.
+    * Append-only; each micro-batch commits with its batchId as the
+    * manifest transaction under a per-checkpoint writer id (Delta's
+    * (txnAppId, txnVersion) pattern), so a batch replayed after a crash
+    * between manifest commit and checkpoint commit is SKIPPED — the
+    * end-to-end guarantee is effectively-once, same as
+    * [[Streams.ingestInto]]'s foreachBatch form but as a first-class
+    * sink. Override the writer id with `.option("txnApp", ...)` when two
+    * queries share one checkpoint lineage. */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft-table sink supports Append output mode only, got $outputMode " +
+        "(aggregate first, or land updates through foreachBatch + merge)")
+    val app = parameters.get("txnApp").getOrElse("ckpt-" +
+      graft.plans.TextExpressions.md5Hex(
+        parameters.getOrElse("checkpointLocation", rootOf(parameters)))
+        .take(16))
+    new GraftTableSink(rootOf(parameters), partitionColumns, app)
+  }
 
   private def rootOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path",
@@ -114,6 +139,26 @@ class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegis
       metadataPath = Some(metadataPath),
       startingVersion = startingVersion.orElse(startingTs))
   }
+}
+
+/** DSv1 streaming sink over a graft lakehouse table (see
+  * [[GraftTableSourceProvider.createSink]] for the contract). The
+  * micro-batch DataFrame is rebased onto its already-planned RDD
+  * ([[GraftStreamingShims.batchDataFrame]]) before the table write, the
+  * Delta-DSv1-sink pattern. */
+class GraftTableSink(root: String, partitionBy: Seq[String], txnApp: String)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    if (LakehouseTable.lastTxn(root, txnApp).exists(_ >= batchId)) return
+    val batch = GraftStreamingShims.batchDataFrame(data.sparkSession, data)
+    if (LakehouseTable.versions(root).isEmpty)
+      LakehouseTable.create(batch, root, partitionBy,
+        txn = Some(batchId), txnApp = txnApp)
+    else
+      LakehouseTable.append(batch, root, partitionBy,
+        txn = Some(batchId), txnApp = txnApp)
+  }
+  override def toString: String = s"GraftTableSink[$root]"
 }
 
 /** Cursor offset for [[GraftTableSource]]: `json` is the bare version

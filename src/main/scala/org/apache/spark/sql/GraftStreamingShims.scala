@@ -18,4 +18,17 @@ object GraftStreamingShims {
     cs.internalCreateDataFrame(cdf.queryExecution.toRdd, df.schema,
       isStreaming = true)
   }
+
+  /** The inverse direction, for a DSv1 streaming SINK: the DataFrame
+    * handed to `Sink.addBatch` still references the micro-batch plan;
+    * re-planning it through an ordinary write can re-trigger or trip the
+    * streaming-source assertion. Rebasing the already-planned RDD into a
+    * fresh batch DataFrame (what Delta's DSv1 sink does) makes it safe
+    * to hand to any batch writer exactly once. */
+  def batchDataFrame(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val cdf = df.asInstanceOf[classic.Dataset[Row]]
+    cs.internalCreateDataFrame(cdf.queryExecution.toRdd, df.schema,
+      isStreaming = false)
+  }
 }

@@ -765,6 +765,58 @@ class StreamingSpec extends AnyFunSuite {
       .exists(_.contains("mutually exclusive"))))
   }
 
+  test("graft-table SINK: writeStream lands txn-stamped appends; table-to-table pipeline exactly-once across restart") {
+    import spark.implicits._
+    import graft.sources.{LakehouseTable => LT}
+    val base = Files.createTempDirectory("graft-table-sink")
+    val src = base.resolve("src").toString
+    val dst = base.resolve("dst").toString
+    val ckpt = base.resolve("ckpt").toString
+    LT.create(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), src)
+    // source table → streaming → SINK table: the whole pipeline is the
+    // one format string on both ends
+    def pipeline() = spark.readStream
+      .format("graft-table").option("path", src).load()
+      .writeStream.format("graft-table")
+      .option("path", dst)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q = pipeline()
+    q.processAllAvailable(); q.stop()
+    def dstRows() = LT.read(spark, dst).select("id")
+      .as[Long].collect().sorted.toSeq
+    assert(dstRows() == Seq(1L, 2L))
+    // the sink's commits are txn-stamped under a per-checkpoint app id
+    assert(LT.lastTxns(dst).keys.exists(_.startsWith("ckpt-")))
+    // commits while DOWN arrive exactly once after restart; replays of
+    // already-committed batch ids are skipped by the txn watermark
+    LT.append(Seq((3L, "c")).toDF("id", "v"), src)
+    val q2 = pipeline()
+    q2.processAllAvailable(); q2.stop()
+    assert(dstRows() == Seq(1L, 2L, 3L), s"got ${dstRows()}")
+    val versionsAfter = LT.versions(dst).size
+    // an idle restart commits nothing (no empty-batch version churn, no
+    // duplicate rows)
+    val q3 = pipeline()
+    q3.processAllAvailable(); q3.stop()
+    assert(dstRows() == Seq(1L, 2L, 3L))
+    assert(LT.versions(dst).size <= versionsAfter + 1,
+      s"idle restart ballooned versions: ${LT.versions(dst)}")
+    // update mode is refused up front
+    val ex = intercept[Exception] {
+      spark.readStream.format("graft-table").option("path", src).load()
+        .groupBy(col("v")).count()
+        .writeStream.format("graft-table")
+        .option("path", base.resolve("dst2").toString)
+        .option("checkpointLocation", base.resolve("ck2").toString)
+        .outputMode("complete").start()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+    assert(causes(ex).exists(c =>
+      Option(c.getMessage).exists(_.contains("Append output mode only"))))
+  }
+
   test("graft-table source refuses a rewrite range unless ignoreChanges") {
     import spark.implicits._
     import graft.sources.{LakehouseTable => LT}
