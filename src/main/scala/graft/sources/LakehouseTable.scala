@@ -1097,7 +1097,16 @@ object LakehouseTable {
           val (size, mtime) =
             if (Files.exists(p)) (Files.size(p), Files.getLastModifiedTime(p).toMillis)
             else (0L, 0L)
-          sb.append(s"""{"add":{"path":"data/${esc(deltaEncodePath(f))}","partitionValues":${partitionValues(f)},"size":$size,"modificationTime":$mtime,"dataChange":true${dvJson(f)}}}""")
+          // per-file stats (Delta's add.stats JSON string): numRecords
+          // from the footer — one small read per NEW file, once — lets a
+          // foreign reader answer count(*) from metadata and plan scans
+          val stats =
+            if (!Files.exists(p)) ""
+            else try {
+              val n = footerRowCount(root, Seq(f))
+              s""","stats":"{\\"numRecords\\":$n}""""
+            } catch { case scala.util.control.NonFatal(_) => "" }
+          sb.append(s"""{"add":{"path":"data/${esc(deltaEncodePath(f))}","partitionValues":${partitionValues(f)},"size":$size,"modificationTime":$mtime,"dataChange":true$stats${dvJson(f)}}}""")
             .append('\n')
         }
         prev.filterNot(curSet).foreach { f =>
@@ -1270,6 +1279,7 @@ object LakehouseTable {
         StructField("size", LongType),
         StructField("modificationTime", LongType),
         StructField("dataChange", BooleanType),
+        StructField("stats", StringType),
         StructField("deletionVector", StructType(Seq(
           StructField("storageType", StringType),
           StructField("pathOrInlineDv", StringType),
@@ -1297,8 +1307,12 @@ object LakehouseTable {
         val dv = st.dvs.get(f).map(d => org.apache.spark.sql.Row(
           d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes,
           d.cardinality)).orNull
+        val stats =
+          if (!Files.exists(p)) null
+          else try s"{\"numRecords\":${parquetRecordCount(p)}}"
+          catch { case scala.util.control.NonFatal(_) => null }
         org.apache.spark.sql.Row(null, null, org.apache.spark.sql.Row(
-          deltaEncodePath(f), partitionValues(f), size, mtime, true, dv))
+          deltaEncodePath(f), partitionValues(f), size, mtime, true, stats, dv))
       }
     val tmp = Files.createTempDirectory(logDir, ".ckpt-tmp")
     spark.createDataFrame(
@@ -1541,15 +1555,17 @@ object LakehouseTable {
 
   /** Total row count of `relFiles` from parquet FOOTERS only — no data
     * pages, no SparkSession (for metadata-path guards). */
-  private def footerRowCount(root: String, relFiles: Seq[String]): Long = {
+  private def footerRowCount(root: String, relFiles: Seq[String]): Long =
+    relFiles.map(rel => parquetRecordCount(dataDir(root).resolve(rel))).sum
+
+  /** Footer-only record count of one parquet file (absolute path). */
+  private def parquetRecordCount(p: Path): Long = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val conf = new org.apache.hadoop.conf.Configuration()
-    relFiles.map { rel =>
-      val p = new org.apache.hadoop.fs.Path(dataDir(root).resolve(rel).toString)
-      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
-      try reader.getRecordCount finally reader.close()
-    }.sum
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p.toString), conf))
+    try reader.getRecordCount finally reader.close()
   }
 
   /** Enable a GENERATED-ALWAYS identity column: metadata-only commit

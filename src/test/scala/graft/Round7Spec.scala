@@ -139,6 +139,32 @@ class Round7Spec extends AnyFunSuite {
       .as[Long].collect().sorted.toSeq == native())
   }
 
+  test("Delta export add actions carry numRecords stats; sum equals the table count") {
+    import spark.implicits._
+    val root = freshRoot("stats_export")
+    LT.create((1L to 35L).map(i => (i, i % 3)).toDF("id", "k"), root)
+    LT.append((36L to 50L).map(i => (i, i % 3)).toDF("id", "k"), root)
+    LT.exportDeltaLog(spark, root)
+    val logDir = Paths.get(root, "_delta_log")
+    import scala.jdk.CollectionConverters._
+    val txt = Files.list(logDir).iterator().asScala
+      .filter(_.toString.endsWith(".json")).map(Files.readString(_)).mkString("\n")
+    val counts = """"stats":"\{\\"numRecords\\":(\d+)\}"""".r
+      .findAllMatchIn(txt).map(_.group(1).toLong).toSeq
+    assert(counts.nonEmpty, "no numRecords stats in the exported log")
+    assert(counts.sum == 50L,
+      s"per-file numRecords $counts should sum to the table count")
+    // checkpoint rows carry the same stats string
+    val cur = LT.currentVersion(root).get
+    LT.exportDeltaCheckpoint(spark, root, cur)
+    val ck = spark.read.parquet(
+      logDir.resolve(f"$cur%020d.checkpoint.parquet").toString)
+    val ckCounts = ck.filter(col("add").isNotNull)
+      .select(col("add.stats")).as[String].collect()
+      .map(s => """"numRecords":(\d+)""".r.findFirstMatchIn(s).get.group(1).toLong)
+    assert(ckCounts.sum == 50L, s"checkpoint stats $ckCounts")
+  }
+
   test("q161's MOR-deleted fixture table is foreign-readable through its Delta export") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"
