@@ -1102,10 +1102,8 @@ object LakehouseTable {
           // foreign reader answer count(*) from metadata and plan scans
           val stats =
             if (!Files.exists(p)) ""
-            else try {
-              val n = footerRowCount(root, Seq(f))
-              s""","stats":"{\\"numRecords\\":$n}""""
-            } catch { case scala.util.control.NonFatal(_) => "" }
+            else try s""","stats":"${esc(fileStatsJson(p))}""""
+            catch { case scala.util.control.NonFatal(_) => "" }
           sb.append(s"""{"add":{"path":"data/${esc(deltaEncodePath(f))}","partitionValues":${partitionValues(f)},"size":$size,"modificationTime":$mtime,"dataChange":true$stats${dvJson(f)}}}""")
             .append('\n')
         }
@@ -1566,6 +1564,63 @@ object LakehouseTable {
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p.toString), conf))
     try reader.getRecordCount finally reader.close()
+  }
+
+  /** Delta-format per-file stats JSON (numRecords always;
+    * minValues/maxValues/nullCount for plain-integer columns whose every
+    * chunk carries non-null stats — INT32/INT64 with no logical
+    * annotation beyond a signed int, where footer min/max is exact; a
+    * date/timestamp/decimal annotation needs a different JSON value
+    * format and is omitted, which a Delta reader treats as merely
+    * non-skippable, never wrong). One footer read; no data pages. */
+  private def fileStatsJson(p: Path): String = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p.toString), conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val n = blocks.map(_.getRowCount).sum
+      val cols = blocks.headOption.map(_.getColumns.asScala.map(
+        _.getPath.toDotString).toSeq).getOrElse(Nil)
+      val ints = cols.flatMap { c =>
+        val chunks = blocks.flatMap(
+          _.getColumns.asScala.find(_.getPath.toDotString == c))
+        val plainInt = chunks.forall { ch =>
+          val t = ch.getPrimitiveType
+          (t.getPrimitiveTypeName == PrimitiveTypeName.INT32 ||
+            t.getPrimitiveTypeName == PrimitiveTypeName.INT64) &&
+            (t.getLogicalTypeAnnotation == null ||
+              (t.getLogicalTypeAnnotation match {
+                case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation => i.isSigned
+                case _ => false
+              }))
+        }
+        val stats = chunks.map(_.getStatistics)
+        if (!plainInt || chunks.isEmpty ||
+            stats.exists(s => s == null || !s.hasNonNullValue)) None
+        else {
+          def toL(v: Any): Long = v match {
+            case l: java.lang.Long    => l
+            case i: java.lang.Integer => i.toLong
+            case other                => other.toString.toLong
+          }
+          Some((c, stats.map(s => toL(s.genericGetMin)).min,
+            stats.map(s => toL(s.genericGetMax)).max,
+            stats.map(_.getNumNulls).sum))
+        }
+      }
+      if (ints.isEmpty) s"""{"numRecords":$n}"""
+      else {
+        def obj(f: ((String, Long, Long, Long)) => Long) =
+          ints.map(t => s""""${t._1}":${f(t)}""").mkString("{", ",", "}")
+        s"""{"numRecords":$n,"minValues":${obj(_._2)},""" +
+          s""""maxValues":${obj(_._3)},"nullCount":${obj(_._4)}}"""
+      }
+    } finally reader.close()
   }
 
   /** Enable a GENERATED-ALWAYS identity column: metadata-only commit

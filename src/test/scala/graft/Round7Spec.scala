@@ -149,11 +149,18 @@ class Round7Spec extends AnyFunSuite {
     import scala.jdk.CollectionConverters._
     val txt = Files.list(logDir).iterator().asScala
       .filter(_.toString.endsWith(".json")).map(Files.readString(_)).mkString("\n")
-    val counts = """"stats":"\{\\"numRecords\\":(\d+)\}"""".r
+    val counts = """"numRecords\\":(\d+)""".r
       .findAllMatchIn(txt).map(_.group(1).toLong).toSeq
     assert(counts.nonEmpty, "no numRecords stats in the exported log")
     assert(counts.sum == 50L,
       s"per-file numRecords $counts should sum to the table count")
+    // integer min/max stats cover the full value range across files
+    val mins = """minValues\\":\{\\"id\\":(\d+)""".r
+      .findAllMatchIn(txt).map(_.group(1).toLong).toSeq
+    val maxs = """maxValues\\":\{\\"id\\":(\d+)""".r
+      .findAllMatchIn(txt).map(_.group(1).toLong).toSeq
+    assert(mins.nonEmpty && mins.min == 1L && maxs.max == 50L,
+      s"id min/max stats wrong: $mins / $maxs")
     // checkpoint rows carry the same stats string
     val cur = LT.currentVersion(root).get
     LT.exportDeltaCheckpoint(spark, root, cur)
