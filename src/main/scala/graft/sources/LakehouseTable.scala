@@ -1336,21 +1336,50 @@ object LakehouseTable {
     * result against an oracle gates the exported FORMAT's bookkeeping,
     * not the engine's own read path. */
   def readDeltaExport(spark: SparkSession, root: String,
-      useCheckpoint: Boolean = true): DataFrame = {
+      useCheckpoint: Boolean = true,
+      versionAsOf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, regexp_replace, substring, url_decode}
     val logDir = Paths.get(root, "_delta_log")
     require(Files.isDirectory(logDir), s"no _delta_log at $root (exportDeltaLog first)")
     // a checkpoint seeds the state and only the JSON tail replays — the
     // exact protocol a foreign Delta reader follows via _last_checkpoint
     // (useCheckpoint = false forces the full-JSON replay path, so both
-    // can be gated independently)
+    // can be gated independently). A versionAsOf read (time travel over
+    // the LOG only) may seed from the checkpoint only when it is not
+    // past the pinned version.
     val lcp = logDir.resolve("_last_checkpoint")
+    versionAsOf.foreach { v =>
+      require(Files.exists(logDir.resolve(f"$v%020d.json")),
+        s"no exported log version $v at $root")
+    }
     val (ckVer, seedLive, seedSchema, seedDvs) =
       if (!useCheckpoint || !Files.exists(lcp))
         (None: Option[Long], Nil, None, Map.empty[String, DeltaDv.Descriptor])
       else {
         val v = """"version":\s*(\d+)""".r
           .findFirstMatchIn(Files.readString(lcp)).get.group(1).toLong
+        if (versionAsOf.exists(_ < v))
+          (None: Option[Long], Nil, None, Map.empty[String, DeltaDv.Descriptor])
+        else readCheckpointSeed(spark, logDir, v)
+      }
+    val state = replayDeltaLog(root, versionAsOf, after = ckVer,
+      seedLive = seedLive, seedSchema = seedSchema, seedDvs = seedDvs)
+    val files = state.live.map(f => Paths.get(root).resolve(f).toString)
+    // a FOREIGN table's files may live anywhere under the root (ours are
+    // always under data/): partition discovery needs a basePath that is
+    // an ancestor of every file
+    val basePath =
+      if (state.live.forall(_.startsWith("data/"))) dataDir(root).toString
+      else root
+    val mappingMode = state.conf.getOrElse("delta.columnMapping.mode", "none")
+    readDeltaState(spark, root, state, files, basePath, mappingMode)
+  }
+
+  private def readCheckpointSeed(spark: SparkSession,
+      logDir: Path, v: Long): (Option[Long], Seq[String], Option[String],
+      Map[String, DeltaDv.Descriptor]) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    {
         val ck = spark.read.parquet(
           logDir.resolve(f"$v%020d.checkpoint.parquet").toString)
         val addType = ck.schema("add").dataType
@@ -1372,11 +1401,13 @@ object LakehouseTable {
           .select(col("metaData.schemaString")).collect().headOption
           .map(_.getString(0))
         (Some(v), adds, sch, dvm)
-      }
-    val state = replayDeltaLog(root, None, after = ckVer,
-      seedLive = seedLive, seedSchema = seedSchema, seedDvs = seedDvs)
-    val files = state.live.map(f => Paths.get(root).resolve(f).toString)
-    val mappingMode = state.conf.getOrElse("delta.columnMapping.mode", "none")
+    }
+  }
+
+  private def readDeltaState(spark: SparkSession, root: String,
+      state: DeltaReplayState, files: Seq[String], basePath: String,
+      mappingMode: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, regexp_replace, substring, url_decode}
     // DELETION VECTORS: decode each live file's descriptor (spec blob →
     // 64-bit row indexes) and anti-join on (root-relative path,
     // _metadata.row_index) — the same position-delete shape the native
@@ -1436,14 +1467,14 @@ object LakehouseTable {
           else base
         })
         val raw = spark.read
-          .option("basePath", dataDir(root).toString)
+          .option("basePath", basePath)
           .schema(physical)
           .parquet(files: _*)
         applyLogDvs(raw)
           .select(st.fields.toSeq.map(f => col(physOf(f)).as(f.name)): _*)
       case _ =>
         val raw = spark.read
-          .option("basePath", dataDir(root).toString)
+          .option("basePath", basePath)
           .option("mergeSchema", "true")
           .parquet(files: _*)
         val cols = raw.columns.toSeq

@@ -139,6 +139,48 @@ class Round7Spec extends AnyFunSuite {
       .as[Long].collect().sorted.toSeq == native())
   }
 
+  test("readDeltaExport: versionAsOf time travel over the log; root-level foreign files get a valid basePath") {
+    import spark.implicits._
+    val root = freshRoot("travel_dv")
+    LT.create((1L to 20L).map(i => (i, i % 2)).toDF("id", "k"), root)   // v0
+    LT.exportDeltaLog(spark, root)
+    LT.deleteWhereMor(spark, root, "id > 15")                           // v1
+    LT.append(Seq((100L, 0L)).toDF("id", "k"), root)                    // v2
+    def exported(v: Long) = LT.readDeltaExport(spark, root,
+        versionAsOf = Some(v)).select("id").as[Long].collect().sorted.toSeq
+    assert(exported(0) == (1L to 20L))
+    assert(exported(1) == (1L to 15L))
+    assert(exported(2) == (1L to 15L) :+ 100L)
+    // a checkpoint PAST the pinned version must be ignored, not seeded
+    LT.exportDeltaCheckpoint(spark, root, 2L)
+    assert(exported(0) == (1L to 20L))
+    val ex = intercept[IllegalArgumentException] {
+      LT.readDeltaExport(spark, root, versionAsOf = Some(99L))
+    }
+    assert(ex.getMessage.contains("no exported log version"))
+    // foreign table with files at the ROOT (no data/ dir): the reader
+    // must pick a basePath that is an ancestor of every file
+    val root2 = freshRoot("rootfiles")
+    val tmp = Files.createTempDirectory("r7root")
+    (1L to 5L).toDF("id").coalesce(1).write.mode("overwrite")
+      .parquet(tmp.resolve("out").toString)
+    import scala.jdk.CollectionConverters._
+    val part = Files.list(tmp.resolve("out")).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get
+    Files.move(part, Paths.get(root2, "f1.parquet"))
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", org.apache.spark.sql.types.LongType).json
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+    Files.createDirectories(Paths.get(root2, "_delta_log"))
+    Files.writeString(Paths.get(root2, "_delta_log", f"${0L}%020d.json"),
+      s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}
+{"metaData":{"id":"rootfiles","format":{"provider":"parquet","options":{}},"schemaString":"$schema","partitionColumns":[],"configuration":{}}}
+{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}
+""")
+    assert(LT.readDeltaExport(spark, root2).select("id")
+      .as[Long].collect().sorted.toSeq == (1L to 5L))
+  }
+
   test("Delta export add actions carry numRecords stats; sum equals the table count") {
     import spark.implicits._
     val root = freshRoot("stats_export")
