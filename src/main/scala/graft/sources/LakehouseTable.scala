@@ -1488,6 +1488,92 @@ object LakehouseTable {
       case st: org.apache.spark.sql.types.StructType => st
     }
 
+  private val DeltaPartColsRe = """"partitionColumns":\s*\[([^\]]*)\]""".r
+
+  /** IMPORT a foreign Delta table (transaction log + parquet files) as a
+    * NATIVE graft table at `dstRoot`: replay the log's final state,
+    * hard-link the live data files into `dstRoot/data` (copy when the
+    * link crosses devices), convert deletionVector descriptors into a
+    * graft DV sidecar (position parquet + manifest field), record
+    * name-mode column mappings as graft renames, and commit it all as
+    * version 0 — Delta's CONVERT TO DELTA, pointed the other way. The
+    * imported table has the full native feature set from that point:
+    * MOR deletes, time travel forward of the import, incremental and
+    * streaming readers, the SQL face, and an independent re-export.
+    *
+    * Guards (refuse, never silently corrupt): id-mode column mapping
+    * (name-based native resolution can't honor it), and declared
+    * partition columns whose values live only in the log's
+    * partitionValues rather than hive `k=` dirs (the graft manifest
+    * derives partitioning from paths — importing such a table would
+    * null the partition column). */
+  def convertFromDelta(spark: SparkSession, srcRoot: String,
+      dstRoot: String): Long = {
+    require(Files.isDirectory(Paths.get(srcRoot, "_delta_log")),
+      s"no _delta_log at $srcRoot")
+    require(versions(dstRoot).isEmpty, s"import target is not empty: $dstRoot")
+    val state = replayDeltaLog(srcRoot, None)
+    require(state.live.nonEmpty, s"Delta table at $srcRoot has no live files")
+    require(state.conf.getOrElse("delta.columnMapping.mode", "none") != "id",
+      "cannot import an id-mode column-mapped Delta table: native " +
+        "resolution is name-based (read it via readDeltaExport instead)")
+    // declared partition columns must be derivable from the paths
+    val declaredParts = {
+      val logDir = Paths.get(srcRoot, "_delta_log")
+      val metaTxt = withDrained(Files.list(logDir))(
+        _.filter(_.getFileName.toString.matches("\\d{20}\\.json")))
+        .sorted.map(Files.readString(_)).mkString("\n")
+      DeltaPartColsRe.findAllMatchIn(metaTxt).toSeq.lastOption
+        .map(_.group(1).split(",").toSeq.map(
+          _.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty))
+        .getOrElse(Nil)
+    }
+    declaredParts.foreach { c =>
+      state.live.foreach(f => require(f.contains(s"$c="),
+        s"partition column '$c' is not encoded in the path of '$f' " +
+          "(non-hive Delta layout); cannot import without a rewrite"))
+    }
+    def link(src: Path, dst: Path): Unit = {
+      Files.createDirectories(dst.getParent)
+      try Files.createLink(dst, src)
+      catch {
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          Files.copy(src, dst)
+      }
+    }
+    // dest layout: data/<source rel path minus any leading data/>
+    val mapping = state.live.map(f => f -> f.stripPrefix("data/"))
+    mapping.foreach { case (srcRel, dstRel) =>
+      link(Paths.get(srcRoot).resolve(srcRel), dataDir(dstRoot).resolve(dstRel))
+    }
+    // deletion vectors: decode every descriptor once and land the
+    // positions (keyed by DEST-relative path) in one graft sidecar
+    val dvField =
+      if (state.dvs.isEmpty) None
+      else {
+        val destRelOf = mapping.toMap
+        val pos = state.dvs.toSeq.flatMap { case (p, d) =>
+          DeltaDv.readPositions(srcRoot, d).map(ri => (destRelOf(p), ri))
+        }
+        val dvName = "dv-import"
+        Files.createDirectories(deletesDir(dstRoot))
+        spark.createDataFrame(pos).toDF("path", "pos").coalesce(1)
+          .write.parquet(deletesDir(dstRoot).resolve(dvName).toString)
+        Some(encodeDvs(state.dvs.keys.toSeq.sorted
+          .map(p => destRelOf(p) -> dvName)))
+      }
+    // name-mode column mapping → graft renames (physical → logical)
+    val renames = schemaJsonToStruct(state.schemaJson).toSeq.flatMap(_.flatMap { f =>
+      if (f.metadata.contains("delta.columnMapping.physicalName")) {
+        val phys = f.metadata.getString("delta.columnMapping.physicalName")
+        if (phys.equalsIgnoreCase(f.name)) None else Some(phys -> f.name)
+      } else None
+    })
+    commit(dstRoot, 0, mapping.map(_._2),
+      renamedCols = if (renames.isEmpty) None else Some(encodeRenames(renames)),
+      dvs = dvField)
+  }
+
   /** ALTER TABLE ADD COLUMNS: commit a new version with the SAME file set
     * and the widened schema recorded in its manifest. Reads at or after
     * this version surface the new columns as typed nulls until appends

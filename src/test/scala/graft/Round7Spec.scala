@@ -181,6 +181,45 @@ class Round7Spec extends AnyFunSuite {
       .as[Long].collect().sorted.toSeq == (1L to 5L))
   }
 
+  test("convertFromDelta imports a foreign Delta table — DVs, renames, partitions — as a full native table") {
+    import spark.implicits._
+    // round trip: graft table (partitioned, renamed column, MOR deletes)
+    // → Delta export → IMPORT as a fresh native table → identical reads
+    val src = freshRoot("conv_src")
+    LT.create((1L to 40L).map(i => (i, i % 4, s"v$i")).toDF("id", "k", "w"),
+      src, partitionBy = Seq("k"))
+    LT.alterRenameColumn(spark, src, "w", "val")
+    LT.deleteWhereMor(spark, src, "id % 10 = 0")
+    LT.exportDeltaLog(spark, src)
+    val dst = freshRoot("conv_dst")
+    val v = LT.convertFromDelta(spark, src, dst)
+    assert(v == 0L)
+    def rows(root: String) = LT.read(spark, root)
+      .select("id", "k", "val").as[(Long, Long, String)].collect().sorted.toSeq
+    assert(rows(dst) == rows(src) && rows(dst).size == 36)
+    // the import is a REAL native table: partition columns derived,
+    // further MOR deletes and time travel work
+    assert(LT.partitionColumns(dst) == Seq("k"))
+    LT.deleteWhereMor(spark, dst, "id = 7")
+    assert(LT.read(spark, dst).count() == 35)
+    assert(LT.read(spark, dst, Some(0L)).count() == 36) // pre-delete epoch
+    // id-mode tables refuse (name-based native resolution cannot honor
+    // field-id matching) — built in the earlier id-mode test's shape
+    val idRoot = freshRoot("conv_idmode")
+    Files.createDirectories(Paths.get(idRoot, "_delta_log"))
+    val sch = new org.apache.spark.sql.types.StructType()
+      .add("user_id", org.apache.spark.sql.types.LongType).json
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+    Files.writeString(Paths.get(idRoot, "_delta_log", f"${0L}%020d.json"),
+      s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"$sch","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"}}}
+{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}
+""")
+    val ex = intercept[IllegalArgumentException] {
+      LT.convertFromDelta(spark, idRoot, freshRoot("conv_idmode_dst"))
+    }
+    assert(ex.getMessage.contains("id-mode"))
+  }
+
   test("Delta export add actions carry numRecords stats; sum equals the table count") {
     import spark.implicits._
     val root = freshRoot("stats_export")
