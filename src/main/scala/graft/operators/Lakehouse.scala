@@ -1170,6 +1170,29 @@ object Lakehouse {
         .orderBy(col("l_returnflag"))
     }),
 
+    // IMPORT direction under the gate: q143's exported history converted
+    // back into a fresh NATIVE graft table (convertFromDelta — hardlinked
+    // files, v0 manifest), then read through the ordinary native path.
+    // Hash-matching the same final-state oracle proves the conversion
+    // loses nothing: export → import → native read ≡ the source history.
+    "q182_convert_from_delta" -> ((s, d) => {
+      val src = deltaExportRoot(s, d)
+      val dst = TableCache.root(d, "lineitem", "converted-from-delta:v1")
+      try TableCache.locked(dst) {
+        if (LakehouseTable.versions(dst).isEmpty)
+          LakehouseTable.convertFromDelta(s, src, dst)
+      } catch {
+        case e if raceLost(e) => () // see lineitemZRoot
+      }
+      LakehouseTable.read(s, dst)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          Exact.moneySum(col("l_quantity")).as("sum_qty"),
+          Exact.moneySum(col("l_extendedprice")).as("sum_price"),
+          sum(col("l_orderkey")).as("key_sum"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // The CHECKPOINT protocol under the gate: the Spark side opens the
     // export the way a foreign Delta reader does — _last_checkpoint →
     // seed state from the v1 checkpoint parquet → replay only the v2
@@ -1667,6 +1690,8 @@ object Lakehouse {
 
     // final state of the 3-version export history, from the raw parquet
     "q143_delta_export" -> sqlDeltaFinalState,
+
+    "q182_convert_from_delta" -> sqlDeltaFinalState,
 
     // the checkpoint gate: DuckDB seeds the live set from the v1
     // checkpoint PARQUET, replays only the post-checkpoint JSON tail
