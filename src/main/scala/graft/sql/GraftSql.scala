@@ -30,6 +30,7 @@ import graft.sources.LakehouseTable
   *   ALTER TABLE t ENABLE DELETION VECTORS | DISABLE DELETION VECTORS
   *   REORG TABLE t APPLY (PURGE)   -- materialize + clear deletion vectors
   *   CREATE TABLE t2 SHALLOW CLONE t [LOCATION 'p']   -- zero-copy clone
+  *   CONVERT TO GRAFT 'srcPath' AS t [LOCATION 'p']   -- import a Delta table
   *   RESTORE TABLE t TO VERSION AS OF n
   *   ALTER TABLE t ADD COLUMNS (c1 TYPE, ...)   -- metadata-only widening
   *   ALTER TABLE t ALTER COLUMN c TYPE t2       -- metadata-only type widening
@@ -514,6 +515,23 @@ case class CloneGraftTableCommand(name: String, srcName: String, root: String)
   }
 }
 
+/** CONVERT TO GRAFT 'srcPath' AS name [LOCATION 'p'] — import a foreign
+  * Delta table (log + parquet files) as a native graft table
+  * ([[LakehouseTable.convertFromDelta]]: hardlinked files, DV
+  * descriptors converted to native sidecars, name-mode mappings to
+  * renames) and register it; partition columns derive from the imported
+  * hive layout. Delta's CONVERT TO DELTA, pointed the other way. */
+case class ConvertToGraftCommand(name: String, srcPath: String, root: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    LakehouseTable.convertFromDelta(spark, srcPath, root)
+    GraftCatalog.register(spark, name, root,
+      LakehouseTable.partitionColumns(root))
+    GraftCatalog.refreshView(spark, name)
+    Seq.empty
+  }
+}
+
 /** RESTORE TABLE name TO VERSION AS OF n. */
 case class RestoreGraftTableCommand(name: String, version: Long)
     extends LeafRunnableCommand {
@@ -875,6 +893,8 @@ object GraftSqlStatements {
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+(VERSIONS|HOURS))?\s*;?\s*$""".r
   private val ShowTablesRe = """(?is)^\s*SHOW\s+GRAFT\s+TABLES\s*;?\s*$""".r
+  private val ConvertRe =
+    """(?is)^\s*CONVERT\s+TO\s+GRAFT\s+'([^']+)'\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*$""".r
   private val AlterAddRe =
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ADD\s+COLUMNS?\s*\(\s*(.+?)\s*\)\s*;?\s*$""".r
   private val AlterRenameRe =
@@ -925,6 +945,10 @@ object GraftSqlStatements {
       lit.stripPrefix("'").stripSuffix("'")
     }
     masked match {
+      case ConvertRe(src, name, loc) =>
+        val root = Option(loc).map(unmaskQuoted).getOrElse(
+          graft.sources.TableCache.baseDir + s"/sqlconvert_${name.toLowerCase}")
+        Some(ConvertToGraftCommand(name, unmaskQuoted(src), root))
       case CloneRe(name, srcName, loc) if GraftCatalog.lookup(srcName).isDefined =>
         val root = Option(loc).map(unmaskQuoted).getOrElse(
           graft.sources.TableCache.baseDir + s"/sqlclone_${name.toLowerCase}")

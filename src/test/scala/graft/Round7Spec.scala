@@ -203,6 +203,14 @@ class Round7Spec extends AnyFunSuite {
     LT.deleteWhereMor(spark, dst, "id = 7")
     assert(LT.read(spark, dst).count() == 35)
     assert(LT.read(spark, dst, Some(0L)).count() == 36) // pre-delete epoch
+    // SQL face: CONVERT TO GRAFT imports and registers in one statement
+    val dst2 = freshRoot("conv_sql_dst")
+    Files.deleteIfExists(Paths.get(dst2)) // command wants a fresh root
+    spark.sql(s"CONVERT TO GRAFT '$src' AS r7_converted LOCATION '$dst2'")
+    assert(spark.sql(
+      "SELECT count(*) FROM r7_converted").collect().head.getLong(0) == 36L)
+    assert(graft.sql.GraftCatalog.lookup("r7_converted")
+      .exists(_.partitionBy == Seq("k")))
     // id-mode tables refuse (name-based native resolution cannot honor
     // field-id matching) — built in the earlier id-mode test's shape
     val idRoot = freshRoot("conv_idmode")
