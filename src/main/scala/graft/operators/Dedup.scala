@@ -419,6 +419,33 @@ object Dedup {
     // algorithm and cache discipline); q152 reads the same relation.
     "q68_dup_clusters" -> ((s, d) => dupClusters(s, d)),
 
+    // TOKEN YIELD under dedup — the budgeting metric a training run
+    // actually consumes: per language, how many TOKENS survive the
+    // min-id keep-one-per-cluster policy (q152 counts documents; epochs
+    // and mixture math run on tokens). Reads the same converged CC label
+    // relation as q68/q152/q155 — one components run per corpus, and the
+    // four consumers cannot disagree about what a duplicate is. Shape at
+    // scale: the label relation is O(dup docs); the corpus pays one scan
+    // with a doc-local token count and a broadcast join against the tiny
+    // dropped set.
+    "q183_dedup_token_yield" -> ((s, d) => {
+      val dropped = dupClusterLabels(s, d)
+        .filter(col("doc_id") =!= col("label"))
+        .select(col("doc_id"), lit(1L).as("is_dropped"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(graft.plans.TextExpressions.tokens(col("text")))
+            .cast("long").as("n_tok"))
+        .join(broadcast(dropped), Seq("doc_id"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("is_dropped"), lit(0L))).as("n_dropped"),
+          sum(col("n_tok")).as("tokens_total"),
+          sum(when(col("is_dropped").isNull, col("n_tok")).otherwise(0L))
+            .as("tokens_kept"))
+        .orderBy(col("lang"))
+    }),
+
     // CANONICAL SELECTION per dup cluster — the production keep-policy:
     // a cluster's surviving copy is its BEST-QUALITY member (quality
     // desc, doc_id tie-break), not the lowest id the CC label happens to
@@ -748,6 +775,35 @@ object Dedup {
           SELECT cluster_rep, count(*) AS n_members FROM (
             SELECT doc_id, min(label) AS cluster_rep FROM walk GROUP BY doc_id)
           GROUP BY cluster_rep HAVING count(*) > 1 ORDER BY cluster_rep""",
+
+    // q68's label walk, then tokens attributed kept/dropped by the
+    // min-id keep policy (doc_id <> its component min ⇒ dropped)
+    "q183_dedup_token_yield" ->
+      s"""WITH RECURSIVE
+          pairs AS (SELECT a, b FROM (${sqlCappedCountJaccard(sqlShingleDf)})
+                    WHERE jaccard >= 0.5),
+          edges AS (SELECT a AS src, b AS dst FROM pairs
+                    UNION ALL SELECT b AS src, a AS dst FROM pairs),
+          nodes AS (SELECT doc_id FROM ($sqlShingleDf)),
+          walk AS (
+            SELECT doc_id, doc_id AS label FROM nodes
+            UNION
+            SELECT e.src AS doc_id, w.label
+            FROM walk w JOIN edges e ON w.doc_id = e.dst),
+          dropped AS (SELECT doc_id FROM (
+              SELECT doc_id, min(label) AS rep FROM walk GROUP BY doc_id)
+            WHERE doc_id <> rep),
+          tok AS (SELECT doc_id, lang,
+              CAST(len(${graft.functions.TextFunctions.sqlToks}) AS BIGINT) AS n_tok
+            FROM documents)
+          SELECT t.lang, count(*) AS n_docs,
+            CAST(sum(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_dropped,
+            CAST(sum(t.n_tok) AS BIGINT) AS tokens_total,
+            CAST(sum(CASE WHEN dr.doc_id IS NULL THEN t.n_tok ELSE 0 END)
+              AS BIGINT) AS tokens_kept
+          FROM tok t LEFT JOIN dropped dr USING (doc_id)
+          GROUP BY t.lang ORDER BY t.lang""",
 
     // q68's label walk, then the rn=1 row per cluster under (quality
     // desc, doc_id) — its lang IS the canonical's lang

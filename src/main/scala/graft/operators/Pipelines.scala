@@ -399,6 +399,36 @@ object Pipelines {
         .orderBy(col("doc_id"))
     }),
 
+    // LEAKAGE ACCOUNTING per split: q125's hash split × q88's benchmark
+    // 3-gram contamination — "how much of each train/val/test slice
+    // touches the eval set", the audit run before any benchmark number
+    // is trusted. Composes the two existing primitives (same md5 split,
+    // same shingle-overlap flag) so the splits and the contamination
+    // definition cannot drift apart; the flagged set broadcasts onto a
+    // single corpus pass.
+    "q184_split_contamination" -> ((s, d) => {
+      val dGrams = (df: DataFrame, id: String, text: String) => df.select(
+        col(id), explode(graft.plans.TextExpressions.wordShingles(col(text), 3)).as("shingle"))
+      val benchGrams = dGrams(s.read.json(Ingest.BenchmarkFixture), "prompt_id", "prompt")
+        .select(col("shingle")).distinct()
+      val flagged = dGrams(Tables.documents(s, d), "doc_id", "text")
+        .join(broadcast(benchGrams), "shingle")
+        .select(col("doc_id")).distinct()
+        .withColumn("hit", lit(1L))
+      Tables.documents(s, d)
+        .withColumn("split", splitOf(col("doc_id")))
+        .join(broadcast(flagged), Seq("doc_id"), "left")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"),
+          sum(coalesce(col("hit"), lit(0L)) * lit(1000000L))
+            .as("hit_ppm_numerator"))
+        .withColumn("contam_ppm",
+          expr("hit_ppm_numerator div n_docs"))
+        .drop("hit_ppm_numerator")
+        .orderBy(col("split"))
+    }),
+
     // Deterministic sequence packing: concat-and-chunk docs into fixed
     // token-budget training sequences. Docs are hash-bucketed into 8 shards
     // (same md5 primitive as q57 — reproducible on any cluster) and packed
@@ -1075,6 +1105,31 @@ object Pipelines {
               WHERE len(toks) >= 3))
           SELECT doc_id, count(*) AS n_hits FROM dg JOIN bg USING (shingle)
           GROUP BY doc_id ORDER BY doc_id""",
+
+    "q184_split_contamination" ->
+      s"""WITH bench AS (SELECT prompt AS text FROM read_json('${Ingest.BenchmarkFixture}',
+              format = 'newline_delimited',
+              columns = {prompt_id: 'BIGINT', prompt: 'VARCHAR'})),
+          bg AS (SELECT DISTINCT unnest(sh) AS shingle FROM (
+              SELECT list_distinct([list_aggr(toks[i:i+2], 'string_agg', ' ')
+                  FOR i IN range(1, len(toks) - 1)]) AS sh
+              FROM (SELECT $toksSql AS toks FROM bench)
+              WHERE len(toks) >= 3)),
+          dg AS (SELECT doc_id, unnest(sh) AS shingle FROM (
+              SELECT doc_id, list_distinct([list_aggr(toks[i:i+2], 'string_agg', ' ')
+                  FOR i IN range(1, len(toks) - 1)]) AS sh
+              FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+              WHERE len(toks) >= 3)),
+          flagged AS (SELECT DISTINCT doc_id FROM dg JOIN bg USING (shingle)),
+          sp AS (SELECT doc_id, $sqlSplitCase AS split
+                 FROM (SELECT doc_id, $sqlSplitBucket AS b FROM documents))
+          SELECT sp.split, count(*) AS n_docs,
+            CAST(sum(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_contaminated,
+            CAST(sum(CASE WHEN f.doc_id IS NOT NULL THEN 1000000 ELSE 0 END)
+              // count(*) AS BIGINT) AS contam_ppm
+          FROM sp LEFT JOIN flagged f USING (doc_id)
+          GROUP BY sp.split ORDER BY sp.split""",
 
     "q90_pack_sequences" ->
       s"""WITH $sqlPackedCte
