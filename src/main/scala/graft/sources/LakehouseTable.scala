@@ -1535,6 +1535,9 @@ object LakehouseTable {
     }
     def link(src: Path, dst: Path): Unit = {
       Files.createDirectories(dst.getParent)
+      // a leftover from a previously failed import (the manifest commit
+      // is LAST, so a crash leaves only links) — replace, don't fail
+      Files.deleteIfExists(dst)
       try Files.createLink(dst, src)
       catch {
         case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
@@ -1543,6 +1546,9 @@ object LakehouseTable {
     }
     // dest layout: data/<source rel path minus any leading data/>
     val mapping = state.live.map(f => f -> f.stripPrefix("data/"))
+    require(mapping.map(_._2).distinct.size == mapping.size,
+      "import would collide two source files onto one dest path " +
+        "(mixed data/-prefixed and bare layouts sharing a name)")
     mapping.foreach { case (srcRel, dstRel) =>
       link(Paths.get(srcRoot).resolve(srcRel), dataDir(dstRoot).resolve(dstRel))
     }
@@ -1558,7 +1564,8 @@ object LakehouseTable {
         val dvName = "dv-import"
         Files.createDirectories(deletesDir(dstRoot))
         spark.createDataFrame(pos).toDF("path", "pos").coalesce(1)
-          .write.parquet(deletesDir(dstRoot).resolve(dvName).toString)
+          .write.mode("overwrite") // failed-import leftover replaced
+          .parquet(deletesDir(dstRoot).resolve(dvName).toString)
         Some(encodeDvs(state.dvs.keys.toSeq.sorted
           .map(p => destRelOf(p) -> dvName)))
       }
