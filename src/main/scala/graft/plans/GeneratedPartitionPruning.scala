@@ -34,7 +34,9 @@ import graft.sources.LakehouseTable
   * rule runs in the operator-optimization fixed point, so it refuses to
   * re-add a conjunct that is already present (semantic equality) —
   * one pass converges. */
-case class GeneratedPartitionPruning(spark: SparkSession) extends Rule[LogicalPlan] {
+case class GeneratedPartitionPruning(spark: SparkSession)
+    extends Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
 
   /** The graft table root of a (possibly attribute-projected) parquet
     * relation, with the relation itself. */
@@ -45,15 +47,19 @@ case class GeneratedPartitionPruning(spark: SparkSession) extends Rule[LogicalPl
       case l: LogicalRelation =>
         l.relation match {
           case fs: HadoopFsRelation =>
-            fs.location.inputFiles.headOption.flatMap { f =>
-              val i = f.indexOf("/data/")
-              if (i <= 0) None
-              else {
-                val root = f.substring(0, i).stripPrefix("file:")
-                if (Files.isDirectory(Paths.get(root, "_manifest")))
-                  Some((l, root))
-                else None
-              }
+            // rootPaths, not inputFiles: no full listing per Filter per
+            // optimizer pass. Scan '/data/' occurrences RIGHT to left and
+            // demand the graft manifest dir — a lake living under a path
+            // that itself contains '/data/' must not resolve to a
+            // different (or wrong) root
+            fs.location.rootPaths.headOption.map(_.toString).flatMap { f =>
+              val cleaned = f.stripPrefix("file:")
+              Iterator.iterate(cleaned.lastIndexOf("/data/"))(i =>
+                  cleaned.lastIndexOf("/data/", i - 1))
+                .takeWhile(_ > 0)
+                .map(cleaned.substring(0, _))
+                .find(r => Files.isDirectory(Paths.get(r, "_manifest")))
+                .map(r => (l, r))
             }
           case _ => None
         }
@@ -102,7 +108,13 @@ case class GeneratedPartitionPruning(spark: SparkSession) extends Rule[LogicalPl
             val derived = gens.flatMap { case (partCol, kind, srcCol) =>
               (rel.output.find(_.name.equalsIgnoreCase(partCol)),
                 rel.output.find(_.name.equalsIgnoreCase(srcCol))) match {
-                case (Some(partAttr), Some(srcAttr)) =>
+                // the Filter is rebuilt over its existing child: a
+                // ColumnPruning-inserted Project may have pruned the
+                // partition column away, and referencing it would make
+                // the rebuilt Filter an invalid plan — derive only when
+                // the child still outputs the attribute
+                case (Some(partAttr), Some(srcAttr))
+                    if child.outputSet.contains(partAttr) =>
                   conjuncts.flatMap(deriveOne(_, srcAttr, partAttr, kind))
                 case _ => Nil
               }
@@ -114,13 +126,6 @@ case class GeneratedPartitionPruning(spark: SparkSession) extends Rule[LogicalPl
           }
       }
   }
-
-  private def splitConjunctivePredicates(e: Expression): Seq[Expression] =
-    e match {
-      case And(a, b) =>
-        splitConjunctivePredicates(a) ++ splitConjunctivePredicates(b)
-      case other => Seq(other)
-    }
 
   /** True when `lit` sits exactly on the LEFT EDGE of its generation
     * bucket (midnight for `date`, a multiple of N for `div:N`) — a

@@ -1141,6 +1141,8 @@ object LakehouseTable {
   private val DeltaConfPairRe = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
   // the capture must treat quoted strings as opaque: z85-encoded
   // pathOrInlineDv values legitimately contain '{' and '}'
+  private val DeltaReaderFeatsRe = """"readerFeatures":\s*\[([^\]]*)\]""".r
+  private val DeltaWriterFeatsRe = """"writerFeatures":\s*\[([^\]]*)\]""".r
   private val DeltaDvRe =
     """"deletionVector":\s*\{((?:"(?:[^"\\]|\\.)*"|[^}"])*)\}""".r
   private val DeltaDvNumRe = """"(offset|sizeInBytes|cardinality)"\s*:\s*(-?\d+)""".r
@@ -1176,6 +1178,7 @@ object LakehouseTable {
     * each live path (absent = no DV). */
   private case class DeltaReplayState(live: Seq[String],
       schemaJson: Option[String], protocol: (Int, Int),
+      readerFeatures: Seq[String], writerFeatures: Seq[String],
       conf: Map[String, String], dvs: Map[String, DeltaDv.Descriptor])
 
   /** Replay the exported JSON log through version `upTo` (all when None),
@@ -1203,6 +1206,8 @@ object LakehouseTable {
     dvs ++= seedDvs
     var schemaJson: Option[String] = seedSchema
     var protocol = (1, 2)
+    var readerFeats = Seq.empty[String]
+    var writerFeats = Seq.empty[String]
     var conf = Map.empty[String, String]
     logFiles.foreach { lf =>
       val txt = Files.readString(lf)
@@ -1235,11 +1240,18 @@ object LakehouseTable {
       DeltaSchemaRe.findAllMatchIn(txt).foreach(m => schemaJson = Some(deltaUnesc(m.group(1))))
       DeltaProtocolRe.findAllMatchIn(txt).foreach(m =>
         protocol = (m.group(1).toInt, m.group(2).toInt))
+      DeltaReaderFeatsRe.findAllMatchIn(txt).foreach(m =>
+        readerFeats = m.group(1).split(",").toSeq.map(
+          _.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty))
+      DeltaWriterFeatsRe.findAllMatchIn(txt).foreach(m =>
+        writerFeats = m.group(1).split(",").toSeq.map(
+          _.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty))
       DeltaConfRe.findAllMatchIn(txt).foreach(m =>
         conf = DeltaConfPairRe.findAllMatchIn(m.group(1))
           .map(p => deltaUnesc(p.group(1)) -> deltaUnesc(p.group(2))).toMap)
     }
-    DeltaReplayState(live.toSeq, schemaJson, protocol, conf,
+    DeltaReplayState(live.toSeq, schemaJson, protocol,
+      readerFeats, writerFeats, conf,
       dvs.toMap.filter(e => live.contains(e._1)))
   }
 
@@ -1263,7 +1275,9 @@ object LakehouseTable {
     val ckptSchema = StructType(Seq(
       StructField("protocol", StructType(Seq(
         StructField("minReaderVersion", IntegerType),
-        StructField("minWriterVersion", IntegerType)))),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType))))),
       StructField("metaData", StructType(Seq(
         StructField("id", StringType),
         StructField("format", StructType(Seq(
@@ -1288,8 +1302,14 @@ object LakehouseTable {
       rel.split('/').dropRight(1).filter(_.contains('='))
         .map { seg => val Array(k, v) = seg.split("=", 2); k -> v }.toMap
     val id = "graft-" + graft.plans.TextExpressions.md5Hex(root).take(12)
+    // protocol versions >= 3/7 REQUIRE their feature lists (the Delta
+    // table-features spec); a DV-bearing export's checkpoint must carry
+    // them or foreign readers reject the table
     val rows: Seq[org.apache.spark.sql.Row] =
-      org.apache.spark.sql.Row(org.apache.spark.sql.Row(minR, minW), null, null) +:
+      org.apache.spark.sql.Row(org.apache.spark.sql.Row(minR, minW,
+        if (st.readerFeatures.nonEmpty) st.readerFeatures else null,
+        if (st.writerFeatures.nonEmpty) st.writerFeatures else null),
+        null, null) +:
       org.apache.spark.sql.Row(null, org.apache.spark.sql.Row(
         id, org.apache.spark.sql.Row("parquet"), schemaJson.orNull,
         partitionColumns(root), conf), null) +:
@@ -1732,17 +1752,28 @@ object LakehouseTable {
             case i: java.lang.Integer => i.toLong
             case other                => other.toString.toLong
           }
+          // a writer may set min/max but not num_nulls (isNumNullsSet
+          // false reads as -1) — emit the null count only when EVERY
+          // chunk recorded one, or a foreign reader pruning IS NULL
+          // predicates would act on garbage
+          val nulls =
+            if (stats.forall(_.isNumNullsSet)) Some(stats.map(_.getNumNulls).sum)
+            else None
           Some((c, stats.map(s => toL(s.genericGetMin)).min,
-            stats.map(s => toL(s.genericGetMax)).max,
-            stats.map(_.getNumNulls).sum))
+            stats.map(s => toL(s.genericGetMax)).max, nulls))
         }
       }
       if (ints.isEmpty) s"""{"numRecords":$n}"""
       else {
-        def obj(f: ((String, Long, Long, Long)) => Long) =
+        def obj(f: ((String, Long, Long, Option[Long])) => Long) =
           ints.map(t => s""""${t._1}":${f(t)}""").mkString("{", ",", "}")
+        val withNulls = ints.filter(_._4.isDefined)
+        val nullPart =
+          if (withNulls.isEmpty) ""
+          else "," + s""""nullCount":${withNulls.map(t =>
+            s""""${t._1}":${t._4.get}""").mkString("{", ",", "}")}"""
         s"""{"numRecords":$n,"minValues":${obj(_._2)},""" +
-          s""""maxValues":${obj(_._3)},"nullCount":${obj(_._4)}}"""
+          s""""maxValues":${obj(_._3)}$nullPart}"""
       }
     } finally reader.close()
   }

@@ -73,9 +73,15 @@ class GraftTableSourceProvider extends StreamSourceProvider
     require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
       s"graft-table sink supports Append output mode only, got $outputMode " +
         "(aggregate first, or land updates through foreachBatch + merge)")
+    require(parameters.contains("txnApp") ||
+        parameters.contains("checkpointLocation"),
+      "graft-table sink needs a writer identity for its replay guard: " +
+        "set .option(\"checkpointLocation\", ...) on THIS writer (a " +
+        "session-conf checkpoint is invisible here) or pass " +
+        ".option(\"txnApp\", ...) — a table-derived default would make " +
+        "two queries writing one table skip each other's batches")
     val app = parameters.get("txnApp").getOrElse("ckpt-" +
-      graft.plans.TextExpressions.md5Hex(
-        parameters.getOrElse("checkpointLocation", rootOf(parameters)))
+      graft.plans.TextExpressions.md5Hex(parameters("checkpointLocation"))
         .take(16))
     new GraftTableSink(rootOf(parameters), partitionColumns, app)
   }
@@ -117,7 +123,16 @@ class GraftTableSourceProvider extends StreamSourceProvider
       case s => s.toLong - 1
     }
     val startingTs = parameters.get("startingTimestamp").map { t =>
-      val ms = java.sql.Timestamp.valueOf(t.replace('T', ' ')).getTime
+      // parse under the SESSION timezone (Delta's semantics), not the
+      // JVM default — a host-offset shift would move the start point by
+      // hours
+      val tz = java.time.ZoneId.of(
+        sqlContext.sparkSession.sessionState.conf.sessionLocalTimeZone)
+      val norm = t.trim.replace(' ', 'T')
+      val ldt =
+        if (norm.contains('T')) java.time.LocalDateTime.parse(norm)
+        else java.time.LocalDate.parse(norm).atStartOfDay()
+      val ms = ldt.atZone(tz).toInstant.toEpochMilli
       val vs = LakehouseTable.versions(root)
       // base = the version BEFORE the first commit at/after ts, so that
       // commit's rows are the first batch
@@ -200,19 +215,25 @@ class GraftTableSource(spark: SparkSession, root: String,
   }
 
   /** The ordered file list a cursor at version `v` indexes into: the full
-    * manifest for a snapshot cursor, the manifest-diff against the
-    * previous committed version otherwise. Sorted — manifests are
-    * immutable, so positions are deterministic across restarts. */
+    * manifest for a snapshot cursor, the manifest-diff against version
+    * v−1 otherwise (graft versions are contiguous, so v−1 IS the commit
+    * base). Sorted — manifests are immutable, so positions are
+    * deterministic across restarts. The base manifest being vacuumed
+    * away is a LOUD failure, not a silent re-diff against an older
+    * retained version: that would shift both membership and sort
+    * positions under a persisted cursor and replay the wrong files. */
   private def fileListOf(v: Long, snapshot: Boolean): Seq[String] = {
     if (v < 0) return Nil // synthetic pre-v0 base (startingVersion 0)
     val cur = LakehouseTable.manifestFiles(root, v)
-    if (snapshot) cur.sorted
-    else LakehouseTable.versions(root).takeWhile(_ < v).lastOption match {
-      case None => cur.sorted
-      case Some(prev) =>
-        val before = LakehouseTable.manifestFiles(root, prev).toSet
-        cur.filterNot(before).sorted
-    }
+    if (snapshot || v == 0) cur.sorted
+    else if (LakehouseTable.versions(root).contains(v - 1)) {
+      val before = LakehouseTable.manifestFiles(root, v - 1).toSet
+      cur.filterNot(before).sorted
+    } else
+      throw new IllegalStateException(
+        s"graft-table stream over $root: version ${v - 1} (the diff base " +
+          s"of the cursor at $v) was removed by VACUUM; file positions " +
+          "cannot be reconstructed. Restart the query from scratch.")
   }
 
   /** The admission-cap anchor lives under the source's metadataPath,
@@ -241,6 +262,18 @@ class GraftTableSource(spark: SparkSession, root: String,
       // initial snapshot, the first batch is the base's successor diff.
       // A persisted anchor (restart) always wins over the declaration.
       .orElse(startingVersion.map(GraftVersionOffset(_)))
+
+  /** True when this stream has COMMITTED offsets (a restart): the
+    * checkpoint's offsets log is consulted, not the anchor — metadataPath
+    * is `<checkpoint>/sources/<i>`, so the log lives two levels up. */
+  private def hasCommittedOffsets: Boolean =
+    metadataPath.exists { m =>
+      try {
+        val off = new HPath(new HPath(m).getParent.getParent, "offsets")
+        val fs = off.getFileSystem(spark.sessionState.newHadoopConf())
+        fs.exists(off) && fs.listStatus(off).nonEmpty
+      } catch { case _: Throwable => false }
+    }
 
   private def readAnchor(): Option[GraftVersionOffset] =
     anchorFs.flatMap { case (fs, p) =>
@@ -290,15 +323,20 @@ class GraftTableSource(spark: SparkSession, root: String,
     LakehouseTable.currentVersion(root).map { cur =>
       lastPlanned match {
         case None =>
-          // Fresh stream (or a restart whose anchor was lost — degrades
-          // to one catch-up batch): plan the snapshot at the current
-          // version, split by the file cap when one is set.
+          // Snapshot-split planning is only sound for a GENUINELY fresh
+          // stream: after a restart that lost the anchor, the committed
+          // position is an incremental cursor, and a snapshot-flagged
+          // offset would make later batches slice the full-manifest list
+          // and re-emit delivered rows. The checkpoint's offsets log —
+          // the source of truth the anchor merely caches — tells the two
+          // apart; a restarted-anchorless stream degrades to the
+          // documented single uncapped catch-up batch.
           maxFilesPerBatch match {
-            case Some(mf) =>
+            case Some(mf) if !hasCommittedOffsets =>
               val total = fileListOf(cur, snapshot = true).length
               if (mf >= total) GraftVersionOffset(cur)
               else GraftVersionOffset(cur, Some(mf.toLong), snapshot = true)
-            case None => GraftVersionOffset(cur)
+            case _ => GraftVersionOffset(cur)
           }
         case Some(c) =>
           val capV = maxVersionsPerBatch
@@ -404,7 +442,7 @@ class GraftTableSource(spark: SparkSession, root: String,
             LakehouseTable.versions(root)
               .filter(w => w > c.v && w < endC.v)
               .foreach(w => files ++= fileListOf(w, snapshot = false))
-            val listE = fileListOf(endC.v, snapshot = false)
+            val listE = fileListOf(endC.v, endC.snapshot)
             files ++= endC.filePos.map(k => listE.take(k.toInt)).getOrElse(listE)
           }
           // net semantics: a file added then removed again WITHIN this

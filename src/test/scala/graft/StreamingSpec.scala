@@ -719,6 +719,42 @@ class StreamingSpec extends AnyFunSuite {
       s"replayed or lost rows: ${batches.asScala.toList}")
   }
 
+  test("file-capped stream with a LOST anchor degrades to one catch-up batch — never re-emits") {
+    import graft.sources.{LakehouseTable => LT}
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-table-lostanchor")
+    val root = base.resolve("tbl").toString
+    val ckpt = base.resolve("ckpt").toString
+    LT.create(spark.range(0, 8, 1, 4).select(col("id"),
+      (col("id") % 2).cast("string").as("v")), root)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def stream() = spark.readStream
+      .format("graft-table").option("path", root)
+      .option("maxFilesPerBatch", "2").load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.collect().foreach(r => seen.add(r.getLong(0))); ()
+      }.start()
+    val q = stream()
+    q.processAllAvailable(); q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.toSet == (0L until 8L).toSet && seen.size == 8)
+    // lose the admission anchor while the query is down (the documented
+    // degrade), commit more rows, restart: the committed offset is an
+    // INCREMENTAL cursor — a snapshot-flagged plan here would slice the
+    // full manifest and re-emit delivered rows
+    Files.delete(Paths.get(ckpt, "sources", "0", "graft-last-planned"))
+    LT.append(spark.range(8, 12, 1, 2).select(col("id"),
+      (col("id") % 2).cast("string").as("v")), root)
+    val q2 = stream()
+    q2.processAllAvailable(); q2.stop()
+    assert(seen.asScala.toSet == (0L until 12L).toSet,
+      s"lost rows: ${seen.asScala.toSet}")
+    assert(seen.size == 12,
+      s"lost-anchor restart re-emitted rows: ${seen.asScala.toSeq.sorted}")
+  }
+
   test("startingVersion / startingTimestamp skip the snapshot and tail from the declared commit") {
     import spark.implicits._
     import graft.sources.{LakehouseTable => LT}
