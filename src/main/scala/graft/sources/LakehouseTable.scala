@@ -1132,8 +1132,20 @@ object LakehouseTable {
     logDir
   }
 
-  private val DeltaAddRe = """"add":\s*\{\s*"path":\s*"((?:[^"\\]|\\.)*)"""".r
-  private val DeltaRemoveRe = """"remove":\s*\{\s*"path":\s*"((?:[^"\\]|\\.)*)"""".r
+  // "path" need not be the FIRST key of the action object (field order
+  // is writer-dependent in real Delta logs). Actions are parsed per
+  // NDJSON line, so detecting the action KIND and then finding the
+  // (unique) top-level "path" key anywhere in the line is unambiguous:
+  // the DV descriptor's only path-like key is pathOrInlineDv (no quote
+  // after 'path'), and keys inside a stats STRING appear backslash-
+  // escaped (\"path\"), which the unescaped-quote pattern cannot match.
+  private val DeltaAddKindRe = """"add"\s*:\s*\{""".r
+  private val DeltaRemoveKindRe = """"remove"\s*:\s*\{""".r
+  private val DeltaPathRe = """"path":\s*"((?:[^"\\]|\\.)*)"""".r
+  private def deltaActionPath(line: String, kind: scala.util.matching.Regex)
+      : Option[String] =
+    if (kind.findFirstIn(line).isEmpty) None
+    else DeltaPathRe.findFirstMatchIn(line).map(m => m.group(1))
   private val DeltaSchemaRe = """"schemaString":\s*"((?:[^"\\]|\\.)*)"""".r
   private val DeltaProtocolRe =
     """"protocol":\s*\{\s*"minReaderVersion":\s*(\d+),\s*"minWriterVersion":\s*(\d+)""".r
@@ -1212,12 +1224,12 @@ object LakehouseTable {
     logFiles.foreach { lf =>
       val txt = Files.readString(lf)
       txt.split('\n').foreach { line =>
-        DeltaRemoveRe.findFirstMatchIn(line).foreach { m =>
-          val p = deltaDecodePath(deltaUnesc(m.group(1)))
+        deltaActionPath(line, DeltaRemoveKindRe).foreach { raw =>
+          val p = deltaDecodePath(deltaUnesc(raw))
           live -= p; dvs -= p
         }
-        DeltaAddRe.findFirstMatchIn(line).foreach { m =>
-          val p = deltaDecodePath(deltaUnesc(m.group(1)))
+        deltaActionPath(line, DeltaAddKindRe).foreach { raw =>
+          val p = deltaDecodePath(deltaUnesc(raw))
           live += p
           DeltaDvRe.findFirstMatchIn(line) match {
             case Some(dm) =>

@@ -109,6 +109,18 @@ class Round7Spec extends AnyFunSuite {
     val got2 = LT.readDeltaExport(spark, root).select("id")
       .as[Long].collect().sorted.toSeq
     assert(got2 == ((1L to 20L).toSet -- Set(1L, 20L)).toSeq.sorted)
+    // a foreign writer may order action fields differently — "path"
+    // after other keys (including a DV object) must still parse
+    Files.writeString(logDir.resolve(f"${2L}%020d.json"),
+      s"""{"remove":{"dataChange":true,"deletionTimestamp":0,"path":"data/f2.parquet"}}
+{"add":{"partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"${d1b.pathOrInlineDv}","offset":${d1b.offset},"sizeInBytes":${d1b.sizeInBytes},"cardinality":${d1b.cardinality}},"path":"data/f2.parquet"}}
+""")
+    // f2 re-added with a REPLACING DV deleting row_index 0 (id 11);
+    // the old inline DV (id 20) is superseded, so 20 comes back
+    val got3 = LT.readDeltaExport(spark, root).select("id")
+      .as[Long].collect().sorted.toSeq
+    assert(got3 == ((2L to 20L).toSet -- Set(11L)).toSeq.sorted,
+      s"non-path-first actions misparsed: $got3")
   }
 
   test("write-through mirror exports MOR deletes as DV actions; log-only read == native read; checkpoint carries DVs") {
