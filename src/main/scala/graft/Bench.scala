@@ -10,7 +10,9 @@ object Bench {
       // the SHIPPED session config: bench measures the engine with its
       // extension rules (metadata-only counts, generated-partition
       // pruning) active, exactly as a deployment would run it
-      .config("spark.sql.extensions", "graft.GraftExtensions")
+      // (SPARK_GRAFT_NO_EXT=1 disables, for isolating rule cost)
+      .config("spark.sql.extensions",
+        if (sys.env.contains("SPARK_GRAFT_NO_EXT")) "" else "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
