@@ -118,6 +118,21 @@ object Dedup {
       pairJaccard(s, d).filter(col("jaccard") >= 0.5)
     }
 
+  /** MinHash-LSH candidate pairs (a < b), shared by q32 (verify-and-keep)
+    * and q185 (banding-quality eval). One long-format (doc, band_idx,
+    * band_key) relation: the 16-component signature is computed ONCE per
+    * doc and exploded into 8 band keys; candidate generation shuffles on
+    * (band_idx, key) so the whole signature is evaluated once, not once
+    * per band join; hot band buckets are capped (StopShingleCap). */
+  private def lshCandidatePairs(s: SparkSession, d: String): DataFrame = {
+    val sig = shingleDf(s, d)
+      .withColumn("sig", TextExpressions.minhashSigMix(col("sh"), 16))
+    val banded = sig.select(col("doc_id").as("id"), posexplode(array((0 until 8).map(b =>
+      concat_ws("-", element_at(col("sig"), 2 * b + 1), element_at(col("sig"), 2 * b + 2))): _*))
+      .as(Seq("band_idx", "bk")))
+    unpack(cappedPackedPairs(banded, Seq(col("band_idx"), col("bk"))).distinct())
+  }
+
   /** Duplicate CLUSTERS (q68's converged result: cluster representative →
     * member count for every n>1 component), RelationCache'd per (session,
     * dir): the connected-components loop below runs ONCE per corpus, and
@@ -211,6 +226,24 @@ object Dedup {
     * relation: inverted index restricted to posting lists below the cap,
     * pair counts from the capped index, set sizes from the full relation —
     * the exact mirror of [[pairSharedCounts]] + the sizes joins. */
+  /** DuckDB twin of [[lshCandidatePairs]] — the capped 8-band MinHash
+    * candidate set, shared by the q32 and q185 oracles. */
+  private lazy val sqlLshCandidates: String = {
+    def bandSql(alias: String, b: Int): String =
+      (0 until 2).map(j =>
+        s"CAST(${T.sqlMinhashMix(s"$alias.sh", b * 2 + j)} AS VARCHAR)")
+        .mkString(" || '-' || ")
+    (0 until 8).map { b =>
+      s"""SELECT x.doc_id AS a, y.doc_id AS b
+          FROM ($sqlShingleDf) x JOIN ($sqlShingleDf) y
+          ON (${bandSql("x", b)}) = (${bandSql("y", b)}) AND x.doc_id < y.doc_id
+          WHERE (${bandSql("x", b)}) IN (
+            SELECT bk FROM (SELECT (${bandSql("s", b)}) AS bk
+                            FROM ($sqlShingleDf) s)
+            GROUP BY bk HAVING count(*) < $StopShingleCap)"""
+    }.mkString("SELECT DISTINCT a, b FROM (", " UNION ALL ", ")")
+  }
+
   private def sqlCappedCountJaccard(shRelation: String): String =
     s"""WITH sh_rel AS ($shRelation),
         inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh_rel),
@@ -374,17 +407,7 @@ object Dedup {
     // per-seed md5) → 8 bands × 2 rows; candidates share a band; verified
     // with exact shingle Jaccard ≥ 0.5.
     "q32_minhash_lsh" -> ((s, d) => {
-      // One long-format (doc, band_idx, band_key) relation: the 16-component
-      // signature is computed ONCE per doc and exploded into 8 band keys;
-      // the candidate generation shuffles on (band_idx, key) so the whole
-      // signature is evaluated once, not once per band join.
-      val sig = shingleDf(s, d)
-        .withColumn("sig", TextExpressions.minhashSigMix(col("sh"), 16))
-      val banded = sig.select(col("doc_id").as("id"), posexplode(array((0 until 8).map(b =>
-        concat_ws("-", element_at(col("sig"), 2 * b + 1), element_at(col("sig"), 2 * b + 2))): _*))
-        .as(Seq("band_idx", "bk")))
-      val cands = unpack(
-        cappedPackedPairs(banded, Seq(col("band_idx"), col("bk"))).distinct())
+      val cands = lshCandidatePairs(s, d)
       // verify ONLY the candidates (bounded by band collisions — tiny),
       // so exact per-pair array Jaccard is cheap here; numerically equal
       // to the intersection-count form used by q34 on uncapped corpora.
@@ -412,6 +435,27 @@ object Dedup {
     // candidate pairs share ≥1 non-hot shingle; Jaccard from shared counts.
     "q34_ngram_jaccard" -> ((s, d) => {
       dupPairs(s, d).orderBy(col("a"), col("b"))
+    }),
+
+    // LSH BANDING-QUALITY eval: candidates from the 8×2 MinHash banding
+    // vs the exact capped-inverted-index truth (Jaccard ≥ 0.5) — the
+    // measured precision/recall that justifies the banding parameters,
+    // as green numbers instead of an S-curve claim. recall < 1 exposes
+    // true pairs whose signatures never collide in any band; precision
+    // is the verify-stage workload per kept pair. All three counts ride
+    // relations other queries already cache; the final frame is three
+    // 1-row aggregates cross-joined — nothing corpus-sized moves.
+    "q185_lsh_eval" -> ((s, d) => {
+      val cand = lshCandidatePairs(s, d).select(col("a"), col("b"))
+      val truth = dupPairs(s, d).select(col("a"), col("b"))
+      val c = cand.agg(count(lit(1)).as("n_candidates"))
+      val t = truth.agg(count(lit(1)).as("n_true"))
+      val h = cand.join(truth, Seq("a", "b"))
+        .agg(count(lit(1)).as("n_hit"))
+      c.crossJoin(t).crossJoin(h)
+        .select(col("n_candidates"), col("n_true"), col("n_hit"),
+          expr("n_hit * 1000000 div n_candidates").as("precision_micro"),
+          expr("n_hit * 1000000 div n_true").as("recall_micro"))
     }),
 
     // Duplicate CLUSTERS, not just pairs — the RelationCache'd converged
@@ -733,22 +777,21 @@ object Dedup {
                ORDER BY ts, event_id) AS rn
            FROM events) WHERE rn = 1 ORDER BY user_id, event_type""",
 
-    "q32_minhash_lsh" -> {
-      def bandSql(alias: String, b: Int): String =
-        (0 until 2).map(j =>
-          s"CAST(${T.sqlMinhashMix(s"$alias.sh", b * 2 + j)} AS VARCHAR)")
-          .mkString(" || '-' || ")
-      val cand = (0 until 8).map { b =>
-        s"""SELECT x.doc_id AS a, y.doc_id AS b
-            FROM ($sqlShingleDf) x JOIN ($sqlShingleDf) y
-            ON (${bandSql("x", b)}) = (${bandSql("y", b)}) AND x.doc_id < y.doc_id
-            WHERE (${bandSql("x", b)}) IN (
-              SELECT bk FROM (SELECT (${bandSql("s", b)}) AS bk
-                              FROM ($sqlShingleDf) s)
-              GROUP BY bk HAVING count(*) < $StopShingleCap)"""
-      }.mkString("SELECT DISTINCT a, b FROM (", " UNION ALL ", ")")
-      sqlVerifyPairs(cand, 0.5)
-    },
+    "q32_minhash_lsh" -> sqlVerifyPairs(sqlLshCandidates, 0.5),
+
+    "q185_lsh_eval" ->
+      s"""WITH cand AS ($sqlLshCandidates),
+          truth AS (SELECT a, b FROM (${sqlCappedCountJaccard(sqlShingleDf)})
+                    WHERE jaccard >= 0.5),
+          hit AS (SELECT CAST(count(*) AS BIGINT) AS n
+                  FROM cand JOIN truth USING (a, b))
+          SELECT CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+            CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+            (SELECT n FROM hit) AS n_hit,
+            CAST((SELECT n FROM hit) * 1000000
+              // (SELECT count(*) FROM cand) AS BIGINT) AS precision_micro,
+            CAST((SELECT n FROM hit) * 1000000
+              // (SELECT count(*) FROM truth) AS BIGINT) AS recall_micro""",
 
     "q33_simhash" ->
       s"""SELECT simhash, count(*) AS n_docs, min(doc_id) AS keeper
