@@ -719,6 +719,44 @@ class StreamingSpec extends AnyFunSuite {
       s"replayed or lost rows: ${batches.asScala.toList}")
   }
 
+  test("a vacuumed diff base fails the cursor loudly instead of silently re-diffing") {
+    import graft.sources.{LakehouseTable => LT}
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-table-vacbase")
+    val root = base.resolve("tbl").toString
+    val ckpt = base.resolve("ckpt").toString
+    LT.create(spark.range(0, 4, 1, 2).select(col("id"),
+      lit("x").as("v")), root)                      // v0: 2 files
+    def stream() = spark.readStream
+      .format("graft-table").option("path", root)
+      .option("maxFilesPerBatch", "2").load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.count(); ()
+      }.start()
+    val q = stream()
+    q.processAllAvailable(); q.stop() // cursor rests at v0
+    // two commits while down, then vacuum v0 away: the restarted cursor
+    // must walk v1's DIFF list, whose base manifest (v0) no longer
+    // exists — silently re-diffing against nothing would re-emit v0's
+    // carried files; the source must fail loudly instead
+    LT.append(spark.range(4, 12, 1, 4).select(col("id"),
+      lit("x").as("v")), root)                      // v1
+    LT.append(Seq((99L, "x")).toDF("id", "v"), root) // v2
+    assert(LT.vacuum(root, retainLast = 2) >= 0)
+    assert(LT.versions(root) == Seq(1L, 2L))
+    val q2 = stream()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable(); q2.awaitTermination()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+    assert(causes(ex).exists(c => Option(c.getMessage)
+      .exists(_.contains("removed by VACUUM"))),
+      s"expected the loud vacuumed-base error, got: ${ex.getMessage}")
+  }
+
   test("file-capped stream with a LOST anchor degrades to one catch-up batch — never re-emits") {
     import graft.sources.{LakehouseTable => LT}
     import spark.implicits._
