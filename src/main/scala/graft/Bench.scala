@@ -12,7 +12,8 @@ object Bench {
       // pruning) active, exactly as a deployment would run it
       // (SPARK_GRAFT_NO_EXT=1 disables, for isolating rule cost)
       .config("spark.sql.extensions",
-        if (sys.env.contains("SPARK_GRAFT_NO_EXT")) "" else "graft.GraftExtensions")
+        if (sys.env.get("SPARK_GRAFT_NO_EXT").contains("1")) ""
+        else "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

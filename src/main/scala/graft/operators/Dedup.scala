@@ -124,14 +124,15 @@ object Dedup {
     * doc and exploded into 8 band keys; candidate generation shuffles on
     * (band_idx, key) so the whole signature is evaluated once, not once
     * per band join; hot band buckets are capped (StopShingleCap). */
-  private def lshCandidatePairs(s: SparkSession, d: String): DataFrame = {
-    val sig = shingleDf(s, d)
-      .withColumn("sig", TextExpressions.minhashSigMix(col("sh"), 16))
-    val banded = sig.select(col("doc_id").as("id"), posexplode(array((0 until 8).map(b =>
-      concat_ws("-", element_at(col("sig"), 2 * b + 1), element_at(col("sig"), 2 * b + 2))): _*))
-      .as(Seq("band_idx", "bk")))
-    unpack(cappedPackedPairs(banded, Seq(col("band_idx"), col("bk"))).distinct())
-  }
+  private def lshCandidatePairs(s: SparkSession, d: String): DataFrame =
+    graft.sources.RelationCache.of(s, "dedup.lshCands", d) {
+      val sig = shingleDf(s, d)
+        .withColumn("sig", TextExpressions.minhashSigMix(col("sh"), 16))
+      val banded = sig.select(col("doc_id").as("id"), posexplode(array((0 until 8).map(b =>
+        concat_ws("-", element_at(col("sig"), 2 * b + 1), element_at(col("sig"), 2 * b + 2))): _*))
+        .as(Seq("band_idx", "bk")))
+      unpack(cappedPackedPairs(banded, Seq(col("band_idx"), col("bk"))).distinct())
+    }
 
   /** Duplicate CLUSTERS (q68's converged result: cluster representative →
     * member count for every n>1 component), RelationCache'd per (session,

@@ -1134,21 +1134,63 @@ object LakehouseTable {
 
   // "path" need not be the FIRST key of the action object (field order
   // is writer-dependent in real Delta logs). Actions are parsed per
-  // NDJSON line, so detecting the action KIND and then finding the
-  // (unique) top-level "path" key anywhere in the line is unambiguous:
-  // the DV descriptor's only path-like key is pathOrInlineDv (no quote
-  // after 'path'), and keys inside a stats STRING appear backslash-
-  // escaped (\"path\"), which the unescaped-quote pattern cannot match.
+  // NDJSON line: find the action kind, then SCAN its object tracking
+  // brace depth and key/value position, and return the DEPTH-1 "path"
+  // KEY's string value — a partition column literally named 'path'
+  // inside partitionValues, a path-valued top-level string, or the DV
+  // descriptor's keys cannot shadow it.
   private val DeltaAddKindRe = """"add"\s*:\s*\{""".r
   private val DeltaRemoveKindRe = """"remove"\s*:\s*\{""".r
-  private val DeltaPathRe = """"path":\s*"((?:[^"\\]|\\.)*)"""".r
   private def deltaActionPath(line: String, kind: scala.util.matching.Regex)
-      : Option[String] =
-    if (kind.findFirstIn(line).isEmpty) None
-    else DeltaPathRe.findFirstMatchIn(line).map(m => m.group(1))
+      : Option[String] = {
+    val m = kind.findFirstMatchIn(line).getOrElse(return None)
+    var i = m.end // just past the action object's '{'
+    var depth = 1
+    var prevSig = '{' // last significant char: a string is a KEY iff '{' or ','
+    while (i < line.length && depth > 0) {
+      line.charAt(i) match {
+        case '"' =>
+          val start = i + 1
+          var j = start
+          while (j < line.length && line.charAt(j) != '"') {
+            if (line.charAt(j) == '\\') j += 1
+            j += 1
+          }
+          val isKey = prevSig == '{' || prevSig == ','
+          if (depth == 1 && isKey && line.substring(start, j) == "path") {
+            var k = j + 1
+            while (k < line.length &&
+                (line.charAt(k) == ':' || line.charAt(k).isWhitespace)) k += 1
+            if (k < line.length && line.charAt(k) == '"') {
+              val vs = k + 1
+              var v = vs
+              while (v < line.length && line.charAt(v) != '"') {
+                if (line.charAt(v) == '\\') v += 1
+                v += 1
+              }
+              return Some(line.substring(vs, v))
+            }
+          }
+          prevSig = '"'
+          i = j + 1
+        case c @ ('{' | '}' | ',' | ':') =>
+          if (c == '{') depth += 1
+          if (c == '}') depth -= 1
+          prevSig = c
+          i += 1
+        case c =>
+          if (!c.isWhitespace) prevSig = c
+          i += 1
+      }
+    }
+    None
+  }
   private val DeltaSchemaRe = """"schemaString":\s*"((?:[^"\\]|\\.)*)"""".r
-  private val DeltaProtocolRe =
-    """"protocol":\s*\{\s*"minReaderVersion":\s*(\d+),\s*"minWriterVersion":\s*(\d+)""".r
+  // protocol fields parsed per line, each independently — their relative
+  // order (and interposed feature lists) are writer-dependent too
+  private val DeltaProtocolKindRe = """"protocol"\s*:\s*\{""".r
+  private val DeltaMinReaderRe = """"minReaderVersion"\s*:\s*(\d+)""".r
+  private val DeltaMinWriterRe = """"minWriterVersion"\s*:\s*(\d+)""".r
   private val DeltaConfRe = """"configuration":\s*\{([^}]*)\}""".r
   private val DeltaConfPairRe = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
   // the capture must treat quoted strings as opaque: z85-encoded
@@ -1250,8 +1292,15 @@ object LakehouseTable {
         }
       }
       DeltaSchemaRe.findAllMatchIn(txt).foreach(m => schemaJson = Some(deltaUnesc(m.group(1))))
-      DeltaProtocolRe.findAllMatchIn(txt).foreach(m =>
-        protocol = (m.group(1).toInt, m.group(2).toInt))
+      txt.split('\n').foreach { line =>
+        if (DeltaProtocolKindRe.findFirstIn(line).isDefined)
+          (DeltaMinReaderRe.findFirstMatchIn(line),
+            DeltaMinWriterRe.findFirstMatchIn(line)) match {
+            case (Some(r), Some(w)) =>
+              protocol = (r.group(1).toInt, w.group(1).toInt)
+            case _ => ()
+          }
+      }
       DeltaReaderFeatsRe.findAllMatchIn(txt).foreach(m =>
         readerFeats = m.group(1).split(",").toSeq.map(
           _.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty))

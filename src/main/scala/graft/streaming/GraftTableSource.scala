@@ -130,8 +130,17 @@ class GraftTableSourceProvider extends StreamSourceProvider
         sqlContext.sparkSession.sessionState.conf.sessionLocalTimeZone)
       val norm = t.trim.replace(' ', 'T')
       val ldt =
-        if (norm.contains('T')) java.time.LocalDateTime.parse(norm)
-        else java.time.LocalDate.parse(norm).atStartOfDay()
+        try {
+          if (norm.contains('T')) java.time.LocalDateTime.parse(norm)
+          else java.time.LocalDate.parse(norm).atStartOfDay()
+        } catch {
+          case _: java.time.format.DateTimeParseException =>
+            // lenient single-digit fields ("2024-1-1 3:00:00"):
+            // Timestamp.valueOf parses FIELDS with no timezone attached,
+            // so routing them through toLocalDateTime keeps the
+            // session-timezone semantics
+            java.sql.Timestamp.valueOf(t.trim.replace('T', ' ')).toLocalDateTime
+        }
       val ms = ldt.atZone(tz).toInstant.toEpochMilli
       val vs = LakehouseTable.versions(root)
       // base = the version BEFORE the first commit at/after ts, so that
@@ -267,12 +276,18 @@ class GraftTableSource(spark: SparkSession, root: String,
     * checkpoint's offsets log is consulted, not the anchor — metadataPath
     * is `<checkpoint>/sources/<i>`, so the log lives two levels up. */
   private def hasCommittedOffsets: Boolean =
-    metadataPath.exists { m =>
+    metadataPath.forall { m =>
       try {
         val off = new HPath(new HPath(m).getParent.getParent, "offsets")
         val fs = off.getFileSystem(spark.sessionState.newHadoopConf())
         fs.exists(off) && fs.listStatus(off).nonEmpty
-      } catch { case _: Throwable => false }
+      } catch {
+        // the flaky-FS window that loses the anchor can also fail this
+        // listing — assume RESTARTED (degrade to one uncapped catch-up
+        // batch) rather than fresh (a snapshot-flagged offset against a
+        // committed incremental cursor re-emits delivered rows)
+        case _: Throwable => true
+      }
     }
 
   private def readAnchor(): Option[GraftVersionOffset] =

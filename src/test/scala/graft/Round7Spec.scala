@@ -121,6 +121,20 @@ class Round7Spec extends AnyFunSuite {
       .as[Long].collect().sorted.toSeq
     assert(got3 == ((2L to 20L).toSet -- Set(11L)).toSeq.sorted,
       s"non-path-first actions misparsed: $got3")
+    // adversarial shadowing: a partition column literally named 'path'
+    // appears in partitionValues BEFORE the real file path, and the
+    // protocol line's fields arrive reversed with feature lists
+    // interposed — the depth-aware scanner must take the TOP-LEVEL key
+    Files.writeString(logDir.resolve(f"${3L}%020d.json"),
+      s"""{"protocol":{"minWriterVersion":7,"readerFeatures":["deletionVectors"],"minReaderVersion":3,"writerFeatures":["deletionVectors"]}}
+{"remove":{"deletionTimestamp":0,"path":"data/f1.parquet","dataChange":true}}
+{"add":{"partitionValues":{"path":"TRAP"},"size":1,"modificationTime":0,"dataChange":true,"path":"data/f1.parquet"}}
+""")
+    // f1 restored DV-free (1..10); f2 still missing id 11
+    val got4 = LT.readDeltaExport(spark, root).select("id")
+      .as[Long].collect().sorted.toSeq
+    assert(got4 == ((1L to 20L).toSet -- Set(11L)).toSeq.sorted,
+      s"shadowed 'path' key misparsed: $got4")
   }
 
   test("write-through mirror exports MOR deletes as DV actions; log-only read == native read; checkpoint carries DVs") {
