@@ -489,6 +489,44 @@ class Round7Spec extends AnyFunSuite {
     assert(ex.getMessage.contains("violate"))
   }
 
+  test("OPTIMIZE WHERE races appends safely: lost CAS is a retryable conflict, rows never lost or doubled") {
+    import spark.implicits._
+    val root = freshRoot("optrace")
+    LT.create((0L until 30L).map(i => (i, (i % 3).toString)).toDF("id", "k"),
+      root, partitionBy = Seq("k"))
+    // writer thread: 10 sequential appends (each its own CAS commit);
+    // maintenance thread: compactWhere on partition k=1 in a retry loop —
+    // a lost CAS surfaces as ConcurrentModificationException, the
+    // documented optimistic-concurrency contract, and the retry re-reads
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val appender = new Thread(() => {
+      try (0 until 10).foreach { i =>
+        LT.append(Seq((100L + i, (i % 3).toString)).toDF("id", "k"), root,
+          partitionBy = Seq("k"))
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    val compactor = new Thread(() => {
+      try (0 until 5).foreach { _ =>
+        var done = false
+        var tries = 0
+        while (!done && tries < 20) {
+          try { LT.compactWhere(spark, root, "k = '1'"); done = true }
+          catch {
+            case _: java.util.ConcurrentModificationException =>
+              tries += 1; Thread.sleep(5)
+          }
+        }
+        assert(done, "compactWhere starved out after 20 CAS retries")
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    appender.start(); compactor.start()
+    appender.join(120000); compactor.join(120000)
+    assert(errs.isEmpty, s"concurrent maintenance failed: ${errs.peek()}")
+    val ids = LT.read(spark, root).select("id").as[Long].collect().sorted.toSeq
+    assert(ids == ((0L until 30L) ++ (100L until 110L)).sorted,
+      s"rows lost or doubled under the race: $ids")
+  }
+
   test("enableIdentity refuses a table that already holds rows") {
     import spark.implicits._
     val root = freshRoot("ident_guard")
