@@ -159,6 +159,17 @@ class Round7Spec extends AnyFunSuite {
     LT.exportDeltaCheckpoint(spark, root, cur)
     assert(LT.readDeltaExport(spark, root, useCheckpoint = true)
       .select("id").as[Long].collect().sorted.toSeq == native())
+    // ... and its protocol row carries the feature lists (reader 3 /
+    // writer 7 REQUIRE them; a bare version pair is spec-invalid)
+    val ckProto = spark.read.parquet(Paths.get(root, "_delta_log")
+        .resolve(f"$cur%020d.checkpoint.parquet").toString)
+      .filter(col("protocol").isNotNull)
+      .select("protocol.minReaderVersion", "protocol.readerFeatures",
+        "protocol.writerFeatures").collect().head
+    assert(ckProto.getInt(0) == 3 &&
+      ckProto.getSeq[String](1) == Seq("deletionVectors") &&
+      ckProto.getSeq[String](2) == Seq("deletionVectors"),
+      s"checkpoint protocol row incomplete: $ckProto")
     // appends after the checkpoint replay on top of the DV'd seed
     LT.append(Seq((100L, 0L)).toDF("id", "k"), root)
     assert(LT.readDeltaExport(spark, root).select("id")
