@@ -103,7 +103,9 @@ object Lakehouse {
     * the second's predicate overlaps files the first already covered, so
     * the gate exercises the DV-merge path, not just a fresh sidecar. */
   private[graft] def eventsMorRoot(s: SparkSession, d: String): String = {
-    val root = TableCache.root(d, "events", "mor-del7-del3:v1")
+    // v2: DV blobs re-serialized in the spec-exact portable layout
+    // (keyed non-empty buckets) — a v1 cache carries unparseable blobs
+    val root = TableCache.root(d, "events", "mor-del7-del3:v2")
     try TableCache.locked(root) {
       if (LakehouseTable.versions(root).isEmpty)
         LakehouseTable.create(

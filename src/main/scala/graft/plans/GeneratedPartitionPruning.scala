@@ -1,7 +1,9 @@
 package graft.plans
 
-import java.nio.file.{Files, Paths}
+import scala.collection.concurrent.TrieMap
+import scala.util.control.NonFatal
 
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
@@ -23,20 +25,37 @@ import graft.sources.LakehouseTable
   * between scanning one day and listing the whole lake for every
   * timestamp-range query.
   *
-  * Soundness: both declared kinds (`date`, `div:N` — see
+  * Soundness: both declared kinds (`date@<zone>`, `div:N` — see
   * [[LakehouseTable.generatedColsAt]]) are MONOTONE non-decreasing in
   * the source, so src ≥ L implies gen(src) ≥ gen(L) and src ≤ U implies
   * gen(src) ≤ gen(U); the derived conjunct only widens the Filter with
   * an implied condition — rows are never added or removed, the original
-  * predicate still applies. `date` literals are derived with Spark's own
-  * timestamp→date Cast under the session timezone (the same semantics
-  * to_date has), `div:N` with floorDiv (= floor(x / N) exactly). The
-  * rule runs in the operator-optimization fixed point, so it refuses to
-  * re-add a conjunct that is already present (semantic equality) —
-  * one pass converges. */
+  * predicate still applies. `date@<zone>` literals are derived with
+  * Spark's own timestamp→date Cast under the DECLARED timezone (pinned
+  * at declaration time — deriving under the READING session's timezone
+  * could shift gen(literal) by a day and silently exclude matching
+  * rows, so the legacy un-zoned `date` kind is never derived from),
+  * `div:N` with floorDiv (= floor(x / N) exactly). The rule runs in the
+  * operator-optimization fixed point, so it refuses to re-add a conjunct
+  * that is already present (semantic equality) — one pass converges.
+  *
+  * Planning cost: all table discovery and manifest access goes through
+  * the Hadoop FileSystem API (scheme-aware — a `file:`-URI or
+  * hdfs://-rooted relation resolves identically; the streaming-source
+  * anchor pattern), and is memoized: scan-path → root discovery is
+  * cached forever (roots are immutable), and the generated-col triples
+  * are cached per (root, version) — manifests are immutable, so the
+  * manifest FILE is read at most once per version per JVM no matter how
+  * many Filter nodes or optimizer passes consult it. The only repeated
+  * IO is one directory listing per graft Filter per pass to learn the
+  * current version. */
 case class GeneratedPartitionPruning(spark: SparkSession)
     extends Rule[LogicalPlan]
     with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+
+  import GeneratedPartitionPruning._
+
+  private def hadoopConf = spark.sessionState.newHadoopConf()
 
   /** The graft table root of a (possibly attribute-projected) parquet
     * relation, with the relation itself. */
@@ -48,23 +67,76 @@ case class GeneratedPartitionPruning(spark: SparkSession)
         l.relation match {
           case fs: HadoopFsRelation =>
             // rootPaths, not inputFiles: no full listing per Filter per
-            // optimizer pass. Scan '/data/' occurrences RIGHT to left and
-            // demand the graft manifest dir — a lake living under a path
-            // that itself contains '/data/' must not resolve to a
-            // different (or wrong) root
+            // optimizer pass. Memoized per scan path — data files are
+            // immutable and every write lands under a fresh uuid dir, so
+            // a cached discovery can never go stale.
             fs.location.rootPaths.headOption.map(_.toString).flatMap { f =>
-              val cleaned = f.stripPrefix("file:")
-              Iterator.iterate(cleaned.lastIndexOf("/data/"))(i =>
-                  cleaned.lastIndexOf("/data/", i - 1))
-                .takeWhile(_ > 0)
-                .map(cleaned.substring(0, _))
-                .find(r => Files.isDirectory(Paths.get(r, "_manifest")))
-                .map(r => (l, r))
+              rootCache.getOrElseUpdate(f, discoverRoot(f)).map(r => (l, r))
             }
           case _ => None
         }
       case _ => None
     }
+
+  /** Scan '/data/' occurrences RIGHT to left and demand the graft
+    * manifest dir — a lake living under a path that itself contains
+    * '/data/' must not resolve to a different (or wrong) root. The probe
+    * resolves through the path's own FileSystem, so any scheme works. */
+  private def discoverRoot(f: String): Option[String] =
+    try {
+      Iterator.iterate(f.lastIndexOf("/data/"))(i =>
+          f.lastIndexOf("/data/", i - 1))
+        .takeWhile(_ > 0)
+        .map(f.substring(0, _))
+        .find { r =>
+          val p = new HPath(r, "_manifest")
+          val fsys = p.getFileSystem(hadoopConf)
+          try fsys.getFileStatus(p).isDirectory
+          catch { case _: java.io.FileNotFoundException => false }
+        }
+    } catch { case NonFatal(_) => None }
+
+  /** Current table version via a Hadoop-FS listing (scheme-aware twin of
+    * [[LakehouseTable.currentVersion]]). */
+  private def currentVersionVia(root: String): Option[Long] =
+    try {
+      val dir = new HPath(root, "_manifest")
+      val fsys = dir.getFileSystem(hadoopConf)
+      val vs = fsys.listStatus(dir).iterator.map(_.getPath.getName)
+        .filter(_.endsWith(".json"))
+        .flatMap(n => scala.util.Try(n.stripSuffix(".json").toLong).toOption)
+        .toSeq
+      if (vs.isEmpty) None else Some(vs.max)
+    } catch { case NonFatal(_) => None }
+
+  /** Generated-col triples at (root, v), reading the manifest through the
+    * Hadoop FS at most once per (root, version) per JVM. */
+  private def gensAt(root: String, v: Long): Seq[(String, String, String)] =
+    genCache.getOrElseUpdate((root, v), {
+      manifestReads.incrementAndGet()
+      try {
+        val p = new HPath(new HPath(root, "_manifest"), s"$v.json")
+        val fsys = p.getFileSystem(hadoopConf)
+        val in = fsys.open(p)
+        val txt =
+          try {
+            val out = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](8192)
+            var n = in.read(buf)
+            while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+            out.toString("UTF-8")
+          } finally in.close()
+        LakehouseTable.parseGeneratedCols(txt)
+      } catch { case NonFatal(_) => Nil }
+    })
+
+  /** The declared timezone of a date-kind generation, when derivable.
+    * Legacy un-zoned `date` declarations are skipped: without the
+    * declaring timezone on record, evaluating under the reading
+    * session's could shift the bound by a day — missed pruning is safe,
+    * a wrong injected predicate is not. */
+  private def dateZoneOf(kind: String): Option[String] =
+    if (kind.startsWith("date@")) Some(kind.drop(5)) else None
 
   /** gen(v) as a Literal of the partition attribute's type, or None when
     * the literal/source types don't fit the declared kind. */
@@ -72,12 +144,13 @@ case class GeneratedPartitionPruning(spark: SparkSession)
       partType: org.apache.spark.sql.types.DataType): Option[Literal] =
     (kind, lit.dataType, lit.value) match {
       case (_, _, null) => None
-      case ("date", TimestampType, micros: java.lang.Long) =>
-        // Spark's own timestamp→date cast under the session timezone —
-        // exactly to_date's semantics
-        val d = Cast(Literal(micros, TimestampType), DateType,
-          Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null)
-        if (partType == DateType) Some(Literal(d, DateType)) else None
+      case (k, TimestampType, micros: java.lang.Long) if k.startsWith("date") =>
+        // Spark's own timestamp→date cast under the DECLARED timezone
+        dateZoneOf(k).flatMap { tz =>
+          val d = Cast(Literal(micros, TimestampType), DateType, Some(tz))
+            .eval(null)
+          if (partType == DateType) Some(Literal(d, DateType)) else None
+        }
       case (d, t, v) if d.startsWith("div:") =>
         val n = d.drop(4).toLong
         val x = (t, v) match {
@@ -100,8 +173,8 @@ case class GeneratedPartitionPruning(spark: SparkSession)
       graftRelation(child) match {
         case None => f
         case Some((rel, root)) =>
-          val gens = LakehouseTable.currentVersion(root)
-            .map(LakehouseTable.generatedColsAt(root, _)).getOrElse(Nil)
+          val gens = currentVersionVia(root)
+            .map(gensAt(root, _)).getOrElse(Nil)
           if (gens.isEmpty) f
           else {
             val conjuncts = splitConjunctivePredicates(cond)
@@ -128,15 +201,17 @@ case class GeneratedPartitionPruning(spark: SparkSession)
   }
 
   /** True when `lit` sits exactly on the LEFT EDGE of its generation
-    * bucket (midnight for `date`, a multiple of N for `div:N`) — a
-    * strict upper bound at the edge excludes the whole bucket, so the
-    * partition bound may step one bucket down. */
+    * bucket (midnight in the declared zone for `date@`, a multiple of N
+    * for `div:N`) — a strict upper bound at the edge excludes the whole
+    * bucket, so the partition bound may step one bucket down. */
   private def onBucketEdge(kind: String, lit: Literal): Boolean =
     (kind, lit.dataType, lit.value) match {
-      case ("date", TimestampType, micros: java.lang.Long) =>
-        val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
-        val d = Cast(Literal(micros, TimestampType), DateType, tz).eval(null)
-        Cast(Literal(d, DateType), TimestampType, tz).eval(null) == micros
+      case (k, TimestampType, micros: java.lang.Long) if k.startsWith("date") =>
+        dateZoneOf(k).exists { tzId =>
+          val tz = Some(tzId)
+          val d = Cast(Literal(micros, TimestampType), DateType, tz).eval(null)
+          Cast(Literal(d, DateType), TimestampType, tz).eval(null) == micros
+        }
       case (d, LongType, l: java.lang.Long) if d.startsWith("div:") =>
         Math.floorMod(l.longValue(), d.drop(4).toLong) == 0L
       case (d, IntegerType, i: java.lang.Integer) if d.startsWith("div:") =>
@@ -182,4 +257,19 @@ case class GeneratedPartitionPruning(spark: SparkSession)
       case _ => None
     }
   }
+}
+
+object GeneratedPartitionPruning {
+  /** scan path → discovered graft root (None = not a graft table). Data
+    * files are immutable and land under fresh uuid dirs, so entries never
+    * go stale; bounded by the distinct scan paths of a session. */
+  private val rootCache = TrieMap.empty[String, Option[String]]
+
+  /** (root, version) → generated-col triples; manifests are immutable. */
+  private val genCache =
+    TrieMap.empty[(String, Long), Seq[(String, String, String)]]
+
+  /** Test hook: manifest FILES read by the rule since JVM start —
+    * repeated planning of the same (root, version) must not move it. */
+  val manifestReads = new java.util.concurrent.atomic.AtomicLong
 }

@@ -96,22 +96,26 @@ object DeltaDv {
   // --- RoaringBitmapArray portable form -----------------------------------
 
   /** Serialize sorted-or-not 64-bit row indexes as the portable
-    * RoaringBitmapArray layout. Bitmaps are dense up to the max high-32
-    * key (empties included), as the portable form requires. */
+    * RoaringBitmapArray layout: `[numBitmaps: i64 LE]` then, per
+    * NON-EMPTY bucket in ascending key order, `[key: i32 LE][standard
+    * 32-bit RoaringBitmap]`. This is byte-compatible with
+    * `Roaring64NavigableMap.serializePortable` (the interop target —
+    * empty buckets are never written and each bucket is prefixed by its
+    * high-32 key; a dense keyless sequence is NOT parseable by real
+    * Delta readers). */
   def serializeRoaringArray(positions: Array[Long]): Array[Byte] = {
     require(positions.forall(_ >= 0), "row indexes must be non-negative")
-    val byKey = positions.groupBy(p => (p >>> 32).toInt)
-    val numBitmaps = if (positions.isEmpty) 0 else byKey.keys.max + 1
-    val bitmaps = Array.tabulate(numBitmaps) { k =>
-      val rb = new RoaringBitmap()
-      byKey.get(k).foreach(_.foreach(p => rb.add(p.toInt)))
-      rb.runOptimize()
-      rb
-    }
-    val size = 8 + bitmaps.map(_.serializedSizeInBytes()).sum
+    val buckets = positions.groupBy(p => (p >>> 32).toInt).toSeq.sortBy(_._1)
+      .map { case (k, ps) =>
+        val rb = new RoaringBitmap()
+        ps.foreach(p => rb.add(p.toInt))
+        rb.runOptimize()
+        (k, rb)
+      }
+    val size = 8 + buckets.map { case (_, rb) => 4 + rb.serializedSizeInBytes() }.sum
     val bb = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
-    bb.putLong(numBitmaps.toLong)
-    bitmaps.foreach(_.serialize(bb))
+    bb.putLong(buckets.length.toLong)
+    buckets.foreach { case (k, rb) => bb.putInt(k); rb.serialize(bb) }
     bb.array()
   }
 
@@ -121,17 +125,19 @@ object DeltaDv {
     require(numBitmaps >= 0 && numBitmaps <= Int.MaxValue,
       s"bad bitmap count $numBitmaps")
     val out = scala.collection.mutable.ArrayBuffer.empty[Long]
-    var k = 0L
-    while (k < numBitmaps) {
+    var n = 0L
+    while (n < numBitmaps) {
+      val key = bb.getInt // the bucket's high-32 bits; buckets may be sparse
+      require(key >= 0, s"negative bucket key $key in DV bitmap")
       val rb = new RoaringBitmap()
       rb.deserialize(bb)
       // deserialize(ByteBuffer) does not advance the buffer; skip manually
       bb.position(bb.position() + rb.serializedSizeInBytes())
-      val hi = k << 32
+      val hi = key.toLong << 32
       rb.forEach(new org.roaringbitmap.IntConsumer {
         override def accept(v: Int): Unit = out += (hi | (v & 0xffffffffL))
       })
-      k += 1
+      n += 1
     }
     out.toArray
   }

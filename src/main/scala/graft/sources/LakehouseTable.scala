@@ -223,8 +223,15 @@ object LakehouseTable {
     * ([[withGeneratedPartitions]] computes it; [[alterSetGeneratedPartition]]
     * verifies the existing rows once at declaration time). */
   def generatedColsAt(root: String, v: Long): Seq[(String, String, String)] =
-    GeneratedRe.findFirstMatchIn(
+    parseGeneratedCols(
       Files.readString(manifestDir(root).resolve(s"$v.json")))
+
+  /** Parse the `generatedCols` field out of raw manifest JSON — public so
+    * scheme-aware consumers ([[graft.plans.GeneratedPartitionPruning]])
+    * reading manifests through the Hadoop FileSystem API share one
+    * parser with the local-path accessor above. */
+  def parseGeneratedCols(manifestJson: String): Seq[(String, String, String)] =
+    GeneratedRe.findFirstMatchIn(manifestJson)
       .map(_.group(1)).filter(_.nonEmpty).toSeq
       .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { t =>
         val Array(p, k, s) = t.split(">", 3)
@@ -239,7 +246,16 @@ object LakehouseTable {
       : org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{floor, to_date}
     kind match {
-      case "date" => to_date(src)
+      case "date" => to_date(src) // legacy form: the SESSION timezone
+      case d if d.startsWith("date@") =>
+        // timestamp→date under the DECLARED timezone, pinned at
+        // declaration time ([[alterSetGeneratedPartition]]) — the
+        // generation contract must not shift by a day when a writer or
+        // the pruning rule runs under a different session timezone
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(src),
+            org.apache.spark.sql.types.DateType, Some(d.drop(5))))
       case d if d.startsWith("div:") =>
         // floor-division (NOT `div`, which truncates toward zero and is
         // not monotone across 0); exact for |src| < 2^52
@@ -276,17 +292,25 @@ object LakehouseTable {
       "generated column and source must differ")
     require(!generatedColsAt(root, cur).exists(_._1.equalsIgnoreCase(partCol)),
       s"'$partCol' already has a generation declaration")
+    // 'date' is timezone-dependent: pin the DECLARING session's timezone
+    // into the stored kind so later writers and the pruning rule evaluate
+    // the same function regardless of their session timezone — an
+    // unpinned cast can shift gen(ts) by a day and silently exclude rows
+    val storedKind =
+      if (kind == "date")
+        s"date@${spark.sessionState.conf.sessionLocalTimeZone}"
+      else kind
     val snap = read(spark, root, Some(cur))
     require(snap.columns.exists(_.equalsIgnoreCase(srcCol)),
       s"no source column '$srcCol' in ${snap.columns.mkString(", ")}")
     import org.apache.spark.sql.functions.col
     val bad = snap.filter(!(col(partCol) <=>
-      generatedPartitionColumn(kind, col(srcCol)))).limit(1).count()
+      generatedPartitionColumn(storedKind, col(srcCol)))).limit(1).count()
     require(bad == 0L,
       s"existing rows violate $partCol = $kind($srcCol); cannot declare")
     commit(root, cur + 1, readManifest(root, cur),
       generatedCols = Some(encodeGenerated(
-        generatedColsAt(root, cur) :+ ((partCol, kind, srcCol)))))
+        generatedColsAt(root, cur) :+ ((partCol, storedKind, srcCol)))))
   }
 
   private val DvsRe = """"dvs":\s*"([^"]*)"""".r
@@ -956,6 +980,7 @@ object LakehouseTable {
     var prevCols: Option[(String, String, String, String)] = None
     var prevDvs = Map.empty[String, String]
     var mappingAnnounced = false
+    var dvAnnounced = false
     // column-mapping ids, keyed by PHYSICAL name (stable across renames),
     // assigned in first-appearance order over the version walk. The walk
     // is deterministic (same history → same order), so ids are stable
@@ -988,6 +1013,7 @@ object LakehouseTable {
       prevDvs = dvsAt(root, seedV).toMap
       // only consulted when mappingActive, which the fast path excludes
       mappingAnnounced = true
+      dvAnnounced = prevDvs.nonEmpty
     }
     vs.drop(startIdx).foreach { v =>
       val cur = readManifest(root, v)
@@ -1037,22 +1063,33 @@ object LakehouseTable {
         // protocol floor (reader 2 / writer 5); announced at the first
         // version that has one — a later commit may raise the protocol,
         // per the Delta spec
-        if (v == vs.head && mappingActive) {
+        // deletionVectors is a table FEATURE (reader 3 / writer 7 with
+        // feature lists, per the Delta spec); announce at the first
+        // DV-bearing version (a repeat after a DV-free gap is a legal,
+        // identical protocol action). At reader version 3 EVERY active
+        // feature must be listed — a DV-bearing table whose mapping is
+        // (or ever was) active lists columnMapping alongside, and a
+        // mapping that ACTIVATES after the DV upgrade re-emits the (3,7)
+        // action with the widened lists rather than downgrading to (2,5).
+        val needDvAnnounce = curDvs.nonEmpty && prevDvs.isEmpty
+        val needMappingAnnounce = mappingActive && !mappingAnnounced
+        if (needDvAnnounce || (needMappingAnnounce && dvAnnounced)) {
+          dvAnnounced = true
+          val feats = (Seq("deletionVectors") ++
+            (if (mappingActive) Seq("columnMapping") else Nil))
+            .map("\"" + _ + "\"").mkString("[", ",", "]")
+          sb.append(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":$feats,"writerFeatures":$feats}}""")
+            .append('\n')
+          if (mappingActive) mappingAnnounced = true
+        } else if (v == vs.head && mappingActive) {
           sb.append("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""").append('\n')
           mappingAnnounced = true
         } else if (v == vs.head)
           sb.append("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""").append('\n')
-        else if (!mappingAnnounced && mappingActive) {
+        else if (needMappingAnnounce) {
           sb.append("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""").append('\n')
           mappingAnnounced = true
         }
-        // deletionVectors is a table FEATURE (reader 3 / writer 7 with
-        // feature lists, per the Delta spec); announce at the first
-        // DV-bearing version (a repeat after a DV-free gap is a legal,
-        // identical protocol action)
-        if (curDvs.nonEmpty && prevDvs.isEmpty)
-          sb.append("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""")
-            .append('\n')
         if (schemaChanged) {
           // logical schema, each field annotated with its stable PHYSICAL
           // parquet name (Delta column mapping, name mode) whenever a
@@ -1128,6 +1165,9 @@ object LakehouseTable {
       prevCols = Some(cols)
       prevDvs = curDvs
       if (cols._2.nonEmpty || cols._3.nonEmpty) mappingAnnounced = true
+      // a skipped (already-exported) DV-bearing version still means the
+      // feature was announced at or before it
+      if (curDvs.nonEmpty) dvAnnounced = true
     }
     logDir
   }
@@ -1610,7 +1650,13 @@ object LakehouseTable {
         .getOrElse(Nil)
     }
     declaredParts.foreach { c =>
-      state.live.foreach(f => require(f.contains(s"$c="),
+      // exact SEGMENT match, not a substring test: 'xcol=1/...' must not
+      // satisfy the check for partition column 'col' — a non-hive table
+      // would then import with the column silently null
+      state.live.foreach(f => require(
+        f.split('/').dropRight(1).exists(seg =>
+          seg.length > c.length && seg.charAt(c.length) == '=' &&
+            seg.regionMatches(true, 0, c, 0, c.length)),
         s"partition column '$c' is not encoded in the path of '$f' " +
           "(non-hive Delta layout); cannot import without a rewrite"))
     }

@@ -370,7 +370,14 @@ class GraftTableSource(spark: SparkSession, root: String,
               // are stepped over.
               var v = c.v
               var snap = c.snapshot
-              var listLen = fileListOf(v, snap).length.toLong
+              // a whole-version cursor (no filePos) is fully consumed:
+              // do NOT materialize its file list — fileListOf needs the
+              // v−1 manifest for the diff, and after a VACUUM that
+              // dropped it (caught-up stream, retainLast=1) the listing
+              // would throw forever even though no file of v is needed
+              var listLen =
+                if (c.filePos.isEmpty) 0L
+                else fileListOf(v, snap).length.toLong
               var pos = c.filePos.getOrElse(listLen)
               var budget = mf.toLong
               val take0 = math.min(budget, math.max(0L, listLen - pos))

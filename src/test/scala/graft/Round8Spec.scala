@@ -1,0 +1,222 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{DeltaDv, LakehouseTable => LT}
+
+/** Round-8 pins: spec-exact DV blob layout (the RoaringBitmapArray
+  * portable form with keyed non-empty buckets), complete protocol
+  * feature lists, vacuum-safe file-cap admission, the hive-layout import
+  * guard, declared-timezone generated columns, and the memoized
+  * scheme-aware pruning rule. */
+class Round8Spec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def freshRoot(name: String): String = {
+    val r = sources.TableCache.baseDir + s"/r8_$name"
+    val p = Paths.get(r)
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq
+        .sortBy(_.toString).reverse.foreach(Files.deleteIfExists(_))
+    }
+    Files.createDirectories(p)
+    r
+  }
+
+  test("DV portable layout is byte-identical to Roaring64NavigableMap.serializePortable") {
+    import org.roaringbitmap.longlong.Roaring64NavigableMap
+    // sparse buckets (0, 5) with a gap: the portable form must write TWO
+    // keyed buckets, never six dense keyless ones
+    val cases = Seq(
+      Array(3L, 100L, (5L << 32) | 7L),
+      Array(0L, 1L, 0xfffffffeL, (1L << 32) + 5L, (3L << 32) + 9L),
+      Array(42L),
+      Array.empty[Long])
+    cases.foreach { pos =>
+      val m = new Roaring64NavigableMap()
+      pos.foreach(m.addLong)
+      m.runOptimize()
+      val baos = new java.io.ByteArrayOutputStream()
+      m.serializePortable(new java.io.DataOutputStream(baos))
+      val reference = baos.toByteArray
+      val ours = DeltaDv.serializeRoaringArray(pos)
+      assert(ours.toSeq == reference.toSeq,
+        s"portable layout diverges for ${pos.mkString(",")}")
+      // and the reader decodes the REFERENCE bytes (a genuinely foreign DV)
+      assert(DeltaDv.deserializeRoaringArray(reference).sorted.toSeq ==
+        pos.sorted.toSeq)
+    }
+  }
+
+  test("protocol action lists ALL active features: columnMapping rides the DV upgrade, either order") {
+    import spark.implicits._
+    // order 1: rename (mapping active) FIRST, then a MOR delete — the
+    // (3,7) upgrade must list columnMapping alongside deletionVectors
+    val root = freshRoot("protofeat")
+    LT.create((0L until 40L).map(i => (i, s"v$i")).toDF("id", "payload"), root)
+    LT.alterRenameColumn(spark, root, "payload", "body")
+    LT.deleteWhereMor(spark, root, "id < 5")
+    LT.exportDeltaLog(spark, root)
+    val logDir = Paths.get(root, "_delta_log")
+    import scala.jdk.CollectionConverters._
+    val logTxt = Files.list(logDir).iterator().asScala
+      .filter(_.getFileName.toString.matches("\\d{20}\\.json"))
+      .toSeq.sortBy(_.getFileName.toString)
+      .map(Files.readString(_)).mkString("\n")
+    val dvProto = logTxt.linesIterator
+      .filter(_.contains("\"minReaderVersion\":3")).toSeq
+    assert(dvProto.nonEmpty, "no (3,7) protocol action exported")
+    dvProto.foreach { l =>
+      assert(l.contains("deletionVectors") && l.contains("columnMapping"),
+        s"(3,7) protocol must list every active feature, got: $l")
+    }
+    // order 2: MOR delete FIRST (DV upgrade with no mapping), then a
+    // rename — the mapping announcement must RE-EMIT (3,7) with both
+    // features, not downgrade the table to (2,5)
+    val root2 = freshRoot("protofeat2")
+    LT.create((0L until 40L).map(i => (i, s"v$i")).toDF("id", "payload"), root2)
+    LT.deleteWhereMor(spark, root2, "id < 5")
+    LT.exportDeltaLog(spark, root2)
+    LT.alterRenameColumn(spark, root2, "payload", "body")
+    LT.exportDeltaLog(spark, root2)
+    val vs = Files.list(Paths.get(root2, "_delta_log")).iterator().asScala
+      .filter(_.getFileName.toString.matches("\\d{20}\\.json"))
+      .toSeq.sortBy(_.getFileName.toString)
+    val lastProto = vs.flatMap(p => Files.readString(p).linesIterator
+        .filter(_.contains("\"protocol\"")).toSeq)
+      .lastOption.getOrElse(fail("no protocol actions"))
+    assert(lastProto.contains("\"minReaderVersion\":3") &&
+      lastProto.contains("columnMapping") &&
+      lastProto.contains("deletionVectors"),
+      s"mapping-after-DV must re-emit (3,7) with both features, got: $lastProto")
+    // replay sanity on both: the foreign-log read still matches native
+    val native = LT.read(spark, root2).orderBy("id").collect().toSeq
+    val foreign = LT.readDeltaExport(spark, root2).orderBy("id").collect().toSeq
+    assert(native == foreign)
+  }
+
+  test("file-cap admission survives VACUUM of a consumed cursor's diff base") {
+    import spark.implicits._
+    val root = freshRoot("vacuumcap")
+    LT.create((0L until 10L).map(i => (i, "a")).toDF("id", "s"), root)
+    LT.append(Seq((100L, "b")).toDF("id", "s"), root)
+    LT.append(Seq((200L, "c")).toDF("id", "s"), root)
+    val src = new graft.streaming.GraftTableSource(spark, root,
+      LT.read(spark, root).schema, ignoreChanges = false,
+      maxFilesPerBatch = Some(100))
+    // catch up fully: the cursor parks as a whole-version offset at v2
+    val o1 = src.getOffset.get
+    src.getBatch(None, o1)
+    // drop every manifest but the current one — the cursor's diff base
+    // (v1) is gone, but no file of v2 is needed anymore
+    LT.vacuum(root, retainLast = 1)
+    LT.append(Seq((300L, "d")).toDF("id", "s"), root)
+    val o2 = src.getOffset.get // must NOT throw the removed-by-VACUUM error
+    val c2 = graft.streaming.GraftVersionOffset.parse(o2.json)
+    assert(c2.v == 3L && c2.filePos.contains(1L),
+      s"cursor should advance to v3's single-file diff, got ${o2.json}")
+    src.getBatch(Some(o1), o2) // planning the range must not throw either
+  }
+
+  test("convertFromDelta hive guard matches path SEGMENTS, not substrings") {
+    import spark.implicits._
+    // craft a foreign log whose declared partition column 'col' only
+    // pseudo-appears in the path as 'xcol=1' — the import must refuse
+    val src = freshRoot("hiveguard")
+    val dataDir = Paths.get(src, "xcol=1")
+    Files.createDirectories(dataDir)
+    Seq((1L, "a")).toDF("id", "v").coalesce(1)
+      .write.mode("overwrite").parquet(dataDir.toString + "/out")
+    val part = Files.list(Paths.get(dataDir.toString, "out")).iterator()
+    import scala.jdk.CollectionConverters._
+    val pq = part.asScala.find(_.toString.endsWith(".parquet")).get
+    val rel = s"xcol=1/${pq.getFileName}"
+    Files.move(pq, dataDir.resolve(pq.getFileName))
+    val logDir = Paths.get(src, "_delta_log")
+    Files.createDirectories(logDir)
+    val schema = """{\"type\":\"struct\",\"fields\":[{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},{\"name\":\"v\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}}]}"""
+    Files.writeString(logDir.resolve("00000000000000000000.json"),
+      s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}
+{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"$schema","partitionColumns":["col"],"configuration":{}}}
+{"add":{"path":"$rel","partitionValues":{"col":"1"},"size":1,"modificationTime":0,"dataChange":true}}
+""")
+    val ex = intercept[IllegalArgumentException] {
+      LT.convertFromDelta(spark, src, freshRoot("hiveguard_dst"))
+    }
+    assert(ex.getMessage.contains("not encoded in the path"))
+  }
+
+  test("generated date partitions pin the DECLARING timezone; legacy un-zoned 'date' never derives") {
+    import spark.implicits._
+    val origTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      // declare under America/Los_Angeles: stored kind records the zone
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      val root = freshRoot("gentz")
+      // hourly stamps across two UTC days that are ONE LA day
+      val ev = (0L until 48L).map { i =>
+        (i, new java.sql.Timestamp(1704096000000L + i * 3600 * 1000))
+      }.toDF("event_id", "ts")
+        .withColumn("day", LT.generatedPartitionColumn(
+          "date@America/Los_Angeles", col("ts")))
+      LT.create(ev, root, partitionBy = Seq("day"))
+      LT.alterSetGeneratedPartition(spark, root, "day", "date", "ts")
+      val stored = LT.generatedColsAt(root, LT.currentVersion(root).get)
+      assert(stored == Seq(("day", "date@America/Los_Angeles", "ts")),
+        s"declaring TZ not pinned: $stored")
+      // read under UTC: derived pruning must use the DECLARED zone —
+      // rows and partition count both correct despite the TZ flip
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      val q = LT.read(spark, root)
+        .filter(col("ts") >= lit("2024-01-01 18:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-02 18:00:00").cast("timestamp"))
+      assert(q.count() == 24)
+      val parts = q.queryExecution.executedPlan.collectLeaves().head match {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+        case _ => -1
+      }
+      // 2024-01-01 18:00Z..2024-01-02 18:00Z = LA 01-01 10:00 .. 01-02
+      // 10:00 → exactly the two LA-day dirs
+      assert(parts == 2, s"declared-zone pruning read $parts dirs")
+      // writers in a different session TZ produce the DECLARED zone's
+      // partition values via withGeneratedPartitions
+      val extra = Seq((99L, new java.sql.Timestamp(1704153600000L)))
+        .toDF("event_id", "ts") // 2024-01-02 00:00Z = LA 2024-01-01
+      LT.append(LT.withGeneratedPartitions(root, extra), root,
+        partitionBy = Seq("day"))
+      val added = LT.read(spark, root).filter(col("event_id") === 99L)
+        .select("day").as[java.sql.Date].head()
+      assert(added.toString == "2024-01-01",
+        s"UTC-session writer must land in the LA day dir, got $added")
+    } finally spark.conf.set("spark.sql.session.timeZone", origTz)
+  }
+
+  test("pruning rule memoizes: repeated planning never re-reads the manifest") {
+    import spark.implicits._
+    val root = freshRoot("genmemo")
+    val df = (0L until 300L).map(i => (i, s"v$i")).toDF("id", "v")
+      .withColumn("bucket", LT.generatedPartitionColumn("div:100", col("id")))
+    LT.create(df, root, partitionBy = Seq("bucket"))
+    LT.alterSetGeneratedPartition(spark, root, "bucket", "div:100", "id")
+    def planOnce(): Int = {
+      val q = LT.read(spark, root).filter(col("id") === 250)
+      assert(q.count() == 1)
+      q.queryExecution.executedPlan.collectLeaves().head match {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+        case _ => -1
+      }
+    }
+    assert(planOnce() == 1, "rule must fire (one pruned dir)")
+    val readsAfterFirst = graft.plans.GeneratedPartitionPruning.manifestReads.get()
+    (1 to 3).foreach(_ => assert(planOnce() == 1))
+    val readsAfterMore = graft.plans.GeneratedPartitionPruning.manifestReads.get()
+    assert(readsAfterMore == readsAfterFirst,
+      s"re-planning re-read the manifest ($readsAfterFirst -> $readsAfterMore)")
+  }
+}
