@@ -90,6 +90,15 @@ object LakehouseTable {
     * once committed, so positions into it are restart-stable. */
   def manifestFiles(root: String, v: Long): Seq[String] = readManifest(root, v)
 
+  /** On-disk size of one data-relative file — the streaming source's
+    * byte-based admission signal (data files are immutable, so the size
+    * is stable across restarts). 0 for a vanished file (vacuumed from
+    * under an ignoreChanges stream): admission is control flow only and
+    * must not fail the walk. */
+  def dataFileSize(root: String, rel: String): Long =
+    try Files.size(dataDir(root).resolve(rel))
+    catch { case _: java.io.IOException => 0L }
+
   private def readManifest(root: String, v: Long): Seq[String] = {
     val txt = Files.readString(manifestDir(root).resolve(s"$v.json"))
     // manifest is {"txns": {"app": N, ...}, "files": ["rel/path", ...]}
@@ -1059,6 +1068,13 @@ object LakehouseTable {
       }
       if (!Files.exists(target)) {
         val sb = new StringBuilder
+        // the manifest's in-commit timestamp rides the export as Delta's
+        // commitInfo action (first line, as Delta writes it): TIMESTAMP
+        // AS OF on the foreign replica then resolves from log CONTENT,
+        // surviving copies, rsyncs, and backup restores — file mtimes
+        // remain the fallback for logs exported before this field
+        commitTsAt(root, v).foreach(ts =>
+          sb.append(s"""{"commitInfo":{"timestamp":$ts}}""").append('\n'))
         // an active rename/drop mapping needs Delta column mapping's
         // protocol floor (reader 2 / writer 5); announced at the first
         // version that has one — a later commit may raise the protocol,
@@ -1458,10 +1474,19 @@ object LakehouseTable {
     * not the engine's own read path. */
   def readDeltaExport(spark: SparkSession, root: String,
       useCheckpoint: Boolean = true,
-      versionAsOf: Option[Long] = None): DataFrame = {
+      versionAsOf: Option[Long] = None,
+      timestampAsOf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, regexp_replace, substring, url_decode}
     val logDir = Paths.get(root, "_delta_log")
     require(Files.isDirectory(logDir), s"no _delta_log at $root (exportDeltaLog first)")
+    require(versionAsOf.isEmpty || timestampAsOf.isEmpty,
+      "versionAsOf and timestampAsOf are mutually exclusive")
+    val pinnedVersion = timestampAsOf match {
+      case None => versionAsOf
+      case Some(ts) => Some(deltaExportVersionAt(root, ts).getOrElse(
+        throw new IllegalStateException(
+          s"no exported log version committed at or before $ts at $root")))
+    }
     // a checkpoint seeds the state and only the JSON tail replays — the
     // exact protocol a foreign Delta reader follows via _last_checkpoint
     // (useCheckpoint = false forces the full-JSON replay path, so both
@@ -1469,7 +1494,7 @@ object LakehouseTable {
     // the LOG only) may seed from the checkpoint only when it is not
     // past the pinned version.
     val lcp = logDir.resolve("_last_checkpoint")
-    versionAsOf.foreach { v =>
+    pinnedVersion.foreach { v =>
       require(Files.exists(logDir.resolve(f"$v%020d.json")),
         s"no exported log version $v at $root")
     }
@@ -1479,11 +1504,11 @@ object LakehouseTable {
       else {
         val v = """"version":\s*(\d+)""".r
           .findFirstMatchIn(Files.readString(lcp)).get.group(1).toLong
-        if (versionAsOf.exists(_ < v))
+        if (pinnedVersion.exists(_ < v))
           (None: Option[Long], Nil, None, Map.empty[String, DeltaDv.Descriptor])
         else readCheckpointSeed(spark, logDir, v)
       }
-    val state = replayDeltaLog(root, versionAsOf, after = ckVer,
+    val state = replayDeltaLog(root, pinnedVersion, after = ckVer,
       seedLive = seedLive, seedSchema = seedSchema, seedDvs = seedDvs)
     val files = state.live.map(f => Paths.get(root).resolve(f).toString)
     // a FOREIGN table's files may live anywhere under the root (ours are
@@ -1494,6 +1519,33 @@ object LakehouseTable {
       else root
     val mappingMode = state.conf.getOrElse("delta.columnMapping.mode", "none")
     readDeltaState(spark, root, state, files, basePath, mappingMode)
+  }
+
+  private val CommitInfoTsRe =
+    """"commitInfo":\s*\{[^}]*"timestamp":\s*(\d+)""".r
+
+  /** Latest exported/foreign log version committed at or before
+    * `tsMillis` — the commit time is the log's own commitInfo.timestamp
+    * when present (our exports and Delta writers both put it on the
+    * first line), the log FILE's mtime otherwise (Delta's classic
+    * fallback for logs without in-commit timestamps). */
+  def deltaExportVersionAt(root: String, tsMillis: Long): Option[Long] = {
+    val logDir = Paths.get(root, "_delta_log")
+    if (!Files.isDirectory(logDir)) return None
+    withDrained(Files.list(logDir))(
+      _.filter(_.getFileName.toString.matches("\\d{20}\\.json")))
+      .sortBy(_.getFileName.toString)
+      .filter { p =>
+        try {
+          Files.readString(p).linesIterator
+            .filter(_.contains("\"commitInfo\""))
+            .flatMap(l =>
+              CommitInfoTsRe.findFirstMatchIn(l).map(_.group(1).toLong))
+            .nextOption()
+            .getOrElse(Files.getLastModifiedTime(p).toMillis) <= tsMillis
+        } catch { case _: java.nio.file.NoSuchFileException => false }
+      }
+      .lastOption.map(_.getFileName.toString.take(20).toLong)
   }
 
   private def readCheckpointSeed(spark: SparkSession,
@@ -1525,6 +1577,30 @@ object LakehouseTable {
     }
   }
 
+  /** Deletion-vector positions of `dvs` as a DISTRIBUTED two-column
+    * relation (`__dv_path` STRING, `__dv_pos` BIGINT): the driver ships
+    * only the O(files) descriptor list; each blob is resolved and
+    * decoded inside a partition on an EXECUTOR. A 1%-of-corpus MOR
+    * delete at 100 TB is billions of positions — they must never
+    * materialize driver-side. (Blob IO uses the same local/shared-mount
+    * resolution [[DeltaDv.readPositions]] itself has.) */
+  private def dvPositionsDf(spark: SparkSession, root: String,
+      dvs: Map[String, DeltaDv.Descriptor]): DataFrame = {
+    import spark.implicits._
+    val descs = dvs.toSeq.map { case (p, d) =>
+      (p, d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes,
+        d.cardinality)
+    }
+    val slices = math.max(1, math.min(descs.size,
+      spark.sparkContext.defaultParallelism))
+    spark.createDataset(descs).repartition(slices)
+      .flatMap { case (p, st, pid, off, size, card) =>
+        DeltaDv.readPositions(root,
+            DeltaDv.Descriptor(st, pid, off, size, card))
+          .iterator.map(ri => (p, ri))
+      }.toDF("__dv_path", "__dv_pos")
+  }
+
   private def readDeltaState(spark: SparkSession, root: String,
       state: DeltaReplayState, files: Seq[String], basePath: String,
       mappingMode: String): DataFrame = {
@@ -1533,14 +1609,11 @@ object LakehouseTable {
     // 64-bit row indexes) and anti-join on (root-relative path,
     // _metadata.row_index) — the same position-delete shape the native
     // read path's applyDvs uses. The descriptor side is O(deleted rows of
-    // the live files); broadcast while small.
+    // the live files), decoded on EXECUTORS; broadcast while small.
     def applyLogDvs(raw: DataFrame): DataFrame =
       if (state.dvs.isEmpty) raw
       else {
-        val pos = state.dvs.toSeq.flatMap { case (p, d) =>
-          DeltaDv.readPositions(root, d).map(ri => (p, ri))
-        }
-        val posDf = spark.createDataFrame(pos).toDF("__dv_path", "__dv_pos")
+        val posDf = dvPositionsDf(spark, root, state.dvs)
         val prefix = Paths.get(root).toString + "/"
         val rel = substring(
           url_decode(regexp_replace(
@@ -1679,18 +1752,23 @@ object LakehouseTable {
     mapping.foreach { case (srcRel, dstRel) =>
       link(Paths.get(srcRoot).resolve(srcRel), dataDir(dstRoot).resolve(dstRel))
     }
-    // deletion vectors: decode every descriptor once and land the
-    // positions (keyed by DEST-relative path) in one graft sidecar
+    // deletion vectors: decode every descriptor once — on EXECUTORS, the
+    // driver ships only the descriptor list — and land the positions
+    // (keyed by DEST-relative path) in one graft sidecar
     val dvField =
       if (state.dvs.isEmpty) None
       else {
         val destRelOf = mapping.toMap
-        val pos = state.dvs.toSeq.flatMap { case (p, d) =>
-          DeltaDv.readPositions(srcRoot, d).map(ri => (destRelOf(p), ri))
-        }
+        import org.apache.spark.sql.functions.col
+        val destMapDf = spark.createDataFrame(
+          destRelOf.toSeq).toDF("__src", "path")
         val dvName = "dv-import"
         Files.createDirectories(deletesDir(dstRoot))
-        spark.createDataFrame(pos).toDF("path", "pos").coalesce(1)
+        dvPositionsDf(spark, srcRoot, state.dvs)
+          .join(destMapDf, col("__dv_path") === col("__src"))
+          .select(col("path"), col("__dv_pos").as("pos"))
+          // no coalesce(1): a huge foreign delete writes its sidecar in
+          // parallel; the sidecar is a directory relation either way
           .write.mode("overwrite") // failed-import leftover replaced
           .parquet(deletesDir(dstRoot).resolve(dvName).toString)
         Some(encodeDvs(state.dvs.keys.toSeq.sorted

@@ -31,13 +31,20 @@ import graft.sources.LakehouseTable
   * added files anyway (per-file replay semantics, rewritten rows
   * re-emitted — the documented Delta trade).
   *
-  * Admission control composes two caps:
+  * Admission control composes three caps:
   *   - `maxVersionsPerBatch` — at most n manifest versions per batch;
   *   - `maxFilesPerBatch` — at most n data files per batch, splitting
   *     WITHIN a version (including the initial snapshot) when one commit
   *     carries more files than the cap. An N-file commit arrives as
   *     ⌈N/cap⌉ batches; a backfilled table's first read arrives bounded
   *     instead of as one table-sized batch.
+  *   - `maxBytesPerBatch` — a soft byte budget per batch (Delta's
+  *     maxBytesPerTrigger): files are admitted in cursor order while
+  *     their cumulative size fits; the first file of a batch is always
+  *     admitted, so one file larger than the cap arrives alone instead
+  *     of stalling the stream. A commit with one large + many small
+  *     files arrives split by SIZE, which the file-count cap alone
+  *     cannot bound.
   *
   * Scale shape: `getOffset` is a manifest-dir listing plus one small
   * manifest read per admitted version; `getBatch` is a scan of ONLY the
@@ -160,6 +167,11 @@ class GraftTableSourceProvider extends StreamSourceProvider
       ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean),
       maxVersionsPerBatch = positiveInt(parameters, "maxVersionsPerBatch"),
       maxFilesPerBatch = positiveInt(parameters, "maxFilesPerBatch"),
+      maxBytesPerBatch = parameters.get("maxBytesPerBatch").map { v =>
+        val n = v.toLong
+        require(n >= 1, s"maxBytesPerBatch must be >= 1, got $n")
+        n
+      },
       metadataPath = Some(metadataPath),
       startingVersion = startingVersion.orElse(startingTs))
   }
@@ -215,6 +227,7 @@ class GraftTableSource(spark: SparkSession, root: String,
     override val schema: StructType, ignoreChanges: Boolean,
     maxVersionsPerBatch: Option[Int] = None,
     maxFilesPerBatch: Option[Int] = None,
+    maxBytesPerBatch: Option[Long] = None,
     metadataPath: Option[String] = None,
     startingVersion: Option[Long] = None) extends Source {
 
@@ -327,15 +340,42 @@ class GraftTableSource(spark: SparkSession, root: String,
       }
     }
 
+  /** Byte/file-budget state for one admission walk. Byte sizes are only
+    * STATTED when the byte cap is set (one size lookup per admitted
+    * file, the AddFile.size lookup Delta's maxBytesPerTrigger does); the
+    * first file of a batch is always admitted even when it alone
+    * overshoots the byte budget — the soft-max contract that keeps a
+    * stream moving past a file larger than the cap. */
+  private final class Budget {
+    var files: Long = maxFilesPerBatch.map(_.toLong).getOrElse(Long.MaxValue)
+    var bytes: Long = maxBytesPerBatch.getOrElse(Long.MaxValue)
+    var any: Boolean = false
+    /** Admit `list(pos...)`; returns the new position (== list length
+      * when the whole list was admitted with budget to spare). */
+    def admit(list: Seq[String], from: Long): Long = {
+      var pos = from
+      while (pos < list.length) {
+        if (files <= 0) return pos
+        val sz = if (maxBytesPerBatch.isEmpty) 0L
+                 else LakehouseTable.dataFileSize(root, list(pos.toInt))
+        if (any && sz > bytes) return pos
+        any = true; files -= 1; bytes = math.max(0L, bytes - sz); pos += 1
+      }
+      pos
+    }
+    def spent: Boolean = files <= 0 || (any && bytes <= 0)
+  }
+
   /** Latest admitted cursor — the engine plans a batch whenever this
     * advances past the last processed offset. With the caps set, a long
     * backlog (a backfill, a restarted stream behind a busy table, one
     * giant commit) is admitted `maxVersionsPerBatch` versions /
-    * `maxFilesPerBatch` files at a time instead of as one unbounded
-    * catch-up batch — bounded batch size, bounded per-batch file lists,
-    * steady checkpoint progress. */
+    * `maxFilesPerBatch` files / `maxBytesPerBatch` bytes at a time
+    * instead of as one unbounded catch-up batch — bounded batch size,
+    * bounded per-batch file lists, steady checkpoint progress. */
   override def getOffset: Option[Offset] =
     LakehouseTable.currentVersion(root).map { cur =>
+      val capped = maxFilesPerBatch.nonEmpty || maxBytesPerBatch.nonEmpty
       lastPlanned match {
         case None =>
           // Snapshot-split planning is only sound for a GENUINELY fresh
@@ -346,58 +386,56 @@ class GraftTableSource(spark: SparkSession, root: String,
           // the source of truth the anchor merely caches — tells the two
           // apart; a restarted-anchorless stream degrades to the
           // documented single uncapped catch-up batch.
-          maxFilesPerBatch match {
-            case Some(mf) if !hasCommittedOffsets =>
-              val total = fileListOf(cur, snapshot = true).length
-              if (mf >= total) GraftVersionOffset(cur)
-              else GraftVersionOffset(cur, Some(mf.toLong), snapshot = true)
-            case _ => GraftVersionOffset(cur)
-          }
+          if (capped && !hasCommittedOffsets) {
+            val list = fileListOf(cur, snapshot = true)
+            val b = new Budget
+            val k = b.admit(list, 0L)
+            if (k >= list.length) GraftVersionOffset(cur)
+            else GraftVersionOffset(cur, Some(k), snapshot = true)
+          } else GraftVersionOffset(cur)
         case Some(c) =>
           val capV = maxVersionsPerBatch
             .map(mx => math.min(cur, c.v + mx)).getOrElse(cur)
-          maxFilesPerBatch match {
-            case None =>
-              // version cap only: whole-version offsets, as before. A
-              // partial cursor (file cap removed across a restart)
-              // completes its version via the bare-version offset.
-              if (capV <= c.v && c.filePos.isEmpty) c
-              else GraftVersionOffset(math.max(capV, c.v))
-            case Some(mf) =>
-              // file cursor walk: remainder of the cursor's version,
-              // then later versions' diffs, until the budget is spent.
-              // Empty diffs (metadata-only commits) cost nothing and
-              // are stepped over.
-              var v = c.v
-              var snap = c.snapshot
-              // a whole-version cursor (no filePos) is fully consumed:
-              // do NOT materialize its file list — fileListOf needs the
-              // v−1 manifest for the diff, and after a VACUUM that
-              // dropped it (caught-up stream, retainLast=1) the listing
-              // would throw forever even though no file of v is needed
-              var listLen =
-                if (c.filePos.isEmpty) 0L
-                else fileListOf(v, snap).length.toLong
-              var pos = c.filePos.getOrElse(listLen)
-              var budget = mf.toLong
-              val take0 = math.min(budget, math.max(0L, listLen - pos))
-              pos += take0; budget -= take0
-              val later = LakehouseTable.versions(root)
-                .filter(w => w > c.v && w <= capV)
-              var idx = 0
-              while (idx < later.length && budget > 0 && pos >= listLen) {
-                v = later(idx); snap = false
-                listLen = fileListOf(v, snapshot = false).length.toLong
-                pos = math.min(budget, listLen)
-                budget -= pos
-                idx += 1
-              }
-              // no progress (cursor already at the frontier): re-emit the
-              // cursor VERBATIM — a re-encoded-but-equal position would
-              // read as a new offset and trigger an empty batch
-              if (v == c.v && snap == c.snapshot &&
-                  pos == c.filePos.getOrElse(listLen)) c
-              else GraftVersionOffset(v, Some(pos), snap)
+          if (!capped) {
+            // version cap only: whole-version offsets, as before. A
+            // partial cursor (file cap removed across a restart)
+            // completes its version via the bare-version offset.
+            if (capV <= c.v && c.filePos.isEmpty) c
+            else GraftVersionOffset(math.max(capV, c.v))
+          } else {
+            // file/byte cursor walk: remainder of the cursor's version,
+            // then later versions' diffs, until a budget is spent.
+            // Empty diffs (metadata-only commits) cost nothing and are
+            // stepped over.
+            var v = c.v
+            var snap = c.snapshot
+            // a whole-version cursor (no filePos) is fully consumed:
+            // do NOT materialize its file list — fileListOf needs the
+            // v−1 manifest for the diff, and after a VACUUM that
+            // dropped it (caught-up stream, retainLast=1) the listing
+            // would throw forever even though no file of v is needed
+            var list: Seq[String] =
+              if (c.filePos.isEmpty) Nil else fileListOf(v, snap)
+            var listLen = list.length.toLong
+            var pos = c.filePos.getOrElse(listLen)
+            val b = new Budget
+            pos = b.admit(list, pos)
+            val later = LakehouseTable.versions(root)
+              .filter(w => w > c.v && w <= capV)
+            var idx = 0
+            while (idx < later.length && !b.spent && pos >= listLen) {
+              v = later(idx); snap = false
+              list = fileListOf(v, snapshot = false)
+              listLen = list.length.toLong
+              pos = b.admit(list, 0L)
+              idx += 1
+            }
+            // no progress (cursor already at the frontier): re-emit the
+            // cursor VERBATIM — a re-encoded-but-equal position would
+            // read as a new offset and trigger an empty batch
+            if (v == c.v && snap == c.snapshot &&
+                pos == c.filePos.getOrElse(listLen)) c
+            else GraftVersionOffset(v, Some(pos), snap)
           }
       }
     }

@@ -196,6 +196,114 @@ class Round8Spec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.session.timeZone", origTz)
   }
 
+  test("foreign DV decode is distributed: many files, many DVs, no driver-side position relation") {
+    import spark.implicits._
+    val root = freshRoot("dvdist")
+    // 8 files (repartition), then two MOR deletes covering most of them
+    LT.create((0L until 400L).map(i => (i, i % 7)).toDF("id", "g")
+      .repartition(8), root)
+    LT.deleteWhereMor(spark, root, "id % 5 = 0")
+    LT.deleteWhereMor(spark, root, "id % 3 = 0")
+    LT.exportDeltaLog(spark, root)
+    val foreign = LT.readDeltaExport(spark, root)
+    // correctness first: foreign read ≡ native read
+    val native = LT.read(spark, root).orderBy("id").collect().toSeq
+    assert(foreign.orderBy("id").collect().toSeq == native)
+    // 400 − |5∣id| − |3∣id| + |15∣id| = 400 − 80 − 134 + 27
+    assert(native.size == 213)
+    // the DV side of the anti-join must be the distributed decode
+    // (SerializeFromObject over the descriptor dataset), never a
+    // LocalRelation/LocalTableScan of driver-materialized positions
+    val plan = foreign.queryExecution.optimizedPlan.toString
+    assert(plan.contains("SerializeFromObject"),
+      s"expected executor-side DV decode in the plan:\n$plan")
+    val localRows = foreign.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        l.data.size
+    }
+    assert(localRows.forall(_ <= 16),
+      s"driver-materialized relation of ${localRows.max} rows in the DV plan")
+  }
+
+  test("timestampAsOf on a foreign log: three-stamp travel via exported commitInfo") {
+    import spark.implicits._
+    val root = freshRoot("tsasof")
+    LT.create(Seq((1L, "a")).toDF("id", "s"), root)
+    LT.append(Seq((2L, "b")).toDF("id", "s"), root)
+    LT.append(Seq((3L, "c")).toDF("id", "s"), root)
+    LT.exportDeltaLog(spark, root)
+    // the export carries each version's in-commit timestamp as commitInfo
+    val log0 = Files.readString(
+      Paths.get(root, "_delta_log", "00000000000000000000.json"))
+    assert(log0.contains("\"commitInfo\""), s"no commitInfo in v0 log:\n$log0")
+    val ts = (0L to 2L).map(v => LT.commitTsAt(root, v).get)
+    assert(ts == ts.sorted && ts.distinct.size == 3)
+    // pin at each commit stamp (and between): version state reproduced
+    def idsAt(t: Long): Seq[Long] =
+      LT.readDeltaExport(spark, root, timestampAsOf = Some(t))
+        .select("id").as[Long].collect().toSeq.sorted
+    assert(idsAt(ts(0)) == Seq(1L))
+    assert(idsAt(ts(1)) == Seq(1L, 2L))
+    assert(idsAt((ts(1) + ts(2)) / 2) == Seq(1L, 2L))
+    assert(idsAt(ts(2)) == Seq(1L, 2L, 3L))
+    assert(idsAt(Long.MaxValue) == Seq(1L, 2L, 3L))
+    // before the first commit: no version qualifies — loud, not empty
+    intercept[IllegalStateException] {
+      LT.readDeltaExport(spark, root, timestampAsOf = Some(ts(0) - 1))
+    }
+    // mutually exclusive with versionAsOf
+    intercept[IllegalArgumentException] {
+      LT.readDeltaExport(spark, root, versionAsOf = Some(1L),
+        timestampAsOf = Some(ts(1)))
+    }
+  }
+
+  test("maxBytesPerBatch splits a mixed-size commit; one oversized file still moves the stream") {
+    import spark.implicits._
+    val root = freshRoot("bytecap")
+    LT.create(Seq((0L, "seed", 9)).toDF("id", "s", "grp"), root,
+      partitionBy = Seq("grp"))
+    // one commit: 1 large file (2000 distinct long strings, grp 0) + 4
+    // single-row files (grps 1-4) — hive partitioning on grp with a
+    // single write task isolates each group in exactly one file
+    val rows = ((0L until 2000L).map(i =>
+        (1000L + i, "%06d".format(i) * 30, 0)) ++
+      (1L to 4L).map(i => (i, "s", i.toInt))).toDF("id", "s", "grp")
+    // source created at v0: consume the snapshot FIRST so the mixed
+    // commit arrives as a tail diff under the byte cap
+    val srcSchema = LT.read(spark, root).schema
+    LT.append(rows.coalesce(1), root, partitionBy = Seq("grp"))
+    val v1Files = LT.manifestFiles(root, 1L)
+      .filterNot(LT.manifestFiles(root, 0L).toSet).sorted
+    assert(v1Files.size == 5)
+    val sizes = v1Files.map(f => LT.dataFileSize(root, f))
+    val cap = sizes.max / 2 // smaller than the big file, larger than any small
+    assert(sizes.count(_ > cap) == 1)
+    val src = new graft.streaming.GraftTableSource(spark, root,
+      srcSchema, ignoreChanges = false,
+      maxBytesPerBatch = Some(cap), startingVersion = Some(0L))
+    var cursor: org.apache.spark.sql.execution.streaming.Offset =
+      graft.streaming.GraftVersionOffset(0L)
+    val batchFiles = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var guard = 0
+    while (guard < 20 && {
+      val nxt = src.getOffset.get
+      if (nxt.json != cursor.json) {
+        val c0 = graft.streaming.GraftVersionOffset.parse(cursor.json)
+        val c1 = graft.streaming.GraftVersionOffset.parse(nxt.json)
+        src.getBatch(Some(cursor), nxt)
+        batchFiles += c1.filePos.getOrElse(0L) -
+          (if (c0.v == c1.v) c0.filePos.getOrElse(0L) else 0L)
+        cursor = nxt; true
+      } else false
+    }) guard += 1
+    // the hive file list sorts grp=0 (the oversized file) first: it must
+    // arrive ALONE (admitted despite exceeding the cap — progress over
+    // stall), then the four small files fit one byte budget together
+    assert(batchFiles.toSeq == Seq(1L, 4L),
+      s"expected the commit split as [big][4 small], got $batchFiles")
+  }
+
   test("pruning rule memoizes: repeated planning never re-reads the manifest") {
     import spark.implicits._
     val root = freshRoot("genmemo")
