@@ -1291,6 +1291,53 @@ object LakehouseTable {
       readerFeatures: Seq[String], writerFeatures: Seq[String],
       conf: Map[String, String], dvs: Map[String, DeltaDv.Descriptor])
 
+  /** The deletionVector descriptor of one log action line, if any. */
+  private def parseDvDescriptor(line: String,
+      src: String): Option[DeltaDv.Descriptor] =
+    DeltaDvRe.findFirstMatchIn(line).map { dm =>
+      val fields = DeltaConfPairRe.findAllMatchIn(dm.group(1))
+        .map(x => deltaUnesc(x.group(1)) -> deltaUnesc(x.group(2))).toMap
+      val nums = DeltaDvNumRe.findAllMatchIn(dm.group(1))
+        .map(x => x.group(1) -> x.group(2).toLong).toMap
+      DeltaDv.Descriptor(
+        fields.getOrElse("storageType", "u"),
+        fields.getOrElse("pathOrInlineDv",
+          throw new IllegalArgumentException(
+            s"deletionVector without pathOrInlineDv in $src")),
+        nums.getOrElse("offset", 1L),
+        nums.getOrElse("sizeInBytes", -1L),
+        nums.getOrElse("cardinality", -1L))
+    }
+
+  /** Log version numbers present under `root/_delta_log`, ascending —
+    * the offset axis of the delta-export streaming source. */
+  def deltaLogVersions(root: String): Seq[Long] = {
+    val logDir = Paths.get(root, "_delta_log")
+    if (!Files.isDirectory(logDir)) Seq.empty
+    else withDrained(Files.list(logDir))(
+      _.map(_.getFileName.toString).filter(_.matches("\\d{20}\\.json"))
+        .map(_.take(20).toLong)).sorted
+  }
+
+  /** The add actions (decoded path, optional DV descriptor) and remove
+    * paths of ONE log version, in line order — the incremental unit a
+    * log-tailing stream consumes. */
+  def deltaActionsIn(root: String, v: Long)
+      : (Seq[(String, Option[DeltaDv.Descriptor])], Seq[String]) = {
+    val lf = Paths.get(root, "_delta_log", f"$v%020d.json")
+    val adds = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Option[DeltaDv.Descriptor])]
+    val removes = scala.collection.mutable.ArrayBuffer.empty[String]
+    Files.readString(lf).split('\n').foreach { line =>
+      deltaActionPath(line, DeltaRemoveKindRe).foreach(raw =>
+        removes += deltaDecodePath(deltaUnesc(raw)))
+      deltaActionPath(line, DeltaAddKindRe).foreach(raw =>
+        adds += (deltaDecodePath(deltaUnesc(raw)) ->
+          parseDvDescriptor(line, lf.toString)))
+    }
+    (adds.toSeq, removes.toSeq)
+  }
+
   /** Replay the exported JSON log through version `upTo` (all when None),
     * optionally starting from a checkpoint's state (`after` = checkpoint
     * version, `seedLive`/`seedSchema`/`seedDvs` = its adds, schema, and
@@ -1329,21 +1376,9 @@ object LakehouseTable {
         deltaActionPath(line, DeltaAddKindRe).foreach { raw =>
           val p = deltaDecodePath(deltaUnesc(raw))
           live += p
-          DeltaDvRe.findFirstMatchIn(line) match {
-            case Some(dm) =>
-              val fields = DeltaConfPairRe.findAllMatchIn(dm.group(1))
-                .map(x => deltaUnesc(x.group(1)) -> deltaUnesc(x.group(2))).toMap
-              val nums = DeltaDvNumRe.findAllMatchIn(dm.group(1))
-                .map(x => x.group(1) -> x.group(2).toLong).toMap
-              dvs(p) = DeltaDv.Descriptor(
-                fields.getOrElse("storageType", "u"),
-                fields.getOrElse("pathOrInlineDv",
-                  throw new IllegalArgumentException(
-                    s"deletionVector without pathOrInlineDv in $lf")),
-                nums.getOrElse("offset", 1L),
-                nums.getOrElse("sizeInBytes", -1L),
-                nums.getOrElse("cardinality", -1L))
-            case None => dvs -= p
+          parseDvDescriptor(line, lf.toString) match {
+            case Some(d) => dvs(p) = d
+            case None    => dvs -= p
           }
         }
       }
@@ -1476,7 +1511,6 @@ object LakehouseTable {
       useCheckpoint: Boolean = true,
       versionAsOf: Option[Long] = None,
       timestampAsOf: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit, regexp_replace, substring, url_decode}
     val logDir = Paths.get(root, "_delta_log")
     require(Files.isDirectory(logDir), s"no _delta_log at $root (exportDeltaLog first)")
     require(versionAsOf.isEmpty || timestampAsOf.isEmpty,
@@ -1487,38 +1521,67 @@ object LakehouseTable {
         throw new IllegalStateException(
           s"no exported log version committed at or before $ts at $root")))
     }
-    // a checkpoint seeds the state and only the JSON tail replays — the
-    // exact protocol a foreign Delta reader follows via _last_checkpoint
-    // (useCheckpoint = false forces the full-JSON replay path, so both
-    // can be gated independently). A versionAsOf read (time travel over
-    // the LOG only) may seed from the checkpoint only when it is not
-    // past the pinned version.
-    val lcp = logDir.resolve("_last_checkpoint")
     pinnedVersion.foreach { v =>
       require(Files.exists(logDir.resolve(f"$v%020d.json")),
         s"no exported log version $v at $root")
     }
+    val state = deltaStateAt(spark, root, pinnedVersion, useCheckpoint)
+    readDeltaSlice(spark, root, state, state.live, state.dvs)
+  }
+
+  /** Checkpoint-seeded replay state of an exported/foreign Delta log at
+    * `upTo` (current when None): the exact protocol a foreign Delta
+    * reader follows via `_last_checkpoint` — seed from the checkpoint,
+    * replay only the JSON tail (`useCheckpoint = false` forces the
+    * full-JSON replay path, so both can be gated independently). A
+    * pinned read may seed from the checkpoint only when it is not past
+    * the pinned version. */
+  private def deltaStateAt(spark: SparkSession, root: String,
+      upTo: Option[Long], useCheckpoint: Boolean): DeltaReplayState = {
+    val logDir = Paths.get(root, "_delta_log")
+    val lcp = logDir.resolve("_last_checkpoint")
     val (ckVer, seedLive, seedSchema, seedDvs) =
       if (!useCheckpoint || !Files.exists(lcp))
         (None: Option[Long], Nil, None, Map.empty[String, DeltaDv.Descriptor])
       else {
         val v = """"version":\s*(\d+)""".r
           .findFirstMatchIn(Files.readString(lcp)).get.group(1).toLong
-        if (pinnedVersion.exists(_ < v))
+        if (upTo.exists(_ < v))
           (None: Option[Long], Nil, None, Map.empty[String, DeltaDv.Descriptor])
         else readCheckpointSeed(spark, logDir, v)
       }
-    val state = replayDeltaLog(root, pinnedVersion, after = ckVer,
+    replayDeltaLog(root, upTo, after = ckVer,
       seedLive = seedLive, seedSchema = seedSchema, seedDvs = seedDvs)
-    val files = state.live.map(f => Paths.get(root).resolve(f).toString)
+  }
+
+  /** Read a specific add-file slice of an exported/foreign Delta table
+    * under `state`'s schema, column mapping, and the given per-file DV
+    * descriptors — the incremental read unit of the delta-export
+    * streaming source (and, with the full live set, the batch read). */
+  private def readDeltaSlice(spark: SparkSession, root: String,
+      state: DeltaReplayState, slice: Seq[String],
+      dvs: Map[String, DeltaDv.Descriptor]): DataFrame = {
+    val sliced = state.copy(live = slice, dvs = dvs)
+    val files = slice.map(f => Paths.get(root).resolve(f).toString)
     // a FOREIGN table's files may live anywhere under the root (ours are
     // always under data/): partition discovery needs a basePath that is
     // an ancestor of every file
     val basePath =
-      if (state.live.forall(_.startsWith("data/"))) dataDir(root).toString
+      if (slice.forall(_.startsWith("data/"))) dataDir(root).toString
       else root
     val mappingMode = state.conf.getOrElse("delta.columnMapping.mode", "none")
-    readDeltaState(spark, root, state, files, basePath, mappingMode)
+    readDeltaState(spark, root, sliced, files, basePath, mappingMode)
+  }
+
+  /** PUBLIC slice read for the delta-export streaming source: the given
+    * add files (with their DV descriptors) under the log's CURRENT
+    * schema and mapping. `adds` must be non-empty. */
+  def readDeltaExportFiles(spark: SparkSession, root: String,
+      adds: Seq[(String, Option[DeltaDv.Descriptor])]): DataFrame = {
+    require(adds.nonEmpty, "readDeltaExportFiles: empty file slice")
+    val state = deltaStateAt(spark, root, None, useCheckpoint = true)
+    readDeltaSlice(spark, root, state, adds.map(_._1),
+      adds.collect { case (p, Some(d)) => p -> d }.toMap)
   }
 
   private val CommitInfoTsRe =

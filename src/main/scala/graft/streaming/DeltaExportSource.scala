@@ -1,0 +1,135 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, GraftStreamingShims, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.{DeltaDv, LakehouseTable}
+
+/** Micro-batch STREAMING SOURCE over a FOREIGN Delta transaction log —
+  * `readStream.format("delta-export").option("path", root)` tails an
+  * external `_delta_log` the way Delta's own streaming source does:
+  * offsets are log version numbers, the first batch of a fresh stream is
+  * the checkpoint-seeded snapshot at the then-current version, and every
+  * later batch is exactly the `add` actions of the versions between two
+  * offsets, read under the log's schema / column mapping with each add's
+  * own deletion vector applied. This closes the interop loop the batch
+  * side already has ([[LakehouseTable.readDeltaExport]]): a pipeline can
+  * now TAIL a table some other engine is writing, not just snapshot it.
+  *
+  * Semantics mirror the graft-table source (and Delta's):
+  *   - `startingVersion` (inclusive, or `latest`) skips the snapshot and
+  *     tails from a log version;
+  *   - non-append commits (`remove` actions — COW rewrites, deletes,
+  *     OPTIMIZE, DV updates, which Delta commits as remove + re-add) are
+  *     REFUSED without `ignoreChanges=true`, because a file-diff batch
+  *     would re-emit surviving rows; with it, the range's net adds are
+  *     emitted (per-file replay semantics — the documented Delta trade);
+  *   - restart safety comes from the engine's offset log alone: log
+  *     files and data files are immutable, so a replayed (start, end]
+  *     range is bit-identical. No admission anchor is needed — the
+  *     source keeps no state.
+  *
+  * Scale shape: `getOffset` is one log-directory listing; `getBatch`
+  * parses only the range's log files (O(range), never O(history) — the
+  * schema context seeds from `_last_checkpoint`) and scans only the
+  * range's data files. */
+class DeltaExportSourceProvider extends StreamSourceProvider
+    with DataSourceRegister {
+  override def shortName(): String = "delta-export"
+
+  private def rootOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "delta-export source requires .option(\"path\", <table root>)"))
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(
+      LakehouseTable.readDeltaExport(sqlContext.sparkSession,
+        rootOf(parameters)).schema))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val root = rootOf(parameters)
+    // internal form: the EXCLUSIVE base version (Delta's startingVersion
+    // is inclusive — its own adds are the first batch); "latest" tails
+    // only future commits
+    val startingVersion = parameters.get("startingVersion").map {
+      case s if s.equalsIgnoreCase("latest") =>
+        LakehouseTable.deltaLogVersions(root).lastOption.getOrElse(-1L)
+      case s => s.toLong - 1
+    }
+    new DeltaExportSource(sqlContext.sparkSession, root,
+      sourceSchema(sqlContext, schema, providerName, parameters)._2,
+      ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean),
+      startingVersion = startingVersion)
+  }
+}
+
+class DeltaExportSource(spark: SparkSession, root: String,
+    override val schema: StructType, ignoreChanges: Boolean,
+    startingVersion: Option[Long] = None) extends Source {
+
+  private def versionOf(o: Offset): Long = o match {
+    case g: GraftVersionOffset => g.v
+    case other                 => GraftVersionOffset.parse(other.json).v
+  }
+
+  override def getOffset: Option[Offset] =
+    LakehouseTable.deltaLogVersions(root).lastOption.map(GraftVersionOffset(_))
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val endV = versionOf(end)
+    def emptyBatch: DataFrame =
+      LakehouseTable.readDeltaExport(spark, root,
+        versionAsOf = Some(endV)).limit(0)
+    val batch = (start.map(versionOf), startingVersion) match {
+      // fresh stream, no declared start: the snapshot at endV — exactly
+      // what a foreign batch reader sees at that version
+      case (None, None) =>
+        LakehouseTable.readDeltaExport(spark, root, versionAsOf = Some(endV))
+      case (s0, sv) =>
+        val base = s0.getOrElse(sv.get)
+        if (endV <= base) emptyBatch
+        else {
+          val vs = LakehouseTable.deltaLogVersions(root)
+            .filter(w => w > base && w <= endV)
+          // net adds across the range: process each version's removes
+          // first (a DV update is remove + re-add of one path in one
+          // commit — the re-add's descriptor must win), then its adds;
+          // a path removed by a LATER version in the range is net-absent
+          val acc = scala.collection.mutable.LinkedHashMap
+            .empty[String, Option[DeltaDv.Descriptor]]
+          var sawRemove = false
+          vs.foreach { v =>
+            val (adds, removes) = LakehouseTable.deltaActionsIn(root, v)
+            sawRemove ||= removes.nonEmpty
+            removes.foreach(acc -= _)
+            adds.foreach { case (p, d) => acc(p) = d }
+          }
+          if (sawRemove && !ignoreChanges)
+            throw new IllegalStateException(
+              s"delta-export stream over $root: versions ($base, $endV] " +
+                "contain remove actions (rewrite/delete/OPTIMIZE/DV " +
+                "update); a file-diff batch would re-emit surviving " +
+                "rows. Restart from scratch or set ignoreChanges=true " +
+                "to accept per-file replay semantics.")
+          if (acc.isEmpty) emptyBatch
+          else LakehouseTable.readDeltaExportFiles(spark, root, acc.toSeq)
+        }
+    }
+    // align to the planned schema: a column absent from this batch's
+    // files (ragged appends) null-fills, exactly as the batch read would
+    val aligned = batch.select(schema.map(f =>
+      (if (batch.columns.exists(_.equalsIgnoreCase(f.name))) col(f.name)
+       else lit(null)).cast(f.dataType).as(f.name)).toSeq: _*)
+    GraftStreamingShims.streamingDataFrame(spark, aligned)
+  }
+
+  override def stop(): Unit = ()
+}

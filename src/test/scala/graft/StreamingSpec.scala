@@ -573,6 +573,91 @@ class StreamingSpec extends AnyFunSuite {
       s"expected 4 single-version batches, got $bs")
   }
 
+  test("delta-export source tails a foreign Delta log: stream ≡ batch readDeltaExport, restart-safe") {
+    import spark.implicits._
+    import graft.sources.{LakehouseTable => LT}
+    val base = Files.createTempDirectory("delta-export-src")
+    val root = base.resolve("tbl").toString
+    val ckpt = base.resolve("ckpt").toString
+    // ONE v0 file (ids 1 and 2 together): the COW-delete stage below
+    // needs a rewrite WITH a survivor
+    LT.create(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), root)
+    LT.exportDeltaLog(spark, root) // write-through mirror: later commits advance the log
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    def stream() = spark.readStream
+      .format("delta-export").option("path", root).load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.collect().foreach(r => seen.add((r.getLong(0), r.getString(1)))); ()
+      }.start()
+    val q = stream()
+    q.processAllAvailable()
+    import scala.jdk.CollectionConverters._
+    // batch 0 = the log-v0 snapshot, exactly the batch foreign read
+    assert(seen.asScala.toSet ==
+      LT.readDeltaExport(spark, root, versionAsOf = Some(0L))
+        .as[(Long, String)].collect().toSet)
+    // appends while running: the write-through mirror advances the log
+    // and the stream tails it — row set ≡ the batch foreign read
+    LT.append(Seq((3L, "c")).toDF("id", "v"), root)
+    q.processAllAvailable()
+    LT.append(Seq((4L, "d"), (5L, "e")).toDF("id", "v"), root)
+    q.processAllAvailable()
+    assert(seen.asScala.toSet ==
+      LT.readDeltaExport(spark, root).as[(Long, String)].collect().toSet)
+    assert(seen.size == 5, s"replayed rows: ${seen.asScala.toSeq.sorted}")
+    q.stop()
+    // RESTART: a commit made while the query was DOWN arrives exactly once
+    LT.append(Seq((6L, "f")).toDF("id", "v"), root)
+    val q2 = stream()
+    q2.processAllAvailable(); q2.stop()
+    assert(seen.asScala.toSet.map((t: (Long, String)) => t._1) == (1L to 6L).toSet)
+    assert(seen.size == 6, s"replayed rows: ${seen.asScala.toSeq.sorted}")
+    // a COW delete exports remove actions → the tail REFUSES without
+    // ignoreChanges (re-emitting survivors would corrupt downstream)
+    LT.deleteWhere(spark, root, "id = 1") // rewrites the v0 file (ids 1, 2)
+    val q3 = stream()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q3.processAllAvailable()
+    }
+    q3.stop()
+    assert(ex.getMessage.contains("remove actions") ||
+      Option(ex.getCause).exists(_.getMessage.contains("remove actions")))
+    // with ignoreChanges: the range's net adds re-emit (per-file replay)
+    val seen2 = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val q4 = spark.readStream
+      .format("delta-export").option("path", root)
+      .option("ignoreChanges", "true").load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt) // same lineage: resumes past v3
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.collect().foreach(r => seen2.add((r.getLong(0), r.getString(1)))); ()
+      }.start()
+    q4.processAllAvailable(); q4.stop()
+    // the delete rewrote the v0 file (ids 1, 2): its surviving row
+    // (id 2) re-emits; untouched files do not
+    assert(seen2.asScala.toSet == Set((2L, "b")),
+      s"expected the rewritten file's survivor, got ${seen2.asScala.toSet}")
+  }
+
+  test("delta-export source startingVersion tails from a log version, skipping the snapshot") {
+    import spark.implicits._
+    import graft.sources.{LakehouseTable => LT}
+    val base = Files.createTempDirectory("delta-export-sv")
+    val root = base.resolve("tbl").toString
+    LT.create(Seq((1L, "a")).toDF("id", "v"), root)
+    LT.append(Seq((2L, "b")).toDF("id", "v"), root)
+    LT.append(Seq((3L, "c")).toDF("id", "v"), root)
+    LT.exportDeltaLog(spark, root)
+    val got = runToCompletion(
+      spark.readStream.format("delta-export").option("path", root)
+        .option("startingVersion", "1").load(),
+      "delta_export_sv")
+    // inclusive start at log v1: versions 1 and 2's adds, no v0 snapshot
+    assert(got.as[(Long, String)].collect().toSet == Set((2L, "b"), (3L, "c")))
+  }
+
   test("graft-table source composes with watermarked windowed aggregation (bronze → silver)") {
     import spark.implicits._
     import graft.sources.{LakehouseTable => LT}
