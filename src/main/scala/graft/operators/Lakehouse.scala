@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.Exact
-import graft.sources.{LakehouseTable, TableCache, Tables}
+import graft.sources.{IcebergMeta, LakehouseTable, TableCache, Tables}
 
 /** Oracle-gated queries over the versioned lakehouse storage layer
   * (`sources/LakehouseTable.scala`) — a real user's first workflow: write a
@@ -947,6 +947,41 @@ object Lakehouse {
         .orderBy(col("event_type"))
     }),
 
+    // The ICEBERG face of the same history: mirror the graft versions as
+    // an Iceberg v2 metadata chain (metadata.json + avro manifest list +
+    // manifests) and read the table back THROUGH that chain only —
+    // version-hint → current snapshot → manifest walk → live files. The
+    // graft manifest is never consulted, so hash-matching the COW-history
+    // oracle gates the exported FORMAT's bookkeeping: snapshot lineage,
+    // the manifest-reuse/rewrite strategy, and record/file accounting.
+    "q186_iceberg_export" -> ((s, d) => {
+      val root = deltaExportRoot(s, d)
+      IcebergMeta.exportIcebergMeta(s, root) // incremental; no-op when current
+      IcebergMeta.readIceberg(s, root)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          Exact.moneySum(col("l_quantity")).as("sum_qty"),
+          Exact.moneySum(col("l_extendedprice")).as("sum_price"),
+          sum(col("l_orderkey")).as("key_sum"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Iceberg TIME TRAVEL: pin the snapshot mirrored from graft version 1
+    // (before the COW delete) — the chain must keep old manifests
+    // readable, not just the current head.
+    "q187_iceberg_time_travel" -> ((s, d) => {
+      val root = deltaExportRoot(s, d)
+      IcebergMeta.exportIcebergMeta(s, root)
+      IcebergMeta.readIceberg(s, root,
+          snapshotAsOf = Some(IcebergMeta.snapshotId(root, 1L)))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          Exact.moneySum(col("l_quantity")).as("sum_qty"),
+          Exact.moneySum(col("l_extendedprice")).as("sum_price"),
+          sum(col("l_orderkey")).as("key_sum"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // create → MERGE (update + insert) → deleteWhere → read the survivors.
     // Aggregates are all bit-exact (count, long sum, double min/max) so the
     // hash gate verifies the exact surviving row set, not a tolerance.
@@ -1694,6 +1729,19 @@ object Lakehouse {
     "q143_delta_export" -> sqlDeltaFinalState,
 
     "q182_convert_from_delta" -> sqlDeltaFinalState,
+
+    // the Iceberg chain replays the same history → same final state
+    "q186_iceberg_export" -> sqlDeltaFinalState,
+
+    // graft v1 = mod-3 groups 0 and 1, before the quantity delete
+    "q187_iceberg_time_travel" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+            ${Exact.sqlMoneySum("l_quantity")} AS sum_qty,
+            ${Exact.sqlMoneySum("l_extendedprice")} AS sum_price,
+            CAST(sum(l_orderkey) AS BIGINT) AS key_sum
+          FROM lineitem
+          WHERE l_orderkey % 3 < 2
+          GROUP BY 1 ORDER BY 1""",
 
     // the checkpoint gate: DuckDB seeds the live set from the v1
     // checkpoint PARQUET, replays only the post-checkpoint JSON tail

@@ -1,0 +1,534 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** APACHE ICEBERG metadata mirror — the second open format the north
+  * star names ("Delta/Iceberg-style lakehouse tables"): every graft
+  * version is exported as an Iceberg FORMAT-VERSION 2 snapshot chain
+  * under the table root, the Hadoop-catalog layout a foreign Iceberg
+  * reader opens directly:
+  * {{{
+  *   root/metadata/v<N>.metadata.json     one per graft version (N = v+1)
+  *   root/metadata/version-hint.text      latest N (Hadoop catalog hint)
+  *   root/metadata/snap-<snapshotId>.avro manifest LIST, one per snapshot
+  *   root/metadata/m-<snapshotId>-*.avro  manifest files (avro, field-ids)
+  * }}}
+  * following the public Iceberg table spec (iceberg.apache.org/spec):
+  * metadata.json carries schemas (with stable field-ids), the identity
+  * partition spec, the full snapshot list with sequence numbers and
+  * parent links, snapshot-log and metadata-log; each snapshot points to
+  * an Avro manifest list whose entries point to Avro manifest files
+  * whose entries carry (status, data_file{file_path, partition,
+  * record_count, file_size_in_bytes}). Like the Delta mirror
+  * ([[LakehouseTable.exportDeltaLog]]) the export is INCREMENTAL and
+  * IDEMPOTENT — files for already-exported versions are never rewritten,
+  * and once a chain exists every later graft commit advances it in the
+  * same call ([[maybeAdvance]], hooked into [[LakehouseTable]]'s commit).
+  *
+  * Manifest strategy (the 100 TB shape): an APPEND snapshot REUSES every
+  * prior manifest and adds one new manifest listing only the added files
+  * — commit cost O(new files), not O(table). A snapshot that removed
+  * files (COW delete/merge/compact/overwrite) writes one fresh manifest
+  * of the live set and lists only it (Iceberg's rewrite-manifests
+  * shape); dead files never linger behind a live manifest list.
+  *
+  * Scope guards (refuse, never corrupt): active column mapping
+  * (rename/drop), type widening, and MOR deletion vectors are the Delta
+  * mirror's domain — their Iceberg counterparts (field-id resolution
+  * inside data files, position-delete files) need writer cooperation
+  * the shared-parquet layout doesn't have. Everything else — appends,
+  * COW rewrites, schema ADD COLUMNS, hive partitioning — mirrors. */
+object IcebergMeta {
+
+  private def metaDir(root: String): Path = Paths.get(root, "metadata")
+
+  /** Deterministic positive snapshot id for (root, version): concurrent
+    * exporters write identical chains, and an incremental run can name
+    * every prior snapshot without reading it back. */
+  def snapshotId(root: String, v: Long): Long = {
+    val h = graft.plans.TextExpressions.md5Hex(s"iceberg:$root#$v")
+    java.lang.Long.parseLong(h.take(15), 16) // 60 bits, positive
+  }
+
+  // (root, data-relative file) → footer row count; files are immutable
+  private val rowCountCache = TrieMap.empty[(String, String), Long]
+  private def rowsOf(root: String, rel: String): Long =
+    rowCountCache.getOrElseUpdate((root, rel),
+      try LakehouseTable.parquetRecordCount(Paths.get(root, "data", rel))
+      catch { case scala.util.control.NonFatal(_) => 0L })
+
+  // --- Spark type → Iceberg schema JSON / Avro partition types ----------
+
+  private def icebergType(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case BooleanType      => "\"boolean\""
+      case IntegerType      => "\"int\""
+      case ShortType        => "\"int\""
+      case ByteType         => "\"int\""
+      case LongType         => "\"long\""
+      case FloatType        => "\"float\""
+      case DoubleType       => "\"double\""
+      case StringType       => "\"string\""
+      case DateType         => "\"date\""
+      case TimestampType    => "\"timestamptz\""
+      case BinaryType       => "\"binary\""
+      case d: DecimalType   => s""""decimal(${d.precision}, ${d.scale})""""
+      case ArrayType(e, _)  =>
+        // nested ids are assigned flatly after top-level ids; good enough
+        // for the flat TPC-H-ish schemas the engine serves
+        s"""{"type":"list","element-id":-1,"element":${icebergType(e)},"element-required":false}"""
+      case other => throw new IllegalArgumentException(
+        s"Iceberg mirror: unsupported column type ${other.sql}")
+    }
+  }
+
+  private def avroPartitionType(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case IntegerType | ShortType | ByteType => "\"int\""
+      case LongType    => "\"long\""
+      case StringType  => "\"string\""
+      case DoubleType  => "\"double\""
+      case BooleanType => "\"boolean\""
+      case DateType    => """{"type":"int","logicalType":"date"}"""
+      case other => throw new IllegalArgumentException(
+        s"Iceberg mirror: unsupported partition column type ${other.sql}")
+    }
+  }
+
+  /** Typed partition value from its hive directory string. */
+  private def partitionValue(dt: org.apache.spark.sql.types.DataType,
+      raw: String): Any = {
+    import org.apache.spark.sql.types._
+    if (raw == "__HIVE_DEFAULT_PARTITION__") null
+    else {
+      val s = java.net.URLDecoder.decode(raw.replace("+", "%2B"), "UTF-8")
+      dt match {
+        case IntegerType | ShortType | ByteType => Integer.valueOf(s.toInt)
+        case LongType    => java.lang.Long.valueOf(s.toLong)
+        case StringType  => s
+        case DoubleType  => java.lang.Double.valueOf(s.toDouble)
+        case BooleanType => java.lang.Boolean.valueOf(s.toBoolean)
+        case DateType    =>
+          Integer.valueOf(java.time.LocalDate.parse(s).toEpochDay.toInt)
+        case other => throw new IllegalArgumentException(
+          s"Iceberg mirror: unsupported partition type ${other.sql}")
+      }
+    }
+  }
+
+  // --- Avro schemas (Iceberg spec field-ids) -----------------------------
+
+  private def partitionRecordJson(
+      parts: Seq[(String, org.apache.spark.sql.types.DataType)]): String =
+    parts.zipWithIndex.map { case ((name, dt), i) =>
+      s"""{"name":"$name","type":["null",${avroPartitionType(dt)}],"default":null,"field-id":${1000 + i}}"""
+    }.mkString("""{"type":"record","name":"r102","fields":[""", ",", "]}")
+
+  private def manifestEntrySchema(
+      parts: Seq[(String, org.apache.spark.sql.types.DataType)]): Schema =
+    new Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+         {"name":"status","type":"int","field-id":0},
+         {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+         {"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+         {"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+         {"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+           {"name":"content","type":"int","field-id":134},
+           {"name":"file_path","type":"string","field-id":100},
+           {"name":"file_format","type":"string","field-id":101},
+           {"name":"partition","field-id":102,"type":${partitionRecordJson(parts)}},
+           {"name":"record_count","type":"long","field-id":103},
+           {"name":"file_size_in_bytes","type":"long","field-id":104}
+         ]}}]}""".replaceAll("\n\\s*", ""))
+
+  private val manifestFileSchema: Schema =
+    new Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_file","fields":[
+         {"name":"manifest_path","type":"string","field-id":500},
+         {"name":"manifest_length","type":"long","field-id":501},
+         {"name":"partition_spec_id","type":"int","field-id":502},
+         {"name":"content","type":"int","field-id":517},
+         {"name":"sequence_number","type":"long","field-id":515},
+         {"name":"min_sequence_number","type":"long","field-id":516},
+         {"name":"added_snapshot_id","type":"long","field-id":503},
+         {"name":"added_files_count","type":"int","field-id":504},
+         {"name":"existing_files_count","type":"int","field-id":505},
+         {"name":"deleted_files_count","type":"int","field-id":506},
+         {"name":"added_rows_count","type":"long","field-id":512},
+         {"name":"existing_rows_count","type":"long","field-id":513},
+         {"name":"deleted_rows_count","type":"long","field-id":514}
+         ]}""".replaceAll("\n\\s*", ""))
+
+  /** In-memory descriptor of one written manifest — what a manifest-list
+    * entry needs. Reconstructed deterministically on every export run, so
+    * incremental runs never read old avro back. */
+  private case class ManifestDesc(path: Path, content: Int, seq: Long,
+      minSeq: Long, addedSnapshot: Long, addedFiles: Int, addedRows: Long)
+
+  private def writeAvro(target: Path, schema: Schema,
+      meta: Seq[(String, String)], records: Seq[GenericRecord]): Unit = {
+    if (Files.exists(target)) return // immutable, deterministic content
+    val tmp = Files.createTempFile(target.getParent, ".ice-tmp", ".avro")
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    meta.foreach { case (k, v) => w.setMeta(k, v) }
+    w.create(schema, tmp.toFile)
+    records.foreach(w.append)
+    w.close()
+    try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      Files.deleteIfExists(tmp) // concurrent exporter won; files are equal
+    }
+  }
+
+  private def readAvro(path: Path): Seq[GenericRecord] = {
+    val r = new DataFileReader(path.toFile,
+      new GenericDatumReader[GenericRecord]())
+    try r.iterator().asScala.toSeq finally r.close()
+  }
+
+  // --- Export --------------------------------------------------------------
+
+  /** Mirror the full graft version history at `root` into an Iceberg v2
+    * metadata chain (incremental + idempotent; see object doc). Returns
+    * the metadata dir. */
+  def exportIcebergMeta(spark: SparkSession, root: String): Path = {
+    val vs = LakehouseTable.versions(root)
+    require(vs.nonEmpty, s"no table at $root")
+    vs.foreach { v =>
+      require(LakehouseTable.renamedColumnsAt(root, v).isEmpty &&
+          LakehouseTable.droppedColumnsAt(root, v).isEmpty,
+        "Iceberg mirror: column mapping (rename/drop) is not mirrored — " +
+          "field-id resolution needs ids inside the data files; use the " +
+          "Delta mirror for mapped tables")
+      require(LakehouseTable.widenedColumnsAt(root, v).isEmpty,
+        "Iceberg mirror: type widening is not mirrored; use the Delta mirror")
+      require(LakehouseTable.dvsAt(root, v).isEmpty,
+        "Iceberg mirror: MOR deletion vectors are not mirrored " +
+          "(position-delete files need writer cooperation); compact the " +
+          "DVs away or use the Delta mirror")
+    }
+    val dir = metaDir(root)
+    Files.createDirectories(dir)
+    val partCols = LakehouseTable.partitionColumns(root)
+
+    // field ids by column name, first appearance across the history —
+    // stable for incremental runs (same walk → same ids, the Delta
+    // mirror's columnIds discipline)
+    val fieldIds = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val schemas = scala.collection.mutable.ArrayBuffer
+      .empty[String] // schema JSON per schema-id
+    val schemaIdOf = scala.collection.mutable.HashMap.empty[String, Int]
+    var prevFiles = Seq.empty[String]
+    var prevCols: Option[String] = None
+    val manifests = scala.collection.mutable.ArrayBuffer.empty[ManifestDesc]
+    val snapshotsJson = scala.collection.mutable.ArrayBuffer.empty[String]
+    val snapshotLog = scala.collection.mutable.ArrayBuffer.empty[String]
+    val metadataLog = scala.collection.mutable.ArrayBuffer.empty[String]
+    var schemaStruct: org.apache.spark.sql.types.StructType = null
+    var curSchemaId = 0
+    var parentId: Option[Long] = None
+
+    vs.foreach { v =>
+      val seq = v + 1
+      val sid = snapshotId(root, v)
+      val ts = LakehouseTable.commitTsAt(root, v).getOrElse(0L)
+      val cur = LakehouseTable.manifestFiles(root, v)
+      val colsSig = LakehouseTable.addedColumnsAt(root, v)
+      val schemaChanged = prevCols.isEmpty || !prevCols.contains(colsSig)
+      if (schemaChanged) {
+        schemaStruct = LakehouseTable.read(spark, root, Some(v)).schema
+        schemaStruct.foreach(f => fieldIds.getOrElseUpdate(
+          f.name.toLowerCase, fieldIds.size + 1))
+        val json = schemaStruct.map { f =>
+          s"""{"id":${fieldIds(f.name.toLowerCase)},"name":"${f.name}","required":false,"type":${icebergType(f.dataType)}}"""
+        }.mkString("""{"type":"struct","schema-id":SCHEMA_ID,"fields":[""", ",", "]}")
+        curSchemaId = schemaIdOf.getOrElseUpdate(json, {
+          schemas += json.replace("SCHEMA_ID", schemas.size.toString)
+          schemas.size - 1
+        })
+      }
+      val partTypes = partCols.map { c =>
+        c -> schemaStruct.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+          .getOrElse(throw new IllegalStateException(
+            s"partition column $c missing from schema"))
+      }
+      val entrySchema = manifestEntrySchema(partTypes)
+      val partSchema = entrySchema.getField("data_file").schema()
+        .getField("partition").schema()
+      val dataFileSchema = entrySchema.getField("data_file").schema()
+
+      def entry(rel: String): GenericRecord = {
+        val p = Paths.get(root, "data", rel)
+        val part = new GenericData.Record(partSchema)
+        val dirVals = rel.split('/').dropRight(1).filter(_.contains('='))
+          .map { seg => val Array(k, x) = seg.split("=", 2); k -> x }.toMap
+        partTypes.foreach { case (c, dt) =>
+          part.put(c, dirVals.get(c).map(partitionValue(dt, _)).orNull)
+        }
+        val df = new GenericData.Record(dataFileSchema)
+        df.put("content", 0)
+        df.put("file_path", p.toString)
+        df.put("file_format", "PARQUET")
+        df.put("partition", part)
+        df.put("record_count", rowsOf(root, rel))
+        df.put("file_size_in_bytes",
+          try Files.size(p) catch { case _: java.io.IOException => 0L })
+        val e = new GenericData.Record(entrySchema)
+        e.put("status", 1) // ADDED at this snapshot
+        e.put("snapshot_id", sid)
+        e.put("sequence_number", null) // inherit the manifest list's
+        e.put("file_sequence_number", null)
+        e.put("data_file", df)
+        e
+      }
+
+      val removed = prevFiles.filterNot(cur.toSet)
+      val added = cur.filterNot(prevFiles.toSet)
+      val manifestMeta = Seq(
+        "schema" -> schemas(curSchemaId),
+        "partition-spec" -> partSpecFieldsJson(partCols, fieldIds),
+        "partition-spec-id" -> "0",
+        "format-version" -> "2",
+        "content" -> "data")
+      val operation =
+        if (removed.nonEmpty) "overwrite"
+        else "append"
+      if (v == vs.head || removed.nonEmpty) {
+        // full rewrite: ONE manifest of the live set replaces the chain
+        val m = dir.resolve(s"m-$sid-full.avro")
+        writeAvro(m, entrySchema, manifestMeta, cur.sorted.map(entry))
+        manifests.clear()
+        manifests += ManifestDesc(m, 0, seq, seq, sid, cur.size,
+          cur.map(rowsOf(root, _)).sum)
+      } else if (added.nonEmpty) {
+        // pure append: prior manifests REUSED, one new manifest of adds
+        val m = dir.resolve(s"m-$sid-add.avro")
+        writeAvro(m, entrySchema, manifestMeta, added.sorted.map(entry))
+        manifests += ManifestDesc(m, 0, seq, seq, sid, added.size,
+          added.map(rowsOf(root, _)).sum)
+      } // metadata-only commit: same manifests, new snapshot
+
+      // manifest LIST for this snapshot
+      val listPath = dir.resolve(s"snap-$sid.avro")
+      val listRecords = manifests.toSeq.map { d =>
+        val r = new GenericData.Record(manifestFileSchema)
+        r.put("manifest_path", d.path.toString)
+        r.put("manifest_length",
+          try Files.size(d.path) catch { case _: java.io.IOException => 0L })
+        r.put("partition_spec_id", 0)
+        r.put("content", d.content)
+        r.put("sequence_number", d.seq)
+        r.put("min_sequence_number", d.minSeq)
+        r.put("added_snapshot_id", d.addedSnapshot)
+        r.put("added_files_count", d.addedFiles)
+        r.put("existing_files_count", 0)
+        r.put("deleted_files_count", 0)
+        r.put("added_rows_count", d.addedRows)
+        r.put("existing_rows_count", 0L)
+        r.put("deleted_rows_count", 0L)
+        r
+      }
+      writeAvro(listPath, manifestFileSchema,
+        Seq("snapshot-id" -> sid.toString,
+          "sequence-number" -> seq.toString,
+          "parent-snapshot-id" -> parentId.map(_.toString).getOrElse("null"),
+          "format-version" -> "2"),
+        listRecords)
+
+      snapshotsJson += (s"""{"snapshot-id":$sid,""" +
+        parentId.map(p => s""""parent-snapshot-id":$p,""").getOrElse("") +
+        s""""sequence-number":$seq,"timestamp-ms":$ts,""" +
+        s""""manifest-list":"${listPath}","schema-id":$curSchemaId,""" +
+        s""""summary":{"operation":"$operation"}}""")
+      snapshotLog += s"""{"snapshot-id":$sid,"timestamp-ms":$ts}"""
+
+      // metadata.json for this version (contains ALL snapshots so far)
+      val mref = s"v${v + 1}.metadata.json"
+      val target = dir.resolve(mref)
+      if (!Files.exists(target)) {
+        val uuidSeed = graft.plans.TextExpressions.md5Hex(s"iceberg-table:$root")
+        val uuid = s"${uuidSeed.substring(0, 8)}-${uuidSeed.substring(8, 12)}-" +
+          s"${uuidSeed.substring(12, 16)}-${uuidSeed.substring(16, 20)}-" +
+          uuidSeed.substring(20, 32)
+        val nameMapping = schemaStruct.map(f =>
+          s"""{"field-id":${fieldIds(f.name.toLowerCase)},"names":["${f.name}"]}""")
+          .mkString("[", ",", "]").replace("\\", "\\\\").replace("\"", "\\\"")
+        val json =
+          s"""{"format-version":2,"table-uuid":"$uuid","location":"$root",""" +
+          s""""last-sequence-number":$seq,"last-updated-ms":$ts,""" +
+          s""""last-column-id":${fieldIds.size},""" +
+          s""""current-schema-id":$curSchemaId,"schemas":[${schemas.mkString(",")}],""" +
+          s""""default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":${partSpecFieldsJson(partCols, fieldIds)}}],""" +
+          s""""last-partition-id":${999 + partCols.size},""" +
+          s""""default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],""" +
+          s""""properties":{"schema.name-mapping.default":"$nameMapping"},""" +
+          s""""current-snapshot-id":$sid,""" +
+          s""""snapshots":[${snapshotsJson.mkString(",")}],""" +
+          s""""snapshot-log":[${snapshotLog.mkString(",")}],""" +
+          s""""metadata-log":[${metadataLog.mkString(",")}]}"""
+        val tmp = Files.createTempFile(dir, ".ice-tmp", ".json")
+        Files.writeString(tmp, json)
+        try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
+        }
+      }
+      metadataLog +=
+        s"""{"metadata-file":"${dir.resolve(mref)}","timestamp-ms":$ts}"""
+      prevFiles = cur
+      prevCols = Some(colsSig)
+      parentId = Some(sid)
+    }
+    // the pointer readers (and the write-through hook) consult; LAST so a
+    // crash mid-export leaves a valid shorter chain
+    val hint = dir.resolve("version-hint.text")
+    val tmp = Files.createTempFile(dir, ".hint-tmp", ".txt")
+    Files.writeString(tmp, (vs.last + 1).toString)
+    Files.move(tmp, hint, StandardCopyOption.REPLACE_EXISTING)
+    dir
+  }
+
+  private def partSpecFieldsJson(partCols: Seq[String],
+      fieldIds: scala.collection.Map[String, Int]): String =
+    partCols.zipWithIndex.map { case (c, i) =>
+      s"""{"name":"$c","transform":"identity","source-id":${fieldIds(c.toLowerCase)},"field-id":${1000 + i}}"""
+    }.mkString("[", ",", "]")
+
+  /** WRITE-THROUGH hook (the Delta mirror's contract): once a chain
+    * exists, every commit advances it; a failure only lags the mirror
+    * (self-healed by the next commit), never fails the write. */
+  def maybeAdvance(root: String): Unit =
+    if (Files.exists(metaDir(root).resolve("version-hint.text")))
+      SparkSession.getActiveSession.foreach { spark =>
+        try exportIcebergMeta(spark, root)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"warn: iceberg mirror advance failed for $root (chain lags, " +
+                s"next commit self-heals): $e")
+        }
+      }
+
+  // --- Read (the foreign-reader protocol over the chain) -----------------
+
+  private def mapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m
+  }
+
+  /** Parsed snapshot row: (id, parentId (-1 = none), sequenceNumber,
+    * timestampMs, operation, schemaId, manifestList). */
+  case class SnapshotInfo(id: Long, parent: Long, seq: Long, ts: Long,
+      operation: String, schemaId: Int, manifestList: String)
+
+  private def currentMetadata(root: String)
+      : com.fasterxml.jackson.databind.JsonNode = {
+    val dir = metaDir(root)
+    val hint = dir.resolve("version-hint.text")
+    require(Files.exists(hint),
+      s"no Iceberg metadata at $root (exportIcebergMeta first)")
+    val n = Files.readString(hint).trim.toLong
+    mapper.readTree(Files.readString(dir.resolve(s"v$n.metadata.json")))
+  }
+
+  def snapshots(root: String): Seq[SnapshotInfo] = {
+    val md = currentMetadata(root)
+    md.get("snapshots").elements().asScala.map { s =>
+      SnapshotInfo(
+        s.get("snapshot-id").asLong(),
+        if (s.has("parent-snapshot-id")) s.get("parent-snapshot-id").asLong()
+        else -1L,
+        s.get("sequence-number").asLong(),
+        s.get("timestamp-ms").asLong(),
+        s.get("summary").get("operation").asText(),
+        s.get("schema-id").asInt(),
+        s.get("manifest-list").asText())
+    }.toSeq
+  }
+
+  /** Data file paths of one snapshot, via its manifest list → manifest
+    * chain — exactly the walk a foreign Iceberg reader performs. */
+  def snapshotFiles(root: String, snapshotId: Long): Seq[String] = {
+    val snap = snapshots(root).find(_.id == snapshotId).getOrElse(
+      throw new IllegalArgumentException(
+        s"no Iceberg snapshot $snapshotId at $root"))
+    readAvro(Paths.get(snap.manifestList)).flatMap { mf =>
+      val content = mf.get("content").asInstanceOf[Int]
+      require(content == 0, s"unexpected delete manifest in $root")
+      readAvro(Paths.get(mf.get("manifest_path").toString)).flatMap { e =>
+        val status = e.get("status").asInstanceOf[Int]
+        if (status == 2) None // DELETED
+        else Some(e.get("data_file").asInstanceOf[GenericRecord]
+          .get("file_path").toString)
+      }
+    }
+  }
+
+  /** Iceberg schema type string → Spark type (inverse of [[icebergType]],
+    * scalars + list). */
+  private def sparkType(n: com.fasterxml.jackson.databind.JsonNode)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    if (n.isTextual) n.asText() match {
+      case "boolean"     => BooleanType
+      case "int"         => IntegerType
+      case "long"        => LongType
+      case "float"       => FloatType
+      case "double"      => DoubleType
+      case "string"      => StringType
+      case "date"        => DateType
+      case "timestamptz" => TimestampType
+      case "binary"      => BinaryType
+      case d if d.startsWith("decimal(") =>
+        val Array(p, s) = d.stripPrefix("decimal(").stripSuffix(")")
+          .split(",").map(_.trim.toInt)
+        DecimalType(p, s)
+      case other => throw new IllegalArgumentException(
+        s"unsupported Iceberg type '$other'")
+    } else if (n.get("type").asText() == "list")
+      ArrayType(sparkType(n.get("element")))
+    else throw new IllegalArgumentException(
+      s"unsupported Iceberg type ${n.toString}")
+  }
+
+  /** Read the table THROUGH the Iceberg chain only — version-hint →
+    * metadata.json → (current or pinned) snapshot → manifest list →
+    * manifests → live files, served under the metadata schema. The graft
+    * manifest is deliberately not consulted: gating this against an
+    * oracle gates the exported FORMAT. */
+  def readIceberg(spark: SparkSession, root: String,
+      snapshotAsOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val md = currentMetadata(root)
+    val sid = snapshotAsOf.getOrElse(md.get("current-snapshot-id").asLong())
+    val snap = snapshots(root).find(_.id == sid).getOrElse(
+      throw new IllegalArgumentException(s"no Iceberg snapshot $sid at $root"))
+    val schemaNode = md.get("schemas").elements().asScala
+      .find(_.get("schema-id").asInt() == snap.schemaId).getOrElse(
+        throw new IllegalStateException(s"schema ${snap.schemaId} missing"))
+    val fields = schemaNode.get("fields").elements().asScala.map(f =>
+      (f.get("name").asText(), sparkType(f.get("type")))).toSeq
+    val files = snapshotFiles(root, sid)
+    val raw = spark.read
+      .option("basePath", Paths.get(root, "data").toString)
+      .option("mergeSchema", "true")
+      .parquet(files: _*)
+    // align to the metadata schema: absent columns (an older snapshot's
+    // files under a later ADD COLUMNS) null-fill; partition columns come
+    // back from directory inference and are cast to the declared type
+    raw.select(fields.map { case (n, dt) =>
+      (if (raw.columns.exists(_.equalsIgnoreCase(n))) col(n)
+       else org.apache.spark.sql.functions.lit(null)).cast(dt).as(n)
+    }: _*)
+  }
+}

@@ -458,6 +458,7 @@ object LakehouseTable {
             "re-read the table and retry")
     } finally Files.deleteIfExists(tmp)
     maybeAdvanceDeltaLog(root)
+    IcebergMeta.maybeAdvance(root)
     version
   }
 
@@ -1949,7 +1950,7 @@ object LakehouseTable {
     relFiles.map(rel => parquetRecordCount(dataDir(root).resolve(rel))).sum
 
   /** Footer-only record count of one parquet file (absolute path). */
-  private def parquetRecordCount(p: Path): Long = {
+  private[sources] def parquetRecordCount(p: Path): Long = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val conf = new org.apache.hadoop.conf.Configuration()

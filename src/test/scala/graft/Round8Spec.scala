@@ -304,6 +304,93 @@ class Round8Spec extends AnyFunSuite {
       s"expected the commit split as [big][4 small], got $batchFiles")
   }
 
+  test("Iceberg mirror: v2 snapshot lineage, manifest reuse, schema evolution, write-through, guards") {
+    import spark.implicits._
+    import graft.sources.IcebergMeta
+    val root = freshRoot("iceberg")
+    LT.create((0L until 90L).map(i => (i, s"v$i", i % 3)).toDF("id", "s", "k"),
+      root, partitionBy = Seq("k"))
+    LT.append((90L until 120L).map(i => (i, s"v$i", i % 3)).toDF("id", "s", "k"),
+      root, partitionBy = Seq("k"))
+    LT.deleteWhere(spark, root, "id % 10 = 0", Seq("k"))
+    IcebergMeta.exportIcebergMeta(spark, root)
+    val dir = Paths.get(root, "metadata")
+    // chain shape: hint + one metadata.json per graft version
+    assert(Files.readString(dir.resolve("version-hint.text")).trim == "3")
+    (1 to 3).foreach(n =>
+      assert(Files.exists(dir.resolve(s"v$n.metadata.json"))))
+    // lineage: sequence numbers ascend, parents chain, ops recorded
+    val snaps = IcebergMeta.snapshots(root)
+    assert(snaps.map(_.seq) == Seq(1L, 2L, 3L))
+    assert(snaps.head.parent == -1L)
+    assert(snaps.sliding(2).forall { case Seq(a, b) => b.parent == a.id })
+    assert(snaps.map(_.operation) == Seq("append", "append", "overwrite"))
+    // manifest REUSE: the v1 append's manifest list references v0's
+    // manifest unchanged plus ONE new manifest; the v2 delete rewrites
+    def manifestPaths(s: IcebergMeta.SnapshotInfo): Seq[String] = {
+      import org.apache.avro.file.DataFileReader
+      import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+      val r = new DataFileReader(new java.io.File(s.manifestList),
+        new GenericDatumReader[GenericRecord]())
+      import scala.jdk.CollectionConverters._
+      try r.iterator().asScala.map(_.get("manifest_path").toString).toSeq
+      finally r.close()
+    }
+    val (m0, m1, m2) = (manifestPaths(snaps(0)), manifestPaths(snaps(1)),
+      manifestPaths(snaps(2)))
+    assert(m0.size == 1 && m1.size == 2 && m1.head == m0.head,
+      s"append must reuse v0's manifest: $m0 / $m1")
+    assert(m2.size == 1 && !m1.contains(m2.head),
+      s"delete must rewrite the manifest chain: $m2")
+    // foreign read ≡ native, current and time travel
+    val native = LT.read(spark, root).orderBy("id").collect().toSeq
+    val ice = IcebergMeta.readIceberg(spark, root)
+      .select("id", "s", "k").orderBy("id").collect().toSeq
+    assert(ice == native)
+    val nativeV1 = LT.read(spark, root, Some(1L))
+      .orderBy("id").collect().toSeq
+    val iceV1 = IcebergMeta.readIceberg(spark, root,
+        snapshotAsOf = Some(IcebergMeta.snapshotId(root, 1L)))
+      .select("id", "s", "k").orderBy("id").collect().toSeq
+    assert(iceV1 == nativeV1)
+    // WRITE-THROUGH: a plain append after the export advances the chain
+    // via the commit hook — no explicit export call
+    LT.append(Seq((500L, "w", 1L)).toDF("id", "s", "k"), root,
+      partitionBy = Seq("k"))
+    assert(Files.readString(dir.resolve("version-hint.text")).trim == "4",
+      "commit hook did not advance the Iceberg chain")
+    assert(IcebergMeta.readIceberg(spark, root).count() == native.size + 1)
+    // SCHEMA EVOLUTION: ADD COLUMNS re-registers; old snapshots keep
+    // their schema-id, new reads null-fill old rows
+    LT.alterAddColumns(root, "extra BIGINT")
+    LT.append(Seq((600L, "x", 2L, 42L)).toDF("id", "s", "k", "extra"),
+      root, partitionBy = Seq("k"))
+    val snaps2 = IcebergMeta.snapshots(root)
+    assert(snaps2.last.schemaId > snaps2.head.schemaId,
+      s"ADD COLUMNS must register a new schema-id: ${snaps2.map(_.schemaId)}")
+    val cur = IcebergMeta.readIceberg(spark, root)
+    assert(cur.columns.contains("extra"))
+    assert(cur.filter(col("id") === 600L).select("extra")
+      .as[Long].head() == 42L)
+    assert(cur.filter(col("id") === 500L).select("extra")
+      .head().isNullAt(0))
+    // GUARDS: mapped/widened/DV-bearing histories refuse loudly
+    val root2 = freshRoot("iceberg_guard")
+    LT.create(Seq((1L, "a")).toDF("id", "payload"), root2)
+    LT.alterRenameColumn(spark, root2, "payload", "body")
+    val ex = intercept[IllegalArgumentException] {
+      IcebergMeta.exportIcebergMeta(spark, root2)
+    }
+    assert(ex.getMessage.contains("column mapping"))
+    val root3 = freshRoot("iceberg_guard_dv")
+    LT.create((0L until 20L).map(i => (i, "a")).toDF("id", "s"), root3)
+    LT.deleteWhereMor(spark, root3, "id < 3")
+    val ex2 = intercept[IllegalArgumentException] {
+      IcebergMeta.exportIcebergMeta(spark, root3)
+    }
+    assert(ex2.getMessage.contains("deletion vectors"))
+  }
+
   test("pruning rule memoizes: repeated planning never re-reads the manifest") {
     import spark.implicits._
     val root = freshRoot("genmemo")
