@@ -982,6 +982,47 @@ object Lakehouse {
         .orderBy(col("l_returnflag"))
     }),
 
+    // IMPORT direction for the Iceberg face: q186's exported chain
+    // converted back into a fresh NATIVE graft table (current snapshot's
+    // live files hardlinked, v0 manifest), read through the ordinary
+    // native path. Hash-matching the same final-state oracle proves
+    // export → import → native read ≡ the source history — the q182
+    // proof, for the second open format.
+    "q188_convert_from_iceberg" -> ((s, d) => {
+      val src = deltaExportRoot(s, d)
+      IcebergMeta.exportIcebergMeta(s, src)
+      val dst = TableCache.root(d, "lineitem", "converted-from-iceberg:v1")
+      try TableCache.locked(dst) {
+        if (LakehouseTable.versions(dst).isEmpty)
+          IcebergMeta.convertToGraft(s, src, dst)
+      } catch {
+        case e if raceLost(e) => () // see lineitemZRoot
+      }
+      LakehouseTable.read(s, dst)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          Exact.moneySum(col("l_quantity")).as("sum_qty"),
+          Exact.moneySum(col("l_extendedprice")).as("sum_price"),
+          sum(col("l_orderkey")).as("key_sum"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // q161's MOR-deleted table through the ICEBERG chain: the DV state
+    // exports as a v2 position-delete file (spec field-ids, sorted)
+    // behind a content=1 delete manifest, and the reader applies it as
+    // the (file, pos) anti-join — the q179 proof, for the second open
+    // format's row-level deletes.
+    "q189_iceberg_dv_export" -> ((s, d) => {
+      val root = eventsMorRoot(s, d)
+      IcebergMeta.exportIcebergMeta(s, root) // incremental; no-op when current
+      IcebergMeta.readIceberg(s, root)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("event_id")).as("id_sum"),
+          sum(col("user_id")).as("user_sum"))
+        .orderBy(col("event_type"))
+    }),
+
     // create → MERGE (update + insert) → deleteWhere → read the survivors.
     // Aggregates are all bit-exact (count, long sum, double min/max) so the
     // hash gate verifies the exact surviving row set, not a tolerance.
@@ -1732,6 +1773,17 @@ object Lakehouse {
 
     // the Iceberg chain replays the same history → same final state
     "q186_iceberg_export" -> sqlDeltaFinalState,
+
+    "q188_convert_from_iceberg" -> sqlDeltaFinalState,
+
+    // same survivors as q161/q179 — the history is the same MOR table
+    "q189_iceberg_dv_export" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS id_sum,
+           CAST(sum(user_id) AS BIGINT) AS user_sum
+         FROM events
+         WHERE NOT (event_id % 7 = 0) AND NOT (user_id % 3 = 0)
+         GROUP BY event_type ORDER BY event_type""",
 
     // graft v1 = mod-3 groups 0 and 1, before the quantity delete
     "q187_iceberg_time_travel" ->

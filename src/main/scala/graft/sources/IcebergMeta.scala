@@ -40,12 +40,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * of the live set and lists only it (Iceberg's rewrite-manifests
   * shape); dead files never linger behind a live manifest list.
   *
+  * MOR deletion vectors mirror as v2 POSITION-DELETE files: the full
+  * current DV state lands in one sorted (file_path, pos) parquet with
+  * the spec's reserved field-ids behind a content=1 delete manifest,
+  * rewritten whenever the DV state changes (the rewrite-delete-files
+  * shape) — unpartitioned tables only, since a partitioned spec scopes
+  * delete files per partition while the graft sidecar is table-global.
+  *
   * Scope guards (refuse, never corrupt): active column mapping
-  * (rename/drop), type widening, and MOR deletion vectors are the Delta
-  * mirror's domain — their Iceberg counterparts (field-id resolution
-  * inside data files, position-delete files) need writer cooperation
-  * the shared-parquet layout doesn't have. Everything else — appends,
-  * COW rewrites, schema ADD COLUMNS, hive partitioning — mirrors. */
+  * (rename/drop), type widening, and DVs on PARTITIONED tables are the
+  * Delta mirror's domain — their Iceberg counterparts (field-id
+  * resolution inside data files, partition-scoped delete files) need
+  * writer cooperation the shared-parquet layout doesn't have.
+  * Everything else — appends, COW rewrites, MOR deletes on
+  * unpartitioned tables, schema ADD COLUMNS, hive partitioning —
+  * mirrors, and [[convertToGraft]] imports the other direction
+  * (position deletes become a native DV sidecar). */
 object IcebergMeta {
 
   private def metaDir(root: String): Path = Paths.get(root, "metadata")
@@ -212,10 +222,14 @@ object IcebergMeta {
           "Delta mirror for mapped tables")
       require(LakehouseTable.widenedColumnsAt(root, v).isEmpty,
         "Iceberg mirror: type widening is not mirrored; use the Delta mirror")
-      require(LakehouseTable.dvsAt(root, v).isEmpty,
-        "Iceberg mirror: MOR deletion vectors are not mirrored " +
-          "(position-delete files need writer cooperation); compact the " +
-          "DVs away or use the Delta mirror")
+      // MOR DVs mirror as v2 POSITION-DELETE files — but those are
+      // partition-scoped under a partitioned spec, and the graft DV
+      // sidecar is table-global; only the unpartitioned case maps 1:1
+      require(LakehouseTable.dvsAt(root, v).isEmpty ||
+          LakehouseTable.partitionColumns(root).isEmpty,
+        "Iceberg mirror: MOR deletion vectors on a PARTITIONED table " +
+          "are not mirrored (position-delete files are partition-" +
+          "scoped); compact the DVs away or use the Delta mirror")
     }
     val dir = metaDir(root)
     Files.createDirectories(dir)
@@ -230,6 +244,8 @@ object IcebergMeta {
     val schemaIdOf = scala.collection.mutable.HashMap.empty[String, Int]
     var prevFiles = Seq.empty[String]
     var prevCols: Option[String] = None
+    var prevDvs = Map.empty[String, String]
+    var deleteManifest: Option[ManifestDesc] = None
     val manifests = scala.collection.mutable.ArrayBuffer.empty[ManifestDesc]
     val snapshotsJson = scala.collection.mutable.ArrayBuffer.empty[String]
     val snapshotLog = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -294,6 +310,8 @@ object IcebergMeta {
 
       val removed = prevFiles.filterNot(cur.toSet)
       val added = cur.filterNot(prevFiles.toSet)
+      val curDvs = LakehouseTable.dvsAt(root, v).toMap
+      val dvChanged = curDvs != prevDvs
       val manifestMeta = Seq(
         "schema" -> schemas(curSchemaId),
         "partition-spec" -> partSpecFieldsJson(partCols, fieldIds),
@@ -302,6 +320,7 @@ object IcebergMeta {
         "content" -> "data")
       val operation =
         if (removed.nonEmpty) "overwrite"
+        else if (added.isEmpty && dvChanged) "delete"
         else "append"
       if (v == vs.head || removed.nonEmpty) {
         // full rewrite: ONE manifest of the live set replaces the chain
@@ -318,9 +337,44 @@ object IcebergMeta {
           added.map(rowsOf(root, _)).sum)
       } // metadata-only commit: same manifests, new snapshot
 
+      // MOR deletion vectors → ONE v2 position-delete file of the FULL
+      // current DV state (file_path + pos, spec field-ids 2147483546/45,
+      // sorted), behind a content=1 delete manifest that REPLACES any
+      // prior one — the rewrite-delete-files shape, so a reader never
+      // unions stale delete states. A DV-clearing version (REORG PURGE /
+      // compaction) simply drops the delete manifest from the list.
+      if (dvChanged) {
+        if (curDvs.isEmpty) deleteManifest = None
+        else {
+          val delParquet = dir.resolve(s"delete-$sid.parquet")
+          writeDeleteParquet(spark, root, curDvs, delParquet)
+          val delRows =
+            try LakehouseTable.parquetRecordCount(delParquet)
+            catch { case scala.util.control.NonFatal(_) => 0L }
+          val df = new GenericData.Record(dataFileSchema)
+          df.put("content", 1) // POSITION_DELETES
+          df.put("file_path", delParquet.toString)
+          df.put("file_format", "PARQUET")
+          df.put("partition", new GenericData.Record(partSchema)) // unpartitioned
+          df.put("record_count", delRows)
+          df.put("file_size_in_bytes",
+            try Files.size(delParquet) catch { case _: java.io.IOException => 0L })
+          val e = new GenericData.Record(entrySchema)
+          e.put("status", 1)
+          e.put("snapshot_id", sid)
+          e.put("sequence_number", null)
+          e.put("file_sequence_number", null)
+          e.put("data_file", df)
+          val m = dir.resolve(s"m-$sid-del.avro")
+          writeAvro(m, entrySchema,
+            manifestMeta.dropRight(1) :+ ("content" -> "deletes"), Seq(e))
+          deleteManifest = Some(ManifestDesc(m, 1, seq, seq, sid, 1, delRows))
+        }
+      }
+
       // manifest LIST for this snapshot
       val listPath = dir.resolve(s"snap-$sid.avro")
-      val listRecords = manifests.toSeq.map { d =>
+      val listRecords = (manifests.toSeq ++ deleteManifest).map { d =>
         val r = new GenericData.Record(manifestFileSchema)
         r.put("manifest_path", d.path.toString)
         r.put("manifest_length",
@@ -387,6 +441,7 @@ object IcebergMeta {
         s"""{"metadata-file":"${dir.resolve(mref)}","timestamp-ms":$ts}"""
       prevFiles = cur
       prevCols = Some(colsSig)
+      prevDvs = curDvs
       parentId = Some(sid)
     }
     // the pointer readers (and the write-through hook) consult; LAST so a
@@ -396,6 +451,57 @@ object IcebergMeta {
     Files.writeString(tmp, (vs.last + 1).toString)
     Files.move(tmp, hint, StandardCopyOption.REPLACE_EXISTING)
     dir
+  }
+
+  /** Write the FULL DV state as one Iceberg v2 position-delete parquet:
+    * columns `file_path` (string, field-id 2147483546) and `pos` (long,
+    * field-id 2147483545), sorted by (file_path, pos) as the spec
+    * requires; paths are the absolute data-file paths the manifests
+    * carry. One file per snapshot — bounded by deleted rows of live
+    * files; a partition-scoped multi-file layout is the partitioned
+    * table's shape, which the export guard routes to the Delta mirror. */
+  private def writeDeleteParquet(spark: SparkSession, root: String,
+      dvs: Map[String, String], target: Path): Unit = {
+    if (Files.exists(target)) return
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    import org.apache.spark.sql.types.MetadataBuilder
+    val fpMeta = new MetadataBuilder()
+      .putLong("parquet.field.id", 2147483546L).build()
+    val posMeta = new MetadataBuilder()
+      .putLong("parquet.field.id", 2147483545L).build()
+    val prefix = Paths.get(root, "data").toString + "/"
+    val df = LakehouseTable.dvRows(spark, root, dvs)
+      .select(concat(lit(prefix), col("path")).as("file_path", fpMeta),
+        col("pos").cast("long").as("pos", posMeta))
+      .orderBy("file_path", "pos")
+    val prev = spark.conf.getOption("spark.sql.parquet.fieldId.write.enabled")
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val tmpDir = Files.createTempDirectory(target.getParent, ".del-tmp")
+    try {
+      df.coalesce(1).write.mode("overwrite")
+        .parquet(tmpDir.resolve("out").toString)
+      val part = withListed(tmpDir.resolve("out"))(
+        _.find(_.toString.endsWith(".parquet"))).getOrElse(
+        throw new IllegalStateException("delete parquet write produced no file"))
+      try Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    } finally {
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.parquet.fieldId.write.enabled", p)
+        case None =>
+          spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
+      }
+      val walked = Files.walk(tmpDir)
+      try walked.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { Files.deleteIfExists(p); () })
+      finally walked.close()
+    }
+  }
+
+  private def withListed[A](dir: Path)(f: Iterator[Path] => A): A = {
+    val s = Files.list(dir)
+    try f(s.iterator().asScala) finally s.close()
   }
 
   private def partSpecFieldsJson(partCols: Seq[String],
@@ -458,20 +564,27 @@ object IcebergMeta {
 
   /** Data file paths of one snapshot, via its manifest list → manifest
     * chain — exactly the walk a foreign Iceberg reader performs. */
-  def snapshotFiles(root: String, snapshotId: Long): Seq[String] = {
+  def snapshotFiles(root: String, snapshotId: Long): Seq[String] =
+    snapshotEntries(root, snapshotId)._1
+
+  /** (data files, position-delete files) of one snapshot. */
+  private def snapshotEntries(root: String,
+      snapshotId: Long): (Seq[String], Seq[String]) = {
     val snap = snapshots(root).find(_.id == snapshotId).getOrElse(
       throw new IllegalArgumentException(
         s"no Iceberg snapshot $snapshotId at $root"))
-    readAvro(Paths.get(snap.manifestList)).flatMap { mf =>
-      val content = mf.get("content").asInstanceOf[Int]
-      require(content == 0, s"unexpected delete manifest in $root")
-      readAvro(Paths.get(mf.get("manifest_path").toString)).flatMap { e =>
-        val status = e.get("status").asInstanceOf[Int]
-        if (status == 2) None // DELETED
-        else Some(e.get("data_file").asInstanceOf[GenericRecord]
-          .get("file_path").toString)
+    def filesOf(mfs: Seq[GenericRecord]): Seq[String] =
+      mfs.flatMap { mf =>
+        readAvro(Paths.get(mf.get("manifest_path").toString)).flatMap { e =>
+          val status = e.get("status").asInstanceOf[Int]
+          if (status == 2) None // DELETED
+          else Some(e.get("data_file").asInstanceOf[GenericRecord]
+            .get("file_path").toString)
+        }
       }
-    }
+    val (data, dels) = readAvro(Paths.get(snap.manifestList))
+      .partition(_.get("content").asInstanceOf[Int] == 0)
+    (filesOf(data), filesOf(dels))
   }
 
   /** Iceberg schema type string → Spark type (inverse of [[icebergType]],
@@ -501,6 +614,95 @@ object IcebergMeta {
       s"unsupported Iceberg type ${n.toString}")
   }
 
+  /** IMPORT an Iceberg table (metadata chain + parquet files) as a
+    * NATIVE graft table at `dstRoot` — CONVERT TO GRAFT pointed at the
+    * second open format: hardlink the current snapshot's live files into
+    * `dstRoot/data` (copy when the link crosses devices) and commit them
+    * as version 0. The imported table has the full native feature set
+    * from that point, including an independent re-export.
+    *
+    * Guards (refuse, never silently corrupt): row-level delete manifests
+    * (apply them with a rewrite/compaction first), and identity
+    * partition fields whose values are not encoded as hive `k=` path
+    * segments (the graft manifest derives partitioning from paths). */
+  def convertToGraft(spark: SparkSession, srcRoot: String,
+      dstRoot: String): Long = {
+    require(Files.exists(metaDir(srcRoot).resolve("version-hint.text")),
+      s"no Iceberg metadata at $srcRoot")
+    require(LakehouseTable.versions(dstRoot).isEmpty,
+      s"import target is not empty: $dstRoot")
+    val md = currentMetadata(srcRoot)
+    val sid = md.get("current-snapshot-id").asLong()
+    val snap = snapshots(srcRoot).find(_.id == sid).getOrElse(
+      throw new IllegalStateException(s"current snapshot $sid missing"))
+    val (files, deleteFiles) = snapshotEntries(srcRoot, sid)
+    require(files.nonEmpty, s"Iceberg table at $srcRoot has no live files")
+    // declared identity partition fields must be hive-encoded in paths
+    val specId = md.get("default-spec-id").asInt()
+    val identityCols = md.get("partition-specs").elements().asScala
+      .find(_.get("spec-id").asInt() == specId).toSeq
+      .flatMap(_.get("fields").elements().asScala)
+      .filter(_.get("transform").asText() == "identity")
+      .map(_.get("name").asText())
+    val srcPrefix = Paths.get(srcRoot).toString + "/"
+    val mapping = files.map { f =>
+      require(f.startsWith(srcPrefix),
+        s"data file outside the table root cannot be imported: $f")
+      f -> f.stripPrefix(srcPrefix).stripPrefix("data/")
+    }
+    require(mapping.map(_._2).distinct.size == mapping.size,
+      "import would collide two source files onto one dest path")
+    identityCols.foreach { c =>
+      mapping.map(_._2).foreach(rel => require(
+        rel.split('/').dropRight(1).exists(seg =>
+          seg.length > c.length && seg.charAt(c.length) == '=' &&
+            seg.regionMatches(true, 0, c, 0, c.length)),
+        s"identity partition '$c' is not hive-encoded in the path of " +
+          s"'$rel'; cannot import without a rewrite"))
+    }
+    mapping.foreach { case (src, rel) =>
+      val dst = Paths.get(dstRoot, "data", rel)
+      Files.createDirectories(dst.getParent)
+      Files.deleteIfExists(dst) // failed-import leftover (commit is LAST)
+      try Files.createLink(dst, Paths.get(src))
+      catch {
+        case _: UnsupportedOperationException |
+             _: java.nio.file.FileSystemException =>
+          Files.copy(Paths.get(src), dst)
+      }
+    }
+    // position-delete files → one native DV sidecar (the same
+    // (path, pos) shape), keyed by dest-relative path and scoped to the
+    // files the deletes actually cover — the inverse of the export
+    val dvField =
+      if (deleteFiles.isEmpty) None
+      else {
+        import org.apache.spark.sql.functions.{col, substring}
+        val dataPrefix = Paths.get(srcRoot, "data").toString + "/"
+        val del = spark.read.parquet(deleteFiles: _*)
+        val bad = del
+          .filter(!col("file_path").startsWith(dataPrefix)).limit(1).count()
+        require(bad == 0L,
+          "position-delete file references a data file outside the " +
+            s"table's data dir; cannot import $srcRoot")
+        val dvName = "dv-import"
+        Files.createDirectories(LakehouseTable.deletesDir(dstRoot))
+        del.select(
+            substring(col("file_path"), dataPrefix.length + 1, Int.MaxValue)
+              .as("path"),
+            col("pos").cast("long").as("pos"))
+          .write.mode("overwrite") // failed-import leftover replaced
+          .parquet(LakehouseTable.deletesDir(dstRoot).resolve(dvName).toString)
+        val live = mapping.map(_._2).toSet
+        val covered = del.select("file_path").distinct().collect()
+          .map(_.getString(0).stripPrefix(dataPrefix)).filter(live)
+          .sorted.toSeq
+        if (covered.isEmpty) None
+        else Some(LakehouseTable.encodeDvs(covered.map(_ -> dvName)))
+      }
+    LakehouseTable.commit(dstRoot, 0, mapping.map(_._2), dvs = dvField)
+  }
+
   /** Read the table THROUGH the Iceberg chain only — version-hint →
     * metadata.json → (current or pinned) snapshot → manifest list →
     * manifests → live files, served under the metadata schema. The graft
@@ -518,16 +720,33 @@ object IcebergMeta {
         throw new IllegalStateException(s"schema ${snap.schemaId} missing"))
     val fields = schemaNode.get("fields").elements().asScala.map(f =>
       (f.get("name").asText(), sparkType(f.get("type")))).toSeq
-    val files = snapshotFiles(root, sid)
+    val (files, deleteFiles) = snapshotEntries(root, sid)
     val raw = spark.read
       .option("basePath", Paths.get(root, "data").toString)
       .option("mergeSchema", "true")
       .parquet(files: _*)
+    // v2 position deletes: anti-join on (file path, row index) — the
+    // same shape the Delta DV read uses; no-op without delete manifests
+    val visible =
+      if (deleteFiles.isEmpty) raw
+      else {
+        import org.apache.spark.sql.functions.{regexp_replace, url_decode}
+        val del = spark.read.parquet(deleteFiles: _*)
+          .select(col("file_path").as("__del_path"),
+            col("pos").as("__del_pos"))
+        raw.withColumn("__p", url_decode(regexp_replace(
+            regexp_replace(col("_metadata.file_path"), "^file:/+", "/"),
+            "\\+", "%2B")))
+          .withColumn("__ri", col("_metadata.row_index"))
+          .join(del, col("__p") === col("__del_path") &&
+            col("__ri") === col("__del_pos"), "left_anti")
+          .drop("__p", "__ri")
+      }
     // align to the metadata schema: absent columns (an older snapshot's
     // files under a later ADD COLUMNS) null-fill; partition columns come
     // back from directory inference and are cast to the declared type
-    raw.select(fields.map { case (n, dt) =>
-      (if (raw.columns.exists(_.equalsIgnoreCase(n))) col(n)
+    visible.select(fields.map { case (n, dt) =>
+      (if (visible.columns.exists(_.equalsIgnoreCase(n))) col(n)
        else org.apache.spark.sql.functions.lit(null)).cast(dt).as(n)
     }: _*)
   }

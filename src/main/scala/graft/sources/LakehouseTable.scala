@@ -343,10 +343,10 @@ object LakehouseTable {
         f.trim -> dv.trim
       })
 
-  private def encodeDvs(m: Seq[(String, String)]): String =
+  private[sources] def encodeDvs(m: Seq[(String, String)]): String =
     m.map { case (f, dv) => s"$f>$dv" }.mkString(", ")
 
-  private def deletesDir(root: String): Path = Paths.get(root, "deletes")
+  private[sources] def deletesDir(root: String): Path = Paths.get(root, "deletes")
 
   /** Columns added by ALTER TABLE as a DDL string ("c1 INT, c2 STRING"),
     * as recorded in version `v`'s manifest — empty when the version
@@ -779,7 +779,7 @@ object LakehouseTable {
     * (one DV parquet may cover several data files, and may carry entries
     * for files a later COW rewrite replaced — those are inert and
     * filtered out here). */
-  private def dvRows(spark: SparkSession, root: String,
+  private[sources] def dvRows(spark: SparkSession, root: String,
       dvs: Map[String, String]): DataFrame = {
     import org.apache.spark.sql.functions._
     val files = dvs.values.toSeq.distinct

@@ -516,15 +516,27 @@ case class CloneGraftTableCommand(name: String, srcName: String, root: String)
 }
 
 /** CONVERT TO GRAFT 'srcPath' AS name [LOCATION 'p'] — import a foreign
-  * Delta table (log + parquet files) as a native graft table
-  * ([[LakehouseTable.convertFromDelta]]: hardlinked files, DV
-  * descriptors converted to native sidecars, name-mode mappings to
-  * renames) and register it; partition columns derive from the imported
-  * hive layout. Delta's CONVERT TO DELTA, pointed the other way. */
+  * OPEN-FORMAT table as a native graft table and register it. The format
+  * is detected from the source layout: a `_delta_log` dir imports via
+  * [[LakehouseTable.convertFromDelta]] (hardlinked files, DV descriptors
+  * to native sidecars, name-mode mappings to renames); an Iceberg
+  * `metadata/version-hint.text` chain imports via
+  * [[graft.sources.IcebergMeta.convertToGraft]] (current snapshot's live
+  * files, hive-encoded identity partitions). Partition columns derive
+  * from the imported hive layout either way — CONVERT TO DELTA/Iceberg's
+  * migrate, pointed the other way. */
 case class ConvertToGraftCommand(name: String, srcPath: String, root: String)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    LakehouseTable.convertFromDelta(spark, srcPath, root)
+    val srcP = java.nio.file.Paths.get(srcPath)
+    if (java.nio.file.Files.isDirectory(srcP.resolve("_delta_log")))
+      LakehouseTable.convertFromDelta(spark, srcPath, root)
+    else if (java.nio.file.Files.exists(
+        srcP.resolve("metadata").resolve("version-hint.text")))
+      graft.sources.IcebergMeta.convertToGraft(spark, srcPath, root)
+    else
+      throw new IllegalArgumentException(
+        s"CONVERT TO GRAFT: no _delta_log or Iceberg metadata at $srcPath")
     GraftCatalog.register(spark, name, root,
       LakehouseTable.partitionColumns(root))
     GraftCatalog.refreshView(spark, name)

@@ -382,13 +382,59 @@ class Round8Spec extends AnyFunSuite {
       IcebergMeta.exportIcebergMeta(spark, root2)
     }
     assert(ex.getMessage.contains("column mapping"))
-    val root3 = freshRoot("iceberg_guard_dv")
-    LT.create((0L until 20L).map(i => (i, "a")).toDF("id", "s"), root3)
-    LT.deleteWhereMor(spark, root3, "id < 3")
-    val ex2 = intercept[IllegalArgumentException] {
-      IcebergMeta.exportIcebergMeta(spark, root3)
+    // (unpartitioned MOR tables are NOT refused — they mirror as
+    // position-delete files; pinned by the dedicated DV round-trip test)
+  }
+
+  test("Iceberg mirror round-trips MOR deletion vectors as position-delete files") {
+    import spark.implicits._
+    import graft.sources.IcebergMeta
+    val root = freshRoot("iceberg_dv")
+    LT.create((0L until 60L).map(i => (i, i % 4)).toDF("id", "g")
+      .coalesce(3), root)
+    LT.deleteWhereMor(spark, root, "id % 5 = 0")
+    IcebergMeta.exportIcebergMeta(spark, root)
+    val dir = Paths.get(root, "metadata")
+    // the DV snapshot carries a position-delete parquet + delete manifest
+    val sid1 = IcebergMeta.snapshotId(root, 1L)
+    val delFile = dir.resolve(s"delete-$sid1.parquet")
+    assert(Files.exists(delFile), "no position-delete parquet exported")
+    val del = spark.read.parquet(delFile.toString)
+    assert(del.columns.toSeq == Seq("file_path", "pos"))
+    assert(del.count() == 12) // 60/5 deleted positions
+    val snaps = IcebergMeta.snapshots(root)
+    assert(snaps.map(_.operation) == Seq("append", "delete"))
+    // foreign read applies the deletes; time travel to v0 does not
+    val native = LT.read(spark, root).orderBy("id").collect().toSeq
+    assert(IcebergMeta.readIceberg(spark, root)
+      .orderBy("id").collect().toSeq == native)
+    assert(IcebergMeta.readIceberg(spark, root,
+        snapshotAsOf = Some(IcebergMeta.snapshotId(root, 0L))).count() == 60)
+    // a SECOND MOR delete rewrites the delete state (new file, old one
+    // kept for the earlier snapshot's time travel)
+    LT.deleteWhereMor(spark, root, "id % 7 = 0") // hook advances the chain
+    val sid2 = IcebergMeta.snapshotId(root, 2L)
+    assert(Files.exists(dir.resolve(s"delete-$sid2.parquet")))
+    val native2 = LT.read(spark, root).orderBy("id").collect().toSeq
+    assert(IcebergMeta.readIceberg(spark, root)
+      .orderBy("id").collect().toSeq == native2)
+    assert(IcebergMeta.readIceberg(spark, root,
+        snapshotAsOf = Some(sid1)).orderBy("id").collect().toSeq == native)
+    // IMPORT the DV-bearing chain: position deletes become a native DV
+    // sidecar; the imported table reads identically
+    val dst = freshRoot("iceberg_dv_dst")
+    IcebergMeta.convertToGraft(spark, root, dst)
+    assert(LT.dvsAt(dst, 0L).nonEmpty, "import dropped the DV state")
+    assert(LT.read(spark, dst).orderBy("id").collect().toSeq == native2)
+    // partitioned MOR tables refuse (position deletes are partition-scoped)
+    val root2 = freshRoot("iceberg_dv_part")
+    LT.create((0L until 40L).map(i => (i, i % 2)).toDF("id", "k"),
+      root2, partitionBy = Seq("k"))
+    LT.deleteWhereMor(spark, root2, "id < 4")
+    val ex = intercept[IllegalArgumentException] {
+      IcebergMeta.exportIcebergMeta(spark, root2)
     }
-    assert(ex2.getMessage.contains("deletion vectors"))
+    assert(ex.getMessage.contains("PARTITIONED"))
   }
 
   test("pruning rule memoizes: repeated planning never re-reads the manifest") {
