@@ -96,25 +96,35 @@ case class GeneratedPartitionPruning(spark: SparkSession)
         }
     } catch { case NonFatal(_) => None }
 
-  /** Current table version via a Hadoop-FS listing (scheme-aware twin of
-    * [[LakehouseTable.currentVersion]]). */
-  private def currentVersionVia(root: String): Option[Long] =
+  /** Current version + that manifest's modification time, via ONE
+    * Hadoop-FS listing (scheme-aware twin of
+    * [[LakehouseTable.currentVersion]]). The mtime rides along as the
+    * cache epoch: a table deleted and re-created at the same root gets a
+    * fresh manifest file, so a stale cached declaration can never be
+    * served for same-numbered versions of a different table. */
+  private def currentVersionVia(root: String): Option[(Long, Long)] =
     try {
       val dir = new HPath(root, "_manifest")
       val fsys = dir.getFileSystem(hadoopConf)
-      val vs = fsys.listStatus(dir).iterator.map(_.getPath.getName)
-        .filter(_.endsWith(".json"))
-        .flatMap(n => scala.util.Try(n.stripSuffix(".json").toLong).toOption)
-        .toSeq
-      if (vs.isEmpty) None else Some(vs.max)
+      val vs = fsys.listStatus(dir).iterator.flatMap { st =>
+        val n = st.getPath.getName
+        if (!n.endsWith(".json")) None
+        else scala.util.Try(n.stripSuffix(".json").toLong).toOption
+          .map(v => (v, st.getModificationTime))
+      }.toSeq
+      if (vs.isEmpty) None else Some(vs.maxBy(_._1))
     } catch { case NonFatal(_) => None }
 
-  /** Generated-col triples at (root, v), reading the manifest through the
-    * Hadoop FS at most once per (root, version) per JVM. */
-  private def gensAt(root: String, v: Long): Seq[(String, String, String)] =
-    genCache.getOrElseUpdate((root, v), {
-      manifestReads.incrementAndGet()
+  /** Generated-col triples at (root, v, manifest mtime), reading the
+    * manifest through the Hadoop FS at most once per key per JVM. A
+    * transient read failure returns Nil WITHOUT caching — pruning for
+    * that version retries on the next planning instead of being
+    * permanently lost. */
+  private def gensAt(root: String, v: Long,
+      mtime: Long): Seq[(String, String, String)] =
+    genCache.get((root, v, mtime)).getOrElse {
       try {
+        manifestReads.incrementAndGet()
         val p = new HPath(new HPath(root, "_manifest"), s"$v.json")
         val fsys = p.getFileSystem(hadoopConf)
         val in = fsys.open(p)
@@ -126,9 +136,11 @@ case class GeneratedPartitionPruning(spark: SparkSession)
             while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
             out.toString("UTF-8")
           } finally in.close()
-        LakehouseTable.parseGeneratedCols(txt)
+        val gens = LakehouseTable.parseGeneratedCols(txt)
+        genCache.putIfAbsent((root, v, mtime), gens)
+        gens
       } catch { case NonFatal(_) => Nil }
-    })
+    }
 
   /** The declared timezone of a date-kind generation, when derivable.
     * Legacy un-zoned `date` declarations are skipped: without the
@@ -174,7 +186,8 @@ case class GeneratedPartitionPruning(spark: SparkSession)
         case None => f
         case Some((rel, root)) =>
           val gens = currentVersionVia(root)
-            .map(gensAt(root, _)).getOrElse(Nil)
+            .map { case (v, mtime) => gensAt(root, v, mtime) }
+            .getOrElse(Nil)
           if (gens.isEmpty) f
           else {
             val conjuncts = splitConjunctivePredicates(cond)
@@ -265,9 +278,10 @@ object GeneratedPartitionPruning {
     * go stale; bounded by the distinct scan paths of a session. */
   private val rootCache = TrieMap.empty[String, Option[String]]
 
-  /** (root, version) → generated-col triples; manifests are immutable. */
+  /** (root, version, manifest mtime) → generated-col triples; manifests
+    * are immutable, and the mtime epoch invalidates a re-created root. */
   private val genCache =
-    TrieMap.empty[(String, Long), Seq[(String, String, String)]]
+    TrieMap.empty[(String, Long, Long), Seq[(String, String, String)]]
 
   /** Test hook: manifest FILES read by the rule since JVM start —
     * repeated planning of the same (root, version) must not move it. */

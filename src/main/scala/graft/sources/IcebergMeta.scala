@@ -214,30 +214,15 @@ object IcebergMeta {
   def exportIcebergMeta(spark: SparkSession, root: String): Path = {
     val vs = LakehouseTable.versions(root)
     require(vs.nonEmpty, s"no table at $root")
-    vs.foreach { v =>
-      require(LakehouseTable.renamedColumnsAt(root, v).isEmpty &&
-          LakehouseTable.droppedColumnsAt(root, v).isEmpty,
-        "Iceberg mirror: column mapping (rename/drop) is not mirrored — " +
-          "field-id resolution needs ids inside the data files; use the " +
-          "Delta mirror for mapped tables")
-      require(LakehouseTable.widenedColumnsAt(root, v).isEmpty,
-        "Iceberg mirror: type widening is not mirrored; use the Delta mirror")
-      // MOR DVs mirror as v2 POSITION-DELETE files — but those are
-      // partition-scoped under a partitioned spec, and the graft DV
-      // sidecar is table-global; only the unpartitioned case maps 1:1
-      require(LakehouseTable.dvsAt(root, v).isEmpty ||
-          LakehouseTable.partitionColumns(root).isEmpty,
-        "Iceberg mirror: MOR deletion vectors on a PARTITIONED table " +
-          "are not mirrored (position-delete files are partition-" +
-          "scoped); compact the DVs away or use the Delta mirror")
-    }
     val dir = metaDir(root)
     Files.createDirectories(dir)
     val partCols = LakehouseTable.partitionColumns(root)
 
     // field ids by column name, first appearance across the history —
     // stable for incremental runs (same walk → same ids, the Delta
-    // mirror's columnIds discipline)
+    // mirror's columnIds discipline). Schema dedupe is keyed by the
+    // fields-array JSON (schema-id independent), so a seeded run and a
+    // from-scratch walk assign the same schema ids.
     val fieldIds = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val schemas = scala.collection.mutable.ArrayBuffer
       .empty[String] // schema JSON per schema-id
@@ -254,7 +239,81 @@ object IcebergMeta {
     var curSchemaId = 0
     var parentId: Option[Long] = None
 
-    vs.foreach { v =>
+    // FAST PATH for the per-commit write-through hook: seed the walk
+    // state from the LAST exported metadata.json (it carries the full
+    // snapshot/schema/log state; the last snapshot's manifest list
+    // carries the manifest descriptors) and walk only the un-exported
+    // tail — a steady-state commit then costs O(new files), not
+    // O(history) (the Delta mirror's seedV discipline; without it a
+    // long-lived mirrored stream pays O(V²) across V commits).
+    val hint = dir.resolve("version-hint.text")
+    val seededFrom: Option[Long] =
+      if (!Files.exists(hint)) None
+      else scala.util.control.Exception.nonFatalCatch.opt {
+        val n = Files.readString(hint).trim.toLong
+        val lastV = n - 1
+        require(vs.contains(lastV))
+        val md = mapper.readTree(
+          Files.readString(dir.resolve(s"v$n.metadata.json")))
+        md.get("schemas").elements().asScala.zipWithIndex.foreach {
+          case (sc, i) =>
+            schemas += sc.toString
+            schemaIdOf(sc.get("fields").toString) = i
+            sc.get("fields").elements().asScala.foreach(f =>
+              fieldIds.getOrElseUpdate(
+                f.get("name").asText().toLowerCase, f.get("id").asInt()))
+        }
+        curSchemaId = md.get("current-schema-id").asInt()
+        val curSchemaNode = md.get("schemas").elements().asScala
+          .find(_.get("schema-id").asInt() == curSchemaId).get
+        schemaStruct = org.apache.spark.sql.types.StructType(
+          curSchemaNode.get("fields").elements().asScala.map(f =>
+            org.apache.spark.sql.types.StructField(
+              f.get("name").asText(), sparkType(f.get("type")))).toSeq)
+        md.get("snapshots").elements().asScala
+          .foreach(snapshotsJson += _.toString)
+        md.get("snapshot-log").elements().asScala
+          .foreach(snapshotLog += _.toString)
+        md.get("metadata-log").elements().asScala
+          .foreach(metadataLog += _.toString)
+        metadataLog += (s"""{"metadata-file":"${dir.resolve(s"v$n.metadata.json")}",""" +
+          s""""timestamp-ms":${md.get("last-updated-ms").asLong()}}""")
+        parentId = Some(md.get("current-snapshot-id").asLong())
+        val lastList = snapshots(root).find(
+          _.id == md.get("current-snapshot-id").asLong()).get.manifestList
+        readAvro(Paths.get(lastList)).foreach { mf =>
+          val d = ManifestDesc(
+            Paths.get(mf.get("manifest_path").toString),
+            mf.get("content").asInstanceOf[Int],
+            mf.get("sequence_number").asInstanceOf[Long],
+            mf.get("min_sequence_number").asInstanceOf[Long],
+            mf.get("added_snapshot_id").asInstanceOf[Long],
+            mf.get("added_files_count").asInstanceOf[Int],
+            mf.get("added_rows_count").asInstanceOf[Long])
+          if (d.content == 0) manifests += d else deleteManifest = Some(d)
+        }
+        prevFiles = LakehouseTable.manifestFiles(root, lastV)
+        prevCols = Some(LakehouseTable.addedColumnsAt(root, lastV))
+        prevDvs = LakehouseTable.dvsAt(root, lastV).toMap
+        lastV
+      }
+    val startIdx = seededFrom.map(vs.indexOf(_) + 1).getOrElse(0)
+
+    vs.drop(startIdx).foreach { v =>
+      require(LakehouseTable.renamedColumnsAt(root, v).isEmpty &&
+          LakehouseTable.droppedColumnsAt(root, v).isEmpty,
+        "Iceberg mirror: column mapping (rename/drop) is not mirrored — " +
+          "field-id resolution needs ids inside the data files; use the " +
+          "Delta mirror for mapped tables")
+      require(LakehouseTable.widenedColumnsAt(root, v).isEmpty,
+        "Iceberg mirror: type widening is not mirrored; use the Delta mirror")
+      // MOR DVs mirror as v2 POSITION-DELETE files — but those are
+      // partition-scoped under a partitioned spec, and the graft DV
+      // sidecar is table-global; only the unpartitioned case maps 1:1
+      require(LakehouseTable.dvsAt(root, v).isEmpty || partCols.isEmpty,
+        "Iceberg mirror: MOR deletion vectors on a PARTITIONED table " +
+          "are not mirrored (position-delete files are partition-" +
+          "scoped); compact the DVs away or use the Delta mirror")
       val seq = v + 1
       val sid = snapshotId(root, v)
       val ts = LakehouseTable.commitTsAt(root, v).getOrElse(0L)
@@ -265,11 +324,12 @@ object IcebergMeta {
         schemaStruct = LakehouseTable.read(spark, root, Some(v)).schema
         schemaStruct.foreach(f => fieldIds.getOrElseUpdate(
           f.name.toLowerCase, fieldIds.size + 1))
-        val json = schemaStruct.map { f =>
+        val fieldsJson = schemaStruct.map { f =>
           s"""{"id":${fieldIds(f.name.toLowerCase)},"name":"${f.name}","required":false,"type":${icebergType(f.dataType)}}"""
-        }.mkString("""{"type":"struct","schema-id":SCHEMA_ID,"fields":[""", ",", "]}")
-        curSchemaId = schemaIdOf.getOrElseUpdate(json, {
-          schemas += json.replace("SCHEMA_ID", schemas.size.toString)
+        }.mkString("[", ",", "]")
+        curSchemaId = schemaIdOf.getOrElseUpdate(fieldsJson, {
+          schemas +=
+            s"""{"type":"struct","schema-id":${schemas.size},"fields":$fieldsJson}"""
           schemas.size - 1
         })
       }
@@ -343,7 +403,13 @@ object IcebergMeta {
       // prior one — the rewrite-delete-files shape, so a reader never
       // unions stale delete states. A DV-clearing version (REORG PURGE /
       // compaction) simply drops the delete manifest from the list.
-      if (dvChanged) {
+      // A FULL REWRITE with surviving DVs must RE-STAMP the delete state
+      // even when it did not change: the rewrite re-lists carried files
+      // at the new sequence number, and spec readers apply position
+      // deletes only to data files with data-seq <= delete-seq — an
+      // older delete manifest would silently resurrect deleted rows.
+      val fullRewrite = v == vs.head || removed.nonEmpty
+      if (dvChanged || (fullRewrite && curDvs.nonEmpty)) {
         if (curDvs.isEmpty) deleteManifest = None
         else {
           val delParquet = dir.resolve(s"delete-$sid.parquet")
@@ -446,7 +512,6 @@ object IcebergMeta {
     }
     // the pointer readers (and the write-through hook) consult; LAST so a
     // crash mid-export leaves a valid shorter chain
-    val hint = dir.resolve("version-hint.text")
     val tmp = Files.createTempFile(dir, ".hint-tmp", ".txt")
     Files.writeString(tmp, (vs.last + 1).toString)
     Files.move(tmp, hint, StandardCopyOption.REPLACE_EXISTING)
@@ -470,12 +535,15 @@ object IcebergMeta {
     val posMeta = new MetadataBuilder()
       .putLong("parquet.field.id", 2147483545L).build()
     val prefix = Paths.get(root, "data").toString + "/"
-    val df = LakehouseTable.dvRows(spark, root, dvs)
+    // an ISOLATED session (shared SparkContext, own SQLConf) carries the
+    // field-id-write flag: flipping it on the caller's session would
+    // race concurrent exports and leak into unrelated parquet writes
+    val session = spark.newSession()
+    session.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val df = LakehouseTable.dvRows(session, root, dvs)
       .select(concat(lit(prefix), col("path")).as("file_path", fpMeta),
         col("pos").cast("long").as("pos", posMeta))
       .orderBy("file_path", "pos")
-    val prev = spark.conf.getOption("spark.sql.parquet.fieldId.write.enabled")
-    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     val tmpDir = Files.createTempDirectory(target.getParent, ".del-tmp")
     try {
       df.coalesce(1).write.mode("overwrite")
@@ -486,12 +554,6 @@ object IcebergMeta {
       try Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
       catch { case _: java.nio.file.FileAlreadyExistsException => () }
     } finally {
-      prev match {
-        case Some(p) =>
-          spark.conf.set("spark.sql.parquet.fieldId.write.enabled", p)
-        case None =>
-          spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
-      }
       val walked = Files.walk(tmpDir)
       try walked.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => { Files.deleteIfExists(p); () })
@@ -654,9 +716,7 @@ object IcebergMeta {
       "import would collide two source files onto one dest path")
     identityCols.foreach { c =>
       mapping.map(_._2).foreach(rel => require(
-        rel.split('/').dropRight(1).exists(seg =>
-          seg.length > c.length && seg.charAt(c.length) == '=' &&
-            seg.regionMatches(true, 0, c, 0, c.length)),
+        LakehouseTable.hiveEncodesColumn(rel, c),
         s"identity partition '$c' is not hive-encoded in the path of " +
           s"'$rel'; cannot import without a rewrite"))
     }

@@ -1585,8 +1585,17 @@ object LakehouseTable {
       adds.collect { case (p, Some(d)) => p -> d }.toMap)
   }
 
-  private val CommitInfoTsRe =
-    """"commitInfo":\s*\{[^}]*"timestamp":\s*(\d+)""".r
+  /** commitInfo.timestamp of one action line, parsed as real JSON —
+    * foreign writers put arbitrary nested objects (operationParameters,
+    * engineInfo) BEFORE the timestamp field, which no flat regex can
+    * step over. */
+  private def commitInfoTs(line: String): Option[Long] =
+    try {
+      val n = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(line)
+      Option(n.get("commitInfo")).flatMap(ci =>
+        Option(ci.get("timestamp")).map(_.asLong()))
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Latest exported/foreign log version committed at or before
     * `tsMillis` — the commit time is the log's own commitInfo.timestamp
@@ -1603,8 +1612,7 @@ object LakehouseTable {
         try {
           Files.readString(p).linesIterator
             .filter(_.contains("\"commitInfo\""))
-            .flatMap(l =>
-              CommitInfoTsRe.findFirstMatchIn(l).map(_.group(1).toLong))
+            .flatMap(commitInfoTs)
             .nextOption()
             .getOrElse(Files.getLastModifiedTime(p).toMillis) <= tsMillis
         } catch { case _: java.nio.file.NoSuchFileException => false }
@@ -1787,13 +1795,7 @@ object LakehouseTable {
         .getOrElse(Nil)
     }
     declaredParts.foreach { c =>
-      // exact SEGMENT match, not a substring test: 'xcol=1/...' must not
-      // satisfy the check for partition column 'col' — a non-hive table
-      // would then import with the column silently null
-      state.live.foreach(f => require(
-        f.split('/').dropRight(1).exists(seg =>
-          seg.length > c.length && seg.charAt(c.length) == '=' &&
-            seg.regionMatches(true, 0, c, 0, c.length)),
+      state.live.foreach(f => require(hiveEncodesColumn(f, c),
         s"partition column '$c' is not encoded in the path of '$f' " +
           "(non-hive Delta layout); cannot import without a rewrite"))
     }
@@ -1943,6 +1945,16 @@ object LakehouseTable {
   }
 
   private val IdentRe = "[A-Za-z_][A-Za-z0-9_]*"
+
+  /** True when relative path `rel` hive-encodes partition column `c` as
+    * an exact `c=` directory SEGMENT — a substring test would wrongly
+    * accept 'xcol=1' for column 'col' and let a non-hive table import
+    * with the partition column silently null. Shared by the Delta and
+    * Iceberg import guards so a fix to one cannot miss the other. */
+  private[sources] def hiveEncodesColumn(rel: String, c: String): Boolean =
+    rel.split('/').dropRight(1).exists(seg =>
+      seg.length > c.length && seg.charAt(c.length) == '=' &&
+        seg.regionMatches(true, 0, c, 0, c.length))
 
   /** Total row count of `relFiles` from parquet FOOTERS only — no data
     * pages, no SparkSession (for metadata-path guards). */

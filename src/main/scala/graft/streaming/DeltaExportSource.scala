@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, GraftStreamingShims, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
@@ -45,12 +45,20 @@ class DeltaExportSourceProvider extends StreamSourceProvider
       throw new IllegalArgumentException(
         "delta-export source requires .option(\"path\", <table root>)"))
 
+  // one log replay per query START, not one per provider call: the
+  // engine calls sourceSchema and then createSource re-derives it —
+  // memoize per root within this provider instance (one per query)
+  private val schemaMemo = scala.collection.concurrent.TrieMap
+    .empty[String, StructType]
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(
-      LakehouseTable.readDeltaExport(sqlContext.sparkSession,
-        rootOf(parameters)).schema))
+    (shortName(), schema.getOrElse {
+      val root = rootOf(parameters)
+      schemaMemo.getOrElseUpdate(root,
+        LakehouseTable.readDeltaExport(sqlContext.sparkSession, root).schema)
+    })
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
@@ -86,8 +94,10 @@ class DeltaExportSource(spark: SparkSession, root: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = versionOf(end)
     def emptyBatch: DataFrame =
-      LakehouseTable.readDeltaExport(spark, root,
-        versionAsOf = Some(endV)).limit(0)
+      // the planned schema, zero rows — NOT a limit(0) over a full log
+      // replay; a no-progress trigger must cost nothing
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val batch = (start.map(versionOf), startingVersion) match {
       // fresh stream, no declared start: the snapshot at endV — exactly
       // what a foreign batch reader sees at that version
@@ -123,11 +133,31 @@ class DeltaExportSource(spark: SparkSession, root: String,
           else LakehouseTable.readDeltaExportFiles(spark, root, acc.toSeq)
         }
     }
-    // align to the planned schema: a column absent from this batch's
-    // files (ragged appends) null-fills, exactly as the batch read would
+    // the engine requires every batch to match the schema it planned at
+    // start. A column the CURRENT log schema no longer carries (foreign
+    // rename/drop) or whose type changed mid-stream cannot be null-filled
+    // or cast away silently — fail like the graft-table source (and
+    // Delta's own) does; a restart adopts the new schema. (A column
+    // merely absent from THIS batch's files — a ragged append — still
+    // null-fills below, as the batch read itself would: the slice read
+    // always projects the full current log schema.)
+    schema.foreach { f =>
+      batch.schema.find(_.name.equalsIgnoreCase(f.name)) match {
+        case None =>
+          throw new IllegalStateException(
+            s"delta-export stream over $root: column '${f.name}' left " +
+              "the foreign log's schema mid-stream (rename/drop). " +
+              "Restart the query to adopt the new schema.")
+        case Some(a) if a.dataType != f.dataType =>
+          throw new IllegalStateException(
+            s"delta-export stream over $root: column '${f.name}' changed " +
+              s"type ${f.dataType.sql} -> ${a.dataType.sql} mid-stream. " +
+              "Restart the query to adopt the new schema.")
+        case _ => ()
+      }
+    }
     val aligned = batch.select(schema.map(f =>
-      (if (batch.columns.exists(_.equalsIgnoreCase(f.name))) col(f.name)
-       else lit(null)).cast(f.dataType).as(f.name)).toSeq: _*)
+      col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
     GraftStreamingShims.streamingDataFrame(spark, aligned)
   }
 

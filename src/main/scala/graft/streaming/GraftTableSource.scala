@@ -423,12 +423,22 @@ class GraftTableSource(spark: SparkSession, root: String,
             val later = LakehouseTable.versions(root)
               .filter(w => w > c.v && w <= capV)
             var idx = 0
-            while (idx < later.length && !b.spent && pos >= listLen) {
-              v = later(idx); snap = false
-              list = fileListOf(v, snapshot = false)
-              listLen = list.length.toLong
-              pos = b.admit(list, 0L)
-              idx += 1
+            var blocked = false
+            while (idx < later.length && !b.spent && !blocked &&
+                pos >= listLen) {
+              val w = later(idx)
+              val wList = fileListOf(w, snapshot = false)
+              val wPos = b.admit(wList, 0L)
+              // the next version's FIRST file does not fit the remaining
+              // byte budget: stay at the current cursor position — an
+              // offset at (w, 0) would add no files but still read as
+              // new, planning a spurious empty batch every trigger
+              if (wPos == 0 && wList.nonEmpty && b.any) blocked = true
+              else {
+                v = w; snap = false
+                list = wList; listLen = wList.length.toLong; pos = wPos
+                idx += 1
+              }
             }
             // no progress (cursor already at the frontier): re-emit the
             // cursor VERBATIM — a re-encoded-but-equal position would

@@ -426,6 +426,21 @@ class Round8Spec extends AnyFunSuite {
     IcebergMeta.convertToGraft(spark, root, dst)
     assert(LT.dvsAt(dst, 0L).nonEmpty, "import dropped the DV state")
     assert(LT.read(spark, dst).orderBy("id").collect().toSeq == native2)
+    // a COW REWRITE carrying unchanged DVs must RE-STAMP the delete
+    // state at the new sequence number: spec readers apply position
+    // deletes only to data files with data-seq <= delete-seq, and the
+    // rewrite re-lists carried files at the rewrite's sequence — an
+    // older delete manifest would resurrect the carried files' deletions
+    LT.append(Seq((100L, 9L)).toDF("id", "g"), root) // own file, id%35 != 0
+    LT.deleteWhere(spark, root, "id = 100") // rewrites only the new file
+    assert(LT.dvsAt(root, LT.currentVersion(root).get).nonEmpty,
+      "precondition: DVs must survive the partial rewrite")
+    val sidRw = IcebergMeta.snapshotId(root, LT.currentVersion(root).get)
+    assert(Files.exists(dir.resolve(s"delete-$sidRw.parquet")),
+      "rewrite with carried DVs must re-stamp the position-delete state")
+    val nativeRw = LT.read(spark, root).orderBy("id").collect().toSeq
+    assert(IcebergMeta.readIceberg(spark, root)
+      .orderBy("id").collect().toSeq == nativeRw)
     // partitioned MOR tables refuse (position deletes are partition-scoped)
     val root2 = freshRoot("iceberg_dv_part")
     LT.create((0L until 40L).map(i => (i, i % 2)).toDF("id", "k"),
