@@ -1023,6 +1023,23 @@ object Lakehouse {
         .orderBy(col("event_type"))
     }),
 
+    // The Iceberg metadata FORMAT under a foreign parser: DuckDB reads
+    // the raw v4.metadata.json (read_json_auto — no engine code on that
+    // side) and unnests the snapshot list; the Spark side reports the
+    // same lineage through IcebergMeta.snapshots. Hash-matching proves
+    // the snapshot chain (sequence numbers, parent links, operations,
+    // schema ids) is well-formed JSON a non-Iceberg tool can consume —
+    // the q144 proof, for the second format's metadata layer.
+    "q190_iceberg_metadata" -> ((s, d) => {
+      val root = deltaExportRoot(s, d)
+      IcebergMeta.exportIcebergMeta(s, root)
+      val rows = IcebergMeta.snapshots(root).map(x =>
+        (x.seq, x.id, x.parent, x.operation, x.schemaId.toLong))
+      s.createDataFrame(rows)
+        .toDF("seq", "snapshot_id", "parent_id", "op", "schema_id")
+        .orderBy(col("seq"))
+    }),
+
     // create → MERGE (update + insert) → deleteWhere → read the survivors.
     // Aggregates are all bit-exact (count, long sum, double min/max) so the
     // hash gate verifies the exact surviving row set, not a tolerance.
@@ -1775,6 +1792,18 @@ object Lakehouse {
     "q186_iceberg_export" -> sqlDeltaFinalState,
 
     "q188_convert_from_iceberg" -> sqlDeltaFinalState,
+
+    // DuckDB parses the raw Iceberg metadata.json (path pinned to the
+    // gate SF, as q144/q149)
+    "q190_iceberg_metadata" ->
+      s"""SELECT s."sequence-number" AS seq,
+            s."snapshot-id" AS snapshot_id,
+            coalesce(s."parent-snapshot-id", -1) AS parent_id,
+            s.summary.operation AS op,
+            CAST(s."schema-id" AS BIGINT) AS schema_id
+          FROM (SELECT unnest(snapshots) AS s
+                FROM read_json_auto('${deltaExportDir("/root/testdata/sf0.01")}/metadata/v4.metadata.json'))
+          ORDER BY seq""",
 
     // same survivors as q161/q179 — the history is the same MOR table
     "q189_iceberg_dv_export" ->

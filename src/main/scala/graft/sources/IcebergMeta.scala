@@ -41,21 +41,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * shape); dead files never linger behind a live manifest list.
   *
   * MOR deletion vectors mirror as v2 POSITION-DELETE files: the full
-  * current DV state lands in one sorted (file_path, pos) parquet with
-  * the spec's reserved field-ids behind a content=1 delete manifest,
-  * rewritten whenever the DV state changes (the rewrite-delete-files
-  * shape) — unpartitioned tables only, since a partitioned spec scopes
-  * delete files per partition while the graft sidecar is table-global.
+  * current DV state lands in sorted (file_path, pos) parquet with the
+  * spec's reserved field-ids behind a content=1 delete manifest —
+  * PARTITION-SCOPED, one delete file per hive partition with deletions
+  * (its manifest entry carries the partition values, so spec readers
+  * prune delete application), written by one distributed job; rewritten
+  * whenever the DV state changes (the rewrite-delete-files shape), and
+  * RE-STAMPED at a rewrite's sequence number when carried unchanged
+  * (spec readers apply deletes only to data-seq <= delete-seq).
   *
   * Scope guards (refuse, never corrupt): active column mapping
-  * (rename/drop), type widening, and DVs on PARTITIONED tables are the
-  * Delta mirror's domain — their Iceberg counterparts (field-id
-  * resolution inside data files, partition-scoped delete files) need
-  * writer cooperation the shared-parquet layout doesn't have.
-  * Everything else — appends, COW rewrites, MOR deletes on
-  * unpartitioned tables, schema ADD COLUMNS, hive partitioning —
-  * mirrors, and [[convertToGraft]] imports the other direction
-  * (position deletes become a native DV sidecar). */
+  * (rename/drop) and type widening are the Delta mirror's domain —
+  * their Iceberg counterparts need field ids inside the data files,
+  * which the shared-parquet layout doesn't carry. Everything else —
+  * appends, COW rewrites, MOR deletes, schema ADD COLUMNS, hive
+  * partitioning — mirrors, and [[convertToGraft]] imports the other
+  * direction (position deletes become a native DV sidecar). */
 object IcebergMeta {
 
   private def metaDir(root: String): Path = Paths.get(root, "metadata")
@@ -307,13 +308,6 @@ object IcebergMeta {
           "Delta mirror for mapped tables")
       require(LakehouseTable.widenedColumnsAt(root, v).isEmpty,
         "Iceberg mirror: type widening is not mirrored; use the Delta mirror")
-      // MOR DVs mirror as v2 POSITION-DELETE files — but those are
-      // partition-scoped under a partitioned spec, and the graft DV
-      // sidecar is table-global; only the unpartitioned case maps 1:1
-      require(LakehouseTable.dvsAt(root, v).isEmpty || partCols.isEmpty,
-        "Iceberg mirror: MOR deletion vectors on a PARTITIONED table " +
-          "are not mirrored (position-delete files are partition-" +
-          "scoped); compact the DVs away or use the Delta mirror")
       val seq = v + 1
       val sid = snapshotId(root, v)
       val ts = LakehouseTable.commitTsAt(root, v).getOrElse(0L)
@@ -412,29 +406,44 @@ object IcebergMeta {
       if (dvChanged || (fullRewrite && curDvs.nonEmpty)) {
         if (curDvs.isEmpty) deleteManifest = None
         else {
-          val delParquet = dir.resolve(s"delete-$sid.parquet")
-          writeDeleteParquet(spark, root, curDvs, delParquet)
-          val delRows =
-            try LakehouseTable.parquetRecordCount(delParquet)
-            catch { case scala.util.control.NonFatal(_) => 0L }
-          val df = new GenericData.Record(dataFileSchema)
-          df.put("content", 1) // POSITION_DELETES
-          df.put("file_path", delParquet.toString)
-          df.put("file_format", "PARQUET")
-          df.put("partition", new GenericData.Record(partSchema)) // unpartitioned
-          df.put("record_count", delRows)
-          df.put("file_size_in_bytes",
-            try Files.size(delParquet) catch { case _: java.io.IOException => 0L })
-          val e = new GenericData.Record(entrySchema)
-          e.put("status", 1)
-          e.put("snapshot_id", sid)
-          e.put("sequence_number", null)
-          e.put("file_sequence_number", null)
-          e.put("data_file", df)
+          // one PARTITION-SCOPED delete parquet per hive partition with
+          // deletions (the spec's shape — delete entries carry their
+          // partition values for pruning); unpartitioned → one file
+          val delFiles = writeDeleteParquets(spark, root, curDvs, dir, sid)
+          val entries = delFiles.map { case (delParquet, pd) =>
+            val delRows =
+              try LakehouseTable.parquetRecordCount(delParquet)
+              catch { case scala.util.control.NonFatal(_) => 0L }
+            val part = new GenericData.Record(partSchema)
+            val dirVals = pd.split('/').filter(_.contains('='))
+              .map { seg => val Array(k, x) = seg.split("=", 2); k -> x }
+              .toMap
+            partTypes.foreach { case (c, dt) =>
+              part.put(c, dirVals.get(c).map(partitionValue(dt, _)).orNull)
+            }
+            val df = new GenericData.Record(dataFileSchema)
+            df.put("content", 1) // POSITION_DELETES
+            df.put("file_path", delParquet.toString)
+            df.put("file_format", "PARQUET")
+            df.put("partition", part)
+            df.put("record_count", delRows)
+            df.put("file_size_in_bytes",
+              try Files.size(delParquet)
+              catch { case _: java.io.IOException => 0L })
+            val e = new GenericData.Record(entrySchema)
+            e.put("status", 1)
+            e.put("snapshot_id", sid)
+            e.put("sequence_number", null)
+            e.put("file_sequence_number", null)
+            e.put("data_file", df)
+            (e, delRows)
+          }
           val m = dir.resolve(s"m-$sid-del.avro")
           writeAvro(m, entrySchema,
-            manifestMeta.dropRight(1) :+ ("content" -> "deletes"), Seq(e))
-          deleteManifest = Some(ManifestDesc(m, 1, seq, seq, sid, 1, delRows))
+            manifestMeta.dropRight(1) :+ ("content" -> "deletes"),
+            entries.map(_._1))
+          deleteManifest = Some(ManifestDesc(m, 1, seq, seq, sid,
+            entries.size, entries.map(_._2).sum))
         }
       }
 
@@ -518,18 +527,29 @@ object IcebergMeta {
     dir
   }
 
-  /** Write the FULL DV state as one Iceberg v2 position-delete parquet:
+  /** Write the FULL DV state as Iceberg v2 position-delete parquet:
     * columns `file_path` (string, field-id 2147483546) and `pos` (long,
     * field-id 2147483545), sorted by (file_path, pos) as the spec
     * requires; paths are the absolute data-file paths the manifests
-    * carry. One file per snapshot — bounded by deleted rows of live
-    * files; a partition-scoped multi-file layout is the partitioned
-    * table's shape, which the export guard routes to the Delta mirror. */
-  private def writeDeleteParquet(spark: SparkSession, root: String,
-      dvs: Map[String, String], target: Path): Unit = {
-    if (Files.exists(target)) return
-    import org.apache.spark.sql.functions.{col, concat, lit}
+    * carry. PARTITION-SCOPED: one delete file per hive partition with
+    * deletions (one distributed partitionBy job, not a job per
+    * partition), so each manifest entry carries its partition values and
+    * a spec reader prunes delete application per partition; an
+    * unpartitioned table writes one file. Returns (file, partition dir)
+    * pairs, "" for unpartitioned. Deterministic names — concurrent
+    * exporters converge; all-targets-exist skips the job entirely. */
+  private def writeDeleteParquets(spark: SparkSession, root: String,
+      dvs: Map[String, String], dir: Path, sid: Long): Seq[(Path, String)] = {
+    import org.apache.spark.sql.functions.{col, concat, expr, lit}
     import org.apache.spark.sql.types.MetadataBuilder
+    val partDirs = dvs.keys
+      .map(rel => rel.split('/').dropRight(1).mkString("/"))
+      .toSeq.distinct.sorted
+    def targetOf(pd: String): Path = dir.resolve(
+      if (pd.isEmpty) s"delete-$sid.parquet"
+      else s"delete-$sid-${graft.plans.TextExpressions.md5Hex(pd).take(10)}.parquet")
+    val targets = partDirs.map(pd => (targetOf(pd), pd))
+    if (targets.forall(t => Files.exists(t._1))) return targets
     val fpMeta = new MetadataBuilder()
       .putLong("parquet.field.id", 2147483546L).build()
     val posMeta = new MetadataBuilder()
@@ -540,19 +560,56 @@ object IcebergMeta {
     // race concurrent exports and leak into unrelated parquet writes
     val session = spark.newSession()
     session.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-    val df = LakehouseTable.dvRows(session, root, dvs)
-      .select(concat(lit(prefix), col("path")).as("file_path", fpMeta),
+    val withRel = LakehouseTable.dvRows(session, root, dvs)
+      .select(col("path"),
+        concat(lit(prefix), col("path")).as("file_path", fpMeta),
         col("pos").cast("long").as("pos", posMeta))
-      .orderBy("file_path", "pos")
-    val tmpDir = Files.createTempDirectory(target.getParent, ".del-tmp")
+    val tmpDir = Files.createTempDirectory(dir, ".del-tmp")
     try {
-      df.coalesce(1).write.mode("overwrite")
-        .parquet(tmpDir.resolve("out").toString)
-      val part = withListed(tmpDir.resolve("out"))(
-        _.find(_.toString.endsWith(".parquet"))).getOrElse(
-        throw new IllegalStateException("delete parquet write produced no file"))
-      try Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      if (partDirs == Seq("")) {
+        withRel.drop("path").orderBy("file_path", "pos").coalesce(1)
+          .write.mode("overwrite").parquet(tmpDir.resolve("out").toString)
+        val part = withListed(tmpDir.resolve("out"))(
+          _.find(_.toString.endsWith(".parquet"))).getOrElse(
+          throw new IllegalStateException(
+            "delete parquet write produced no file"))
+        try Files.move(part, targetOf(""), StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      } else {
+        // dir-of-path as the write partition: hash-repartitioning puts
+        // each partition's rows in one task → exactly one file per
+        // partition, sorted within; ONE distributed job regardless of
+        // the number of partitions with deletions
+        val out = tmpDir.resolve("out")
+        withRel.withColumn("__pd", expr(
+            "case when path not like '%/%' then '' else " +
+              "substring(path, 1, length(path) - " +
+              "length(substring_index(path, '/', -1)) - 1) end"))
+          .drop("path")
+          .repartition(col("__pd"))
+          .sortWithinPartitions("file_path", "pos")
+          .write.partitionBy("__pd").mode("overwrite").parquet(out.toString)
+        withListed(out)(_.filter(Files.isDirectory(_)).toSeq).foreach { d =>
+          val name = d.getFileName.toString
+          if (name.startsWith("__pd=")) {
+            // Spark %XX-escapes '=', '/', etc. in partition dir names;
+            // an empty dir value lands in the hive default partition
+            val raw = name.stripPrefix("__pd=")
+            val pd =
+              if (raw == "__HIVE_DEFAULT_PARTITION__") ""
+              else java.net.URLDecoder.decode(
+                raw.replace("+", "%2B"), "UTF-8")
+            val part = withListed(d)(
+              _.find(_.toString.endsWith(".parquet"))).getOrElse(
+              throw new IllegalStateException(s"no delete file for '$pd'"))
+            try Files.move(part, targetOf(pd), StandardCopyOption.ATOMIC_MOVE)
+            catch { case _: java.nio.file.FileAlreadyExistsException => () }
+          }
+        }
+        targets.foreach { case (t, pd) => require(Files.exists(t),
+          s"delete write produced no file for partition '$pd'") }
+      }
+      targets
     } finally {
       val walked = Files.walk(tmpDir)
       try walked.sorted(java.util.Comparator.reverseOrder())

@@ -441,15 +441,34 @@ class Round8Spec extends AnyFunSuite {
     val nativeRw = LT.read(spark, root).orderBy("id").collect().toSeq
     assert(IcebergMeta.readIceberg(spark, root)
       .orderBy("id").collect().toSeq == nativeRw)
-    // partitioned MOR tables refuse (position deletes are partition-scoped)
+    // PARTITIONED MOR tables: the delete state is partition-scoped —
+    // one delete file per hive partition with deletions, each manifest
+    // entry carrying its partition values (the spec's pruning shape)
     val root2 = freshRoot("iceberg_dv_part")
     LT.create((0L until 40L).map(i => (i, i % 2)).toDF("id", "k"),
       root2, partitionBy = Seq("k"))
-    LT.deleteWhereMor(spark, root2, "id < 4")
-    val ex = intercept[IllegalArgumentException] {
-      IcebergMeta.exportIcebergMeta(spark, root2)
+    LT.deleteWhereMor(spark, root2, "id < 4") // touches both k=0 and k=1
+    IcebergMeta.exportIcebergMeta(spark, root2)
+    val dir2 = Paths.get(root2, "metadata")
+    import scala.jdk.CollectionConverters._
+    val delFiles = Files.list(dir2).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("delete-")).toSeq
+    assert(delFiles.size == 2,
+      s"expected one delete file per touched partition, got $delFiles")
+    delFiles.foreach { f =>
+      val rows = spark.read.parquet(f.toString).collect()
+      // each file covers exactly ONE partition dir
+      assert(rows.map(_.getString(0).split('/').dropRight(1).last)
+        .distinct.length == 1, s"delete file $f spans partitions")
     }
-    assert(ex.getMessage.contains("PARTITIONED"))
+    val nativeP = LT.read(spark, root2).orderBy("id").collect().toSeq
+    assert(IcebergMeta.readIceberg(spark, root2)
+      .select("id", "k").orderBy("id").collect().toSeq == nativeP)
+    // import round-trips the partitioned DV state too
+    val dstP = freshRoot("iceberg_dv_part_dst")
+    IcebergMeta.convertToGraft(spark, root2, dstP)
+    assert(LT.read(spark, dstP).select("id", "k")
+      .orderBy("id").collect().toSeq == nativeP)
   }
 
   test("pruning rule memoizes: repeated planning never re-reads the manifest") {
