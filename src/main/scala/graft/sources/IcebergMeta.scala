@@ -666,6 +666,11 @@ object IcebergMeta {
     mapper.readTree(Files.readString(dir.resolve(s"v$n.metadata.json")))
   }
 
+  /** True when an exported chain exists at `root` (version-hint
+    * present) — the streaming source's cheap liveness probe. */
+  def hasChain(root: String): Boolean =
+    Files.exists(metaDir(root).resolve("version-hint.text"))
+
   def snapshots(root: String): Seq[SnapshotInfo] = {
     val md = currentMetadata(root)
     md.get("snapshots").elements().asScala.map { s =>
@@ -820,6 +825,58 @@ object IcebergMeta {
     LakehouseTable.commit(dstRoot, 0, mapping.map(_._2), dvs = dvField)
   }
 
+  /** The logical fields (name, Spark type) of one schema-id in the
+    * current metadata. */
+  private def schemaFieldsOf(root: String,
+      schemaId: Int): Seq[(String, org.apache.spark.sql.types.DataType)] = {
+    val md = currentMetadata(root)
+    val schemaNode = md.get("schemas").elements().asScala
+      .find(_.get("schema-id").asInt() == schemaId).getOrElse(
+        throw new IllegalStateException(s"schema $schemaId missing"))
+    schemaNode.get("fields").elements().asScala.map(f =>
+      (f.get("name").asText(), sparkType(f.get("type")))).toSeq
+  }
+
+  /** Data files ADDED by one snapshot — the entries of the manifests
+    * that snapshot itself contributed (added_snapshot_id == sid, status
+    * ADDED): the incremental unit of the iceberg-export streaming
+    * source. O(that snapshot's manifests), never a chain replay. */
+  def snapshotAddedFiles(root: String, sid: Long): Seq[String] = {
+    val snap = snapshots(root).find(_.id == sid).getOrElse(
+      throw new IllegalArgumentException(s"no Iceberg snapshot $sid at $root"))
+    readAvro(Paths.get(snap.manifestList))
+      .filter(mf => mf.get("content").asInstanceOf[Int] == 0 &&
+        mf.get("added_snapshot_id").asInstanceOf[Long] == sid)
+      .flatMap { mf =>
+        readAvro(Paths.get(mf.get("manifest_path").toString)).flatMap { e =>
+          if (e.get("status").asInstanceOf[Int] != 1) None
+          else Some(e.get("data_file").asInstanceOf[GenericRecord]
+            .get("file_path").toString)
+        }
+      }
+  }
+
+  /** Read a specific chain-file slice under the CURRENT metadata schema
+    * (no delete application — the streaming source's append unit). */
+  def readIcebergFiles(spark: SparkSession, root: String,
+      files: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(files.nonEmpty, "readIcebergFiles: empty file slice")
+    val md = currentMetadata(root)
+    val sid = md.get("current-snapshot-id").asLong()
+    val schemaId = snapshots(root).find(_.id == sid).map(_.schemaId)
+      .getOrElse(throw new IllegalStateException(s"snapshot $sid missing"))
+    val fields = schemaFieldsOf(root, schemaId)
+    val raw = spark.read
+      .option("basePath", Paths.get(root, "data").toString)
+      .option("mergeSchema", "true")
+      .parquet(files: _*)
+    raw.select(fields.map { case (n, dt) =>
+      (if (raw.columns.exists(_.equalsIgnoreCase(n))) col(n)
+       else org.apache.spark.sql.functions.lit(null)).cast(dt).as(n)
+    }: _*)
+  }
+
   /** Read the table THROUGH the Iceberg chain only — version-hint →
     * metadata.json → (current or pinned) snapshot → manifest list →
     * manifests → live files, served under the metadata schema. The graft
@@ -832,11 +889,7 @@ object IcebergMeta {
     val sid = snapshotAsOf.getOrElse(md.get("current-snapshot-id").asLong())
     val snap = snapshots(root).find(_.id == sid).getOrElse(
       throw new IllegalArgumentException(s"no Iceberg snapshot $sid at $root"))
-    val schemaNode = md.get("schemas").elements().asScala
-      .find(_.get("schema-id").asInt() == snap.schemaId).getOrElse(
-        throw new IllegalStateException(s"schema ${snap.schemaId} missing"))
-    val fields = schemaNode.get("fields").elements().asScala.map(f =>
-      (f.get("name").asText(), sparkType(f.get("type")))).toSeq
+    val fields = schemaFieldsOf(root, snap.schemaId)
     val (files, deleteFiles) = snapshotEntries(root, sid)
     val raw = spark.read
       .option("basePath", Paths.get(root, "data").toString)

@@ -1,0 +1,152 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, GraftStreamingShims, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.IcebergMeta
+
+/** Micro-batch STREAMING SOURCE over a FOREIGN Iceberg chain —
+  * `readStream.format("iceberg-export").option("path", root)` tails the
+  * snapshot lineage the way Iceberg's own incremental-append scan does:
+  * offsets are snapshot SEQUENCE NUMBERS, the first batch of a fresh
+  * stream is the snapshot at the then-current sequence, and every later
+  * batch is exactly the data files ADDED by the range's snapshots
+  * (manifest entries whose added_snapshot_id is the snapshot's own —
+  * O(range), never a chain replay), read under the current metadata
+  * schema. The delta-export source's twin, for the second open format.
+  *
+  * Semantics:
+  *   - `startingVersion` (inclusive sequence number, or `latest`) skips
+  *     the snapshot and tails from a lineage position;
+  *   - non-append snapshots (operation `overwrite` — COW rewrites,
+  *     compaction — or `delete` — row-level delete-file changes) are
+  *     REFUSED without `ignoreChanges=true`: an added-files batch would
+  *     re-emit surviving rows of rewritten files and cannot represent
+  *     retroactive deletions. With it, `overwrite` snapshots emit their
+  *     full rewritten manifests' adds (per-file replay — note a
+  *     manifest REWRITE lists every live file, so the replay unit is
+  *     the rewrite, larger than Delta's per-file net) and `delete`
+  *     snapshots emit nothing (the deletions are skipped);
+  *   - restart safety comes from the engine's offset log alone —
+  *     snapshots, manifests, and data files are immutable, so a
+  *     replayed (start, end] range is bit-identical. */
+class IcebergExportSourceProvider extends StreamSourceProvider
+    with DataSourceRegister {
+  override def shortName(): String = "iceberg-export"
+
+  private def rootOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "iceberg-export source requires .option(\"path\", <table root>)"))
+
+  // sourceSchema + createSource both need it; one chain read per start
+  private val schemaMemo = scala.collection.concurrent.TrieMap
+    .empty[String, StructType]
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse {
+      val root = rootOf(parameters)
+      schemaMemo.getOrElseUpdate(root,
+        IcebergMeta.readIceberg(sqlContext.sparkSession, root).schema)
+    })
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val root = rootOf(parameters)
+    // internal form: the EXCLUSIVE base sequence (a declared start's own
+    // adds are the first batch); "latest" tails only future snapshots
+    val startingSeq = parameters.get("startingVersion").map {
+      case s if s.equalsIgnoreCase("latest") =>
+        if (IcebergMeta.hasChain(root))
+          IcebergMeta.snapshots(root).map(_.seq).maxOption.getOrElse(0L)
+        else 0L
+      case s => s.toLong - 1
+    }
+    new IcebergExportSource(sqlContext.sparkSession, root,
+      sourceSchema(sqlContext, schema, providerName, parameters)._2,
+      ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean),
+      startingSeq = startingSeq)
+  }
+}
+
+class IcebergExportSource(spark: SparkSession, root: String,
+    override val schema: StructType, ignoreChanges: Boolean,
+    startingSeq: Option[Long] = None) extends Source {
+
+  private def seqOf(o: Offset): Long = o match {
+    case g: GraftVersionOffset => g.v
+    case other                 => GraftVersionOffset.parse(other.json).v
+  }
+
+  override def getOffset: Option[Offset] =
+    if (!IcebergMeta.hasChain(root)) None
+    else IcebergMeta.snapshots(root).map(_.seq).maxOption
+      .map(GraftVersionOffset(_))
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val endSeq = seqOf(end)
+    def emptyBatch: DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val batch = (start.map(seqOf), startingSeq) match {
+      // fresh stream, no declared start: the snapshot at endSeq
+      case (None, None) =>
+        val sid = IcebergMeta.snapshots(root).find(_.seq == endSeq)
+          .getOrElse(throw new IllegalStateException(
+            s"no Iceberg snapshot at sequence $endSeq under $root")).id
+        IcebergMeta.readIceberg(spark, root, snapshotAsOf = Some(sid))
+      case (s0, sv) =>
+        val base = s0.getOrElse(sv.get)
+        if (endSeq <= base) emptyBatch
+        else {
+          val range = IcebergMeta.snapshots(root)
+            .filter(s => s.seq > base && s.seq <= endSeq)
+          val nonAppend = range.filterNot(_.operation == "append")
+          if (nonAppend.nonEmpty && !ignoreChanges)
+            throw new IllegalStateException(
+              s"iceberg-export stream over $root: sequences " +
+                s"($base, $endSeq] contain non-append snapshots " +
+                s"(${nonAppend.map(_.operation).distinct.mkString(",")}); " +
+                "an added-files batch would re-emit surviving rows or " +
+                "skip retroactive deletes. Restart from scratch or set " +
+                "ignoreChanges=true to accept per-file replay semantics.")
+          val files = range
+            .filter(s => s.operation == "append" ||
+              (ignoreChanges && s.operation == "overwrite"))
+            .flatMap(s => IcebergMeta.snapshotAddedFiles(root, s.id))
+            .distinct
+          if (files.isEmpty) emptyBatch
+          else IcebergMeta.readIcebergFiles(spark, root, files)
+        }
+    }
+    // mid-stream schema guard, as the delta-export source: a column the
+    // current metadata schema lost or re-typed fails loudly; a column
+    // merely absent from this batch's files null-fills in the slice read
+    schema.foreach { f =>
+      batch.schema.find(_.name.equalsIgnoreCase(f.name)) match {
+        case None =>
+          throw new IllegalStateException(
+            s"iceberg-export stream over $root: column '${f.name}' left " +
+              "the chain's schema mid-stream. Restart the query to adopt " +
+              "the new schema.")
+        case Some(a) if a.dataType != f.dataType =>
+          throw new IllegalStateException(
+            s"iceberg-export stream over $root: column '${f.name}' " +
+              s"changed type ${f.dataType.sql} -> ${a.dataType.sql} " +
+              "mid-stream. Restart the query to adopt the new schema.")
+        case _ => ()
+      }
+    }
+    val aligned = batch.select(schema.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    GraftStreamingShims.streamingDataFrame(spark, aligned)
+  }
+
+  override def stop(): Unit = ()
+}

@@ -658,6 +658,77 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.as[(Long, String)].collect().toSet == Set((2L, "b"), (3L, "c")))
   }
 
+  test("iceberg-export source tails a foreign Iceberg chain: stream ≡ snapshot + appends, restart-safe") {
+    import spark.implicits._
+    import graft.sources.{IcebergMeta, LakehouseTable => LT}
+    val base = Files.createTempDirectory("iceberg-export-src")
+    val root = base.resolve("tbl").toString
+    val ckpt = base.resolve("ckpt").toString
+    LT.create(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), root)
+    IcebergMeta.exportIcebergMeta(spark, root) // write-through from here on
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    def stream() = spark.readStream
+      .format("iceberg-export").option("path", root).load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.collect().foreach(r => seen.add((r.getLong(0), r.getString(1)))); ()
+      }.start()
+    val q = stream()
+    q.processAllAvailable()
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.toSet == Set((1L, "a"), (2L, "b")))
+    // appends while running: the commit hook advances the chain and the
+    // stream tails the ADDED-files manifests — row set ≡ the chain read
+    LT.append(Seq((3L, "c")).toDF("id", "v"), root)
+    q.processAllAvailable()
+    LT.append(Seq((4L, "d"), (5L, "e")).toDF("id", "v"), root)
+    q.processAllAvailable()
+    assert(seen.asScala.toSet ==
+      IcebergMeta.readIceberg(spark, root).as[(Long, String)].collect().toSet)
+    assert(seen.size == 5, s"replayed rows: ${seen.asScala.toSeq.sorted}")
+    q.stop()
+    // RESTART: a snapshot committed while the query was DOWN arrives once
+    LT.append(Seq((6L, "f")).toDF("id", "v"), root)
+    val q2 = stream()
+    q2.processAllAvailable(); q2.stop()
+    assert(seen.size == 6, s"replayed rows: ${seen.asScala.toSeq.sorted}")
+    // startingVersion (sequence, inclusive) skips the snapshot: from
+    // seq 2, the three append snapshots' adds and nothing else
+    val got = runToCompletion(
+      spark.readStream.format("iceberg-export").option("path", root)
+        .option("startingVersion", "2").load(),
+      "iceberg_export_sv")
+    assert(got.as[(Long, String)].collect().toSet ==
+      Set((3L, "c"), (4L, "d"), (5L, "e"), (6L, "f")))
+    // a COW delete produces an `overwrite` snapshot → the tail REFUSES
+    LT.deleteWhere(spark, root, "id = 1")
+    val q3 = stream()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q3.processAllAvailable()
+    }
+    q3.stop()
+    assert(ex.getMessage.contains("non-append") ||
+      Option(ex.getCause).exists(_.getMessage.contains("non-append")))
+    // with ignoreChanges: the overwrite snapshot re-emits its rewritten
+    // manifest's adds — a manifest REWRITE lists the whole live set, so
+    // the replay unit is the live snapshot (documented; coarser than
+    // Delta's per-file net)
+    val seen2 = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val q4 = spark.readStream
+      .format("iceberg-export").option("path", root)
+      .option("ignoreChanges", "true").load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.collect().foreach(r => seen2.add((r.getLong(0), r.getString(1)))); ()
+      }.start()
+    q4.processAllAvailable(); q4.stop()
+    assert(seen2.asScala.toSet ==
+      IcebergMeta.readIceberg(spark, root).as[(Long, String)].collect().toSet,
+      s"overwrite replay should emit the live set, got ${seen2.asScala.toSet}")
+  }
+
   test("graft-table source composes with watermarked windowed aggregation (bronze → silver)") {
     import spark.implicits._
     import graft.sources.{LakehouseTable => LT}
