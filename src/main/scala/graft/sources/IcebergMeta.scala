@@ -372,9 +372,16 @@ object IcebergMeta {
         "partition-spec-id" -> "0",
         "format-version" -> "2",
         "content" -> "data")
+      // Iceberg summary ops: pure adds = append; anything that removed
+      // files OR changed the delete state alongside adds = overwrite
+      // (a tailing reader must not treat it as a clean append); a
+      // DV-only change = delete. "deleted-data-files" (summary values
+      // are strings, per the spec) lets readers distinguish a chain
+      // REWRITE (manifests replaced) from a mixed add+delete commit.
       val operation =
         if (removed.nonEmpty) "overwrite"
-        else if (added.isEmpty && dvChanged) "delete"
+        else if (dvChanged && added.nonEmpty) "overwrite"
+        else if (dvChanged) "delete"
         else "append"
       if (v == vs.head || removed.nonEmpty) {
         // full rewrite: ONE manifest of the live set replaces the chain
@@ -478,7 +485,9 @@ object IcebergMeta {
         parentId.map(p => s""""parent-snapshot-id":$p,""").getOrElse("") +
         s""""sequence-number":$seq,"timestamp-ms":$ts,""" +
         s""""manifest-list":"${listPath}","schema-id":$curSchemaId,""" +
-        s""""summary":{"operation":"$operation"}}""")
+        s""""summary":{"operation":"$operation",""" +
+        s""""deleted-data-files":"${removed.size}",""" +
+        s""""added-data-files":"${added.size}"}}""")
       snapshotLog += s"""{"snapshot-id":$sid,"timestamp-ms":$ts}"""
 
       // metadata.json for this version (contains ALL snapshots so far)
@@ -587,7 +596,12 @@ object IcebergMeta {
               "length(substring_index(path, '/', -1)) - 1) end"))
           .drop("path")
           .repartition(col("__pd"))
-          .sortWithinPartitions("file_path", "pos")
+          // __pd FIRST: the dynamic-partition write requires ordering by
+          // the partition column and would insert its own Sort(__pd)
+          // above this one, voiding the (file_path, pos) order the spec
+          // requires inside each delete file; with __pd as the prefix
+          // the required ordering is already satisfied
+          .sortWithinPartitions("__pd", "file_path", "pos")
           .write.partitionBy("__pd").mode("overwrite").parquet(out.toString)
         withListed(out)(_.filter(Files.isDirectory(_)).toSeq).foreach { d =>
           val name = d.getFileName.toString
@@ -633,7 +647,7 @@ object IcebergMeta {
     * exists, every commit advances it; a failure only lags the mirror
     * (self-healed by the next commit), never fails the write. */
   def maybeAdvance(root: String): Unit =
-    if (Files.exists(metaDir(root).resolve("version-hint.text")))
+    if (hasChain(root))
       SparkSession.getActiveSession.foreach { spark =>
         try exportIcebergMeta(spark, root)
         catch {
@@ -654,7 +668,14 @@ object IcebergMeta {
   /** Parsed snapshot row: (id, parentId (-1 = none), sequenceNumber,
     * timestampMs, operation, schemaId, manifestList). */
   case class SnapshotInfo(id: Long, parent: Long, seq: Long, ts: Long,
-      operation: String, schemaId: Int, manifestList: String)
+      operation: String, schemaId: Int, manifestList: String,
+      deletedDataFiles: Long = 0L)
+
+  // (root, hint value) → parsed metadata; metadata files are immutable,
+  // so a tailing stream's per-trigger snapshots() costs one hint read
+  // after the first parse of each chain version (read-only use only)
+  private val metadataCache = TrieMap
+    .empty[(String, Long), com.fasterxml.jackson.databind.JsonNode]
 
   private def currentMetadata(root: String)
       : com.fasterxml.jackson.databind.JsonNode = {
@@ -663,7 +684,8 @@ object IcebergMeta {
     require(Files.exists(hint),
       s"no Iceberg metadata at $root (exportIcebergMeta first)")
     val n = Files.readString(hint).trim.toLong
-    mapper.readTree(Files.readString(dir.resolve(s"v$n.metadata.json")))
+    metadataCache.getOrElseUpdate((root, n),
+      mapper.readTree(Files.readString(dir.resolve(s"v$n.metadata.json"))))
   }
 
   /** True when an exported chain exists at `root` (version-hint
@@ -682,7 +704,9 @@ object IcebergMeta {
         s.get("timestamp-ms").asLong(),
         s.get("summary").get("operation").asText(),
         s.get("schema-id").asInt(),
-        s.get("manifest-list").asText())
+        s.get("manifest-list").asText(),
+        Option(s.get("summary").get("deleted-data-files"))
+          .map(_.asText().toLong).getOrElse(0L))
     }.toSeq
   }
 
@@ -751,8 +775,7 @@ object IcebergMeta {
     * segments (the graft manifest derives partitioning from paths). */
   def convertToGraft(spark: SparkSession, srcRoot: String,
       dstRoot: String): Long = {
-    require(Files.exists(metaDir(srcRoot).resolve("version-hint.text")),
-      s"no Iceberg metadata at $srcRoot")
+    require(hasChain(srcRoot), s"no Iceberg metadata at $srcRoot")
     require(LakehouseTable.versions(dstRoot).isEmpty,
       s"import target is not empty: $dstRoot")
     val md = currentMetadata(srcRoot)
@@ -857,9 +880,13 @@ object IcebergMeta {
   }
 
   /** Read a specific chain-file slice under the CURRENT metadata schema
-    * (no delete application — the streaming source's append unit). */
+    * — the streaming source's batch unit. `deletesOfSnapshot` applies
+    * that snapshot's position-delete files to the slice (the replay of a
+    * non-append range must not resurrect MOR-deleted rows); None = no
+    * delete application (pure-append slices have none). */
   def readIcebergFiles(spark: SparkSession, root: String,
-      files: Seq[String]): DataFrame = {
+      files: Seq[String],
+      deletesOfSnapshot: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
     require(files.nonEmpty, "readIcebergFiles: empty file slice")
     val md = currentMetadata(root)
@@ -871,11 +898,34 @@ object IcebergMeta {
       .option("basePath", Paths.get(root, "data").toString)
       .option("mergeSchema", "true")
       .parquet(files: _*)
-    raw.select(fields.map { case (n, dt) =>
-      (if (raw.columns.exists(_.equalsIgnoreCase(n))) col(n)
+    val visible = deletesOfSnapshot
+      .map(dsid => applyDeleteFiles(spark, raw,
+        snapshotEntries(root, dsid)._2))
+      .getOrElse(raw)
+    visible.select(fields.map { case (n, dt) =>
+      (if (visible.columns.exists(_.equalsIgnoreCase(n))) col(n)
        else org.apache.spark.sql.functions.lit(null)).cast(dt).as(n)
     }: _*)
   }
+
+  /** v2 position deletes: anti-join on (file path, row index) — the
+    * same shape the Delta DV read uses; no-op without delete files. */
+  private def applyDeleteFiles(spark: SparkSession, raw: DataFrame,
+      deleteFiles: Seq[String]): DataFrame =
+    if (deleteFiles.isEmpty) raw
+    else {
+      import org.apache.spark.sql.functions.{col, regexp_replace, url_decode}
+      val del = spark.read.parquet(deleteFiles: _*)
+        .select(col("file_path").as("__del_path"),
+          col("pos").as("__del_pos"))
+      raw.withColumn("__p", url_decode(regexp_replace(
+          regexp_replace(col("_metadata.file_path"), "^file:/+", "/"),
+          "\\+", "%2B")))
+        .withColumn("__ri", col("_metadata.row_index"))
+        .join(del, col("__p") === col("__del_path") &&
+          col("__ri") === col("__del_pos"), "left_anti")
+        .drop("__p", "__ri")
+    }
 
   /** Read the table THROUGH the Iceberg chain only — version-hint →
     * metadata.json → (current or pinned) snapshot → manifest list →
@@ -895,23 +945,7 @@ object IcebergMeta {
       .option("basePath", Paths.get(root, "data").toString)
       .option("mergeSchema", "true")
       .parquet(files: _*)
-    // v2 position deletes: anti-join on (file path, row index) — the
-    // same shape the Delta DV read uses; no-op without delete manifests
-    val visible =
-      if (deleteFiles.isEmpty) raw
-      else {
-        import org.apache.spark.sql.functions.{regexp_replace, url_decode}
-        val del = spark.read.parquet(deleteFiles: _*)
-          .select(col("file_path").as("__del_path"),
-            col("pos").as("__del_pos"))
-        raw.withColumn("__p", url_decode(regexp_replace(
-            regexp_replace(col("_metadata.file_path"), "^file:/+", "/"),
-            "\\+", "%2B")))
-          .withColumn("__ri", col("_metadata.row_index"))
-          .join(del, col("__p") === col("__del_path") &&
-            col("__ri") === col("__del_pos"), "left_anti")
-          .drop("__p", "__ri")
-      }
+    val visible = applyDeleteFiles(spark, raw, deleteFiles)
     // align to the metadata schema: absent columns (an older snapshot's
     // files under a later ADD COLUMNS) null-fill; partition columns come
     // back from directory inference and are cast to the declared type

@@ -133,32 +133,8 @@ class DeltaExportSource(spark: SparkSession, root: String,
           else LakehouseTable.readDeltaExportFiles(spark, root, acc.toSeq)
         }
     }
-    // the engine requires every batch to match the schema it planned at
-    // start. A column the CURRENT log schema no longer carries (foreign
-    // rename/drop) or whose type changed mid-stream cannot be null-filled
-    // or cast away silently — fail like the graft-table source (and
-    // Delta's own) does; a restart adopts the new schema. (A column
-    // merely absent from THIS batch's files — a ragged append — still
-    // null-fills below, as the batch read itself would: the slice read
-    // always projects the full current log schema.)
-    schema.foreach { f =>
-      batch.schema.find(_.name.equalsIgnoreCase(f.name)) match {
-        case None =>
-          throw new IllegalStateException(
-            s"delta-export stream over $root: column '${f.name}' left " +
-              "the foreign log's schema mid-stream (rename/drop). " +
-              "Restart the query to adopt the new schema.")
-        case Some(a) if a.dataType != f.dataType =>
-          throw new IllegalStateException(
-            s"delta-export stream over $root: column '${f.name}' changed " +
-              s"type ${f.dataType.sql} -> ${a.dataType.sql} mid-stream. " +
-              "Restart the query to adopt the new schema.")
-        case _ => ()
-      }
-    }
-    val aligned = batch.select(schema.map(f =>
-      col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
-    GraftStreamingShims.streamingDataFrame(spark, aligned)
+    ForeignSourceAlign.guardAndAlign(spark, "delta-export", root,
+      schema, batch)
   }
 
   override def stop(): Unit = ()

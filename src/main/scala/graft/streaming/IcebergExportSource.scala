@@ -25,11 +25,12 @@ import graft.sources.IcebergMeta
   *     compaction — or `delete` — row-level delete-file changes) are
   *     REFUSED without `ignoreChanges=true`: an added-files batch would
   *     re-emit surviving rows of rewritten files and cannot represent
-  *     retroactive deletions. With it, `overwrite` snapshots emit their
-  *     full rewritten manifests' adds (per-file replay — note a
-  *     manifest REWRITE lists every live file, so the replay unit is
-  *     the rewrite, larger than Delta's per-file net) and `delete`
-  *     snapshots emit nothing (the deletions are skipped);
+  *     retroactive deletions. With it, the range nets: a chain-REWRITE
+  *     snapshot (deleted-data-files > 0) supersedes earlier in-range
+  *     adds (its manifest lists every live file, so the replay unit is
+  *     the rewrite — coarser than Delta's per-file net), and the
+  *     range-end snapshot's position-delete files are applied so
+  *     replayed rows are the SURVIVORS, never resurrected deletions;
   *   - restart safety comes from the engine's offset log alone —
   *     snapshots, manifests, and data files are immutable, so a
   *     replayed (start, end] range is bit-identical. */
@@ -116,36 +117,31 @@ class IcebergExportSource(spark: SparkSession, root: String,
                 "an added-files batch would re-emit surviving rows or " +
                 "skip retroactive deletes. Restart from scratch or set " +
                 "ignoreChanges=true to accept per-file replay semantics.")
-          val files = range
-            .filter(s => s.operation == "append" ||
-              (ignoreChanges && s.operation == "overwrite"))
-            .flatMap(s => IcebergMeta.snapshotAddedFiles(root, s.id))
-            .distinct
+          // net the range: a snapshot that REWROTE the manifest chain
+          // (deleted-data-files > 0 — its own manifest lists the whole
+          // live set) SUPERSEDES everything earlier in the range, or an
+          // in-range append followed by its compaction would emit rows
+          // twice; mixed add+delete commits just contribute their adds
+          var acc = Vector.empty[String]
+          range.foreach { sn =>
+            val adds = IcebergMeta.snapshotAddedFiles(root, sn.id)
+            if (sn.operation == "overwrite" && sn.deletedDataFiles > 0)
+              acc = adds.toVector
+            else acc = acc ++ adds
+          }
+          val files = acc.distinct
           if (files.isEmpty) emptyBatch
-          else IcebergMeta.readIcebergFiles(spark, root, files)
+          else IcebergMeta.readIcebergFiles(spark, root, files,
+            // a non-append range may carry retroactive MOR deletes on
+            // the emitted files — apply the range-end snapshot's delete
+            // state so replayed rows are the SURVIVORS, as the
+            // delta-export twin's per-add DV application does
+            deletesOfSnapshot =
+              if (nonAppend.nonEmpty) Some(range.last.id) else None)
         }
     }
-    // mid-stream schema guard, as the delta-export source: a column the
-    // current metadata schema lost or re-typed fails loudly; a column
-    // merely absent from this batch's files null-fills in the slice read
-    schema.foreach { f =>
-      batch.schema.find(_.name.equalsIgnoreCase(f.name)) match {
-        case None =>
-          throw new IllegalStateException(
-            s"iceberg-export stream over $root: column '${f.name}' left " +
-              "the chain's schema mid-stream. Restart the query to adopt " +
-              "the new schema.")
-        case Some(a) if a.dataType != f.dataType =>
-          throw new IllegalStateException(
-            s"iceberg-export stream over $root: column '${f.name}' " +
-              s"changed type ${f.dataType.sql} -> ${a.dataType.sql} " +
-              "mid-stream. Restart the query to adopt the new schema.")
-        case _ => ()
-      }
-    }
-    val aligned = batch.select(schema.map(f =>
-      col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
-    GraftStreamingShims.streamingDataFrame(spark, aligned)
+    ForeignSourceAlign.guardAndAlign(spark, "iceberg-export", root,
+      schema, batch)
   }
 
   override def stop(): Unit = ()

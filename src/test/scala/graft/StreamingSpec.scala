@@ -729,6 +729,45 @@ class StreamingSpec extends AnyFunSuite {
       s"overwrite replay should emit the live set, got ${seen2.asScala.toSet}")
   }
 
+  test("iceberg-export ignoreChanges replay applies position deletes: survivors only") {
+    import spark.implicits._
+    import graft.sources.{IcebergMeta, LakehouseTable => LT}
+    val base = Files.createTempDirectory("iceberg-export-mor")
+    val root = base.resolve("tbl").toString
+    val ckpt = base.resolve("ckpt").toString
+    LT.create((0L until 10L).map(i => (i, "s")).toDF("id", "v").coalesce(1), root)
+    IcebergMeta.exportIcebergMeta(spark, root)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def stream(ic: Boolean) = spark.readStream
+      .format("iceberg-export").option("path", root)
+      .option("ignoreChanges", ic.toString).load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.collect().foreach(r => seen.add(r.getLong(0))); ()
+      }.start()
+    val q = stream(ic = false)
+    q.processAllAvailable(); q.stop()
+    assert(seen.asScalaSet == (0L until 10L).toSet)
+    // while DOWN: an append, then a MOR delete of part of the new file —
+    // the catch-up range is append + delete in one batch
+    LT.append((10L until 15L).map(i => (i, "s")).toDF("id", "v")
+      .coalesce(1), root)
+    LT.deleteWhereMor(spark, root, "id >= 10 AND id % 2 = 0")
+    seen.clear()
+    val q2 = stream(ic = true)
+    q2.processAllAvailable(); q2.stop()
+    // the replay must emit the appended file's SURVIVORS — the range-end
+    // snapshot's position-delete files applied — never 10/12/14
+    assert(seen.asScalaSet == Set(11L, 13L),
+      s"MOR-deleted rows resurrected in replay: ${seen.asScalaSet}")
+  }
+
+  private implicit class QAsSet[A](q: java.util.concurrent.ConcurrentLinkedQueue[A]) {
+    import scala.jdk.CollectionConverters._
+    def asScalaSet: Set[A] = q.asScala.toSet
+  }
+
   test("graft-table source composes with watermarked windowed aggregation (bronze → silver)") {
     import spark.implicits._
     import graft.sources.{LakehouseTable => LT}
