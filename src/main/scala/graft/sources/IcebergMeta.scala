@@ -643,6 +643,96 @@ object IcebergMeta {
       s"""{"name":"$c","transform":"identity","source-id":${fieldIds(c.toLowerCase)},"field-id":${1000 + i}}"""
     }.mkString("[", ",", "]")
 
+  /** EXPIRE snapshots whose graft versions are no longer retained —
+    * Iceberg's expire_snapshots, wired to vacuum: without it the
+    * snapshot list in every metadata.json (and the chain's manifest/
+    * delete-file population) grows with table age forever, which is the
+    * scale killer Iceberg's own maintenance exists for. The CURRENT
+    * metadata file is rewritten in place (atomic replace) with only the
+    * kept snapshots; expired snapshots' manifest lists, manifests, and
+    * delete files not referenced by any kept snapshot are deleted, as
+    * are superseded metadata.json files (readers resolve through
+    * version-hint, and the trimmed metadata-log reflects what remains).
+    * Returns the number of files deleted. Time travel to an expired
+    * snapshot fails with no-such-snapshot afterwards — expiry reclaims
+    * history, never the current table. */
+  def expireSnapshots(root: String, keepVersions: Seq[Long]): Int = {
+    if (!hasChain(root)) return 0
+    val dir = metaDir(root)
+    val hintN = Files.readString(dir.resolve("version-hint.text")).trim.toLong
+    val md = currentMetadata(root)
+    val keepSeqs = keepVersions.map(_ + 1).toSet
+    val all = snapshots(root)
+    val (keep, expired) = all.partition(s => keepSeqs.contains(s.seq))
+    if (expired.isEmpty) return 0
+    require(keep.nonEmpty, "expireSnapshots would drop every snapshot")
+    val keepIds = keep.map(_.id).toSet
+    // artifacts any KEPT snapshot still references stay
+    val liveArtifacts = keep.flatMap { s =>
+      Paths.get(s.manifestList).getFileName.toString +:
+        readAvro(Paths.get(s.manifestList)).flatMap { mf =>
+          val m = Paths.get(mf.get("manifest_path").toString)
+          m.getFileName.toString +: readAvro(m).collect {
+            case e if e.get("data_file").asInstanceOf[GenericRecord]
+                .get("content").asInstanceOf[Int] == 1 =>
+              Paths.get(e.get("data_file").asInstanceOf[GenericRecord]
+                .get("file_path").toString).getFileName.toString
+          }
+        }
+    }.toSet
+    // rewrite the CURRENT metadata with the trimmed lists (jackson
+    // round-trip of the kept nodes; field order is preserved)
+    val node = md.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .deepCopy()
+    def trimArray(field: String,
+        pred: com.fasterxml.jackson.databind.JsonNode => Boolean): Unit = {
+      val arr = com.fasterxml.jackson.databind.node.JsonNodeFactory.instance
+        .arrayNode()
+      md.get(field).elements().asScala.filter(pred).foreach(arr.add)
+      node.set(field, arr)
+      ()
+    }
+    trimArray("snapshots", s => keepIds.contains(s.get("snapshot-id").asLong()))
+    trimArray("snapshot-log", s => keepIds.contains(s.get("snapshot-id").asLong()))
+    trimArray("metadata-log", _ => false) // superseded files are deleted below
+    val tmp = Files.createTempFile(dir, ".ice-exp", ".json")
+    Files.writeString(tmp, node.toString)
+    Files.move(tmp, dir.resolve(s"v$hintN.metadata.json"),
+      StandardCopyOption.REPLACE_EXISTING)
+    metadataCache.remove((root, hintN))
+    var deleted = 0
+    // expired manifest lists + unreferenced manifests/delete files
+    withDrained2(dir) { name =>
+      val expirable =
+        (name.startsWith("snap-") || name.startsWith("m-") ||
+          name.startsWith("delete-")) && !liveArtifacts.contains(name)
+      val oldMeta = name.matches("v\\d+\\.metadata\\.json") &&
+        name.stripPrefix("v").stripSuffix(".metadata.json").toLong < hintN
+      if (expirable || oldMeta) {
+        if (Files.deleteIfExists(dir.resolve(name))) deleted += 1
+      }
+    }
+    deleted
+  }
+
+  private def withDrained2(dir: Path)(f: String => Unit): Unit = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.map(_.getFileName.toString).foreach(f)
+    finally s.close()
+  }
+
+  /** Vacuum hook: expire chain snapshots of dropped graft versions;
+    * failures only lag maintenance, never fail the vacuum. */
+  def maybeExpire(root: String, keepVersions: Seq[Long]): Unit =
+    if (hasChain(root))
+      try { expireSnapshots(root, keepVersions); () }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"warn: iceberg snapshot expiry failed for $root " +
+              s"(chain keeps stale snapshots until the next vacuum): $e")
+      }
+
   /** WRITE-THROUGH hook (the Delta mirror's contract): once a chain
     * exists, every commit advances it; a failure only lags the mirror
     * (self-healed by the next commit), never fails the write. */

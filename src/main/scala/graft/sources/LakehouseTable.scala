@@ -1526,6 +1526,13 @@ object LakehouseTable {
       require(Files.exists(logDir.resolve(f"$v%020d.json")),
         s"no exported log version $v at $root")
     }
+    // the full-JSON replay starts at version 0 by definition: a log
+    // truncated below its checkpoint (vacuum maintenance) can only be
+    // replayed checkpoint-seeded — refuse, never return a partial state
+    if (!useCheckpoint)
+      require(Files.exists(logDir.resolve(f"${0L}%020d.json")),
+        s"log at $root is truncated below its checkpoint; full-JSON " +
+          "replay is unavailable (read with useCheckpoint = true)")
     val state = deltaStateAt(spark, root, pinnedVersion, useCheckpoint)
     readDeltaSlice(spark, root, state, state.live, state.dvs)
   }
@@ -1778,6 +1785,11 @@ object LakehouseTable {
     require(Files.isDirectory(Paths.get(srcRoot, "_delta_log")),
       s"no _delta_log at $srcRoot")
     require(versions(dstRoot).isEmpty, s"import target is not empty: $dstRoot")
+    require(Files.exists(
+        Paths.get(srcRoot, "_delta_log", f"${0L}%020d.json")),
+      s"log at $srcRoot is truncated below its checkpoint; a from-" +
+        "scratch import would build a partial state (read it via " +
+        "readDeltaExport instead)")
     val state = replayDeltaLog(srcRoot, None)
     require(state.live.nonEmpty, s"Delta table at $srcRoot has no live files")
     require(state.conf.getOrElse("delta.columnMapping.mode", "none") != "id",
@@ -3220,6 +3232,35 @@ object LakehouseTable {
             .foreach(q => Files.deleteIfExists(q))
           deleted += 1
         }
+    // open-format maintenance rides the vacuum: dead Delta log JSONs
+    // below the latest checkpoint go (readers seed from
+    // _last_checkpoint), and the Iceberg chain expires the dropped
+    // versions' snapshots — without this both metadata populations grow
+    // with table age forever. Neither count is data reclamation, so the
+    // return value stays the data-file number callers assert on.
+    cleanDeltaLog(root, drop)
+    IcebergMeta.maybeExpire(root, keep)
     deleted
+  }
+
+  /** Delete log JSONs of DROPPED graft versions strictly below the
+    * latest exported checkpoint — a foreign reader seeds from
+    * `_last_checkpoint` and replays only the tail, so those files are
+    * dead weight once their data is vacuumed. Logs at or above the
+    * checkpoint (or when no checkpoint exists) stay, keeping every
+    * supported replay path valid; the full-JSON replay path then
+    * REQUIRES log v0 and refuses a truncated log loudly. */
+  private def cleanDeltaLog(root: String, dropped: Seq[Long]): Int = {
+    val logDir = Paths.get(root, "_delta_log")
+    if (!Files.isDirectory(logDir)) return 0
+    val latestCkpt = withDrained(Files.list(logDir))(
+      _.map(_.getFileName.toString)
+        .filter(_.matches("""\d{20}\.checkpoint\.parquet"""))
+        .map(_.take(20).toLong)).maxOption.getOrElse(return 0)
+    var n = 0
+    dropped.filter(_ < latestCkpt).foreach { v =>
+      if (Files.deleteIfExists(logDir.resolve(f"$v%020d.json"))) n += 1
+    }
+    n
   }
 }

@@ -471,6 +471,63 @@ class Round8Spec extends AnyFunSuite {
       .orderBy("id").collect().toSeq == nativeP)
   }
 
+  test("vacuum expires Iceberg snapshots and truncates checkpointed Delta logs") {
+    import spark.implicits._
+    import graft.sources.IcebergMeta
+    val root = freshRoot("expiry")
+    LT.create(Seq((0L, "a")).toDF("id", "v"), root)
+    (1L until 12L).foreach(i =>
+      LT.append(Seq((i, "x")).toDF("id", "v"), root))
+    LT.exportDeltaLog(spark, root)
+    // force a checkpoint at v10 (the write-through cadence would have
+    // done this had the log existed during the appends)
+    LT.exportDeltaCheckpoint(spark, root, 10L)
+    IcebergMeta.exportIcebergMeta(spark, root)
+    val metaDir = Paths.get(root, "metadata")
+    assert(IcebergMeta.snapshots(root).size == 12)
+    import scala.jdk.CollectionConverters._
+    def logFiles(): Seq[String] = Files.list(Paths.get(root, "_delta_log"))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.matches("\\d{20}\\.json")).toSeq.sorted
+    assert(logFiles().size == 12)
+    // vacuum keeps the last 2 versions: the chain expires to 2 snapshots
+    // and dead log JSONs below the v10 checkpoint disappear
+    LT.vacuum(root, retainLast = 2)
+    val snaps = IcebergMeta.snapshots(root)
+    assert(snaps.map(_.seq) == Seq(11L, 12L),
+      s"expiry should keep the last two snapshots, got ${snaps.map(_.seq)}")
+    // the chain still reads (both remaining snapshots)
+    assert(IcebergMeta.readIceberg(spark, root).count() == 12)
+    assert(IcebergMeta.readIceberg(spark, root,
+      snapshotAsOf = Some(snaps.head.id)).count() == 11)
+    intercept[IllegalArgumentException] {
+      IcebergMeta.readIceberg(spark, root,
+        snapshotAsOf = Some(IcebergMeta.snapshotId(root, 0L)))
+    }
+    // expired artifacts gone: one metadata file, two manifest lists
+    val names = Files.list(metaDir).iterator().asScala
+      .map(_.getFileName.toString).toSeq
+    assert(names.count(_.matches("v\\d+\\.metadata\\.json")) == 1)
+    assert(names.count(_.startsWith("snap-")) == 2)
+    // Delta logs: dropped versions below the checkpoint are gone; the
+    // checkpoint version and the tail (and nothing the replay needs)
+    // remain — the checkpoint-seeded read still matches native
+    val remaining = logFiles().map(_.take(20).toLong)
+    assert(!remaining.exists(v => v < 10L),
+      s"dead logs below the checkpoint survive: $remaining")
+    assert(LT.readDeltaExport(spark, root).orderBy("id").collect().toSeq ==
+      LT.read(spark, root).orderBy("id").collect().toSeq)
+    // the full-JSON replay path refuses the truncated log loudly
+    val ex = intercept[IllegalArgumentException] {
+      LT.readDeltaExport(spark, root, useCheckpoint = false)
+    }
+    assert(ex.getMessage.contains("truncated"))
+    val ex2 = intercept[IllegalArgumentException] {
+      LT.convertFromDelta(spark, root, freshRoot("expiry_dst"))
+    }
+    assert(ex2.getMessage.contains("truncated"))
+  }
+
   test("pruning rule memoizes: repeated planning never re-reads the manifest") {
     import spark.implicits._
     val root = freshRoot("genmemo")
