@@ -667,6 +667,11 @@ object IcebergMeta {
     if (expired.isEmpty) return 0
     require(keep.nonEmpty, "expireSnapshots would drop every snapshot")
     val keepIds = keep.map(_.id).toSet
+    // the CURRENT snapshot must survive: expiring it would leave
+    // current-snapshot-id dangling on deleted manifests — every later
+    // read of the chain would fail
+    require(keepIds.contains(md.get("current-snapshot-id").asLong()),
+      "expireSnapshots must keep the current snapshot")
     // artifacts any KEPT snapshot still references stay
     val liveArtifacts = keep.flatMap { s =>
       Paths.get(s.manifestList).getFileName.toString +:
@@ -699,10 +704,9 @@ object IcebergMeta {
     Files.writeString(tmp, node.toString)
     Files.move(tmp, dir.resolve(s"v$hintN.metadata.json"),
       StandardCopyOption.REPLACE_EXISTING)
-    metadataCache.remove((root, hintN))
     var deleted = 0
     // expired manifest lists + unreferenced manifests/delete files
-    withDrained2(dir) { name =>
+    withListed(dir)(_.map(_.getFileName.toString).toSeq.foreach { name =>
       val expirable =
         (name.startsWith("snap-") || name.startsWith("m-") ||
           name.startsWith("delete-")) && !liveArtifacts.contains(name)
@@ -711,14 +715,8 @@ object IcebergMeta {
       if (expirable || oldMeta) {
         if (Files.deleteIfExists(dir.resolve(name))) deleted += 1
       }
-    }
+    })
     deleted
-  }
-
-  private def withDrained2(dir: Path)(f: String => Unit): Unit = {
-    val s = Files.list(dir)
-    try s.iterator().asScala.map(_.getFileName.toString).foreach(f)
-    finally s.close()
   }
 
   /** Vacuum hook: expire chain snapshots of dropped graft versions;
@@ -761,11 +759,14 @@ object IcebergMeta {
       operation: String, schemaId: Int, manifestList: String,
       deletedDataFiles: Long = 0L)
 
-  // (root, hint value) → parsed metadata; metadata files are immutable,
-  // so a tailing stream's per-trigger snapshots() costs one hint read
-  // after the first parse of each chain version (read-only use only)
+  // (root, hint value, file mtime) → parsed metadata; a tailing
+  // stream's per-trigger snapshots() costs one hint read + one stat
+  // after the first parse of each chain version. The MTIME in the key
+  // makes the cache correct under snapshot expiry, which rewrites the
+  // current metadata file in place — a racing reader can only ever
+  // (re-)cache under the file state it actually read (read-only use).
   private val metadataCache = TrieMap
-    .empty[(String, Long), com.fasterxml.jackson.databind.JsonNode]
+    .empty[(String, Long, Long), com.fasterxml.jackson.databind.JsonNode]
 
   private def currentMetadata(root: String)
       : com.fasterxml.jackson.databind.JsonNode = {
@@ -774,8 +775,10 @@ object IcebergMeta {
     require(Files.exists(hint),
       s"no Iceberg metadata at $root (exportIcebergMeta first)")
     val n = Files.readString(hint).trim.toLong
-    metadataCache.getOrElseUpdate((root, n),
-      mapper.readTree(Files.readString(dir.resolve(s"v$n.metadata.json"))))
+    val f = dir.resolve(s"v$n.metadata.json")
+    val mt = Files.getLastModifiedTime(f).toMillis
+    metadataCache.getOrElseUpdate((root, n, mt),
+      mapper.readTree(Files.readString(f)))
   }
 
   /** True when an exported chain exists at `root` (version-hint

@@ -1351,6 +1351,18 @@ object LakehouseTable {
       seedSchema: Option[String] = None,
       seedDvs: Map[String, DeltaDv.Descriptor] = Map.empty): DeltaReplayState = {
     val logDir = Paths.get(root, "_delta_log")
+    // vacuum's log truncation leaves a horizon marker: versions below it
+    // are NOT reconstructable from JSON alone. An unseeded replay of a
+    // truncated log would silently return a partial state — refuse.
+    if (after.isEmpty) {
+      val marker = logDir.resolve("_graft_truncation")
+      if (Files.exists(marker))
+        throw new IllegalStateException(
+          s"log at $root was truncated below checkpoint " +
+            s"${Files.readString(marker).trim} by vacuum; versions below " +
+            "it cannot be replayed from JSON — read checkpoint-seeded " +
+            "(useCheckpoint = true) at or above that version")
+    }
     val logFiles = withDrained(Files.list(logDir))(
       _.filter(_.getFileName.toString.matches("\\d{20}\\.json")))
       .sortBy(_.getFileName.toString)
@@ -1358,6 +1370,18 @@ object LakehouseTable {
         val v = p.getFileName.toString.take(20).toLong
         upTo.forall(v <= _) && after.forall(v > _)
       }
+    // a GAP in the selected versions (foreign retention, partial copy)
+    // makes the net state wrong in unbounded ways — refuse, never skip
+    val selVs = logFiles.map(_.getFileName.toString.take(20).toLong)
+    after.foreach(a => selVs.headOption.foreach(first =>
+      require(first == a + 1,
+        s"log versions ${a + 1}..${first - 1} missing at $root; the " +
+          "checkpointed state cannot be advanced over a gap")))
+    selVs.zip(selVs.drop(1)).foreach { case (a, b) =>
+      require(b == a + 1,
+        s"log version gap ($a -> $b) at $root; a partial log cannot " +
+          "be replayed")
+    }
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
     live ++= seedLive
     val dvs = scala.collection.mutable.HashMap.empty[String, DeltaDv.Descriptor]
@@ -3253,14 +3277,40 @@ object LakehouseTable {
   private def cleanDeltaLog(root: String, dropped: Seq[Long]): Int = {
     val logDir = Paths.get(root, "_delta_log")
     if (!Files.isDirectory(logDir)) return 0
-    val latestCkpt = withDrained(Files.list(logDir))(
-      _.map(_.getFileName.toString)
-        .filter(_.matches("""\d{20}\.checkpoint\.parquet"""))
-        .map(_.take(20).toLong)).maxOption.getOrElse(return 0)
+    // key on the _last_checkpoint POINTER, not checkpoint file names:
+    // readers seed only from the pointer, and the documented crash state
+    // (checkpoint written, pointer not yet) must not trigger truncation
+    // of a log no read path could then reconstruct
+    val lcp = logDir.resolve("_last_checkpoint")
+    if (!Files.exists(lcp)) return 0
+    val pointer = """"version":\s*(\d+)""".r
+      .findFirstMatchIn(Files.readString(lcp))
+      .map(_.group(1).toLong).getOrElse(return 0)
+    val droppedSet = dropped.toSet
+    // only a PREFIX of the surviving versions may go — deleting a middle
+    // version (a non-prefix drop set from time-based retention under
+    // skewed mtimes) would leave a gap no replay path can cross
+    val deletable = deltaLogVersions(root)
+      .takeWhile(v => droppedSet.contains(v) && v < pointer)
+    if (deletable.isEmpty) return 0
     var n = 0
-    dropped.filter(_ < latestCkpt).foreach { v =>
+    deletable.foreach { v =>
       if (Files.deleteIfExists(logDir.resolve(f"$v%020d.json"))) n += 1
     }
+    // superseded checkpoint parquets below the pointer are derivable
+    // state nothing reads — without this they accumulate one full
+    // table-snapshot file per cadence forever
+    withDrained(Files.list(logDir))(
+      _.map(_.getFileName.toString)
+        .filter(_.matches("""\d{20}\.checkpoint\.parquet"""))
+        .filter(_.take(20).toLong < pointer))
+      .foreach { f => if (Files.deleteIfExists(logDir.resolve(f))) n += 1 }
+    // the horizon marker turns every later would-be-partial replay into
+    // a loud refusal (see replayDeltaLog)
+    val tmp = Files.createTempFile(logDir, ".trunc-tmp", ".txt")
+    Files.writeString(tmp, pointer.toString)
+    Files.move(tmp, logDir.resolve("_graft_truncation"),
+      StandardCopyOption.REPLACE_EXISTING)
     n
   }
 }

@@ -109,6 +109,14 @@ class DeltaExportSource(spark: SparkSession, root: String,
         else {
           val vs = LakehouseTable.deltaLogVersions(root)
             .filter(w => w > base && w <= endV)
+          // vacuum log truncation may have deleted versions this
+          // checkpointed stream still owes its sink — losing them
+          // silently is data loss; fail and force a restart-from-scratch
+          require(vs == (base + 1 to endV),
+            s"delta-export stream over $root: log versions " +
+              s"${((base + 1) to endV).diff(vs).mkString(",")} were " +
+              "truncated by vacuum while this stream was behind. " +
+              "Restart the query from scratch.")
           // net adds across the range: process each version's removes
           // first (a DV update is remove + re-add of one path in one
           // commit — the re-add's descriptor must win), then its adds;

@@ -108,6 +108,13 @@ class IcebergExportSource(spark: SparkSession, root: String,
         else {
           val range = IcebergMeta.snapshots(root)
             .filter(s => s.seq > base && s.seq <= endSeq)
+          // snapshot expiry may have trimmed sequences this checkpointed
+          // stream still owes its sink — fail loudly, never skip
+          require(range.map(_.seq) == (base + 1 to endSeq),
+            s"iceberg-export stream over $root: snapshot sequences " +
+              s"${((base + 1) to endSeq).diff(range.map(_.seq)).mkString(",")} " +
+              "were expired while this stream was behind. Restart the " +
+              "query from scratch.")
           val nonAppend = range.filterNot(_.operation == "append")
           if (nonAppend.nonEmpty && !ignoreChanges)
             throw new IllegalStateException(
