@@ -357,6 +357,65 @@ object Lakehouse {
     root
   }
 
+  /** The q103 merge+delete history with the CHANGE DATA FEED enabled
+    * (v0 create → v1 enableChangeDataFeed → v2 merge → v3 deleteWhere)
+    * and the Delta log exported: v2/v3 carry spec `cdc` actions over
+    * `_change_data` parquet, v1 exports the metaData whose configuration
+    * declares delta.enableChangeDataFeed — the log a foreign CDF reader
+    * (`table_changes`) consumes. Separate root: the shared
+    * [[ordersMergeRoot]] versions are pinned by q105/q116. */
+  private[graft] def ordersCdfRoot(s: SparkSession, d: String): String = {
+    val root = TableCache.root(d, "orders", "cdf-merge97-del10000:v3")
+    try TableCache.locked(root) {
+      val base = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      if (LakehouseTable.versions(root).isEmpty)
+        LakehouseTable.create(base, root)
+      if (LakehouseTable.currentVersion(root).contains(0L))
+        LakehouseTable.enableChangeDataFeed(s, root, Seq("o_orderkey"))
+      if (LakehouseTable.currentVersion(root).contains(1L)) {
+        val updates = base.filter(col("o_orderkey") % 97 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * lit(1.25))
+          .unionByName(base.filter(col("o_orderkey") % 997 === 0 &&
+              col("o_orderkey") =!= 0)
+            .withColumn("o_orderkey", -col("o_orderkey")))
+        LakehouseTable.merge(s, root, updates, Seq("o_orderkey"))
+      }
+      if (LakehouseTable.currentVersion(root).contains(2L))
+        LakehouseTable.deleteWhere(s, root, "o_totalprice < 10000.0")
+      LakehouseTable.exportDeltaLog(s, root) // incremental; no-op when current
+    } catch {
+      case e if raceLost(e) => () // see lineitemZRoot
+    }
+    root
+  }
+
+  /** An Iceberg chain carrying a FOREIGN-WRITER equality delete: the
+    * orders projection exported (v0 create, v1 append split by key
+    * parity — two data snapshots at sequence 1 and 2), then an
+    * equality-delete snapshot (the Flink-upsert commit shape, content=2,
+    * keyed on o_orderkey) removing every %131 key. Read back through the
+    * chain only; the engine never wrote the delete. */
+  private[graft] def icebergEqDeleteRoot(s: SparkSession, d: String): String = {
+    val root = TableCache.root(d, "orders", "iceberg-eqdel:v2")
+    try TableCache.locked(root) {
+      val base = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      if (LakehouseTable.versions(root).isEmpty)
+        LakehouseTable.create(base.filter(col("o_orderkey") % 2 === 0), root)
+      if (LakehouseTable.currentVersion(root).contains(0L))
+        LakehouseTable.append(base.filter(col("o_orderkey") % 2 === 1), root)
+      IcebergMeta.exportIcebergMeta(s, root)
+      // exactly one foreign delete snapshot on top of the two data ones
+      if (IcebergMeta.snapshots(root).size == 2)
+        IcebergMeta.appendEqualityDeleteSnapshot(s, root, Seq("o_orderkey"),
+          base.filter(col("o_orderkey") % 131 === 0).select("o_orderkey"))
+    } catch {
+      case e if raceLost(e) => () // see lineitemZRoot
+    }
+    root
+  }
+
   /** orders run through the FULL rollback lifecycle: the same create v0 →
     * merge v1 → delete v2 pipeline as [[ordersMergeRoot]] (separate root),
     * then RESTORE v0 as v3 and VACUUM everything but the live version.
@@ -1038,6 +1097,62 @@ object Lakehouse {
       s.createDataFrame(rows)
         .toDF("seq", "snapshot_id", "parent_id", "op", "schema_id")
         .orderBy(col("seq"))
+    }),
+
+    // CHANGE-DATA-FEED EXPORT under the gate, read back THROUGH THE LOG
+    // ONLY: readDeltaExportChanges consumes the spec `cdc` actions and
+    // `_change_data` parquet a foreign table_changes reader would (never
+    // the graft manifest or the native changeFeed). The oracle derives
+    // every per-commit change analytically from raw orders — the merge's
+    // update pre/post images and inserts at commit 2, the COW delete's
+    // removed rows at commit 3 — so a cdc file that leaked an unchanged
+    // rewritten row, dropped an image, or mis-stamped a version breaks
+    // the hash row-for-row.
+    "q191_delta_cdf" -> ((s, d) => {
+      val root = ordersCdfRoot(s, d)
+      LakehouseTable.readDeltaExportChanges(s, root, 1L, 3L)
+        .select(col("_change_type"), col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"), col("_commit_version"))
+        .orderBy(col("_commit_version"), col("_change_type"),
+          col("o_orderkey"))
+    }),
+
+    // EQUALITY DELETES under the gate: a foreign-writer (Flink-upsert
+    // shape) equality-delete snapshot on an exported chain, read back
+    // THROUGH THE CHAIN ONLY. The reader must resolve equality_ids to
+    // columns, apply the delete by null-safe key equality, and scope it
+    // to data files with strictly smaller sequence numbers — a reader
+    // that ignored the delete, applied it as positions, or mis-scoped
+    // it breaks the hash against the key-filtered recompute.
+    "q192_iceberg_equality_delete" -> ((s, d) => {
+      val root = icebergEqDeleteRoot(s, d)
+      IcebergMeta.readIceberg(s, root)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          Exact.moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // UNIFORM-style triple read: ONE storage layer (the q143 history,
+    // both mirrors write-through), THREE read faces — native manifest,
+    // Delta log replay, Iceberg chain walk — each aggregated and tagged.
+    // The oracle is the same recompute three times over: any face
+    // drifting from the others (or from the truth) breaks the hash.
+    "q193_uniform_faces" -> ((s, d) => {
+      val root = deltaExportRoot(s, d)
+      IcebergMeta.exportIcebergMeta(s, root) // idempotent; no-op when current
+      def agg(df: org.apache.spark.sql.DataFrame, face: String) =
+        df.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            Exact.moneySum(col("l_quantity")).as("sum_qty"),
+            sum(col("l_orderkey")).as("key_sum"))
+          .withColumn("face", lit(face))
+      agg(LakehouseTable.read(s, root), "native")
+        .unionByName(agg(LakehouseTable.readDeltaExport(s, root), "delta"))
+        .unionByName(agg(IcebergMeta.readIceberg(s, root), "iceberg"))
+        .select("face", "l_returnflag", "n", "sum_qty", "key_sum")
+        .orderBy(col("face"), col("l_returnflag"))
     }),
 
     // create → MERGE (update + insert) → deleteWhere → read the survivors.
@@ -1782,6 +1897,72 @@ object Lakehouse {
            CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
            min(price) AS min_price, max(price) AS max_price
          FROM upd GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // per-commit CDF changes of the enable→merge→delete history, derived
+    // analytically from raw orders: commit 2 = the merge's update
+    // pre/post images (%97 keys, price ×1.25) and inserts (−%997 keys);
+    // commit 3 = the COW delete's removed rows (merged state < 10000)
+    "q191_delta_cdf" ->
+      """WITH b AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+           FROM orders),
+         upd AS (
+           SELECT * FROM b
+           WHERE o_orderkey % 97 = 0
+             AND o_totalprice * 1.25 <> o_totalprice),
+         ins AS (
+           SELECT -o_orderkey AS o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice
+           FROM b WHERE o_orderkey % 997 = 0 AND o_orderkey <> 0),
+         merged AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 1.25
+                  ELSE o_totalprice END AS o_totalprice
+           FROM b
+           UNION ALL SELECT * FROM ins)
+         SELECT * FROM (
+           SELECT 'update_preimage' AS _change_type, o_orderkey, o_custkey,
+             o_orderstatus, o_totalprice,
+             CAST(2 AS BIGINT) AS _commit_version
+           FROM upd
+           UNION ALL
+           SELECT 'update_postimage', o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice * 1.25, CAST(2 AS BIGINT)
+           FROM upd
+           UNION ALL
+           SELECT 'insert', o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice, CAST(2 AS BIGINT)
+           FROM ins
+           UNION ALL
+           SELECT 'delete', o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice, CAST(3 AS BIGINT)
+           FROM merged WHERE o_totalprice < 10000.0)
+         ORDER BY _commit_version, _change_type, o_orderkey""",
+
+    // survivors of the foreign equality delete: every %131 key removed
+    // (all data files predate the delete's sequence number)
+    "q192_iceberg_equality_delete" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+            CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+            ${Exact.sqlMoneySum("o_totalprice")} AS sum_price
+          FROM orders WHERE o_orderkey % 131 <> 0
+          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // the same final state served three times, once per read face
+    "q193_uniform_faces" ->
+      s"""WITH st AS (
+            SELECT l_returnflag, count(*) AS n,
+              ${Exact.sqlMoneySum("l_quantity")} AS sum_qty,
+              CAST(sum(l_orderkey) AS BIGINT) AS key_sum
+            FROM lineitem
+            WHERE l_orderkey % 3 = 2
+               OR (l_orderkey % 3 < 2 AND l_quantity >= 10.0)
+            GROUP BY 1)
+          SELECT face, l_returnflag, n, sum_qty, key_sum
+          FROM (SELECT 'native' AS face, * FROM st
+                UNION ALL SELECT 'delta', * FROM st
+                UNION ALL SELECT 'iceberg', * FROM st)
+          ORDER BY face, l_returnflag""",
 
     // final state of the 3-version export history, from the raw parquet
     "q143_delta_export" -> sqlDeltaFinalState,

@@ -71,7 +71,15 @@ case class GeneratedPartitionPruning(spark: SparkSession)
             // immutable and every write lands under a fresh uuid dir, so
             // a cached discovery can never go stale.
             fs.location.rootPaths.headOption.map(_.toString).flatMap { f =>
-              rootCache.getOrElseUpdate(f, discoverRoot(f)).map(r => (l, r))
+              // cache positive discoveries and CLEAN not-found probes
+              // forever (roots are immutable); a transient FS error must
+              // NOT cache None — that would silently disable pruning for
+              // this scan path for the JVM lifetime. Retry next pass.
+              val root = rootCache.get(f).getOrElse {
+                try { val r = discoverRoot(f); rootCache.put(f, r); r }
+                catch { case NonFatal(_) => None }
+              }
+              root.map(r => (l, r))
             }
           case _ => None
         }
@@ -81,20 +89,21 @@ case class GeneratedPartitionPruning(spark: SparkSession)
   /** Scan '/data/' occurrences RIGHT to left and demand the graft
     * manifest dir — a lake living under a path that itself contains
     * '/data/' must not resolve to a different (or wrong) root. The probe
-    * resolves through the path's own FileSystem, so any scheme works. */
+    * resolves through the path's own FileSystem, so any scheme works.
+    * A clean not-found probe returns None (cacheable — not a graft
+    * table); any OTHER FS error propagates so the caller can skip
+    * WITHOUT caching the failure as a permanent None. */
   private def discoverRoot(f: String): Option[String] =
-    try {
-      Iterator.iterate(f.lastIndexOf("/data/"))(i =>
-          f.lastIndexOf("/data/", i - 1))
-        .takeWhile(_ > 0)
-        .map(f.substring(0, _))
-        .find { r =>
-          val p = new HPath(r, "_manifest")
-          val fsys = p.getFileSystem(hadoopConf)
-          try fsys.getFileStatus(p).isDirectory
-          catch { case _: java.io.FileNotFoundException => false }
-        }
-    } catch { case NonFatal(_) => None }
+    Iterator.iterate(f.lastIndexOf("/data/"))(i =>
+        f.lastIndexOf("/data/", i - 1))
+      .takeWhile(_ > 0)
+      .map(f.substring(0, _))
+      .find { r =>
+        val p = new HPath(r, "_manifest")
+        val fsys = p.getFileSystem(hadoopConf)
+        try fsys.getFileStatus(p).isDirectory
+        catch { case _: java.io.FileNotFoundException => false }
+      }
 
   /** Current version + that manifest's modification time, via ONE
     * Hadoop-FS listing (scheme-aware twin of

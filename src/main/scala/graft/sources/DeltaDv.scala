@@ -9,11 +9,13 @@ import org.roaringbitmap.RoaringBitmap
 /** Delta Lake DELETION-VECTOR codec, following the public Delta protocol
   * (delta-io PROTOCOL.md, "Deletion Vectors"): a DV is a set of 64-bit
   * row indexes stored as a RoaringBitmapArray in its "portable" layout —
-  * little-endian `[numBitmaps: int64][bitmap 0][bitmap 1]…`, where bitmap
-  * k holds the low-32 bits of every index whose high-32 bits equal k,
-  * each in the standard RoaringFormatSpec serialization (the
-  * org.roaringbitmap wire format Spark already ships) — wrapped in a DV
-  * blob `[size: int32 BE][magic 1681511377: int32 LE][portable bitmaps]
+  * `[numBitmaps: int64 LE]`, then per NON-EMPTY bucket in ascending key
+  * order `[key: int32 LE][32-bit RoaringBitmap]`, where bucket k holds
+  * the low-32 bits of every index whose high-32 bits equal k, each
+  * bitmap in the standard RoaringFormatSpec serialization (the
+  * org.roaringbitmap wire format Spark already ships; byte-identical to
+  * Roaring64NavigableMap.serializePortable) — wrapped in a DV blob
+  * `[size: int32 BE][magic 1681511377: int32 LE][portable bitmaps]
   * [CRC-32 of the data: int32 BE]` inside a file whose first byte is the
   * format version (1). Descriptors reference a blob by `storageType`:
   *   - `u` — pathOrInlineDv = `<optional prefix><z85 of the 16-byte

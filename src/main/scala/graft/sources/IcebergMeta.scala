@@ -69,12 +69,18 @@ object IcebergMeta {
     java.lang.Long.parseLong(h.take(15), 16) // 60 bits, positive
   }
 
-  // (root, data-relative file) → footer row count; files are immutable
+  // (root, data-relative file) → footer row count; files are immutable.
+  // Failures are NOT cached and FAIL the export: spec readers may answer
+  // metadata-only count(*) from record_count, so a transient IO error
+  // must never bake 0 into an immutable manifest (a write-through
+  // advance catches the failure and lags the mirror instead).
   private val rowCountCache = TrieMap.empty[(String, String), Long]
   private def rowsOf(root: String, rel: String): Long =
-    rowCountCache.getOrElseUpdate((root, rel),
-      try LakehouseTable.parquetRecordCount(Paths.get(root, "data", rel))
-      catch { case scala.util.control.NonFatal(_) => 0L })
+    rowCountCache.get((root, rel)).getOrElse {
+      val n = LakehouseTable.parquetRecordCount(Paths.get(root, "data", rel))
+      rowCountCache.put((root, rel), n)
+      n
+    }
 
   // --- Spark type → Iceberg schema JSON / Avro partition types ----------
 
@@ -418,9 +424,9 @@ object IcebergMeta {
           // partition values for pruning); unpartitioned → one file
           val delFiles = writeDeleteParquets(spark, root, curDvs, dir, sid)
           val entries = delFiles.map { case (delParquet, pd) =>
-            val delRows =
-              try LakehouseTable.parquetRecordCount(delParquet)
-              catch { case scala.util.control.NonFatal(_) => 0L }
+            // just written by this export — a footer-read failure is a
+            // real error and must fail the export, not record 0 deletes
+            val delRows = LakehouseTable.parquetRecordCount(delParquet)
             val part = new GenericData.Record(partSchema)
             val dirVals = pd.split('/').filter(_.contains('='))
               .map { seg => val Array(k, x) = seg.split("=", 2); k -> x }
@@ -806,26 +812,65 @@ object IcebergMeta {
   /** Data file paths of one snapshot, via its manifest list → manifest
     * chain — exactly the walk a foreign Iceberg reader performs. */
   def snapshotFiles(root: String, snapshotId: Long): Seq[String] =
-    snapshotEntries(root, snapshotId)._1
+    snapshotEntries(root, snapshotId)._1.map(_._1)
 
-  /** (data files, position-delete files) of one snapshot. */
-  private def snapshotEntries(root: String,
-      snapshotId: Long): (Seq[String], Seq[String]) = {
+  /** One live delete-manifest entry: the delete file's path, its
+    * data_file `content` (1 = position deletes, 2 = equality deletes),
+    * its effective sequence number (entry-level, inheriting the
+    * manifest's when null — the spec's inheritance rule), and, for
+    * equality deletes, the field ids the file's rows match on. */
+  private[graft] case class DeleteEntry(path: String, content: Int,
+      seq: Long, equalityIds: Seq[Int])
+
+  /** ((data file, effective sequence number)s, delete entries) of one
+    * snapshot. Sequence numbers ride along because equality deletes
+    * apply only to data files with a STRICTLY SMALLER sequence number
+    * (position deletes name exact (path, pos) pairs and paths are never
+    * reused, so they need no scoping). */
+  private def snapshotEntries(root: String, snapshotId: Long)
+      : (Seq[(String, Long)], Seq[DeleteEntry]) = {
     val snap = snapshots(root).find(_.id == snapshotId).getOrElse(
       throw new IllegalArgumentException(
         s"no Iceberg snapshot $snapshotId at $root"))
-    def filesOf(mfs: Seq[GenericRecord]): Seq[String] =
-      mfs.flatMap { mf =>
-        readAvro(Paths.get(mf.get("manifest_path").toString)).flatMap { e =>
-          val status = e.get("status").asInstanceOf[Int]
-          if (status == 2) None // DELETED
-          else Some(e.get("data_file").asInstanceOf[GenericRecord]
-            .get("file_path").toString)
-        }
+    def entrySeq(e: GenericRecord, mfSeq: Long): Long =
+      Option(e.get("sequence_number"))
+        .map(_.asInstanceOf[Long]).getOrElse(mfSeq)
+    def live(mf: GenericRecord): Seq[(GenericRecord, Long)] = {
+      val mfSeq = mf.get("sequence_number").asInstanceOf[Long]
+      readAvro(Paths.get(mf.get("manifest_path").toString)).flatMap { e =>
+        if (e.get("status").asInstanceOf[Int] == 2) None // DELETED
+        else Some((e.get("data_file").asInstanceOf[GenericRecord],
+          entrySeq(e, mfSeq)))
       }
+    }
     val (data, dels) = readAvro(Paths.get(snap.manifestList))
       .partition(_.get("content").asInstanceOf[Int] == 0)
-    (filesOf(data), filesOf(dels))
+    val dataFiles = data.flatMap(live).map { case (df, seq) =>
+      (df.get("file_path").toString, seq)
+    }
+    val delEntries = dels.flatMap(live).map { case (df, seq) =>
+      val content = df.get("content").asInstanceOf[Int]
+      val eqIds =
+        if (df.getSchema.getField("equality_ids") == null) Seq.empty[Int]
+        else Option(df.get("equality_ids")) match {
+          case Some(l: java.util.List[_]) =>
+            l.asScala.toSeq.map(_.asInstanceOf[Int])
+          case _ => Seq.empty[Int]
+        }
+      DeleteEntry(df.get("file_path").toString, content, seq, eqIds)
+    }
+    (dataFiles, delEntries)
+  }
+
+  /** Field-id → logical name for one schema-id — how an equality
+    * delete's `equality_ids` resolve to join columns. */
+  private def fieldNamesById(root: String, schemaId: Int): Map[Int, String] = {
+    val md = currentMetadata(root)
+    val schemaNode = md.get("schemas").elements().asScala
+      .find(_.get("schema-id").asInt() == schemaId).getOrElse(
+        throw new IllegalStateException(s"schema $schemaId missing"))
+    schemaNode.get("fields").elements().asScala.map(f =>
+      f.get("id").asInt() -> f.get("name").asText()).toMap
   }
 
   /** Iceberg schema type string → Spark type (inverse of [[icebergType]],
@@ -875,7 +920,16 @@ object IcebergMeta {
     val sid = md.get("current-snapshot-id").asLong()
     val snap = snapshots(srcRoot).find(_.id == sid).getOrElse(
       throw new IllegalStateException(s"current snapshot $sid missing"))
-    val (files, deleteFiles) = snapshotEntries(srcRoot, sid)
+    val (dataEntries, deleteEntries) = snapshotEntries(srcRoot, sid)
+    val files = dataEntries.map(_._1)
+    // position deletes convert to a native DV sidecar below; EQUALITY
+    // deletes have no position form without a full matching scan —
+    // refuse (rewrite/compact in the source engine first), never import
+    // rows the source would not serve
+    require(deleteEntries.forall(_.content == 1),
+      s"Iceberg table at $srcRoot carries equality-delete files; " +
+        "compact them to data rewrites in the source engine before import")
+    val deleteFiles = deleteEntries.map(_.path)
     require(files.nonEmpty, s"Iceberg table at $srcRoot has no live files")
     // declared identity partition fields must be hive-encoded in paths
     val specId = md.get("default-spec-id").asInt()
@@ -941,6 +995,161 @@ object IcebergMeta {
     LakehouseTable.commit(dstRoot, 0, mapping.map(_._2), dvs = dvField)
   }
 
+  /** Append a snapshot carrying an EQUALITY-DELETE file (v2 content=2)
+    * to an existing chain — the commit shape a Flink-style streaming
+    * upsert writer produces when it cannot locate row positions, so it
+    * deletes by key. The graft engine itself never commits this
+    * (deleteWhereMor computes exact positions); it exists as the
+    * FOREIGN-WRITER stand-in so the read path's equality semantics are
+    * gated against chains the engine did not write. The delete parquet
+    * is id-less; readers resolve its columns through the chain's
+    * schema.name-mapping.default property, like the shared data
+    * parquet. Unpartitioned tables only. `seqOverride` crafts a
+    * sequence number below the tip (what a concurrent foreign commit
+    * produces) so specs can pin the strictly-smaller application rule.
+    * Returns the new snapshot id. */
+  private[graft] def appendEqualityDeleteSnapshot(spark: SparkSession,
+      root: String, eqCols: Seq[String], deleteRows: DataFrame,
+      seqOverride: Option[Long] = None): Long = {
+    import org.apache.spark.sql.functions.col
+    require(hasChain(root), s"no Iceberg metadata at $root")
+    require(LakehouseTable.partitionColumns(root).isEmpty,
+      "equality-delete stand-in supports unpartitioned tables only")
+    require(eqCols.nonEmpty, "equality delete requires key columns")
+    val dir = metaDir(root)
+    val md = currentMetadata(root)
+    val hintN = Files.readString(dir.resolve("version-hint.text")).trim.toLong
+    val lastSeq = md.get("last-sequence-number").asLong()
+    val seq = seqOverride.getOrElse(lastSeq + 1)
+    val parent = md.get("current-snapshot-id").asLong()
+    val curSchemaId = md.get("current-schema-id").asInt()
+    val idOf = fieldNamesById(root, curSchemaId).map(_.swap)
+    val eqIds = eqCols.map(c => idOf.getOrElse(c,
+      throw new IllegalArgumentException(
+        s"no field '$c' in schema $curSchemaId at $root")))
+    val sid = java.lang.Long.parseLong(graft.plans.TextExpressions
+      .md5Hex(s"iceberg-eqdel:$root#$seq#$hintN").take(15), 16)
+    // the delete parquet: one row per deleted key tuple
+    val delTarget = dir.resolve(s"eqdelete-$sid.parquet")
+    val nDel = {
+      val stage = Files.createTempDirectory(dir, ".eqdel-tmp")
+      try {
+        val rows = deleteRows.select(eqCols.map(col): _*)
+        rows.coalesce(1).write.mode("overwrite")
+          .parquet(stage.resolve("out").toString)
+        val part = withListed(stage.resolve("out"))(
+          _.find(_.toString.endsWith(".parquet"))).getOrElse(
+          throw new IllegalStateException("delete write produced no file"))
+        try Files.move(part, delTarget, StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        LakehouseTable.parquetRecordCount(delTarget)
+      } finally {
+        val walked = Files.walk(stage)
+        try walked.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { Files.deleteIfExists(p); () })
+        finally walked.close()
+      }
+    }
+    // delete manifest: the spec entry schema + equality_ids (135/136)
+    val schemaJson = md.get("schemas").elements().asScala
+      .find(_.get("schema-id").asInt() == curSchemaId).get.toString
+    val entrySchema = new Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+         {"name":"status","type":"int","field-id":0},
+         {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+         {"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+         {"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+         {"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+           {"name":"content","type":"int","field-id":134},
+           {"name":"file_path","type":"string","field-id":100},
+           {"name":"file_format","type":"string","field-id":101},
+           {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
+           {"name":"record_count","type":"long","field-id":103},
+           {"name":"file_size_in_bytes","type":"long","field-id":104},
+           {"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135}
+         ]}}]}""".replaceAll("\n\\s*", ""))
+    val dataFileSchema = entrySchema.getField("data_file").schema()
+    val partSchema = dataFileSchema.getField("partition").schema()
+    val df = new GenericData.Record(dataFileSchema)
+    df.put("content", 2) // EQUALITY_DELETES
+    df.put("file_path", delTarget.toString)
+    df.put("file_format", "PARQUET")
+    df.put("partition", new GenericData.Record(partSchema))
+    df.put("record_count", nDel)
+    df.put("file_size_in_bytes", Files.size(delTarget))
+    df.put("equality_ids", eqIds.map(Int.box).asJava)
+    val e = new GenericData.Record(entrySchema)
+    e.put("status", 1)
+    e.put("snapshot_id", sid)
+    e.put("sequence_number", null) // inherit the manifest list's
+    e.put("file_sequence_number", null)
+    e.put("data_file", df)
+    val m = dir.resolve(s"m-$sid-eqdel.avro")
+    writeAvro(m, entrySchema, Seq(
+      "schema" -> schemaJson,
+      "partition-spec" -> "[]",
+      "partition-spec-id" -> "0",
+      "format-version" -> "2",
+      "content" -> "deletes"), Seq(e))
+    // manifest list: the parent's entries carried verbatim + the new
+    // delete manifest stamped at this snapshot's sequence number
+    val parentList = snapshots(root).find(_.id == parent).getOrElse(
+      throw new IllegalStateException(s"parent snapshot $parent missing"))
+      .manifestList
+    val carried = readAvro(Paths.get(parentList))
+    val mfRec = new GenericData.Record(manifestFileSchema)
+    mfRec.put("manifest_path", m.toString)
+    mfRec.put("manifest_length", Files.size(m))
+    mfRec.put("partition_spec_id", 0)
+    mfRec.put("content", 1) // deletes manifest
+    mfRec.put("sequence_number", seq)
+    mfRec.put("min_sequence_number", seq)
+    mfRec.put("added_snapshot_id", sid)
+    mfRec.put("added_files_count", 1)
+    mfRec.put("existing_files_count", 0)
+    mfRec.put("deleted_files_count", 0)
+    mfRec.put("added_rows_count", nDel)
+    mfRec.put("existing_rows_count", 0L)
+    mfRec.put("deleted_rows_count", 0L)
+    val listPath = dir.resolve(s"snap-$sid.avro")
+    writeAvro(listPath, manifestFileSchema, Seq(
+      "snapshot-id" -> sid.toString,
+      "sequence-number" -> seq.toString,
+      "parent-snapshot-id" -> parent.toString,
+      "format-version" -> "2"), carried.toSeq :+ mfRec)
+    // new metadata.json: the current one with the snapshot appended
+    val ts = math.max(System.currentTimeMillis(),
+      md.get("last-updated-ms").asLong() + 1)
+    val obj = mapper.readTree(Files.readString(
+        dir.resolve(s"v$hintN.metadata.json")))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    obj.put("last-sequence-number", math.max(lastSeq, seq))
+    obj.put("last-updated-ms", ts)
+    obj.put("current-snapshot-id", sid)
+    val snapJson = s"""{"snapshot-id":$sid,"parent-snapshot-id":$parent,""" +
+      s""""sequence-number":$seq,"timestamp-ms":$ts,""" +
+      s""""manifest-list":"$listPath","schema-id":$curSchemaId,""" +
+      s""""summary":{"operation":"delete","deleted-data-files":"0",""" +
+      s""""added-data-files":"0"}}"""
+    obj.withArray("snapshots").add(mapper.readTree(snapJson))
+    obj.withArray("snapshot-log").add(mapper.readTree(
+      s"""{"snapshot-id":$sid,"timestamp-ms":$ts}"""))
+    obj.withArray("metadata-log").add(mapper.readTree(
+      s"""{"metadata-file":"${dir.resolve(s"v$hintN.metadata.json")}","timestamp-ms":${md.get("last-updated-ms").asLong()}}"""))
+    val target = dir.resolve(s"v${hintN + 1}.metadata.json")
+    val tmp = Files.createTempFile(dir, ".ice-tmp", ".json")
+    Files.writeString(tmp, mapper.writeValueAsString(obj))
+    try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      Files.deleteIfExists(tmp)
+    }
+    val hintTmp = Files.createTempFile(dir, ".hint-tmp", ".txt")
+    Files.writeString(hintTmp, (hintN + 1).toString)
+    Files.move(hintTmp, dir.resolve("version-hint.text"),
+      StandardCopyOption.REPLACE_EXISTING)
+    sid
+  }
+
   /** The logical fields (name, Spark type) of one schema-id in the
     * current metadata. */
   private def schemaFieldsOf(root: String,
@@ -992,8 +1201,10 @@ object IcebergMeta {
       .option("mergeSchema", "true")
       .parquet(files: _*)
     val visible = deletesOfSnapshot
-      .map(dsid => applyDeleteFiles(spark, raw,
-        snapshotEntries(root, dsid)._2))
+      .map { dsid =>
+        val (dataEntries, dels) = snapshotEntries(root, dsid)
+        applyDeleteEntries(spark, root, schemaId, raw, dataEntries, dels)
+      }
       .getOrElse(raw)
     visible.select(fields.map { case (n, dt) =>
       (if (visible.columns.exists(_.equalsIgnoreCase(n))) col(n)
@@ -1001,23 +1212,77 @@ object IcebergMeta {
     }: _*)
   }
 
-  /** v2 position deletes: anti-join on (file path, row index) — the
-    * same shape the Delta DV read uses; no-op without delete files. */
-  private def applyDeleteFiles(spark: SparkSession, raw: DataFrame,
-      deleteFiles: Seq[String]): DataFrame =
-    if (deleteFiles.isEmpty) raw
+  /** Apply a snapshot's delete entries to its raw data scan.
+    *
+    * v2 POSITION deletes (content 1): anti-join on (file path, row
+    * index) — the same shape the Delta DV read uses. Paths are never
+    * reused, so no sequence scoping is needed.
+    *
+    * v2 EQUALITY deletes (content 2 — what a Flink-style streaming
+    * upsert writer commits when it cannot locate row positions): each
+    * delete row removes every data row whose `equality_ids` columns are
+    * null-safe EQUAL, but only from data files with a sequence number
+    * STRICTLY SMALLER than the delete file's (the spec's rule — a row
+    * re-inserted after the delete survives). Delete files group by
+    * their id set; each group is one broadcast anti-join whose non-equi
+    * seq conjunct rides the small (delete) side. */
+  private def applyDeleteEntries(spark: SparkSession, root: String,
+      schemaId: Int, raw: DataFrame, dataEntries: Seq[(String, Long)],
+      dels: Seq[DeleteEntry]): DataFrame =
+    if (dels.isEmpty) raw
     else {
-      import org.apache.spark.sql.functions.{col, regexp_replace, url_decode}
-      val del = spark.read.parquet(deleteFiles: _*)
-        .select(col("file_path").as("__del_path"),
-          col("pos").as("__del_pos"))
-      raw.withColumn("__p", url_decode(regexp_replace(
+      import org.apache.spark.sql.functions.{col, lit, regexp_replace, url_decode}
+      val unknown = dels.filter(d => d.content != 1 && d.content != 2)
+      require(unknown.isEmpty,
+        s"unsupported delete-file content ${unknown.map(_.content).distinct} at $root")
+      val withP = raw.withColumn("__p", url_decode(regexp_replace(
           regexp_replace(col("_metadata.file_path"), "^file:/+", "/"),
           "\\+", "%2B")))
-        .withColumn("__ri", col("_metadata.row_index"))
-        .join(del, col("__p") === col("__del_path") &&
-          col("__ri") === col("__del_pos"), "left_anti")
-        .drop("__p", "__ri")
+      val posFiles = dels.filter(_.content == 1).map(_.path)
+      val afterPos =
+        if (posFiles.isEmpty) withP
+        else {
+          val del = spark.read.parquet(posFiles: _*)
+            .select(col("file_path").as("__del_path"),
+              col("pos").as("__del_pos"))
+          withP.withColumn("__ri", col("_metadata.row_index"))
+            .join(del, col("__p") === col("__del_path") &&
+              col("__ri") === col("__del_pos"), "left_anti")
+            .drop("__ri")
+        }
+      val eqDels = dels.filter(_.content == 2)
+      val result =
+        if (eqDels.isEmpty) afterPos
+        else {
+          val names = fieldNamesById(root, schemaId)
+          // data-file sequence numbers ride in via an O(files) broadcast
+          import spark.implicits._
+          val seqDf = dataEntries.toDF("__seq_path", "__seq")
+          val withSeq = afterPos.join(
+            org.apache.spark.sql.functions.broadcast(seqDf),
+            col("__p") === col("__seq_path"), "left")
+          eqDels.groupBy(_.equalityIds).foldLeft(withSeq) {
+            case (acc, (ids, group)) =>
+              require(ids.nonEmpty,
+                s"equality delete without equality_ids at $root")
+              val cols = ids.map(id => names.getOrElse(id,
+                throw new IllegalArgumentException(
+                  s"equality_ids field $id not in schema $schemaId at $root")))
+              val delDf = group.map { d =>
+                  spark.read.parquet(d.path)
+                    .select(cols.map(col): _*)
+                    .withColumn("__dseq", lit(d.seq))
+                }.reduce(_ unionByName _)
+                .select(cols.map(c => col(c).as(s"__eq_$c")) :+
+                  col("__dseq"): _*)
+              val cond = cols.map(c => acc(c) <=> delDf(s"__eq_$c"))
+                .reduce(_ && _) && acc("__seq") < delDf("__dseq")
+              acc.join(
+                org.apache.spark.sql.functions.broadcast(delDf),
+                cond, "left_anti")
+          }.drop("__seq_path", "__seq")
+        }
+      result.drop("__p")
     }
 
   /** Read the table THROUGH the Iceberg chain only — version-hint →
@@ -1033,12 +1298,13 @@ object IcebergMeta {
     val snap = snapshots(root).find(_.id == sid).getOrElse(
       throw new IllegalArgumentException(s"no Iceberg snapshot $sid at $root"))
     val fields = schemaFieldsOf(root, snap.schemaId)
-    val (files, deleteFiles) = snapshotEntries(root, sid)
+    val (dataEntries, deleteEntries) = snapshotEntries(root, sid)
     val raw = spark.read
       .option("basePath", Paths.get(root, "data").toString)
       .option("mergeSchema", "true")
-      .parquet(files: _*)
-    val visible = applyDeleteFiles(spark, raw, deleteFiles)
+      .parquet(dataEntries.map(_._1): _*)
+    val visible = applyDeleteEntries(spark, root, snap.schemaId, raw,
+      dataEntries, deleteEntries)
     // align to the metadata schema: absent columns (an older snapshot's
     // files under a later ADD COLUMNS) null-fill; partition columns come
     // back from directory inference and are cast to the declared type

@@ -217,6 +217,41 @@ object LakehouseTable {
   private def encodeIdentity(idCol: String, keys: Seq[String], wm: Long): String =
     s"$idCol>${keys.mkString("|")}>$wm"
 
+  private val CdfRe = """"cdf":\s*"([^"]*)"""".r
+
+  /** CHANGE-DATA-FEED state as of version `v`: the row-key columns the
+    * feed classifies changes by (Delta's delta.enableChangeDataFeed,
+    * plus the keys graft's row-level diff needs). Non-empty ⇒ every
+    * exported commit from `v` on carries spec `cdc` actions +
+    * `_change_data` files for non-derivable changes (COW rewrites, MOR
+    * deletes, compaction), so foreign readers get row-level changes
+    * without diffing snapshots. Carries forward like the rest of the
+    * schema-mapping state. */
+  def cdfKeysAt(root: String, v: Long): Seq[String] =
+    CdfRe.findFirstMatchIn(
+      Files.readString(manifestDir(root).resolve(s"$v.json")))
+      .map(_.group(1)).filter(_.nonEmpty).toSeq
+      .flatMap(_.split('|').toSeq.map(_.trim).filter(_.nonEmpty))
+
+  /** Enable the change data feed (a metadata-only commit): from the next
+    * exported version on, the Delta mirror records row-level changes as
+    * spec `cdc` actions over `_change_data` parquet. `keys` are the row
+    * identity the diff classifies by (Delta's writers know their own
+    * DML row images; the graft manifest diff reconstructs them by key). */
+  def enableChangeDataFeed(spark: SparkSession, root: String,
+      keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "enableChangeDataFeed requires key columns")
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no table at $root"))
+    val cols = read(spark, root).columns.toSet
+    val missing = keys.filterNot(cols.contains)
+    require(missing.isEmpty, s"CDF key columns $missing not in $cols")
+    keys.foreach(k => require(k.matches("[A-Za-z0-9_.-]+"),
+      s"CDF key column name must be [A-Za-z0-9_.-]+: $k"))
+    commit(root, cur + 1, readManifest(root, cur),
+      cdf = Some(keys.mkString("|")))
+  }
+
   private val GeneratedRe = """"generatedCols":\s*"([^"]*)"""".r
 
   /** GENERATED partition-column declarations as of version `v`:
@@ -370,7 +405,8 @@ object LakehouseTable {
       widenedCols: Option[String] = None,
       dvs: Option[String] = None,
       identity: Option[String] = None,
-      generatedCols: Option[String] = None): Long = {
+      generatedCols: Option[String] = None,
+      cdf: Option[String] = None): Long = {
     relFiles.find(f => f.contains('"') || f.contains(',')).foreach(f =>
       throw new IllegalArgumentException(
         s"""data file path contains '"' or ',' (unsupported in partition values): $f"""))
@@ -420,10 +456,13 @@ object LakehouseTable {
     // the schema-mapping state
     val genField = generatedCols.getOrElse(
       prevV.map(v => encodeGenerated(generatedColsAt(root, v))).getOrElse(""))
+    // change-data-feed keys carry forward like the rest of the state
+    val cdfField = cdf.getOrElse(
+      prevV.map(v => cdfKeysAt(root, v).mkString("|")).getOrElse(""))
     Seq("added-column DDL" -> cols, "renamed-column list" -> rens,
       "dropped-column list" -> drops, "widened-column list" -> widens,
       "deletion-vector list" -> dvField, "identity state" -> idField,
-      "generated-column list" -> genField)
+      "generated-column list" -> genField, "cdf key list" -> cdfField)
       .foreach { case (what, s) =>
         require(!s.exists(c => c == '[' || c == ']' || c == '"'),
           s"""$what may not contain '[', ']', or '"': $s""")
@@ -434,7 +473,8 @@ object LakehouseTable {
       (if (widens.isEmpty) "" else s""""widenedCols": "$widens", """) +
       (if (dvField.isEmpty) "" else s""""dvs": "$dvField", """) +
       (if (idField.isEmpty) "" else s""""identity": "$idField", """) +
-      (if (genField.isEmpty) "" else s""""generatedCols": "$genField", """)
+      (if (genField.isEmpty) "" else s""""generatedCols": "$genField", """) +
+      (if (cdfField.isEmpty) "" else s""""cdf": "$cdfField", """)
     // in-commit timestamp, CLAMPED MONOTONIC (max(now, prev+1) — Delta's
     // in-commit-timestamps rule): versionAt's "latest version at or
     // before ts" scan requires non-decreasing stamps even when the
@@ -987,7 +1027,8 @@ object LakehouseTable {
         .map { seg => val Array(k, v) = seg.split("=", 2); s""""${esc(k)}":"${esc(v)}"""" }
         .mkString("{", ",", "}")
     var prev = Seq.empty[String]
-    var prevCols: Option[(String, String, String, String)] = None
+    var prevCols: Option[(String, String, String, String, String)] = None
+    var prevVNum: Option[Long] = None
     var prevDvs = Map.empty[String, String]
     var mappingAnnounced = false
     var dvAnnounced = false
@@ -1016,10 +1057,12 @@ object LakehouseTable {
     if (startIdx > 0) {
       val seedV = vs(startIdx - 1)
       prev = readManifest(root, seedV)
+      prevVNum = Some(seedV)
       prevCols = Some((addedColumnsAt(root, seedV),
         encodeRenames(renamedColumnsAt(root, seedV)),
         droppedColumnsAt(root, seedV).mkString(","),
-        encodeWidens(widenedColumnsAt(root, seedV))))
+        encodeWidens(widenedColumnsAt(root, seedV)),
+        cdfKeysAt(root, seedV).mkString("|")))
       prevDvs = dvsAt(root, seedV).toMap
       // only consulted when mappingActive, which the fast path excludes
       mappingAnnounced = true
@@ -1031,9 +1074,15 @@ object LakehouseTable {
       // widens participate in schema-change detection: an ALTER COLUMN
       // TYPE version must export a fresh metaData with the widened
       // schemaString, or foreign readers keep the narrow type forever
+      // the CDF flag participates in schema-change detection: the
+      // ENABLING version must export fresh metaData whose configuration
+      // declares delta.enableChangeDataFeed, or foreign CDF readers
+      // refuse the whole log
+      val cdfKeys = cdfKeysAt(root, v)
       val cols = (addedColumnsAt(root, v), encodeRenames(renames),
         droppedColumnsAt(root, v).mkString(","),
-        encodeWidens(widenedColumnsAt(root, v)))
+        encodeWidens(widenedColumnsAt(root, v)),
+        cdfKeys.mkString("|"))
       val target = logDir.resolve(f"$v%020d.json")
       val curDvs = dvsAt(root, v).toMap
       val schemaChanged = v == vs.head || !prevCols.contains(cols)
@@ -1112,9 +1161,13 @@ object LakehouseTable {
           // parquet name (Delta column mapping, name mode) whenever a
           // mapping is active — a plain name-matched schema would read
           // renamed columns as null from pre-rename files
-          val conf =
-            if (!mappingActive) "{}"
-            else s"""{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"${columnIds.values.max}"}"""
+          val confPairs =
+            (if (!mappingActive) Nil
+             else Seq(""""delta.columnMapping.mode":"name"""",
+               s""""delta.columnMapping.maxColumnId":"${columnIds.values.max}"""")) ++
+            (if (cdfKeys.isEmpty) Nil
+             else Seq(""""delta.enableChangeDataFeed":"true""""))
+          val conf = confPairs.mkString("{", ",", "}")
           val schema = esc(mappedSchemaJson.get)
           val parts = partitionColumns(root)
             .map(c => s""""${esc(c)}"""").mkString("[", ",", "]")
@@ -1161,6 +1214,25 @@ object LakehouseTable {
           sb.append(s"""{"add":{"path":"data/${esc(deltaEncodePath(f))}","partitionValues":${partitionValues(f)},"size":$size,"modificationTime":$mtime,"dataChange":true$stats${dvJson(f)}}}""")
             .append('\n')
         }
+        // CHANGE DATA FEED: when enabled, any commit whose row-level
+        // changes are NOT derivable from the actions alone — removes
+        // (COW rewrites, deletes, compaction churn) or DV changes (MOR
+        // deletes) — records them as spec `cdc` actions over
+        // `_change_data` parquet (the data columns + _change_type; the
+        // reader derives _commit_version/_commit_timestamp from the
+        // log). Pure adds stay cdc-free: the spec derives their inserts.
+        // An empty change set under churn (compaction) still writes one
+        // EMPTY cdc file — the no-logical-change marker that stops a
+        // reader from mis-deriving the rewrite as inserts + deletes.
+        if (cdfKeys.nonEmpty && prevVNum.nonEmpty &&
+            (prev.exists(f => !curSet.contains(f)) || dvChangedFiles.nonEmpty)) {
+          val changes = changeFeed(spark, root, prevVNum.get, v, cdfKeys)
+          writeCdcFiles(spark, root, v, changes).foreach {
+            case (rel, pv, size) =>
+              sb.append(s"""{"cdc":{"path":"${esc(deltaEncodePath(rel))}","partitionValues":$pv,"size":$size,"dataChange":false}}""")
+                .append('\n')
+          }
+        }
         prev.filterNot(curSet).foreach { f =>
           sb.append(s"""{"remove":{"path":"data/${esc(deltaEncodePath(f))}","deletionTimestamp":0,"dataChange":true}}""")
             .append('\n')
@@ -1180,6 +1252,7 @@ object LakehouseTable {
       }
       prev = cur
       prevCols = Some(cols)
+      prevVNum = Some(v)
       prevDvs = curDvs
       if (cols._2.nonEmpty || cols._3.nonEmpty) mappingAnnounced = true
       // a skipped (already-exported) DV-bearing version still means the
@@ -1187,6 +1260,51 @@ object LakehouseTable {
       if (curDvs.nonEmpty) dvAnnounced = true
     }
     logDir
+  }
+
+  /** Write version `v`'s change rows as `_change_data` parquet — hive-
+    * partitioned like the data when the table is partitioned (Delta lays
+    * change data out under the table's own partitioning) — and return
+    * (root-relative path, partitionValues JSON, size) per file. An EMPTY
+    * change set still writes ONE empty file: the spec's marker that a
+    * churn-only commit (compaction) had no logical changes. Names carry
+    * a uuid; a concurrent exporter losing the log CAS leaves an orphaned
+    * cdc file (never referenced — Delta's own uncommitted-file story). */
+  private def writeCdcFiles(spark: SparkSession, root: String, v: Long,
+      changes: DataFrame): Seq[(String, String, Long)] = {
+    def esc(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val cdcDir = Paths.get(root, "_change_data")
+    Files.createDirectories(cdcDir)
+    val parts = partitionColumns(root).filter(changes.columns.contains)
+    val stage = Files.createTempDirectory(cdcDir, s".cdc-$v-stage")
+    try {
+      val w = changes.write.mode("overwrite")
+      (if (parts.nonEmpty && !changes.isEmpty) w.partitionBy(parts: _*)
+       else w)
+        .parquet(stage.toString)
+      val staged = withDrained(Files.walk(stage))(
+        _.filter(p => p.toString.endsWith(".parquet") &&
+          Files.isRegularFile(p))).sortBy(_.toString)
+      staged.zipWithIndex.map { case (p, i) =>
+        val relDirs = stage.relativize(p.getParent).toString
+        val destDir =
+          if (relDirs.isEmpty) cdcDir else cdcDir.resolve(relDirs)
+        Files.createDirectories(destDir)
+        val dest = destDir.resolve(
+          s"cdc-$v-$i-${java.util.UUID.randomUUID()}.parquet")
+        Files.move(p, dest)
+        val pv = relDirs.split('/').filter(_.contains('='))
+          .map { seg =>
+            val Array(k, x) = seg.split("=", 2)
+            s""""${esc(k)}":"${esc(x)}""""
+          }.mkString("{", ",", "}")
+        (Paths.get(root).relativize(dest).toString, pv, Files.size(dest))
+      }
+    } finally {
+      withDrained(Files.walk(stage))(identity)
+        .sortBy(_.toString).reverse.foreach(Files.deleteIfExists(_))
+    }
   }
 
   // "path" need not be the FIRST key of the action object (field order
@@ -1373,6 +1491,18 @@ object LakehouseTable {
     // a GAP in the selected versions (foreign retention, partial copy)
     // makes the net state wrong in unbounded ways — refuse, never skip
     val selVs = logFiles.map(_.getFileName.toString.take(20).toLong)
+    // a FOREIGN log truncated by the other engine's metadata cleanup (or
+    // a copy that lost our marker) has no _graft_truncation marker, but
+    // its surviving versions start at k > 0 — consecutive-gap checks
+    // alone would pass and silently return a partial live set. An
+    // unseeded replay is only complete if the JSON chain starts at 0.
+    if (after.isEmpty)
+      selVs.headOption.foreach(first =>
+        require(first == 0L,
+          s"log at $root starts at version $first, not 0 — it was " +
+            "truncated (foreign metadata cleanup or a partial copy) and " +
+            "cannot be replayed from JSON alone; read checkpoint-seeded " +
+            "at or above its checkpoint"))
     after.foreach(a => selVs.headOption.foreach(first =>
       require(first == a + 1,
         s"log versions ${a + 1}..${first - 1} missing at $root; the " +
@@ -1616,6 +1746,82 @@ object LakehouseTable {
       adds.collect { case (p, Some(d)) => p -> d }.toMap)
   }
 
+  private val DeltaCdcKindRe = """"cdc"\s*:\s*\{""".r
+
+  /** Row-level changes recorded in an exported/foreign Delta log over
+    * versions `[fromVersion, toVersion]` — Delta's CDF read
+    * (`table_changes` over the log alone). Per version: `cdc` actions
+    * win (their `_change_data` parquet IS that commit's change set —
+    * possibly empty, the no-logical-change marker of a churn-only
+    * commit); a cdc-less version derives inserts from its add actions
+    * and whole-file deletes from its remove actions — the spec's rule,
+    * sound because a CDF writer only omits cdc when that derivation is
+    * exact (our exporter writes cdc for every remove- or DV-bearing
+    * commit). Output: `_change_type` + data columns + `_commit_version`
+    * + `_commit_timestamp` (null where the log has no commitInfo stamp).
+    * Refuses a log whose metaData does not declare
+    * delta.enableChangeDataFeed — changes were never recorded (Delta's
+    * own error for pre-enablement ranges). */
+  def readDeltaExportChanges(spark: SparkSession, root: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(fromVersion <= toVersion,
+      s"empty CDF range $fromVersion..$toVersion")
+    val logDir = Paths.get(root, "_delta_log")
+    require(Files.isDirectory(logDir), s"no _delta_log at $root")
+    val state = deltaStateAt(spark, root, Some(toVersion), useCheckpoint = true)
+    require(state.conf.get("delta.enableChangeDataFeed").contains("true"),
+      s"change data feed is not enabled on the log at $root — " +
+        "changes were not recorded for this range")
+    // cdc partition columns come back through hive-dir inference: cast
+    // them (and any inferred column) to the log schema's declared types
+    val logical = state.schemaJson.map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    def align(df: DataFrame): DataFrame = logical.fold(df)(sch =>
+      sch.foldLeft(df)((d, f) =>
+        if (d.columns.contains(f.name))
+          d.withColumn(f.name, col(f.name).cast(f.dataType))
+        else d))
+    val perVersion = (fromVersion to toVersion).flatMap { v =>
+      val lf = logDir.resolve(f"$v%020d.json")
+      require(Files.exists(lf), s"no exported log version $v at $root")
+      val txt = Files.readString(lf)
+      val cdcPaths = txt.split('\n').toSeq.flatMap(line =>
+        deltaActionPath(line, DeltaCdcKindRe).map(raw =>
+          deltaDecodePath(deltaUnesc(raw))))
+      val ts = txt.linesIterator.filter(_.contains("\"commitInfo\""))
+        .flatMap(commitInfoTs).nextOption()
+      def stamp(df: DataFrame): DataFrame =
+        df.withColumn("_commit_version", lit(v))
+          .withColumn("_commit_timestamp",
+            ts.map(t => lit(new java.sql.Timestamp(t)))
+              .getOrElse(lit(null)).cast("timestamp"))
+      if (cdcPaths.nonEmpty) {
+        val files = cdcPaths.map(p => Paths.get(root).resolve(p).toString)
+        Seq(stamp(align(spark.read
+          .option("basePath", Paths.get(root, "_change_data").toString)
+          .parquet(files: _*))))
+      } else {
+        val (adds, removes) = deltaActionsIn(root, v)
+        val ins =
+          if (adds.isEmpty) None
+          else Some(stamp(readDeltaSlice(spark, root, state, adds.map(_._1),
+              adds.collect { case (p, Some(d)) => p -> d }.toMap)
+            .withColumn("_change_type", lit("insert"))))
+        val del =
+          if (removes.isEmpty) None
+          else Some(stamp(readDeltaSlice(spark, root, state, removes, Map.empty)
+            .withColumn("_change_type", lit("delete"))))
+        ins.toSeq ++ del.toSeq
+      }
+    }
+    perVersion
+      .reduceOption((a, b) => a.unionByName(b, allowMissingColumns = true))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no log versions in $fromVersion..$toVersion at $root"))
+  }
+
   /** commitInfo.timestamp of one action line, parsed as real JSON —
     * foreign writers put arbitrary nested objects (operationParameters,
     * engineInfo) BEFORE the timestamp field, which no flat regex can
@@ -1627,6 +1833,17 @@ object LakehouseTable {
       Option(n.get("commitInfo")).flatMap(ci =>
         Option(ci.get("timestamp")).map(_.asLong()))
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** commitInfo.timestamp of one exported/foreign log version (its
+    * first commitInfo line) — the stamp the streaming CDF read puts on
+    * initial-snapshot rows. None for logs without in-commit stamps. */
+  def deltaCommitTsAt(root: String, v: Long): Option[Long] = {
+    val lf = Paths.get(root, "_delta_log", f"$v%020d.json")
+    if (!Files.exists(lf)) None
+    else Files.readString(lf).linesIterator
+      .filter(_.contains("\"commitInfo\"")).flatMap(commitInfoTs)
+      .nextOption()
+  }
 
   /** Latest exported/foreign log version committed at or before
     * `tsMillis` — the commit time is the log's own commitInfo.timestamp

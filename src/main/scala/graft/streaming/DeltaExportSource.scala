@@ -51,13 +51,24 @@ class DeltaExportSourceProvider extends StreamSourceProvider
   private val schemaMemo = scala.collection.concurrent.TrieMap
     .empty[String, StructType]
 
+  private def cdfOf(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.toBoolean)
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) =
     (shortName(), schema.getOrElse {
       val root = rootOf(parameters)
-      schemaMemo.getOrElseUpdate(root,
+      val base = schemaMemo.getOrElseUpdate(root,
         LakehouseTable.readDeltaExport(sqlContext.sparkSession, root).schema)
+      if (!cdfOf(parameters)) base
+      else {
+        // Delta's streaming-CDF row shape: data columns + change metadata
+        import org.apache.spark.sql.types._
+        base.add("_change_type", StringType)
+          .add("_commit_version", LongType)
+          .add("_commit_timestamp", TimestampType)
+      }
     })
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -75,13 +86,15 @@ class DeltaExportSourceProvider extends StreamSourceProvider
     new DeltaExportSource(sqlContext.sparkSession, root,
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
       ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean),
-      startingVersion = startingVersion)
+      startingVersion = startingVersion,
+      readChangeFeed = cdfOf(parameters))
   }
 }
 
 class DeltaExportSource(spark: SparkSession, root: String,
     override val schema: StructType, ignoreChanges: Boolean,
-    startingVersion: Option[Long] = None) extends Source {
+    startingVersion: Option[Long] = None,
+    readChangeFeed: Boolean = false) extends Source {
 
   private def versionOf(o: Offset): Long = o match {
     case g: GraftVersionOffset => g.v
@@ -98,9 +111,29 @@ class DeltaExportSource(spark: SparkSession, root: String,
       // replay; a no-progress trigger must cost nothing
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    // CHANGE-FEED MODE (Delta's readChangeFeed): the initial batch is
+    // the snapshot's rows as `insert` changes stamped at its version
+    // (Delta's initial-snapshot rule); every later batch is EXACTLY the
+    // range's recorded changes — cdc actions, or the derivable
+    // insert/delete of cdc-less pure commits — via the same
+    // readDeltaExportChanges a foreign table_changes reader uses.
+    // Removes never refuse here: CDF records row-level truth, which is
+    // the whole point of tailing changes instead of files.
+    def cdfStamp(df: DataFrame, v: Long): DataFrame = {
+      import org.apache.spark.sql.functions.lit
+      val ts = LakehouseTable.deltaCommitTsAt(root, v)
+      df.withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(v))
+        .withColumn("_commit_timestamp",
+          ts.map(t => lit(new java.sql.Timestamp(t)))
+            .getOrElse(lit(null)).cast("timestamp"))
+    }
     val batch = (start.map(versionOf), startingVersion) match {
       // fresh stream, no declared start: the snapshot at endV — exactly
       // what a foreign batch reader sees at that version
+      case (None, None) if readChangeFeed =>
+        cdfStamp(LakehouseTable.readDeltaExport(spark, root,
+          versionAsOf = Some(endV)), endV)
       case (None, None) =>
         LakehouseTable.readDeltaExport(spark, root, versionAsOf = Some(endV))
       case (s0, sv) =>
@@ -117,6 +150,11 @@ class DeltaExportSource(spark: SparkSession, root: String,
               s"${((base + 1) to endV).diff(vs).mkString(",")} were " +
               "truncated by vacuum while this stream was behind. " +
               "Restart the query from scratch.")
+          if (readChangeFeed)
+            return ForeignSourceAlign.guardAndAlign(spark, "delta-export",
+              root, schema,
+              LakehouseTable.readDeltaExportChanges(spark, root,
+                base + 1, endV))
           // net adds across the range: process each version's removes
           // first (a DV update is remove + re-add of one path in one
           // commit — the re-add's descriptor must win), then its adds;

@@ -658,6 +658,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.as[(Long, String)].collect().toSet == Set((2L, "b"), (3L, "c")))
   }
 
+  test("delta-export readChangeFeed streams row-level changes: snapshot inserts, cdc batches, restart-safe") {
+    import spark.implicits._
+    import graft.sources.{LakehouseTable => LT}
+    val base = Files.createTempDirectory("delta-export-cdf")
+    val root = base.resolve("tbl").toString
+    val ckpt = base.resolve("ckpt").toString
+    LT.create(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), root)
+    LT.enableChangeDataFeed(spark, root, Seq("id"))
+    LT.exportDeltaLog(spark, root) // write-through from here on
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]()
+    def stream() = spark.readStream
+      .format("delta-export").option("path", root)
+      .option("readChangeFeed", "true").load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.collect().foreach(r => seen.add((
+          r.getAs[String]("_change_type"), r.getAs[Long]("id"),
+          r.getAs[Long]("_commit_version")))); ()
+      }.start()
+    val q = stream()
+    q.processAllAvailable()
+    import scala.jdk.CollectionConverters._
+    // initial snapshot: every live row as an insert stamped at log v1
+    // (the enableChangeDataFeed metadata commit is the current version)
+    assert(seen.asScala.toSet ==
+      Set(("insert", 1L, 1L), ("insert", 2L, 1L)))
+    // pure add while running: derived inserts at its own version
+    LT.append(Seq((3L, "c")).toDF("id", "v"), root)
+    q.processAllAvailable()
+    assert(seen.asScala.toSet.contains(("insert", 3L, 2L)))
+    // COW delete: in file-mode this REFUSES; in change-feed mode the cdc
+    // rows flow — the delete arrives as a delete, the surviving row of
+    // the rewritten file does NOT re-emit
+    LT.deleteWhere(spark, root, "id = 1")
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.asScala.toSet.contains(("delete", 1L, 3L)))
+    assert(seen.asScala.count(_._2 == 2L) == 1,
+      s"survivor re-emitted: ${seen.asScala.toSeq.sorted}")
+    // RESTART: a MOR delete committed while the query was down arrives
+    // exactly once, as a cdc delete
+    LT.deleteWhereMor(spark, root, "id = 2")
+    val q2 = stream()
+    q2.processAllAvailable(); q2.stop()
+    assert(seen.asScala.toSeq.sorted == Seq(
+      ("delete", 1L, 3L), ("delete", 2L, 4L),
+      ("insert", 1L, 1L), ("insert", 2L, 1L), ("insert", 3L, 2L)),
+      seen.asScala.toSeq.sorted.toString)
+  }
+
   test("iceberg-export source tails a foreign Iceberg chain: stream ≡ snapshot + appends, restart-safe") {
     import spark.implicits._
     import graft.sources.{IcebergMeta, LakehouseTable => LT}
