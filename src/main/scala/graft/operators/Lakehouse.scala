@@ -1155,6 +1155,38 @@ object Lakehouse {
         .orderBy(col("face"), col("l_returnflag"))
     }),
 
+    // CDF-DRIVEN REPLICATION: rebuild the table from its exported change
+    // feed ALONE — the foreign snapshot at the enabling version plus the
+    // recorded per-commit changes (latest event per key wins: deletes
+    // drop, inserts/postimages land; preimages are audit rows). This is
+    // the downstream-consumer contract the feed exists for: if the cdc
+    // record stream cannot reproduce the table, it is incomplete. The
+    // replica's aggregate hash-matches the same final-state recompute
+    // that gates the direct reads.
+    "q194_cdf_follower" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val root = ordersCdfRoot(s, d)
+      val base = LakehouseTable.readDeltaExport(s, root,
+        versionAsOf = Some(1L))
+      val ch = LakehouseTable.readDeltaExportChanges(s, root, 2L, 3L)
+        .filter(col("_change_type") =!= "update_preimage")
+      val last = ch.withColumn("__rk", row_number().over(Window
+          .partitionBy(col("o_orderkey"))
+          .orderBy(col("_commit_version").desc)))
+        .filter(col("__rk") === 1)
+      val touched = last.select(col("o_orderkey").as("__k"))
+      val replica = base
+        .join(touched, base("o_orderkey") === col("__k"), "left_anti")
+        .unionByName(last.filter(col("_change_type") =!= "delete")
+          .select(base.columns.map(col): _*))
+      replica.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // create → MERGE (update + insert) → deleteWhere → read the survivors.
     // Aggregates are all bit-exact (count, long sum, double min/max) so the
     // hash gate verifies the exact surviving row set, not a tolerance.
@@ -1947,6 +1979,10 @@ object Lakehouse {
             ${Exact.sqlMoneySum("o_totalprice")} AS sum_price
           FROM orders WHERE o_orderkey % 131 <> 0
           GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // the replica built from the change feed alone must equal the final
+    // table state — the same merged+deleted recompute that gates q103
+    "q194_cdf_follower" -> sqlMergedOrdersAgg,
 
     // the same final state served three times, once per read face
     "q193_uniform_faces" ->

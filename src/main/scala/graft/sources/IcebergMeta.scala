@@ -1291,10 +1291,22 @@ object IcebergMeta {
     * manifest is deliberately not consulted: gating this against an
     * oracle gates the exported FORMAT. */
   def readIceberg(spark: SparkSession, root: String,
-      snapshotAsOf: Option[Long] = None): DataFrame = {
+      snapshotAsOf: Option[Long] = None,
+      asOfTimestamp: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
+    require(snapshotAsOf.isEmpty || asOfTimestamp.isEmpty,
+      "snapshotAsOf and asOfTimestamp are mutually exclusive")
     val md = currentMetadata(root)
-    val sid = snapshotAsOf.getOrElse(md.get("current-snapshot-id").asLong())
+    // timestamp travel resolves through the chain's own snapshot
+    // timestamps (Iceberg's as-of-timestamp rule: latest snapshot
+    // committed at or before the stamp) — survives copies and rsyncs
+    val byTs = asOfTimestamp.map { ts =>
+      snapshots(root).filter(_.ts <= ts).lastOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"no Iceberg snapshot committed at or before $ts at $root")).id
+    }
+    val sid = snapshotAsOf.orElse(byTs)
+      .getOrElse(md.get("current-snapshot-id").asLong())
     val snap = snapshots(root).find(_.id == sid).getOrElse(
       throw new IllegalArgumentException(s"no Iceberg snapshot $sid at $root"))
     val fields = schemaFieldsOf(root, snap.schemaId)

@@ -1279,13 +1279,25 @@ object LakehouseTable {
     val parts = partitionColumns(root).filter(changes.columns.contains)
     val stage = Files.createTempDirectory(cdcDir, s".cdc-$v-stage")
     try {
+      // one write job: a partitioned write of an empty change set
+      // produces no files, in which case a second (cheap — the plan is
+      // already computed empty) unpartitioned write lays down the single
+      // empty marker file. Probing emptiness up front would execute the
+      // full changeFeed join once extra on every partitioned commit.
       val w = changes.write.mode("overwrite")
-      (if (parts.nonEmpty && !changes.isEmpty) w.partitionBy(parts: _*)
-       else w)
+      (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
         .parquet(stage.toString)
-      val staged = withDrained(Files.walk(stage))(
+      def list(): Seq[Path] = withDrained(Files.walk(stage))(
         _.filter(p => p.toString.endsWith(".parquet") &&
           Files.isRegularFile(p))).sortBy(_.toString)
+      var staged = list()
+      if (staged.isEmpty) {
+        changes.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        staged = list()
+      }
+      require(staged.nonEmpty,
+        s"cdc write for version $v at $root produced no file — a " +
+          "churn-only commit without its empty marker would mis-derive")
       staged.zipWithIndex.map { case (p, i) =>
         val relDirs = stage.relativize(p.getParent).toString
         val destDir =
@@ -1438,23 +1450,44 @@ object LakehouseTable {
         .map(_.take(20).toLong)).sorted
   }
 
-  /** The add actions (decoded path, optional DV descriptor) and remove
-    * paths of ONE log version, in line order — the incremental unit a
-    * log-tailing stream consumes. */
-  def deltaActionsIn(root: String, v: Long)
-      : (Seq[(String, Option[DeltaDv.Descriptor])], Seq[String]) = {
+  /** One parsed add/remove action of a log line: decoded path, its
+    * deletionVector descriptor (if the line carries one), and its
+    * dataChange flag (absent ⇒ true — the conservative reading; our own
+    * exporter always writes it). dataChange=false marks pure layout
+    * churn (a foreign OPTIMIZE), which streams skip and CDF derivation
+    * must ignore, per the Delta spec. */
+  case class DeltaAction(path: String, dv: Option[DeltaDv.Descriptor],
+      dataChange: Boolean)
+
+  private val DeltaDataChangeRe = """"dataChange"\s*:\s*(true|false)""".r
+
+  /** The add and remove actions of ONE log version, in line order — the
+    * incremental unit a log-tailing stream consumes. */
+  def deltaActionsDetailedIn(root: String, v: Long)
+      : (Seq[DeltaAction], Seq[DeltaAction]) = {
     val lf = Paths.get(root, "_delta_log", f"$v%020d.json")
-    val adds = scala.collection.mutable.ArrayBuffer
-      .empty[(String, Option[DeltaDv.Descriptor])]
-    val removes = scala.collection.mutable.ArrayBuffer.empty[String]
+    val adds = scala.collection.mutable.ArrayBuffer.empty[DeltaAction]
+    val removes = scala.collection.mutable.ArrayBuffer.empty[DeltaAction]
     Files.readString(lf).split('\n').foreach { line =>
+      def action(raw: String) = DeltaAction(
+        deltaDecodePath(deltaUnesc(raw)),
+        parseDvDescriptor(line, lf.toString),
+        DeltaDataChangeRe.findFirstMatchIn(line)
+          .forall(_.group(1) == "true"))
       deltaActionPath(line, DeltaRemoveKindRe).foreach(raw =>
-        removes += deltaDecodePath(deltaUnesc(raw)))
+        removes += action(raw))
       deltaActionPath(line, DeltaAddKindRe).foreach(raw =>
-        adds += (deltaDecodePath(deltaUnesc(raw)) ->
-          parseDvDescriptor(line, lf.toString)))
+        adds += action(raw))
     }
     (adds.toSeq, removes.toSeq)
+  }
+
+  /** Legacy shape of [[deltaActionsDetailedIn]]: (add path → DV) pairs
+    * and remove paths, dataChange-blind. */
+  def deltaActionsIn(root: String, v: Long)
+      : (Seq[(String, Option[DeltaDv.Descriptor])], Seq[String]) = {
+    val (adds, removes) = deltaActionsDetailedIn(root, v)
+    (adds.map(a => a.path -> a.dv), removes.map(_.path))
   }
 
   /** Replay the exported JSON log through version `upTo` (all when None),
@@ -1467,7 +1500,8 @@ object LakehouseTable {
   private def replayDeltaLog(root: String, upTo: Option[Long],
       after: Option[Long] = None, seedLive: Seq[String] = Nil,
       seedSchema: Option[String] = None,
-      seedDvs: Map[String, DeltaDv.Descriptor] = Map.empty): DeltaReplayState = {
+      seedDvs: Map[String, DeltaDv.Descriptor] = Map.empty,
+      seedConf: Map[String, String] = Map.empty): DeltaReplayState = {
     val logDir = Paths.get(root, "_delta_log")
     // vacuum's log truncation leaves a horizon marker: versions below it
     // are NOT reconstructable from JSON alone. An unseeded replay of a
@@ -1520,7 +1554,7 @@ object LakehouseTable {
     var protocol = (1, 2)
     var readerFeats = Seq.empty[String]
     var writerFeats = Seq.empty[String]
-    var conf = Map.empty[String, String]
+    var conf = seedConf
     logFiles.foreach { lf =>
       val txt = Files.readString(lf)
       txt.split('\n').foreach { line =>
@@ -1702,18 +1736,20 @@ object LakehouseTable {
       upTo: Option[Long], useCheckpoint: Boolean): DeltaReplayState = {
     val logDir = Paths.get(root, "_delta_log")
     val lcp = logDir.resolve("_last_checkpoint")
-    val (ckVer, seedLive, seedSchema, seedDvs) =
-      if (!useCheckpoint || !Files.exists(lcp))
-        (None: Option[Long], Nil, None, Map.empty[String, DeltaDv.Descriptor])
+    val noSeed = (None: Option[Long], Seq.empty[String],
+      None: Option[String], Map.empty[String, DeltaDv.Descriptor],
+      Map.empty[String, String])
+    val (ckVer, seedLive, seedSchema, seedDvs, seedConf) =
+      if (!useCheckpoint || !Files.exists(lcp)) noSeed
       else {
         val v = """"version":\s*(\d+)""".r
           .findFirstMatchIn(Files.readString(lcp)).get.group(1).toLong
-        if (upTo.exists(_ < v))
-          (None: Option[Long], Nil, None, Map.empty[String, DeltaDv.Descriptor])
+        if (upTo.exists(_ < v)) noSeed
         else readCheckpointSeed(spark, logDir, v)
       }
     replayDeltaLog(root, upTo, after = ckVer,
-      seedLive = seedLive, seedSchema = seedSchema, seedDvs = seedDvs)
+      seedLive = seedLive, seedSchema = seedSchema, seedDvs = seedDvs,
+      seedConf = seedConf)
   }
 
   /** Read a specific add-file slice of an exported/foreign Delta table
@@ -1773,6 +1809,18 @@ object LakehouseTable {
     require(state.conf.get("delta.enableChangeDataFeed").contains("true"),
       s"change data feed is not enabled on the log at $root — " +
         "changes were not recorded for this range")
+    // enablement must hold at the RANGE START too (Delta's
+    // changeDataNotRecorded error): a range reaching back before the
+    // enabling commit would otherwise DERIVE from pre-CDF rewrites —
+    // fabricating inserts+deletes for rows that never logically changed
+    if (fromVersion < toVersion) {
+      val startState = deltaStateAt(spark, root, Some(fromVersion),
+        useCheckpoint = true)
+      require(
+        startState.conf.get("delta.enableChangeDataFeed").contains("true"),
+        s"change data feed was not enabled at version $fromVersion of " +
+          s"the log at $root — changes were not recorded for this range")
+    }
     // cdc partition columns come back through hive-dir inference: cast
     // them (and any inferred column) to the log schema's declared types
     val logical = state.schemaJson.map(j =>
@@ -1803,23 +1851,41 @@ object LakehouseTable {
           .option("basePath", Paths.get(root, "_change_data").toString)
           .parquet(files: _*))))
       } else {
-        val (adds, removes) = deltaActionsIn(root, v)
+        // derive path (spec rule for cdc-less commits): dataChange=false
+        // actions are pure layout churn (a foreign OPTIMIZE) and derive
+        // NOTHING; a remove's own deletionVector masks rows that were
+        // already dead before the file was removed
+        val (allAdds, allRemoves) = deltaActionsDetailedIn(root, v)
+        val adds = allAdds.filter(_.dataChange)
+        val removes = allRemoves.filter(_.dataChange)
         val ins =
           if (adds.isEmpty) None
-          else Some(stamp(readDeltaSlice(spark, root, state, adds.map(_._1),
-              adds.collect { case (p, Some(d)) => p -> d }.toMap)
+          else Some(stamp(readDeltaSlice(spark, root, state, adds.map(_.path),
+              adds.collect { case DeltaAction(p, Some(d), _) => p -> d }.toMap)
             .withColumn("_change_type", lit("insert"))))
         val del =
           if (removes.isEmpty) None
-          else Some(stamp(readDeltaSlice(spark, root, state, removes, Map.empty)
+          else Some(stamp(readDeltaSlice(spark, root, state,
+              removes.map(_.path),
+              removes.collect { case DeltaAction(p, Some(d), _) => p -> d }
+                .toMap)
             .withColumn("_change_type", lit("delete"))))
         ins.toSeq ++ del.toSeq
       }
     }
     perVersion
       .reduceOption((a, b) => a.unionByName(b, allowMissingColumns = true))
-      .getOrElse(throw new IllegalArgumentException(
-        s"no log versions in $fromVersion..$toVersion at $root"))
+      .getOrElse {
+        // every version in the range was a no-change commit (metadata
+        // only, or dataChange=false churn): empty, correctly typed
+        import org.apache.spark.sql.types._
+        val sch = logical.getOrElse(StructType(Nil))
+          .add("_change_type", StringType)
+          .add("_commit_version", LongType)
+          .add("_commit_timestamp", TimestampType)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+      }
   }
 
   /** commitInfo.timestamp of one action line, parsed as real JSON —
@@ -1870,7 +1936,7 @@ object LakehouseTable {
 
   private def readCheckpointSeed(spark: SparkSession,
       logDir: Path, v: Long): (Option[Long], Seq[String], Option[String],
-      Map[String, DeltaDv.Descriptor]) = {
+      Map[String, DeltaDv.Descriptor], Map[String, String]) = {
     import org.apache.spark.sql.functions.{col, lit}
     {
         val ck = spark.read.parquet(
@@ -1890,10 +1956,23 @@ object LakehouseTable {
               d.getLong(4))
           }
         }.toMap
-        val sch = ck.filter(col("metaData").isNotNull)
-          .select(col("metaData.schemaString")).collect().headOption
-          .map(_.getString(0))
-        (Some(v), adds, sch, dvm)
+        val mdType = ck.schema("metaData").dataType
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val hasConf = mdType.fieldNames.contains("configuration")
+        val mdRow = ck.filter(col("metaData").isNotNull)
+          .select(col("metaData.schemaString").as("s"),
+            (if (hasConf) col("metaData.configuration") else lit(null))
+              .as("c"))
+          .collect().headOption
+        val sch = mdRow.map(_.getString(0))
+        // the table CONFIGURATION must seed too: a checkpointed tail has
+        // no metaData action unless the schema changed afterwards, so
+        // dropping it here would silently lose column-mapping mode and
+        // the CDF flag for every read past the first auto-checkpoint
+        val conf = mdRow.flatMap(r => Option(r.get(1)))
+          .map(_.asInstanceOf[scala.collection.Map[String, String]].toMap)
+          .getOrElse(Map.empty[String, String])
+        (Some(v), adds, sch, dvm, conf)
     }
   }
 
@@ -2431,8 +2510,16 @@ object LakehouseTable {
     val updated = renamedColumnsAt(root, cur)
       .filterNot(_._1.equalsIgnoreCase(phys)) ++
       (if (phys.equalsIgnoreCase(newName)) Nil else Seq(phys -> newName))
+    // CDF keys are LOGICAL names: a renamed key must follow, or the next
+    // export's changeFeed call fails forever (the mirror hook swallows
+    // the error, silently freezing the exported log)
+    val cdfKeys = cdfKeysAt(root, cur)
+    val cdfUpd =
+      if (!cdfKeys.exists(_.equalsIgnoreCase(oldName))) None
+      else Some(cdfKeys.map(k =>
+        if (k.equalsIgnoreCase(oldName)) newName else k).mkString("|"))
     commit(root, cur + 1, readManifest(root, cur),
-      renamedCols = Some(encodeRenames(updated)))
+      renamedCols = Some(encodeRenames(updated)), cdf = cdfUpd)
   }
 
   /** ALTER TABLE DROP COLUMN(S): metadata-only — the physical column stays
@@ -2453,6 +2540,9 @@ object LakehouseTable {
         s"DROP COLUMN: no column '$n' (have ${logical.mkString(", ")})")
       require(!partitionColumns(root).exists(_.equalsIgnoreCase(n)),
         s"DROP COLUMN: '$n' is a partition column; rewrite the table instead")
+      require(!cdfKeysAt(root, cur).exists(_.equalsIgnoreCase(n)),
+        s"DROP COLUMN: '$n' is a change-data-feed key column; the feed " +
+          "cannot classify changes without it")
     }
     require(names.map(_.toLowerCase).toSet.size == names.size,
       s"DROP COLUMN: duplicate names in ${names.mkString(", ")}")
@@ -3512,7 +3602,21 @@ object LakehouseTable {
     if (deletable.isEmpty) return 0
     var n = 0
     deletable.foreach { v =>
-      if (Files.deleteIfExists(logDir.resolve(f"$v%020d.json"))) n += 1
+      val lf = logDir.resolve(f"$v%020d.json")
+      // a version's _change_data parquet is referenced ONLY by its own
+      // commit JSON — reclaim it with the JSON, or a CDF table under
+      // steady churn grows its change-data population forever (the same
+      // aging failure vacuum closes for manifests and checkpoints)
+      if (Files.exists(lf)) {
+        Files.readString(lf).split('\n').foreach { line =>
+          deltaActionPath(line, DeltaCdcKindRe).foreach { raw =>
+            val rel = deltaDecodePath(deltaUnesc(raw))
+            if (rel.startsWith("_change_data/") &&
+                Files.deleteIfExists(Paths.get(root).resolve(rel))) n += 1
+          }
+        }
+      }
+      if (Files.deleteIfExists(lf)) n += 1
     }
     // superseded checkpoint parquets below the pointer are derivable
     // state nothing reads — without this they accumulate one full

@@ -39,6 +39,7 @@ import graft.sources.LakehouseTable
   *   ALTER TABLE t ADD CONSTRAINT name CHECK (expr)   -- validated + enforced
   *   ALTER TABLE t DROP CONSTRAINT name
   *   ALTER TABLE t SET GENERATED part AS DATE(src) | DIV(src, n)
+  *   ALTER TABLE t ENABLE CHANGE DATA FEED KEYS k1, k2   -- cdc actions in the export
   *   DESCRIBE COLUMNS t    -- logical schema + physical (file) names
   *   SHOW GRAFT TABLES     -- the persistent catalog's listing
   *   OPTIMIZE t [WHERE partition-pred] [ZORDER BY (c1, c2, ...)]
@@ -397,6 +398,20 @@ case class AlterIdentityGraftCommand(name: String, idCol: String,
   override def run(spark: SparkSession): Seq[Row] = {
     val e = GraftCatalog.lookup(name).get
     LakehouseTable.enableIdentity(e.root, idCol, orderKeys)
+    Seq.empty
+  }
+}
+
+/** ALTER TABLE name ENABLE CHANGE DATA FEED KEYS k1, k2 — from the next
+  * exported commit on, the Delta mirror records row-level changes as
+  * spec cdc actions (see [[graft.sources.LakehouseTable
+  * .enableChangeDataFeed]]); the keys are the row identity the manifest
+  * diff classifies changes by. */
+case class AlterCdfGraftCommand(name: String,
+    keys: Seq[String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val e = GraftCatalog.lookup(name).get
+    LakehouseTable.enableChangeDataFeed(spark, e.root, keys)
     Seq.empty
   }
 }
@@ -921,6 +936,8 @@ object GraftSqlStatements {
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ALTER\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+(?:SET\s+DATA\s+)?TYPE\s+([A-Za-z0-9_()\s,]+?)\s*;?\s*$""".r
   private val AlterIdentityRe =
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ADD\s+IDENTITY\s+([A-Za-z_][A-Za-z0-9_]*)\s+ORDER\s+BY\s+([A-Za-z0-9_,\s]+?)\s*;?\s*$""".r
+  private val AlterCdfRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ENABLE\s+CHANGE\s+DATA\s+FEED\s+KEYS\s+([A-Za-z0-9_,\s]+?)\s*;?\s*$""".r
   private val AlterGeneratedRe =
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+GENERATED\s+([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(?:DATE\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)|DIV\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*(\d+)\s*\))\s*;?\s*$""".r
   private val OnConjunctRe = """(?s)\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*""".r
@@ -974,6 +991,9 @@ object GraftSqlStatements {
           Option(query).map(unmask)))
       case AlterIdentityRe(name, idCol, keys) if GraftCatalog.lookup(name).isDefined =>
         Some(AlterIdentityGraftCommand(name, idCol,
+          keys.split(",").toSeq.map(_.trim).filter(_.nonEmpty)))
+      case AlterCdfRe(name, keys) if GraftCatalog.lookup(name).isDefined =>
+        Some(AlterCdfGraftCommand(name,
           keys.split(",").toSeq.map(_.trim).filter(_.nonEmpty)))
       case AlterGeneratedRe(name, partCol, dateSrc, divSrc, divN)
           if GraftCatalog.lookup(name).isDefined =>

@@ -163,10 +163,14 @@ class DeltaExportSource(spark: SparkSession, root: String,
             .empty[String, Option[DeltaDv.Descriptor]]
           var sawRemove = false
           vs.foreach { v =>
-            val (adds, removes) = LakehouseTable.deltaActionsIn(root, v)
-            sawRemove ||= removes.nonEmpty
-            removes.foreach(acc -= _)
-            adds.foreach { case (p, d) => acc(p) = d }
+            // dataChange=false actions are pure layout churn (a foreign
+            // OPTIMIZE): Delta's own source ignores such commits
+            // entirely — they neither emit rows nor refuse the stream
+            val (adds, removes) =
+              LakehouseTable.deltaActionsDetailedIn(root, v)
+            sawRemove ||= removes.exists(_.dataChange)
+            removes.filter(_.dataChange).foreach(acc -= _.path)
+            adds.filter(_.dataChange).foreach(a => acc(a.path) = a.dv)
           }
           if (sawRemove && !ignoreChanges)
             throw new IllegalStateException(

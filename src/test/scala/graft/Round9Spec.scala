@@ -181,6 +181,142 @@ class Round9Spec extends AnyFunSuite {
     assert(ex.getMessage.contains("equality-delete"), ex.getMessage)
   }
 
+  test("CDF configuration survives the auto-checkpoint (conf seeds from checkpoint metaData)") {
+    import spark.implicits._
+    val root = freshRoot("cdf_ckpt")
+    LT.create(Seq((0L, "a")).toDF("id", "v"), root)
+    LT.enableChangeDataFeed(spark, root, Seq("id"))   // v1
+    LT.exportDeltaLog(spark, root)
+    // write-through hook checkpoints at v10; later ranges replay ONLY the
+    // post-checkpoint JSON tail, which carries no metaData action — the
+    // CDF flag must ride the checkpoint's metaData.configuration
+    (2L to 11L).foreach(i =>
+      LT.append(Seq((i, s"x$i")).toDF("id", "v"), root))
+    assert(Files.exists(Paths.get(root, "_delta_log",
+      f"${10L}%020d.checkpoint.parquet")))
+    val ins = LT.readDeltaExportChanges(spark, root, 11L, 11L)
+    assert(ins.select("_change_type", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("insert", 11L)))
+    // a post-checkpoint COW delete still records (and reads back) cdc
+    LT.deleteWhere(spark, root, "id = 3")               // v12
+    assert(LT.readDeltaExportChanges(spark, root, 12L, 12L)
+      .select("_change_type", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("delete", 3L)))
+  }
+
+  test("CDF range refuses versions below the enabling commit; foreign OPTIMIZE derives nothing") {
+    import spark.implicits._
+    val root = freshRoot("cdf_preen")
+    LT.create(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), root)
+    LT.deleteWhere(spark, root, "id = 1")             // v1: pre-CDF COW
+    LT.enableChangeDataFeed(spark, root, Seq("id"))   // v2
+    LT.exportDeltaLog(spark, root)
+    // a range reaching below the enabling version must refuse (deriving
+    // v1's rewrite would fabricate inserts+deletes for survivors)
+    val ex = intercept[IllegalArgumentException] {
+      LT.readDeltaExportChanges(spark, root, 1L, 2L)
+    }
+    assert(ex.getMessage.contains("was not enabled at version 1"),
+      ex.getMessage)
+    // a FOREIGN OPTIMIZE commit: add+remove with dataChange=false and no
+    // cdc — spec readers derive NOTHING from it, and the file-mode
+    // stream must not refuse it either
+    val logDir = Paths.get(root, "_delta_log")
+    val v2txt = Files.readString(logDir.resolve(f"${2L}%020d.json"))
+    val dataRel = LT.manifestFiles(root, 2L).head
+    Files.writeString(logDir.resolve(f"${3L}%020d.json"),
+      s"""{"commitInfo":{"timestamp":99}}
+{"remove":{"path":"data/$dataRel","deletionTimestamp":0,"dataChange":false}}
+{"add":{"path":"data/$dataRel","partitionValues":{},"size":1,"modificationTime":0,"dataChange":false}}
+""")
+    assert(LT.readDeltaExportChanges(spark, root, 3L, 3L).count() == 0,
+      "dataChange=false churn must derive no changes")
+    assert(v2txt.contains("enableChangeDataFeed"))
+  }
+
+  test("renaming a CDF key remaps it; dropping one refuses; truncation reclaims cdc files") {
+    import spark.implicits._
+    val root = freshRoot("cdf_rename")
+    LT.create(Seq((1L, 1.0), (2L, 2.0)).toDF("id", "price"), root)
+    LT.enableChangeDataFeed(spark, root, Seq("id"))
+    LT.exportDeltaLog(spark, root)
+    LT.alterRenameColumn(spark, root, "id", "doc_id")  // v2
+    assert(LT.cdfKeysAt(root, 2L) == Seq("doc_id"),
+      "renamed CDF key must follow the rename")
+    // the next churn commit exports cdc THROUGH the renamed key — the
+    // mirror must not wedge
+    LT.deleteWhere(spark, root, "doc_id = 1")          // v3
+    assert(Files.readString(Paths.get(root, "_delta_log",
+      f"${3L}%020d.json")).contains("\"cdc\""))
+    val ch = LT.readDeltaExportChanges(spark, root, 3L, 3L)
+    assert(ch.select("_change_type", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("delete", 1L)))
+    intercept[IllegalArgumentException] {
+      LT.alterDropColumns(spark, root, Seq("doc_id"))
+    }
+    // log truncation reclaims the dropped versions' cdc parquet
+    import scala.jdk.CollectionConverters._
+    def cdcFiles(): Seq[String] =
+      Files.walk(Paths.get(root, "_change_data")).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).map(_.toString).toSeq
+    assert(cdcFiles().nonEmpty)
+    (4L to 12L).foreach(i =>
+      LT.append(Seq((100 + i, i.toDouble)).toDF("doc_id", "price"), root))
+    // checkpoint at v10 exists (hook cadence); vacuum truncates below it
+    LT.vacuum(root, retainLast = 2)
+    assert(cdcFiles().isEmpty,
+      s"truncated versions' cdc files must be reclaimed: ${cdcFiles()}")
+  }
+
+  test("SQL face: ALTER TABLE ... ENABLE CHANGE DATA FEED KEYS wires the export's cdc") {
+    import spark.implicits._
+    import graft.sql.GraftSql
+    val root = freshRoot("sql_cdf")
+    LT.create(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "price"), root)
+    GraftSql.register(spark, "cdf_sql_t", root, rowKeys = Seq("id"))
+    GraftSql.sql(spark, "ALTER TABLE cdf_sql_t ENABLE CHANGE DATA FEED KEYS id")
+    assert(LT.cdfKeysAt(root, LT.currentVersion(root).get) == Seq("id"))
+    LT.exportDeltaLog(spark, root)
+    GraftSql.sql(spark, "DELETE FROM cdf_sql_t WHERE id = 1")
+    val changes = LT.readDeltaExportChanges(spark, root, 2L, 2L)
+    assert(changes.select("_change_type", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("delete", 1L)))
+    // unknown key columns refuse at ALTER time
+    val ex = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, "ALTER TABLE cdf_sql_t ENABLE CHANGE DATA FEED KEYS nope")
+    }
+    assert(ex.getMessage.contains("not in"))
+  }
+
+  test("readIceberg asOfTimestamp resolves through the chain's snapshot stamps") {
+    import spark.implicits._
+    import graft.sources.IcebergMeta
+    val root = freshRoot("ice_ts")
+    LT.create(Seq((1L, "a")).toDF("id", "v"), root)
+    LT.append(Seq((2L, "b")).toDF("id", "v"), root)
+    LT.append(Seq((3L, "c")).toDF("id", "v"), root)
+    IcebergMeta.exportIcebergMeta(spark, root)
+    val snaps = IcebergMeta.snapshots(root)
+    assert(snaps.size == 3)
+    // pin at the middle snapshot's own stamp AND between stamps
+    assert(IcebergMeta.readIceberg(spark, root,
+      asOfTimestamp = Some(snaps(1).ts)).count() == 2)
+    assert(IcebergMeta.readIceberg(spark, root,
+      asOfTimestamp = Some(snaps(2).ts - 1)).count() == 2)
+    assert(IcebergMeta.readIceberg(spark, root,
+      asOfTimestamp = Some(Long.MaxValue)).count() == 3)
+    intercept[IllegalArgumentException] {
+      IcebergMeta.readIceberg(spark, root,
+        asOfTimestamp = Some(snaps(0).ts - 1))
+    }
+    intercept[IllegalArgumentException] {
+      IcebergMeta.readIceberg(spark, root, snapshotAsOf = Some(snaps(0).id),
+        asOfTimestamp = Some(snaps(0).ts))
+    }
+  }
+
   test("Iceberg export fails loudly on an unreadable data-file footer (no record_count=0)") {
     import spark.implicits._
     import graft.sources.IcebergMeta
