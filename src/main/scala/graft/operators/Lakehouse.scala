@@ -416,6 +416,28 @@ object Lakehouse {
     root
   }
 
+  /** The documents corpus as a versioned lakehouse table under churn —
+    * the dataset-governance shape of a training-data pipeline: v0 = the
+    * initial corpus (¾ of docs), v1 = a new crawl batch (the %4 slice),
+    * v2 = a quality scrub (COW delete of short docs). The change feed
+    * over this history IS the corpus drift report. */
+  private[graft] def docsDriftRoot(s: SparkSession, d: String): String = {
+    val root = TableCache.root(d, "documents", "drift-crawl-scrub:v2")
+    try TableCache.locked(root) {
+      val docs = Tables.documents(s, d)
+        .select("doc_id", "lang", "source", "n_chars")
+      if (LakehouseTable.versions(root).isEmpty)
+        LakehouseTable.create(docs.filter(col("doc_id") % 4 =!= 0), root)
+      if (LakehouseTable.currentVersion(root).contains(0L))
+        LakehouseTable.append(docs.filter(col("doc_id") % 4 === 0), root)
+      if (LakehouseTable.currentVersion(root).contains(1L))
+        LakehouseTable.deleteWhere(s, root, "n_chars < 100")
+    } catch {
+      case e if raceLost(e) => () // see lineitemZRoot
+    }
+    root
+  }
+
   /** orders run through the FULL rollback lifecycle: the same create v0 →
     * merge v1 → delete v2 pipeline as [[ordersMergeRoot]] (separate root),
     * then RESTORE v0 as v3 and VACUUM everything but the live version.
@@ -1185,6 +1207,21 @@ object Lakehouse {
           min(col("o_totalprice")).as("min_price"),
           max(col("o_totalprice")).as("max_price"))
         .orderBy(col("o_orderstatus"))
+    }),
+
+    // CORPUS DRIFT AUDIT: the change feed over the documents table's
+    // crawl→scrub history rolled up to per-language document and
+    // character deltas — dataset versioning as a governance tool (what
+    // entered the corpus, what the quality scrub removed, per language),
+    // at O(churned files) cost. The oracle derives both deltas
+    // analytically from the raw corpus.
+    "q195_corpus_drift" -> ((s, d) => {
+      val root = docsDriftRoot(s, d)
+      LakehouseTable.changeFeed(s, root, 0L, 2L, Seq("doc_id"))
+        .groupBy(col("_change_type"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars"))
+        .orderBy(col("_change_type"), col("lang"))
     }),
 
     // create → MERGE (update + insert) → deleteWhere → read the survivors.
@@ -1983,6 +2020,19 @@ object Lakehouse {
     // the replica built from the change feed alone must equal the final
     // table state — the same merged+deleted recompute that gates q103
     "q194_cdf_follower" -> sqlMergedOrdersAgg,
+
+    // drift deltas recomputed from the raw corpus: inserts = the new
+    // crawl slice that survives the scrub, deletes = scrubbed originals
+    "q195_corpus_drift" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars FROM documents)
+         SELECT * FROM (
+           SELECT 'insert' AS _change_type, lang, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS chars
+           FROM d WHERE doc_id % 4 = 0 AND n_chars >= 100 GROUP BY lang
+           UNION ALL
+           SELECT 'delete', lang, count(*), CAST(sum(n_chars) AS BIGINT)
+           FROM d WHERE doc_id % 4 <> 0 AND n_chars < 100 GROUP BY lang)
+         ORDER BY _change_type, lang""",
 
     // the same final state served three times, once per read face
     "q193_uniform_faces" ->

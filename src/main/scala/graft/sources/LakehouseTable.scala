@@ -1279,11 +1279,13 @@ object LakehouseTable {
     val parts = partitionColumns(root).filter(changes.columns.contains)
     val stage = Files.createTempDirectory(cdcDir, s".cdc-$v-stage")
     try {
-      // one write job: a partitioned write of an empty change set
-      // produces no files, in which case a second (cheap — the plan is
-      // already computed empty) unpartitioned write lays down the single
-      // empty marker file. Probing emptiness up front would execute the
-      // full changeFeed join once extra on every partitioned commit.
+      // one write job on the common (non-empty) path: a partitioned
+      // write of an empty change set produces no files, and only then
+      // does a second write re-execute the plan to lay down the single
+      // empty marker file — churn-only commits pay twice, every
+      // change-bearing commit pays once (probing emptiness up front
+      // would instead execute the changeFeed join twice on EVERY
+      // partitioned commit).
       val w = changes.write.mode("overwrite")
       (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
         .parquet(stage.toString)
@@ -1482,13 +1484,6 @@ object LakehouseTable {
     (adds.toSeq, removes.toSeq)
   }
 
-  /** Legacy shape of [[deltaActionsDetailedIn]]: (add path → DV) pairs
-    * and remove paths, dataChange-blind. */
-  def deltaActionsIn(root: String, v: Long)
-      : (Seq[(String, Option[DeltaDv.Descriptor])], Seq[String]) = {
-    val (adds, removes) = deltaActionsDetailedIn(root, v)
-    (adds.map(a => a.path -> a.dv), removes.map(_.path))
-  }
 
   /** Replay the exported JSON log through version `upTo` (all when None),
     * optionally starting from a checkpoint's state (`after` = checkpoint
@@ -1809,18 +1804,19 @@ object LakehouseTable {
     require(state.conf.get("delta.enableChangeDataFeed").contains("true"),
       s"change data feed is not enabled on the log at $root — " +
         "changes were not recorded for this range")
-    // enablement must hold at the RANGE START too (Delta's
-    // changeDataNotRecorded error): a range reaching back before the
-    // enabling commit would otherwise DERIVE from pre-CDF rewrites —
-    // fabricating inserts+deletes for rows that never logically changed
-    if (fromVersion < toVersion) {
-      val startState = deltaStateAt(spark, root, Some(fromVersion),
-        useCheckpoint = true)
-      require(
-        startState.conf.get("delta.enableChangeDataFeed").contains("true"),
-        s"change data feed was not enabled at version $fromVersion of " +
-          s"the log at $root — changes were not recorded for this range")
-    }
+    // Per-version recording guard (below, in the walk): a cdc-less
+    // REWRITE commit (dataChange=true removes AND adds together) cannot
+    // be derived — with CDF on, conforming writers always record cdc for
+    // it, so its absence means the commit predates enablement (or a
+    // foreign mid-range disable) and deriving would fabricate
+    // inserts+deletes for rows that never logically changed. Checked
+    // structurally per version rather than by replaying the conf at
+    // fromVersion: exact for every toggle pattern, costs nothing, and
+    // keeps ranges above a vacuum truncation horizon readable (a conf
+    // replay at fromVersion below the checkpoint would refuse a range
+    // whose JSON and cdc files are all intact). Pure adds (inserts) and
+    // pure whole-file removes (deletes) derive exactly under the spec
+    // rule regardless of when CDF was enabled.
     // cdc partition columns come back through hive-dir inference: cast
     // them (and any inferred column) to the log schema's declared types
     val logical = state.schemaJson.map(j =>
@@ -1858,6 +1854,11 @@ object LakehouseTable {
         val (allAdds, allRemoves) = deltaActionsDetailedIn(root, v)
         val adds = allAdds.filter(_.dataChange)
         val removes = allRemoves.filter(_.dataChange)
+        require(adds.isEmpty || removes.isEmpty,
+          s"version $v of the log at $root rewrote files (remove + add, " +
+            "dataChange=true) without recording cdc actions — the change " +
+            "data feed was not enabled when it committed; changes were " +
+            "not recorded for this range")
         val ins =
           if (adds.isEmpty) None
           else Some(stamp(readDeltaSlice(spark, root, state, adds.map(_.path),
@@ -3396,7 +3397,13 @@ object LakehouseTable {
       // the target epoch's DELETION state too: restoring past a MOR
       // delete un-deletes (the files are still there), restoring past a
       // materialization re-attaches nothing (the DVs were cleared)
-      dvs = Some(encodeDvs(dvsAt(root, toVersion))))
+      dvs = Some(encodeDvs(dvsAt(root, toVersion))),
+      // CDF keys are LOGICAL names bound to the schema epoch: restoring
+      // past a rename must restore the keys of that epoch, or the next
+      // export's changeFeed call references a column the rolled-back
+      // schema no longer has (wedging the mirror behind the hook's
+      // error swallowing)
+      cdf = Some(cdfKeysAt(root, toVersion).mkString("|")))
   }
 
   /** Incremental read: rows of files ADDED after `fromVersion` up to
@@ -3611,8 +3618,14 @@ object LakehouseTable {
         Files.readString(lf).split('\n').foreach { line =>
           deltaActionPath(line, DeltaCdcKindRe).foreach { raw =>
             val rel = deltaDecodePath(deltaUnesc(raw))
+            // DELETES must never follow a crafted path out of the table
+            // root (a foreign/imported log line like
+            // "_change_data/../../x"): normalize and re-check ancestry
+            val target = Paths.get(root).resolve(rel).normalize()
             if (rel.startsWith("_change_data/") &&
-                Files.deleteIfExists(Paths.get(root).resolve(rel))) n += 1
+                target.startsWith(
+                  Paths.get(root, "_change_data").normalize()) &&
+                Files.deleteIfExists(target)) n += 1
           }
         }
       }

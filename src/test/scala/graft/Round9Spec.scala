@@ -213,13 +213,13 @@ class Round9Spec extends AnyFunSuite {
     LT.deleteWhere(spark, root, "id = 1")             // v1: pre-CDF COW
     LT.enableChangeDataFeed(spark, root, Seq("id"))   // v2
     LT.exportDeltaLog(spark, root)
-    // a range reaching below the enabling version must refuse (deriving
-    // v1's rewrite would fabricate inserts+deletes for survivors)
+    // a range reaching below the enabling version must refuse: v1 is a
+    // cdc-less REWRITE (remove+add), which no enabled writer produces —
+    // deriving it would fabricate inserts+deletes for survivors
     val ex = intercept[IllegalArgumentException] {
       LT.readDeltaExportChanges(spark, root, 1L, 2L)
     }
-    assert(ex.getMessage.contains("was not enabled at version 1"),
-      ex.getMessage)
+    assert(ex.getMessage.contains("without recording cdc"), ex.getMessage)
     // a FOREIGN OPTIMIZE commit: add+remove with dataChange=false and no
     // cdc — spec readers derive NOTHING from it, and the file-mode
     // stream must not refuse it either
@@ -262,12 +262,28 @@ class Round9Spec extends AnyFunSuite {
       Files.walk(Paths.get(root, "_change_data")).iterator().asScala
         .filter(_.toString.endsWith(".parquet")).map(_.toString).toSeq
     assert(cdcFiles().nonEmpty)
-    (4L to 12L).foreach(i =>
-      LT.append(Seq((100 + i, i.toDouble)).toDF("doc_id", "price"), root))
+    // RESTORE past the rename must restore the epoch's CDF keys too, or
+    // the next export's changeFeed references a column the rolled-back
+    // schema no longer has (wedging the mirror silently)
+    LT.restore(root, 1L)                               // v4: schema has 'id'
+    assert(LT.cdfKeysAt(root, 4L) == Seq("id"),
+      "restore must roll the CDF keys back with the schema epoch")
+    LT.deleteWhere(spark, root, "id = 2")              // v5: cdc via 'id'
+    assert(LT.readDeltaExportChanges(spark, root, 5L, 5L)
+      .select("_change_type", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("delete", 2L)))
+    (6L to 12L).foreach(i =>
+      LT.append(Seq((100 + i, i.toDouble)).toDF("id", "price"), root))
     // checkpoint at v10 exists (hook cadence); vacuum truncates below it
     LT.vacuum(root, retainLast = 2)
     assert(cdcFiles().isEmpty,
       s"truncated versions' cdc files must be reclaimed: ${cdcFiles()}")
+    // CDF ranges ABOVE the truncation horizon stay readable: the guard
+    // is structural (per-version), not a conf replay at fromVersion that
+    // would refuse the intact tail of a truncated log
+    assert(LT.readDeltaExportChanges(spark, root, 11L, 12L)
+      .select("_change_type").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("insert"))
   }
 
   test("SQL face: ALTER TABLE ... ENABLE CHANGE DATA FEED KEYS wires the export's cdc") {
