@@ -422,16 +422,23 @@ object Lakehouse {
     * v2 = a quality scrub (COW delete of short docs). The change feed
     * over this history IS the corpus drift report. */
   private[graft] def docsDriftRoot(s: SparkSession, d: String): String = {
-    val root = TableCache.root(d, "documents", "drift-crawl-scrub:v2")
+    val root = TableCache.root(d, "documents", "drift-crawl-scrub-slim:v2")
     try TableCache.locked(root) {
       val docs = Tables.documents(s, d)
-        .select("doc_id", "lang", "source", "n_chars")
+        .select("doc_id", "lang", "n_chars") // only what q195 reports on
       if (LakehouseTable.versions(root).isEmpty)
         LakehouseTable.create(docs.filter(col("doc_id") % 4 =!= 0), root)
       if (LakehouseTable.currentVersion(root).contains(0L))
         LakehouseTable.append(docs.filter(col("doc_id") % 4 === 0), root)
       if (LakehouseTable.currentVersion(root).contains(1L))
         LakehouseTable.deleteWhere(s, root, "n_chars < 100")
+      // deleteWhere is a no-commit no-op when nothing matches: fail
+      // LOUDLY rather than leave a v1 table behind a tag claiming v2
+      // (q195 would otherwise crash on a missing manifest every run)
+      require(LakehouseTable.currentVersion(root).contains(2L),
+        s"docs drift builder: the quality scrub (n_chars < 100) matched " +
+          s"no rows in the corpus at $d — q195's fixture assumes short " +
+          "docs exist at this scale factor")
     } catch {
       case e if raceLost(e) => () // see lineitemZRoot
     }

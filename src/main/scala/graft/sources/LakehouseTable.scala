@@ -930,16 +930,28 @@ object LakehouseTable {
     * and so rewrites round-trip logical → [[toPhysical]] → stable file
     * schema. */
   private def readFilesLogical(spark: SparkSession, root: String, v: Long,
+      relFiles: Seq[String]): DataFrame =
+    readFilesLogicalEpochs(spark, root, v, v, relFiles)
+
+  /** [[readFilesLogical]] with the DELETION state and the SCHEMA epoch
+    * pinned to different versions — the change feed's pre-image read:
+    * rows visible at `dvVersion` (its DV state applies), columns named
+    * under `mappingVersion`'s epoch (Delta CDF's single-schema-per-range
+    * rule; reading a pre-rename side by its own epoch would misalign the
+    * key columns against the post side). */
+  private def readFilesLogicalEpochs(spark: SparkSession, root: String,
+      dvVersion: Long, mappingVersion: Long,
       relFiles: Seq[String]): DataFrame = {
     // a widened table's pruned file set may span physical-type epochs —
     // same explicit-schema read as [[read]] (COW rewrite paths included)
-    val raw = widenedPhysicalSchema(spark, root, v, relFiles) match {
+    val raw = widenedPhysicalSchema(spark, root, mappingVersion, relFiles) match {
       case Some(schema) =>
         spark.read.option("basePath", dataDir(root).toString).schema(schema)
           .parquet(relFiles.map(f => dataDir(root).resolve(f).toString): _*)
       case None => readFiles(spark, root, relFiles)
     }
-    toLogical(applyDvs(spark, root, v, relFiles, raw), root, v)
+    toLogical(applyDvs(spark, root, dvVersion, relFiles, raw),
+      root, mappingVersion)
   }
 
   /** Explicit physical-level read schema for a widened table at version
@@ -3446,8 +3458,18 @@ object LakehouseTable {
     val toM = readManifest(root, toVersion)
     val removed = fromM.filterNot(toM.toSet)
     val added = toM.filterNot(fromM.toSet)
-    val pre0 = if (removed.isEmpty) read(spark, root, Some(fromVersion)).limit(0)
-               else readFilesLogical(spark, root, fromVersion, removed)
+    // BOTH sides read under the END version's mapping epoch (Delta CDF's
+    // single-schema-per-range rule): across a rename boundary (a RESTORE
+    // past a rename being the common case) a per-epoch read would align
+    // the key columns by DIFFERENT logical names, null-fill both, and
+    // fabricate delete+insert pairs for rows that never changed. The
+    // mapping is metadata over stable physical names, so the from-side
+    // files read correctly under the to-side epoch — but the pre side's
+    // DELETION state stays pinned at fromVersion (rows MOR-deleted
+    // before the range must not resurface as pre-images).
+    val pre0 = if (removed.isEmpty) read(spark, root, Some(toVersion)).limit(0)
+               else readFilesLogicalEpochs(spark, root, fromVersion,
+                 toVersion, removed)
     val post0 = if (added.isEmpty) read(spark, root, Some(toVersion)).limit(0)
                 else readFilesLogical(spark, root, toVersion, added)
     // union schema by name: a column absent on one side reads as null of

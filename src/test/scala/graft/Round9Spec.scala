@@ -268,6 +268,13 @@ class Round9Spec extends AnyFunSuite {
     LT.restore(root, 1L)                               // v4: schema has 'id'
     assert(LT.cdfKeysAt(root, 4L) == Seq("id"),
       "restore must roll the CDF keys back with the schema epoch")
+    // the restore commit's OWN recorded changes must be the true net
+    // change under the END epoch's schema (insert of the un-deleted row),
+    // not fabricated delete+insert pairs from aligning the pre side by
+    // its old epoch's column names
+    assert(LT.readDeltaExportChanges(spark, root, 4L, 4L)
+      .select("_change_type", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("insert", 1L)))
     LT.deleteWhere(spark, root, "id = 2")              // v5: cdc via 'id'
     assert(LT.readDeltaExportChanges(spark, root, 5L, 5L)
       .select("_change_type", "id").collect()
