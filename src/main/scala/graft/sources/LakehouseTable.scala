@@ -930,28 +930,16 @@ object LakehouseTable {
     * and so rewrites round-trip logical → [[toPhysical]] → stable file
     * schema. */
   private def readFilesLogical(spark: SparkSession, root: String, v: Long,
-      relFiles: Seq[String]): DataFrame =
-    readFilesLogicalEpochs(spark, root, v, v, relFiles)
-
-  /** [[readFilesLogical]] with the DELETION state and the SCHEMA epoch
-    * pinned to different versions — the change feed's pre-image read:
-    * rows visible at `dvVersion` (its DV state applies), columns named
-    * under `mappingVersion`'s epoch (Delta CDF's single-schema-per-range
-    * rule; reading a pre-rename side by its own epoch would misalign the
-    * key columns against the post side). */
-  private def readFilesLogicalEpochs(spark: SparkSession, root: String,
-      dvVersion: Long, mappingVersion: Long,
       relFiles: Seq[String]): DataFrame = {
     // a widened table's pruned file set may span physical-type epochs —
     // same explicit-schema read as [[read]] (COW rewrite paths included)
-    val raw = widenedPhysicalSchema(spark, root, mappingVersion, relFiles) match {
+    val raw = widenedPhysicalSchema(spark, root, v, relFiles) match {
       case Some(schema) =>
         spark.read.option("basePath", dataDir(root).toString).schema(schema)
           .parquet(relFiles.map(f => dataDir(root).resolve(f).toString): _*)
       case None => readFiles(spark, root, relFiles)
     }
-    toLogical(applyDvs(spark, root, dvVersion, relFiles, raw),
-      root, mappingVersion)
+    toLogical(applyDvs(spark, root, v, relFiles, raw), root, v)
   }
 
   /** Explicit physical-level read schema for a widened table at version
@@ -3458,20 +3446,41 @@ object LakehouseTable {
     val toM = readManifest(root, toVersion)
     val removed = fromM.filterNot(toM.toSet)
     val added = toM.filterNot(fromM.toSet)
-    // BOTH sides read under the END version's mapping epoch (Delta CDF's
-    // single-schema-per-range rule): across a rename boundary (a RESTORE
-    // past a rename being the common case) a per-epoch read would align
-    // the key columns by DIFFERENT logical names, null-fill both, and
-    // fabricate delete+insert pairs for rows that never changed. The
-    // mapping is metadata over stable physical names, so the from-side
-    // files read correctly under the to-side epoch — but the pre side's
-    // DELETION state stays pinned at fromVersion (rows MOR-deleted
-    // before the range must not resurface as pre-images).
-    val pre0 = if (removed.isEmpty) read(spark, root, Some(toVersion)).limit(0)
-               else readFilesLogicalEpochs(spark, root, fromVersion,
-                 toVersion, removed)
+    // The pre side reads under ITS OWN epoch (fromVersion's mapping
+    // resolves its files' physical names, its tombstones hide dropped
+    // columns, its DV state hides MOR-deleted rows), then its logical
+    // names are BRIDGED onto the END epoch's (Delta CDF's
+    // single-schema-per-range rule) by PHYSICAL identity below. Reading
+    // the pre side directly under the end epoch is wrong both ways: a
+    // RESTORE past a rename leaves the end mapping unable to name the
+    // pre files' columns (fabricated null-keyed delete+insert pairs),
+    // and a materializeMapping commit REWRITES physical names, so the
+    // end epoch's cleared mapping mis-names every pre-materialization
+    // file (the same fabrication, whole-table).
+    val pre0raw = if (removed.isEmpty) read(spark, root, Some(fromVersion)).limit(0)
+                  else readFilesLogical(spark, root, fromVersion, removed)
     val post0 = if (added.isEmpty) read(spark, root, Some(toVersion)).limit(0)
                 else readFilesLogical(spark, root, toVersion, added)
+    // Bridge: a logical column keeps its PHYSICAL identity across
+    // rename/restore epochs (mappings are metadata over stable physical
+    // names), and materialization physicalizes the logical names
+    // themselves — in both cases, the from-epoch logical name of an
+    // end-epoch column's physical name is the pre-side column that IS
+    // that column. One select applies every rename simultaneously
+    // (swap-safe); columns with no end-epoch counterpart keep their
+    // names and null-align like any dropped column.
+    val fromLogicalOfPhys = renamedColumnsAt(root, fromVersion)
+      .map { case (p, l) => p.toLowerCase -> l }.toMap
+    val bridge: Map[String, String] = post0.columns.toSeq.flatMap { lTo =>
+      val pTo = physicalNameAt(root, toVersion, lTo)
+      val lFrom = fromLogicalOfPhys.getOrElse(pTo.toLowerCase, pTo)
+      if (lFrom.equalsIgnoreCase(lTo)) None
+      else Some(lFrom.toLowerCase -> lTo)
+    }.toMap
+    val pre0 =
+      if (bridge.isEmpty) pre0raw
+      else pre0raw.select(pre0raw.columns.map(c =>
+        pre0raw(c).as(bridge.getOrElse(c.toLowerCase, c))): _*)
     // union schema by name: a column absent on one side reads as null of
     // the other side's type (mergeSchema read semantics, mirrored here)
     val allCols = pre0.columns.toSeq ++

@@ -279,6 +279,21 @@ class Round9Spec extends AnyFunSuite {
     assert(LT.readDeltaExportChanges(spark, root, 5L, 5L)
       .select("_change_type", "id").collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("delete", 2L)))
+    // MATERIALIZATION is the inverse trap: it REWRITES physical names
+    // (logical schema unchanged, zero logical changes) — the feed across
+    // it must be EMPTY, not a fabricated whole-table delete+insert from
+    // mis-naming the pre side's old physical columns
+    LT.alterRenameColumn(spark, root, "id", "doc_id")  // v6
+    val matV = LT.materializeMapping(spark, root)      // v7: rewrite
+    assert(LT.changeFeed(spark, root, matV - 1, matV,
+      Seq("doc_id")).count() == 0,
+      "a materialization commit has no logical changes")
+    // and a range SPANNING the materialization still reports true
+    // changes under the end epoch's names
+    LT.deleteWhere(spark, root, "doc_id = 1")          // v8
+    assert(LT.changeFeed(spark, root, matV - 1, matV + 1, Seq("doc_id"))
+      .select("_change_type", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("delete", 1L)))
     (6L to 12L).foreach(i =>
       LT.append(Seq((100 + i, i.toDouble)).toDF("id", "price"), root))
     // checkpoint at v10 exists (hook cadence); vacuum truncates below it
