@@ -3297,7 +3297,10 @@ object LakehouseTable {
       renamedCols = Some(encodeRenames(renamedColumnsAt(srcRoot, v))),
       droppedCols = Some(droppedColumnsAt(srcRoot, v).mkString(", ")),
       widenedCols = Some(encodeWidens(widenedColumnsAt(srcRoot, v))),
-      dvs = Some(encodeDvs(dvs)))
+      dvs = Some(encodeDvs(dvs)),
+      // CDF enablement is a table property: a clone of a CDF table keeps
+      // recording changes (Delta clone semantics — properties carry)
+      cdf = Some(cdfKeysAt(srcRoot, v).mkString("|")))
   }
 
   // --- Secondary value index (exact value → file inverted index) ---------

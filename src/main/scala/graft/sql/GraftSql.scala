@@ -638,7 +638,8 @@ case class DescribeDetailGraftCommand(name: String) extends LeafRunnableCommand 
       AttributeReference("partition_columns", StringType, nullable = false)(),
       AttributeReference("row_keys", StringType, nullable = false)(),
       AttributeReference("constraints", StringType, nullable = false)(),
-      AttributeReference("deletion_vectors", StringType, nullable = false)())
+      AttributeReference("deletion_vectors", StringType, nullable = false)(),
+      AttributeReference("change_data_feed", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val e = GraftCatalog.lookup(name).get
     val v = LakehouseTable.currentVersion(e.root).getOrElse(-1L)
@@ -646,9 +647,12 @@ case class DescribeDetailGraftCommand(name: String) extends LeafRunnableCommand 
     // stay O(1), not read parquet footers across the table
     val nf = if (v < 0) 0L else LakehouseTable.fileCount(e.root, v).toLong
     val dvCovered = if (v < 0) 0 else LakehouseTable.dvsAt(e.root, v).size
+    val cdfKeys = if (v < 0) Seq.empty else LakehouseTable.cdfKeysAt(e.root, v)
     Seq(Row(e.root, v, nf, e.partitionBy.mkString(","), e.rowKeys.mkString(","),
       e.constraints.map { case (n, ex) => s"$n CHECK ($ex)" }.mkString("; "),
-      s"${if (e.morDeletes) "enabled" else "disabled"}; $dvCovered files covered"))
+      s"${if (e.morDeletes) "enabled" else "disabled"}; $dvCovered files covered",
+      if (cdfKeys.isEmpty) "disabled"
+      else s"enabled; keys ${cdfKeys.mkString(",")}"))
   }
 }
 

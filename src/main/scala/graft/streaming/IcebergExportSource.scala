@@ -21,6 +21,9 @@ import graft.sources.IcebergMeta
   * Semantics:
   *   - `startingVersion` (inclusive sequence number, or `latest`) skips
   *     the snapshot and tails from a lineage position;
+  *     `startingTimestamp` resolves the same through the chain's own
+  *     snapshot timestamps (first snapshot at/after the stamp, parsed
+  *     under the session timezone);
   *   - non-append snapshots (operation `overwrite` — COW rewrites,
   *     compaction — or `delete` — row-level delete-file changes) are
   *     REFUSED without `ignoreChanges=true`: an added-files batch would
@@ -62,13 +65,38 @@ class IcebergExportSourceProvider extends StreamSourceProvider
     val root = rootOf(parameters)
     // internal form: the EXCLUSIVE base sequence (a declared start's own
     // adds are the first batch); "latest" tails only future snapshots
+    require(!(parameters.contains("startingVersion") &&
+        parameters.contains("startingTimestamp")),
+      "startingVersion and startingTimestamp are mutually exclusive")
     val startingSeq = parameters.get("startingVersion").map {
       case s if s.equalsIgnoreCase("latest") =>
         if (IcebergMeta.hasChain(root))
           IcebergMeta.snapshots(root).map(_.seq).maxOption.getOrElse(0L)
         else 0L
       case s => s.toLong - 1
-    }
+    }.orElse(parameters.get("startingTimestamp").map { t =>
+      // tail from the first snapshot committed AT OR AFTER the stamp,
+      // resolved through the chain's own snapshot timestamps and parsed
+      // under the SESSION timezone (the graft-table source's rule — a
+      // JVM-default parse would move the start point by the host offset);
+      // a stamp past the tip tails only future snapshots
+      val tz = java.time.ZoneId.of(
+        sqlContext.sparkSession.sessionState.conf.sessionLocalTimeZone)
+      val norm = t.trim.replace(' ', 'T')
+      val ldt =
+        try {
+          if (norm.contains('T')) java.time.LocalDateTime.parse(norm)
+          else java.time.LocalDate.parse(norm).atStartOfDay()
+        } catch {
+          case _: java.time.format.DateTimeParseException =>
+            java.sql.Timestamp.valueOf(t.trim.replace('T', ' '))
+              .toLocalDateTime
+        }
+      val stamp = ldt.atZone(tz).toInstant.toEpochMilli
+      val snaps = IcebergMeta.snapshots(root)
+      snaps.find(_.ts >= stamp).map(_.seq - 1)
+        .getOrElse(snaps.map(_.seq).maxOption.getOrElse(0L))
+    })
     new IcebergExportSource(sqlContext.sparkSession, root,
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
       ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean),

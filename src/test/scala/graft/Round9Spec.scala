@@ -328,6 +328,59 @@ class Round9Spec extends AnyFunSuite {
     assert(ex.getMessage.contains("not in"))
   }
 
+  test("shallow clone carries CDF enablement; DESCRIBE DETAIL reports it") {
+    import spark.implicits._
+    import graft.sql.GraftSql
+    val root = freshRoot("cdf_clone")
+    LT.create(Seq((1L, 1.0), (2L, 2.0)).toDF("id", "price"), root)
+    LT.enableChangeDataFeed(spark, root, Seq("id"))
+    GraftSql.register(spark, "cdf_clone_src", root, rowKeys = Seq("id"))
+    val d = GraftSql.sql(spark,
+      "DESCRIBE DETAIL cdf_clone_src").collect()(0)
+    assert(d.getString(d.fieldIndex("change_data_feed")) ==
+      "enabled; keys id")
+    // a clone keeps recording changes (Delta clone semantics: table
+    // properties carry over)
+    val dstRoot = freshRoot("cdf_clone_dst")
+    LT.cloneTable(spark, root, dstRoot)
+    assert(LT.cdfKeysAt(dstRoot, 0L) == Seq("id"),
+      "clone must carry the CDF key list")
+    LT.exportDeltaLog(spark, dstRoot)
+    LT.deleteWhere(spark, dstRoot, "id = 1")
+    assert(LT.readDeltaExportChanges(spark, dstRoot, 1L, 1L)
+      .select("_change_type", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("delete", 1L)))
+  }
+
+  test("iceberg-export startingTimestamp tails from the first snapshot at/after the stamp") {
+    import spark.implicits._
+    import graft.sources.IcebergMeta
+    val root = freshRoot("ice_start_ts")
+    LT.create(Seq((1L, "a")).toDF("id", "v"), root)
+    LT.append(Seq((2L, "b")).toDF("id", "v"), root)
+    LT.append(Seq((3L, "c")).toDF("id", "v"), root)
+    IcebergMeta.exportIcebergMeta(spark, root)
+    val snaps = IcebergMeta.snapshots(root)
+    val tz = java.time.ZoneId.of(
+      spark.sessionState.conf.sessionLocalTimeZone)
+    val stamp = java.time.Instant.ofEpochMilli(snaps(1).ts).atZone(tz)
+      .toLocalDateTime.toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val ckpt = java.nio.file.Files.createTempDirectory("ice-ts-ck").toString
+    val q = spark.readStream.format("iceberg-export")
+      .option("path", root).option("startingTimestamp", stamp).load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.collect().foreach(r => got.add(r.getLong(0))); ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    import scala.jdk.CollectionConverters._
+    // inclusive at the middle snapshot's own stamp: rows 2 and 3, no
+    // snapshot batch for row 1
+    assert(got.asScala.toSet == Set(2L, 3L), got.asScala.toSeq.toString)
+  }
+
   test("readIceberg asOfTimestamp resolves through the chain's snapshot stamps") {
     import spark.implicits._
     import graft.sources.IcebergMeta
