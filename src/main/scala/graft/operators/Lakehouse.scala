@@ -1231,6 +1231,44 @@ object Lakehouse {
         .orderBy(col("_change_type"), col("lang"))
     }),
 
+    // INCREMENTAL AGGREGATE MAINTAINED FROM THE FOREIGN FEED: start from
+    // the snapshot aggregate at the enabling version, then apply the
+    // recorded changes as SIGNED deltas (+row for insert/postimage, −row
+    // for delete/preimage) — the q118 signed-delta idea driven entirely
+    // through the OPEN FORMAT's cdc record stream, never a table rescan.
+    // Sums stay in exact DECIMAL until one final double cast, so the
+    // maintained aggregate is BIT-equal to the direct recompute of the
+    // final state: O(changes) maintenance with zero drift.
+    "q196_cdf_incremental_agg" -> ((s, d) => {
+      // DECIMAL(18,4), not the usual (18,2): update postimages carry
+      // ×1.25 prices whose quarter-cent values sit exactly on 2-dp
+      // rounding boundaries, where Spark's and DuckDB's double→decimal
+      // half-rules can disagree; at 4 dp every such value is recovered
+      // exactly by both engines
+      val dec = "decimal(28,4)"
+      val root = ordersCdfRoot(s, d)
+      val base = LakehouseTable.readDeltaExport(s, root,
+          versionAsOf = Some(1L))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n0"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).as("p0"))
+      val ch = LakehouseTable.readDeltaExportChanges(s, root, 2L, 3L)
+      val up = col("_change_type").isin("insert", "update_postimage")
+      val delta = ch.groupBy(col("o_orderstatus"))
+        .agg(sum(when(up, lit(1L)).otherwise(lit(-1L))).as("dn"),
+          sum(when(up, col("o_totalprice")).otherwise(-col("o_totalprice"))
+            .cast("decimal(18,4)")).as("dp"))
+      base.join(delta, Seq("o_orderstatus"), "full_outer")
+        .select(col("o_orderstatus"),
+          (coalesce(col("n0"), lit(0L)) +
+            coalesce(col("dn"), lit(0L))).as("n"),
+          (coalesce(col("p0").cast(dec), lit(0).cast(dec)) +
+            coalesce(col("dp").cast(dec), lit(0).cast(dec)))
+            .cast("double").as("sum_price"))
+        .filter(col("n") > 0)
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // create → MERGE (update + insert) → deleteWhere → read the survivors.
     // Aggregates are all bit-exact (count, long sum, double min/max) so the
     // hash gate verifies the exact surviving row set, not a tolerance.
@@ -2027,6 +2065,23 @@ object Lakehouse {
     // the replica built from the change feed alone must equal the final
     // table state — the same merged+deleted recompute that gates q103
     "q194_cdf_follower" -> sqlMergedOrdersAgg,
+
+    // the incrementally-maintained aggregate equals the direct recompute
+    // of the final state, bit-for-bit (4-dp decimals: see the query)
+    "q196_cdf_incremental_agg" ->
+      """WITH merged AS (
+           SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 1.25
+                  ELSE o_totalprice END AS o_totalprice
+           FROM orders
+           UNION ALL
+           SELECT -o_orderkey, o_orderstatus, o_totalprice
+           FROM orders WHERE o_orderkey % 997 = 0 AND o_orderkey <> 0)
+         SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_price
+         FROM merged WHERE o_totalprice >= 10000.0
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     // drift deltas recomputed from the raw corpus: inserts = the new
     // crawl slice that survives the scrub, deletes = scrubbed originals
