@@ -224,7 +224,47 @@ object IcebergMeta {
     val dir = metaDir(root)
     Files.createDirectories(dir)
     val partCols = LakehouseTable.partitionColumns(root)
+    val hint = dir.resolve("version-hint.text")
+    // Guard against FOREIGN snapshots appended to the chain
+    // (appendEqualityDeleteSnapshot, or a real Flink-style writer
+    // bumping the hint past graft's numbering). The pre-round-10
+    // behavior was catastrophic-silent: either the seed require failed
+    // and the full rewalk's v{N}.metadata.json collided with the
+    // foreign file (skip-if-exists kept stale metadata while the hint
+    // advanced), or — when a new graft commit realigned the numbering —
+    // the seeder read the FOREIGN metadata as if it covered that
+    // commit and skipped exporting it. The chain tip is graft's iff
+    // v{hint}.metadata.json's current-snapshot-id is the deterministic
+    // graft snapshot id of graft version hint-1. A foreign tip with
+    // every graft version already in the chain → idempotent no-op; a
+    // foreign tip with UN-exported graft commits → refuse loudly,
+    // because extending would need renumbering past the foreign files,
+    // which this mirror does not do.
+    val foreignTip: Boolean = Files.exists(hint) && {
+      val tip = for {
+        n <- scala.util.Try(Files.readString(hint).trim.toLong).toOption
+        if Files.exists(dir.resolve(s"v$n.metadata.json"))
+        md <- scala.util.Try(currentMetadata(root)).toOption
+      } yield (n, md.get("current-snapshot-id").asLong())
+      tip.exists { case (n, curSid) =>
+        !(vs.contains(n - 1) && curSid == snapshotId(root, n - 1))
+      }
+    }
+    if (foreignTip) {
+      val ids = scala.util.Try(snapshots(root).map(_.id).toSet)
+        .getOrElse(Set.empty[Long])
+      if (ids.contains(snapshotId(root, vs.last))) dir
+      else throw new IllegalStateException(
+        s"Iceberg chain at $root carries foreign snapshots at its tip " +
+        s"and graft commits remain un-exported (last graft version " +
+        s"${vs.last} is not in the chain); graft cannot renumber past " +
+        "foreign metadata files — re-mirror to a fresh location or " +
+        "compact the foreign snapshots into the table first")
+    } else exportIcebergMetaWalk(spark, root, vs, dir, partCols, hint)
+  }
 
+  private def exportIcebergMetaWalk(spark: SparkSession, root: String,
+      vs: Seq[Long], dir: Path, partCols: Seq[String], hint: Path): Path = {
     // field ids by column name, first appearance across the history —
     // stable for incremental runs (same walk → same ids, the Delta
     // mirror's columnIds discipline). Schema dedupe is keyed by the
@@ -253,7 +293,6 @@ object IcebergMeta {
     // tail — a steady-state commit then costs O(new files), not
     // O(history) (the Delta mirror's seedV discipline; without it a
     // long-lived mirrored stream pays O(V²) across V commits).
-    val hint = dir.resolve("version-hint.text")
     val seededFrom: Option[Long] =
       if (!Files.exists(hint)) None
       else scala.util.control.Exception.nonFatalCatch.opt {
@@ -262,6 +301,10 @@ object IcebergMeta {
         require(vs.contains(lastV))
         val md = mapper.readTree(
           Files.readString(dir.resolve(s"v$n.metadata.json")))
+        // the seeded metadata must actually BE graft's export of lastV
+        // (not a foreign snapshot whose numbering happens to align)
+        require(md.get("current-snapshot-id").asLong() ==
+          snapshotId(root, lastV))
         md.get("schemas").elements().asScala.zipWithIndex.foreach {
           case (sc, i) =>
             schemas += sc.toString
@@ -1255,12 +1298,34 @@ object IcebergMeta {
         if (eqDels.isEmpty) afterPos
         else {
           val names = fieldNamesById(root, schemaId)
-          // data-file sequence numbers ride in via an O(files) broadcast
+          // data-file sequence numbers ride in via an O(files) broadcast.
+          // The manifest's file_path must be normalized with the SAME
+          // transform as __p (file:/+ → /, + protected, url-decoded):
+          // a foreign chain storing URI-form or percent-encoded paths
+          // would otherwise miss the join, leave __seq null, and the
+          // `null < __dseq` condition would silently KEEP rows the
+          // delete covers (fail-open resurrection). Driver-side mirror
+          // of the __p SQL expression:
+          def normPath(p: String): String = java.net.URLDecoder.decode(
+            p.replaceFirst("^file:/+", "/").replace("+", "%2B"), "UTF-8")
           import spark.implicits._
-          val seqDf = dataEntries.toDF("__seq_path", "__seq")
+          val seqDf = dataEntries.map { case (p, s) => (normPath(p), s) }
+            .toDF("__seq_path", "__seq")
           val withSeq = afterPos.join(
             org.apache.spark.sql.functions.broadcast(seqDf),
             col("__p") === col("__seq_path"), "left")
+          // Backstop: if a scanned row still has no sequence number,
+          // FAIL the read rather than fail open. Guarded inside the
+          // join condition — it fires exactly when a delete key matches
+          // a row whose scoping is unknown, the only case where a null
+          // __seq could flip the result.
+          val seqScoped = org.apache.spark.sql.functions.when(
+            col("__seq").isNull,
+            org.apache.spark.sql.functions.raise_error(
+              org.apache.spark.sql.functions.concat(lit(
+                "iceberg equality-delete: data file missing from the " +
+                "manifest sequence map (path normalization mismatch?): "),
+                col("__p")))).otherwise(col("__seq"))
           eqDels.groupBy(_.equalityIds).foldLeft(withSeq) {
             case (acc, (ids, group)) =>
               require(ids.nonEmpty,
@@ -1268,15 +1333,34 @@ object IcebergMeta {
               val cols = ids.map(id => names.getOrElse(id,
                 throw new IllegalArgumentException(
                   s"equality_ids field $id not in schema $schemaId at $root")))
+              // equality columns resolve by LOGICAL name on both the
+              // raw data scan and the delete parquet; a chain with an
+              // active column mapping stores PHYSICAL names in the
+              // files, which this application path does not translate —
+              // refuse with a clear error instead of an unresolved-
+              // column failure (or worse, a null-match keep-all)
+              val missingData = cols.filterNot(c =>
+                acc.columns.exists(_.equalsIgnoreCase(c)))
+              require(missingData.isEmpty,
+                s"equality-delete columns ${missingData.mkString(", ")} not " +
+                s"present in the data files at $root; chains with an active " +
+                "column mapping (physical file names differing from logical " +
+                "schema names) are unsupported for equality-delete reads")
               val delDf = group.map { d =>
-                  spark.read.parquet(d.path)
-                    .select(cols.map(col): _*)
+                  val delRaw = spark.read.parquet(d.path)
+                  val missingDel = cols.filterNot(c =>
+                    delRaw.columns.exists(_.equalsIgnoreCase(c)))
+                  require(missingDel.isEmpty,
+                    s"equality-delete file ${d.path} lacks column(s) " +
+                    s"${missingDel.mkString(", ")}; physical-name delete " +
+                    "files (active column mapping) are unsupported")
+                  delRaw.select(cols.map(col): _*)
                     .withColumn("__dseq", lit(d.seq))
                 }.reduce(_ unionByName _)
                 .select(cols.map(c => col(c).as(s"__eq_$c")) :+
                   col("__dseq"): _*)
               val cond = cols.map(c => acc(c) <=> delDf(s"__eq_$c"))
-                .reduce(_ && _) && acc("__seq") < delDf("__dseq")
+                .reduce(_ && _) && seqScoped < delDf("__dseq")
               acc.join(
                 org.apache.spark.sql.functions.broadcast(delDf),
                 cond, "left_anti")

@@ -1,0 +1,162 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{IcebergMeta, LakehouseTable => LT}
+
+/** Round-10 pins, closing the round-9 ADVICE findings:
+  *
+  *  1. Equality-delete sequence scoping must normalize the manifest's
+  *     file_path with the SAME transform as the scan-side `__p` —
+  *     foreign chains storing URI-form paths must still have their
+  *     deletes APPLIED (pre-fix: the seq join missed, `null < dseq`
+  *     was null, and the anti-join silently resurrected deleted rows).
+  *  2. A foreign-extended chain (equality-delete snapshot appended past
+  *     graft numbering): re-export is a no-op while current, and
+  *     REFUSES loudly once un-exported graft commits exist — never the
+  *     silent rewalk that collided with (and then pointed at) stale
+  *     foreign metadata.
+  *  3. Equality-delete application refuses with a clear error when the
+  *     delete file lacks the logical key column (the active-column-
+  *     mapping / physical-name case), instead of an unresolved-column
+  *     analysis failure.
+  */
+class Round10Spec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def freshRoot(name: String): String = {
+    val r = sources.TableCache.baseDir + s"/r10_$name"
+    val p = Paths.get(r)
+    if (Files.exists(p)) {
+      Files.walk(p).iterator().asScala.toSeq
+        .sortBy(_.toString).reverse.foreach(Files.deleteIfExists(_))
+    }
+    Files.createDirectories(p)
+    r
+  }
+
+  // --- generic avro surgery (simulating a FOREIGN writer's file forms) ---
+
+  private def readAvroFull(p: Path)
+      : (Schema, Seq[(String, String)], Seq[GenericRecord]) = {
+    val rdr = new DataFileReader[GenericRecord](
+      p.toFile, new GenericDatumReader[GenericRecord]())
+    try {
+      val schema = rdr.getSchema
+      val metas = rdr.getMetaKeys.asScala.toSeq
+        .filterNot(_.startsWith("avro."))
+        .map(k => k -> rdr.getMetaString(k))
+      (schema, metas, rdr.iterator().asScala.toVector)
+    } finally rdr.close()
+  }
+
+  private def writeAvroFull(p: Path, schema: Schema,
+      metas: Seq[(String, String)], recs: Seq[GenericRecord]): Unit = {
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    metas.foreach { case (k, v) => w.setMeta(k, v) }
+    val tmp = Files.createTempFile(p.getParent, ".mtmp", ".avro")
+    w.create(schema, tmp.toFile)
+    recs.foreach(w.append)
+    w.close()
+    Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Rewrite every data manifest's data_file.file_path through `f` —
+    * what a foreign engine that records URI-form paths produces. */
+  private def rewriteDataManifestPaths(root: String)(f: String => String): Unit = {
+    val dir = Paths.get(root, "metadata")
+    val lists = Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("snap-")).toSeq
+    val dataManifests = lists.flatMap { l =>
+      readAvroFull(l)._3
+        .filter(r => r.get("content").asInstanceOf[Int] == 0)
+        .map(r => Paths.get(r.get("manifest_path").toString))
+    }.distinct
+    assert(dataManifests.nonEmpty, "no data manifests found to rewrite")
+    dataManifests.foreach { m =>
+      val (schema, metas, recs) = readAvroFull(m)
+      recs.foreach { r =>
+        val dfr = r.get("data_file").asInstanceOf[GenericRecord]
+        dfr.put("file_path", f(dfr.get("file_path").toString))
+      }
+      writeAvroFull(m, schema, metas, recs)
+    }
+  }
+
+  private def eqDelChain(name: String): String = {
+    import spark.implicits._
+    val root = freshRoot(name)
+    LT.create(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), root)
+    LT.append(Seq((4L, "d"), (5L, "e")).toDF("id", "v"), root)
+    IcebergMeta.exportIcebergMeta(spark, root)
+    IcebergMeta.appendEqualityDeleteSnapshot(spark, root, Seq("id"),
+      Seq(2L, 4L).toDF("id"))
+    root
+  }
+
+  test("equality deletes apply on URI-form (foreign) manifest file paths") {
+    import spark.implicits._
+    val root = eqDelChain("eqdel_uri")
+    // sanity: raw-path form applies the delete
+    assert(IcebergMeta.readIceberg(spark, root)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 5L))
+    // foreign writers record file: URIs in manifests; the seq-scoping
+    // join must normalize them like the scan-side _metadata path or the
+    // deletes silently fail open
+    rewriteDataManifestPaths(root)(p => "file://" + p)
+    assert(IcebergMeta.readIceberg(spark, root)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 5L))
+  }
+
+  test("foreign-extended chain: no-op re-export while current, loud refusal after a graft commit") {
+    import spark.implicits._
+    val root = eqDelChain("eqdel_hint")
+    val hint = Paths.get(root, "metadata", "version-hint.text")
+    assert(Files.readString(hint).trim == "3")
+    assert(IcebergMeta.snapshots(root).size == 3)
+    // idempotent re-export on a current chain: NO-OP — the hint must
+    // not regress past the foreign snapshot (pre-fix it rewalked and
+    // rewrote the hint to 2, dropping the foreign delete)
+    IcebergMeta.exportIcebergMeta(spark, root)
+    assert(Files.readString(hint).trim == "3")
+    assert(IcebergMeta.snapshots(root).size == 3)
+    // a NEW graft commit makes the chain un-extendable: numbering now
+    // realigns (hint-1 == vs.last) so only snapshot IDENTITY catches it
+    LT.append(Seq((9L, "z")).toDF("id", "v"), root)
+    val ex = intercept[IllegalStateException] {
+      IcebergMeta.exportIcebergMeta(spark, root)
+    }
+    assert(ex.getMessage.contains("foreign snapshots"), ex.getMessage)
+    // the refusal left the chain untouched
+    assert(Files.readString(hint).trim == "3")
+    assert(IcebergMeta.snapshots(root).size == 3)
+  }
+
+  test("equality-delete file lacking the logical key column refuses clearly") {
+    val root = eqDelChain("eqdel_mapped")
+    val dir = Paths.get(root, "metadata")
+    val delFile = Files.list(dir).iterator().asScala
+      .find(_.getFileName.toString.startsWith("eqdelete-")).get
+    // simulate a physical-name (column-mapped) delete file
+    val stage = Files.createTempDirectory(dir, ".stage")
+    spark.read.parquet(delFile.toString)
+      .withColumnRenamed("id", "col_7f3a")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(stage.resolve("out").toString)
+    val part = Files.list(stage.resolve("out")).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get
+    Files.move(part, delFile, StandardCopyOption.REPLACE_EXISTING)
+    val ex = intercept[IllegalArgumentException] {
+      IcebergMeta.readIceberg(spark, root).collect()
+    }
+    assert(ex.getMessage.contains("lacks column"), ex.getMessage)
+  }
+}
