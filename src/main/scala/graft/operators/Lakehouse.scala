@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.Exact
-import graft.sources.{IcebergMeta, LakehouseTable, TableCache, Tables}
+import graft.sources.{IcebergMeta, LakehouseTable, RelationCache, TableCache, Tables}
 
 /** Oracle-gated queries over the versioned lakehouse storage layer
   * (`sources/LakehouseTable.scala`) — a real user's first workflow: write a
@@ -414,6 +414,33 @@ object Lakehouse {
       case e if raceLost(e) => () // see lineitemZRoot
     }
     root
+  }
+
+  /** The [[ordersCdfRoot]] tail (versions 2..3) consumed through the
+    * NATIVE streaming CDF source (`graft-table` + readChangeFeed) — run
+    * once per (session, dir) and cached: the stream lands its batches in
+    * a parquet sink and the cached relation reads them back, so the gate
+    * and bench bill the CONSUMPTION of an already-tailed feed (the
+    * steady-state shape), not a stream re-run per query. Version-atomic
+    * batches make the landed change SET deterministic regardless of how
+    * triggers split the range. */
+  private[graft] def nativeCdfChanges(s: SparkSession, d: String): DataFrame = {
+    val root = ordersCdfRoot(s, d)
+    RelationCache.of(s, "native-cdf-changes", root) {
+      val dir = java.nio.file.Files.createTempDirectory("graft-native-cdf")
+      val out = dir.resolve("out").toString
+      val q = s.readStream.format("graft-table").option("path", root)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "2") // inclusive: tail v2 (merge) + v3 (delete)
+        .option("maxVersionsPerBatch", "1")
+        .load()
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", dir.resolve("ckpt").toString)
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+      s.read.parquet(out)
+    }
   }
 
   /** The documents corpus as a versioned lakehouse table under churn —
@@ -1269,6 +1296,38 @@ object Lakehouse {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // q196 DRIVEN FROM THE NATIVE STREAM: the same signed-delta
+    // incremental aggregate, but the change records come from the
+    // graft-table streaming source's readChangeFeed tail (landed once in
+    // a parquet sink — see nativeCdfChanges) instead of the exported
+    // Delta cdc files. Gates the full native path: per-version
+    // changeFeed legs, commit stamping, version-atomic batches — the
+    // maintained aggregate must STILL be bit-equal to the direct
+    // recompute of the final state.
+    "q197_native_cdf_agg" -> ((s, d) => {
+      val dec = "decimal(28,4)"
+      val root = ordersCdfRoot(s, d)
+      val base = LakehouseTable.read(s, root, Some(1L))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n0"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).as("p0"))
+      val ch = nativeCdfChanges(s, d)
+      val up = col("_change_type").isin("insert", "update_postimage")
+      val delta = ch.groupBy(col("o_orderstatus"))
+        .agg(sum(when(up, lit(1L)).otherwise(lit(-1L))).as("dn"),
+          sum(when(up, col("o_totalprice")).otherwise(-col("o_totalprice"))
+            .cast("decimal(18,4)")).as("dp"))
+      base.join(delta, Seq("o_orderstatus"), "full_outer")
+        .select(col("o_orderstatus"),
+          (coalesce(col("n0"), lit(0L)) +
+            coalesce(col("dn"), lit(0L))).as("n"),
+          (coalesce(col("p0").cast(dec), lit(0).cast(dec)) +
+            coalesce(col("dp").cast(dec), lit(0).cast(dec)))
+            .cast("double").as("sum_price"))
+        .filter(col("n") > 0)
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // create → MERGE (update + insert) → deleteWhere → read the survivors.
     // Aggregates are all bit-exact (count, long sum, double min/max) so the
     // hash gate verifies the exact surviving row set, not a tolerance.
@@ -2069,6 +2128,23 @@ object Lakehouse {
     // the incrementally-maintained aggregate equals the direct recompute
     // of the final state, bit-for-bit (4-dp decimals: see the query)
     "q196_cdf_incremental_agg" ->
+      """WITH merged AS (
+           SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 1.25
+                  ELSE o_totalprice END AS o_totalprice
+           FROM orders
+           UNION ALL
+           SELECT -o_orderkey, o_orderstatus, o_totalprice
+           FROM orders WHERE o_orderkey % 997 = 0 AND o_orderkey <> 0)
+         SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_price
+         FROM merged WHERE o_totalprice >= 10000.0
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // the NATIVE-stream-maintained aggregate reaches the identical final
+    // state — same analytic recompute as q196, different feed path
+    "q197_native_cdf_agg" ->
       """WITH merged AS (
            SELECT o_orderkey, o_orderstatus,
              CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 1.25

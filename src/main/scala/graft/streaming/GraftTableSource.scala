@@ -106,11 +106,24 @@ class GraftTableSourceProvider extends StreamSourceProvider
       n
     }
 
+  private def cdfOf(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.toBoolean)
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(
-      LakehouseTable.read(sqlContext.sparkSession, rootOf(parameters)).schema))
+    (shortName(), schema.getOrElse {
+      val base =
+        LakehouseTable.read(sqlContext.sparkSession, rootOf(parameters)).schema
+      if (!cdfOf(parameters)) base
+      else {
+        // Delta's streaming-CDF row shape: data columns + change metadata
+        import org.apache.spark.sql.types._
+        base.add("_change_type", StringType)
+          .add("_commit_version", LongType)
+          .add("_commit_timestamp", TimestampType)
+      }
+    })
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
@@ -162,6 +175,25 @@ class GraftTableSourceProvider extends StreamSourceProvider
     }
     require(startingVersion.isEmpty || startingTs.isEmpty,
       "graft-table source: startingVersion and startingTimestamp are mutually exclusive")
+    // NATIVE streaming CDF (readChangeFeed=true): row-level changes with
+    // the Delta CDF column shape, straight off the graft table — no
+    // Delta-mirror detour. Keys come from the table's own CDF
+    // configuration (enableChangeDataFeed), overridable per query with
+    // .option("keys", "a,b") for tables streamed before CDF was enabled.
+    val cdf = cdfOf(parameters)
+    val cdfKeys: Seq[String] =
+      if (!cdf) Nil
+      else parameters.get("keys")
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse {
+          val cur = LakehouseTable.currentVersion(root).getOrElse(
+            throw new IllegalArgumentException(s"no table at $root"))
+          LakehouseTable.cdfKeysAt(root, cur)
+        }
+    if (cdf) require(cdfKeys.nonEmpty,
+      s"graft-table source readChangeFeed over $root needs row keys: " +
+        "enable the table's change feed (enableChangeDataFeed) or pass " +
+        ".option(\"keys\", \"k1,k2\")")
     new GraftTableSource(sqlContext.sparkSession, root,
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
       ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean),
@@ -173,7 +205,9 @@ class GraftTableSourceProvider extends StreamSourceProvider
         n
       },
       metadataPath = Some(metadataPath),
-      startingVersion = startingVersion.orElse(startingTs))
+      startingVersion = startingVersion.orElse(startingTs),
+      readChangeFeed = cdf,
+      cdfKeys = cdfKeys)
   }
 }
 
@@ -229,7 +263,9 @@ class GraftTableSource(spark: SparkSession, root: String,
     maxFilesPerBatch: Option[Int] = None,
     maxBytesPerBatch: Option[Long] = None,
     metadataPath: Option[String] = None,
-    startingVersion: Option[Long] = None) extends Source {
+    startingVersion: Option[Long] = None,
+    readChangeFeed: Boolean = false,
+    cdfKeys: Seq[String] = Nil) extends Source {
 
   private def cursorOf(o: Offset): GraftVersionOffset = o match {
     case g: GraftVersionOffset => g
@@ -435,8 +471,19 @@ class GraftTableSource(spark: SparkSession, root: String,
               // new, planning a spurious empty batch every trigger
               if (wPos == 0 && wList.nonEmpty && b.any) blocked = true
               else {
+                // CDF batches are VERSION-ATOMIC: change rows are not
+                // file-addressable (a COW delete's row-level diff spans
+                // the whole rewrite), so a version the budget cannot
+                // finish is still admitted whole and the budget marked
+                // spent — the caps bound where a CDF batch ENDS at
+                // version granularity, exactly like maxVersionsPerBatch
+                val admitted =
+                  if (readChangeFeed && wPos < wList.length) {
+                    b.files = 0
+                    wList.length.toLong
+                  } else wPos
                 v = w; snap = false
-                list = wList; listLen = wList.length.toLong; pos = wPos
+                list = wList; listLen = wList.length.toLong; pos = admitted
                 idx += 1
               }
             }
@@ -445,6 +492,12 @@ class GraftTableSource(spark: SparkSession, root: String,
             // read as a new offset and trigger an empty batch
             if (v == c.v && snap == c.snapshot &&
                 pos == c.filePos.getOrElse(listLen)) c
+            // CDF tail cursors that COMPLETE a version encode as the bare
+            // version: a (v, len) cursor would need the v−1 manifest on
+            // the next walk just to learn it is complete, which throws
+            // forever once a caught-up stream's base is vacuumed
+            else if (readChangeFeed && !snap && pos >= listLen)
+              GraftVersionOffset(v)
             else GraftVersionOffset(v, Some(pos), snap)
           }
       }
@@ -459,7 +512,69 @@ class GraftTableSource(spark: SparkSession, root: String,
     def readSlice(files: Seq[String]): DataFrame =
       if (files.isEmpty) emptyBatch
       else LakehouseTable.readFilesLogicalAt(spark, root, endC.v, files)
-    val batch = (start, startingVersion) match {
+    // CHANGE-FEED MODE (readChangeFeed=true): the initial batch is the
+    // snapshot's rows as `insert` changes stamped at its version (the
+    // same Delta initial-snapshot rule the delta-export source applies);
+    // every later batch is the PER-VERSION row-level diff via
+    // LakehouseTable.changeFeed, stamped with each commit's version and
+    // timestamp. Rewrites/deletes never refuse here — CDF records
+    // row-level truth, which is the point of tailing changes instead of
+    // files. Batches are version-atomic past the snapshot (see
+    // getOffset); a replayed range recomputes the same diffs from the
+    // same immutable manifests.
+    def cdfStamp(df: DataFrame, v: Long, insertAll: Boolean): DataFrame = {
+      val ts = LakehouseTable.commitTsAt(root, v)
+      val withType =
+        if (insertAll) df.withColumn("_change_type", lit("insert")) else df
+      withType.withColumn("_commit_version", lit(v))
+        .withColumn("_commit_timestamp",
+          ts.map(t => lit(new java.sql.Timestamp(t)))
+            .getOrElse(lit(null)).cast("timestamp"))
+    }
+    def cdfLegOf(w: Long): DataFrame =
+      // v0 has no predecessor manifest: its "changes" are its rows as
+      // inserts (a startingVersion 0 / pre-v0 timestamp start)
+      if (w == 0L)
+        cdfStamp(LakehouseTable.read(spark, root, Some(0L)), 0L,
+          insertAll = true)
+      else
+        cdfStamp(LakehouseTable.changeFeed(spark, root, w - 1, w, cdfKeys),
+          w, insertAll = false)
+    def cdfBatch: DataFrame = (start, startingVersion) match {
+      case (None, None) => endC.filePos match {
+        case None =>
+          cdfStamp(LakehouseTable.read(spark, root, Some(endC.v)), endC.v,
+            insertAll = true)
+        case Some(k) =>
+          cdfStamp(readSlice(fileListOf(endC.v, snapshot = true).take(k.toInt)),
+            endC.v, insertAll = true)
+      }
+      case (s0, sv) =>
+        val c = s0.map(cursorOf).getOrElse(GraftVersionOffset(sv.get))
+        if (endC.v < c.v ||
+            (endC.v == c.v && endC.filePos == c.filePos)) emptyBatch
+        else {
+          var parts = Vector.empty[DataFrame]
+          // remainder of a split initial snapshot: still inserts at c.v
+          if (c.snapshot && c.filePos.isDefined) {
+            val listC = fileListOf(c.v, snapshot = true)
+            val from = c.filePos.get.toInt
+            val to =
+              if (endC.v == c.v) endC.filePos.map(_.toInt).getOrElse(listC.length)
+              else listC.length
+            if (to > from)
+              parts :+= cdfStamp(readSlice(listC.slice(from, to)), c.v,
+                insertAll = true)
+          }
+          LakehouseTable.versions(root)
+            .filter(w => w > c.v && w <= endC.v)
+            .foreach(w => parts :+= cdfLegOf(w))
+          if (parts.isEmpty) emptyBatch
+          else parts.reduce(_.unionByName(_, allowMissingColumns = true))
+        }
+    }
+    val batch = if (readChangeFeed) cdfBatch
+    else (start, startingVersion) match {
       // first batch(es) of a fresh query with NO declared start: the
       // snapshot at endC.v (Delta's initial reservoir read), whole or a
       // file-cap prefix of it

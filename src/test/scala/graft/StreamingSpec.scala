@@ -1158,4 +1158,100 @@ class StreamingSpec extends AnyFunSuite {
     assert(causes(err).exists(_.getMessage != null) &&
       causes(err).exists(c => Option(c.getMessage).exists(_.contains("rewrote or dropped"))))
   }
+
+  test("graft-table readChangeFeed: native streaming CDF — snapshot inserts, per-commit changes, restart-safe") {
+    import spark.implicits._
+    import graft.sources.{LakehouseTable => LT}
+    val base = Files.createTempDirectory("graft-table-cdf")
+    val root = base.resolve("tbl").toString
+    val ckpt = base.resolve("ckpt").toString
+    LT.create(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), root)
+    LT.enableChangeDataFeed(spark, root, Seq("id"))
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]()
+    def stream() = spark.readStream
+      .format("graft-table").option("path", root)
+      .option("readChangeFeed", "true").load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.collect().foreach(r => seen.add((
+          r.getAs[String]("_change_type"), r.getAs[Long]("id"),
+          r.getAs[Long]("_commit_version"))))
+        ()
+      }.start()
+    val q = stream()
+    q.processAllAvailable()
+    import scala.jdk.CollectionConverters._
+    // initial snapshot: every live row as an insert stamped at the
+    // then-current version (the enableChangeDataFeed metadata commit)
+    assert(seen.asScala.toSet ==
+      Set(("insert", 1L, 1L), ("insert", 2L, 1L)), seen.asScala.toSet.toString)
+    // pure append while running: inserts at its own commit version
+    LT.append(Seq((3L, "c")).toDF("id", "v"), root)
+    q.processAllAvailable()
+    assert(seen.asScala.toSet.contains(("insert", 3L, 2L)))
+    // COW delete: file-mode REFUSES this; change-feed mode emits the
+    // row-level delete, and the rewritten file's survivor does NOT
+    // re-emit
+    LT.deleteWhere(spark, root, "id = 1")
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.asScala.toSet.contains(("delete", 1L, 3L)))
+    assert(seen.asScala.count(_._2 == 2L) == 1,
+      s"survivor re-emitted: ${seen.asScala.toSeq.sorted}")
+    // RESTART: a MOR (deletion-vector) delete committed while the query
+    // was down arrives exactly once, as a row-level delete
+    LT.deleteWhereMor(spark, root, "id = 2")
+    val q2 = stream()
+    q2.processAllAvailable(); q2.stop()
+    assert(seen.asScala.toSeq.sorted == Seq(
+      ("delete", 1L, 3L), ("delete", 2L, 4L),
+      ("insert", 1L, 1L), ("insert", 2L, 1L), ("insert", 3L, 2L)),
+      seen.asScala.toSeq.sorted.toString)
+    // the native stream's cumulative change set ≡ the batch changeFeed
+    // over the same history (initial snapshot folded in as v<=1 inserts)
+    val batchCf = (2L to 4L).map(w =>
+        LT.changeFeed(spark, root, w - 1, w, Seq("id"))
+          .withColumn("_commit_version", lit(w)))
+      .reduce(_ unionByName _)
+      .select(col("_change_type"), col("id"), col("_commit_version"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(seen.asScala.toSet.filter(_._3 >= 2L) == batchCf)
+  }
+
+  test("graft-table readChangeFeed admission caps are version-atomic past the snapshot") {
+    import spark.implicits._
+    import graft.sources.{LakehouseTable => LT}
+    val base = Files.createTempDirectory("graft-table-cdf-caps")
+    val root = base.resolve("tbl").toString
+    LT.create(Seq((1L, "a")).toDF("id", "v").coalesce(1), root)
+    LT.enableChangeDataFeed(spark, root, Seq("id"))
+    // one commit carrying THREE files, then a one-file commit
+    LT.append(Seq((2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
+      .repartition(3), root)
+    LT.append(Seq((5L, "e")).toDF("id", "v"), root)
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Set[(Long, Long)]]()
+    val q = spark.readStream
+      .format("graft-table").option("path", root)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "2") // tail only: v2 (3 files) + v3
+      .option("maxFilesPerBatch", "1").load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = b.collect().map(r => (r.getAs[Long]("id"),
+          r.getAs[Long]("_commit_version"))).toSet
+        if (rows.nonEmpty) batches.add(rows)
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    import scala.jdk.CollectionConverters._
+    val got = batches.asScala.toSeq
+    // the 3-file commit must arrive WHOLE in one batch (change rows are
+    // not file-addressable), the next commit in its own batch
+    assert(got.contains(Set((2L, 2L), (3L, 2L), (4L, 2L))), got.toString)
+    assert(got.contains(Set((5L, 3L))), got.toString)
+    assert(got.flatten.toSet == Set((2L, 2L), (3L, 2L), (4L, 2L), (5L, 3L)),
+      got.toString)
+  }
 }
