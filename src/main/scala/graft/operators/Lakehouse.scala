@@ -384,6 +384,10 @@ object Lakehouse {
       if (LakehouseTable.currentVersion(root).contains(2L))
         LakehouseTable.deleteWhere(s, root, "o_totalprice < 10000.0")
       LakehouseTable.exportDeltaLog(s, root) // incremental; no-op when current
+      // the SAME history through the Iceberg face: q198 derives a
+      // changelog from this chain alone and must hash-match the Delta
+      // cdc records (the q193 three-face pattern extended to CHANGES)
+      IcebergMeta.exportIcebergMeta(s, root) // incremental; no-op when current
     } catch {
       case e if raceLost(e) => () // see lineitemZRoot
     }
@@ -1328,6 +1332,24 @@ object Lakehouse {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // ICEBERG CHANGELOG FACE: the SAME merge+delete history as q191,
+    // but the row-level changes are DERIVED FROM THE ICEBERG CHAIN
+    // ALONE (manifest-list diffs + keyed rewrite joins + delete-state
+    // diffs) — the chain has no cdc records to read, so this gates that
+    // the derivation reconstructs what Delta recorded: identical change
+    // types, images, and commit stamping (sequence−1 = log version),
+    // row for row, against the same analytic oracle q191 uses. The
+    // q193 three-face parity proof, extended from snapshots to CHANGES.
+    "q198_iceberg_changelog" -> ((s, d) => {
+      val root = ordersCdfRoot(s, d)
+      IcebergMeta.icebergChangelog(s, root, 2L, 4L, Seq("o_orderkey"))
+        .withColumn("_commit_version", col("_sequence_number") - lit(1L))
+        .select(col("_change_type"), col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"), col("_commit_version"))
+        .orderBy(col("_commit_version"), col("_change_type"),
+          col("o_orderkey"))
+    }),
+
     // create → MERGE (update + insert) → deleteWhere → read the survivors.
     // Aggregates are all bit-exact (count, long sum, double min/max) so the
     // hash gate verifies the exact surviving row set, not a tolerance.
@@ -1779,6 +1801,48 @@ object Lakehouse {
        FROM merged WHERE o_totalprice >= 10000.0
        GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
+  /** Shared twin of the PER-COMMIT change records over the
+    * [[ordersCdfRoot]] history: the merge's update pre/post images and
+    * inserts at commit 2, the COW delete's removed rows at commit 3 —
+    * derived analytically from raw orders. Gates BOTH change faces:
+    * q191 (Delta cdc records) and q198 (Iceberg chain derivation). */
+  private val sqlOrdersCdcChanges: String =
+    """WITH b AS (
+         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         FROM orders),
+       upd AS (
+         SELECT * FROM b
+         WHERE o_orderkey % 97 = 0
+           AND o_totalprice * 1.25 <> o_totalprice),
+       ins AS (
+         SELECT -o_orderkey AS o_orderkey, o_custkey, o_orderstatus,
+           o_totalprice
+         FROM b WHERE o_orderkey % 997 = 0 AND o_orderkey <> 0),
+       merged AS (
+         SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 1.25
+                ELSE o_totalprice END AS o_totalprice
+         FROM b
+         UNION ALL SELECT * FROM ins)
+       SELECT * FROM (
+         SELECT 'update_preimage' AS _change_type, o_orderkey, o_custkey,
+           o_orderstatus, o_totalprice,
+           CAST(2 AS BIGINT) AS _commit_version
+         FROM upd
+         UNION ALL
+         SELECT 'update_postimage', o_orderkey, o_custkey, o_orderstatus,
+           o_totalprice * 1.25, CAST(2 AS BIGINT)
+         FROM upd
+         UNION ALL
+         SELECT 'insert', o_orderkey, o_custkey, o_orderstatus,
+           o_totalprice, CAST(2 AS BIGINT)
+         FROM ins
+         UNION ALL
+         SELECT 'delete', o_orderkey, o_custkey, o_orderstatus,
+           o_totalprice, CAST(3 AS BIGINT)
+         FROM merged WHERE o_totalprice < 10000.0)
+       ORDER BY _commit_version, _change_type, o_orderkey"""
+
   /** Shared twin of the PLAIN orders projection (pre-merge state — q105
     * time travel, q114 restore+vacuum, q117 SQL time travel). */
   private val sqlOrdersAgg: String =
@@ -2075,42 +2139,11 @@ object Lakehouse {
     // analytically from raw orders: commit 2 = the merge's update
     // pre/post images (%97 keys, price ×1.25) and inserts (−%997 keys);
     // commit 3 = the COW delete's removed rows (merged state < 10000)
-    "q191_delta_cdf" ->
-      """WITH b AS (
-           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-           FROM orders),
-         upd AS (
-           SELECT * FROM b
-           WHERE o_orderkey % 97 = 0
-             AND o_totalprice * 1.25 <> o_totalprice),
-         ins AS (
-           SELECT -o_orderkey AS o_orderkey, o_custkey, o_orderstatus,
-             o_totalprice
-           FROM b WHERE o_orderkey % 997 = 0 AND o_orderkey <> 0),
-         merged AS (
-           SELECT o_orderkey, o_custkey, o_orderstatus,
-             CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 1.25
-                  ELSE o_totalprice END AS o_totalprice
-           FROM b
-           UNION ALL SELECT * FROM ins)
-         SELECT * FROM (
-           SELECT 'update_preimage' AS _change_type, o_orderkey, o_custkey,
-             o_orderstatus, o_totalprice,
-             CAST(2 AS BIGINT) AS _commit_version
-           FROM upd
-           UNION ALL
-           SELECT 'update_postimage', o_orderkey, o_custkey, o_orderstatus,
-             o_totalprice * 1.25, CAST(2 AS BIGINT)
-           FROM upd
-           UNION ALL
-           SELECT 'insert', o_orderkey, o_custkey, o_orderstatus,
-             o_totalprice, CAST(2 AS BIGINT)
-           FROM ins
-           UNION ALL
-           SELECT 'delete', o_orderkey, o_custkey, o_orderstatus,
-             o_totalprice, CAST(3 AS BIGINT)
-           FROM merged WHERE o_totalprice < 10000.0)
-         ORDER BY _commit_version, _change_type, o_orderkey""",
+    "q191_delta_cdf" -> sqlOrdersCdcChanges,
+
+    // the changelog DERIVED from the Iceberg chain equals the same
+    // analytic per-commit change recompute, row for row
+    "q198_iceberg_changelog" -> sqlOrdersCdcChanges,
 
     // survivors of the foreign equality delete: every %131 key removed
     // (all data files predate the delete's sequence number)

@@ -1409,4 +1409,250 @@ object IcebergMeta {
        else org.apache.spark.sql.functions.lit(null)).cast(dt).as(n)
     }: _*)
   }
+
+  /** CHANGELOG FACE: row-level changes derived from the Iceberg chain
+    * ALONE (Iceberg's changelog-scan / create_changelog_view analog) —
+    * the interop symmetry partner of the Delta mirror's cdc records.
+    * For each snapshot with sequence number in (fromSeq, toSeq]:
+    *
+    *   - file-level rewrites (added/removed data files — append, COW
+    *     delete, MERGE): a keyed full-outer diff of the removed files'
+    *     rows (visible under the PARENT's deletes) against the added
+    *     files' rows (visible under this snapshot's) → insert / delete /
+    *     update_preimage / update_postimage, identical-row rewrites
+    *     (pure file churn) emitting nothing;
+    *   - position-delete state diffs on CARRIED files (MOR deletes): new
+    *     (path, pos) pairs → deletes, vanished pairs (a restore past a
+    *     MOR delete) → inserts;
+    *   - new EQUALITY-delete files: the parent-visible rows of data
+    *     files with a strictly smaller sequence number matching the
+    *     delete keys → deletes.
+    *
+    * Refusals (loud, never approximate): empty `keys`; a snapshot
+    * combining a file rewrite with new equality deletes (their relative
+    * order inside one snapshot is not expressible in the chain).
+    *
+    * Output: `_change_type` + the current-schema data columns +
+    * `_commit_snapshot_id`, `_sequence_number`, `_commit_timestamp` —
+    * Iceberg-native stamps; a Delta-parity consumer derives its version
+    * as sequence−1. Cost per snapshot is O(churned files + delete rows),
+    * never a table rescan: carried-file reads are restricted to files
+    * named by the position diff, and the keyed join shuffles only the
+    * rewritten files' rows. */
+  def icebergChangelog(spark: SparkSession, root: String,
+      fromSeq: Long, toSeq: Long, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(keys.nonEmpty, "icebergChangelog requires at least one key column")
+    val snaps = snapshots(root).sortBy(_.seq)
+    val range = snaps.filter(s => s.seq > fromSeq && s.seq <= toSeq)
+    val legs = range.flatMap(s => snapshotChangelog(spark, root, s, keys))
+    if (legs.isEmpty) {
+      val empty = readIceberg(spark, root).limit(0)
+      empty.select(lit("").as("_change_type") +:
+        empty.columns.map(col).toSeq :+
+        lit(0L).as("_commit_snapshot_id") :+
+        lit(0L).as("_sequence_number") :+
+        lit(null).cast("timestamp").as("_commit_timestamp"): _*)
+        .limit(0)
+    } else legs.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** The SQL-side normalization of a manifest/delete-file path column to
+    * the `__p` plain-filesystem form (file:/+ stripped, + protected,
+    * url-decoded) — both sides of every path join must pass through it. */
+  private def normPathCol(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{regexp_replace, url_decode}
+    url_decode(regexp_replace(
+      regexp_replace(c, "^file:/+", "/"), "\\+", "%2B"))
+  }
+
+  /** One snapshot's row-level changes (see [[icebergChangelog]]); None
+    * when the snapshot changes nothing row-visible (a metadata-only
+    * commit). */
+  private def snapshotChangelog(spark: SparkSession, root: String,
+      snap: SnapshotInfo, keys: Seq[String]): Option[DataFrame] = {
+    import org.apache.spark.sql.functions._
+    def stamp(df: DataFrame): DataFrame = df
+      .withColumn("_commit_snapshot_id", lit(snap.id))
+      .withColumn("_sequence_number", lit(snap.seq))
+      .withColumn("_commit_timestamp",
+        lit(new java.sql.Timestamp(snap.ts)))
+    val parentOpt = snapshots(root).find(_.id == snap.parent)
+    parentOpt match {
+      case None =>
+        // first snapshot: everything visible is an insert
+        val (dataN, _) = snapshotEntries(root, snap.id)
+        if (dataN.isEmpty) None
+        else Some(stamp(
+          readIcebergFiles(spark, root, dataN.map(_._1), Some(snap.id))
+            .withColumn("_change_type", lit("insert"))))
+      case Some(p) =>
+        val (dataN, delsN) = snapshotEntries(root, snap.id)
+        val (dataP, delsP) = snapshotEntries(root, p.id)
+        val nPaths = dataN.map(_._1).toSet
+        val pPaths = dataP.map(_._1).toSet
+        val added = dataN.map(_._1).filterNot(pPaths).sorted
+        val removed = dataP.map(_._1).filterNot(nPaths).sorted
+        val carried = dataN.map(_._1).filter(pPaths).sorted
+        val newEq = delsN.filter(_.content == 2)
+          .filterNot(e => delsP.exists(_.path == e.path))
+        require(newEq.isEmpty || (added.isEmpty && removed.isEmpty),
+          s"icebergChangelog: snapshot ${snap.id} at $root combines a " +
+            "file rewrite with new equality-delete files; their relative " +
+            "order within one snapshot is not expressible in the chain — " +
+            "read the snapshot states directly instead")
+
+        // (1) file-level rewrite: keyed full-outer diff, churned files only
+        val fileLevel: Option[DataFrame] =
+          if (added.isEmpty && removed.isEmpty) None
+          else {
+            val pre0 =
+              if (removed.isEmpty) None
+              else Some(readIcebergFiles(spark, root, removed, Some(p.id)))
+            val post0 =
+              if (added.isEmpty) None
+              else Some(readIcebergFiles(spark, root, added, Some(snap.id)))
+            (pre0, post0) match {
+              case (None, Some(post)) =>
+                Some(post.withColumn("_change_type", lit("insert")))
+              case (Some(pre), None) =>
+                Some(pre.withColumn("_change_type", lit("delete")))
+              case (Some(pre0), Some(post0)) =>
+                val cols = post0.columns.toSeq
+                require(keys.forall(k =>
+                    cols.exists(_.equalsIgnoreCase(k))),
+                  s"icebergChangelog keys ${keys.filterNot(k =>
+                    cols.exists(_.equalsIgnoreCase(k)))} not in schema")
+                val pre = pre0.withColumn("__pre", lit(true))
+                val post = post0.withColumn("__post", lit(true))
+                val cond = keys.map(k => pre(k) <=> post(k)).reduce(_ && _)
+                val j = pre.join(post, cond, "full_outer")
+                val same = cols.map(c => pre(c) <=> post(c)).reduce(_ && _)
+                val preRow = struct(cols.map(c => pre(c).as(c)): _*)
+                val postRow = struct(cols.map(c => post(c).as(c)): _*)
+                Some(j
+                  .filter(pre("__pre").isNull || post("__post").isNull || !same)
+                  .select(explode(
+                    when(pre("__pre").isNull, array(struct(
+                      lit("insert").as("_change_type"), postRow.as("row"))))
+                    .when(post("__post").isNull, array(struct(
+                      lit("delete").as("_change_type"), preRow.as("row"))))
+                    .otherwise(array(
+                      struct(lit("update_preimage").as("_change_type"),
+                        preRow.as("row")),
+                      struct(lit("update_postimage").as("_change_type"),
+                        postRow.as("row"))))).as("c"))
+                  .select(col("c._change_type").as("_change_type"),
+                    col("c.row.*")))
+              case (None, None) => None
+            }
+          }
+
+        // (2) position-delete diff on carried files: MOR deletes and
+        // restores surface as (path, pos) set changes
+        def posRows(dels: Seq[DeleteEntry]): Option[DataFrame] = {
+          val files = dels.filter(_.content == 1).map(_.path).distinct
+          if (files.isEmpty) None
+          else Some(spark.read.parquet(files: _*)
+            .select(normPathCol(col("file_path")).as("file_path"),
+              col("pos")))
+        }
+        val posLevel: Option[DataFrame] = {
+          val posN = posRows(delsN)
+          val posP = posRows(delsP)
+          if (posN.isEmpty && posP.isEmpty) None
+          else {
+            val emptyPos = spark.range(0)
+              .select(lit("").as("file_path"), lit(0L).as("pos"))
+            val n = posN.getOrElse(emptyPos)
+            val pp = posP.getOrElse(emptyPos)
+            val newDel = n.except(pp)
+            val restored = pp.except(n)
+            // which carried files do the diffs touch? O(files) driver sync
+            val touched = newDel.union(restored)
+              .select(col("file_path")).distinct()
+              .collect().map(_.getString(0))
+              .filter(f => carried.exists(c => normPathDriver(c) == f))
+              .sorted
+            if (touched.isEmpty) None
+            else {
+              val rawFiles = carried.filter(c =>
+                touched.contains(normPathDriver(c)))
+              val raw = spark.read
+                .option("basePath", Paths.get(root, "data").toString)
+                .option("mergeSchema", "true")
+                .parquet(rawFiles: _*)
+                .withColumn("__p", normPathCol(col("_metadata.file_path")))
+                .withColumn("__ri", col("_metadata.row_index"))
+              def tag(posSet: DataFrame, t: String): DataFrame =
+                alignToCurrentSchema(root,
+                  raw.join(posSet
+                      .select(col("file_path").as("__dp"), col("pos").as("__dr")),
+                    col("__p") === col("__dp") && col("__ri") === col("__dr"),
+                    "left_semi"))
+                  .withColumn("_change_type", lit(t))
+              Some(tag(newDel, "delete").unionByName(tag(restored, "insert")))
+            }
+          }
+        }
+
+        // (3) new equality-delete files: parent-visible rows of
+        // smaller-sequence data files matching the delete keys
+        val eqLevel: Option[DataFrame] =
+          if (newEq.isEmpty) None
+          else {
+            val schemaId = snap.schemaId
+            val names = fieldNamesById(root, schemaId)
+            val parts = newEq.groupBy(_.equalityIds).toSeq.flatMap {
+              case (ids, group) =>
+                val cols = ids.map(id => names.getOrElse(id,
+                  throw new IllegalArgumentException(
+                    s"equality_ids field $id not in schema $schemaId at $root")))
+                group.map { d =>
+                  val scoped = dataN.filter(_._2 < d.seq).map(_._1)
+                  if (scoped.isEmpty) None
+                  else {
+                    val visible = readIcebergFiles(spark, root, scoped,
+                      Some(p.id))
+                    val delKeys = spark.read.parquet(d.path)
+                      .select(cols.map(c => col(c).as(s"__eq_$c")): _*)
+                      .distinct()
+                    val cond = cols.map(c =>
+                      visible(c) <=> delKeys(s"__eq_$c")).reduce(_ && _)
+                    Some(visible.join(broadcast(delKeys), cond, "left_semi")
+                      .withColumn("_change_type", lit("delete")))
+                  }
+                }.flatten
+            }
+            if (parts.isEmpty) None
+            else Some(parts.reduce(_ unionByName _).dropDuplicates())
+          }
+
+        val pieces = Seq(fileLevel, posLevel, eqLevel).flatten
+        if (pieces.isEmpty) None
+        else Some(stamp(pieces.reduce(
+          _.unionByName(_, allowMissingColumns = true))))
+    }
+  }
+
+  /** Driver-side twin of [[normPathCol]]. */
+  private def normPathDriver(p: String): String =
+    java.net.URLDecoder.decode(
+      p.replaceFirst("^file:/+", "/").replace("+", "%2B"), "UTF-8")
+
+  /** Align a raw carried-file scan to the current metadata schema (the
+    * [[readIcebergFiles]] projection, shared). */
+  private def alignToCurrentSchema(root: String, df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val md = currentMetadata(root)
+    val sid = md.get("current-snapshot-id").asLong()
+    val schemaId = snapshots(root).find(_.id == sid).map(_.schemaId)
+      .getOrElse(throw new IllegalStateException(s"snapshot $sid missing"))
+    val fields = schemaFieldsOf(root, schemaId)
+    df.select(fields.map { case (n, dt) =>
+      (if (df.columns.exists(_.equalsIgnoreCase(n))) col(n)
+       else org.apache.spark.sql.functions.lit(null)).cast(dt).as(n)
+    }: _*)
+  }
 }

@@ -140,6 +140,41 @@ class Round10Spec extends AnyFunSuite {
     assert(IcebergMeta.snapshots(root).size == 3)
   }
 
+  test("iceberg changelog: MOR (position-delete) diffs arrive as row-level deletes") {
+    import spark.implicits._
+    val root = freshRoot("chlog_mor")
+    LT.create(Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
+      .toDF("id", "v").coalesce(1), root)
+    IcebergMeta.exportIcebergMeta(spark, root) // write-through from here
+    LT.deleteWhereMor(spark, root, "id <= 2")
+    val snaps = IcebergMeta.snapshots(root)
+    assert(snaps.size == 2, snaps.toString)
+    val ch = IcebergMeta.icebergChangelog(spark, root, 1L, 2L, Seq("id"))
+    val got = ch.select($"_change_type", $"id", $"_sequence_number")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("delete", 1L, 2L), ("delete", 2L, 2L)), got.toString)
+    // the full changelog from the beginning replays creation inserts too
+    val all = IcebergMeta.icebergChangelog(spark, root, 0L, 2L, Seq("id"))
+      .select($"_change_type", $"id").as[(String, Long)].collect()
+    assert(all.count(_._1 == "insert") == 5 && all.count(_._1 == "delete") == 2,
+      all.toSeq.sorted.toString)
+  }
+
+  test("iceberg changelog: a foreign equality-delete snapshot derives its deleted rows") {
+    import spark.implicits._
+    val root = freshRoot("chlog_eqdel")
+    LT.create((1L to 10L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1), root)
+    LT.append((11L to 15L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1), root)
+    IcebergMeta.exportIcebergMeta(spark, root)
+    IcebergMeta.appendEqualityDeleteSnapshot(spark, root, Seq("id"),
+      Seq(2L, 4L, 11L).toDF("id"))
+    val eqSeq = IcebergMeta.snapshots(root).last.seq
+    val ch = IcebergMeta.icebergChangelog(spark, root, eqSeq - 1, eqSeq, Seq("id"))
+    val got = ch.select($"_change_type", $"id").as[(String, Long)].collect().toSet
+    assert(got == Set(("delete", 2L), ("delete", 4L), ("delete", 11L)),
+      got.toString)
+  }
+
   test("equality-delete file lacking the logical key column refuses clearly") {
     val root = eqDelChain("eqdel_mapped")
     val dir = Paths.get(root, "metadata")
