@@ -1350,6 +1350,27 @@ object Lakehouse {
           col("o_orderkey"))
     }),
 
+    // SQL TABLE-VALUED FOREIGN READS under the gate: the same history
+    // queried through BOTH open-format faces purely from SQL — a quoted
+    // path, no registration, no CONVERT TO GRAFT copy. Each face's
+    // aggregate must equal the analytic final-state recompute; a
+    // rewrite that mis-lowered the path, pinned the wrong version, or
+    // let the two faces drift breaks the hash.
+    "q199_sql_foreign_faces" -> ((s, d) => {
+      val root = ordersCdfRoot(s, d)
+      graft.sql.GraftSql.sql(s,
+        s"""SELECT 'delta' AS face, o_orderstatus, count(*) AS n,
+              CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+              min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+            FROM delta_export('$root') GROUP BY o_orderstatus
+            UNION ALL
+            SELECT 'iceberg', o_orderstatus, count(*),
+              CAST(sum(o_orderkey) AS BIGINT),
+              min(o_totalprice), max(o_totalprice)
+            FROM iceberg_export('$root') GROUP BY o_orderstatus
+            ORDER BY face, o_orderstatus""")
+    }),
+
     // create → MERGE (update + insert) → deleteWhere → read the survivors.
     // Aggregates are all bit-exact (count, long sum, double min/max) so the
     // hash gate verifies the exact surviving row set, not a tolerance.
@@ -2144,6 +2165,26 @@ object Lakehouse {
     // the changelog DERIVED from the Iceberg chain equals the same
     // analytic per-commit change recompute, row for row
     "q198_iceberg_changelog" -> sqlOrdersCdcChanges,
+
+    // both SQL-read faces serve the identical final state
+    "q199_sql_foreign_faces" ->
+      """WITH merged AS (
+           SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 1.25
+                  ELSE o_totalprice END AS o_totalprice
+           FROM orders
+           UNION ALL
+           SELECT -o_orderkey, o_orderstatus, o_totalprice
+           FROM orders WHERE o_orderkey % 997 = 0 AND o_orderkey <> 0),
+         agg AS (
+           SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+             min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+           FROM merged WHERE o_totalprice >= 10000.0
+           GROUP BY o_orderstatus)
+         SELECT 'delta' AS face, * FROM agg
+         UNION ALL SELECT 'iceberg', * FROM agg
+         ORDER BY face, o_orderstatus""",
 
     // survivors of the foreign equality delete: every %131 key removed
     // (all data files predate the delete's sequence number)

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.{DataType, StructType}
 
-import graft.sources.LakehouseTable
+import graft.sources.{IcebergMeta, LakehouseTable}
 
 /** SQL DDL/DML face of the lakehouse storage layer — the declarative idiom
   * the reference uses for its one data dependency (`app/app.yaml:7-10`
@@ -49,6 +49,10 @@ import graft.sources.LakehouseTable
   *   DROP TABLE t          -- unregisters; data files stay (external)
   *   SELECT ... FROM t [VERSION AS OF n | TIMESTAMP AS OF 'ts'] ...
   *   SELECT ... FROM TABLE_CHANGES(t, from, to) ...   -- needs rowKeys
+  *   SELECT ... FROM delta_export('/path'[, n | 'ts']) ...     -- foreign Delta log, in place
+  *   SELECT ... FROM iceberg_export('/path'[, snap | 'ts']) ...-- foreign Iceberg chain
+  *   SELECT ... FROM table_changes('/path', from, to) ...      -- foreign Delta CDF
+  *   SELECT ... FROM iceberg_changelog('/path', from, to, 'k1,k2') ...
   * }}}
   *
   * Two equivalent entry points run the SAME command objects:
@@ -1077,6 +1081,52 @@ object GraftSqlStatements {
   private val TableChangesRe =
     """(?i)\bTABLE_CHANGES\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*(\d+)\s*,\s*(\d+)\s*\)""".r
 
+  // FOREIGN-PATH table-valued reads: a QUOTED path (a masked literal at
+  // rewrite time) instead of a registered name reads an exported /
+  // foreign open-format table in place — no CONVERT TO GRAFT copy, no
+  // registration. The literal appears in the masked text as
+  // '<u0001><N><u0001>' (either quote kind), so these regexes match the
+  // placeholder and unmask the real path on use.
+  private val MaskedLit =
+    """['"]""" + "\u0001" + """(\d+)""" + "\u0001" + """['"]"""
+  private val DeltaExportRe =
+    ("""(?i)\bdelta_export\s*\(\s*""" + MaskedLit +
+      """\s*(?:,\s*(?:(\d+)|""" + MaskedLit + """))?\s*\)""").r
+  private val IcebergExportRe =
+    ("""(?i)\biceberg_export\s*\(\s*""" + MaskedLit +
+      """\s*(?:,\s*(?:(\d+)|""" + MaskedLit + """))?\s*\)""").r
+  private val ForeignChangesRe =
+    ("""(?i)\btable_changes\s*\(\s*""" + MaskedLit +
+      """\s*,\s*(\d+)\s*,\s*(\d+)\s*\)""").r
+  private val IcebergChangelogRe =
+    ("""(?i)\biceberg_changelog\s*\(\s*""" + MaskedLit +
+      """\s*,\s*(\d+)\s*,\s*(\d+)\s*,\s*""" + MaskedLit + """\s*\)""").r
+
+  /** Restore masked literal #idx and strip its quotes — the PATH/STRING
+    * argument of a foreign table-valued read. */
+  private def unmaskLit(unmask: String => String, idx: String): String = {
+    val restored = unmask("'\u0001" + idx + "\u0001'")
+    restored.substring(1, restored.length - 1)
+  }
+
+  /** UTC wall-clock SQL timestamp literal → epoch millis (the
+    * TIMESTAMP AS OF convention, shared by the foreign-read forms). */
+  private def parseUtcMillis(name: String, lit: String): Long = {
+    val norm = lit.trim.replaceAll("\\s+", "T")
+    (try {
+      if (norm.contains("T")) java.time.LocalDateTime.parse(norm)
+      else java.time.LocalDate.parse(norm).atStartOfDay()
+    } catch {
+      case ex: java.time.format.DateTimeParseException =>
+        throw new IllegalArgumentException(
+          s"$name: timestamp '$lit' expected " +
+            "'yyyy-MM-dd' or 'yyyy-MM-dd HH:mm:ss[.SSS]'", ex)
+    }).toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+  }
+
+  private def foreignView(kind: String, args: String): String =
+    kind + "__" + graft.plans.TextExpressions.md5Hex(args).take(12)
+
   /** Rewrite the graft read sugar over REGISTERED tables into temp views
     * (registered here, at parse time — the one place that both has the
     * session and sees the raw text): `name VERSION AS OF n` → a
@@ -1141,7 +1191,52 @@ object GraftSqlStatements {
         case None => q(m.matched)
       }
     })
-    unmask(afterTc)
+    // foreign-path table-valued reads (quoted path, not a registered
+    // name): lower onto the existing open-format readers in place
+    val afterDe = DeltaExportRe.replaceAllIn(afterTc, m => {
+      val path = unmaskLit(unmask, m.group(1))
+      val vOpt = Option(m.group(2)).map(_.toLong)
+      val tsOpt = Option(m.group(3)).map(i =>
+        parseUtcMillis("delta_export", unmaskLit(unmask, i)))
+      val view = foreignView("delta_export",
+        s"$path#${vOpt.getOrElse(-1L)}#${tsOpt.getOrElse(-1L)}")
+      LakehouseTable.readDeltaExport(spark, path,
+          versionAsOf = vOpt, timestampAsOf = tsOpt)
+        .createOrReplaceTempView(view)
+      q(view)
+    })
+    val afterIe = IcebergExportRe.replaceAllIn(afterDe, m => {
+      val path = unmaskLit(unmask, m.group(1))
+      val sOpt = Option(m.group(2)).map(_.toLong)
+      val tsOpt = Option(m.group(3)).map(i =>
+        parseUtcMillis("iceberg_export", unmaskLit(unmask, i)))
+      val view = foreignView("iceberg_export",
+        s"$path#${sOpt.getOrElse(-1L)}#${tsOpt.getOrElse(-1L)}")
+      IcebergMeta.readIceberg(spark, path,
+          snapshotAsOf = sOpt, asOfTimestamp = tsOpt)
+        .createOrReplaceTempView(view)
+      q(view)
+    })
+    val afterFc = ForeignChangesRe.replaceAllIn(afterIe, m => {
+      val path = unmaskLit(unmask, m.group(1))
+      val (from, to) = (m.group(2).toLong, m.group(3).toLong)
+      val view = foreignView("table_changes", s"$path#$from#$to")
+      LakehouseTable.readDeltaExportChanges(spark, path, from, to)
+        .createOrReplaceTempView(view)
+      q(view)
+    })
+    val afterIc = IcebergChangelogRe.replaceAllIn(afterFc, m => {
+      val path = unmaskLit(unmask, m.group(1))
+      val (from, to) = (m.group(2).toLong, m.group(3).toLong)
+      val keys = unmaskLit(unmask, m.group(4))
+        .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      val view = foreignView("iceberg_changelog",
+        s"$path#$from#$to#${keys.mkString("|")}")
+      IcebergMeta.icebergChangelog(spark, path, from, to, keys)
+        .createOrReplaceTempView(view)
+      q(view)
+    })
+    unmask(afterIc)
   }
 }
 

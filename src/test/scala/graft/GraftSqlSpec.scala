@@ -416,4 +416,49 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("identity"), e.getMessage)
     spark.sql("DROP TABLE sqlspec_ident")
   }
+
+  test("foreign table-valued reads: delta_export / iceberg_export / table_changes / iceberg_changelog by quoted path") {
+    import spark.implicits._
+    import graft.sources.IcebergMeta
+    val root = Files.createTempDirectory("graft_sql_foreign").toString + "/t"
+    LakehouseTable.create(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").coalesce(1), root)
+    LakehouseTable.enableChangeDataFeed(spark, root, Seq("id"))
+    LakehouseTable.exportDeltaLog(spark, root)
+    IcebergMeta.exportIcebergMeta(spark, root)
+    LakehouseTable.deleteWhere(spark, root, "id = 2") // v2: COW delete w/ cdc
+
+    // snapshot reads, both faces, NO registration — purely by path
+    assert(spark.sql(s"SELECT count(*) AS n FROM delta_export('$root')")
+      .head().getLong(0) == 2)
+    assert(spark.sql(s"SELECT count(*) AS n FROM iceberg_export('$root')")
+      .head().getLong(0) == 2)
+    // version pin: the pre-delete state (delta log v1 = the CDF-enable
+    // commit; iceberg snapshot = sequence 2's deterministic id)
+    assert(spark.sql(s"SELECT count(*) AS n FROM delta_export('$root', 1)")
+      .head().getLong(0) == 3)
+    val preSnap = IcebergMeta.snapshots(root).find(_.seq == 2L).get.id
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM iceberg_export('$root', $preSnap)")
+      .head().getLong(0) == 3)
+    // foreign Delta CDF by path
+    val ch = spark.sql(
+      s"""SELECT _change_type, id, _commit_version
+          FROM table_changes('$root', 2, 2) ORDER BY id""")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(ch == Seq(("delete", 2L, 2L)), ch.toString)
+    // Iceberg changelog by path (sequence range; delete lands at seq 3)
+    val ich = spark.sql(
+      s"""SELECT _change_type, id, _sequence_number
+          FROM iceberg_changelog('$root', 2, 3, 'id') ORDER BY id""")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(ich == Seq(("delete", 2L, 3L)), ich.toString)
+    // the extension-less entry point lowers identically
+    assert(graft.sql.GraftSql.sql(spark,
+        s"SELECT count(*) AS n FROM delta_export('$root')")
+      .head().getLong(0) == 2)
+    // a path inside a plain string literal is DATA, never rewritten
+    val litRow = spark.sql(s"SELECT 'delta_export(''x'')' AS s").head()
+    assert(litRow.getString(0) == "delta_export('x')")
+  }
 }
