@@ -1827,6 +1827,14 @@ object LakehouseTable {
         if (d.columns.contains(f.name))
           d.withColumn(f.name, col(f.name).cast(f.dataType))
         else d))
+    // ONE partitioned scan for every cdc file in the range: path →
+    // (version, timestamp) is derivable from the action lists, so the
+    // plan carries a single parquet-scan leg (plus a broadcast stamp
+    // join) no matter how long the range is — a table_changes(0, 10000)
+    // over a long-lived log costs one scan node, not 10k union legs.
+    // Only cdc-LESS versions (pure adds / pure removes committed before
+    // enablement) keep the per-version derive path below.
+    val cdcFiles = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Option[Long])]
     val perVersion = (fromVersion to toVersion).flatMap { v =>
       val lf = logDir.resolve(f"$v%020d.json")
       require(Files.exists(lf), s"no exported log version $v at $root")
@@ -1842,10 +1850,9 @@ object LakehouseTable {
             ts.map(t => lit(new java.sql.Timestamp(t)))
               .getOrElse(lit(null)).cast("timestamp"))
       if (cdcPaths.nonEmpty) {
-        val files = cdcPaths.map(p => Paths.get(root).resolve(p).toString)
-        Seq(stamp(align(spark.read
-          .option("basePath", Paths.get(root, "_change_data").toString)
-          .parquet(files: _*))))
+        cdcPaths.foreach(p => cdcFiles +=
+          ((Paths.get(root).resolve(p).toString, v, ts)))
+        Nil
       } else {
         // derive path (spec rule for cdc-less commits): dataChange=false
         // actions are pure layout churn (a foreign OPTIMIZE) and derive
@@ -1874,7 +1881,40 @@ object LakehouseTable {
         ins.toSeq ++ del.toSeq
       }
     }
-    perVersion
+    val cdcLeg: Option[DataFrame] =
+      if (cdcFiles.isEmpty) None
+      else {
+        import org.apache.spark.sql.functions.{broadcast, concat, raise_error,
+          regexp_replace, timestamp_millis, url_decode, when}
+        require(cdcFiles.map(_._1).distinct.size == cdcFiles.size,
+          s"cdc file referenced by multiple log versions at $root — " +
+            "the change files of distinct commits must be distinct")
+        import spark.implicits._
+        val metaDf = cdcFiles.toSeq.map { case (p, v, ts) =>
+          (p, v, ts.map(java.lang.Long.valueOf).orNull: java.lang.Long)
+        }.toDF("__cdc_path", "__cdc_v", "__cdc_ts")
+        val scan = spark.read
+          .option("basePath", Paths.get(root, "_change_data").toString)
+          .option("mergeSchema", "true") // union schema across versions,
+          // like the per-version unionByName(allowMissing) did
+          .parquet(cdcFiles.map(_._1).toSeq: _*)
+          .withColumn("__p", url_decode(regexp_replace(
+            regexp_replace(col("_metadata.file_path"), "^file:/+", "/"),
+            "\\+", "%2B")))
+        val joined = scan.join(broadcast(metaDf),
+          col("__p") === col("__cdc_path"), "left")
+        // the scan reads EXACTLY metaDf's files, so an unmatched row can
+        // only mean a path-normalization bug: fail the read, never stamp
+        // null versions
+        val vCol = when(col("__cdc_v").isNull,
+          raise_error(concat(lit("cdc stamp join missed file: "),
+            col("__p")))).otherwise(col("__cdc_v"))
+        Some(align(joined
+          .withColumn("_commit_version", vCol)
+          .withColumn("_commit_timestamp", timestamp_millis(col("__cdc_ts")))
+          .drop("__p", "__cdc_path", "__cdc_v", "__cdc_ts")))
+      }
+    (cdcLeg.toSeq ++ perVersion)
       .reduceOption((a, b) => a.unionByName(b, allowMissingColumns = true))
       .getOrElse {
         // every version in the range was a no-change commit (metadata

@@ -175,6 +175,36 @@ class Round10Spec extends AnyFunSuite {
       got.toString)
   }
 
+  test("readDeltaExportChanges plans ONE cdc scan leg regardless of range length") {
+    import spark.implicits._
+    val root = freshRoot("cdf_one_scan")
+    LT.create(Seq((1L, 0L)).toDF("id", "x").coalesce(1), root)
+    LT.enableChangeDataFeed(spark, root, Seq("id"))
+    LT.exportDeltaLog(spark, root) // write-through from here on
+    // 8 churn commits, each recording cdc (merge rewrites = update images)
+    (1L to 8L).foreach { i =>
+      LT.merge(spark, root, Seq((1L, i)).toDF("id", "x"), Seq("id"))
+    }
+    val wide = LT.readDeltaExportChanges(spark, root, 2L, 9L)
+    // every version recorded cdc → the whole range is ONE parquet scan
+    // (plus the broadcast stamp join), not one union leg per version
+    // (string count: the scan may sit under an AQE wrapper)
+    val planStr = wide.queryExecution.executedPlan.toString
+    assert(planStr.split("FileScan parquet").length - 1 == 1,
+      planStr.take(2000))
+    // and the rows are still the per-commit truth: 8 pre/post image pairs
+    val got = wide.select($"_change_type", $"x", $"_commit_version")
+      .as[(String, Long, Long)].collect().toSet
+    val want = (1L to 8L).flatMap(i => Seq(
+      ("update_preimage", i - 1, i + 1), ("update_postimage", i, i + 1))).toSet
+    assert(got == want, got.toSeq.sorted.toString)
+    // timestamps stamp from each commit, non-null, non-decreasing
+    val ts = wide.orderBy($"_commit_version")
+      .select($"_commit_timestamp").collect().map(_.getTimestamp(0))
+    assert(ts.forall(_ != null))
+    assert(ts.sliding(2).forall(p => !p(0).after(p(1))))
+  }
+
   test("equality-delete file lacking the logical key column refuses clearly") {
     val root = eqDelChain("eqdel_mapped")
     val dir = Paths.get(root, "metadata")
