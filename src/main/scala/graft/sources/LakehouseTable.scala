@@ -898,7 +898,9 @@ object LakehouseTable {
       else missing.foldLeft(df)((acc, f) => acc.withColumn(f.name,
         org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
     }
-    toLogical(widened, root, v)
+    // ANALYZE-computed statistics ride the scan relation when current
+    // (version-exact; see TableStatistics) — inert unless CBO is on
+    TableStatistics.attach(spark, toLogical(widened, root, v), root, v)
   }
 
   /** Surface a physical-schema frame under version `v`'s LOGICAL column

@@ -42,6 +42,7 @@ import graft.sources.{IcebergMeta, LakehouseTable}
   *   ALTER TABLE t ENABLE CHANGE DATA FEED KEYS k1, k2   -- cdc actions in the export
   *   DESCRIBE COLUMNS t    -- logical schema + physical (file) names
   *   SHOW GRAFT TABLES     -- the persistent catalog's listing
+  *   ANALYZE TABLE t COMPUTE STATISTICS [FOR ALL COLUMNS | FOR COLUMNS c1, c2]
   *   OPTIMIZE t [WHERE partition-pred] [ZORDER BY (c1, c2, ...)]
   *   VACUUM t [RETAIN n VERSIONS | RETAIN n HOURS]
   *   DESCRIBE HISTORY t
@@ -810,6 +811,26 @@ case class ShowGraftTablesCommand() extends LeafRunnableCommand {
 
 /** VACUUM name [RETAIN n VERSIONS | RETAIN n HOURS] — version-count or
   * time-based (Delta-style) retention; returns the deleted-file count. */
+/** ANALYZE TABLE t COMPUTE STATISTICS [FOR ALL COLUMNS | FOR COLUMNS
+  * a, b] — row count + per-column NDV/min/max/nulls, persisted with the
+  * table and attached to its reads for the CBO (see
+  * [[graft.sources.TableStatistics]]). */
+case class AnalyzeGraftTableCommand(name: String, columns: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        "row_count", org.apache.spark.sql.types.LongType, nullable = false)(),
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        "analyzed_columns", org.apache.spark.sql.types.LongType,
+        nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val e = GraftCatalog.lookup(name).get
+    val st = graft.sources.TableStatistics.analyze(spark, e.root, columns)
+    Seq(Row(st.rowCount, st.cols.size.toLong))
+  }
+}
+
 case class VacuumGraftTableCommand(name: String, retainLast: Int,
     retainHours: Option[Double] = None) extends LeafRunnableCommand {
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
@@ -927,6 +948,8 @@ object GraftSqlStatements {
     """(?is)^\s*REORG\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""".r
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+(VERSIONS|HOURS))?\s*;?\s*$""".r
+  private val AnalyzeRe =
+    """(?is)^\s*ANALYZE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+(?:ALL\s+COLUMNS|COLUMNS\s+(.+?)))?\s*;?\s*$""".r
   private val ShowTablesRe = """(?is)^\s*SHOW\s+GRAFT\s+TABLES\s*;?\s*$""".r
   private val ConvertRe =
     """(?is)^\s*CONVERT\s+TO\s+GRAFT\s+'([^']+)'\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*$""".r
@@ -1056,6 +1079,9 @@ object GraftSqlStatements {
         else
           Some(VacuumGraftTableCommand(name,
             Option(retain).map(_.toDouble.toInt).getOrElse(1)))
+      case AnalyzeRe(name, cols) if GraftCatalog.lookup(name).isDefined =>
+        Some(AnalyzeGraftTableCommand(name, Option(cols).toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)))
       case ShowTablesRe() => Some(ShowGraftTablesCommand())
       case AlterAddRe(name, cols) if GraftCatalog.lookup(name).isDefined =>
         Some(AlterGraftTableAddColumnsCommand(name, unmask(cols)))

@@ -31,4 +31,12 @@ object GraftStreamingShims {
     cs.internalCreateDataFrame(cdf.queryExecution.toRdd, df.schema,
       isStreaming = false)
   }
+
+  /** Dataset over an already-built logical plan (`Dataset.ofRows` is
+    * `private[sql]`): how ANALYZE-computed `CatalogStatistics` get
+    * re-attached to a read's `LogicalRelation` for the CBO. */
+  def dataFrameFromPlan(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

@@ -205,6 +205,61 @@ class Round10Spec extends AnyFunSuite {
     assert(ts.sliding(2).forall(p => !p(0).after(p(1))))
   }
 
+  test("ANALYZE TABLE statistics feed the CBO: rowCount + column stats on the plan, filter estimation, version-exact staleness") {
+    import spark.implicits._
+    import graft.sources.TableStatistics
+    val root = freshRoot("analyze")
+    LT.create((1L to 1000L).map(i => (i, s"v$i")).toDF("id", "v")
+      .coalesce(1), root)
+    // no stats yet: the optimized plan has no rowCount
+    assert(LT.read(spark, root).queryExecution.optimizedPlan
+      .stats.rowCount.isEmpty)
+    val st = TableStatistics.analyze(spark, root)
+    assert(st.rowCount == 1000L && st.cols.contains("id"))
+    val withCbo = Seq("spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.planStats.enabled" -> "true")
+    val saved = withCbo.map { case (k, _) => k -> spark.conf.get(k) }
+    withCbo.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val plan = LT.read(spark, root).queryExecution.optimizedPlan
+      assert(plan.stats.rowCount.contains(BigInt(1000)), plan.stats.toString)
+      assert(plan.stats.attributeStats.nonEmpty, plan.stats.toString)
+      // column min/max + NDV drive filter selectivity: a 1% range
+      // predicate estimates ~1% of rows, not the un-stat'd default
+      val est = LT.read(spark, root).filter($"id" <= 10L)
+        .queryExecution.optimizedPlan.stats.rowCount
+      assert(est.exists(n => n >= BigInt(1) && n <= BigInt(60)), est.toString)
+      // staleness: a commit un-arms the stats (version-exact attach)
+      LT.append(Seq((1001L, "x")).toDF("id", "v"), root)
+      assert(LT.read(spark, root).queryExecution.optimizedPlan
+        .stats.rowCount.isEmpty)
+      // re-analyze re-arms at the new version
+      TableStatistics.analyze(spark, root)
+      assert(LT.read(spark, root).queryExecution.optimizedPlan
+        .stats.rowCount.contains(BigInt(1001)))
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+    // CBO off (the default): attachment is inert — same analyzed plan
+    // SHAPE as an un-analyzed read (stats ride the relation only)
+    val a = LT.read(spark, root).filter($"id" <= 10L)
+      .queryExecution.executedPlan.toString
+    assert(a.contains("FileScan parquet"))
+  }
+
+  test("ANALYZE TABLE through the SQL face") {
+    import spark.implicits._
+    val root = freshRoot("analyze_sql")
+    LT.create((1L to 50L).map(i => (i, i * 2.0)).toDF("k", "x").coalesce(1),
+      root)
+    graft.sql.GraftSql.register(spark, "r10_stats_t", root)
+    val row = spark.sql(
+      "ANALYZE TABLE r10_stats_t COMPUTE STATISTICS FOR ALL COLUMNS").head()
+    assert(row.getLong(0) == 50L && row.getLong(1) == 2L, row.toString)
+    val st = graft.sources.TableStatistics.statsOf(root).get
+    assert(st.cols("k").min.contains("1") && st.cols("k").max.contains("50"))
+    assert(st.cols("k").distinctCount >= 45L) // HLL approx of 50
+    spark.sql("DROP TABLE r10_stats_t")
+  }
+
   test("equality-delete file lacking the logical key column refuses clearly") {
     val root = eqDelChain("eqdel_mapped")
     val dir = Paths.get(root, "metadata")
