@@ -260,6 +260,76 @@ class Round10Spec extends AnyFunSuite {
     spark.sql("DROP TABLE r10_stats_t")
   }
 
+  test("wide-history stress: 60 commits through BOTH mirrors with CDF on — faces, changes, truncation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = freshRoot("wide")
+    LT.create(Seq((1L, 0L)).toDF("id", "x").coalesce(1), root)
+    LT.enableChangeDataFeed(spark, root, Seq("id"))
+    LT.exportDeltaLog(spark, root)      // write-through from here on
+    IcebergMeta.exportIcebergMeta(spark, root)
+    // 60 commits — appends, periodic COW merges (cdc update images),
+    // periodic MOR deletes (DV churn) — spanning SIX delta checkpoint
+    // cadences, both mirror hooks advancing incrementally per commit
+    (1 to 60).foreach { i =>
+      if (i % 12 == 0)
+        LT.merge(spark, root, Seq((1L, i.toLong)).toDF("id", "x"), Seq("id"))
+      else if (i % 17 == 0)
+        LT.deleteWhereMor(spark, root, s"id = ${100 + i - 1}")
+      else
+        LT.append(Seq(((100 + i).toLong, i.toLong)).toDF("id", "x")
+          .coalesce(1), root)
+    }
+    val vCur = LT.currentVersion(root).get
+    assert(vCur == 61L, vCur.toString)
+    // both faces serve the exact final state after the full history
+    val want = LT.read(spark, root).orderBy("id", "x")
+      .as[(Long, Long)].collect().toSeq
+    assert(LT.readDeltaExport(spark, root).orderBy("id", "x")
+      .as[(Long, Long)].collect().toSeq == want)
+    assert(IcebergMeta.readIceberg(spark, root).orderBy("id", "x")
+      .as[(Long, Long)].collect().toSeq == want)
+    // the recorded changes over the WHOLE range maintain the q196-style
+    // signed-delta aggregate to the exact final state
+    val ch = LT.readDeltaExportChanges(spark, root, 2L, vCur)
+    val up = col("_change_type").isin("insert", "update_postimage")
+    val base = LT.readDeltaExport(spark, root, versionAsOf = Some(1L))
+      .agg(count(lit(1)).as("n0"), sum(col("x")).as("s0")).collect()(0)
+    val d = ch.agg(
+      sum(when(up, 1L).otherwise(-1L)).as("dn"),
+      sum(when(up, col("x")).otherwise(-col("x"))).as("ds")).collect()(0)
+    assert(base.getLong(0) + d.getLong(0) == want.size.toLong)
+    assert(base.getLong(1) + d.getLong(1) == want.map(_._2).sum)
+    // Iceberg changelog parity with the Delta cdc records, row for row,
+    // across the ENTIRE 60-commit history (sequence = version + 1)
+    val dSet = ch.select(col("_change_type"), col("id"), col("x"),
+        col("_commit_version"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    val iSet = IcebergMeta.icebergChangelog(spark, root, 2L, vCur + 1,
+        Seq("id"))
+      .select(col("_change_type"), col("id"), col("x"),
+        (col("_sequence_number") - lit(1L)).as("v"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(iSet == dSet,
+      s"iceberg-only=${(iSet -- dSet).toSeq.sorted.take(5)} " +
+        s"delta-only=${(dSet -- iSet).toSeq.sorted.take(5)}")
+    // TRUNCATION interplay: vacuum retains a tail; the checkpoint-seeded
+    // log read and the chain read still serve the exact state, the
+    // retained change range still reads, and a below-horizon range
+    // REFUSES loudly instead of serving a partial feed
+    LT.vacuum(root, retainLast = 15)
+    assert(LT.readDeltaExport(spark, root).orderBy("id", "x")
+      .as[(Long, Long)].collect().toSeq == want)
+    assert(IcebergMeta.readIceberg(spark, root).orderBy("id", "x")
+      .as[(Long, Long)].collect().toSeq == want)
+    assert(LT.readDeltaExportChanges(spark, root, vCur - 5, vCur)
+      .count() > 0)
+    val ex = intercept[IllegalArgumentException] {
+      LT.readDeltaExportChanges(spark, root, 2L, vCur).count()
+    }
+    assert(ex.getMessage.contains("no exported log version"), ex.getMessage)
+  }
+
   test("equality-delete file lacking the logical key column refuses clearly") {
     val root = eqDelChain("eqdel_mapped")
     val dir = Paths.get(root, "metadata")
