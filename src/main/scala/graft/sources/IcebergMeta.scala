@@ -1445,16 +1445,201 @@ object IcebergMeta {
     require(keys.nonEmpty, "icebergChangelog requires at least one key column")
     val snaps = snapshots(root).sortBy(_.seq)
     val range = snaps.filter(s => s.seq > fromSeq && s.seq <= toSeq)
-    val legs = range.flatMap(s => snapshotChangelog(spark, root, s, keys))
+    // SINGLE-SCAN fast path (the readDeltaExportChanges treatment): a
+    // snapshot whose own state AND parent state carry no delete files is
+    // PURE FILE CHURN — its changelog is derivable from raw file reads
+    // alone, so the whole range's churn batches into at most four scan
+    // legs (insert-only adds, delete-only removes, rewrite pre-state,
+    // rewrite post-state), each ONE parquet scan per schema epoch with a
+    // broadcast path→(snapshot_id, sequence, timestamp) stamp join. A
+    // 10k-snapshot append/rewrite history costs O(1) plan legs, not 10k
+    // union subtrees. Delete-bearing snapshots (MOR position diffs,
+    // equality deletes, or churn whose pre/post states sit under delete
+    // files) keep the exact per-snapshot derivation.
+    val entryMemo = scala.collection.mutable.HashMap
+      .empty[Long, (Seq[(String, Long)], Seq[DeleteEntry])]
+    def entriesOf(id: Long) = entryMemo.getOrElseUpdate(id,
+      snapshotEntries(root, id))
+    case class Churn(snap: SnapshotInfo, added: Seq[String],
+        removed: Seq[String])
+    val classified: Seq[Either[Churn, SnapshotInfo]] = range.flatMap { s =>
+      requireParentRetained(root, s)
+      val parent = snaps.find(_.id == s.parent)
+      val (dataN, delsN) = entriesOf(s.id)
+      parent match {
+        case None =>
+          if (delsN.nonEmpty) Some(Right(s))
+          else if (dataN.isEmpty) None // empty first snapshot
+          else Some(Left(Churn(s, dataN.map(_._1).sorted, Nil)))
+        case Some(p) =>
+          val (dataP, delsP) = entriesOf(p.id)
+          if (delsN.nonEmpty || delsP.nonEmpty) Some(Right(s))
+          else {
+            val nPaths = dataN.map(_._1).toSet
+            val pPaths = dataP.map(_._1).toSet
+            val added = dataN.map(_._1).filterNot(pPaths).sorted
+            val removed = dataP.map(_._1).filterNot(nPaths).sorted
+            if (added.isEmpty && removed.isEmpty) None // metadata-only
+            else Some(Left(Churn(s, added, removed)))
+          }
+      }
+    }
+    val churn = classified.collect { case Left(c) => c }
+    val perSnapshot = classified.collect { case Right(s) => s }
+    val batched: Seq[DataFrame] =
+      if (churn.isEmpty) Nil
+      else {
+        val inserts = churn.filter(_.removed.isEmpty)
+          .flatMap(c => c.added.map(_ -> c.snap))
+        val deletes = churn.filter(c => c.added.isEmpty && c.removed.nonEmpty)
+          .flatMap(c => c.removed.map(_ -> c.snap))
+        val rewrites = churn.filter(c =>
+          c.added.nonEmpty && c.removed.nonEmpty)
+        val insertLeg =
+          if (inserts.isEmpty) None
+          else Some(finishStamped(
+            stampedChurnScan(spark, root, inserts)
+              .withColumn("_change_type", lit("insert"))))
+        val deleteLeg =
+          if (deletes.isEmpty) None
+          else Some(finishStamped(
+            stampedChurnScan(spark, root, deletes)
+              .withColumn("_change_type", lit("delete"))))
+        val rewriteLeg =
+          if (rewrites.isEmpty) None
+          else {
+            val cols = currentSchemaFields(root).map(_._1)
+            require(keys.forall(k => cols.exists(_.equalsIgnoreCase(k))),
+              s"icebergChangelog keys ${keys.filterNot(k =>
+                cols.exists(_.equalsIgnoreCase(k)))} not in schema")
+            val pre = stampedChurnScan(spark, root,
+                rewrites.flatMap(c => c.removed.map(_ -> c.snap)))
+              .withColumn("__pre", lit(true))
+            val post = stampedChurnScan(spark, root,
+                rewrites.flatMap(c => c.added.map(_ -> c.snap)))
+              .withColumn("__post", lit(true))
+            // seq equality scopes the keyed diff to ONE snapshot: a pre
+            // row of sequence 5 never matches a post row of sequence 7,
+            // so every snapshot's full-outer diff rides one join
+            val cond = keys.map(k => pre(k) <=> post(k)).reduce(_ && _) &&
+              pre("__seq") === post("__seq")
+            val j = pre.join(post, cond, "full_outer")
+            val same = cols.map(c => pre(c) <=> post(c)).reduce(_ && _)
+            val preRow = struct(cols.map(c => pre(c).as(c)): _*)
+            val postRow = struct(cols.map(c => post(c).as(c)): _*)
+            Some(j
+              .filter(pre("__pre").isNull || post("__post").isNull || !same)
+              .select(explode(
+                when(pre("__pre").isNull, array(struct(
+                  lit("insert").as("_change_type"), postRow.as("row"))))
+                .when(post("__post").isNull, array(struct(
+                  lit("delete").as("_change_type"), preRow.as("row"))))
+                .otherwise(array(
+                  struct(lit("update_preimage").as("_change_type"),
+                    preRow.as("row")),
+                  struct(lit("update_postimage").as("_change_type"),
+                    postRow.as("row"))))).as("c"),
+                coalesce(pre("__sid"), post("__sid")).as("__sid"),
+                coalesce(pre("__seq"), post("__seq")).as("__seq"),
+                coalesce(pre("__ts"), post("__ts")).as("__ts"))
+              .select(col("c.row.*") +: col("c._change_type")
+                  .as("_change_type") +:
+                Seq(col("__sid").as("_commit_snapshot_id"),
+                  col("__seq").as("_sequence_number"),
+                  timestamp_millis(col("__ts"))
+                    .as("_commit_timestamp")): _*))
+          }
+        Seq(insertLeg, deleteLeg, rewriteLeg).flatten
+      }
+    val legs = batched ++
+      perSnapshot.flatMap(s => snapshotChangelog(spark, root, s, keys))
+    // canonical column order on BOTH paths (data columns, _change_type,
+    // then the three stamps) — without it the empty-range frame and the
+    // union of whichever leg came first would disagree positionally
     if (legs.isEmpty) {
       val empty = readIceberg(spark, root).limit(0)
-      empty.select(lit("").as("_change_type") +:
-        empty.columns.map(col).toSeq :+
+      empty.select(empty.columns.map(col).toSeq :+
+        lit("").as("_change_type") :+
         lit(0L).as("_commit_snapshot_id") :+
         lit(0L).as("_sequence_number") :+
         lit(null).cast("timestamp").as("_commit_timestamp"): _*)
         .limit(0)
     } else legs.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Refuse a snapshot whose parent id is SET but absent from the chain
+    * — the normal state of the oldest retained snapshot after foreign
+    * snapshot expiration. Deriving its changes would silently emit the
+    * whole snapshot as inserts; parent == -1 (a true first snapshot) is
+    * the only insert-everything case. */
+  private def requireParentRetained(root: String, snap: SnapshotInfo): Unit =
+    if (snap.parent != -1L && !snapshots(root).exists(_.id == snap.parent))
+      throw new IllegalStateException(
+        s"icebergChangelog: snapshot ${snap.id} (sequence ${snap.seq}) at " +
+          s"$root names parent ${snap.parent}, which is no longer in the " +
+          "chain (expired). Changes below this snapshot cannot be " +
+          s"derived — start the range at sequence ${snap.seq} or later")
+
+  /** (name, type) fields of the CURRENT metadata schema — the projection
+    * every changelog leg aligns to. */
+  private def currentSchemaFields(root: String)
+      : Seq[(String, org.apache.spark.sql.types.DataType)] = {
+    val sid = currentMetadata(root).get("current-snapshot-id").asLong()
+    val schemaId = snapshots(root).find(_.id == sid).map(_.schemaId)
+      .getOrElse(throw new IllegalStateException(s"snapshot $sid missing"))
+    schemaFieldsOf(root, schemaId)
+  }
+
+  /** ONE batched scan over churned files spanning many snapshots: files
+    * group by the stamping snapshot's schema-id (each group's footers
+    * are inference-mergeable — a mid-range schema change never mixes
+    * physical types in one scan), every group aligns to the current
+    * metadata schema, and a broadcast path→(snapshot, sequence, ts) join
+    * stamps each row with its snapshot — raise_error on a miss (the scan
+    * reads exactly the stamp map's files, so a miss is a normalization
+    * bug, never a stampable row). Output: current-schema columns +
+    * `__sid`, `__seq`, `__ts`. */
+  private def stampedChurnScan(spark: SparkSession, root: String,
+      files: Seq[(String, SnapshotInfo)]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val fields = currentSchemaFields(root)
+    val scans = files.groupBy(_._2.schemaId).toSeq.sortBy(_._1)
+      .map { case (_, fs) =>
+        val raw = spark.read
+          .option("basePath", Paths.get(root, "data").toString)
+          .option("mergeSchema", "true")
+          .parquet(fs.map(_._1): _*)
+          .withColumn("__p", normPathCol(col("_metadata.file_path")))
+        raw.select(fields.map { case (n, dt) =>
+          (if (raw.columns.exists(_.equalsIgnoreCase(n))) col(n)
+           else lit(null)).cast(dt).as(n)
+        } :+ col("__p"): _*)
+      }
+    val scan = scans.reduce(_.unionByName(_, allowMissingColumns = true))
+    import spark.implicits._
+    val meta = files.map { case (f, s) => (normPathDriver(f), s.id, s.seq, s.ts) }
+      .toDF("__mp", "__msid", "__mseq", "__mts")
+    scan.join(broadcast(meta), col("__p") === col("__mp"), "left")
+      .withColumn("__sid", when(col("__msid").isNull,
+        raise_error(concat(
+          lit("icebergChangelog stamp join missed file: "), col("__p"))))
+        .otherwise(col("__msid")))
+      .withColumn("__seq", col("__mseq"))
+      .withColumn("__ts", col("__mts"))
+      .drop("__p", "__mp", "__msid", "__mseq", "__mts")
+  }
+
+  /** Canonical changelog column order for a stamped-scan leg: data
+    * columns, `_change_type`, then the three commit stamps. */
+  private def finishStamped(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val data = df.columns
+      .filterNot(Set("_change_type", "__sid", "__seq", "__ts"))
+      .map(col).toSeq
+    df.select(data :+ col("_change_type") :+
+      col("__sid").as("_commit_snapshot_id") :+
+      col("__seq").as("_sequence_number") :+
+      timestamp_millis(col("__ts")).as("_commit_timestamp"): _*)
   }
 
   /** The SQL-side normalization of a manifest/delete-file path column to
@@ -1473,11 +1658,19 @@ object IcebergMeta {
   private def snapshotChangelog(spark: SparkSession, root: String,
       snap: SnapshotInfo, keys: Seq[String]): Option[DataFrame] = {
     import org.apache.spark.sql.functions._
-    def stamp(df: DataFrame): DataFrame = df
-      .withColumn("_commit_snapshot_id", lit(snap.id))
-      .withColumn("_sequence_number", lit(snap.seq))
-      .withColumn("_commit_timestamp",
-        lit(new java.sql.Timestamp(snap.ts)))
+    // canonical leg order: data columns, _change_type, stamps — the
+    // file/pos/eq legs place _change_type differently and unionByName
+    // keeps the FIRST frame's order, so without this reorder the same
+    // call would return different column orders depending on which leg
+    // kinds the range happened to contain
+    def stamp(df: DataFrame): DataFrame = {
+      val data = df.columns.filter(_ != "_change_type").map(col).toSeq
+      df.select(data :+ col("_change_type") :+
+        lit(snap.id).as("_commit_snapshot_id") :+
+        lit(snap.seq).as("_sequence_number") :+
+        lit(new java.sql.Timestamp(snap.ts)).as("_commit_timestamp"): _*)
+    }
+    requireParentRetained(root, snap)
     val parentOpt = snapshots(root).find(_.id == snap.parent)
     parentOpt match {
       case None =>
@@ -1598,35 +1791,67 @@ object IcebergMeta {
         }
 
         // (3) new equality-delete files: parent-visible rows of
-        // smaller-sequence data files matching the delete keys
+        // smaller-sequence data files matching the delete keys. The
+        // per-delete-file semi-joins below can OVERLAP (one physical
+        // row matched by two delete files, or by two key sets), so the
+        // union dedupes on (file path, row index) identity — never on
+        // row VALUES, which would collapse genuinely duplicate table
+        // rows into a single delete record and break the row-for-row
+        // Delta-cdc parity the q198 gate claims.
         val eqLevel: Option[DataFrame] =
           if (newEq.isEmpty) None
           else {
             val schemaId = snap.schemaId
             val names = fieldNamesById(root, schemaId)
-            val parts = newEq.groupBy(_.equalityIds).toSeq.flatMap {
-              case (ids, group) =>
-                val cols = ids.map(id => names.getOrElse(id,
-                  throw new IllegalArgumentException(
-                    s"equality_ids field $id not in schema $schemaId at $root")))
-                group.map { d =>
-                  val scoped = dataN.filter(_._2 < d.seq).map(_._1)
-                  if (scoped.isEmpty) None
-                  else {
-                    val visible = readIcebergFiles(spark, root, scoped,
-                      Some(p.id))
+            val maxSeq = newEq.map(_.seq).max
+            val scopedAll = dataN.filter(_._2 < maxSeq).map(_._1).sorted
+            if (scopedAll.isEmpty) None
+            else {
+              // parent-visible rows of every scopable file, ONE scan,
+              // with row identity carried; per-delete-file sequence
+              // scoping becomes a filter on the broadcast-joined seq
+              val curSchemaId = {
+                val sid = currentMetadata(root)
+                  .get("current-snapshot-id").asLong()
+                snapshots(root).find(_.id == sid).map(_.schemaId)
+                  .getOrElse(throw new IllegalStateException(
+                    s"snapshot $sid missing"))
+              }
+              val raw = spark.read
+                .option("basePath", Paths.get(root, "data").toString)
+                .option("mergeSchema", "true")
+                .parquet(scopedAll: _*)
+              import spark.implicits._
+              val seqDf = dataN
+                .map { case (pa, sq) => (normPathDriver(pa), sq) }
+                .toDF("__sc_path", "__sc_seq")
+              val visAll = applyDeleteEntries(spark, root, curSchemaId,
+                  raw, dataP, delsP)
+                .withColumn("__id_p", normPathCol(col("_metadata.file_path")))
+                .withColumn("__id_r", col("_metadata.row_index"))
+                .join(broadcast(seqDf),
+                  col("__id_p") === col("__sc_path"), "inner")
+              val parts = newEq.groupBy(_.equalityIds).toSeq.flatMap {
+                case (ids, group) =>
+                  val cols = ids.map(id => names.getOrElse(id,
+                    throw new IllegalArgumentException(
+                      s"equality_ids field $id not in schema $schemaId at $root")))
+                  group.map { d =>
                     val delKeys = spark.read.parquet(d.path)
                       .select(cols.map(c => col(c).as(s"__eq_$c")): _*)
                       .distinct()
                     val cond = cols.map(c =>
-                      visible(c) <=> delKeys(s"__eq_$c")).reduce(_ && _)
-                    Some(visible.join(broadcast(delKeys), cond, "left_semi")
-                      .withColumn("_change_type", lit("delete")))
+                      visAll(c) <=> delKeys(s"__eq_$c")).reduce(_ && _)
+                    visAll.filter(col("__sc_seq") < lit(d.seq))
+                      .join(broadcast(delKeys), cond, "left_semi")
                   }
-                }.flatten
+              }
+              if (parts.isEmpty) None
+              else Some(alignToCurrentSchema(root,
+                  parts.reduce(_ unionByName _)
+                    .dropDuplicates("__id_p", "__id_r"))
+                .withColumn("_change_type", lit("delete")))
             }
-            if (parts.isEmpty) None
-            else Some(parts.reduce(_ unionByName _).dropDuplicates())
           }
 
         val pieces = Seq(fileLevel, posLevel, eqLevel).flatten

@@ -1836,11 +1836,25 @@ object LakehouseTable {
     // over a long-lived log costs one scan node, not 10k union legs.
     // Only cdc-LESS versions (pure adds / pure removes committed before
     // enablement) keep the per-version derive path below.
-    val cdcFiles = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Option[Long])]
+    val cdcFiles = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Option[Long], Int)]
+    // schema EPOCH per version: cdc files are written under their
+    // commit's logical schema, so a range spanning an ALTER COLUMN TYPE
+    // widening mixes int32 and int64 footers — one mergeSchema
+    // inference over the whole range would refuse. Files group by the
+    // metaData boundaries observed in the range (a metaData action
+    // starts a new epoch; the pre-change tail inherits epoch 0) and
+    // each group scans once; a range with no mid-range schema change
+    // keeps exactly one scan leg.
+    var schemaEpoch = 0
+    val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val perVersion = (fromVersion to toVersion).flatMap { v =>
       val lf = logDir.resolve(f"$v%020d.json")
       require(Files.exists(lf), s"no exported log version $v at $root")
       val txt = Files.readString(lf)
+      if (txt.linesIterator.exists(l => l.contains("\"metaData\"") &&
+          (try jsonMapper.readTree(l).has("metaData")
+           catch { case scala.util.control.NonFatal(_) => false })))
+        schemaEpoch += 1
       val cdcPaths = txt.split('\n').toSeq.flatMap(line =>
         deltaActionPath(line, DeltaCdcKindRe).map(raw =>
           deltaDecodePath(deltaUnesc(raw))))
@@ -1853,7 +1867,7 @@ object LakehouseTable {
               .getOrElse(lit(null)).cast("timestamp"))
       if (cdcPaths.nonEmpty) {
         cdcPaths.foreach(p => cdcFiles +=
-          ((Paths.get(root).resolve(p).toString, v, ts)))
+          ((Paths.get(root).resolve(p).toString, v, ts, schemaEpoch)))
         Nil
       } else {
         // derive path (spec rule for cdc-less commits): dataChange=false
@@ -1892,17 +1906,24 @@ object LakehouseTable {
           s"cdc file referenced by multiple log versions at $root — " +
             "the change files of distinct commits must be distinct")
         import spark.implicits._
-        val metaDf = cdcFiles.toSeq.map { case (p, v, ts) =>
+        val metaDf = cdcFiles.toSeq.map { case (p, v, ts, _) =>
           (p, v, ts.map(java.lang.Long.valueOf).orNull: java.lang.Long)
         }.toDF("__cdc_path", "__cdc_v", "__cdc_ts")
-        val scan = spark.read
-          .option("basePath", Paths.get(root, "_change_data").toString)
-          .option("mergeSchema", "true") // union schema across versions,
-          // like the per-version unionByName(allowMissing) did
-          .parquet(cdcFiles.map(_._1).toSeq: _*)
-          .withColumn("__p", url_decode(regexp_replace(
-            regexp_replace(col("_metadata.file_path"), "^file:/+", "/"),
-            "\\+", "%2B")))
+        // one scan per schema epoch (see the walk above), each cast to
+        // the range-end logical schema via align so the epochs union by
+        // name; the single broadcast stamp join sits above the union
+        val scan = cdcFiles.toSeq.groupBy(_._4).toSeq.sortBy(_._1)
+          .map { case (_, group) =>
+            align(spark.read
+              .option("basePath", Paths.get(root, "_change_data").toString)
+              .option("mergeSchema", "true") // union schema WITHIN the
+              // epoch, like the per-version unionByName(allowMissing) did
+              .parquet(group.map(_._1): _*)
+              .withColumn("__p", url_decode(regexp_replace(
+                regexp_replace(col("_metadata.file_path"), "^file:/+", "/"),
+                "\\+", "%2B"))))
+          }
+          .reduce(_.unionByName(_, allowMissingColumns = true))
         val joined = scan.join(broadcast(metaDf),
           col("__p") === col("__cdc_path"), "left")
         // the scan reads EXACTLY metaDf's files, so an unmatched row can
@@ -1911,10 +1932,10 @@ object LakehouseTable {
         val vCol = when(col("__cdc_v").isNull,
           raise_error(concat(lit("cdc stamp join missed file: "),
             col("__p")))).otherwise(col("__cdc_v"))
-        Some(align(joined
+        Some(joined
           .withColumn("_commit_version", vCol)
           .withColumn("_commit_timestamp", timestamp_millis(col("__cdc_ts")))
-          .drop("__p", "__cdc_path", "__cdc_v", "__cdc_ts")))
+          .drop("__p", "__cdc_path", "__cdc_v", "__cdc_ts"))
       }
     (cdcLeg.toSeq ++ perVersion)
       .reduceOption((a, b) => a.unionByName(b, allowMissingColumns = true))

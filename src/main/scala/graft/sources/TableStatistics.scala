@@ -186,8 +186,21 @@ object TableStatistics {
           rowCount = Some(BigInt(st.rowCount)),
           colStats = colStats)
         val analyzed = df.queryExecution.analyzed
+        // Stamp ONLY the table's data-file scan: a MOR read's plan also
+        // carries the deletion-vector relation (applyDvs' anti-join
+        // side, under root/deletes/), which must NOT inherit the
+        // table's rowCount — CBO would size the anti-join's tiny side
+        // like the whole table and mis-order every downstream join.
+        val dataPrefix = Paths.get(root, "data").toUri.getPath
+        def isDataScan(lr: LogicalRelation): Boolean = lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.nonEmpty &&
+              fs.location.rootPaths.forall(_.toUri.getPath.startsWith(dataPrefix))
+          case _ => false
+        }
         val withStats = analyzed.transform {
-          case lr: LogicalRelation if lr.catalogTable.isEmpty =>
+          case lr: LogicalRelation
+              if lr.catalogTable.isEmpty && isDataScan(lr) =>
             lr.copy(catalogTable = Some(CatalogTable(
               identifier = TableIdentifier(
                 "graft_" + graft.plans.TextExpressions.md5Hex(root).take(12)),

@@ -1,0 +1,193 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{IcebergMeta, LakehouseTable => LT}
+
+/** Round-11 pins:
+  *
+  *  1. `icebergChangelog` over a wide pure-churn range plans O(1) parquet
+  *     scan legs (the single-scan treatment `readDeltaExportChanges` got
+  *     in round 10), not one union subtree per snapshot — while staying
+  *     row-for-row equal to the Delta cdc records.
+  *  2. A snapshot whose parent id is set but EXPIRED from the chain
+  *     refuses loudly instead of silently emitting the whole snapshot as
+  *     inserts (the round-10 ADVICE finding).
+  *  3. Equality-delete changelog legs dedupe on physical row identity,
+  *     never row values: two genuinely identical table rows covered by
+  *     one delete produce TWO delete records.
+  *  4. `readDeltaExportChanges` serves a range spanning an ALTER COLUMN
+  *     TYPE widening: cdc files group into per-schema-epoch scans
+  *     instead of one mergeSchema inference that refuses mixed
+  *     int32/int64 footers.
+  *  5. ANALYZE statistics attach ONLY to the table's data-file scan — a
+  *     MOR read's deletion-vector relation must not inherit the table's
+  *     rowCount.
+  */
+class Round11Spec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def freshRoot(name: String): String = {
+    val r = sources.TableCache.baseDir + s"/r11_$name"
+    val p = Paths.get(r)
+    if (Files.exists(p)) {
+      Files.walk(p).iterator().asScala.toSeq
+        .sortBy(_.toString).reverse.foreach(Files.deleteIfExists(_))
+    }
+    Files.createDirectories(p)
+    r
+  }
+
+  test("icebergChangelog: O(1) scan legs over a wide pure-churn range, cdc-parity intact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = freshRoot("chlog_wide")
+    LT.create(Seq((1L, 0L)).toDF("id", "x").coalesce(1), root)
+    LT.enableChangeDataFeed(spark, root, Seq("id"))
+    LT.exportDeltaLog(spark, root)       // write-through from here on
+    IcebergMeta.exportIcebergMeta(spark, root)
+    // 14 commits: appends + periodic COW merges (rewrites) — all pure
+    // file churn, no MOR deletes, so the WHOLE range batches
+    (1 to 14).foreach { i =>
+      if (i % 5 == 0)
+        LT.merge(spark, root, Seq((1L, i.toLong)).toDF("id", "x"), Seq("id"))
+      else
+        LT.append(Seq(((100 + i).toLong, i.toLong)).toDF("id", "x")
+          .coalesce(1), root)
+    }
+    val vCur = LT.currentVersion(root).get
+    val ch = IcebergMeta.icebergChangelog(spark, root, 2L, vCur + 1,
+      Seq("id"))
+    // at most 3 scan legs (insert adds, rewrite pre, rewrite post) no
+    // matter how many snapshots the range spans — pre-round-11 this was
+    // one subtree per snapshot (~17 scans here)
+    val planStr = ch.queryExecution.executedPlan.toString
+    val scanLegs = planStr.split("FileScan parquet").length - 1
+    assert(scanLegs <= 3, s"$scanLegs scan legs:\n${planStr.take(3000)}")
+    // row-for-row parity with the recorded Delta cdc across the range
+    val dSet = LT.readDeltaExportChanges(spark, root, 2L, vCur)
+      .select(col("_change_type"), col("id"), col("x"),
+        col("_commit_version"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    val iSet = ch.select(col("_change_type"), col("id"), col("x"),
+        (col("_sequence_number") - lit(1L)).as("v"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(iSet == dSet,
+      s"iceberg-only=${(iSet -- dSet).toSeq.sorted.take(5)} " +
+        s"delta-only=${(dSet -- iSet).toSeq.sorted.take(5)}")
+    // commit timestamps stamp from each snapshot and never decrease
+    val ts = ch.orderBy(col("_sequence_number"))
+      .select(col("_commit_timestamp")).collect().map(_.getTimestamp(0))
+    assert(ts.forall(_ != null))
+    assert(ts.sliding(2).forall(p => !p(0).after(p(1))))
+    // the empty-range frame agrees with the populated one on column
+    // ORDER, not just names (positional consumers, by-position unions)
+    val emptyCols = IcebergMeta.icebergChangelog(spark, root,
+      vCur + 100, vCur + 200, Seq("id")).columns.toSeq
+    assert(emptyCols == ch.columns.toSeq, s"$emptyCols vs ${ch.columns.toSeq}")
+  }
+
+  test("icebergChangelog: an expired (dangling) parent refuses instead of fabricating inserts") {
+    import spark.implicits._
+    val root = freshRoot("chlog_expired")
+    LT.create(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), root)
+    LT.append(Seq((3L, "c")).toDF("id", "v").coalesce(1), root)
+    LT.append(Seq((4L, "d")).toDF("id", "v").coalesce(1), root)
+    IcebergMeta.exportIcebergMeta(spark, root)
+    // simulate foreign snapshot expiration: drop the FIRST snapshot from
+    // the current metadata, leaving the second's parent id dangling
+    val dir = Paths.get(root, "metadata")
+    val hint = dir.resolve("version-hint.text")
+    val mdFile = dir.resolve(s"v${Files.readString(hint).trim}.metadata.json")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val md = mapper.readTree(Files.readString(mdFile))
+    val snaps = md.get("snapshots")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+    snaps.remove(0)
+    Files.writeString(mdFile, mapper.writeValueAsString(md))
+    Files.setLastModifiedTime(mdFile, java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() + 2000))
+    assert(IcebergMeta.snapshots(root).size == 2)
+    val ex = intercept[IllegalStateException] {
+      IcebergMeta.icebergChangelog(spark, root, 0L, 10L, Seq("id")).collect()
+    }
+    assert(ex.getMessage.contains("expired"), ex.getMessage)
+    // a range starting past the expiration horizon still serves: the
+    // dangling-parent snapshot sits at sequence 2, so (2, 10] is the
+    // earliest derivable range — exactly what the error message says
+    val tail = IcebergMeta.icebergChangelog(spark, root, 2L, 10L, Seq("id"))
+    assert(tail.select("id").as[Long].collect().toSet == Set(4L))
+  }
+
+  test("equality-delete changelog: identical duplicate rows each get their own delete record") {
+    import spark.implicits._
+    val root = freshRoot("chlog_duprows")
+    // two bit-identical rows for id=1 (same file), one for id=2
+    LT.create(Seq((1L, "a"), (1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("id", "v").coalesce(1), root)
+    IcebergMeta.exportIcebergMeta(spark, root)
+    IcebergMeta.appendEqualityDeleteSnapshot(spark, root, Seq("id"),
+      Seq(1L, 2L).toDF("id"))
+    val eqSeq = IcebergMeta.snapshots(root).last.seq
+    val got = IcebergMeta.icebergChangelog(spark, root, eqSeq - 1, eqSeq,
+        Seq("id"))
+      .select($"_change_type", $"id").as[(String, Long)].collect().toSeq
+    // BOTH id=1 rows are deleted rows: the feed must carry two delete
+    // records (dropDuplicates-on-values collapsed them pre-round-11)
+    assert(got.count(_ == ("delete", 1L)) == 2, got.sorted.toString)
+    assert(got.count(_ == ("delete", 2L)) == 1, got.sorted.toString)
+    assert(got.size == 3, got.sorted.toString)
+  }
+
+  test("readDeltaExportChanges spans an ALTER COLUMN TYPE widening (per-epoch cdc scans)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = freshRoot("cdf_widen")
+    LT.create(Seq((1L, 7), (2L, 9)).toDF("id", "x").coalesce(1), root)
+    LT.enableChangeDataFeed(spark, root, Seq("id"))
+    LT.exportDeltaLog(spark, root)       // write-through from here on
+    // v2: cdc written under the int32 epoch
+    LT.merge(spark, root, Seq((1L, 8)).toDF("id", "x"), Seq("id"))
+    // v3: metadata-only widen — a new schema epoch
+    LT.alterWidenColumnType(spark, root, "x", "bigint")
+    // v4: cdc written under the int64 epoch
+    LT.merge(spark, root,
+      Seq((2L, 4000000000L)).toDF("id", "x"), Seq("id"))
+    // the range spans both epochs: one mergeSchema inference over all
+    // cdc files refuses (int32 vs int64 footers); per-epoch grouping
+    // must serve it, cast to the range-end logical schema
+    val ch = LT.readDeltaExportChanges(spark, root, 2L, 4L)
+    assert(ch.schema("x").dataType ==
+      org.apache.spark.sql.types.LongType, ch.schema.treeString)
+    val got = ch.select($"_change_type", $"id", $"x", $"_commit_version")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val want = Set(
+      ("update_preimage", 1L, 7L, 2L), ("update_postimage", 1L, 8L, 2L),
+      ("update_preimage", 2L, 9L, 4L),
+      ("update_postimage", 2L, 4000000000L, 4L))
+    assert(got == want, got.toSeq.sorted.toString)
+  }
+
+  test("ANALYZE stats attach only to the data scan, not the MOR deletion-vector relation") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val root = freshRoot("stats_mor")
+    LT.create((1L to 500L).map(i => (i, s"v$i")).toDF("id", "v")
+      .coalesce(1), root)
+    LT.deleteWhereMor(spark, root, "id <= 20")
+    graft.sources.TableStatistics.analyze(spark, root)
+    val plan = LT.read(spark, root).queryExecution.analyzed
+    val lrs = plan.collect { case lr: LogicalRelation => lr }
+    // the MOR read carries TWO relations: the data scan and the DV rows
+    assert(lrs.size >= 2, plan.treeString)
+    val stamped = lrs.filter(_.catalogTable.exists(_.stats.isDefined))
+    assert(stamped.size == 1, plan.treeString)
+    // and the stamped one is the data scan (row count = table rows)
+    assert(stamped.head.catalogTable.get.stats.get.rowCount
+      .contains(BigInt(480)), stamped.head.catalogTable.get.stats.toString)
+  }
+}
