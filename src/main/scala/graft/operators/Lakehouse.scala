@@ -447,6 +447,30 @@ object Lakehouse {
     }
   }
 
+  /** The [[ordersCdfRoot]] tail consumed through the FOURTH change
+    * feed: the `iceberg-export` streaming source with
+    * `readChangeFeed=true` — row-level changes DERIVED from the Iceberg
+    * chain alone (the streamed icebergChangelog), keys defaulting from
+    * the graft manifest's cdf field. Landed once per (session, dir)
+    * like [[nativeCdfChanges]]; sequences 3..4 = graft versions 2..3. */
+  private[graft] def icebergCdfChanges(s: SparkSession, d: String): DataFrame = {
+    val root = ordersCdfRoot(s, d)
+    RelationCache.of(s, "iceberg-cdf-changes", root) {
+      val dir = java.nio.file.Files.createTempDirectory("graft-iceberg-cdf")
+      val out = dir.resolve("out").toString
+      val q = s.readStream.format("iceberg-export").option("path", root)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "3") // inclusive SEQUENCE: 3 (merge) + 4 (delete)
+        .load()
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", dir.resolve("ckpt").toString)
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+      s.read.parquet(out)
+    }
+  }
+
   /** The documents corpus as a versioned lakehouse table under churn —
     * the dataset-governance shape of a training-data pipeline: v0 = the
     * initial corpus (¾ of docs), v1 = a new crawl batch (the %4 slice),
@@ -1316,6 +1340,38 @@ object Lakehouse {
         .agg(count(lit(1)).as("n0"),
           sum(col("o_totalprice").cast("decimal(18,4)")).as("p0"))
       val ch = nativeCdfChanges(s, d)
+      val up = col("_change_type").isin("insert", "update_postimage")
+      val delta = ch.groupBy(col("o_orderstatus"))
+        .agg(sum(when(up, lit(1L)).otherwise(lit(-1L))).as("dn"),
+          sum(when(up, col("o_totalprice")).otherwise(-col("o_totalprice"))
+            .cast("decimal(18,4)")).as("dp"))
+      base.join(delta, Seq("o_orderstatus"), "full_outer")
+        .select(col("o_orderstatus"),
+          (coalesce(col("n0"), lit(0L)) +
+            coalesce(col("dn"), lit(0L))).as("n"),
+          (coalesce(col("p0").cast(dec), lit(0).cast(dec)) +
+            coalesce(col("dp").cast(dec), lit(0).cast(dec)))
+            .cast("double").as("sum_price"))
+        .filter(col("n") > 0)
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // FOUR-FEED PARITY: the same signed-delta maintained aggregate as
+    // q196/q197, but the change records come from the STREAMED Iceberg
+    // changelog (`iceberg-export` + readChangeFeed — the fourth feed
+    // over this history after exported Delta cdc, the native stream,
+    // and the batch Iceberg changelog). The chain has no cdc records;
+    // the stream derives them per batch, so this gates the whole path:
+    // snapshot diffs, commit stamping, stream ≡ batch changelog, and
+    // keys defaulting from the graft manifest's cdf field.
+    "q200_iceberg_cdf_agg" -> ((s, d) => {
+      val dec = "decimal(28,4)"
+      val root = ordersCdfRoot(s, d)
+      val base = LakehouseTable.read(s, root, Some(1L))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n0"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).as("p0"))
+      val ch = icebergCdfChanges(s, d)
       val up = col("_change_type").isin("insert", "update_postimage")
       val delta = ch.groupBy(col("o_orderstatus"))
         .agg(sum(when(up, lit(1L)).otherwise(lit(-1L))).as("dn"),
@@ -2219,6 +2275,23 @@ object Lakehouse {
     // the NATIVE-stream-maintained aggregate reaches the identical final
     // state — same analytic recompute as q196, different feed path
     "q197_native_cdf_agg" ->
+      """WITH merged AS (
+           SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 1.25
+                  ELSE o_totalprice END AS o_totalprice
+           FROM orders
+           UNION ALL
+           SELECT -o_orderkey, o_orderstatus, o_totalprice
+           FROM orders WHERE o_orderkey % 997 = 0 AND o_orderkey <> 0)
+         SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_price
+         FROM merged WHERE o_totalprice >= 10000.0
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // the ICEBERG-stream-maintained aggregate reaches the identical
+    // final state — same analytic recompute as q196/q197, fourth feed
+    "q200_iceberg_cdf_agg" ->
       """WITH merged AS (
            SELECT o_orderkey, o_orderstatus,
              CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 1.25

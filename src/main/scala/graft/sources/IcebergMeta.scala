@@ -835,6 +835,16 @@ object IcebergMeta {
   def hasChain(root: String): Boolean =
     Files.exists(metaDir(root).resolve("version-hint.text"))
 
+  /** The changelog key columns the GRAFT manifest records when the
+    * chain at `root` is graft's own mirror (the `cdf` field written by
+    * enableChangeDataFeed); None for a pure-foreign chain or a graft
+    * table streaming changes without CDF keys — callers must then be
+    * given keys explicitly. */
+  def graftCdfKeys(root: String): Option[Seq[String]] =
+    scala.util.Try(LakehouseTable.currentVersion(root)).toOption.flatten
+      .map(v => LakehouseTable.cdfKeysAt(root, v))
+      .filter(_.nonEmpty)
+
   def snapshots(root: String): Seq[SnapshotInfo] = {
     val md = currentMetadata(root)
     md.get("snapshots").elements().asScala.map { s =>

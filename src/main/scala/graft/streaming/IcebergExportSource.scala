@@ -50,13 +50,27 @@ class IcebergExportSourceProvider extends StreamSourceProvider
   private val schemaMemo = scala.collection.concurrent.TrieMap
     .empty[String, StructType]
 
+  private def cdfOf(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.toBoolean)
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) =
     (shortName(), schema.getOrElse {
       val root = rootOf(parameters)
-      schemaMemo.getOrElseUpdate(root,
+      val base = schemaMemo.getOrElseUpdate(root,
         IcebergMeta.readIceberg(sqlContext.sparkSession, root).schema)
+      if (!cdfOf(parameters)) base
+      else {
+        // the batch changelog's row shape: data columns + change type +
+        // the Iceberg-native commit stamps (a Delta-parity consumer
+        // derives its version as sequence - 1)
+        import org.apache.spark.sql.types._
+        base.add("_change_type", StringType)
+          .add("_commit_snapshot_id", LongType)
+          .add("_sequence_number", LongType)
+          .add("_commit_timestamp", TimestampType)
+      }
     })
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -97,16 +111,35 @@ class IcebergExportSourceProvider extends StreamSourceProvider
       snaps.find(_.ts >= stamp).map(_.seq - 1)
         .getOrElse(snaps.map(_.seq).maxOption.getOrElse(0L))
     })
+    // CHANGE-FEED MODE: row-level changes derived from the chain alone
+    // (the batch icebergChangelog, tailed). Keys come from an explicit
+    // .option("keys", "a,b"), falling back to the graft manifest's cdf
+    // key list when the chain is graft's own mirror — a pure-foreign
+    // chain has no manifest to consult, so keys are then required.
+    val cdf = cdfOf(parameters)
+    val cdfKeys: Seq[String] =
+      if (!cdf) Nil
+      else parameters.get("keys")
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(IcebergMeta.graftCdfKeys(root).getOrElse(Nil))
+    if (cdf) require(cdfKeys.nonEmpty,
+      s"iceberg-export source readChangeFeed over $root needs row keys: " +
+        "pass .option(\"keys\", \"k1,k2\") (or mirror a graft table " +
+        "whose change feed is enabled)")
     new IcebergExportSource(sqlContext.sparkSession, root,
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
       ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean),
-      startingSeq = startingSeq)
+      startingSeq = startingSeq,
+      readChangeFeed = cdf,
+      cdfKeys = cdfKeys)
   }
 }
 
 class IcebergExportSource(spark: SparkSession, root: String,
     override val schema: StructType, ignoreChanges: Boolean,
-    startingSeq: Option[Long] = None) extends Source {
+    startingSeq: Option[Long] = None,
+    readChangeFeed: Boolean = false,
+    cdfKeys: Seq[String] = Nil) extends Source {
 
   private def seqOf(o: Offset): Long = o match {
     case g: GraftVersionOffset => g.v
@@ -123,13 +156,30 @@ class IcebergExportSource(spark: SparkSession, root: String,
     def emptyBatch: DataFrame =
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    // CHANGE-FEED MODE: the initial batch is the snapshot's rows as
+    // `insert` changes stamped at its own snapshot (the rule the other
+    // two CDF sources follow); every later batch is EXACTLY the range's
+    // derived changelog — the same icebergChangelog a batch reader uses,
+    // so stream ≡ batch by construction. Non-append snapshots never
+    // refuse here: the changelog records row-level truth, which is the
+    // point of tailing changes instead of files.
+    def cdfStamp(df: DataFrame, s: IcebergMeta.SnapshotInfo): DataFrame = {
+      import org.apache.spark.sql.functions.lit
+      df.withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_snapshot_id", lit(s.id))
+        .withColumn("_sequence_number", lit(s.seq))
+        .withColumn("_commit_timestamp",
+          lit(new java.sql.Timestamp(s.ts)))
+    }
     val batch = (start.map(seqOf), startingSeq) match {
       // fresh stream, no declared start: the snapshot at endSeq
       case (None, None) =>
-        val sid = IcebergMeta.snapshots(root).find(_.seq == endSeq)
+        val snap = IcebergMeta.snapshots(root).find(_.seq == endSeq)
           .getOrElse(throw new IllegalStateException(
-            s"no Iceberg snapshot at sequence $endSeq under $root")).id
-        IcebergMeta.readIceberg(spark, root, snapshotAsOf = Some(sid))
+            s"no Iceberg snapshot at sequence $endSeq under $root"))
+        val st = IcebergMeta.readIceberg(spark, root,
+          snapshotAsOf = Some(snap.id))
+        if (readChangeFeed) cdfStamp(st, snap) else st
       case (s0, sv) =>
         val base = s0.getOrElse(sv.get)
         if (endSeq <= base) emptyBatch
@@ -143,6 +193,11 @@ class IcebergExportSource(spark: SparkSession, root: String,
               s"${((base + 1) to endSeq).diff(range.map(_.seq)).mkString(",")} " +
               "were expired while this stream was behind. Restart the " +
               "query from scratch.")
+          if (readChangeFeed)
+            return ForeignSourceAlign.guardAndAlign(spark, "iceberg-export",
+              root, schema,
+              IcebergMeta.icebergChangelog(spark, root, base, endSeq,
+                cdfKeys))
           val nonAppend = range.filterNot(_.operation == "append")
           if (nonAppend.nonEmpty && !ignoreChanges)
             throw new IllegalStateException(

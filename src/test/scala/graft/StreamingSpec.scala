@@ -819,6 +819,65 @@ class StreamingSpec extends AnyFunSuite {
     def asScalaSet: Set[A] = q.asScala.toSet
   }
 
+  test("iceberg-export readChangeFeed streams the derived changelog: snapshot inserts, per-snapshot changes, restart-safe") {
+    import spark.implicits._
+    import graft.sources.{IcebergMeta, LakehouseTable => LT}
+    val base = Files.createTempDirectory("iceberg-export-cdf")
+    val root = base.resolve("tbl").toString
+    val ckpt = base.resolve("ckpt").toString
+    LT.create(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), root)
+    IcebergMeta.exportIcebergMeta(spark, root) // write-through from here on
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]()
+    def stream() = spark.readStream
+      .format("iceberg-export").option("path", root)
+      .option("readChangeFeed", "true").option("keys", "id").load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.collect().foreach(r => seen.add((
+          r.getAs[String]("_change_type"), r.getAs[Long]("id"),
+          r.getAs[Long]("_sequence_number")))); ()
+      }.start()
+    val q = stream()
+    q.processAllAvailable()
+    import scala.jdk.CollectionConverters._
+    // initial snapshot: every live row as an insert stamped at its own
+    // sequence (the rule all three CDF sources share)
+    assert(seen.asScala.toSet ==
+      Set(("insert", 1L, 1L), ("insert", 2L, 1L)),
+      seen.asScala.toSeq.sorted.toString)
+    // pure append while running: derived inserts at the new sequence
+    LT.append(Seq((3L, "c")).toDF("id", "v").coalesce(1), root)
+    q.processAllAvailable()
+    assert(seen.asScala.toSet.contains(("insert", 3L, 2L)))
+    // COW delete (a rewrite snapshot): the removed row arrives as a
+    // keyed-diff delete; the rewritten file's survivor does NOT re-emit
+    LT.deleteWhere(spark, root, "id = 1")
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.asScala.toSet.contains(("delete", 1L, 3L)))
+    assert(seen.asScala.count(_._2 == 2L) == 1,
+      s"survivor re-emitted: ${seen.asScala.toSeq.sorted}")
+    // RESTART: a MOR (position-delete) commit while the query was down
+    // arrives exactly once, as a row-level delete
+    LT.deleteWhereMor(spark, root, "id = 2")
+    val q2 = stream()
+    q2.processAllAvailable(); q2.stop()
+    assert(seen.asScala.toSeq.sorted == Seq(
+      ("delete", 1L, 3L), ("delete", 2L, 4L),
+      ("insert", 1L, 1L), ("insert", 2L, 1L), ("insert", 3L, 2L)),
+      seen.asScala.toSeq.sorted.toString)
+    // stream ≡ batch: everything the stream landed equals the batch
+    // icebergChangelog over the full range (the initial snapshot IS the
+    // first snapshot's changelog)
+    val batchSet = IcebergMeta.icebergChangelog(spark, root, 0L, 4L,
+        Seq("id"))
+      .select($"_change_type", $"id", $"_sequence_number")
+      .as[(String, Long, Long)].collect().toSet
+    assert(seen.asScala.toSet == batchSet,
+      s"stream=${seen.asScala.toSeq.sorted} batch=${batchSet.toSeq.sorted}")
+  }
+
   test("graft-table source composes with watermarked windowed aggregation (bronze → silver)") {
     import spark.implicits._
     import graft.sources.{LakehouseTable => LT}
