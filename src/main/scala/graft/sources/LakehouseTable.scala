@@ -705,8 +705,17 @@ object LakehouseTable {
     var attempt = 0
     while (attempt < 64) {
       val cur = currentVersion(root).get
-      try return commit(root, cur + 1, readManifest(root, cur) ++ newFiles, txn, txnApp)
-      catch {
+      try {
+        val v = commit(root, cur + 1, readManifest(root, cur) ++ newFiles,
+          txn, txnApp)
+        // pure append: table-level statistics advance EXACTLY (footer
+        // row counts + file sizes of just the new files) instead of
+        // un-arming — see TableStatistics.advanceForAppend
+        TableStatistics.advanceForAppend(root, cur, v,
+          newFiles.map(f => parquetRecordCount(dataDir(root).resolve(f))).sum,
+          newFiles.map(dataFileSize(root, _)).sum)
+        return v
+      } catch {
         case e: java.util.ConcurrentModificationException =>
           // Re-validate the txn watermark before rebasing (Delta's txn
           // check during conflict resolution): if OUR txn id is already

@@ -113,6 +113,26 @@ object TableStatistics {
     stats
   }
 
+  /** EXACT table-level advance across a PURE APPEND: the appended
+    * files' row count and size are known at commit time (parquet
+    * footers + file sizes, O(new files)), so rowCount/sizeInBytes stay
+    * exact instead of un-arming — a continuously-appended table (every
+    * streaming ingest target) keeps its join-cardinality stats armed
+    * across micro-batches. Column stats do NOT survive (the new rows'
+    * min/max/NDV are unknown without a scan): they drop, and filter
+    * estimation falls back to row-count-based until the next ANALYZE.
+    * Deletes/merges/overwrites still un-arm completely (their removed
+    * row counts are not knowable from the commit alone). No-op unless
+    * stats exist and were exact at the pre-append version — a
+    * concurrent writer that slipped in between leaves them un-armed,
+    * never wrong. */
+  private[sources] def advanceForAppend(root: String, prevV: Long,
+      newV: Long, addedRows: => Long, addedBytes: => Long): Unit =
+    statsOf(root).filter(_.version == prevV).foreach { st =>
+      write(root, TableStats(newV, st.rowCount + addedRows,
+        st.sizeInBytes + addedBytes, Map.empty))
+    }
+
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   private def jstr(s: String): String = mapper.writeValueAsString(s)

@@ -229,14 +229,22 @@ class Round10Spec extends AnyFunSuite {
       val est = LT.read(spark, root).filter($"id" <= 10L)
         .queryExecution.optimizedPlan.stats.rowCount
       assert(est.exists(n => n >= BigInt(1) && n <= BigInt(60)), est.toString)
-      // staleness: a commit un-arms the stats (version-exact attach)
+      // a PURE APPEND advances table-level stats EXACTLY (round 11):
+      // rowCount stays armed across appends; column stats drop
       LT.append(Seq((1001L, "x")).toDF("id", "v"), root)
+      assert(LT.read(spark, root).queryExecution.optimizedPlan
+        .stats.rowCount.contains(BigInt(1001)))
+      assert(LT.read(spark, root).queryExecution.optimizedPlan
+        .stats.attributeStats.isEmpty)
+      // a DELETE still un-arms (version-exact: removed rows are not
+      // knowable from the commit alone)
+      LT.deleteWhere(spark, root, "id = 1001")
       assert(LT.read(spark, root).queryExecution.optimizedPlan
         .stats.rowCount.isEmpty)
       // re-analyze re-arms at the new version
       TableStatistics.analyze(spark, root)
       assert(LT.read(spark, root).queryExecution.optimizedPlan
-        .stats.rowCount.contains(BigInt(1001)))
+        .stats.rowCount.contains(BigInt(1000)))
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
     // CBO off (the default): attachment is inert — same analyzed plan
     // SHAPE as an un-analyzed read (stats ride the relation only)

@@ -172,6 +172,94 @@ class Round11Spec extends AnyFunSuite {
     assert(got == want, got.toSeq.sorted.toString)
   }
 
+  test("CBO joinReorder: ANALYZE'd lakehouse tables reorder a pessimal star join") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import graft.sources.TableStatistics
+    // big (20k) ⋈ mid (5k) ⋈ small (50): written big⋈mid first — the
+    // pessimal order (200k-row intermediate); the stats-optimal order
+    // joins big⋈small first (50-key semi-selective output)
+    val bigR = freshRoot("cbo_big")
+    val midR = freshRoot("cbo_mid")
+    val smallR = freshRoot("cbo_small")
+    LT.create((1L to 20000L).map(i => (i, i % 50)).toDF("k", "g")
+      .coalesce(1), bigR)
+    LT.create((1L to 5000L).map(i => (i % 50, s"m$i")).toDF("g", "mv")
+      .coalesce(1), midR)
+    LT.create((1L to 50L).map(i => (i, s"s$i")).toDF("k", "sv")
+      .coalesce(1), smallR)
+    Seq(bigR, midR, smallR).foreach(TableStatistics.analyze(spark, _))
+    def pessimal() = LT.read(spark, bigR)
+      .join(LT.read(spark, midR), "g")
+      .join(LT.read(spark, smallR), "k")
+    def tablesUnder(p: LogicalPlan): Set[String] = p.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toUri.getPath)
+          .collectFirst {
+            case q if q.startsWith(bigR) => "big"
+            case q if q.startsWith(midR) => "mid"
+            case q if q.startsWith(smallR) => "small"
+          }.getOrElse("?")
+        case _ => "?"
+      }
+    }.toSet
+    def innermostJoinTables(plan: LogicalPlan): Set[String] = {
+      val joins = plan.collect { case j: Join => j }
+      val inner = joins.filter(j => j.children.forall(
+        _.collect { case x: Join => x }.isEmpty))
+      assert(inner.size == 1, plan.treeString)
+      tablesUnder(inner.head)
+    }
+    // as written (no CBO): the innermost join is big ⋈ mid
+    assert(innermostJoinTables(pessimal().queryExecution.optimizedPlan) ==
+      Set("big", "mid"))
+    val confs = Seq("spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.planStats.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true")
+    val saved = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // with armed statistics, joinReorder picks big ⋈ small first
+      val reordered = pessimal().queryExecution.optimizedPlan
+      assert(innermostJoinTables(reordered) == Set("big", "small"),
+        reordered.treeString)
+      // and the reorder is semantics-preserving
+      // 50 surviving big keys (k ≤ 50) × 100 mid rows per g-value
+      val n = pessimal().count()
+      assert(n == 50L * 100L, n.toString)
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  test("pure appends advance table statistics exactly; row-changing commits un-arm") {
+    import spark.implicits._
+    import graft.sources.TableStatistics
+    val root = freshRoot("stats_append")
+    LT.create((1L to 500L).map(i => (i, s"v$i")).toDF("id", "v")
+      .coalesce(1), root)
+    val st0 = TableStatistics.analyze(spark, root)
+    assert(st0.rowCount == 500L && st0.cols.nonEmpty)
+    // append advances rowCount/sizeInBytes EXACTLY at the new version;
+    // column stats drop (their new min/max/NDV would need a scan)
+    LT.append((501L to 750L).map(i => (i, s"v$i")).toDF("id", "v")
+      .coalesce(1), root)
+    val st1 = TableStatistics.statsOf(root).get
+    assert(st1.version == LT.currentVersion(root).get, st1.toString)
+    assert(st1.rowCount == 750L, st1.toString)
+    assert(st1.sizeInBytes > st0.sizeInBytes, st1.toString)
+    assert(st1.cols.isEmpty, st1.toString)
+    // a second append keeps advancing (the streaming-ingest shape)
+    LT.append(Seq((751L, "x")).toDF("id", "v").coalesce(1), root)
+    assert(TableStatistics.statsOf(root).get.rowCount == 751L)
+    // a delete un-arms: stats stay at the pre-delete version, so the
+    // version-exact attach refuses them
+    LT.deleteWhere(spark, root, "id <= 10")
+    val st2 = TableStatistics.statsOf(root).get
+    assert(st2.version < LT.currentVersion(root).get, st2.toString)
+    assert(LT.read(spark, root).queryExecution.optimizedPlan
+      .stats.rowCount.isEmpty)
+  }
+
   test("ANALYZE stats attach only to the data scan, not the MOR deletion-vector relation") {
     import spark.implicits._
     import org.apache.spark.sql.execution.datasources.LogicalRelation
