@@ -1121,12 +1121,18 @@ object GraftSqlStatements {
   private val IcebergExportRe =
     ("""(?i)\biceberg_export\s*\(\s*""" + MaskedLit +
       """\s*(?:,\s*(?:(\d+)|""" + MaskedLit + """))?\s*\)""").r
+  // each range bound is a bare version/sequence number OR a quoted
+  // timestamp literal (masked); the keys argument of iceberg_changelog
+  // is optional — omitted, the key list comes from the graft manifest's
+  // cdf field when the chain is graft's own mirror
   private val ForeignChangesRe =
     ("""(?i)\btable_changes\s*\(\s*""" + MaskedLit +
-      """\s*,\s*(\d+)\s*,\s*(\d+)\s*\)""").r
+      """\s*,\s*(?:(\d+)|""" + MaskedLit + """)\s*,\s*(?:(\d+)|""" +
+      MaskedLit + """)\s*\)""").r
   private val IcebergChangelogRe =
     ("""(?i)\biceberg_changelog\s*\(\s*""" + MaskedLit +
-      """\s*,\s*(\d+)\s*,\s*(\d+)\s*,\s*""" + MaskedLit + """\s*\)""").r
+      """\s*,\s*(?:(\d+)|""" + MaskedLit + """)\s*,\s*(?:(\d+)|""" +
+      MaskedLit + """)\s*(?:,\s*""" + MaskedLit + """\s*)?\)""").r
 
   /** Restore masked literal #idx and strip its quotes — the PATH/STRING
     * argument of a foreign table-valued read. */
@@ -1245,7 +1251,31 @@ object GraftSqlStatements {
     })
     val afterFc = ForeignChangesRe.replaceAllIn(afterIe, m => {
       val path = unmaskLit(unmask, m.group(1))
-      val (from, to) = (m.group(2).toLong, m.group(3).toLong)
+      // timestamp bounds resolve through the log's own commit stamps
+      // (Delta's table_changes semantics): start = first version
+      // committed AT OR AFTER the stamp, end = last version AT OR
+      // BEFORE it; past-the-tip starts refuse rather than serve empty
+      def bound(numG: Int, litG: Int, isStart: Boolean): Long =
+        Option(m.group(numG)).map(_.toLong).getOrElse {
+          val lit = unmaskLit(unmask, m.group(litG))
+          val ts = parseUtcMillis("table_changes", lit)
+          if (isStart) {
+            val start = LakehouseTable.deltaExportVersionAt(path, ts - 1)
+              .map(_ + 1L)
+              .orElse(LakehouseTable.deltaLogVersions(path).headOption)
+              .getOrElse(throw new IllegalArgumentException(
+                s"table_changes: no Delta log at $path"))
+            require(LakehouseTable.deltaLogVersions(path).contains(start),
+              s"table_changes('$path', '$lit', ...): the start timestamp " +
+                "is after the log's latest commit")
+            start
+          } else LakehouseTable.deltaExportVersionAt(path, ts).getOrElse(
+            throw new IllegalArgumentException(
+              s"table_changes('$path', ..., '$lit'): no version " +
+                "committed at or before the end timestamp"))
+        }
+      val (from, to) = (bound(2, 3, isStart = true),
+        bound(4, 5, isStart = false))
       val view = foreignView("table_changes", s"$path#$from#$to")
       LakehouseTable.readDeltaExportChanges(spark, path, from, to)
         .createOrReplaceTempView(view)
@@ -1253,9 +1283,34 @@ object GraftSqlStatements {
     })
     val afterIc = IcebergChangelogRe.replaceAllIn(afterFc, m => {
       val path = unmaskLit(unmask, m.group(1))
-      val (from, to) = (m.group(2).toLong, m.group(3).toLong)
-      val keys = unmaskLit(unmask, m.group(4))
-        .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      // sequence bounds by number or by the chain's own snapshot
+      // timestamps; the exclusive start = (first snapshot at/after) - 1
+      def seqBound(numG: Int, litG: Int, isStart: Boolean): Long =
+        Option(m.group(numG)).map(_.toLong).getOrElse {
+          val lit = unmaskLit(unmask, m.group(litG))
+          val ts = parseUtcMillis("iceberg_changelog", lit)
+          val snaps = IcebergMeta.snapshots(path).sortBy(_.seq)
+          if (isStart) snaps.find(_.ts >= ts).map(_.seq - 1).getOrElse(
+            throw new IllegalArgumentException(
+              s"iceberg_changelog('$path', '$lit', ...): the start " +
+                "timestamp is after the chain's latest snapshot"))
+          else snaps.filter(_.ts <= ts).lastOption.map(_.seq).getOrElse(
+            throw new IllegalArgumentException(
+              s"iceberg_changelog('$path', ..., '$lit'): no snapshot " +
+                "committed at or before the end timestamp"))
+        }
+      val (from, to) = (seqBound(2, 3, isStart = true),
+        seqBound(4, 5, isStart = false))
+      // keys: the explicit 4th argument, or the graft manifest's cdf
+      // field when the chain mirrors a graft table with CDF enabled
+      val keys = Option(m.group(6))
+        .map(i => unmaskLit(unmask, i)
+          .split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        .orElse(IcebergMeta.graftCdfKeys(path))
+        .getOrElse(throw new IllegalArgumentException(
+          s"iceberg_changelog('$path', ...): pass the key-column list " +
+            "('k1,k2') — the chain is not a graft CDF mirror, so no " +
+            "recorded key list exists to default from"))
       val view = foreignView("iceberg_changelog",
         s"$path#$from#$to#${keys.mkString("|")}")
       IcebergMeta.icebergChangelog(spark, path, from, to, keys)

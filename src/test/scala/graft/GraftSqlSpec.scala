@@ -461,4 +461,55 @@ class GraftSqlSpec extends AnyFunSuite {
     val litRow = spark.sql(s"SELECT 'delta_export(''x'')' AS s").head()
     assert(litRow.getString(0) == "delta_export('x')")
   }
+
+  test("changelog TVFs: timestamp bounds and manifest-defaulted keys") {
+    import spark.implicits._
+    import graft.sources.IcebergMeta
+    val root = Files.createTempDirectory("graft_sql_tvf_ts").toString + "/t"
+    LakehouseTable.create(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").coalesce(1), root)
+    LakehouseTable.enableChangeDataFeed(spark, root, Seq("id"))
+    LakehouseTable.exportDeltaLog(spark, root)
+    IcebergMeta.exportIcebergMeta(spark, root)
+    LakehouseTable.deleteWhere(spark, root, "id = 2") // v2 / sequence 3
+    def utc(ms: Long): String = java.time.Instant.ofEpochMilli(ms)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    val tsV2 = LakehouseTable.deltaCommitTsAt(root, 2L).get
+    val tsEnd = utc(System.currentTimeMillis() + 3600000L)
+    // timestamp range over the exported Delta log: start = first commit
+    // at/after the delete's stamp, end = latest at/before now+1h
+    val ch = spark.sql(
+      s"""SELECT _change_type, id FROM
+          table_changes('$root', '${utc(tsV2)}', '$tsEnd') ORDER BY id""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(ch == Seq(("delete", 2L)), ch.toString)
+    // mixed numeric + timestamp bounds lower identically
+    val chMix = spark.sql(
+      s"""SELECT _change_type, id FROM
+          table_changes('$root', 2, '$tsEnd') ORDER BY id""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(chMix == Seq(("delete", 2L)), chMix.toString)
+    // a start timestamp past the log tip refuses, never serves empty
+    val exTs = intercept[IllegalArgumentException](spark.sql(
+      s"SELECT * FROM table_changes('$root', '$tsEnd', '$tsEnd')"))
+    assert(exTs.getMessage.contains("after the log's latest commit"),
+      exTs.getMessage)
+    // iceberg_changelog timestamp bounds resolve through the chain's
+    // own snapshot stamps; keys OMITTED default from the graft
+    // manifest's cdf field (enableChangeDataFeed recorded 'id')
+    val delSnap = IcebergMeta.snapshots(root).maxBy(_.seq)
+    val ich = spark.sql(
+      s"""SELECT _change_type, id, _sequence_number FROM
+          iceberg_changelog('$root', '${utc(delSnap.ts)}', '$tsEnd')
+          ORDER BY id""")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(ich == Seq(("delete", 2L, 3L)), ich.toString)
+    val ich3 = spark.sql(
+      s"""SELECT _change_type, id FROM iceberg_changelog('$root', 2, 3)
+          ORDER BY id""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(ich3 == Seq(("delete", 2L)), ich3.toString)
+  }
 }
