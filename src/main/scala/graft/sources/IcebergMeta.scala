@@ -299,8 +299,11 @@ object IcebergMeta {
         val n = Files.readString(hint).trim.toLong
         val lastV = n - 1
         require(vs.contains(lastV))
-        val md = mapper.readTree(
-          Files.readString(dir.resolve(s"v$n.metadata.json")))
+        // cached by (hint value, file mtime) — the per-commit
+        // write-through hook calls this on EVERY commit, and re-parsing
+        // a long chain's metadata each time is measurable export-path
+        // time (the same file currentMetadata reads, so the same cache)
+        val md = currentMetadata(root)
         // the seeded metadata must actually BE graft's export of lastV
         // (not a foreign snapshot whose numbering happens to align)
         require(md.get("current-snapshot-id").asLong() ==
