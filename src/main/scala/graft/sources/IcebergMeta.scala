@@ -1616,30 +1616,40 @@ object IcebergMeta {
       files: Seq[(String, SnapshotInfo)]): DataFrame = {
     import org.apache.spark.sql.functions._
     val fields = currentSchemaFields(root)
+    // one scan per DISTINCT path per schema group: a RESTORE re-adds a
+    // previously-removed path, so the same file can legitimately carry
+    // several stamps within one leg — the file reads once and the stamp
+    // join fans its rows out to one copy per (snapshot, path) pair,
+    // which is exactly what the per-snapshot legs emitted. The group id
+    // rides both sides of the join so a path re-added under a LATER
+    // schema never cross-matches another group's stamps.
     val scans = files.groupBy(_._2.schemaId).toSeq.sortBy(_._1)
-      .map { case (_, fs) =>
+      .map { case (schemaId, fs) =>
         val raw = spark.read
           .option("basePath", Paths.get(root, "data").toString)
           .option("mergeSchema", "true")
-          .parquet(fs.map(_._1): _*)
+          .parquet(fs.map(_._1).distinct: _*)
           .withColumn("__p", normPathCol(col("_metadata.file_path")))
         raw.select(fields.map { case (n, dt) =>
           (if (raw.columns.exists(_.equalsIgnoreCase(n))) col(n)
            else lit(null)).cast(dt).as(n)
-        } :+ col("__p"): _*)
+        } :+ col("__p") :+ lit(schemaId).as("__gsch"): _*)
       }
     val scan = scans.reduce(_.unionByName(_, allowMissingColumns = true))
     import spark.implicits._
-    val meta = files.map { case (f, s) => (normPathDriver(f), s.id, s.seq, s.ts) }
-      .toDF("__mp", "__msid", "__mseq", "__mts")
-    scan.join(broadcast(meta), col("__p") === col("__mp"), "left")
+    val meta = files.map { case (f, s) =>
+      (normPathDriver(f), s.schemaId, s.id, s.seq, s.ts)
+    }.toDF("__mp", "__msch", "__msid", "__mseq", "__mts")
+    scan.join(broadcast(meta),
+        col("__p") === col("__mp") && col("__gsch") === col("__msch"),
+        "left")
       .withColumn("__sid", when(col("__msid").isNull,
         raise_error(concat(
           lit("icebergChangelog stamp join missed file: "), col("__p"))))
         .otherwise(col("__msid")))
       .withColumn("__seq", col("__mseq"))
       .withColumn("__ts", col("__mts"))
-      .drop("__p", "__mp", "__msid", "__mseq", "__mts")
+      .drop("__p", "__gsch", "__mp", "__msch", "__msid", "__mseq", "__mts")
   }
 
   /** Canonical changelog column order for a stamped-scan leg: data

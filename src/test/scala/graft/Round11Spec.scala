@@ -123,6 +123,28 @@ class Round11Spec extends AnyFunSuite {
     assert(tail.select("id").as[Long].collect().toSet == Set(4L))
   }
 
+  test("icebergChangelog: a RESTOREd path carries two stamps in one leg — fan-out, not duplication") {
+    import spark.implicits._
+    val root = freshRoot("chlog_restore")
+    // v0 create f0; v1 append f1; v2 restore(0) removes f1 (delete-only
+    // snapshot); v3 restore(1) RE-ADDS f1 (insert-only snapshot) — the
+    // same physical path now appears TWICE in the batched insert leg
+    // (sequences 2 and 4): the scan must read it once and the stamp
+    // join must fan its rows out to exactly one copy per snapshot
+    LT.create(Seq((1L, "a")).toDF("id", "v").coalesce(1), root)
+    IcebergMeta.exportIcebergMeta(spark, root) // write-through from here on
+    LT.append(Seq((2L, "b")).toDF("id", "v").coalesce(1), root)
+    LT.restore(root, 0L)
+    LT.restore(root, 1L)
+    val got = IcebergMeta.icebergChangelog(spark, root, 0L, 10L, Seq("id"))
+      .select($"_change_type", $"id", $"_sequence_number")
+      .as[(String, Long, Long)].collect().toSeq.sorted
+    assert(got == Seq(
+      ("delete", 2L, 3L),
+      ("insert", 1L, 1L), ("insert", 2L, 2L), ("insert", 2L, 4L)),
+      got.toString)
+  }
+
   test("equality-delete changelog: identical duplicate rows each get their own delete record") {
     import spark.implicits._
     val root = freshRoot("chlog_duprows")
