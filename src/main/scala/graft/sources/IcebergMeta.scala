@@ -1486,19 +1486,40 @@ object IcebergMeta {
           else Some(Left(Churn(s, dataN.map(_._1).sorted, Nil)))
         case Some(p) =>
           val (dataP, delsP) = entriesOf(p.id)
-          if (delsN.nonEmpty || delsP.nonEmpty) Some(Right(s))
-          else {
-            val nPaths = dataN.map(_._1).toSet
-            val pPaths = dataP.map(_._1).toSet
-            val added = dataN.map(_._1).filterNot(pPaths).sorted
-            val removed = dataP.map(_._1).filterNot(nPaths).sorted
+          val nPaths = dataN.map(_._1).toSet
+          val pPaths = dataP.map(_._1).toSet
+          val added = dataN.map(_._1).filterNot(pPaths).sorted
+          val removed = dataP.map(_._1).filterNot(nPaths).sorted
+          def dKey(d: DeleteEntry) = (d.path, d.content, d.seq, d.equalityIds)
+          val delsSame = delsN.map(dKey).toSet == delsP.map(dKey).toSet
+          if (delsN.isEmpty && delsP.isEmpty) {
             if (added.isEmpty && removed.isEmpty) None // metadata-only
             else Some(Left(Churn(s, added, removed)))
-          }
+          } else if (delsSame && removed.isEmpty) {
+            // PURE APPEND under a carried (untouched) delete set is
+            // still batchable: a pre-existing position delete cannot
+            // name a path that did not exist when it was written, and
+            // an equality delete applies only to STRICTLY SMALLER
+            // sequence numbers — the new files carry the snapshot's own
+            // sequence, which no carried delete exceeds. So the added
+            // files read raw, exactly as the per-snapshot leg would.
+            if (added.isEmpty) None // metadata-only
+            else Some(Left(Churn(s, added, Nil)))
+          } else Some(Right(s))
       }
     }
-    val churn = classified.collect { case Left(c) => c }
-    val perSnapshot = classified.collect { case Right(s) => s }
+    // Small ranges keep the per-snapshot legs: the batched path's fixed
+    // overhead (two stamp broadcasts, one wider full-outer diff, the
+    // leg union) exceeds its plan-flattening benefit until the leg
+    // COUNT itself dominates — measured crossover ≈4 churn snapshots at
+    // sf0.1 (q198's 2-snapshot range: legged ~0.8 s vs batched ~1.5 s;
+    // a 100-snapshot chain: batched 3 legs ~1 s vs ~110 legged legs).
+    val churnAll = classified.collect { case Left(c) => c }
+    val batchWorthwhile = churnAll.size > 4 &&
+      !sys.env.get("GRAFT_CHANGELOG_NO_BATCH").contains("1")
+    val churn = if (batchWorthwhile) churnAll else Nil
+    val perSnapshot = classified.collect { case Right(s) => s } ++
+      (if (batchWorthwhile) Nil else churnAll.map(_.snap))
     val batched: Seq[DataFrame] =
       if (churn.isEmpty) Nil
       else {

@@ -123,6 +123,43 @@ class Round11Spec extends AnyFunSuite {
     assert(tail.select("id").as[Long].collect().toSet == Set(4L))
   }
 
+  test("icebergChangelog: appends after a MOR delete still batch (carried delete set, one legged snapshot)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = freshRoot("chlog_mor_tail")
+    LT.create(Seq((1L, 0L), (2L, 0L), (3L, 0L)).toDF("id", "x")
+      .coalesce(1), root)
+    LT.enableChangeDataFeed(spark, root, Seq("id"))
+    LT.exportDeltaLog(spark, root)       // write-through from here on
+    IcebergMeta.exportIcebergMeta(spark, root)
+    LT.deleteWhereMor(spark, root, "id = 2") // the ONE legged snapshot
+    (1 to 5).foreach(i =>
+      LT.append(Seq(((10 + i).toLong, i.toLong)).toDF("id", "x")
+        .coalesce(1), root))
+    val vCur = LT.currentVersion(root).get
+    val ch = IcebergMeta.icebergChangelog(spark, root, 0L, vCur + 1,
+      Seq("id"))
+    // the five appends ride the batched insert leg even though the MOR
+    // delete's position-delete file stays in every later state: the
+    // plan carries the batched scan plus only the MOR snapshot's own
+    // legs, never one leg per append
+    val planStr = ch.queryExecution.executedPlan.toString
+    val scanLegs = planStr.split("FileScan parquet").length - 1
+    assert(scanLegs <= 5, s"$scanLegs scan legs:\n${planStr.take(3000)}")
+    // parity with the Delta cdc records over the same history
+    val dSet = LT.readDeltaExportChanges(spark, root, 1L, vCur)
+      .select(col("_change_type"), col("id"), col("x"),
+        col("_commit_version"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    val iSet = ch.filter(col("_sequence_number") >= 2L)
+      .select(col("_change_type"), col("id"), col("x"),
+        (col("_sequence_number") - lit(1L)).as("v"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(iSet == dSet,
+      s"iceberg-only=${(iSet -- dSet).toSeq.sorted.take(5)} " +
+        s"delta-only=${(dSet -- iSet).toSeq.sorted.take(5)}")
+  }
+
   test("icebergChangelog: a RESTOREd path carries two stamps in one leg — fan-out, not duplication") {
     import spark.implicits._
     val root = freshRoot("chlog_restore")
@@ -136,12 +173,17 @@ class Round11Spec extends AnyFunSuite {
     LT.append(Seq((2L, "b")).toDF("id", "v").coalesce(1), root)
     LT.restore(root, 0L)
     LT.restore(root, 1L)
+    // two more appends keep the range past the batching crossover (>4
+    // churn snapshots), so the duplicate-stamp path IS the batched one
+    LT.append(Seq((3L, "c")).toDF("id", "v").coalesce(1), root)
+    LT.append(Seq((4L, "d")).toDF("id", "v").coalesce(1), root)
     val got = IcebergMeta.icebergChangelog(spark, root, 0L, 10L, Seq("id"))
       .select($"_change_type", $"id", $"_sequence_number")
       .as[(String, Long, Long)].collect().toSeq.sorted
     assert(got == Seq(
       ("delete", 2L, 3L),
-      ("insert", 1L, 1L), ("insert", 2L, 2L), ("insert", 2L, 4L)),
+      ("insert", 1L, 1L), ("insert", 2L, 2L), ("insert", 2L, 4L),
+      ("insert", 3L, 5L), ("insert", 4L, 6L)),
       got.toString)
   }
 
