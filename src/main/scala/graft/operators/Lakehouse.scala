@@ -428,16 +428,29 @@ object Lakehouse {
     * steady-state shape), not a stream re-run per query. Version-atomic
     * batches make the landed change SET deterministic regardless of how
     * triggers split the range. */
-  private[graft] def nativeCdfChanges(s: SparkSession, d: String): DataFrame = {
-    val root = ordersCdfRoot(s, d)
-    RelationCache.of(s, "native-cdf-changes", root) {
-      val dir = java.nio.file.Files.createTempDirectory("graft-native-cdf")
+  private[graft] def nativeCdfChanges(s: SparkSession, d: String): DataFrame =
+    landedCdfStream(s, "native-cdf-changes", ordersCdfRoot(s, d),
+      "graft-table", startingVersion = "2", // inclusive: v2 (merge) + v3 (delete)
+      extraOptions = Map("maxVersionsPerBatch" -> "1"))
+
+  /** Land a readChangeFeed stream once per (session, root) into a
+    * parquet sink and serve the cached relation back — the gate and
+    * bench bill the CONSUMPTION of an already-tailed feed (the
+    * steady-state shape), not a stream re-run per query. Shared by the
+    * native and Iceberg feeds so the landing protocol cannot fork. */
+  private def landedCdfStream(s: SparkSession, cacheKey: String,
+      root: String, format: String, startingVersion: String,
+      extraOptions: Map[String, String] = Map.empty): DataFrame =
+    RelationCache.of(s, cacheKey, root) {
+      val dir = java.nio.file.Files.createTempDirectory("graft-" + cacheKey)
       val out = dir.resolve("out").toString
-      val q = s.readStream.format("graft-table").option("path", root)
-        .option("readChangeFeed", "true")
-        .option("startingVersion", "2") // inclusive: tail v2 (merge) + v3 (delete)
-        .option("maxVersionsPerBatch", "1")
-        .load()
+      val rs = extraOptions.foldLeft(
+        s.readStream.format(format).option("path", root)
+          .option("readChangeFeed", "true")
+          .option("startingVersion", startingVersion)) {
+        case (b, (k, v)) => b.option(k, v)
+      }
+      val q = rs.load()
         .writeStream.outputMode("append").format("parquet")
         .option("path", out)
         .option("checkpointLocation", dir.resolve("ckpt").toString)
@@ -445,6 +458,36 @@ object Lakehouse {
       try { q.processAllAvailable() } finally q.stop()
       s.read.parquet(out)
     }
+
+  /** The signed-delta maintained aggregate shared by ALL FOUR change
+    * feeds (q196 exported cdc, q197 native stream, q200 streamed
+    * Iceberg changelog): base = the pre-change state, delta =
+    * insert/postimage minus delete/preimage counts and price sums.
+    * DECIMAL(18,4), not the usual (18,2): update postimages carry
+    * ×1.25 prices whose quarter-cent values sit exactly on 2-dp
+    * rounding boundaries, where Spark's and DuckDB's double→decimal
+    * half-rules can disagree; at 4 dp every such value is recovered
+    * exactly by both engines. ONE body, so the feeds cannot drift
+    * arithmetically. */
+  private def cdfMaintainedAgg(baseState: DataFrame, ch: DataFrame): DataFrame = {
+    val dec = "decimal(28,4)"
+    val base = baseState.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n0"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).as("p0"))
+    val up = col("_change_type").isin("insert", "update_postimage")
+    val delta = ch.groupBy(col("o_orderstatus"))
+      .agg(sum(when(up, lit(1L)).otherwise(lit(-1L))).as("dn"),
+        sum(when(up, col("o_totalprice")).otherwise(-col("o_totalprice"))
+          .cast("decimal(18,4)")).as("dp"))
+    base.join(delta, Seq("o_orderstatus"), "full_outer")
+      .select(col("o_orderstatus"),
+        (coalesce(col("n0"), lit(0L)) +
+          coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("p0").cast(dec), lit(0).cast(dec)) +
+          coalesce(col("dp").cast(dec), lit(0).cast(dec)))
+          .cast("double").as("sum_price"))
+      .filter(col("n") > 0)
+      .orderBy(col("o_orderstatus"))
   }
 
   /** The [[ordersCdfRoot]] tail consumed through the FOURTH change
@@ -453,23 +496,10 @@ object Lakehouse {
     * chain alone (the streamed icebergChangelog), keys defaulting from
     * the graft manifest's cdf field. Landed once per (session, dir)
     * like [[nativeCdfChanges]]; sequences 3..4 = graft versions 2..3. */
-  private[graft] def icebergCdfChanges(s: SparkSession, d: String): DataFrame = {
-    val root = ordersCdfRoot(s, d)
-    RelationCache.of(s, "iceberg-cdf-changes", root) {
-      val dir = java.nio.file.Files.createTempDirectory("graft-iceberg-cdf")
-      val out = dir.resolve("out").toString
-      val q = s.readStream.format("iceberg-export").option("path", root)
-        .option("readChangeFeed", "true")
-        .option("startingVersion", "3") // inclusive SEQUENCE: 3 (merge) + 4 (delete)
-        .load()
-        .writeStream.outputMode("append").format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", dir.resolve("ckpt").toString)
-        .start()
-      try { q.processAllAvailable() } finally q.stop()
-      s.read.parquet(out)
-    }
-  }
+  private[graft] def icebergCdfChanges(s: SparkSession, d: String): DataFrame =
+    landedCdfStream(s, "iceberg-cdf-changes", ordersCdfRoot(s, d),
+      "iceberg-export",
+      startingVersion = "3") // inclusive SEQUENCE: 3 (merge) + 4 (delete)
 
   /** The documents corpus as a versioned lakehouse table under churn —
     * the dataset-governance shape of a training-data pipeline: v0 = the
@@ -1295,33 +1325,10 @@ object Lakehouse {
     // maintained aggregate is BIT-equal to the direct recompute of the
     // final state: O(changes) maintenance with zero drift.
     "q196_cdf_incremental_agg" -> ((s, d) => {
-      // DECIMAL(18,4), not the usual (18,2): update postimages carry
-      // ×1.25 prices whose quarter-cent values sit exactly on 2-dp
-      // rounding boundaries, where Spark's and DuckDB's double→decimal
-      // half-rules can disagree; at 4 dp every such value is recovered
-      // exactly by both engines
-      val dec = "decimal(28,4)"
       val root = ordersCdfRoot(s, d)
-      val base = LakehouseTable.readDeltaExport(s, root,
-          versionAsOf = Some(1L))
-        .groupBy(col("o_orderstatus"))
-        .agg(count(lit(1)).as("n0"),
-          sum(col("o_totalprice").cast("decimal(18,4)")).as("p0"))
-      val ch = LakehouseTable.readDeltaExportChanges(s, root, 2L, 3L)
-      val up = col("_change_type").isin("insert", "update_postimage")
-      val delta = ch.groupBy(col("o_orderstatus"))
-        .agg(sum(when(up, lit(1L)).otherwise(lit(-1L))).as("dn"),
-          sum(when(up, col("o_totalprice")).otherwise(-col("o_totalprice"))
-            .cast("decimal(18,4)")).as("dp"))
-      base.join(delta, Seq("o_orderstatus"), "full_outer")
-        .select(col("o_orderstatus"),
-          (coalesce(col("n0"), lit(0L)) +
-            coalesce(col("dn"), lit(0L))).as("n"),
-          (coalesce(col("p0").cast(dec), lit(0).cast(dec)) +
-            coalesce(col("dp").cast(dec), lit(0).cast(dec)))
-            .cast("double").as("sum_price"))
-        .filter(col("n") > 0)
-        .orderBy(col("o_orderstatus"))
+      cdfMaintainedAgg(
+        LakehouseTable.readDeltaExport(s, root, versionAsOf = Some(1L)),
+        LakehouseTable.readDeltaExportChanges(s, root, 2L, 3L))
     }),
 
     // q196 DRIVEN FROM THE NATIVE STREAM: the same signed-delta
@@ -1333,27 +1340,9 @@ object Lakehouse {
     // maintained aggregate must STILL be bit-equal to the direct
     // recompute of the final state.
     "q197_native_cdf_agg" -> ((s, d) => {
-      val dec = "decimal(28,4)"
       val root = ordersCdfRoot(s, d)
-      val base = LakehouseTable.read(s, root, Some(1L))
-        .groupBy(col("o_orderstatus"))
-        .agg(count(lit(1)).as("n0"),
-          sum(col("o_totalprice").cast("decimal(18,4)")).as("p0"))
-      val ch = nativeCdfChanges(s, d)
-      val up = col("_change_type").isin("insert", "update_postimage")
-      val delta = ch.groupBy(col("o_orderstatus"))
-        .agg(sum(when(up, lit(1L)).otherwise(lit(-1L))).as("dn"),
-          sum(when(up, col("o_totalprice")).otherwise(-col("o_totalprice"))
-            .cast("decimal(18,4)")).as("dp"))
-      base.join(delta, Seq("o_orderstatus"), "full_outer")
-        .select(col("o_orderstatus"),
-          (coalesce(col("n0"), lit(0L)) +
-            coalesce(col("dn"), lit(0L))).as("n"),
-          (coalesce(col("p0").cast(dec), lit(0).cast(dec)) +
-            coalesce(col("dp").cast(dec), lit(0).cast(dec)))
-            .cast("double").as("sum_price"))
-        .filter(col("n") > 0)
-        .orderBy(col("o_orderstatus"))
+      cdfMaintainedAgg(LakehouseTable.read(s, root, Some(1L)),
+        nativeCdfChanges(s, d))
     }),
 
     // FOUR-FEED PARITY: the same signed-delta maintained aggregate as
@@ -1365,27 +1354,9 @@ object Lakehouse {
     // snapshot diffs, commit stamping, stream ≡ batch changelog, and
     // keys defaulting from the graft manifest's cdf field.
     "q200_iceberg_cdf_agg" -> ((s, d) => {
-      val dec = "decimal(28,4)"
       val root = ordersCdfRoot(s, d)
-      val base = LakehouseTable.read(s, root, Some(1L))
-        .groupBy(col("o_orderstatus"))
-        .agg(count(lit(1)).as("n0"),
-          sum(col("o_totalprice").cast("decimal(18,4)")).as("p0"))
-      val ch = icebergCdfChanges(s, d)
-      val up = col("_change_type").isin("insert", "update_postimage")
-      val delta = ch.groupBy(col("o_orderstatus"))
-        .agg(sum(when(up, lit(1L)).otherwise(lit(-1L))).as("dn"),
-          sum(when(up, col("o_totalprice")).otherwise(-col("o_totalprice"))
-            .cast("decimal(18,4)")).as("dp"))
-      base.join(delta, Seq("o_orderstatus"), "full_outer")
-        .select(col("o_orderstatus"),
-          (coalesce(col("n0"), lit(0L)) +
-            coalesce(col("dn"), lit(0L))).as("n"),
-          (coalesce(col("p0").cast(dec), lit(0).cast(dec)) +
-            coalesce(col("dp").cast(dec), lit(0).cast(dec)))
-            .cast("double").as("sum_price"))
-        .filter(col("n") > 0)
-        .orderBy(col("o_orderstatus"))
+      cdfMaintainedAgg(LakehouseTable.read(s, root, Some(1L)),
+        icebergCdfChanges(s, d))
     }),
 
     // ICEBERG CHANGELOG FACE: the SAME merge+delete history as q191,

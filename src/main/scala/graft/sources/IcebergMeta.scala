@@ -51,12 +51,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (spec readers apply deletes only to data-seq <= delete-seq).
   *
   * Scope guards (refuse, never corrupt): active column mapping
-  * (rename/drop) and type widening are the Delta mirror's domain —
-  * their Iceberg counterparts need field ids inside the data files,
-  * which the shared-parquet layout doesn't carry. Everything else —
-  * appends, COW rewrites, MOR deletes, schema ADD COLUMNS, hive
-  * partitioning — mirrors, and [[convertToGraft]] imports the other
-  * direction (position deletes become a native DV sidecar). */
+  * (rename/drop) is the Delta mirror's domain — its Iceberg
+  * counterpart needs field ids inside the data files, which the
+  * shared-parquet layout doesn't carry. Everything else — appends, COW
+  * rewrites, MOR deletes, schema ADD COLUMNS, ALTER COLUMN TYPE
+  * widening (Iceberg's legal int→long / float→double type promotion:
+  * the field keeps its id, the schema carries the wide type, data
+  * files stay narrow and readers serve them under the requested type),
+  * hive partitioning — mirrors, and [[convertToGraft]] imports the
+  * other direction (position deletes become a native DV sidecar). */
 object IcebergMeta {
 
   private def metaDir(root: String): Path = Paths.get(root, "metadata")
@@ -263,6 +266,13 @@ object IcebergMeta {
     } else exportIcebergMetaWalk(spark, root, vs, dir, partCols, hint)
   }
 
+  /** Per-version schema signature for the walk's change detection:
+    * added-columns state + widen state (either starts a new schema). */
+  private def schemaSig(root: String, v: Long): String =
+    LakehouseTable.addedColumnsAt(root, v) + "\u00a7" +
+      LakehouseTable.widenedColumnsAt(root, v)
+        .map { case (c, t) => s"$c:$t" }.mkString(",")
+
   private def exportIcebergMetaWalk(spark: SparkSession, root: String,
       vs: Seq[Long], dir: Path, partCols: Seq[String], hint: Path): Path = {
     // field ids by column name, first appearance across the history —
@@ -346,7 +356,7 @@ object IcebergMeta {
           if (d.content == 0) manifests += d else deleteManifest = Some(d)
         }
         prevFiles = LakehouseTable.manifestFiles(root, lastV)
-        prevCols = Some(LakehouseTable.addedColumnsAt(root, lastV))
+        prevCols = Some(schemaSig(root, lastV))
         prevDvs = LakehouseTable.dvsAt(root, lastV).toMap
         lastV
       }
@@ -358,13 +368,15 @@ object IcebergMeta {
         "Iceberg mirror: column mapping (rename/drop) is not mirrored — " +
           "field-id resolution needs ids inside the data files; use the " +
           "Delta mirror for mapped tables")
-      require(LakehouseTable.widenedColumnsAt(root, v).isEmpty,
-        "Iceberg mirror: type widening is not mirrored; use the Delta mirror")
       val seq = v + 1
       val sid = snapshotId(root, v)
       val ts = LakehouseTable.commitTsAt(root, v).getOrElse(0L)
       val cur = LakehouseTable.manifestFiles(root, v)
-      val colsSig = LakehouseTable.addedColumnsAt(root, v)
+      // schema signature = added-columns state + widen state: an ALTER
+      // COLUMN TYPE commit must start a new Iceberg schema (the spec's
+      // type promotion — same field id, wider type) even though the
+      // column LIST is unchanged
+      val colsSig = schemaSig(root, v)
       val schemaChanged = prevCols.isEmpty || !prevCols.contains(colsSig)
       if (schemaChanged) {
         schemaStruct = LakehouseTable.read(spark, root, Some(v)).schema
@@ -811,14 +823,16 @@ object IcebergMeta {
       operation: String, schemaId: Int, manifestList: String,
       deletedDataFiles: Long = 0L)
 
-  // (root, hint value, file mtime) → parsed metadata; a tailing
-  // stream's per-trigger snapshots() costs one hint read + one stat
-  // after the first parse of each chain version. The MTIME in the key
-  // makes the cache correct under snapshot expiry, which rewrites the
-  // current metadata file in place — a racing reader can only ever
-  // (re-)cache under the file state it actually read (read-only use).
+  // (root, hint value, file mtime, file size) → parsed metadata; a
+  // tailing stream's per-trigger snapshots() costs one hint read + two
+  // stats after the first parse of each chain version. MTIME + SIZE in
+  // the key make the cache correct under snapshot expiry, which
+  // rewrites the current metadata file IN PLACE — mtime granularity can
+  // be a millisecond or coarser, and expiry always changes the byte
+  // length (it removes snapshot entries), so the size component closes
+  // the same-millisecond rewrite window a bare-mtime key leaves open.
   private val metadataCache = TrieMap
-    .empty[(String, Long, Long), com.fasterxml.jackson.databind.JsonNode]
+    .empty[(String, Long, Long, Long), com.fasterxml.jackson.databind.JsonNode]
 
   private def currentMetadata(root: String)
       : com.fasterxml.jackson.databind.JsonNode = {
@@ -829,7 +843,8 @@ object IcebergMeta {
     val n = Files.readString(hint).trim.toLong
     val f = dir.resolve(s"v$n.metadata.json")
     val mt = Files.getLastModifiedTime(f).toMillis
-    metadataCache.getOrElseUpdate((root, n, mt),
+    val sz = Files.size(f)
+    metadataCache.getOrElseUpdate((root, n, mt, sz),
       mapper.readTree(Files.readString(f)))
   }
 
@@ -1247,14 +1262,11 @@ object IcebergMeta {
       deletesOfSnapshot: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
     require(files.nonEmpty, "readIcebergFiles: empty file slice")
-    val md = currentMetadata(root)
-    val sid = md.get("current-snapshot-id").asLong()
-    val schemaId = snapshots(root).find(_.id == sid).map(_.schemaId)
-      .getOrElse(throw new IllegalStateException(s"snapshot $sid missing"))
+    val schemaId = currentSchemaId(root)
     val fields = schemaFieldsOf(root, schemaId)
     val raw = spark.read
       .option("basePath", Paths.get(root, "data").toString)
-      .option("mergeSchema", "true")
+      .schema(explicitSchema(fields))
       .parquet(files: _*)
     val visible = deletesOfSnapshot
       .map { dsid =>
@@ -1410,7 +1422,7 @@ object IcebergMeta {
     val (dataEntries, deleteEntries) = snapshotEntries(root, sid)
     val raw = spark.read
       .option("basePath", Paths.get(root, "data").toString)
-      .option("mergeSchema", "true")
+      .schema(explicitSchema(fields))
       .parquet(dataEntries.map(_._1): _*)
     val visible = applyDeleteEntries(spark, root, snap.schemaId, raw,
       dataEntries, deleteEntries)
@@ -1475,7 +1487,16 @@ object IcebergMeta {
       snapshotEntries(root, id))
     case class Churn(snap: SnapshotInfo, added: Seq[String],
         removed: Seq[String])
-    val classified: Seq[Either[Churn, SnapshotInfo]] = range.flatMap { s =>
+    // Small ranges skip classification entirely: batching needs more
+    // than 4 churn snapshots (crossover note below), and range.size
+    // bounds churn count — a streaming micro-batch or a q198-sized TVF
+    // range pays zero extra manifest reads for a decision that could
+    // only come out "legged".
+    val batchEligible = range.size > 4 &&
+      !sys.env.get("GRAFT_CHANGELOG_NO_BATCH").contains("1")
+    val classified: Seq[Either[Churn, SnapshotInfo]] =
+      if (!batchEligible) range.map(Right(_))
+      else range.flatMap { s =>
       requireParentRetained(root, s)
       val parent = snaps.find(_.id == s.parent)
       val (dataN, delsN) = entriesOf(s.id)
@@ -1507,16 +1528,15 @@ object IcebergMeta {
             else Some(Left(Churn(s, added, Nil)))
           } else Some(Right(s))
       }
-    }
-    // Small ranges keep the per-snapshot legs: the batched path's fixed
+      }
+    // Short churn keeps the per-snapshot legs: the batched path's fixed
     // overhead (two stamp broadcasts, one wider full-outer diff, the
     // leg union) exceeds its plan-flattening benefit until the leg
     // COUNT itself dominates — measured crossover ≈4 churn snapshots at
     // sf0.1 (q198's 2-snapshot range: legged ~0.8 s vs batched ~1.5 s;
     // a 100-snapshot chain: batched 3 legs ~1 s vs ~110 legged legs).
     val churnAll = classified.collect { case Left(c) => c }
-    val batchWorthwhile = churnAll.size > 4 &&
-      !sys.env.get("GRAFT_CHANGELOG_NO_BATCH").contains("1")
+    val batchWorthwhile = churnAll.size > 4
     val churn = if (batchWorthwhile) churnAll else Nil
     val perSnapshot = classified.collect { case Right(s) => s } ++
       (if (batchWorthwhile) Nil else churnAll.map(_.snap))
@@ -1586,7 +1606,8 @@ object IcebergMeta {
         Seq(insertLeg, deleteLeg, rewriteLeg).flatten
       }
     val legs = batched ++
-      perSnapshot.flatMap(s => snapshotChangelog(spark, root, s, keys))
+      perSnapshot.flatMap(s =>
+        snapshotChangelog(spark, root, s, keys, entriesOf))
     // canonical column order on BOTH paths (data columns, _change_type,
     // then the three stamps) — without it the empty-range frame and the
     // union of whichever leg came first would disagree positionally
@@ -1614,15 +1635,20 @@ object IcebergMeta {
           "chain (expired). Changes below this snapshot cannot be " +
           s"derived — start the range at sequence ${snap.seq} or later")
 
+  /** Schema-id of the CURRENT snapshot — the one place this lookup
+    * lives (changelog legs, plain reads, and the eq-delete leg must all
+    * project under the same resolution rule). */
+  private def currentSchemaId(root: String): Int = {
+    val sid = currentMetadata(root).get("current-snapshot-id").asLong()
+    snapshots(root).find(_.id == sid).map(_.schemaId)
+      .getOrElse(throw new IllegalStateException(s"snapshot $sid missing"))
+  }
+
   /** (name, type) fields of the CURRENT metadata schema — the projection
     * every changelog leg aligns to. */
   private def currentSchemaFields(root: String)
-      : Seq[(String, org.apache.spark.sql.types.DataType)] = {
-    val sid = currentMetadata(root).get("current-snapshot-id").asLong()
-    val schemaId = snapshots(root).find(_.id == sid).map(_.schemaId)
-      .getOrElse(throw new IllegalStateException(s"snapshot $sid missing"))
-    schemaFieldsOf(root, schemaId)
-  }
+      : Seq[(String, org.apache.spark.sql.types.DataType)] =
+    schemaFieldsOf(root, currentSchemaId(root))
 
   /** ONE batched scan over churned files spanning many snapshots: files
     * group by the stamping snapshot's schema-id (each group's footers
@@ -1637,40 +1663,36 @@ object IcebergMeta {
       files: Seq[(String, SnapshotInfo)]): DataFrame = {
     import org.apache.spark.sql.functions._
     val fields = currentSchemaFields(root)
-    // one scan per DISTINCT path per schema group: a RESTORE re-adds a
-    // previously-removed path, so the same file can legitimately carry
-    // several stamps within one leg — the file reads once and the stamp
-    // join fans its rows out to one copy per (snapshot, path) pair,
-    // which is exactly what the per-snapshot legs emitted. The group id
-    // rides both sides of the join so a path re-added under a LATER
-    // schema never cross-matches another group's stamps.
-    val scans = files.groupBy(_._2.schemaId).toSeq.sortBy(_._1)
-      .map { case (schemaId, fs) =>
-        val raw = spark.read
-          .option("basePath", Paths.get(root, "data").toString)
-          .option("mergeSchema", "true")
-          .parquet(fs.map(_._1).distinct: _*)
-          .withColumn("__p", normPathCol(col("_metadata.file_path")))
-        raw.select(fields.map { case (n, dt) =>
-          (if (raw.columns.exists(_.equalsIgnoreCase(n))) col(n)
-           else lit(null)).cast(dt).as(n)
-        } :+ col("__p") :+ lit(schemaId).as("__gsch"): _*)
-      }
-    val scan = scans.reduce(_.unionByName(_, allowMissingColumns = true))
+    // ONE scan under an EXPLICIT schema — the current metadata's fields.
+    // mergeSchema INFERENCE would refuse a range whose churned files
+    // span an ALTER COLUMN TYPE widening (int32 and int64 footers of
+    // the same column in one inference, the failure class
+    // readDeltaExportChanges groups cdc epochs for); an explicit
+    // requested schema instead has the parquet reader serve each narrow
+    // file under the wider type and null-fill columns a file predates —
+    // the widenedPhysicalSchema discipline. Paths dedupe because a
+    // RESTORE re-adds a previously-removed path: the file reads once
+    // and the stamp join fans its rows out to one copy per
+    // (snapshot, path) pair, exactly what the per-snapshot legs emit.
+    val raw = spark.read
+      .option("basePath", Paths.get(root, "data").toString)
+      .schema(explicitSchema(fields))
+      .parquet(files.map(_._1).distinct: _*)
+      .withColumn("__p", normPathCol(col("_metadata.file_path")))
+    val scan = raw.select(fields.map { case (n, dt) =>
+      col(n).cast(dt).as(n) } :+ col("__p"): _*)
     import spark.implicits._
     val meta = files.map { case (f, s) =>
-      (normPathDriver(f), s.schemaId, s.id, s.seq, s.ts)
-    }.toDF("__mp", "__msch", "__msid", "__mseq", "__mts")
-    scan.join(broadcast(meta),
-        col("__p") === col("__mp") && col("__gsch") === col("__msch"),
-        "left")
+      (normPathDriver(f), s.id, s.seq, s.ts)
+    }.toDF("__mp", "__msid", "__mseq", "__mts")
+    scan.join(broadcast(meta), col("__p") === col("__mp"), "left")
       .withColumn("__sid", when(col("__msid").isNull,
         raise_error(concat(
           lit("icebergChangelog stamp join missed file: "), col("__p"))))
         .otherwise(col("__msid")))
       .withColumn("__seq", col("__mseq"))
       .withColumn("__ts", col("__mts"))
-      .drop("__p", "__gsch", "__mp", "__msch", "__msid", "__mseq", "__mts")
+      .drop("__p", "__mp", "__msid", "__mseq", "__mts")
   }
 
   /** Canonical changelog column order for a stamped-scan leg: data
@@ -1686,6 +1708,20 @@ object IcebergMeta {
       timestamp_millis(col("__ts")).as("_commit_timestamp"): _*)
   }
 
+  /** Explicit read schema for a raw data-file scan: the snapshot
+    * schema's (name, type) fields. An INFERRED mergeSchema union would
+    * refuse a file set spanning an ALTER COLUMN TYPE widening (int32
+    * and int64 footers of one column); requesting the schema instead
+    * has the parquet reader serve each narrow file under the wide type
+    * and null-fill columns a file predates — the widenedPhysicalSchema
+    * discipline, and exactly how a spec reader serves Iceberg type
+    * promotion. */
+  private def explicitSchema(
+      fields: Seq[(String, org.apache.spark.sql.types.DataType)])
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(fields.map { case (n, dt) =>
+      org.apache.spark.sql.types.StructField(n, dt) })
+
   /** The SQL-side normalization of a manifest/delete-file path column to
     * the `__p` plain-filesystem form (file:/+ stripped, + protected,
     * url-decoded) — both sides of every path join must pass through it. */
@@ -1700,7 +1736,9 @@ object IcebergMeta {
     * when the snapshot changes nothing row-visible (a metadata-only
     * commit). */
   private def snapshotChangelog(spark: SparkSession, root: String,
-      snap: SnapshotInfo, keys: Seq[String]): Option[DataFrame] = {
+      snap: SnapshotInfo, keys: Seq[String],
+      entriesOf: Long => (Seq[(String, Long)], Seq[DeleteEntry]))
+      : Option[DataFrame] = {
     import org.apache.spark.sql.functions._
     // canonical leg order: data columns, _change_type, stamps — the
     // file/pos/eq legs place _change_type differently and unionByName
@@ -1719,14 +1757,14 @@ object IcebergMeta {
     parentOpt match {
       case None =>
         // first snapshot: everything visible is an insert
-        val (dataN, _) = snapshotEntries(root, snap.id)
+        val (dataN, _) = entriesOf(snap.id)
         if (dataN.isEmpty) None
         else Some(stamp(
           readIcebergFiles(spark, root, dataN.map(_._1), Some(snap.id))
             .withColumn("_change_type", lit("insert"))))
       case Some(p) =>
-        val (dataN, delsN) = snapshotEntries(root, snap.id)
-        val (dataP, delsP) = snapshotEntries(root, p.id)
+        val (dataN, delsN) = entriesOf(snap.id)
+        val (dataP, delsP) = entriesOf(p.id)
         val nPaths = dataN.map(_._1).toSet
         val pPaths = dataP.map(_._1).toSet
         val added = dataN.map(_._1).filterNot(pPaths).sorted
@@ -1818,7 +1856,7 @@ object IcebergMeta {
                 touched.contains(normPathDriver(c)))
               val raw = spark.read
                 .option("basePath", Paths.get(root, "data").toString)
-                .option("mergeSchema", "true")
+                .schema(explicitSchema(currentSchemaFields(root)))
                 .parquet(rawFiles: _*)
                 .withColumn("__p", normPathCol(col("_metadata.file_path")))
                 .withColumn("__ri", col("_metadata.row_index"))
@@ -1854,16 +1892,10 @@ object IcebergMeta {
               // parent-visible rows of every scopable file, ONE scan,
               // with row identity carried; per-delete-file sequence
               // scoping becomes a filter on the broadcast-joined seq
-              val curSchemaId = {
-                val sid = currentMetadata(root)
-                  .get("current-snapshot-id").asLong()
-                snapshots(root).find(_.id == sid).map(_.schemaId)
-                  .getOrElse(throw new IllegalStateException(
-                    s"snapshot $sid missing"))
-              }
+              val curSchemaId = currentSchemaId(root)
               val raw = spark.read
                 .option("basePath", Paths.get(root, "data").toString)
-                .option("mergeSchema", "true")
+                .schema(explicitSchema(currentSchemaFields(root)))
                 .parquet(scopedAll: _*)
               import spark.implicits._
               val seqDf = dataN
@@ -1914,11 +1946,7 @@ object IcebergMeta {
     * [[readIcebergFiles]] projection, shared). */
   private def alignToCurrentSchema(root: String, df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val md = currentMetadata(root)
-    val sid = md.get("current-snapshot-id").asLong()
-    val schemaId = snapshots(root).find(_.id == sid).map(_.schemaId)
-      .getOrElse(throw new IllegalStateException(s"snapshot $sid missing"))
-    val fields = schemaFieldsOf(root, schemaId)
+    val fields = schemaFieldsOf(root, currentSchemaId(root))
     df.select(fields.map { case (n, dt) =>
       (if (df.columns.exists(_.equalsIgnoreCase(n))) col(n)
        else org.apache.spark.sql.functions.lit(null)).cast(dt).as(n)

@@ -1997,11 +1997,18 @@ object LakehouseTable {
       .sortBy(_.getFileName.toString)
       .filter { p =>
         try {
-          Files.readString(p).linesIterator
-            .filter(_.contains("\"commitInfo\""))
-            .flatMap(commitInfoTs)
-            .nextOption()
-            .getOrElse(Files.getLastModifiedTime(p).toMillis) <= tsMillis
+          // stream lines and stop at the first commitInfo (our exports
+          // and Delta writers put it on the first line) — a TVF
+          // timestamp bound on a long log must not read every commit's
+          // full action list just to find its stamps
+          val src = Files.lines(p)
+          val ts =
+            try src.iterator().asScala
+              .filter(_.contains("\"commitInfo\""))
+              .flatMap(commitInfoTs)
+              .nextOption()
+            finally src.close()
+          ts.getOrElse(Files.getLastModifiedTime(p).toMillis) <= tsMillis
         } catch { case _: java.nio.file.NoSuchFileException => false }
       }
       .lastOption.map(_.getFileName.toString.take(20).toLong)

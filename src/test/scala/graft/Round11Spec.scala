@@ -160,6 +160,36 @@ class Round11Spec extends AnyFunSuite {
         s"delta-only=${(dSet -- iSet).toSeq.sorted.take(5)}")
   }
 
+  test("icebergChangelog: batched legs span an ALTER COLUMN TYPE widening (explicit-schema scan)") {
+    import spark.implicits._
+    val root = freshRoot("chlog_widen")
+    LT.create(Seq((1L, 7)).toDF("id", "x").coalesce(1), root) // x: int
+    IcebergMeta.exportIcebergMeta(spark, root) // write-through from here on
+    (2 to 4).foreach(i =>
+      LT.append(Seq((i.toLong, i * 10)).toDF("id", "x").coalesce(1), root))
+    LT.alterWidenColumnType(spark, root, "x", "bigint")
+    (5 to 7).foreach(i =>
+      LT.append(Seq((i.toLong, 4000000000L + i)).toDF("id", "x")
+        .coalesce(1), root))
+    val vCur = LT.currentVersion(root).get
+    val ch = IcebergMeta.icebergChangelog(spark, root, 0L, vCur + 2,
+      Seq("id"))
+    // 7 churn snapshots > crossover → the batched insert leg holds
+    // int32 AND int64 footers of x in ONE scan: mergeSchema inference
+    // refuses that mix, the explicit requested schema serves it
+    assert(ch.schema("x").dataType ==
+      org.apache.spark.sql.types.LongType, ch.schema.treeString)
+    val legs = ch.queryExecution.executedPlan.toString
+      .split("FileScan parquet").length - 1
+    assert(legs <= 3, legs.toString)
+    val got = ch.select($"_change_type", $"id", $"x")
+      .as[(String, Long, Long)].collect().toSet
+    val want = (Seq((1L, 7L)) ++ (2 to 4).map(i => (i.toLong, i * 10L)) ++
+      (5 to 7).map(i => (i.toLong, 4000000000L + i)))
+      .map { case (id, x) => ("insert", id, x) }.toSet
+    assert(got == want, got.toSeq.sorted.toString)
+  }
+
   test("icebergChangelog: a RESTOREd path carries two stamps in one leg — fan-out, not duplication") {
     import spark.implicits._
     val root = freshRoot("chlog_restore")
