@@ -190,6 +190,53 @@ class Round11Spec extends AnyFunSuite {
     assert(got == want, got.toSeq.sorted.toString)
   }
 
+  test("widen mid-history: both change feeds stay row-for-row equal across the type epoch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = freshRoot("widen_feeds")
+    LT.create(Seq((1L, 7), (2L, 9)).toDF("id", "x").coalesce(1), root)
+    LT.enableChangeDataFeed(spark, root, Seq("id"))
+    LT.exportDeltaLog(spark, root)       // write-through from here on
+    IcebergMeta.exportIcebergMeta(spark, root)
+    // int epoch: appends + a cdc-recording merge
+    (3 to 5).foreach(i =>
+      LT.append(Seq((i.toLong, i * 10)).toDF("id", "x").coalesce(1), root))
+    LT.merge(spark, root, Seq((1L, 70)).toDF("id", "x"), Seq("id"))
+    LT.alterWidenColumnType(spark, root, "x", "bigint")
+    // long epoch: appends + a merge carrying beyond-int values
+    (6 to 8).foreach(i =>
+      LT.append(Seq((i.toLong, 4000000000L + i)).toDF("id", "x")
+        .coalesce(1), root))
+    LT.merge(spark, root, Seq((2L, 5000000000L)).toDF("id", "x"), Seq("id"))
+    val vCur = LT.currentVersion(root).get
+    // the exported Delta cdc range spans both epochs (per-epoch cdc
+    // scans); the Iceberg changelog derives the same range from the
+    // chain alone (explicit-schema batched + legged legs) — row for row
+    val d = LT.readDeltaExportChanges(spark, root, 2L, vCur)
+    val i = IcebergMeta.icebergChangelog(spark, root, 2L, vCur + 1,
+      Seq("id"))
+    assert(d.schema("x").dataType ==
+      org.apache.spark.sql.types.LongType, d.schema.treeString)
+    assert(i.schema("x").dataType ==
+      org.apache.spark.sql.types.LongType, i.schema.treeString)
+    val dSet = d.select(col("_change_type"), col("id"), col("x"),
+        col("_commit_version"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    val iSet = i.select(col("_change_type"), col("id"), col("x"),
+        (col("_sequence_number") - lit(1L)).as("v"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(iSet == dSet,
+      s"iceberg-only=${(iSet -- dSet).toSeq.sorted.take(5)} " +
+        s"delta-only=${(dSet -- iSet).toSeq.sorted.take(5)}")
+    // and both final faces serve the widened state identically
+    val want = LT.read(spark, root).orderBy("id")
+      .as[(Long, Long)].collect().toSeq
+    assert(LT.readDeltaExport(spark, root).orderBy("id")
+      .as[(Long, Long)].collect().toSeq == want)
+    assert(IcebergMeta.readIceberg(spark, root).orderBy("id")
+      .as[(Long, Long)].collect().toSeq == want)
+  }
+
   test("icebergChangelog: a RESTOREd path carries two stamps in one leg — fan-out, not duplication") {
     import spark.implicits._
     val root = freshRoot("chlog_restore")
