@@ -894,10 +894,11 @@ object IcebergMeta {
       seq: Long, equalityIds: Seq[Int])
 
   /** ((data file, effective sequence number)s, delete entries) of one
-    * snapshot. Sequence numbers ride along because equality deletes
-    * apply only to data files with a STRICTLY SMALLER sequence number
-    * (position deletes name exact (path, pos) pairs and paths are never
-    * reused, so they need no scoping). */
+    * snapshot. Sequence numbers ride along because both delete kinds
+    * scope on them: equality deletes apply only to data files with a
+    * STRICTLY SMALLER sequence number, position deletes to files with
+    * sequence ≤ their own — so a carried delete never touches a path
+    * re-added above it. */
   private def snapshotEntries(root: String, snapshotId: Long)
       : (Seq[(String, Long)], Seq[DeleteEntry]) = {
     val snap = snapshots(root).find(_.id == snapshotId).getOrElse(
@@ -942,6 +943,339 @@ object IcebergMeta {
         throw new IllegalStateException(s"schema $schemaId missing"))
     schemaNode.get("fields").elements().asScala.map(f =>
       f.get("id").asInt() -> f.get("name").asText()).toMap
+  }
+
+  // --- Field-id column resolution (Iceberg spec, "Column Projection") --
+  //
+  // The spec's rule: data-file columns resolve by FIELD ID; files
+  // written without parquet field ids resolve through the table's
+  // `schema.name-mapping.default` property. Name-based resolution is
+  // only exact when no field was ever renamed — true for every graft
+  // mirror (the export refuses renames) and most foreign chains, so
+  // that stays the zero-overhead fast path; a rename-bearing FOREIGN
+  // chain (Spark/Flink/Trino write field ids and rename freely) routes
+  // through [[chainScan]]'s per-footer classification instead of
+  // silently null-filling pre-rename files under the new name.
+
+  /** (field id, name, Spark type) rows of one schema-id in the current
+    * metadata — [[schemaFieldsOf]] plus the ids the spec resolves by. */
+  private def schemaIdFieldsOf(root: String, schemaId: Int)
+      : Seq[(Int, String, org.apache.spark.sql.types.DataType)] = {
+    val md = currentMetadata(root)
+    val schemaNode = md.get("schemas").elements().asScala
+      .find(_.get("schema-id").asInt() == schemaId).getOrElse(
+        throw new IllegalStateException(s"schema $schemaId missing"))
+    schemaNode.get("fields").elements().asScala.map(f =>
+      (f.get("id").asInt(), f.get("name").asText(),
+        sparkType(f.get("type")))).toSeq
+  }
+
+  /** Parsed `schema.name-mapping.default`: lowercase file column name →
+    * field id (flat top-level entries — the engine's chains are flat).
+    * None when the chain declares no mapping. A mapping naming one
+    * column for two ids is spec-invalid and refuses here, before it can
+    * mis-resolve a scan. */
+  private def nameMappingOf(root: String): Option[Map[String, Int]] = {
+    val md = currentMetadata(root)
+    Option(md.get("properties"))
+      .flatMap(p => Option(p.get("schema.name-mapping.default")))
+      .map { node =>
+        val pairs = mapper.readTree(node.asText()).elements().asScala
+          .flatMap { e =>
+            val id = e.get("field-id").asInt()
+            e.get("names").elements().asScala.map(n =>
+              n.asText().toLowerCase -> id).toSeq
+          }.toSeq
+        val dup = pairs.groupBy(_._1).filter(_._2.map(_._2).distinct.size > 1)
+        require(dup.isEmpty,
+          s"invalid schema.name-mapping.default at $root: column(s) " +
+          s"${dup.keys.toSeq.sorted.mkString(", ")} mapped to multiple " +
+          "field ids")
+        pairs.toMap
+      }
+  }
+
+  /** True when any field id carries more than one name across the
+    * chain's schema history or its name-mapping — the trigger for
+    * per-file field-id resolution on raw data scans. False (every graft
+    * mirror and any foreign chain that never renamed) keeps the single
+    * explicit-schema name scan with zero added planning cost. */
+  private[graft] def chainHasRenames(root: String): Boolean = {
+    val md = currentMetadata(root)
+    val namesById = scala.collection.mutable.Map
+      .empty[Int, scala.collection.mutable.Set[String]]
+    md.get("schemas").elements().asScala.foreach { s =>
+      s.get("fields").elements().asScala.foreach { f =>
+        namesById.getOrElseUpdate(f.get("id").asInt(),
+          scala.collection.mutable.Set.empty) +=
+          f.get("name").asText().toLowerCase
+      }
+    }
+    nameMappingOf(root).foreach(_.foreach { case (n, id) =>
+      namesById.getOrElseUpdate(id,
+        scala.collection.mutable.Set.empty) += n
+    })
+    namesById.values.exists(_.size > 1)
+  }
+
+  // data-file path → top-level footer columns (name, optional parquet
+  // field id). Iceberg data files are immutable, so entries never
+  // invalidate. Consulted only on rename-bearing chains.
+  private val footerCache = TrieMap.empty[String, Seq[(String, Option[Int])]]
+
+  private[graft] def footerColumns(path: String): Seq[(String, Option[Int])] =
+    footerCache.getOrElseUpdate(path, {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path),
+        new org.apache.hadoop.conf.Configuration())
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try rd.getFooter.getFileMetaData.getSchema.getFields.asScala
+        .map(t => (t.getName, Option(t.getId).map(_.intValue()))).toSeq
+      finally rd.close()
+    })
+
+  /** Warm [[footerCache]] for a scan's file slice. Small tails read on
+    * the driver; a wide rename-bearing scan classifies the un-cached
+    * tail in ONE distributed job — the same footers every task re-opens
+    * at execution, so planning adds no new IO class at 100 TB. */
+  private def classifyFooters(spark: SparkSession, files: Seq[String]): Unit = {
+    val missing = files.filterNot(footerCache.contains)
+    if (missing.size > 64) {
+      // self-contained closure: no capture of this module
+      val readOne: String => Seq[(String, Option[Int])] = { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p),
+          new org.apache.hadoop.conf.Configuration())
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try rd.getFooter.getFileMetaData.getSchema.getFields.asScala
+          .map(t => (t.getName, Option(t.getId).map(_.intValue()))).toSeq
+        finally rd.close()
+      }
+      spark.sparkContext
+        .parallelize(missing, math.max(1, math.min(missing.size, 32)))
+        .map(p => (p, readOne(p))).collect()
+        .foreach { case (p, c) => footerCache.put(p, c) }
+    } else missing.foreach(footerColumns)
+  }
+
+  /** Resolve the requested fields against ONE id-less footer signature
+    * (the lowercase top-level column names of files written without
+    * parquet field ids). Returns field id → physical column name to
+    * request; None = the field is absent from these files (serve typed
+    * nulls / partition-dir values). Resolution follows the spec:
+    * name-mapping when the chain declares one; otherwise the schema
+    * EPOCHS whose column sets cover the signature, which must agree.
+    * Ambiguity — one footer name claimed by two field ids (a rename
+    * followed by name reuse), or covering epochs that disagree —
+    * REFUSES loudly instead of guessing. */
+  private def resolveIdLessGroup(root: String, sig: Set[String],
+      fields: Seq[(Int, String, org.apache.spark.sql.types.DataType)],
+      sample: String): Map[Int, Option[String]] = {
+    val assigned: Seq[(Int, Option[String])] = nameMappingOf(root) match {
+      case Some(m) =>
+        val out = fields.map { case (id, n, _) =>
+          val cands = sig.filter(s => m.get(s).contains(id))
+          require(cands.size <= 1,
+            s"ambiguous name-mapping resolution for field id $id in " +
+            s"id-less file $sample at $root: columns " +
+            s"${cands.toSeq.sorted.mkString(", ")} all map to it")
+          // absent from the mapping: request the current name only when
+          // the footer does NOT carry it (partition columns / columns
+          // these files predate); a footer column of that name belongs
+          // to some OTHER field per the authoritative mapping
+          id -> cands.headOption.orElse(
+            if (sig.contains(n.toLowerCase)) None else Some(n))
+        }
+        // Strictness over the spec's "ignore unmapped names": when the
+        // footer carries a column the mapping does not name AND some
+        // requested field found no physical column, the file is most
+        // likely PRE-RENAME output the mapping predates — null-filling
+        // would silently drop its data, the failure class this module
+        // refuses on. A fully-resolved read ignores extra columns
+        // (spec behavior); an unresolved field with no orphan columns
+        // null-fills honestly (the file predates the column).
+        val unresolved = out.collect { case (id, phys)
+          if !phys.exists(p => sig.contains(p.toLowerCase)) => id }
+        val orphans = sig.filterNot(m.contains)
+          .filterNot(s => fields.exists(_._2.toLowerCase == s))
+        require(unresolved.isEmpty || orphans.isEmpty,
+          s"cannot resolve columns of id-less data file $sample at " +
+          s"$root: footer column(s) ${orphans.toSeq.sorted.mkString(", ")} " +
+          "match no schema.name-mapping.default entry while field id(s) " +
+          s"${unresolved.sorted.mkString(", ")} resolve to no footer " +
+          "column — likely a rename the mapping predates; extend the " +
+          "mapping with the historical name(s)")
+        out
+      case None =>
+        val epochs = {
+          val md = currentMetadata(root)
+          md.get("schemas").elements().asScala.map { s =>
+            s.get("fields").elements().asScala.map(f =>
+              f.get("id").asInt() -> f.get("name").asText().toLowerCase).toMap
+          }.toSeq
+        }
+        val covering = epochs.filter(e => sig.subsetOf(e.values.toSet))
+        require(covering.nonEmpty,
+          s"cannot resolve columns of id-less data file $sample at $root: " +
+          s"no schema epoch covers columns ${sig.toSeq.sorted.mkString(", ")} " +
+          "and the chain declares no schema.name-mapping.default")
+        fields.map { case (id, n, _) =>
+          val res = covering.flatMap(_.get(id)).filter(sig.contains).distinct
+          require(res.size <= 1,
+            s"ambiguous column resolution for field id $id in id-less " +
+            s"file $sample at $root: covering schema epochs disagree " +
+            s"(${res.sorted.mkString(" vs ")}); declare a " +
+            "schema.name-mapping.default to disambiguate")
+          id -> res.headOption.orElse(
+            if (sig.contains(n.toLowerCase)) None else Some(n))
+        }
+    }
+    // one footer column claimed by two requested fields = a rename
+    // followed by name reuse these files cannot disambiguate
+    val taken = assigned.collect { case (id, Some(p)) if sig.contains(p.toLowerCase) => (id, p.toLowerCase) }
+    val clash = taken.groupBy(_._2).filter(_._2.size > 1)
+    require(clash.isEmpty,
+      s"ambiguous column resolution in id-less file $sample at $root: " +
+      clash.map { case (p, ids) =>
+        s"column '$p' claimed by field ids ${ids.map(_._1).sorted.mkString(", ")}"
+      }.mkString("; ") +
+      " (rename followed by name reuse); declare a schema.name-mapping.default")
+    assigned.toMap
+  }
+
+  private def fidMeta(id: Int): org.apache.spark.sql.types.Metadata =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("parquet.field.id", id.toLong).build()
+
+  /** Read a raw chain-file slice under the requested schema fields with
+    * the spec's column resolution. The rename-free fast path is ONE
+    * scan under an explicit (name, type) schema (exactly the proven
+    * pre-round-12 read). Rename-bearing chains classify each file's
+    * footer (memoized; distributed beyond 64 new files) and split:
+    *
+    *   - files WITH parquet field ids: one scan whose requested schema
+    *     carries each field's id as `parquet.field.id` — Spark's
+    *     field-id matching serves renamed columns from any epoch,
+    *     upcasts narrow footers of widened columns, and null-fills ids
+    *     a file predates. An id-less straggler FAILS the read loudly
+    *     (`fieldId.read.ignoreMissing` stays false: silent nulls are
+    *     the failure class this path exists to prevent);
+    *   - files WITHOUT ids: grouped by footer column signature (one
+    *     scan per write epoch, never per file), each group resolved via
+    *     [[resolveIdLessGroup]].
+    *
+    * Output: the requested names/types in order, plus row identity
+    * `__p` (normalized file path) and `__ri` (row index) when
+    * `withIdentity` — a union erases `_metadata`, so identity is
+    * projected inside each leg. */
+  private def chainScan(spark: SparkSession, root: String,
+      files: Seq[String],
+      fields: Seq[(Int, String, org.apache.spark.sql.types.DataType)],
+      withIdentity: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(files.nonEmpty, "chainScan: empty file slice")
+    val basePath = Paths.get(root, "data").toString
+    def finish(df: DataFrame, nameOf: Int => Option[String]): DataFrame = {
+      val base =
+        if (!withIdentity) df
+        else df.withColumn("__p", normPathCol(col("_metadata.file_path")))
+          .withColumn("__ri", col("_metadata.row_index"))
+      val out = fields.map { case (id, n, dt) =>
+        nameOf(id) match {
+          case Some(p) if base.columns.exists(_.equalsIgnoreCase(p)) =>
+            col(p).cast(dt).as(n)
+          case _ => lit(null).cast(dt).as(n)
+        }
+      }
+      base.select(
+        (if (withIdentity) out ++ Seq(col("__p"), col("__ri")) else out): _*)
+    }
+    val distinctFiles = files.distinct
+    if (!chainHasRenames(root)) {
+      val raw = spark.read.option("basePath", basePath)
+        .schema(explicitSchema(fields.map { case (_, n, dt) => (n, dt) }))
+        .parquet(distinctFiles: _*)
+      finish(raw, id => fields.find(_._1 == id).map(_._2))
+    } else {
+      classifyFooters(spark, distinctFiles)
+      val classed = distinctFiles.map(f => f -> footerColumns(f))
+      val (idFul, idLess) = classed.partition(_._2.exists(_._2.isDefined))
+      val legs = scala.collection.mutable.Buffer.empty[DataFrame]
+      if (idFul.nonEmpty) {
+        // inert for schemas without id metadata, so session-global is safe
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        val req = org.apache.spark.sql.types.StructType(fields.map {
+          case (id, n, dt) =>
+            org.apache.spark.sql.types.StructField(n, dt, nullable = true,
+              fidMeta(id))
+        })
+        val raw = spark.read.option("basePath", basePath).schema(req)
+          .parquet(idFul.map(_._1): _*)
+        legs += finish(raw, id => fields.find(_._1 == id).map(_._2))
+      }
+      idLess.groupBy(_._2.map(_._1.toLowerCase).toSet).toSeq
+        .sortBy(_._2.head._1).foreach { case (sig, group) =>
+          val phys = resolveIdLessGroup(root, sig, fields, group.head._1)
+          val reqFields = fields.flatMap { case (id, _, dt) =>
+            phys(id).map(p => org.apache.spark.sql.types.StructField(p, dt))
+          }
+          val raw = spark.read.option("basePath", basePath)
+            .schema(org.apache.spark.sql.types.StructType(reqFields))
+            .parquet(group.map(_._1): _*)
+          legs += finish(raw, id => phys(id))
+        }
+      legs.reduce(_ unionByName _)
+    }
+  }
+
+  /** An equality-delete file's key columns served under the CURRENT
+    * schema names, with the data files' resolution rule (delete files
+    * share it, per spec): id-ful files resolve by parquet field id,
+    * id-less ones through name-mapping / covering epochs. A delete KEY
+    * that cannot be resolved REFUSES — a null key under null-safe
+    * equality would silently match the wrong rows. */
+  private def readDeleteKeyColumns(spark: SparkSession, root: String,
+      path: String,
+      cols: Seq[(Int, String, org.apache.spark.sql.types.DataType)])
+      : DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (!chainHasRenames(root)) {
+      val delRaw = spark.read.parquet(path)
+      val missing = cols.filterNot { case (_, c, _) =>
+        delRaw.columns.exists(_.equalsIgnoreCase(c)) }
+      require(missing.isEmpty,
+        s"equality-delete file $path lacks column(s) " +
+        s"${missing.map(_._2).mkString(", ")}; physical-name delete " +
+        "files (active column mapping) are unsupported")
+      delRaw.select(cols.map { case (_, c, _) => col(c) }: _*)
+    } else {
+      val foot = footerColumns(path)
+      if (foot.exists(_._2.isDefined)) {
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        val req = org.apache.spark.sql.types.StructType(cols.map {
+          case (id, n, dt) =>
+            org.apache.spark.sql.types.StructField(n, dt, nullable = true,
+              fidMeta(id))
+        })
+        spark.read.schema(req).parquet(path)
+          .select(cols.map { case (_, n, _) => col(n) }: _*)
+      } else {
+        val sig = foot.map(_._1.toLowerCase).toSet
+        val phys = resolveIdLessGroup(root, sig, cols, path)
+        val missing = cols.filter { case (id, _, _) =>
+          !phys(id).exists(p => sig.contains(p.toLowerCase)) }
+        require(missing.isEmpty,
+          s"equality-delete file $path: key column(s) " +
+          s"${missing.map(_._2).mkString(", ")} cannot be resolved by " +
+          "field id, name-mapping, or schema epoch")
+        val req = org.apache.spark.sql.types.StructType(cols.map {
+          case (id, _, dt) =>
+            org.apache.spark.sql.types.StructField(phys(id).get, dt)
+        })
+        spark.read.schema(req).parquet(path)
+          .select(cols.map { case (id, n, _) => col(phys(id).get).as(n) }: _*)
+      }
+    }
   }
 
   /** Iceberg schema type string → Spark type (inverse of [[icebergType]],
@@ -1263,21 +1597,16 @@ object IcebergMeta {
     import org.apache.spark.sql.functions.col
     require(files.nonEmpty, "readIcebergFiles: empty file slice")
     val schemaId = currentSchemaId(root)
-    val fields = schemaFieldsOf(root, schemaId)
-    val raw = spark.read
-      .option("basePath", Paths.get(root, "data").toString)
-      .schema(explicitSchema(fields))
-      .parquet(files: _*)
+    val idFields = schemaIdFieldsOf(root, schemaId)
+    val raw = chainScan(spark, root, files, idFields,
+      withIdentity = deletesOfSnapshot.nonEmpty)
     val visible = deletesOfSnapshot
       .map { dsid =>
         val (dataEntries, dels) = snapshotEntries(root, dsid)
         applyDeleteEntries(spark, root, schemaId, raw, dataEntries, dels)
       }
       .getOrElse(raw)
-    visible.select(fields.map { case (n, dt) =>
-      (if (visible.columns.exists(_.equalsIgnoreCase(n))) col(n)
-       else org.apache.spark.sql.functions.lit(null)).cast(dt).as(n)
-    }: _*)
+    visible.select(idFields.map { case (_, n, _) => col(n) }: _*)
   }
 
   /** Apply a snapshot's delete entries to its raw data scan.
@@ -1299,59 +1628,75 @@ object IcebergMeta {
       dels: Seq[DeleteEntry]): DataFrame =
     if (dels.isEmpty) raw
     else {
-      import org.apache.spark.sql.functions.{col, lit, regexp_replace, url_decode}
+      import org.apache.spark.sql.functions.{col, lit}
       val unknown = dels.filter(d => d.content != 1 && d.content != 2)
       require(unknown.isEmpty,
         s"unsupported delete-file content ${unknown.map(_.content).distinct} at $root")
-      val withP = raw.withColumn("__p", url_decode(regexp_replace(
-          regexp_replace(col("_metadata.file_path"), "^file:/+", "/"),
-          "\\+", "%2B")))
-      val posFiles = dels.filter(_.content == 1).map(_.path)
+      // a chainScan caller provides row identity (__p, __ri) explicitly
+      // — a unioned scan has no `_metadata` — and keeps those columns on
+      // the output; a plain single-scan caller derives and drops them
+      val hasIdentity = raw.columns.contains("__p")
+      val withP =
+        if (hasIdentity) raw
+        else raw.withColumn("__p", normPathCol(col("_metadata.file_path")))
+      // data-file sequence numbers ride in via an O(files) broadcast —
+      // BOTH delete kinds scope on them per spec: a position delete
+      // applies to data files of sequence ≤ its own (so a path REMOVED
+      // and later RE-ADDED above a carried delete's sequence reads raw,
+      // agreeing with the batched changelog leg's pure-append
+      // classification), an equality delete to STRICTLY SMALLER
+      // sequences. The manifest's file_path must be normalized with the
+      // SAME transform as __p (file:/+ → /, + protected, url-decoded):
+      // a foreign chain storing URI-form or percent-encoded paths
+      // would otherwise miss the join, leave __seq null, and a
+      // null-vs-seq condition would silently KEEP rows the delete
+      // covers (fail-open resurrection). Driver-side mirror of the __p
+      // SQL expression:
+      def normPath(p: String): String = java.net.URLDecoder.decode(
+        p.replaceFirst("^file:/+", "/").replace("+", "%2B"), "UTF-8")
+      import spark.implicits._
+      val seqDf = dataEntries.map { case (p, s) => (normPath(p), s) }
+        .toDF("__seq_path", "__seq")
+      val withSeq = withP.join(
+        org.apache.spark.sql.functions.broadcast(seqDf),
+        col("__p") === col("__seq_path"), "left")
+      // Backstop: if a scanned row still has no sequence number, FAIL
+      // the read rather than fail open. Guarded inside the join
+      // conditions — it fires exactly when a delete matches a row whose
+      // scoping is unknown, the only case where a null __seq could flip
+      // the result.
+      val seqScoped = org.apache.spark.sql.functions.when(
+        col("__seq").isNull,
+        org.apache.spark.sql.functions.raise_error(
+          org.apache.spark.sql.functions.concat(lit(
+            "iceberg delete application: data file missing from the " +
+            "manifest sequence map (path normalization mismatch?): "),
+            col("__p")))).otherwise(col("__seq"))
+      val posDels = dels.filter(_.content == 1)
       val afterPos =
-        if (posFiles.isEmpty) withP
+        if (posDels.isEmpty) withSeq
         else {
-          val del = spark.read.parquet(posFiles: _*)
-            .select(col("file_path").as("__del_path"),
-              col("pos").as("__del_pos"))
-          withP.withColumn("__ri", col("_metadata.row_index"))
-            .join(del, col("__p") === col("__del_path") &&
-              col("__ri") === col("__del_pos"), "left_anti")
-            .drop("__ri")
+          val del = posDels.map(d =>
+              spark.read.parquet(d.path)
+                .select(col("file_path").as("__del_path"),
+                  col("pos").as("__del_pos"))
+                .withColumn("__del_seq", lit(d.seq)))
+            .reduce(_ unionByName _)
+          val withRi =
+            if (hasIdentity) withSeq
+            else withSeq.withColumn("__ri", col("_metadata.row_index"))
+          val anti = withRi.join(del, col("__p") === col("__del_path") &&
+            col("__ri") === col("__del_pos") &&
+            seqScoped <= col("__del_seq"), "left_anti")
+          if (hasIdentity) anti else anti.drop("__ri")
         }
       val eqDels = dels.filter(_.content == 2)
       val result =
         if (eqDels.isEmpty) afterPos
         else {
-          val names = fieldNamesById(root, schemaId)
-          // data-file sequence numbers ride in via an O(files) broadcast.
-          // The manifest's file_path must be normalized with the SAME
-          // transform as __p (file:/+ → /, + protected, url-decoded):
-          // a foreign chain storing URI-form or percent-encoded paths
-          // would otherwise miss the join, leave __seq null, and the
-          // `null < __dseq` condition would silently KEEP rows the
-          // delete covers (fail-open resurrection). Driver-side mirror
-          // of the __p SQL expression:
-          def normPath(p: String): String = java.net.URLDecoder.decode(
-            p.replaceFirst("^file:/+", "/").replace("+", "%2B"), "UTF-8")
-          import spark.implicits._
-          val seqDf = dataEntries.map { case (p, s) => (normPath(p), s) }
-            .toDF("__seq_path", "__seq")
-          val withSeq = afterPos.join(
-            org.apache.spark.sql.functions.broadcast(seqDf),
-            col("__p") === col("__seq_path"), "left")
-          // Backstop: if a scanned row still has no sequence number,
-          // FAIL the read rather than fail open. Guarded inside the
-          // join condition — it fires exactly when a delete key matches
-          // a row whose scoping is unknown, the only case where a null
-          // __seq could flip the result.
-          val seqScoped = org.apache.spark.sql.functions.when(
-            col("__seq").isNull,
-            org.apache.spark.sql.functions.raise_error(
-              org.apache.spark.sql.functions.concat(lit(
-                "iceberg equality-delete: data file missing from the " +
-                "manifest sequence map (path normalization mismatch?): "),
-                col("__p")))).otherwise(col("__seq"))
-          eqDels.groupBy(_.equalityIds).foldLeft(withSeq) {
+          val idFields = schemaIdFieldsOf(root, schemaId)
+          val names = idFields.map { case (id, n, _) => id -> n }.toMap
+          eqDels.groupBy(_.equalityIds).foldLeft(afterPos) {
             case (acc, (ids, group)) =>
               require(ids.nonEmpty,
                 s"equality delete without equality_ids at $root")
@@ -1371,15 +1716,9 @@ object IcebergMeta {
                 s"present in the data files at $root; chains with an active " +
                 "column mapping (physical file names differing from logical " +
                 "schema names) are unsupported for equality-delete reads")
+              val keyFields = ids.map(id => idFields.find(_._1 == id).get)
               val delDf = group.map { d =>
-                  val delRaw = spark.read.parquet(d.path)
-                  val missingDel = cols.filterNot(c =>
-                    delRaw.columns.exists(_.equalsIgnoreCase(c)))
-                  require(missingDel.isEmpty,
-                    s"equality-delete file ${d.path} lacks column(s) " +
-                    s"${missingDel.mkString(", ")}; physical-name delete " +
-                    "files (active column mapping) are unsupported")
-                  delRaw.select(cols.map(col): _*)
+                  readDeleteKeyColumns(spark, root, d.path, keyFields)
                     .withColumn("__dseq", lit(d.seq))
                 }.reduce(_ unionByName _)
                 .select(cols.map(c => col(c).as(s"__eq_$c")) :+
@@ -1389,9 +1728,13 @@ object IcebergMeta {
               acc.join(
                 org.apache.spark.sql.functions.broadcast(delDf),
                 cond, "left_anti")
-          }.drop("__seq_path", "__seq")
+          }
         }
-      result.drop("__p")
+      // identity callers keep (__p, __ri) — they carry row identity
+      // through further legs (the eq-level changelog dedupe); plain
+      // callers get the data columns back unchanged
+      val noSeq = result.drop("__seq_path", "__seq")
+      if (hasIdentity) noSeq else noSeq.drop("__p")
     }
 
   /** Read the table THROUGH the Iceberg chain only — version-hint →
@@ -1420,10 +1763,13 @@ object IcebergMeta {
       throw new IllegalArgumentException(s"no Iceberg snapshot $sid at $root"))
     val fields = schemaFieldsOf(root, snap.schemaId)
     val (dataEntries, deleteEntries) = snapshotEntries(root, sid)
-    val raw = spark.read
-      .option("basePath", Paths.get(root, "data").toString)
-      .schema(explicitSchema(fields))
-      .parquet(dataEntries.map(_._1): _*)
+    val raw =
+      if (dataEntries.isEmpty)
+        spark.createDataFrame(spark.sparkContext
+          .emptyRDD[org.apache.spark.sql.Row], explicitSchema(fields))
+      else chainScan(spark, root, dataEntries.map(_._1),
+        schemaIdFieldsOf(root, snap.schemaId),
+        withIdentity = deleteEntries.nonEmpty)
     val visible = applyDeleteEntries(spark, root, snap.schemaId, raw,
       dataEntries, deleteEntries)
     // align to the metadata schema: absent columns (an older snapshot's
@@ -1518,12 +1864,13 @@ object IcebergMeta {
             else Some(Left(Churn(s, added, removed)))
           } else if (delsSame && removed.isEmpty) {
             // PURE APPEND under a carried (untouched) delete set is
-            // still batchable: a pre-existing position delete cannot
-            // name a path that did not exist when it was written, and
-            // an equality delete applies only to STRICTLY SMALLER
-            // sequence numbers — the new files carry the snapshot's own
-            // sequence, which no carried delete exceeds. So the added
-            // files read raw, exactly as the per-snapshot leg would.
+            // still batchable: the added files carry the snapshot's own
+            // sequence number, which no carried delete reaches — a
+            // position delete applies only to sequences ≤ its own and
+            // an equality delete to STRICTLY SMALLER ones, and
+            // applyDeleteEntries enforces BOTH scopings (so even a
+            // carried position delete naming a re-ADDED path agrees:
+            // the legged path reads the re-added file's rows raw too).
             if (added.isEmpty) None // metadata-only
             else Some(Left(Churn(s, added, Nil)))
           } else Some(Right(s))
@@ -1650,37 +1997,28 @@ object IcebergMeta {
       : Seq[(String, org.apache.spark.sql.types.DataType)] =
     schemaFieldsOf(root, currentSchemaId(root))
 
-  /** ONE batched scan over churned files spanning many snapshots: files
-    * group by the stamping snapshot's schema-id (each group's footers
-    * are inference-mergeable — a mid-range schema change never mixes
-    * physical types in one scan), every group aligns to the current
-    * metadata schema, and a broadcast path→(snapshot, sequence, ts) join
-    * stamps each row with its snapshot — raise_error on a miss (the scan
-    * reads exactly the stamp map's files, so a miss is a normalization
-    * bug, never a stampable row). Output: current-schema columns +
-    * `__sid`, `__seq`, `__ts`. */
+  /** ONE batched scan over churned files spanning many snapshots under
+    * the CURRENT metadata schema via [[chainScan]] — NOT grouped by
+    * stamping-snapshot schema-id (that pre-widening design was
+    * abandoned: mergeSchema INFERENCE refuses a range whose churned
+    * files span an ALTER COLUMN TYPE widening — int32 and int64 footers
+    * of one column in one inference — while an explicit requested
+    * schema has the parquet reader serve each narrow file under the
+    * wider type and null-fill columns a file predates, the
+    * widenedPhysicalSchema discipline). Rename-bearing foreign chains
+    * additionally split by footer field-id presence inside chainScan.
+    * Paths dedupe because a RESTORE re-adds a previously-removed path:
+    * the file reads once and a broadcast path→(snapshot, sequence, ts)
+    * join fans its rows out to one copy per (snapshot, path) pair —
+    * raise_error on a miss (the scan reads exactly the stamp map's
+    * files, so a miss is a normalization bug, never a stampable row).
+    * Output: current-schema columns + `__sid`, `__seq`, `__ts`. */
   private def stampedChurnScan(spark: SparkSession, root: String,
       files: Seq[(String, SnapshotInfo)]): DataFrame = {
     import org.apache.spark.sql.functions._
-    val fields = currentSchemaFields(root)
-    // ONE scan under an EXPLICIT schema — the current metadata's fields.
-    // mergeSchema INFERENCE would refuse a range whose churned files
-    // span an ALTER COLUMN TYPE widening (int32 and int64 footers of
-    // the same column in one inference, the failure class
-    // readDeltaExportChanges groups cdc epochs for); an explicit
-    // requested schema instead has the parquet reader serve each narrow
-    // file under the wider type and null-fill columns a file predates —
-    // the widenedPhysicalSchema discipline. Paths dedupe because a
-    // RESTORE re-adds a previously-removed path: the file reads once
-    // and the stamp join fans its rows out to one copy per
-    // (snapshot, path) pair, exactly what the per-snapshot legs emit.
-    val raw = spark.read
-      .option("basePath", Paths.get(root, "data").toString)
-      .schema(explicitSchema(fields))
-      .parquet(files.map(_._1).distinct: _*)
-      .withColumn("__p", normPathCol(col("_metadata.file_path")))
-    val scan = raw.select(fields.map { case (n, dt) =>
-      col(n).cast(dt).as(n) } :+ col("__p"): _*)
+    val idFields = schemaIdFieldsOf(root, currentSchemaId(root))
+    val scan = chainScan(spark, root, files.map(_._1), idFields,
+      withIdentity = true).drop("__ri")
     import spark.implicits._
     val meta = files.map { case (f, s) =>
       (normPathDriver(f), s.id, s.seq, s.ts)
@@ -1854,12 +2192,9 @@ object IcebergMeta {
             else {
               val rawFiles = carried.filter(c =>
                 touched.contains(normPathDriver(c)))
-              val raw = spark.read
-                .option("basePath", Paths.get(root, "data").toString)
-                .schema(explicitSchema(currentSchemaFields(root)))
-                .parquet(rawFiles: _*)
-                .withColumn("__p", normPathCol(col("_metadata.file_path")))
-                .withColumn("__ri", col("_metadata.row_index"))
+              val raw = chainScan(spark, root, rawFiles,
+                schemaIdFieldsOf(root, currentSchemaId(root)),
+                withIdentity = true)
               def tag(posSet: DataFrame, t: String): DataFrame =
                 alignToCurrentSchema(root,
                   raw.join(posSet
@@ -1884,7 +2219,8 @@ object IcebergMeta {
           if (newEq.isEmpty) None
           else {
             val schemaId = snap.schemaId
-            val names = fieldNamesById(root, schemaId)
+            val idFieldsSnap = schemaIdFieldsOf(root, schemaId)
+            val names = idFieldsSnap.map { case (id, n, _) => id -> n }.toMap
             val maxSeq = newEq.map(_.seq).max
             val scopedAll = dataN.filter(_._2 < maxSeq).map(_._1).sorted
             if (scopedAll.isEmpty) None
@@ -1893,18 +2229,16 @@ object IcebergMeta {
               // with row identity carried; per-delete-file sequence
               // scoping becomes a filter on the broadcast-joined seq
               val curSchemaId = currentSchemaId(root)
-              val raw = spark.read
-                .option("basePath", Paths.get(root, "data").toString)
-                .schema(explicitSchema(currentSchemaFields(root)))
-                .parquet(scopedAll: _*)
+              val raw = chainScan(spark, root, scopedAll,
+                schemaIdFieldsOf(root, curSchemaId), withIdentity = true)
               import spark.implicits._
               val seqDf = dataN
                 .map { case (pa, sq) => (normPathDriver(pa), sq) }
                 .toDF("__sc_path", "__sc_seq")
               val visAll = applyDeleteEntries(spark, root, curSchemaId,
                   raw, dataP, delsP)
-                .withColumn("__id_p", normPathCol(col("_metadata.file_path")))
-                .withColumn("__id_r", col("_metadata.row_index"))
+                .withColumnRenamed("__p", "__id_p")
+                .withColumnRenamed("__ri", "__id_r")
                 .join(broadcast(seqDf),
                   col("__id_p") === col("__sc_path"), "inner")
               val parts = newEq.groupBy(_.equalityIds).toSeq.flatMap {
@@ -1913,7 +2247,10 @@ object IcebergMeta {
                     throw new IllegalArgumentException(
                       s"equality_ids field $id not in schema $schemaId at $root")))
                   group.map { d =>
-                    val delKeys = spark.read.parquet(d.path)
+                    val keyFields = ids.map(id =>
+                      idFieldsSnap.find(_._1 == id).get)
+                    val delKeys =
+                      readDeleteKeyColumns(spark, root, d.path, keyFields)
                       .select(cols.map(c => col(c).as(s"__eq_$c")): _*)
                       .distinct()
                     val cond = cols.map(c =>

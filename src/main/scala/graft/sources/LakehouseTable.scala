@@ -708,12 +708,10 @@ object LakehouseTable {
       try {
         val v = commit(root, cur + 1, readManifest(root, cur) ++ newFiles,
           txn, txnApp)
-        // pure append: table-level statistics advance EXACTLY (footer
-        // row counts + file sizes of just the new files) instead of
-        // un-arming — see TableStatistics.advanceForAppend
-        TableStatistics.advanceForAppend(root, cur, v,
-          newFiles.map(f => parquetRecordCount(dataDir(root).resolve(f))).sum,
-          newFiles.map(dataFileSize(root, _)).sum)
+        // pure append: statistics advance EXACTLY from the new files'
+        // parquet footers (row counts, sizes, column min/max/nulls) —
+        // see TableStatistics.advanceForAppend
+        TableStatistics.advanceForAppend(root, cur, v, newFiles)
         return v
       } catch {
         case e: java.util.ConcurrentModificationException =>

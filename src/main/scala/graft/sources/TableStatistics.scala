@@ -34,7 +34,11 @@ import org.apache.spark.sql.types._
   * Attachment is a cached file probe + an analyzed-plan transform. */
 object TableStatistics {
 
-  final case class ColStat(distinctCount: Long, nullCount: Long,
+  /** distinctCount/nullCount are Options: an append-advanced stat
+    * records NDV as ABSENT (the new rows' distinct contribution is
+    * unknowable without a scan) rather than serving a stale count. */
+  final case class ColStat(distinctCount: Option[Long],
+      nullCount: Option[Long],
       min: Option[String], max: Option[String],
       avgLen: Long, maxLen: Long)
 
@@ -100,8 +104,8 @@ object TableStatistics {
       val maxLen = opt[Int](s"__mxl__${f.name}").map(_.toLong)
         .getOrElse(defaultLen)
       f.name -> ColStat(
-        distinctCount = row.getAs[Long](s"__ndv__${f.name}"),
-        nullCount = row.getAs[Long](s"__nul__${f.name}"),
+        distinctCount = Some(row.getAs[Long](s"__ndv__${f.name}")),
+        nullCount = Some(row.getAs[Long](s"__nul__${f.name}")),
         min = opt[String](s"__min__${f.name}"),
         max = opt[String](s"__max__${f.name}"),
         avgLen = avgLen, maxLen = maxLen)
@@ -113,25 +117,176 @@ object TableStatistics {
     stats
   }
 
-  /** EXACT table-level advance across a PURE APPEND: the appended
-    * files' row count and size are known at commit time (parquet
-    * footers + file sizes, O(new files)), so rowCount/sizeInBytes stay
-    * exact instead of un-arming — a continuously-appended table (every
-    * streaming ingest target) keeps its join-cardinality stats armed
-    * across micro-batches. Column stats do NOT survive (the new rows'
-    * min/max/NDV are unknown without a scan): they drop, and filter
-    * estimation falls back to row-count-based until the next ANALYZE.
+  /** EXACT advance across a PURE APPEND, O(new files): the appended
+    * files' row count, size, AND per-column min/max/null-count are all
+    * in their parquet footers, so rowCount/sizeInBytes advance exactly
+    * and every min/max-able column's range stats MERGE exactly instead
+    * of un-arming — a continuously-appended table (every streaming
+    * ingest target) keeps join-cardinality and filter-range estimation
+    * armed across micro-batches. NDV advances to its exact upper bound
+    * (see the inline note — Spark's filter estimation requires a
+    * distinct count to use min/max at all). What is NOT knowable drops
+    * HONESTLY: a column whose new-file chunks carry no usable stats
+    * drops entirely, and string columns drop (their avgLen/NDV would
+    * be stale).
     * Deletes/merges/overwrites still un-arm completely (their removed
     * row counts are not knowable from the commit alone). No-op unless
     * stats exist and were exact at the pre-append version — a
     * concurrent writer that slipped in between leaves them un-armed,
     * never wrong. */
   private[sources] def advanceForAppend(root: String, prevV: Long,
-      newV: Long, addedRows: => Long, addedBytes: => Long): Unit =
+      newV: Long, newFiles: Seq[String]): Unit =
     statsOf(root).filter(_.version == prevV).foreach { st =>
+      val footers = newFiles.map(f => appendFooter(root, f))
+      val addedRows = footers.map(_.rows).sum
+      val addedBytes = newFiles.map(LakehouseTable.dataFileSize(root, _)).sum
+      val cols = st.cols.flatMap { case (name, c) =>
+        val perFile = footers.map(_.cols.get(name.toLowerCase))
+        if (perFile.exists(_.isEmpty)) None // chunk missing/unusable
+        else {
+          val fs = perFile.flatten
+          // every file's min/max contribution must be usable unless the
+          // file holds no non-null values for the column at all
+          if (fs.exists(f => f.minMax.isEmpty && !f.allNull)) None
+          else {
+            // external-string → comparable (booleans order false < true)
+            def parseExt(s: String): Option[BigDecimal] = s match {
+              case "true" => Some(BigDecimal(1))
+              case "false" => Some(BigDecimal(0))
+              case _ => scala.util.Try(BigDecimal(s)).toOption
+            }
+            val oldRange = c.min.zip(c.max).flatMap { case (lo, hi) =>
+              parseExt(lo).zip(parseExt(hi)).map { case (l, h) =>
+                (l, lo, h, hi)
+              }
+            }
+            if (c.min.isDefined && oldRange.isEmpty) None // unorderable
+            else {
+              val ranges = oldRange.toSeq ++ fs.flatMap(_.minMax)
+              // old stats had no range (all-null column) and footers add
+              // none: min/max stay absent — still exact
+              val (mn, mx) =
+                if (ranges.isEmpty) (None, None)
+                else
+                  (Some(ranges.minBy(_._1)._2), Some(ranges.maxBy(_._3)._4))
+              val nulls = c.nullCount.flatMap { old =>
+                val per = fs.map(_.numNulls)
+                if (per.exists(_.isEmpty)) None
+                else Some(old + per.flatten.sum)
+              }
+              // NDV advances to its exact UPPER BOUND (old + appended
+              // non-null rows, capped by row count) rather than dropping:
+              // Spark's evaluateBinaryForNumeric gates on hasMinMaxStats
+              // AND hasDistinctCount, so an absent NDV would disarm the
+              // very filter-range estimation the min/max merge preserves.
+              // A bound errs only toward SMALLER equality estimates and
+              // is never stale-below-truth; ANALYZE restores a measured
+              // value.
+              val ndv = c.distinctCount.map { old =>
+                val addedNulls = (nulls, c.nullCount) match {
+                  case (Some(now), Some(was)) => now - was
+                  case _ => 0L
+                }
+                math.min(old + math.max(addedRows - addedNulls, 0L),
+                  st.rowCount + addedRows)
+              }
+              Some(name -> ColStat(distinctCount = ndv, nullCount = nulls,
+                min = mn, max = mx, avgLen = c.avgLen, maxLen = c.maxLen))
+            }
+          }
+        }
+      }
       write(root, TableStats(newV, st.rowCount + addedRows,
-        st.sizeInBytes + addedBytes, Map.empty))
+        st.sizeInBytes + addedBytes, cols))
     }
+
+  /** One footer column's append contribution: min/max as (BigDecimal
+    * for ordering, external string for storage), null count when the
+    * chunks report it, and whether every value is null. */
+  private case class FooterCol(
+      minMax: Option[(BigDecimal, String, BigDecimal, String)],
+      numNulls: Option[Long], allNull: Boolean)
+  private case class FooterFile(rows: Long, cols: Map[String, FooterCol])
+
+  /** Read one appended file's footer stats for every min/max-able
+    * column — the column-stat twin of parquetRecordCount, one footer
+    * open per file. A column whose chunk stats are malformed (NaN,
+    * unsupported physical type) is simply absent from the map. */
+  private def appendFooter(root: String, rel: String): FooterFile = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val p = new org.apache.hadoop.fs.Path(
+      Paths.get(root, "data").resolve(rel).toString)
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p,
+      new org.apache.hadoop.conf.Configuration()))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val byCol = blocks.flatMap(_.getColumns.asScala)
+        .groupBy(_.getPath.toDotString.toLowerCase)
+      val cols = byCol.flatMap { case (name, chunks) =>
+        if (chunks.head.getPath.size() != 1) None // nested: not stat-able
+        else {
+          val scale = chunks.head.getPrimitiveType
+            .getLogicalTypeAnnotation match {
+            case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+              Some(d.getScale)
+            case _ => None
+          }
+          // (comparable BigDecimal, external string) of one stat value
+          def conv(v: Any): Option[(BigDecimal, String)] = v match {
+            case b: java.lang.Boolean =>
+              Some((BigDecimal(if (b) 1 else 0), b.toString))
+            case l: java.lang.Long => scale match {
+              case Some(s) =>
+                val d = BigDecimal(l.longValue(), s); Some((d, d.toString))
+              case None => Some((BigDecimal(l.longValue()), l.toString))
+            }
+            case i: java.lang.Integer => scale match {
+              case Some(s) =>
+                val d = BigDecimal(i.intValue(), s); Some((d, d.toString))
+              case None => Some((BigDecimal(i.intValue()), i.toString))
+            }
+            case d: java.lang.Double =>
+              if (d.isNaN || d.isInfinite) None
+              else Some((BigDecimal(d.doubleValue()), d.toString))
+            case f: java.lang.Float =>
+              if (f.isNaN || f.isInfinite) None
+              else Some((BigDecimal(f.floatValue().toDouble), f.toString))
+            case b: org.apache.parquet.io.api.Binary if scale.isDefined =>
+              val d = BigDecimal(new java.math.BigDecimal(
+                new java.math.BigInteger(b.getBytes), scale.get))
+              Some((d, d.toString))
+            case _ => None
+          }
+          val stats = chunks.map(_.getStatistics)
+          if (stats.exists(s => s == null || s.isEmpty)) None
+          else {
+            val withVals = stats.filter(_.hasNonNullValue)
+            val mm = {
+              val mins = withVals.map(s => conv(s.genericGetMin))
+              val maxs = withVals.map(s => conv(s.genericGetMax))
+              if (withVals.isEmpty || mins.exists(_.isEmpty) ||
+                  maxs.exists(_.isEmpty)) None
+              else {
+                val lo = mins.flatten.minBy(_._1)
+                val hi = maxs.flatten.maxBy(_._1)
+                Some((lo._1, lo._2, hi._1, hi._2))
+              }
+            }
+            val nulls =
+              if (stats.forall(_.isNumNullsSet))
+                Some(stats.map(_.getNumNulls).sum)
+              else None
+            Some(name -> FooterCol(mm, nulls, allNull =
+              stats.forall(!_.hasNonNullValue)))
+          }
+        }
+      }
+      FooterFile(rows, cols)
+    } finally reader.close()
+  }
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -140,7 +295,8 @@ object TableStatistics {
   private def write(root: String, st: TableStats): Unit = {
     val colsJson = st.cols.toSeq.sortBy(_._1).map { case (name, c) =>
       jstr(name) + ":{" +
-        s""""ndv":${c.distinctCount},"nulls":${c.nullCount},""" +
+        c.distinctCount.map(n => s""""ndv":$n,""").getOrElse("") +
+        c.nullCount.map(n => s""""nulls":$n,""").getOrElse("") +
         c.min.map(m => s""""min":${jstr(m)},""").getOrElse("") +
         c.max.map(m => s""""max":${jstr(m)},""").getOrElse("") +
         s""""avgLen":${c.avgLen},"maxLen":${c.maxLen}}"""
@@ -172,7 +328,8 @@ object TableStatistics {
             val cols = n.get("cols").properties().asScala.map { e =>
               val c = e.getValue
               e.getKey -> ColStat(
-                c.get("ndv").asLong(), c.get("nulls").asLong(),
+                Option(c.get("ndv")).map(_.asLong()),
+                Option(c.get("nulls")).map(_.asLong()),
                 Option(c.get("min")).map(_.asText()),
                 Option(c.get("max")).map(_.asText()),
                 c.get("avgLen").asLong(), c.get("maxLen").asLong())
@@ -196,9 +353,9 @@ object TableStatistics {
         val colStats: Map[String, CatalogColumnStat] = st.cols.collect {
           case (name, c) =>
             name -> CatalogColumnStat(
-              distinctCount = Some(BigInt(c.distinctCount)),
+              distinctCount = c.distinctCount.map(BigInt(_)),
               min = c.min, max = c.max,
-              nullCount = Some(BigInt(c.nullCount)),
+              nullCount = c.nullCount.map(BigInt(_)),
               avgLen = Some(c.avgLen), maxLen = Some(c.maxLen))
         }
         val catStats = CatalogStatistics(
@@ -211,11 +368,17 @@ object TableStatistics {
         // side, under root/deletes/), which must NOT inherit the
         // table's rowCount — CBO would size the anti-join's tiny side
         // like the whole table and mis-order every downstream join.
-        val dataPrefix = Paths.get(root, "data").toUri.getPath
+        // dir-boundary match (prefix + "/"), not a bare string prefix —
+        // a sibling dir extending the name ("data_old") must not inherit
+        // the table's rowCount
+        val dataDir = Paths.get(root, "data").toUri.getPath.stripSuffix("/")
         def isDataScan(lr: LogicalRelation): Boolean = lr.relation match {
           case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
             fs.location.rootPaths.nonEmpty &&
-              fs.location.rootPaths.forall(_.toUri.getPath.startsWith(dataPrefix))
+              fs.location.rootPaths.forall { p =>
+                val u = p.toUri.getPath
+                u == dataDir || u.startsWith(dataDir + "/")
+              }
           case _ => false
         }
         val withStats = analyzed.transform {

@@ -230,12 +230,17 @@ class Round10Spec extends AnyFunSuite {
         .queryExecution.optimizedPlan.stats.rowCount
       assert(est.exists(n => n >= BigInt(1) && n <= BigInt(60)), est.toString)
       // a PURE APPEND advances table-level stats EXACTLY (round 11):
-      // rowCount stays armed across appends; column stats drop
+      // rowCount stays armed across appends; min/max-able column stats
+      // footer-merge (round 12) while string columns drop
       LT.append(Seq((1001L, "x")).toDF("id", "v"), root)
       assert(LT.read(spark, root).queryExecution.optimizedPlan
         .stats.rowCount.contains(BigInt(1001)))
-      assert(LT.read(spark, root).queryExecution.optimizedPlan
-        .stats.attributeStats.isEmpty)
+      val postAppend = LT.read(spark, root).queryExecution.optimizedPlan
+        .stats.attributeStats
+      assert(postAppend.keySet.map(_.name) == Set("id"),
+        postAppend.toString)
+      assert(postAppend.find(_._1.name == "id")
+        .exists(_._2.max.contains(1001L)), postAppend.toString)
       // a DELETE still un-arms (version-exact: removed rows are not
       // knowable from the commit alone)
       LT.deleteWhere(spark, root, "id = 1001")
@@ -264,7 +269,7 @@ class Round10Spec extends AnyFunSuite {
     assert(row.getLong(0) == 50L && row.getLong(1) == 2L, row.toString)
     val st = graft.sources.TableStatistics.statsOf(root).get
     assert(st.cols("k").min.contains("1") && st.cols("k").max.contains("50"))
-    assert(st.cols("k").distinctCount >= 45L) // HLL approx of 50
+    assert(st.cols("k").distinctCount.exists(_ >= 45L)) // HLL approx of 50
     spark.sql("DROP TABLE r10_stats_t")
   }
 

@@ -381,14 +381,21 @@ class Round11Spec extends AnyFunSuite {
     val st0 = TableStatistics.analyze(spark, root)
     assert(st0.rowCount == 500L && st0.cols.nonEmpty)
     // append advances rowCount/sizeInBytes EXACTLY at the new version;
-    // column stats drop (their new min/max/NDV would need a scan)
+    // min/max-able columns keep EXACT footer-merged range stats (round
+    // 12) while NDV drops honestly and string columns drop entirely
     LT.append((501L to 750L).map(i => (i, s"v$i")).toDF("id", "v")
       .coalesce(1), root)
     val st1 = TableStatistics.statsOf(root).get
     assert(st1.version == LT.currentVersion(root).get, st1.toString)
     assert(st1.rowCount == 750L, st1.toString)
     assert(st1.sizeInBytes > st0.sizeInBytes, st1.toString)
-    assert(st1.cols.isEmpty, st1.toString)
+    assert(st1.cols.keySet == Set("id"), st1.toString)
+    assert(st1.cols("id").min.contains("1") &&
+      st1.cols("id").max.contains("750"), st1.toString)
+    // NDV advanced to its upper bound: old(≈500, HLL) + 250 appended
+    assert(st1.cols("id").distinctCount.exists(n =>
+      n >= 500L && n <= 750L), st1.toString)
+    assert(st1.cols("id").nullCount.contains(0L), st1.toString)
     // a second append keeps advancing (the streaming-ingest shape)
     LT.append(Seq((751L, "x")).toDF("id", "v").coalesce(1), root)
     assert(TableStatistics.statsOf(root).get.rowCount == 751L)
