@@ -433,30 +433,49 @@ object Lakehouse {
       "graft-table", startingVersion = "2", // inclusive: v2 (merge) + v3 (delete)
       extraOptions = Map("maxVersionsPerBatch" -> "1"))
 
-  /** Land a readChangeFeed stream once per (session, root) into a
-    * parquet sink and serve the cached relation back — the gate and
+  /** Land a readChangeFeed stream once into a parquet sink under
+    * [[TableCache]] and serve the cached relation back — the gate and
     * bench bill the CONSUMPTION of an already-tailed feed (the
     * steady-state shape), not a stream re-run per query. Shared by the
-    * native and Iceberg feeds so the landing protocol cannot fork. */
+    * native and Iceberg feeds so the landing protocol cannot fork.
+    * The landing root is keyed by the SOURCE root (itself stamp-keyed,
+    * so a regenerated source lands afresh), guarded by the per-root
+    * build lock, and stamped on completion — cold caches re-serve the
+    * landed parquet across sessions without re-tailing, a killed
+    * partial landing rebuilds from scratch, and cleanup follows the
+    * same derived-table discipline as every other cached root. */
   private def landedCdfStream(s: SparkSession, cacheKey: String,
       root: String, format: String, startingVersion: String,
       extraOptions: Map[String, String] = Map.empty): DataFrame =
     RelationCache.of(s, cacheKey, root) {
-      val dir = java.nio.file.Files.createTempDirectory("graft-" + cacheKey)
-      val out = dir.resolve("out").toString
-      val rs = extraOptions.foldLeft(
-        s.readStream.format(format).option("path", root)
-          .option("readChangeFeed", "true")
-          .option("startingVersion", startingVersion)) {
-        case (b, (k, v)) => b.option(k, v)
+      import java.nio.file.Files
+      import scala.jdk.CollectionConverters._
+      val land = java.nio.file.Paths.get(TableCache.baseDir,
+        s"landed_${cacheKey}_" +
+          graft.plans.TextExpressions.md5Hex(root).take(12))
+      TableCache.locked(land.toString) {
+        val ok = land.resolve("_landed_ok")
+        if (!Files.exists(ok)) {
+          if (Files.exists(land)) // partial landing from a killed run
+            Files.walk(land).iterator().asScala.toSeq
+              .sortBy(_.toString).reverse.foreach(Files.deleteIfExists(_))
+          Files.createDirectories(land)
+          val rs = extraOptions.foldLeft(
+            s.readStream.format(format).option("path", root)
+              .option("readChangeFeed", "true")
+              .option("startingVersion", startingVersion)) {
+            case (b, (k, v)) => b.option(k, v)
+          }
+          val q = rs.load()
+            .writeStream.outputMode("append").format("parquet")
+            .option("path", land.resolve("out").toString)
+            .option("checkpointLocation", land.resolve("ckpt").toString)
+            .start()
+          try { q.processAllAvailable() } finally q.stop()
+          Files.writeString(ok, "ok")
+        }
       }
-      val q = rs.load()
-        .writeStream.outputMode("append").format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", dir.resolve("ckpt").toString)
-        .start()
-      try { q.processAllAvailable() } finally q.stop()
-      s.read.parquet(out)
+      s.read.parquet(land.resolve("out").toString)
     }
 
   /** The signed-delta maintained aggregate shared by ALL FOUR change

@@ -1854,14 +1854,45 @@ object LakehouseTable {
     // keeps exactly one scan leg.
     var schemaEpoch = 0
     val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def metaDataSchema(logLine: String): Option[String] =
+      try Option(jsonMapper.readTree(logLine).get("metaData"))
+        .flatMap(m => Option(m.get("schemaString")).map(_.asText()))
+      catch { case scala.util.control.NonFatal(_) => None }
+    // schemaString of the current epoch's metaData. Keying the split on
+    // an ACTUAL schema change — not on every metaData action — keeps
+    // the single-scan guarantee for logs with frequent metadata commits
+    // (property changes, CDF key changes) that never alter a column.
+    // Seeded by walking BACKWARD from the range to the nearest metaData
+    // below it — O(versions since the last schema change), no log
+    // replay (a checkpoint-less replay would refuse truncated logs
+    // whose range files are all intact). A missing/truncated version
+    // before a hit leaves the seed empty, and the first in-range
+    // metaData splits conservatively.
+    var epochSchema: Option[String] = {
+      var v = fromVersion - 1
+      var seed: Option[String] = None
+      var ok = true
+      while (seed.isEmpty && ok && v >= 0) {
+        val lf = logDir.resolve(f"$v%020d.json")
+        if (!Files.exists(lf)) ok = false
+        else {
+          seed = Files.readString(lf).linesIterator
+            .filter(_.contains("\"metaData\""))
+            .flatMap(metaDataSchema).nextOption()
+          v -= 1
+        }
+      }
+      seed
+    }
     val perVersion = (fromVersion to toVersion).flatMap { v =>
       val lf = logDir.resolve(f"$v%020d.json")
       require(Files.exists(lf), s"no exported log version $v at $root")
       val txt = Files.readString(lf)
-      if (txt.linesIterator.exists(l => l.contains("\"metaData\"") &&
-          (try jsonMapper.readTree(l).has("metaData")
-           catch { case scala.util.control.NonFatal(_) => false })))
-        schemaEpoch += 1
+      txt.linesIterator.filter(_.contains("\"metaData\""))
+        .flatMap(metaDataSchema).foreach { ss =>
+          if (!epochSchema.contains(ss)) schemaEpoch += 1
+          epochSchema = Some(ss)
+        }
       val cdcPaths = txt.split('\n').toSeq.flatMap(line =>
         deltaActionPath(line, DeltaCdcKindRe).map(raw =>
           deltaDecodePath(deltaUnesc(raw))))

@@ -34,13 +34,19 @@ import org.apache.spark.sql.types._
   * Attachment is a cached file probe + an analyzed-plan transform. */
 object TableStatistics {
 
-  /** distinctCount/nullCount are Options: an append-advanced stat
-    * records NDV as ABSENT (the new rows' distinct contribution is
-    * unknowable without a scan) rather than serving a stale count. */
+  /** distinctCount/nullCount are Options: an append-advanced stat may
+    * record a field as ABSENT (unknowable without a scan) rather than
+    * serving a stale count. `hist` is a serialized equi-height
+    * histogram ([[org.apache.spark.sql.catalyst.plans.logical
+    * .HistogramSerializer]] base64) — computed when
+    * `spark.sql.statistics.histogram.enabled` is set at ANALYZE time,
+    * exactly Spark's own ANALYZE semantics; dropped on append-advance
+    * (bin contents are unknowable without a scan). */
   final case class ColStat(distinctCount: Option[Long],
       nullCount: Option[Long],
       min: Option[String], max: Option[String],
-      avgLen: Long, maxLen: Long)
+      avgLen: Long, maxLen: Long,
+      hist: Option[String] = None)
 
   final case class TableStats(version: Long, rowCount: Long,
       sizeInBytes: Long, cols: Map[String, ColStat])
@@ -76,6 +82,17 @@ object TableStatistics {
       df.schema.fields.exists(_.name.equalsIgnoreCase(c)))
     require(unknown.isEmpty,
       s"ANALYZE: column(s) ${unknown.mkString(", ")} not in the table at $root")
+    // Equi-height histograms, gated exactly like Spark's own ANALYZE:
+    // the percentile pass piggybacks on the main stats aggregation; the
+    // per-bin NDV pass is one extra Aggregate (so histograms cost one
+    // additional scan total, not one per column).
+    val histEnabled = spark.conf
+      .get("spark.sql.statistics.histogram.enabled", "false").toBoolean
+    val numBins = spark.conf
+      .get("spark.sql.statistics.histogram.numBins", "254").toInt
+    def histable(f: StructField): Boolean =
+      minMaxable(f.dataType) && f.dataType != BooleanType
+    val pcts = (0 to numBins).map(_.toDouble / numBins).toArray
     val aggs = Seq(count(lit(1)).as("__n")) ++ eligible.flatMap { f =>
       val c = col(f.name)
       Seq(approx_count_distinct(c).as(s"__ndv__${f.name}"),
@@ -87,6 +104,10 @@ object TableStatistics {
       (if (f.dataType == StringType)
          Seq(avg(length(c)).as(s"__avl__${f.name}"),
            max(length(c)).as(s"__mxl__${f.name}"))
+       else Nil) ++
+      (if (histEnabled && histable(f))
+         Seq(percentile_approx(c.cast("double"), lit(pcts), lit(10000))
+           .as(s"__pct__${f.name}"))
        else Nil)
     }
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
@@ -97,6 +118,47 @@ object TableStatistics {
         if (row.isNullAt(i)) None else Some(row.getAs[T](i))
       }
     val n = row.getAs[Long]("__n")
+    // second histogram pass: per-bin NDV over the percentile endpoints
+    // (Spark's ApproxCountDistinctForIntervals), ONE Aggregate plan for
+    // every histogrammed column together
+    val hists: Map[String, String] =
+      if (!histEnabled) Map.empty
+      else {
+        import org.apache.spark.sql.catalyst.expressions.{Alias, Cast, CreateArray, Literal}
+        import org.apache.spark.sql.catalyst.expressions.aggregate.ApproxCountDistinctForIntervals
+        import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Histogram, HistogramBin, HistogramSerializer}
+        val cands = eligible.filter(histable).flatMap { f =>
+          Option(row.getAs[scala.collection.Seq[Double]](
+              s"__pct__${f.name}"))
+            .filter(_.length == numBins + 1).map(f -> _.toSeq)
+        }
+        if (cands.isEmpty) Map.empty
+        else {
+          val child = df.queryExecution.analyzed
+          val ivAggs = cands.map { case (f, pts) =>
+            val attr = child.output
+              .find(_.name.equalsIgnoreCase(f.name)).getOrElse(
+                throw new IllegalStateException(s"histogram: ${f.name}?"))
+            Alias(ApproxCountDistinctForIntervals(
+              Cast(attr, DoubleType),
+              CreateArray(pts.map(p => Literal(p, DoubleType))), 0.05)
+              .toAggregateExpression(), s"__iv__${f.name}")()
+          }
+          val r2 = org.apache.spark.sql.GraftStreamingShims
+            .dataFrameFromPlan(spark, Aggregate(Nil, ivAggs, child))
+            .collect()(0)
+          cands.map { case (f, pts) =>
+            val ndvs = r2.getAs[scala.collection.Seq[Long]](
+              s"__iv__${f.name}")
+            val nonNull = n - row.getAs[Long](s"__nul__${f.name}")
+            val bins = pts.sliding(2).zip(ndvs.iterator).map {
+              case (Seq(lo, hi), ndv) => HistogramBin(lo, hi, ndv)
+            }.toArray
+            f.name -> HistogramSerializer.serialize(
+              Histogram(nonNull.toDouble / numBins, bins))
+          }.toMap
+        }
+      }
     val cols = eligible.map { f =>
       val defaultLen = f.dataType.defaultSize.toLong
       val avgLen = opt[Double](s"__avl__${f.name}")
@@ -108,7 +170,8 @@ object TableStatistics {
         nullCount = Some(row.getAs[Long](s"__nul__${f.name}")),
         min = opt[String](s"__min__${f.name}"),
         max = opt[String](s"__max__${f.name}"),
-        avgLen = avgLen, maxLen = maxLen)
+        avgLen = avgLen, maxLen = maxLen,
+        hist = hists.get(f.name))
     }.toMap
     val size = LakehouseTable.manifestFiles(root, v)
       .map(LakehouseTable.dataFileSize(root, _)).sum
@@ -299,6 +362,7 @@ object TableStatistics {
         c.nullCount.map(n => s""""nulls":$n,""").getOrElse("") +
         c.min.map(m => s""""min":${jstr(m)},""").getOrElse("") +
         c.max.map(m => s""""max":${jstr(m)},""").getOrElse("") +
+        c.hist.map(h => s""""hist":${jstr(h)},""").getOrElse("") +
         s""""avgLen":${c.avgLen},"maxLen":${c.maxLen}}"""
     }.mkString("{", ",", "}")
     val json = s"""{"version":${st.version},"rowCount":${st.rowCount},""" +
@@ -332,7 +396,8 @@ object TableStatistics {
                 Option(c.get("nulls")).map(_.asLong()),
                 Option(c.get("min")).map(_.asText()),
                 Option(c.get("max")).map(_.asText()),
-                c.get("avgLen").asLong(), c.get("maxLen").asLong())
+                c.get("avgLen").asLong(), c.get("maxLen").asLong(),
+                Option(c.get("hist")).map(_.asText()))
             }.toMap
             TableStats(n.get("version").asLong(), n.get("rowCount").asLong(),
               n.get("sizeInBytes").asLong(), cols)
@@ -356,7 +421,9 @@ object TableStatistics {
               distinctCount = c.distinctCount.map(BigInt(_)),
               min = c.min, max = c.max,
               nullCount = c.nullCount.map(BigInt(_)),
-              avgLen = Some(c.avgLen), maxLen = Some(c.maxLen))
+              avgLen = Some(c.avgLen), maxLen = Some(c.maxLen),
+              histogram = c.hist.map(org.apache.spark.sql.catalyst
+                .plans.logical.HistogramSerializer.deserialize))
         }
         val catStats = CatalogStatistics(
           sizeInBytes = BigInt(st.sizeInBytes),

@@ -261,6 +261,79 @@ class Round12Spec extends AnyFunSuite {
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("cdc epoch splits only on an ACTUAL schema change, not every metaData action") {
+    import spark.implicits._
+    val root = freshRoot("cdc_meta_only")
+    LT.create(Seq((1L, 0L)).toDF("id", "x").coalesce(1), root)
+    LT.enableChangeDataFeed(spark, root, Seq("id"))
+    LT.exportDeltaLog(spark, root) // write-through from here on
+    (1L to 3L).foreach { i =>
+      LT.merge(spark, root, Seq((1L, i)).toDF("id", "x"), Seq("id"))
+    }
+    // metadata-only commit mid-range: CDF key-set change exports fresh
+    // metaData with an UNCHANGED schemaString — it must not split the
+    // single-scan cdc leg
+    LT.enableChangeDataFeed(spark, root, Seq("id", "x"))
+    (4L to 6L).foreach { i =>
+      LT.merge(spark, root, Seq((1L, i)).toDF("id", "x"), Seq("id"))
+    }
+    val wide = LT.readDeltaExportChanges(spark, root, 2L,
+      LT.currentVersion(root).get)
+    val planStr = wide.queryExecution.executedPlan.toString
+    assert(planStr.split("FileScan parquet").length - 1 == 1,
+      planStr.take(2000))
+    // and the records are still the per-commit truth (after the key
+    // change the cdc keys are (id, x), so an x-changing merge pairs as
+    // delete+insert rather than update images — key semantics, not a
+    // derivation artifact)
+    val got = wide.select($"_change_type", $"x", $"_commit_version")
+      .as[(String, Long, Long)].collect().toSet
+    val want = (1L to 3L).flatMap(i => Seq(
+        ("update_preimage", i - 1, i + 1),
+        ("update_postimage", i, i + 1))).toSet ++
+      (4L to 6L).flatMap(i => Seq(
+        ("delete", i - 1, i + 2), ("insert", i, i + 2))).toSet
+    assert(got == want, got.toSeq.sorted.toString)
+  }
+
+  test("equi-height histograms sharpen skewed-column filter estimates") {
+    import spark.implicits._
+    import graft.sources.TableStatistics
+    val root = freshRoot("stats_hist")
+    // 990 rows in [1,10], 10 rows spread to 1e6: min/max-only
+    // estimation sees [1, 1e6] and calls `x > 500000` ~50% selective;
+    // the histogram knows the top half of the range is nearly empty
+    val vals = (1L to 990L).map(i => i % 10 + 1) ++
+      (1L to 10L).map(_ * 100000L)
+    LT.create(vals.toDF("x").coalesce(1), root)
+    val confs = Seq("spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.planStats.enabled" -> "true")
+    val saved = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      def estimate(): BigInt = {
+        val e = LT.read(spark, root).filter("x > 500000")
+          .queryExecution.optimizedPlan.stats.rowCount
+        assert(e.isDefined, "no row-count estimate")
+        e.get
+      }
+      TableStatistics.analyze(spark, root)
+      assert(TableStatistics.statsOf(root).get.cols("x").hist.isEmpty)
+      val estOff = estimate()
+      assert(estOff >= BigInt(300), s"min/max-only estimate $estOff")
+      spark.conf.set("spark.sql.statistics.histogram.enabled", "true")
+      try {
+        TableStatistics.analyze(spark, root)
+        assert(TableStatistics.statsOf(root).get.cols("x").hist.isDefined)
+        val estOn = estimate()
+        assert(estOn <= estOff / 5,
+          s"histogram estimate $estOn vs min/max-only $estOff")
+        assert(estOn >= BigInt(1), estOn.toString)
+      } finally
+        spark.conf.set("spark.sql.statistics.histogram.enabled", "false")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("position-delete application is sequence-scoped: a carried delete below a file's sequence keeps its rows") {
     import spark.implicits._
     val root = freshRoot("pos_seq")
