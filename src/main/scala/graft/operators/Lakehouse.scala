@@ -310,6 +310,35 @@ object Lakehouse {
     root
   }
 
+  /** A PARTITIONED orders mirror whose Iceberg chain uses the
+    * OBJECT-STORAGE layout: after the export, every data file moves to
+    * a flat hash-prefixed path and the manifests are rewritten to
+    * match (the footprint of a foreign S3-scale writer with
+    * `write.object-storage.enabled`). The data files physically omit
+    * the partition column and no directory encodes it, so its values
+    * survive ONLY in the manifests' partition structs — the spec's
+    * Column Projection rule 2. The native table at this root is broken
+    * by design (files moved); only the chain read consumes it. */
+  private[graft] def ordersObjstoreRoot(s: SparkSession, d: String): String = {
+    val root = TableCache.root(d, "orders", "objstore-part:v1")
+    val done = java.nio.file.Paths.get(root, "_objstore_ok")
+    try TableCache.locked(root) {
+      if (LakehouseTable.versions(root).isEmpty) {
+        LakehouseTable.create(Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"),
+          root, partitionBy = Seq("o_orderstatus"))
+        IcebergMeta.exportIcebergMeta(s, root)
+      }
+      if (!java.nio.file.Files.exists(done)) {
+        IcebergMeta.relocateDataFilesFlat(root)
+        java.nio.file.Files.writeString(done, "ok")
+      }
+    } catch {
+      case e if raceLost(e) => () // see lineitemZRoot
+    }
+    root
+  }
+
   /** The q103 pipeline driven ENTIRELY through SQL strings — the
     * declarative storage idiom the reference uses for its one data
     * dependency (app/app.yaml:7-10 declares the index as configuration).
@@ -444,35 +473,67 @@ object Lakehouse {
     * landed parquet across sessions without re-tailing, a killed
     * partial landing rebuilds from scratch, and cleanup follows the
     * same derived-table discipline as every other cached root. */
+  /** Landing-protocol stamp, part of the landing dir name: bump when
+    * the change-feed DERIVATION semantics change (the repo's cached-
+    * builder convention), or an old-code landing over an unchanged
+    * source root would be re-served forever on cold caches. v2 =
+    * sequence-scoped Iceberg position-delete application. */
+  private val landingStamp = "v2"
+
   private def landedCdfStream(s: SparkSession, cacheKey: String,
       root: String, format: String, startingVersion: String,
       extraOptions: Map[String, String] = Map.empty): DataFrame =
     RelationCache.of(s, cacheKey, root) {
       import java.nio.file.Files
-      import scala.jdk.CollectionConverters._
       val land = java.nio.file.Paths.get(TableCache.baseDir,
-        s"landed_${cacheKey}_" +
+        s"landed_${cacheKey}_${landingStamp}_" +
           graft.plans.TextExpressions.md5Hex(root).take(12))
       TableCache.locked(land.toString) {
         val ok = land.resolve("_landed_ok")
         if (!Files.exists(ok)) {
-          if (Files.exists(land)) // partial landing from a killed run
-            Files.walk(land).iterator().asScala.toSeq
-              .sortBy(_.toString).reverse.foreach(Files.deleteIfExists(_))
-          Files.createDirectories(land)
-          val rs = extraOptions.foldLeft(
-            s.readStream.format(format).option("path", root)
-              .option("readChangeFeed", "true")
-              .option("startingVersion", startingVersion)) {
-            case (b, (k, v)) => b.option(k, v)
-          }
-          val q = rs.load()
-            .writeStream.outputMode("append").format("parquet")
-            .option("path", land.resolve("out").toString)
-            .option("checkpointLocation", land.resolve("ckpt").toString)
-            .start()
-          try { q.processAllAvailable() } finally q.stop()
-          Files.writeString(ok, "ok")
+          // CROSS-PROCESS guard: the in-process lock above cannot stop
+          // a second JVM (gate driver + a parallel suite over the same
+          // cache dir) from cold-landing concurrently — two streams
+          // sharing one sink/checkpoint path would corrupt each other
+          // while whichever finished stamped the corrupted landing as
+          // good. An OS file lock + a re-check under it makes exactly
+          // one process build while the others wait and then re-serve
+          // its stamped result. (Rename-into-place does NOT work here:
+          // the parquet sink's _spark_metadata log records ABSOLUTE
+          // file paths, so a moved landing resolves zero files.) A
+          // killed builder's lock releases with its process; the
+          // partial-landing sweep below rebuilds from scratch.
+          val lockPath = land.resolveSibling(
+            land.getFileName.toString + ".lock")
+          val ch = java.nio.channels.FileChannel.open(lockPath,
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.WRITE)
+          try {
+            val fl = ch.lock()
+            try {
+              if (!Files.exists(ok)) { // re-check under the OS lock
+                if (Files.exists(land)) // partial landing, killed run
+                  graft.sources.LakehouseTable
+                    .withDrained(Files.walk(land))(identity)
+                    .sortBy(_.toString).reverse
+                    .foreach(Files.deleteIfExists(_))
+                Files.createDirectories(land)
+                val rs = extraOptions.foldLeft(
+                  s.readStream.format(format).option("path", root)
+                    .option("readChangeFeed", "true")
+                    .option("startingVersion", startingVersion)) {
+                  case (b, (k, v)) => b.option(k, v)
+                }
+                val q = rs.load()
+                  .writeStream.outputMode("append").format("parquet")
+                  .option("path", land.resolve("out").toString)
+                  .option("checkpointLocation", land.resolve("ckpt").toString)
+                  .start()
+                try { q.processAllAvailable() } finally q.stop()
+                Files.writeString(ok, "ok")
+              }
+            } finally fl.release()
+          } finally ch.close()
         }
       }
       s.read.parquet(land.resolve("out").toString)
@@ -1396,6 +1457,42 @@ object Lakehouse {
           col("o_orderkey"))
     }),
 
+    // OBJECT-STORAGE LAYOUT (spec "Column Projection" rule 2): the
+    // chain's data files sit at FLAT hash-prefixed paths and do not
+    // physically carry o_orderstatus — no directory encodes it either,
+    // so the ONLY place its values survive is the manifests' partition
+    // structs. Grouping BY that column gates the manifest fill: a
+    // reader that null-fills (or depends on hive directory inference)
+    // collapses every row into one NULL group and hash-mismatches.
+    "q201_iceberg_objstore_partitions" -> ((s, d) => {
+      val root = ordersObjstoreRoot(s, d)
+      IcebergMeta.readIceberg(s, root)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          Exact.moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // MANIFEST PARTITION PRUNING on the same object-storage chain: the
+    // predicate prunes data files DRIVER-SIDE from the manifests'
+    // partition values (one local filter over the distinct tuples —
+    // the Iceberg reader's scan planning), then applies as the row
+    // residual. No directory encodes the column, so Spark's own
+    // partition pruning cannot see it: at 100 TB this is the
+    // difference between scanning a partition and scanning the table.
+    // metrics_out shows the scan-byte reduction vs q201's full read.
+    "q202_iceberg_partition_pruning" -> ((s, d) => {
+      val root = ordersObjstoreRoot(s, d)
+      IcebergMeta.readIceberg(s, root,
+          pruneWhere = Some("o_orderstatus = 'F'"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          Exact.moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // SQL TABLE-VALUED FOREIGN READS under the gate: the same history
     // queried through BOTH open-format faces purely from SQL — a quoted
     // path, no registration, no CONVERT TO GRAFT copy. Each face's
@@ -2295,6 +2392,22 @@ object Lakehouse {
              AS sum_price
          FROM merged WHERE o_totalprice >= 10000.0
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // the object-storage chain read equals the plain orders aggregate —
+    // with the partition column's values recovered from the manifests
+    "q201_iceberg_objstore_partitions" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+            CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+            ${Exact.sqlMoneySum("o_totalprice")} AS sum_price
+          FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // the pruned chain read equals the filtered orders aggregate
+    "q202_iceberg_partition_pruning" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+            CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+            ${Exact.sqlMoneySum("o_totalprice")} AS sum_price
+          FROM orders WHERE o_orderstatus = 'F'
+          GROUP BY 1 ORDER BY 1""",
 
     // drift deltas recomputed from the raw corpus: inserts = the new
     // crawl slice that survives the scrub, deletes = scrubbed originals

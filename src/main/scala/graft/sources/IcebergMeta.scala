@@ -995,6 +995,105 @@ object IcebergMeta {
       }
   }
 
+  /** Lowercase identity-partition FIELD name → source column field id,
+    * across ALL partition specs (old data files reference old specs).
+    * Only identity transforms matter for column projection: bucket /
+    * truncate / temporal partition fields are not schema columns and
+    * are never requested. A partition-field name claimed by two specs
+    * with different source columns cannot be resolved from a manifest
+    * struct alone and refuses. */
+  private def identityPartSources(root: String): Map[String, Int] = {
+    val md = currentMetadata(root)
+    val pairs = Option(md.get("partition-specs")).toSeq
+      .flatMap(_.elements().asScala)
+      .flatMap(_.get("fields").elements().asScala)
+      .filter(_.get("transform").asText() == "identity")
+      .map(f => f.get("name").asText().toLowerCase ->
+        f.get("source-id").asInt())
+      .distinct
+    val dup = pairs.groupBy(_._1).filter(_._2.size > 1)
+    require(dup.isEmpty,
+      s"identity partition field name(s) ${dup.keys.toSeq.sorted
+        .mkString(", ")} map to different source columns across " +
+      s"partition specs at $root")
+    pairs.toMap
+  }
+
+  // manifest file identity → (normalized data path → source field id →
+  // raw avro partition value). Manifests are immutable; entries never
+  // invalidate.
+  private val manifestPartCache = TrieMap
+    .empty[(String, Long, Long), Map[String, Map[Int, Any]]]
+
+  /** Normalized data-file path → identity-partition values (by SOURCE
+    * field id) from every snapshot's data manifests — the spec's
+    * partition metadata, consulted only when a scan actually needs a
+    * fill (non-hive layouts). Per-manifest memoized: steady-state cost
+    * is O(new manifests), not O(history). */
+  private def partitionValueIndex(root: String): Map[String, Map[Int, Any]] = {
+    val srcs = identityPartSources(root)
+    if (srcs.isEmpty) Map.empty
+    else {
+      val manifests = snapshots(root).map(_.manifestList).distinct
+        .flatMap(l => readAvro(Paths.get(l))
+          .filter(_.get("content").asInstanceOf[Int] == 0)
+          .map(_.get("manifest_path").toString)).distinct
+      manifests.flatMap { m =>
+        val p = Paths.get(m)
+        val key = (m, Files.size(p), Files.getLastModifiedTime(p).toMillis)
+        manifestPartCache.getOrElseUpdate(key,
+          readAvro(p).map { e =>
+            val df = e.get("data_file").asInstanceOf[GenericRecord]
+            val vals = Option(df.get("partition"))
+              .map(_.asInstanceOf[GenericRecord]).toSeq
+              .flatMap { part =>
+                part.getSchema.getFields.asScala.flatMap { f =>
+                  srcs.get(f.name().toLowerCase)
+                    .map(_ -> part.get(f.pos()))
+                }
+              }.toMap
+            normPathDriver(df.get("file_path").toString) -> vals
+          }.toMap)
+      }.toMap
+    }
+  }
+
+  /** One raw avro partition value → the Spark EXTERNAL value of the
+    * requested column type (what `createDataFrame` rows carry). The
+    * supported set is Iceberg's identity-partitionable primitives;
+    * anything else refuses rather than serving a mis-typed value. */
+  private def partitionExternal(v: Any,
+      dt: org.apache.spark.sql.types.DataType): Any = {
+    import org.apache.spark.sql.types._
+    if (v == null) null
+    else {
+      val raw = v match {
+        case u: org.apache.avro.util.Utf8 => u.toString
+        case x => x
+      }
+      (dt, raw) match {
+        case (IntegerType, n: java.lang.Number) => Integer.valueOf(n.intValue())
+        case (LongType, n: java.lang.Number) => java.lang.Long.valueOf(n.longValue())
+        case (ShortType, n: java.lang.Number) => java.lang.Short.valueOf(n.shortValue())
+        case (ByteType, n: java.lang.Number) => java.lang.Byte.valueOf(n.byteValue())
+        case (DoubleType, n: java.lang.Number) => java.lang.Double.valueOf(n.doubleValue())
+        case (FloatType, n: java.lang.Number) => java.lang.Float.valueOf(n.floatValue())
+        case (StringType, s: String) => s
+        case (BooleanType, b: java.lang.Boolean) => b
+        case (DateType, n: java.lang.Number) =>
+          java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(n.longValue()))
+        case (TimestampType, n: java.lang.Number) =>
+          // spec: timestamp partition values are microseconds
+          java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+            Math.floorDiv(n.longValue(), 1000000L),
+            Math.floorMod(n.longValue(), 1000000L) * 1000L))
+        case _ => throw new IllegalArgumentException(
+          s"unsupported identity-partition value $raw " +
+          s"(${raw.getClass.getName}) for column type ${dt.sql}")
+      }
+    }
+  }
+
   /** True when any field id carries more than one name across the
     * chain's schema history or its name-mapping — the trigger for
     * per-file field-id resolution on raw data scans. False (every graft
@@ -1096,8 +1195,13 @@ object IcebergMeta {
         // null-fills honestly (the file predates the column).
         val unresolved = out.collect { case (id, phys)
           if !phys.exists(p => sig.contains(p.toLowerCase)) => id }
+        // an unmapped footer column is an orphan even when it carries a
+        // field's CURRENT name: with that field unresolved, the likeliest
+        // reading is post-rename output a stale mapping predates — data
+        // physically present under the requested name that null-filling
+        // would silently drop. (With every field resolved the orphans
+        // are ignored below, per the spec's unmapped-name rule.)
         val orphans = sig.filterNot(m.contains)
-          .filterNot(s => fields.exists(_._2.toLowerCase == s))
         require(unresolved.isEmpty || orphans.isEmpty,
           s"cannot resolve columns of id-less data file $sample at " +
           s"$root: footer column(s) ${orphans.toSeq.sorted.mkString(", ")} " +
@@ -1168,7 +1272,106 @@ object IcebergMeta {
     * `__p` (normalized file path) and `__ri` (row index) when
     * `withIdentity` — a union erases `_metadata`, so identity is
     * projected inside each leg. */
+  /** Raw chain scan over `files` with the spec's field-id /
+    * name-mapping column resolution, PLUS the spec's identity-partition
+    * fill ("Column Projection" rule 2: a field not present in a data
+    * file returns the value from partition metadata when an identity
+    * transform exists for it). Writers may omit identity-partition
+    * source columns from data files; under a hive-style layout Spark's
+    * directory inference recovers them for free, but a foreign chain
+    * using Iceberg's OBJECT-STORAGE layout (hash-prefixed flat paths —
+    * standard on S3 at scale) or a renamed partition directory keeps
+    * the values ONLY in the manifests' partition structs. Detection is
+    * zero-IO on the happy paths: unpartitioned chains and chains whose
+    * every file hive-encodes every identity source column (every graft
+    * mirror) short-circuit on string checks alone; only files whose
+    * paths lack the encoding get their footers classified, and only
+    * files whose footers also lack the column join the broadcast
+    * per-file value map (ONE extra scan leg per distinct fill set —
+    * never a leg per partition). */
   private def chainScan(spark: SparkSession, root: String,
+      files: Seq[String],
+      fields: Seq[(Int, String, org.apache.spark.sql.types.DataType)],
+      withIdentity: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val distinctFiles = files.distinct
+    val srcs = identityPartSources(root)
+    val idPartFields = fields.filter { case (id, _, _) =>
+      srcs.values.exists(_ == id) }
+    def dirServed(f: String, n: String): Boolean =
+      f.toLowerCase.contains(s"/${n.toLowerCase}=")
+    val suspects =
+      if (idPartFields.isEmpty) Nil
+      else distinctFiles.filter(f =>
+        idPartFields.exists { case (_, n, _) => !dirServed(f, n) })
+    if (suspects.isEmpty)
+      chainScanResolved(spark, root, distinctFiles, fields, withIdentity)
+    else {
+      classifyFooters(spark, suspects)
+      // a field needs filling for a file when neither the directory,
+      // nor the footer (under the resolution rule the scan itself will
+      // use: field id when the file carries ids, name / name-mapping
+      // otherwise), serves it
+      def missing(f: String): Set[Int] = {
+        val foot = footerColumns(f)
+        val idFul = foot.exists(_._2.isDefined)
+        lazy val sig = foot.map(_._1.toLowerCase).toSet
+        lazy val phys =
+          if (chainHasRenames(root)) resolveIdLessGroup(root, sig, fields, f)
+          else fields.map { case (id, n, _) => id -> Some(n) }.toMap
+        idPartFields.filter { case (id, n, _) =>
+          !dirServed(f, n) && {
+            if (idFul) !foot.exists(_._2.contains(id))
+            else !phys(id).exists(p => sig.contains(p.toLowerCase))
+          }
+        }.map(_._1).toSet
+      }
+      val fillOf = suspects.map(f => f -> missing(f)).toMap
+      val fillSets = fillOf.filter(_._2.nonEmpty)
+      if (fillSets.isEmpty)
+        chainScanResolved(spark, root, distinctFiles, fields, withIdentity)
+      else {
+        val plain = distinctFiles.filterNot(f =>
+          fillOf.get(f).exists(_.nonEmpty))
+        val pidx = partitionValueIndex(root)
+        val legs = scala.collection.mutable.Buffer.empty[DataFrame]
+        if (plain.nonEmpty)
+          legs += chainScanResolved(spark, root, plain, fields, withIdentity)
+        fillSets.groupBy(_._2).foreach { case (ids, group) =>
+          val fs = group.keys.toSeq.sorted
+          val inner = chainScanResolved(spark, root, fs, fields,
+            withIdentity = true)
+          val fillFields = fields.filter { case (id, _, _) =>
+            ids.contains(id) }
+          val schema = org.apache.spark.sql.types.StructType(
+            org.apache.spark.sql.types.StructField("__fp",
+              org.apache.spark.sql.types.StringType) +:
+            fillFields.map { case (_, n, dt) =>
+              org.apache.spark.sql.types.StructField(s"__fill_$n", dt) })
+          val rows = fs.map { f =>
+            val np = normPathDriver(f)
+            // absent value = the spec's "return null in all other
+            // cases" (a file committed before the field was partitioned)
+            val vals = pidx.getOrElse(np, Map.empty)
+            org.apache.spark.sql.Row.fromSeq(np +: fillFields.map {
+              case (id, _, dt) =>
+                partitionExternal(vals.get(id).orNull, dt)
+            })
+          }
+          val fillDf = spark.createDataFrame(rows.asJava, schema)
+          val joined = inner.join(broadcast(fillDf),
+            col("__p") === col("__fp"), "left")
+          val outCols = fields.map { case (id, n, _) =>
+            if (ids.contains(id)) col(s"__fill_$n").as(n) else col(n) }
+          legs += joined.select(outCols ++
+            (if (withIdentity) Seq(col("__p"), col("__ri")) else Nil): _*)
+        }
+        legs.reduce(_ unionByName _)
+      }
+    }
+  }
+
+  private def chainScanResolved(spark: SparkSession, root: String,
       files: Seq[String],
       fields: Seq[(Int, String, org.apache.spark.sql.types.DataType)],
       withIdentity: Boolean): DataFrame = {
@@ -1398,6 +1601,47 @@ object IcebergMeta {
         else Some(LakehouseTable.encodeDvs(covered.map(_ -> dvName)))
       }
     LakehouseTable.commit(dstRoot, 0, mapping.map(_._2), dvs = dvField)
+  }
+
+  /** Relocate every data file of the chain to a FLAT hash-prefixed
+    * path under `data/` and rewrite the manifests to match — Iceberg's
+    * OBJECT-STORAGE layout (`write.object-storage.enabled`, the
+    * S3-scale default), produced here as a FOREIGN-WRITER stand-in so
+    * gate fixtures can prove that identity-partition values serve from
+    * the manifests' partition structs (spec "Column Projection" rule 2)
+    * rather than from hive directory names. Files move on disk, so the
+    * NATIVE table at `root` must not be read afterwards — fixtures
+    * build a dedicated clone first. */
+  private[graft] def relocateDataFilesFlat(root: String): Unit = {
+    val dataDir = Paths.get(root, "data")
+    val movedTo = scala.collection.mutable.Map.empty[String, String]
+    val manifests = snapshots(root).map(_.manifestList).distinct
+      .flatMap(l => readAvro(Paths.get(l))
+        .filter(_.get("content").asInstanceOf[Int] == 0)
+        .map(_.get("manifest_path").toString)).distinct
+    manifests.foreach { m =>
+      val p = Paths.get(m)
+      val r = new DataFileReader(p.toFile,
+        new GenericDatumReader[GenericRecord]())
+      val schema = r.getSchema
+      val meta = r.getMetaKeys.asScala.toSeq
+        .filterNot(_.startsWith("avro."))
+        .map(k => k -> r.getMetaString(k))
+      val recs = try r.iterator().asScala.toSeq finally r.close()
+      recs.foreach { e =>
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        val orig = df.get("file_path").toString
+        df.put("file_path", movedTo.getOrElseUpdate(orig, {
+          val op = Paths.get(orig)
+          val flat = dataDir.resolve(
+            f"${orig.hashCode & 0xfffff}%05x-${op.getFileName.toString}")
+          if (Files.exists(op)) Files.move(op, flat)
+          flat.toString
+        }))
+      }
+      Files.delete(p) // writeAvro treats an existing target as final
+      writeAvro(p, schema, meta, recs)
+    }
   }
 
   /** Append a snapshot carrying an EQUALITY-DELETE file (v2 content=2)
@@ -1676,9 +1920,14 @@ object IcebergMeta {
       val afterPos =
         if (posDels.isEmpty) withSeq
         else {
+          // file_path normalizes through the SAME transform as __p (the
+          // file's both-sides-of-every-path-join rule): a foreign writer
+          // storing URI-form or percent-encoded paths in its delete files
+          // would otherwise never match and the anti-join would silently
+          // KEEP every deleted row (fail-open resurrection)
           val del = posDels.map(d =>
               spark.read.parquet(d.path)
-                .select(col("file_path").as("__del_path"),
+                .select(normPathCol(col("file_path")).as("__del_path"),
                   col("pos").as("__del_pos"))
                 .withColumn("__del_seq", lit(d.seq)))
             .reduce(_ unionByName _)
@@ -1744,7 +1993,8 @@ object IcebergMeta {
     * oracle gates the exported FORMAT. */
   def readIceberg(spark: SparkSession, root: String,
       snapshotAsOf: Option[Long] = None,
-      asOfTimestamp: Option[Long] = None): DataFrame = {
+      asOfTimestamp: Option[Long] = None,
+      pruneWhere: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
     require(snapshotAsOf.isEmpty || asOfTimestamp.isEmpty,
       "snapshotAsOf and asOfTimestamp are mutually exclusive")
@@ -1762,7 +2012,12 @@ object IcebergMeta {
     val snap = snapshots(root).find(_.id == sid).getOrElse(
       throw new IllegalArgumentException(s"no Iceberg snapshot $sid at $root"))
     val fields = schemaFieldsOf(root, snap.schemaId)
-    val (dataEntries, deleteEntries) = snapshotEntries(root, sid)
+    val (allDataEntries, deleteEntries) = snapshotEntries(root, sid)
+    val dataEntries = pruneWhere match {
+      case Some(expr) =>
+        pruneByPartition(spark, root, snap.schemaId, allDataEntries, expr)
+      case None => allDataEntries
+    }
     val raw =
       if (dataEntries.isEmpty)
         spark.createDataFrame(spark.sparkContext
@@ -1770,15 +2025,90 @@ object IcebergMeta {
       else chainScan(spark, root, dataEntries.map(_._1),
         schemaIdFieldsOf(root, snap.schemaId),
         withIdentity = deleteEntries.nonEmpty)
-    val visible = applyDeleteEntries(spark, root, snap.schemaId, raw,
-      dataEntries, deleteEntries)
+    // deletes on an empty data scan remove nothing — and the empty
+    // LocalRelation above has no file-source `_metadata` for
+    // applyDeleteEntries to derive row identity from (a snapshot can
+    // carry live delete manifests with zero data manifests when a COW
+    // rewrite removed every data file under an un-expired delete)
+    val visible =
+      if (dataEntries.isEmpty) raw
+      else applyDeleteEntries(spark, root, snap.schemaId, raw,
+        dataEntries, deleteEntries)
     // align to the metadata schema: absent columns (an older snapshot's
     // files under a later ADD COLUMNS) null-fill; partition columns come
     // back from directory inference and are cast to the declared type
-    visible.select(fields.map { case (n, dt) =>
+    val aligned = visible.select(fields.map { case (n, dt) =>
       (if (visible.columns.exists(_.equalsIgnoreCase(n))) col(n)
        else org.apache.spark.sql.functions.lit(null)).cast(dt).as(n)
     }: _*)
+    // residual row filter: file pruning is exact for tuples the
+    // manifests carry, but files with UNKNOWN partition values (commits
+    // predating the partitioning) are kept conservatively — their rows
+    // still need the predicate applied
+    pruneWhere.map(aligned.filter).getOrElse(aligned)
+  }
+
+  /** SCAN PLANNING from manifest metadata (the Iceberg reader's
+    * partition pruning): keep only the data files whose IDENTITY-
+    * partition values can satisfy `expr`, evaluated driver-side over
+    * the DISTINCT partition tuples (one local Spark filter over
+    * O(partitions) rows — never a data scan). At 100 TB this is the
+    * difference between scanning a partition and scanning the table on
+    * a chain whose layout Spark's directory pruning cannot see (the
+    * object-storage layout q201 gates). `expr` must reference identity-
+    * partition source columns only — a non-partition column cannot
+    * prune files and refuses loudly rather than silently scanning
+    * everything; callers keep their row-level residue separate. Files
+    * with no recorded partition value for a referenced column (commits
+    * predating the partitioning) are kept conservatively; the residual
+    * row filter in [[readIceberg]] covers them. */
+  private def pruneByPartition(spark: SparkSession, root: String,
+      schemaId: Int, entries: Seq[(String, Long)], expr: String)
+      : Seq[(String, Long)] = {
+    val srcs = identityPartSources(root)
+    val fieldsById = schemaIdFieldsOf(root, schemaId)
+      .map { case (id, n, dt) => id -> ((n, dt)) }.toMap
+    val partFields = srcs.values.toSeq.distinct.sorted
+      .flatMap(id => fieldsById.get(id).map { case (n, dt) => (id, n, dt) })
+    val parsed = spark.sessionState.sqlParser.parseExpression(expr)
+    val refs = parsed.references.map(_.name.toLowerCase).toSet
+    val partNames = partFields.map(_._2.toLowerCase).toSet
+    require(refs.nonEmpty && refs.subsetOf(partNames),
+      s"pruneWhere may reference identity-partition source columns " +
+      s"only (${partFields.map(_._2).mkString(", ")}); got: $expr")
+    val refIds = partFields.collect {
+      case (id, n, _) if refs.contains(n.toLowerCase) => id }
+    val idx = partitionValueIndex(root)
+    // per-file tuple over the referenced columns; None = some referenced
+    // value has no recorded SLOT in the manifests for this file (a null
+    // partition value IS decidable — an absent slot is not)
+    val tuples: Map[String, Option[Seq[Any]]] = entries.map { case (p, _) =>
+      val vals = idx.get(normPathDriver(p))
+      p -> vals.flatMap { m =>
+        if (refIds.forall(m.contains))
+          Some(partFields.map { case (id, _, dt) =>
+            m.get(id).map(v => partitionExternal(v, dt)).orNull })
+        else None
+      }
+    }.toMap
+    val decidable = tuples.values.flatten.toSeq.distinct
+    if (decidable.isEmpty) entries
+    else {
+      val schema = org.apache.spark.sql.types.StructType(partFields.map {
+        case (_, n, dt) =>
+          org.apache.spark.sql.types.StructField(n, dt, nullable = true)
+      })
+      val keep = spark.createDataFrame(
+          decidable.map(org.apache.spark.sql.Row.fromSeq(_)).asJava, schema)
+        .filter(org.apache.spark.sql.functions.expr(expr))
+        .collect().map(_.toSeq).toSet
+      entries.filter { case (p, _) =>
+        tuples(p) match {
+          case Some(t) => keep.contains(t)
+          case None => true // unknown values: keep; the residual filters rows
+        }
+      }
+    }
   }
 
   /** CHANGELOG FACE: row-level changes derived from the Iceberg chain

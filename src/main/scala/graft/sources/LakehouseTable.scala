@@ -42,7 +42,7 @@ object LakehouseTable {
     * stream (and its directory fd) deterministically: a long-running
     * streaming ingest calls the manifest listing every micro-batch, and
     * unclosed DirectoryStreams exhaust the process fd limit. */
-  private def withDrained[A](s: java.util.stream.Stream[Path])(
+  private[graft] def withDrained[A](s: java.util.stream.Stream[Path])(
       f: Iterator[Path] => Iterator[A]): Seq[A] =
     try f(s.iterator().asScala).toSeq finally s.close()
 
@@ -1802,6 +1802,12 @@ object LakehouseTable {
     * Refuses a log whose metaData does not declare
     * delta.enableChangeDataFeed — changes were never recorded (Delta's
     * own error for pre-enablement ranges). */
+  // (root, version, log-file size, log-file mtime) → nearest metaData
+  // schemaString at or below that version; see the epoch-seed walk in
+  // readDeltaExportChanges for the invalidation argument
+  private val epochSeedCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, Long, Long), Option[String]]
+
   def readDeltaExportChanges(spark: SparkSession, root: String,
       fromVersion: Long, toVersion: Long): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
@@ -1863,25 +1869,47 @@ object LakehouseTable {
     // the single-scan guarantee for logs with frequent metadata commits
     // (property changes, CDF key changes) that never alter a column.
     // Seeded by walking BACKWARD from the range to the nearest metaData
-    // below it — O(versions since the last schema change), no log
-    // replay (a checkpoint-less replay would refuse truncated logs
-    // whose range files are all intact). A missing/truncated version
-    // before a hit leaves the seed empty, and the first in-range
-    // metaData splits conservatively.
+    // below it — no log replay (a checkpoint-less replay would refuse
+    // truncated logs whose range files are all intact). The walk is
+    // MEMOIZED per (version file identity): without it, a long-lived
+    // log whose last schema change sits far below the range would
+    // re-read every intervening commit json on the driver on EVERY
+    // table_changes call — O(versions since the schema change) IO that
+    // can dwarf the range itself. Keying each step on the file's
+    // (size, mtime) keeps a wiped-and-re-exported root from serving a
+    // stale seed. A missing/truncated version before a hit leaves the
+    // seed empty (uncached — deletion is the one event that changes a
+    // walk's answer), and the first in-range metaData then splits
+    // conservatively.
     var epochSchema: Option[String] = {
       var v = fromVersion - 1
       var seed: Option[String] = None
-      var ok = true
-      while (seed.isEmpty && ok && v >= 0) {
+      var done = v < 0
+      val visited = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Long, Long)]
+      while (!done) {
         val lf = logDir.resolve(f"$v%020d.json")
-        if (!Files.exists(lf)) ok = false
+        if (!Files.exists(lf)) done = true
         else {
-          seed = Files.readString(lf).linesIterator
-            .filter(_.contains("\"metaData\""))
-            .flatMap(metaDataSchema).nextOption()
-          v -= 1
+          val key = (root, v, Files.size(lf),
+            Files.getLastModifiedTime(lf).toMillis)
+          epochSeedCache.get(key) match {
+            case Some(known) => seed = known; done = true
+            case None =>
+              visited += key
+              seed = Files.readString(lf).linesIterator
+                .filter(_.contains("\"metaData\""))
+                .flatMap(metaDataSchema).nextOption()
+              if (seed.isDefined) done = true
+              else { v -= 1; done = v < 0 }
+          }
         }
       }
+      // every walked version's nearest at-or-below metaData is this
+      // seed; log jsons are immutable once committed, so the entries
+      // never invalidate (truncation deletes files, which the
+      // exists-check above handles before the cache is consulted)
+      if (seed.isDefined || v < 0) visited.foreach(epochSeedCache.put(_, seed))
       seed
     }
     val perVersion = (fromVersion to toVersion).flatMap { v =>

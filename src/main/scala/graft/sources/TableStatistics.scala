@@ -200,7 +200,12 @@ object TableStatistics {
   private[sources] def advanceForAppend(root: String, prevV: Long,
       newV: Long, newFiles: Seq[String]): Unit =
     statsOf(root).filter(_.version == prevV).foreach { st =>
+      // a zero-row part file (an empty streaming micro-batch's output)
+      // contributes nothing — its footer carries no column chunks, and
+      // letting its empty cols map through would drop EVERY surviving
+      // column stat for a no-op append
       val footers = newFiles.map(f => appendFooter(root, f))
+        .filter(_.rows > 0)
       val addedRows = footers.map(_.rows).sum
       val addedBytes = newFiles.map(LakehouseTable.dataFileSize(root, _)).sum
       val cols = st.cols.flatMap { case (name, c) =>

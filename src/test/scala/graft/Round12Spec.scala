@@ -334,6 +334,189 @@ class Round12Spec extends AnyFunSuite {
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("stale name-mapping refuses when an id-less footer carries a field's CURRENT name") {
+    import spark.implicits._
+    val root = freshRoot("fid_stale_map")
+    LT.create(Seq((1L, 10L)).toDF("id", "w").coalesce(1), root)
+    LT.append(Seq((2L, 20L)).toDF("id", "w").coalesce(1), root)
+    IcebergMeta.exportIcebergMeta(spark, root)
+    val ids = fieldIds(root)
+    addRenamedEpoch(root, "w", "v") // field w was historically named v
+    // STALE mapping that predates the v→w rename: it maps only the OLD
+    // name, while every (id-less) data file carries the CURRENT name
+    // "w". Null-filling here would silently drop data that is
+    // physically present under the exact requested name — the read
+    // must refuse, not serve nulls.
+    setProperty(root, "schema.name-mapping.default",
+      s"""[{"field-id":${ids("id")},"names":["id"]},""" +
+      s"""{"field-id":${ids("w")},"names":["v"]}]""")
+    val ex = intercept[IllegalArgumentException] {
+      IcebergMeta.readIceberg(spark, root)
+    }
+    assert(ex.getMessage.contains("cannot resolve columns"), ex.getMessage)
+  }
+
+  test("position-delete files with URI-form paths still suppress their rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val root = freshRoot("pos_uri")
+    LT.create(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), root)
+    IcebergMeta.exportIcebergMeta(spark, root)
+    LT.deleteWhereMor(spark, root, "id = 2")
+    assert(IcebergMeta.readIceberg(spark, root)
+      .as[(Long, String)].collect().toSet == Set((1L, "a")))
+    // doctor the position-delete parquet's file_path VALUES to the
+    // URI form a foreign writer (Spark/Flink/Trino) stores — the join
+    // against the scan's normalized `__p` must still match, or every
+    // deleted row silently resurfaces (fail-open)
+    val tip = IcebergMeta.snapshots(root).last
+    var delManifest: String = null
+    rewriteAvro(Paths.get(tip.manifestList)) { rec =>
+      if (rec.get("content").asInstanceOf[Int] == 1)
+        delManifest = rec.get("manifest_path").toString
+    }
+    assert(delManifest != null, "no delete manifest in the tip snapshot")
+    var delParquet: String = null
+    rewriteAvro(Paths.get(delManifest)) { e =>
+      delParquet = e.get("data_file").asInstanceOf[GenericRecord]
+        .get("file_path").toString
+    }
+    val df0 = spark.read.parquet(delParquet)
+    val doctored = df0.select(
+      concat(lit("file://"), col("file_path")).as("file_path"),
+      col("pos")).collect().toSeq
+    val tmp = Files.createTempDirectory(Paths.get(delParquet).getParent, ".rw")
+    try {
+      spark.createDataFrame(doctored.asJava, df0.schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.resolve("out").toString)
+      val part = Files.list(tmp.resolve("out")).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      Files.move(part, Paths.get(delParquet), StandardCopyOption.REPLACE_EXISTING)
+    } finally Files.walk(tmp).iterator().asScala.toSeq
+      .sortBy(_.toString).reverse.foreach(Files.deleteIfExists(_))
+    bump(mdFile(root))
+    assert(IcebergMeta.readIceberg(spark, root)
+      .as[(Long, String)].collect().toSet == Set((1L, "a")),
+      "URI-form delete paths must normalize and still apply")
+  }
+
+  test("a snapshot with zero data manifests but live delete manifests reads as empty") {
+    import spark.implicits._
+    val root = freshRoot("empty_data_live_del")
+    LT.create(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), root)
+    IcebergMeta.exportIcebergMeta(spark, root)
+    LT.deleteWhereMor(spark, root, "id = 2")
+    // doctor the DATA manifest: every entry DELETED (status 2) while
+    // the delete manifest rides along live — the footprint of a COW
+    // rewrite that removed every data file under an un-expired delete
+    val tip = IcebergMeta.snapshots(root).last
+    var dataManifest: String = null
+    rewriteAvro(Paths.get(tip.manifestList)) { rec =>
+      if (rec.get("content").asInstanceOf[Int] == 0)
+        dataManifest = rec.get("manifest_path").toString
+    }
+    rewriteAvro(Paths.get(dataManifest))(_.put("status", 2))
+    bump(mdFile(root))
+    assert(IcebergMeta.snapshotFiles(root, tip.id).isEmpty)
+    val out = IcebergMeta.readIceberg(spark, root)
+    assert(out.columns.toSeq == Seq("id", "v"))
+    assert(out.count() == 0,
+      "deletes over an empty data scan must be a no-op, not a crash")
+  }
+
+  test("append-advanced stats survive a zero-row part file (empty micro-batch)") {
+    import spark.implicits._
+    import graft.sources.TableStatistics
+    val root = freshRoot("stats_empty_append")
+    LT.create((1L to 1000L).map(i => (i, i * 2)).toDF("id", "x")
+      .coalesce(1), root)
+    TableStatistics.analyze(spark, root)
+    // an empty micro-batch commits a 0-row part file: it contributes
+    // nothing and must not disarm the surviving column stats
+    LT.append(Seq.empty[(Long, Long)].toDF("id", "x").coalesce(1), root)
+    val st1 = TableStatistics.statsOf(root).get
+    assert(st1.version == LT.currentVersion(root).get, st1.toString)
+    assert(st1.rowCount == 1000L, st1.toString)
+    assert(st1.cols.get("id").exists(c =>
+      c.min.contains("1") && c.max.contains("1000")), st1.toString)
+    // and the NEXT real append still advances exactly
+    LT.append(Seq((1001L, 2002L)).toDF("id", "x").coalesce(1), root)
+    val st2 = TableStatistics.statsOf(root).get
+    assert(st2.rowCount == 1001L, st2.toString)
+    assert(st2.cols.get("id").exists(_.max.contains("1001")), st2.toString)
+  }
+
+  test("object-storage layout: identity-partition values serve from manifest metadata") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot("part_objstore")
+    val d1 = java.sql.Date.valueOf("2024-01-15")
+    val d2 = java.sql.Date.valueOf("2024-02-20")
+    LT.create(Seq((1L, 10L, "a", d1), (2L, 20L, "b", d2))
+      .toDF("id", "v", "cat", "d"), root, partitionBy = Seq("cat", "d"))
+    IcebergMeta.exportIcebergMeta(spark, root)
+    def readAll() = IcebergMeta.readIceberg(spark, root)
+      .select(col("id"), col("v"), col("cat"), col("d"))
+      .as[(Long, Long, String, java.sql.Date)].collect().toSet
+    val want = Set((1L, 10L, "a", d1), (2L, 20L, "b", d2))
+    assert(readAll() == want) // hive layout: directory inference
+    // flatten to the OBJECT-STORAGE layout (hash-prefixed flat paths —
+    // the S3-scale default): partition values now live ONLY in the
+    // manifests' partition structs, exactly as the spec's Column
+    // Projection rule 2 expects readers to handle
+    val dataDir = Paths.get(root, "data")
+    val tip = IcebergMeta.snapshots(root).last
+    var manifests = List.empty[String]
+    rewriteAvro(Paths.get(tip.manifestList)) { rec =>
+      if (rec.get("content").asInstanceOf[Int] == 0)
+        manifests ::= rec.get("manifest_path").toString
+    }
+    manifests.distinct.foreach { m =>
+      rewriteAvro(Paths.get(m)) { e =>
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        val p = Paths.get(df.get("file_path").toString)
+        val flat = dataDir.resolve(
+          f"${p.toString.hashCode & 0xffff}%04x-${p.getFileName.toString}")
+        if (Files.exists(p)) Files.move(p, flat)
+        df.put("file_path", flat.toString)
+      }
+    }
+    bump(mdFile(root))
+    assert(readAll() == want,
+      "identity-partition values must fill from manifest partition metadata")
+    // the changelog's insert legs route through the same fill
+    val ch = IcebergMeta.icebergChangelog(spark, root, 0L, 10L, Seq("id"))
+    val ins = ch.filter(col("_change_type") === "insert")
+      .select(col("id"), col("cat"), col("d"))
+      .as[(Long, String, java.sql.Date)].collect().toSet
+    assert(ins == Set((1L, "a", d1), (2L, "b", d2)), ins.toString)
+  }
+
+  test("manifest partition pruning plans only the matching files") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot("part_prune")
+    LT.create(Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"))
+      .toDF("id", "v", "cat"), root, partitionBy = Seq("cat"))
+    IcebergMeta.exportIcebergMeta(spark, root)
+    IcebergMeta.relocateDataFilesFlat(root)
+    // flat layout: no directory encodes cat, so Spark's own partition
+    // pruning cannot help — file selection must come from the manifests
+    val pruned = IcebergMeta.readIceberg(spark, root,
+      pruneWhere = Some("cat = 'a'"))
+    assert(pruned.select(col("id"), col("v"), col("cat"))
+      .as[(Long, Long, String)].collect().toSet == Set((1L, 10L, "a")))
+    assert(pruned.inputFiles.length == 1,
+      s"expected ONE planned data file, got ${pruned.inputFiles.toSeq}")
+    // a non-partition column cannot prune files: refuse loudly instead
+    // of silently scanning everything
+    val ex = intercept[IllegalArgumentException] {
+      IcebergMeta.readIceberg(spark, root, pruneWhere = Some("v > 15"))
+    }
+    assert(ex.getMessage.contains("identity-partition source columns"),
+      ex.getMessage)
+  }
+
   test("position-delete application is sequence-scoped: a carried delete below a file's sequence keeps its rows") {
     import spark.implicits._
     val root = freshRoot("pos_seq")
