@@ -339,6 +339,26 @@ object Lakehouse {
     root
   }
 
+  /** A RANGE-CLUSTERED orders mirror (8 files, each a contiguous
+    * o_orderkey range) with an Iceberg chain whose manifests carry the
+    * per-file column bounds the export now records — the layout where
+    * metrics file skipping pays. */
+  private[graft] def ordersRangeChainRoot(s: SparkSession, d: String): String = {
+    val root = TableCache.root(d, "orders", "range-chain:v1")
+    try TableCache.locked(root) {
+      if (LakehouseTable.versions(root).isEmpty) {
+        LakehouseTable.create(Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .repartitionByRange(8, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"), root)
+        IcebergMeta.exportIcebergMeta(s, root)
+      }
+    } catch {
+      case e if raceLost(e) => () // see lineitemZRoot
+    }
+    root
+  }
+
   /** The q103 pipeline driven ENTIRELY through SQL strings — the
     * declarative storage idiom the reference uses for its one data
     * dependency (app/app.yaml:7-10 declares the index as configuration).
@@ -1493,6 +1513,23 @@ object Lakehouse {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // METRICS FILE SKIPPING (Iceberg scan planning, second half): the
+    // export records per-file column bounds in the manifests; a key-
+    // range predicate over a range-clustered chain plans only the
+    // files whose [lower, upper] can match — the inclusive evaluator
+    // every spec reader runs, O(files) driver-side. metrics_out shows
+    // ~1/8 of the files scanned vs the chain's full read.
+    "q203_iceberg_bounds_skipping" -> ((s, d) => {
+      val root = ordersRangeChainRoot(s, d)
+      IcebergMeta.readIceberg(s, root,
+          pruneWhere = Some("o_orderkey <= 3000"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          Exact.moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // SQL TABLE-VALUED FOREIGN READS under the gate: the same history
     // queried through BOTH open-format faces purely from SQL — a quoted
     // path, no registration, no CONVERT TO GRAFT copy. Each face's
@@ -2400,6 +2437,14 @@ object Lakehouse {
             CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
             ${Exact.sqlMoneySum("o_totalprice")} AS sum_price
           FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // the bounds-skipped chain read equals the filtered orders aggregate
+    "q203_iceberg_bounds_skipping" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+            CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+            ${Exact.sqlMoneySum("o_totalprice")} AS sum_price
+          FROM orders WHERE o_orderkey <= 3000
+          GROUP BY 1 ORDER BY 1""",
 
     // the pruned chain read equals the filtered orders aggregate
     "q202_iceberg_partition_pruning" ->

@@ -85,6 +85,93 @@ object IcebergMeta {
       n
     }
 
+  /** Per-column manifest METRICS of one data file, from its parquet
+    * footer: field id → (value count, null count, lower/upper bound
+    * bytes in the spec's single-value binary serialization — LE
+    * primitives, UTF-8 strings). A column whose chunk statistics are
+    * missing or whose type has no supported serialization is simply
+    * absent (the maps are per-column optional). Bounds require EVERY
+    * chunk to carry usable stats — a partial merge would be a wrong
+    * bound, the failure class file skipping cannot tolerate. One footer
+    * open per ADDED file per export, the same IO class as the
+    * record-count read; cached forever (data files are immutable). */
+  private val footerMetricsCache = TrieMap.empty[String,
+    Map[Int, (Long, Option[Long], Option[(Array[Byte], Array[Byte])])]]
+  private def footerMetrics(p: Path,
+      cols: Map[String, (Int, org.apache.spark.sql.types.DataType)])
+      : Map[Int, (Long, Option[Long], Option[(Array[Byte], Array[Byte])])] =
+    footerMetricsCache.getOrElseUpdate(p.toString, {
+      import org.apache.spark.sql.types._
+      import java.nio.{ByteBuffer, ByteOrder}
+      def ser(v: Any, dt: DataType): Option[Array[Byte]] = (dt, v) match {
+        case (IntegerType | DateType | ShortType | ByteType,
+            n: java.lang.Number) =>
+          Some(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+            .putInt(n.intValue()).array())
+        case (LongType | TimestampType, n: java.lang.Number) =>
+          Some(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+            .putLong(n.longValue()).array())
+        case (FloatType, f: java.lang.Float) =>
+          Some(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+            .putFloat(f).array())
+        case (DoubleType, d: java.lang.Double) =>
+          Some(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+            .putDouble(d).array())
+        case (BooleanType, b: java.lang.Boolean) =>
+          Some(Array[Byte](if (b) 1 else 0))
+        case (StringType, b: org.apache.parquet.io.api.Binary) =>
+          Some(b.getBytes)
+        case _ => None
+      }
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p.toString),
+        new org.apache.hadoop.conf.Configuration())
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      // per column: (values, nulls-or-unknown, min, max, boundsUsable)
+      val acc = scala.collection.mutable.Map.empty[String,
+        (Long, Option[Long], Option[Any], Option[Any], Boolean)]
+      try {
+        rd.getFooter.getBlocks.asScala.foreach { b =>
+          b.getColumns.asScala.foreach { cc =>
+            if (cc.getPath.size() == 1) {
+              val name = cc.getPath.toDotString.toLowerCase
+              val st = cc.getStatistics
+              val (v0, n0, lo0, hi0, ok0) = acc.getOrElse(name,
+                (0L, Some(0L): Option[Long], None: Option[Any],
+                  None: Option[Any], true))
+              val v1 = v0 + cc.getValueCount
+              val n1 =
+                if (st == null || st.isEmpty || !st.isNumNullsSet) None
+                else n0.map(_ + st.getNumNulls)
+              val usable = st != null && !st.isEmpty
+              val (lo1, hi1, ok1) =
+                if (!usable) (lo0, hi0, false) // a statless chunk voids bounds
+                else if (!st.hasNonNullValue) (lo0, hi0, ok0) // all-null chunk
+                else {
+                  val mn = st.genericGetMin.asInstanceOf[Comparable[Any]]
+                  val mx = st.genericGetMax.asInstanceOf[Comparable[Any]]
+                  (Some(lo0.fold(mn: Any)(l =>
+                      if (mn.compareTo(l) < 0) mn else l)),
+                    Some(hi0.fold(mx: Any)(h =>
+                      if (mx.compareTo(h) > 0) mx else h)), ok0)
+                }
+              acc(name) = (v1, n1, lo1, hi1, ok1)
+            }
+          }
+        }
+      } finally rd.close()
+      acc.flatMap { case (name, (values, nulls, lo, hi, ok)) =>
+        cols.get(name).map { case (id, dt) =>
+          val bounds = for {
+            _ <- if (ok) Some(()) else None
+            l <- lo; h <- hi
+            lb <- ser(l, dt); hb <- ser(h, dt)
+          } yield (lb, hb)
+          id -> ((values, nulls, bounds))
+        }
+      }.toMap
+    })
+
   // --- Spark type → Iceberg schema JSON / Avro partition types ----------
 
   private def icebergType(dt: org.apache.spark.sql.types.DataType): String = {
@@ -154,6 +241,16 @@ object IcebergMeta {
       s"""{"name":"$name","type":["null",${avroPartitionType(dt)}],"default":null,"field-id":${1000 + i}}"""
     }.mkString("""{"type":"record","name":"r102","fields":[""", ",", "]}")
 
+  // the spec's map<int, …> encodes in avro as array<key_value record>
+  // with logicalType map; key/value field-ids per the spec appendix
+  private def intMapJson(name: String, fieldId: Int, kId: Int, vId: Int,
+      vType: String): String =
+    s"""{"name":"$name","type":["null",{"type":"array","items":
+       {"type":"record","name":"k${kId}_v$vId","fields":[
+       {"name":"key","type":"int","field-id":$kId},
+       {"name":"value","type":"$vType","field-id":$vId}]},
+       "logicalType":"map"}],"default":null,"field-id":$fieldId}"""
+
   private def manifestEntrySchema(
       parts: Seq[(String, org.apache.spark.sql.types.DataType)]): Schema =
     new Schema.Parser().parse(
@@ -168,7 +265,11 @@ object IcebergMeta {
            {"name":"file_format","type":"string","field-id":101},
            {"name":"partition","field-id":102,"type":${partitionRecordJson(parts)}},
            {"name":"record_count","type":"long","field-id":103},
-           {"name":"file_size_in_bytes","type":"long","field-id":104}
+           {"name":"file_size_in_bytes","type":"long","field-id":104},
+           ${intMapJson("value_counts", 109, 119, 120, "long")},
+           ${intMapJson("null_value_counts", 110, 121, 122, "long")},
+           ${intMapJson("lower_bounds", 125, 126, 127, "bytes")},
+           ${intMapJson("upper_bounds", 128, 129, 130, "bytes")}
          ]}}]}""".replaceAll("\n\\s*", ""))
 
   private val manifestFileSchema: Schema =
@@ -401,6 +502,27 @@ object IcebergMeta {
         .getField("partition").schema()
       val dataFileSchema = entrySchema.getField("data_file").schema()
 
+      // column METRICS ride into the manifests (value/null counts +
+      // single-value-serialized bounds): what lets any spec reader —
+      // a foreign engine on this mirror, or [[pruneByPartition]] on a
+      // foreign chain — skip data files from metadata alone
+      val metricCols = schemaStruct.map(f =>
+        f.name.toLowerCase ->
+          ((fieldIds(f.name.toLowerCase), f.dataType))).toMap
+      def intMap[T](field: String, entries: Seq[(Int, T)],
+          conv: T => Any): java.util.List[GenericRecord] = {
+        val item = dataFileSchema.getField(field).schema()
+          .getTypes.get(1).getElementType
+        val out = new java.util.ArrayList[GenericRecord]()
+        entries.sortBy(_._1).foreach { case (k, v) =>
+          val r = new GenericData.Record(item)
+          r.put("key", k)
+          r.put("value", conv(v))
+          out.add(r)
+        }
+        out
+      }
+
       def entry(rel: String): GenericRecord = {
         val p = Paths.get(root, "data", rel)
         val part = new GenericData.Record(partSchema)
@@ -417,6 +539,28 @@ object IcebergMeta {
         df.put("record_count", rowsOf(root, rel))
         df.put("file_size_in_bytes",
           try Files.size(p) catch { case _: java.io.IOException => 0L })
+        val mets = footerMetrics(p, metricCols)
+        if (mets.nonEmpty) {
+          df.put("value_counts", intMap("value_counts",
+            mets.toSeq.map { case (id, (v, _, _)) => id -> v },
+            (v: Long) => java.lang.Long.valueOf(v)))
+          val nulls = mets.toSeq.collect {
+            case (id, (_, Some(n), _)) => id -> n }
+          if (nulls.nonEmpty)
+            df.put("null_value_counts",
+              intMap("null_value_counts", nulls,
+                (v: Long) => java.lang.Long.valueOf(v)))
+          val lows = mets.toSeq.collect {
+            case (id, (_, _, Some((lo, _)))) => id -> lo }
+          val highs = mets.toSeq.collect {
+            case (id, (_, _, Some((_, hi)))) => id -> hi }
+          if (lows.nonEmpty) {
+            df.put("lower_bounds", intMap("lower_bounds", lows,
+              (b: Array[Byte]) => java.nio.ByteBuffer.wrap(b)))
+            df.put("upper_bounds", intMap("upper_bounds", highs,
+              (b: Array[Byte]) => java.nio.ByteBuffer.wrap(b)))
+          }
+        }
         val e = new GenericData.Record(entrySchema)
         e.put("status", 1) // ADDED at this snapshot
         e.put("snapshot_id", sid)
@@ -1019,44 +1163,77 @@ object IcebergMeta {
     pairs.toMap
   }
 
-  // manifest file identity → (normalized data path → source field id →
-  // raw avro partition value). Manifests are immutable; entries never
-  // invalidate.
-  private val manifestPartCache = TrieMap
-    .empty[(String, Long, Long), Map[String, Map[Int, Any]]]
+  /** Everything the manifests record about one data file that scan
+    * planning can use: identity-partition values (by SOURCE field id)
+    * and the per-column metrics maps (value/null counts, single-value-
+    * serialized bounds). */
+  private[graft] case class FileMetrics(part: Map[Int, Any],
+      valueCounts: Map[Int, Long], nullCounts: Map[Int, Long],
+      lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]])
 
-  /** Normalized data-file path → identity-partition values (by SOURCE
-    * field id) from every snapshot's data manifests — the spec's
-    * partition metadata, consulted only when a scan actually needs a
-    * fill (non-hive layouts). Per-manifest memoized: steady-state cost
+  // manifest file identity → its parsed per-file metrics. Manifests are
+  // immutable; entries never invalidate.
+  private val manifestPartCache = TrieMap
+    .empty[(String, Long, Long), Map[String, FileMetrics]]
+
+  /** Normalized data-file path → manifest metrics, from every
+    * snapshot's data manifests — consulted only when a scan actually
+    * needs a fill or a prune. Per-manifest memoized: steady-state cost
     * is O(new manifests), not O(history). */
-  private def partitionValueIndex(root: String): Map[String, Map[Int, Any]] = {
+  private def fileMetricsIndex(root: String): Map[String, FileMetrics] = {
     val srcs = identityPartSources(root)
-    if (srcs.isEmpty) Map.empty
-    else {
-      val manifests = snapshots(root).map(_.manifestList).distinct
-        .flatMap(l => readAvro(Paths.get(l))
-          .filter(_.get("content").asInstanceOf[Int] == 0)
-          .map(_.get("manifest_path").toString)).distinct
-      manifests.flatMap { m =>
-        val p = Paths.get(m)
-        val key = (m, Files.size(p), Files.getLastModifiedTime(p).toMillis)
-        manifestPartCache.getOrElseUpdate(key,
-          readAvro(p).map { e =>
-            val df = e.get("data_file").asInstanceOf[GenericRecord]
-            val vals = Option(df.get("partition"))
-              .map(_.asInstanceOf[GenericRecord]).toSeq
-              .flatMap { part =>
-                part.getSchema.getFields.asScala.flatMap { f =>
-                  srcs.get(f.name().toLowerCase)
-                    .map(_ -> part.get(f.pos()))
-                }
-              }.toMap
-            normPathDriver(df.get("file_path").toString) -> vals
-          }.toMap)
-      }.toMap
+    def intMapOf(df: GenericRecord, field: String): Map[Int, Any] =
+      if (df.getSchema.getField(field) == null) Map.empty
+      else df.get(field) match {
+        case l: java.util.List[_] => l.asScala.map { r0 =>
+          val r = r0.asInstanceOf[GenericRecord]
+          r.get("key").asInstanceOf[Int] -> r.get("value")
+        }.toMap
+        case _ => Map.empty
+      }
+    def bytesOf(v: Any): Array[Byte] = v match {
+      case b: java.nio.ByteBuffer =>
+        val d = b.duplicate(); val out = new Array[Byte](d.remaining())
+        d.get(out); out
+      case a: Array[Byte] => a
     }
+    val manifests = snapshots(root).map(_.manifestList).distinct
+      .flatMap(l => readAvro(Paths.get(l))
+        .filter(_.get("content").asInstanceOf[Int] == 0)
+        .map(_.get("manifest_path").toString)).distinct
+    manifests.flatMap { m =>
+      val p = Paths.get(m)
+      val key = (m, Files.size(p), Files.getLastModifiedTime(p).toMillis)
+      manifestPartCache.getOrElseUpdate(key,
+        readAvro(p).map { e =>
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          val vals = Option(df.get("partition"))
+            .map(_.asInstanceOf[GenericRecord]).toSeq
+            .flatMap { part =>
+              part.getSchema.getFields.asScala.flatMap { f =>
+                srcs.get(f.name().toLowerCase)
+                  .map(_ -> part.get(f.pos()))
+              }
+            }.toMap
+          normPathDriver(df.get("file_path").toString) -> FileMetrics(
+            vals,
+            intMapOf(df, "value_counts")
+              .map { case (k, v) => k -> v.asInstanceOf[Long] },
+            intMapOf(df, "null_value_counts")
+              .map { case (k, v) => k -> v.asInstanceOf[Long] },
+            intMapOf(df, "lower_bounds")
+              .map { case (k, v) => k -> bytesOf(v) },
+            intMapOf(df, "upper_bounds")
+              .map { case (k, v) => k -> bytesOf(v) })
+        }.toMap)
+    }.toMap
   }
+
+  /** Normalized data-file path → identity-partition values (the
+    * [[chainScan]] fill's view of [[fileMetricsIndex]]). */
+  private def partitionValueIndex(root: String): Map[String, Map[Int, Any]] =
+    if (identityPartSources(root).isEmpty) Map.empty
+    else fileMetricsIndex(root).map { case (p, fm) => p -> fm.part }
 
   /** One raw avro partition value → the Spark EXTERNAL value of the
     * requested column type (what `createDataFrame` rows carry). The
@@ -2015,7 +2192,7 @@ object IcebergMeta {
     val (allDataEntries, deleteEntries) = snapshotEntries(root, sid)
     val dataEntries = pruneWhere match {
       case Some(expr) =>
-        pruneByPartition(spark, root, snap.schemaId, allDataEntries, expr)
+        pruneFiles(spark, root, snap.schemaId, allDataEntries, expr)
       case None => allDataEntries
     }
     val raw =
@@ -2049,65 +2226,157 @@ object IcebergMeta {
   }
 
   /** SCAN PLANNING from manifest metadata (the Iceberg reader's
-    * partition pruning): keep only the data files whose IDENTITY-
-    * partition values can satisfy `expr`, evaluated driver-side over
-    * the DISTINCT partition tuples (one local Spark filter over
-    * O(partitions) rows — never a data scan). At 100 TB this is the
-    * difference between scanning a partition and scanning the table on
-    * a chain whose layout Spark's directory pruning cannot see (the
-    * object-storage layout q201 gates). `expr` must reference identity-
-    * partition source columns only — a non-partition column cannot
-    * prune files and refuses loudly rather than silently scanning
-    * everything; callers keep their row-level residue separate. Files
-    * with no recorded partition value for a referenced column (commits
-    * predating the partitioning) are kept conservatively; the residual
-    * row filter in [[readIceberg]] covers them. */
-  private def pruneByPartition(spark: SparkSession, root: String,
+    * partition pruning + metrics file skipping): keep only the data
+    * files whose manifest metadata can satisfy `expr` — an INCLUSIVE
+    * evaluator over identity-partition values (exact: min = max =
+    * value) and the per-column lower/upper bounds and null counts the
+    * manifests record, evaluated driver-side in O(files), never a data
+    * scan. At 100 TB this is the difference between scanning a
+    * partition (or a key range) and scanning the table on a chain
+    * whose layout Spark's directory pruning cannot see. Predicate
+    * shapes beyond AND / OR / comparisons / IN / IS (NOT) NULL on a
+    * column vs literals keep the file conservatively, as do columns
+    * with no recorded metadata — the residual row filter in
+    * [[readIceberg]] covers whatever planning kept. A predicate
+    * referencing a column the schema does not have refuses loudly. */
+  private def pruneFiles(spark: SparkSession, root: String,
       schemaId: Int, entries: Seq[(String, Long)], expr: String)
       : Seq[(String, Long)] = {
-    val srcs = identityPartSources(root)
-    val fieldsById = schemaIdFieldsOf(root, schemaId)
-      .map { case (id, n, dt) => id -> ((n, dt)) }.toMap
-    val partFields = srcs.values.toSeq.distinct.sorted
-      .flatMap(id => fieldsById.get(id).map { case (n, dt) => (id, n, dt) })
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
+    val fields = schemaIdFieldsOf(root, schemaId)
+    val byName = fields.map { case (id, n, dt) =>
+      n.toLowerCase -> ((id, dt)) }.toMap
     val parsed = spark.sessionState.sqlParser.parseExpression(expr)
     val refs = parsed.references.map(_.name.toLowerCase).toSet
-    val partNames = partFields.map(_._2.toLowerCase).toSet
-    require(refs.nonEmpty && refs.subsetOf(partNames),
-      s"pruneWhere may reference identity-partition source columns " +
-      s"only (${partFields.map(_._2).mkString(", ")}); got: $expr")
-    val refIds = partFields.collect {
-      case (id, n, _) if refs.contains(n.toLowerCase) => id }
-    val idx = partitionValueIndex(root)
-    // per-file tuple over the referenced columns; None = some referenced
-    // value has no recorded SLOT in the manifests for this file (a null
-    // partition value IS decidable — an absent slot is not)
-    val tuples: Map[String, Option[Seq[Any]]] = entries.map { case (p, _) =>
-      val vals = idx.get(normPathDriver(p))
-      p -> vals.flatMap { m =>
-        if (refIds.forall(m.contains))
-          Some(partFields.map { case (id, _, dt) =>
-            m.get(id).map(v => partitionExternal(v, dt)).orNull })
-        else None
+    require(refs.nonEmpty && refs.subsetOf(byName.keySet),
+      s"pruneWhere references column(s) ${refs.diff(byName.keySet).toSeq
+        .sorted.mkString(", ")} not in the table schema " +
+      s"(${fields.map(_._2).mkString(", ")}); got: $expr")
+    val partSrcIds = identityPartSources(root).values.toSet
+    // normalized comparables: BigDecimal for numeric/temporal/boolean,
+    // String for strings; None = no comparable form (conservative)
+    def normNum(n: java.lang.Number) = BigDecimal(n.toString)
+    def normLit(v: Any): Option[Any] = v match {
+      case null => None
+      case u: org.apache.spark.unsafe.types.UTF8String =>
+        Some(u.toString)
+      case d: org.apache.spark.sql.types.Decimal => Some(d.toBigDecimal)
+      case b: java.lang.Boolean => Some(BigDecimal(if (b) 1 else 0))
+      case n: java.lang.Number => Some(normNum(n))
+      case _ => None
+    }
+    def normPart(v: Any): Option[Any] = v match {
+      case null => None
+      case u: org.apache.avro.util.Utf8 => Some(u.toString)
+      case s: String => Some(s)
+      case b: java.lang.Boolean => Some(BigDecimal(if (b) 1 else 0))
+      case n: java.lang.Number => Some(normNum(n))
+      case _ => None
+    }
+    def normBound(b: Array[Byte], dt: DataType): Option[Any] = {
+      val bb = java.nio.ByteBuffer.wrap(b)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      dt match {
+        case IntegerType | DateType | ShortType | ByteType
+            if b.length == 4 => Some(BigDecimal(bb.getInt))
+        case LongType | TimestampType if b.length == 8 =>
+          Some(BigDecimal(bb.getLong))
+        case FloatType if b.length == 4 =>
+          Some(BigDecimal(bb.getFloat.toDouble))
+        case DoubleType if b.length == 8 => Some(BigDecimal(bb.getDouble))
+        case BooleanType if b.length == 1 => Some(BigDecimal(b(0).toInt))
+        case StringType =>
+          Some(new String(b, java.nio.charset.StandardCharsets.UTF_8))
+        case _ => None
       }
-    }.toMap
-    val decidable = tuples.values.flatten.toSeq.distinct
-    if (decidable.isEmpty) entries
-    else {
-      val schema = org.apache.spark.sql.types.StructType(partFields.map {
-        case (_, n, dt) =>
-          org.apache.spark.sql.types.StructField(n, dt, nullable = true)
-      })
-      val keep = spark.createDataFrame(
-          decidable.map(org.apache.spark.sql.Row.fromSeq(_)).asJava, schema)
-        .filter(org.apache.spark.sql.functions.expr(expr))
-        .collect().map(_.toSeq).toSet
-      entries.filter { case (p, _) =>
-        tuples(p) match {
-          case Some(t) => keep.contains(t)
-          case None => true // unknown values: keep; the residual filters rows
+    }
+    // what the manifests know about one column of one file
+    case class Meta(lo: Option[Any], hi: Option[Any],
+        allNull: Boolean, noNulls: Boolean)
+    def metaFor(fm: FileMetrics, name: String): Meta = {
+      val (id, dt) = byName(name)
+      if (partSrcIds.contains(id) && fm.part.contains(id)) {
+        val v = fm.part(id)
+        if (v == null) Meta(None, None, allNull = true, noNulls = false)
+        else {
+          val n = normPart(v)
+          Meta(n, n, allNull = false, noNulls = true)
+        }
+      } else {
+        val nulls = fm.nullCounts.get(id)
+        val values = fm.valueCounts.get(id)
+        Meta(fm.lower.get(id).flatMap(normBound(_, dt)),
+          fm.upper.get(id).flatMap(normBound(_, dt)),
+          allNull = nulls.zip(values).exists { case (n, v) => n == v },
+          noNulls = nulls.contains(0L))
+      }
+    }
+    def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+      case (x: BigDecimal, y: BigDecimal) => Some(x.compare(y))
+      case (x: String, y: String) => Some(x.compareTo(y))
+      case _ => None
+    }
+    def attrName(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.nameParts.last.toLowerCase)
+      case _ => None
+    }
+    // inclusive leaf checks: true = the file COULD contain a match
+    def leaf(fm: FileMetrics, a: String, v: Any, op: String): Boolean = {
+      val m = metaFor(fm, a)
+      if (m.allNull) return false // no non-null value can satisfy any op
+      normLit(v).fold(true) { lv =>
+        op match {
+          case "=" => m.lo.flatMap(cmp(_, lv)).forall(_ <= 0) &&
+            m.hi.flatMap(cmp(_, lv)).forall(_ >= 0)
+          case "<" => m.lo.flatMap(cmp(_, lv)).forall(_ < 0)
+          case "<=" => m.lo.flatMap(cmp(_, lv)).forall(_ <= 0)
+          case ">" => m.hi.flatMap(cmp(_, lv)).forall(_ > 0)
+          case ">=" => m.hi.flatMap(cmp(_, lv)).forall(_ >= 0)
         }
       }
+    }
+    def flip(op: String): String = op match {
+      case "<" => ">" case "<=" => ">=" case ">" => "<" case ">=" => "<="
+      case o => o
+    }
+    def canMatch(e: Expression, fm: FileMetrics): Boolean = e match {
+      case And(l, r) => canMatch(l, fm) && canMatch(r, fm)
+      case Or(l, r) => canMatch(l, fm) || canMatch(r, fm)
+      case EqualTo(a, Literal(v, _)) if attrName(a).isDefined =>
+        leaf(fm, attrName(a).get, v, "=")
+      case EqualTo(Literal(v, _), a) if attrName(a).isDefined =>
+        leaf(fm, attrName(a).get, v, "=")
+      case LessThan(a, Literal(v, _)) if attrName(a).isDefined =>
+        leaf(fm, attrName(a).get, v, "<")
+      case LessThan(Literal(v, _), a) if attrName(a).isDefined =>
+        leaf(fm, attrName(a).get, v, ">")
+      case LessThanOrEqual(a, Literal(v, _)) if attrName(a).isDefined =>
+        leaf(fm, attrName(a).get, v, "<=")
+      case LessThanOrEqual(Literal(v, _), a) if attrName(a).isDefined =>
+        leaf(fm, attrName(a).get, v, ">=")
+      case GreaterThan(a, Literal(v, _)) if attrName(a).isDefined =>
+        leaf(fm, attrName(a).get, v, ">")
+      case GreaterThan(Literal(v, _), a) if attrName(a).isDefined =>
+        leaf(fm, attrName(a).get, v, "<")
+      case GreaterThanOrEqual(a, Literal(v, _)) if attrName(a).isDefined =>
+        leaf(fm, attrName(a).get, v, ">=")
+      case GreaterThanOrEqual(Literal(v, _), a) if attrName(a).isDefined =>
+        leaf(fm, attrName(a).get, v, "<=")
+      case In(a, vs) if attrName(a).isDefined &&
+          vs.forall(_.isInstanceOf[Literal]) =>
+        vs.exists(l => leaf(fm, attrName(a).get,
+          l.asInstanceOf[Literal].value, "="))
+      case IsNull(a) if attrName(a).isDefined =>
+        !metaFor(fm, attrName(a).get).noNulls
+      case IsNotNull(a) if attrName(a).isDefined =>
+        !metaFor(fm, attrName(a).get).allNull
+      case _ => true // unsupported shape: keep, the residual filters rows
+    }
+    val idx = fileMetricsIndex(root)
+    entries.filter { case (p, _) =>
+      idx.get(normPathDriver(p)).forall(canMatch(parsed, _))
     }
   }
 

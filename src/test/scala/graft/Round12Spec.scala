@@ -508,13 +508,35 @@ class Round12Spec extends AnyFunSuite {
       .as[(Long, Long, String)].collect().toSet == Set((1L, 10L, "a")))
     assert(pruned.inputFiles.length == 1,
       s"expected ONE planned data file, got ${pruned.inputFiles.toSeq}")
-    // a non-partition column cannot prune files: refuse loudly instead
-    // of silently scanning everything
+    // a NON-partition column prunes through the manifests' column
+    // BOUNDS (one file per partition here, v = 10/20/30)
+    val byBounds = IcebergMeta.readIceberg(spark, root,
+      pruneWhere = Some("v > 15"))
+    assert(byBounds.select(col("id")).as[Long].collect().toSet ==
+      Set(2L, 3L))
+    assert(byBounds.inputFiles.length == 2,
+      s"expected TWO bound-pruned files, got ${byBounds.inputFiles.toSeq}")
+    // a predicate on a column the schema does not have refuses loudly
     val ex = intercept[IllegalArgumentException] {
-      IcebergMeta.readIceberg(spark, root, pruneWhere = Some("v > 15"))
+      IcebergMeta.readIceberg(spark, root, pruneWhere = Some("nope > 15"))
     }
-    assert(ex.getMessage.contains("identity-partition source columns"),
-      ex.getMessage)
+    assert(ex.getMessage.contains("not in the table schema"), ex.getMessage)
+  }
+
+  test("manifest column bounds skip files on a range-clustered chain") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot("bounds_skip")
+    LT.create((1L to 400L).map(i => (i, i * 3)).toDF("id", "x")
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id"), root)
+    IcebergMeta.exportIcebergMeta(spark, root)
+    assert(IcebergMeta.readIceberg(spark, root).inputFiles.length == 4)
+    val pruned = IcebergMeta.readIceberg(spark, root,
+      pruneWhere = Some("id <= 100"))
+    assert(pruned.as[(Long, Long)].collect().toSet ==
+      (1L to 100L).map(i => (i, i * 3)).toSet)
+    assert(pruned.inputFiles.length < 4,
+      s"bounds should skip files: ${pruned.inputFiles.toSeq}")
   }
 
   test("position-delete application is sequence-scoped: a carried delete below a file's sequence keeps its rows") {
