@@ -94,15 +94,26 @@ object IcebergMeta {
     * chunk to carry usable stats — a partial merge would be a wrong
     * bound, the failure class file skipping cannot tolerate. One footer
     * open per ADDED file per export, the same IO class as the
-    * record-count read; cached forever (data files are immutable). */
+    * record-count read; cached per (file, requested types) — the TYPE
+    * is part of the key because the serialization embeds it: an ALTER
+    * COLUMN TYPE widening re-listing carried files must not re-serve
+    * bounds cached under the narrow type. (A sibling chunk-stat merger
+    * lives in TableStatistics.appendFooter for the native stats
+    * advance; their edge rules must stay aligned — esp. the NaN
+    * exclusion below.) */
   private val footerMetricsCache = TrieMap.empty[String,
-    Map[Int, (Long, Option[Long], Option[(Array[Byte], Array[Byte])])]]
+    Map[Int, (Long, Option[Long], Option[(Array[Byte], Array[Byte])], Option[Long])]]
   private def footerMetrics(p: Path,
       cols: Map[String, (Int, org.apache.spark.sql.types.DataType)])
-      : Map[Int, (Long, Option[Long], Option[(Array[Byte], Array[Byte])])] =
-    footerMetricsCache.getOrElseUpdate(p.toString, {
+      : Map[Int, (Long, Option[Long], Option[(Array[Byte], Array[Byte])], Option[Long])] =
+    footerMetricsCache.getOrElseUpdate(
+      p.toString + "#" + cols.toSeq.sortBy(_._1).map {
+        case (n, (id, dt)) => s"$n:$id:${dt.simpleString}" }.mkString(","), {
       import org.apache.spark.sql.types._
       import java.nio.{ByteBuffer, ByteOrder}
+      // the spec forbids NaN in lower/upper_bounds, and parquet-mr
+      // propagates NaN into chunk min/max (making BOTH untrustworthy);
+      // non-finite endpoints drop the column's bounds entirely
       def ser(v: Any, dt: DataType): Option[Array[Byte]] = (dt, v) match {
         case (IntegerType | DateType | ShortType | ByteType,
             n: java.lang.Number) =>
@@ -111,10 +122,10 @@ object IcebergMeta {
         case (LongType | TimestampType, n: java.lang.Number) =>
           Some(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
             .putLong(n.longValue()).array())
-        case (FloatType, f: java.lang.Float) =>
+        case (FloatType, f: java.lang.Float) if !f.isNaN && !f.isInfinite =>
           Some(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
             .putFloat(f).array())
-        case (DoubleType, d: java.lang.Double) =>
+        case (DoubleType, d: java.lang.Double) if !d.isNaN && !d.isInfinite =>
           Some(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
             .putDouble(d).array())
         case (BooleanType, b: java.lang.Boolean) =>
@@ -167,7 +178,18 @@ object IcebergMeta {
             l <- lo; h <- hi
             lb <- ser(l, dt); hb <- ser(h, dt)
           } yield (lb, hb)
-          id -> ((values, nulls, bounds))
+          // parquet-mr PROPAGATES NaN into chunk min/max, so finite
+          // serialized bounds on a floating column imply the file holds
+          // no NaN at all — exactly what nan_value_counts=0 asserts,
+          // and what lets a reader trust the UPPER bound under SQL
+          // engines ordering NaN above every value (Spark, DuckDB)
+          val nan = dt match {
+            case org.apache.spark.sql.types.FloatType |
+                 org.apache.spark.sql.types.DoubleType
+                if bounds.isDefined => Some(0L)
+            case _ => None
+          }
+          id -> ((values, nulls, bounds, nan))
         }
       }.toMap
     })
@@ -268,6 +290,7 @@ object IcebergMeta {
            {"name":"file_size_in_bytes","type":"long","field-id":104},
            ${intMapJson("value_counts", 109, 119, 120, "long")},
            ${intMapJson("null_value_counts", 110, 121, 122, "long")},
+           ${intMapJson("nan_value_counts", 137, 138, 139, "long")},
            ${intMapJson("lower_bounds", 125, 126, 127, "bytes")},
            ${intMapJson("upper_bounds", 128, 129, 130, "bytes")}
          ]}}]}""".replaceAll("\n\\s*", ""))
@@ -542,18 +565,24 @@ object IcebergMeta {
         val mets = footerMetrics(p, metricCols)
         if (mets.nonEmpty) {
           df.put("value_counts", intMap("value_counts",
-            mets.toSeq.map { case (id, (v, _, _)) => id -> v },
+            mets.toSeq.map { case (id, (v, _, _, _)) => id -> v },
             (v: Long) => java.lang.Long.valueOf(v)))
           val nulls = mets.toSeq.collect {
-            case (id, (_, Some(n), _)) => id -> n }
+            case (id, (_, Some(n), _, _)) => id -> n }
           if (nulls.nonEmpty)
             df.put("null_value_counts",
               intMap("null_value_counts", nulls,
                 (v: Long) => java.lang.Long.valueOf(v)))
+          val nans = mets.toSeq.collect {
+            case (id, (_, _, _, Some(n))) => id -> n }
+          if (nans.nonEmpty)
+            df.put("nan_value_counts",
+              intMap("nan_value_counts", nans,
+                (v: Long) => java.lang.Long.valueOf(v)))
           val lows = mets.toSeq.collect {
-            case (id, (_, _, Some((lo, _)))) => id -> lo }
+            case (id, (_, _, Some((lo, _)), _)) => id -> lo }
           val highs = mets.toSeq.collect {
-            case (id, (_, _, Some((_, hi)))) => id -> hi }
+            case (id, (_, _, Some((_, hi)), _)) => id -> hi }
           if (lows.nonEmpty) {
             df.put("lower_bounds", intMap("lower_bounds", lows,
               (b: Array[Byte]) => java.nio.ByteBuffer.wrap(b)))
@@ -1169,6 +1198,7 @@ object IcebergMeta {
     * serialized bounds). */
   private[graft] case class FileMetrics(part: Map[Int, Any],
       valueCounts: Map[Int, Long], nullCounts: Map[Int, Long],
+      nanCounts: Map[Int, Long],
       lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]])
 
   // manifest file identity → its parsed per-file metrics. Manifests are
@@ -1220,6 +1250,8 @@ object IcebergMeta {
             intMapOf(df, "value_counts")
               .map { case (k, v) => k -> v.asInstanceOf[Long] },
             intMapOf(df, "null_value_counts")
+              .map { case (k, v) => k -> v.asInstanceOf[Long] },
+            intMapOf(df, "nan_value_counts")
               .map { case (k, v) => k -> v.asInstanceOf[Long] },
             intMapOf(df, "lower_bounds")
               .map { case (k, v) => k -> bytesOf(v) },
@@ -1475,8 +1507,14 @@ object IcebergMeta {
     val srcs = identityPartSources(root)
     val idPartFields = fields.filter { case (id, _, _) =>
       srcs.values.exists(_ == id) }
+    // directory inference can only serve a column from segments BELOW
+    // the scan's basePath — a hive-looking segment in the table root
+    // itself (/warehouse/region=eu/...) must not mask a missing fill
+    val basePrefix = Paths.get(root, "data").toString + "/"
     def dirServed(f: String, n: String): Boolean =
-      f.toLowerCase.contains(s"/${n.toLowerCase}=")
+      f.startsWith(basePrefix) &&
+        ("/" + f.stripPrefix(basePrefix).toLowerCase)
+          .contains(s"/${n.toLowerCase}=")
     val suspects =
       if (idPartFields.isEmpty) Nil
       else distinctFiles.filter(f =>
@@ -1488,14 +1526,18 @@ object IcebergMeta {
       // a field needs filling for a file when neither the directory,
       // nor the footer (under the resolution rule the scan itself will
       // use: field id when the file carries ids, name / name-mapping
-      // otherwise), serves it
+      // otherwise), serves it. Id-less resolution runs once per
+      // DISTINCT footer signature, not per file — the module's
+      // one-resolution-per-write-epoch discipline.
+      val physOf = scala.collection.mutable.Map
+        .empty[Set[String], Map[Int, Option[String]]]
       def missing(f: String): Set[Int] = {
         val foot = footerColumns(f)
         val idFul = foot.exists(_._2.isDefined)
         lazy val sig = foot.map(_._1.toLowerCase).toSet
-        lazy val phys =
+        lazy val phys = physOf.getOrElseUpdate(sig,
           if (chainHasRenames(root)) resolveIdLessGroup(root, sig, fields, f)
-          else fields.map { case (id, n, _) => id -> Some(n) }.toMap
+          else fields.map { case (id, n, _) => id -> Some(n) }.toMap)
         idPartFields.filter { case (id, n, _) =>
           !dirServed(f, n) && {
             if (idFul) !foot.exists(_._2.contains(id))
@@ -1792,9 +1834,17 @@ object IcebergMeta {
   private[graft] def relocateDataFilesFlat(root: String): Unit = {
     val dataDir = Paths.get(root, "data")
     val movedTo = scala.collection.mutable.Map.empty[String, String]
-    val manifests = snapshots(root).map(_.manifestList).distinct
-      .flatMap(l => readAvro(Paths.get(l))
-        .filter(_.get("content").asInstanceOf[Int] == 0)
+    val lists = snapshots(root).map(_.manifestList).distinct
+      .map(l => readAvro(Paths.get(l)))
+    // a position-delete parquet's file_path VALUES would keep pointing
+    // at the pre-move paths — silent fail-open resurrection on read.
+    // Refuse rather than relocate what this helper does not rewrite.
+    require(!lists.exists(_.exists(_.get("content").asInstanceOf[Int] == 1)),
+      s"relocateDataFilesFlat: chain at $root carries delete manifests " +
+      "whose delete files reference data paths by value; relocating " +
+      "would orphan them")
+    val manifests = lists
+      .flatMap(_.filter(_.get("content").asInstanceOf[Int] == 0)
         .map(_.get("manifest_path").toString)).distinct
     manifests.foreach { m =>
       val p = Paths.get(m)
@@ -1808,16 +1858,28 @@ object IcebergMeta {
       recs.foreach { e =>
         val df = e.get("data_file").asInstanceOf[GenericRecord]
         val orig = df.get("file_path").toString
-        df.put("file_path", movedTo.getOrElseUpdate(orig, {
-          val op = Paths.get(orig)
-          val flat = dataDir.resolve(
-            f"${orig.hashCode & 0xfffff}%05x-${op.getFileName.toString}")
-          if (Files.exists(op)) Files.move(op, flat)
-          flat.toString
-        }))
+        val op = Paths.get(orig)
+        // idempotent re-run after a kill: an already-flat entry moves
+        // (and rewrites) to the SAME name, never a second hash prefix
+        if (op.getParent != dataDir)
+          df.put("file_path", movedTo.getOrElseUpdate(orig, {
+            val flat = dataDir.resolve(
+              f"${orig.hashCode & 0xfffff}%05x-${op.getFileName.toString}")
+            if (Files.exists(op)) Files.move(op, flat)
+            flat.toString
+          }))
       }
-      Files.delete(p) // writeAvro treats an existing target as final
-      writeAvro(p, schema, meta, recs)
+      // rewrite via temp + atomic replace: a kill between a delete and
+      // a rewrite would orphan the manifest-list reference forever
+      val tmp = Files.createTempFile(p.getParent, ".flat", ".avro")
+      Files.delete(tmp)
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+      meta.foreach { case (k, v) => w.setMeta(k, v) }
+      w.create(schema, tmp.toFile)
+      recs.foreach(w.append)
+      w.close()
+      Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
     }
   }
 
@@ -2258,13 +2320,20 @@ object IcebergMeta {
     // normalized comparables: BigDecimal for numeric/temporal/boolean,
     // String for strings; None = no comparable form (conservative)
     def normNum(n: java.lang.Number) = BigDecimal(n.toString)
+    // non-finite floats have no BigDecimal form; a NaN/Inf literal or
+    // partition value keeps files conservatively instead of throwing
+    def finite(n: java.lang.Number): Boolean = n match {
+      case d: java.lang.Double => !d.isNaN && !d.isInfinite
+      case f: java.lang.Float => !f.isNaN && !f.isInfinite
+      case _ => true
+    }
     def normLit(v: Any): Option[Any] = v match {
       case null => None
       case u: org.apache.spark.unsafe.types.UTF8String =>
         Some(u.toString)
       case d: org.apache.spark.sql.types.Decimal => Some(d.toBigDecimal)
       case b: java.lang.Boolean => Some(BigDecimal(if (b) 1 else 0))
-      case n: java.lang.Number => Some(normNum(n))
+      case n: java.lang.Number if finite(n) => Some(normNum(n))
       case _ => None
     }
     def normPart(v: Any): Option[Any] = v match {
@@ -2272,7 +2341,7 @@ object IcebergMeta {
       case u: org.apache.avro.util.Utf8 => Some(u.toString)
       case s: String => Some(s)
       case b: java.lang.Boolean => Some(BigDecimal(if (b) 1 else 0))
-      case n: java.lang.Number => Some(normNum(n))
+      case n: java.lang.Number if finite(n) => Some(normNum(n))
       case _ => None
     }
     def normBound(b: Array[Byte], dt: DataType): Option[Any] = {
@@ -2283,26 +2352,41 @@ object IcebergMeta {
             if b.length == 4 => Some(BigDecimal(bb.getInt))
         case LongType | TimestampType if b.length == 8 =>
           Some(BigDecimal(bb.getLong))
+        // a foreign writer may have serialized non-finite endpoints
+        // (spec-invalid for NaN, legal for ±Inf): no BigDecimal form —
+        // keep the file conservatively rather than throw
         case FloatType if b.length == 4 =>
-          Some(BigDecimal(bb.getFloat.toDouble))
-        case DoubleType if b.length == 8 => Some(BigDecimal(bb.getDouble))
+          Some(bb.getFloat.toDouble).filter(d => !d.isNaN && !d.isInfinite)
+            .map(BigDecimal(_))
+        case DoubleType if b.length == 8 =>
+          Some(bb.getDouble).filter(d => !d.isNaN && !d.isInfinite)
+            .map(BigDecimal(_))
         case BooleanType if b.length == 1 => Some(BigDecimal(b(0).toInt))
         case StringType =>
           Some(new String(b, java.nio.charset.StandardCharsets.UTF_8))
         case _ => None
       }
     }
-    // what the manifests know about one column of one file
+    // what the manifests know about one column of one file. nanFree
+    // gates the UPPER-bound checks on floating columns: SQL engines
+    // (Spark, DuckDB) order NaN ABOVE every value, so a file whose
+    // writer excluded NaN from its bounds could still hold rows
+    // matching `x > hi` — only nan_value_counts = 0 makes hi a true
+    // maximum under that ordering. (Lower bounds are safe either way.)
     case class Meta(lo: Option[Any], hi: Option[Any],
-        allNull: Boolean, noNulls: Boolean)
+        allNull: Boolean, noNulls: Boolean, nanFree: Boolean)
     def metaFor(fm: FileMetrics, name: String): Meta = {
       val (id, dt) = byName(name)
+      val floating = dt == FloatType || dt == DoubleType
       if (partSrcIds.contains(id) && fm.part.contains(id)) {
         val v = fm.part(id)
-        if (v == null) Meta(None, None, allNull = true, noNulls = false)
+        if (v == null)
+          Meta(None, None, allNull = true, noNulls = false, nanFree = true)
         else {
           val n = normPart(v)
-          Meta(n, n, allNull = false, noNulls = true)
+          // an identity-partition value IS every row's value: a normed
+          // (finite) value implies no NaN rows in the file
+          Meta(n, n, allNull = false, noNulls = true, nanFree = n.isDefined)
         }
       } else {
         val nulls = fm.nullCounts.get(id)
@@ -2310,12 +2394,28 @@ object IcebergMeta {
         Meta(fm.lower.get(id).flatMap(normBound(_, dt)),
           fm.upper.get(id).flatMap(normBound(_, dt)),
           allNull = nulls.zip(values).exists { case (n, v) => n == v },
-          noNulls = nulls.contains(0L))
+          noNulls = nulls.contains(0L),
+          nanFree = !floating || fm.nanCounts.get(id).contains(0L))
       }
+    }
+    // strings order by UNSIGNED UTF-8 BYTES — the order the parquet
+    // byte bounds were merged under AND the order Spark's UTF8String
+    // row comparison uses; java String.compareTo (UTF-16 code units)
+    // disagrees for supplementary-plane text and would wrongly prune
+    def utf8Cmp(x: String, y: String): Int = {
+      val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < a.length && i < b.length) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      a.length - b.length
     }
     def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
       case (x: BigDecimal, y: BigDecimal) => Some(x.compare(y))
-      case (x: String, y: String) => Some(x.compareTo(y))
+      case (x: String, y: String) => Some(utf8Cmp(x, y))
       case _ => None
     }
     def attrName(e: Expression): Option[String] = e match {
@@ -2332,8 +2432,12 @@ object IcebergMeta {
             m.hi.flatMap(cmp(_, lv)).forall(_ >= 0)
           case "<" => m.lo.flatMap(cmp(_, lv)).forall(_ < 0)
           case "<=" => m.lo.flatMap(cmp(_, lv)).forall(_ <= 0)
-          case ">" => m.hi.flatMap(cmp(_, lv)).forall(_ > 0)
-          case ">=" => m.hi.flatMap(cmp(_, lv)).forall(_ >= 0)
+          // a NaN row satisfies every `x > v` under NaN-greatest
+          // ordering, so hi prunes these only on a nan-free file
+          case ">" => !m.nanFree ||
+            m.hi.flatMap(cmp(_, lv)).forall(_ > 0)
+          case ">=" => !m.nanFree ||
+            m.hi.flatMap(cmp(_, lv)).forall(_ >= 0)
         }
       }
     }

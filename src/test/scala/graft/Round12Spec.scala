@@ -539,6 +539,47 @@ class Round12Spec extends AnyFunSuite {
       s"bounds should skip files: ${pruned.inputFiles.toSeq}")
   }
 
+  test("NaN-bearing files keep no bounds and never prune; nan-free files prune by upper bound") {
+    import spark.implicits._
+    val root = freshRoot("nan_bounds")
+    LT.create(Seq((1L, 1.0), (2L, Double.NaN))
+      .toDF("id", "x").coalesce(1), root)
+    LT.append(Seq((3L, 20.0), (4L, 30.0)).toDF("id", "x").coalesce(1), root)
+    IcebergMeta.exportIcebergMeta(spark, root)
+    // parquet-mr propagates NaN into chunk min/max, so the first
+    // file's bounds are dropped at export (spec forbids NaN bounds)
+    // and the file is always kept; the second is recorded nan-free
+    // (nan_value_counts=0), so its UPPER bound may prune `x > v` —
+    // sound only because Spark orders NaN ABOVE every value
+    val none = IcebergMeta.readIceberg(spark, root,
+      pruneWhere = Some("x > 50"))
+    assert(none.select($"id").as[Long].collect().toSet == Set(2L),
+      "NaN > 50 under Spark's NaN-greatest ordering")
+    assert(none.inputFiles.length == 1,
+      s"only the NaN file may survive planning: ${none.inputFiles.toSeq}")
+    val some = IcebergMeta.readIceberg(spark, root,
+      pruneWhere = Some("x > 5"))
+    assert(some.select($"id").as[Long].collect().toSet == Set(2L, 3L, 4L))
+    assert(some.inputFiles.length == 2)
+  }
+
+  test("a hive-looking segment in the table ROOT path does not mask the manifest fill") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = freshRoot("seg")
+    val root = base + "/cat=9/t" // the mask: '/cat=' ABOVE the data dir
+    Files.createDirectories(Paths.get(root))
+    LT.create(Seq((1L, "a"), (2L, "b")).toDF("id", "cat"), root,
+      partitionBy = Seq("cat"))
+    IcebergMeta.exportIcebergMeta(spark, root)
+    IcebergMeta.relocateDataFilesFlat(root)
+    // directory inference only sees segments BELOW root/data — the
+    // root's own 'cat=9' must not suppress the manifest fill
+    assert(IcebergMeta.readIceberg(spark, root)
+      .select(col("id"), col("cat")).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+  }
+
   test("position-delete application is sequence-scoped: a carried delete below a file's sequence keeps its rows") {
     import spark.implicits._
     val root = freshRoot("pos_seq")
