@@ -340,11 +340,12 @@ object Lakehouse {
   }
 
   /** A RANGE-CLUSTERED orders mirror (8 files, each a contiguous
-    * o_orderkey range) with an Iceberg chain whose manifests carry the
-    * per-file column bounds the export now records — the layout where
-    * metrics file skipping pays. */
+    * o_orderkey range) with BOTH open-format faces: an Iceberg chain
+    * whose manifests carry per-file column bounds, and a Delta log
+    * whose add actions carry per-file stats — the layout where metrics
+    * file skipping pays, on either face. */
   private[graft] def ordersRangeChainRoot(s: SparkSession, d: String): String = {
-    val root = TableCache.root(d, "orders", "range-chain:v1")
+    val root = TableCache.root(d, "orders", "range-chain:v2")
     try TableCache.locked(root) {
       if (LakehouseTable.versions(root).isEmpty) {
         LakehouseTable.create(Tables.orders(s, d)
@@ -352,6 +353,7 @@ object Lakehouse {
           .repartitionByRange(8, col("o_orderkey"))
           .sortWithinPartitions("o_orderkey"), root)
         IcebergMeta.exportIcebergMeta(s, root)
+        LakehouseTable.exportDeltaLog(s, root)
       }
     } catch {
       case e if raceLost(e) => () // see lineitemZRoot
@@ -1530,6 +1532,23 @@ object Lakehouse {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // DELTA DATA SKIPPING on the same range-clustered history: the
+    // exported log's per-file stats (numRecords / minValues /
+    // maxValues, carried through checkpoints) plan the same key-range
+    // scan through the DELTA face, sharing the Iceberg face's
+    // inclusive evaluator — one body, so the two faces' planning
+    // cannot drift. Same filtered-orders oracle as q203.
+    "q204_delta_data_skipping" -> ((s, d) => {
+      val root = ordersRangeChainRoot(s, d)
+      LakehouseTable.readDeltaExport(s, root,
+          pruneWhere = Some("o_orderkey <= 3000"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          Exact.moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // SQL TABLE-VALUED FOREIGN READS under the gate: the same history
     // queried through BOTH open-format faces purely from SQL — a quoted
     // path, no registration, no CONVERT TO GRAFT copy. Each face's
@@ -2437,6 +2456,14 @@ object Lakehouse {
             CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
             ${Exact.sqlMoneySum("o_totalprice")} AS sum_price
           FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // the delta-skipped log read equals the same filtered aggregate
+    "q204_delta_data_skipping" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+            CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+            ${Exact.sqlMoneySum("o_totalprice")} AS sum_price
+          FROM orders WHERE o_orderkey <= 3000
+          GROUP BY 1 ORDER BY 1""",
 
     // the bounds-skipped chain read equals the filtered orders aggregate
     "q203_iceberg_bounds_skipping" ->

@@ -2304,44 +2304,21 @@ object IcebergMeta {
   private def pruneFiles(spark: SparkSession, root: String,
       schemaId: Int, entries: Seq[(String, Long)], expr: String)
       : Seq[(String, Long)] = {
-    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-    import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.types._
+    import MetricsPruning.ColMeta
     val fields = schemaIdFieldsOf(root, schemaId)
     val byName = fields.map { case (id, n, dt) =>
       n.toLowerCase -> ((id, dt)) }.toMap
-    val parsed = spark.sessionState.sqlParser.parseExpression(expr)
-    val refs = parsed.references.map(_.name.toLowerCase).toSet
-    require(refs.nonEmpty && refs.subsetOf(byName.keySet),
-      s"pruneWhere references column(s) ${refs.diff(byName.keySet).toSeq
-        .sorted.mkString(", ")} not in the table schema " +
-      s"(${fields.map(_._2).mkString(", ")}); got: $expr")
+    val parsed = MetricsPruning.parseChecked(spark, expr, byName.keySet,
+      fields.map(_._2).mkString(", "))
     val partSrcIds = identityPartSources(root).values.toSet
-    // normalized comparables: BigDecimal for numeric/temporal/boolean,
-    // String for strings; None = no comparable form (conservative)
-    def normNum(n: java.lang.Number) = BigDecimal(n.toString)
-    // non-finite floats have no BigDecimal form; a NaN/Inf literal or
-    // partition value keeps files conservatively instead of throwing
-    def finite(n: java.lang.Number): Boolean = n match {
-      case d: java.lang.Double => !d.isNaN && !d.isInfinite
-      case f: java.lang.Float => !f.isNaN && !f.isInfinite
-      case _ => true
-    }
-    def normLit(v: Any): Option[Any] = v match {
-      case null => None
-      case u: org.apache.spark.unsafe.types.UTF8String =>
-        Some(u.toString)
-      case d: org.apache.spark.sql.types.Decimal => Some(d.toBigDecimal)
-      case b: java.lang.Boolean => Some(BigDecimal(if (b) 1 else 0))
-      case n: java.lang.Number if finite(n) => Some(normNum(n))
-      case _ => None
-    }
     def normPart(v: Any): Option[Any] = v match {
       case null => None
       case u: org.apache.avro.util.Utf8 => Some(u.toString)
       case s: String => Some(s)
       case b: java.lang.Boolean => Some(BigDecimal(if (b) 1 else 0))
-      case n: java.lang.Number if finite(n) => Some(normNum(n))
+      case n: java.lang.Number if MetricsPruning.finite(n) =>
+        Some(BigDecimal(n.toString))
       case _ => None
     }
     def normBound(b: Array[Byte], dt: DataType): Option[Any] = {
@@ -2367,120 +2344,37 @@ object IcebergMeta {
         case _ => None
       }
     }
-    // what the manifests know about one column of one file. nanFree
-    // gates the UPPER-bound checks on floating columns: SQL engines
-    // (Spark, DuckDB) order NaN ABOVE every value, so a file whose
-    // writer excluded NaN from its bounds could still hold rows
-    // matching `x > hi` — only nan_value_counts = 0 makes hi a true
-    // maximum under that ordering. (Lower bounds are safe either way.)
-    case class Meta(lo: Option[Any], hi: Option[Any],
-        allNull: Boolean, noNulls: Boolean, nanFree: Boolean)
-    def metaFor(fm: FileMetrics, name: String): Meta = {
+    // what the manifests know about one column of one file (see
+    // MetricsPruning for the nanFree / ordering rules)
+    def metaFor(fm: FileMetrics)(name: String): ColMeta = {
       val (id, dt) = byName(name)
       val floating = dt == FloatType || dt == DoubleType
       if (partSrcIds.contains(id) && fm.part.contains(id)) {
         val v = fm.part(id)
         if (v == null)
-          Meta(None, None, allNull = true, noNulls = false, nanFree = true)
+          ColMeta(None, None, allNull = true, noNulls = false,
+            nanFree = true)
         else {
           val n = normPart(v)
           // an identity-partition value IS every row's value: a normed
           // (finite) value implies no NaN rows in the file
-          Meta(n, n, allNull = false, noNulls = true, nanFree = n.isDefined)
+          ColMeta(n, n, allNull = false, noNulls = true,
+            nanFree = n.isDefined)
         }
       } else {
         val nulls = fm.nullCounts.get(id)
         val values = fm.valueCounts.get(id)
-        Meta(fm.lower.get(id).flatMap(normBound(_, dt)),
+        ColMeta(fm.lower.get(id).flatMap(normBound(_, dt)),
           fm.upper.get(id).flatMap(normBound(_, dt)),
           allNull = nulls.zip(values).exists { case (n, v) => n == v },
           noNulls = nulls.contains(0L),
           nanFree = !floating || fm.nanCounts.get(id).contains(0L))
       }
     }
-    // strings order by UNSIGNED UTF-8 BYTES — the order the parquet
-    // byte bounds were merged under AND the order Spark's UTF8String
-    // row comparison uses; java String.compareTo (UTF-16 code units)
-    // disagrees for supplementary-plane text and would wrongly prune
-    def utf8Cmp(x: String, y: String): Int = {
-      val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      var i = 0
-      while (i < a.length && i < b.length) {
-        val d = (a(i) & 0xff) - (b(i) & 0xff)
-        if (d != 0) return d
-        i += 1
-      }
-      a.length - b.length
-    }
-    def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
-      case (x: BigDecimal, y: BigDecimal) => Some(x.compare(y))
-      case (x: String, y: String) => Some(utf8Cmp(x, y))
-      case _ => None
-    }
-    def attrName(e: Expression): Option[String] = e match {
-      case a: UnresolvedAttribute => Some(a.nameParts.last.toLowerCase)
-      case _ => None
-    }
-    // inclusive leaf checks: true = the file COULD contain a match
-    def leaf(fm: FileMetrics, a: String, v: Any, op: String): Boolean = {
-      val m = metaFor(fm, a)
-      if (m.allNull) return false // no non-null value can satisfy any op
-      normLit(v).fold(true) { lv =>
-        op match {
-          case "=" => m.lo.flatMap(cmp(_, lv)).forall(_ <= 0) &&
-            m.hi.flatMap(cmp(_, lv)).forall(_ >= 0)
-          case "<" => m.lo.flatMap(cmp(_, lv)).forall(_ < 0)
-          case "<=" => m.lo.flatMap(cmp(_, lv)).forall(_ <= 0)
-          // a NaN row satisfies every `x > v` under NaN-greatest
-          // ordering, so hi prunes these only on a nan-free file
-          case ">" => !m.nanFree ||
-            m.hi.flatMap(cmp(_, lv)).forall(_ > 0)
-          case ">=" => !m.nanFree ||
-            m.hi.flatMap(cmp(_, lv)).forall(_ >= 0)
-        }
-      }
-    }
-    def flip(op: String): String = op match {
-      case "<" => ">" case "<=" => ">=" case ">" => "<" case ">=" => "<="
-      case o => o
-    }
-    def canMatch(e: Expression, fm: FileMetrics): Boolean = e match {
-      case And(l, r) => canMatch(l, fm) && canMatch(r, fm)
-      case Or(l, r) => canMatch(l, fm) || canMatch(r, fm)
-      case EqualTo(a, Literal(v, _)) if attrName(a).isDefined =>
-        leaf(fm, attrName(a).get, v, "=")
-      case EqualTo(Literal(v, _), a) if attrName(a).isDefined =>
-        leaf(fm, attrName(a).get, v, "=")
-      case LessThan(a, Literal(v, _)) if attrName(a).isDefined =>
-        leaf(fm, attrName(a).get, v, "<")
-      case LessThan(Literal(v, _), a) if attrName(a).isDefined =>
-        leaf(fm, attrName(a).get, v, ">")
-      case LessThanOrEqual(a, Literal(v, _)) if attrName(a).isDefined =>
-        leaf(fm, attrName(a).get, v, "<=")
-      case LessThanOrEqual(Literal(v, _), a) if attrName(a).isDefined =>
-        leaf(fm, attrName(a).get, v, ">=")
-      case GreaterThan(a, Literal(v, _)) if attrName(a).isDefined =>
-        leaf(fm, attrName(a).get, v, ">")
-      case GreaterThan(Literal(v, _), a) if attrName(a).isDefined =>
-        leaf(fm, attrName(a).get, v, "<")
-      case GreaterThanOrEqual(a, Literal(v, _)) if attrName(a).isDefined =>
-        leaf(fm, attrName(a).get, v, ">=")
-      case GreaterThanOrEqual(Literal(v, _), a) if attrName(a).isDefined =>
-        leaf(fm, attrName(a).get, v, "<=")
-      case In(a, vs) if attrName(a).isDefined &&
-          vs.forall(_.isInstanceOf[Literal]) =>
-        vs.exists(l => leaf(fm, attrName(a).get,
-          l.asInstanceOf[Literal].value, "="))
-      case IsNull(a) if attrName(a).isDefined =>
-        !metaFor(fm, attrName(a).get).noNulls
-      case IsNotNull(a) if attrName(a).isDefined =>
-        !metaFor(fm, attrName(a).get).allNull
-      case _ => true // unsupported shape: keep, the residual filters rows
-    }
     val idx = fileMetricsIndex(root)
     entries.filter { case (p, _) =>
-      idx.get(normPathDriver(p)).forall(canMatch(parsed, _))
+      idx.get(normPathDriver(p))
+        .forall(fm => MetricsPruning.canMatch(parsed, metaFor(fm)))
     }
   }
 

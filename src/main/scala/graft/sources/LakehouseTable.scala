@@ -1384,6 +1384,7 @@ object LakehouseTable {
     None
   }
   private val DeltaSchemaRe = """"schemaString":\s*"((?:[^"\\]|\\.)*)"""".r
+  private val DeltaStatsRe = """"stats"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
   // protocol fields parsed per line, each independently — their relative
   // order (and interposed feature lists) are writer-dependent too
   private val DeltaProtocolKindRe = """"protocol"\s*:\s*\{""".r
@@ -1431,7 +1432,11 @@ object LakehouseTable {
   private case class DeltaReplayState(live: Seq[String],
       schemaJson: Option[String], protocol: (Int, Int),
       readerFeatures: Seq[String], writerFeatures: Seq[String],
-      conf: Map[String, String], dvs: Map[String, DeltaDv.Descriptor])
+      conf: Map[String, String], dvs: Map[String, DeltaDv.Descriptor],
+      // live path → its add action's raw stats JSON (numRecords /
+      // minValues / maxValues / nullCount) — what Delta data skipping
+      // plans from; absent for adds written without stats
+      stats: Map[String, String] = Map.empty)
 
   /** The deletionVector descriptor of one log action line, if any. */
   private def parseDvDescriptor(line: String,
@@ -1505,7 +1510,8 @@ object LakehouseTable {
       after: Option[Long] = None, seedLive: Seq[String] = Nil,
       seedSchema: Option[String] = None,
       seedDvs: Map[String, DeltaDv.Descriptor] = Map.empty,
-      seedConf: Map[String, String] = Map.empty): DeltaReplayState = {
+      seedConf: Map[String, String] = Map.empty,
+      seedStats: Map[String, String] = Map.empty): DeltaReplayState = {
     val logDir = Paths.get(root, "_delta_log")
     // vacuum's log truncation leaves a horizon marker: versions below it
     // are NOT reconstructable from JSON alone. An unseeded replay of a
@@ -1554,6 +1560,8 @@ object LakehouseTable {
     live ++= seedLive
     val dvs = scala.collection.mutable.HashMap.empty[String, DeltaDv.Descriptor]
     dvs ++= seedDvs
+    val stats = scala.collection.mutable.HashMap.empty[String, String]
+    stats ++= seedStats
     var schemaJson: Option[String] = seedSchema
     var protocol = (1, 2)
     var readerFeats = Seq.empty[String]
@@ -1564,7 +1572,7 @@ object LakehouseTable {
       txt.split('\n').foreach { line =>
         deltaActionPath(line, DeltaRemoveKindRe).foreach { raw =>
           val p = deltaDecodePath(deltaUnesc(raw))
-          live -= p; dvs -= p
+          live -= p; dvs -= p; stats -= p
         }
         deltaActionPath(line, DeltaAddKindRe).foreach { raw =>
           val p = deltaDecodePath(deltaUnesc(raw))
@@ -1572,6 +1580,10 @@ object LakehouseTable {
           parseDvDescriptor(line, lf.toString) match {
             case Some(d) => dvs(p) = d
             case None    => dvs -= p
+          }
+          DeltaStatsRe.findFirstMatchIn(line) match {
+            case Some(m) => stats(p) = deltaUnesc(m.group(1))
+            case None    => stats -= p // a re-add without stats clears
           }
         }
       }
@@ -1597,7 +1609,8 @@ object LakehouseTable {
     }
     DeltaReplayState(live.toSeq, schemaJson, protocol,
       readerFeats, writerFeats, conf,
-      dvs.toMap.filter(e => live.contains(e._1)))
+      dvs.toMap.filter(e => live.contains(e._1)),
+      stats.toMap.filter(e => live.contains(e._1)))
   }
 
   /** Write a Delta CHECKPOINT for the exported log at `version` — one
@@ -1670,10 +1683,17 @@ object LakehouseTable {
         val dv = st.dvs.get(f).map(d => org.apache.spark.sql.Row(
           d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes,
           d.cardinality)).orNull
-        val stats =
-          if (!Files.exists(p)) null
-          else try s"{\"numRecords\":${parquetRecordCount(p)}}"
-          catch { case scala.util.control.NonFatal(_) => null }
+        // carry the add action's FULL stats (minValues/maxValues/
+        // nullCount) through the checkpoint — losing them would disable
+        // data skipping for every reader seeding past it; only a
+        // stats-less add falls back to the footer record count
+        val stats = st.stats.get(f).orNull match {
+          case s: String => s
+          case _ =>
+            if (!Files.exists(p)) null
+            else try s"{\"numRecords\":${parquetRecordCount(p)}}"
+            catch { case scala.util.control.NonFatal(_) => null }
+        }
         org.apache.spark.sql.Row(null, null, org.apache.spark.sql.Row(
           deltaEncodePath(f), partitionValues(f), size, mtime, true, stats, dv))
       }
@@ -1703,7 +1723,8 @@ object LakehouseTable {
   def readDeltaExport(spark: SparkSession, root: String,
       useCheckpoint: Boolean = true,
       versionAsOf: Option[Long] = None,
-      timestampAsOf: Option[Long] = None): DataFrame = {
+      timestampAsOf: Option[Long] = None,
+      pruneWhere: Option[String] = None): DataFrame = {
     val logDir = Paths.get(root, "_delta_log")
     require(Files.isDirectory(logDir), s"no _delta_log at $root (exportDeltaLog first)")
     require(versionAsOf.isEmpty || timestampAsOf.isEmpty,
@@ -1726,7 +1747,83 @@ object LakehouseTable {
         s"log at $root is truncated below its checkpoint; full-JSON " +
           "replay is unavailable (read with useCheckpoint = true)")
     val state = deltaStateAt(spark, root, pinnedVersion, useCheckpoint)
-    readDeltaSlice(spark, root, state, state.live, state.dvs)
+    val keep = pruneWhere match {
+      case Some(e) => pruneDeltaFiles(spark, state, e)
+      case None => state.live
+    }
+    val keepSet = keep.toSet
+    val out = readDeltaSlice(spark, root, state, keep,
+      state.dvs.filter(kv => keepSet.contains(kv._1)))
+    // residual row filter: skipping is inclusive (files with missing or
+    // un-typeable stats are kept), so the predicate still applies
+    pruneWhere.map(out.filter).getOrElse(out)
+  }
+
+  /** DELTA DATA SKIPPING (the Delta face's scan planning, sharing the
+    * Iceberg face's inclusive evaluator): keep only the live files
+    * whose add-action stats (numRecords / minValues / maxValues /
+    * nullCount — what every Delta writer records and the checkpoint
+    * now carries through) can satisfy `expr`, driver-side in O(files).
+    * Stats keys are PHYSICAL column names under column mapping; each
+    * logical field resolves through its physicalName metadata, so
+    * mapped tables skip too. Values the JSON cannot type for the
+    * field (exotic formats, timestamps) and stats-less files keep the
+    * file conservatively — the caller's residual row filter covers
+    * them. Delta stats carry no NaN counts, so floating upper bounds
+    * never prune `x > v` (NaN orders above every value in SQL
+    * engines); a predicate on a column the schema lacks refuses. */
+  private def pruneDeltaFiles(spark: SparkSession,
+      state: DeltaReplayState, expr: String): Seq[String] = {
+    import org.apache.spark.sql.types._
+    import MetricsPruning.ColMeta
+    val struct = schemaJsonToStruct(state.schemaJson).getOrElse(
+      return state.live) // metaData-less log: nothing to type stats with
+    val byName = struct.fields.map(f => f.name.toLowerCase -> f).toMap
+    val parsed = MetricsPruning.parseChecked(spark, expr, byName.keySet,
+      struct.fieldNames.mkString(", "))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def physOf(f: StructField): String =
+      if (f.metadata.contains("delta.columnMapping.physicalName"))
+        f.metadata.getString("delta.columnMapping.physicalName")
+      else f.name
+    def metaFor(stats: com.fasterxml.jackson.databind.JsonNode)(
+        name: String): ColMeta = {
+      val f = byName(name)
+      val key = physOf(f)
+      def section(s: String) =
+        Option(stats.get(s)).flatMap(n => Option(n.get(key)))
+      def norm(n: com.fasterxml.jackson.databind.JsonNode): Option[Any] =
+        f.dataType match {
+          case StringType => Option(n.textValue())
+          case DateType => Option(n.textValue()).flatMap(s =>
+            scala.util.Try(
+              BigDecimal(java.time.LocalDate.parse(s).toEpochDay)).toOption)
+          case BooleanType if n.isBoolean =>
+            Some(BigDecimal(if (n.booleanValue()) 1 else 0))
+          case _: NumericType if n.isNumber =>
+            Some(BigDecimal(n.decimalValue()))
+          case _ => None // timestamps vary in format: conservative
+        }
+      val numRecords = Option(stats.get("numRecords"))
+        .filter(_.isNumber).map(_.asLong())
+      val nulls = Option(stats.get("nullCount"))
+        .flatMap(n => Option(n.get(key)))
+        .filter(_.isNumber).map(_.asLong())
+      ColMeta(
+        section("minValues").flatMap(norm),
+        section("maxValues").flatMap(norm),
+        allNull = nulls.zip(numRecords).exists { case (a, b) => a == b },
+        noNulls = nulls.contains(0L),
+        nanFree = f.dataType != FloatType && f.dataType != DoubleType)
+    }
+    state.live.filter { p =>
+      state.stats.get(p).forall { js =>
+        val node =
+          try mapper.readTree(js)
+          catch { case scala.util.control.NonFatal(_) => null }
+        node == null || MetricsPruning.canMatch(parsed, metaFor(node))
+      }
+    }
   }
 
   /** Checkpoint-seeded replay state of an exported/foreign Delta log at
@@ -1742,8 +1839,8 @@ object LakehouseTable {
     val lcp = logDir.resolve("_last_checkpoint")
     val noSeed = (None: Option[Long], Seq.empty[String],
       None: Option[String], Map.empty[String, DeltaDv.Descriptor],
-      Map.empty[String, String])
-    val (ckVer, seedLive, seedSchema, seedDvs, seedConf) =
+      Map.empty[String, String], Map.empty[String, String])
+    val (ckVer, seedLive, seedSchema, seedDvs, seedConf, seedStats) =
       if (!useCheckpoint || !Files.exists(lcp)) noSeed
       else {
         val v = """"version":\s*(\d+)""".r
@@ -1753,7 +1850,7 @@ object LakehouseTable {
       }
     replayDeltaLog(root, upTo, after = ckVer,
       seedLive = seedLive, seedSchema = seedSchema, seedDvs = seedDvs,
-      seedConf = seedConf)
+      seedConf = seedConf, seedStats = seedStats)
   }
 
   /** Read a specific add-file slice of an exported/foreign Delta table
@@ -2073,7 +2170,8 @@ object LakehouseTable {
 
   private def readCheckpointSeed(spark: SparkSession,
       logDir: Path, v: Long): (Option[Long], Seq[String], Option[String],
-      Map[String, DeltaDv.Descriptor], Map[String, String]) = {
+      Map[String, DeltaDv.Descriptor], Map[String, String],
+      Map[String, String]) = {
     import org.apache.spark.sql.functions.{col, lit}
     {
         val ck = spark.read.parquet(
@@ -2081,9 +2179,11 @@ object LakehouseTable {
         val addType = ck.schema("add").dataType
           .asInstanceOf[org.apache.spark.sql.types.StructType]
         val hasDv = addType.fieldNames.contains("deletionVector")
+        val hasStats = addType.fieldNames.contains("stats")
         val addRows = ck.filter(col("add").isNotNull)
           .select(col("add.path").as("p"),
-            (if (hasDv) col("add.deletionVector") else lit(null)).as("dv"))
+            (if (hasDv) col("add.deletionVector") else lit(null)).as("dv"),
+            (if (hasStats) col("add.stats") else lit(null)).as("st"))
           .collect()
         val adds = addRows.map(r => deltaDecodePath(r.getString(0))).toSeq
         val dvm = addRows.flatMap { r =>
@@ -2092,6 +2192,10 @@ object LakehouseTable {
               d.getString(0), d.getString(1), d.getLong(2), d.getLong(3),
               d.getLong(4))
           }
+        }.toMap
+        val stm = addRows.flatMap { r =>
+          Option(r.get(2)).map(s =>
+            deltaDecodePath(r.getString(0)) -> s.asInstanceOf[String])
         }.toMap
         val mdType = ck.schema("metaData").dataType
           .asInstanceOf[org.apache.spark.sql.types.StructType]
@@ -2109,7 +2213,7 @@ object LakehouseTable {
         val conf = mdRow.flatMap(r => Option(r.get(1)))
           .map(_.asInstanceOf[scala.collection.Map[String, String]].toMap)
           .getOrElse(Map.empty[String, String])
-        (Some(v), adds, sch, dvm, conf)
+        (Some(v), adds, sch, dvm, conf, stm)
     }
   }
 

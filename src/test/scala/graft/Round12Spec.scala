@@ -580,6 +580,33 @@ class Round12Spec extends AnyFunSuite {
       Set((1L, "a"), (2L, "b")))
   }
 
+  test("delta data skipping plans only the matching files, through checkpoints too") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot("delta_skip")
+    LT.create((1L to 400L).map(i => (i, i * 3)).toDF("id", "x")
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id"), root)
+    LT.exportDeltaLog(spark, root)
+    def pruned() = LT.readDeltaExport(spark, root,
+      pruneWhere = Some("id <= 100"))
+    assert(LT.readDeltaExport(spark, root).inputFiles.length == 4)
+    assert(pruned().as[(Long, Long)].collect().toSet ==
+      (1L to 100L).map(i => (i, i * 3)).toSet)
+    assert(pruned().inputFiles.length < 4,
+      s"log stats should skip files: ${pruned().inputFiles.toSeq}")
+    // the checkpoint must CARRY the add stats — a checkpoint-seeded
+    // read (no JSON replay at all) still skips
+    LT.exportDeltaCheckpoint(spark, root, 0L)
+    assert(pruned().inputFiles.length < 4,
+      "checkpoint-seeded reads must keep skipping")
+    assert(pruned().as[(Long, Long)].collect().toSet ==
+      (1L to 100L).map(i => (i, i * 3)).toSet)
+    val ex = intercept[IllegalArgumentException] {
+      LT.readDeltaExport(spark, root, pruneWhere = Some("nope > 1"))
+    }
+    assert(ex.getMessage.contains("not in the table schema"), ex.getMessage)
+  }
+
   test("position-delete application is sequence-scoped: a carried delete below a file's sequence keeps its rows") {
     import spark.implicits._
     val root = freshRoot("pos_seq")
