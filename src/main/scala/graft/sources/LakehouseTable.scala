@@ -1384,7 +1384,6 @@ object LakehouseTable {
     None
   }
   private val DeltaSchemaRe = """"schemaString":\s*"((?:[^"\\]|\\.)*)"""".r
-  private val DeltaStatsRe = """"stats"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
   // protocol fields parsed per line, each independently — their relative
   // order (and interposed feature lists) are writer-dependent too
   private val DeltaProtocolKindRe = """"protocol"\s*:\s*\{""".r
@@ -1562,6 +1561,17 @@ object LakehouseTable {
     dvs ++= seedDvs
     val stats = scala.collection.mutable.HashMap.empty[String, String]
     stats ++= seedStats
+    // the add's stats field must be parsed as REAL JSON: a flat regex
+    // over the line would capture a partitionValues KEY that happens to
+    // be named "stats" (partitionValues precedes the stats field in
+    // every writer's action order) and poison both skipping and the
+    // checkpoint's carried stats
+    val statsMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def addStatsOf(line: String): Option[String] =
+      try Option(statsMapper.readTree(line).get("add"))
+        .flatMap(a => Option(a.get("stats")))
+        .filter(_.isTextual).map(_.asText())
+      catch { case scala.util.control.NonFatal(_) => None }
     var schemaJson: Option[String] = seedSchema
     var protocol = (1, 2)
     var readerFeats = Seq.empty[String]
@@ -1581,8 +1591,8 @@ object LakehouseTable {
             case Some(d) => dvs(p) = d
             case None    => dvs -= p
           }
-          DeltaStatsRe.findFirstMatchIn(line) match {
-            case Some(m) => stats(p) = deltaUnesc(m.group(1))
+          addStatsOf(line) match {
+            case Some(s) => stats(p) = s
             case None    => stats -= p // a re-add without stats clears
           }
         }
@@ -1776,20 +1786,21 @@ object LakehouseTable {
       state: DeltaReplayState, expr: String): Seq[String] = {
     import org.apache.spark.sql.types._
     import MetricsPruning.ColMeta
+    // a schema-less log cannot validate the predicate's columns, let
+    // alone type its stats — refuse loudly (the same contract as a
+    // typo'd column), never silently scan everything
     val struct = schemaJsonToStruct(state.schemaJson).getOrElse(
-      return state.live) // metaData-less log: nothing to type stats with
+      throw new IllegalArgumentException(
+        "pruneWhere requires a log with a metaData schemaString; " +
+        s"this log has none (predicate: $expr)"))
     val byName = struct.fields.map(f => f.name.toLowerCase -> f).toMap
     val parsed = MetricsPruning.parseChecked(spark, expr, byName.keySet,
       struct.fieldNames.mkString(", "))
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    def physOf(f: StructField): String =
-      if (f.metadata.contains("delta.columnMapping.physicalName"))
-        f.metadata.getString("delta.columnMapping.physicalName")
-      else f.name
     def metaFor(stats: com.fasterxml.jackson.databind.JsonNode)(
         name: String): ColMeta = {
       val f = byName(name)
-      val key = physOf(f)
+      val key = deltaPhysicalName(f)
       def section(s: String) =
         Option(stats.get(s)).flatMap(n => Option(n.get(key)))
       def norm(n: com.fasterxml.jackson.databind.JsonNode): Option[Any] =
@@ -2278,10 +2289,7 @@ object LakehouseTable {
     schemaJsonToStruct(state.schemaJson) match {
       case Some(st) =>
         import org.apache.spark.sql.types.{StructField, StructType}
-        def physOf(f: StructField): String =
-          if (f.metadata.contains("delta.columnMapping.physicalName"))
-            f.metadata.getString("delta.columnMapping.physicalName")
-          else f.name
+        def physOf(f: StructField): String = deltaPhysicalName(f)
         // ID-mode column mapping: fields resolve by PARQUET FIELD ID, not
         // name (the physical parquet column names are opaque). Annotate
         // the requested schema with each field's delta.columnMapping.id
@@ -2321,6 +2329,16 @@ object LakehouseTable {
     schemaJson.map(org.apache.spark.sql.types.DataType.fromJson).collect {
       case st: org.apache.spark.sql.types.StructType => st
     }
+
+  /** A logical field's PHYSICAL parquet column name under Delta column
+    * mapping (identity when the table is unmapped) — the one resolver
+    * shared by the read path and the skipping path, so a mapping-mode
+    * fix cannot fork them. */
+  private def deltaPhysicalName(
+      f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains("delta.columnMapping.physicalName"))
+      f.metadata.getString("delta.columnMapping.physicalName")
+    else f.name
 
   private val DeltaPartColsRe = """"partitionColumns":\s*\[([^\]]*)\]""".r
 

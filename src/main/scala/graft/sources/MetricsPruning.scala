@@ -35,9 +35,6 @@ private[sources] object MetricsPruning {
   case class ColMeta(lo: Option[Any], hi: Option[Any],
       allNull: Boolean, noNulls: Boolean, nanFree: Boolean)
 
-  val unknown: ColMeta = ColMeta(None, None,
-    allNull = false, noNulls = false, nanFree = false)
-
   def finite(n: java.lang.Number): Boolean = n match {
     case d: java.lang.Double => !d.isNaN && !d.isInfinite
     case f: java.lang.Float => !f.isNaN && !f.isInfinite

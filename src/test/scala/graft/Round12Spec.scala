@@ -607,6 +607,27 @@ class Round12Spec extends AnyFunSuite {
     assert(ex.getMessage.contains("not in the table schema"), ex.getMessage)
   }
 
+  test("a partition column literally named 'stats' cannot poison add-action stats") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot("stats_col")
+    // partitionValues precedes the stats field in every writer's add
+    // action, so a flat regex would capture {"stats":"a"} from the
+    // PARTITION map and feed it to skipping and the checkpoint
+    LT.create(Seq((1L, "a"), (2L, "b")).toDF("id", "stats"), root,
+      partitionBy = Seq("stats"))
+    LT.exportDeltaLog(spark, root)
+    val pr = LT.readDeltaExport(spark, root, pruneWhere = Some("id <= 1"))
+    assert(pr.select(col("id")).as[Long].collect().toSet == Set(1L))
+    LT.exportDeltaCheckpoint(spark, root, 0L)
+    val ck = spark.read.parquet(
+      root + "/_delta_log/" + f"${0L}%020d.checkpoint.parquet")
+    val sts = ck.filter(col("add").isNotNull).select(col("add.stats"))
+      .collect().map(_.getString(0)).filter(_ != null)
+    assert(sts.nonEmpty && sts.forall(_.trim.startsWith("{")),
+      s"checkpoint add.stats must be the real stats JSON: ${sts.toSeq}")
+  }
+
   test("position-delete application is sequence-scoped: a carried delete below a file's sequence keeps its rows") {
     import spark.implicits._
     val root = freshRoot("pos_seq")
