@@ -1205,6 +1205,11 @@ object IcebergMeta {
   // immutable; entries never invalidate.
   private val manifestPartCache = TrieMap
     .empty[(String, Long, Long), Map[String, FileMetrics]]
+  // manifest LIST identity → its data-manifest paths (lists are
+  // immutable too): keeps a per-query prune/fill at O(new metadata)
+  // instead of re-reading every snapshot's list avro
+  private val manifestListCache = TrieMap
+    .empty[(String, Long, Long), Seq[String]]
 
   /** Normalized data-file path → manifest metrics, from every
     * snapshot's data manifests — consulted only when a scan actually
@@ -1228,9 +1233,14 @@ object IcebergMeta {
       case a: Array[Byte] => a
     }
     val manifests = snapshots(root).map(_.manifestList).distinct
-      .flatMap(l => readAvro(Paths.get(l))
-        .filter(_.get("content").asInstanceOf[Int] == 0)
-        .map(_.get("manifest_path").toString)).distinct
+      .flatMap { l =>
+        val p = Paths.get(l)
+        manifestListCache.getOrElseUpdate(
+          (l, Files.size(p), Files.getLastModifiedTime(p).toMillis),
+          readAvro(p)
+            .filter(_.get("content").asInstanceOf[Int] == 0)
+            .map(_.get("manifest_path").toString))
+      }.distinct
     manifests.flatMap { m =>
       val p = Paths.get(m)
       val key = (m, Files.size(p), Files.getLastModifiedTime(p).toMillis)

@@ -52,6 +52,8 @@ import graft.sources.{IcebergMeta, LakehouseTable}
   *   SELECT ... FROM TABLE_CHANGES(t, from, to) ...   -- needs rowKeys
   *   SELECT ... FROM delta_export('/path'[, n | 'ts']) ...     -- foreign Delta log, in place
   *   SELECT ... FROM iceberg_export('/path'[, snap | 'ts']) ...-- foreign Iceberg chain
+  *   SELECT ... FROM delta_export_where('/path', 'pred') ...   -- + log-stats file skipping
+  *   SELECT ... FROM iceberg_export_where('/path', 'pred') ... -- + manifest pruning/skipping
   *   SELECT ... FROM table_changes('/path', from, to) ...      -- foreign Delta CDF
   *   SELECT ... FROM iceberg_changelog('/path', from, to, 'k1,k2') ...
   * }}}
@@ -1121,6 +1123,17 @@ object GraftSqlStatements {
   private val IcebergExportRe =
     ("""(?i)\biceberg_export\s*\(\s*""" + MaskedLit +
       """\s*(?:,\s*(?:(\d+)|""" + MaskedLit + """))?\s*\)""").r
+  // the `_where` forms take an explicit PREDICATE literal and plan the
+  // scan from the format's own metadata (Delta add stats / Iceberg
+  // manifest partition values + bounds) before reading — a distinct
+  // name because the plain forms' optional second argument is already
+  // a (timestamp) string literal and overloading it would be ambiguous
+  private val DeltaExportWhereRe =
+    ("""(?i)\bdelta_export_where\s*\(\s*""" + MaskedLit +
+      """\s*,\s*""" + MaskedLit + """\s*\)""").r
+  private val IcebergExportWhereRe =
+    ("""(?i)\biceberg_export_where\s*\(\s*""" + MaskedLit +
+      """\s*,\s*""" + MaskedLit + """\s*\)""").r
   // each range bound is a bare version/sequence number OR a quoted
   // timestamp literal (masked); the keys argument of iceberg_changelog
   // is optional — omitted, the key list comes from the graft manifest's
@@ -1139,6 +1152,16 @@ object GraftSqlStatements {
   private def unmaskLit(unmask: String => String, idx: String): String = {
     val restored = unmask("'\u0001" + idx + "\u0001'")
     restored.substring(1, restored.length - 1)
+  }
+
+  /** Restore masked literal #idx as a PREDICATE string: strip the outer
+    * quotes AND undo the SQL doubling of that quote kind — a predicate's
+    * own string literals arrive SQL-escaped
+    * (`'o_orderstatus = ''F'''` → `o_orderstatus = 'F'`). */
+  private def unmaskPred(unmask: String => String, idx: String): String = {
+    val restored = unmask("'\u0001" + idx + "\u0001'")
+    val q = restored.head.toString
+    restored.substring(1, restored.length - 1).replace(q + q, q)
   }
 
   /** UTC wall-clock SQL timestamp literal → epoch millis (the
@@ -1224,8 +1247,30 @@ object GraftSqlStatements {
       }
     })
     // foreign-path table-valued reads (quoted path, not a registered
-    // name): lower onto the existing open-format readers in place
-    val afterDe = DeltaExportRe.replaceAllIn(afterTc, m => {
+    // name): lower onto the existing open-format readers in place.
+    // The `_where` forms rewrite FIRST — their names contain the plain
+    // forms' as a prefix, and both regexes are word-bounded, but
+    // ordering makes the precedence explicit.
+    val afterDw = DeltaExportWhereRe.replaceAllIn(afterTc, m => {
+      val path = unmaskLit(unmask, m.group(1))
+      val pred = unmaskPred(unmask, m.group(2))
+      val view = foreignView("delta_export_where",
+        s"$path#$pred")
+      LakehouseTable.readDeltaExport(spark, path,
+          pruneWhere = Some(pred))
+        .createOrReplaceTempView(view)
+      q(view)
+    })
+    val afterIw = IcebergExportWhereRe.replaceAllIn(afterDw, m => {
+      val path = unmaskLit(unmask, m.group(1))
+      val pred = unmaskPred(unmask, m.group(2))
+      val view = foreignView("iceberg_export_where",
+        s"$path#$pred")
+      IcebergMeta.readIceberg(spark, path, pruneWhere = Some(pred))
+        .createOrReplaceTempView(view)
+      q(view)
+    })
+    val afterDe = DeltaExportRe.replaceAllIn(afterIw, m => {
       val path = unmaskLit(unmask, m.group(1))
       val vOpt = Option(m.group(2)).map(_.toLong)
       val tsOpt = Option(m.group(3)).map(i =>

@@ -462,6 +462,35 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(litRow.getString(0) == "delta_export('x')")
   }
 
+  test("_where TVFs plan the scan from format metadata (pruned foreign reads from SQL)") {
+    import spark.implicits._
+    import graft.sources.IcebergMeta
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft_sql_where").toString + "/t"
+    LakehouseTable.create(
+      (1L to 200L).map(i => (i, if (i <= 100) "a" else "b")).toDF("id", "v")
+        .repartitionByRange(2, col("id")).sortWithinPartitions("id"), root)
+    LakehouseTable.exportDeltaLog(spark, root)
+    IcebergMeta.exportIcebergMeta(spark, root)
+    // the predicate is ONE quoted literal whose own string literals
+    // arrive SQL-doubled ('' → ') — exercised on both faces
+    val ice = spark.sql(s"SELECT id FROM iceberg_export_where(" +
+      s"'$root', 'id <= 20 AND v = ''a''')")
+    assert(ice.count() == 20)
+    assert(ice.inputFiles.length == 1,
+      s"manifest bounds should plan ONE file: ${ice.inputFiles.toSeq}")
+    val de = spark.sql(s"SELECT id FROM delta_export_where(" +
+      s"'$root', 'id <= 20')")
+    assert(de.count() == 20)
+    assert(de.inputFiles.length == 1,
+      s"log stats should plan ONE file: ${de.inputFiles.toSeq}")
+    // unknown column refuses through the SQL face too
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"SELECT * FROM iceberg_export_where('$root', 'nope = 1')")
+    }
+    assert(e.getMessage.contains("not in the table schema"), e.getMessage)
+  }
+
   test("changelog TVFs: timestamp bounds and manifest-defaulted keys") {
     import spark.implicits._
     import graft.sources.IcebergMeta

@@ -628,6 +628,54 @@ class Round12Spec extends AnyFunSuite {
       s"checkpoint add.stats must be the real stats JSON: ${sts.toSeq}")
   }
 
+  test("pruned reads equal unpruned filtered reads across a predicate sweep, on both faces") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot("prune_sweep")
+    // mixed types across 4 range-clustered files: longs, strings with
+    // supplementary-plane text, dates, doubles with NaN, and nulls —
+    // every edge the inclusive evaluator special-cases
+    val rows = (1L to 200L).map { i =>
+      val s: String =
+        if (i % 37 == 0) null
+        else if (i % 50 == 0) "𐀀sup" // U+10000
+        else f"s$i%03d"
+      val x: java.lang.Double =
+        if (i % 41 == 0) java.lang.Double.valueOf(Double.NaN)
+        else if (i % 43 == 0) null
+        else java.lang.Double.valueOf(i * 1.5)
+      (i, s,
+        java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1)
+          .plusDays((i % 90).toInt)), x)
+    }
+    LT.create(rows.toDF("id", "s", "d", "x")
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id"), root)
+    IcebergMeta.exportIcebergMeta(spark, root)
+    LT.exportDeltaLog(spark, root)
+    val predicates = Seq(
+      "id <= 50", "id > 150", "id = 77", "id >= 50 AND id < 60",
+      "id < 30 OR id > 180", "id IN (3, 99, 250)",
+      "s = 's120'", "s > 's150'", "s <= 's020'",
+      "s = '𐀀sup'", "s >= ''",
+      "s IS NULL", "s IS NOT NULL",
+      "d < DATE'2024-01-15'", "d >= DATE'2024-03-01'",
+      "x > 200.0", "x <= 10.0", "x = 61.5", "x IS NULL",
+      "id <= 50 AND s IS NOT NULL AND x > 10.0")
+    predicates.foreach { p =>
+      val expectI = IcebergMeta.readIceberg(spark, root)
+        .filter(p).select(col("id")).as[Long].collect().toSet
+      val gotI = IcebergMeta.readIceberg(spark, root,
+        pruneWhere = Some(p)).select(col("id")).as[Long].collect().toSet
+      assert(gotI == expectI, s"iceberg pruneWhere($p): $gotI != $expectI")
+      val expectD = LT.readDeltaExport(spark, root)
+        .filter(p).select(col("id")).as[Long].collect().toSet
+      val gotD = LT.readDeltaExport(spark, root,
+        pruneWhere = Some(p)).select(col("id")).as[Long].collect().toSet
+      assert(gotD == expectD, s"delta pruneWhere($p): $gotD != $expectD")
+      assert(expectI == expectD, s"face drift on $p")
+    }
+  }
+
   test("position-delete application is sequence-scoped: a carried delete below a file's sequence keeps its rows") {
     import spark.implicits._
     val root = freshRoot("pos_seq")
