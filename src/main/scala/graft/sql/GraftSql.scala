@@ -1160,8 +1160,23 @@ object GraftSqlStatements {
     * (`'o_orderstatus = ''F'''` → `o_orderstatus = 'F'`). */
   private def unmaskPred(unmask: String => String, idx: String): String = {
     val restored = unmask("'\u0001" + idx + "\u0001'")
-    val q = restored.head.toString
-    restored.substring(1, restored.length - 1).replace(q + q, q)
+    val q = restored.head
+    val body = restored.substring(1, restored.length - 1)
+    // one pass, mirroring maskLiterals' lexing: both escape styles the
+    // masker recognizes un-escape here — quote DOUBLING and BACKSLASH
+    // escapes (Spark's default lexer writes \' inside '…'); leaving a
+    // backslash through would hand parseExpression a stray token
+    val sb = new StringBuilder
+    var i = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (c == '\\' && i + 1 < body.length) {
+        sb.append(body.charAt(i + 1)); i += 2
+      } else if (c == q && i + 1 < body.length && body.charAt(i + 1) == q) {
+        sb.append(c); i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   /** UTC wall-clock SQL timestamp literal → epoch millis (the

@@ -484,6 +484,11 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(de.count() == 20)
     assert(de.inputFiles.length == 1,
       s"log stats should plan ONE file: ${de.inputFiles.toSeq}")
+    // Spark's default lexer backslash-escapes inner quotes — the
+    // predicate must unescape that style too, not just '' doubling
+    val bs = spark.sql("SELECT id FROM iceberg_export_where(" +
+      s"'$root', 'id <= 20 AND v = \\'a\\'')")
+    assert(bs.count() == 20, "backslash-escaped predicate literal")
     // unknown column refuses through the SQL face too
     val e = intercept[IllegalArgumentException] {
       spark.sql(s"SELECT * FROM iceberg_export_where('$root', 'nope = 1')")
