@@ -2563,12 +2563,19 @@ object LakehouseTable {
   }
 
   /** Delta-format per-file stats JSON (numRecords always;
-    * minValues/maxValues/nullCount for plain-integer columns whose every
-    * chunk carries non-null stats — INT32/INT64 with no logical
-    * annotation beyond a signed int, where footer min/max is exact; a
-    * date/timestamp/decimal annotation needs a different JSON value
-    * format and is omitted, which a Delta reader treats as merely
-    * non-skippable, never wrong). One footer read; no data pages. */
+    * minValues/maxValues/nullCount for every column whose chunks carry
+    * non-null stats AND whose type has an exact Delta JSON value form:
+    * plain signed ints (JSON number), float/double with FINITE
+    * endpoints (JSON number via the shortest round-trip repr — every
+    * decimal between that text and the binary value rounds back to the
+    * same double, so the bound stays inclusive; NaN endpoints drop the
+    * column because parquet-mr propagates NaN into chunk min/max),
+    * DATE (ISO yyyy-MM-dd string, Delta's format), and strings up to
+    * 64 chars (JSON-escaped; longer bounds are omitted rather than
+    * truncated — a truncated max needs a last-char increment to stay a
+    * bound). Anything else is omitted, which a Delta reader treats as
+    * merely non-skippable, never wrong. One footer read; no data
+    * pages. */
   private def fileStatsJson(p: Path): String = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
@@ -2582,44 +2589,90 @@ object LakehouseTable {
       val n = blocks.map(_.getRowCount).sum
       val cols = blocks.headOption.map(_.getColumns.asScala.map(
         _.getPath.toDotString).toSeq).getOrElse(Nil)
-      val ints = cols.flatMap { c =>
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      // per column: (name, min JSON text, max JSON text, null count)
+      val entries = cols.flatMap { c =>
         val chunks = blocks.flatMap(
           _.getColumns.asScala.find(_.getPath.toDotString == c))
-        val plainInt = chunks.forall { ch =>
-          val t = ch.getPrimitiveType
-          (t.getPrimitiveTypeName == PrimitiveTypeName.INT32 ||
-            t.getPrimitiveTypeName == PrimitiveTypeName.INT64) &&
-            (t.getLogicalTypeAnnotation == null ||
-              (t.getLogicalTypeAnnotation match {
-                case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation => i.isSigned
-                case _ => false
-              }))
-        }
         val stats = chunks.map(_.getStatistics)
-        if (!plainInt || chunks.isEmpty ||
+        if (chunks.isEmpty ||
             stats.exists(s => s == null || !s.hasNonNullValue)) None
         else {
+          val t = chunks.head.getPrimitiveType
           def toL(v: Any): Long = v match {
             case l: java.lang.Long    => l
             case i: java.lang.Integer => i.toLong
             case other                => other.toString.toLong
           }
+          def reduceL(f: Seq[Long] => Long, pick: Boolean): Long =
+            f(stats.map(s => toL(
+              if (pick) s.genericGetMin else s.genericGetMax)))
+          val plainInt =
+            (t.getPrimitiveTypeName == PrimitiveTypeName.INT32 ||
+              t.getPrimitiveTypeName == PrimitiveTypeName.INT64) &&
+              (t.getLogicalTypeAnnotation == null ||
+                (t.getLogicalTypeAnnotation match {
+                  case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+                    i.isSigned
+                  case _ => false
+                }))
+          val isDate = t.getPrimitiveTypeName == PrimitiveTypeName.INT32 &&
+            t.getLogicalTypeAnnotation
+              .isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation]
+          val isFloating =
+            (t.getPrimitiveTypeName == PrimitiveTypeName.DOUBLE ||
+              t.getPrimitiveTypeName == PrimitiveTypeName.FLOAT) &&
+              t.getLogicalTypeAnnotation == null
+          val isString =
+            t.getPrimitiveTypeName == PrimitiveTypeName.BINARY &&
+              t.getLogicalTypeAnnotation
+                .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+          val jsonMinMax: Option[(String, String)] =
+            if (plainInt)
+              Some((reduceL(_.min, pick = true).toString,
+                reduceL(_.max, pick = false).toString))
+            else if (isDate)
+              Some((
+                java.time.LocalDate.ofEpochDay(
+                  reduceL(_.min, pick = true)).toString,
+                java.time.LocalDate.ofEpochDay(
+                  reduceL(_.max, pick = false)).toString))
+                .map { case (a, b) =>
+                  (om.writeValueAsString(a), om.writeValueAsString(b)) }
+            else if (isFloating) {
+              val mins = stats.map(_.genericGetMin.toString.toDouble)
+              val maxs = stats.map(_.genericGetMax.toString.toDouble)
+              val (mn, mx) = (mins.min, maxs.max)
+              if (mn.isNaN || mn.isInfinite || mx.isNaN || mx.isInfinite)
+                None
+              else Some((mn.toString, mx.toString))
+            } else if (isString) {
+              val mins = stats.map(
+                _.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary])
+              val maxs = stats.map(
+                _.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary])
+              val mn = mins.reduce((a, b) => if (a.compareTo(b) <= 0) a else b)
+              val mx = maxs.reduce((a, b) => if (a.compareTo(b) >= 0) a else b)
+              val (ms, xs) = (mn.toStringUsingUTF8, mx.toStringUsingUTF8)
+              if (ms.length > 64 || xs.length > 64) None
+              else Some((om.writeValueAsString(ms), om.writeValueAsString(xs)))
+            } else None
           // a writer may set min/max but not num_nulls (isNumNullsSet
           // false reads as -1) — emit the null count only when EVERY
           // chunk recorded one, or a foreign reader pruning IS NULL
           // predicates would act on garbage
           val nulls =
-            if (stats.forall(_.isNumNullsSet)) Some(stats.map(_.getNumNulls).sum)
+            if (stats.forall(_.isNumNullsSet))
+              Some(stats.map(_.getNumNulls).sum)
             else None
-          Some((c, stats.map(s => toL(s.genericGetMin)).min,
-            stats.map(s => toL(s.genericGetMax)).max, nulls))
+          jsonMinMax.map { case (mn, mx) => (c, mn, mx, nulls) }
         }
       }
-      if (ints.isEmpty) s"""{"numRecords":$n}"""
+      if (entries.isEmpty) s"""{"numRecords":$n}"""
       else {
-        def obj(f: ((String, Long, Long, Option[Long])) => Long) =
-          ints.map(t => s""""${t._1}":${f(t)}""").mkString("{", ",", "}")
-        val withNulls = ints.filter(_._4.isDefined)
+        def obj(f: ((String, String, String, Option[Long])) => String) =
+          entries.map(t => s""""${t._1}":${f(t)}""").mkString("{", ",", "}")
+        val withNulls = entries.filter(_._4.isDefined)
         val nullPart =
           if (withNulls.isEmpty) ""
           else "," + s""""nullCount":${withNulls.map(t =>

@@ -676,6 +676,35 @@ class Round12Spec extends AnyFunSuite {
     }
   }
 
+  test("delta stats cover doubles, dates and strings — each kind prunes files") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot("delta_stats_types")
+    val rows = (1L to 400L).map { i =>
+      (i, i * 0.5,
+        java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1)
+          .plusDays((i / 5).toInt)),
+        f"k$i%04d")
+    }
+    LT.create(rows.toDF("id", "x", "d", "s")
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id"), root)
+    LT.exportDeltaLog(spark, root)
+    def read(pred: String) =
+      LT.readDeltaExport(spark, root, pruneWhere = Some(pred))
+    def ids(pred: String) =
+      read(pred).select(col("id")).as[Long].collect().toSet
+    // doubles: LOWER bounds prune `x <= v` (upper bounds stay gated on
+    // nan-freeness, which Delta stats cannot assert)
+    assert(ids("x <= 25.0") == (1L to 50L).toSet)
+    assert(read("x <= 25.0").inputFiles.length < 4)
+    // dates: ISO-string stats values, epoch-day comparison
+    assert(ids("d < DATE'2024-01-11'") == (1L to 49L).toSet)
+    assert(read("d < DATE'2024-01-11'").inputFiles.length < 4)
+    // strings: UTF-8-ordered bounds
+    assert(ids("s <= 'k0100'") == (1L to 100L).toSet)
+    assert(read("s <= 'k0100'").inputFiles.length < 4)
+  }
+
   test("position-delete application is sequence-scoped: a carried delete below a file's sequence keeps its rows") {
     import spark.implicits._
     val root = freshRoot("pos_seq")
