@@ -7,6 +7,8 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // timestamp literals in queries assume UTC, like Verify's session
+      .config("spark.sql.session.timeZone", "UTC")
       // the SHIPPED session config: bench measures the engine with its
       // extension rules (metadata-only counts, generated-partition
       // pruning) active, exactly as a deployment would run it

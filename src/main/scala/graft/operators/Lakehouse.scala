@@ -361,6 +361,201 @@ object Lakehouse {
     root
   }
 
+  private[graft] def foreignAppendDir(d: String): String =
+    TableCache.baseDir + "/delta_foreign_" +
+      java.nio.file.Paths.get(d).getFileName.toString
+
+  /** A GENUINELY FOREIGN Delta table (log + data only — the graft
+    * manifest is deleted after the export, so nothing native remains)
+    * that this engine then APPENDS to through
+    * [[LakehouseTable.appendDeltaForeign]]: created with the EVEN order
+    * keys, appended with the odd ones. The q210 oracle replays the
+    * resulting log in DuckDB (read_json_auto over the raw JSON, the
+    * q144 pattern), so the commit this engine wrote into a foreign log
+    * is validated by an independent reader, not just round-tripped. */
+  private[graft] def foreignAppendRoot(s: SparkSession, d: String): String = {
+    import java.nio.file.{Files, Paths}
+    val root = foreignAppendDir(d)
+    val rootPath = Paths.get(root)
+    val stampFile = rootPath.resolve("_foreign_stamp")
+    val src = Paths.get(d, "orders.parquet")
+    val stamp = s"$d:${Files.size(src)}:" +
+      s"${Files.getLastModifiedTime(src).toMillis}:v1"
+    try TableCache.locked(root) {
+      // stale source OR a partial build (no stamp): rebuild from scratch
+      if (Files.exists(rootPath) &&
+          (!Files.exists(stampFile) ||
+            Files.readString(stampFile) != stamp)) {
+        val walked = Files.walk(rootPath)
+        try walked.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { Files.deleteIfExists(p); () })
+        finally walked.close()
+      }
+      if (!Files.exists(stampFile)) {
+        val orders = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"), col("o_totalprice"))
+        LakehouseTable.create(
+          orders.filter(col("o_orderkey") % 2 === 0), root)
+        LakehouseTable.exportDeltaLog(s, root)
+        // forget the native table: only _delta_log + data remain
+        val manifest = rootPath.resolve("_manifest")
+        val walked = Files.walk(manifest)
+        try walked.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { Files.deleteIfExists(p); () })
+        finally walked.close()
+        LakehouseTable.appendDeltaForeign(s, root,
+          orders.filter(col("o_orderkey") % 2 === 1))
+        Files.writeString(stampFile, stamp) // LAST: marks a complete build
+      }
+    } catch {
+      case e if raceLost(e) => () // see lineitemZRoot
+    }
+    root
+  }
+
+  /** A HIVE-PARTITIONED orders table with a Delta log and NO stats on
+    * the partition column (no Delta writer records stats for partition
+    * columns — they are not in the data files): partition predicates
+    * can plan files ONLY from the add actions' `partitionValues`, the
+    * common foreign-Delta layout. */
+  private[graft] def ordersHivePartRoot(s: SparkSession, d: String): String = {
+    val root = TableCache.root(d, "orders", "delta-hive-part:v1")
+    try TableCache.locked(root) {
+      if (LakehouseTable.versions(root).isEmpty) {
+        LakehouseTable.create(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"), col("o_totalprice"))
+          .repartition(col("o_orderstatus")),
+          root, partitionBy = Seq("o_orderstatus"))
+        LakehouseTable.exportDeltaLog(s, root)
+      }
+    } catch {
+      case e if raceLost(e) => () // see lineitemZRoot
+    }
+    root
+  }
+
+  /** A TIME-CLUSTERED events mirror (8 files, each a contiguous `ts`
+    * range) whose Delta log carries full-precision ISO-8601 'Z'
+    * timestamp stats — the layout where a time-series range predicate
+    * plans a file subset through the Delta face (the Iceberg face
+    * already did; round-12 verdict's asymmetry, closed). */
+  private[graft] def eventsTsChainRoot(s: SparkSession, d: String): String = {
+    val root = TableCache.root(d, "events", "delta-ts-range:v1")
+    try TableCache.locked(root) {
+      if (LakehouseTable.versions(root).isEmpty) {
+        LakehouseTable.create(Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("ts"), col("value"))
+          .repartitionByRange(8, col("ts")).sortWithinPartitions("ts"),
+          root)
+        LakehouseTable.exportDeltaLog(s, root)
+      }
+    } catch {
+      case e if raceLost(e) => () // see lineitemZRoot
+    }
+    root
+  }
+
+  /** An events chain with a `day(ts)` PARTITION SPEC — the most common
+    * real Iceberg layout (a Spark/Flink writer's
+    * `PARTITIONED BY (days(ts))`). Built by materializing the day
+    * transform's result (UTC epoch days — tz-independent arithmetic,
+    * NOT to_date, which follows the session timezone) as the partition
+    * column, exporting, then converting the spec to the foreign
+    * transform shape: `ts_day` leaves the schema, its manifests say
+    * `day(ts)`, and the source column's metrics are stripped (a
+    * metrics-less writer), so a predicate on `ts` can plan files ONLY
+    * through the day-transform derivation. The native table at this
+    * root is broken by design; only the chain read consumes it. */
+  private[graft] def eventsDayChainRoot(s: SparkSession, d: String): String = {
+    val root = TableCache.root(d, "events", "ice-day-spec:v1")
+    val done = java.nio.file.Paths.get(root, "_transform_ok")
+    try TableCache.locked(root) {
+      if (LakehouseTable.versions(root).isEmpty) {
+        LakehouseTable.create(Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("ts"))
+          .withColumn("ts_day", expr("date_from_unix_date(CAST(" +
+            "floor(unix_micros(ts) / 86400000000) AS INT))"))
+          .repartition(col("ts_day")),
+          root, partitionBy = Seq("ts_day"))
+        IcebergMeta.exportIcebergMeta(s, root)
+      }
+      if (!java.nio.file.Files.exists(done)) {
+        IcebergMeta.convertSpecToTransform(root,
+          Map("ts_day" -> (("day", "ts"))))
+        java.nio.file.Files.writeString(done, "ok")
+      }
+    } catch {
+      case e if raceLost(e) => () // see lineitemZRoot
+    }
+    root
+  }
+
+  /** An orders chain with a `bucket[8](o_orderkey)` partition spec —
+    * the hash-distributed layout streaming upsert writers default to.
+    * The bucket value is materialized with the spec's own murmur3
+    * (Appendix B) at build time, then the spec converts to the foreign
+    * transform shape (bucket column out of the schema, key metrics
+    * stripped): a key-equality predicate can plan its single file ONLY
+    * by re-hashing the literal. */
+  private[graft] def ordersBucketChainRoot(s: SparkSession, d: String): String = {
+    val root = TableCache.root(d, "orders", "ice-bucket-spec:v1")
+    val done = java.nio.file.Paths.get(root, "_transform_ok")
+    try TableCache.locked(root) {
+      if (LakehouseTable.versions(root).isEmpty) {
+        val bucketOf = udf((k: java.lang.Long) =>
+          if (k == null) null
+          else Integer.valueOf((graft.sources.IcebergTransforms
+            .bucketHashLong(k.longValue()) & Int.MaxValue) % 8))
+        LakehouseTable.create(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"), col("o_totalprice"))
+          .withColumn("key_bucket", bucketOf(col("o_orderkey")))
+          .repartition(col("key_bucket")),
+          root, partitionBy = Seq("key_bucket"))
+        IcebergMeta.exportIcebergMeta(s, root)
+      }
+      if (!java.nio.file.Files.exists(done)) {
+        IcebergMeta.convertSpecToTransform(root,
+          Map("key_bucket" -> (("bucket[8]", "o_orderkey"))))
+        java.nio.file.Files.writeString(done, "ok")
+      }
+    } catch {
+      case e if raceLost(e) => () // see lineitemZRoot
+    }
+    root
+  }
+
+  /** A customer chain with a `truncate[2](c_mktsegment)` partition
+    * spec (prefix-range layout). Spec truncate on strings is the first
+    * W characters; pruning derives [prefix, prefix-with-last-char-
+    * incremented] string ranges from the partition values. */
+  private[graft] def customerTruncChainRoot(s: SparkSession, d: String): String = {
+    val root = TableCache.root(d, "customer", "ice-trunc-spec:v1")
+    val done = java.nio.file.Paths.get(root, "_transform_ok")
+    try TableCache.locked(root) {
+      if (LakehouseTable.versions(root).isEmpty) {
+        LakehouseTable.create(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+          .withColumn("seg2", substring(col("c_mktsegment"), 1, 2))
+          .repartition(col("seg2")),
+          root, partitionBy = Seq("seg2"))
+        IcebergMeta.exportIcebergMeta(s, root)
+      }
+      if (!java.nio.file.Files.exists(done)) {
+        IcebergMeta.convertSpecToTransform(root,
+          Map("seg2" -> (("truncate[2]", "c_mktsegment"))))
+        java.nio.file.Files.writeString(done, "ok")
+      }
+    } catch {
+      case e if raceLost(e) => () // see lineitemZRoot
+    }
+    root
+  }
+
   /** The q103 pipeline driven ENTIRELY through SQL strings — the
     * declarative storage idiom the reference uses for its one data
     * dependency (app/app.yaml:7-10 declares the index as configuration).
@@ -1549,6 +1744,98 @@ object Lakehouse {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // DAY-TRANSFORM PRUNING (the most common real Iceberg layout): the
+    // chain's spec says `day(ts)`; `ts_day` is not a schema column and
+    // the source column's metrics were never written, so the ONLY way
+    // to plan files for a timestamp range is to derive each file's
+    // exact UTC-micros range from its day value — Round13Spec pins the
+    // planned-file count at 2 of ~30 daily files. A reader without the
+    // transform derivation scans the whole table here.
+    "q205_iceberg_day_transform" -> ((s, d) => {
+      val root = eventsDayChainRoot(s, d)
+      IcebergMeta.readIceberg(s, root, pruneWhere = Some(
+        "ts >= TIMESTAMP '2024-01-10 00:00:00' AND " +
+          "ts < TIMESTAMP '2024-01-12 00:00:00'"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("user_id")).as("user_sum"))
+        .orderBy(col("event_type"))
+    }),
+
+    // BUCKET-TRANSFORM PRUNING: bucket values carry no order, so only
+    // equality/IN predicates can plan — by re-hashing each literal
+    // with the spec's murmur3 and keeping only the files whose bucket
+    // matches (2 of 8 here, pinned in Round13Spec). This is the
+    // layout streaming upsert writers default to.
+    "q206_iceberg_bucket_transform" -> ((s, d) => {
+      val root = ordersBucketChainRoot(s, d)
+      IcebergMeta.readIceberg(s, root,
+          pruneWhere = Some("o_orderkey IN (7, 997)"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // TRUNCATE-TRANSFORM PRUNING: a truncate[2] string value is a
+    // 2-char prefix; planning derives the [prefix, prefix-with-last-
+    // char-incremented] range, so a segment equality plans 1 of 5
+    // prefix files (pinned in Round13Spec).
+    "q207_iceberg_truncate_transform" -> ((s, d) => {
+      val root = customerTruncChainRoot(s, d)
+      IcebergMeta.readIceberg(s, root,
+          pruneWhere = Some("c_mktsegment = 'HOUSEHOLD'"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          Exact.moneySum(col("c_acctbal")).as("bal_sum"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // DELTA PARTITION-VALUES PRUNING: the partition column is not in
+    // the data files and has no stats (no Delta writer records any for
+    // it) — planning derives exact lo = hi per file from the add
+    // actions' partitionValues, the metadata every hive-partitioned
+    // Delta table carries. Round13Spec pins 1 of 3 files planned.
+    "q208_delta_partition_pruning" -> ((s, d) => {
+      val root = ordersHivePartRoot(s, d)
+      LakehouseTable.readDeltaExport(s, root,
+          pruneWhere = Some("o_orderstatus = 'F'"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          Exact.moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // FOREIGN-TABLE APPEND (the one write path into a log this engine
+    // did not export): evens created natively, the graft manifest
+    // DELETED, odds appended through appendDeltaForeign's minimal
+    // commit protocol. The Spark side reads the log back; the ORACLE
+    // replays the same log raw in DuckDB — an independent reader
+    // validating the commit this engine wrote into a foreign log.
+    "q210_delta_foreign_append" -> ((s, d) => {
+      val root = foreignAppendRoot(s, d)
+      LakehouseTable.readDeltaExport(s, root)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          Exact.moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // DELTA TIMESTAMP SKIPPING: the exported stats carry full-precision
+    // ISO-8601 'Z' bounds for ts — the one timezone-unambiguous form —
+    // so a time-range predicate plans a file subset of the 8
+    // time-clustered files through the DELTA face, matching the Iceberg
+    // face's existing behavior (cross-face parity on time series).
+    "q209_delta_timestamp_skipping" -> ((s, d) => {
+      val root = eventsTsChainRoot(s, d)
+      LakehouseTable.readDeltaExport(s, root, pruneWhere = Some(
+        "ts >= TIMESTAMP '2024-01-10 00:00:00' AND " +
+          "ts < TIMESTAMP '2024-01-12 00:00:00'"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("user_id")).as("user_sum"))
+        .orderBy(col("event_type"))
+    }),
+
     // SQL TABLE-VALUED FOREIGN READS under the gate: the same history
     // queried through BOTH open-format faces purely from SQL — a quoted
     // path, no registration, no CONVERT TO GRAFT copy. Each face's
@@ -2480,6 +2767,69 @@ object Lakehouse {
             ${Exact.sqlMoneySum("o_totalprice")} AS sum_price
           FROM orders WHERE o_orderstatus = 'F'
           GROUP BY 1 ORDER BY 1""",
+
+    // the day-spec chain read equals the raw events range aggregate
+    "q205_iceberg_day_transform" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(sum(user_id) AS BIGINT) AS user_sum
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+           AND ts < TIMESTAMP '2024-01-12 00:00:00'
+         GROUP BY 1 ORDER BY 1""",
+
+    // the bucket-spec chain read equals the raw key lookup
+    "q206_iceberg_bucket_transform" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         FROM orders WHERE o_orderkey IN (7, 997)
+         ORDER BY o_orderkey""",
+
+    // the truncate-spec chain read equals the raw segment aggregate
+    "q207_iceberg_truncate_transform" ->
+      s"""SELECT c_mktsegment, count(*) AS n,
+            ${Exact.sqlMoneySum("c_acctbal")} AS bal_sum
+          FROM customer WHERE c_mktsegment = 'HOUSEHOLD'
+          GROUP BY 1 ORDER BY 1""",
+
+    // the partition-pruned log read equals the filtered orders aggregate
+    "q208_delta_partition_pruning" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+            CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+            ${Exact.sqlMoneySum("o_totalprice")} AS sum_price
+          FROM orders WHERE o_orderstatus = 'F'
+          GROUP BY 1 ORDER BY 1""",
+
+    // the timestamp-skipped log read equals the raw events range agg
+    "q209_delta_timestamp_skipping" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(sum(user_id) AS BIGINT) AS user_sum
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+           AND ts < TIMESTAMP '2024-01-12 00:00:00'
+         GROUP BY 1 ORDER BY 1""",
+
+    // an INDEPENDENT reader's replay of the appended foreign log (raw
+    // JSON + live-file join, the q144 pattern) — must equal the full
+    // orders aggregate, proving the append's commit is spec-readable
+    "q210_delta_foreign_append" ->
+      s"""WITH actions AS (
+            SELECT * FROM read_json('${foreignAppendDir("/root/testdata/sf0.01")}/_delta_log/*.json',
+              format='newline_delimited',
+              columns={add: 'STRUCT(path VARCHAR)',
+                       remove: 'STRUCT(path VARCHAR)'})),
+          adds AS (SELECT add.path AS p FROM actions WHERE add IS NOT NULL),
+          removes AS (SELECT remove.path AS p FROM actions WHERE remove IS NOT NULL),
+          live AS (SELECT p FROM adds EXCEPT SELECT p FROM removes),
+          rows AS (
+            SELECT o_orderstatus, o_orderkey, o_totalprice, filename
+            FROM read_parquet('${foreignAppendDir("/root/testdata/sf0.01")}/data/*.parquet',
+              filename=true)),
+          kept AS (
+            SELECT r.* FROM rows r
+            JOIN live l ON right(r.filename, length(l.p)) = l.p)
+          SELECT o_orderstatus, count(*) AS n,
+            CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+            ${Exact.sqlMoneySum("o_totalprice")} AS sum_price
+          FROM kept GROUP BY 1 ORDER BY 1""",
 
     // drift deltas recomputed from the raw corpus: inserts = the new
     // crawl slice that survives the scrub, deletes = scrubbed originals

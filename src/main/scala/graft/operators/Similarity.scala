@@ -295,7 +295,7 @@ object Similarity {
       }
       cents = cents.zipWithIndex.map { case (old, k) => upd.getOrElse(k, old) }
     }
-    kmCentCache.put((System.identityHashCode(s), d), cents)
+    kmCentCache.put((s, d), cents)
     qdf.withColumn("nn", kmNearest(cents))
       .select(col("vec_id"), col("label"),
         col("nn").getField("cid").as("cid"), col("nn").getField("dist").as("dist"))
@@ -305,14 +305,19 @@ object Similarity {
     * matrix [[kmeansAssign]] ends on, memoized alongside the
     * RelationCache'd assignment so residual consumers (q172) never rerun
     * the Lloyd iteration. */
-  private val kmCentCache =
-    scala.collection.concurrent.TrieMap[(Int, String), Seq[Array[Long]]]()
+  private val kmCentCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[Array[Long]]]()
   private def kmeansCentroids(s: SparkSession, d: String): Seq[Array[Long]] = {
-    val key = (System.identityHashCode(s), d)
-    kmCentCache.getOrElse(key, {
+    // the RelationCache session-key discipline: key on the session
+    // OBJECT (identityHashCode can collide across sessions) and retire
+    // stopped sessions' entries — their assignments died with the
+    // executors; only the driver matrices would linger
+    kmCentCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val key = (s, d)
+    Option(kmCentCache.get(key)).getOrElse {
       kmeansAssigned(s, d).count() // materialize → kmeansAssign fills the cache
-      kmCentCache(key)
-    })
+      kmCentCache.get(key)
+    }
   }
 
   /** [[kmeansAssign]]'s converged result, one materialization per

@@ -105,58 +105,112 @@ object IcebergMeta {
     Map[Int, (Long, Option[Long], Option[(Array[Byte], Array[Byte])], Option[Long])]]
   private def footerMetrics(p: Path,
       cols: Map[String, (Int, org.apache.spark.sql.types.DataType)])
-      : Map[Int, (Long, Option[Long], Option[(Array[Byte], Array[Byte])], Option[Long])] =
+      : Map[Int, (Long, Option[Long], Option[(Array[Byte], Array[Byte])], Option[Long])] = {
+    // file identity includes (size, mtime): a wiped-and-re-exported root
+    // reusing a data-file path in the same JVM must not serve the old
+    // file's bounds into new manifests (the manifestPartCache discipline)
+    val fileSig =
+      try s"${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
+      catch { case _: java.io.IOException => "absent" }
     footerMetricsCache.getOrElseUpdate(
-      p.toString + "#" + cols.toSeq.sortBy(_._1).map {
+      p.toString + "@" + fileSig + "#" + cols.toSeq.sortBy(_._1).map {
         case (n, (id, dt)) => s"$n:$id:${dt.simpleString}" }.mkString(","), {
       import org.apache.spark.sql.types._
+      import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
       import java.nio.{ByteBuffer, ByteOrder}
+      // the chunk's PHYSICAL encoding must match what the Spark type's
+      // single-value serialization assumes. Graft-written files always
+      // do, but an imported foreign file (hard-linked parquet) may not:
+      // an INT64 TIMESTAMP_MILLIS chunk serialized as-is would become
+      // spec-invalid micros bounds (1000x off) that make every spec
+      // reader — including pruneFiles — silently skip matching files.
+      // MILLIS converts exactly (x1000); anything else unexpected drops
+      // the column's bounds, like the INT96/Binary fallthrough.
+      def tsUnit(t: PrimitiveType): Option[Long] =
+        t.getLogicalTypeAnnotation match {
+          case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+              if t.getPrimitiveTypeName == INT64 && ts.isAdjustedToUTC =>
+            ts.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MICROS => Some(1L)
+              case LogicalTypeAnnotation.TimeUnit.MILLIS => Some(1000L)
+              case _ => None // NANOS: lossy either direction; drop
+            }
+          case _ => None
+        }
+      def physOk(t: PrimitiveType, dt: DataType): Boolean = (dt, t) match {
+        case (IntegerType | ShortType | ByteType | DateType, _) =>
+          t.getPrimitiveTypeName == INT32
+        case (LongType, _) => t.getPrimitiveTypeName == INT64 &&
+          (t.getLogicalTypeAnnotation match {
+            case null => true
+            case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+              i.isSigned && i.getBitWidth == 64
+            case _ => false
+          })
+        case (TimestampType, _) => tsUnit(t).isDefined
+        case (FloatType, _) => t.getPrimitiveTypeName == FLOAT
+        case (DoubleType, _) => t.getPrimitiveTypeName == DOUBLE
+        case (BooleanType, _) => t.getPrimitiveTypeName == BOOLEAN
+        case (StringType, _) => t.getPrimitiveTypeName == BINARY
+        case _ => false
+      }
       // the spec forbids NaN in lower/upper_bounds, and parquet-mr
       // propagates NaN into chunk min/max (making BOTH untrustworthy);
       // non-finite endpoints drop the column's bounds entirely
-      def ser(v: Any, dt: DataType): Option[Array[Byte]] = (dt, v) match {
-        case (IntegerType | DateType | ShortType | ByteType,
-            n: java.lang.Number) =>
-          Some(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
-            .putInt(n.intValue()).array())
-        case (LongType | TimestampType, n: java.lang.Number) =>
-          Some(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
-            .putLong(n.longValue()).array())
-        case (FloatType, f: java.lang.Float) if !f.isNaN && !f.isInfinite =>
-          Some(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
-            .putFloat(f).array())
-        case (DoubleType, d: java.lang.Double) if !d.isNaN && !d.isInfinite =>
-          Some(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
-            .putDouble(d).array())
-        case (BooleanType, b: java.lang.Boolean) =>
-          Some(Array[Byte](if (b) 1 else 0))
-        case (StringType, b: org.apache.parquet.io.api.Binary) =>
-          Some(b.getBytes)
-        case _ => None
-      }
+      def ser(v: Any, dt: DataType, t: PrimitiveType): Option[Array[Byte]] =
+        (dt, v) match {
+          case _ if !physOk(t, dt) => None
+          case (IntegerType | DateType | ShortType | ByteType,
+              n: java.lang.Number) =>
+            Some(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+              .putInt(n.intValue()).array())
+          case (TimestampType, n: java.lang.Number) =>
+            Some(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+              .putLong(n.longValue() * tsUnit(t).get).array())
+          case (LongType, n: java.lang.Number) =>
+            Some(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+              .putLong(n.longValue()).array())
+          case (FloatType, f: java.lang.Float) if !f.isNaN && !f.isInfinite =>
+            Some(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+              .putFloat(f).array())
+          case (DoubleType, d: java.lang.Double) if !d.isNaN && !d.isInfinite =>
+            Some(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+              .putDouble(d).array())
+          case (BooleanType, b: java.lang.Boolean) =>
+            Some(Array[Byte](if (b) 1 else 0))
+          case (StringType, b: org.apache.parquet.io.api.Binary) =>
+            Some(b.getBytes)
+          case _ => None
+        }
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(p.toString),
         new org.apache.hadoop.conf.Configuration())
       val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      // per column: (values, nulls-or-unknown, min, max, boundsUsable)
+      // per column: (values, nulls-or-unknown, min, max, boundsUsable,
+      // the chunks' shared PrimitiveType — chunks of one column that
+      // disagree on physical type void the bounds)
       val acc = scala.collection.mutable.Map.empty[String,
-        (Long, Option[Long], Option[Any], Option[Any], Boolean)]
+        (Long, Option[Long], Option[Any], Option[Any], Boolean,
+          Option[PrimitiveType])]
       try {
         rd.getFooter.getBlocks.asScala.foreach { b =>
           b.getColumns.asScala.foreach { cc =>
             if (cc.getPath.size() == 1) {
               val name = cc.getPath.toDotString.toLowerCase
               val st = cc.getStatistics
-              val (v0, n0, lo0, hi0, ok0) = acc.getOrElse(name,
+              val (v0, n0, lo0, hi0, ok0, pt0) = acc.getOrElse(name,
                 (0L, Some(0L): Option[Long], None: Option[Any],
-                  None: Option[Any], true))
+                  None: Option[Any], true, None: Option[PrimitiveType]))
               val v1 = v0 + cc.getValueCount
               val n1 =
                 if (st == null || st.isEmpty || !st.isNumNullsSet) None
                 else n0.map(_ + st.getNumNulls)
               val usable = st != null && !st.isEmpty
+              val samePt = pt0.forall(_ == cc.getPrimitiveType)
               val (lo1, hi1, ok1) =
-                if (!usable) (lo0, hi0, false) // a statless chunk voids bounds
+                if (!usable || !samePt)
+                  (lo0, hi0, false) // statless/type-mixed chunk voids bounds
                 else if (!st.hasNonNullValue) (lo0, hi0, ok0) // all-null chunk
                 else {
                   val mn = st.genericGetMin.asInstanceOf[Comparable[Any]]
@@ -166,17 +220,19 @@ object IcebergMeta {
                     Some(hi0.fold(mx: Any)(h =>
                       if (mx.compareTo(h) > 0) mx else h)), ok0)
                 }
-              acc(name) = (v1, n1, lo1, hi1, ok1)
+              acc(name) = (v1, n1, lo1, hi1, ok1,
+                pt0.orElse(Some(cc.getPrimitiveType)))
             }
           }
         }
       } finally rd.close()
-      acc.flatMap { case (name, (values, nulls, lo, hi, ok)) =>
+      acc.flatMap { case (name, (values, nulls, lo, hi, ok, pt)) =>
         cols.get(name).map { case (id, dt) =>
           val bounds = for {
             _ <- if (ok) Some(()) else None
+            t <- pt
             l <- lo; h <- hi
-            lb <- ser(l, dt); hb <- ser(h, dt)
+            lb <- ser(l, dt, t); hb <- ser(h, dt, t)
           } yield (lb, hb)
           // parquet-mr PROPAGATES NaN into chunk min/max, so finite
           // serialized bounds on a floating column imply the file holds
@@ -193,6 +249,7 @@ object IcebergMeta {
         }
       }.toMap
     })
+  }
 
   // --- Spark type → Iceberg schema JSON / Avro partition types ----------
 
@@ -1192,11 +1249,46 @@ object IcebergMeta {
     pairs.toMap
   }
 
+  /** Lowercase NON-IDENTITY partition field name → (parsed transform,
+    * source column field id), across all specs — what scan planning
+    * derives source-column pruning from on a `day(ts)`/`bucket[N]`/
+    * `truncate[W]`-partitioned foreign chain (the most common real
+    * Iceberg layouts). Unknown/void transforms are absent (no pruning
+    * information, files kept conservatively). A field name claimed by
+    * two specs with different (transform, source) cannot be resolved
+    * from a manifest struct alone and refuses, like the identity
+    * sibling above. */
+  private def transformPartSources(root: String)
+      : Map[String, (IcebergTransforms.Transform, Int)] = {
+    val md = currentMetadata(root)
+    val pairs = Option(md.get("partition-specs")).toSeq
+      .flatMap(_.elements().asScala)
+      .flatMap(_.get("fields").elements().asScala)
+      .flatMap { f =>
+        IcebergTransforms.parse(f.get("transform").asText()).map(t =>
+          f.get("name").asText().toLowerCase ->
+            ((t, f.get("source-id").asInt())))
+      }
+      .distinct
+    val dup = pairs.groupBy(_._1).filter(_._2.size > 1)
+    require(dup.isEmpty,
+      s"transform partition field name(s) ${dup.keys.toSeq.sorted
+        .mkString(", ")} map to different transforms or source columns " +
+      s"across partition specs at $root")
+    pairs.toMap
+  }
+
   /** Everything the manifests record about one data file that scan
-    * planning can use: identity-partition values (by SOURCE field id)
-    * and the per-column metrics maps (value/null counts, single-value-
-    * serialized bounds). */
+    * planning can use: identity-partition values (by SOURCE field id),
+    * TRANSFORM-partition values (by partition FIELD name — day/bucket/
+    * truncate results are not schema columns, so source-id keying
+    * would collide with identity values), and the per-column metrics
+    * maps (value/null counts, single-value-serialized bounds). Null
+    * entries in either partition map are meaningful: a null partition
+    * value proves every row's source value is null (all the supported
+    * transforms are null-preserving). */
   private[graft] case class FileMetrics(part: Map[Int, Any],
+      trans: Map[String, Any],
       valueCounts: Map[Int, Long], nullCounts: Map[Int, Long],
       nanCounts: Map[Int, Long],
       lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]])
@@ -1217,6 +1309,7 @@ object IcebergMeta {
     * is O(new manifests), not O(history). */
   private def fileMetricsIndex(root: String): Map[String, FileMetrics] = {
     val srcs = identityPartSources(root)
+    val transNames = transformPartSources(root).keySet
     def intMapOf(df: GenericRecord, field: String): Map[Int, Any] =
       if (df.getSchema.getField(field) == null) Map.empty
       else df.get(field) match {
@@ -1247,16 +1340,24 @@ object IcebergMeta {
       manifestPartCache.getOrElseUpdate(key,
         readAvro(p).map { e =>
           val df = e.get("data_file").asInstanceOf[GenericRecord]
-          val vals = Option(df.get("partition"))
+          val partRec = Option(df.get("partition"))
             .map(_.asInstanceOf[GenericRecord]).toSeq
+          val vals = partRec
             .flatMap { part =>
               part.getSchema.getFields.asScala.flatMap { f =>
                 srcs.get(f.name().toLowerCase)
                   .map(_ -> part.get(f.pos()))
               }
             }.toMap
+          val tvals = partRec
+            .flatMap { part =>
+              part.getSchema.getFields.asScala.collect {
+                case f if transNames.contains(f.name().toLowerCase) =>
+                  f.name().toLowerCase -> part.get(f.pos())
+              }
+            }.toMap
           normPathDriver(df.get("file_path").toString) -> FileMetrics(
-            vals,
+            vals, tvals,
             intMapOf(df, "value_counts")
               .map { case (k, v) => k -> v.asInstanceOf[Long] },
             intMapOf(df, "null_value_counts")
@@ -1336,13 +1437,22 @@ object IcebergMeta {
     namesById.values.exists(_.size > 1)
   }
 
-  // data-file path → top-level footer columns (name, optional parquet
-  // field id). Iceberg data files are immutable, so entries never
-  // invalidate. Consulted only on rename-bearing chains.
-  private val footerCache = TrieMap.empty[String, Seq[(String, Option[Int])]]
+  // data-file identity (path, size, mtime) → top-level footer columns
+  // (name, optional parquet field id). Size+mtime guard wiped-and-re-
+  // exported roots reusing a path in one JVM — the manifestPartCache /
+  // manifestListCache invalidation discipline. Consulted only on
+  // rename-bearing chains.
+  private val footerCache =
+    TrieMap.empty[(String, Long, Long), Seq[(String, Option[Int])]]
+
+  private def footerKey(path: String): (String, Long, Long) = {
+    val p = Paths.get(path)
+    try (path, Files.size(p), Files.getLastModifiedTime(p).toMillis)
+    catch { case _: java.io.IOException => (path, -1L, -1L) }
+  }
 
   private[graft] def footerColumns(path: String): Seq[(String, Option[Int])] =
-    footerCache.getOrElseUpdate(path, {
+    footerCache.getOrElseUpdate(footerKey(path), {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(path),
         new org.apache.hadoop.conf.Configuration())
@@ -1357,7 +1467,7 @@ object IcebergMeta {
     * tail in ONE distributed job — the same footers every task re-opens
     * at execution, so planning adds no new IO class at 100 TB. */
   private def classifyFooters(spark: SparkSession, files: Seq[String]): Unit = {
-    val missing = files.filterNot(footerCache.contains)
+    val missing = files.filterNot(f => footerCache.contains(footerKey(f)))
     if (missing.size > 64) {
       // self-contained closure: no capture of this module
       val readOne: String => Seq[(String, Option[Int])] = { p =>
@@ -1372,7 +1482,7 @@ object IcebergMeta {
       spark.sparkContext
         .parallelize(missing, math.max(1, math.min(missing.size, 32)))
         .map(p => (p, readOne(p))).collect()
-        .foreach { case (p, c) => footerCache.put(p, c) }
+        .foreach { case (p, c) => footerCache.put(footerKey(p), c) }
     } else missing.foreach(footerColumns)
   }
 
@@ -1893,6 +2003,138 @@ object IcebergMeta {
     }
   }
 
+  /** FOREIGN-WRITER STAND-IN (like [[appendEqualityDeleteSnapshot]]):
+    * convert an exported chain's IDENTITY partition spec into a
+    * TRANSFORM spec — the footprint of a writer that declared
+    * `day(ts)` / `bucket[N](k)` / `truncate[W](s)` partitioning, the
+    * most common real Iceberg layouts. The graft engine itself always
+    * exports identity specs over materialized partition columns; this
+    * helper exists so the read path's transform pruning is gated
+    * against chains shaped like what Spark/Flink/Trino writers
+    * actually produce. For each `partField -> (transform, sourceCol)`:
+    * the spec field's transform and source-id are rewritten (the
+    * partition VALUES already match — the fixture materialized the
+    * transform result as the partition column), the partition column
+    * is dropped from every schema (transform fields are not schema
+    * columns), and, when `dropSourceMetrics`, the source column's
+    * manifest metrics are stripped (a `write.metadata.metrics.default
+    * =none` writer) so planning exercises the transform derivation,
+    * not column bounds. The NATIVE table at `root` must not be read
+    * afterwards — fixtures build a dedicated clone first. */
+  private[graft] def convertSpecToTransform(root: String,
+      conversions: Map[String, (String, String)],
+      dropSourceMetrics: Boolean = true): Unit = {
+    val dir = metaDir(root)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val convLower = conversions.map { case (k, v) => k.toLowerCase -> v }
+    val dropCols = convLower.keySet
+    // --- metadata.json files: spec fields + schema columns ---
+    val metaFiles = withListed(dir)(_.filter(
+      _.getFileName.toString.matches("v\\d+\\.metadata\\.json")).toSeq)
+    var srcIds = Map.empty[String, Int] // source column (lower) → field id
+    metaFiles.foreach { mf =>
+      val node = mapper.readTree(Files.readString(mf))
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      // resolve source field ids from this file's own schemas
+      node.get("schemas").elements().asScala.foreach { s =>
+        s.get("fields").elements().asScala.foreach { f =>
+          srcIds += f.get("name").asText().toLowerCase -> f.get("id").asInt()
+        }
+      }
+      node.get("partition-specs").elements().asScala.foreach { spec =>
+        spec.get("fields").elements().asScala.foreach { f =>
+          convLower.get(f.get("name").asText().toLowerCase).foreach {
+            case (transform, srcCol) =>
+              val fo = f.asInstanceOf[
+                com.fasterxml.jackson.databind.node.ObjectNode]
+              fo.put("transform", transform)
+              fo.put("source-id", srcIds.getOrElse(srcCol.toLowerCase,
+                throw new IllegalArgumentException(
+                  s"no source column '$srcCol' in schemas at $root")))
+              ()
+          }
+        }
+      }
+      // drop the materialized partition columns from every schema
+      node.get("schemas").elements().asScala.foreach { s =>
+        val so = s.asInstanceOf[
+          com.fasterxml.jackson.databind.node.ObjectNode]
+        val kept = com.fasterxml.jackson.databind.node.JsonNodeFactory
+          .instance.arrayNode()
+        s.get("fields").elements().asScala
+          .filterNot(f => dropCols.contains(f.get("name").asText().toLowerCase))
+          .foreach(kept.add)
+        so.set("fields", kept)
+        ()
+      }
+      val tmp = Files.createTempFile(dir, ".conv", ".json")
+      Files.writeString(tmp, node.toString)
+      Files.move(tmp, mf, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val dropIds: Set[Int] =
+      if (!dropSourceMetrics) Set.empty
+      else convLower.values.map { case (_, srcCol) =>
+        srcIds.getOrElse(srcCol.toLowerCase, -1) }.toSet
+    // --- manifests: spec metadata + (optionally) source metrics ---
+    val manifests = snapshots(root).map(_.manifestList).distinct
+      .flatMap(l => readAvro(Paths.get(l))
+        .filter(_.get("content").asInstanceOf[Int] == 0)
+        .map(_.get("manifest_path").toString)).distinct
+    manifests.foreach { m =>
+      val p = Paths.get(m)
+      val r = new DataFileReader(p.toFile,
+        new GenericDatumReader[GenericRecord]())
+      val schema = r.getSchema
+      val meta = r.getMetaKeys.asScala.toSeq
+        .filterNot(_.startsWith("avro."))
+        .map(k => k -> r.getMetaString(k))
+      val recs = try r.iterator().asScala.toSeq finally r.close()
+      val newMeta = meta.map {
+        case ("partition-spec", js) =>
+          val arr = mapper.readTree(js)
+          arr.elements().asScala.foreach { f =>
+            convLower.get(f.get("name").asText().toLowerCase).foreach {
+              case (transform, srcCol) =>
+                val fo = f.asInstanceOf[
+                  com.fasterxml.jackson.databind.node.ObjectNode]
+                fo.put("transform", transform)
+                fo.put("source-id", srcIds(srcCol.toLowerCase))
+                ()
+            }
+          }
+          "partition-spec" -> arr.toString
+        case other => other
+      }
+      if (dropIds.nonEmpty) recs.foreach { e =>
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        Seq("value_counts", "null_value_counts", "nan_value_counts",
+          "lower_bounds", "upper_bounds").foreach { field =>
+          if (df.getSchema.getField(field) != null) df.get(field) match {
+            case l: java.util.List[_] =>
+              val kept = new java.util.ArrayList[Any]()
+              l.asScala.foreach { kv =>
+                val key = kv.asInstanceOf[GenericRecord].get("key")
+                  .asInstanceOf[Int]
+                if (!dropIds.contains(key)) kept.add(kv)
+              }
+              df.put(field, kept)
+            case _ => ()
+          }
+        }
+      }
+      val tmp = Files.createTempFile(p.getParent, ".conv", ".avro")
+      Files.delete(tmp)
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+      newMeta.foreach { case (k, v) => w.setMeta(k, v) }
+      w.create(schema, tmp.toFile)
+      recs.foreach(w.append)
+      w.close()
+      Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   /** Append a snapshot carrying an EQUALITY-DELETE file (v2 content=2)
     * to an existing chain — the commit shape a Flink-style streaming
     * upsert writer produces when it cannot locate row positions, so it
@@ -2303,9 +2545,16 @@ object IcebergMeta {
     * evaluator over identity-partition values (exact: min = max =
     * value) and the per-column lower/upper bounds and null counts the
     * manifests record, evaluated driver-side in O(files), never a data
-    * scan. At 100 TB this is the difference between scanning a
-    * partition (or a key range) and scanning the table on a chain
-    * whose layout Spark's directory pruning cannot see. Predicate
+    * scan. NON-IDENTITY partition transforms prune too — a `day(ts)`
+    * value derives the file's exact UTC-micros range for `ts`,
+    * `month`/`year`/`hour` likewise, `truncate[W]` an int range or
+    * string-prefix range, and `bucket[N]` an equality-only check via
+    * the spec's murmur3 hash ([[IcebergTransforms]]) — so the most
+    * common real Iceberg layouts plan files from the partition struct
+    * even though transform fields are not schema columns. At 100 TB
+    * this is the difference between scanning a partition (or a key
+    * range) and scanning the table on a chain whose layout Spark's
+    * directory pruning cannot see. Predicate
     * shapes beyond AND / OR / comparisons / IN / IS (NOT) NULL on a
     * column vs literals keep the file conservatively, as do columns
     * with no recorded metadata — the residual row filter in
@@ -2322,6 +2571,12 @@ object IcebergMeta {
     val parsed = MetricsPruning.parseChecked(spark, expr, byName.keySet,
       fields.map(_._2).mkString(", "))
     val partSrcIds = identityPartSources(root).values.toSet
+    // source field id → its transform partition fields: what a day/
+    // bucket/truncate value says about the SOURCE column's rows
+    val transByCol: Map[Int, Seq[(String, IcebergTransforms.Transform)]] =
+      transformPartSources(root).toSeq
+        .groupBy(_._2._2)
+        .map { case (id, xs) => id -> xs.map(x => (x._1, x._2._1)) }
     def normPart(v: Any): Option[Any] = v match {
       case null => None
       case u: org.apache.avro.util.Utf8 => Some(u.toString)
@@ -2331,7 +2586,8 @@ object IcebergMeta {
         Some(BigDecimal(n.toString))
       case _ => None
     }
-    def normBound(b: Array[Byte], dt: DataType): Option[Any] = {
+    def normBound(b: Array[Byte], dt: DataType,
+        isLower: Boolean): Option[Any] = {
       val bb = java.nio.ByteBuffer.wrap(b)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       dt match {
@@ -2341,17 +2597,76 @@ object IcebergMeta {
           Some(BigDecimal(bb.getLong))
         // a foreign writer may have serialized non-finite endpoints
         // (spec-invalid for NaN, legal for ±Inf): no BigDecimal form —
-        // keep the file conservatively rather than throw
+        // keep the file conservatively rather than throw. Finite
+        // floating bounds take MetricsPruning's one-ulp slack.
         case FloatType if b.length == 4 =>
-          Some(bb.getFloat.toDouble).filter(d => !d.isNaN && !d.isInfinite)
-            .map(BigDecimal(_))
+          val d = bb.getFloat.toDouble
+          if (isLower) MetricsPruning.floatLo(d)
+          else MetricsPruning.floatHi(d)
         case DoubleType if b.length == 8 =>
-          Some(bb.getDouble).filter(d => !d.isNaN && !d.isInfinite)
-            .map(BigDecimal(_))
+          val d = bb.getDouble
+          if (isLower) MetricsPruning.floatLo(d)
+          else MetricsPruning.floatHi(d)
         case BooleanType if b.length == 1 => Some(BigDecimal(b(0).toInt))
         case StringType =>
           Some(new String(b, java.nio.charset.StandardCharsets.UTF_8))
         case _ => None
+      }
+    }
+    // tighten a base range with a transform-derived one: the true row
+    // range satisfies BOTH, so lo takes the greater, hi the smaller
+    // (incomparable values — impossible within one column's norm
+    // space — fall back to the base, conservatively)
+    def maxLo(a: Option[Any], b: Option[Any]): Option[Any] = (a, b) match {
+      case (Some(x), Some(y)) =>
+        MetricsPruning.cmp(x, y).map(c => if (c >= 0) x else y).orElse(a)
+      case _ => a.orElse(b)
+    }
+    def minHi(a: Option[Any], b: Option[Any]): Option[Any] = (a, b) match {
+      case (Some(x), Some(y)) =>
+        MetricsPruning.cmp(x, y).map(c => if (c <= 0) x else y).orElse(a)
+      case _ => a.orElse(b)
+    }
+    // one transform-partition value folded into a column's metadata.
+    // The supported transforms are all null-preserving, so a null
+    // value proves every source row null and a non-null value proves
+    // none are; the temporal/truncate ranges are exact row bounds.
+    def applyTransform(m: ColMeta, tr: IcebergTransforms.Transform,
+        raw: Any, dt: DataType): ColMeta = {
+      if (raw == null)
+        return m.copy(allNull = true, noNulls = false)
+      val v = raw match {
+        case u: org.apache.avro.util.Utf8 => u.toString
+        case x => x
+      }
+      val withVal = m.copy(noNulls = true)
+      tr match {
+        case IcebergTransforms.Bucket(n) =>
+          val bucket = v match {
+            case x: java.lang.Number => Some(x.intValue())
+            case _ => None
+          }
+          bucket.fold(withVal) { b =>
+            val prev = withVal.eqKeep
+            withVal.copy(eqKeep = lit =>
+              prev(lit) &&
+                IcebergTransforms.bucketOf(n, lit, dt).forall(_ == b))
+          }
+        case IcebergTransforms.Truncate(w) =>
+          IcebergTransforms.truncateRange(w, v, dt).fold(withVal) {
+            case (lo, hi) => withVal.copy(lo = maxLo(withVal.lo, lo),
+              hi = minHi(withVal.hi, hi))
+          }
+        case temporal =>
+          val units = v match {
+            case x: java.lang.Number => Some(x.longValue())
+            case _ => None
+          }
+          units.flatMap(IcebergTransforms.temporalRange(temporal, _, dt))
+            .fold(withVal) { case (lo, hi) =>
+              withVal.copy(lo = maxLo(withVal.lo, Some(lo)),
+                hi = minHi(withVal.hi, Some(hi)))
+            }
       }
     }
     // what the manifests know about one column of one file (see
@@ -2359,7 +2674,7 @@ object IcebergMeta {
     def metaFor(fm: FileMetrics)(name: String): ColMeta = {
       val (id, dt) = byName(name)
       val floating = dt == FloatType || dt == DoubleType
-      if (partSrcIds.contains(id) && fm.part.contains(id)) {
+      val base = if (partSrcIds.contains(id) && fm.part.contains(id)) {
         val v = fm.part(id)
         if (v == null)
           ColMeta(None, None, allNull = true, noNulls = false,
@@ -2367,18 +2682,32 @@ object IcebergMeta {
         else {
           val n = normPart(v)
           // an identity-partition value IS every row's value: a normed
-          // (finite) value implies no NaN rows in the file
-          ColMeta(n, n, allNull = false, noNulls = true,
+          // (finite) value implies no NaN rows in the file. Floating
+          // values take the one-ulp slack (see MetricsPruning.floatLo).
+          val (lo, hi) = v match {
+            case f: java.lang.Float if n.isDefined =>
+              (MetricsPruning.floatLo(f.toDouble),
+                MetricsPruning.floatHi(f.toDouble))
+            case d: java.lang.Double if n.isDefined =>
+              (MetricsPruning.floatLo(d), MetricsPruning.floatHi(d))
+            case _ => (n, n)
+          }
+          ColMeta(lo, hi, allNull = false, noNulls = true,
             nanFree = n.isDefined)
         }
       } else {
         val nulls = fm.nullCounts.get(id)
         val values = fm.valueCounts.get(id)
-        ColMeta(fm.lower.get(id).flatMap(normBound(_, dt)),
-          fm.upper.get(id).flatMap(normBound(_, dt)),
+        ColMeta(fm.lower.get(id).flatMap(normBound(_, dt, isLower = true)),
+          fm.upper.get(id).flatMap(normBound(_, dt, isLower = false)),
           allNull = nulls.zip(values).exists { case (n, v) => n == v },
           noNulls = nulls.contains(0L),
           nanFree = !floating || fm.nanCounts.get(id).contains(0L))
+      }
+      transByCol.getOrElse(id, Nil).foldLeft(base) {
+        case (m, (fname, tr)) =>
+          if (!fm.trans.contains(fname)) m
+          else applyTransform(m, tr, fm.trans(fname), dt)
       }
     }
     val idx = fileMetricsIndex(root)

@@ -1031,9 +1031,21 @@ object LakehouseTable {
     require(vs.nonEmpty, s"no table at $root")
     def esc(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"")
+    // spec form: the DECODED partition value (the hive dir segment is
+    // %XX-escaped; '+' protected — it is a literal plus in dir names),
+    // JSON null for the default partition. Foreign readers take these
+    // values verbatim (DuckDB's delta scan, partition pruning), so the
+    // encoded form would serve 'a%2Fb' where the value is 'a/b'.
     def partitionValues(rel: String): String =
       rel.split('/').dropRight(1).filter(_.contains('='))
-        .map { seg => val Array(k, v) = seg.split("=", 2); s""""${esc(k)}":"${esc(v)}"""" }
+        .map { seg =>
+          val Array(k, v) = seg.split("=", 2)
+          val dv =
+            if (v == "__HIVE_DEFAULT_PARTITION__") "null"
+            else "\"" + esc(java.net.URLDecoder.decode(
+              v.replace("+", "%2B"), "UTF-8")) + "\""
+          s""""${esc(k)}":$dv"""
+        }
         .mkString("{", ",", "}")
     var prev = Seq.empty[String]
     var prevCols: Option[(String, String, String, String, String)] = None
@@ -1317,10 +1329,16 @@ object LakehouseTable {
         val dest = destDir.resolve(
           s"cdc-$v-$i-${java.util.UUID.randomUUID()}.parquet")
         Files.move(p, dest)
+        // decoded spec-form values, like the add actions' (JSON null
+        // for the default partition)
         val pv = relDirs.split('/').filter(_.contains('='))
           .map { seg =>
             val Array(k, x) = seg.split("=", 2)
-            s""""${esc(k)}":"${esc(x)}""""
+            val dv =
+              if (x == "__HIVE_DEFAULT_PARTITION__") "null"
+              else "\"" + esc(java.net.URLDecoder.decode(
+                x.replace("+", "%2B"), "UTF-8")) + "\""
+            s""""${esc(k)}":$dv"""
           }.mkString("{", ",", "}")
         (Paths.get(root).relativize(dest).toString, pv, Files.size(dest))
       }
@@ -1435,7 +1453,14 @@ object LakehouseTable {
       // live path → its add action's raw stats JSON (numRecords /
       // minValues / maxValues / nullCount) — what Delta data skipping
       // plans from; absent for adds written without stats
-      stats: Map[String, String] = Map.empty)
+      stats: Map[String, String] = Map.empty,
+      // live path → its add action's partitionValues (None = JSON null
+      // = every row's value is null): EXACT per-file values, so a
+      // hive-partitioned foreign log written WITHOUT column stats —
+      // the common Delta layout — still prunes partition predicates
+      partVals: Map[String, Map[String, Option[String]]] = Map.empty,
+      // metaData.partitionColumns (logical names, current epoch)
+      partitionCols: Seq[String] = Nil)
 
   /** The deletionVector descriptor of one log action line, if any. */
   private def parseDvDescriptor(line: String,
@@ -1510,7 +1535,9 @@ object LakehouseTable {
       seedSchema: Option[String] = None,
       seedDvs: Map[String, DeltaDv.Descriptor] = Map.empty,
       seedConf: Map[String, String] = Map.empty,
-      seedStats: Map[String, String] = Map.empty): DeltaReplayState = {
+      seedStats: Map[String, String] = Map.empty,
+      seedPartVals: Map[String, Map[String, Option[String]]] = Map.empty,
+      seedPartCols: Seq[String] = Nil): DeltaReplayState = {
     val logDir = Paths.get(root, "_delta_log")
     // vacuum's log truncation leaves a horizon marker: versions below it
     // are NOT reconstructable from JSON alone. An unseeded replay of a
@@ -1561,6 +1588,10 @@ object LakehouseTable {
     dvs ++= seedDvs
     val stats = scala.collection.mutable.HashMap.empty[String, String]
     stats ++= seedStats
+    val partVals = scala.collection.mutable
+      .HashMap.empty[String, Map[String, Option[String]]]
+    partVals ++= seedPartVals
+    var partCols: Seq[String] = seedPartCols
     // the add's stats field must be parsed as REAL JSON: a flat regex
     // over the line would capture a partitionValues KEY that happens to
     // be named "stats" (partitionValues precedes the stats field in
@@ -1572,6 +1603,23 @@ object LakehouseTable {
         .flatMap(a => Option(a.get("stats")))
         .filter(_.isTextual).map(_.asText())
       catch { case scala.util.control.NonFatal(_) => None }
+    // partitionValues likewise: jackson-navigated, never flat-regexed
+    // (values are data and may contain anything). A JSON null value is
+    // MEANINGFUL (all rows null), so entries keep Option values.
+    def addPartValsOf(line: String): Option[Map[String, Option[String]]] =
+      try Option(statsMapper.readTree(line).get("add"))
+        .flatMap(a => Option(a.get("partitionValues")))
+        .filter(_.isObject)
+        .map(_.fields().asScala.map(e =>
+          e.getKey -> (if (e.getValue.isNull) None
+            else Some(e.getValue.asText()))).toMap)
+      catch { case scala.util.control.NonFatal(_) => None }
+    def metaPartColsOf(line: String): Option[Seq[String]] =
+      try Option(statsMapper.readTree(line).get("metaData"))
+        .flatMap(m => Option(m.get("partitionColumns")))
+        .filter(_.isArray)
+        .map(_.elements().asScala.map(_.asText()).toSeq)
+      catch { case scala.util.control.NonFatal(_) => None }
     var schemaJson: Option[String] = seedSchema
     var protocol = (1, 2)
     var readerFeats = Seq.empty[String]
@@ -1582,7 +1630,7 @@ object LakehouseTable {
       txt.split('\n').foreach { line =>
         deltaActionPath(line, DeltaRemoveKindRe).foreach { raw =>
           val p = deltaDecodePath(deltaUnesc(raw))
-          live -= p; dvs -= p; stats -= p
+          live -= p; dvs -= p; stats -= p; partVals -= p
         }
         deltaActionPath(line, DeltaAddKindRe).foreach { raw =>
           val p = deltaDecodePath(deltaUnesc(raw))
@@ -1595,7 +1643,15 @@ object LakehouseTable {
             case Some(s) => stats(p) = s
             case None    => stats -= p // a re-add without stats clears
           }
+          addPartValsOf(line) match {
+            case Some(pv) => partVals(p) = pv
+            case None     => partVals -= p
+          }
         }
+      }
+      txt.split('\n').foreach { line =>
+        if (line.contains("\"metaData\""))
+          metaPartColsOf(line).foreach(partCols = _)
       }
       DeltaSchemaRe.findAllMatchIn(txt).foreach(m => schemaJson = Some(deltaUnesc(m.group(1))))
       txt.split('\n').foreach { line =>
@@ -1620,7 +1676,9 @@ object LakehouseTable {
     DeltaReplayState(live.toSeq, schemaJson, protocol,
       readerFeats, writerFeats, conf,
       dvs.toMap.filter(e => live.contains(e._1)),
-      stats.toMap.filter(e => live.contains(e._1)))
+      stats.toMap.filter(e => live.contains(e._1)),
+      partVals.toMap.filter(e => live.contains(e._1)),
+      partCols)
   }
 
   /** Write a Delta CHECKPOINT for the exported log at `version` — one
@@ -1666,9 +1724,20 @@ object LakehouseTable {
           StructField("offset", LongType),
           StructField("sizeInBytes", LongType),
           StructField("cardinality", LongType)))))))))
+    // the ADD ACTION's partition values, carried verbatim (a foreign
+    // log's values are authoritative — paths need not encode them);
+    // our own exports fall back to the decoded hive dir segments
     def partitionValues(rel: String): Map[String, String] =
-      rel.split('/').dropRight(1).filter(_.contains('='))
-        .map { seg => val Array(k, v) = seg.split("=", 2); k -> v }.toMap
+      st.partVals.getOrElse(rel,
+        rel.split('/').dropRight(1).filter(_.contains('='))
+          .map { seg =>
+            val Array(k, v) = seg.split("=", 2)
+            k -> (if (v == "__HIVE_DEFAULT_PARTITION__")
+                    None: Option[String]
+                  else Some(java.net.URLDecoder.decode(
+                    v.replace("+", "%2B"), "UTF-8")))
+          }.toMap)
+        .map { case (k, ov) => k -> ov.orNull }
     val id = "graft-" + graft.plans.TextExpressions.md5Hex(root).take(12)
     // protocol versions >= 3/7 REQUIRE their feature lists (the Delta
     // table-features spec); a DV-bearing export's checkpoint must carry
@@ -1680,7 +1749,8 @@ object LakehouseTable {
         null, null) +:
       org.apache.spark.sql.Row(null, org.apache.spark.sql.Row(
         id, org.apache.spark.sql.Row("parquet"), schemaJson.orNull,
-        partitionColumns(root), conf), null) +:
+        if (st.partitionCols.nonEmpty) st.partitionCols
+        else partitionColumns(root), conf), null) +:
       live.map { f => // f is root-relative ("data/..."), already DECODED by
         // the replay; re-encode for the stored path so checkpoint paths use
         // the same percent-encoded URI form as the JSON log (readers decode
@@ -1771,17 +1841,129 @@ object LakehouseTable {
 
   /** DELTA DATA SKIPPING (the Delta face's scan planning, sharing the
     * Iceberg face's inclusive evaluator): keep only the live files
-    * whose add-action stats (numRecords / minValues / maxValues /
-    * nullCount — what every Delta writer records and the checkpoint
-    * now carries through) can satisfy `expr`, driver-side in O(files).
-    * Stats keys are PHYSICAL column names under column mapping; each
-    * logical field resolves through its physicalName metadata, so
-    * mapped tables skip too. Values the JSON cannot type for the
-    * field (exotic formats, timestamps) and stats-less files keep the
-    * file conservatively — the caller's residual row filter covers
-    * them. Delta stats carry no NaN counts, so floating upper bounds
-    * never prune `x > v` (NaN orders above every value in SQL
-    * engines); a predicate on a column the schema lacks refuses. */
+    * whose add-action metadata can satisfy `expr`, driver-side in
+    * O(files). Two sources, per column: the add's `partitionValues`
+    * (EXACT lo = hi per file — the only metadata a hive-partitioned
+    * foreign log has for its partition columns, which no writer
+    * records stats for because they are not in the data files), and
+    * the add's stats JSON (numRecords / minValues / maxValues /
+    * nullCount), both carried through checkpoints. Stats keys are
+    * PHYSICAL column names under column mapping; each logical field
+    * resolves through its physicalName metadata, so mapped tables
+    * skip too. Values the JSON cannot type for the field keep the
+    * file conservatively — timestamps prune only from offset-carrying
+    * ISO-8601 text (the one timezone-unambiguous form; our own stats
+    * writer emits full-precision '…Z'), and the caller's residual row
+    * filter covers whatever planning kept. Delta stats carry no NaN
+    * counts, so floating upper bounds never prune `x > v` (NaN orders
+    * above every value in SQL engines); a predicate on a column the
+    * schema lacks refuses. */
+  /** APPEND-ONLY COMMIT to a FOREIGN Delta table — a `_delta_log` this
+    * engine did not write (no graft manifest): the minimal writer
+    * protocol every Delta implementation shares. Replays the current
+    * state (checkpoint-seeded), validates the append is one it cannot
+    * corrupt — a metaData schema matching `df` by name and type, no
+    * partitioning, no column mapping, no column invariants or CHECK
+    * constraints (their write-side obligations need evaluation this
+    * writer does not do), and no writer feature outside the append-
+    * compatible set — writes the rows as parquet under `root/data`,
+    * and commits ONE new log version of stats-bearing add actions via
+    * the spec's optimistic concurrency: the next version file is
+    * created atomically, and losing the race to a concurrent writer
+    * raises ConcurrentModificationException, leaving only unreferenced
+    * data files (Delta's own uncommitted-file story — vacuum reclaims
+    * them). Every refusal is loud: a best-effort append to a table
+    * whose invariants it cannot honor would corrupt it for EVERY
+    * reader. Returns the committed version. */
+  def appendDeltaForeign(spark: SparkSession, root: String,
+      df: DataFrame): Long = {
+    import org.apache.spark.sql.functions.col
+    val logDir = Paths.get(root, "_delta_log")
+    require(Files.isDirectory(logDir), s"no _delta_log at $root")
+    val state = deltaStateAt(spark, root, None, useCheckpoint = true)
+    val struct = schemaJsonToStruct(state.schemaJson).getOrElse(
+      throw new IllegalStateException(
+        s"append requires a log with a metaData schemaString at $root"))
+    require(state.partitionCols.isEmpty,
+      "append to a PARTITIONED foreign table is not supported " +
+        s"(partition columns: ${state.partitionCols.mkString(", ")})")
+    val mapping = state.conf.getOrElse("delta.columnMapping.mode", "none")
+    require(mapping == "none",
+      s"append under column mapping mode '$mapping' is not supported")
+    require(!state.conf.keys.exists(_.startsWith("delta.constraints.")),
+      "append to a table with CHECK constraints is not supported " +
+        "(this writer does not evaluate them)")
+    require(!struct.fields.exists(
+        _.metadata.contains("delta.invariants")),
+      "append to a table with column invariants is not supported")
+    val (minR, minW) = state.protocol
+    val appendSafe = Set("appendOnly", "invariants", "deletionVectors",
+      "changeDataFeed", "timestampNtz", "v2Checkpoint")
+    if (minW >= 7) {
+      val extra = state.writerFeatures.filterNot(appendSafe)
+      require(extra.isEmpty,
+        s"writer feature(s) ${extra.mkString(", ")} at $root impose " +
+          "obligations an append-only writer cannot verify; refusing")
+    } else require(minW <= 2,
+      s"writer version $minW implies legacy features (constraints, " +
+        "generated/identity columns, column mapping) this writer does " +
+        "not evaluate; refusing")
+    require(minR <= 3, s"reader version $minR not supported")
+    // schema: exactly the table's columns, by (case-insensitive) name
+    // and exact type — a silent cast would change values under readers
+    val byName = struct.fields
+      .map(f => f.name.toLowerCase -> f.dataType).toMap
+    val dfByName = df.schema.fields
+      .map(f => f.name.toLowerCase -> f.dataType).toMap
+    require(dfByName.keySet == byName.keySet &&
+        byName.forall { case (n, dt) => dfByName(n) == dt },
+      s"append schema ${df.schema.simpleString} does not match the " +
+        s"table schema ${struct.simpleString} at $root")
+    val aligned = df.select(struct.fields.map(f => col(f.name)).toSeq: _*)
+    val rels = writeFilesRaw(aligned, root, Nil)
+    def esc(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val ts = System.currentTimeMillis()
+    val sb = new StringBuilder
+    sb.append(s"""{"commitInfo":{"timestamp":$ts,"operation":"WRITE","operationParameters":{"mode":"Append"}}}""")
+      .append('\n')
+    rels.foreach { f =>
+      val p = dataDir(root).resolve(f)
+      val stats = esc(fileStatsJson(p))
+      sb.append(s"""{"add":{"path":"data/${esc(deltaEncodePath(f))}","partitionValues":{},"size":${Files.size(p)},"modificationTime":${Files.getLastModifiedTime(p).toMillis},"dataChange":true,"stats":"$stats"}}""")
+        .append('\n')
+    }
+    val next = deltaLogVersions(root).lastOption.getOrElse(-1L) + 1L
+    val tmp = logDir.resolve(
+      s".$next.json.tmp-${java.util.UUID.randomUUID()}")
+    Files.writeString(tmp, sb.toString)
+    // the CAS must FAIL when the version exists: POSIX rename (and so
+    // ATOMIC_MOVE) silently overwrites, which would DROP a concurrent
+    // writer's committed version — createLink is the atomic
+    // fail-if-exists primitive on every local/shared-mount filesystem
+    try Files.createLink(logDir.resolve(f"$next%020d.json"), tmp)
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      Files.deleteIfExists(tmp)
+      throw new java.util.ConcurrentModificationException(
+        s"log version $next at $root was committed concurrently; " +
+          "re-read the table state and retry the append")
+    }
+    Files.deleteIfExists(tmp)
+    next
+  }
+
+  /** Timestamp stats/partition text → epoch MICROS, accepted ONLY when
+    * the text carries an explicit offset ('Z' or ±HH:MM) — the one form
+    * that is timezone-unambiguous across Delta writers. Anything else
+    * (local-time strings, exotic formats) returns None and the file is
+    * kept conservatively. */
+  private def deltaStatsTimestampMicros(s: String): Option[BigDecimal] =
+    scala.util.Try {
+      val odt = java.time.OffsetDateTime.parse(s)
+      val inst = odt.toInstant
+      BigDecimal(inst.getEpochSecond) * 1000000 + inst.getNano / 1000
+    }.toOption
+
   private def pruneDeltaFiles(spark: SparkSession,
       state: DeltaReplayState, expr: String): Seq[String] = {
     import org.apache.spark.sql.types._
@@ -1797,13 +1979,71 @@ object LakehouseTable {
     val parsed = MetricsPruning.parseChecked(spark, expr, byName.keySet,
       struct.fieldNames.mkString(", "))
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    def metaFor(stats: com.fasterxml.jackson.databind.JsonNode)(
+    val partColSet = state.partitionCols.map(_.toLowerCase).toSet
+    // one partition value (Delta's string serialization) → the norm
+    // space MetricsPruning compares in. Exact: lo = hi = value.
+    def normPartVal(s: String, dt: DataType): Option[Any] = dt match {
+      case StringType => Some(s)
+      case DateType => scala.util.Try(
+        BigDecimal(java.time.LocalDate.parse(s).toEpochDay)).toOption
+      case BooleanType => s.toLowerCase match {
+        case "true" => Some(BigDecimal(1)); case "false" => Some(BigDecimal(0))
+        case _ => None
+      }
+      case TimestampType =>
+        // writers vary ("yyyy-MM-dd HH:mm:ss" in an unstated zone);
+        // only offset-carrying text is unambiguous — else keep the file
+        deltaStatsTimestampMicros(s)
+      case FloatType | DoubleType => None // ranged below, never exact
+      case _: NumericType => scala.util.Try(BigDecimal(s.trim)).toOption
+      case _ => None
+    }
+    // floating partition values get the one-ulp slack as a RANGE (see
+    // MetricsPruning.floatLo); everything else is exact lo = hi
+    def normPartValRange(s: String, dt: DataType)
+        : (Option[Any], Option[Any]) = dt match {
+      case FloatType => scala.util.Try(s.toFloat).toOption
+        .filter(fv => !fv.isNaN && !fv.isInfinite)
+        .map(fv => (MetricsPruning.floatLo(fv.toDouble),
+          MetricsPruning.floatHi(fv.toDouble)))
+        .getOrElse((None, None))
+      case DoubleType => scala.util.Try(s.toDouble).toOption
+        .filter(d => !d.isNaN && !d.isInfinite)
+        .map(d => (MetricsPruning.floatLo(d), MetricsPruning.floatHi(d)))
+        .getOrElse((None, None))
+      case other =>
+        val n = normPartVal(s, other)
+        (n, n)
+    }
+    def metaFor(stats: com.fasterxml.jackson.databind.JsonNode,
+        pv: Option[Map[String, Option[String]]])(
         name: String): ColMeta = {
       val f = byName(name)
       val key = deltaPhysicalName(f)
+      // a PARTITION column's add-action value is exact for every row —
+      // this is the only metadata hive-partitioned foreign logs have
+      // for it (partition columns are not in the data files, so no
+      // writer records stats for them)
+      if (partColSet.contains(f.name.toLowerCase)) {
+        val entry = pv.flatMap(m =>
+          m.get(key).orElse(m.get(f.name)).orElse(
+            m.find(_._1.equalsIgnoreCase(f.name)).map(_._2)))
+        entry match {
+          case Some(None) => // JSON null: every row's value is null
+            return ColMeta(None, None, allNull = true, noNulls = false,
+              nanFree = true)
+          case Some(Some(v)) =>
+            val (lo, hi) = normPartValRange(v, f.dataType)
+            return ColMeta(lo, hi, allNull = false, noNulls = true,
+              nanFree = lo.isDefined ||
+                (f.dataType != FloatType && f.dataType != DoubleType))
+          case None => () // no recorded value: fall through to stats
+        }
+      }
       def section(s: String) =
         Option(stats.get(s)).flatMap(n => Option(n.get(key)))
-      def norm(n: com.fasterxml.jackson.databind.JsonNode): Option[Any] =
+      def norm(n: com.fasterxml.jackson.databind.JsonNode,
+          isLower: Boolean): Option[Any] =
         f.dataType match {
           case StringType => Option(n.textValue())
           case DateType => Option(n.textValue()).flatMap(s =>
@@ -1811,9 +2051,34 @@ object LakehouseTable {
               BigDecimal(java.time.LocalDate.parse(s).toEpochDay)).toOption)
           case BooleanType if n.isBoolean =>
             Some(BigDecimal(if (n.booleanValue()) 1 else 0))
+          case FloatType if n.isNumber =>
+            // float stats text is the FLOAT's shortest repr ("1.1"), but
+            // Spark compares float rows widened to DOUBLE (1.10000002…):
+            // parse as float, widen, and take MetricsPruning's one-ulp
+            // slack — BigDecimal("1.1") directly would understate the hi
+            // and wrongly prune an equality on the widened literal.
+            scala.util.Try(n.asText().toFloat).toOption
+              .filter(fv => !fv.isNaN && !fv.isInfinite)
+              .flatMap(fv =>
+                if (isLower) MetricsPruning.floatLo(fv.toDouble)
+                else MetricsPruning.floatHi(fv.toDouble))
+          case DoubleType if n.isNumber =>
+            // doubles likewise: the evaluator compares exact decimals,
+            // Spark compares doubles — one ulp of slack covers the
+            // shortest-repr-vs-literal-text discrepancy
+            scala.util.Try(n.asText().toDouble).toOption
+              .flatMap(d =>
+                if (isLower) MetricsPruning.floatLo(d)
+                else MetricsPruning.floatHi(d))
           case _: NumericType if n.isNumber =>
             Some(BigDecimal(n.decimalValue()))
-          case _ => None // timestamps vary in format: conservative
+          case TimestampType =>
+            // ONLY offset-carrying ISO-8601 text is unambiguous; Delta
+            // writers vary (local-time strings, truncated millis) and a
+            // mis-zoned parse would wrongly prune — conservative None.
+            // Our own stats writer emits full-precision UTC '…Z'.
+            Option(n.textValue()).flatMap(deltaStatsTimestampMicros)
+          case _ => None // other exotic formats: conservative
         }
       val numRecords = Option(stats.get("numRecords"))
         .filter(_.isNumber).map(_.asLong())
@@ -1821,19 +2086,24 @@ object LakehouseTable {
         .flatMap(n => Option(n.get(key)))
         .filter(_.isNumber).map(_.asLong())
       ColMeta(
-        section("minValues").flatMap(norm),
-        section("maxValues").flatMap(norm),
+        section("minValues").flatMap(norm(_, isLower = true)),
+        section("maxValues").flatMap(norm(_, isLower = false)),
         allNull = nulls.zip(numRecords).exists { case (a, b) => a == b },
         noNulls = nulls.contains(0L),
         nanFree = f.dataType != FloatType && f.dataType != DoubleType)
     }
     state.live.filter { p =>
-      state.stats.get(p).forall { js =>
-        val node =
-          try mapper.readTree(js)
-          catch { case scala.util.control.NonFatal(_) => null }
-        node == null || MetricsPruning.canMatch(parsed, metaFor(node))
-      }
+      // a STATS-LESS file still evaluates: its partition values alone
+      // may prune it (the hive-partitioned-foreign-log case); unparseable
+      // stats degrade to an empty node (unknown bounds, conservative)
+      val node = state.stats.get(p).map { js =>
+        try mapper.readTree(js)
+        catch { case scala.util.control.NonFatal(_) => null }
+      }.orNull
+      val safeNode: com.fasterxml.jackson.databind.JsonNode =
+        if (node == null) mapper.createObjectNode() else node
+      MetricsPruning.canMatch(parsed,
+        metaFor(safeNode, state.partVals.get(p)))
     }
   }
 
@@ -1850,8 +2120,10 @@ object LakehouseTable {
     val lcp = logDir.resolve("_last_checkpoint")
     val noSeed = (None: Option[Long], Seq.empty[String],
       None: Option[String], Map.empty[String, DeltaDv.Descriptor],
-      Map.empty[String, String], Map.empty[String, String])
-    val (ckVer, seedLive, seedSchema, seedDvs, seedConf, seedStats) =
+      Map.empty[String, String], Map.empty[String, String],
+      Map.empty[String, Map[String, Option[String]]], Seq.empty[String])
+    val (ckVer, seedLive, seedSchema, seedDvs, seedConf, seedStats,
+      seedPartVals, seedPartCols) =
       if (!useCheckpoint || !Files.exists(lcp)) noSeed
       else {
         val v = """"version":\s*(\d+)""".r
@@ -1861,7 +2133,8 @@ object LakehouseTable {
       }
     replayDeltaLog(root, upTo, after = ckVer,
       seedLive = seedLive, seedSchema = seedSchema, seedDvs = seedDvs,
-      seedConf = seedConf, seedStats = seedStats)
+      seedConf = seedConf, seedStats = seedStats,
+      seedPartVals = seedPartVals, seedPartCols = seedPartCols)
   }
 
   /** Read a specific add-file slice of an exported/foreign Delta table
@@ -2182,7 +2455,8 @@ object LakehouseTable {
   private def readCheckpointSeed(spark: SparkSession,
       logDir: Path, v: Long): (Option[Long], Seq[String], Option[String],
       Map[String, DeltaDv.Descriptor], Map[String, String],
-      Map[String, String]) = {
+      Map[String, String], Map[String, Map[String, Option[String]]],
+      Seq[String]) = {
     import org.apache.spark.sql.functions.{col, lit}
     {
         val ck = spark.read.parquet(
@@ -2191,10 +2465,12 @@ object LakehouseTable {
           .asInstanceOf[org.apache.spark.sql.types.StructType]
         val hasDv = addType.fieldNames.contains("deletionVector")
         val hasStats = addType.fieldNames.contains("stats")
+        val hasPv = addType.fieldNames.contains("partitionValues")
         val addRows = ck.filter(col("add").isNotNull)
           .select(col("add.path").as("p"),
             (if (hasDv) col("add.deletionVector") else lit(null)).as("dv"),
-            (if (hasStats) col("add.stats") else lit(null)).as("st"))
+            (if (hasStats) col("add.stats") else lit(null)).as("st"),
+            (if (hasPv) col("add.partitionValues") else lit(null)).as("pv"))
           .collect()
         val adds = addRows.map(r => deltaDecodePath(r.getString(0))).toSeq
         val dvm = addRows.flatMap { r =>
@@ -2208,13 +2484,26 @@ object LakehouseTable {
           Option(r.get(2)).map(s =>
             deltaDecodePath(r.getString(0)) -> s.asInstanceOf[String])
         }.toMap
+        // partition values seed too: a checkpoint that lost them would
+        // silently disable partition pruning for every reader seeding
+        // past it (the carried-stats rule, applied to partitions)
+        val pvm = addRows.flatMap { r =>
+          Option(r.get(3)).map { m =>
+            deltaDecodePath(r.getString(0)) ->
+              m.asInstanceOf[scala.collection.Map[String, String]]
+                .map { case (k, x) => k -> Option(x) }.toMap
+          }
+        }.toMap
         val mdType = ck.schema("metaData").dataType
           .asInstanceOf[org.apache.spark.sql.types.StructType]
         val hasConf = mdType.fieldNames.contains("configuration")
+        val hasParts = mdType.fieldNames.contains("partitionColumns")
         val mdRow = ck.filter(col("metaData").isNotNull)
           .select(col("metaData.schemaString").as("s"),
             (if (hasConf) col("metaData.configuration") else lit(null))
-              .as("c"))
+              .as("c"),
+            (if (hasParts) col("metaData.partitionColumns") else lit(null))
+              .as("pc"))
           .collect().headOption
         val sch = mdRow.map(_.getString(0))
         // the table CONFIGURATION must seed too: a checkpointed tail has
@@ -2224,7 +2513,10 @@ object LakehouseTable {
         val conf = mdRow.flatMap(r => Option(r.get(1)))
           .map(_.asInstanceOf[scala.collection.Map[String, String]].toMap)
           .getOrElse(Map.empty[String, String])
-        (Some(v), adds, sch, dvm, conf, stm)
+        val pcols = mdRow.flatMap(r => Option(r.get(2)))
+          .map(_.asInstanceOf[scala.collection.Seq[String]].toSeq)
+          .getOrElse(Nil)
+        (Some(v), adds, sch, dvm, conf, stm, pvm, pcols)
     }
   }
 
@@ -2570,8 +2862,11 @@ object LakehouseTable {
     * decimal between that text and the binary value rounds back to the
     * same double, so the bound stays inclusive; NaN endpoints drop the
     * column because parquet-mr propagates NaN into chunk min/max),
-    * DATE (ISO yyyy-MM-dd string, Delta's format), and strings up to
-    * 64 chars (JSON-escaped; longer bounds are omitted rather than
+    * DATE (ISO yyyy-MM-dd string, Delta's format), UTC-adjusted
+    * TIMESTAMP (full-precision ISO-8601 with 'Z' — exact, so no
+    * truncate-and-round-up-the-max dance, and offset-carrying, so the
+    * reader's conservative timestamp parse accepts it), and strings up
+    * to 64 chars (JSON-escaped; longer bounds are omitted rather than
     * truncated — a truncated max needs a last-char increment to stay a
     * bound). Anything else is omitted, which a Delta reader treats as
     * merely non-skippable, never wrong. One footer read; no data
@@ -2619,6 +2914,21 @@ object LakehouseTable {
           val isDate = t.getPrimitiveTypeName == PrimitiveTypeName.INT32 &&
             t.getLogicalTypeAnnotation
               .isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation]
+          // UTC-adjusted INT64 timestamps only; the stored unit scales
+          // to micros exactly (MICROS x1, MILLIS x1000). NANOS or
+          // local-time (isAdjustedToUTC=false) semantics are omitted.
+          val tsScale: Option[Long] =
+            if (t.getPrimitiveTypeName != PrimitiveTypeName.INT64) None
+            else t.getLogicalTypeAnnotation match {
+              case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+                  if ts.isAdjustedToUTC =>
+                ts.getUnit match {
+                  case LogicalTypeAnnotation.TimeUnit.MICROS => Some(1L)
+                  case LogicalTypeAnnotation.TimeUnit.MILLIS => Some(1000L)
+                  case _ => None
+                }
+              case _ => None
+            }
           val isFloating =
             (t.getPrimitiveTypeName == PrimitiveTypeName.DOUBLE ||
               t.getPrimitiveTypeName == PrimitiveTypeName.FLOAT) &&
@@ -2639,6 +2949,20 @@ object LakehouseTable {
                   reduceL(_.max, pick = false)).toString))
                 .map { case (a, b) =>
                   (om.writeValueAsString(a), om.writeValueAsString(b)) }
+            else if (tsScale.isDefined) {
+              // full-precision UTC ISO-8601 with 'Z' — the one form the
+              // shared evaluator accepts without timezone ambiguity, and
+              // exact (no millis truncation, so no round-up-the-max rule)
+              def iso(raw: Long): String = {
+                val us = raw * tsScale.get
+                java.time.Instant.ofEpochSecond(
+                  Math.floorDiv(us, 1000000L),
+                  Math.floorMod(us, 1000000L) * 1000L).toString
+              }
+              Some((
+                om.writeValueAsString(iso(reduceL(_.min, pick = true))),
+                om.writeValueAsString(iso(reduceL(_.max, pick = false)))))
+            }
             else if (isFloating) {
               val mins = stats.map(_.genericGetMin.toString.toDouble)
               val maxs = stats.map(_.genericGetMax.toString.toDouble)

@@ -31,14 +31,40 @@ private[sources] object MetricsPruning {
     * [lo, hi] range (BigDecimal for numeric/temporal/boolean, String
     * for strings; None = unknown), whether every value is null,
     * whether none are, and whether the file is known to hold no NaN
-    * (always true for non-floating columns). */
+    * (always true for non-floating columns). `eqKeep` is the
+    * EQUALITY-ONLY hook for metadata with no order information —
+    * Iceberg `bucket[N]` partition values: given the RAW Catalyst
+    * literal, false means the file provably holds no equal row; it is
+    * consulted only by `=`/`IN` leaves (a bucket value bounds nothing
+    * for ranges) and defaults to keep. */
   case class ColMeta(lo: Option[Any], hi: Option[Any],
-      allNull: Boolean, noNulls: Boolean, nanFree: Boolean)
+      allNull: Boolean, noNulls: Boolean, nanFree: Boolean,
+      eqKeep: Any => Boolean = _ => true)
 
   def finite(n: java.lang.Number): Boolean = n match {
     case d: java.lang.Double => !d.isNaN && !d.isInfinite
     case f: java.lang.Float => !f.isNaN && !f.isInfinite
     case _ => true
+  }
+
+  /** FLOATING bounds take ONE ULP of slack before entering the exact-
+    * decimal evaluator. Spark compares float/double rows in DOUBLE
+    * space, where every decimal text within half an ulp of the value
+    * is EQUAL to it — but the evaluator compares exact decimals, so a
+    * shortest-repr bound ("1.100000023841858") tested against a
+    * literal's decimal text ("1.1000000238418579", the same double)
+    * can misorder by under an ulp and wrongly prune a matching
+    * equality. Widening each bound one ulp outward keeps every such
+    * literal: at most one marginal file kept, never a wrong prune. */
+  def floatLo(d: Double): Option[Any] = {
+    val w = Math.nextDown(d)
+    if (d.isNaN || d.isInfinite || w.isInfinite) None
+    else Some(BigDecimal(w.toString))
+  }
+  def floatHi(d: Double): Option[Any] = {
+    val w = Math.nextUp(d)
+    if (d.isNaN || d.isInfinite || w.isInfinite) None
+    else Some(BigDecimal(w.toString))
   }
 
   /** Catalyst literal (internal representation) → normalized
@@ -95,7 +121,7 @@ private[sources] object MetricsPruning {
     normLit(v).fold(true) { lv =>
       op match {
         case "=" => m.lo.flatMap(cmp(_, lv)).forall(_ <= 0) &&
-          m.hi.flatMap(cmp(_, lv)).forall(_ >= 0)
+          m.hi.flatMap(cmp(_, lv)).forall(_ >= 0) && m.eqKeep(v)
         case "<" => m.lo.flatMap(cmp(_, lv)).forall(_ < 0)
         case "<=" => m.lo.flatMap(cmp(_, lv)).forall(_ <= 0)
         // a NaN row satisfies every `x > v` under NaN-greatest

@@ -1165,13 +1165,31 @@ object GraftSqlStatements {
     // one pass, mirroring maskLiterals' lexing: both escape styles the
     // masker recognizes un-escape here — quote DOUBLING and BACKSLASH
     // escapes (Spark's default lexer writes \' inside '…'); leaving a
-    // backslash through would hand parseExpression a stray token
+    // backslash through would hand parseExpression a stray token.
+    // Escape SEQUENCES decode to Spark's unescapeSQLString semantics:
+    // \n → newline (not the letter 'n'), \t/\r/\b/\f/\0/\Z likewise,
+    // \uXXXX → the code unit, \% and \_ KEEP their backslash (LIKE
+    // pattern escapes), any other \x → x.
     val sb = new StringBuilder
     var i = 0
     while (i < body.length) {
       val c = body.charAt(i)
       if (c == '\\' && i + 1 < body.length) {
-        sb.append(body.charAt(i + 1)); i += 2
+        val e = body.charAt(i + 1)
+        val (decoded, adv) = e match {
+          case 'n' => ("\n", 2); case 't' => ("\t", 2); case 'r' => ("\r", 2)
+          case 'b' => ("\b", 2); case 'f' => ("\f", 2)
+          case '0' => ("\u0000", 2); case 'Z' => ("\u001A", 2)
+          case '%' | '_' => ("\\" + e, 2) // LIKE escapes keep the backslash
+          case 'u' if i + 5 < body.length &&
+              body.substring(i + 2, i + 6)
+                .forall(ch => Character.digit(ch, 16) >= 0) =>
+            (Integer.parseInt(body.substring(i + 2, i + 6), 16)
+              .toChar.toString, 6)
+          case other => (other.toString, 2)
+        }
+        sb.append(decoded)
+        i += adv
       } else if (c == q && i + 1 < body.length && body.charAt(i + 1) == q) {
         sb.append(c); i += 2
       } else { sb.append(c); i += 1 }

@@ -1,0 +1,508 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{IcebergMeta, IcebergTransforms, LakehouseTable => LT}
+
+/** Round-13 pins — Iceberg NON-IDENTITY partition-transform pruning
+  * (the round-12 verdict's top item) plus the Delta-face planning
+  * additions:
+  *
+  *  1. The bucket hash is the spec's murmur3_x86_32 over Appendix-B
+  *     byte forms — pinned against the spec's own published vectors
+  *     (int/long 34, date 2017-11-16, timestamp 2017-11-16T22:31:08,
+  *     string "iceberg"). A wrong hash silently prunes MATCHING files.
+  *  2. `day`/`month`/`year`/`hour` values derive exact UTC source
+  *     ranges; a range predicate on the source timestamp plans only
+  *     the matching transform partitions.
+  *  3. `truncate[W]` derives int ranges and string prefix ranges
+  *     (range predicates prune too, not just equality).
+  *  4. `bucket[N]` prunes equality/IN by re-hashing the literal and
+  *     NEVER prunes range predicates (hash order is unrelated to value
+  *     order).
+  *  5. A null transform value means every source row is null
+  *     (transforms are null-preserving): pruned for comparisons, kept
+  *     for IS NULL.
+  *  6. All three faces — native footer-stats readPruned, Iceberg
+  *     manifest bounds, Delta add-action stats — plan the SAME files
+  *     on the same range-clustered history (q203/q204's triangle,
+  *     closed).
+  */
+class Round13Spec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def freshRoot(name: String): String = {
+    val r = sources.TableCache.baseDir + s"/r13_$name"
+    val p = Paths.get(r)
+    if (Files.exists(p)) {
+      Files.walk(p).iterator().asScala.toSeq
+        .sortBy(_.toString).reverse.foreach(Files.deleteIfExists(_))
+    }
+    Files.createDirectories(p)
+    r
+  }
+
+  test("bucket hash matches the Iceberg spec's Appendix B vectors") {
+    import IcebergTransforms._
+    assert(bucketHashLong(34L) == 2017239379,
+      "int/long 34 (8-byte little-endian)")
+    assert(bucketHashLong(17486L) == -653330422,
+      "date 2017-11-16 = epoch day 17486")
+    assert(bucketHashLong(1510871468000000L) == -2047944441,
+      "timestamp 2017-11-16T22:31:08 UTC = micros 1510871468000000")
+    assert(bucketHashString("iceberg") == 1210000089, "string 'iceberg'")
+  }
+
+  test("temporal transform ranges are exact UTC unit ranges") {
+    import IcebergTransforms._
+    import org.apache.spark.sql.types.{DateType, TimestampType}
+    val MicrosPerDay = 86400000000L
+    // day 19723 = 2024-01-01
+    assert(temporalRange(Day, 19723L, TimestampType).contains(
+      (BigDecimal(19723L) * MicrosPerDay,
+        BigDecimal(19724L) * MicrosPerDay - 1)))
+    assert(temporalRange(Day, 19723L, DateType).contains(
+      (BigDecimal(19723), BigDecimal(19723))))
+    // month 648 = 2024-01 (54 years * 12): Jan has 31 days
+    val jan1 = java.time.LocalDate.of(2024, 1, 1).toEpochDay
+    assert(temporalRange(Month, 648L, DateType).contains(
+      (BigDecimal(jan1), BigDecimal(jan1 + 30))))
+    // year 54 = 2024 (a leap year: 366 days)
+    assert(temporalRange(Year, 54L, DateType).contains(
+      (BigDecimal(jan1), BigDecimal(jan1 + 365))))
+    // hour of a date column is undefined — no range, conservative
+    assert(temporalRange(Hour, 1L, DateType).isEmpty)
+    assert(temporalRange(Hour, 2L, TimestampType).contains(
+      (BigDecimal(7200000000L), BigDecimal(10800000000L) - 1)))
+  }
+
+  test("string prefix upper bound is strictly above every prefixed string") {
+    import IcebergTransforms._
+    assert(stringPrefixUpper("HO").contains("HP"))
+    assert(stringPrefixUpper("").isEmpty)
+    // unsigned UTF-8 byte order — the order the evaluator compares in
+    def utf8Cmp(x: String, y: String): Int = {
+      val a = x.getBytes("UTF-8"); val b = y.getBytes("UTF-8")
+      a.zip(b).map { case (p, q) => (p & 0xff) - (q & 0xff) }
+        .find(_ != 0).getOrElse(a.length - b.length)
+    }
+    assert(utf8Cmp("HOUSEHOLD", "HP") < 0)
+    assert(utf8Cmp("HO" + "\uFFFF\uFFFF\uFFFF", "HP") < 0)
+  }
+
+  /** One file per distinct `partCol` value, exported, then converted
+    * to the foreign transform spec (partCol leaves the schema, the
+    * spec says `transform(srcCol)`, srcCol metrics stripped). */
+  private def transformChain(root: String,
+      df: org.apache.spark.sql.DataFrame, partCol: String,
+      transform: String, srcCol: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    LT.create(df.repartition(col(partCol)), root,
+      partitionBy = Seq(partCol))
+    IcebergMeta.exportIcebergMeta(spark, root)
+    IcebergMeta.convertSpecToTransform(root,
+      Map(partCol -> ((transform, srcCol))))
+  }
+
+  test("day(ts) spec: a timestamp range plans only the matching days") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = freshRoot("day_spec")
+    val rows = (0 until 6).map { i =>
+      // two rows per day across 2024-01-01..03
+      (i.toLong, java.sql.Timestamp.from(java.time.Instant.parse(
+        f"2024-01-0${i / 2 + 1}%dT0${i % 2 * 6}%d:30:00Z")))
+    }
+    transformChain(root, rows.toDF("id", "ts")
+      .withColumn("ts_day", expr("date_from_unix_date(CAST(" +
+        "floor(unix_micros(ts) / 86400000000) AS INT))")),
+      "ts_day", "day", "ts")
+    val full = IcebergMeta.readIceberg(spark, root)
+    assert(full.columns.toSeq == Seq("id", "ts"),
+      "the transform column must leave the schema")
+    assert(full.inputFiles.length == 3)
+    val pruned = IcebergMeta.readIceberg(spark, root, pruneWhere = Some(
+      "ts >= TIMESTAMP '2024-01-02 00:00:00' AND " +
+        "ts < TIMESTAMP '2024-01-03 00:00:00'"))
+    assert(pruned.select($"id").as[Long].collect().toSet == Set(2L, 3L))
+    assert(pruned.inputFiles.length == 1,
+      s"day transform must plan ONE file: ${pruned.inputFiles.toSeq}")
+    // equality on an exact boundary instant
+    val eq = IcebergMeta.readIceberg(spark, root,
+      pruneWhere = Some("ts = TIMESTAMP '2024-01-03 06:30:00'"))
+    assert(eq.select($"id").as[Long].collect().toSet == Set(5L))
+    assert(eq.inputFiles.length == 1)
+  }
+
+  test("hour/month/year specs derive source ranges from unit values") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // hour(ts): 3 hours, one file each
+    val hr = freshRoot("hour_spec")
+    val hrows = (0 until 6).map { i =>
+      (i.toLong, java.sql.Timestamp.from(java.time.Instant.parse(
+        f"2024-01-01T0${i / 2}%d:${i % 2 * 30}%02d:00Z")))
+    }
+    transformChain(hr, hrows.toDF("id", "ts")
+      .withColumn("ts_hour",
+        expr("CAST(floor(unix_micros(ts) / 3600000000) AS INT)")),
+      "ts_hour", "hour", "ts")
+    val hp = IcebergMeta.readIceberg(spark, hr, pruneWhere = Some(
+      "ts >= TIMESTAMP '2024-01-01 01:00:00' AND " +
+        "ts < TIMESTAMP '2024-01-01 02:00:00'"))
+    assert(hp.select($"id").as[Long].collect().toSet == Set(2L, 3L))
+    assert(hp.inputFiles.length == 1, hp.inputFiles.toSeq.toString)
+
+    // month(d) over a DATE column: 3 months, one file each
+    val mr = freshRoot("month_spec")
+    val mrows = Seq((1L, "2024-01-15"), (2L, "2024-02-15"), (3L, "2024-03-15"))
+      .map { case (i, d) => (i, java.sql.Date.valueOf(d)) }
+    transformChain(mr, mrows.toDF("id", "d")
+      .withColumn("d_month",
+        expr("CAST((year(d) - 1970) * 12 + month(d) - 1 AS INT)")),
+      "d_month", "month", "d")
+    val mp = IcebergMeta.readIceberg(spark, mr,
+      pruneWhere = Some("d >= DATE'2024-02-01' AND d < DATE'2024-03-01'"))
+    assert(mp.select($"id").as[Long].collect().toSet == Set(2L))
+    assert(mp.inputFiles.length == 1, mp.inputFiles.toSeq.toString)
+
+    // year(d): 3 years, one file each
+    val yr = freshRoot("year_spec")
+    val yrows = Seq((1L, "2022-06-01"), (2L, "2023-06-01"), (3L, "2024-06-01"))
+      .map { case (i, d) => (i, java.sql.Date.valueOf(d)) }
+    transformChain(yr, yrows.toDF("id", "d")
+      .withColumn("d_year", expr("CAST(year(d) - 1970 AS INT)")),
+      "d_year", "year", "d")
+    val yp = IcebergMeta.readIceberg(spark, yr,
+      pruneWhere = Some("d >= DATE'2023-01-01' AND d <= DATE'2023-12-31'"))
+    assert(yp.select($"id").as[Long].collect().toSet == Set(2L))
+    assert(yp.inputFiles.length == 1, yp.inputFiles.toSeq.toString)
+  }
+
+  test("truncate[W] specs prune int ranges and string prefix ranges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // truncate[100] on a long key: files [0,99], [100,199], [200,299]
+    val tr = freshRoot("trunc_int")
+    val trows = Seq(5L, 50L, 110L, 150L, 210L, 250L).map(k => (k, k * 2))
+    transformChain(tr, trows.toDF("k", "v")
+      .withColumn("k_t", expr("CAST(k - (k % 100) AS BIGINT)")),
+      "k_t", "truncate[100]", "k")
+    val tp = IcebergMeta.readIceberg(spark, tr,
+      pruneWhere = Some("k >= 120 AND k <= 220"))
+    assert(tp.select($"k").as[Long].collect().toSet == Set(150L, 210L))
+    assert(tp.inputFiles.length == 2, tp.inputFiles.toSeq.toString)
+
+    // truncate[2] on strings: prefix files ap / ba
+    val sr = freshRoot("trunc_str")
+    val srows = Seq((1L, "apple"), (2L, "apricot"), (3L, "banana"))
+    transformChain(sr, srows.toDF("id", "s")
+      .withColumn("s_t", substring(col("s"), 1, 2)),
+      "s_t", "truncate[2]", "s")
+    val sp = IcebergMeta.readIceberg(spark, sr,
+      pruneWhere = Some("s = 'banana'"))
+    assert(sp.select($"id").as[Long].collect().toSet == Set(3L))
+    assert(sp.inputFiles.length == 1, sp.inputFiles.toSeq.toString)
+    // a RANGE over the prefix space prunes too (prefix upper bound)
+    val rp = IcebergMeta.readIceberg(spark, sr,
+      pruneWhere = Some("s >= 'b'"))
+    assert(rp.select($"id").as[Long].collect().toSet == Set(3L))
+    assert(rp.inputFiles.length == 1, rp.inputFiles.toSeq.toString)
+  }
+
+  test("bucket[N] prunes equality and IN, never ranges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = freshRoot("bucket_spec")
+    val keys = (1L to 40L).toSeq
+    val bucketOf = udf((k: java.lang.Long) => Integer.valueOf(
+      (IcebergTransforms.bucketHashLong(k.longValue()) & Int.MaxValue) % 4))
+    transformChain(root, keys.map(k => (k, k * 10)).toDF("k", "v")
+      .withColumn("kb", bucketOf(col("k"))),
+      "kb", "bucket[4]", "k")
+    val full = IcebergMeta.readIceberg(spark, root)
+    assert(full.inputFiles.length == 4)
+    val eq = IcebergMeta.readIceberg(spark, root, pruneWhere = Some("k = 7"))
+    assert(eq.select($"v").as[Long].collect().toSeq == Seq(70L))
+    assert(eq.inputFiles.length == 1,
+      s"bucket equality must plan ONE file: ${eq.inputFiles.toSeq}")
+    val in = IcebergMeta.readIceberg(spark, root,
+      pruneWhere = Some("k IN (7, 13)"))
+    val expected = Set(7L, 13L).map(k =>
+      (IcebergTransforms.bucketHashLong(k) & Int.MaxValue) % 4).size
+    assert(in.inputFiles.length == expected, in.inputFiles.toSeq.toString)
+    assert(in.select($"k").as[Long].collect().toSet == Set(7L, 13L))
+    // hash order says nothing about value order: ranges keep all files
+    val rg = IcebergMeta.readIceberg(spark, root, pruneWhere = Some("k > 35"))
+    assert(rg.inputFiles.length == 4,
+      "a range predicate must not prune bucket partitions")
+    assert(rg.select($"k").as[Long].collect().toSet ==
+      keys.filter(_ > 35).toSet)
+  }
+
+  test("a null transform value is all-rows-null: pruned for =, kept for IS NULL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = freshRoot("day_null")
+    val rows = Seq(
+      (1L, Some(java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-01T06:00:00Z")))),
+      (2L, None: Option[java.sql.Timestamp]))
+    transformChain(root, rows.toDF("id", "ts")
+      .withColumn("ts_day", expr("date_from_unix_date(CAST(" +
+        "floor(unix_micros(ts) / 86400000000) AS INT))")),
+      "ts_day", "day", "ts")
+    assert(IcebergMeta.readIceberg(spark, root).inputFiles.length == 2)
+    val cmp = IcebergMeta.readIceberg(spark, root,
+      pruneWhere = Some("ts >= TIMESTAMP '2024-01-01 00:00:00'"))
+    assert(cmp.select($"id").as[Long].collect().toSet == Set(1L))
+    assert(cmp.inputFiles.length == 1,
+      s"the all-null file must be pruned: ${cmp.inputFiles.toSeq}")
+    val isNull = IcebergMeta.readIceberg(spark, root,
+      pruneWhere = Some("ts IS NULL"))
+    assert(isNull.select($"id").as[Long].collect().toSet == Set(2L))
+    assert(isNull.inputFiles.length == 1,
+      s"only the all-null file can match IS NULL: ${isNull.inputFiles.toSeq}")
+  }
+
+  test("all three faces plan the same files on one range-clustered history") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot("face_parity")
+    LT.create((1L to 400L).map(i => (i, i * 3)).toDF("id", "x")
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id"), root)
+    IcebergMeta.exportIcebergMeta(spark, root)
+    LT.exportDeltaLog(spark, root)
+    LT.computeStats(spark, root, Seq("id"))
+    val native = LT.readPruned(spark, root, "id", 1.0, 100.0)
+      .filter(col("id") <= 100)
+    val ice = IcebergMeta.readIceberg(spark, root,
+      pruneWhere = Some("id <= 100"))
+    val delta = LT.readDeltaExport(spark, root,
+      pruneWhere = Some("id <= 100"))
+    val want = (1L to 100L).map(i => (i, i * 3)).toSet
+    assert(native.as[(Long, Long)].collect().toSet == want)
+    assert(ice.as[(Long, Long)].collect().toSet == want)
+    assert(delta.as[(Long, Long)].collect().toSet == want)
+    assert(native.inputFiles.length == 1,
+      s"native footer stats must plan 1 of 4: ${native.inputFiles.toSeq}")
+    assert(ice.inputFiles.length == 1, ice.inputFiles.toSeq.toString)
+    assert(delta.inputFiles.length == 1, delta.inputFiles.toSeq.toString)
+  }
+
+  test("delta partitionValues prune stats-less hive partitions, through checkpoints, decoded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot("delta_pv")
+    // 'a/b' exercises the %XX decode: the hive dir is 'cat=a%2Fb' but
+    // the spec form of the add action's value is the real string
+    LT.create(Seq((1L, "a/b"), (2L, "b"), (3L, "c"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("id", "cat").repartition(col("cat")), root,
+      partitionBy = Seq("cat"))
+    LT.exportDeltaLog(spark, root)
+    val logTxt = Files.readString(Paths.get(root, "_delta_log",
+      f"${0L}%020d.json"))
+    assert(logTxt.contains("\"cat\":\"a\\/b\"") ||
+      logTxt.contains("\"cat\":\"a/b\""),
+      "partitionValues must carry the DECODED value")
+    assert(logTxt.contains("\"cat\":null"),
+      "the default partition must serialize as JSON null")
+    def planned(where: String) =
+      LT.readDeltaExport(spark, root, pruneWhere = Some(where))
+    val eq = planned("cat = 'a/b'")
+    assert(eq.select($"id").as[Long].collect().toSet == Set(1L))
+    assert(eq.inputFiles.length == 1,
+      s"partition equality must plan ONE file: ${eq.inputFiles.toSeq}")
+    val isNull = planned("cat IS NULL")
+    assert(isNull.select($"id").as[Long].collect().toSet == Set(4L))
+    assert(isNull.inputFiles.length == 1, isNull.inputFiles.toSeq.toString)
+    val notNull = planned("cat IS NOT NULL")
+    assert(notNull.inputFiles.length == 3,
+      "the all-null partition must be pruned for IS NOT NULL")
+    // the checkpoint must CARRY partitionValues and partitionColumns:
+    // a checkpoint-seeded read (no JSON replay) still prunes
+    LT.exportDeltaCheckpoint(spark, root, 0L)
+    val seeded = planned("cat = 'a/b'")
+    assert(seeded.select($"id").as[Long].collect().toSet == Set(1L))
+    assert(seeded.inputFiles.length == 1,
+      s"checkpoint-seeded reads must keep pruning: ${seeded.inputFiles.toSeq}")
+  }
+
+  test("delta timestamp stats skip time-clustered files; offset-less text never prunes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot("delta_ts")
+    val rows = (0 until 8).map { i =>
+      (i.toLong, java.sql.Timestamp.from(
+        java.time.Instant.parse(f"2024-01-0${i / 2 + 1}%dT0${i % 2 * 6}%d:00:00Z")))
+    }
+    LT.create(rows.toDF("id", "ts")
+      .repartitionByRange(4, col("ts")).sortWithinPartitions("ts"), root)
+    LT.exportDeltaLog(spark, root)
+    val logTxt = Files.readString(Paths.get(root, "_delta_log",
+      f"${0L}%020d.json"))
+    assert(logTxt.contains("T00:00:00Z"),
+      "timestamp stats must be offset-carrying ISO-8601")
+    val pruned = LT.readDeltaExport(spark, root, pruneWhere = Some(
+      "ts >= TIMESTAMP '2024-01-02 00:00:00' AND " +
+        "ts < TIMESTAMP '2024-01-03 00:00:00'"))
+    assert(pruned.select($"id").as[Long].collect().toSet == Set(2L, 3L))
+    assert(pruned.inputFiles.length == 1,
+      s"one day = one range file: ${pruned.inputFiles.toSeq}")
+    // an offset-LESS foreign bound is ambiguous and must not prune:
+    // rewrite the log's stats to local-time text and re-read
+    val lf = Paths.get(root, "_delta_log", f"${0L}%020d.json")
+    Files.writeString(lf, Files.readString(lf)
+      .replaceAll("""(\d{2}:\d{2}:\d{2}(?:\.\d+)?)Z""", "$1"))
+    val kept = LT.readDeltaExport(spark, root, useCheckpoint = false,
+      pruneWhere = Some("ts >= TIMESTAMP '2024-01-02 00:00:00' AND " +
+        "ts < TIMESTAMP '2024-01-03 00:00:00'"))
+    assert(kept.select($"id").as[Long].collect().toSet == Set(2L, 3L))
+    assert(kept.inputFiles.length == 4,
+      "offset-less timestamp text must keep every file (no wrong prune)")
+  }
+
+  test("float stats compare in the widened-double shortest-repr space") {
+    import spark.implicits._
+    val root = freshRoot("delta_float")
+    LT.create(Seq((1L, 1.1f), (2L, 2.2f)).toDF("id", "x").coalesce(1), root)
+    LT.append(Seq((3L, 9.9f)).toDF("id", "x").coalesce(1), root)
+    LT.exportDeltaLog(spark, root)
+    // 1.1f widens to 1.1000000238418579 in Spark's double comparison:
+    // a bound parsed as BigDecimal("1.1") would understate the first
+    // file's hi and WRONGLY prune the matching row
+    val eq = LT.readDeltaExport(spark, root,
+      pruneWhere = Some("x = 1.1000000238418579"))
+    assert(eq.select($"id").as[Long].collect().toSet == Set(1L),
+      "the widened float row must survive planning AND the residual")
+    assert(eq.inputFiles.length == 1, eq.inputFiles.toSeq.toString)
+  }
+
+  test("q205/q206/q207 fixtures plan the pinned file subsets at sf0.001") {
+    val d = "/root/testdata/sf0.001"
+    val day = operators.Lakehouse.eventsDayChainRoot(spark, d)
+    val full = IcebergMeta.readIceberg(spark, day)
+    val pruned = IcebergMeta.readIceberg(spark, day, pruneWhere = Some(
+      "ts >= TIMESTAMP '2024-01-10 00:00:00' AND " +
+        "ts < TIMESTAMP '2024-01-12 00:00:00'"))
+    assert(full.inputFiles.length >= 28, "one file per January day")
+    assert(pruned.inputFiles.length == 2,
+      s"two days must plan two files: ${pruned.inputFiles.toSeq}")
+
+    val bucket = operators.Lakehouse.ordersBucketChainRoot(spark, d)
+    val bPruned = IcebergMeta.readIceberg(spark, bucket,
+      pruneWhere = Some("o_orderkey IN (7, 997)"))
+    val expected = Set(7L, 997L).map(k =>
+      (IcebergTransforms.bucketHashLong(k) & Int.MaxValue) % 8).size
+    assert(IcebergMeta.readIceberg(spark, bucket).inputFiles.length == 8)
+    assert(bPruned.inputFiles.length == expected,
+      s"bucket IN must plan $expected of 8: ${bPruned.inputFiles.toSeq}")
+
+    val trunc = operators.Lakehouse.customerTruncChainRoot(spark, d)
+    val tPruned = IcebergMeta.readIceberg(spark, trunc,
+      pruneWhere = Some("c_mktsegment = 'HOUSEHOLD'"))
+    assert(IcebergMeta.readIceberg(spark, trunc).inputFiles.length == 5)
+    assert(tPruned.inputFiles.length == 1,
+      s"one segment prefix file: ${tPruned.inputFiles.toSeq}")
+  }
+
+  test("foreign append: commit readable, stats-bearing, CAS-protected, refusals loud") {
+    import spark.implicits._
+    val root = freshRoot("foreign_append")
+    LT.create(Seq((1L, 10L), (2L, 20L)).toDF("id", "v").coalesce(1), root)
+    LT.exportDeltaLog(spark, root)
+    // make it FOREIGN: delete the graft manifest, only log + data remain
+    val manifest = Paths.get(root, "_manifest")
+    Files.walk(manifest).iterator().asScala.toSeq
+      .sortBy(_.toString).reverse.foreach(Files.deleteIfExists(_))
+    val v = LT.appendDeltaForeign(spark, root,
+      Seq((3L, 30L), (4L, 40L)).toDF("id", "v").coalesce(1))
+    assert(v == 1L)
+    val back = LT.readDeltaExport(spark, root)
+    assert(back.as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
+    // the appended add carries stats: planning skips the OLD file for a
+    // predicate only the new rows satisfy
+    val pruned = LT.readDeltaExport(spark, root,
+      pruneWhere = Some("id >= 3"))
+    assert(pruned.as[(Long, Long)].collect().toSet ==
+      Set((3L, 30L), (4L, 40L)))
+    assert(pruned.inputFiles.length == 1,
+      s"appended stats must skip the base file: ${pruned.inputFiles.toSeq}")
+    // CAS under real contention: two writers race disjoint batches with
+    // retry-on-CME; every batch must survive (POSIX rename OVERWRITES,
+    // so a rename-based "CAS" would silently drop a committed version —
+    // createLink is the fail-if-exists primitive the commit uses)
+    val batches = (0 until 6).map(i =>
+      Seq((100L + i, 1000L + i)).toDF("id", "v").coalesce(1))
+    val threads = (0 until 2).map { t =>
+      new Thread(() => {
+        (0 until 3).foreach { i =>
+          val b = batches(t * 3 + i)
+          var done = false
+          while (!done) {
+            try { LT.appendDeltaForeign(spark, root, b); done = true }
+            catch { case _: java.util.ConcurrentModificationException => () }
+          }
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val after = LT.readDeltaExport(spark, root).as[(Long, Long)]
+      .collect().toSet
+    assert((100L until 106L).forall(i => after.contains((i, i + 900L))),
+      s"a racing append lost a committed batch: $after")
+    assert(LT.deltaLogVersions(root) == (0L to 7L),
+      "6 racing appends over v1 must land as versions 2..7, gap-free")
+    // refusals: schema mismatch, partitioned table, column mapping
+    val exSchema = intercept[IllegalArgumentException] {
+      LT.appendDeltaForeign(spark, freshForeign("fa_schema"),
+        Seq((1, "x")).toDF("id", "s"))
+    }
+    assert(exSchema.getMessage.contains("does not match"), exSchema.getMessage)
+    val partRoot = freshRoot("fa_part")
+    LT.create(Seq((1L, "a"), (2L, "b")).toDF("id", "cat")
+      .repartition(org.apache.spark.sql.functions.col("cat")),
+      partRoot, partitionBy = Seq("cat"))
+    LT.exportDeltaLog(spark, partRoot)
+    val exPart = intercept[IllegalArgumentException] {
+      LT.appendDeltaForeign(spark, partRoot,
+        Seq((3L, "c")).toDF("id", "cat"))
+    }
+    assert(exPart.getMessage.contains("PARTITIONED"), exPart.getMessage)
+  }
+
+  /** A minimal foreign-shaped (id BIGINT, v BIGINT) delta table. */
+  private def freshForeign(name: String): String = {
+    import spark.implicits._
+    val root = freshRoot(name)
+    LT.create(Seq((1L, 10L)).toDF("id", "v").coalesce(1), root)
+    LT.exportDeltaLog(spark, root)
+    root
+  }
+
+  test("q208/q209 fixtures plan the pinned delta file subsets at sf0.001") {
+    val d = "/root/testdata/sf0.001"
+    val hive = operators.Lakehouse.ordersHivePartRoot(spark, d)
+    assert(LT.readDeltaExport(spark, hive).inputFiles.length == 3)
+    val pPruned = LT.readDeltaExport(spark, hive,
+      pruneWhere = Some("o_orderstatus = 'F'"))
+    assert(pPruned.inputFiles.length == 1,
+      s"one status partition file: ${pPruned.inputFiles.toSeq}")
+
+    val ts = operators.Lakehouse.eventsTsChainRoot(spark, d)
+    assert(LT.readDeltaExport(spark, ts).inputFiles.length == 8)
+    val tsPruned = LT.readDeltaExport(spark, ts, pruneWhere = Some(
+      "ts >= TIMESTAMP '2024-01-10 00:00:00' AND " +
+        "ts < TIMESTAMP '2024-01-12 00:00:00'"))
+    // 2 of 30 days ≈ 1 of 8 contiguous time ranges (2 if straddling)
+    assert(tsPruned.inputFiles.length <= 2,
+      s"a 2-day window must plan at most 2 of 8 range files: " +
+        tsPruned.inputFiles.toSeq)
+  }
+}
