@@ -414,6 +414,53 @@ object Lakehouse {
     root
   }
 
+  /** The Iceberg twin of [[foreignAppendRoot]]: a genuinely foreign
+    * CHAIN (graft manifest deleted after the export) appended to
+    * through [[IcebergMeta.appendIcebergForeign]] — evens created
+    * natively, odds committed as a foreign snapshot. q211 reads the
+    * chain back through the spec reader against the full orders
+    * oracle, so the appended manifest/list/metadata bookkeeping is
+    * hash-gated. */
+  private[graft] def icebergAppendRoot(s: SparkSession, d: String): String = {
+    import java.nio.file.{Files, Paths}
+    val root = TableCache.baseDir + "/iceberg_foreign_" +
+      Paths.get(d).getFileName.toString
+    val rootPath = Paths.get(root)
+    val stampFile = rootPath.resolve("_foreign_stamp")
+    val src = Paths.get(d, "orders.parquet")
+    val stamp = s"$d:${Files.size(src)}:" +
+      s"${Files.getLastModifiedTime(src).toMillis}:v1"
+    try TableCache.locked(root) {
+      if (Files.exists(rootPath) &&
+          (!Files.exists(stampFile) ||
+            Files.readString(stampFile) != stamp)) {
+        val walked = Files.walk(rootPath)
+        try walked.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { Files.deleteIfExists(p); () })
+        finally walked.close()
+      }
+      if (!Files.exists(stampFile)) {
+        val orders = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"), col("o_totalprice"))
+        LakehouseTable.create(
+          orders.filter(col("o_orderkey") % 2 === 0), root)
+        IcebergMeta.exportIcebergMeta(s, root)
+        val manifest = rootPath.resolve("_manifest")
+        val walked = Files.walk(manifest)
+        try walked.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { Files.deleteIfExists(p); () })
+        finally walked.close()
+        IcebergMeta.appendIcebergForeign(s, root,
+          orders.filter(col("o_orderkey") % 2 === 1))
+        Files.writeString(stampFile, stamp)
+      }
+    } catch {
+      case e if raceLost(e) => () // see lineitemZRoot
+    }
+    root
+  }
+
   /** A HIVE-PARTITIONED orders table with a Delta log and NO stats on
     * the partition column (no Delta writer records stats for partition
     * columns — they are not in the data files): partition predicates
@@ -1821,6 +1868,21 @@ object Lakehouse {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // FOREIGN-CHAIN APPEND, Iceberg face (the q210 symmetry): evens
+    // created natively, the graft manifest DELETED, odds committed as
+    // a foreign snapshot (HadoopTables protocol: new manifest with
+    // full column metrics + carried manifest list + metadata CAS).
+    // The spec reader serves the whole chain against the full oracle.
+    "q211_iceberg_foreign_append" -> ((s, d) => {
+      val root = icebergAppendRoot(s, d)
+      IcebergMeta.readIceberg(s, root)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          Exact.moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // DELTA TIMESTAMP SKIPPING: the exported stats carry full-precision
     // ISO-8601 'Z' bounds for ts — the one timezone-unambiguous form —
     // so a time-range predicate plans a file subset of the 8
@@ -2830,6 +2892,13 @@ object Lakehouse {
             CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
             ${Exact.sqlMoneySum("o_totalprice")} AS sum_price
           FROM kept GROUP BY 1 ORDER BY 1""",
+
+    // the appended foreign chain equals the full orders aggregate
+    "q211_iceberg_foreign_append" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+            CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+            ${Exact.sqlMoneySum("o_totalprice")} AS sum_price
+          FROM orders GROUP BY 1 ORDER BY 1""",
 
     // drift deltas recomputed from the raw corpus: inserts = the new
     // crawl slice that survives the scrub, deletes = scrubbed originals

@@ -1310,6 +1310,15 @@ object IcebergMeta {
   private def fileMetricsIndex(root: String): Map[String, FileMetrics] = {
     val srcs = identityPartSources(root)
     val transNames = transformPartSources(root).keySet
+    // each category refuses duplicates WITHIN itself; a name that is
+    // identity in one spec and a transform in another would feed a
+    // transform ordinal into FileMetrics.part as an exact row value —
+    // silent wrong pruning, the class this evaluator must never produce
+    val clash = srcs.keySet.intersect(transNames)
+    require(clash.isEmpty,
+      s"partition field name(s) ${clash.toSeq.sorted.mkString(", ")} " +
+        "are identity in one spec and a transform in another at " +
+        s"$root; manifest structs cannot be resolved unambiguously")
     def intMapOf(df: GenericRecord, field: String): Map[Int, Any] =
       if (df.getSchema.getField(field) == null) Map.empty
       else df.get(field) match {
@@ -2285,6 +2294,236 @@ object IcebergMeta {
     }
     val hintTmp = Files.createTempFile(dir, ".hint-tmp", ".txt")
     Files.writeString(hintTmp, (hintN + 1).toString)
+    Files.move(hintTmp, dir.resolve("version-hint.text"),
+      StandardCopyOption.REPLACE_EXISTING)
+    sid
+  }
+
+  /** APPEND-ONLY COMMIT to a FOREIGN Iceberg chain — metadata this
+    * engine did not export (no graft manifest): the Delta-side
+    * [[LakehouseTable.appendDeltaForeign]]'s symmetric twin, following
+    * the HadoopTables commit protocol. Resolves the CURRENT metadata
+    * as the MAX v*.metadata.json on disk (the version-hint is a hint —
+    * a writer that crashed between its metadata CAS and the hint
+    * update must not wedge every later append into a permanent
+    * version collision; committing on the true max heals the hint),
+    * validates the append is one it cannot corrupt — current schema
+    * matching `df` by name, type, and required-ness, an unpartitioned
+    * default spec (partition tuples would need transform evaluation) —
+    * writes the rows as parquet under `root/data`, wraps them in ONE
+    * new manifest with full column metrics (value/null/NaN counts,
+    * bounds — a foreign append must not punch a skipping hole into a
+    * metrics-bearing chain), carries the parent's manifest list
+    * verbatim (existing position/equality deletes keep applying to
+    * OLD files only: the new files' data sequence exceeds every
+    * existing delete sequence, per the spec's application rules), and
+    * commits `v(max+1).metadata.json` via a createLink CAS — POSIX
+    * rename overwrites, so a rename-based commit would DROP a
+    * concurrent writer's version. A lost race raises
+    * ConcurrentModificationException leaving only unreferenced files.
+    * Returns the new snapshot id. */
+  def appendIcebergForeign(spark: SparkSession, root: String,
+      df: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.functions.col
+    require(hasChain(root), s"no Iceberg metadata at $root")
+    val dir = metaDir(root)
+    // the TRUE current version: max metadata file, not the hint
+    val curN = withListed(dir)(_.map(_.getFileName.toString).toSeq)
+      .collect { case n if n.matches("v\\d+\\.metadata\\.json") =>
+        n.stripPrefix("v").stripSuffix(".metadata.json").toLong }
+      .maxOption.getOrElse(
+        throw new IllegalStateException(s"no metadata files at $root"))
+    val md = mapper.readTree(Files.readString(
+      dir.resolve(s"v$curN.metadata.json")))
+    val curSchemaId = md.get("current-schema-id").asInt()
+    val schemaNode = md.get("schemas").elements().asScala
+      .find(_.get("schema-id").asInt() == curSchemaId).getOrElse(
+        throw new IllegalStateException(s"schema $curSchemaId missing"))
+    // refusals — loud, never a corrupting best-effort
+    val defaultSpecId = md.get("default-spec-id").asInt()
+    val specFields = md.get("partition-specs").elements().asScala
+      .find(_.get("spec-id").asInt() == defaultSpecId)
+      .map(_.get("fields").elements().asScala.toSeq).getOrElse(Nil)
+    require(specFields.isEmpty,
+      s"append to a PARTITIONED foreign chain is not supported (spec " +
+        s"$defaultSpecId has ${specFields.size} partition field(s))")
+    // schema: exactly the current schema's columns by name, type, and
+    // REQUIRED-ness (appending a nullable column into a required field
+    // would violate the contract for every reader)
+    val fields = schemaNode.get("fields").elements().asScala.map { f =>
+      (f.get("name").asText(), sparkType(f.get("type")),
+        f.get("required").asBoolean(), f.get("id").asInt())
+    }.toSeq
+    val dfByName = df.schema.fields
+      .map(f => f.name.toLowerCase -> f).toMap
+    require(dfByName.keySet == fields.map(_._1.toLowerCase).toSet &&
+        fields.forall { case (n, dt, required, _) =>
+          val g = dfByName(n.toLowerCase)
+          g.dataType == dt && (!required || !g.nullable) },
+      s"append schema ${df.schema.simpleString} does not match the " +
+        s"chain's current schema at $root (names, types, and " +
+        "required-ness must all be compatible)")
+    val aligned = df.select(fields.map(f => col(f._1)): _*)
+    // data files under root/data, unique names (never reused)
+    val dataDir = Paths.get(root, "data")
+    Files.createDirectories(dataDir)
+    val uuid = java.util.UUID.randomUUID().toString
+    val stage = Files.createTempDirectory(dir, ".ice-append")
+    val written = try {
+      // INT64-micros timestamps, not legacy INT96 — INT96 chunks carry
+      // no usable footer stats (no manifest bounds for the new files)
+      // and the spec's timestamp type is micros. Scoped to this write.
+      val tsKey = "spark.sql.parquet.outputTimestampType"
+      val prevTs = spark.conf.getOption(tsKey)
+      spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+      try aligned.write.mode("overwrite")
+        .parquet(stage.resolve("out").toString)
+      finally prevTs match {
+        case Some(v) => spark.conf.set(tsKey, v)
+        case None    => spark.conf.unset(tsKey)
+      }
+      withListed(stage.resolve("out"))(
+        _.filter(_.toString.endsWith(".parquet")).toSeq).sorted.map { p =>
+        val target = dataDir.resolve(s"$uuid-${p.getFileName}")
+        Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
+        target
+      }
+    } finally {
+      val walked = Files.walk(stage)
+      try walked.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { Files.deleteIfExists(p); () })
+      finally walked.close()
+    }
+    val lastSeq = md.get("last-sequence-number").asLong()
+    val seq = lastSeq + 1
+    val parent = md.get("current-snapshot-id").asLong()
+    val sid = java.lang.Long.parseLong(graft.plans.TextExpressions
+      .md5Hex(s"iceberg-append:$root#$seq#$curN#$uuid").take(15), 16)
+    // one manifest of the adds, with FULL column metrics from footers
+    val cols = fields.map { case (n, dt, _, id) =>
+      n.toLowerCase -> ((id, dt)) }.toMap
+    val entrySchema = manifestEntrySchema(Nil)
+    val dataFileSchema = entrySchema.getField("data_file").schema()
+    val partSchema = dataFileSchema.getField("partition").schema()
+    def intMap(field: String, m: Seq[(Int, Any)]): Any = {
+      val itemSchema = dataFileSchema.getField(field).schema()
+        .getTypes.get(1).getElementType
+      val arr = new java.util.ArrayList[GenericRecord]()
+      m.sortBy(_._1).foreach { case (k, v) =>
+        val r = new GenericData.Record(itemSchema)
+        r.put("key", k); r.put("value", v); arr.add(r)
+      }
+      arr
+    }
+    var totalRows = 0L
+    val entries = written.map { p =>
+      val rows = LakehouseTable.parquetRecordCount(p)
+      totalRows += rows
+      val mets = footerMetrics(p, cols)
+      val dfr = new GenericData.Record(dataFileSchema)
+      dfr.put("content", 0)
+      dfr.put("file_path", p.toString)
+      dfr.put("file_format", "PARQUET")
+      dfr.put("partition", new GenericData.Record(partSchema))
+      dfr.put("record_count", rows)
+      dfr.put("file_size_in_bytes", Files.size(p))
+      dfr.put("value_counts", intMap("value_counts",
+        mets.toSeq.map { case (id, (v, _, _, _)) =>
+          id -> java.lang.Long.valueOf(v) }))
+      val nulls = mets.toSeq.collect {
+        case (id, (_, Some(n), _, _)) => id -> java.lang.Long.valueOf(n) }
+      if (nulls.nonEmpty) dfr.put("null_value_counts",
+        intMap("null_value_counts", nulls))
+      val nans = mets.toSeq.collect {
+        case (id, (_, _, _, Some(n))) => id -> java.lang.Long.valueOf(n) }
+      if (nans.nonEmpty)
+        dfr.put("nan_value_counts", intMap("nan_value_counts", nans))
+      val lows = mets.toSeq.collect {
+        case (id, (_, _, Some((lo, _)), _)) =>
+          id -> java.nio.ByteBuffer.wrap(lo) }
+      val highs = mets.toSeq.collect {
+        case (id, (_, _, Some((_, hi)), _)) =>
+          id -> java.nio.ByteBuffer.wrap(hi) }
+      if (lows.nonEmpty) {
+        dfr.put("lower_bounds", intMap("lower_bounds", lows))
+        dfr.put("upper_bounds", intMap("upper_bounds", highs))
+      }
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1)
+      e.put("snapshot_id", sid)
+      e.put("sequence_number", null) // inherit the manifest list's
+      e.put("file_sequence_number", null)
+      e.put("data_file", dfr)
+      e
+    }
+    val m = dir.resolve(s"m-$sid-append.avro")
+    writeAvro(m, entrySchema, Seq(
+      "schema" -> schemaNode.toString,
+      "partition-spec" -> "[]",
+      "partition-spec-id" -> defaultSpecId.toString,
+      "format-version" -> "2",
+      "content" -> "data"), entries)
+    // manifest list: the parent's entries carried verbatim + the adds
+    val parentList = md.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong() == parent).getOrElse(
+        throw new IllegalStateException(s"parent snapshot $parent missing"))
+      .get("manifest-list").asText()
+    val carried = readAvro(Paths.get(parentList))
+    val mfRec = new GenericData.Record(manifestFileSchema)
+    mfRec.put("manifest_path", m.toString)
+    mfRec.put("manifest_length", Files.size(m))
+    mfRec.put("partition_spec_id", defaultSpecId)
+    mfRec.put("content", 0)
+    mfRec.put("sequence_number", seq)
+    mfRec.put("min_sequence_number", seq)
+    mfRec.put("added_snapshot_id", sid)
+    mfRec.put("added_files_count", written.size)
+    mfRec.put("existing_files_count", 0)
+    mfRec.put("deleted_files_count", 0)
+    mfRec.put("added_rows_count", totalRows)
+    mfRec.put("existing_rows_count", 0L)
+    mfRec.put("deleted_rows_count", 0L)
+    val listPath = dir.resolve(s"snap-$sid.avro")
+    writeAvro(listPath, manifestFileSchema, Seq(
+      "snapshot-id" -> sid.toString,
+      "sequence-number" -> seq.toString,
+      "parent-snapshot-id" -> parent.toString,
+      "format-version" -> "2"), carried.toSeq :+ mfRec)
+    // new metadata.json: the current one with the snapshot appended
+    val ts = math.max(System.currentTimeMillis(),
+      md.get("last-updated-ms").asLong() + 1)
+    val obj = md.deepCopy()
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    obj.put("last-sequence-number", seq)
+    obj.put("last-updated-ms", ts)
+    obj.put("current-snapshot-id", sid)
+    obj.withArray("snapshots").add(mapper.readTree(
+      s"""{"snapshot-id":$sid,"parent-snapshot-id":$parent,""" +
+      s""""sequence-number":$seq,"timestamp-ms":$ts,""" +
+      s""""manifest-list":"$listPath","schema-id":$curSchemaId,""" +
+      s""""summary":{"operation":"append","deleted-data-files":"0",""" +
+      s""""added-data-files":"${written.size}"}}"""))
+    obj.withArray("snapshot-log").add(mapper.readTree(
+      s"""{"snapshot-id":$sid,"timestamp-ms":$ts}"""))
+    obj.withArray("metadata-log").add(mapper.readTree(
+      s"""{"metadata-file":"${dir.resolve(s"v$curN.metadata.json")}","timestamp-ms":${md.get("last-updated-ms").asLong()}}"""))
+    val target = dir.resolve(s"v${curN + 1}.metadata.json")
+    val tmp = Files.createTempFile(dir, ".ice-append", ".json")
+    Files.writeString(tmp, mapper.writeValueAsString(obj))
+    // the CAS: createLink fails atomically if the version exists (a
+    // rename would silently overwrite a concurrent writer's commit)
+    try Files.createLink(target, tmp)
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      Files.deleteIfExists(tmp)
+      throw new java.util.ConcurrentModificationException(
+        s"metadata version ${curN + 1} at $root was committed " +
+          "concurrently; re-read the chain and retry the append")
+    }
+    Files.deleteIfExists(tmp)
+    // the hint is a pointer, updated only by the CAS WINNER — and it
+    // heals a predecessor's crash between CAS and hint update
+    val hintTmp = Files.createTempFile(dir, ".hint-tmp", ".txt")
+    Files.writeString(hintTmp, (curN + 1).toString)
     Files.move(hintTmp, dir.resolve("version-hint.text"),
       StandardCopyOption.REPLACE_EXISTING)
     sid

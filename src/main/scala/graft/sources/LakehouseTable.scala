@@ -1024,6 +1024,18 @@ object LakehouseTable {
     * Single-column stats are omitted (Delta readers treat them as
     * optional); at 100 TB the export would stream per-version instead of
     * re-deriving schemas from footers. */
+  /** One hive dir segment value → the SPEC-FORM partition value: None
+    * for the default partition (JSON null downstream), else the
+    * %XX-decoded text ('+' is a literal plus in dir names, protected
+    * before decode). Foreign readers take partitionValues verbatim
+    * (DuckDB's delta scan, partition pruning), so the encoded form
+    * would serve 'a%2Fb' where the value is 'a/b'. ONE body for the
+    * add actions, the cdc actions, and the checkpoint writer — the
+    * three must never disagree on the same dir segment. */
+  private def decodeHivePartValue(v: String): Option[String] =
+    if (v == "__HIVE_DEFAULT_PARTITION__") None
+    else Some(java.net.URLDecoder.decode(v.replace("+", "%2B"), "UTF-8"))
+
   def exportDeltaLog(spark: SparkSession, root: String): Path = {
     val logDir = Paths.get(root, "_delta_log")
     Files.createDirectories(logDir)
@@ -1031,19 +1043,12 @@ object LakehouseTable {
     require(vs.nonEmpty, s"no table at $root")
     def esc(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"")
-    // spec form: the DECODED partition value (the hive dir segment is
-    // %XX-escaped; '+' protected — it is a literal plus in dir names),
-    // JSON null for the default partition. Foreign readers take these
-    // values verbatim (DuckDB's delta scan, partition pruning), so the
-    // encoded form would serve 'a%2Fb' where the value is 'a/b'.
     def partitionValues(rel: String): String =
       rel.split('/').dropRight(1).filter(_.contains('='))
         .map { seg =>
           val Array(k, v) = seg.split("=", 2)
-          val dv =
-            if (v == "__HIVE_DEFAULT_PARTITION__") "null"
-            else "\"" + esc(java.net.URLDecoder.decode(
-              v.replace("+", "%2B"), "UTF-8")) + "\""
+          val dv = decodeHivePartValue(v)
+            .map(x => "\"" + esc(x) + "\"").getOrElse("null")
           s""""${esc(k)}":$dv"""
         }
         .mkString("{", ",", "}")
@@ -1330,14 +1335,12 @@ object LakehouseTable {
           s"cdc-$v-$i-${java.util.UUID.randomUUID()}.parquet")
         Files.move(p, dest)
         // decoded spec-form values, like the add actions' (JSON null
-        // for the default partition)
+        // for the default partition) — one shared decode body
         val pv = relDirs.split('/').filter(_.contains('='))
           .map { seg =>
             val Array(k, x) = seg.split("=", 2)
-            val dv =
-              if (x == "__HIVE_DEFAULT_PARTITION__") "null"
-              else "\"" + esc(java.net.URLDecoder.decode(
-                x.replace("+", "%2B"), "UTF-8")) + "\""
+            val dv = decodeHivePartValue(x)
+              .map(s => "\"" + esc(s) + "\"").getOrElse("null")
             s""""${esc(k)}":$dv"""
           }.mkString("{", ",", "}")
         (Paths.get(root).relativize(dest).toString, pv, Files.size(dest))
@@ -1598,22 +1601,23 @@ object LakehouseTable {
     // every writer's action order) and poison both skipping and the
     // checkpoint's carried stats
     val statsMapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    def addStatsOf(line: String): Option[String] =
-      try Option(statsMapper.readTree(line).get("add"))
-        .flatMap(a => Option(a.get("stats")))
-        .filter(_.isTextual).map(_.asText())
-      catch { case scala.util.control.NonFatal(_) => None }
-    // partitionValues likewise: jackson-navigated, never flat-regexed
-    // (values are data and may contain anything). A JSON null value is
+    // ONE parse serves both fields (the replay walks O(history) add
+    // lines; a second readTree per line would double its parse cost).
+    // partitionValues is jackson-navigated, never flat-regexed (values
+    // are data and may contain anything); a JSON null value is
     // MEANINGFUL (all rows null), so entries keep Option values.
-    def addPartValsOf(line: String): Option[Map[String, Option[String]]] =
-      try Option(statsMapper.readTree(line).get("add"))
-        .flatMap(a => Option(a.get("partitionValues")))
-        .filter(_.isObject)
-        .map(_.fields().asScala.map(e =>
-          e.getKey -> (if (e.getValue.isNull) None
-            else Some(e.getValue.asText()))).toMap)
-      catch { case scala.util.control.NonFatal(_) => None }
+    def addFieldsOf(line: String)
+        : (Option[String], Option[Map[String, Option[String]]]) =
+      try {
+        val add = Option(statsMapper.readTree(line).get("add"))
+        (add.flatMap(a => Option(a.get("stats")))
+          .filter(_.isTextual).map(_.asText()),
+          add.flatMap(a => Option(a.get("partitionValues")))
+            .filter(_.isObject)
+            .map(_.fields().asScala.map(e =>
+              e.getKey -> (if (e.getValue.isNull) None
+                else Some(e.getValue.asText()))).toMap))
+      } catch { case scala.util.control.NonFatal(_) => (None, None) }
     def metaPartColsOf(line: String): Option[Seq[String]] =
       try Option(statsMapper.readTree(line).get("metaData"))
         .flatMap(m => Option(m.get("partitionColumns")))
@@ -1639,17 +1643,16 @@ object LakehouseTable {
             case Some(d) => dvs(p) = d
             case None    => dvs -= p
           }
-          addStatsOf(line) match {
+          val (st, pv) = addFieldsOf(line)
+          st match {
             case Some(s) => stats(p) = s
             case None    => stats -= p // a re-add without stats clears
           }
-          addPartValsOf(line) match {
-            case Some(pv) => partVals(p) = pv
-            case None     => partVals -= p
+          pv match {
+            case Some(m) => partVals(p) = m
+            case None    => partVals -= p
           }
         }
-      }
-      txt.split('\n').foreach { line =>
         if (line.contains("\"metaData\""))
           metaPartColsOf(line).foreach(partCols = _)
       }
@@ -1732,10 +1735,7 @@ object LakehouseTable {
         rel.split('/').dropRight(1).filter(_.contains('='))
           .map { seg =>
             val Array(k, v) = seg.split("=", 2)
-            k -> (if (v == "__HIVE_DEFAULT_PARTITION__")
-                    None: Option[String]
-                  else Some(java.net.URLDecoder.decode(
-                    v.replace("+", "%2B"), "UTF-8")))
+            k -> decodeHivePartValue(v)
           }.toMap)
         .map { case (k, ov) => k -> ov.orNull }
     val id = "graft-" + graft.plans.TextExpressions.md5Hex(root).take(12)
@@ -1839,54 +1839,60 @@ object LakehouseTable {
     pruneWhere.map(out.filter).getOrElse(out)
   }
 
-  /** DELTA DATA SKIPPING (the Delta face's scan planning, sharing the
-    * Iceberg face's inclusive evaluator): keep only the live files
-    * whose add-action metadata can satisfy `expr`, driver-side in
-    * O(files). Two sources, per column: the add's `partitionValues`
-    * (EXACT lo = hi per file — the only metadata a hive-partitioned
-    * foreign log has for its partition columns, which no writer
-    * records stats for because they are not in the data files), and
-    * the add's stats JSON (numRecords / minValues / maxValues /
-    * nullCount), both carried through checkpoints. Stats keys are
-    * PHYSICAL column names under column mapping; each logical field
-    * resolves through its physicalName metadata, so mapped tables
-    * skip too. Values the JSON cannot type for the field keep the
-    * file conservatively — timestamps prune only from offset-carrying
-    * ISO-8601 text (the one timezone-unambiguous form; our own stats
-    * writer emits full-precision '…Z'), and the caller's residual row
-    * filter covers whatever planning kept. Delta stats carry no NaN
-    * counts, so floating upper bounds never prune `x > v` (NaN orders
-    * above every value in SQL engines); a predicate on a column the
-    * schema lacks refuses. */
   /** APPEND-ONLY COMMIT to a FOREIGN Delta table — a `_delta_log` this
     * engine did not write (no graft manifest): the minimal writer
-    * protocol every Delta implementation shares. Replays the current
-    * state (checkpoint-seeded), validates the append is one it cannot
-    * corrupt — a metaData schema matching `df` by name and type, no
-    * partitioning, no column mapping, no column invariants or CHECK
-    * constraints (their write-side obligations need evaluation this
-    * writer does not do), and no writer feature outside the append-
-    * compatible set — writes the rows as parquet under `root/data`,
-    * and commits ONE new log version of stats-bearing add actions via
-    * the spec's optimistic concurrency: the next version file is
-    * created atomically, and losing the race to a concurrent writer
-    * raises ConcurrentModificationException, leaving only unreferenced
-    * data files (Delta's own uncommitted-file story — vacuum reclaims
-    * them). Every refusal is loud: a best-effort append to a table
-    * whose invariants it cannot honor would corrupt it for EVERY
-    * reader. Returns the committed version. */
+    * protocol every Delta implementation shares. Pins the CURRENT
+    * version (max of the JSON tail and the checkpoint — a log cleaned
+    * below its checkpoint must not commit "version 0"), replays and
+    * validates THAT state — a metaData schema matching `df` by name,
+    * type, and nullability, no partitioning (checked against both
+    * partitionColumns and the live adds' partitionValues, since a
+    * foreign checkpoint may omit the former), no column mapping, no
+    * column invariants or CHECK constraints (their write-side
+    * obligations need evaluation this writer does not do), and no
+    * writer feature outside the append-compatible set — writes the
+    * rows as parquet under `root/data`, and commits pinned-version+1
+    * via the spec's optimistic concurrency: the version file is
+    * created atomically, so ANY commit landing after the pin (even
+    * one that would have changed the validation's answer) fails the
+    * CAS with ConcurrentModificationException, leaving only
+    * unreferenced data files (Delta's own uncommitted-file story —
+    * vacuum reclaims them). Every refusal is loud: a best-effort
+    * append to a table whose invariants it cannot honor would corrupt
+    * it for EVERY reader. Returns the committed version. */
   def appendDeltaForeign(spark: SparkSession, root: String,
       df: DataFrame): Long = {
     import org.apache.spark.sql.functions.col
     val logDir = Paths.get(root, "_delta_log")
     require(Files.isDirectory(logDir), s"no _delta_log at $root")
-    val state = deltaStateAt(spark, root, None, useCheckpoint = true)
+    // PIN the version everything below validates: the commit goes to
+    // cur + 1, so a commit landing between this listing and the CAS
+    // fails createLink loudly instead of being silently built upon
+    // un-revalidated. `cur` must also see the CHECKPOINT version — a
+    // log whose JSON tail was cleaned below its checkpoint would
+    // otherwise commit "version 0", invisible to every checkpoint-
+    // seeded reader and corrupting any later full-JSON replay.
+    val lcp = logDir.resolve("_last_checkpoint")
+    val ckVer =
+      if (!Files.exists(lcp)) None
+      else """"version":\s*(\d+)""".r
+        .findFirstMatchIn(Files.readString(lcp)).map(_.group(1).toLong)
+    val cur = (deltaLogVersions(root) ++ ckVer).maxOption.getOrElse(
+      throw new IllegalStateException(
+        s"empty _delta_log at $root — nothing to append to"))
+    val state = deltaStateAt(spark, root, Some(cur), useCheckpoint = true)
     val struct = schemaJsonToStruct(state.schemaJson).getOrElse(
       throw new IllegalStateException(
         s"append requires a log with a metaData schemaString at $root"))
     require(state.partitionCols.isEmpty,
       "append to a PARTITIONED foreign table is not supported " +
         s"(partition columns: ${state.partitionCols.mkString(", ")})")
+    // a checkpoint written without metaData.partitionColumns cannot
+    // PROVE the table unpartitioned — but a partitioned table's adds
+    // carry non-empty partitionValues; refuse on that evidence too
+    require(state.partVals.values.forall(_.isEmpty),
+      s"live add actions at $root carry partitionValues — the table " +
+        "appears partitioned; append is not supported")
     val mapping = state.conf.getOrElse("delta.columnMapping.mode", "none")
     require(mapping == "none",
       s"append under column mapping mode '$mapping' is not supported")
@@ -1910,15 +1916,21 @@ object LakehouseTable {
         "not evaluate; refusing")
     require(minR <= 3, s"reader version $minR not supported")
     // schema: exactly the table's columns, by (case-insensitive) name
-    // and exact type — a silent cast would change values under readers
+    // and exact type — a silent cast would change values under readers.
+    // NULLABILITY is part of the contract: appending a nullable column
+    // into a nullable=false field would violate the NOT NULL writer
+    // obligation for every reader that trusts it.
     val byName = struct.fields
-      .map(f => f.name.toLowerCase -> f.dataType).toMap
+      .map(f => f.name.toLowerCase -> f).toMap
     val dfByName = df.schema.fields
-      .map(f => f.name.toLowerCase -> f.dataType).toMap
+      .map(f => f.name.toLowerCase -> f).toMap
     require(dfByName.keySet == byName.keySet &&
-        byName.forall { case (n, dt) => dfByName(n) == dt },
+        byName.forall { case (n, f) =>
+          dfByName(n).dataType == f.dataType &&
+            (f.nullable || !dfByName(n).nullable) },
       s"append schema ${df.schema.simpleString} does not match the " +
-        s"table schema ${struct.simpleString} at $root")
+        s"table schema ${struct.simpleString} at $root " +
+        "(names, types, and nullability must all be compatible)")
     val aligned = df.select(struct.fields.map(f => col(f.name)).toSeq: _*)
     val rels = writeFilesRaw(aligned, root, Nil)
     def esc(s: String): String =
@@ -1933,7 +1945,7 @@ object LakehouseTable {
       sb.append(s"""{"add":{"path":"data/${esc(deltaEncodePath(f))}","partitionValues":{},"size":${Files.size(p)},"modificationTime":${Files.getLastModifiedTime(p).toMillis},"dataChange":true,"stats":"$stats"}}""")
         .append('\n')
     }
-    val next = deltaLogVersions(root).lastOption.getOrElse(-1L) + 1L
+    val next = cur + 1L // the version the validation above is good for
     val tmp = logDir.resolve(
       s".$next.json.tmp-${java.util.UUID.randomUUID()}")
     Files.writeString(tmp, sb.toString)
@@ -1964,6 +1976,25 @@ object LakehouseTable {
       BigDecimal(inst.getEpochSecond) * 1000000 + inst.getNano / 1000
     }.toOption
 
+  /** DELTA DATA SKIPPING (the Delta face's scan planning, sharing the
+    * Iceberg face's inclusive evaluator): keep only the live files
+    * whose add-action metadata can satisfy `expr`, driver-side in
+    * O(files). Two sources, per column: the add's `partitionValues`
+    * (EXACT lo = hi per file — the only metadata a hive-partitioned
+    * foreign log has for its partition columns, which no writer
+    * records stats for because they are not in the data files), and
+    * the add's stats JSON (numRecords / minValues / maxValues /
+    * nullCount), both carried through checkpoints. Stats keys are
+    * PHYSICAL column names under column mapping; each logical field
+    * resolves through its physicalName metadata, so mapped tables
+    * skip too. Values the JSON cannot type for the field keep the
+    * file conservatively — timestamps prune only from offset-carrying
+    * ISO-8601 text (the one timezone-unambiguous form; our own stats
+    * writer emits full-precision '…Z'), and the caller's residual row
+    * filter covers whatever planning kept. Delta stats carry no NaN
+    * counts, so floating upper bounds never prune `x > v` (NaN orders
+    * above every value in SQL engines); a predicate on a column the
+    * schema lacks refuses. */
   private def pruneDeltaFiles(spark: SparkSession,
       state: DeltaReplayState, expr: String): Seq[String] = {
     import org.apache.spark.sql.types._

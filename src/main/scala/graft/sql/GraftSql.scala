@@ -1168,8 +1168,9 @@ object GraftSqlStatements {
     // backslash through would hand parseExpression a stray token.
     // Escape SEQUENCES decode to Spark's unescapeSQLString semantics:
     // \n → newline (not the letter 'n'), \t/\r/\b/\f/\0/\Z likewise,
-    // \uXXXX → the code unit, \% and \_ KEEP their backslash (LIKE
-    // pattern escapes), any other \x → x.
+    // \uXXXX → the code unit, \UXXXXXXXX → the code point, three-digit
+    // octal \ooo → the byte value, \% and \_ KEEP their backslash
+    // (LIKE pattern escapes), any other \x → x.
     val sb = new StringBuilder
     var i = 0
     while (i < body.length) {
@@ -1177,6 +1178,13 @@ object GraftSqlStatements {
       if (c == '\\' && i + 1 < body.length) {
         val e = body.charAt(i + 1)
         val (decoded, adv) = e match {
+          // THREE-digit octal first: '0'-'7' are octal digits, so
+          // "\012" decodes as \n and only a bare "\0" is NUL
+          case o if o >= '0' && o <= '7' && i + 4 <= body.length &&
+              body.charAt(i + 2) >= '0' && body.charAt(i + 2) <= '7' &&
+              body.charAt(i + 3) >= '0' && body.charAt(i + 3) <= '7' =>
+            (Integer.parseInt(body.substring(i + 1, i + 4), 8)
+              .toChar.toString, 4)
           case 'n' => ("\n", 2); case 't' => ("\t", 2); case 'r' => ("\r", 2)
           case 'b' => ("\b", 2); case 'f' => ("\f", 2)
           case '0' => ("\u0000", 2); case 'Z' => ("\u001A", 2)
@@ -1186,6 +1194,11 @@ object GraftSqlStatements {
                 .forall(ch => Character.digit(ch, 16) >= 0) =>
             (Integer.parseInt(body.substring(i + 2, i + 6), 16)
               .toChar.toString, 6)
+          case 'U' if i + 9 < body.length &&
+              body.substring(i + 2, i + 10)
+                .forall(ch => Character.digit(ch, 16) >= 0) =>
+            (new String(Character.toChars(
+              Integer.parseInt(body.substring(i + 2, i + 10), 16))), 10)
           case other => (other.toString, 2)
         }
         sb.append(decoded)

@@ -486,6 +486,194 @@ class Round13Spec extends AnyFunSuite {
     root
   }
 
+  test("append to a checkpoint-truncated log commits checkpoint+1, never version 0") {
+    import spark.implicits._
+    val root = freshForeign("fa_ckpt")
+    LT.exportDeltaCheckpoint(spark, root, 0L)
+    // a foreign log-retention job removed the JSON tail below the
+    // checkpoint: the only version evidence left is _last_checkpoint
+    Files.delete(Paths.get(root, "_delta_log", f"${0L}%020d.json"))
+    val v = LT.appendDeltaForeign(spark, root,
+      Seq((2L, 20L)).toDF("id", "v").coalesce(1))
+    assert(v == 1L,
+      "the commit must land ABOVE the checkpoint (a version-0 file " +
+        "would be invisible to checkpoint-seeded readers)")
+    assert(LT.readDeltaExport(spark, root).as[(Long, Long)]
+      .collect().toSet == Set((1L, 10L), (2L, 20L)))
+  }
+
+  test("append refuses a nullable column into a non-nullable field") {
+    import spark.implicits._
+    val root = freshForeign("fa_nullable")
+    // a FOREIGN writer's schema declaring id NOT NULL (our own export
+    // records nullable:true, so doctor the log to the foreign shape)
+    val lf = Paths.get(root, "_delta_log", f"${0L}%020d.json")
+    Files.writeString(lf, Files.readString(lf).replace(
+      """{\"name\":\"id\",\"type\":\"long\",\"nullable\":true""",
+      """{\"name\":\"id\",\"type\":\"long\",\"nullable\":false"""))
+    assert(Files.readString(lf).contains("""\"nullable\":false"""))
+    val nullable = Seq((2L, 20L)).toDF("id", "v")
+      .selectExpr("CAST(null AS BIGINT) AS id", "v")
+    val ex = intercept[IllegalArgumentException] {
+      LT.appendDeltaForeign(spark, root, nullable)
+    }
+    assert(ex.getMessage.contains("nullability"), ex.getMessage)
+    // a NON-nullable df appends fine into the same table
+    val v = LT.appendDeltaForeign(spark, root,
+      Seq((2L, 20L)).toDF("id", "v").coalesce(1))
+    assert(v == 1L)
+  }
+
+  test("a name that is identity in one spec and a transform in another refuses") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = freshRoot("spec_clash")
+    val rows = Seq((1L, java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T06:00:00Z"))))
+    transformChain(root, rows.toDF("id", "ts")
+      .withColumn("ts_day", expr("date_from_unix_date(CAST(" +
+        "floor(unix_micros(ts) / 86400000000) AS INT))")),
+      "ts_day", "day", "ts")
+    // doctor a SECOND spec reusing the field name as IDENTITY of id —
+    // the manifest struct value would be consumed as an exact row value
+    // for an unrelated column (silent wrong pruning) if not refused
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val dir = Paths.get(root, "metadata")
+    val hint = Files.readString(dir.resolve("version-hint.text")).trim
+    val mf = dir.resolve(s"v$hint.metadata.json")
+    val node = mapper.readTree(Files.readString(mf))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val specs = node.get("partition-specs")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+    val clash = mapper.createObjectNode()
+    clash.put("spec-id", 1)
+    val fields = mapper.createArrayNode()
+    val f = mapper.createObjectNode()
+    f.put("name", "ts_day"); f.put("transform", "identity")
+    f.put("source-id", 1); f.put("field-id", 1001)
+    fields.add(f); clash.set("fields", fields); specs.add(clash)
+    Files.writeString(mf, node.toString)
+    Files.setLastModifiedTime(mf, java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() + 2000))
+    val ex = intercept[IllegalArgumentException] {
+      IcebergMeta.readIceberg(spark, root,
+        pruneWhere = Some("ts IS NOT NULL")).count()
+    }
+    assert(ex.getMessage.contains("identity in one spec"), ex.getMessage)
+  }
+
+  test("escape sequences in _where predicates decode to lexer semantics") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot("where_escapes")
+    LT.create(Seq((1L, "a\tb"), (2L, "atb"), (3L, "aAb"))
+      .toDF("id", "cat").coalesce(1), root)
+    LT.exportDeltaLog(spark, root)
+    // \t inside the predicate literal must reach parseExpression as a
+    // TAB (Spark lexer semantics), not the letter 't'
+    val tab = graft.sql.GraftSql.sql(spark,
+      s"SELECT id FROM delta_export_where('$root', 'cat = ''a\\tb''')")
+    assert(tab.as[Long].collect().toSet == Set(1L), "backslash-t = TAB")
+    // three-digit octal: \101 is 'A'
+    val oct = graft.sql.GraftSql.sql(spark,
+      s"SELECT id FROM delta_export_where('$root', 'cat = ''a\\101b''')")
+    assert(oct.as[Long].collect().toSet == Set(3L), "backslash-101 = A")
+  }
+
+  test("iceberg foreign append: snapshot readable, metrics-bearing, deletes intact, CAS") {
+    import spark.implicits._
+    val root = freshRoot("ice_append")
+    LT.create(Seq((1L, 10L), (2L, 20L)).toDF("id", "v").coalesce(1), root)
+    IcebergMeta.exportIcebergMeta(spark, root)
+    // make it FOREIGN: only the chain (and data) remain
+    Files.walk(Paths.get(root, "_manifest")).iterator().asScala.toSeq
+      .sortBy(_.toString).reverse.foreach(Files.deleteIfExists(_))
+    val parentSid = IcebergMeta.snapshots(root).last.id
+    val sid = IcebergMeta.appendIcebergForeign(spark, root,
+      Seq((3L, 30L), (4L, 40L)).toDF("id", "v").coalesce(1))
+    val back = IcebergMeta.readIceberg(spark, root)
+    assert(back.as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
+    // history intact: time travel to the parent sees only the old rows
+    val old = IcebergMeta.readIceberg(spark, root,
+      snapshotAsOf = Some(parentSid))
+    assert(old.as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L), (2L, 20L)))
+    assert(IcebergMeta.snapshots(root).map(_.id).takeRight(2) ==
+      Seq(parentSid, sid))
+    // the appended manifest carries COLUMN METRICS: a predicate only
+    // the new rows satisfy plans only the appended file
+    val pruned = IcebergMeta.readIceberg(spark, root,
+      pruneWhere = Some("id >= 3"))
+    assert(pruned.as[(Long, Long)].collect().toSet ==
+      Set((3L, 30L), (4L, 40L)))
+    assert(pruned.inputFiles.length == 1,
+      s"appended bounds must skip the base file: ${pruned.inputFiles.toSeq}")
+    // CAS under contention: racing appends with retry lose no batch
+    // and leave a gap-free metadata chain
+    val batches = (0 until 6).map(i =>
+      Seq((100L + i, 1000L + i)).toDF("id", "v").coalesce(1))
+    val threads = (0 until 2).map { t =>
+      new Thread(() => {
+        (0 until 3).foreach { i =>
+          val b = batches(t * 3 + i)
+          var done = false
+          while (!done) {
+            try { IcebergMeta.appendIcebergForeign(spark, root, b); done = true }
+            catch { case _: java.util.ConcurrentModificationException => () }
+          }
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val after = IcebergMeta.readIceberg(spark, root)
+      .as[(Long, Long)].collect().toSet
+    assert((100L until 106L).forall(i => after.contains((i, i + 900L))),
+      s"a racing append lost a committed batch: $after")
+    val metaNs = Files.list(Paths.get(root, "metadata")).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case n if n.matches("v\\d+\\.metadata\\.json") =>
+        n.stripPrefix("v").stripSuffix(".metadata.json").toLong }
+      .toSeq.sorted
+    assert(metaNs == (metaNs.head to metaNs.last),
+      s"racing appends must leave a gap-free metadata chain: $metaNs")
+    // refusals: schema mismatch; partitioned chain
+    val exSchema = intercept[IllegalArgumentException] {
+      IcebergMeta.appendIcebergForeign(spark, root,
+        Seq((1, "x")).toDF("id", "s"))
+    }
+    assert(exSchema.getMessage.contains("does not match"), exSchema.getMessage)
+    val partRoot = freshRoot("ice_append_part")
+    LT.create(Seq((1L, "a"), (2L, "b")).toDF("id", "cat")
+      .repartition(org.apache.spark.sql.functions.col("cat")),
+      partRoot, partitionBy = Seq("cat"))
+    IcebergMeta.exportIcebergMeta(spark, partRoot)
+    val exPart = intercept[IllegalArgumentException] {
+      IcebergMeta.appendIcebergForeign(spark, partRoot,
+        Seq((3L, "c")).toDF("id", "cat"))
+    }
+    assert(exPart.getMessage.contains("PARTITIONED"), exPart.getMessage)
+  }
+
+  test("iceberg foreign append keeps existing position deletes applying to old files") {
+    import spark.implicits._
+    val root = freshRoot("ice_append_mor")
+    LT.create((1L to 10L).map(i => (i, i * 10)).toDF("id", "v")
+      .coalesce(1), root)
+    LT.deleteWhereMor(spark, root, "id <= 3")
+    IcebergMeta.exportIcebergMeta(spark, root)
+    assert(IcebergMeta.readIceberg(spark, root)
+      .as[(Long, Long)].collect().map(_._1).toSet == (4L to 10L).toSet)
+    IcebergMeta.appendIcebergForeign(spark, root,
+      Seq((2L, 999L)).toDF("id", "v").coalesce(1))
+    // the OLD file's id=2 stays MOR-deleted (delete seq < new data
+    // seq never applies to the appended file), the NEW id=2 row serves
+    val rows = IcebergMeta.readIceberg(spark, root)
+      .as[(Long, Long)].collect().toSet
+    assert(rows == (4L to 10L).map(i => (i, i * 10)).toSet + ((2L, 999L)),
+      rows.toString)
+  }
+
   test("q208/q209 fixtures plan the pinned delta file subsets at sf0.001") {
     val d = "/root/testdata/sf0.001"
     val hive = operators.Lakehouse.ordersHivePartRoot(spark, d)
