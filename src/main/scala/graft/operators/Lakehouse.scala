@@ -365,48 +365,36 @@ object Lakehouse {
     TableCache.baseDir + "/delta_foreign_" +
       java.nio.file.Paths.get(d).getFileName.toString
 
-  /** A GENUINELY FOREIGN Delta table (log + data only — the graft
-    * manifest is deleted after the export, so nothing native remains)
-    * that this engine then APPENDS to through
-    * [[LakehouseTable.appendDeltaForeign]]: created with the EVEN order
-    * keys, appended with the odd ones. The q210 oracle replays the
-    * resulting log in DuckDB (read_json_auto over the raw JSON, the
-    * q144 pattern), so the commit this engine wrote into a foreign log
-    * is validated by an independent reader, not just round-tripped. */
-  private[graft] def foreignAppendRoot(s: SparkSession, d: String): String = {
+  /** Shared scaffolding of the two foreign-append fixtures: a
+    * source-stamped root (stale source or a partial build — no stamp —
+    * wipes and rebuilds; the stamp lands LAST, marking completion)
+    * holding a GENUINELY FOREIGN table: `build` creates the native
+    * table + export, then the graft manifest is DELETED so only the
+    * open format remains, then `append` commits through the foreign
+    * path. */
+  private def foreignFixture(root: String, d: String)(
+      build: () => Unit)(append: () => Unit): String = {
     import java.nio.file.{Files, Paths}
-    val root = foreignAppendDir(d)
     val rootPath = Paths.get(root)
     val stampFile = rootPath.resolve("_foreign_stamp")
     val src = Paths.get(d, "orders.parquet")
     val stamp = s"$d:${Files.size(src)}:" +
       s"${Files.getLastModifiedTime(src).toMillis}:v1"
+    def wipe(p: java.nio.file.Path): Unit = {
+      val walked = Files.walk(p)
+      try walked.sorted(java.util.Comparator.reverseOrder())
+        .forEach(x => { Files.deleteIfExists(x); () })
+      finally walked.close()
+    }
     try TableCache.locked(root) {
-      // stale source OR a partial build (no stamp): rebuild from scratch
       if (Files.exists(rootPath) &&
           (!Files.exists(stampFile) ||
-            Files.readString(stampFile) != stamp)) {
-        val walked = Files.walk(rootPath)
-        try walked.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => { Files.deleteIfExists(p); () })
-        finally walked.close()
-      }
+            Files.readString(stampFile) != stamp)) wipe(rootPath)
       if (!Files.exists(stampFile)) {
-        val orders = Tables.orders(s, d)
-          .select(col("o_orderkey"), col("o_custkey"),
-            col("o_orderstatus"), col("o_totalprice"))
-        LakehouseTable.create(
-          orders.filter(col("o_orderkey") % 2 === 0), root)
-        LakehouseTable.exportDeltaLog(s, root)
-        // forget the native table: only _delta_log + data remain
-        val manifest = rootPath.resolve("_manifest")
-        val walked = Files.walk(manifest)
-        try walked.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => { Files.deleteIfExists(p); () })
-        finally walked.close()
-        LakehouseTable.appendDeltaForeign(s, root,
-          orders.filter(col("o_orderkey") % 2 === 1))
-        Files.writeString(stampFile, stamp) // LAST: marks a complete build
+        build()
+        wipe(rootPath.resolve("_manifest")) // forget the native table
+        append()
+        Files.writeString(stampFile, stamp) // LAST: a complete build
       }
     } catch {
       case e if raceLost(e) => () // see lineitemZRoot
@@ -414,51 +402,52 @@ object Lakehouse {
     root
   }
 
-  /** The Iceberg twin of [[foreignAppendRoot]]: a genuinely foreign
-    * CHAIN (graft manifest deleted after the export) appended to
-    * through [[IcebergMeta.appendIcebergForeign]] — evens created
-    * natively, odds committed as a foreign snapshot. q211 reads the
-    * chain back through the spec reader against the full orders
-    * oracle, so the appended manifest/list/metadata bookkeeping is
-    * hash-gated. */
-  private[graft] def icebergAppendRoot(s: SparkSession, d: String): String = {
-    import java.nio.file.{Files, Paths}
-    val root = TableCache.baseDir + "/iceberg_foreign_" +
-      Paths.get(d).getFileName.toString
-    val rootPath = Paths.get(root)
-    val stampFile = rootPath.resolve("_foreign_stamp")
-    val src = Paths.get(d, "orders.parquet")
-    val stamp = s"$d:${Files.size(src)}:" +
-      s"${Files.getLastModifiedTime(src).toMillis}:v1"
-    try TableCache.locked(root) {
-      if (Files.exists(rootPath) &&
-          (!Files.exists(stampFile) ||
-            Files.readString(stampFile) != stamp)) {
-        val walked = Files.walk(rootPath)
-        try walked.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => { Files.deleteIfExists(p); () })
-        finally walked.close()
-      }
-      if (!Files.exists(stampFile)) {
-        val orders = Tables.orders(s, d)
-          .select(col("o_orderkey"), col("o_custkey"),
-            col("o_orderstatus"), col("o_totalprice"))
-        LakehouseTable.create(
-          orders.filter(col("o_orderkey") % 2 === 0), root)
-        IcebergMeta.exportIcebergMeta(s, root)
-        val manifest = rootPath.resolve("_manifest")
-        val walked = Files.walk(manifest)
-        try walked.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => { Files.deleteIfExists(p); () })
-        finally walked.close()
-        IcebergMeta.appendIcebergForeign(s, root,
-          orders.filter(col("o_orderkey") % 2 === 1))
-        Files.writeString(stampFile, stamp)
-      }
-    } catch {
-      case e if raceLost(e) => () // see lineitemZRoot
+  private def ordersSlice(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+
+  /** A GENUINELY FOREIGN Delta table (log + data only — the graft
+    * manifest is deleted after the export, so nothing native remains)
+    * that this engine then APPENDS to through
+    * [[LakehouseTable.appendDeltaForeign]]: created with the EVEN order
+    * keys, appended with the odd ones. The q210 oracle replays the
+    * resulting log in DuckDB (read_json over the raw JSON, the q144
+    * pattern), so the commit this engine wrote into a foreign log is
+    * validated by an independent reader, not just round-tripped. */
+  private[graft] def foreignAppendRoot(s: SparkSession, d: String): String = {
+    val root = foreignAppendDir(d)
+    foreignFixture(root, d) { () =>
+      LakehouseTable.create(
+        ordersSlice(s, d).filter(col("o_orderkey") % 2 === 0), root)
+      LakehouseTable.exportDeltaLog(s, root)
+      ()
+    } { () =>
+      LakehouseTable.appendDeltaForeign(s, root,
+        ordersSlice(s, d).filter(col("o_orderkey") % 2 === 1))
+      ()
     }
-    root
+  }
+
+  /** The Iceberg twin of [[foreignAppendRoot]]: a genuinely foreign
+    * CHAIN appended to through [[IcebergMeta.appendIcebergForeign]] —
+    * evens created natively, odds committed as a foreign snapshot.
+    * q211 reads the chain back through the spec reader against the
+    * full orders oracle, so the appended manifest/list/metadata
+    * bookkeeping is hash-gated. */
+  private[graft] def icebergAppendRoot(s: SparkSession, d: String): String = {
+    val root = TableCache.baseDir + "/iceberg_foreign_" +
+      java.nio.file.Paths.get(d).getFileName.toString
+    foreignFixture(root, d) { () =>
+      LakehouseTable.create(
+        ordersSlice(s, d).filter(col("o_orderkey") % 2 === 0), root)
+      IcebergMeta.exportIcebergMeta(s, root)
+      ()
+    } { () =>
+      IcebergMeta.appendIcebergForeign(s, root,
+        ordersSlice(s, d).filter(col("o_orderkey") % 2 === 1))
+      ()
+    }
   }
 
   /** A HIVE-PARTITIONED orders table with a Delta log and NO stats on

@@ -2307,19 +2307,28 @@ object IcebergMeta {
     * a writer that crashed between its metadata CAS and the hint
     * update must not wedge every later append into a permanent
     * version collision; committing on the true max heals the hint),
-    * validates the append is one it cannot corrupt — current schema
-    * matching `df` by name, type, and required-ness, an unpartitioned
-    * default spec (partition tuples would need transform evaluation) —
-    * writes the rows as parquet under `root/data`, wraps them in ONE
+    * validates the append is one it cannot corrupt — format-version 2
+    * ONLY (v1 lacks sequence numbers; v3 would need row-lineage fields
+    * this writer does not produce), current schema matching `df` by
+    * name, type, and required-ness, an unpartitioned default spec
+    * (partition tuples would need transform evaluation) — writes the
+    * rows as parquet under `root/data` (via the Delta face's shared
+    * [[LakehouseTable.writeFilesRaw]] protocol), wraps them in ONE
     * new manifest with full column metrics (value/null/NaN counts,
     * bounds — a foreign append must not punch a skipping hole into a
     * metrics-bearing chain), carries the parent's manifest list
     * verbatim (existing position/equality deletes keep applying to
     * OLD files only: the new files' data sequence exceeds every
-    * existing delete sequence, per the spec's application rules), and
-    * commits `v(max+1).metadata.json` via a createLink CAS — POSIX
-    * rename overwrites, so a rename-based commit would DROP a
-    * concurrent writer's version. A lost race raises
+    * existing delete sequence, per the spec's application rules; a
+    * freshly-created chain with current-snapshot-id −1 gets a
+    * parentless first snapshot), advances `refs.main` when the chain
+    * carries branch refs (spec readers reject metadata whose main ref
+    * disagrees with current-snapshot-id), and commits
+    * `v(max+1).metadata.json` via a createLink CAS — POSIX rename
+    * overwrites, so a rename-based commit would DROP a concurrent
+    * writer's version — then moves the version-hint FORWARD ONLY,
+    * under a cross-process lock (a slow winner must not regress the
+    * hint over a faster writer's newer commit). A lost race raises
     * ConcurrentModificationException leaving only unreferenced files.
     * Returns the new snapshot id. */
   def appendIcebergForeign(spark: SparkSession, root: String,
@@ -2335,11 +2344,18 @@ object IcebergMeta {
         throw new IllegalStateException(s"no metadata files at $root"))
     val md = mapper.readTree(Files.readString(
       dir.resolve(s"v$curN.metadata.json")))
+    // refusals — loud, never a corrupting best-effort. Format version
+    // FIRST: v1 metadata lacks the fields below (NPE instead of a
+    // refusal), and a v3 chain would get a v2-shaped snapshot without
+    // v3's row-lineage fields — silent corruption for spec readers.
+    val fmtVer = Option(md.get("format-version")).map(_.asInt()).getOrElse(0)
+    require(fmtVer == 2,
+      s"append supports Iceberg format-version 2 only; the chain at " +
+        s"$root is format-version $fmtVer")
     val curSchemaId = md.get("current-schema-id").asInt()
     val schemaNode = md.get("schemas").elements().asScala
       .find(_.get("schema-id").asInt() == curSchemaId).getOrElse(
         throw new IllegalStateException(s"schema $curSchemaId missing"))
-    // refusals — loud, never a corrupting best-effort
     val defaultSpecId = md.get("default-spec-id").asInt()
     val specFields = md.get("partition-specs").elements().asScala
       .find(_.get("spec-id").asInt() == defaultSpecId)
@@ -2364,36 +2380,12 @@ object IcebergMeta {
         s"chain's current schema at $root (names, types, and " +
         "required-ness must all be compatible)")
     val aligned = df.select(fields.map(f => col(f._1)): _*)
-    // data files under root/data, unique names (never reused)
-    val dataDir = Paths.get(root, "data")
-    Files.createDirectories(dataDir)
+    // data files under root/data, unique names — ONE write protocol
+    // with the Delta face (micros timestamps, staged + uuid-prefixed
+    // atomic moves): the two appends must not drift
     val uuid = java.util.UUID.randomUUID().toString
-    val stage = Files.createTempDirectory(dir, ".ice-append")
-    val written = try {
-      // INT64-micros timestamps, not legacy INT96 — INT96 chunks carry
-      // no usable footer stats (no manifest bounds for the new files)
-      // and the spec's timestamp type is micros. Scoped to this write.
-      val tsKey = "spark.sql.parquet.outputTimestampType"
-      val prevTs = spark.conf.getOption(tsKey)
-      spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-      try aligned.write.mode("overwrite")
-        .parquet(stage.resolve("out").toString)
-      finally prevTs match {
-        case Some(v) => spark.conf.set(tsKey, v)
-        case None    => spark.conf.unset(tsKey)
-      }
-      withListed(stage.resolve("out"))(
-        _.filter(_.toString.endsWith(".parquet")).toSeq).sorted.map { p =>
-        val target = dataDir.resolve(s"$uuid-${p.getFileName}")
-        Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
-        target
-      }
-    } finally {
-      val walked = Files.walk(stage)
-      try walked.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => { Files.deleteIfExists(p); () })
-      finally walked.close()
-    }
+    val written = LakehouseTable.writeFilesRaw(aligned, root, Nil)
+      .map(rel => Paths.get(root, "data").resolve(rel))
     val lastSeq = md.get("last-sequence-number").asLong()
     val seq = lastSeq + 1
     val parent = md.get("current-snapshot-id").asLong()
@@ -2463,12 +2455,18 @@ object IcebergMeta {
       "partition-spec-id" -> defaultSpecId.toString,
       "format-version" -> "2",
       "content" -> "data"), entries)
-    // manifest list: the parent's entries carried verbatim + the adds
-    val parentList = md.get("snapshots").elements().asScala
-      .find(_.get("snapshot-id").asLong() == parent).getOrElse(
-        throw new IllegalStateException(s"parent snapshot $parent missing"))
-      .get("manifest-list").asText()
-    val carried = readAvro(Paths.get(parentList))
+    // manifest list: the parent's entries carried verbatim + the adds.
+    // A freshly-created foreign table has current-snapshot-id -1 and no
+    // snapshots — the most ordinary append target: parentless first
+    // snapshot, nothing carried.
+    val hasParent = parent != -1L
+    val carried =
+      if (!hasParent) Nil
+      else readAvro(Paths.get(md.get("snapshots").elements().asScala
+        .find(_.get("snapshot-id").asLong() == parent).getOrElse(
+          throw new IllegalStateException(
+            s"parent snapshot $parent missing"))
+        .get("manifest-list").asText()))
     val mfRec = new GenericData.Record(manifestFileSchema)
     mfRec.put("manifest_path", m.toString)
     mfRec.put("manifest_length", Files.size(m))
@@ -2487,7 +2485,8 @@ object IcebergMeta {
     writeAvro(listPath, manifestFileSchema, Seq(
       "snapshot-id" -> sid.toString,
       "sequence-number" -> seq.toString,
-      "parent-snapshot-id" -> parent.toString,
+      "parent-snapshot-id" ->
+        (if (hasParent) parent.toString else "null"),
       "format-version" -> "2"), carried.toSeq :+ mfRec)
     // new metadata.json: the current one with the snapshot appended
     val ts = math.max(System.currentTimeMillis(),
@@ -2498,13 +2497,30 @@ object IcebergMeta {
     obj.put("last-updated-ms", ts)
     obj.put("current-snapshot-id", sid)
     obj.withArray("snapshots").add(mapper.readTree(
-      s"""{"snapshot-id":$sid,"parent-snapshot-id":$parent,""" +
+      s"""{"snapshot-id":$sid,""" +
+      (if (hasParent) s""""parent-snapshot-id":$parent,""" else "") +
       s""""sequence-number":$seq,"timestamp-ms":$ts,""" +
       s""""manifest-list":"$listPath","schema-id":$curSchemaId,""" +
       s""""summary":{"operation":"append","deleted-data-files":"0",""" +
       s""""added-data-files":"${written.size}"}}"""))
     obj.withArray("snapshot-log").add(mapper.readTree(
       s"""{"snapshot-id":$sid,"timestamp-ms":$ts}"""))
+    // branch refs: real Iceberg (>= 0.14) metadata carries refs.main,
+    // and spec readers REJECT metadata whose main ref disagrees with
+    // current-snapshot-id — advance it (and only it) with the commit
+    Option(obj.get("refs")).foreach { refs =>
+      val ro = refs.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val main = Option(ro.get("main"))
+        .map(_.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
+        .getOrElse {
+          val m = mapper.createObjectNode()
+          m.put("type", "branch")
+          ro.set("main", m)
+          m
+        }
+      main.put("snapshot-id", sid)
+      ()
+    }
     obj.withArray("metadata-log").add(mapper.readTree(
       s"""{"metadata-file":"${dir.resolve(s"v$curN.metadata.json")}","timestamp-ms":${md.get("last-updated-ms").asLong()}}"""))
     val target = dir.resolve(s"v${curN + 1}.metadata.json")
@@ -2520,12 +2536,30 @@ object IcebergMeta {
           "concurrently; re-read the chain and retry the append")
     }
     Files.deleteIfExists(tmp)
-    // the hint is a pointer, updated only by the CAS WINNER — and it
-    // heals a predecessor's crash between CAS and hint update
-    val hintTmp = Files.createTempFile(dir, ".hint-tmp", ".txt")
-    Files.writeString(hintTmp, (curN + 1).toString)
-    Files.move(hintTmp, dir.resolve("version-hint.text"),
-      StandardCopyOption.REPLACE_EXISTING)
+    // the hint is a pointer, updated only by the CAS WINNER — and only
+    // FORWARD, under a cross-process lock: a slow winner of v6 must
+    // not overwrite v7's hint after a faster writer advanced it, or
+    // the committed v7 becomes invisible to every hint-trusting reader
+    // until the next append heals it
+    val lockPath = dir.resolve(".hint.lock")
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val lock = ch.lock()
+      try {
+        val hint = dir.resolve("version-hint.text")
+        val have =
+          if (!Files.exists(hint)) -1L
+          else scala.util.Try(
+            Files.readString(hint).trim.toLong).getOrElse(-1L)
+        if (curN + 1 > have) {
+          val hintTmp = Files.createTempFile(dir, ".hint-tmp", ".txt")
+          Files.writeString(hintTmp, (curN + 1).toString)
+          Files.move(hintTmp, hint, StandardCopyOption.REPLACE_EXISTING)
+        }
+      } finally lock.release()
+    } finally ch.close()
     sid
   }
 

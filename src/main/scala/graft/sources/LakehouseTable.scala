@@ -604,10 +604,12 @@ object LakehouseTable {
       partitionBy: Seq[String]): Seq[String] =
     writeFilesRaw(toPhysical(logicalDf, root), root, partitionBy)
 
-  /** [[writeFiles]] without the logical→physical lowering — only for
-    * [[materializeMapping]], whose whole point is writing logical names
-    * as the new physical ones. */
-  private def writeFilesRaw(df: DataFrame, root: String,
+  /** [[writeFiles]] without the logical→physical lowering — for
+    * [[materializeMapping]] (whose whole point is writing logical names
+    * as the new physical ones) and both foreign-append writers
+    * ([[appendDeltaForeign]], [[IcebergMeta.appendIcebergForeign]]):
+    * one write protocol, so the two faces' appends cannot drift. */
+  private[graft] def writeFilesRaw(df: DataFrame, root: String,
       partitionBy: Seq[String]): Seq[String] = {
     // INT64-micros timestamps (not legacy INT96): INT96 column chunks carry
     // no usable min/max in the parquet footer, and footer stats are where
@@ -1010,20 +1012,6 @@ object LakehouseTable {
     }
   }
 
-  /** Export the table's version history as a minimal Delta Lake
-    * transaction log (`root/_delta_log/<v 20-digit>.json`, one JSON action
-    * per line: protocol at the first version, metaData at the first version
-    * and on every schema change, add/remove per file transition) — the
-    * open-format interop path: the graft root itself becomes a Delta table
-    * another engine can read natively, data files shared in place (nothing
-    * is copied; add paths are table-root-relative `data/...`). Idempotent
-    * and incremental: log files for already-exported versions are left
-    * untouched, new versions append. A vacuumed history exports its first
-    * retained version as a full snapshot (strict Delta readers want
-    * version 0 or a checkpoint — export before vacuuming for those).
-    * Single-column stats are omitted (Delta readers treat them as
-    * optional); at 100 TB the export would stream per-version instead of
-    * re-deriving schemas from footers. */
   /** One hive dir segment value → the SPEC-FORM partition value: None
     * for the default partition (JSON null downstream), else the
     * %XX-decoded text ('+' is a literal plus in dir names, protected
@@ -1036,6 +1024,21 @@ object LakehouseTable {
     if (v == "__HIVE_DEFAULT_PARTITION__") None
     else Some(java.net.URLDecoder.decode(v.replace("+", "%2B"), "UTF-8"))
 
+  /** Export the table's version history as a minimal Delta Lake
+    * transaction log (`root/_delta_log/<v 20-digit>.json`, one JSON action
+    * per line: protocol at the first version, metaData at the first version
+    * and on every schema change, add/remove per file transition) — the
+    * open-format interop path: the graft root itself becomes a Delta table
+    * another engine can read natively, data files shared in place (nothing
+    * is copied; add paths are table-root-relative `data/...`). Idempotent
+    * and incremental: log files for already-exported versions are left
+    * untouched, new versions append. A vacuumed history exports its first
+    * retained version as a full snapshot (strict Delta readers want
+    * version 0 or a checkpoint — export before vacuuming for those).
+    * Every add carries per-file stats ([[fileStatsJson]]) and spec-form
+    * partitionValues ([[decodeHivePartValue]]); at 100 TB the export
+    * would stream per-version instead of re-deriving schemas from
+    * footers. */
   def exportDeltaLog(spark: SparkSession, root: String): Path = {
     val logDir = Paths.get(root, "_delta_log")
     Files.createDirectories(logDir)

@@ -1168,7 +1168,9 @@ object GraftSqlStatements {
     // backslash through would hand parseExpression a stray token.
     // Escape SEQUENCES decode to Spark's unescapeSQLString semantics:
     // \n → newline (not the letter 'n'), \t/\r/\b/\f/\0/\Z likewise,
-    // \uXXXX → the code unit, \UXXXXXXXX → the code point, three-digit
+    // \uXXXX → the code unit, \UXXXXXXXX → the code point (when a
+    // valid one — Spark is lenient on overflow, so the fallback \U → 'U'
+    // matches it), three-digit
     // octal \ooo → the byte value, \% and \_ KEEP their backslash
     // (LIKE pattern escapes), any other \x → x.
     val sb = new StringBuilder
@@ -1178,9 +1180,10 @@ object GraftSqlStatements {
       if (c == '\\' && i + 1 < body.length) {
         val e = body.charAt(i + 1)
         val (decoded, adv) = e match {
-          // THREE-digit octal first: '0'-'7' are octal digits, so
-          // "\012" decodes as \n and only a bare "\0" is NUL
-          case o if o >= '0' && o <= '7' && i + 4 <= body.length &&
+          // THREE-digit octal first, Spark's exact rule: the FIRST
+          // digit must be 0 or 1 ('\377' stays the text "377" under
+          // Spark's lexer); "\012" decodes as \n, a bare "\0" is NUL
+          case o if o >= '0' && o <= '1' && i + 4 <= body.length &&
               body.charAt(i + 2) >= '0' && body.charAt(i + 2) <= '7' &&
               body.charAt(i + 3) >= '0' && body.charAt(i + 3) <= '7' =>
             (Integer.parseInt(body.substring(i + 1, i + 4), 8)
@@ -1196,7 +1199,9 @@ object GraftSqlStatements {
               .toChar.toString, 6)
           case 'U' if i + 9 < body.length &&
               body.substring(i + 2, i + 10)
-                .forall(ch => Character.digit(ch, 16) >= 0) =>
+                .forall(ch => Character.digit(ch, 16) >= 0) &&
+              java.lang.Long.parseLong(
+                body.substring(i + 2, i + 10), 16) <= 0x10FFFFL =>
             (new String(Character.toChars(
               Integer.parseInt(body.substring(i + 2, i + 10), 16))), 10)
           case other => (other.toString, 2)

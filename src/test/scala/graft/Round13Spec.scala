@@ -655,6 +655,71 @@ class Round13Spec extends AnyFunSuite {
     assert(exPart.getMessage.contains("PARTITIONED"), exPart.getMessage)
   }
 
+  test("iceberg foreign append: refs.main advances, v1 refuses, empty chain gets a first snapshot") {
+    import spark.implicits._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // refs.main: doctor the chain to carry a branch ref (real Iceberg
+    // >= 0.14 always does) — the commit must advance it or spec
+    // readers reject the metadata outright
+    val root = freshRoot("ice_refs")
+    LT.create(Seq((1L, 10L)).toDF("id", "v").coalesce(1), root)
+    IcebergMeta.exportIcebergMeta(spark, root)
+    val dir = Paths.get(root, "metadata")
+    def md(n: Long) = mapper.readTree(
+      Files.readString(dir.resolve(s"v$n.metadata.json")))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val hint = Files.readString(dir.resolve("version-hint.text")).trim.toLong
+    val cur = md(hint)
+    val refs = mapper.createObjectNode()
+    val main = mapper.createObjectNode()
+    main.put("snapshot-id", cur.get("current-snapshot-id").asLong())
+    main.put("type", "branch")
+    refs.set("main", main)
+    cur.set("refs", refs)
+    Files.writeString(dir.resolve(s"v$hint.metadata.json"), cur.toString)
+    val sid = IcebergMeta.appendIcebergForeign(spark, root,
+      Seq((2L, 20L)).toDF("id", "v").coalesce(1))
+    val after = md(hint + 1)
+    assert(after.get("refs").get("main").get("snapshot-id").asLong() == sid,
+      "the main branch ref must advance with current-snapshot-id")
+    // format-version 1 refuses loudly (v1 lacks sequence numbers)
+    val v1 = md(hint + 1)
+    v1.put("format-version", 1)
+    Files.writeString(dir.resolve(s"v${hint + 2}.metadata.json"),
+      v1.toString)
+    val ex = intercept[IllegalArgumentException] {
+      IcebergMeta.appendIcebergForeign(spark, root,
+        Seq((3L, 30L)).toDF("id", "v").coalesce(1))
+    }
+    assert(ex.getMessage.contains("format-version"), ex.getMessage)
+
+    // an EMPTY foreign chain (freshly created table, no snapshots —
+    // current-snapshot-id -1): the append commits a parentless first
+    // snapshot instead of crashing on a missing parent
+    val eroot = freshRoot("ice_empty")
+    val edir = Paths.get(eroot, "metadata")
+    Files.createDirectories(edir)
+    Files.createDirectories(Paths.get(eroot, "data"))
+    val schema = """{"type":"struct","schema-id":0,"fields":[
+      {"id":1,"name":"id","required":false,"type":"long"},
+      {"id":2,"name":"v","required":false,"type":"long"}]}"""
+      .replaceAll("\n\\s*", "")
+    Files.writeString(edir.resolve("v1.metadata.json"),
+      s"""{"format-version":2,"table-uuid":"00000000-0000-0000-0000-000000000001",
+         "location":"$eroot","last-sequence-number":0,"last-updated-ms":1,
+         "last-column-id":2,"current-schema-id":0,"schemas":[$schema],
+         "default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],
+         "last-partition-id":999,"default-sort-order-id":0,
+         "sort-orders":[{"order-id":0,"fields":[]}],"properties":{},
+         "current-snapshot-id":-1,"snapshots":[],"snapshot-log":[],
+         "metadata-log":[]}""".replaceAll("\n\\s*", ""))
+    Files.writeString(edir.resolve("version-hint.text"), "1")
+    IcebergMeta.appendIcebergForeign(spark, eroot,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v").coalesce(1))
+    assert(IcebergMeta.readIceberg(spark, eroot)
+      .as[(Long, Long)].collect().toSet == Set((1L, 10L), (2L, 20L)))
+  }
+
   test("iceberg foreign append keeps existing position deletes applying to old files") {
     import spark.implicits._
     val root = freshRoot("ice_append_mor")
