@@ -739,6 +739,70 @@ class Round13Spec extends AnyFunSuite {
       rows.toString)
   }
 
+  test("transform pruning reaches the SQL face through iceberg_export_where") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val d = "/root/testdata/sf0.001"
+    val day = operators.Lakehouse.eventsDayChainRoot(spark, d)
+    val pred = "ts >= TIMESTAMP ''2024-01-10 00:00:00'' AND " +
+      "ts < TIMESTAMP ''2024-01-12 00:00:00''"
+    val rows = graft.sql.GraftSql.sql(spark,
+      s"SELECT event_id FROM iceberg_export_where('$day', '$pred')")
+    val want = sources.Tables.events(spark, d)
+      .filter(col("ts") >= "2024-01-10" && col("ts") < "2024-01-12")
+      .select($"event_id").as[Long].collect().toSet
+    assert(rows.as[Long].collect().toSet == want)
+    assert(rows.inputFiles.length == 2,
+      s"the SQL face must plan the same 2 daily files: " +
+        rows.inputFiles.toSeq)
+  }
+
+  test("foreign appends are visible to both export streaming sources") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    def wipeManifest(root: String): Unit =
+      Files.walk(Paths.get(root, "_manifest")).iterator().asScala.toSeq
+        .sortBy(_.toString).reverse.foreach(Files.deleteIfExists(_))
+    def tail(root: String, fmt: String,
+        append: () => Unit): Set[(Long, Long)] = {
+      val ckpt = Files.createTempDirectory("r13-stream-ckpt").toString
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+      val q = spark.readStream.format(fmt).option("path", root).load()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+            b.collect().foreach(r =>
+              seen.add((r.getLong(0), r.getLong(1)))); ()
+        }.start()
+      q.processAllAvailable()
+      append() // the FOREIGN commit, while the stream is running
+      q.processAllAvailable()
+      q.stop()
+      seen.asScala.toSet
+    }
+    val droot = freshForeign("stream_fa")
+    wipeManifest(droot)
+    val dseen = tail(droot, "delta-export", () => {
+      LT.appendDeltaForeign(spark, droot,
+        Seq((2L, 20L), (3L, 30L)).toDF("id", "v").coalesce(1)); ()
+    })
+    assert(dseen == Set((1L, 10L), (2L, 20L), (3L, 30L)),
+      s"the delta-export tail must see the foreign append: $dseen")
+
+    val iroot = freshRoot("stream_ice_fa")
+    LT.create(Seq((1L, 10L)).toDF("id", "v").coalesce(1), iroot)
+    IcebergMeta.exportIcebergMeta(spark, iroot)
+    wipeManifest(iroot)
+    val iseen = tail(iroot, "iceberg-export", () => {
+      IcebergMeta.appendIcebergForeign(spark, iroot,
+        Seq((2L, 20L), (3L, 30L)).toDF("id", "v").coalesce(1)); ()
+    })
+    assert(iseen == Set((1L, 10L), (2L, 20L), (3L, 30L)),
+      s"the iceberg-export tail must see the foreign append: $iseen")
+  }
+
   test("q208/q209 fixtures plan the pinned delta file subsets at sf0.001") {
     val d = "/root/testdata/sf0.001"
     val hive = operators.Lakehouse.ordersHivePartRoot(spark, d)
