@@ -2310,9 +2310,11 @@ object IcebergMeta {
     * validates the append is one it cannot corrupt — format-version 2
     * ONLY (v1 lacks sequence numbers; v3 would need row-lineage fields
     * this writer does not produce), current schema matching `df` by
-    * name, type, and required-ness, an unpartitioned default spec
-    * (partition tuples would need transform evaluation) — writes the
-    * rows as parquet under `root/data` (via the Delta face's shared
+    * name, type, and required-ness, an IDENTITY-only default spec
+    * (identity tuples are the source values, laid out hive-style with
+    * partition structs; transform specs would need this writer to
+    * evaluate the transform per row — refused) — writes the rows as
+    * parquet under `root/data` (via the Delta face's shared
     * [[LakehouseTable.writeFilesRaw]] protocol), wraps them in ONE
     * new manifest with full column metrics (value/null/NaN counts,
     * bounds — a foreign append must not punch a skipping hole into a
@@ -2360,9 +2362,16 @@ object IcebergMeta {
     val specFields = md.get("partition-specs").elements().asScala
       .find(_.get("spec-id").asInt() == defaultSpecId)
       .map(_.get("fields").elements().asScala.toSeq).getOrElse(Nil)
-    require(specFields.isEmpty,
-      s"append to a PARTITIONED foreign chain is not supported (spec " +
-        s"$defaultSpecId has ${specFields.size} partition field(s))")
+    // IDENTITY-partitioned chains append fine (hive layout + partition
+    // structs); transform specs would need this writer to EVALUATE the
+    // transform per row — refuse those rather than mis-bucket
+    val nonIdentity = specFields
+      .filter(_.get("transform").asText() != "identity")
+    require(nonIdentity.isEmpty,
+      s"append to a chain partitioned by non-identity transform(s) " +
+        s"${nonIdentity.map(f => f.get("transform").asText() + "(" +
+          f.get("name").asText() + ")").mkString(", ")} at $root is " +
+        "not supported (the writer would have to evaluate the transform)")
     // schema: exactly the current schema's columns by name, type, and
     // REQUIRED-ness (appending a nullable column into a required field
     // would violate the contract for every reader)
@@ -2379,24 +2388,56 @@ object IcebergMeta {
       s"append schema ${df.schema.simpleString} does not match the " +
         s"chain's current schema at $root (names, types, and " +
         "required-ness must all be compatible)")
+    // identity spec fields → (spec field name, source column, type):
+    // the hive dirs key on the SOURCE column; the partition struct
+    // keys on the SPEC field name (they may differ)
+    val byId = fields.map(f => f._4 -> f).toMap
+    val partFields: Seq[(String, String, org.apache.spark.sql.types.DataType)] =
+      specFields.map { sf =>
+        val srcId = sf.get("source-id").asInt()
+        val src = byId.getOrElse(srcId, throw new IllegalArgumentException(
+          s"partition source field id $srcId is not in the current " +
+            s"schema at $root"))
+        (sf.get("name").asText(), src._1, src._2)
+      }
     val aligned = df.select(fields.map(f => col(f._1)): _*)
     // data files under root/data, unique names — ONE write protocol
     // with the Delta face (micros timestamps, staged + uuid-prefixed
-    // atomic moves): the two appends must not drift
+    // atomic moves, hive layout for partitioned tables): the two
+    // appends must not drift
     val uuid = java.util.UUID.randomUUID().toString
-    val written = LakehouseTable.writeFilesRaw(aligned, root, Nil)
-      .map(rel => Paths.get(root, "data").resolve(rel))
+    val written = LakehouseTable
+      .writeFilesRaw(aligned, root, partFields.map(_._2))
+      .map(rel => (rel, Paths.get(root, "data").resolve(rel)))
     val lastSeq = md.get("last-sequence-number").asLong()
     val seq = lastSeq + 1
     val parent = md.get("current-snapshot-id").asLong()
     val sid = java.lang.Long.parseLong(graft.plans.TextExpressions
       .md5Hex(s"iceberg-append:$root#$seq#$curN#$uuid").take(15), 16)
-    // one manifest of the adds, with FULL column metrics from footers
+    // one manifest of the adds, with FULL column metrics from footers.
+    // The partition struct keys on the SPEC field names with the
+    // source columns' types (identity values are the source values).
     val cols = fields.map { case (n, dt, _, id) =>
       n.toLowerCase -> ((id, dt)) }.toMap
-    val entrySchema = manifestEntrySchema(Nil)
+    val entrySchema = manifestEntrySchema(
+      partFields.map { case (specName, _, dt) => (specName, dt) })
     val dataFileSchema = entrySchema.getField("data_file").schema()
     val partSchema = dataFileSchema.getField("partition").schema()
+    // one file's hive dirs → the partition struct: dirs key on the
+    // SOURCE column name, the struct on the spec field name
+    def partRecord(rel: String): GenericData.Record = {
+      val rec = new GenericData.Record(partSchema)
+      val dirVals = rel.split('/').dropRight(1).filter(_.contains('='))
+        .map { seg =>
+          val Array(k, v) = seg.split("=", 2); k.toLowerCase -> v }
+        .toMap
+      partFields.foreach { case (specName, srcCol, dt) =>
+        rec.put(specName,
+          dirVals.get(srcCol.toLowerCase)
+            .map(partitionValue(dt, _)).orNull)
+      }
+      rec
+    }
     def intMap(field: String, m: Seq[(Int, Any)]): Any = {
       val itemSchema = dataFileSchema.getField(field).schema()
         .getTypes.get(1).getElementType
@@ -2408,7 +2449,7 @@ object IcebergMeta {
       arr
     }
     var totalRows = 0L
-    val entries = written.map { p =>
+    val entries = written.map { case (rel, p) =>
       val rows = LakehouseTable.parquetRecordCount(p)
       totalRows += rows
       val mets = footerMetrics(p, cols)
@@ -2416,7 +2457,7 @@ object IcebergMeta {
       dfr.put("content", 0)
       dfr.put("file_path", p.toString)
       dfr.put("file_format", "PARQUET")
-      dfr.put("partition", new GenericData.Record(partSchema))
+      dfr.put("partition", partRecord(rel))
       dfr.put("record_count", rows)
       dfr.put("file_size_in_bytes", Files.size(p))
       dfr.put("value_counts", intMap("value_counts",
@@ -2451,7 +2492,8 @@ object IcebergMeta {
     val m = dir.resolve(s"m-$sid-append.avro")
     writeAvro(m, entrySchema, Seq(
       "schema" -> schemaNode.toString,
-      "partition-spec" -> "[]",
+      "partition-spec" ->
+        specFields.map(_.toString).mkString("[", ",", "]"),
       "partition-spec-id" -> defaultSpecId.toString,
       "format-version" -> "2",
       "content" -> "data"), entries)

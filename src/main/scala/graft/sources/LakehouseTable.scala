@@ -1848,13 +1848,15 @@ object LakehouseTable {
     * version (max of the JSON tail and the checkpoint — a log cleaned
     * below its checkpoint must not commit "version 0"), replays and
     * validates THAT state — a metaData schema matching `df` by name,
-    * type, and nullability, no partitioning (checked against both
-    * partitionColumns and the live adds' partitionValues, since a
-    * foreign checkpoint may omit the former), no column mapping, no
-    * column invariants or CHECK constraints (their write-side
-    * obligations need evaluation this writer does not do), and no
-    * writer feature outside the append-compatible set — writes the
-    * rows as parquet under `root/data`, and commits pinned-version+1
+    * type, and nullability, no column mapping, no column invariants or
+    * CHECK constraints (their write-side obligations need evaluation
+    * this writer does not do), and no writer feature outside the
+    * append-compatible set. PARTITIONED tables lay the rows out under
+    * the table's own hive partitioning with spec-form partitionValues
+    * per add (what a table whose partitioning is UNKNOWABLE — a
+    * checkpoint omitting partitionColumns while its adds carry values —
+    * refuses instead). Writes the rows as parquet under `root/data`,
+    * and commits pinned-version+1
     * via the spec's optimistic concurrency: the version file is
     * created atomically, so ANY commit landing after the pin (even
     * one that would have changed the validation's answer) fails the
@@ -1887,15 +1889,18 @@ object LakehouseTable {
     val struct = schemaJsonToStruct(state.schemaJson).getOrElse(
       throw new IllegalStateException(
         s"append requires a log with a metaData schemaString at $root"))
-    require(state.partitionCols.isEmpty,
-      "append to a PARTITIONED foreign table is not supported " +
-        s"(partition columns: ${state.partitionCols.mkString(", ")})")
-    // a checkpoint written without metaData.partitionColumns cannot
-    // PROVE the table unpartitioned — but a partitioned table's adds
-    // carry non-empty partitionValues; refuse on that evidence too
-    require(state.partVals.values.forall(_.isEmpty),
-      s"live add actions at $root carry partitionValues — the table " +
-        "appears partitioned; append is not supported")
+    // PARTITIONED tables append too: the rows are laid out under the
+    // table's own hive partitioning and each add carries its decoded
+    // partitionValues. What we CANNOT do is append to a table whose
+    // partitioning is unknowable — a checkpoint written without
+    // metaData.partitionColumns whose adds nevertheless carry
+    // partitionValues proves partitioning without naming the columns.
+    require(state.partitionCols.nonEmpty ||
+        state.partVals.values.forall(_.isEmpty),
+      s"live add actions at $root carry partitionValues but the " +
+        "metaData's partitionColumns are unknown (a checkpoint omitted " +
+        "them); appending blind would mis-lay the rows — refusing")
+    val partCols = state.partitionCols
     val mapping = state.conf.getOrElse("delta.columnMapping.mode", "none")
     require(mapping == "none",
       s"append under column mapping mode '$mapping' is not supported")
@@ -1934,10 +1939,27 @@ object LakehouseTable {
       s"append schema ${df.schema.simpleString} does not match the " +
         s"table schema ${struct.simpleString} at $root " +
         "(names, types, and nullability must all be compatible)")
+    // partition columns must actually be schema columns (a foreign
+    // metaData naming a ghost column cannot be laid out)
+    val partMissing = partCols.filterNot(c =>
+      struct.fieldNames.exists(_.equalsIgnoreCase(c)))
+    require(partMissing.isEmpty,
+      s"partitionColumns ${partMissing.mkString(", ")} at $root are " +
+        "not in the table schema")
     val aligned = df.select(struct.fields.map(f => col(f.name)).toSeq: _*)
-    val rels = writeFilesRaw(aligned, root, Nil)
+    val rels = writeFilesRaw(aligned, root, partCols)
     def esc(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"")
+    // spec-form partitionValues from each file's hive dirs — the same
+    // decode the exporter uses, so the two writers cannot disagree
+    def pvJson(rel: String): String =
+      rel.split('/').dropRight(1).filter(_.contains('='))
+        .map { seg =>
+          val Array(k, v) = seg.split("=", 2)
+          val dv = decodeHivePartValue(v)
+            .map(x => "\"" + esc(x) + "\"").getOrElse("null")
+          s""""${esc(k)}":$dv"""
+        }.mkString("{", ",", "}")
     val ts = System.currentTimeMillis()
     val sb = new StringBuilder
     sb.append(s"""{"commitInfo":{"timestamp":$ts,"operation":"WRITE","operationParameters":{"mode":"Append"}}}""")
@@ -1945,7 +1967,7 @@ object LakehouseTable {
     rels.foreach { f =>
       val p = dataDir(root).resolve(f)
       val stats = esc(fileStatsJson(p))
-      sb.append(s"""{"add":{"path":"data/${esc(deltaEncodePath(f))}","partitionValues":{},"size":${Files.size(p)},"modificationTime":${Files.getLastModifiedTime(p).toMillis},"dataChange":true,"stats":"$stats"}}""")
+      sb.append(s"""{"add":{"path":"data/${esc(deltaEncodePath(f))}","partitionValues":${pvJson(f)},"size":${Files.size(p)},"modificationTime":${Files.getLastModifiedTime(p).toMillis},"dataChange":true,"stats":"$stats"}}""")
         .append('\n')
     }
     val next = cur + 1L // the version the validation above is good for

@@ -465,16 +465,50 @@ class Round13Spec extends AnyFunSuite {
         Seq((1, "x")).toDF("id", "s"))
     }
     assert(exSchema.getMessage.contains("does not match"), exSchema.getMessage)
-    val partRoot = freshRoot("fa_part")
+  }
+
+  test("foreign append lays out PARTITIONED tables with spec-form partitionValues") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot("fa_part")
     LT.create(Seq((1L, "a"), (2L, "b")).toDF("id", "cat")
-      .repartition(org.apache.spark.sql.functions.col("cat")),
-      partRoot, partitionBy = Seq("cat"))
-    LT.exportDeltaLog(spark, partRoot)
-    val exPart = intercept[IllegalArgumentException] {
-      LT.appendDeltaForeign(spark, partRoot,
-        Seq((3L, "c")).toDF("id", "cat"))
+      .repartition(col("cat")), root, partitionBy = Seq("cat"))
+    LT.exportDeltaLog(spark, root)
+    Files.walk(Paths.get(root, "_manifest")).iterator().asScala.toSeq
+      .sortBy(_.toString).reverse.foreach(Files.deleteIfExists(_))
+    // a NEW partition value, a decoded-special-char value, and a NULL
+    val v = LT.appendDeltaForeign(spark, root,
+      Seq((3L, "c"), (4L, "x/y"), (5L, null.asInstanceOf[String]))
+        .toDF("id", "cat").repartition(col("cat")))
+    assert(v == 1L)
+    val logTxt = Files.readString(
+      Paths.get(root, "_delta_log", f"${1L}%020d.json"))
+    assert(logTxt.contains("\"cat\":\"x\\/y\"") ||
+      logTxt.contains("\"cat\":\"x/y\""),
+      "the appended add must carry the DECODED partition value")
+    assert(logTxt.contains("\"cat\":null"),
+      "a null partition value must serialize as JSON null")
+    val back = LT.readDeltaExport(spark, root)
+    assert(back.as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "x/y"),
+        (5L, null.asInstanceOf[String])))
+    // the appended adds' partitionValues plan like any other's
+    val pruned = LT.readDeltaExport(spark, root,
+      pruneWhere = Some("cat = 'x/y'"))
+    assert(pruned.select($"id").as[Long].collect().toSet == Set(4L))
+    assert(pruned.inputFiles.length == 1,
+      s"the appended partition must plan ONE file: ${pruned.inputFiles.toSeq}")
+    // UNKNOWABLE partitioning still refuses: strip partitionColumns
+    // from the metaData (a foreign checkpoint's omission) — the adds
+    // still carry partitionValues, so appending blind would mis-lay
+    val lf = Paths.get(root, "_delta_log", f"${0L}%020d.json")
+    Files.writeString(lf, Files.readString(lf)
+      .replace(""","partitionColumns":["cat"]""", ""))
+    val ex = intercept[IllegalArgumentException] {
+      LT.appendDeltaForeign(spark, root,
+        Seq((6L, "d")).toDF("id", "cat"))
     }
-    assert(exPart.getMessage.contains("PARTITIONED"), exPart.getMessage)
+    assert(ex.getMessage.contains("unknown"), ex.getMessage)
   }
 
   /** A minimal foreign-shaped (id BIGINT, v BIGINT) delta table. */
@@ -643,16 +677,46 @@ class Round13Spec extends AnyFunSuite {
         Seq((1, "x")).toDF("id", "s"))
     }
     assert(exSchema.getMessage.contains("does not match"), exSchema.getMessage)
-    val partRoot = freshRoot("ice_append_part")
+  }
+
+  test("iceberg foreign append: identity-partitioned chains append; transform specs refuse") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val root = freshRoot("ice_append_part")
     LT.create(Seq((1L, "a"), (2L, "b")).toDF("id", "cat")
-      .repartition(org.apache.spark.sql.functions.col("cat")),
-      partRoot, partitionBy = Seq("cat"))
-    IcebergMeta.exportIcebergMeta(spark, partRoot)
-    val exPart = intercept[IllegalArgumentException] {
-      IcebergMeta.appendIcebergForeign(spark, partRoot,
-        Seq((3L, "c")).toDF("id", "cat"))
+      .repartition(col("cat")), root, partitionBy = Seq("cat"))
+    IcebergMeta.exportIcebergMeta(spark, root)
+    Files.walk(Paths.get(root, "_manifest")).iterator().asScala.toSeq
+      .sortBy(_.toString).reverse.foreach(Files.deleteIfExists(_))
+    // a new partition value appends under the identity spec: hive
+    // layout + a manifest partition struct carrying the value
+    IcebergMeta.appendIcebergForeign(spark, root,
+      Seq((3L, "c"), (4L, "a")).toDF("id", "cat").repartition(col("cat")))
+    val back = IcebergMeta.readIceberg(spark, root)
+    assert(back.as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "a")))
+    // the appended struct values PRUNE like the export's own: 'c'
+    // exists only in the appended commit
+    val pruned = IcebergMeta.readIceberg(spark, root,
+      pruneWhere = Some("cat = 'c'"))
+    assert(pruned.select($"id").as[Long].collect().toSet == Set(3L))
+    assert(pruned.inputFiles.length == 1,
+      s"the appended partition must plan ONE file: ${pruned.inputFiles.toSeq}")
+    // a TRANSFORM spec refuses (the writer would have to evaluate it)
+    val troot = freshRoot("ice_append_day")
+    val rows = Seq((1L, java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T06:00:00Z"))))
+    transformChain(troot, rows.toDF("id", "ts")
+      .withColumn("ts_day", expr("date_from_unix_date(CAST(" +
+        "floor(unix_micros(ts) / 86400000000) AS INT))")),
+      "ts_day", "day", "ts")
+    val ex = intercept[IllegalArgumentException] {
+      IcebergMeta.appendIcebergForeign(spark, troot,
+        Seq((2L, java.sql.Timestamp.from(
+          java.time.Instant.parse("2024-01-02T06:00:00Z"))))
+          .toDF("id", "ts"))
     }
-    assert(exPart.getMessage.contains("PARTITIONED"), exPart.getMessage)
+    assert(ex.getMessage.contains("non-identity transform"), ex.getMessage)
   }
 
   test("iceberg foreign append: refs.main advances, v1 refuses, empty chain gets a first snapshot") {
