@@ -293,22 +293,40 @@ object IcebergMeta {
 
   /** Typed partition value from its hive directory string. */
   private def partitionValue(dt: org.apache.spark.sql.types.DataType,
-      raw: String): Any = {
-    import org.apache.spark.sql.types._
+      raw: String): Any =
     if (raw == "__HIVE_DEFAULT_PARTITION__") null
-    else {
-      val s = java.net.URLDecoder.decode(raw.replace("+", "%2B"), "UTF-8")
-      dt match {
-        case IntegerType | ShortType | ByteType => Integer.valueOf(s.toInt)
-        case LongType    => java.lang.Long.valueOf(s.toLong)
-        case StringType  => s
-        case DoubleType  => java.lang.Double.valueOf(s.toDouble)
-        case BooleanType => java.lang.Boolean.valueOf(s.toBoolean)
-        case DateType    =>
-          Integer.valueOf(java.time.LocalDate.parse(s).toEpochDay.toInt)
-        case other => throw new IllegalArgumentException(
-          s"Iceberg mirror: unsupported partition type ${other.sql}")
-      }
+    else typedPartitionValue(dt,
+      java.net.URLDecoder.decode(raw.replace("+", "%2B"), "UTF-8"))
+
+  /** Typed partition value from its DECODED text (the spec-form value
+    * [[LakehouseTable.hivePartPairs]] yields). */
+  private def typedPartitionValue(dt: org.apache.spark.sql.types.DataType,
+      s: String): Any = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case IntegerType | ShortType | ByteType => Integer.valueOf(s.toInt)
+      case LongType    => java.lang.Long.valueOf(s.toLong)
+      case StringType  => s
+      case DoubleType  => java.lang.Double.valueOf(s.toDouble)
+      case BooleanType => java.lang.Boolean.valueOf(s.toBoolean)
+      case DateType    =>
+        Integer.valueOf(java.time.LocalDate.parse(s).toEpochDay.toInt)
+      case other => throw new IllegalArgumentException(
+        s"Iceberg mirror: unsupported partition type ${other.sql}")
+    }
+  }
+
+  /** The identity-partitionable types [[typedPartitionValue]] and
+    * [[avroPartitionType]] support — what the foreign append must
+    * check BEFORE writing data files (a post-write failure would
+    * orphan them with a misleading error). */
+  private[graft] def supportedPartitionType(
+      dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case IntegerType | ShortType | ByteType | LongType | StringType |
+           DoubleType | BooleanType | DateType => true
+      case _ => false
     }
   }
 
@@ -316,8 +334,20 @@ object IcebergMeta {
 
   private def partitionRecordJson(
       parts: Seq[(String, org.apache.spark.sql.types.DataType)]): String =
-    parts.zipWithIndex.map { case ((name, dt), i) =>
-      s"""{"name":"$name","type":["null",${avroPartitionType(dt)}],"default":null,"field-id":${1000 + i}}"""
+    partitionRecordJsonIds(parts.zipWithIndex.map {
+      case ((name, dt), i) => (name, dt, 1000 + i) })
+
+  /** [[partitionRecordJson]] with EXPLICIT field ids — the foreign
+    * append must write the spec's DECLARED ids (an evolved spec's
+    * single field may carry 1001), or spec readers resolving the
+    * struct by field-id read the appended files' partition values as
+    * null and silently skip matching files. Graft's own exports always
+    * use 1000+i (the delegating overload). */
+  private def partitionRecordJsonIds(
+      parts: Seq[(String, org.apache.spark.sql.types.DataType, Int)])
+      : String =
+    parts.map { case (name, dt, id) =>
+      s"""{"name":"$name","type":["null",${avroPartitionType(dt)}],"default":null,"field-id":$id}"""
     }.mkString("""{"type":"record","name":"r102","fields":[""", ",", "]}")
 
   // the spec's map<int, …> encodes in avro as array<key_value record>
@@ -332,6 +362,12 @@ object IcebergMeta {
 
   private def manifestEntrySchema(
       parts: Seq[(String, org.apache.spark.sql.types.DataType)]): Schema =
+    manifestEntrySchemaIds(parts.zipWithIndex.map {
+      case ((name, dt), i) => (name, dt, 1000 + i) })
+
+  private def manifestEntrySchemaIds(
+      parts: Seq[(String, org.apache.spark.sql.types.DataType, Int)])
+      : Schema =
     new Schema.Parser().parse(
       s"""{"type":"record","name":"manifest_entry","fields":[
          {"name":"status","type":"int","field-id":0},
@@ -342,7 +378,7 @@ object IcebergMeta {
            {"name":"content","type":"int","field-id":134},
            {"name":"file_path","type":"string","field-id":100},
            {"name":"file_format","type":"string","field-id":101},
-           {"name":"partition","field-id":102,"type":${partitionRecordJson(parts)}},
+           {"name":"partition","field-id":102,"type":${partitionRecordJsonIds(parts)}},
            {"name":"record_count","type":"long","field-id":103},
            {"name":"file_size_in_bytes","type":"long","field-id":104},
            ${intMapJson("value_counts", 109, 119, 120, "long")},
@@ -2388,18 +2424,29 @@ object IcebergMeta {
       s"append schema ${df.schema.simpleString} does not match the " +
         s"chain's current schema at $root (names, types, and " +
         "required-ness must all be compatible)")
-    // identity spec fields → (spec field name, source column, type):
-    // the hive dirs key on the SOURCE column; the partition struct
-    // keys on the SPEC field name (they may differ)
+    // identity spec fields → (spec field name, source column, type,
+    // the spec's DECLARED partition field id): the hive dirs key on
+    // the SOURCE column; the partition struct keys on the SPEC field
+    // name and id (an evolved spec's single field may carry 1001 — a
+    // positional 1000+i would make id-resolving readers serve null)
     val byId = fields.map(f => f._4 -> f).toMap
-    val partFields: Seq[(String, String, org.apache.spark.sql.types.DataType)] =
+    val partFields: Seq[(String, String,
+        org.apache.spark.sql.types.DataType, Int)] =
       specFields.map { sf =>
         val srcId = sf.get("source-id").asInt()
         val src = byId.getOrElse(srcId, throw new IllegalArgumentException(
           s"partition source field id $srcId is not in the current " +
             s"schema at $root"))
-        (sf.get("name").asText(), src._1, src._2)
+        (sf.get("name").asText(), src._1, src._2,
+          sf.get("field-id").asInt())
       }
+    // type support is checked BEFORE the data write: a post-write
+    // schema failure would orphan the files with a misleading error
+    val unsupported = partFields.filterNot(p => supportedPartitionType(p._3))
+    require(unsupported.isEmpty,
+      s"append cannot serialize identity partition value(s) of type " +
+        s"${unsupported.map(p => s"${p._2}: ${p._3.simpleString}")
+          .mkString(", ")} at $root")
     val aligned = df.select(fields.map(f => col(f._1)): _*)
     // data files under root/data, unique names — ONE write protocol
     // with the Delta face (micros timestamps, staged + uuid-prefixed
@@ -2415,26 +2462,26 @@ object IcebergMeta {
     val sid = java.lang.Long.parseLong(graft.plans.TextExpressions
       .md5Hex(s"iceberg-append:$root#$seq#$curN#$uuid").take(15), 16)
     // one manifest of the adds, with FULL column metrics from footers.
-    // The partition struct keys on the SPEC field names with the
-    // source columns' types (identity values are the source values).
+    // The partition struct keys on the SPEC field names and DECLARED
+    // ids with the source columns' types (identity values are the
+    // source values).
     val cols = fields.map { case (n, dt, _, id) =>
       n.toLowerCase -> ((id, dt)) }.toMap
-    val entrySchema = manifestEntrySchema(
-      partFields.map { case (specName, _, dt) => (specName, dt) })
+    val entrySchema = manifestEntrySchemaIds(
+      partFields.map { case (specName, _, dt, fid) => (specName, dt, fid) })
     val dataFileSchema = entrySchema.getField("data_file").schema()
     val partSchema = dataFileSchema.getField("partition").schema()
     // one file's hive dirs → the partition struct: dirs key on the
-    // SOURCE column name, the struct on the spec field name
+    // SOURCE column name, the struct on the spec field name. ONE
+    // shared dir parse with the Delta face (hivePartPairs).
     def partRecord(rel: String): GenericData.Record = {
       val rec = new GenericData.Record(partSchema)
-      val dirVals = rel.split('/').dropRight(1).filter(_.contains('='))
-        .map { seg =>
-          val Array(k, v) = seg.split("=", 2); k.toLowerCase -> v }
-        .toMap
-      partFields.foreach { case (specName, srcCol, dt) =>
+      val dirVals = LakehouseTable.hivePartPairs(rel)
+        .map { case (k, ov) => k.toLowerCase -> ov }.toMap
+      partFields.foreach { case (specName, srcCol, dt, _) =>
         rec.put(specName,
-          dirVals.get(srcCol.toLowerCase)
-            .map(partitionValue(dt, _)).orNull)
+          dirVals.get(srcCol.toLowerCase).flatten
+            .map(typedPartitionValue(dt, _)).orNull)
       }
       rec
     }

@@ -1024,6 +1024,39 @@ object LakehouseTable {
     if (v == "__HIVE_DEFAULT_PARTITION__") None
     else Some(java.net.URLDecoder.decode(v.replace("+", "%2B"), "UTF-8"))
 
+  /** The hive dir segments of one data-relative path → (column,
+    * spec-form value) pairs, in path order — the ONE parse every
+    * partitionValues producer renders from (the exporter's adds and
+    * cdc actions, the checkpoint writer's fallback, both foreign
+    * appends, and the Iceberg append's partition structs). */
+  private[graft] def hivePartPairs(rel: String): Seq[(String, Option[String])] =
+    rel.split('/').dropRight(1).filter(_.contains('=')).toSeq.map { seg =>
+      val Array(k, v) = seg.split("=", 2)
+      k -> decodeHivePartValue(v)
+    }
+
+  /** FULL JSON string escape — backslash, quote, and every control
+    * char: a partition VALUE may contain a newline (escapePathName
+    * round-trips it through %0A), and embedding it raw would split the
+    * NDJSON action line and corrupt the log for every reader. */
+  private def jsonEsc(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** One path's partitionValues as a JSON object (spec-form values,
+    * JSON null for the default partition, fully escaped). */
+  private def hivePartValuesJson(rel: String): String =
+    hivePartPairs(rel).map { case (k, ov) =>
+      s""""${jsonEsc(k)}":${ov.map(x => "\"" + jsonEsc(x) + "\"")
+        .getOrElse("null")}"""
+    }.mkString("{", ",", "}")
+
   /** Export the table's version history as a minimal Delta Lake
     * transaction log (`root/_delta_log/<v 20-digit>.json`, one JSON action
     * per line: protocol at the first version, metaData at the first version
@@ -1046,15 +1079,7 @@ object LakehouseTable {
     require(vs.nonEmpty, s"no table at $root")
     def esc(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"")
-    def partitionValues(rel: String): String =
-      rel.split('/').dropRight(1).filter(_.contains('='))
-        .map { seg =>
-          val Array(k, v) = seg.split("=", 2)
-          val dv = decodeHivePartValue(v)
-            .map(x => "\"" + esc(x) + "\"").getOrElse("null")
-          s""""${esc(k)}":$dv"""
-        }
-        .mkString("{", ",", "}")
+    def partitionValues(rel: String): String = hivePartValuesJson(rel)
     var prev = Seq.empty[String]
     var prevCols: Option[(String, String, String, String, String)] = None
     var prevVNum: Option[Long] = None
@@ -1338,14 +1363,11 @@ object LakehouseTable {
           s"cdc-$v-$i-${java.util.UUID.randomUUID()}.parquet")
         Files.move(p, dest)
         // decoded spec-form values, like the add actions' (JSON null
-        // for the default partition) — one shared decode body
-        val pv = relDirs.split('/').filter(_.contains('='))
-          .map { seg =>
-            val Array(k, x) = seg.split("=", 2)
-            val dv = decodeHivePartValue(x)
-              .map(s => "\"" + esc(s) + "\"").getOrElse("null")
-            s""""${esc(k)}":$dv"""
-          }.mkString("{", ",", "}")
+        // for the default partition) — one shared decode+render body.
+        // hivePartValuesJson parses DIRS (dropRight(1) strips the file
+        // segment), so hand it a synthetic trailing segment.
+        val pv = hivePartValuesJson(
+          if (relDirs.isEmpty) "f" else relDirs + "/f")
         (Paths.get(root).relativize(dest).toString, pv, Files.size(dest))
       }
     } finally {
@@ -1734,12 +1756,7 @@ object LakehouseTable {
     // log's values are authoritative — paths need not encode them);
     // our own exports fall back to the decoded hive dir segments
     def partitionValues(rel: String): Map[String, String] =
-      st.partVals.getOrElse(rel,
-        rel.split('/').dropRight(1).filter(_.contains('='))
-          .map { seg =>
-            val Array(k, v) = seg.split("=", 2)
-            k -> decodeHivePartValue(v)
-          }.toMap)
+      st.partVals.getOrElse(rel, hivePartPairs(rel).toMap)
         .map { case (k, ov) => k -> ov.orNull }
     val id = "graft-" + graft.plans.TextExpressions.md5Hex(root).take(12)
     // protocol versions >= 3/7 REQUIRE their feature lists (the Delta
@@ -1950,16 +1967,6 @@ object LakehouseTable {
     val rels = writeFilesRaw(aligned, root, partCols)
     def esc(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"")
-    // spec-form partitionValues from each file's hive dirs — the same
-    // decode the exporter uses, so the two writers cannot disagree
-    def pvJson(rel: String): String =
-      rel.split('/').dropRight(1).filter(_.contains('='))
-        .map { seg =>
-          val Array(k, v) = seg.split("=", 2)
-          val dv = decodeHivePartValue(v)
-            .map(x => "\"" + esc(x) + "\"").getOrElse("null")
-          s""""${esc(k)}":$dv"""
-        }.mkString("{", ",", "}")
     val ts = System.currentTimeMillis()
     val sb = new StringBuilder
     sb.append(s"""{"commitInfo":{"timestamp":$ts,"operation":"WRITE","operationParameters":{"mode":"Append"}}}""")
@@ -1967,7 +1974,7 @@ object LakehouseTable {
     rels.foreach { f =>
       val p = dataDir(root).resolve(f)
       val stats = esc(fileStatsJson(p))
-      sb.append(s"""{"add":{"path":"data/${esc(deltaEncodePath(f))}","partitionValues":${pvJson(f)},"size":${Files.size(p)},"modificationTime":${Files.getLastModifiedTime(p).toMillis},"dataChange":true,"stats":"$stats"}}""")
+      sb.append(s"""{"add":{"path":"data/${esc(deltaEncodePath(f))}","partitionValues":${hivePartValuesJson(f)},"size":${Files.size(p)},"modificationTime":${Files.getLastModifiedTime(p).toMillis},"dataChange":true,"stats":"$stats"}}""")
         .append('\n')
     }
     val next = cur + 1L // the version the validation above is good for

@@ -476,9 +476,13 @@ class Round13Spec extends AnyFunSuite {
     LT.exportDeltaLog(spark, root)
     Files.walk(Paths.get(root, "_manifest")).iterator().asScala.toSeq
       .sortBy(_.toString).reverse.foreach(Files.deleteIfExists(_))
-    // a NEW partition value, a decoded-special-char value, and a NULL
+    // a NEW partition value, a decoded-special-char value, a NULL, and
+    // a CONTROL-CHAR value (escapePathName round-trips \n through %0A;
+    // embedded raw it would split the NDJSON action line and corrupt
+    // the log for every reader — the JSON escape must cover it)
     val v = LT.appendDeltaForeign(spark, root,
-      Seq((3L, "c"), (4L, "x/y"), (5L, null.asInstanceOf[String]))
+      Seq((3L, "c"), (4L, "x/y"), (5L, null.asInstanceOf[String]),
+        (6L, "a\nb"))
         .toDF("id", "cat").repartition(col("cat")))
     assert(v == 1L)
     val logTxt = Files.readString(
@@ -491,13 +495,18 @@ class Round13Spec extends AnyFunSuite {
     val back = LT.readDeltaExport(spark, root)
     assert(back.as[(Long, String)].collect().toSet ==
       Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "x/y"),
-        (5L, null.asInstanceOf[String])))
+        (5L, null.asInstanceOf[String]), (6L, "a\nb")))
     // the appended adds' partitionValues plan like any other's
     val pruned = LT.readDeltaExport(spark, root,
       pruneWhere = Some("cat = 'x/y'"))
     assert(pruned.select($"id").as[Long].collect().toSet == Set(4L))
     assert(pruned.inputFiles.length == 1,
       s"the appended partition must plan ONE file: ${pruned.inputFiles.toSeq}")
+    // every committed line is one VALID JSON document (the raw-newline
+    // corruption class, pinned at the byte level)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    Files.readString(Paths.get(root, "_delta_log", f"${1L}%020d.json"))
+      .split('\n').filter(_.nonEmpty).foreach(l => mapper.readTree(l))
     // UNKNOWABLE partitioning still refuses: strip partitionColumns
     // from the metaData (a foreign checkpoint's omission) — the adds
     // still carry partitionValues, so appending blind would mis-lay
@@ -702,6 +711,44 @@ class Round13Spec extends AnyFunSuite {
     assert(pruned.select($"id").as[Long].collect().toSet == Set(3L))
     assert(pruned.inputFiles.length == 1,
       s"the appended partition must plan ONE file: ${pruned.inputFiles.toSeq}")
+    // an EVOLVED spec whose single field carries a non-positional
+    // field-id: the appended manifest's partition struct must write
+    // the spec's DECLARED id (an id-resolving reader would read the
+    // value as null under a positional 1000)
+    val md = new com.fasterxml.jackson.databind.ObjectMapper()
+    val dir = Paths.get(root, "metadata")
+    val hint = Files.readString(dir.resolve("version-hint.text")).trim
+    val mf = dir.resolve(s"v$hint.metadata.json")
+    val node = md.readTree(Files.readString(mf))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    node.get("partition-specs").elements().asScala.foreach { spec =>
+      spec.get("fields").elements().asScala.foreach { f =>
+        f.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          .put("field-id", 1007)
+        ()
+      }
+    }
+    Files.writeString(mf, node.toString)
+    IcebergMeta.appendIcebergForeign(spark, root,
+      Seq((5L, "e")).toDF("id", "cat").repartition(col("cat")))
+    val tip = IcebergMeta.snapshots(root).last
+    val appendManifest = new org.apache.avro.file.DataFileReader(
+      Paths.get(new org.apache.avro.file.DataFileReader(
+        Paths.get(tip.manifestList).toFile,
+        new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]())
+        .iterator().asScala.toSeq.last
+        .get("manifest_path").toString).toFile,
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    val partFieldId = appendManifest.getSchema
+      .getField("data_file").schema()
+      .getField("partition").schema()
+      .getFields.get(0).getObjectProp("field-id")
+    appendManifest.close()
+    assert(partFieldId.toString == "1007",
+      s"the appended struct must carry the spec's DECLARED id: $partFieldId")
+
     // a TRANSFORM spec refuses (the writer would have to evaluate it)
     val troot = freshRoot("ice_append_day")
     val rows = Seq((1L, java.sql.Timestamp.from(
