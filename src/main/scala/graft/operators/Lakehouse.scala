@@ -429,6 +429,33 @@ object Lakehouse {
     }
   }
 
+  private[graft] def foreignPartAppendDir(d: String): String =
+    TableCache.baseDir + "/delta_foreign_part_" +
+      java.nio.file.Paths.get(d).getFileName.toString
+
+  /** [[foreignAppendRoot]]'s PARTITIONED variant: the foreign Delta
+    * table is hive-partitioned by o_orderstatus, and the appended odd
+    * keys must land under the table's own partitioning with spec-form
+    * partitionValues per add — q212's oracle replays the log raw in
+    * DuckDB with hive_partitioning, so the appended layout AND values
+    * are validated by an independent reader. */
+  private[graft] def foreignPartAppendRoot(s: SparkSession, d: String): String = {
+    val root = foreignPartAppendDir(d)
+    foreignFixture(root, d) { () =>
+      LakehouseTable.create(
+        ordersSlice(s, d).filter(col("o_orderkey") % 2 === 0)
+          .repartition(col("o_orderstatus")),
+        root, partitionBy = Seq("o_orderstatus"))
+      LakehouseTable.exportDeltaLog(s, root)
+      ()
+    } { () =>
+      LakehouseTable.appendDeltaForeign(s, root,
+        ordersSlice(s, d).filter(col("o_orderkey") % 2 === 1)
+          .repartition(col("o_orderstatus")))
+      ()
+    }
+  }
+
   /** The Iceberg twin of [[foreignAppendRoot]]: a genuinely foreign
     * CHAIN appended to through [[IcebergMeta.appendIcebergForeign]] —
     * evens created natively, odds committed as a foreign snapshot.
@@ -1857,6 +1884,22 @@ object Lakehouse {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // PARTITIONED FOREIGN APPEND: the same evens/odds history, but
+    // the foreign table is hive-partitioned — the appended adds must
+    // lay out under the table's own partitioning and carry spec-form
+    // partitionValues. The ORACLE replays the appended log raw in
+    // DuckDB WITH hive_partitioning, so both the layout and the
+    // recorded values are validated independently.
+    "q212_delta_part_append" -> ((s, d) => {
+      val root = foreignPartAppendRoot(s, d)
+      LakehouseTable.readDeltaExport(s, root)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          Exact.moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // FOREIGN-CHAIN APPEND, Iceberg face (the q210 symmetry): evens
     // created natively, the graft manifest DELETED, odds committed as
     // a foreign snapshot (HadoopTables protocol: new manifest with
@@ -2888,6 +2931,34 @@ object Lakehouse {
             CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
             ${Exact.sqlMoneySum("o_totalprice")} AS sum_price
           FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // an independent replay of the PARTITIONED appended log: live
+    // files from the raw JSON actions, rows via hive_partitioning
+    // (the partition column exists only in dirs + partitionValues)
+    "q212_delta_part_append" ->
+      s"""WITH actions AS (
+            SELECT * FROM read_json('${foreignPartAppendDir("/root/testdata/sf0.01")}/_delta_log/*.json',
+              format='newline_delimited',
+              columns={add: 'STRUCT(path VARCHAR)',
+                       remove: 'STRUCT(path VARCHAR)'})),
+          adds AS (SELECT add.path AS p FROM actions WHERE add IS NOT NULL),
+          removes AS (SELECT remove.path AS p FROM actions WHERE remove IS NOT NULL),
+          -- log paths are percent-encoded per segment ('=' -> %3D);
+          -- the filesystem dirs carry the literal '='
+          live AS (
+            SELECT replace(p, '%3D', '=') AS p FROM adds
+            EXCEPT SELECT replace(p, '%3D', '=') FROM removes),
+          rows AS (
+            SELECT o_orderstatus, o_orderkey, o_totalprice, filename
+            FROM read_parquet('${foreignPartAppendDir("/root/testdata/sf0.01")}/data/*/*.parquet',
+              filename=true, hive_partitioning=true)),
+          kept AS (
+            SELECT r.* FROM rows r
+            JOIN live l ON right(r.filename, length(l.p)) = l.p)
+          SELECT o_orderstatus, count(*) AS n,
+            CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+            ${Exact.sqlMoneySum("o_totalprice")} AS sum_price
+          FROM kept GROUP BY 1 ORDER BY 1""",
 
     // drift deltas recomputed from the raw corpus: inserts = the new
     // crawl slice that survives the scrub, deletes = scrubbed originals

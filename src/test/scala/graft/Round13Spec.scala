@@ -923,6 +923,16 @@ class Round13Spec extends AnyFunSuite {
     assert(pPruned.inputFiles.length == 1,
       s"one status partition file: ${pPruned.inputFiles.toSeq}")
 
+    // the PARTITIONED appended log: 3 base + 3 appended status files;
+    // a partition predicate plans exactly the status's two (base +
+    // appended — the appended adds' partitionValues prune too)
+    val part = operators.Lakehouse.foreignPartAppendRoot(spark, d)
+    assert(LT.readDeltaExport(spark, part).inputFiles.length == 6)
+    val partPruned = LT.readDeltaExport(spark, part,
+      pruneWhere = Some("o_orderstatus = 'F'"))
+    assert(partPruned.inputFiles.length == 2,
+      s"base + appended F files: ${partPruned.inputFiles.toSeq}")
+
     val ts = operators.Lakehouse.eventsTsChainRoot(spark, d)
     assert(LT.readDeltaExport(spark, ts).inputFiles.length == 8)
     val tsPruned = LT.readDeltaExport(spark, ts, pruneWhere = Some(
