@@ -1865,10 +1865,13 @@ object LakehouseTable {
     * version (max of the JSON tail and the checkpoint — a log cleaned
     * below its checkpoint must not commit "version 0"), replays and
     * validates THAT state — a metaData schema matching `df` by name,
-    * type, and nullability, no column mapping, no column invariants or
-    * CHECK constraints (their write-side obligations need evaluation
-    * this writer does not do), and no writer feature outside the
-    * append-compatible set. PARTITIONED tables lay the rows out under
+    * type, and nullability, no column invariants or CHECK constraints
+    * (their write-side obligations need evaluation this writer does
+    * not do), and no writer feature outside the append-compatible set.
+    * COLUMN-MAPPED tables (name or id mode) append with the data
+    * lowered to PHYSICAL names + parquet field ids — stats keys,
+    * partitionValues keys, and id-mode resolution all live in physical
+    * space per the spec. PARTITIONED tables lay the rows out under
     * the table's own hive partitioning with spec-form partitionValues
     * per add (what a table whose partitioning is UNKNOWABLE — a
     * checkpoint omitting partitionColumns while its adds carry values —
@@ -1919,26 +1922,49 @@ object LakehouseTable {
         "them); appending blind would mis-lay the rows — refusing")
     val partCols = state.partitionCols
     val mapping = state.conf.getOrElse("delta.columnMapping.mode", "none")
-    require(mapping == "none",
+    require(mapping == "none" || mapping == "name" || mapping == "id",
       s"append under column mapping mode '$mapping' is not supported")
+    // an ACTIVE mapping requires every field to declare its physical
+    // name and id (the spec's invariant) — a field missing them cannot
+    // be written without guessing
+    if (mapping != "none")
+      require(struct.fields.forall(f =>
+          f.metadata.contains("delta.columnMapping.physicalName") &&
+            f.metadata.contains("delta.columnMapping.id")),
+        s"column mapping mode '$mapping' at $root is active but some " +
+          "schema fields lack physicalName/id metadata; refusing")
     require(!state.conf.keys.exists(_.startsWith("delta.constraints.")),
       "append to a table with CHECK constraints is not supported " +
         "(this writer does not evaluate them)")
     require(!struct.fields.exists(
         _.metadata.contains("delta.invariants")),
       "append to a table with column invariants is not supported")
+    // GENERATED and IDENTITY columns oblige the writer to compute
+    // values — refuse when any field actually declares one (legacy
+    // writer versions 4/6 only IMPLY the capability; the metadata says
+    // whether this table uses it)
+    require(!struct.fields.exists(
+        _.metadata.contains("delta.generationExpression")),
+      "append to a table with generated columns is not supported " +
+        "(this writer does not evaluate generation expressions)")
+    require(!struct.fields.exists(f => f.metadata.contains(
+        "delta.identity.start") || f.metadata.contains(
+        "delta.identity.allowExplicitInsert")),
+      "append to a table with identity columns is not supported " +
+        "(this writer does not allocate identity values)")
     val (minR, minW) = state.protocol
     val appendSafe = Set("appendOnly", "invariants", "deletionVectors",
-      "changeDataFeed", "timestampNtz", "v2Checkpoint")
+      "changeDataFeed", "timestampNtz", "v2Checkpoint", "columnMapping")
     if (minW >= 7) {
       val extra = state.writerFeatures.filterNot(appendSafe)
       require(extra.isEmpty,
         s"writer feature(s) ${extra.mkString(", ")} at $root impose " +
           "obligations an append-only writer cannot verify; refusing")
-    } else require(minW <= 2,
-      s"writer version $minW implies legacy features (constraints, " +
-        "generated/identity columns, column mapping) this writer does " +
-        "not evaluate; refusing")
+    } else require(minW <= 6,
+      // versions 3-6 imply constraints / generated+CDF / columnMapping /
+      // identity — each verified ABOVE against what the table actually
+      // declares, so the implied capability alone is append-safe
+      s"writer version $minW not supported")
     require(minR <= 3, s"reader version $minR not supported")
     // schema: exactly the table's columns, by (case-insensitive) name
     // and exact type — a silent cast would change values under readers.
@@ -1964,7 +1990,37 @@ object LakehouseTable {
       s"partitionColumns ${partMissing.mkString(", ")} at $root are " +
         "not in the table schema")
     val aligned = df.select(struct.fields.map(f => col(f.name)).toSeq: _*)
-    val rels = writeFilesRaw(aligned, root, partCols)
+    // under an active mapping the DATA lives under PHYSICAL names with
+    // parquet field ids (spec: stats keys, partitionValues keys, and
+    // id-mode resolution all run in physical space) — lower the frame
+    // and the partition layout before writing
+    val (physicalDf, physPartCols) =
+      if (mapping == "none") (aligned, partCols)
+      else {
+        val lowered = aligned.select(struct.fields.map { f =>
+          val md = new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("parquet.field.id",
+              f.metadata.getLong("delta.columnMapping.id"))
+            .build()
+          col(f.name).as(deltaPhysicalName(f), md)
+        }.toSeq: _*)
+        val physParts = partCols.map(c =>
+          deltaPhysicalName(struct.fields
+            .find(_.name.equalsIgnoreCase(c)).get))
+        (lowered, physParts)
+      }
+    val rels = {
+      // field ids must reach the parquet footers (id-mode readers
+      // resolve by them); scoped to this write
+      val idKey = "spark.sql.parquet.fieldId.write.enabled"
+      val prevId = spark.conf.getOption(idKey)
+      if (mapping != "none") spark.conf.set(idKey, "true")
+      try writeFilesRaw(physicalDf, root, physPartCols)
+      finally if (mapping != "none") prevId match {
+        case Some(v) => spark.conf.set(idKey, v)
+        case None    => spark.conf.unset(idKey)
+      }
+    }
     def esc(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"")
     val ts = System.currentTimeMillis()

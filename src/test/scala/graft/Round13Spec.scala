@@ -467,6 +467,55 @@ class Round13Spec extends AnyFunSuite {
     assert(exSchema.getMessage.contains("does not match"), exSchema.getMessage)
   }
 
+  test("foreign append under COLUMN MAPPING writes physical names + field ids") {
+    import spark.implicits._
+    val root = freshRoot("fa_mapped")
+    LT.create(Seq((1L, 10L), (2L, 20L)).toDF("id", "v").coalesce(1), root)
+    // a rename activates column mapping on the export: the log's
+    // schema carries physicalName/id metadata and mode=name
+    LT.alterRenameColumn(spark, root, "v", "val")
+    LT.exportDeltaLog(spark, root)
+    Files.walk(Paths.get(root, "_manifest")).iterator().asScala.toSeq
+      .sortBy(_.toString).reverse.foreach(Files.deleteIfExists(_))
+    val st = LT.readDeltaExport(spark, root)
+    assert(st.columns.toSeq == Seq("id", "val"))
+    // the append speaks LOGICAL names; the data must land physical
+    val ver = LT.appendDeltaForeign(spark, root,
+      Seq((3L, 30L), (4L, 40L)).toDF("id", "val").coalesce(1))
+    val back = LT.readDeltaExport(spark, root)
+    assert(back.as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
+    // byte-level: the appended parquet's FOOTER columns are the
+    // PHYSICAL names (the pre-rename 'v'), not the logical 'val'
+    val logTxt = Files.readString(Paths.get(root, "_delta_log",
+      f"$ver%020d.json"))
+    val addPath = """"path":"data\/([^"]+)"""".r
+      .findFirstMatchIn(logTxt.replace("\\/", "/")).map(_.group(1))
+      .orElse(""""path":"data/([^"]+)"""".r
+        .findFirstMatchIn(logTxt).map(_.group(1)))
+    assert(addPath.isDefined, logTxt.take(200))
+    val footCols = {
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(
+            Paths.get(root, "data", addPath.get).toString),
+          new org.apache.hadoop.conf.Configuration()))
+      try rd.getFooter.getFileMetaData.getSchema.getFields
+        .asScala.map(_.getName).toSeq
+      finally rd.close()
+    }
+    assert(footCols.contains("v") && !footCols.contains("val"),
+      s"appended data must use PHYSICAL column names: $footCols")
+    // and the appended stats (physical keys) still plan: a predicate
+    // only the new rows satisfy skips the base file
+    val pruned = LT.readDeltaExport(spark, root,
+      pruneWhere = Some("val >= 30"))
+    assert(pruned.as[(Long, Long)].collect().toSet ==
+      Set((3L, 30L), (4L, 40L)))
+    assert(pruned.inputFiles.length == 1,
+      s"mapped stats must skip the base file: ${pruned.inputFiles.toSeq}")
+  }
+
   test("foreign append lays out PARTITIONED tables with spec-form partitionValues") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
