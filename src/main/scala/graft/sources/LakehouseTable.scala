@@ -1933,6 +1933,23 @@ object LakehouseTable {
             f.metadata.contains("delta.columnMapping.id")),
         s"column mapping mode '$mapping' at $root is active but some " +
           "schema fields lack physicalName/id metadata; refusing")
+    // NESTED fields under mapping carry their own physical names/ids,
+    // which the top-level lowering below does not rewrite — committing
+    // logical nested names would serve NULL to every spec reader.
+    // Refuse rather than corrupt (flat schemas are this engine's whole
+    // surface; nested mapped appends need a recursive lowering).
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    def hasNested(dt: DataType): Boolean = dt match {
+      case _: StructType => true
+      case a: ArrayType  => hasNested(a.elementType)
+      case m: MapType    => hasNested(m.keyType) || hasNested(m.valueType)
+      case _ => false
+    }
+    if (mapping != "none")
+      require(!struct.fields.exists(f => hasNested(f.dataType)),
+        s"append under column mapping supports FLAT schemas only at " +
+          s"$root (nested fields carry their own physical names this " +
+          "writer does not rewrite)")
     require(!state.conf.keys.exists(_.startsWith("delta.constraints.")),
       "append to a table with CHECK constraints is not supported " +
         "(this writer does not evaluate them)")
@@ -1960,10 +1977,11 @@ object LakehouseTable {
       require(extra.isEmpty,
         s"writer feature(s) ${extra.mkString(", ")} at $root impose " +
           "obligations an append-only writer cannot verify; refusing")
-    } else require(minW <= 6,
+    } else require(minW >= 1 && minW <= 6,
       // versions 3-6 imply constraints / generated+CDF / columnMapping /
       // identity — each verified ABOVE against what the table actually
-      // declares, so the implied capability alone is append-safe
+      // declares, so the implied capability alone is append-safe; out-
+      // of-range values mean a malformed foreign protocol action
       s"writer version $minW not supported")
     require(minR <= 3, s"reader version $minR not supported")
     // schema: exactly the table's columns, by (case-insensitive) name
@@ -1989,7 +2007,12 @@ object LakehouseTable {
     require(partMissing.isEmpty,
       s"partitionColumns ${partMissing.mkString(", ")} at $root are " +
         "not in the table schema")
-    val aligned = df.select(struct.fields.map(f => col(f.name)).toSeq: _*)
+    // logical names may contain dots under column mapping (the name
+    // class the feature exists to permit): backtick-quote so col()
+    // does not parse them as struct access
+    def q(n: String): org.apache.spark.sql.Column =
+      col("`" + n.replace("`", "``") + "`")
+    val aligned = df.select(struct.fields.map(f => q(f.name)).toSeq: _*)
     // under an active mapping the DATA lives under PHYSICAL names with
     // parquet field ids (spec: stats keys, partitionValues keys, and
     // id-mode resolution all run in physical space) — lower the frame
@@ -2002,25 +2025,22 @@ object LakehouseTable {
             .putLong("parquet.field.id",
               f.metadata.getLong("delta.columnMapping.id"))
             .build()
-          col(f.name).as(deltaPhysicalName(f), md)
+          q(f.name).as(deltaPhysicalName(f), md)
         }.toSeq: _*)
         val physParts = partCols.map(c =>
           deltaPhysicalName(struct.fields
             .find(_.name.equalsIgnoreCase(c)).get))
+        // field ids must reach the parquet footers (id-mode readers
+        // resolve by them). Set MONOTONICALLY, never restored: the flag
+        // is inert for schemas without parquet.field.id metadata (only
+        // mapped appends attach it), and a set/restore dance on the
+        // SHARED session conf would let one racing append clear the
+        // flag mid-way through another's write job — footers without
+        // ids, every id-mode reader serving null
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
         (lowered, physParts)
       }
-    val rels = {
-      // field ids must reach the parquet footers (id-mode readers
-      // resolve by them); scoped to this write
-      val idKey = "spark.sql.parquet.fieldId.write.enabled"
-      val prevId = spark.conf.getOption(idKey)
-      if (mapping != "none") spark.conf.set(idKey, "true")
-      try writeFilesRaw(physicalDf, root, physPartCols)
-      finally if (mapping != "none") prevId match {
-        case Some(v) => spark.conf.set(idKey, v)
-        case None    => spark.conf.unset(idKey)
-      }
-    }
+    val rels = writeFilesRaw(physicalDf, root, physPartCols)
     def esc(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"")
     val ts = System.currentTimeMillis()

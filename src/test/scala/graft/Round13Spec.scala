@@ -459,7 +459,8 @@ class Round13Spec extends AnyFunSuite {
       s"a racing append lost a committed batch: $after")
     assert(LT.deltaLogVersions(root) == (0L to 7L),
       "6 racing appends over v1 must land as versions 2..7, gap-free")
-    // refusals: schema mismatch, partitioned table, column mapping
+    // refusals: schema mismatch (partitioned, mapped, generated-column
+    // coverage lives in the dedicated tests below)
     val exSchema = intercept[IllegalArgumentException] {
       LT.appendDeltaForeign(spark, freshForeign("fa_schema"),
         Seq((1, "x")).toDF("id", "s"))
@@ -514,6 +515,43 @@ class Round13Spec extends AnyFunSuite {
       Set((3L, 30L), (4L, 40L)))
     assert(pruned.inputFiles.length == 1,
       s"mapped stats must skip the base file: ${pruned.inputFiles.toSeq}")
+
+    // ID MODE: flip the mode conf — the reader now resolves columns by
+    // parquet FIELD ID, which only works on files that CARRY ids (the
+    // fixture's base v0 file predates the mapping, so the pin reads a
+    // pruned slice planning only APPENDED files — exactly the rows
+    // whose footers this append wrote; a footer without ids would fail
+    // the read outright, proving the ids landed)
+    (0L to ver).foreach { n =>
+      val lf2 = Paths.get(root, "_delta_log", f"$n%020d.json")
+      Files.writeString(lf2, Files.readString(lf2).replace(
+        """"delta.columnMapping.mode":"name"""",
+        """"delta.columnMapping.mode":"id""""))
+    }
+    val ver2 = LT.appendDeltaForeign(spark, root,
+      Seq((5L, 50L)).toDF("id", "val").coalesce(1))
+    assert(ver2 == ver + 1)
+    val idSlice = LT.readDeltaExport(spark, root, useCheckpoint = false,
+      pruneWhere = Some("val >= 30"))
+    assert(idSlice.as[(Long, Long)].collect().toSet ==
+      Set((3L, 30L), (4L, 40L), (5L, 50L)),
+      "id-mode resolution must serve the appended rows via field ids")
+    assert(idSlice.inputFiles.length == 2,
+      s"only the two appended files: ${idSlice.inputFiles.toSeq}")
+
+    // GENERATED columns refuse: a declared generation expression is a
+    // write obligation this writer cannot compute
+    val genRoot = freshForeign("fa_generated")
+    val glf = Paths.get(genRoot, "_delta_log", f"${0L}%020d.json")
+    Files.writeString(glf, Files.readString(glf).replace(
+      """{\"name\":\"v\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}}""",
+      """{\"name\":\"v\",\"type\":\"long\",\"nullable\":true,\"metadata\":{\"delta.generationExpression\":\"id + 1\"}}"""))
+    assert(Files.readString(glf).contains("generationExpression"))
+    val exGen = intercept[IllegalArgumentException] {
+      LT.appendDeltaForeign(spark, genRoot,
+        Seq((2L, 3L)).toDF("id", "v").coalesce(1))
+    }
+    assert(exGen.getMessage.contains("generated columns"), exGen.getMessage)
   }
 
   test("foreign append lays out PARTITIONED tables with spec-form partitionValues") {
