@@ -2346,10 +2346,14 @@ object IcebergMeta {
     * validates the append is one it cannot corrupt — format-version 2
     * ONLY (v1 lacks sequence numbers; v3 would need row-lineage fields
     * this writer does not produce), current schema matching `df` by
-    * name, type, and required-ness, an IDENTITY-only default spec
-    * (identity tuples are the source values, laid out hive-style with
-    * partition structs; transform specs would need this writer to
-    * evaluate the transform per row — refused) — writes the rows as
+    * name, type, and required-ness, and a default spec whose every
+    * field is identity OR a transform this writer can EVALUATE —
+    * day/month/year/hour (UTC epoch arithmetic, tz-independent),
+    * bucket[N] (the spec's murmur3 over Appendix-B byte forms),
+    * truncate[W] — laying the rows out hive-style under the evaluated
+    * layout columns with the evaluated values in the partition structs
+    * (the day-partitioned table is the append shape real pipelines
+    * commit daily; unknown transforms refuse) — writes the rows as
     * parquet under `root/data` (via the Delta face's shared
     * [[LakehouseTable.writeFilesRaw]] protocol), wraps them in ONE
     * new manifest with full column metrics (value/null/NaN counts,
@@ -2398,16 +2402,19 @@ object IcebergMeta {
     val specFields = md.get("partition-specs").elements().asScala
       .find(_.get("spec-id").asInt() == defaultSpecId)
       .map(_.get("fields").elements().asScala.toSeq).getOrElse(Nil)
-    // IDENTITY-partitioned chains append fine (hive layout + partition
-    // structs); transform specs would need this writer to EVALUATE the
-    // transform per row — refuse those rather than mis-bucket
-    val nonIdentity = specFields
-      .filter(_.get("transform").asText() != "identity")
-    require(nonIdentity.isEmpty,
-      s"append to a chain partitioned by non-identity transform(s) " +
-        s"${nonIdentity.map(f => f.get("transform").asText() + "(" +
+    // IDENTITY fields pass source values through; the supported
+    // TRANSFORMS (day/month/year/hour, bucket[N], truncate[W]) are
+    // EVALUATED per row with [[IcebergTransforms]]' own arithmetic —
+    // the day-partitioned table is the append shape real pipelines
+    // commit daily. Unknown transforms refuse rather than mis-bucket.
+    val unknownTr = specFields.filter(f =>
+      f.get("transform").asText() != "identity" &&
+        IcebergTransforms.parse(f.get("transform").asText()).isEmpty)
+    require(unknownTr.isEmpty,
+      s"append to a chain partitioned by unsupported transform(s) " +
+        s"${unknownTr.map(f => f.get("transform").asText() + "(" +
           f.get("name").asText() + ")").mkString(", ")} at $root is " +
-        "not supported (the writer would have to evaluate the transform)")
+        "not supported (this writer cannot evaluate them)")
     // schema: exactly the current schema's columns by name, type, and
     // REQUIRED-ness (appending a nullable column into a required field
     // would violate the contract for every reader)
@@ -2424,37 +2431,111 @@ object IcebergMeta {
       s"append schema ${df.schema.simpleString} does not match the " +
         s"chain's current schema at $root (names, types, and " +
         "required-ness must all be compatible)")
-    // identity spec fields → (spec field name, source column, type,
-    // the spec's DECLARED partition field id): the hive dirs key on
-    // the SOURCE column; the partition struct keys on the SPEC field
-    // name and id (an evolved spec's single field may carry 1001 — a
-    // positional 1000+i would make id-resolving readers serve null)
+    // spec fields → everything the layout and the partition struct
+    // need: the spec's DECLARED field-id (an evolved spec's field may
+    // carry 1001 — positional 1000+i would make id-resolving readers
+    // serve null), the LAYOUT column the hive dirs key on (the source
+    // column for identity; a derived column named like the spec field
+    // for transforms), the struct's VALUE type (date for day, int for
+    // month/year/hour/bucket, the source type for identity/truncate),
+    // and the transform's row-level evaluation — tz-independent: the
+    // temporal derivations run on epoch arithmetic, never session-tz
+    // calendar functions (spec: transforms count UTC units from epoch)
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.{expr, floor, pmod, substring, udf}
     val byId = fields.map(f => f._4 -> f).toMap
-    val partFields: Seq[(String, String,
-        org.apache.spark.sql.types.DataType, Int)] =
-      specFields.map { sf =>
-        val srcId = sf.get("source-id").asInt()
-        val src = byId.getOrElse(srcId, throw new IllegalArgumentException(
+    case class PartField(specName: String, srcCol: String,
+        structDt: DataType, fieldId: Int, layoutCol: String,
+        derived: Option[org.apache.spark.sql.Column])
+    def utcDate(src: String) = expr(
+      s"date_from_unix_date(CAST(floor(unix_micros(`$src`) / " +
+        "86400000000) AS INT))")
+    val partFields: Seq[PartField] = specFields.map { sf =>
+      val srcId = sf.get("source-id").asInt()
+      val (srcCol, srcDt, _, _) = byId.getOrElse(srcId,
+        throw new IllegalArgumentException(
           s"partition source field id $srcId is not in the current " +
             s"schema at $root"))
-        (sf.get("name").asText(), src._1, src._2,
-          sf.get("field-id").asInt())
+      val specName = sf.get("name").asText()
+      val fid = sf.get("field-id").asInt()
+      def bad(why: String) = throw new IllegalArgumentException(
+        s"append cannot evaluate ${sf.get("transform").asText()}" +
+          s"($srcCol: ${srcDt.simpleString}) at $root: $why")
+      IcebergTransforms.parse(sf.get("transform").asText()) match {
+        case None => // identity
+          if (!supportedPartitionType(srcDt))
+            bad("unsupported identity partition type")
+          PartField(specName, srcCol, srcDt, fid, srcCol, None)
+        case Some(tr) =>
+          require(!fields.exists(_._1.equalsIgnoreCase(specName)),
+            s"transform partition field '$specName' at $root collides " +
+              "with a schema column; the layout column cannot be added")
+          val (dt, c) = (tr, srcDt) match {
+            case (IcebergTransforms.Day, TimestampType) =>
+              (DateType, utcDate(srcCol))
+            case (IcebergTransforms.Day, DateType) =>
+              (DateType, col(srcCol))
+            case (IcebergTransforms.Hour, TimestampType) =>
+              (IntegerType, expr(s"CAST(floor(unix_micros(`$srcCol`) / " +
+                "3600000000) AS INT)"))
+            case (IcebergTransforms.Month, TimestampType | DateType) =>
+              val d = if (srcDt == DateType) col(srcCol) else utcDate(srcCol)
+              (IntegerType, ((org.apache.spark.sql.functions.year(d) -
+                1970) * 12 +
+                org.apache.spark.sql.functions.month(d) - 1).cast(IntegerType))
+            case (IcebergTransforms.Year, TimestampType | DateType) =>
+              val d = if (srcDt == DateType) col(srcCol) else utcDate(srcCol)
+              (IntegerType,
+                (org.apache.spark.sql.functions.year(d) - 1970)
+                  .cast(IntegerType))
+            case (IcebergTransforms.Bucket(n), _) =>
+              val h: org.apache.spark.sql.Column = srcDt match {
+                case LongType | IntegerType | ShortType | ByteType =>
+                  udf((x: java.lang.Long) => if (x == null) null
+                    else Integer.valueOf((IcebergTransforms
+                      .bucketHashLong(x.longValue()) & Int.MaxValue) % n))
+                    .apply(col(srcCol).cast(LongType))
+                case TimestampType =>
+                  udf((x: java.lang.Long) => if (x == null) null
+                    else Integer.valueOf((IcebergTransforms
+                      .bucketHashLong(x.longValue()) & Int.MaxValue) % n))
+                    .apply(expr(s"unix_micros(`$srcCol`)"))
+                case DateType =>
+                  udf((x: java.lang.Integer) => if (x == null) null
+                    else Integer.valueOf((IcebergTransforms
+                      .bucketHashLong(x.longValue()) & Int.MaxValue) % n))
+                    .apply(expr(s"unix_date(`$srcCol`)"))
+                case StringType =>
+                  udf((s: String) => if (s == null) null
+                    else Integer.valueOf((IcebergTransforms
+                      .bucketHashString(s) & Int.MaxValue) % n))
+                    .apply(col(srcCol))
+                case _ => bad("bucket has no Appendix-B byte form here")
+              }
+              (IntegerType, h)
+            case (IcebergTransforms.Truncate(w), LongType | IntegerType |
+                ShortType | ByteType) =>
+              (srcDt, (col(srcCol) - pmod(col(srcCol),
+                org.apache.spark.sql.functions.lit(w))).cast(srcDt))
+            case (IcebergTransforms.Truncate(w), StringType) =>
+              (StringType, substring(col(srcCol), 1, w))
+            case _ => bad("undefined transform/source-type combination")
+          }
+          PartField(specName, srcCol, dt, fid, specName, Some(c))
       }
-    // type support is checked BEFORE the data write: a post-write
-    // schema failure would orphan the files with a misleading error
-    val unsupported = partFields.filterNot(p => supportedPartitionType(p._3))
-    require(unsupported.isEmpty,
-      s"append cannot serialize identity partition value(s) of type " +
-        s"${unsupported.map(p => s"${p._2}: ${p._3.simpleString}")
-          .mkString(", ")} at $root")
+    }
     val aligned = df.select(fields.map(f => col(f._1)): _*)
+    val laidOut = partFields.foldLeft(aligned) { (acc, p) =>
+      p.derived.fold(acc)(c => acc.withColumn(p.layoutCol, c))
+    }
     // data files under root/data, unique names — ONE write protocol
     // with the Delta face (micros timestamps, staged + uuid-prefixed
-    // atomic moves, hive layout for partitioned tables): the two
-    // appends must not drift
+    // atomic moves, hive layout keyed by the layout columns, which
+    // partitionBy excludes from the data files): the appends must not
+    // drift
     val uuid = java.util.UUID.randomUUID().toString
     val written = LakehouseTable
-      .writeFilesRaw(aligned, root, partFields.map(_._2))
+      .writeFilesRaw(laidOut, root, partFields.map(_.layoutCol))
       .map(rel => (rel, Paths.get(root, "data").resolve(rel)))
     val lastSeq = md.get("last-sequence-number").asLong()
     val seq = lastSeq + 1
@@ -2463,25 +2544,25 @@ object IcebergMeta {
       .md5Hex(s"iceberg-append:$root#$seq#$curN#$uuid").take(15), 16)
     // one manifest of the adds, with FULL column metrics from footers.
     // The partition struct keys on the SPEC field names and DECLARED
-    // ids with the source columns' types (identity values are the
-    // source values).
+    // ids with each field's VALUE type (identity = the source value,
+    // transforms = the evaluated unit/bucket/prefix).
     val cols = fields.map { case (n, dt, _, id) =>
       n.toLowerCase -> ((id, dt)) }.toMap
     val entrySchema = manifestEntrySchemaIds(
-      partFields.map { case (specName, _, dt, fid) => (specName, dt, fid) })
+      partFields.map(p => (p.specName, p.structDt, p.fieldId)))
     val dataFileSchema = entrySchema.getField("data_file").schema()
     val partSchema = dataFileSchema.getField("partition").schema()
     // one file's hive dirs → the partition struct: dirs key on the
-    // SOURCE column name, the struct on the spec field name. ONE
-    // shared dir parse with the Delta face (hivePartPairs).
+    // LAYOUT column, the struct on the spec field name. ONE shared
+    // dir parse with the Delta face (hivePartPairs).
     def partRecord(rel: String): GenericData.Record = {
       val rec = new GenericData.Record(partSchema)
       val dirVals = LakehouseTable.hivePartPairs(rel)
         .map { case (k, ov) => k.toLowerCase -> ov }.toMap
-      partFields.foreach { case (specName, srcCol, dt, _) =>
-        rec.put(specName,
-          dirVals.get(srcCol.toLowerCase).flatten
-            .map(typedPartitionValue(dt, _)).orNull)
+      partFields.foreach { p =>
+        rec.put(p.specName,
+          dirVals.get(p.layoutCol.toLowerCase).flatten
+            .map(typedPartitionValue(p.structDt, _)).orNull)
       }
       rec
     }

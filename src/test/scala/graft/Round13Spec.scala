@@ -775,7 +775,7 @@ class Round13Spec extends AnyFunSuite {
     assert(exSchema.getMessage.contains("does not match"), exSchema.getMessage)
   }
 
-  test("iceberg foreign append: identity-partitioned chains append; transform specs refuse") {
+  test("iceberg foreign append under identity, day, and bucket specs; unknown transforms refuse") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, expr}
     val root = freshRoot("ice_append_part")
@@ -836,21 +836,71 @@ class Round13Spec extends AnyFunSuite {
     assert(partFieldId.toString == "1007",
       s"the appended struct must carry the spec's DECLARED id: $partFieldId")
 
-    // a TRANSFORM spec refuses (the writer would have to evaluate it)
+    // a day(ts) TRANSFORM spec appends too — the append shape real
+    // pipelines commit daily: the writer EVALUATES the transform per
+    // row (UTC epoch arithmetic) and the appended struct values prune
     val troot = freshRoot("ice_append_day")
-    val rows = Seq((1L, java.sql.Timestamp.from(
-      java.time.Instant.parse("2024-01-01T06:00:00Z"))))
-    transformChain(troot, rows.toDF("id", "ts")
-      .withColumn("ts_day", expr("date_from_unix_date(CAST(" +
-        "floor(unix_micros(ts) / 86400000000) AS INT))")),
+    def at(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    transformChain(troot,
+      Seq((1L, at("2024-01-01T06:00:00Z")), (2L, at("2024-01-02T06:00:00Z")))
+        .toDF("id", "ts")
+        .withColumn("ts_day", expr("date_from_unix_date(CAST(" +
+          "floor(unix_micros(ts) / 86400000000) AS INT))")),
       "ts_day", "day", "ts")
-    val ex = intercept[IllegalArgumentException] {
-      IcebergMeta.appendIcebergForeign(spark, troot,
-        Seq((2L, java.sql.Timestamp.from(
-          java.time.Instant.parse("2024-01-02T06:00:00Z"))))
-          .toDF("id", "ts"))
+    IcebergMeta.appendIcebergForeign(spark, troot,
+      Seq((3L, at("2024-01-02T18:00:00Z")), (4L, at("2024-01-03T06:00:00Z")))
+        .toDF("id", "ts"))
+    val dayBack = IcebergMeta.readIceberg(spark, troot)
+    assert(dayBack.select($"id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L, 4L))
+    // the appended files' day values derive pruning: day 3 exists only
+    // in the appended commit; day 2 spans a base and an appended file
+    val day3 = IcebergMeta.readIceberg(spark, troot, pruneWhere = Some(
+      "ts >= TIMESTAMP '2024-01-03 00:00:00' AND " +
+        "ts < TIMESTAMP '2024-01-04 00:00:00'"))
+    assert(day3.select($"id").as[Long].collect().toSet == Set(4L))
+    assert(day3.inputFiles.length == 1,
+      s"the appended day must plan ONE file: ${day3.inputFiles.toSeq}")
+    val day2 = IcebergMeta.readIceberg(spark, troot, pruneWhere = Some(
+      "ts >= TIMESTAMP '2024-01-02 00:00:00' AND " +
+        "ts < TIMESTAMP '2024-01-03 00:00:00'"))
+    assert(day2.select($"id").as[Long].collect().toSet == Set(2L, 3L))
+    assert(day2.inputFiles.length == 2,
+      s"base + appended day-2 files: ${day2.inputFiles.toSeq}")
+
+    // a BUCKET spec appends with the spec's own murmur3 placement: the
+    // appended key must plan (and serve) from its single bucket file
+    val broot = freshRoot("ice_append_bucket")
+    val bucketOf = org.apache.spark.sql.functions.udf((k: java.lang.Long) =>
+      Integer.valueOf((IcebergTransforms.bucketHashLong(k.longValue())
+        & Int.MaxValue) % 4))
+    transformChain(broot, (1L to 20L).map(k => (k, k * 10)).toDF("k", "v")
+      .withColumn("kb", bucketOf(col("k"))),
+      "kb", "bucket[4]", "k")
+    IcebergMeta.appendIcebergForeign(spark, broot,
+      Seq((21L, 210L), (22L, 220L)).toDF("k", "v")
+        .repartition(col("k")))
+    val b21 = IcebergMeta.readIceberg(spark, broot,
+      pruneWhere = Some("k = 21"))
+    assert(b21.select($"v").as[Long].collect().toSeq == Seq(210L))
+    assert(b21.inputFiles.length <= 2,
+      s"only bucket(21)'s base + appended files: ${b21.inputFiles.toSeq}")
+
+    // an UNKNOWN transform still refuses
+    val uroot = freshRoot("ice_append_unknown")
+    transformChain(uroot, Seq((1L, 5L)).toDF("id", "x")
+      .withColumn("xt", (col("x") * 0).cast("int")),
+      "xt", "truncate[10]", "x")
+    val umf = Paths.get(uroot, "metadata")
+    val uhint = Files.readString(umf.resolve("version-hint.text")).trim
+    val un = Files.readString(umf.resolve(s"v$uhint.metadata.json"))
+      .replace("\"transform\":\"truncate[10]\"", "\"transform\":\"zorder\"")
+    Files.writeString(umf.resolve(s"v$uhint.metadata.json"), un)
+    val exU = intercept[IllegalArgumentException] {
+      IcebergMeta.appendIcebergForeign(spark, uroot,
+        Seq((2L, 6L)).toDF("id", "x"))
     }
-    assert(ex.getMessage.contains("non-identity transform"), ex.getMessage)
+    assert(exU.getMessage.contains("unsupported transform"), exU.getMessage)
   }
 
   test("iceberg foreign append: refs.main advances, v1 refuses, empty chain gets a first snapshot") {
