@@ -2442,14 +2442,21 @@ object IcebergMeta {
     // temporal derivations run on epoch arithmetic, never session-tz
     // calendar functions (spec: transforms count UTC units from epoch)
     import org.apache.spark.sql.types._
-    import org.apache.spark.sql.functions.{expr, floor, pmod, substring, udf}
+    import org.apache.spark.sql.functions.{expr, pmod, substring, udf}
     val byId = fields.map(f => f._4 -> f).toMap
     case class PartField(specName: String, srcCol: String,
         structDt: DataType, fieldId: Int, layoutCol: String,
         derived: Option[org.apache.spark.sql.Column])
+    // EXACT integer floor-division in LONG space: `/` on longs is
+    // DOUBLE division, which misclassifies boundary instants once the
+    // quotient's half-ulp exceeds a unit — the reader's temporalRange
+    // is exact BigDecimal arithmetic, so a rounded-up day value would
+    // make it wrongly prune the file's boundary rows
+    def floorDivSql(m: String, d: Long): String =
+      s"(($m) - pmod($m, ${d}L)) DIV ${d}L"
     def utcDate(src: String) = expr(
-      s"date_from_unix_date(CAST(floor(unix_micros(`$src`) / " +
-        "86400000000) AS INT))")
+      s"date_from_unix_date(CAST(${floorDivSql(
+        s"unix_micros(`$src`)", 86400000000L)} AS INT))")
     val partFields: Seq[PartField] = specFields.map { sf =>
       val srcId = sf.get("source-id").asInt()
       val (srcCol, srcDt, _, _) = byId.getOrElse(srcId,
@@ -2476,8 +2483,8 @@ object IcebergMeta {
             case (IcebergTransforms.Day, DateType) =>
               (DateType, col(srcCol))
             case (IcebergTransforms.Hour, TimestampType) =>
-              (IntegerType, expr(s"CAST(floor(unix_micros(`$srcCol`) / " +
-                "3600000000) AS INT)"))
+              (IntegerType, expr(s"CAST(${floorDivSql(
+                s"unix_micros(`$srcCol`)", 3600000000L)} AS INT)"))
             case (IcebergTransforms.Month, TimestampType | DateType) =>
               val d = if (srcDt == DateType) col(srcCol) else utcDate(srcCol)
               (IntegerType, ((org.apache.spark.sql.functions.year(d) -
@@ -2489,28 +2496,27 @@ object IcebergMeta {
                 (org.apache.spark.sql.functions.year(d) - 1970)
                   .cast(IntegerType))
             case (IcebergTransforms.Bucket(n), _) =>
+              // ONE hash body: every integral/temporal type buckets as
+              // its 8-byte-LE long (Appendix B) — only the long-valued
+              // input expression differs per type
+              val bucketLong = udf((x: java.lang.Long) =>
+                if (x == null) null
+                else Integer.valueOf((IcebergTransforms
+                  .bucketHashLong(x.longValue()) & Int.MaxValue) % n))
               val h: org.apache.spark.sql.Column = srcDt match {
                 case LongType | IntegerType | ShortType | ByteType =>
-                  udf((x: java.lang.Long) => if (x == null) null
-                    else Integer.valueOf((IcebergTransforms
-                      .bucketHashLong(x.longValue()) & Int.MaxValue) % n))
-                    .apply(col(srcCol).cast(LongType))
+                  bucketLong(col(srcCol).cast(LongType))
                 case TimestampType =>
-                  udf((x: java.lang.Long) => if (x == null) null
-                    else Integer.valueOf((IcebergTransforms
-                      .bucketHashLong(x.longValue()) & Int.MaxValue) % n))
-                    .apply(expr(s"unix_micros(`$srcCol`)"))
+                  bucketLong(expr(s"unix_micros(`$srcCol`)"))
                 case DateType =>
-                  udf((x: java.lang.Integer) => if (x == null) null
-                    else Integer.valueOf((IcebergTransforms
-                      .bucketHashLong(x.longValue()) & Int.MaxValue) % n))
-                    .apply(expr(s"unix_date(`$srcCol`)"))
+                  bucketLong(expr(s"CAST(unix_date(`$srcCol`) AS BIGINT)"))
                 case StringType =>
                   udf((s: String) => if (s == null) null
                     else Integer.valueOf((IcebergTransforms
                       .bucketHashString(s) & Int.MaxValue) % n))
                     .apply(col(srcCol))
-                case _ => bad("bucket has no Appendix-B byte form here")
+                case _ => bad("this writer does not implement the " +
+                  "Appendix-B byte form for this source type")
               }
               (IntegerType, h)
             case (IcebergTransforms.Truncate(w), LongType | IntegerType |
@@ -2519,7 +2525,9 @@ object IcebergMeta {
                 org.apache.spark.sql.functions.lit(w))).cast(srcDt))
             case (IcebergTransforms.Truncate(w), StringType) =>
               (StringType, substring(col(srcCol), 1, w))
-            case _ => bad("undefined transform/source-type combination")
+            case _ => bad("this writer does not evaluate the transform " +
+              "for this source type (the spec may define it; the " +
+              "limitation is this writer's)")
           }
           PartField(specName, srcCol, dt, fid, specName, Some(c))
       }
@@ -2527,6 +2535,25 @@ object IcebergMeta {
     val aligned = df.select(fields.map(f => col(f._1)): _*)
     val laidOut = partFields.foldLeft(aligned) { (acc, p) =>
       p.derived.fold(acc)(c => acc.withColumn(p.layoutCol, c))
+    }
+    // EMPTY-STRING transform values are unrecoverable from the hive
+    // layout (Spark writes '' as __HIVE_DEFAULT_PARTITION__, which
+    // reconstructs as struct NULL): for a truncate[W] string field the
+    // SOURCE column physically holds '' rows inside the data file, so
+    // an all-null struct value would make the pruning reader wrongly
+    // skip them. Refuse before writing — one filter over the append
+    // batch, only when a string-valued transform layout exists.
+    val strTransformCols = partFields
+      .filter(p => p.derived.isDefined && p.structDt == StringType)
+      .map(_.layoutCol)
+    if (strTransformCols.nonEmpty) {
+      val emptyPred = strTransformCols
+        .map(c => col(c) === "").reduce(_ || _)
+      require(laidOut.filter(emptyPred).isEmpty,
+        s"append batch contains empty-string value(s) for transform " +
+          s"partition field(s) ${strTransformCols.mkString(", ")} at " +
+          s"$root; the hive layout cannot represent '' distinctly from " +
+          "null and the struct value would wrongly prune the rows")
     }
     // data files under root/data, unique names — ONE write protocol
     // with the Delta face (micros timestamps, staged + uuid-prefixed

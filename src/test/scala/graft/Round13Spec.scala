@@ -886,6 +886,44 @@ class Round13Spec extends AnyFunSuite {
     assert(b21.inputFiles.length <= 2,
       s"only bucket(21)'s base + appended files: ${b21.inputFiles.toSeq}")
 
+    // TRUNCATE appends, both arms: int ranges (incl. a negative key,
+    // where the floored mod matters) and string prefixes
+    val tiroot = freshRoot("ice_append_trunc_int")
+    transformChain(tiroot, Seq(5L, 150L, -30L).map(k => (k, k * 2))
+      .toDF("k", "v")
+      .withColumn("k_t", expr("CAST(k - ((k % 100) + 100) % 100 AS BIGINT)")),
+      "k_t", "truncate[100]", "k")
+    IcebergMeta.appendIcebergForeign(spark, tiroot,
+      Seq((250L, 500L), (-150L, -300L)).toDF("k", "v")
+        .repartition(col("k")))
+    val ti = IcebergMeta.readIceberg(spark, tiroot,
+      pruneWhere = Some("k >= 200 AND k <= 299"))
+    assert(ti.select($"k").as[Long].collect().toSet == Set(250L))
+    assert(ti.inputFiles.length == 1, ti.inputFiles.toSeq.toString)
+    val tneg = IcebergMeta.readIceberg(spark, tiroot,
+      pruneWhere = Some("k = -150"))
+    assert(tneg.select($"v").as[Long].collect().toSeq == Seq(-300L))
+    assert(tneg.inputFiles.length == 1,
+      s"the floored negative bucket [-200,-101]: ${tneg.inputFiles.toSeq}")
+
+    val tsroot = freshRoot("ice_append_trunc_str")
+    transformChain(tsroot, Seq((1L, "apple"), (2L, "banana")).toDF("id", "s")
+      .withColumn("s_t", substring(col("s"), 1, 2)),
+      "s_t", "truncate[2]", "s")
+    IcebergMeta.appendIcebergForeign(spark, tsroot,
+      Seq((3L, "cherry"), (4L, "apricot")).toDF("id", "s")
+        .repartition(col("s")))
+    val tstr = IcebergMeta.readIceberg(spark, tsroot,
+      pruneWhere = Some("s = 'cherry'"))
+    assert(tstr.select($"id").as[Long].collect().toSet == Set(3L))
+    assert(tstr.inputFiles.length == 1, tstr.inputFiles.toSeq.toString)
+    // '' is unrepresentable in the hive layout: refuse, never mis-prune
+    val exEmpty = intercept[IllegalArgumentException] {
+      IcebergMeta.appendIcebergForeign(spark, tsroot,
+        Seq((5L, "")).toDF("id", "s"))
+    }
+    assert(exEmpty.getMessage.contains("empty-string"), exEmpty.getMessage)
+
     // an UNKNOWN transform still refuses
     val uroot = freshRoot("ice_append_unknown")
     transformChain(uroot, Seq((1L, 5L)).toDF("id", "x")
