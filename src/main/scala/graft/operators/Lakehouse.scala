@@ -372,12 +372,13 @@ object Lakehouse {
     * table + export, then the graft manifest is DELETED so only the
     * open format remains, then `append` commits through the foreign
     * path. */
-  private def foreignFixture(root: String, d: String)(
+  private def foreignFixture(root: String, d: String,
+      srcTable: String = "orders.parquet")(
       build: () => Unit)(append: () => Unit): String = {
     import java.nio.file.{Files, Paths}
     val rootPath = Paths.get(root)
     val stampFile = rootPath.resolve("_foreign_stamp")
-    val src = Paths.get(d, "orders.parquet")
+    val src = Paths.get(d, srcTable)
     val stamp = s"$d:${Files.size(src)}:" +
       s"${Files.getLastModifiedTime(src).toMillis}:v1"
     def wipe(p: java.nio.file.Path): Unit = {
@@ -473,6 +474,41 @@ object Lakehouse {
     } { () =>
       IcebergMeta.appendIcebergForeign(s, root,
         ordersSlice(s, d).filter(col("o_orderkey") % 2 === 1))
+      ()
+    }
+  }
+
+  /** A SPEC-EVOLVED foreign chain — the partition-evolution shape
+    * every long-lived Iceberg table reaches: created
+    * identity-partitioned by `event_type` (spec 0), the native
+    * manifest DELETED, the default spec evolved to `day(ts)` (spec 1)
+    * through [[IcebergMeta.evolvePartitionSpecForeign]], then the odd
+    * half appended under the new layout. Old files keep spec 0, new
+    * files carry spec 1; scan planning resolves each file by its
+    * partition struct's FIELD-IDS under the spec it was written with —
+    * the per-file resolution that makes evolution readable at all
+    * (name-level resolution cannot know which era a file belongs to).
+    * q213 reads the whole chain against the raw events oracle. */
+  private[graft] def icebergEvolveRoot(s: SparkSession, d: String): String = {
+    val root = TableCache.baseDir + "/iceberg_evolve_" +
+      java.nio.file.Paths.get(d).getFileName.toString
+    def slice(even: Boolean) = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"))
+      .filter(col("event_id") % 2 === (if (even) 0 else 1))
+    foreignFixture(root, d, srcTable = "events.parquet") { () =>
+      LakehouseTable.create(slice(even = true)
+        .repartition(col("event_type")),
+        root, partitionBy = Seq("event_type"))
+      IcebergMeta.exportIcebergMeta(s, root)
+      ()
+    } { () =>
+      IcebergMeta.evolvePartitionSpecForeign(root,
+        Seq(("ts_day", "day", "ts")))
+      // one file per day dir: co-locate each UTC day before the append
+      IcebergMeta.appendIcebergForeign(s, root, slice(even = false)
+        .repartition(expr(
+          "CAST(unix_micros(ts) DIV 86400000000 AS INT)")))
       ()
     }
   }
@@ -1915,6 +1951,23 @@ object Lakehouse {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // PARTITION EVOLUTION: spec 0 (identity event_type) files and
+    // spec 1 (day(ts)) appended files live in ONE chain; the reader
+    // resolves each file's partition struct by FIELD-ID under the spec
+    // it was written with — identity values fill/prune the old era,
+    // day-transform values prune the new era — and the whole chain
+    // hashes against the raw events oracle under a two-era predicate.
+    "q213_iceberg_spec_evolution" -> ((s, d) => {
+      val root = icebergEvolveRoot(s, d)
+      IcebergMeta.readIceberg(s, root, pruneWhere = Some(
+        "event_type = 'click' AND " +
+          "ts >= TIMESTAMP '2024-01-10 00:00:00' AND " +
+          "ts < TIMESTAMP '2024-01-14 00:00:00'"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("user_id")).as("user_sum"))
+        .orderBy(col("event_type"))
+    }),
+
     // DELTA TIMESTAMP SKIPPING: the exported stats carry full-precision
     // ISO-8601 'Z' bounds for ts — the one timezone-unambiguous form —
     // so a time-range predicate plans a file subset of the 8
@@ -2924,6 +2977,17 @@ object Lakehouse {
             CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
             ${Exact.sqlMoneySum("o_totalprice")} AS sum_price
           FROM kept GROUP BY 1 ORDER BY 1""",
+
+    // the spec-evolved chain serves both eras' rows exactly: the
+    // filtered raw-events aggregate is era-blind by construction
+    "q213_iceberg_spec_evolution" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(sum(user_id) AS BIGINT) AS user_sum
+         FROM events
+         WHERE event_type = 'click'
+           AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+           AND ts < TIMESTAMP '2024-01-14 00:00:00'
+         GROUP BY 1 ORDER BY 1""",
 
     // the appended foreign chain equals the full orders aggregate
     "q211_iceberg_foreign_append" ->

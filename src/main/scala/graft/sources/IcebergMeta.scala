@@ -1314,15 +1314,86 @@ object IcebergMeta {
     pairs.toMap
   }
 
+  /** Partition FIELD-ID → (transform — None for identity — and source
+    * field id), across ALL partition specs, plus the set of EVERY
+    * declared field-id (including unknown/void transforms, which carry
+    * no pruning information but must not fall through to name
+    * resolution — a void value is always null and would masquerade as
+    * an all-rows-null identity value). Field-ids are the spec's stable
+    * per-field identity: evolution reuses an id for the same
+    * (source, transform) and assigns fresh ids otherwise, so one id
+    * carrying two meanings is spec-invalid metadata and refuses
+    * (silence would mis-prune). This is what lets a chain whose specs
+    * EVOLVED — a field name meaning identity in one spec and a
+    * transform in another — resolve each file under the spec it was
+    * written with instead of refusing. */
+  private def partFieldsById(root: String): (Set[Int],
+      Map[Int, (Option[IcebergTransforms.Transform], Int)]) = {
+    val md = currentMetadata(root)
+    val all = Option(md.get("partition-specs")).toSeq
+      .flatMap(_.elements().asScala)
+      .flatMap(_.get("fields").elements().asScala)
+      .flatMap { f =>
+        Option(f.get("field-id")).map(fid => fid.asInt() ->
+          ((f.get("transform").asText(), f.get("source-id").asInt())))
+      }
+      .distinct
+    val dup = all.groupBy(_._1).filter(_._2.size > 1)
+    require(dup.isEmpty,
+      s"partition field id(s) ${dup.keys.toSeq.sorted.mkString(", ")} " +
+        s"carry different (transform, source) across partition specs " +
+        s"at $root; the metadata is spec-invalid")
+    val usable = all.flatMap { case (fid, (tr, src)) =>
+      if (tr == "identity")
+        Some(fid -> ((None: Option[IcebergTransforms.Transform], src)))
+      else IcebergTransforms.parse(tr).map(t => fid -> ((Some(t), src)))
+    }.toMap
+    (all.map(_._1).toSet, usable)
+  }
+
+  /** Source field ids of IDENTITY partition fields across all specs —
+    * the id-keyed view consumers use to ask "is this schema column an
+    * identity partition source anywhere in the chain's history",
+    * without the name-ambiguity refusals of [[identityPartSources]]
+    * (ids cannot be ambiguous). */
+  private def identitySourceIds(root: String): Set[Int] =
+    Option(currentMetadata(root).get("partition-specs")).toSeq
+      .flatMap(_.elements().asScala)
+      .flatMap(_.get("fields").elements().asScala)
+      .filter(_.get("transform").asText() == "identity")
+      .map(_.get("source-id").asInt()).toSet
+
+  /** NON-refusing (name, field-id?, transform, source-id) list of the
+    * parseable transform partition fields across all specs — the key
+    * universe [[pruneFiles]] folds [[FileMetrics.trans]] with. An
+    * ambiguous NAME is harmless here: name keys only ever appear in a
+    * file's trans map when the refusing name fallback in
+    * [[fileMetricsIndex]] passed (i.e. no ambiguity existed), so an
+    * ambiguous entry can never match one. */
+  private def transformPartPairs(root: String)
+      : Seq[(String, Option[Int], IcebergTransforms.Transform, Int)] =
+    Option(currentMetadata(root).get("partition-specs")).toSeq
+      .flatMap(_.elements().asScala)
+      .flatMap(_.get("fields").elements().asScala)
+      .flatMap { f =>
+        IcebergTransforms.parse(f.get("transform").asText()).map(t =>
+          (f.get("name").asText().toLowerCase,
+            Option(f.get("field-id")).map(_.asInt()), t,
+            f.get("source-id").asInt()))
+      }
+      .distinct
+
   /** Everything the manifests record about one data file that scan
     * planning can use: identity-partition values (by SOURCE field id),
-    * TRANSFORM-partition values (by partition FIELD name — day/bucket/
-    * truncate results are not schema columns, so source-id keying
-    * would collide with identity values), and the per-column metrics
-    * maps (value/null counts, single-value-serialized bounds). Null
-    * entries in either partition map are meaningful: a null partition
-    * value proves every row's source value is null (all the supported
-    * transforms are null-preserving). */
+    * TRANSFORM-partition values (keyed `"#<field-id>"` when the struct
+    * carries spec field-ids, by partition FIELD name for legacy
+    * id-less structs — day/bucket/truncate results are not schema
+    * columns, so source-id keying would collide with identity values),
+    * and the per-column metrics maps (value/null counts,
+    * single-value-serialized bounds). Null entries in either partition
+    * map are meaningful: a null partition value proves every row's
+    * source value is null (all the supported transforms are
+    * null-preserving). */
   private[graft] case class FileMetrics(part: Map[Int, Any],
       trans: Map[String, Any],
       valueCounts: Map[Int, Long], nullCounts: Map[Int, Long],
@@ -1344,17 +1415,42 @@ object IcebergMeta {
     * needs a fill or a prune. Per-manifest memoized: steady-state cost
     * is O(new manifests), not O(history). */
   private def fileMetricsIndex(root: String): Map[String, FileMetrics] = {
-    val srcs = identityPartSources(root)
-    val transNames = transformPartSources(root).keySet
-    // each category refuses duplicates WITHIN itself; a name that is
-    // identity in one spec and a transform in another would feed a
-    // transform ordinal into FileMetrics.part as an exact row value —
-    // silent wrong pruning, the class this evaluator must never produce
-    val clash = srcs.keySet.intersect(transNames)
-    require(clash.isEmpty,
-      s"partition field name(s) ${clash.toSeq.sorted.mkString(", ")} " +
-        "are identity in one spec and a transform in another at " +
-        s"$root; manifest structs cannot be resolved unambiguously")
+    // PER-FILE SPEC RESOLUTION (partition evolution): each manifest's
+    // partition struct fields carry their spec field-id as an avro
+    // field property, keying every value by the spec the file was
+    // WRITTEN under — a name that changed meaning across specs
+    // (identity in one, a transform in another) resolves exactly.
+    // Name resolution survives only as the fallback for id-less
+    // legacy structs, where it must refuse ambiguity.
+    val (declaredFids, byFid) = partFieldsById(root)
+    // the fallback maps are LAZY: forcing them refuses on cross-spec
+    // name ambiguity, which per-file id resolution renders legal — so
+    // the refusal fires only when an id-less struct actually needs
+    // names. A name that is identity in one spec and a transform (or
+    // an unparseable transform, e.g. void — always null, which would
+    // masquerade as an all-rows-null identity value) in another would
+    // feed a transform ordinal into FileMetrics.part as an exact row
+    // value — silent wrong pruning, the class this evaluator must
+    // never produce.
+    lazy val srcs = identityPartSources(root)
+    lazy val transNames = transformPartSources(root).keySet
+    lazy val fallbackChecked: Unit = {
+      val unknownNames = Option(currentMetadata(root)
+        .get("partition-specs")).toSeq
+        .flatMap(_.elements().asScala)
+        .flatMap(_.get("fields").elements().asScala)
+        .filter(f => f.get("transform").asText() != "identity" &&
+          IcebergTransforms.parse(f.get("transform").asText()).isEmpty)
+        .map(_.get("name").asText().toLowerCase).toSet
+      val clash = srcs.keySet.intersect(transNames) ++
+        srcs.keySet.intersect(unknownNames) ++
+        transNames.intersect(unknownNames)
+      require(clash.isEmpty,
+        s"partition field name(s) ${clash.toSeq.sorted.mkString(", ")} " +
+          "carry different transforms across specs at " +
+          s"$root; id-less manifest structs cannot be resolved " +
+          "unambiguously")
+    }
     def intMapOf(df: GenericRecord, field: String): Map[Int, Any] =
       if (df.getSchema.getField(field) == null) Map.empty
       else df.get(field) match {
@@ -1387,20 +1483,39 @@ object IcebergMeta {
           val df = e.get("data_file").asInstanceOf[GenericRecord]
           val partRec = Option(df.get("partition"))
             .map(_.asInstanceOf[GenericRecord]).toSeq
-          val vals = partRec
-            .flatMap { part =>
-              part.getSchema.getFields.asScala.flatMap { f =>
-                srcs.get(f.name().toLowerCase)
-                  .map(_ -> part.get(f.pos()))
+          val valsB = scala.collection.mutable.Map.empty[Int, Any]
+          val tvalsB = scala.collection.mutable.Map.empty[String, Any]
+          partRec.foreach { part =>
+            part.getSchema.getFields.asScala.foreach { f =>
+              val fid = Option(f.getObjectProp("field-id")).collect {
+                case n: java.lang.Number => n.intValue()
               }
-            }.toMap
-          val tvals = partRec
-            .flatMap { part =>
-              part.getSchema.getFields.asScala.collect {
-                case f if transNames.contains(f.name().toLowerCase) =>
-                  f.name().toLowerCase -> part.get(f.pos())
+              fid match {
+                case Some(id) if declaredFids.contains(id) =>
+                  // the id names the writing spec's field exactly;
+                  // ids declared with an unusable transform resolve
+                  // to "no pruning information" (kept conservatively)
+                  byFid.get(id).foreach {
+                    case (None, srcId) =>
+                      valsB(srcId) = part.get(f.pos())
+                    case (Some(_), _) =>
+                      tvalsB("#" + id) = part.get(f.pos())
+                  }
+                case _ =>
+                  // no id (legacy writer), or an id no spec declares
+                  // (metadata lost its spec): NAME fallback, refusing
+                  // cross-spec ambiguity first
+                  fallbackChecked
+                  val n = f.name().toLowerCase
+                  srcs.get(n).foreach(srcId =>
+                    valsB(srcId) = part.get(f.pos()))
+                  if (transNames.contains(n))
+                    tvalsB(n) = part.get(f.pos())
               }
-            }.toMap
+            }
+          }
+          val vals = valsB.toMap
+          val tvals = tvalsB.toMap
           normPathDriver(df.get("file_path").toString) -> FileMetrics(
             vals, tvals,
             intMapOf(df, "value_counts")
@@ -1420,7 +1535,7 @@ object IcebergMeta {
   /** Normalized data-file path → identity-partition values (the
     * [[chainScan]] fill's view of [[fileMetricsIndex]]). */
   private def partitionValueIndex(root: String): Map[String, Map[Int, Any]] =
-    if (identityPartSources(root).isEmpty) Map.empty
+    if (identitySourceIds(root).isEmpty) Map.empty
     else fileMetricsIndex(root).map { case (p, fm) => p -> fm.part }
 
   /** One raw avro partition value → the Spark EXTERNAL value of the
@@ -1669,9 +1784,9 @@ object IcebergMeta {
       withIdentity: Boolean): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
     val distinctFiles = files.distinct
-    val srcs = identityPartSources(root)
+    val srcs = identitySourceIds(root)
     val idPartFields = fields.filter { case (id, _, _) =>
-      srcs.values.exists(_ == id) }
+      srcs.contains(id) }
     // directory inference can only serve a column from segments BELOW
     // the scan's basePath — a hive-looking segment in the table root
     // itself (/warehouse/region=eu/...) must not mask a missing fill
@@ -1778,7 +1893,25 @@ object IcebergMeta {
         (if (withIdentity) out ++ Seq(col("__p"), col("__ri")) else out): _*)
     }
     val distinctFiles = files.distinct
-    if (!chainHasRenames(root)) {
+    // PARTITION EVOLUTION leaves each era's files under its own spec's
+    // hive layout (`cat=…` beside `ts_day=…`): Spark's partition
+    // discovery refuses conflicting dir-key names under one basePath,
+    // so files scan in ONE LEG PER LAYOUT SIGNATURE (the set of hive
+    // keys between basePath and the file) — bounded by the number of
+    // specs the chain ever had, never by file count
+    val basePrefix = basePath + "/"
+    def hiveSig(f: String): Seq[String] =
+      if (!f.startsWith(basePrefix)) Seq("<outside>")
+      else f.stripPrefix(basePrefix).split('/').dropRight(1).toSeq
+        .filter(_.contains('='))
+        .map(_.takeWhile(_ != '=').toLowerCase)
+    val bySig = distinctFiles.groupBy(hiveSig)
+    if (bySig.size > 1)
+      bySig.toSeq.sortBy(_._1.mkString(","))
+        .map { case (_, fs) =>
+          chainScanResolved(spark, root, fs, fields, withIdentity) }
+        .reduce(_ unionByName _)
+    else if (!chainHasRenames(root)) {
       val raw = spark.read.option("basePath", basePath)
         .schema(explicitSchema(fields.map { case (_, n, dt) => (n, dt) }))
         .parquet(distinctFiles: _*)
@@ -2720,8 +2853,18 @@ object IcebergMeta {
     }
     obj.withArray("metadata-log").add(mapper.readTree(
       s"""{"metadata-file":"${dir.resolve(s"v$curN.metadata.json")}","timestamp-ms":${md.get("last-updated-ms").asLong()}}"""))
+    casCommitMetadata(root, dir, curN, obj, "append")
+    sid
+  }
+
+  /** The shared commit tail of every foreign-chain writer: commit
+    * `obj` as v(curN+1).metadata.json via the createLink CAS and move
+    * the version-hint forward-only under the cross-process lock. */
+  private def casCommitMetadata(root: String, dir: Path, curN: Long,
+      obj: com.fasterxml.jackson.databind.node.ObjectNode,
+      what: String): Unit = {
     val target = dir.resolve(s"v${curN + 1}.metadata.json")
-    val tmp = Files.createTempFile(dir, ".ice-append", ".json")
+    val tmp = Files.createTempFile(dir, s".ice-$what", ".json")
     Files.writeString(tmp, mapper.writeValueAsString(obj))
     // the CAS: createLink fails atomically if the version exists (a
     // rename would silently overwrite a concurrent writer's commit)
@@ -2730,7 +2873,7 @@ object IcebergMeta {
       Files.deleteIfExists(tmp)
       throw new java.util.ConcurrentModificationException(
         s"metadata version ${curN + 1} at $root was committed " +
-          "concurrently; re-read the chain and retry the append")
+          s"concurrently; re-read the chain and retry the $what")
     }
     Files.deleteIfExists(tmp)
     // the hint is a pointer, updated only by the CAS WINNER — and only
@@ -2757,7 +2900,137 @@ object IcebergMeta {
         }
       } finally lock.release()
     } finally ch.close()
-    sid
+  }
+
+  /** PARTITION EVOLUTION on a foreign chain — the `ALTER TABLE …
+    * REPLACE PARTITION FIELD` analog: commits v(max+1).metadata.json
+    * whose new DEFAULT spec is `fields` (partition field name,
+    * transform, source column; empty = evolve to unpartitioned),
+    * leaving every existing manifest under the spec it was written
+    * with — scan planning resolves each file by its struct's field-ids
+    * (see [[partFieldsById]]), and [[appendIcebergForeign]] lays new
+    * data out under the new spec. Field-ids follow the spec's
+    * evolution rules: a (source-id, transform) pair already declared
+    * by ANY spec keeps its field-id; new pairs take fresh ids above
+    * every declared id (and `last-partition-id`). Refuses loudly:
+    * non-v2 chains, unknown source columns, transforms this writer
+    * cannot evaluate on append (the spec may define more; committing
+    * a default spec the engine's own writer would then refuse to
+    * append under would wedge the table), identity fields over
+    * unsupported types, a non-identity field named like a schema
+    * column (the appended hive layout dir would shadow the data
+    * column), and duplicate field names within the new spec. Returns
+    * the new spec id. */
+  def evolvePartitionSpecForeign(root: String,
+      fields: Seq[(String, String, String)]): Int = {
+    import org.apache.spark.sql.types._
+    require(hasChain(root), s"no Iceberg metadata at $root")
+    val dir = metaDir(root)
+    val curN = withListed(dir)(_.map(_.getFileName.toString).toSeq)
+      .collect { case n if n.matches("v\\d+\\.metadata\\.json") =>
+        n.stripPrefix("v").stripSuffix(".metadata.json").toLong }
+      .maxOption.getOrElse(
+        throw new IllegalStateException(s"no metadata files at $root"))
+    val md = mapper.readTree(Files.readString(
+      dir.resolve(s"v$curN.metadata.json")))
+    val fmtVer = Option(md.get("format-version")).map(_.asInt()).getOrElse(0)
+    require(fmtVer == 2,
+      s"partition evolution supports Iceberg format-version 2 only; " +
+        s"the chain at $root is format-version $fmtVer")
+    val curSchemaId = md.get("current-schema-id").asInt()
+    val schemaNode = md.get("schemas").elements().asScala
+      .find(_.get("schema-id").asInt() == curSchemaId).getOrElse(
+        throw new IllegalStateException(s"schema $curSchemaId missing"))
+    val schemaByName = schemaNode.get("fields").elements().asScala.map {
+      f => f.get("name").asText().toLowerCase ->
+        ((f.get("id").asInt(), sparkType(f.get("type"))))
+    }.toMap
+    val dupNames = fields.map(_._1.toLowerCase)
+      .groupBy(identity).filter(_._2.size > 1)
+    require(dupNames.isEmpty,
+      s"duplicate partition field name(s) ${dupNames.keys.toSeq.sorted
+        .mkString(", ")} in the new spec for $root")
+    // what the engine's own append can evaluate per row — committing
+    // a wider default spec would wedge every subsequent append
+    def appendable(tr: Option[IcebergTransforms.Transform],
+        dt: DataType): Boolean = tr match {
+      case None => supportedPartitionType(dt)
+      case Some(IcebergTransforms.Day) =>
+        dt == TimestampType || dt == DateType
+      case Some(IcebergTransforms.Hour) => dt == TimestampType
+      case Some(IcebergTransforms.Month | IcebergTransforms.Year) =>
+        dt == TimestampType || dt == DateType
+      case Some(IcebergTransforms.Bucket(_)) => dt match {
+        case LongType | IntegerType | ShortType | ByteType |
+             TimestampType | DateType | StringType => true
+        case _ => false
+      }
+      case Some(IcebergTransforms.Truncate(_)) => dt match {
+        case LongType | IntegerType | ShortType | ByteType |
+             StringType => true
+        case _ => false
+      }
+    }
+    val resolved = fields.map { case (name, trText, srcCol) =>
+      val (srcId, srcDt) = schemaByName.getOrElse(srcCol.toLowerCase,
+        throw new IllegalArgumentException(
+          s"no source column '$srcCol' in the current schema at $root"))
+      val tr =
+        if (trText == "identity") None
+        else Some(IcebergTransforms.parse(trText).getOrElse(
+          throw new IllegalArgumentException(
+            s"unknown or unsupported transform '$trText' for the new " +
+              s"default spec at $root")))
+      require(appendable(tr, srcDt),
+        s"this writer cannot evaluate $trText(${srcCol}: " +
+          s"${srcDt.simpleString}) on append; committing it as the " +
+          s"default spec would wedge the table at $root")
+      require(tr.isEmpty || !schemaByName.contains(name.toLowerCase),
+        s"transform partition field '$name' at $root collides with a " +
+          "schema column; the appended layout column cannot be added")
+      (name, if (tr.isEmpty) "identity" else trText, srcId)
+    }
+    // one spec may not declare the same (source, transform) twice —
+    // field-id reuse would collide the two fields onto one id
+    val dupPair = resolved.map(r => (r._2, r._3))
+      .groupBy(identity).filter(_._2.size > 1)
+    require(dupPair.isEmpty,
+      s"the new spec declares duplicate (transform, source) pair(s) " +
+        s"${dupPair.keys.mkString(", ")} at $root")
+    // field-id assignment per the spec's evolution rules
+    val declaredTriples = Option(md.get("partition-specs")).toSeq
+      .flatMap(_.elements().asScala)
+      .flatMap(_.get("fields").elements().asScala)
+      .flatMap(f => Option(f.get("field-id")).map(fid =>
+        (f.get("transform").asText(), f.get("source-id").asInt()) ->
+          fid.asInt()))
+      .toMap
+    var nextFid = math.max(999,
+      math.max(declaredTriples.values.maxOption.getOrElse(999),
+        Option(md.get("last-partition-id")).map(_.asInt()).getOrElse(999)))
+    val newSpecId = Option(md.get("partition-specs")).toSeq
+      .flatMap(_.elements().asScala)
+      .map(_.get("spec-id").asInt()).maxOption.getOrElse(-1) + 1
+    val specFieldsJson = resolved.map { case (name, trText, srcId) =>
+      val fid = declaredTriples.getOrElse((trText, srcId), {
+        nextFid += 1; nextFid
+      })
+      s"""{"name":"$name","transform":"$trText",""" +
+        s""""source-id":$srcId,"field-id":$fid}"""
+    }.mkString("[", ",", "]")
+    val ts = math.max(System.currentTimeMillis(),
+      md.get("last-updated-ms").asLong() + 1)
+    val obj = md.deepCopy()
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    obj.withArray("partition-specs").add(mapper.readTree(
+      s"""{"spec-id":$newSpecId,"fields":$specFieldsJson}"""))
+    obj.put("default-spec-id", newSpecId)
+    obj.put("last-partition-id", nextFid)
+    obj.put("last-updated-ms", ts)
+    obj.withArray("metadata-log").add(mapper.readTree(
+      s"""{"metadata-file":"${dir.resolve(s"v$curN.metadata.json")}","timestamp-ms":${md.get("last-updated-ms").asLong()}}"""))
+    casCommitMetadata(root, dir, curN, obj, "spec evolution")
+    newSpecId
   }
 
   /** The logical fields (name, Spark type) of one schema-id in the
@@ -3040,13 +3313,21 @@ object IcebergMeta {
       n.toLowerCase -> ((id, dt)) }.toMap
     val parsed = MetricsPruning.parseChecked(spark, expr, byName.keySet,
       fields.map(_._2).mkString(", "))
-    val partSrcIds = identityPartSources(root).values.toSet
+    val partSrcIds = identitySourceIds(root)
     // source field id → its transform partition fields: what a day/
-    // bucket/truncate value says about the SOURCE column's rows
+    // bucket/truncate value says about the SOURCE column's rows. Both
+    // key forms a file's trans map can carry: "#<field-id>" from the
+    // id-resolved path, the lowercase field name from the legacy
+    // fallback (see fileMetricsIndex — an ambiguous name entry here
+    // can never match, the fallback refuses before producing one)
     val transByCol: Map[Int, Seq[(String, IcebergTransforms.Transform)]] =
-      transformPartSources(root).toSeq
-        .groupBy(_._2._2)
-        .map { case (id, xs) => id -> xs.map(x => (x._1, x._2._1)) }
+      transformPartPairs(root)
+        .flatMap { case (name, fidOpt, tr, srcId) =>
+          (srcId -> (name, tr)) +:
+            fidOpt.toSeq.map(fid => srcId -> (("#" + fid), tr))
+        }
+        .groupBy(_._1)
+        .map { case (id, xs) => id -> xs.map(_._2).distinct }
     def normPart(v: Any): Option[Any] = v match {
       case null => None
       case u: org.apache.avro.util.Utf8 => Some(u.toString)

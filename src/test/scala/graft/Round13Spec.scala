@@ -654,7 +654,7 @@ class Round13Spec extends AnyFunSuite {
     assert(v == 1L)
   }
 
-  test("a name that is identity in one spec and a transform in another refuses") {
+  test("a reused field NAME resolves per file; a reused FIELD-ID refuses") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val root = freshRoot("spec_clash")
@@ -664,32 +664,47 @@ class Round13Spec extends AnyFunSuite {
       .withColumn("ts_day", expr("date_from_unix_date(CAST(" +
         "floor(unix_micros(ts) / 86400000000) AS INT))")),
       "ts_day", "day", "ts")
-    // doctor a SECOND spec reusing the field name as IDENTITY of id —
-    // the manifest struct value would be consumed as an exact row value
-    // for an unrelated column (silent wrong pruning) if not refused
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val dir = Paths.get(root, "metadata")
     val hint = Files.readString(dir.resolve("version-hint.text")).trim
     val mf = dir.resolve(s"v$hint.metadata.json")
-    val node = mapper.readTree(Files.readString(mf))
-      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-    val specs = node.get("partition-specs")
-      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
-    val clash = mapper.createObjectNode()
-    clash.put("spec-id", 1)
-    val fields = mapper.createArrayNode()
-    val f = mapper.createObjectNode()
-    f.put("name", "ts_day"); f.put("transform", "identity")
-    f.put("source-id", 1); f.put("field-id", 1001)
-    fields.add(f); clash.set("fields", fields); specs.add(clash)
-    Files.writeString(mf, node.toString)
-    Files.setLastModifiedTime(mf, java.nio.file.attribute.FileTime
-      .fromMillis(System.currentTimeMillis() + 2000))
+    def doctorSpec(specId: Int, fieldId: Int, mtimeBump: Long): Unit = {
+      val node = mapper.readTree(Files.readString(mf))
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val specs = node.get("partition-specs")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+      val clash = mapper.createObjectNode()
+      clash.put("spec-id", specId)
+      val fields = mapper.createArrayNode()
+      val f = mapper.createObjectNode()
+      f.put("name", "ts_day"); f.put("transform", "identity")
+      f.put("source-id", 1); f.put("field-id", fieldId)
+      fields.add(f); clash.set("fields", fields); specs.add(clash)
+      Files.writeString(mf, node.toString)
+      Files.setLastModifiedTime(mf, java.nio.file.attribute.FileTime
+        .fromMillis(System.currentTimeMillis() + mtimeBump))
+    }
+    // a SECOND spec reusing the field NAME as identity of id, under a
+    // FRESH field-id (what real evolution produces): the struct's own
+    // fid 1000 still says day(ts) — per-file resolution serves the
+    // chain exactly where round-13 pass-1 could only refuse
+    doctorSpec(specId = 1, fieldId = 1001, mtimeBump = 2000)
+    assert(IcebergMeta.readIceberg(spark, root,
+      pruneWhere = Some("ts IS NOT NULL")).count() == 1)
+    // ... and the day value still prunes through the reused name
+    val pruned = IcebergMeta.readIceberg(spark, root, pruneWhere =
+      Some("ts >= TIMESTAMP '2030-01-01 00:00:00'"))
+    assert(pruned.count() == 0)
+    assert(pruned.inputFiles.isEmpty, pruned.inputFiles.toSeq.toString)
+    // but ONE field-id carrying two meanings across specs is
+    // spec-invalid metadata: resolution cannot know which one the
+    // struct value means — refuse, never mis-prune
+    doctorSpec(specId = 2, fieldId = 1000, mtimeBump = 4000)
     val ex = intercept[IllegalArgumentException] {
       IcebergMeta.readIceberg(spark, root,
         pruneWhere = Some("ts IS NOT NULL")).count()
     }
-    assert(ex.getMessage.contains("identity in one spec"), ex.getMessage)
+    assert(ex.getMessage.contains("spec-invalid"), ex.getMessage)
   }
 
   test("escape sequences in _where predicates decode to lexer semantics") {
@@ -777,7 +792,7 @@ class Round13Spec extends AnyFunSuite {
 
   test("iceberg foreign append under identity, day, and bucket specs; unknown transforms refuse") {
     import spark.implicits._
-    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.functions.{col, expr, substring}
     val root = freshRoot("ice_append_part")
     LT.create(Seq((1L, "a"), (2L, "b")).toDF("id", "cat")
       .repartition(col("cat")), root, partitionBy = Seq("cat"))
@@ -1117,5 +1132,145 @@ class Round13Spec extends AnyFunSuite {
     assert(tsPruned.inputFiles.length <= 2,
       s"a 2-day window must plan at most 2 of 8 range files: " +
         tsPruned.inputFiles.toSeq)
+  }
+
+  test("partition evolution: each era plans under the spec it was written with") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val root = freshRoot("evolve_identity_to_day")
+    // spec 0: identity(cat) — two category files, 2023 timestamps.
+    // Identity layout keeps cat OUT of the data files, so the ONLY
+    // cat-pruning information for this era is the partition struct.
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    LT.create(Seq(
+        (1L, "a", ts("2023-06-01T10:00:00Z")),
+        (2L, "a", ts("2023-06-02T10:00:00Z")),
+        (3L, "b", ts("2023-06-01T11:00:00Z")))
+      .toDF("k", "cat", "ts").repartition(col("cat")),
+      root, partitionBy = Seq("cat"))
+    IcebergMeta.exportIcebergMeta(spark, root)
+    val specId = IcebergMeta.evolvePartitionSpecForeign(root,
+      Seq(("ts_day", "day", "ts")))
+    assert(specId == 1)
+    // spec 1: day(ts) — two 2024 days appended under the new layout
+    IcebergMeta.appendIcebergForeign(spark, root, Seq(
+        (10L, "c", ts("2024-01-10T05:00:00Z")),
+        (11L, "c", ts("2024-01-10T23:00:00Z")),
+        (12L, "c", ts("2024-01-11T01:00:00Z")))
+      .toDF("k", "cat", "ts")
+      .repartition(expr("CAST(unix_micros(ts) DIV 86400000000 AS INT)")))
+    val all = IcebergMeta.readIceberg(spark, root)
+    assert(all.count() == 6)
+    assert(all.inputFiles.length == 4, all.inputFiles.toSeq.toString)
+    // OLD era: cat='a' resolves through spec 0's identity struct — one
+    // of the two identity files; both appended files excluded (their
+    // cat metrics say 'c')
+    val oldEra = IcebergMeta.readIceberg(spark, root,
+      pruneWhere = Some("cat = 'a'"))
+    assert(oldEra.select($"k").as[Long].collect().toSet == Set(1L, 2L))
+    assert(oldEra.inputFiles.length == 1, oldEra.inputFiles.toSeq.toString)
+    // NEW era: a one-day window resolves through spec 1's day values —
+    // one of the two appended files; the 2023 identity files are
+    // excluded by their ts metrics
+    val newEra = IcebergMeta.readIceberg(spark, root, pruneWhere = Some(
+      "ts >= TIMESTAMP '2024-01-11 00:00:00' AND " +
+        "ts < TIMESTAMP '2024-01-12 00:00:00'"))
+    assert(newEra.select($"k").as[Long].collect().toSet == Set(12L))
+    assert(newEra.inputFiles.length == 1, newEra.inputFiles.toSeq.toString)
+  }
+
+  test("partition evolution: a field name reused with a different transform resolves per file") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr, substring}
+    // spec 0: truncate[2](s) named part_k; spec 1 REUSES the name
+    // part_k as bucket[4](k) — name-level resolution refuses this
+    // chain (ambiguous); field-id resolution serves both eras
+    val root = freshRoot("evolve_name_reuse")
+    transformChain(root, Seq((1L, "apple"), (2L, "banana")).toDF("k", "s")
+      .withColumn("part_k", substring(col("s"), 1, 2)),
+      "part_k", "truncate[2]", "s")
+    val specId = IcebergMeta.evolvePartitionSpecForeign(root,
+      Seq(("part_k", "bucket[4]", "k")))
+    assert(specId == 1)
+    IcebergMeta.appendIcebergForeign(spark, root,
+      Seq((100L, "xigua"), (101L, "yam")).toDF("k", "s")
+        .repartition(col("k")))
+    val all = IcebergMeta.readIceberg(spark, root)
+    assert(all.count() == 4)
+    // old era: the truncate prefix still prunes (1 of 2 spec-0 files;
+    // the appended files' s metrics exclude 'banana')
+    val pre = IcebergMeta.readIceberg(spark, root,
+      pruneWhere = Some("s = 'banana'"))
+    assert(pre.select($"k").as[Long].collect().toSet == Set(2L))
+    assert(pre.inputFiles.length == 1, pre.inputFiles.toSeq.toString)
+    // new era: k=100 plans exactly one appended file (bucket equality
+    // re-hash + k metrics; the old era's k bounds exclude both files)
+    val post = IcebergMeta.readIceberg(spark, root,
+      pruneWhere = Some("k = 100"))
+    assert(post.select($"s").as[String].collect().toSeq == Seq("xigua"))
+    assert(post.inputFiles.length == 1, post.inputFiles.toSeq.toString)
+  }
+
+  test("partition evolution: field-id reuse, refusals, and evolve-to-unpartitioned") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot("evolve_rules")
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    LT.create(Seq((1L, "a", ts("2024-03-01T10:00:00Z")))
+      .toDF("k", "cat", "ts").repartition(col("cat")),
+      root, partitionBy = Seq("cat"))
+    IcebergMeta.exportIcebergMeta(spark, root)
+    // same (source, transform) across specs KEEPS its field-id
+    IcebergMeta.evolvePartitionSpecForeign(root, Seq(("ts_day", "day", "ts")))
+    IcebergMeta.evolvePartitionSpecForeign(root,
+      Seq(("ts_day_again", "day", "ts")))
+    val md = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(root,
+        "metadata", "v3.metadata.json")))
+    val dayFids = md.get("partition-specs").elements().asScala
+      .flatMap(_.get("fields").elements().asScala)
+      .filter(_.get("transform").asText() == "day")
+      .map(_.get("field-id").asInt()).toSeq
+    assert(dayFids.size == 2 && dayFids.distinct.size == 1,
+      s"day(ts) must reuse one field-id across specs: $dayFids")
+    assert(md.get("default-spec-id").asInt() == 2)
+    // refusals: unknown transform, missing source, schema-column
+    // shadowing, duplicate names, duplicate (source, transform)
+    intercept[IllegalArgumentException] {
+      IcebergMeta.evolvePartitionSpecForeign(root,
+        Seq(("x", "zorder[2]", "k")))
+    }
+    intercept[IllegalArgumentException] {
+      IcebergMeta.evolvePartitionSpecForeign(root,
+        Seq(("x", "day", "nope")))
+    }
+    intercept[IllegalArgumentException] {
+      IcebergMeta.evolvePartitionSpecForeign(root,
+        Seq(("cat", "bucket[4]", "k"))) // shadows the schema column
+    }
+    intercept[IllegalArgumentException] {
+      IcebergMeta.evolvePartitionSpecForeign(root,
+        Seq(("x", "day", "ts"), ("x", "year", "ts")))
+    }
+    intercept[IllegalArgumentException] {
+      IcebergMeta.evolvePartitionSpecForeign(root,
+        Seq(("x", "day", "ts"), ("y", "day", "ts")))
+    }
+    // evolve to UNPARTITIONED and append: the appended file carries an
+    // empty struct and the chain still serves both eras
+    val unspec = IcebergMeta.evolvePartitionSpecForeign(root, Nil)
+    assert(unspec == 3)
+    IcebergMeta.appendIcebergForeign(spark, root,
+      Seq((2L, "b", ts("2024-03-02T10:00:00Z"))).toDF("k", "cat", "ts"))
+    val all = IcebergMeta.readIceberg(spark, root)
+    assert(all.count() == 2)
+    // the spec-0 identity value still prunes after two more evolutions
+    val pruned = IcebergMeta.readIceberg(spark, root,
+      pruneWhere = Some("cat = 'nope'"))
+    assert(pruned.count() == 0)
+    assert(pruned.inputFiles.length <= 1,
+      s"the identity file is excluded by its struct; the unpartitioned " +
+        s"appended file may only survive through its cat metrics: " +
+        pruned.inputFiles.toSeq)
   }
 }
