@@ -478,6 +478,49 @@ object Lakehouse {
     }
   }
 
+  private[graft] def deltaDeleteDir(d: String): String =
+    TableCache.baseDir + "/delta_fdelete_" +
+      java.nio.file.Paths.get(d).getFileName.toString
+
+  /** A genuinely foreign Delta table DELETED FROM through
+    * [[LakehouseTable.deleteDeltaForeign]]: created with ALL order
+    * keys (range-clustered), the odd half deleted by predicate through
+    * the copy-on-write rewrite. The q214 oracle replays the
+    * post-delete log raw in DuckDB (adds minus removes over the raw
+    * JSON actions — the removed files still sit on disk, so only the
+    * log's say-so excludes them): an independent reader validating the
+    * remove+add commit this engine wrote. */
+  private[graft] def deltaDeleteRoot(s: SparkSession, d: String): String = {
+    val root = deltaDeleteDir(d)
+    foreignFixture(root, d) { () =>
+      LakehouseTable.create(ordersSlice(s, d)
+        .repartitionByRange(4, col("o_orderkey")), root)
+      LakehouseTable.exportDeltaLog(s, root)
+      ()
+    } { () =>
+      LakehouseTable.deleteDeltaForeign(s, root, "o_orderkey % 2 = 1")
+      ()
+    }
+  }
+
+  /** The Iceberg twin: the odd half leaves through
+    * [[IcebergMeta.deleteIcebergForeign]]'s MERGE-ON-READ position
+    * deletes — no data file is rewritten; the spec reader must apply
+    * the committed delete files to serve the surviving rows. */
+  private[graft] def icebergDeleteRoot(s: SparkSession, d: String): String = {
+    val root = TableCache.baseDir + "/iceberg_fdelete_" +
+      java.nio.file.Paths.get(d).getFileName.toString
+    foreignFixture(root, d) { () =>
+      LakehouseTable.create(ordersSlice(s, d)
+        .repartitionByRange(4, col("o_orderkey")), root)
+      IcebergMeta.exportIcebergMeta(s, root)
+      ()
+    } { () =>
+      IcebergMeta.deleteIcebergForeign(s, root, "o_orderkey % 2 = 1")
+      ()
+    }
+  }
+
   /** A SPEC-EVOLVED foreign chain — the partition-evolution shape
     * every long-lived Iceberg table reaches: created
     * identity-partitioned by `event_type` (spec 0), the native
@@ -1951,6 +1994,34 @@ object Lakehouse {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // FOREIGN-TABLE DELETE, Delta face: the odd keys leave through a
+    // copy-on-write rewrite (remove+add actions). The ORACLE replays
+    // the post-delete log raw in DuckDB — the removed files still sit
+    // on disk, so only the committed remove actions exclude them.
+    "q214_delta_foreign_delete" -> ((s, d) => {
+      val root = deltaDeleteRoot(s, d)
+      LakehouseTable.readDeltaExport(s, root)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          Exact.moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // FOREIGN-CHAIN DELETE, Iceberg face: merge-on-read position
+    // deletes — no data file rewritten; the reader applies the
+    // committed delete files and the survivors hash against the
+    // even-keys oracle.
+    "q215_iceberg_foreign_delete" -> ((s, d) => {
+      val root = icebergDeleteRoot(s, d)
+      IcebergMeta.readIceberg(s, root)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          Exact.moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // PARTITION EVOLUTION: spec 0 (identity event_type) files and
     // spec 1 (day(ts)) appended files live in ONE chain; the reader
     // resolves each file's partition struct by FIELD-ID under the spec
@@ -2977,6 +3048,38 @@ object Lakehouse {
             CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
             ${Exact.sqlMoneySum("o_totalprice")} AS sum_price
           FROM kept GROUP BY 1 ORDER BY 1""",
+
+    // an independent replay of the POST-DELETE log: live files from
+    // the raw JSON actions (the removed files still exist on disk —
+    // only the committed removes exclude them)
+    "q214_delta_foreign_delete" ->
+      s"""WITH actions AS (
+            SELECT * FROM read_json('${deltaDeleteDir("/root/testdata/sf0.01")}/_delta_log/*.json',
+              format='newline_delimited',
+              columns={add: 'STRUCT(path VARCHAR)',
+                       remove: 'STRUCT(path VARCHAR)'})),
+          adds AS (SELECT add.path AS p FROM actions WHERE add IS NOT NULL),
+          removes AS (SELECT remove.path AS p FROM actions WHERE remove IS NOT NULL),
+          live AS (SELECT p FROM adds EXCEPT SELECT p FROM removes),
+          rows AS (
+            SELECT o_orderstatus, o_orderkey, o_totalprice, filename
+            FROM read_parquet('${deltaDeleteDir("/root/testdata/sf0.01")}/data/*.parquet',
+              filename=true)),
+          kept AS (
+            SELECT r.* FROM rows r
+            JOIN live l ON right(r.filename, length(l.p)) = l.p)
+          SELECT o_orderstatus, count(*) AS n,
+            CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+            ${Exact.sqlMoneySum("o_totalprice")} AS sum_price
+          FROM kept GROUP BY 1 ORDER BY 1""",
+
+    // the MOR-deleted chain equals the surviving (even) half
+    "q215_iceberg_foreign_delete" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+            CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+            ${Exact.sqlMoneySum("o_totalprice")} AS sum_price
+          FROM orders WHERE o_orderkey % 2 = 0
+          GROUP BY 1 ORDER BY 1""",
 
     // the spec-evolved chain serves both eras' rows exactly: the
     // filtered raw-events aggregate is era-blind by construction

@@ -2511,12 +2511,7 @@ object IcebergMeta {
     import org.apache.spark.sql.functions.col
     require(hasChain(root), s"no Iceberg metadata at $root")
     val dir = metaDir(root)
-    // the TRUE current version: max metadata file, not the hint
-    val curN = withListed(dir)(_.map(_.getFileName.toString).toSeq)
-      .collect { case n if n.matches("v\\d+\\.metadata\\.json") =>
-        n.stripPrefix("v").stripSuffix(".metadata.json").toLong }
-      .maxOption.getOrElse(
-        throw new IllegalStateException(s"no metadata files at $root"))
+    val curN = trueCurrentVersion(dir, root)
     val md = mapper.readTree(Files.readString(
       dir.resolve(s"v$curN.metadata.json")))
     // refusals — loud, never a corrupting best-effort. Format version
@@ -2818,7 +2813,26 @@ object IcebergMeta {
       "parent-snapshot-id" ->
         (if (hasParent) parent.toString else "null"),
       "format-version" -> "2"), carried.toSeq :+ mfRec)
-    // new metadata.json: the current one with the snapshot appended
+    commitForeignSnapshot(root, dir, curN, md, sid, seq, parent,
+      listPath, curSchemaId, "append",
+      s""""deleted-data-files":"0","added-data-files":"${written.size}"""",
+      "append")
+    sid
+  }
+
+  /** The shared metadata tail of every foreign-chain snapshot commit:
+    * build v(curN+1) from `md` with the new snapshot appended
+    * (snapshot-log entry, metadata-log entry, last-sequence-number),
+    * advance refs.main — real Iceberg (>= 0.14) metadata carries it,
+    * and spec readers REJECT metadata whose main ref disagrees with
+    * current-snapshot-id — apply `extraMeta`, and CAS-commit. */
+  private def commitForeignSnapshot(root: String, dir: Path, curN: Long,
+      md: com.fasterxml.jackson.databind.JsonNode, sid: Long, seq: Long,
+      parent: Long, listPath: Path, schemaId: Int, operation: String,
+      summaryFields: String, what: String,
+      extraMeta: com.fasterxml.jackson.databind.node.ObjectNode => Unit =
+        _ => ()): Unit = {
+    val hasParent = parent != -1L
     val ts = math.max(System.currentTimeMillis(),
       md.get("last-updated-ms").asLong() + 1)
     val obj = md.deepCopy()
@@ -2830,14 +2844,10 @@ object IcebergMeta {
       s"""{"snapshot-id":$sid,""" +
       (if (hasParent) s""""parent-snapshot-id":$parent,""" else "") +
       s""""sequence-number":$seq,"timestamp-ms":$ts,""" +
-      s""""manifest-list":"$listPath","schema-id":$curSchemaId,""" +
-      s""""summary":{"operation":"append","deleted-data-files":"0",""" +
-      s""""added-data-files":"${written.size}"}}"""))
+      s""""manifest-list":"$listPath","schema-id":$schemaId,""" +
+      s""""summary":{"operation":"$operation",$summaryFields}}"""))
     obj.withArray("snapshot-log").add(mapper.readTree(
       s"""{"snapshot-id":$sid,"timestamp-ms":$ts}"""))
-    // branch refs: real Iceberg (>= 0.14) metadata carries refs.main,
-    // and spec readers REJECT metadata whose main ref disagrees with
-    // current-snapshot-id — advance it (and only it) with the commit
     Option(obj.get("refs")).foreach { refs =>
       val ro = refs.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
       val main = Option(ro.get("main"))
@@ -2853,9 +2863,193 @@ object IcebergMeta {
     }
     obj.withArray("metadata-log").add(mapper.readTree(
       s"""{"metadata-file":"${dir.resolve(s"v$curN.metadata.json")}","timestamp-ms":${md.get("last-updated-ms").asLong()}}"""))
-    casCommitMetadata(root, dir, curN, obj, "append")
+    extraMeta(obj)
+    casCommitMetadata(root, dir, curN, obj, what)
+  }
+
+  /** MERGE-ON-READ DELETE from a foreign Iceberg chain — rows matching
+    * `predicate` leave the table WITHOUT rewriting any data file:
+    * candidate files come from the same inclusive scan planning
+    * `readIceberg(pruneWhere)` uses (partition transforms + column
+    * metrics), the matching rows' (file, position) pairs are written as
+    * spec v2 POSITION-DELETE parquet (file_path/pos under the reserved
+    * field-ids 2147483546/2147483545, range-partitioned and sorted —
+    * many sorted delete files at scale, never one giant coalesce), and
+    * one snapshot commits them behind a content=1 delete manifest at
+    * the NEW sequence number — every live data file has a smaller one,
+    * so spec readers apply the deletes exactly; prior delete files keep
+    * applying (re-listing an already-deleted position is spec-legal and
+    * harmless). The delete manifest's partition spec is an
+    * UNPARTITIONED one (found, or added to partition-specs by this
+    * commit without touching the default): the spec's global-delete
+    * form, applied to every partition — a partition-scoped form under
+    * one spec could not cover files written under EVOLVED specs.
+    * Existing deletes are deliberately NOT applied before matching: an
+    * already-deleted row that matches re-lists its position, which
+    * changes nothing. Rows where the predicate is NULL are kept (SQL
+    * DELETE semantics). Returns the committed snapshot id — or the
+    * current one, uncommitted, when no row matches. */
+  def deleteIcebergForeign(spark: SparkSession, root: String,
+      predicate: String): Long = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, expr, lit}
+    require(hasChain(root), s"no Iceberg metadata at $root")
+    val dir = metaDir(root)
+    val curN = trueCurrentVersion(dir, root)
+    val md = mapper.readTree(Files.readString(
+      dir.resolve(s"v$curN.metadata.json")))
+    val fmtVer = Option(md.get("format-version")).map(_.asInt()).getOrElse(0)
+    require(fmtVer == 2,
+      s"delete supports Iceberg format-version 2 only; the chain at " +
+        s"$root is format-version $fmtVer")
+    val parent = md.get("current-snapshot-id").asLong()
+    if (parent == -1L) return parent // an empty chain holds no rows
+    val curSchemaId = md.get("current-schema-id").asInt()
+    val (dataEntries, _) = snapshotEntries(root, parent)
+    if (dataEntries.isEmpty) return parent
+    val candidates = pruneFiles(spark, root, curSchemaId, dataEntries,
+      predicate)
+    if (candidates.isEmpty) return parent
+    val fields = schemaIdFieldsOf(root, curSchemaId)
+    val rowPred = coalesce(expr(predicate), lit(false))
+    // raw candidate rows with identity (__p normalized path, __ri row
+    // index) — existing deletes NOT applied (see scaladoc)
+    val scan = chainScan(spark, root, candidates.map(_._1), fields,
+      withIdentity = true)
+    // normalized path → the manifest's own path string: delete files
+    // must carry the form the manifests carry, resolved through a
+    // broadcast of the (bounded) candidate list
+    import spark.implicits._
+    val lookup = candidates.map { case (p, _) => (normPathDriver(p), p) }
+      .toDF("__np", "__mp")
+    import org.apache.spark.sql.types.MetadataBuilder
+    val fpMeta = new MetadataBuilder()
+      .putLong("parquet.field.id", 2147483546L).build()
+    val posMeta = new MetadataBuilder()
+      .putLong("parquet.field.id", 2147483545L).build()
+    val matched = scan.filter(rowPred)
+      .select(col("__p"), col("__ri"))
+      .join(broadcast(lookup), col("__p") === col("__np"))
+      .select(col("__mp").as("file_path", fpMeta),
+        col("__ri").cast("long").as("pos", posMeta))
+    // the reserved field-ids must reach the footers (monotonic set —
+    // inert for schemas without parquet.field.id metadata)
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val lastSeq = md.get("last-sequence-number").asLong()
+    val seq = lastSeq + 1
+    val uuid = java.util.UUID.randomUUID().toString
+    val sid = java.lang.Long.parseLong(graft.plans.TextExpressions
+      .md5Hex(s"iceberg-delete:$root#$seq#$curN#$uuid").take(15), 16)
+    // ONE scan of the candidates: write the matches, read the no-op
+    // answer off the written footers (an isEmpty probe would execute
+    // the whole candidate scan a second time for the write)
+    val tmpOut = Files.createTempDirectory(dir, ".del-tmp")
+    val delFiles: Seq[(Path, Long)] =
+      try {
+        matched.repartitionByRange(col("file_path"), col("pos"))
+          .sortWithinPartitions("file_path", "pos")
+          .write.mode("overwrite").parquet(tmpOut.resolve("out").toString)
+        val parts = withListed(tmpOut.resolve("out"))(
+          _.filter(_.toString.endsWith(".parquet")).toSeq).sorted
+          .map(p => p -> LakehouseTable.parquetRecordCount(p))
+          .filter(_._2 > 0L)
+        parts.zipWithIndex.map { case ((p, rows), i) =>
+          val dst = dir.resolve(f"delete-$sid-$i%05d.parquet")
+          Files.move(p, dst, StandardCopyOption.ATOMIC_MOVE)
+          (dst, rows)
+        }
+      } finally {
+        val walked = Files.walk(tmpOut)
+        try walked.sorted(java.util.Comparator.reverseOrder())
+          .forEach(x => { Files.deleteIfExists(x); () })
+        finally walked.close()
+      }
+    if (delFiles.isEmpty) return parent // planning kept, rows say no
+    // an UNPARTITIONED spec carries the delete entries (global-delete
+    // form): found in the chain, or added by this commit (never as the
+    // default)
+    val existingUnpart = md.get("partition-specs").elements().asScala
+      .find(s => !s.get("fields").elements().hasNext)
+      .map(_.get("spec-id").asInt())
+    val delSpecId = existingUnpart.getOrElse(
+      md.get("partition-specs").elements().asScala
+        .map(_.get("spec-id").asInt()).max + 1)
+    val entrySchema = manifestEntrySchemaIds(Nil)
+    val dataFileSchema = entrySchema.getField("data_file").schema()
+    val partSchema = dataFileSchema.getField("partition").schema()
+    val entries = delFiles.map { case (p, rows) =>
+      val dfr = new GenericData.Record(dataFileSchema)
+      dfr.put("content", 1) // POSITION_DELETES
+      dfr.put("file_path", p.toString)
+      dfr.put("file_format", "PARQUET")
+      dfr.put("partition", new GenericData.Record(partSchema))
+      dfr.put("record_count", rows)
+      dfr.put("file_size_in_bytes", Files.size(p))
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1)
+      e.put("snapshot_id", sid)
+      e.put("sequence_number", null) // inherit the manifest list's
+      e.put("file_sequence_number", null)
+      e.put("data_file", dfr)
+      (e, rows)
+    }
+    val m = dir.resolve(s"m-$sid-delete.avro")
+    val schemaNode = md.get("schemas").elements().asScala
+      .find(_.get("schema-id").asInt() == curSchemaId).getOrElse(
+        throw new IllegalStateException(s"schema $curSchemaId missing"))
+    writeAvro(m, entrySchema, Seq(
+      "schema" -> schemaNode.toString,
+      "partition-spec" -> "[]",
+      "partition-spec-id" -> delSpecId.toString,
+      "format-version" -> "2",
+      "content" -> "deletes"), entries.map(_._1))
+    val carried = readAvro(Paths.get(md.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong() == parent).getOrElse(
+        throw new IllegalStateException(s"parent snapshot $parent missing"))
+      .get("manifest-list").asText()))
+    val mfRec = new GenericData.Record(manifestFileSchema)
+    mfRec.put("manifest_path", m.toString)
+    mfRec.put("manifest_length", Files.size(m))
+    mfRec.put("partition_spec_id", delSpecId)
+    mfRec.put("content", 1)
+    mfRec.put("sequence_number", seq)
+    mfRec.put("min_sequence_number", seq)
+    mfRec.put("added_snapshot_id", sid)
+    mfRec.put("added_files_count", delFiles.size)
+    mfRec.put("existing_files_count", 0)
+    mfRec.put("deleted_files_count", 0)
+    mfRec.put("added_rows_count", entries.map(_._2).sum)
+    mfRec.put("existing_rows_count", 0L)
+    mfRec.put("deleted_rows_count", 0L)
+    val listPath = dir.resolve(s"snap-$sid.avro")
+    writeAvro(listPath, manifestFileSchema, Seq(
+      "snapshot-id" -> sid.toString,
+      "sequence-number" -> seq.toString,
+      "parent-snapshot-id" -> parent.toString,
+      "format-version" -> "2"), carried.toSeq :+ mfRec)
+    commitForeignSnapshot(root, dir, curN, md, sid, seq, parent,
+      listPath, curSchemaId, "delete",
+      s""""added-delete-files":"${delFiles.size}",""" +
+        s""""added-position-deletes":"${entries.map(_._2).sum}"""",
+      "delete",
+      extraMeta = obj =>
+        if (existingUnpart.isEmpty) {
+          obj.withArray("partition-specs").add(mapper.readTree(
+            s"""{"spec-id":$delSpecId,"fields":[]}"""))
+          ()
+        })
     sid
   }
+
+  /** The TRUE current metadata version: the max v*.metadata.json on
+    * disk — the version-hint is a hint; committing on the true max
+    * heals a predecessor's crash between CAS and hint update instead
+    * of wedging every later writer. */
+  private def trueCurrentVersion(dir: Path, root: String): Long =
+    withListed(dir)(_.map(_.getFileName.toString).toSeq)
+      .collect { case n if n.matches("v\\d+\\.metadata\\.json") =>
+        n.stripPrefix("v").stripSuffix(".metadata.json").toLong }
+      .maxOption.getOrElse(
+        throw new IllegalStateException(s"no metadata files at $root"))
 
   /** The shared commit tail of every foreign-chain writer: commit
     * `obj` as v(curN+1).metadata.json via the createLink CAS and move
@@ -2926,11 +3120,7 @@ object IcebergMeta {
     import org.apache.spark.sql.types._
     require(hasChain(root), s"no Iceberg metadata at $root")
     val dir = metaDir(root)
-    val curN = withListed(dir)(_.map(_.getFileName.toString).toSeq)
-      .collect { case n if n.matches("v\\d+\\.metadata\\.json") =>
-        n.stripPrefix("v").stripSuffix(".metadata.json").toLong }
-      .maxOption.getOrElse(
-        throw new IllegalStateException(s"no metadata files at $root"))
+    val curN = trueCurrentVersion(dir, root)
     val md = mapper.readTree(Files.readString(
       dir.resolve(s"v$curN.metadata.json")))
     val fmtVer = Option(md.get("format-version")).map(_.asInt()).getOrElse(0)

@@ -1077,8 +1077,7 @@ object LakehouseTable {
     Files.createDirectories(logDir)
     val vs = versions(root)
     require(vs.nonEmpty, s"no table at $root")
-    def esc(s: String): String =
-      s.replace("\\", "\\\\").replace("\"", "\\\"")
+    def esc(s: String): String = escJson(s)
     def partitionValues(rel: String): String = hivePartValuesJson(rel)
     var prev = Seq.empty[String]
     var prevCols: Option[(String, String, String, String, String)] = None
@@ -1326,8 +1325,7 @@ object LakehouseTable {
     * cdc file (never referenced — Delta's own uncommitted-file story). */
   private def writeCdcFiles(spark: SparkSession, root: String, v: Long,
       changes: DataFrame): Seq[(String, String, Long)] = {
-    def esc(s: String): String =
-      s.replace("\\", "\\\\").replace("\"", "\\\"")
+    def esc(s: String): String = escJson(s)
     val cdcDir = Paths.get(root, "_change_data")
     Files.createDirectories(cdcDir)
     val parts = partitionColumns(root).filter(changes.columns.contains)
@@ -1488,7 +1486,18 @@ object LakehouseTable {
       // the common Delta layout — still prunes partition predicates
       partVals: Map[String, Map[String, Option[String]]] = Map.empty,
       // metaData.partitionColumns (logical names, current epoch)
-      partitionCols: Seq[String] = Nil)
+      partitionCols: Seq[String] = Nil,
+      // live (decoded) path → the add's RAW committed strings: the
+      // path exactly as its JSON carried it, and the deletionVector
+      // object verbatim. A REMOVE must reference both IDENTICALLY —
+      // the spec's action reconciliation keys a logical file on
+      // (path string, deletionVector uniqueId), so a
+      // decode-then-re-encode that normalizes differently from the
+      // foreign writer (e.g. '*' vs %2A), or a remove omitting the
+      // DV, would fail to cancel the add and leave the removed file
+      // LIVE for every conforming reader. Absent for
+      // checkpoint-seeded files (the fallback re-encode serves those)
+      rawAdd: Map[String, (String, Option[String])] = Map.empty)
 
   /** The deletionVector descriptor of one log action line, if any. */
   private def parseDvDescriptor(line: String,
@@ -1619,6 +1628,12 @@ object LakehouseTable {
     val partVals = scala.collection.mutable
       .HashMap.empty[String, Map[String, Option[String]]]
     partVals ++= seedPartVals
+    // decoded path → (raw committed path string, raw deletionVector
+    // object) — what a REMOVE must reference verbatim (see
+    // DeltaReplayState.rawAdd). Checkpoint-seeded adds have no raw
+    // line; they fall back to the re-encode at the remove site.
+    val rawAdds = scala.collection.mutable
+      .HashMap.empty[String, (String, Option[String])]
     var partCols: Seq[String] = seedPartCols
     // the add's stats field must be parsed as REAL JSON: a flat regex
     // over the line would capture a partitionValues KEY that happens to
@@ -1659,11 +1674,13 @@ object LakehouseTable {
       txt.split('\n').foreach { line =>
         deltaActionPath(line, DeltaRemoveKindRe).foreach { raw =>
           val p = deltaDecodePath(deltaUnesc(raw))
-          live -= p; dvs -= p; stats -= p; partVals -= p
+          live -= p; dvs -= p; stats -= p; partVals -= p; rawAdds -= p
         }
         deltaActionPath(line, DeltaAddKindRe).foreach { raw =>
           val p = deltaDecodePath(deltaUnesc(raw))
           live += p
+          rawAdds(p) = (raw,
+            DeltaDvRe.findFirstMatchIn(line).map(m => "{" + m.group(1) + "}"))
           parseDvDescriptor(line, lf.toString) match {
             case Some(d) => dvs(p) = d
             case None    => dvs -= p
@@ -1706,7 +1723,8 @@ object LakehouseTable {
       dvs.toMap.filter(e => live.contains(e._1)),
       stats.toMap.filter(e => live.contains(e._1)),
       partVals.toMap.filter(e => live.contains(e._1)),
-      partCols)
+      partCols,
+      rawAdds.toMap.filter(e => live.contains(e._1)))
   }
 
   /** Write a Delta CHECKPOINT for the exported log at `version` — one
@@ -1890,21 +1908,7 @@ object LakehouseTable {
     import org.apache.spark.sql.functions.col
     val logDir = Paths.get(root, "_delta_log")
     require(Files.isDirectory(logDir), s"no _delta_log at $root")
-    // PIN the version everything below validates: the commit goes to
-    // cur + 1, so a commit landing between this listing and the CAS
-    // fails createLink loudly instead of being silently built upon
-    // un-revalidated. `cur` must also see the CHECKPOINT version — a
-    // log whose JSON tail was cleaned below its checkpoint would
-    // otherwise commit "version 0", invisible to every checkpoint-
-    // seeded reader and corrupting any later full-JSON replay.
-    val lcp = logDir.resolve("_last_checkpoint")
-    val ckVer =
-      if (!Files.exists(lcp)) None
-      else """"version":\s*(\d+)""".r
-        .findFirstMatchIn(Files.readString(lcp)).map(_.group(1).toLong)
-    val cur = (deltaLogVersions(root) ++ ckVer).maxOption.getOrElse(
-      throw new IllegalStateException(
-        s"empty _delta_log at $root — nothing to append to"))
+    val cur = pinForeignDeltaVersion(root, logDir)
     val state = deltaStateAt(spark, root, Some(cur), useCheckpoint = true)
     val struct = schemaJsonToStruct(state.schemaJson).getOrElse(
       throw new IllegalStateException(
@@ -1922,34 +1926,7 @@ object LakehouseTable {
         "them); appending blind would mis-lay the rows — refusing")
     val partCols = state.partitionCols
     val mapping = state.conf.getOrElse("delta.columnMapping.mode", "none")
-    require(mapping == "none" || mapping == "name" || mapping == "id",
-      s"append under column mapping mode '$mapping' is not supported")
-    // an ACTIVE mapping requires every field to declare its physical
-    // name and id (the spec's invariant) — a field missing them cannot
-    // be written without guessing
-    if (mapping != "none")
-      require(struct.fields.forall(f =>
-          f.metadata.contains("delta.columnMapping.physicalName") &&
-            f.metadata.contains("delta.columnMapping.id")),
-        s"column mapping mode '$mapping' at $root is active but some " +
-          "schema fields lack physicalName/id metadata; refusing")
-    // NESTED fields under mapping carry their own physical names/ids,
-    // which the top-level lowering below does not rewrite — committing
-    // logical nested names would serve NULL to every spec reader.
-    // Refuse rather than corrupt (flat schemas are this engine's whole
-    // surface; nested mapped appends need a recursive lowering).
-    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
-    def hasNested(dt: DataType): Boolean = dt match {
-      case _: StructType => true
-      case a: ArrayType  => hasNested(a.elementType)
-      case m: MapType    => hasNested(m.keyType) || hasNested(m.valueType)
-      case _ => false
-    }
-    if (mapping != "none")
-      require(!struct.fields.exists(f => hasNested(f.dataType)),
-        s"append under column mapping supports FLAT schemas only at " +
-          s"$root (nested fields carry their own physical names this " +
-          "writer does not rewrite)")
+    validateMappedWrite(root, struct, mapping, "append")
     require(!state.conf.keys.exists(_.startsWith("delta.constraints.")),
       "append to a table with CHECK constraints is not supported " +
         "(this writer does not evaluate them)")
@@ -2007,66 +1984,274 @@ object LakehouseTable {
     require(partMissing.isEmpty,
       s"partitionColumns ${partMissing.mkString(", ")} at $root are " +
         "not in the table schema")
-    // logical names may contain dots under column mapping (the name
-    // class the feature exists to permit): backtick-quote so col()
-    // does not parse them as struct access
-    def q(n: String): org.apache.spark.sql.Column =
-      col("`" + n.replace("`", "``") + "`")
-    val aligned = df.select(struct.fields.map(f => q(f.name)).toSeq: _*)
-    // under an active mapping the DATA lives under PHYSICAL names with
-    // parquet field ids (spec: stats keys, partitionValues keys, and
-    // id-mode resolution all run in physical space) — lower the frame
-    // and the partition layout before writing
+    val aligned = df.select(struct.fields.map(f => bq(f.name)).toSeq: _*)
     val (physicalDf, physPartCols) =
-      if (mapping == "none") (aligned, partCols)
-      else {
-        val lowered = aligned.select(struct.fields.map { f =>
-          val md = new org.apache.spark.sql.types.MetadataBuilder()
-            .putLong("parquet.field.id",
-              f.metadata.getLong("delta.columnMapping.id"))
-            .build()
-          q(f.name).as(deltaPhysicalName(f), md)
-        }.toSeq: _*)
-        val physParts = partCols.map(c =>
-          deltaPhysicalName(struct.fields
-            .find(_.name.equalsIgnoreCase(c)).get))
-        // field ids must reach the parquet footers (id-mode readers
-        // resolve by them). Set MONOTONICALLY, never restored: the flag
-        // is inert for schemas without parquet.field.id metadata (only
-        // mapped appends attach it), and a set/restore dance on the
-        // SHARED session conf would let one racing append clear the
-        // flag mid-way through another's write job — footers without
-        // ids, every id-mode reader serving null
-        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-        (lowered, physParts)
-      }
+      lowerForWrite(spark, struct, mapping, aligned, partCols)
     val rels = writeFilesRaw(physicalDf, root, physPartCols)
-    def esc(s: String): String =
-      s.replace("\\", "\\\\").replace("\"", "\\\"")
     val ts = System.currentTimeMillis()
     val sb = new StringBuilder
     sb.append(s"""{"commitInfo":{"timestamp":$ts,"operation":"WRITE","operationParameters":{"mode":"Append"}}}""")
       .append('\n')
-    rels.foreach { f =>
-      val p = dataDir(root).resolve(f)
-      val stats = esc(fileStatsJson(p))
-      sb.append(s"""{"add":{"path":"data/${esc(deltaEncodePath(f))}","partitionValues":${hivePartValuesJson(f)},"size":${Files.size(p)},"modificationTime":${Files.getLastModifiedTime(p).toMillis},"dataChange":true,"stats":"$stats"}}""")
+    rels.foreach(f => sb.append(addActionJson(root, f)).append('\n'))
+    casCommitDeltaLog(root, logDir, cur, sb.toString, "append")
+  }
+
+  /** PIN the version a foreign write validates: the commit goes to
+    * cur + 1, so a commit landing between this listing and the CAS
+    * fails createLink loudly instead of being silently built upon
+    * un-revalidated. `cur` must also see the CHECKPOINT version — a
+    * log whose JSON tail was cleaned below its checkpoint would
+    * otherwise commit "version 0", invisible to every checkpoint-
+    * seeded reader and corrupting any later full-JSON replay. */
+  private def pinForeignDeltaVersion(root: String, logDir: Path): Long = {
+    val lcp = logDir.resolve("_last_checkpoint")
+    val ckVer =
+      if (!Files.exists(lcp)) None
+      else """"version":\s*(\d+)""".r
+        .findFirstMatchIn(Files.readString(lcp)).map(_.group(1).toLong)
+    (deltaLogVersions(root) ++ ckVer).maxOption.getOrElse(
+      throw new IllegalStateException(
+        s"empty _delta_log at $root — nothing to commit to"))
+  }
+
+  /** COPY-ON-WRITE DELETE from a FOREIGN Delta table — rows matching
+    * `predicate` leave the table by REWRITING only the files that hold
+    * them: candidate files come from the same inclusive data skipping
+    * the read path plans with (partitionValues + stats), an exact
+    * row-level pass narrows them to the files with ≥1 matching row
+    * (a driver sync bounded by live-file count, the planning shape),
+    * each such file's KEPT rows (existing deletion vectors applied —
+    * a DV'd row must not resurrect through the rewrite) are rewritten
+    * under the table's own hive partitioning (column-mapped tables
+    * lower to physical names + field ids, the append's machinery),
+    * and ONE version commits remove+add actions via the createLink
+    * CAS. Rows where the predicate is NULL are KEPT (SQL DELETE
+    * semantics). Returns the committed version — or the pinned current
+    * version, uncommitted, when no row matches (Delta's own no-op
+    * DELETE shape).
+    *
+    * Refusals — loud, never a corrupting best-effort: an append-only
+    * table (`delta.appendOnly`); a CDF-recording table
+    * (`delta.enableChangeDataFeed` — a conforming writer must commit
+    * cdc actions for a rewrite-delete, and deriving change rows this
+    * writer does not produce would corrupt `table_changes` for every
+    * reader); unknowable partitioning; writer features outside the
+    * append-safe set. CHECK constraints, invariants, and generated/
+    * identity columns are delete-safe by construction — kept rows are
+    * a verbatim subset — so unlike the append they do not refuse. */
+  def deleteDeltaForeign(spark: SparkSession, root: String,
+      predicate: String): Long = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    val logDir = Paths.get(root, "_delta_log")
+    require(Files.isDirectory(logDir), s"no _delta_log at $root")
+    val cur = pinForeignDeltaVersion(root, logDir)
+    val state = deltaStateAt(spark, root, Some(cur), useCheckpoint = true)
+    val struct = schemaJsonToStruct(state.schemaJson).getOrElse(
+      throw new IllegalStateException(
+        s"delete requires a log with a metaData schemaString at $root"))
+    require(state.conf.getOrElse("delta.appendOnly", "false") != "true",
+      s"the table at $root is append-only (delta.appendOnly=true); " +
+        "refusing the delete")
+    require(state.conf.getOrElse("delta.enableChangeDataFeed", "false")
+        != "true",
+      s"the table at $root records a change data feed; a conforming " +
+        "writer must commit cdc actions for a rewrite-delete, which " +
+        "this writer does not produce — table_changes would be " +
+        "corrupted for every reader. Disable CDF or import-then-own")
+    require(state.partitionCols.nonEmpty ||
+        state.partVals.values.forall(_.isEmpty),
+      s"live add actions at $root carry partitionValues but the " +
+        "metaData's partitionColumns are unknown (a checkpoint omitted " +
+        "them); rewriting blind would mis-lay the rows — refusing")
+    val mapping = state.conf.getOrElse("delta.columnMapping.mode", "none")
+    validateMappedWrite(root, struct, mapping, "delete")
+    val (minR, minW) = state.protocol
+    // the append's safe set PLUS the features whose obligations a
+    // row-subset rewrite satisfies by construction (CHECK constraints,
+    // generated and identity columns — kept rows are verbatim): the
+    // same table properties that refuse nothing under the legacy
+    // (minW <= 6 + conf) encoding must not refuse under v7 features
+    val safeFeatures = Set("appendOnly", "invariants", "deletionVectors",
+      "changeDataFeed", "timestampNtz", "v2Checkpoint", "columnMapping",
+      "checkConstraints", "generatedColumns", "identityColumns",
+      "allowColumnDefaults")
+    if (minW >= 7) {
+      val extra = state.writerFeatures.filterNot(safeFeatures)
+      require(extra.isEmpty,
+        s"writer feature(s) ${extra.mkString(", ")} at $root impose " +
+          "obligations this delete writer cannot verify; refusing")
+    } else require(minW >= 1 && minW <= 6,
+      s"writer version $minW not supported")
+    require(minR <= 3, s"reader version $minR not supported")
+    // candidate files (inclusive planning), then the exact row pass:
+    // only files with a TRUE row rewrite — conservative candidates with
+    // no matches must not churn
+    val candidates = pruneDeltaFiles(spark, state, predicate)
+    val rowPred = coalesce(expr(predicate), lit(false))
+    val rewrite: Seq[String] =
+      if (candidates.isEmpty) Nil
+      else {
+        val candSet = candidates.toSet
+        readDeltaSlice(spark, root, state, candidates,
+          state.dvs.filter(kv => candSet.contains(kv._1)), withPath = true)
+          .filter(rowPred).select("__p").distinct()
+          .collect().map(_.getString(0)).toSeq.sorted
+      }
+    if (rewrite.isEmpty) return cur // no matching row: no-op, no commit
+    val rewriteSet = rewrite.toSet
+    val kept = readDeltaSlice(spark, root, state, rewrite,
+      state.dvs.filter(kv => rewriteSet.contains(kv._1)))
+      .filter(not(rowPred))
+    val aligned = kept.select(struct.fields.map(f => bq(f.name)).toSeq: _*)
+    val (physicalDf, physPartCols) =
+      lowerForWrite(spark, struct, mapping, aligned, state.partitionCols)
+    val rels = writeFilesRaw(physicalDf, root, physPartCols)
+    val ts = System.currentTimeMillis()
+    val sb = new StringBuilder
+    sb.append(s"""{"commitInfo":{"timestamp":$ts,"operation":"DELETE","operationParameters":{"predicate":"${escJson(predicate)}"}}}""")
+      .append('\n')
+    // removes must cancel their adds under the spec's ACTION
+    // RECONCILIATION, which keys a logical file on the path STRING and
+    // the deletionVector's uniqueId: reference the add's raw committed
+    // path verbatim (a re-encode that normalizes differently from the
+    // foreign writer — '*' vs %2A — would match no add) and carry the
+    // add's deletionVector object verbatim (a DV-less remove would
+    // leave a DV-bearing add LIVE beside its rewrite for every
+    // conforming reader — duplicated rows and resurrected deletes).
+    // Checkpoint-seeded files have no raw line: re-encode, the form
+    // this engine's own checkpoints committed.
+    rewrite.foreach { f =>
+      val (rawPath, rawDv) = state.rawAdd.getOrElse(f,
+        (escJson(deltaEncodePath(f)), state.dvs.get(f).map(dvJson)))
+      val dvField = rawDv.fold("")(d => s""","deletionVector":$d""")
+      sb.append(s"""{"remove":{"path":"$rawPath","deletionTimestamp":$ts,"dataChange":true$dvField}}""")
         .append('\n')
     }
-    val next = cur + 1L // the version the validation above is good for
+    rels.foreach(f => sb.append(addActionJson(root, f)).append('\n'))
+    casCommitDeltaLog(root, logDir, cur, sb.toString, "delete")
+  }
+
+  /** Backtick-quote a logical column name for `col()`: names may
+    * contain dots under column mapping (the name class the feature
+    * exists to permit). */
+  private def bq(n: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.col("`" + n.replace("`", "``") + "`")
+
+  /** The column-mapping preconditions every foreign WRITE shares (see
+    * [[appendDeltaForeign]]): a supported mode, every field declaring
+    * physicalName/id when a mapping is active (the spec's invariant —
+    * a field missing them cannot be written without guessing), and a
+    * FLAT schema (nested fields carry their own physical names/ids the
+    * top-level lowering does not rewrite — committing logical nested
+    * names would serve NULL to every spec reader; refuse rather than
+    * corrupt). */
+  private def validateMappedWrite(root: String,
+      struct: org.apache.spark.sql.types.StructType, mapping: String,
+      what: String): Unit = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    require(mapping == "none" || mapping == "name" || mapping == "id",
+      s"$what under column mapping mode '$mapping' is not supported")
+    if (mapping != "none") {
+      require(struct.fields.forall(f =>
+          f.metadata.contains("delta.columnMapping.physicalName") &&
+            f.metadata.contains("delta.columnMapping.id")),
+        s"column mapping mode '$mapping' at $root is active but some " +
+          "schema fields lack physicalName/id metadata; refusing")
+      def hasNested(dt: DataType): Boolean = dt match {
+        case _: StructType => true
+        case a: ArrayType  => hasNested(a.elementType)
+        case m: MapType    => hasNested(m.keyType) || hasNested(m.valueType)
+        case _ => false
+      }
+      require(!struct.fields.exists(f => hasNested(f.dataType)),
+        s"$what under column mapping supports FLAT schemas only at " +
+          s"$root (nested fields carry their own physical names this " +
+          "writer does not rewrite)")
+    }
+  }
+
+  /** Lower a logically-named frame to the PHYSICAL write space: under
+    * an active mapping the data lives under physical names with
+    * parquet field ids (spec: stats keys, partitionValues keys, and
+    * id-mode resolution all run in physical space). Field ids must
+    * reach the parquet footers — the session flag is set MONOTONICALLY,
+    * never restored: it is inert for schemas without parquet.field.id
+    * metadata (only mapped writes attach it), and a set/restore dance
+    * on the SHARED session conf would let one racing writer clear the
+    * flag mid-way through another's write job — footers without ids,
+    * every id-mode reader serving null. */
+  private def lowerForWrite(spark: SparkSession,
+      struct: org.apache.spark.sql.types.StructType, mapping: String,
+      aligned: DataFrame, partCols: Seq[String])
+      : (DataFrame, Seq[String]) =
+    if (mapping == "none") (aligned, partCols)
+    else {
+      val lowered = aligned.select(struct.fields.map { f =>
+        val md = new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id",
+            f.metadata.getLong("delta.columnMapping.id"))
+          .build()
+        bq(f.name).as(deltaPhysicalName(f), md)
+      }.toSeq: _*)
+      val physParts = partCols.map(c =>
+        deltaPhysicalName(struct.fields
+          .find(_.name.equalsIgnoreCase(c)).get))
+      spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+      (lowered, physParts)
+    }
+
+  /** JSON-string-escape: backslash, quote, AND control characters — a
+    * raw newline/tab (legal inside a SQL string literal, e.g. a delete
+    * predicate) embedded unescaped would split the NDJSON line and
+    * durably corrupt the log for every reader. */
+  private def escJson(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '"'  => sb.append("\\\"")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** A deletion-vector descriptor serialized back to its spec JSON —
+    * the remove-action fallback for checkpoint-seeded files whose raw
+    * add line is gone. */
+  private def dvJson(d: DeltaDv.Descriptor): String =
+    s"""{"storageType":"${escJson(d.storageType)}","pathOrInlineDv":"${escJson(d.pathOrInlineDv)}","offset":${d.offset},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
+
+  /** One stats-bearing add action for a data-dir-relative file this
+    * writer just wrote — the commit line both foreign write paths
+    * share. */
+  private def addActionJson(root: String, f: String): String = {
+    val p = dataDir(root).resolve(f)
+    val stats = escJson(fileStatsJson(p))
+    s"""{"add":{"path":"data/${escJson(deltaEncodePath(f))}","partitionValues":${hivePartValuesJson(f)},"size":${Files.size(p)},"modificationTime":${Files.getLastModifiedTime(p).toMillis},"dataChange":true,"stats":"$stats"}}"""
+  }
+
+  /** The shared commit tail of every foreign-Delta writer: commit the
+    * action lines as version cur+1 via the createLink CAS. The CAS must
+    * FAIL when the version exists: POSIX rename (and so ATOMIC_MOVE)
+    * silently overwrites, which would DROP a concurrent writer's
+    * committed version — createLink is the atomic fail-if-exists
+    * primitive on every local/shared-mount filesystem. Returns the
+    * committed version. */
+  private def casCommitDeltaLog(root: String, logDir: Path, cur: Long,
+      actions: String, what: String): Long = {
+    val next = cur + 1L // the version the caller's validation is good for
     val tmp = logDir.resolve(
       s".$next.json.tmp-${java.util.UUID.randomUUID()}")
-    Files.writeString(tmp, sb.toString)
-    // the CAS must FAIL when the version exists: POSIX rename (and so
-    // ATOMIC_MOVE) silently overwrites, which would DROP a concurrent
-    // writer's committed version — createLink is the atomic
-    // fail-if-exists primitive on every local/shared-mount filesystem
+    Files.writeString(tmp, actions)
     try Files.createLink(logDir.resolve(f"$next%020d.json"), tmp)
     catch { case _: java.nio.file.FileAlreadyExistsException =>
       Files.deleteIfExists(tmp)
       throw new java.util.ConcurrentModificationException(
         s"log version $next at $root was committed concurrently; " +
-          "re-read the table state and retry the append")
+          s"re-read the table state and retry the $what")
     }
     Files.deleteIfExists(tmp)
     next
@@ -2282,7 +2467,8 @@ object LakehouseTable {
     * streaming source (and, with the full live set, the batch read). */
   private def readDeltaSlice(spark: SparkSession, root: String,
       state: DeltaReplayState, slice: Seq[String],
-      dvs: Map[String, DeltaDv.Descriptor]): DataFrame = {
+      dvs: Map[String, DeltaDv.Descriptor],
+      withPath: Boolean = false): DataFrame = {
     val sliced = state.copy(live = slice, dvs = dvs)
     val files = slice.map(f => Paths.get(root).resolve(f).toString)
     // a FOREIGN table's files may live anywhere under the root (ours are
@@ -2292,7 +2478,8 @@ object LakehouseTable {
       if (slice.forall(_.startsWith("data/"))) dataDir(root).toString
       else root
     val mappingMode = state.conf.getOrElse("delta.columnMapping.mode", "none")
-    readDeltaState(spark, root, sliced, files, basePath, mappingMode)
+    readDeltaState(spark, root, sliced, files, basePath, mappingMode,
+      withPath)
   }
 
   /** PUBLIC slice read for the delta-export streaming source: the given
@@ -2685,8 +2872,16 @@ object LakehouseTable {
 
   private def readDeltaState(spark: SparkSession, root: String,
       state: DeltaReplayState, files: Seq[String], basePath: String,
-      mappingMode: String): DataFrame = {
+      mappingMode: String, withPath: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{col, regexp_replace, substring, url_decode}
+    // root-relative DECODED path of each row's source file — the same
+    // form the replay's live/dvs/stats maps key on
+    val rootPrefix = Paths.get(root).toString + "/"
+    def relOfRow = substring(
+      url_decode(regexp_replace(
+        regexp_replace(col("_metadata.file_path"), "^file:/+", "/"),
+        "\\+", "%2B")),
+      rootPrefix.length + 1, Int.MaxValue)
     // DELETION VECTORS: decode each live file's descriptor (spec blob →
     // 64-bit row indexes) and anti-join on (root-relative path,
     // _metadata.row_index) — the same position-delete shape the native
@@ -2696,12 +2891,7 @@ object LakehouseTable {
       if (state.dvs.isEmpty) raw
       else {
         val posDf = dvPositionsDf(spark, root, state.dvs)
-        val prefix = Paths.get(root).toString + "/"
-        val rel = substring(
-          url_decode(regexp_replace(
-            regexp_replace(col("_metadata.file_path"), "^file:/+", "/"),
-            "\\+", "%2B")),
-          prefix.length + 1, Int.MaxValue)
+        val rel = relOfRow
         raw.withColumn("__dv_rel", rel)
           .withColumn("__dv_ri", col("_metadata.row_index"))
           .join(posDf, col("__dv_rel") === col("__dv_path") &&
@@ -2744,14 +2934,16 @@ object LakehouseTable {
           .schema(physical)
           .parquet(files: _*)
         applyLogDvs(raw)
-          .select(st.fields.toSeq.map(f => col(physOf(f)).as(f.name)): _*)
+          .select(st.fields.toSeq.map(f => col(physOf(f)).as(f.name)) ++
+            (if (withPath) Seq(relOfRow.as("__p")) else Nil): _*)
       case _ =>
         val raw = spark.read
           .option("basePath", basePath)
           .option("mergeSchema", "true")
           .parquet(files: _*)
         val cols = raw.columns.toSeq
-        applyLogDvs(raw).select(cols.map(col): _*)
+        applyLogDvs(raw).select(cols.map(col) ++
+          (if (withPath) Seq(relOfRow.as("__p")) else Nil): _*)
     }
   }
 

@@ -1273,4 +1273,240 @@ class Round13Spec extends AnyFunSuite {
         s"appended file may only survive through its cat metrics: " +
         pruned.inputFiles.toSeq)
   }
+
+  private def wipeManifest(root: String): Unit = {
+    val walked = Files.walk(Paths.get(root, "_manifest"))
+    try walked.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { Files.deleteIfExists(p); () })
+    finally walked.close()
+  }
+
+  test("delta foreign delete: partial COW rewrite, stats, no-op, null semantics") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot("fd_delta")
+    LT.create(Seq.range(1L, 21L).map(k => (k, k * 10L)).toDF("k", "v")
+      .repartitionByRange(2, col("k")).sortWithinPartitions("k"), root)
+    LT.exportDeltaLog(spark, root)
+    wipeManifest(root)
+    assert(LT.readDeltaExport(spark, root).inputFiles.length == 2)
+    // only the file holding matching rows rewrites: stats plan one
+    // candidate, the row pass confirms it
+    val ver = LT.deleteDeltaForeign(spark, root, "k <= 5 AND k % 2 = 1")
+    val logTxt = Files.readString(Paths.get(root, "_delta_log",
+      f"$ver%020d.json"))
+    assert(""""remove":""".r.findAllIn(logTxt).size == 1, logTxt)
+    val back = LT.readDeltaExport(spark, root)
+    assert(back.select($"k").as[Long].collect().toSet ==
+      (1L to 20L).toSet -- Set(1L, 3L, 5L))
+    // the rewritten file's fresh stats still plan
+    val pruned = LT.readDeltaExport(spark, root,
+      pruneWhere = Some("k <= 5"))
+    assert(pruned.select($"k").as[Long].collect().toSet == Set(2L, 4L))
+    assert(pruned.inputFiles.length == 1, pruned.inputFiles.toSeq.toString)
+    // no matching row: NO commit (Delta's no-op DELETE shape)
+    val same = LT.deleteDeltaForeign(spark, root, "k = 999")
+    assert(same == ver)
+    assert(!Files.exists(Paths.get(root, "_delta_log",
+      f"${ver + 1}%020d.json")))
+    // NULL-predicate rows are KEPT (SQL DELETE semantics)
+    val nroot = freshRoot("fd_delta_null")
+    LT.create(Seq((1L, Some(5L)), (2L, None), (3L, Some(20L)))
+      .toDF("k", "v").coalesce(1), nroot)
+    LT.exportDeltaLog(spark, nroot)
+    wipeManifest(nroot)
+    LT.deleteDeltaForeign(spark, nroot, "v > 4")
+    assert(LT.readDeltaExport(spark, nroot)
+      .select($"k").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("delta foreign delete: existing deletion vectors do not resurrect; refusals") {
+    import spark.implicits._
+    val root = freshRoot("fd_delta_dv")
+    LT.create(Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))
+      .toDF("k", "v").coalesce(1), root)
+    // a native MOR delete leaves k=2 under a deletion vector, exported
+    // as a spec DV action on the single add
+    LT.deleteWhereMor(spark, root, "k = 2")
+    LT.exportDeltaLog(spark, root)
+    wipeManifest(root)
+    assert(LT.readDeltaExport(spark, root)
+      .select($"k").as[Long].collect().toSet == Set(1L, 3L, 4L))
+    // the COW rewrite of the DV'd file must apply the DV: k=2 stays
+    // deleted, k=3 leaves, k=1/4 survive
+    val dvVer = LT.deleteDeltaForeign(spark, root, "k = 3")
+    assert(LT.readDeltaExport(spark, root)
+      .select($"k").as[Long].collect().toSet == Set(1L, 4L))
+    // the spec's action reconciliation keys a logical file on
+    // (path, deletionVector uniqueId): the remove must carry the add's
+    // DV verbatim or conforming readers leave the removed file LIVE
+    val dvLog = Files.readString(Paths.get(root, "_delta_log",
+      f"$dvVer%020d.json"))
+    val removeLine = dvLog.split('\n').find(_.contains("\"remove\""))
+    assert(removeLine.exists(_.contains("\"deletionVector\"")),
+      s"the remove must reference the add's DV: ${removeLine.getOrElse("")}")
+    // every committed line is one valid JSON object (a control-char
+    // predicate must not split the NDJSON)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    dvLog.split('\n').filter(_.nonEmpty).foreach(om.readTree)
+
+    // a predicate with a raw newline inside its string literal commits
+    // as ONE parseable commitInfo line
+    val nlroot = freshRoot("fd_delta_nl")
+    LT.create(Seq(("a\nb", 1L), ("c", 2L)).toDF("s", "v").coalesce(1),
+      nlroot)
+    LT.exportDeltaLog(spark, nlroot)
+    wipeManifest(nlroot)
+    val nlVer = LT.deleteDeltaForeign(spark, nlroot, "s = 'a\nb'")
+    assert(LT.readDeltaExport(spark, nlroot)
+      .select($"v").as[Long].collect().toSeq == Seq(2L))
+    Files.readString(Paths.get(nlroot, "_delta_log",
+      f"$nlVer%020d.json")).split('\n').filter(_.nonEmpty)
+      .foreach(om.readTree)
+
+    // refusals: an append-only table, a CDF-recording table
+    val aroot = freshRoot("fd_delta_ao")
+    LT.create(Seq((1L, 10L)).toDF("k", "v").coalesce(1), aroot)
+    LT.exportDeltaLog(spark, aroot)
+    wipeManifest(aroot)
+    val lf = Paths.get(aroot, "_delta_log", f"${0L}%020d.json")
+    val doctored = Files.readString(lf).replace(
+      """"configuration":{}""",
+      """"configuration":{"delta.appendOnly":"true"}""")
+    assert(doctored.contains("appendOnly"), "doctor must apply")
+    Files.writeString(lf, doctored)
+    val exAo = intercept[IllegalArgumentException] {
+      LT.deleteDeltaForeign(spark, aroot, "k = 1")
+    }
+    assert(exAo.getMessage.contains("append-only"), exAo.getMessage)
+
+    val croot = freshRoot("fd_delta_cdf")
+    LT.create(Seq((1L, 10L)).toDF("k", "v").coalesce(1), croot)
+    LT.enableChangeDataFeed(spark, croot, Seq("k"))
+    LT.exportDeltaLog(spark, croot)
+    wipeManifest(croot)
+    val exCdf = intercept[IllegalArgumentException] {
+      LT.deleteDeltaForeign(spark, croot, "k = 1")
+    }
+    assert(exCdf.getMessage.contains("change data feed"), exCdf.getMessage)
+  }
+
+  test("delta foreign delete under column mapping rewrites in physical space") {
+    import spark.implicits._
+    val root = freshRoot("fd_delta_mapped")
+    LT.create(Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v")
+      .coalesce(1), root)
+    LT.alterRenameColumn(spark, root, "v", "val")
+    LT.exportDeltaLog(spark, root)
+    wipeManifest(root)
+    // the predicate speaks LOGICAL names; the rewrite lands physical
+    val ver = LT.deleteDeltaForeign(spark, root, "val = 20")
+    val back = LT.readDeltaExport(spark, root)
+    assert(back.as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L), (3L, 30L)))
+    // the rewritten footer carries the PHYSICAL pre-rename name
+    val logTxt = Files.readString(Paths.get(root, "_delta_log",
+      f"$ver%020d.json"))
+    val addPath = """"path":"data/([^"]+)"""".r
+      .findFirstMatchIn(logTxt).map(_.group(1))
+    assert(addPath.isDefined, logTxt.take(300))
+    val footCols = {
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(
+            Paths.get(root, "data", addPath.get).toString),
+          new org.apache.hadoop.conf.Configuration()))
+      try rd.getFooter.getFileMetaData.getSchema.getFields
+        .asScala.map(_.getName).toSeq
+      finally rd.close()
+    }
+    assert(footCols.contains("v") && !footCols.contains("val"),
+      s"rewritten data must use PHYSICAL column names: $footCols")
+  }
+
+  private def currentIceSnapshot(root: String): Long = {
+    val dir = Paths.get(root, "metadata")
+    val hint = Files.readString(dir.resolve("version-hint.text")).trim
+    new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readString(dir.resolve(s"v$hint.metadata.json")))
+      .get("current-snapshot-id").asLong()
+  }
+
+  private def maxIceVersion(root: String): Long = {
+    val listed = Files.list(Paths.get(root, "metadata"))
+    try listed.iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case n if n.matches("v\\d+\\.metadata\\.json") =>
+        n.stripPrefix("v").stripSuffix(".metadata.json").toLong }
+      .max
+    finally listed.close()
+  }
+
+  test("iceberg foreign delete: MOR position deletes, time travel, layering, no-op") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot("fd_ice")
+    LT.create(Seq.range(1L, 11L).map(k => (k, k * 10L)).toDF("k", "v")
+      .repartitionByRange(2, col("k")).sortWithinPartitions("k"), root)
+    IcebergMeta.exportIcebergMeta(spark, root)
+    wipeManifest(root)
+    val parent = currentIceSnapshot(root)
+    val sid = IcebergMeta.deleteIcebergForeign(spark, root,
+      "k <= 5 AND k % 2 = 1")
+    assert(sid != parent)
+    val all = IcebergMeta.readIceberg(spark, root)
+    assert(all.select($"k").as[Long].collect().toSet ==
+      (1L to 10L).toSet -- Set(1L, 3L, 5L))
+    // MERGE-ON-READ: no data file rewritten — both still serve (the
+    // third input is the delete parquet the anti-join reads)
+    assert(all.inputFiles.count(_.contains("/data/")) == 2,
+      all.inputFiles.toSeq.toString)
+    // time travel to the parent serves the pre-delete rows
+    val past = IcebergMeta.readIceberg(spark, root,
+      snapshotAsOf = Some(parent))
+    assert(past.count() == 10)
+    // a second delete LAYERS on the carried one
+    IcebergMeta.deleteIcebergForeign(spark, root, "k = 7")
+    assert(IcebergMeta.readIceberg(spark, root)
+      .select($"k").as[Long].collect().toSet ==
+      Set(2L, 4L, 6L, 8L, 9L, 10L))
+    // planning keeps the file of a deleted key; the read serves 0 rows
+    val p = IcebergMeta.readIceberg(spark, root, pruneWhere = Some("k = 3"))
+    assert(p.count() == 0)
+    // no matching row: NO new metadata version
+    val verBefore = maxIceVersion(root)
+    IcebergMeta.deleteIcebergForeign(spark, root, "k = 999")
+    assert(maxIceVersion(root) == verBefore)
+    // a predicate over an unknown column refuses
+    intercept[IllegalArgumentException] {
+      IcebergMeta.deleteIcebergForeign(spark, root, "nope = 1")
+    }
+  }
+
+  test("iceberg foreign delete applies across partition-evolution eras") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val root = freshRoot("fd_ice_evolved")
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    LT.create(Seq(
+        (1L, "a", ts("2023-06-01T10:00:00Z")),
+        (2L, "b", ts("2023-06-01T11:00:00Z")))
+      .toDF("k", "cat", "ts").repartition(col("cat")),
+      root, partitionBy = Seq("cat"))
+    IcebergMeta.exportIcebergMeta(spark, root)
+    wipeManifest(root)
+    IcebergMeta.evolvePartitionSpecForeign(root,
+      Seq(("ts_day", "day", "ts")))
+    IcebergMeta.appendIcebergForeign(spark, root, Seq(
+        (11L, "c", ts("2024-01-10T05:00:00Z")),
+        (12L, "c", ts("2024-01-11T01:00:00Z")))
+      .toDF("k", "cat", "ts")
+      .repartition(expr("CAST(unix_micros(ts) DIV 86400000000 AS INT)")))
+    // ONE delete commit hits rows in BOTH eras: the global
+    // (unpartitioned-spec) position deletes apply to every file
+    // regardless of which spec it was written under
+    IcebergMeta.deleteIcebergForeign(spark, root, "k IN (2, 12)")
+    assert(IcebergMeta.readIceberg(spark, root)
+      .select($"k").as[Long].collect().toSet == Set(1L, 11L))
+  }
 }
