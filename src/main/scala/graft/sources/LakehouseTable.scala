@@ -1324,11 +1324,14 @@ object LakehouseTable {
     * a uuid; a concurrent exporter losing the log CAS leaves an orphaned
     * cdc file (never referenced — Delta's own uncommitted-file story). */
   private def writeCdcFiles(spark: SparkSession, root: String, v: Long,
-      changes: DataFrame): Seq[(String, String, Long)] = {
-    def esc(s: String): String = escJson(s)
+      changes: DataFrame,
+      partColsOverride: Option[Seq[String]] = None): Seq[(String, String, Long)] = {
     val cdcDir = Paths.get(root, "_change_data")
     Files.createDirectories(cdcDir)
-    val parts = partitionColumns(root).filter(changes.columns.contains)
+    // native tables lay change data out under the manifest's partition
+    // columns; a FOREIGN caller passes the log metaData's instead
+    val parts = partColsOverride.getOrElse(partitionColumns(root))
+      .filter(changes.columns.contains)
     val stage = Files.createTempDirectory(cdcDir, s".cdc-$v-stage")
     try {
       // one write job on the common (non-empty) path: a partitioned
@@ -2030,15 +2033,21 @@ object LakehouseTable {
     * version, uncommitted, when no row matches (Delta's own no-op
     * DELETE shape).
     *
+    * A CDF-recording table (`delta.enableChangeDataFeed`) gets REAL
+    * cdc actions — the deleted rows as `_change_data` parquet with
+    * `_change_type` 'delete', laid out under the table's partitioning
+    * — because a conforming writer must commit the change set for a
+    * rewrite-delete (readers would otherwise mis-derive the rewrite as
+    * inserts+deletes of unchanged rows).
+    *
     * Refusals — loud, never a corrupting best-effort: an append-only
-    * table (`delta.appendOnly`); a CDF-recording table
-    * (`delta.enableChangeDataFeed` — a conforming writer must commit
-    * cdc actions for a rewrite-delete, and deriving change rows this
-    * writer does not produce would corrupt `table_changes` for every
-    * reader); unknowable partitioning; writer features outside the
-    * append-safe set. CHECK constraints, invariants, and generated/
-    * identity columns are delete-safe by construction — kept rows are
-    * a verbatim subset — so unlike the append they do not refuse. */
+    * table (`delta.appendOnly`); CDF under column mapping (change
+    * files follow the data files' physical-space rules this writer
+    * lays out logically); unknowable partitioning; writer features
+    * outside the safe set. CHECK constraints, invariants, and
+    * generated/identity columns are delete-safe by construction —
+    * kept rows are a verbatim subset — so unlike the append they do
+    * not refuse. */
   def deleteDeltaForeign(spark: SparkSession, root: String,
       predicate: String): Long = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
@@ -2052,12 +2061,11 @@ object LakehouseTable {
     require(state.conf.getOrElse("delta.appendOnly", "false") != "true",
       s"the table at $root is append-only (delta.appendOnly=true); " +
         "refusing the delete")
-    require(state.conf.getOrElse("delta.enableChangeDataFeed", "false")
-        != "true",
-      s"the table at $root records a change data feed; a conforming " +
-        "writer must commit cdc actions for a rewrite-delete, which " +
-        "this writer does not produce — table_changes would be " +
-        "corrupted for every reader. Disable CDF or import-then-own")
+    // CDF-recording tables get REAL cdc actions (below): a conforming
+    // writer must commit the change rows for a rewrite-delete, or
+    // table_changes would mis-derive the rewrite as inserts+deletes
+    val cdfOn = state.conf.get("delta.enableChangeDataFeed")
+      .contains("true")
     require(state.partitionCols.nonEmpty ||
         state.partVals.values.forall(_.isEmpty),
       s"live add actions at $root carry partitionValues but the " +
@@ -2065,6 +2073,13 @@ object LakehouseTable {
         "them); rewriting blind would mis-lay the rows — refusing")
     val mapping = state.conf.getOrElse("delta.columnMapping.mode", "none")
     validateMappedWrite(root, struct, mapping, "delete")
+    // change data files follow the data files' physical-space rules
+    // under a mapping; this writer lays cdc out logically — refuse the
+    // combination rather than commit change rows spec readers resolve
+    // to nulls
+    require(!cdfOn || mapping == "none",
+      s"delete from a CDF-recording table under column mapping mode " +
+        s"'$mapping' at $root is not supported")
     val (minR, minW) = state.protocol
     // the append's safe set PLUS the features whose obligations a
     // row-subset rewrite satisfies by construction (CHECK constraints,
@@ -2106,10 +2121,28 @@ object LakehouseTable {
     val (physicalDf, physPartCols) =
       lowerForWrite(spark, struct, mapping, aligned, state.partitionCols)
     val rels = writeFilesRaw(physicalDf, root, physPartCols)
+    // CDF: this commit's change set IS the deleted rows (kept rows did
+    // not logically change). One more pass over the rewritten files —
+    // the price Delta's own COW delete pays to materialize change data
+    val cdcFiles: Seq[(String, String, Long)] =
+      if (!cdfOn) Nil
+      else {
+        val deleted = readDeltaSlice(spark, root, state, rewrite,
+          state.dvs.filter(kv => rewriteSet.contains(kv._1)))
+          .filter(rowPred)
+          .withColumn("_change_type",
+            org.apache.spark.sql.functions.lit("delete"))
+        writeCdcFiles(spark, root, cur + 1L, deleted,
+          partColsOverride = Some(state.partitionCols))
+      }
     val ts = System.currentTimeMillis()
     val sb = new StringBuilder
     sb.append(s"""{"commitInfo":{"timestamp":$ts,"operation":"DELETE","operationParameters":{"predicate":"${escJson(predicate)}"}}}""")
       .append('\n')
+    cdcFiles.foreach { case (rel, pv, size) =>
+      sb.append(s"""{"cdc":{"path":"${escJson(deltaEncodePath(rel))}","partitionValues":$pv,"size":$size,"dataChange":false}}""")
+        .append('\n')
+    }
     // removes must cancel their adds under the spec's ACTION
     // RECONCILIATION, which keys a logical file on the path STRING and
     // the deletionVector's uniqueId: reference the add's raw committed

@@ -1380,15 +1380,34 @@ class Round13Spec extends AnyFunSuite {
     }
     assert(exAo.getMessage.contains("append-only"), exAo.getMessage)
 
+    // a CDF-recording table gets REAL cdc actions: table_changes for
+    // the delete version is exactly the deleted rows
     val croot = freshRoot("fd_delta_cdf")
-    LT.create(Seq((1L, 10L)).toDF("k", "v").coalesce(1), croot)
+    LT.create(Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+      .coalesce(1), croot)
     LT.enableChangeDataFeed(spark, croot, Seq("k"))
     LT.exportDeltaLog(spark, croot)
     wipeManifest(croot)
+    val cdfVer = LT.deleteDeltaForeign(spark, croot, "k = 2")
+    assert(LT.readDeltaExport(spark, croot)
+      .select($"k").as[Long].collect().toSet == Set(1L, 3L))
+    val changes = LT.readDeltaExportChanges(spark, croot, cdfVer, cdfVer)
+    assert(changes.select($"_change_type", $"k").as[(String, Long)]
+      .collect().toSeq == Seq(("delete", 2L)),
+      "the delete version's change set must be exactly the deleted rows")
+
+    // ... but CDF under COLUMN MAPPING refuses (change files follow the
+    // data files' physical-space rules this writer lays out logically)
+    val mroot = freshRoot("fd_delta_cdf_mapped")
+    LT.create(Seq((1L, 10L)).toDF("k", "v").coalesce(1), mroot)
+    LT.alterRenameColumn(spark, mroot, "v", "val")
+    LT.enableChangeDataFeed(spark, mroot, Seq("k"))
+    LT.exportDeltaLog(spark, mroot)
+    wipeManifest(mroot)
     val exCdf = intercept[IllegalArgumentException] {
-      LT.deleteDeltaForeign(spark, croot, "k = 1")
+      LT.deleteDeltaForeign(spark, mroot, "k = 1")
     }
-    assert(exCdf.getMessage.contains("change data feed"), exCdf.getMessage)
+    assert(exCdf.getMessage.contains("column mapping"), exCdf.getMessage)
   }
 
   test("delta foreign delete under column mapping rewrites in physical space") {
