@@ -301,6 +301,48 @@ object TextExpressions {
     }
   }
 
+  /** Gopher-style repetition signals of one document, single pass,
+    * DOC-LOCAL (no corpus-wide (doc, gram) shuffle — the q166 entropy
+    * lesson applied to n-gram counting): returns
+    * `[n_tokens, top2_cov, dup3_occ, n3]` where `top2_cov` is the
+    * token count covered by occurrences of the single most frequent
+    * 2-gram (count × 2, overlaps uncounted — a fixed convention shared
+    * with the oracle) and `dup3_occ` / `n3` are the duplicate and
+    * total 3-gram OCCURRENCE counts. All integers: the fractions
+    * downstream thresholds need are exact rationals. */
+  def evalRepetitionStats(input: UTF8String): ArrayData = {
+    val toks = tokenize(input.toString)
+    val n = toks.length
+    var maxBi = 0L
+    if (n >= 2) {
+      val bi = new java.util.HashMap[String, Long](n * 2)
+      var i = 0
+      while (i + 1 < n) {
+        val c = bi.merge(toks(i) + " " + toks(i + 1), 1L, (a, b) => a + b)
+        if (c > maxBi) maxBi = c
+        i += 1
+      }
+    }
+    var dup3 = 0L
+    var n3 = 0L
+    if (n >= 3) {
+      val g3 = new java.util.HashMap[String, Long](n * 2)
+      var i = 0
+      while (i + 2 < n) {
+        g3.merge(toks(i) + " " + toks(i + 1) + " " + toks(i + 2),
+          1L, (a, b) => a + b)
+        i += 1
+      }
+      val it = g3.values().iterator()
+      while (it.hasNext) {
+        val c = it.next()
+        n3 += c
+        if (c > 1L) dup3 += c
+      }
+    }
+    new GenericArrayData(Array[Any](n.toLong, 2L * maxBi, dup3, n3))
+  }
+
   // --- Expression nodes ---------------------------------------------------
 
   private val Self = "graft.plans.TextExpressions"
@@ -439,6 +481,18 @@ object TextExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  case class RepetitionStats(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "repetition_stats"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, StringType, prettyName)
+    override def nullSafeEval(input: Any): Any =
+      evalRepetitionStats(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Self.evalRepetitionStats($c)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   case class WinnowFps(child: Expression, k: Int, w: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "winnow_fps"
@@ -491,6 +545,8 @@ object TextExpressions {
     ColumnBridge.column(WinnowFps(ColumnBridge.expression(text), k, w))
   def docEntropy(text: Column): Column =
     ColumnBridge.column(DocEntropy(ColumnBridge.expression(text)))
+  def repetitionStats(text: Column): Column =
+    ColumnBridge.column(RepetitionStats(ColumnBridge.expression(text)))
   def qualityScore(text: Column): Column =
     ColumnBridge.column(QualityScore(ColumnBridge.expression(text)))
   def wordShingles(text: Column, n: Int): Column =
