@@ -41,26 +41,6 @@ object TextAnalysis {
     // only corpus-sized exchange is the word-count shape itself. Docs
     // with < 2 tokens have no bigrams and are excluded (explicitly, both
     // engines — the q132 empty-doc rule).
-    // GOPHER-STYLE REPETITION SIGNALS, doc-local and integer-exact:
-    // the rule-based repetition filters every LLM curation pipeline
-    // runs (top-n-gram coverage, duplicate-n-gram fraction) as ONE
-    // compiled single-pass expression per document — no corpus-wide
-    // (doc, gram) shuffle (the q166 entropy lesson), so the plan is a
-    // scan feeding a sort, and the fractions downstream thresholds
-    // need stay exact rationals (numerator/denominator BIGINTs)
-    "q216_repetition_signals" -> ((s, d) => {
-      val r = graft.plans.TextExpressions.repetitionStats(col("text"))
-      Tables.documents(s, d)
-        .select(col("doc_id"), r.as("r"))
-        .select(col("doc_id"),
-          col("r").getItem(0).as("n_tokens"),
-          col("r").getItem(1).as("top2_cov"),
-          col("r").getItem(2).as("dup3_occ"),
-          col("r").getItem(3).as("n3"),
-          (col("r").getItem(2) > 0L).as("repetitive"))
-        .orderBy(col("doc_id"))
-    }),
-
     "q169_bigram_lm" -> ((s, d) => {
       import s.implicits._
       val bg = Tables.documents(s, d)
@@ -98,6 +78,26 @@ object TextAnalysis {
           sum(when(col("bpt") > HighCeMicro, 1L).otherwise(0L)).as("n_flagged"))
         .orderBy(col("lang"))
     }),
+    // GOPHER-STYLE REPETITION SIGNALS, doc-local and integer-exact:
+    // the rule-based repetition filters every LLM curation pipeline
+    // runs (top-n-gram coverage, duplicate-n-gram fraction) as ONE
+    // compiled single-pass expression per document — no corpus-wide
+    // (doc, gram) shuffle (the q166 entropy lesson), so the plan is a
+    // scan feeding a sort, and the fractions downstream thresholds
+    // need stay exact rationals (numerator/denominator BIGINTs)
+    "q216_repetition_signals" -> ((s, d) => {
+      val r = graft.plans.TextExpressions.repetitionStats(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), r.as("r"))
+        .select(col("doc_id"),
+          col("r").getItem(0).as("n_tokens"),
+          col("r").getItem(1).as("top2_cov"),
+          col("r").getItem(2).as("dup3_occ"),
+          col("r").getItem(3).as("n3"),
+          (col("r").getItem(2) > 0L).as("repetitive"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-doc SHANNON ENTROPY of the unigram distribution — the lexical-
     // diversity quality signal (low entropy = repetitive/templated text;
     // keyword-stuffed spam scores near 0) the suite previously could not
@@ -581,13 +581,15 @@ object TextAnalysis {
   private val toksSql = T.sqlToks
 
   def oracle: Map[String, String] = Map(
-    // q216 twin: the same tokenization (trim + \s+ split), the same
-    // gram conventions (count × 2 coverage, duplicate OCCURRENCES),
-    // all integers — hash-exact against the compiled expression
+    // q216 twin: THE tokenization convention (toksSql — trim + \s+
+    // split + empty-token filter, the one body every text oracle
+    // shares), the same gram conventions (count × 2 coverage,
+    // duplicate OCCURRENCES), all integers — hash-exact against the
+    // compiled expression. NULL text stays NULL across all four
+    // signal columns (nullSafeEval parity); a short doc's missing
+    // gram rows COALESCE to 0, never NULL.
     "q216_repetition_signals" ->
-      """WITH lst AS (SELECT doc_id,
-              regexp_split_to_array(trim(text), '\s+') AS l
-            FROM documents),
+      s"""WITH lst AS (SELECT doc_id, $toksSql AS l FROM documents),
           base AS (SELECT doc_id, len(l) AS n, l FROM lst),
           bidx AS (SELECT doc_id, l, unnest(range(1, len(l))) AS i
                    FROM base),
@@ -605,10 +607,14 @@ object TextAnalysis {
                      AS BIGINT) AS dup3_occ,
                    CAST(sum(c) AS BIGINT) AS n3 FROM g3c GROUP BY 1)
           SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens,
-            COALESCE(t.top2_cov, 0) AS top2_cov,
-            COALESCE(d.dup3_occ, 0) AS dup3_occ,
-            COALESCE(d.n3, 0) AS n3,
-            (COALESCE(d.dup3_occ, 0) > 0) AS repetitive
+            CASE WHEN b.l IS NULL THEN NULL
+                 ELSE COALESCE(t.top2_cov, 0) END AS top2_cov,
+            CASE WHEN b.l IS NULL THEN NULL
+                 ELSE COALESCE(d.dup3_occ, 0) END AS dup3_occ,
+            CASE WHEN b.l IS NULL THEN NULL
+                 ELSE COALESCE(d.n3, 0) END AS n3,
+            CASE WHEN b.l IS NULL THEN NULL
+                 ELSE COALESCE(d.dup3_occ, 0) > 0 END AS repetitive
           FROM base b LEFT JOIN top2 t USING(doc_id)
             LEFT JOIN d3 d USING(doc_id)
           ORDER BY doc_id""",

@@ -1502,6 +1502,30 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  test("repetition stats: edge docs match the oracle conventions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the fixture corpus has no empty/whitespace-edge/null docs — pin
+    // the parity rules here: trim + \s+ + empty-token filter, missing
+    // grams count 0, NULL text stays NULL (nullSafeEval)
+    val rows = Seq((0L, "a b a b a"), (2L, ""), (3L, "\tx y\n"),
+        (4L, "solo"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.plans.TextExpressions.repetitionStats(col("text")).as("r"))
+      .orderBy("doc_id")
+      .select(col("doc_id"), col("r")(0), col("r")(1), col("r")(2),
+        col("r")(3))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows == Seq((0L, 5L, 4L, 2L, 3L), (2L, 0L, 0L, 0L, 0L),
+      (3L, 2L, 2L, 0L, 0L), (4L, 1L, 0L, 0L, 0L)))
+    val nullRow = Seq((1L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .select(graft.plans.TextExpressions.repetitionStats(col("text"))
+        .as("r")).collect()
+    assert(nullRow.head.isNullAt(0), "null text must yield null signals")
+  }
+
   test("iceberg foreign delete applies across partition-evolution eras") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, expr}
