@@ -503,6 +503,30 @@ object Lakehouse {
     }
   }
 
+  private[graft] def deltaUpdateDir(d: String): String =
+    TableCache.baseDir + "/delta_fupdate_" +
+      java.nio.file.Paths.get(d).getFileName.toString
+
+  /** A genuinely foreign Delta table UPDATED through
+    * [[LakehouseTable.updateDeltaForeign]]: the odd keys' status SET to
+    * 'X' by a copy-on-write rewrite. The q217 oracle replays the
+    * post-update log raw in DuckDB — the pre-update files still sit on
+    * disk, so only the committed remove+add actions produce the
+    * updated values. */
+  private[graft] def deltaUpdateRoot(s: SparkSession, d: String): String = {
+    val root = deltaUpdateDir(d)
+    foreignFixture(root, d) { () =>
+      LakehouseTable.create(ordersSlice(s, d)
+        .repartitionByRange(4, col("o_orderkey")), root)
+      LakehouseTable.exportDeltaLog(s, root)
+      ()
+    } { () =>
+      LakehouseTable.updateDeltaForeign(s, root, "o_orderkey % 2 = 1",
+        Map("o_orderstatus" -> "'X'"))
+      ()
+    }
+  }
+
   /** The Iceberg twin: the odd half leaves through
     * [[IcebergMeta.deleteIcebergForeign]]'s MERGE-ON-READ position
     * deletes — no data file is rewritten; the spec reader must apply
@@ -2008,6 +2032,20 @@ object Lakehouse {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // FOREIGN-TABLE UPDATE, Delta face: the odd keys' status rewritten
+    // to 'X' copy-on-write. The ORACLE replays the post-update log raw
+    // in DuckDB — only the committed remove+add actions carry the new
+    // values (the pre-update files still exist on disk).
+    "q217_delta_foreign_update" -> ((s, d) => {
+      val root = deltaUpdateRoot(s, d)
+      LakehouseTable.readDeltaExport(s, root)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          Exact.moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // FOREIGN-CHAIN DELETE, Iceberg face: merge-on-read position
     // deletes — no data file rewritten; the reader applies the
     // committed delete files and the survivors hash against the
@@ -3064,6 +3102,29 @@ object Lakehouse {
           rows AS (
             SELECT o_orderstatus, o_orderkey, o_totalprice, filename
             FROM read_parquet('${deltaDeleteDir("/root/testdata/sf0.01")}/data/*.parquet',
+              filename=true)),
+          kept AS (
+            SELECT r.* FROM rows r
+            JOIN live l ON right(r.filename, length(l.p)) = l.p)
+          SELECT o_orderstatus, count(*) AS n,
+            CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+            ${Exact.sqlMoneySum("o_totalprice")} AS sum_price
+          FROM kept GROUP BY 1 ORDER BY 1""",
+
+    // an independent replay of the POST-UPDATE log: the raw JSON
+    // actions' live files carry the rewritten statuses
+    "q217_delta_foreign_update" ->
+      s"""WITH actions AS (
+            SELECT * FROM read_json('${deltaUpdateDir("/root/testdata/sf0.01")}/_delta_log/*.json',
+              format='newline_delimited',
+              columns={add: 'STRUCT(path VARCHAR)',
+                       remove: 'STRUCT(path VARCHAR)'})),
+          adds AS (SELECT add.path AS p FROM actions WHERE add IS NOT NULL),
+          removes AS (SELECT remove.path AS p FROM actions WHERE remove IS NOT NULL),
+          live AS (SELECT p FROM adds EXCEPT SELECT p FROM removes),
+          rows AS (
+            SELECT o_orderstatus, o_orderkey, o_totalprice, filename
+            FROM read_parquet('${deltaUpdateDir("/root/testdata/sf0.01")}/data/*.parquet',
               filename=true)),
           kept AS (
             SELECT r.* FROM rows r

@@ -2050,20 +2050,154 @@ object LakehouseTable {
     * not refuse. */
   def deleteDeltaForeign(spark: SparkSession, root: String,
       predicate: String): Long = {
-    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    import org.apache.spark.sql.functions.{lit, not}
+    foreignCowRewrite(spark, root, predicate, what = "delete",
+      opJson = s""""operation":"DELETE","operationParameters":{"predicate":"${escJson(predicate)}"}""",
+      // the features whose obligations a row-SUBSET rewrite satisfies
+      // by construction (CHECK constraints, generated and identity
+      // columns — kept rows are verbatim): the same table properties
+      // that refuse nothing under the legacy (minW <= 6 + conf)
+      // encoding must not refuse under v7 features
+      extraSafeFeatures =
+        Set("checkConstraints", "generatedColumns", "identityColumns"),
+      validate = (_, _) => (),
+      rewriteRows = (slice, rowPred, _) => slice.filter(not(rowPred)),
+      // the change set IS the deleted rows (kept rows did not
+      // logically change)
+      changeRows = (slice, rowPred, _) => slice.filter(rowPred)
+        .withColumn("_change_type", lit("delete")))
+  }
+
+  /** COPY-ON-WRITE UPDATE of a FOREIGN Delta table — rows matching
+    * `predicate` take the SET `assignments` (logical column name →
+    * SQL expression over the row's OLD values); everything else about
+    * the rewrite is [[deleteDeltaForeign]]'s machinery: inclusive
+    * planning → exact matched-file pass → full-file rewrite with
+    * existing deletion vectors applied → one CAS'd version of
+    * remove+add actions, cdc actions (update_preimage/update_postimage
+    * pairs) on CDF tables. Assignment expressions must resolve to the
+    * column's EXACT type (a silent cast would change values under
+    * every reader); a NULL produced for a non-nullable column fails
+    * the rewrite at run time, before anything commits. UNLIKE the
+    * delete, updated rows are not a verbatim subset — CHECK
+    * constraints, column invariants, and generated columns impose
+    * obligations this writer cannot evaluate, so tables declaring them
+    * refuse; assigning an identity column refuses. Returns the
+    * committed version, or the pinned current version when no row
+    * matches. */
+  def updateDeltaForeign(spark: SparkSession, root: String,
+      predicate: String, assignments: Map[String, String]): Long = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, raise_error, when}
+    require(assignments.nonEmpty, "update requires at least one SET")
+    val asgn = assignments.map { case (k, v) => k.toLowerCase -> v }
+    require(asgn.size == assignments.size,
+      s"duplicate SET column (case-insensitive) in ${assignments.keys}")
+    foreignCowRewrite(spark, root, predicate, what = "update",
+      opJson = s""""operation":"UPDATE","operationParameters":{"predicate":"${escJson(predicate)}"}""",
+      extraSafeFeatures = Set("identityColumns"),
+      validate = (state, struct) => {
+        val byName = struct.fields.map(f => f.name.toLowerCase -> f).toMap
+        val ghost = asgn.keySet.filterNot(byName.contains)
+        require(ghost.isEmpty,
+          s"SET column(s) ${ghost.toSeq.sorted.mkString(", ")} are not " +
+            s"in the table schema at $root")
+        require(!state.conf.keys.exists(_.startsWith("delta.constraints.")),
+          "update of a table with CHECK constraints is not supported " +
+            "(this writer does not evaluate them)")
+        require(!struct.fields.exists(
+            _.metadata.contains("delta.invariants")),
+          "update of a table with column invariants is not supported")
+        require(!struct.fields.exists(
+            _.metadata.contains("delta.generationExpression")),
+          "update of a table with generated columns is not supported " +
+            "(this writer does not recompute generation expressions)")
+        val idCols = struct.fields.filter(f =>
+          f.metadata.contains("delta.identity.start") ||
+            f.metadata.contains("delta.identity.allowExplicitInsert"))
+          .map(_.name.toLowerCase).toSet
+        val idHit = asgn.keySet.intersect(idCols)
+        require(idHit.isEmpty,
+          s"SET on identity column(s) ${idHit.toSeq.sorted.mkString(", ")} " +
+            s"at $root is not supported")
+      },
+      rewriteRows = (slice, rowPred, struct) => {
+        // resolve each assignment against the OLD row and require the
+        // EXACT column type — then rewrite every row of the file,
+        // matching rows transformed, others verbatim
+        val byName = struct.fields.map(f => f.name.toLowerCase -> f).toMap
+        asgn.foreach { case (c, e) =>
+          val got = slice.select(expr(e)).schema.head.dataType
+          require(got == byName(c).dataType,
+            s"SET $c = $e resolves to ${got.simpleString}, not the " +
+              s"column's ${byName(c).dataType.simpleString}; cast " +
+              "explicitly in the expression")
+        }
+        slice.select(struct.fields.map { f =>
+          asgn.get(f.name.toLowerCase) match {
+            case None => bq(f.name)
+            case Some(e) =>
+              val newVal = when(rowPred, expr(e)).otherwise(bq(f.name))
+              val guarded =
+                if (f.nullable) newVal
+                else coalesce(newVal, raise_error(lit(
+                  s"update would write NULL into non-nullable " +
+                    s"column ${f.name}")))
+              guarded.as(f.name)
+          }
+        }.toSeq: _*)
+      },
+      changeRows = (slice, rowPred, struct) => {
+        val matched = slice.filter(rowPred)
+        val pre = matched.withColumn("_change_type",
+          lit("update_preimage"))
+        val post = matched.select(struct.fields.map { f =>
+          asgn.get(f.name.toLowerCase)
+            .fold(bq(f.name))(e => expr(e).as(f.name))
+        }.toSeq: _*).withColumn("_change_type", lit("update_postimage"))
+        pre.unionByName(post)
+      })
+  }
+
+  /** The shared COPY-ON-WRITE rewrite core of [[deleteDeltaForeign]]
+    * and [[updateDeltaForeign]] (see their scaladocs for semantics):
+    * pin → replay → refusal battery → inclusive candidate planning →
+    * exact matched-file pass (a driver sync bounded by live-FILE
+    * count) → `rewriteRows` over the matched files (existing deletion
+    * vectors applied by the slice read) → cdc from `changeRows` when
+    * the table records a change feed → ONE CAS'd version of
+    * cdc + remove + add actions. Removes must cancel their adds under
+    * the spec's ACTION RECONCILIATION, which keys a logical file on
+    * the path STRING and the deletionVector's uniqueId: they reference
+    * the add's raw committed path verbatim (a re-encode that
+    * normalizes differently from the foreign writer — '*' vs %2A —
+    * would match no add) and carry the add's deletionVector object
+    * verbatim (a DV-less remove would leave a DV-bearing add LIVE
+    * beside its rewrite for every conforming reader). Checkpoint-
+    * seeded files have no raw line: re-encode, the form this engine's
+    * own checkpoints committed. */
+  private def foreignCowRewrite(spark: SparkSession, root: String,
+      predicate: String, what: String, opJson: String,
+      extraSafeFeatures: Set[String],
+      validate: (DeltaReplayState,
+        org.apache.spark.sql.types.StructType) => Unit,
+      rewriteRows: (DataFrame, org.apache.spark.sql.Column,
+        org.apache.spark.sql.types.StructType) => DataFrame,
+      changeRows: (DataFrame, org.apache.spark.sql.Column,
+        org.apache.spark.sql.types.StructType) => DataFrame): Long = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
     val logDir = Paths.get(root, "_delta_log")
     require(Files.isDirectory(logDir), s"no _delta_log at $root")
     val cur = pinForeignDeltaVersion(root, logDir)
     val state = deltaStateAt(spark, root, Some(cur), useCheckpoint = true)
     val struct = schemaJsonToStruct(state.schemaJson).getOrElse(
       throw new IllegalStateException(
-        s"delete requires a log with a metaData schemaString at $root"))
+        s"$what requires a log with a metaData schemaString at $root"))
     require(state.conf.getOrElse("delta.appendOnly", "false") != "true",
       s"the table at $root is append-only (delta.appendOnly=true); " +
-        "refusing the delete")
+        s"refusing the $what")
     // CDF-recording tables get REAL cdc actions (below): a conforming
-    // writer must commit the change rows for a rewrite-delete, or
-    // table_changes would mis-derive the rewrite as inserts+deletes
+    // writer must commit the change rows for a rewrite, or
+    // table_changes would mis-derive it as inserts+deletes
     val cdfOn = state.conf.get("delta.enableChangeDataFeed")
       .contains("true")
     require(state.partitionCols.nonEmpty ||
@@ -2072,29 +2206,24 @@ object LakehouseTable {
         "metaData's partitionColumns are unknown (a checkpoint omitted " +
         "them); rewriting blind would mis-lay the rows — refusing")
     val mapping = state.conf.getOrElse("delta.columnMapping.mode", "none")
-    validateMappedWrite(root, struct, mapping, "delete")
+    validateMappedWrite(root, struct, mapping, what)
     // change data files follow the data files' physical-space rules
     // under a mapping; this writer lays cdc out logically — refuse the
     // combination rather than commit change rows spec readers resolve
     // to nulls
     require(!cdfOn || mapping == "none",
-      s"delete from a CDF-recording table under column mapping mode " +
+      s"$what on a CDF-recording table under column mapping mode " +
         s"'$mapping' at $root is not supported")
+    validate(state, struct)
     val (minR, minW) = state.protocol
-    // the append's safe set PLUS the features whose obligations a
-    // row-subset rewrite satisfies by construction (CHECK constraints,
-    // generated and identity columns — kept rows are verbatim): the
-    // same table properties that refuse nothing under the legacy
-    // (minW <= 6 + conf) encoding must not refuse under v7 features
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors",
       "changeDataFeed", "timestampNtz", "v2Checkpoint", "columnMapping",
-      "checkConstraints", "generatedColumns", "identityColumns",
-      "allowColumnDefaults")
+      "allowColumnDefaults") ++ extraSafeFeatures
     if (minW >= 7) {
       val extra = state.writerFeatures.filterNot(safeFeatures)
       require(extra.isEmpty,
         s"writer feature(s) ${extra.mkString(", ")} at $root impose " +
-          "obligations this delete writer cannot verify; refusing")
+          s"obligations this $what writer cannot verify; refusing")
     } else require(minW >= 1 && minW <= 6,
       s"writer version $minW not supported")
     require(minR <= 3, s"reader version $minR not supported")
@@ -2114,45 +2243,28 @@ object LakehouseTable {
       }
     if (rewrite.isEmpty) return cur // no matching row: no-op, no commit
     val rewriteSet = rewrite.toSet
-    val kept = readDeltaSlice(spark, root, state, rewrite,
+    def slice() = readDeltaSlice(spark, root, state, rewrite,
       state.dvs.filter(kv => rewriteSet.contains(kv._1)))
-      .filter(not(rowPred))
-    val aligned = kept.select(struct.fields.map(f => bq(f.name)).toSeq: _*)
+    val newRows = rewriteRows(slice(), rowPred, struct)
+    val aligned = newRows.select(struct.fields.map(f => bq(f.name)).toSeq: _*)
     val (physicalDf, physPartCols) =
       lowerForWrite(spark, struct, mapping, aligned, state.partitionCols)
     val rels = writeFilesRaw(physicalDf, root, physPartCols)
-    // CDF: this commit's change set IS the deleted rows (kept rows did
-    // not logically change). One more pass over the rewritten files —
-    // the price Delta's own COW delete pays to materialize change data
+    // one more pass over the rewritten files for the change rows — the
+    // price Delta's own COW rewrite pays to materialize change data
     val cdcFiles: Seq[(String, String, Long)] =
       if (!cdfOn) Nil
-      else {
-        val deleted = readDeltaSlice(spark, root, state, rewrite,
-          state.dvs.filter(kv => rewriteSet.contains(kv._1)))
-          .filter(rowPred)
-          .withColumn("_change_type",
-            org.apache.spark.sql.functions.lit("delete"))
-        writeCdcFiles(spark, root, cur + 1L, deleted,
-          partColsOverride = Some(state.partitionCols))
-      }
+      else writeCdcFiles(spark, root, cur + 1L,
+        changeRows(slice(), rowPred, struct),
+        partColsOverride = Some(state.partitionCols))
     val ts = System.currentTimeMillis()
     val sb = new StringBuilder
-    sb.append(s"""{"commitInfo":{"timestamp":$ts,"operation":"DELETE","operationParameters":{"predicate":"${escJson(predicate)}"}}}""")
+    sb.append(s"""{"commitInfo":{"timestamp":$ts,$opJson}}""")
       .append('\n')
     cdcFiles.foreach { case (rel, pv, size) =>
       sb.append(s"""{"cdc":{"path":"${escJson(deltaEncodePath(rel))}","partitionValues":$pv,"size":$size,"dataChange":false}}""")
         .append('\n')
     }
-    // removes must cancel their adds under the spec's ACTION
-    // RECONCILIATION, which keys a logical file on the path STRING and
-    // the deletionVector's uniqueId: reference the add's raw committed
-    // path verbatim (a re-encode that normalizes differently from the
-    // foreign writer — '*' vs %2A — would match no add) and carry the
-    // add's deletionVector object verbatim (a DV-less remove would
-    // leave a DV-bearing add LIVE beside its rewrite for every
-    // conforming reader — duplicated rows and resurrected deletes).
-    // Checkpoint-seeded files have no raw line: re-encode, the form
-    // this engine's own checkpoints committed.
     rewrite.foreach { f =>
       val (rawPath, rawDv) = state.rawAdd.getOrElse(f,
         (escJson(deltaEncodePath(f)), state.dvs.get(f).map(dvJson)))
@@ -2161,7 +2273,7 @@ object LakehouseTable {
         .append('\n')
     }
     rels.foreach(f => sb.append(addActionJson(root, f)).append('\n'))
-    casCommitDeltaLog(root, logDir, cur, sb.toString, "delete")
+    casCommitDeltaLog(root, logDir, cur, sb.toString, what)
   }
 
   /** Backtick-quote a logical column name for `col()`: names may

@@ -1502,6 +1502,116 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  test("delta foreign update: conditional rewrite, types, null guard, no-op, CDF") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot("fu_delta")
+    LT.create(Seq.range(1L, 21L).map(k => (k, k * 10L)).toDF("k", "v")
+      .repartitionByRange(2, col("k")).sortWithinPartitions("k"), root)
+    LT.exportDeltaLog(spark, root)
+    wipeManifest(root)
+    // only the file holding matching rows rewrites; non-matching rows
+    // of that file pass through verbatim
+    val ver = LT.updateDeltaForeign(spark, root, "k <= 5",
+      Map("v" -> "v + 100"))
+    val logTxt = Files.readString(Paths.get(root, "_delta_log",
+      f"$ver%020d.json"))
+    assert(""""remove":""".r.findAllIn(logTxt).size == 1, logTxt)
+    val back = LT.readDeltaExport(spark, root)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 20L).forall(k =>
+      back(k) == (if (k <= 5) k * 10 + 100 else k * 10)), back.toString)
+    // SET must resolve to the column's EXACT type
+    val exType = intercept[IllegalArgumentException] {
+      LT.updateDeltaForeign(spark, root, "k = 1", Map("v" -> "'abc'"))
+    }
+    assert(exType.getMessage.contains("resolves to"), exType.getMessage)
+    // a ghost SET column refuses
+    intercept[IllegalArgumentException] {
+      LT.updateDeltaForeign(spark, root, "k = 1", Map("nope" -> "1"))
+    }
+    // no matching row: no commit
+    val same = LT.updateDeltaForeign(spark, root, "k = 999",
+      Map("v" -> "v"))
+    assert(same == ver)
+    assert(!Files.exists(Paths.get(root, "_delta_log",
+      f"${ver + 1}%020d.json")))
+    // a NULL produced for a NON-NULLABLE column fails BEFORE commit
+    // (the export writes nullable schemas; doctor v to nullable=false,
+    // the foreign-nullability shape the append test pins)
+    val lf0 = Paths.get(root, "_delta_log", f"${0L}%020d.json")
+    Files.writeString(lf0, Files.readString(lf0).replace(
+      """{\"name\":\"v\",\"type\":\"long\",\"nullable\":true""",
+      """{\"name\":\"v\",\"type\":\"long\",\"nullable\":false"""))
+    assert(Files.readString(lf0).contains("""\"nullable\":false"""))
+    val exNull = intercept[Exception] {
+      LT.updateDeltaForeign(spark, root, "k = 2",
+        Map("v" -> "IF(k = 2, CAST(NULL AS BIGINT), v)"))
+    }
+    assert(exNull.getMessage != null &&
+      (exNull.getMessage.contains("non-nullable") ||
+        Option(exNull.getCause).exists(
+          _.getMessage.contains("non-nullable"))),
+      s"${exNull.getMessage}")
+    assert(!Files.exists(Paths.get(root, "_delta_log",
+      f"${ver + 1}%020d.json")), "a failed rewrite must not commit")
+    // CHECK constraints refuse (doctored conf, the appendOnly pattern)
+    val crroot = freshRoot("fu_delta_ck")
+    LT.create(Seq((1L, 10L)).toDF("k", "v").coalesce(1), crroot)
+    LT.exportDeltaLog(spark, crroot)
+    wipeManifest(crroot)
+    val lf = Paths.get(crroot, "_delta_log", f"${0L}%020d.json")
+    val doctored = Files.readString(lf).replace(
+      """"configuration":{}""",
+      """"configuration":{"delta.constraints.c1":"v > 0"}""")
+    assert(doctored.contains("constraints"), "doctor must apply")
+    Files.writeString(lf, doctored)
+    val exCk = intercept[IllegalArgumentException] {
+      LT.updateDeltaForeign(spark, crroot, "k = 1", Map("v" -> "v"))
+    }
+    assert(exCk.getMessage.contains("CHECK"), exCk.getMessage)
+    // ... while the DELETE still accepts the same table (row subset)
+    assert(LT.deleteDeltaForeign(spark, crroot, "k = 999") >= 0)
+
+    // CDF: the update version's change set is the preimage/postimage
+    // pair of exactly the matched rows
+    val croot = freshRoot("fu_delta_cdf")
+    LT.create(Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+      .coalesce(1), croot)
+    LT.enableChangeDataFeed(spark, croot, Seq("k"))
+    LT.exportDeltaLog(spark, croot)
+    wipeManifest(croot)
+    val cdfVer = LT.updateDeltaForeign(spark, croot, "k = 2",
+      Map("v" -> "v * 2"))
+    val changes = LT.readDeltaExportChanges(spark, croot, cdfVer, cdfVer)
+      .select($"_change_type", $"k", $"v").as[(String, Long, Long)]
+      .collect().toSet
+    assert(changes == Set(("update_preimage", 2L, 20L),
+      ("update_postimage", 2L, 40L)), changes.toString)
+  }
+
+  test("delta foreign update relocates rows when a partition column changes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot("fu_delta_part")
+    LT.create(Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("k", "cat")
+      .repartition(col("cat")), root, partitionBy = Seq("cat"))
+    LT.exportDeltaLog(spark, root)
+    wipeManifest(root)
+    LT.updateDeltaForeign(spark, root, "k = 2", Map("cat" -> "'c'"))
+    val back = LT.readDeltaExport(spark, root)
+      .as[(Long, String)].collect().toSet
+    assert(back == Set((1L, "a"), (2L, "c"), (3L, "b")))
+    // the relocated row lives under its NEW hive dir and its add's
+    // partitionValues prune
+    val pruned = LT.readDeltaExport(spark, root,
+      pruneWhere = Some("cat = 'c'"))
+    assert(pruned.as[(Long, String)].collect().toSet == Set((2L, "c")))
+    assert(pruned.inputFiles.length == 1, pruned.inputFiles.toSeq.toString)
+    assert(pruned.inputFiles.head.contains("cat=c"),
+      pruned.inputFiles.head)
+  }
+
   test("repetition stats: edge docs match the oracle conventions") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
