@@ -545,6 +545,26 @@ object Lakehouse {
     }
   }
 
+  /** The Iceberg twin of [[deltaUpdateRoot]]: the odd keys' status
+    * rewritten to 'X' MERGE-ON-READ — one snapshot committing the old
+    * positions as position deletes AND the updated rows as a new data
+    * manifest (the Flink/Spark upsert shape); no base file is
+    * rewritten. */
+  private[graft] def icebergUpdateRoot(s: SparkSession, d: String): String = {
+    val root = TableCache.baseDir + "/iceberg_fupdate_" +
+      java.nio.file.Paths.get(d).getFileName.toString
+    foreignFixture(root, d) { () =>
+      LakehouseTable.create(ordersSlice(s, d)
+        .repartitionByRange(4, col("o_orderkey")), root)
+      IcebergMeta.exportIcebergMeta(s, root)
+      ()
+    } { () =>
+      IcebergMeta.updateIcebergForeign(s, root, "o_orderkey % 2 = 1",
+        Map("o_orderstatus" -> "'X'"))
+      ()
+    }
+  }
+
   /** A SPEC-EVOLVED foreign chain — the partition-evolution shape
     * every long-lived Iceberg table reaches: created
     * identity-partitioned by `event_type` (spec 0), the native
@@ -2060,6 +2080,20 @@ object Lakehouse {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // FOREIGN-CHAIN UPDATE, Iceberg face: merge-on-read — one snapshot
+    // carries the matched rows' position deletes AND their updated
+    // copies; the reader reconciles both against the even-keys-as-is /
+    // odd-keys-as-X oracle.
+    "q218_iceberg_foreign_update" -> ((s, d) => {
+      val root = icebergUpdateRoot(s, d)
+      IcebergMeta.readIceberg(s, root)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          Exact.moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // PARTITION EVOLUTION: spec 0 (identity event_type) files and
     // spec 1 (day(ts)) appended files live in ONE chain; the reader
     // resolves each file's partition struct by FIELD-ID under the spec
@@ -3141,6 +3175,18 @@ object Lakehouse {
             ${Exact.sqlMoneySum("o_totalprice")} AS sum_price
           FROM orders WHERE o_orderkey % 2 = 0
           GROUP BY 1 ORDER BY 1""",
+
+    // the MOR-updated chain equals orders with the odd statuses
+    // rewritten — the oracle applies the SAME SET relationally
+    "q218_iceberg_foreign_update" ->
+      s"""WITH t AS (SELECT
+            CASE WHEN o_orderkey % 2 = 1 THEN 'X'
+                 ELSE o_orderstatus END AS o_orderstatus,
+            o_orderkey, o_totalprice FROM orders)
+          SELECT o_orderstatus, count(*) AS n,
+            CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+            ${Exact.sqlMoneySum("o_totalprice")} AS sum_price
+          FROM t GROUP BY 1 ORDER BY 1""",
 
     // the spec-evolved chain serves both eras' rows exactly: the
     // filtered raw-events aggregate is era-blind by construction

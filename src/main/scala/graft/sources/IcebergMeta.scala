@@ -2508,7 +2508,6 @@ object IcebergMeta {
     * Returns the new snapshot id. */
   def appendIcebergForeign(spark: SparkSession, root: String,
       df: org.apache.spark.sql.DataFrame): Long = {
-    import org.apache.spark.sql.functions.col
     require(hasChain(root), s"no Iceberg metadata at $root")
     val dir = metaDir(root)
     val curN = trueCurrentVersion(dir, root)
@@ -2522,6 +2521,83 @@ object IcebergMeta {
     require(fmtVer == 2,
       s"append supports Iceberg format-version 2 only; the chain at " +
         s"$root is format-version $fmtVer")
+    val lastSeq = md.get("last-sequence-number").asLong()
+    val seq = lastSeq + 1
+    val parent = md.get("current-snapshot-id").asLong()
+    val uuid = java.util.UUID.randomUUID().toString
+    val sid = java.lang.Long.parseLong(graft.plans.TextExpressions
+      .md5Hex(s"iceberg-append:$root#$seq#$curN#$uuid").take(15), 16)
+    val (m, nFiles, totalRows, defaultSpecId, curSchemaId) =
+      writeForeignDataManifest(spark, root, dir, md, df, sid, "append")
+    // manifest list: the parent's entries carried verbatim + the adds.
+    // A freshly-created foreign table has current-snapshot-id -1 and no
+    // snapshots — the most ordinary append target: parentless first
+    // snapshot, nothing carried.
+    val hasParent = parent != -1L
+    val carried =
+      if (!hasParent) Nil
+      else carriedManifests(md, parent)
+    val mfRec = manifestListRecord(m, defaultSpecId, content = 0,
+      seq, sid, nFiles, totalRows)
+    val listPath = dir.resolve(s"snap-$sid.avro")
+    writeAvro(listPath, manifestFileSchema, Seq(
+      "snapshot-id" -> sid.toString,
+      "sequence-number" -> seq.toString,
+      "parent-snapshot-id" ->
+        (if (hasParent) parent.toString else "null"),
+      "format-version" -> "2"), carried :+ mfRec)
+    commitForeignSnapshot(root, dir, curN, md, sid, seq, parent,
+      listPath, curSchemaId, "append",
+      s""""deleted-data-files":"0","added-data-files":"$nFiles"""",
+      "append")
+    sid
+  }
+
+  /** The parent snapshot's manifest-list entries, carried verbatim
+    * into a child commit. */
+  private def carriedManifests(
+      md: com.fasterxml.jackson.databind.JsonNode,
+      parent: Long): Seq[GenericRecord] =
+    readAvro(Paths.get(md.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong() == parent).getOrElse(
+        throw new IllegalStateException(
+          s"parent snapshot $parent missing"))
+      .get("manifest-list").asText()))
+
+  /** One manifest-list record — the shared builder of every foreign
+    * commit's added manifest entry (content 0 = data, 1 = deletes). */
+  private def manifestListRecord(m: Path, specId: Int, content: Int,
+      seq: Long, sid: Long, files: Int, rows: Long): GenericRecord = {
+    val mfRec = new GenericData.Record(manifestFileSchema)
+    mfRec.put("manifest_path", m.toString)
+    mfRec.put("manifest_length", Files.size(m))
+    mfRec.put("partition_spec_id", specId)
+    mfRec.put("content", content)
+    mfRec.put("sequence_number", seq)
+    mfRec.put("min_sequence_number", seq)
+    mfRec.put("added_snapshot_id", sid)
+    mfRec.put("added_files_count", files)
+    mfRec.put("existing_files_count", 0)
+    mfRec.put("deleted_files_count", 0)
+    mfRec.put("added_rows_count", rows)
+    mfRec.put("existing_rows_count", 0L)
+    mfRec.put("deleted_rows_count", 0L)
+    mfRec
+  }
+
+  /** Validate `df` against the chain's CURRENT schema and DEFAULT
+    * spec, lay it out (identity + evaluated transforms) and write
+    * under root/data, and build ONE data manifest with full column
+    * metrics at snapshot `sid` — the shared write body of the foreign
+    * APPEND and the foreign UPDATE's post-image. Returns (manifest
+    * path, files written, rows written, default spec id, current
+    * schema id). */
+  private def writeForeignDataManifest(spark: SparkSession, root: String,
+      dir: Path, md: com.fasterxml.jackson.databind.JsonNode,
+      df: org.apache.spark.sql.DataFrame, sid: Long, what: String,
+      enforceRequired: Boolean = true)
+      : (Path, Int, Long, Int, Int) = {
+    import org.apache.spark.sql.functions.col
     val curSchemaId = md.get("current-schema-id").asInt()
     val schemaNode = md.get("schemas").elements().asScala
       .find(_.get("schema-id").asInt() == curSchemaId).getOrElse(
@@ -2539,7 +2615,7 @@ object IcebergMeta {
       f.get("transform").asText() != "identity" &&
         IcebergTransforms.parse(f.get("transform").asText()).isEmpty)
     require(unknownTr.isEmpty,
-      s"append to a chain partitioned by unsupported transform(s) " +
+      s"$what to a chain partitioned by unsupported transform(s) " +
         s"${unknownTr.map(f => f.get("transform").asText() + "(" +
           f.get("name").asText() + ")").mkString(", ")} at $root is " +
         "not supported (this writer cannot evaluate them)")
@@ -2552,11 +2628,15 @@ object IcebergMeta {
     }.toSeq
     val dfByName = df.schema.fields
       .map(f => f.name.toLowerCase -> f).toMap
+    // enforceRequired=false: the UPDATE path's select/when lineage is
+    // schema-nullable even though a raise_error guard proves every
+    // required value non-null at run time BEFORE anything commits
     require(dfByName.keySet == fields.map(_._1.toLowerCase).toSet &&
         fields.forall { case (n, dt, required, _) =>
           val g = dfByName(n.toLowerCase)
-          g.dataType == dt && (!required || !g.nullable) },
-      s"append schema ${df.schema.simpleString} does not match the " +
+          g.dataType == dt &&
+            (!required || !enforceRequired || !g.nullable) },
+      s"$what schema ${df.schema.simpleString} does not match the " +
         s"chain's current schema at $root (names, types, and " +
         "required-ness must all be compatible)")
     // spec fields → everything the layout and the partition struct
@@ -2678,7 +2758,7 @@ object IcebergMeta {
       val emptyPred = strTransformCols
         .map(c => col(c) === "").reduce(_ || _)
       require(laidOut.filter(emptyPred).isEmpty,
-        s"append batch contains empty-string value(s) for transform " +
+        s"$what batch contains empty-string value(s) for transform " +
           s"partition field(s) ${strTransformCols.mkString(", ")} at " +
           s"$root; the hive layout cannot represent '' distinctly from " +
           "null and the struct value would wrongly prune the rows")
@@ -2688,15 +2768,9 @@ object IcebergMeta {
     // atomic moves, hive layout keyed by the layout columns, which
     // partitionBy excludes from the data files): the appends must not
     // drift
-    val uuid = java.util.UUID.randomUUID().toString
     val written = LakehouseTable
       .writeFilesRaw(laidOut, root, partFields.map(_.layoutCol))
       .map(rel => (rel, Paths.get(root, "data").resolve(rel)))
-    val lastSeq = md.get("last-sequence-number").asLong()
-    val seq = lastSeq + 1
-    val parent = md.get("current-snapshot-id").asLong()
-    val sid = java.lang.Long.parseLong(graft.plans.TextExpressions
-      .md5Hex(s"iceberg-append:$root#$seq#$curN#$uuid").take(15), 16)
     // one manifest of the adds, with FULL column metrics from footers.
     // The partition struct keys on the SPEC field names and DECLARED
     // ids with each field's VALUE type (identity = the source value,
@@ -2772,7 +2846,7 @@ object IcebergMeta {
       e.put("data_file", dfr)
       e
     }
-    val m = dir.resolve(s"m-$sid-append.avro")
+    val m = dir.resolve(s"m-$sid-$what.avro")
     writeAvro(m, entrySchema, Seq(
       "schema" -> schemaNode.toString,
       "partition-spec" ->
@@ -2780,44 +2854,7 @@ object IcebergMeta {
       "partition-spec-id" -> defaultSpecId.toString,
       "format-version" -> "2",
       "content" -> "data"), entries)
-    // manifest list: the parent's entries carried verbatim + the adds.
-    // A freshly-created foreign table has current-snapshot-id -1 and no
-    // snapshots — the most ordinary append target: parentless first
-    // snapshot, nothing carried.
-    val hasParent = parent != -1L
-    val carried =
-      if (!hasParent) Nil
-      else readAvro(Paths.get(md.get("snapshots").elements().asScala
-        .find(_.get("snapshot-id").asLong() == parent).getOrElse(
-          throw new IllegalStateException(
-            s"parent snapshot $parent missing"))
-        .get("manifest-list").asText()))
-    val mfRec = new GenericData.Record(manifestFileSchema)
-    mfRec.put("manifest_path", m.toString)
-    mfRec.put("manifest_length", Files.size(m))
-    mfRec.put("partition_spec_id", defaultSpecId)
-    mfRec.put("content", 0)
-    mfRec.put("sequence_number", seq)
-    mfRec.put("min_sequence_number", seq)
-    mfRec.put("added_snapshot_id", sid)
-    mfRec.put("added_files_count", written.size)
-    mfRec.put("existing_files_count", 0)
-    mfRec.put("deleted_files_count", 0)
-    mfRec.put("added_rows_count", totalRows)
-    mfRec.put("existing_rows_count", 0L)
-    mfRec.put("deleted_rows_count", 0L)
-    val listPath = dir.resolve(s"snap-$sid.avro")
-    writeAvro(listPath, manifestFileSchema, Seq(
-      "snapshot-id" -> sid.toString,
-      "sequence-number" -> seq.toString,
-      "parent-snapshot-id" ->
-        (if (hasParent) parent.toString else "null"),
-      "format-version" -> "2"), carried.toSeq :+ mfRec)
-    commitForeignSnapshot(root, dir, curN, md, sid, seq, parent,
-      listPath, curSchemaId, "append",
-      s""""deleted-data-files":"0","added-data-files":"${written.size}"""",
-      "append")
-    sid
+    (m, written.size, totalRows, defaultSpecId, curSchemaId)
   }
 
   /** The shared metadata tail of every foreign-chain snapshot commit:
@@ -2918,55 +2955,226 @@ object IcebergMeta {
     // normalized path → the manifest's own path string: delete files
     // must carry the form the manifests carry, resolved through a
     // broadcast of the (bounded) candidate list
-    import spark.implicits._
-    val lookup = candidates.map { case (p, _) => (normPathDriver(p), p) }
-      .toDF("__np", "__mp")
-    import org.apache.spark.sql.types.MetadataBuilder
-    val fpMeta = new MetadataBuilder()
-      .putLong("parquet.field.id", 2147483546L).build()
-    val posMeta = new MetadataBuilder()
-      .putLong("parquet.field.id", 2147483545L).build()
-    val matched = scan.filter(rowPred)
-      .select(col("__p"), col("__ri"))
-      .join(broadcast(lookup), col("__p") === col("__np"))
-      .select(col("__mp").as("file_path", fpMeta),
-        col("__ri").cast("long").as("pos", posMeta))
-    // the reserved field-ids must reach the footers (monotonic set —
-    // inert for schemas without parquet.field.id metadata)
-    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val matched = matchedPositionFrame(spark, candidates, scan, rowPred)
     val lastSeq = md.get("last-sequence-number").asLong()
     val seq = lastSeq + 1
     val uuid = java.util.UUID.randomUUID().toString
     val sid = java.lang.Long.parseLong(graft.plans.TextExpressions
       .md5Hex(s"iceberg-delete:$root#$seq#$curN#$uuid").take(15), 16)
-    // ONE scan of the candidates: write the matches, read the no-op
-    // answer off the written footers (an isEmpty probe would execute
-    // the whole candidate scan a second time for the write)
-    val tmpOut = Files.createTempDirectory(dir, ".del-tmp")
-    val delFiles: Seq[(Path, Long)] =
-      try {
-        matched.repartitionByRange(col("file_path"), col("pos"))
-          .sortWithinPartitions("file_path", "pos")
-          .write.mode("overwrite").parquet(tmpOut.resolve("out").toString)
-        val parts = withListed(tmpOut.resolve("out"))(
-          _.filter(_.toString.endsWith(".parquet")).toSeq).sorted
-          .map(p => p -> LakehouseTable.parquetRecordCount(p))
-          .filter(_._2 > 0L)
-        parts.zipWithIndex.map { case ((p, rows), i) =>
-          val dst = dir.resolve(f"delete-$sid-$i%05d.parquet")
-          Files.move(p, dst, StandardCopyOption.ATOMIC_MOVE)
-          (dst, rows)
-        }
-      } finally {
-        val walked = Files.walk(tmpOut)
-        try walked.sorted(java.util.Comparator.reverseOrder())
-          .forEach(x => { Files.deleteIfExists(x); () })
-        finally walked.close()
-      }
+    val delFiles = writePositionDeleteFiles(spark, dir, sid, matched)
     if (delFiles.isEmpty) return parent // planning kept, rows say no
-    // an UNPARTITIONED spec carries the delete entries (global-delete
-    // form): found in the chain, or added by this commit (never as the
-    // default)
+    val (m, delSpecId, specToAdd, delRows) =
+      writePositionDeleteManifest(dir, md, sid, delFiles, curSchemaId)
+    val carried = carriedManifests(md, parent)
+    val mfRec = manifestListRecord(m, delSpecId, content = 1,
+      seq, sid, delFiles.size, delRows)
+    val listPath = dir.resolve(s"snap-$sid.avro")
+    writeAvro(listPath, manifestFileSchema, Seq(
+      "snapshot-id" -> sid.toString,
+      "sequence-number" -> seq.toString,
+      "parent-snapshot-id" -> parent.toString,
+      "format-version" -> "2"), carried :+ mfRec)
+    commitForeignSnapshot(root, dir, curN, md, sid, seq, parent,
+      listPath, curSchemaId, "delete",
+      s""""added-delete-files":"${delFiles.size}",""" +
+        s""""added-position-deletes":"$delRows"""",
+      "delete", extraMeta = specToAdd)
+    sid
+  }
+
+  /** MERGE-ON-READ UPDATE of a foreign Iceberg chain — rows matching
+    * `predicate` take the SET `assignments` (column name → SQL
+    * expression over the row's OLD values) in ONE snapshot that
+    * commits BOTH a position-delete manifest (the matched rows' old
+    * positions, [[deleteIcebergForeign]]'s machinery — existing
+    * deletes ARE applied first, so an already-deleted row cannot
+    * resurrect as an updated copy) and a data manifest of the updated
+    * rows laid out under the DEFAULT spec
+    * ([[appendIcebergForeign]]'s machinery — a SET on a partition
+    * source column relocates the row). Both manifests ride the new
+    * sequence number: the position deletes apply to every OLD data
+    * file (strictly smaller sequence is not required — ≤ — but the
+    * new files' paths match no delete row), exactly the Flink/Spark
+    * upsert shape. Assignment expressions must resolve to the
+    * column's EXACT type; a NULL produced for a required column fails
+    * at run time before anything commits. Returns the committed
+    * snapshot id — or the current one, uncommitted, when no row
+    * matches. */
+  def updateIcebergForeign(spark: SparkSession, root: String,
+      predicate: String, assignments: Map[String, String]): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, raise_error, when}
+    require(hasChain(root), s"no Iceberg metadata at $root")
+    require(assignments.nonEmpty, "update requires at least one SET")
+    val asgn = assignments.map { case (k, v) => k.toLowerCase -> v }
+    require(asgn.size == assignments.size,
+      s"duplicate SET column (case-insensitive) in ${assignments.keys}")
+    val dir = metaDir(root)
+    val curN = trueCurrentVersion(dir, root)
+    val md = mapper.readTree(Files.readString(
+      dir.resolve(s"v$curN.metadata.json")))
+    val fmtVer = Option(md.get("format-version")).map(_.asInt()).getOrElse(0)
+    require(fmtVer == 2,
+      s"update supports Iceberg format-version 2 only; the chain at " +
+        s"$root is format-version $fmtVer")
+    val parent = md.get("current-snapshot-id").asLong()
+    if (parent == -1L) return parent // an empty chain holds no rows
+    val curSchemaId = md.get("current-schema-id").asInt()
+    val schemaNode = md.get("schemas").elements().asScala
+      .find(_.get("schema-id").asInt() == curSchemaId).getOrElse(
+        throw new IllegalStateException(s"schema $curSchemaId missing"))
+    val reqFields = schemaNode.get("fields").elements().asScala.map { f =>
+      (f.get("name").asText(), sparkType(f.get("type")),
+        f.get("required").asBoolean())
+    }.toSeq
+    val byName = reqFields.map(f => f._1.toLowerCase -> f).toMap
+    val ghost = asgn.keySet.filterNot(byName.contains)
+    require(ghost.isEmpty,
+      s"SET column(s) ${ghost.toSeq.sorted.mkString(", ")} are not in " +
+        s"the current schema at $root")
+    val (dataEntries, dels) = snapshotEntries(root, parent)
+    if (dataEntries.isEmpty) return parent
+    val candidates = pruneFiles(spark, root, curSchemaId, dataEntries,
+      predicate)
+    if (candidates.isEmpty) return parent
+    val fields = schemaIdFieldsOf(root, curSchemaId)
+    val rowPred = coalesce(expr(predicate), lit(false))
+    // the VISIBLE candidate rows (existing deletes applied — an
+    // already-deleted row matching the predicate must not resurrect
+    // as an updated copy), with (__p, __ri) identity kept
+    def visible() = applyDeleteEntries(spark, root, curSchemaId,
+      chainScan(spark, root, candidates.map(_._1), fields,
+        withIdentity = true), dataEntries, dels)
+    // assignment expressions must resolve to the column's EXACT type
+    val probe = visible()
+    asgn.foreach { case (c, e) =>
+      val got = probe.select(expr(e)).schema.head.dataType
+      require(got == byName(c)._2,
+        s"SET $c = $e resolves to ${got.simpleString}, not the " +
+          s"column's ${byName(c)._2.simpleString}; cast explicitly " +
+          "in the expression")
+    }
+    val lastSeq = md.get("last-sequence-number").asLong()
+    val seq = lastSeq + 1
+    val uuid = java.util.UUID.randomUUID().toString
+    val sid = java.lang.Long.parseLong(graft.plans.TextExpressions
+      .md5Hex(s"iceberg-update:$root#$seq#$curN#$uuid").take(15), 16)
+    val delFiles = writePositionDeleteFiles(spark, dir, sid,
+      matchedPositionFrame(spark, candidates, visible(), rowPred))
+    if (delFiles.isEmpty) return parent // planning kept, rows say no
+    val totalMatched = delFiles.map(_._2).sum
+    // the updated rows, laid out under the DEFAULT spec: a second
+    // candidate pass, the price the Delta twin also pays
+    val updated = visible().filter(rowPred).select(reqFields.map {
+      case (n, dt, required) =>
+        asgn.get(n.toLowerCase) match {
+          case None => col("`" + n.replace("`", "``") + "`")
+          case Some(e) =>
+            val v = expr(e)
+            val guarded =
+              if (!required) v
+              else coalesce(v, raise_error(lit(
+                s"update would write NULL into required column $n")))
+            guarded.as(n)
+        }
+    }.toSeq: _*)
+    val (dm, nFiles, nRows, defaultSpecId, _) =
+      writeForeignDataManifest(spark, root, dir, md, updated, sid,
+        "update", enforceRequired = false)
+    require(nRows == totalMatched,
+      s"update wrote $nRows rows for $totalMatched matched positions " +
+        s"at $root — refusing to commit a lossy rewrite")
+    val (delM, delSpecId, specToAdd, delRows) =
+      writePositionDeleteManifest(dir, md, sid, delFiles, curSchemaId)
+    val carried = carriedManifests(md, parent)
+    val listPath = dir.resolve(s"snap-$sid.avro")
+    writeAvro(listPath, manifestFileSchema, Seq(
+      "snapshot-id" -> sid.toString,
+      "sequence-number" -> seq.toString,
+      "parent-snapshot-id" -> parent.toString,
+      "format-version" -> "2"),
+      carried :+
+        manifestListRecord(dm, defaultSpecId, content = 0,
+          seq, sid, nFiles, nRows) :+
+        manifestListRecord(delM, delSpecId, content = 1,
+          seq, sid, delFiles.size, delRows))
+    commitForeignSnapshot(root, dir, curN, md, sid, seq, parent,
+      listPath, curSchemaId, "overwrite",
+      s""""added-data-files":"$nFiles",""" +
+        s""""added-delete-files":"${delFiles.size}",""" +
+        s""""added-position-deletes":"$delRows"""",
+      "update", extraMeta = specToAdd)
+    sid
+  }
+
+  /** Matched rows' (manifest-form path, position) pairs under the
+    * spec's reserved delete-file field-ids — the write-side frame of
+    * every MOR mutation. `scan` must carry chainScan's (__p, __ri)
+    * identity; the normalized-path → manifest-path translation rides a
+    * broadcast of the (bounded) candidate list. */
+  private def matchedPositionFrame(spark: SparkSession,
+      candidates: Seq[(String, Long)],
+      scan: DataFrame, rowPred: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import org.apache.spark.sql.types.MetadataBuilder
+    import spark.implicits._
+    val lookup = candidates.map { case (p, _) => (normPathDriver(p), p) }
+      .toDF("__np", "__mp")
+    val fpMeta = new MetadataBuilder()
+      .putLong("parquet.field.id", 2147483546L).build()
+    val posMeta = new MetadataBuilder()
+      .putLong("parquet.field.id", 2147483545L).build()
+    // the reserved field-ids must reach the footers (monotonic set —
+    // inert for schemas without parquet.field.id metadata)
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    scan.filter(rowPred)
+      .select(col("__p"), col("__ri"))
+      .join(broadcast(lookup), col("__p") === col("__np"))
+      .select(col("__mp").as("file_path", fpMeta),
+        col("__ri").cast("long").as("pos", posMeta))
+  }
+
+  /** ONE scan of the candidates: write the matched positions as spec
+    * v2 position-delete parquet (range-partitioned and sorted — many
+    * sorted delete files at scale, never one giant coalesce), reading
+    * the no-op answer off the written footers (an isEmpty probe would
+    * execute the whole candidate scan a second time). */
+  private def writePositionDeleteFiles(spark: SparkSession, dir: Path,
+      sid: Long, matched: DataFrame): Seq[(Path, Long)] = {
+    import org.apache.spark.sql.functions.col
+    val tmpOut = Files.createTempDirectory(dir, ".del-tmp")
+    try {
+      matched.repartitionByRange(col("file_path"), col("pos"))
+        .sortWithinPartitions("file_path", "pos")
+        .write.mode("overwrite").parquet(tmpOut.resolve("out").toString)
+      val parts = withListed(tmpOut.resolve("out"))(
+        _.filter(_.toString.endsWith(".parquet")).toSeq).sorted
+        .map(p => p -> LakehouseTable.parquetRecordCount(p))
+        .filter(_._2 > 0L)
+      parts.zipWithIndex.map { case ((p, rows), i) =>
+        val dst = dir.resolve(f"delete-$sid-$i%05d.parquet")
+        Files.move(p, dst, StandardCopyOption.ATOMIC_MOVE)
+        (dst, rows)
+      }
+    } finally {
+      val walked = Files.walk(tmpOut)
+      try walked.sorted(java.util.Comparator.reverseOrder())
+        .forEach(x => { Files.deleteIfExists(x); () })
+      finally walked.close()
+    }
+  }
+
+  /** The content=1 delete manifest of `delFiles` under an
+    * UNPARTITIONED spec (global-delete form — found in the chain, or
+    * added by the commit through the returned extraMeta, never as the
+    * default): a partition-scoped form under one spec could not cover
+    * files written under EVOLVED specs. Returns (manifest path, spec
+    * id, the metadata mutation that declares the spec when absent,
+    * total delete rows). */
+  private def writePositionDeleteManifest(dir: Path,
+      md: com.fasterxml.jackson.databind.JsonNode, sid: Long,
+      delFiles: Seq[(Path, Long)], curSchemaId: Int)
+      : (Path, Int,
+        com.fasterxml.jackson.databind.node.ObjectNode => Unit, Long) = {
     val existingUnpart = md.get("partition-specs").elements().asScala
       .find(s => !s.get("fields").elements().hasNext)
       .map(_.get("spec-id").asInt())
@@ -3002,42 +3210,14 @@ object IcebergMeta {
       "partition-spec-id" -> delSpecId.toString,
       "format-version" -> "2",
       "content" -> "deletes"), entries.map(_._1))
-    val carried = readAvro(Paths.get(md.get("snapshots").elements().asScala
-      .find(_.get("snapshot-id").asLong() == parent).getOrElse(
-        throw new IllegalStateException(s"parent snapshot $parent missing"))
-      .get("manifest-list").asText()))
-    val mfRec = new GenericData.Record(manifestFileSchema)
-    mfRec.put("manifest_path", m.toString)
-    mfRec.put("manifest_length", Files.size(m))
-    mfRec.put("partition_spec_id", delSpecId)
-    mfRec.put("content", 1)
-    mfRec.put("sequence_number", seq)
-    mfRec.put("min_sequence_number", seq)
-    mfRec.put("added_snapshot_id", sid)
-    mfRec.put("added_files_count", delFiles.size)
-    mfRec.put("existing_files_count", 0)
-    mfRec.put("deleted_files_count", 0)
-    mfRec.put("added_rows_count", entries.map(_._2).sum)
-    mfRec.put("existing_rows_count", 0L)
-    mfRec.put("deleted_rows_count", 0L)
-    val listPath = dir.resolve(s"snap-$sid.avro")
-    writeAvro(listPath, manifestFileSchema, Seq(
-      "snapshot-id" -> sid.toString,
-      "sequence-number" -> seq.toString,
-      "parent-snapshot-id" -> parent.toString,
-      "format-version" -> "2"), carried.toSeq :+ mfRec)
-    commitForeignSnapshot(root, dir, curN, md, sid, seq, parent,
-      listPath, curSchemaId, "delete",
-      s""""added-delete-files":"${delFiles.size}",""" +
-        s""""added-position-deletes":"${entries.map(_._2).sum}"""",
-      "delete",
-      extraMeta = obj =>
+    val addSpec: com.fasterxml.jackson.databind.node.ObjectNode => Unit =
+      obj =>
         if (existingUnpart.isEmpty) {
           obj.withArray("partition-specs").add(mapper.readTree(
             s"""{"spec-id":$delSpecId,"fields":[]}"""))
           ()
-        })
-    sid
+        }
+    (m, delSpecId, addSpec, entries.map(_._2).sum)
   }
 
   /** The TRUE current metadata version: the max v*.metadata.json on

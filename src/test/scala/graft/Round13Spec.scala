@@ -1636,6 +1636,65 @@ class Round13Spec extends AnyFunSuite {
     assert(nullRow.head.isNullAt(0), "null text must yield null signals")
   }
 
+  test("iceberg foreign update: one MOR snapshot, no resurrection, relocation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot("fu_ice")
+    LT.create(Seq.range(1L, 11L).map(k => (k, k * 10L)).toDF("k", "v")
+      .repartitionByRange(2, col("k")).sortWithinPartitions("k"), root)
+    IcebergMeta.exportIcebergMeta(spark, root)
+    wipeManifest(root)
+    val parent = currentIceSnapshot(root)
+    // a prior MOR delete: k=2 is gone; the update below must NOT
+    // resurrect it as an updated copy (existing deletes apply first)
+    IcebergMeta.deleteIcebergForeign(spark, root, "k = 2")
+    val sid = IcebergMeta.updateIcebergForeign(spark, root, "k <= 3",
+      Map("v" -> "v + 100"))
+    val back = IcebergMeta.readIceberg(spark, root)
+      .as[(Long, Long)].collect().toMap
+    assert(!back.contains(2L), "the deleted row must stay deleted")
+    assert((1L to 10L).filter(_ != 2L).forall(k =>
+      back(k) == (if (k <= 3) k * 10 + 100 else k * 10)), back.toString)
+    // ONE snapshot committed both manifests: version count grew by 2
+    // total (delete + update), and time travel sees each state
+    assert(IcebergMeta.readIceberg(spark, root,
+      snapshotAsOf = Some(parent)).count() == 10)
+    assert(sid == currentIceSnapshot(root))
+    // type / ghost / no-op contracts
+    intercept[IllegalArgumentException] {
+      IcebergMeta.updateIcebergForeign(spark, root, "k = 1",
+        Map("v" -> "'abc'"))
+    }
+    intercept[IllegalArgumentException] {
+      IcebergMeta.updateIcebergForeign(spark, root, "k = 1",
+        Map("nope" -> "1"))
+    }
+    val verBefore = maxIceVersion(root)
+    IcebergMeta.updateIcebergForeign(spark, root, "k = 999",
+      Map("v" -> "v"))
+    assert(maxIceVersion(root) == verBefore)
+
+    // SET on an identity partition SOURCE relocates the row: the
+    // updated copy lands under the new hive dir and its struct prunes
+    val proot = freshRoot("fu_ice_part")
+    LT.create(Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("k", "cat")
+      .repartition(col("cat")), proot, partitionBy = Seq("cat"))
+    IcebergMeta.exportIcebergMeta(spark, proot)
+    wipeManifest(proot)
+    IcebergMeta.updateIcebergForeign(spark, proot, "k = 2",
+      Map("cat" -> "'c'"))
+    assert(IcebergMeta.readIceberg(spark, proot)
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "c"), (3L, "b")))
+    val pruned = IcebergMeta.readIceberg(spark, proot,
+      pruneWhere = Some("cat = 'c'"))
+    assert(pruned.as[(Long, String)].collect().toSet == Set((2L, "c")))
+    assert(pruned.inputFiles.count(_.contains("/data/")) == 1,
+      pruned.inputFiles.toSeq.toString)
+    assert(pruned.inputFiles.exists(_.contains("cat=c")),
+      pruned.inputFiles.toSeq.toString)
+  }
+
   test("iceberg foreign delete applies across partition-evolution eras") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, expr}
