@@ -56,6 +56,12 @@ import graft.sources.{IcebergMeta, LakehouseTable}
   *   SELECT ... FROM iceberg_export_where('/path', 'pred') ... -- + manifest pruning/skipping
   *   SELECT ... FROM table_changes('/path', from, to) ...      -- foreign Delta CDF
   *   SELECT ... FROM iceberg_changelog('/path', from, to, 'k1,k2') ...
+  *   INSERT INTO delta_export('/path') SELECT ...   -- foreign append, in place
+  *   INSERT INTO iceberg_export('/path') SELECT ...
+  *   DELETE FROM delta_export('/path') WHERE ...    -- foreign COW delete
+  *   DELETE FROM iceberg_export('/path') WHERE ...  -- foreign MOR delete
+  *   UPDATE delta_export('/path') SET c = e, ... WHERE ...   -- foreign COW update
+  *   UPDATE iceberg_export('/path') SET c = e, ... WHERE ... -- foreign MOR update
   * }}}
   *
   * Two equivalent entry points run the SAME command objects:
@@ -493,6 +499,45 @@ case class DeleteGraftTableCommand(name: String, where: String)
 
 /** ALTER TABLE name ENABLE|DISABLE DELETION VECTORS — catalog-level
   * switch for merge-on-read DELETE (a property toggle, no table write). */
+/** Foreign-path DML: the write twins of the `delta_export` /
+  * `iceberg_export` table-valued READS — append / delete / update a
+  * foreign open-format table IN PLACE by quoted path, no registration,
+  * no CONVERT TO GRAFT copy. Each dispatches to the engine's foreign
+  * writer for that face (createLink-CAS'd commits, the full refusal
+  * batteries). */
+case class ForeignInsertCommand(face: String, root: String, query: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df = spark.sql(query)
+    if (face == "delta_export")
+      LakehouseTable.appendDeltaForeign(spark, root, df)
+    else graft.sources.IcebergMeta.appendIcebergForeign(spark, root, df)
+    Seq.empty
+  }
+}
+
+case class ForeignDeleteCommand(face: String, root: String, where: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (face == "delta_export")
+      LakehouseTable.deleteDeltaForeign(spark, root, where)
+    else graft.sources.IcebergMeta.deleteIcebergForeign(spark, root, where)
+    Seq.empty
+  }
+}
+
+case class ForeignUpdateCommand(face: String, root: String,
+    set: Seq[(String, String)], where: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (face == "delta_export")
+      LakehouseTable.updateDeltaForeign(spark, root, where, set.toMap)
+    else graft.sources.IcebergMeta.updateIcebergForeign(
+      spark, root, where, set.toMap)
+    Seq.empty
+  }
+}
+
 case class AlterGraftTableDvCommand(name: String, on: Boolean)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
@@ -1056,6 +1101,17 @@ object GraftSqlStatements {
         Some(UpdateGraftTableCommand(name,
           parseSetList(setList).map { case (c, ex) => c -> unmask(ex) },
           unmask(cond)))
+      case ForeignInsertRe(face, idx, query) =>
+        Some(ForeignInsertCommand(face.toLowerCase,
+          unmaskLit(unmask, idx), unmask(query)))
+      case ForeignDeleteRe(face, idx, cond) =>
+        Some(ForeignDeleteCommand(face.toLowerCase,
+          unmaskLit(unmask, idx), unmask(cond)))
+      case ForeignUpdateRe(face, idx, setList, cond) =>
+        Some(ForeignUpdateCommand(face.toLowerCase,
+          unmaskLit(unmask, idx),
+          parseSetList(setList).map { case (c, ex) => c -> unmask(ex) },
+          unmask(cond)))
       case RestoreRe(name, v) if GraftCatalog.lookup(name).isDefined =>
         Some(RestoreGraftTableCommand(name, v.toLong))
       case OptimizeRe(name, where, zcols) if GraftCatalog.lookup(name).isDefined =>
@@ -1142,6 +1198,19 @@ object GraftSqlStatements {
     ("""(?i)\btable_changes\s*\(\s*""" + MaskedLit +
       """\s*,\s*(?:(\d+)|""" + MaskedLit + """)\s*,\s*(?:(\d+)|""" +
       MaskedLit + """)\s*\)""").r
+  // foreign-path DML twins of the TVF reads: the statement names a
+  // QUOTED path instead of a registered table
+  private val ForeignInsertRe =
+    ("""(?is)^\s*INSERT\s+INTO\s+(delta_export|iceberg_export)\s*\(\s*""" +
+      MaskedLit +
+      """\s*\)\s+((?:SELECT|WITH|VALUES|FROM|TABLE)\b.*?)\s*;?\s*$""").r
+  private val ForeignDeleteRe =
+    ("""(?is)^\s*DELETE\s+FROM\s+(delta_export|iceberg_export)\s*\(\s*""" +
+      MaskedLit + """\s*\)\s+WHERE\s+(.*?)\s*;?\s*$""").r
+  private val ForeignUpdateRe =
+    ("""(?is)^\s*UPDATE\s+(delta_export|iceberg_export)\s*\(\s*""" +
+      MaskedLit +
+      """\s*\)\s+SET\s+(.*?)\s+WHERE\s+(.*?)\s*;?\s*$""").r
   private val IcebergChangelogRe =
     ("""(?i)\biceberg_changelog\s*\(\s*""" + MaskedLit +
       """\s*,\s*(?:(\d+)|""" + MaskedLit + """)\s*,\s*(?:(\d+)|""" +
