@@ -2592,6 +2592,27 @@ object IcebergMeta {
     * APPEND and the foreign UPDATE's post-image. Returns (manifest
     * path, files written, rows written, default spec id, current
     * schema id). */
+  /** Refuse a DEFAULT spec this writer cannot evaluate per row — a
+    * metadata-only check every data-writing foreign commit runs BEFORE
+    * touching disk (a post-write refusal would strand files behind
+    * every attempt). */
+  private def requireEvaluableDefaultSpec(
+      md: com.fasterxml.jackson.databind.JsonNode, root: String,
+      what: String): Unit = {
+    val defaultSpecId = md.get("default-spec-id").asInt()
+    val specFields = md.get("partition-specs").elements().asScala
+      .find(_.get("spec-id").asInt() == defaultSpecId)
+      .map(_.get("fields").elements().asScala.toSeq).getOrElse(Nil)
+    val unknownTr = specFields.filter(f =>
+      f.get("transform").asText() != "identity" &&
+        IcebergTransforms.parse(f.get("transform").asText()).isEmpty)
+    require(unknownTr.isEmpty,
+      s"$what to a chain partitioned by unsupported transform(s) " +
+        s"${unknownTr.map(f => f.get("transform").asText() + "(" +
+          f.get("name").asText() + ")").mkString(", ")} at $root is " +
+        "not supported (this writer cannot evaluate them)")
+  }
+
   private def writeForeignDataManifest(spark: SparkSession, root: String,
       dir: Path, md: com.fasterxml.jackson.databind.JsonNode,
       df: org.apache.spark.sql.DataFrame, sid: Long, what: String,
@@ -2611,14 +2632,7 @@ object IcebergMeta {
     // EVALUATED per row with [[IcebergTransforms]]' own arithmetic —
     // the day-partitioned table is the append shape real pipelines
     // commit daily. Unknown transforms refuse rather than mis-bucket.
-    val unknownTr = specFields.filter(f =>
-      f.get("transform").asText() != "identity" &&
-        IcebergTransforms.parse(f.get("transform").asText()).isEmpty)
-    require(unknownTr.isEmpty,
-      s"$what to a chain partitioned by unsupported transform(s) " +
-        s"${unknownTr.map(f => f.get("transform").asText() + "(" +
-          f.get("name").asText() + ")").mkString(", ")} at $root is " +
-        "not supported (this writer cannot evaluate them)")
+    requireEvaluableDefaultSpec(md, root, what)
     // schema: exactly the current schema's columns by name, type, and
     // REQUIRED-ness (appending a nullable column into a required field
     // would violate the contract for every reader)
@@ -2928,7 +2942,7 @@ object IcebergMeta {
     * current one, uncommitted, when no row matches. */
   def deleteIcebergForeign(spark: SparkSession, root: String,
       predicate: String): Long = {
-    import org.apache.spark.sql.functions.{broadcast, coalesce, col, expr, lit}
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
     require(hasChain(root), s"no Iceberg metadata at $root")
     val dir = metaDir(root)
     val curN = trueCurrentVersion(dir, root)
@@ -3002,7 +3016,7 @@ object IcebergMeta {
     * matches. */
   def updateIcebergForeign(spark: SparkSession, root: String,
       predicate: String, assignments: Map[String, String]): Long = {
-    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, raise_error, when}
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, raise_error}
     require(hasChain(root), s"no Iceberg metadata at $root")
     require(assignments.nonEmpty, "update requires at least one SET")
     val asgn = assignments.map { case (k, v) => k.toLowerCase -> v }
@@ -3031,6 +3045,10 @@ object IcebergMeta {
     require(ghost.isEmpty,
       s"SET column(s) ${ghost.toSeq.sorted.mkString(", ")} are not in " +
         s"the current schema at $root")
+    // refuse-before-write: the data side's spec evaluability is
+    // knowable from the metadata alone — a post-write refusal would
+    // strand delete parquets and data files behind every attempt
+    requireEvaluableDefaultSpec(md, root, "update")
     val (dataEntries, dels) = snapshotEntries(root, parent)
     if (dataEntries.isEmpty) return parent
     val candidates = pruneFiles(spark, root, curSchemaId, dataEntries,

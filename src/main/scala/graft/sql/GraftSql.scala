@@ -499,6 +499,18 @@ case class DeleteGraftTableCommand(name: String, where: String)
 
 /** ALTER TABLE name ENABLE|DISABLE DELETION VECTORS — catalog-level
   * switch for merge-on-read DELETE (a property toggle, no table write). */
+case class AlterGraftTableDvCommand(name: String, on: Boolean)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftCatalog.setMorDeletes(name, on)
+    Seq.empty
+  }
+}
+
+/** REORG TABLE name APPLY (PURGE) — Delta's DV-purge statement: rewrite
+  * exactly the files with deletion vectors, applying and clearing them
+  * ([[LakehouseTable.materializeDvs]]); re-enables the Delta mirror.
+  * Returns the table version afterwards (unchanged when no DVs). */
 /** Foreign-path DML: the write twins of the `delta_export` /
   * `iceberg_export` table-valued READS — append / delete / update a
   * foreign open-format table IN PLACE by quoted path, no registration,
@@ -530,6 +542,11 @@ case class ForeignUpdateCommand(face: String, root: String,
     set: Seq[(String, String)], where: String)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
+    // refuse duplicate assignments HERE: toMap would silently keep the
+    // last one, and the writers' own duplicate check (sized against
+    // the lowercased map) could never fire for exact-case duplicates
+    require(set.map(_._1.toLowerCase).distinct.size == set.size,
+      s"duplicate SET column in ${set.map(_._1).mkString(", ")}")
     if (face == "delta_export")
       LakehouseTable.updateDeltaForeign(spark, root, where, set.toMap)
     else graft.sources.IcebergMeta.updateIcebergForeign(
@@ -538,18 +555,6 @@ case class ForeignUpdateCommand(face: String, root: String,
   }
 }
 
-case class AlterGraftTableDvCommand(name: String, on: Boolean)
-    extends LeafRunnableCommand {
-  override def run(spark: SparkSession): Seq[Row] = {
-    GraftCatalog.setMorDeletes(name, on)
-    Seq.empty
-  }
-}
-
-/** REORG TABLE name APPLY (PURGE) — Delta's DV-purge statement: rewrite
-  * exactly the files with deletion vectors, applying and clearing them
-  * ([[LakehouseTable.materializeDvs]]); re-enables the Delta mirror.
-  * Returns the table version afterwards (unchanged when no DVs). */
 case class ReorgGraftTablePurgeCommand(name: String)
     extends LeafRunnableCommand {
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
@@ -953,8 +958,32 @@ object GraftSqlStatements {
   private val DeleteRe =
     """(?is)^\s*DELETE\s+FROM\s+([A-Za-z_][A-Za-z0-9_]*)\s+WHERE\s+(.*?)\s*;?\s*$""".r
   private val UpdateRe =
-    """(?is)^\s*UPDATE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+(.*?)\s+WHERE\s+(.*?)\s*;?\s*$""".r
+    """(?is)^\s*UPDATE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+(.*?)\s*;?\s*$""".r
   private val SetItemRe = """(?s)\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.*?)\s*$""".r
+
+  /** Split "SET-list WHERE cond" on the FIRST ' WHERE ' at paren
+    * depth 0 (masked text — literals cannot carry a WHERE): a
+    * subquery's own WHERE inside a SET expression stays whole, the
+    * flaw a lazy `(.*?)\s+WHERE` split has. */
+  private def splitSetWhere(rest: String): (String, String) = {
+    var depth = 0
+    var i = 0
+    val up = rest.toUpperCase
+    while (i < rest.length) {
+      rest.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && up.startsWith("WHERE", i) &&
+              i > 0 && rest.charAt(i - 1).isWhitespace &&
+              i + 5 < rest.length && rest.charAt(i + 5).isWhitespace)
+            return (rest.substring(0, i).trim, rest.substring(i + 5).trim)
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(
+      "UPDATE requires a top-level WHERE clause")
+  }
 
   /** Split a SET list on top-level commas only (an expression like
     * `f(x, y)` must stay whole). */
@@ -1095,9 +1124,11 @@ object GraftSqlStatements {
           mergeKeys(cond, name, Option(tAlias), Option(sAlias)), del))
       case DeleteRe(name, cond) if GraftCatalog.lookup(name).isDefined =>
         Some(DeleteGraftTableCommand(name, unmask(cond)))
-      case UpdateRe(name, setList, cond) if GraftCatalog.lookup(name).isDefined =>
-        // SET-list splitting on masked text: commas and ' WHERE ' inside
-        // literals can no longer fracture items
+      case UpdateRe(name, rest) if GraftCatalog.lookup(name).isDefined =>
+        // SET/WHERE and SET-list splitting both happen on MASKED text
+        // at top paren depth: literals and subqueries cannot fracture
+        // items or capture the wrong WHERE
+        val (setList, cond) = splitSetWhere(rest)
         Some(UpdateGraftTableCommand(name,
           parseSetList(setList).map { case (c, ex) => c -> unmask(ex) },
           unmask(cond)))
@@ -1107,7 +1138,8 @@ object GraftSqlStatements {
       case ForeignDeleteRe(face, idx, cond) =>
         Some(ForeignDeleteCommand(face.toLowerCase,
           unmaskLit(unmask, idx), unmask(cond)))
-      case ForeignUpdateRe(face, idx, setList, cond) =>
+      case ForeignUpdateRe(face, idx, rest) =>
+        val (setList, cond) = splitSetWhere(rest)
         Some(ForeignUpdateCommand(face.toLowerCase,
           unmaskLit(unmask, idx),
           parseSetList(setList).map { case (c, ex) => c -> unmask(ex) },
@@ -1209,8 +1241,7 @@ object GraftSqlStatements {
       MaskedLit + """\s*\)\s+WHERE\s+(.*?)\s*;?\s*$""").r
   private val ForeignUpdateRe =
     ("""(?is)^\s*UPDATE\s+(delta_export|iceberg_export)\s*\(\s*""" +
-      MaskedLit +
-      """\s*\)\s+SET\s+(.*?)\s+WHERE\s+(.*?)\s*;?\s*$""").r
+      MaskedLit + """\s*\)\s+SET\s+(.*?)\s*;?\s*$""").r
   private val IcebergChangelogRe =
     ("""(?i)\biceberg_changelog\s*\(\s*""" + MaskedLit +
       """\s*,\s*(?:(\d+)|""" + MaskedLit + """)\s*,\s*(?:(\d+)|""" +

@@ -588,5 +588,20 @@ class GraftSqlSpec extends AnyFunSuite {
     spark.sql(s"DELETE FROM delta_export('$droot') WHERE k = 4 AND 'a''b' = 'a''b'")
     assert(spark.sql(s"SELECT count(*) AS n FROM delta_export('$droot')")
       .head().getLong(0) == 2)
+
+    // duplicate SET assignments refuse instead of silently keeping the
+    // last one (toMap would collapse them)
+    val exDup = intercept[IllegalArgumentException] {
+      spark.sql(s"UPDATE delta_export('$droot') SET v = 1, v = 2 WHERE k = 2")
+    }
+    assert(exDup.getMessage.contains("duplicate SET"), exDup.getMessage)
+
+    // a subquery WHERE inside a SET expression must not capture the
+    // statement's own WHERE (top-depth split, not a lazy regex)
+    spark.sql(s"UPDATE delta_export('$droot') SET v = " +
+      s"(SELECT max(x) FROM VALUES (100L) t(x) WHERE x > 0) WHERE k = 2")
+    assert(spark.sql(
+      s"SELECT v FROM delta_export('$droot') WHERE k = 2")
+      .head().getLong(0) == 100L)
   }
 }
