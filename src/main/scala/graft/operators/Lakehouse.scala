@@ -565,6 +565,61 @@ object Lakehouse {
     }
   }
 
+  private[graft] def deltaMergeDir(d: String): String =
+    TableCache.baseDir + "/delta_fmerge_" +
+      java.nio.file.Paths.get(d).getFileName.toString
+
+  /** A genuinely foreign Delta table MERGED into through
+    * [[LakehouseTable.mergeDeltaForeign]] — the CDC-apply upsert that
+    * completes foreign row-level DML: created with the keys ≢ 3
+    * (mod 4), range-clustered, then a source of ALL odd keys with
+    * status 'M' merges on o_orderkey. Keys ≡ 1 (mod 4) exist and
+    * UPDATE; keys ≡ 3 (mod 4) do not and INSERT — one CAS'd version
+    * of removes (the matched files), adds (kept rows + the source),
+    * so the table becomes exactly orders with every odd status
+    * rewritten. The q219 oracle replays the post-merge log raw in
+    * DuckDB — an independent reader validating the commit. */
+  private[graft] def deltaMergeRoot(s: SparkSession, d: String): String = {
+    val root = deltaMergeDir(d)
+    foreignFixture(root, d) { () =>
+      LakehouseTable.create(ordersSlice(s, d)
+        .filter(col("o_orderkey") % 4 =!= 3)
+        .repartitionByRange(4, col("o_orderkey")), root)
+      LakehouseTable.exportDeltaLog(s, root)
+      ()
+    } { () =>
+      LakehouseTable.mergeDeltaForeign(s, root,
+        ordersSlice(s, d).filter(col("o_orderkey") % 2 === 1)
+          .withColumn("o_orderstatus", lit("M")),
+        Seq("o_orderkey"))
+      ()
+    }
+  }
+
+  /** The Iceberg twin of [[deltaMergeRoot]]: the same upsert committed
+    * MERGE-ON-READ through [[IcebergMeta.mergeIcebergForeign]] — ONE
+    * snapshot carrying the matched rows' position deletes AND a data
+    * manifest with every source row (updated images + inserts); no
+    * base file is rewritten. q220 reads the chain back against the
+    * relational merge twin over raw orders. */
+  private[graft] def icebergMergeRoot(s: SparkSession, d: String): String = {
+    val root = TableCache.baseDir + "/iceberg_fmerge_" +
+      java.nio.file.Paths.get(d).getFileName.toString
+    foreignFixture(root, d) { () =>
+      LakehouseTable.create(ordersSlice(s, d)
+        .filter(col("o_orderkey") % 4 =!= 3)
+        .repartitionByRange(4, col("o_orderkey")), root)
+      IcebergMeta.exportIcebergMeta(s, root)
+      ()
+    } { () =>
+      IcebergMeta.mergeIcebergForeign(s, root,
+        ordersSlice(s, d).filter(col("o_orderkey") % 2 === 1)
+          .withColumn("o_orderstatus", lit("M")),
+        Seq("o_orderkey"))
+      ()
+    }
+  }
+
   /** A SPEC-EVOLVED foreign chain — the partition-evolution shape
     * every long-lived Iceberg table reaches: created
     * identity-partitioned by `event_type` (spec 0), the native
@@ -2094,6 +2149,34 @@ object Lakehouse {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // FOREIGN-TABLE MERGE, Delta face: the CDC-apply upsert — odd
+    // keys upsert with status 'M' (keys ≡ 1 mod 4 update in place,
+    // keys ≡ 3 mod 4 insert) in ONE CAS'd version. The ORACLE replays
+    // the post-merge log raw in DuckDB.
+    "q219_delta_foreign_merge" -> ((s, d) => {
+      val root = deltaMergeRoot(s, d)
+      LakehouseTable.readDeltaExport(s, root)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          Exact.moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // FOREIGN-CHAIN MERGE, Iceberg face: the same upsert MERGE-ON-READ
+    // — one snapshot carries the matched rows' position deletes and
+    // every source row in a new data manifest; the reader reconciles
+    // both against the relational merge twin.
+    "q220_iceberg_foreign_merge" -> ((s, d) => {
+      val root = icebergMergeRoot(s, d)
+      IcebergMeta.readIceberg(s, root)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          Exact.moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // PARTITION EVOLUTION: spec 0 (identity event_type) files and
     // spec 1 (day(ts)) appended files live in ONE chain; the reader
     // resolves each file's partition struct by FIELD-ID under the spec
@@ -3181,6 +3264,43 @@ object Lakehouse {
     "q218_iceberg_foreign_update" ->
       s"""WITH t AS (SELECT
             CASE WHEN o_orderkey % 2 = 1 THEN 'X'
+                 ELSE o_orderstatus END AS o_orderstatus,
+            o_orderkey, o_totalprice FROM orders)
+          SELECT o_orderstatus, count(*) AS n,
+            CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+            ${Exact.sqlMoneySum("o_totalprice")} AS sum_price
+          FROM t GROUP BY 1 ORDER BY 1""",
+
+    // an independent replay of the POST-MERGE log: the raw JSON
+    // actions' live files carry the upserted rows (updates replaced
+    // in rewritten files, inserts in fresh adds)
+    "q219_delta_foreign_merge" ->
+      s"""WITH actions AS (
+            SELECT * FROM read_json('${deltaMergeDir("/root/testdata/sf0.01")}/_delta_log/*.json',
+              format='newline_delimited',
+              columns={add: 'STRUCT(path VARCHAR)',
+                       remove: 'STRUCT(path VARCHAR)'})),
+          adds AS (SELECT add.path AS p FROM actions WHERE add IS NOT NULL),
+          removes AS (SELECT remove.path AS p FROM actions WHERE remove IS NOT NULL),
+          live AS (SELECT p FROM adds EXCEPT SELECT p FROM removes),
+          rows AS (
+            SELECT o_orderstatus, o_orderkey, o_totalprice, filename
+            FROM read_parquet('${deltaMergeDir("/root/testdata/sf0.01")}/data/*.parquet',
+              filename=true)),
+          kept AS (
+            SELECT r.* FROM rows r
+            JOIN live l ON right(r.filename, length(l.p)) = l.p)
+          SELECT o_orderstatus, count(*) AS n,
+            CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+            ${Exact.sqlMoneySum("o_totalprice")} AS sum_price
+          FROM kept GROUP BY 1 ORDER BY 1""",
+
+    // the MOR-merged chain equals orders with every odd status
+    // upserted to 'M' — the oracle applies the SAME merge relationally
+    // (updates and inserts are indistinguishable in the net state)
+    "q220_iceberg_foreign_merge" ->
+      s"""WITH t AS (SELECT
+            CASE WHEN o_orderkey % 2 = 1 THEN 'M'
                  ELSE o_orderstatus END AS o_orderstatus,
             o_orderkey, o_totalprice FROM orders)
           SELECT o_orderstatus, count(*) AS n,

@@ -3124,6 +3124,151 @@ object IcebergMeta {
     sid
   }
 
+  /** MERGE into a foreign Iceberg chain — the CDC-apply upsert,
+    * completing row-level DML on the chain face beside
+    * [[appendIcebergForeign]] / [[deleteIcebergForeign]] /
+    * [[updateIcebergForeign]]. `updates` rows REPLACE the target rows
+    * sharing their `keys` values (null-safe) and rows matching
+    * nothing INSERT; `deleteKeys` rows REMOVE their targets (a key in
+    * both sets takes the update). MERGE-ON-READ in ONE snapshot: a
+    * position-delete manifest of every matched target row's (file,
+    * pos) AND a data manifest of ALL the update rows laid out under
+    * the default spec, both at the new sequence number — readers
+    * never see the in-between state a delete-then-append pair would
+    * expose, and NO base data file is rewritten (at 100 TB the merge
+    * touches the matched rows' delete positions plus the new images,
+    * nothing else). Existing deletes apply BEFORE matching, so an
+    * already-deleted row cannot resurrect by matching. Candidate
+    * files come from the source keys' [min, max] bounds through the
+    * same inclusive manifest planning as the read path. UPSERT
+    * semantics, the Delta face's convention: every matched target row
+    * collapses to the ONE source image, so the source must be
+    * key-unique (duplicate source keys refuse). A source matching
+    * nothing commits a plain append; an empty source is a no-op
+    * returning the current snapshot, uncommitted. */
+  def mergeIcebergForeign(spark: SparkSession, root: String,
+      updates: org.apache.spark.sql.DataFrame, keys: Seq[String],
+      deleteKeys: Option[org.apache.spark.sql.DataFrame] = None): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(hasChain(root), s"no Iceberg metadata at $root")
+    require(keys.nonEmpty, "merge requires at least one key column")
+    val dir = metaDir(root)
+    val curN = trueCurrentVersion(dir, root)
+    val md = mapper.readTree(Files.readString(
+      dir.resolve(s"v$curN.metadata.json")))
+    val fmtVer = Option(md.get("format-version")).map(_.asInt()).getOrElse(0)
+    require(fmtVer == 2,
+      s"merge supports Iceberg format-version 2 only; the chain at " +
+        s"$root is format-version $fmtVer")
+    val parent = md.get("current-snapshot-id").asLong()
+    val curSchemaId = md.get("current-schema-id").asInt()
+    requireEvaluableDefaultSpec(md, root, "merge")
+    val schemaNode = md.get("schemas").elements().asScala
+      .find(_.get("schema-id").asInt() == curSchemaId).getOrElse(
+        throw new IllegalStateException(s"schema $curSchemaId missing"))
+    val typeByName = schemaNode.get("fields").elements().asScala.map { f =>
+      f.get("name").asText().toLowerCase -> sparkType(f.get("type"))
+    }.toMap
+    val ghostKeys = keys.filterNot(k => typeByName.contains(k.toLowerCase))
+    require(ghostKeys.isEmpty,
+      s"merge key(s) ${ghostKeys.mkString(", ")} are not in the " +
+        s"current schema at $root")
+    deleteKeys.foreach { dk =>
+      val dkByName = dk.schema.fields.map(f => f.name.toLowerCase -> f).toMap
+      val bad = keys.filterNot(k => dkByName.get(k.toLowerCase)
+        .exists(_.dataType == typeByName(k.toLowerCase)))
+      require(bad.isEmpty,
+        s"deleteKeys must carry key column(s) ${bad.mkString(", ")} " +
+          s"with the schema's exact types at $root")
+    }
+    def bq(n: String) = col("`" + n.replace("`", "``") + "`")
+    def keyFrame(df: org.apache.spark.sql.DataFrame) =
+      df.select(keys.map(k => bq(k).as(s"__k_$k")): _*)
+    val updKeys = keyFrame(updates)
+    require(updKeys.groupBy(keys.map(k => col(s"__k_$k")): _*)
+        .count().filter(col("count") > 1).isEmpty,
+      s"merge source has duplicate key rows on (${keys.mkString(", ")})" +
+        s" at $root; merge semantics require a key-unique source")
+    val allKeys = deleteKeys.map(keyFrame)
+      .fold(updKeys)(updKeys.union).distinct()
+    val (bounds, nSource) = MetricsPruning.keyBoundsPredicate(
+      allKeys.toDF(keys: _*), keys)
+    if (nSource == 0L) return parent // empty source: no-op, no commit
+    // a chain with no live data rows cannot match: pure append
+    val (dataEntries, dels) =
+      if (parent == -1L) (Nil, Nil) else snapshotEntries(root, parent)
+    def pureAppend(): Long =
+      if (updates.isEmpty) parent
+      else appendIcebergForeign(spark, root, updates)
+    if (dataEntries.isEmpty) return pureAppend()
+    val candidates = bounds match {
+      case Some(p) => pruneFilesParsed(root, curSchemaId, dataEntries, p)
+      case None => dataEntries
+    }
+    if (candidates.isEmpty) return pureAppend()
+    val fields = schemaIdFieldsOf(root, curSchemaId)
+    // VISIBLE candidate rows (existing deletes applied — an already-
+    // deleted row must not resurrect by matching), (__p, __ri) kept
+    def visible() = applyDeleteEntries(spark, root, curSchemaId,
+      chainScan(spark, root, candidates.map(_._1), fields,
+        withIdentity = true), dataEntries, dels)
+    def keyCond(left: org.apache.spark.sql.DataFrame) =
+      keys.map(k => left(k) <=> col(s"__k_$k")).reduce(_ && _)
+    val lastSeq = md.get("last-sequence-number").asLong()
+    val seq = lastSeq + 1
+    val uuid = java.util.UUID.randomUUID().toString
+    val sid = java.lang.Long.parseLong(graft.plans.TextExpressions
+      .md5Hex(s"iceberg-merge:$root#$seq#$curN#$uuid").take(15), 16)
+    val vis = visible()
+    val delFiles = writePositionDeleteFiles(spark, dir, sid,
+      matchedPositionFrame(spark, candidates,
+        vis.join(allKeys, keyCond(vis), "left_semi"), lit(true)))
+    if (delFiles.isEmpty) return pureAppend() // planning kept, rows say no
+    val (delM, delSpecId, specToAdd, delRows) =
+      writePositionDeleteManifest(dir, md, sid, delFiles, curSchemaId)
+    val carried = carriedManifests(md, parent)
+    val listPath = dir.resolve(s"snap-$sid.avro")
+    if (updates.isEmpty) {
+      // delete-only merge: the deleteIcebergForeign commit shape
+      writeAvro(listPath, manifestFileSchema, Seq(
+        "snapshot-id" -> sid.toString,
+        "sequence-number" -> seq.toString,
+        "parent-snapshot-id" -> parent.toString,
+        "format-version" -> "2"),
+        carried :+ manifestListRecord(delM, delSpecId, content = 1,
+          seq, sid, delFiles.size, delRows))
+      commitForeignSnapshot(root, dir, curN, md, sid, seq, parent,
+        listPath, curSchemaId, "delete",
+        s""""added-delete-files":"${delFiles.size}",""" +
+          s""""added-position-deletes":"$delRows"""",
+        "merge", extraMeta = specToAdd)
+      return sid
+    }
+    // ALL update rows ride ONE data manifest: matched keys' new
+    // images and inserts alike (the deletes above only cover rows
+    // that matched, so an insert has nothing to cancel)
+    val (dm, nFiles, nRows, defaultSpecId, _) =
+      writeForeignDataManifest(spark, root, dir, md, updates, sid,
+        "merge")
+    writeAvro(listPath, manifestFileSchema, Seq(
+      "snapshot-id" -> sid.toString,
+      "sequence-number" -> seq.toString,
+      "parent-snapshot-id" -> parent.toString,
+      "format-version" -> "2"),
+      carried :+
+        manifestListRecord(dm, defaultSpecId, content = 0,
+          seq, sid, nFiles, nRows) :+
+        manifestListRecord(delM, delSpecId, content = 1,
+          seq, sid, delFiles.size, delRows))
+    commitForeignSnapshot(root, dir, curN, md, sid, seq, parent,
+      listPath, curSchemaId, "overwrite",
+      s""""added-data-files":"$nFiles",""" +
+        s""""added-delete-files":"${delFiles.size}",""" +
+        s""""added-position-deletes":"$delRows"""",
+      "merge", extraMeta = specToAdd)
+    sid
+  }
+
   /** Matched rows' (manifest-form path, position) pairs under the
     * spec's reserved delete-file field-ids — the write-side frame of
     * every MOR mutation. `scan` must carry chainScan's (__p, __ri)
@@ -3694,13 +3839,27 @@ object IcebergMeta {
   private def pruneFiles(spark: SparkSession, root: String,
       schemaId: Int, entries: Seq[(String, Long)], expr: String)
       : Seq[(String, Long)] = {
-    import org.apache.spark.sql.types._
-    import MetricsPruning.ColMeta
     val fields = schemaIdFieldsOf(root, schemaId)
     val byName = fields.map { case (id, n, dt) =>
       n.toLowerCase -> ((id, dt)) }.toMap
     val parsed = MetricsPruning.parseChecked(spark, expr, byName.keySet,
       fields.map(_._2).mkString(", "))
+    pruneFilesParsed(root, schemaId, entries, parsed)
+  }
+
+  /** [[pruneFiles]] over an ALREADY-PARSED predicate tree — the entry
+    * the foreign MERGE uses to plan candidate files from its source
+    * keys' min/max bounds (Catalyst nodes built from collected values,
+    * never rendered to SQL text). */
+  private def pruneFilesParsed(root: String,
+      schemaId: Int, entries: Seq[(String, Long)],
+      parsed: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[(String, Long)] = {
+    import org.apache.spark.sql.types._
+    import MetricsPruning.ColMeta
+    val fields = schemaIdFieldsOf(root, schemaId)
+    val byName = fields.map { case (id, n, dt) =>
+      n.toLowerCase -> ((id, dt)) }.toMap
     val partSrcIds = identitySourceIds(root)
     // source field id → its transform partition fields: what a day/
     // bucket/truncate value says about the SOURCE column's rows. Both

@@ -2158,6 +2158,208 @@ object LakehouseTable {
       })
   }
 
+  /** MERGE into a FOREIGN Delta table — the CDC-apply upsert,
+    * completing row-level DML on the foreign face beside
+    * [[appendDeltaForeign]] / [[deleteDeltaForeign]] /
+    * [[updateDeltaForeign]]. `updates` rows REPLACE the target rows
+    * sharing their `keys` values (null-SAFE match — a NULL key in the
+    * source replaces the existing NULL-key row, or repeated merges
+    * duplicate it forever) and rows matching nothing INSERT;
+    * `deleteKeys` rows REMOVE their targets (a key in both sets takes
+    * the update — its post-image IS the net state, [[mergeApply]]'s
+    * convention). UPSERT semantics, matching the native [[merge]]:
+    * every target row with a matched key collapses to the ONE source
+    * row (the source must therefore be key-unique — duplicate source
+    * keys refuse loudly; Delta's own MERGE errors on multiple
+    * matches).
+    *
+    * COPY-ON-WRITE, file-pruned: candidate files come from the source
+    * keys' [min, max] bounds pushed through the SAME inclusive
+    * planning as the read path ([[MetricsPruning.keyBoundsPredicate]]
+    * — at 100 TB a merge touching one day's keys plans that day's
+    * files, not the table), an exact row pass narrows to files with
+    * ≥1 matched row (a driver sync bounded by live-FILE count), kept
+    * rows are rewritten with existing deletion vectors applied, and
+    * ONE version commits cdc + remove + add actions via the
+    * createLink CAS. A source matching NOTHING commits adds only (an
+    * insert-only merge); an empty source is a no-op returning the
+    * pinned version, uncommitted.
+    *
+    * CDF tables get the REAL change classification Delta's MERGE
+    * records: update_preimage/update_postimage for matched update
+    * keys, delete for matched delete-only keys, insert for unmatched
+    * update rows. Refusals are the UNION of the append's and the
+    * update's batteries — inserts need what the append refuses
+    * (CHECK constraints, invariants, generated/identity columns),
+    * mutations need the update's (appendOnly, unknowable
+    * partitioning, CDF under column mapping, unsafe writer
+    * features). */
+  def mergeDeltaForeign(spark: SparkSession, root: String,
+      updates: DataFrame, keys: Seq[String],
+      deleteKeys: Option[DataFrame] = None): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(keys.nonEmpty, "merge requires at least one key column")
+    val logDir = Paths.get(root, "_delta_log")
+    require(Files.isDirectory(logDir), s"no _delta_log at $root")
+    val cur = pinForeignDeltaVersion(root, logDir)
+    val state = deltaStateAt(spark, root, Some(cur), useCheckpoint = true)
+    val struct = schemaJsonToStruct(state.schemaJson).getOrElse(
+      throw new IllegalStateException(
+        s"merge requires a log with a metaData schemaString at $root"))
+    require(state.conf.getOrElse("delta.appendOnly", "false") != "true",
+      s"the table at $root is append-only (delta.appendOnly=true); " +
+        "refusing the merge")
+    require(state.partitionCols.nonEmpty ||
+        state.partVals.values.forall(_.isEmpty),
+      s"live add actions at $root carry partitionValues but the " +
+        "metaData's partitionColumns are unknown (a checkpoint omitted " +
+        "them); rewriting blind would mis-lay the rows — refusing")
+    val mapping = state.conf.getOrElse("delta.columnMapping.mode", "none")
+    validateMappedWrite(root, struct, mapping, "merge")
+    val cdfOn = state.conf.get("delta.enableChangeDataFeed")
+      .contains("true")
+    require(!cdfOn || mapping == "none",
+      s"merge on a CDF-recording table under column mapping mode " +
+        s"'$mapping' at $root is not supported")
+    // inserts impose the append's obligations, mutations the update's:
+    // the battery is the union
+    require(!state.conf.keys.exists(_.startsWith("delta.constraints.")),
+      "merge into a table with CHECK constraints is not supported " +
+        "(this writer does not evaluate them)")
+    require(!struct.fields.exists(_.metadata.contains("delta.invariants")),
+      "merge into a table with column invariants is not supported")
+    require(!struct.fields.exists(
+        _.metadata.contains("delta.generationExpression")),
+      "merge into a table with generated columns is not supported " +
+        "(this writer does not evaluate generation expressions)")
+    require(!struct.fields.exists(f => f.metadata.contains(
+        "delta.identity.start") || f.metadata.contains(
+        "delta.identity.allowExplicitInsert")),
+      "merge into a table with identity columns is not supported " +
+        "(this writer does not allocate identity values)")
+    val (minR, minW) = state.protocol
+    val safeFeatures = Set("appendOnly", "invariants", "deletionVectors",
+      "changeDataFeed", "timestampNtz", "v2Checkpoint", "columnMapping",
+      "allowColumnDefaults")
+    if (minW >= 7) {
+      val extra = state.writerFeatures.filterNot(safeFeatures)
+      require(extra.isEmpty,
+        s"writer feature(s) ${extra.mkString(", ")} at $root impose " +
+          "obligations this merge writer cannot verify; refusing")
+    } else require(minW >= 1 && minW <= 6,
+      s"writer version $minW not supported")
+    require(minR <= 3, s"reader version $minR not supported")
+    // updates carry full rows: the append's exact schema contract
+    val byName = struct.fields.map(f => f.name.toLowerCase -> f).toMap
+    val updByName = updates.schema.fields
+      .map(f => f.name.toLowerCase -> f).toMap
+    require(updByName.keySet == byName.keySet &&
+        byName.forall { case (n, f) =>
+          updByName(n).dataType == f.dataType &&
+            (f.nullable || !updByName(n).nullable) },
+      s"merge source schema ${updates.schema.simpleString} does not " +
+        s"match the table schema ${struct.simpleString} at $root " +
+        "(names, types, and nullability must all be compatible)")
+    val ghostKeys = keys.filterNot(k => byName.contains(k.toLowerCase))
+    require(ghostKeys.isEmpty,
+      s"merge key(s) ${ghostKeys.mkString(", ")} are not in the table " +
+        s"schema at $root")
+    deleteKeys.foreach { dk =>
+      val dkByName = dk.schema.fields.map(f => f.name.toLowerCase -> f).toMap
+      val bad = keys.filterNot(k => dkByName.get(k.toLowerCase)
+        .exists(_.dataType == byName(k.toLowerCase).dataType))
+      require(bad.isEmpty,
+        s"deleteKeys must carry key column(s) ${bad.mkString(", ")} " +
+          s"with the table's exact types at $root")
+    }
+    def keyFrame(df: DataFrame) =
+      df.select(keys.map(k => bq(k).as(s"__k_$k")): _*)
+    val updKeys = keyFrame(updates)
+    val delKeys = deleteKeys.map(keyFrame)
+    val allKeys = delKeys.fold(updKeys)(updKeys.union).distinct()
+    // the source must be key-unique (upsert semantics collapse every
+    // matched target row to the ONE source image; two source rows for
+    // one key would be order-dependent — Delta's own MERGE errors)
+    require(updKeys.groupBy(keys.map(k => col(s"__k_$k")): _*)
+        .count().filter(col("count") > 1).isEmpty,
+      s"merge source has duplicate key rows on (${keys.mkString(", ")})" +
+        s" at $root; Delta MERGE semantics require a key-unique source")
+    // candidate planning from the source keys' bounds — the same
+    // inclusive evaluator as the read path; None = nothing constrains
+    val (bounds, nSource) = MetricsPruning.keyBoundsPredicate(
+      allKeys.toDF(keys: _*), keys)
+    if (nSource == 0L) return cur // empty source: no-op, no commit
+    val candidates = bounds match {
+      case Some(p) => pruneDeltaFilesParsed(state, struct, p)
+      case None => state.live
+    }
+    def keyCond(left: DataFrame) =
+      keys.map(k => left(k) <=> col(s"__k_$k")).reduce(_ && _)
+    val rewrite: Seq[String] =
+      if (candidates.isEmpty) Nil
+      else {
+        val candSet = candidates.toSet
+        val sl = readDeltaSlice(spark, root, state, candidates,
+          state.dvs.filter(kv => candSet.contains(kv._1)), withPath = true)
+        sl.join(allKeys, keyCond(sl), "left_semi")
+          .select("__p").distinct()
+          .collect().map(_.getString(0)).toSeq.sorted
+      }
+    if (rewrite.isEmpty && updates.isEmpty) return cur // nothing to do
+    val rewriteSet = rewrite.toSet
+    def slice() = readDeltaSlice(spark, root, state, rewrite,
+      state.dvs.filter(kv => rewriteSet.contains(kv._1)))
+    val alignedUpd = updates.select(
+      struct.fields.map(f => bq(f.name)).toSeq: _*)
+    val newRows =
+      if (rewrite.isEmpty) alignedUpd
+      else {
+        val sl = slice()
+        sl.join(allKeys, keyCond(sl), "left_anti").unionByName(alignedUpd)
+      }
+    val (physicalDf, physPartCols) =
+      lowerForWrite(spark, struct, mapping, newRows, state.partitionCols)
+    val rels = writeFilesRaw(physicalDf, root, physPartCols)
+    val cdcFiles: Seq[(String, String, Long)] =
+      if (!cdfOn) Nil
+      else if (rewrite.isEmpty) {
+        // insert-only merge: every source row is an insert
+        writeCdcFiles(spark, root, cur + 1L,
+          alignedUpd.withColumn("_change_type", lit("insert")),
+          partColsOverride = Some(state.partitionCols))
+      } else {
+        // Delta MERGE's real change classification. A key in both
+        // sets is an UPDATE (upsert wins), so delete rows join on the
+        // delete-ONLY keys.
+        val delOnly = delKeys.map(dk => dk.join(updKeys,
+          keys.map(k => dk(s"__k_$k") <=> updKeys(s"__k_$k"))
+            .reduce(_ && _), "left_anti"))
+        val sl = slice()
+        val pre = sl.join(updKeys, keyCond(sl), "left_semi")
+          .withColumn("_change_type", lit("update_preimage"))
+        val deleted = delOnly.map { dk =>
+          val s2 = slice()
+          s2.join(dk, keyCond(s2), "left_semi")
+            .withColumn("_change_type", lit("delete"))
+        }
+        val tgtKeys = sl.select(
+          keys.map(k => bq(k).as(s"__t_$k")): _*).distinct()
+        def tgtCond(left: DataFrame) =
+          keys.map(k => left(k) <=> col(s"__t_$k")).reduce(_ && _)
+        val post = alignedUpd.join(tgtKeys, tgtCond(alignedUpd),
+          "left_semi").withColumn("_change_type", lit("update_postimage"))
+        val ins = alignedUpd.join(tgtKeys, tgtCond(alignedUpd),
+          "left_anti").withColumn("_change_type", lit("insert"))
+        val changes = (Seq(pre) ++ deleted.toSeq ++ Seq(post, ins))
+          .reduce(_ unionByName _)
+        writeCdcFiles(spark, root, cur + 1L, changes,
+          partColsOverride = Some(state.partitionCols))
+      }
+    commitForeignRewriteVersion(root, logDir, state, cur,
+      s""""operation":"MERGE","operationParameters":{"matchedPredicates":"[]"}""",
+      rewrite, rels, cdcFiles, "merge")
+  }
+
   /** The shared COPY-ON-WRITE rewrite core of [[deleteDeltaForeign]]
     * and [[updateDeltaForeign]] (see their scaladocs for semantics):
     * pin → replay → refusal battery → inclusive candidate planning →
@@ -2257,6 +2459,21 @@ object LakehouseTable {
       else writeCdcFiles(spark, root, cur + 1L,
         changeRows(slice(), rowPred, struct),
         partColsOverride = Some(state.partitionCols))
+    commitForeignRewriteVersion(root, logDir, state, cur, opJson,
+      rewrite, rels, cdcFiles, what)
+  }
+
+  /** The shared cdc + remove + add commit tail of every foreign
+    * rewrite writer (COW delete/update and MERGE): one CAS'd version
+    * whose removes reference each add's RAW committed path and
+    * deletionVector verbatim (the spec's action reconciliation keys a
+    * logical file on the path STRING and the DV's uniqueId — see
+    * [[foreignCowRewrite]]'s scaladoc for why a re-encode would leave
+    * DV-bearing adds live beside their rewrite). */
+  private def commitForeignRewriteVersion(root: String, logDir: Path,
+      state: DeltaReplayState, cur: Long, opJson: String,
+      removes: Seq[String], rels: Seq[String],
+      cdcFiles: Seq[(String, String, Long)], what: String): Long = {
     val ts = System.currentTimeMillis()
     val sb = new StringBuilder
     sb.append(s"""{"commitInfo":{"timestamp":$ts,$opJson}}""")
@@ -2265,7 +2482,7 @@ object LakehouseTable {
       sb.append(s"""{"cdc":{"path":"${escJson(deltaEncodePath(rel))}","partitionValues":$pv,"size":$size,"dataChange":false}}""")
         .append('\n')
     }
-    rewrite.foreach { f =>
+    removes.foreach { f =>
       val (rawPath, rawDv) = state.rawAdd.getOrElse(f,
         (escJson(deltaEncodePath(f)), state.dvs.get(f).map(dvJson)))
       val dvField = rawDv.fold("")(d => s""","deletionVector":$d""")
@@ -2435,8 +2652,6 @@ object LakehouseTable {
     * schema lacks refuses. */
   private def pruneDeltaFiles(spark: SparkSession,
       state: DeltaReplayState, expr: String): Seq[String] = {
-    import org.apache.spark.sql.types._
-    import MetricsPruning.ColMeta
     // a schema-less log cannot validate the predicate's columns, let
     // alone type its stats — refuse loudly (the same contract as a
     // typo'd column), never silently scan everything
@@ -2447,6 +2662,22 @@ object LakehouseTable {
     val byName = struct.fields.map(f => f.name.toLowerCase -> f).toMap
     val parsed = MetricsPruning.parseChecked(spark, expr, byName.keySet,
       struct.fieldNames.mkString(", "))
+    pruneDeltaFilesParsed(state, struct, parsed)
+  }
+
+  /** [[pruneDeltaFiles]] over an ALREADY-PARSED predicate tree — the
+    * entry the foreign MERGE uses to plan candidate files from its
+    * source keys' min/max bounds (a predicate built as Catalyst nodes
+    * from collected values, never rendered to SQL text: literal
+    * quoting/formatting round-trips are exactly the bug class a
+    * programmatic tree avoids). */
+  private def pruneDeltaFilesParsed(state: DeltaReplayState,
+      struct: org.apache.spark.sql.types.StructType,
+      parsed: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[String] = {
+    import org.apache.spark.sql.types._
+    import MetricsPruning.ColMeta
+    val byName = struct.fields.map(f => f.name.toLowerCase -> f).toMap
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val partColSet = state.partitionCols.map(_.toLowerCase).toSet
     // one partition value (Delta's string serialization) → the norm

@@ -110,6 +110,64 @@ private[sources] object MetricsPruning {
     parsed
   }
 
+  /** An INCLUSIVE planning predicate for "this row's keys match SOME
+    * source row" — the candidate-file planner of the foreign MERGE:
+    * per key column, the source's [min, max] (ONE agg job; the driver
+    * sync is 3 values per key + a count, source-size-independent),
+    * OR'd with IS NULL when the source carries a null key (merge
+    * matches null-safely). Built as Catalyst nodes, never SQL text —
+    * `lit()` puts each collected value into the exact internal form
+    * (epoch micros/days for temporal keys) whose `normLit` image is
+    * the faces' stats norm space, so no literal quoting/formatting
+    * round-trip can corrupt a bound. Key columns whose type has no
+    * ordered metadata form (binary, nested) contribute no constraint;
+    * returns (None, n) when nothing constrains — scan every live
+    * file, correct and conservative. NaN floating keys surface as
+    * non-finite bounds `normLit` refuses: the leaf keeps the file.
+    * The returned count is the source's row count; callers MUST
+    * short-circuit count == 0 before using the predicate (an empty
+    * source yields null bounds, which read as "no constraint"). */
+  def keyBoundsPredicate(src: org.apache.spark.sql.DataFrame,
+      keys: Seq[String]): (Option[Expression], Long) = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    import org.apache.spark.sql.types._
+    def kcol(k: String) = col("`" + k.replace("`", "``") + "`")
+    val supported = keys.filter { k =>
+      src.schema.fields.find(_.name.equalsIgnoreCase(k))
+        .map(_.dataType).exists {
+          case _: NumericType => true
+          case StringType | DateType | TimestampType | BooleanType => true
+          case _ => false
+        }
+    }
+    val aggCols = supported.flatMap { k =>
+      Seq(min(kcol(k)).as(s"__lo_$k"), max(kcol(k)).as(s"__hi_$k"),
+        max(kcol(k).isNull.cast("int")).as(s"__nl_$k"))
+    } :+ count(lit(1)).as("__n")
+    val row = src.agg(aggCols.head, aggCols.tail: _*).collect()(0)
+    val n = row.getAs[Long]("__n")
+    val perKey: Seq[Expression] = supported.flatMap { k =>
+      val attr = UnresolvedAttribute.quoted(k)
+      val lo = row.getAs[Any](s"__lo_$k")
+      val hi = row.getAs[Any](s"__hi_$k")
+      val hasNull = Option(row.getAs[Any](s"__nl_$k")).exists(_ == 1)
+      // Literal.apply converts the collected EXTERNAL value to the
+      // internal form (UTF8String / epoch micros / epoch days) whose
+      // normLit image is the faces' stats norm space
+      val range: Option[Expression] =
+        if (lo == null || hi == null) None
+        else Some(And(GreaterThanOrEqual(attr, Literal(lo)),
+          LessThanOrEqual(attr, Literal(hi))))
+      (range, hasNull) match {
+        case (Some(r), true)  => Some(Or(r, IsNull(attr)))
+        case (Some(r), false) => Some(r)
+        case (None, true)     => Some(IsNull(attr)) // all-null key col
+        case (None, false)    => None // empty source / no bounds
+      }
+    }
+    (if (perKey.isEmpty) None else Some(perKey.reduce(And(_, _))), n)
+  }
+
   private def attrName(e: Expression): Option[String] = e match {
     case a: UnresolvedAttribute => Some(a.nameParts.last.toLowerCase)
     case _ => None

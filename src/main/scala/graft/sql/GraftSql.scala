@@ -62,6 +62,10 @@ import graft.sources.{IcebergMeta, LakehouseTable}
   *   DELETE FROM iceberg_export('/path') WHERE ...  -- foreign MOR delete
   *   UPDATE delta_export('/path') SET c = e, ... WHERE ...   -- foreign COW update
   *   UPDATE iceberg_export('/path') SET c = e, ... WHERE ... -- foreign MOR update
+  *   MERGE INTO delta_export('/path') AS t USING (src) AS s ON t.k = s.k
+  *     [WHEN MATCHED AND cond THEN DELETE]
+  *     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+  *                                                  -- foreign upsert, either face
   * }}}
   *
   * Two equivalent entry points run the SAME command objects:
@@ -551,6 +555,32 @@ case class ForeignUpdateCommand(face: String, root: String,
       LakehouseTable.updateDeltaForeign(spark, root, where, set.toMap)
     else graft.sources.IcebergMeta.updateIcebergForeign(
       spark, root, where, set.toMap)
+    Seq.empty
+  }
+}
+
+/** MERGE INTO delta_export/iceberg_export('/path') AS t USING (source)
+  * ON t.k = s.k — the foreign-path twin of [[MergeGraftTableCommand]]:
+  * UPDATE SET * / INSERT *, with the optional
+  * `WHEN MATCHED AND cond THEN DELETE` clause evaluated against the
+  * SOURCE row, dispatched to the face's foreign MERGE writer
+  * (createLink-CAS'd single-version commit, the full refusal
+  * battery). */
+case class ForeignMergeCommand(face: String, root: String,
+    sourceQuery: String, keys: Seq[String], deleteCond: Option[String])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = spark.sql(sourceQuery)
+    val (upd, del) = deleteCond match {
+      case None => (src, None)
+      case Some(c) =>
+        val d = org.apache.spark.sql.functions.expr(c)
+        (src.filter(!d), Some(src.filter(d)))
+    }
+    if (face == "delta_export")
+      LakehouseTable.mergeDeltaForeign(spark, root, upd, keys, del)
+    else graft.sources.IcebergMeta.mergeIcebergForeign(
+      spark, root, upd, keys, del)
     Seq.empty
   }
 }
@@ -1144,6 +1174,19 @@ object GraftSqlStatements {
           unmaskLit(unmask, idx),
           parseSetList(setList).map { case (c, ex) => c -> unmask(ex) },
           unmask(cond)))
+      case ForeignMergeRe(face, idx, tAlias, source, sAlias, cond, delCond) =>
+        // the TVF target has no table name — the ON clause can only
+        // reference it through an alias, so one is required
+        require(tAlias != null,
+          "MERGE INTO delta_export/iceberg_export(...) requires a " +
+            "target alias (MERGE INTO delta_export('/p') AS t ...)")
+        val del = Option(delCond).map { c =>
+          unmask(Option(sAlias).fold(c)(a => c.replaceAll(
+            "(?i)\\b" + java.util.regex.Pattern.quote(a) + "\\s*\\.", "")))
+        }
+        Some(ForeignMergeCommand(face.toLowerCase,
+          unmaskLit(unmask, idx), unmask(source),
+          mergeKeys(cond, tAlias, None, Option(sAlias)), del))
       case RestoreRe(name, v) if GraftCatalog.lookup(name).isDefined =>
         Some(RestoreGraftTableCommand(name, v.toLong))
       case OptimizeRe(name, where, zcols) if GraftCatalog.lookup(name).isDefined =>
@@ -1242,6 +1285,10 @@ object GraftSqlStatements {
   private val ForeignUpdateRe =
     ("""(?is)^\s*UPDATE\s+(delta_export|iceberg_export)\s*\(\s*""" +
       MaskedLit + """\s*\)\s+SET\s+(.*?)\s*;?\s*$""").r
+  private val ForeignMergeRe =
+    ("""(?is)^\s*MERGE\s+INTO\s+(delta_export|iceberg_export)\s*\(\s*""" +
+      MaskedLit +
+      """\s*\)(?:\s+AS\s+(\w+))?\s+USING\s+\((.*)\)\s*(?:AS\s+(\w+)\s+)?ON\s+(.*?)\s+(?:WHEN\s+MATCHED\s+AND\s+(.*?)\s+THEN\s+DELETE\s+)?WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*$""").r
   private val IcebergChangelogRe =
     ("""(?i)\biceberg_changelog\s*\(\s*""" + MaskedLit +
       """\s*,\s*(?:(\d+)|""" + MaskedLit + """)\s*,\s*(?:(\d+)|""" +

@@ -604,4 +604,55 @@ class GraftSqlSpec extends AnyFunSuite {
       s"SELECT v FROM delta_export('$droot') WHERE k = 2")
       .head().getLong(0) == 100L)
   }
+
+  test("foreign-path MERGE: the upsert statement on a quoted path, both faces") {
+    import spark.implicits._
+    import graft.sources.IcebergMeta
+    def wipe(p: java.nio.file.Path): Unit = {
+      val w = Files.walk(p)
+      try w.sorted(java.util.Comparator.reverseOrder())
+        .forEach(x => { Files.deleteIfExists(x); () })
+      finally w.close()
+    }
+    // Delta face: update + insert through one MERGE statement
+    val droot = Files.createTempDirectory("graft_sql_fmerge").toString + "/d"
+    LakehouseTable.create(
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v").coalesce(1), droot)
+    LakehouseTable.exportDeltaLog(spark, droot)
+    wipe(java.nio.file.Paths.get(droot, "_manifest"))
+    spark.sql(s"""MERGE INTO delta_export('$droot') AS t USING (
+        SELECT 2L AS k, 200L AS v UNION ALL SELECT 3L AS k, 30L AS v) AS s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+    val d = spark.sql(s"SELECT k, v FROM delta_export('$droot') ORDER BY k")
+      .as[(Long, Long)].collect().toSeq
+    assert(d == Seq((1L, 10L), (2L, 200L), (3L, 30L)), d.toString)
+
+    // Iceberg face, with the matched-DELETE clause: the source row
+    // with v < 0 removes its target, the rest upsert
+    val iroot = Files.createTempDirectory("graft_sql_fmerge").toString + "/i"
+    LakehouseTable.create(
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v").coalesce(1), iroot)
+    IcebergMeta.exportIcebergMeta(spark, iroot)
+    wipe(java.nio.file.Paths.get(iroot, "_manifest"))
+    spark.sql(s"""MERGE INTO iceberg_export('$iroot') AS t USING (
+        SELECT 1L AS k, -1L AS v UNION ALL SELECT 2L AS k, 200L AS v
+        UNION ALL SELECT 3L AS k, 30L AS v) AS s
+      ON t.k = s.k
+      WHEN MATCHED AND s.v < 0 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+    val i = spark.sql(s"SELECT k, v FROM iceberg_export('$iroot') ORDER BY k")
+      .as[(Long, Long)].collect().toSeq
+    assert(i == Seq((2L, 200L), (3L, 30L)), i.toString)
+
+    // a missing target alias refuses loudly (the TVF target has no
+    // name the ON clause could reference)
+    val exAlias = intercept[IllegalArgumentException] {
+      spark.sql(s"""MERGE INTO delta_export('$droot') USING (
+          SELECT 9L AS k, 90L AS v) AS s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+    }
+    assert(exAlias.getMessage.contains("target alias"), exAlias.getMessage)
+  }
 }

@@ -1695,6 +1695,151 @@ class Round13Spec extends AnyFunSuite {
       pruned.inputFiles.toSeq.toString)
   }
 
+  test("delta foreign merge: partial rewrite, inserts, delete clause, no-op") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot("fm_delta")
+    LT.create(Seq.range(1L, 21L).map(k => (k, k * 10L)).toDF("k", "v")
+      .repartitionByRange(2, col("k")).sortWithinPartitions("k"), root)
+    LT.exportDeltaLog(spark, root)
+    wipeManifest(root)
+    // source keys all land in file 1 (k ≤ 10) plus one insert: ONLY
+    // that file rewrites (key-bounds planning + exact matched pass)
+    val ver = LT.mergeDeltaForeign(spark, root,
+      Seq((2L, 999L), (21L, 210L)).toDF("k", "v"), Seq("k"))
+    val logTxt = Files.readString(Paths.get(root, "_delta_log",
+      f"$ver%020d.json"))
+    assert(""""remove":""".r.findAllIn(logTxt).size == 1, logTxt)
+    val back = LT.readDeltaExport(spark, root)
+      .as[(Long, Long)].collect().toMap
+    assert(back.size == 21 && back(2L) == 999L && back(21L) == 210L &&
+      back(1L) == 10L && back(20L) == 200L, back.toString)
+    // the delete clause removes its keys; a key in BOTH sets takes the
+    // update (the upsert's post-image is the net state)
+    val ver2 = LT.mergeDeltaForeign(spark, root,
+      Seq((3L, 333L)).toDF("k", "v"), Seq("k"),
+      deleteKeys = Some(Seq(Tuple1(4L), Tuple1(3L)).toDF("k")))
+    assert(ver2 == ver + 1)
+    val back2 = LT.readDeltaExport(spark, root)
+      .as[(Long, Long)].collect().toMap
+    assert(!back2.contains(4L) && back2(3L) == 333L && back2.size == 20,
+      back2.toString)
+    // an empty source is a no-op: no version committed
+    val same = LT.mergeDeltaForeign(spark, root,
+      Seq.empty[(Long, Long)].toDF("k", "v"), Seq("k"))
+    assert(same == ver2)
+    assert(!Files.exists(Paths.get(root, "_delta_log",
+      f"${ver2 + 1}%020d.json")))
+    // an insert-only merge (nothing matches) commits adds, no removes
+    val ver3 = LT.mergeDeltaForeign(spark, root,
+      Seq((100L, 1000L)).toDF("k", "v"), Seq("k"))
+    val log3 = Files.readString(Paths.get(root, "_delta_log",
+      f"$ver3%020d.json"))
+    assert(!log3.contains(""""remove":""") && log3.contains(""""add":"""),
+      log3)
+    // duplicate source keys refuse (Delta MERGE's multiple-match error)
+    val exDup = intercept[IllegalArgumentException] {
+      LT.mergeDeltaForeign(spark, root,
+        Seq((5L, 1L), (5L, 2L)).toDF("k", "v"), Seq("k"))
+    }
+    assert(exDup.getMessage.contains("duplicate key"), exDup.getMessage)
+    // schema mismatch refuses; ghost key refuses
+    intercept[IllegalArgumentException] {
+      LT.mergeDeltaForeign(spark, root,
+        Seq((5L, "x")).toDF("k", "v"), Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      LT.mergeDeltaForeign(spark, root,
+        Seq((5L, 1L)).toDF("k", "v"), Seq("nope"))
+    }
+  }
+
+  test("delta foreign merge: null-safe keys and CDF classification") {
+    import spark.implicits._
+    // a NULL key matches the existing NULL-key row (or repeated merges
+    // would duplicate it forever)
+    val nroot = freshRoot("fm_delta_null")
+    LT.create(Seq((Option(1L), 10L), (None, 99L))
+      .toDF("k", "v").coalesce(1), nroot)
+    LT.exportDeltaLog(spark, nroot)
+    wipeManifest(nroot)
+    LT.mergeDeltaForeign(spark, nroot,
+      Seq((None: Option[Long], 100L)).toDF("k", "v"), Seq("k"))
+    val nback = LT.readDeltaExport(spark, nroot)
+      .as[(Option[Long], Long)].collect().toSet
+    assert(nback == Set((Some(1L), 10L), (None, 100L)), nback.toString)
+
+    // CDF: the merge version's change set carries Delta MERGE's real
+    // classification — preimage/postimage, insert, delete
+    val croot = freshRoot("fm_delta_cdf")
+    LT.create(Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+      .coalesce(1), croot)
+    LT.enableChangeDataFeed(spark, croot, Seq("k"))
+    LT.exportDeltaLog(spark, croot)
+    wipeManifest(croot)
+    val cdfVer = LT.mergeDeltaForeign(spark, croot,
+      Seq((2L, 40L), (4L, 44L)).toDF("k", "v"), Seq("k"),
+      deleteKeys = Some(Seq(Tuple1(3L)).toDF("k")))
+    val changes = LT.readDeltaExportChanges(spark, croot, cdfVer, cdfVer)
+      .select($"_change_type", $"k", $"v").as[(String, Long, Long)]
+      .collect().toSet
+    assert(changes == Set(
+      ("update_preimage", 2L, 20L), ("update_postimage", 2L, 40L),
+      ("insert", 4L, 44L), ("delete", 3L, 30L)), changes.toString)
+  }
+
+  test("iceberg foreign merge: one MOR snapshot, inserts, no resurrection, no-op") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot("fm_ice")
+    LT.create(Seq.range(1L, 11L).map(k => (k, k * 10L)).toDF("k", "v")
+      .repartitionByRange(2, col("k")).sortWithinPartitions("k"), root)
+    IcebergMeta.exportIcebergMeta(spark, root)
+    wipeManifest(root)
+    val parent = currentIceSnapshot(root)
+    // a prior MOR delete: k=2 is invisible, so the merge INSERTS its
+    // source row as a fresh key instead of resurrecting + updating
+    IcebergMeta.deleteIcebergForeign(spark, root, "k = 2")
+    val sid = IcebergMeta.mergeIcebergForeign(spark, root,
+      Seq((2L, 222L), (3L, 333L), (11L, 110L)).toDF("k", "v"), Seq("k"))
+    assert(sid == currentIceSnapshot(root))
+    val back = IcebergMeta.readIceberg(spark, root)
+      .as[(Long, Long)].collect().toMap
+    assert(back.size == 11 && back(2L) == 222L && back(3L) == 333L &&
+      back(11L) == 110L && back(1L) == 10L && back(10L) == 100L,
+      back.toString)
+    // no base data file was rewritten: both original files still serve
+    val dataFiles = IcebergMeta.readIceberg(spark, root).inputFiles
+      .filter(_.contains("/data/"))
+    assert(dataFiles.length >= 3, dataFiles.toSeq.toString)
+    // time travel to the pre-delete parent serves the original rows
+    assert(IcebergMeta.readIceberg(spark, root,
+      snapshotAsOf = Some(parent)).count() == 10)
+    // the delete clause removes MOR-style; update wins on a shared key
+    IcebergMeta.mergeIcebergForeign(spark, root,
+      Seq((5L, 555L)).toDF("k", "v"), Seq("k"),
+      deleteKeys = Some(Seq(Tuple1(6L), Tuple1(5L)).toDF("k")))
+    val back2 = IcebergMeta.readIceberg(spark, root)
+      .as[(Long, Long)].collect().toMap
+    assert(!back2.contains(6L) && back2(5L) == 555L, back2.toString)
+    // empty source: no-op, no metadata version
+    val verBefore = maxIceVersion(root)
+    IcebergMeta.mergeIcebergForeign(spark, root,
+      Seq.empty[(Long, Long)].toDF("k", "v"), Seq("k"))
+    assert(maxIceVersion(root) == verBefore)
+    // nothing matches: the merge commits a plain append
+    IcebergMeta.mergeIcebergForeign(spark, root,
+      Seq((200L, 2000L)).toDF("k", "v"), Seq("k"))
+    assert(IcebergMeta.readIceberg(spark, root)
+      .filter($"k" === 200L).count() == 1)
+    // duplicate source keys refuse
+    val exDup = intercept[IllegalArgumentException] {
+      IcebergMeta.mergeIcebergForeign(spark, root,
+        Seq((5L, 1L), (5L, 2L)).toDF("k", "v"), Seq("k"))
+    }
+    assert(exDup.getMessage.contains("duplicate key"), exDup.getMessage)
+  }
+
   test("iceberg foreign delete applies across partition-evolution eras") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, expr}
