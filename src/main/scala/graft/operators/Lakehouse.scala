@@ -620,6 +620,59 @@ object Lakehouse {
     }
   }
 
+  private[graft] def deltaMaintDir(d: String): String =
+    TableCache.baseDir + "/delta_fmaint_" +
+      java.nio.file.Paths.get(d).getFileName.toString
+
+  /** A foreign Delta table through its FULL MAINTENANCE cycle: all
+    * orders created (range-clustered), the odd keys COW-deleted (the
+    * rewrite strands the pre-delete files as unreferenced), then
+    * checkpoint → log cleanup (the JSON tail below the pointer is
+    * gone — readers can only seed from the checkpoint this engine
+    * wrote) → vacuum at retention 0 (the stranded files leave the
+    * disk). q221's ORACLE replays the CHECKPOINT PARQUET itself —
+    * after cleanup it is the only metadata there is — an independent
+    * reader validating the whole maintenance chain. */
+  private[graft] def deltaMaintRoot(s: SparkSession, d: String): String = {
+    val root = deltaMaintDir(d)
+    foreignFixture(root, d) { () =>
+      LakehouseTable.create(ordersSlice(s, d)
+        .repartitionByRange(4, col("o_orderkey")), root)
+      LakehouseTable.exportDeltaLog(s, root)
+      ()
+    } { () =>
+      LakehouseTable.deleteDeltaForeign(s, root, "o_orderkey % 2 = 1")
+      LakehouseTable.checkpointDeltaForeign(s, root)
+      LakehouseTable.cleanupDeltaLogForeign(root)
+      LakehouseTable.vacuumDeltaForeign(s, root, retainHours = 0.0)
+      ()
+    }
+  }
+
+  /** The Iceberg maintenance twin of [[deltaMaintRoot]]: all orders,
+    * the odd keys MOR-deleted (position-delete files accumulate), then
+    * `rewriteDataFilesForeign` COMPACTS — the matched files rewrite
+    * with deletes applied, one `replace` snapshot, every delete file
+    * fully applied — and `expireSnapshotsForeign` trims the history to
+    * the compacted snapshot, reclaiming the expired snapshots'
+    * manifest lists and delete files. q222 reads the maintained chain
+    * against the surviving-evens oracle. */
+  private[graft] def icebergMaintRoot(s: SparkSession, d: String): String = {
+    val root = TableCache.baseDir + "/iceberg_fmaint_" +
+      java.nio.file.Paths.get(d).getFileName.toString
+    foreignFixture(root, d) { () =>
+      LakehouseTable.create(ordersSlice(s, d)
+        .repartitionByRange(4, col("o_orderkey")), root)
+      IcebergMeta.exportIcebergMeta(s, root)
+      ()
+    } { () =>
+      IcebergMeta.deleteIcebergForeign(s, root, "o_orderkey % 2 = 1")
+      IcebergMeta.rewriteDataFilesForeign(s, root)
+      IcebergMeta.expireSnapshotsForeign(root, retainLast = 1)
+      ()
+    }
+  }
+
   /** A SPEC-EVOLVED foreign chain — the partition-evolution shape
     * every long-lived Iceberg table reaches: created
     * identity-partitioned by `event_type` (spec 0), the native
@@ -2177,6 +2230,36 @@ object Lakehouse {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // FOREIGN-TABLE MAINTENANCE, Delta face: COW delete → checkpoint →
+    // log cleanup → vacuum(0). The log's JSON tail below the pointer
+    // and every unreferenced data file are GONE — the read seeds from
+    // the checkpoint this engine wrote into the foreign log, and the
+    // oracle replays that same checkpoint in DuckDB.
+    "q221_delta_foreign_maintenance" -> ((s, d) => {
+      val root = deltaMaintRoot(s, d)
+      LakehouseTable.readDeltaExport(s, root)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          Exact.moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // FOREIGN-CHAIN MAINTENANCE, Iceberg face: MOR delete → compaction
+    // (one replace snapshot, deletes applied, delete files dropped) →
+    // snapshot expiry (history trimmed to the compacted state, expired
+    // artifacts reclaimed). The read serves the net rows with ZERO
+    // delete application left to do.
+    "q222_iceberg_foreign_maintenance" -> ((s, d) => {
+      val root = icebergMaintRoot(s, d)
+      IcebergMeta.readIceberg(s, root)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          Exact.moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // PARTITION EVOLUTION: spec 0 (identity event_type) files and
     // spec 1 (day(ts)) appended files live in ONE chain; the reader
     // resolves each file's partition struct by FIELD-ID under the spec
@@ -3307,6 +3390,37 @@ object Lakehouse {
             CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
             ${Exact.sqlMoneySum("o_totalprice")} AS sum_price
           FROM t GROUP BY 1 ORDER BY 1""",
+
+    // an independent replay of the MAINTAINED log: after cleanup the
+    // checkpoint parquet IS the metadata — DuckDB reads its add
+    // actions and joins the surviving data files (vacuum already
+    // removed everything unreferenced; the join pins that the
+    // checkpoint's paths name exactly the survivors)
+    "q221_delta_foreign_maintenance" ->
+      s"""WITH ck AS (
+            SELECT add.path AS p
+            FROM read_parquet('${deltaMaintDir("/root/testdata/sf0.01")}/_delta_log/*.checkpoint.parquet')
+            WHERE add IS NOT NULL),
+          rows AS (
+            SELECT o_orderstatus, o_orderkey, o_totalprice, filename
+            FROM read_parquet('${deltaMaintDir("/root/testdata/sf0.01")}/data/*.parquet',
+              filename=true)),
+          kept AS (
+            SELECT r.* FROM rows r
+            JOIN ck l ON right(r.filename, length(l.p)) = l.p)
+          SELECT o_orderstatus, count(*) AS n,
+            CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+            ${Exact.sqlMoneySum("o_totalprice")} AS sum_price
+          FROM kept GROUP BY 1 ORDER BY 1""",
+
+    // the maintained chain equals the surviving (even) half — the
+    // deletes are gone from the METADATA, not just applied at read
+    "q222_iceberg_foreign_maintenance" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+            CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+            ${Exact.sqlMoneySum("o_totalprice")} AS sum_price
+          FROM orders WHERE o_orderkey % 2 = 0
+          GROUP BY 1 ORDER BY 1""",
 
     // the spec-evolved chain serves both eras' rows exactly: the
     // filtered raw-events aggregate is era-blind by construction

@@ -186,6 +186,27 @@ object DeltaDv {
       sizeInBytes = data.length.toLong, cardinality = positions.length.toLong)
   }
 
+  /** The ON-DISK file a descriptor's blob lives in, for the file forms
+    * ("p" absolute, "u" uuid-relative under the table root); None for
+    * inline. The path half of [[readPositions]]'s resolution, exposed
+    * so maintenance (vacuum's protect set) shares the exact rules. */
+  def filePath(root: String, d: Descriptor): Option[Path] = d.storageType match {
+    case "p" => Some(Paths.get(d.pathOrInlineDv))
+    case "u" =>
+      // last 20 chars are the z85 uuid; anything before is an
+      // optional directory prefix (the spec's random-prefix layout)
+      val s = d.pathOrInlineDv
+      require(s.length >= 20, s"bad uuid DV reference '$s'")
+      val (prefix, enc) = s.splitAt(s.length - 20)
+      val raw = z85Decode(enc)
+      val bb = ByteBuffer.wrap(raw)
+      val uuid = new java.util.UUID(bb.getLong, bb.getLong)
+      val dir = if (prefix.isEmpty) Paths.get(root)
+                else Paths.get(root).resolve(prefix.stripSuffix("/"))
+      Some(dir.resolve(s"deletion_vector_$uuid.bin"))
+    case _ => None
+  }
+
   /** Decode a descriptor back to its 64-bit row indexes, resolving the
     * blob per storageType and verifying magic + size (+ CRC for file
     * forms). */
@@ -196,22 +217,8 @@ object DeltaDv {
         require(raw.length >= d.sizeInBytes,
           s"inline DV shorter than sizeInBytes (${raw.length} < ${d.sizeInBytes})")
         java.util.Arrays.copyOfRange(raw, 0, d.sizeInBytes.toInt)
-      case st @ ("u" | "p") =>
-        val path: Path =
-          if (st == "p") Paths.get(d.pathOrInlineDv)
-          else {
-            // last 20 chars are the z85 uuid; anything before is an
-            // optional directory prefix (the spec's random-prefix layout)
-            val s = d.pathOrInlineDv
-            require(s.length >= 20, s"bad uuid DV reference '$s'")
-            val (prefix, enc) = s.splitAt(s.length - 20)
-            val raw = z85Decode(enc)
-            val bb = ByteBuffer.wrap(raw)
-            val uuid = new java.util.UUID(bb.getLong, bb.getLong)
-            val dir = if (prefix.isEmpty) Paths.get(root)
-                      else Paths.get(root).resolve(prefix.stripSuffix("/"))
-            dir.resolve(s"deletion_vector_$uuid.bin")
-          }
+      case "u" | "p" =>
+        val path: Path = filePath(root, d).get
         val bytes = Files.readAllBytes(path)
         val off = d.offset.toInt
         val size = ByteBuffer.wrap(bytes, off, 4).getInt // BE

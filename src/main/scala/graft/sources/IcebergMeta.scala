@@ -433,6 +433,23 @@ object IcebergMeta {
     try r.iterator().asScala.toSeq finally r.close()
   }
 
+  /** [[readAvro]] plus the file's writer schema and string metadata —
+    * what a manifest REWRITE needs to re-emit a foreign manifest with
+    * its own schema and header verbatim (re-encoding through OUR
+    * entry schema would silently drop any fields ours lacks — column
+    * sizes, distinct counts — degrading skipping for every reader). */
+  private def readAvroWithMeta(path: Path)
+      : (Schema, Seq[(String, String)], Seq[GenericRecord]) = {
+    val r = new DataFileReader(path.toFile,
+      new GenericDatumReader[GenericRecord]())
+    try {
+      val meta = r.getMetaKeys.asScala.toSeq
+        .filterNot(_.startsWith("avro."))
+        .map(k => k -> r.getMetaString(k))
+      (r.getSchema, meta, r.iterator().asScala.toSeq)
+    } finally r.close()
+  }
+
   // --- Export --------------------------------------------------------------
 
   /** Mirror the full graft version history at `root` into an Iceberg v2
@@ -2554,7 +2571,12 @@ object IcebergMeta {
   }
 
   /** The parent snapshot's manifest-list entries, carried verbatim
-    * into a child commit. */
+    * into a child commit — EXCEPT manifests holding only DELETED
+    * entries, which the spec lets later snapshots drop: the deletion
+    * record belongs to the snapshot that did the deleting (changelogs
+    * read it there), and carrying it forever would pin every
+    * compacted-away file against snapshot expiry. Manifests with
+    * unknown counts carry conservatively. */
   private def carriedManifests(
       md: com.fasterxml.jackson.databind.JsonNode,
       parent: Long): Seq[GenericRecord] =
@@ -2563,6 +2585,15 @@ object IcebergMeta {
         throw new IllegalStateException(
           s"parent snapshot $parent missing"))
       .get("manifest-list").asText()))
+      .filter { mf =>
+        def cnt(f: String): Option[Int] =
+          Option(mf.get(f)).map(_.asInstanceOf[Int])
+        val allDeleted = (for {
+          a <- cnt("added_files_count"); e <- cnt("existing_files_count")
+          d <- cnt("deleted_files_count")
+        } yield a + e == 0 && d > 0).getOrElse(false)
+        !allDeleted
+      }
 
   /** One manifest-list record — the shared builder of every foreign
     * commit's added manifest entry (content 0 = data, 1 = deletes). */
@@ -3267,6 +3298,250 @@ object IcebergMeta {
         s""""added-position-deletes":"$delRows"""",
       "merge", extraMeta = specToAdd)
     sid
+  }
+
+  /** COMPACTION of a foreign chain's MERGE-ON-READ state — Iceberg's
+    * rewrite_data_files, the maintenance every MOR table needs (each
+    * accumulated delete file is work EVERY reader re-does on EVERY
+    * scan; compaction pays it once): rewrite exactly the data files
+    * some delete APPLIES to — position deletes name their files
+    * (applied at fileSeq ≤ delSeq), equality deletes cover every file
+    * with fileSeq < delSeq — with all deletes applied, laid out under
+    * the default spec, and commit ONE `replace` snapshot where
+    *
+    *   - untouched parent manifests carry VERBATIM (zero rewrite cost
+    *     for the cold part of a 100 TB table),
+    *   - manifests holding rewritten files re-emit with their OWN
+    *     schema/header (no metrics loss), untouched entries as
+    *     EXISTING and rewritten ones as DELETED — both with EXPLICIT
+    *     sequence numbers (inheriting the new snapshot's would
+    *     re-scope every carried delete and corrupt time travel),
+    *   - every delete manifest re-emits all-DELETED (each delete file
+    *     is now fully applied by construction — that is what makes
+    *     dropping them sound even with equality deletes present).
+    *
+    * The replace snapshot is pure file churn: the keyed changelog
+    * derives zero net rows from it, and time travel to the parent
+    * still serves the MOR state (expiry reclaims it later). Returns
+    * the committed snapshot id, or the current one (uncommitted) when
+    * there is nothing to compact. */
+  def rewriteDataFilesForeign(spark: SparkSession, root: String): Long = {
+    require(hasChain(root), s"no Iceberg metadata at $root")
+    val dir = metaDir(root)
+    val curN = trueCurrentVersion(dir, root)
+    val md = mapper.readTree(Files.readString(
+      dir.resolve(s"v$curN.metadata.json")))
+    val fmtVer = Option(md.get("format-version")).map(_.asInt()).getOrElse(0)
+    require(fmtVer == 2,
+      s"compaction supports Iceberg format-version 2 only; the chain " +
+        s"at $root is format-version $fmtVer")
+    val parent = md.get("current-snapshot-id").asLong()
+    if (parent == -1L) return parent
+    val curSchemaId = md.get("current-schema-id").asInt()
+    requireEvaluableDefaultSpec(md, root, "compaction")
+    val (dataEntries, dels) = snapshotEntries(root, parent)
+    if (dels.isEmpty) return parent // no deletes: nothing to reclaim
+    val normSeq: Map[String, Long] = dataEntries.map { case (p, s) =>
+      normPathDriver(p) -> s }.toMap
+    val posRefs: Set[String] = dels.filter(_.content == 1).flatMap { d =>
+      spark.read.parquet(d.path).select("file_path").distinct()
+        .collect().iterator.map(r => normPathDriver(r.getString(0)))
+        .filter(np => normSeq.get(np).exists(_ <= d.seq))
+    }.toSet
+    val maxEq = dels.filter(_.content == 2).map(_.seq).maxOption
+    val targets = dataEntries.filter { case (p, s) =>
+      posRefs.contains(normPathDriver(p)) || maxEq.exists(s < _)
+    }
+    if (targets.isEmpty) return parent // deletes reference nothing live
+    val fields = schemaIdFieldsOf(root, curSchemaId)
+    val visible = applyDeleteEntries(spark, root, curSchemaId,
+      chainScan(spark, root, targets.map(_._1), fields,
+        withIdentity = true), dataEntries, dels)
+      .drop("__p", "__ri")
+    val lastSeq = md.get("last-sequence-number").asLong()
+    val seq = lastSeq + 1
+    val uuid = java.util.UUID.randomUUID().toString
+    val sid = java.lang.Long.parseLong(graft.plans.TextExpressions
+      .md5Hex(s"iceberg-compact:$root#$seq#$curN#$uuid").take(15), 16)
+    val targetSet = targets.map(_._1).toSet
+    var rwIdx = 0
+    def rc(df: GenericRecord): Long =
+      Option(df.get("record_count")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    // re-emit one parent manifest with entries re-statused; EXPLICIT
+    // sequence numbers everywhere (a null would inherit the NEW list
+    // entry's sequence and re-scope every carried delete)
+    def rewriteManifest(mf: GenericRecord,
+        keepPred: String => Boolean): GenericRecord = {
+      val mPath = Paths.get(mf.get("manifest_path").toString)
+      val (schema, metaKVs, entries) = readAvroWithMeta(mPath)
+      require(schema.getField("sequence_number") != null,
+        s"manifest ${mPath.getFileName} at $root has no sequence_number " +
+          "field (a v1-era manifest); compaction cannot re-emit it")
+      val mfSeq = mf.get("sequence_number").asInstanceOf[Long]
+      var existing = 0; var deleted = 0
+      var exRows = 0L; var delRows = 0L
+      var minSeq = Long.MaxValue
+      val out = entries.flatMap { e =>
+        if (e.get("status").asInstanceOf[Int] == 2) None // gone upstream
+        else {
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          val eSeq = Option(e.get("sequence_number"))
+            .map(_.asInstanceOf[Long]).getOrElse(mfSeq)
+          val eFileSeq = Option(e.get("file_sequence_number"))
+            .map(_.asInstanceOf[Long]).getOrElse(mfSeq)
+          e.put("sequence_number", eSeq)
+          e.put("file_sequence_number", eFileSeq)
+          minSeq = math.min(minSeq, eSeq)
+          if (keepPred(df.get("file_path").toString)) {
+            e.put("status", 0); existing += 1; exRows += rc(df)
+          } else {
+            e.put("status", 2); e.put("snapshot_id", sid)
+            deleted += 1; delRows += rc(df)
+          }
+          Some(e)
+        }
+      }
+      val m = dir.resolve(s"m-$sid-rw-$rwIdx.avro"); rwIdx += 1
+      writeAvro(m, schema, metaKVs, out)
+      val rec = new GenericData.Record(manifestFileSchema)
+      rec.put("manifest_path", m.toString)
+      rec.put("manifest_length", Files.size(m))
+      rec.put("partition_spec_id",
+        mf.get("partition_spec_id").asInstanceOf[Int])
+      rec.put("content", mf.get("content").asInstanceOf[Int])
+      rec.put("sequence_number", seq)
+      rec.put("min_sequence_number",
+        if (minSeq == Long.MaxValue) seq else minSeq)
+      rec.put("added_snapshot_id", sid)
+      rec.put("added_files_count", 0)
+      rec.put("existing_files_count", existing)
+      rec.put("deleted_files_count", deleted)
+      rec.put("added_rows_count", 0L)
+      rec.put("existing_rows_count", exRows)
+      rec.put("deleted_rows_count", delRows)
+      rec
+    }
+    val outRecords = carriedManifests(md, parent).map { mf =>
+      val content = mf.get("content").asInstanceOf[Int]
+      if (content != 0) rewriteManifest(mf, _ => false) // deletes: all applied
+      else {
+        val mPath = Paths.get(mf.get("manifest_path").toString)
+        val hit = readAvro(mPath).exists(e =>
+          e.get("status").asInstanceOf[Int] != 2 &&
+            targetSet.contains(e.get("data_file")
+              .asInstanceOf[GenericRecord].get("file_path").toString))
+        if (!hit) mf else rewriteManifest(mf, p => !targetSet.contains(p))
+      }
+    }
+    // the compacted rows: ONE data manifest under the default spec
+    // (zero rows — every targeted row deleted — commits manifest-less)
+    val compacted: Option[GenericRecord] =
+      if (visible.isEmpty) None
+      else {
+        val (dm, nFiles, nRows, defaultSpecId, _) =
+          writeForeignDataManifest(spark, root, dir, md, visible, sid,
+            "compaction", enforceRequired = false)
+        Some(manifestListRecord(dm, defaultSpecId, content = 0,
+          seq, sid, nFiles, nRows))
+      }
+    val listPath = dir.resolve(s"snap-$sid.avro")
+    writeAvro(listPath, manifestFileSchema, Seq(
+      "snapshot-id" -> sid.toString,
+      "sequence-number" -> seq.toString,
+      "parent-snapshot-id" -> parent.toString,
+      "format-version" -> "2"), outRecords ++ compacted.toSeq)
+    commitForeignSnapshot(root, dir, curN, md, sid, seq, parent,
+      listPath, curSchemaId, "replace",
+      s""""deleted-data-files":"${targets.size}",""" +
+        s""""added-data-files":"${if (compacted.isEmpty) 0 else 1}",""" +
+        s""""removed-delete-files":"${dels.size}"""",
+      "compaction")
+    sid
+  }
+
+  /** EXPIRE old snapshots of a foreign chain — Iceberg's
+    * expire_snapshots, the other maintenance half (without it the
+    * snapshot list, the manifest population, and every superseded data
+    * file grow with table age FOREVER — at a 100 TB table's commit
+    * rate, unbounded metadata is eventually the query-planning time):
+    * keeps the current snapshot, the `retainLast` most recent, every
+    * ref target (branches/tags pin their snapshots, the spec's rule),
+    * and — when `olderThanMillis` is given — everything stamped at or
+    * after it; commits the trimmed metadata as a NEW version through
+    * the same createLink CAS every foreign writer uses (concurrent
+    * writers lose loudly, never silently), then deletes the artifacts
+    * (manifest lists, manifests, delete files, DATA files) referenced
+    * ONLY by expired snapshots — with an ancestry guard so a crafted
+    * foreign path can never walk the delete out of the table root.
+    * Returns the number of files deleted. Time travel to an expired
+    * snapshot fails with no-such-snapshot afterwards — expiry reclaims
+    * history, never the current table. */
+  def expireSnapshotsForeign(root: String, retainLast: Int = 1,
+      olderThanMillis: Option[Long] = None): Int = {
+    require(hasChain(root), s"no Iceberg metadata at $root")
+    require(retainLast >= 1, s"retainLast must be >= 1, got $retainLast")
+    val dir = metaDir(root)
+    val curN = trueCurrentVersion(dir, root)
+    val md = mapper.readTree(Files.readString(
+      dir.resolve(s"v$curN.metadata.json")))
+    val current = md.get("current-snapshot-id").asLong()
+    if (current == -1L) return 0
+    val all = snapshots(root)
+    val refIds: Set[Long] = Option(md.get("refs")).map(_.elements()
+      .asScala.map(_.get("snapshot-id").asLong()).toSet)
+      .getOrElse(Set.empty)
+    val keepIds = all.sortBy(-_.seq).take(retainLast).map(_.id).toSet ++
+      Set(current) ++ refIds ++
+      olderThanMillis.map(t =>
+        all.filter(_.ts >= t).map(_.id)).getOrElse(Nil)
+    val (keep, expired) = all.partition(s => keepIds.contains(s.id))
+    if (expired.isEmpty) return 0
+    // commit the trimmed metadata FIRST (CAS — a concurrent commit
+    // wins loudly), delete files only after the new version is durable
+    val obj = md.deepCopy()
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    def trimArray(field: String): Unit = {
+      val arr = mapper.createArrayNode()
+      Option(md.get(field)).foreach(_.elements().asScala
+        .filter(s => keepIds.contains(s.get("snapshot-id").asLong()))
+        .foreach(arr.add))
+      obj.set(field, arr)
+      ()
+    }
+    trimArray("snapshots")
+    trimArray("snapshot-log")
+    obj.put("last-updated-ms", math.max(System.currentTimeMillis(),
+      md.get("last-updated-ms").asLong() + 1))
+    obj.withArray("metadata-log").add(mapper.readTree(
+      s"""{"metadata-file":"${dir.resolve(s"v$curN.metadata.json")}","timestamp-ms":${md.get("last-updated-ms").asLong()}}"""))
+    casCommitMetadata(root, dir, curN, obj, "expire")
+    // a snapshot's reachable paths. Protection (kept snapshots) counts
+    // files LIVE in their manifests — a DELETED entry is a tombstone
+    // record, not a readable reference, and with its only readers (the
+    // expired parents) gone the file is reclaimable, Iceberg's own
+    // expire rule; the manifests and lists themselves are protected
+    // outright (the list references them). Reclamation (expired
+    // snapshots) sweeps every mentioned path.
+    def artifacts(s: SnapshotInfo, liveOnly: Boolean): Set[Path] = {
+      val list = Paths.get(s.manifestList)
+      Set(list) ++ readAvro(list).flatMap { mf =>
+        val m = Paths.get(mf.get("manifest_path").toString)
+        Set(m) ++ readAvro(m)
+          .filter(e => !liveOnly || e.get("status").asInstanceOf[Int] != 2)
+          .map(e => Paths.get(e.get("data_file")
+            .asInstanceOf[GenericRecord].get("file_path").toString))
+      }
+    }
+    val keptArt = keep.flatMap(artifacts(_, liveOnly = true)).toSet
+    val rootAbs = Paths.get(root).toAbsolutePath.normalize()
+    var n = 0
+    (expired.flatMap(artifacts(_, liveOnly = false)).toSet ++
+      keep.flatMap(artifacts(_, liveOnly = false)))
+      .diff(keptArt).foreach { p =>
+        val abs = p.toAbsolutePath.normalize()
+        if (abs.startsWith(rootAbs) && Files.deleteIfExists(abs)) n += 1
+      }
+    n
   }
 
   /** Matched rows' (manifest-form path, position) pairs under the

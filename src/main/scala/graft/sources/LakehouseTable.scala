@@ -1577,7 +1577,9 @@ object LakehouseTable {
       seedConf: Map[String, String] = Map.empty,
       seedStats: Map[String, String] = Map.empty,
       seedPartVals: Map[String, Map[String, Option[String]]] = Map.empty,
-      seedPartCols: Seq[String] = Nil): DeltaReplayState = {
+      seedPartCols: Seq[String] = Nil,
+      seedProtocol: Option[(Int, Int, Seq[String], Seq[String])] = None)
+      : DeltaReplayState = {
     val logDir = Paths.get(root, "_delta_log")
     // vacuum's log truncation leaves a horizon marker: versions below it
     // are NOT reconstructable from JSON alone. An unseeded replay of a
@@ -1668,9 +1670,14 @@ object LakehouseTable {
         .map(_.elements().asScala.map(_.asText()).toSeq)
       catch { case scala.util.control.NonFatal(_) => None }
     var schemaJson: Option[String] = seedSchema
-    var protocol = (1, 2)
-    var readerFeats = Seq.empty[String]
-    var writerFeats = Seq.empty[String]
+    // the PROTOCOL seeds from the checkpoint too: a log cleaned below
+    // its checkpoint has no protocol action left in the JSON tail, and
+    // the (1, 2) default would hide declared writer FEATURES from every
+    // foreign writer's refusal battery — a feature-bearing table would
+    // silently pass validation it must fail
+    var protocol = seedProtocol.map(p => (p._1, p._2)).getOrElse((1, 2))
+    var readerFeats = seedProtocol.map(_._3).getOrElse(Seq.empty[String])
+    var writerFeats = seedProtocol.map(_._4).getOrElse(Seq.empty[String])
     var conf = seedConf
     logFiles.foreach { lf =>
       val txt = Files.readString(lf)
@@ -1740,11 +1747,25 @@ object LakehouseTable {
     * checkpoint layout (nullable top-level action structs). */
   def exportDeltaCheckpoint(spark: SparkSession, root: String,
       version: Long): Path = {
-    import org.apache.spark.sql.types._
     val logDir = Paths.get(root, "_delta_log")
     require(Files.exists(logDir.resolve(f"$version%020d.json")),
       s"no exported log for version $version at $root (exportDeltaLog first)")
-    val st = replayDeltaLog(root, Some(version))
+    writeDeltaCheckpoint(spark, root, version,
+      replayDeltaLog(root, Some(version)))
+  }
+
+  /** The shared checkpoint writer of [[exportDeltaCheckpoint]] (native
+    * export) and [[checkpointDeltaForeign]]: one parquet snapshot of
+    * `st` at `version` — protocol (with feature lists), metaData, every
+    * live add with its carried stats/partitionValues/DV, and the
+    * remove TOMBSTONES still reconstructable from the JSON tail (the
+    * spec keeps unexpired tombstones in checkpoints so a vacuum
+    * implementation seeding past the JSON can still honor the
+    * retention window). */
+  private def writeDeltaCheckpoint(spark: SparkSession, root: String,
+      version: Long, st: DeltaReplayState): Path = {
+    import org.apache.spark.sql.types._
+    val logDir = Paths.get(root, "_delta_log")
     val (live, schemaJson, (minR, minW), conf) =
       (st.live, st.schemaJson, st.protocol, st.conf)
     val ckptSchema = StructType(Seq(
@@ -1772,7 +1793,11 @@ object LakehouseTable {
           StructField("pathOrInlineDv", StringType),
           StructField("offset", LongType),
           StructField("sizeInBytes", LongType),
-          StructField("cardinality", LongType)))))))))
+          StructField("cardinality", LongType))))))),
+      StructField("remove", StructType(Seq(
+        StructField("path", StringType),
+        StructField("deletionTimestamp", LongType),
+        StructField("dataChange", BooleanType))))))
     // the ADD ACTION's partition values, carried verbatim (a foreign
     // log's values are authoritative — paths need not encode them);
     // our own exports fall back to the decoded hive dir segments
@@ -1787,11 +1812,11 @@ object LakehouseTable {
       org.apache.spark.sql.Row(org.apache.spark.sql.Row(minR, minW,
         if (st.readerFeatures.nonEmpty) st.readerFeatures else null,
         if (st.writerFeatures.nonEmpty) st.writerFeatures else null),
-        null, null) +:
+        null, null, null) +:
       org.apache.spark.sql.Row(null, org.apache.spark.sql.Row(
         id, org.apache.spark.sql.Row("parquet"), schemaJson.orNull,
         if (st.partitionCols.nonEmpty) st.partitionCols
-        else partitionColumns(root), conf), null) +:
+        else partitionColumns(root), conf), null, null) +: (
       live.map { f => // f is root-relative ("data/..."), already DECODED by
         // the replay; re-encode for the stored path so checkpoint paths use
         // the same percent-encoded URI form as the JSON log (readers decode
@@ -1816,8 +1841,17 @@ object LakehouseTable {
             catch { case scala.util.control.NonFatal(_) => null }
         }
         org.apache.spark.sql.Row(null, null, org.apache.spark.sql.Row(
-          deltaEncodePath(f), partitionValues(f), size, mtime, true, stats, dv))
-      }
+          deltaEncodePath(f), partitionValues(f), size, mtime, true, stats, dv),
+          null)
+      } ++
+      // remove TOMBSTONES (raw committed path form): a vacuum seeding
+      // from this checkpoint can still honor the retention window for
+      // recently-removed files
+      deltaRemoveTombstones(root, version).toSeq.sortBy(_._1)
+        .map { case (p, (ts, _)) =>
+          org.apache.spark.sql.Row(null, null, null,
+            org.apache.spark.sql.Row(p, ts, true))
+        })
     val tmp = Files.createTempDirectory(logDir, ".ckpt-tmp")
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), ckptSchema)
@@ -1833,6 +1867,171 @@ object LakehouseTable {
     Files.writeString(logDir.resolve("_last_checkpoint"),
       s"""{"version":$version,"size":${rows.length}}""")
     target
+  }
+
+  /** Remove-action TOMBSTONES reconstructable from the log JSONs at or
+    * below `upTo`: raw committed path → (latest deletionTimestamp, the
+    * remove's deletionVector descriptor when it carried one). Paths
+    * RE-ADDED after their remove drop out (the add resurrects the
+    * logical file — its tombstone must not survive into a checkpoint
+    * or a vacuum protect-set). Jackson-parsed per line — paths and
+    * values are data, never flat-regexed. */
+  private def deltaRemoveTombstones(root: String, upTo: Long)
+      : Map[String, (Long, Option[DeltaDv.Descriptor])] = {
+    val logDir = Paths.get(root, "_delta_log")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val files = withDrained(Files.list(logDir))(
+      _.filter(_.getFileName.toString.matches("\\d{20}\\.json")))
+      .sortBy(_.getFileName.toString)
+      .filter(_.getFileName.toString.take(20).toLong <= upTo)
+    val tomb = scala.collection.mutable
+      .LinkedHashMap.empty[String, (Long, Option[DeltaDv.Descriptor])]
+    files.foreach { lf =>
+      Files.readString(lf).split('\n').foreach { line =>
+        if (line.contains("\"remove\"") || line.contains("\"add\""))
+          try {
+            val n = om.readTree(line)
+            Option(n.get("remove")).foreach { r =>
+              Option(r.get("path")).map(_.asText()).filter(_.nonEmpty)
+                .foreach { p =>
+                  val ts = Option(r.get("deletionTimestamp"))
+                    .filter(_.isNumber).map(_.asLong()).getOrElse(0L)
+                  val dv = Option(r.get("deletionVector")).map(d =>
+                    DeltaDv.Descriptor(
+                      d.get("storageType").asText(),
+                      d.get("pathOrInlineDv").asText(),
+                      d.get("offset").asLong(),
+                      d.get("sizeInBytes").asLong(),
+                      d.get("cardinality").asLong()))
+                  val prev = tomb.get(p)
+                  if (prev.forall(_._1 <= ts)) tomb(p) = (ts, dv)
+                }
+            }
+            Option(n.get("add")).foreach { a =>
+              Option(a.get("path")).map(_.asText()).foreach(tomb -= _)
+            }
+          } catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
+    tomb.toMap
+  }
+
+  /** CHECKPOINT a FOREIGN Delta log at its current version — the
+    * metadata-maintenance half every long-lived log needs (without it
+    * each reader replays the full JSON history, O(table age) per
+    * read): pins the current version, replays checkpoint-seeded, and
+    * writes the spec checkpoint parquet (protocol with feature lists,
+    * metaData, stats/partitionValues/DV-bearing adds, unexpired remove
+    * tombstones) + `_last_checkpoint`, the pointer readers consult
+    * first. Returns the checkpointed version; a log whose tail is
+    * already fully checkpointed is a no-op. Refuses a tail carrying
+    * setTransaction (`txn`) actions: the checkpoint schema does not
+    * carry transaction state, and silently dropping it would break a
+    * foreign idempotent writer's exactly-once dedup for every stream
+    * that trusts the checkpoint. */
+  def checkpointDeltaForeign(spark: SparkSession, root: String): Long = {
+    val logDir = Paths.get(root, "_delta_log")
+    require(Files.isDirectory(logDir), s"no _delta_log at $root")
+    val cur = pinForeignDeltaVersion(root, logDir)
+    if (!Files.exists(logDir.resolve(f"$cur%020d.json")))
+      return cur // current == existing checkpoint: nothing to snapshot
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    withDrained(Files.list(logDir))(
+      _.filter(_.getFileName.toString.matches("\\d{20}\\.json")))
+      .foreach { lf =>
+        Files.readString(lf).split('\n').foreach { line =>
+          if (line.contains("\"txn\"")) {
+            val isTxn =
+              try om.readTree(line).has("txn")
+              catch { case scala.util.control.NonFatal(_) => false }
+            require(!isTxn,
+              s"the log at $root carries setTransaction actions " +
+                s"(${lf.getFileName}); checkpointing would drop " +
+                "transaction state this writer does not carry — refusing")
+          }
+        }
+      }
+    val st = deltaStateAt(spark, root, Some(cur), useCheckpoint = true)
+    writeDeltaCheckpoint(spark, root, cur, st)
+    cur
+  }
+
+  /** METADATA CLEANUP for a foreign log: delete commit JSONs (and
+    * superseded checkpoint parquets, and the cdc files only those
+    * JSONs reference) strictly below the `_last_checkpoint` pointer —
+    * [[checkpointDeltaForeign]]'s companion, Delta's own log-retention
+    * maintenance. Leaves the truncation marker so an unseeded
+    * full-JSON replay refuses loudly instead of returning a partial
+    * state; checkpoint-seeded reads (what every real reader does) are
+    * unaffected. Returns the number of files deleted; a log with no
+    * checkpoint is a no-op. */
+  def cleanupDeltaLogForeign(root: String): Int = {
+    val logDir = Paths.get(root, "_delta_log")
+    require(Files.isDirectory(logDir), s"no _delta_log at $root")
+    val lcp = logDir.resolve("_last_checkpoint")
+    if (!Files.exists(lcp)) return 0
+    val pointer = """"version":\s*(\d+)""".r
+      .findFirstMatchIn(Files.readString(lcp))
+      .map(_.group(1).toLong).getOrElse(return 0)
+    cleanDeltaLog(root, 0L until pointer)
+  }
+
+  /** VACUUM a FOREIGN Delta table: delete data files under the table
+    * root that are (a) not live in the current state, (b) not a live
+    * add's deletion-vector sidecar, (c) not protected by a remove
+    * tombstone newer than `retainHours` (a reader time-traveling
+    * within the window still resolves them — Delta's tombstone
+    * retention), and (d) older than the horizon by modification time
+    * (an in-flight writer's uncommitted files survive until they age
+    * past it — Delta's own uncommitted-file grace). Hidden files and
+    * directories (`_`/`.` prefixes — the log, change data, markers)
+    * are never touched. Returns the deleted root-relative paths.
+    * Delta's default retention is 168 h; 0 reclaims everything
+    * unreferenced immediately (the test-only setting, exactly as
+    * unsafe as Delta's own `retentionDurationCheck.enabled=false`). */
+  def vacuumDeltaForeign(spark: SparkSession, root: String,
+      retainHours: Double = 168.0): Seq[String] = {
+    require(retainHours >= 0, s"retainHours must be >= 0, got $retainHours")
+    val logDir = Paths.get(root, "_delta_log")
+    require(Files.isDirectory(logDir), s"no _delta_log at $root")
+    val cur = pinForeignDeltaVersion(root, logDir)
+    val state = deltaStateAt(spark, root, Some(cur), useCheckpoint = true)
+    val horizon = System.currentTimeMillis() -
+      (retainHours * 3600.0 * 1000.0).toLong
+    val rootPath = Paths.get(root).toAbsolutePath.normalize()
+    val protect = scala.collection.mutable.HashSet.empty[Path]
+    state.live.foreach(f => protect += rootPath.resolve(f).normalize())
+    state.dvs.values.foreach(d =>
+      DeltaDv.filePath(root, d).foreach(p =>
+        protect += p.toAbsolutePath.normalize()))
+    deltaRemoveTombstones(root, cur).foreach { case (raw, (ts, dv)) =>
+      if (ts >= horizon) {
+        protect += rootPath.resolve(deltaDecodePath(raw)).normalize()
+        dv.foreach(d => DeltaDv.filePath(root, d).foreach(p =>
+          protect += p.toAbsolutePath.normalize()))
+      }
+    }
+    val deleted = Seq.newBuilder[String]
+    def hidden(p: Path): Boolean = {
+      val n = p.getFileName.toString
+      n.startsWith("_") || n.startsWith(".")
+    }
+    def walk(dir: Path): Unit =
+      withDrained(Files.list(dir))(identity).sortBy(_.toString)
+        .foreach { p =>
+          if (!hidden(p)) {
+            if (Files.isDirectory(p)) walk(p)
+            else {
+              val abs = p.toAbsolutePath.normalize()
+              if (!protect.contains(abs) &&
+                  Files.getLastModifiedTime(p).toMillis < horizon &&
+                  Files.deleteIfExists(p))
+                deleted += rootPath.relativize(abs).toString
+            }
+          }
+        }
+    walk(rootPath)
+    deleted.result()
   }
 
   /** Read a table THROUGH an exported Delta log only — the graft manifest
@@ -2821,9 +3020,10 @@ object LakehouseTable {
     val noSeed = (None: Option[Long], Seq.empty[String],
       None: Option[String], Map.empty[String, DeltaDv.Descriptor],
       Map.empty[String, String], Map.empty[String, String],
-      Map.empty[String, Map[String, Option[String]]], Seq.empty[String])
+      Map.empty[String, Map[String, Option[String]]], Seq.empty[String],
+      None: Option[(Int, Int, Seq[String], Seq[String])])
     val (ckVer, seedLive, seedSchema, seedDvs, seedConf, seedStats,
-      seedPartVals, seedPartCols) =
+      seedPartVals, seedPartCols, seedProtocol) =
       if (!useCheckpoint || !Files.exists(lcp)) noSeed
       else {
         val v = """"version":\s*(\d+)""".r
@@ -2834,7 +3034,8 @@ object LakehouseTable {
     replayDeltaLog(root, upTo, after = ckVer,
       seedLive = seedLive, seedSchema = seedSchema, seedDvs = seedDvs,
       seedConf = seedConf, seedStats = seedStats,
-      seedPartVals = seedPartVals, seedPartCols = seedPartCols)
+      seedPartVals = seedPartVals, seedPartCols = seedPartCols,
+      seedProtocol = seedProtocol)
   }
 
   /** Read a specific add-file slice of an exported/foreign Delta table
@@ -3158,7 +3359,7 @@ object LakehouseTable {
       logDir: Path, v: Long): (Option[Long], Seq[String], Option[String],
       Map[String, DeltaDv.Descriptor], Map[String, String],
       Map[String, String], Map[String, Map[String, Option[String]]],
-      Seq[String]) = {
+      Seq[String], Option[(Int, Int, Seq[String], Seq[String])]) = {
     import org.apache.spark.sql.functions.{col, lit}
     {
         val ck = spark.read.parquet(
@@ -3218,7 +3419,29 @@ object LakehouseTable {
         val pcols = mdRow.flatMap(r => Option(r.get(2)))
           .map(_.asInstanceOf[scala.collection.Seq[String]].toSeq)
           .getOrElse(Nil)
-        (Some(v), adds, sch, dvm, conf, stm, pvm, pcols)
+        // the PROTOCOL row (the spec requires one in every checkpoint):
+        // min versions + feature lists, so a tail with no protocol
+        // action still validates against the table's true protocol
+        val prot: Option[(Int, Int, Seq[String], Seq[String])] =
+          if (!ck.schema.fieldNames.contains("protocol")) None
+          else {
+            val pType = ck.schema("protocol").dataType
+              .asInstanceOf[org.apache.spark.sql.types.StructType]
+            def feats(n: String) =
+              if (pType.fieldNames.contains(n)) col(s"protocol.$n")
+              else lit(null)
+            ck.filter(col("protocol").isNotNull)
+              .select(col("protocol.minReaderVersion"),
+                col("protocol.minWriterVersion"),
+                feats("readerFeatures"), feats("writerFeatures"))
+              .collect().headOption.map { r =>
+                def fl(i: Int): Seq[String] = Option(r.get(i))
+                  .map(_.asInstanceOf[scala.collection.Seq[String]].toSeq)
+                  .getOrElse(Nil)
+                (r.getInt(0), r.getInt(1), fl(2), fl(3))
+              }
+          }
+        (Some(v), adds, sch, dvm, conf, stm, pvm, pcols, prot)
     }
   }
 

@@ -1840,6 +1840,178 @@ class Round13Spec extends AnyFunSuite {
     assert(exDup.getMessage.contains("duplicate key"), exDup.getMessage)
   }
 
+  test("delta foreign maintenance: checkpoint, log cleanup, vacuum") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot("fmaint_delta")
+    LT.create(Seq.range(1L, 21L).map(k => (k, k * 10L)).toDF("k", "v")
+      .repartitionByRange(2, col("k")).sortWithinPartitions("k"), root)
+    LT.exportDeltaLog(spark, root)
+    wipeManifest(root)
+    val ver = LT.deleteDeltaForeign(spark, root, "k <= 5")
+    def dataFiles() = {
+      val s = Files.list(Paths.get(root, "data"))
+      try s.iterator().asScala.count(_.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    assert(dataFiles() == 3, "pre-delete file still on disk (stranded)")
+    val ck = LT.checkpointDeltaForeign(spark, root)
+    assert(ck == ver)
+    assert(Files.exists(Paths.get(root, "_delta_log",
+      f"$ver%020d.checkpoint.parquet")))
+    val cleaned = LT.cleanupDeltaLogForeign(root)
+    assert(cleaned >= 1, s"cleanup deleted $cleaned files")
+    assert(!Files.exists(Paths.get(root, "_delta_log",
+      f"${0L}%020d.json")), "the JSON tail below the pointer is gone")
+    // an unseeded full-JSON replay refuses loudly (partial state)
+    intercept[Exception] {
+      LT.readDeltaExport(spark, root, useCheckpoint = false).count()
+    }
+    // the checkpoint-seeded read serves the post-delete rows
+    val back = LT.readDeltaExport(spark, root)
+      .as[(Long, Long)].collect().toMap
+    assert(back.keySet == (6L to 20L).toSet, back.keySet.toString)
+    // retention respected: a wide window reclaims nothing
+    assert(LT.vacuumDeltaForeign(spark, root, retainHours = 1000.0).isEmpty)
+    assert(dataFiles() == 3)
+    // retention 0 reclaims exactly the stranded pre-delete file
+    val gone = LT.vacuumDeltaForeign(spark, root, retainHours = 0.0)
+    assert(gone.size == 1 && gone.head.startsWith("data/"),
+      gone.toString)
+    assert(dataFiles() == 2)
+    assert(LT.readDeltaExport(spark, root).count() == 15,
+      "live rows survive the vacuum")
+    // the maintained log still takes foreign commits (the pin counts
+    // the checkpoint version)
+    LT.appendDeltaForeign(spark, root, Seq((21L, 210L)).toDF("k", "v"))
+    assert(LT.readDeltaExport(spark, root).count() == 16)
+  }
+
+  test("checkpoint seeds the protocol: features refuse past log cleanup") {
+    import spark.implicits._
+    val root = freshRoot("fmaint_prot")
+    LT.create(Seq((1L, 10L), (2L, 20L)).toDF("k", "v").coalesce(1), root)
+    LT.exportDeltaLog(spark, root)
+    wipeManifest(root)
+    LT.appendDeltaForeign(spark, root, Seq((3L, 30L)).toDF("k", "v"))
+    // doctor v0's protocol to declare a writer feature outside the
+    // safe set — the class of table every foreign writer must refuse
+    val lf0 = Paths.get(root, "_delta_log", f"${0L}%020d.json")
+    val doctored = Files.readString(lf0).replaceAll(
+      """"protocol":\{[^}]*\}""",
+      """"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["rowTracking"]}""")
+    assert(doctored.contains("rowTracking"), "doctor must apply")
+    Files.writeString(lf0, doctored)
+    val exRaw = intercept[IllegalArgumentException] {
+      LT.appendDeltaForeign(spark, root, Seq((4L, 40L)).toDF("k", "v"))
+    }
+    assert(exRaw.getMessage.contains("rowTracking"), exRaw.getMessage)
+    // checkpoint + cleanup: the protocol action's JSON line is GONE —
+    // only the checkpoint's protocol row carries the features now
+    LT.checkpointDeltaForeign(spark, root)
+    LT.cleanupDeltaLogForeign(root)
+    assert(!Files.exists(lf0), "v0 (the protocol line) must be cleaned")
+    val exSeeded = intercept[IllegalArgumentException] {
+      LT.appendDeltaForeign(spark, root, Seq((4L, 40L)).toDF("k", "v"))
+    }
+    assert(exSeeded.getMessage.contains("rowTracking"),
+      s"the SEEDED protocol must still refuse: ${exSeeded.getMessage}")
+  }
+
+  test("checkpointing a log with setTransaction actions refuses") {
+    import spark.implicits._
+    val root = freshRoot("fmaint_txn")
+    LT.create(Seq((1L, 10L)).toDF("k", "v").coalesce(1), root)
+    LT.exportDeltaLog(spark, root)
+    wipeManifest(root)
+    val lf0 = Paths.get(root, "_delta_log", f"${0L}%020d.json")
+    Files.writeString(lf0, Files.readString(lf0).stripSuffix("\n") +
+      "\n" + """{"txn":{"appId":"app-1","version":5}}""" + "\n")
+    val ex = intercept[IllegalArgumentException] {
+      LT.checkpointDeltaForeign(spark, root)
+    }
+    assert(ex.getMessage.contains("setTransaction"), ex.getMessage)
+  }
+
+  test("iceberg foreign compaction: deletes applied, replace snapshot, time travel") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot("fcompact_ice")
+    LT.create(Seq.range(1L, 21L).map(k => (k, k * 10L)).toDF("k", "v")
+      .repartitionByRange(2, col("k")).sortWithinPartitions("k"), root)
+    IcebergMeta.exportIcebergMeta(spark, root)
+    wipeManifest(root)
+    IcebergMeta.deleteIcebergForeign(spark, root, "k <= 3")
+    val parent = currentIceSnapshot(root)
+    val preFiles = IcebergMeta.readIceberg(spark, root).inputFiles
+      .filter(_.contains("/data/")).toSet
+    val sid = IcebergMeta.rewriteDataFilesForeign(spark, root)
+    assert(sid == currentIceSnapshot(root))
+    // same rows, no delete application left: the compacted snapshot
+    // scans a NEW file for the rewritten half and the untouched file
+    // verbatim
+    val back = IcebergMeta.readIceberg(spark, root)
+      .as[(Long, Long)].collect().toMap
+    assert(back == (4L to 20L).map(k => k -> k * 10).toMap, back.toString)
+    val postFiles = IcebergMeta.readIceberg(spark, root).inputFiles
+      .filter(_.contains("/data/")).toSet
+    assert(postFiles != preFiles, "the targeted file must be rewritten")
+    assert(postFiles.intersect(preFiles).size == 1,
+      s"the untouched file carries verbatim: $postFiles vs $preFiles")
+    // time travel to the parent still serves the MOR state
+    val tt = IcebergMeta.readIceberg(spark, root,
+      snapshotAsOf = Some(parent)).as[(Long, Long)].collect().toMap
+    assert(tt.keySet == (4L to 20L).toSet, "the MOR parent still reads")
+    // nothing left to compact: no-op, no commit
+    val verBefore = maxIceVersion(root)
+    assert(IcebergMeta.rewriteDataFilesForeign(spark, root) == sid)
+    assert(maxIceVersion(root) == verBefore)
+    // a delete AFTER compaction applies to the compacted files
+    IcebergMeta.deleteIcebergForeign(spark, root, "k = 4")
+    assert(IcebergMeta.readIceberg(spark, root)
+      .select($"k").as[Long].collect().toSet == (5L to 20L).toSet)
+  }
+
+  test("iceberg foreign expiry: history trimmed, artifacts reclaimed, refs pinned") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot("fexpire_ice")
+    LT.create(Seq.range(1L, 21L).map(k => (k, k * 10L)).toDF("k", "v")
+      .repartitionByRange(2, col("k")).sortWithinPartitions("k"), root)
+    IcebergMeta.exportIcebergMeta(spark, root)
+    wipeManifest(root)
+    val snap1 = currentIceSnapshot(root)
+    IcebergMeta.deleteIcebergForeign(spark, root, "k <= 3")
+    IcebergMeta.rewriteDataFilesForeign(spark, root)
+    def metaFiles(pat: String) = {
+      val s = Files.list(Paths.get(root, "metadata"))
+      try s.iterator().asScala.count(_.getFileName.toString.startsWith(pat))
+      finally s.close()
+    }
+    assert(metaFiles("delete-") >= 1, "the MOR delete parquet exists")
+    val n = IcebergMeta.expireSnapshotsForeign(root, retainLast = 1)
+    assert(n > 0, s"expiry must reclaim files, deleted $n")
+    // the delete parquet was referenced only by expired snapshots —
+    // compaction dropped it from the current one — so expiry took it
+    assert(metaFiles("delete-") == 0, "delete files reclaimed")
+    // the current state still serves, with nothing to re-apply
+    assert(IcebergMeta.readIceberg(spark, root)
+      .select($"k").as[Long].collect().toSet == (4L to 20L).toSet)
+    // time travel to the expired first snapshot refuses
+    intercept[Exception] {
+      IcebergMeta.readIceberg(spark, root,
+        snapshotAsOf = Some(snap1)).count()
+    }
+    // idempotent: nothing else to expire
+    assert(IcebergMeta.expireSnapshotsForeign(root, retainLast = 1) == 0)
+    // a later append + expiry keeps working on the maintained chain
+    IcebergMeta.appendIcebergForeign(spark, root,
+      Seq((21L, 210L)).toDF("k", "v"))
+    assert(IcebergMeta.expireSnapshotsForeign(root, retainLast = 1) >= 1)
+    assert(IcebergMeta.readIceberg(spark, root)
+      .select($"k").as[Long].collect().toSet == (4L to 21L).toSet)
+  }
+
   test("iceberg foreign delete applies across partition-evolution eras") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, expr}
