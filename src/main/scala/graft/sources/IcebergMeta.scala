@@ -2163,13 +2163,7 @@ object IcebergMeta {
         .map(_.get("manifest_path").toString)).distinct
     manifests.foreach { m =>
       val p = Paths.get(m)
-      val r = new DataFileReader(p.toFile,
-        new GenericDatumReader[GenericRecord]())
-      val schema = r.getSchema
-      val meta = r.getMetaKeys.asScala.toSeq
-        .filterNot(_.startsWith("avro."))
-        .map(k => k -> r.getMetaString(k))
-      val recs = try r.iterator().asScala.toSeq finally r.close()
+      val (schema, meta, recs) = readAvroWithMeta(p)
       recs.foreach { e =>
         val df = e.get("data_file").asInstanceOf[GenericRecord]
         val orig = df.get("file_path").toString
@@ -2278,13 +2272,7 @@ object IcebergMeta {
         .map(_.get("manifest_path").toString)).distinct
     manifests.foreach { m =>
       val p = Paths.get(m)
-      val r = new DataFileReader(p.toFile,
-        new GenericDatumReader[GenericRecord]())
-      val schema = r.getSchema
-      val meta = r.getMetaKeys.asScala.toSeq
-        .filterNot(_.startsWith("avro."))
-        .map(k => k -> r.getMetaString(k))
-      val recs = try r.iterator().asScala.toSeq finally r.close()
+      val (schema, meta, recs) = readAvroWithMeta(p)
       val newMeta = meta.map {
         case ("partition-spec", js) =>
           val arr = mapper.readTree(js)
@@ -3212,6 +3200,17 @@ object IcebergMeta {
         s"deleteKeys must carry key column(s) ${bad.mkString(", ")} " +
           s"with the schema's exact types at $root")
     }
+    // the source schema validates BEFORE any metadata file is written:
+    // writeForeignDataManifest re-checks, but only AFTER the position
+    // deletes — a post-write refusal would orphan delete parquets and
+    // a manifest behind every mistyped attempt
+    val updByName = updates.schema.fields
+      .map(f => f.name.toLowerCase -> f).toMap
+    require(updByName.keySet == typeByName.keySet &&
+        typeByName.forall { case (n, dt) =>
+          updByName.get(n).exists(_.dataType == dt) },
+      s"merge source schema ${updates.schema.simpleString} does not " +
+        s"match the current schema at $root (names and exact types)")
     def bq(n: String) = col("`" + n.replace("`", "``") + "`")
     def keyFrame(df: org.apache.spark.sql.DataFrame) =
       df.select(keys.map(k => bq(k).as(s"__k_$k")): _*)
@@ -3387,10 +3386,18 @@ object IcebergMeta {
           val df = e.get("data_file").asInstanceOf[GenericRecord]
           val eSeq = Option(e.get("sequence_number"))
             .map(_.asInstanceOf[Long]).getOrElse(mfSeq)
-          val eFileSeq = Option(e.get("file_sequence_number"))
-            .map(_.asInstanceOf[Long]).getOrElse(mfSeq)
           e.put("sequence_number", eSeq)
-          e.put("file_sequence_number", eFileSeq)
+          // file_sequence_number arrived later in the v2 entry schema
+          // than sequence_number (pre-1.1 writers omit it), and a put
+          // against such a manifest's own writer schema throws — set
+          // it only where the schema declares it. Delete application
+          // scopes on sequence_number (pinned explicitly above), so an
+          // old-schema manifest stays exactly as conforming as its
+          // writer made it.
+          if (schema.getField("file_sequence_number") != null)
+            e.put("file_sequence_number",
+              Option(e.get("file_sequence_number"))
+                .map(_.asInstanceOf[Long]).getOrElse(mfSeq))
           minSeq = math.min(minSeq, eSeq)
           if (keepPred(df.get("file_path").toString)) {
             e.put("status", 0); existing += 1; exRows += rc(df)
@@ -3515,29 +3522,41 @@ object IcebergMeta {
     obj.withArray("metadata-log").add(mapper.readTree(
       s"""{"metadata-file":"${dir.resolve(s"v$curN.metadata.json")}","timestamp-ms":${md.get("last-updated-ms").asLong()}}"""))
     casCommitMetadata(root, dir, curN, obj, "expire")
-    // a snapshot's reachable paths. Protection (kept snapshots) counts
-    // files LIVE in their manifests — a DELETED entry is a tombstone
+    // a snapshot's reachable paths, ONE walk per snapshot with shared
+    // manifests decoded once per call: (everything mentioned, the LIVE
+    // subset). Protection counts files LIVE in kept snapshots plus
+    // their manifests/lists outright — a DELETED entry is a tombstone
     // record, not a readable reference, and with its only readers (the
     // expired parents) gone the file is reclaimable, Iceberg's own
-    // expire rule; the manifests and lists themselves are protected
-    // outright (the list references them). Reclamation (expired
-    // snapshots) sweeps every mentioned path.
-    def artifacts(s: SnapshotInfo, liveOnly: Boolean): Set[Path] = {
+    // expire rule. Reclamation sweeps every mentioned path.
+    val mfCache = scala.collection.mutable
+      .HashMap.empty[String, Seq[GenericRecord]]
+    def cachedAvro(p: Path): Seq[GenericRecord] =
+      mfCache.getOrElseUpdate(p.toString, readAvro(p))
+    def artifacts(s: SnapshotInfo): (Set[Path], Set[Path]) = {
+      val all = scala.collection.mutable.HashSet.empty[Path]
+      val live = scala.collection.mutable.HashSet.empty[Path]
       val list = Paths.get(s.manifestList)
-      Set(list) ++ readAvro(list).flatMap { mf =>
+      all += list; live += list
+      cachedAvro(list).foreach { mf =>
         val m = Paths.get(mf.get("manifest_path").toString)
-        Set(m) ++ readAvro(m)
-          .filter(e => !liveOnly || e.get("status").asInstanceOf[Int] != 2)
-          .map(e => Paths.get(e.get("data_file")
-            .asInstanceOf[GenericRecord].get("file_path").toString))
+        all += m; live += m
+        cachedAvro(m).foreach { e =>
+          val p = Paths.get(e.get("data_file")
+            .asInstanceOf[GenericRecord].get("file_path").toString)
+          all += p
+          if (e.get("status").asInstanceOf[Int] != 2) live += p
+        }
       }
+      (all.toSet, live.toSet)
     }
-    val keptArt = keep.flatMap(artifacts(_, liveOnly = true)).toSet
+    val keptPairs = keep.map(artifacts)
+    val keptLive = keptPairs.flatMap(_._2).toSet
     val rootAbs = Paths.get(root).toAbsolutePath.normalize()
     var n = 0
-    (expired.flatMap(artifacts(_, liveOnly = false)).toSet ++
-      keep.flatMap(artifacts(_, liveOnly = false)))
-      .diff(keptArt).foreach { p =>
+    (expired.flatMap(s => artifacts(s)._1).toSet ++
+      keptPairs.flatMap(_._1))
+      .diff(keptLive).foreach { p =>
         val abs = p.toAbsolutePath.normalize()
         if (abs.startsWith(rootAbs) && Files.deleteIfExists(abs)) n += 1
       }

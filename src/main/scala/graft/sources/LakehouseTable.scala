@@ -116,6 +116,10 @@ object LakehouseTable {
   /** Writer id used when a txn is stamped without an explicit app id. */
   val DefaultTxnApp = "default"
 
+  /** Delta's default `deletedFileRetentionDuration` (168 h): how long
+    * a remove tombstone rides checkpoints before expiring out. */
+  private val DeltaTombstoneRetentionMs: Long = 168L * 3600L * 1000L
+
   /** All (writer app id → last transaction id) watermarks. Streaming
     * writers stamp their micro-batch id under their OWN app id — Delta's
     * (txnAppId, txnVersion) pattern — so a replayed batch is detected
@@ -1846,8 +1850,13 @@ object LakehouseTable {
       } ++
       // remove TOMBSTONES (raw committed path form): a vacuum seeding
       // from this checkpoint can still honor the retention window for
-      // recently-removed files
-      deltaRemoveTombstones(root, version).toSeq.sortBy(_._1)
+      // recently-removed files. EXPIRED tombstones (older than Delta's
+      // default 168 h deleted-file retention) drop here — the spec's
+      // checkpoint rule, and what keeps the checkpoint from growing
+      // with every removal the table ever made
+      deltaRemoveTombstones(spark, root, version).toSeq.sortBy(_._1)
+        .filter { case (_, (ts, _)) =>
+          ts >= System.currentTimeMillis() - DeltaTombstoneRetentionMs }
         .map { case (p, (ts, _)) =>
           org.apache.spark.sql.Row(null, null, null,
             org.apache.spark.sql.Row(p, ts, true))
@@ -1869,23 +1878,49 @@ object LakehouseTable {
     target
   }
 
-  /** Remove-action TOMBSTONES reconstructable from the log JSONs at or
-    * below `upTo`: raw committed path → (latest deletionTimestamp, the
-    * remove's deletionVector descriptor when it carried one). Paths
-    * RE-ADDED after their remove drop out (the add resurrects the
-    * logical file — its tombstone must not survive into a checkpoint
-    * or a vacuum protect-set). Jackson-parsed per line — paths and
-    * values are data, never flat-regexed. */
-  private def deltaRemoveTombstones(root: String, upTo: Long)
-      : Map[String, (Long, Option[DeltaDv.Descriptor])] = {
+  /** Remove-action TOMBSTONES at or below `upTo`: raw committed path →
+    * (latest deletionTimestamp, the remove's deletionVector descriptor
+    * when it carried one). SEEDS from the checkpoint's `remove` rows
+    * when one exists at or below `upTo` — after log cleanup the
+    * checkpoint is the ONLY carrier of pre-cleanup tombstones, and
+    * dropping them would let vacuum reclaim a recently-removed file
+    * inside its retention window — then replays the surviving JSON
+    * tail on top. Paths RE-ADDED after their remove drop out (the add
+    * resurrects the logical file). Jackson-parsed per line; every
+    * optional field parses defensively (the spec makes deletionVector
+    * offset optional — inline DVs never carry one — and a parse NPE
+    * inside a blanket catch would silently drop the tombstone). */
+  private def deltaRemoveTombstones(spark: SparkSession, root: String,
+      upTo: Long): Map[String, (Long, Option[DeltaDv.Descriptor])] = {
+    import org.apache.spark.sql.functions.col
     val logDir = Paths.get(root, "_delta_log")
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val tomb = scala.collection.mutable
+      .LinkedHashMap.empty[String, (Long, Option[DeltaDv.Descriptor])]
+    val lcp = logDir.resolve("_last_checkpoint")
+    if (Files.exists(lcp)) {
+      val ckVer = """"version":\s*(\d+)""".r
+        .findFirstMatchIn(Files.readString(lcp)).map(_.group(1).toLong)
+      ckVer.filter(_ <= upTo).foreach { v =>
+        val ckPath = logDir.resolve(f"$v%020d.checkpoint.parquet")
+        if (Files.exists(ckPath)) {
+          val ck = spark.read.parquet(ckPath.toString)
+          if (ck.schema.fieldNames.contains("remove"))
+            ck.filter(col("remove").isNotNull)
+              .select(col("remove.path"), col("remove.deletionTimestamp"))
+              .collect().foreach { r =>
+                Option(r.getString(0)).filter(_.nonEmpty).foreach { p =>
+                  val ts = if (r.isNullAt(1)) 0L else r.getLong(1)
+                  tomb(p) = (ts, None)
+                }
+              }
+        }
+      }
+    }
     val files = withDrained(Files.list(logDir))(
       _.filter(_.getFileName.toString.matches("\\d{20}\\.json")))
       .sortBy(_.getFileName.toString)
       .filter(_.getFileName.toString.take(20).toLong <= upTo)
-    val tomb = scala.collection.mutable
-      .LinkedHashMap.empty[String, (Long, Option[DeltaDv.Descriptor])]
     files.foreach { lf =>
       Files.readString(lf).split('\n').foreach { line =>
         if (line.contains("\"remove\"") || line.contains("\"add\""))
@@ -1896,13 +1931,17 @@ object LakehouseTable {
                 .foreach { p =>
                   val ts = Option(r.get("deletionTimestamp"))
                     .filter(_.isNumber).map(_.asLong()).getOrElse(0L)
-                  val dv = Option(r.get("deletionVector")).map(d =>
-                    DeltaDv.Descriptor(
-                      d.get("storageType").asText(),
-                      d.get("pathOrInlineDv").asText(),
-                      d.get("offset").asLong(),
-                      d.get("sizeInBytes").asLong(),
-                      d.get("cardinality").asLong()))
+                  def num(d: com.fasterxml.jackson.databind.JsonNode,
+                      f: String, dflt: Long): Long =
+                    Option(d.get(f)).filter(_.isNumber).map(_.asLong())
+                      .getOrElse(dflt)
+                  val dv = Option(r.get("deletionVector"))
+                    .flatMap(d => for {
+                      st <- Option(d.get("storageType")).map(_.asText())
+                      pid <- Option(d.get("pathOrInlineDv")).map(_.asText())
+                    } yield DeltaDv.Descriptor(st, pid,
+                      num(d, "offset", 1L), num(d, "sizeInBytes", 0L),
+                      num(d, "cardinality", 0L)))
                   val prev = tomb.get(p)
                   if (prev.forall(_._1 <= ts)) tomb(p) = (ts, dv)
                 }
@@ -2004,7 +2043,7 @@ object LakehouseTable {
     state.dvs.values.foreach(d =>
       DeltaDv.filePath(root, d).foreach(p =>
         protect += p.toAbsolutePath.normalize()))
-    deltaRemoveTombstones(root, cur).foreach { case (raw, (ts, dv)) =>
+    deltaRemoveTombstones(spark, root, cur).foreach { case (raw, (ts, dv)) =>
       if (ts >= horizon) {
         protect += rootPath.resolve(deltaDecodePath(raw)).normalize()
         dv.foreach(d => DeltaDv.filePath(root, d).foreach(p =>

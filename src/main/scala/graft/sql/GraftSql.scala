@@ -463,7 +463,12 @@ case class MergeGraftTableCommand(name: String, sourceQuery: String,
       case None =>
         LakehouseTable.merge(spark, e.root, src, keys, e.partitionBy)
       case Some(cond) =>
-        val del = org.apache.spark.sql.functions.expr(cond)
+        // a NULL clause condition is FALSE per MERGE semantics: the row
+        // falls through to the UPDATE clause (filter(!d) would drop it
+        // from BOTH frames — silently neither updated nor deleted)
+        val del = org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.expr(cond),
+          org.apache.spark.sql.functions.lit(false))
         LakehouseTable.mergeApply(spark, e.root,
           updates = src.filter(!del),
           deleteKeys = src.filter(del),
@@ -574,7 +579,10 @@ case class ForeignMergeCommand(face: String, root: String,
     val (upd, del) = deleteCond match {
       case None => (src, None)
       case Some(c) =>
-        val d = org.apache.spark.sql.functions.expr(c)
+        // NULL clause condition = FALSE (the row upserts, not vanishes)
+        val d = org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.expr(c),
+          org.apache.spark.sql.functions.lit(false))
         (src.filter(!d), Some(src.filter(d)))
     }
     if (face == "delta_export")

@@ -645,6 +645,18 @@ class GraftSqlSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSeq
     assert(i == Seq((2L, 200L), (3L, 30L)), i.toString)
 
+    // a NULL matched-DELETE condition is FALSE per MERGE semantics:
+    // the row falls through to the UPDATE clause, never vanishes
+    spark.sql(s"""MERGE INTO iceberg_export('$iroot') AS t USING (
+        SELECT 2L AS k, CAST(NULL AS BIGINT) AS v) AS s
+      ON t.k = s.k
+      WHEN MATCHED AND s.v < 0 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+    val iNull = spark.sql(
+      s"SELECT k, v FROM iceberg_export('$iroot') ORDER BY k")
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(iNull == Seq((2L, None), (3L, Some(30L))), iNull.toString)
+
     // a missing target alias refuses loudly (the TVF target has no
     // name the ON clause could reference)
     val exAlias = intercept[IllegalArgumentException] {

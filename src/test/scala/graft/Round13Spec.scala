@@ -1887,6 +1887,37 @@ class Round13Spec extends AnyFunSuite {
     assert(LT.readDeltaExport(spark, root).count() == 16)
   }
 
+  test("checkpoint tombstones survive log cleanup into the vacuum protect-set") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // remove at vN, checkpoint, CLEAN the tail: the JSON remove line is
+    // gone — the checkpoint's remove row is the ONLY tombstone carrier.
+    // A wide-retention vacuum must still protect the removed file.
+    val root = freshRoot("fmaint_tomb")
+    LT.create(Seq.range(1L, 11L).map(k => (k, k * 10L)).toDF("k", "v")
+      .repartitionByRange(2, col("k")).sortWithinPartitions("k"), root)
+    LT.exportDeltaLog(spark, root)
+    wipeManifest(root)
+    LT.deleteDeltaForeign(spark, root, "k <= 5") // strands file 1
+    LT.checkpointDeltaForeign(spark, root)
+    LT.cleanupDeltaLogForeign(root)
+    // backdate every file's mtime far past the horizon: only the
+    // TOMBSTONE (deletionTimestamp is recent) can protect the stranded
+    // file now
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 400L * 3600 * 1000)
+    val s = Files.walk(Paths.get(root, "data"))
+    try s.iterator().asScala.filter(Files.isRegularFile(_))
+      .foreach(Files.setLastModifiedTime(_, old))
+    finally s.close()
+    assert(LT.vacuumDeltaForeign(spark, root, retainHours = 168.0).isEmpty,
+      "the checkpoint-carried tombstone must protect the stranded file")
+    // past the tombstone's window it reclaims
+    val gone = LT.vacuumDeltaForeign(spark, root, retainHours = 0.0)
+    assert(gone.size == 1, gone.toString)
+    assert(LT.readDeltaExport(spark, root).count() == 5)
+  }
+
   test("checkpoint seeds the protocol: features refuse past log cleanup") {
     import spark.implicits._
     val root = freshRoot("fmaint_prot")
