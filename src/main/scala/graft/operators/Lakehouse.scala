@@ -673,6 +673,56 @@ object Lakehouse {
     }
   }
 
+  private[graft] def deltaAddColDir(d: String): String =
+    TableCache.baseDir + "/delta_faddcol_" +
+      java.nio.file.Paths.get(d).getFileName.toString
+
+  /** FOREIGN SCHEMA EVOLUTION, Delta face: the evens-only foreign
+    * table gains `o_note STRING` through a metadata-only
+    * [[LakehouseTable.addColumnsDeltaForeign]] commit, then the odd
+    * keys append WITH the note filled — old files null-fill the new
+    * column, new files carry it, in one log every Delta reader
+    * replays. */
+  private[graft] def deltaAddColRoot(s: SparkSession, d: String): String = {
+    val root = deltaAddColDir(d)
+    foreignFixture(root, d) { () =>
+      LakehouseTable.create(ordersSlice(s, d)
+        .filter(col("o_orderkey") % 2 === 0)
+        .repartitionByRange(2, col("o_orderkey")), root)
+      LakehouseTable.exportDeltaLog(s, root)
+      ()
+    } { () =>
+      LakehouseTable.addColumnsDeltaForeign(s, root, "o_note STRING")
+      LakehouseTable.appendDeltaForeign(s, root,
+        ordersSlice(s, d).filter(col("o_orderkey") % 2 === 1)
+          .withColumn("o_note", lit("N")))
+      ()
+    }
+  }
+
+  /** The Iceberg twin of [[deltaAddColRoot]]: a NEW schema object with
+    * fresh field ids commits via
+    * [[IcebergMeta.addColumnsIcebergForeign]], the odds append under
+    * it — field-id resolution serves old files with the column
+    * null-filled. */
+  private[graft] def icebergAddColRoot(s: SparkSession, d: String): String = {
+    val root = TableCache.baseDir + "/iceberg_faddcol_" +
+      java.nio.file.Paths.get(d).getFileName.toString
+    foreignFixture(root, d) { () =>
+      LakehouseTable.create(ordersSlice(s, d)
+        .filter(col("o_orderkey") % 2 === 0)
+        .repartitionByRange(2, col("o_orderkey")), root)
+      IcebergMeta.exportIcebergMeta(s, root)
+      ()
+    } { () =>
+      IcebergMeta.addColumnsIcebergForeign(root, "o_note STRING")
+      IcebergMeta.appendIcebergForeign(s, root,
+        ordersSlice(s, d).filter(col("o_orderkey") % 2 === 1)
+          .withColumn("o_note", lit("N")))
+      ()
+    }
+  }
+
   /** A SPEC-EVOLVED foreign chain — the partition-evolution shape
     * every long-lived Iceberg table reaches: created
     * identity-partitioned by `event_type` (spec 0), the native
@@ -2260,6 +2310,30 @@ object Lakehouse {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // FOREIGN SCHEMA EVOLUTION, Delta face: a metadata-only ADD
+    // COLUMNS commit, then an append carrying the new column — old
+    // files null-fill it, and the aggregate splits exactly along the
+    // evolution boundary.
+    "q223_delta_foreign_addcol" -> ((s, d) => {
+      val root = deltaAddColRoot(s, d)
+      LakehouseTable.readDeltaExport(s, root)
+        .groupBy(coalesce(col("o_note"), lit("-")).as("note"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"))
+        .orderBy(col("note"))
+    }),
+
+    // FOREIGN SCHEMA EVOLUTION, Iceberg face: a new schema object with
+    // fresh field ids; field-id resolution null-fills old files.
+    "q224_iceberg_foreign_addcol" -> ((s, d) => {
+      val root = icebergAddColRoot(s, d)
+      IcebergMeta.readIceberg(s, root)
+        .groupBy(coalesce(col("o_note"), lit("-")).as("note"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"))
+        .orderBy(col("note"))
+    }),
+
     // PARTITION EVOLUTION: spec 0 (identity event_type) files and
     // spec 1 (day(ts)) appended files live in ONE chain; the reader
     // resolves each file's partition struct by FIELD-ID under the spec
@@ -3421,6 +3495,19 @@ object Lakehouse {
             ${Exact.sqlMoneySum("o_totalprice")} AS sum_price
           FROM orders WHERE o_orderkey % 2 = 0
           GROUP BY 1 ORDER BY 1""",
+
+    // the evolved table equals orders with the note derived from the
+    // evolution boundary: odd keys appended post-evolution carry 'N',
+    // even keys predate the column and read back null
+    "q223_delta_foreign_addcol" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 1 THEN 'N' ELSE '-' END AS note,
+           count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "q224_iceberg_foreign_addcol" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 1 THEN 'N' ELSE '-' END AS note,
+           count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         FROM orders GROUP BY 1 ORDER BY 1""",
 
     // the spec-evolved chain serves both eras' rows exactly: the
     // filtered raw-events aggregate is era-blind by construction

@@ -3563,6 +3563,73 @@ object IcebergMeta {
     n
   }
 
+  /** ALTER TABLE ADD COLUMNS on a foreign Iceberg chain — schema
+    * evolution the spec way: a NEW schema object (fresh schema-id,
+    * existing fields verbatim, new fields with ids above
+    * `last-column-id` — ids are append-only forever, the rule that
+    * makes field-id resolution sound) committed as v(curN+1) metadata
+    * with `current-schema-id` advanced; NO snapshot, no data write —
+    * readers resolve old files by field-id, find no column, and
+    * null-fill. New columns must be optional (`required` would break
+    * every existing row) and must not collide case-insensitively.
+    * Returns the committed metadata version. */
+  def addColumnsIcebergForeign(root: String, colsDdl: String): Long = {
+    import org.apache.spark.sql.types.StructType
+    require(hasChain(root), s"no Iceberg metadata at $root")
+    val dir = metaDir(root)
+    val curN = trueCurrentVersion(dir, root)
+    val md = mapper.readTree(Files.readString(
+      dir.resolve(s"v$curN.metadata.json")))
+    val fmtVer = Option(md.get("format-version")).map(_.asInt()).getOrElse(0)
+    require(fmtVer == 2,
+      s"add columns supports Iceberg format-version 2 only; the chain " +
+        s"at $root is format-version $fmtVer")
+    val add = StructType.fromDDL(colsDdl)
+    require(add.nonEmpty, s"ADD COLUMNS: no columns in '$colsDdl'")
+    require(add.forall(_.nullable),
+      s"ADD COLUMNS on a foreign chain requires NULLABLE (optional) " +
+        s"columns; got '$colsDdl'")
+    require(add.map(_.name.toLowerCase).distinct.size == add.size,
+      s"duplicate column name in '$colsDdl'")
+    val curSchemaId = md.get("current-schema-id").asInt()
+    val schemaNode = md.get("schemas").elements().asScala
+      .find(_.get("schema-id").asInt() == curSchemaId).getOrElse(
+        throw new IllegalStateException(s"schema $curSchemaId missing"))
+    val existing = schemaNode.get("fields").elements().asScala
+      .map(_.get("name").asText().toLowerCase).toSet
+    add.foreach(f => require(!existing.contains(f.name.toLowerCase),
+      s"column already exists at $root: ${f.name}"))
+    // last-column-id is the id high-water mark across ALL schemas —
+    // trust it when sane, else derive (a foreign chain must never get
+    // a reused field id out of this writer)
+    val maxFieldId = md.get("schemas").elements().asScala.flatMap(
+      _.get("fields").elements().asScala.map(_.get("id").asInt()))
+      .maxOption.getOrElse(0)
+    val base = math.max(maxFieldId,
+      Option(md.get("last-column-id")).map(_.asInt()).getOrElse(0))
+    val newSchemaId = md.get("schemas").elements().asScala
+      .map(_.get("schema-id").asInt()).max + 1
+    val newSchema = schemaNode.deepCopy()
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    newSchema.put("schema-id", newSchemaId)
+    add.fields.zipWithIndex.foreach { case (f, i) =>
+      newSchema.withArray("fields").add(mapper.readTree(
+        s"""{"id":${base + i + 1},"name":"${f.name}","required":false,"type":${icebergType(f.dataType)}}"""))
+      ()
+    }
+    val obj = md.deepCopy()
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    obj.withArray("schemas").add(newSchema)
+    obj.put("current-schema-id", newSchemaId)
+    obj.put("last-column-id", base + add.size)
+    obj.put("last-updated-ms", math.max(System.currentTimeMillis(),
+      md.get("last-updated-ms").asLong() + 1))
+    obj.withArray("metadata-log").add(mapper.readTree(
+      s"""{"metadata-file":"${dir.resolve(s"v$curN.metadata.json")}","timestamp-ms":${md.get("last-updated-ms").asLong()}}"""))
+    casCommitMetadata(root, dir, curN, obj, "add columns")
+    curN + 1
+  }
+
   /** Matched rows' (manifest-form path, position) pairs under the
     * spec's reserved delete-file field-ids — the write-side frame of
     * every MOR mutation. `scan` must carry chainScan's (__p, __ri)
@@ -4072,11 +4139,19 @@ object IcebergMeta {
       .getOrElse(md.get("current-snapshot-id").asLong())
     val snap = snapshots(root).find(_.id == sid).getOrElse(
       throw new IllegalArgumentException(s"no Iceberg snapshot $sid at $root"))
-    val fields = schemaFieldsOf(root, snap.schemaId)
+    // Iceberg's schema-resolution rule: a CURRENT read uses the
+    // table's CURRENT schema (a metadata-only ADD COLUMNS with no new
+    // snapshot must be visible immediately); TIME TRAVEL uses the
+    // schema the snapshot was committed under
+    val readSchemaId =
+      if (snapshotAsOf.isEmpty && asOfTimestamp.isEmpty)
+        md.get("current-schema-id").asInt()
+      else snap.schemaId
+    val fields = schemaFieldsOf(root, readSchemaId)
     val (allDataEntries, deleteEntries) = snapshotEntries(root, sid)
     val dataEntries = pruneWhere match {
       case Some(expr) =>
-        pruneFiles(spark, root, snap.schemaId, allDataEntries, expr)
+        pruneFiles(spark, root, readSchemaId, allDataEntries, expr)
       case None => allDataEntries
     }
     val raw =
@@ -4084,7 +4159,7 @@ object IcebergMeta {
         spark.createDataFrame(spark.sparkContext
           .emptyRDD[org.apache.spark.sql.Row], explicitSchema(fields))
       else chainScan(spark, root, dataEntries.map(_._1),
-        schemaIdFieldsOf(root, snap.schemaId),
+        schemaIdFieldsOf(root, readSchemaId),
         withIdentity = deleteEntries.nonEmpty)
     // deletes on an empty data scan remove nothing — and the empty
     // LocalRelation above has no file-source `_metadata` for
@@ -4093,7 +4168,7 @@ object IcebergMeta {
     // rewrite removed every data file under an un-expired delete)
     val visible =
       if (dataEntries.isEmpty) raw
-      else applyDeleteEntries(spark, root, snap.schemaId, raw,
+      else applyDeleteEntries(spark, root, readSchemaId, raw,
         dataEntries, deleteEntries)
     // align to the metadata schema: absent columns (an older snapshot's
     // files under a later ADD COLUMNS) null-fill; partition columns come

@@ -2237,6 +2237,131 @@ object LakehouseTable {
     casCommitDeltaLog(root, logDir, cur, sb.toString, "append")
   }
 
+  /** ALTER TABLE ADD COLUMNS on a FOREIGN Delta log — the most common
+    * schema evolution, committed as Delta commits it: ONE version
+    * carrying a fresh metaData action with the widened schemaString
+    * (table id, partitionColumns, and configuration preserved — a new
+    * id would read as a table replace), no data rewritten; readers
+    * null-fill the new columns from old files. New columns must be
+    * NULLABLE (existing rows have no value — a required column would
+    * instantly violate every reader's trust) and must not collide
+    * with existing names case-insensitively. Under an ACTIVE column
+    * mapping each new field takes a fresh physicalName ("col-<uuid>",
+    * Delta's own convention) and id above maxColumnId, which the
+    * configuration advances — the spec's invariant that every field
+    * carries them. Refuses writer features outside the safe set (an
+    * unknown feature may constrain metadata this writer cannot
+    * honor). Returns the committed version. */
+  def addColumnsDeltaForeign(spark: SparkSession, root: String,
+      colsDdl: String): Long = {
+    import org.apache.spark.sql.types._
+    val logDir = Paths.get(root, "_delta_log")
+    require(Files.isDirectory(logDir), s"no _delta_log at $root")
+    val cur = pinForeignDeltaVersion(root, logDir)
+    val state = deltaStateAt(spark, root, Some(cur), useCheckpoint = true)
+    val struct = schemaJsonToStruct(state.schemaJson).getOrElse(
+      throw new IllegalStateException(
+        s"add columns requires a log with a metaData schemaString at $root"))
+    val add = StructType.fromDDL(colsDdl)
+    require(add.nonEmpty, s"ADD COLUMNS: no columns in '$colsDdl'")
+    require(add.forall(_.nullable),
+      s"ADD COLUMNS on a foreign table requires NULLABLE columns " +
+        s"(existing rows carry no value); got '$colsDdl'")
+    val existing = struct.fieldNames.map(_.toLowerCase).toSet
+    add.foreach(f => require(!existing.contains(f.name.toLowerCase),
+      s"column already exists at $root: ${f.name}"))
+    require(add.map(_.name.toLowerCase).distinct.size == add.size,
+      s"duplicate column name in '$colsDdl'")
+    val (minR, minW) = state.protocol
+    val safeFeatures = Set("appendOnly", "invariants", "deletionVectors",
+      "changeDataFeed", "timestampNtz", "v2Checkpoint", "columnMapping",
+      "allowColumnDefaults", "checkConstraints", "generatedColumns",
+      "identityColumns")
+    if (minW >= 7) {
+      val extra = state.writerFeatures.filterNot(safeFeatures)
+      require(extra.isEmpty,
+        s"writer feature(s) ${extra.mkString(", ")} at $root impose " +
+          "obligations this metadata writer cannot verify; refusing")
+    } else require(minW >= 1 && minW <= 6,
+      s"writer version $minW not supported")
+    require(minR <= 3, s"reader version $minR not supported")
+    val mapping = state.conf.getOrElse("delta.columnMapping.mode", "none")
+    val (annotated, newConf) =
+      if (mapping == "none") (add.fields.toSeq, state.conf)
+      else {
+        require(mapping == "name" || mapping == "id",
+          s"add columns under column mapping mode '$mapping' is not " +
+            "supported")
+        val fieldMax = struct.fields.flatMap(f =>
+          if (f.metadata.contains("delta.columnMapping.id"))
+            Some(f.metadata.getLong("delta.columnMapping.id"))
+          else None).maxOption.getOrElse(0L)
+        val confMax = state.conf.get("delta.columnMapping.maxColumnId")
+          .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(0L)
+        val base = math.max(fieldMax, confMax)
+        val fs = add.fields.toSeq.zipWithIndex.map { case (f, i) =>
+          f.copy(metadata = new MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString("delta.columnMapping.physicalName",
+              "col-" + java.util.UUID.randomUUID())
+            .putLong("delta.columnMapping.id", base + i + 1)
+            .build())
+        }
+        (fs, state.conf +
+          ("delta.columnMapping.maxColumnId" -> (base + add.size).toString))
+      }
+    val newStruct = StructType(struct.fields.toSeq ++ annotated)
+    val id = deltaMetaDataIdOf(spark, root).getOrElse(
+      "graft-" + graft.plans.TextExpressions.md5Hex(root).take(12))
+    val confJson = newConf.toSeq.sortBy(_._1).map { case (k, v) =>
+      s""""${escJson(k)}":"${escJson(v)}"""" }.mkString("{", ",", "}")
+    val parts = state.partitionCols
+      .map(c => s""""${escJson(c)}"""").mkString("[", ",", "]")
+    val ts = System.currentTimeMillis()
+    val sb = new StringBuilder
+    sb.append(s"""{"commitInfo":{"timestamp":$ts,"operation":"ADD COLUMNS","operationParameters":{"columns":"${escJson(colsDdl)}"}}}""")
+      .append('\n')
+    sb.append(s"""{"metaData":{"id":"${escJson(id)}","format":{"provider":"parquet","options":{}},"schemaString":"${escJson(newStruct.json)}","partitionColumns":$parts,"configuration":$confJson}}""")
+      .append('\n')
+    casCommitDeltaLog(root, logDir, cur, sb.toString, "add columns")
+  }
+
+  /** The table id of the log's LAST metaData action (JSON tail first,
+    * newest wins; the checkpoint's metaData row as the fallback once
+    * the tail is cleaned) — a metadata commit must PRESERVE it, or
+    * readers treat the commit as a table replace. */
+  private def deltaMetaDataIdOf(spark: SparkSession, root: String)
+      : Option[String] = {
+    val logDir = Paths.get(root, "_delta_log")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val fromTail = withDrained(Files.list(logDir))(
+      _.filter(_.getFileName.toString.matches("\\d{20}\\.json")))
+      .sortBy(_.getFileName.toString).reverse.iterator
+      .flatMap { lf =>
+        Files.readString(lf).split('\n').reverseIterator
+          .filter(_.contains("\"metaData\""))
+          .flatMap { line =>
+            try Option(om.readTree(line).get("metaData"))
+              .flatMap(m => Option(m.get("id")).map(_.asText()))
+            catch { case scala.util.control.NonFatal(_) => None }
+          }
+      }.take(1).toSeq.headOption
+    fromTail.orElse {
+      import org.apache.spark.sql.functions.col
+      val lcp = logDir.resolve("_last_checkpoint")
+      if (!Files.exists(lcp)) None
+      else """"version":\s*(\d+)""".r
+        .findFirstMatchIn(Files.readString(lcp)).map(_.group(1).toLong)
+        .map(v => logDir.resolve(f"$v%020d.checkpoint.parquet"))
+        .filter(Files.exists(_))
+        .flatMap { ck =>
+          spark.read.parquet(ck.toString)
+            .filter(col("metaData").isNotNull).select("metaData.id")
+            .collect().headOption.flatMap(r => Option(r.getString(0)))
+        }
+    }
+  }
+
   /** PIN the version a foreign write validates: the commit goes to
     * cur + 1, so a commit landing between this listing and the CAS
     * fails createLink loudly instead of being silently built upon

@@ -66,6 +66,11 @@ import graft.sources.{IcebergMeta, LakehouseTable}
   *     [WHEN MATCHED AND cond THEN DELETE]
   *     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
   *                                                  -- foreign upsert, either face
+  *   ALTER TABLE delta_export('/p') ADD COLUMNS (c T, ...) -- foreign schema evolution
+  *   CHECKPOINT delta_export('/p')                  -- foreign spec checkpoint
+  *   VACUUM delta_export('/p') [RETAIN n HOURS]     -- foreign file reclamation
+  *   VACUUM iceberg_export('/p') [RETAIN n VERSIONS]-- foreign snapshot expiry
+  *   OPTIMIZE iceberg_export('/p')                  -- foreign MOR compaction
   * }}}
   *
   * Two equivalent entry points run the SAME command objects:
@@ -589,6 +594,45 @@ case class ForeignMergeCommand(face: String, root: String,
       LakehouseTable.mergeDeltaForeign(spark, root, upd, keys, del)
     else graft.sources.IcebergMeta.mergeIcebergForeign(
       spark, root, upd, keys, del)
+    Seq.empty
+  }
+}
+
+/** ALTER TABLE delta_export/iceberg_export('/path') ADD COLUMNS (...)
+  * — foreign schema evolution by quoted path: a metadata-only commit
+  * (fresh metaData action / new schema object), readers null-fill the
+  * new columns from old files. */
+case class ForeignAlterAddColumnsCommand(face: String, root: String,
+    colsDdl: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (face == "delta_export")
+      LakehouseTable.addColumnsDeltaForeign(spark, root, colsDdl)
+    else graft.sources.IcebergMeta.addColumnsIcebergForeign(root, colsDdl)
+    Seq.empty
+  }
+}
+
+/** Foreign maintenance by quoted path: CHECKPOINT delta_export (spec
+  * checkpoint + pointer), VACUUM delta_export [RETAIN n HOURS]
+  * (retention-gated file reclamation), VACUUM iceberg_export
+  * [RETAIN n VERSIONS] (snapshot expiry), OPTIMIZE iceberg_export
+  * (MOR compaction — one replace snapshot with every delete
+  * applied). */
+case class ForeignMaintenanceCommand(op: String, root: String,
+    retain: Option[Double]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    op match {
+      case "checkpoint" =>
+        LakehouseTable.checkpointDeltaForeign(spark, root)
+      case "vacuum-delta" =>
+        LakehouseTable.vacuumDeltaForeign(spark, root,
+          retain.getOrElse(168.0))
+      case "expire-iceberg" =>
+        graft.sources.IcebergMeta.expireSnapshotsForeign(root,
+          retainLast = retain.map(_.toInt).getOrElse(1))
+      case "compact-iceberg" =>
+        graft.sources.IcebergMeta.rewriteDataFilesForeign(spark, root)
+    }
     Seq.empty
   }
 }
@@ -1182,6 +1226,28 @@ object GraftSqlStatements {
           unmaskLit(unmask, idx),
           parseSetList(setList).map { case (c, ex) => c -> unmask(ex) },
           unmask(cond)))
+      case ForeignAlterAddRe(face, idx, cols) =>
+        Some(ForeignAlterAddColumnsCommand(face.toLowerCase,
+          unmaskLit(unmask, idx), unmask(cols)))
+      case ForeignCheckpointRe(idx) =>
+        Some(ForeignMaintenanceCommand("checkpoint",
+          unmaskLit(unmask, idx), None))
+      case ForeignVacuumRe(face, idx, retain, unit) =>
+        val f = face.toLowerCase
+        if (f == "delta_export") {
+          require(unit == null || unit.equalsIgnoreCase("HOURS"),
+            "VACUUM delta_export(...) retention is RETAIN n HOURS")
+          Some(ForeignMaintenanceCommand("vacuum-delta",
+            unmaskLit(unmask, idx), Option(retain).map(_.toDouble)))
+        } else {
+          require(unit == null || unit.equalsIgnoreCase("VERSIONS"),
+            "VACUUM iceberg_export(...) retention is RETAIN n VERSIONS")
+          Some(ForeignMaintenanceCommand("expire-iceberg",
+            unmaskLit(unmask, idx), Option(retain).map(_.toDouble)))
+        }
+      case ForeignOptimizeRe(idx) =>
+        Some(ForeignMaintenanceCommand("compact-iceberg",
+          unmaskLit(unmask, idx), None))
       case ForeignMergeRe(face, idx, tAlias, source, sAlias, cond, delCond) =>
         // the TVF target has no table name — the ON clause can only
         // reference it through an alias, so one is required
@@ -1293,6 +1359,19 @@ object GraftSqlStatements {
   private val ForeignUpdateRe =
     ("""(?is)^\s*UPDATE\s+(delta_export|iceberg_export)\s*\(\s*""" +
       MaskedLit + """\s*\)\s+SET\s+(.*?)\s*;?\s*$""").r
+  private val ForeignAlterAddRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(delta_export|iceberg_export)\s*\(\s*""" +
+      MaskedLit + """\s*\)\s+ADD\s+COLUMNS?\s*\(\s*(.+?)\s*\)\s*;?\s*$""").r
+  private val ForeignCheckpointRe =
+    ("""(?is)^\s*CHECKPOINT\s+delta_export\s*\(\s*""" + MaskedLit +
+      """\s*\)\s*;?\s*$""").r
+  private val ForeignVacuumRe =
+    ("""(?is)^\s*VACUUM\s+(delta_export|iceberg_export)\s*\(\s*""" +
+      MaskedLit +
+      """\s*\)(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+(HOURS|VERSIONS))?\s*;?\s*$""").r
+  private val ForeignOptimizeRe =
+    ("""(?is)^\s*OPTIMIZE\s+iceberg_export\s*\(\s*""" + MaskedLit +
+      """\s*\)\s*;?\s*$""").r
   private val ForeignMergeRe =
     ("""(?is)^\s*MERGE\s+INTO\s+(delta_export|iceberg_export)\s*\(\s*""" +
       MaskedLit +

@@ -2043,6 +2043,110 @@ class Round13Spec extends AnyFunSuite {
       .select($"k").as[Long].collect().toSet == (4L to 21L).toSet)
   }
 
+  test("foreign ADD COLUMNS: null-fill, appends, refusals, id discipline") {
+    import spark.implicits._
+    // Delta face
+    val droot = freshRoot("faddcol_delta")
+    LT.create(Seq((1L, 10L), (2L, 20L)).toDF("k", "v").coalesce(1), droot)
+    LT.exportDeltaLog(spark, droot)
+    wipeManifest(droot)
+    LT.addColumnsDeltaForeign(spark, droot, "w BIGINT")
+    val r1 = LT.readDeltaExport(spark, droot)
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(r1 == Set((1L, 10L, None), (2L, 20L, None)), r1.toString)
+    LT.appendDeltaForeign(spark, droot,
+      Seq((3L, 30L, Some(300L))).toDF("k", "v", "w"))
+    val r2 = LT.readDeltaExport(spark, droot)
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(r2.contains((3L, 30L, Some(300L))) && r2.size == 3, r2.toString)
+    // collision (case-insensitive) and NOT NULL refuse
+    intercept[IllegalArgumentException] {
+      LT.addColumnsDeltaForeign(spark, droot, "V STRING")
+    }
+    intercept[IllegalArgumentException] {
+      LT.addColumnsDeltaForeign(spark, droot, "z INT NOT NULL")
+    }
+    // the metaData id is PRESERVED across the evolution commit
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def metaIds(root: String): Seq[String] = {
+      val s = Files.list(Paths.get(root, "_delta_log"))
+      val lfs = try s.iterator().asScala.toSeq.filter(
+        _.getFileName.toString.matches("\\d{20}\\.json")) finally s.close()
+      lfs.sortBy(_.getFileName.toString).flatMap(lf =>
+        Files.readString(lf).split('\n').toSeq
+          .filter(_.contains("\"metaData\""))
+          .flatMap(l => Option(om.readTree(l).get("metaData"))
+            .map(_.get("id").asText())))
+    }
+    assert(metaIds(droot).distinct.size == 1,
+      s"evolution must not change the table id: ${metaIds(droot)}")
+
+    // Iceberg face
+    val iroot = freshRoot("faddcol_ice")
+    LT.create(Seq((1L, 10L), (2L, 20L)).toDF("k", "v").coalesce(1), iroot)
+    IcebergMeta.exportIcebergMeta(spark, iroot)
+    wipeManifest(iroot)
+    def lastColId(root: String): Int = {
+      val dir = Paths.get(root, "metadata")
+      val s = Files.list(dir)
+      val maxV = try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.matches("v\\d+\\.metadata\\.json"))
+        .map(_.stripPrefix("v").stripSuffix(".metadata.json").toLong)
+        .max finally s.close()
+      om.readTree(Files.readString(dir.resolve(s"v$maxV.metadata.json")))
+        .get("last-column-id").asInt()
+    }
+    val before = lastColId(iroot)
+    IcebergMeta.addColumnsIcebergForeign(iroot, "w BIGINT")
+    assert(lastColId(iroot) == before + 1,
+      "field ids are append-only above last-column-id")
+    val i1 = IcebergMeta.readIceberg(spark, iroot)
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(i1 == Set((1L, 10L, None), (2L, 20L, None)), i1.toString)
+    IcebergMeta.appendIcebergForeign(spark, iroot,
+      Seq((3L, 30L, Some(300L))).toDF("k", "v", "w"))
+    val i2 = IcebergMeta.readIceberg(spark, iroot)
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(i2.contains((3L, 30L, Some(300L))) && i2.size == 3, i2.toString)
+    intercept[IllegalArgumentException] {
+      IcebergMeta.addColumnsIcebergForeign(iroot, "K STRING")
+    }
+    intercept[IllegalArgumentException] {
+      IcebergMeta.addColumnsIcebergForeign(iroot, "z INT NOT NULL")
+    }
+  }
+
+  test("foreign ALTER/maintenance SQL faces dispatch by quoted path") {
+    import spark.implicits._
+    val droot = freshRoot("fsql_maint_d")
+    LT.create(Seq((1L, 10L), (2L, 20L)).toDF("k", "v").coalesce(1), droot)
+    LT.exportDeltaLog(spark, droot)
+    wipeManifest(droot)
+    spark.sql(s"ALTER TABLE delta_export('$droot') ADD COLUMNS (note STRING)")
+    assert(LT.readDeltaExport(spark, droot).columns.contains("note"))
+    spark.sql(s"CHECKPOINT delta_export('$droot')")
+    val s0 = Files.list(Paths.get(droot, "_delta_log"))
+    val hasCk = try s0.iterator().asScala.exists(
+      _.getFileName.toString.endsWith(".checkpoint.parquet"))
+    finally s0.close()
+    assert(hasCk, "CHECKPOINT must write the checkpoint parquet")
+    spark.sql(s"VACUUM delta_export('$droot') RETAIN 1000 HOURS")
+    assert(LT.readDeltaExport(spark, droot).count() == 2)
+
+    val iroot = freshRoot("fsql_maint_i")
+    LT.create(Seq.range(1L, 11L).map(k => (k, k * 10L)).toDF("k", "v")
+      .coalesce(1), iroot)
+    IcebergMeta.exportIcebergMeta(spark, iroot)
+    wipeManifest(iroot)
+    spark.sql(s"ALTER TABLE iceberg_export('$iroot') ADD COLUMNS (note STRING)")
+    assert(IcebergMeta.readIceberg(spark, iroot).columns.contains("note"))
+    spark.sql(s"DELETE FROM iceberg_export('$iroot') WHERE k <= 3")
+    spark.sql(s"OPTIMIZE iceberg_export('$iroot')")
+    spark.sql(s"VACUUM iceberg_export('$iroot') RETAIN 1 VERSIONS")
+    assert(IcebergMeta.readIceberg(spark, iroot)
+      .select($"k").as[Long].collect().toSet == (4L to 10L).toSet)
+  }
+
   test("iceberg foreign delete applies across partition-evolution eras") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, expr}
