@@ -723,6 +723,52 @@ object Lakehouse {
     }
   }
 
+  private[graft] def deltaOptimizeDir(d: String): String =
+    TableCache.baseDir + "/delta_foptimize_" +
+      java.nio.file.Paths.get(d).getFileName.toString
+
+  /** A foreign Delta table OPTIMIZED through
+    * [[LakehouseTable.optimizeDeltaForeign]]: 8 small files bin-pack
+    * into one commit of dataChange=false remove+add actions — pure
+    * layout churn every stream and CDF reader skips. q225's oracle
+    * replays the post-optimize log raw in DuckDB: only the compacted
+    * add survives the live-set replay even though all 8 originals
+    * still sit on disk. */
+  private[graft] def deltaOptimizeRoot(s: SparkSession, d: String): String = {
+    val root = deltaOptimizeDir(d)
+    foreignFixture(root, d) { () =>
+      LakehouseTable.create(ordersSlice(s, d).repartition(8), root)
+      LakehouseTable.exportDeltaLog(s, root)
+      ()
+    } { () =>
+      LakehouseTable.optimizeDeltaForeign(s, root)
+      ()
+    }
+  }
+
+  /** A foreign chain ROLLED BACK through
+    * [[IcebergMeta.rollbackIcebergForeign]]: evens committed, odds
+    * appended as a second snapshot, then the chain rolls back to the
+    * first — current reads serve the evens again while the odd
+    * snapshot stays time-travelable. q226 reads the rolled-back chain
+    * against the evens oracle. */
+  private[graft] def icebergRollbackRoot(s: SparkSession, d: String): String = {
+    val root = TableCache.baseDir + "/iceberg_frollback_" +
+      java.nio.file.Paths.get(d).getFileName.toString
+    foreignFixture(root, d) { () =>
+      LakehouseTable.create(
+        ordersSlice(s, d).filter(col("o_orderkey") % 2 === 0), root)
+      IcebergMeta.exportIcebergMeta(s, root)
+      ()
+    } { () =>
+      val first = IcebergMeta.snapshots(root).minBy(_.seq).id
+      IcebergMeta.appendIcebergForeign(s, root,
+        ordersSlice(s, d).filter(col("o_orderkey") % 2 === 1))
+      IcebergMeta.rollbackIcebergForeign(root, first)
+      ()
+    }
+  }
+
   /** A SPEC-EVOLVED foreign chain — the partition-evolution shape
     * every long-lived Iceberg table reaches: created
     * identity-partitioned by `event_type` (spec 0), the native
@@ -2334,6 +2380,32 @@ object Lakehouse {
         .orderBy(col("note"))
     }),
 
+    // FOREIGN OPTIMIZE, Delta face: bin-packing compaction committed
+    // as dataChange=false churn — the oracle's raw-log replay proves
+    // the remove+add bookkeeping (originals still on disk).
+    "q225_delta_foreign_optimize" -> ((s, d) => {
+      val root = deltaOptimizeRoot(s, d)
+      LakehouseTable.readDeltaExport(s, root)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          Exact.moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // FOREIGN ROLLBACK, Iceberg face: current-snapshot-id points back
+    // at the first snapshot; the appended odds vanish from current
+    // reads but stay time-travelable.
+    "q226_iceberg_foreign_rollback" -> ((s, d) => {
+      val root = icebergRollbackRoot(s, d)
+      IcebergMeta.readIceberg(s, root)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          Exact.moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // PARTITION EVOLUTION: spec 0 (identity event_type) files and
     // spec 1 (day(ts)) appended files live in ONE chain; the reader
     // resolves each file's partition struct by FIELD-ID under the spec
@@ -3508,6 +3580,38 @@ object Lakehouse {
       """SELECT CASE WHEN o_orderkey % 2 = 1 THEN 'N' ELSE '-' END AS note,
            count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
          FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // an independent replay of the post-OPTIMIZE log: the live set
+    // after the dataChange=false remove+add churn is the compacted
+    // files — and the rows are ALL of orders, untouched
+    "q225_delta_foreign_optimize" ->
+      s"""WITH actions AS (
+            SELECT * FROM read_json('${deltaOptimizeDir("/root/testdata/sf0.01")}/_delta_log/*.json',
+              format='newline_delimited',
+              columns={add: 'STRUCT(path VARCHAR)',
+                       remove: 'STRUCT(path VARCHAR)'})),
+          adds AS (SELECT add.path AS p FROM actions WHERE add IS NOT NULL),
+          removes AS (SELECT remove.path AS p FROM actions WHERE remove IS NOT NULL),
+          live AS (SELECT p FROM adds EXCEPT SELECT p FROM removes),
+          rows AS (
+            SELECT o_orderstatus, o_orderkey, o_totalprice, filename
+            FROM read_parquet('${deltaOptimizeDir("/root/testdata/sf0.01")}/data/*.parquet',
+              filename=true)),
+          kept AS (
+            SELECT r.* FROM rows r
+            JOIN live l ON right(r.filename, length(l.p)) = l.p)
+          SELECT o_orderstatus, count(*) AS n,
+            CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+            ${Exact.sqlMoneySum("o_totalprice")} AS sum_price
+          FROM kept GROUP BY 1 ORDER BY 1""",
+
+    // the rolled-back chain equals the evens it started with
+    "q226_iceberg_foreign_rollback" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+            CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+            ${Exact.sqlMoneySum("o_totalprice")} AS sum_price
+          FROM orders WHERE o_orderkey % 2 = 0
+          GROUP BY 1 ORDER BY 1""",
 
     // the spec-evolved chain serves both eras' rows exactly: the
     // filtered raw-events aggregate is era-blind by construction

@@ -3563,6 +3563,50 @@ object IcebergMeta {
     n
   }
 
+  /** ROLLBACK a foreign chain to an earlier snapshot — Iceberg's
+    * rollback_to_snapshot procedure: a NEW metadata version whose
+    * `current-snapshot-id` (and refs.main) points back at `sid`; no
+    * snapshot is added or removed, history is preserved (time travel
+    * forward of the rollback still works, and a later expiry trims as
+    * usual), and `last-sequence-number` stays — the next commit's
+    * sequence continues above everything ever written, the spec's
+    * monotonic-sequence rule. Committed through the same createLink
+    * CAS as every foreign writer. Returns the new metadata version. */
+  def rollbackIcebergForeign(root: String, sid: Long): Long = {
+    require(hasChain(root), s"no Iceberg metadata at $root")
+    val dir = metaDir(root)
+    val curN = trueCurrentVersion(dir, root)
+    val md = mapper.readTree(Files.readString(
+      dir.resolve(s"v$curN.metadata.json")))
+    val fmtVer = Option(md.get("format-version")).map(_.asInt()).getOrElse(0)
+    require(fmtVer == 2,
+      s"rollback supports Iceberg format-version 2 only; the chain at " +
+        s"$root is format-version $fmtVer")
+    if (md.get("current-snapshot-id").asLong() == sid) return curN // no-op
+    require(md.get("snapshots").elements().asScala
+        .exists(_.get("snapshot-id").asLong() == sid),
+      s"no snapshot $sid at $root (expired or never committed)")
+    val ts = math.max(System.currentTimeMillis(),
+      md.get("last-updated-ms").asLong() + 1)
+    val obj = md.deepCopy()
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    obj.put("current-snapshot-id", sid)
+    obj.put("last-updated-ms", ts)
+    obj.withArray("snapshot-log").add(mapper.readTree(
+      s"""{"snapshot-id":$sid,"timestamp-ms":$ts}"""))
+    Option(obj.get("refs")).foreach { refs =>
+      Option(refs.get("main")).foreach { m =>
+        m.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          .put("snapshot-id", sid)
+        ()
+      }
+    }
+    obj.withArray("metadata-log").add(mapper.readTree(
+      s"""{"metadata-file":"${dir.resolve(s"v$curN.metadata.json")}","timestamp-ms":${md.get("last-updated-ms").asLong()}}"""))
+    casCommitMetadata(root, dir, curN, obj, "rollback")
+    curN + 1
+  }
+
   /** ALTER TABLE ADD COLUMNS on a foreign Iceberg chain — schema
     * evolution the spec way: a NEW schema object (fresh schema-id,
     * existing fields verbatim, new fields with ids above

@@ -2723,6 +2723,183 @@ object LakehouseTable {
       rewrite, rels, cdcFiles, "merge")
   }
 
+  /** OPTIMIZE (bin-packing compaction) of a FOREIGN Delta table — the
+    * single most-run maintenance on real Delta tables: live files
+    * smaller than `targetBytes` rewrite together into
+    * ceil(total/target) files, committed as remove+add with
+    * `dataChange: false` — the spec's pure-layout-churn marker, which
+    * streams and CDF readers skip (the reader's dataChange filter) —
+    * so compaction is invisible to every incremental consumer.
+    * Deletion vectors of the compacted files are APPLIED and PURGED by
+    * the rewrite (Delta's OPTIMIZE does the same), and the fresh adds
+    * carry full stats. Legal on append-only tables: the spec's
+    * appendOnly obligation bars dataChange=true removes only. CHECK
+    * constraints / invariants / generated / identity columns are
+    * compaction-safe (rows are verbatim). Returns the committed
+    * version, or the pinned current one when fewer than two small
+    * files exist (no-op, no commit). */
+  def optimizeDeltaForeign(spark: SparkSession, root: String,
+      targetBytes: Long = 128L * 1024 * 1024): Long = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val logDir = Paths.get(root, "_delta_log")
+    require(Files.isDirectory(logDir), s"no _delta_log at $root")
+    val cur = pinForeignDeltaVersion(root, logDir)
+    val state = deltaStateAt(spark, root, Some(cur), useCheckpoint = true)
+    val struct = schemaJsonToStruct(state.schemaJson).getOrElse(
+      throw new IllegalStateException(
+        s"optimize requires a log with a metaData schemaString at $root"))
+    require(state.partitionCols.nonEmpty ||
+        state.partVals.values.forall(_.isEmpty),
+      s"live add actions at $root carry partitionValues but the " +
+        "metaData's partitionColumns are unknown; rewriting blind " +
+        "would mis-lay the rows — refusing")
+    val mapping = state.conf.getOrElse("delta.columnMapping.mode", "none")
+    validateMappedWrite(root, struct, mapping, "optimize")
+    val (minR, minW) = state.protocol
+    val safeFeatures = Set("appendOnly", "invariants", "deletionVectors",
+      "changeDataFeed", "timestampNtz", "v2Checkpoint", "columnMapping",
+      "allowColumnDefaults", "checkConstraints", "generatedColumns",
+      "identityColumns")
+    if (minW >= 7) {
+      val extra = state.writerFeatures.filterNot(safeFeatures)
+      require(extra.isEmpty,
+        s"writer feature(s) ${extra.mkString(", ")} at $root impose " +
+          "obligations this compaction writer cannot verify; refusing")
+    } else require(minW >= 1 && minW <= 6,
+      s"writer version $minW not supported")
+    require(minR <= 3, s"reader version $minR not supported")
+    // small-file selection: on-disk size, O(live files) driver stats.
+    // A DV-bearing file compacts REGARDLESS of size (the rewrite purges
+    // its DV — REORG's behavior, folded in).
+    val small = state.live.filter { f =>
+      val p = Paths.get(root).resolve(f)
+      state.dvs.contains(f) ||
+        (Files.exists(p) && Files.size(p) < targetBytes)
+    }
+    if (small.size < 2 && small.forall(f => !state.dvs.contains(f)))
+      return cur // nothing worth packing: no-op, no commit
+    val smallSet = small.toSet
+    val rows = readDeltaSlice(spark, root, state, small,
+      state.dvs.filter(kv => smallSet.contains(kv._1)))
+    val total = small.map(f => Files.size(Paths.get(root).resolve(f))).sum
+    val nOut = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+    val aligned = rows.select(
+      struct.fields.map(f => bq(f.name)).toSeq: _*).coalesce(nOut)
+    val (physicalDf, physPartCols) =
+      lowerForWrite(spark, struct, mapping, aligned, state.partitionCols)
+    val rels = writeFilesRaw(physicalDf, root, physPartCols)
+    commitForeignRewriteVersion(root, logDir, state, cur,
+      s""""operation":"OPTIMIZE","operationParameters":{"targetSize":"$targetBytes"}""",
+      small, rels, Nil, "optimize", dataChange = false)
+  }
+
+  /** RESTORE a FOREIGN Delta table to `version` — Delta's RESTORE
+    * TABLE ... VERSION AS OF: ONE commit whose adds re-instate the
+    * files live at the target (original stats/partitionValues/DVs,
+    * re-committed from the target state), whose removes drop the
+    * files live now but not then, and whose metaData resets the
+    * schema/partitioning/configuration when the target's differ —
+    * history is preserved (this is a new version; time travel still
+    * sees everything). dataChange: true, Delta's own semantics (a
+    * restore IS a data change). Refuses when a target file is gone
+    * from disk (vacuumed past — Delta's own restore error) and on
+    * CDF-recording tables (a conforming writer must commit the
+    * rewrite's change rows; deriving them needs a row-level diff this
+    * writer does not do — read the two versions and diff instead).
+    * Returns the committed version; restoring to the current state is
+    * a no-op. */
+  def restoreDeltaForeign(spark: SparkSession, root: String,
+      version: Long): Long = {
+    val logDir = Paths.get(root, "_delta_log")
+    require(Files.isDirectory(logDir), s"no _delta_log at $root")
+    val cur = pinForeignDeltaVersion(root, logDir)
+    require(version <= cur, s"cannot restore to future version $version " +
+      s"(current is $cur) at $root")
+    val curState = deltaStateAt(spark, root, Some(cur), useCheckpoint = true)
+    val tgtState = deltaStateAt(spark, root, Some(version),
+      useCheckpoint = true)
+    require(tgtState.schemaJson.isDefined,
+      s"restore requires a metaData schemaString at version $version")
+    val cdfOn = curState.conf.get("delta.enableChangeDataFeed")
+      .contains("true")
+    require(!cdfOn,
+      s"restore of a CDF-recording table at $root is not supported " +
+        "(the change rows of a restore need a row-level diff this " +
+        "writer does not derive)")
+    val curLive = curState.live.toSet
+    val tgtLive = tgtState.live.toSet
+    // a file live in both but under a DIFFERENT deletion vector must
+    // re-add with the target's (remove + add of the same path, the
+    // spec's DV-update shape)
+    val dvChanged = (curLive & tgtLive).filter(f =>
+      curState.dvs.get(f) != tgtState.dvs.get(f))
+    val readds = (tgtLive -- curLive) ++ dvChanged
+    val removes = (curLive -- tgtLive) ++ dvChanged
+    val metaChanged = curState.schemaJson != tgtState.schemaJson ||
+      curState.partitionCols != tgtState.partitionCols ||
+      curState.conf != tgtState.conf
+    if (readds.isEmpty && removes.isEmpty && !metaChanged)
+      return cur // already at the target state
+    val missing = readds.filterNot(f =>
+      Files.exists(Paths.get(root).resolve(f)))
+    require(missing.isEmpty,
+      s"restore to version $version needs file(s) no longer on disk " +
+        s"(vacuumed): ${missing.toSeq.sorted.take(3).mkString(", ")}" +
+        (if (missing.size > 3) s" (+${missing.size - 3} more)" else ""))
+    val ts = System.currentTimeMillis()
+    val sb = new StringBuilder
+    sb.append(s"""{"commitInfo":{"timestamp":$ts,"operation":"RESTORE","operationParameters":{"version":"$version"}}}""")
+      .append('\n')
+    if (metaChanged) {
+      val id = deltaMetaDataIdOf(spark, root).getOrElse(
+        "graft-" + graft.plans.TextExpressions.md5Hex(root).take(12))
+      val confJson = tgtState.conf.toSeq.sortBy(_._1).map { case (k, v) =>
+        s""""${escJson(k)}":"${escJson(v)}"""" }.mkString("{", ",", "}")
+      val parts = tgtState.partitionCols
+        .map(c => s""""${escJson(c)}"""").mkString("[", ",", "]")
+      sb.append(s"""{"metaData":{"id":"${escJson(id)}","format":{"provider":"parquet","options":{}},"schemaString":"${escJson(tgtState.schemaJson.get)}","partitionColumns":$parts,"configuration":$confJson}}""")
+        .append('\n')
+    }
+    removes.toSeq.sorted.foreach { f =>
+      val (rawPath, rawDv) = curState.rawAdd.getOrElse(f,
+        (escJson(deltaEncodePath(f)), curState.dvs.get(f).map(dvJson)))
+      val dvField = rawDv.fold("")(d => s""","deletionVector":$d""")
+      sb.append(s"""{"remove":{"path":"$rawPath","deletionTimestamp":$ts,"dataChange":true$dvField}}""")
+        .append('\n')
+    }
+    readds.toSeq.sorted.foreach { f =>
+      // the TARGET state's add, re-committed: raw line when the JSON
+      // still has it (stats, partitionValues, and DV verbatim), else
+      // rebuilt from the replayed target state
+      tgtState.rawAdd.get(f) match {
+        case Some((rawPath, rawDv)) =>
+          val p = Paths.get(root).resolve(f)
+          val pv = tgtState.partVals.get(f).map(m =>
+            m.toSeq.sortBy(_._1).map { case (k, ov) =>
+              s""""${escJson(k)}":${ov.fold("null")(v => s""""${escJson(v)}"""")}"""
+            }.mkString("{", ",", "}")).getOrElse("{}")
+          val statsField = tgtState.stats.get(f)
+            .map(s => s""","stats":"${escJson(s)}"""").getOrElse("")
+          val dvField = rawDv.fold("")(d => s""","deletionVector":$d""")
+          sb.append(s"""{"add":{"path":"$rawPath","partitionValues":$pv,"size":${Files.size(p)},"modificationTime":${Files.getLastModifiedTime(p).toMillis},"dataChange":true$statsField$dvField}}""")
+            .append('\n')
+        case None =>
+          val p = Paths.get(root).resolve(f)
+          val pv = tgtState.partVals.get(f).map(m =>
+            m.toSeq.sortBy(_._1).map { case (k, ov) =>
+              s""""${escJson(k)}":${ov.fold("null")(v => s""""${escJson(v)}"""")}"""
+            }.mkString("{", ",", "}")).getOrElse("{}")
+          val statsField = tgtState.stats.get(f)
+            .map(s => s""","stats":"${escJson(s)}"""").getOrElse("")
+          val dvField = tgtState.dvs.get(f)
+            .map(d => s""","deletionVector":${dvJson(d)}""").getOrElse("")
+          sb.append(s"""{"add":{"path":"${escJson(deltaEncodePath(f))}","partitionValues":$pv,"size":${Files.size(p)},"modificationTime":${Files.getLastModifiedTime(p).toMillis},"dataChange":true$statsField$dvField}}""")
+            .append('\n')
+      }
+    }
+    casCommitDeltaLog(root, logDir, cur, sb.toString, "restore")
+  }
+
   /** The shared COPY-ON-WRITE rewrite core of [[deleteDeltaForeign]]
     * and [[updateDeltaForeign]] (see their scaladocs for semantics):
     * pin → replay → refusal battery → inclusive candidate planning →
@@ -2836,7 +3013,8 @@ object LakehouseTable {
   private def commitForeignRewriteVersion(root: String, logDir: Path,
       state: DeltaReplayState, cur: Long, opJson: String,
       removes: Seq[String], rels: Seq[String],
-      cdcFiles: Seq[(String, String, Long)], what: String): Long = {
+      cdcFiles: Seq[(String, String, Long)], what: String,
+      dataChange: Boolean = true): Long = {
     val ts = System.currentTimeMillis()
     val sb = new StringBuilder
     sb.append(s"""{"commitInfo":{"timestamp":$ts,$opJson}}""")
@@ -2849,10 +3027,11 @@ object LakehouseTable {
       val (rawPath, rawDv) = state.rawAdd.getOrElse(f,
         (escJson(deltaEncodePath(f)), state.dvs.get(f).map(dvJson)))
       val dvField = rawDv.fold("")(d => s""","deletionVector":$d""")
-      sb.append(s"""{"remove":{"path":"$rawPath","deletionTimestamp":$ts,"dataChange":true$dvField}}""")
+      sb.append(s"""{"remove":{"path":"$rawPath","deletionTimestamp":$ts,"dataChange":$dataChange$dvField}}""")
         .append('\n')
     }
-    rels.foreach(f => sb.append(addActionJson(root, f)).append('\n'))
+    rels.foreach(f =>
+      sb.append(addActionJson(root, f, dataChange)).append('\n'))
     casCommitDeltaLog(root, logDir, cur, sb.toString, what)
   }
 
@@ -2952,10 +3131,11 @@ object LakehouseTable {
   /** One stats-bearing add action for a data-dir-relative file this
     * writer just wrote — the commit line both foreign write paths
     * share. */
-  private def addActionJson(root: String, f: String): String = {
+  private def addActionJson(root: String, f: String,
+      dataChange: Boolean = true): String = {
     val p = dataDir(root).resolve(f)
     val stats = escJson(fileStatsJson(p))
-    s"""{"add":{"path":"data/${escJson(deltaEncodePath(f))}","partitionValues":${hivePartValuesJson(f)},"size":${Files.size(p)},"modificationTime":${Files.getLastModifiedTime(p).toMillis},"dataChange":true,"stats":"$stats"}}"""
+    s"""{"add":{"path":"data/${escJson(deltaEncodePath(f))}","partitionValues":${hivePartValuesJson(f)},"size":${Files.size(p)},"modificationTime":${Files.getLastModifiedTime(p).toMillis},"dataChange":$dataChange,"stats":"$stats"}}"""
   }
 
   /** The shared commit tail of every foreign-Delta writer: commit the

@@ -70,7 +70,10 @@ import graft.sources.{IcebergMeta, LakehouseTable}
   *   CHECKPOINT delta_export('/p')                  -- foreign spec checkpoint
   *   VACUUM delta_export('/p') [RETAIN n HOURS]     -- foreign file reclamation
   *   VACUUM iceberg_export('/p') [RETAIN n VERSIONS]-- foreign snapshot expiry
+  *   OPTIMIZE delta_export('/p')                    -- foreign bin-packing
   *   OPTIMIZE iceberg_export('/p')                  -- foreign MOR compaction
+  *   RESTORE TABLE delta_export('/p') TO VERSION AS OF n  -- Delta RESTORE
+  *   RESTORE TABLE iceberg_export('/p') TO SNAPSHOT id    -- Iceberg rollback
   * }}}
   *
   * Two equivalent entry points run the SAME command objects:
@@ -615,23 +618,34 @@ case class ForeignAlterAddColumnsCommand(face: String, root: String,
 /** Foreign maintenance by quoted path: CHECKPOINT delta_export (spec
   * checkpoint + pointer), VACUUM delta_export [RETAIN n HOURS]
   * (retention-gated file reclamation), VACUUM iceberg_export
-  * [RETAIN n VERSIONS] (snapshot expiry), OPTIMIZE iceberg_export
-  * (MOR compaction — one replace snapshot with every delete
-  * applied). */
+  * [RETAIN n VERSIONS] (snapshot expiry), OPTIMIZE delta_export
+  * (bin-packing compaction, dataChange=false), OPTIMIZE
+  * iceberg_export (MOR compaction — one replace snapshot with every
+  * delete applied), RESTORE TABLE delta_export ... TO VERSION AS OF n
+  * (Delta RESTORE), RESTORE TABLE iceberg_export ... TO SNAPSHOT id
+  * (Iceberg rollback_to_snapshot). The argument stays TEXT until each
+  * op parses it — snapshot ids exceed Double's exact integer range. */
 case class ForeignMaintenanceCommand(op: String, root: String,
-    retain: Option[Double]) extends LeafRunnableCommand {
+    arg: Option[String]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     op match {
       case "checkpoint" =>
         LakehouseTable.checkpointDeltaForeign(spark, root)
       case "vacuum-delta" =>
         LakehouseTable.vacuumDeltaForeign(spark, root,
-          retain.getOrElse(168.0))
+          arg.map(_.toDouble).getOrElse(168.0))
       case "expire-iceberg" =>
         graft.sources.IcebergMeta.expireSnapshotsForeign(root,
-          retainLast = retain.map(_.toInt).getOrElse(1))
+          retainLast = arg.map(_.toDouble.toInt).getOrElse(1))
+      case "optimize-delta" =>
+        LakehouseTable.optimizeDeltaForeign(spark, root)
       case "compact-iceberg" =>
         graft.sources.IcebergMeta.rewriteDataFilesForeign(spark, root)
+      case "restore-delta" =>
+        LakehouseTable.restoreDeltaForeign(spark, root, arg.get.toLong)
+      case "rollback-iceberg" =>
+        graft.sources.IcebergMeta.rollbackIcebergForeign(root,
+          arg.get.toLong)
     }
     Seq.empty
   }
@@ -1238,16 +1252,24 @@ object GraftSqlStatements {
           require(unit == null || unit.equalsIgnoreCase("HOURS"),
             "VACUUM delta_export(...) retention is RETAIN n HOURS")
           Some(ForeignMaintenanceCommand("vacuum-delta",
-            unmaskLit(unmask, idx), Option(retain).map(_.toDouble)))
+            unmaskLit(unmask, idx), Option(retain)))
         } else {
           require(unit == null || unit.equalsIgnoreCase("VERSIONS"),
             "VACUUM iceberg_export(...) retention is RETAIN n VERSIONS")
           Some(ForeignMaintenanceCommand("expire-iceberg",
-            unmaskLit(unmask, idx), Option(retain).map(_.toDouble)))
+            unmaskLit(unmask, idx), Option(retain)))
         }
-      case ForeignOptimizeRe(idx) =>
-        Some(ForeignMaintenanceCommand("compact-iceberg",
+      case ForeignOptimizeRe(face, idx) =>
+        Some(ForeignMaintenanceCommand(
+          if (face.equalsIgnoreCase("delta_export")) "optimize-delta"
+          else "compact-iceberg",
           unmaskLit(unmask, idx), None))
+      case ForeignRestoreRe(idx, v) =>
+        Some(ForeignMaintenanceCommand("restore-delta",
+          unmaskLit(unmask, idx), Some(v)))
+      case ForeignRollbackRe(idx, s) =>
+        Some(ForeignMaintenanceCommand("rollback-iceberg",
+          unmaskLit(unmask, idx), Some(s)))
       case ForeignMergeRe(face, idx, tAlias, source, sAlias, cond, delCond) =>
         // the TVF target has no table name — the ON clause can only
         // reference it through an alias, so one is required
@@ -1370,8 +1392,14 @@ object GraftSqlStatements {
       MaskedLit +
       """\s*\)(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+(HOURS|VERSIONS))?\s*;?\s*$""").r
   private val ForeignOptimizeRe =
-    ("""(?is)^\s*OPTIMIZE\s+iceberg_export\s*\(\s*""" + MaskedLit +
-      """\s*\)\s*;?\s*$""").r
+    ("""(?is)^\s*OPTIMIZE\s+(delta_export|iceberg_export)\s*\(\s*""" +
+      MaskedLit + """\s*\)\s*;?\s*$""").r
+  private val ForeignRestoreRe =
+    ("""(?is)^\s*RESTORE\s+TABLE\s+delta_export\s*\(\s*""" + MaskedLit +
+      """\s*\)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
+  private val ForeignRollbackRe =
+    ("""(?is)^\s*RESTORE\s+TABLE\s+iceberg_export\s*\(\s*""" + MaskedLit +
+      """\s*\)\s+TO\s+SNAPSHOT\s+(\d+)\s*;?\s*$""").r
   private val ForeignMergeRe =
     ("""(?is)^\s*MERGE\s+INTO\s+(delta_export|iceberg_export)\s*\(\s*""" +
       MaskedLit +

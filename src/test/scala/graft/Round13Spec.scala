@@ -2147,6 +2147,159 @@ class Round13Spec extends AnyFunSuite {
       .select($"k").as[Long].collect().toSet == (4L to 10L).toSet)
   }
 
+  test("delta foreign optimize: bin-packing, dataChange=false, DV purge, no-op") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot("fopt_delta")
+    LT.create(Seq.range(1L, 41L).map(k => (k, k * 10L)).toDF("k", "v")
+      .repartition(8), root)
+    LT.enableChangeDataFeed(spark, root, Seq("k"))
+    LT.exportDeltaLog(spark, root)
+    wipeManifest(root)
+    // a MOR delete puts a DV on some file; optimize must purge it
+    LT.deleteDeltaForeign(spark, root, "k = 999") // no-op, keeps state simple
+    val ver = LT.optimizeDeltaForeign(spark, root)
+    val logTxt = Files.readString(Paths.get(root, "_delta_log",
+      f"$ver%020d.json"))
+    assert(""""remove":""".r.findAllIn(logTxt).size == 8, logTxt.take(400))
+    assert(logTxt.contains(""""dataChange":false"""),
+      "compaction must mark pure layout churn")
+    assert(!logTxt.contains(""""dataChange":true"""), logTxt.take(400))
+    val back = LT.readDeltaExport(spark, root)
+      .as[(Long, Long)].collect().toMap
+    assert(back == (1L to 40L).map(k => k -> k * 10).toMap)
+    assert(LT.readDeltaExport(spark, root).inputFiles.length == 1,
+      "8 small files pack into 1")
+    // CDF: the optimize version derives NO changes (dataChange=false)
+    val ch = LT.readDeltaExportChanges(spark, root, ver, ver)
+    assert(ch.count() == 0, "pure churn must derive zero change rows")
+    // idempotent: one big file left → no-op, no commit
+    val same = LT.optimizeDeltaForeign(spark, root)
+    assert(same == ver)
+    assert(!Files.exists(Paths.get(root, "_delta_log",
+      f"${ver + 1}%020d.json")))
+    // a DV-bearing file compacts regardless of size, purging the DV
+    val dvroot = freshRoot("fopt_delta_dv")
+    LT.create(Seq.range(1L, 11L).map(k => (k, k * 10L)).toDF("k", "v")
+      .coalesce(1), dvroot)
+    LT.deleteWhereMor(spark, dvroot, "k <= 2")
+    LT.exportDeltaLog(spark, dvroot)
+    wipeManifest(dvroot)
+    val dvVer = LT.optimizeDeltaForeign(spark, dvroot)
+    val dvLog = Files.readString(Paths.get(dvroot, "_delta_log",
+      f"$dvVer%020d.json"))
+    assert(dvLog.contains(""""remove":""") &&
+      !""""add":\{[^\n]*deletionVector""".r.findFirstIn(dvLog).isDefined,
+      "the rewrite must purge the DV from the fresh add")
+    assert(LT.readDeltaExport(spark, dvroot)
+      .select($"k").as[Long].collect().toSet == (3L to 10L).toSet)
+  }
+
+  test("delta foreign restore: files and metaData reset, refusals") {
+    import spark.implicits._
+    val root = freshRoot("frestore_delta")
+    LT.create(Seq((1L, 10L), (2L, 20L)).toDF("k", "v").coalesce(1), root)
+    LT.exportDeltaLog(spark, root)
+    wipeManifest(root)
+    LT.appendDeltaForeign(spark, root, Seq((3L, 30L)).toDF("k", "v"))
+    LT.addColumnsDeltaForeign(spark, root, "w BIGINT")
+    LT.deleteDeltaForeign(spark, root, "k = 1")
+    // restore to v0: the appended row gone, the deleted row back, the
+    // added column gone (metaData reset)
+    val ver = LT.restoreDeltaForeign(spark, root, 0L)
+    val back = LT.readDeltaExport(spark, root)
+    assert(back.columns.toSeq == Seq("k", "v"),
+      s"restore must reset the schema: ${back.columns.toSeq}")
+    assert(back.as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L), (2L, 20L)))
+    // history preserved: the pre-restore state still time-travels
+    assert(LT.readDeltaExport(spark, root, versionAsOf = Some(ver - 1))
+      .count() == 2) // post-delete state had k=2,3
+    // restoring to the state we are already at: no-op, no commit
+    val same = LT.restoreDeltaForeign(spark, root, ver)
+    assert(same == ver)
+    // a vacuumed target refuses: vacuum at 0 reclaims the files only
+    // the pre-restore versions reference, then restore to one of them
+    LT.vacuumDeltaForeign(spark, root, retainHours = 0.0)
+    val exGone = intercept[IllegalArgumentException] {
+      LT.restoreDeltaForeign(spark, root, 2L)
+    }
+    assert(exGone.getMessage.contains("vacuumed"), exGone.getMessage)
+    // CDF tables refuse
+    val croot = freshRoot("frestore_cdf")
+    LT.create(Seq((1L, 10L)).toDF("k", "v").coalesce(1), croot)
+    LT.enableChangeDataFeed(spark, croot, Seq("k"))
+    LT.exportDeltaLog(spark, croot)
+    wipeManifest(croot)
+    LT.appendDeltaForeign(spark, croot, Seq((2L, 20L)).toDF("k", "v"))
+    val exCdf = intercept[IllegalArgumentException] {
+      LT.restoreDeltaForeign(spark, croot, 0L)
+    }
+    assert(exCdf.getMessage.contains("CDF"), exCdf.getMessage)
+  }
+
+  test("iceberg foreign rollback: current back, history forward-travelable") {
+    import spark.implicits._
+    val root = freshRoot("frollback_ice")
+    LT.create(Seq((1L, 10L), (2L, 20L)).toDF("k", "v").coalesce(1), root)
+    IcebergMeta.exportIcebergMeta(spark, root)
+    wipeManifest(root)
+    val first = IcebergMeta.snapshots(root).minBy(_.seq).id
+    val appended = IcebergMeta.appendIcebergForeign(spark, root,
+      Seq((3L, 30L)).toDF("k", "v"))
+    IcebergMeta.rollbackIcebergForeign(root, first)
+    assert(IcebergMeta.readIceberg(spark, root)
+      .select($"k").as[Long].collect().toSet == Set(1L, 2L))
+    // the rolled-past snapshot still time-travels
+    assert(IcebergMeta.readIceberg(spark, root,
+      snapshotAsOf = Some(appended)).count() == 3)
+    // no-op on the current snapshot; unknown snapshot refuses
+    val verBefore = maxIceVersion(root)
+    IcebergMeta.rollbackIcebergForeign(root, first)
+    assert(maxIceVersion(root) == verBefore)
+    intercept[IllegalArgumentException] {
+      IcebergMeta.rollbackIcebergForeign(root, 123456789L)
+    }
+    // a NEW append continues above everything ever written (sequence
+    // monotonicity survives the rollback)
+    IcebergMeta.appendIcebergForeign(spark, root,
+      Seq((4L, 40L)).toDF("k", "v"))
+    assert(IcebergMeta.readIceberg(spark, root)
+      .select($"k").as[Long].collect().toSet == Set(1L, 2L, 4L))
+    // SQL faces
+    spark.sql(s"OPTIMIZE delta_export('${freshOptRoot()}')")
+    ()
+  }
+
+  private def freshOptRoot(): String = {
+    import spark.implicits._
+    val r = freshRoot("fopt_sql")
+    LT.create(Seq((1L, 10L), (2L, 20L)).toDF("k", "v").repartition(2), r)
+    LT.exportDeltaLog(spark, r)
+    wipeManifest(r)
+    r
+  }
+
+  test("foreign restore/rollback SQL faces dispatch by quoted path") {
+    import spark.implicits._
+    val droot = freshRoot("fsql_restore_d")
+    LT.create(Seq((1L, 10L)).toDF("k", "v").coalesce(1), droot)
+    LT.exportDeltaLog(spark, droot)
+    wipeManifest(droot)
+    spark.sql(s"INSERT INTO delta_export('$droot') SELECT 2L AS k, 20L AS v")
+    spark.sql(s"RESTORE TABLE delta_export('$droot') TO VERSION AS OF 0")
+    assert(LT.readDeltaExport(spark, droot).count() == 1)
+
+    val iroot = freshRoot("fsql_restore_i")
+    LT.create(Seq((1L, 10L)).toDF("k", "v").coalesce(1), iroot)
+    IcebergMeta.exportIcebergMeta(spark, iroot)
+    wipeManifest(iroot)
+    val first = IcebergMeta.snapshots(iroot).minBy(_.seq).id
+    spark.sql(s"INSERT INTO iceberg_export('$iroot') SELECT 2L AS k, 20L AS v")
+    spark.sql(s"RESTORE TABLE iceberg_export('$iroot') TO SNAPSHOT $first")
+    assert(IcebergMeta.readIceberg(spark, iroot).count() == 1)
+  }
+
   test("iceberg foreign delete applies across partition-evolution eras") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, expr}
