@@ -3657,8 +3657,30 @@ object IcebergMeta {
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
     newSchema.put("schema-id", newSchemaId)
     add.fields.zipWithIndex.foreach { case (f, i) =>
-      newSchema.withArray("fields").add(mapper.readTree(
-        s"""{"id":${base + i + 1},"name":"${f.name}","required":false,"type":${icebergType(f.dataType)}}"""))
+      // PRIMITIVES only: icebergType's nested forms carry the
+      // exporter's element-id shortcut (-1), which would commit
+      // spec-invalid field ids into a foreign chain — refuse rather
+      // than corrupt. The field node builds through jackson so a
+      // quoted name (backtick DDL allows '"' and '\\') cannot split
+      // the committed JSON.
+      f.dataType match {
+        case _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.MapType |
+             _: org.apache.spark.sql.types.StructType =>
+          throw new IllegalArgumentException(
+            s"ADD COLUMNS on a foreign chain supports primitive types " +
+              s"only; got ${f.name} ${f.dataType.sql} (nested types " +
+              "need element/key/value field ids this writer does not " +
+              "allocate)")
+        case _ => ()
+      }
+      val fieldNode = mapper.createObjectNode()
+      fieldNode.put("id", base + i + 1)
+      fieldNode.put("name", f.name)
+      fieldNode.put("required", false)
+      fieldNode.set[com.fasterxml.jackson.databind.JsonNode]("type",
+        mapper.readTree(icebergType(f.dataType)))
+      newSchema.withArray("fields").add(fieldNode)
       ()
     }
     val obj = md.deepCopy()

@@ -2187,21 +2187,12 @@ object LakehouseTable {
         "delta.identity.allowExplicitInsert")),
       "append to a table with identity columns is not supported " +
         "(this writer does not allocate identity values)")
-    val (minR, minW) = state.protocol
-    val appendSafe = Set("appendOnly", "invariants", "deletionVectors",
-      "changeDataFeed", "timestampNtz", "v2Checkpoint", "columnMapping")
-    if (minW >= 7) {
-      val extra = state.writerFeatures.filterNot(appendSafe)
-      require(extra.isEmpty,
-        s"writer feature(s) ${extra.mkString(", ")} at $root impose " +
-          "obligations an append-only writer cannot verify; refusing")
-    } else require(minW >= 1 && minW <= 6,
-      // versions 3-6 imply constraints / generated+CDF / columnMapping /
-      // identity — each verified ABOVE against what the table actually
-      // declares, so the implied capability alone is append-safe; out-
-      // of-range values mean a malformed foreign protocol action
-      s"writer version $minW not supported")
-    require(minR <= 3, s"reader version $minR not supported")
+    // legacy versions 3-6 imply constraints / generated+CDF /
+    // columnMapping / identity — each verified ABOVE against what the
+    // table actually declares, so the implied capability alone is
+    // append-safe
+    requireForeignWriterProtocol(state, root, "append",
+      ForeignSafeFeaturesBase)
     // schema: exactly the table's columns, by (case-insensitive) name
     // and exact type — a silent cast would change values under readers.
     // NULLABILITY is part of the contract: appending a nullable column
@@ -2272,19 +2263,8 @@ object LakehouseTable {
       s"column already exists at $root: ${f.name}"))
     require(add.map(_.name.toLowerCase).distinct.size == add.size,
       s"duplicate column name in '$colsDdl'")
-    val (minR, minW) = state.protocol
-    val safeFeatures = Set("appendOnly", "invariants", "deletionVectors",
-      "changeDataFeed", "timestampNtz", "v2Checkpoint", "columnMapping",
-      "allowColumnDefaults", "checkConstraints", "generatedColumns",
-      "identityColumns")
-    if (minW >= 7) {
-      val extra = state.writerFeatures.filterNot(safeFeatures)
-      require(extra.isEmpty,
-        s"writer feature(s) ${extra.mkString(", ")} at $root impose " +
-          "obligations this metadata writer cannot verify; refusing")
-    } else require(minW >= 1 && minW <= 6,
-      s"writer version $minW not supported")
-    require(minR <= 3, s"reader version $minR not supported")
+    requireForeignWriterProtocol(state, root, "metadata",
+      ForeignRowPreservingSafe)
     val mapping = state.conf.getOrElse("delta.columnMapping.mode", "none")
     val (annotated, newConf) =
       if (mapping == "none") (add.fields.toSeq, state.conf)
@@ -2311,27 +2291,58 @@ object LakehouseTable {
           ("delta.columnMapping.maxColumnId" -> (base + add.size).toString))
       }
     val newStruct = StructType(struct.fields.toSeq ++ annotated)
-    val id = deltaMetaDataIdOf(spark, root).getOrElse(
+    val (idOpt, name, desc, createdTime) = deltaMetaDataExtrasOf(spark, root)
+    val id = idOpt.getOrElse(
       "graft-" + graft.plans.TextExpressions.md5Hex(root).take(12))
-    val confJson = newConf.toSeq.sortBy(_._1).map { case (k, v) =>
-      s""""${escJson(k)}":"${escJson(v)}"""" }.mkString("{", ",", "}")
-    val parts = state.partitionCols
-      .map(c => s""""${escJson(c)}"""").mkString("[", ",", "]")
     val ts = System.currentTimeMillis()
     val sb = new StringBuilder
     sb.append(s"""{"commitInfo":{"timestamp":$ts,"operation":"ADD COLUMNS","operationParameters":{"columns":"${escJson(colsDdl)}"}}}""")
       .append('\n')
-    sb.append(s"""{"metaData":{"id":"${escJson(id)}","format":{"provider":"parquet","options":{}},"schemaString":"${escJson(newStruct.json)}","partitionColumns":$parts,"configuration":$confJson}}""")
+    sb.append(metaDataActionJson(id, name, desc, createdTime,
+      newStruct.json, state.partitionCols, newConf))
       .append('\n')
     casCommitDeltaLog(root, logDir, cur, sb.toString, "add columns")
   }
 
-  /** The table id of the log's LAST metaData action (JSON tail first,
-    * newest wins; the checkpoint's metaData row as the fallback once
-    * the tail is cleaned) — a metadata commit must PRESERVE it, or
-    * readers treat the commit as a table replace. */
-  private def deltaMetaDataIdOf(spark: SparkSession, root: String)
-      : Option[String] = {
+  /** The spec's writer-version/feature refusal skeleton every foreign
+    * Delta writer runs: legacy versions 1–6 pass (their implied
+    * capabilities are verified per-op against what the table actually
+    * declares), v7 feature lists must stay inside `safe` — what the op
+    * proves harmless by construction — and readers above 3 refuse.
+    * ONE body, so vetting a new feature for one writer cannot silently
+    * skip the others. */
+  private def requireForeignWriterProtocol(state: DeltaReplayState,
+      root: String, what: String, safe: Set[String]): Unit = {
+    val (minR, minW) = state.protocol
+    if (minW >= 7) {
+      val extra = state.writerFeatures.filterNot(safe)
+      require(extra.isEmpty,
+        s"writer feature(s) ${extra.mkString(", ")} at $root impose " +
+          s"obligations this $what writer cannot verify; refusing")
+    } else require(minW >= 1 && minW <= 6,
+      s"writer version $minW not supported")
+    require(minR <= 3, s"reader version $minR not supported")
+  }
+
+  /** The features an APPEND's obligations cover; rewrites add
+    * allowColumnDefaults, row-preserving ops add the constraint
+    * family (each op's call site says which). */
+  private val ForeignSafeFeaturesBase: Set[String] =
+    Set("appendOnly", "invariants", "deletionVectors", "changeDataFeed",
+      "timestampNtz", "v2Checkpoint", "columnMapping")
+  private val ForeignRowPreservingSafe: Set[String] =
+    ForeignSafeFeaturesBase ++ Set("allowColumnDefaults",
+      "checkConstraints", "generatedColumns", "identityColumns")
+
+  /** Identity fields of the log's LAST metaData action (JSON tail
+    * first, newest wins; the checkpoint's metaData row as the id-only
+    * fallback once the tail is cleaned): (id, name, description,
+    * createdTime). A metadata commit must PRESERVE them — a fresh id
+    * reads as a table replace, and real Delta writers always record
+    * createdTime (dropping name/description from a commit that claims
+    * to preserve table identity loses user metadata). */
+  private def deltaMetaDataExtrasOf(spark: SparkSession, root: String)
+      : (Option[String], Option[String], Option[String], Option[Long]) = {
     val logDir = Paths.get(root, "_delta_log")
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val fromTail = withDrained(Files.list(logDir))(
@@ -2341,25 +2352,50 @@ object LakehouseTable {
         Files.readString(lf).split('\n').reverseIterator
           .filter(_.contains("\"metaData\""))
           .flatMap { line =>
-            try Option(om.readTree(line).get("metaData"))
-              .flatMap(m => Option(m.get("id")).map(_.asText()))
-            catch { case scala.util.control.NonFatal(_) => None }
+            try Option(om.readTree(line).get("metaData")).map { m =>
+              (Option(m.get("id")).map(_.asText()),
+                Option(m.get("name")).filter(_.isTextual).map(_.asText()),
+                Option(m.get("description")).filter(_.isTextual)
+                  .map(_.asText()),
+                Option(m.get("createdTime")).filter(_.isNumber)
+                  .map(_.asLong()))
+            } catch { case scala.util.control.NonFatal(_) => None }
           }
       }.take(1).toSeq.headOption
-    fromTail.orElse {
+    fromTail.getOrElse {
       import org.apache.spark.sql.functions.col
       val lcp = logDir.resolve("_last_checkpoint")
-      if (!Files.exists(lcp)) None
-      else """"version":\s*(\d+)""".r
-        .findFirstMatchIn(Files.readString(lcp)).map(_.group(1).toLong)
-        .map(v => logDir.resolve(f"$v%020d.checkpoint.parquet"))
-        .filter(Files.exists(_))
-        .flatMap { ck =>
-          spark.read.parquet(ck.toString)
-            .filter(col("metaData").isNotNull).select("metaData.id")
-            .collect().headOption.flatMap(r => Option(r.getString(0)))
-        }
+      val id =
+        if (!Files.exists(lcp)) None
+        else """"version":\s*(\d+)""".r
+          .findFirstMatchIn(Files.readString(lcp)).map(_.group(1).toLong)
+          .map(v => logDir.resolve(f"$v%020d.checkpoint.parquet"))
+          .filter(Files.exists(_))
+          .flatMap { ck =>
+            spark.read.parquet(ck.toString)
+              .filter(col("metaData").isNotNull).select("metaData.id")
+              .collect().headOption.flatMap(r => Option(r.getString(0)))
+          }
+      (id, None, None, None)
     }
+  }
+
+  /** ONE metaData action line for the foreign metadata writers (ADD
+    * COLUMNS, RESTORE) — identity fields carried through, optional
+    * ones emitted only when present. */
+  private def metaDataActionJson(id: String, name: Option[String],
+      description: Option[String], createdTime: Option[Long],
+      schemaJson: String, partCols: Seq[String],
+      conf: Map[String, String]): String = {
+    val confJson = conf.toSeq.sortBy(_._1).map { case (k, v) =>
+      s""""${escJson(k)}":"${escJson(v)}"""" }.mkString("{", ",", "}")
+    val parts = partCols
+      .map(c => s""""${escJson(c)}"""").mkString("[", ",", "]")
+    val nameF = name.fold("")(n => s""""name":"${escJson(n)}",""")
+    val descF = description.fold("")(d =>
+      s""""description":"${escJson(d)}",""")
+    val ctF = createdTime.fold("")(t => s""","createdTime":$t""")
+    s"""{"metaData":{"id":"${escJson(id)}",$nameF$descF"format":{"provider":"parquet","options":{}},"schemaString":"${escJson(schemaJson)}","partitionColumns":$parts,"configuration":$confJson$ctF}}"""
   }
 
   /** PIN the version a foreign write validates: the commit goes to
@@ -2600,18 +2636,8 @@ object LakehouseTable {
         "delta.identity.allowExplicitInsert")),
       "merge into a table with identity columns is not supported " +
         "(this writer does not allocate identity values)")
-    val (minR, minW) = state.protocol
-    val safeFeatures = Set("appendOnly", "invariants", "deletionVectors",
-      "changeDataFeed", "timestampNtz", "v2Checkpoint", "columnMapping",
-      "allowColumnDefaults")
-    if (minW >= 7) {
-      val extra = state.writerFeatures.filterNot(safeFeatures)
-      require(extra.isEmpty,
-        s"writer feature(s) ${extra.mkString(", ")} at $root impose " +
-          "obligations this merge writer cannot verify; refusing")
-    } else require(minW >= 1 && minW <= 6,
-      s"writer version $minW not supported")
-    require(minR <= 3, s"reader version $minR not supported")
+    requireForeignWriterProtocol(state, root, "merge",
+      ForeignSafeFeaturesBase + "allowColumnDefaults")
     // updates carry full rows: the append's exact schema contract
     val byName = struct.fields.map(f => f.name.toLowerCase -> f).toMap
     val updByName = updates.schema.fields
@@ -2755,19 +2781,8 @@ object LakehouseTable {
         "would mis-lay the rows — refusing")
     val mapping = state.conf.getOrElse("delta.columnMapping.mode", "none")
     validateMappedWrite(root, struct, mapping, "optimize")
-    val (minR, minW) = state.protocol
-    val safeFeatures = Set("appendOnly", "invariants", "deletionVectors",
-      "changeDataFeed", "timestampNtz", "v2Checkpoint", "columnMapping",
-      "allowColumnDefaults", "checkConstraints", "generatedColumns",
-      "identityColumns")
-    if (minW >= 7) {
-      val extra = state.writerFeatures.filterNot(safeFeatures)
-      require(extra.isEmpty,
-        s"writer feature(s) ${extra.mkString(", ")} at $root impose " +
-          "obligations this compaction writer cannot verify; refusing")
-    } else require(minW >= 1 && minW <= 6,
-      s"writer version $minW not supported")
-    require(minR <= 3, s"reader version $minR not supported")
+    requireForeignWriterProtocol(state, root, "compaction",
+      ForeignRowPreservingSafe)
     // small-file selection: on-disk size, O(live files) driver stats.
     // A DV-bearing file compacts REGARDLESS of size (the rewrite purges
     // its DV — REORG's behavior, folded in).
@@ -2776,13 +2791,18 @@ object LakehouseTable {
       state.dvs.contains(f) ||
         (Files.exists(p) && Files.size(p) < targetBytes)
     }
-    if (small.size < 2 && small.forall(f => !state.dvs.contains(f)))
+    val total = small.map(f => Files.size(Paths.get(root).resolve(f))).sum
+    val nOut = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+    // CONVERGENCE: packing must strictly shrink the file count (or
+    // purge a DV) — otherwise files just under the target would
+    // rewrite into the same population every call, a full-table churn
+    // version per OPTIMIZE forever (real Delta's per-bin ≥2 rule)
+    if ((small.size < 2 || nOut >= small.size) &&
+        small.forall(f => !state.dvs.contains(f)))
       return cur // nothing worth packing: no-op, no commit
     val smallSet = small.toSet
     val rows = readDeltaSlice(spark, root, state, small,
       state.dvs.filter(kv => smallSet.contains(kv._1)))
-    val total = small.map(f => Files.size(Paths.get(root).resolve(f))).sum
-    val nOut = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
     val aligned = rows.select(
       struct.fields.map(f => bq(f.name)).toSeq: _*).coalesce(nOut)
     val (physicalDf, physPartCols) =
@@ -2820,8 +2840,16 @@ object LakehouseTable {
       useCheckpoint = true)
     require(tgtState.schemaJson.isDefined,
       s"restore requires a metaData schemaString at version $version")
-    val cdfOn = curState.conf.get("delta.enableChangeDataFeed")
-      .contains("true")
+    // the battery every foreign writer runs: a feature like rowTracking
+    // obliges every add this restore would re-commit
+    requireForeignWriterProtocol(curState, root, "restore",
+      ForeignRowPreservingSafe)
+    // the CDF guard covers BOTH ends: the restore RESETS conf to the
+    // target's, so restoring a CDF-enabled version would re-enable the
+    // feed in the same dataChange=true commit it cannot write change
+    // rows for — the shape the CDF reader refuses loudly
+    val cdfOn = Seq(curState, tgtState).exists(
+      _.conf.get("delta.enableChangeDataFeed").contains("true"))
     require(!cdfOn,
       s"restore of a CDF-recording table at $root is not supported " +
         "(the change rows of a restore need a row-level diff this " +
@@ -2846,18 +2874,28 @@ object LakehouseTable {
       s"restore to version $version needs file(s) no longer on disk " +
         s"(vacuumed): ${missing.toSeq.sorted.take(3).mkString(", ")}" +
         (if (missing.size > 3) s" (+${missing.size - 3} more)" else ""))
+    // a re-added DELETION VECTOR's sidecar must be on disk too — the
+    // target era's superseded sidecar is exactly what vacuum reclaims
+    // once its tombstone ages out, and a dangling reference would fail
+    // every subsequent read instead of this restore
+    val missingDv = readds.toSeq.flatMap(f => tgtState.dvs.get(f))
+      .flatMap(d => DeltaDv.filePath(root, d))
+      .filterNot(Files.exists(_))
+    require(missingDv.isEmpty,
+      s"restore to version $version needs deletion-vector sidecar(s) " +
+        s"no longer on disk (vacuumed): " +
+        missingDv.map(_.getFileName).take(3).mkString(", "))
     val ts = System.currentTimeMillis()
     val sb = new StringBuilder
     sb.append(s"""{"commitInfo":{"timestamp":$ts,"operation":"RESTORE","operationParameters":{"version":"$version"}}}""")
       .append('\n')
     if (metaChanged) {
-      val id = deltaMetaDataIdOf(spark, root).getOrElse(
+      val (idOpt, name, desc, createdTime) =
+        deltaMetaDataExtrasOf(spark, root)
+      val id = idOpt.getOrElse(
         "graft-" + graft.plans.TextExpressions.md5Hex(root).take(12))
-      val confJson = tgtState.conf.toSeq.sortBy(_._1).map { case (k, v) =>
-        s""""${escJson(k)}":"${escJson(v)}"""" }.mkString("{", ",", "}")
-      val parts = tgtState.partitionCols
-        .map(c => s""""${escJson(c)}"""").mkString("[", ",", "]")
-      sb.append(s"""{"metaData":{"id":"${escJson(id)}","format":{"provider":"parquet","options":{}},"schemaString":"${escJson(tgtState.schemaJson.get)}","partitionColumns":$parts,"configuration":$confJson}}""")
+      sb.append(metaDataActionJson(id, name, desc, createdTime,
+        tgtState.schemaJson.get, tgtState.partitionCols, tgtState.conf))
         .append('\n')
     }
     removes.toSeq.sorted.foreach { f =>
@@ -2957,18 +2995,9 @@ object LakehouseTable {
       s"$what on a CDF-recording table under column mapping mode " +
         s"'$mapping' at $root is not supported")
     validate(state, struct)
-    val (minR, minW) = state.protocol
-    val safeFeatures = Set("appendOnly", "invariants", "deletionVectors",
-      "changeDataFeed", "timestampNtz", "v2Checkpoint", "columnMapping",
-      "allowColumnDefaults") ++ extraSafeFeatures
-    if (minW >= 7) {
-      val extra = state.writerFeatures.filterNot(safeFeatures)
-      require(extra.isEmpty,
-        s"writer feature(s) ${extra.mkString(", ")} at $root impose " +
-          s"obligations this $what writer cannot verify; refusing")
-    } else require(minW >= 1 && minW <= 6,
-      s"writer version $minW not supported")
-    require(minR <= 3, s"reader version $minR not supported")
+    requireForeignWriterProtocol(state, root, what,
+      ForeignSafeFeaturesBase ++ Set("allowColumnDefaults") ++
+        extraSafeFeatures)
     // candidate files (inclusive planning), then the exact row pass:
     // only files with a TRUE row rewrite — conservative candidates with
     // no matches must not churn

@@ -1254,8 +1254,12 @@ object GraftSqlStatements {
           Some(ForeignMaintenanceCommand("vacuum-delta",
             unmaskLit(unmask, idx), Option(retain)))
         } else {
-          require(unit == null || unit.equalsIgnoreCase("VERSIONS"),
-            "VACUUM iceberg_export(...) retention is RETAIN n VERSIONS")
+          // snapshot expiry is IRREVERSIBLE — an argument-less default
+          // of "keep 1" would destroy all time travel from a statement
+          // the Delta twin treats conservatively; make intent explicit
+          require(unit != null && unit.equalsIgnoreCase("VERSIONS"),
+            "VACUUM iceberg_export(...) requires an explicit " +
+              "RETAIN n VERSIONS (snapshot expiry is irreversible)")
           Some(ForeignMaintenanceCommand("expire-iceberg",
             unmaskLit(unmask, idx), Option(retain)))
         }

@@ -2300,6 +2300,81 @@ class Round13Spec extends AnyFunSuite {
     assert(IcebergMeta.readIceberg(spark, iroot).count() == 1)
   }
 
+  test("review pins: optimize converges, restore guards, metaData extras survive") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // optimize CONVERGES: files that cannot pack into fewer outputs
+    // are a no-op, not a forever-churn
+    val root = freshRoot("fopt_conv")
+    LT.create(Seq.range(1L, 9L).map(k => (k, k * 10L)).toDF("k", "v")
+      .repartition(4), root)
+    LT.exportDeltaLog(spark, root)
+    wipeManifest(root)
+    val cur0 = LT.optimizeDeltaForeign(spark, root, targetBytes = 1L)
+    // every file is >= 1 byte target → nOut >= small.size → no-op
+    assert(!Files.exists(Paths.get(root, "_delta_log",
+      f"${cur0 + 1}%020d.json")), "sub-target packing must not churn")
+    // metaData extras (name/description/createdTime) survive ADD COLUMNS
+    val lf0 = Paths.get(root, "_delta_log", f"${0L}%020d.json")
+    Files.writeString(lf0, Files.readString(lf0).replace(
+      """"metaData":{"id":""",
+      """"metaData":{"name":"orders_t","createdTime":12345,"id":"""))
+    assert(Files.readString(lf0).contains("orders_t"), "doctor applies")
+    val ver = LT.addColumnsDeltaForeign(spark, root, "w BIGINT")
+    val evolved = Files.readString(Paths.get(root, "_delta_log",
+      f"$ver%020d.json"))
+    assert(evolved.contains(""""name":"orders_t"""") &&
+      evolved.contains(""""createdTime":12345"""),
+      s"identity fields must carry through: ${evolved.take(300)}")
+    // restore refuses a table whose TARGET conf enables CDF (the reset
+    // would re-enable the feed inside a commit with no change rows)
+    val croot = freshRoot("frestore_cdf_tgt")
+    LT.create(Seq((1L, 10L)).toDF("k", "v").coalesce(1), croot)
+    LT.enableChangeDataFeed(spark, croot, Seq("k"))
+    LT.exportDeltaLog(spark, croot)
+    wipeManifest(croot)
+    // doctor the CURRENT conf off: only the target (v0) declares CDF
+    val lfs = {
+      val s = Files.list(Paths.get(croot, "_delta_log"))
+      try s.iterator().asScala.toSeq.filter(
+        _.getFileName.toString.matches("\\d{20}\\.json"))
+        .sortBy(_.getFileName.toString) finally s.close()
+    }
+    LT.appendDeltaForeign(spark, croot, Seq((2L, 20L)).toDF("k", "v"))
+    val exCdf = intercept[IllegalArgumentException] {
+      LT.restoreDeltaForeign(spark, croot, 0L)
+    }
+    assert(exCdf.getMessage.contains("CDF"), exCdf.getMessage)
+    assert(lfs.nonEmpty) // (silence the unused warning deliberately)
+    // restore runs the writer-feature battery like every other writer
+    val froot = freshRoot("frestore_feat")
+    LT.create(Seq((1L, 10L)).toDF("k", "v").coalesce(1), froot)
+    LT.exportDeltaLog(spark, froot)
+    wipeManifest(froot)
+    LT.appendDeltaForeign(spark, froot, Seq((2L, 20L)).toDF("k", "v"))
+    val f0 = Paths.get(froot, "_delta_log", f"${0L}%020d.json")
+    Files.writeString(f0, Files.readString(f0).replaceAll(
+      """"protocol":\{[^}]*\}""",
+      """"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":[],"writerFeatures":["rowTracking"]}"""))
+    val exFeat = intercept[IllegalArgumentException] {
+      LT.restoreDeltaForeign(spark, froot, 0L)
+    }
+    assert(exFeat.getMessage.contains("rowTracking"), exFeat.getMessage)
+    // iceberg ADD COLUMNS refuses nested types (element-id allocation)
+    val iroot = freshRoot("faddcol_nested")
+    LT.create(Seq((1L, 10L)).toDF("k", "v").coalesce(1), iroot)
+    IcebergMeta.exportIcebergMeta(spark, iroot)
+    wipeManifest(iroot)
+    intercept[IllegalArgumentException] {
+      IcebergMeta.addColumnsIcebergForeign(iroot, "tags ARRAY<STRING>")
+    }
+    // bare VACUUM iceberg_export refuses (irreversible without RETAIN)
+    val exBare = intercept[Exception] {
+      spark.sql(s"VACUUM iceberg_export('$iroot')")
+    }
+    assert(exBare.getMessage.contains("RETAIN"), exBare.getMessage)
+  }
+
   test("iceberg foreign delete applies across partition-evolution eras") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, expr}
