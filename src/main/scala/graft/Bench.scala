@@ -19,7 +19,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_ONLY=q181,q35 restricts the board to the named query
+    // prefixes — local A/B iteration on a suspect without paying the
+    // full sweep (the committed boards always run everything).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     // Untimed warmup pass: JIT + whole-stage-codegen compilation and parquet
     // footer caches are one-time JVM costs, not query costs — time the
     // steady state (disable with SPARK_GRAFT_WARMUP=0).

@@ -644,7 +644,8 @@ object Lakehouse {
       LakehouseTable.deleteDeltaForeign(s, root, "o_orderkey % 2 = 1")
       LakehouseTable.checkpointDeltaForeign(s, root)
       LakehouseTable.cleanupDeltaLogForeign(root)
-      LakehouseTable.vacuumDeltaForeign(s, root, retainHours = 0.0)
+      LakehouseTable.vacuumDeltaForeign(s, root, retainHours = 0.0,
+        explicitRetain = true)
       ()
     }
   }
@@ -742,6 +743,85 @@ object Lakehouse {
       ()
     } { () =>
       LakehouseTable.optimizeDeltaForeign(s, root)
+      ()
+    }
+  }
+
+  private[graft] def deltaZorderDir(d: String): String =
+    TableCache.baseDir + "/delta_fzorder_" +
+      java.nio.file.Paths.get(d).getFileName.toString
+
+  /** A foreign Delta table Z-ORDER-clustered through
+    * [[LakehouseTable.optimizeDeltaForeign]]'s ZORDER BY form: 8
+    * randomly-laid-out files (every file spans the full key range —
+    * zero data-skipping value) rewrite into z-ordered files whose
+    * stats cover a narrow range in BOTH o_orderkey and o_custkey,
+    * committed dataChange=false. q227's oracle replays the
+    * post-cluster log raw in DuckDB under the SAME range predicate —
+    * the kept-live rows of an independent reader equal this engine's
+    * pruned read. The planned-files drop is pinned in Round14Spec. */
+  private[graft] def deltaZorderRoot(s: SparkSession, d: String): String = {
+    val root = deltaZorderDir(d)
+    foreignFixture(root, d) { () =>
+      LakehouseTable.create(ordersSlice(s, d).repartition(8), root)
+      LakehouseTable.exportDeltaLog(s, root)
+      ()
+    } { () =>
+      LakehouseTable.optimizeDeltaForeign(s, root,
+        targetBytes = 96L * 1024,
+        zorderBy = Seq("o_orderkey", "o_custkey"))
+      ()
+    }
+  }
+
+  /** A foreign chain whose manifest population grew one manifest per
+    * append (the streaming-append shape), then CONSOLIDATED through
+    * [[IcebergMeta.rewriteManifestsForeign]] — zero data files
+    * touched, one `replace` snapshot. q228 reads the post-rewrite
+    * chain against the full orders oracle; manifest-count drop, parent
+    * time travel, and the zero-row changelog are pinned in
+    * Round14Spec. */
+  private[graft] def icebergManifestsRoot(s: SparkSession, d: String): String = {
+    val root = TableCache.baseDir + "/iceberg_rwm_" +
+      java.nio.file.Paths.get(d).getFileName.toString
+    foreignFixture(root, d) { () =>
+      LakehouseTable.create(
+        ordersSlice(s, d).filter(col("o_orderkey") % 5 === 0), root)
+      IcebergMeta.exportIcebergMeta(s, root)
+      ()
+    } { () =>
+      (1 to 4).foreach { r =>
+        IcebergMeta.appendIcebergForeign(s, root,
+          ordersSlice(s, d).filter(col("o_orderkey") % 5 === r))
+        ()
+      }
+      IcebergMeta.rewriteManifestsForeign(root)
+      ()
+    }
+  }
+
+  /** An ID-LESS foreign chain (the exporter's data files carry no
+    * parquet field ids; the chain resolves them through its
+    * `schema.name-mapping.default`) that this engine then EVOLVES and
+    * APPENDS to: ADD COLUMNS extends the name mapping in the same
+    * commit (Iceberg's MappingUtil.update discipline) and the appended
+    * files carry REAL field ids in their footers — so every era
+    * resolves: the id-less originals by mapping, the appends by id.
+    * q229 reads the whole mixed chain; the footer-id and
+    * mapping-extension pins live in Round14Spec. */
+  private[graft] def icebergNameMapRoot(s: SparkSession, d: String): String = {
+    val root = TableCache.baseDir + "/iceberg_namemap_" +
+      java.nio.file.Paths.get(d).getFileName.toString
+    foreignFixture(root, d) { () =>
+      LakehouseTable.create(
+        ordersSlice(s, d).filter(col("o_orderkey") % 2 === 0), root)
+      IcebergMeta.exportIcebergMeta(s, root)
+      ()
+    } { () =>
+      IcebergMeta.addColumnsIcebergForeign(root, "o_note string")
+      IcebergMeta.appendIcebergForeign(s, root,
+        ordersSlice(s, d).filter(col("o_orderkey") % 2 === 1)
+          .withColumn("o_note", lit("M")))
       ()
     }
   }
@@ -2406,6 +2486,48 @@ object Lakehouse {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // FOREIGN ZORDER OPTIMIZE, Delta face: the whole population
+    // rewrites z-ordered (dataChange=false), so a 2-column range
+    // predicate prunes files it could not touch before (the 8
+    // originals each spanned the full key range) — the oracle replays
+    // the post-cluster log raw in DuckDB under the same predicate.
+    "q227_delta_foreign_zorder" -> ((s, d) => {
+      val root = deltaZorderRoot(s, d)
+      LakehouseTable.readDeltaExport(s, root, pruneWhere = Some(
+        "o_orderkey <= 3000 AND o_custkey <= 600"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          sum(col("o_custkey")).as("cust_sum"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // REWRITE MANIFESTS, Iceberg face: five appends left five data
+    // manifests; one replace snapshot consolidates them without
+    // touching a data file, and the chain still serves every row.
+    "q228_iceberg_rewrite_manifests" -> ((s, d) => {
+      val root = icebergManifestsRoot(s, d)
+      IcebergMeta.readIceberg(s, root)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          Exact.moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // NAME-MAPPING writes: an id-less foreign chain (mapping-resolved
+    // originals) evolved + appended by this engine — the appends carry
+    // footer field ids, the ADD COLUMNS extended the mapping, and the
+    // whole mixed chain reads exactly.
+    "q229_iceberg_name_mapping" -> ((s, d) => {
+      val root = icebergNameMapRoot(s, d)
+      IcebergMeta.readIceberg(s, root)
+        .groupBy(coalesce(col("o_note"), lit("-")).as("note"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_custkey")).as("cust_sum"))
+        .orderBy(col("note"))
+    }),
+
     // PARTITION EVOLUTION: spec 0 (identity event_type) files and
     // spec 1 (day(ts)) appended files live in ONE chain; the reader
     // resolves each file's partition struct by FIELD-ID under the spec
@@ -3604,6 +3726,47 @@ object Lakehouse {
             CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
             ${Exact.sqlMoneySum("o_totalprice")} AS sum_price
           FROM kept GROUP BY 1 ORDER BY 1""",
+
+    // an independent replay of the post-ZORDER log under the SAME
+    // range predicate: live files after the dataChange=false churn,
+    // rows filtered exactly — the clustering moved bytes, never rows
+    "q227_delta_foreign_zorder" ->
+      s"""WITH actions AS (
+            SELECT * FROM read_json('${deltaZorderDir("/root/testdata/sf0.01")}/_delta_log/*.json',
+              format='newline_delimited',
+              columns={add: 'STRUCT(path VARCHAR)',
+                       remove: 'STRUCT(path VARCHAR)'})),
+          adds AS (SELECT add.path AS p FROM actions WHERE add IS NOT NULL),
+          removes AS (SELECT remove.path AS p FROM actions WHERE remove IS NOT NULL),
+          live AS (SELECT p FROM adds EXCEPT SELECT p FROM removes),
+          rows AS (
+            SELECT o_orderstatus, o_orderkey, o_custkey, filename
+            FROM read_parquet('${deltaZorderDir("/root/testdata/sf0.01")}/data/*.parquet',
+              filename=true)),
+          kept AS (
+            SELECT r.* FROM rows r
+            JOIN live l ON right(r.filename, length(l.p)) = l.p)
+          SELECT o_orderstatus, count(*) AS n,
+            CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+            CAST(sum(o_custkey) AS BIGINT) AS cust_sum
+          FROM kept
+          WHERE o_orderkey <= 3000 AND o_custkey <= 600
+          GROUP BY 1 ORDER BY 1""",
+
+    // manifest consolidation moves METADATA only: the chain still
+    // serves all five append slices = the full orders aggregate
+    "q228_iceberg_rewrite_manifests" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+            CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+            ${Exact.sqlMoneySum("o_totalprice")} AS sum_price
+          FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // the mixed id-less + id-carrying chain serves both eras: evens
+    // null-fill the added column, odds carry 'M'
+    "q229_iceberg_name_mapping" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 1 THEN 'M' ELSE '-' END AS note,
+           count(*) AS n, CAST(sum(o_custkey) AS BIGINT) AS cust_sum
+         FROM orders GROUP BY 1 ORDER BY 1""",
 
     // the rolled-back chain equals the evens it started with
     "q226_iceberg_foreign_rollback" ->

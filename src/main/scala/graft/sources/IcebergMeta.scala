@@ -1278,6 +1278,61 @@ object IcebergMeta {
       }
   }
 
+  /** `schema.name-mapping.default` EXTENDED to cover `fields`
+    * ((current name, field id) of the schema the commit serves) —
+    * None when the chain declares no mapping (nothing to maintain) or
+    * the mapping already covers every name. Iceberg's own writers
+    * keep the mapping in step with schema changes (MappingUtil.update);
+    * a foreign commit that adds columns or appends under a new name
+    * without extending would leave every id-less file written LATER by
+    * the table's other writers unresolvable for that column. A name
+    * already mapped to a DIFFERENT id stays untouched: re-pointing it
+    * would re-resolve every existing id-less file that carries the
+    * name — this writer's own files are immune either way (their
+    * footers carry field ids, which take precedence over any mapping). */
+  private def extendedNameMapping(
+      md: com.fasterxml.jackson.databind.JsonNode,
+      fields: Seq[(String, Int)]): Option[String] =
+    Option(md.get("properties"))
+      .flatMap(p => Option(p.get("schema.name-mapping.default")))
+      .flatMap { node =>
+        val arr = mapper.readTree(node.asText())
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+        val known: Set[String] = arr.elements().asScala.flatMap(e =>
+          e.get("names").elements().asScala.map(
+            _.asText().toLowerCase)).toSet
+        val missing = fields.filterNot(f => known(f._1.toLowerCase))
+        if (missing.isEmpty) None
+        else {
+          missing.foreach { case (n, id) =>
+            val e = mapper.createObjectNode()
+            e.put("field-id", id)
+            val names = e.putArray("names")
+            names.add(n)
+            arr.add(e)
+            ()
+          }
+          Some(arr.toString)
+        }
+      }
+
+  /** Apply an [[extendedNameMapping]] result to the metadata object a
+    * foreign commit is about to CAS — the `extraMeta` hook shape of
+    * [[commitForeignSnapshot]] / the ADD COLUMNS commit. */
+  private def setNameMapping(
+      obj: com.fasterxml.jackson.databind.node.ObjectNode,
+      mapping: String): Unit = {
+    val props = Option(obj.get("properties"))
+      .map(_.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
+      .getOrElse {
+        val p = mapper.createObjectNode()
+        obj.set("properties", p)
+        p
+      }
+    props.put("schema.name-mapping.default", mapping)
+    ()
+  }
+
   /** Lowercase identity-partition FIELD name → source column field id,
     * across ALL partition specs (old data files reference old specs).
     * Only identity transforms matter for column projection: bucket /
@@ -2551,10 +2606,22 @@ object IcebergMeta {
       "parent-snapshot-id" ->
         (if (hasParent) parent.toString else "null"),
       "format-version" -> "2"), carried :+ mfRec)
+    // keep schema.name-mapping.default in step (Iceberg's own writers
+    // do): a chain whose id-less files resolve by mapping gets any
+    // unmapped current-schema names minted in the SAME commit, so a
+    // name-mapping-only reader resolves every era — ours by footer
+    // ids, the foreign id-less ones by the mapping
+    val curFields = md.get("schemas").elements().asScala
+      .find(_.get("schema-id").asInt() == curSchemaId)
+      .map(_.get("fields").elements().asScala.map(f =>
+        (f.get("name").asText(), f.get("id").asInt())).toSeq)
+      .getOrElse(Nil)
+    val nmExt = extendedNameMapping(md, curFields)
     commitForeignSnapshot(root, dir, curN, md, sid, seq, parent,
       listPath, curSchemaId, "append",
       s""""deleted-data-files":"0","added-data-files":"$nFiles"""",
-      "append")
+      "append", extraMeta = obj =>
+        nmExt.foreach(nm => setNameMapping(obj, nm)))
     sid
   }
 
@@ -2773,7 +2840,21 @@ object IcebergMeta {
           PartField(specName, srcCol, dt, fid, specName, Some(c))
       }
     }
-    val aligned = df.select(fields.map(f => col(f._1)): _*)
+    // Iceberg FIELD IDS ride into the parquet footers
+    // (parquet.field.id + the session write flag, the same monotonic
+    // discipline as the Delta face's mapped writes): the appended
+    // files resolve BY ID for every spec reader — including chains
+    // whose older files are id-less and resolve only through
+    // schema.name-mapping.default, where a rename would otherwise
+    // orphan name-resolved new files. Identity/transform layout
+    // columns stay out of the data files (partitionBy), so only
+    // schema columns carry ids.
+    val aligned = df.select(fields.map { case (n, _, _, id) =>
+      val fmd = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("parquet.field.id", id.toLong).build()
+      col(n).as(n, fmd)
+    }: _*)
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     val laidOut = partFields.foldLeft(aligned) { (acc, p) =>
       p.derived.fold(acc)(c => acc.withColumn(p.layoutCol, c))
     }
@@ -3466,6 +3547,160 @@ object IcebergMeta {
     sid
   }
 
+  /** REWRITE MANIFESTS of a foreign Iceberg chain — Iceberg's
+    * rewrite_manifests: consolidate the current snapshot's many small
+    * DATA manifests into one per (partition-spec, writer-schema) group
+    * WITHOUT reading or writing any data file. The cost a streaming-
+    * append table accretes is exactly here: every append adds one
+    * manifest, and every subsequent plan pays O(manifests) metadata IO
+    * forever — [[rewriteDataFilesForeign]] compacts data, nothing
+    * compacts the manifest population. One `replace` snapshot commits
+    * the consolidated lists; every entry re-emits with EXPLICIT
+    * sequence/file-sequence numbers and snapshot id (inherited from
+    * its manifest where the original carried null — the compaction
+    * lesson: a null would inherit the NEW list entry's sequence and
+    * re-scope every carried delete), status=existing. DELETE manifests
+    * carry verbatim (Iceberg's rewrite_manifests touches data
+    * manifests only), as do data manifests whose Avro writer schema is
+    * unique in their spec group — records re-emit under their OWN
+    * writer schema, never coerced across schemas (a foreign manifest's
+    * extra fields — column sizes, distinct counts — carry verbatim).
+    * Time travel to the parent is intact (its list is untouched) and
+    * the keyed changelog derives ZERO rows (no added/deleted entries).
+    * Returns the committed snapshot id — or the current one,
+    * uncommitted, when no group has two manifests to merge. */
+  def rewriteManifestsForeign(root: String): Long = {
+    require(hasChain(root), s"no Iceberg metadata at $root")
+    val dir = metaDir(root)
+    val curN = trueCurrentVersion(dir, root)
+    val md = mapper.readTree(Files.readString(
+      dir.resolve(s"v$curN.metadata.json")))
+    val fmtVer = Option(md.get("format-version")).map(_.asInt()).getOrElse(0)
+    require(fmtVer == 2,
+      s"rewrite manifests supports Iceberg format-version 2 only; the " +
+        s"chain at $root is format-version $fmtVer")
+    val parent = md.get("current-snapshot-id").asLong()
+    if (parent == -1L) return parent
+    val curSchemaId = md.get("current-schema-id").asInt()
+    val mfs = carriedManifests(md, parent)
+    // read each DATA manifest once; group by (spec id, writer schema)
+    case class Loaded(listRec: GenericRecord, schema: Schema,
+        metaKVs: Seq[(String, String)], entries: Seq[GenericRecord])
+    val loaded = mfs.map { mf =>
+      if (mf.get("content").asInstanceOf[Int] != 0) Left(mf)
+      else {
+        val mPath = Paths.get(mf.get("manifest_path").toString)
+        val (schema, metaKVs, entries) = readAvroWithMeta(mPath)
+        if (schema.getField("sequence_number") == null)
+          Left(mf) // a v1-era manifest cannot re-emit: carry verbatim
+        else Right(Loaded(mf, schema, metaKVs, entries))
+      }
+    }
+    val groups = loaded.collect { case Right(l) => l }.groupBy(l =>
+      (l.listRec.get("partition_spec_id").asInstanceOf[Int],
+        l.schema.toString))
+    if (!groups.values.exists(_.size >= 2))
+      return parent // nothing to consolidate: no-op, no commit
+    val lastSeq = md.get("last-sequence-number").asLong()
+    val seq = lastSeq + 1
+    val uuid = java.util.UUID.randomUUID().toString
+    val sid = java.lang.Long.parseLong(graft.plans.TextExpressions
+      .md5Hex(s"iceberg-rwm:$root#$seq#$curN#$uuid").take(15), 16)
+    def rc(df: GenericRecord): Long =
+      Option(df.get("record_count")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    var gIdx = 0
+    var merged = 0
+    val outRecords: Seq[GenericRecord] =
+      loaded.collect { case Left(mf) => mf } ++
+      groups.toSeq.sortBy(_._1._1).flatMap { case ((specId, _), ms) =>
+        if (ms.size < 2) ms.map(_.listRec)
+        else {
+          merged += ms.size
+          var existing = 0
+          var exRows = 0L
+          var minSeq = Long.MaxValue
+          val out = ms.flatMap { l =>
+            val mfSeq = l.listRec.get("sequence_number")
+              .asInstanceOf[Long]
+            val mfSid = l.listRec.get("added_snapshot_id")
+              .asInstanceOf[Long]
+            l.entries.flatMap { e =>
+              // status-2 (deleted) markers belong to the snapshot
+              // that did the deleting; a new snapshot drops them
+              if (e.get("status").asInstanceOf[Int] == 2) None
+              else {
+                val eSeq = Option(e.get("sequence_number"))
+                  .map(_.asInstanceOf[Long]).getOrElse(mfSeq)
+                e.put("status", 0)
+                e.put("sequence_number", eSeq)
+                if (l.schema.getField("file_sequence_number") != null)
+                  e.put("file_sequence_number",
+                    Option(e.get("file_sequence_number"))
+                      .map(_.asInstanceOf[Long]).getOrElse(mfSeq))
+                if (e.get("snapshot_id") == null)
+                  e.put("snapshot_id", mfSid)
+                minSeq = math.min(minSeq, eSeq)
+                existing += 1
+                exRows += rc(e.get("data_file")
+                  .asInstanceOf[GenericRecord])
+                Some(e)
+              }
+            }
+          }
+          if (out.isEmpty) Nil
+          else {
+            val m = dir.resolve(s"m-$sid-rwm-$gIdx.avro")
+            gIdx += 1
+            writeAvro(m, ms.head.schema, ms.head.metaKVs, out)
+            val rec = new GenericData.Record(manifestFileSchema)
+            rec.put("manifest_path", m.toString)
+            rec.put("manifest_length", Files.size(m))
+            rec.put("partition_spec_id", specId)
+            rec.put("content", 0)
+            rec.put("sequence_number", seq)
+            rec.put("min_sequence_number",
+              if (minSeq == Long.MaxValue) seq else minSeq)
+            rec.put("added_snapshot_id", sid)
+            rec.put("added_files_count", 0)
+            rec.put("existing_files_count", existing)
+            rec.put("deleted_files_count", 0)
+            rec.put("added_rows_count", 0L)
+            rec.put("existing_rows_count", exRows)
+            rec.put("deleted_rows_count", 0L)
+            Seq(rec)
+          }
+        }
+      }
+    val listPath = dir.resolve(s"snap-$sid.avro")
+    writeAvro(listPath, manifestFileSchema, Seq(
+      "snapshot-id" -> sid.toString,
+      "sequence-number" -> seq.toString,
+      "parent-snapshot-id" -> parent.toString,
+      "format-version" -> "2"), outRecords)
+    commitForeignSnapshot(root, dir, curN, md, sid, seq, parent,
+      listPath, curSchemaId, "replace",
+      s""""manifests-replaced":"$merged",""" +
+        s""""manifests-created":"$gIdx",""" +
+        """"deleted-data-files":"0","added-data-files":"0"""",
+      "rewrite-manifests")
+    sid
+  }
+
+  /** Manifest paths referenced by snapshot `sid` (the current one when
+    * None) — the observable population [[rewriteManifestsForeign]]
+    * exists to shrink; exposed for maintenance monitoring and the
+    * consolidation pins. */
+  def manifestPaths(root: String, sid: Option[Long] = None): Seq[String] = {
+    val md = currentMetadata(root)
+    val id = sid.getOrElse(md.get("current-snapshot-id").asLong())
+    if (id == -1L) return Nil
+    readAvro(Paths.get(md.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong() == id).getOrElse(
+        throw new IllegalArgumentException(
+          s"no snapshot $id at $root")).get("manifest-list").asText()))
+      .map(_.get("manifest_path").toString)
+  }
+
   /** EXPIRE old snapshots of a foreign chain — Iceberg's
     * expire_snapshots, the other maintenance half (without it the
     * snapshot list, the manifest population, and every superseded data
@@ -3692,6 +3927,15 @@ object IcebergMeta {
       md.get("last-updated-ms").asLong() + 1))
     obj.withArray("metadata-log").add(mapper.readTree(
       s"""{"metadata-file":"${dir.resolve(s"v$curN.metadata.json")}","timestamp-ms":${md.get("last-updated-ms").asLong()}}"""))
+    // a chain that resolves id-less files through
+    // schema.name-mapping.default gets the new columns minted into the
+    // mapping in the SAME commit (Iceberg's MappingUtil.update
+    // discipline): without the entries, every id-less file a foreign
+    // writer adds later would serve null for the new columns even when
+    // it physically carries them
+    extendedNameMapping(md, add.fields.zipWithIndex.map { case (f, i) =>
+      (f.name, base + i + 1) }.toSeq)
+      .foreach(nm => setNameMapping(obj, nm))
     casCommitMetadata(root, dir, curN, obj, "add columns")
     curN + 1
   }

@@ -120,6 +120,46 @@ object LakehouseTable {
     * a remove tombstone rides checkpoints before expiring out. */
   private val DeltaTombstoneRetentionMs: Long = 168L * 3600L * 1000L
 
+  /** Parse Delta's calendar-interval property text ("interval 1 week",
+    * "interval 30 days", multi-term "interval 1 day 12 hours") to
+    * milliseconds. None for text this parser cannot prove — callers
+    * must fall back CONSERVATIVELY (the default retention), never
+    * treat unparseable as zero: a mis-read retention reclaims files
+    * readers still resolve. Months/years are calendar-dependent and
+    * Delta's own retention code rejects them for durations — so do we. */
+  private[graft] def deltaIntervalMs(text: String): Option[Long] = {
+    val t = text.trim.toLowerCase(java.util.Locale.ROOT)
+    val body = if (t.startsWith("interval")) t.drop(8).trim else t
+    if (body.isEmpty) return None
+    val TermRe = """(\d+)\s*(week|day|hour|minute|second|millisecond)s?""".r
+    val terms = TermRe.findAllMatchIn(body).toSeq
+    // every character must belong to a recognized term (reject
+    // "interval 1 month" rather than silently reading 0)
+    val consumed = terms.map(_.matched.replaceAll("\\s+", "")).mkString
+    if (terms.isEmpty || consumed != body.replaceAll("\\s+", "")) None
+    else Some(terms.map { m =>
+      val n = m.group(1).toLong
+      m.group(2) match {
+        case "week"        => n * 7L * 24 * 3600 * 1000
+        case "day"         => n * 24L * 3600 * 1000
+        case "hour"        => n * 3600L * 1000
+        case "minute"      => n * 60L * 1000
+        case "second"      => n * 1000L
+        case "millisecond" => n
+      }
+    }.sum)
+  }
+
+  /** The table's remove-tombstone retention window in ms:
+    * `delta.deletedFileRetentionDuration` when the configuration
+    * carries a parseable one, else Delta's 168 h default. Gates both
+    * checkpoint tombstone expiry and vacuum's protection horizon — a
+    * table that declares a LONGER window keeps its files reclaimable
+    * only after that window on every path. */
+  private def deltaTombstoneRetentionMs(conf: Map[String, String]): Long =
+    conf.get("delta.deletedFileRetentionDuration")
+      .flatMap(deltaIntervalMs).getOrElse(DeltaTombstoneRetentionMs)
+
   /** All (writer app id → last transaction id) watermarks. Streaming
     * writers stamp their micro-batch id under their OWN app id — Delta's
     * (txnAppId, txnVersion) pattern — so a replayed batch is detected
@@ -1801,7 +1841,24 @@ object LakehouseTable {
       StructField("remove", StructType(Seq(
         StructField("path", StringType),
         StructField("deletionTimestamp", LongType),
-        StructField("dataChange", BooleanType))))))
+        StructField("dataChange", BooleanType),
+        // the remove's DV descriptor rides the checkpoint so vacuum's
+        // protect set still covers the superseded DV SIDECAR after log
+        // cleanup deletes the JSON that carried it
+        StructField("deletionVector", StructType(Seq(
+          StructField("storageType", StringType),
+          StructField("pathOrInlineDv", StringType),
+          StructField("offset", LongType),
+          StructField("sizeInBytes", LongType),
+          StructField("cardinality", LongType))))))),
+      // setTransaction watermarks (latest per appId) — the spec puts
+      // them in every checkpoint; dropping them would break every
+      // foreign idempotent writer's exactly-once dedup once log
+      // cleanup deletes the JSON tail that carried them
+      StructField("txn", StructType(Seq(
+        StructField("appId", StringType),
+        StructField("version", LongType),
+        StructField("lastUpdated", LongType))))))
     // the ADD ACTION's partition values, carried verbatim (a foreign
     // log's values are authoritative — paths need not encode them);
     // our own exports fall back to the decoded hive dir segments
@@ -1816,11 +1873,11 @@ object LakehouseTable {
       org.apache.spark.sql.Row(org.apache.spark.sql.Row(minR, minW,
         if (st.readerFeatures.nonEmpty) st.readerFeatures else null,
         if (st.writerFeatures.nonEmpty) st.writerFeatures else null),
-        null, null, null) +:
+        null, null, null, null) +:
       org.apache.spark.sql.Row(null, org.apache.spark.sql.Row(
         id, org.apache.spark.sql.Row("parquet"), schemaJson.orNull,
         if (st.partitionCols.nonEmpty) st.partitionCols
-        else partitionColumns(root), conf), null, null) +: (
+        else partitionColumns(root), conf), null, null, null) +: (
       live.map { f => // f is root-relative ("data/..."), already DECODED by
         // the replay; re-encode for the stored path so checkpoint paths use
         // the same percent-encoded URI form as the JSON log (readers decode
@@ -1846,20 +1903,33 @@ object LakehouseTable {
         }
         org.apache.spark.sql.Row(null, null, org.apache.spark.sql.Row(
           deltaEncodePath(f), partitionValues(f), size, mtime, true, stats, dv),
-          null)
+          null, null)
       } ++
-      // remove TOMBSTONES (raw committed path form): a vacuum seeding
-      // from this checkpoint can still honor the retention window for
-      // recently-removed files. EXPIRED tombstones (older than Delta's
-      // default 168 h deleted-file retention) drop here — the spec's
-      // checkpoint rule, and what keeps the checkpoint from growing
-      // with every removal the table ever made
+      // remove TOMBSTONES (raw committed path form, DV descriptor
+      // carried): a vacuum seeding from this checkpoint can still
+      // honor the retention window for recently-removed files AND
+      // their DV sidecars. EXPIRED tombstones (older than the table's
+      // delta.deletedFileRetentionDuration, default 168 h) drop
+      // here — the spec's checkpoint rule, and what keeps the
+      // checkpoint from growing with every removal the table ever made
       deltaRemoveTombstones(spark, root, version).toSeq.sortBy(_._1)
         .filter { case (_, (ts, _)) =>
-          ts >= System.currentTimeMillis() - DeltaTombstoneRetentionMs }
-        .map { case (p, (ts, _)) =>
+          ts >= System.currentTimeMillis() -
+            deltaTombstoneRetentionMs(conf) }
+        .map { case (p, (ts, dv)) =>
+          val dvRow = dv.map(d => org.apache.spark.sql.Row(
+            d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes,
+            d.cardinality)).orNull
           org.apache.spark.sql.Row(null, null, null,
-            org.apache.spark.sql.Row(p, ts, true))
+            org.apache.spark.sql.Row(p, ts, true, dvRow), null)
+        } ++
+      // latest setTransaction watermark per appId — what an idempotent
+      // foreign writer checks to skip a replayed micro-batch
+      deltaTxnsForeign(spark, root, version).toSeq.sortBy(_._1)
+        .map { case (app, (v, lu)) =>
+          org.apache.spark.sql.Row(null, null, null, null,
+            org.apache.spark.sql.Row(app, v,
+              lu.map(Long.box).orNull))
         })
     val tmp = Files.createTempDirectory(logDir, ".ckpt-tmp")
     spark.createDataFrame(
@@ -1905,15 +1975,32 @@ object LakehouseTable {
         val ckPath = logDir.resolve(f"$v%020d.checkpoint.parquet")
         if (Files.exists(ckPath)) {
           val ck = spark.read.parquet(ckPath.toString)
-          if (ck.schema.fieldNames.contains("remove"))
+          if (ck.schema.fieldNames.contains("remove")) {
+            // the remove's DV descriptor (when the checkpoint schema
+            // carries one — reference Delta checkpoints and ours both
+            // do) seeds too: after log cleanup this row is the ONLY
+            // thing keeping vacuum off the superseded DV sidecar
+            val removeType = ck.schema("remove").dataType
+              .asInstanceOf[org.apache.spark.sql.types.StructType]
+            val hasDv = removeType.fieldNames.contains("deletionVector")
             ck.filter(col("remove").isNotNull)
-              .select(col("remove.path"), col("remove.deletionTimestamp"))
+              .select(col("remove.path"), col("remove.deletionTimestamp"),
+                (if (hasDv) col("remove.deletionVector")
+                 else org.apache.spark.sql.functions.lit(null)).as("dv"))
               .collect().foreach { r =>
                 Option(r.getString(0)).filter(_.nonEmpty).foreach { p =>
                   val ts = if (r.isNullAt(1)) 0L else r.getLong(1)
-                  tomb(p) = (ts, None)
+                  val dv = Option(r.get(2)).map {
+                    case d: org.apache.spark.sql.Row =>
+                      DeltaDv.Descriptor(d.getString(0), d.getString(1),
+                        if (d.isNullAt(2)) 1L else d.getLong(2),
+                        if (d.isNullAt(3)) 0L else d.getLong(3),
+                        if (d.isNullAt(4)) 0L else d.getLong(4))
+                  }
+                  tomb(p) = (ts, dv)
                 }
               }
+          }
         }
       }
     }
@@ -1955,6 +2042,77 @@ object LakehouseTable {
     tomb.toMap
   }
 
+  /** setTransaction watermarks of a FOREIGN Delta log at or below
+    * `upTo`: appId → (version, lastUpdated). Seeds from the
+    * checkpoint's `txn` rows when one exists (after log cleanup the
+    * checkpoint is the only carrier — exactly the tombstone rule),
+    * then replays the surviving JSON tail; later versions win per
+    * appId. This is what makes a foreachBatch sink onto a foreign
+    * table exactly-once: the writer stamps its batch id here and a
+    * replayed batch sees its own watermark. */
+  private def deltaTxnsForeign(spark: SparkSession, root: String,
+      upTo: Long): Map[String, (Long, Option[Long])] = {
+    import org.apache.spark.sql.functions.col
+    val logDir = Paths.get(root, "_delta_log")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val txns = scala.collection.mutable
+      .LinkedHashMap.empty[String, (Long, Option[Long])]
+    val lcp = logDir.resolve("_last_checkpoint")
+    if (Files.exists(lcp)) {
+      val ckVer = """"version":\s*(\d+)""".r
+        .findFirstMatchIn(Files.readString(lcp)).map(_.group(1).toLong)
+      ckVer.filter(_ <= upTo).foreach { v =>
+        val ckPath = logDir.resolve(f"$v%020d.checkpoint.parquet")
+        if (Files.exists(ckPath)) {
+          val ck = spark.read.parquet(ckPath.toString)
+          if (ck.schema.fieldNames.contains("txn"))
+            ck.filter(col("txn").isNotNull)
+              .select(col("txn.appId"), col("txn.version"),
+                col("txn.lastUpdated"))
+              .collect().foreach { r =>
+                Option(r.getString(0)).foreach { app =>
+                  if (!r.isNullAt(1))
+                    txns(app) = (r.getLong(1),
+                      if (r.isNullAt(2)) None else Some(r.getLong(2)))
+                }
+              }
+        }
+      }
+    }
+    withDrained(Files.list(logDir))(
+      _.filter(_.getFileName.toString.matches("\\d{20}\\.json")))
+      .sortBy(_.getFileName.toString)
+      .filter(_.getFileName.toString.take(20).toLong <= upTo)
+      .foreach { lf =>
+        Files.readString(lf).split('\n').foreach { line =>
+          if (line.contains("\"txn\""))
+            try {
+              val n = om.readTree(line)
+              Option(n.get("txn")).foreach { t =>
+                for {
+                  app <- Option(t.get("appId")).map(_.asText())
+                  v <- Option(t.get("version")).filter(_.isNumber)
+                    .map(_.asLong())
+                } txns(app) = (v, Option(t.get("lastUpdated"))
+                  .filter(_.isNumber).map(_.asLong()))
+              }
+            } catch { case scala.util.control.NonFatal(_) => () }
+        }
+      }
+    txns.toMap
+  }
+
+  /** The last transaction version a foreign Delta log records for
+    * `appId` — the read half of the foreign exactly-once contract
+    * (see [[appendDeltaForeign]]'s `txn`). */
+  def lastTxnDeltaForeign(spark: SparkSession, root: String,
+      appId: String): Option[Long] = {
+    val logDir = Paths.get(root, "_delta_log")
+    require(Files.isDirectory(logDir), s"no _delta_log at $root")
+    val cur = pinForeignDeltaVersion(root, logDir)
+    deltaTxnsForeign(spark, root, cur).get(appId).map(_._1)
+  }
+
   /** CHECKPOINT a FOREIGN Delta log at its current version — the
     * metadata-maintenance half every long-lived log needs (without it
     * each reader replays the full JSON history, O(table age) per
@@ -1963,33 +2121,18 @@ object LakehouseTable {
     * metaData, stats/partitionValues/DV-bearing adds, unexpired remove
     * tombstones) + `_last_checkpoint`, the pointer readers consult
     * first. Returns the checkpointed version; a log whose tail is
-    * already fully checkpointed is a no-op. Refuses a tail carrying
-    * setTransaction (`txn`) actions: the checkpoint schema does not
-    * carry transaction state, and silently dropping it would break a
-    * foreign idempotent writer's exactly-once dedup for every stream
-    * that trusts the checkpoint. */
+    * already fully checkpointed is a no-op. setTransaction (`txn`)
+    * watermarks — from the JSON tail AND from any pre-existing
+    * checkpoint (reference Delta checkpoints carry txn rows) — ride
+    * into the new checkpoint (latest per appId, the spec's rule), so
+    * a foreign idempotent writer's exactly-once dedup survives the
+    * log cleanup that follows. */
   def checkpointDeltaForeign(spark: SparkSession, root: String): Long = {
     val logDir = Paths.get(root, "_delta_log")
     require(Files.isDirectory(logDir), s"no _delta_log at $root")
     val cur = pinForeignDeltaVersion(root, logDir)
     if (!Files.exists(logDir.resolve(f"$cur%020d.json")))
       return cur // current == existing checkpoint: nothing to snapshot
-    val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    withDrained(Files.list(logDir))(
-      _.filter(_.getFileName.toString.matches("\\d{20}\\.json")))
-      .foreach { lf =>
-        Files.readString(lf).split('\n').foreach { line =>
-          if (line.contains("\"txn\"")) {
-            val isTxn =
-              try om.readTree(line).has("txn")
-              catch { case scala.util.control.NonFatal(_) => false }
-            require(!isTxn,
-              s"the log at $root carries setTransaction actions " +
-                s"(${lf.getFileName}); checkpointing would drop " +
-                "transaction state this writer does not carry — refusing")
-          }
-        }
-      }
     val st = deltaStateAt(spark, root, Some(cur), useCheckpoint = true)
     writeDeltaCheckpoint(spark, root, cur, st)
     cur
@@ -2029,14 +2172,23 @@ object LakehouseTable {
     * unreferenced immediately (the test-only setting, exactly as
     * unsafe as Delta's own `retentionDurationCheck.enabled=false`). */
   def vacuumDeltaForeign(spark: SparkSession, root: String,
-      retainHours: Double = 168.0): Seq[String] = {
+      retainHours: Double = 168.0, explicitRetain: Boolean = false)
+      : Seq[String] = {
     require(retainHours >= 0, s"retainHours must be >= 0, got $retainHours")
     val logDir = Paths.get(root, "_delta_log")
     require(Files.isDirectory(logDir), s"no _delta_log at $root")
     val cur = pinForeignDeltaVersion(root, logDir)
     val state = deltaStateAt(spark, root, Some(cur), useCheckpoint = true)
-    val horizon = System.currentTimeMillis() -
-      (retainHours * 3600.0 * 1000.0).toLong
+    // the DEFAULT horizon honors the table's own
+    // delta.deletedFileRetentionDuration (Delta's vacuum does) — a
+    // table declaring a longer window keeps its files that long; an
+    // EXPLICIT RETAIN overrides, exactly as unsafe as Delta's own
+    // retentionDurationCheck bypass when shorter
+    val retainMs =
+      if (explicitRetain) (retainHours * 3600.0 * 1000.0).toLong
+      else math.max((retainHours * 3600.0 * 1000.0).toLong,
+        deltaTombstoneRetentionMs(state.conf))
+    val horizon = System.currentTimeMillis() - retainMs
     val rootPath = Paths.get(root).toAbsolutePath.normalize()
     val protect = scala.collection.mutable.HashSet.empty[Path]
     state.live.foreach(f => protect += rootPath.resolve(f).normalize())
@@ -2143,13 +2295,32 @@ object LakehouseTable {
     * unreferenced data files (Delta's own uncommitted-file story —
     * vacuum reclaims them). Every refusal is loud: a best-effort
     * append to a table whose invariants it cannot honor would corrupt
-    * it for EVERY reader. Returns the committed version. */
+    * it for EVERY reader. Returns the committed version.
+    *
+    * `txn` makes the append IDEMPOTENT under `txnApp` — Delta's
+    * setTransaction protocol, the exactly-once contract a foreachBatch
+    * streaming sink needs: when the log (JSON tail or checkpoint `txn`
+    * rows) already records a watermark >= `txn` for `txnApp`, the
+    * append is a detected replay and returns the current version
+    * WITHOUT writing; otherwise the commit carries a
+    * `{"txn":{appId,version,lastUpdated}}` action, and the CAS
+    * guarantees a racing duplicate of the same batch loses. */
   def appendDeltaForeign(spark: SparkSession, root: String,
-      df: DataFrame): Long = {
+      df: DataFrame, txn: Option[Long] = None,
+      txnApp: String = DefaultTxnApp): Long = {
     import org.apache.spark.sql.functions.col
     val logDir = Paths.get(root, "_delta_log")
     require(Files.isDirectory(logDir), s"no _delta_log at $root")
     val cur = pinForeignDeltaVersion(root, logDir)
+    // idempotence check BEFORE any work: a replayed micro-batch costs
+    // one metadata read, not a data write it then throws away
+    txn.foreach { t =>
+      require(txnApp.matches("[A-Za-z0-9_.-]+"),
+        s"txn app id must be [A-Za-z0-9_.-]+ (it is embedded in log " +
+          s"JSON): $txnApp")
+      if (deltaTxnsForeign(spark, root, cur).get(txnApp).exists(_._1 >= t))
+        return cur // already committed by this writer: replay detected
+    }
     val state = deltaStateAt(spark, root, Some(cur), useCheckpoint = true)
     val struct = schemaJsonToStruct(state.schemaJson).getOrElse(
       throw new IllegalStateException(
@@ -2224,6 +2395,9 @@ object LakehouseTable {
     val sb = new StringBuilder
     sb.append(s"""{"commitInfo":{"timestamp":$ts,"operation":"WRITE","operationParameters":{"mode":"Append"}}}""")
       .append('\n')
+    txn.foreach(t => sb.append(
+      s"""{"txn":{"appId":"$txnApp","version":$t,"lastUpdated":$ts}}""")
+      .append('\n'))
     rels.foreach(f => sb.append(addActionJson(root, f)).append('\n'))
     casCommitDeltaLog(root, logDir, cur, sb.toString, "append")
   }
@@ -2763,9 +2937,21 @@ object LakehouseTable {
     * constraints / invariants / generated / identity columns are
     * compaction-safe (rows are verbatim). Returns the committed
     * version, or the pinned current one when fewer than two small
-    * files exist (no-op, no commit). */
+    * files exist (no-op, no commit).
+    *
+    * With `zorderBy` (OPTIMIZE ... ZORDER BY): clustered compaction —
+    * EVERY live file rewrites (ZORDER is a layout of the whole
+    * population, Delta's own behavior for the selected partitions)
+    * into ceil(total/target) files range-partitioned + sorted on the
+    * interleaved z-value ([[zorderLayout]], shared with the native
+    * face), so each fresh add's stats cover a narrow range in every
+    * clustered dimension at once and data skipping prunes on any of
+    * them. Still dataChange=false: the rows are verbatim. Not
+    * convergence-gated (re-running re-clusters, as Delta's does); a
+    * ≤1-file DV-less table is the only no-op. */
   def optimizeDeltaForeign(spark: SparkSession, root: String,
-      targetBytes: Long = 128L * 1024 * 1024): Long = {
+      targetBytes: Long = 128L * 1024 * 1024,
+      zorderBy: Seq[String] = Nil): Long = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val logDir = Paths.get(root, "_delta_log")
     require(Files.isDirectory(logDir), s"no _delta_log at $root")
@@ -2783,33 +2969,75 @@ object LakehouseTable {
     validateMappedWrite(root, struct, mapping, "optimize")
     requireForeignWriterProtocol(state, root, "compaction",
       ForeignRowPreservingSafe)
+    // ZORDER columns resolve case-insensitively against the table
+    // schema (logical names — the layout runs in logical space, before
+    // any column-mapping lowering) and must not be partition columns
+    // (within one hive partition a partition column cannot
+    // discriminate — Delta refuses it too)
+    val zCols = zorderBy.map { c =>
+      struct.fields.map(_.name).find(_.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"ZORDER BY column '$c' is not in the table schema at $root"))
+    }
+    require(!zCols.exists(z =>
+        state.partitionCols.exists(_.equalsIgnoreCase(z))),
+      s"ZORDER BY on partition column(s) " +
+        s"${zCols.filter(z => state.partitionCols.exists(_.equalsIgnoreCase(z))).mkString(", ")} " +
+        "— partition values are constant within a file's hive " +
+        "directory; cluster on data columns instead")
     // small-file selection: on-disk size, O(live files) driver stats.
     // A DV-bearing file compacts REGARDLESS of size (the rewrite purges
-    // its DV — REORG's behavior, folded in).
-    val small = state.live.filter { f =>
-      val p = Paths.get(root).resolve(f)
-      state.dvs.contains(f) ||
-        (Files.exists(p) && Files.size(p) < targetBytes)
-    }
+    // its DV — REORG's behavior, folded in). ZORDER selects EVERYTHING:
+    // clustering quality is a property of the whole population.
+    val small =
+      if (zCols.nonEmpty) state.live
+      else state.live.filter { f =>
+        val p = Paths.get(root).resolve(f)
+        state.dvs.contains(f) ||
+          (Files.exists(p) && Files.size(p) < targetBytes)
+      }
     val total = small.map(f => Files.size(Paths.get(root).resolve(f))).sum
     val nOut = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
-    // CONVERGENCE: packing must strictly shrink the file count (or
-    // purge a DV) — otherwise files just under the target would
-    // rewrite into the same population every call, a full-table churn
-    // version per OPTIMIZE forever (real Delta's per-bin ≥2 rule)
-    if ((small.size < 2 || nOut >= small.size) &&
+    // CONVERGENCE (bin-packing only): packing must strictly shrink the
+    // file count (or purge a DV) — otherwise files just under the
+    // target would rewrite into the same population every call, a
+    // full-table churn version per OPTIMIZE forever (real Delta's
+    // per-bin ≥2 rule). A ZORDER's rewrite is the point, not churn.
+    if (zCols.isEmpty &&
+        (small.size < 2 || nOut >= small.size) &&
         small.forall(f => !state.dvs.contains(f)))
       return cur // nothing worth packing: no-op, no commit
+    if (zCols.nonEmpty && small.size < 2 && state.dvs.isEmpty)
+      return cur // one file clusters to itself: no-op, no commit
     val smallSet = small.toSet
     val rows = readDeltaSlice(spark, root, state, small,
       state.dvs.filter(kv => smallSet.contains(kv._1)))
-    val aligned = rows.select(
-      struct.fields.map(f => bq(f.name)).toSeq: _*).coalesce(nOut)
+    val aligned0 = rows.select(
+      struct.fields.map(f => bq(f.name)).toSeq: _*)
+    val aligned =
+      if (zCols.isEmpty) aligned0.coalesce(nOut)
+      else if (zCols.size == 1)
+        // one column needs no curve: range-partition + sort IS the
+        // optimal single-dimension clustering
+        (if (state.partitionCols.isEmpty)
+          aligned0.repartitionByRange(math.max(nOut, 2), bq(zCols.head))
+        else aligned0.repartition(math.max(nOut, 2),
+          state.partitionCols.map(bq): _*))
+          .sortWithinPartitions(
+            (state.partitionCols.map(bq) :+ bq(zCols.head)): _*)
+      else zorderLayout(aligned0, zCols, math.max(nOut, 2),
+        state.partitionCols)
     val (physicalDf, physPartCols) =
       lowerForWrite(spark, struct, mapping, aligned, state.partitionCols)
-    val rels = writeFilesRaw(physicalDf, root, physPartCols)
+    val rels =
+      if (zCols.isEmpty) writeFilesRaw(physicalDf, root, physPartCols)
+      else withDeterministicRangeSample(spark)(
+        writeFilesRaw(physicalDf, root, physPartCols))
+    val zParam =
+      if (zCols.isEmpty) ""
+      else s""","zOrderBy":"[${zCols.map(c => "\\\"" + escJson(c) + "\\\"").mkString(",")}]""""
     commitForeignRewriteVersion(root, logDir, state, cur,
-      s""""operation":"OPTIMIZE","operationParameters":{"targetSize":"$targetBytes"}""",
+      s""""operation":"OPTIMIZE","operationParameters":{"targetSize":"$targetBytes"$zParam}""",
       small, rels, Nil, "optimize", dataChange = false)
   }
 
@@ -2868,6 +3096,13 @@ object LakehouseTable {
       curState.conf != tgtState.conf
     if (readds.isEmpty && removes.isEmpty && !metaChanged)
       return cur // already at the target state
+    // appendOnly bars dataChange=true removes — the same contract the
+    // DELETE/UPDATE/MERGE writers refuse on; a restore that only
+    // re-adds (pure roll-forward of appends) stays legal
+    require(removes.isEmpty ||
+        curState.conf.getOrElse("delta.appendOnly", "false") != "true",
+      s"the table at $root is append-only (delta.appendOnly=true); " +
+        "restore would remove live files — refusing")
     val missing = readds.filterNot(f =>
       Files.exists(Paths.get(root).resolve(f)))
     require(missing.isEmpty,
@@ -4698,12 +4933,27 @@ object LakehouseTable {
     * the data. */
   def zorderCluster(spark: SparkSession, root: String, zCols: Seq[String],
       numFiles: Int = 8, partitionBy: Seq[String] = Nil): Long = {
-    import org.apache.spark.sql.functions._
     require(zCols.size >= 2, "zorderCluster needs >= 2 columns (use cluster for 1)")
     val cur = currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no table at $root"))
     requirePartitioningMatches(root, cur, partitionBy, "zorderCluster")
     val snapshot = read(spark, root, Some(cur))
+    val rewritten = zorderLayout(snapshot, zCols, numFiles, partitionBy)
+    withDeterministicRangeSample(spark)(
+      commitClustered(root, cur, rewritten, zCols, partitionBy))
+  }
+
+  /** The Z-ORDER layout plan shared by the native [[zorderCluster]]
+    * and the foreign [[optimizeDeltaForeign]]'s ZORDER BY form: each
+    * column range-normalized to `bits` (one tiny min/max agg for the
+    * bounds), bits interleaved into one z-value, rows
+    * range-partitioned + sorted by it (within each hive partition when
+    * `partitionBy` is set — bounds and bit allocation stay global).
+    * The z-value is a pure layout key — computed, sorted on,
+    * dropped — it never lands in the data. */
+  private def zorderLayout(snapshot: DataFrame, zCols: Seq[String],
+      numFiles: Int, partitionBy: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
     val bounds = snapshot.agg(
       min(snapshot(zCols.head).cast("double")),
       (max(snapshot(zCols.head).cast("double")) +:
@@ -4729,31 +4979,33 @@ object LakehouseTable {
     val z = (for { b <- 0 until bits; (c, j) <- norm.zipWithIndex }
       yield shiftleft(shiftright(c, b).bitwiseAND(1L), b * norm.length + j))
       .reduce(_ + _)
-    // partitioned table: z-cluster WITHIN each hive partition (bounds and
-    // bit allocation stay global — the curve still discriminates inside
-    // every partition, it just shares one normalization)
     val withZ = snapshot.withColumn("__z", z)
-    val rewritten =
-      (if (partitionBy.isEmpty)
-        withZ.repartitionByRange(numFiles, col("__z"))
-          .sortWithinPartitions(col("__z"))
-      else withZ
-        .repartition(numFiles, partitionBy.map(snapshot.col): _*)
-        .sortWithinPartitions(partitionBy.map(snapshot.col) :+ col("__z"): _*))
+    (if (partitionBy.isEmpty)
+      withZ.repartitionByRange(numFiles, col("__z"))
+        .sortWithinPartitions(col("__z"))
+    else withZ
+      .repartition(numFiles, partitionBy.map(snapshot.col): _*)
+      .sortWithinPartitions(partitionBy.map(snapshot.col) :+ col("__z"): _*))
       .drop("__z")
-    // RangePartitioner seeds its reservoir sample from the RDD id, so the
-    // default 100-rows-per-partition sample gives session-dependent
-    // boundaries — two builds of the same table get different layouts,
-    // and a boundary that straddles a z-octant edge costs a file of
-    // pruning. A sample that COVERS the data at rewrite time makes the
-    // boundaries exact quantiles (deterministic layout, octant-aligned on
-    // uniform data); the cost stays O(sampleSize × partitions) at any
-    // scale, and a 100 TB rewrite that exceeds it merely degrades back to
-    // sampled boundaries.
+  }
+
+  /** Run `body` (a write of a range-partitioned plan) under a
+    * deterministic range-exchange sample. RangePartitioner seeds its
+    * reservoir sample from the RDD id, so the default
+    * 100-rows-per-partition sample gives session-dependent
+    * boundaries — two builds of the same table get different layouts,
+    * and a boundary that straddles a z-octant edge costs a file of
+    * pruning. A sample that COVERS the data at rewrite time makes the
+    * boundaries exact quantiles (deterministic layout, octant-aligned
+    * on uniform data); the cost stays O(sampleSize × partitions) at
+    * any scale, and a 100 TB rewrite that exceeds it merely degrades
+    * back to sampled boundaries. */
+  private def withDeterministicRangeSample[T](spark: SparkSession)
+      (body: => T): T = {
     val sampleKey = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
     val prevSample = spark.conf.getOption(sampleKey)
     spark.conf.set(sampleKey, "200000")
-    try commitClustered(root, cur, rewritten, zCols, partitionBy)
+    try body
     finally prevSample match {
       case Some(v) => spark.conf.set(sampleKey, v)
       case None    => spark.conf.unset(sampleKey)

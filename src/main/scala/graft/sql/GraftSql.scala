@@ -473,13 +473,21 @@ case class MergeGraftTableCommand(name: String, sourceQuery: String,
       case Some(cond) =>
         // a NULL clause condition is FALSE per MERGE semantics: the row
         // falls through to the UPDATE clause (filter(!d) would drop it
-        // from BOTH frames — silently neither updated nor deleted)
+        // from BOTH frames — silently neither updated nor deleted).
+        // And the clause only gates MATCHED rows: a cond-true row whose
+        // key is absent from the target inserts via WHEN NOT MATCHED
+        // (the split below consults the target's keys — a key-columns
+        // scan, the classification cost every MERGE implementation pays)
         val del = org.apache.spark.sql.functions.coalesce(
           org.apache.spark.sql.functions.expr(cond),
           org.apache.spark.sql.functions.lit(false))
+        val tgt = LakehouseTable.read(spark, e.root)
+        val tgtKeys = tgt.select(keys.map(tgt(_)): _*).distinct()
+        val condTrue = src.filter(del)
         LakehouseTable.mergeApply(spark, e.root,
-          updates = src.filter(!del),
-          deleteKeys = src.filter(del),
+          updates = src.filter(!del).unionByName(
+            condTrue.join(tgtKeys, keys, "left_anti")),
+          deleteKeys = condTrue.join(tgtKeys, keys, "left_semi"),
           keys = keys, partitionBy = e.partitionBy)
     }
     GraftCatalog.refreshView(spark, name)
@@ -587,11 +595,24 @@ case class ForeignMergeCommand(face: String, root: String,
     val (upd, del) = deleteCond match {
       case None => (src, None)
       case Some(c) =>
-        // NULL clause condition = FALSE (the row upserts, not vanishes)
+        // NULL clause condition = FALSE (the row upserts, not vanishes).
+        // MERGE semantics gate the clause on MATCHED: a cond-true row
+        // whose key is NOT in the target falls through to WHEN NOT
+        // MATCHED THEN INSERT (Delta's own behavior), so the split
+        // consults the target's keys — a key-columns-only scan, the
+        // same matched-classification cost Delta's merge job pays
         val d = org.apache.spark.sql.functions.coalesce(
           org.apache.spark.sql.functions.expr(c),
           org.apache.spark.sql.functions.lit(false))
-        (src.filter(!d), Some(src.filter(d)))
+        val tgt =
+          if (face == "delta_export")
+            LakehouseTable.readDeltaExport(spark, root)
+          else graft.sources.IcebergMeta.readIceberg(spark, root)
+        val tgtKeys = tgt.select(keys.map(tgt(_)): _*).distinct()
+        val condTrue = src.filter(d)
+        (src.filter(!d).unionByName(
+           condTrue.join(tgtKeys, keys, "left_anti")),
+         Some(condTrue.join(tgtKeys, keys, "left_semi")))
     }
     if (face == "delta_export")
       LakehouseTable.mergeDeltaForeign(spark, root, upd, keys, del)
@@ -633,14 +654,19 @@ case class ForeignMaintenanceCommand(op: String, root: String,
         LakehouseTable.checkpointDeltaForeign(spark, root)
       case "vacuum-delta" =>
         LakehouseTable.vacuumDeltaForeign(spark, root,
-          arg.map(_.toDouble).getOrElse(168.0))
+          arg.map(_.toDouble).getOrElse(168.0),
+          explicitRetain = arg.isDefined)
       case "expire-iceberg" =>
         graft.sources.IcebergMeta.expireSnapshotsForeign(root,
           retainLast = arg.map(_.toDouble.toInt).getOrElse(1))
       case "optimize-delta" =>
-        LakehouseTable.optimizeDeltaForeign(spark, root)
+        LakehouseTable.optimizeDeltaForeign(spark, root,
+          zorderBy = arg.toSeq.flatMap(_.split(","))
+            .map(_.trim).filter(_.nonEmpty))
       case "compact-iceberg" =>
         graft.sources.IcebergMeta.rewriteDataFilesForeign(spark, root)
+      case "rewrite-manifests-iceberg" =>
+        graft.sources.IcebergMeta.rewriteManifestsForeign(root)
       case "restore-delta" =>
         LakehouseTable.restoreDeltaForeign(spark, root, arg.get.toLong)
       case "rollback-iceberg" =>
@@ -1049,8 +1075,44 @@ object GraftSqlStatements {
     """(?is)^\s*CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+USING\s+graft\s*(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?(?:LOCATION\s+'([^']+)'\s*)?(?:AS\s+(.*?))?\s*;?\s*$""".r
   private val InsertRe =
     """(?is)^\s*INSERT\s+(INTO|OVERWRITE)\s+([A-Za-z_][A-Za-z0-9_]*)\s+((?:SELECT|WITH|VALUES|FROM|TABLE)\b.*?)\s*;?\s*$""".r
+  // HEAD only — the USING body is split by BALANCED-PAREN scan, not a
+  // greedy regex: a source containing ") ... ON ..." (a nested join's
+  // ON, a parenthesized union) would let `\((.*)\)...ON` mis-split and
+  // surface as a confusing analysis error instead of parsing right.
+  // The scan is sound because the text is MASKED (no parens hide in
+  // string literals). The tail after the source parses with MergeTailRe.
   private val MergeRe =
-    """(?is)^\s*MERGE\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+AS\s+(\w+))?\s+USING\s+\((.*)\)\s*(?:AS\s+(\w+)\s+)?ON\s+(.*?)\s+(?:WHEN\s+MATCHED\s+AND\s+(.*?)\s+THEN\s+DELETE\s+)?WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*$""".r
+    """(?is)^\s*MERGE\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+AS\s+(\w+))?\s+USING\s+\((.*)$""".r
+  private val MergeTailRe =
+    """(?is)^\s*(?:AS\s+(\w+)\s+)?ON\s+(.*?)\s+(?:WHEN\s+MATCHED\s+AND\s+(.*?)\s+THEN\s+DELETE\s+)?WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*$""".r
+
+  /** Split `afterOpenParen` (the text following "USING (") into the
+    * balanced source body and the tail after its closing paren.
+    * Throws on unbalanced input — by the time a statement matches a
+    * MERGE head, a clean refusal beats falling through to Spark's
+    * parser with a message about a statement IT never saw. */
+  private def splitUsingBody(afterOpenParen: String): (String, String) = {
+    var depth = 1
+    var i = 0
+    while (i < afterOpenParen.length && depth > 0) {
+      afterOpenParen.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _   => ()
+      }
+      i += 1
+    }
+    require(depth == 0,
+      "unbalanced parentheses in MERGE ... USING (<source>)")
+    (afterOpenParen.substring(0, i - 1), afterOpenParen.substring(i))
+  }
+
+  private def mergeTailError(tail: String): Nothing =
+    throw new IllegalArgumentException(
+      "malformed MERGE tail after USING (<source>): expected " +
+        "[AS s] ON <cond> [WHEN MATCHED AND <cond> THEN DELETE] " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN " +
+        s"INSERT * — got: ${tail.trim.take(120)}")
   private val DeleteRe =
     """(?is)^\s*DELETE\s+FROM\s+([A-Za-z_][A-Za-z0-9_]*)\s+WHERE\s+(.*?)\s*;?\s*$""".r
   private val UpdateRe =
@@ -1207,17 +1269,22 @@ object GraftSqlStatements {
       case InsertRe(mode, name, query) if GraftCatalog.lookup(name).isDefined =>
         Some(InsertGraftTableCommand(name, unmask(query),
           overwrite = mode.equalsIgnoreCase("OVERWRITE")))
-      case MergeRe(name, tAlias, source, sAlias, cond, delCond) if GraftCatalog.lookup(name).isDefined =>
-        // the DELETE condition filters the SOURCE rows: strip the source
-        // alias qualifier so it evaluates against the bare source frame.
-        // Alias-strip happens on the MASKED text (an alias lookalike
-        // inside a literal stays intact), then the literals come back.
-        val del = Option(delCond).map { c =>
-          unmask(Option(sAlias).fold(c)(a => c.replaceAll(
-            "(?i)\\b" + java.util.regex.Pattern.quote(a) + "\\s*\\.", "")))
+      case MergeRe(name, tAlias, afterUsing) if GraftCatalog.lookup(name).isDefined =>
+        val (source, tail) = splitUsingBody(afterUsing)
+        tail match {
+          case MergeTailRe(sAlias, cond, delCond) =>
+            // the DELETE condition filters the SOURCE rows: strip the source
+            // alias qualifier so it evaluates against the bare source frame.
+            // Alias-strip happens on the MASKED text (an alias lookalike
+            // inside a literal stays intact), then the literals come back.
+            val del = Option(delCond).map { c =>
+              unmask(Option(sAlias).fold(c)(a => c.replaceAll(
+                "(?i)\\b" + java.util.regex.Pattern.quote(a) + "\\s*\\.", "")))
+            }
+            Some(MergeGraftTableCommand(name, unmask(source),
+              mergeKeys(cond, name, Option(tAlias), Option(sAlias)), del))
+          case t => mergeTailError(t)
         }
-        Some(MergeGraftTableCommand(name, unmask(source),
-          mergeKeys(cond, name, Option(tAlias), Option(sAlias)), del))
       case DeleteRe(name, cond) if GraftCatalog.lookup(name).isDefined =>
         Some(DeleteGraftTableCommand(name, unmask(cond)))
       case UpdateRe(name, rest) if GraftCatalog.lookup(name).isDefined =>
@@ -1246,6 +1313,9 @@ object GraftSqlStatements {
       case ForeignCheckpointRe(idx) =>
         Some(ForeignMaintenanceCommand("checkpoint",
           unmaskLit(unmask, idx), None))
+      case ForeignRewriteManifestsRe(idx) =>
+        Some(ForeignMaintenanceCommand("rewrite-manifests-iceberg",
+          unmaskLit(unmask, idx), None))
       case ForeignVacuumRe(face, idx, retain, unit) =>
         val f = face.toLowerCase
         if (f == "delta_export") {
@@ -1263,30 +1333,41 @@ object GraftSqlStatements {
           Some(ForeignMaintenanceCommand("expire-iceberg",
             unmaskLit(unmask, idx), Option(retain)))
         }
-      case ForeignOptimizeRe(face, idx) =>
+      case ForeignOptimizeRe(face, idx, zcols) =>
+        val isDelta = face.equalsIgnoreCase("delta_export")
+        require(zcols == null || isDelta,
+          "OPTIMIZE iceberg_export(...) is MOR compaction and takes " +
+            "no ZORDER BY (cluster the table with the Delta face or " +
+            "the native OPTIMIZE)")
         Some(ForeignMaintenanceCommand(
-          if (face.equalsIgnoreCase("delta_export")) "optimize-delta"
-          else "compact-iceberg",
-          unmaskLit(unmask, idx), None))
+          if (isDelta) "optimize-delta" else "compact-iceberg",
+          unmaskLit(unmask, idx),
+          Option(zcols).map(_.split(",").map(_.trim)
+            .filter(_.nonEmpty).mkString(","))))
       case ForeignRestoreRe(idx, v) =>
         Some(ForeignMaintenanceCommand("restore-delta",
           unmaskLit(unmask, idx), Some(v)))
       case ForeignRollbackRe(idx, s) =>
         Some(ForeignMaintenanceCommand("rollback-iceberg",
           unmaskLit(unmask, idx), Some(s)))
-      case ForeignMergeRe(face, idx, tAlias, source, sAlias, cond, delCond) =>
+      case ForeignMergeRe(face, idx, tAlias, afterUsing) =>
         // the TVF target has no table name — the ON clause can only
         // reference it through an alias, so one is required
         require(tAlias != null,
           "MERGE INTO delta_export/iceberg_export(...) requires a " +
             "target alias (MERGE INTO delta_export('/p') AS t ...)")
-        val del = Option(delCond).map { c =>
-          unmask(Option(sAlias).fold(c)(a => c.replaceAll(
-            "(?i)\\b" + java.util.regex.Pattern.quote(a) + "\\s*\\.", "")))
+        val (source, tail) = splitUsingBody(afterUsing)
+        tail match {
+          case MergeTailRe(sAlias, cond, delCond) =>
+            val del = Option(delCond).map { c =>
+              unmask(Option(sAlias).fold(c)(a => c.replaceAll(
+                "(?i)\\b" + java.util.regex.Pattern.quote(a) + "\\s*\\.", "")))
+            }
+            Some(ForeignMergeCommand(face.toLowerCase,
+              unmaskLit(unmask, idx), unmask(source),
+              mergeKeys(cond, tAlias, None, Option(sAlias)), del))
+          case t => mergeTailError(t)
         }
-        Some(ForeignMergeCommand(face.toLowerCase,
-          unmaskLit(unmask, idx), unmask(source),
-          mergeKeys(cond, tAlias, None, Option(sAlias)), del))
       case RestoreRe(name, v) if GraftCatalog.lookup(name).isDefined =>
         Some(RestoreGraftTableCommand(name, v.toLong))
       case OptimizeRe(name, where, zcols) if GraftCatalog.lookup(name).isDefined =>
@@ -1391,23 +1472,28 @@ object GraftSqlStatements {
   private val ForeignCheckpointRe =
     ("""(?is)^\s*CHECKPOINT\s+delta_export\s*\(\s*""" + MaskedLit +
       """\s*\)\s*;?\s*$""").r
+  private val ForeignRewriteManifestsRe =
+    ("""(?is)^\s*REWRITE\s+MANIFESTS\s+iceberg_export\s*\(\s*""" +
+      MaskedLit + """\s*\)\s*;?\s*$""").r
   private val ForeignVacuumRe =
     ("""(?is)^\s*VACUUM\s+(delta_export|iceberg_export)\s*\(\s*""" +
       MaskedLit +
       """\s*\)(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+(HOURS|VERSIONS))?\s*;?\s*$""").r
   private val ForeignOptimizeRe =
     ("""(?is)^\s*OPTIMIZE\s+(delta_export|iceberg_export)\s*\(\s*""" +
-      MaskedLit + """\s*\)\s*;?\s*$""").r
+      MaskedLit +
+      """\s*\)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""").r
   private val ForeignRestoreRe =
     ("""(?is)^\s*RESTORE\s+TABLE\s+delta_export\s*\(\s*""" + MaskedLit +
       """\s*\)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
   private val ForeignRollbackRe =
     ("""(?is)^\s*RESTORE\s+TABLE\s+iceberg_export\s*\(\s*""" + MaskedLit +
       """\s*\)\s+TO\s+SNAPSHOT\s+(\d+)\s*;?\s*$""").r
+  // HEAD only, like MergeRe — the USING body splits by balanced scan
   private val ForeignMergeRe =
     ("""(?is)^\s*MERGE\s+INTO\s+(delta_export|iceberg_export)\s*\(\s*""" +
       MaskedLit +
-      """\s*\)(?:\s+AS\s+(\w+))?\s+USING\s+\((.*)\)\s*(?:AS\s+(\w+)\s+)?ON\s+(.*?)\s+(?:WHEN\s+MATCHED\s+AND\s+(.*?)\s+THEN\s+DELETE\s+)?WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*$""").r
+      """\s*\)(?:\s+AS\s+(\w+))?\s+USING\s+\((.*)$""").r
   private val IcebergChangelogRe =
     ("""(?i)\biceberg_changelog\s*\(\s*""" + MaskedLit +
       """\s*,\s*(?:(\d+)|""" + MaskedLit + """)\s*,\s*(?:(\d+)|""" +

@@ -208,6 +208,29 @@ object Streams {
       }
       .start()
 
+  /** Streaming ingestion into a FOREIGN Delta table (a `_delta_log`
+    * this engine does not own), exactly-once per micro-batch: each
+    * commit carries the batch id as a `setTransaction` action under
+    * this stream's app id — Delta's own idempotent-writer protocol —
+    * so a batch replayed after a failure between log commit and
+    * checkpoint commit is detected inside
+    * [[graft.sources.LakehouseTable.appendDeltaForeign]] and skipped,
+    * and the watermark survives checkpoint + log cleanup (the
+    * checkpoint parquet carries `txn` rows). The foreign twin of
+    * [[ingestInto]]'s contract. */
+  def ingestIntoDeltaForeign(events: DataFrame, tableRoot: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.sources.LakehouseTable.appendDeltaForeign(
+          batch.sparkSession, tableRoot, batch.toDF(),
+          txn = Some(batchId), txnApp = txnAppOf(checkpoint))
+        ()
+      }
+      .start()
+
   /** Streaming VECTOR ingestion into the IVF cell index: each
     * micro-batch of (vec_id, embedding) rows is routed to its nearest
     * frozen centroid's `cid=` partition via

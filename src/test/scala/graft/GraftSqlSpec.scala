@@ -308,10 +308,21 @@ class GraftSqlSpec extends AnyFunSuite {
       .head().getString(0) == " WHEN MATCHED THEN UPDATE SET * ")
     assert(spark.sql("SELECT note FROM sqlspec_lit WHERE k = 99")
       .head().getString(0) == " ON t.k = u.k ")
-    // source rows matching the delete condition are DELETE instructions
-    // (they delete their target row and never insert): k=98 had no target
-    // row, so its delete is a no-op and it must NOT appear
-    assert(n("sqlspec_lit") == 26) // 25 + inserted k=99
+    // the DELETE clause only gates MATCHED rows (Spark/Delta MERGE
+    // semantics, the round-14 ADVICE fix): k=98 had no target row, so
+    // its cond-true source row falls through to WHEN NOT MATCHED and
+    // INSERTS instead of silently vanishing
+    assert(n("sqlspec_lit") == 27) // 25 + inserted k=99 + inserted k=98
+    assert(spark.sql("SELECT count(*) AS c FROM sqlspec_lit WHERE k = 98")
+      .head().getLong(0) == 1)
+    // ...and a SECOND merge with the same source now MATCHES k=98, so
+    // the delete clause fires and removes it (the two-phase CDC shape)
+    spark.sql("""MERGE INTO sqlspec_lit AS t USING (
+        SELECT 98 AS k, 'u.drop me' AS note
+      ) AS u ON t.k = u.k
+      WHEN MATCHED AND u.note = 'u.drop me' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+    assert(n("sqlspec_lit") == 26)
     assert(spark.sql("SELECT count(*) AS c FROM sqlspec_lit WHERE k = 98")
       .head().getLong(0) == 0)
 

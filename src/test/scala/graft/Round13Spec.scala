@@ -1872,10 +1872,10 @@ class Round13Spec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(back.keySet == (6L to 20L).toSet, back.keySet.toString)
     // retention respected: a wide window reclaims nothing
-    assert(LT.vacuumDeltaForeign(spark, root, retainHours = 1000.0).isEmpty)
+    assert(LT.vacuumDeltaForeign(spark, root, retainHours = 1000.0, explicitRetain = true).isEmpty)
     assert(dataFiles() == 3)
     // retention 0 reclaims exactly the stranded pre-delete file
-    val gone = LT.vacuumDeltaForeign(spark, root, retainHours = 0.0)
+    val gone = LT.vacuumDeltaForeign(spark, root, retainHours = 0.0, explicitRetain = true)
     assert(gone.size == 1 && gone.head.startsWith("data/"),
       gone.toString)
     assert(dataFiles() == 2)
@@ -1910,10 +1910,10 @@ class Round13Spec extends AnyFunSuite {
     try s.iterator().asScala.filter(Files.isRegularFile(_))
       .foreach(Files.setLastModifiedTime(_, old))
     finally s.close()
-    assert(LT.vacuumDeltaForeign(spark, root, retainHours = 168.0).isEmpty,
+    assert(LT.vacuumDeltaForeign(spark, root, retainHours = 168.0, explicitRetain = true).isEmpty,
       "the checkpoint-carried tombstone must protect the stranded file")
     // past the tombstone's window it reclaims
-    val gone = LT.vacuumDeltaForeign(spark, root, retainHours = 0.0)
+    val gone = LT.vacuumDeltaForeign(spark, root, retainHours = 0.0, explicitRetain = true)
     assert(gone.size == 1, gone.toString)
     assert(LT.readDeltaExport(spark, root).count() == 5)
   }
@@ -1949,7 +1949,10 @@ class Round13Spec extends AnyFunSuite {
       s"the SEEDED protocol must still refuse: ${exSeeded.getMessage}")
   }
 
-  test("checkpointing a log with setTransaction actions refuses") {
+  test("checkpointing a log with setTransaction actions carries the watermark") {
+    // round-14 upgrade: checkpoints CARRY txn rows (the spec's rule)
+    // instead of the old refusal — a foreign idempotent writer's
+    // watermark must survive checkpoint + log cleanup
     import spark.implicits._
     val root = freshRoot("fmaint_txn")
     LT.create(Seq((1L, 10L)).toDF("k", "v").coalesce(1), root)
@@ -1958,10 +1961,13 @@ class Round13Spec extends AnyFunSuite {
     val lf0 = Paths.get(root, "_delta_log", f"${0L}%020d.json")
     Files.writeString(lf0, Files.readString(lf0).stripSuffix("\n") +
       "\n" + """{"txn":{"appId":"app-1","version":5}}""" + "\n")
-    val ex = intercept[IllegalArgumentException] {
-      LT.checkpointDeltaForeign(spark, root)
-    }
-    assert(ex.getMessage.contains("setTransaction"), ex.getMessage)
+    LT.appendDeltaForeign(spark, root,
+      Seq((2L, 20L)).toDF("k", "v").coalesce(1))
+    LT.checkpointDeltaForeign(spark, root)
+    assert(LT.cleanupDeltaLogForeign(root) > 0,
+      "the doctored v0 JSON must be reclaimed below the pointer")
+    assert(LT.lastTxnDeltaForeign(spark, root, "app-1").contains(5L),
+      "the foreign writer's watermark must ride the checkpoint")
   }
 
   test("iceberg foreign compaction: deletes applied, replace snapshot, time travel") {
@@ -2220,7 +2226,7 @@ class Round13Spec extends AnyFunSuite {
     assert(same == ver)
     // a vacuumed target refuses: vacuum at 0 reclaims the files only
     // the pre-restore versions reference, then restore to one of them
-    LT.vacuumDeltaForeign(spark, root, retainHours = 0.0)
+    LT.vacuumDeltaForeign(spark, root, retainHours = 0.0, explicitRetain = true)
     val exGone = intercept[IllegalArgumentException] {
       LT.restoreDeltaForeign(spark, root, 2L)
     }

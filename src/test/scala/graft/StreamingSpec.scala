@@ -537,6 +537,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(seen.size == 6, s"replayed rows detected: ${seen.asScala.toSeq.sorted}")
   }
 
+  test("foreign-delta sink is exactly-once across a crash-replayed micro-batch") {
+    import spark.implicits._
+    import graft.sources.{LakehouseTable => LT}
+    import scala.jdk.CollectionConverters._
+    val base = Files.createTempDirectory("graft-foreign-sink")
+    val srcRoot = base.resolve("src").toString
+    val tgtRoot = base.resolve("tgt").toString
+    val ckpt = base.resolve("ckpt")
+    // the target is a FOREIGN Delta table (native manifest wiped)
+    LT.create(Seq((0L, "seed")).toDF("id", "v"), tgtRoot)
+    LT.exportDeltaLog(spark, tgtRoot)
+    val mWalk = Files.walk(Paths.get(tgtRoot, "_manifest"))
+    try mWalk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { Files.deleteIfExists(p); () })
+    finally mWalk.close()
+    LT.create(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), srcRoot)
+    def stream() = Streams.ingestIntoDeltaForeign(
+      spark.readStream.format("graft-table").option("path", srcRoot).load(),
+      tgtRoot, ckpt.toString)
+    val q = stream(); q.processAllAvailable()
+    LT.append(Seq((3L, "c")).toDF("id", "v"), srcRoot)
+    q.processAllAvailable(); q.stop()
+    assert(LT.readDeltaExport(spark, tgtRoot).count() == 4)
+    // CRASH SIMULATION — the at-least-once window foreachBatch has:
+    // the sink committed batch 1 into the foreign log, but the stream
+    // died before recording commits/1, so the restart RE-DELIVERS
+    // batch 1. The setTransaction stamp must turn the replay into a
+    // no-op; without it the foreign table double-ingests batch 1.
+    val lastCommit = Files.list(ckpt.resolve("commits")).iterator().asScala
+      .filter(_.getFileName.toString.matches("\\d+")).toSeq
+      .maxBy(_.getFileName.toString.toLong)
+    Files.delete(lastCommit)
+    // the local FS keeps a checksum twin; leaving it fails the re-write
+    Files.deleteIfExists(lastCommit.resolveSibling(
+      "." + lastCommit.getFileName.toString + ".crc"))
+    val q2 = stream(); q2.processAllAvailable(); q2.stop()
+    val rows = LT.readDeltaExport(spark, tgtRoot)
+      .select($"id", $"v").as[(Long, String)].collect().toSeq
+    assert(rows.size == 4, s"replayed batch must dedup: $rows")
+    assert(rows.toSet ==
+      Set((0L, "seed"), (1L, "a"), (2L, "b"), (3L, "c")))
+    // and the checkpoint parquet carries the watermark through cleanup
+    LT.checkpointDeltaForeign(spark, tgtRoot)
+    LT.cleanupDeltaLogForeign(tgtRoot)
+    LT.append(Seq((4L, "d")).toDF("id", "v"), srcRoot)
+    val q3 = stream(); q3.processAllAvailable(); q3.stop()
+    assert(LT.readDeltaExport(spark, tgtRoot).count() == 5)
+  }
+
   test("maxVersionsPerBatch admits a backlog one manifest version at a time, across restart") {
     import spark.implicits._
     import graft.sources.{LakehouseTable => LT}
