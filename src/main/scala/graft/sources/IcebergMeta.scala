@@ -1301,16 +1301,31 @@ object IcebergMeta {
         val known: Set[String] = arr.elements().asScala.flatMap(e =>
           e.get("names").elements().asScala.map(
             _.asText().toLowerCase)).toSet
+        val byId: Map[Int, com.fasterxml.jackson.databind.JsonNode] =
+          arr.elements().asScala.map(e =>
+            e.get("field-id").asInt() -> e).toMap
         val missing = fields.filterNot(f => known(f._1.toLowerCase))
         if (missing.isEmpty) None
         else {
           missing.foreach { case (n, id) =>
-            val e = mapper.createObjectNode()
-            e.put("field-id", id)
-            val names = e.putArray("names")
-            names.add(n)
-            arr.add(e)
-            ()
+            byId.get(id) match {
+              case Some(e) =>
+                // the id already has an entry under an OLD name (a
+                // foreign rename): MERGE the new name into it —
+                // Iceberg's MappingUtil.update — never mint a second
+                // entry for the same field-id (spec readers index the
+                // mapping by id and reject duplicates)
+                e.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+                  .withArray("names").add(n)
+                ()
+              case None =>
+                val e = mapper.createObjectNode()
+                e.put("field-id", id)
+                val names = e.putArray("names")
+                names.add(n)
+                arr.add(e)
+                ()
+            }
           }
           Some(arr.toString)
         }

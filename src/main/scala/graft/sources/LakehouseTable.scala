@@ -137,17 +137,25 @@ object LakehouseTable {
     // "interval 1 month" rather than silently reading 0)
     val consumed = terms.map(_.matched.replaceAll("\\s+", "")).mkString
     if (terms.isEmpty || consumed != body.replaceAll("\\s+", "")) None
-    else Some(terms.map { m =>
-      val n = m.group(1).toLong
-      m.group(2) match {
-        case "week"        => n * 7L * 24 * 3600 * 1000
-        case "day"         => n * 24L * 3600 * 1000
-        case "hour"        => n * 3600L * 1000
-        case "minute"      => n * 60L * 1000
-        case "second"      => n * 1000L
-        case "millisecond" => n
-      }
-    }.sum)
+    else {
+      // BigInt arithmetic, saturating at Long.MaxValue: a huge declared
+      // window ("interval 20000000000 weeks" = keep forever) must not
+      // overflow to a NEGATIVE retention — that would silently expire
+      // every tombstone the window was declared to protect — and a
+      // >19-digit count must not throw out of a maintenance op
+      val total = terms.map { m =>
+        BigInt(m.group(1)) * (m.group(2) match {
+          case "week"        => 7L * 24 * 3600 * 1000
+          case "day"         => 24L * 3600 * 1000
+          case "hour"        => 3600L * 1000
+          case "minute"      => 60L * 1000
+          case "second"      => 1000L
+          case "millisecond" => 1L
+        })
+      }.sum
+      Some(if (total > BigInt(Long.MaxValue)) Long.MaxValue
+           else total.toLong)
+    }
   }
 
   /** The table's remove-tombstone retention window in ms:
@@ -1912,10 +1920,15 @@ object LakehouseTable {
       // delta.deletedFileRetentionDuration, default 168 h) drop
       // here — the spec's checkpoint rule, and what keeps the
       // checkpoint from growing with every removal the table ever made
-      deltaRemoveTombstones(spark, root, version).toSeq.sortBy(_._1)
-        .filter { case (_, (ts, _)) =>
-          ts >= System.currentTimeMillis() -
-            deltaTombstoneRetentionMs(conf) }
+      {
+        // loop-invariant horizon: one clock read + one interval parse
+        // per checkpoint, and every tombstone judged against the SAME
+        // "now"
+        val tombHorizon =
+          System.currentTimeMillis() - deltaTombstoneRetentionMs(conf)
+        deltaRemoveTombstones(spark, root, version).toSeq.sortBy(_._1)
+          .filter { case (_, (ts, _)) => ts >= tombHorizon }
+      }
         .map { case (p, (ts, dv)) =>
           val dvRow = dv.map(d => org.apache.spark.sql.Row(
             d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes,
@@ -2050,6 +2063,14 @@ object LakehouseTable {
     * appId. This is what makes a foreachBatch sink onto a foreign
     * table exactly-once: the writer stamps its batch id here and a
     * replayed batch sees its own watermark. */
+  // (checkpoint path, size, mtime) → its txn rows: a txn-stamped
+  // foreachBatch sink probes the watermark EVERY micro-batch, and the
+  // checkpoint parquet is immutable per (size, mtime) — caching turns
+  // the per-batch Spark read job into a map hit (the footerCache key
+  // discipline)
+  private val ckptTxnCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, Long), Seq[(String, Long, Option[Long])]]
+
   private def deltaTxnsForeign(spark: SparkSession, root: String,
       upTo: Long): Map[String, (Long, Option[Long])] = {
     import org.apache.spark.sql.functions.col
@@ -2064,18 +2085,21 @@ object LakehouseTable {
       ckVer.filter(_ <= upTo).foreach { v =>
         val ckPath = logDir.resolve(f"$v%020d.checkpoint.parquet")
         if (Files.exists(ckPath)) {
-          val ck = spark.read.parquet(ckPath.toString)
-          if (ck.schema.fieldNames.contains("txn"))
-            ck.filter(col("txn").isNotNull)
+          val key = (ckPath.toString, Files.size(ckPath),
+            Files.getLastModifiedTime(ckPath).toMillis)
+          val rows = ckptTxnCache.getOrElseUpdate(key, {
+            val ck = spark.read.parquet(ckPath.toString)
+            if (!ck.schema.fieldNames.contains("txn")) Nil
+            else ck.filter(col("txn").isNotNull)
               .select(col("txn.appId"), col("txn.version"),
                 col("txn.lastUpdated"))
-              .collect().foreach { r =>
-                Option(r.getString(0)).foreach { app =>
-                  if (!r.isNullAt(1))
-                    txns(app) = (r.getLong(1),
-                      if (r.isNullAt(2)) None else Some(r.getLong(2)))
-                }
+              .collect().toSeq.flatMap { r =>
+                Option(r.getString(0)).filter(_ => !r.isNullAt(1)).map(
+                  app => (app, r.getLong(1),
+                    if (r.isNullAt(2)) None else Some(r.getLong(2))))
               }
+          })
+          rows.foreach { case (app, ver, lu) => txns(app) = (ver, lu) }
         }
       }
     }
@@ -2168,9 +2192,15 @@ object LakehouseTable {
     * past it — Delta's own uncommitted-file grace). Hidden files and
     * directories (`_`/`.` prefixes — the log, change data, markers)
     * are never touched. Returns the deleted root-relative paths.
-    * Delta's default retention is 168 h; 0 reclaims everything
-    * unreferenced immediately (the test-only setting, exactly as
-    * unsafe as Delta's own `retentionDurationCheck.enabled=false`). */
+    * The DEFAULT horizon is the table's own
+    * `delta.deletedFileRetentionDuration` (else Delta's 168 h);
+    * `explicitRetain` overrides it — DELIBERATE DIVERGENCE from
+    * reference Delta, which refuses a sub-window retention unless
+    * `retentionDurationCheck.enabled=false` is ALSO set: here the
+    * explicit `RETAIN n HOURS` clause (or parameter) IS the operator's
+    * unsafe-intent signal, one knob instead of two. 0 reclaims
+    * everything unreferenced immediately (the test-only setting,
+    * exactly as unsafe as Delta's own bypass). */
   def vacuumDeltaForeign(spark: SparkSession, root: String,
       retainHours: Double = 168.0, explicitRetain: Boolean = false)
       : Seq[String] = {

@@ -481,14 +481,21 @@ case class MergeGraftTableCommand(name: String, sourceQuery: String,
         val del = org.apache.spark.sql.functions.coalesce(
           org.apache.spark.sql.functions.expr(cond),
           org.apache.spark.sql.functions.lit(false))
-        val tgt = LakehouseTable.read(spark, e.root)
-        val tgtKeys = tgt.select(keys.map(tgt(_)): _*).distinct()
-        val condTrue = src.filter(del)
-        LakehouseTable.mergeApply(spark, e.root,
-          updates = src.filter(!del).unionByName(
-            condTrue.join(tgtKeys, keys, "left_anti")),
-          deleteKeys = condTrue.join(tgtKeys, keys, "left_semi"),
-          keys = keys, partitionBy = e.partitionBy)
+        // PERSIST the source for the classification: the split reads
+        // it three ways (update / matched-delete / unmatched-insert),
+        // and a non-deterministic source (uuid(), rand()) re-evaluated
+        // per frame could classify one logical row differently
+        val srcP = src.persist()
+        try {
+          val tgt = LakehouseTable.read(spark, e.root)
+          val tgtKeys = tgt.select(keys.map(tgt(_)): _*).distinct()
+          val condTrue = srcP.filter(del)
+          LakehouseTable.mergeApply(spark, e.root,
+            updates = srcP.filter(!del).unionByName(
+              condTrue.join(tgtKeys, keys, "left_anti")),
+            deleteKeys = condTrue.join(tgtKeys, keys, "left_semi"),
+            keys = keys, partitionBy = e.partitionBy)
+        } finally { srcP.unpersist(); () }
     }
     GraftCatalog.refreshView(spark, name)
     Seq.empty
@@ -592,6 +599,7 @@ case class ForeignMergeCommand(face: String, root: String,
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val src = spark.sql(sourceQuery)
+    var persisted: Option[org.apache.spark.sql.DataFrame] = None
     val (upd, del) = deleteCond match {
       case None => (src, None)
       case Some(c) =>
@@ -609,15 +617,22 @@ case class ForeignMergeCommand(face: String, root: String,
             LakehouseTable.readDeltaExport(spark, root)
           else graft.sources.IcebergMeta.readIceberg(spark, root)
         val tgtKeys = tgt.select(keys.map(tgt(_)): _*).distinct()
-        val condTrue = src.filter(d)
-        (src.filter(!d).unionByName(
+        // persisted: the split reads the source three ways, and a
+        // non-deterministic source re-evaluated per frame could
+        // classify one logical row differently (the native twin's rule)
+        val srcP = src.persist()
+        persisted = Some(srcP)
+        val condTrue = srcP.filter(d)
+        (srcP.filter(!d).unionByName(
            condTrue.join(tgtKeys, keys, "left_anti")),
          Some(condTrue.join(tgtKeys, keys, "left_semi")))
     }
-    if (face == "delta_export")
-      LakehouseTable.mergeDeltaForeign(spark, root, upd, keys, del)
-    else graft.sources.IcebergMeta.mergeIcebergForeign(
-      spark, root, upd, keys, del)
+    try {
+      if (face == "delta_export")
+        LakehouseTable.mergeDeltaForeign(spark, root, upd, keys, del)
+      else graft.sources.IcebergMeta.mergeIcebergForeign(
+        spark, root, upd, keys, del)
+    } finally persisted.foreach { p => p.unpersist(); () }
     Seq.empty
   }
 }
@@ -1092,10 +1107,27 @@ object GraftSqlStatements {
     * MERGE head, a clean refusal beats falling through to Spark's
     * parser with a message about a statement IT never saw. */
   private def splitUsingBody(afterOpenParen: String): (String, String) = {
+    val s = afterOpenParen
     var depth = 1
     var i = 0
-    while (i < afterOpenParen.length && depth > 0) {
-      afterOpenParen.charAt(i) match {
+    while (i < s.length && depth > 0) {
+      s.charAt(i) match {
+        // string literals are masked, but COMMENTS and backtick
+        // identifiers are not — a ')' inside "-- note :)" or `a)b`
+        // must not close the source early
+        case '-' if i + 1 < s.length && s.charAt(i + 1) == '-' =>
+          while (i < s.length && s.charAt(i) != '\n') i += 1
+          i -= 1 // the shared i += 1 below lands past the newline
+        case '/' if i + 1 < s.length && s.charAt(i + 1) == '*' =>
+          val end = s.indexOf("*/", i + 2)
+          require(end >= 0,
+            "unterminated /* comment in MERGE ... USING (<source>)")
+          i = end + 1 // + the shared i += 1 = past the closer
+        case '`' =>
+          val end = s.indexOf('`', i + 1)
+          require(end >= 0,
+            "unterminated ` identifier in MERGE ... USING (<source>)")
+          i = end
         case '(' => depth += 1
         case ')' => depth -= 1
         case _   => ()
@@ -1104,7 +1136,7 @@ object GraftSqlStatements {
     }
     require(depth == 0,
       "unbalanced parentheses in MERGE ... USING (<source>)")
-    (afterOpenParen.substring(0, i - 1), afterOpenParen.substring(i))
+    (s.substring(0, i - 1), s.substring(i))
   }
 
   private def mergeTailError(tail: String): Nothing =
@@ -1339,11 +1371,15 @@ object GraftSqlStatements {
           "OPTIMIZE iceberg_export(...) is MOR compaction and takes " +
             "no ZORDER BY (cluster the table with the Delta face or " +
             "the native OPTIMIZE)")
+        val zlist = Option(zcols).map(_.split(",").map(_.trim)
+          .filter(_.nonEmpty).mkString(","))
+        // an all-whitespace/comma list must refuse, not silently
+        // degrade to bin-packing the user did not ask for
+        require(zlist.forall(_.nonEmpty),
+          "OPTIMIZE ... ZORDER BY (...) requires at least one column")
         Some(ForeignMaintenanceCommand(
           if (isDelta) "optimize-delta" else "compact-iceberg",
-          unmaskLit(unmask, idx),
-          Option(zcols).map(_.split(",").map(_.trim)
-            .filter(_.nonEmpty).mkString(","))))
+          unmaskLit(unmask, idx), zlist))
       case ForeignRestoreRe(idx, v) =>
         Some(ForeignMaintenanceCommand("restore-delta",
           unmaskLit(unmask, idx), Some(v)))

@@ -426,6 +426,75 @@ class Round14Spec extends AnyFunSuite {
     assert(fout == Map(1L -> "keep", 3L -> "x"), fout.toString)
   }
 
+  test("review pins: interval saturation, mapping merge-by-id, comment-safe USING, empty ZORDER") {
+    import spark.implicits._
+    // a keep-forever window SATURATES instead of overflowing negative
+    // (negative retention would expire every tombstone the window was
+    // declared to protect); a >19-digit count falls back, never throws
+    assert(LT.deltaIntervalMs("interval 20000000000 weeks")
+      .contains(Long.MaxValue))
+    assert(LT.deltaIntervalMs(
+      "interval 99999999999999999999 days").contains(Long.MaxValue))
+
+    // a renamed column whose field-id is already mapped under the OLD
+    // name MERGES into that entry (MappingUtil.update) — never a
+    // second entry for the same id, which spec readers reject
+    val root = freshRoot("nmRename")
+    LT.create(Seq((1L, "a")).toDF("k", "s").coalesce(1), root)
+    IcebergMeta.exportIcebergMeta(spark, root)
+    wipeManifest(root)
+    def meta(): String = {
+      val n = Files.readString(
+        Paths.get(root, "metadata", "version-hint.text")).trim.toLong
+      Files.readString(Paths.get(root, "metadata", s"v$n.metadata.json"))
+    }
+    // doctor a foreign rename: schema column 's' renamed to 's2' while
+    // the mapping still says 's' (what a foreign writer that skips
+    // MappingUtil.update leaves behind)
+    val n0 = Files.readString(
+      Paths.get(root, "metadata", "version-hint.text")).trim.toLong
+    val mp = Paths.get(root, "metadata", s"v$n0.metadata.json")
+    Files.writeString(mp, Files.readString(mp).replace(
+      """"name":"s"""", """"name":"s2""""))
+    IcebergMeta.appendIcebergForeign(spark, root,
+      Seq((2L, "b")).toDF("k", "s2").coalesce(1))
+    val mapping = om.readTree(om.readTree(meta()).get("properties")
+      .get("schema.name-mapping.default").asText())
+    val entries = mapping.elements().asScala.toSeq
+    val ids = entries.map(_.get("field-id").asInt())
+    assert(ids.distinct.size == ids.size,
+      s"duplicate field-id minted: $mapping")
+    val s2Entry = entries.find(e =>
+      e.get("names").elements().asScala.exists(_.asText() == "s2"))
+    assert(s2Entry.isDefined && s2Entry.get.get("names").elements()
+      .asScala.map(_.asText()).toSet == Set("s", "s2"),
+      s"rename must merge into the existing entry: $mapping")
+
+    // a ')' inside a line comment or backtick identifier in the USING
+    // body must not close the source early
+    val proot = freshRoot("mcomment")
+    LT.create(Seq((1L, "a")).toDF("k", "s").coalesce(1), proot)
+    graft.sql.GraftCatalog.register(spark, "r14_comment_t", proot, Nil)
+    spark.sql(
+      """MERGE INTO r14_comment_t AS t USING (
+           SELECT 2L AS k, 'x' AS s -- deduped upstream :)
+         ) AS src ON t.k = src.k
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *""")
+    assert(LT.read(spark, proot).count() == 2)
+
+    // an all-whitespace ZORDER list refuses instead of silently
+    // bin-packing
+    val zroot = freshRoot("zempty")
+    LT.create(Seq((1L, "a")).toDF("k", "s").coalesce(1), zroot)
+    LT.exportDeltaLog(spark, zroot)
+    wipeManifest(zroot)
+    val ex = intercept[IllegalArgumentException] {
+      spark.sql(s"OPTIMIZE delta_export('$zroot') ZORDER BY ( , )")
+    }
+    assert(ex.getMessage.contains("at least one column"), ex.getMessage)
+  }
+
   test("MERGE USING body parses by balanced parens (nested join ON inside source)") {
     import spark.implicits._
     val root = freshRoot("mparen")
