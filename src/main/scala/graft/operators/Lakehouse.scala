@@ -826,6 +826,57 @@ object Lakehouse {
     }
   }
 
+  private[graft] def deltaPropsDir(d: String): String =
+    TableCache.baseDir + "/delta_fprops_" +
+      java.nio.file.Paths.get(d).getFileName.toString
+
+  /** A foreign Delta table whose CHANGE FEED is turned on by a
+    * metadata-only foreign property commit
+    * ([[LakehouseTable.setPropertiesDeltaForeign]] — the protocol
+    * upgrade rides the same commit), then row-level DELETEd: the
+    * delete writer sees the property and records REAL cdc actions.
+    * q230 reads table_changes of the delete version against the
+    * analytically-derived oracle — proving property enablement
+    * actually OBLIGES the writers downstream of it. */
+  private[graft] def deltaPropsRoot(s: SparkSession, d: String): String = {
+    val root = deltaPropsDir(d)
+    foreignFixture(root, d) { () =>
+      LakehouseTable.create(ordersSlice(s, d).coalesce(2), root)
+      LakehouseTable.exportDeltaLog(s, root)
+      ()
+    } { () =>
+      LakehouseTable.setPropertiesDeltaForeign(s, root,
+        Map("delta.enableChangeDataFeed" -> "true"))
+      LakehouseTable.deleteDeltaForeign(s, root, "o_orderstatus = 'F'")
+      ()
+    }
+  }
+
+  /** A foreign chain with a TAG pinned at its first snapshot
+    * ([[IcebergMeta.createRefForeign]]), then appended and EXPIRED
+    * down to retainLast=1: the tag target survives expiry (the
+    * keep-set honors every ref — the spec's rule), so q231 time
+    * travels to the tagged snapshot BY NAME and still serves the
+    * original evens. Without the ref surface, routine expiry would
+    * have reclaimed the audit state. */
+  private[graft] def icebergRefsRoot(s: SparkSession, d: String): String = {
+    val root = TableCache.baseDir + "/iceberg_frefs_" +
+      java.nio.file.Paths.get(d).getFileName.toString
+    foreignFixture(root, d) { () =>
+      LakehouseTable.create(
+        ordersSlice(s, d).filter(col("o_orderkey") % 2 === 0), root)
+      IcebergMeta.exportIcebergMeta(s, root)
+      ()
+    } { () =>
+      val first = IcebergMeta.snapshots(root).minBy(_.seq).id
+      IcebergMeta.createRefForeign(root, "audit", first, "tag")
+      IcebergMeta.appendIcebergForeign(s, root,
+        ordersSlice(s, d).filter(col("o_orderkey") % 2 === 1))
+      IcebergMeta.expireSnapshotsForeign(root, retainLast = 1)
+      ()
+    }
+  }
+
   /** A foreign chain ROLLED BACK through
     * [[IcebergMeta.rollbackIcebergForeign]]: evens committed, odds
     * appended as a second snapshot, then the chain rolls back to the
@@ -2528,6 +2579,33 @@ object Lakehouse {
         .orderBy(col("note"))
     }),
 
+    // FOREIGN SET TBLPROPERTIES, Delta face: CDF enabled by a
+    // metadata-only commit (protocol upgrade in the same version);
+    // the delete that follows is OBLIGED to record change data, and
+    // table_changes of that version equals the analytic delete set.
+    "q230_foreign_tblproperties" -> ((s, d) => {
+      val root = deltaPropsRoot(s, d)
+      val delVer = LakehouseTable.deltaLogVersions(root).max
+      LakehouseTable.readDeltaExportChanges(s, root, delVer, delVer)
+        .select(col("_change_type"), col("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ICEBERG REFS: a tag pinned the first snapshot through an
+    // append + expiry; time travel BY NAME serves the audit state.
+    "q231_iceberg_refs" -> ((s, d) => {
+      val root = icebergRefsRoot(s, d)
+      val sid = IcebergMeta.refSnapshotId(root, "audit").getOrElse(
+        throw new IllegalStateException(s"tag 'audit' missing at $root"))
+      IcebergMeta.readIceberg(s, root, snapshotAsOf = Some(sid))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          Exact.moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // PARTITION EVOLUTION: spec 0 (identity event_type) files and
     // spec 1 (day(ts)) appended files live in ONE chain; the reader
     // resolves each file's partition struct by FIELD-ID under the spec
@@ -3767,6 +3845,22 @@ object Lakehouse {
       """SELECT CASE WHEN o_orderkey % 2 = 1 THEN 'M' ELSE '-' END AS note,
            count(*) AS n, CAST(sum(o_custkey) AS BIGINT) AS cust_sum
          FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // table_changes of the post-enablement delete = the analytic
+    // delete set (whole-row delete images, the q191 convention)
+    "q230_foreign_tblproperties" ->
+      """SELECT 'delete' AS _change_type, o_orderkey, o_custkey,
+           o_totalprice
+         FROM orders WHERE o_orderstatus = 'F'
+         ORDER BY o_orderkey""",
+
+    // the tagged snapshot is the evens era, expiry notwithstanding
+    "q231_iceberg_refs" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+            CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+            ${Exact.sqlMoneySum("o_totalprice")} AS sum_price
+          FROM orders WHERE o_orderkey % 2 = 0
+          GROUP BY 1 ORDER BY 1""",
 
     // the rolled-back chain equals the evens it started with
     "q226_iceberg_foreign_rollback" ->

@@ -3857,6 +3857,139 @@ object IcebergMeta {
     curN + 1
   }
 
+  /** The shared preamble of every metadata-only foreign commit:
+    * resolve the true current version, parse it, require format v2,
+    * and hand back a deep-copied ObjectNode with last-updated-ms
+    * advanced and the metadata-log entry appended — the caller edits
+    * and CAS-commits. */
+  private def foreignMetaEdit(root: String, what: String)
+      : (Path, Long, com.fasterxml.jackson.databind.JsonNode,
+         com.fasterxml.jackson.databind.node.ObjectNode) = {
+    require(hasChain(root), s"no Iceberg metadata at $root")
+    val dir = metaDir(root)
+    val curN = trueCurrentVersion(dir, root)
+    val md = mapper.readTree(Files.readString(
+      dir.resolve(s"v$curN.metadata.json")))
+    val fmtVer = Option(md.get("format-version")).map(_.asInt()).getOrElse(0)
+    require(fmtVer == 2,
+      s"$what supports Iceberg format-version 2 only; the chain at " +
+        s"$root is format-version $fmtVer")
+    val obj = md.deepCopy()
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    obj.put("last-updated-ms", math.max(System.currentTimeMillis(),
+      md.get("last-updated-ms").asLong() + 1))
+    obj.withArray("metadata-log").add(mapper.readTree(
+      s"""{"metadata-file":"${dir.resolve(s"v$curN.metadata.json")}","timestamp-ms":${md.get("last-updated-ms").asLong()}}"""))
+    (dir, curN, md, obj)
+  }
+
+  /** SET / UNSET table properties on a foreign Iceberg chain — a new
+    * metadata version with the properties map merged, nothing else
+    * touched (Iceberg's UpdateProperties). The keys this engine itself
+    * MAINTAINS refuse: `schema.name-mapping.default` is extended by
+    * the evolution/append machinery (a blind overwrite would
+    * re-resolve every id-less file the chain has), and reserved
+    * metadata fields are not properties at all. Returns the committed
+    * metadata version. */
+  def setPropertiesIcebergForeign(root: String,
+      set: Map[String, String], unset: Seq[String] = Nil): Long = {
+    require(set.nonEmpty || unset.nonEmpty, "nothing to set or unset")
+    require(set.keySet.intersect(unset.toSet).isEmpty,
+      "a key cannot be both SET and UNSET in one statement")
+    val managed = Set("schema.name-mapping.default", "format-version",
+      "current-snapshot-id")
+    (set.keys ++ unset).foreach(k => require(!managed(k.toLowerCase),
+      s"property '$k' is maintained by the engine's own evolution " +
+        s"machinery at $root; refusing a blind overwrite"))
+    val (dir, curN, md, obj) = foreignMetaEdit(root, "set properties")
+    val props = Option(obj.get("properties"))
+      .map(_.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
+      .getOrElse {
+        val p = mapper.createObjectNode()
+        obj.set("properties", p)
+        p
+      }
+    val before = props.toString
+    unset.foreach(k => { props.remove(k); () })
+    set.foreach { case (k, v) => props.put(k, v); () }
+    if (props.toString == before) {
+      val _ = md
+      return curN // no-op, no commit
+    }
+    casCommitMetadata(root, dir, curN, obj, "set properties")
+    curN + 1
+  }
+
+  /** CREATE a snapshot ref (TAG or BRANCH) on a foreign chain —
+    * Iceberg's ref surface: a named pointer in `refs` that (a) time
+    * travel can resolve by name ([[refSnapshotId]]) and (b)
+    * [[expireSnapshotsForeign]] PROTECTS (its keep-set already honors
+    * every ref target) — tagging a snapshot is how a production table
+    * pins an audit/repro state against routine expiry. `main` is the
+    * managed current pointer and refuses; an existing name refuses
+    * (drop it first — silent re-pointing is how a pinned audit state
+    * quietly vanishes). Returns the committed metadata version. */
+  def createRefForeign(root: String, name: String, sid: Long,
+      refType: String = "tag"): Long = {
+    require(refType == "tag" || refType == "branch",
+      s"ref type must be 'tag' or 'branch', got '$refType'")
+    require(name.nonEmpty && !name.equalsIgnoreCase("main"),
+      "'main' is the managed current-state branch; pick another name")
+    val (dir, curN, md, obj) = foreignMetaEdit(root, "create ref")
+    require(md.get("snapshots").elements().asScala
+        .exists(_.get("snapshot-id").asLong() == sid),
+      s"no snapshot $sid at $root (expired or never committed)")
+    val refs = Option(obj.get("refs"))
+      .map(_.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
+      .getOrElse {
+        val r = mapper.createObjectNode()
+        // a chain that never carried refs gets main minted alongside,
+        // pointing at the current snapshot (real metadata's shape)
+        val cur = md.get("current-snapshot-id").asLong()
+        if (cur != -1L) {
+          val m = mapper.createObjectNode()
+          m.put("snapshot-id", cur)
+          m.put("type", "branch")
+          r.set("main", m)
+          ()
+        }
+        obj.set("refs", r)
+        r
+      }
+    require(refs.get(name) == null,
+      s"ref '$name' already exists at $root; DROP it first")
+    val entry = mapper.createObjectNode()
+    entry.put("snapshot-id", sid)
+    entry.put("type", refType)
+    refs.set(name, entry)
+    casCommitMetadata(root, dir, curN, obj, "create ref")
+    curN + 1
+  }
+
+  /** DROP a snapshot ref. Unknown names refuse (a typo'd drop that
+    * "succeeds" hides that the pin is still live); `main` refuses. */
+  def dropRefForeign(root: String, name: String): Long = {
+    require(!name.equalsIgnoreCase("main"),
+      "'main' is the managed current-state branch and cannot be dropped")
+    val (dir, curN, md, obj) = foreignMetaEdit(root, "drop ref")
+    val _ = md
+    val refs = Option(obj.get("refs"))
+      .map(_.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
+    require(refs.exists(_.get(name) != null),
+      s"no ref '$name' at $root")
+    refs.foreach(r => { r.remove(name); () })
+    casCommitMetadata(root, dir, curN, obj, "drop ref")
+    curN + 1
+  }
+
+  /** The snapshot id a ref points at — the name-resolution half of
+    * `VERSION AS OF 'tag'` time travel. */
+  def refSnapshotId(root: String, name: String): Option[Long] = {
+    val md = currentMetadata(root)
+    Option(md.get("refs")).flatMap(r => Option(r.get(name)))
+      .map(_.get("snapshot-id").asLong())
+  }
+
   /** ALTER TABLE ADD COLUMNS on a foreign Iceberg chain — schema
     * evolution the spec way: a NEW schema object (fresh schema-id,
     * existing fields verbatim, new fields with ids above

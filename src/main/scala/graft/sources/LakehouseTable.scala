@@ -2508,6 +2508,93 @@ object LakehouseTable {
     casCommitDeltaLog(root, logDir, cur, sb.toString, "add columns")
   }
 
+  /** delta.* property keys a metadata-only foreign commit can set
+    * without taking on obligations it cannot honor. Everything
+    * NON-delta.* is user metadata and always legal; other delta.*
+    * keys refuse loudly: a columnMapping mode change obliges a
+    * physical-name/id assignment rewrite, raw delta.constraints.*
+    * skips the existing-row validation ADD CONSTRAINT performs, row
+    * tracking / deletion-vector enablement change what every
+    * subsequent writer must produce. */
+  private val ForeignSettableDeltaProps: Set[String] = Set(
+    "delta.appendonly", "delta.enablechangedatafeed",
+    "delta.deletedfileretentionduration", "delta.logretentionduration",
+    "delta.checkpointinterval", "delta.dataskippingnumindexedcols")
+
+  /** SET / UNSET TBLPROPERTIES on a FOREIGN Delta table — the ALTER
+    * verb operational ownership needs (turn on the change feed, make a
+    * table append-only, widen its retention) without rewriting a byte
+    * of data: ONE metaData action with the updated configuration
+    * (schema, partitioning, and table identity preserved — the ADD
+    * COLUMNS discipline). PROTOCOL OBLIGATIONS travel in the SAME
+    * commit, per the spec: enabling the change feed on a legacy
+    * protocol bumps minWriterVersion to 4 (or adds the changeDataFeed
+    * writer feature on v7 tables) so every conforming foreign writer
+    * is OBLIGED to record change data from this version on — setting
+    * the property without the protocol would let a minWriter-2 writer
+    * legally commit removes with no cdc, silently corrupting the feed.
+    * Unknown delta.* keys refuse (see [[ForeignSettableDeltaProps]]);
+    * user properties pass through. Returns the committed version. */
+  def setPropertiesDeltaForeign(spark: SparkSession, root: String,
+      set: Map[String, String], unset: Seq[String] = Nil): Long = {
+    val logDir = Paths.get(root, "_delta_log")
+    require(Files.isDirectory(logDir), s"no _delta_log at $root")
+    require(set.nonEmpty || unset.nonEmpty, "nothing to set or unset")
+    require(set.keySet.map(_.toLowerCase)
+      .intersect(unset.map(_.toLowerCase).toSet).isEmpty,
+      "a key cannot be both SET and UNSET in one statement")
+    (set.keys ++ unset).foreach { k =>
+      require(!k.toLowerCase.startsWith("delta.") ||
+          ForeignSettableDeltaProps(k.toLowerCase),
+        s"property '$k' imposes writer obligations this metadata-only " +
+          s"commit cannot take on at $root; refusing (settable delta.* " +
+          s"keys: ${ForeignSettableDeltaProps.toSeq.sorted.mkString(", ")})")
+    }
+    set.get("delta.appendOnly").orElse(set.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("delta.appendOnly") => v })
+      .foreach(v => require(v == "true" || v == "false",
+        s"delta.appendOnly must be 'true' or 'false', got '$v'"))
+    val cur = pinForeignDeltaVersion(root, logDir)
+    val state = deltaStateAt(spark, root, Some(cur), useCheckpoint = true)
+    require(state.schemaJson.isDefined,
+      s"set properties requires a log with a metaData schemaString at $root")
+    requireForeignWriterProtocol(state, root, "metadata",
+      ForeignRowPreservingSafe)
+    val unsetLower = unset.map(_.toLowerCase).toSet
+    val newConf = state.conf
+      .filterNot { case (k, _) => unsetLower(k.toLowerCase) } ++ set
+    if (newConf == state.conf) return cur // no-op, no commit
+    // protocol upgrade when CDF turns on (the spec's obligation)
+    val cdfOn = set.exists { case (k, v) =>
+      k.equalsIgnoreCase("delta.enableChangeDataFeed") && v == "true" }
+    val (minR, minW) = state.protocol
+    val protocolLine: Option[String] =
+      if (!cdfOn) None
+      else if (minW >= 7) {
+        if (state.writerFeatures.contains("changeDataFeed")) None
+        else Some(s"""{"protocol":{"minReaderVersion":$minR,"minWriterVersion":7""" +
+          (if (state.readerFeatures.nonEmpty)
+            s""","readerFeatures":${state.readerFeatures
+              .map(f => s""""$f"""").mkString("[", ",", "]")}"""
+          else "") +
+          s""","writerFeatures":${(state.writerFeatures :+ "changeDataFeed")
+            .map(f => s""""$f"""").mkString("[", ",", "]")}}}""")
+      } else if (minW >= 4) None
+      else Some(s"""{"protocol":{"minReaderVersion":$minR,"minWriterVersion":4}}""")
+    val (idOpt, name, desc, createdTime) = deltaMetaDataExtrasOf(spark, root)
+    val id = idOpt.getOrElse(
+      "graft-" + graft.plans.TextExpressions.md5Hex(root).take(12))
+    val ts = System.currentTimeMillis()
+    val sb = new StringBuilder
+    sb.append(s"""{"commitInfo":{"timestamp":$ts,"operation":"SET TBLPROPERTIES","operationParameters":{}}}""")
+      .append('\n')
+    protocolLine.foreach(p => sb.append(p).append('\n'))
+    sb.append(metaDataActionJson(id, name, desc, createdTime,
+      state.schemaJson.get, state.partitionCols, newConf))
+      .append('\n')
+    casCommitDeltaLog(root, logDir, cur, sb.toString, "set properties")
+  }
+
   /** The spec's writer-version/feature refusal skeleton every foreign
     * Delta writer runs: legacy versions 1–6 pass (their implied
     * capabilities are verified per-op against what the table actually

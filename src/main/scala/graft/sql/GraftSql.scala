@@ -651,6 +651,42 @@ case class ForeignAlterAddColumnsCommand(face: String, root: String,
   }
 }
 
+/** ALTER TABLE delta_export/iceberg_export('/path') SET TBLPROPERTIES
+  * ('k'='v', …) / UNSET TBLPROPERTIES ('k', …) — metadata-only
+  * property commits by quoted path (each face's writer carries its
+  * own obligation refusals and, on Delta, the protocol upgrade CDF
+  * enablement requires). */
+case class ForeignSetPropertiesCommand(face: String, root: String,
+    set: Seq[(String, String)], unset: Seq[String])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(set.map(_._1.toLowerCase).distinct.size == set.size,
+      s"duplicate property key in ${set.map(_._1).mkString(", ")}")
+    if (face == "delta_export")
+      LakehouseTable.setPropertiesDeltaForeign(spark, root, set.toMap,
+        unset)
+    else graft.sources.IcebergMeta.setPropertiesIcebergForeign(root,
+      set.toMap, unset)
+    Seq.empty
+  }
+}
+
+/** ALTER TABLE iceberg_export('/path') CREATE TAG/BRANCH name AS OF
+  * SNAPSHOT id / DROP TAG/BRANCH name — the snapshot-ref surface:
+  * tags/branches pin snapshots against expiry and give time travel a
+  * name. */
+case class ForeignRefCommand(root: String, create: Boolean,
+    refType: String, name: String, sid: Option[Long])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (create)
+      graft.sources.IcebergMeta.createRefForeign(root, name, sid.get,
+        refType)
+    else graft.sources.IcebergMeta.dropRefForeign(root, name)
+    Seq.empty
+  }
+}
+
 /** Foreign maintenance by quoted path: CHECKPOINT delta_export (spec
   * checkpoint + pointer), VACUUM delta_export [RETAIN n HOURS]
   * (retention-gated file reclamation), VACUUM iceberg_export
@@ -1342,6 +1378,41 @@ object GraftSqlStatements {
       case ForeignAlterAddRe(face, idx, cols) =>
         Some(ForeignAlterAddColumnsCommand(face.toLowerCase,
           unmaskLit(unmask, idx), unmask(cols)))
+      case ForeignSetPropsRe(face, idx, verb, body) =>
+        // the body is masked literals: SET pairs 'k'='v', UNSET keys
+        // 'k' — split on top-level commas (literals cannot hide one)
+        val items = body.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val isSet = verb.equalsIgnoreCase("SET")
+        val PairRe = ("""(?s)^""" + MaskedLit + """\s*=\s*""" +
+          MaskedLit + """$""").r
+        val KeyRe = ("""(?s)^""" + MaskedLit + """$""").r
+        if (isSet) {
+          val pairs = items.map {
+            case PairRe(k, v) =>
+              (unmaskLit(unmask, k), unmaskLit(unmask, v))
+            case it => throw new IllegalArgumentException(
+              "SET TBLPROPERTIES expects 'key'='value' pairs, got: " +
+                unmask(it))
+          }
+          Some(ForeignSetPropertiesCommand(face.toLowerCase,
+            unmaskLit(unmask, idx), pairs, Nil))
+        } else {
+          val keys = items.map {
+            case KeyRe(k) => unmaskLit(unmask, k)
+            case it => throw new IllegalArgumentException(
+              "UNSET TBLPROPERTIES expects 'key' names, got: " +
+                unmask(it))
+          }
+          Some(ForeignSetPropertiesCommand(face.toLowerCase,
+            unmaskLit(unmask, idx), Nil, keys))
+        }
+      case ForeignCreateRefRe(idx, refType, name, sid) =>
+        Some(ForeignRefCommand(unmaskLit(unmask, idx), create = true,
+          refType.toLowerCase, name, Some(sid.toLong)))
+      case ForeignDropRefRe(idx, refType, name) =>
+        val _ = refType // TAG vs BRANCH: drop is by name either way
+        Some(ForeignRefCommand(unmaskLit(unmask, idx), create = false,
+          "tag", name, None))
       case ForeignCheckpointRe(idx) =>
         Some(ForeignMaintenanceCommand("checkpoint",
           unmaskLit(unmask, idx), None))
@@ -1505,6 +1576,16 @@ object GraftSqlStatements {
   private val ForeignAlterAddRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+(delta_export|iceberg_export)\s*\(\s*""" +
       MaskedLit + """\s*\)\s+ADD\s+COLUMNS?\s*\(\s*(.+?)\s*\)\s*;?\s*$""").r
+  private val ForeignSetPropsRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(delta_export|iceberg_export)\s*\(\s*""" +
+      MaskedLit +
+      """\s*\)\s+(SET|UNSET)\s+TBLPROPERTIES\s*\(\s*(.+?)\s*\)\s*;?\s*$""").r
+  private val ForeignCreateRefRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+iceberg_export\s*\(\s*""" + MaskedLit +
+      """\s*\)\s+CREATE\s+(TAG|BRANCH)\s+([A-Za-z_][A-Za-z0-9_.\-]*)\s+AS\s+OF\s+SNAPSHOT\s+(\d+)\s*;?\s*$""").r
+  private val ForeignDropRefRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+iceberg_export\s*\(\s*""" + MaskedLit +
+      """\s*\)\s+DROP\s+(TAG|BRANCH)\s+([A-Za-z_][A-Za-z0-9_.\-]*)\s*;?\s*$""").r
   private val ForeignCheckpointRe =
     ("""(?is)^\s*CHECKPOINT\s+delta_export\s*\(\s*""" + MaskedLit +
       """\s*\)\s*;?\s*$""").r

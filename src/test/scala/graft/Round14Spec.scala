@@ -303,6 +303,133 @@ class Round14Spec extends AnyFunSuite {
     assert(LT.lastTxnDeltaForeign(spark, root, "sink").contains(2L))
   }
 
+  // ---- Foreign TBLPROPERTIES + Iceberg refs ---------------------------------
+
+  test("foreign delta SET TBLPROPERTIES: obligations commit with the property") {
+    import spark.implicits._
+    val root = freshRoot("props")
+    LT.create(Seq((1L, "a"), (2L, "b")).toDF("k", "s").coalesce(1), root)
+    LT.exportDeltaLog(spark, root)
+    wipeManifest(root)
+    // enabling CDF on a legacy protocol bumps minWriterVersion to 4 in
+    // the SAME commit — without it a minWriter-2 foreign writer could
+    // legally commit removes with no cdc
+    val v = LT.setPropertiesDeltaForeign(spark, root,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    val commit = Files.readString(
+      Paths.get(root, "_delta_log", f"$v%020d.json"))
+    assert(commit.contains("\"minWriterVersion\":4"), commit)
+    assert(commit.contains("delta.enableChangeDataFeed"))
+    // the delete AFTER enablement is obliged to record change data
+    val delVer = LT.deleteDeltaForeign(spark, root, "k = 2")
+    val ch = LT.readDeltaExportChanges(spark, root, delVer, delVer)
+    assert(ch.select($"_change_type", $"k").as[(String, Long)]
+      .collect().toSeq == Seq(("delete", 2L)))
+    // appendOnly=true: appends keep working, removes refuse
+    LT.setPropertiesDeltaForeign(spark, root,
+      Map("delta.appendOnly" -> "true"))
+    LT.appendDeltaForeign(spark, root,
+      Seq((3L, "c")).toDF("k", "s").coalesce(1))
+    val exDel = intercept[IllegalArgumentException] {
+      LT.deleteDeltaForeign(spark, root, "k = 1")
+    }
+    assert(exDel.getMessage.contains("append-only"))
+    // UNSET lifts it
+    LT.setPropertiesDeltaForeign(spark, root, Map.empty,
+      unset = Seq("delta.appendOnly"))
+    LT.deleteDeltaForeign(spark, root, "k = 3")
+    // unknown delta.* keys refuse; user keys pass; no-op no-commits
+    val exKey = intercept[IllegalArgumentException] {
+      LT.setPropertiesDeltaForeign(spark, root,
+        Map("delta.columnMapping.mode" -> "name"))
+    }
+    assert(exKey.getMessage.contains("obligations"), exKey.getMessage)
+    val v2 = LT.setPropertiesDeltaForeign(spark, root,
+      Map("team.owner" -> "data-eng"))
+    assert(LT.setPropertiesDeltaForeign(spark, root,
+      Map("team.owner" -> "data-eng")) == v2, "no-op must not commit")
+  }
+
+  test("iceberg foreign properties + refs: tag pins a snapshot through expiry") {
+    import spark.implicits._
+    val root = freshRoot("refs")
+    LT.create(Seq((1L, "a")).toDF("k", "s").coalesce(1), root)
+    IcebergMeta.exportIcebergMeta(spark, root)
+    wipeManifest(root)
+    // properties round-trip; managed keys refuse
+    IcebergMeta.setPropertiesIcebergForeign(root,
+      Map("commit.retry.num-retries" -> "7"))
+    val exManaged = intercept[IllegalArgumentException] {
+      IcebergMeta.setPropertiesIcebergForeign(root,
+        Map("schema.name-mapping.default" -> "[]"))
+    }
+    assert(exManaged.getMessage.contains("maintained"), exManaged.getMessage)
+    IcebergMeta.setPropertiesIcebergForeign(root, Map.empty,
+      unset = Seq("commit.retry.num-retries"))
+    // refs: tag the first snapshot, append, expire — the tag target
+    // survives and time travel by name serves the original state
+    val first = IcebergMeta.snapshots(root).minBy(_.seq).id
+    IcebergMeta.createRefForeign(root, "audit", first, "tag")
+    val exDup = intercept[IllegalArgumentException] {
+      IcebergMeta.createRefForeign(root, "audit", first, "tag")
+    }
+    assert(exDup.getMessage.contains("already exists"))
+    intercept[IllegalArgumentException] {
+      IcebergMeta.createRefForeign(root, "main", first, "branch")
+    }
+    intercept[IllegalArgumentException] {
+      IcebergMeta.createRefForeign(root, "ghost", 12345L, "tag")
+    }
+    IcebergMeta.appendIcebergForeign(spark, root,
+      Seq((2L, "b")).toDF("k", "s").coalesce(1))
+    IcebergMeta.expireSnapshotsForeign(root, retainLast = 1)
+    val sid = IcebergMeta.refSnapshotId(root, "audit")
+    assert(sid.contains(first), "expiry must keep the ref target")
+    assert(IcebergMeta.readIceberg(spark, root,
+      snapshotAsOf = Some(first)).count() == 1)
+    assert(IcebergMeta.readIceberg(spark, root).count() == 2)
+    // drop: unknown refuses, real one goes, main protected
+    intercept[IllegalArgumentException] {
+      IcebergMeta.dropRefForeign(root, "nope")
+    }
+    intercept[IllegalArgumentException] {
+      IcebergMeta.dropRefForeign(root, "main")
+    }
+    IcebergMeta.dropRefForeign(root, "audit")
+    assert(IcebergMeta.refSnapshotId(root, "audit").isEmpty)
+  }
+
+  test("SQL faces: SET/UNSET TBLPROPERTIES and CREATE/DROP TAG by quoted path") {
+    import spark.implicits._
+    val droot = freshRoot("propsql")
+    LT.create(Seq((1L, "a")).toDF("k", "s").coalesce(1), droot)
+    LT.exportDeltaLog(spark, droot)
+    wipeManifest(droot)
+    spark.sql(s"ALTER TABLE delta_export('$droot') SET TBLPROPERTIES " +
+      "('delta.appendOnly'='true', 'team.owner'='x')")
+    val ex = intercept[IllegalArgumentException] {
+      spark.sql(s"DELETE FROM delta_export('$droot') WHERE k = 1")
+    }
+    assert(ex.getMessage.contains("append-only"))
+    spark.sql(s"ALTER TABLE delta_export('$droot') UNSET TBLPROPERTIES " +
+      "('delta.appendOnly')")
+    spark.sql(s"DELETE FROM delta_export('$droot') WHERE k = 1")
+    assert(LT.readDeltaExport(spark, droot).count() == 0)
+
+    val iroot = freshRoot("refsql")
+    LT.create(Seq((1L, "a")).toDF("k", "s").coalesce(1), iroot)
+    IcebergMeta.exportIcebergMeta(spark, iroot)
+    wipeManifest(iroot)
+    val first = IcebergMeta.snapshots(iroot).minBy(_.seq).id
+    spark.sql(s"ALTER TABLE iceberg_export('$iroot') CREATE TAG audit " +
+      s"AS OF SNAPSHOT $first")
+    assert(IcebergMeta.refSnapshotId(iroot, "audit").contains(first))
+    spark.sql(s"ALTER TABLE iceberg_export('$iroot') " +
+      "SET TBLPROPERTIES ('write.metadata.compression-codec'='none')")
+    spark.sql(s"ALTER TABLE iceberg_export('$iroot') DROP TAG audit")
+    assert(IcebergMeta.refSnapshotId(iroot, "audit").isEmpty)
+  }
+
   // ---- 5. ADVICE closures ----------------------------------------------------
 
   test("restore refuses to remove files from an append-only table") {
