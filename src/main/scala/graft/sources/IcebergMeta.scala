@@ -3823,25 +3823,13 @@ object IcebergMeta {
     * monotonic-sequence rule. Committed through the same createLink
     * CAS as every foreign writer. Returns the new metadata version. */
   def rollbackIcebergForeign(root: String, sid: Long): Long = {
-    require(hasChain(root), s"no Iceberg metadata at $root")
-    val dir = metaDir(root)
-    val curN = trueCurrentVersion(dir, root)
-    val md = mapper.readTree(Files.readString(
-      dir.resolve(s"v$curN.metadata.json")))
-    val fmtVer = Option(md.get("format-version")).map(_.asInt()).getOrElse(0)
-    require(fmtVer == 2,
-      s"rollback supports Iceberg format-version 2 only; the chain at " +
-        s"$root is format-version $fmtVer")
+    val (dir, curN, md, obj) = foreignMetaEdit(root, "rollback")
     if (md.get("current-snapshot-id").asLong() == sid) return curN // no-op
     require(md.get("snapshots").elements().asScala
         .exists(_.get("snapshot-id").asLong() == sid),
       s"no snapshot $sid at $root (expired or never committed)")
-    val ts = math.max(System.currentTimeMillis(),
-      md.get("last-updated-ms").asLong() + 1)
-    val obj = md.deepCopy()
-      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val ts = obj.get("last-updated-ms").asLong()
     obj.put("current-snapshot-id", sid)
-    obj.put("last-updated-ms", ts)
     obj.withArray("snapshot-log").add(mapper.readTree(
       s"""{"snapshot-id":$sid,"timestamp-ms":$ts}"""))
     Option(obj.get("refs")).foreach { refs =>
@@ -3851,8 +3839,6 @@ object IcebergMeta {
         ()
       }
     }
-    obj.withArray("metadata-log").add(mapper.readTree(
-      s"""{"metadata-file":"${dir.resolve(s"v$curN.metadata.json")}","timestamp-ms":${md.get("last-updated-ms").asLong()}}"""))
     casCommitMetadata(root, dir, curN, obj, "rollback")
     curN + 1
   }
@@ -3936,8 +3922,10 @@ object IcebergMeta {
     require(name.nonEmpty && !name.equalsIgnoreCase("main"),
       "'main' is the managed current-state branch; pick another name")
     val (dir, curN, md, obj) = foreignMetaEdit(root, "create ref")
-    require(md.get("snapshots").elements().asScala
-        .exists(_.get("snapshot-id").asLong() == sid),
+    // snapshots / current-snapshot-id are OPTIONAL in v2 metadata (an
+    // empty foreign chain omits them) — refuse loudly, never NPE
+    require(Option(md.get("snapshots")).exists(_.elements().asScala
+        .exists(_.get("snapshot-id").asLong() == sid)),
       s"no snapshot $sid at $root (expired or never committed)")
     val refs = Option(obj.get("refs"))
       .map(_.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
@@ -3945,7 +3933,8 @@ object IcebergMeta {
         val r = mapper.createObjectNode()
         // a chain that never carried refs gets main minted alongside,
         // pointing at the current snapshot (real metadata's shape)
-        val cur = md.get("current-snapshot-id").asLong()
+        val cur = Option(md.get("current-snapshot-id"))
+          .map(_.asLong()).getOrElse(-1L)
         if (cur != -1L) {
           val m = mapper.createObjectNode()
           m.put("snapshot-id", cur)
@@ -3967,16 +3956,27 @@ object IcebergMeta {
   }
 
   /** DROP a snapshot ref. Unknown names refuse (a typo'd drop that
-    * "succeeds" hides that the pin is still live); `main` refuses. */
-  def dropRefForeign(root: String, name: String): Long = {
+    * "succeeds" hides that the pin is still live); `main` refuses;
+    * when `expectType` is given (the SQL face's DROP TAG / DROP
+    * BRANCH), a type mismatch refuses too — Iceberg's own behavior,
+    * so a mistyped verb cannot remove a pointer of the other kind. */
+  def dropRefForeign(root: String, name: String,
+      expectType: Option[String] = None): Long = {
     require(!name.equalsIgnoreCase("main"),
       "'main' is the managed current-state branch and cannot be dropped")
     val (dir, curN, md, obj) = foreignMetaEdit(root, "drop ref")
     val _ = md
     val refs = Option(obj.get("refs"))
       .map(_.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
-    require(refs.exists(_.get(name) != null),
-      s"no ref '$name' at $root")
+    val entry = refs.flatMap(r => Option(r.get(name)))
+    require(entry.isDefined, s"no ref '$name' at $root")
+    expectType.foreach { want =>
+      val actual = Option(entry.get.get("type")).map(_.asText())
+        .getOrElse("branch")
+      require(actual.equalsIgnoreCase(want),
+        s"ref '$name' at $root is a $actual, not a $want " +
+          s"(use DROP ${actual.toUpperCase})")
+    }
     refs.foreach(r => { r.remove(name); () })
     casCommitMetadata(root, dir, curN, obj, "drop ref")
     curN + 1

@@ -2516,10 +2516,24 @@ object LakehouseTable {
     * skips the existing-row validation ADD CONSTRAINT performs, row
     * tracking / deletion-vector enablement change what every
     * subsequent writer must produce. */
-  private val ForeignSettableDeltaProps: Set[String] = Set(
-    "delta.appendonly", "delta.enablechangedatafeed",
-    "delta.deletedfileretentionduration", "delta.logretentionduration",
-    "delta.checkpointinterval", "delta.dataskippingnumindexedcols")
+  private val ForeignSettableDeltaProps: Map[String, String] = Seq(
+    "delta.appendOnly", "delta.enableChangeDataFeed",
+    "delta.deletedFileRetentionDuration", "delta.logRetentionDuration",
+    "delta.checkpointInterval", "delta.dataSkippingNumIndexedCols")
+    .map(k => k.toLowerCase -> k).toMap
+
+  /** Canonicalize a property key for storage and comparison: delta.*
+    * keys normalize to their canonical spelling (every enforcement
+    * site — the delete/merge/restore appendOnly guards, the CDF
+    * obligation checks, the retention parse — reads the exact
+    * canonical key, so committing a case-variant would create a
+    * property this engine never enforces); user keys stay verbatim
+    * (non-delta keys are case-sensitive in Delta — normalizing them
+    * would destroy case-distinct user metadata). */
+  private def canonDeltaPropKey(k: String): String =
+    if (k.toLowerCase.startsWith("delta."))
+      ForeignSettableDeltaProps.getOrElse(k.toLowerCase, k)
+    else k
 
   /** SET / UNSET TBLPROPERTIES on a FOREIGN Delta table — the ALTER
     * verb operational ownership needs (turn on the change feed, make a
@@ -2540,33 +2554,64 @@ object LakehouseTable {
     val logDir = Paths.get(root, "_delta_log")
     require(Files.isDirectory(logDir), s"no _delta_log at $root")
     require(set.nonEmpty || unset.nonEmpty, "nothing to set or unset")
-    require(set.keySet.map(_.toLowerCase)
-      .intersect(unset.map(_.toLowerCase).toSet).isEmpty,
-      "a key cannot be both SET and UNSET in one statement")
     (set.keys ++ unset).foreach { k =>
       require(!k.toLowerCase.startsWith("delta.") ||
-          ForeignSettableDeltaProps(k.toLowerCase),
+          ForeignSettableDeltaProps.contains(k.toLowerCase),
         s"property '$k' imposes writer obligations this metadata-only " +
           s"commit cannot take on at $root; refusing (settable delta.* " +
-          s"keys: ${ForeignSettableDeltaProps.toSeq.sorted.mkString(", ")})")
+          s"keys: ${ForeignSettableDeltaProps.values.toSeq.sorted.mkString(", ")})")
     }
-    set.get("delta.appendOnly").orElse(set.collectFirst {
-      case (k, v) if k.equalsIgnoreCase("delta.appendOnly") => v })
-      .foreach(v => require(v == "true" || v == "false",
-        s"delta.appendOnly must be 'true' or 'false', got '$v'"))
+    // keys canonicalize BEFORE any comparison or storage (delta.* to
+    // the exact spelling the enforcement sites read; user keys
+    // verbatim), and BOOLEAN delta.* values normalize to the exact
+    // "true"/"false" those sites compare — a committed "TRUE" would
+    // enable the property for conforming readers while this engine's
+    // own writers keep treating it as off, the silent-corruption
+    // class this function exists to prevent
+    val boolKeys = Set("delta.appendOnly", "delta.enableChangeDataFeed")
+    val setCanon: Map[String, String] = set.map { case (k, v) =>
+      val ck = canonDeltaPropKey(k)
+      val cv =
+        if (!boolKeys(ck)) v
+        else {
+          require(v.equalsIgnoreCase("true") || v.equalsIgnoreCase("false"),
+            s"$ck must be 'true' or 'false', got '$v'")
+          v.toLowerCase
+        }
+      ck -> cv
+    }
+    require(setCanon.size == set.size,
+      s"duplicate property key (after delta.* canonicalization) in " +
+        s"${set.keys.mkString(", ")}")
+    val unsetCanon = unset.map(canonDeltaPropKey).toSet
+    require(setCanon.keySet.intersect(unsetCanon).isEmpty,
+      "a key cannot be both SET and UNSET in one statement")
     val cur = pinForeignDeltaVersion(root, logDir)
     val state = deltaStateAt(spark, root, Some(cur), useCheckpoint = true)
     require(state.schemaJson.isDefined,
       s"set properties requires a log with a metaData schemaString at $root")
+    // the blind-partitioning guard every metaData-committing writer
+    // carries: a checkpoint that omitted partitionColumns while adds
+    // carry partitionValues means re-committing state.partitionCols
+    // (Nil) would permanently rewrite a partitioned table as
+    // unpartitioned — refuse, exactly like delete/update/merge
+    require(state.partitionCols.nonEmpty ||
+        state.partVals.values.forall(_.isEmpty),
+      s"live add actions at $root carry partitionValues but the " +
+        "metaData's partitionColumns are unknown (a checkpoint omitted " +
+        "them); re-committing the metadata blind would erase the " +
+        "partitioning — refusing")
     requireForeignWriterProtocol(state, root, "metadata",
       ForeignRowPreservingSafe)
-    val unsetLower = unset.map(_.toLowerCase).toSet
+    // existing variants of a set/unset delta.* key drop too (a conf
+    // carrying 'delta.appendonly' beside the canonical key would leave
+    // a stale enforcement-invisible twin behind)
+    val doomed = unsetCanon ++ setCanon.keySet
     val newConf = state.conf
-      .filterNot { case (k, _) => unsetLower(k.toLowerCase) } ++ set
+      .filterNot { case (k, _) => doomed(canonDeltaPropKey(k)) } ++ setCanon
     if (newConf == state.conf) return cur // no-op, no commit
     // protocol upgrade when CDF turns on (the spec's obligation)
-    val cdfOn = set.exists { case (k, v) =>
-      k.equalsIgnoreCase("delta.enableChangeDataFeed") && v == "true" }
+    val cdfOn = setCanon.get("delta.enableChangeDataFeed").contains("true")
     val (minR, minW) = state.protocol
     val protocolLine: Option[String] =
       if (!cdfOn) None

@@ -682,7 +682,8 @@ case class ForeignRefCommand(root: String, create: Boolean,
     if (create)
       graft.sources.IcebergMeta.createRefForeign(root, name, sid.get,
         refType)
-    else graft.sources.IcebergMeta.dropRefForeign(root, name)
+    else graft.sources.IcebergMeta.dropRefForeign(root, name,
+      expectType = Some(refType))
     Seq.empty
   }
 }
@@ -1410,9 +1411,10 @@ object GraftSqlStatements {
         Some(ForeignRefCommand(unmaskLit(unmask, idx), create = true,
           refType.toLowerCase, name, Some(sid.toLong)))
       case ForeignDropRefRe(idx, refType, name) =>
-        val _ = refType // TAG vs BRANCH: drop is by name either way
+        // the verb's type is checked against the stored ref: DROP TAG
+        // on a branch refuses (Iceberg's own behavior)
         Some(ForeignRefCommand(unmaskLit(unmask, idx), create = false,
-          "tag", name, None))
+          refType.toLowerCase, name, None))
       case ForeignCheckpointRe(idx) =>
         Some(ForeignMaintenanceCommand("checkpoint",
           unmaskLit(unmask, idx), None))

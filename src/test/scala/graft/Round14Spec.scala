@@ -348,6 +348,30 @@ class Round14Spec extends AnyFunSuite {
       Map("team.owner" -> "data-eng"))
     assert(LT.setPropertiesDeltaForeign(spark, root,
       Map("team.owner" -> "data-eng")) == v2, "no-op must not commit")
+    // review pins: a case-variant delta.* SET canonicalizes key AND
+    // boolean value — the enforcement sites read the exact canonical
+    // forms, so 'delta.APPENDONLY'='TRUE' must land as
+    // 'delta.appendOnly'='true' and actually ENFORCE
+    val v3 = LT.setPropertiesDeltaForeign(spark, root,
+      Map("delta.APPENDONLY" -> "TRUE"))
+    val commit3 = Files.readString(
+      Paths.get(root, "_delta_log", f"$v3%020d.json"))
+    assert(commit3.contains(""""delta.appendOnly":"true"""), commit3)
+    val exDel2 = intercept[IllegalArgumentException] {
+      LT.deleteDeltaForeign(spark, root, "k = 1")
+    }
+    assert(exDel2.getMessage.contains("append-only"))
+    // UNSET of a delta.* key is case-insensitive (one canonical key);
+    // UNSET of a USER key is case-sensitive (Delta treats case-distinct
+    // user keys as different properties — a near-miss must NOT delete)
+    LT.setPropertiesDeltaForeign(spark, root, Map.empty,
+      unset = Seq("delta.appendonly"))
+    LT.setPropertiesDeltaForeign(spark, root,
+      Map.empty, unset = Seq("TEAM.OWNER"))
+    val lastMeta = Files.readString(Paths.get(root, "_delta_log",
+      f"${LT.deltaLogVersions(root).max}%020d.json"))
+    assert(lastMeta.contains("team.owner"),
+      "a case-variant UNSET must not delete a case-distinct user key")
   }
 
   test("iceberg foreign properties + refs: tag pins a snapshot through expiry") {
@@ -397,6 +421,14 @@ class Round14Spec extends AnyFunSuite {
     }
     IcebergMeta.dropRefForeign(root, "audit")
     assert(IcebergMeta.refSnapshotId(root, "audit").isEmpty)
+    // a typed drop refuses a ref of the OTHER kind (Iceberg's own
+    // behavior — a mistyped verb must not remove a protected pointer)
+    IcebergMeta.createRefForeign(root, "dev", first, "branch")
+    val exType = intercept[IllegalArgumentException] {
+      IcebergMeta.dropRefForeign(root, "dev", expectType = Some("tag"))
+    }
+    assert(exType.getMessage.contains("is a branch"), exType.getMessage)
+    IcebergMeta.dropRefForeign(root, "dev", expectType = Some("branch"))
   }
 
   test("SQL faces: SET/UNSET TBLPROPERTIES and CREATE/DROP TAG by quoted path") {
