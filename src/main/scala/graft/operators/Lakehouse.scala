@@ -1027,10 +1027,11 @@ object Lakehouse {
     val done = java.nio.file.Paths.get(root, "_transform_ok")
     try TableCache.locked(root) {
       if (LakehouseTable.versions(root).isEmpty) {
-        val bucketOf = udf((k: java.lang.Long) =>
-          if (k == null) null
-          else Integer.valueOf((graft.sources.IcebergTransforms
-            .bucketHashLong(k.longValue()) & Int.MaxValue) % 8))
+        def bucketOf(in: org.apache.spark.sql.Column) =
+          org.apache.spark.sql.graftbridge.ColumnBridge.column(
+            graft.sources.IcebergBucketIndex(
+              org.apache.spark.sql.graftbridge.ColumnBridge
+                .expression(in.cast("long")), 8))
         LakehouseTable.create(Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_custkey"),
             col("o_orderstatus"), col("o_totalprice"))

@@ -2821,23 +2821,23 @@ object IcebergMeta {
             case (IcebergTransforms.Bucket(n), _) =>
               // ONE hash body: every integral/temporal type buckets as
               // its 8-byte-LE long (Appendix B) — only the long-valued
-              // input expression differs per type
-              val bucketLong = udf((x: java.lang.Long) =>
-                if (x == null) null
-                else Integer.valueOf((IcebergTransforms
-                  .bucketHashLong(x.longValue()) & Int.MaxValue) % n))
+              // input expression differs per type. Compiled as a
+              // codegen'd Expression (the repo's per-row standard),
+              // not a UDF: bucket-partitioned appends evaluate this
+              // once per appended row
+              import org.apache.spark.sql.graftbridge.ColumnBridge
+              def bucketed(in: org.apache.spark.sql.Column) =
+                ColumnBridge.column(IcebergBucketIndex(
+                  ColumnBridge.expression(in), n))
               val h: org.apache.spark.sql.Column = srcDt match {
                 case LongType | IntegerType | ShortType | ByteType =>
-                  bucketLong(col(srcCol).cast(LongType))
+                  bucketed(col(srcCol).cast(LongType))
                 case TimestampType =>
-                  bucketLong(expr(s"unix_micros(`$srcCol`)"))
+                  bucketed(expr(s"unix_micros(`$srcCol`)"))
                 case DateType =>
-                  bucketLong(expr(s"CAST(unix_date(`$srcCol`) AS BIGINT)"))
+                  bucketed(expr(s"CAST(unix_date(`$srcCol`) AS BIGINT)"))
                 case StringType =>
-                  udf((s: String) => if (s == null) null
-                    else Integer.valueOf((IcebergTransforms
-                      .bucketHashString(s) & Int.MaxValue) % n))
-                    .apply(col(srcCol))
+                  bucketed(col(srcCol))
                 case _ => bad("this writer does not implement the " +
                   "Appendix-B byte form for this source type")
               }

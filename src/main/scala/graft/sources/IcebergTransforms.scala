@@ -192,4 +192,65 @@ private[graft] object IcebergTransforms {
       Some((Some(s), stringPrefixUpper(s)))
     case _ => None
   }
+
+  // Java-clean bucket-index bodies shared by the interpreted eval and
+  // the generated code of [[IcebergBucketIndex]] (the TextExpressions
+  // one-implementation discipline)
+  def bucketIndexLong(v: Long, n: Int): Int =
+    (bucketHashLong(v) & Int.MaxValue) % n
+  def bucketIndexUtf8(s: org.apache.spark.unsafe.types.UTF8String,
+      n: Int): Int =
+    // UTF8String.getBytes IS the UTF-8 byte form Appendix B hashes
+    (murmur3x86_32(s.getBytes) & Int.MaxValue) % n
+}
+
+/** Codegen'd `bucket[N]` index — the WRITE-path twin of the planner's
+  * [[IcebergTransforms.bucketOf]]: (murmur3_x86_32(Appendix-B bytes) &
+  * Int.MaxValue) % n over a LONG (every integral/temporal source,
+  * lowered to its 8-byte value by the caller exactly as the planner
+  * does) or a STRING. The repo's per-row standard: foreign
+  * bucket-partitioned appends evaluate this once per appended row, so
+  * it compiles into whole-stage codegen instead of paying UDF
+  * boxing/serialization per row. */
+private[graft] case class IcebergBucketIndex(
+    child: org.apache.spark.sql.catalyst.expressions.Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(n > 0, s"bucket count must be positive: $n")
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "iceberg_bucket"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType | StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects bigint or string (lower temporals to " +
+            s"their 8-byte long form first), got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(v: Any): Any = v match {
+    case l: java.lang.Long => IcebergTransforms.bucketIndexLong(l, n)
+    case s: org.apache.spark.unsafe.types.UTF8String =>
+      IcebergTransforms.bucketIndexUtf8(s, n)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val body = child.dataType match {
+      case LongType => (c: String) =>
+        s"graft.sources.IcebergTransforms.bucketIndexLong($c, $n)"
+      case _ => (c: String) =>
+        s"graft.sources.IcebergTransforms.bucketIndexUtf8($c, $n)"
+    }
+    defineCodeGen(ctx, ev, body)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+      : IcebergBucketIndex = copy(child = newChild)
 }

@@ -462,6 +462,38 @@ class Round14Spec extends AnyFunSuite {
     assert(IcebergMeta.refSnapshotId(iroot, "audit").isEmpty)
   }
 
+  test("IcebergBucketIndex (codegen) equals the planner's Appendix-B hash") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import graft.sources.{IcebergBucketIndex, IcebergTransforms}
+    def bucketed(in: org.apache.spark.sql.Column, n: Int) =
+      ColumnBridge.column(IcebergBucketIndex(
+        ColumnBridge.expression(in), n))
+    // long path: the spec's own vector (34 → hash 2017239379)
+    val longs = Seq(Some(34L), Some(0L), Some(-7L), None).toDF("v")
+    val got = longs.select(bucketed($"v", 16).as("b"))
+      .as[Option[Int]].collect().toSeq
+    val want = Seq(Some(34L), Some(0L), Some(-7L), None).map(_.map(v =>
+      IcebergTransforms.bucketIndexLong(v, 16)))
+    assert(got == want, s"$got vs $want")
+    assert(want.head.contains((2017239379 & Int.MaxValue) % 16))
+    // string path ("iceberg" → 1210000089), null-preserving
+    val strs = Seq(Some("iceberg"), Some(""), None).toDF("s")
+    val gotS = strs.select(bucketed($"s", 8).as("b"))
+      .as[Option[Int]].collect().toSeq
+    assert(gotS == Seq(
+      Some((1210000089 & Int.MaxValue) % 8),
+      Some(IcebergTransforms.bucketIndexUtf8(
+        org.apache.spark.unsafe.types.UTF8String.fromString(""), 8)),
+      None))
+    // wrong input type refuses at analysis
+    val ex = intercept[Exception] {
+      Seq(1.5).toDF("d").select(bucketed($"d", 4)).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("bigint") ||
+      ex.getMessage.contains("iceberg_bucket"), ex.getMessage)
+  }
+
   // ---- 5. ADVICE closures ----------------------------------------------------
 
   test("restore refuses to remove files from an append-only table") {
