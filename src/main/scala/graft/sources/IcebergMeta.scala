@@ -879,7 +879,8 @@ object IcebergMeta {
     // crash mid-export leaves a valid shorter chain
     val tmp = Files.createTempFile(dir, ".hint-tmp", ".txt")
     Files.writeString(tmp, (vs.last + 1).toString)
-    Files.move(tmp, hint, StandardCopyOption.REPLACE_EXISTING)
+    Files.move(tmp, hint, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
     dir
   }
 
@@ -1050,7 +1051,7 @@ object IcebergMeta {
     val tmp = Files.createTempFile(dir, ".ice-exp", ".json")
     Files.writeString(tmp, node.toString)
     Files.move(tmp, dir.resolve(s"v$hintN.metadata.json"),
-      StandardCopyOption.REPLACE_EXISTING)
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     var deleted = 0
     // expired manifest lists + unreferenced manifests/delete files
     withListed(dir)(_.map(_.getFileName.toString).toSeq.foreach { name =>
@@ -2539,7 +2540,7 @@ object IcebergMeta {
     val hintTmp = Files.createTempFile(dir, ".hint-tmp", ".txt")
     Files.writeString(hintTmp, (hintN + 1).toString)
     Files.move(hintTmp, dir.resolve("version-hint.text"),
-      StandardCopyOption.REPLACE_EXISTING)
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     sid
   }
 
@@ -4252,7 +4253,8 @@ object IcebergMeta {
         if (curN + 1 > have) {
           val hintTmp = Files.createTempFile(dir, ".hint-tmp", ".txt")
           Files.writeString(hintTmp, (curN + 1).toString)
-          Files.move(hintTmp, hint, StandardCopyOption.REPLACE_EXISTING)
+          Files.move(hintTmp, hint, StandardCopyOption.ATOMIC_MOVE,
+            StandardCopyOption.REPLACE_EXISTING)
         }
       } finally lock.release()
     } finally ch.close()

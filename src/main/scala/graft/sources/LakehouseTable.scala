@@ -1951,7 +1951,8 @@ object LakehouseTable {
     val part = withDrained(Files.list(tmp.resolve("out")))(
       _.filter(_.toString.endsWith(".parquet"))).head
     val target = logDir.resolve(f"$version%020d.checkpoint.parquet")
-    Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
+    Files.move(part, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
     withDrained(Files.walk(tmp))(identity).sortBy(_.toString).reverse
       .foreach(p => Files.deleteIfExists(p))
     // the pointer readers consult first; written LAST so a crash between
@@ -6030,7 +6031,7 @@ object LakehouseTable {
     val tmp = Files.createTempFile(logDir, ".trunc-tmp", ".txt")
     Files.writeString(tmp, pointer.toString)
     Files.move(tmp, logDir.resolve("_graft_truncation"),
-      StandardCopyOption.REPLACE_EXISTING)
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     n
   }
 }
