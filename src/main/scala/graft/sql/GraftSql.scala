@@ -1806,9 +1806,19 @@ object GraftSqlStatements {
     })
     val afterIe = IcebergExportRe.replaceAllIn(afterDe, m => {
       val path = unmaskLit(unmask, m.group(1))
-      val sOpt = Option(m.group(2)).map(_.toLong)
-      val tsOpt = Option(m.group(3)).map(i =>
-        parseUtcMillis("iceberg_export", unmaskLit(unmask, i)))
+      // quoted second argument: a snapshot REF name when the chain
+      // declares one (tags/branches are the spec's named time travel —
+      // `iceberg_export('/p', 'audit')`), else a timestamp literal.
+      // Refs win: a chain cannot carry a ref named like a parseable
+      // timestamp unless someone created it, and then the NAME is the
+      // intent
+      val litOpt = Option(m.group(3)).map(i =>
+        unmaskLit(unmask, i))
+      val refSid = litOpt.flatMap(IcebergMeta.refSnapshotId(path, _))
+      val sOpt = Option(m.group(2)).map(_.toLong).orElse(refSid)
+      val tsOpt =
+        if (refSid.isDefined) None
+        else litOpt.map(parseUtcMillis("iceberg_export", _))
       val view = foreignView("iceberg_export",
         s"$path#${sOpt.getOrElse(-1L)}#${tsOpt.getOrElse(-1L)}")
       IcebergMeta.readIceberg(spark, path,

@@ -458,6 +458,16 @@ class Round14Spec extends AnyFunSuite {
     assert(IcebergMeta.refSnapshotId(iroot, "audit").contains(first))
     spark.sql(s"ALTER TABLE iceberg_export('$iroot') " +
       "SET TBLPROPERTIES ('write.metadata.compression-codec'='none')")
+    // time travel BY TAG NAME through the TVF read — the spec's named
+    // time travel, composing CREATE TAG with the quoted second arg
+    IcebergMeta.appendIcebergForeign(spark, iroot,
+      Seq((2L, "b")).toDF("k", "s").coalesce(1))
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM iceberg_export('$iroot', 'audit')")
+      .head().getLong(0) == 1, "the tag resolves to the first snapshot")
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM iceberg_export('$iroot')")
+      .head().getLong(0) == 2)
     spark.sql(s"ALTER TABLE iceberg_export('$iroot') DROP TAG audit")
     assert(IcebergMeta.refSnapshotId(iroot, "audit").isEmpty)
   }
