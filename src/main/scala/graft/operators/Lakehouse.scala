@@ -774,6 +774,79 @@ object Lakehouse {
     }
   }
 
+  /** FIXTURE scaffolding: rewrite `root`'s classic Delta checkpoint in
+    * the spec's MULTI-PART layout (`<v>.checkpoint.<i>.<n>.parquet`
+    * fragments + `parts` in `_last_checkpoint`) — emulating the
+    * foreign writers that produce multi-part checkpoints at exactly
+    * the 100 TB design point. READING them is the product surface
+    * (LakehouseTable resolves all three layouts); writing multi-part
+    * is deprecated upstream, so the writer side stays a fixture. */
+  private def splitCheckpointMultipart(s: SparkSession, root: String,
+      parts: Int): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val logDir = Paths.get(root, "_delta_log")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val v = om.readTree(Files.readString(
+      logDir.resolve("_last_checkpoint"))).get("version").asLong()
+    val classic = logDir.resolve(f"$v%020d.checkpoint.parquet")
+    val df = s.read.parquet(classic.toString)
+    val rows = df.collect().toSeq
+    val chunkSize = math.max(1, math.ceil(rows.size.toDouble / parts).toInt)
+    val chunks = rows.grouped(chunkSize).toSeq.padTo(parts, Seq.empty)
+    chunks.take(parts).zipWithIndex.foreach { case (chunk, i) =>
+      val target = logDir.resolve(
+        f"$v%020d.checkpoint.${i + 1}%010d.$parts%010d.parquet")
+      val tmp = Files.createTempDirectory(logDir, ".mp-tmp")
+      s.createDataFrame(chunk.asJava, df.schema).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.resolve("out").toString)
+      val part = {
+        val l = Files.list(tmp.resolve("out"))
+        try l.iterator().asScala
+          .filter(_.toString.endsWith(".parquet")).toSeq.head
+        finally l.close()
+      }
+      Files.move(part, target, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      Files.walk(tmp).iterator().asScala.toSeq
+        .sortBy(_.toString).reverse.foreach(Files.deleteIfExists(_))
+    }
+    Files.delete(classic)
+    val tmp = Files.createTempFile(logDir, ".lcp-tmp", ".json")
+    Files.writeString(tmp,
+      s"""{"version":$v,"size":${rows.size},"parts":$parts}""")
+    Files.move(tmp, logDir.resolve("_last_checkpoint"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private[graft] def deltaMultipartDir(d: String): String =
+    TableCache.baseDir + "/delta_mpckpt_" +
+      java.nio.file.Paths.get(d).getFileName.toString
+
+  /** A foreign Delta chain whose ONLY carrier of its live set,
+    * tombstones, and schema is a MULTI-PART checkpoint: evens created,
+    * odds appended, 'F' rows deleted, checkpointed, the checkpoint
+    * split into 3 spec fragments, and the JSON tail CLEANED below the
+    * pointer. q233 reads the chain back — every row it serves had to
+    * seed from the fragment union. */
+  private[graft] def deltaMultipartRoot(s: SparkSession, d: String): String = {
+    val root = deltaMultipartDir(d)
+    foreignFixture(root, d) { () =>
+      LakehouseTable.create(
+        ordersSlice(s, d).filter(col("o_orderkey") % 2 === 0), root)
+      LakehouseTable.exportDeltaLog(s, root)
+      ()
+    } { () =>
+      LakehouseTable.appendDeltaForeign(s, root,
+        ordersSlice(s, d).filter(col("o_orderkey") % 2 === 1))
+      LakehouseTable.deleteDeltaForeign(s, root, "o_orderstatus = 'F'")
+      LakehouseTable.checkpointDeltaForeign(s, root)
+      splitCheckpointMultipart(s, root, parts = 3)
+      LakehouseTable.cleanupDeltaLogForeign(root)
+      ()
+    }
+  }
+
   /** A foreign chain whose manifest population grew one manifest per
     * append (the streaming-append shape), then CONSOLIDATED through
     * [[IcebergMeta.rewriteManifestsForeign]] — zero data files
@@ -781,9 +854,12 @@ object Lakehouse {
     * chain against the full orders oracle; manifest-count drop, parent
     * time travel, and the zero-row changelog are pinned in
     * Round14Spec. */
-  private[graft] def icebergManifestsRoot(s: SparkSession, d: String): String = {
-    val root = TableCache.baseDir + "/iceberg_rwm_" +
+  private[graft] def icebergManifestsDir(d: String): String =
+    TableCache.baseDir + "/iceberg_rwm_" +
       java.nio.file.Paths.get(d).getFileName.toString
+
+  private[graft] def icebergManifestsRoot(s: SparkSession, d: String): String = {
+    val root = icebergManifestsDir(d)
     foreignFixture(root, d) { () =>
       LakehouseTable.create(
         ordersSlice(s, d).filter(col("o_orderkey") % 5 === 0), root)
@@ -873,6 +949,33 @@ object Lakehouse {
       IcebergMeta.appendIcebergForeign(s, root,
         ordersSlice(s, d).filter(col("o_orderkey") % 2 === 1))
       IcebergMeta.expireSnapshotsForeign(root, retainLast = 1)
+      ()
+    }
+  }
+
+  /** A WRITE-AUDIT-PUBLISH chain: evens on main, a `staging` branch
+    * forked at main's head, the odds STAGED on the branch through
+    * [[IcebergMeta.appendIcebergForeign]]'s branch form (main's
+    * current state untouched — the audit window), then PUBLISHED with
+    * [[IcebergMeta.fastForwardForeign]] — one metadata-only commit
+    * advancing main to the branch head. q232 reads post-publish
+    * current state = both eras; the staged-invisibility and refusal
+    * halves are pinned in Round15Spec. */
+  private[graft] def icebergWapRoot(s: SparkSession, d: String): String = {
+    val root = TableCache.baseDir + "/iceberg_wap_" +
+      java.nio.file.Paths.get(d).getFileName.toString
+    foreignFixture(root, d) { () =>
+      LakehouseTable.create(
+        ordersSlice(s, d).filter(col("o_orderkey") % 2 === 0), root)
+      IcebergMeta.exportIcebergMeta(s, root)
+      ()
+    } { () =>
+      val head = IcebergMeta.snapshots(root).maxBy(_.seq).id
+      IcebergMeta.createRefForeign(root, "staging", head, "branch")
+      IcebergMeta.appendIcebergForeign(s, root,
+        ordersSlice(s, d).filter(col("o_orderkey") % 2 === 1),
+        branch = Some("staging"))
+      IcebergMeta.fastForwardForeign(root, "staging")
       ()
     }
   }
@@ -2554,6 +2657,20 @@ object Lakehouse {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // MULTI-PART CHECKPOINT, Delta face: after log cleanup the 3-way
+    // fragment union is the ONLY carrier of the live set and the
+    // delete's tombstones — the read must reconstruct exactly the
+    // evens+odds-minus-'F' population from it.
+    "q233_delta_multipart_checkpoint" -> ((s, d) => {
+      val root = deltaMultipartRoot(s, d)
+      LakehouseTable.readDeltaExport(s, root)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          Exact.moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // REWRITE MANIFESTS, Iceberg face: five appends left five data
     // manifests; one replace snapshot consolidates them without
     // touching a data file, and the chain still serves every row.
@@ -2591,6 +2708,51 @@ object Lakehouse {
         .select(col("_change_type"), col("o_orderkey"),
           col("o_custkey"), col("o_totalprice"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // INSPECTION TVF, snapshots: the operator's pre-maintenance view —
+    // grouped operations/sequence ranges of the rewrite-manifests
+    // chain, validated against the chain's own metadata JSON in DuckDB.
+    "q234_iceberg_snapshots" -> ((s, d) => {
+      val root = icebergManifestsRoot(s, d)
+      val p = root.replace("'", "''")
+      s.sql(s"""SELECT operation, CAST(count(*) AS BIGINT) AS n,
+          CAST(min(sequence_number) AS BIGINT) AS first_seq,
+          CAST(max(sequence_number) AS BIGINT) AS last_seq
+        FROM iceberg_snapshots('$p')
+        GROUP BY operation ORDER BY operation""")
+    }),
+
+    // INSPECTION TVF, files: live-file census (count + manifest row
+    // counts) vs an independent DuckDB census of the data directory.
+    "q235_iceberg_files" -> ((s, d) => {
+      val root = icebergManifestsRoot(s, d)
+      val p = root.replace("'", "''")
+      s.sql(s"""SELECT CAST(count(*) AS BIGINT) AS n_files,
+          CAST(sum(record_count) AS BIGINT) AS n_rows
+        FROM iceberg_files('$p')""")
+    }),
+
+    // INSPECTION TVF, delta history: per-version add/remove counts of
+    // the z-ordered log vs DuckDB's raw replay of the same JSON.
+    "q236_delta_history" -> ((s, d) => {
+      val root = deltaZorderRoot(s, d)
+      val p = root.replace("'", "''")
+      s.sql(s"""SELECT version, CAST(n_adds AS BIGINT) AS n_adds,
+          CAST(n_removes AS BIGINT) AS n_removes
+        FROM delta_history('$p') ORDER BY version""")
+    }),
+
+    // WRITE-AUDIT-PUBLISH: odds staged on a branch (main untouched),
+    // then FAST FORWARD published — current state serves both eras.
+    "q232_iceberg_wap" -> ((s, d) => {
+      val root = icebergWapRoot(s, d)
+      IcebergMeta.readIceberg(s, root)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          Exact.moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
     }),
 
     // ICEBERG REFS: a tag pinned the first snapshot through an
@@ -3832,6 +3994,15 @@ object Lakehouse {
           WHERE o_orderkey <= 3000 AND o_custkey <= 600
           GROUP BY 1 ORDER BY 1""",
 
+    // the multi-part-checkpointed chain equals evens+odds minus the
+    // deleted 'F' rows — the fragment union must carry the whole state
+    "q233_delta_multipart_checkpoint" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+            CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+            ${Exact.sqlMoneySum("o_totalprice")} AS sum_price
+          FROM orders WHERE o_orderstatus <> 'F'
+          GROUP BY 1 ORDER BY 1""",
+
     // manifest consolidation moves METADATA only: the chain still
     // serves all five append slices = the full orders aggregate
     "q228_iceberg_rewrite_manifests" ->
@@ -3854,6 +4025,60 @@ object Lakehouse {
            o_totalprice
          FROM orders WHERE o_orderstatus = 'F'
          ORDER BY o_orderkey""",
+
+    // the snapshots relation equals the chain's own metadata JSON,
+    // independently parsed: latest vN.metadata.json, snapshots
+    // unnested, grouped by summary.operation
+    "q234_iceberg_snapshots" ->
+      s"""WITH m AS (
+            SELECT snapshots,
+              CAST(regexp_extract(filename, 'v(\\d+)\\.metadata\\.json', 1)
+                AS INT) AS v
+            FROM read_json('${icebergManifestsDir("/root/testdata/sf0.01")}/metadata/v*.metadata.json',
+              filename=true,
+              columns={snapshots: 'STRUCT("sequence-number" BIGINT,
+                summary STRUCT(operation VARCHAR))[]'})),
+          cur AS (SELECT snapshots FROM m ORDER BY v DESC LIMIT 1),
+          s AS (SELECT unnest(snapshots) AS sn FROM cur)
+          SELECT sn.summary.operation AS operation,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(min(sn."sequence-number") AS BIGINT) AS first_seq,
+            CAST(max(sn."sequence-number") AS BIGINT) AS last_seq
+          FROM s GROUP BY 1 ORDER BY 1""",
+
+    // the files relation equals an independent census of the data
+    // directory (appends only, no deletes: every written file is live)
+    "q235_iceberg_files" ->
+      s"""SELECT CAST(count(DISTINCT filename) AS BIGINT) AS n_files,
+            CAST(count(*) AS BIGINT) AS n_rows
+          FROM read_parquet('${icebergManifestsDir("/root/testdata/sf0.01")}/data/*.parquet',
+            filename=true)""",
+
+    // the history relation equals DuckDB's raw replay of the same
+    // commit JSONs: per version, add/remove action counts
+    "q236_delta_history" ->
+      s"""WITH a AS (
+            SELECT CAST(regexp_extract(filename, '(\\d+)\\.json', 1)
+                AS BIGINT) AS version,
+              add IS NOT NULL AS is_add,
+              remove IS NOT NULL AS is_rm
+            FROM read_json('${deltaZorderDir("/root/testdata/sf0.01")}/_delta_log/*.json',
+              format='newline_delimited', filename=true,
+              columns={add: 'STRUCT(path VARCHAR)',
+                       remove: 'STRUCT(path VARCHAR)'}))
+          SELECT version,
+            CAST(sum(CASE WHEN is_add THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_adds,
+            CAST(sum(CASE WHEN is_rm THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_removes
+          FROM a GROUP BY 1 ORDER BY 1""",
+
+    // post-publish current state = both eras = the full orders set
+    "q232_iceberg_wap" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+            CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+            ${Exact.sqlMoneySum("o_totalprice")} AS sum_price
+          FROM orders GROUP BY 1 ORDER BY 1""",
 
     // the tagged snapshot is the evens era, expiry notwithstanding
     "q231_iceberg_refs" ->

@@ -163,10 +163,22 @@ object LakehouseTable {
     * carries a parseable one, else Delta's 168 h default. Gates both
     * checkpoint tombstone expiry and vacuum's protection horizon — a
     * table that declares a LONGER window keeps its files reclaimable
-    * only after that window on every path. */
+    * only after that window on every path. A declared-but-unparseable
+    * window (e.g. "interval 1 month" — reference Delta rejects
+    * calendar units for durations too) REFUSES instead of silently
+    * substituting the shorter default: the table may have declared a
+    * longer window, and a silent 168 h would reclaim files its readers
+    * still resolve. */
   private def deltaTombstoneRetentionMs(conf: Map[String, String]): Long =
-    conf.get("delta.deletedFileRetentionDuration")
-      .flatMap(deltaIntervalMs).getOrElse(DeltaTombstoneRetentionMs)
+    conf.get("delta.deletedFileRetentionDuration") match {
+      case None => DeltaTombstoneRetentionMs
+      case Some(text) => deltaIntervalMs(text).getOrElse(
+        throw new IllegalArgumentException(
+          "cannot parse delta.deletedFileRetentionDuration " +
+            s"'$text' (weeks/days/hours/minutes/seconds only — " +
+            "calendar months/years are rejected, as reference Delta " +
+            "does); refusing rather than substituting the 168h default"))
+    }
 
   /** All (writer app id → last transaction id) watermarks. Streaming
     * writers stamp their micro-batch id under their OWN app id — Delta's
@@ -1814,13 +1826,14 @@ object LakehouseTable {
     * spec keeps unexpired tombstones in checkpoints so a vacuum
     * implementation seeding past the JSON can still honor the
     * retention window). */
-  private def writeDeltaCheckpoint(spark: SparkSession, root: String,
-      version: Long, st: DeltaReplayState): Path = {
+  /** The checkpoint ACTION schema this engine writes (classic layout,
+    * nullable top-level action structs) — and the explicit schema a
+    * v2-checkpoint JSON top file is read under (the same action
+    * shapes, NDJSON lines instead of parquet rows). */
+  private[sources] lazy val DeltaCkptActionSchema
+      : org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
-    val logDir = Paths.get(root, "_delta_log")
-    val (live, schemaJson, (minR, minW), conf) =
-      (st.live, st.schemaJson, st.protocol, st.conf)
-    val ckptSchema = StructType(Seq(
+    StructType(Seq(
       StructField("protocol", StructType(Seq(
         StructField("minReaderVersion", IntegerType),
         StructField("minWriterVersion", IntegerType),
@@ -1867,6 +1880,14 @@ object LakehouseTable {
         StructField("appId", StringType),
         StructField("version", LongType),
         StructField("lastUpdated", LongType))))))
+  }
+
+  private def writeDeltaCheckpoint(spark: SparkSession, root: String,
+      version: Long, st: DeltaReplayState): Path = {
+    val logDir = Paths.get(root, "_delta_log")
+    val (live, schemaJson, (minR, minW), conf) =
+      (st.live, st.schemaJson, st.protocol, st.conf)
+    val ckptSchema = DeltaCkptActionSchema
     // the ADD ACTION's partition values, carried verbatim (a foreign
     // log's values are authoritative — paths need not encode them);
     // our own exports fall back to the decoded hive dir segments
@@ -1962,6 +1983,168 @@ object LakehouseTable {
     target
   }
 
+  /** Fully-parsed `_last_checkpoint` pointer: version (required) and
+    * the multi-part fragment count when the pointer declares one. The
+    * old regex parse read ONLY `version` — a multi-part or v2 pointer
+    * then silently resolved to the (absent) classic file name and
+    * every consumer proceeded with EMPTY checkpoint state: no live
+    * set, no tombstones, no txn watermarks. Jackson-parse the whole
+    * document instead. */
+  private case class DeltaCkptPointer(version: Long, parts: Option[Int])
+
+  private def parseLastCheckpoint(logDir: Path): Option[DeltaCkptPointer] = {
+    val lcp = logDir.resolve("_last_checkpoint")
+    if (!Files.exists(lcp)) None
+    else {
+      val n = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(Files.readString(lcp))
+      val v = Option(n.get("version")).filter(_.isNumber).map(_.asLong())
+        .getOrElse(throw new IllegalStateException(
+          s"_last_checkpoint at $logDir carries no numeric version; " +
+            "refusing to guess"))
+      Some(DeltaCkptPointer(v,
+        Option(n.get("parts")).filter(_.isNumber).map(_.asInt())))
+    }
+  }
+
+  /** The on-disk layout of ONE resolved Delta checkpoint: classic
+    * (single parquet), multi-part (all fragments), or v2 (UUID-named
+    * top file in parquet or JSON form plus the sidecar parquets its
+    * `sidecar` actions reference). */
+  private case class DeltaCkptFiles(version: Long,
+      parquetActionFiles: Seq[Path], v2TopJson: Option[Path],
+      sidecars: Seq[Path]) {
+    def allFiles: Seq[Path] =
+      parquetActionFiles ++ v2TopJson.toSeq ++ sidecars
+    /** Immutable-content fingerprint (size, mtime per file) — the
+      * cache-key discipline [[ckptTxnCache]] uses. */
+    def fingerprint: Seq[(String, Long, Long)] = allFiles.map(p =>
+      (p.toString, Files.size(p), Files.getLastModifiedTime(p).toMillis))
+  }
+
+  /** Resolve the checkpoint `ptr` advertises to its file set — LOUDLY.
+    * A pointer that names a checkpoint this reader cannot locate or
+    * does not understand must never degrade to "no checkpoint": the
+    * consumers seed vacuum-protection tombstones and exactly-once txn
+    * watermarks from it, and an empty seed silently reclaims files
+    * readers still resolve / replays micro-batches twice. */
+  private def resolveDeltaCheckpoint(spark: SparkSession, logDir: Path,
+      ptr: DeltaCkptPointer): DeltaCkptFiles = {
+    import org.apache.spark.sql.functions.col
+    val v = ptr.version
+    val prefix = f"$v%020d.checkpoint"
+    def fail(what: String): Nothing = throw new IllegalStateException(
+      s"_last_checkpoint at $logDir advertises a checkpoint at version " +
+        s"$v but $what; refusing rather than silently proceeding with " +
+        "empty checkpoint state")
+    val classic = logDir.resolve(s"$prefix.parquet")
+    ptr.parts match {
+      case Some(n) if n < 1 =>
+        fail(s"declares parts=$n (must be >= 1)")
+      case Some(n) =>
+        val parts = (1 to n).map(i =>
+          logDir.resolve(f"$prefix.$i%010d.$n%010d.parquet"))
+        val missing = parts.filterNot(Files.exists(_))
+        if (missing.isEmpty) DeltaCkptFiles(v, parts, None, Nil)
+        // parts=1 written where a classic file exists: accept the
+        // classic form (same content, one fragment)
+        else if (n == 1 && Files.exists(classic))
+          DeltaCkptFiles(v, Seq(classic), None, Nil)
+        else fail(s"multi-part fragment(s) " +
+          s"${missing.map(_.getFileName).mkString(", ")} are missing")
+      case None if Files.exists(classic) =>
+        DeltaCkptFiles(v, Seq(classic), None, Nil)
+      case None =>
+        // v2 (UUID-named) checkpoint: <v>.checkpoint.<uuid>.{parquet,
+        // json}. The UUID segment is dot-free, so a multi-part
+        // fragment (two numeric segments) can never match.
+        val v2Re = ("^" + java.util.regex.Pattern.quote(prefix) +
+          """\.[^.]+\.(parquet|json)$""").r
+        val cands = withDrained(Files.list(logDir))(
+          _.filter(p => v2Re.findFirstIn(p.getFileName.toString).isDefined))
+        // any complete v2 top is equivalent; pick deterministically
+        val top = cands.sortBy(_.getFileName.toString).lastOption
+          .getOrElse(fail("no classic, multi-part, or v2 (UUID-named) " +
+            "checkpoint file exists"))
+        val isJson = top.getFileName.toString.endsWith(".json")
+        // the top file's `sidecar` actions name the parquet files that
+        // carry the add/remove population (spec: file actions live in
+        // sidecars when any sidecar action is present)
+        val sidecarNames: Seq[String] =
+          if (isJson) {
+            val om = new com.fasterxml.jackson.databind.ObjectMapper()
+            Files.readString(top).split('\n').toSeq.flatMap { line =>
+              if (!line.contains("\"sidecar\"")) None
+              else try Option(om.readTree(line).get("sidecar"))
+                .flatMap(s => Option(s.get("path")).map(_.asText()))
+              catch { case scala.util.control.NonFatal(_) => None }
+            }
+          } else {
+            val df = spark.read.parquet(top.toString)
+            if (!df.schema.fieldNames.contains("sidecar")) Nil
+            else df.filter(col("sidecar").isNotNull)
+              .select(col("sidecar.path")).collect().toSeq
+              .flatMap(r => Option(r.getString(0)))
+          }
+        val sidecars = sidecarNames.map { nm =>
+          val raw =
+            if (nm.startsWith("file:")) nm.stripPrefix("file:") else nm
+          val p = if (raw.contains("/")) Paths.get(raw)
+                  else logDir.resolve("_sidecars").resolve(raw)
+          if (!Files.exists(p)) fail(s"sidecar $nm is missing") else p
+        }
+        if (isJson) DeltaCkptFiles(v, Nil, Some(top), sidecars)
+        else DeltaCkptFiles(v, Seq(top), None, sidecars)
+    }
+  }
+
+  /** ONE action frame over the whole resolved checkpoint — classic
+    * file, multi-part fragments, v2 top (parquet read directly; JSON
+    * read under [[DeltaCkptActionSchema]]) and sidecars unioned BY
+    * NAME with missing columns null-filled (a sidecar carries only
+    * file actions; a v2 top may carry none). Every checkpoint consumer
+    * reads through this, so multi-part/v2 support has one body. */
+  private def checkpointActionsDf(spark: SparkSession,
+      ck: DeltaCkptFiles): DataFrame = {
+    val frames = Seq(
+      if (ck.parquetActionFiles.isEmpty) None
+      else Some(spark.read.parquet(
+        ck.parquetActionFiles.map(_.toString): _*)),
+      ck.v2TopJson.map(p =>
+        spark.read.schema(DeltaCkptActionSchema).json(p.toString)),
+      if (ck.sidecars.isEmpty) None
+      else Some(spark.read.parquet(ck.sidecars.map(_.toString): _*))
+    ).flatten
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Reader features this engine actually implements — the set a
+    * reader-v3 table's `readerFeatures` list is validated against
+    * (Delta table-features spec: a reader MUST refuse a table
+    * declaring a reader feature it does not support; reading it
+    * anyway only works until the feature's obligations bite, e.g. a
+    * v2Checkpoint table whose JSON tail is cleaned). */
+  private val SupportedReaderFeatures: Set[String] =
+    Set("columnMapping", "deletionVectors", "timestampNtz", "v2Checkpoint")
+
+  /** The read half of the protocol gate: reader version <= 3 and, at
+    * version 3, every declared reader feature inside
+    * [[SupportedReaderFeatures]]. Runs on every checkpoint-seeded
+    * state build, so reads and writes both refuse tables whose state
+    * this engine cannot faithfully reconstruct. */
+  private def requireDeltaReaderProtocol(state: DeltaReplayState,
+      root: String): Unit = {
+    val (minR, _) = state.protocol
+    require(minR <= 3, s"reader version $minR not supported at $root")
+    if (minR >= 3) {
+      val extra = state.readerFeatures.filterNot(SupportedReaderFeatures)
+      require(extra.isEmpty,
+        s"reader feature(s) ${extra.mkString(", ")} at $root require " +
+          "read capabilities this engine does not implement; refusing " +
+          "(Delta table-features spec)")
+    }
+  }
+
   /** Remove-action TOMBSTONES at or below `upTo`: raw committed path →
     * (latest deletionTimestamp, the remove's deletionVector descriptor
     * when it carried one). SEEDS from the checkpoint's `remove` rows
@@ -1981,41 +2164,38 @@ object LakehouseTable {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val tomb = scala.collection.mutable
       .LinkedHashMap.empty[String, (Long, Option[DeltaDv.Descriptor])]
-    val lcp = logDir.resolve("_last_checkpoint")
-    if (Files.exists(lcp)) {
-      val ckVer = """"version":\s*(\d+)""".r
-        .findFirstMatchIn(Files.readString(lcp)).map(_.group(1).toLong)
-      ckVer.filter(_ <= upTo).foreach { v =>
-        val ckPath = logDir.resolve(f"$v%020d.checkpoint.parquet")
-        if (Files.exists(ckPath)) {
-          val ck = spark.read.parquet(ckPath.toString)
-          if (ck.schema.fieldNames.contains("remove")) {
-            // the remove's DV descriptor (when the checkpoint schema
-            // carries one — reference Delta checkpoints and ours both
-            // do) seeds too: after log cleanup this row is the ONLY
-            // thing keeping vacuum off the superseded DV sidecar
-            val removeType = ck.schema("remove").dataType
-              .asInstanceOf[org.apache.spark.sql.types.StructType]
-            val hasDv = removeType.fieldNames.contains("deletionVector")
-            ck.filter(col("remove").isNotNull)
-              .select(col("remove.path"), col("remove.deletionTimestamp"),
-                (if (hasDv) col("remove.deletionVector")
-                 else org.apache.spark.sql.functions.lit(null)).as("dv"))
-              .collect().foreach { r =>
-                Option(r.getString(0)).filter(_.nonEmpty).foreach { p =>
-                  val ts = if (r.isNullAt(1)) 0L else r.getLong(1)
-                  val dv = Option(r.get(2)).map {
-                    case d: org.apache.spark.sql.Row =>
-                      DeltaDv.Descriptor(d.getString(0), d.getString(1),
-                        if (d.isNullAt(2)) 1L else d.getLong(2),
-                        if (d.isNullAt(3)) 0L else d.getLong(3),
-                        if (d.isNullAt(4)) 0L else d.getLong(4))
-                  }
-                  tomb(p) = (ts, dv)
-                }
+    // resolve + read LOUDLY: a multi-part/v2 pointer (or a missing
+    // file) must never silently seed an EMPTY tombstone map — vacuum's
+    // protect set would miss every pre-cleanup tombstone and DV-
+    // sidecar protection, the data-loss class this seeding prevents
+    parseLastCheckpoint(logDir).filter(_.version <= upTo).foreach { ptr =>
+      val ck = checkpointActionsDf(spark,
+        resolveDeltaCheckpoint(spark, logDir, ptr))
+      if (ck.schema.fieldNames.contains("remove")) {
+        // the remove's DV descriptor (when the checkpoint schema
+        // carries one — reference Delta checkpoints and ours both
+        // do) seeds too: after log cleanup this row is the ONLY
+        // thing keeping vacuum off the superseded DV sidecar
+        val removeType = ck.schema("remove").dataType
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val hasDv = removeType.fieldNames.contains("deletionVector")
+        ck.filter(col("remove").isNotNull)
+          .select(col("remove.path"), col("remove.deletionTimestamp"),
+            (if (hasDv) col("remove.deletionVector")
+             else org.apache.spark.sql.functions.lit(null)).as("dv"))
+          .collect().foreach { r =>
+            Option(r.getString(0)).filter(_.nonEmpty).foreach { p =>
+              val ts = if (r.isNullAt(1)) 0L else r.getLong(1)
+              val dv = Option(r.get(2)).map {
+                case d: org.apache.spark.sql.Row =>
+                  DeltaDv.Descriptor(d.getString(0), d.getString(1),
+                    if (d.isNullAt(2)) 1L else d.getLong(2),
+                    if (d.isNullAt(3)) 0L else d.getLong(3),
+                    if (d.isNullAt(4)) 0L else d.getLong(4))
               }
+              tomb(p) = (ts, dv)
+            }
           }
-        }
       }
     }
     val files = withDrained(Files.list(logDir))(
@@ -2064,13 +2244,17 @@ object LakehouseTable {
     * appId. This is what makes a foreachBatch sink onto a foreign
     * table exactly-once: the writer stamps its batch id here and a
     * replayed batch sees its own watermark. */
-  // (checkpoint path, size, mtime) → its txn rows: a txn-stamped
-  // foreachBatch sink probes the watermark EVERY micro-batch, and the
-  // checkpoint parquet is immutable per (size, mtime) — caching turns
-  // the per-batch Spark read job into a map hit (the footerCache key
-  // discipline)
+  // log dir → (checkpoint-file fingerprint, its txn rows): a
+  // txn-stamped foreachBatch sink probes the watermark EVERY
+  // micro-batch, and the checkpoint files are immutable per
+  // (size, mtime) — caching turns the per-batch Spark read job into a
+  // map hit. Keyed by LOG DIR with the fingerprint stored in the
+  // value (stale entries replaced, not accumulated): keying by
+  // checkpoint file name made every re-checkpoint of a table mint a
+  // new entry and leak the superseded ones for the session's life
   private val ckptTxnCache = scala.collection.concurrent.TrieMap
-    .empty[(String, Long, Long), Seq[(String, Long, Option[Long])]]
+    .empty[String, (Seq[(String, Long, Long)],
+      Seq[(String, Long, Option[Long])])]
 
   private def deltaTxnsForeign(spark: SparkSession, root: String,
       upTo: Long): Map[String, (Long, Option[Long])] = {
@@ -2079,18 +2263,19 @@ object LakehouseTable {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val txns = scala.collection.mutable
       .LinkedHashMap.empty[String, (Long, Option[Long])]
-    val lcp = logDir.resolve("_last_checkpoint")
-    if (Files.exists(lcp)) {
-      val ckVer = """"version":\s*(\d+)""".r
-        .findFirstMatchIn(Files.readString(lcp)).map(_.group(1).toLong)
-      ckVer.filter(_ <= upTo).foreach { v =>
-        val ckPath = logDir.resolve(f"$v%020d.checkpoint.parquet")
-        if (Files.exists(ckPath)) {
-          val key = (ckPath.toString, Files.size(ckPath),
-            Files.getLastModifiedTime(ckPath).toMillis)
-          val rows = ckptTxnCache.getOrElseUpdate(key, {
-            val ck = spark.read.parquet(ckPath.toString)
-            if (!ck.schema.fieldNames.contains("txn")) Nil
+    // resolve LOUDLY (the tombstone seeder's rule): silently seeding
+    // empty watermarks from an unreadable checkpoint would replay
+    // "exactly-once" micro-batches twice after log cleanup
+    parseLastCheckpoint(logDir).filter(_.version <= upTo).foreach { ptr =>
+      val files = resolveDeltaCheckpoint(spark, logDir, ptr)
+      val fp = files.fingerprint
+      val rows = ckptTxnCache.get(logDir.toString) match {
+        case Some((cachedFp, cachedRows)) if cachedFp == fp => cachedRows
+        case _ =>
+          val ck = checkpointActionsDf(spark, files)
+          val computed =
+            if (!ck.schema.fieldNames.contains("txn"))
+              Seq.empty[(String, Long, Option[Long])]
             else ck.filter(col("txn").isNotNull)
               .select(col("txn.appId"), col("txn.version"),
                 col("txn.lastUpdated"))
@@ -2099,10 +2284,10 @@ object LakehouseTable {
                   app => (app, r.getLong(1),
                     if (r.isNullAt(2)) None else Some(r.getLong(2))))
               }
-          })
-          rows.foreach { case (app, ver, lu) => txns(app) = (ver, lu) }
-        }
+          ckptTxnCache.put(logDir.toString, (fp, computed))
+          computed
       }
+      rows.foreach { case (app, ver, lu) => txns(app) = (ver, lu) }
     }
     withDrained(Files.list(logDir))(
       _.filter(_.getFileName.toString.matches("\\d{20}\\.json")))
@@ -2175,11 +2360,8 @@ object LakehouseTable {
   def cleanupDeltaLogForeign(root: String): Int = {
     val logDir = Paths.get(root, "_delta_log")
     require(Files.isDirectory(logDir), s"no _delta_log at $root")
-    val lcp = logDir.resolve("_last_checkpoint")
-    if (!Files.exists(lcp)) return 0
-    val pointer = """"version":\s*(\d+)""".r
-      .findFirstMatchIn(Files.readString(lcp))
-      .map(_.group(1).toLong).getOrElse(return 0)
+    val pointer = parseLastCheckpoint(logDir)
+      .map(_.version).getOrElse(return 0)
     cleanDeltaLog(root, 0L until pointer)
   }
 
@@ -2584,6 +2766,15 @@ object LakehouseTable {
     require(setCanon.size == set.size,
       s"duplicate property key (after delta.* canonicalization) in " +
         s"${set.keys.mkString(", ")}")
+    // durations must parse AT DECLARATION (reference Delta refuses
+    // calendar units here too): committing an unparseable window and
+    // refusing only at checkpoint/vacuum time would wedge maintenance
+    setCanon.get("delta.deletedFileRetentionDuration").foreach { v =>
+      require(deltaIntervalMs(v).isDefined,
+        s"cannot parse delta.deletedFileRetentionDuration '$v' " +
+          "(weeks/days/hours/minutes/seconds only; calendar " +
+          "months/years are rejected, as reference Delta does)")
+    }
     val unsetCanon = unset.map(canonDeltaPropKey).toSet
     require(setCanon.keySet.intersect(unsetCanon).isEmpty,
       "a key cannot be both SET and UNSET in one statement")
@@ -2701,18 +2892,13 @@ object LakehouseTable {
       }.take(1).toSeq.headOption
     fromTail.getOrElse {
       import org.apache.spark.sql.functions.col
-      val lcp = logDir.resolve("_last_checkpoint")
-      val id =
-        if (!Files.exists(lcp)) None
-        else """"version":\s*(\d+)""".r
-          .findFirstMatchIn(Files.readString(lcp)).map(_.group(1).toLong)
-          .map(v => logDir.resolve(f"$v%020d.checkpoint.parquet"))
-          .filter(Files.exists(_))
-          .flatMap { ck =>
-            spark.read.parquet(ck.toString)
-              .filter(col("metaData").isNotNull).select("metaData.id")
-              .collect().headOption.flatMap(r => Option(r.getString(0)))
-          }
+      val id = parseLastCheckpoint(logDir).flatMap { ptr =>
+        val ck = checkpointActionsDf(spark,
+          resolveDeltaCheckpoint(spark, logDir, ptr))
+        if (!ck.schema.fieldNames.contains("metaData")) None
+        else ck.filter(col("metaData").isNotNull).select("metaData.id")
+          .collect().headOption.flatMap(r => Option(r.getString(0)))
+      }
       (id, None, None, None)
     }
   }
@@ -2743,11 +2929,7 @@ object LakehouseTable {
     * otherwise commit "version 0", invisible to every checkpoint-
     * seeded reader and corrupting any later full-JSON replay. */
   private def pinForeignDeltaVersion(root: String, logDir: Path): Long = {
-    val lcp = logDir.resolve("_last_checkpoint")
-    val ckVer =
-      if (!Files.exists(lcp)) None
-      else """"version":\s*(\d+)""".r
-        .findFirstMatchIn(Files.readString(lcp)).map(_.group(1).toLong)
+    val ckVer = parseLastCheckpoint(logDir).map(_.version)
     (deltaLogVersions(root) ++ ckVer).maxOption.getOrElse(
       throw new IllegalStateException(
         s"empty _delta_log at $root — nothing to commit to"))
@@ -3501,16 +3683,25 @@ object LakehouseTable {
     }
   }
 
+  /** Set `spark.sql.parquet.fieldId.write.enabled` MONOTONICALLY on the
+    * shared session — deliberately never restored. The flag is inert
+    * for schemas without `parquet.field.id` column metadata (only
+    * mapped/Iceberg writes attach it), and a set/restore dance on the
+    * SHARED session conf would let one racing writer's `finally` clear
+    * the flag mid-way through another's write job — footers without
+    * ids, every id-mode reader serving null. Isolated-session writers
+    * (a `spark.newSession()` of their own) scope the flag there
+    * instead; every shared-session id-stamping write funnels through
+    * THIS helper so the policy has one body. */
+  private[graft] def ensureFieldIdWrite(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+
   /** Lower a logically-named frame to the PHYSICAL write space: under
     * an active mapping the data lives under physical names with
     * parquet field ids (spec: stats keys, partitionValues keys, and
     * id-mode resolution all run in physical space). Field ids must
-    * reach the parquet footers — the session flag is set MONOTONICALLY,
-    * never restored: it is inert for schemas without parquet.field.id
-    * metadata (only mapped writes attach it), and a set/restore dance
-    * on the SHARED session conf would let one racing writer clear the
-    * flag mid-way through another's write job — footers without ids,
-    * every id-mode reader serving null. */
+    * reach the parquet footers — [[ensureFieldIdWrite]] carries the
+    * monotonic-set rationale. */
   private def lowerForWrite(spark: SparkSession,
       struct: org.apache.spark.sql.types.StructType, mapping: String,
       aligned: DataFrame, partCols: Seq[String])
@@ -3527,7 +3718,7 @@ object LakehouseTable {
       val physParts = partCols.map(c =>
         deltaPhysicalName(struct.fields
           .find(_.name.equalsIgnoreCase(c)).get))
-      spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+      ensureFieldIdWrite(spark)
       (lowered, physParts)
     }
 
@@ -3787,7 +3978,6 @@ object LakehouseTable {
   private def deltaStateAt(spark: SparkSession, root: String,
       upTo: Option[Long], useCheckpoint: Boolean): DeltaReplayState = {
     val logDir = Paths.get(root, "_delta_log")
-    val lcp = logDir.resolve("_last_checkpoint")
     val noSeed = (None: Option[Long], Seq.empty[String],
       None: Option[String], Map.empty[String, DeltaDv.Descriptor],
       Map.empty[String, String], Map.empty[String, String],
@@ -3795,18 +3985,22 @@ object LakehouseTable {
       None: Option[(Int, Int, Seq[String], Seq[String])])
     val (ckVer, seedLive, seedSchema, seedDvs, seedConf, seedStats,
       seedPartVals, seedPartCols, seedProtocol) =
-      if (!useCheckpoint || !Files.exists(lcp)) noSeed
-      else {
-        val v = """"version":\s*(\d+)""".r
-          .findFirstMatchIn(Files.readString(lcp)).get.group(1).toLong
-        if (upTo.exists(_ < v)) noSeed
-        else readCheckpointSeed(spark, logDir, v)
+      (if (useCheckpoint) parseLastCheckpoint(logDir) else None) match {
+        case Some(ptr) if !upTo.exists(_ < ptr.version) =>
+          readCheckpointSeed(spark, logDir, ptr)
+        case _ => noSeed
       }
-    replayDeltaLog(root, upTo, after = ckVer,
+    val st = replayDeltaLog(root, upTo, after = ckVer,
       seedLive = seedLive, seedSchema = seedSchema, seedDvs = seedDvs,
       seedConf = seedConf, seedStats = seedStats,
       seedPartVals = seedPartVals, seedPartCols = seedPartCols,
       seedProtocol = seedProtocol)
+    // every foreign read AND write path builds its state here — the
+    // one place the table-features spec's reader-side refusal can
+    // gate them all (a reader feature this engine lacks means the
+    // state just built may already be wrong for a conforming writer)
+    requireDeltaReaderProtocol(st, root)
+    st
   }
 
   /** Read a specific add-file slice of an exported/foreign Delta table
@@ -4126,21 +4320,72 @@ object LakehouseTable {
       .lastOption.map(_.getFileName.toString.take(20).toLong)
   }
 
+  /** `delta_history('/p')` — the surviving commit history of an
+    * exported/foreign Delta log as a read-only relation (Delta's
+    * DESCRIBE HISTORY, by quoted path): per JSON version its
+    * commitInfo operation/timestamp and add/remove counts — what an
+    * operator inspects before checkpoint / cleanup / vacuum. Reads
+    * only the log tail (post-cleanup versions); checkpointed-away
+    * history is gone by design, exactly like reference Delta after
+    * log retention. O(log tail) driver IO, no data scan. */
+  def deltaHistoryDf(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val logDir = Paths.get(root, "_delta_log")
+    require(Files.isDirectory(logDir), s"no _delta_log at $root")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rows = withDrained(Files.list(logDir))(
+      _.filter(_.getFileName.toString.matches("\\d{20}\\.json")))
+      .sortBy(_.getFileName.toString)
+      .map { lf =>
+        val v = lf.getFileName.toString.take(20).toLong
+        var op: Option[String] = None
+        var ts: Option[Long] = None
+        var adds = 0L
+        var removes = 0L
+        Files.readString(lf).split('\n').foreach { line =>
+          try {
+            val n = om.readTree(line)
+            Option(n.get("commitInfo")).foreach { ci =>
+              if (op.isEmpty)
+                op = Option(ci.get("operation")).map(_.asText())
+              if (ts.isEmpty)
+                ts = Option(ci.get("timestamp")).filter(_.isNumber)
+                  .map(_.asLong())
+            }
+            if (n.has("add")) adds += 1
+            if (n.has("remove")) removes += 1
+          } catch { case scala.util.control.NonFatal(_) => () }
+        }
+        (v, op, ts, adds, removes)
+      }
+    rows.toDF("version", "operation", "timestamp_ms", "n_adds",
+      "n_removes")
+  }
+
   private def readCheckpointSeed(spark: SparkSession,
-      logDir: Path, v: Long): (Option[Long], Seq[String], Option[String],
+      logDir: Path, ptr: DeltaCkptPointer): (Option[Long], Seq[String],
+      Option[String],
       Map[String, DeltaDv.Descriptor], Map[String, String],
       Map[String, String], Map[String, Map[String, Option[String]]],
       Seq[String], Option[(Int, Int, Seq[String], Seq[String])]) = {
     import org.apache.spark.sql.functions.{col, lit}
-    {
-        val ck = spark.read.parquet(
-          logDir.resolve(f"$v%020d.checkpoint.parquet").toString)
-        val addType = ck.schema("add").dataType
-          .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val v = ptr.version
+        val ck = checkpointActionsDf(spark,
+          resolveDeltaCheckpoint(spark, logDir, ptr))
+        // a v2 top with every file action in sidecars still unions to
+        // a schema WITH `add` (the sidecars carry it); guard anyway —
+        // an empty-table checkpoint may omit the column entirely
+        val addType =
+          if (!ck.schema.fieldNames.contains("add"))
+            org.apache.spark.sql.types.StructType(Nil)
+          else ck.schema("add").dataType
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
         val hasDv = addType.fieldNames.contains("deletionVector")
         val hasStats = addType.fieldNames.contains("stats")
         val hasPv = addType.fieldNames.contains("partitionValues")
-        val addRows = ck.filter(col("add").isNotNull)
+        val addRows =
+          if (addType.fields.isEmpty) Array.empty[org.apache.spark.sql.Row]
+          else ck.filter(col("add").isNotNull)
           .select(col("add.path").as("p"),
             (if (hasDv) col("add.deletionVector") else lit(null)).as("dv"),
             (if (hasStats) col("add.stats") else lit(null)).as("st"),
@@ -4168,11 +4413,17 @@ object LakehouseTable {
                 .map { case (k, x) => k -> Option(x) }.toMap
           }
         }.toMap
-        val mdType = ck.schema("metaData").dataType
-          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val mdType =
+          if (!ck.schema.fieldNames.contains("metaData"))
+            org.apache.spark.sql.types.StructType(Nil)
+          else ck.schema("metaData").dataType
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
         val hasConf = mdType.fieldNames.contains("configuration")
         val hasParts = mdType.fieldNames.contains("partitionColumns")
-        val mdRow = ck.filter(col("metaData").isNotNull)
+        val mdRow =
+          if (mdType.fields.isEmpty)
+            (None: Option[org.apache.spark.sql.Row])
+          else ck.filter(col("metaData").isNotNull)
           .select(col("metaData.schemaString").as("s"),
             (if (hasConf) col("metaData.configuration") else lit(null))
               .as("c"),
@@ -4213,7 +4464,6 @@ object LakehouseTable {
               }
           }
         (Some(v), adds, sch, dvm, conf, stm, pvm, pcols, prot)
-    }
   }
 
   /** Deletion-vector positions of `dvs` as a DISTRIBUTED two-column
@@ -5982,11 +6232,8 @@ object LakehouseTable {
     // readers seed only from the pointer, and the documented crash state
     // (checkpoint written, pointer not yet) must not trigger truncation
     // of a log no read path could then reconstruct
-    val lcp = logDir.resolve("_last_checkpoint")
-    if (!Files.exists(lcp)) return 0
-    val pointer = """"version":\s*(\d+)""".r
-      .findFirstMatchIn(Files.readString(lcp))
-      .map(_.group(1).toLong).getOrElse(return 0)
+    val pointer = parseLastCheckpoint(logDir)
+      .map(_.version).getOrElse(return 0)
     val droppedSet = dropped.toSet
     // only a PREFIX of the surviving versions may go — deleting a middle
     // version (a non-prefix drop set from time-based retention under
@@ -6018,12 +6265,18 @@ object LakehouseTable {
       }
       if (Files.deleteIfExists(lf)) n += 1
     }
-    // superseded checkpoint parquets below the pointer are derivable
+    // superseded checkpoint files below the pointer are derivable
     // state nothing reads — without this they accumulate one full
-    // table-snapshot file per cadence forever
+    // table-snapshot per cadence forever. All three layouts count:
+    // classic, multi-part fragments, v2 (UUID-named) tops. v2 SIDECAR
+    // parquets stay: the spec lets checkpoints SHARE sidecars, so
+    // reclaiming one requires proving no retained checkpoint
+    // references it — not worth the bookkeeping for files only a
+    // foreign writer creates
     withDrained(Files.list(logDir))(
       _.map(_.getFileName.toString)
-        .filter(_.matches("""\d{20}\.checkpoint\.parquet"""))
+        .filter(_.matches(
+          """\d{20}\.checkpoint(\.\d{10}\.\d{10}|\.[^.]+)?\.(parquet|json)"""))
         .filter(_.take(20).toLong < pointer))
       .foreach { f => if (Files.deleteIfExists(logDir.resolve(f))) n += 1 }
     // the horizon marker turns every later would-be-partial replay into

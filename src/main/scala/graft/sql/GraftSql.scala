@@ -549,13 +549,27 @@ case class AlterGraftTableDvCommand(name: String, on: Boolean)
   * no CONVERT TO GRAFT copy. Each dispatches to the engine's foreign
   * writer for that face (createLink-CAS'd commits, the full refusal
   * batteries). */
-case class ForeignInsertCommand(face: String, root: String, query: String)
+case class ForeignInsertCommand(face: String, root: String, query: String,
+    branch: Option[String] = None)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val df = spark.sql(query)
     if (face == "delta_export")
       LakehouseTable.appendDeltaForeign(spark, root, df)
-    else graft.sources.IcebergMeta.appendIcebergForeign(spark, root, df)
+    else graft.sources.IcebergMeta.appendIcebergForeign(spark, root, df,
+      branch)
+    Seq.empty
+  }
+}
+
+/** ALTER TABLE iceberg_export('/path') FAST FORWARD main TO branch —
+  * the PUBLISH half of write-audit-publish: main advances to the
+  * staged branch head in one metadata-only commit (refused when main
+  * moved since the fork — see IcebergMeta.fastForwardForeign). */
+case class ForeignFastForwardCommand(root: String, branch: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.sources.IcebergMeta.fastForwardForeign(root, branch)
     Seq.empty
   }
 }
@@ -660,7 +674,14 @@ case class ForeignSetPropertiesCommand(face: String, root: String,
     set: Seq[(String, String)], unset: Seq[String])
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    require(set.map(_._1.toLowerCase).distinct.size == set.size,
+    // delta.* keys are canonicalized case-insensitively by the writer,
+    // so case-variant duplicates there WOULD collide; user keys are
+    // case-SENSITIVE in Delta (the writer preserves case-distinct user
+    // keys) — compare them verbatim or ('Team.Owner','team.owner')
+    // falsely refuses as a duplicate
+    val dupKeyed = set.map { case (k, _) =>
+      if (k.toLowerCase.startsWith("delta.")) k.toLowerCase else k }
+    require(dupKeyed.distinct.size == set.size,
       s"duplicate property key in ${set.map(_._1).mkString(", ")}")
     if (face == "delta_export")
       LakehouseTable.setPropertiesDeltaForeign(spark, root, set.toMap,
@@ -1364,9 +1385,13 @@ object GraftSqlStatements {
         Some(UpdateGraftTableCommand(name,
           parseSetList(setList).map { case (c, ex) => c -> unmask(ex) },
           unmask(cond)))
-      case ForeignInsertRe(face, idx, query) =>
+      case ForeignInsertRe(face, idx, branchIdx, query) =>
+        val branch = Option(branchIdx).map(unmaskLit(unmask, _))
+        require(branch.isEmpty || face.equalsIgnoreCase("iceberg_export"),
+          "INSERT INTO delta_export(path) takes no branch argument " +
+            "(Delta has no branch refs)")
         Some(ForeignInsertCommand(face.toLowerCase,
-          unmaskLit(unmask, idx), unmask(query)))
+          unmaskLit(unmask, idx), unmask(query), branch))
       case ForeignDeleteRe(face, idx, cond) =>
         Some(ForeignDeleteCommand(face.toLowerCase,
           unmaskLit(unmask, idx), unmask(cond)))
@@ -1415,6 +1440,8 @@ object GraftSqlStatements {
         // on a branch refuses (Iceberg's own behavior)
         Some(ForeignRefCommand(unmaskLit(unmask, idx), create = false,
           refType.toLowerCase, name, None))
+      case ForeignFastForwardRe(idx, branch) =>
+        Some(ForeignFastForwardCommand(unmaskLit(unmask, idx), branch))
       case ForeignCheckpointRe(idx) =>
         Some(ForeignMaintenanceCommand("checkpoint",
           unmaskLit(unmask, idx), None))
@@ -1555,6 +1582,15 @@ object GraftSqlStatements {
   private val IcebergExportWhereRe =
     ("""(?i)\biceberg_export_where\s*\(\s*""" + MaskedLit +
       """\s*,\s*""" + MaskedLit + """\s*\)""").r
+  // metadata-inspection TVFs by quoted path — read-only relations
+  // over the chain's own parsed state (no data IO)
+  private val IcebergSnapshotsRe =
+    ("""(?i)\biceberg_snapshots\s*\(\s*""" + MaskedLit + """\s*\)""").r
+  private val IcebergFilesRe =
+    ("""(?i)\biceberg_files\s*\(\s*""" + MaskedLit +
+      """\s*(?:,\s*(\d+))?\s*\)""").r
+  private val DeltaHistoryRe =
+    ("""(?i)\bdelta_history\s*\(\s*""" + MaskedLit + """\s*\)""").r
   // each range bound is a bare version/sequence number OR a quoted
   // timestamp literal (masked); the keys argument of iceberg_changelog
   // is optional — omitted, the key list comes from the graft manifest's
@@ -1565,10 +1601,12 @@ object GraftSqlStatements {
       MaskedLit + """)\s*\)""").r
   // foreign-path DML twins of the TVF reads: the statement names a
   // QUOTED path instead of a registered table
+  // optional second literal = BRANCH name (write-audit-publish
+  // staging; iceberg_export only — Delta has no branch refs)
   private val ForeignInsertRe =
     ("""(?is)^\s*INSERT\s+INTO\s+(delta_export|iceberg_export)\s*\(\s*""" +
-      MaskedLit +
-      """\s*\)\s+((?:SELECT|WITH|VALUES|FROM|TABLE)\b.*?)\s*;?\s*$""").r
+      MaskedLit + """\s*(?:,\s*""" + MaskedLit + """\s*)?""" +
+      """\)\s+((?:SELECT|WITH|VALUES|FROM|TABLE)\b.*?)\s*;?\s*$""").r
   private val ForeignDeleteRe =
     ("""(?is)^\s*DELETE\s+FROM\s+(delta_export|iceberg_export)\s*\(\s*""" +
       MaskedLit + """\s*\)\s+WHERE\s+(.*?)\s*;?\s*$""").r
@@ -1588,6 +1626,9 @@ object GraftSqlStatements {
   private val ForeignDropRefRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+iceberg_export\s*\(\s*""" + MaskedLit +
       """\s*\)\s+DROP\s+(TAG|BRANCH)\s+([A-Za-z_][A-Za-z0-9_.\-]*)\s*;?\s*$""").r
+  private val ForeignFastForwardRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+iceberg_export\s*\(\s*""" + MaskedLit +
+      """\s*\)\s+FAST\s+FORWARD\s+main\s+TO\s+([A-Za-z_][A-Za-z0-9_.\-]*)\s*;?\s*$""").r
   private val ForeignCheckpointRe =
     ("""(?is)^\s*CHECKPOINT\s+delta_export\s*\(\s*""" + MaskedLit +
       """\s*\)\s*;?\s*$""").r
@@ -1894,7 +1935,32 @@ object GraftSqlStatements {
         .createOrReplaceTempView(view)
       q(view)
     })
-    unmask(afterIc)
+    // metadata-INSPECTION reads (the tables every real engine exposes
+    // and an operator consults before expire/compact/rewrite): all
+    // three are driver-derived relations over already-parsed state
+    val afterIs = IcebergSnapshotsRe.replaceAllIn(afterIc, m => {
+      val path = unmaskLit(unmask, m.group(1))
+      val view = foreignView("iceberg_snapshots", path)
+      IcebergMeta.snapshotsDf(spark, path).createOrReplaceTempView(view)
+      q(view)
+    })
+    val afterIf = IcebergFilesRe.replaceAllIn(afterIs, m => {
+      val path = unmaskLit(unmask, m.group(1))
+      val sidOpt = Option(m.group(2)).map(_.toLong)
+      val view = foreignView("iceberg_files",
+        s"$path#${sidOpt.getOrElse(-1L)}")
+      IcebergMeta.filesDf(spark, path, snapshotAsOf = sidOpt)
+        .createOrReplaceTempView(view)
+      q(view)
+    })
+    val afterDh = DeltaHistoryRe.replaceAllIn(afterIf, m => {
+      val path = unmaskLit(unmask, m.group(1))
+      val view = foreignView("delta_history", path)
+      LakehouseTable.deltaHistoryDf(spark, path)
+        .createOrReplaceTempView(view)
+      q(view)
+    })
+    unmask(afterDh)
   }
 }
 
