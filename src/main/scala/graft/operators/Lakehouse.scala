@@ -781,8 +781,8 @@ object Lakehouse {
     * the 100 TB design point. READING them is the product surface
     * (LakehouseTable resolves all three layouts); writing multi-part
     * is deprecated upstream, so the writer side stays a fixture. */
-  private def splitCheckpointMultipart(s: SparkSession, root: String,
-      parts: Int): Unit = {
+  private[graft] def splitCheckpointMultipart(s: SparkSession,
+      root: String, parts: Int): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
     val logDir = Paths.get(root, "_delta_log")

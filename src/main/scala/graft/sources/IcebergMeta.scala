@@ -2801,6 +2801,13 @@ object IcebergMeta {
     val parent = branch match {
       case None => md.get("current-snapshot-id").asLong()
       case Some(b) =>
+        // 'main' is the managed current pointer (createRefForeign
+        // refuses it too): the branch arm would advance refs.main
+        // WITHOUT moving current-snapshot-id — a half-commit the next
+        // plain append silently orphans
+        require(!b.equalsIgnoreCase("main"),
+          "'main' is the managed current-state branch; use a plain " +
+            "INSERT (no branch argument) to commit to it")
         val r = Option(md.get("refs")).flatMap(rs => Option(rs.get(b)))
           .getOrElse(throw new IllegalArgumentException(
             s"no ref '$b' at $root; CREATE BRANCH first"))
@@ -2858,8 +2865,11 @@ object IcebergMeta {
     * POSITION of the writer schema; the legacy record's value array
     * is one short). Absent fields carry null (the schema default). */
   private def toCurrentListRecord(r: GenericRecord): GenericRecord =
-    if (r.getSchema.getFields.size() == manifestFileSchema.getFields.size())
-      r
+    // SCHEMA equality, not field count: a foreign 14-field record
+    // (e.g. key_metadata instead of partitions at position 13) passed
+    // through unchanged would serialize position-resolved against the
+    // wrong slot and kill every carry-forward commit in avro
+    if (r.getSchema == manifestFileSchema) r
     else {
       val nr = new GenericData.Record(manifestFileSchema)
       manifestFileSchema.getFields.asScala.foreach { f =>
@@ -4253,7 +4263,17 @@ object IcebergMeta {
     val target = entry.get("snapshot-id").asLong()
     val cur = md.get("current-snapshot-id").asLong()
     if (target == cur) return target // already published: no-op
-    val parentOf = snapshots(root).map(s => s.id -> s.parent).toMap
+    // ancestry from the SAME metadata foreignMetaEdit pinned —
+    // snapshots(root) trusts version-hint.text, and in the documented
+    // crash window (commit landed, hint not yet advanced) the stale
+    // hint's snapshot list would spuriously refuse a valid publish
+    val parentOf: Map[Long, Long] =
+      Option(md.get("snapshots")).toSeq
+        .flatMap(_.elements().asScala)
+        .map(s => s.get("snapshot-id").asLong() ->
+          (if (s.has("parent-snapshot-id"))
+             s.get("parent-snapshot-id").asLong() else -1L))
+        .toMap
     require(parentOf.contains(target),
       s"branch '$branch' head $target is not in the snapshot list at " +
         s"$root; the metadata is invalid")

@@ -1996,8 +1996,17 @@ object LakehouseTable {
     val lcp = logDir.resolve("_last_checkpoint")
     if (!Files.exists(lcp)) None
     else {
-      val n = new com.fasterxml.jackson.databind.ObjectMapper()
+      // malformed content (truncated copy, foreign oddity) refuses
+      // with the table named — a raw Jackson exception says neither
+      // which table nor why the reader stopped
+      val n = try new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(Files.readString(lcp))
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          throw new IllegalStateException(
+            s"_last_checkpoint at $logDir is not parseable JSON " +
+              s"(${e.getMessage}); refusing to guess")
+      }
       val v = Option(n.get("version")).filter(_.isNumber).map(_.asLong())
         .getOrElse(throw new IllegalStateException(
           s"_last_checkpoint at $logDir carries no numeric version; " +
@@ -2021,6 +2030,13 @@ object LakehouseTable {
     def fingerprint: Seq[(String, Long, Long)] = allFiles.map(p =>
       (p.toString, Files.size(p), Files.getLastModifiedTime(p).toMillis))
   }
+
+  // v2 top (path, size, mtime) → its sidecar name list: the top file
+  // is immutable per fingerprint, and extracting sidecar actions from
+  // a parquet top is a Spark job the per-batch watermark probe must
+  // not re-run
+  private val v2SidecarCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, Long), Seq[String]]
 
   /** Resolve the checkpoint `ptr` advertises to its file set — LOUDLY.
     * A pointer that names a checkpoint this reader cannot locate or
@@ -2069,8 +2085,14 @@ object LakehouseTable {
         val isJson = top.getFileName.toString.endsWith(".json")
         // the top file's `sidecar` actions name the parquet files that
         // carry the add/remove population (spec: file actions live in
-        // sidecars when any sidecar action is present)
-        val sidecarNames: Seq[String] =
+        // sidecars when any sidecar action is present). CACHED per
+        // (top, size, mtime): a txn-stamped foreachBatch sink resolves
+        // the checkpoint EVERY micro-batch, and the parquet-top
+        // extraction is a Spark job — uncached it would defeat the
+        // map-hit promise ckptTxnCache makes
+        val sidecarNames: Seq[String] = v2SidecarCache.getOrElseUpdate(
+          (top.toString, Files.size(top),
+            Files.getLastModifiedTime(top).toMillis),
           if (isJson) {
             val om = new com.fasterxml.jackson.databind.ObjectMapper()
             Files.readString(top).split('\n').toSeq.flatMap { line =>
@@ -2085,7 +2107,7 @@ object LakehouseTable {
             else df.filter(col("sidecar").isNotNull)
               .select(col("sidecar.path")).collect().toSeq
               .flatMap(r => Option(r.getString(0)))
-          }
+          })
         val sidecars = sidecarNames.map { nm =>
           val raw =
             if (nm.startsWith("file:")) nm.stripPrefix("file:") else nm

@@ -74,23 +74,11 @@ class Round15Spec extends AnyFunSuite {
       .sortBy(_.toString).reverse.foreach(Files.deleteIfExists(_))
   }
 
-  /** Rewrite the chain's classic checkpoint as a spec multi-part one
-    * (`<v>.checkpoint.<i>.<n>.parquet` + `parts` in the pointer). */
+  /** Rewrite the chain's classic checkpoint as a spec multi-part one —
+    * the fixture module's rewriter (one body, no test-side copy). */
   private def toMultipart(root: String, parts: Int): Long = {
-    val (v, classic) = classicCkpt(root)
-    val logDir = classic.getParent
-    val df = spark.read.parquet(classic.toString)
-    val rows = df.collect().toSeq
-    val chunkSize = math.max(1, math.ceil(rows.size.toDouble / parts).toInt)
-    val chunks = rows.grouped(chunkSize).toSeq.padTo(parts, Seq.empty)
-    chunks.take(parts).zipWithIndex.foreach { case (chunk, i) =>
-      writeOneParquet(
-        spark.createDataFrame(chunk.asJava, df.schema),
-        logDir.resolve(f"$v%020d.checkpoint.${i + 1}%010d.$parts%010d.parquet"))
-    }
-    Files.delete(classic)
-    Files.writeString(logDir.resolve("_last_checkpoint"),
-      s"""{"version":$v,"size":${rows.size},"parts":$parts}""")
+    val (v, _) = classicCkpt(root)
+    operators.Lakehouse.splitCheckpointMultipart(spark, root, parts)
     v
   }
 
@@ -259,6 +247,14 @@ class Round15Spec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains(s"version $v") &&
       ex.getMessage.contains("refusing"), ex.getMessage)
+    // malformed pointer CONTENT refuses with the table named too
+    Files.writeString(
+      Paths.get(root, "_delta_log", "_last_checkpoint"), "{trunca")
+    val exJson = intercept[IllegalStateException] {
+      LT.readDeltaExport(spark, root).count()
+    }
+    assert(exJson.getMessage.contains("not parseable JSON") &&
+      exJson.getMessage.contains("_delta_log"), exJson.getMessage)
   }
 
   test("a missing v2 sidecar refuses LOUDLY") {
@@ -417,6 +413,12 @@ class Round15Spec extends AnyFunSuite {
     val head = IcebergMeta.snapshots(root).maxBy(_.seq).id
     IcebergMeta.createRefForeign(root, "stage", head, "branch")
     IcebergMeta.createRefForeign(root, "pin", head, "tag")
+    // 'main' is the managed pointer: the branch arm would half-commit
+    val exMain = intercept[IllegalArgumentException] {
+      IcebergMeta.appendIcebergForeign(spark, root,
+        Seq((2L, "b")).toDF("k", "s").coalesce(1), branch = Some("main"))
+    }
+    assert(exMain.getMessage.contains("plain INSERT"), exMain.getMessage)
     // a tag is immutable
     val exTag = intercept[IllegalArgumentException] {
       IcebergMeta.appendIcebergForeign(spark, root,
