@@ -1757,7 +1757,10 @@ object IcebergMeta {
               .filter(_.get("content").asInstanceOf[Int] == 0)
               .map(_.get("manifest_path").toString))
         }.distinct)
-    manifests.flatMap { m =>
+    // manifests are independent files: index them CONCURRENTLY (the
+    // snapshotEntries discipline) — on a cold cache this is the other
+    // sequential driver-side walk planning pays
+    val indexOne = (m: String) => {
       val p = Paths.get(m)
       val key = (m, Files.size(p), Files.getLastModifiedTime(p).toMillis)
       manifestPartCache.getOrElseUpdate(key,
@@ -1811,7 +1814,22 @@ object IcebergMeta {
             intMapOf(df, "upper_bounds")
               .map { case (k, v) => k -> bytesOf(v) })
         }.toMap)
-    }.toMap
+    }
+    val perManifest =
+      if (manifests.sizeIs <= 1) manifests.map(indexOne)
+      else {
+        // the lazy name-fallback maps stay lazy (forcing them would
+        // refuse chains that never need name resolution); concurrent
+        // first-touch is safe — lazy val init is synchronized, and a
+        // throwing ambiguity require propagates loudly through Await
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.global
+        Await.result(Future.traverse(manifests)(m => Future(indexOne(m))),
+          Duration.Inf)
+      }
+    perManifest.flatten.toMap
   }
 
   /** Normalized data-file path → identity-partition values (the

@@ -2359,6 +2359,11 @@ object LakehouseTable {
     * into the new checkpoint (latest per appId, the spec's rule), so
     * a foreign idempotent writer's exactly-once dedup survives the
     * log cleanup that follows. */
+  // Always writes the CLASSIC single-file layout — spec-conforming for
+  // every table this writer accepts, including v2Checkpoint-featured
+  // ones (the table-features spec permits classic checkpoints
+  // alongside the v2 capability; only multi-part is superseded).
+  // Readers of all three layouts live in resolveDeltaCheckpoint.
   def checkpointDeltaForeign(spark: SparkSession, root: String): Long = {
     val logDir = Paths.get(root, "_delta_log")
     require(Files.isDirectory(logDir), s"no _delta_log at $root")
