@@ -477,20 +477,11 @@ object IcebergMeta {
               java.lang.Boolean.valueOf(nonNull.exists(isNan)))
           val comparable = nonNull.filterNot(isNan)
           // ordering per the spec's single-value space: numerics
-          // natural, strings by UTF-8 bytes unsigned (code-point
-          // order — String.compareTo misorders supplementary chars)
+          // natural, strings by UTF-8 bytes unsigned — the ONE body
+          // in MetricsPruning.utf8Cmp (String.compareTo misorders
+          // supplementary chars)
           def utf8(v: Any): Array[Byte] = v.toString.getBytes(
             java.nio.charset.StandardCharsets.UTF_8)
-          def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
-            val n = math.min(a.length, b.length)
-            var i = 0
-            while (i < n) {
-              val c = (a(i) & 0xff) - (b(i) & 0xff)
-              if (c != 0) return c
-              i += 1
-            }
-            a.length - b.length
-          }
           val ord: Option[Ordering[Any]] = comparable.headOption.collect {
             case _: java.lang.Integer =>
               Ordering.by[Any, Int](_.asInstanceOf[java.lang.Integer].intValue())
@@ -504,7 +495,8 @@ object IcebergMeta {
               Ordering.by[Any, Boolean](_.asInstanceOf[java.lang.Boolean].booleanValue())
             case _: org.apache.avro.util.Utf8 | _: String =>
               new Ordering[Any] {
-                def compare(x: Any, y: Any): Int = cmpBytes(utf8(x), utf8(y))
+                def compare(x: Any, y: Any): Int =
+                  MetricsPruning.utf8Cmp(x.toString, y.toString)
               }
           }
           def ser(v: Any): Option[java.nio.ByteBuffer] = {
@@ -2891,11 +2883,48 @@ object IcebergMeta {
     else {
       val nr = new GenericData.Record(manifestFileSchema)
       manifestFileSchema.getFields.asScala.foreach { f =>
-        if (r.getSchema.getField(f.name) != null)
-          nr.put(f.pos(), r.get(f.name))
+        if (r.getSchema.getField(f.name) != null) {
+          val v =
+            if (f.name == "partitions") toCurrentSummaries(r.get(f.name))
+            else r.get(f.name)
+          nr.put(f.pos(), v)
+        }
       }
       nr
     }
+
+  /** The nested half of [[toCurrentListRecord]]: a carried `partitions`
+    * array whose ELEMENT records differ from this engine's summary
+    * shape (foreign 3-field pre-contains_nan summaries are spec-legal)
+    * re-shapes element-by-element — GenericDatumWriter resolves nested
+    * fields by the writer schema's positions too, so a verbatim copy
+    * would serialize lower_bound bytes into the contains_nan slot. */
+  private def toCurrentSummaries(v: Any): AnyRef = v match {
+    case l: java.util.List[_] =>
+      val arrSchema = manifestFileSchema.getField("partitions")
+        .schema().getTypes.get(1)
+      val itemSchema = arrSchema.getElementType
+      val arr = new GenericData.Array[GenericRecord](l.size(), arrSchema)
+      l.asScala.foreach { e0 =>
+        val e = e0.asInstanceOf[GenericRecord]
+        if (e.getSchema == itemSchema) arr.add(e)
+        else {
+          val nr = new GenericData.Record(itemSchema)
+          itemSchema.getFields.asScala.foreach { f =>
+            if (e.getSchema.getField(f.name) != null)
+              nr.put(f.pos(), e.get(f.name))
+          }
+          // contains_null is non-nullable in our shape; a (spec-
+          // invalid) foreign element missing it carries the
+          // conservative value rather than failing serialization
+          if (nr.get("contains_null") == null)
+            nr.put("contains_null", java.lang.Boolean.TRUE)
+          arr.add(nr)
+        }
+      }
+      arr
+    case other => other.asInstanceOf[AnyRef] // null stays null
+  }
 
   /** The parent snapshot's manifest-list entries, carried verbatim
     * into a child commit — EXCEPT manifests holding only DELETED
@@ -5328,14 +5357,23 @@ object IcebergMeta {
       val specId = mf.get("partition_spec_id").asInstanceOf[Int]
       specs.get(specId) match {
         case Some(sf) if sums.nonEmpty && sums.size == sf.size =>
+          // every field is read SCHEMA-GUARDED: summary records from
+          // foreign lists legally omit the optional fields (e.g.
+          // contains_nan predates Iceberg 0.11), and Avro's
+          // get(name) THROWS on schema-absent fields — an absent
+          // field means "unknown", which maps to the conservative
+          // value (contains_null true, no bounds), never a crash
+          def opt(r: GenericRecord, f: String): Option[Any] =
+            if (r.getSchema.getField(f) == null) None
+            else Option(r.get(f))
           val perCol: Map[Int, Seq[(String, Summary)]] =
             sf.zip(sums).map { case ((tr, srcId), r) =>
               srcId -> ((tr, Summary(
-                r.get("contains_null").asInstanceOf[Boolean],
-                Option(r.get("contains_nan"))
-                  .map(_.asInstanceOf[Boolean]),
-                Option(r.get("lower_bound")).flatMap(bytesOf),
-                Option(r.get("upper_bound")).flatMap(bytesOf))))
+                opt(r, "contains_null")
+                  .map(_.asInstanceOf[Boolean]).getOrElse(true),
+                opt(r, "contains_nan").map(_.asInstanceOf[Boolean]),
+                opt(r, "lower_bound").flatMap(bytesOf),
+                opt(r, "upper_bound").flatMap(bytesOf))))
             }.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2) }
           def metaFor(name: String): ColMeta = {
             val (cid, dt) = byName(name)

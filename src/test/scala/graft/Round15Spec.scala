@@ -484,6 +484,95 @@ class Round15Spec extends AnyFunSuite {
       "expiry must keep the branch-pinned staged snapshot readable")
   }
 
+  test("foreign 3-field summaries (no contains_nan) read AND carry forward") {
+    import spark.implicits._
+    val root = freshRoot("ml3field")
+    LT.create((0 until 8).map(i => (i.toLong, i % 2)).toDF("k", "part")
+      .coalesce(1), root, partitionBy = Seq("part"))
+    IcebergMeta.exportIcebergMeta(spark, root)
+    wipeManifest(root)
+    IcebergMeta.appendIcebergForeign(spark, root,
+      (8 until 16).map(i => (i.toLong, i % 2)).toDF("k", "part")
+        .coalesce(1))
+    // rewrite every manifest-list record's summaries under the
+    // PRE-Iceberg-0.11 3-field element shape (contains_null/lower/
+    // upper, NO contains_nan) — spec-legal foreign output
+    val itemOld = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"r508","fields":[
+        {"name":"contains_null","type":"boolean"},
+        {"name":"lower_bound","type":["null","bytes"],"default":null},
+        {"name":"upper_bound","type":["null","bytes"],"default":null}
+        ]}""".replaceAll("\n\\s*", ""))
+    val md = Paths.get(root, "metadata")
+    Files.list(md).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.startsWith("snap-")).foreach { lp =>
+        val in = new org.apache.avro.file.DataFileReader(
+          lp.toFile, new org.apache.avro.generic.GenericDatumReader[
+            org.apache.avro.generic.GenericRecord]())
+        val (oldSchema, recs) =
+          try (in.getSchema, in.iterator().asScala.toSeq)
+          finally in.close()
+        val fields = oldSchema.getFields.asScala.toSeq.map { f =>
+          if (f.name != "partitions")
+            new org.apache.avro.Schema.Field(f.name, f.schema,
+              f.doc, f.defaultVal)
+          else new org.apache.avro.Schema.Field("partitions",
+            org.apache.avro.Schema.createUnion(
+              org.apache.avro.Schema.create(
+                org.apache.avro.Schema.Type.NULL),
+              org.apache.avro.Schema.createArray(itemOld)),
+            null, org.apache.avro.JsonProperties.NULL_VALUE)
+        }
+        val ns = org.apache.avro.Schema.createRecord(
+          oldSchema.getName, oldSchema.getDoc,
+          oldSchema.getNamespace, false, fields.asJava)
+        val out = new org.apache.avro.file.DataFileWriter(
+          new org.apache.avro.generic.GenericDatumWriter[
+            org.apache.avro.generic.GenericRecord](ns))
+        val tmp = Files.createTempFile(md, ".old", ".avro")
+        out.create(ns, tmp.toFile)
+        recs.foreach { r =>
+          val nr = new org.apache.avro.generic.GenericData.Record(ns)
+          ns.getFields.asScala.foreach { f =>
+            if (f.name != "partitions") nr.put(f.name, r.get(f.name))
+            else nr.put("partitions", r.get("partitions") match {
+              case l: java.util.List[_] =>
+                val arr = new org.apache.avro.generic.GenericData
+                  .Array[org.apache.avro.generic.GenericRecord](
+                    l.size(), ns.getField("partitions").schema()
+                      .getTypes.get(1))
+                l.asScala.foreach { e0 =>
+                  val e = e0.asInstanceOf[
+                    org.apache.avro.generic.GenericRecord]
+                  val ne = new org.apache.avro.generic.GenericData
+                    .Record(itemOld)
+                  ne.put("contains_null", e.get("contains_null"))
+                  ne.put("lower_bound", e.get("lower_bound"))
+                  ne.put("upper_bound", e.get("upper_bound"))
+                  arr.add(ne)
+                }
+                arr
+              case _ => null
+            })
+          }
+          out.append(nr)
+        }
+        out.close()
+        Files.move(tmp, lp, StandardCopyOption.REPLACE_EXISTING)
+      }
+    // (a) the PRUNED read neither crashes nor loses rows — the
+    // 3-field bounds still prune (identity int field, nan-irrelevant)
+    assert(IcebergMeta.readIceberg(spark, root,
+      pruneWhere = Some("part = 0")).count() == 8)
+    assert(IcebergMeta.plannedDataManifests(spark, root,
+      Some("part = 0")).nonEmpty)
+    // (b) a carry-forward commit re-shapes the foreign elements onto
+    // the current summary schema instead of dying in avro
+    IcebergMeta.appendIcebergForeign(spark, root,
+      Seq((99L, 0)).toDF("k", "part").coalesce(1))
+    assert(IcebergMeta.readIceberg(spark, root).count() == 17)
+  }
+
   // ---- inspection TVFs -------------------------------------------------------
 
   test("inspection TVFs: snapshots, pinned files, and history agree with the chain") {
