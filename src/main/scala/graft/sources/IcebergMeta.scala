@@ -1358,13 +1358,21 @@ object IcebergMeta {
         Await.result(Future.traverse(mfs)(m => Future(live(m))),
           Duration.Inf).flatten
       }
-    val (dataAll, dels) = readAvro(Paths.get(snap.manifestList))
+    val (dataAll, delsAll) = readAvro(Paths.get(snap.manifestList))
       .partition(_.get("content").asInstanceOf[Int] == 0)
-    // the manifest list's partition summaries skip whole DATA
-    // manifests BEFORE opening them; delete manifests all load — a
-    // carried delete must never vanish from scope by a pruning
-    // shortcut (position deletes join by path, so extras are inert)
+    // the manifest list's partition summaries skip whole manifests
+    // BEFORE opening them — BOTH kinds. Pruning a DELETE manifest is
+    // sound because delete files are partition-scoped (the spec:
+    // position/equality deletes under a partitioned spec apply only
+    // within their partition): every row such a pruned manifest could
+    // delete lives in a partition range the predicate excludes, and
+    // the residual row filter in readIceberg removes those rows from
+    // any conservatively-kept data file anyway — a "resurrected" row
+    // can never satisfy the predicate that pruned its delete. Global
+    // delete manifests (unpartitioned spec — what this engine's own
+    // MOR writers emit) carry no summaries and always load.
     val data = manifestPrune.fold(dataAll)(p => dataAll.filter(p))
+    val dels = manifestPrune.fold(delsAll)(p => delsAll.filter(p))
     val dataFiles = liveAll(data).map { case (df, seq) =>
       (df.get("file_path").toString, seq)
     }
@@ -5446,14 +5454,15 @@ object IcebergMeta {
     * made observable (Round15Spec pins a strict drop on a partitioned
     * multi-manifest chain, results hash-unchanged). */
   private[graft] def plannedDataManifests(spark: SparkSession,
-      root: String, pruneWhere: Option[String]): Seq[String] = {
+      root: String, pruneWhere: Option[String],
+      content: Int = 0): Seq[String] = {
     val md = currentMetadata(root)
     val sid = md.get("current-snapshot-id").asLong()
     val snap = snapshots(root).find(_.id == sid).getOrElse(
       throw new IllegalArgumentException(s"no current snapshot at $root"))
     val schemaId = md.get("current-schema-id").asInt()
     val data = readAvro(Paths.get(snap.manifestList))
-      .filter(_.get("content").asInstanceOf[Int] == 0)
+      .filter(_.get("content").asInstanceOf[Int] == content)
     val kept = pruneWhere match {
       case None => data
       case Some(expr) =>

@@ -484,6 +484,69 @@ class Round15Spec extends AnyFunSuite {
       "expiry must keep the branch-pinned staged snapshot readable")
   }
 
+  test("partition-scoped DELETE manifests prune by summary; global ones always load") {
+    import spark.implicits._
+    val root = freshRoot("mldelprune")
+    LT.create((0 until 16).map(i => (i.toLong, i % 2)).toDF("k", "part")
+      .repartition(col("part")), root, partitionBy = Seq("part"))
+    IcebergMeta.exportIcebergMeta(spark, root)
+    wipeManifest(root)
+    // MOR-delete one part-0 row: the engine's own delete manifest is
+    // GLOBAL (unpartitioned spec, no summaries) — always loads
+    IcebergMeta.deleteIcebergForeign(spark, root, "k = 2")
+    assert(IcebergMeta.plannedDataManifests(spark, root,
+      Some("part = 1"), content = 1).size == 1,
+      "a global delete manifest must survive any predicate")
+    // doctor the list entry into the shape a PARTITION-SCOPED foreign
+    // delete writer produces: spec 0 (identity part) + a summary
+    // covering part ∈ [0, 0]
+    val md = Paths.get(root, "metadata")
+    val sid = IcebergMeta.snapshots(root).maxBy(_.seq).id
+    val lp = md.resolve(s"snap-$sid.avro")
+    val in = new org.apache.avro.file.DataFileReader(
+      lp.toFile, new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    val (schema, recs) = try (in.getSchema, in.iterator().asScala.toSeq)
+      finally in.close()
+    val arrSchema = schema.getField("partitions").schema().getTypes.get(1)
+    val itemSchema = arrSchema.getElementType
+    val out = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](schema))
+    val tmp = Files.createTempFile(md, ".doc", ".avro")
+    out.create(schema, tmp.toFile)
+    recs.foreach { r =>
+      if (r.get("content").asInstanceOf[Int] == 1) {
+        r.put("partition_spec_id", 0)
+        val s = new org.apache.avro.generic.GenericData.Record(itemSchema)
+        s.put("contains_null", false)
+        val zero = java.nio.ByteBuffer.wrap(Array[Byte](0, 0, 0, 0))
+        s.put("lower_bound", zero.duplicate())
+        s.put("upper_bound", zero.duplicate())
+        val arr = new org.apache.avro.generic.GenericData
+          .Array[org.apache.avro.generic.GenericRecord](1, arrSchema)
+        arr.add(s)
+        r.put("partitions", arr)
+      }
+      out.append(r)
+    }
+    out.close()
+    Files.move(tmp, lp, StandardCopyOption.REPLACE_EXISTING)
+    // planning: the part=1 predicate SKIPS the delete manifest,
+    // part=0 keeps it
+    assert(IcebergMeta.plannedDataManifests(spark, root,
+      Some("part = 1"), content = 1).isEmpty)
+    assert(IcebergMeta.plannedDataManifests(spark, root,
+      Some("part = 0"), content = 1).size == 1)
+    // results: identical either way — the delete's whole scope fails
+    // the predicate that pruned it
+    assert(IcebergMeta.readIceberg(spark, root,
+      pruneWhere = Some("part = 1")).count() == 8)
+    assert(IcebergMeta.readIceberg(spark, root,
+      pruneWhere = Some("part = 0")).count() == 7)
+    assert(IcebergMeta.readIceberg(spark, root).count() == 15)
+  }
+
   test("foreign 3-field summaries (no contains_nan) read AND carry forward") {
     import spark.implicits._
     val root = freshRoot("ml3field")
