@@ -2733,6 +2733,21 @@ object Lakehouse {
         FROM iceberg_files('$p')""")
     }),
 
+    // INSPECTION TVF, manifests: the population a rewrite-manifests
+    // decision reads — post-consolidation exactly ONE data manifest
+    // carrying every live file (the Round14Spec 5→1 invariant), the
+    // file total validated against DuckDB's census of the data dir.
+    "q237_iceberg_manifests" -> ((s, d) => {
+      val root = icebergManifestsRoot(s, d)
+      val p = root.replace("'", "''")
+      s.sql(s"""SELECT CAST(content AS BIGINT) AS content,
+          CAST(count(*) AS BIGINT) AS n_manifests,
+          CAST(sum(added_files_count + existing_files_count) AS BIGINT)
+            AS n_files
+        FROM iceberg_manifests('$p')
+        GROUP BY content ORDER BY content""")
+    }),
+
     // INSPECTION TVF, delta history: per-version add/remove counts of
     // the z-ordered log vs DuckDB's raw replay of the same JSON.
     "q236_delta_history" -> ((s, d) => {
@@ -4051,6 +4066,15 @@ object Lakehouse {
     "q235_iceberg_files" ->
       s"""SELECT CAST(count(DISTINCT filename) AS BIGINT) AS n_files,
             CAST(count(*) AS BIGINT) AS n_rows
+          FROM read_parquet('${icebergManifestsDir("/root/testdata/sf0.01")}/data/*.parquet',
+            filename=true)""",
+
+    // consolidation leaves ONE data manifest (the pinned 5→1
+    // rewrite invariant) listing exactly the data directory's files
+    "q237_iceberg_manifests" ->
+      s"""SELECT CAST(0 AS BIGINT) AS content,
+            CAST(1 AS BIGINT) AS n_manifests,
+            CAST(count(DISTINCT filename) AS BIGINT) AS n_files
           FROM read_parquet('${icebergManifestsDir("/root/testdata/sf0.01")}/data/*.parquet',
             filename=true)""",
 

@@ -4369,6 +4369,41 @@ object IcebergMeta {
         "committed_ms", "operation", "schema_id", "manifest_list")
   }
 
+  /** `iceberg_manifests('/p')` — the manifest population of the
+    * current (or a pinned) snapshot (Iceberg's `manifests` metadata
+    * table): the relation a rewrite-manifests / expiry decision
+    * actually reads (many small data manifests → consolidate; content
+    * kinds and counts say what a commit touched). One avro read of
+    * the manifest LIST, zero manifest or data IO. */
+  def manifestsDf(spark: SparkSession, root: String,
+      snapshotAsOf: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val md = currentMetadata(root)
+    val sid = snapshotAsOf.getOrElse(md.get("current-snapshot-id").asLong())
+    val rows =
+      if (sid == -1L) Nil
+      else {
+        val snap = snapshots(root).find(_.id == sid).getOrElse(
+          throw new IllegalArgumentException(
+            s"no Iceberg snapshot $sid at $root"))
+        readAvro(Paths.get(snap.manifestList)).map { mf =>
+          def i(f: String): Int = mf.get(f).asInstanceOf[Int]
+          (mf.get("manifest_path").toString,
+            mf.get("manifest_length").asInstanceOf[Long],
+            mf.get("partition_spec_id").asInstanceOf[Int],
+            i("content"),
+            mf.get("sequence_number").asInstanceOf[Long],
+            mf.get("added_snapshot_id").asInstanceOf[Long],
+            i("added_files_count"), i("existing_files_count"),
+            i("deleted_files_count"))
+        }
+      }
+    rows.toDF("manifest_path", "manifest_length", "partition_spec_id",
+      "content", "sequence_number", "added_snapshot_id",
+      "added_files_count", "existing_files_count",
+      "deleted_files_count")
+  }
+
   /** `iceberg_files('/p')` — the LIVE data files of the current (or a
     * pinned) snapshot with their manifest-recorded shape: path, row
     * count, byte size, effective sequence number. The planning-side

@@ -1589,6 +1589,9 @@ object GraftSqlStatements {
   private val IcebergFilesRe =
     ("""(?i)\biceberg_files\s*\(\s*""" + MaskedLit +
       """\s*(?:,\s*(\d+))?\s*\)""").r
+  private val IcebergManifestsRe =
+    ("""(?i)\biceberg_manifests\s*\(\s*""" + MaskedLit +
+      """\s*(?:,\s*(\d+))?\s*\)""").r
   private val DeltaHistoryRe =
     ("""(?i)\bdelta_history\s*\(\s*""" + MaskedLit + """\s*\)""").r
   // each range bound is a bare version/sequence number OR a quoted
@@ -1953,7 +1956,16 @@ object GraftSqlStatements {
         .createOrReplaceTempView(view)
       q(view)
     })
-    val afterDh = DeltaHistoryRe.replaceAllIn(afterIf, m => {
+    val afterIm = IcebergManifestsRe.replaceAllIn(afterIf, m => {
+      val path = unmaskLit(unmask, m.group(1))
+      val sidOpt = Option(m.group(2)).map(_.toLong)
+      val view = foreignView("iceberg_manifests",
+        s"$path#${sidOpt.getOrElse(-1L)}")
+      IcebergMeta.manifestsDf(spark, path, snapshotAsOf = sidOpt)
+        .createOrReplaceTempView(view)
+      q(view)
+    })
+    val afterDh = DeltaHistoryRe.replaceAllIn(afterIm, m => {
       val path = unmaskLit(unmask, m.group(1))
       val view = foreignView("delta_history", path)
       LakehouseTable.deltaHistoryDf(spark, path)
