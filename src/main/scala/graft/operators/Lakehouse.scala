@@ -819,6 +819,78 @@ object Lakehouse {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** FIXTURE scaffolding, sibling of [[splitCheckpointMultipart]]:
+    * rewrite `root`'s classic Delta checkpoint in the spec V2 layout —
+    * file actions in a `_sidecars/` parquet, non-file actions in a
+    * UUID-named top (NDJSON action lines or parquet) carrying the
+    * `checkpointMetadata` and `sidecar` v2 actions, pointer without
+    * `parts`. Reading v2 checkpoints is the product surface; writing
+    * them stays a fixture (one body — Round15/Round16 specs call it,
+    * no test-side copy). */
+  private[graft] def rewriteCheckpointV2(s: SparkSession, root: String,
+      jsonTop: Boolean): Long = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val logDir = Paths.get(root, "_delta_log")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val v = om.readTree(Files.readString(
+      logDir.resolve("_last_checkpoint"))).get("version").asLong()
+    val classic = logDir.resolve(f"$v%020d.checkpoint.parquet")
+    def writeOne(df: DataFrame, target: java.nio.file.Path): Unit = {
+      val tmp = Files.createTempDirectory(logDir, ".v2-tmp")
+      df.coalesce(1).write.mode("overwrite")
+        .parquet(tmp.resolve("out").toString)
+      val part = {
+        val l = Files.list(tmp.resolve("out"))
+        try l.iterator().asScala
+          .filter(_.toString.endsWith(".parquet")).toSeq.head
+        finally l.close()
+      }
+      Files.move(part, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Files.walk(tmp).iterator().asScala.toSeq
+        .sortBy(_.toString).reverse.foreach(Files.deleteIfExists(_))
+    }
+    val df = s.read.parquet(classic.toString)
+    val fileRows = df.filter(col("add").isNotNull || col("remove").isNotNull)
+    val others = df.filter(col("add").isNull && col("remove").isNull)
+    val scDir = logDir.resolve("_sidecars")
+    Files.createDirectories(scDir)
+    val scName = java.util.UUID.randomUUID().toString + ".parquet"
+    writeOne(fileRows, scDir.resolve(scName))
+    val scSize = Files.size(scDir.resolve(scName))
+    val uuid = java.util.UUID.randomUUID().toString
+    if (jsonTop) {
+      val lines = Seq(s"""{"checkpointMetadata":{"version":$v}}""") ++
+        others.toJSON.collect().toSeq ++
+        Seq(s"""{"sidecar":{"path":"$scName","sizeInBytes":$scSize,"modificationTime":0}}""")
+      Files.writeString(logDir.resolve(f"$v%020d.checkpoint.$uuid.json"),
+        lines.mkString("", "\n", "\n"))
+      ()
+    } else {
+      val scType = "struct<path:string,sizeInBytes:bigint,modificationTime:bigint>"
+      val cmType = "struct<version:bigint>"
+      val othersTop = others
+        .withColumn("sidecar", expr(s"cast(null as $scType)"))
+        .withColumn("checkpointMetadata", expr(s"cast(null as $cmType)"))
+      val topSchema = othersTop.schema
+      val nulls = topSchema.fields.map(_ => null: Any).toSeq
+      def rowWith(field: String, value: Any): org.apache.spark.sql.Row =
+        org.apache.spark.sql.Row.fromSeq(
+          nulls.updated(topSchema.fieldIndex(field), value))
+      val extras = s.createDataFrame(Seq(
+        rowWith("sidecar", org.apache.spark.sql.Row(scName, scSize, 0L)),
+        rowWith("checkpointMetadata", org.apache.spark.sql.Row(v))
+      ).asJava, topSchema)
+      writeOne(othersTop.unionByName(extras),
+        logDir.resolve(f"$v%020d.checkpoint.$uuid.parquet"))
+    }
+    Files.delete(classic)
+    Files.writeString(logDir.resolve("_last_checkpoint"),
+      s"""{"version":$v,"sizeInBytes":$scSize}""")
+    v
+  }
+
   private[graft] def deltaMultipartDir(d: String): String =
     TableCache.baseDir + "/delta_mpckpt_" +
       java.nio.file.Paths.get(d).getFileName.toString
@@ -874,6 +946,70 @@ object Lakehouse {
       IcebergMeta.rewriteManifestsForeign(root)
       ()
     }
+  }
+
+  private[graft] def icebergOrphanDir(d: String): String =
+    TableCache.baseDir + "/iceberg_orphan_" +
+      java.nio.file.Paths.get(d).getFileName.toString
+
+  /** A foreign Iceberg chain bearing LOST-COMMIT debris: evens created,
+    * odds appended (both referenced), then the exact artifacts a
+    * CAS-beaten MERGE leaves behind planted with 72-hour-old mtimes —
+    * a stray data parquet under `data/`, a position-delete parquet, a
+    * manifest avro, and a manifest list under `metadata/`, none
+    * referenced by any snapshot. q238 sweeps them (`remove_orphan_files
+    * OLDER THAN 24 HOURS`) and validates the post-sweep census against
+    * DuckDB's independent read of the data directory plus the canonical
+    * orders table; the young-file-survives, re-run-no-op, and
+    * explicit-retention refusal pins live in Round16Spec. */
+  private[graft] def icebergOrphanRoot(s: SparkSession, d: String): String = {
+    val root = icebergOrphanDir(d)
+    foreignFixture(root, d) { () =>
+      LakehouseTable.create(
+        ordersSlice(s, d).filter(col("o_orderkey") % 2 === 0), root)
+      IcebergMeta.exportIcebergMeta(s, root)
+      ()
+    } { () =>
+      IcebergMeta.appendIcebergForeign(s, root,
+        ordersSlice(s, d).filter(col("o_orderkey") % 2 === 1))
+      plantOrphanDebris(root)
+      ()
+    }
+  }
+
+  /** FIXTURE scaffolding: plant the debris of a commit that lost the
+    * metadata CAS — byte-copies of real artifacts under names no
+    * snapshot references, aged past any reasonable grace horizon. */
+  private[graft] def plantOrphanDebris(root: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val rootP = Paths.get(root)
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 72L * 3600 * 1000)
+    def first(dir: java.nio.file.Path, suffix: String,
+        prefix: String = ""): java.nio.file.Path = {
+      val l = Files.list(dir)
+      try l.iterator().asScala.toSeq.sortBy(_.toString)
+        .find { p => val n = p.getFileName.toString
+          n.endsWith(suffix) && n.startsWith(prefix) }
+        .getOrElse(throw new IllegalStateException(
+          s"no $prefix*$suffix under $dir"))
+      finally l.close()
+    }
+    def plant(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+      Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst, old)
+      ()
+    }
+    val dataDir = rootP.resolve("data")
+    val metaDir = rootP.resolve("metadata")
+    plant(first(dataDir, ".parquet"), dataDir.resolve("stray-merge.parquet"))
+    plant(first(metaDir, ".avro", "m-"),
+      metaDir.resolve("m-4242424242-delete.avro"))
+    plant(first(metaDir, ".avro", "snap-"),
+      metaDir.resolve("snap-4242424242.avro"))
+    plant(first(dataDir, ".parquet"),
+      metaDir.resolve("delete-4242424242-00000.parquet"))
   }
 
   /** An ID-LESS foreign chain (the exporter's data files carry no
@@ -2758,6 +2894,35 @@ object Lakehouse {
         FROM delta_history('$p') ORDER BY version""")
     }),
 
+    // INSPECTION TVF, delta files: the live-add census (count, stats
+    // numRecords sums) of the append-only foreign log vs DuckDB's
+    // independent read of the data directory — append-only, so every
+    // written file is live and every row is served.
+    "q239_delta_files" -> ((s, d) => {
+      val root = foreignAppendRoot(s, d)
+      val p = root.replace("'", "''")
+      s.sql(s"""SELECT CAST(count(*) AS BIGINT) AS n_files,
+          CAST(sum(num_records) AS BIGINT) AS n_rows
+        FROM delta_files('$p')""")
+    }),
+
+    // REMOVE ORPHAN FILES: the lost-CAS debris (stray data parquet,
+    // delete parquet, manifest, list — none referenced) is reclaimed,
+    // then the post-sweep state must satisfy TWO independent checks:
+    // the data directory equals the manifests' claim (DuckDB censuses
+    // the files the sweep left), and the live read equals the
+    // canonical orders table (a sweep that ate a LIVE file fails here).
+    "q238_iceberg_remove_orphans" -> ((s, d) => {
+      val root = icebergOrphanRoot(s, d)
+      IcebergMeta.removeOrphanFilesForeign(s, root, olderThanHours = 24.0)
+      val files = IcebergMeta.filesDf(s, root).agg(
+        count(lit(1)).cast("long").as("n_files"),
+        sum(col("record_count")).cast("long").as("n_rows"))
+      val live = IcebergMeta.readIceberg(s, root)
+        .agg(count(lit(1)).cast("long").as("n_live"))
+      files.crossJoin(live)
+    }),
+
     // WRITE-AUDIT-PUBLISH: odds staged on a branch (main untouched),
     // then FAST FORWARD published — current state serves both eras.
     "q232_iceberg_wap" -> ((s, d) => {
@@ -4096,6 +4261,26 @@ object Lakehouse {
             CAST(sum(CASE WHEN is_rm THEN 1 ELSE 0 END) AS BIGINT)
               AS n_removes
           FROM a GROUP BY 1 ORDER BY 1""",
+
+    // the files relation's claim equals an independent census of the
+    // data directory (append-only: every written file is live)
+    "q239_delta_files" ->
+      s"""SELECT CAST(count(DISTINCT filename) AS BIGINT) AS n_files,
+            CAST(count(*) AS BIGINT) AS n_rows
+          FROM read_parquet('${foreignAppendDir("/root/testdata/sf0.01")}/data/*.parquet',
+            filename=true)""",
+
+    // post-sweep: the data dir holds exactly the manifests' files (the
+    // stray is gone, the live set intact), and the live read equals
+    // the canonical orders table — an INDEPENDENT source the sweep
+    // never touched
+    "q238_iceberg_remove_orphans" ->
+      s"""SELECT * FROM
+            (SELECT CAST(count(DISTINCT filename) AS BIGINT) AS n_files,
+               CAST(count(*) AS BIGINT) AS n_rows
+             FROM read_parquet('${icebergOrphanDir("/root/testdata/sf0.01")}/data/*.parquet',
+               filename=true)),
+            (SELECT CAST(count(*) AS BIGINT) AS n_live FROM orders)""",
 
     // post-publish current state = both eras = the full orders set
     "q232_iceberg_wap" ->

@@ -432,7 +432,9 @@ object IcebergMeta {
   // not-found sentinel), and an UNPARSEABLE/absent manifest yields
   // None — no summaries is always the conservative direction (the
   // reader keeps the manifest), never a thrown commit
-  private val mfPartSummaryCache =
+  // private[graft] so specs can clear it to pin the no-re-read
+  // guarantee of ManifestDesc.partitions (a fresh session's state)
+  private[graft] val mfPartSummaryCache =
     scala.collection.concurrent.TrieMap.empty[String, Option[AnyRef]]
 
   private def partitionSummariesOf(m: Path): AnyRef =
@@ -541,9 +543,15 @@ object IcebergMeta {
 
   /** In-memory descriptor of one written manifest — what a manifest-list
     * entry needs. Reconstructed deterministically on every export run, so
-    * incremental runs never read old avro back. */
+    * incremental runs never read old avro back: `partitions` (the list
+    * entry's field-summaries array) is computed ONCE when the manifest
+    * is written and thereafter carried here — seeded runs take it from
+    * the last manifest list's own records, so a fresh session's first
+    * incremental export never re-opens historical manifest avro (null =
+    * unknown; the list rebuild then recomputes from the manifest). */
   private case class ManifestDesc(path: Path, content: Int, seq: Long,
-      minSeq: Long, addedSnapshot: Long, addedFiles: Int, addedRows: Long)
+      minSeq: Long, addedSnapshot: Long, addedFiles: Int, addedRows: Long,
+      partitions: AnyRef = null)
 
   private def writeAvro(target: Path, schema: Schema,
       meta: Seq[(String, String)], records: Seq[GenericRecord]): Unit = {
@@ -719,7 +727,12 @@ object IcebergMeta {
             mf.get("min_sequence_number").asInstanceOf[Long],
             mf.get("added_snapshot_id").asInstanceOf[Long],
             mf.get("added_files_count").asInstanceOf[Int],
-            mf.get("added_rows_count").asInstanceOf[Long])
+            mf.get("added_rows_count").asInstanceOf[Long],
+            // the list record already carries the summaries this
+            // manifest was committed with — seed them so the rebuild
+            // below never re-opens historical manifest avro
+            if (mf.getSchema.getField("partitions") == null) null
+            else toCurrentSummaries(mf.get("partitions")))
           if (d.content == 0) manifests += d else deleteManifest = Some(d)
         }
         prevFiles = LakehouseTable.manifestFiles(root, lastV)
@@ -869,13 +882,13 @@ object IcebergMeta {
         writeAvro(m, entrySchema, manifestMeta, cur.sorted.map(entry))
         manifests.clear()
         manifests += ManifestDesc(m, 0, seq, seq, sid, cur.size,
-          cur.map(rowsOf(root, _)).sum)
+          cur.map(rowsOf(root, _)).sum, partitionSummariesOf(m))
       } else if (added.nonEmpty) {
         // pure append: prior manifests REUSED, one new manifest of adds
         val m = dir.resolve(s"m-$sid-add.avro")
         writeAvro(m, entrySchema, manifestMeta, added.sorted.map(entry))
         manifests += ManifestDesc(m, 0, seq, seq, sid, added.size,
-          added.map(rowsOf(root, _)).sum)
+          added.map(rowsOf(root, _)).sum, partitionSummariesOf(m))
       } // metadata-only commit: same manifests, new snapshot
 
       // MOR deletion vectors → ONE v2 position-delete file of the FULL
@@ -930,7 +943,7 @@ object IcebergMeta {
             manifestMeta.dropRight(1) :+ ("content" -> "deletes"),
             entries.map(_._1))
           deleteManifest = Some(ManifestDesc(m, 1, seq, seq, sid,
-            entries.size, entries.map(_._2).sum))
+            entries.size, entries.map(_._2).sum, partitionSummariesOf(m)))
         }
       }
 
@@ -952,7 +965,11 @@ object IcebergMeta {
         r.put("added_rows_count", d.addedRows)
         r.put("existing_rows_count", 0L)
         r.put("deleted_rows_count", 0L)
-        r.put("partitions", partitionSummariesOf(d.path))
+        r.put("partitions",
+          // carried from write time / the seeding list record; only a
+          // legacy summary-less carry pays a manifest re-read
+          if (d.partitions != null) d.partitions
+          else partitionSummariesOf(d.path))
         r
       }
       writeAvro(listPath, manifestFileSchema,
@@ -1252,6 +1269,43 @@ object IcebergMeta {
   private val metadataCache = TrieMap
     .empty[(String, Long, Long, Long), com.fasterxml.jackson.databind.JsonNode]
 
+  /** Read-plane format-version gate — the Iceberg twin of the Delta
+    * face's `requireDeltaReaderProtocol`. A non-v2 chain read under v2
+    * rules is SILENT wrong data, not a crash: a v1 chain's manifests
+    * carry no sequence numbers, so v2 delete-scoping (equality deletes
+    * apply strictly below, position deletes at-or-below) would
+    * mis-apply; a v3 chain's `initial-default` column values would
+    * null-fill instead of serving the default, and its Puffin
+    * deletion-vector delete files would either crash the parquet
+    * reader or — worse — be summary-pruned into an unread path and
+    * resurrect deleted rows. v3 READ support is deliberately struck
+    * (SURVEY §2.17): the refusal names the remedy. Runs inside
+    * [[currentMetadata]], so EVERY read entry (readIceberg, changelog,
+    * inspection TVFs, streaming source, convertToGraft, time travel)
+    * refuses through this one body; writers carry their own per-verb
+    * gate because they resolve metadata via [[trueCurrentVersion]],
+    * not the hint. */
+  private def requireIcebergReaderVersion(
+      md: com.fasterxml.jackson.databind.JsonNode, root: String): Unit = {
+    val v = Option(md.get("format-version")).map(_.asInt()).getOrElse(0)
+    if (v != 2) {
+      val why =
+        if (v == 1)
+          "v1 manifests carry no sequence numbers, so v2 delete-scoping " +
+            "rules would mis-apply; rewrite the table to format-version 2 " +
+            "with an engine that writes v1"
+        else if (v >= 3)
+          "v3 adds initial-default column values (this engine would " +
+            "null-fill them) and Puffin deletion vectors (deleted rows " +
+            "would resurrect); compact/rewrite the table to " +
+            "format-version 2 with a v3-capable engine"
+        else "the format-version field is missing or unparseable"
+      throw new IllegalArgumentException(
+        s"this engine reads Iceberg format-version 2 only; the chain at " +
+          s"$root is format-version $v — $why")
+    }
+  }
+
   private def currentMetadata(root: String)
       : com.fasterxml.jackson.databind.JsonNode = {
     val dir = metaDir(root)
@@ -1262,8 +1316,10 @@ object IcebergMeta {
     val f = dir.resolve(s"v$n.metadata.json")
     val mt = Files.getLastModifiedTime(f).toMillis
     val sz = Files.size(f)
-    metadataCache.getOrElseUpdate((root, n, mt, sz),
+    val md = metadataCache.getOrElseUpdate((root, n, mt, sz),
       mapper.readTree(Files.readString(f)))
+    requireIcebergReaderVersion(md, root)
+    md
   }
 
   /** True when an exported chain exists at `root` (version-hint
@@ -3318,9 +3374,21 @@ object IcebergMeta {
     branch match {
       case Some(b) =>
         // the ref's existence/type were validated when the parent was
-        // resolved; advance it (concurrent movers lose at the CAS)
-        obj.withObject("/refs")
-          .withObject("/" + b).put("snapshot-id", sid)
+        // resolved; advance it (concurrent movers lose at the CAS).
+        // Mutate the refs node DIRECTLY — a JSON-Pointer path
+        // (withObject("/" + b)) would reinterpret '/' or '~' inside a
+        // git-style branch name ('release/1.0') as pointer syntax,
+        // writing a nested object while the real ref never advances,
+        // silently orphaning every subsequent staged append.
+        val refs = Option(obj.get("refs"))
+          .map(_.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
+          .getOrElse(throw new IllegalStateException(
+            s"branch commit to '$b' at $root found no refs object"))
+        Option(refs.get(b))
+          .map(_.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
+          .getOrElse(throw new IllegalStateException(
+            s"branch commit found no ref '$b' at $root"))
+          .put("snapshot-id", sid)
         ()
       case None =>
         Option(obj.get("refs")).foreach { refs =>
@@ -4125,6 +4193,95 @@ object IcebergMeta {
     n
   }
 
+  /** `remove_orphan_files` for a foreign Iceberg chain — reclaims the
+    * debris a lost commit race leaves behind: a crashed or CAS-beaten
+    * append/delete/merge writes its data parquet (under `root/data`),
+    * position-delete parquet, manifest avro, and manifest list (under
+    * `root/metadata`) BEFORE the metadata CAS, so losing the race
+    * orphans them forever — no snapshot references them, and neither
+    * snapshot expiry (which walks only reachable snapshots) nor the
+    * Delta face's vacuum will ever touch them. The sweep deletes a
+    * candidate only when ALL hold:
+    *   - it is mentioned by NO snapshot in the current metadata (every
+    *     entry of every manifest of every snapshot, any status — refs/
+    *     branches/tags all live in the snapshots array, so the same
+    *     ancestry protection [[expireSnapshotsForeign]] honors holds);
+    *   - no CO-LOCATED face references it: the graft-native manifest
+    *     (all versions) and the Delta log's full mention set
+    *     ([[LakehouseTable.deltaReferencedPaths]]) are both protected —
+    *     the three faces share one `root/data`;
+    *   - its mtime is older than the `olderThanHours` grace horizon
+    *     (an in-flight writer's files are younger by construction —
+    *     the vacuumDeltaForeign discipline).
+    * The retention is a REQUIRED argument (the bare-VACUUM precedent:
+    * an implicit default on an irreversible deletion is how data loss
+    * ships); the SQL face refuses a call without OLDER THAN. Scope is
+    * `root/data` (recursive, non-hidden) plus the engine's own
+    * metadata artifact shapes (`m-*.avro`, `snap-*.avro`,
+    * `delete-*.parquet`) — never `v*.metadata.json`, the hint, or
+    * anything it does not recognize. Idempotent: a re-run deletes
+    * nothing. Returns the deleted paths relative to `root`. */
+  def removeOrphanFilesForeign(spark: SparkSession, root: String,
+      olderThanHours: Double): Seq[String] = {
+    require(hasChain(root), s"no Iceberg metadata at $root")
+    require(olderThanHours >= 0,
+      s"olderThanHours must be >= 0, got $olderThanHours")
+    val dir = metaDir(root)
+    currentMetadata(root) // format-version gate before any planning
+    val horizon = System.currentTimeMillis() -
+      (olderThanHours * 3600.0 * 1000.0).toLong
+    val rootAbs = Paths.get(root).toAbsolutePath.normalize()
+    val mfCache = scala.collection.mutable
+      .HashMap.empty[String, Seq[GenericRecord]]
+    def cachedAvro(p: Path): Seq[GenericRecord] =
+      mfCache.getOrElseUpdate(p.toString, readAvro(p))
+    val referenced = scala.collection.mutable.HashSet.empty[Path]
+    snapshots(root).foreach { s =>
+      val list = Paths.get(s.manifestList)
+      referenced += list.toAbsolutePath.normalize()
+      cachedAvro(list).foreach { mf =>
+        val m = Paths.get(mf.get("manifest_path").toString)
+        referenced += m.toAbsolutePath.normalize()
+        cachedAvro(m).foreach { e =>
+          referenced += Paths.get(e.get("data_file")
+            .asInstanceOf[GenericRecord].get("file_path").toString)
+            .toAbsolutePath.normalize()
+        }
+      }
+    }
+    LakehouseTable.versions(root).foreach(v =>
+      LakehouseTable.manifestFiles(root, v).foreach(rel =>
+        referenced += Paths.get(root, "data", rel)
+          .toAbsolutePath.normalize()))
+    referenced ++= LakehouseTable.deltaReferencedPaths(spark, root)
+    val deleted = Seq.newBuilder[String]
+    def sweepable(abs: Path): Unit =
+      if (!referenced.contains(abs) &&
+          Files.getLastModifiedTime(abs).toMillis < horizon &&
+          Files.deleteIfExists(abs))
+        deleted += rootAbs.relativize(abs).toString
+    def hidden(p: Path): Boolean = {
+      val n = p.getFileName.toString
+      n.startsWith("_") || n.startsWith(".")
+    }
+    def walkData(d: Path): Unit =
+      withListed(d)(_.toSeq).sortBy(_.toString).foreach { p =>
+        if (!hidden(p)) {
+          if (Files.isDirectory(p)) walkData(p)
+          else sweepable(p.toAbsolutePath.normalize())
+        }
+      }
+    val dataDir = Paths.get(root, "data")
+    if (Files.isDirectory(dataDir)) walkData(dataDir)
+    val ArtifactRe = """m-.*\.avro|snap-.*\.avro|delete-.*\.parquet""".r
+    withListed(dir)(_.toSeq).sortBy(_.toString).foreach { p =>
+      if (!Files.isDirectory(p) &&
+          ArtifactRe.matches(p.getFileName.toString))
+        sweepable(p.toAbsolutePath.normalize())
+    }
+    deleted.result()
+  }
+
   /** ROLLBACK a foreign chain to an earlier snapshot — Iceberg's
     * rollback_to_snapshot procedure: a NEW metadata version whose
     * `current-snapshot-id` (and refs.main) points back at `sid`; no
@@ -4233,6 +4390,13 @@ object IcebergMeta {
       s"ref type must be 'tag' or 'branch', got '$refType'")
     require(name.nonEmpty && !name.equalsIgnoreCase("main"),
       "'main' is the managed current-state branch; pick another name")
+    // git-style names ('release/1.0') are fine — the branch-commit arm
+    // mutates the refs object directly, never via JSON Pointer — but
+    // control characters, whitespace, and quote characters would make
+    // the ref unaddressable from the SQL face and unreadable in logs
+    require(name.matches("""[A-Za-z0-9._+\-/]+"""),
+      s"ref name '$name' contains characters outside " +
+        "[A-Za-z0-9._+-/]; pick a plainer name")
     val (dir, curN, md, obj) = foreignMetaEdit(root, "create ref")
     // snapshots / current-snapshot-id are OPTIONAL in v2 metadata (an
     // empty foreign chain omits them) — refuse loudly, never NPE

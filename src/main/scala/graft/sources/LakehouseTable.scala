@@ -2132,8 +2132,12 @@ object LakehouseTable {
       if (ck.parquetActionFiles.isEmpty) None
       else Some(spark.read.parquet(
         ck.parquetActionFiles.map(_.toString): _*)),
+      // FAILFAST: in default PERMISSIVE mode a corrupt/truncated JSON
+      // line becomes an all-null row that silently drops from seeding —
+      // a damaged top must refuse like a missing fragment does
       ck.v2TopJson.map(p =>
-        spark.read.schema(DeltaCkptActionSchema).json(p.toString)),
+        spark.read.schema(DeltaCkptActionSchema)
+          .option("mode", "FAILFAST").json(p.toString)),
       if (ck.sidecars.isEmpty) None
       else Some(spark.read.parquet(ck.sidecars.map(_.toString): _*))
     ).flatten
@@ -2147,7 +2151,12 @@ object LakehouseTable {
     * anyway only works until the feature's obligations bite, e.g. a
     * v2Checkpoint table whose JSON tail is cleaned). */
   private val SupportedReaderFeatures: Set[String] =
-    Set("columnMapping", "deletionVectors", "timestampNtz", "v2Checkpoint")
+    Set("columnMapping", "deletionVectors", "timestampNtz", "v2Checkpoint",
+      // reader obligation is NIL (the feature only obliges VACUUM
+      // implementations to run the protocol gate first — which
+      // vacuumDeltaForeign does); refusing reads on it would be an
+      // availability regression beyond what the spec forces
+      "vacuumProtocolCheck")
 
   /** The read half of the protocol gate: reader version <= 3 and, at
     * version 3, every declared reader feature inside
@@ -2179,6 +2188,32 @@ object LakehouseTable {
     * optional field parses defensively (the spec makes deletionVector
     * offset optional — inline DVs never carry one — and a parse NPE
     * inside a blanket catch would silently drop the tombstone). */
+  /** Every data-plane path the CURRENT Delta state mentions — live
+    * adds, their DV files, and ALL tombstoned paths regardless of age
+    * (reclaiming those is VACUUM's job, under its horizon) — absolute,
+    * normalized. The Iceberg face's orphan sweep consults this when
+    * the two faces share one root, so a file the Delta log still
+    * references is never treated as an Iceberg orphan. Empty when no
+    * `_delta_log` exists. */
+  private[graft] def deltaReferencedPaths(spark: SparkSession,
+      root: String): Set[Path] = {
+    val logDir = Paths.get(root, "_delta_log")
+    if (!Files.isDirectory(logDir)) return Set.empty
+    val cur = pinForeignDeltaVersion(root, logDir)
+    val state = deltaStateAt(spark, root, Some(cur), useCheckpoint = true)
+    val rootPath = Paths.get(root).toAbsolutePath.normalize()
+    val out = scala.collection.mutable.HashSet.empty[Path]
+    state.live.foreach(f => out += rootPath.resolve(f).normalize())
+    state.dvs.values.foreach(d => DeltaDv.filePath(root, d).foreach(p =>
+      out += p.toAbsolutePath.normalize()))
+    deltaRemoveTombstones(spark, root, cur).foreach { case (raw, (_, dv)) =>
+      out += rootPath.resolve(deltaDecodePath(raw)).normalize()
+      dv.foreach(d => DeltaDv.filePath(root, d).foreach(p =>
+        out += p.toAbsolutePath.normalize()))
+    }
+    out.toSet
+  }
+
   private def deltaRemoveTombstones(spark: SparkSession, root: String,
       upTo: Long): Map[String, (Long, Option[DeltaDv.Descriptor])] = {
     import org.apache.spark.sql.functions.col
@@ -2419,6 +2454,13 @@ object LakehouseTable {
     require(Files.isDirectory(logDir), s"no _delta_log at $root")
     val cur = pinForeignDeltaVersion(root, logDir)
     val state = deltaStateAt(spark, root, Some(cur), useCheckpoint = true)
+    // the vacuumProtocolCheck obligation (table-features spec): a
+    // VACUUM must run the full protocol gate before deleting anything —
+    // an unknown writer feature may reference files outside the
+    // add/remove/DV actions this replay parses, and vacuuming past it
+    // is silent data loss, the worst failure class this engine has
+    requireForeignWriterProtocol(state, root, "vacuum",
+      ForeignRowPreservingSafe)
     // the DEFAULT horizon honors the table's own
     // delta.deletedFileRetentionDuration (Delta's vacuum does) — a
     // table declaring a longer window keeps its files that long; an
@@ -2884,7 +2926,10 @@ object LakehouseTable {
     * family (each op's call site says which). */
   private val ForeignSafeFeaturesBase: Set[String] =
     Set("appendOnly", "invariants", "deletionVectors", "changeDataFeed",
-      "timestampNtz", "v2Checkpoint", "columnMapping")
+      "timestampNtz", "v2Checkpoint", "columnMapping",
+      // obliges only VACUUM (which runs this very gate); a table
+      // declaring it must not refuse ordinary writes
+      "vacuumProtocolCheck")
   private val ForeignRowPreservingSafe: Set[String] =
     ForeignSafeFeaturesBase ++ Set("allowColumnDefaults",
       "checkConstraints", "generatedColumns", "identityColumns")
@@ -4355,6 +4400,46 @@ object LakehouseTable {
     * only the log tail (post-cleanup versions); checkpointed-away
     * history is gone by design, exactly like reference Delta after
     * log retention. O(log tail) driver IO, no data scan. */
+  /** `delta_files('/p')` — the LIVE add census of the current state
+    * with each file's log-claimed shape: committed (decoded) path, the
+    * add's stats `numRecords` (null for stats-less adds), on-disk byte
+    * size, partitionValues, and the deletion-vector state (flag +
+    * cardinality). The relation an operator reads before deciding to
+    * OPTIMIZE or VACUUM a foreign Delta table — parity with the
+    * Iceberg face's `iceberg_files`. Entirely from the already-parsed
+    * replay state ([[deltaStateAt]]): zero data-file IO, no Spark job;
+    * the only per-file filesystem touch is a size stat (the number the
+    * compaction decision actually needs — a log-claimed size can lie
+    * after an out-of-band copy; -1 marks a missing file, which is
+    * itself the signal an operator wants surfaced, not an error). A
+    * file under a live DV appears ONCE, flagged. */
+  def deltaFilesDf(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val logDir = Paths.get(root, "_delta_log")
+    require(Files.isDirectory(logDir), s"no _delta_log at $root")
+    val cur = pinForeignDeltaVersion(root, logDir)
+    val st = deltaStateAt(spark, root, Some(cur), useCheckpoint = true)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rootP = Paths.get(root)
+    val rows = st.live.sorted.map { f =>
+      val nr = st.stats.get(f).flatMap { s =>
+        try Option(om.readTree(s).get("numRecords"))
+          .filter(_.isNumber).map(_.asLong())
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
+      val size =
+        try Files.size(rootP.resolve(f))
+        catch { case _: java.io.IOException => -1L }
+      val pv = st.partVals.get(f)
+        .map(_.map { case (k, v) => k -> v.orNull })
+        .getOrElse(Map.empty[String, String])
+      val dv = st.dvs.get(f)
+      (f, nr, size, pv, dv.isDefined, dv.map(_.cardinality))
+    }
+    rows.toDF("path", "num_records", "size_bytes", "partition_values",
+      "has_dv", "dv_cardinality")
+  }
+
   def deltaHistoryDf(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
     val logDir = Paths.get(root, "_delta_log")

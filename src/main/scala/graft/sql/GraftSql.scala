@@ -70,6 +70,8 @@ import graft.sources.{IcebergMeta, LakehouseTable}
   *   CHECKPOINT delta_export('/p')                  -- foreign spec checkpoint
   *   VACUUM delta_export('/p') [RETAIN n HOURS]     -- foreign file reclamation
   *   VACUUM iceberg_export('/p') [RETAIN n VERSIONS]-- foreign snapshot expiry
+  *   REMOVE ORPHAN FILES iceberg_export('/p') OLDER THAN n HOURS
+  *                                                  -- lost-commit debris sweep
   *   OPTIMIZE delta_export('/p')                    -- foreign bin-packing
   *   OPTIMIZE iceberg_export('/p')                  -- foreign MOR compaction
   *   RESTORE TABLE delta_export('/p') TO VERSION AS OF n  -- Delta RESTORE
@@ -740,6 +742,9 @@ case class ForeignMaintenanceCommand(op: String, root: String,
         graft.sources.IcebergMeta.rewriteDataFilesForeign(spark, root)
       case "rewrite-manifests-iceberg" =>
         graft.sources.IcebergMeta.rewriteManifestsForeign(root)
+      case "remove-orphans-iceberg" =>
+        graft.sources.IcebergMeta.removeOrphanFilesForeign(spark, root,
+          arg.get.toDouble)
       case "restore-delta" =>
         LakehouseTable.restoreDeltaForeign(spark, root, arg.get.toLong)
       case "rollback-iceberg" =>
@@ -1465,6 +1470,16 @@ object GraftSqlStatements {
           Some(ForeignMaintenanceCommand("expire-iceberg",
             unmaskLit(unmask, idx), Option(retain)))
         }
+      case ForeignRemoveOrphansRe(idx, hours) =>
+        // deleting unreferenced files is irreversible — the grace
+        // horizon must be EXPLICIT (the expire-snapshots precedent;
+        // an implicit default is how in-flight writers lose files)
+        require(hours != null,
+          "REMOVE ORPHAN FILES iceberg_export(...) requires an " +
+            "explicit OLDER THAN n HOURS (deletion is irreversible " +
+            "and a too-short horizon races in-flight writers)")
+        Some(ForeignMaintenanceCommand("remove-orphans-iceberg",
+          unmaskLit(unmask, idx), Some(hours)))
       case ForeignOptimizeRe(face, idx, zcols) =>
         val isDelta = face.equalsIgnoreCase("delta_export")
         require(zcols == null || isDelta,
@@ -1594,6 +1609,8 @@ object GraftSqlStatements {
       """\s*(?:,\s*(\d+))?\s*\)""").r
   private val DeltaHistoryRe =
     ("""(?i)\bdelta_history\s*\(\s*""" + MaskedLit + """\s*\)""").r
+  private val DeltaFilesRe =
+    ("""(?i)\bdelta_files\s*\(\s*""" + MaskedLit + """\s*\)""").r
   // each range bound is a bare version/sequence number OR a quoted
   // timestamp literal (masked); the keys argument of iceberg_changelog
   // is optional — omitted, the key list comes from the graft manifest's
@@ -1642,6 +1659,10 @@ object GraftSqlStatements {
     ("""(?is)^\s*VACUUM\s+(delta_export|iceberg_export)\s*\(\s*""" +
       MaskedLit +
       """\s*\)(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+(HOURS|VERSIONS))?\s*;?\s*$""").r
+  private val ForeignRemoveOrphansRe =
+    ("""(?is)^\s*REMOVE\s+ORPHAN\s+FILES\s+iceberg_export\s*\(\s*""" +
+      MaskedLit +
+      """\s*\)(?:\s+OLDER\s+THAN\s+(\d+(?:\.\d+)?)\s+HOURS)?\s*;?\s*$""").r
   private val ForeignOptimizeRe =
     ("""(?is)^\s*OPTIMIZE\s+(delta_export|iceberg_export)\s*\(\s*""" +
       MaskedLit +
@@ -1972,7 +1993,14 @@ object GraftSqlStatements {
         .createOrReplaceTempView(view)
       q(view)
     })
-    unmask(afterDh)
+    val afterDf = DeltaFilesRe.replaceAllIn(afterDh, m => {
+      val path = unmaskLit(unmask, m.group(1))
+      val view = foreignView("delta_files", path)
+      LakehouseTable.deltaFilesDf(spark, path)
+        .createOrReplaceTempView(view)
+      q(view)
+    })
+    unmask(afterDf)
   }
 }
 

@@ -82,53 +82,10 @@ class Round15Spec extends AnyFunSuite {
     v
   }
 
-  /** Rewrite the chain's classic checkpoint as a spec v2 one: all file
-    * actions in a `_sidecars/` parquet, non-file actions in a
-    * UUID-named top file (parquet or NDJSON), pointer without parts. */
-  private def toV2(root: String, jsonTop: Boolean): Long = {
-    val (v, classic) = classicCkpt(root)
-    val logDir = classic.getParent
-    val df = spark.read.parquet(classic.toString)
-    val fileRows = df.filter(col("add").isNotNull || col("remove").isNotNull)
-    val others = df.filter(col("add").isNull && col("remove").isNull)
-    val scDir = logDir.resolve("_sidecars")
-    Files.createDirectories(scDir)
-    val scName = java.util.UUID.randomUUID().toString + ".parquet"
-    writeOneParquet(fileRows, scDir.resolve(scName))
-    val scSize = Files.size(scDir.resolve(scName))
-    val uuid = java.util.UUID.randomUUID().toString
-    if (jsonTop) {
-      // action lines: toJSON of the non-file rows (null fields omitted
-      // — exactly the Delta action line shape) + the v2-only actions
-      val lines = Seq(s"""{"checkpointMetadata":{"version":$v}}""") ++
-        others.toJSON.collect().toSeq ++
-        Seq(s"""{"sidecar":{"path":"$scName","sizeInBytes":$scSize,"modificationTime":0}}""")
-      Files.writeString(logDir.resolve(f"$v%020d.checkpoint.$uuid.json"),
-        lines.mkString("", "\n", "\n"))
-    } else {
-      import org.apache.spark.sql.functions.expr
-      val scType = "struct<path:string,sizeInBytes:bigint,modificationTime:bigint>"
-      val cmType = "struct<version:bigint>"
-      val othersTop = others
-        .withColumn("sidecar", expr(s"cast(null as $scType)"))
-        .withColumn("checkpointMetadata", expr(s"cast(null as $cmType)"))
-      val topSchema = othersTop.schema
-      val nulls = topSchema.fields.map(_ => null: Any).toSeq
-      def rowWith(field: String, value: Any): org.apache.spark.sql.Row =
-        org.apache.spark.sql.Row.fromSeq(
-          nulls.updated(topSchema.fieldIndex(field), value))
-      val extras = spark.createDataFrame(Seq(
-        rowWith("sidecar", org.apache.spark.sql.Row(scName, scSize, 0L)),
-        rowWith("checkpointMetadata", org.apache.spark.sql.Row(v))
-      ).asJava, topSchema)
-      writeOneParquet(othersTop.unionByName(extras),
-        logDir.resolve(f"$v%020d.checkpoint.$uuid.parquet"))
-    }
-    Files.delete(classic)
-    Files.writeString(logDir.resolve("_last_checkpoint"),
-      s"""{"version":$v,"sizeInBytes":$scSize}""")
-    v
-  }
+  /** Rewrite the chain's classic checkpoint as a spec v2 one — the
+    * fixture module's rewriter (one body, no test-side copy). */
+  private def toV2(root: String, jsonTop: Boolean): Long =
+    operators.Lakehouse.rewriteCheckpointV2(spark, root, jsonTop)
 
   /** A foreign chain with a tombstone (delete strands a file), a txn
     * watermark, and a fresh checkpoint — the state every non-classic

@@ -1,0 +1,350 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{IcebergMeta, LakehouseTable => LT}
+
+/** Round-16 pins — the round-15 verdict's ranked list:
+  *
+  *  1. Iceberg reader-side format-version gate: a v1 or v3 chain
+  *     refuses LOUDLY with the version named on EVERY read entry
+  *     (readIceberg, time travel, changelog, the inspection TVFs, the
+  *     streaming source's snapshot probe, convertToGraft) — the
+  *     Iceberg twin of requireDeltaReaderProtocol. v3 read support is
+  *     deliberately struck: the refusal names the remedy.
+  *  2. ADVICE closures: a git-style branch name ('release/1.0')
+  *     advances the REAL ref on a branch commit (no JSON-Pointer
+  *     nesting); hazardous ref names refuse at creation; vacuum runs
+  *     the full writer-protocol gate (the vacuumProtocolCheck
+  *     obligation) while the feature itself no longer refuses
+  *     reads/writes; a corrupt v2-checkpoint JSON top refuses
+  *     (FAILFAST) instead of silently dropping actions from seeding;
+  *     incremental exports carry manifest-list partition summaries in
+  *     memory — a carried manifest's summaries survive without the
+  *     manifest avro ever being re-opened.
+  */
+class Round16Spec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val om = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def freshRoot(name: String): String = {
+    val r = sources.TableCache.baseDir + s"/r16_$name"
+    val p = Paths.get(r)
+    if (Files.exists(p)) {
+      Files.walk(p).iterator().asScala.toSeq
+        .sortBy(_.toString).reverse.foreach(Files.deleteIfExists(_))
+    }
+    Files.createDirectories(p)
+    r
+  }
+
+  private def wipeManifest(root: String): Unit = {
+    val walked = Files.walk(Paths.get(root, "_manifest"))
+    try walked.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { Files.deleteIfExists(p); () })
+    finally walked.close()
+  }
+
+  /** Commit a doctored copy of the chain's current metadata with
+    * `format-version` rewritten to `ver`, hint bumped — the shape a
+    * foreign v1/v3 writer would leave behind. */
+  private def doctorFormatVersion(root: String, ver: Int): Unit = {
+    val dir = Paths.get(root, "metadata")
+    val n = Files.readString(dir.resolve("version-hint.text")).trim.toLong
+    val md = om.readTree(Files.readString(
+      dir.resolve(s"v$n.metadata.json")))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    md.put("format-version", ver)
+    Files.writeString(dir.resolve(s"v${n + 1}.metadata.json"), md.toString)
+    Files.writeString(dir.resolve("version-hint.text"), (n + 1).toString)
+  }
+
+  private def icebergChain(name: String): String = {
+    import spark.implicits._
+    val root = freshRoot(name)
+    LT.create((0 until 8).map(i => (i.toLong, i % 2)).toDF("k", "part")
+      .coalesce(1), root)
+    IcebergMeta.exportIcebergMeta(spark, root)
+    wipeManifest(root)
+    root
+  }
+
+  test("a v3 Iceberg chain refuses on every read entry, version named") {
+    val root = icebergChain("fmtv3")
+    val sid = IcebergMeta.snapshots(root).last.id
+    doctorFormatVersion(root, 3)
+    def refuses(what: String)(body: => Any): Unit = {
+      val ex = intercept[IllegalArgumentException](body)
+      assert(ex.getMessage.contains("format-version 3"),
+        s"$what: ${ex.getMessage}")
+      // the strike is documented in the refusal: the owner's remedy
+      assert(ex.getMessage.contains("rewrite"), s"$what: ${ex.getMessage}")
+    }
+    refuses("readIceberg") { IcebergMeta.readIceberg(spark, root).count() }
+    refuses("time travel") {
+      IcebergMeta.readIceberg(spark, root, snapshotAsOf = Some(sid)).count()
+    }
+    refuses("changelog") {
+      IcebergMeta.icebergChangelog(spark, root, 0L, 1L, Seq("k")).count()
+    }
+    refuses("snapshots TVF") { IcebergMeta.snapshotsDf(spark, root).count() }
+    refuses("manifests TVF") { IcebergMeta.manifestsDf(spark, root).count() }
+    refuses("files TVF") { IcebergMeta.filesDf(spark, root).count() }
+    // the streaming source's per-trigger offset probe
+    refuses("snapshot probe") { IcebergMeta.snapshots(root) }
+    refuses("convertToGraft") {
+      IcebergMeta.convertToGraft(spark, root, freshRoot("fmtv3_dst"))
+    }
+  }
+
+  test("a v1 Iceberg chain refuses reads too (sequence rules differ)") {
+    val root = icebergChain("fmtv1")
+    doctorFormatVersion(root, 1)
+    val ex = intercept[IllegalArgumentException] {
+      IcebergMeta.readIceberg(spark, root).count()
+    }
+    assert(ex.getMessage.contains("format-version 1"), ex.getMessage)
+    assert(ex.getMessage.contains("sequence numbers"), ex.getMessage)
+    val ex2 = intercept[IllegalArgumentException] {
+      IcebergMeta.filesDf(spark, root).count()
+    }
+    assert(ex2.getMessage.contains("format-version 1"), ex2.getMessage)
+  }
+
+  test("a git-style branch name advances the real ref, not a nested node") {
+    import spark.implicits._
+    val root = icebergChain("slashref")
+    val base = IcebergMeta.snapshots(root).last.id
+    IcebergMeta.createRefForeign(root, "release/1.0", base, "branch")
+    val staged = IcebergMeta.appendIcebergForeign(spark, root,
+      (8 until 12).map(i => (i.toLong, i % 2)).toDF("k", "part")
+        .coalesce(1), branch = Some("release/1.0"))
+    val dir = Paths.get(root, "metadata")
+    val n = Files.readString(dir.resolve("version-hint.text")).trim.toLong
+    val refs = om.readTree(Files.readString(
+      dir.resolve(s"v$n.metadata.json"))).get("refs")
+    // the REAL key advanced; JSON-Pointer interpretation would have
+    // minted a nested refs.release object and left the ref behind
+    assert(refs.get("release/1.0") != null, refs.toString)
+    assert(refs.get("release/1.0").get("snapshot-id").asLong() == staged,
+      refs.toString)
+    assert(refs.get("release") == null,
+      s"pointer-style nesting leaked: $refs")
+    // main untouched until publish; fast-forward then serves the append
+    assert(IcebergMeta.readIceberg(spark, root).count() == 8)
+    IcebergMeta.fastForwardForeign(root, "release/1.0")
+    assert(IcebergMeta.readIceberg(spark, root).count() == 12)
+    // hazardous names refuse at creation, loudly
+    val bad = intercept[IllegalArgumentException] {
+      IcebergMeta.createRefForeign(root, "has space", staged, "tag")
+    }
+    assert(bad.getMessage.contains("has space"), bad.getMessage)
+  }
+
+  test("vacuumProtocolCheck: reads/writes tolerate it, vacuum runs the gate") {
+    import spark.implicits._
+    val root = freshRoot("vacpc")
+    LT.create((0 until 6).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+      .coalesce(1), root)
+    LT.exportDeltaLog(spark, root)
+    wipeManifest(root)
+    val lf0 = Paths.get(root, "_delta_log", f"${0L}%020d.json")
+    def doctor(protocolJson: String): Unit = {
+      val doctored = Files.readString(lf0).replaceAll(
+        """"protocol":\{[^}]*\}""", s""""protocol":$protocolJson""")
+      assert(doctored.contains(protocolJson.take(30)), "doctor must apply")
+      Files.writeString(lf0, doctored)
+    }
+    doctor("""{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["vacuumProtocolCheck"],"writerFeatures":["vacuumProtocolCheck"]}""")
+    // the feature's reader obligation is nil — read and append serve
+    assert(LT.readDeltaExport(spark, root).count() == 6)
+    LT.appendDeltaForeign(spark, root,
+      Seq((6L, "v6")).toDF("k", "s").coalesce(1))
+    assert(LT.readDeltaExport(spark, root).count() == 7)
+    // a fresh vacuum is a no-op sweep, not a refusal
+    assert(LT.vacuumDeltaForeign(spark, root, retainHours = 168.0,
+      explicitRetain = true).isEmpty)
+    // an UNKNOWN writer feature refuses VACUUM (it may reference files
+    // this replay does not parse; deleting past it is data loss) while
+    // the read face still serves
+    doctor("""{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["vacuumProtocolCheck"],"writerFeatures":["futureMagic"]}""")
+    assert(LT.readDeltaExport(spark, root).count() == 7)
+    val ex = intercept[IllegalArgumentException] {
+      LT.vacuumDeltaForeign(spark, root, retainHours = 168.0,
+        explicitRetain = true)
+    }
+    assert(ex.getMessage.contains("futureMagic") &&
+      ex.getMessage.contains("vacuum"), ex.getMessage)
+  }
+
+  test("a corrupt v2-checkpoint JSON top refuses instead of seeding partial") {
+    import spark.implicits._
+    val root = freshRoot("v2corrupt")
+    LT.create((0 until 6).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+      .coalesce(1), root)
+    LT.exportDeltaLog(spark, root)
+    wipeManifest(root)
+    LT.appendDeltaForeign(spark, root,
+      (6 until 10).map(i => (i.toLong, s"v$i")).toDF("k", "s").coalesce(1))
+    LT.checkpointDeltaForeign(spark, root)
+    operators.Lakehouse.rewriteCheckpointV2(spark, root, jsonTop = true)
+    LT.cleanupDeltaLogForeign(root)
+    // sanity: the intact v2 JSON top serves the full state
+    assert(LT.readDeltaExport(spark, root).count() == 10)
+    // truncate the top's LAST line mid-record — a real partial write
+    val logDir = Paths.get(root, "_delta_log")
+    val top = {
+      val l = Files.list(logDir)
+      try l.iterator().asScala
+        .filter(_.getFileName.toString.matches(""".*\.checkpoint\.[^.]+\.json"""))
+        .toSeq.head
+      finally l.close()
+    }
+    val lines = Files.readString(top).split('\n')
+    Files.writeString(top, (lines.dropRight(1) :+
+      lines.last.take(lines.last.length / 2)).mkString("\n"))
+    val ex = intercept[Exception] { LT.readDeltaExport(spark, root).count() }
+    assert(ex.getMessage != null, "corrupt top must refuse, not null-fill")
+  }
+
+  test("remove_orphan_files: reclaims lost-CAS debris, spares young and referenced") {
+    import spark.implicits._
+    val root = freshRoot("orphans")
+    LT.create((0 until 8).map(i => (i.toLong, i % 2)).toDF("k", "part")
+      .coalesce(1), root)
+    IcebergMeta.exportIcebergMeta(spark, root)
+    wipeManifest(root)
+    IcebergMeta.appendIcebergForeign(spark, root,
+      (8 until 12).map(i => (i.toLong, i % 2)).toDF("k", "part").coalesce(1))
+    operators.Lakehouse.plantOrphanDebris(root)
+    // plus a YOUNG stray (fresh mtime): an in-flight writer's file
+    val dataDir = Paths.get(root, "data")
+    val aLive = {
+      val l = Files.list(dataDir)
+      try l.iterator().asScala.toSeq.sortBy(_.toString)
+        .find(_.toString.endsWith(".parquet")).get
+      finally l.close()
+    }
+    val young = dataDir.resolve("stray-young.parquet")
+    Files.copy(aLive, young)
+    val before = IcebergMeta.readIceberg(spark, root).count()
+    assert(before == 12)
+    val deleted = IcebergMeta.removeOrphanFilesForeign(spark, root, 24.0)
+    Seq("stray-merge", "m-4242424242", "snap-4242424242",
+      "delete-4242424242").foreach(tag =>
+      assert(deleted.exists(_.contains(tag)),
+        s"$tag not reclaimed: $deleted"))
+    assert(Files.exists(young), "a young file must survive the horizon")
+    assert(IcebergMeta.readIceberg(spark, root).count() == before)
+    // idempotent: the second sweep finds nothing old and unreferenced
+    assert(IcebergMeta.removeOrphanFilesForeign(spark, root, 24.0).isEmpty)
+    // the SQL face refuses a bare call — deletion is irreversible
+    val ex = intercept[Exception] {
+      spark.sql(s"REMOVE ORPHAN FILES iceberg_export('$root')")
+    }
+    assert(ex.getMessage.contains("OLDER THAN"), ex.getMessage)
+    // SQL with the horizon reclaims the stray once it has aged out
+    Files.setLastModifiedTime(young,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 48L * 3600 * 1000))
+    spark.sql(
+      s"REMOVE ORPHAN FILES iceberg_export('$root') OLDER THAN 24 HOURS")
+    assert(!Files.exists(young), "the aged stray must be reclaimed")
+    // ref-reachable protection: tag the FIRST snapshot, expire to 1 —
+    // the tagged snapshot stays in the array, so its files are
+    // referenced and the sweep must not touch them
+    val first = IcebergMeta.snapshots(root).head.id
+    IcebergMeta.createRefForeign(root, "keep", first, "tag")
+    IcebergMeta.expireSnapshotsForeign(root, retainLast = 1)
+    IcebergMeta.removeOrphanFilesForeign(spark, root, 24.0)
+    assert(IcebergMeta.readIceberg(spark, root,
+      snapshotAsOf = Some(first)).count() == 8,
+      "the tag-reachable snapshot must stay readable after the sweep")
+  }
+
+  test("delta_files lists each live add once, DV state flagged") {
+    import spark.implicits._
+    val root = freshRoot("dfiles")
+    LT.create((1L to 20L).map(i => (i, s"a$i")).toDF("id", "s")
+      .coalesce(1), root)
+    LT.append((21L to 40L).map(i => (i, s"a$i")).toDF("id", "s")
+      .coalesce(1), root)
+    LT.deleteWhereMor(spark, root, "id IN (3, 5)")
+    LT.exportDeltaLog(spark, root)
+    val df = LT.deltaFilesDf(spark, root)
+    val rows = df.collect()
+    assert(rows.length == 2, rows.mkString("\n"))
+    assert(rows.map(_.getString(0)).distinct.length == rows.length,
+      "a DV-covered file must list ONCE")
+    val dvRows = rows.filter(_.getBoolean(4))
+    assert(dvRows.length == 1, rows.mkString("\n"))
+    assert(dvRows.head.getLong(5) == 2L,
+      "dv_cardinality is the DV's deleted-row count")
+    assert(rows.map(_.getLong(1)).sum == 40L,
+      "num_records is the add's PHYSICAL stats claim")
+    assert(rows.forall(_.getLong(2) > 0L), "on-disk sizes")
+    // the SQL face serves the same relation
+    assert(spark.sql(s"SELECT count(*) AS n FROM delta_files('$root')")
+      .collect().head.getLong(0) == 2L)
+  }
+
+  test("incremental export carries summaries without re-opening manifests") {
+    import spark.implicits._
+    val root = freshRoot("sumcarry")
+    LT.create((0 until 8).map(i => (i.toLong, i % 2)).toDF("k", "part")
+      .coalesce(1), root, partitionBy = Seq("part"))
+    IcebergMeta.exportIcebergMeta(spark, root)
+    val dir = Paths.get(root, "metadata")
+    def dataManifests(): Seq[Path] = {
+      val l = Files.list(dir)
+      try l.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.matches("m-.*\\.avro"))
+      finally l.close()
+    }
+    val oldManifests = dataManifests()
+    assert(oldManifests.nonEmpty)
+    // hide every historical manifest: if the incremental export's list
+    // rebuild re-opened any of them, the summaries would degrade to
+    // null (the conservative fallback) — carrying them in memory is
+    // the only way this stays lossless
+    val hidden = oldManifests.map { m =>
+      val h = m.getParent.resolve(m.getFileName.toString + ".hidden")
+      Files.move(m, h, StandardCopyOption.ATOMIC_MOVE)
+      (h, m)
+    }
+    // a fresh session holds no summary cache — without the in-memory
+    // carry, the rebuild would now recompute (and, manifests hidden,
+    // degrade the carried entries to null summaries)
+    IcebergMeta.mfPartSummaryCache.clear()
+    try {
+      LT.append((8 until 16).map(i => (i.toLong, i % 2)).toDF("k", "part")
+        .coalesce(1), root, partitionBy = Seq("part"))
+      IcebergMeta.exportIcebergMeta(spark, root)
+    } finally hidden.foreach { case (h, m) =>
+      Files.move(h, m, StandardCopyOption.ATOMIC_MOVE)
+    }
+    val tip = IcebergMeta.snapshots(root).last
+    val in = new org.apache.avro.file.DataFileReader(
+      Paths.get(tip.manifestList).toFile,
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    val recs = try in.iterator().asScala.toSeq finally in.close()
+    assert(recs.size >= 2, s"expected carried + new manifests: ${recs.size}")
+    recs.foreach { r =>
+      val parts = r.get("partitions")
+      assert(parts != null &&
+        parts.asInstanceOf[java.util.List[_]].size() > 0,
+        s"summaries lost on ${r.get("manifest_path")}")
+    }
+    // and the carried summaries still PRUNE: part=0 files only
+    val pruned = IcebergMeta.readIceberg(spark, root,
+      pruneWhere = Some("part = 0"))
+    assert(pruned.count() == 8)
+  }
+}
