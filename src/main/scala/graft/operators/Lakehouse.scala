@@ -977,6 +977,53 @@ object Lakehouse {
     }
   }
 
+  /** FIXTURE scaffolding: rewrite every manifest LIST at `root` under
+    * the legacy (pre-summary) schema — the `partitions` field dropped
+    * from every entry. Emulates the foreign writers that record no
+    * field summaries; the planner must then keep every manifest
+    * conservatively. Used by the summary-pruning pins and the
+    * ManifestPlanBench A/B. */
+  private[graft] def stripManifestListSummaries(root: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val md = Paths.get(root, "metadata")
+    val lists = {
+      val l = Files.list(md)
+      try l.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.startsWith("snap-"))
+      finally l.close()
+    }
+    lists.foreach { lp =>
+      val in = new org.apache.avro.file.DataFileReader(
+        lp.toFile, new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]())
+      val (schemaNoParts, recs) = try {
+        val s = in.getSchema
+        val fields = s.getFields.asScala.toSeq
+          .filter(_.name != "partitions")
+          .map(f => new org.apache.avro.Schema.Field(f.name, f.schema,
+            f.doc, f.defaultVal))
+        val ns = org.apache.avro.Schema.createRecord(
+          s.getName, s.getDoc, s.getNamespace, false, fields.asJava)
+        (ns, in.iterator().asScala.toSeq)
+      } finally in.close()
+      val out = new org.apache.avro.file.DataFileWriter(
+        new org.apache.avro.generic.GenericDatumWriter[
+          org.apache.avro.generic.GenericRecord](schemaNoParts))
+      val tmp = Files.createTempFile(md, ".strip", ".avro")
+      out.create(schemaNoParts, tmp.toFile)
+      recs.foreach { r =>
+        val nr = new org.apache.avro.generic.GenericData.Record(
+          schemaNoParts)
+        schemaNoParts.getFields.asScala.foreach(f =>
+          nr.put(f.name, r.get(f.name)))
+        out.append(nr)
+      }
+      out.close()
+      Files.move(tmp, lp, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   /** FIXTURE scaffolding: plant the debris of a commit that lost the
     * metadata CAS — byte-copies of real artifacts under names no
     * snapshot references, aged past any reasonable grace horizon. */

@@ -5281,7 +5281,37 @@ object IcebergMeta {
     // manifests carry, but files with UNKNOWN partition values (commits
     // predating the partitioning) are kept conservatively — their rows
     // still need the predicate applied
-    pruneWhere.map(aligned.filter).getOrElse(aligned)
+    val res = pruneWhere.map(aligned.filter).getOrElse(aligned)
+    // CBO rowCount from the manifest LIST's row counts (already-read
+    // metadata, zero extra IO; physical rows — delete anti-joins sit
+    // above the scan). Armed-CBO only, and only for UNPRUNED reads —
+    // a pruned read's surviving-file counts are not in the list.
+    if (pruneWhere.isDefined || dataEntries.isEmpty ||
+        !spark.conf.get("spark.sql.cbo.enabled", "false").toBoolean) res
+    else listLiveRowCount(snap).map(rc =>
+      TableStatistics.attachForeignRowCount(spark, res, root, rc))
+      .getOrElse(res)
+  }
+
+  /** Live physical rows of a snapshot from its manifest LIST alone:
+    * Σ (added_rows_count + existing_rows_count) over data manifests —
+    * the counts every commit of this engine writes and the spec asks
+    * of foreign writers. None when any manifest's counts are absent
+    * (a partial sum would be a WRONG statistic, worse than none). */
+  private def listLiveRowCount(snap: SnapshotInfo): Option[Long] = {
+    def num(r: GenericRecord, f: String): Option[Long] =
+      if (r.getSchema.getField(f) == null) None
+      else Option(r.get(f)).collect {
+        case l: java.lang.Long => l.longValue()
+        case i: java.lang.Integer => i.longValue()
+      }
+    val counts = readAvro(Paths.get(snap.manifestList))
+      .filter(mf => num(mf, "content").forall(_ == 0L))
+      .map { mf =>
+        for { a <- num(mf, "added_rows_count")
+              e <- num(mf, "existing_rows_count") } yield a + e
+      }
+    if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
   }
 
   /** SCAN PLANNING from manifest metadata (the Iceberg reader's

@@ -2549,7 +2549,24 @@ object LakehouseTable {
       state.dvs.filter(kv => keepSet.contains(kv._1)))
     // residual row filter: skipping is inclusive (files with missing or
     // un-typeable stats are kept), so the predicate still applies
-    pruneWhere.map(out.filter).getOrElse(out)
+    val res = pruneWhere.map(out.filter).getOrElse(out)
+    // CBO rowCount from the adds' stats already in hand (zero data IO;
+    // physical rows — the DV anti-join sits above the scan). Computed
+    // only when CBO is armed: the default path pays no per-file parse.
+    if (!spark.conf.get("spark.sql.cbo.enabled", "false").toBoolean) res
+    else {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val counts = keep.map(f => state.stats.get(f).flatMap { s =>
+        try Option(om.readTree(s).get("numRecords"))
+          .filter(_.isNumber).map(_.asLong())
+        catch { case scala.util.control.NonFatal(_) => None }
+      })
+      // a single stats-less add un-arms the whole count — a partial
+      // sum would be WRONG, the one thing a statistic must never be
+      if (counts.exists(_.isEmpty)) res
+      else TableStatistics.attachForeignRowCount(spark, res, root,
+        counts.flatten.sum)
+    }
   }
 
   /** APPEND-ONLY COMMIT to a FOREIGN Delta table — a `_delta_log` this

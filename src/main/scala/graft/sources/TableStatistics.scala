@@ -413,6 +413,64 @@ object TableStatistics {
     }
   }
 
+  /** Does this relation scan ONLY files under `root/data`? Stamping is
+    * restricted to the table's data-file scan: a MOR read's plan also
+    * carries the deletion-vector relation (applyDvs' anti-join side,
+    * under root/deletes/ — or the Iceberg face's delete parquet under
+    * root/metadata/), which must NOT inherit the table's rowCount —
+    * CBO would size the anti-join's tiny side like the whole table and
+    * mis-order every downstream join. dir-boundary match (prefix +
+    * "/"), not a bare string prefix — a sibling dir extending the name
+    * ("data_old") must not inherit the table's rowCount. */
+  private def isDataScanUnder(root: String)(
+      lr: LogicalRelation): Boolean = {
+    val dataDir = Paths.get(root, "data").toUri.getPath.stripSuffix("/")
+    lr.relation match {
+      case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+        fs.location.rootPaths.nonEmpty &&
+          fs.location.rootPaths.forall { p =>
+            val u = p.toUri.getPath
+            u == dataDir || u.startsWith(dataDir + "/")
+          }
+      case _ => false
+    }
+  }
+
+  /** Attach a TABLE-LEVEL rowCount to a foreign relation's data scan —
+    * the number the log's add-action stats / the manifest list's row
+    * counts already carry, so the attach costs ZERO data IO.
+    * sizeInBytes comes from the scan's own file index (exact by
+    * construction). No column stats: foreign logs carry no NDV, and
+    * rowCount alone is what `cbo.joinReorder` needs to size a star
+    * join's sides. Version-exact by construction — the count is
+    * computed from the same pinned state the scan serves. Inert with
+    * CBO off ([[attach]]'s toPlanStats note); callers gate on
+    * `spark.sql.cbo.enabled` so the default path also skips the
+    * count's own computation. */
+  private[graft] def attachForeignRowCount(spark: SparkSession,
+      df: DataFrame, root: String, rowCount: Long): DataFrame = {
+    val analyzed = df.queryExecution.analyzed
+    val withStats = analyzed.transform {
+      case lr: LogicalRelation
+          if lr.catalogTable.isEmpty && isDataScanUnder(root)(lr) =>
+        lr.copy(catalogTable = Some(CatalogTable(
+          identifier = TableIdentifier("graft_foreign_" +
+            graft.plans.TextExpressions.md5Hex(root).take(12)),
+          tableType = CatalogTableType.EXTERNAL,
+          storage = CatalogStorageFormat.empty.copy(
+            locationUri = Some(Paths.get(root).toUri)),
+          schema = StructType(lr.output.map(a =>
+            StructField(a.name, a.dataType, a.nullable))),
+          provider = Some("parquet"),
+          stats = Some(CatalogStatistics(
+            sizeInBytes = BigInt(lr.relation.sizeInBytes),
+            rowCount = Some(BigInt(rowCount)),
+            colStats = Map.empty)))))
+    }
+    org.apache.spark.sql.GraftStreamingShims
+      .dataFrameFromPlan(spark, withStats)
+  }
+
   /** Attach persisted stats to `df`'s scan relation when they were
     * computed at exactly the version being read; identity otherwise. */
   private[graft] def attach(spark: SparkSession, df: DataFrame,
@@ -435,27 +493,9 @@ object TableStatistics {
           rowCount = Some(BigInt(st.rowCount)),
           colStats = colStats)
         val analyzed = df.queryExecution.analyzed
-        // Stamp ONLY the table's data-file scan: a MOR read's plan also
-        // carries the deletion-vector relation (applyDvs' anti-join
-        // side, under root/deletes/), which must NOT inherit the
-        // table's rowCount — CBO would size the anti-join's tiny side
-        // like the whole table and mis-order every downstream join.
-        // dir-boundary match (prefix + "/"), not a bare string prefix —
-        // a sibling dir extending the name ("data_old") must not inherit
-        // the table's rowCount
-        val dataDir = Paths.get(root, "data").toUri.getPath.stripSuffix("/")
-        def isDataScan(lr: LogicalRelation): Boolean = lr.relation match {
-          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            fs.location.rootPaths.nonEmpty &&
-              fs.location.rootPaths.forall { p =>
-                val u = p.toUri.getPath
-                u == dataDir || u.startsWith(dataDir + "/")
-              }
-          case _ => false
-        }
         val withStats = analyzed.transform {
           case lr: LogicalRelation
-              if lr.catalogTable.isEmpty && isDataScan(lr) =>
+              if lr.catalogTable.isEmpty && isDataScanUnder(root)(lr) =>
             lr.copy(catalogTable = Some(CatalogTable(
               identifier = TableIdentifier(
                 "graft_" + graft.plans.TextExpressions.md5Hex(root).take(12)),

@@ -280,40 +280,9 @@ class Round15Spec extends AnyFunSuite {
     IcebergMeta.appendIcebergForeign(spark, root,
       (8 until 16).map(i => (i.toLong, i % 2)).toDF("k", "part")
         .coalesce(1))
-    // STRIP the partitions field from every manifest-list entry by
-    // rewriting the list under the legacy schema (no summaries) —
-    // the pre-round-15 layout every existing foreign chain has
-    val md = Paths.get(root, "metadata")
-    val lists = Files.list(md).iterator().asScala.toSeq
-      .filter(_.getFileName.toString.startsWith("snap-"))
-    lists.foreach { lp =>
-      val in = new org.apache.avro.file.DataFileReader(
-        lp.toFile, new org.apache.avro.generic.GenericDatumReader[
-          org.apache.avro.generic.GenericRecord]())
-      val (schemaNoParts, recs) = try {
-        val s = in.getSchema
-        val fields = s.getFields.asScala.toSeq
-          .filter(_.name != "partitions")
-          .map(f => new org.apache.avro.Schema.Field(f.name, f.schema,
-            f.doc, f.defaultVal))
-        val ns = org.apache.avro.Schema.createRecord(
-          s.getName, s.getDoc, s.getNamespace, false, fields.asJava)
-        (ns, in.iterator().asScala.toSeq)
-      } finally in.close()
-      val out = new org.apache.avro.file.DataFileWriter(
-        new org.apache.avro.generic.GenericDatumWriter[
-          org.apache.avro.generic.GenericRecord](schemaNoParts))
-      val tmp = Files.createTempFile(md, ".strip", ".avro")
-      out.create(schemaNoParts, tmp.toFile)
-      recs.foreach { r =>
-        val nr = new org.apache.avro.generic.GenericData.Record(schemaNoParts)
-        schemaNoParts.getFields.asScala.foreach(f =>
-          nr.put(f.name, r.get(f.name)))
-        out.append(nr)
-      }
-      out.close()
-      Files.move(tmp, lp, StandardCopyOption.REPLACE_EXISTING)
-    }
+    // STRIP the partitions field from every manifest-list entry —
+    // the fixture module's rewriter (one body, no test-side copy)
+    operators.Lakehouse.stripManifestListSummaries(root)
     val all = IcebergMeta.plannedDataManifests(spark, root, None)
     assert(IcebergMeta.plannedDataManifests(spark, root,
       Some("part = 0")).size == all.size,

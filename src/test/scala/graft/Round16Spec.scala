@@ -294,6 +294,107 @@ class Round16Spec extends AnyFunSuite {
       .collect().head.getLong(0) == 2L)
   }
 
+  test("CBO joinReorder flips a pessimal star join over FOREIGN relations") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    // big (20k, iceberg) ⋈ mid (5k, delta) ⋈ small (50, iceberg):
+    // written big⋈mid first — the pessimal order (200k-row
+    // intermediate); with the foreign rowCount attach armed,
+    // joinReorder must pick big⋈small first. Zero ANALYZE calls: the
+    // counts come from the chains' own metadata.
+    val bigR = freshRoot("cbo_f_big")
+    val midR = freshRoot("cbo_f_mid")
+    val smallR = freshRoot("cbo_f_small")
+    LT.create((1L to 20000L).map(i => (i, i % 50)).toDF("k", "g")
+      .coalesce(1), bigR)
+    IcebergMeta.exportIcebergMeta(spark, bigR); wipeManifest(bigR)
+    LT.create((1L to 5000L).map(i => (i % 50, s"m$i")).toDF("g", "mv")
+      .coalesce(1), midR)
+    LT.exportDeltaLog(spark, midR); wipeManifest(midR)
+    LT.create((1L to 50L).map(i => (i, s"s$i")).toDF("k", "sv")
+      .coalesce(1), smallR)
+    IcebergMeta.exportIcebergMeta(spark, smallR); wipeManifest(smallR)
+    def pessimal() = IcebergMeta.readIceberg(spark, bigR)
+      .join(LT.readDeltaExport(spark, midR), "g")
+      .join(IcebergMeta.readIceberg(spark, smallR), "k")
+    def tablesUnder(p: LogicalPlan): Set[String] = p.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths
+          .map(_.toUri.getPath).collectFirst {
+            case q if q.startsWith(bigR) => "big"
+            case q if q.startsWith(midR) => "mid"
+            case q if q.startsWith(smallR) => "small"
+          }.getOrElse("?")
+        case _ => "?"
+      }
+    }.toSet
+    def innermostJoinTables(plan: LogicalPlan): Set[String] = {
+      val joins = plan.collect { case j: Join => j }
+      val inner = joins.filter(j => j.children.forall(
+        _.collect { case x: Join => x }.isEmpty))
+      assert(inner.size == 1, plan.treeString)
+      tablesUnder(inner.head)
+    }
+    // as written (CBO off): innermost is big ⋈ mid, and NO scan
+    // carries a catalogTable (the attach is conf-gated)
+    val off = pessimal()
+    assert(innermostJoinTables(off.queryExecution.optimizedPlan) ==
+      Set("big", "mid"))
+    assert(off.queryExecution.analyzed.collect {
+      case lr: LogicalRelation if lr.catalogTable.isDefined => lr
+    }.isEmpty, "CBO off must mean zero attach work")
+    val confs = Seq("spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.planStats.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true")
+    val saved = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val reordered = pessimal().queryExecution.optimizedPlan
+      assert(innermostJoinTables(reordered) == Set("big", "small"),
+        reordered.treeString)
+      // the attached counts are EXACT (list counts / add stats)
+      val armed = pessimal().queryExecution.analyzed.collect {
+        case lr: LogicalRelation if lr.catalogTable.isDefined =>
+          lr.catalogTable.get.stats.get.rowCount.get.toLong
+      }.sorted
+      assert(armed == Seq(50L, 5000L, 20000L), armed.toString)
+      // and the reorder is semantics-preserving
+      assert(pessimal().count() == 50L * 100L)
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  test("summary pruning holds at 100+ manifests (the streaming-append shape)") {
+    import spark.implicits._
+    val root = freshRoot("manyplan")
+    LT.create((0 until 12).map(i => (i.toLong, i % 12)).toDF("k", "part")
+      .coalesce(1), root, partitionBy = Seq("part"))
+    IcebergMeta.exportIcebergMeta(spark, root)
+    wipeManifest(root)
+    (1 to 120).foreach { i =>
+      IcebergMeta.appendIcebergForeign(spark, root,
+        Seq((1000L + i, i % 12)).toDF("k", "part").coalesce(1))
+      ()
+    }
+    val all = IcebergMeta.plannedDataManifests(spark, root, None)
+    assert(all.size == 121, s"expected 121 manifests, got ${all.size}")
+    // part=3: the 10 appends with i%12==3 + the create manifest (its
+    // summary spans parts 0..11, so it survives conservatively)
+    val kept = IcebergMeta.plannedDataManifests(spark, root,
+      Some("part = 3"))
+    assert(kept.size == 11, s"expected 11 kept, got ${kept.size}")
+    val n = IcebergMeta.readIceberg(spark, root,
+      pruneWhere = Some("part = 3")).count()
+    assert(n == 11L, n.toString) // 1 create row + 10 appends
+    // the summary-stripped twin keeps everything (conservative), and
+    // serves the identical result
+    operators.Lakehouse.stripManifestListSummaries(root)
+    assert(IcebergMeta.plannedDataManifests(spark, root,
+      Some("part = 3")).size == 121)
+    assert(IcebergMeta.readIceberg(spark, root,
+      pruneWhere = Some("part = 3")).count() == n)
+  }
+
   test("incremental export carries summaries without re-opening manifests") {
     import spark.implicits._
     val root = freshRoot("sumcarry")
