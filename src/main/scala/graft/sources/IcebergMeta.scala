@@ -619,13 +619,23 @@ object IcebergMeta {
     // because extending would need renumbering past the foreign files,
     // which this mirror does not do.
     val foreignTip: Boolean = Files.exists(hint) && {
+      // the tip is parsed DIRECTLY (not through currentMetadata): the
+      // read gate's v1/v3 refusal must not be swallowed into tip=None
+      // here — that would flip foreignTip to false and send a chain
+      // with a foreign-versioned tip into the rewalk's skip-if-exists
+      // writes, the exact silent-corruption mode this guard prevents.
+      // A non-v2 tip IS a foreign tip by definition: graft writes v2.
       val tip = for {
         n <- scala.util.Try(Files.readString(hint).trim.toLong).toOption
         if Files.exists(dir.resolve(s"v$n.metadata.json"))
-        md <- scala.util.Try(currentMetadata(root)).toOption
-      } yield (n, md.get("current-snapshot-id").asLong())
-      tip.exists { case (n, curSid) =>
-        !(vs.contains(n - 1) && curSid == snapshotId(root, n - 1))
+        md <- scala.util.Try(mapper.readTree(Files.readString(
+          dir.resolve(s"v$n.metadata.json")))).toOption
+      } yield (n, md)
+      tip.exists { case (n, md) =>
+        Option(md.get("format-version")).map(_.asInt()).getOrElse(0) != 2 ||
+          !(vs.contains(n - 1) &&
+            Option(md.get("current-snapshot-id")).map(_.asLong())
+              .getOrElse(-2L) == snapshotId(root, n - 1))
       }
     }
     if (foreignTip) {
@@ -1176,9 +1186,12 @@ object IcebergMeta {
       Paths.get(s.manifestList).getFileName.toString +:
         readAvro(Paths.get(s.manifestList)).flatMap { mf =>
           val m = Paths.get(mf.get("manifest_path").toString)
+          // both delete kinds (content 1 = position, 2 = equality):
+          // adding eqdelete- to the expirable set below makes a LIVE
+          // equality-delete file deletable unless it is protected here
           m.getFileName.toString +: readAvro(m).collect {
             case e if e.get("data_file").asInstanceOf[GenericRecord]
-                .get("content").asInstanceOf[Int] == 1 =>
+                .get("content").asInstanceOf[Int] != 0 =>
               Paths.get(e.get("data_file").asInstanceOf[GenericRecord]
                 .get("file_path").toString).getFileName.toString
           }
@@ -1208,7 +1221,8 @@ object IcebergMeta {
     withListed(dir)(_.map(_.getFileName.toString).toSeq.foreach { name =>
       val expirable =
         (name.startsWith("snap-") || name.startsWith("m-") ||
-          name.startsWith("delete-")) && !liveArtifacts.contains(name)
+          name.startsWith("delete-") || name.startsWith("eqdelete-")) &&
+          !liveArtifacts.contains(name)
       val oldMeta = name.matches("v\\d+\\.metadata\\.json") &&
         name.stripPrefix("v").stripSuffix(".metadata.json").toLong < hintN
       if (expirable || oldMeta) {
@@ -1339,7 +1353,11 @@ object IcebergMeta {
 
   def snapshots(root: String): Seq[SnapshotInfo] = {
     val md = currentMetadata(root)
-    md.get("snapshots").elements().asScala.map { s =>
+    // `snapshots` is OPTIONAL in v2 metadata — an empty foreign chain
+    // (or one whose first commit lost the CAS) omits it; empty, never
+    // an NPE
+    Option(md.get("snapshots"))
+      .map(_.elements().asScala).getOrElse(Iterator.empty).map { s =>
       SnapshotInfo(
         s.get("snapshot-id").asLong(),
         if (s.has("parent-snapshot-id")) s.get("parent-snapshot-id").asLong()
@@ -4236,15 +4254,22 @@ object IcebergMeta {
     def cachedAvro(p: Path): Seq[GenericRecord] =
       mfCache.getOrElseUpdate(p.toString, readAvro(p))
     val referenced = scala.collection.mutable.HashSet.empty[Path]
+    // metadata paths strip a file:-URI prefix; DATA paths get the read
+    // plane's FULL normalization (normPathDriver: URI prefix + URL
+    // decode) — the referenced set must resolve to the same FS paths
+    // the sweep walk produces, or a URI-form chain's live files would
+    // all read as unreferenced and be deleted
+    def metaRef(p: String): Path =
+      Paths.get(p.replaceFirst("^file:/+", "/")).toAbsolutePath.normalize()
     snapshots(root).foreach { s =>
-      val list = Paths.get(s.manifestList)
-      referenced += list.toAbsolutePath.normalize()
+      val list = metaRef(s.manifestList)
+      referenced += list
       cachedAvro(list).foreach { mf =>
-        val m = Paths.get(mf.get("manifest_path").toString)
-        referenced += m.toAbsolutePath.normalize()
+        val m = metaRef(mf.get("manifest_path").toString)
+        referenced += m
         cachedAvro(m).foreach { e =>
-          referenced += Paths.get(e.get("data_file")
-            .asInstanceOf[GenericRecord].get("file_path").toString)
+          referenced += Paths.get(normPathDriver(e.get("data_file")
+            .asInstanceOf[GenericRecord].get("file_path").toString))
             .toAbsolutePath.normalize()
         }
       }
@@ -4273,7 +4298,8 @@ object IcebergMeta {
       }
     val dataDir = Paths.get(root, "data")
     if (Files.isDirectory(dataDir)) walkData(dataDir)
-    val ArtifactRe = """m-.*\.avro|snap-.*\.avro|delete-.*\.parquet""".r
+    val ArtifactRe =
+      """m-.*\.avro|snap-.*\.avro|(?:eq)?delete-.*\.parquet""".r
     withListed(dir)(_.toSeq).sortBy(_.toString).foreach { p =>
       if (!Files.isDirectory(p) &&
           ArtifactRe.matches(p.getFileName.toString))
@@ -5297,22 +5323,30 @@ object IcebergMeta {
     * Σ (added_rows_count + existing_rows_count) over data manifests —
     * the counts every commit of this engine writes and the spec asks
     * of foreign writers. None when any manifest's counts are absent
-    * (a partial sum would be a WRONG statistic, worse than none). */
-  private def listLiveRowCount(snap: SnapshotInfo): Option[Long] = {
-    def num(r: GenericRecord, f: String): Option[Long] =
-      if (r.getSchema.getField(f) == null) None
-      else Option(r.get(f)).collect {
-        case l: java.lang.Long => l.longValue()
-        case i: java.lang.Integer => i.longValue()
-      }
-    val counts = readAvro(Paths.get(snap.manifestList))
-      .filter(mf => num(mf, "content").forall(_ == 0L))
-      .map { mf =>
-        for { a <- num(mf, "added_rows_count")
-              e <- num(mf, "existing_rows_count") } yield a + e
-      }
-    if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
-  }
+    * (a partial sum would be a WRONG statistic, worse than none).
+    * Cached by list path — a snapshot's list is immutable, and every
+    * CBO-armed read of the same snapshot must not re-pay the avro
+    * read (one GET per plan on an object store). Option-valued: the
+    * TrieMap never stores raw null. */
+  private val listRowCountCache =
+    TrieMap.empty[String, Option[Long]]
+
+  private def listLiveRowCount(snap: SnapshotInfo): Option[Long] =
+    listRowCountCache.getOrElseUpdate(snap.manifestList, {
+      def num(r: GenericRecord, f: String): Option[Long] =
+        if (r.getSchema.getField(f) == null) None
+        else Option(r.get(f)).collect {
+          case l: java.lang.Long => l.longValue()
+          case i: java.lang.Integer => i.longValue()
+        }
+      val counts = readAvro(Paths.get(snap.manifestList))
+        .filter(mf => num(mf, "content").forall(_ == 0L))
+        .map { mf =>
+          for { a <- num(mf, "added_rows_count")
+                e <- num(mf, "existing_rows_count") } yield a + e
+        }
+      if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
+    })
 
   /** SCAN PLANNING from manifest metadata (the Iceberg reader's
     * partition pruning + metrics file skipping): keep only the data

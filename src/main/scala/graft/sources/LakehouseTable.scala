@@ -2555,12 +2555,7 @@ object LakehouseTable {
     // only when CBO is armed: the default path pays no per-file parse.
     if (!spark.conf.get("spark.sql.cbo.enabled", "false").toBoolean) res
     else {
-      val om = new com.fasterxml.jackson.databind.ObjectMapper()
-      val counts = keep.map(f => state.stats.get(f).flatMap { s =>
-        try Option(om.readTree(s).get("numRecords"))
-          .filter(_.isNumber).map(_.asLong())
-        catch { case scala.util.control.NonFatal(_) => None }
-      })
+      val counts = keep.map(f => state.stats.get(f).flatMap(statsNumRecords))
       // a single stats-less add un-arms the whole count — a partial
       // sum would be WRONG, the one thing a statistic must never be
       if (counts.exists(_.isEmpty)) res
@@ -2568,6 +2563,17 @@ object LakehouseTable {
         counts.flatten.sum)
     }
   }
+
+  private lazy val statsNumRecordsMapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** The add action's stats `numRecords`, parsed as real JSON — ONE
+    * body for every consumer (the CBO rowCount attach, delta_files);
+    * None on absent/non-numeric/malformed, never a throw. */
+  private def statsNumRecords(statsJson: String): Option[Long] =
+    try Option(statsNumRecordsMapper.readTree(statsJson).get("numRecords"))
+      .filter(_.isNumber).map(_.asLong())
+    catch { case scala.util.control.NonFatal(_) => None }
 
   /** APPEND-ONLY COMMIT to a FOREIGN Delta table — a `_delta_log` this
     * engine did not write (no graft manifest): the minimal writer
@@ -4430,20 +4436,19 @@ object LakehouseTable {
     * after an out-of-band copy; -1 marks a missing file, which is
     * itself the signal an operator wants surfaced, not an error). A
     * file under a live DV appears ONCE, flagged. */
-  def deltaFilesDf(spark: SparkSession, root: String): DataFrame = {
+  def deltaFilesDf(spark: SparkSession, root: String,
+      versionAsOf: Option[Long] = None): DataFrame = {
     import spark.implicits._
     val logDir = Paths.get(root, "_delta_log")
     require(Files.isDirectory(logDir), s"no _delta_log at $root")
-    val cur = pinForeignDeltaVersion(root, logDir)
+    versionAsOf.foreach(v => require(
+      Files.exists(logDir.resolve(f"$v%020d.json")),
+      s"no exported log version $v at $root"))
+    val cur = versionAsOf.getOrElse(pinForeignDeltaVersion(root, logDir))
     val st = deltaStateAt(spark, root, Some(cur), useCheckpoint = true)
-    val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val rootP = Paths.get(root)
     val rows = st.live.sorted.map { f =>
-      val nr = st.stats.get(f).flatMap { s =>
-        try Option(om.readTree(s).get("numRecords"))
-          .filter(_.isNumber).map(_.asLong())
-        catch { case scala.util.control.NonFatal(_) => None }
-      }
+      val nr = st.stats.get(f).flatMap(statsNumRecords)
       val size =
         try Files.size(rootP.resolve(f))
         catch { case _: java.io.IOException => -1L }

@@ -1610,7 +1610,8 @@ object GraftSqlStatements {
   private val DeltaHistoryRe =
     ("""(?i)\bdelta_history\s*\(\s*""" + MaskedLit + """\s*\)""").r
   private val DeltaFilesRe =
-    ("""(?i)\bdelta_files\s*\(\s*""" + MaskedLit + """\s*\)""").r
+    ("""(?i)\bdelta_files\s*\(\s*""" + MaskedLit +
+      """\s*(?:,\s*(\d+))?\s*\)""").r
   // each range bound is a bare version/sequence number OR a quoted
   // timestamp literal (masked); the keys argument of iceberg_changelog
   // is optional — omitted, the key list comes from the graft manifest's
@@ -1995,8 +1996,10 @@ object GraftSqlStatements {
     })
     val afterDf = DeltaFilesRe.replaceAllIn(afterDh, m => {
       val path = unmaskLit(unmask, m.group(1))
-      val view = foreignView("delta_files", path)
-      LakehouseTable.deltaFilesDf(spark, path)
+      val vOpt = Option(m.group(2)).map(_.toLong)
+      val view = foreignView("delta_files",
+        s"$path#${vOpt.getOrElse(-1L)}")
+      LakehouseTable.deltaFilesDf(spark, path, versionAsOf = vOpt)
         .createOrReplaceTempView(view)
       q(view)
     })

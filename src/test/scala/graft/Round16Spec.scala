@@ -268,6 +268,96 @@ class Round16Spec extends AnyFunSuite {
       "the tag-reachable snapshot must stay readable after the sweep")
   }
 
+  private def rewriteAvroRecords(path: Path)(
+      f: org.apache.avro.generic.GenericRecord => Unit): Unit = {
+    val r = new org.apache.avro.file.DataFileReader(path.toFile,
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    val schema = r.getSchema
+    val recs = r.iterator().asScala.toSeq
+    r.close()
+    recs.foreach(f)
+    val tmp = Files.createTempFile(path.getParent, ".doct", ".avro")
+    val w = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](schema))
+    w.create(schema, tmp.toFile)
+    recs.foreach(w.append)
+    w.close()
+    Files.move(tmp, path, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  test("orphan sweep: URI-form manifest paths protect the same live files") {
+    import spark.implicits._
+    val root = freshRoot("orphanuri")
+    LT.create((0 until 6).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+      .coalesce(1), root)
+    IcebergMeta.exportIcebergMeta(spark, root)
+    wipeManifest(root)
+    // doctor EVERY data-manifest entry's file_path into file:-URI form
+    // (the layout normPathCol/normPathDriver exist for; reads serve it)
+    val metaDir = Paths.get(root, "metadata")
+    val manifests = {
+      val l = Files.list(metaDir)
+      try l.iterator().asScala.toSeq.filter(p =>
+        p.getFileName.toString.startsWith("m-") &&
+          p.getFileName.toString.endsWith(".avro"))
+      finally l.close()
+    }
+    manifests.foreach(m => rewriteAvroRecords(m) { e =>
+      val df = e.get("data_file")
+        .asInstanceOf[org.apache.avro.generic.GenericRecord]
+      df.put("file_path", "file://" + df.get("file_path").toString)
+    })
+    assert(IcebergMeta.readIceberg(spark, root).count() == 6,
+      "the URI-form chain must still read")
+    // age every data file past the horizon: ONLY the normalization
+    // keeps them out of the sweep now
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 72L * 3600 * 1000)
+    val dataDir = Paths.get(root, "data")
+    val dataFiles = {
+      val l = Files.list(dataDir)
+      try l.iterator().asScala.toSeq
+        .filter(_.toString.endsWith(".parquet"))
+      finally l.close()
+    }
+    dataFiles.foreach(p => Files.setLastModifiedTime(p, old))
+    val deleted = IcebergMeta.removeOrphanFilesForeign(spark, root, 24.0)
+    assert(deleted.isEmpty,
+      s"live URI-referenced files must survive the sweep: $deleted")
+    assert(IcebergMeta.readIceberg(spark, root).count() == 6)
+  }
+
+  test("a snapshots-less chain answers empty, and the mirror refuses a v3 tip") {
+    import spark.implicits._
+    // (a) metadata omitting the OPTIONAL snapshots array: empty, no NPE
+    val root = freshRoot("nosnaps")
+    val dir = Files.createDirectories(Paths.get(root, "metadata"))
+    Files.writeString(dir.resolve("v1.metadata.json"),
+      """{"format-version":2,"table-uuid":"00000000-0000-0000-0000-00000000aa01",""" +
+        s""""location":"$root","last-sequence-number":0,"last-updated-ms":1,""" +
+        """"last-column-id":1,"current-schema-id":0,""" +
+        """"schemas":[{"type":"struct","schema-id":0,"fields":[{"id":1,"name":"k","required":false,"type":"long"}]}],""" +
+        """"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],""" +
+        """"last-partition-id":999,"default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],""" +
+        """"properties":{}}""")
+    Files.writeString(dir.resolve("version-hint.text"), "1")
+    assert(IcebergMeta.snapshots(root).isEmpty)
+    assert(IcebergMeta.removeOrphanFilesForeign(spark, root, 24.0).isEmpty)
+    // (b) a graft MIRROR whose tip a foreign v3 writer took over:
+    // exportIcebergMeta must refuse LOUDLY, never silently rewalk
+    val mroot = freshRoot("v3tip")
+    LT.create(Seq((1L, "a")).toDF("k", "s").coalesce(1), mroot)
+    IcebergMeta.exportIcebergMeta(spark, mroot)
+    doctorFormatVersion(mroot, 3)
+    LT.append(Seq((2L, "b")).toDF("k", "s").coalesce(1), mroot)
+    val ex = intercept[IllegalStateException] {
+      IcebergMeta.exportIcebergMeta(spark, mroot)
+    }
+    assert(ex.getMessage.contains("foreign snapshots"), ex.getMessage)
+  }
+
   test("delta_files lists each live add once, DV state flagged") {
     import spark.implicits._
     val root = freshRoot("dfiles")
@@ -292,6 +382,13 @@ class Round16Spec extends AnyFunSuite {
     // the SQL face serves the same relation
     assert(spark.sql(s"SELECT count(*) AS n FROM delta_files('$root')")
       .collect().head.getLong(0) == 2L)
+    // versioned census (the iceberg_files snapshot-arg parity): at v0
+    // one file, 20 rows, no DV yet
+    val v0 = LT.deltaFilesDf(spark, root, versionAsOf = Some(0L)).collect()
+    assert(v0.length == 1 && v0.head.getLong(1) == 20L &&
+      !v0.head.getBoolean(4), v0.mkString("\n"))
+    assert(spark.sql(s"SELECT count(*) AS n FROM delta_files('$root', 0)")
+      .collect().head.getLong(0) == 1L)
   }
 
   test("CBO joinReorder flips a pessimal star join over FOREIGN relations") {
