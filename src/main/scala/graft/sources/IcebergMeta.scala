@@ -619,17 +619,18 @@ object IcebergMeta {
     // because extending would need renumbering past the foreign files,
     // which this mirror does not do.
     val foreignTip: Boolean = Files.exists(hint) && {
-      // the tip is parsed DIRECTLY (not through currentMetadata): the
-      // read gate's v1/v3 refusal must not be swallowed into tip=None
-      // here — that would flip foreignTip to false and send a chain
-      // with a foreign-versioned tip into the rewalk's skip-if-exists
-      // writes, the exact silent-corruption mode this guard prevents.
-      // A non-v2 tip IS a foreign tip by definition: graft writes v2.
+      // the tip is read UNGATED (currentMetadataUngated — the same
+      // (root, n, mtime, size)-keyed cache the per-commit hook
+      // depends on): the read gate's v1/v3 refusal must not be
+      // swallowed into tip=None here — that would flip foreignTip to
+      // false and send a chain with a foreign-versioned tip into the
+      // rewalk's skip-if-exists writes, the exact silent-corruption
+      // mode this guard prevents. A non-v2 tip IS a foreign tip by
+      // definition: graft writes v2.
       val tip = for {
         n <- scala.util.Try(Files.readString(hint).trim.toLong).toOption
         if Files.exists(dir.resolve(s"v$n.metadata.json"))
-        md <- scala.util.Try(mapper.readTree(Files.readString(
-          dir.resolve(s"v$n.metadata.json")))).toOption
+        md <- scala.util.Try(currentMetadataUngated(root)).toOption
       } yield (n, md)
       tip.exists { case (n, md) =>
         Option(md.get("format-version")).map(_.asInt()).getOrElse(0) != 2 ||
@@ -1320,7 +1321,11 @@ object IcebergMeta {
     }
   }
 
-  private def currentMetadata(root: String)
+  /** The cached parse WITHOUT the format-version gate — only for
+    * callers that must LOOK at a possibly-foreign tip to classify it
+    * (the export guard); every read entry goes through
+    * [[currentMetadata]], which gates. */
+  private def currentMetadataUngated(root: String)
       : com.fasterxml.jackson.databind.JsonNode = {
     val dir = metaDir(root)
     val hint = dir.resolve("version-hint.text")
@@ -1330,8 +1335,13 @@ object IcebergMeta {
     val f = dir.resolve(s"v$n.metadata.json")
     val mt = Files.getLastModifiedTime(f).toMillis
     val sz = Files.size(f)
-    val md = metadataCache.getOrElseUpdate((root, n, mt, sz),
+    metadataCache.getOrElseUpdate((root, n, mt, sz),
       mapper.readTree(Files.readString(f)))
+  }
+
+  private def currentMetadata(root: String)
+      : com.fasterxml.jackson.databind.JsonNode = {
+    val md = currentMetadataUngated(root)
     requireIcebergReaderVersion(md, root)
     md
   }
@@ -4254,23 +4264,31 @@ object IcebergMeta {
     def cachedAvro(p: Path): Seq[GenericRecord] =
       mfCache.getOrElseUpdate(p.toString, readAvro(p))
     val referenced = scala.collection.mutable.HashSet.empty[Path]
-    // metadata paths strip a file:-URI prefix; DATA paths get the read
-    // plane's FULL normalization (normPathDriver: URI prefix + URL
-    // decode) — the referenced set must resolve to the same FS paths
-    // the sweep walk produces, or a URI-form chain's live files would
-    // all read as unreferenced and be deleted
+    // a referenced path protects under BOTH normalizations: the raw
+    // committed form with only the file:-URI prefix stripped (matches
+    // an on-disk layout carrying literal %XX escapes — Spark writes
+    // them into partition dir names) AND the read plane's full
+    // normPathDriver decode (matches a URI/percent-ENCODED manifest
+    // over a decoded layout). Protecting both costs set entries; a
+    // one-sided choice deletes live files on whichever layout it
+    // mis-guessed — the irreversible direction. A stray '%' that
+    // URLDecoder rejects keeps the raw form only, never a crash.
     def metaRef(p: String): Path =
       Paths.get(p.replaceFirst("^file:/+", "/")).toAbsolutePath.normalize()
+    def addRef(raw: String): Unit = {
+      referenced += metaRef(raw)
+      scala.util.Try(normPathDriver(raw)).foreach(d =>
+        referenced += Paths.get(d).toAbsolutePath.normalize())
+    }
     snapshots(root).foreach { s =>
       val list = metaRef(s.manifestList)
-      referenced += list
+      addRef(s.manifestList)
       cachedAvro(list).foreach { mf =>
         val m = metaRef(mf.get("manifest_path").toString)
-        referenced += m
+        addRef(mf.get("manifest_path").toString)
         cachedAvro(m).foreach { e =>
-          referenced += Paths.get(normPathDriver(e.get("data_file")
-            .asInstanceOf[GenericRecord].get("file_path").toString))
-            .toAbsolutePath.normalize()
+          addRef(e.get("data_file")
+            .asInstanceOf[GenericRecord].get("file_path").toString)
         }
       }
     }
@@ -4280,9 +4298,14 @@ object IcebergMeta {
           .toAbsolutePath.normalize()))
     referenced ++= LakehouseTable.deltaReferencedPaths(spark, root)
     val deleted = Seq.newBuilder[String]
+    // the mtime probe tolerates a file vanishing between the listing
+    // and the check (an aborting in-flight writer removing its own
+    // temp output — the very race the grace horizon exists for):
+    // already-gone = not sweepable, never an aborted sweep
     def sweepable(abs: Path): Unit =
       if (!referenced.contains(abs) &&
-          Files.getLastModifiedTime(abs).toMillis < horizon &&
+          scala.util.Try(Files.getLastModifiedTime(abs).toMillis)
+            .toOption.exists(_ < horizon) &&
           Files.deleteIfExists(abs))
         deleted += rootAbs.relativize(abs).toString
     def hidden(p: Path): Boolean = {
@@ -5324,15 +5347,21 @@ object IcebergMeta {
     * the counts every commit of this engine writes and the spec asks
     * of foreign writers. None when any manifest's counts are absent
     * (a partial sum would be a WRONG statistic, worse than none).
-    * Cached by list path — a snapshot's list is immutable, and every
-    * CBO-armed read of the same snapshot must not re-pay the avro
-    * read (one GET per plan on an object store). Option-valued: the
-    * TrieMap never stores raw null. */
+    * Cached by (list path, mtime, size) — a snapshot's list is
+    * immutable, so every CBO-armed read of the same snapshot skips the
+    * avro re-read (one GET per plan on an object store); mtime+size in
+    * the key (the metadataCache discipline) so a table RE-CREATED at
+    * the same root — whose deterministic snapshot ids land the new
+    * list on the identical path — never serves the old table's count.
+    * Option-valued: the TrieMap never stores raw null. */
   private val listRowCountCache =
-    TrieMap.empty[String, Option[Long]]
+    TrieMap.empty[(String, Long, Long), Option[Long]]
 
-  private def listLiveRowCount(snap: SnapshotInfo): Option[Long] =
-    listRowCountCache.getOrElseUpdate(snap.manifestList, {
+  private def listLiveRowCount(snap: SnapshotInfo): Option[Long] = {
+    val lp = Paths.get(snap.manifestList)
+    val key = (snap.manifestList,
+      Files.getLastModifiedTime(lp).toMillis, Files.size(lp))
+    listRowCountCache.getOrElseUpdate(key, {
       def num(r: GenericRecord, f: String): Option[Long] =
         if (r.getSchema.getField(f) == null) None
         else Option(r.get(f)).collect {
@@ -5347,6 +5376,7 @@ object IcebergMeta {
         }
       if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
     })
+  }
 
   /** SCAN PLANNING from manifest metadata (the Iceberg reader's
     * partition pruning + metrics file skipping): keep only the data

@@ -58,22 +58,6 @@ class Round15Spec extends AnyFunSuite {
     (v, logDir.resolve(f"$v%020d.checkpoint.parquet"))
   }
 
-  private def writeOneParquet(df: org.apache.spark.sql.DataFrame,
-      target: Path): Unit = {
-    val tmp = Files.createTempDirectory(target.getParent, ".t")
-    df.coalesce(1).write.mode("overwrite")
-      .parquet(tmp.resolve("out").toString)
-    val part = {
-      val s = Files.list(tmp.resolve("out"))
-      try s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
-        .toSeq.head
-      finally s.close()
-    }
-    Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
-    Files.walk(tmp).iterator().asScala.toSeq
-      .sortBy(_.toString).reverse.foreach(Files.deleteIfExists(_))
-  }
-
   /** Rewrite the chain's classic checkpoint as a spec multi-part one —
     * the fixture module's rewriter (one body, no test-side copy). */
   private def toMultipart(root: String, parts: Int): Long = {
