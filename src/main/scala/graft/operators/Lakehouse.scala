@@ -457,6 +457,32 @@ object Lakehouse {
     }
   }
 
+  private[graft] def icebergPartDir(d: String): String =
+    TableCache.baseDir + "/iceberg_part_" +
+      java.nio.file.Paths.get(d).getFileName.toString
+
+  /** The Iceberg twin of [[foreignPartAppendRoot]]: an
+    * identity-partitioned (o_orderstatus) foreign chain, evens created
+    * natively, odds appended foreign under the table's own layout.
+    * q241 reads its `iceberg_partitions` relation against DuckDB's
+    * hive-partitioned census of the data directory. */
+  private[graft] def icebergPartRoot(s: SparkSession, d: String): String = {
+    val root = icebergPartDir(d)
+    foreignFixture(root, d) { () =>
+      LakehouseTable.create(
+        ordersSlice(s, d).filter(col("o_orderkey") % 2 === 0)
+          .repartition(col("o_orderstatus")),
+        root, partitionBy = Seq("o_orderstatus"))
+      IcebergMeta.exportIcebergMeta(s, root)
+      ()
+    } { () =>
+      IcebergMeta.appendIcebergForeign(s, root,
+        ordersSlice(s, d).filter(col("o_orderkey") % 2 === 1)
+          .repartition(col("o_orderstatus")))
+      ()
+    }
+  }
+
   /** The Iceberg twin of [[foreignAppendRoot]]: a genuinely foreign
     * CHAIN appended to through [[IcebergMeta.appendIcebergForeign]] —
     * evens created natively, odds committed as a foreign snapshot.
@@ -1144,9 +1170,12 @@ object Lakehouse {
     * advancing main to the branch head. q232 reads post-publish
     * current state = both eras; the staged-invisibility and refusal
     * halves are pinned in Round15Spec. */
-  private[graft] def icebergWapRoot(s: SparkSession, d: String): String = {
-    val root = TableCache.baseDir + "/iceberg_wap_" +
+  private[graft] def icebergWapDir(d: String): String =
+    TableCache.baseDir + "/iceberg_wap_" +
       java.nio.file.Paths.get(d).getFileName.toString
+
+  private[graft] def icebergWapRoot(s: SparkSession, d: String): String = {
+    val root = icebergWapDir(d)
     foreignFixture(root, d) { () =>
       LakehouseTable.create(
         ordersSlice(s, d).filter(col("o_orderkey") % 2 === 0), root)
@@ -2941,6 +2970,42 @@ object Lakehouse {
         FROM delta_history('$p') ORDER BY version""")
     }),
 
+    // INSPECTION TVF, refs: the WAP chain's reference table — after
+    // FAST FORWARD both main and staging pin the published snapshot;
+    // validated against DuckDB's MAP-typed parse of the chain's own
+    // metadata refs object.
+    "q240_iceberg_refs" -> ((s, d) => {
+      val root = icebergWapRoot(s, d)
+      val p = root.replace("'", "''")
+      s.sql(s"""SELECT ref_name, ref_type, snapshot_id
+        FROM iceberg_refs('$p') ORDER BY ref_name""")
+    }),
+
+    // INSPECTION TVF, partitions: per-partition live file/row census
+    // of the identity-partitioned chain vs DuckDB's hive-partitioned
+    // census of the data directory (append-only: all files live).
+    "q241_iceberg_partitions" -> ((s, d) => {
+      val root = icebergPartRoot(s, d)
+      val p = root.replace("'", "''")
+      s.sql(s"""SELECT partition, CAST(n_files AS BIGINT) AS n_files,
+          CAST(n_rows AS BIGINT) AS n_rows
+        FROM iceberg_partitions('$p') ORDER BY partition""")
+    }),
+
+    // INSPECTION TVF, delta detail: the one-row DESCRIBE DETAIL
+    // summary vs THREE independent sources — the data-dir census
+    // (files), the canonical orders table (rows), and the raw log
+    // listing (versions).
+    "q242_delta_detail" -> ((s, d) => {
+      val root = foreignPartAppendRoot(s, d)
+      val p = root.replace("'", "''")
+      s.sql(s"""SELECT CAST(num_files AS BIGINT) AS num_files,
+          CAST(num_rows AS BIGINT) AS num_rows,
+          CAST(num_versions AS BIGINT) AS num_versions,
+          partition_columns
+        FROM delta_detail('$p')""")
+    }),
+
     // INSPECTION TVF, delta files: the live-add census (count, stats
     // numRecords sums) of the append-only foreign log vs DuckDB's
     // independent read of the data directory — append-only, so every
@@ -4308,6 +4373,46 @@ object Lakehouse {
             CAST(sum(CASE WHEN is_rm THEN 1 ELSE 0 END) AS BIGINT)
               AS n_removes
           FROM a GROUP BY 1 ORDER BY 1""",
+
+    // the refs relation equals the chain's own metadata refs object,
+    // independently parsed as a MAP (dynamic keys)
+    "q240_iceberg_refs" ->
+      s"""WITH m AS (
+            SELECT refs,
+              CAST(regexp_extract(filename, 'v(\\d+)\\.metadata\\.json', 1)
+                AS INT) AS v
+            FROM read_json('${icebergWapDir("/root/testdata/sf0.01")}/metadata/v*.metadata.json',
+              filename=true,
+              columns={refs: 'MAP(VARCHAR, STRUCT("snapshot-id" BIGINT, type VARCHAR))'})),
+          cur AS (SELECT refs FROM m ORDER BY v DESC LIMIT 1),
+          e AS (SELECT unnest(map_entries(refs)) AS kv FROM cur)
+          SELECT kv.key AS ref_name, kv.value.type AS ref_type,
+            CAST(kv.value."snapshot-id" AS BIGINT) AS snapshot_id
+          FROM e ORDER BY ref_name""",
+
+    // per-partition census vs DuckDB's hive-partitioned read of the
+    // data directory (append-only fixture: every file is live)
+    "q241_iceberg_partitions" ->
+      s"""SELECT 'o_orderstatus=' || o_orderstatus AS partition,
+            CAST(count(DISTINCT filename) AS BIGINT) AS n_files,
+            CAST(count(*) AS BIGINT) AS n_rows
+          FROM read_parquet('${icebergPartDir("/root/testdata/sf0.01")}/data/*/*.parquet',
+            filename=true, hive_partitioning=true)
+          GROUP BY 1 ORDER BY 1""",
+
+    // the one-row detail vs three independent sources: data-dir file
+    // census, the canonical orders row count, the raw log listing
+    "q242_delta_detail" ->
+      s"""SELECT
+            (SELECT CAST(count(DISTINCT filename) AS BIGINT)
+             FROM read_parquet('${foreignPartAppendDir("/root/testdata/sf0.01")}/data/*/*.parquet',
+               filename=true)) AS num_files,
+            (SELECT CAST(count(*) AS BIGINT) FROM orders) AS num_rows,
+            (SELECT CAST(count(DISTINCT filename) AS BIGINT)
+             FROM read_json('${foreignPartAppendDir("/root/testdata/sf0.01")}/_delta_log/*.json',
+               format='newline_delimited', filename=true,
+               columns={add: 'STRUCT(path VARCHAR)'})) AS num_versions,
+            'o_orderstatus' AS partition_columns""",
 
     // the files relation's claim equals an independent census of the
     // data directory (append-only: every written file is live)

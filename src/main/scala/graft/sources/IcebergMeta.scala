@@ -4656,6 +4656,72 @@ object IcebergMeta {
     rows.toDF("file_path", "record_count", "file_size", "sequence_number")
   }
 
+  /** `iceberg_refs('/p')` — the chain's named references (Iceberg's
+    * `refs` metadata table): branch/tag name, type, pinned snapshot.
+    * The relation a WAP operator reads before FAST FORWARD / DROP
+    * decisions. One metadata parse, zero file IO beyond it. */
+  def refsDf(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val md = currentMetadata(root)
+    Option(md.get("refs")).map(_.properties().asScala.toSeq.map { e =>
+      (e.getKey,
+        Option(e.getValue.get("type")).map(_.asText()).getOrElse("branch"),
+        e.getValue.get("snapshot-id").asLong())
+    }.sortBy(_._1)).getOrElse(Nil)
+      .toDF("ref_name", "ref_type", "snapshot_id")
+  }
+
+  /** `iceberg_partitions('/p'[, snapshot])` — per-partition live file
+    * and row counts (Iceberg's `partitions` metadata table): the
+    * relation behind skew/compaction decisions ("which partition holds
+    * the small files?"). Each live data entry's partition struct
+    * renders as `field=value` pairs (spec field names, the struct's
+    * own avro values — transform fields show their transform units,
+    * evolution eras keep their own field sets, exactly the spec
+    * table's behavior). O(manifests) driver avro IO, zero data IO. */
+  def partitionsDf(spark: SparkSession, root: String,
+      snapshotAsOf: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val md = currentMetadata(root)
+    val sid = snapshotAsOf.getOrElse(md.get("current-snapshot-id").asLong())
+    val rows =
+      if (sid == -1L) Nil
+      else {
+        val snap = snapshots(root).find(_.id == sid).getOrElse(
+          throw new IllegalArgumentException(
+            s"no Iceberg snapshot $sid at $root"))
+        readAvro(Paths.get(snap.manifestList))
+          .filter(_.get("content").asInstanceOf[Int] == 0)
+          .flatMap { mf =>
+            readAvro(Paths.get(mf.get("manifest_path").toString))
+              .filter(_.get("status").asInstanceOf[Int] != 2)
+              .map { e =>
+                val df = e.get("data_file").asInstanceOf[GenericRecord]
+                val part =
+                  if (df.getSchema.getField("partition") == null) null
+                  else df.get("partition").asInstanceOf[GenericRecord]
+                val pstr =
+                  if (part == null) ""
+                  else part.getSchema.getFields.asScala.toSeq
+                    .sortBy(_.name).map(f => f.name + "=" +
+                      Option(part.get(f.pos)).map(_.toString)
+                        .getOrElse("null"))
+                    .mkString("/")
+                def optLong(f: String): Long =
+                  if (df.getSchema.getField(f) == null) 0L
+                  else Option(df.get(f)).map(_.asInstanceOf[Long])
+                    .getOrElse(0L)
+                (pstr, optLong("record_count"),
+                  optLong("file_size_in_bytes"))
+              }
+          }
+      }
+    rows.groupBy(_._1).toSeq.map { case (p, es) =>
+      (p, es.size.toLong, es.map(_._2).sum, es.map(_._3).sum)
+    }.sortBy(_._1)
+      .toDF("partition", "n_files", "n_rows", "size_bytes")
+  }
+
   /** The snapshot id a ref points at — the name-resolution half of
     * `VERSION AS OF 'tag'` time travel. */
   def refSnapshotId(root: String, name: String): Option[Long] = {

@@ -4462,6 +4462,32 @@ object LakehouseTable {
       "has_dv", "dv_cardinality")
   }
 
+  /** `delta_detail('/p')` — the one-row table summary (Delta's
+    * DESCRIBE DETAIL shape): live file count, total rows (the adds'
+    * stats claim; null when any live add lacks stats — never a
+    * partial sum), on-disk bytes of the live set, surviving log
+    * version count, and the partition columns. Replay-state
+    * surfacing; the only per-file IO is the size stat. */
+  def deltaDetailDf(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val logDir = Paths.get(root, "_delta_log")
+    require(Files.isDirectory(logDir), s"no _delta_log at $root")
+    val cur = pinForeignDeltaVersion(root, logDir)
+    val st = deltaStateAt(spark, root, Some(cur), useCheckpoint = true)
+    val counts = st.live.map(f => st.stats.get(f).flatMap(statsNumRecords))
+    val numRows: Option[Long] =
+      if (counts.isEmpty || counts.exists(_.isEmpty)) None
+      else Some(counts.flatten.sum)
+    val rootP = Paths.get(root)
+    val sizeBytes = st.live.map(f =>
+      scala.util.Try(Files.size(rootP.resolve(f))).getOrElse(0L)).sum
+    Seq((st.live.size.toLong, numRows, sizeBytes,
+      deltaLogVersions(root).size.toLong,
+      st.partitionCols.mkString(",")))
+      .toDF("num_files", "num_rows", "size_bytes", "num_versions",
+        "partition_columns")
+  }
+
   def deltaHistoryDf(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
     val logDir = Paths.get(root, "_delta_log")

@@ -1607,6 +1607,13 @@ object GraftSqlStatements {
   private val IcebergManifestsRe =
     ("""(?i)\biceberg_manifests\s*\(\s*""" + MaskedLit +
       """\s*(?:,\s*(\d+))?\s*\)""").r
+  private val IcebergRefsRe =
+    ("""(?i)\biceberg_refs\s*\(\s*""" + MaskedLit + """\s*\)""").r
+  private val IcebergPartitionsRe =
+    ("""(?i)\biceberg_partitions\s*\(\s*""" + MaskedLit +
+      """\s*(?:,\s*(\d+))?\s*\)""").r
+  private val DeltaDetailRe =
+    ("""(?i)\bdelta_detail\s*\(\s*""" + MaskedLit + """\s*\)""").r
   private val DeltaHistoryRe =
     ("""(?i)\bdelta_history\s*\(\s*""" + MaskedLit + """\s*\)""").r
   private val DeltaFilesRe =
@@ -2003,7 +2010,29 @@ object GraftSqlStatements {
         .createOrReplaceTempView(view)
       q(view)
     })
-    unmask(afterDf)
+    val afterIr = IcebergRefsRe.replaceAllIn(afterDf, m => {
+      val path = unmaskLit(unmask, m.group(1))
+      val view = foreignView("iceberg_refs", path)
+      IcebergMeta.refsDf(spark, path).createOrReplaceTempView(view)
+      q(view)
+    })
+    val afterIp = IcebergPartitionsRe.replaceAllIn(afterIr, m => {
+      val path = unmaskLit(unmask, m.group(1))
+      val sidOpt = Option(m.group(2)).map(_.toLong)
+      val view = foreignView("iceberg_partitions",
+        s"$path#${sidOpt.getOrElse(-1L)}")
+      IcebergMeta.partitionsDf(spark, path, snapshotAsOf = sidOpt)
+        .createOrReplaceTempView(view)
+      q(view)
+    })
+    val afterDd = DeltaDetailRe.replaceAllIn(afterIp, m => {
+      val path = unmaskLit(unmask, m.group(1))
+      val view = foreignView("delta_detail", path)
+      LakehouseTable.deltaDetailDf(spark, path)
+        .createOrReplaceTempView(view)
+      q(view)
+    })
+    unmask(afterDd)
   }
 }
 

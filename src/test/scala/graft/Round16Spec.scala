@@ -391,6 +391,60 @@ class Round16Spec extends AnyFunSuite {
       .collect().head.getLong(0) == 1L)
   }
 
+  test("refs/partitions/detail inspection relations read pure state") {
+    import spark.implicits._
+    // refs: a staged branch and a tag, distinct snapshots, then the
+    // publish collapses main onto the branch head
+    val root = freshRoot("refs")
+    LT.create((0 until 4).map(i => (i.toLong, i % 2)).toDF("k", "part")
+      .coalesce(1), root, partitionBy = Seq("part"))
+    IcebergMeta.exportIcebergMeta(spark, root)
+    wipeManifest(root)
+    val base = IcebergMeta.snapshots(root).last.id
+    IcebergMeta.createRefForeign(root, "pin", base, "tag")
+    IcebergMeta.createRefForeign(root, "stage", base, "branch")
+    val staged = IcebergMeta.appendIcebergForeign(spark, root,
+      (4 until 8).map(i => (i.toLong, i % 2)).toDF("k", "part")
+        .coalesce(1), branch = Some("stage"))
+    val refs = IcebergMeta.refsDf(spark, root).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(refs.contains(("pin", "tag", base)), refs.toString)
+    assert(refs.contains(("stage", "branch", staged)), refs.toString)
+    assert(refs.contains(("main", "branch", base)), refs.toString)
+    IcebergMeta.fastForwardForeign(root, "stage")
+    val after = IcebergMeta.refsDf(spark, root).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(after("main") == staged && after("stage") == staged &&
+      after("pin") == base, after.toString)
+    // partitions: the census equals the read's own group-by, and a
+    // PINNED snapshot serves the pre-publish census
+    val parts = IcebergMeta.partitionsDf(spark, root).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toMap
+    val expect = IcebergMeta.readIceberg(spark, root)
+      .groupBy(col("part")).count().collect()
+      .map(r => (s"part=${r.get(0)}", r.getLong(1))).toMap
+    assert(parts == expect, s"$parts vs $expect")
+    val pinned = IcebergMeta.partitionsDf(spark, root,
+      snapshotAsOf = Some(base)).collect().map(_.getLong(2)).sum
+    assert(pinned == 4L, pinned.toString)
+    // detail: one row, counts advance with an append
+    val droot = freshRoot("detail")
+    LT.create((0 until 6).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+      .coalesce(1), droot)
+    LT.exportDeltaLog(spark, droot)
+    wipeManifest(droot)
+    def detail() = LT.deltaDetailDf(spark, droot).collect().head
+    val d0 = detail()
+    assert(d0.getLong(0) == 1L && d0.getLong(1) == 6L &&
+      d0.getLong(3) == 1L && d0.getString(4) == "", d0.toString)
+    LT.appendDeltaForeign(spark, droot,
+      Seq((6L, "v6")).toDF("k", "s").coalesce(1))
+    val d1 = detail()
+    assert(d1.getLong(0) == 2L && d1.getLong(1) == 7L &&
+      d1.getLong(3) == 2L, d1.toString)
+    assert(d1.getLong(2) > d0.getLong(2), "size grows with the append")
+  }
+
   test("CBO joinReorder flips a pessimal star join over FOREIGN relations") {
     import spark.implicits._
     import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
