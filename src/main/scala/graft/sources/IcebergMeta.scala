@@ -4592,7 +4592,9 @@ object IcebergMeta {
       snapshotAsOf: Option[Long] = None): DataFrame = {
     import spark.implicits._
     val md = currentMetadata(root)
-    val sid = snapshotAsOf.getOrElse(md.get("current-snapshot-id").asLong())
+    // current-snapshot-id is OPTIONAL in v2 metadata — empty, not NPE
+    val sid = snapshotAsOf.getOrElse(Option(md.get("current-snapshot-id"))
+      .map(_.asLong()).getOrElse(-1L))
     val rows =
       if (sid == -1L) Nil
       else {
@@ -4627,7 +4629,9 @@ object IcebergMeta {
       snapshotAsOf: Option[Long] = None): DataFrame = {
     import spark.implicits._
     val md = currentMetadata(root)
-    val sid = snapshotAsOf.getOrElse(md.get("current-snapshot-id").asLong())
+    // current-snapshot-id is OPTIONAL in v2 metadata — empty, not NPE
+    val sid = snapshotAsOf.getOrElse(Option(md.get("current-snapshot-id"))
+      .map(_.asLong()).getOrElse(-1L))
     val rows =
       if (sid == -1L) Nil
       else {
@@ -4683,7 +4687,10 @@ object IcebergMeta {
       snapshotAsOf: Option[Long] = None): DataFrame = {
     import spark.implicits._
     val md = currentMetadata(root)
-    val sid = snapshotAsOf.getOrElse(md.get("current-snapshot-id").asLong())
+    // current-snapshot-id is OPTIONAL in v2 metadata (empty chains
+    // omit it) — empty relation, never an NPE
+    val sid = snapshotAsOf.getOrElse(Option(md.get("current-snapshot-id"))
+      .map(_.asLong()).getOrElse(-1L))
     val rows =
       if (sid == -1L) Nil
       else {
@@ -4700,10 +4707,15 @@ object IcebergMeta {
                 val part =
                   if (df.getSchema.getField("partition") == null) null
                   else df.get("partition").asInstanceOf[GenericRecord]
+                // SPEC field order (the struct's own avro order, and
+                // the hive layout's) — not alphabetical: a consumer
+                // matching rendered keys against directory paths or a
+                // real engine's partitions table must see 'year=…/
+                // month=…', never a reordered key
                 val pstr =
                   if (part == null) ""
                   else part.getSchema.getFields.asScala.toSeq
-                    .sortBy(_.name).map(f => f.name + "=" +
+                    .map(f => f.name + "=" +
                       Option(part.get(f.pos)).map(_.toString)
                         .getOrElse("null"))
                     .mkString("/")

@@ -4463,11 +4463,15 @@ object LakehouseTable {
   }
 
   /** `delta_detail('/p')` — the one-row table summary (Delta's
-    * DESCRIBE DETAIL shape): live file count, total rows (the adds'
-    * stats claim; null when any live add lacks stats — never a
-    * partial sum), on-disk bytes of the live set, surviving log
-    * version count, and the partition columns. Replay-state
-    * surfacing; the only per-file IO is the size stat. */
+    * DESCRIBE DETAIL shape): live file count, LOGICAL total rows (the
+    * adds' stats claim minus live deletion-vector cardinalities — the
+    * number `count(*)` over the table serves; 0 for an empty live set,
+    * which is exactly known; null only when a live add lacks stats —
+    * never a partial sum), on-disk bytes of the live set (-1 when any
+    * live file is MISSING on disk — an out-of-band deletion is the
+    * damage this relation must surface, not mask as a smaller sum),
+    * surviving log version count, and the partition columns.
+    * Replay-state surfacing; the only per-file IO is the size stat. */
   def deltaDetailDf(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
     val logDir = Paths.get(root, "_delta_log")
@@ -4476,11 +4480,15 @@ object LakehouseTable {
     val st = deltaStateAt(spark, root, Some(cur), useCheckpoint = true)
     val counts = st.live.map(f => st.stats.get(f).flatMap(statsNumRecords))
     val numRows: Option[Long] =
-      if (counts.isEmpty || counts.exists(_.isEmpty)) None
-      else Some(counts.flatten.sum)
+      if (counts.isEmpty) Some(0L)
+      else if (counts.exists(_.isEmpty)) None
+      else Some(counts.flatten.sum -
+        st.dvs.values.map(_.cardinality).sum)
     val rootP = Paths.get(root)
-    val sizeBytes = st.live.map(f =>
-      scala.util.Try(Files.size(rootP.resolve(f))).getOrElse(0L)).sum
+    val sizes = st.live.map(f =>
+      scala.util.Try(Files.size(rootP.resolve(f))).toOption)
+    val sizeBytes =
+      if (sizes.exists(_.isEmpty)) -1L else sizes.flatten.sum
     Seq((st.live.size.toLong, numRows, sizeBytes,
       deltaLogVersions(root).size.toLong,
       st.partitionCols.mkString(",")))

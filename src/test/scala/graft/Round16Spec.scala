@@ -345,6 +345,12 @@ class Round16Spec extends AnyFunSuite {
     Files.writeString(dir.resolve("version-hint.text"), "1")
     assert(IcebergMeta.snapshots(root).isEmpty)
     assert(IcebergMeta.removeOrphanFilesForeign(spark, root, 24.0).isEmpty)
+    // every inspection relation answers empty too (current-snapshot-id
+    // is also optional) — never an NPE
+    assert(IcebergMeta.partitionsDf(spark, root).count() == 0)
+    assert(IcebergMeta.filesDf(spark, root).count() == 0)
+    assert(IcebergMeta.manifestsDf(spark, root).count() == 0)
+    assert(IcebergMeta.refsDf(spark, root).count() == 0)
     // (b) a graft MIRROR whose tip a foreign v3 writer took over:
     // exportIcebergMeta must refuse LOUDLY, never silently rewalk
     val mroot = freshRoot("v3tip")
@@ -389,6 +395,12 @@ class Round16Spec extends AnyFunSuite {
       !v0.head.getBoolean(4), v0.mkString("\n"))
     assert(spark.sql(s"SELECT count(*) AS n FROM delta_files('$root', 0)")
       .collect().head.getLong(0) == 1L)
+    // detail on the DV-bearing table: num_rows is LOGICAL (40 physical
+    // minus the DV's 2 deleted) — the count the read path serves
+    val det = LT.deltaDetailDf(spark, root).collect().head
+    assert(det.getLong(1) == 38L, det.toString)
+    assert(det.getLong(1) == LT.readDeltaExport(spark, root).count(),
+      "detail num_rows must equal the read's own count")
   }
 
   test("refs/partitions/detail inspection relations read pure state") {
