@@ -44,23 +44,40 @@ object QueryProfile {
     val names =
       if (args.length > 1) args.drop(1).toSeq
       else SparkEntry.queries.keys.toSeq.sorted
+    // fail fast on a mistyped query name — the warmup loop swallows
+    // Throwables, so a typo would otherwise only surface as a mid-report
+    // NoSuchElementException after minutes of profiling (ADVICE r16)
+    val bad = names.filterNot(SparkEntry.queries.contains)
+    require(bad.isEmpty, s"unknown queries: ${bad.mkString(", ")}")
     // warmup pass (JIT, codegen cache, relation caches — bench does the same)
     names.foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
-    println(f"${"query"}%-34s ${"cons_s"}%7s ${"act_s"}%7s ${"jobs"}%5s ${"stgs"}%5s ${"tasks"}%6s ${"exec_s"}%7s")
+    // listener columns are APPROXIMATE: the SparkListenerBus drains
+    // asynchronously, so despite the settle sleeps a heavy query's task
+    // events can bleed into the next row's counters (observed: a cached
+    // scan showing 18 s of "exec" inherited from its predecessor).
+    // Profile suspects in isolation before acting on these numbers.
+    println(f"${"query"}%-34s ${"cons_s"}%7s ${"act_s"}%7s ${"jobs"}%5s ${"stgs"}%5s ${"tasks"}%6s ${"exec_s"}%7s  (listener cols approximate)")
     names.foreach { n =>
       // settle listener events from the previous query
       Thread.sleep(300)
       jobs.set(0); stages.set(0); tasks.set(0); taskTimeMs.set(0)
       val t0 = System.nanoTime()
-      val df = SparkEntry.queries(n)(spark, sfDir)
+      // a failing query must print as FAILED, not as a fast row (ADVICE
+      // r16): Bench marks these -1; mirror that here
+      var failed: Option[String] = None
+      val df =
+        try Some(SparkEntry.queries(n)(spark, sfDir))
+        catch { case e: Throwable => failed = Some(e.toString.take(80)); None }
       val t1 = System.nanoTime()
-      try df.count() catch { case _: Throwable => () }
+      try df.foreach(_.count())
+      catch { case e: Throwable => failed = Some(e.toString.take(80)) }
       val t2 = System.nanoTime()
       Thread.sleep(300)
-      println(f"$n%-34s ${(t1 - t0) / 1e9}%7.3f ${(t2 - t1) / 1e9}%7.3f ${jobs.get}%5d ${stages.get}%5d ${tasks.get}%6d ${taskTimeMs.get / 1e3}%7.2f")
+      val row = f"$n%-34s ${(t1 - t0) / 1e9}%7.3f ${(t2 - t1) / 1e9}%7.3f ${jobs.get}%5d ${stages.get}%5d ${tasks.get}%6d ${taskTimeMs.get / 1e3}%7.2f"
+      println(failed.fold(row)(e => s"$row  FAILED: $e"))
     }
     spark.stop()
   }

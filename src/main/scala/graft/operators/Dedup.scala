@@ -328,9 +328,15 @@ object Dedup {
       .as(Seq("band_idx", "bk")))
     val cands = unpack(
       cappedPackedPairs(banded, Seq(col("band_idx"), col("bk"))).distinct())
+    // both vector-fetch joins key on vec_id over the SAME relation:
+    // derive them from one vec_id-partitioned base so the two embedding
+    // exchanges collapse into a single reused shuffle (optimization
+    // round 17, guide §2.4)
+    val eP = e.select(col("vec_id"), col("embedding"))
+      .repartition(col("vec_id"))
     cands
-      .join(e.select(col("vec_id").as("a"), col("embedding").as("va")), "a")
-      .join(e.select(col("vec_id").as("b"), col("embedding").as("vb")), "b")
+      .join(eP.select(col("vec_id").as("a"), col("embedding").as("va")), "a")
+      .join(eP.select(col("vec_id").as("b"), col("embedding").as("vb")), "b")
       .select(col("a"), col("b"), V.cosine(col("va"), col("vb")).as("sim"))
       .filter(col("sim") >= threshold)
       .orderBy(col("a"), col("b"))
@@ -541,6 +547,12 @@ object Dedup {
     // mirrored in the twin.
     "q110_incremental_neardup" -> ((s, d) => {
       val sh = shingleDf(s, d)
+      // (tried in round 17: deriving old/new from ONE shingle-partitioned
+      // exploded relation so the df-cap agg and both join sides share an
+      // exchange — filter pushdown splits the three subtrees below the
+      // repartition, so nothing is reused and the raw explode shuffles
+      // THREE times: 3.5 MB → 11.9 MB shuffled, 1.46× slower. Reverted;
+      // the partial-aggregated formulation below is the scale shape.)
       val oldInv = sh.filter(col("doc_id") % 10 < 8)
         .select(explode(col("sh")).as("shingle"), col("doc_id").as("old_id"))
       val newInv = sh.filter(col("doc_id") % 10 >= 8)
@@ -617,8 +629,29 @@ object Dedup {
           .distinct()
       }
       val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
-      ss.join(ss.select(col("source").as("source_b"), col("sh")), "sh")
-        .filter(col("source") < col("source_b"))
+      // Pair generation WITHOUT the self-join (optimization round 17,
+      // guide §2.3/§2.4): the join formulation shuffled/broadcast the
+      // corpus-sized relation TWICE keyed on the string shingle
+      // (measured 40.6 s of task time at sf0.1 — the suite's worst; at
+      // 100 TB the broadcast side is corpus-sized, so that plan
+      // degenerates to a double sort-merge of the corpus). This is the
+      // [[pairSharedCounts]] shape: group by shingle once, emit the
+      // ≤ n_src·(n_src−1)/2 ordered pairs from the in-group sorted
+      // source array, partial-aggregate the pair counts map-side to
+      // ≤ n_src² rows before the second (tiny) exchange. In-group state
+      // is bounded by the SOURCE COUNT, never the corpus — the same
+      // schema bound the join relied on. sort_array uses the binary
+      // string order of the join's `source < source_b` filter, so the
+      // (a, b) orientation and counts are IDENTICAL. (An int-indexed
+      // PackedPairs variant was measured slower: the index assignment
+      // costs a per-pass driver sync + an O(n_src) probe per row.)
+      ss.groupBy(col("sh"))
+        .agg(sort_array(collect_list(col("source"))).as("srcs"))
+        .filter(size(col("srcs")) >= 2)
+        .select(explode(flatten(transform(col("srcs"), (x, i) =>
+          transform(slice(col("srcs"), i + 2, size(col("srcs"))),
+            y => struct(x.as("source"), y.as("source_b")))))).as("p"))
+        .select(col("p.source").as("source"), col("p.source_b").as("source_b"))
         .groupBy(col("source"), col("source_b"))
         .agg(count(lit(1)).as("inter"))
         .join(sizes.select(col("source"), col("n").as("na")), "source")
@@ -658,7 +691,14 @@ object Dedup {
         val edges = pairs.select(col("a").as("u"), col("b").as("v"))
           .union(pairs.select(col("b").as("u"), col("a").as("v")))
         val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        // cache the relation PRE-PARTITIONED AND SORTED on the per-round
+        // join key (optimization round 17, guide §2.4): every one of the
+        // 3 pagerank rounds joins this relation on `v`, and a cached plan
+        // surfaces its child's partitioning/ordering — so each round's
+        // sort-merge join exchanges and sorts ONLY the O(nodes) rank side,
+        // never the O(edges) relation (before: 3 full edge shuffles/sorts)
         edges.join(deg.select(col("u").as("v"), col("deg").as("deg_v")), "v")
+          .repartition(col("v")).sortWithinPartitions(col("v"))
       }
       var rank = ed.select(col("u")).distinct()
         .select(col("u"), lit(1000000L).as("r"))

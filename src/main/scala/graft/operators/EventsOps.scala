@@ -111,7 +111,13 @@ object EventsOps {
     // the equi-key (user_id) bounds each join cell, the range predicate is
     // a post-filter inside the cell; never a full cross product.
     "q55_time_proximity_join" -> ((s, d) => {
+      // both join sides are the same relation keyed the same way: derive
+      // them from ONE user_id-partitioned base so the self-join's two
+      // exchanges collapse into a single reused shuffle (optimization
+      // round 17, guide §2.4) — the join then only sorts within cells
       val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .repartition(col("user_id"))
       val L = e.select(col("user_id"), col("event_id").as("a"),
         col("ts").as("ta"), col("event_type").as("type_a"))
       val R = e.select(col("user_id"), col("event_id").as("b"),
@@ -131,6 +137,11 @@ object EventsOps {
     // reaching each step. Three conditional-min aggregates (one shuffle
     // each on user_id, dims join back) — never a per-user sort/collect.
     "q69_funnel" -> ((s, d) => {
+      // (tried in round 17: one user_id repartition shared by all three
+      // step subtrees — the per-branch event_type filters push below the
+      // repartition, splitting the "shared" exchange into three RAW
+      // shuffles (62 KB → 719 KB shuffled). The conditional-min form
+      // below shuffles only user-level partial aggregates; kept.)
       val e = Tables.events(s, d)
       val s1 = e.filter(col("event_type") === "signup")
         .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))

@@ -487,9 +487,14 @@ object TextAnalysis {
       val seeds = Seq(0, 1, 2, 3)
       def bucket(t: org.apache.spark.sql.Column, seed: Int) =
         T.md5Prefix(concat(lit(s"$seed:"), t), 8) % W
-      val tok = Tables.documents(s, d)
-        .select(explode(graft.plans.TextExpressions.tokens(col("text"))).as("token"))
-        .groupBy(col("token")).agg(count(lit(1)).as("c"))
+      // the (token → corpus count) relation IS q133's cached tf table —
+      // share the one materialization (the suite's shared-relation
+      // convention: one tokenize+count per corpus, not one per consumer)
+      val tok = graft.sources.RelationCache.of(s, "textanalysis.q133tf", d) {
+        Tables.documents(s, d)
+          .select(explode(graft.plans.TextExpressions.tokens(col("text"))).as("token"))
+          .groupBy(col("token")).agg(count(lit(1)).as("c"))
+      }
       val h = tok.select(col("token"), col("c"),
           explode(array(seeds.map(sd =>
             struct(lit(sd).as("seed"), bucket(col("token"), sd).as("b"))): _*))
