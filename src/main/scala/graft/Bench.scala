@@ -18,6 +18,16 @@ object Bench {
         else "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // Config A/B affordance for the optimization loop (round 17): every
+    // SPARK_GRAFT_CONF_<key-with-_-for-.> env var is applied as a session
+    // conf AFTER getOrCreate (SQL confs are session-mutable). With none
+    // set — the driver's invocation — the session is byte-identical to
+    // the shipped config above.
+    sys.env.foreach { case (k, v) =>
+      if (k.startsWith("SPARK_GRAFT_CONF_"))
+        spark.conf.set(k.stripPrefix("SPARK_GRAFT_CONF_")
+          .toLowerCase.replace('_', '.'), v)
+    }
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_ONLY=q181,q35 restricts the board to the named query
     // prefixes — local A/B iteration on a suspect without paying the

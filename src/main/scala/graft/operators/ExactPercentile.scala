@@ -35,12 +35,26 @@ object ExactPercentile {
     * `(name, p)` in `ps` (all over `value`, nulls ignored, output double).
     */
   def percentiles(df: DataFrame, groupCols: Seq[String], value: Column,
+      ps: Seq[(String, Double)]): DataFrame =
+    fromCounts(
+      df.filter(value.isNotNull)
+        .groupBy(groupCols.map(col) :+ value.cast("double").as("__v"): _*)
+        .agg(count(lit(1)).as("__c")),
+      groupCols, ps)
+
+  /** The same exact percentiles over an ALREADY-AGGREGATED distinct-value
+    * relation (`groupCols`, `__v` double, `__c` count) — `__v` MUST be
+    * unique per group and non-null (the cumulative window's RANGE frame
+    * merges ties, corrupting the rank intervals). Lets a caller
+    * that needs several percentile passes over the same rows (q95's
+    * median → MAD → outlier count) derive every later pass from the
+    * FIRST pass's O(distinct values) relation instead of re-scanning and
+    * re-aggregating the corpus (optimization round 17, guide §2.3/§1.2:
+    * don't recompute what a smaller relation already carries). */
+  def fromCounts(counts: DataFrame, groupCols: Seq[String],
       ps: Seq[(String, Double)]): DataFrame = {
     require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0.0 && p <= 1.0 })
     val g = groupCols.map(col)
-    val counts = df.filter(value.isNotNull)
-      .groupBy(g :+ value.cast("double").as("__v"): _*)
-      .agg(count(lit(1)).as("__c"))
     val cw = Window.partitionBy(g: _*).orderBy(col("__v"))
     val tw = Window.partitionBy(g: _*)
     val ranked = counts

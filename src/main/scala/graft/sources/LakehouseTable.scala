@@ -2513,11 +2513,72 @@ object LakehouseTable {
     * what any foreign Delta reader does with the export, so gating its
     * result against an oracle gates the exported FORMAT's bookkeeping,
     * not the engine's own read path. */
+  /** Constructed-read memo for the Delta export faces (optimization
+    * round 17, the IcebergMeta.readIceberg twin): building the read
+    * DataFrame — log replay to a state, DV wiring, schema derivation,
+    * slice construction — is pure driver work repeated identically per
+    * call over an UNCHANGED log. The plan is a pure function of (log
+    * state, arguments, cbo arm), and the log state is pinned by the
+    * fingerprint of the whole `_delta_log` listing (name:size:mtime of
+    * every entry — a commit appends a json, a checkpoint rewrites
+    * `_last_checkpoint`, log cleanup deletes tails; each changes the
+    * fingerprint). Only the ANALYZED PLAN is memoized; every action
+    * still scans the parquet. Refusals throw before caching. */
+  private val exportReadMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+
+  private def dirIdentity(dir: Path): String = {
+    require(Files.isDirectory(dir), s"no directory at $dir")
+    val sb = new StringBuilder
+    val listed = Files.list(dir)
+    try listed.sorted().forEach { p =>
+      sb.append(p.getFileName.toString).append(':')
+        .append(Files.size(p)).append(':')
+        .append(Files.getLastModifiedTime(p).toMillis).append(';')
+    } finally listed.close()
+    graft.plans.TextExpressions.md5Hex(sb.toString)
+  }
+
+  private def deltaLogIdentity(root: String): String = {
+    val logDir = Paths.get(root, "_delta_log")
+    require(Files.isDirectory(logDir), s"no _delta_log at $root")
+    dirIdentity(logDir)
+  }
+
+  private def memoizedRead(spark: SparkSession, key: String)
+      (build: => DataFrame): DataFrame = {
+    val m = exportReadMemo.synchronized {
+      var inner = exportReadMemo.get(spark)
+      if (inner == null) {
+        inner = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        exportReadMemo.put(spark, inner)
+      }
+      inner
+    }
+    // stale-fingerprint keys accumulate in a long writer session — cap
+    // and reset rather than leak (a reset costs one rebuild)
+    if (m.size > 256) m.clear()
+    m.computeIfAbsent(key, _ => build)
+  }
+
   def readDeltaExport(spark: SparkSession, root: String,
       useCheckpoint: Boolean = true,
       versionAsOf: Option[Long] = None,
       timestampAsOf: Option[Long] = None,
-      pruneWhere: Option[String] = None): DataFrame = {
+      pruneWhere: Option[String] = None): DataFrame =
+    memoizedRead(spark, s"export@$root@${deltaLogIdentity(root)}" +
+        s"@$useCheckpoint@$versionAsOf@$timestampAsOf@$pruneWhere" +
+        s"@${spark.conf.get("spark.sql.cbo.enabled", "false")}") {
+      readDeltaExportUncached(spark, root, useCheckpoint, versionAsOf,
+        timestampAsOf, pruneWhere)
+    }
+
+  private def readDeltaExportUncached(spark: SparkSession, root: String,
+      useCheckpoint: Boolean,
+      versionAsOf: Option[Long],
+      timestampAsOf: Option[Long],
+      pruneWhere: Option[String]): DataFrame = {
     val logDir = Paths.get(root, "_delta_log")
     require(Files.isDirectory(logDir), s"no _delta_log at $root (exportDeltaLog first)")
     require(versionAsOf.isEmpty || timestampAsOf.isEmpty,
@@ -4153,7 +4214,14 @@ object LakehouseTable {
     .empty[(String, Long, Long, Long), Option[String]]
 
   def readDeltaExportChanges(spark: SparkSession, root: String,
-      fromVersion: Long, toVersion: Long): DataFrame = {
+      fromVersion: Long, toVersion: Long): DataFrame =
+    memoizedRead(spark, s"changes@$root@${deltaLogIdentity(root)}" +
+        s"@$fromVersion@$toVersion") {
+      readDeltaExportChangesUncached(spark, root, fromVersion, toVersion)
+    }
+
+  private def readDeltaExportChangesUncached(spark: SparkSession,
+      root: String, fromVersion: Long, toVersion: Long): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     require(fromVersion <= toVersion,
       s"empty CDF range $fromVersion..$toVersion")
@@ -6213,7 +6281,17 @@ object LakehouseTable {
     * rewrites. Schema evolution across the span surfaces as the union
     * schema, absent columns null. */
   def changeFeed(spark: SparkSession, root: String, fromVersion: Long,
-      toVersion: Long, keys: Seq[String]): DataFrame = {
+      toVersion: Long, keys: Seq[String]): DataFrame =
+    // the native-face twin of the readDeltaExport memo: the diff plan is
+    // a pure function of the two pinned manifests (+ mapping/DV state,
+    // all under _manifest) — fingerprint the whole _manifest listing
+    memoizedRead(spark, s"cdf@$root@${dirIdentity(manifestDir(root))}" +
+        s"@$fromVersion@$toVersion@${keys.mkString(",")}") {
+      changeFeedUncached(spark, root, fromVersion, toVersion, keys)
+    }
+
+  private def changeFeedUncached(spark: SparkSession, root: String,
+      fromVersion: Long, toVersion: Long, keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
     require(keys.nonEmpty, "changeFeed requires at least one key column")
     val fromM = readManifest(root, fromVersion)
