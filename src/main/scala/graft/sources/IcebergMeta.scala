@@ -5927,6 +5927,24 @@ object IcebergMeta {
     * rewritten files' rows. */
   def icebergChangelog(spark: SparkSession, root: String,
       fromSeq: Long, toSeq: Long, keys: Seq[String]): DataFrame = {
+    // constructed-plan memo, the [[readIceberg]] rule: the changelog
+    // plan is a pure function of the pinned chain state + arguments
+    val m = readMemo.synchronized {
+      var inner = readMemo.get(spark)
+      if (inner == null) {
+        inner = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        readMemo.put(spark, inner)
+      }
+      inner
+    }
+    if (m.size > 256) m.clear()
+    m.computeIfAbsent(s"changelog@$root@${metadataIdentity(root)}" +
+        s"@$fromSeq@$toSeq@${keys.mkString(",")}",
+      _ => icebergChangelogUncached(spark, root, fromSeq, toSeq, keys))
+  }
+
+  private def icebergChangelogUncached(spark: SparkSession, root: String,
+      fromSeq: Long, toSeq: Long, keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
     require(keys.nonEmpty, "icebergChangelog requires at least one key column")
     val snaps = snapshots(root).sortBy(_.seq)

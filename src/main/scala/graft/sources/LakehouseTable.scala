@@ -927,6 +927,31 @@ object LakehouseTable {
   }
 
   def read(spark: SparkSession, root: String, version: Option[Long] = None): DataFrame = {
+    // constructed-plan memo (the readDeltaExport rule): construction
+    // reads every data file's footer under mergeSchema — pure repeated
+    // driver IO over an unchanged table. Keyed on the full _manifest
+    // fingerprint, so commits, RESTORE, and VACUUM (which deletes old
+    // manifest versions) all invalidate; a missing table falls through
+    // to the uncached path's canonical error.
+    if (Files.isDirectory(manifestDir(root))) {
+      // the plan also carries ANALYZE statistics (attach reads
+      // _graft_stats.json, armed by the cbo conf) — both must key the
+      // memo or a stale no-stats/stale-stats plan would be served
+      val statsF = Paths.get(root, "_graft_stats.json")
+      val statsId =
+        if (Files.exists(statsF))
+          s"${Files.size(statsF)}:${Files.getLastModifiedTime(statsF).toMillis}"
+        else "none"
+      val cbo = spark.conf.get("spark.sql.cbo.enabled", "false")
+      memoizedRead(spark, s"native@$root@${dirIdentity(manifestDir(root))}" +
+          s"@$version@$statsId@$cbo") {
+        readUncached(spark, root, version)
+      }
+    } else readUncached(spark, root, version)
+  }
+
+  private def readUncached(spark: SparkSession, root: String,
+      version: Option[Long]): DataFrame = {
     val v = version.orElse(currentVersion(root)).getOrElse(
       throw new IllegalStateException(s"no table at $root"))
     // a time travel past the retention horizon names a vacuumed version:
