@@ -5375,10 +5375,20 @@ object IcebergMeta {
       s"@$snapshotAsOf@$asOfTimestamp@$pruneWhere@$cbo"
     // stale-version keys accumulate in a long writer session (every
     // commit mints a new identity) — cap and reset rather than leak
-    // (the r15 ckptTxnCache lesson); a reset only costs one rebuild
+    // (the r15 ckptTxnCache lesson); a reset only costs one rebuild.
+    // get/putIfAbsent, NOT computeIfAbsent: a memoized builder can call
+    // back into this map (icebergChangelog's legs read the chain) and a
+    // nested computeIfAbsent on one ConcurrentHashMap throws
+    // "Recursive update"; a racy duplicate build is benign.
     if (m.size > 256) m.clear()
-    m.computeIfAbsent(key, _ =>
-      readIcebergUncached(spark, root, snapshotAsOf, asOfTimestamp, pruneWhere))
+    val hit = m.get(key)
+    if (hit != null) hit
+    else {
+      val built =
+        readIcebergUncached(spark, root, snapshotAsOf, asOfTimestamp, pruneWhere)
+      val prev = m.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
   }
 
   private def readIcebergUncached(spark: SparkSession, root: String,
@@ -5938,9 +5948,17 @@ object IcebergMeta {
       inner
     }
     if (m.size > 256) m.clear()
-    m.computeIfAbsent(s"changelog@$root@${metadataIdentity(root)}" +
-        s"@$fromSeq@$toSeq@${keys.mkString(",")}",
-      _ => icebergChangelogUncached(spark, root, fromSeq, toSeq, keys))
+    val key = s"changelog@$root@${metadataIdentity(root)}" +
+      s"@$fromSeq@$toSeq@${keys.mkString(",")}"
+    // get/putIfAbsent, not computeIfAbsent: the builder reads the chain
+    // through readIceberg, which updates this same map (see there)
+    val hit = m.get(key)
+    if (hit != null) hit
+    else {
+      val built = icebergChangelogUncached(spark, root, fromSeq, toSeq, keys)
+      val prev = m.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
   }
 
   private def icebergChangelogUncached(spark: SparkSession, root: String,

@@ -2582,9 +2582,19 @@ object LakehouseTable {
       inner
     }
     // stale-fingerprint keys accumulate in a long writer session — cap
-    // and reset rather than leak (a reset costs one rebuild)
+    // and reset rather than leak (a reset costs one rebuild).
+    // get/putIfAbsent, NOT computeIfAbsent: a memoized builder can call
+    // back into this map (changeFeed's legs call read()) and a nested
+    // computeIfAbsent on one ConcurrentHashMap throws "Recursive
+    // update"; a racy duplicate build is benign.
     if (m.size > 256) m.clear()
-    m.computeIfAbsent(key, _ => build)
+    val hit = m.get(key)
+    if (hit != null) hit
+    else {
+      val built = build
+      val prev = m.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
   }
 
   def readDeltaExport(spark: SparkSession, root: String,
